@@ -1,0 +1,385 @@
+package graft.geom
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Constructive geometry ops (reference surface:
+  * `dask_geopandas/expr.py:963-972` boundary/centroid/convex_hull/envelope/
+  * exterior, `expr.py:301-337` representative_point/buffer/simplify/
+  * interpolate, `expr.py:339-385` affine family).
+  */
+object Constructive {
+
+  // -------------------------------------------------------------- centroid
+  /** Area- (then length-, then point-) weighted centroid, GEOS-style:
+    * highest topological dimension present wins.
+    */
+  def centroid(g: Geometry): Point = {
+    if (g.isEmpty) return Point.empty
+    val dim = g.topoDim
+    if (dim == 2) {
+      var ax = 0.0; var ay = 0.0; var aSum = 0.0
+      Geometry.parts(g).foreach {
+        case p: Polygon if !p.isEmpty =>
+          var r = 0
+          while (r < p.rings.length) {
+            val sign = if (r == 0) 1.0 else -1.0
+            val ring = p.rings(r)
+            val sa = Measures.signedRingArea(ring)
+            val w = sign * math.abs(sa)
+            val (cx, cy) = ringCentroid(ring, sa)
+            ax += cx * w; ay += cy * w; aSum += w
+            r += 1
+          }
+        case _ =>
+      }
+      if (aSum != 0) return Point(ax / aSum, ay / aSum)
+    }
+    if (dim >= 1) {
+      var lx = 0.0; var ly = 0.0; var lSum = 0.0
+      Geometry.parts(g).foreach {
+        case l: LineString =>
+          var i = 0
+          while (i + 3 < l.xy.length) {
+            val x1 = l.xy(i); val y1 = l.xy(i + 1); val x2 = l.xy(i + 2); val y2 = l.xy(i + 3)
+            val len = math.hypot(x2 - x1, y2 - y1)
+            lx += (x1 + x2) / 2 * len; ly += (y1 + y2) / 2 * len; lSum += len
+            i += 2
+          }
+        case p: Polygon =>
+          p.rings.foreach { ring =>
+            var i = 0
+            while (i + 3 < ring.length) {
+              val len = math.hypot(ring(i + 2) - ring(i), ring(i + 3) - ring(i + 1))
+              lx += (ring(i) + ring(i + 2)) / 2 * len
+              ly += (ring(i + 1) + ring(i + 3)) / 2 * len
+              lSum += len
+              i += 2
+            }
+          }
+        case _ =>
+      }
+      if (lSum != 0) return Point(lx / lSum, ly / lSum)
+    }
+    var px = 0.0; var py = 0.0; var n = 0
+    // for point geoms: average distinct part points; else average vertices
+    g.foreachCoord { (x, y) => px += x; py += y; n += 1 }
+    if (n == 0) Point.empty else Point(px / n, py / n)
+  }
+
+  private def ringCentroid(ring: Array[Double], signedArea: Double): (Double, Double) = {
+    if (signedArea == 0) {
+      // degenerate ring: average vertices
+      var sx = 0.0; var sy = 0.0; var n = 0
+      var i = 0
+      while (i < ring.length) { sx += ring(i); sy += ring(i + 1); n += 1; i += 2 }
+      return (sx / n, sy / n)
+    }
+    var cx = 0.0; var cy = 0.0
+    var i = 0
+    while (i + 3 < ring.length) {
+      val cross = ring(i) * ring(i + 3) - ring(i + 2) * ring(i + 1)
+      cx += (ring(i) + ring(i + 2)) * cross
+      cy += (ring(i + 1) + ring(i + 3)) * cross
+      i += 2
+    }
+    (cx / (6 * signedArea), cy / (6 * signedArea))
+  }
+
+  // ----------------------------------------------------------- convex hull
+  /** Andrew's monotone chain. Returns Point/LineString/Polygon by rank. */
+  def convexHull(g: Geometry): Geometry = {
+    val pts = ArrayBuffer[(Double, Double)]()
+    g.foreachCoord((x, y) => pts += ((x, y)))
+    val distinct = pts.distinct.sortBy(identity)
+    if (distinct.isEmpty) return GeometryCollection(Array.empty)
+    if (distinct.length == 1) return Point(distinct(0)._1, distinct(0)._2)
+    val hull = monotoneChain(distinct)
+    if (hull.length == 2)
+      LineString(Array(hull(0)._1, hull(0)._2, hull(1)._1, hull(1)._2))
+    else {
+      val ring = new Array[Double]((hull.length + 1) * 2)
+      var i = 0
+      while (i < hull.length) { ring(2 * i) = hull(i)._1; ring(2 * i + 1) = hull(i)._2; i += 1 }
+      ring(2 * hull.length) = hull(0)._1; ring(2 * hull.length + 1) = hull(0)._2
+      Polygon(ring)
+    }
+  }
+
+  private def monotoneChain(sorted: ArrayBuffer[(Double, Double)]): ArrayBuffer[(Double, Double)] = {
+    def cross(o: (Double, Double), a: (Double, Double), b: (Double, Double)) =
+      (a._1 - o._1) * (b._2 - o._2) - (a._2 - o._2) * (b._1 - o._1)
+    val lower = ArrayBuffer[(Double, Double)]()
+    for (p <- sorted) {
+      while (lower.length >= 2 && cross(lower(lower.length - 2), lower.last, p) <= 0)
+        lower.remove(lower.length - 1)
+      lower += p
+    }
+    val upper = ArrayBuffer[(Double, Double)]()
+    for (p <- sorted.reverseIterator) {
+      while (upper.length >= 2 && cross(upper(upper.length - 2), upper.last, p) <= 0)
+        upper.remove(upper.length - 1)
+      upper += p
+    }
+    lower.dropRight(1) ++ upper.dropRight(1)
+  }
+
+  // -------------------------------------------------------------- boundary
+  def boundary(g: Geometry): Geometry = g match {
+    case _: Point | _: MultiPoint => GeometryCollection(Array.empty)
+    case l: LineString =>
+      if (l.isClosed || l.isEmpty) MultiPoint(Array.empty)
+      else MultiPoint(Array(Point(l.x(0), l.y(0)), Point(l.x(l.size - 1), l.y(l.size - 1))))
+    case m: MultiLineString =>
+      val pts = ArrayBuffer[Point]()
+      m.lines.foreach { l =>
+        if (!l.isClosed && !l.isEmpty) {
+          pts += Point(l.x(0), l.y(0)); pts += Point(l.x(l.size - 1), l.y(l.size - 1))
+        }
+      }
+      // mod-2 rule: points appearing an even number of times vanish
+      val keep = pts.groupBy(p => (p.x, p.y)).filter(_._2.size % 2 == 1).keys
+      MultiPoint(keep.map { case (x, y) => Point(x, y) }.toArray)
+    case p: Polygon =>
+      if (p.isEmpty) MultiLineString(Array.empty)
+      else if (p.rings.length == 1) LineString(p.rings(0))
+      else MultiLineString(p.rings.map(LineString(_)))
+    case m: MultiPolygon =>
+      MultiLineString(m.polys.flatMap(p => p.rings.map(LineString(_))))
+    case gc: GeometryCollection =>
+      Geometry.collect(gc.geoms.map(boundary).toIndexedSeq)
+  }
+
+  def exteriorRing(g: Geometry): Geometry = g match {
+    case p: Polygon if !p.isEmpty => LineString(p.rings(0))
+    case _                        => GeometryCollection(Array.empty)
+  }
+
+  // ------------------------------------------------------------- simplify
+  /** Douglas–Peucker, per ring/line; rings keep >= 4 points. */
+  def simplify(g: Geometry, tol: Double): Geometry = g match {
+    case l: LineString => LineString(dp(l.xy, tol, isRing = false))
+    case p: Polygon    => Polygon(p.rings.map(r => dp(r, tol, isRing = true)))
+    case m: MultiLineString => MultiLineString(m.lines.map(l => LineString(dp(l.xy, tol, isRing = false))))
+    case m: MultiPolygon => MultiPolygon(m.polys.map(p => Polygon(p.rings.map(r => dp(r, tol, isRing = true)))))
+    case gc: GeometryCollection => GeometryCollection(gc.geoms.map(simplify(_, tol)))
+    case other => other
+  }
+
+  private def dp(xy: Array[Double], tol: Double, isRing: Boolean): Array[Double] = {
+    val n = xy.length / 2
+    if (n <= (if (isRing) 4 else 2)) return xy
+    val keep = new Array[Boolean](n)
+    keep(0) = true; keep(n - 1) = true
+    def recurse(lo: Int, hi: Int): Unit = {
+      if (hi - lo < 2) return
+      var maxD = -1.0; var maxI = -1
+      var i = lo + 1
+      while (i < hi) {
+        val d = Measures.pointToSegment(xy(2 * i), xy(2 * i + 1),
+          xy(2 * lo), xy(2 * lo + 1), xy(2 * hi), xy(2 * hi + 1))
+        if (d > maxD) { maxD = d; maxI = i }
+        i += 1
+      }
+      if (maxD > tol) { keep(maxI) = true; recurse(lo, maxI); recurse(maxI, hi) }
+    }
+    recurse(0, n - 1)
+    var kept: Seq[Int] = (0 until n).filter(keep)
+    if (isRing && kept.length < 4) {
+      // preserve a valid ring: keep the two farthest interior points
+      kept = Seq(0, n / 3, 2 * n / 3, n - 1).distinct.sorted
+    }
+    val out = new Array[Double](kept.length * 2)
+    var j = 0
+    for (i <- kept) { out(2 * j) = xy(2 * i); out(2 * j + 1) = xy(2 * i + 1); j += 1 }
+    out
+  }
+
+  // ---------------------------------------------------------------- buffer
+  /** Positive buffer. `resolution` = segments per quarter circle (shapely
+    * default 16 — reference `dask_geopandas/expr.py:314-322`). Points get an
+    * exact regular 4*resolution-gon; other geometries use the convex hull of
+    * vertex circles (exact for convex inputs, approximate for concave).
+    */
+  def buffer(g: Geometry, dist: Double, resolution: Int = 16): Geometry = {
+    if (g.isEmpty) return g
+    if (dist == 0) return g
+    require(dist > 0, "negative buffer not supported in v1")
+    val n = math.max(4, 4 * resolution)
+    g match {
+      case p: Point => circle(p.x, p.y, dist, n)
+      case mp: MultiPoint =>
+        MultiPolygon(mp.pts.filterNot(_.isEmpty).map(p => circle(p.x, p.y, dist, n)))
+      case other =>
+        val pts = ArrayBuffer[(Double, Double)]()
+        other.foreachCoord { (x, y) =>
+          var k = 0
+          while (k < n) {
+            val a = 2 * math.Pi * k / n
+            pts += ((x + dist * math.cos(a), y + dist * math.sin(a)))
+            k += 1
+          }
+        }
+        convexHull(MultiPoint(pts.map { case (x, y) => Point(x, y) }.toArray))
+    }
+  }
+
+  def circle(cx: Double, cy: Double, r: Double, n: Int): Polygon = {
+    val ring = new Array[Double](2 * (n + 1))
+    var k = 0
+    while (k < n) {
+      val a = 2 * math.Pi * k / n
+      ring(2 * k) = cx + r * math.cos(a)
+      ring(2 * k + 1) = cy + r * math.sin(a)
+      k += 1
+    }
+    ring(2 * n) = ring(0); ring(2 * n + 1) = ring(1)
+    Polygon(ring)
+  }
+
+  // ------------------------------------------------- representative point
+  /** A point guaranteed inside the geometry (reference
+    * `dask_geopandas/expr.py:301-305`).
+    */
+  def pointOnSurface(g: Geometry): Point = {
+    if (g.isEmpty) return Point.empty
+    g match {
+      case p: Point      => p
+      case mp: MultiPoint => mp.pts.find(!_.isEmpty).getOrElse(Point.empty)
+      case l: LineString =>
+        // middle vertex
+        Point(l.x(l.size / 2), l.y(l.size / 2))
+      case m: MultiLineString => pointOnSurface(m.lines(m.lines.length / 2))
+      case poly: Polygon =>
+        val c = centroid(poly)
+        if (Predicates.pointInPolygon(c.x, c.y, poly) == Predicates.IN) c
+        else scanlinePoint(poly)
+      case m: MultiPolygon =>
+        // largest part
+        pointOnSurface(m.polys.maxBy(Measures.area))
+      case gc: GeometryCollection => pointOnSurface(gc.geoms.maxBy(_.topoDim))
+    }
+  }
+
+  /** Midpoint of the widest scanline crossing at the polygon's mid-y. */
+  private def scanlinePoint(poly: Polygon): Point = {
+    val env = poly.envelope
+    val y = (env.minY + env.maxY) / 2
+    val xs = ArrayBuffer[Double]()
+    poly.rings.foreach { ring =>
+      var i = 0
+      while (i + 3 < ring.length) {
+        val y1 = ring(i + 1); val y2 = ring(i + 3)
+        if ((y1 > y) != (y2 > y)) {
+          xs += ring(i) + (y - y1) / (y2 - y1) * (ring(i + 2) - ring(i))
+        }
+        i += 2
+      }
+    }
+    val sorted = xs.sorted
+    if (sorted.length < 2) return centroid(poly)
+    var best = (sorted(0) + sorted(1)) / 2; var bestW = sorted(1) - sorted(0)
+    var i = 0
+    while (i + 1 < sorted.length) {
+      val w = sorted(i + 1) - sorted(i)
+      val mid = (sorted(i) + sorted(i + 1)) / 2
+      if (w > bestW && Predicates.pointInPolygon(mid, y, poly) == Predicates.IN) {
+        best = mid; bestW = w
+      }
+      i += 2
+    }
+    Point(best, y)
+  }
+
+  // -------------------------------------------------------- line reference
+  /** Point at `distance` along the line (clamped); `normalized` in [0,1]
+    * (reference `dask_geopandas/expr.py:330-337`).
+    */
+  def lineInterpolatePoint(g: Geometry, distance: Double, normalized: Boolean = false): Point = {
+    val l = g match {
+      case l: LineString => l
+      case m: MultiLineString if m.lines.nonEmpty => m.lines(0)
+      case _ => return Point.empty
+    }
+    if (l.isEmpty) return Point.empty
+    val total = Measures.pathLength(l.xy)
+    var target = if (normalized) distance * total else distance
+    if (target <= 0) return Point(l.x(0), l.y(0))
+    if (target >= total) return Point(l.x(l.size - 1), l.y(l.size - 1))
+    var i = 0
+    while (i + 3 < l.xy.length) {
+      val segLen = math.hypot(l.xy(i + 2) - l.xy(i), l.xy(i + 3) - l.xy(i + 1))
+      if (target <= segLen && segLen > 0) {
+        val t = target / segLen
+        return Point(l.xy(i) + t * (l.xy(i + 2) - l.xy(i)),
+          l.xy(i + 1) + t * (l.xy(i + 3) - l.xy(i + 1)))
+      }
+      target -= segLen
+      i += 2
+    }
+    Point(l.x(l.size - 1), l.y(l.size - 1))
+  }
+
+  /** Distance along the line of the closest point to p (st_linelocatepoint /
+    * shapely project — reference `dask_geopandas/expr.py:1001-1013`).
+    */
+  def lineLocatePoint(g: Geometry, p: Point, normalized: Boolean = false): Double = {
+    val l = g match {
+      case l: LineString => l
+      case m: MultiLineString if m.lines.nonEmpty => m.lines(0)
+      case _ => return Double.NaN
+    }
+    if (l.isEmpty || p.isEmpty) return Double.NaN
+    var best = Double.PositiveInfinity
+    var bestAlong = 0.0
+    var along = 0.0
+    var i = 0
+    while (i + 3 < l.xy.length) {
+      val x1 = l.xy(i); val y1 = l.xy(i + 1); val x2 = l.xy(i + 2); val y2 = l.xy(i + 3)
+      val dx = x2 - x1; val dy = y2 - y1
+      val len2 = dx * dx + dy * dy
+      val segLen = math.sqrt(len2)
+      var t = if (len2 == 0) 0.0 else ((p.x - x1) * dx + (p.y - y1) * dy) / len2
+      if (t < 0) t = 0 else if (t > 1) t = 1
+      val d = math.hypot(p.x - (x1 + t * dx), p.y - (y1 + t * dy))
+      if (d < best) { best = d; bestAlong = along + t * segLen }
+      along += segLen
+      i += 2
+    }
+    if (normalized) { if (along == 0) 0.0 else bestAlong / along } else bestAlong
+  }
+
+  // --------------------------------------------------------------- affine
+  /** 2-D affine: x' = a*x + b*y + xoff ; y' = d*x + e*y + yoff
+    * (matches shapely's 6-element matrix order [a,b,d,e,xoff,yoff] used by
+    * reference `dask_geopandas/expr.py:339-343`).
+    */
+  def affine(g: Geometry, a: Double, b: Double, d: Double, e: Double,
+      xoff: Double, yoff: Double): Geometry =
+    g.mapCoords((x, y) => (a * x + b * y + xoff, d * x + e * y + yoff))
+
+  def translate(g: Geometry, xoff: Double, yoff: Double): Geometry =
+    affine(g, 1, 0, 0, 1, xoff, yoff)
+
+  /** origin semantics: shapely default 'center' = bbox center. */
+  def originOf(g: Geometry, origin: String): (Double, Double) = origin match {
+    case "centroid" => val c = centroid(g); (c.x, c.y)
+    case _          => val e = g.envelope; (e.midX, e.midY)
+  }
+
+  def rotate(g: Geometry, angle: Double, ox: Double, oy: Double,
+      useRadians: Boolean = false): Geometry = {
+    val rad = if (useRadians) angle else math.toRadians(angle)
+    val c = math.cos(rad); val s = math.sin(rad)
+    g.mapCoords((x, y) => (ox + c * (x - ox) - s * (y - oy), oy + s * (x - ox) + c * (y - oy)))
+  }
+
+  def scale(g: Geometry, xf: Double, yf: Double, ox: Double, oy: Double): Geometry =
+    g.mapCoords((x, y) => (ox + xf * (x - ox), oy + yf * (y - oy)))
+
+  def skew(g: Geometry, xs: Double, ys: Double, ox: Double, oy: Double,
+      useRadians: Boolean = false): Geometry = {
+    val tx = math.tan(if (useRadians) xs else math.toRadians(xs))
+    val ty = math.tan(if (useRadians) ys else math.toRadians(ys))
+    g.mapCoords((x, y) => (x + tx * (y - oy), y + ty * (x - ox)))
+  }
+}

@@ -1,0 +1,367 @@
+package graft.geom
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Overlay (set-theoretic) operations.
+  *
+  * v1 scope (documented limitation, mirrors what the declared queries and
+  * the reference tests exercise — reference ops at
+  * `dask_geopandas/expr.py:1001-1013` intersection/difference/union and
+  * `clip.py:12-47`):
+  *  - intersection: exact when either operand is convex (Sutherland–Hodgman
+  *    with the convex side as clip window, covers the reference's `clip`
+  *    where the mask is a bbox/convex region) or when any operand is
+  *    point/line (direct clipping).
+  *  - union: exact for point sets; containment/disjoint fast paths for
+  *    areal operands; general concave-concave polygon union is round-2
+  *    (Greiner–Hormann).
+  *  - difference: points/lines minus areal; areal fast paths.
+  */
+object Overlay {
+
+  def isConvexRing(ring: Array[Double]): Boolean = {
+    val n = ring.length / 2 - 1 // closed
+    if (n < 3) return false
+    var sign = 0
+    var i = 0
+    while (i < n) {
+      val ax = ring(2 * i); val ay = ring(2 * i + 1)
+      val bx = ring(2 * ((i + 1) % n)); val by = ring(2 * ((i + 1) % n) + 1)
+      val cx = ring(2 * ((i + 2) % n)); val cy = ring(2 * ((i + 2) % n) + 1)
+      val o = Predicates.orient(ax, ay, bx, by, cx, cy)
+      if (o != 0) {
+        val s = if (o > 0) 1 else -1
+        if (sign == 0) sign = s
+        else if (sign != s) return false
+      }
+      i += 1
+    }
+    true
+  }
+
+  def isConvexPolygon(g: Geometry): Boolean = g match {
+    case p: Polygon => p.rings.length == 1 && isConvexRing(p.rings(0))
+    case _          => false
+  }
+
+  // ---------------------------------------------------------- intersection
+  def intersection(a: Geometry, b: Geometry): Geometry = {
+    if (a.isEmpty || b.isEmpty || !a.envelope.intersects(b.envelope))
+      return GeometryCollection(Array.empty)
+    (a, b) match {
+      case (p: Point, _) => if (Predicates.intersects(p, b)) p else GeometryCollection(Array.empty)
+      case (_, p: Point) => if (Predicates.intersects(a, p)) p else GeometryCollection(Array.empty)
+      case (mp: MultiPoint, _) =>
+        MultiPoint(mp.pts.filter(p => Predicates.intersects(p, b)))
+      case (_, mp: MultiPoint) =>
+        MultiPoint(mp.pts.filter(p => Predicates.intersects(a, p)))
+      case (l: LineString, _) if b.topoDim == 2 => clipLineToArea(l, b)
+      case (_, l: LineString) if a.topoDim == 2 => clipLineToArea(l, a)
+      case (ml: MultiLineString, _) if b.topoDim == 2 =>
+        Geometry.collect(ml.lines.toIndexedSeq.map(l => clipLineToArea(l, b)))
+      case (_, ml: MultiLineString) if a.topoDim == 2 =>
+        Geometry.collect(ml.lines.toIndexedSeq.map(l => clipLineToArea(l, a)))
+      case _ if a.topoDim == 2 && b.topoDim == 2 => areaIntersection(a, b)
+      case (l1: LineString, l2: LineString) => lineLineIntersection(l1, l2)
+      case _ =>
+        throw new UnsupportedOperationException(
+          s"intersection(${a.geometryType}, ${b.geometryType}) not supported in v1")
+    }
+  }
+
+  private def areaIntersection(a: Geometry, b: Geometry): Geometry = {
+    val partsA = Geometry.parts(a).collect { case p: Polygon => p }
+    val partsB = Geometry.parts(b).collect { case p: Polygon => p }
+    val out = ArrayBuffer[Polygon]()
+    for (pa <- partsA; pb <- partsB if pa.envelope.intersects(pb.envelope)) {
+      polyPolyIntersection(pa, pb).foreach(out += _)
+    }
+    if (out.isEmpty) GeometryCollection(Array.empty)
+    else if (out.length == 1) out(0)
+    else MultiPolygon(out.toArray)
+  }
+
+  private def polyPolyIntersection(a: Polygon, b: Polygon): Option[Polygon] = {
+    if (Predicates.covers(a, b)) return Some(b)
+    if (Predicates.covers(b, a)) return Some(a)
+    val (subject, clip) =
+      if (isConvexPolygon(b)) (a, b)
+      else if (isConvexPolygon(a)) (b, a)
+      else throw new UnsupportedOperationException(
+        "concave-concave polygon intersection not supported in v1")
+    if (subject.numHoles > 0)
+      throw new UnsupportedOperationException("holes in overlay subject not supported in v1")
+    val clipped = sutherlandHodgman(subject.rings(0), clip.rings(0))
+    if (clipped.length < 8) None else Some(Polygon(clipped))
+  }
+
+  /** Clip a closed subject ring by a convex clip ring. Output closed ring
+    * (possibly empty). Standard Sutherland–Hodgman.
+    */
+  def sutherlandHodgman(subject: Array[Double], clip: Array[Double]): Array[Double] = {
+    // determine clip orientation so "inside" is consistent
+    val ccw = Measures.signedRingArea(clip) > 0
+    var poly = toPairs(subject)
+    val nClip = clip.length / 2 - 1
+    var e = 0
+    while (e < nClip && poly.nonEmpty) {
+      val x1 = clip(2 * e); val y1 = clip(2 * e + 1)
+      val x2 = clip(2 * e + 2); val y2 = clip(2 * e + 3)
+      @inline def inside(px: Double, py: Double): Boolean = {
+        val o = Predicates.orient(x1, y1, x2, y2, px, py)
+        if (ccw) o >= 0 else o <= 0
+      }
+      @inline def intersect(ax: Double, ay: Double, bx: Double, by: Double): (Double, Double) = {
+        val dx1 = bx - ax; val dy1 = by - ay
+        val dx2 = x2 - x1; val dy2 = y2 - y1
+        val denom = dx1 * dy2 - dy1 * dx2
+        val t = ((x1 - ax) * dy2 - (y1 - ay) * dx2) / denom
+        (ax + t * dx1, ay + t * dy1)
+      }
+      val out = ArrayBuffer[(Double, Double)]()
+      var i = 0
+      val n = poly.length
+      while (i < n) {
+        val cur = poly(i)
+        val prev = poly((i + n - 1) % n)
+        val curIn = inside(cur._1, cur._2)
+        val prevIn = inside(prev._1, prev._2)
+        if (curIn) {
+          if (!prevIn) out += intersect(prev._1, prev._2, cur._1, cur._2)
+          out += cur
+        } else if (prevIn) {
+          out += intersect(prev._1, prev._2, cur._1, cur._2)
+        }
+        i += 1
+      }
+      poly = out
+      e += 1
+    }
+    if (poly.length < 3) return Array.empty
+    val ring = new Array[Double]((poly.length + 1) * 2)
+    var i = 0
+    while (i < poly.length) { ring(2 * i) = poly(i)._1; ring(2 * i + 1) = poly(i)._2; i += 1 }
+    ring(2 * poly.length) = poly(0)._1; ring(2 * poly.length + 1) = poly(0)._2
+    ring
+  }
+
+  private def toPairs(ring: Array[Double]): ArrayBuffer[(Double, Double)] = {
+    val out = ArrayBuffer[(Double, Double)]()
+    var i = 0
+    val stop = ring.length - 2 // drop closing vertex
+    while (i < stop) { out += ((ring(i), ring(i + 1))); i += 2 }
+    out
+  }
+
+  /** Clip a linestring to an areal geometry: walk segments, keep sub-spans
+    * inside. Splits at boundary crossings found by parametric sampling of
+    * exact segment/ring intersections.
+    */
+  private def clipLineToArea(l: LineString, area: Geometry): Geometry = {
+    if (l.isEmpty) return l
+    val ringArrs: Array[Array[Double]] = area match {
+      case p: Polygon      => p.rings
+      case m: MultiPolygon => m.polys.flatMap(_.rings)
+      case _               => return GeometryCollection(Array.empty)
+    }
+    val outLines = ArrayBuffer[LineString]()
+    val cur = ArrayBuffer[Double]()
+    def flush(): Unit = {
+      if (cur.length >= 4) outLines += LineString(cur.toArray)
+      cur.clear()
+    }
+    var i = 0
+    while (i + 3 < l.xy.length) {
+      val ax = l.xy(i); val ay = l.xy(i + 1); val bx = l.xy(i + 2); val by = l.xy(i + 3)
+      // parametric cut points with every ring edge
+      val ts = ArrayBuffer(0.0, 1.0)
+      ringArrs.foreach { ring =>
+        var j = 0
+        while (j + 3 < ring.length) {
+          segParamIntersection(ax, ay, bx, by, ring(j), ring(j + 1), ring(j + 2), ring(j + 3))
+            .foreach(ts += _)
+          j += 2
+        }
+      }
+      val sorted = ts.distinct.sorted
+      var k = 0
+      while (k + 1 < sorted.length) {
+        val t0 = sorted(k); val t1 = sorted(k + 1)
+        val mx = ax + (bx - ax) * (t0 + t1) / 2; val my = ay + (by - ay) * (t0 + t1) / 2
+        val in = Predicates.locate(mx, my, area) != Predicates.OUT
+        if (in) {
+          val sx = ax + (bx - ax) * t0; val sy = ay + (by - ay) * t0
+          val ex = ax + (bx - ax) * t1; val ey = ay + (by - ay) * t1
+          if (cur.length >= 2 && cur(cur.length - 2) == sx && cur.last == sy) {
+            cur += ex; cur += ey
+          } else {
+            flush()
+            cur += sx; cur += sy; cur += ex; cur += ey
+          }
+        } else flush()
+        k += 1
+      }
+      i += 2
+    }
+    flush()
+    if (outLines.isEmpty) GeometryCollection(Array.empty)
+    else if (outLines.length == 1) outLines(0)
+    else MultiLineString(outLines.toArray)
+  }
+
+  /** Parameter t on segment A where it crosses segment B, if any. */
+  private def segParamIntersection(ax: Double, ay: Double, bx: Double, by: Double,
+      cx: Double, cy: Double, dx: Double, dy: Double): Option[Double] = {
+    val r1x = bx - ax; val r1y = by - ay
+    val r2x = dx - cx; val r2y = dy - cy
+    val denom = r1x * r2y - r1y * r2x
+    if (denom == 0) return None
+    val t = ((cx - ax) * r2y - (cy - ay) * r2x) / denom
+    val u = ((cx - ax) * r1y - (cy - ay) * r1x) / denom
+    if (t >= 0 && t <= 1 && u >= 0 && u <= 1) Some(t) else None
+  }
+
+  private def lineLineIntersection(a: LineString, b: LineString): Geometry = {
+    val pts = ArrayBuffer[(Double, Double)]()
+    var i = 0
+    while (i + 3 < a.xy.length) {
+      var j = 0
+      while (j + 3 < b.xy.length) {
+        segParamIntersection(a.xy(i), a.xy(i + 1), a.xy(i + 2), a.xy(i + 3),
+          b.xy(j), b.xy(j + 1), b.xy(j + 2), b.xy(j + 3)).foreach { t =>
+          pts += ((a.xy(i) + t * (a.xy(i + 2) - a.xy(i)),
+            a.xy(i + 1) + t * (a.xy(i + 3) - a.xy(i + 1))))
+        }
+        j += 2
+      }
+      i += 2
+    }
+    val distinct = pts.distinct
+    if (distinct.isEmpty) GeometryCollection(Array.empty)
+    else if (distinct.length == 1) Point(distinct(0)._1, distinct(0)._2)
+    else MultiPoint(distinct.map { case (x, y) => Point(x, y) }.toArray)
+  }
+
+  // ----------------------------------------------------------------- union
+  /** Binary union. Exact for point sets and nested/disjoint areal operands. */
+  def union(a: Geometry, b: Geometry): Geometry = {
+    if (a.isEmpty) return b
+    if (b.isEmpty) return a
+    if (a.topoDim == 0 && b.topoDim == 0) return unionPoints(Seq(a, b))
+    if (!Predicates.intersects(a, b)) return Geometry.collect(Seq(a, b))
+    if (Predicates.covers(a, b)) return a
+    if (Predicates.covers(b, a)) return b
+    if (a.topoDim == 2 && b.topoDim == 2) {
+      // convex ∪ convex via hull only when the hull adds no area beyond the
+      // operands (i.e. result is convex): checked numerically
+      val hull = Constructive.convexHull(GeometryCollection(Array(a, b)))
+      val ia = Measures.area(a); val ib = Measures.area(b)
+      val inter = try { Measures.area(intersection(a, b)) } catch { case _: Exception => -1.0 }
+      if (inter >= 0 && math.abs(Measures.area(hull) - (ia + ib - inter)) <
+          1e-9 * math.max(1.0, ia + ib)) return hull
+    }
+    Geometry.collect(Seq(a, b)) // topologically unmerged collection (v1 limitation)
+  }
+
+  def unionPoints(gs: Seq[Geometry]): Geometry = {
+    val set = scala.collection.mutable.LinkedHashSet[(Double, Double)]()
+    gs.foreach(_.foreachCoord((x, y) => set += ((x, y))))
+    if (set.isEmpty) GeometryCollection(Array.empty)
+    else if (set.size == 1) { val h = set.head; Point(h._1, h._2) }
+    else MultiPoint(set.toArray.sorted.map { case (x, y) => Point(x, y) })
+  }
+
+  /** N-ary union used by the UnionAgg aggregate: canonical (sorted, deduped)
+    * for point sets; for mixed/areal inputs collects parts, merging only
+    * covered pairs.
+    */
+  def unionAll(gs: Seq[Geometry]): Geometry = {
+    val nonEmpty = gs.filterNot(_.isEmpty)
+    if (nonEmpty.isEmpty) return GeometryCollection(Array.empty)
+    if (nonEmpty.forall(_.topoDim == 0)) return unionPoints(nonEmpty)
+    nonEmpty.reduceLeft(union)
+  }
+
+  // ------------------------------------------------------------ difference
+  def difference(a: Geometry, b: Geometry): Geometry = {
+    if (a.isEmpty || b.isEmpty || !a.envelope.intersects(b.envelope)) return a
+    a match {
+      case p: Point => if (Predicates.intersects(p, b)) GeometryCollection(Array.empty) else p
+      case mp: MultiPoint => MultiPoint(mp.pts.filterNot(p => Predicates.intersects(p, b)))
+      case l: LineString if b.topoDim == 2 => lineMinusArea(l, b)
+      case _ =>
+        if (Predicates.covers(b, a)) GeometryCollection(Array.empty)
+        else if (!Predicates.intersects(a, b)) a
+        else throw new UnsupportedOperationException(
+          s"difference(${a.geometryType}, ${b.geometryType}) not supported in v1")
+    }
+  }
+
+  private def lineMinusArea(l: LineString, area: Geometry): Geometry = {
+    // complement of clipLineToArea: keep sub-spans outside
+    val inside = intersection(l, area)
+    inside match {
+      case g if g.isEmpty => l
+      case _ =>
+        // recompute with reversed keep-condition
+        val clipped = clipComplement(l, area)
+        clipped
+    }
+  }
+
+  private def clipComplement(l: LineString, area: Geometry): Geometry = {
+    val ringArrs: Array[Array[Double]] = area match {
+      case p: Polygon      => p.rings
+      case m: MultiPolygon => m.polys.flatMap(_.rings)
+      case _               => return l
+    }
+    val outLines = ArrayBuffer[LineString]()
+    val cur = ArrayBuffer[Double]()
+    def flush(): Unit = {
+      if (cur.length >= 4) outLines += LineString(cur.toArray)
+      cur.clear()
+    }
+    var i = 0
+    while (i + 3 < l.xy.length) {
+      val ax = l.xy(i); val ay = l.xy(i + 1); val bx = l.xy(i + 2); val by = l.xy(i + 3)
+      val ts = ArrayBuffer(0.0, 1.0)
+      ringArrs.foreach { ring =>
+        var j = 0
+        while (j + 3 < ring.length) {
+          segParamIntersection(ax, ay, bx, by, ring(j), ring(j + 1), ring(j + 2), ring(j + 3))
+            .foreach(ts += _)
+          j += 2
+        }
+      }
+      val sorted = ts.distinct.sorted
+      var k = 0
+      while (k + 1 < sorted.length) {
+        val t0 = sorted(k); val t1 = sorted(k + 1)
+        val mx = ax + (bx - ax) * (t0 + t1) / 2; val my = ay + (by - ay) * (t0 + t1) / 2
+        val keep = Predicates.locate(mx, my, area) == Predicates.OUT
+        if (keep) {
+          val sx = ax + (bx - ax) * t0; val sy = ay + (by - ay) * t0
+          val ex = ax + (bx - ax) * t1; val ey = ay + (by - ay) * t1
+          if (cur.length >= 2 && cur(cur.length - 2) == sx && cur.last == sy) {
+            cur += ex; cur += ey
+          } else { flush(); cur += sx; cur += sy; cur += ex; cur += ey }
+        } else flush()
+        k += 1
+      }
+      i += 2
+    }
+    flush()
+    if (outLines.isEmpty) GeometryCollection(Array.empty)
+    else if (outLines.length == 1) outLines(0)
+    else MultiLineString(outLines.toArray)
+  }
+
+  def symDifference(a: Geometry, b: Geometry): Geometry =
+    union(difference(a, b), difference(b, a))
+
+  /** Clip to an axis-aligned rectangle — the workhorse of the reference's
+    * `clip` (`dask_geopandas/clip.py:12-47`) and `cx` (`expr.py:1022-1077`).
+    */
+  def clipByRect(g: Geometry, minX: Double, minY: Double, maxX: Double, maxY: Double): Geometry =
+    intersection(g, Polygon.box(minX, minY, maxX, maxY))
+}

@@ -1,0 +1,137 @@
+package graft.geom
+
+/** Space-filling-curve encoders — the reference's spatial-partitioning keys
+  * (`dask_geopandas/hilbert_distance.py`, `morton_distance.py`,
+  * `geohash.py`). Independent implementations of the standard public-domain
+  * algorithms: Hilbert via the classic d2xy/xy2d quadrant-rotation loop
+  * (Wikipedia "Hilbert curve"), Morton via magic-number bit spreading,
+  * geohash via interleaved base-32 (geohash.org scheme).
+  *
+  * Encoding contract (used by both the Spark expressions and the DuckDB
+  * oracle SQL): the geometry's envelope midpoint is scaled into
+  * [0, 2^level - 1] over the given total bounds and truncated with floor();
+  * empty/missing geometries are an error (same contract as reference
+  * `hilbert_distance.py:28-36`).
+  */
+object Sfc {
+
+  /** Quantize v in [lo,hi] to an integer cell in [0, 2^level - 1]. */
+  @inline def quantize(v: Double, lo: Double, hi: Double, level: Int): Long = {
+    val side = (1L << level) - 1
+    if (hi <= lo) return 0L
+    val rel = (v - lo) / (hi - lo)
+    val clamped = if (rel < 0) 0.0 else if (rel > 1) 1.0 else rel
+    math.floor(clamped * side).toLong
+  }
+
+  // ---------------------------------------------------------------- hilbert
+  /** Hilbert distance of cell (x,y) on a 2^level x 2^level grid. */
+  def hilbertXY2D(level: Int, xIn: Long, yIn: Long): Long = {
+    val n = 1L << level
+    var x = xIn; var y = yIn
+    var d = 0L
+    var s = n / 2
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      // rotate quadrant
+      if (ry == 0) {
+        if (rx == 1) { x = n - 1 - x; y = n - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s /= 2
+    }
+    d
+  }
+
+  def hilbert(g: Geometry, level: Int, minX: Double, minY: Double,
+      maxX: Double, maxY: Double): Long = {
+    val e = g.envelope
+    require(!e.isEmpty, "cannot compute Hilbert distance of empty geometry")
+    hilbertXY2D(level,
+      quantize(e.midX, minX, maxX, level),
+      quantize(e.midY, minY, maxY, level))
+  }
+
+  // ----------------------------------------------------------------- morton
+  /** Spread the low 32 bits of v to the even bit positions. */
+  @inline def spreadBits(vIn: Long): Long = {
+    var v = vIn & 0xffffffffL
+    v = (v | (v << 16)) & 0x0000ffff0000ffffL
+    v = (v | (v << 8)) & 0x00ff00ff00ff00ffL
+    v = (v | (v << 4)) & 0x0f0f0f0f0f0f0f0fL
+    v = (v | (v << 2)) & 0x3333333333333333L
+    v = (v | (v << 1)) & 0x5555555555555555L
+    v
+  }
+
+  /** Morton/Z-order code: x bits at even positions, y bits at odd. */
+  def mortonXY(x: Long, y: Long): Long = spreadBits(x) | (spreadBits(y) << 1)
+
+  def morton(g: Geometry, level: Int, minX: Double, minY: Double,
+      maxX: Double, maxY: Double): Long = {
+    val e = g.envelope
+    require(!e.isEmpty, "cannot compute Morton distance of empty geometry")
+    mortonXY(
+      quantize(e.midX, minX, maxX, level),
+      quantize(e.midY, minY, maxY, level))
+  }
+
+  // ---------------------------------------------------------------- geohash
+  private val Base32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+  /** Standard geohash of a lon/lat point. precision in [1,12] characters. */
+  def geohash(lon: Double, lat: Double, precision: Int): String = {
+    require(precision >= 1 && precision <= 12, "geohash precision must be 1..12")
+    val sb = new StringBuilder(precision)
+    var lonLo = -180.0; var lonHi = 180.0
+    var latLo = -90.0; var latHi = 90.0
+    var isLon = true
+    var bit = 0
+    var ch = 0
+    while (sb.length < precision) {
+      if (isLon) {
+        val mid = (lonLo + lonHi) / 2
+        if (lon >= mid) { ch = (ch << 1) | 1; lonLo = mid } else { ch = ch << 1; lonHi = mid }
+      } else {
+        val mid = (latLo + latHi) / 2
+        if (lat >= mid) { ch = (ch << 1) | 1; latLo = mid } else { ch = ch << 1; latHi = mid }
+      }
+      isLon = !isLon
+      bit += 1
+      if (bit == 5) { sb.append(Base32.charAt(ch)); bit = 0; ch = 0 }
+    }
+    sb.toString
+  }
+
+  /** Integer geohash: the leading 5*precision interleaved bits as a Long
+    * (reference `geohash.py` as_string=False variant).
+    */
+  def geohashLong(lon: Double, lat: Double, precision: Int): Long = {
+    var v = 0L
+    var lonLo = -180.0; var lonHi = 180.0
+    var latLo = -90.0; var latHi = 90.0
+    var isLon = true
+    var i = 0
+    val nBits = 5 * precision
+    while (i < nBits) {
+      if (isLon) {
+        val mid = (lonLo + lonHi) / 2
+        if (lon >= mid) { v = (v << 1) | 1; lonLo = mid } else { v = v << 1; lonHi = mid }
+      } else {
+        val mid = (latLo + latHi) / 2
+        if (lat >= mid) { v = (v << 1) | 1; latLo = mid } else { v = v << 1; latHi = mid }
+      }
+      isLon = !isLon
+      i += 1
+    }
+    v
+  }
+
+  def geohashOf(g: Geometry, precision: Int): String = {
+    val e = g.envelope
+    require(!e.isEmpty, "cannot compute geohash of empty geometry")
+    geohash(e.midX, e.midY, precision)
+  }
+}

@@ -1,0 +1,234 @@
+package graft.geom
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class GeomKernelSpec extends AnyFunSuite {
+
+  private val tri = Wkt.read("POLYGON ((0 0, 4 0, 0 4, 0 0))")
+  private val sq = Wkt.read("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")
+  private val donut = Wkt.read(
+    "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))")
+
+  test("wkt roundtrip") {
+    val samples = Seq(
+      "POINT (1 2)", "POINT EMPTY", "POINT Z (1 2 3)",
+      "LINESTRING (0 0, 1 1, 2 0)",
+      "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))",
+      "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))",
+      "MULTIPOINT ((1 1), (2 2))",
+      "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))",
+      "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((2 2, 3 2, 3 3, 2 3, 2 2)))",
+      "GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (0 0, 1 1))",
+      "GEOMETRYCOLLECTION EMPTY")
+    samples.foreach { s => assert(Wkt.write(Wkt.read(s)) == s, s"roundtrip of $s") }
+  }
+
+  test("wkb roundtrip preserves wkt") {
+    val samples = Seq(
+      "POINT (1.5 -2.25)", "POINT Z (1 2 3)",
+      "LINESTRING (0 0, 1 1, 2 0)",
+      "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))",
+      "MULTIPOINT ((1 1), (2 2))",
+      "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)))",
+      "GEOMETRYCOLLECTION (POINT (1 2), POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0)))")
+    samples.foreach { s =>
+      assert(Wkt.write(Wkb.read(Wkb.write(Wkt.read(s)))) == s)
+    }
+  }
+
+  test("wkb roundtrip property (random lines)") {
+    val rnd = new scala.util.Random(42)
+    (1 to 200).foreach { _ =>
+      val n = 2 * (1 + rnd.nextInt(8))
+      val l = LineString(Array.fill(n)(rnd.nextDouble() * 2e6 - 1e6))
+      val back = Wkb.read(Wkb.write(l)).asInstanceOf[LineString]
+      assert(back.xy.sameElements(l.xy))
+    }
+  }
+
+  test("area / perimeter / length") {
+    assert(Measures.area(tri) == 8.0)
+    assert(Measures.area(sq) == 4.0)
+    assert(Measures.area(donut) == 96.0)
+    assert(Measures.perimeter(sq) == 8.0)
+    assert(Measures.length(Wkt.read("LINESTRING (0 0, 3 4)")) == 5.0)
+  }
+
+  test("centroid") {
+    val c = Constructive.centroid(tri)
+    assert(math.abs(c.x - 4.0 / 3) < 1e-12 && math.abs(c.y - 4.0 / 3) < 1e-12)
+    val c2 = Constructive.centroid(Wkt.read("MULTIPOINT ((0 0), (2 0), (1 3))"))
+    assert(c2.x == 1.0 && c2.y == 1.0)
+    // donut centroid stays at center
+    val c3 = Constructive.centroid(donut)
+    assert(math.abs(c3.x - 5.0) < 1e-12 && math.abs(c3.y - 5.0) < 1e-12)
+  }
+
+  test("point in polygon incl. holes and boundary") {
+    assert(Predicates.pointInPolygon(1, 1, tri.asInstanceOf[Polygon]) == Predicates.IN)
+    assert(Predicates.pointInPolygon(2, 2, tri.asInstanceOf[Polygon]) == Predicates.ON)
+    assert(Predicates.pointInPolygon(3, 3, tri.asInstanceOf[Polygon]) == Predicates.OUT)
+    val d = donut.asInstanceOf[Polygon]
+    assert(Predicates.pointInPolygon(5, 5, d) == Predicates.OUT) // in hole
+    assert(Predicates.pointInPolygon(2, 2, d) == Predicates.IN)
+    assert(Predicates.pointInPolygon(4, 5, d) == Predicates.ON) // hole boundary
+  }
+
+  test("predicates: intersects/contains/within/touches/overlaps/crosses") {
+    val a = Wkt.read("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+    val b = Wkt.read("POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))")
+    val c = Wkt.read("POLYGON ((4 0, 8 0, 8 4, 4 4, 4 0))") // shares edge with a
+    val inner = Wkt.read("POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))")
+    assert(Predicates.intersects(a, b))
+    assert(Predicates.overlaps(a, b))
+    assert(!Predicates.contains(a, b))
+    assert(Predicates.contains(a, inner))
+    assert(Predicates.within(inner, a))
+    assert(Predicates.covers(a, inner))
+    assert(Predicates.touches(a, c))
+    assert(!Predicates.overlaps(a, c))
+    val line = Wkt.read("LINESTRING (-1 2, 5 2)")
+    assert(Predicates.crosses(line, a))
+    assert(!Predicates.crosses(line, Wkt.read("LINESTRING (-1 3, 5 3)")))
+    assert(Predicates.crosses(line, Wkt.read("LINESTRING (2 -1, 2 5)")))
+    // point predicates
+    val p = Point(2, 2)
+    assert(Predicates.intersects(p, a))
+    assert(Predicates.contains(a, p))
+    assert(Predicates.touches(Point(0, 0), a))
+    assert(!Predicates.contains(a, Point(0, 0))) // on boundary
+    assert(Predicates.covers(a, Point(0, 0)))
+  }
+
+  test("distance") {
+    assert(Measures.distance(Point(0, 0), Point(3, 4)) == 5.0)
+    assert(Measures.distance(Point(5, 5), sq) == math.sqrt(18))
+    assert(Measures.distance(sq, Wkt.read("POLYGON ((5 0, 6 0, 6 1, 5 1, 5 0))")) == 3.0)
+    assert(Measures.distance(Point(1, 1), sq) == 0.0) // inside
+    val l = Wkt.read("LINESTRING (0 0, 10 0)")
+    assert(Measures.distance(Point(5, 3), l) == 3.0)
+  }
+
+  test("convex hull") {
+    val mp = Wkt.read("MULTIPOINT ((0 0), (4 0), (4 4), (0 4), (2 2), (1 1))")
+    val hull = Constructive.convexHull(mp)
+    assert(Measures.area(hull) == 16.0)
+    assert(hull.isInstanceOf[Polygon])
+  }
+
+  test("simplify collinear") {
+    val l = Wkt.read("LINESTRING (0 0, 1 0.01, 2 0, 4 0)")
+    val s = Constructive.simplify(l, 0.1).asInstanceOf[LineString]
+    assert(s.size == 2)
+  }
+
+  test("buffer point area converges to circle") {
+    val b = Constructive.buffer(Point(0, 0), 2.0, 16)
+    val expected = 32 * 4.0 * math.sin(math.Pi / 32) // n/2 r^2 sin(2pi/n), n=64
+    assert(math.abs(Measures.area(b) - expected) < 1e-9)
+    assert(Predicates.contains(b, Point(1.9, 0)))
+  }
+
+  test("sutherland-hodgman rect clip") {
+    val clipped = Overlay.clipByRect(tri, 0, 0, 2, 2)
+    // triangle (0,0)(4,0)(0,4) clipped to [0,2]^2: area = 4 - 0.5*2*2/2... compute:
+    // region = x>=0,y>=0,x<=2,y<=2,x+y<=4 -> full square minus corner above x+y=4: none (2+2=4 on line)
+    assert(math.abs(Measures.area(clipped) - 4.0) < 1e-12)
+    val clipped2 = Overlay.clipByRect(tri, 1, 1, 5, 5)
+    // triangle x+y<=4, x>=1,y>=1: vertices (1,1),(3,1),(1,3) area=2
+    assert(math.abs(Measures.area(clipped2) - 2.0) < 1e-12)
+  }
+
+  test("line clip to polygon") {
+    val l = Wkt.read("LINESTRING (-2 1, 6 1)")
+    val res = Overlay.intersection(l, sq)
+    assert(math.abs(Measures.length(res) - 2.0) < 1e-12)
+    val diff = Overlay.difference(l, sq)
+    assert(math.abs(Measures.length(diff) - 6.0) < 1e-12)
+  }
+
+  test("union of points dedups and sorts") {
+    val u = Overlay.unionAll(Seq(Point(1, 1), Point(0, 0), Point(1, 1)))
+    assert(Wkt.write(u) == "MULTIPOINT ((0 0), (1 1))")
+  }
+
+  test("geom equals") {
+    val sq2 = Wkt.read("POLYGON ((2 0, 2 2, 0 2, 0 0, 2 0))") // rotated start
+    assert(Predicates.geomEquals(sq, sq2))
+    assert(!Predicates.geomEquals(sq, tri))
+  }
+
+  test("hilbert golden values (reference tests/test_hilbert_distance.py:19-36)") {
+    // level=2, bounds (0,0,1,1): POINT(0 0)->0, POINT(1 1)->10, POINT(1 0)->15,
+    // unit-square bbox midpoint (0.5,0.5) -> 2
+    def h(g: Geometry) = Sfc.hilbert(g, 2, 0, 0, 1, 1)
+    assert(h(Point(0, 0)) == 0)
+    assert(h(Point(1, 1)) == 10)
+    assert(h(Point(1, 0)) == 15)
+    assert(h(Wkt.read("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")) == 2)
+  }
+
+  test("hilbert is a bijection on the grid (level 4)") {
+    val seen = scala.collection.mutable.Set[Long]()
+    for (x <- 0 until 16; y <- 0 until 16) seen += Sfc.hilbertXY2D(4, x, y)
+    assert(seen.size == 256 && seen.min == 0 && seen.max == 255)
+  }
+
+  test("hilbert locality: adjacent cells differ by 1 along the curve") {
+    // walking the curve d=0..255 yields adjacent grid cells; verify via inverse walk
+    // cheap check: consecutive d values map to cells at L1 distance 1
+    val cells = (0 until 256).map { d =>
+      // invert by brute force (small grid)
+      (0 until 16).flatMap(x => (0 until 16).map(y => (x, y)))
+        .find { case (x, y) => Sfc.hilbertXY2D(4, x, y) == d }.get
+    }
+    cells.sliding(2).foreach { case Seq((x1, y1), (x2, y2)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1)
+    }
+  }
+
+  test("morton interleave") {
+    assert(Sfc.mortonXY(0, 0) == 0)
+    assert(Sfc.mortonXY(1, 0) == 1)
+    assert(Sfc.mortonXY(0, 1) == 2)
+    assert(Sfc.mortonXY(3, 3) == 15)
+    assert(Sfc.mortonXY(0xffffffffL, 0) == 0x5555555555555555L)
+  }
+
+  test("geohash golden values (public test vectors)") {
+    // canonical: geohash.org examples
+    assert(Sfc.geohash(-5.6, 42.6, 5) == "ezs42")
+    assert(Sfc.geohash(112.5584, 37.8324, 9) == "ww8p1r4t8")
+    assert(Sfc.geohash(0, 0, 1) == "s")
+  }
+
+  test("affine family") {
+    val p = Point(1, 2)
+    val t = Constructive.translate(p, 10, 20).asInstanceOf[Point]
+    assert(t.x == 11 && t.y == 22)
+    val r = Constructive.rotate(p, 90, 0, 0).asInstanceOf[Point]
+    assert(math.abs(r.x - (-2.0)) < 1e-12 && math.abs(r.y - 1.0) < 1e-12)
+    val s = Constructive.scale(p, 2, 3, 0, 0).asInstanceOf[Point]
+    assert(s.x == 2 && s.y == 6)
+  }
+
+  test("line interpolate / locate") {
+    val l = Wkt.read("LINESTRING (0 0, 10 0)")
+    val i1 = Constructive.lineInterpolatePoint(l, 4); assert(i1.x == 4 && i1.y == 0)
+    val i2 = Constructive.lineInterpolatePoint(l, 0.5, normalized = true); assert(i2.x == 5 && i2.y == 0)
+    assert(Constructive.lineLocatePoint(l, Point(7, 3)) == 7.0)
+  }
+
+  test("boundary") {
+    assert(Wkt.write(Constructive.boundary(sq)) == "LINESTRING (0 0, 2 0, 2 2, 0 2, 0 0)")
+    val l = Wkt.read("LINESTRING (0 0, 1 1)")
+    assert(Wkt.write(Constructive.boundary(l)) == "MULTIPOINT ((0 0), (1 1))")
+  }
+
+  test("pointOnSurface always inside") {
+    Seq(tri, sq, donut).foreach { g =>
+      val p = Constructive.pointOnSurface(g)
+      assert(Predicates.locate(p.x, p.y, g) == Predicates.IN)
+    }
+  }
+}

@@ -1,0 +1,320 @@
+package graft.sql
+
+import graft.geom._
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.GraftInterop.AbsType
+import org.apache.spark.unsafe.types.UTF8String
+import graft.geom.Geometry // shadow spark.sql.types.Geometry from the wildcard
+
+/** Static spec table backing [[GraftScalar]]: the scalar surface of the
+  * engine. Geometry functions mirror the reference operator inventory
+  * (SURVEY §2.6; reference bindings `dask_geopandas/expr.py:947-1013`),
+  * pipeline functions cover the LLM-data extensions (dedup / similarity /
+  * text analysis / multimodal stubs). Geometry values are WKB bytes in
+  * BinaryType columns.
+  */
+object GraftDefs {
+
+  final case class Spec(in: Seq[AbsType], out: DataType, eval: Array[Any] => Any)
+
+  // ------------------------------------------------------------- helpers
+  @inline private def geom(v: Any): Geometry = Wkb.read(v.asInstanceOf[Array[Byte]])
+  @inline private def wkb(g: Geometry): Array[Byte] = Wkb.write(g)
+  @inline private def dbl(v: Any): Double = v.asInstanceOf[Double]
+  @inline private def int(v: Any): Int = v.asInstanceOf[Int]
+  @inline private def str(v: Any): String = v.asInstanceOf[UTF8String].toString
+  @inline private def utf8(s: String): UTF8String = UTF8String.fromString(s)
+
+  private val B = BinaryType
+  private val D = DoubleType
+  private val I = IntegerType
+  private val L = LongType
+  private val S = StringType
+  private val BO = BooleanType
+
+  private def g1(out: DataType)(f: Geometry => Any) =
+    Spec(Seq(B), out, a => f(geom(a(0))))
+  private def g2(out: DataType)(f: (Geometry, Geometry) => Any) =
+    Spec(Seq(B, B), out, a => f(geom(a(0)), geom(a(1))))
+
+  val boundsStruct: StructType = StructType(Seq(
+    StructField("xmin", D), StructField("ymin", D),
+    StructField("xmax", D), StructField("ymax", D)))
+
+  // =========================================================== geometry
+  private val geomSpecs: Map[String, Spec] = Map(
+    // ---- constructors
+    "st_point" -> Spec(Seq(D, D), B, a => wkb(Point(dbl(a(0)), dbl(a(1))))),
+    "st_pointz" -> Spec(Seq(D, D, D), B, a => wkb(Point(dbl(a(0)), dbl(a(1)), dbl(a(2))))),
+    "st_makeenvelope" -> Spec(Seq(D, D, D, D), B,
+      a => wkb(Polygon.box(dbl(a(0)), dbl(a(1)), dbl(a(2)), dbl(a(3))))),
+    "st_geomfromwkt" -> Spec(Seq(S), B, a => wkb(Wkt.read(str(a(0))))),
+    "st_geomfromwkb" -> Spec(Seq(B), B, a => wkb(geom(a(0)))), // normalize dialect
+    "st_makeline" -> Spec(Seq(ArrayType(B)), B, { a =>
+      val arr = a(0).asInstanceOf[ArrayData]
+      val xy = new Array[Double](arr.numElements() * 2)
+      var i = 0
+      while (i < arr.numElements()) {
+        val p = Wkb.read(arr.getBinary(i)).asInstanceOf[Point]
+        xy(2 * i) = p.x; xy(2 * i + 1) = p.y
+        i += 1
+      }
+      wkb(LineString(xy))
+    }),
+    // ---- accessors
+    "st_x" -> g1(D) { case p: Point => p.x; case g => Constructive.centroid(g).x },
+    "st_y" -> g1(D) { case p: Point => p.y; case g => Constructive.centroid(g).y },
+    "st_z" -> g1(D) { case p: Point if p.hasZ => p.z; case _ => null },
+    "st_xmin" -> g1(D)(g => g.envelope.minX),
+    "st_ymin" -> g1(D)(g => g.envelope.minY),
+    "st_xmax" -> g1(D)(g => g.envelope.maxX),
+    "st_ymax" -> g1(D)(g => g.envelope.maxY),
+    "st_bounds" -> g1(boundsStruct) { g =>
+      val e = g.envelope
+      new GenericInternalRow(Array[Any](e.minX, e.minY, e.maxX, e.maxY))
+    },
+    "st_geometrytype" -> g1(S)(g => utf8(g.geometryType)),
+    "st_numgeometries" -> g1(I)(g => g.numGeometries),
+    "st_numpoints" -> g1(I)(g => g.numPoints),
+    "st_geometryn" -> Spec(Seq(B, I), B, a => wkb(geom(a(0)).geometryN(int(a(1))))),
+    "st_isempty" -> g1(BO)(g => g.isEmpty),
+    "st_hasz" -> g1(BO)(g => g.hasZ),
+    "st_isring" -> g1(BO) { case l: LineString => l.isRing; case _ => false },
+    "st_isvalid" -> g1(BO) {
+      case p: Polygon =>
+        !p.isEmpty && p.rings.forall(r => r.length >= 8 &&
+          r(0) == r(r.length - 2) && r(1) == r(r.length - 1))
+      case m: MultiPolygon => m.polys.forall(p => !p.isEmpty && p.rings.forall(r =>
+        r.length >= 8 && r(0) == r(r.length - 2) && r(1) == r(r.length - 1)))
+      case _ => true
+    },
+    // ---- measures
+    "st_area" -> g1(D)(Measures.area),
+    "st_length" -> g1(D)(Measures.length),
+    "st_perimeter" -> g1(D)(Measures.perimeter),
+    "st_distance" -> g2(D)(Measures.distance),
+    // ---- predicates (reference expr.py:983-998)
+    "st_intersects" -> g2(BO)(Predicates.intersects),
+    "st_disjoint" -> g2(BO)(Predicates.disjoint),
+    "st_contains" -> g2(BO)(Predicates.contains),
+    "st_within" -> g2(BO)(Predicates.within),
+    "st_covers" -> g2(BO)(Predicates.covers),
+    "st_coveredby" -> g2(BO)(Predicates.coveredBy),
+    "st_containsproperly" -> g2(BO)(Predicates.containsProperly),
+    "st_touches" -> g2(BO)(Predicates.touches),
+    "st_crosses" -> g2(BO)(Predicates.crosses),
+    "st_overlaps" -> g2(BO)(Predicates.overlaps),
+    "st_equals" -> g2(BO)(Predicates.geomEquals),
+    "st_equalsexact" -> Spec(Seq(B, B, D), BO,
+      a => Predicates.geomEqualsExact(geom(a(0)), geom(a(1)), dbl(a(2)))),
+    "st_dwithin" -> Spec(Seq(B, B, D), BO,
+      a => Predicates.dWithin(geom(a(0)), geom(a(1)), dbl(a(2)))),
+    "st_relate" -> g2(S)((x, y) => utf8(Predicates.relate(x, y))),
+    "st_intersectsbox" -> Spec(Seq(B, D, D, D, D), BO, { a =>
+      val g = geom(a(0))
+      val env = Envelope(dbl(a(1)), dbl(a(2)), dbl(a(3)), dbl(a(4)))
+      g.envelope.intersects(env) &&
+        Predicates.intersects(g, Polygon.box(env.minX, env.minY, env.maxX, env.maxY))
+    }),
+    // ---- constructive
+    "st_centroid" -> g1(B)(g => wkb(Constructive.centroid(g))),
+    "st_envelope" -> g1(B)(g => wkb(g.envelope.toPolygon)),
+    "st_boundary" -> g1(B)(g => wkb(Constructive.boundary(g))),
+    "st_convexhull" -> g1(B)(g => wkb(Constructive.convexHull(g))),
+    "st_exteriorring" -> g1(B)(g => wkb(Constructive.exteriorRing(g))),
+    "st_pointonsurface" -> g1(B)(g => wkb(Constructive.pointOnSurface(g))),
+    "st_buffer" -> Spec(Seq(B, D, I), B,
+      a => wkb(Constructive.buffer(geom(a(0)), dbl(a(1)), int(a(2))))),
+    "st_simplify" -> Spec(Seq(B, D), B,
+      a => wkb(Constructive.simplify(geom(a(0)), dbl(a(1))))),
+    "st_lineinterpolatepoint" -> Spec(Seq(B, D, BO), B,
+      a => wkb(Constructive.lineInterpolatePoint(geom(a(0)), dbl(a(1)), a(2).asInstanceOf[Boolean]))),
+    "st_linelocatepoint" -> Spec(Seq(B, B, BO), D,
+      a => Constructive.lineLocatePoint(geom(a(0)), geom(a(1)).asInstanceOf[Point],
+        a(2).asInstanceOf[Boolean])),
+    // ---- affine family (reference expr.py:339-385)
+    "st_affine" -> Spec(Seq(B, D, D, D, D, D, D), B,
+      a => wkb(Constructive.affine(geom(a(0)), dbl(a(1)), dbl(a(2)), dbl(a(3)),
+        dbl(a(4)), dbl(a(5)), dbl(a(6))))),
+    "st_translate" -> Spec(Seq(B, D, D), B,
+      a => wkb(Constructive.translate(geom(a(0)), dbl(a(1)), dbl(a(2))))),
+    "st_rotate" -> Spec(Seq(B, D, D, D, BO), B,
+      a => wkb(Constructive.rotate(geom(a(0)), dbl(a(1)), dbl(a(2)), dbl(a(3)),
+        a(4).asInstanceOf[Boolean]))),
+    "st_scale" -> Spec(Seq(B, D, D, D, D), B,
+      a => wkb(Constructive.scale(geom(a(0)), dbl(a(1)), dbl(a(2)), dbl(a(3)), dbl(a(4))))),
+    "st_skew" -> Spec(Seq(B, D, D, D, D, BO), B,
+      a => wkb(Constructive.skew(geom(a(0)), dbl(a(1)), dbl(a(2)), dbl(a(3)), dbl(a(4)),
+        a(5).asInstanceOf[Boolean]))),
+    // ---- overlay
+    "st_intersection" -> g2(B)((x, y) => wkb(Overlay.intersection(x, y))),
+    "st_difference" -> g2(B)((x, y) => wkb(Overlay.difference(x, y))),
+    "st_union" -> g2(B)((x, y) => wkb(Overlay.union(x, y))),
+    "st_symdifference" -> g2(B)((x, y) => wkb(Overlay.symDifference(x, y))),
+    "st_clipbybox" -> Spec(Seq(B, D, D, D, D), B,
+      a => wkb(Overlay.clipByRect(geom(a(0)), dbl(a(1)), dbl(a(2)), dbl(a(3)), dbl(a(4))))),
+    // ---- serialization
+    "st_astext" -> g1(S)(g => utf8(Wkt.write(g))),
+    "st_asbinary" -> g1(B)(g => wkb(g)),
+    // ---- collection / dump (drives explode; reference expr.py:565-572)
+    "st_dump" -> g1(ArrayType(B)) { g =>
+      new GenericArrayData(Geometry.parts(g).map(p => wkb(p): Any).toArray)
+    },
+    "st_dumppoints" -> g1(ArrayType(B)) { g =>
+      val out = scala.collection.mutable.ArrayBuffer[Any]()
+      g.foreachCoord((x, y) => out += wkb(Point(x, y)))
+      new GenericArrayData(out.toArray)
+    },
+    "st_collect" -> Spec(Seq(ArrayType(B)), B, { a =>
+      val arr = a(0).asInstanceOf[ArrayData]
+      val gs = (0 until arr.numElements()).map(i => Wkb.read(arr.getBinary(i)))
+      wkb(Geometry.collect(gs))
+    }),
+    // ---- SFC keys (reference hilbert_distance.py / morton_distance.py / geohash.py)
+    "st_hilbert" -> Spec(Seq(B, I, D, D, D, D), L,
+      a => Sfc.hilbert(geom(a(0)), int(a(1)), dbl(a(2)), dbl(a(3)), dbl(a(4)), dbl(a(5)))),
+    "st_morton" -> Spec(Seq(B, I, D, D, D, D), L,
+      a => Sfc.morton(geom(a(0)), int(a(1)), dbl(a(2)), dbl(a(3)), dbl(a(4)), dbl(a(5)))),
+    "st_geohash" -> Spec(Seq(B, I), S, a => utf8(Sfc.geohashOf(geom(a(0)), int(a(1))))),
+    "st_geohashlong" -> Spec(Seq(B, I), L, { a =>
+      val e = geom(a(0)).envelope
+      require(!e.isEmpty, "geohash of empty geometry")
+      Sfc.geohashLong(e.midX, e.midY, int(a(1)))
+    }),
+    // ---- CRS (v1 subset: lon/lat <-> web mercator; reference expr.py:255-257)
+    "st_transform" -> Spec(Seq(B, S, S), B, { a =>
+      val g = geom(a(0))
+      (normCrs(str(a(1))), normCrs(str(a(2)))) match {
+        case (f, t) if f == t => wkb(g)
+        case ("EPSG:4326", "EPSG:3857") => wkb(g.mapCoords(Crs.lonLatToMercator))
+        case ("EPSG:3857", "EPSG:4326") => wkb(g.mapCoords(Crs.mercatorToLonLat))
+        case (f, t) => throw new UnsupportedOperationException(
+          s"st_transform $f -> $t: v1 supports EPSG:4326 <-> EPSG:3857 only")
+      }
+    }),
+    // ---- grid cells for spatial joins: ids of grid cells the envelope overlaps
+    "st_gridcells" -> Spec(Seq(B, D, D, D, D, I), ArrayType(L), { a =>
+      val e = geom(a(0)).envelope
+      GridIndex.cellsOf(e, dbl(a(1)), dbl(a(2)), dbl(a(3)), dbl(a(4)), int(a(5)))
+    }),
+    "st_gridcell_anchor" -> Spec(Seq(B, B, D, D, D, D, I), L, { a =>
+      val e = geom(a(0)).envelope.intersection(geom(a(1)).envelope)
+      GridIndex.anchorCell(e, dbl(a(2)), dbl(a(3)), dbl(a(4)), dbl(a(5)), int(a(6)))
+    })
+  )
+
+  private def normCrs(s: String): String = {
+    val up = s.toUpperCase
+    if (up == "OGC:CRS84" || up == "CRS84" || up == "WGS84" || up == "4326") "EPSG:4326"
+    else if (up == "3857" || up == "WEB_MERCATOR") "EPSG:3857"
+    else up
+  }
+
+  // =========================================================== pipeline
+  private val pipelineSpecs: Map[String, Spec] = Map(
+    // whitespace tokens, empty-safe
+    "gr_token_count" -> Spec(Seq(S), I, a => TextKernel.tokens(str(a(0))).length),
+    "gr_tokens" -> Spec(Seq(S), ArrayType(S),
+      a => new GenericArrayData(TextKernel.tokens(str(a(0))).map(utf8(_): Any))),
+    "gr_shingles" -> Spec(Seq(S, I), ArrayType(S),
+      a => new GenericArrayData(TextKernel.charShingles(str(a(0)), int(a(1))).map(utf8(_): Any))),
+    "gr_minhash" -> Spec(Seq(S, I, I, I), ArrayType(L), { a =>
+      new GenericArrayData(
+        TextKernel.minhash(str(a(0)), int(a(1)), int(a(2)), int(a(3))).map(Long.box(_): Any))
+    }),
+    "gr_simhash64" -> Spec(Seq(S), L, a => TextKernel.simhash64(str(a(0)))),
+    "gr_lang_id" -> Spec(Seq(S), S, a => utf8(TextKernel.langId(str(a(0))))),
+    "gr_quality_score" -> Spec(Seq(S), D, a => TextKernel.qualityScore(str(a(0)))),
+    "gr_fingerprint" -> Spec(Seq(S, I), L, a => TextKernel.fingerprint(str(a(0)), int(a(1)))),
+    "gr_hash64" -> Spec(Seq(S), L, a => TextKernel.fnv1a64(str(a(0)).getBytes("UTF-8"))),
+    // vectors (embeddings: array<float> in the testdata; cast-tolerant)
+    "gr_cosine" -> Spec(Seq(ArrayType(FloatType), ArrayType(FloatType)), D,
+      a => VecKernel.cosine(floats(a(0)), floats(a(1)))),
+    "gr_dot" -> Spec(Seq(ArrayType(FloatType), ArrayType(FloatType)), D,
+      a => VecKernel.dot(floats(a(0)), floats(a(1)))),
+    "gr_l2norm" -> Spec(Seq(ArrayType(FloatType)), D, a => VecKernel.norm(floats(a(0)))),
+    "gr_lsh_bucket" -> Spec(Seq(ArrayType(FloatType), I, I), L,
+      a => VecKernel.lshBucket(floats(a(0)), int(a(1)), int(a(2)))),
+    // multimodal stub: deterministic fake decode of a binary payload.
+    // Real image/audio decoding is out of scope for this container (no codec
+    // libs); the Spark-side plumbing (binary column, schema, batching) is real.
+    "gr_fake_image_meta" -> Spec(Seq(B), StructType(Seq(
+      StructField("width", I), StructField("height", I), StructField("channels", I))), { a =>
+      val bytes = a(0).asInstanceOf[Array[Byte]]
+      val n = bytes.length
+      new GenericInternalRow(Array[Any](64 + n % 577, 64 + (n * 31) % 417, 1 + n % 4))
+    })
+  )
+
+  private def floats(v: Any): Array[Float] = {
+    val arr = v.asInstanceOf[ArrayData]
+    arr.toFloatArray()
+  }
+
+  val all: Map[String, Spec] = geomSpecs ++ pipelineSpecs
+
+  def byName(name: String): Spec =
+    all.getOrElse(name, throw new IllegalArgumentException(s"unknown graft function $name"))
+}
+
+/** Minimal CRS math for the v1 st_transform subset (spherical web mercator,
+  * the standard EPSG:3857 formulas).
+  */
+object Crs {
+  private val R = 6378137.0
+  val lonLatToMercator: (Double, Double) => (Double, Double) = (lon, lat) => {
+    val x = math.toRadians(lon) * R
+    val y = math.log(math.tan(math.Pi / 4 + math.toRadians(lat) / 2)) * R
+    (x, y)
+  }
+  val mercatorToLonLat: (Double, Double) => (Double, Double) = (x, y) => {
+    val lon = math.toDegrees(x / R)
+    val lat = math.toDegrees(2 * math.atan(math.exp(y / R)) - math.Pi / 2)
+    (lon, lat)
+  }
+}
+
+/** Fixed uniform grid used by the scalable spatial-join strategy: cell ids
+  * over a bounded domain at 2^level x 2^level resolution.
+  */
+object GridIndex {
+  def cellCoord(v: Double, lo: Double, hi: Double, level: Int): Long = {
+    val n = 1L << level
+    if (hi <= lo) return 0L
+    val rel = (v - lo) / (hi - lo)
+    val c = math.floor(rel * n).toLong
+    if (c < 0) 0L else if (c >= n) n - 1 else c
+  }
+
+  def cellsOf(e: Envelope, minX: Double, minY: Double, maxX: Double, maxY: Double,
+      level: Int): GenericArrayData = {
+    if (e.isEmpty) return new GenericArrayData(Array.empty[Any])
+    val n = 1L << level
+    val x0 = cellCoord(e.minX, minX, maxX, level)
+    val x1 = cellCoord(e.maxX, minX, maxX, level)
+    val y0 = cellCoord(e.minY, minY, maxY, level)
+    val y1 = cellCoord(e.maxY, minY, maxY, level)
+    val out = new Array[Any](((x1 - x0 + 1) * (y1 - y0 + 1)).toInt)
+    var i = 0
+    var x = x0
+    while (x <= x1) {
+      var y = y0
+      while (y <= y1) { out(i) = x * n + y; i += 1; y += 1 }
+      x += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Canonical reporting cell for a candidate pair: the cell containing the
+    * lower-left corner of the envelope intersection. A pair is emitted from
+    * exactly one cell, so the grid join needs no distinct/dedup shuffle.
+    */
+  def anchorCell(inter: Envelope, minX: Double, minY: Double, maxX: Double, maxY: Double,
+      level: Int): Long = {
+    val n = 1L << level
+    if (inter.isEmpty) return -1L
+    cellCoord(inter.minX, minX, maxX, level) * n + cellCoord(inter.minY, minY, maxY, level)
+  }
+}

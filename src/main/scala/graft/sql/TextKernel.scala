@@ -1,0 +1,219 @@
+package graft.sql
+
+import scala.collection.mutable
+
+/** Deterministic text-analysis kernels for the LLM-data-pipeline operators
+  * (dedup, language ID, quality scoring, fingerprinting). Pure functions —
+  * every algorithm here is replicated exactly by the DuckDB oracle SQL where
+  * a query declares one, so implementations must stay bit-deterministic.
+  */
+object TextKernel {
+
+  /** Whitespace tokens, empties dropped. Matches the oracle definition
+    * `list_filter(regexp_split_to_array(text,'\s+'), x -> x <> '')`.
+    */
+  def tokens(text: String): Array[String] =
+    text.split("\\s+").filter(_.nonEmpty)
+
+  /** Distinct character n-grams, in first-occurrence order. */
+  def charShingles(text: String, n: Int): Array[String] = {
+    if (text.length < n) return Array.empty
+    val seen = mutable.LinkedHashSet[String]()
+    var i = 0
+    while (i + n <= text.length) {
+      seen += text.substring(i, i + n)
+      i += 1
+    }
+    seen.toArray
+  }
+
+  /** FNV-1a 64-bit. */
+  def fnv1a64(bytes: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** Splitmix64 finalizer — cheap independent hash families for minhash. */
+  @inline def mix64(zIn: Long): Long = {
+    var z = zIn
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** MinHash signature over character shingles: numHashes values, hash
+    * family i = mix64(fnv1a(shingle) ^ (seed + i)*GOLDEN). Documents with
+    * high Jaccard similarity of shingle sets share many signature slots
+    * (standard MinHash; the LSH banding happens in the Dedup operator).
+    */
+  def minhash(text: String, numHashes: Int, shingleSize: Int, seed: Int): Array[Long] = {
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    val sh = charShingles(text, shingleSize)
+    var s = 0
+    while (s < sh.length) {
+      val base = fnv1a64(sh(s).getBytes("UTF-8"))
+      var i = 0
+      while (i < numHashes) {
+        val h = mix64(base ^ ((seed.toLong + i) * 0x9e3779b97f4a7c15L))
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+      s += 1
+    }
+    sig
+  }
+
+  /** Estimated Jaccard from two signatures. */
+  def minhashJaccard(a: Array[Long], b: Array[Long]): Double = {
+    var eq = 0
+    var i = 0
+    while (i < a.length) { if (a(i) == b(i)) eq += 1; i += 1 }
+    eq.toDouble / a.length
+  }
+
+  /** SimHash-64 over whitespace tokens; per-token 64 bits = first 8 bytes of
+    * MD5 (big-endian). MD5 keeps the oracle expressible in DuckDB
+    * (`md5(token)`), unlike a custom hash.
+    */
+  def simhash64(text: String): Long = {
+    val counts = new Array[Int](64)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    tokens(text).foreach { t =>
+      val d = md.digest(t.getBytes("UTF-8"))
+      var h = 0L
+      var i = 0
+      while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** n-gram heuristic language ID over a small built-in stopword table.
+    * Counts whole-token stopword hits per language; argmax with a fixed
+    * tie-break order. Deliberately simple so the oracle can replicate it.
+    */
+  val langStopwords: Seq[(String, Set[String])] = Seq(
+    "en" -> Set("the", "and", "of", "to", "is", "in", "that", "it"),
+    "de" -> Set("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "fr" -> Set("le", "la", "les", "et", "est", "un", "une", "dans"),
+    "es" -> Set("el", "los", "las", "es", "un", "una", "que", "por"),
+    "zh" -> Set("的", "是", "在", "了", "和", "有", "我", "不"))
+
+  def langId(text: String): String = {
+    val toks = tokens(text.toLowerCase)
+    var best = "und"
+    var bestN = 0
+    langStopwords.foreach { case (lang, words) =>
+      val n = toks.count(words.contains)
+      if (n > bestN) { best = lang; bestN = n }
+    }
+    best
+  }
+
+  /** Quality score in [0,1]: blend of token-length sanity, punctuation
+    * ratio and uppercase ratio. Deterministic double arithmetic; the oracle
+    * replicates term by term.
+    */
+  def qualityScore(text: String): Double = {
+    val n = text.length
+    if (n == 0) return 0.0
+    val toks = tokens(text)
+    val nTok = toks.length
+    if (nTok == 0) return 0.0
+    val meanLen = toks.map(_.length).sum.toDouble / nTok
+    val lenScore = if (meanLen >= 3 && meanLen <= 10) 1.0
+      else if (meanLen < 3) meanLen / 3.0 else 10.0 / meanLen
+    var punct = 0
+    var upper = 0
+    var i = 0
+    while (i < n) {
+      val c = text.charAt(i)
+      if (c == '.' || c == ',' || c == '!' || c == '?' || c == ';' || c == ':') punct += 1
+      if (c >= 'A' && c <= 'Z') upper += 1
+      i += 1
+    }
+    val punctScore = 1.0 - math.min(1.0, 5.0 * punct / n)
+    val upperScore = 1.0 - math.min(1.0, 5.0 * upper / n)
+    0.5 * lenScore + 0.25 * punctScore + 0.25 * upperScore
+  }
+
+  /** Rolling-hash document fingerprint: min FNV-1a hash over character
+    * k-grams (a 1-hash winnowing sketch — stable under small edits at the
+    * end of the document).
+    */
+  def fingerprint(text: String, k: Int): Long = {
+    if (text.length < k) return fnv1a64(text.getBytes("UTF-8"))
+    var min = Long.MaxValue
+    var i = 0
+    while (i + k <= text.length) {
+      val h = fnv1a64(text.substring(i, i + k).getBytes("UTF-8"))
+      // unsigned compare for stability
+      if (java.lang.Long.compareUnsigned(h, min) < 0) min = h
+      i += 1
+    }
+    min
+  }
+}
+
+/** Embedding-vector kernels (similarity search). Inputs are float vectors
+  * (the testdata `embeddings.embedding` column); math in double.
+  */
+object VecKernel {
+  def dot(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+
+  def norm(a: Array[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { s += a(i).toDouble * a(i).toDouble; i += 1 }
+    math.sqrt(s)
+  }
+
+  def cosine(a: Array[Float], b: Array[Float]): Double = {
+    val na = norm(a); val nb = norm(b)
+    if (na == 0 || nb == 0) 0.0 else dot(a, b) / (na * nb)
+  }
+
+  /** Random-hyperplane LSH: `bits` sign bits from seeded pseudo-random
+    * planes (plane components derived from splitmix64 — no stored model).
+    * Vectors with high cosine similarity collide with high probability.
+    */
+  def lshBucket(v: Array[Float], bits: Int, seed: Int): Long = {
+    var bucket = 0L
+    var b = 0
+    while (b < bits) {
+      var s = 0.0
+      var i = 0
+      while (i < v.length) {
+        // deterministic pseudo-gaussian-ish component in [-1,1)
+        val h = TextKernel.mix64((seed.toLong * 0x9e3779b97f4a7c15L) ^ (b.toLong << 32) ^ i.toLong)
+        val comp = (h >> 11).toDouble / (1L << 52).toDouble // in [-1,1)
+        s += comp * v(i)
+        i += 1
+      }
+      if (s >= 0) bucket |= (1L << b)
+      b += 1
+    }
+    bucket
+  }
+}

@@ -1,0 +1,176 @@
+package graft.sql
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction
+import org.apache.spark.sql.functions.lit
+
+/** Column-level API for the engine's function surface, mirroring
+  * `org.apache.spark.sql.functions`. Also installs every function into the
+  * session FunctionRegistry so the whole surface is usable from
+  * `spark.sql(...)` — the reference has no SQL layer, this is a
+  * Spark-native bonus.
+  */
+object functions {
+
+  private def expr(c: Column): Expression = org.apache.spark.sql.GraftInterop.expression(c)
+  private def col(e: Expression): Column = org.apache.spark.sql.GraftInterop.column(e)
+  private def fn(name: String, args: Column*): Column =
+    col(GraftScalar(name, args.map(expr)))
+  private def agg(a: AggregateFunction): Column = col(a.toAggregateExpression())
+
+  // ------------------------------------------------------------ constructors
+  def st_point(x: Column, y: Column): Column = fn("st_point", x, y)
+  def st_pointz(x: Column, y: Column, z: Column): Column = fn("st_pointz", x, y, z)
+  def st_makeEnvelope(xmin: Column, ymin: Column, xmax: Column, ymax: Column): Column =
+    fn("st_makeenvelope", xmin, ymin, xmax, ymax)
+  def st_geomFromWKT(wkt: Column): Column = fn("st_geomfromwkt", wkt)
+  def st_geomFromWKB(wkb: Column): Column = fn("st_geomfromwkb", wkb)
+  def st_makeLine(points: Column): Column = fn("st_makeline", points)
+
+  // --------------------------------------------------------------- accessors
+  def st_x(g: Column): Column = fn("st_x", g)
+  def st_y(g: Column): Column = fn("st_y", g)
+  def st_z(g: Column): Column = fn("st_z", g)
+  def st_xmin(g: Column): Column = fn("st_xmin", g)
+  def st_ymin(g: Column): Column = fn("st_ymin", g)
+  def st_xmax(g: Column): Column = fn("st_xmax", g)
+  def st_ymax(g: Column): Column = fn("st_ymax", g)
+  def st_bounds(g: Column): Column = fn("st_bounds", g)
+  def st_geometryType(g: Column): Column = fn("st_geometrytype", g)
+  def st_numGeometries(g: Column): Column = fn("st_numgeometries", g)
+  def st_numPoints(g: Column): Column = fn("st_numpoints", g)
+  def st_geometryN(g: Column, i: Column): Column = fn("st_geometryn", g, i)
+  def st_isEmpty(g: Column): Column = fn("st_isempty", g)
+  def st_hasZ(g: Column): Column = fn("st_hasz", g)
+  def st_isRing(g: Column): Column = fn("st_isring", g)
+  def st_isValid(g: Column): Column = fn("st_isvalid", g)
+
+  // ---------------------------------------------------------------- measures
+  def st_area(g: Column): Column = fn("st_area", g)
+  def st_length(g: Column): Column = fn("st_length", g)
+  def st_perimeter(g: Column): Column = fn("st_perimeter", g)
+  def st_distance(a: Column, b: Column): Column = fn("st_distance", a, b)
+
+  // -------------------------------------------------------------- predicates
+  def st_intersects(a: Column, b: Column): Column = fn("st_intersects", a, b)
+  def st_disjoint(a: Column, b: Column): Column = fn("st_disjoint", a, b)
+  def st_contains(a: Column, b: Column): Column = fn("st_contains", a, b)
+  def st_within(a: Column, b: Column): Column = fn("st_within", a, b)
+  def st_covers(a: Column, b: Column): Column = fn("st_covers", a, b)
+  def st_coveredBy(a: Column, b: Column): Column = fn("st_coveredby", a, b)
+  def st_containsProperly(a: Column, b: Column): Column = fn("st_containsproperly", a, b)
+  def st_touches(a: Column, b: Column): Column = fn("st_touches", a, b)
+  def st_crosses(a: Column, b: Column): Column = fn("st_crosses", a, b)
+  def st_overlaps(a: Column, b: Column): Column = fn("st_overlaps", a, b)
+  def st_equals(a: Column, b: Column): Column = fn("st_equals", a, b)
+  def st_equalsExact(a: Column, b: Column, tol: Column): Column = fn("st_equalsexact", a, b, tol)
+  def st_dwithin(a: Column, b: Column, d: Column): Column = fn("st_dwithin", a, b, d)
+  def st_relate(a: Column, b: Column): Column = fn("st_relate", a, b)
+  def st_intersectsBox(g: Column, xmin: Column, ymin: Column, xmax: Column, ymax: Column): Column =
+    fn("st_intersectsbox", g, xmin, ymin, xmax, ymax)
+
+  // ------------------------------------------------------------ constructive
+  def st_centroid(g: Column): Column = fn("st_centroid", g)
+  def st_envelope(g: Column): Column = fn("st_envelope", g)
+  def st_boundary(g: Column): Column = fn("st_boundary", g)
+  def st_convexHull(g: Column): Column = fn("st_convexhull", g)
+  def st_exteriorRing(g: Column): Column = fn("st_exteriorring", g)
+  def st_pointOnSurface(g: Column): Column = fn("st_pointonsurface", g)
+  def st_buffer(g: Column, dist: Column, resolution: Column = lit(16)): Column =
+    fn("st_buffer", g, dist, resolution)
+  def st_simplify(g: Column, tol: Column): Column = fn("st_simplify", g, tol)
+  def st_lineInterpolatePoint(g: Column, d: Column, normalized: Column = lit(false)): Column =
+    fn("st_lineinterpolatepoint", g, d, normalized)
+  def st_lineLocatePoint(g: Column, p: Column, normalized: Column = lit(false)): Column =
+    fn("st_linelocatepoint", g, p, normalized)
+
+  // ---------------------------------------------------------------- affine
+  def st_affine(g: Column, a: Column, b: Column, d: Column, e: Column,
+      xoff: Column, yoff: Column): Column = fn("st_affine", g, a, b, d, e, xoff, yoff)
+  def st_translate(g: Column, xoff: Column, yoff: Column): Column =
+    fn("st_translate", g, xoff, yoff)
+  def st_rotate(g: Column, angle: Column, ox: Column, oy: Column,
+      useRadians: Column = lit(false)): Column = fn("st_rotate", g, angle, ox, oy, useRadians)
+  def st_scale(g: Column, xf: Column, yf: Column, ox: Column, oy: Column): Column =
+    fn("st_scale", g, xf, yf, ox, oy)
+  def st_skew(g: Column, xs: Column, ys: Column, ox: Column, oy: Column,
+      useRadians: Column = lit(false)): Column = fn("st_skew", g, xs, ys, ox, oy, useRadians)
+
+  // ----------------------------------------------------------------- overlay
+  def st_intersection(a: Column, b: Column): Column = fn("st_intersection", a, b)
+  def st_difference(a: Column, b: Column): Column = fn("st_difference", a, b)
+  def st_union(a: Column, b: Column): Column = fn("st_union", a, b)
+  def st_symDifference(a: Column, b: Column): Column = fn("st_symdifference", a, b)
+  def st_clipByBox(g: Column, xmin: Column, ymin: Column, xmax: Column, ymax: Column): Column =
+    fn("st_clipbybox", g, xmin, ymin, xmax, ymax)
+
+  // --------------------------------------------------------------- serialize
+  def st_asText(g: Column): Column = fn("st_astext", g)
+  def st_asBinary(g: Column): Column = fn("st_asbinary", g)
+
+  // ------------------------------------------------------- collection / dump
+  def st_dump(g: Column): Column = fn("st_dump", g)
+  def st_dumpPoints(g: Column): Column = fn("st_dumppoints", g)
+  def st_collect(arr: Column): Column = fn("st_collect", arr)
+
+  // --------------------------------------------------------------------- SFC
+  def st_hilbert(g: Column, level: Column, xmin: Column, ymin: Column,
+      xmax: Column, ymax: Column): Column = fn("st_hilbert", g, level, xmin, ymin, xmax, ymax)
+  def st_morton(g: Column, level: Column, xmin: Column, ymin: Column,
+      xmax: Column, ymax: Column): Column = fn("st_morton", g, level, xmin, ymin, xmax, ymax)
+  def st_geohash(g: Column, precision: Column): Column = fn("st_geohash", g, precision)
+  def st_geohashLong(g: Column, precision: Column): Column = fn("st_geohashlong", g, precision)
+
+  // --------------------------------------------------------------------- CRS
+  def st_transform(g: Column, from: Column, to: Column): Column =
+    fn("st_transform", g, from, to)
+
+  // -------------------------------------------------------------------- grid
+  def st_gridCells(g: Column, xmin: Column, ymin: Column, xmax: Column, ymax: Column,
+      level: Column): Column = fn("st_gridcells", g, xmin, ymin, xmax, ymax, level)
+  def st_gridCellAnchor(a: Column, b: Column, xmin: Column, ymin: Column, xmax: Column,
+      ymax: Column, level: Column): Column =
+    fn("st_gridcell_anchor", a, b, xmin, ymin, xmax, ymax, level)
+
+  // ------------------------------------------------------------- aggregates
+  def st_unionAgg(g: Column): Column = agg(StUnionAgg(expr(g)))
+  def st_collectAgg(g: Column): Column = agg(StCollectAgg(expr(g)))
+  def st_envelopeAgg(g: Column): Column = agg(StEnvelopeAgg(expr(g)))
+
+  // ------------------------------------------------------- pipeline: text
+  def gr_tokenCount(text: Column): Column = fn("gr_token_count", text)
+  def gr_tokens(text: Column): Column = fn("gr_tokens", text)
+  def gr_shingles(text: Column, n: Column): Column = fn("gr_shingles", text, n)
+  def gr_minhash(text: Column, numHashes: Column, shingleSize: Column, seed: Column): Column =
+    fn("gr_minhash", text, numHashes, shingleSize, seed)
+  def gr_simhash64(text: Column): Column = fn("gr_simhash64", text)
+  def gr_langId(text: Column): Column = fn("gr_lang_id", text)
+  def gr_qualityScore(text: Column): Column = fn("gr_quality_score", text)
+  def gr_fingerprint(text: Column, k: Column): Column = fn("gr_fingerprint", text, k)
+  def gr_hash64(text: Column): Column = fn("gr_hash64", text)
+
+  // ---------------------------------------------------- pipeline: vectors
+  def gr_cosine(a: Column, b: Column): Column = fn("gr_cosine", a, b)
+  def gr_dot(a: Column, b: Column): Column = fn("gr_dot", a, b)
+  def gr_l2norm(a: Column): Column = fn("gr_l2norm", a)
+  def gr_lshBucket(v: Column, bits: Column, seed: Column): Column =
+    fn("gr_lsh_bucket", v, bits, seed)
+
+  // ------------------------------------------------- pipeline: multimodal
+  def gr_fakeImageMeta(bin: Column): Column = fn("gr_fake_image_meta", bin)
+
+  /** Register everything with the session so `spark.sql` can use the names. */
+  def install(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    GraftDefs.all.keys.foreach { name =>
+      registry.createOrReplaceTempFunction(name, exprs => GraftScalar(name, exprs), "built-in")
+    }
+    registry.createOrReplaceTempFunction("st_union_agg",
+      exprs => StUnionAgg(exprs.head).toAggregateExpression(), "built-in")
+    registry.createOrReplaceTempFunction("st_collect_agg",
+      exprs => StCollectAgg(exprs.head).toAggregateExpression(), "built-in")
+    registry.createOrReplaceTempFunction("st_envelope_agg",
+      exprs => StEnvelopeAgg(exprs.head).toAggregateExpression(), "built-in")
+  }
+}

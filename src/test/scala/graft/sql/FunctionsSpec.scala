@@ -1,0 +1,111 @@
+package graft.sql
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sql.functions._
+
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    graft.sql.functions.install(s)
+    s
+  }
+}
+
+class FunctionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("st_point / st_x / st_y / st_astext") {
+    val df = Seq((1.0, 2.0), (3.5, -4.25)).toDF("x", "y")
+      .withColumn("g", st_point($"x", $"y"))
+    val rows = df.select(st_x($"g"), st_y($"g"), st_asText($"g")).collect()
+    assert(rows(0).getDouble(0) == 1.0 && rows(0).getDouble(1) == 2.0)
+    assert(rows(0).getString(2) == "POINT (1 2)")
+    assert(rows(1).getString(2) == "POINT (3.5 -4.25)")
+  }
+
+  test("predicates and measures over columns") {
+    val df = Seq((0.0, 0.0), (10.0, 10.0)).toDF("x", "y")
+      .withColumn("g", st_point($"x", $"y"))
+      .withColumn("tri", st_geomFromWKT(lit("POLYGON ((-1 -1, 5 -1, -1 5, -1 -1))")))
+    val got = df.select(st_contains($"tri", $"g"), st_distance($"g", st_point(lit(0.0), lit(3.0)))).collect()
+    assert(got(0).getBoolean(0) && !got(1).getBoolean(0))
+    assert(got(0).getDouble(1) == 3.0)
+  }
+
+  test("sql registration works") {
+    val n = spark.sql(
+      "SELECT st_area(st_geomfromwkt('POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))')) AS a").collect()(0).getDouble(0)
+    assert(n == 4.0)
+  }
+
+  test("st_union_agg / st_envelope_agg / dissolve shape") {
+    val df = Seq((1, 0.0, 0.0), (1, 1.0, 1.0), (1, 0.0, 0.0), (2, 5.0, 5.0))
+      .toDF("k", "x", "y").withColumn("g", st_point($"x", $"y"))
+    val agg = df.groupBy($"k").agg(
+      st_unionAgg($"g").as("u"), st_envelopeAgg($"g").as("e"))
+      .select($"k", st_numGeometries($"u").as("n"), $"e.xmin", $"e.ymax")
+      .orderBy($"k").collect()
+    assert(agg(0).getInt(1) == 2) // two distinct points in group 1
+    assert(agg(0).getDouble(2) == 0.0 && agg(0).getDouble(3) == 1.0)
+    assert(agg(1).getInt(1) == 1)
+  }
+
+  test("st_dump + explode") {
+    val df = Seq("MULTIPOINT ((1 1), (2 2), (3 3))").toDF("wkt")
+      .withColumn("g", st_geomFromWKT($"wkt"))
+      .select(explode(st_dump($"g")).as("part"))
+      .select(st_x($"part").as("x"))
+    assert(df.as[Double].collect().sorted.sameElements(Array(1.0, 2.0, 3.0)))
+  }
+
+  test("sfc keys") {
+    val df = Seq((0.0, 0.0), (1.0, 1.0), (1.0, 0.0)).toDF("x", "y")
+      .withColumn("g", st_point($"x", $"y"))
+    val h = df.select(st_hilbert($"g", lit(2), lit(0.0), lit(0.0), lit(1.0), lit(1.0))).as[Long].collect()
+    assert(h.sameElements(Array(0L, 10L, 15L)))
+    val gh = df.select(st_geohash($"g", lit(5))).as[String].collect()
+    assert(gh(0) == "s0000")
+  }
+
+  test("text kernels") {
+    val df = Seq("the cat and the hat", "").toDF("t")
+    val got = df.select(gr_tokenCount($"t"), gr_simhash64($"t"), gr_langId($"t")).collect()
+    assert(got(0).getInt(0) == 5)
+    assert(got(0).getString(2) == "en")
+    assert(got(1).getInt(0) == 0)
+  }
+
+  test("vector kernels") {
+    val df = Seq((Array(1.0f, 0.0f), Array(1.0f, 0.0f)), (Array(1.0f, 0.0f), Array(0.0f, 1.0f)))
+      .toDF("a", "b")
+    val got = df.select(gr_cosine($"a", $"b")).as[Double].collect()
+    assert(got(0) == 1.0 && got(1) == 0.0)
+  }
+
+  test("null propagation") {
+    val df = Seq((Some(1.0), Some(2.0)), (None, Some(2.0))).toDF("x", "y")
+    val got = df.select(st_point($"x", $"y")).collect()
+    assert(got(0).get(0) != null && got(1).get(0) == null)
+  }
+
+  test("st_transform lonlat <-> mercator roundtrip") {
+    val df = Seq((10.0, 45.0)).toDF("lon", "lat")
+      .withColumn("g", st_point($"lon", $"lat"))
+      .withColumn("m", st_transform($"g", lit("EPSG:4326"), lit("EPSG:3857")))
+      .withColumn("back", st_transform($"m", lit("EPSG:3857"), lit("EPSG:4326")))
+    val r = df.select(st_x($"back"), st_y($"back"), st_x($"m")).collect()(0)
+    assert(math.abs(r.getDouble(0) - 10.0) < 1e-9)
+    assert(math.abs(r.getDouble(1) - 45.0) < 1e-9)
+    assert(math.abs(r.getDouble(2) - 1113194.9079327357) < 1e-6)
+  }
+}

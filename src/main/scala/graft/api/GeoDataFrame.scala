@@ -1,0 +1,308 @@
+package graft.api
+
+import graft.geom.{Envelope, Geometry, Wkb}
+import graft.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BinaryType, Metadata, MetadataBuilder}
+
+/** Distributed geospatial table: a thin wrapper over DataFrame carrying
+  *  - the active geometry column name (reference `GeoDataFrame` keeps it in
+  *    meta — `dask_geopandas/expr.py:584-598`),
+  *  - CRS as column metadata (reference `expr.py:222-257`),
+  *  - optional driver-side spatial partition envelopes (reference
+  *    `spatial_partitions`, `expr.py:122-142`).
+  *
+  * All relational behavior (select/filter/groupBy/join/...) stays on the
+  * underlying DataFrame — exactly how the reference inherits the relational
+  * core from dask.dataframe (`expr.py:80`). Only the spatial operators live
+  * here, and each is expressed with declarative Spark ops so Catalyst can
+  * push filters/prune columns.
+  *
+  * Scale note (100 TB): `spatialPartitions` is metadata-only pruning sugar;
+  * the scalable layout path is `spatialShuffle` (range partition by SFC key)
+  * which gives parquet min/max file skipping on the key, and the grid
+  * `sjoin` strategy which is a plain shuffled equi-join — no driver-side
+  * geometry state required.
+  */
+final case class GeoDataFrame(
+    df: DataFrame,
+    geometryColumn: String = "geometry",
+    spatialPartitions: Option[Array[Envelope]] = None) {
+
+  def geom: Column = df(geometryColumn)
+
+  // ----------------------------------------------------------------- CRS
+  def crs: Option[String] = {
+    val f = df.schema(geometryColumn)
+    if (f.metadata.contains("crs")) Some(f.metadata.getString("crs")) else None
+  }
+
+  /** Metadata-only rewrite (reference set_crs, `expr.py:243-253`). */
+  def setCrs(value: String): GeoDataFrame = {
+    val meta: Metadata = new MetadataBuilder()
+      .withMetadata(df.schema(geometryColumn).metadata)
+      .putString("crs", value).build()
+    copy(df = df.withColumn(geometryColumn, geom.as(geometryColumn, meta)))
+  }
+
+  /** Actual reprojection (reference to_crs, `expr.py:255-257`); v1 supports
+    * the EPSG:4326 <-> EPSG:3857 pair.
+    */
+  def toCrs(target: String): GeoDataFrame = {
+    val from = crs.getOrElse("EPSG:4326")
+    val out = df.withColumn(geometryColumn, st_transform(geom, lit(from), lit(target)))
+    copy(df = out, spatialPartitions = None).setCrs(target)
+  }
+
+  // ------------------------------------------------------------ projection
+  def select(cols: Column*): DataFrame = df.select(cols: _*)
+
+  def withColumn(name: String, c: Column): GeoDataFrame = copy(df = df.withColumn(name, c))
+
+  /** Dropping the geometry column demotes to a plain DataFrame (reference
+    * `_expr.py:8-24`, `expr.py:833-849`).
+    */
+  def drop(colNames: String*): Either[DataFrame, GeoDataFrame] = {
+    val out = df.drop(colNames: _*)
+    if (colNames.contains(geometryColumn)) Left(out)
+    else Right(copy(df = out))
+  }
+
+  // -------------------------------------------------------------------- cx
+  /** Bounding-box selection (reference `.cx`, `expr.py:391-402,1022-1077`):
+    * partition-level pruning via spatialPartitions when known, then an exact
+    * per-row intersects filter. The row filter also constrains the geometry
+    * envelope columns, so after a spatialShuffle the parquet min/max stats
+    * prune files too.
+    */
+  def cx(xmin: Double, ymin: Double, xmax: Double, ymax: Double): GeoDataFrame = {
+    val pruned = prunePartitions(Envelope(xmin, ymin, xmax, ymax))
+    val filtered = pruned.df.filter(
+      st_intersectsBox(pruned.df(geometryColumn), lit(xmin), lit(ymin), lit(xmax), lit(ymax)))
+    val newParts = spatialPartitions.map(_.filter(_.intersects(Envelope(xmin, ymin, xmax, ymax))))
+    GeoDataFrame(filtered, geometryColumn, newParts)
+  }
+
+  /** Drop whole Spark partitions whose recorded envelope misses `box`.
+    * No-op when spatial partitions are unknown.
+    */
+  private def prunePartitions(box: Envelope): GeoDataFrame = spatialPartitions match {
+    case Some(parts) if parts.nonEmpty =>
+      val keep = parts.zipWithIndex.collect { case (e, i) if e.intersects(box) => i }.toSet
+      if (keep.size == parts.length) this
+      else {
+        val rdd = df.rdd.mapPartitionsWithIndex(
+          (i, it) => if (keep.contains(i)) it else Iterator.empty,
+          preservesPartitioning = true)
+        copy(df = df.sparkSession.createDataFrame(rdd, df.schema))
+      }
+    case _ => this
+  }
+
+  // ------------------------------------------------------------------ clip
+  /** Clip by a local (driver-side) mask geometry (reference
+    * `clip.py:12-47`): cheap intersects filter first, then exact
+    * intersection; `keepGeomType` drops parts whose dimension changed.
+    */
+  def clip(mask: Geometry, keepGeomType: Boolean = false): GeoDataFrame = {
+    val m = lit(Wkb.write(mask))
+    val e = mask.envelope
+    var out = df
+      .filter(st_intersectsBox(geom, lit(e.minX), lit(e.minY), lit(e.maxX), lit(e.maxY)))
+      .filter(st_intersects(geom, m))
+      .withColumn("_orig_type", st_geometryType(geom))
+      .withColumn(geometryColumn, st_intersection(geom, m))
+      .filter(not(st_isEmpty(col(geometryColumn))))
+    out =
+      if (keepGeomType)
+        // keep only results of the input row's geometry type (reference
+        // clip keep_geom_type semantics), then drop the helper column
+        out.filter(st_geometryType(col(geometryColumn)) === col("_orig_type") ||
+          st_geometryType(col(geometryColumn)) === concat(lit("Multi"), col("_orig_type")))
+          .drop("_orig_type")
+      else out.drop("_orig_type")
+    GeoDataFrame(out, geometryColumn, None)
+  }
+
+  // -------------------------------------------------------------- dissolve
+  /** GROUP BY + geometric union of the geometry column (reference dissolve,
+    * `expr.py:652-703`). Attribute aggregations are ordinary Spark agg
+    * columns. Partial aggregation happens map-side via the
+    * TypedImperativeAggregate.
+    */
+  def dissolve(by: Seq[String], aggs: Seq[Column] = Nil): GeoDataFrame = {
+    val unionCol = st_unionAgg(geom).as(geometryColumn)
+    val out =
+      if (by.isEmpty) df.agg(unionCol, aggs: _*)
+      else df.groupBy(by.map(df(_)): _*).agg(unionCol, aggs: _*)
+    GeoDataFrame(out, geometryColumn, None)
+  }
+
+  // ------------------------------------------------------------ aggregates
+  /** Geometric union of everything (reference union_all `expr.py:287-299`). */
+  def unionAll(): Geometry = {
+    val bytes = df.agg(st_unionAgg(geom)).head().getAs[Array[Byte]](0)
+    Wkb.read(bytes)
+  }
+
+  /** Global bounds (reference total_bounds `expr.py:270-280`). */
+  def totalBounds(): Envelope = {
+    val r = df.agg(st_envelopeAgg(geom)).head().getStruct(0)
+    if (r == null) Envelope.empty
+    else Envelope(r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+  }
+
+  // --------------------------------------------------------------- explode
+  /** Multi-part -> one row per part (reference `expr.py:565-572,822-830`).
+    * Adds `part_index` like pandas' index_parts=True.
+    */
+  def explodeParts(): GeoDataFrame = {
+    val others = df.columns.filter(_ != geometryColumn).map(df(_))
+    val out = df.select(others :+ posexplode(st_dump(geom)).as(Seq("part_index", geometryColumn)): _*)
+    GeoDataFrame(out, geometryColumn, spatialPartitions)
+  }
+
+  // ------------------------------------------------- spatial partitioning
+  /** Eagerly compute each partition's envelope (reference
+    * calculate_spatial_partitions, `expr.py:199-211`; envelopes instead of
+    * convex hulls — same pruning power for axis-aligned queries, no hull
+    * cost). One narrow job: mapPartitions + collect of 4 doubles each.
+    */
+  def calculateSpatialPartitions(): GeoDataFrame = {
+    val gIdx = df.schema.fieldIndex(geometryColumn)
+    val parts = df.rdd.mapPartitionsWithIndex { (i, it) =>
+      var env = Envelope.empty
+      it.foreach { row =>
+        if (!row.isNullAt(gIdx))
+          env = env.union(Wkb.read(row.getAs[Array[Byte]](gIdx)).envelope)
+      }
+      Iterator((i, env))
+    }.collect().sortBy(_._1).map(_._2)
+    copy(spatialPartitions = Some(parts))
+  }
+
+  /** SFC shuffle (reference spatial_shuffle, `expr.py:738-820`): compute the
+    * curve key, range-partition on it (Spark samples ranges — the same
+    * two-phase behavior as dask set_index), sort within partitions so
+    * parquet row-group stats become selective, and optionally record the
+    * resulting per-partition envelopes.
+    */
+  def spatialShuffle(
+      by: String = "hilbert",
+      level: Int = 16,
+      numPartitions: Option[Int] = None,
+      calculatePartitions: Boolean = true,
+      bounds: Option[Envelope] = None): GeoDataFrame = {
+    val b = bounds.getOrElse(totalBounds())
+    val keyCol = by match {
+      case "hilbert" => st_hilbert(geom, lit(level), lit(b.minX), lit(b.minY), lit(b.maxX), lit(b.maxY))
+      case "morton"  => st_morton(geom, lit(level), lit(b.minX), lit(b.minY), lit(b.maxX), lit(b.maxY))
+      case "geohash" => st_geohashLong(geom, lit(math.min(12, math.max(1, level / 5 + 1))))
+      case other     => throw new IllegalArgumentException(s"unknown curve $other")
+    }
+    val keyed = df.withColumn("_sfc_key", keyCol)
+    val parted = numPartitions match {
+      case Some(n) => keyed.repartitionByRange(n, col("_sfc_key"))
+      case None    => keyed.repartitionByRange(col("_sfc_key"))
+    }
+    val sorted = parted.sortWithinPartitions(col("_sfc_key"))
+    val out = GeoDataFrame(sorted, geometryColumn, None)
+    if (calculatePartitions) out.calculateSpatialPartitions() else out
+  }
+
+  // ----------------------------------------------------------------- sjoin
+  /** Spatial join (reference sjoin, `dask_geopandas/sjoin.py:14-122`; inner
+    * only, like the reference `sjoin.py:53-54`).
+    *
+    * Strategies:
+    *  - `"broadcast"`: broadcast the right side; becomes a
+    *    BroadcastNestedLoopJoin with the predicate expression. Right for
+    *    dimension-table-sized right sides.
+    *  - `"grid"`: both sides large — overlay a fixed uniform grid on the
+    *    data bounds, explode each row to the cells its envelope overlaps,
+    *    shuffle-join on cell id (plain equi-join: co-partitioned, AQE/skew
+    *    handled by Spark), refine with the exact predicate, and emit each
+    *    pair only from its canonical anchor cell so no dedup pass is needed.
+    *    This replaces the reference's partition-pair cartesian planning
+    *    (`sjoin.py:83-90`) with a formulation that scales with data, not
+    *    with partition-count².
+    *  - `"auto"`: grid when both sides have >broadcastThreshold rows hint,
+    *    else broadcast.
+    */
+  def sjoin(
+      right: GeoDataFrame,
+      predicate: String = "intersects",
+      strategy: String = "auto",
+      gridLevel: Int = 6,
+      rsuffix: String = "_right"): DataFrame = {
+
+    val leftDf = df
+    // disambiguate column names like geopandas' suffixing
+    val rightRenamed = right.df.columns.foldLeft(right.df) { (acc, c) =>
+      if (leftDf.columns.contains(c)) acc.withColumnRenamed(c, c + rsuffix) else acc
+    }
+    val rGeomName =
+      if (leftDf.columns.contains(right.geometryColumn)) right.geometryColumn + rsuffix
+      else right.geometryColumn
+
+    def pred(l: Column, r: Column): Column = predicate match {
+      case "intersects"         => st_intersects(l, r)
+      case "contains"           => st_contains(l, r)
+      case "contains_properly"  => st_containsProperly(l, r)
+      case "within"             => st_within(l, r)
+      case "covers"             => st_covers(l, r)
+      case "covered_by"         => st_coveredBy(l, r)
+      case "touches"            => st_touches(l, r)
+      case "crosses"            => st_crosses(l, r)
+      case "overlaps"           => st_overlaps(l, r)
+      case other                => throw new IllegalArgumentException(s"unknown predicate $other")
+    }
+
+    strategy match {
+      case "broadcast" | "auto" if strategy == "broadcast" || rightIsSmall(right) =>
+        leftDf.join(broadcast(rightRenamed),
+          pred(leftDf(geometryColumn), rightRenamed(rGeomName)), "inner")
+      case _ =>
+        // common bounds for the grid
+        val lb = totalBounds(); val rb = right.totalBounds()
+        val b = lb.union(rb)
+        val cellsL = st_gridCells(leftDf(geometryColumn),
+          lit(b.minX), lit(b.minY), lit(b.maxX), lit(b.maxY), lit(gridLevel))
+        val cellsR = st_gridCells(rightRenamed(rGeomName),
+          lit(b.minX), lit(b.minY), lit(b.maxX), lit(b.maxY), lit(gridLevel))
+        val l = leftDf.withColumn("_cell", explode(cellsL))
+        val r = rightRenamed.withColumn("_cell", explode(cellsR))
+        l.join(r, Seq("_cell"), "inner")
+          .filter(pred(col(geometryColumn), col(rGeomName)))
+          .filter(st_gridCellAnchor(col(geometryColumn), col(rGeomName),
+            lit(b.minX), lit(b.minY), lit(b.maxX), lit(b.maxY), lit(gridLevel)) === col("_cell"))
+          .drop("_cell")
+    }
+  }
+
+  private def rightIsSmall(right: GeoDataFrame): Boolean = {
+    // cheap heuristic without forcing a count: leaf file size if available
+    val sizeBytes = try {
+      right.df.queryExecution.optimizedPlan.stats.sizeInBytes
+    } catch { case _: Throwable => BigInt(Long.MaxValue) }
+    sizeBytes < BigInt(64L * 1024 * 1024)
+  }
+
+  def count(): Long = df.count()
+}
+
+object GeoDataFrame {
+  /** points_from_xy (reference `dask_geopandas/expr.py:881-894`). */
+  def pointsFromXY(df: DataFrame, x: String, y: String,
+      geometryColumn: String = "geometry"): GeoDataFrame =
+    GeoDataFrame(df.withColumn(geometryColumn, st_point(col(x), col(y))), geometryColumn)
+
+  /** from_wkt (reference `expr.py:897-919`). */
+  def fromWkt(df: DataFrame, wktCol: String, geometryColumn: String = "geometry"): GeoDataFrame =
+    GeoDataFrame(df.withColumn(geometryColumn, st_geomFromWKT(col(wktCol))), geometryColumn)
+
+  /** from_wkb (reference `expr.py:922-944`). */
+  def fromWkb(df: DataFrame, wkbCol: String, geometryColumn: String = "geometry"): GeoDataFrame =
+    GeoDataFrame(df.withColumn(geometryColumn, st_geomFromWKB(col(wkbCol))), geometryColumn)
+}

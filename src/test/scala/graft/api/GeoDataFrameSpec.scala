@@ -1,0 +1,130 @@
+package graft.api
+
+import graft.geom.{Envelope, Wkt}
+import graft.sql.TestSpark
+import graft.sql.functions._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class GeoDataFrameSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def points(n: Int) = {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until n).map(i => (i.toLong, rnd.nextDouble() * 100, rnd.nextDouble() * 100))
+    GeoDataFrame.pointsFromXY(rows.toDF("id", "x", "y"), "x", "y")
+  }
+
+  test("cx bbox filter matches manual range filter") {
+    val g = points(500)
+    val got = g.cx(10, 20, 40, 60).df.select($"id").as[Long].collect().sorted
+    val want = g.df.filter($"x" >= 10 && $"x" <= 40 && $"y" >= 20 && $"y" <= 60)
+      .select($"id").as[Long].collect().sorted
+    assert(got.sameElements(want))
+  }
+
+  test("calculateSpatialPartitions + pruned cx") {
+    val g = points(300).spatialShuffle(by = "hilbert", level = 10, numPartitions = Some(4))
+    assert(g.spatialPartitions.isDefined && g.spatialPartitions.get.length == 4)
+    // after hilbert shuffle, a small bbox should hit fewer partitions
+    val hit = g.spatialPartitions.get.count(_.intersects(Envelope(0, 0, 20, 20)))
+    assert(hit < 4)
+    val got = g.cx(0, 0, 20, 20).df.count()
+    val want = points(300).df.filter($"x" <= 20 && $"y" <= 20).count()
+    assert(got == want)
+  }
+
+  test("dissolve unions per group") {
+    val df = Seq((1, 0.0, 0.0), (1, 1.0, 1.0), (2, 5.0, 5.0), (2, 5.0, 5.0))
+      .toDF("k", "x", "y")
+    val g = GeoDataFrame.pointsFromXY(df, "x", "y")
+    val got = g.dissolve(Seq("k"), Seq(count(lit(1)).as("n")))
+      .df.select($"k", st_numGeometries($"geometry").as("m"), $"n")
+      .orderBy($"k").collect()
+    assert(got(0).getInt(1) == 2 && got(0).getLong(2) == 2)
+    assert(got(1).getInt(1) == 1 && got(1).getLong(2) == 2)
+  }
+
+  test("totalBounds and unionAll") {
+    val g = GeoDataFrame.pointsFromXY(
+      Seq((0.0, 1.0), (10.0, 5.0), (-3.0, 8.0)).toDF("x", "y"), "x", "y")
+    val b = g.totalBounds()
+    assert(b == Envelope(-3, 1, 10, 8))
+    assert(g.unionAll().numGeometries == 3)
+  }
+
+  test("sjoin broadcast == sjoin grid (points in polygons)") {
+    val pts = points(400)
+    val polys = GeoDataFrame(
+      Seq(
+        (10L, "POLYGON ((0 0, 50 0, 50 50, 0 50, 0 0))"),
+        (20L, "POLYGON ((50 50, 100 50, 100 100, 50 100, 50 50))"),
+        (30L, "POLYGON ((25 25, 75 25, 75 75, 25 75, 25 25))"))
+        .toDF("zone", "wkt").withColumn("geometry", st_geomFromWKT($"wkt")).drop("wkt"))
+    def pairs(strategy: String) =
+      pts.sjoin(polys, predicate = "within", strategy = strategy)
+        .select($"id", $"zone").as[(Long, Long)].collect().sorted.toSeq
+    val b = pairs("broadcast")
+    val g = pairs("grid")
+    assert(b == g)
+    assert(b.nonEmpty)
+    // oracle: manual check on a sample
+    val sample = pts.df.select($"id", $"x", $"y").as[(Long, Double, Double)].collect()
+    val zones = Seq((10L, (0.0, 0.0, 50.0, 50.0)), (20L, (50.0, 50.0, 100.0, 100.0)),
+      (30L, (25.0, 25.0, 75.0, 75.0)))
+    val manual = (for {
+      (id, x, y) <- sample
+      (z, (x0, y0, x1, y1)) <- zones
+      if x > x0 && x < x1 && y > y0 && y < y1 // strict: within excludes boundary
+    } yield (id, z)).sorted.toSeq
+    assert(b == manual)
+  }
+
+  test("clip to mask") {
+    val g = points(200)
+    val mask = Wkt.read("POLYGON ((0 0, 30 0, 30 30, 0 30, 0 0))")
+    val got = g.clip(mask).df.count()
+    val want = g.df.filter($"x" <= 30 && $"y" <= 30).count()
+    assert(got == want)
+  }
+
+  test("explodeParts") {
+    val df = Seq((1, "MULTIPOINT ((1 1), (2 2))"), (2, "POINT (5 5)")).toDF("id", "wkt")
+    val g = GeoDataFrame.fromWkt(df, "wkt").drop("wkt").toOption.get
+    val rows = g.explodeParts().df
+      .select($"id", $"part_index", st_x($"geometry").as("x"))
+      .orderBy($"id", $"part_index").collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getInt(1)).toSeq == Seq(0, 1, 0))
+  }
+
+  test("crs set / toCrs roundtrip") {
+    val g = points(10).setCrs("EPSG:4326")
+    assert(g.crs.contains("EPSG:4326"))
+    // scale coords into valid lon/lat range first
+    val small = GeoDataFrame(
+      g.df.withColumn("geometry", st_point($"x" / 10, $"y" / 10))).setCrs("EPSG:4326")
+    val merc = small.toCrs("EPSG:3857")
+    assert(merc.crs.contains("EPSG:3857"))
+    val back = merc.toCrs("EPSG:4326")
+    val orig = small.df.select(st_x($"geometry")).as[Double].collect().sorted
+    val round = back.df.select(st_x($"geometry")).as[Double].collect().sorted
+    orig.zip(round).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
+  }
+
+  test("spatialShuffle produces sorted non-overlapping-ish key ranges") {
+    val g = points(1000).spatialShuffle(by = "morton", level = 12, numPartitions = Some(8),
+      calculatePartitions = false)
+    val keys = g.df.select($"_sfc_key").as[Long]
+      .mapPartitions(it => Iterator(it.toSeq)).collect().filter(_.nonEmpty)
+    // within-partition sorted
+    keys.foreach(ks => assert(ks == ks.sorted))
+    // cross-partition ranges disjoint
+    val ranges = keys.map(ks => (ks.head, ks.last)).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) => assert(hi <= lo)
+      case _ =>
+    }
+  }
+}

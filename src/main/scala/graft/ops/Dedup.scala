@@ -1,0 +1,141 @@
+package graft.ops
+
+import graft.sql.functions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale text pipelines. All are
+  * shuffle-architected for the 100 TB case:
+  *  - exact: one hash-aggregate on a 64-bit content hash (no full-text
+  *    shuffle; texts only compared within a hash bucket).
+  *  - MinHash+LSH: signature -> bands -> equi-join on (band, bandHash);
+  *    candidate verification by signature similarity. The only shuffle is
+  *    the band-key join; candidates are emitted once per first matching
+  *    band to avoid a distinct.
+  *  - SimHash: 64-bit fingerprint; near-dup = small Hamming distance within
+  *    blocking buckets (4x16-bit block keys — any pair within Hamming<=3
+  *    shares at least one block).
+  *  - n-gram Jaccard: exact verification join for candidate pairs.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by full content: returns `idCol, canonical_id,
+    * group_size`. Rows are grouped by a 64-bit FNV hash of the content and
+    * verified by exact equality inside the bucket (hash collisions can't
+    * produce false positives).
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    df.select(col(idCol), col(textCol), gr_hash64(col(textCol)).as("_h"))
+      .groupBy(col("_h"), col(textCol))
+      .agg(min(col(idCol)).as("canonical_id"),
+        count(lit(1)).as("group_size"),
+        collect_list(col(idCol)).as("_ids"))
+      .select(explode(col("_ids")).as(idCol), col("canonical_id"), col("group_size"))
+  }
+
+  /** MinHash-LSH near-duplicate candidate pairs with estimated Jaccard.
+    * Returns (id_a, id_b, est_jaccard) with id_a < id_b, each pair once.
+    *
+    * numHashes = bands * rowsPerBand. A pair colliding in >=1 band becomes a
+    * candidate; candidates are verified against the full signature estimate
+    * and thresholded.
+    */
+  def minhashLsh(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleSize: Int = 4,
+      threshold: Double = 0.7,
+      seed: Int = 42): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val sig = df.select(col(idCol).as("_id"),
+      gr_minhash(col(textCol), lit(numHashes), lit(shingleSize), lit(seed)).as("_sig"))
+
+    // band key = hash of the band's signature slice
+    val banded = sig.select(col("_id"), col("_sig"),
+      posexplode(sequence(lit(0), lit(bands - 1))).as(Seq("_pos", "_band")))
+      .withColumn("_bandkey",
+        hash(col("_band"), slice(col("_sig"), col("_band") * rowsPerBand + 1, lit(rowsPerBand))))
+      .select(col("_id"), col("_sig"), col("_band"), col("_bandkey"))
+
+    val l = banded.select(col("_id").as("id_a"), col("_sig").as("_sig_a"),
+      col("_band"), col("_bandkey"))
+    val r = banded.select(col("_id").as("id_b"), col("_sig").as("_sig_b"),
+      col("_band"), col("_bandkey"))
+
+    val candidates = l.join(r, Seq("_band", "_bandkey"))
+      .filter(col("id_a") < col("id_b"))
+
+    // emit each pair exactly once: from the FIRST band in which they collide
+    val firstBand = candidates
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(first(col("_sig_a")).as("_sig_a"), first(col("_sig_b")).as("_sig_b"))
+
+    firstBand
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("_sig_a"), col("_sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / lit(numHashes))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+  }
+
+  /** SimHash near-dup buckets: rows whose 64-bit simhash matches on all 4
+    * 16-bit blocks of some other row (exact simhash match) or — with
+    * maxHamming>0 — candidate pairs found via block collision and verified
+    * by Hamming distance.
+    */
+  def simhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol).as("_id"), gr_simhash64(col(textCol)).as("_sh"))
+    // 4 blocking keys of 16 bits each: any pair with Hamming <= 3 collides
+    // in at least one block (pigeonhole)
+    val blocked = sh.select(col("_id"), col("_sh"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("_sh"), b * 16).bitwiseAND(lit(0xffffL))): _*))
+        .as(Seq("_block", "_key")))
+    val l = blocked.select(col("_id").as("id_a"), col("_sh").as("_sh_a"), col("_block"), col("_key"))
+    val r = blocked.select(col("_id").as("id_b"), col("_sh").as("_sh_b"), col("_block"), col("_key"))
+    l.join(r, Seq("_block", "_key"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(first(col("_sh_a")).as("_sh_a"), first(col("_sh_b")).as("_sh_b"))
+      .withColumn("hamming", bit_count(col("_sh_a").bitwiseXOR(col("_sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Exact character-n-gram Jaccard similarity for all pairs within a
+    * blocking key (e.g. language), thresholded. Exact and therefore
+    * O(pairs-within-block) — use after LSH at scale; standalone it's the
+    * ground-truth oracle for the approximate paths.
+    */
+  def ngramJaccard(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCol: String,
+      n: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val grams = df.select(col(blockCol).as("_blk"), col(idCol).as("_id"),
+      explode(gr_shingles(col(textCol), lit(n))).as("_gram"))
+    val sizes = grams.groupBy(col("_id")).agg(count(lit(1)).as("_size"))
+    val pairs = grams.as("a").join(grams.as("b"),
+        col("a._blk") === col("b._blk") && col("a._gram") === col("b._gram") &&
+          col("a._id") < col("b._id"))
+      .groupBy(col("a._id").as("id_a"), col("b._id").as("id_b"))
+      .agg(count(lit(1)).as("_inter"))
+    pairs
+      .join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("_size", "_sa"), "id_a")
+      .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("_size", "_sb"), "id_b")
+      .withColumn("jaccard",
+        col("_inter").cast("double") / (col("_sa") + col("_sb") - col("_inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+}

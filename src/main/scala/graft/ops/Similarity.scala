@@ -1,0 +1,63 @@
+package graft.ops
+
+import graft.sql.functions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * - `bruteForceTopK`: exact top-k by cosine. The query side is broadcast
+  *   (queries are expected to be small); the corpus streams through one
+  *   narrow stage, and per-query top-k is a window rank. At 100 TB the
+  *   corpus never shuffles: only (query x k) rows survive the partial
+  *   top-k.
+  * - `lshTopK`: approximate — random-hyperplane LSH bucket join (with
+  *   multi-probe by flipping each of the `bits` sign bits) then exact
+  *   rerank inside candidate buckets.
+  */
+object Similarity {
+
+  /** Exact cosine top-k. Returns (query_id, neighbor_id, cosine, rank). */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String,
+      k: Int = 10): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", gr_cosine(col("_qv"), col("_cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** Approximate top-k: bucket corpus and queries by LSH signature; probe
+    * the exact bucket plus all 1-bit-flip neighbors; exact rerank within
+    * candidates. Recall grows with `bits` lowered or probes widened.
+    */
+  def lshTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String,
+      k: Int = 10, bits: Int = 12, seed: Int = 7): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
+      gr_lshBucket(col(vecCol), lit(bits), lit(seed)).as("_bucket"))
+    // multi-probe: original bucket + flip each bit
+    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
+        gr_lshBucket(col(vecCol), lit(bits), lit(seed)).as("_b0"))
+      .withColumn("_probe", explode(array(
+        (col("_b0") +: (0 until bits).map(b => col("_b0").bitwiseXOR(lit(1L << b)))): _*)))
+    val candidates = c.join(probes, col("_bucket") === col("_probe") &&
+      col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", gr_cosine(col("_qv"), col("_cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    candidates
+      .select(col("query_id"), col("neighbor_id"), col("cosine")).distinct()
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}

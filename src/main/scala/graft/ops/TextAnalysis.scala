@@ -1,0 +1,54 @@
+package graft.ops
+
+import graft.sql.functions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token statistics, fingerprinting. All columnar
+  * (one narrow stage), no shuffle.
+  */
+object TextAnalysis {
+
+  /** Adds lang_pred, n_tokens, quality, fingerprint columns. */
+  def annotate(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("lang_pred", gr_langId(col(textCol)))
+      .withColumn("n_tokens", gr_tokenCount(col(textCol)))
+      .withColumn("quality", gr_qualityScore(col(textCol)))
+      .withColumn("fingerprint", gr_fingerprint(col(textCol), lit(8)))
+
+  /** Corpus-level stats per predicted language. */
+  def langProfile(df: DataFrame, textCol: String): DataFrame =
+    annotate(df, textCol)
+      .groupBy(col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("total_tokens"),
+        round(avg(col("quality")), 4).as("avg_quality"))
+}
+
+/** Multimodal column plumbing: images/audio/video ride as opaque binary
+  * columns with typed metadata extracted by per-row kernels. The decode
+  * kernel here is a deterministic STUB (`gr_fake_image_meta`) because no
+  * codec libraries ship in this build environment — the Spark-side shape
+  * (binary column, struct schema, narrow-stage extraction, partition
+  * sizing) is the real, tested part.
+  */
+object Multimodal {
+
+  /** Attach a binary payload column (here: utf-8 bytes of a text column —
+    * stand-in for real image bytes read from files).
+    */
+  def withBinaryPayload(df: DataFrame, srcCol: String, binCol: String = "payload"): DataFrame =
+    df.withColumn(binCol, encode(col(srcCol), "UTF-8").cast("binary"))
+
+  /** Extract typed metadata from the binary column. Real implementation
+    * would decode image headers; the stub derives deterministic values from
+    * payload length so the pipeline is testable end-to-end.
+    */
+  def extractImageMeta(df: DataFrame, binCol: String): DataFrame =
+    df.withColumn("image_meta", gr_fakeImageMeta(col(binCol)))
+      .withColumn("width", col("image_meta.width"))
+      .withColumn("height", col("image_meta.height"))
+      .withColumn("channels", col("image_meta.channels"))
+      .drop("image_meta")
+}

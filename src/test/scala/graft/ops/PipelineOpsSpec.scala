@@ -1,0 +1,108 @@
+package graft.ops
+
+import graft.sql.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PipelineOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "the quick brown fox jumped over the lazy dog"), // near dup
+    (4L, "completely different content about spark and scala engines"),
+    (5L, "der schnelle braune fuchs springt und ist nicht langsam")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts") {
+    val got = Dedup.exact(docs, "doc_id", "text")
+      .select($"doc_id", $"canonical_id", $"group_size")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got(0) == ((1L, 1L, 2L)))
+    assert(got(1) == ((2L, 1L, 2L)))
+    assert(got(2)._3 == 1L)
+  }
+
+  test("minhash LSH finds exact and near dups, not distinct docs") {
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text", numHashes = 64,
+      bands = 16, shingleSize = 4, threshold = 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash pairs: identical texts have distance 0") {
+    val got = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Int)].collect()
+    val exact = got.find(p => p._1 == 1L && p._2 == 2L)
+    assert(exact.exists(_._3 == 0))
+  }
+
+  test("ngram jaccard exact verification") {
+    val withBlock = docs.withColumn("blk", lit(1))
+    val got = Dedup.ngramJaccard(withBlock, "doc_id", "text", "blk", n = 3, threshold = 0.9)
+      .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)].collect()
+    val dup = got.find(p => p._1 == 1L && p._2 == 2L)
+    assert(dup.exists(_._3 == 1.0))
+  }
+
+  test("brute force cosine topk self-consistent") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0), "vec_id", "embedding", k = 2)
+      .select($"neighbor_id", $"rank").as[(Long, Int)].collect().sortBy(_._2)
+    assert(top(0)._1 == 1L) // most similar to (1,0,0) is (0.9,0.1,0)
+  }
+
+  test("lsh topk recall vs brute force on clustered data") {
+    val rnd = new scala.util.Random(1)
+    def jitter(base: Array[Float]) = base.map(v => v + rnd.nextFloat() * 0.05f)
+    val centers = Seq(Array.fill(16)(1.0f), Array.fill(16)(-1.0f))
+    val rows = (0 until 200).map(i => (i.toLong, jitter(centers(i % 2))))
+    val df = rows.toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" < 4)
+    val exact = Similarity.bruteForceTopK(df, queries, "vec_id", "embedding", k = 5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(df, queries, "vec_id", "embedding", k = 5, bits = 8)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall > 0.5, s"recall $recall too low")
+  }
+
+  test("text analysis annotate + multimodal stub") {
+    val annotated = TextAnalysis.annotate(docs, "text")
+    val row = annotated.filter($"doc_id" === 5).select($"lang_pred").as[String].head()
+    assert(row == "de")
+    val mm = Multimodal.extractImageMeta(
+      Multimodal.withBinaryPayload(docs, "text"), "payload")
+    val metas = mm.select($"width", $"height", $"channels").collect()
+    assert(metas.forall(r => r.getInt(0) >= 64 && r.getInt(1) >= 64 && r.getInt(2) >= 1))
+  }
+
+  test("streaming windowed agg over events (memory sink)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.GeoStreaming
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Double, Double, String)]
+    mem.addData(
+      (java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), 1.0, 1.0, "a"),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:02:00"), 2.0, 2.0, "a"),
+      (java.sql.Timestamp.valueOf("2024-01-01 01:01:00"), 5.0, 5.0, "b"))
+    val df = mem.toDF().toDF("ts", "x", "y", "k").withWatermark("ts", "10 minutes")
+    val agg = GeoStreaming.windowedSpatialAgg(df, "ts", "x", "y", "1 hour", Seq("k"))
+    val q = agg.writeStream.outputMode("complete").format("memory")
+      .queryName("geo_stream_test").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val rows = spark.sql("SELECT k, n_events, bounds.xmin FROM geo_stream_test ORDER BY k").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getString(0) == "a" && rows(0).getLong(1) == 2 && rows(0).getDouble(2) == 1.0)
+    assert(rows(1).getString(0) == "b" && rows(1).getLong(1) == 1)
+  }
+}

@@ -1,0 +1,349 @@
+package graft
+
+/** DuckDB oracle SQL for SparkEntry.queries. Plain SQL only (the driver's
+  * DuckDB has no spatial extension), replicating the same synthetic
+  * geometry mapping in scalar arithmetic. Rounding, column names, integer
+  * widths and ORDER BY match the Spark side pairwise.
+  */
+object OracleSql {
+
+  // shared snippets
+  private val custPts =
+    "SELECT c_custkey, c_nationkey, c_acctbal AS cx, (c_custkey % 1000)::DOUBLE AS cy FROM customer"
+
+  private val quantX = "CAST(floor(((cx - (-1000.0)) / (10000.0 - (-1000.0))) * 65535) AS BIGINT)"
+  private val quantY = "CAST(floor(((cy - 0.0) / (1000.0 - 0.0)) * 65535) AS BIGINT)"
+
+  private def spread(v: String): String = {
+    val s1 = s"((($v) | (($v) << 16)) & 281470681808895)"
+    val s2 = s"((($s1) | (($s1) << 8)) & 71777214294589695)"
+    val s3 = s"((($s2) | (($s2) << 4)) & 1085102592571150095)"
+    val s4 = s"((($s3) | (($s3) << 2)) & 3689348814741910323)"
+    s"((($s4) | (($s4) << 1)) & 6148914691236517205)"
+  }
+
+  // strict point-in-triangle via CCW cross products; triangle for region k:
+  // A=(2200k-1000, 50) B=(2200k+1000, 50) C=(2200k, 950)
+  private val pipCond = """
+    (((2200.0*r_regionkey+1000.0) - (2200.0*r_regionkey-1000.0)) * (cy - 50.0)
+      - (50.0 - 50.0) * (cx - (2200.0*r_regionkey-1000.0))) > 0
+    AND ((2200.0*r_regionkey - (2200.0*r_regionkey+1000.0)) * (cy - 50.0)
+      - (950.0 - 50.0) * (cx - (2200.0*r_regionkey+1000.0))) > 0
+    AND (((2200.0*r_regionkey-1000.0) - 2200.0*r_regionkey) * (cy - 950.0)
+      - (50.0 - 950.0) * (cx - 2200.0*r_regionkey)) > 0"""
+
+  private val docToks =
+    "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
+
+  private val qualityExpr = s"""
+    CASE WHEN length(text) = 0 OR len($docToks) = 0 THEN 0.0 ELSE
+      0.5 * (CASE WHEN ml >= 3 AND ml <= 10 THEN 1.0
+                  WHEN ml < 3 THEN ml / 3.0 ELSE 10.0 / ml END)
+      + 0.25 * (1.0 - least(1.0, 5.0 * (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) / length(text)))
+      + 0.25 * (1.0 - least(1.0, 5.0 * (length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))) / length(text)))
+    END"""
+
+  private val meanLenCte = s"""
+    SELECT doc_id, text,
+      CASE WHEN len($docToks) = 0 THEN 0.0
+           ELSE list_sum(list_transform($docToks, x -> length(x)))::DOUBLE / len($docToks)
+      END AS ml
+    FROM documents"""
+
+  val all: Map[String, String] = Map(
+
+    "q01_pricing_summary" -> """
+      SELECT l_returnflag, l_linestatus,
+             round(sum(l_quantity), 1) AS sum_qty,
+             round(sum(l_extendedprice), 1) AS sum_base,
+             round(sum(l_extendedprice * (1.0 - l_discount)), 1) AS sum_disc,
+             round(avg(l_quantity), 4) AS avg_qty,
+             count(*) AS n
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""",
+
+    "q02_revenue_by_nation" -> """
+      SELECT n_name,
+             round(sum(l_extendedprice * (1.0 - l_discount)), 1) AS revenue,
+             count(DISTINCT o_orderkey) AS n_orders
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name
+      ORDER BY n_name""",
+
+    "q03_top_orders" -> """
+      SELECT l_orderkey, round(sum(l_extendedprice * (1.0 - l_discount)), 1) AS revenue
+      FROM lineitem
+      GROUP BY l_orderkey
+      ORDER BY revenue DESC, l_orderkey ASC
+      LIMIT 10""",
+
+    "q04_window_rank" -> """
+      SELECT c_nationkey::BIGINT AS nationkey, c_custkey, c_acctbal, rnk::BIGINT AS rnk
+      FROM (SELECT c_nationkey, c_custkey, c_acctbal,
+                   row_number() OVER (PARTITION BY c_nationkey
+                                      ORDER BY c_acctbal DESC, c_custkey ASC) AS rnk
+            FROM customer) s
+      WHERE rnk <= 3
+      ORDER BY nationkey, rnk""",
+
+    "q05_exists" -> """
+      SELECT o_orderpriority, count(*) AS n
+      FROM orders
+      WHERE EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""",
+
+    "q06_filter_agg" -> """
+      SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+      FROM lineitem
+      WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+
+    "q07_events_hourly" -> """
+      SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
+             count(*) AS n, round(sum(value), 2) AS sum_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY hour_epoch, event_type""",
+
+    "g01_bbox_filter" -> s"""
+      SELECT c_custkey, cx, cy FROM ($custPts)
+      WHERE cx BETWEEN 1000 AND 5000 AND cy BETWEEN 200 AND 800
+      ORDER BY c_custkey""",
+
+    "g02_distance" -> s"""
+      SELECT c_custkey, round(dist, 4) AS dist
+      FROM (SELECT c_custkey, sqrt((cx - 5000.0)*(cx - 5000.0) + (cy - 500.0)*(cy - 500.0)) AS dist
+            FROM ($custPts))
+      WHERE dist < 1500.0
+      ORDER BY c_custkey""",
+
+    "g03_sjoin_pip" -> s"""
+      SELECT c_custkey, r_regionkey::BIGINT AS r_regionkey
+      FROM ($custPts) CROSS JOIN region
+      WHERE $pipCond
+      ORDER BY c_custkey, r_regionkey""",
+
+    "g15_sjoin_grid" -> s"""
+      SELECT c_custkey, r_regionkey::BIGINT AS r_regionkey
+      FROM ($custPts) CROSS JOIN region
+      WHERE $pipCond
+      ORDER BY c_custkey, r_regionkey""",
+
+    "g04_dissolve" -> s"""
+      SELECT c_nationkey::BIGINT AS nationkey,
+             count(DISTINCT (cx, cy))::BIGINT AS n_points,
+             min(cx) AS xmin, min(cy) AS ymin, max(cx) AS xmax, max(cy) AS ymax,
+             count(*) AS n_rows
+      FROM ($custPts)
+      GROUP BY c_nationkey
+      ORDER BY nationkey""",
+
+    "g05_total_bounds" -> s"""
+      SELECT min(cx) AS xmin, min(cy) AS ymin, max(cx) AS xmax, max(cy) AS ymax
+      FROM ($custPts)""",
+
+    "g06_area_centroid" -> """
+      SELECT s_suppkey,
+             round(abs((ax*ay2 - bx*ay) + (bx*cy2 - ax*ay2) + (ax*ay - ax*cy2)) / 2.0, 4) AS area,
+             round((ax + bx + ax) / 3.0, 4) AS centroid_x,
+             round((ay + ay2 + cy2) / 3.0, 4) AS centroid_y,
+             round((bx - ax) + sqrt((ax-bx)*(ax-bx) + (cy2-ay2)*(cy2-ay2)) + (cy2 - ay), 4) AS perimeter
+      FROM (SELECT s_suppkey, s_acctbal AS ax,
+                   (s_suppkey % 100)::DOUBLE * 10.0 AS ay,
+                   (s_suppkey % 100)::DOUBLE * 10.0 AS ay2,
+                   s_acctbal + ((s_suppkey % 7) + 1)::DOUBLE * 100.0 AS bx,
+                   (s_suppkey % 100)::DOUBLE * 10.0 + ((s_suppkey % 5) + 1)::DOUBLE * 100.0 AS cy2
+            FROM supplier)
+      ORDER BY s_suppkey""",
+
+    "g07_wkt_roundtrip" -> """
+      SELECT c_custkey, c_acctbal AS x, (c_custkey % 1000)::DOUBLE AS y
+      FROM customer ORDER BY c_custkey""",
+
+    "g08_morton" -> s"""
+      WITH p AS (SELECT c_custkey, $quantX AS qx, $quantY AS qy FROM ($custPts))
+      SELECT c_custkey, (${spread("qx")} | (${spread("qy")} << 1)) AS morton
+      FROM p ORDER BY c_custkey""",
+
+    "g09_hilbert" -> s"""
+      WITH RECURSIVE p AS (SELECT c_custkey, $quantX AS x0, $quantY AS y0 FROM ($custPts)),
+      h AS (
+        SELECT c_custkey, x0 AS x, y0 AS y, 0::BIGINT AS d, 32768::BIGINT AS s FROM p
+        UNION ALL
+        SELECT c_custkey,
+          CASE WHEN (y & s) > 0 THEN x WHEN (x & s) > 0 THEN 65535 - y ELSE y END,
+          CASE WHEN (y & s) > 0 THEN y WHEN (x & s) > 0 THEN 65535 - x ELSE x END,
+          d + s * s * xor(3 * (CASE WHEN (x & s) > 0 THEN 1 ELSE 0 END),
+                          CASE WHEN (y & s) > 0 THEN 1 ELSE 0 END),
+          s // 2
+        FROM h WHERE s > 0)
+      SELECT c_custkey, d AS hilbert FROM h WHERE s = 0 ORDER BY c_custkey""",
+
+    "g11_clip" -> """
+      SELECT s_suppkey,
+             round(greatest(0.0, least(x0 + h, 5000.0) - greatest(x0 - h, 0.0))
+                 * greatest(0.0, least(y0 + h, 500.0) - greatest(y0 - h, 0.0)), 4) AS clipped_area
+      FROM (SELECT s_suppkey, s_acctbal AS x0,
+                   (s_suppkey % 100)::DOUBLE * 10.0 AS y0,
+                   ((s_suppkey % 10) + 1)::DOUBLE AS h
+            FROM supplier)
+      ORDER BY s_suppkey""",
+
+    "g12_explode" -> s"""
+      SELECT c_custkey, part_index, px, py FROM (
+        SELECT c_custkey, 0::BIGINT AS part_index, cx AS px, cy AS py FROM ($custPts) WHERE c_custkey < 100
+        UNION ALL
+        SELECT c_custkey, 1::BIGINT, cy, cx FROM ($custPts) WHERE c_custkey < 100)
+      ORDER BY c_custkey, part_index""",
+
+    "g13_buffer" -> """
+      SELECT s_suppkey, round(32.0 * r * r * sin(pi() / 32.0), 4) AS buf_area
+      FROM (SELECT s_suppkey, ((s_suppkey % 5) + 1)::DOUBLE AS r FROM supplier)
+      ORDER BY s_suppkey""",
+
+    "g14_affine" -> s"""
+      SELECT c_custkey,
+             round(2.0 * ((cos(radians(90.0)) * cx - sin(radians(90.0)) * cy) + 10.0), 6) AS fx,
+             round(3.0 * ((sin(radians(90.0)) * cx + cos(radians(90.0)) * cy) + 20.0), 6) AS fy
+      FROM ($custPts)
+      ORDER BY c_custkey""",
+
+    "t01_token_stats" -> s"""
+      SELECT doc_id, len($docToks)::BIGINT AS n_tokens, length(text)::BIGINT AS n_chars
+      FROM documents ORDER BY doc_id""",
+
+    "t02_exact_dedup" -> """
+      SELECT doc_id,
+             min(doc_id) OVER (PARTITION BY text) AS canonical_id,
+             count(*) OVER (PARTITION BY text) AS group_size
+      FROM documents ORDER BY doc_id""",
+
+    "t03_quality" -> s"""
+      SELECT doc_id, round($qualityExpr, 4) AS quality
+      FROM ($meanLenCte)
+      ORDER BY doc_id""",
+
+    "t04_langid" -> s"""
+      WITH c AS (
+        SELECT doc_id,
+          len(list_filter(list_transform($docToks, x -> lower(x)),
+              x -> x IN ('the','and','of','to','is','in','that','it'))) AS en,
+          len(list_filter(list_transform($docToks, x -> lower(x)),
+              x -> x IN ('der','die','das','und','ist','nicht','ein','zu'))) AS de,
+          len(list_filter(list_transform($docToks, x -> lower(x)),
+              x -> x IN ('le','la','les','et','est','un','une','dans'))) AS fr,
+          len(list_filter(list_transform($docToks, x -> lower(x)),
+              x -> x IN ('el','los','las','es','un','una','que','por'))) AS es,
+          len(list_filter(list_transform($docToks, x -> lower(x)),
+              x -> x IN ('的','是','在','了','和','有','我','不'))) AS zh
+        FROM documents)
+      SELECT doc_id,
+        CASE
+          WHEN en > 0 AND en >= de AND en >= fr AND en >= es AND en >= zh THEN 'en'
+          WHEN de > 0 AND de > en AND de >= fr AND de >= es AND de >= zh THEN 'de'
+          WHEN fr > 0 AND fr > en AND fr > de AND fr >= es AND fr >= zh THEN 'fr'
+          WHEN es > 0 AND es > en AND es > de AND es > fr AND es >= zh THEN 'es'
+          WHEN zh > 0 AND zh > en AND zh > de AND zh > fr AND zh > es THEN 'zh'
+          ELSE 'und'
+        END AS pred
+      FROM c ORDER BY doc_id""",
+
+    "t06_ngram_jaccard" -> """
+      WITH d AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 10 = 0),
+      g AS (SELECT DISTINCT doc_id, lang, substr(text, i::INT, 3) AS gram
+            FROM d, LATERAL unnest(range(1, length(text) - 1)) AS t(i)),
+      sz AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+                FROM g a JOIN g b ON a.lang = b.lang AND a.gram = b.gram
+                     AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+      j AS (SELECT id_a, id_b, i::DOUBLE / (sa.sz + sb.sz - i) AS jac
+            FROM inter
+            JOIN sz sa ON sa.doc_id = id_a
+            JOIN sz sb ON sb.doc_id = id_b)
+      SELECT id_a, id_b, round(jac, 4) AS jaccard FROM j
+      WHERE jac >= 0.3
+      ORDER BY id_a, id_b""",
+
+    "t07_simhash" -> """
+      WITH toks AS (
+        SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
+        FROM documents),
+      th AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h FROM toks),
+      bits AS (SELECT doc_id, b.b AS b,
+                      sum(CASE WHEN ((h >> b.b::INT) & 1) = 1 THEN 1 ELSE -1 END) AS cnt
+               FROM th, (SELECT unnest(range(0, 64)) AS b) AS b
+               GROUP BY doc_id, b.b),
+      sh AS (SELECT doc_id,
+                    CAST(sum(CASE WHEN cnt > 0 THEN
+                      CASE WHEN b = 63 THEN -9223372036854775808
+                           ELSE (1::BIGINT << b::INT) END
+                      ELSE 0 END) AS BIGINT) AS simhash
+             FROM bits GROUP BY doc_id)
+      SELECT d.doc_id, coalesce(sh.simhash, 0)::BIGINT AS simhash
+      FROM documents d LEFT JOIN sh ON d.doc_id = sh.doc_id
+      ORDER BY d.doc_id""",
+
+    "e01_cosine_topk" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   round(CASE WHEN q.nrm = 0 OR c.nrm = 0 THEN 0.0
+                         ELSE list_dot_product(q.v, c.v) / (q.nrm * c.nrm) END, 4) AS cosine
+            FROM n q CROSS JOIN n c
+            WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+      r AS (SELECT query_id, neighbor_id, cosine,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, neighbor_id ASC) AS rank
+            FROM s)
+      SELECT query_id, neighbor_id, cosine, rank::BIGINT AS rank
+      FROM r WHERE rank <= 5
+      ORDER BY query_id, rank""",
+
+    "m01_image_meta" -> """
+      SELECT doc_id,
+             (64 + n % 577)::BIGINT AS width,
+             (64 + (n * 31) % 417)::BIGINT AS height,
+             (1 + n % 4)::BIGINT AS channels
+      FROM (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+      ORDER BY doc_id""",
+
+    "t08_lang_profile" -> s"""
+      WITH base AS (
+        SELECT d.doc_id, d.text, m.ml,
+          len(list_filter(list_transform(list_filter(regexp_split_to_array(d.text, '\\s+'), x -> x <> ''), x -> lower(x)),
+              x -> x IN ('the','and','of','to','is','in','that','it'))) AS en,
+          len(list_filter(list_transform(list_filter(regexp_split_to_array(d.text, '\\s+'), x -> x <> ''), x -> lower(x)),
+              x -> x IN ('der','die','das','und','ist','nicht','ein','zu'))) AS de,
+          len(list_filter(list_transform(list_filter(regexp_split_to_array(d.text, '\\s+'), x -> x <> ''), x -> lower(x)),
+              x -> x IN ('le','la','les','et','est','un','une','dans'))) AS fr,
+          len(list_filter(list_transform(list_filter(regexp_split_to_array(d.text, '\\s+'), x -> x <> ''), x -> lower(x)),
+              x -> x IN ('el','los','las','es','un','una','que','por'))) AS es,
+          len(list_filter(list_transform(list_filter(regexp_split_to_array(d.text, '\\s+'), x -> x <> ''), x -> lower(x)),
+              x -> x IN ('的','是','在','了','和','有','我','不'))) AS zh
+        FROM documents d
+        JOIN ($meanLenCte) m ON d.doc_id = m.doc_id),
+      ann AS (
+        SELECT doc_id, text,
+          CASE
+            WHEN en > 0 AND en >= de AND en >= fr AND en >= es AND en >= zh THEN 'en'
+            WHEN de > 0 AND de > en AND de >= fr AND de >= es AND de >= zh THEN 'de'
+            WHEN fr > 0 AND fr > en AND fr > de AND fr >= es AND fr >= zh THEN 'fr'
+            WHEN es > 0 AND es > en AND es > de AND es > fr AND es >= zh THEN 'es'
+            WHEN zh > 0 AND zh > en AND zh > de AND zh > fr AND zh > es THEN 'zh'
+            ELSE 'und' END AS pred,
+          len($docToks)::BIGINT AS n_tokens,
+          $qualityExpr AS quality
+        FROM base)
+      SELECT pred AS lang_pred, count(*) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+             round(avg(quality), 4) AS avg_quality
+      FROM ann GROUP BY pred ORDER BY pred"""
+  )
+}

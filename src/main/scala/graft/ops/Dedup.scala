@@ -51,30 +51,36 @@ object Dedup {
       seed: Int = 42): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
+    // cache: the signature feeds BOTH sides of the self-join plus the band
+    // explode — without materialization Spark recomputes the (expensive)
+    // minhash kernel once per band per side. Signatures are tiny relative
+    // to the corpus (numHashes longs/doc) and spill to disk if needed.
     val sig = df.select(col(idCol).as("_id"),
       gr_minhash(col(textCol), lit(numHashes), lit(shingleSize), lit(seed)).as("_sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // band key = hash of the band's signature slice
+    // band key = hash of the band's signature slice. The banded table and
+    // the candidate join carry ONLY (id, band, bandkey) — shipping the
+    // signature arrays through a bucket join would blow the shuffle up by
+    // sizeof(signature) x bucket-size^2. Signatures are re-attached to the
+    // deduped pairs afterwards.
     val banded = sig.select(col("_id"), col("_sig"),
       posexplode(sequence(lit(0), lit(bands - 1))).as(Seq("_pos", "_band")))
       .withColumn("_bandkey",
         hash(col("_band"), slice(col("_sig"), col("_band") * rowsPerBand + 1, lit(rowsPerBand))))
-      .select(col("_id"), col("_sig"), col("_band"), col("_bandkey"))
+      .select(col("_id"), col("_band"), col("_bandkey"))
 
-    val l = banded.select(col("_id").as("id_a"), col("_sig").as("_sig_a"),
-      col("_band"), col("_bandkey"))
-    val r = banded.select(col("_id").as("id_b"), col("_sig").as("_sig_b"),
-      col("_band"), col("_bandkey"))
+    val l = banded.select(col("_id").as("id_a"), col("_band"), col("_bandkey"))
+    val r = banded.select(col("_id").as("id_b"), col("_band"), col("_bandkey"))
 
+    // each colliding pair exactly once (dedup across bands), keys only
     val candidates = l.join(r, Seq("_band", "_bandkey"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
 
-    // emit each pair exactly once: from the FIRST band in which they collide
-    val firstBand = candidates
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(first(col("_sig_a")).as("_sig_a"), first(col("_sig_b")).as("_sig_b"))
-
-    firstBand
+    candidates
+      .join(sig.select(col("_id").as("id_a"), col("_sig").as("_sig_a")), "id_a")
+      .join(sig.select(col("_id").as("id_b"), col("_sig").as("_sig_b")), "id_b")
       .withColumn("est_jaccard",
         aggregate(zip_with(col("_sig_a"), col("_sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
           lit(0), (acc, v) => acc + v).cast("double") / lit(numHashes))

@@ -28,7 +28,8 @@ import org.apache.spark.sql.types.{BinaryType, Metadata, MetadataBuilder}
 final case class GeoDataFrame(
     df: DataFrame,
     geometryColumn: String = "geometry",
-    spatialPartitions: Option[Array[Envelope]] = None) {
+    spatialPartitions: Option[Array[Envelope]] = None,
+    pointSource: Option[(String, String)] = None) {
 
   def geom: Column = df(geometryColumn)
 
@@ -78,10 +79,21 @@ final case class GeoDataFrame(
     */
   def cx(xmin: Double, ymin: Double, xmax: Double, ymax: Double): GeoDataFrame = {
     val pruned = prunePartitions(Envelope(xmin, ymin, xmax, ymax))
-    val filtered = pruned.df.filter(
-      st_intersectsBox(pruned.df(geometryColumn), lit(xmin), lit(ymin), lit(xmax), lit(ymax)))
+    // When the geometry was synthesized from coordinate columns
+    // (points_from_xy), also emit plain range predicates on those source
+    // columns: Catalyst pushes them into the parquet scan (row-group
+    // min/max skipping + PushedFilters), which the opaque geometry filter
+    // alone cannot reach. The exact geometry filter stays for correctness.
+    val base = pointSource match {
+      case Some((xc, yc)) =>
+        pruned.df.filter(col(xc) >= xmin && col(xc) <= xmax &&
+          col(yc) >= ymin && col(yc) <= ymax)
+      case None => pruned.df
+    }
+    val filtered = base.filter(
+      st_intersectsBox(base(geometryColumn), lit(xmin), lit(ymin), lit(xmax), lit(ymax)))
     val newParts = spatialPartitions.map(_.filter(_.intersects(Envelope(xmin, ymin, xmax, ymax))))
-    GeoDataFrame(filtered, geometryColumn, newParts)
+    GeoDataFrame(filtered, geometryColumn, newParts, pointSource)
   }
 
   /** Drop whole Spark partitions whose recorded envelope misses `box`.
@@ -296,7 +308,8 @@ object GeoDataFrame {
   /** points_from_xy (reference `dask_geopandas/expr.py:881-894`). */
   def pointsFromXY(df: DataFrame, x: String, y: String,
       geometryColumn: String = "geometry"): GeoDataFrame =
-    GeoDataFrame(df.withColumn(geometryColumn, st_point(col(x), col(y))), geometryColumn)
+    GeoDataFrame(df.withColumn(geometryColumn, st_point(col(x), col(y))), geometryColumn,
+      None, Some((x, y)))
 
   /** from_wkt (reference `expr.py:897-919`). */
   def fromWkt(df: DataFrame, wktCol: String, geometryColumn: String = "geometry"): GeoDataFrame =

@@ -1,7 +1,7 @@
 package graft.sql
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types.DataType
 import org.apache.spark.sql.GraftInterop.AbsType
@@ -15,7 +15,7 @@ import org.apache.spark.sql.GraftInterop.AbsType
   * pipelines); hot-path candidates get `doGenCode` in a later round.
   */
 case class GraftScalar(fname: String, children: Seq[Expression])
-    extends Expression with ExpectsInputTypes with CodegenFallback {
+    extends Expression with ImplicitCastInputTypes with CodegenFallback {
 
   @transient private lazy val spec: GraftDefs.Spec = GraftDefs.byName(fname)
 

@@ -1,0 +1,175 @@
+package graft.io
+
+import graft.api.GeoDataFrame
+import graft.geom.Envelope
+import graft.sql.functions._
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetFileWriter}
+import org.apache.parquet.hadoop.util.{HadoopInputFile, HadoopOutputFile}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import scala.jdk.CollectionConverters._
+
+/** GeoParquet-style IO (reference `dask_geopandas/io/parquet.py` +
+  * `io/arrow.py:22-63`): geometry travels as WKB columns; dataset-level
+  * metadata (primary geometry column, CRS, per-file bbox) lives in each
+  * parquet file footer under the standard "geo" key, so files written here
+  * interoperate with readers that understand GeoParquet metadata and —
+  * more importantly at scale — bbox queries can skip whole files from the
+  * footers alone, before any scan task is scheduled (the Spark analog of
+  * the reference's gather_spatial_partitions + cx partition pruning,
+  * `io/parquet.py:22-42` + `expr.py:1042-1052`).
+  *
+  * Write path: normal Spark parquet write (full parallelism, any
+  * partitioning), then one metadata pass per file appending the "geo" footer
+  * entry via parquet-mr's appendFile (row groups are copied verbatim —
+  * no re-encode; runs per file, parallelizable driver-side).
+  */
+object GeoParquetIO {
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  // --------------------------------------------------------------- write
+  def write(gdf: GeoDataFrame, path: String, mode: String = "overwrite"): Unit = {
+    val spark = gdf.df.sparkSession
+    gdf.df.write.mode(mode).parquet(path)
+
+    // per-file bbox: one aggregation over the written files
+    val written = spark.read.parquet(path)
+    val bboxes = written
+      .groupBy(input_file_name().as("file"))
+      .agg(st_envelopeAgg(col(gdf.geometryColumn)).as("b"))
+      .select(col("file"), col("b.xmin"), col("b.ymin"), col("b.xmax"), col("b.ymax"))
+      .collect()
+      .map(r => (r.getString(0), Envelope(r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new Path(path).getFileSystem(conf)
+    val files = fs.listStatus(new Path(path)).map(_.getPath)
+      .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
+
+    files.foreach { p =>
+      val uri = p.toUri.toString
+      val bbox = bboxes.collectFirst { case (f, e) if f.endsWith(p.getName) => e }
+      addGeoFooter(conf, p, gdf.geometryColumn, gdf.crs, bbox)
+    }
+  }
+
+  /** Rewrite one parquet file with the "geo" footer key added. Row groups
+    * are byte-copied (appendFile), only the footer changes.
+    */
+  private def addGeoFooter(conf: Configuration, file: Path, geomCol: String,
+      crs: Option[String], bbox: Option[Envelope]): Unit = {
+    val in = HadoopInputFile.fromPath(file, conf)
+    val footer = ParquetFileReader.open(in)
+    val schema = footer.getFooter.getFileMetaData.getSchema
+    val existing = footer.getFooter.getFileMetaData.getKeyValueMetaData
+    footer.close()
+
+    val colMeta = mapper.createObjectNode()
+    colMeta.put("encoding", "WKB")
+    crs.foreach(c => colMeta.put("crs", c))
+    bbox.foreach { e =>
+      val arr = colMeta.putArray("bbox")
+      arr.add(e.minX); arr.add(e.minY); arr.add(e.maxX); arr.add(e.maxY)
+    }
+    val geo = mapper.createObjectNode()
+    geo.put("version", "1.0.0")
+    geo.put("primary_column", geomCol)
+    geo.putObject("columns").set[com.fasterxml.jackson.databind.JsonNode](geomCol, colMeta)
+
+    val meta = new java.util.HashMap[String, String](existing)
+    meta.put("geo", mapper.writeValueAsString(geo))
+
+    val tmp = new Path(file.getParent, "." + file.getName + ".geo.tmp")
+    val writer = new ParquetFileWriter(
+      HadoopOutputFile.fromPath(tmp, conf), schema, ParquetFileWriter.Mode.OVERWRITE,
+      128L * 1024 * 1024, 8 * 1024 * 1024)
+    writer.start()
+    writer.appendFile(HadoopInputFile.fromPath(file, conf))
+    writer.end(meta)
+
+    val fs = file.getFileSystem(conf)
+    fs.delete(file, false)
+    fs.rename(tmp, file)
+  }
+
+  // ---------------------------------------------------------------- read
+  final case class GeoFileMeta(primaryColumn: String, crs: Option[String],
+      fileBBoxes: Map[String, Envelope])
+
+  /** Read the "geo" footer metadata of every file in the dataset. */
+  def readMeta(spark: SparkSession, path: String): Option[GeoFileMeta] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    val files = fs.listStatus(root).map(_.getPath)
+      .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
+    if (files.isEmpty) return None
+
+    var primary: String = null
+    var crs: Option[String] = None
+    val bboxes = scala.collection.mutable.Map[String, Envelope]()
+    files.foreach { p =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+      val kv = r.getFooter.getFileMetaData.getKeyValueMetaData
+      r.close()
+      Option(kv.get("geo")).foreach { json =>
+        val node = mapper.readTree(json)
+        primary = node.get("primary_column").asText()
+        val colNode = node.get("columns").get(primary)
+        if (colNode.has("crs") && !colNode.get("crs").isNull)
+          crs = Some(colNode.get("crs").asText())
+        if (colNode.has("bbox")) {
+          val b = colNode.get("bbox")
+          bboxes(p.toString) =
+            Envelope(b.get(0).asDouble(), b.get(1).asDouble(), b.get(2).asDouble(), b.get(3).asDouble())
+        }
+      }
+    }
+    if (primary == null) None
+    else Some(GeoFileMeta(primary, crs, bboxes.toMap))
+  }
+
+  /** Read a GeoParquet dataset into a GeoDataFrame (geometry column stays
+    * WKB binary — our native representation). CRS comes from the footer;
+    * defaults to OGC:CRS84 when absent, like the reference
+    * (`io/arrow.py:29`, tests/io/test_parquet.py:231-259).
+    */
+  def read(spark: SparkSession, path: String): GeoDataFrame = {
+    graft.sql.functions.install(spark)
+    val meta = readMeta(spark, path)
+    val df = spark.read.parquet(path)
+    meta match {
+      case Some(m) =>
+        GeoDataFrame(df, m.primaryColumn).setCrs(m.crs.getOrElse("OGC:CRS84"))
+      case None => GeoDataFrame(df)
+    }
+  }
+
+  /** Bbox-pruned read: drop whole files from the scan using only footer
+    * bboxes — no task ever touches a pruned file. This is the 100 TB path:
+    * after a spatialShuffle+write, a selective bbox query reads the few
+    * files whose extent intersects it.
+    */
+  def readPruned(spark: SparkSession, path: String,
+      xmin: Double, ymin: Double, xmax: Double, ymax: Double): GeoDataFrame = {
+    graft.sql.functions.install(spark)
+    val box = Envelope(xmin, ymin, xmax, ymax)
+    readMeta(spark, path) match {
+      case Some(m) if m.fileBBoxes.nonEmpty =>
+        val keep = m.fileBBoxes.collect { case (f, e) if e.intersects(box) => f }.toSeq
+        val df =
+          if (keep.isEmpty)
+            spark.read.parquet(path).limit(0)
+          else spark.read.parquet(keep: _*)
+        GeoDataFrame(df, m.primaryColumn)
+          .setCrs(m.crs.getOrElse("OGC:CRS84"))
+          .cx(xmin, ymin, xmax, ymax)
+      case _ => read(spark, path).cx(xmin, ymin, xmax, ymax)
+    }
+  }
+}

@@ -1,0 +1,73 @@
+package graft.io
+
+import graft.api.GeoDataFrame
+import graft.sql.TestSpark
+import graft.sql.functions._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class GeoParquetIOSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmpDir(): String = {
+    val d = java.nio.file.Files.createTempDirectory("geoparquet").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath + "/ds"
+  }
+
+  private def sample() = {
+    val rnd = new scala.util.Random(3)
+    val rows = (0 until 500).map(i => (i.toLong, rnd.nextDouble() * 100, rnd.nextDouble() * 100))
+    GeoDataFrame.pointsFromXY(rows.toDF("id", "x", "y"), "x", "y").setCrs("EPSG:3857")
+  }
+
+  test("write + read roundtrip preserves data, crs, geometry column") {
+    val path = tmpDir()
+    val g = sample().spatialShuffle(by = "hilbert", level = 12, numPartitions = Some(4),
+      calculatePartitions = false)
+    GeoParquetIO.write(g, path)
+    val back = GeoParquetIO.read(spark, path)
+    assert(back.geometryColumn == "geometry")
+    assert(back.crs.contains("EPSG:3857"))
+    assert(back.df.count() == 500)
+    val origSum = sample().df.agg(sum($"x")).head().getDouble(0)
+    val backSum = back.df.agg(sum($"x")).head().getDouble(0)
+    assert(math.abs(origSum - backSum) < 1e-6)
+  }
+
+  test("footer geo metadata carries per-file bbox") {
+    val path = tmpDir()
+    val g = sample().spatialShuffle(by = "hilbert", level = 12, numPartitions = Some(4),
+      calculatePartitions = false)
+    GeoParquetIO.write(g, path)
+    val meta = GeoParquetIO.readMeta(spark, path).get
+    assert(meta.primaryColumn == "geometry")
+    assert(meta.fileBBoxes.size == 4)
+    // bboxes cover the data domain
+    val all = meta.fileBBoxes.values.reduce(_ union _)
+    assert(all.minX >= 0 && all.maxX <= 100)
+    // hilbert-clustered files should have distinctly smaller extent than the domain
+    assert(meta.fileBBoxes.values.exists(e => e.area < all.area * 0.9))
+  }
+
+  test("readPruned skips files by footer bbox") {
+    val path = tmpDir()
+    val g = sample().spatialShuffle(by = "hilbert", level = 12, numPartitions = Some(8),
+      calculatePartitions = false)
+    GeoParquetIO.write(g, path)
+    val meta = GeoParquetIO.readMeta(spark, path).get
+    val hit = meta.fileBBoxes.values.count(_.intersects(graft.geom.Envelope(0, 0, 15, 15)))
+    assert(hit < 8, s"expected pruning, all $hit files hit")
+    val pruned = GeoParquetIO.readPruned(spark, path, 0, 0, 15, 15)
+    val want = sample().df.filter($"x" <= 15 && $"y" <= 15).count()
+    assert(pruned.df.count() == want)
+  }
+
+  test("read of plain parquet (no geo footer) degrades gracefully") {
+    val path = tmpDir()
+    Seq((1L, 2.0)).toDF("id", "v").write.parquet(path)
+    val g = GeoParquetIO.read(spark, path)
+    assert(g.df.count() == 1)
+  }
+}

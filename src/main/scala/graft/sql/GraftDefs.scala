@@ -82,6 +82,38 @@ object GraftDefs {
     "st_isempty" -> g1(BO)(g => g.isEmpty),
     "st_hasz" -> g1(BO)(g => g.hasZ),
     "st_isring" -> g1(BO) { case l: LineString => l.isRing; case _ => false },
+    "st_issimple" -> g1(BO) {
+      case l: LineString =>
+        // no self-intersection other than shared endpoints
+        var simple = true
+        var i = 0
+        while (i + 3 < l.xy.length && simple) {
+          var j = i + 4
+          while (j + 3 < l.xy.length && simple) {
+            if (Predicates.segmentsCrossProperly(
+                l.xy(i), l.xy(i + 1), l.xy(i + 2), l.xy(i + 3),
+                l.xy(j), l.xy(j + 1), l.xy(j + 2), l.xy(j + 3))) simple = false
+            j += 2
+          }
+          i += 2
+        }
+        simple
+      case mp: MultiPoint =>
+        val seen = scala.collection.mutable.Set[(Double, Double)]()
+        mp.pts.forall(p => seen.add((p.x, p.y)))
+      case _ => true
+    },
+    "st_numinteriorrings" -> g1(I) {
+      case p: Polygon => p.numHoles
+      case _          => 0
+    },
+    "st_interiorringn" -> Spec(Seq(B, I), B, { a =>
+      geom(a(0)) match {
+        case p: Polygon if int(a(1)) + 1 < p.rings.length =>
+          wkb(LineString(p.rings(int(a(1)) + 1)))
+        case _ => wkb(GeometryCollection(Array.empty))
+      }
+    }),
     "st_isvalid" -> g1(BO) {
       case p: Polygon =>
         !p.isEmpty && p.rings.forall(r => r.length >= 8 &&

@@ -44,6 +44,9 @@ object functions {
   def st_isEmpty(g: Column): Column = fn("st_isempty", g)
   def st_hasZ(g: Column): Column = fn("st_hasz", g)
   def st_isRing(g: Column): Column = fn("st_isring", g)
+  def st_isSimple(g: Column): Column = fn("st_issimple", g)
+  def st_numInteriorRings(g: Column): Column = fn("st_numinteriorrings", g)
+  def st_interiorRingN(g: Column, i: Column): Column = fn("st_interiorringn", g, i)
   def st_isValid(g: Column): Column = fn("st_isvalid", g)
 
   // ---------------------------------------------------------------- measures

@@ -163,9 +163,14 @@ object functions {
   // ------------------------------------------------- pipeline: multimodal
   def gr_fakeImageMeta(bin: Column): Column = fn("gr_fake_image_meta", bin)
 
-  /** Register everything with the session so `spark.sql` can use the names. */
+  /** Register everything with the session so `spark.sql` can use the names.
+    * Idempotent per session — re-installing would spam "function replaced"
+    * warnings on every query construction.
+    */
   def install(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
+    if (registry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("st_union_agg"))) return
     GraftDefs.all.keys.foreach { name =>
       registry.createOrReplaceTempFunction(name, exprs => GraftScalar(name, exprs), "built-in")
     }

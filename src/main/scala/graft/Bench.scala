@@ -25,15 +25,32 @@ object Bench {
     def force(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
-    // Warm up JIT + parquet reader + expression path outside the timings.
+    // Warm up JIT + parquet reader + the operator paths the queries use
+    // (expressions, joins, window exec, hash agg, text/vector kernels) on
+    // tiny inputs, outside the timings — the first timed query should pay
+    // for its plan, not for JVM warmup of shared machinery.
     {
       import org.apache.spark.sql.functions._
       import graft.sql.functions._
+      import org.apache.spark.sql.expressions.Window
       val w = spark.read.parquet(s"$sfDir/customer.parquet")
         .withColumn("g", st_point(col("c_acctbal"), col("c_custkey").cast("double")))
         .select(st_x(col("g")))
-      force(w)
-      force(w)
+      force(w); force(w)
+      val n = spark.read.parquet(s"$sfDir/nation.parquet")
+      val wj = n.as("a").join(broadcast(n.as("b")),
+          col("a.n_regionkey") === col("b.n_regionkey"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("a.n_regionkey")).orderBy(col("a.n_nationkey"))))
+        .groupBy(col("a.n_regionkey")).agg(count(lit(1)), collect_list(col("rn")))
+      force(wj); force(wj)
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(64)
+      force(docs.select(explode(gr_bandKeys(
+        gr_minhash(col("text"), lit(64), lit(4), lit(42)), lit(16))),
+        gr_simhash64(col("text")), gr_langId(col("text")), gr_qualityScore(col("text"))))
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(64)
+      force(emb.select(gr_cosine(col("embedding"), col("embedding")),
+        gr_lshBucket(col("embedding"), lit(8), lit(7))))
     }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -82,12 +82,17 @@ object SparkEntry {
     "q02_revenue_by_nation" -> ((s, d) => {
       val li = t(s, d, "lineitem"); val o = t(s, d, "orders")
       val c = t(s, d, "customer"); val n = t(s, d, "nation")
-      li.join(o, li("l_orderkey") === o("o_orderkey"))
+      // pre-aggregate lineitem to one row per order BEFORE the join: the
+      // fact-side shuffle shrinks ~4x (600k line items -> 150k orders) and
+      // count(DISTINCT o_orderkey) degenerates to count(*) — no Expand.
+      val perOrder = li.groupBy(col("l_orderkey"))
+        .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("_rev"))
+      perOrder.join(o, col("l_orderkey") === o("o_orderkey"))
         .join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .groupBy(col("n_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 1).as("revenue"),
-          countDistinct(col("o_orderkey")).as("n_orders"))
+        .agg(round(sum(col("_rev")), 1).as("revenue"),
+          count(lit(1)).as("n_orders"))
         .orderBy(col("n_name"))
     }),
 

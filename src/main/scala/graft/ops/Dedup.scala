@@ -39,6 +39,16 @@ object Dedup {
     * numHashes = bands * rowsPerBand. A pair colliding in >=1 band becomes a
     * candidate; candidates are verified against the full signature estimate
     * and thresholded.
+    *
+    * Plan shape (one shuffle total): signature -> posexplode of per-band
+    * keys -> hash-aggregate buckets by (band, key) -> generate verified
+    * pairs inside each bucket. A pair is emitted only from the first band
+    * in which its signatures collide, so no global distinct is needed —
+    * the old self-join + distinct + 2 re-attachment joins (4 shuffles)
+    * collapse into one groupBy. Shuffle volume is (bands x corpus) small
+    * rows of (band, key, id, signature) — at 100 TB the signatures
+    * (numHashes longs/doc) are ~0.1% of corpus bytes, and the hot-bucket
+    * skew case (mass near-duplicates) is bounded by `maxBucket`.
     */
   def minhashLsh(
       df: DataFrame,
@@ -48,44 +58,22 @@ object Dedup {
       bands: Int = 16,
       shingleSize: Int = 4,
       threshold: Double = 0.7,
-      seed: Int = 42): DataFrame = {
+      seed: Int = 42,
+      maxBucket: Int = 0): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val rowsPerBand = numHashes / bands
-    // cache: the signature feeds BOTH sides of the self-join plus the band
-    // explode — without materialization Spark recomputes the (expensive)
-    // minhash kernel once per band per side. Signatures are tiny relative
-    // to the corpus (numHashes longs/doc) and spill to disk if needed.
-    val sig = df.select(col(idCol).as("_id"),
+    val sig = df.select(col(idCol).cast("long").as("_id"),
       gr_minhash(col(textCol), lit(numHashes), lit(shingleSize), lit(seed)).as("_sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-    // band key = hash of the band's signature slice. The banded table and
-    // the candidate join carry ONLY (id, band, bandkey) — shipping the
-    // signature arrays through a bucket join would blow the shuffle up by
-    // sizeof(signature) x bucket-size^2. Signatures are re-attached to the
-    // deduped pairs afterwards.
     val banded = sig.select(col("_id"), col("_sig"),
-      posexplode(sequence(lit(0), lit(bands - 1))).as(Seq("_pos", "_band")))
-      .withColumn("_bandkey",
-        hash(col("_band"), slice(col("_sig"), col("_band") * rowsPerBand + 1, lit(rowsPerBand))))
-      .select(col("_id"), col("_band"), col("_bandkey"))
-
-    val l = banded.select(col("_id").as("id_a"), col("_band"), col("_bandkey"))
-    val r = banded.select(col("_id").as("id_b"), col("_band"), col("_bandkey"))
-
-    // each colliding pair exactly once (dedup across bands), keys only
-    val candidates = l.join(r, Seq("_band", "_bandkey"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
-
-    candidates
-      .join(sig.select(col("_id").as("id_a"), col("_sig").as("_sig_a")), "id_a")
-      .join(sig.select(col("_id").as("id_b"), col("_sig").as("_sig_b")), "id_b")
-      .withColumn("est_jaccard",
-        aggregate(zip_with(col("_sig_a"), col("_sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v).cast("double") / lit(numHashes))
-      .filter(col("est_jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+      posexplode(gr_bandKeys(col("_sig"), lit(bands))).as(Seq("_band", "_key")))
+    val buckets = banded.groupBy(col("_band"), col("_key"))
+      .agg(collect_list(struct(col("_id"), col("_sig"))).as("_items"))
+    // optional skew guard: drop pathological buckets (mass-duplicate keys)
+    // rather than letting one task do O(bucket^2) work. 0 = exact/no cap.
+    val bounded = if (maxBucket > 0) buckets.filter(size(col("_items")) <= maxBucket) else buckets
+    bounded
+      .select(explode(gr_bucketPairs(col("_items"), col("_band"), lit(bands), lit(threshold)))
+        .as("_p"))
+      .select(col("_p.id_a"), col("_p.id_b"), col("_p.est_jaccard").as("est_jaccard"))
   }
 
   /** SimHash near-dup buckets: rows whose 64-bit simhash matches on all 4

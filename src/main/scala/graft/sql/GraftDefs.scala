@@ -256,6 +256,31 @@ object GraftDefs {
       new GenericArrayData(
         TextKernel.minhash(str(a(0)), int(a(1)), int(a(2)), int(a(3))).map(Long.box(_): Any))
     }),
+    "gr_bandkeys" -> Spec(Seq(ArrayType(L), I), ArrayType(L), { a =>
+      val sig = a(0).asInstanceOf[ArrayData].toLongArray()
+      new GenericArrayData(TextKernel.bandKeys(sig, int(a(1))).map(Long.box(_): Any))
+    }),
+    "gr_bucket_pairs" -> Spec(
+      Seq(ArrayType(StructType(Seq(
+        StructField("_id", L), StructField("_sig", ArrayType(L))))), I, I, D),
+      ArrayType(StructType(Seq(
+        StructField("id_a", L), StructField("id_b", L), StructField("est_jaccard", D)))), { a =>
+      val arr = a(0).asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val ids = new Array[Long](n)
+      val sigs = new Array[Array[Long]](n)
+      var i = 0
+      while (i < n) {
+        val row = arr.getStruct(i, 2)
+        ids(i) = row.getLong(0)
+        sigs(i) = row.getArray(1).toLongArray()
+        i += 1
+      }
+      val pairs = TextKernel.bucketPairs(ids, sigs, int(a(1)), int(a(2)), dbl(a(3)))
+      new GenericArrayData(pairs.map { case (x, y, e) =>
+        new GenericInternalRow(Array[Any](x, y, e)): Any
+      })
+    }),
     "gr_simhash64" -> Spec(Seq(S), L, a => TextKernel.simhash64(str(a(0)))),
     "gr_lang_id" -> Spec(Seq(S), S, a => utf8(TextKernel.langId(str(a(0))))),
     "gr_quality_score" -> Spec(Seq(S), D, a => TextKernel.qualityScore(str(a(0)))),

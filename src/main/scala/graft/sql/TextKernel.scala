@@ -77,6 +77,59 @@ object TextKernel {
     eq.toDouble / a.length
   }
 
+  /** LSH band keys: one 64-bit key per band, hashing the band's signature
+    * slice (FNV-style fold + splitmix finalizer). Two documents collide in
+    * band b iff their signature slices for b are identical.
+    */
+  def bandKeys(sig: Array[Long], bands: Int): Array[Long] = {
+    val rpb = sig.length / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = 0xcbf29ce484222325L ^ b.toLong
+      var i = b * rpb
+      val end = i + rpb
+      while (i < end) {
+        h = (h ^ sig(i)) * 0x100000001b3L
+        i += 1
+      }
+      out(b) = mix64(h)
+      b += 1
+    }
+    out
+  }
+
+  /** Verified near-dup pairs within one LSH bucket. A pair is emitted only
+    * from the FIRST band in which its signatures collide — each candidate
+    * pair therefore appears in exactly one bucket across the whole job and
+    * the caller needs no global distinct/dedup shuffle.
+    */
+  def bucketPairs(ids: Array[Long], sigs: Array[Array[Long]], band: Int, bands: Int,
+      threshold: Double): Array[(Long, Long, Double)] = {
+    val n = ids.length
+    if (n < 2) return Array.empty
+    val keys = sigs.map(bandKeys(_, bands))
+    val out = mutable.ArrayBuffer[(Long, Long, Double)]()
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        var mb = 0
+        while (mb < bands && keys(i)(mb) != keys(j)(mb)) mb += 1
+        if (mb == band) {
+          val est = minhashJaccard(sigs(i), sigs(j))
+          if (est >= threshold) {
+            if (ids(i) < ids(j)) out += ((ids(i), ids(j), est))
+            else out += ((ids(j), ids(i), est))
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    out.toArray
+  }
+
   /** SimHash-64 over whitespace tokens; per-token 64 bits = first 8 bytes of
     * MD5 (big-endian). MD5 keeps the oracle expressible in DuckDB
     * (`md5(token)`), unlike a custom hash.

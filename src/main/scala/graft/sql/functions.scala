@@ -147,6 +147,9 @@ object functions {
   def gr_shingles(text: Column, n: Column): Column = fn("gr_shingles", text, n)
   def gr_minhash(text: Column, numHashes: Column, shingleSize: Column, seed: Column): Column =
     fn("gr_minhash", text, numHashes, shingleSize, seed)
+  def gr_bandKeys(sig: Column, bands: Column): Column = fn("gr_bandkeys", sig, bands)
+  def gr_bucketPairs(items: Column, band: Column, bands: Column, threshold: Column): Column =
+    fn("gr_bucket_pairs", items, band, bands, threshold)
   def gr_simhash64(text: Column): Column = fn("gr_simhash64", text)
   def gr_langId(text: Column): Column = fn("gr_lang_id", text)
   def gr_qualityScore(text: Column): Column = fn("gr_quality_score", text)

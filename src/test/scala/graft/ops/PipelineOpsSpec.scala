@@ -34,6 +34,16 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("minhash LSH emits each candidate pair exactly once (no distinct)") {
+    // threshold 0 keeps every colliding pair; multi-band collisions must
+    // still surface once (first-colliding-band emission rule)
+    val all = Dedup.minhashLsh(docs, "doc_id", "text", numHashes = 64,
+      bands = 16, shingleSize = 4, threshold = 0.0)
+    val dups = all.groupBy($"id_a", $"id_b").count().filter($"count" > 1).count()
+    assert(dups == 0)
+    assert(all.filter($"id_a" === 1L && $"id_b" === 2L).count() == 1)
+  }
+
   test("simhash pairs: identical texts have distance 0") {
     val got = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
       .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Int)].collect()

@@ -35,6 +35,19 @@ object OracleSql {
   private val docToks =
     "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
 
+  // square pair A/B per supplier (same fp op order as the Spark query)
+  private val sqPairs = """
+    SELECT s_suppkey,
+      s_acctbal - ((s_suppkey % 10) + 1)::DOUBLE AS ax0,
+      s_acctbal + ((s_suppkey % 10) + 1)::DOUBLE AS ax1,
+      (s_suppkey % 100)::DOUBLE * 10.0 - ((s_suppkey % 10) + 1)::DOUBLE AS ay0,
+      (s_suppkey % 100)::DOUBLE * 10.0 + ((s_suppkey % 10) + 1)::DOUBLE AS ay1,
+      s_acctbal + (s_suppkey % 30)::DOUBLE - ((s_suppkey % 7) + 1)::DOUBLE AS bx0,
+      s_acctbal + (s_suppkey % 30)::DOUBLE + ((s_suppkey % 7) + 1)::DOUBLE AS bx1,
+      (s_suppkey % 100)::DOUBLE * 10.0 - ((s_suppkey % 7) + 1)::DOUBLE AS by0,
+      (s_suppkey % 100)::DOUBLE * 10.0 + ((s_suppkey % 7) + 1)::DOUBLE AS by1
+    FROM supplier"""
+
   private val qualityExpr = s"""
     CASE WHEN length(text) = 0 OR len($docToks) = 0 THEN 0.0 ELSE
       0.5 * (CASE WHEN ml >= 3 AND ml <= 10 THEN 1.0
@@ -213,6 +226,167 @@ object OracleSql {
              round(3.0 * ((sin(radians(90.0)) * cx + cos(radians(90.0)) * cy) + 20.0), 6) AS fy
       FROM ($custPts)
       ORDER BY c_custkey""",
+
+    "g16_predicates" -> s"""
+      WITH sq AS ($sqPairs),
+      m AS (SELECT *, least(ax1, bx1) - greatest(ax0, bx0) AS xi,
+                      least(ay1, by1) - greatest(ay0, by0) AS yi FROM sq)
+      SELECT s_suppkey,
+        (xi >= 0 AND yi >= 0) AS p_intersects,
+        NOT (xi >= 0 AND yi >= 0) AS p_disjoint,
+        (bx0 >= ax0 AND bx1 <= ax1 AND by0 >= ay0 AND by1 <= ay1) AS p_contains,
+        (ax0 >= bx0 AND ax1 <= bx1 AND ay0 >= by0 AND ay1 <= by1) AS p_within,
+        (bx0 >= ax0 AND bx1 <= ax1 AND by0 >= ay0 AND by1 <= ay1) AS p_covers,
+        (ax0 >= bx0 AND ax1 <= bx1 AND ay0 >= by0 AND ay1 <= by1) AS p_coveredby,
+        (bx0 > ax0 AND bx1 < ax1 AND by0 > ay0 AND by1 < ay1) AS p_containsproperly,
+        (xi >= 0 AND yi >= 0 AND (xi = 0 OR yi = 0)) AS p_touches,
+        (xi > 0 AND yi > 0
+          AND NOT (bx0 >= ax0 AND bx1 <= ax1 AND by0 >= ay0 AND by1 <= ay1)
+          AND NOT (ax0 >= bx0 AND ax1 <= bx1 AND ay0 >= by0 AND ay1 <= by1)) AS p_overlaps,
+        (ax0 = bx0 AND ax1 = bx1 AND ay0 = by0 AND ay1 = by1) AS p_equals,
+        false AS p_crosses,
+        (sqrt(pow(greatest(0.0, greatest(ax0, bx0) - least(ax1, bx1)), 2)
+            + pow(greatest(0.0, greatest(ay0, by0) - least(ay1, by1)), 2)) <= 5.0) AS p_dwithin
+      FROM m ORDER BY s_suppkey""",
+
+    "g17_overlay" -> s"""
+      WITH sq AS ($sqPairs),
+      m AS (SELECT *, greatest(0.0, least(ax1, bx1) - greatest(ax0, bx0)) AS xi,
+                      greatest(0.0, least(ay1, by1) - greatest(ay0, by0)) AS yi FROM sq)
+      SELECT s_suppkey,
+        round(xi * yi, 4) AS inter_area,
+        round((ax1 - ax0) * (ay1 - ay0) + (bx1 - bx0) * (by1 - by0) - xi * yi, 4) AS union_area,
+        round((ax1 - ax0) * (ay1 - ay0) - xi * yi, 4) AS diff_area,
+        round((ax1 - ax0) * (ay1 - ay0) + (bx1 - bx0) * (by1 - by0) - 2 * xi * yi, 4) AS sym_area
+      FROM m ORDER BY s_suppkey""",
+
+    "g18_line_measures" -> s"""
+      WITH p AS (SELECT c_custkey, abs(cx) + 1.0 AS hx, abs(cy) + 1.0 AS hy FROM ($custPts))
+      SELECT c_custkey,
+        round(hx + hy, 6) AS len_open,
+        round((hx + hy) + sqrt(hx * hx + hy * hy), 6) AS len_closed,
+        'LineString' AS gtype, 3::BIGINT AS n_points,
+        false AS ring_open, true AS ring_closed,
+        true AS simple, true AS valid, false AS empty, false AS hasz,
+        2::BIGINT AS bnd_open_n, 0::BIGINT AS bnd_closed_n
+      FROM p ORDER BY c_custkey""",
+
+    "g19_wkb_roundtrip" -> s"""
+      SELECT c_custkey, cx AS x, cy AS y, 42::BIGINT AS hexlen,
+        ((c_custkey % 5) <= 2) AS p_eqexact
+      FROM ($custPts) ORDER BY c_custkey""",
+
+    "g20_simplify" -> """
+      WITH p AS (SELECT s_suppkey, (s_suppkey % 11)::DOUBLE * 0.1 AS e FROM supplier)
+      SELECT s_suppkey,
+        (CASE WHEN e > 0.5 THEN 3 ELSE 2 END)::BIGINT AS n_after,
+        CASE WHEN e > 0.5 THEN round(sqrt(4.0 + e * e) * 2, 6) ELSE 4.0 END AS len_after
+      FROM p ORDER BY s_suppkey""",
+
+    "g21_interpolate" -> s"""
+      WITH p AS (SELECT c_custkey, abs(cx) + 1.0 AS hx, abs(cy) + 1.0 AS hy,
+                        (c_custkey % 10)::DOUBLE / 10.0 AS f FROM ($custPts))
+      SELECT c_custkey,
+        round(f * hx, 6) AS ix, round(f * hy, 6) AS iy,
+        round((hx * hx) / (hx * hx + hy * hy) * sqrt(hx * hx + hy * hy), 6) AS along
+      FROM p ORDER BY c_custkey""",
+
+    "g22_to_crs" -> s"""
+      WITH p AS (SELECT c_custkey, cx / 100.0 AS lon, cy / 20.0 - 25.0 AS lat FROM ($custPts))
+      SELECT c_custkey,
+        round(radians(lon) * 6378137.0, 4) + 0.0 AS mx,
+        round(ln(tan(pi() / 4 + radians(lat) / 2)) * 6378137.0, 4) + 0.0 AS my,
+        round(degrees((radians(lon) * 6378137.0) / 6378137.0), 6) + 0.0 AS lon2,
+        round(degrees(2 * atan(exp((ln(tan(pi() / 4 + radians(lat) / 2)) * 6378137.0) / 6378137.0))
+              - pi() / 2), 6) + 0.0 AS lat2
+      FROM p ORDER BY c_custkey""",
+
+    "g23_geoparquet_roundtrip" -> s"""
+      SELECT c_custkey, cx, cy FROM ($custPts)
+      WHERE cx BETWEEN 1000 AND 5000 AND cy BETWEEN 200 AND 800
+      ORDER BY c_custkey""",
+
+    "g24_spatial_shuffle" -> """
+      SELECT count(*)::BIGINT AS total_rows, true AS ranges_ok FROM customer""",
+
+    "g25_union_all" -> """
+      SELECT s_nationkey::BIGINT AS nationkey,
+             round((count(*) * 400)::DOUBLE, 4) AS union_area,
+             count(*) AS n_parts, count(*) AS n_rows
+      FROM supplier GROUP BY s_nationkey ORDER BY nationkey""",
+
+    "g26_envelope" -> """
+      WITH tr AS (SELECT s_suppkey, s_acctbal AS ax,
+                         (s_suppkey % 100)::DOUBLE * 10.0 AS ay,
+                         s_acctbal + ((s_suppkey % 7) + 1)::DOUBLE * 100.0 AS bx,
+                         (s_suppkey % 100)::DOUBLE * 10.0
+                           + ((s_suppkey % 5) + 1)::DOUBLE * 100.0 AS cy2
+                  FROM supplier)
+      SELECT s_suppkey,
+        round((bx - ax) * (cy2 - ay), 4) AS env_area,
+        round(2 * ((bx - ax) + (cy2 - ay)), 4) AS env_perim,
+        round(2 * ((bx - ax) + (cy2 - ay)), 4) AS bnd_len,
+        5::BIGINT AS ext_pts, 'LineString' AS bnd_type
+      FROM tr ORDER BY s_suppkey""",
+
+    "g27_relate" -> s"""
+      WITH j AS (
+        SELECT c_custkey, r_regionkey,
+          ((2200.0*r_regionkey+1000.0) - (2200.0*r_regionkey-1000.0)) * (cy - 50.0)
+            - (50.0 - 50.0) * (cx - (2200.0*r_regionkey-1000.0)) AS c1,
+          (2200.0*r_regionkey - (2200.0*r_regionkey+1000.0)) * (cy - 50.0)
+            - (950.0 - 50.0) * (cx - (2200.0*r_regionkey+1000.0)) AS c2,
+          ((2200.0*r_regionkey-1000.0) - 2200.0*r_regionkey) * (cy - 950.0)
+            - (50.0 - 950.0) * (cx - 2200.0*r_regionkey) AS c3
+        FROM ($custPts) CROSS JOIN region)
+      SELECT c_custkey, r_regionkey::BIGINT AS r_regionkey,
+        CASE WHEN c1 > 0 AND c2 > 0 AND c3 > 0 THEN '0FFFFF212' ELSE 'FF0FFF212' END AS pattern,
+        '0FFFFFFF2' AS self_pattern
+      FROM j WHERE c1 <> 0 AND c2 <> 0 AND c3 <> 0
+      ORDER BY c_custkey, r_regionkey""",
+
+    "g10_geohash" -> s"""
+      WITH p AS (SELECT c_custkey,
+        LEAST(32767, GREATEST(0,
+          CAST(floor(((cx / 100.0) + 180.0) / 360.0 * 32768) AS BIGINT))) AS qlon,
+        LEAST(32767, GREATEST(0,
+          CAST(floor(((cy / 20.0 - 25.0) + 90.0) / 180.0 * 32768) AS BIGINT))) AS qlat
+        FROM ($custPts)),
+      c AS (SELECT c_custkey,
+        ((${spread("qlon")}) << 1 | (${spread("qlat")})) AS code FROM p)
+      SELECT c_custkey,
+        substr('0123456789bcdefghjkmnpqrstuvwxyz', (1 + ((code >> 25) & 31))::INT, 1) ||
+        substr('0123456789bcdefghjkmnpqrstuvwxyz', (1 + ((code >> 20) & 31))::INT, 1) ||
+        substr('0123456789bcdefghjkmnpqrstuvwxyz', (1 + ((code >> 15) & 31))::INT, 1) ||
+        substr('0123456789bcdefghjkmnpqrstuvwxyz', (1 + ((code >> 10) & 31))::INT, 1) ||
+        substr('0123456789bcdefghjkmnpqrstuvwxyz', (1 + ((code >> 5) & 31))::INT, 1) ||
+        substr('0123456789bcdefghjkmnpqrstuvwxyz', (1 + (code & 31))::INT, 1) AS geohash
+      FROM c ORDER BY c_custkey""",
+
+    "t09_fingerprint" -> """
+      WITH g AS (
+        SELECT doc_id,
+               CASE WHEN length(text) >= 8 THEN substr(text, i::INT, 8) ELSE text END AS gram
+        FROM documents, LATERAL unnest(range(1, greatest(2, length(text) - 6))) t(i)),
+      h AS (SELECT doc_id, min(('0x' || substr(md5(gram), 1, 16))::UBIGINT) AS fpu FROM g
+            GROUP BY doc_id)
+      SELECT d.doc_id,
+        CASE WHEN fpu >= 9223372036854775808::UBIGINT
+             THEN (fpu::HUGEINT - 18446744073709551616::HUGEINT)::BIGINT
+             ELSE fpu::BIGINT END AS fp
+      FROM documents d JOIN h ON d.doc_id = h.doc_id
+      ORDER BY d.doc_id""",
+
+    "m02_image_resize" -> """
+      WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+      d AS (SELECT doc_id, (64 + n % 577) AS w, (64 + (n * 31) % 417) AS h,
+                   (1 + n % 4) AS c FROM m)
+      SELECT doc_id,
+        ((w * 224) // greatest(w, h))::BIGINT AS out_w,
+        ((h * 224) // greatest(w, h))::BIGINT AS out_h,
+        (((w * 224) // greatest(w, h))::BIGINT * ((h * 224) // greatest(w, h))
+          * c)::BIGINT AS out_bytes
+      FROM d ORDER BY doc_id""",
 
     "t01_token_stats" -> s"""
       SELECT doc_id, len($docToks)::BIGINT AS n_tokens, length(text)::BIGINT AS n_chars

@@ -300,6 +300,241 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     }),
 
+    // binary predicate matrix over axis-aligned squares (reference
+    // expr.py:983-998); every predicate has a closed-form interval oracle
+    "g16_predicates" -> ((s, d) => {
+      t(s, d, "supplier")
+        .withColumn("x0", col("s_acctbal"))
+        .withColumn("y0", (col("s_suppkey") % 100).cast("double") * 10.0)
+        .withColumn("h1", ((col("s_suppkey") % 10) + 1).cast("double"))
+        .withColumn("h2", ((col("s_suppkey") % 7) + 1).cast("double"))
+        .withColumn("dx", (col("s_suppkey") % 30).cast("double"))
+        .withColumn("a", st_makeEnvelope(col("x0") - col("h1"), col("y0") - col("h1"),
+          col("x0") + col("h1"), col("y0") + col("h1")))
+        .withColumn("b", st_makeEnvelope(col("x0") + col("dx") - col("h2"),
+          col("y0") - col("h2"), col("x0") + col("dx") + col("h2"), col("y0") + col("h2")))
+        .select(col("s_suppkey"),
+          st_intersects(col("a"), col("b")).as("p_intersects"),
+          st_disjoint(col("a"), col("b")).as("p_disjoint"),
+          st_contains(col("a"), col("b")).as("p_contains"),
+          st_within(col("a"), col("b")).as("p_within"),
+          st_covers(col("a"), col("b")).as("p_covers"),
+          st_coveredBy(col("a"), col("b")).as("p_coveredby"),
+          st_containsProperly(col("a"), col("b")).as("p_containsproperly"),
+          st_touches(col("a"), col("b")).as("p_touches"),
+          st_overlaps(col("a"), col("b")).as("p_overlaps"),
+          st_equals(col("a"), col("b")).as("p_equals"),
+          st_crosses(col("a"), col("b")).as("p_crosses"),
+          st_dwithin(col("a"), col("b"), lit(5.0)).as("p_dwithin"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // overlay areas (st_intersection/union/difference/symdifference over
+    // the same square pairs; reference expr.py:1001-1013)
+    "g17_overlay" -> ((s, d) => {
+      t(s, d, "supplier")
+        .withColumn("x0", col("s_acctbal"))
+        .withColumn("y0", (col("s_suppkey") % 100).cast("double") * 10.0)
+        .withColumn("h1", ((col("s_suppkey") % 10) + 1).cast("double"))
+        .withColumn("h2", ((col("s_suppkey") % 7) + 1).cast("double"))
+        .withColumn("dx", (col("s_suppkey") % 30).cast("double"))
+        .withColumn("a", st_makeEnvelope(col("x0") - col("h1"), col("y0") - col("h1"),
+          col("x0") + col("h1"), col("y0") + col("h1")))
+        .withColumn("b", st_makeEnvelope(col("x0") + col("dx") - col("h2"),
+          col("y0") - col("h2"), col("x0") + col("dx") + col("h2"), col("y0") + col("h2")))
+        .select(col("s_suppkey"),
+          round(st_area(st_intersection(col("a"), col("b"))), 4).as("inter_area"),
+          round(st_area(st_union(col("a"), col("b"))), 4).as("union_area"),
+          round(st_area(st_difference(col("a"), col("b"))), 4).as("diff_area"),
+          round(st_area(st_symDifference(col("a"), col("b"))), 4).as("sym_area"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // line measures + flags + boundary (st_makeline, st_length, st_isring,
+    // st_issimple, st_isvalid, st_isempty, st_hasz, st_boundary)
+    "g18_line_measures" -> ((s, d) => {
+      customerPts(s, d)
+        .withColumn("hx", abs(col("cx")) + 1.0)
+        .withColumn("hy", abs(col("cy")) + 1.0)
+        .withColumn("ln", st_makeLine(array(
+          st_point(lit(0.0), lit(0.0)), st_point(col("hx"), lit(0.0)),
+          st_point(col("hx"), col("hy")))))
+        .withColumn("ring", st_makeLine(array(
+          st_point(lit(0.0), lit(0.0)), st_point(col("hx"), lit(0.0)),
+          st_point(col("hx"), col("hy")), st_point(lit(0.0), lit(0.0)))))
+        .select(col("c_custkey"),
+          round(st_length(col("ln")), 6).as("len_open"),
+          round(st_length(col("ring")), 6).as("len_closed"),
+          st_geometryType(col("ln")).as("gtype"),
+          st_numPoints(col("ln")).cast("long").as("n_points"),
+          st_isRing(col("ln")).as("ring_open"),
+          st_isRing(col("ring")).as("ring_closed"),
+          st_isSimple(col("ln")).as("simple"),
+          st_isValid(col("ln")).as("valid"),
+          st_isEmpty(col("ln")).as("empty"),
+          st_hasZ(col("ln")).as("hasz"),
+          st_numGeometries(st_boundary(col("ln"))).cast("long").as("bnd_open_n"),
+          st_numGeometries(st_boundary(col("ring"))).cast("long").as("bnd_closed_n"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // WKB hex roundtrip + equals_exact with tolerance (reference
+    // expr.py:546-553, 922-944, 307-312)
+    "g19_wkb_roundtrip" -> ((s, d) => {
+      customerPts(s, d)
+        .withColumn("wkb_hex", hex(st_asBinary(col("geometry"))))
+        .withColumn("parsed", st_geomFromWKB(unhex(col("wkb_hex"))))
+        .withColumn("delta", (col("c_custkey") % 5).cast("double") * 0.01)
+        .select(col("c_custkey"),
+          st_x(col("parsed")).as("x"), st_y(col("parsed")).as("y"),
+          length(col("wkb_hex")).cast("long").as("hexlen"),
+          st_equalsExact(col("geometry"),
+            st_translate(col("geometry"), col("delta"), lit(0.0)), lit(0.025)).as("p_eqexact"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Douglas-Peucker simplify (reference expr.py:324-328): single-spike
+    // line keeps/drops the midpoint depending on tolerance
+    "g20_simplify" -> ((s, d) => {
+      t(s, d, "supplier")
+        .withColumn("e", (col("s_suppkey") % 11).cast("double") * 0.1)
+        .withColumn("ln", st_makeLine(array(
+          st_point(lit(0.0), lit(0.0)), st_point(lit(2.0), col("e")),
+          st_point(lit(4.0), lit(0.0)))))
+        .withColumn("simp", st_simplify(col("ln"), lit(0.5)))
+        .select(col("s_suppkey"),
+          st_numPoints(col("simp")).cast("long").as("n_after"),
+          round(st_length(col("simp")), 6).as("len_after"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // line interpolate / locate (reference expr.py:330-337, project
+    // expr.py:1001-1013)
+    "g21_interpolate" -> ((s, d) => {
+      customerPts(s, d)
+        .withColumn("hx", abs(col("cx")) + 1.0)
+        .withColumn("hy", abs(col("cy")) + 1.0)
+        .withColumn("ln", st_makeLine(array(
+          st_point(lit(0.0), lit(0.0)), st_point(col("hx"), col("hy")))))
+        .withColumn("f", (col("c_custkey") % 10).cast("double") / 10.0)
+        .withColumn("ipt", st_lineInterpolatePoint(col("ln"), col("f"), lit(true)))
+        .select(col("c_custkey"),
+          round(st_x(col("ipt")), 6).as("ix"), round(st_y(col("ipt")), 6).as("iy"),
+          round(st_lineLocatePoint(col("ln"), st_point(col("hx"), lit(0.0)), lit(false)), 6)
+            .as("along"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // to_crs: EPSG:4326 -> 3857 (web mercator) and back (reference
+    // expr.py:255-257)
+    "g22_to_crs" -> ((s, d) => {
+      val pts = customerPts(s, d)
+        .withColumn("lon", col("cx") / 100.0)
+        .withColumn("lat", col("cy") / 20.0 - 25.0)
+        .withColumn("geometry", st_point(col("lon"), col("lat")))
+      val g = GeoDataFrame(pts).setCrs("EPSG:4326").toCrs("EPSG:3857")
+      val back = g.toCrs("EPSG:4326")
+      // "+ 0.0" normalizes IEEE -0.0 (round of a tiny negative) to +0.0 so
+      // the value hash matches the oracle, which does the same
+      g.df.select(col("c_custkey"),
+          (round(st_x(col("geometry")), 4) + 0.0).as("mx"),
+          (round(st_y(col("geometry")), 4) + 0.0).as("my"))
+        .join(back.df.select(col("c_custkey"),
+          (round(st_x(col("geometry")), 6) + 0.0).as("lon2"),
+          (round(st_y(col("geometry")), 6) + 0.0).as("lat2")), "c_custkey")
+        .orderBy(col("c_custkey"))
+    }),
+
+    // GeoParquet write -> footer-bbox-pruned read roundtrip (reference
+    // io/parquet.py:22-106); result equals the plain bbox filter g01
+    "g23_geoparquet_roundtrip" -> ((s, d) => {
+      val pts = GeoDataFrame(
+        customerPts(s, d).select(col("c_custkey"), col("cx"), col("cy"), col("geometry")),
+        "geometry", None, Some(("cx", "cy"))).setCrs("EPSG:4326")
+      val path = "/tmp/graft_g23_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      graft.io.GeoParquetIO.write(pts, path)
+      graft.io.GeoParquetIO.readPruned(s, path, 1000, 200, 5000, 800)
+        .df.select(col("c_custkey"), col("cx"), col("cy"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // spatial_shuffle layout invariants (reference expr.py:738-820): rows
+    // preserved and per-partition SFC key ranges disjoint & ordered
+    "g24_spatial_shuffle" -> ((s, d) => {
+      val g = GeoDataFrame(customerPts(s, d))
+      val shuffled = g.spatialShuffle(by = "hilbert", level = 12,
+        numPartitions = Some(8), calculatePartitions = false)
+      val parts = shuffled.df.withColumn("_pid", spark_partition_id())
+        .groupBy(col("_pid"))
+        .agg(min(col("_sfc_key")).as("kmin"), max(col("_sfc_key")).as("kmax"),
+          count(lit(1)).as("n"))
+      val w = Window.orderBy(col("_pid"))
+      parts.withColumn("prev_max", lag(col("kmax"), 1).over(w))
+        .agg(sum(col("n")).cast("long").as("total_rows"),
+          bool_and(col("prev_max").isNull || col("kmin") > col("prev_max")).as("ranges_ok"))
+    }),
+
+    // union_all / dissolve over disjoint polygons: union keeps every part,
+    // area is exactly additive (reference expr.py:33-41, 287-299)
+    "g25_union_all" -> ((s, d) => {
+      val sq = t(s, d, "supplier")
+        .withColumn("sx", (col("s_suppkey") * 50).cast("double"))
+        .withColumn("sy", (col("s_suppkey") % 97).cast("double"))
+        .withColumn("geometry", st_makeEnvelope(col("sx") - 10.0, col("sy") - 10.0,
+          col("sx") + 10.0, col("sy") + 10.0))
+      GeoDataFrame(sq).dissolve(Seq("s_nationkey"), Seq(count(lit(1)).as("n_rows")))
+        .df.select(col("s_nationkey").cast("long").as("nationkey"),
+          round(st_area(col("geometry")), 4).as("union_area"),
+          st_numGeometries(col("geometry")).cast("long").as("n_parts"),
+          col("n_rows"))
+        .orderBy(col("nationkey"))
+    }),
+
+    // envelope / boundary / exterior ring over triangles (reference
+    // expr.py:963-972)
+    "g26_envelope" -> ((s, d) => {
+      t(s, d, "supplier")
+        .withColumn("ax", col("s_acctbal"))
+        .withColumn("ay", (col("s_suppkey") % 100).cast("double") * 10.0)
+        .withColumn("bx", col("ax") + ((col("s_suppkey") % 7) + 1).cast("double") * 100.0)
+        .withColumn("cyy", col("ay") + ((col("s_suppkey") % 5) + 1).cast("double") * 100.0)
+        .withColumn("tri", st_convexHull(st_collect(array(
+          st_point(col("ax"), col("ay")),
+          st_point(col("bx"), col("ay")),
+          st_point(col("ax"), col("cyy"))))))
+        .withColumn("env", st_envelope(col("tri")))
+        .select(col("s_suppkey"),
+          round(st_area(col("env")), 4).as("env_area"),
+          round(st_perimeter(col("env")), 4).as("env_perim"),
+          round(st_length(st_boundary(col("env"))), 4).as("bnd_len"),
+          st_numPoints(st_exteriorRing(col("env"))).cast("long").as("ext_pts"),
+          st_geometryType(st_boundary(col("env"))).as("bnd_type"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // DE-9IM relate patterns for point-vs-polygon and point-vs-point
+    // (reference expr.py:1001-1013); boundary-exact rows are excluded by
+    // the same cross-product filter on both sides
+    "g27_relate" -> ((s, d) => {
+      val pts = customerPts(s, d)
+      val tris = regionTris(s, d).withColumnRenamed("geometry", "tri")
+      val j = pts.crossJoin(tris)
+        .withColumn("c1", expr(
+          "((2200.0*r_regionkey+1000.0) - (2200.0*r_regionkey-1000.0)) * (cy - 50.0)" +
+          " - (50.0 - 50.0) * (cx - (2200.0*r_regionkey-1000.0))"))
+        .withColumn("c2", expr(
+          "(2200.0*r_regionkey - (2200.0*r_regionkey+1000.0)) * (cy - 50.0)" +
+          " - (950.0 - 50.0) * (cx - (2200.0*r_regionkey+1000.0))"))
+        .withColumn("c3", expr(
+          "((2200.0*r_regionkey-1000.0) - 2200.0*r_regionkey) * (cy - 950.0)" +
+          " - (50.0 - 950.0) * (cx - 2200.0*r_regionkey)"))
+        .filter(col("c1") =!= 0.0 && col("c2") =!= 0.0 && col("c3") =!= 0.0)
+      j.select(col("c_custkey"), col("r_regionkey").cast("long").as("r_regionkey"),
+          st_relate(col("geometry"), col("tri")).as("pattern"),
+          st_relate(col("geometry"), col("geometry")).as("self_pattern"))
+        .orderBy(col("c_custkey"), col("r_regionkey"))
+    }),
+
     // ================================================ pipeline: text
     "t01_token_stats" -> ((s, d) => {
       t(s, d, "documents")
@@ -348,6 +583,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // rolling-hash document fingerprint (md5-based so the oracle can
+    // replicate the hash)
+    "t09_fingerprint" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"), gr_fingerprintMd5(col("text"), lit(8)).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ============================================= pipeline: vectors
     "e01_cosine_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
@@ -374,6 +617,16 @@ object SparkEntry {
         .orderBy(col("query_id"), col("cosine").desc, col("neighbor_id"))
     }),
 
+    // IVF approximate ANN (narrow centroid assignment + broadcast probes)
+    // — approximate; rows-only check like e02
+    "e03_ann_ivf" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, nlist = 16, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"))
+        .orderBy(col("query_id"), col("cosine").desc, col("neighbor_id"))
+    }),
+
     // ========================================== pipeline: multimodal
     "m01_image_meta" -> ((s, d) => {
       Multimodal.extractImageMeta(
@@ -381,6 +634,16 @@ object SparkEntry {
         .select(col("doc_id"), col("width").cast("long").as("width"),
           col("height").cast("long").as("height"),
           col("channels").cast("long").as("channels"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // resize stub over binary payloads (multimodal plumbing; deterministic
+    // integer math so the oracle replicates it)
+    "m02_image_resize" -> ((s, d) => {
+      Multimodal.resizeMeta(
+        Multimodal.withBinaryPayload(t(s, d, "documents"), "text"), "payload", 224)
+        .select(col("doc_id"), col("out_w").cast("long").as("out_w"),
+          col("out_h").cast("long").as("out_h"), col("out_bytes"))
         .orderBy(col("doc_id"))
     }),
 
@@ -393,7 +656,7 @@ object SparkEntry {
   )
 
   /** DuckDB oracle SQL per query (omitted for approximate/rows-only ops:
-    * g10_geohash, t05_minhash_pairs, e02_ann_lsh).
+    * t05_minhash_pairs, e02_ann_lsh, e03_ann_ivf).
     */
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -528,7 +528,19 @@ object Predicates {
     a.foreachCoord((x, y) => if (locate(x, y, b) == IN) in = true)
     if (in) return true
     b.foreachCoord((x, y) => if (locate(x, y, a) == IN) in = true)
-    in
+    if (in) return true
+    // No proper edge crossing and no vertex strictly inside — interiors can
+    // STILL overlap when boundaries share collinear runs (e.g. equal-height
+    // rectangles offset along x). Decide by the exact intersection area when
+    // the overlay supports the pair, else by an interior sample point.
+    try {
+      val inter = Overlay.intersection(a, b)
+      if (inter.topoDim == 2) return Measures.area(inter) > 0
+    } catch { case _: UnsupportedOperationException => }
+    val ea = a.envelope; val eb = b.envelope
+    val sx = (math.max(ea.minX, eb.minX) + math.min(ea.maxX, eb.maxX)) / 2
+    val sy = (math.max(ea.minY, eb.minY) + math.min(ea.maxY, eb.maxY)) / 2
+    locate(sx, sy, a) == IN && locate(sx, sy, b) == IN
   }
 
   private def pathsCrossAnyProperly(a: Geometry, b: Geometry): Boolean = {
@@ -663,8 +675,10 @@ object Predicates {
   def relate(a: Geometry, b: Geometry): String = {
     // Build the 9 cells II IB IE / BI BB BE / EI EB EE with dimension chars.
     // This is a pragmatic derivation sufficient for point/line/area combos.
+    // dim < 0 means the part is EMPTY (e.g. a point's boundary) -> 'F',
+    // matching DE-9IM: "FF0FFF0F2" for disjoint points, not "FF0FF0002".
     def dimChar(cond: Boolean, dim: Int): Char =
-      if (!cond) 'F' else if (dim <= 0) '0' else if (dim == 1) '1' else '2'
+      if (!cond || dim < 0) 'F' else if (dim == 0) '0' else if (dim == 1) '1' else '2'
     val inter = intersects(a, b)
     if (!inter) {
       val sb = new StringBuilder("FF")

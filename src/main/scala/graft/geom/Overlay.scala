@@ -95,6 +95,64 @@ object Overlay {
     if (clipped.length < 8) None else Some(Polygon(clipped))
   }
 
+  /** One half-plane clip step: keep the part of `poly` on the requested side
+    * of the directed line (x1,y1)->(x2,y2). Boundary points are kept on both
+    * sides (closed clipping). Core of Sutherland–Hodgman, reused by the
+    * difference decomposition.
+    */
+  private def clipEdge(poly: ArrayBuffer[(Double, Double)], x1: Double, y1: Double,
+      x2: Double, y2: Double, keepLeft: Boolean): ArrayBuffer[(Double, Double)] = {
+    @inline def inside(px: Double, py: Double): Boolean = {
+      val o = Predicates.orient(x1, y1, x2, y2, px, py)
+      if (keepLeft) o >= 0 else o <= 0
+    }
+    @inline def intersect(ax: Double, ay: Double, bx: Double, by: Double): (Double, Double) = {
+      val dx1 = bx - ax; val dy1 = by - ay
+      val dx2 = x2 - x1; val dy2 = y2 - y1
+      val denom = dx1 * dy2 - dy1 * dx2
+      val t = ((x1 - ax) * dy2 - (y1 - ay) * dx2) / denom
+      (ax + t * dx1, ay + t * dy1)
+    }
+    val out = ArrayBuffer[(Double, Double)]()
+    var i = 0
+    val n = poly.length
+    while (i < n) {
+      val cur = poly(i)
+      val prev = poly((i + n - 1) % n)
+      val curIn = inside(cur._1, cur._2)
+      val prevIn = inside(prev._1, prev._2)
+      if (curIn) {
+        if (!prevIn) out += intersect(prev._1, prev._2, cur._1, cur._2)
+        out += cur
+      } else if (prevIn) {
+        out += intersect(prev._1, prev._2, cur._1, cur._2)
+      }
+      i += 1
+    }
+    out
+  }
+
+  private def toRing(poly: ArrayBuffer[(Double, Double)]): Array[Double] = {
+    if (poly.length < 3) return Array.empty
+    val ring = new Array[Double]((poly.length + 1) * 2)
+    var i = 0
+    while (i < poly.length) { ring(2 * i) = poly(i)._1; ring(2 * i + 1) = poly(i)._2; i += 1 }
+    ring(2 * poly.length) = poly(0)._1; ring(2 * poly.length + 1) = poly(0)._2
+    ring
+  }
+
+  private def reverseRing(ring: Array[Double]): Array[Double] = {
+    val n = ring.length / 2
+    val out = new Array[Double](ring.length)
+    var i = 0
+    while (i < n) {
+      out(2 * i) = ring(2 * (n - 1 - i))
+      out(2 * i + 1) = ring(2 * (n - 1 - i) + 1)
+      i += 1
+    }
+    out
+  }
+
   /** Clip a closed subject ring by a convex clip ring. Output closed ring
     * (possibly empty). Standard Sutherland–Hodgman.
     */
@@ -105,44 +163,11 @@ object Overlay {
     val nClip = clip.length / 2 - 1
     var e = 0
     while (e < nClip && poly.nonEmpty) {
-      val x1 = clip(2 * e); val y1 = clip(2 * e + 1)
-      val x2 = clip(2 * e + 2); val y2 = clip(2 * e + 3)
-      @inline def inside(px: Double, py: Double): Boolean = {
-        val o = Predicates.orient(x1, y1, x2, y2, px, py)
-        if (ccw) o >= 0 else o <= 0
-      }
-      @inline def intersect(ax: Double, ay: Double, bx: Double, by: Double): (Double, Double) = {
-        val dx1 = bx - ax; val dy1 = by - ay
-        val dx2 = x2 - x1; val dy2 = y2 - y1
-        val denom = dx1 * dy2 - dy1 * dx2
-        val t = ((x1 - ax) * dy2 - (y1 - ay) * dx2) / denom
-        (ax + t * dx1, ay + t * dy1)
-      }
-      val out = ArrayBuffer[(Double, Double)]()
-      var i = 0
-      val n = poly.length
-      while (i < n) {
-        val cur = poly(i)
-        val prev = poly((i + n - 1) % n)
-        val curIn = inside(cur._1, cur._2)
-        val prevIn = inside(prev._1, prev._2)
-        if (curIn) {
-          if (!prevIn) out += intersect(prev._1, prev._2, cur._1, cur._2)
-          out += cur
-        } else if (prevIn) {
-          out += intersect(prev._1, prev._2, cur._1, cur._2)
-        }
-        i += 1
-      }
-      poly = out
+      poly = clipEdge(poly, clip(2 * e), clip(2 * e + 1),
+        clip(2 * e + 2), clip(2 * e + 3), keepLeft = ccw)
       e += 1
     }
-    if (poly.length < 3) return Array.empty
-    val ring = new Array[Double]((poly.length + 1) * 2)
-    var i = 0
-    while (i < poly.length) { ring(2 * i) = poly(i)._1; ring(2 * i + 1) = poly(i)._2; i += 1 }
-    ring(2 * poly.length) = poly(0)._1; ring(2 * poly.length + 1) = poly(0)._2
-    ring
+    toRing(poly)
   }
 
   private def toPairs(ring: Array[Double]): ArrayBuffer[(Double, Double)] = {
@@ -259,6 +284,14 @@ object Overlay {
       val inter = try { Measures.area(intersection(a, b)) } catch { case _: Exception => -1.0 }
       if (inter >= 0 && math.abs(Measures.area(hull) - (ia + ib - inter)) <
           1e-9 * math.max(1.0, ia + ib)) return hull
+      // general overlapping areal union: decompose as (A \ B) + B — the
+      // pieces are interior-disjoint, so area/measures are exact even though
+      // parts may touch along edges
+      try {
+        val da = difference(a, b)
+        val parts = (Geometry.parts(da) ++ Geometry.parts(b)).filterNot(_.isEmpty)
+        return Geometry.collect(parts.toIndexedSeq)
+      } catch { case _: UnsupportedOperationException => }
     }
     Geometry.collect(Seq(a, b)) // topologically unmerged collection (v1 limitation)
   }
@@ -289,12 +322,61 @@ object Overlay {
       case p: Point => if (Predicates.intersects(p, b)) GeometryCollection(Array.empty) else p
       case mp: MultiPoint => MultiPoint(mp.pts.filterNot(p => Predicates.intersects(p, b)))
       case l: LineString if b.topoDim == 2 => lineMinusArea(l, b)
+      case _ if a.topoDim == 2 && b.topoDim < 2 => a // minus a measure-zero set
+      case _ if a.topoDim == 2 && b.topoDim == 2 =>
+        if (Predicates.covers(b, a)) GeometryCollection(Array.empty)
+        else if (!Predicates.intersects(a, b)) a
+        else areaDifference(a, b)
       case _ =>
         if (Predicates.covers(b, a)) GeometryCollection(Array.empty)
         else if (!Predicates.intersects(a, b)) a
         else throw new UnsupportedOperationException(
           s"difference(${a.geometryType}, ${b.geometryType}) not supported in v1")
     }
+  }
+
+  /** A \ B for areal operands where every part of B is convex: decompose
+    * along B's edges — piece_i = A ∩ outside(edge_i) ∩ inside(edge_1..i-1).
+    * Pieces are interior-disjoint (they share only edges), so areas are
+    * exactly additive.
+    */
+  private def areaDifference(a: Geometry, b: Geometry): Geometry = {
+    var pieces: Seq[Polygon] =
+      Geometry.parts(a).collect { case p: Polygon if !p.isEmpty => p }.toSeq
+    if (pieces.exists(_.numHoles > 0))
+      throw new UnsupportedOperationException("holes in difference subject not supported in v1")
+    val bParts = Geometry.parts(b).collect { case p: Polygon if !p.isEmpty => p }
+    bParts.foreach { bp =>
+      if (!isConvexPolygon(bp))
+        throw new UnsupportedOperationException(
+          "difference with non-convex subtrahend part not supported in v1")
+      pieces = pieces.flatMap { piece =>
+        if (!piece.envelope.intersects(bp.envelope)) Seq(piece)
+        else convexDifferencePieces(piece, bp)
+      }
+    }
+    val keep = pieces.filter(p => Measures.area(p) > 0)
+    if (keep.isEmpty) GeometryCollection(Array.empty)
+    else if (keep.length == 1) keep(0)
+    else MultiPolygon(keep.toArray)
+  }
+
+  private def convexDifferencePieces(a: Polygon, b: Polygon): Seq[Polygon] = {
+    val r0 = b.rings(0)
+    val bRing = if (Measures.signedRingArea(r0) > 0) r0 else reverseRing(r0)
+    val pieces = ArrayBuffer[Polygon]()
+    var subject = toPairs(a.rings(0))
+    val n = bRing.length / 2 - 1
+    var e = 0
+    while (e < n && subject.nonEmpty) {
+      val x1 = bRing(2 * e); val y1 = bRing(2 * e + 1)
+      val x2 = bRing(2 * e + 2); val y2 = bRing(2 * e + 3)
+      val outside = clipEdge(subject, x1, y1, x2, y2, keepLeft = false)
+      if (outside.length >= 3) pieces += Polygon(toRing(outside))
+      subject = clipEdge(subject, x1, y1, x2, y2, keepLeft = true)
+      e += 1
+    }
+    pieces.toSeq
   }
 
   private def lineMinusArea(l: LineString, area: Geometry): Geometry = {

@@ -35,6 +35,42 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** IVF (inverted-file) approximate top-k. Centroids are the first `nlist`
+    * corpus vectors (deterministic — no trained model to ship); each corpus
+    * vector is assigned to its nearest centroid by a NARROW map (the
+    * centroid matrix rides into the expression as a literal, so assignment
+    * costs no shuffle — the 100 TB path). Queries probe their `nprobe`
+    * nearest lists; the probe side is tiny and broadcasts, so the corpus
+    * still never shuffles. Exact rerank within probed lists.
+    */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String,
+      k: Int = 10, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.functions.typedlit
+    val cents: Array[Array[Float]] = corpus
+      .filter(col(idCol) < nlist)
+      .select(col(idCol).cast("long"), col(vecCol))
+      .collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Float](1).toArray)
+    val centArr = array(cents.map(c => typedlit(c)).toIndexedSeq: _*)
+
+    val assigned = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
+      gr_argmaxCosine(col(vecCol), centArr).as("_list"))
+    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
+        explode(gr_topnCosine(col(vecCol), centArr, lit(nprobe))).as("_list"))
+    val candidates = assigned.join(broadcast(probes),
+        assigned("_list") === probes("_list") && col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", gr_cosine(col("_qv"), col("_cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    candidates
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Approximate top-k: bucket corpus and queries by LSH signature; probe
     * the exact bucket plus all 1-bit-flip neighbors; exact rerank within
     * candidates. Recall grows with `bits` lowered or probes widened.

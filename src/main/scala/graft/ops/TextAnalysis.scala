@@ -51,4 +51,15 @@ object Multimodal {
       .withColumn("height", col("image_meta.height"))
       .withColumn("channels", col("image_meta.channels"))
       .drop("image_meta")
+
+  /** "Resize" stub: deterministic fit-into-target output dims + byte size
+    * (integer math over the fake-decoded dims). Real codecs would replace
+    * the kernel; the narrow-stage plumbing and schema are the tested part.
+    */
+  def resizeMeta(df: DataFrame, binCol: String, target: Int): DataFrame =
+    df.withColumn("resize_meta", gr_fakeResize(col(binCol), lit(target)))
+      .withColumn("out_w", col("resize_meta.out_w"))
+      .withColumn("out_h", col("resize_meta.out_h"))
+      .withColumn("out_bytes", col("resize_meta.out_bytes"))
+      .drop("resize_meta")
 }

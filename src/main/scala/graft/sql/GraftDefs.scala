@@ -285,6 +285,8 @@ object GraftDefs {
     "gr_lang_id" -> Spec(Seq(S), S, a => utf8(TextKernel.langId(str(a(0))))),
     "gr_quality_score" -> Spec(Seq(S), D, a => TextKernel.qualityScore(str(a(0)))),
     "gr_fingerprint" -> Spec(Seq(S, I), L, a => TextKernel.fingerprint(str(a(0)), int(a(1)))),
+    "gr_fingerprint_md5" -> Spec(Seq(S, I), L,
+      a => TextKernel.fingerprintMd5(str(a(0)), int(a(1)))),
     "gr_hash64" -> Spec(Seq(S), L, a => TextKernel.fnv1a64(str(a(0)).getBytes("UTF-8"))),
     // vectors (embeddings: array<float> in the testdata; cast-tolerant)
     "gr_cosine" -> Spec(Seq(ArrayType(FloatType), ArrayType(FloatType)), D,
@@ -294,6 +296,13 @@ object GraftDefs {
     "gr_l2norm" -> Spec(Seq(ArrayType(FloatType)), D, a => VecKernel.norm(floats(a(0)))),
     "gr_lsh_bucket" -> Spec(Seq(ArrayType(FloatType), I, I), L,
       a => VecKernel.lshBucket(floats(a(0)), int(a(1)), int(a(2)))),
+    "gr_argmax_cosine" -> Spec(Seq(ArrayType(FloatType), ArrayType(ArrayType(FloatType))), I,
+      a => VecKernel.argmaxCosine(floats(a(0)), floatMatrix(a(1)))),
+    "gr_topn_cosine" -> Spec(Seq(ArrayType(FloatType), ArrayType(ArrayType(FloatType)), I),
+      ArrayType(I), { a =>
+      new GenericArrayData(
+        VecKernel.topnCosine(floats(a(0)), floatMatrix(a(1)), int(a(2))).map(Int.box(_): Any))
+    }),
     // multimodal stub: deterministic fake decode of a binary payload.
     // Real image/audio decoding is out of scope for this container (no codec
     // libs); the Spark-side plumbing (binary column, schema, batching) is real.
@@ -302,12 +311,31 @@ object GraftDefs {
       val bytes = a(0).asInstanceOf[Array[Byte]]
       val n = bytes.length
       new GenericInternalRow(Array[Any](64 + n % 577, 64 + (n * 31) % 417, 1 + n % 4))
+    }),
+    // resize stub: deterministic fit-into-target dims from the fake decode
+    // (integer math only, so the oracle replicates it exactly)
+    "gr_fake_resize" -> Spec(Seq(B, I), StructType(Seq(
+      StructField("out_w", I), StructField("out_h", I), StructField("out_bytes", L))), { a =>
+      val n = a(0).asInstanceOf[Array[Byte]].length
+      val target = int(a(1))
+      val w = 64 + n % 577
+      val h = 64 + (n * 31) % 417
+      val c = 1 + n % 4
+      val m = math.max(w, h)
+      val ow = w * target / m
+      val oh = h * target / m
+      new GenericInternalRow(Array[Any](ow, oh, ow.toLong * oh * c))
     })
   )
 
   private def floats(v: Any): Array[Float] = {
     val arr = v.asInstanceOf[ArrayData]
     arr.toFloatArray()
+  }
+
+  private def floatMatrix(v: Any): Array[Array[Float]] = {
+    val arr = v.asInstanceOf[ArrayData]
+    Array.tabulate(arr.numElements())(i => arr.getArray(i).toFloatArray())
   }
 
   val all: Map[String, Spec] = geomSpecs ++ pipelineSpecs

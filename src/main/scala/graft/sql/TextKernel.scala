@@ -205,6 +205,31 @@ object TextKernel {
     0.5 * lenScore + 0.25 * punctScore + 0.25 * upperScore
   }
 
+  /** Like [[fingerprint]] but hashing k-grams with MD5 (first 8 bytes,
+    * big-endian, compared unsigned) so the DuckDB oracle can replicate it:
+    * `min(('0x' || substr(md5(gram), 1, 16))::UBIGINT)`.
+    */
+  def fingerprintMd5(text: String, k: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h8(s: String): Long = {
+      val d = md.digest(s.getBytes("UTF-8"))
+      var h = 0L
+      var i = 0
+      while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+      h
+    }
+    if (text.length < k) return h8(text)
+    var min = 0L
+    var first = true
+    var i = 0
+    while (i + k <= text.length) {
+      val h = h8(text.substring(i, i + k))
+      if (first || java.lang.Long.compareUnsigned(h, min) < 0) { min = h; first = false }
+      i += 1
+    }
+    min
+  }
+
   /** Rolling-hash document fingerprint: min FNV-1a hash over character
     * k-grams (a 1-hash winnowing sketch — stable under small edits at the
     * end of the document).
@@ -245,6 +270,31 @@ object VecKernel {
   def cosine(a: Array[Float], b: Array[Float]): Double = {
     val na = norm(a); val nb = norm(b)
     if (na == 0 || nb == 0) 0.0 else dot(a, b) / (na * nb)
+  }
+
+  /** Index of the centroid with highest cosine similarity (ties -> lowest
+    * index). Used by the IVF similarity-search path: the centroid matrix is
+    * tiny and rides into the expression as a literal, so list assignment is
+    * a narrow map over the corpus — no shuffle.
+    */
+  def argmaxCosine(v: Array[Float], cents: Array[Array[Float]]): Int = {
+    var best = -1
+    var bestScore = Double.NegativeInfinity
+    var i = 0
+    while (i < cents.length) {
+      val s = cosine(v, cents(i))
+      if (s > bestScore) { bestScore = s; best = i }
+      i += 1
+    }
+    best
+  }
+
+  /** Indices of the n centroids with highest cosine similarity, best first
+    * (ties -> lowest index).
+    */
+  def topnCosine(v: Array[Float], cents: Array[Array[Float]], n: Int): Array[Int] = {
+    val scored = cents.indices.map(i => (cosine(v, cents(i)), i))
+    scored.sortBy { case (s, i) => (-s, i) }.take(n).map(_._2).toArray
   }
 
   /** Random-hyperplane LSH: `bits` sign bits from seeded pseudo-random

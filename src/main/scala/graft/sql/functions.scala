@@ -154,6 +154,7 @@ object functions {
   def gr_langId(text: Column): Column = fn("gr_lang_id", text)
   def gr_qualityScore(text: Column): Column = fn("gr_quality_score", text)
   def gr_fingerprint(text: Column, k: Column): Column = fn("gr_fingerprint", text, k)
+  def gr_fingerprintMd5(text: Column, k: Column): Column = fn("gr_fingerprint_md5", text, k)
   def gr_hash64(text: Column): Column = fn("gr_hash64", text)
 
   // ---------------------------------------------------- pipeline: vectors
@@ -162,9 +163,13 @@ object functions {
   def gr_l2norm(a: Column): Column = fn("gr_l2norm", a)
   def gr_lshBucket(v: Column, bits: Column, seed: Column): Column =
     fn("gr_lsh_bucket", v, bits, seed)
+  def gr_argmaxCosine(v: Column, cents: Column): Column = fn("gr_argmax_cosine", v, cents)
+  def gr_topnCosine(v: Column, cents: Column, n: Column): Column =
+    fn("gr_topn_cosine", v, cents, n)
 
   // ------------------------------------------------- pipeline: multimodal
   def gr_fakeImageMeta(bin: Column): Column = fn("gr_fake_image_meta", bin)
+  def gr_fakeResize(bin: Column, target: Column): Column = fn("gr_fake_resize", bin, target)
 
   /** Register everything with the session so `spark.sql` can use the names.
     * Idempotent per session — re-installing would spam "function replaced"

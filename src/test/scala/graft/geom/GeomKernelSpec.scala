@@ -147,6 +147,36 @@ class GeomKernelSpec extends AnyFunSuite {
     assert(math.abs(Measures.length(diff) - 6.0) < 1e-12)
   }
 
+  test("polygon difference: decomposed pieces have exact total area") {
+    val a = Wkt.read("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+    val b = Wkt.read("POLYGON ((2 -1, 6 -1, 6 5, 2 5, 2 -1))") // right half cut
+    val d = Overlay.difference(a, b)
+    assert(math.abs(Measures.area(d) - 8.0) < 1e-9) // left 2x4 strip
+    // overlap corner cut: 1x1 notch
+    val c = Wkt.read("POLYGON ((3 3, 5 3, 5 5, 3 5, 3 3))")
+    val d2 = Overlay.difference(a, c)
+    assert(math.abs(Measures.area(d2) - 15.0) < 1e-9)
+    // subtrahend covers subject -> empty
+    assert(Overlay.difference(sq, Wkt.read("POLYGON ((-1 -1, 3 -1, 3 3, -1 3, -1 -1))")).isEmpty)
+    // disjoint -> unchanged
+    assert(math.abs(Measures.area(Overlay.difference(sq,
+      Wkt.read("POLYGON ((5 5, 6 5, 6 6, 5 6, 5 5))"))) - 4.0) < 1e-9)
+  }
+
+  test("polygon union/symdifference: inclusion-exclusion areas") {
+    val a = Wkt.read("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+    val b = Wkt.read("POLYGON ((2 0, 6 0, 6 4, 2 4, 2 0))") // overlap area 8
+    assert(math.abs(Measures.area(Overlay.union(a, b)) - 24.0) < 1e-9)
+    assert(math.abs(Measures.area(Overlay.symDifference(a, b)) - 16.0) < 1e-9)
+    // equal-height offset squares: interiors overlap even though no vertex
+    // is strictly inside the other (regression for touches/overlaps)
+    assert(Predicates.overlaps(a, b))
+    assert(!Predicates.touches(a, b))
+    val t = Wkt.read("POLYGON ((4 0, 8 0, 8 4, 4 4, 4 0))") // shares edge x=4
+    assert(Predicates.touches(a, t))
+    assert(!Predicates.overlaps(a, t))
+  }
+
   test("union of points dedups and sorts") {
     val u = Overlay.unionAll(Seq(Point(1, 1), Point(0, 0), Point(1, 1)))
     assert(Wkt.write(u) == "MULTIPOINT ((0 0), (1 1))")

@@ -312,7 +312,9 @@ object OracleSql {
     "g25_union_all" -> """
       SELECT s_nationkey::BIGINT AS nationkey,
              round((count(*) * 400)::DOUBLE, 4) AS union_area,
-             count(*) AS n_parts, count(*) AS n_rows
+             count(*) AS n_parts, count(*) AS n_rows,
+             round(sum(s_acctbal), 2) AS sum_bal,
+             round(min(s_acctbal), 2) AS min_bal
       FROM supplier GROUP BY s_nationkey ORDER BY nationkey""",
 
     "g26_envelope" -> """
@@ -326,7 +328,9 @@ object OracleSql {
         round((bx - ax) * (cy2 - ay), 4) AS env_area,
         round(2 * ((bx - ax) + (cy2 - ay)), 4) AS env_perim,
         round(2 * ((bx - ax) + (cy2 - ay)), 4) AS bnd_len,
-        5::BIGINT AS ext_pts, 'LineString' AS bnd_type
+        5::BIGINT AS ext_pts, 'LineString' AS bnd_type,
+        round((ax + bx + ax) / 3.0, 4) AS pos_x,
+        round((ay + ay + cy2) / 3.0, 4) AS pos_y
       FROM tr ORDER BY s_suppkey""",
 
     "g27_relate" -> s"""
@@ -360,7 +364,8 @@ object OracleSql {
         substr('0123456789bcdefghjkmnpqrstuvwxyz', (1 + ((code >> 15) & 31))::INT, 1) ||
         substr('0123456789bcdefghjkmnpqrstuvwxyz', (1 + ((code >> 10) & 31))::INT, 1) ||
         substr('0123456789bcdefghjkmnpqrstuvwxyz', (1 + ((code >> 5) & 31))::INT, 1) ||
-        substr('0123456789bcdefghjkmnpqrstuvwxyz', (1 + (code & 31))::INT, 1) AS geohash
+        substr('0123456789bcdefghjkmnpqrstuvwxyz', (1 + (code & 31))::INT, 1) AS geohash,
+        code AS geohash_long
       FROM c ORDER BY c_custkey""",
 
     "t09_fingerprint" -> """
@@ -387,6 +392,26 @@ object OracleSql {
         (((w * 224) // greatest(w, h))::BIGINT * ((h * 224) // greatest(w, h))
           * c)::BIGINT AS out_bytes
       FROM d ORDER BY doc_id""",
+
+    "g28_accessors" -> """
+      WITH p AS (SELECT s_suppkey, ((s_suppkey % 5) + 3) * 10 AS w FROM supplier)
+      SELECT s_suppkey,
+        1::BIGINT AS n_holes, 5::BIGINT AS hole_pts,
+        round((w * w - 100)::DOUBLE, 4) AS area,
+        10::BIGINT AS n_points, 10::BIGINT AS n_dump,
+        w::DOUBLE AS bxmax,
+        s_suppkey::DOUBLE AS z,
+        w::DOUBLE AS gn_x,
+        true AS valid
+      FROM p ORDER BY s_suppkey""",
+
+    "m03_meta_batched" -> """
+      SELECT doc_id,
+             (64 + n % 577)::BIGINT AS width,
+             (64 + (n * 31) % 417)::BIGINT AS height,
+             (1 + n % 4)::BIGINT AS channels
+      FROM (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+      ORDER BY doc_id""",
 
     "t01_token_stats" -> s"""
       SELECT doc_id, len($docToks)::BIGINT AS n_tokens, length(text)::BIGINT AS n_chars

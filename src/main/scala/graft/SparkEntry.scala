@@ -213,12 +213,13 @@ object SparkEntry {
         .orderBy(col("s_suppkey"))
     }),
 
-    // WKT parse/write roundtrip (reference expr.py:897-919, 546-549)
+    // WKT parse -> write (st_astext) -> re-parse roundtrip (reference
+    // expr.py:897-919, 546-549)
     "g07_wkt_roundtrip" -> ((s, d) => {
       customerPts(s, d)
         .withColumn("wkt", concat(lit("POINT ("), col("cx").cast("string"),
           lit(" "), col("cy").cast("string"), lit(")")))
-        .withColumn("parsed", st_geomFromWKT(col("wkt")))
+        .withColumn("parsed", st_geomFromWKT(st_asText(st_geomFromWKT(col("wkt")))))
         .select(col("c_custkey"), st_x(col("parsed")).as("x"), st_y(col("parsed")).as("y"))
         .orderBy(col("c_custkey"))
     }),
@@ -241,13 +242,16 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     }),
 
-    // geohash (reference geohash.py) — no plain-SQL oracle; rows-only check
+    // geohash, string and integer forms (reference geohash.py); the oracle
+    // replicates the bit interleave in pure SQL
     "g10_geohash" -> ((s, d) => {
       customerPts(s, d)
         .withColumn("lon", col("cx") / 100.0)
         .withColumn("lat", col("cy") / 20.0 - 25.0)
+        .withColumn("pt", st_point(col("lon"), col("lat")))
         .select(col("c_custkey"),
-          st_geohash(st_point(col("lon"), col("lat")), lit(6)).as("geohash"))
+          st_geohash(col("pt"), lit(6)).as("geohash"),
+          st_geohashLong(col("pt"), lit(6)).as("geohash_long"))
         .orderBy(col("c_custkey"))
     }),
 
@@ -482,11 +486,13 @@ object SparkEntry {
         .withColumn("sy", (col("s_suppkey") % 97).cast("double"))
         .withColumn("geometry", st_makeEnvelope(col("sx") - 10.0, col("sy") - 10.0,
           col("sx") + 10.0, col("sy") + 10.0))
-      GeoDataFrame(sq).dissolve(Seq("s_nationkey"), Seq(count(lit(1)).as("n_rows")))
+      GeoDataFrame(sq).dissolve(Seq("s_nationkey"),
+          Seq(count(lit(1)).as("n_rows"), round(sum(col("s_acctbal")), 2).as("sum_bal"),
+            round(min(col("s_acctbal")), 2).as("min_bal")))
         .df.select(col("s_nationkey").cast("long").as("nationkey"),
           round(st_area(col("geometry")), 4).as("union_area"),
           st_numGeometries(col("geometry")).cast("long").as("n_parts"),
-          col("n_rows"))
+          col("n_rows"), col("sum_bal"), col("min_bal"))
         .orderBy(col("nationkey"))
     }),
 
@@ -508,7 +514,9 @@ object SparkEntry {
           round(st_perimeter(col("env")), 4).as("env_perim"),
           round(st_length(st_boundary(col("env"))), 4).as("bnd_len"),
           st_numPoints(st_exteriorRing(col("env"))).cast("long").as("ext_pts"),
-          st_geometryType(st_boundary(col("env"))).as("bnd_type"))
+          st_geometryType(st_boundary(col("env"))).as("bnd_type"),
+          round(st_x(st_pointOnSurface(col("tri"))), 4).as("pos_x"),
+          round(st_y(st_pointOnSurface(col("tri"))), 4).as("pos_y"))
         .orderBy(col("s_suppkey"))
     }),
 
@@ -533,6 +541,32 @@ object SparkEntry {
           st_relate(col("geometry"), col("tri")).as("pattern"),
           st_relate(col("geometry"), col("geometry")).as("self_pattern"))
         .orderBy(col("c_custkey"), col("r_regionkey"))
+    }),
+
+    // accessors: interior rings, geometryN, dumpPoints, bounds struct, Z
+    // (reference expr.py:947-981)
+    "g28_accessors" -> ((s, d) => {
+      t(s, d, "supplier")
+        .withColumn("w", ((col("s_suppkey") % 5) + 3) * 10)
+        .withColumn("wkt", concat(
+          lit("POLYGON ((0 0, "), col("w").cast("string"), lit(" 0, "),
+          col("w").cast("string"), lit(" "), col("w").cast("string"), lit(", 0 "),
+          col("w").cast("string"),
+          lit(", 0 0), (10 10, 10 20, 20 20, 20 10, 10 10))")))
+        .withColumn("poly", st_geomFromWKT(col("wkt")))
+        .withColumn("mp", st_collect(array(
+          st_point(lit(1.0), lit(2.0)), st_point(col("w").cast("double"), lit(3.0)))))
+        .select(col("s_suppkey"),
+          st_numInteriorRings(col("poly")).cast("long").as("n_holes"),
+          st_numPoints(st_interiorRingN(col("poly"), lit(0))).cast("long").as("hole_pts"),
+          round(st_area(col("poly")), 4).as("area"),
+          st_numPoints(col("poly")).cast("long").as("n_points"),
+          size(st_dumpPoints(col("poly"))).cast("long").as("n_dump"),
+          st_bounds(col("poly")).getField("xmax").as("bxmax"),
+          st_z(st_pointz(lit(1.0), lit(2.0), col("s_suppkey").cast("double"))).as("z"),
+          st_x(st_geometryN(col("mp"), lit(1))).as("gn_x"),
+          st_isValid(col("poly")).as("valid"))
+        .orderBy(col("s_suppkey"))
     }),
 
     // ================================================ pipeline: text
@@ -644,6 +678,17 @@ object SparkEntry {
         Multimodal.withBinaryPayload(t(s, d, "documents"), "text"), "payload", 224)
         .select(col("doc_id"), col("out_w").cast("long").as("out_w"),
           col("out_h").cast("long").as("out_h"), col("out_bytes"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // same decode via partition-wise batched mapPartitions (the
+    // map_partitions / mapInPandas analog; reference SURVEY §2.10)
+    "m03_meta_batched" -> ((s, d) => {
+      Multimodal.extractImageMetaBatched(
+        Multimodal.withBinaryPayload(t(s, d, "documents"), "text"), "doc_id", "payload")
+        .select(col("doc_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("channels").cast("long").as("channels"))
         .orderBy(col("doc_id"))
     }),
 

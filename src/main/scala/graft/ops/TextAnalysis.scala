@@ -52,6 +52,29 @@ object Multimodal {
       .withColumn("channels", col("image_meta.channels"))
       .drop("image_meta")
 
+  /** Partition-wise BATCHED decode — the Spark analog of the reference's
+    * `map_partitions` (SURVEY §2.10) and of mapInPandas-style batch UDFs:
+    * rows stream through in groups of `batchSize`, which is where a real
+    * decoder would amortize codec/model setup or vectorize. The decode
+    * itself is the deterministic stub (no codec libs in this build).
+    */
+  def extractImageMetaBatched(df: DataFrame, idCol: String, binCol: String,
+      batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, bytes) =>
+            val n = bytes.length
+            (id, 64 + n % 577, 64 + (n * 31) % 417, 1 + n % 4)
+          }
+        }
+      }
+      .toDF(idCol, "width", "height", "channels")
+  }
+
   /** "Resize" stub: deterministic fit-into-target output dims + byte size
     * (integer math over the fake-decoded dims). Real codecs would replace
     * the kernel; the narrow-stage plumbing and schema are the tested part.

@@ -141,9 +141,13 @@ object SparkEntry {
     }),
 
     // ===================================================== geo operators
-    // cx bbox selection (reference expr.py:391-402)
+    // cx bbox selection (reference expr.py:391-402). The pointSource hint
+    // lets cx() emit plain range predicates on the source coordinate
+    // columns, which Catalyst pushes into the parquet scan (row-group
+    // min/max skipping) — the opaque geometry filter alone cannot reach it.
     "g01_bbox_filter" -> ((s, d) => {
-      GeoDataFrame(customerPts(s, d)).cx(1000, 200, 5000, 800)
+      GeoDataFrame(customerPts(s, d), "geometry", None, Some(("cx", "cy")))
+        .cx(1000, 200, 5000, 800)
         .df.select(col("c_custkey"), col("cx"), col("cy"))
         .orderBy(col("c_custkey"))
     }),

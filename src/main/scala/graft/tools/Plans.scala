@@ -1,0 +1,32 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dump formatted physical plans for headline queries — the .explain audit
+  * for pushdown / broadcast / codegen / shuffle count. Run:
+  * `sbt "runMain graft.tools.Plans [query ...]"`.
+  */
+object Plans {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.sql.functions.install(spark)
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("g01_bbox_filter", "q01_pricing_summary", "g03_sjoin_pip",
+        "g15_sjoin_grid", "t05_minhash_pairs", "e01_cosine_topk", "q02_revenue_by_nation")
+    names.foreach { n =>
+      println(s"\n========== $n ==========")
+      val df = graft.SparkEntry.queries(n)(spark, sfDir)
+      println(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode))
+    }
+    spark.stop()
+  }
+}

@@ -22,6 +22,10 @@ case class GraftScalar(fname: String, children: Seq[Expression])
   override def prettyName: String = fname
   override def nullable: Boolean = true
   override def nullIntolerant: Boolean = true
+  // geometry kernels are pure: literal-argument calls (bbox/mask/query-point
+  // geometries) constant-fold at plan time, which also lets optimizer rules
+  // read their envelopes (see SpatialFilterPushdown)
+  override def foldable: Boolean = children.forall(_.foldable)
   override def dataType: DataType = spec.out
   override def inputTypes: Seq[AbsType] = spec.in
 

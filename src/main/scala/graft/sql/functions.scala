@@ -176,6 +176,11 @@ object functions {
     * warnings on every query construction.
     */
   def install(spark: SparkSession): Unit = {
+    // optimizer rules (idempotent by reference); sessions built with
+    // spark.sql.extensions=graft.plans.GraftExtensions get them natively
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.SpatialFilterPushdown))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.SpatialFilterPushdown
     val registry = spark.sessionState.functionRegistry
     if (registry.functionExists(
         org.apache.spark.sql.catalyst.FunctionIdentifier("st_union_agg"))) return

@@ -95,6 +95,34 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(metas.forall(r => r.getInt(0) >= 64 && r.getInt(1) >= 64 && r.getInt(2) >= 1))
   }
 
+  test("streaming geofence enter/exit transitions (stateful, two batches)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.GeoStreaming
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.geom.{Polygon => GPolygon}
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[(String, java.sql.Timestamp, Double, Double)]
+    val fences = Map(1L -> (GPolygon.box(0, 0, 10, 10): graft.geom.Geometry))
+    val out = GeoStreaming.geofenceTransitions(
+      mem.toDF().toDF("k", "ts", "x", "y"), "k", "ts", "x", "y", fences)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("geofence_test").trigger(Trigger.ProcessingTime(0)).start()
+    // batch 1: enter at 00:01, leave at 00:02
+    mem.addData(("a", ts("2024-01-01 00:01:00"), 5.0, 5.0),
+      ("a", ts("2024-01-01 00:02:00"), 15.0, 5.0))
+    q.processAllAvailable()
+    // batch 2: re-enter — state (currently outside) must persist across batches
+    mem.addData(("a", ts("2024-01-01 00:03:00"), 5.0, 6.0))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT ts, fence_id, event FROM geofence_test ORDER BY ts").collect()
+    q.stop()
+    assert(rows.map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getString(2))).toSeq == Seq(
+      ("2024-01-01 00:01:00.0", 1L, "enter"),
+      ("2024-01-01 00:02:00.0", 1L, "exit"),
+      ("2024-01-01 00:03:00.0", 1L, "enter")))
+  }
+
   test("streaming windowed agg over events (memory sink)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.GeoStreaming

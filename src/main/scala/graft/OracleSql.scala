@@ -124,6 +124,28 @@ object OracleSql {
       GROUP BY 1, 2
       ORDER BY hour_epoch, event_type""",
 
+    "q08_rollup" -> """
+      SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+             coalesce(o_orderstatus, 'ALL') AS status,
+             count(*) AS n, round(sum(o_totalprice), 1) AS total
+      FROM orders
+      GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+      ORDER BY priority, status""",
+
+    "q09_correlated_subquery" -> """
+      SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice), 2) AS price
+      FROM lineitem l1
+      WHERE l_quantity > (SELECT avg(l_quantity) * 1.5 FROM lineitem l2
+                          WHERE l2.l_orderkey = l1.l_orderkey)
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
+
+    "q10_salted_join" -> """
+      SELECT o_orderpriority, count(*) AS n, round(sum(l_quantity), 1) AS qty
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""",
+
     "g01_bbox_filter" -> s"""
       SELECT c_custkey, cx, cy FROM ($custPts)
       WHERE cx BETWEEN 1000 AND 5000 AND cy BETWEEN 200 AND 800

@@ -140,6 +140,45 @@ object SparkEntry {
         .orderBy(col("hour_epoch"), col("event_type"))
     }),
 
+    "q08_rollup" -> ((s, d) => {
+      t(s, d, "orders")
+        .rollup(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 1).as("total"))
+        .select(coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          col("n"), col("total"))
+        .orderBy(col("priority"), col("status"))
+    }),
+
+    "q09_correlated_subquery" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      li.as("l1").join(
+          li.groupBy(col("l_orderkey").as("_ok"))
+            .agg(avg(col("l_quantity")).as("_avg_qty")).as("l2"),
+          col("l1.l_orderkey") === col("_ok"))
+        .filter(col("l1.l_quantity") > col("_avg_qty") * 1.5)
+        .groupBy(col("l1.l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          // round at the data's own 2-decimal granularity: a 1-decimal round
+          // sits exactly on .x5 boundaries and flips with summation order
+          round(sum(col("l1.l_extendedprice")), 2).as("price"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // salted join: exact same result as the plain equi-join, hot keys
+    // spread over 16 reducers (skew valve for hot-key joins)
+    "q10_salted_join" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val o = t(s, d, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+      val joined = graft.ops.Skew.saltedJoin(
+        li.withColumnRenamed("l_orderkey", "okey"),
+        o.withColumnRenamed("o_orderkey", "okey"),
+        Seq("okey"), salts = 8)
+      joined.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 1).as("qty"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // ===================================================== geo operators
     // cx bbox selection (reference expr.py:391-402). The pointSource hint
     // lets cx() emit plain range predicates on the source coordinate

@@ -91,8 +91,11 @@ object Similarity {
       .withColumn("cosine", gr_cosine(col("_qv"), col("_cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    // no distinct needed: the probe values (b0 and its single-bit flips) are
+    // pairwise distinct, so a corpus row's bucket matches at most one probe
+    // row per query — (query, neighbor) pairs are already unique
     candidates
-      .select(col("query_id"), col("neighbor_id"), col("cosine")).distinct()
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }

@@ -105,9 +105,18 @@ object Dedup {
   }
 
   /** Exact character-n-gram Jaccard similarity for all pairs within a
-    * blocking key (e.g. language), thresholded. Exact and therefore
-    * O(pairs-within-block) — use after LSH at scale; standalone it's the
-    * ground-truth oracle for the approximate paths.
+    * blocking key (e.g. language, or an LSH candidate cluster), thresholded.
+    * Exact and therefore O(pairs-within-block) — use after LSH at scale;
+    * standalone it's the ground-truth oracle for the approximate paths.
+    *
+    * Plan: one row per document carries its sorted distinct-gram array;
+    * pairs come from a self-join on the block key and the intersection is
+    * computed per pair with the built-in `array_intersect`. Compared to the
+    * gram-explode formulation this shuffles one row per DOC instead of one
+    * per gram occurrence, and removes the hot-gram skew (a common trigram
+    * like " th" otherwise lands |docs|^2 join rows on one key). The
+    * remaining quadratic term — pairs within a block — is inherent to the
+    * exact operator; keep blocks candidate-cluster-sized at scale.
     */
   def ngramJaccard(
       df: DataFrame,
@@ -116,19 +125,18 @@ object Dedup {
       blockCol: String,
       n: Int = 3,
       threshold: Double = 0.5): DataFrame = {
+    // documents with no n-grams (shorter than n / empty) can never clear a
+    // positive threshold and would make the Jaccard denominator 0 when both
+    // sides are empty — drop them before pairing
     val grams = df.select(col(blockCol).as("_blk"), col(idCol).as("_id"),
-      explode(gr_shingles(col(textCol), lit(n))).as("_gram"))
-    val sizes = grams.groupBy(col("_id")).agg(count(lit(1)).as("_size"))
-    val pairs = grams.as("a").join(grams.as("b"),
-        col("a._blk") === col("b._blk") && col("a._gram") === col("b._gram") &&
-          col("a._id") < col("b._id"))
-      .groupBy(col("a._id").as("id_a"), col("b._id").as("id_b"))
-      .agg(count(lit(1)).as("_inter"))
-    pairs
-      .join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("_size", "_sa"), "id_a")
-      .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("_size", "_sb"), "id_b")
-      .withColumn("jaccard",
-        col("_inter").cast("double") / (col("_sa") + col("_sb") - col("_inter")))
+      gr_gramHashes(col(textCol), lit(n)).as("_grams"))
+      .filter(size(col("_grams")) > 0)
+    val a = grams.select(col("_blk"), col("_id").as("id_a"), col("_grams").as("_ga"))
+    val b = grams.select(col("_blk"), col("_id").as("id_b"), col("_grams").as("_gb"))
+    a.join(b, Seq("_blk")).filter(col("id_a") < col("id_b"))
+      .withColumn("_inter", gr_sortedIntersectSize(col("_ga"), col("_gb")))
+      .withColumn("jaccard", col("_inter").cast("double") /
+        (size(col("_ga")) + size(col("_gb")) - col("_inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }

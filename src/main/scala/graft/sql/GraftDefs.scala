@@ -252,6 +252,27 @@ object GraftDefs {
       a => new GenericArrayData(TextKernel.tokens(str(a(0))).map(utf8(_): Any))),
     "gr_shingles" -> Spec(Seq(S, I), ArrayType(S),
       a => new GenericArrayData(TextKernel.charShingles(str(a(0)), int(a(1))).map(utf8(_): Any))),
+    // sorted distinct 64-bit hashes of the char n-grams: the compact shingle
+    // set representation for pairwise set ops (8 bytes/gram, mergeable)
+    "gr_gram_hashes" -> Spec(Seq(S, I), ArrayType(L), { a =>
+      val sh = TextKernel.charShingles(str(a(0)), int(a(1)))
+      val hs = sh.map(s => TextKernel.fnv1a64(s.getBytes("UTF-8"))).distinct.sorted
+      new GenericArrayData(hs.map(Long.box(_): Any))
+    }),
+    // |A ∩ B| of two sorted long arrays by linear merge — no per-call hash
+    // set, reads ArrayData in place
+    "gr_sorted_intersect_size" -> Spec(Seq(ArrayType(L), ArrayType(L)), I, { a =>
+      val x = a(0).asInstanceOf[ArrayData]; val y = a(1).asInstanceOf[ArrayData]
+      var i = 0; var j = 0; var n = 0
+      val nx = x.numElements(); val ny = y.numElements()
+      while (i < nx && j < ny) {
+        val vx = x.getLong(i); val vy = y.getLong(j)
+        if (vx == vy) { n += 1; i += 1; j += 1 }
+        else if (vx < vy) i += 1
+        else j += 1
+      }
+      n
+    }),
     "gr_minhash" -> Spec(Seq(S, I, I, I), ArrayType(L), { a =>
       new GenericArrayData(
         TextKernel.minhash(str(a(0)), int(a(1)), int(a(2)), int(a(3))).map(Long.box(_): Any))

@@ -145,6 +145,9 @@ object functions {
   def gr_tokenCount(text: Column): Column = fn("gr_token_count", text)
   def gr_tokens(text: Column): Column = fn("gr_tokens", text)
   def gr_shingles(text: Column, n: Column): Column = fn("gr_shingles", text, n)
+  def gr_gramHashes(text: Column, n: Column): Column = fn("gr_gram_hashes", text, n)
+  def gr_sortedIntersectSize(a: Column, b: Column): Column =
+    fn("gr_sorted_intersect_size", a, b)
   def gr_minhash(text: Column, numHashes: Column, shingleSize: Column, seed: Column): Column =
     fn("gr_minhash", text, numHashes, shingleSize, seed)
   def gr_bandKeys(sig: Column, bands: Column): Column = fn("gr_bandkeys", sig, bands)

@@ -51,11 +51,18 @@ object GeoParquetIO {
     val files = fs.listStatus(new Path(path)).map(_.getPath)
       .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
 
-    files.foreach { p =>
-      val uri = p.toUri.toString
-      val bbox = bboxes.collectFirst { case (f, e) if f.endsWith(p.getName) => e }
-      addGeoFooter(conf, p, gdf.geometryColumn, gdf.crs, bbox)
+    // footer rewrites are independent per file: run them concurrently (the
+    // driver only coordinates; each rewrite is a byte-copy + footer append)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val work = files.toSeq.map { p =>
+      Future {
+        val bbox = bboxes.collectFirst { case (f, e) if f.endsWith(p.getName) => e }
+        addGeoFooter(conf, p, gdf.geometryColumn, gdf.crs, bbox)
+      }
     }
+    Await.result(Future.sequence(work), Duration.Inf)
   }
 
   /** Rewrite one parquet file with the "geo" footer key added. Row groups

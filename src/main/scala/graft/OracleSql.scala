@@ -527,6 +527,18 @@ object OracleSql {
       FROM r WHERE rank <= 5
       ORDER BY query_id, rank""",
 
+    "e04_embed_neardup" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+                 WHERE vec_id % 4 = 0),
+      n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(CASE WHEN a.nrm = 0 OR b.nrm = 0 THEN 0.0
+                         ELSE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) END, 4) AS cosine
+            FROM n a JOIN n b ON a.vec_id < b.vec_id)
+      SELECT id_a, id_b, cosine FROM p
+      WHERE cosine >= 0.3
+      ORDER BY id_a, id_b""",
+
     "m01_image_meta" -> """
       SELECT doc_id,
              (64 + n % 577)::BIGINT AS width,

@@ -704,6 +704,17 @@ object SparkEntry {
         .orderBy(col("query_id"), col("cosine").desc, col("neighbor_id"))
     }),
 
+    // embedding-cosine near-dup pairs, exact mode (bits=0 -> all pairs;
+    // the rounded-cosine threshold keeps the fp boundary oracle-safe)
+    "e04_embed_neardup" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").filter(col("vec_id") % 4 === 0)
+      Dedup.embeddingNearDup(emb, "vec_id", "embedding", threshold = 0.2, bits = 0)
+        .withColumn("cosine", round(col("cosine"), 4))
+        .filter(col("cosine") >= 0.3)
+        .select(col("id_a"), col("id_b"), col("cosine"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ========================================== pipeline: multimodal
     "m01_image_meta" -> ((s, d) => {
       Multimodal.extractImageMeta(

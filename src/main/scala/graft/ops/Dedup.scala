@@ -104,6 +104,30 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Embedding-cosine near-duplicate pairs: bucket vectors by sign-LSH and
+    * emit pairs within a bucket whose cosine clears the threshold. Each
+    * vector lands in exactly ONE bucket, so pairs are emitted exactly once —
+    * no distinct. `bits = 0` degenerates to a single bucket (exact all-pairs
+    * — the ground-truth mode for small inputs); at scale raise `bits` so
+    * bucket sizes stay bounded, trading recall like any LSH.
+    */
+  def embeddingNearDup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      bits: Int = 8,
+      seed: Int = 7): DataFrame = {
+    val keyed = df.select(col(idCol).cast("long").as("_id"), col(vecCol).as("_v"),
+      (if (bits > 0) gr_lshBucket(col(vecCol), lit(bits), lit(seed)) else lit(0L)).as("_b"))
+    val a = keyed.select(col("_b"), col("_id").as("id_a"), col("_v").as("_va"))
+    val b = keyed.select(col("_b"), col("_id").as("id_b"), col("_v").as("_vb"))
+    a.join(b, Seq("_b")).filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", gr_cosine(col("_va"), col("_vb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
   /** Exact character-n-gram Jaccard similarity for all pairs within a
     * blocking key (e.g. language, or an LSH candidate cluster), thresholded.
     * Exact and therefore O(pairs-within-block) — use after LSH at scale;

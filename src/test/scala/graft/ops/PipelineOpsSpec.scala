@@ -85,6 +85,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(recall > 0.5, s"recall $recall too low")
   }
 
+  test("embedding near-dup: LSH recall vs exact, exactly-once pairs") {
+    val rnd = new scala.util.Random(3)
+    def jitter(base: Array[Float]) = base.map(v => v + rnd.nextFloat() * 0.02f)
+    val centers = Seq(Array.fill(16)(1.0f), Array.fill(16)(-1.0f), Array.tabulate(16)(i => if (i % 2 == 0) 1.0f else -1.0f))
+    val rows = (0 until 120).map(i => (i.toLong, jitter(centers(i % 3))))
+    val df = rows.toDF("vec_id", "embedding")
+    val exact = Dedup.embeddingNearDup(df, "vec_id", "embedding", 0.95, bits = 0)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val approx = Dedup.embeddingNearDup(df, "vec_id", "embedding", 0.95, bits = 6)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSeq
+    assert(approx.toSet.size == approx.size, "pairs must be emitted exactly once")
+    assert(approx.toSet.subsetOf(exact), "LSH pairs must be true near-dups")
+    val recall = approx.toSet.size.toDouble / exact.size
+    assert(recall > 0.5, s"recall $recall too low")
+  }
+
   test("text analysis annotate + multimodal stub") {
     val annotated = TextAnalysis.annotate(docs, "text")
     val row = annotated.filter($"doc_id" === 5).select($"lang_pred").as[String].head()

@@ -436,7 +436,10 @@ object OracleSql {
       ORDER BY doc_id""",
 
     "t01_token_stats" -> s"""
-      SELECT doc_id, len($docToks)::BIGINT AS n_tokens, length(text)::BIGINT AS n_chars
+      SELECT doc_id, len($docToks)::BIGINT AS n_tokens,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+'))::BIGINT
+               AS n_bpe_tokens,
+             length(text)::BIGINT AS n_chars
       FROM documents ORDER BY doc_id""",
 
     "t02_exact_dedup" -> """

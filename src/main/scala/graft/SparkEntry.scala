@@ -617,6 +617,7 @@ object SparkEntry {
       t(s, d, "documents")
         .select(col("doc_id"),
           gr_tokenCount(col("text")).cast("long").as("n_tokens"),
+          gr_bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens"),
           length(col("text")).cast("long").as("n_chars"))
         .orderBy(col("doc_id"))
     }),

@@ -248,6 +248,7 @@ object GraftDefs {
   private val pipelineSpecs: Map[String, Spec] = Map(
     // whitespace tokens, empty-safe
     "gr_token_count" -> Spec(Seq(S), I, a => TextKernel.tokens(str(a(0))).length),
+    "gr_bpe_token_count" -> Spec(Seq(S), I, a => TextKernel.bpeTokenCount(str(a(0)))),
     "gr_tokens" -> Spec(Seq(S), ArrayType(S),
       a => new GenericArrayData(TextKernel.tokens(str(a(0))).map(utf8(_): Any))),
     "gr_shingles" -> Spec(Seq(S, I), ArrayType(S),

@@ -15,6 +15,21 @@ object TextKernel {
   def tokens(text: String): Array[String] =
     text.split("\\s+").filter(_.nonEmpty)
 
+  /** BPE-style pre-tokenization: maximal runs of letters, digits, or other
+    * non-space symbols — the coarse split BPE vocabularies are trained over.
+    * The pattern avoids lookarounds so RE2-based engines (the DuckDB oracle)
+    * match Java exactly.
+    */
+  private val BpePattern =
+    java.util.regex.Pattern.compile("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+")
+
+  def bpeTokenCount(text: String): Int = {
+    val m = BpePattern.matcher(text)
+    var n = 0
+    while (m.find()) n += 1
+    n
+  }
+
   /** Distinct character n-grams, in first-occurrence order. */
   def charShingles(text: String, n: Int): Array[String] = {
     if (text.length < n) return Array.empty

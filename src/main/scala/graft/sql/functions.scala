@@ -143,6 +143,7 @@ object functions {
 
   // ------------------------------------------------------- pipeline: text
   def gr_tokenCount(text: Column): Column = fn("gr_token_count", text)
+  def gr_bpeTokenCount(text: Column): Column = fn("gr_bpe_token_count", text)
   def gr_tokens(text: Column): Column = fn("gr_tokens", text)
   def gr_shingles(text: Column, n: Column): Column = fn("gr_shingles", text, n)
   def gr_gramHashes(text: Column, n: Column): Column = fn("gr_gram_hashes", text, n)

@@ -415,6 +415,14 @@ object OracleSql {
           * c)::BIGINT AS out_bytes
       FROM d ORDER BY doc_id""",
 
+    "g29_negative_buffer" -> """
+      WITH p AS (SELECT s_suppkey, ((s_suppkey % 10) + 1)::DOUBLE AS h FROM supplier)
+      SELECT s_suppkey,
+        round(h * h, 4) AS inner_area,
+        0.0::DOUBLE AS collapsed_area,
+        true AS collapsed_empty
+      FROM p ORDER BY s_suppkey""",
+
     "g28_accessors" -> """
       WITH p AS (SELECT s_suppkey, ((s_suppkey % 5) + 3) * 10 AS w FROM supplier)
       SELECT s_suppkey,

@@ -586,6 +586,21 @@ object SparkEntry {
         .orderBy(col("c_custkey"), col("r_regionkey"))
     }),
 
+    // negative buffer (inward offset) of convex polygons, incl. collapse
+    "g29_negative_buffer" -> ((s, d) => {
+      t(s, d, "supplier")
+        .withColumn("x0", col("s_acctbal"))
+        .withColumn("y0", (col("s_suppkey") % 100).cast("double") * 10.0)
+        .withColumn("h", ((col("s_suppkey") % 10) + 1).cast("double"))
+        .withColumn("sq", st_makeEnvelope(col("x0") - col("h"), col("y0") - col("h"),
+          col("x0") + col("h"), col("y0") + col("h")))
+        .select(col("s_suppkey"),
+          round(st_area(st_buffer(col("sq"), -col("h") / 2.0, lit(16))), 4).as("inner_area"),
+          round(st_area(st_buffer(col("sq"), -(col("h") + 1.0), lit(16))), 4).as("collapsed_area"),
+          st_isEmpty(st_buffer(col("sq"), -(col("h") + 1.0), lit(16))).as("collapsed_empty"))
+        .orderBy(col("s_suppkey"))
+    }),
+
     // accessors: interior rings, geometryN, dumpPoints, bounds struct, Z
     // (reference expr.py:947-981)
     "g28_accessors" -> ((s, d) => {

@@ -203,7 +203,21 @@ object Constructive {
   def buffer(g: Geometry, dist: Double, resolution: Int = 16): Geometry = {
     if (g.isEmpty) return g
     if (dist == 0) return g
-    require(dist > 0, "negative buffer not supported in v1")
+    if (dist < 0) return g match {
+      // inward offset: exact for convex polygons via half-plane erosion
+      case p: Polygon if p.numHoles == 0 && Overlay.isConvexPolygon(p) =>
+        Overlay.erodeConvex(p, -dist)
+      case m: MultiPolygon =>
+        val parts = m.polys.map(buffer(_, dist, resolution)).collect {
+          case p: Polygon => p
+        }
+        if (parts.isEmpty) GeometryCollection(Array.empty)
+        else if (parts.length == 1) parts(0) else MultiPolygon(parts)
+      case _: Point | _: MultiPoint | _: LineString | _: MultiLineString =>
+        GeometryCollection(Array.empty) // negative buffer of dim<2 is empty
+      case _ => throw new UnsupportedOperationException(
+        "negative buffer of non-convex polygons not supported in v1")
+    }
     val n = math.max(4, 4 * resolution)
     g match {
       case p: Point => circle(p.x, p.y, dist, n)

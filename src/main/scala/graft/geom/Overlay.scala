@@ -153,6 +153,34 @@ object Overlay {
     out
   }
 
+  /** Inward offset (negative buffer) of a convex single-ring polygon:
+    * intersect the half-planes of each edge shifted inward by `d`. Exact
+    * for convex inputs; collapses to empty when `d` reaches the inradius.
+    */
+  def erodeConvex(p: Polygon, d: Double): Geometry = {
+    require(d >= 0, "erode distance must be non-negative")
+    val r0 = p.rings(0)
+    val ring = if (Measures.signedRingArea(r0) > 0) r0 else reverseRing(r0)
+    var poly = toPairs(ring)
+    val n = ring.length / 2 - 1
+    var e = 0
+    while (e < n && poly.nonEmpty) {
+      val x1 = ring(2 * e); val y1 = ring(2 * e + 1)
+      val x2 = ring(2 * e + 2); val y2 = ring(2 * e + 3)
+      val len = math.hypot(x2 - x1, y2 - y1)
+      if (len > 0) {
+        // CCW ring: interior is to the left; left normal = (-dy, dx)/len
+        val nx = -(y2 - y1) / len * d
+        val ny = (x2 - x1) / len * d
+        poly = clipEdge(poly, x1 + nx, y1 + ny, x2 + nx, y2 + ny, keepLeft = true)
+      }
+      e += 1
+    }
+    val out = toRing(poly)
+    if (out.length < 8 || Measures.area(Polygon(out)) <= 0) GeometryCollection(Array.empty)
+    else Polygon(out)
+  }
+
   /** Clip a closed subject ring by a convex clip ring. Output closed ring
     * (possibly empty). Standard Sutherland–Hodgman.
     */

@@ -122,6 +122,18 @@ class GeomKernelSpec extends AnyFunSuite {
     assert(s.size == 2)
   }
 
+  test("negative buffer: convex erosion, collapse, and lower-dim empty") {
+    val box = Wkt.read("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+    val shrunk = Constructive.buffer(box, -2)
+    assert(math.abs(Measures.area(shrunk) - 36.0) < 1e-9) // 6x6
+    assert(Constructive.buffer(box, -6).isEmpty) // beyond inradius 5
+    // triangle erosion: area shrinks, stays inside
+    val eroded = Constructive.buffer(tri, -0.5)
+    assert(Measures.area(eroded) > 0 && Measures.area(eroded) < Measures.area(tri))
+    assert(Predicates.contains(tri, eroded))
+    assert(Constructive.buffer(Wkt.read("POINT (1 1)"), -1).isEmpty)
+  }
+
   test("buffer point area converges to circle") {
     val b = Constructive.buffer(Point(0, 0), 2.0, 16)
     val expected = 32 * 4.0 * math.sin(math.Pi / 32) // n/2 r^2 sin(2pi/n), n=64

@@ -415,6 +415,34 @@ object OracleSql {
           * c)::BIGINT AS out_bytes
       FROM d ORDER BY doc_id""",
 
+    "g30_utm" -> s"""
+      WITH p AS (SELECT c_custkey, cx / 5000.0 + 15.0 AS lon, cy / 20.0 - 25.0 AS lat
+                 FROM ($custPts)),
+      k AS (SELECT c_custkey, lon, lat, radians(lat) AS phi, radians(lon) AS lam,
+                   radians(15.0) AS lam0, 1.0 / 298.257223563 AS f FROM p),
+      q1 AS (SELECT *, f * (2.0 - f) AS e2 FROM k),
+      q2 AS (SELECT *, e2 / (1.0 - e2) AS ep2, e2 * e2 AS e4, (e2 * e2) * e2 AS e6,
+                    sin(phi) AS sphi, cos(phi) AS cphi, tan(phi) AS tphi FROM q1),
+      q3 AS (SELECT *, 6378137.0 / sqrt(1.0 - e2 * sphi * sphi) AS n,
+                    tphi * tphi AS t, ep2 * cphi * cphi AS c,
+                    (lam - lam0) * cphi AS aa FROM q2),
+      q4 AS (SELECT *, 6378137.0 * ((1.0 - e2 / 4.0 - 3.0 * e4 / 64.0 - 5.0 * e6 / 256.0) * phi
+                    - (3.0 * e2 / 8.0 + 3.0 * e4 / 32.0 + 45.0 * e6 / 1024.0) * sin(2.0 * phi)
+                    + (15.0 * e4 / 256.0 + 45.0 * e6 / 1024.0) * sin(4.0 * phi)
+                    - (35.0 * e6 / 3072.0) * sin(6.0 * phi)) AS m FROM q3),
+      q5 AS (SELECT *,
+               0.9996 * n * (aa + (1.0 - t + c) * aa * aa * aa / 6.0
+                 + (5.0 - 18.0 * t + t * t + 72.0 * c - 58.0 * ep2) * pow(aa, 5) / 120.0)
+                 + 500000.0 AS mx,
+               0.9996 * (m + n * tphi * (aa * aa / 2.0
+                 + (5.0 - t + 9.0 * c + 4.0 * c * c) * pow(aa, 4) / 24.0
+                 + (61.0 - 58.0 * t + t * t + 600.0 * c - 330.0 * ep2)
+                   * pow(aa, 6) / 720.0)) AS my
+             FROM q4)
+      SELECT c_custkey, round(mx, 3) AS mx_utm, round(my, 3) AS my_utm,
+             round(lon, 6) AS lon2, round(lat, 6) AS lat2
+      FROM q5 ORDER BY c_custkey""",
+
     "g29_negative_buffer" -> """
       WITH p AS (SELECT s_suppkey, ((s_suppkey % 10) + 1)::DOUBLE AS h FROM supplier)
       SELECT s_suppkey,

@@ -586,6 +586,26 @@ object SparkEntry {
         .orderBy(col("c_custkey"), col("r_regionkey"))
     }),
 
+    // to_crs: WGS84 UTM zone 33N forward (oracle mirrors the Snyder series
+    // term by term) + inverse roundtrip back to lon/lat. Lon domain is kept
+    // within ~2 degrees of the central meridian so the series roundtrip is
+    // exact at 6 decimals.
+    "g30_utm" -> ((s, d) => {
+      val pts = customerPts(s, d)
+        .withColumn("lon", col("cx") / 5000.0 + 15.0)
+        .withColumn("lat", col("cy") / 20.0 - 25.0)
+        .withColumn("geometry", st_point(col("lon"), col("lat")))
+      val utm = GeoDataFrame(pts).setCrs("EPSG:4326").toCrs("EPSG:32633")
+      val back = utm.toCrs("EPSG:4326")
+      utm.df.select(col("c_custkey"),
+          round(st_x(col("geometry")), 3).as("mx_utm"),
+          round(st_y(col("geometry")), 3).as("my_utm"))
+        .join(back.df.select(col("c_custkey"),
+          round(st_x(col("geometry")), 6).as("lon2"),
+          round(st_y(col("geometry")), 6).as("lat2")), "c_custkey")
+        .orderBy(col("c_custkey"))
+    }),
+
     // negative buffer (inward offset) of convex polygons, incl. collapse
     "g29_negative_buffer" -> ((s, d) => {
       t(s, d, "supplier")

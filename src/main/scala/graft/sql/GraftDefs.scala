@@ -215,15 +215,22 @@ object GraftDefs {
       require(!e.isEmpty, "geohash of empty geometry")
       Sfc.geohashLong(e.midX, e.midY, int(a(1)))
     }),
-    // ---- CRS (v1 subset: lon/lat <-> web mercator; reference expr.py:255-257)
+    // ---- CRS (subset: lon/lat <-> web mercator, lon/lat <-> WGS84 UTM
+    // zones; reference expr.py:255-257)
     "st_transform" -> Spec(Seq(B, S, S), B, { a =>
       val g = geom(a(0))
+      val UtmZone = "EPSG:32([67])([0-9]{2})".r
       (normCrs(str(a(1))), normCrs(str(a(2)))) match {
         case (f, t) if f == t => wkb(g)
         case ("EPSG:4326", "EPSG:3857") => wkb(g.mapCoords(Crs.lonLatToMercator))
         case ("EPSG:3857", "EPSG:4326") => wkb(g.mapCoords(Crs.mercatorToLonLat))
+        case ("EPSG:4326", UtmZone(ns, zz)) =>
+          wkb(g.mapCoords((lon, lat) => Crs.utmForward(lon, lat, zz.toInt, ns == "7")))
+        case (UtmZone(ns, zz), "EPSG:4326") =>
+          wkb(g.mapCoords((x, y) => Crs.utmInverse(x, y, zz.toInt, ns == "7")))
         case (f, t) => throw new UnsupportedOperationException(
-          s"st_transform $f -> $t: v1 supports EPSG:4326 <-> EPSG:3857 only")
+          s"st_transform $f -> $t: supported pairs are EPSG:4326 <-> EPSG:3857 and " +
+            "EPSG:4326 <-> EPSG:326xx/327xx (WGS84 UTM)")
       }
     }),
     // ---- grid cells for spatial joins: ids of grid cells the envelope overlaps
@@ -366,8 +373,11 @@ object GraftDefs {
     all.getOrElse(name, throw new IllegalArgumentException(s"unknown graft function $name"))
 }
 
-/** Minimal CRS math for the v1 st_transform subset (spherical web mercator,
-  * the standard EPSG:3857 formulas).
+/** CRS math for the st_transform subset: spherical web mercator
+  * (EPSG:3857) and WGS84 UTM zones (EPSG:326xx/327xx) via the standard
+  * USGS/Snyder transverse-Mercator series (public formulas; Snyder, "Map
+  * Projections — A Working Manual", 1987, eqs 8-9..8-25). Operations are
+  * sequenced explicitly so the DuckDB oracle can mirror them term by term.
   */
 object Crs {
   private val R = 6378137.0
@@ -380,6 +390,71 @@ object Crs {
     val lon = math.toDegrees(x / R)
     val lat = math.toDegrees(2 * math.atan(math.exp(y / R)) - math.Pi / 2)
     (lon, lat)
+  }
+
+  // WGS84 ellipsoid
+  private val A0 = 6378137.0
+  private val F = 1.0 / 298.257223563
+  private val E2 = F * (2.0 - F)
+  private val EP2 = E2 / (1.0 - E2)
+  private val K0 = 0.9996
+
+  def utmCentralMeridian(zone: Int): Double = (zone - 1) * 6.0 - 180.0 + 3.0
+
+  def utmForward(lon: Double, lat: Double, zone: Int, southern: Boolean): (Double, Double) = {
+    val phi = math.toRadians(lat)
+    val lam = math.toRadians(lon)
+    val lam0 = math.toRadians(utmCentralMeridian(zone))
+    val sphi = math.sin(phi)
+    val cphi = math.cos(phi)
+    val tphi = math.tan(phi)
+    val e4 = E2 * E2
+    val e6 = e4 * E2
+    val n = A0 / math.sqrt(1.0 - E2 * sphi * sphi)
+    val t = tphi * tphi
+    val c = EP2 * cphi * cphi
+    val aa = (lam - lam0) * cphi
+    val m = A0 * ((1.0 - E2 / 4.0 - 3.0 * e4 / 64.0 - 5.0 * e6 / 256.0) * phi
+      - (3.0 * E2 / 8.0 + 3.0 * e4 / 32.0 + 45.0 * e6 / 1024.0) * math.sin(2.0 * phi)
+      + (15.0 * e4 / 256.0 + 45.0 * e6 / 1024.0) * math.sin(4.0 * phi)
+      - (35.0 * e6 / 3072.0) * math.sin(6.0 * phi))
+    val x = K0 * n * (aa + (1.0 - t + c) * aa * aa * aa / 6.0
+      + (5.0 - 18.0 * t + t * t + 72.0 * c - 58.0 * EP2) * math.pow(aa, 5) / 120.0) + 500000.0
+    val y0 = K0 * (m + n * tphi * (aa * aa / 2.0
+      + (5.0 - t + 9.0 * c + 4.0 * c * c) * math.pow(aa, 4) / 24.0
+      + (61.0 - 58.0 * t + t * t + 600.0 * c - 330.0 * EP2) * math.pow(aa, 6) / 720.0))
+    val y = if (southern) y0 + 10000000.0 else y0
+    (x, y)
+  }
+
+  def utmInverse(x: Double, y: Double, zone: Int, southern: Boolean): (Double, Double) = {
+    val e1 = (1.0 - math.sqrt(1.0 - E2)) / (1.0 + math.sqrt(1.0 - E2))
+    val xAdj = x - 500000.0
+    val yAdj = if (southern) y - 10000000.0 else y
+    val m = yAdj / K0
+    val e4 = E2 * E2
+    val e6 = e4 * E2
+    val mu = m / (A0 * (1.0 - E2 / 4.0 - 3.0 * e4 / 64.0 - 5.0 * e6 / 256.0))
+    val phi1 = mu + (3.0 * e1 / 2.0 - 27.0 * math.pow(e1, 3) / 32.0) * math.sin(2.0 * mu) +
+      (21.0 * e1 * e1 / 16.0 - 55.0 * math.pow(e1, 4) / 32.0) * math.sin(4.0 * mu) +
+      (151.0 * math.pow(e1, 3) / 96.0) * math.sin(6.0 * mu) +
+      (1097.0 * math.pow(e1, 4) / 512.0) * math.sin(8.0 * mu)
+    val sphi = math.sin(phi1)
+    val cphi = math.cos(phi1)
+    val tphi = math.tan(phi1)
+    val c1 = EP2 * cphi * cphi
+    val t1 = tphi * tphi
+    val n1 = A0 / math.sqrt(1.0 - E2 * sphi * sphi)
+    val r1 = A0 * (1.0 - E2) / math.pow(1.0 - E2 * sphi * sphi, 1.5)
+    val d = xAdj / (n1 * K0)
+    val lat = phi1 - (n1 * tphi / r1) * (d * d / 2.0
+      - (5.0 + 3.0 * t1 + 10.0 * c1 - 4.0 * c1 * c1 - 9.0 * EP2) * math.pow(d, 4) / 24.0
+      + (61.0 + 90.0 * t1 + 298.0 * c1 + 45.0 * t1 * t1 - 252.0 * EP2 - 3.0 * c1 * c1)
+        * math.pow(d, 6) / 720.0)
+    val lon = (d - (1.0 + 2.0 * t1 + c1) * math.pow(d, 3) / 6.0
+      + (5.0 - 2.0 * c1 + 28.0 * t1 - 3.0 * c1 * c1 + 8.0 * EP2 + 24.0 * t1 * t1)
+        * math.pow(d, 5) / 120.0) / cphi
+    (math.toDegrees(lon) + utmCentralMeridian(zone), math.toDegrees(lat))
   }
 }
 

@@ -244,6 +244,31 @@ class GeomKernelSpec extends AnyFunSuite {
     assert(Sfc.geohash(0, 0, 1) == "s")
   }
 
+  test("UTM forward/inverse: known invariants and roundtrip") {
+    import graft.sql.Crs
+    // central meridian, equator -> false easting exactly, northing 0
+    val (x0, y0) = Crs.utmForward(15.0, 0.0, 33, southern = false)
+    assert(math.abs(x0 - 500000.0) < 1e-6 && math.abs(y0) < 1e-6)
+    // 3 degrees east at the equator: ~333.9 km scaled by k0
+    val (x3, _) = Crs.utmForward(18.0, 0.0, 33, southern = false)
+    assert(math.abs((x3 - 500000.0) - 333978.0 * 0.9996) < 200.0)
+    // east/west symmetry about the central meridian
+    val (xe, _) = Crs.utmForward(16.0, 40.0, 33, southern = false)
+    val (xw, _) = Crs.utmForward(14.0, 40.0, 33, southern = false)
+    assert(math.abs((xe - 500000.0) + (xw - 500000.0)) < 1e-6)
+    // southern hemisphere false northing
+    val (_, ys) = Crs.utmForward(15.0, -10.0, 33, southern = true)
+    assert(ys > 8000000.0 && ys < 10000000.0)
+    // roundtrip accuracy near the zone: sub-millimeter in degrees
+    for (lon <- Seq(13.5, 15.0, 17.9); lat <- Seq(-35.0, 0.0, 48.1)) {
+      val (x, y) = Crs.utmForward(lon, lat, 33, southern = false)
+      val (lon2, lat2) = Crs.utmInverse(x, y, 33, southern = false)
+      // series truncation allows ~mm-scale error at the zone edge
+      assert(math.abs(lon2 - lon) < 1e-8, s"lon roundtrip $lon -> $lon2")
+      assert(math.abs(lat2 - lat) < 1e-8, s"lat roundtrip $lat -> $lat2")
+    }
+  }
+
   test("affine family") {
     val p = Point(1, 2)
     val t = Constructive.translate(p, 10, 20).asInstanceOf[Point]

@@ -1,0 +1,99 @@
+package graft.geom
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-style tests over the pure kernels — the cheap wins the
+  * reference lacks (SURVEY §5): predicate algebra, SFC bijectivity, and
+  * roundtrip stability under seeded random inputs.
+  */
+class GeomPropertySpec extends AnyFunSuite {
+
+  private val rnd = new scala.util.Random(7)
+  private def coord(): Double = rnd.nextDouble() * 2000.0 - 1000.0
+  private def smallPos(): Double = rnd.nextDouble() * 49.5 + 0.5
+  private def box(): Polygon = {
+    val x = coord(); val y = coord()
+    Polygon.box(x, y, x + smallPos(), y + smallPos())
+  }
+  private def point(): Point = Point(coord(), coord())
+  private val N = 300
+
+  test("intersects and disjoint are symmetric and complementary") {
+    (1 to N).foreach { _ =>
+      val a = box(); val b = box()
+      assert(Predicates.intersects(a, b) == Predicates.intersects(b, a))
+      assert(Predicates.disjoint(a, b) == !Predicates.intersects(a, b))
+    }
+  }
+
+  test("contains/within duality and covers implication") {
+    (1 to N).foreach { _ =>
+      val a = box(); val b = box()
+      assert(Predicates.contains(a, b) == Predicates.within(b, a))
+      assert(Predicates.covers(a, b) == Predicates.coveredBy(b, a))
+      if (Predicates.contains(a, b)) assert(Predicates.covers(a, b))
+      if (Predicates.containsProperly(a, b)) assert(Predicates.contains(a, b))
+    }
+  }
+
+  test("touches and overlaps are mutually exclusive and imply intersects") {
+    (1 to N).foreach { _ =>
+      val a = box(); val b = box()
+      val t = Predicates.touches(a, b)
+      val o = Predicates.overlaps(a, b)
+      assert(!(t && o), s"touches and overlaps both true for $a / $b")
+      if (t || o) assert(Predicates.intersects(a, b))
+    }
+  }
+
+  test("overlay areas respect inclusion-exclusion for boxes") {
+    (1 to N).foreach { _ =>
+      val a = box(); val b = box()
+      val ia = Measures.area(a); val ib = Measures.area(b)
+      val inter = Measures.area(Overlay.intersection(a, b))
+      val uni = Measures.area(Overlay.union(a, b))
+      assert(math.abs(uni - (ia + ib - inter)) < 1e-6 * math.max(1.0, ia + ib),
+        s"union area inclusion-exclusion failed for $a / $b")
+      val diff = Measures.area(Overlay.difference(a, b))
+      assert(math.abs(diff - (ia - inter)) < 1e-6 * math.max(1.0, ia))
+    }
+  }
+
+  test("distance is symmetric, non-negative, zero iff intersecting (boxes)") {
+    (1 to N).foreach { _ =>
+      val a = box(); val b = box()
+      val d = Measures.distance(a, b)
+      assert(d >= 0)
+      assert(math.abs(d - Measures.distance(b, a)) < 1e-9)
+      if (Predicates.intersects(a, b)) assert(d == 0.0)
+      else assert(d > 0.0)
+    }
+  }
+
+  test("hilbert and morton are bijective on the level-5 grid") {
+    val n = 1 << 5
+    val hs = for (x <- 0 until n; y <- 0 until n) yield Sfc.hilbertXY2D(5, x, y)
+    assert(hs.distinct.length == n * n)
+    assert(hs.min == 0 && hs.max == n * n - 1)
+    val ms = for (x <- 0 until n; y <- 0 until n) yield Sfc.mortonXY(x, y)
+    assert(ms.distinct.length == n * n)
+  }
+
+  test("wkb roundtrip is identity for random points and boxes") {
+    (1 to N).foreach { _ =>
+      val p = point()
+      assert(Predicates.geomEqualsExact(Wkb.read(Wkb.write(p)), p, 0.0))
+      val b = box()
+      assert(Predicates.geomEqualsExact(Wkb.read(Wkb.write(b)), b, 0.0))
+    }
+  }
+
+  test("affine roundtrip: rotate +a then -a preserves coordinates") {
+    (1 to N).foreach { _ =>
+      val p = point()
+      val ang = rnd.nextDouble() * 360.0 - 180.0
+      val back = Constructive.rotate(Constructive.rotate(p, ang, 0, 0), -ang, 0, 0)
+      assert(Predicates.geomEqualsExact(back, p, 1e-6))
+    }
+  }
+}

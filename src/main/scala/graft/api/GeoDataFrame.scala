@@ -56,6 +56,18 @@ final case class GeoDataFrame(
     copy(df = out, spatialPartitions = None).setCrs(target)
   }
 
+  /** Switch the active geometry column (reference set_geometry,
+    * `expr.py:584-598`): multiple geometry columns may coexist; spatial
+    * operators act on the active one. The column must exist and be
+    * geometry-typed (WKB binary).
+    */
+  def setGeometry(name: String): GeoDataFrame = {
+    require(df.columns.contains(name), s"no such column: $name")
+    require(df.schema(name).dataType == BinaryType,
+      s"column $name is not a geometry (binary WKB) column")
+    copy(geometryColumn = name, spatialPartitions = None, pointSource = None)
+  }
+
   // ------------------------------------------------------------ projection
   def select(cols: Column*): DataFrame = df.select(cols: _*)
 

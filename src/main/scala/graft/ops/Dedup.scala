@@ -15,7 +15,9 @@ import org.apache.spark.sql.functions._
   *  - SimHash: 64-bit fingerprint; near-dup = small Hamming distance within
   *    blocking buckets (4x16-bit block keys — any pair within Hamming<=3
   *    shares at least one block).
-  *  - n-gram Jaccard: exact verification join for candidate pairs.
+  *  - n-gram Jaccard: exact verification via per-doc sorted gram-hash
+  *    arrays and linear merge intersection.
+  *  - embedding near-dup: cosine-threshold pairs within sign-LSH buckets.
   */
 object Dedup {
 

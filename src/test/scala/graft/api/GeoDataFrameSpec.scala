@@ -99,6 +99,17 @@ class GeoDataFrameSpec extends AnyFunSuite {
     assert(rows.map(_.getInt(1)).toSeq == Seq(0, 1, 0))
   }
 
+  test("setGeometry switches the active geometry column") {
+    val g = points(50).withColumn("buffered", st_buffer(col("geometry"), lit(2.0), lit(8)))
+    val onPoints = GeoDataFrame(g.df).totalBounds()
+    val onBuffers = GeoDataFrame(g.df).setGeometry("buffered").totalBounds()
+    // buffered extents must be strictly wider in every direction
+    assert(onBuffers.minX < onPoints.minX && onBuffers.maxX > onPoints.maxX)
+    assert(onBuffers.minY < onPoints.minY && onBuffers.maxY > onPoints.maxY)
+    intercept[IllegalArgumentException](GeoDataFrame(g.df).setGeometry("nope"))
+    intercept[IllegalArgumentException](GeoDataFrame(g.df).setGeometry("x"))
+  }
+
   test("crs set / toCrs roundtrip") {
     val g = points(10).setCrs("EPSG:4326")
     assert(g.crs.contains("EPSG:4326"))

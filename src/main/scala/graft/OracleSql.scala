@@ -451,6 +451,30 @@ object OracleSql {
         true AS collapsed_empty
       FROM p ORDER BY s_suppkey""",
 
+    "g31_topo_union" -> """
+      WITH p AS (SELECT s_suppkey, ((s_suppkey % 5) + 1)::DOUBLE AS w FROM supplier)
+      SELECT s_suppkey,
+        round((13.0 * w * w / 4.0)::DOUBLE, 4) AS u_area,
+        round((8.0 * w)::DOUBLE, 4) AS u_perim,
+        1::BIGINT AS u_parts,
+        0::BIGINT AS u_holes,
+        round((3.0 * w * w / 4.0)::DOUBLE, 4) AS i_area,
+        round((9.0 * w * w / 4.0)::DOUBLE, 4) AS d_area,
+        round((5.0 * w * w / 2.0)::DOUBLE, 4) AS sd_area
+      FROM p ORDER BY s_suppkey""",
+
+    "g32_topo_holes" -> """
+      WITH p AS (SELECT s_suppkey, ((s_suppkey % 4) + 1)::DOUBLE AS w FROM supplier)
+      SELECT s_suppkey,
+        round((29.0 * w * w / 4.0)::DOUBLE, 4) AS d_area,
+        round((18.0 * w)::DOUBLE, 4) AS d_perim,
+        1::BIGINT AS d_parts,
+        1::BIGINT AS d_holes,
+        round((33.0 * w * w / 4.0)::DOUBLE, 4) AS u_area,
+        1::BIGINT AS u_holes,
+        round((3.0 * w * w / 4.0)::DOUBLE, 4) AS i_area
+      FROM p ORDER BY s_suppkey""",
+
     "g28_accessors" -> """
       WITH p AS (SELECT s_suppkey, ((s_suppkey % 5) + 3) * 10 AS w FROM supplier)
       SELECT s_suppkey,

@@ -621,6 +621,69 @@ object SparkEntry {
         .orderBy(col("s_suppkey"))
     }),
 
+    // general topological overlay (round 3): concave L-shape vs overlapping
+    // square — union merges into ONE polygon, all four set ops exact
+    // (reference expr.py:1001-1013 delegates the same surface to GEOS).
+    // L = [0,2w]^2 minus its top-right quarter (built via st_difference, so
+    // the clipper's own output feeds the next op); B = [w/2,3w/2]^2.
+    // Closed forms: i=3w^2/4, u=13w^2/4 (perim 8w, 1 part, 0 holes),
+    // d=9w^2/4, sd=5w^2/2.
+    "g31_topo_union" -> ((s, d) => {
+      t(s, d, "supplier")
+        .withColumn("w", ((col("s_suppkey") % 5) + 1).cast("double"))
+        .withColumn("ox", (col("s_suppkey") % 89).cast("double") * 7.0)
+        .withColumn("oy", (col("s_suppkey") % 83).cast("double") * 5.0)
+        .withColumn("lshape", st_difference(
+          st_makeEnvelope(col("ox"), col("oy"),
+            col("ox") + col("w") * 2.0, col("oy") + col("w") * 2.0),
+          st_makeEnvelope(col("ox") + col("w"), col("oy") + col("w"),
+            col("ox") + col("w") * 2.0, col("oy") + col("w") * 2.0)))
+        .withColumn("b", st_makeEnvelope(
+          col("ox") + col("w") * 0.5, col("oy") + col("w") * 0.5,
+          col("ox") + col("w") * 1.5, col("oy") + col("w") * 1.5))
+        .withColumn("un", st_union(col("lshape"), col("b")))
+        .select(col("s_suppkey"),
+          round(st_area(col("un")), 4).as("u_area"),
+          round(st_perimeter(col("un")), 4).as("u_perim"),
+          st_numGeometries(col("un")).cast("long").as("u_parts"),
+          st_numInteriorRings(col("un")).cast("long").as("u_holes"),
+          round(st_area(st_intersection(col("lshape"), col("b"))), 4).as("i_area"),
+          round(st_area(st_difference(col("lshape"), col("b"))), 4).as("d_area"),
+          round(st_area(st_symDifference(col("lshape"), col("b"))), 4).as("sd_area"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // overlay with holes (round 3): donut minus / union an overlapping
+    // square through the general clipper. donut = [0,3w]^2 with hole
+    // [w,2w]^2; B = [w/2,3w/2]^2 overlaps the hole's corner.
+    // Closed forms: diff 29w^2/4 (perim 12w+6w, 1 part, 1 merged hole),
+    // union 33w^2/4 (hole shrinks to 3w^2/4, still 1 hole), i=3w^2/4.
+    "g32_topo_holes" -> ((s, d) => {
+      t(s, d, "supplier")
+        .withColumn("w", ((col("s_suppkey") % 4) + 1).cast("double"))
+        .withColumn("ox", (col("s_suppkey") % 79).cast("double") * 11.0)
+        .withColumn("oy", (col("s_suppkey") % 73).cast("double") * 9.0)
+        .withColumn("donut", st_difference(
+          st_makeEnvelope(col("ox"), col("oy"),
+            col("ox") + col("w") * 3.0, col("oy") + col("w") * 3.0),
+          st_makeEnvelope(col("ox") + col("w"), col("oy") + col("w"),
+            col("ox") + col("w") * 2.0, col("oy") + col("w") * 2.0)))
+        .withColumn("b", st_makeEnvelope(
+          col("ox") + col("w") * 0.5, col("oy") + col("w") * 0.5,
+          col("ox") + col("w") * 1.5, col("oy") + col("w") * 1.5))
+        .withColumn("dg", st_difference(col("donut"), col("b")))
+        .withColumn("ug", st_union(col("donut"), col("b")))
+        .select(col("s_suppkey"),
+          round(st_area(col("dg")), 4).as("d_area"),
+          round(st_perimeter(col("dg")), 4).as("d_perim"),
+          st_numGeometries(col("dg")).cast("long").as("d_parts"),
+          st_numInteriorRings(col("dg")).cast("long").as("d_holes"),
+          round(st_area(col("ug")), 4).as("u_area"),
+          st_numInteriorRings(col("ug")).cast("long").as("u_holes"),
+          round(st_area(st_intersection(col("donut"), col("b"))), 4).as("i_area"))
+        .orderBy(col("s_suppkey"))
+    }),
+
     // accessors: interior rings, geometryN, dumpPoints, bounds struct, Z
     // (reference expr.py:947-981)
     "g28_accessors" -> ((s, d) => {

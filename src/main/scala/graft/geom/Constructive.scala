@@ -207,34 +207,112 @@ object Constructive {
       // inward offset: exact for convex polygons via half-plane erosion
       case p: Polygon if p.numHoles == 0 && Overlay.isConvexPolygon(p) =>
         Overlay.erodeConvex(p, -dist)
+      case p: Polygon => erodeGeneral(p, -dist, resolution)
       case m: MultiPolygon =>
-        val parts = m.polys.map(buffer(_, dist, resolution)).collect {
-          case p: Polygon => p
-        }
+        val parts = m.polys.toIndexedSeq.map(buffer(_, dist, resolution))
+          .flatMap(Geometry.parts).collect { case p: Polygon if !p.isEmpty => p }
         if (parts.isEmpty) GeometryCollection(Array.empty)
-        else if (parts.length == 1) parts(0) else MultiPolygon(parts)
+        else if (parts.length == 1) parts(0) else MultiPolygon(parts.toArray)
       case _: Point | _: MultiPoint | _: LineString | _: MultiLineString =>
         GeometryCollection(Array.empty) // negative buffer of dim<2 is empty
-      case _ => throw new UnsupportedOperationException(
-        "negative buffer of non-convex polygons not supported in v1")
+      case c: GeometryCollection =>
+        Overlay.unionAll(c.geoms.toIndexedSeq.map(buffer(_, dist, resolution)))
     }
     val n = math.max(4, 4 * resolution)
     g match {
       case p: Point => circle(p.x, p.y, dist, n)
       case mp: MultiPoint =>
         MultiPolygon(mp.pts.filterNot(_.isEmpty).map(p => circle(p.x, p.y, dist, n)))
-      case other =>
-        val pts = ArrayBuffer[(Double, Double)]()
-        other.foreachCoord { (x, y) =>
-          var k = 0
-          while (k < n) {
-            val a = 2 * math.Pi * k / n
-            pts += ((x + dist * math.cos(a), y + dist * math.sin(a)))
-            k += 1
-          }
-        }
-        convexHull(MultiPoint(pts.map { case (x, y) => Point(x, y) }.toArray))
+      case p: Polygon if p.numHoles == 0 && Overlay.isConvexPolygon(p) =>
+        hullOfVertexCircles(p, dist, n) // exact for convex inputs
+      case l: LineString      => dilatePaths(Seq(l.xy), Nil, dist, n)
+      case m: MultiLineString => dilatePaths(m.lines.toIndexedSeq.map(_.xy), Nil, dist, n)
+      case p: Polygon         => dilatePaths(p.rings.toIndexedSeq, Seq(p), dist, n)
+      case m: MultiPolygon =>
+        dilatePaths(m.polys.toIndexedSeq.flatMap(_.rings), m.polys.toIndexedSeq, dist, n)
+      case c: GeometryCollection =>
+        Overlay.unionAll(c.geoms.toIndexedSeq.map(buffer(_, dist, resolution)))
     }
+  }
+
+  private def hullOfVertexCircles(g: Geometry, dist: Double, n: Int): Geometry = {
+    val pts = ArrayBuffer[(Double, Double)]()
+    g.foreachCoord { (x, y) =>
+      var k = 0
+      while (k < n) {
+        val a = 2 * math.Pi * k / n
+        pts += ((x + dist * math.cos(a), y + dist * math.sin(a)))
+        k += 1
+      }
+    }
+    convexHull(MultiPoint(pts.map { case (x, y) => Point(x, y) }.toArray))
+  }
+
+  /** Minkowski dilation of a set of polyline paths by radius `r`: the union
+    * of per-segment rectangles and per-vertex discs (round caps/joins), plus
+    * the areal bodies themselves for polygon dilation. Exact up to the
+    * inscribed-polygon disc approximation (`n` segments per full circle),
+    * concave inputs included — this is the general positive buffer.
+    */
+  private def dilatePaths(paths: Seq[Array[Double]], bodies: Seq[Geometry],
+      r: Double, n: Int): Geometry = {
+    val pieces = ArrayBuffer[Geometry]()
+    bodies.foreach(pieces += _)
+    paths.foreach { xy =>
+      var i = 0
+      while (i + 3 < xy.length) {
+        val x1 = xy(i); val y1 = xy(i + 1); val x2 = xy(i + 2); val y2 = xy(i + 3)
+        val len = math.hypot(x2 - x1, y2 - y1)
+        if (len > 0) {
+          val nx = -(y2 - y1) / len * r
+          val ny = (x2 - x1) / len * r
+          pieces += Polygon(Array(
+            x1 + nx, y1 + ny, x2 + nx, y2 + ny,
+            x2 - nx, y2 - ny, x1 - nx, y1 - ny, x1 + nx, y1 + ny))
+        }
+        i += 2
+      }
+      i = 0
+      while (i + 1 < xy.length) {
+        pieces += circle(xy(i), xy(i + 1), r, n)
+        i += 2
+      }
+    }
+    Overlay.unionAll(pieces.toSeq)
+  }
+
+  /** Erosion (inward offset) of an arbitrary simple polygon with holes:
+    * subtract from `p` everything within distance `r` of its boundary —
+    * per-edge both-side strips and per-vertex discs. Reflex corners get the
+    * correct rounded notch; disc discretization (`4*resolution` segments)
+    * makes the result a slight superset of the true erosion, vanishing with
+    * resolution.
+    */
+  private def erodeGeneral(p: Polygon, r: Double, resolution: Int): Geometry = {
+    val n = math.max(8, 4 * resolution)
+    var result: Geometry = p
+    p.rings.foreach { xy =>
+      var i = 0
+      while (i + 3 < xy.length && !result.isEmpty) {
+        val x1 = xy(i); val y1 = xy(i + 1); val x2 = xy(i + 2); val y2 = xy(i + 3)
+        val len = math.hypot(x2 - x1, y2 - y1)
+        if (len > 0) {
+          val nx = -(y2 - y1) / len * r
+          val ny = (x2 - x1) / len * r
+          val strip = Polygon(Array(
+            x1 + nx, y1 + ny, x2 + nx, y2 + ny,
+            x2 - nx, y2 - ny, x1 - nx, y1 - ny, x1 + nx, y1 + ny))
+          result = Overlay.difference(result, strip)
+        }
+        i += 2
+      }
+      i = 0
+      while (i + 1 < xy.length && !result.isEmpty) {
+        result = Overlay.difference(result, circle(xy(i), xy(i + 1), r, n))
+        i += 2
+      }
+    }
+    result
   }
 
   def circle(cx: Double, cy: Double, r: Double, n: Int): Polygon = {

@@ -531,16 +531,10 @@ object Predicates {
     if (in) return true
     // No proper edge crossing and no vertex strictly inside — interiors can
     // STILL overlap when boundaries share collinear runs (e.g. equal-height
-    // rectangles offset along x). Decide by the exact intersection area when
-    // the overlay supports the pair, else by an interior sample point.
-    try {
-      val inter = Overlay.intersection(a, b)
-      if (inter.topoDim == 2) return Measures.area(inter) > 0
-    } catch { case _: UnsupportedOperationException => }
-    val ea = a.envelope; val eb = b.envelope
-    val sx = (math.max(ea.minX, eb.minX) + math.min(ea.maxX, eb.maxX)) / 2
-    val sy = (math.max(ea.minY, eb.minY) + math.min(ea.maxY, eb.maxY)) / 2
-    locate(sx, sy, a) == IN && locate(sx, sy, b) == IN
+    // rectangles offset along x). Decide by the exact intersection area
+    // (overlay is general for areal pairs).
+    val inter = Overlay.intersection(a, b)
+    inter.topoDim == 2 && Measures.area(inter) > 0
   }
 
   private def pathsCrossAnyProperly(a: Geometry, b: Geometry): Boolean = {

@@ -4,18 +4,18 @@ import scala.collection.mutable.ArrayBuffer
 
 /** Overlay (set-theoretic) operations.
   *
-  * v1 scope (documented limitation, mirrors what the declared queries and
-  * the reference tests exercise — reference ops at
-  * `dask_geopandas/expr.py:1001-1013` intersection/difference/union and
-  * `clip.py:12-47`):
-  *  - intersection: exact when either operand is convex (Sutherland–Hodgman
-  *    with the convex side as clip window, covers the reference's `clip`
-  *    where the mask is a bbox/convex region) or when any operand is
-  *    point/line (direct clipping).
-  *  - union: exact for point sets; containment/disjoint fast paths for
-  *    areal operands; general concave-concave polygon union is round-2
-  *    (Greiner–Hormann).
-  *  - difference: points/lines minus areal; areal fast paths.
+  * Reference ops at `dask_geopandas/expr.py:1001-1013`
+  * intersection/difference/union and `clip.py:12-47`.
+  *
+  *  - areal ∘ areal (arbitrary simple polygons with holes, convex or
+  *    concave, multipolygons): general boolean overlay via
+  *    [[PolygonClip]] (boundary fragment classification), with cheap
+  *    disjoint/containment fast paths that return the original geometry
+  *    unchanged.
+  *  - point/line operands: direct clipping against areal geometries,
+  *    pairwise segment intersection between curves.
+  *  - union of intersecting mixed-dimension operands is collected, not
+  *    noded (lines are not merged into polygon boundaries).
   */
 object Overlay {
 
@@ -70,29 +70,10 @@ object Overlay {
   }
 
   private def areaIntersection(a: Geometry, b: Geometry): Geometry = {
-    val partsA = Geometry.parts(a).collect { case p: Polygon => p }
-    val partsB = Geometry.parts(b).collect { case p: Polygon => p }
-    val out = ArrayBuffer[Polygon]()
-    for (pa <- partsA; pb <- partsB if pa.envelope.intersects(pb.envelope)) {
-      polyPolyIntersection(pa, pb).foreach(out += _)
-    }
-    if (out.isEmpty) GeometryCollection(Array.empty)
-    else if (out.length == 1) out(0)
-    else MultiPolygon(out.toArray)
-  }
-
-  private def polyPolyIntersection(a: Polygon, b: Polygon): Option[Polygon] = {
-    if (Predicates.covers(a, b)) return Some(b)
-    if (Predicates.covers(b, a)) return Some(a)
-    val (subject, clip) =
-      if (isConvexPolygon(b)) (a, b)
-      else if (isConvexPolygon(a)) (b, a)
-      else throw new UnsupportedOperationException(
-        "concave-concave polygon intersection not supported in v1")
-    if (subject.numHoles > 0)
-      throw new UnsupportedOperationException("holes in overlay subject not supported in v1")
-    val clipped = sutherlandHodgman(subject.rings(0), clip.rings(0))
-    if (clipped.length < 8) None else Some(Polygon(clipped))
+    // containment fast paths return the original geometry unchanged
+    if (Predicates.covers(a, b)) return b
+    if (Predicates.covers(b, a)) return a
+    PolygonClip.overlay(a, b, PolygonClip.OpIntersection)
   }
 
   /** One half-plane clip step: keep the part of `poly` on the requested side
@@ -296,7 +277,10 @@ object Overlay {
   }
 
   // ----------------------------------------------------------------- union
-  /** Binary union. Exact for point sets and nested/disjoint areal operands. */
+  /** Binary union. Exact for point sets and arbitrary areal operands
+    * (topological merge via [[PolygonClip]]). Intersecting mixed-dimension
+    * operands are collected, not noded.
+    */
   def union(a: Geometry, b: Geometry): Geometry = {
     if (a.isEmpty) return b
     if (b.isEmpty) return a
@@ -304,24 +288,9 @@ object Overlay {
     if (!Predicates.intersects(a, b)) return Geometry.collect(Seq(a, b))
     if (Predicates.covers(a, b)) return a
     if (Predicates.covers(b, a)) return b
-    if (a.topoDim == 2 && b.topoDim == 2) {
-      // convex ∪ convex via hull only when the hull adds no area beyond the
-      // operands (i.e. result is convex): checked numerically
-      val hull = Constructive.convexHull(GeometryCollection(Array(a, b)))
-      val ia = Measures.area(a); val ib = Measures.area(b)
-      val inter = try { Measures.area(intersection(a, b)) } catch { case _: Exception => -1.0 }
-      if (inter >= 0 && math.abs(Measures.area(hull) - (ia + ib - inter)) <
-          1e-9 * math.max(1.0, ia + ib)) return hull
-      // general overlapping areal union: decompose as (A \ B) + B — the
-      // pieces are interior-disjoint, so area/measures are exact even though
-      // parts may touch along edges
-      try {
-        val da = difference(a, b)
-        val parts = (Geometry.parts(da) ++ Geometry.parts(b)).filterNot(_.isEmpty)
-        return Geometry.collect(parts.toIndexedSeq)
-      } catch { case _: UnsupportedOperationException => }
-    }
-    Geometry.collect(Seq(a, b)) // topologically unmerged collection (v1 limitation)
+    if (a.topoDim == 2 && b.topoDim == 2)
+      return PolygonClip.overlay(a, b, PolygonClip.OpUnion)
+    Geometry.collect(Seq(a, b)) // mixed dimensions: collected, not noded
   }
 
   def unionPoints(gs: Seq[Geometry]): Geometry = {
@@ -333,8 +302,8 @@ object Overlay {
   }
 
   /** N-ary union used by the UnionAgg aggregate: canonical (sorted, deduped)
-    * for point sets; for mixed/areal inputs collects parts, merging only
-    * covered pairs.
+    * for point sets; areal inputs fold through the general topological
+    * merge.
     */
   def unionAll(gs: Seq[Geometry]): Geometry = {
     val nonEmpty = gs.filterNot(_.isEmpty)
@@ -363,49 +332,12 @@ object Overlay {
     }
   }
 
-  /** A \ B for areal operands where every part of B is convex: decompose
-    * along B's edges — piece_i = A ∩ outside(edge_i) ∩ inside(edge_1..i-1).
-    * Pieces are interior-disjoint (they share only edges), so areas are
-    * exactly additive.
+  /** A \ B for areal operands: general boolean overlay via [[PolygonClip]]
+    * (arbitrary simple polygons with holes, concave subtrahends,
+    * multipolygons).
     */
-  private def areaDifference(a: Geometry, b: Geometry): Geometry = {
-    var pieces: Seq[Polygon] =
-      Geometry.parts(a).collect { case p: Polygon if !p.isEmpty => p }.toSeq
-    if (pieces.exists(_.numHoles > 0))
-      throw new UnsupportedOperationException("holes in difference subject not supported in v1")
-    val bParts = Geometry.parts(b).collect { case p: Polygon if !p.isEmpty => p }
-    bParts.foreach { bp =>
-      if (!isConvexPolygon(bp))
-        throw new UnsupportedOperationException(
-          "difference with non-convex subtrahend part not supported in v1")
-      pieces = pieces.flatMap { piece =>
-        if (!piece.envelope.intersects(bp.envelope)) Seq(piece)
-        else convexDifferencePieces(piece, bp)
-      }
-    }
-    val keep = pieces.filter(p => Measures.area(p) > 0)
-    if (keep.isEmpty) GeometryCollection(Array.empty)
-    else if (keep.length == 1) keep(0)
-    else MultiPolygon(keep.toArray)
-  }
-
-  private def convexDifferencePieces(a: Polygon, b: Polygon): Seq[Polygon] = {
-    val r0 = b.rings(0)
-    val bRing = if (Measures.signedRingArea(r0) > 0) r0 else reverseRing(r0)
-    val pieces = ArrayBuffer[Polygon]()
-    var subject = toPairs(a.rings(0))
-    val n = bRing.length / 2 - 1
-    var e = 0
-    while (e < n && subject.nonEmpty) {
-      val x1 = bRing(2 * e); val y1 = bRing(2 * e + 1)
-      val x2 = bRing(2 * e + 2); val y2 = bRing(2 * e + 3)
-      val outside = clipEdge(subject, x1, y1, x2, y2, keepLeft = false)
-      if (outside.length >= 3) pieces += Polygon(toRing(outside))
-      subject = clipEdge(subject, x1, y1, x2, y2, keepLeft = true)
-      e += 1
-    }
-    pieces.toSeq
-  }
+  private def areaDifference(a: Geometry, b: Geometry): Geometry =
+    PolygonClip.overlay(a, b, PolygonClip.OpDifference)
 
   private def lineMinusArea(l: LineString, area: Geometry): Geometry = {
     // complement of clipLineToArea: keep sub-spans outside

@@ -285,11 +285,18 @@ object Overlay {
     if (a.isEmpty) return b
     if (b.isEmpty) return a
     if (a.topoDim == 0 && b.topoDim == 0) return unionPoints(Seq(a, b))
+    if (a.topoDim == 2 && b.topoDim == 2) {
+      // areal pair: the exact intersects test would route
+      // snap-tolerance-close (jittered shared boundary) operands to a plain
+      // collect; PolygonClip welds and merges them instead, and its
+      // tolerance-expanded envelope gate short-circuits disjoint inputs
+      if (Predicates.covers(a, b)) return a
+      if (Predicates.covers(b, a)) return b
+      return PolygonClip.overlay(a, b, PolygonClip.OpUnion)
+    }
     if (!Predicates.intersects(a, b)) return Geometry.collect(Seq(a, b))
     if (Predicates.covers(a, b)) return a
     if (Predicates.covers(b, a)) return b
-    if (a.topoDim == 2 && b.topoDim == 2)
-      return PolygonClip.overlay(a, b, PolygonClip.OpUnion)
     Geometry.collect(Seq(a, b)) // mixed dimensions: collected, not noded
   }
 

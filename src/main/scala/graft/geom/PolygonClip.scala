@@ -38,6 +38,29 @@ object PolygonClip {
   case object OpIntersection extends BoolOp
   case object OpDifference extends BoolOp
 
+  /** Relative snap tolerance: coordinates closer than SNAP_REL * magnitude
+    * are treated as coincident. Real-world doubles (reprojected, averaged,
+    * serialized) carry ~1e-15 relative noise; GEOS survives it via snap
+    * rounding — this is our equivalent. Exact-grid inputs are unaffected:
+    * their vertex gaps are either 0 or far above the tolerance.
+    */
+  private val SNAP_REL = 1e-10
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+  private val droppedRings = new java.util.concurrent.atomic.AtomicLong
+
+  /** Rings silently discarded by degenerate walks since JVM start — nonzero
+    * values indicate inputs beyond the snap tolerance (inspect/alert).
+    */
+  def droppedRingCount: Long = droppedRings.get
+
+  private def ringDropped(reason: String): Unit = {
+    val n = droppedRings.incrementAndGet()
+    if (n <= 10 || n % 100000 == 0)
+      log.warn(s"PolygonClip dropped a boundary ring ($reason; total=$n) — " +
+        "input likely exceeds snap tolerance; result may under-cover")
+  }
+
   /** Boolean overlay of the areal parts of `a` and `b`. Returns a Polygon,
     * MultiPolygon or empty GeometryCollection.
     */
@@ -54,14 +77,24 @@ object PolygonClip {
     }
     val envA = pa.foldLeft(Envelope.empty)((e, p) => e.union(p.envelope))
     val envB = pb.foldLeft(Envelope.empty)((e, p) => e.union(p.envelope))
-    if (!envA.intersects(envB)) return op match {
+    val tol = SNAP_REL * math.max(1.0,
+      Seq(envA.minX, envA.minY, envA.maxX, envA.maxY,
+        envB.minX, envB.minY, envB.maxX, envB.maxY).map(math.abs).max)
+    // tolerance-expanded gate: operands within snap distance must reach the
+    // weld+clip machinery, not the disjoint fast path
+    val envDisjoint = envA.minX > envB.maxX + tol || envB.minX > envA.maxX + tol ||
+      envA.minY > envB.maxY + tol || envB.minY > envA.maxY + tol
+    if (envDisjoint) return op match {
       case OpUnion        => Geometry.collect((pa ++ pb).toIndexedSeq)
       case OpIntersection => GeometryCollection(Array.empty)
       case OpDifference   => Geometry.collect(pa.toIndexedSeq)
     }
 
     val na = pa.map(normalize)
-    val nb = pb.map(normalize)
+    // weld B's vertices onto coincident-within-tolerance A vertices so
+    // jittered shared boundaries regain bit-exact coincidence (the fragment
+    // pairing and collinear-overlap machinery require it)
+    val nb = weldVertices(pb.map(normalize), na, tol)
     val geomA: Geometry = if (na.length == 1) na(0) else MultiPolygon(na.toArray)
     val geomB: Geometry = if (nb.length == 1) nb(0) else MultiPolygon(nb.toArray)
 
@@ -78,7 +111,7 @@ object PolygonClip {
       var j = 0
       while (j < bEdges.length) {
         val eb = bEdges(j)
-        if (envOverlap(ea, eb)) addSplits(ea, eb)
+        if (envOverlap(ea, eb, tol)) addSplits(ea, eb, tol)
         j += 1
       }
       i += 1
@@ -159,6 +192,52 @@ object PolygonClip {
     Polygon(rings.toArray)
   }
 
+  /** Replace every vertex of `subject` lying within `tol` of a `target`
+    * vertex with that exact vertex (one-sided snap, GEOS-style). Restores
+    * bit-exact coincidence on jittered shared boundaries; exact inputs are
+    * untouched (gaps are 0 or far above tol).
+    */
+  private def weldVertices(subject: Seq[Polygon], target: Seq[Polygon],
+      tol: Double): Seq[Polygon] = {
+    if (tol <= 0) return subject
+    val grid = mutable.HashMap.empty[(Long, Long), ArrayBuffer[(Double, Double)]]
+    @inline def cx(v: Double): Long = math.floor(v / tol).toLong
+    target.foreach(_.rings.foreach { r =>
+      var i = 0
+      while (i + 1 < r.length) {
+        grid.getOrElseUpdate((cx(r(i)), cx(r(i + 1))), ArrayBuffer.empty) += ((r(i), r(i + 1)))
+        i += 2
+      }
+    })
+    if (grid.isEmpty) return subject
+    val tol2 = tol * tol
+    subject.map { p =>
+      Polygon(p.rings.map { r =>
+        val out = r.clone()
+        var i = 0
+        while (i + 1 < out.length) {
+          val x = out(i); val y = out(i + 1)
+          var bestX = x; var bestY = y; var bestD = tol2
+          var gx = cx(x) - 1
+          while (gx <= cx(x) + 1) {
+            var gy = cx(y) - 1
+            while (gy <= cx(y) + 1) {
+              grid.get((gx, gy)).foreach(_.foreach { case (tx, ty) =>
+                val d = (tx - x) * (tx - x) + (ty - y) * (ty - y)
+                if (d < bestD) { bestD = d; bestX = tx; bestY = ty }
+              })
+              gy += 1
+            }
+            gx += 1
+          }
+          out(i) = bestX; out(i + 1) = bestY
+          i += 2
+        }
+        out
+      })
+    }
+  }
+
   private def reverseRing(ring: Array[Double]): Array[Double] = {
     val n = ring.length / 2
     val out = new Array[Double](ring.length)
@@ -188,8 +267,9 @@ object PolygonClip {
     val maxY: Double = math.max(y1, y2)
   }
 
-  private def envOverlap(a: Edge, b: Edge): Boolean =
-    a.minX <= b.maxX && b.minX <= a.maxX && a.minY <= b.maxY && b.minY <= a.maxY
+  private def envOverlap(a: Edge, b: Edge, tol: Double): Boolean =
+    a.minX <= b.maxX + tol && b.minX <= a.maxX + tol &&
+      a.minY <= b.maxY + tol && b.minY <= a.maxY + tol
 
   private def ringEdges(ring: Array[Double], side: Int, out: ArrayBuffer[Edge]): Unit = {
     var i = 0
@@ -203,15 +283,46 @@ object PolygonClip {
   /** Record the intersection(s) of a cross-side edge pair on both edges,
     * computing each intersection point once so both sides split at
     * bit-identical coordinates.
+    *
+    * Robustness (snap rounding, lightweight form): intersection parameters
+    * within `tol` (as a distance along the edge) of 0/1 snap to the exact
+    * endpoint, so a near-T-junction nodes at the vertex itself instead of
+    * two oh-so-slightly-different points (which would break fragment
+    * pairing and silently drop rings); near-parallel edge pairs whose
+    * endpoints sit within `tol` of the other's line are treated as
+    * collinear overlaps, like GEOS does after snap rounding.
     */
-  private def addSplits(ea: Edge, eb: Edge): Unit = {
+  private def addSplits(ea: Edge, eb: Edge, tol: Double): Unit = {
     val d1x = ea.x2 - ea.x1; val d1y = ea.y2 - ea.y1
     val d2x = eb.x2 - eb.x1; val d2y = eb.y2 - eb.y1
     val denom = d1x * d2y - d1y * d2x
-    if (denom != 0) {
+    val lenA = math.hypot(d1x, d1y)
+    val lenB = math.hypot(d2x, d2y)
+    // (near-)collinear first: |orient|/len is the perpendicular distance of
+    // a point from the edge's line, so this asks "do the segments deviate
+    // from one common line by more than tol anywhere?" — the parametric
+    // path is hopelessly ill-conditioned exactly in this regime
+    val collinearish = lenA > 0 && lenB > 0 &&
+      math.abs(Predicates.orient(ea.x1, ea.y1, ea.x2, ea.y2, eb.x1, eb.y1)) <= tol * lenA &&
+      math.abs(Predicates.orient(ea.x1, ea.y1, ea.x2, ea.y2, eb.x2, eb.y2)) <= tol * lenA &&
+      math.abs(Predicates.orient(eb.x1, eb.y1, eb.x2, eb.y2, ea.x1, ea.y1)) <= tol * lenB &&
+      math.abs(Predicates.orient(eb.x1, eb.y1, eb.x2, eb.y2, ea.x2, ea.y2)) <= tol * lenB
+    if (collinearish) {
+      // (near-)collinear overlap: split each edge at the other's interior
+      // endpoints
+      addCollinearSplit(ea, eb.x1, eb.y1, d1x, d1y)
+      addCollinearSplit(ea, eb.x2, eb.y2, d1x, d1y)
+      addCollinearSplit(eb, ea.x1, ea.y1, d2x, d2y)
+      addCollinearSplit(eb, ea.x2, ea.y2, d2x, d2y)
+    } else if (denom != 0) {
       val ex = eb.x1 - ea.x1; val ey = eb.y1 - ea.y1
-      val t = (ex * d2y - ey * d2x) / denom
-      val u = (ex * d1y - ey * d1x) / denom
+      var t = (ex * d2y - ey * d2x) / denom
+      var u = (ex * d1y - ey * d1x) / denom
+      // snap parameters to endpoints within tol of travel distance
+      val tEps = if (lenA > 0) tol / lenA else 0.0
+      val uEps = if (lenB > 0) tol / lenB else 0.0
+      if (t > -tEps && t < tEps) t = 0 else if (t > 1 - tEps && t < 1 + tEps) t = 1
+      if (u > -uEps && u < uEps) u = 0 else if (u > 1 - uEps && u < 1 + uEps) u = 1
       if (t >= 0 && t <= 1 && u >= 0 && u <= 1) {
         // canonical point: exact endpoints first, else axis-exact coordinates
         var px = 0.0; var py = 0.0
@@ -226,12 +337,6 @@ object PolygonClip {
         if (t > 0 && t < 1) ea.addSplit(t, px, py)
         if (u > 0 && u < 1) eb.addSplit(u, px, py)
       }
-    } else if (Predicates.orient(ea.x1, ea.y1, ea.x2, ea.y2, eb.x1, eb.y1) == 0) {
-      // collinear overlap: split each edge at the other's interior endpoints
-      addCollinearSplit(ea, eb.x1, eb.y1, d1x, d1y)
-      addCollinearSplit(ea, eb.x2, eb.y2, d1x, d1y)
-      addCollinearSplit(eb, ea.x1, ea.y1, d2x, d2y)
-      addCollinearSplit(eb, ea.x2, ea.y2, d2x, d2y)
     }
   }
 
@@ -352,7 +457,7 @@ object PolygonClip {
       val node = (f.x2 + 0.0, f.y2 + 0.0)
       val cands = byStart.get(node) match {
         case Some(cs) => cs
-        case None     => return null // dangling — degenerate input
+        case None     => ringDropped("dangling fragment"); return null
       }
       // candidates: unused fragments, plus the start fragment (to close)
       var best = -1
@@ -368,7 +473,7 @@ object PolygonClip {
         }
         ci += 1
       }
-      if (best == -1) return null // dead end — degenerate
+      if (best == -1) { ringDropped("dead-end node"); return null }
       if (best == start) {
         // close ring
         pts += frags(start).x1; pts += frags(start).y1
@@ -378,7 +483,8 @@ object PolygonClip {
       cur = best
       guard += 1
     }
-    null // runaway — degenerate topology
+    ringDropped("runaway walk")
+    null
   }
 
   /** CCW angle from direction (rx,ry) to (cx,cy), in (0, 2*Pi]; the maximum

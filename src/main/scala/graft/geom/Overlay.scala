@@ -308,15 +308,69 @@ object Overlay {
     else MultiPoint(set.toArray.sorted.map { case (x, y) => Point(x, y) })
   }
 
-  /** N-ary union used by the UnionAgg aggregate: canonical (sorted, deduped)
-    * for point sets; areal inputs fold through the general topological
-    * merge.
+  /** N-ary union: canonical (sorted, deduped) for point sets; other inputs
+    * merge through a balanced binary tree — O(n log n) union work instead of
+    * the quadratic left fold (each part participates in ~log n merges, not
+    * in every one).
     */
   def unionAll(gs: Seq[Geometry]): Geometry = {
     val nonEmpty = gs.filterNot(_.isEmpty)
     if (nonEmpty.isEmpty) return GeometryCollection(Array.empty)
     if (nonEmpty.forall(_.topoDim == 0)) return unionPoints(nonEmpty)
-    nonEmpty.reduceLeft(union)
+    var layer: Seq[Geometry] = nonEmpty
+    while (layer.length > 1)
+      layer = layer.grouped(2).map {
+        case Seq(a, b) => union(a, b)
+        case Seq(a)    => a
+      }.toSeq
+    layer.head
+  }
+
+  /** Bounded-memory streaming n-ary union accumulator (the incremental form
+    * of GEOS' cascaded polygon union). Parts are buffered in small batches;
+    * full batches merge into binomial-counter levels where level i holds the
+    * union of ~batch*2^i inputs. At any moment the accumulator retains at
+    * most `batch` raw parts plus O(log n) partial unions — a dissolve over
+    * an arbitrarily large group no longer accumulates every input geometry
+    * (the round-4 StUnionAgg OOM-at-scale defect), and total work is
+    * O(n log n) unions instead of the quadratic left fold.
+    */
+  final class CascadedUnion(batch: Int = 8) {
+    private val pending = ArrayBuffer[Geometry]()
+    private val levels = ArrayBuffer[Geometry]() // null = empty slot
+
+    def add(g: Geometry): Unit = {
+      if (g.isEmpty) return
+      pending += g
+      if (pending.length >= batch) flushPending()
+    }
+
+    private def flushPending(): Unit = {
+      if (pending.isEmpty) return
+      var acc = unionAll(pending.toSeq)
+      pending.clear()
+      var i = 0
+      var placed = false
+      while (!placed && i < levels.length) {
+        if (levels(i) == null) { levels(i) = acc; placed = true }
+        else { acc = union(levels(i), acc); levels(i) = null; i += 1 }
+      }
+      if (!placed) levels += acc
+    }
+
+    /** Current partial state (pending raw parts + level unions) — what a
+      * partial-aggregation buffer serializes.
+      */
+    def parts: Seq[Geometry] = pending.toSeq ++ levels.filter(_ != null)
+
+    /** Number of geometries currently held — bounded by batch + O(log n). */
+    def size: Int = pending.length + levels.count(_ != null)
+
+    def result(): Option[Geometry] = {
+      flushPending()
+      val ps = levels.filter(_ != null).toSeq
+      if (ps.isEmpty) None else Some(ps.reduceLeft(union))
+    }
   }
 
   // ------------------------------------------------------------ difference

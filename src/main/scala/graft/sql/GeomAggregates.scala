@@ -13,39 +13,56 @@ import graft.geom.Geometry // shadow spark.sql.types.Geometry from the wildcard
 import scala.collection.mutable
 
 /** Mutable buffer for geometry aggregation: point sets are deduped
-  * incrementally (hash set), other parts accumulate for a final union.
-  * This is the Spark form of the reference's ApplyConcatApply tree
+  * incrementally (hash set); in dissolve mode areal parts fold through a
+  * bounded [[Overlay.CascadedUnion]] as they arrive, so the buffer holds
+  * O(log n) partial unions instead of every input geometry — a dissolve
+  * over an arbitrarily large polygon group streams instead of OOMing.
+  * Collect mode (`dissolve = false`) keeps raw parts, as its semantics
+  * require. This is the Spark form of the reference's ApplyConcatApply tree
   * aggregation (`dask_geopandas/expr.py:33-41` union_all chunk/aggregate) —
   * partial aggregation (map-side combine) and merge come from
   * TypedImperativeAggregate for free.
   */
-final class GeomAggBuffer(
-    val points: mutable.LinkedHashSet[(Double, Double)] = mutable.LinkedHashSet.empty,
-    val others: mutable.ArrayBuffer[Geometry] = mutable.ArrayBuffer.empty) {
+final class GeomAggBuffer(val dissolve: Boolean) {
+
+  val points: mutable.LinkedHashSet[(Double, Double)] = mutable.LinkedHashSet.empty
+  // collect mode: every non-point part; dissolve mode: only dim<2 parts
+  // (rare in a dissolve — lines are collected, not noded, like Overlay.union)
+  val others: mutable.ArrayBuffer[Geometry] = mutable.ArrayBuffer.empty
+  private val areal: Overlay.CascadedUnion = if (dissolve) new Overlay.CascadedUnion() else null
 
   def add(g: Geometry): Unit = g match {
     case p: Point if !p.isEmpty => points += ((p.x, p.y))
     case mp: MultiPoint => mp.pts.foreach(p => if (!p.isEmpty) points += ((p.x, p.y)))
     case g2 if g2.isEmpty =>
     case gc: GeometryCollection => gc.geoms.foreach(add)
-    case other => others += other
+    case other =>
+      if (dissolve && other.topoDim == 2) areal.add(other)
+      else others += other
   }
 
-  def merge(o: GeomAggBuffer): Unit = { points ++= o.points; others ++= o.others }
+  private def arealParts: Seq[Geometry] = if (areal == null) Nil else areal.parts
+
+  def merge(o: GeomAggBuffer): Unit = {
+    points ++= o.points
+    o.others.foreach(add)
+    o.arealParts.foreach(add)
+  }
 
   def result(): Geometry = {
     val ptGeom =
       if (points.isEmpty) Nil
       else Seq(Overlay.unionPoints(Seq(MultiPoint(points.toArray.map { case (x, y) => Point(x, y) }))))
-    val all = ptGeom ++ others
+    val arealSeq = if (areal == null) Nil else areal.result().toSeq
+    val all = ptGeom ++ arealSeq ++ others
     if (all.isEmpty) GeometryCollection(Array.empty)
-    else if (others.isEmpty) ptGeom.head
+    else if (all.lengthCompare(1) == 0) all.head
     else Overlay.unionAll(all)
   }
 
   def collected(): Geometry = {
     val pts = points.toArray.map { case (x, y) => Point(x, y): Geometry }
-    Geometry.collect(pts.toIndexedSeq ++ others)
+    Geometry.collect(pts.toIndexedSeq ++ others ++ arealParts)
   }
 }
 
@@ -55,10 +72,13 @@ abstract class GeomAggBase
 
   def child: Expression
   protected def resultFromBuffer(buf: GeomAggBuffer): Any
+  /** true = geometric union semantics (bounded streaming buffer);
+    * false = collect semantics (raw parts retained by definition). */
+  protected def dissolveBuffer: Boolean
   override def inputTypes: Seq[AbsType] = Seq(BinaryType)
   override def nullable: Boolean = true
 
-  override def createAggregationBuffer(): GeomAggBuffer = new GeomAggBuffer()
+  override def createAggregationBuffer(): GeomAggBuffer = new GeomAggBuffer(dissolveBuffer)
 
   override def update(buf: GeomAggBuffer, input: InternalRow): GeomAggBuffer = {
     val v = child.eval(input)
@@ -75,7 +95,7 @@ abstract class GeomAggBase
   override def serialize(buf: GeomAggBuffer): Array[Byte] = Wkb.write(buf.collected())
 
   override def deserialize(bytes: Array[Byte]): GeomAggBuffer = {
-    val b = new GeomAggBuffer()
+    val b = createAggregationBuffer()
     b.add(Wkb.read(bytes))
     b
   }
@@ -91,6 +111,7 @@ case class StUnionAgg(
     inputAggBufferOffset: Int = 0)
   extends GeomAggBase {
   protected def resultFromBuffer(b: GeomAggBuffer): Any = Wkb.write(b.result())
+  protected def dissolveBuffer: Boolean = true
   override def dataType: DataType = BinaryType
   override def prettyName: String = "st_union_agg"
   override def withNewMutableAggBufferOffset(n: Int): StUnionAgg = copy(mutableAggBufferOffset = n)
@@ -107,6 +128,7 @@ case class StCollectAgg(
     inputAggBufferOffset: Int = 0)
   extends GeomAggBase {
   protected def resultFromBuffer(b: GeomAggBuffer): Any = Wkb.write(b.collected())
+  protected def dissolveBuffer: Boolean = false
   override def dataType: DataType = BinaryType
   override def prettyName: String = "st_collect_agg"
   override def withNewMutableAggBufferOffset(n: Int): StCollectAgg = copy(mutableAggBufferOffset = n)

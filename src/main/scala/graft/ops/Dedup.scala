@@ -6,8 +6,8 @@ import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large-scale text pipelines. All are
   * shuffle-architected for the 100 TB case:
-  *  - exact: one hash-aggregate on a 64-bit content hash (no full-text
-  *    shuffle; texts only compared within a hash bucket).
+  *  - exact: one hash-aggregate on a 128-bit content hash (two independent
+  *    64-bit lanes) — the exchange carries (hash, id) only, never the text.
   *  - MinHash+LSH: signature -> bands -> equi-join on (band, bandHash);
   *    candidate verification by signature similarity. The only shuffle is
   *    the band-key join; candidates are emitted once per first matching
@@ -22,13 +22,18 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Exact duplicate groups by full content: returns `idCol, canonical_id,
-    * group_size`. Rows are grouped by a 64-bit FNV hash of the content and
-    * verified by exact equality inside the bucket (hash collisions can't
-    * produce false positives).
+    * group_size`. Rows are grouped by a 128-bit content hash — two
+    * independent 64-bit lanes (FNV-1a and xxhash64) — so the shuffle key is
+    * 16 bytes regardless of document size: the exchange carries (hash, id)
+    * only, never the text. A false merge needs a simultaneous collision in
+    * both lanes (~2^-128 per pair — the same correctness standard as
+    * content-addressed storage).
     */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    df.select(col(idCol), col(textCol), gr_hash64(col(textCol)).as("_h"))
-      .groupBy(col("_h"), col(textCol))
+    df.select(col(idCol),
+        gr_hash64(col(textCol)).as("_h1"),
+        xxhash64(col(textCol)).as("_h2"))
+      .groupBy(col("_h1"), col("_h2"))
       .agg(min(col(idCol)).as("canonical_id"),
         count(lit(1)).as("group_size"),
         collect_list(col(idCol)).as("_ids"))

@@ -574,6 +574,104 @@ object OracleSql {
       FROM documents d LEFT JOIN sh ON d.doc_id = sh.doc_id
       ORDER BY d.doc_id""",
 
+    // replicates the MD5-lane minhash exactly: shingles -> two 64-bit MD5
+    // lanes -> 64 affine hashes (h1 + (42+k)*h2 mod 2^63) -> per-lane min ->
+    // 16 bands of 4 -> candidate = band-slice collision -> signature
+    // estimate >= threshold
+    "t05_minhash_pairs" -> """
+      WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 4),
+      sh AS (SELECT DISTINCT doc_id, substr(text, i::INT, 4) AS s4
+             FROM d, LATERAL unnest(range(1, length(text) - 2)) t(i)),
+      hh AS (SELECT doc_id,
+                    ('0x' || substr(md5(s4), 1, 16))::UBIGINT::HUGEINT AS h1,
+                    ('0x' || substr(md5(s4), 17, 16))::UBIGINT::HUGEINT AS h2
+             FROM sh),
+      lanes AS (SELECT doc_id, k.k AS k,
+                       min(((h1 + (42 + k.k) * h2) % 9223372036854775808)::BIGINT) AS v
+                FROM hh, (SELECT unnest(range(0, 64)) AS k) k
+                GROUP BY doc_id, k.k),
+      sig AS (SELECT doc_id, list(v ORDER BY k) AS s FROM lanes GROUP BY doc_id),
+      bands AS (SELECT doc_id, b.b AS b,
+                       s[4*b.b + 1]::VARCHAR || ',' || s[4*b.b + 2]::VARCHAR || ',' ||
+                       s[4*b.b + 3]::VARCHAR || ',' || s[4*b.b + 4]::VARCHAR AS key
+                FROM sig, (SELECT unnest(range(0, 16)) AS b) b),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+               FROM bands a JOIN bands c
+                 ON a.b = c.b AND a.key = c.key AND a.doc_id < c.doc_id),
+      est AS (SELECT id_a, id_b,
+                     len(list_filter(range(1, 65), i -> sa.s[i] = sb.s[i]))::DOUBLE / 64.0 AS est
+              FROM cand
+              JOIN sig sa ON sa.doc_id = cand.id_a
+              JOIN sig sb ON sb.doc_id = cand.id_b)
+      SELECT id_a, id_b, round(est, 4) AS est_jaccard
+      FROM est WHERE est >= 0.35
+      ORDER BY id_a, id_b""",
+
+    // replicates the MD5-derived Rademacher hyperplanes: bucket = 8 sign
+    // bits of plane dot products; probes = bucket + each single-bit flip;
+    // rerank candidates by cosine rounded to 4, ties by neighbor id
+    "e02_ann_lsh" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      pl AS (SELECT b.b AS b,
+                    list(CASE WHEN (('0x' || substr(md5('lsh:7:' || b.b::VARCHAR || ':' || j.j::VARCHAR), 1, 16))::UBIGINT & 1::UBIGINT) = 1::UBIGINT
+                         THEN 1.0 ELSE -1.0 END ORDER BY j.j) AS pv
+             FROM (SELECT unnest(range(0, 8)) AS b) b,
+                  (SELECT unnest(range(0, 64)) AS j) j
+             GROUP BY b.b),
+      bk AS (SELECT vec_id,
+                    CAST(sum(CASE WHEN list_dot_product(n.v, pl.pv) >= 0
+                             THEN (1::BIGINT << pl.b::INT) ELSE 0 END) AS BIGINT) AS bucket
+             FROM n CROSS JOIN pl GROUP BY vec_id),
+      q AS (SELECT n.vec_id AS query_id, n.v AS qv, n.nrm AS qn, bk.bucket AS qb
+            FROM n JOIN bk USING (vec_id) WHERE vec_id < 10),
+      probes AS (SELECT query_id, qv, qn, xor(qb, p.p) AS probe
+                 FROM q, (SELECT unnest([0, 1, 2, 4, 8, 16, 32, 64, 128]) AS p) p),
+      c AS (SELECT n.vec_id AS neighbor_id, n.v AS cv, n.nrm AS cn, bk.bucket
+            FROM n JOIN bk USING (vec_id)),
+      cand AS (SELECT query_id, neighbor_id,
+                      round(CASE WHEN qn = 0 OR cn = 0 THEN 0.0
+                            ELSE list_dot_product(qv, cv) / (qn * cn) END, 4) AS cosine
+               FROM probes JOIN c ON probe = bucket AND query_id <> neighbor_id),
+      r AS (SELECT query_id, neighbor_id, cosine,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, neighbor_id ASC) AS rank
+            FROM cand)
+      SELECT query_id, neighbor_id, cosine FROM r WHERE rank <= 5
+      ORDER BY query_id, cosine DESC, neighbor_id""",
+
+    // replicates IVF: centroids = 16 lowest-id vectors; assignment = argmax
+    // cosine (ties -> lowest centroid position); probes = top-4 centroids
+    // per query; rerank by cosine rounded to 4, ties by neighbor id
+    "e03_ann_ivf" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, v AS cv, nrm AS cn
+                FROM n WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT 16)),
+      cc AS (SELECT n.vec_id, n.v, n.nrm, cents.cidx,
+                    CASE WHEN n.nrm = 0 OR cents.cn = 0 THEN 0.0
+                         ELSE list_dot_product(n.v, cents.cv) / (n.nrm * cents.cn) END AS ccos
+             FROM n CROSS JOIN cents),
+      asg AS (SELECT vec_id AS neighbor_id, v AS cvv, nrm AS cnn, cidx
+              FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                                 ORDER BY ccos DESC, cidx ASC) AS rn FROM cc)
+              WHERE rn = 1),
+      prb AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, cidx
+              FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                                 ORDER BY ccos DESC, cidx ASC) AS rn
+                    FROM cc WHERE vec_id < 10)
+              WHERE rn <= 4),
+      cand AS (SELECT query_id, neighbor_id,
+                      round(CASE WHEN qn = 0 OR cnn = 0 THEN 0.0
+                            ELSE list_dot_product(qv, cvv) / (qn * cnn) END, 4) AS cosine
+               FROM prb JOIN asg ON prb.cidx = asg.cidx AND query_id <> neighbor_id),
+      r AS (SELECT query_id, neighbor_id, cosine,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, neighbor_id ASC) AS rank
+            FROM cand)
+      SELECT query_id, neighbor_id, cosine FROM r WHERE rank <= 5
+      ORDER BY query_id, cosine DESC, neighbor_id""",
+
     "e01_cosine_topk" -> """
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),

@@ -737,7 +737,10 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
-    // minhash LSH near-dup candidates — no plain-SQL oracle; rows-only
+    // minhash LSH near-dup candidates. The MD5-lane signature makes the
+    // whole pipeline (shingles -> 64 affine hash lanes -> 16-band collision
+    // -> signature-estimate threshold) exactly replicable by the DuckDB
+    // oracle, so this is value-hash-checked like every exact operator.
     "t05_minhash_pairs" -> ((s, d) => {
       Dedup.minhashLsh(t(s, d, "documents"), "doc_id", "text",
         numHashes = 64, bands = 16, shingleSize = 4, threshold = 0.35)
@@ -784,22 +787,24 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // LSH ANN — approximate; rows-only check
+    // LSH ANN. Deterministic end to end: MD5-derived +-1 hyperplanes and
+    // cosine rounded to 4 BEFORE the top-k rank (ties by neighbor id), so
+    // the DuckDB oracle reproduces buckets, probes and ranking exactly.
     "e02_ann_lsh" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
-        k = 5, bits = 8)
-        .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"))
+        k = 5, bits = 8, roundCosineTo = 4)
+        .select(col("query_id"), col("neighbor_id"), col("cosine"))
         .orderBy(col("query_id"), col("cosine").desc, col("neighbor_id"))
     }),
 
-    // IVF approximate ANN (narrow centroid assignment + broadcast probes)
-    // — approximate; rows-only check like e02
+    // IVF approximate ANN (narrow centroid assignment + broadcast probes),
+    // deterministic like e02: lowest-id centroids, rounded-cosine ranking
     "e03_ann_ivf" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
-        k = 5, nlist = 16, nprobe = 4)
-        .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"))
+        k = 5, nlist = 16, nprobe = 4, roundCosineTo = 4)
+        .select(col("query_id"), col("neighbor_id"), col("cosine"))
         .orderBy(col("query_id"), col("cosine").desc, col("neighbor_id"))
     }),
 
@@ -853,8 +858,9 @@ object SparkEntry {
     })
   )
 
-  /** DuckDB oracle SQL per query (omitted for approximate/rows-only ops:
-    * t05_minhash_pairs, e02_ann_lsh, e03_ann_ivf).
+  /** DuckDB oracle SQL per query — every query has one (the approximate
+    * operators t05/e02/e03 are deterministic via MD5-derived hash families
+    * and rounded-cosine ranking, so the oracle re-derives them exactly).
     */
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -68,8 +68,11 @@ object Dedup {
       seed: Int = 42,
       maxBucket: Int = 0): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val sig = df.select(col(idCol).cast("long").as("_id"),
-      gr_minhash(col(textCol), lit(numHashes), lit(shingleSize), lit(seed)).as("_sig"))
+    // documents too short to produce a single shingle have no meaningful
+    // signature (all-sentinel) and would spuriously pair with each other
+    val sig = df.filter(length(col(textCol)) >= shingleSize)
+      .select(col(idCol).cast("long").as("_id"),
+        gr_minhash(col(textCol), lit(numHashes), lit(shingleSize), lit(seed)).as("_sig"))
     val banded = sig.select(col("_id"), col("_sig"),
       posexplode(gr_bandKeys(col("_sig"), lit(bands))).as(Seq("_band", "_key")))
     val buckets = banded.groupBy(col("_band"), col("_key"))

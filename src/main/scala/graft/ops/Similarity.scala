@@ -35,24 +35,30 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
-  /** IVF (inverted-file) approximate top-k. Centroids are the first `nlist`
-    * corpus vectors (deterministic — no trained model to ship); each corpus
-    * vector is assigned to its nearest centroid by a NARROW map (the
-    * centroid matrix rides into the expression as a literal, so assignment
-    * costs no shuffle — the 100 TB path). Queries probe their `nprobe`
-    * nearest lists; the probe side is tiny and broadcasts, so the corpus
-    * still never shuffles. Exact rerank within probed lists.
+  /** IVF (inverted-file) approximate top-k. Centroids are the `nlist`
+    * lowest-id corpus vectors (deterministic — no trained model to ship, and
+    * no assumption that ids are dense from 0); each corpus vector is
+    * assigned to its nearest centroid by a NARROW map (the centroid matrix
+    * rides into the expression as a literal, so assignment costs no
+    * shuffle — the 100 TB path). Queries probe their `nprobe` nearest
+    * lists; the probe side is tiny and broadcasts, so the corpus still
+    * never shuffles. Exact rerank within probed lists.
+    *
+    * `roundCosineTo >= 0` rounds the cosine BEFORE the top-k rank (ties
+    * broken by neighbor id), making the output deterministic at that
+    * granularity — required when an external oracle re-derives the result.
     */
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String,
-      k: Int = 10, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+      k: Int = 10, nlist: Int = 16, nprobe: Int = 4,
+      roundCosineTo: Int = -1): DataFrame = {
     import org.apache.spark.sql.functions.typedlit
     val cents: Array[Array[Float]] = corpus
-      .filter(col(idCol) < nlist)
-      .select(col(idCol).cast("long"), col(vecCol))
+      .select(col(idCol).cast("long").as("_id"), col(vecCol).as("_v"))
+      .orderBy(col("_id"))
+      .limit(nlist)
       .collect()
-      .sortBy(_.getLong(0))
       .map(_.getSeq[Float](1).toArray)
     val centArr = array(cents.map(c => typedlit(c)).toIndexedSeq: _*)
 
@@ -60,9 +66,10 @@ object Similarity {
       gr_argmaxCosine(col(vecCol), centArr).as("_list"))
     val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
         explode(gr_topnCosine(col(vecCol), centArr, lit(nprobe))).as("_list"))
+    val rawCos = gr_cosine(col("_qv"), col("_cv"))
     val candidates = assigned.join(broadcast(probes),
         assigned("_list") === probes("_list") && col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", gr_cosine(col("_qv"), col("_cv")))
+      .withColumn("cosine", if (roundCosineTo >= 0) round(rawCos, roundCosineTo) else rawCos)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     candidates
@@ -74,11 +81,13 @@ object Similarity {
   /** Approximate top-k: bucket corpus and queries by LSH signature; probe
     * the exact bucket plus all 1-bit-flip neighbors; exact rerank within
     * candidates. Recall grows with `bits` lowered or probes widened.
+    * `roundCosineTo` as in [[ivfTopK]].
     */
   def lshTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String,
-      k: Int = 10, bits: Int = 12, seed: Int = 7): DataFrame = {
+      k: Int = 10, bits: Int = 12, seed: Int = 7,
+      roundCosineTo: Int = -1): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
       gr_lshBucket(col(vecCol), lit(bits), lit(seed)).as("_bucket"))
     // multi-probe: original bucket + flip each bit
@@ -86,9 +95,10 @@ object Similarity {
         gr_lshBucket(col(vecCol), lit(bits), lit(seed)).as("_b0"))
       .withColumn("_probe", explode(array(
         (col("_b0") +: (0 until bits).map(b => col("_b0").bitwiseXOR(lit(1L << b)))): _*)))
+    val rawCos = gr_cosine(col("_qv"), col("_cv"))
     val candidates = c.join(probes, col("_bucket") === col("_probe") &&
       col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", gr_cosine(col("_qv"), col("_cv")))
+      .withColumn("cosine", if (roundCosineTo >= 0) round(rawCos, roundCosineTo) else rawCos)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     // no distinct needed: the probe values (b0 and its single-bit flips) are

@@ -62,22 +62,38 @@ object TextKernel {
     z ^ (z >>> 31)
   }
 
-  /** MinHash signature over character shingles: numHashes values, hash
-    * family i = mix64(fnv1a(shingle) ^ (seed + i)*GOLDEN). Documents with
-    * high Jaccard similarity of shingle sets share many signature slots
-    * (standard MinHash; the LSH banding happens in the Dedup operator).
+  /** MinHash signature over character shingles. Hash family k for a shingle
+    * is the classic two-lane affine form h1 + (seed+k)*h2 (mod 2^64), with
+    * the lanes taken from the MD5 digest of the shingle (bytes 0-7 and 8-15,
+    * big-endian) and the result masked to 63 bits so signed and unsigned
+    * minima agree. MD5 + affine lanes keep the whole signature expressible
+    * in the DuckDB oracle (`('0x' || substr(md5(sh), 1, 16))::UBIGINT` etc.),
+    * unlike a custom mixer. Documents with high Jaccard similarity of
+    * shingle sets share many signature slots (standard MinHash; the LSH
+    * banding happens in the Dedup operator).
     */
   def minhash(text: String, numHashes: Int, shingleSize: Int, seed: Int): Array[Long] = {
     val sig = Array.fill(numHashes)(Long.MaxValue)
     val sh = charShingles(text, shingleSize)
+    val md = java.security.MessageDigest.getInstance("MD5")
     var s = 0
     while (s < sh.length) {
-      val base = fnv1a64(sh(s).getBytes("UTF-8"))
+      val d = md.digest(sh(s).getBytes("UTF-8"))
+      var h1 = 0L; var h2 = 0L
       var i = 0
-      while (i < numHashes) {
-        val h = mix64(base ^ ((seed.toLong + i) * 0x9e3779b97f4a7c15L))
-        if (h < sig(i)) sig(i) = h
+      while (i < 8) {
+        h1 = (h1 << 8) | (d(i) & 0xffL)
+        h2 = (h2 << 8) | (d(i + 8) & 0xffL)
         i += 1
+      }
+      var k = 0
+      while (k < numHashes) {
+        // Long arithmetic wraps mod 2^64; masking to 63 bits afterwards
+        // equals (h1 + (seed+k)*h2) mod 2^63 — what the oracle computes in
+        // HUGEINT
+        val h = (h1 + (seed.toLong + k) * h2) & 0x7fffffffffffffffL
+        if (h < sig(k)) sig(k) = h
+        k += 1
       }
       s += 1
     }
@@ -312,26 +328,43 @@ object VecKernel {
     scored.sortBy { case (s, i) => (-s, i) }.take(n).map(_._2).toArray
   }
 
-  /** Random-hyperplane LSH: `bits` sign bits from seeded pseudo-random
-    * planes (plane components derived from splitmix64 — no stored model).
-    * Vectors with high cosine similarity collide with high probability.
+  /** Random-hyperplane LSH: `bits` sign bits from seeded Rademacher (+-1)
+    * planes. Plane component (b, j) is the low bit of the MD5 of
+    * "lsh:seed:b:j" — deterministic, no stored model, and exactly
+    * replicable by the DuckDB oracle (`md5(...)` + bit test). Sign-LSH with
+    * +-1 components has the same cosine-collision guarantee as gaussian
+    * planes (Charikar's SimHash construction).
     */
   def lshBucket(v: Array[Float], bits: Int, seed: Int): Long = {
+    val planes = planeMatrix(bits, v.length, seed)
     var bucket = 0L
     var b = 0
     while (b < bits) {
+      val row = planes(b)
       var s = 0.0
       var i = 0
-      while (i < v.length) {
-        // deterministic pseudo-gaussian-ish component in [-1,1)
-        val h = TextKernel.mix64((seed.toLong * 0x9e3779b97f4a7c15L) ^ (b.toLong << 32) ^ i.toLong)
-        val comp = (h >> 11).toDouble / (1L << 52).toDouble // in [-1,1)
-        s += comp * v(i)
-        i += 1
-      }
+      while (i < v.length) { s += row(i) * v(i); i += 1 }
       if (s >= 0) bucket |= (1L << b)
       b += 1
     }
     bucket
   }
+
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Array[Double]]]()
+
+  /** +-1 plane matrix for (bits, dim, seed), derived from MD5 and cached —
+    * planes are row-independent, so this is computed once per executor.
+    */
+  private def planeMatrix(bits: Int, dim: Int, seed: Int): Array[Array[Double]] =
+    planeCache.computeIfAbsent((bits, dim, seed), { _ =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      Array.tabulate(bits, dim) { (b, j) =>
+        val d = md.digest(s"lsh:$seed:$b:$j".getBytes("UTF-8"))
+        var h = 0L
+        var i = 0
+        while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+        if ((h & 1L) == 1L) 1.0 else -1.0
+      }
+    })
 }

@@ -493,13 +493,18 @@ object SparkEntry {
     }),
 
     // GeoParquet write -> footer-bbox-pruned read roundtrip (reference
-    // io/parquet.py:22-106); result equals the plain bbox filter g01
+    // io/parquet.py:22-106); hive-partitioned on a derived cell column
+    // (reference partition_on, tests/io/test_parquet.py:186-215) so the
+    // footer pass and pruned read exercise the recursive layout. Result
+    // equals the plain bbox filter g01.
     "g23_geoparquet_roundtrip" -> ((s, d) => {
       val pts = GeoDataFrame(
-        customerPts(s, d).select(col("c_custkey"), col("cx"), col("cy"), col("geometry")),
+        customerPts(s, d)
+          .select(col("c_custkey"), col("cx"), col("cy"), col("geometry"))
+          .withColumn("pcell", (col("cy") / lit(250.0)).cast("int")),
         "geometry", None, Some(("cx", "cy"))).setCrs("EPSG:4326")
       val path = "/tmp/graft_g23_" + d.replaceAll("[^A-Za-z0-9]", "_")
-      graft.io.GeoParquetIO.write(pts, path)
+      graft.io.GeoParquetIO.write(pts, path, partitionBy = Seq("pcell"))
       graft.io.GeoParquetIO.readPruned(s, path, 1000, 200, 5000, 800)
         .df.select(col("c_custkey"), col("cx"), col("cy"))
         .orderBy(col("c_custkey"))

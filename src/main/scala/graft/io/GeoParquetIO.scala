@@ -4,13 +4,13 @@ import graft.api.GeoDataFrame
 import graft.geom.Envelope
 import graft.sql.functions._
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.Path
 import org.apache.parquet.hadoop.{ParquetFileReader, ParquetFileWriter}
 import org.apache.parquet.hadoop.util.{HadoopInputFile, HadoopOutputFile}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import scala.jdk.CollectionConverters._
+import scala.collection.mutable.ArrayBuffer
 
 /** GeoParquet-style IO (reference `dask_geopandas/io/parquet.py` +
   * `io/arrow.py:22-63`): geometry travels as WKB columns; dataset-level
@@ -22,47 +22,88 @@ import scala.jdk.CollectionConverters._
   * the reference's gather_spatial_partitions + cx partition pruning,
   * `io/parquet.py:22-42` + `expr.py:1042-1052`).
   *
-  * Write path: normal Spark parquet write (full parallelism, any
-  * partitioning), then one metadata pass per file appending the "geo" footer
-  * entry via parquet-mr's appendFile (row groups are copied verbatim —
-  * no re-encode; runs per file, parallelizable driver-side).
+  * Write path (fully distributed — nothing data-sized touches the driver):
+  *  1. normal Spark parquet write, optionally hive-partitioned
+  *     (`partitionBy`, reference `partition_on` —
+  *     `tests/io/test_parquet.py:186-215`);
+  *  2. one distributed aggregation computes each written file's bbox
+  *     (task-side, grouped by `input_file_name`);
+  *  3. footer rewrites run as a Spark job over the file list — each task
+  *     appends the "geo" footer entry via parquet-mr's appendFile (row
+  *     groups byte-copied, no re-encode). The driver only lists file names.
   */
 object GeoParquetIO {
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
-  // --------------------------------------------------------------- write
-  def write(gdf: GeoDataFrame, path: String, mode: String = "overwrite"): Unit = {
-    val spark = gdf.df.sparkSession
-    gdf.df.write.mode(mode).parquet(path)
+  /** Minimal serializable Hadoop-configuration carrier so footer-rewrite
+    * tasks see the session's filesystem settings (credentials etc.).
+    */
+  private final class SerializableConf(@transient var value: Configuration)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new Configuration(false)
+      value.readFields(in)
+    }
+  }
 
-    // per-file bbox: one aggregation over the written files
+  /** Scheme-independent path form used to key per-file bboxes
+    * (`input_file_name` returns a URI, FileSystem listings a Path).
+    */
+  private def normPath(s: String): String = new Path(s).toUri.getPath
+
+  /** Recursively list data files of a (possibly hive-partitioned) dataset. */
+  private def listParquetFiles(conf: Configuration, root: Path): Seq[Path] = {
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) return Nil
+    val out = ArrayBuffer[Path]()
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      if (st.isFile && name.endsWith(".parquet") && !name.startsWith("_") &&
+        !name.startsWith(".")) out += st.getPath
+    }
+    out.toSeq
+  }
+
+  // --------------------------------------------------------------- write
+  def write(gdf: GeoDataFrame, path: String, mode: String = "overwrite",
+      partitionBy: Seq[String] = Nil): Unit = {
+    val spark = gdf.df.sparkSession
+    val writer = gdf.df.write.mode(mode)
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer).parquet(path)
+
+    // per-file bbox: one distributed aggregation over the written files
     val written = spark.read.parquet(path)
-    val bboxes = written
+    val bboxes: Map[String, Envelope] = written
       .groupBy(input_file_name().as("file"))
       .agg(st_envelopeAgg(col(gdf.geometryColumn)).as("b"))
       .select(col("file"), col("b.xmin"), col("b.ymin"), col("b.xmax"), col("b.ymax"))
       .collect()
-      .map(r => (r.getString(0), Envelope(r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .map(r => (normPath(r.getString(0)),
+        Envelope(r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
       .toMap
 
     val conf = spark.sessionState.newHadoopConf()
-    val fs = new Path(path).getFileSystem(conf)
-    val files = fs.listStatus(new Path(path)).map(_.getPath)
-      .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
+    val files = listParquetFiles(conf, new Path(path))
 
-    // footer rewrites are independent per file: run them concurrently (the
-    // driver only coordinates; each rewrite is a byte-copy + footer append)
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    implicit val ec: ExecutionContext = ExecutionContext.global
-    val work = files.toSeq.map { p =>
-      Future {
-        val bbox = bboxes.collectFirst { case (f, e) if f.endsWith(p.getName) => e }
-        addGeoFooter(conf, p, gdf.geometryColumn, gdf.crs, bbox)
-      }
+    // footer rewrites are independent per file: run them as a Spark job so
+    // a 100k-file dataset rewrites with full cluster parallelism (each task
+    // is a byte-copy + footer append; the driver ships only file names)
+    val work = files.map(p => (p.toString, bboxes.get(normPath(p.toString))))
+    val sconf = new SerializableConf(conf)
+    val geomCol = gdf.geometryColumn
+    val crs = gdf.crs
+    val slices = math.max(1, math.min(work.size, spark.sparkContext.defaultParallelism))
+    spark.sparkContext.parallelize(work, slices).foreach { case (file, bbox) =>
+      addGeoFooter(sconf.value, new Path(file), geomCol, crs, bbox)
     }
-    Await.result(Future.sequence(work), Duration.Inf)
   }
 
   /** Rewrite one parquet file with the "geo" footer key added. Row groups
@@ -108,13 +149,12 @@ object GeoParquetIO {
   final case class GeoFileMeta(primaryColumn: String, crs: Option[String],
       fileBBoxes: Map[String, Envelope])
 
-  /** Read the "geo" footer metadata of every file in the dataset. */
+  /** Read the "geo" footer metadata of every data file in the dataset
+    * (recursing through hive partition directories).
+    */
   def readMeta(spark: SparkSession, path: String): Option[GeoFileMeta] = {
     val conf = spark.sessionState.newHadoopConf()
-    val root = new Path(path)
-    val fs = root.getFileSystem(conf)
-    val files = fs.listStatus(root).map(_.getPath)
-      .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
+    val files = listParquetFiles(conf, new Path(path))
     if (files.isEmpty) return None
 
     var primary: String = null
@@ -160,7 +200,8 @@ object GeoParquetIO {
   /** Bbox-pruned read: drop whole files from the scan using only footer
     * bboxes — no task ever touches a pruned file. This is the 100 TB path:
     * after a spatialShuffle+write, a selective bbox query reads the few
-    * files whose extent intersects it.
+    * files whose extent intersects it. `basePath` keeps hive partition
+    * columns when reading a pruned subset of a partitioned dataset.
     */
   def readPruned(spark: SparkSession, path: String,
       xmin: Double, ymin: Double, xmax: Double, ymax: Double): GeoDataFrame = {
@@ -172,7 +213,7 @@ object GeoParquetIO {
         val df =
           if (keep.isEmpty)
             spark.read.parquet(path).limit(0)
-          else spark.read.parquet(keep: _*)
+          else spark.read.option("basePath", path).parquet(keep: _*)
         GeoDataFrame(df, m.primaryColumn)
           .setCrs(m.crs.getOrElse("OGC:CRS84"))
           .cx(xmin, ymin, xmax, ymax)

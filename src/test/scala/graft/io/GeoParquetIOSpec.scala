@@ -64,6 +64,32 @@ class GeoParquetIOSpec extends AnyFunSuite {
     assert(pruned.df.count() == want)
   }
 
+  test("hive-partitioned write: footers in partition dirs, pruned read keeps partition column") {
+    val path = tmpDir()
+    val g = sample()
+    val withCell = GeoDataFrame(g.df.withColumn("cell", ($"x" / 25.0).cast("int")),
+      g.geometryColumn).setCrs("EPSG:3857")
+    GeoParquetIO.write(withCell, path, partitionBy = Seq("cell"))
+    // footers found recursively under cell=*/ dirs
+    val meta = GeoParquetIO.readMeta(spark, path).get
+    assert(meta.primaryColumn == "geometry")
+    assert(meta.crs.contains("EPSG:3857"))
+    assert(meta.fileBBoxes.nonEmpty)
+    assert(meta.fileBBoxes.keys.forall(_.contains("cell=")), meta.fileBBoxes.keys.head)
+    // full read roundtrips rows and the partition column
+    val back = GeoParquetIO.read(spark, path)
+    assert(back.df.count() == 500)
+    assert(back.df.columns.contains("cell"))
+    // pruned read returns the right rows and keeps the partition column
+    val pruned = GeoParquetIO.readPruned(spark, path, 0, 0, 20, 100)
+    val want = sample().df.filter($"x" <= 20).count()
+    assert(pruned.df.count() == want)
+    assert(pruned.df.columns.contains("cell"))
+    // partitioning actually pruned whole files
+    val hit = meta.fileBBoxes.values.count(_.intersects(graft.geom.Envelope(0, 0, 20, 100)))
+    assert(hit < meta.fileBBoxes.size, s"expected file pruning, all $hit hit")
+  }
+
   test("read of plain parquet (no geo footer) degrades gracefully") {
     val path = tmpDir()
     Seq((1L, 2.0)).toDF("id", "v").write.parquet(path)

@@ -475,6 +475,10 @@ object OracleSql {
         round((3.0 * w * w / 4.0)::DOUBLE, 4) AS i_area
       FROM p ORDER BY s_suppkey""",
 
+    "g33_csv_wkt" -> """
+      SELECT c_custkey::BIGINT AS c_custkey, c_acctbal AS x, (c_custkey % 1000)::DOUBLE AS y
+      FROM customer ORDER BY c_custkey""",
+
     "g28_accessors" -> """
       WITH p AS (SELECT s_suppkey, ((s_suppkey % 5) + 3) * 10 AS w FROM supplier)
       SELECT s_suppkey,

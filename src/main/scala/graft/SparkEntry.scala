@@ -689,6 +689,22 @@ object SparkEntry {
         .orderBy(col("s_suppkey"))
     }),
 
+    // read_file substitute (reference io/file.py:49-149): write customer
+    // points as CSV with a WKT column, ingest via fromCsv (distributed CSV
+    // scan + WKT parse), recover exact coordinates
+    "g33_csv_wkt" -> ((s, d) => {
+      val path = "/tmp/graft_g33_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      customerPts(s, d)
+        .select(col("c_custkey"),
+          concat(lit("POINT ("), col("cx").cast("string"),
+            lit(" "), col("cy").cast("string"), lit(")")).as("wkt"))
+        .write.mode("overwrite").option("header", "true").csv(path)
+      GeoDataFrame.fromCsv(s, path, "wkt", format = "wkt", crs = Some("EPSG:4326"))
+        .df.select(col("c_custkey").cast("long").as("c_custkey"),
+          st_x(col("geometry")).as("x"), st_y(col("geometry")).as("y"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // accessors: interior rings, geometryN, dumpPoints, bounds struct, Z
     // (reference expr.py:947-981)
     "g28_accessors" -> ((s, d) => {

@@ -330,4 +330,36 @@ object GeoDataFrame {
   /** from_wkb (reference `expr.py:922-944`). */
   def fromWkb(df: DataFrame, wkbCol: String, geometryColumn: String = "geometry"): GeoDataFrame =
     GeoDataFrame(df.withColumn(geometryColumn, st_geomFromWKB(col(wkbCol))), geometryColumn)
+
+  /** read_file substitute (reference `io/file.py:49-149`): ingest a CSV
+    * dataset whose geometry travels as a WKT (`format = "wkt"`) or
+    * hex-encoded WKB (`format = "wkb_hex"`) text column. OGR drivers are
+    * out of scope for this build (no native lib available); delimited text
+    * with WKT/WKB covers the interchange capability, and the scan is a
+    * plain distributed Spark CSV read (splittable, schema-inferred), so it
+    * scales like any other source.
+    */
+  def fromCsv(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      geomTextCol: String,
+      format: String = "wkt",
+      header: Boolean = true,
+      inferSchema: Boolean = true,
+      geometryColumn: String = "geometry",
+      crs: Option[String] = None): GeoDataFrame = {
+    graft.sql.functions.install(spark)
+    val df = spark.read
+      .option("header", header.toString)
+      .option("inferSchema", inferSchema.toString)
+      .csv(path)
+    val parsed = format match {
+      case "wkt"             => st_geomFromWKT(col(geomTextCol))
+      case "wkb" | "wkb_hex" => st_geomFromWKB(unhex(col(geomTextCol)))
+      case other => throw new IllegalArgumentException(
+        s"unknown geometry text format $other (wkt | wkb_hex)")
+    }
+    val g = GeoDataFrame(df.withColumn(geometryColumn, parsed), geometryColumn)
+    crs.map(g.setCrs).getOrElse(g)
+  }
 }

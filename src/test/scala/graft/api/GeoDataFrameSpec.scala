@@ -124,6 +124,31 @@ class GeoDataFrameSpec extends AnyFunSuite {
     orig.zip(round).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
   }
 
+  test("fromCsv ingests WKT and hex-WKB geometry columns") {
+    val dir = java.nio.file.Files.createTempDirectory("graftcsv").toFile
+    dir.deleteOnExit()
+    val pts = points(50)
+    // WKT roundtrip
+    val wktPath = dir.getAbsolutePath + "/wkt"
+    pts.df.select($"id", st_asText($"geometry").as("wkt"))
+      .write.mode("overwrite").option("header", "true").csv(wktPath)
+    val backWkt = GeoDataFrame.fromCsv(spark, wktPath, "wkt", format = "wkt",
+      crs = Some("EPSG:4326"))
+    assert(backWkt.crs.contains("EPSG:4326"))
+    assert(backWkt.df.count() == 50)
+    val sumX = pts.df.agg(sum($"x")).head().getDouble(0)
+    val backSumX = backWkt.df.agg(sum(st_x($"geometry"))).head().getDouble(0)
+    assert(math.abs(sumX - backSumX) < 1e-9)
+    // hex-WKB roundtrip
+    val wkbPath = dir.getAbsolutePath + "/wkb"
+    pts.df.select($"id", hex(st_asBinary($"geometry")).as("wkb"))
+      .write.mode("overwrite").option("header", "true").csv(wkbPath)
+    val backWkb = GeoDataFrame.fromCsv(spark, wkbPath, "wkb", format = "wkb_hex")
+    assert(backWkb.df.count() == 50)
+    val backSumX2 = backWkb.df.agg(sum(st_x($"geometry"))).head().getDouble(0)
+    assert(math.abs(sumX - backSumX2) < 1e-9)
+  }
+
   test("spatialShuffle produces sorted non-overlapping-ish key ranges") {
     val g = points(1000).spatialShuffle(by = "morton", level = 12, numPartitions = Some(8),
       calculatePartitions = false)

@@ -208,11 +208,13 @@ object SparkEntry {
         .orderBy(col("c_custkey"), col("r_regionkey"))
     }),
 
-    // sjoin grid strategy — same semantics, shuffle-join plan
+    // sjoin grid strategy — same semantics, shuffle-join plan. The fixed
+    // cellSize grid needs no data bounds, so the plan has ZERO eager scans
+    // (the old path ran two totalBounds jobs before planning).
     "g15_sjoin_grid" -> ((s, d) => {
       GeoDataFrame(customerPts(s, d))
         .sjoin(GeoDataFrame(regionTris(s, d)), predicate = "within", strategy = "grid",
-          gridLevel = 5)
+          cellSize = Some(500.0))
         .select(col("c_custkey"), col("r_regionkey").cast("long").as("r_regionkey"))
         .orderBy(col("c_custkey"), col("r_regionkey"))
     }),

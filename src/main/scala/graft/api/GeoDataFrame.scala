@@ -243,14 +243,18 @@ final case class GeoDataFrame(
     *  - `"broadcast"`: broadcast the right side; becomes a
     *    BroadcastNestedLoopJoin with the predicate expression. Right for
     *    dimension-table-sized right sides.
-    *  - `"grid"`: both sides large — overlay a fixed uniform grid on the
-    *    data bounds, explode each row to the cells its envelope overlaps,
-    *    shuffle-join on cell id (plain equi-join: co-partitioned, AQE/skew
-    *    handled by Spark), refine with the exact predicate, and emit each
-    *    pair only from its canonical anchor cell so no dedup pass is needed.
-    *    This replaces the reference's partition-pair cartesian planning
-    *    (`sjoin.py:83-90`) with a formulation that scales with data, not
-    *    with partition-count².
+    *  - `"grid"`: both sides large — explode each row to the uniform grid
+    *    cells its envelope overlaps, shuffle-join on cell id (plain
+    *    equi-join: co-partitioned, AQE/skew handled by Spark), refine with
+    *    the exact predicate, and emit each pair only from its canonical
+    *    anchor cell so no dedup pass is needed. This replaces the
+    *    reference's partition-pair cartesian planning (`sjoin.py:83-90`)
+    *    with a formulation that scales with data, not with
+    *    partition-count². The grid comes from (in order):
+    *    an explicit `cellSize` (origin-anchored fixed grid — ZERO eager
+    *    scans, the 100 TB path), known `spatialPartitions` envelopes on
+    *    both sides (driver metadata only), or one combined bounds job over
+    *    both inputs (never the former two eager per-side scans).
     *  - `"auto"`: grid when both sides have >broadcastThreshold rows hint,
     *    else broadcast.
     */
@@ -259,6 +263,7 @@ final case class GeoDataFrame(
       predicate: String = "intersects",
       strategy: String = "auto",
       gridLevel: Int = 6,
+      cellSize: Option[Double] = None,
       rsuffix: String = "_right"): DataFrame = {
 
     val leftDf = df
@@ -288,22 +293,46 @@ final case class GeoDataFrame(
         leftDf.join(broadcast(rightRenamed),
           pred(leftDf(geometryColumn), rightRenamed(rGeomName)), "inner")
       case _ =>
-        // common bounds for the grid
-        val lb = totalBounds(); val rb = right.totalBounds()
-        val b = lb.union(rb)
-        val cellsL = st_gridCells(leftDf(geometryColumn),
-          lit(b.minX), lit(b.minY), lit(b.maxX), lit(b.maxY), lit(gridLevel))
-        val cellsR = st_gridCells(rightRenamed(rGeomName),
-          lit(b.minX), lit(b.minY), lit(b.maxX), lit(b.maxY), lit(gridLevel))
+        val (cellsL, cellsR, anchor) = cellSize match {
+          case Some(s) =>
+            // fixed origin-anchored grid: nothing to scan before planning
+            (st_gridCellsSized(leftDf(geometryColumn), lit(s)),
+              st_gridCellsSized(rightRenamed(rGeomName), lit(s)),
+              st_gridCellAnchorSized(col(geometryColumn), col(rGeomName), lit(s)))
+          case None =>
+            val b = gridBoundsFromMetadataOr(right)
+            (st_gridCells(leftDf(geometryColumn),
+              lit(b.minX), lit(b.minY), lit(b.maxX), lit(b.maxY), lit(gridLevel)),
+              st_gridCells(rightRenamed(rGeomName),
+                lit(b.minX), lit(b.minY), lit(b.maxX), lit(b.maxY), lit(gridLevel)),
+              st_gridCellAnchor(col(geometryColumn), col(rGeomName),
+                lit(b.minX), lit(b.minY), lit(b.maxX), lit(b.maxY), lit(gridLevel)))
+        }
         val l = leftDf.withColumn("_cell", explode(cellsL))
         val r = rightRenamed.withColumn("_cell", explode(cellsR))
         l.join(r, Seq("_cell"), "inner")
           .filter(pred(col(geometryColumn), col(rGeomName)))
-          .filter(st_gridCellAnchor(col(geometryColumn), col(rGeomName),
-            lit(b.minX), lit(b.minY), lit(b.maxX), lit(b.maxY), lit(gridLevel)) === col("_cell"))
+          .filter(anchor === col("_cell"))
           .drop("_cell")
     }
   }
+
+  /** Grid bounds for the level-based grid sjoin: prefer driver-side
+    * spatial-partition envelopes (metadata only, no job); otherwise ONE
+    * combined bounds aggregation over both inputs — never two separate
+    * eager scans.
+    */
+  private def gridBoundsFromMetadataOr(right: GeoDataFrame): Envelope =
+    (spatialPartitions, right.spatialPartitions) match {
+      case (Some(lp), Some(rp)) if lp.nonEmpty && rp.nonEmpty =>
+        (lp ++ rp).reduce(_ union _)
+      case _ =>
+        val both = df.select(geom.as("_g"))
+          .union(right.df.select(right.geom.as("_g")))
+        val r = both.agg(st_envelopeAgg(col("_g"))).head().getStruct(0)
+        if (r == null) Envelope.empty
+        else Envelope(r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    }
 
   private def rightIsSmall(right: GeoDataFrame): Boolean = {
     // cheap heuristic without forcing a count: leaf file size if available

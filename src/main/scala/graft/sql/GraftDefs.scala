@@ -241,6 +241,13 @@ object GraftDefs {
     "st_gridcell_anchor" -> Spec(Seq(B, B, D, D, D, D, I), L, { a =>
       val e = geom(a(0)).envelope.intersection(geom(a(1)).envelope)
       GridIndex.anchorCell(e, dbl(a(2)), dbl(a(3)), dbl(a(4)), dbl(a(5)), int(a(6)))
+    }),
+    // fixed-size origin-anchored grid: no data bounds needed (scan-free plan)
+    "st_gridcells_sized" -> Spec(Seq(B, D), ArrayType(L),
+      a => GridIndex.cellsOfSized(geom(a(0)).envelope, dbl(a(1)))),
+    "st_gridcell_anchor_sized" -> Spec(Seq(B, B, D), L, { a =>
+      val e = geom(a(0)).envelope.intersection(geom(a(1)).envelope)
+      GridIndex.anchorCellSized(e, dbl(a(2)))
     })
   )
 
@@ -498,5 +505,35 @@ object GridIndex {
     val n = 1L << level
     if (inter.isEmpty) return -1L
     cellCoord(inter.minX, minX, maxX, level) * n + cellCoord(inter.minY, minY, maxY, level)
+  }
+
+  // ---- fixed-size grid (anchored at the origin): needs NO data bounds, so
+  // a grid sjoin plans with zero eager scans. Cell ids pack the two signed
+  // 32-bit cell coordinates into one long (collision-free for coordinates
+  // within +-2^31 cells of the origin — universes beyond that want a
+  // larger cellSize anyway).
+  @inline private def packCell(ix: Long, iy: Long): Long = (ix << 32) | (iy & 0xffffffffL)
+
+  def cellsOfSized(e: Envelope, cellSize: Double): GenericArrayData = {
+    if (e.isEmpty || cellSize <= 0) return new GenericArrayData(Array.empty[Any])
+    val x0 = math.floor(e.minX / cellSize).toLong
+    val x1 = math.floor(e.maxX / cellSize).toLong
+    val y0 = math.floor(e.minY / cellSize).toLong
+    val y1 = math.floor(e.maxY / cellSize).toLong
+    val out = new Array[Any](((x1 - x0 + 1) * (y1 - y0 + 1)).toInt)
+    var i = 0
+    var x = x0
+    while (x <= x1) {
+      var y = y0
+      while (y <= y1) { out(i) = packCell(x, y); i += 1; y += 1 }
+      x += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def anchorCellSized(inter: Envelope, cellSize: Double): Long = {
+    if (inter.isEmpty || cellSize <= 0) return Long.MinValue
+    packCell(math.floor(inter.minX / cellSize).toLong,
+      math.floor(inter.minY / cellSize).toLong)
   }
 }

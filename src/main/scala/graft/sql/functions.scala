@@ -135,6 +135,10 @@ object functions {
   def st_gridCellAnchor(a: Column, b: Column, xmin: Column, ymin: Column, xmax: Column,
       ymax: Column, level: Column): Column =
     fn("st_gridcell_anchor", a, b, xmin, ymin, xmax, ymax, level)
+  def st_gridCellsSized(g: Column, cellSize: Column): Column =
+    fn("st_gridcells_sized", g, cellSize)
+  def st_gridCellAnchorSized(a: Column, b: Column, cellSize: Column): Column =
+    fn("st_gridcell_anchor_sized", a, b, cellSize)
 
   // ------------------------------------------------------------- aggregates
   def st_unionAgg(g: Column): Column = agg(StUnionAgg(expr(g)))

@@ -209,7 +209,13 @@ object Constructive {
         Overlay.erodeConvex(p, -dist)
       case p: Polygon => erodeGeneral(p, -dist, resolution)
       case m: MultiPolygon =>
-        val parts = m.polys.toIndexedSeq.map(buffer(_, dist, resolution))
+        // merge touching parts BEFORE eroding: per-part erosion would also
+        // erode along shared (interior) boundaries and underestimate the
+        // result; after the union the remaining parts are pairwise disjoint
+        // so per-part erosion is exact
+        val merged = Geometry.parts(Overlay.unionAll(m.polys.toIndexedSeq))
+          .collect { case p: Polygon if !p.isEmpty => p }
+        val parts = merged.map(buffer(_, dist, resolution))
           .flatMap(Geometry.parts).collect { case p: Polygon if !p.isEmpty => p }
         if (parts.isEmpty) GeometryCollection(Array.empty)
         else if (parts.length == 1) parts(0) else MultiPolygon(parts.toArray)

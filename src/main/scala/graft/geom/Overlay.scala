@@ -73,7 +73,78 @@ object Overlay {
     // containment fast paths return the original geometry unchanged
     if (Predicates.covers(a, b)) return b
     if (Predicates.covers(b, a)) return a
-    PolygonClip.overlay(a, b, PolygonClip.OpIntersection)
+    val areal = PolygonClip.overlay(a, b, PolygonClip.OpIntersection)
+    if (!areal.isEmpty) return areal
+    // zero-area overlap: operands that merely touch intersect in their
+    // shared boundary — return the shared segments/points like GEOS does
+    // instead of an empty collection
+    if (Predicates.intersects(a, b)) boundaryIntersection(a, b)
+    else areal
+  }
+
+  /** Intersection of the boundaries of two areal geometries: shared
+    * (collinear-overlapping) edge segments, or touch points where no
+    * segment is shared. Supports the dimension-collapse cases of
+    * intersection (edge-touch -> LineString, corner-touch -> Point).
+    */
+  private def boundaryIntersection(a: Geometry, b: Geometry): Geometry = {
+    def edgesOf(g: Geometry): Array[Array[Double]] = g match {
+      case p: Polygon      => p.rings
+      case m: MultiPolygon => m.polys.flatMap(_.rings)
+      case _               => Array.empty
+    }
+    val ra = edgesOf(a); val rb = edgesOf(b)
+    val segs = ArrayBuffer[(Double, Double, Double, Double)]()
+    val pts = ArrayBuffer[(Double, Double)]()
+    ra.foreach { ea =>
+      var i = 0
+      while (i + 3 < ea.length) {
+        val ax = ea(i); val ay = ea(i + 1); val bx = ea(i + 2); val by = ea(i + 3)
+        val dx = bx - ax; val dy = by - ay
+        rb.foreach { eb =>
+          var j = 0
+          while (j + 3 < eb.length) {
+            val cx = eb(j); val cy = eb(j + 1); val ddx = eb(j + 2); val ddy = eb(j + 3)
+            val collinear = Predicates.orient(ax, ay, bx, by, cx, cy) == 0 &&
+              Predicates.orient(ax, ay, bx, by, ddx, ddy) == 0
+            if (collinear) {
+              // overlap interval in A-edge parameter space
+              @inline def tOf(px: Double, py: Double): Double =
+                if (math.abs(dx) >= math.abs(dy)) (px - ax) / dx else (py - ay) / dy
+              if (dx != 0 || dy != 0) {
+                val t0 = tOf(cx, cy); val t1 = tOf(ddx, ddy)
+                val lo = math.max(0.0, math.min(t0, t1))
+                val hi = math.min(1.0, math.max(t0, t1))
+                if (hi > lo) {
+                  segs += ((ax + lo * dx, ay + lo * dy, ax + hi * dx, ay + hi * dy))
+                } else if (hi == lo) {
+                  pts += ((ax + lo * dx, ay + lo * dy))
+                }
+              }
+            } else if (Predicates.segmentsIntersect(ax, ay, bx, by, cx, cy, ddx, ddy)) {
+              segParamIntersection(ax, ay, bx, by, cx, cy, ddx, ddy)
+                .foreach(t => pts += ((ax + t * dx, ay + t * dy)))
+            }
+            j += 2
+          }
+        }
+        i += 2
+      }
+    }
+    val distinctSegs = segs.map { case (x1, y1, x2, y2) =>
+      if (x1 < x2 || (x1 == x2 && y1 <= y2)) (x1, y1, x2, y2) else (x2, y2, x1, y1)
+    }.distinct
+    if (distinctSegs.nonEmpty) {
+      val lines = distinctSegs.map { case (x1, y1, x2, y2) =>
+        LineString(Array(x1, y1, x2, y2))
+      }
+      if (lines.length == 1) lines(0) else MultiLineString(lines.toArray)
+    } else {
+      val distinctPts = pts.distinct
+      if (distinctPts.isEmpty) GeometryCollection(Array.empty)
+      else if (distinctPts.length == 1) Point(distinctPts(0)._1, distinctPts(0)._2)
+      else MultiPoint(distinctPts.sorted.map { case (x, y) => Point(x, y) }.toArray)
+    }
   }
 
   /** One half-plane clip step: keep the part of `poly` on the requested side

@@ -206,6 +206,34 @@ class PolygonClipSpec extends AnyFunSuite {
     assert(Wkt.write(u(b, a)) == w1)
   }
 
+  test("intersection of edge-touching polygons is the shared LineString") {
+    val a = Wkt.read("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")
+    val b = Wkt.read("POLYGON ((2 0.5, 4 0.5, 4 1.5, 2 1.5, 2 0.5))") // touches x=2, y in [0.5,1.5]
+    val int = i(a, b)
+    assert(int.topoDim == 1, Wkt.write(int))
+    assertClose(Measures.length(int), 1.0, "shared edge length")
+    assertClose(area(int), 0.0)
+  }
+
+  test("intersection of corner-touching polygons is the touch Point") {
+    val a = Wkt.read("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")
+    val b = Wkt.read("POLYGON ((2 2, 4 2, 4 4, 2 4, 2 2))")
+    val int = i(a, b)
+    assert(int.isInstanceOf[Point], Wkt.write(int))
+    val p = int.asInstanceOf[Point]
+    assert(p.x == 2.0 && p.y == 2.0)
+  }
+
+  test("negative buffer of touching multipolygon parts merges before eroding") {
+    // two squares sharing edge x=2: merged rect [0,4]x[0,2]; erode 0.5 ->
+    // [0.5,3.5]x[0.5,1.5] = 3.0 (per-part erosion would wrongly give 2.0)
+    val m = Wkt.read(
+      "MULTIPOLYGON (((0 0, 2 0, 2 2, 0 2, 0 0)), ((2 0, 4 0, 4 2, 2 2, 2 0)))")
+    val eroded = Constructive.buffer(m, -0.5)
+    assertClose(area(eroded), 3.0, "merged erosion area")
+    assert(nParts(eroded) == 1, Wkt.write(eroded))
+  }
+
   test("negative buffer of concave polygon (erosion via general difference)") {
     // L-shape eroded by 0.5: offset polygon area has closed form for this shape
     val l = Wkt.read("POLYGON ((0 0, 4 0, 4 2, 2 2, 2 4, 0 4, 0 0))")

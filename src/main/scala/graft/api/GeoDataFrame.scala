@@ -334,6 +334,24 @@ final case class GeoDataFrame(
         else Envelope(r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
     }
 
+  // --------------------------------------------------------------- persist
+  /** Persist the underlying data while keeping the wrapper's spatial
+    * partition metadata (reference persist, `expr.py:107-115` — dask
+    * re-attaches `spatial_partitions` to the persisted collection).
+    */
+  def persist(level: org.apache.spark.storage.StorageLevel =
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): GeoDataFrame = {
+    df.persist(level)
+    this
+  }
+
+  def cache(): GeoDataFrame = persist()
+
+  def unpersist(blocking: Boolean = false): GeoDataFrame = {
+    df.unpersist(blocking)
+    this
+  }
+
   private def rightIsSmall(right: GeoDataFrame): Boolean = {
     // cheap heuristic without forcing a count: leaf file size if available
     val sizeBytes = try {

@@ -124,6 +124,21 @@ class GeoDataFrameSpec extends AnyFunSuite {
     orig.zip(round).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
   }
 
+  test("persist keeps spatial partitions and storage level") {
+    val g = points(300).spatialShuffle(by = "hilbert", level = 10, numPartitions = Some(4))
+    assert(g.spatialPartitions.isDefined)
+    val p = g.persist()
+    assert(p.spatialPartitions.isDefined && p.spatialPartitions.get.length == 4)
+    assert(p.df.storageLevel.useMemory, "expected a cached storage level")
+    assert(p.df.count() == 300)
+    // pruning still works on the persisted frame
+    val e = p.spatialPartitions.get.head
+    val sub = p.cx(e.minX, e.minY, e.maxX, e.maxY)
+    assert(sub.df.count() > 0)
+    p.unpersist()
+    assert(!p.df.storageLevel.useMemory)
+  }
+
   test("fromCsv ingests WKT and hex-WKB geometry columns") {
     val dir = java.nio.file.Files.createTempDirectory("graftcsv").toFile
     dir.deleteOnExit()

@@ -475,6 +475,22 @@ object OracleSql {
         round((3.0 * w * w / 4.0)::DOUBLE, 4) AS i_area
       FROM p ORDER BY s_suppkey""",
 
+    "g34_touch_intersection" -> """
+      WITH p AS (SELECT s_suppkey, ((s_suppkey % 10) + 1)::DOUBLE AS h FROM supplier)
+      SELECT s_suppkey,
+        'LineString' AS itype,
+        round(2.0 * least(h, 2.0), 4) AS ilen,
+        'Point' AS ptype,
+        (0.0)::DOUBLE AS iarea
+      FROM p ORDER BY s_suppkey""",
+
+    "g35_multipart_erosion" -> """
+      WITH p AS (SELECT s_suppkey, ((s_suppkey % 5) + 1)::DOUBLE AS w FROM supplier)
+      SELECT s_suppkey,
+        round(3.0 * w * w, 4) AS inner_area,
+        true AS collapsed_empty
+      FROM p ORDER BY s_suppkey""",
+
     "g33_csv_wkt" -> """
       SELECT c_custkey::BIGINT AS c_custkey, c_acctbal AS x, (c_custkey % 1000)::DOUBLE AS y
       FROM customer ORDER BY c_custkey""",

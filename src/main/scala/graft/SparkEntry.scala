@@ -500,10 +500,14 @@ object SparkEntry {
     // footer pass and pruned read exercise the recursive layout. Result
     // equals the plain bbox filter g01.
     "g23_geoparquet_roundtrip" -> ((s, d) => {
+      // repartition by the partition column before the write: one file per
+      // hive partition instead of tasks x partitions small files — the
+      // correct layout pattern at scale and fewer footers to stamp
       val pts = GeoDataFrame(
         customerPts(s, d)
           .select(col("c_custkey"), col("cx"), col("cy"), col("geometry"))
-          .withColumn("pcell", (col("cy") / lit(250.0)).cast("int")),
+          .withColumn("pcell", (col("cy") / lit(250.0)).cast("int"))
+          .repartition(col("pcell")),
         "geometry", None, Some(("cx", "cy"))).setCrs("EPSG:4326")
       val path = "/tmp/graft_g23_" + d.replaceAll("[^A-Za-z0-9]", "_")
       graft.io.GeoParquetIO.write(pts, path, partitionBy = Seq("pcell"))
@@ -688,6 +692,48 @@ object SparkEntry {
           round(st_area(col("ug")), 4).as("u_area"),
           st_numInteriorRings(col("ug")).cast("long").as("u_holes"),
           round(st_area(st_intersection(col("donut"), col("b"))), 4).as("i_area"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // dimension-collapse intersection (round 5): edge-touching squares
+    // intersect in the shared LineString (length 2*min(h,2)), corner-touching
+    // squares in the touch Point — GEOS semantics, closed-form oracle
+    "g34_touch_intersection" -> ((s, d) => {
+      t(s, d, "supplier")
+        .withColumn("x0", col("s_acctbal"))
+        .withColumn("y0", (col("s_suppkey") % 100).cast("double") * 10.0)
+        .withColumn("h", ((col("s_suppkey") % 10) + 1).cast("double"))
+        .withColumn("a", st_makeEnvelope(col("x0") - col("h"), col("y0") - col("h"),
+          col("x0") + col("h"), col("y0") + col("h")))
+        .withColumn("b", st_makeEnvelope(col("x0") + col("h"), col("y0") - 2.0,
+          col("x0") + col("h") + 3.0, col("y0") + 2.0))
+        .withColumn("c", st_makeEnvelope(col("x0") + col("h"), col("y0") + col("h"),
+          col("x0") + col("h") + 1.0, col("y0") + col("h") + 1.0))
+        .withColumn("ab", st_intersection(col("a"), col("b")))
+        .select(col("s_suppkey"),
+          st_geometryType(col("ab")).as("itype"),
+          round(st_length(col("ab")), 4).as("ilen"),
+          st_geometryType(st_intersection(col("a"), col("c"))).as("ptype"),
+          round(st_area(col("ab")), 4).as("iarea"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // negative buffer of touching multipolygon parts (round 5): parts merge
+    // before erosion, so two squares sharing an edge erode as one rectangle
+    // (3w^2), and over-erosion collapses to empty
+    "g35_multipart_erosion" -> ((s, d) => {
+      t(s, d, "supplier")
+        .withColumn("w", ((col("s_suppkey") % 5) + 1).cast("double"))
+        .withColumn("ox", (col("s_suppkey") % 61).cast("double") * 13.0)
+        .withColumn("oy", (col("s_suppkey") % 53).cast("double") * 17.0)
+        .withColumn("m", st_collect(array(
+          st_makeEnvelope(col("ox"), col("oy"),
+            col("ox") + col("w") * 2.0, col("oy") + col("w") * 2.0),
+          st_makeEnvelope(col("ox") + col("w") * 2.0, col("oy"),
+            col("ox") + col("w") * 4.0, col("oy") + col("w") * 2.0))))
+        .select(col("s_suppkey"),
+          round(st_area(st_buffer(col("m"), -col("w") / 2.0, lit(16))), 4).as("inner_area"),
+          st_isEmpty(st_buffer(col("m"), -(col("w") + 0.1), lit(16))).as("collapsed_empty"))
         .orderBy(col("s_suppkey"))
     }),
 

@@ -720,6 +720,17 @@ object OracleSql {
       WHERE cosine >= 0.3
       ORDER BY id_a, id_b""",
 
+    "m04_frame_sample" -> """
+      WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+      d AS (SELECT doc_id, (1000 + (n * 7) % 59000) AS dur, (12 + n % 19) AS fps FROM m),
+      f AS (SELECT doc_id, (dur * fps) // 1000 AS frames FROM d),
+      s AS (SELECT doc_id, frames, greatest(1, frames // 8) AS step FROM f)
+      SELECT doc_id, frames::BIGINT AS n_frames,
+             (((frames - 1) // step) + 1)::BIGINT AS n_sampled,
+             0::BIGINT AS first_idx,
+             (((frames - 1) // step) * step)::BIGINT AS last_idx
+      FROM s ORDER BY doc_id""",
+
     "m01_image_meta" -> """
       SELECT doc_id,
              (64 + n % 577)::BIGINT AS width,

@@ -919,6 +919,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // video frame-sampling stub over binary payloads (uniform stride toward
+    // a target frame count; deterministic integer math for the oracle)
+    "m04_frame_sample" -> ((s, d) => {
+      Multimodal.frameSample(
+        Multimodal.withBinaryPayload(t(s, d, "documents"), "text"), "payload", 8)
+        .select(col("doc_id"),
+          col("n_frames").cast("long").as("n_frames"),
+          size(col("frame_indices")).cast("long").as("n_sampled"),
+          element_at(col("frame_indices"), 1).cast("long").as("first_idx"),
+          element_at(col("frame_indices"), -1).cast("long").as("last_idx"))
+        .orderBy(col("doc_id"))
+    }),
+
     // lang profile (text analysis rollup; exercises annotate + agg)
     "t08_lang_profile" -> ((s, d) => {
       TextAnalysis.langProfile(t(s, d, "documents"), "text")

@@ -14,8 +14,9 @@ import scala.collection.mutable.ArrayBuffer
   *    unchanged.
   *  - point/line operands: direct clipping against areal geometries,
   *    pairwise segment intersection between curves.
-  *  - union of intersecting mixed-dimension operands is collected, not
-  *    noded (lines are not merged into polygon boundaries).
+  *  - union of mixed-dimension operands: the higher-dimension side absorbs
+  *    the covered part of the lower (poly ∪ crossing line keeps only the
+  *    outside line spans); line ∪ line stays collected, not noded.
   */
 object Overlay {
 
@@ -368,7 +369,18 @@ object Overlay {
     if (!Predicates.intersects(a, b)) return Geometry.collect(Seq(a, b))
     if (Predicates.covers(a, b)) return a
     if (Predicates.covers(b, a)) return b
-    Geometry.collect(Seq(a, b)) // mixed dimensions: collected, not noded
+    // mixed dimensions: the higher-dimension operand absorbs the covered
+    // part of the lower-dimension one (GEOS homogenizes the same way), so
+    // union(polygon, crossing line) keeps only the line part outside
+    if (a.topoDim == 2 && b.topoDim < 2)
+      return Geometry.collect(Seq(a) ++ Geometry.parts(difference(b, a)).filterNot(_.isEmpty))
+    if (b.topoDim == 2 && a.topoDim < 2)
+      return Geometry.collect(Seq(b) ++ Geometry.parts(difference(a, b)).filterNot(_.isEmpty))
+    if (a.topoDim == 1 && b.topoDim == 0)
+      return Geometry.collect(Seq(a) ++ Geometry.parts(difference(b, a)).filterNot(_.isEmpty))
+    if (b.topoDim == 1 && a.topoDim == 0)
+      return Geometry.collect(Seq(b) ++ Geometry.parts(difference(a, b)).filterNot(_.isEmpty))
+    Geometry.collect(Seq(a, b))
   }
 
   def unionPoints(gs: Seq[Geometry]): Geometry = {

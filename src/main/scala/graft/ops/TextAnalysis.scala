@@ -85,4 +85,15 @@ object Multimodal {
       .withColumn("out_h", col("resize_meta.out_h"))
       .withColumn("out_bytes", col("resize_meta.out_bytes"))
       .drop("resize_meta")
+
+  /** Video frame-sampling stub: probe the (fake) container for frame count,
+    * emit a uniform stride of frame indices toward `targetFrames`. A real
+    * pipeline replaces the probe/extract kernel; the narrow stage, struct +
+    * array schema, and downstream explode-ability are the tested shape.
+    */
+  def frameSample(df: DataFrame, binCol: String, targetFrames: Int): DataFrame =
+    df.withColumn("fs", gr_fakeFrameSample(col(binCol), lit(targetFrames)))
+      .withColumn("n_frames", col("fs.n_frames"))
+      .withColumn("frame_indices", col("fs.indices"))
+      .drop("fs")
 }

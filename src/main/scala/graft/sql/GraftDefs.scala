@@ -361,6 +361,21 @@ object GraftDefs {
       val ow = w * target / m
       val oh = h * target / m
       new GenericInternalRow(Array[Any](ow, oh, ow.toLong * oh * c))
+    }),
+    // video frame-sampling stub: deterministic fake container probe
+    // (duration/fps from payload length) + uniform stride sampling toward a
+    // target frame count — integer math only, so the oracle replicates it
+    "gr_fake_frame_sample" -> Spec(Seq(B, I), StructType(Seq(
+      StructField("n_frames", I), StructField("indices", ArrayType(I)))), { a =>
+      val n = a(0).asInstanceOf[Array[Byte]].length
+      val target = math.max(1, int(a(1)))
+      val durMs = 1000 + (n * 7) % 59000
+      val fps = 12 + n % 19
+      val frames = durMs * fps / 1000
+      val step = math.max(1, frames / target)
+      val idx = (0 until frames by step).toArray
+      new GenericInternalRow(Array[Any](frames,
+        new GenericArrayData(idx.map(Int.box(_): Any))))
     })
   )
 

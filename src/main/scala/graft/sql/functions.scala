@@ -178,6 +178,8 @@ object functions {
   // ------------------------------------------------- pipeline: multimodal
   def gr_fakeImageMeta(bin: Column): Column = fn("gr_fake_image_meta", bin)
   def gr_fakeResize(bin: Column, target: Column): Column = fn("gr_fake_resize", bin, target)
+  def gr_fakeFrameSample(bin: Column, targetFrames: Column): Column =
+    fn("gr_fake_frame_sample", bin, targetFrames)
 
   /** Register everything with the session so `spark.sql` can use the names.
     * Idempotent per session — re-installing would spam "function replaced"

@@ -224,6 +224,24 @@ class PolygonClipSpec extends AnyFunSuite {
     assert(p.x == 2.0 && p.y == 2.0)
   }
 
+  test("mixed-dimension union absorbs the covered part of the lower dimension") {
+    val poly = Wkt.read("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+    val line = Wkt.read("LINESTRING (2 2, 6 2)") // 2 inside, 2 outside
+    val un = u(poly, line)
+    val parts = Geometry.parts(un)
+    assertClose(area(un), 16.0, "union area")
+    val lineParts = parts.filter(_.topoDim == 1)
+    assert(lineParts.nonEmpty, Wkt.write(un))
+    assertClose(lineParts.map(Measures.length).sum, 2.0, "outside line span")
+    // a fully-covered line disappears into the polygon
+    val inner = Wkt.read("LINESTRING (1 1, 3 3)")
+    assert(u(poly, inner) == poly || Wkt.write(u(poly, inner)) == Wkt.write(poly))
+    // point outside a line survives; point on the line is absorbed
+    val l2 = Wkt.read("LINESTRING (0 0, 4 0)")
+    assert(Geometry.parts(u(l2, Point(2, 0))).count(_.topoDim == 0) == 0)
+    assert(Geometry.parts(u(l2, Point(2, 1))).count(_.topoDim == 0) == 1)
+  }
+
   test("negative buffer of touching multipolygon parts merges before eroding") {
     // two squares sharing edge x=2: merged rect [0,4]x[0,2]; erode 0.5 ->
     // [0.5,3.5]x[0.5,1.5] = 3.0 (per-part erosion would wrongly give 2.0)

@@ -40,6 +40,37 @@ object Dedup {
       .select(explode(col("_ids")).as(idCol), col("canonical_id"), col("group_size"))
   }
 
+  /** Streaming exact dedup: keep only the FIRST document seen per 128-bit
+    * content hash across the lifetime of the stream
+    * (`flatMapGroupsWithState` keyed by the two hash lanes). State is one
+    * boolean per distinct content — 16-byte keys, no text retained — so the
+    * state store grows with DISTINCT content, not stream volume, and shards
+    * across executors like any keyed state. Within a micro-batch the lowest
+    * id wins (deterministic). Emits (idCol, h1, h2) append rows; join back
+    * on idCol for payload columns.
+    */
+  def exactStreaming(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val keyed = df.select(col(idCol).cast("long").as("_id"),
+        gr_hash64(col(textCol)).as("_h1"), xxhash64(col(textCol)).as("_h2"))
+      .as[(Long, Long, Long)]
+    keyed.groupByKey(r => (r._2, r._3))
+      .flatMapGroupsWithState[Boolean, (Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key, it, state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            var minId = Long.MaxValue
+            it.foreach(r => if (r._1 < minId) minId = r._1)
+            Iterator((minId, key._1, key._2))
+          }
+      }
+      .toDF(idCol, "h1", "h2")
+  }
+
   /** MinHash-LSH near-duplicate candidate pairs with estimated Jaccard.
     * Returns (id_a, id_b, est_jaccard) with id_a < id_b, each pair once.
     *

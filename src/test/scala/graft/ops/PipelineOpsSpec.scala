@@ -139,6 +139,26 @@ class PipelineOpsSpec extends AnyFunSuite {
       ("2024-01-01 00:03:00.0", 1L, "enter")))
   }
 
+  test("streaming exact dedup keeps first occurrence across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val out = Dedup.exactStreaming(mem.toDF().toDF("doc_id", "text"), "doc_id", "text")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("dedup_stream_test").trigger(Trigger.ProcessingTime(0)).start()
+    // batch 1: two distinct texts, one in-batch duplicate (higher id loses)
+    mem.addData((3L, "alpha"), (1L, "alpha"), (2L, "beta"))
+    q.processAllAvailable()
+    // batch 2: cross-batch duplicate suppressed, new text survives
+    mem.addData((4L, "alpha"), (5L, "gamma"))
+    q.processAllAvailable()
+    val ids = spark.sql("SELECT doc_id FROM dedup_stream_test ORDER BY doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    q.stop()
+    assert(ids == Seq(1L, 2L, 5L), ids.toString)
+  }
+
   test("streaming windowed agg over events (memory sink)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.GeoStreaming

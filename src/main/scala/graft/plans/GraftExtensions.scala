@@ -12,5 +12,6 @@ import org.apache.spark.sql.SparkSessionExtensions
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => SpatialFilterPushdown)
+    ext.injectOptimizerRule(_ => SpatialJoinRewrite)
   }
 }

@@ -191,6 +191,9 @@ object functions {
     if (!spark.experimental.extraOptimizations.contains(graft.plans.SpatialFilterPushdown))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.SpatialFilterPushdown
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.SpatialJoinRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.SpatialJoinRewrite
     val registry = spark.sessionState.functionRegistry
     if (registry.functionExists(
         org.apache.spark.sql.catalyst.FunctionIdentifier("st_union_agg"))) return

@@ -220,17 +220,30 @@ object GraftDefs {
     "st_transform" -> Spec(Seq(B, S, S), B, { a =>
       val g = geom(a(0))
       val UtmZone = "EPSG:32([67])([0-9]{2})".r
+      // inverse of a supported CRS to lon/lat, None if unsupported
+      def toWgs(crs: String): Option[Geometry => Geometry] = crs match {
+        case "EPSG:4326"      => Some(identity)
+        case "EPSG:3857"      => Some(_.mapCoords(Crs.mercatorToLonLat))
+        case UtmZone(ns, zz)  => Some(_.mapCoords((x, y) => Crs.utmInverse(x, y, zz.toInt, ns == "7")))
+        case _                => None
+      }
+      def fromWgs(crs: String): Option[Geometry => Geometry] = crs match {
+        case "EPSG:4326"      => Some(identity)
+        case "EPSG:3857"      => Some(_.mapCoords(Crs.lonLatToMercator))
+        case UtmZone(ns, zz)  => Some(_.mapCoords((lon, lat) => Crs.utmForward(lon, lat, zz.toInt, ns == "7")))
+        case _                => None
+      }
       (normCrs(str(a(1))), normCrs(str(a(2)))) match {
         case (f, t) if f == t => wkb(g)
-        case ("EPSG:4326", "EPSG:3857") => wkb(g.mapCoords(Crs.lonLatToMercator))
-        case ("EPSG:3857", "EPSG:4326") => wkb(g.mapCoords(Crs.mercatorToLonLat))
-        case ("EPSG:4326", UtmZone(ns, zz)) =>
-          wkb(g.mapCoords((lon, lat) => Crs.utmForward(lon, lat, zz.toInt, ns == "7")))
-        case (UtmZone(ns, zz), "EPSG:4326") =>
-          wkb(g.mapCoords((x, y) => Crs.utmInverse(x, y, zz.toInt, ns == "7")))
-        case (f, t) => throw new UnsupportedOperationException(
-          s"st_transform $f -> $t: supported pairs are EPSG:4326 <-> EPSG:3857 and " +
-            "EPSG:4326 <-> EPSG:326xx/327xx (WGS84 UTM)")
+        case (f, t) =>
+          // any supported pair composes through lon/lat (the hub CRS) —
+          // e.g. web mercator <-> UTM, or UTM zone <-> UTM zone
+          (toWgs(f), fromWgs(t)) match {
+            case (Some(inv), Some(fwd)) => wkb(fwd(inv(g)))
+            case _ => throw new UnsupportedOperationException(
+              s"st_transform $f -> $t: supported CRS are EPSG:4326, EPSG:3857 and " +
+                "EPSG:326xx/327xx (WGS84 UTM); any pair of them composes via lon/lat")
+          }
       }
     }),
     // ---- grid cells for spatial joins: ids of grid cells the envelope overlaps

@@ -109,4 +109,21 @@ class FunctionsSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(1) - 45.0) < 1e-9)
     assert(math.abs(r.getDouble(2) - 1113194.9079327357) < 1e-6)
   }
+
+  test("st_transform composes any supported pair through lon/lat") {
+    // mercator -> UTM 33N directly equals mercator -> 4326 -> UTM 33N
+    val df = Seq((15.5, 46.0)).toDF("lon", "lat")
+      .withColumn("g", st_point($"lon", $"lat"))
+      .withColumn("m", st_transform($"g", lit("EPSG:4326"), lit("EPSG:3857")))
+      .withColumn("direct", st_transform($"m", lit("EPSG:3857"), lit("EPSG:32633")))
+      .withColumn("hub", st_transform(
+        st_transform($"m", lit("EPSG:3857"), lit("EPSG:4326")),
+        lit("EPSG:4326"), lit("EPSG:32633")))
+      .withColumn("back", st_transform($"direct", lit("EPSG:32633"), lit("EPSG:3857")))
+    val r = df.select(st_x($"direct"), st_x($"hub"), st_y($"direct"), st_y($"hub"),
+      st_x($"back"), st_x($"m")).collect()(0)
+    assert(r.getDouble(0) == r.getDouble(1) && r.getDouble(2) == r.getDouble(3))
+    // roundtrip mercator -> UTM -> mercator within series accuracy
+    assert(math.abs(r.getDouble(4) - r.getDouble(5)) < 1e-3)
+  }
 }

@@ -179,11 +179,15 @@ final case class GeoDataFrame(
 
   // --------------------------------------------------------------- explode
   /** Multi-part -> one row per part (reference `expr.py:565-572,822-830`).
-    * Adds `part_index` like pandas' index_parts=True.
+    * Adds `part_index` like pandas' index_parts=True. `column` explodes a
+    * non-active geometry column (reference `explode(column=)`,
+    * `tests/test_core.py:456-468`); default is the active one.
     */
-  def explodeParts(): GeoDataFrame = {
-    val others = df.columns.filter(_ != geometryColumn).map(df(_))
-    val out = df.select(others :+ posexplode(st_dump(geom)).as(Seq("part_index", geometryColumn)): _*)
+  def explodeParts(column: Option[String] = None): GeoDataFrame = {
+    val target = column.getOrElse(geometryColumn)
+    require(df.columns.contains(target), s"no such column: $target")
+    val others = df.columns.filter(_ != target).map(df(_))
+    val out = df.select(others :+ posexplode(st_dump(df(target))).as(Seq("part_index", target)): _*)
     GeoDataFrame(out, geometryColumn, spatialPartitions)
   }
 

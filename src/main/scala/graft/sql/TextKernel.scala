@@ -62,6 +62,16 @@ object TextKernel {
     z ^ (z >>> 31)
   }
 
+  /** Per-thread MD5 instance — `getInstance` per row costs more than the
+    * digest itself on short inputs; `digest()` resets the instance, so
+    * reuse is safe.
+    */
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  @inline def md5(bytes: Array[Byte]): Array[Byte] = md5Local.get().digest(bytes)
+
   /** MinHash signature over character shingles. Hash family k for a shingle
     * is the classic two-lane affine form h1 + (seed+k)*h2 (mod 2^64), with
     * the lanes taken from the MD5 digest of the shingle (bytes 0-7 and 8-15,
@@ -75,10 +85,9 @@ object TextKernel {
   def minhash(text: String, numHashes: Int, shingleSize: Int, seed: Int): Array[Long] = {
     val sig = Array.fill(numHashes)(Long.MaxValue)
     val sh = charShingles(text, shingleSize)
-    val md = java.security.MessageDigest.getInstance("MD5")
     var s = 0
     while (s < sh.length) {
-      val d = md.digest(sh(s).getBytes("UTF-8"))
+      val d = md5(sh(s).getBytes("UTF-8"))
       var h1 = 0L; var h2 = 0L
       var i = 0
       while (i < 8) {
@@ -167,9 +176,8 @@ object TextKernel {
     */
   def simhash64(text: String): Long = {
     val counts = new Array[Int](64)
-    val md = java.security.MessageDigest.getInstance("MD5")
     tokens(text).foreach { t =>
-      val d = md.digest(t.getBytes("UTF-8"))
+      val d = md5(t.getBytes("UTF-8"))
       var h = 0L
       var i = 0
       while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
@@ -241,9 +249,8 @@ object TextKernel {
     * `min(('0x' || substr(md5(gram), 1, 16))::UBIGINT)`.
     */
   def fingerprintMd5(text: String, k: Int): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
     def h8(s: String): Long = {
-      val d = md.digest(s.getBytes("UTF-8"))
+      val d = md5(s.getBytes("UTF-8"))
       var h = 0L
       var i = 0
       while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }

@@ -63,12 +63,19 @@ object Overlay {
       case (_, ml: MultiLineString) if a.topoDim == 2 =>
         Geometry.collect(ml.lines.toIndexedSeq.map(l => clipLineToArea(l, a)))
       case _ if a.topoDim == 2 && b.topoDim == 2 => areaIntersection(a, b)
-      case (l1: LineString, l2: LineString) => lineLineIntersection(l1, l2)
+      case _ if a.topoDim == 1 && b.topoDim == 1 =>
+        // curve x curve (any multiplicity): pairwise segment crossings
+        val la = lineParts(a); val lb = lineParts(b)
+        val all = for (x <- la; y <- lb) yield lineLineIntersection(x, y)
+        unionPoints(all.filterNot(_.isEmpty))
       case _ =>
         throw new UnsupportedOperationException(
           s"intersection(${a.geometryType}, ${b.geometryType}) not supported in v1")
     }
   }
+
+  private def lineParts(g: Geometry): Seq[LineString] =
+    Geometry.parts(g).collect { case l: LineString if !l.isEmpty => l }
 
   private def areaIntersection(a: Geometry, b: Geometry): Geometry = {
     // containment fast paths return the original geometry unchanged
@@ -463,7 +470,11 @@ object Overlay {
       case p: Point => if (Predicates.intersects(p, b)) GeometryCollection(Array.empty) else p
       case mp: MultiPoint => MultiPoint(mp.pts.filterNot(p => Predicates.intersects(p, b)))
       case l: LineString if b.topoDim == 2 => lineMinusArea(l, b)
+      case ml: MultiLineString if b.topoDim == 2 =>
+        Geometry.collect(ml.lines.toIndexedSeq.map(l => lineMinusArea(l, b))
+          .flatMap(Geometry.parts).filterNot(_.isEmpty))
       case _ if a.topoDim == 2 && b.topoDim < 2 => a // minus a measure-zero set
+      case _ if a.topoDim == 1 && b.topoDim == 0 => a // minus a measure-zero set
       case _ if a.topoDim == 2 && b.topoDim == 2 =>
         if (Predicates.covers(b, a)) GeometryCollection(Array.empty)
         else if (!Predicates.intersects(a, b)) a

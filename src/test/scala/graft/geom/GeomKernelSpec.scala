@@ -298,4 +298,19 @@ class GeomKernelSpec extends AnyFunSuite {
       assert(Predicates.locate(p.x, p.y, g) == Predicates.IN)
     }
   }
+
+  test("multi-line overlay paths: intersection crossings and minus-area") {
+    val ml = Wkt.read("MULTILINESTRING ((0 0, 4 0), (0 2, 4 2))")
+    val l = Wkt.read("LINESTRING (2 -1, 2 3)")
+    // crossings of the vertical with both horizontals
+    val inter = Overlay.intersection(ml, l)
+    assert(Geometry.parts(inter).count(_.topoDim == 0) == 2, Wkt.write(inter))
+    // multi-line minus a polygon keeps only the outside spans
+    val poly = Wkt.read("POLYGON ((1 -1, 3 -1, 3 3, 1 3, 1 -1))")
+    val diff = Overlay.difference(ml, poly)
+    val len = Geometry.parts(diff).collect { case s: LineString => Measures.length(s) }.sum
+    assert(math.abs(len - 4.0) < 1e-9, Wkt.write(diff)) // 2x (1 + 1) outside
+    // line minus a point is the line
+    assert(Overlay.difference(l, Point(2, 0)) == l)
+  }
 }

@@ -56,6 +56,34 @@ object OracleSql {
       + 0.25 * (1.0 - least(1.0, 5.0 * (length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))) / length(text)))
     END"""
 
+  // minhash-LSH candidate pipeline shared by t05/t10 (MD5 lanes, bands,
+  // signature estimate) — terminates in the `est` CTE
+  private val minhashCtes = """
+      d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 4),
+      sh AS (SELECT DISTINCT doc_id, substr(text, i::INT, 4) AS s4
+             FROM d, LATERAL unnest(range(1, length(text) - 2)) t(i)),
+      hh AS (SELECT doc_id,
+                    ('0x' || substr(md5(s4), 1, 16))::UBIGINT::HUGEINT AS h1,
+                    ('0x' || substr(md5(s4), 17, 16))::UBIGINT::HUGEINT AS h2
+             FROM sh),
+      lanes AS (SELECT doc_id, k.k AS k,
+                       min(((h1 + (42 + k.k) * h2) % 9223372036854775808)::BIGINT) AS v
+                FROM hh, (SELECT unnest(range(0, 64)) AS k) k
+                GROUP BY doc_id, k.k),
+      sig AS (SELECT doc_id, list(v ORDER BY k) AS s FROM lanes GROUP BY doc_id),
+      bands AS (SELECT doc_id, b.b AS b,
+                       s[4*b.b + 1]::VARCHAR || ',' || s[4*b.b + 2]::VARCHAR || ',' ||
+                       s[4*b.b + 3]::VARCHAR || ',' || s[4*b.b + 4]::VARCHAR AS key
+                FROM sig, (SELECT unnest(range(0, 16)) AS b) b),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+               FROM bands a JOIN bands c
+                 ON a.b = c.b AND a.key = c.key AND a.doc_id < c.doc_id),
+      est AS (SELECT id_a, id_b,
+                     len(list_filter(range(1, 65), i -> sa.s[i] = sb.s[i]))::DOUBLE / 64.0 AS est
+              FROM cand
+              JOIN sig sa ON sa.doc_id = cand.id_a
+              JOIN sig sb ON sb.doc_id = cand.id_b)"""
+
   private val meanLenCte = s"""
     SELECT doc_id, text,
       CASE WHEN len($docToks) = 0 THEN 0.0
@@ -598,34 +626,26 @@ object OracleSql {
     // lanes -> 64 affine hashes (h1 + (42+k)*h2 mod 2^63) -> per-lane min ->
     // 16 bands of 4 -> candidate = band-slice collision -> signature
     // estimate >= threshold
-    "t05_minhash_pairs" -> """
-      WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 4),
-      sh AS (SELECT DISTINCT doc_id, substr(text, i::INT, 4) AS s4
-             FROM d, LATERAL unnest(range(1, length(text) - 2)) t(i)),
-      hh AS (SELECT doc_id,
-                    ('0x' || substr(md5(s4), 1, 16))::UBIGINT::HUGEINT AS h1,
-                    ('0x' || substr(md5(s4), 17, 16))::UBIGINT::HUGEINT AS h2
-             FROM sh),
-      lanes AS (SELECT doc_id, k.k AS k,
-                       min(((h1 + (42 + k.k) * h2) % 9223372036854775808)::BIGINT) AS v
-                FROM hh, (SELECT unnest(range(0, 64)) AS k) k
-                GROUP BY doc_id, k.k),
-      sig AS (SELECT doc_id, list(v ORDER BY k) AS s FROM lanes GROUP BY doc_id),
-      bands AS (SELECT doc_id, b.b AS b,
-                       s[4*b.b + 1]::VARCHAR || ',' || s[4*b.b + 2]::VARCHAR || ',' ||
-                       s[4*b.b + 3]::VARCHAR || ',' || s[4*b.b + 4]::VARCHAR AS key
-                FROM sig, (SELECT unnest(range(0, 16)) AS b) b),
-      cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
-               FROM bands a JOIN bands c
-                 ON a.b = c.b AND a.key = c.key AND a.doc_id < c.doc_id),
-      est AS (SELECT id_a, id_b,
-                     len(list_filter(range(1, 65), i -> sa.s[i] = sb.s[i]))::DOUBLE / 64.0 AS est
-              FROM cand
-              JOIN sig sa ON sa.doc_id = cand.id_a
-              JOIN sig sb ON sb.doc_id = cand.id_b)
+    "t05_minhash_pairs" -> s"""
+      WITH $minhashCtes
       SELECT id_a, id_b, round(est, 4) AS est_jaccard
       FROM est WHERE est >= 0.35
       ORDER BY id_a, id_b""",
+
+    // duplicate clusters over the t05 pair graph: cluster_id = minimum
+    // reachable doc_id (transitive closure via recursive CTE)
+    "t10_dedup_clusters" -> s"""
+      WITH RECURSIVE $minhashCtes,
+      prs AS (SELECT id_a, id_b FROM est WHERE est >= 0.35),
+      e AS (SELECT id_a AS a, id_b AS b FROM prs
+            UNION SELECT id_b, id_a FROM prs),
+      reach(a, b) AS (
+        SELECT a, b FROM e
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
+      SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+      FROM reach GROUP BY a
+      ORDER BY doc_id""",
 
     // replicates the MD5-derived Rademacher hyperplanes: bucket = 8 sign
     // bits of plane dot products; probes = bucket + each single-bit flip;

@@ -817,6 +817,17 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // duplicate-cluster assignment: minhash LSH pairs -> connected
+    // components (min-label propagation). cluster_id == the minimum doc_id
+    // reachable in the near-dup graph — the canonical document of each
+    // cluster; oracle = transitive closure in a recursive CTE.
+    "t10_dedup_clusters" -> ((s, d) => {
+      val pairs = Dedup.minhashLsh(t(s, d, "documents"), "doc_id", "text",
+        numHashes = 64, bands = 16, shingleSize = 4, threshold = 0.35)
+      Dedup.connectedComponents(pairs)
+        .orderBy(col("doc_id"))
+    }),
+
     "t06_ngram_jaccard" -> ((s, d) => {
       Dedup.ngramJaccard(
         t(s, d, "documents").filter(col("doc_id") % 10 === 0),

@@ -169,6 +169,49 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** Connected components over a near-duplicate pair graph: assigns every
+    * node the MINIMUM id reachable from it — the canonical-document id of
+    * its duplicate cluster (the step after LSH pair generation in a dedup
+    * pipeline: keep cluster_id == node, drop the rest).
+    *
+    * Algorithm: min-label propagation. Each iteration joins labels across
+    * edges and takes the elementwise min — one shuffle per iteration,
+    * converging in O(graph diameter) rounds (near-dup clusters are
+    * small-diameter in practice). Iterations are localCheckpoint-ed so the
+    * plan/lineage stays flat. The fixpoint (component minimum) is unique,
+    * so the result is deterministic regardless of iteration schedule.
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      idACol: String = "id_a",
+      idBCol: String = "id_b",
+      maxIter: Int = 50): DataFrame = {
+    val edges = pairs.select(col(idACol).cast("long").as("src"), col(idBCol).cast("long").as("dst"))
+      .union(pairs.select(col(idBCol).cast("long").as("src"), col(idACol).cast("long").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val prop = edges.join(labels.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(min(col("label")).as("_nlabel"))
+      val next = labels.join(prop, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("_nlabel"), col("label"))).as("label"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("label", "_old"), "node")
+        .filter(col("label") =!= col("_old"))
+        .isEmpty
+      labels = next
+      i += 1
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** Exact character-n-gram Jaccard similarity for all pairs within a
     * blocking key (e.g. language, or an LSH candidate cluster), thresholded.
     * Exact and therefore O(pairs-within-block) — use after LSH at scale;

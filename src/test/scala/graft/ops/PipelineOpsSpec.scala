@@ -25,6 +25,17 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got(2)._3 == 1L)
   }
 
+  test("connected components assign the minimum reachable id") {
+    // chain 1-2-3-4 (diameter 3, needs multiple propagation rounds) and a
+    // separate pair 10-11; node 20 appears only via its own pair 20-21
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (21L, 20L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (10L, 10L), (11L, 10L), (20L, 20L), (21L, 20L)), got.toString)
+  }
+
   test("minhash LSH finds exact and near dups, not distinct docs") {
     val pairs = Dedup.minhashLsh(docs, "doc_id", "text", numHashes = 64,
       bands = 16, shingleSize = 4, threshold = 0.5)

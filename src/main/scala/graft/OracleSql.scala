@@ -418,6 +418,22 @@ object OracleSql {
         code AS geohash_long
       FROM c ORDER BY c_custkey""",
 
+    "t11_hash_split" -> s"""
+      WITH b AS (
+        SELECT doc_id, text,
+               ('0x' || substr(md5(text), 1, 16))::UBIGINT % 100 AS bucket
+        FROM documents),
+      s AS (SELECT doc_id, text,
+                   CASE WHEN bucket < 90 THEN 'train' ELSE 'val' END AS split
+            FROM b),
+      q AS (SELECT s.split, s.doc_id, m.ml, s.text AS text,
+                   len(list_filter(regexp_split_to_array(s.text, '\\s+'), x -> x <> '')) AS ntok
+            FROM s JOIN ($meanLenCte) m ON s.doc_id = m.doc_id)
+      SELECT split, count(*) AS n_docs,
+             round(avg($qualityExpr), 4) AS avg_quality,
+             CAST(sum(ntok) AS BIGINT) AS total_tokens
+      FROM q GROUP BY split ORDER BY split""",
+
     "t09_fingerprint" -> """
       WITH g AS (
         SELECT doc_id,

@@ -842,6 +842,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // deterministic content-hash train/val split: same doc -> same bucket
+    // regardless of partitioning or re-runs (leakage-free), 90/10 by the
+    // unsigned MD5 residue; per-split counts + quality profile
+    "t11_hash_split" -> ((s, d) => {
+      t(s, d, "documents")
+        .withColumn("bucket", gr_md5Bucket(col("text"), lit(100)))
+        .withColumn("split", when(col("bucket") < 90, lit("train")).otherwise(lit("val")))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(gr_qualityScore(col("text"))), 4).as("avg_quality"),
+          sum(gr_tokenCount(col("text")).cast("long")).as("total_tokens"))
+        .orderBy(col("split"))
+    }),
+
     // rolling-hash document fingerprint (md5-based so the oracle can
     // replicate the hash)
     "t09_fingerprint" -> ((s, d) => {

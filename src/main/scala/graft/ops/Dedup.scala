@@ -174,38 +174,56 @@ object Dedup {
     * its duplicate cluster (the step after LSH pair generation in a dedup
     * pipeline: keep cluster_id == node, drop the rest).
     *
-    * Algorithm: min-label propagation. Each iteration joins labels across
-    * edges and takes the elementwise min — one shuffle per iteration,
-    * converging in O(graph diameter) rounds (near-dup clusters are
-    * small-diameter in practice). Iterations are localCheckpoint-ed so the
-    * plan/lineage stays flat. The fixpoint (component minimum) is unique,
-    * so the result is deterministic regardless of iteration schedule.
+    * Algorithm: min-label propagation with pointer doubling. Each round
+    * does one edge hop (min over neighbors' labels) and then one shortcut
+    * (label := label of label), so label depth halves per round —
+    * O(log diameter) rounds instead of O(diameter), each a constant number
+    * of shuffles. Rounds are localCheckpoint-ed to keep lineage flat, and
+    * convergence is witnessed by the label sum (labels only ever decrease,
+    * so an unchanged sum means no label moved — one cheap scalar agg, no
+    * comparison join). The fixpoint (component minimum) is unique, so the
+    * result is deterministic regardless of schedule.
     */
   def connectedComponents(
       pairs: DataFrame,
       idACol: String = "id_a",
       idBCol: String = "id_b",
-      maxIter: Int = 50): DataFrame = {
-    val edges = pairs.select(col(idACol).cast("long").as("src"), col(idBCol).cast("long").as("dst"))
-      .union(pairs.select(col(idBCol).cast("long").as("src"), col(idACol).cast("long").as("dst")))
+      maxIter: Int = 30): DataFrame = {
+    // materialize the (possibly expensive) pair plan ONCE before mirroring —
+    // a plain union of two selects over `pairs` would execute it twice
+    val p0 = pairs
+      .select(col(idACol).cast("long").as("src"), col(idBCol).cast("long").as("dst"))
+      .localCheckpoint()
+    val edges = p0
+      .union(p0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint()
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
+    // seed labels with the first hop already applied: label = min(self, neighbors)
+    var labels = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("_mn"))
+      .select(col("src").as("node"), least(col("src"), col("_mn")).as("label"))
       .localCheckpoint()
+    var prevSum = labels.agg(sum(col("label"))).head().getLong(0)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
+      // hop: pull the min label across edges
       val prop = edges.join(labels.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
         .agg(min(col("label")).as("_nlabel"))
-      val next = labels.join(prop, Seq("node"), "left")
+      val hop = labels.join(prop, Seq("node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("_nlabel"), col("label"))).as("label"))
+      // double: shortcut to the label's own label (labels are node ids)
+      val next = hop.as("x")
+        .join(hop.select(col("node").as("_ln"), col("label").as("_ll")).as("y"),
+          col("x.label") === col("_ln"), "left")
+        .select(col("x.node").as("node"),
+          least(col("x.label"), coalesce(col("_ll"), col("x.label"))).as("label"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("label", "_old"), "node")
-        .filter(col("label") =!= col("_old"))
-        .isEmpty
+      val s = next.agg(sum(col("label"))).head().getLong(0)
+      converged = s == prevSum
+      prevSum = s
       labels = next
       i += 1
     }

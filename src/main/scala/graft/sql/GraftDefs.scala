@@ -336,6 +336,8 @@ object GraftDefs {
     "gr_fingerprint" -> Spec(Seq(S, I), L, a => TextKernel.fingerprint(str(a(0)), int(a(1)))),
     "gr_fingerprint_md5" -> Spec(Seq(S, I), L,
       a => TextKernel.fingerprintMd5(str(a(0)), int(a(1)))),
+    "gr_md5_bucket" -> Spec(Seq(S, I), L,
+      a => TextKernel.md5Bucket(str(a(0)), int(a(1)))),
     "gr_hash64" -> Spec(Seq(S), L, a => TextKernel.fnv1a64(str(a(0)).getBytes("UTF-8"))),
     // vectors (embeddings: array<float> in the testdata; cast-tolerant)
     "gr_cosine" -> Spec(Seq(ArrayType(FloatType), ArrayType(FloatType)), D,

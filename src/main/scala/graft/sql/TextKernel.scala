@@ -268,6 +268,20 @@ object TextKernel {
     min
   }
 
+  /** Deterministic content-hash bucket in [0, n): unsigned residue of the
+    * first 8 MD5 digest bytes. The standard leakage-free train/val split —
+    * the same document always lands in the same bucket, independent of row
+    * order, partitioning, or re-runs, and the oracle replicates it
+    * (`('0x' || substr(md5(text), 1, 16))::UBIGINT % n`).
+    */
+  def md5Bucket(text: String, n: Int): Long = {
+    val d = md5(text.getBytes("UTF-8"))
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    java.lang.Long.remainderUnsigned(h, n.toLong)
+  }
+
   /** Rolling-hash document fingerprint: min FNV-1a hash over character
     * k-grams (a 1-hash winnowing sketch — stable under small edits at the
     * end of the document).

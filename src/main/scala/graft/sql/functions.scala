@@ -163,6 +163,7 @@ object functions {
   def gr_qualityScore(text: Column): Column = fn("gr_quality_score", text)
   def gr_fingerprint(text: Column, k: Column): Column = fn("gr_fingerprint", text, k)
   def gr_fingerprintMd5(text: Column, k: Column): Column = fn("gr_fingerprint_md5", text, k)
+  def gr_md5Bucket(text: Column, n: Column): Column = fn("gr_md5_bucket", text, n)
   def gr_hash64(text: Column): Column = fn("gr_hash64", text)
 
   // ---------------------------------------------------- pipeline: vectors

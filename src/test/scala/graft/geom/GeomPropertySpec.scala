@@ -96,4 +96,43 @@ class GeomPropertySpec extends AnyFunSuite {
       assert(Predicates.geomEqualsExact(back, p, 1e-6))
     }
   }
+
+  test("overlay inclusion-exclusion holds on random rectangle pairs under jitter") {
+    def jitterRing(r: Array[Double], scale: Double): Array[Double] = {
+      val out = new Array[Double](r.length)
+      var i = 0
+      while (i + 1 < r.length - 2) {
+        out(i) = r(i) + (rnd.nextDouble() * 2 - 1) * scale
+        out(i + 1) = r(i + 1) + (rnd.nextDouble() * 2 - 1) * scale
+        i += 2
+      }
+      out(r.length - 2) = out(0); out(r.length - 1) = out(1)
+      out
+    }
+    (1 to 200).foreach { k =>
+      val a0 = box()
+      // half the pairs overlap/touch a0's neighborhood, half are anywhere
+      val b0 = if (k % 2 == 0) box() else {
+        val e = a0.envelope
+        val x0 = e.minX + rnd.nextDouble() * 20 - 10
+        val x1 = e.maxX + rnd.nextDouble() * 20 - 10
+        val y0 = e.minY + rnd.nextDouble() * 20 - 10
+        val y1 = e.maxY + rnd.nextDouble() * 20 - 10
+        Polygon.box(math.min(x0, x1), math.min(y0, y1),
+          math.max(x0, x1) + 0.1, math.max(y0, y1) + 0.1)
+      }
+      val a = Polygon(a0.rings.map(jitterRing(_, 1e-12)))
+      val b = Polygon(b0.rings.map(jitterRing(_, 1e-12)))
+      val ia = Measures.area(a); val ib = Measures.area(b)
+      val int = Measures.area(Overlay.intersection(a, b))
+      val un = Measures.area(Overlay.union(a, b))
+      val da = Measures.area(Overlay.difference(a, b))
+      val db = Measures.area(Overlay.difference(b, a))
+      val tol = 1e-6 * math.max(1.0, ia + ib)
+      assert(math.abs(un - (ia + ib - int)) < tol, s"union i-e: $un vs ${ia + ib - int}")
+      assert(math.abs(da - (ia - int)) < tol, s"difference i-e: $da vs ${ia - int}")
+      assert(math.abs(db - (ib - int)) < tol, s"reverse difference i-e")
+      assert(int >= -tol && int <= math.min(ia, ib) + tol, s"intersection bounds")
+    }
+  }
 }

@@ -652,7 +652,7 @@ object OracleSql {
     // reachable doc_id (transitive closure via recursive CTE)
     "t10_dedup_clusters" -> s"""
       WITH RECURSIVE $minhashCtes,
-      prs AS (SELECT id_a, id_b FROM est WHERE est >= 0.35),
+      prs AS (SELECT id_a, id_b FROM est WHERE est >= 0.5),
       e AS (SELECT id_a AS a, id_b AS b FROM prs
             UNION SELECT id_b, id_a FROM prs),
       reach(a, b) AS (

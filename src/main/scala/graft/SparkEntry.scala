@@ -820,10 +820,14 @@ object SparkEntry {
     // duplicate-cluster assignment: minhash LSH pairs -> connected
     // components (min-label propagation). cluster_id == the minimum doc_id
     // reachable in the near-dup graph — the canonical document of each
-    // cluster; oracle = transitive closure in a recursive CTE.
+    // cluster; oracle = transitive closure in a recursive CTE. Threshold
+    // 0.5 (true duplicates): clustering wants the confident pair graph,
+    // not the broad candidate sweep t05 demonstrates — and the pair graph
+    // is quadratic within clusters, so the tighter cut is also the
+    // scale-sane input.
     "t10_dedup_clusters" -> ((s, d) => {
       val pairs = Dedup.minhashLsh(t(s, d, "documents"), "doc_id", "text",
-        numHashes = 64, bands = 16, shingleSize = 4, threshold = 0.35)
+        numHashes = 64, bands = 16, shingleSize = 4, threshold = 0.5)
       Dedup.connectedComponents(pairs)
         .orderBy(col("doc_id"))
     }),

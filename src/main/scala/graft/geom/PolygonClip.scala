@@ -40,11 +40,15 @@ object PolygonClip {
 
   /** Relative snap tolerance: coordinates closer than SNAP_REL * magnitude
     * are treated as coincident. Real-world doubles (reprojected, averaged,
-    * serialized) carry ~1e-15 relative noise; GEOS survives it via snap
-    * rounding — this is our equivalent. Exact-grid inputs are unaffected:
-    * their vertex gaps are either 0 or far above the tolerance.
+    * serialized) carry noise many decades above machine epsilon; GEOS
+    * survives it via snap rounding — this is our equivalent. 1e-9 relative
+    * is sub-micrometer at Earth scale: inputs whose boundaries genuinely
+    * differ by less weld together (by design), inputs noisier than the
+    * tolerance may drop rings — loudly, via [[droppedRingCount]]/log, never
+    * silently. Exact-grid inputs are unaffected: their vertex gaps are
+    * either 0 or far above the tolerance.
     */
-  private val SNAP_REL = 1e-10
+  private val SNAP_REL = 1e-9
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
   private val droppedRings = new java.util.concurrent.atomic.AtomicLong

@@ -519,6 +519,11 @@ object OracleSql {
         round((3.0 * w * w / 4.0)::DOUBLE, 4) AS i_area
       FROM p ORDER BY s_suppkey""",
 
+    "g36_feather_roundtrip" -> s"""
+      SELECT c_custkey, cx, cy FROM ($custPts)
+      WHERE cx BETWEEN 1000 AND 5000 AND cy BETWEEN 200 AND 800
+      ORDER BY c_custkey""",
+
     "g34_touch_intersection" -> """
       WITH p AS (SELECT s_suppkey, ((s_suppkey % 10) + 1)::DOUBLE AS h FROM supplier)
       SELECT s_suppkey,

@@ -695,6 +695,21 @@ object SparkEntry {
         .orderBy(col("s_suppkey"))
     }),
 
+    // feather (Arrow IPC) roundtrip (reference io/arrow.py:246-430): write
+    // one .arrow file per partition task-side, read back (schema + CRS from
+    // the arrow custom metadata), bbox-filter — result equals g01
+    "g36_feather_roundtrip" -> ((s, d) => {
+      val pts = GeoDataFrame(
+        customerPts(s, d).select(col("c_custkey"), col("cx"), col("cy"), col("geometry")),
+        "geometry").setCrs("EPSG:4326")
+      val path = "/tmp/graft_g36_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      graft.io.GeoFeatherIO.write(pts, path)
+      graft.io.GeoFeatherIO.read(s, path)
+        .cx(1000, 200, 5000, 800)
+        .df.select(col("c_custkey"), col("cx"), col("cy"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // dimension-collapse intersection (round 5): edge-touching squares
     // intersect in the shared LineString (length 2*min(h,2)), corner-touching
     // squares in the touch Point — GEOS semantics, closed-form oracle

@@ -90,6 +90,33 @@ class GeoParquetIOSpec extends AnyFunSuite {
     assert(hit < meta.fileBBoxes.size, s"expected file pruning, all $hit hit")
   }
 
+  test("feather (arrow IPC) roundtrip preserves data, schema, crs, partitioning") {
+    val path = tmpDir()
+    val g0 = sample()
+    val g = GeoDataFrame(g0.df.repartition(3)
+        .withColumn("name", concat(lit("row-"), $"id"))
+        .withColumn("flag", ($"id" % 2 === 0)),
+      g0.geometryColumn).setCrs("EPSG:3857")
+    GeoFeatherIO.write(g, path)
+    // one .arrow file per partition, like the reference's to_feather
+    val files = new java.io.File(path).listFiles().filter(_.getName.endsWith(".arrow"))
+    assert(files.length == 3, files.map(_.getName).mkString(","))
+    val back = GeoFeatherIO.read(spark, path)
+    assert(back.geometryColumn == "geometry")
+    assert(back.crs.contains("EPSG:3857"))
+    assert(back.df.count() == 500)
+    assert(back.df.schema("id").dataType == org.apache.spark.sql.types.LongType)
+    assert(back.df.schema("flag").dataType == org.apache.spark.sql.types.BooleanType)
+    val origSum = g.df.agg(sum($"x")).head().getDouble(0)
+    val backSum = back.df.agg(sum($"x")).head().getDouble(0)
+    assert(math.abs(origSum - backSum) < 1e-6)
+    // geometry column survives as parseable WKB
+    val n = back.df.filter(st_x($"geometry") >= 0).count()
+    assert(n == 500)
+    // strings and nulls roundtrip
+    assert(back.df.filter($"name" === "row-7").count() == 1)
+  }
+
   test("read of plain parquet (no geo footer) degrades gracefully") {
     val path = tmpDir()
     Seq((1L, 2.0)).toDF("id", "v").write.parquet(path)

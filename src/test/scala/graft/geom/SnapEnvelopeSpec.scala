@@ -43,4 +43,21 @@ class SnapEnvelopeSpec extends AnyFunSuite {
       assert(PolygonClip.droppedRingCount == before, s"ring drops at jitter=$scale")
     }
   }
+
+  test("overlapping intersection/difference are clean across the envelope") {
+    for (scale <- Seq(1e-12, 1e-10, 1e-9)) {
+      val before = PolygonClip.droppedRingCount
+      for (salt <- 1L to 100L) {
+        val a = jitter(Polygon.box(0, 0, 2, 2), scale, salt)
+        val b = jitter(Polygon.box(1, 1, 3, 3), scale, salt + 1000)
+        assert(math.abs(Measures.area(Overlay.intersection(a, b)) - 1.0) < 1e-6,
+          s"intersection at jitter=$scale salt=$salt")
+        assert(math.abs(Measures.area(Overlay.difference(a, b)) - 3.0) < 1e-6,
+          s"difference at jitter=$scale salt=$salt")
+        assert(math.abs(Measures.area(Overlay.symDifference(a, b)) - 6.0) < 1e-6,
+          s"symdiff at jitter=$scale salt=$salt")
+      }
+      assert(PolygonClip.droppedRingCount == before, s"ring drops at jitter=$scale")
+    }
+  }
 }

@@ -357,11 +357,15 @@ final case class GeoDataFrame(
   }
 
   private def rightIsSmall(right: GeoDataFrame): Boolean = {
-    // cheap heuristic without forcing a count: leaf file size if available
+    // cheap heuristic without forcing a count: leaf file size if available.
+    // Follow the session's broadcast threshold; when broadcasting is
+    // disabled (threshold <= 0), nothing is "small" and auto picks the grid.
+    val threshold = df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    if (threshold <= 0) return false
     val sizeBytes = try {
       right.df.queryExecution.optimizedPlan.stats.sizeInBytes
     } catch { case _: Throwable => BigInt(Long.MaxValue) }
-    sizeBytes < BigInt(64L * 1024 * 1024)
+    sizeBytes < BigInt(threshold) * 8 // WKB expands vs parquet-encoded stats
   }
 
   def count(): Long = df.count()

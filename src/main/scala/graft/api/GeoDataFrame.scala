@@ -179,15 +179,25 @@ final case class GeoDataFrame(
 
   // --------------------------------------------------------------- explode
   /** Multi-part -> one row per part (reference `expr.py:565-572,822-830`).
-    * Adds `part_index` like pandas' index_parts=True. `column` explodes a
-    * non-active geometry column (reference `explode(column=)`,
+    * `indexParts` controls the `part_index` column (pandas' index_parts=True
+    * adds the part level to the index; relationally that is a column).
+    * `ignoreIndex` (reference ignore_index, `tests/test_core.py:369-391`)
+    * resets the result to a plain range index, which drops part identity —
+    * so it suppresses `part_index` regardless of `indexParts`. `column`
+    * explodes a non-active geometry column (reference `explode(column=)`,
     * `tests/test_core.py:456-468`); default is the active one.
     */
-  def explodeParts(column: Option[String] = None): GeoDataFrame = {
+  def explodeParts(
+      column: Option[String] = None,
+      indexParts: Boolean = true,
+      ignoreIndex: Boolean = false): GeoDataFrame = {
     val target = column.getOrElse(geometryColumn)
     require(df.columns.contains(target), s"no such column: $target")
     val others = df.columns.filter(_ != target).map(df(_))
-    val out = df.select(others :+ posexplode(st_dump(df(target))).as(Seq("part_index", target)): _*)
+    val exploded = df.select(
+      others :+ posexplode(st_dump(df(target))).as(Seq("part_index", target)): _*)
+    val out =
+      if (ignoreIndex || !indexParts) exploded.drop("part_index") else exploded
     GeoDataFrame(out, geometryColumn, spatialPartitions)
   }
 

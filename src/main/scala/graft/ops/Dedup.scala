@@ -30,14 +30,18 @@ object Dedup {
     * content-addressed storage).
     */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // window (not collect_list) so per-group state stays bounded: a
+    // pathological mass-duplicate (one content repeated 10^9 times) flows
+    // through WindowExec's spillable row buffer instead of materializing a
+    // 10^9-element array inside a single aggregation buffer. Same single
+    // shuffle on the 16-byte hash key.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("_h1", "_h2")
     df.select(col(idCol),
         gr_hash64(col(textCol)).as("_h1"),
         xxhash64(col(textCol)).as("_h2"))
-      .groupBy(col("_h1"), col("_h2"))
-      .agg(min(col(idCol)).as("canonical_id"),
-        count(lit(1)).as("group_size"),
-        collect_list(col(idCol)).as("_ids"))
-      .select(explode(col("_ids")).as(idCol), col("canonical_id"), col("group_size"))
+      .select(col(idCol),
+        min(col(idCol)).over(w).as("canonical_id"),
+        count(lit(1)).over(w).as("group_size"))
   }
 
   /** Streaming exact dedup: keep only the FIRST document seen per 128-bit

@@ -99,6 +99,21 @@ class GeoDataFrameSpec extends AnyFunSuite {
     assert(rows.map(_.getInt(1)).toSeq == Seq(0, 1, 0))
   }
 
+  test("explodeParts indexParts / ignoreIndex flags") {
+    val df = Seq((1, "MULTIPOINT ((1 1), (2 2))"), (2, "POINT (5 5)")).toDF("id", "wkt")
+    val g = GeoDataFrame.fromWkt(df, "wkt").drop("wkt").toOption.get
+    // index_parts=False: rows explode but no part column appears
+    val noParts = g.explodeParts(indexParts = false).df
+    assert(noParts.count() == 3)
+    assert(!noParts.columns.contains("part_index"))
+    // ignore_index=True wins over index_parts=True: plain range index
+    val ignored = g.explodeParts(indexParts = true, ignoreIndex = true).df
+    assert(ignored.count() == 3)
+    assert(!ignored.columns.contains("part_index"))
+    // default keeps part_index (g12 behavior unchanged)
+    assert(g.explodeParts().df.columns.contains("part_index"))
+  }
+
   test("setGeometry switches the active geometry column") {
     val g = points(50).withColumn("buffered", st_buffer(col("geometry"), lit(2.0), lit(8)))
     val onPoints = GeoDataFrame(g.df).totalBounds()

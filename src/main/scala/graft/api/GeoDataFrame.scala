@@ -25,11 +25,25 @@ import org.apache.spark.sql.types.{BinaryType, Metadata, MetadataBuilder}
   * `sjoin` strategy which is a plain shuffled equi-join — no driver-side
   * geometry state required.
   */
+/** Footer-derived per-file bboxes of the scan a GeoDataFrame was read from
+  * (GeoParquet "geo" metadata). `forDf` pins the exact DataFrame instance the
+  * file list describes: every transform produces a new DataFrame, so stale
+  * file pruning can never apply to derived plans — the identity check makes
+  * propagation through `copy(...)` harmless.
+  */
+final case class FileSourceMeta(
+    basePath: String,
+    bboxes: Map[String, Envelope],
+    forDf: DataFrame) {
+  def validFor(df: DataFrame): Boolean = (forDf eq df) && bboxes.nonEmpty
+}
+
 final case class GeoDataFrame(
     df: DataFrame,
     geometryColumn: String = "geometry",
     spatialPartitions: Option[Array[Envelope]] = None,
-    pointSource: Option[(String, String)] = None) {
+    pointSource: Option[(String, String)] = None,
+    fileSource: Option[FileSourceMeta] = None) {
 
   def geom: Column = df(geometryColumn)
 
@@ -90,6 +104,28 @@ final case class GeoDataFrame(
     * prune files too.
     */
   def cx(xmin: Double, ymin: Double, xmax: Double, ymax: Double): GeoDataFrame = {
+    // file-level pruning from footer bboxes gathered at read time: re-plan
+    // the scan over only the files whose extent intersects the box. Pure
+    // driver metadata — zero jobs — and the pruned plan is a fresh parquet
+    // scan, so pushdown/codegen/AQE all still apply downstream (unlike the
+    // RDD-level partition pruning below, which is plan-opaque sugar).
+    fileSource match {
+      case Some(fsrc) if fsrc.validFor(df) =>
+        val box = Envelope(xmin, ymin, xmax, ymax)
+        val keep = fsrc.bboxes.collect { case (f, e) if e.intersects(box) => f }.toSeq
+        if (keep.size < fsrc.bboxes.size) {
+          val spark = df.sparkSession
+          // explicit schema (we already have it) avoids a schema-inference
+          // job and carries the column metadata (CRS) along verbatim
+          val scanned =
+            if (keep.isEmpty) df.limit(0)
+            else spark.read.schema(df.schema)
+              .option("basePath", fsrc.basePath).parquet(keep: _*)
+          val rebuilt = copy(df = scanned, spatialPartitions = None, fileSource = None)
+          return crs.map(rebuilt.setCrs).getOrElse(rebuilt).cx(xmin, ymin, xmax, ymax)
+        }
+      case _ =>
+    }
     val pruned = prunePartitions(Envelope(xmin, ymin, xmax, ymax))
     // When the geometry was synthesized from coordinate columns
     // (points_from_xy), also emit plain range predicates on those source
@@ -337,9 +373,8 @@ final case class GeoDataFrame(
     * eager scans.
     */
   private def gridBoundsFromMetadataOr(right: GeoDataFrame): Envelope =
-    (spatialPartitions, right.spatialPartitions) match {
-      case (Some(lp), Some(rp)) if lp.nonEmpty && rp.nonEmpty =>
-        (lp ++ rp).reduce(_ union _)
+    (boundsFromMetadata, right.boundsFromMetadata) match {
+      case (Some(lb), Some(rb)) => lb.union(rb)
       case _ =>
         val both = df.select(geom.as("_g"))
           .union(right.df.select(right.geom.as("_g")))
@@ -347,6 +382,13 @@ final case class GeoDataFrame(
         if (r == null) Envelope.empty
         else Envelope(r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
     }
+
+  /** Driver-side bounds without a job: spatial-partition envelopes when
+    * computed, else GeoParquet footer bboxes carried from the read.
+    */
+  private def boundsFromMetadata: Option[Envelope] =
+    spatialPartitions.filter(_.nonEmpty).map(_.reduce(_ union _))
+      .orElse(fileSource.filter(_.validFor(df)).map(_.bboxes.values.reduce(_ union _)))
 
   // --------------------------------------------------------------- persist
   /** Persist the underlying data while keeping the wrapper's spatial

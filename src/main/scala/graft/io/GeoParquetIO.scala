@@ -149,36 +149,66 @@ object GeoParquetIO {
   final case class GeoFileMeta(primaryColumn: String, crs: Option[String],
       fileBBoxes: Map[String, Envelope])
 
-  /** Read the "geo" footer metadata of every data file in the dataset
-    * (recursing through hive partition directories).
+  /** Parse one file's "geo" footer entry: (primary column, crs, bbox). */
+  private def footerGeo(conf: Configuration,
+      p: Path): Option[(String, Option[String], Option[Envelope])] = {
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+    val kv = try r.getFooter.getFileMetaData.getKeyValueMetaData finally r.close()
+    Option(kv.get("geo")).map { json =>
+      val node = mapper.readTree(json)
+      val primary = node.get("primary_column").asText()
+      val colNode = node.get("columns").get(primary)
+      val crs =
+        if (colNode.has("crs") && !colNode.get("crs").isNull)
+          Some(colNode.get("crs").asText())
+        else None
+      val bbox =
+        if (colNode.has("bbox")) {
+          val b = colNode.get("bbox")
+          Some(Envelope(b.get(0).asDouble(), b.get(1).asDouble(),
+            b.get(2).asDouble(), b.get(3).asDouble()))
+        } else None
+      (primary, crs, bbox)
+    }
+  }
+
+  /** Read the "geo" footer metadata of the dataset (recursing through hive
+    * partition directories). Per-file bbox gathering runs as a Spark job over
+    * the file list — at 100k files the driver ships file names only, never
+    * blocks on serial footer I/O (the bottleneck the reference documents for
+    * gather_spatial_partitions, `doc/source/parquet.md:14-16`).
+    * `gatherBBoxes = false` opts out entirely (reference
+    * `gather_spatial_partitions=False`, `io/parquet.py:72-82`): one footer
+    * read gives the dataset-level metadata (primary column, CRS) and no
+    * per-file bboxes are collected.
     */
-  def readMeta(spark: SparkSession, path: String): Option[GeoFileMeta] = {
+  def readMeta(spark: SparkSession, path: String,
+      gatherBBoxes: Boolean = true): Option[GeoFileMeta] = {
     val conf = spark.sessionState.newHadoopConf()
     val files = listParquetFiles(conf, new Path(path))
     if (files.isEmpty) return None
 
-    var primary: String = null
-    var crs: Option[String] = None
-    val bboxes = scala.collection.mutable.Map[String, Envelope]()
-    files.foreach { p =>
-      val r = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
-      val kv = r.getFooter.getFileMetaData.getKeyValueMetaData
-      r.close()
-      Option(kv.get("geo")).foreach { json =>
-        val node = mapper.readTree(json)
-        primary = node.get("primary_column").asText()
-        val colNode = node.get("columns").get(primary)
-        if (colNode.has("crs") && !colNode.get("crs").isNull)
-          crs = Some(colNode.get("crs").asText())
-        if (colNode.has("bbox")) {
-          val b = colNode.get("bbox")
-          bboxes(p.toString) =
-            Envelope(b.get(0).asDouble(), b.get(1).asDouble(), b.get(2).asDouble(), b.get(3).asDouble())
-        }
+    if (!gatherBBoxes || files.size == 1)
+      footerGeo(conf, files.head).map { case (primary, crs, bbox) =>
+        GeoFileMeta(primary, crs,
+          if (gatherBBoxes) bbox.map(files.head.toString -> _).toMap else Map.empty)
+      }
+    else {
+      val sconf = new SerializableConf(conf)
+      val names = files.map(_.toString)
+      val slices = math.max(1, math.min(names.size, spark.sparkContext.defaultParallelism))
+      val metas = spark.sparkContext.parallelize(names, slices)
+        .map(f => (f, footerGeo(sconf.value, new Path(f))))
+        .collect()
+      val geo = metas.collect { case (f, Some(t)) => (f, t) }
+      if (geo.isEmpty) None
+      else {
+        val primary = geo.head._2._1
+        val crs = geo.flatMap(_._2._2).headOption
+        val bboxes = geo.collect { case (f, (_, _, Some(e))) => (f, e) }.toMap
+        Some(GeoFileMeta(primary, crs, bboxes))
       }
     }
-    if (primary == null) None
-    else Some(GeoFileMeta(primary, crs, bboxes.toMap))
   }
 
   /** Read a GeoParquet dataset into a GeoDataFrame (geometry column stays
@@ -186,13 +216,19 @@ object GeoParquetIO {
     * defaults to OGC:CRS84 when absent, like the reference
     * (`io/arrow.py:29`, tests/io/test_parquet.py:231-259).
     */
-  def read(spark: SparkSession, path: String): GeoDataFrame = {
+  def read(spark: SparkSession, path: String,
+      gatherBBoxes: Boolean = true): GeoDataFrame = {
     graft.sql.functions.install(spark)
-    val meta = readMeta(spark, path)
+    val meta = readMeta(spark, path, gatherBBoxes)
     val df = spark.read.parquet(path)
     meta match {
       case Some(m) =>
-        GeoDataFrame(df, m.primaryColumn).setCrs(m.crs.getOrElse("OGC:CRS84"))
+        val g = GeoDataFrame(df, m.primaryColumn).setCrs(m.crs.getOrElse("OGC:CRS84"))
+        // carry the footer bboxes on the wrapper: a subsequent cx prunes
+        // whole files and sjoin gets grid bounds, both without another job
+        if (m.fileBBoxes.nonEmpty)
+          g.copy(fileSource = Some(graft.api.FileSourceMeta(path, m.fileBBoxes, g.df)))
+        else g
       case None => GeoDataFrame(df)
     }
   }
@@ -200,24 +236,11 @@ object GeoParquetIO {
   /** Bbox-pruned read: drop whole files from the scan using only footer
     * bboxes — no task ever touches a pruned file. This is the 100 TB path:
     * after a spatialShuffle+write, a selective bbox query reads the few
-    * files whose extent intersects it. `basePath` keeps hive partition
-    * columns when reading a pruned subset of a partitioned dataset.
+    * files whose extent intersects it. Now sugar for `read(...).cx(...)`:
+    * the read carries footer bboxes on the wrapper and `cx` re-plans the
+    * scan over surviving files (`basePath` keeps hive partition columns).
     */
   def readPruned(spark: SparkSession, path: String,
-      xmin: Double, ymin: Double, xmax: Double, ymax: Double): GeoDataFrame = {
-    graft.sql.functions.install(spark)
-    val box = Envelope(xmin, ymin, xmax, ymax)
-    readMeta(spark, path) match {
-      case Some(m) if m.fileBBoxes.nonEmpty =>
-        val keep = m.fileBBoxes.collect { case (f, e) if e.intersects(box) => f }.toSeq
-        val df =
-          if (keep.isEmpty)
-            spark.read.parquet(path).limit(0)
-          else spark.read.option("basePath", path).parquet(keep: _*)
-        GeoDataFrame(df, m.primaryColumn)
-          .setCrs(m.crs.getOrElse("OGC:CRS84"))
-          .cx(xmin, ymin, xmax, ymax)
-      case _ => read(spark, path).cx(xmin, ymin, xmax, ymax)
-    }
-  }
+      xmin: Double, ymin: Double, xmax: Double, ymax: Double): GeoDataFrame =
+    read(spark, path).cx(xmin, ymin, xmax, ymax)
 }

@@ -117,6 +117,46 @@ class GeoParquetIOSpec extends AnyFunSuite {
     assert(back.df.filter($"name" === "row-7").count() == 1)
   }
 
+  test("readMeta gatherBBoxes=false skips per-file bbox gathering") {
+    val path = tmpDir()
+    val g = sample().spatialShuffle(by = "hilbert", level = 12, numPartitions = Some(4),
+      calculatePartitions = false)
+    GeoParquetIO.write(g, path)
+    val meta = GeoParquetIO.readMeta(spark, path, gatherBBoxes = false).get
+    assert(meta.primaryColumn == "geometry")
+    assert(meta.crs.contains("EPSG:3857"))
+    assert(meta.fileBBoxes.isEmpty)
+  }
+
+  test("read then cx prunes whole files from footer bboxes without a job") {
+    val path = tmpDir()
+    val g = sample().spatialShuffle(by = "hilbert", level = 12, numPartitions = Some(8),
+      calculatePartitions = false)
+    GeoParquetIO.write(g, path)
+    val back = GeoParquetIO.read(spark, path)
+    assert(back.fileSource.exists(_.bboxes.size == 8))
+    val allFiles = back.df.inputFiles.length
+
+    // pruning is metadata-only: no Spark job may run while cx plans
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val pruned = try {
+      val p = back.cx(0, 0, 15, 15)
+      Thread.sleep(500) // let the async listener bus drain
+      p
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs.get() == 0, s"cx launched ${jobs.get()} jobs — pruning must be metadata-only")
+
+    assert(pruned.df.inputFiles.length < allFiles,
+      s"expected fewer input files than $allFiles")
+    val want = sample().df.filter($"x" <= 15 && $"y" <= 15).count()
+    assert(pruned.df.count() == want)
+  }
+
   test("read of plain parquet (no geo footer) degrades gracefully") {
     val path = tmpDir()
     Seq((1L, 2.0)).toDF("id", "v").write.parquet(path)

@@ -157,29 +157,65 @@ object GeoFeatherIO {
       .sortBy(_.getName)
   }
 
-  /** Load a whole arrow file into memory as a seekable channel (feather's
-    * columnar layout needs random access; files are partition-sized).
+  /** Seekable channel directly over the filesystem stream: the Arrow IPC
+    * file layout needs random access for the footer, but batch bodies then
+    * stream — nothing buffers the whole file.
     */
-  private def openChannel(conf: org.apache.hadoop.conf.Configuration,
-      p: Path): org.apache.arrow.vector.util.ByteArrayReadableSeekableByteChannel = {
-    val fs = p.getFileSystem(conf)
-    val len = fs.getFileStatus(p).getLen.toInt
-    val bytes = new Array[Byte](len)
-    val in = fs.open(p)
-    try in.readFully(0, bytes) finally in.close()
-    new org.apache.arrow.vector.util.ByteArrayReadableSeekableByteChannel(bytes)
+  private final class FsSeekableChannel(in: org.apache.hadoop.fs.FSDataInputStream,
+      length: Long) extends java.nio.channels.SeekableByteChannel {
+    private var pos = 0L
+    private var open = true
+    override def read(dst: java.nio.ByteBuffer): Int = {
+      val want = dst.remaining()
+      if (want == 0) return 0
+      if (pos >= length) return -1
+      val buf = new Array[Byte](math.min(want.toLong, length - pos).toInt)
+      val n = in.read(pos, buf, 0, buf.length) // positioned read
+      if (n > 0) { dst.put(buf, 0, n); pos += n }
+      n
+    }
+    override def write(src: java.nio.ByteBuffer): Int = throw new UnsupportedOperationException
+    override def position(): Long = pos
+    override def position(p: Long): java.nio.channels.SeekableByteChannel = { pos = p; this }
+    override def size(): Long = length
+    override def truncate(s: Long): java.nio.channels.SeekableByteChannel =
+      throw new UnsupportedOperationException
+    override def isOpen: Boolean = open
+    override def close(): Unit = { open = false; in.close() }
   }
 
-  def read(spark: SparkSession, path: String): GeoDataFrame = {
+  /** Read a feather dataset.
+    *
+    * `columns` projects at decode time (reference `read_feather(columns=)`,
+    * `io/arrow.py:227-235`): only the selected vectors materialize into
+    * rows. Batch bodies are still fetched (the IPC batch is one contiguous
+    * body; per-buffer skipping would need buffer-level seeks), so this
+    * saves decode + row width, not raw I/O bytes.
+    * `bbox` filters rows during decode against the geometry envelope
+    * (reference DNF `filters=`, `io/arrow.py:90-96`) — filtered rows are
+    * never materialized.
+    *
+    * Memory per task is one record batch: batches stream lazily through a
+    * per-batch iterator over a seekable channel on the filesystem stream,
+    * and each decoded batch's rows are released before the next loads.
+    * If `columns` excludes the primary geometry column, the result wraps
+    * the plain projected DataFrame (no CRS/geometry semantics attached).
+    */
+  def read(spark: SparkSession, path: String,
+      columns: Seq[String] = Nil,
+      bbox: Option[graft.geom.Envelope] = None): GeoDataFrame = {
     graft.sql.functions.install(spark)
     val conf = spark.sessionState.newHadoopConf()
     val files = listArrowFiles(conf, new Path(path))
     require(files.nonEmpty, s"no .arrow files under $path")
 
     // schema + geo metadata from the first file's footer (driver-side, tiny)
-    val (sparkSchema, geoMeta): (StructType, Option[String]) = {
+    val (fileSchema, geoMeta): (StructType, Option[String]) = {
       val allocator = new RootAllocator()
-      val reader = new ArrowFileReader(openChannel(conf, files.head), allocator)
+      val fs = files.head.getFileSystem(conf)
+      val chan = new FsSeekableChannel(fs.open(files.head),
+        fs.getFileStatus(files.head).getLen)
+      val reader = new ArrowFileReader(chan, allocator)
       try {
         val s = reader.getVectorSchemaRoot.getSchema
         val struct = StructType(s.getFields.asScala.toSeq.map(f =>
@@ -187,51 +223,87 @@ object GeoFeatherIO {
         (struct, Option(s.getCustomMetadata.get("geo")))
       } finally { reader.close(); allocator.close() }
     }
+    val primaryGeom: Option[String] = geoMeta.map { json =>
+      mapper.readTree(json).get("primary_column").asText()
+    }
+
+    val projIdx: Array[Int] =
+      if (columns.isEmpty) fileSchema.fieldNames.indices.toArray
+      else columns.map { c =>
+        require(fileSchema.fieldNames.contains(c), s"no such column in feather schema: $c")
+        fileSchema.fieldIndex(c)
+      }.toArray
+    val outSchema = StructType(projIdx.map(fileSchema.fields(_)).toIndexedSeq)
+    // bbox filtering decodes the geometry vector even when it isn't projected
+    val geomIdx: Int = bbox match {
+      case Some(_) =>
+        val g = primaryGeom.getOrElse(
+          throw new IllegalArgumentException("bbox filter needs geo metadata"))
+        fileSchema.fieldIndex(g)
+      case None => -1
+    }
 
     val serializableConfProps = conf.asScala.map(e => (e.getKey, e.getValue)).toArray
     val fileNames = files.map(_.toString)
-    val nFields = sparkSchema.length
+    val nOut = projIdx.length
+    val box = bbox.orNull
     val rows = spark.sparkContext.parallelize(fileNames, fileNames.length).flatMap { f =>
       val taskConf = new org.apache.hadoop.conf.Configuration(false)
       serializableConfProps.foreach { case (k, v) => taskConf.set(k, v) }
       val p = new Path(f)
+      val fs = p.getFileSystem(taskConf)
       val allocator = new RootAllocator()
-      val reader = new ArrowFileReader(openChannel(taskConf, p), allocator)
-      val out = scala.collection.mutable.ArrayBuffer[Row]()
-      try {
-        val vroot = reader.getVectorSchemaRoot
-        while (reader.loadNextBatch()) {
+      val chan = new FsSeekableChannel(fs.open(p), fs.getFileStatus(p).getLen)
+      val reader = new ArrowFileReader(chan, allocator)
+      def closeAll(): Unit = { reader.close(); allocator.close() }
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => closeAll()))
+      val vroot = reader.getVectorSchemaRoot
+      // one decoded batch at a time: the iterator pulls the next IPC batch
+      // only after the previous batch's rows have been consumed downstream
+      val batches = new Iterator[Seq[Row]] {
+        private var done = false
+        override def hasNext: Boolean = !done
+        override def next(): Seq[Row] = {
+          if (!reader.loadNextBatch()) { done = true; return Nil }
           val vectors = vroot.getFieldVectors.asScala.toArray
-          var r = 0
           val rc = vroot.getRowCount
+          if (rc == 0) return Nil
+          val out = new scala.collection.mutable.ArrayBuffer[Row](rc)
+          var r = 0
           while (r < rc) {
-            val vals = new Array[Any](nFields)
-            var c = 0
-            while (c < nFields) {
-              vals(c) = vectors(c).getObject(r) match {
-                case null                              => null
-                case t: org.apache.arrow.vector.util.Text => t.toString
-                case other                             => other
-              }
-              c += 1
+            val keep = box == null || {
+              val wkb = vectors(geomIdx).getObject(r).asInstanceOf[Array[Byte]]
+              wkb != null && graft.geom.Wkb.read(wkb).envelope.intersects(box)
             }
-            out += Row.fromSeq(vals.toIndexedSeq)
+            if (keep) {
+              val vals = new Array[Any](nOut)
+              var c = 0
+              while (c < nOut) {
+                vals(c) = vectors(projIdx(c)).getObject(r) match {
+                  case null                                 => null
+                  case t: org.apache.arrow.vector.util.Text => t.toString
+                  case other                                => other
+                }
+                c += 1
+              }
+              out += Row.fromSeq(vals.toIndexedSeq)
+            }
             r += 1
           }
+          out.toSeq
         }
-      } finally { reader.close(); allocator.close() }
-      out.iterator
+      }
+      batches.flatten
     }
-    val df: DataFrame = spark.createDataFrame(rows, sparkSchema)
-    geoMeta match {
-      case Some(json) =>
-        val node = mapper.readTree(json)
-        val primary = node.get("primary_column").asText()
-        val colNode = node.get("columns").get(primary)
+    val df: DataFrame = spark.createDataFrame(rows, outSchema)
+    (geoMeta, primaryGeom) match {
+      case (Some(json), Some(primary)) if outSchema.fieldNames.contains(primary) =>
+        val colNode = mapper.readTree(json).get("columns").get(primary)
         val crs = if (colNode.has("crs") && !colNode.get("crs").isNull)
           Some(colNode.get("crs").asText()) else None
         GeoDataFrame(df, primary).setCrs(crs.getOrElse("OGC:CRS84"))
-      case None => GeoDataFrame(df)
+      case _ => GeoDataFrame(df)
     }
   }
 }

@@ -117,6 +117,41 @@ class GeoParquetIOSpec extends AnyFunSuite {
     assert(back.df.filter($"name" === "row-7").count() == 1)
   }
 
+  test("feather read streams multi-batch files; columns + bbox push into decode") {
+    val path = tmpDir()
+    val g0 = sample()
+    val g = GeoDataFrame(g0.df.repartition(2)
+        .withColumn("name", concat(lit("row-"), $"id")),
+      g0.geometryColumn).setCrs("EPSG:3857")
+    // batchSize 64 over 250 rows/partition -> several record batches per file
+    GeoFeatherIO.write(g, path, batchSize = 64)
+
+    // full read across batch boundaries
+    val back = GeoFeatherIO.read(spark, path)
+    assert(back.df.count() == 500)
+
+    // column projection: only requested columns come back, geometry intact
+    val proj = GeoFeatherIO.read(spark, path, columns = Seq("id", "geometry"))
+    assert(proj.df.columns.toSeq == Seq("id", "geometry"))
+    assert(proj.geometryColumn == "geometry")
+    assert(proj.crs.contains("EPSG:3857"))
+    assert(proj.df.count() == 500)
+
+    // projection without geometry degrades to a plain wrapped frame
+    val plain = GeoFeatherIO.read(spark, path, columns = Seq("id", "name"))
+    assert(plain.df.columns.toSeq == Seq("id", "name"))
+    assert(plain.df.count() == 500)
+
+    // bbox filter drops rows at decode time, even when geometry not projected
+    val box = graft.geom.Envelope(0, 0, 30, 30)
+    val want = sample().df.filter($"x" <= 30 && $"y" <= 30).count()
+    val filtered = GeoFeatherIO.read(spark, path, bbox = Some(box))
+    assert(filtered.df.count() == want)
+    val filteredProj = GeoFeatherIO.read(spark, path, columns = Seq("id"), bbox = Some(box))
+    assert(filteredProj.df.columns.toSeq == Seq("id"))
+    assert(filteredProj.df.count() == want)
+  }
+
   test("readMeta gatherBBoxes=false skips per-file bbox gathering") {
     val path = tmpDir()
     val g = sample().spatialShuffle(by = "hilbert", level = 12, numPartitions = Some(4),

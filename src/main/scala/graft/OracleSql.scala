@@ -524,6 +524,13 @@ object OracleSql {
       WHERE cx BETWEEN 1000 AND 5000 AND cy BETWEEN 200 AND 800
       ORDER BY c_custkey""",
 
+    "g37_dwithin_join" -> s"""
+      SELECT c_custkey, s_suppkey::BIGINT AS s_suppkey
+      FROM ($custPts) CROSS JOIN
+           (SELECT s_suppkey, s_acctbal AS sx, (s_suppkey % 1000)::DOUBLE AS sy FROM supplier)
+      WHERE sqrt((cx - sx)*(cx - sx) + (cy - sy)*(cy - sy)) <= 50.0
+      ORDER BY c_custkey, s_suppkey""",
+
     "g34_touch_intersection" -> """
       WITH p AS (SELECT s_suppkey, ((s_suppkey % 10) + 1)::DOUBLE AS h FROM supplier)
       SELECT s_suppkey,

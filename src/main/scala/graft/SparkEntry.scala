@@ -710,6 +710,23 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     }),
 
+    // distance join (reference sjoin predicate="dwithin", sjoin.py:53-58):
+    // padded-cell grid equi-join — the left side's cells expand by the
+    // distance, which preserves the shared-cell invariant for dist<=d
+    // pairs. Same plan SpatialJoinRewrite emits for a SQL st_dwithin join.
+    "g37_dwithin_join" -> ((s, d) => {
+      val pts = GeoDataFrame(customerPts(s, d))
+      val sup = GeoDataFrame(t(s, d, "supplier")
+        .withColumn("sx", col("s_acctbal"))
+        .withColumn("sy", (col("s_suppkey") % 1000).cast("double"))
+        .withColumn("geometry", st_point(col("sx"), col("sy")))
+        .select(col("s_suppkey"), col("geometry")))
+      pts.sjoin(sup, predicate = "dwithin", strategy = "grid",
+          cellSize = Some(200.0), distance = 50.0)
+        .select(col("c_custkey"), col("s_suppkey").cast("long").as("s_suppkey"))
+        .orderBy(col("c_custkey"), col("s_suppkey"))
+    }),
+
     // dimension-collapse intersection (round 5): edge-touching squares
     // intersect in the shared LineString (length 2*min(h,2)), corner-touching
     // squares in the touch Point — GEOS semantics, closed-form oracle

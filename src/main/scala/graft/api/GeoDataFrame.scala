@@ -314,7 +314,8 @@ final case class GeoDataFrame(
       strategy: String = "auto",
       gridLevel: Int = 6,
       cellSize: Option[Double] = None,
-      rsuffix: String = "_right"): DataFrame = {
+      rsuffix: String = "_right",
+      distance: Double = 0.0): DataFrame = {
 
     val leftDf = df
     // disambiguate column names like geopandas' suffixing
@@ -335,6 +336,8 @@ final case class GeoDataFrame(
       case "touches"            => st_touches(l, r)
       case "crosses"            => st_crosses(l, r)
       case "overlaps"           => st_overlaps(l, r)
+      // geopandas sjoin predicate="dwithin" with distance= (sjoin.py:53-58)
+      case "dwithin"            => st_dwithin(l, r, lit(distance))
       case other                => throw new IllegalArgumentException(s"unknown predicate $other")
     }
 
@@ -345,11 +348,21 @@ final case class GeoDataFrame(
       case _ =>
         val (cellsL, cellsR, anchor) = cellSize match {
           case Some(s) =>
-            // fixed origin-anchored grid: nothing to scan before planning
-            (st_gridCellsSized(leftDf(geometryColumn), lit(s)),
-              st_gridCellsSized(rightRenamed(rGeomName), lit(s)),
-              st_gridCellAnchorSized(col(geometryColumn), col(rGeomName), lit(s)))
+            // fixed origin-anchored grid: nothing to scan before planning.
+            // dwithin pads the LEFT side's cells by the distance — that
+            // alone preserves the shared-cell invariant for dist <= d pairs.
+            val padded =
+              if (predicate == "dwithin")
+                (st_gridCellsSizedPad(leftDf(geometryColumn), lit(s), lit(distance)),
+                  st_gridCellAnchorSizedPad(col(geometryColumn), col(rGeomName),
+                    lit(s), lit(distance)))
+              else
+                (st_gridCellsSized(leftDf(geometryColumn), lit(s)),
+                  st_gridCellAnchorSized(col(geometryColumn), col(rGeomName), lit(s)))
+            (padded._1, st_gridCellsSized(rightRenamed(rGeomName), lit(s)), padded._2)
           case None =>
+            require(predicate != "dwithin",
+              "grid sjoin with predicate=dwithin needs an explicit cellSize")
             val b = gridBoundsFromMetadataOr(right)
             (st_gridCells(leftDf(geometryColumn),
               lit(b.minX), lit(b.minY), lit(b.maxX), lit(b.maxY), lit(gridLevel)),

@@ -35,7 +35,9 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] {
   val CELL_SIZE_KEY = "spark.graft.sjoin.grid.cellSize"
 
   /** Predicates that imply envelope overlap of the pair — the invariant the
-    * cell join relies on (st_dwithin would need distance-expanded cells).
+    * cell join relies on. st_dwithin is handled separately with
+    * distance-expanded cells: padding one side's envelope by d restores the
+    * invariant (dist <= d implies expand(env(a), d) overlaps env(b)).
     */
   private val SUPPORTED = Set("st_intersects", "st_contains", "st_within",
     "st_covers", "st_coveredby", "st_containsproperly", "st_touches",
@@ -48,32 +50,44 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] {
       case j @ Join(left, right, Inner, Some(cond), hint)
           if cond.deterministic && !alreadyRewritten(cond) &&
             isLarge(left) && isLarge(right) =>
+        def sided(a: Expression, b: Expression): Boolean =
+          a.references.nonEmpty && b.references.nonEmpty &&
+            a.references.subsetOf(left.outputSet) &&
+            b.references.subsetOf(right.outputSet)
         val conjuncts = splitConjuncts(cond)
+        // (left geometry, right geometry, optional dwithin distance pad)
         val spatial = conjuncts.collectFirst {
-          case p @ GraftScalar(name, Seq(a, b)) if SUPPORTED(name) &&
-              a.references.nonEmpty && b.references.nonEmpty &&
-              a.references.subsetOf(left.outputSet) &&
-              b.references.subsetOf(right.outputSet) => (p, a, b)
-          case p @ GraftScalar(name, Seq(a, b)) if SUPPORTED(name) &&
-              a.references.nonEmpty && b.references.nonEmpty &&
-              b.references.subsetOf(left.outputSet) &&
-              a.references.subsetOf(right.outputSet) => (p, b, a)
+          case GraftScalar(name, Seq(a, b)) if SUPPORTED(name) && sided(a, b) =>
+            (a, b, None)
+          case GraftScalar(name, Seq(a, b)) if SUPPORTED(name) && sided(b, a) =>
+            (b, a, None)
+          case GraftScalar("st_dwithin", Seq(a, b, d)) if d.foldable && sided(a, b) =>
+            (a, b, Some(d))
+          case GraftScalar("st_dwithin", Seq(a, b, d)) if d.foldable && sided(b, a) =>
+            (b, a, Some(d))
         }
         spatial match {
           case None => j
-          case Some((_, lGeom, rGeom)) =>
+          case Some((lGeom, rGeom, pad)) =>
             val cell = Literal(cellSize, DoubleType)
             val attrL = AttributeReference("_gcell_l", LongType)()
             val attrR = AttributeReference("_gcell_r", LongType)()
+            val cellsL = pad match {
+              case Some(d) => GraftScalar("st_gridcells_sized_pad", Seq(lGeom, cell, d))
+              case None    => GraftScalar("st_gridcells_sized", Seq(lGeom, cell))
+            }
+            val anchor = pad match {
+              case Some(d) => GraftScalar("st_gridcell_anchor_sized_pad", Seq(lGeom, rGeom, cell, d))
+              case None    => GraftScalar("st_gridcell_anchor_sized", Seq(lGeom, rGeom, cell))
+            }
             val genL = Generate(
-              Explode(GraftScalar("st_gridcells_sized", Seq(lGeom, cell))),
+              Explode(cellsL),
               unrequiredChildIndex = Nil, outer = false, qualifier = None,
               generatorOutput = Seq(attrL), child = left)
             val genR = Generate(
               Explode(GraftScalar("st_gridcells_sized", Seq(rGeom, cell))),
               unrequiredChildIndex = Nil, outer = false, qualifier = None,
               generatorOutput = Seq(attrR), child = right)
-            val anchor = GraftScalar("st_gridcell_anchor_sized", Seq(lGeom, rGeom, cell))
             val newCond = And(And(EqualTo(attrL, attrR), cond), EqualTo(anchor, attrL))
             Project(j.output, Join(genL, genR, Inner, Some(newCond), hint))
         }
@@ -86,8 +100,9 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] {
   }
 
   private def alreadyRewritten(cond: Expression): Boolean = cond.exists {
-    case GraftScalar("st_gridcell_anchor_sized", _) => true
-    case _                                          => false
+    case GraftScalar("st_gridcell_anchor_sized", _)     => true
+    case GraftScalar("st_gridcell_anchor_sized_pad", _) => true
+    case _                                              => false
   }
 
   /** Large = would not broadcast: stats above the broadcast threshold, or

@@ -261,6 +261,15 @@ object GraftDefs {
     "st_gridcell_anchor_sized" -> Spec(Seq(B, B, D), L, { a =>
       val e = geom(a(0)).envelope.intersection(geom(a(1)).envelope)
       GridIndex.anchorCellSized(e, dbl(a(2)))
+    }),
+    // distance-padded variants for st_dwithin joins: padding ONE side's
+    // envelope by d preserves the grid-join invariant (dist(a,b) <= d
+    // implies expand(env(a), d) overlaps env(b), so the pair shares a cell)
+    "st_gridcells_sized_pad" -> Spec(Seq(B, D, D), ArrayType(L),
+      a => GridIndex.cellsOfSized(geom(a(0)).envelope.expand(dbl(a(2))), dbl(a(1)))),
+    "st_gridcell_anchor_sized_pad" -> Spec(Seq(B, B, D, D), L, { a =>
+      val e = geom(a(0)).envelope.expand(dbl(a(3))).intersection(geom(a(1)).envelope)
+      GridIndex.anchorCellSized(e, dbl(a(2)))
     })
   )
 

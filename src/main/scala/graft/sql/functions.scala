@@ -139,6 +139,10 @@ object functions {
     fn("st_gridcells_sized", g, cellSize)
   def st_gridCellAnchorSized(a: Column, b: Column, cellSize: Column): Column =
     fn("st_gridcell_anchor_sized", a, b, cellSize)
+  def st_gridCellsSizedPad(g: Column, cellSize: Column, pad: Column): Column =
+    fn("st_gridcells_sized_pad", g, cellSize, pad)
+  def st_gridCellAnchorSizedPad(a: Column, b: Column, cellSize: Column, pad: Column): Column =
+    fn("st_gridcell_anchor_sized_pad", a, b, cellSize, pad)
 
   // ------------------------------------------------------------- aggregates
   def st_unionAgg(g: Column): Column = agg(StUnionAgg(expr(g)))

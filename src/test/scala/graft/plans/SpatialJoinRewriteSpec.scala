@@ -60,6 +60,52 @@ class SpatialJoinRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("st_dwithin join rewrites to a padded-cell equi-join with same rows") {
+    val (pts, boxes) = fixtures()
+    // point-vs-point distance join: both sides "large" once broadcast is off
+    val l = pts.select(col("id").as("id_a"), col("geometry").as("ga"))
+    val r = pts.select(col("id").as("id_b"), col("geometry").as("gb"))
+    val cond = st_dwithin(col("ga"), col("gb"), lit(25.0)) && col("id_a") < col("id_b")
+
+    spark.conf.unset(SpatialJoinRewrite.CELL_SIZE_KEY)
+    val baseline = l.join(r, cond).select("id_a", "id_b")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).sorted
+    assert(baseline.nonEmpty)
+
+    spark.conf.set(SpatialJoinRewrite.CELL_SIZE_KEY, "100.0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val rewritten = l.join(r, cond).select("id_a", "id_b")
+      val optimized = rewritten.queryExecution.optimizedPlan.toString()
+      assert(optimized.contains("st_gridcells_sized_pad"), optimized)
+      val physical = rewritten.queryExecution.executedPlan.toString()
+      assert(!physical.contains("BroadcastNestedLoopJoin") &&
+        !physical.contains("CartesianProduct"), physical)
+      val got = rewritten.collect().map(x => (x.getLong(0), x.getLong(1))).sorted
+      assert(got.length == baseline.length, s"${got.length} vs ${baseline.length}")
+      assert(got.sameElements(baseline))
+    } finally {
+      spark.conf.unset(SpatialJoinRewrite.CELL_SIZE_KEY)
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("sjoin dwithin grid matches broadcast dwithin") {
+    val (pts, _) = fixtures()
+    import graft.api.GeoDataFrame
+    val left = GeoDataFrame(pts.select(col("id"), col("geometry")))
+    val right = GeoDataFrame(pts.select(col("id").as("rid"), col("geometry")))
+    def run(strategy: String) =
+      left.sjoin(right, predicate = "dwithin", strategy = strategy,
+          cellSize = Some(100.0), distance = 25.0)
+        .select(col("id"), col("rid"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val b = run("broadcast")
+    val g = run("grid")
+    assert(b.nonEmpty)
+    assert(b == g)
+  }
+
   test("no rewrite when a side is broadcast-sized") {
     val (pts, boxes) = fixtures()
     spark.conf.set(SpatialJoinRewrite.CELL_SIZE_KEY, "100.0")

@@ -249,7 +249,7 @@ final case class GeoDataFrame(
       var env = Envelope.empty
       it.foreach { row =>
         if (!row.isNullAt(gIdx))
-          env = env.union(Wkb.read(row.getAs[Array[Byte]](gIdx)).envelope)
+          env = env.union(Wkb.envelopeOf(row.getAs[Array[Byte]](gIdx)))
       }
       Iterator((i, env))
     }.collect().sortBy(_._1).map(_._2)

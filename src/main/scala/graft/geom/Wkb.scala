@@ -73,6 +73,73 @@ object Wkb {
     (xy, zs)
   }
 
+  /** Envelope straight from the WKB bytes — no Geometry, no coordinate
+    * arrays. The envelope-consuming expressions (bbox filters, grid-cell
+    * assignment, bounds aggregation) are decode-dominated (~84% of
+    * st_intersects wall time is `read`, see `tools/WkbProfile`); scanning
+    * min/max in place removes every allocation from those paths. Matches
+    * `read(bytes).envelope` exactly: polygon envelopes come from the
+    * exterior ring only (hole coords are skipped, as `Polygon.envelope`
+    * ignores them), empty points (NaN) contribute nothing.
+    */
+  def envelopeOf(bytes: Array[Byte]): Envelope = {
+    val buf = ByteBuffer.wrap(bytes)
+    val acc = Array(Double.PositiveInfinity, Double.PositiveInfinity,
+      Double.NegativeInfinity, Double.NegativeInfinity)
+    envScan(buf, acc)
+    if (acc(0) > acc(2)) Envelope.empty else Envelope(acc(0), acc(1), acc(2), acc(3))
+  }
+
+  private def envScan(buf: ByteBuffer, acc: Array[Double]): Unit = {
+    val order = buf.get()
+    buf.order(if (order == 0) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
+    var t = buf.getInt()
+    var hasZ = false
+    var hasM = false
+    if ((t & SRID_FLAG) != 0) { buf.getInt(); t &= ~SRID_FLAG }
+    if ((t & Z_FLAG) != 0) { hasZ = true; t &= ~Z_FLAG }
+    if ((t & M_FLAG) != 0) { hasM = true; t &= ~M_FLAG }
+    val dimCode = (t & 0xffff) / 1000
+    if (dimCode == 1 || dimCode == 3) hasZ = true
+    if (dimCode == 2 || dimCode == 3) hasM = true
+    val extra = (if (hasZ) 8 else 0) + (if (hasM) 8 else 0)
+
+    def scanPoints(n: Int, gather: Boolean): Unit = {
+      var i = 0
+      while (i < n) {
+        if (gather) {
+          val x = buf.getDouble(); val y = buf.getDouble()
+          // NaN (empty point) fails every comparison and contributes nothing
+          if (x < acc(0)) acc(0) = x
+          if (x > acc(2)) acc(2) = x
+          if (y < acc(1)) acc(1) = y
+          if (y > acc(3)) acc(3) = y
+          if (extra > 0) buf.position(buf.position() + extra)
+        } else buf.position(buf.position() + 16 + extra)
+        i += 1
+      }
+    }
+
+    (t & 0xffff) % 1000 match {
+      case 1 => scanPoints(1, gather = true)
+      case 2 => scanPoints(buf.getInt(), gather = true)
+      case 3 =>
+        val nRings = buf.getInt()
+        var r = 0
+        while (r < nRings) {
+          // Polygon.envelope = exterior ring only; skip over hole coords
+          scanPoints(buf.getInt(), gather = r == 0)
+          r += 1
+        }
+      case 4 | 5 | 6 | 7 =>
+        val n = buf.getInt()
+        var i = 0
+        while (i < n) { envScan(buf, acc); i += 1 }
+      case other =>
+        throw new IllegalArgumentException(s"unsupported WKB geometry type $other")
+    }
+  }
+
   def write(g: Geometry): Array[Byte] = {
     val buf = ByteBuffer.allocate(sizeOf(g)).order(ByteOrder.LITTLE_ENDIAN)
     writeTo(g, buf)

@@ -158,7 +158,8 @@ case class StEnvelopeAgg(
   override def update(buf: Array[Double], input: InternalRow): Array[Double] = {
     val v = child.eval(input)
     if (v != null) {
-      val e = Wkb.read(v.asInstanceOf[Array[Byte]]).envelope
+      // envelope straight off the WKB bytes — no per-row geometry decode
+      val e = Wkb.envelopeOf(v.asInstanceOf[Array[Byte]])
       if (!e.isEmpty) {
         if (e.minX < buf(0)) buf(0) = e.minX
         if (e.minY < buf(1)) buf(1) = e.minY

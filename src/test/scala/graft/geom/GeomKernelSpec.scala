@@ -36,6 +36,33 @@ class GeomKernelSpec extends AnyFunSuite {
     }
   }
 
+  test("wkb envelopeOf matches read().envelope for every geometry shape") {
+    val samples = Seq(
+      "POINT (1.5 -2.25)", "POINT Z (1 2 3)",
+      "LINESTRING (0 0, 1 1, 2 0)",
+      // hole coords outside the gather: envelope must come from the shell
+      "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))",
+      "MULTIPOINT ((1 1), (2 2))",
+      "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((5 5, 7 5, 7 9, 5 9, 5 5)))",
+      "MULTILINESTRING ((0 0, 1 1), (-5 2, 3 -4))",
+      "GEOMETRYCOLLECTION (POINT (1 2), POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0)))")
+    samples.foreach { s =>
+      val bytes = Wkb.write(Wkt.read(s))
+      assert(Wkb.envelopeOf(bytes) == Wkb.read(bytes).envelope, s)
+    }
+    // empty point contributes nothing (empty envelope)
+    val emptyPt = Wkb.write(Point.empty)
+    assert(Wkb.envelopeOf(emptyPt).isEmpty)
+    // random property sweep
+    val rnd = new scala.util.Random(17)
+    (1 to 200).foreach { _ =>
+      val n = 2 * (2 + rnd.nextInt(8))
+      val l = LineString(Array.fill(n)(rnd.nextDouble() * 2e6 - 1e6))
+      val bytes = Wkb.write(l)
+      assert(Wkb.envelopeOf(bytes) == Wkb.read(bytes).envelope)
+    }
+  }
+
   test("wkb roundtrip property (random lines)") {
     val rnd = new scala.util.Random(42)
     (1 to 200).foreach { _ =>

@@ -418,6 +418,41 @@ object OracleSql {
         code AS geohash_long
       FROM c ORDER BY c_custkey""",
 
+    "t12_repetition" -> s"""
+      WITH toks AS (SELECT doc_id, $docToks AS tk FROM documents),
+      tc AS (SELECT doc_id, max(c)::BIGINT AS top_count FROM (
+               SELECT doc_id, t, count(*) AS c
+               FROM (SELECT doc_id, unnest(tk) AS t FROM toks)
+               GROUP BY doc_id, t)
+             GROUP BY doc_id),
+      bi AS (SELECT doc_id,
+               CASE WHEN len(tk) >= 2
+                 THEN list_transform(generate_series(1, len(tk) - 1),
+                        i -> tk[i] || ' ' || tk[i + 1])
+                 ELSE [] END AS bg
+             FROM toks)
+      SELECT toks.doc_id,
+             len(toks.tk)::BIGINT AS n_tokens,
+             len(list_distinct(toks.tk))::BIGINT AS n_distinct,
+             coalesce(tc.top_count, 0)::BIGINT AS top_count,
+             len(bi.bg)::BIGINT AS n_bigrams,
+             len(list_distinct(bi.bg))::BIGINT AS n_distinct_bigrams
+      FROM toks
+      LEFT JOIN tc ON tc.doc_id = toks.doc_id
+      JOIN bi ON bi.doc_id = toks.doc_id
+      ORDER BY toks.doc_id""",
+
+    "t13_contamination" -> """
+      WITH sh AS (
+        SELECT DISTINCT doc_id, substr(text, i::INT, 20) AS g
+        FROM documents, LATERAL unnest(range(1, length(text) - 18)) AS t(i)),
+      ev AS (SELECT DISTINCT g FROM sh WHERE doc_id % 100 = 0)
+      SELECT doc_id, count(*)::BIGINT AS n_shared
+      FROM sh JOIN ev USING (g)
+      WHERE doc_id % 100 <> 0
+      GROUP BY doc_id
+      ORDER BY doc_id""",
+
     "t11_hash_split" -> s"""
       WITH b AS (
         SELECT doc_id, text,

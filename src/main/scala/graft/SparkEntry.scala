@@ -892,6 +892,38 @@ object SparkEntry {
         .orderBy(col("split"))
     }),
 
+    // within-doc repetition signals (Gopher/RefinedWeb quality filters):
+    // dup-word / top-token / dup-bigram counts from one narrow expression —
+    // no shuffle, integer outputs so the oracle compare is float-free
+    "t12_repetition" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"), gr_repetition(col("text")).as("r"))
+        .select(col("doc_id"),
+          col("r.n_tokens").as("n_tokens"),
+          col("r.n_distinct").as("n_distinct"),
+          col("r.top_count").as("top_count"),
+          col("r.n_bigrams").as("n_bigrams"),
+          col("r.n_distinct_bigrams").as("n_distinct_bigrams"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // benchmark decontamination: flag training docs sharing a 20-char
+    // shingle with the "eval" subset (doc_id % 100 == 0). Eval shingle set
+    // is distinct + broadcast (tiny vs corpus); the corpus side stays a
+    // narrow explode -> broadcast semi-ish join -> per-doc hash-agg, so
+    // the corpus never shuffles against itself at 100 TB.
+    "t13_contamination" -> ((s, d) => {
+      val grams = t(s, d, "documents")
+        .select(col("doc_id"), explode(gr_gramHashes(col("text"), lit(20))).as("g"))
+      val evalGrams = grams.filter(col("doc_id") % 100 === 0).select("g").distinct()
+      grams.filter(col("doc_id") % 100 =!= 0)
+        .join(broadcast(evalGrams), Seq("g"))
+        // per-doc gram hashes are already distinct, so plain count = overlap size
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy(col("doc_id"))
+    }),
+
     // rolling-hash document fingerprint (md5-based so the oracle can
     // replicate the hash)
     "t09_fingerprint" -> ((s, d) => {

@@ -46,6 +46,11 @@ object GraftDefs {
     StructField("xmin", D), StructField("ymin", D),
     StructField("xmax", D), StructField("ymax", D)))
 
+  val repetitionStruct: StructType = StructType(Seq(
+    StructField("n_tokens", L), StructField("n_distinct", L),
+    StructField("top_count", L),
+    StructField("n_bigrams", L), StructField("n_distinct_bigrams", L)))
+
   // =========================================================== geometry
   private val geomSpecs: Map[String, Spec] = Map(
     // ---- constructors
@@ -314,6 +319,12 @@ object GraftDefs {
         else j += 1
       }
       n
+    }),
+    // within-doc repetition signals (Gopher/RefinedWeb quality heuristics):
+    // integer counts only, so the oracle comparison is float-free
+    "gr_repetition" -> Spec(Seq(S), repetitionStruct, { a =>
+      val (n, d, t, nb, db) = TextKernel.repetition(str(a(0)))
+      new GenericInternalRow(Array[Any](n, d, t, nb, db))
     }),
     "gr_minhash" -> Spec(Seq(S, I, I, I), ArrayType(L), { a =>
       new GenericArrayData(

@@ -30,6 +30,34 @@ object TextKernel {
     n
   }
 
+  /** Within-document repetition signals (the Gopher/RefinedWeb-style
+    * quality heuristics): token counts, distinct tokens, the most frequent
+    * token's occurrence count, and bigram totals/distincts. One pass, no
+    * shuffle — ratios (dup-word fraction, top-token share, dup-bigram
+    * fraction) derive from the integers so the oracle comparison stays
+    * float-free.
+    */
+  def repetition(text: String): (Long, Long, Long, Long, Long) = {
+    val tk = tokens(text)
+    val n = tk.length
+    val counts = new java.util.HashMap[String, Int]()
+    var top = 0
+    var i = 0
+    while (i < n) {
+      val c = counts.merge(tk(i), 1, (a, b) => a + b)
+      if (c > top) top = c
+      i += 1
+    }
+    val bigrams = new java.util.HashSet[String]()
+    i = 0
+    while (i < n - 1) {
+      bigrams.add(tk(i) + " " + tk(i + 1))
+      i += 1
+    }
+    (n.toLong, counts.size.toLong, top.toLong,
+      math.max(0, n - 1).toLong, bigrams.size.toLong)
+  }
+
   /** Distinct character n-grams, in first-occurrence order. */
   def charShingles(text: String, n: Int): Array[String] = {
     if (text.length < n) return Array.empty

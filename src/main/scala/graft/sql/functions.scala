@@ -163,6 +163,7 @@ object functions {
   def gr_bucketPairs(items: Column, band: Column, bands: Column, threshold: Column): Column =
     fn("gr_bucket_pairs", items, band, bands, threshold)
   def gr_simhash64(text: Column): Column = fn("gr_simhash64", text)
+  def gr_repetition(text: Column): Column = fn("gr_repetition", text)
   def gr_langId(text: Column): Column = fn("gr_lang_id", text)
   def gr_qualityScore(text: Column): Column = fn("gr_quality_score", text)
   def gr_fingerprint(text: Column, k: Column): Column = fn("gr_fingerprint", text, k)

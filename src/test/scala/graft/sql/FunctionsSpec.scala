@@ -110,6 +110,20 @@ class FunctionsSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(2) - 1113194.9079327357) < 1e-6)
   }
 
+  test("gr_repetition counts tokens, top token, bigrams") {
+    val df = Seq(
+      (1L, "a b a b a"),        // 5 tokens, 2 distinct, top 'a'=3, 4 bigrams ('a b','b a' x2 each) -> 2 distinct
+      (2L, "x"),                // single token: no bigrams
+      (3L, "")).toDF("id", "text")
+    val r = df.select($"id", gr_repetition($"text").as("r"))
+      .select($"id", $"r.n_tokens", $"r.n_distinct", $"r.top_count",
+        $"r.n_bigrams", $"r.n_distinct_bigrams")
+      .orderBy($"id").collect()
+    assert(r(0).toSeq.drop(1) == Seq(5L, 2L, 3L, 4L, 2L))
+    assert(r(1).toSeq.drop(1) == Seq(1L, 1L, 1L, 0L, 0L))
+    assert(r(2).toSeq.drop(1) == Seq(0L, 0L, 0L, 0L, 0L))
+  }
+
   test("st_transform composes any supported pair through lon/lat") {
     // mercator -> UTM 33N directly equals mercator -> 4326 -> UTM 33N
     val df = Seq((15.5, 46.0)).toDF("lon", "lat")

@@ -286,6 +286,9 @@ object GraftDefs {
   private def normCrs(s: String): String = {
     val up = s.toUpperCase
     if (up == "OGC:CRS84" || up == "CRS84" || up == "WGS84" || up == "4326") "EPSG:4326"
+    // NAD83 geographic: within ~1-2 m of WGS84 (the standard GIS-engine
+    // treatment absent a datum-shift grid); documented approximation
+    else if (up == "EPSG:4269" || up == "4269" || up == "NAD83") "EPSG:4326"
     else if (up == "3857" || up == "WEB_MERCATOR") "EPSG:3857"
     else up
   }

@@ -110,6 +110,17 @@ class FunctionsSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(2) - 1113194.9079327357) < 1e-6)
   }
 
+  test("st_transform treats NAD83 geographic as WGS84 (documented approximation)") {
+    val df = Seq((15.5, 46.0)).toDF("lon", "lat")
+      .withColumn("g", st_point($"lon", $"lat"))
+      .withColumn("a", st_transform($"g", lit("EPSG:4269"), lit("EPSG:3857")))
+      .withColumn("b", st_transform($"g", lit("EPSG:4326"), lit("EPSG:3857")))
+      .withColumn("noop", st_transform($"g", lit("NAD83"), lit("EPSG:4326")))
+    val r = df.select(st_x($"a"), st_x($"b"), st_x($"noop"), st_y($"noop")).collect()(0)
+    assert(r.getDouble(0) == r.getDouble(1))
+    assert(r.getDouble(2) == 15.5 && r.getDouble(3) == 46.0)
+  }
+
   test("gr_repetition counts tokens, top token, bigrams") {
     val df = Seq(
       (1L, "a b a b a"),        // 5 tokens, 2 distinct, top 'a'=3, 4 bigrams ('a b','b a' x2 each) -> 2 distinct

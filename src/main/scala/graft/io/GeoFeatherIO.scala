@@ -91,6 +91,7 @@ object GeoFeatherIO {
     val pathStr = path
     val sparkSchema = schema
 
+    val geomIdx = schema.fieldIndex(geomCol)
     df.rdd.mapPartitionsWithIndex { (pid, it) =>
       val taskConf = new org.apache.hadoop.conf.Configuration(false)
       serializableConfProps.foreach { case (k, v) => taskConf.set(k, v) }
@@ -101,7 +102,12 @@ object GeoFeatherIO {
       val arrowSchema = new Schema(fields.asJava, Map("geo" -> geoJson).asJava)
       val vroot = VectorSchemaRoot.create(arrowSchema, allocator)
       val out = tfs.create(file, true)
-      val writer = new ArrowFileWriter(vroot, null, Channels.newChannel(out))
+      // footer custom metadata: the map is serialized at end(), so the
+      // per-file bbox accumulated while writing can be added just before —
+      // that's what lets reads prune whole files from footers alone
+      val footerMeta = new java.util.HashMap[String, String]()
+      val writer = new ArrowFileWriter(vroot, null, Channels.newChannel(out), footerMeta)
+      var fileEnv = graft.geom.Envelope.empty
       try {
         writer.start()
         val vectors = vroot.getFieldVectors.asScala.toArray
@@ -111,6 +117,9 @@ object GeoFeatherIO {
           vectors.foreach(_.reset())
         }
         it.foreach { row =>
+          val gv = row.get(geomIdx)
+          if (gv != null)
+            fileEnv = fileEnv.union(graft.geom.Wkb.envelopeOf(gv.asInstanceOf[Array[Byte]]))
           var c = 0
           while (c < vectors.length) {
             val v = row.get(c)
@@ -139,6 +148,9 @@ object GeoFeatherIO {
           if (n >= batchSize) flush()
         }
         flush()
+        if (!fileEnv.isEmpty)
+          footerMeta.put("geo_bbox",
+            s"${fileEnv.minX},${fileEnv.minY},${fileEnv.maxX},${fileEnv.maxY}")
         writer.end()
       } finally {
         writer.close(); out.close(); vroot.close(); allocator.close()
@@ -182,6 +194,36 @@ object GeoFeatherIO {
       throw new UnsupportedOperationException
     override def isOpen: Boolean = open
     override def close(): Unit = { open = false; in.close() }
+  }
+
+  /** Per-file bboxes from the Arrow footer custom metadata ("geo_bbox",
+    * accumulated task-side at write time). Gathered as a Spark job over the
+    * file list — same scale posture as the GeoParquet footer read: the
+    * driver ships file names only.
+    */
+  def fileBBoxes(spark: SparkSession, path: String): Map[String, graft.geom.Envelope] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val files = listArrowFiles(conf, new Path(path))
+    if (files.isEmpty) return Map.empty
+    val serializableConfProps = conf.asScala.map(e => (e.getKey, e.getValue)).toArray
+    val names = files.map(_.toString)
+    val slices = math.max(1, math.min(names.size, spark.sparkContext.defaultParallelism))
+    spark.sparkContext.parallelize(names, slices).map { f =>
+      val taskConf = new org.apache.hadoop.conf.Configuration(false)
+      serializableConfProps.foreach { case (k, v) => taskConf.set(k, v) }
+      val p = new Path(f)
+      val fs = p.getFileSystem(taskConf)
+      val allocator = new RootAllocator()
+      val reader = new ArrowFileReader(
+        new FsSeekableChannel(fs.open(p), fs.getFileStatus(p).getLen), allocator)
+      try {
+        reader.getVectorSchemaRoot // forces footer read
+        (f, Option(reader.getMetaData.get("geo_bbox")))
+      } finally { reader.close(); allocator.close() }
+    }.collect().collect { case (f, Some(s)) =>
+      val a = s.split(",")
+      (f, graft.geom.Envelope(a(0).toDouble, a(1).toDouble, a(2).toDouble, a(3).toDouble))
+    }.toMap
   }
 
   /** Read a feather dataset.
@@ -244,10 +286,21 @@ object GeoFeatherIO {
     }
 
     val serializableConfProps = conf.asScala.map(e => (e.getKey, e.getValue)).toArray
-    val fileNames = files.map(_.toString)
+    // file-level pruning first: files whose footer bbox misses the filter
+    // never schedule a scan task at all (files without a recorded bbox are
+    // kept — correctness over pruning)
+    val fileNames = bbox match {
+      case Some(b) =>
+        val bx = fileBBoxes(spark, path)
+        files.map(_.toString).filter(f => bx.get(f).forall(_.intersects(b)))
+      case None => files.map(_.toString)
+    }
     val nOut = projIdx.length
     val box = bbox.orNull
-    val rows = spark.sparkContext.parallelize(fileNames, fileNames.length).flatMap { f =>
+    val rows =
+      if (fileNames.isEmpty)
+        spark.sparkContext.emptyRDD[Row]
+      else spark.sparkContext.parallelize(fileNames, fileNames.length).flatMap { f =>
       val taskConf = new org.apache.hadoop.conf.Configuration(false)
       serializableConfProps.foreach { case (k, v) => taskConf.set(k, v) }
       val p = new Path(f)

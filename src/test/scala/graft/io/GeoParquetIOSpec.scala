@@ -152,6 +152,27 @@ class GeoParquetIOSpec extends AnyFunSuite {
     assert(filteredProj.df.count() == want)
   }
 
+  test("feather footer bboxes prune whole files on bbox reads") {
+    val path = tmpDir()
+    // hilbert-clustered partitions -> per-file extents much smaller than the
+    // domain, so a tight bbox must drop files
+    val g = sample().spatialShuffle(by = "hilbert", level = 12, numPartitions = Some(8),
+      calculatePartitions = false)
+    GeoFeatherIO.write(g, path)
+    val bx = GeoFeatherIO.fileBBoxes(spark, path)
+    assert(bx.size == 8)
+    val box = graft.geom.Envelope(0, 0, 15, 15)
+    val hit = bx.values.count(_.intersects(box))
+    assert(hit < 8, s"expected file pruning, all $hit hit")
+    val got = GeoFeatherIO.read(spark, path, bbox = Some(box))
+    val want = sample().df.filter($"x" <= 15 && $"y" <= 15).count()
+    assert(got.df.count() == want)
+    // empty-intersection bbox reads nothing but keeps the schema
+    val none = GeoFeatherIO.read(spark, path, bbox = Some(graft.geom.Envelope(-500, -500, -400, -400)))
+    assert(none.df.count() == 0)
+    assert(none.df.columns.contains("geometry"))
+  }
+
   test("readMeta gatherBBoxes=false skips per-file bbox gathering") {
     val path = tmpDir()
     val g = sample().spatialShuffle(by = "hilbert", level = 12, numPartitions = Some(4),

@@ -67,7 +67,11 @@ final case class GeoDataFrame(
   def toCrs(target: String): GeoDataFrame = {
     val from = crs.getOrElse("EPSG:4326")
     val out = df.withColumn(geometryColumn, st_transform(geom, lit(from), lit(target)))
-    copy(df = out, spatialPartitions = None).setCrs(target)
+    // pointSource must not survive reprojection: the source x/y columns
+    // still hold coordinates in the OLD crs, so a later cx would push
+    // range predicates in the wrong units and drop valid rows
+    copy(df = out, spatialPartitions = None, pointSource = None, fileSource = None)
+      .setCrs(target)
   }
 
   /** Switch the active geometry column (reference set_geometry,

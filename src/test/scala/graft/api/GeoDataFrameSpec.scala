@@ -114,6 +114,23 @@ class GeoDataFrameSpec extends AnyFunSuite {
     assert(g.explodeParts().df.columns.contains("part_index"))
   }
 
+  test("cx after toCrs filters in the new crs (stale pointSource dropped)") {
+    val rnd = new scala.util.Random(5)
+    val rows = (0 until 300).map(i =>
+      (i.toLong, rnd.nextDouble() * 40 - 20, rnd.nextDouble() * 40 - 20))
+    val g = GeoDataFrame.pointsFromXY(rows.toDF("id", "x", "y"), "x", "y")
+      .setCrs("EPSG:4326").toCrs("EPSG:3857")
+    // box in mercator meters: xmin=1e6 pushed onto the stale lon column
+    // (degrees, |lon| <= 20) would drop every row
+    val got = g.cx(1e6, -3e6, 3e6, 3e6).df.count()
+    val want = rows.count { case (_, lon, lat) =>
+      val (mx, my) = graft.sql.Crs.lonLatToMercator(lon, lat)
+      mx >= 1e6 && mx <= 3e6 && my >= -3e6 && my <= 3e6
+    }
+    assert(want > 0)
+    assert(got == want)
+  }
+
   test("setGeometry switches the active geometry column") {
     val g = points(50).withColumn("buffered", st_buffer(col("geometry"), lit(2.0), lit(8)))
     val onPoints = GeoDataFrame(g.df).totalBounds()

@@ -89,7 +89,16 @@ final case class GeoDataFrame(
   // ------------------------------------------------------------ projection
   def select(cols: Column*): DataFrame = df.select(cols: _*)
 
-  def withColumn(name: String, c: Column): GeoDataFrame = copy(df = df.withColumn(name, c))
+  def withColumn(name: String, c: Column): GeoDataFrame = {
+    // overwriting the active geometry invalidates the partition envelopes;
+    // overwriting either pointSource column would leave cx pushing range
+    // predicates against values that no longer generate the geometry
+    val touchesGeom = name == geometryColumn
+    val touchesSource = pointSource.exists { case (x, y) => name == x || name == y }
+    copy(df = df.withColumn(name, c),
+      spatialPartitions = if (touchesGeom) None else spatialPartitions,
+      pointSource = if (touchesGeom || touchesSource) None else pointSource)
+  }
 
   /** Dropping the geometry column demotes to a plain DataFrame (reference
     * `_expr.py:8-24`, `expr.py:833-849`).

@@ -131,6 +131,22 @@ class GeoDataFrameSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("withColumn over geometry or source columns clears stale metadata") {
+    val g = points(50).calculateSpatialPartitions()
+    assert(g.spatialPartitions.isDefined)
+    // unrelated column keeps everything
+    val plus = g.withColumn("extra", lit(1))
+    assert(plus.spatialPartitions.isDefined)
+    // overwriting the geometry drops envelopes and pointSource
+    val moved = g.withColumn("geometry", st_translate(col("geometry"), lit(1000.0), lit(0.0)))
+    assert(moved.spatialPartitions.isEmpty)
+    assert(moved.pointSource.isEmpty)
+    // overwriting a pointSource column drops the pushdown hint
+    val gx = GeoDataFrame.pointsFromXY(points(20).df.select("id", "x", "y"), "x", "y")
+    assert(gx.pointSource.isDefined)
+    assert(gx.withColumn("x", col("x") * 2).pointSource.isEmpty)
+  }
+
   test("setGeometry switches the active geometry column") {
     val g = points(50).withColumn("buffered", st_buffer(col("geometry"), lit(2.0), lit(8)))
     val onPoints = GeoDataFrame(g.df).totalBounds()

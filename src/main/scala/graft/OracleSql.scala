@@ -586,6 +586,10 @@ object OracleSql {
       SELECT c_custkey::BIGINT AS c_custkey, c_acctbal AS x, (c_custkey % 1000)::DOUBLE AS y
       FROM customer ORDER BY c_custkey""",
 
+    "g38_geojson_roundtrip" -> """
+      SELECT c_custkey::BIGINT AS c_custkey, c_acctbal AS x, (c_custkey % 1000)::DOUBLE AS y
+      FROM customer ORDER BY c_custkey""",
+
     "g28_accessors" -> """
       WITH p AS (SELECT s_suppkey, ((s_suppkey % 5) + 3) * 10 AS w FROM supplier)
       SELECT s_suppkey,

@@ -785,6 +785,21 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     }),
 
+    // newline-delimited GeoJSON roundtrip (OGR GeoJSONSeq in the reference's
+    // read_file surface): write features task-side as json lines, read back
+    // with the distributed text scan + st_geomfromgeojson, recover exact
+    // coordinates and a property
+    "g38_geojson_roundtrip" -> ((s, d) => {
+      val path = "/tmp/graft_g38_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      graft.io.GeoJsonIO.writeSeq(
+        GeoDataFrame(customerPts(s, d).select(col("c_custkey"), col("geometry"))), path)
+      graft.io.GeoJsonIO.readSeq(s, path)
+        .df.select(
+          get_json_object(col("properties"), "$.c_custkey").cast("long").as("c_custkey"),
+          st_x(col("geometry")).as("x"), st_y(col("geometry")).as("y"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // accessors: interior rings, geometryN, dumpPoints, bounds struct, Z
     // (reference expr.py:947-981)
     "g28_accessors" -> ((s, d) => {

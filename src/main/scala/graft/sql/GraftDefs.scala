@@ -83,6 +83,10 @@ object GraftDefs {
       val e = env(a(0))
       new GenericInternalRow(Array[Any](e.minX, e.minY, e.maxX, e.maxY))
     }),
+    // GeoJSON interchange (RFC 7946; the reference reaches this through
+    // OGR's GeoJSON drivers — io/file.py:49-149)
+    "st_geomfromgeojson" -> Spec(Seq(S), B, a => wkb(GeoJson.read(str(a(0))))),
+    "st_asgeojson" -> g1(S)(g => utf8(GeoJson.write(g))),
     "st_geometrytype" -> g1(S)(g => utf8(g.geometryType)),
     "st_numgeometries" -> g1(I)(g => g.numGeometries),
     "st_numpoints" -> g1(I)(g => g.numPoints),

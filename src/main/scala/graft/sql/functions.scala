@@ -69,6 +69,8 @@ object functions {
   def st_equals(a: Column, b: Column): Column = fn("st_equals", a, b)
   def st_equalsExact(a: Column, b: Column, tol: Column): Column = fn("st_equalsexact", a, b, tol)
   def st_dwithin(a: Column, b: Column, d: Column): Column = fn("st_dwithin", a, b, d)
+  def st_geomFromGeoJson(s: Column): Column = fn("st_geomfromgeojson", s)
+  def st_asGeoJson(g: Column): Column = fn("st_asgeojson", g)
   def st_relate(a: Column, b: Column): Column = fn("st_relate", a, b)
   def st_intersectsBox(g: Column, xmin: Column, ymin: Column, xmax: Column, ymax: Column): Column =
     fn("st_intersectsbox", g, xmin, ymin, xmax, ymax)

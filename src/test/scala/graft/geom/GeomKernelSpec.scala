@@ -36,6 +36,26 @@ class GeomKernelSpec extends AnyFunSuite {
     }
   }
 
+  test("geojson roundtrip preserves wkt across all types") {
+    val samples = Seq(
+      "POINT (1.5 -2.25)", "POINT Z (1 2 3)",
+      "LINESTRING (0 0, 1 1, 2 0)",
+      "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))",
+      "MULTIPOINT ((1 1), (2 2))",
+      "MULTILINESTRING ((0 0, 1 1), (-5 2, 3 -4))",
+      "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)))",
+      "GEOMETRYCOLLECTION (POINT (1 2), POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0)))")
+    samples.foreach { s =>
+      assert(Wkt.write(GeoJson.read(GeoJson.write(Wkt.read(s)))) == s, s)
+    }
+    // empty point: empty coordinates array both ways
+    assert(GeoJson.write(Point.empty) == """{"type":"Point","coordinates":[]}""")
+    assert(GeoJson.read("""{"type":"Point","coordinates":[]}""").isEmpty)
+    // standard external form parses
+    val g = GeoJson.read("""{"type":"Polygon","coordinates":[[[0,0],[4,0],[4,4],[0,4],[0,0]]]}""")
+    assert(Measures.area(g) == 16.0)
+  }
+
   test("wkb envelopeOf matches read().envelope for every geometry shape") {
     val samples = Seq(
       "POINT (1.5 -2.25)", "POINT Z (1 2 3)",

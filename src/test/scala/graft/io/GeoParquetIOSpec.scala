@@ -213,6 +213,23 @@ class GeoParquetIOSpec extends AnyFunSuite {
     assert(pruned.df.count() == want)
   }
 
+  test("geojsonseq roundtrip: features per line, properties as json, crs84") {
+    val path = tmpDir()
+    val g = GeoDataFrame(sample().df.repartition(3)
+      .withColumn("name", concat(lit("row-"), $"id")), "geometry")
+    GeoJsonIO.writeSeq(g, path)
+    val back = GeoJsonIO.readSeq(spark, path)
+    assert(back.crs.contains("OGC:CRS84"))
+    assert(back.df.count() == 500)
+    // coordinates survive exactly; properties parse back by schema
+    val parsed = back.df.select(
+      get_json_object($"properties", "$.id").cast("long").as("id"),
+      st_x($"geometry").as("px"),
+      get_json_object($"properties", "$.x").cast("double").as("x"))
+    assert(parsed.filter($"px" =!= $"x").count() == 0)
+    assert(parsed.select(sum($"id")).head().getLong(0) == (0L until 500L).sum)
+  }
+
   test("read of plain parquet (no geo footer) degrades gracefully") {
     val path = tmpDir()
     Seq((1L, 2.0)).toDF("id", "v").write.parquet(path)

@@ -453,6 +453,19 @@ object OracleSql {
       GROUP BY doc_id
       ORDER BY doc_id""",
 
+    "t14_sequence_packing" -> s"""
+      WITH d AS (SELECT doc_id, source, len($docToks)::BIGINT AS n_tokens
+                 FROM documents),
+      c AS (SELECT doc_id, source, n_tokens,
+              sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM d)
+      SELECT source, ((cum - 1) // 2048)::BIGINT AS pack_id,
+             count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS pack_tokens
+      FROM c
+      GROUP BY source, pack_id
+      ORDER BY source, pack_id""",
+
     "t11_hash_split" -> s"""
       WITH b AS (
         SELECT doc_id, text,

@@ -939,6 +939,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // offset-based sequence packing plan: docs stream in deterministic
+    // order within each source shard; a doc lands in the pack its
+    // cumulative token offset ends in (budget 2048). Windowed cumsum is
+    // partitioned by source, so state never concentrates on one task —
+    // the distributed form of the chunking pass a training pipeline runs
+    // before tokenizer sharding.
+    "t14_sequence_packing" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("source"),
+        gr_tokenCount(col("text")).cast("long").as("n_tokens"))
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs.withColumn("cum", sum(col("n_tokens")).over(w))
+        .withColumn("pack_id", floor((col("cum") - 1) / lit(2048.0)).cast("long"))
+        .groupBy(col("source"), col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"))
+        .orderBy(col("source"), col("pack_id"))
+    }),
+
     // rolling-hash document fingerprint (md5-based so the oracle can
     // replicate the hash)
     "t09_fingerprint" -> ((s, d) => {

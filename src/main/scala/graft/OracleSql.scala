@@ -91,6 +91,32 @@ object OracleSql {
       END AS ml
     FROM documents"""
 
+  // language-ID subquery (doc_id, pred) shared by t04 and the t15 funnel
+  private val langIdCte = s"""
+    WITH c AS (
+      SELECT doc_id,
+        len(list_filter(list_transform($docToks, x -> lower(x)),
+            x -> x IN ('the','and','of','to','is','in','that','it'))) AS en,
+        len(list_filter(list_transform($docToks, x -> lower(x)),
+            x -> x IN ('der','die','das','und','ist','nicht','ein','zu'))) AS de,
+        len(list_filter(list_transform($docToks, x -> lower(x)),
+            x -> x IN ('le','la','les','et','est','un','une','dans'))) AS fr,
+        len(list_filter(list_transform($docToks, x -> lower(x)),
+            x -> x IN ('el','los','las','es','un','una','que','por'))) AS es,
+        len(list_filter(list_transform($docToks, x -> lower(x)),
+            x -> x IN ('的','是','在','了','和','有','我','不'))) AS zh
+      FROM documents)
+    SELECT doc_id,
+      CASE
+        WHEN en > 0 AND en >= de AND en >= fr AND en >= es AND en >= zh THEN 'en'
+        WHEN de > 0 AND de > en AND de >= fr AND de >= es AND de >= zh THEN 'de'
+        WHEN fr > 0 AND fr > en AND fr > de AND fr >= es AND fr >= zh THEN 'fr'
+        WHEN es > 0 AND es > en AND es > de AND es > fr AND es >= zh THEN 'es'
+        WHEN zh > 0 AND zh > en AND zh > de AND zh > fr AND zh > es THEN 'zh'
+        ELSE 'und'
+      END AS pred
+    FROM c"""
+
   val all: Map[String, String] = Map(
 
     "q01_pricing_summary" -> """
@@ -642,29 +668,29 @@ object OracleSql {
       ORDER BY doc_id""",
 
     "t04_langid" -> s"""
-      WITH c AS (
-        SELECT doc_id,
-          len(list_filter(list_transform($docToks, x -> lower(x)),
-              x -> x IN ('the','and','of','to','is','in','that','it'))) AS en,
-          len(list_filter(list_transform($docToks, x -> lower(x)),
-              x -> x IN ('der','die','das','und','ist','nicht','ein','zu'))) AS de,
-          len(list_filter(list_transform($docToks, x -> lower(x)),
-              x -> x IN ('le','la','les','et','est','un','une','dans'))) AS fr,
-          len(list_filter(list_transform($docToks, x -> lower(x)),
-              x -> x IN ('el','los','las','es','un','una','que','por'))) AS es,
-          len(list_filter(list_transform($docToks, x -> lower(x)),
-              x -> x IN ('的','是','在','了','和','有','我','不'))) AS zh
-        FROM documents)
-      SELECT doc_id,
-        CASE
-          WHEN en > 0 AND en >= de AND en >= fr AND en >= es AND en >= zh THEN 'en'
-          WHEN de > 0 AND de > en AND de >= fr AND de >= es AND de >= zh THEN 'de'
-          WHEN fr > 0 AND fr > en AND fr > de AND fr >= es AND fr >= zh THEN 'fr'
-          WHEN es > 0 AND es > en AND es > de AND es > fr AND es >= zh THEN 'es'
-          WHEN zh > 0 AND zh > en AND zh > de AND zh > fr AND zh > es THEN 'zh'
-          ELSE 'und'
-        END AS pred
-      FROM c ORDER BY doc_id""",
+      SELECT doc_id, pred FROM ($langIdCte) ORDER BY doc_id""",
+
+    "t15_curation_funnel" -> s"""
+      WITH m AS (
+        SELECT doc_id, text, lang,
+          CASE WHEN len($docToks) = 0 THEN 0.0
+               ELSE list_sum(list_transform($docToks, x -> length(x)))::DOUBLE / len($docToks)
+          END AS ml
+        FROM documents),
+      flags AS (
+        SELECT m.doc_id, m.lang, lid.pred,
+               round($qualityExpr, 4) AS q,
+               min(m.doc_id) OVER (PARTITION BY m.text) AS canon,
+               ('0x' || substr(md5(m.text), 1, 16))::UBIGINT % 100 AS bucket
+        FROM m JOIN ($langIdCte) lid ON lid.doc_id = m.doc_id)
+      SELECT count(*)::BIGINT AS n_total,
+        sum(CASE WHEN pred = lang THEN 1 ELSE 0 END)::BIGINT AS n_lang,
+        sum(CASE WHEN pred = lang AND q >= 0.5 THEN 1 ELSE 0 END)::BIGINT AS n_quality,
+        sum(CASE WHEN pred = lang AND q >= 0.5 AND canon = doc_id
+            THEN 1 ELSE 0 END)::BIGINT AS n_unique,
+        sum(CASE WHEN pred = lang AND q >= 0.5 AND canon = doc_id AND bucket < 90
+            THEN 1 ELSE 0 END)::BIGINT AS n_train
+      FROM flags""",
 
     "t06_ngram_jaccard" -> """
       WITH d AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 10 = 0),

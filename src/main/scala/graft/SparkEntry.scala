@@ -939,6 +939,33 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // end-to-end curation funnel: language-ID agreement -> quality
+    // threshold -> exact-dedup canonical survivors -> train split, counted
+    // per stage. Every stage is an already-verified kernel (t04/t03/t02/
+    // t11); the dedup window shuffles the 16-byte hash lanes, never text.
+    // Quality compares on the 4-dp rounded score — the value t03 proves
+    // bit-identical to the oracle — so the threshold is fp-safe.
+    "t15_curation_funnel" -> ((s, d) => {
+      val w = Window.partitionBy(col("_h1"), col("_h2"))
+      t(s, d, "documents")
+        .withColumn("pred", gr_langId(col("text")))
+        .withColumn("q", round(gr_qualityScore(col("text")), 4))
+        .withColumn("_h1", gr_hash64(col("text")))
+        .withColumn("_h2", xxhash64(col("text")))
+        .withColumn("canon", min(col("doc_id")).over(w))
+        .withColumn("bucket", gr_md5Bucket(col("text"), lit(100)))
+        .agg(
+          count(lit(1)).as("n_total"),
+          sum(when(col("pred") === col("lang"), 1L).otherwise(0L)).as("n_lang"),
+          sum(when(col("pred") === col("lang") && col("q") >= 0.5, 1L)
+            .otherwise(0L)).as("n_quality"),
+          sum(when(col("pred") === col("lang") && col("q") >= 0.5 &&
+            col("canon") === col("doc_id"), 1L).otherwise(0L)).as("n_unique"),
+          sum(when(col("pred") === col("lang") && col("q") >= 0.5 &&
+            col("canon") === col("doc_id") && col("bucket") < 90, 1L)
+            .otherwise(0L)).as("n_train"))
+    }),
+
     // offset-based sequence packing plan: docs stream in deterministic
     // order within each source shard; a doc lands in the pack its
     // cumulative token offset ends in (budget 2048). Windowed cumsum is

@@ -79,6 +79,16 @@ final case class GeoDataFrame(
     * operators act on the active one. The column must exist and be
     * geometry-typed (WKB binary).
     */
+  /** Rename the active geometry column (reference rename_geometry,
+    * `expr.py:618-638`). A pure rename: CRS metadata, partition envelopes
+    * and the pointSource hint all stay valid.
+    */
+  def renameGeometry(newName: String): GeoDataFrame = {
+    require(!df.columns.contains(newName),
+      s"a column named $newName already exists")
+    copy(df = df.withColumnRenamed(geometryColumn, newName), geometryColumn = newName)
+  }
+
   def setGeometry(name: String): GeoDataFrame = {
     require(df.columns.contains(name), s"no such column: $name")
     require(df.schema(name).dataType == BinaryType,

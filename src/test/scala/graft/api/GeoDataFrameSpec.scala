@@ -147,6 +147,21 @@ class GeoDataFrameSpec extends AnyFunSuite {
     assert(gx.withColumn("x", col("x") * 2).pointSource.isEmpty)
   }
 
+  test("renameGeometry keeps crs and metadata valid") {
+    val g = points(20).setCrs("EPSG:4326").calculateSpatialPartitions()
+    val renamed = g.renameGeometry("geom2")
+    assert(renamed.geometryColumn == "geom2")
+    assert(renamed.df.columns.contains("geom2") && !renamed.df.columns.contains("geometry"))
+    assert(renamed.crs.contains("EPSG:4326"))
+    assert(renamed.spatialPartitions.isDefined)
+    assert(renamed.pointSource.isDefined)
+    // rename collision rejected
+    intercept[IllegalArgumentException](g.renameGeometry("x"))
+    // spatial ops still work on the renamed column
+    assert(renamed.cx(10, 10, 60, 60).df.count() ==
+      g.cx(10, 10, 60, 60).df.count())
+  }
+
   test("setGeometry switches the active geometry column") {
     val g = points(50).withColumn("buffered", st_buffer(col("geometry"), lit(2.0), lit(8)))
     val onPoints = GeoDataFrame(g.df).totalBounds()

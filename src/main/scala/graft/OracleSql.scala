@@ -200,6 +200,58 @@ object OracleSql {
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority""",
 
+    // same gap-sessionization semantics, expressed with window functions
+    // (lag + running sum of break flags); 24h gap in nanoseconds
+    "q11_sessionize" -> """
+      WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS tns, value FROM events),
+      b AS (SELECT user_id, event_id, tns, value,
+              CASE WHEN lag(tns) OVER w IS NULL
+                     OR tns - lag(tns) OVER w > 86400000000000
+                   THEN 1 ELSE 0 END AS brk
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tns, event_id)),
+      s AS (SELECT user_id, tns, value,
+              sum(brk) OVER (PARTITION BY user_id ORDER BY tns, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+            FROM b)
+      SELECT user_id, session_seq::BIGINT AS session_seq,
+             count(*) AS n_events,
+             (min(tns) // 1000000000)::BIGINT AS start_sec,
+             ((max(tns) - min(tns)) // 1000000000)::BIGINT AS duration_sec,
+             round(sum(value), 2) AS sum_value
+      FROM s GROUP BY user_id, session_seq
+      ORDER BY user_id, session_seq""",
+
+    // as-of semantics in plain SQL: max strictly-earlier view timestamp,
+    // greatest event_id on exact-timestamp ties (matching the Spark
+    // window order ts, side, tie), value read from that resolved row
+    "q12_asof_join" -> """
+      WITH p AS (SELECT event_id AS purchase_id, user_id, epoch_ns(ts) AS tns
+                 FROM events WHERE event_type = 'purchase'),
+      v AS (SELECT event_id, user_id, epoch_ns(ts) AS tns, value
+            FROM events WHERE event_type = 'view'),
+      m AS (SELECT p.purchase_id, max(v.tns) AS vtns
+            FROM p JOIN v ON v.user_id = p.user_id AND v.tns < p.tns
+            GROUP BY p.purchase_id),
+      mv AS (SELECT p.purchase_id, m.vtns, max(v.event_id) AS view_id
+             FROM m JOIN p ON p.purchase_id = m.purchase_id
+             JOIN v ON v.user_id = p.user_id AND v.tns = m.vtns
+             GROUP BY p.purchase_id, m.vtns)
+      SELECT p.purchase_id, p.user_id, mv.view_id,
+             ((p.tns - mv.vtns) // 1000000000)::BIGINT AS gap_sec,
+             round(v.value, 2) AS view_value
+      FROM p
+      LEFT JOIN mv ON mv.purchase_id = p.purchase_id
+      LEFT JOIN v ON v.event_id = mv.view_id AND v.user_id = p.user_id
+      ORDER BY p.purchase_id""",
+
+    "q13_json_props" -> """
+      SELECT event_type, count(*) AS n,
+             round(avg(k), 4) AS avg_k, min(k) AS min_k, max(k) AS max_k
+      FROM (SELECT event_type,
+              json_extract_string(props, '$.k')::BIGINT AS k FROM events)
+      GROUP BY event_type
+      ORDER BY event_type""",
+
     "g01_bbox_filter" -> s"""
       SELECT c_custkey, cx, cy FROM ($custPts)
       WHERE cx BETWEEN 1000 AND 5000 AND cy BETWEEN 200 AND 800
@@ -478,6 +530,33 @@ object OracleSql {
       WHERE doc_id % 100 <> 0
       GROUP BY doc_id
       ORDER BY doc_id""",
+
+    "t16_source_cap" -> s"""
+      WITH ml AS (SELECT doc_id, ml FROM ($meanLenCte)),
+      q AS (SELECT d.doc_id, d.source, round($qualityExpr, 4) AS q
+            FROM documents d JOIN ml ON ml.doc_id = d.doc_id),
+      r AS (SELECT source, doc_id, q,
+              row_number() OVER (PARTITION BY source ORDER BY q DESC, doc_id)
+                AS rnk
+            FROM q)
+      SELECT source, rnk::BIGINT AS rnk, doc_id, q
+      FROM r WHERE rnk <= 10
+      ORDER BY source, rnk""",
+
+    "t17_stratified_sample" -> s"""
+      WITH b AS (
+        SELECT doc_id, text, lang,
+               ('0x' || substr(md5(text), 1, 16))::UBIGINT % 100 AS bucket
+        FROM documents),
+      k AS (SELECT lang, text,
+              CASE WHEN bucket < (CASE WHEN lang = 'en' THEN 25 ELSE 75 END)
+                   THEN 1 ELSE 0 END AS kept
+            FROM b)
+      SELECT lang, count(*) AS n_docs,
+             sum(kept)::BIGINT AS n_kept,
+             sum(CASE WHEN kept = 1
+                 THEN len($docToks) ELSE 0 END)::BIGINT AS kept_tokens
+      FROM k GROUP BY lang ORDER BY lang""",
 
     "t14_sequence_packing" -> s"""
       WITH d AS (SELECT doc_id, source, len($docToks)::BIGINT AS n_tokens

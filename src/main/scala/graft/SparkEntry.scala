@@ -179,6 +179,54 @@ object SparkEntry {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // gap sessionization over the events stream table: one shuffle on
+    // user_id, then a single sorted window scan assigns session ids
+    // (Temporal.sessionize). Session roll-up stays inside the same
+    // partitioning — groupBy(user_id, session_seq) reuses the exchange.
+    // ts is a nanosecond parquet timestamp read as long; gap = 24h in ns.
+    "q11_sessionize" -> ((s, d) => {
+      val sessions = graft.ops.Temporal.sessionize(
+        t(s, d, "events"), "user_id", "ts",
+        gap = 24L * 3600 * 1000 * 1000 * 1000, tieCols = Seq("event_id"))
+      sessions.groupBy(col("user_id"), col("session_seq"))
+        .agg(count(lit(1)).as("n_events"),
+          // integer DIV: ns epochs (~1.7e18) exceed double's exact range
+          expr("min(ts) DIV 1000000000").as("start_sec"),
+          expr("(max(ts) - min(ts)) DIV 1000000000").as("duration_sec"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("user_id"), col("session_seq"))
+    }),
+
+    // as-of join: each purchase event picks up the user's most recent
+    // strictly-earlier view event (Temporal.asofJoin — union + one window
+    // pass, one shuffle; never the quadratic per-key inequality join).
+    "q12_asof_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      graft.ops.Temporal.asofJoin(purchases, views,
+          keyCol = "user_id", tsCol = "ts",
+          rightVals = Seq("event_id", "ts", "value"), tieCol = "event_id")
+        .select(col("purchase_id"), col("user_id"),
+          col("asof_event_id").as("view_id"),
+          expr("(ts - asof_ts) DIV 1000000000").as("gap_sec"),
+          round(col("asof_value"), 2).as("view_value"))
+        .orderBy(col("purchase_id"))
+    }),
+
+    // semi-structured props column: JSON-path extraction is a narrow
+    // codegen'd stage feeding an ordinary hash aggregate.
+    "q13_json_props" -> ((s, d) => {
+      t(s, d, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(avg(col("k")), 4).as("avg_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))
+    }),
+
     // ===================================================== geo operators
     // cx bbox selection (reference expr.py:391-402). The pointSource hint
     // lets cx() emit plain range predicates on the source coordinate
@@ -982,6 +1030,40 @@ object SparkEntry {
         .groupBy(col("source"), col("pack_id"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"))
         .orderBy(col("source"), col("pack_id"))
+    }),
+
+    // per-source quota capping (domain rebalancing): keep the top-10
+    // quality docs of each source. One shuffle on source; Spark 4's
+    // WindowGroupLimit pushes the rank<=10 cut below the exchange, so at
+    // 100 TB each map task forwards at most 10 rows per source. Ranking
+    // uses the 4-dp rounded score (bit-identical to the oracle per t03)
+    // with doc_id as the deterministic tie-break.
+    "t16_source_cap" -> ((s, d) => {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("q").desc, col("doc_id"))
+      t(s, d, "documents")
+        .withColumn("q", round(gr_qualityScore(col("text")), 4))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 10)
+        .select(col("source"), col("rnk"), col("doc_id"), col("q"))
+        .orderBy(col("source"), col("rnk"))
+    }),
+
+    // stratified (language-rebalancing) downsample: deterministic
+    // content-hash sampling at per-stratum rates — dominant 'en' keeps
+    // 25%, the tail languages 75%. Same md5-residue mechanism as the
+    // t11 split: re-run / partitioning / shard-count independent, no
+    // sampling state, narrow until the tiny per-lang aggregate.
+    "t17_stratified_sample" -> ((s, d) => {
+      val rate = when(col("lang") === "en", lit(25)).otherwise(lit(75))
+      t(s, d, "documents")
+        .withColumn("bucket", gr_md5Bucket(col("text"), lit(100)))
+        .withColumn("kept", when(col("bucket") < rate, 1L).otherwise(0L))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("kept")).as("n_kept"),
+          sum(when(col("kept") === 1, gr_tokenCount(col("text")).cast("long"))
+            .otherwise(0L)).as("kept_tokens"))
+        .orderBy(col("lang"))
     }),
 
     // rolling-hash document fingerprint (md5-based so the oracle can

@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series operators every large-scale behavioural/training pipeline
+  * needs and Spark has no builtin for: gap sessionization and the as-of
+  * (most-recent-prior) join.
+  *
+  * Both are single-shuffle window formulations. The naive alternatives —
+  * a self-join on `ts_a < ts_b` or a per-key `collect_list` — explode
+  * quadratically or buffer a whole key in memory; here state per task is
+  * one row's lag / running value inside a sort-merge window scan, so a
+  * power key with 10^9 events costs sort spill, never memory. (The
+  * reference is batch-geometry only; these extend the engine the same way
+  * the dedup/ANN operators do.)
+  */
+object Temporal {
+
+  /** Gap-based sessionization: a session breaks when the time since the
+    * same key's previous event exceeds `gap` (in the timestamp column's
+    * own unit — pass nanoseconds for parquet ns-timestamps read with
+    * nanosAsLong). Appends `session_seq`, the 1-based session index per
+    * key.
+    *
+    * Plan: one hash exchange on `keyCol`, then a single sorted window
+    * scan computes both the break flag (lag) and its running sum — no
+    * second shuffle, no per-key buffering. `tieCols` break timestamp ties
+    * deterministically (e.g. an event id).
+    */
+  def sessionize(df: DataFrame, keyCol: String, tsCol: String, gap: Long,
+      tieCols: Seq[String] = Nil): DataFrame = {
+    val ord = col(tsCol) +: tieCols.map(col)
+    val w = Window.partitionBy(col(keyCol)).orderBy(ord: _*)
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prevTs = lag(col(tsCol), 1).over(w)
+    df.withColumn("_brk",
+        when(prevTs.isNull || col(tsCol) - prevTs > gap, 1L).otherwise(0L))
+      .withColumn("session_seq", sum(col("_brk")).over(cum))
+      .drop("_brk")
+  }
+
+  /** As-of join: attach to every left row the most recent right row of the
+    * same key — strictly earlier by default (`strict = false` for
+    * at-or-before). Right columns `rightVals` arrive as `asof_<name>`
+    * (null when the key has no prior right row).
+    *
+    * Plan: union the two inputs into one stream (left rows null-padded),
+    * then one window pass per key ordered by (ts, side, tie) carries the
+    * last non-null right values forward (`last(..., ignoreNulls)` over an
+    * unbounded-preceding frame is a running value, not a buffer). One
+    * shuffle total; contrast with the inequality join a SQL engine would
+    * plan, which is quadratic per key. Timestamp ties between right rows
+    * resolve to the greatest `tieCol`, deterministically.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, rightVals: Seq[String], tieCol: String,
+      strict: Boolean = true): DataFrame = {
+    require(rightVals.contains(tieCol), "tieCol must be one of rightVals")
+    val asofName = rightVals.map(c => c -> s"asof_$c").toMap
+
+    // left rows sort before equal-ts right rows under strict semantics
+    // (they must not see them), after under at-or-before
+    val (leftSide, rightSide) = if (strict) (0, 1) else (1, 0)
+
+    // copy (not rename) into asof_ columns: tsCol itself may be one of
+    // rightVals (the caller wants the matched row's timestamp), and the
+    // sort column must survive
+    var r = right.select((Seq(keyCol, tsCol) ++ rightVals).distinct.map(col): _*)
+    rightVals.foreach(c => r = r.withColumn(asofName(c), col(c)))
+    r = r.drop(rightVals.filterNot(c => c == keyCol || c == tsCol): _*)
+    r = r.withColumn("_side", lit(rightSide))
+    left.schema.fields
+      .filterNot(f => f.name == keyCol || f.name == tsCol)
+      .foreach(f => r = r.withColumn(f.name, lit(null).cast(f.dataType)))
+
+    var l = left.withColumn("_side", lit(leftSide))
+    rightVals.foreach { c =>
+      l = l.withColumn(asofName(c), lit(null).cast(right.schema(c).dataType))
+    }
+
+    val unioned = l.unionByName(r.select(l.columns.map(col): _*))
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col("_side"), col(asofName(tieCol)))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightVals.foldLeft(unioned) { (df, c) =>
+      df.withColumn(asofName(c), last(col(asofName(c)), ignoreNulls = true).over(cum))
+    }
+    carried.filter(col("_side") === leftSide).drop("_side")
+  }
+}

@@ -1,0 +1,65 @@
+package graft.ops
+
+import graft.sql.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TemporalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // (user, event_id, ts) — ts in plain longs; gaps of 5 split sessions
+  private def events = Seq(
+    (1L, 1L, 100L), (1L, 2L, 103L), (1L, 3L, 104L), // session 1
+    (1L, 4L, 200L), (1L, 5L, 205L),                 // session 2 (gap 96; 205-200=5 = gap, same session)
+    (2L, 6L, 100L),                                 // lone event
+    (2L, 7L, 300L)                                  // next session
+  ).toDF("user_id", "event_id", "ts")
+
+  test("sessionize breaks on gap > threshold, 1-based per key") {
+    val got = Temporal.sessionize(events, "user_id", "ts", gap = 5L,
+        tieCols = Seq("event_id"))
+      .select($"user_id", $"event_id", $"session_seq")
+      .as[(Long, Long, Long)].collect().sortBy(_._2).toSeq
+    assert(got == Seq((1L, 1L, 1L), (1L, 2L, 1L), (1L, 3L, 1L),
+      (1L, 4L, 2L), (1L, 5L, 2L), (2L, 6L, 1L), (2L, 7L, 2L)), got.toString)
+  }
+
+  test("asof join strict: equal timestamps do not match; prior row carried") {
+    val left = Seq((1L, 10L, 104L), (1L, 11L, 100L), (2L, 12L, 50L))
+      .toDF("user_id", "id", "ts")
+    val right = Seq((1L, 20L, 100L, 7.0), (1L, 21L, 103L, 8.0))
+      .toDF("user_id", "event_id", "ts", "value")
+    val got = Temporal.asofJoin(left, right, "user_id", "ts",
+        rightVals = Seq("event_id", "ts", "value"), tieCol = "event_id")
+      .select($"id", $"asof_event_id", $"asof_ts", $"asof_value")
+      .as[(Long, Option[Long], Option[Long], Option[Double])]
+      .collect().sortBy(_._1).toSeq
+    // id=10 at 104 sees right@103; id=11 at 100 sees nothing (strict <);
+    // id=12 has no right rows for its key
+    assert(got == Seq(
+      (10L, Some(21L), Some(103L), Some(8.0)),
+      (11L, None, None, None),
+      (12L, None, None, None)), got.toString)
+  }
+
+  test("asof join resolves exact-timestamp ties to the greatest tie column") {
+    val left = Seq((1L, 10L, 200L)).toDF("user_id", "id", "ts")
+    val right = Seq((1L, 20L, 150L, 1.0), (1L, 22L, 150L, 2.0),
+      (1L, 21L, 150L, 3.0)).toDF("user_id", "event_id", "ts", "value")
+    val got = Temporal.asofJoin(left, right, "user_id", "ts",
+        rightVals = Seq("event_id", "value"), tieCol = "event_id")
+      .select($"asof_event_id", $"asof_value")
+      .as[(Long, Double)].collect().toSeq
+    assert(got == Seq((22L, 2.0)), got.toString)
+  }
+
+  test("asof join inclusive (strict=false) matches equal timestamps") {
+    val left = Seq((1L, 10L, 100L)).toDF("user_id", "id", "ts")
+    val right = Seq((1L, 20L, 100L, 7.0)).toDF("user_id", "event_id", "ts", "value")
+    val got = Temporal.asofJoin(left, right, "user_id", "ts",
+        rightVals = Seq("event_id"), tieCol = "event_id", strict = false)
+      .select($"asof_event_id").as[Option[Long]].collect().toSeq
+    assert(got == Seq(Some(20L)), got.toString)
+  }
+}

@@ -80,13 +80,17 @@ object Temporal {
       l = l.withColumn(asofName(c), lit(null).cast(right.schema(c).dataType))
     }
 
+    // freeze the tie-break under its own name: the carry below overwrites
+    // asof_<tieCol>, and every carried column must share ONE window spec so
+    // Catalyst plans a single Window node (one sort, one scan)
     val unioned = l.unionByName(r.select(l.columns.map(col): _*))
+      .withColumn("_tie", col(asofName(tieCol)))
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(tsCol), col("_side"), col(asofName(tieCol)))
+      .orderBy(col(tsCol), col("_side"), col("_tie"))
     val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = rightVals.foldLeft(unioned) { (df, c) =>
       df.withColumn(asofName(c), last(col(asofName(c)), ignoreNulls = true).over(cum))
     }
-    carried.filter(col("_side") === leftSide).drop("_side")
+    carried.filter(col("_side") === leftSide).drop("_side", "_tie")
   }
 }

@@ -41,6 +41,57 @@ object Temporal {
       .drop("_brk")
   }
 
+  /** Streaming gap sessionization (the stateful twin of `sessionize`):
+    * `flatMapGroupsWithState` with an event-time timeout. Keyed state is
+    * ONE open session (start, last, count, sum) — independent of stream
+    * volume. Sessions close two ways: a same-batch successor arrives more
+    * than `gapMs` later (emitted immediately), or the watermark passes
+    * last-event + gap (emitted by the timeout callback). The input must
+    * carry a watermark on `tsCol`.
+    */
+  def sessionizeStream(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, gapMs: Long): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    // tsCol must pass through untouched: a cast would strip the watermark
+    // tag and EventTimeTimeout analysis rejects the plan
+    val typed = events.select(col(keyCol).cast("long"),
+        col(tsCol), col(valueCol).cast("double"))
+      .as[(Long, java.sql.Timestamp, Double)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long, Double),
+          (Long, java.sql.Timestamp, java.sql.Timestamp, Long, Double)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key, it, state: GroupState[(Long, Long, Long, Double)]) =>
+          def finish(s: (Long, Long, Long, Double)) =
+            (key, new java.sql.Timestamp(s._1), new java.sql.Timestamp(s._2), s._3, s._4)
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(finish).iterator
+            state.remove()
+            out
+          } else {
+            // events inside one batch arrive unordered; sort before folding
+            val evs = it.toArray.sortBy(_._2.getTime)
+            val closed = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Double)]()
+            var cur = state.getOption.orNull
+            evs.foreach { e =>
+              val t = e._2.getTime
+              cur =
+                if (cur == null) (t, t, 1L, e._3)
+                else if (t - cur._2 > gapMs) { closed += cur; (t, t, 1L, e._3) }
+                else (cur._1, math.max(cur._2, t), cur._3 + 1, cur._4 + e._3)
+            }
+            if (cur != null) {
+              state.update(cur)
+              state.setTimeoutTimestamp(cur._2 + gapMs)
+            }
+            closed.map(finish).iterator
+          }
+      }
+      .toDF(keyCol, "session_start", "session_end", "n_events", "sum_value")
+  }
+
   /** As-of join: attach to every left row the most recent right row of the
     * same key — strictly earlier by default (`strict = false` for
     * at-or-before). Right columns `rightVals` arrive as `asof_<name>`

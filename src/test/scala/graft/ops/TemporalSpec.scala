@@ -54,6 +54,37 @@ class TemporalSpec extends AnyFunSuite {
     assert(got == Seq((22L, 2.0)), got.toString)
   }
 
+  test("streaming sessionize: in-batch gap closes; timeout closes on watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val src = mem.toDF().toDF("user_id", "ts", "value")
+      .withWatermark("ts", "0 seconds")
+    val out = Temporal.sessionizeStream(src, "user_id", "ts", "value",
+      gapMs = 60_000L)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("sess_stream_test").trigger(Trigger.ProcessingTime(0)).start()
+    // batch 1: two events 30s apart (one session), then a 90s gap opens a
+    // second session in the same batch — the first closes immediately
+    mem.addData((1L, ts("2024-01-01 00:00:00"), 1.0),
+      (1L, ts("2024-01-01 00:00:30"), 2.0),
+      (1L, ts("2024-01-01 00:02:00"), 4.0))
+    q.processAllAvailable()
+    // batch 2: another key far in the future advances the watermark past
+    // key 1's open session + gap — the timeout path must emit it
+    mem.addData((2L, ts("2024-01-01 00:10:00"), 8.0))
+    q.processAllAvailable()
+    val rows = spark.sql(
+      "SELECT user_id, session_start, n_events, sum_value FROM sess_stream_test ORDER BY session_start")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(2), r.getDouble(3))).toSeq
+    q.stop()
+    assert(rows == Seq(
+      (1L, "2024-01-01 00:00:00.0", 2L, 3.0),
+      (1L, "2024-01-01 00:02:00.0", 1L, 4.0)), rows.toString)
+  }
+
   test("asof join inclusive (strict=false) matches equal timestamps") {
     val left = Seq((1L, 10L, 100L)).toDF("user_id", "id", "ts")
     val right = Seq((1L, 20L, 100L, 7.0)).toDF("user_id", "event_id", "ts", "value")

@@ -172,14 +172,16 @@ final case class GeoDataFrame(
     */
   private def prunePartitions(box: Envelope): GeoDataFrame = spatialPartitions match {
     case Some(parts) if parts.nonEmpty =>
-      val keep = parts.zipWithIndex.collect { case (e, i) if e.intersects(box) => i }.toSet
-      if (keep.size == parts.length) this
-      else {
-        val rdd = df.rdd.mapPartitionsWithIndex(
-          (i, it) => if (keep.contains(i)) it else Iterator.empty,
-          preservesPartitioning = true)
-        copy(df = df.sparkSession.createDataFrame(rdd, df.schema))
-      }
+      val keep = parts.zipWithIndex.collect { case (e, i) if e.intersects(box) => i }
+      if (keep.length == parts.length) this
+      else
+        // filter on the physical partition id rather than an RDD round-trip:
+        // the logical plan survives (scan pushdown, codegen, AQE all keep
+        // working downstream — the old df.rdd/createDataFrame pair severed
+        // it), and the envelope indices line up because this filter and
+        // calculateSpatialPartitions observe the same deterministic
+        // partitioning with no exchange in between
+        copy(df = df.filter(spark_partition_id().isInCollection(keep)))
     case _ => this
   }
 

@@ -33,6 +33,10 @@ class GeoDataFrameSpec extends AnyFunSuite {
     val got = g.cx(0, 0, 20, 20).df.count()
     val want = points(300).df.filter($"x" <= 20 && $"y" <= 20).count()
     assert(got == want)
+    // pruning must keep the logical plan alive (spark_partition_id filter,
+    // not an RDD round-trip): no LogicalRDD barrier in the analyzed plan
+    val analyzed = g.cx(0, 0, 20, 20).df.queryExecution.analyzed.toString
+    assert(!analyzed.contains("LogicalRDD"), analyzed)
   }
 
   test("dissolve unions per group") {

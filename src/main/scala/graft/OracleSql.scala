@@ -558,6 +558,65 @@ object OracleSql {
                  THEN len($docToks) ELSE 0 END)::BIGINT AS kept_tokens
       FROM k GROUP BY lang ORDER BY lang""",
 
+    "t18_chunking" -> """
+      WITH starts AS (
+        SELECT doc_id, text,
+               unnest(range(0, greatest(length(text), 1), 150)) AS start0
+        FROM documents),
+      c AS (
+        SELECT doc_id, start0, substr(text, start0 + 1, 200) AS chunk
+        FROM starts)
+      SELECT doc_id, (start0 // 150)::BIGINT AS chunk_id,
+             length(chunk)::BIGINT AS chunk_len,
+             substr(md5(chunk), 1, 8) AS chunk_hash
+      FROM c ORDER BY doc_id, chunk_id""",
+
+    "t19_tfidf" -> s"""
+      WITH words AS (
+        SELECT source, doc_id, w
+        FROM (SELECT source, doc_id, unnest($docToks) AS w FROM documents)),
+      tf AS (SELECT source, w, count(*)::BIGINT AS tf FROM words GROUP BY 1, 2),
+      dfreq AS (SELECT w, count(DISTINCT doc_id) AS dfreq FROM words GROUP BY 1),
+      n AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n_docs FROM documents),
+      scored AS (
+        SELECT tf.source, tf.w, tf.tf,
+               round(tf.tf * ln(n.n_docs / dfreq.dfreq), 4) AS tfidf
+        FROM tf JOIN dfreq USING (w) CROSS JOIN n),
+      r AS (SELECT source, w, tf, tfidf,
+              row_number() OVER (PARTITION BY source ORDER BY tfidf DESC, w)
+                AS rnk
+            FROM scored)
+      SELECT source, rnk::BIGINT AS rnk, w AS term, tf, tfidf
+      FROM r WHERE rnk <= 5 ORDER BY source, rnk""",
+
+    "t20_profile" -> """
+      SELECT source, count(*)::BIGINT AS n_docs,
+             min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+             round(avg(n_chars), 2) AS avg_chars,
+             round(quantile_cont(n_chars, 0.25), 2) AS p25,
+             round(quantile_cont(n_chars, 0.5), 2) AS p50,
+             round(quantile_cont(n_chars, 0.75), 2) AS p75,
+             count(DISTINCT lang)::BIGINT AS n_langs
+      FROM documents GROUP BY source ORDER BY source""",
+
+    "t21_pii_redact" -> """
+      WITH raw AS (
+        SELECT doc_id,
+               'user' || doc_id || '@' || source || '.example.com tel 555-' ||
+               lpad((doc_id % 10000)::VARCHAR, 4, '0') || ' ip 10.0.' ||
+               (doc_id % 256)::VARCHAR || '.' || ((doc_id * 7) % 256)::VARCHAR ||
+               ' ' || substr(text, 1, 40) AS raw
+        FROM documents)
+      SELECT doc_id,
+             len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_email,
+             len(regexp_extract_all(raw, '\b\d{3}-\d{4}\b'))::BIGINT AS n_phone,
+             len(regexp_extract_all(raw, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ip,
+             regexp_replace(regexp_replace(regexp_replace(raw,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b\d{3}-\d{4}\b', '<PHONE>', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted
+      FROM raw ORDER BY doc_id""",
+
     "t14_sequence_packing" -> s"""
       WITH d AS (SELECT doc_id, source, len($docToks)::BIGINT AS n_tokens
                  FROM documents),
@@ -912,6 +971,33 @@ object OracleSql {
       SELECT query_id, neighbor_id, cosine, rank::BIGINT AS rank
       FROM r WHERE rank <= 5
       ORDER BY query_id, rank""",
+
+    "e05_label_centroids" -> """
+      WITH dims AS (
+        SELECT label, i - 1 AS pos, avg(embedding[i]::DOUBLE) AS m
+        FROM (SELECT label, embedding,
+                     unnest(range(1, len(embedding) + 1)) AS i
+              FROM embeddings)
+        GROUP BY label, pos),
+      cent AS (
+        SELECT label AS c_label,
+               CAST(CAST(list(round(m, 4) ORDER BY pos) AS FLOAT[]) AS DOUBLE[]) AS cv
+        FROM dims GROUP BY label),
+      n AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      s AS (SELECT n.vec_id, n.label, c.c_label,
+                   round(CASE WHEN sqrt(list_dot_product(n.v, n.v)) = 0
+                              OR sqrt(list_dot_product(c.cv, c.cv)) = 0 THEN 0.0
+                         ELSE list_dot_product(n.v, c.cv)
+                              / (sqrt(list_dot_product(n.v, n.v))
+                                 * sqrt(list_dot_product(c.cv, c.cv)))
+                         END, 4) AS cos
+            FROM n CROSS JOIN cent c),
+      r AS (SELECT vec_id, label, c_label, cos,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cos DESC, c_label) AS rnk
+            FROM s)
+      SELECT label, c_label, count(*)::BIGINT AS n
+      FROM r WHERE rnk = 1 GROUP BY label, c_label ORDER BY label, c_label""",
 
     "e04_embed_neardup" -> """
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

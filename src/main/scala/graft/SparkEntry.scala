@@ -1066,6 +1066,88 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // fixed-size overlapping chunking (RAG / context-window prep): chunk
+    // offsets come from `sequence`, so the whole stage is narrow and
+    // codegen'd — one output row per chunk, no shuffle, no driver work
+    "t18_chunking" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"), col("text"),
+          posexplode(sequence(lit(0), greatest(length(col("text")) - 1, lit(0)), lit(150))))
+        .withColumn("chunk", col("text").substr(col("col") + 1, lit(200)))
+        .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+          length(col("chunk")).cast("long").as("chunk_len"),
+          substring(md5(col("chunk")), 1, 8).as("chunk_hash"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
+    // corpus TF-IDF, top terms per source: the corpus explodes once into
+    // two hash aggregates (term freq per source, doc freq per term); the
+    // term dimension is tiny and broadcast, so the corpus never
+    // re-shuffles. row_number top-k uses WindowGroupLimit partial rank.
+    "t19_tfidf" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val words = docs
+        .select(col("source"), col("doc_id"),
+          explode(split(col("text"), "\\s+")).as("w"))
+        .filter(col("w") =!= "")
+      val tf = words.groupBy(col("source"), col("w")).agg(count(lit(1)).as("tf"))
+      val dfreq = words.select(col("w"), col("doc_id")).distinct()
+        .groupBy(col("w")).agg(count(lit(1)).as("dfreq"))
+      val nDocs = docs.agg(countDistinct(col("doc_id")).cast("double").as("n_docs"))
+      val scored = tf.join(broadcast(dfreq), "w")
+        .crossJoin(broadcast(nDocs))
+        .withColumn("tfidf", round(col("tf") * log(col("n_docs") / col("dfreq")), 4))
+      val win = Window.partitionBy(col("source")).orderBy(col("tfidf").desc, col("w").asc)
+      scored.withColumn("rnk", row_number().over(win).cast("long"))
+        .filter(col("rnk") <= 5)
+        .select(col("source"), col("rnk"), col("w").as("term"), col("tf"), col("tfidf"))
+        .orderBy(col("source"), col("rnk"))
+    }),
+
+    // per-source data profiling in one hash aggregate; `percentile` is the
+    // exact interpolated quantile (same definition as DuckDB quantile_cont)
+    "t20_profile" -> ((s, d) => {
+      t(s, d, "documents")
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"),
+          round(avg(col("n_chars")), 2).as("avg_chars"),
+          round(expr("percentile(n_chars, 0.25D)"), 2).as("p25"),
+          round(expr("percentile(n_chars, 0.5D)"), 2).as("p50"),
+          round(expr("percentile(n_chars, 0.75D)"), 2).as("p75"),
+          countDistinct(col("lang")).as("n_langs"))
+        .orderBy(col("source"))
+    }),
+
+    // PII detection + redaction (emails / phone-like / IPv4). The corpus
+    // text carries no PII, so a deterministic contact line is synthesized
+    // per row from table columns; the scrub itself is built-in
+    // regexp_count/regexp_replace — codegen'd, narrow, no UDF.
+    "t21_pii_redact" -> ((s, d) => {
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phoneRe = "\\b\\d{3}-\\d{4}\\b"
+      val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      t(s, d, "documents")
+        .withColumn("raw", concat(
+          lit("user"), col("doc_id").cast("string"), lit("@"), col("source"),
+          lit(".example.com tel 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" ip 10.0."),
+          (col("doc_id") % 256).cast("string"), lit("."),
+          ((col("doc_id") * 7) % 256).cast("string"), lit(" "),
+          col("text").substr(lit(1), lit(40))))
+        .select(col("doc_id"),
+          regexp_count(col("raw"), lit(emailRe)).cast("long").as("n_email"),
+          regexp_count(col("raw"), lit(phoneRe)).cast("long").as("n_phone"),
+          regexp_count(col("raw"), lit(ipRe)).cast("long").as("n_ip"),
+          regexp_replace(regexp_replace(regexp_replace(col("raw"),
+            lit(emailRe), lit("<EMAIL>")),
+            lit(phoneRe), lit("<PHONE>")),
+            lit(ipRe), lit("<IP>")).as("redacted"))
+        .orderBy(col("doc_id"))
+    }),
+
     // rolling-hash document fingerprint (md5-based so the oracle can
     // replicate the hash)
     "t09_fingerprint" -> ((s, d) => {
@@ -1121,6 +1203,33 @@ object SparkEntry {
         .filter(col("cosine") >= 0.3)
         .select(col("id_a"), col("id_b"), col("cosine"))
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // per-label centroids + nearest-centroid assignment (a confusion
+    // matrix over the corpus). Scale path: dims posexplode into a
+    // two-level hash agg (linear, partial+merge); the centroid table is
+    // bounded by |labels| and broadcast, so the corpus never shuffles.
+    // Centroid dims and cosines are rounded before ranking (the e02/e03
+    // trick) so the oracle reproduces every assignment exactly.
+    "e05_label_centroids" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val dims = emb.select(col("label"), posexplode(col("embedding")))
+        .groupBy(col("label"), col("pos"))
+        .agg(avg(col("col").cast("double")).as("m"))
+      val centroids = dims.groupBy(col("label"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("label").as("c_label"),
+          expr("transform(pm, x -> cast(round(x.m, 4) as float))").as("cv"))
+      val scored = emb.select(col("vec_id"), col("label"), col("embedding").as("v"))
+        .crossJoin(broadcast(centroids))
+        .withColumn("cos", round(gr_cosine(col("v"), col("cv")), 4))
+      val win = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos").desc, col("c_label").asc)
+      scored.withColumn("rnk", row_number().over(win))
+        .filter(col("rnk") === 1)
+        .groupBy(col("label"), col("c_label"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("label"), col("c_label"))
     }),
 
     // ========================================== pipeline: multimodal

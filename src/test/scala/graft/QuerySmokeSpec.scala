@@ -1,0 +1,100 @@
+package graft
+
+import graft.sql.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants for the round-6 pipeline queries, run on the
+  * sf0.001 testdata (the full value-hash equivalence vs DuckDB is the
+  * driver's correctness gate; these specs pin the properties the hashes
+  * alone don't explain).
+  */
+class QuerySmokeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private def run(name: String) = SparkEntry.queries(name)(spark, dir)
+
+  test("t18 chunking: per-doc chunk count and overlap arithmetic") {
+    val chunks = run("t18_chunking").cache()
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", length($"text").as("len"))
+    // expected chunks per doc = number of starts 0,150,300,... < max(len,1)
+    val expected = docs
+      .withColumn("n_expected",
+        ceil(greatest($"len", lit(1)).cast("double") / 150.0).cast("long"))
+    val got = chunks.groupBy($"doc_id").agg(count(lit(1)).as("n_got"))
+    val bad = expected.join(got, "doc_id")
+      .filter($"n_expected" =!= $"n_got").count()
+    assert(bad == 0)
+    // exact window arithmetic: chunk at start 150*id covers
+    // min(200, len - 150*id) characters
+    val wrongLen = chunks.join(docs, "doc_id")
+      .filter($"chunk_len" =!=
+        least(lit(200L), greatest($"len" - $"chunk_id" * 150L, lit(0L))))
+      .count()
+    assert(wrongLen == 0)
+    chunks.unpersist()
+  }
+
+  test("t19 tfidf: five ranked terms per source, scores non-increasing") {
+    val r = run("t19_tfidf").collect()
+    val bySource = r.groupBy(_.getString(0))
+    assert(bySource.values.forall(_.length == 5))
+    bySource.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+      val scores = sorted.map(_.getDouble(4)).toSeq
+      assert(scores == scores.sorted.reverse, scores.toString)
+    }
+  }
+
+  test("t20 profile: quantiles are ordered and bounded by min/max") {
+    val r = run("t20_profile")
+    val bad = r.filter(!($"min_chars" <= $"p25" && $"p25" <= $"p50" &&
+      $"p50" <= $"p75" && $"p75" <= $"max_chars")).count()
+    assert(bad == 0)
+    // percentile() must be the exact interpolated quantile: recompute the
+    // median of one source by hand
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val src = docs.select($"source").orderBy($"source").first().getString(0)
+    val vals = docs.filter($"source" === src)
+      .select($"n_chars").as[Long].collect().sorted
+    val p = 0.5 * (vals.length - 1)
+    val expect = vals(p.toInt) +
+      (p - p.toInt) * (vals(math.min(p.toInt + 1, vals.length - 1)) - vals(p.toInt))
+    val got = r.filter($"source" === src).select($"p50").as[Double].first()
+    assert(math.abs(got - (math.rint(expect * 100) / 100)) < 1e-9, s"$got vs $expect")
+  }
+
+  test("t21 pii redact: all three synthesized PII forms are found and scrubbed") {
+    val r = run("t21_pii_redact").cache()
+    assert(r.filter($"n_email" =!= 1 || $"n_phone" =!= 1 || $"n_ip" =!= 1)
+      .count() == 0)
+    val leftover = r.filter(
+      $"redacted".rlike("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}") ||
+      $"redacted".rlike("\\b\\d{3}-\\d{4}\\b") ||
+      $"redacted".rlike("\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b")).count()
+    assert(leftover == 0)
+    assert(r.filter(!$"redacted".contains("<EMAIL>") ||
+      !$"redacted".contains("<PHONE>") || !$"redacted".contains("<IP>"))
+      .count() == 0)
+    r.unpersist()
+  }
+
+  test("e05 centroids: every vector is assigned to exactly one centroid") {
+    val conf = run("e05_label_centroids")
+    val total = conf.agg(sum($"n")).as[Long].first()
+    val nVec = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(total == nVec, s"$total != $nVec")
+    // centroids separate at least the plurality of each label's vectors:
+    // the diagonal should dominate each row of the confusion matrix
+    val rows = conf.collect().groupBy(_.getInt(0))
+    val offDiagWins = rows.count { case (label, cells) =>
+      val best = cells.maxBy(_.getLong(2))
+      best.getInt(1) != label
+    }
+    assert(offDiagWins <= rows.size / 2, s"$offDiagWins of ${rows.size}")
+  }
+}

@@ -1090,9 +1090,17 @@ object SparkEntry {
         .select(col("source"), col("doc_id"),
           explode(split(col("text"), "\\s+")).as("w"))
         .filter(col("w") =!= "")
-      val tf = words.groupBy(col("source"), col("w")).agg(count(lit(1)).as("tf"))
-      val dfreq = words.select(col("w"), col("doc_id")).distinct()
-        .groupBy(col("w")).agg(count(lit(1)).as("dfreq"))
+      // pre-aggregate to (term, doc, source) so term-freq and doc-freq both
+      // derive from ONE identical exchange (ReuseExchange): the corpus text
+      // is scanned and exploded once, everything after runs on gram counts
+      val base = words.groupBy(col("w"), col("doc_id"), col("source"))
+        .agg(count(lit(1)).as("n"))
+      // base is unique per (w, doc_id): doc-freq is a plain count. Both
+      // consumers reference `n` so column pruning can't specialize (and
+      // thereby un-share) the base subtree between the branches.
+      val tf = base.groupBy(col("source"), col("w")).agg(sum(col("n")).as("tf"))
+      val dfreq = base.groupBy(col("w"))
+        .agg(sum(when(col("n") > 0, 1L)).as("dfreq"))
       val nDocs = docs.agg(countDistinct(col("doc_id")).cast("double").as("n_docs"))
       val scored = tf.join(broadcast(dfreq), "w")
         .crossJoin(broadcast(nDocs))

@@ -252,6 +252,13 @@ object OracleSql {
       GROUP BY event_type
       ORDER BY event_type""",
 
+    "q14_bucketed_join" -> """
+      SELECT o_orderpriority, count(*)::BIGINT AS n_items,
+             round(sum(l_extendedprice), 1) AS rev
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""",
+
     "g01_bbox_filter" -> s"""
       SELECT c_custkey, cx, cy FROM ($custPts)
       WHERE cx BETWEEN 1000 AND 5000 AND cy BETWEEN 200 AND 800

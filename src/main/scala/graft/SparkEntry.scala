@@ -227,6 +227,39 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // bucketed co-located join: both sides written CLUSTERED BY the join
+    // key into the same bucket count, so the SortMergeJoin reads bucket
+    // files directly — NO exchange on either side (the spec asserts it).
+    // repartition(8, key) before the write aligns task hash with bucket
+    // hash: exactly one file per bucket, which also keeps the bucket-side
+    // sort metadata usable. At 100 TB this is the pattern for a fact-fact
+    // join too big to broadcast and re-joined often enough to amortize the
+    // bucketed layout.
+    "q14_bucketed_join" -> ((s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val loc = s"/tmp/graft_q14_$tag"
+      s.sql("DROP TABLE IF EXISTS graft_q14_orders")
+      s.sql("DROP TABLE IF EXISTS graft_q14_lineitem")
+      val p = new org.apache.hadoop.fs.Path(loc)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(p, true)
+      t(s, d, "orders").repartition(8, col("o_orderkey"))
+        .write.format("parquet")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$loc/orders").saveAsTable("graft_q14_orders")
+      t(s, d, "lineitem").repartition(8, col("l_orderkey"))
+        .write.format("parquet")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$loc/lineitem").saveAsTable("graft_q14_lineitem")
+      s.table("graft_q14_orders")
+        .join(s.table("graft_q14_lineitem").hint("merge"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice")), 1).as("rev"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // ===================================================== geo operators
     // cx bbox selection (reference expr.py:391-402). The pointSource hint
     // lets cx() emit plain range predicates on the source coordinate

@@ -83,6 +83,24 @@ class QuerySmokeSpec extends AnyFunSuite {
     r.unpersist()
   }
 
+  test("q14 bucketed join: no exchange below the sort-merge join") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = run("q14_bucketed_join")
+      val plan = df.queryExecution.executedPlan
+      val smj = plan.collectFirst {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }
+      assert(smj.nonEmpty, plan.toString)
+      val shuffles = smj.get.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(shuffles.isEmpty, smj.get.toString)
+      // bucket layout is actually used by the scans
+      assert(smj.get.toString.contains("SelectedBucketsCount"), smj.get.toString)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("e05 centroids: every vector is assigned to exactly one centroid") {
     val conf = run("e05_label_centroids")
     val total = conf.agg(sum($"n")).as[Long].first()

@@ -38,6 +38,14 @@ object SparkEntry {
       .withColumn("cy", (col("c_custkey") % 1000).cast("double"))
       .withColumn("geometry", st_point(col("cx"), col("cy")))
 
+  // 200-char windows at stride 150 over each document (shared by the
+  // chunking and chunk-dedup queries): emits (doc_id, pos, chunk)
+  private def docChunks(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"), col("text"),
+        posexplode(sequence(lit(0), greatest(length(col("text")) - 1, lit(0)), lit(150))))
+      .withColumn("chunk", col("text").substr(col("col") + 1, lit(200)))
+
   // region triangles via collect + convex hull (CCW shells)
   private def regionTris(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "region")
@@ -1103,14 +1111,26 @@ object SparkEntry {
     // offsets come from `sequence`, so the whole stage is narrow and
     // codegen'd — one output row per chunk, no shuffle, no driver work
     "t18_chunking" -> ((s, d) => {
-      t(s, d, "documents")
-        .select(col("doc_id"), col("text"),
-          posexplode(sequence(lit(0), greatest(length(col("text")) - 1, lit(0)), lit(150))))
-        .withColumn("chunk", col("text").substr(col("col") + 1, lit(200)))
+      docChunks(s, d)
         .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
           length(col("chunk")).cast("long").as("chunk_len"),
           substring(md5(col("chunk")), 1, 8).as("chunk_hash"))
         .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
+    // cross-document duplicated-span detection (the C4/Dolma paragraph
+    // dedup shape) over the t18 chunk grid: one hash-agg on the FULL
+    // 128-bit chunk hash (an 8-hex prefix would birthday-collide at
+    // corpus scale) — the exchange carries (hash, doc_id), never text
+    "t22_chunk_dedup" -> ((s, d) => {
+      docChunks(s, d)
+        .select(md5(col("chunk")).as("chunk_hash"), col("doc_id"))
+        .groupBy(col("chunk_hash"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occurrences"),
+          min(col("doc_id")).as("first_doc"))
+        .filter(col("n_docs") > 1)
+        .orderBy(col("n_docs").desc, col("chunk_hash"))
     }),
 
     // corpus TF-IDF, top terms per source: the corpus explodes once into

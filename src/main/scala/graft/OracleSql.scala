@@ -578,6 +578,22 @@ object OracleSql {
              substr(md5(chunk), 1, 8) AS chunk_hash
       FROM c ORDER BY doc_id, chunk_id""",
 
+    "t22_chunk_dedup" -> """
+      WITH starts AS (
+        SELECT doc_id, text,
+               unnest(range(0, greatest(length(text), 1), 150)) AS start0
+        FROM documents),
+      c AS (
+        SELECT doc_id, md5(substr(text, start0 + 1, 200)) AS chunk_hash
+        FROM starts)
+      SELECT chunk_hash,
+             count(DISTINCT doc_id)::BIGINT AS n_docs,
+             count(*)::BIGINT AS n_occurrences,
+             min(doc_id) AS first_doc
+      FROM c GROUP BY chunk_hash
+      HAVING count(DISTINCT doc_id) > 1
+      ORDER BY n_docs DESC, chunk_hash""",
+
     "t19_tfidf" -> s"""
       WITH words AS (
         SELECT source, doc_id, w

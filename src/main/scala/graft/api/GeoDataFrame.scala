@@ -43,7 +43,12 @@ final case class GeoDataFrame(
     geometryColumn: String = "geometry",
     spatialPartitions: Option[Array[Envelope]] = None,
     pointSource: Option[(String, String)] = None,
-    fileSource: Option[FileSourceMeta] = None) {
+    fileSource: Option[FileSourceMeta] = None,
+    // convex hulls per partition (reference calculate_spatial_partitions,
+    // `expr.py:199-211`, stores hulls): tighter than envelopes for
+    // diagonal/sparse partitions, so bbox pruning drops more. Always
+    // index-aligned with spatialPartitions when present.
+    spatialPartitionHulls: Option[Array[Geometry]] = None) {
 
   def geom: Column = df(geometryColumn)
 
@@ -70,7 +75,8 @@ final case class GeoDataFrame(
     // pointSource must not survive reprojection: the source x/y columns
     // still hold coordinates in the OLD crs, so a later cx would push
     // range predicates in the wrong units and drop valid rows
-    copy(df = out, spatialPartitions = None, pointSource = None, fileSource = None)
+    copy(df = out, spatialPartitions = None, pointSource = None, fileSource = None,
+      spatialPartitionHulls = None)
       .setCrs(target)
   }
 
@@ -93,7 +99,8 @@ final case class GeoDataFrame(
     require(df.columns.contains(name), s"no such column: $name")
     require(df.schema(name).dataType == BinaryType,
       s"column $name is not a geometry (binary WKB) column")
-    copy(geometryColumn = name, spatialPartitions = None, pointSource = None)
+    copy(geometryColumn = name, spatialPartitions = None, pointSource = None,
+      spatialPartitionHulls = None)
   }
 
   // ------------------------------------------------------------ projection
@@ -107,6 +114,7 @@ final case class GeoDataFrame(
     val touchesSource = pointSource.exists { case (x, y) => name == x || name == y }
     copy(df = df.withColumn(name, c),
       spatialPartitions = if (touchesGeom) None else spatialPartitions,
+      spatialPartitionHulls = if (touchesGeom) None else spatialPartitionHulls,
       pointSource = if (touchesGeom || touchesSource) None else pointSource)
   }
 
@@ -144,7 +152,8 @@ final case class GeoDataFrame(
             if (keep.isEmpty) df.limit(0)
             else spark.read.schema(df.schema)
               .option("basePath", fsrc.basePath).parquet(keep: _*)
-          val rebuilt = copy(df = scanned, spatialPartitions = None, fileSource = None)
+          val rebuilt = copy(df = scanned, spatialPartitions = None, fileSource = None,
+            spatialPartitionHulls = None)
           return crs.map(rebuilt.setCrs).getOrElse(rebuilt).cx(xmin, ymin, xmax, ymax)
         }
       case _ =>
@@ -163,26 +172,41 @@ final case class GeoDataFrame(
     }
     val filtered = base.filter(
       st_intersectsBox(base(geometryColumn), lit(xmin), lit(ymin), lit(xmax), lit(ymax)))
-    val newParts = spatialPartitions.map(_.filter(_.intersects(Envelope(xmin, ymin, xmax, ymax))))
-    GeoDataFrame(filtered, geometryColumn, newParts, pointSource)
+    // partition metadata stays UNCHANGED and index-aligned: row filters keep
+    // every physical partition in place (a filter never renumbers
+    // spark_partition_id), and each partition's envelope/hull remains a
+    // valid superset bound of its filtered content. Filtering the array to
+    // the intersecting entries — as an earlier version did — breaks the
+    // index alignment a chained cx's pruning relies on and silently drops
+    // rows.
+    copy(df = filtered, fileSource = None)
   }
 
-  /** Drop whole Spark partitions whose recorded envelope misses `box`.
-    * No-op when spatial partitions are unknown.
+  /** Drop whole Spark partitions whose recorded bound misses `box` — the
+    * convex hull when calculated (tighter for diagonal/sparse partitions),
+    * else the envelope. No-op when spatial partitions are unknown.
     */
-  private def prunePartitions(box: Envelope): GeoDataFrame = spatialPartitions match {
-    case Some(parts) if parts.nonEmpty =>
-      val keep = parts.zipWithIndex.collect { case (e, i) if e.intersects(box) => i }
-      if (keep.length == parts.length) this
-      else
+  private def prunePartitions(box: Envelope): GeoDataFrame = {
+    val keepIdx: Option[Array[Int]] = spatialPartitionHulls match {
+      case Some(hulls) if hulls.nonEmpty =>
+        val boxGeom = box.toPolygon
+        Some(hulls.zipWithIndex.collect { case (h, i)
+          // envelope test first: cheap reject before the exact hull test
+          if h.envelope.intersects(box) && graft.geom.Predicates.intersects(h, boxGeom) => i })
+      case _ => spatialPartitions.filter(_.nonEmpty).map(
+        _.zipWithIndex.collect { case (e, i) if e.intersects(box) => i })
+    }
+    keepIdx match {
+      case Some(keep) if keep.length < spatialPartitions.map(_.length).getOrElse(0) =>
         // filter on the physical partition id rather than an RDD round-trip:
         // the logical plan survives (scan pushdown, codegen, AQE all keep
         // working downstream — the old df.rdd/createDataFrame pair severed
-        // it), and the envelope indices line up because this filter and
+        // it), and the indices line up because this filter and
         // calculateSpatialPartitions observe the same deterministic
         // partitioning with no exchange in between
         copy(df = df.filter(spark_partition_id().isInCollection(keep)))
-    case _ => this
+      case _ => this
+    }
   }
 
   // ------------------------------------------------------------------ clip
@@ -259,26 +283,64 @@ final case class GeoDataFrame(
       others :+ posexplode(st_dump(df(target))).as(Seq("part_index", target)): _*)
     val out =
       if (ignoreIndex || !indexParts) exploded.drop("part_index") else exploded
-    GeoDataFrame(out, geometryColumn, spatialPartitions)
+    // narrow op, partitions preserved; every part lies within its parent's
+    // envelope/hull, so both bounds stay valid
+    GeoDataFrame(out, geometryColumn, spatialPartitions,
+      spatialPartitionHulls = spatialPartitionHulls)
   }
 
   // ------------------------------------------------- spatial partitioning
-  /** Eagerly compute each partition's envelope (reference
-    * calculate_spatial_partitions, `expr.py:199-211`; envelopes instead of
-    * convex hulls — same pruning power for axis-aligned queries, no hull
-    * cost). One narrow job: mapPartitions + collect of 4 doubles each.
+  /** Eagerly compute each partition's spatial bound (reference
+    * calculate_spatial_partitions, `expr.py:199-211` — the reference stores
+    * per-partition convex hulls).
+    *
+    * `method = "envelope"` (default): 4 doubles per partition via the
+    * allocation-free WKB envelope scan — same pruning power for
+    * axis-aligned data, no hull cost.
+    * `method = "hull"`: per-partition convex hulls in the same single
+    * narrow job, matching the reference's fidelity — tighter bounds for
+    * diagonal/sparse partitions, so bbox pruning drops partitions whose
+    * envelope a query box hits but whose data it cannot. Memory per task
+    * stays bounded: the vertex buffer collapses to its hull whenever it
+    * exceeds a fixed size (hull-of-hull-points is exact), so worst case is
+    * buffer + current hull, never all partition vertices.
     */
-  def calculateSpatialPartitions(): GeoDataFrame = {
+  def calculateSpatialPartitions(method: String = "envelope"): GeoDataFrame = {
     val gIdx = df.schema.fieldIndex(geometryColumn)
-    val parts = df.rdd.mapPartitionsWithIndex { (i, it) =>
-      var env = Envelope.empty
-      it.foreach { row =>
-        if (!row.isNullAt(gIdx))
-          env = env.union(Wkb.envelopeOf(row.getAs[Array[Byte]](gIdx)))
-      }
-      Iterator((i, env))
-    }.collect().sortBy(_._1).map(_._2)
-    copy(spatialPartitions = Some(parts))
+    method match {
+      case "envelope" =>
+        val parts = df.rdd.mapPartitionsWithIndex { (i, it) =>
+          var env = Envelope.empty
+          it.foreach { row =>
+            if (!row.isNullAt(gIdx))
+              env = env.union(Wkb.envelopeOf(row.getAs[Array[Byte]](gIdx)))
+          }
+          Iterator((i, env))
+        }.collect().sortBy(_._1).map(_._2)
+        copy(spatialPartitions = Some(parts), spatialPartitionHulls = None)
+      case "hull" =>
+        import graft.geom.{Constructive, MultiPoint, Point}
+        val hulls = df.rdd.mapPartitionsWithIndex { (i, it) =>
+          val buf = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
+          def hullOfBuf(): Geometry =
+            Constructive.convexHull(MultiPoint(buf.map { case (x, y) => Point(x, y) }.toArray))
+          it.foreach { row =>
+            if (!row.isNullAt(gIdx)) {
+              Wkb.read(row.getAs[Array[Byte]](gIdx)).foreachCoord((x, y) => buf += ((x, y)))
+              if (buf.length > 4096) {
+                val h = hullOfBuf()
+                buf.clear()
+                h.foreachCoord((x, y) => buf += ((x, y)))
+              }
+            }
+          }
+          Iterator((i, hullOfBuf()))
+        }.collect().sortBy(_._1).map(_._2)
+        copy(spatialPartitions = Some(hulls.map(_.envelope)),
+          spatialPartitionHulls = Some(hulls))
+      case other =>
+        throw new IllegalArgumentException(s"unknown spatial partition method: $other")
+    }
   }
 
   /** SFC shuffle (reference spatial_shuffle, `expr.py:738-820`): compute the

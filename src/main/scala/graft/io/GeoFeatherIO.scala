@@ -226,6 +226,44 @@ object GeoFeatherIO {
     }.toMap
   }
 
+  /** Evaluate one `(value op literal)` attribute predicate on a decoded
+    * vector cell. Nulls fail every op (SQL three-valued logic collapsed to
+    * "don't keep"); numeric types compare widened to double; arrow `Text`
+    * compares as a JVM String.
+    */
+  private def predicateHolds(raw: Any, op: String, lit: Any): Boolean = {
+    val v = raw match {
+      case t: org.apache.arrow.vector.util.Text => t.toString
+      case other => other
+    }
+    if (v == null) return false
+    def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+      case (x: Number, y: Number) =>
+        Some(java.lang.Double.compare(x.doubleValue(), y.doubleValue()))
+      case (x: String, y: String)   => Some(x.compareTo(y))
+      case (x: Boolean, y: Boolean) => Some(java.lang.Boolean.compare(x, y))
+      case _ => None
+    }
+    op match {
+      case "in" => lit match {
+        case xs: Iterable[_] => xs.exists(x => cmp(v, x).contains(0))
+        case _ => throw new IllegalArgumentException("'in' filter needs an Iterable literal")
+      }
+      case _ => cmp(v, lit) match {
+        case None => throw new IllegalArgumentException(
+          s"incomparable filter operands: ${v.getClass.getSimpleName} vs $lit")
+        case Some(c) => op match {
+          case "=" | "==" => c == 0
+          case "!="       => c != 0
+          case "<"        => c < 0
+          case "<="       => c <= 0
+          case ">"        => c > 0
+          case ">="       => c >= 0
+        }
+      }
+    }
+  }
+
   /** Read a feather dataset.
     *
     * `columns` projects at decode time (reference `read_feather(columns=)`,
@@ -233,9 +271,15 @@ object GeoFeatherIO {
     * rows. Batch bodies are still fetched (the IPC batch is one contiguous
     * body; per-buffer skipping would need buffer-level seeks), so this
     * saves decode + row width, not raw I/O bytes.
-    * `bbox` filters rows during decode against the geometry envelope
-    * (reference DNF `filters=`, `io/arrow.py:90-96`) — filtered rows are
-    * never materialized.
+    * `bbox` filters rows during decode against the geometry envelope —
+    * filtered rows are never materialized.
+    * `filters` are attribute predicates in DNF (reference `filters=`,
+    * `io/arrow.py:90-96`, pyarrow tuple form): outer Seq = OR of clauses,
+    * inner Seq = AND of `(column, op, literal)` with ops
+    * `= == != < <= > >= in`. Like `bbox`, they run against the decoded
+    * vectors BEFORE a row materializes, and may reference non-projected
+    * columns. A row with a null in a filtered column fails the predicate
+    * (SQL comparison semantics).
     *
     * Memory per task is one record batch: batches stream lazily through a
     * per-batch iterator over a seekable channel on the filesystem stream,
@@ -245,7 +289,8 @@ object GeoFeatherIO {
     */
   def read(spark: SparkSession, path: String,
       columns: Seq[String] = Nil,
-      bbox: Option[graft.geom.Envelope] = None): GeoDataFrame = {
+      bbox: Option[graft.geom.Envelope] = None,
+      filters: Seq[Seq[(String, String, Any)]] = Nil): GeoDataFrame = {
     graft.sql.functions.install(spark)
     val conf = spark.sessionState.newHadoopConf()
     val files = listArrowFiles(conf, new Path(path))
@@ -295,6 +340,16 @@ object GeoFeatherIO {
         files.map(_.toString).filter(f => bx.get(f).forall(_.intersects(b)))
       case None => files.map(_.toString)
     }
+    // attribute filters resolve to file-schema indices on the driver; the
+    // compiled (idx, op, literal) triples ship to tasks, names do not
+    val compiledFilters: Array[Array[(Int, String, Any)]] = filters.map { clause =>
+      clause.map { case (c, op, lit) =>
+        require(fileSchema.fieldNames.contains(c), s"no such column in feather schema: $c")
+        require(Set("=", "==", "!=", "<", "<=", ">", ">=", "in").contains(op),
+          s"unsupported filter op: $op")
+        (fileSchema.fieldIndex(c), op, lit)
+      }.toArray
+    }.toArray
     val nOut = projIdx.length
     val box = bbox.orNull
     val rows =
@@ -325,10 +380,12 @@ object GeoFeatherIO {
           val out = new scala.collection.mutable.ArrayBuffer[Row](rc)
           var r = 0
           while (r < rc) {
-            val keep = box == null || {
+            val keep = (box == null || {
               val wkb = vectors(geomIdx).getObject(r).asInstanceOf[Array[Byte]]
               wkb != null && graft.geom.Wkb.read(wkb).envelope.intersects(box)
-            }
+            }) && (compiledFilters.isEmpty || compiledFilters.exists(_.forall {
+              case (ci, op, lit) => predicateHolds(vectors(ci).getObject(r), op, lit)
+            }))
             if (keep) {
               val vals = new Array[Any](nOut)
               var c = 0

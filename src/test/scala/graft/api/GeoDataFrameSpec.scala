@@ -39,6 +39,49 @@ class GeoDataFrameSpec extends AnyFunSuite {
     assert(!analyzed.contains("LogicalRDD"), analyzed)
   }
 
+  test("hull spatial partitions prune diagonal data that envelopes cannot") {
+    // points along the diagonal y = x, range-partitioned by id: each
+    // partition's envelope is a square, but its hull is a thin segment
+    val rows = (0 until 200).map(i => (i.toLong, i / 2.0, i / 2.0))
+    val diag0 = GeoDataFrame.pointsFromXY(
+      rows.toDF("id", "x", "y").repartitionByRange(4, $"id"), "x", "y")
+
+    val env = diag0.calculateSpatialPartitions() // default envelope method
+    assert(env.spatialPartitions.get.length == 4 && env.spatialPartitionHulls.isEmpty)
+    val hull = diag0.calculateSpatialPartitions(method = "hull")
+    assert(hull.spatialPartitionHulls.get.length == 4)
+    // hull envelopes agree with the envelope method's bounds
+    hull.spatialPartitions.get.zip(env.spatialPartitions.get).foreach { case (a, b) =>
+      assert(math.abs(a.minX - b.minX) < 1e-9 && math.abs(a.maxY - b.maxY) < 1e-9)
+    }
+
+    // an off-diagonal box inside some partition's envelope: the envelope
+    // keeps the partition, the hull rejects it
+    val box = Envelope(36, 26, 48, 34)
+    val envHits = env.spatialPartitions.get.count(_.intersects(box))
+    assert(envHits > 0, "box must hit at least one envelope for the test to bite")
+    val boxGeom = box.toPolygon
+    val hullHits = hull.spatialPartitionHulls.get.count(h =>
+      h.envelope.intersects(box) && graft.geom.Predicates.intersects(h, boxGeom))
+    assert(hullHits < envHits, s"hulls should prune tighter: $hullHits vs $envHits")
+    // and the pruned cx is still correct (no diagonal point is in the box)
+    assert(hull.cx(36, 26, 48, 34).df.count() == 0)
+    // an on-diagonal box returns the right rows through hull pruning
+    val got = hull.cx(10, 10, 30, 30).df.count()
+    assert(got == rows.count { case (_, x, y) => x >= 10 && x <= 30 && y >= 10 && y <= 30 })
+  }
+
+  test("chained cx keeps partition metadata aligned (no silent row loss)") {
+    val g = points(300).spatialShuffle(by = "hilbert", level = 10, numPartitions = Some(4))
+    // first cx prunes some partitions; the second must still see correct
+    // rows — filtering the metadata array (old behavior) misaligned it
+    // against spark_partition_id and returned 0 rows here
+    val got = g.cx(0, 0, 60, 60).cx(20, 20, 60, 60).df.count()
+    val want = points(300).df
+      .filter($"x" >= 20 && $"x" <= 60 && $"y" >= 20 && $"y" <= 60).count()
+    assert(got == want)
+  }
+
   test("dissolve unions per group") {
     val df = Seq((1, 0.0, 0.0), (1, 1.0, 1.0), (2, 5.0, 5.0), (2, 5.0, 5.0))
       .toDF("k", "x", "y")

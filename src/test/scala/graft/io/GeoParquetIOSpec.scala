@@ -152,6 +152,50 @@ class GeoParquetIOSpec extends AnyFunSuite {
     assert(filteredProj.df.count() == want)
   }
 
+  test("feather attribute filters (DNF) drop rows at decode time") {
+    val path = tmpDir()
+    val g0 = sample()
+    val g = GeoDataFrame(g0.df.repartition(2)
+        .withColumn("name", concat(lit("row-"), $"id")),
+      g0.geometryColumn).setCrs("EPSG:3857")
+    GeoFeatherIO.write(g, path, batchSize = 64)
+
+    // conjunction; numeric literals compare widened (Int literal vs Double col)
+    val conj = GeoFeatherIO.read(spark, path,
+      filters = Seq(Seq(("x", ">=", 10.0), ("x", "<", 40))))
+    val wantConj = sample().df.filter($"x" >= 10 && $"x" < 40).count()
+    assert(conj.df.count() == wantConj)
+
+    // DNF: OR of two clauses
+    val dnf = GeoFeatherIO.read(spark, path,
+      filters = Seq(Seq(("x", "<", 5.0)), Seq(("x", ">", 90.0))))
+    assert(dnf.df.count() == sample().df.filter($"x" < 5 || $"x" > 90).count())
+
+    // string equality and `in`; the filter column need not be projected
+    val one = GeoFeatherIO.read(spark, path, columns = Seq("id"),
+      filters = Seq(Seq(("name", "=", "row-7"))))
+    assert(one.df.columns.toSeq == Seq("id"))
+    assert(one.df.count() == 1)
+    val ins = GeoFeatherIO.read(spark, path,
+      filters = Seq(Seq(("id", "in", Seq(1L, 2L, 3L)))))
+    assert(ins.df.count() == 3)
+
+    // filters compose with the bbox decode filter
+    val both = GeoFeatherIO.read(spark, path,
+      bbox = Some(graft.geom.Envelope(0, 0, 30, 30)),
+      filters = Seq(Seq(("x", ">=", 10.0))))
+    val wantBoth = sample().df.filter($"x" <= 30 && $"y" <= 30 && $"x" >= 10).count()
+    assert(both.df.count() == wantBoth)
+
+    // unknown column / unsupported op rejected at plan time, driver-side
+    intercept[IllegalArgumentException] {
+      GeoFeatherIO.read(spark, path, filters = Seq(Seq(("nope", "=", 1))))
+    }
+    intercept[IllegalArgumentException] {
+      GeoFeatherIO.read(spark, path, filters = Seq(Seq(("x", "like", 1))))
+    }
+  }
+
   test("feather footer bboxes prune whole files on bbox reads") {
     val path = tmpDir()
     // hilbert-clustered partitions -> per-file extents much smaller than the

@@ -578,6 +578,45 @@ object OracleSql {
              substr(md5(chunk), 1, 8) AS chunk_hash
       FROM c ORDER BY doc_id, chunk_id""",
 
+    "t23_canonical_pick" -> s"""
+      WITH RECURSIVE $minhashCtes,
+      prs AS (SELECT id_a, id_b FROM est WHERE est >= 0.5),
+      e AS (SELECT id_a AS a, id_b AS b FROM prs
+            UNION SELECT id_b, id_a FROM prs),
+      reach(a, b) AS (
+        SELECT a, b FROM e
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+      cl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+             FROM reach GROUP BY a),
+      r AS (SELECT cl.cluster_id, cl.doc_id, d.n_chars,
+              row_number() OVER (PARTITION BY cl.cluster_id
+                ORDER BY d.n_chars DESC, cl.doc_id) AS rnk,
+              count(*) OVER (PARTITION BY cl.cluster_id) AS n_docs
+            FROM cl JOIN documents d USING (doc_id))
+      SELECT cluster_id, doc_id AS kept_doc, n_chars AS kept_chars,
+             n_docs::BIGINT AS n_docs
+      FROM r WHERE rnk = 1 ORDER BY cluster_id""",
+
+    "t24_delta_dedup" -> """
+      WITH starts AS (
+        SELECT doc_id, source, text,
+               unnest(range(0, greatest(length(text), 1), 150)) AS start0
+        FROM documents),
+      ch AS (SELECT doc_id, source,
+                    md5(substr(text, start0 + 1, 200)) AS h
+             FROM starts),
+      cor AS (SELECT DISTINCT h FROM ch WHERE source <> 'src0'),
+      f AS (SELECT ch.doc_id, count(*) AS n_chunks,
+                   sum(CASE WHEN cor.h IS NOT NULL THEN 1 ELSE 0 END) AS n_dup_chunks
+            FROM ch LEFT JOIN cor ON ch.h = cor.h
+            WHERE ch.source = 'src0'
+            GROUP BY ch.doc_id)
+      SELECT doc_id, n_chunks::BIGINT AS n_chunks,
+             n_dup_chunks::BIGINT AS n_dup_chunks,
+             (CASE WHEN n_dup_chunks = 0 THEN 1 ELSE 0 END)::BIGINT AS kept
+      FROM f ORDER BY doc_id""",
+
     "t22_chunk_dedup" -> """
       WITH starts AS (
         SELECT doc_id, text,

@@ -1148,6 +1148,51 @@ object SparkEntry {
         .orderBy(col("n_docs").desc, col("chunk_hash"))
     }),
 
+    // canonical-document selection over the t10 dedup clusters: the
+    // dedup→curation handoff (keep one doc per near-dup cluster, longest
+    // text wins, ties by lowest id). Both window functions share one
+    // cluster_id partitioning — a single exchange over cluster-membership
+    // rows (doc_id, cluster_id, n_chars), never the text.
+    "t23_canonical_pick" -> ((s, d) => {
+      val pairs = Dedup.minhashLsh(t(s, d, "documents"), "doc_id", "text",
+        numHashes = 64, bands = 16, shingleSize = 4, threshold = 0.5)
+      val clusters = Dedup.connectedComponents(pairs)
+      val docs = t(s, d, "documents").select(col("doc_id"), col("n_chars"))
+      val byCluster = Window.partitionBy(col("cluster_id"))
+      val ranked = clusters.join(docs, "doc_id")
+        .withColumn("rnk",
+          row_number().over(byCluster.orderBy(col("n_chars").desc, col("doc_id").asc)))
+        .withColumn("n_docs", count(lit(1)).over(byCluster))
+      ranked.filter(col("rnk") === 1)
+        .select(col("cluster_id"), col("doc_id").as("kept_doc"),
+          col("n_chars").as("kept_chars"), col("n_docs"))
+        .orderBy(col("cluster_id"))
+    }),
+
+    // delta (incremental) dedup: an incoming crawl shard is checked against
+    // the existing corpus at chunk granularity — a doc is dropped if ANY of
+    // its 200-char chunks already exists. The corpus side reduces to
+    // DISTINCT 128-bit chunk hashes before the join (never text); the
+    // incoming side shuffles (hash, doc_id). At 100 TB the corpus hash set
+    // is corpus-sized so the plan must NOT broadcast it structurally — no
+    // hint; AQE picks broadcast only when the batch/corpus actually fits.
+    "t24_delta_dedup" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      def chunkHashes(df: DataFrame) = df
+        .select(col("doc_id"), col("text"),
+          posexplode(sequence(lit(0), greatest(length(col("text")) - 1, lit(0)), lit(150))))
+        .select(col("doc_id"), md5(col("text").substr(col("col") + 1, lit(200))).as("h"))
+      val corpusHashes = chunkHashes(docs.filter(col("source") =!= "src0"))
+        .select(col("h")).distinct().withColumn("dup", lit(1L))
+      chunkHashes(docs.filter(col("source") === "src0"))
+        .join(corpusHashes, Seq("h"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("dup").isNotNull, 1L).otherwise(0L)).as("n_dup_chunks"))
+        .withColumn("kept", when(col("n_dup_chunks") === 0, 1L).otherwise(0L))
+        .orderBy(col("doc_id"))
+    }),
+
     // corpus TF-IDF, top terms per source: the corpus explodes once into
     // two hash aggregates (term freq per source, doc freq per term).
     // No broadcast hint on dfreq: its row count is the distinct-token

@@ -761,6 +761,59 @@ object OracleSql {
              round(lon, 6) AS lon2, round(lat, 6) AS lat2
       FROM q5 ORDER BY c_custkey""",
 
+    // mirrors Crs.AlbersConic / Crs.LambertConic forward math term by term
+    // (Snyder eqs 14-1..14-11 / 15-1..15-11, GRS80); roundtrip columns are
+    // the original lon/lat (the Spark side must invert to 1e-6 deg)
+    "g39_conic" -> s"""
+      WITH p AS (SELECT c_custkey, cx / 500.0 - 95.0 AS lon, cy / 40.0 + 25.0 AS lat
+                 FROM ($custPts)),
+      e0 AS (SELECT f * (2.0 - f) AS e2, sqrt(f * (2.0 - f)) AS e
+             FROM (SELECT 1.0 / 298.257222101 AS f)),
+      a1 AS (SELECT e2, e,
+               cos(29.5 / 180.0 * pi()) / sqrt(1.0 - e2 * sin(29.5 / 180.0 * pi()) * sin(29.5 / 180.0 * pi())) AS m1,
+               cos(45.5 / 180.0 * pi()) / sqrt(1.0 - e2 * sin(45.5 / 180.0 * pi()) * sin(45.5 / 180.0 * pi())) AS m2,
+               (1.0 - e2) * (sin(29.5 / 180.0 * pi()) / (1.0 - e2 * sin(29.5 / 180.0 * pi()) * sin(29.5 / 180.0 * pi()))
+                 - (1.0 / (2.0 * e)) * ln((1.0 - e * sin(29.5 / 180.0 * pi())) / (1.0 + e * sin(29.5 / 180.0 * pi())))) AS qq1,
+               (1.0 - e2) * (sin(45.5 / 180.0 * pi()) / (1.0 - e2 * sin(45.5 / 180.0 * pi()) * sin(45.5 / 180.0 * pi()))
+                 - (1.0 / (2.0 * e)) * ln((1.0 - e * sin(45.5 / 180.0 * pi())) / (1.0 + e * sin(45.5 / 180.0 * pi())))) AS qq2,
+               (1.0 - e2) * (sin(23.0 / 180.0 * pi()) / (1.0 - e2 * sin(23.0 / 180.0 * pi()) * sin(23.0 / 180.0 * pi()))
+                 - (1.0 / (2.0 * e)) * ln((1.0 - e * sin(23.0 / 180.0 * pi())) / (1.0 + e * sin(23.0 / 180.0 * pi())))) AS qq0
+             FROM e0),
+      a2 AS (SELECT *, (m1 * m1 - m2 * m2) / (qq2 - qq1) AS an FROM a1),
+      a3 AS (SELECT *, m1 * m1 + an * qq1 AS ac FROM a2),
+      a4 AS (SELECT *, 6378137.0 * sqrt(ac - an * qq0) / an AS arho0 FROM a3),
+      l1 AS (SELECT e2 AS le2, e AS le,
+               cos(49.0 / 180.0 * pi()) / sqrt(1.0 - e2 * sin(49.0 / 180.0 * pi()) * sin(49.0 / 180.0 * pi())) AS lm1,
+               cos(77.0 / 180.0 * pi()) / sqrt(1.0 - e2 * sin(77.0 / 180.0 * pi()) * sin(77.0 / 180.0 * pi())) AS lm2,
+               tan(pi() / 4.0 - (49.0 / 180.0 * pi()) / 2.0) / pow((1.0 - e * sin(49.0 / 180.0 * pi())) / (1.0 + e * sin(49.0 / 180.0 * pi())), e / 2.0) AS lt1,
+               tan(pi() / 4.0 - (77.0 / 180.0 * pi()) / 2.0) / pow((1.0 - e * sin(77.0 / 180.0 * pi())) / (1.0 + e * sin(77.0 / 180.0 * pi())), e / 2.0) AS lt2,
+               tan(pi() / 4.0 - (63.390675 / 180.0 * pi()) / 2.0) / pow((1.0 - e * sin(63.390675 / 180.0 * pi())) / (1.0 + e * sin(63.390675 / 180.0 * pi())), e / 2.0) AS lt0
+             FROM e0),
+      l2 AS (SELECT *, (ln(lm1) - ln(lm2)) / (ln(lt1) - ln(lt2)) AS lnn FROM l1),
+      l3 AS (SELECT *, lm1 / (lnn * pow(lt1, lnn)) AS lff FROM l2),
+      l4 AS (SELECT *, 6378137.0 * lff * pow(lt0, lnn) AS lrho0 FROM l3),
+      pt AS (SELECT c_custkey, lon, lat,
+               sin(lat / 180.0 * pi()) AS s, an, ac, arho0, lnn, lff, lrho0, e2, e, le, lt0,
+               an * (lon / 180.0 * pi() - (-96.0) / 180.0 * pi()) AS ath,
+               lnn * (lon / 180.0 * pi() - (-(91.0 + 52.0 / 60.0)) / 180.0 * pi()) AS lth
+             FROM p, a4, l4),
+      pq AS (SELECT *,
+               (1.0 - e2) * (s / (1.0 - e2 * s * s)
+                 - (1.0 / (2.0 * e)) * ln((1.0 - e * s) / (1.0 + e * s))) AS qp,
+               tan(pi() / 4.0 - (lat / 180.0 * pi()) / 2.0)
+                 / pow((1.0 - le * s) / (1.0 + le * s), le / 2.0) AS tp
+             FROM pt),
+      pr AS (SELECT *, 6378137.0 * sqrt(ac - an * qp) / an AS ar,
+               6378137.0 * lff * pow(tp, lnn) AS lr FROM pq)
+      SELECT c_custkey,
+             round(ar * sin(ath), 3) AS ax,
+             round(arho0 - ar * cos(ath), 3) AS ay,
+             round(6200000.0 + lr * sin(lth), 3) AS lx,
+             round(3000000.0 + lrho0 - lr * cos(lth), 3) AS ly,
+             round(lon, 6) AS alon2, round(lat, 6) AS alat2,
+             round(lon, 6) AS llon2, round(lat, 6) AS llat2
+      FROM pr ORDER BY c_custkey""",
+
     "g29_negative_buffer" -> """
       WITH p AS (SELECT s_suppkey, ((s_suppkey % 10) + 1)::DOUBLE AS h FROM supplier)
       SELECT s_suppkey,

@@ -721,6 +721,33 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     }),
 
+    // named conic projections (r7): CONUS Albers (EPSG:5070) and StatCan
+    // Lambert (EPSG:3347) forward coordinates + inverse roundtrips
+    // (reference to_crs accepts any pyproj CRS, expr.py:255-257; these are
+    // the named-projection subset, Snyder closed forms)
+    "g39_conic" -> ((s, d) => {
+      val pts = customerPts(s, d)
+        .withColumn("lon", col("cx") / 500.0 - 95.0)
+        .withColumn("lat", col("cy") / 40.0 + 25.0)
+        .withColumn("geometry", st_point(col("lon"), col("lat")))
+      val wgs = GeoDataFrame(pts).setCrs("EPSG:4326")
+      val alb = wgs.toCrs("EPSG:5070")
+      val lcc = wgs.toCrs("EPSG:3347")
+      alb.df.select(col("c_custkey"),
+          round(st_x(col("geometry")), 3).as("ax"),
+          round(st_y(col("geometry")), 3).as("ay"))
+        .join(lcc.df.select(col("c_custkey"),
+          round(st_x(col("geometry")), 3).as("lx"),
+          round(st_y(col("geometry")), 3).as("ly")), "c_custkey")
+        .join(alb.toCrs("EPSG:4326").df.select(col("c_custkey"),
+          round(st_x(col("geometry")), 6).as("alon2"),
+          round(st_y(col("geometry")), 6).as("alat2")), "c_custkey")
+        .join(lcc.toCrs("EPSG:4326").df.select(col("c_custkey"),
+          round(st_x(col("geometry")), 6).as("llon2"),
+          round(st_y(col("geometry")), 6).as("llat2")), "c_custkey")
+        .orderBy(col("c_custkey"))
+    }),
+
     // negative buffer (inward offset) of convex polygons, incl. collapse
     "g29_negative_buffer" -> ((s, d) => {
       t(s, d, "supplier")

@@ -237,12 +237,16 @@ object GraftDefs {
       def toWgs(crs: String): Option[Geometry => Geometry] = crs match {
         case "EPSG:4326"      => Some(identity)
         case "EPSG:3857"      => Some(_.mapCoords(Crs.mercatorToLonLat))
+        case "EPSG:5070"      => Some(_.mapCoords(Crs.conusAlbers.inverse))
+        case "EPSG:3347"      => Some(_.mapCoords(Crs.statCanLambert.inverse))
         case UtmZone(ns, zz)  => Some(_.mapCoords((x, y) => Crs.utmInverse(x, y, zz.toInt, ns == "7")))
         case _                => None
       }
       def fromWgs(crs: String): Option[Geometry => Geometry] = crs match {
         case "EPSG:4326"      => Some(identity)
         case "EPSG:3857"      => Some(_.mapCoords(Crs.lonLatToMercator))
+        case "EPSG:5070"      => Some(_.mapCoords(Crs.conusAlbers.forward))
+        case "EPSG:3347"      => Some(_.mapCoords(Crs.statCanLambert.forward))
         case UtmZone(ns, zz)  => Some(_.mapCoords((lon, lat) => Crs.utmForward(lon, lat, zz.toInt, ns == "7")))
         case _                => None
       }
@@ -254,8 +258,9 @@ object GraftDefs {
           (toWgs(f), fromWgs(t)) match {
             case (Some(inv), Some(fwd)) => wkb(fwd(inv(g)))
             case _ => throw new UnsupportedOperationException(
-              s"st_transform $f -> $t: supported CRS are EPSG:4326, EPSG:3857 and " +
-                "EPSG:326xx/327xx (WGS84 UTM); any pair of them composes via lon/lat")
+              s"st_transform $f -> $t: supported CRS are EPSG:4326, EPSG:3857, " +
+                "EPSG:326xx/327xx (WGS84 UTM), EPSG:5070 (Conus Albers) and " +
+                "EPSG:3347 (StatCan Lambert); any pair composes via lon/lat")
           }
       }
     }),
@@ -294,6 +299,8 @@ object GraftDefs {
     // treatment absent a datum-shift grid); documented approximation
     else if (up == "EPSG:4269" || up == "4269" || up == "NAD83") "EPSG:4326"
     else if (up == "3857" || up == "WEB_MERCATOR") "EPSG:3857"
+    else if (up == "5070" || up == "CONUS_ALBERS") "EPSG:5070"
+    else if (up == "3347" || up == "STATCAN_LAMBERT") "EPSG:3347"
     else up
   }
 
@@ -525,6 +532,121 @@ object Crs {
         * math.pow(d, 5) / 120.0) / cphi
     (math.toDegrees(lon) + utmCentralMeridian(zone), math.toDegrees(lat))
   }
+
+  /** Albers equal-area conic, ellipsoidal form (public formulas: Snyder
+    * 1987, eqs 14-1..14-11; inverse latitude via the Newton iteration of
+    * eq 3-16). Forward math is closed-form, so the DuckDB oracle mirrors
+    * it term by term; the inverse is validated by roundtrip.
+    */
+  final class AlbersConic(a: Double, invFlat: Double, lat0: Double, lon0: Double,
+      sp1: Double, sp2: Double, fe: Double, fn: Double) {
+    private val f = 1.0 / invFlat
+    private val e2 = f * (2.0 - f)
+    private val e = math.sqrt(e2)
+    private def q(phi: Double): Double = {
+      val s = math.sin(phi)
+      (1.0 - e2) * (s / (1.0 - e2 * s * s) -
+        (1.0 / (2.0 * e)) * math.log((1.0 - e * s) / (1.0 + e * s)))
+    }
+    private def m(phi: Double): Double = {
+      val s = math.sin(phi)
+      math.cos(phi) / math.sqrt(1.0 - e2 * s * s)
+    }
+    private val m1 = m(math.toRadians(sp1))
+    private val m2 = m(math.toRadians(sp2))
+    private val q1 = q(math.toRadians(sp1))
+    private val q2 = q(math.toRadians(sp2))
+    private val n = (m1 * m1 - m2 * m2) / (q2 - q1)
+    private val c = m1 * m1 + n * q1
+    private def rho(qv: Double): Double = a * math.sqrt(c - n * qv) / n
+    private val rho0 = rho(q(math.toRadians(lat0)))
+
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      val theta = n * (math.toRadians(lon) - math.toRadians(lon0))
+      val r = rho(q(math.toRadians(lat)))
+      (fe + r * math.sin(theta), fn + rho0 - r * math.cos(theta))
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val sgn = if (n < 0) -1.0 else 1.0
+      val dx = x - fe
+      val dy = rho0 - (y - fn)
+      val r = sgn * math.sqrt(dx * dx + dy * dy)
+      val theta = math.atan2(sgn * dx, sgn * dy)
+      val qv = (c - r * r * n * n / (a * a)) / n
+      var phi = math.asin(math.max(-1.0, math.min(1.0, qv / 2.0)))
+      var i = 0
+      while (i < 8) { // converges in <=4 iterations for |lat| < 89
+        val s = math.sin(phi)
+        val om = 1.0 - e2 * s * s
+        phi += om * om / (2.0 * math.cos(phi)) * (qv / (1.0 - e2) -
+          s / om + (1.0 / (2.0 * e)) * math.log((1.0 - e * s) / (1.0 + e * s)))
+        i += 1
+      }
+      (math.toDegrees(theta / n) + lon0, math.toDegrees(phi))
+    }
+  }
+
+  /** Lambert conformal conic (2SP), ellipsoidal form (public formulas:
+    * Snyder 1987, eqs 15-1..15-11; inverse latitude via the fixed-point
+    * iteration of eq 7-9). Same oracle strategy as [[AlbersConic]].
+    */
+  final class LambertConic(a: Double, invFlat: Double, lat0: Double, lon0: Double,
+      sp1: Double, sp2: Double, fe: Double, fn: Double) {
+    private val f = 1.0 / invFlat
+    private val e2 = f * (2.0 - f)
+    private val e = math.sqrt(e2)
+    private def t(phi: Double): Double = {
+      val s = math.sin(phi)
+      math.tan(math.Pi / 4.0 - phi / 2.0) /
+        math.pow((1.0 - e * s) / (1.0 + e * s), e / 2.0)
+    }
+    private def m(phi: Double): Double = {
+      val s = math.sin(phi)
+      math.cos(phi) / math.sqrt(1.0 - e2 * s * s)
+    }
+    private val m1 = m(math.toRadians(sp1))
+    private val m2 = m(math.toRadians(sp2))
+    private val t1 = t(math.toRadians(sp1))
+    private val t2 = t(math.toRadians(sp2))
+    private val n = (math.log(m1) - math.log(m2)) / (math.log(t1) - math.log(t2))
+    private val bigF = m1 / (n * math.pow(t1, n))
+    private def rho(tv: Double): Double = a * bigF * math.pow(tv, n)
+    private val rho0 = rho(t(math.toRadians(lat0)))
+
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      val theta = n * (math.toRadians(lon) - math.toRadians(lon0))
+      val r = rho(t(math.toRadians(lat)))
+      (fe + r * math.sin(theta), fn + rho0 - r * math.cos(theta))
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val sgn = if (n < 0) -1.0 else 1.0
+      val dx = x - fe
+      val dy = rho0 - (y - fn)
+      val r = sgn * math.sqrt(dx * dx + dy * dy)
+      val theta = math.atan2(sgn * dx, sgn * dy)
+      val tv = math.pow(r / (a * bigF), 1.0 / n)
+      var phi = math.Pi / 2.0 - 2.0 * math.atan(tv)
+      var i = 0
+      while (i < 8) {
+        val s = math.sin(phi)
+        phi = math.Pi / 2.0 - 2.0 * math.atan(
+          tv * math.pow((1.0 - e * s) / (1.0 + e * s), e / 2.0))
+        i += 1
+      }
+      (math.toDegrees(theta / n) + lon0, math.toDegrees(phi))
+    }
+  }
+
+  // Named projections users of the reference reach for (GRS80 ellipsoid;
+  // NAD83 geographic treated as WGS84-equivalent, same as normCrs):
+  /** EPSG:5070 — NAD83 / Conus Albers (USGS national products). */
+  val conusAlbers = new AlbersConic(6378137.0, 298.257222101,
+    23.0, -96.0, 29.5, 45.5, 0.0, 0.0)
+  /** EPSG:3347 — NAD83 / Statistics Canada Lambert. */
+  val statCanLambert = new LambertConic(6378137.0, 298.257222101,
+    63.390675, -(91.0 + 52.0 / 60.0), 49.0, 77.0, 6200000.0, 3000000.0)
 }
 
 /** Fixed uniform grid used by the scalable spatial-join strategy: cell ids

@@ -360,4 +360,43 @@ class GeomKernelSpec extends AnyFunSuite {
     // line minus a point is the line
     assert(Overlay.difference(l, Point(2, 0)) == l)
   }
+
+  test("conic projections: origin, standard-parallel scale, roundtrip") {
+    import graft.sql.Crs
+    // the projection natural origin maps to (false easting, false northing)
+    val (ax0, ay0) = Crs.conusAlbers.forward(-96.0, 23.0)
+    assert(math.abs(ax0) < 1e-6 && math.abs(ay0) < 1e-6, (ax0, ay0))
+    val (lx0, ly0) = Crs.statCanLambert.forward(-(91.0 + 52.0 / 60.0), 63.390675)
+    assert(math.abs(lx0 - 6200000.0) < 1e-6 && math.abs(ly0 - 3000000.0) < 1e-6, (lx0, ly0))
+    // scale factor ~= 1 along each standard parallel: projected distance of
+    // a small lon step matches the ellipsoidal parallel arc a*m(phi)*dlam
+    def parallelScale(fwd: (Double, Double) => (Double, Double), latSp: Double): Double = {
+      val dLonDeg = 0.01
+      val (x1, y1) = fwd(-80.0, latSp)
+      val (x2, y2) = fwd(-80.0 + dLonDeg, latSp)
+      val projected = math.hypot(x2 - x1, y2 - y1)
+      val e2 = {  val f = 1.0 / 298.257222101; f * (2.0 - f) }
+      val s = math.sin(math.toRadians(latSp))
+      val arc = 6378137.0 * math.cos(math.toRadians(latSp)) /
+        math.sqrt(1.0 - e2 * s * s) * math.toRadians(dLonDeg)
+      projected / arc
+    }
+    for (sp <- Seq(29.5, 45.5))
+      assert(math.abs(parallelScale(Crs.conusAlbers.forward, sp) - 1.0) < 1e-6, sp)
+    for (sp <- Seq(49.0, 77.0))
+      assert(math.abs(parallelScale(Crs.statCanLambert.forward, sp) - 1.0) < 1e-6, sp)
+    // off the standard parallels the scale must NOT be 1 (distinguishes a
+    // real conic from a pass-through)
+    assert(math.abs(parallelScale(Crs.conusAlbers.forward, 37.0) - 1.0) > 1e-4)
+    // forward∘inverse identity to well under 1e-9 degrees across the domain
+    for (lonI <- -130 to -60 by 7; latI <- 20 to 75 by 5) {
+      val lon = lonI.toDouble; val lat = latI.toDouble
+      val (ax, ay) = Crs.conusAlbers.forward(lon, lat)
+      val (alon, alat) = Crs.conusAlbers.inverse(ax, ay)
+      assert(math.abs(alon - lon) < 1e-9 && math.abs(alat - lat) < 1e-9, (lon, lat))
+      val (lx, ly) = Crs.statCanLambert.forward(lon, lat)
+      val (llon, llat) = Crs.statCanLambert.inverse(lx, ly)
+      assert(math.abs(llon - lon) < 1e-9 && math.abs(llat - lat) < 1e-9, (lon, lat))
+    }
+  }
 }

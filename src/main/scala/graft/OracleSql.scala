@@ -761,6 +761,22 @@ object OracleSql {
              round(lon, 6) AS lon2, round(lat, 6) AS lat2
       FROM q5 ORDER BY c_custkey""",
 
+    // brute-force nearest within the radius; rank() keeps distance ties,
+    // mirroring the Spark rank window over the grid-join candidates
+    "g40_sjoin_nearest" -> s"""
+      WITH l AS (SELECT c_custkey, cx, cy FROM ($custPts)),
+      r AS (SELECT s_suppkey, s_acctbal AS sx, (s_suppkey % 1000)::DOUBLE AS sy
+            FROM supplier),
+      c AS (SELECT c_custkey, s_suppkey,
+              sqrt((cx - sx) * (cx - sx) + (cy - sy) * (cy - sy)) AS dist
+            FROM l CROSS JOIN r),
+      f AS (SELECT * FROM c WHERE dist <= 300.0),
+      k AS (SELECT *, rank() OVER (PARTITION BY c_custkey ORDER BY dist) AS rk
+            FROM f)
+      SELECT c_custkey, s_suppkey, round(dist, 4) AS dist
+      FROM k WHERE rk = 1
+      ORDER BY c_custkey, s_suppkey""",
+
     // mirrors Crs.AlbersConic / Crs.LambertConic forward math term by term
     // (Snyder eqs 14-1..14-11 / 15-1..15-11, GRS80); roundtrip columns are
     // the original lon/lat (the Spark side must invert to 1e-6 deg)

@@ -721,6 +721,22 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     }),
 
+    // nearest-neighbor spatial join within a radius (r7): geopandas
+    // sjoin_nearest(max_distance=), grid dwithin candidates + rank window.
+    // Ties at the exact minimum are all kept (rank, not row_number).
+    "g40_sjoin_nearest" -> ((s, d) => {
+      val cust = GeoDataFrame(customerPts(s, d))
+      val supp = GeoDataFrame(t(s, d, "supplier")
+        .withColumn("sx", col("s_acctbal"))
+        .withColumn("sy", (col("s_suppkey") % 1000).cast("double"))
+        .withColumn("geometry", st_point(col("sx"), col("sy"))))
+      cust.sjoinNearest(supp, leftKey = "c_custkey",
+          maxDistance = 300.0, cellSize = 500.0)
+        .select(col("c_custkey"), col("s_suppkey"),
+          round(col("dist"), 4).as("dist"))
+        .orderBy(col("c_custkey"), col("s_suppkey"))
+    }),
+
     // named conic projections (r7): CONUS Albers (EPSG:5070) and StatCan
     // Lambert (EPSG:3347) forward coordinates + inverse roundtrips
     // (reference to_crs accepts any pyproj CRS, expr.py:255-257; these are

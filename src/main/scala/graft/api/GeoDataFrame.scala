@@ -467,6 +467,45 @@ final case class GeoDataFrame(
     }
   }
 
+  /** Nearest-neighbor spatial join within a radius (geopandas
+    * `sjoin_nearest(max_distance=...)`; the surveyed dask-geopandas version
+    * has no distributed counterpart — this extends the reference surface
+    * with the operator its users fall back to geopandas for).
+    *
+    * `maxDistance` is required: an unbounded nearest search cannot be
+    * planned as one co-partitioned join at scale (it needs expanding-ring
+    * re-probes), and geopandas' own docs recommend `max_distance` for
+    * performance. Rows with no right neighbor within the radius drop out
+    * (inner semantics). Ties — several right rows at exactly the minimum
+    * distance — are all kept, matching geopandas.
+    *
+    * Plan (100 TB shape): dwithin grid join on padded fixed-size cells
+    * (anchor-cell exactly-once emission, zero eager scans) -> RANK window
+    * partitioned by the left key keeps per-left minima. One grid equi-join
+    * + one hash exchange; WindowGroupLimit prefilters rank<=1 candidates
+    * below the exchange, so the shuffle carries near-minimal rows. Never
+    * all-pairs.
+    */
+  def sjoinNearest(
+      right: GeoDataFrame,
+      leftKey: String,
+      maxDistance: Double,
+      cellSize: Double,
+      rsuffix: String = "_right",
+      distanceCol: String = "dist"): DataFrame = {
+    require(maxDistance > 0, "sjoinNearest requires a positive maxDistance")
+    val rGeomName =
+      if (df.columns.contains(right.geometryColumn)) right.geometryColumn + rsuffix
+      else right.geometryColumn
+    val cands = sjoin(right, predicate = "dwithin", strategy = "grid",
+      cellSize = Some(cellSize), rsuffix = rsuffix, distance = maxDistance)
+      .withColumn(distanceCol, st_distance(col(geometryColumn), col(rGeomName)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(leftKey)).orderBy(col(distanceCol))
+    cands.withColumn("_rk", rank().over(w))
+      .filter(col("_rk") === 1).drop("_rk")
+  }
+
   /** Grid bounds for the level-based grid sjoin: prefer driver-side
     * spatial-partition envelopes (metadata only, no job); otherwise ONE
     * combined bounds aggregation over both inputs — never two separate

@@ -128,6 +128,23 @@ class GeoDataFrameSpec extends AnyFunSuite {
     assert(b == manual)
   }
 
+  test("sjoinNearest: per-left minimum, radius drop, ties kept") {
+    val left = GeoDataFrame(Seq(
+      (1L, 0.0, 0.0),   // nearest = A (d=1) and B (d=1): exact tie, keep both
+      (2L, 10.0, 0.0),  // nearest = C (d=2)
+      (3L, 50.0, 50.0)  // nothing within radius -> dropped
+    ).toDF("lid", "x", "y").withColumn("geometry", st_point($"x", $"y")))
+    val right = GeoDataFrame(Seq(
+      (100L, 1.0, 0.0),  // A
+      (200L, 0.0, 1.0),  // B
+      (300L, 10.0, 2.0), // C
+      (400L, 10.0, 3.0)  // farther than C from lid=2
+    ).toDF("rid", "rx", "ry").withColumn("geometry", st_point($"rx", $"ry")))
+    val out = left.sjoinNearest(right, leftKey = "lid", maxDistance = 5.0, cellSize = 4.0)
+      .select($"lid", $"rid", $"dist").as[(Long, Long, Double)].collect().sorted.toSeq
+    assert(out == Seq((1L, 100L, 1.0), (1L, 200L, 1.0), (2L, 300L, 2.0)))
+  }
+
   test("clip to mask") {
     val g = points(200)
     val mask = Wkt.read("POLYGON ((0 0, 30 0, 30 30, 0 30, 0 0))")

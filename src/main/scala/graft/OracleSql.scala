@@ -578,6 +578,29 @@ object OracleSql {
              substr(md5(chunk), 1, 8) AS chunk_hash
       FROM c ORDER BY doc_id, chunk_id""",
 
+    "t25_bow_dedup" -> """
+      WITH n AS (SELECT doc_id,
+               md5(array_to_string(list_sort(string_split(text, ' ')), ' ')) AS bow_hash
+             FROM documents)
+      SELECT doc_id, substr(bow_hash, 1, 8) AS bow_key,
+             min(doc_id) OVER (PARTITION BY bow_hash) AS canonical_id,
+             count(*) OVER (PARTITION BY bow_hash)::BIGINT AS group_size
+      FROM n ORDER BY doc_id""",
+
+    "t26_domain_mix" -> """
+      WITH c AS (SELECT source, count(*)::BIGINT AS n_docs,
+               ((substr(source, 4, 10)::INT % 3) + 1)::DOUBLE AS w
+             FROM documents GROUP BY source),
+      m AS (SELECT min(n_docs / w) AS m FROM c),
+      k AS (SELECT source, n_docs, floor(w * m)::BIGINT AS n_keep FROM c, m),
+      b AS (SELECT d.source,
+              ('0x' || substr(md5(d.text), 1, 16))::UBIGINT % 1000000 AS bucket,
+              k.n_docs, k.n_keep
+            FROM documents d JOIN k ON d.source = k.source)
+      SELECT source, max(n_docs) AS n_docs, max(n_keep) AS n_keep,
+             sum(CASE WHEN bucket * n_docs < n_keep * 1000000 THEN 1 ELSE 0 END)::BIGINT AS n_kept
+      FROM b GROUP BY source ORDER BY source""",
+
     "t23_canonical_pick" -> s"""
       WITH RECURSIVE $minhashCtes,
       prs AS (SELECT id_a, id_b FROM est WHERE est >= 0.5),

@@ -1192,6 +1192,46 @@ object SparkEntry {
     }),
 
     // canonical-document selection over the t10 dedup clusters: the
+    // order-insensitive (bag-of-words) dedup: catches shuffled/reordered
+    // copies that byte-exact dedup misses. The sorted-token normal form is
+    // hashed map-side — the exchange carries (16-byte hash, doc_id, text
+    // hash), never the text itself
+    "t25_bow_dedup" -> ((s, d) => {
+      val byBag = Window.partitionBy(col("bow_hash"))
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          md5(array_join(array_sort(split(col("text"), " ")), " ")).as("bow_hash"))
+        .withColumn("canonical_id", min(col("doc_id")).over(byBag))
+        .withColumn("group_size", count(lit(1)).over(byBag))
+        .select(col("doc_id"), substring(col("bow_hash"), 1, 8).as("bow_key"),
+          col("canonical_id"), col("group_size"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // domain-mix rebalancing (temperature-style resampling to target
+    // per-source weights): the largest corpus size every source can serve
+    // at its share is T = min_s(n_s / share_s); with share_s = w_s / sum(w)
+    // the keep quota reduces to floor(w_s * min_s(n_s / w_s)) — no global
+    // normalizer needed. Plan: one #sources-bounded count agg broadcast
+    // back onto a narrow deterministic md5-residue filter (integer-exact
+    // rate test: bucket * n_docs < n_keep * 1e6); text never shuffles
+    "t26_domain_mix" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        .withColumn("w", (substring(col("source"), 4, 10).cast("int") % 3 + 1).cast("double"))
+      val quota = counts
+        .crossJoin(counts.agg(min(col("n_docs") / col("w")).as("m")))
+        .withColumn("n_keep", floor(col("w") * col("m")).cast("long"))
+        .select(col("source"), col("n_docs"), col("n_keep"))
+      docs.select(col("source"), gr_md5Bucket(col("text"), lit(1000000)).as("bucket"))
+        .join(broadcast(quota), "source")
+        .groupBy(col("source"))
+        .agg(max(col("n_docs")).as("n_docs"), max(col("n_keep")).as("n_keep"),
+          sum(when(col("bucket") * col("n_docs") < col("n_keep") * lit(1000000L), 1L)
+            .otherwise(0L)).as("n_kept"))
+        .orderBy(col("source"))
+    }),
+
     // dedup→curation handoff (keep one doc per near-dup cluster, longest
     // text wins, ties by lowest id). Both window functions share one
     // cluster_id partitioning — a single exchange over cluster-membership

@@ -115,4 +115,41 @@ class QuerySmokeSpec extends AnyFunSuite {
     }
     assert(offDiagWins <= rows.size / 2, s"$offDiagWins of ${rows.size}")
   }
+
+  test("t25 bow dedup: reordered copies share a canonical id, others self-canonical") {
+    // synthetic: 2 is a word-permutation of 1, 3 is distinct
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "gamma alpha beta"),
+      (3L, "alpha beta delta")).toDF("doc_id", "text")
+    val byBag = org.apache.spark.sql.expressions.Window.partitionBy($"bow_hash")
+    val out = docs
+      .select($"doc_id", md5(array_join(array_sort(split($"text", " ")), " ")).as("bow_hash"))
+      .withColumn("canonical_id", min($"doc_id").over(byBag))
+      .withColumn("group_size", count(lit(1)).over(byBag))
+      .select($"doc_id", $"canonical_id", $"group_size")
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(out == Seq((1L, 1L, 2L), (2L, 1L, 2L), (3L, 3L, 1L)))
+    // and on the real corpus every doc appears exactly once
+    val q = run("t25_bow_dedup")
+    assert(q.count() == spark.read.parquet(s"$dir/documents.parquet").count())
+  }
+
+  test("t26 domain mix: quotas honor the weight ratios and availability bound") {
+    val out = run("t26_domain_mix").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (nDocs, nKeep, nKept) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nKeep <= nDocs, r.toString)    // quota never exceeds availability
+      assert(nKept <= nDocs, r.toString)
+      // rate sampling tracks the quota statistically, not as a hard cap
+      // (that is what keeps the filter narrow at scale); binomial deviation
+      // at these per-source counts stays well inside this envelope
+      assert(math.abs(nKept - nKeep) <= math.max(6L, nKeep / 2), r.toString)
+    }
+    val (totKeep, totKept) = out.map(r => (r.getLong(2), r.getLong(3)))
+      .reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+    assert(math.abs(totKept - totKeep).toDouble <= 0.25 * totKeep, s"$totKept vs $totKeep")
+    // at least one source is capped below availability (the mix is rebalanced,
+    // not a pass-through)
+    assert(out.exists(r => r.getLong(2) < r.getLong(1)))
+  }
 }

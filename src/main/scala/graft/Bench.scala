@@ -51,6 +51,15 @@ object Bench {
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(64)
       force(emb.select(gr_cosine(col("embedding"), col("embedding")),
         gr_lshBucket(col("embedding"), lit(8), lit(7))))
+      // topology predicates (relate/covers/touches drive several geo
+      // queries): enough invocations to reach C2 JIT before any timing —
+      // g27's first-ever run costs ~6× its warm time otherwise
+      val pts = spark.read.parquet(s"$sfDir/customer.parquet").limit(5000)
+        .select(st_point(col("c_acctbal"), (col("c_custkey") % 1000).cast("double")).as("g"))
+      val tri = st_geomFromWKT(lit("POLYGON ((0 0, 1000 0, 500 900, 0 0))"))
+      val wp = pts.select(st_relate(col("g"), tri), st_relate(col("g"), col("g")),
+        st_covers(tri, col("g")), st_touches(tri, col("g")), st_distance(col("g"), tri))
+      force(wp); force(wp)
     }
 
     // median-of-N per query (default 3): single-shot timings on a shared

@@ -441,6 +441,11 @@ object OracleSql {
       WHERE cx BETWEEN 1000 AND 5000 AND cy BETWEEN 200 AND 800
       ORDER BY c_custkey""",
 
+    "g41_covering_roundtrip" -> s"""
+      SELECT c_custkey, cx, cy FROM ($custPts)
+      WHERE cx BETWEEN 1000 AND 5000 AND cy BETWEEN 200 AND 800
+      ORDER BY c_custkey""",
+
     "g24_spatial_shuffle" -> """
       SELECT count(*)::BIGINT AS total_rows, true AS ranges_ok FROM customer""",
 

@@ -620,6 +620,23 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     }),
 
+    // GeoParquet 1.1 covering roundtrip (r7): write stamps a per-row bbox
+    // struct column + footer declaration; cx on the read-back pushes
+    // nested-field range predicates into the scan (row-group min/max
+    // skipping on native parquet stats) on top of footer file pruning
+    "g41_covering_roundtrip" -> ((s, d) => {
+      val pts = GeoDataFrame(
+        customerPts(s, d)
+          .select(col("c_custkey"), col("cx"), col("cy"), col("geometry"))
+          .repartitionByRange(8, col("cy")),
+        "geometry").setCrs("EPSG:4326")
+      val path = "/tmp/graft_g41_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      graft.io.GeoParquetIO.write(pts, path, covering = true)
+      graft.io.GeoParquetIO.read(s, path).cx(1000, 200, 5000, 800)
+        .df.select(col("c_custkey"), col("cx"), col("cy"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // spatial_shuffle layout invariants (reference expr.py:738-820): rows
     // preserved and per-partition SFC key ranges disjoint & ordered
     "g24_spatial_shuffle" -> ((s, d) => {

@@ -48,7 +48,13 @@ final case class GeoDataFrame(
     // `expr.py:199-211`, stores hulls): tighter than envelopes for
     // diagonal/sparse partitions, so bbox pruning drops more. Always
     // index-aligned with spatialPartitions when present.
-    spatialPartitionHulls: Option[Array[Geometry]] = None) {
+    spatialPartitionHulls: Option[Array[Geometry]] = None,
+    // GeoParquet 1.1 covering: name of a per-row bbox struct column
+    // (xmin/ymin/xmax/ymax) that mirrors the geometry. cx emits plain
+    // range predicates on its fields — Catalyst pushes nested-field
+    // filters into the parquet scan, so row groups prune on native
+    // column min/max stats.
+    coveringSource: Option[String] = None) {
 
   def geom: Column = df(geometryColumn)
 
@@ -76,7 +82,7 @@ final case class GeoDataFrame(
     // still hold coordinates in the OLD crs, so a later cx would push
     // range predicates in the wrong units and drop valid rows
     copy(df = out, spatialPartitions = None, pointSource = None, fileSource = None,
-      spatialPartitionHulls = None)
+      spatialPartitionHulls = None, coveringSource = None)
       .setCrs(target)
   }
 
@@ -100,7 +106,7 @@ final case class GeoDataFrame(
     require(df.schema(name).dataType == BinaryType,
       s"column $name is not a geometry (binary WKB) column")
     copy(geometryColumn = name, spatialPartitions = None, pointSource = None,
-      spatialPartitionHulls = None)
+      spatialPartitionHulls = None, coveringSource = None)
   }
 
   // ------------------------------------------------------------ projection
@@ -112,10 +118,12 @@ final case class GeoDataFrame(
     // predicates against values that no longer generate the geometry
     val touchesGeom = name == geometryColumn
     val touchesSource = pointSource.exists { case (x, y) => name == x || name == y }
+    val touchesCovering = coveringSource.contains(name)
     copy(df = df.withColumn(name, c),
       spatialPartitions = if (touchesGeom) None else spatialPartitions,
       spatialPartitionHulls = if (touchesGeom) None else spatialPartitionHulls,
-      pointSource = if (touchesGeom || touchesSource) None else pointSource)
+      pointSource = if (touchesGeom || touchesSource) None else pointSource,
+      coveringSource = if (touchesGeom || touchesCovering) None else coveringSource)
   }
 
   /** Dropping the geometry column demotes to a plain DataFrame (reference
@@ -164,11 +172,21 @@ final case class GeoDataFrame(
     // columns: Catalyst pushes them into the parquet scan (row-group
     // min/max skipping + PushedFilters), which the opaque geometry filter
     // alone cannot reach. The exact geometry filter stays for correctness.
-    val base = pointSource match {
+    val base0 = pointSource match {
       case Some((xc, yc)) =>
         pruned.df.filter(col(xc) >= xmin && col(xc) <= xmax &&
           col(yc) >= ymin && col(yc) <= ymax)
       case None => pruned.df
+    }
+    // covering bbox column (GeoParquet 1.1): envelope-intersects as four
+    // nested-field range predicates — these reach the parquet scan
+    // (PushedFilters on <bbox>.xmin.. fields), skipping row groups whose
+    // bbox stats miss the query box
+    val base = coveringSource.filter(df.columns.contains) match {
+      case Some(bc) =>
+        base0.filter(col(bc + ".xmax") >= xmin && col(bc + ".xmin") <= xmax &&
+          col(bc + ".ymax") >= ymin && col(bc + ".ymin") <= ymax)
+      case None => base0
     }
     val filtered = base.filter(
       st_intersectsBox(base(geometryColumn), lit(xmin), lit(ymin), lit(xmax), lit(ymax)))

@@ -73,10 +73,23 @@ object GeoParquetIO {
   }
 
   // --------------------------------------------------------------- write
+  /** `covering = true` writes the GeoParquet 1.1 "covering" bbox column
+    * (`<geom>_bbox` struct of xmin/ymin/xmax/ymax) next to the geometry and
+    * declares it in the footer. Readers then get ROW-GROUP-level pruning
+    * from parquet's native column min/max stats — file-level footer bboxes
+    * skip whole files, the covering column skips row groups inside the
+    * files a query does touch, via plain Catalyst nested-field pushdown
+    * (no geo-aware reader needed).
+    */
   def write(gdf: GeoDataFrame, path: String, mode: String = "overwrite",
-      partitionBy: Seq[String] = Nil): Unit = {
+      partitionBy: Seq[String] = Nil, covering: Boolean = false): Unit = {
     val spark = gdf.df.sparkSession
-    val writer = gdf.df.write.mode(mode)
+    val coveringCol = if (covering) Some(gdf.geometryColumn + "_bbox") else None
+    val outDf = coveringCol match {
+      case Some(bc) => gdf.df.withColumn(bc, st_bounds(gdf.geom))
+      case None     => gdf.df
+    }
+    val writer = outDf.write.mode(mode)
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer).parquet(path)
 
     // per-file bbox: one distributed aggregation over the written files
@@ -102,7 +115,7 @@ object GeoParquetIO {
     val crs = gdf.crs
     val slices = math.max(1, math.min(work.size, spark.sparkContext.defaultParallelism))
     spark.sparkContext.parallelize(work, slices).foreach { case (file, bbox) =>
-      addGeoFooter(sconf.value, new Path(file), geomCol, crs, bbox)
+      addGeoFooter(sconf.value, new Path(file), geomCol, crs, bbox, coveringCol)
     }
   }
 
@@ -110,7 +123,8 @@ object GeoParquetIO {
     * are byte-copied (appendFile), only the footer changes.
     */
   private def addGeoFooter(conf: Configuration, file: Path, geomCol: String,
-      crs: Option[String], bbox: Option[Envelope]): Unit = {
+      crs: Option[String], bbox: Option[Envelope],
+      coveringCol: Option[String] = None): Unit = {
     val in = HadoopInputFile.fromPath(file, conf)
     val footer = ParquetFileReader.open(in)
     val schema = footer.getFooter.getFileMetaData.getSchema
@@ -124,8 +138,18 @@ object GeoParquetIO {
       val arr = colMeta.putArray("bbox")
       arr.add(e.minX); arr.add(e.minY); arr.add(e.maxX); arr.add(e.maxY)
     }
+    // GeoParquet 1.1 covering declaration: each bound names [column, field]
+    coveringCol.foreach { bc =>
+      val paths = mapper.createObjectNode()
+      Seq("xmin", "ymin", "xmax", "ymax").foreach { f =>
+        val p = paths.putArray(f); p.add(bc); p.add(f)
+      }
+      val cov = mapper.createObjectNode()
+      cov.set[com.fasterxml.jackson.databind.JsonNode]("bbox", paths)
+      colMeta.set[com.fasterxml.jackson.databind.JsonNode]("covering", cov)
+    }
     val geo = mapper.createObjectNode()
-    geo.put("version", "1.0.0")
+    geo.put("version", if (coveringCol.isDefined) "1.1.0" else "1.0.0")
     geo.put("primary_column", geomCol)
     geo.putObject("columns").set[com.fasterxml.jackson.databind.JsonNode](geomCol, colMeta)
 
@@ -147,11 +171,13 @@ object GeoParquetIO {
 
   // ---------------------------------------------------------------- read
   final case class GeoFileMeta(primaryColumn: String, crs: Option[String],
-      fileBBoxes: Map[String, Envelope])
+      fileBBoxes: Map[String, Envelope], covering: Option[String] = None)
 
-  /** Parse one file's "geo" footer entry: (primary column, crs, bbox). */
+  /** Parse one file's "geo" footer entry: (primary column, crs, bbox,
+    * covering bbox-column name).
+    */
   private def footerGeo(conf: Configuration,
-      p: Path): Option[(String, Option[String], Option[Envelope])] = {
+      p: Path): Option[(String, Option[String], Option[Envelope], Option[String])] = {
     val r = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
     val kv = try r.getFooter.getFileMetaData.getKeyValueMetaData finally r.close()
     Option(kv.get("geo")).map { json =>
@@ -168,7 +194,11 @@ object GeoParquetIO {
           Some(Envelope(b.get(0).asDouble(), b.get(1).asDouble(),
             b.get(2).asDouble(), b.get(3).asDouble()))
         } else None
-      (primary, crs, bbox)
+      val covering =
+        if (colNode.has("covering") && colNode.get("covering").has("bbox"))
+          Some(colNode.get("covering").get("bbox").get("xmin").get(0).asText())
+        else None
+      (primary, crs, bbox, covering)
     }
   }
 
@@ -189,9 +219,10 @@ object GeoParquetIO {
     if (files.isEmpty) return None
 
     if (!gatherBBoxes || files.size == 1)
-      footerGeo(conf, files.head).map { case (primary, crs, bbox) =>
+      footerGeo(conf, files.head).map { case (primary, crs, bbox, covering) =>
         GeoFileMeta(primary, crs,
-          if (gatherBBoxes) bbox.map(files.head.toString -> _).toMap else Map.empty)
+          if (gatherBBoxes) bbox.map(files.head.toString -> _).toMap else Map.empty,
+          covering)
       }
     else {
       val sconf = new SerializableConf(conf)
@@ -205,8 +236,8 @@ object GeoParquetIO {
       else {
         val primary = geo.head._2._1
         val crs = geo.flatMap(_._2._2).headOption
-        val bboxes = geo.collect { case (f, (_, _, Some(e))) => (f, e) }.toMap
-        Some(GeoFileMeta(primary, crs, bboxes))
+        val bboxes = geo.collect { case (f, (_, _, Some(e), _)) => (f, e) }.toMap
+        Some(GeoFileMeta(primary, crs, bboxes, geo.flatMap(_._2._4).headOption))
       }
     }
   }
@@ -224,6 +255,9 @@ object GeoParquetIO {
     meta match {
       case Some(m) =>
         val g = GeoDataFrame(df, m.primaryColumn).setCrs(m.crs.getOrElse("OGC:CRS84"))
+          // a declared covering bbox column lets cx push plain nested-field
+          // range predicates into the scan (row-group min/max skipping)
+          .copy(coveringSource = m.covering.filter(df.columns.contains))
         // carry the footer bboxes on the wrapper: a subsequent cx prunes
         // whole files and sjoin gets grid bounds, both without another job
         if (m.fileBBoxes.nonEmpty)

@@ -64,6 +64,33 @@ class GeoParquetIOSpec extends AnyFunSuite {
     assert(pruned.df.count() == want)
   }
 
+  test("covering bbox column: declared in footer, cx pushes nested range filters") {
+    val path = tmpDir()
+    val g = sample().spatialShuffle(by = "hilbert", level = 12, numPartitions = Some(4),
+      calculatePartitions = false)
+    GeoParquetIO.write(g, path, covering = true)
+    // footer declares the covering column (GeoParquet 1.1)
+    val meta = GeoParquetIO.readMeta(spark, path).get
+    assert(meta.covering.contains("geometry_bbox"))
+    val back = GeoParquetIO.read(spark, path)
+    assert(back.df.columns.contains("geometry_bbox"))
+    // cx: value-correct vs the raw coordinate filter...
+    val got = back.cx(0, 0, 15, 15).df.select($"id").as[Long].collect().sorted.toSeq
+    val want = sample().df.filter($"x" >= 0 && $"x" <= 15 && $"y" >= 0 && $"y" <= 15)
+      .select($"id").as[Long].collect().sorted.toSeq
+    assert(got == want)
+    // ...and the bbox range predicates reach the parquet scan as pushed
+    // filters on the nested fields (row-group min/max skipping)
+    val scanStr = back.cx(0, 0, 15, 15).df.queryExecution.executedPlan.toString
+    assert(scanStr.contains("PushedFilters") &&
+      scanStr.contains("geometry_bbox.xmin"), scanStr.take(2000))
+    // a transform that rewrites the geometry drops the covering hint
+    val moved = back.withColumn("geometry", st_affine(back.geom,
+      lit(1.0), lit(0.0), lit(0.0), lit(1.0), lit(500.0), lit(0.0)))
+    val movedPlan = moved.cx(0, 0, 15, 15).df.queryExecution.executedPlan.toString
+    assert(!movedPlan.contains("geometry_bbox.xmin"), "stale covering filter survived")
+  }
+
   test("hive-partitioned write: footers in partition dirs, pruned read keeps partition column") {
     val path = tmpDir()
     val g = sample()

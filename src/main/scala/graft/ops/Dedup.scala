@@ -121,6 +121,68 @@ object Dedup {
       .select(col("_p.id_a"), col("_p.id_b"), col("_p.est_jaccard").as("est_jaccard"))
   }
 
+  /** Streaming MinHash-LSH near-duplicate detection — the incremental twin
+    * of [[minhashLsh]] (`flatMapGroupsWithState` keyed by LSH bucket).
+    * Each arriving document is verified against up to `maxReps` stored
+    * representative signatures in every band bucket it hashes to; a
+    * whole-signature agreement fraction >= threshold emits
+    * (id_a=representative, id_b=new doc, est_jaccard, band). State per
+    * bucket is BOUNDED: maxReps × (id + numHashes longs), never text — at
+    * stream scale total state is buckets × maxReps signature rows.
+    * A pair colliding in several bands emits once per band; cross-band
+    * exactly-once would need a second pair-keyed stateful stage (state =
+    * one bit per emitted pair, unbounded), so it is left to the consumer's
+    * sink/window dedup — bucket state stays the only state here.
+    * Docs that match a representative are NOT added as representatives
+    * (the canonical-representative scheme): a duplicate chain all reports
+    * against the first-seen doc.
+    */
+  def minhashLshStreaming(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleSize: Int = 4,
+      threshold: Double = 0.5,
+      seed: Int = 42,
+      maxReps: Int = 8): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val banded = df.filter(length(col(textCol)) >= shingleSize)
+      .select(col(idCol).cast("long").as("_id"),
+        gr_minhash(col(textCol), lit(numHashes), lit(shingleSize), lit(seed)).as("_sig"))
+      .select(col("_id"), col("_sig"),
+        posexplode(gr_bandKeys(col("_sig"), lit(bands))).as(Seq("_band", "_key")))
+      .as[(Long, Seq[Long], Int, Long)]
+    banded.groupByKey(r => (r._3, r._4))
+      .flatMapGroupsWithState[Seq[(Long, Seq[Long])], (Long, Long, Double, Int)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_, it, state: GroupState[Seq[(Long, Seq[Long])]]) =>
+          var reps = state.getOption.getOrElse(Seq.empty)
+          val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Double, Int)]()
+          // deterministic processing order within the micro-batch
+          it.toSeq.sortBy(_._1).foreach { case (id, sig, band, _) =>
+            val matches = reps.iterator.map { case (rid, rsig) =>
+              var same = 0
+              var i = 0
+              while (i < rsig.length) { if (rsig(i) == sig(i)) same += 1; i += 1 }
+              (rid, same.toDouble / rsig.length)
+            }.filter(_._2 >= threshold).toSeq
+            if (matches.nonEmpty) {
+              // report against the best (then lowest-id) representative
+              val (rid, est) = matches.minBy { case (r, e) => (-e, r) }
+              out += ((rid, id, est, band))
+            } else if (reps.size < maxReps) reps :+= ((id, sig))
+          }
+          state.update(reps)
+          out.iterator
+      }
+      .toDF("id_a", "id_b", "est_jaccard", "band")
+  }
+
   /** SimHash near-dup buckets: rows whose 64-bit simhash matches on all 4
     * 16-bit blocks of some other row (exact simhash match) or — with
     * maxHamming>0 — candidate pairs found via block collision and verified

@@ -170,6 +170,37 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(ids == Seq(1L, 2L, 5L), ids.toString)
   }
 
+  test("streaming minhash LSH flags cross-batch near-duplicates, bounded reps") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog while the " +
+      "cat naps in the warm afternoon sun near the old stone wall"
+    val nearDup = base.replace("afternoon", "morning")
+    val distinct1 = "completely different content about distributed query " +
+      "engines shuffling partitions across a large compute cluster"
+    val distinct2 = "yet another unrelated string mentioning parquet row " +
+      "groups column statistics and predicate pushdown machinery"
+    val mem = MemoryStream[(Long, String)]
+    val out = Dedup.minhashLshStreaming(mem.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", threshold = 0.5)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("lsh_stream_test").trigger(Trigger.ProcessingTime(0)).start()
+    mem.addData((1L, base), (2L, distinct1))
+    q.processAllAvailable()
+    mem.addData((3L, nearDup), (4L, distinct2))
+    q.processAllAvailable()
+    val pairs = spark.sql("SELECT DISTINCT id_a, id_b FROM lsh_stream_test")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ests = spark.sql("SELECT est_jaccard FROM lsh_stream_test")
+      .collect().map(_.getDouble(0))
+    q.stop()
+    // the near-dup reports against the first-seen representative; the two
+    // distinct docs pair with nothing
+    assert(pairs == Set((1L, 3L)), pairs.toString)
+    assert(ests.nonEmpty && ests.forall(_ >= 0.5), ests.mkString(","))
+  }
+
   test("streaming windowed agg over events (memory sink)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.GeoStreaming

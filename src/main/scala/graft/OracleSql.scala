@@ -858,6 +858,28 @@ object OracleSql {
              round(lon, 6) AS llon2, round(lat, 6) AS llat2
       FROM pr ORDER BY c_custkey""",
 
+    // disjoint right strips make intersection areas additive: closed-form
+    // axis-aligned overlap per (square, strip) pair; diff = (2h)^2 - sum
+    "g42_overlay" -> """
+      WITH l AS (SELECT s_suppkey, s_acctbal AS x0,
+               (s_suppkey % 100)::DOUBLE * 10.0 AS y0,
+               ((s_suppkey % 10) + 1)::DOUBLE AS h FROM supplier),
+      r AS (SELECT r_regionkey, r_regionkey * 2500.0 - 1000.0 AS bx0,
+              r_regionkey * 2500.0 + 1490.0 AS bx1 FROM region),
+      p AS (SELECT s_suppkey, h,
+              greatest(0.0, least(x0 + h, bx1) - greatest(x0 - h, bx0)) *
+              greatest(0.0, least(y0 + h, 1000.0) - greatest(y0 - h, 0.0)) AS ia
+            FROM l CROSS JOIN r),
+      a AS (SELECT s_suppkey, max(h) AS h,
+              sum(CASE WHEN ia > 0 THEN 1 ELSE 0 END)::BIGINT AS n_hits,
+              sum(CASE WHEN ia > 0 THEN ia ELSE 0.0 END) AS isum
+            FROM p GROUP BY s_suppkey)
+      SELECT s_suppkey, n_hits, round(isum, 4) AS inter_area,
+             -- + 0.0 normalizes the -0.0 that a fully-covered square's
+             -- ulp-negative residual rounds to
+             round((2.0 * h) * (2.0 * h) - isum, 4) + 0.0 AS diff_area
+      FROM a ORDER BY s_suppkey""",
+
     "g29_negative_buffer" -> """
       WITH p AS (SELECT s_suppkey, ((s_suppkey % 10) + 1)::DOUBLE AS h FROM supplier)
       SELECT s_suppkey,

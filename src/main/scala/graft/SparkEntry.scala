@@ -781,6 +781,41 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     }),
 
+    // DataFrame-level overlay (r7): geopandas overlay(how=intersection/
+    // difference) distributed via the grid sjoin. Right boxes are mutually
+    // disjoint (10-unit gaps), so the oracle's areas are additive closed
+    // forms; squares straddling a gap hit two strips, exercising the
+    // cascaded-union subtrahend in the difference branch.
+    "g42_overlay" -> ((s, d) => {
+      val left = GeoDataFrame(t(s, d, "supplier")
+        .withColumn("x0", col("s_acctbal"))
+        .withColumn("y0", (col("s_suppkey") % 100).cast("double") * 10.0)
+        .withColumn("h", ((col("s_suppkey") % 10) + 1).cast("double"))
+        .withColumn("geometry", st_makeEnvelope(col("x0") - col("h"), col("y0") - col("h"),
+          col("x0") + col("h"), col("y0") + col("h")))
+        .select(col("s_suppkey"), col("geometry")))
+      val right = GeoDataFrame(t(s, d, "region")
+        .withColumn("geometry", st_makeEnvelope(
+          col("r_regionkey") * 2500.0 - 1000.0, lit(0.0),
+          col("r_regionkey") * 2500.0 + 1490.0, lit(1000.0)))
+        .select(col("r_regionkey"), col("geometry")))
+      val inter = left.overlay(right, leftKey = "s_suppkey", how = "intersection",
+          strategy = "grid", cellSize = Some(1000.0))
+        .withColumn("ia", st_area(col("geometry")))
+        .filter(col("ia") > 0.0)
+        .groupBy(col("s_suppkey"))
+        .agg(count(lit(1)).as("n_hits"), round(sum(col("ia")), 4).as("inter_area"))
+      val diff = left.overlay(right, leftKey = "s_suppkey", how = "difference",
+          strategy = "grid", cellSize = Some(1000.0))
+        .select(col("s_suppkey"), round(st_area(col("geometry")), 4).as("diff_area"))
+      diff.join(inter, Seq("s_suppkey"), "left")
+        .select(col("s_suppkey"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          coalesce(col("inter_area"), lit(0.0)).as("inter_area"),
+          col("diff_area"))
+        .orderBy(col("s_suppkey"))
+    }),
+
     // negative buffer (inward offset) of convex polygons, incl. collapse
     "g29_negative_buffer" -> ((s, d) => {
       t(s, d, "supplier")

@@ -145,6 +145,34 @@ class GeoDataFrameSpec extends AnyFunSuite {
     assert(out == Seq((1L, 100L, 1.0), (1L, 200L, 1.0), (2L, 300L, 2.0)))
   }
 
+  test("overlay intersection/difference incl. multipolygon subtrahend and no-hit passthrough") {
+    // square A [0,10]^2 straddles two disjoint strips; square B hits none
+    val left = GeoDataFrame(Seq(
+      (1L, 0.0, 0.0, 10.0, 10.0),
+      (2L, 100.0, 0.0, 110.0, 10.0)
+    ).toDF("lid", "x0", "y0", "x1", "y1")
+      .withColumn("geometry", st_makeEnvelope($"x0", $"y0", $"x1", $"y1"))
+      .select($"lid", $"geometry"))
+    val right = GeoDataFrame(Seq(
+      (10L, -50.0, 4.0), (20L, 6.0, 60.0) // strips x in [-50,4] and [6,60]
+    ).toDF("rid", "bx0", "bx1")
+      .withColumn("geometry", st_makeEnvelope($"bx0", lit(-50.0), $"bx1", lit(50.0)))
+      .select($"rid", $"geometry"))
+    val inter = left.overlay(right, leftKey = "lid", how = "intersection",
+        strategy = "grid", cellSize = Some(25.0))
+      .select($"lid", $"rid", st_area($"geometry").as("a"))
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+    // A ∩ strip1 = [0,4]x[0,10] = 40; A ∩ strip2 = [6,10]x[0,10] = 40
+    assert(inter == Seq((1L, 10L, 40.0), (1L, 20L, 40.0)), inter.toString)
+    val diff = left.overlay(right, leftKey = "lid", how = "difference",
+        strategy = "grid", cellSize = Some(25.0))
+      .select($"lid", st_area($"geometry").as("a"))
+      .as[(Long, Double)].collect().sorted.toSeq
+    // A minus BOTH strips (a 2-part multipolygon subtrahend) leaves the
+    // middle band [4,6]x[0,10] = 20; B passes through untouched (area 100)
+    assert(diff == Seq((1L, 20.0), (2L, 100.0)), diff.toString)
+  }
+
   test("clip to mask") {
     val g = points(200)
     val mask = Wkt.read("POLYGON ((0 0, 30 0, 30 30, 0 30, 0 0))")

@@ -606,6 +606,17 @@ object OracleSql {
              sum(CASE WHEN bucket * n_docs < n_keep * 1000000 THEN 1 ELSE 0 END)::BIGINT AS n_kept
       FROM b GROUP BY source ORDER BY source""",
 
+    "t27_surprisal" -> """
+      WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                    FROM documents),
+      tk AS (SELECT doc_id, w FROM toks WHERE length(w) > 0),
+      freq AS (SELECT w, count(*)::BIGINT AS cnt FROM tk GROUP BY w),
+      tot AS (SELECT sum(cnt) AS total FROM freq),
+      j AS (SELECT doc_id, -ln(cnt::DOUBLE / total::DOUBLE) AS sup
+            FROM tk JOIN freq USING (w), tot)
+      SELECT doc_id, count(*)::BIGINT AS n_toks, round(avg(sup), 4) AS surprisal
+      FROM j GROUP BY doc_id ORDER BY doc_id""",
+
     "t23_canonical_pick" -> s"""
       WITH RECURSIVE $minhashCtes,
       prs AS (SELECT id_a, id_b FROM est WHERE est >= 0.5),

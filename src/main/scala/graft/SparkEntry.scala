@@ -1284,6 +1284,25 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // unigram-LM surprisal (the CCNet-style perplexity-proxy quality
+    // signal): one token-count aggregate over the corpus feeds a
+    // vocab-sized join back onto the exploded tokens — NO broadcast hint,
+    // the vocab is unbounded at web scale so AQE must pick the build side
+    // (t19's rule) — then a per-doc mean of -ln p(token)
+    "t27_surprisal" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+      val freq = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      val total = freq.agg(sum(col("cnt")).as("total"))
+      toks.join(freq, "w").crossJoin(total)
+        .select(col("doc_id"),
+          (-log(col("cnt").cast("double") / col("total").cast("double"))).as("sup"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_toks"), round(avg(col("sup")), 4).as("surprisal"))
+        .orderBy(col("doc_id"))
+    }),
+
     // dedup→curation handoff (keep one doc per near-dup cluster, longest
     // text wins, ties by lowest id). Both window functions share one
     // cluster_id partitioning — a single exchange over cluster-membership

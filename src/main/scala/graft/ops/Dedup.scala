@@ -165,13 +165,18 @@ object Dedup {
           val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Double, Int)]()
           // deterministic processing order within the micro-batch
           it.toSeq.sortBy(_._1).foreach { case (id, sig, band, _) =>
-            val matches = reps.iterator.map { case (rid, rsig) =>
+            // rid != id: an at-least-once replay of a stored representative
+            // must not emit a self-pair (a consumer dropping id_b would
+            // delete the only copy)
+            val matches = reps.iterator.filter(_._1 != id).map { case (rid, rsig) =>
               var same = 0
               var i = 0
               while (i < rsig.length) { if (rsig(i) == sig(i)) same += 1; i += 1 }
               (rid, same.toDouble / rsig.length)
             }.filter(_._2 >= threshold).toSeq
-            if (matches.nonEmpty) {
+            if (reps.exists(_._1 == id)) {
+              // replayed representative: already accounted, emit nothing
+            } else if (matches.nonEmpty) {
               // report against the best (then lowest-id) representative
               val (rid, est) = matches.minBy { case (r, e) => (-e, r) }
               out += ((rid, id, est, band))

@@ -233,13 +233,16 @@ final case class GeoDataFrame(
 
   // ------------------------------------------------------------------ clip
   /** Clip by a local (driver-side) mask geometry (reference
-    * `clip.py:12-47`): cheap intersects filter first, then exact
-    * intersection; `keepGeomType` drops parts whose dimension changed.
+    * `clip.py:12-47`): spatial-partition pruning when bounds are known
+    * (the reference clips `spatial_partitions` and schedules only
+    * intersecting partitions, `clip.py:27-40`), then the cheap
+    * envelope-intersects row filter, then exact intersection;
+    * `keepGeomType` drops parts whose dimension changed.
     */
   def clip(mask: Geometry, keepGeomType: Boolean = false): GeoDataFrame = {
     val m = lit(Wkb.write(mask))
     val e = mask.envelope
-    var out = df
+    var out = prunePartitions(e).df
       .filter(st_intersectsBox(geom, lit(e.minX), lit(e.minY), lit(e.maxX), lit(e.maxY)))
       .filter(st_intersects(geom, m))
       .withColumn("_orig_type", st_geometryType(geom))

@@ -190,13 +190,18 @@ class PipelineOpsSpec extends AnyFunSuite {
     q.processAllAvailable()
     mem.addData((3L, nearDup), (4L, distinct2))
     q.processAllAvailable()
+    // at-least-once replay of a stored representative must NOT emit a
+    // self-pair (a consumer dropping id_b would delete the only copy)
+    mem.addData((1L, base))
+    q.processAllAvailable()
     val pairs = spark.sql("SELECT DISTINCT id_a, id_b FROM lsh_stream_test")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val ests = spark.sql("SELECT est_jaccard FROM lsh_stream_test")
       .collect().map(_.getDouble(0))
     q.stop()
     // the near-dup reports against the first-seen representative; the two
-    // distinct docs pair with nothing
+    // distinct docs pair with nothing, and the replayed representative
+    // contributes no (1,1) self-pair
     assert(pairs == Set((1L, 3L)), pairs.toString)
     assert(ests.nonEmpty && ests.forall(_ >= 0.5), ests.mkString(","))
   }

@@ -202,6 +202,21 @@ object OracleSql {
 
     // same gap-sessionization semantics, expressed with window functions
     // (lag + running sum of break flags); 24h gap in nanoseconds
+    "q15_event_funnel" -> """
+      WITH v AS (SELECT user_id, min(ts) AS tv FROM events
+                 WHERE event_type = 'view' GROUP BY user_id),
+      c AS (SELECT e.user_id, min(e.ts) AS tc FROM events e JOIN v USING (user_id)
+            WHERE e.event_type = 'click' AND e.ts > v.tv
+              AND e.ts < v.tv + INTERVAL 24 HOUR GROUP BY e.user_id),
+      p AS (SELECT e.user_id, min(e.ts) AS tp FROM events e JOIN c USING (user_id)
+            WHERE e.event_type = 'purchase' AND e.ts > c.tc
+              AND e.ts < c.tc + INTERVAL 24 HOUR GROUP BY e.user_id)
+      SELECT stage, users FROM (
+        SELECT 'view' AS stage, count(*)::BIGINT AS users FROM v
+        UNION ALL SELECT 'view_click', count(*)::BIGINT FROM c
+        UNION ALL SELECT 'view_click_purchase', count(*)::BIGINT FROM p)
+      ORDER BY stage""",
+
     "q11_sessionize" -> """
       WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS tns, value FROM events),
       b AS (SELECT user_id, event_id, tns, value,

@@ -231,6 +231,33 @@ object SparkEntry {
     // (Temporal.sessionize). Session roll-up stays inside the same
     // partitioning — groupBy(user_id, session_seq) reuses the exchange.
     // ts is a nanosecond parquet timestamp read as long; gap = 24h in ns.
+    // behavioral conversion funnel (r7): users reaching view -> click ->
+    // purchase in strict timestamp order, each step within a 24 h
+    // conversion window of the previous step's first event. Three
+    // user-keyed aggregates, each consuming the previous stage's time —
+    // every join key is user_id, so the whole chain co-partitions on one
+    // key. ts is int64 nanos in-session (nanosAsLong), so the window is a
+    // plain long literal
+    "q15_event_funnel" -> ((s, d) => {
+      val dayNs = 86400000000000L
+      val ev = t(s, d, "events").select(col("user_id"), col("event_type"), col("ts"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("tv"))
+      val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+        .filter(col("ts") > col("tv") && col("ts") < col("tv") + lit(dayNs))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("tc"))
+      val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+        .filter(col("ts") > col("tc") && col("ts") < col("tc") + lit(dayNs))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("tp"))
+      v.agg(count(lit(1)).as("users")).withColumn("stage", lit("view"))
+        .unionByName(c.agg(count(lit(1)).as("users"))
+          .withColumn("stage", lit("view_click")))
+        .unionByName(p.agg(count(lit(1)).as("users"))
+          .withColumn("stage", lit("view_click_purchase")))
+        .select(col("stage"), col("users"))
+        .orderBy(col("stage"))
+    }),
+
     "q11_sessionize" -> ((s, d) => {
       val sessions = graft.ops.Temporal.sessionize(
         t(s, d, "events"), "user_id", "ts",

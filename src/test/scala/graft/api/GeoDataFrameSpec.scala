@@ -128,6 +128,27 @@ class GeoDataFrameSpec extends AnyFunSuite {
     assert(b == manual)
   }
 
+  test("grid sjoin correct with broadcast disabled (the 100 TB shuffle path)") {
+    // at real scale neither side fits in a broadcast: the cell equi-join
+    // must degrade to a shuffled join and still produce identical pairs
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val pts = points(300)
+      val polys = GeoDataFrame(
+        Seq((10L, "POLYGON ((0 0, 50 0, 50 50, 0 50, 0 0))"),
+          (20L, "POLYGON ((50 50, 100 50, 100 100, 50 100, 50 50))"))
+          .toDF("zone", "wkt").withColumn("geometry", st_geomFromWKT($"wkt")).drop("wkt"))
+      val gridDf = pts.sjoin(polys, predicate = "within", strategy = "grid")
+      val plan = gridDf.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"), plan.take(1500))
+      val g = gridDf.select($"id", $"zone").as[(Long, Long)].collect().sorted.toSeq
+      val b = pts.sjoin(polys, predicate = "within", strategy = "broadcast")
+        .select($"id", $"zone").as[(Long, Long)].collect().sorted.toSeq
+      assert(g == b && g.nonEmpty)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("sjoinNearest: per-left minimum, radius drop, ties kept") {
     val left = GeoDataFrame(Seq(
       (1L, 0.0, 0.0),   // nearest = A (d=1) and B (d=1): exact tie, keep both

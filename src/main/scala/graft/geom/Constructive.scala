@@ -354,7 +354,11 @@ object Constructive {
       case m: MultiPolygon =>
         // largest part
         pointOnSurface(m.polys.maxBy(Measures.area))
-      case gc: GeometryCollection => pointOnSurface(gc.geoms.maxBy(_.topoDim))
+      case gc: GeometryCollection =>
+        // highest-dimension NON-EMPTY child: an empty polygon must not win
+        // over a real line (the contract is a point inside the geometry)
+        val live = gc.geoms.filterNot(_.isEmpty)
+        if (live.isEmpty) Point.empty else pointOnSurface(live.maxBy(_.topoDim))
     }
   }
 

@@ -60,7 +60,11 @@ object GeoJson {
     es.foreach { p =>
       xy(2 * i) = p.get(0).asDouble(); xy(2 * i + 1) = p.get(1).asDouble()
       if (p.size() >= 3) {
-        if (zs == null) zs = new Array[Double](es.length)
+        if (zs == null) {
+          // NaN-fill earlier 2-D positions: a zero-filled array would
+          // fabricate elevation 0.0 for vertices that never had one
+          zs = Array.fill(es.length)(Double.NaN)
+        }
         zs(i) = p.get(2).asDouble()
       }
       i += 1

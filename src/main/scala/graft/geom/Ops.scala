@@ -384,6 +384,19 @@ object Predicates {
         else if (!strictInterior) true
         else !(q.x == l.x(0) && q.y == l.y(0) && !l.isClosed) &&
           !(q.x == l.x(l.size - 1) && q.y == l.y(l.size - 1) && !l.isClosed)
+      // multi-part / collection a that `locate` cannot treat as one areal
+      // operand: decompose BOTH sides — every part of b covered by some
+      // single part of a. Sufficient, not complete: a span of b covered
+      // only by the UNION of touching line parts of a (no single part
+      // covers it alone) reports false; exact union topology needs noding.
+      // MultiPolygon stays on the areal branch below (locate handles it).
+      case _ if (a match {
+        case _: MultiPoint | _: MultiLineString | _: GeometryCollection => true
+        case _ => false
+      }) =>
+        val partsA = Geometry.parts(a).filterNot(_.isEmpty)
+        partsA.nonEmpty &&
+          Geometry.parts(b).forall(pb => partsA.exists(pa => covers(pa, pb, strictInterior)))
       case (_, _) if a.topoDim == 2 =>
         // every part of b must be covered by the areal geometry a
         val ok = Geometry.parts(b).forall {
@@ -505,8 +518,11 @@ object Predicates {
           other.foreachCoord((x, y) => if (locate(x, y, areal) == IN) anyIn = true)
           !anyIn && !boundariesCross(areal, other)
         } else {
-          // line/line: touch only at endpoints, no proper crossing
-          !pathsCrossAnyProperly(a, b) && !collinearOverlapInterior(a, b)
+          // line/line: touch only at boundary points — no proper mid-segment
+          // crossing, no collinear interior run, and no contact at a vertex
+          // interior to both lines (the X-crossing noded at a shared vertex)
+          !pathsCrossAnyProperly(a, b) && !collinearOverlapInterior(a, b) &&
+            !lineVertexInteriorContact(a, b)
         }
     }
   }
@@ -537,25 +553,80 @@ object Predicates {
     inter.topoDim == 2 && Measures.area(inter) > 0
   }
 
-  private def pathsCrossAnyProperly(a: Geometry, b: Geometry): Boolean = {
-    val ra = rings(a); val rb = rings(b)
-    ra.exists(r1 => rb.exists(r2 => pathsCrossProperly(r1, r2)))
-  }
+  // same computation as boundariesCross; named for the line/line call sites
+  // where the paths are not boundaries
+  private def pathsCrossAnyProperly(a: Geometry, b: Geometry): Boolean =
+    boundariesCross(a, b)
 
   private def collinearOverlapInterior(a: Geometry, b: Geometry): Boolean = {
-    // lines sharing a collinear sub-segment (interior overlap): midpoint of
-    // any b segment interior to an a segment
+    // lines sharing a positive-length COLLINEAR sub-segment. The old
+    // midpoint-on-path test also fired for a transversal crossing that
+    // happened to pass through a segment midpoint — collinearity of the
+    // segment pair plus overlapping projections is the real condition.
     val ra = rings(a); val rb = rings(b)
-    rb.exists { pb =>
+    ra.exists { pa =>
       var i = 0
       var found = false
-      while (i + 3 < pb.length && !found) {
-        val mx = (pb(i) + pb(i + 2)) / 2; val my = (pb(i + 1) + pb(i + 3)) / 2
-        if (ra.exists(pa => pointOnPath(mx, my, pa))) found = true
+      while (i + 3 < pa.length && !found) {
+        val ax = pa(i); val ay = pa(i + 1); val bx = pa(i + 2); val by = pa(i + 3)
+        val useX = math.abs(bx - ax) >= math.abs(by - ay)
+        val len = if (useX) bx - ax else by - ay
+        if (len != 0) {
+          found = rb.exists { pb =>
+            var j = 0
+            var f = false
+            while (j + 3 < pb.length && !f) {
+              if (orient(ax, ay, bx, by, pb(j), pb(j + 1)) == 0 &&
+                orient(ax, ay, bx, by, pb(j + 2), pb(j + 3)) == 0) {
+                val tc = if (useX) (pb(j) - ax) / len else (pb(j + 1) - ay) / len
+                val td = if (useX) (pb(j + 2) - ax) / len else (pb(j + 3) - ay) / len
+                if (math.min(1.0, math.max(tc, td)) > math.max(0.0, math.min(tc, td))) f = true
+              }
+              j += 2
+            }
+            f
+          }
+        }
         i += 2
       }
       found
     }
+  }
+
+  /** Interior(a) ∩ interior(b) POINT contact between two line geometries
+    * that `pathsCrossProperly` misses: contact at a vertex of either line
+    * (an X-crossing noded at the shared vertex has every segment pair
+    * meeting at segment endpoints — orientation 0 — so no PROPER crossing
+    * exists). A contact point is interior-interior when it is not a
+    * boundary point of either side; the boundary of a (multi)line is the
+    * set of component endpoints occurring an ODD number of times (DE-9IM
+    * mod-2 rule), so a point where two parts chain is interior.
+    */
+  private def lineVertexInteriorContact(a: Geometry, b: Geometry): Boolean = {
+    def boundaryPts(g: Geometry): Set[(Double, Double)] = {
+      val counts = scala.collection.mutable.Map.empty[(Double, Double), Int]
+      Geometry.parts(g).foreach {
+        case l: LineString if !l.isClosed && l.size > 0 =>
+          Seq((l.x(0), l.y(0)), (l.x(l.size - 1), l.y(l.size - 1)))
+            .foreach(p => counts(p) = counts.getOrElse(p, 0) + 1)
+        case _ =>
+      }
+      // NOT counts.collect { case (p, n) ... => p }: collecting Tuple2s
+      // out of a Map rebuilds a MAP (the pair is read as key -> value), so
+      // two boundary points sharing an x-coordinate would collapse into one
+      counts.filter(_._2 % 2 == 1).keySet.toSet
+    }
+    val ba = boundaryPts(a)
+    val bb = boundaryPts(b)
+    def vertexOnOther(src: Geometry, dst: Geometry): Boolean = {
+      var found = false
+      src.foreachCoord { (x, y) =>
+        if (!found && !ba.contains((x, y)) && !bb.contains((x, y)) &&
+          rings(dst).exists(r => pointOnPath(x, y, r))) found = true
+      }
+      found
+    }
+    vertexOnOther(a, b) || vertexOnOther(b, a)
   }
 
   /** crosses: interiors intersect, dim(intersection) < max dim, neither contains other. */
@@ -564,7 +635,12 @@ object Predicates {
     (a.topoDim, b.topoDim) match {
       case (0, 1) | (0, 2) => somePointsIn(a, b) && somePointsOut(a, b)
       case (1, 0) | (2, 0) => somePointsIn(b, a) && somePointsOut(b, a)
-      case (1, 1)          => pathsCrossAnyProperly(a, b)
+      case (1, 1)          =>
+        // dim(II) must be 0: a point contact (proper crossing OR interior
+        // vertex contact) qualifies; a collinear interior run makes the
+        // intersection 1-dimensional -> not crosses
+        (pathsCrossAnyProperly(a, b) || lineVertexInteriorContact(a, b)) &&
+          !collinearOverlapInterior(a, b)
       case (1, 2)          => lineCrossesArea(a, b)
       case (2, 1)          => lineCrossesArea(b, a)
       case _               => false

@@ -64,10 +64,21 @@ object Overlay {
         Geometry.collect(ml.lines.toIndexedSeq.map(l => clipLineToArea(l, a)))
       case _ if a.topoDim == 2 && b.topoDim == 2 => areaIntersection(a, b)
       case _ if a.topoDim == 1 && b.topoDim == 1 =>
-        // curve x curve (any multiplicity): pairwise segment crossings
+        // curve x curve (any multiplicity): pairwise crossings (dim 0) +
+        // collinear overlap spans (dim 1)
         val la = lineParts(a); val lb = lineParts(b)
-        val all = for (x <- la; y <- lb) yield lineLineIntersection(x, y)
-        unionPoints(all.filterNot(_.isEmpty))
+        val all = (for (x <- la; y <- lb) yield lineLineIntersection(x, y))
+          .filterNot(_.isEmpty)
+        if (all.isEmpty) GeometryCollection(Array.empty)
+        else if (all.forall(_.topoDim == 0)) unionPoints(all)
+        else {
+          val parts = all.flatMap(Geometry.parts)
+          val lines = parts.collect { case l: LineString => l }
+          val pts = parts.collect { case p: Point => p }
+            .filterNot(p => lines.exists(l => Predicates.pointOnPath(p.x, p.y, l.xy)))
+            .distinctBy(p => (p.x, p.y))
+          Geometry.collect(lines ++ pts)
+        }
       case _ =>
         throw new UnsupportedOperationException(
           s"intersection(${a.geometryType}, ${b.geometryType}) not supported in v1")
@@ -334,7 +345,93 @@ object Overlay {
     if (t >= 0 && t <= 1 && u >= 0 && u <= 1) Some(t) else None
   }
 
+  /** Merged parameter intervals [lo,hi] on segment (ax,ay)-(bx,by) that
+    * collinearly overlap some segment of `paths` (the dim-1 part of a
+    * curve×curve intersection, which `segParamIntersection` cannot see —
+    * its denominator is 0 for parallel segments).
+    */
+  private def segOverlapIntervals(ax: Double, ay: Double, bx: Double, by: Double,
+      paths: Seq[Array[Double]]): Seq[(Double, Double)] = {
+    val iv = ArrayBuffer[(Double, Double)]()
+    val useX = math.abs(bx - ax) >= math.abs(by - ay)
+    val len = if (useX) bx - ax else by - ay
+    if (len == 0) return Nil
+    paths.foreach { p =>
+      var j = 0
+      while (j + 3 < p.length) {
+        if (Predicates.orient(ax, ay, bx, by, p(j), p(j + 1)) == 0 &&
+          Predicates.orient(ax, ay, bx, by, p(j + 2), p(j + 3)) == 0) {
+          val tc = if (useX) (p(j) - ax) / len else (p(j + 1) - ay) / len
+          val td = if (useX) (p(j + 2) - ax) / len else (p(j + 3) - ay) / len
+          val lo = math.max(0.0, math.min(tc, td))
+          val hi = math.min(1.0, math.max(tc, td))
+          if (hi > lo) iv += ((lo, hi))
+        }
+        j += 2
+      }
+    }
+    val merged = ArrayBuffer[(Double, Double)]()
+    iv.sortBy(_._1).foreach { x =>
+      if (merged.nonEmpty && x._1 <= merged.last._2) {
+        val l = merged.remove(merged.length - 1)
+        merged += ((l._1, math.max(l._2, x._2)))
+      } else merged += x
+    }
+    merged.toSeq
+  }
+
+  /** Sub-spans of `a` selected by per-segment parameter intervals, chained
+    * into maximal linestrings. `keepInside` keeps the intervals themselves
+    * (intersection); false keeps their complement (difference).
+    */
+  private def spansByOverlap(a: LineString, paths: Seq[Array[Double]],
+      keepInside: Boolean): ArrayBuffer[LineString] = {
+    val outLines = ArrayBuffer[LineString]()
+    val cur = ArrayBuffer[Double]()
+    def flush(): Unit = {
+      if (cur.length >= 4) outLines += LineString(cur.toArray)
+      cur.clear()
+    }
+    var i = 0
+    while (i + 3 < a.xy.length) {
+      val ax = a.xy(i); val ay = a.xy(i + 1); val bx = a.xy(i + 2); val by = a.xy(i + 3)
+      val merged = segOverlapIntervals(ax, ay, bx, by, paths)
+      def emit(s: Double, e: Double): Unit = if (e > s) {
+        val sx = ax + (bx - ax) * s; val sy = ay + (by - ay) * s
+        val ex = ax + (bx - ax) * e; val ey = ay + (by - ay) * e
+        if (cur.length >= 2 && cur(cur.length - 2) == sx && cur.last == sy) {
+          cur += ex; cur += ey
+        } else {
+          flush(); cur += sx; cur += sy; cur += ex; cur += ey
+        }
+      }
+      if (keepInside) merged.foreach { case (lo, hi) => emit(lo, hi) }
+      else {
+        var t0 = 0.0
+        merged.foreach { case (lo, hi) => emit(t0, lo); t0 = math.max(t0, hi) }
+        emit(t0, 1.0)
+      }
+      i += 2
+    }
+    flush()
+    outLines
+  }
+
+  /** Line \ line: remove the collinear overlapping spans; point contacts
+    * (crossings) are measure-zero and stay (GEOS semantics).
+    */
+  private def lineMinusLine(a: LineString, b: Geometry): Geometry = {
+    val paths = Geometry.parts(b).collect { case l: LineString => l.xy }
+    val kept = spansByOverlap(a, paths, keepInside = false)
+    if (kept.isEmpty) GeometryCollection(Array.empty)
+    else if (kept.length == 1) kept(0)
+    else MultiLineString(kept.toArray)
+  }
+
   private def lineLineIntersection(a: LineString, b: LineString): Geometry = {
+    // dim-1 component: collinear overlapping spans
+    val spans = spansByOverlap(a, Seq(b.xy), keepInside = true)
+    // dim-0 component: proper/endpoint crossings not inside a span
     val pts = ArrayBuffer[(Double, Double)]()
     var i = 0
     while (i + 3 < a.xy.length) {
@@ -349,10 +446,14 @@ object Overlay {
       }
       i += 2
     }
-    val distinct = pts.distinct
-    if (distinct.isEmpty) GeometryCollection(Array.empty)
-    else if (distinct.length == 1) Point(distinct(0)._1, distinct(0)._2)
-    else MultiPoint(distinct.map { case (x, y) => Point(x, y) }.toArray)
+    val distinct = pts.distinct.filterNot { case (x, y) =>
+      spans.exists(s => Predicates.pointOnPath(x, y, s.xy))
+    }
+    val out: Seq[Geometry] =
+      spans.toSeq ++ distinct.map { case (x, y) => Point(x, y) }
+    if (out.isEmpty) GeometryCollection(Array.empty)
+    else if (out.length == 1) out.head
+    else Geometry.collect(out)
   }
 
   // ----------------------------------------------------------------- union
@@ -475,6 +576,12 @@ object Overlay {
           .flatMap(Geometry.parts).filterNot(_.isEmpty))
       case _ if a.topoDim == 2 && b.topoDim < 2 => a // minus a measure-zero set
       case _ if a.topoDim == 1 && b.topoDim == 0 => a // minus a measure-zero set
+      case _ if a.topoDim == 1 && b.topoDim == 1 =>
+        // line \ line: remove collinear overlap spans; crossings are
+        // measure-zero and remain (previously threw for intersecting lines)
+        val kept = Geometry.parts(a).collect { case l: LineString => lineMinusLine(l, b) }
+          .flatMap(Geometry.parts).filterNot(_.isEmpty)
+        if (kept.isEmpty) GeometryCollection(Array.empty) else Geometry.collect(kept)
       case _ if a.topoDim == 2 && b.topoDim == 2 =>
         if (Predicates.covers(b, a)) GeometryCollection(Array.empty)
         else if (!Predicates.intersects(a, b)) a

@@ -156,12 +156,17 @@ object Wkt {
     }
 
     /** Returns (hasZ, isEmpty). Consumes optional Z/M/ZM tag and EMPTY. */
-    private def dims(): (Boolean, Boolean) = {
+    // (hasZ, measureOnly, empty): an explicit M tag means the third number
+    // is a measure, NOT elevation — it must be discarded, never kept as Z
+    private def dims(): (Boolean, Boolean, Boolean) = {
       val w = peekWord()
       var hasZ = false
-      if (w == "Z" || w == "M" || w == "ZM") { word(); hasZ = w.contains("Z") }
+      var mOnly = false
+      if (w == "Z" || w == "M" || w == "ZM") {
+        word(); hasZ = w.contains("Z"); mOnly = w == "M"
+      }
       val w2 = peekWord()
-      if (w2 == "EMPTY") { word(); (hasZ, true) } else (hasZ, false)
+      if (w2 == "EMPTY") { word(); (hasZ, mOnly, true) } else (hasZ, mOnly, false)
     }
 
     private def coords(hasZ: Boolean): (Array[Double], Array[Double]) = {
@@ -173,20 +178,23 @@ object Wkt {
         xy += number(); xy += number()
         if (hasZ) {
           skipWs()
-          // tolerate 2-D coords inside a Z-tagged geometry
+          // tolerate 2-D coords inside a Z-tagged geometry — but keep the
+          // z array index-aligned with the points (NaN marks the missing
+          // elevation); a short array would crash every later write
           if (pos < s.length && s.charAt(pos) != ',' && s.charAt(pos) != ')') zs += number()
+          else zs += Double.NaN
         } else {
           skipWs()
           if (pos < s.length && s.charAt(pos) != ',' && s.charAt(pos) != ')') number() // discard z/m
         }
         if (!tryChar(',')) { expect(')'); done = true }
       }
-      (xy.toArray, if (zs != null && zs.nonEmpty) zs.toArray else null)
+      (xy.toArray, if (zs != null && zs.exists(!_.isNaN)) zs.toArray else null)
     }
 
     private def geometry(): Geometry = {
       val tag = word()
-      val (hasZ, empty) = dims()
+      val (hasZ, mOnly, empty) = dims()
       tag match {
         case "POINT" =>
           if (empty) Point.empty
@@ -196,7 +204,7 @@ object Wkt {
             skipWs()
             val z = if (pos < s.length && s.charAt(pos) != ')') number() else Double.NaN
             expect(')')
-            Point(x, y, if (hasZ || !z.isNaN) z else Double.NaN)
+            Point(x, y, if (hasZ || (!mOnly && !z.isNaN)) z else Double.NaN)
           }
         case "LINESTRING" =>
           if (empty) LineString(Array.empty)

@@ -361,6 +361,82 @@ class GeomKernelSpec extends AnyFunSuite {
     assert(Overlay.difference(l, Point(2, 0)) == l)
   }
 
+  test("covers/contains with multi-part and collection first operands") {
+    val mp = Wkt.read("MULTIPOINT ((0 0), (1 1))")
+    assert(Predicates.covers(mp, Point(0, 0)))
+    assert(!Predicates.covers(mp, Point(2, 2)))
+    val ml = Wkt.read("MULTILINESTRING ((0 0, 1 1), (5 5, 6 6))")
+    assert(Predicates.covers(ml, Point(0.5, 0.5)))
+    assert(Predicates.contains(ml, Point(0.5, 0.5)))
+    assert(!Predicates.covers(ml, Point(3, 3)))
+    assert(Predicates.covers(ml, Wkt.read("LINESTRING (0.2 0.2, 0.8 0.8)")))
+    val gc = Wkt.read("GEOMETRYCOLLECTION (POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0)), POINT (10 10))")
+    assert(Predicates.covers(gc, Point(2, 2)))
+    assert(Predicates.covers(gc, Point(10, 10)))
+    assert(!Predicates.covers(gc, Point(7, 7)))
+    // within/coveredBy are the converses
+    assert(Predicates.within(Point(0.5, 0.5), ml))
+    assert(Predicates.coveredBy(Point(10, 10), gc))
+  }
+
+  test("touches/crosses at a shared interior vertex (vertex-noded X crossing)") {
+    val a = Wkt.read("LINESTRING (-1 0, 0 0, 1 0)")
+    val b = Wkt.read("LINESTRING (0 -1, 0 0, 0 1)")
+    assert(Predicates.crosses(a, b), "vertex-noded crossing must be crosses")
+    assert(!Predicates.touches(a, b), "interior-interior contact is not touches")
+    // endpoint contact stays touches, not crosses
+    val c = Wkt.read("LINESTRING (0 0, 0 1)")
+    assert(Predicates.touches(a, c))
+    assert(!Predicates.crosses(a, c))
+    // two parts chaining at a point make it INTERIOR (mod-2 boundary rule):
+    // an endpoint contact from the other line onto that chain point is
+    // boundary-vs-interior -> touches
+    val chained = Wkt.read("MULTILINESTRING ((-1 0, 0 0), (0 0, 1 0))")
+    assert(!Predicates.touches(chained, b) && Predicates.crosses(chained, b))
+  }
+
+  test("line/line difference and collinear intersection") {
+    val a = Wkt.read("LINESTRING (0 0, 2 0)")
+    val bOverlap = Wkt.read("LINESTRING (1 0, 3 0)")
+    // intersection of collinear overlap = the shared span
+    val inter = Overlay.intersection(a, bOverlap)
+    assert(inter.topoDim == 1, Wkt.write(inter))
+    val interLen = Geometry.parts(inter).collect { case l: LineString => Measures.length(l) }.sum
+    assert(math.abs(interLen - 1.0) < 1e-9, Wkt.write(inter))
+    // difference removes exactly the shared span
+    val diff = Overlay.difference(a, bOverlap)
+    val diffLen = Geometry.parts(diff).collect { case l: LineString => Measures.length(l) }.sum
+    assert(math.abs(diffLen - 1.0) < 1e-9, Wkt.write(diff))
+    // crossing lines: difference keeps the full line (measure-zero cut),
+    // and does NOT throw (regression: UnsupportedOperationException)
+    val x = Wkt.read("LINESTRING (0 2, 2 0)")
+    val a2 = Wkt.read("LINESTRING (0 0, 2 2)")
+    val dCross = Overlay.difference(a2, x)
+    val dLen = Geometry.parts(dCross).collect { case l: LineString => Measures.length(l) }.sum
+    assert(math.abs(dLen - Measures.length(a2)) < 1e-9, Wkt.write(dCross))
+    // symmetric difference of intersecting lines also survives
+    assert(!Overlay.symDifference(a, bOverlap).isEmpty)
+  }
+
+  test("WKT Z/M edge cases stay well-formed") {
+    // 2-D coordinate inside a Z-tagged geometry: z arrays stay aligned and
+    // the geometry still writes (regression: ArrayIndexOutOfBounds)
+    val mixed = Wkt.read("LINESTRING Z (0 0 1, 2 2)")
+    assert(Wkt.write(mixed).nonEmpty)
+    // an explicit M third coordinate is a measure, not elevation
+    val m = Wkt.read("POINT M (1 2 3)")
+    assert(!m.asInstanceOf[Point].hasZ, Wkt.write(m))
+    // untagged 3-coordinate point still reads as Z
+    assert(Wkt.read("POINT (1 2 3)").asInstanceOf[Point].hasZ)
+  }
+
+  test("pointOnSurface of a collection skips empty highest-dim children") {
+    val gc = GeometryCollection(Array(
+      Polygon(Array.empty[Array[Double]]), Wkt.read("LINESTRING (0 0, 1 1)")))
+    val p = Constructive.pointOnSurface(gc)
+    assert(!p.isEmpty, "empty polygon child must not win over a real line")
+  }
+
   test("conic projections: origin, standard-parallel scale, roundtrip") {
     import graft.sql.Crs
     // the projection natural origin maps to (false easting, false northing)

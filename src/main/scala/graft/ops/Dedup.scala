@@ -198,6 +198,12 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    // pigeonhole over 4 blocks only guarantees a shared block for
+    // Hamming <= 3; a larger radius would silently miss qualifying pairs
+    // (needs more/narrower blocks — extend the blocking, don't lift this)
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"simhashPairs supports maxHamming in [0, 3] (got $maxHamming): " +
+        "4-block LSH cannot guarantee candidate recall beyond Hamming 3")
     val sh = df.select(col(idCol).as("_id"), gr_simhash64(col(textCol)).as("_sh"))
     // 4 blocking keys of 16 bits each: any pair with Hamming <= 3 collides
     // in at least one block (pigeonhole)

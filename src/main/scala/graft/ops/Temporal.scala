@@ -99,8 +99,8 @@ object Temporal {
     *
     * Plan: union the two inputs into one stream (left rows null-padded),
     * then one window pass per key ordered by (ts, side, tie) carries the
-    * last non-null right values forward (`last(..., ignoreNulls)` over an
-    * unbounded-preceding frame is a running value, not a buffer). One
+    * last right ROW forward as one struct (`last(..., ignoreNulls)` over
+    * an unbounded-preceding frame is a running value, not a buffer). One
     * shuffle total; contrast with the inequality join a SQL engine would
     * plan, which is quadratic per key. Timestamp ties between right rows
     * resolve to the greatest `tieCol`, deterministically.
@@ -134,14 +134,24 @@ object Temporal {
     // freeze the tie-break under its own name: the carry below overwrites
     // asof_<tieCol>, and every carried column must share ONE window spec so
     // Catalyst plans a single Window node (one sort, one scan)
+    // pack the right row's values into ONE struct and carry THAT: per-
+    // column last(ignoreNulls) carries would mix fields from DIFFERENT
+    // right rows whenever a right value is null — the asof match is the
+    // most recent right ROW, nulls and all. The struct itself is non-null
+    // exactly on right rows, so last(ignoreNulls) finds the row; fields
+    // inside stay null where the matched row had nulls.
     val unioned = l.unionByName(r.select(l.columns.map(col): _*))
       .withColumn("_tie", col(asofName(tieCol)))
+      .withColumn("_asof_row", when(col("_side") === rightSide,
+        struct(rightVals.map(c => col(asofName(c)).as(asofName(c))): _*)))
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol), col("_side"), col("_tie"))
     val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightVals.foldLeft(unioned) { (df, c) =>
-      df.withColumn(asofName(c), last(col(asofName(c)), ignoreNulls = true).over(cum))
+    val carried = unioned
+      .withColumn("_asof_row", last(col("_asof_row"), ignoreNulls = true).over(cum))
+    val unpacked = rightVals.foldLeft(carried) { (df, c) =>
+      df.withColumn(asofName(c), col("_asof_row")(asofName(c)))
     }
-    carried.filter(col("_side") === leftSide).drop("_side", "_tie")
+    unpacked.filter(col("_side") === leftSide).drop("_side", "_tie", "_asof_row")
   }
 }

@@ -67,8 +67,8 @@ object Multimodal {
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
           batch.iterator.map { case (id, bytes) =>
-            val n = bytes.length
-            (id, 64 + n % 577, 64 + (n * 31) % 417, 1 + n % 4)
+            val (w, h, c) = graft.sql.FakeCodec.meta(bytes.length)
+            (id, w, h, c)
           }
         }
       }

@@ -75,13 +75,16 @@ object GraftDefs {
     "st_x" -> g1(D) { case p: Point => p.x; case g => Constructive.centroid(g).x },
     "st_y" -> g1(D) { case p: Point => p.y; case g => Constructive.centroid(g).y },
     "st_z" -> g1(D) { case p: Point if p.hasZ => p.z; case _ => null },
-    "st_xmin" -> Spec(Seq(B), D, a => env(a(0)).minX),
-    "st_ymin" -> Spec(Seq(B), D, a => env(a(0)).minY),
-    "st_xmax" -> Spec(Seq(B), D, a => env(a(0)).maxX),
-    "st_ymax" -> Spec(Seq(B), D, a => env(a(0)).maxY),
+    // bounds of an empty geometry are NULL, not the Envelope.empty
+    // +/-Infinity sentinels (which would silently poison range math)
+    "st_xmin" -> Spec(Seq(B), D, { a => val e = env(a(0)); if (e.isEmpty) null else e.minX }),
+    "st_ymin" -> Spec(Seq(B), D, { a => val e = env(a(0)); if (e.isEmpty) null else e.minY }),
+    "st_xmax" -> Spec(Seq(B), D, { a => val e = env(a(0)); if (e.isEmpty) null else e.maxX }),
+    "st_ymax" -> Spec(Seq(B), D, { a => val e = env(a(0)); if (e.isEmpty) null else e.maxY }),
     "st_bounds" -> Spec(Seq(B), boundsStruct, { a =>
       val e = env(a(0))
-      new GenericInternalRow(Array[Any](e.minX, e.minY, e.maxX, e.maxY))
+      if (e.isEmpty) null
+      else new GenericInternalRow(Array[Any](e.minX, e.minY, e.maxX, e.maxY))
     }),
     // GeoJSON interchange (RFC 7946; the reference reaches this through
     // OGR's GeoJSON drivers — io/file.py:49-149)
@@ -121,7 +124,7 @@ object GraftDefs {
     },
     "st_interiorringn" -> Spec(Seq(B, I), B, { a =>
       geom(a(0)) match {
-        case p: Polygon if int(a(1)) + 1 < p.rings.length =>
+        case p: Polygon if int(a(1)) >= 0 && int(a(1)) + 1 < p.rings.length =>
           wkb(LineString(p.rings(int(a(1)) + 1)))
         case _ => wkb(GeometryCollection(Array.empty))
       }
@@ -398,19 +401,15 @@ object GraftDefs {
     // libs); the Spark-side plumbing (binary column, schema, batching) is real.
     "gr_fake_image_meta" -> Spec(Seq(B), StructType(Seq(
       StructField("width", I), StructField("height", I), StructField("channels", I))), { a =>
-      val bytes = a(0).asInstanceOf[Array[Byte]]
-      val n = bytes.length
-      new GenericInternalRow(Array[Any](64 + n % 577, 64 + (n * 31) % 417, 1 + n % 4))
+      val (w, h, c) = FakeCodec.meta(a(0).asInstanceOf[Array[Byte]].length)
+      new GenericInternalRow(Array[Any](w, h, c))
     }),
     // resize stub: deterministic fit-into-target dims from the fake decode
     // (integer math only, so the oracle replicates it exactly)
     "gr_fake_resize" -> Spec(Seq(B, I), StructType(Seq(
       StructField("out_w", I), StructField("out_h", I), StructField("out_bytes", L))), { a =>
-      val n = a(0).asInstanceOf[Array[Byte]].length
       val target = int(a(1))
-      val w = 64 + n % 577
-      val h = 64 + (n * 31) % 417
-      val c = 1 + n % 4
+      val (w, h, c) = FakeCodec.meta(a(0).asInstanceOf[Array[Byte]].length)
       val m = math.max(w, h)
       val ow = w * target / m
       val oh = h * target / m
@@ -661,6 +660,14 @@ object GridIndex {
     if (c < 0) 0L else if (c >= n) n - 1 else c
   }
 
+  // one row exploding to more cells than this means the grid is far too
+  // fine for the data — fail with guidance instead of overflowing the Int
+  // element count (NegativeArraySizeException) or OOMing the executor
+  private val MaxCellsPerRow = 1 << 22
+  @inline private def checkCellCount(nx: Long, ny: Long, hint: String): Unit =
+    if (nx * ny > MaxCellsPerRow) throw new IllegalArgumentException(
+      s"geometry envelope spans $nx x $ny grid cells (> $MaxCellsPerRow); $hint")
+
   def cellsOf(e: Envelope, minX: Double, minY: Double, maxX: Double, maxY: Double,
       level: Int): GenericArrayData = {
     if (e.isEmpty) return new GenericArrayData(Array.empty[Any])
@@ -669,6 +676,7 @@ object GridIndex {
     val x1 = cellCoord(e.maxX, minX, maxX, level)
     val y0 = cellCoord(e.minY, minY, maxY, level)
     val y1 = cellCoord(e.maxY, minY, maxY, level)
+    checkCellCount(x1 - x0 + 1, y1 - y0 + 1, "lower the grid level")
     val out = new Array[Any](((x1 - x0 + 1) * (y1 - y0 + 1)).toInt)
     var i = 0
     var x = x0
@@ -704,6 +712,7 @@ object GridIndex {
     val x1 = math.floor(e.maxX / cellSize).toLong
     val y0 = math.floor(e.minY / cellSize).toLong
     val y1 = math.floor(e.maxY / cellSize).toLong
+    checkCellCount(x1 - x0 + 1, y1 - y0 + 1, "raise cellSize")
     val out = new Array[Any](((x1 - x0 + 1) * (y1 - y0 + 1)).toInt)
     var i = 0
     var x = x0

@@ -303,6 +303,7 @@ object TextKernel {
     * (`('0x' || substr(md5(text), 1, 16))::UBIGINT % n`).
     */
   def md5Bucket(text: String, n: Int): Long = {
+    require(n > 0, s"md5Bucket needs a positive bucket count (got $n)")
     val d = md5(text.getBytes("UTF-8"))
     var h = 0L
     var i = 0
@@ -328,14 +329,31 @@ object TextKernel {
   }
 }
 
+/** The deterministic multimodal decode STUB (no codec libs in this build;
+  * the Spark-side plumbing around it is real). Single source of truth for
+  * the fake width/height/channels formula — the row-wise expression, the
+  * resize stub, the batched mapPartitions path, and the DuckDB oracle all
+  * mirror exactly this.
+  */
+object FakeCodec {
+  /** (width, height, channels) from payload length. */
+  def meta(payloadLen: Int): (Int, Int, Int) =
+    (64 + payloadLen % 577, 64 + (payloadLen * 31) % 417, 1 + payloadLen % 4)
+}
+
 /** Embedding-vector kernels (similarity search). Inputs are float vectors
   * (the testdata `embeddings.embedding` column); math in double.
   */
 object VecKernel {
   def dot(a: Array[Float], b: Array[Float]): Double = {
+    // fail loud on mixed-dimension embeddings: a truncated dot against
+    // full-vector norms would silently depress every cosine and corrupt
+    // all ANN results instead of surfacing the ingest bug
+    require(a.length == b.length,
+      s"embedding dimension mismatch: ${a.length} vs ${b.length}")
     var s = 0.0
     var i = 0
-    val n = math.min(a.length, b.length)
+    val n = a.length
     while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
     s
   }

@@ -43,6 +43,20 @@ class TemporalSpec extends AnyFunSuite {
       (12L, None, None, None)), got.toString)
   }
 
+  test("asof join carries the matched ROW intact when right fields are null") {
+    // right@2 has a null value: the left row must see (event 21, null) —
+    // the most recent right row as-is — not event 21's id with event 20's
+    // value smuggled in by a per-column non-null carry
+    val left = Seq((1L, 10L, 5L)).toDF("user_id", "id", "ts")
+    val right = Seq((1L, 20L, 1L, Some(7.0)), (1L, 21L, 2L, None))
+      .toDF("user_id", "event_id", "ts", "value")
+    val got = Temporal.asofJoin(left, right, "user_id", "ts",
+        rightVals = Seq("event_id", "value"), tieCol = "event_id")
+      .select($"asof_event_id", $"asof_value")
+      .as[(Option[Long], Option[Double])].collect().toSeq
+    assert(got == Seq((Some(21L), None)), got.toString)
+  }
+
   test("asof join resolves exact-timestamp ties to the greatest tie column") {
     val left = Seq((1L, 10L, 200L)).toDF("user_id", "id", "ts")
     val right = Seq((1L, 20L, 150L, 1.0), (1L, 22L, 150L, 2.0),

@@ -132,7 +132,12 @@ final case class GeoDataFrame(
   def drop(colNames: String*): Either[DataFrame, GeoDataFrame] = {
     val out = df.drop(colNames: _*)
     if (colNames.contains(geometryColumn)) Left(out)
-    else Right(copy(df = out))
+    else Right(copy(df = out,
+      // dropping a source/covering column must drop its cx hint with it —
+      // a stale hint would emit an unresolvable filter later
+      pointSource = pointSource.filterNot { case (x, y) =>
+        colNames.contains(x) || colNames.contains(y) },
+      coveringSource = coveringSource.filterNot(colNames.contains)))
   }
 
   // -------------------------------------------------------------------- cx
@@ -172,7 +177,9 @@ final case class GeoDataFrame(
     // columns: Catalyst pushes them into the parquet scan (row-group
     // min/max skipping + PushedFilters), which the opaque geometry filter
     // alone cannot reach. The exact geometry filter stays for correctness.
-    val base0 = pointSource match {
+    val base0 = pointSource.filter { case (xc, yc) =>
+      df.columns.contains(xc) && df.columns.contains(yc)
+    } match {
       case Some((xc, yc)) =>
         pruned.df.filter(col(xc) >= xmin && col(xc) <= xmax &&
           col(yc) >= ymin && col(yc) <= ymax)
@@ -256,7 +263,7 @@ final case class GeoDataFrame(
           st_geometryType(col(geometryColumn)) === concat(lit("Multi"), col("_orig_type")))
           .drop("_orig_type")
       else out.drop("_orig_type")
-    GeoDataFrame(out, geometryColumn, None)
+    withCrsOf(GeoDataFrame(out, geometryColumn, None))
   }
 
   // -------------------------------------------------------------- dissolve
@@ -270,8 +277,14 @@ final case class GeoDataFrame(
     val out =
       if (by.isEmpty) df.agg(unionCol, aggs: _*)
       else df.groupBy(by.map(df(_)): _*).agg(unionCol, aggs: _*)
-    GeoDataFrame(out, geometryColumn, None)
+    withCrsOf(GeoDataFrame(out, geometryColumn, None))
   }
+
+  /** Re-attach this frame's CRS to a derived frame whose geometry column
+    * was rebuilt (aliases/aggregates drop column metadata silently).
+    */
+  private def withCrsOf(g: GeoDataFrame): GeoDataFrame =
+    crs.map(g.setCrs).getOrElse(g)
 
   // ------------------------------------------------------------ aggregates
   /** Geometric union of everything (reference union_all `expr.py:287-299`). */
@@ -310,8 +323,8 @@ final case class GeoDataFrame(
       if (ignoreIndex || !indexParts) exploded.drop("part_index") else exploded
     // narrow op, partitions preserved; every part lies within its parent's
     // envelope/hull, so both bounds stay valid
-    GeoDataFrame(out, geometryColumn, spatialPartitions,
-      spatialPartitionHulls = spatialPartitionHulls)
+    withCrsOf(GeoDataFrame(out, geometryColumn, spatialPartitions,
+      spatialPartitionHulls = spatialPartitionHulls))
   }
 
   // ------------------------------------------------- spatial partitioning
@@ -428,6 +441,8 @@ final case class GeoDataFrame(
       cellSize: Option[Double] = None,
       rsuffix: String = "_right",
       distance: Double = 0.0): DataFrame = {
+    require(Set("auto", "broadcast", "grid").contains(strategy),
+      s"unknown sjoin strategy '$strategy' (auto | broadcast | grid)")
 
     val leftDf = df
     // disambiguate column names like geopandas' suffixing
@@ -638,7 +653,10 @@ final case class GeoDataFrame(
     val sizeBytes = try {
       right.df.queryExecution.optimizedPlan.stats.sizeInBytes
     } catch { case _: Throwable => BigInt(Long.MaxValue) }
-    sizeBytes < BigInt(threshold) * 8 // WKB expands vs parquet-encoded stats
+    // WKB expands in memory vs parquet-encoded stats, so the stats must fit
+    // WITH the expansion factor applied — multiplying the threshold instead
+    // (as an earlier version did) broadcast sides 8x too big
+    sizeBytes * 8 < BigInt(threshold)
   }
 
   def count(): Long = df.count()

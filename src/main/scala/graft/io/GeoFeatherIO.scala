@@ -87,14 +87,13 @@ object GeoFeatherIO {
 
     // arrow Field pojos are not Serializable: ship the Spark schema and
     // rebuild the arrow schema inside each task
-    val serializableConfProps = conf.asScala.map(e => (e.getKey, e.getValue)).toArray
+    val sconf = new GeoParquetIO.SerializableConf(conf)
     val pathStr = path
     val sparkSchema = schema
 
     val geomIdx = schema.fieldIndex(geomCol)
     df.rdd.mapPartitionsWithIndex { (pid, it) =>
-      val taskConf = new org.apache.hadoop.conf.Configuration(false)
-      serializableConfProps.foreach { case (k, v) => taskConf.set(k, v) }
+      val taskConf = sconf.value
       val file = new Path(pathStr, f"part-$pid%05d.arrow")
       val tfs = file.getFileSystem(taskConf)
       val allocator = new RootAllocator()
@@ -205,12 +204,11 @@ object GeoFeatherIO {
     val conf = spark.sessionState.newHadoopConf()
     val files = listArrowFiles(conf, new Path(path))
     if (files.isEmpty) return Map.empty
-    val serializableConfProps = conf.asScala.map(e => (e.getKey, e.getValue)).toArray
+    val sconf = new GeoParquetIO.SerializableConf(conf)
     val names = files.map(_.toString)
     val slices = math.max(1, math.min(names.size, spark.sparkContext.defaultParallelism))
     spark.sparkContext.parallelize(names, slices).map { f =>
-      val taskConf = new org.apache.hadoop.conf.Configuration(false)
-      serializableConfProps.foreach { case (k, v) => taskConf.set(k, v) }
+      val taskConf = sconf.value
       val p = new Path(f)
       val fs = p.getFileSystem(taskConf)
       val allocator = new RootAllocator()
@@ -339,7 +337,7 @@ object GeoFeatherIO {
       case None => -1
     }
 
-    val serializableConfProps = conf.asScala.map(e => (e.getKey, e.getValue)).toArray
+    val sconf = new GeoParquetIO.SerializableConf(conf)
     // file-level pruning first: files whose footer bbox misses the filter
     // never schedule a scan task at all (files without a recorded bbox are
     // kept — correctness over pruning)
@@ -365,8 +363,7 @@ object GeoFeatherIO {
       if (fileNames.isEmpty)
         spark.sparkContext.emptyRDD[Row]
       else spark.sparkContext.parallelize(fileNames, fileNames.length).flatMap { f =>
-      val taskConf = new org.apache.hadoop.conf.Configuration(false)
-      serializableConfProps.foreach { case (k, v) => taskConf.set(k, v) }
+      val taskConf = sconf.value
       val p = new Path(f)
       val fs = p.getFileSystem(taskConf)
       val allocator = new RootAllocator()
@@ -391,7 +388,9 @@ object GeoFeatherIO {
           while (r < rc) {
             val keep = (box == null || {
               val wkb = vectors(geomIdx).getObject(r).asInstanceOf[Array[Byte]]
-              wkb != null && graft.geom.Wkb.read(wkb).envelope.intersects(box)
+              // allocation-free envelope scan — never materialize the
+              // geometry just to test (and usually discard) its bbox
+              wkb != null && graft.geom.Wkb.envelopeOf(wkb).intersects(box)
             }) && (compiledFilters.isEmpty || compiledFilters.exists(_.forall {
               case (ci, op, lit) => predicateHolds(vectors(ci).getObject(r), op, lit)
             }))

@@ -43,7 +43,10 @@ object GeoJsonIO {
       else to_json(struct(propCols.map(df(_)): _*))
     df.select(concat(
         lit("""{"type":"Feature","geometry":"""),
-        st_asGeoJson(df(gdf.geometryColumn)),
+        // a null geometry is a legal RFC 7946 feature ("geometry": null);
+        // without the coalesce, concat null-propagates and the whole row
+        // degenerates to an empty line that read-back silently drops
+        coalesce(st_asGeoJson(df(gdf.geometryColumn)), lit("null")),
         lit(""","properties":"""), props,
         lit("}")).as("value"))
       .write.mode(mode).text(path)

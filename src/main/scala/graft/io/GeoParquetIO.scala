@@ -39,7 +39,7 @@ object GeoParquetIO {
   /** Minimal serializable Hadoop-configuration carrier so footer-rewrite
     * tasks see the session's filesystem settings (credentials etc.).
     */
-  private final class SerializableConf(@transient var value: Configuration)
+  private[io] final class SerializableConf(@transient var value: Configuration)
       extends Serializable {
     private def writeObject(out: java.io.ObjectOutputStream): Unit = {
       out.defaultWriteObject()
@@ -99,8 +99,12 @@ object GeoParquetIO {
       .agg(st_envelopeAgg(col(gdf.geometryColumn)).as("b"))
       .select(col("file"), col("b.xmin"), col("b.ymin"), col("b.xmax"), col("b.ymax"))
       .collect()
-      .map(r => (normPath(r.getString(0)),
-        Envelope(r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      // a file whose geometries are all NULL aggregates to a null struct:
+      // it simply gets no footer bbox (and readers then skip file pruning)
+      .collect { case r if !r.isNullAt(1) =>
+        (normPath(r.getString(0)),
+          Envelope(r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      }
       .toMap
 
     val conf = spark.sessionState.newHadoopConf()
@@ -165,13 +169,22 @@ object GeoParquetIO {
     writer.end(meta)
 
     val fs = file.getFileSystem(conf)
-    fs.delete(file, false)
-    fs.rename(tmp, file)
+    // hadoop FS signals failure by RETURNING false: an unchecked rename
+    // after a successful delete would silently lose the data file
+    if (!fs.delete(file, false))
+      throw new java.io.IOException(s"failed to delete $file for footer rewrite")
+    if (!fs.rename(tmp, file))
+      throw new java.io.IOException(
+        s"failed to rename $tmp to $file — original deleted, data preserved at $tmp")
   }
 
   // ---------------------------------------------------------------- read
   final case class GeoFileMeta(primaryColumn: String, crs: Option[String],
-      fileBBoxes: Map[String, Envelope], covering: Option[String] = None)
+      fileBBoxes: Map[String, Envelope], covering: Option[String] = None,
+      // total data files in the dataset: fileBBoxes is only safe to PRUNE
+      // with when it covers every file (a bbox-less file must never be
+      // silently excluded from a re-planned scan)
+      fileCount: Int = 0)
 
   /** Parse one file's "geo" footer entry: (primary column, crs, bbox,
     * covering bbox-column name).
@@ -226,7 +239,7 @@ object GeoParquetIO {
       footerGeo(conf, files.head).map { case (primary, crs, bbox, covering) =>
         GeoFileMeta(primary, crs,
           if (gatherBBoxes) bbox.map(files.head.toString -> _).toMap else Map.empty,
-          covering)
+          covering, files.size)
       }
     else {
       val sconf = new SerializableConf(conf)
@@ -241,7 +254,8 @@ object GeoParquetIO {
         val primary = geo.head._2._1
         val crs = geo.flatMap(_._2._2).headOption
         val bboxes = geo.collect { case (f, (_, _, Some(e), _)) => (f, e) }.toMap
-        Some(GeoFileMeta(primary, crs, bboxes, geo.flatMap(_._2._4).headOption))
+        Some(GeoFileMeta(primary, crs, bboxes, geo.flatMap(_._2._4).headOption,
+          files.size))
       }
     }
   }
@@ -263,8 +277,10 @@ object GeoParquetIO {
           // range predicates into the scan (row-group min/max skipping)
           .copy(coveringSource = m.covering.filter(df.columns.contains))
         // carry the footer bboxes on the wrapper: a subsequent cx prunes
-        // whole files and sjoin gets grid bounds, both without another job
-        if (m.fileBBoxes.nonEmpty)
+        // whole files and sjoin gets grid bounds, both without another job.
+        // ONLY when every file has a bbox — pruning from a partial map
+        // would silently drop the bbox-less files from the re-planned scan
+        if (m.fileBBoxes.nonEmpty && m.fileBBoxes.size == m.fileCount)
           g.copy(fileSource = Some(graft.api.FileSourceMeta(path, m.fileBBoxes, g.df)))
         else g
       case None => GeoDataFrame(df)

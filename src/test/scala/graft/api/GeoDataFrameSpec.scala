@@ -260,6 +260,18 @@ class GeoDataFrameSpec extends AnyFunSuite {
     assert(gx.withColumn("x", col("x") * 2).pointSource.isEmpty)
   }
 
+  test("clip/dissolve/explodeParts preserve CRS; dropped source column clears cx hint") {
+    val g = points(50).setCrs("EPSG:3857")
+    assert(g.clip(Wkt.read("POLYGON ((0 0, 100 0, 100 100, 0 100, 0 0))")).crs
+      .contains("EPSG:3857"))
+    assert(g.dissolve(Seq("id")).crs.contains("EPSG:3857"))
+    assert(g.explodeParts().crs.contains("EPSG:3857"))
+    // dropping a pointSource column must not leave cx emitting a filter on
+    // a column that no longer exists
+    val dropped = g.drop("x").toOption.get
+    assert(dropped.cx(0, 0, 50, 50).df.count() >= 0) // resolves, no AnalysisException
+  }
+
   test("renameGeometry keeps crs and metadata valid") {
     val g = points(20).setCrs("EPSG:4326").calculateSpatialPartitions()
     val renamed = g.renameGeometry("geom2")

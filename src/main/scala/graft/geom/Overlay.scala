@@ -601,17 +601,12 @@ object Overlay {
   private def areaDifference(a: Geometry, b: Geometry): Geometry =
     PolygonClip.overlay(a, b, PolygonClip.OpDifference)
 
-  private def lineMinusArea(l: LineString, area: Geometry): Geometry = {
-    // complement of clipLineToArea: keep sub-spans outside
-    val inside = intersection(l, area)
-    inside match {
-      case g if g.isEmpty => l
-      case _ =>
-        // recompute with reversed keep-condition
-        val clipped = clipComplement(l, area)
-        clipped
-    }
-  }
+  // complement of clipLineToArea: keep sub-spans outside. clipComplement
+  // already returns l unchanged when nothing is inside — the previous
+  // intersection(l, area) pre-test paid a second full clipping pass per
+  // row only to decide whether to run this one.
+  private def lineMinusArea(l: LineString, area: Geometry): Geometry =
+    clipComplement(l, area)
 
   private def clipComplement(l: LineString, area: Geometry): Geometry = {
     val ringArrs: Array[Array[Double]] = area match {

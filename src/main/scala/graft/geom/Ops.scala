@@ -168,6 +168,18 @@ object Predicates {
       cx: Double, cy: Double): Double =
     (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
 
+  /** Collinearity up to relative rounding noise: the raw determinant is
+    * compared against the operand magnitudes, so points derived from
+    * floating-point arithmetic along one carrier line (t-parameterized
+    * interpolation, reprojection) still register as collinear. Exact-zero
+    * tests only catch exactly-representable (axis-aligned/integer) cases.
+    */
+  @inline def nearlyCollinear(ax: Double, ay: Double, bx: Double, by: Double,
+      cx: Double, cy: Double): Boolean = {
+    val cr = orient(ax, ay, bx, by, cx, cy)
+    math.abs(cr) <= 1e-12 * math.hypot(bx - ax, by - ay) * math.hypot(cx - ax, cy - ay)
+  }
+
   /** Closed-segment intersection test (touching counts). */
   def segmentsIntersect(ax1: Double, ay1: Double, ax2: Double, ay2: Double,
       bx1: Double, by1: Double, bx2: Double, by2: Double): Boolean = {
@@ -576,8 +588,8 @@ object Predicates {
             var j = 0
             var f = false
             while (j + 3 < pb.length && !f) {
-              if (orient(ax, ay, bx, by, pb(j), pb(j + 1)) == 0 &&
-                orient(ax, ay, bx, by, pb(j + 2), pb(j + 3)) == 0) {
+              if (nearlyCollinear(ax, ay, bx, by, pb(j), pb(j + 1)) &&
+                nearlyCollinear(ax, ay, bx, by, pb(j + 2), pb(j + 3))) {
                 val tc = if (useX) (pb(j) - ax) / len else (pb(j + 1) - ay) / len
                 val td = if (useX) (pb(j + 2) - ax) / len else (pb(j + 3) - ay) / len
                 if (math.min(1.0, math.max(tc, td)) > math.max(0.0, math.min(tc, td))) f = true

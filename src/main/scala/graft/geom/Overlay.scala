@@ -359,8 +359,8 @@ object Overlay {
     paths.foreach { p =>
       var j = 0
       while (j + 3 < p.length) {
-        if (Predicates.orient(ax, ay, bx, by, p(j), p(j + 1)) == 0 &&
-          Predicates.orient(ax, ay, bx, by, p(j + 2), p(j + 3)) == 0) {
+        if (Predicates.nearlyCollinear(ax, ay, bx, by, p(j), p(j + 1)) &&
+          Predicates.nearlyCollinear(ax, ay, bx, by, p(j + 2), p(j + 3))) {
           val tc = if (useX) (p(j) - ax) / len else (p(j + 1) - ay) / len
           val td = if (useX) (p(j + 2) - ax) / len else (p(j + 3) - ay) / len
           val lo = math.max(0.0, math.min(tc, td))

@@ -418,6 +418,55 @@ class GeomKernelSpec extends AnyFunSuite {
     assert(!Overlay.symDifference(a, bOverlap).isEmpty)
   }
 
+  test("line overlay property sweep: inter + diff partition the line (100 random cases)") {
+    val rnd = new scala.util.Random(11)
+    for (_ <- 0 until 100) {
+      // random collinear pair on a random (non-axis-aligned) carrier line:
+      // a spans t in [0,2], b spans a random [u1,u2] of the same carrier
+      val x0 = rnd.nextDouble() * 100 - 50
+      val y0 = rnd.nextDouble() * 100 - 50
+      val dx = rnd.nextDouble() * 10 + 0.5
+      val dy = rnd.nextDouble() * 10 - 5
+      def pt(t: Double) = (x0 + t * dx, y0 + t * dy)
+      val (ax0, ay0) = pt(0); val (ax1, ay1) = pt(2)
+      val u1 = rnd.nextDouble() * 4 - 1
+      val u2 = u1 + rnd.nextDouble() * 2
+      val (bx0, by0) = pt(u1); val (bx1, by1) = pt(u2)
+      val a = Wkt.read(s"LINESTRING ($ax0 $ay0, $ax1 $ay1)")
+      val b = Wkt.read(s"LINESTRING ($bx0 $by0, $bx1 $by1)")
+      val segLen = math.hypot(2 * dx, 2 * dy)
+      def lenOf(g: Geometry): Double =
+        Geometry.parts(g).collect { case l: LineString => Measures.length(l) }.sum
+      val interLen = lenOf(Overlay.intersection(a, b))
+      val diffLen = lenOf(Overlay.difference(a, b))
+      val expInter = math.max(0.0, math.min(2.0, u2) - math.max(0.0, u1)) / 2.0 * segLen
+      assert(math.abs(interLen - expInter) < 1e-6,
+        s"inter $interLen vs $expInter for u=[$u1,$u2] d=($dx,$dy)")
+      // the overlap and the remainder partition a exactly
+      assert(math.abs((interLen + diffLen) - segLen) < 1e-6,
+        s"partition: $interLen + $diffLen != $segLen")
+    }
+    // random transversal crossings: intersection is a point, difference
+    // keeps the full length
+    for (_ <- 0 until 100) {
+      val cx = rnd.nextDouble() * 10 - 5
+      val cy = rnd.nextDouble() * 10 - 5
+      val ang = rnd.nextDouble() * math.Pi
+      val ang2 = ang + 0.3 + rnd.nextDouble() * (math.Pi - 0.6)
+      def ray(an: Double, r: Double) = (cx + r * math.cos(an), cy + r * math.sin(an))
+      val (p1x, p1y) = ray(ang, -3); val (p2x, p2y) = ray(ang, 2)
+      val (q1x, q1y) = ray(ang2, -2); val (q2x, q2y) = ray(ang2, 3)
+      val a = Wkt.read(s"LINESTRING ($p1x $p1y, $p2x $p2y)")
+      val b = Wkt.read(s"LINESTRING ($q1x $q1y, $q2x $q2y)")
+      val inter = Overlay.intersection(a, b)
+      assert(inter.topoDim == 0 && !inter.isEmpty, Wkt.write(inter))
+      val diffLen = Geometry.parts(Overlay.difference(a, b))
+        .collect { case l: LineString => Measures.length(l) }.sum
+      assert(math.abs(diffLen - Measures.length(a.asInstanceOf[LineString])) < 1e-9)
+      assert(Predicates.crosses(a, b) && !Predicates.touches(a, b))
+    }
+  }
+
   test("WKT Z/M edge cases stay well-formed") {
     // 2-D coordinate inside a Z-tagged geometry: z arrays stay aligned and
     // the geometry still writes (regression: ArrayIndexOutOfBounds)

@@ -281,12 +281,21 @@ object Overlay {
     * inside. Splits at boundary crossings found by parametric sampling of
     * exact segment/ring intersections.
     */
-  private def clipLineToArea(l: LineString, area: Geometry): Geometry = {
+  private def clipLineToArea(l: LineString, area: Geometry): Geometry =
+    clipLineByLocate(l, area, keepInside = true)
+
+  /** Split `l` at every ring crossing and keep the sub-spans whose midpoint
+    * locates inside (intersection) or outside (difference) `area` — the one
+    * parameterized pass both boolean ops share.
+    */
+  private def clipLineByLocate(l: LineString, area: Geometry,
+      keepInside: Boolean): Geometry = {
     if (l.isEmpty) return l
     val ringArrs: Array[Array[Double]] = area match {
       case p: Polygon      => p.rings
       case m: MultiPolygon => m.polys.flatMap(_.rings)
-      case _               => return GeometryCollection(Array.empty)
+      // non-areal clip target: nothing is inside it; everything is outside
+      case _               => return if (keepInside) GeometryCollection(Array.empty) else l
     }
     val outLines = ArrayBuffer[LineString]()
     val cur = ArrayBuffer[Double]()
@@ -312,8 +321,8 @@ object Overlay {
       while (k + 1 < sorted.length) {
         val t0 = sorted(k); val t1 = sorted(k + 1)
         val mx = ax + (bx - ax) * (t0 + t1) / 2; val my = ay + (by - ay) * (t0 + t1) / 2
-        val in = Predicates.locate(mx, my, area) != Predicates.OUT
-        if (in) {
+        val keep = (Predicates.locate(mx, my, area) != Predicates.OUT) == keepInside
+        if (keep) {
           val sx = ax + (bx - ax) * t0; val sy = ay + (by - ay) * t0
           val ex = ax + (bx - ax) * t1; val ey = ay + (by - ay) * t1
           if (cur.length >= 2 && cur(cur.length - 2) == sx && cur.last == sy) {
@@ -608,52 +617,8 @@ object Overlay {
   private def lineMinusArea(l: LineString, area: Geometry): Geometry =
     clipComplement(l, area)
 
-  private def clipComplement(l: LineString, area: Geometry): Geometry = {
-    val ringArrs: Array[Array[Double]] = area match {
-      case p: Polygon      => p.rings
-      case m: MultiPolygon => m.polys.flatMap(_.rings)
-      case _               => return l
-    }
-    val outLines = ArrayBuffer[LineString]()
-    val cur = ArrayBuffer[Double]()
-    def flush(): Unit = {
-      if (cur.length >= 4) outLines += LineString(cur.toArray)
-      cur.clear()
-    }
-    var i = 0
-    while (i + 3 < l.xy.length) {
-      val ax = l.xy(i); val ay = l.xy(i + 1); val bx = l.xy(i + 2); val by = l.xy(i + 3)
-      val ts = ArrayBuffer(0.0, 1.0)
-      ringArrs.foreach { ring =>
-        var j = 0
-        while (j + 3 < ring.length) {
-          segParamIntersection(ax, ay, bx, by, ring(j), ring(j + 1), ring(j + 2), ring(j + 3))
-            .foreach(ts += _)
-          j += 2
-        }
-      }
-      val sorted = ts.distinct.sorted
-      var k = 0
-      while (k + 1 < sorted.length) {
-        val t0 = sorted(k); val t1 = sorted(k + 1)
-        val mx = ax + (bx - ax) * (t0 + t1) / 2; val my = ay + (by - ay) * (t0 + t1) / 2
-        val keep = Predicates.locate(mx, my, area) == Predicates.OUT
-        if (keep) {
-          val sx = ax + (bx - ax) * t0; val sy = ay + (by - ay) * t0
-          val ex = ax + (bx - ax) * t1; val ey = ay + (by - ay) * t1
-          if (cur.length >= 2 && cur(cur.length - 2) == sx && cur.last == sy) {
-            cur += ex; cur += ey
-          } else { flush(); cur += sx; cur += sy; cur += ex; cur += ey }
-        } else flush()
-        k += 1
-      }
-      i += 2
-    }
-    flush()
-    if (outLines.isEmpty) GeometryCollection(Array.empty)
-    else if (outLines.length == 1) outLines(0)
-    else MultiLineString(outLines.toArray)
-  }
+  private def clipComplement(l: LineString, area: Geometry): Geometry =
+    clipLineByLocate(l, area, keepInside = false)
 
   def symDifference(a: Geometry, b: Geometry): Geometry =
     union(difference(a, b), difference(b, a))

@@ -23,4 +23,9 @@ class RegistrySpec extends AnyFunSuite {
     val bad = SparkEntry.queries.keySet.filterNot(k => pat.matches(k))
     assert(bad.isEmpty, s"unconventional query keys: $bad")
   }
+
+  test("entry flagship returns rows (the driver's smoke check)") {
+    val out = SparkEntry.entry(graft.sql.TestSpark.spark)
+    assert(out.count() > 0)
+  }
 }

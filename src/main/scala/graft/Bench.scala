@@ -28,8 +28,10 @@ object Bench {
     // Warm up JIT + parquet reader + the operator paths the queries use
     // (expressions, joins, window exec, hash agg, text/vector kernels) on
     // tiny inputs, outside the timings — the first timed query should pay
-    // for its plan, not for JVM warmup of shared machinery.
-    {
+    // for its plan, not for JVM warmup of shared machinery. A warmup
+    // failure (missing auxiliary table, etc.) must not kill the benchmark:
+    // every timed query has its own guard.
+    try {
       import org.apache.spark.sql.functions._
       import graft.sql.functions._
       import org.apache.spark.sql.expressions.Window
@@ -60,6 +62,8 @@ object Bench {
       val wp = pts.select(st_relate(col("g"), tri), st_relate(col("g"), col("g")),
         st_covers(tri, col("g")), st_touches(tri, col("g")), st_distance(col("g"), tri))
       force(wp); force(wp)
+    } catch {
+      case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}")
     }
 
     // median-of-N per query (default 3): single-shot timings on a shared
@@ -79,11 +83,21 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); None
         }
       }.sorted
-      name -> (if (times.isEmpty) -1.0 else times(times.size / 2))
+      // LOWER median on even counts: with 2 iterations the upper pick
+      // would deterministically report the first run — the one that pays
+      // any once-per-session fixture setup (q14's bucketed tables)
+      name -> (if (times.isEmpty) -1.0 else times((times.size - 1) / 2))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","iterations":$iters,"aggregation":"median","queries":$qs,"sf":"$sfDir"}""")
+    // failed count rides along so a query regressing to all-failures can't
+    // read as a total-seconds "speedup" in round-over-round deltas
+    val failed = results.count(_._2 < 0)
+    def jesc(s: String): String = s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","iterations":$iters,"aggregation":"median","failed":$failed,"queries":$qs,"sf":"${jesc(sfDir)}"}""")
     spark.stop()
   }
 }

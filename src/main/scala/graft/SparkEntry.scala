@@ -31,6 +31,13 @@ object SparkEntry {
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
+  // supplier synthetic anchor (the canonical square mapping): x0/y0 are
+  // shared by every supplier-geometry query; each adds its own size columns
+  private def supplierPts(s: SparkSession, d: String): DataFrame =
+    t(s, d, "supplier")
+      .withColumn("x0", col("s_acctbal"))
+      .withColumn("y0", (col("s_suppkey") % 100).cast("double") * 10.0)
+
   // customer points (the workhorse synthetic geometry)
   private def customerPts(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "customer")
@@ -115,7 +122,10 @@ object SparkEntry {
     // ================================================= relational core
     "q01_pricing_summary" -> ((s, d) => {
       t(s, d, "lineitem")
-        .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-01 00:00:00")))
+        // to_timestamp resolves in the SESSION time zone (UTC in every
+        // harness entrypoint); a java.sql.Timestamp literal would parse in
+        // the host JVM's default TZ and shift the cutoff vs the oracle
+        .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-01 00:00:00")))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           round(sum(col("l_quantity")), 1).as("sum_qty"),
@@ -443,9 +453,7 @@ object SparkEntry {
 
     // clip to rect (reference clip.py) over supplier squares
     "g11_clip" -> ((s, d) => {
-      t(s, d, "supplier")
-        .withColumn("x0", col("s_acctbal"))
-        .withColumn("y0", (col("s_suppkey") % 100).cast("double") * 10.0)
+      supplierPts(s, d)
         .withColumn("h", ((col("s_suppkey") % 10) + 1).cast("double"))
         .withColumn("sq", st_makeEnvelope(col("x0") - col("h"), col("y0") - col("h"),
           col("x0") + col("h"), col("y0") + col("h")))
@@ -493,9 +501,7 @@ object SparkEntry {
     // binary predicate matrix over axis-aligned squares (reference
     // expr.py:983-998); every predicate has a closed-form interval oracle
     "g16_predicates" -> ((s, d) => {
-      t(s, d, "supplier")
-        .withColumn("x0", col("s_acctbal"))
-        .withColumn("y0", (col("s_suppkey") % 100).cast("double") * 10.0)
+      supplierPts(s, d)
         .withColumn("h1", ((col("s_suppkey") % 10) + 1).cast("double"))
         .withColumn("h2", ((col("s_suppkey") % 7) + 1).cast("double"))
         .withColumn("dx", (col("s_suppkey") % 30).cast("double"))
@@ -522,9 +528,7 @@ object SparkEntry {
     // overlay areas (st_intersection/union/difference/symdifference over
     // the same square pairs; reference expr.py:1001-1013)
     "g17_overlay" -> ((s, d) => {
-      t(s, d, "supplier")
-        .withColumn("x0", col("s_acctbal"))
-        .withColumn("y0", (col("s_suppkey") % 100).cast("double") * 10.0)
+      supplierPts(s, d)
         .withColumn("h1", ((col("s_suppkey") % 10) + 1).cast("double"))
         .withColumn("h2", ((col("s_suppkey") % 7) + 1).cast("double"))
         .withColumn("dx", (col("s_suppkey") % 30).cast("double"))
@@ -824,9 +828,7 @@ object SparkEntry {
     // forms; squares straddling a gap hit two strips, exercising the
     // cascaded-union subtrahend in the difference branch.
     "g42_overlay" -> ((s, d) => {
-      val left = GeoDataFrame(t(s, d, "supplier")
-        .withColumn("x0", col("s_acctbal"))
-        .withColumn("y0", (col("s_suppkey") % 100).cast("double") * 10.0)
+      val left = GeoDataFrame(supplierPts(s, d)
         .withColumn("h", ((col("s_suppkey") % 10) + 1).cast("double"))
         .withColumn("geometry", st_makeEnvelope(col("x0") - col("h"), col("y0") - col("h"),
           col("x0") + col("h"), col("y0") + col("h")))
@@ -855,9 +857,7 @@ object SparkEntry {
 
     // negative buffer (inward offset) of convex polygons, incl. collapse
     "g29_negative_buffer" -> ((s, d) => {
-      t(s, d, "supplier")
-        .withColumn("x0", col("s_acctbal"))
-        .withColumn("y0", (col("s_suppkey") % 100).cast("double") * 10.0)
+      supplierPts(s, d)
         .withColumn("h", ((col("s_suppkey") % 10) + 1).cast("double"))
         .withColumn("sq", st_makeEnvelope(col("x0") - col("h"), col("y0") - col("h"),
           col("x0") + col("h"), col("y0") + col("h")))
@@ -967,9 +967,7 @@ object SparkEntry {
     // intersect in the shared LineString (length 2*min(h,2)), corner-touching
     // squares in the touch Point — GEOS semantics, closed-form oracle
     "g34_touch_intersection" -> ((s, d) => {
-      t(s, d, "supplier")
-        .withColumn("x0", col("s_acctbal"))
-        .withColumn("y0", (col("s_suppkey") % 100).cast("double") * 10.0)
+      supplierPts(s, d)
         .withColumn("h", ((col("s_suppkey") % 10) + 1).cast("double"))
         .withColumn("a", st_makeEnvelope(col("x0") - col("h"), col("y0") - col("h"),
           col("x0") + col("h"), col("y0") + col("h")))
@@ -1309,7 +1307,7 @@ object SparkEntry {
       val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
         .withColumn("w", (substring(col("source"), 4, 10).cast("int") % 3 + 1).cast("double"))
       val quota = counts
-        .crossJoin(counts.agg(min(col("n_docs") / col("w")).as("m")))
+        .crossJoin(broadcast(counts.agg(min(col("n_docs") / col("w")).as("m"))))
         .withColumn("n_keep", floor(col("w") * col("m")).cast("long"))
         .select(col("source"), col("n_docs"), col("n_keep"))
       docs.select(col("source"), gr_md5Bucket(col("text"), lit(1000000)).as("bucket"))
@@ -1332,7 +1330,7 @@ object SparkEntry {
         .filter(length(col("w")) > 0)
       val freq = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       val total = freq.agg(sum(col("cnt")).as("total"))
-      toks.join(freq, "w").crossJoin(total)
+      toks.join(freq, "w").crossJoin(broadcast(total))
         .select(col("doc_id"),
           (-log(col("cnt").cast("double") / col("total").cast("double"))).as("sup"))
         .groupBy(col("doc_id"))

@@ -5,10 +5,23 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println("usage: graft.Verify <sfDir> <outDir> [query,query,...]")
+      sys.exit(2)
+    }
     val Array(sfDir, outDir) = args.take(2)
     // optional 3rd arg: comma-separated query names (local dev loop only —
     // the driver always runs the full registry)
     val only: Option[Set[String]] = args.lift(2).map(_.split(",").toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty) {
+        // a typo'd filter silently matching nothing would exit 0 with no
+        // outputs and leave a stale compare loop pointing at old parquet
+        System.err.println(s"unknown query names: ${unknown.mkString(", ")}")
+        sys.exit(2)
+      }
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

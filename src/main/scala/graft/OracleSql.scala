@@ -777,15 +777,20 @@ object OracleSql {
       ORDER BY d.doc_id""",
 
     "m02_image_resize" -> """
-      WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
-      d AS (SELECT doc_id, (64 + n % 577) AS w, (64 + (n * 31) % 417) AS h,
-                   (1 + n % 4) AS c FROM m)
-      SELECT doc_id,
-        ((w * 224) // greatest(w, h))::BIGINT AS out_w,
-        ((h * 224) // greatest(w, h))::BIGINT AS out_h,
-        (((w * 224) // greatest(w, h))::BIGINT * ((h * 224) // greatest(w, h))
-          * c)::BIGINT AS out_bytes
-      FROM d ORDER BY doc_id""",
+      WITH m AS (SELECT doc_id, octet_length(encode(text)) AS L FROM documents),
+      d AS (SELECT doc_id, L, 4 + L % 29 AS w, 4 + (L * 31) % 25 AS h,
+                   CASE L % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS c FROM m),
+      o AS (SELECT doc_id, L, w, h, c,
+                   (w * 12) // greatest(w, h) AS ow,
+                   (h * 12) // greatest(w, h) AS oh FROM d)
+      SELECT doc_id, ow::BIGINT AS out_w, oh::BIGINT AS out_h,
+             (ow * oh * c)::BIGINT AS out_bytes,
+             list_sum(flatten(list_transform(range(0, oh), j ->
+               flatten(list_transform(range(0, ow), i ->
+                 list_transform(range(0, c), b ->
+                   (((i * w) // ow) * 31 + ((j * h) // oh) * 17 + b * 7 + L)
+                     % 256))))))::BIGINT AS out_sum
+      FROM o ORDER BY doc_id""",
 
     "g30_utm" -> s"""
       WITH p AS (SELECT c_custkey, cx / 5000.0 + 15.0 AS lon, cy / 20.0 - 25.0 AS lat
@@ -987,12 +992,15 @@ object OracleSql {
       FROM p ORDER BY s_suppkey""",
 
     "m03_meta_batched" -> """
-      SELECT doc_id,
-             (64 + n % 577)::BIGINT AS width,
-             (64 + (n * 31) % 417)::BIGINT AS height,
-             (1 + n % 4)::BIGINT AS channels
-      FROM (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
-      ORDER BY doc_id""",
+      WITH m AS (SELECT doc_id, octet_length(encode(text)) AS L FROM documents),
+      d AS (SELECT doc_id, L, 4 + L % 29 AS w, 4 + (L * 31) % 25 AS h,
+                   CASE L % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS c FROM m)
+      SELECT doc_id, w::BIGINT AS width, h::BIGINT AS height, c::BIGINT AS channels,
+             list_sum(flatten(list_transform(range(0, h), y ->
+               flatten(list_transform(range(0, w), x ->
+                 list_transform(range(0, c), b ->
+                   (x * 31 + y * 17 + b * 7 + L) % 256))))))::BIGINT AS pixel_sum
+      FROM d ORDER BY doc_id""",
 
     "t01_token_stats" -> s"""
       SELECT doc_id, len($docToks)::BIGINT AS n_tokens,
@@ -1230,12 +1238,15 @@ object OracleSql {
       FROM s ORDER BY doc_id""",
 
     "m01_image_meta" -> """
-      SELECT doc_id,
-             (64 + n % 577)::BIGINT AS width,
-             (64 + (n * 31) % 417)::BIGINT AS height,
-             (1 + n % 4)::BIGINT AS channels
-      FROM (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
-      ORDER BY doc_id""",
+      WITH m AS (SELECT doc_id, octet_length(encode(text)) AS L FROM documents),
+      d AS (SELECT doc_id, L, 4 + L % 29 AS w, 4 + (L * 31) % 25 AS h,
+                   CASE L % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS c FROM m)
+      SELECT doc_id, w::BIGINT AS width, h::BIGINT AS height, c::BIGINT AS channels,
+             list_sum(flatten(list_transform(range(0, h), y ->
+               flatten(list_transform(range(0, w), x ->
+                 list_transform(range(0, c), b ->
+                   (x * 31 + y * 17 + b * 7 + L) % 256))))))::BIGINT AS pixel_sum
+      FROM d ORDER BY doc_id""",
 
     "t08_lang_profile" -> s"""
       WITH base AS (

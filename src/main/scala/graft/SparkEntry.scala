@@ -1544,41 +1544,47 @@ object SparkEntry {
     }),
 
     // ========================================== pipeline: multimodal
+    // real javax.imageio decode of synthesized PNG payloads: every output
+    // value is read back from the decoded raster; the oracle recomputes
+    // them from the closed-form synthesis formulas
     "m01_image_meta" -> ((s, d) => {
       Multimodal.extractImageMeta(
-        Multimodal.withBinaryPayload(t(s, d, "documents"), "text"), "payload")
+        Multimodal.withImagePayload(t(s, d, "documents"), "text"), "payload")
         .select(col("doc_id"), col("width").cast("long").as("width"),
           col("height").cast("long").as("height"),
-          col("channels").cast("long").as("channels"))
+          col("channels").cast("long").as("channels"),
+          col("pixel_sum"))
         .orderBy(col("doc_id"))
     }),
 
-    // resize stub over binary payloads (multimodal plumbing; deterministic
-    // integer math so the oracle replicates it)
+    // real decode + nearest-neighbor resize over the decoded raster
+    // (integer source-index math so the oracle replicates it)
     "m02_image_resize" -> ((s, d) => {
       Multimodal.resizeMeta(
-        Multimodal.withBinaryPayload(t(s, d, "documents"), "text"), "payload", 224)
+        Multimodal.withImagePayload(t(s, d, "documents"), "text"), "payload", 12)
         .select(col("doc_id"), col("out_w").cast("long").as("out_w"),
-          col("out_h").cast("long").as("out_h"), col("out_bytes"))
+          col("out_h").cast("long").as("out_h"), col("out_bytes"), col("out_sum"))
         .orderBy(col("doc_id"))
     }),
 
-    // same decode via partition-wise batched mapPartitions (the
-    // map_partitions / mapInPandas analog; reference SURVEY §2.10)
+    // same real decode via partition-wise batched mapPartitions with a
+    // reused PNG ImageReader (the map_partitions / mapInPandas analog;
+    // reference SURVEY §2.10)
     "m03_meta_batched" -> ((s, d) => {
       Multimodal.extractImageMetaBatched(
-        Multimodal.withBinaryPayload(t(s, d, "documents"), "text"), "doc_id", "payload")
+        Multimodal.withImagePayload(t(s, d, "documents"), "text"), "doc_id", "payload")
         .select(col("doc_id"), col("width").cast("long").as("width"),
           col("height").cast("long").as("height"),
-          col("channels").cast("long").as("channels"))
+          col("channels").cast("long").as("channels"),
+          col("pixel_sum"))
         .orderBy(col("doc_id"))
     }),
 
-    // video frame-sampling stub over binary payloads (uniform stride toward
-    // a target frame count; deterministic integer math for the oracle)
+    // video frame sampling over GRV0 container payloads: the kernel parses
+    // the binary header (magic + frame count), then uniform-stride samples
     "m04_frame_sample" -> ((s, d) => {
       Multimodal.frameSample(
-        Multimodal.withBinaryPayload(t(s, d, "documents"), "text"), "payload", 8)
+        Multimodal.withVideoPayload(t(s, d, "documents"), "text"), "payload", 8)
         .select(col("doc_id"),
           col("n_frames").cast("long").as("n_frames"),
           size(col("frame_indices")).cast("long").as("n_sampled"),

@@ -27,36 +27,52 @@ object TextAnalysis {
 }
 
 /** Multimodal column plumbing: images/audio/video ride as opaque binary
-  * columns with typed metadata extracted by per-row kernels. The decode
-  * kernel here is a deterministic STUB (`gr_fake_image_meta`) because no
-  * codec libraries ship in this build environment — the Spark-side shape
-  * (binary column, struct schema, narrow-stage extraction, partition
-  * sizing) is the real, tested part.
+  * columns with typed metadata extracted by per-row kernels. The decode is
+  * REAL (`javax.imageio` PNG decoding over the raster — see
+  * [[graft.sql.ImageCodec]]); payloads are deterministic synthesized PNGs /
+  * GRV0 containers because the testdata ships no media files, and their
+  * closed-form synthesis lets the DuckDB oracle recompute the decoded
+  * values independently.
   */
 object Multimodal {
 
-  /** Attach a binary payload column (here: utf-8 bytes of a text column —
-    * stand-in for real image bytes read from files).
+  /** Attach a binary payload column (utf-8 bytes of a text column — used
+    * directly by text kernels and as the seed for media synthesis).
     */
   def withBinaryPayload(df: DataFrame, srcCol: String, binCol: String = "payload"): DataFrame =
     df.withColumn(binCol, encode(col(srcCol), "UTF-8").cast("binary"))
 
-  /** Extract typed metadata from the binary column. Real implementation
-    * would decode image headers; the stub derives deterministic values from
-    * payload length so the pipeline is testable end-to-end.
+  /** Attach a REAL PNG payload synthesized deterministically from the
+    * source column's byte length (stand-in for image bytes read from
+    * files; the bitstream is a genuine PNG that any decoder reads).
+    */
+  def withImagePayload(df: DataFrame, srcCol: String, binCol: String = "payload"): DataFrame =
+    df.withColumn(binCol, gr_synthPng(encode(col(srcCol), "UTF-8").cast("binary")))
+
+  /** Attach a GRV0 video-container payload (real binary header the
+    * frame-sample kernel parses back).
+    */
+  def withVideoPayload(df: DataFrame, srcCol: String, binCol: String = "payload"): DataFrame =
+    df.withColumn(binCol, gr_synthVideo(encode(col(srcCol), "UTF-8").cast("binary")))
+
+  /** Decode the binary column with javax.imageio and extract typed metadata
+    * from the decoded raster: width/height/band-count/pixel-sum. Narrow
+    * stage, no shuffle.
     */
   def extractImageMeta(df: DataFrame, binCol: String): DataFrame =
-    df.withColumn("image_meta", gr_fakeImageMeta(col(binCol)))
+    df.withColumn("image_meta", gr_imageMeta(col(binCol)))
       .withColumn("width", col("image_meta.width"))
       .withColumn("height", col("image_meta.height"))
       .withColumn("channels", col("image_meta.channels"))
+      .withColumn("pixel_sum", col("image_meta.pixel_sum"))
       .drop("image_meta")
 
   /** Partition-wise BATCHED decode — the Spark analog of the reference's
-    * `map_partitions` (SURVEY §2.10) and of mapInPandas-style batch UDFs:
-    * rows stream through in groups of `batchSize`, which is where a real
-    * decoder would amortize codec/model setup or vectorize. The decode
-    * itself is the deterministic stub (no codec libs in this build).
+    * `map_partitions` (SURVEY §2.10) and of mapInPandas-style batch UDFs.
+    * One PNG ImageReader is created per partition and re-pointed at each
+    * row's bytes, amortizing plugin lookup + reader construction across the
+    * partition (the codec-context-reuse pattern a real media pipeline
+    * needs); rows stream through in groups of `batchSize`.
     */
   def extractImageMetaBatched(df: DataFrame, idCol: String, binCol: String,
       batchSize: Int = 64): DataFrame = {
@@ -65,34 +81,40 @@ object Multimodal {
     df.select(col(idCol).cast("long"), col(binCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        it.grouped(batchSize).flatMap { batch =>
-          batch.iterator.map { case (id, bytes) =>
-            val (w, h, c) = graft.sql.FakeCodec.meta(bytes.length)
-            (id, w, h, c)
+        if (it.isEmpty) Iterator.empty
+        else {
+          val reader = graft.sql.ImageCodec.newPngReader()
+          it.grouped(batchSize).flatMap { batch =>
+            batch.iterator.map { case (id, bytes) =>
+              val (w, h, c, s) = graft.sql.ImageCodec.metaOf(
+                graft.sql.ImageCodec.decodeWith(reader, bytes))
+              (id, w, h, c, s)
+            }
           }
         }
       }
-      .toDF(idCol, "width", "height", "channels")
+      .toDF(idCol, "width", "height", "channels", "pixel_sum")
   }
 
-  /** "Resize" stub: deterministic fit-into-target output dims + byte size
-    * (integer math over the fake-decoded dims). Real codecs would replace
-    * the kernel; the narrow-stage plumbing and schema are the tested part.
+  /** Real decode + nearest-neighbor fit-into-target resize over the decoded
+    * raster: output dims, byte size, and the resized pixel sum (integer
+    * source-index math, so the oracle mirrors it exactly).
     */
   def resizeMeta(df: DataFrame, binCol: String, target: Int): DataFrame =
-    df.withColumn("resize_meta", gr_fakeResize(col(binCol), lit(target)))
+    df.withColumn("resize_meta", gr_imageResize(col(binCol), lit(target)))
       .withColumn("out_w", col("resize_meta.out_w"))
       .withColumn("out_h", col("resize_meta.out_h"))
       .withColumn("out_bytes", col("resize_meta.out_bytes"))
+      .withColumn("out_sum", col("resize_meta.out_sum"))
       .drop("resize_meta")
 
-  /** Video frame-sampling stub: probe the (fake) container for frame count,
-    * emit a uniform stride of frame indices toward `targetFrames`. A real
-    * pipeline replaces the probe/extract kernel; the narrow stage, struct +
-    * array schema, and downstream explode-ability are the tested shape.
+  /** Video frame sampling: parse the container header for the frame count,
+    * emit a uniform stride of frame indices toward `targetFrames`. The
+    * struct + array schema and downstream explode-ability are the tested
+    * shape a real extract pipeline plugs into.
     */
   def frameSample(df: DataFrame, binCol: String, targetFrames: Int): DataFrame =
-    df.withColumn("fs", gr_fakeFrameSample(col(binCol), lit(targetFrames)))
+    df.withColumn("fs", gr_frameSample(col(binCol), lit(targetFrames)))
       .withColumn("n_frames", col("fs.n_frames"))
       .withColumn("frame_indices", col("fs.indices"))
       .drop("fs")

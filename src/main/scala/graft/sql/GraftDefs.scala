@@ -396,37 +396,38 @@ object GraftDefs {
       new GenericArrayData(
         VecKernel.topnCosine(floats(a(0)), floatMatrix(a(1)), int(a(2))).map(Int.box(_): Any))
     }),
-    // multimodal stub: deterministic fake decode of a binary payload.
-    // Real image/audio decoding is out of scope for this container (no codec
-    // libs); the Spark-side plumbing (binary column, schema, batching) is real.
-    "gr_fake_image_meta" -> Spec(Seq(B), StructType(Seq(
-      StructField("width", I), StructField("height", I), StructField("channels", I))), { a =>
-      val (w, h, c) = FakeCodec.meta(a(0).asInstanceOf[Array[Byte]].length)
-      new GenericInternalRow(Array[Any](w, h, c))
+    // multimodal: synthesize a deterministic REAL PNG from a source byte
+    // length (dims/channels/pixels are closed-form in the length, so the
+    // oracle recomputes the decoded values without seeing the bytes)
+    "gr_synth_png" -> Spec(Seq(B), B,
+      a => ImageCodec.synthPng(a(0).asInstanceOf[Array[Byte]].length)),
+    // real javax.imageio PNG decode: width/height/band-count/pixel-sum all
+    // read from the DECODED raster, not derived from the payload
+    "gr_image_meta" -> Spec(Seq(B), StructType(Seq(
+      StructField("width", I), StructField("height", I), StructField("channels", I),
+      StructField("pixel_sum", L))), { a =>
+      val (w, h, c, s) = ImageCodec.metaOf(
+        ImageCodec.decode(a(0).asInstanceOf[Array[Byte]]))
+      new GenericInternalRow(Array[Any](w, h, c, s))
     }),
-    // resize stub: deterministic fit-into-target dims from the fake decode
-    // (integer math only, so the oracle replicates it exactly)
-    "gr_fake_resize" -> Spec(Seq(B, I), StructType(Seq(
-      StructField("out_w", I), StructField("out_h", I), StructField("out_bytes", L))), { a =>
-      val target = int(a(1))
-      val (w, h, c) = FakeCodec.meta(a(0).asInstanceOf[Array[Byte]].length)
-      val m = math.max(w, h)
-      val ow = w * target / m
-      val oh = h * target / m
-      new GenericInternalRow(Array[Any](ow, oh, ow.toLong * oh * c))
+    // real decode + nearest-neighbor fit-into-target resize over the decoded
+    // raster; integer source-index math so the oracle mirrors it exactly
+    "gr_image_resize" -> Spec(Seq(B, I), StructType(Seq(
+      StructField("out_w", I), StructField("out_h", I), StructField("out_bytes", L),
+      StructField("out_sum", L))), { a =>
+      val (ow, oh, bytes, sum) = ImageCodec.resizeNN(
+        ImageCodec.decode(a(0).asInstanceOf[Array[Byte]]), int(a(1)))
+      new GenericInternalRow(Array[Any](ow, oh, bytes, sum))
     }),
-    // video frame-sampling stub: deterministic fake container probe
-    // (duration/fps from payload length) + uniform stride sampling toward a
-    // target frame count — integer math only, so the oracle replicates it
-    "gr_fake_frame_sample" -> Spec(Seq(B, I), StructType(Seq(
+    // synthesize a real GRV0 container (magic + i32 frames + i16 fps)
+    "gr_synth_video" -> Spec(Seq(B), B,
+      a => VideoContainer.synth(a(0).asInstanceOf[Array[Byte]].length)),
+    // video frame sampling: PARSES the container header (magic check +
+    // big-endian reads), then uniform-stride sampling toward the target
+    "gr_frame_sample" -> Spec(Seq(B, I), StructType(Seq(
       StructField("n_frames", I), StructField("indices", ArrayType(I)))), { a =>
-      val n = a(0).asInstanceOf[Array[Byte]].length
-      val target = math.max(1, int(a(1)))
-      val durMs = 1000 + (n * 7) % 59000
-      val fps = 12 + n % 19
-      val frames = durMs * fps / 1000
-      val step = math.max(1, frames / target)
-      val idx = (0 until frames by step).toArray
+      val (frames, _) = VideoContainer.parse(a(0).asInstanceOf[Array[Byte]])
+      val idx = VideoContainer.sampleIndices(frames, int(a(1)))
       new GenericInternalRow(Array[Any](frames,
         new GenericArrayData(idx.map(Int.box(_): Any))))
     })

@@ -1,0 +1,238 @@
+package graft.sql
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.nio.ByteBuffer
+import java.util.zip.{CRC32, Deflater}
+
+import javax.imageio.ImageIO
+import javax.imageio.ImageReader
+import java.awt.image.BufferedImage
+
+/** Real multimodal image kernels (replaces the round-≤7 FakeCodec stub).
+  *
+  * Synthesis: the testdata has no image files, so image payloads are
+  * deterministic PNGs synthesized from a source byte-length `len` — a real
+  * PNG bitstream (IHDR/IDAT/IEND, zlib-deflated scanlines, CRC32 chunk
+  * checksums) written by [[encodePng]]. Dimensions, channel count, and every
+  * pixel sample are closed-form functions of `len`, so the DuckDB oracle can
+  * recompute the *decoded* values independently without ever seeing the
+  * bytes.
+  *
+  * Decode: genuine `javax.imageio` PNG decoding (the JDK's ImageIO works
+  * headless in this build). The kernels read the decoded
+  * [[java.awt.image.BufferedImage]] raster — width/height/band-count and
+  * pixel sums come from real decoded samples, not from the payload length.
+  *
+  * Reference analog: dask-geopandas' map_partitions batch-UDF surface
+  * (SURVEY §2.10/§2.11); the mapInPandas-style batched path lives in
+  * [[graft.ops.Multimodal.extractImageMetaBatched]].
+  */
+object ImageCodec {
+
+  /** Synthesis formulas — single source of truth mirrored by the DuckDB
+    * oracle (m01/m02/m03): width 4..32, height 4..28, channels in {1,3,4}.
+    */
+  def synthDims(len: Int): (Int, Int, Int) = {
+    val w = 4 + len % 29
+    val h = 4 + (len * 31) % 25
+    val c = (len % 3) match { case 0 => 1; case 1 => 3; case _ => 4 }
+    (w, h, c)
+  }
+
+  /** Sample value of band `b` at (x, y) for source length `len`. */
+  def sample(x: Int, y: Int, b: Int, len: Int): Int = (x * 31 + y * 17 + b * 7 + len) % 256
+
+  /** Deterministic PNG payload for a source byte-length. */
+  def synthPng(len: Int): Array[Byte] = {
+    val (w, h, c) = synthDims(len)
+    encodePng(w, h, c, (x, y, b) => sample(x, y, b, len))
+  }
+
+  /** Minimal PNG encoder: 8-bit samples, color type 0 (gray) / 2 (RGB) /
+    * 6 (RGBA), filter 0 scanlines, one zlib IDAT. Public format per the PNG
+    * spec (RFC 2083); ~60 lines so no codec dependency is needed to write.
+    */
+  def encodePng(w: Int, h: Int, channels: Int, px: (Int, Int, Int) => Int): Array[Byte] = {
+    require(w > 0 && h > 0, s"bad dims ${w}x$h")
+    val colorType = channels match {
+      case 1 => 0
+      case 3 => 2
+      case 4 => 6
+      case n => throw new IllegalArgumentException(s"unsupported channel count $n")
+    }
+    // raw scanlines, each prefixed with filter byte 0 (None)
+    val raw = new Array[Byte](h * (1 + w * channels))
+    var p = 0
+    var y = 0
+    while (y < h) {
+      raw(p) = 0; p += 1
+      var x = 0
+      while (x < w) {
+        var b = 0
+        while (b < channels) { raw(p) = px(x, y, b).toByte; p += 1; b += 1 }
+        x += 1
+      }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream(raw.length / 2 + 64)
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte), 0, 8)
+    def chunk(tag: String, data: Array[Byte]): Unit = {
+      val len = ByteBuffer.allocate(4).putInt(data.length).array()
+      out.write(len, 0, 4)
+      val tb = tag.getBytes("US-ASCII")
+      out.write(tb, 0, 4)
+      out.write(data, 0, data.length)
+      val crc = new CRC32()
+      crc.update(tb)
+      crc.update(data)
+      out.write(ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array(), 0, 4)
+    }
+    val ihdr = ByteBuffer.allocate(13)
+      .putInt(w).putInt(h)
+      .put(8.toByte).put(colorType.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte)
+      .array()
+    chunk("IHDR", ihdr)
+    // zlib stream (Deflater default = zlib wrapper)
+    val defl = new Deflater()
+    defl.setInput(raw)
+    defl.finish()
+    val zbuf = new ByteArrayOutputStream(raw.length / 2 + 32)
+    val tmp = new Array[Byte](8192)
+    while (!defl.finished()) {
+      val n = defl.deflate(tmp)
+      zbuf.write(tmp, 0, n)
+    }
+    defl.end()
+    chunk("IDAT", zbuf.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Real ImageIO decode (one-shot; the batched path reuses a reader). */
+  def decode(bytes: Array[Byte]): BufferedImage = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    if (img == null) throw new IllegalArgumentException(
+      s"undecodable image payload (${bytes.length} bytes)")
+    img
+  }
+
+  /** A PNG reader for per-partition reuse — creating the reader once and
+    * re-pointing its input amortizes plugin lookup + reader construction
+    * across a partition's rows (the batched-decode analog of reusing a
+    * codec context).
+    */
+  def newPngReader(): ImageReader = {
+    val it = ImageIO.getImageReadersByFormatName("png")
+    if (!it.hasNext) throw new IllegalStateException("no PNG ImageReader in this JVM")
+    it.next()
+  }
+
+  /** Decode with a reused reader (setInput resets per-image state). */
+  def decodeWith(reader: ImageReader, bytes: Array[Byte]): BufferedImage = {
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+    try {
+      reader.setInput(iis, true, true)
+      reader.read(0)
+    } finally iis.close()
+  }
+
+  /** (width, height, bands, pixelSum) from the DECODED raster — every value
+    * read back from real ImageIO output.
+    */
+  def metaOf(img: BufferedImage): (Int, Int, Int, Long) = {
+    val r = img.getRaster
+    val w = img.getWidth
+    val h = img.getHeight
+    val bands = r.getNumBands
+    var sum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var b = 0
+        while (b < bands) { sum += r.getSample(x, y, b); b += 1 }
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, bands, sum)
+  }
+
+  /** Nearest-neighbor fit-into-target resize over the decoded raster:
+    * out dims = (w,h) * target / max(w,h); source pixel of out (i,j) is
+    * (i*w/ow, j*h/oh) (floor). Returns (out_w, out_h, out_bytes, out_sum)
+    * where out_bytes = ow*oh*bands and out_sum sums every resized sample —
+    * integer math only, so the oracle mirrors it exactly.
+    */
+  def resizeNN(img: BufferedImage, target: Int): (Int, Int, Long, Long) = {
+    val r = img.getRaster
+    val w = img.getWidth
+    val h = img.getHeight
+    val bands = r.getNumBands
+    val m = math.max(w, h)
+    val ow = w * target / m
+    val oh = h * target / m
+    require(ow > 0 && oh > 0, s"resize target $target collapses ${w}x$h to ${ow}x$oh")
+    var sum = 0L
+    var j = 0
+    while (j < oh) {
+      val sy = j * h / oh
+      var i = 0
+      while (i < ow) {
+        val sx = i * w / ow
+        var b = 0
+        while (b < bands) { sum += r.getSample(sx, sy, b); b += 1 }
+        i += 1
+      }
+      j += 1
+    }
+    (ow, oh, ow.toLong * oh * bands, sum)
+  }
+}
+
+/** A tiny real binary video-container format ("GRV0"): big-endian magic +
+  * i32 frame count + i16 fps. The frame-sample kernel PARSES these bytes
+  * (magic check + header reads) rather than recomputing from the payload
+  * length — the synthesis formulas (mirrored by the m04 oracle) are:
+  * durMs = 1000 + 7*len mod 59000, fps = 12 + len mod 19,
+  * frames = durMs*fps/1000.
+  */
+object VideoContainer {
+  private val Magic = Array[Byte]('G', 'R', 'V', '0')
+
+  def synthParams(len: Int): (Int, Int) = {
+    val durMs = 1000 + (len * 7) % 59000
+    val fps = 12 + len % 19
+    (durMs * fps / 1000, fps)
+  }
+
+  def synth(len: Int): Array[Byte] = {
+    val (frames, fps) = synthParams(len)
+    ByteBuffer.allocate(10)
+      .put(Magic)
+      .putInt(frames)
+      .putShort(fps.toShort)
+      .array()
+  }
+
+  /** Parse (frames, fps) from container bytes; fails loud on bad magic. */
+  def parse(bytes: Array[Byte]): (Int, Int) = {
+    require(bytes.length >= 10 &&
+      bytes(0) == Magic(0) && bytes(1) == Magic(1) &&
+      bytes(2) == Magic(2) && bytes(3) == Magic(3),
+      "not a GRV0 container")
+    val bb = ByteBuffer.wrap(bytes, 4, 6)
+    val frames = bb.getInt
+    val fps = bb.getShort.toInt
+    (frames, fps)
+  }
+
+  /** Uniform-stride sample toward targetFrames: indices 0, step, 2*step, …
+    * with step = max(1, frames/target).
+    */
+  def sampleIndices(frames: Int, target: Int): Array[Int] = {
+    val step = math.max(1, frames / math.max(1, target))
+    (0 until frames by step).toArray
+  }
+}

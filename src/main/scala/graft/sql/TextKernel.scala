@@ -329,18 +329,6 @@ object TextKernel {
   }
 }
 
-/** The deterministic multimodal decode STUB (no codec libs in this build;
-  * the Spark-side plumbing around it is real). Single source of truth for
-  * the fake width/height/channels formula — the row-wise expression, the
-  * resize stub, the batched mapPartitions path, and the DuckDB oracle all
-  * mirror exactly this.
-  */
-object FakeCodec {
-  /** (width, height, channels) from payload length. */
-  def meta(payloadLen: Int): (Int, Int, Int) =
-    (64 + payloadLen % 577, 64 + (payloadLen * 31) % 417, 1 + payloadLen % 4)
-}
-
 /** Embedding-vector kernels (similarity search). Inputs are float vectors
   * (the testdata `embeddings.embedding` column); math in double.
   */

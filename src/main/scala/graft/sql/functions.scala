@@ -184,10 +184,12 @@ object functions {
     fn("gr_topn_cosine", v, cents, n)
 
   // ------------------------------------------------- pipeline: multimodal
-  def gr_fakeImageMeta(bin: Column): Column = fn("gr_fake_image_meta", bin)
-  def gr_fakeResize(bin: Column, target: Column): Column = fn("gr_fake_resize", bin, target)
-  def gr_fakeFrameSample(bin: Column, targetFrames: Column): Column =
-    fn("gr_fake_frame_sample", bin, targetFrames)
+  def gr_synthPng(srcBytes: Column): Column = fn("gr_synth_png", srcBytes)
+  def gr_imageMeta(bin: Column): Column = fn("gr_image_meta", bin)
+  def gr_imageResize(bin: Column, target: Column): Column = fn("gr_image_resize", bin, target)
+  def gr_synthVideo(srcBytes: Column): Column = fn("gr_synth_video", srcBytes)
+  def gr_frameSample(bin: Column, targetFrames: Column): Column =
+    fn("gr_frame_sample", bin, targetFrames)
 
   /** Register everything with the session so `spark.sql` can use the names.
     * Idempotent per session — re-installing would spam "function replaced"

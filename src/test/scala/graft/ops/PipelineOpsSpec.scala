@@ -112,14 +112,70 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(recall > 0.5, s"recall $recall too low")
   }
 
-  test("text analysis annotate + multimodal stub") {
+  test("text analysis annotate + real multimodal decode") {
     val annotated = TextAnalysis.annotate(docs, "text")
     val row = annotated.filter($"doc_id" === 5).select($"lang_pred").as[String].head()
     assert(row == "de")
+    // real javax.imageio decode: every value read from the decoded raster
+    // must equal the closed-form synthesis formula
     val mm = Multimodal.extractImageMeta(
-      Multimodal.withBinaryPayload(docs, "text"), "payload")
-    val metas = mm.select($"width", $"height", $"channels").collect()
-    assert(metas.forall(r => r.getInt(0) >= 64 && r.getInt(1) >= 64 && r.getInt(2) >= 1))
+      Multimodal.withImagePayload(docs, "text"), "payload")
+    val metas = mm.select($"text", $"width", $"height", $"channels", $"pixel_sum").collect()
+    assert(metas.nonEmpty)
+    metas.foreach { r =>
+      val len = r.getString(0).getBytes("UTF-8").length
+      val (w, h, c) = graft.sql.ImageCodec.synthDims(len)
+      var expSum = 0L
+      for (y <- 0 until h; x <- 0 until w; b <- 0 until c)
+        expSum += graft.sql.ImageCodec.sample(x, y, b, len)
+      assert(r.getInt(1) == w && r.getInt(2) == h && r.getInt(3) == c,
+        s"decoded dims ${r.getInt(1)}x${r.getInt(2)}x${r.getInt(3)} != synth ${w}x${h}x$c")
+      assert(r.getLong(4) == expSum, s"decoded pixel sum ${r.getLong(4)} != $expSum")
+    }
+    // batched reader-reuse path must agree with the expression path
+    val batched = Multimodal.extractImageMetaBatched(
+      Multimodal.withImagePayload(docs, "text"), "doc_id", "payload")
+      .select($"doc_id", $"width", $"height", $"channels", $"pixel_sum")
+      .as[(Long, Int, Int, Int, Long)].collect().toSet
+    val viaExpr = Multimodal.extractImageMeta(
+      Multimodal.withImagePayload(docs, "text"), "payload")
+      .select($"doc_id".cast("long"), $"width", $"height", $"channels", $"pixel_sum")
+      .as[(Long, Int, Int, Int, Long)].collect().toSet
+    assert(batched == viaExpr)
+  }
+
+  test("real PNG resize + video container parse") {
+    // resize: NN over real decoded raster, verified against direct formula
+    val rs = Multimodal.resizeMeta(
+      Multimodal.withImagePayload(docs, "text"), "payload", 12)
+      .select($"text", $"out_w", $"out_h", $"out_bytes", $"out_sum").collect()
+    rs.foreach { r =>
+      val len = r.getString(0).getBytes("UTF-8").length
+      val (w, h, c) = graft.sql.ImageCodec.synthDims(len)
+      val m = math.max(w, h)
+      val (ow, oh) = (w * 12 / m, h * 12 / m)
+      var expSum = 0L
+      for (j <- 0 until oh; i <- 0 until ow; b <- 0 until c)
+        expSum += graft.sql.ImageCodec.sample(i * w / ow, j * h / oh, b, len)
+      assert(r.getInt(1) == ow && r.getInt(2) == oh)
+      assert(r.getLong(3) == ow.toLong * oh * c)
+      assert(r.getLong(4) == expSum, s"resized sum ${r.getLong(4)} != $expSum")
+    }
+    // video: the kernel must PARSE frames back out of the GRV0 header
+    val fs = Multimodal.frameSample(
+      Multimodal.withVideoPayload(docs, "text"), "payload", 8)
+      .select($"text", $"n_frames", $"frame_indices").collect()
+    fs.foreach { r =>
+      val len = r.getString(0).getBytes("UTF-8").length
+      val (frames, _) = graft.sql.VideoContainer.synthParams(len)
+      assert(r.getInt(1) == frames)
+      val idx = r.getSeq[Int](2)
+      assert(idx == graft.sql.VideoContainer.sampleIndices(frames, 8).toSeq)
+    }
+    // corrupt payload fails loud, not silently wrong
+    intercept[Exception] {
+      graft.sql.VideoContainer.parse(Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 10))
+    }
   }
 
   test("streaming geofence enter/exit transitions (stateful, two batches)") {

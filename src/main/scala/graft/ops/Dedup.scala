@@ -101,8 +101,16 @@ object Dedup {
       shingleSize: Int = 4,
       threshold: Double = 0.7,
       seed: Int = 42,
-      maxBucket: Int = 0): DataFrame = {
+      maxBucket: Int = 128): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    // the per-bucket representative cap: buckets up to this size enumerate
+    // the exact all-pairs set; oversized buckets (mass-duplicate keys at
+    // corpus scale) degrade to representative-chained emission — each member
+    // pairs against the bucket's `maxBucket` lowest-id members only, so a
+    // task's state is O(cap) signatures and its work O(rows x cap), never
+    // O(bucket^2). 0 = unbounded exact mode (ground-truth only; a single
+    // boilerplate key then owns an unbounded buffer + straggler task).
+    val cap = if (maxBucket > 0) maxBucket else Int.MaxValue
     // documents too short to produce a single shingle have no meaningful
     // signature (all-sentinel) and would spuriously pair with each other
     val sig = df.filter(length(col(textCol)) >= shingleSize)
@@ -110,14 +118,19 @@ object Dedup {
         gr_minhash(col(textCol), lit(numHashes), lit(shingleSize), lit(seed)).as("_sig"))
     val banded = sig.select(col("_id"), col("_sig"),
       posexplode(gr_bandKeys(col("_sig"), lit(bands))).as(Seq("_band", "_key")))
-    val buckets = banded.groupBy(col("_band"), col("_key"))
-      .agg(collect_list(struct(col("_id"), col("_sig"))).as("_items"))
-    // optional skew guard: drop pathological buckets (mass-duplicate keys)
-    // rather than letting one task do O(bucket^2) work. 0 = exact/no cap.
-    val bounded = if (maxBucket > 0) buckets.filter(size(col("_items")) <= maxBucket) else buckets
-    bounded
-      .select(explode(gr_bucketPairs(col("_items"), col("_band"), lit(bands), lit(threshold)))
-        .as("_p"))
+    // per-row bounded representative set via a RUNNING window aggregate:
+    // the k-lowest-id prefix of the row's bucket, maintained incrementally
+    // by Spark's UnboundedPreceding frame (one O(log k) buffer add per
+    // row). ONE scan, ONE shuffle, one spillable sort — no self-join (which
+    // would re-scan the corpus and re-compute every signature on the
+    // build side) and no unbounded collect_list buffer.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_band"), col("_key")).orderBy(col("_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    banded.withColumn("_reps", gr_minKSigs(col("_id"), col("_sig"), cap).over(w))
+      .select(explode(gr_chainPairs(col("_id"), col("_sig"), col("_reps"),
+        col("_band"), lit(bands), lit(threshold))).as("_p"))
       .select(col("_p.id_a"), col("_p.id_b"), col("_p.est_jaccard").as("est_jaccard"))
   }
 

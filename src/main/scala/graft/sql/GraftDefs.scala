@@ -27,6 +27,7 @@ object GraftDefs {
   @inline private def wkb(g: Geometry): Array[Byte] = Wkb.write(g)
   @inline private def dbl(v: Any): Double = v.asInstanceOf[Double]
   @inline private def int(v: Any): Int = v.asInstanceOf[Int]
+  @inline private def long(v: Any): Long = v.asInstanceOf[Long]
   @inline private def str(v: Any): String = v.asInstanceOf[UTF8String].toString
   @inline private def utf8(s: String): UTF8String = UTF8String.fromString(s)
 
@@ -351,12 +352,14 @@ object GraftDefs {
       val sig = a(0).asInstanceOf[ArrayData].toLongArray()
       new GenericArrayData(TextKernel.bandKeys(sig, int(a(1))).map(Long.box(_): Any))
     }),
-    "gr_bucket_pairs" -> Spec(
-      Seq(ArrayType(StructType(Seq(
-        StructField("_id", L), StructField("_sig", ArrayType(L))))), I, I, D),
+    "gr_chain_pairs" -> Spec(
+      Seq(L, ArrayType(L),
+        ArrayType(StructType(Seq(
+          StructField("_id", L), StructField("_sig", ArrayType(L))))),
+        I, I, D),
       ArrayType(StructType(Seq(
         StructField("id_a", L), StructField("id_b", L), StructField("est_jaccard", D)))), { a =>
-      val arr = a(0).asInstanceOf[ArrayData]
+      val arr = a(2).asInstanceOf[ArrayData]
       val n = arr.numElements()
       val ids = new Array[Long](n)
       val sigs = new Array[Array[Long]](n)
@@ -367,7 +370,9 @@ object GraftDefs {
         sigs(i) = row.getArray(1).toLongArray()
         i += 1
       }
-      val pairs = TextKernel.bucketPairs(ids, sigs, int(a(1)), int(a(2)), dbl(a(3)))
+      val pairs = TextKernel.chainPairs(long(a(0)),
+        a(1).asInstanceOf[ArrayData].toLongArray(),
+        ids, sigs, int(a(3)), int(a(4)), dbl(a(5)))
       new GenericArrayData(pairs.map { case (x, y, e) =>
         new GenericInternalRow(Array[Any](x, y, e)): Any
       })

@@ -1,0 +1,134 @@
+package graft.sql
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.BinaryLike
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.GraftInterop.AbsType
+
+import scala.collection.mutable
+
+/** Bounded buffer for [[MinKSigAgg]]: keeps the `k` lowest-id (id,
+  * signature) rows seen so far, sorted ascending by id. Insertion is
+  * binary-search + shift, so the buffer NEVER exceeds k entries — a
+  * mass-duplicate LSH bucket costs O(k) state, not O(bucket).
+  */
+final class MinKBuffer(val k: Int) {
+  val ids: mutable.ArrayBuffer[Long] = mutable.ArrayBuffer.empty
+  val sigs: mutable.ArrayBuffer[Array[Long]] = mutable.ArrayBuffer.empty
+
+  def add(id: Long, sig: Array[Long]): Unit = {
+    if (ids.length >= k && id >= ids.last) return
+    var lo = 0
+    var hi = ids.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (ids(mid) < id) lo = mid + 1 else hi = mid
+    }
+    // ignore duplicate ids (at-least-once upstream retries)
+    if (lo < ids.length && ids(lo) == id) return
+    ids.insert(lo, id)
+    sigs.insert(lo, sig)
+    if (ids.length > k) { ids.remove(ids.length - 1); sigs.remove(sigs.length - 1) }
+  }
+
+  def merge(o: MinKBuffer): Unit = {
+    var i = 0
+    while (i < o.ids.length) { add(o.ids(i), o.sigs(i)); i += 1 }
+  }
+}
+
+/** Collects the `k` lowest-id (id, minhash-signature) rows of a group —
+  * the bounded representative set for LSH bucket chaining. Unlike
+  * `collect_list`, the aggregation buffer is capped at k entries however
+  * large the group is, and partial aggregation (map-side combine) composes
+  * through [[MinKBuffer.merge]]. Used as a RUNNING window aggregate
+  * (unboundedPreceding..currentRow ordered by id) it yields, per row, the
+  * first-k representatives of the row's bucket prefix — Spark's
+  * UnboundedPreceding frame updates the buffer incrementally, one add per
+  * row.
+  */
+case class MinKSigAgg(
+    left: Expression,
+    right: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[MinKBuffer] with BinaryLike[Expression]
+  with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbsType] = Seq(LongType, ArrayType(LongType))
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("_id", LongType), StructField("_sig", ArrayType(LongType)))))
+  override def prettyName: String = "gr_min_k_sigs"
+
+  override def createAggregationBuffer(): MinKBuffer = new MinKBuffer(k)
+
+  override def update(buf: MinKBuffer, input: InternalRow): MinKBuffer = {
+    val id = left.eval(input)
+    val sig = right.eval(input)
+    if (id != null && sig != null)
+      buf.add(id.asInstanceOf[Long], sig.asInstanceOf[ArrayData].toLongArray())
+    buf
+  }
+
+  override def merge(buf: MinKBuffer, other: MinKBuffer): MinKBuffer = {
+    buf.merge(other); buf
+  }
+
+  override def eval(buf: MinKBuffer): Any = {
+    val out = new Array[Any](buf.ids.length)
+    var i = 0
+    while (i < buf.ids.length) {
+      out(i) = new GenericInternalRow(Array[Any](buf.ids(i),
+        new GenericArrayData(buf.sigs(i).map(Long.box(_): Any))))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: MinKBuffer): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.ids.length)
+    var i = 0
+    while (i < buf.ids.length) {
+      out.writeLong(buf.ids(i))
+      out.writeInt(buf.sigs(i).length)
+      buf.sigs(i).foreach(out.writeLong)
+      i += 1
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): MinKBuffer = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val buf = createAggregationBuffer()
+    val n = in.readInt()
+    var i = 0
+    while (i < n) {
+      val id = in.readLong()
+      val m = in.readInt()
+      val sig = new Array[Long](m)
+      var j = 0
+      while (j < m) { sig(j) = in.readLong(); j += 1 }
+      buf.add(id, sig)
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(n: Int): MinKSigAgg =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): MinKSigAgg =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MinKSigAgg =
+    copy(left = newLeft, right = newRight)
+}

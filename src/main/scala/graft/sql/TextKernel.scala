@@ -167,31 +167,41 @@ object TextKernel {
     out
   }
 
-  /** Verified near-dup pairs within one LSH bucket. A pair is emitted only
-    * from the FIRST band in which its signatures collide — each candidate
-    * pair therefore appears in exactly one bucket across the whole job and
-    * the caller needs no global distinct/dedup shuffle.
+  /** Verified near-dup pairs of one row against its bucket's REPRESENTATIVES
+    * (the k lowest-id members of the bucket prefix up to this row). A pair
+    * is emitted only from the FIRST band in which its signatures collide —
+    * at most one band satisfies `mb == band`, so each unordered pair is
+    * emitted at most once across the whole job and the caller needs no
+    * global distinct/dedup shuffle. Only representatives with id strictly
+    * below this row's id are checked, so a pair is generated by its
+    * higher-id member only; when every bucket fits inside the cap this
+    * enumerates exactly the all-pairs set. Oversized buckets degrade to
+    * representative-chained emission — every member still pairs with the
+    * bucket's lowest-id matches at O(cap) work per row (the batch analog of
+    * `minhashLshStreaming`'s bounded representative scheme); the documented
+    * recall loss is a pair whose first shared band capped out the lower-id
+    * member while a later band kept it (cannot happen for identical
+    * signatures, whose rep sets agree across bands).
     */
-  def bucketPairs(ids: Array[Long], sigs: Array[Array[Long]], band: Int, bands: Int,
+  def chainPairs(id: Long, sig: Array[Long],
+      repIds: Array[Long], repSigs: Array[Array[Long]], band: Int, bands: Int,
       threshold: Double): Array[(Long, Long, Double)] = {
-    val n = ids.length
-    if (n < 2) return Array.empty
-    val keys = sigs.map(bandKeys(_, bands))
+    val myKeys = bandKeys(sig, bands)
     val out = mutable.ArrayBuffer[(Long, Long, Double)]()
     var i = 0
-    while (i < n) {
-      var j = i + 1
-      while (j < n) {
+    while (i < repIds.length) {
+      if (repIds(i) < id) {
+        val rkeys = bandKeys(repSigs(i), bands)
         var mb = 0
-        while (mb < bands && keys(i)(mb) != keys(j)(mb)) mb += 1
+        while (mb < bands && rkeys(mb) != myKeys(mb)) mb += 1
         if (mb == band) {
-          val est = minhashJaccard(sigs(i), sigs(j))
+          val est = minhashJaccard(repSigs(i), sig)
           if (est >= threshold) {
-            if (ids(i) < ids(j)) out += ((ids(i), ids(j), est))
-            else out += ((ids(j), ids(i), est))
+            // ranks are assigned by ascending id, so the representative id
+            // is the smaller one
+            out += ((repIds(i), id, est))
           }
         }
-        j += 1
       }
       i += 1
     }

@@ -162,8 +162,18 @@ object functions {
   def gr_minhash(text: Column, numHashes: Column, shingleSize: Column, seed: Column): Column =
     fn("gr_minhash", text, numHashes, shingleSize, seed)
   def gr_bandKeys(sig: Column, bands: Column): Column = fn("gr_bandkeys", sig, bands)
-  def gr_bucketPairs(items: Column, band: Column, bands: Column, threshold: Column): Column =
-    fn("gr_bucket_pairs", items, band, bands, threshold)
+  def gr_chainPairs(id: Column, sig: Column, reps: Column,
+      band: Column, bands: Column, threshold: Column): Column =
+    fn("gr_chain_pairs", id, sig, reps, band, bands, threshold)
+
+  /** Bounded representative collection: the k lowest-id (id, sig) rows of
+    * the group/window — O(k) aggregation state regardless of group size.
+    */
+  def gr_minKSigs(id: Column, sig: Column, k: Int): Column =
+    org.apache.spark.sql.GraftInterop.column(
+      graft.sql.MinKSigAgg(
+        org.apache.spark.sql.GraftInterop.expression(id),
+        org.apache.spark.sql.GraftInterop.expression(sig), k).toAggregateExpression())
   def gr_simhash64(text: Column): Column = fn("gr_simhash64", text)
   def gr_repetition(text: Column): Column = fn("gr_repetition", text)
   def gr_langId(text: Column): Column = fn("gr_lang_id", text)

@@ -23,6 +23,12 @@ object QueryTime {
     spark.sparkContext.setLogLevel("WARN")
     graft.sql.functions.install(spark)
     val fn = graft.SparkEntry.queries(name)
+    // iters=0: dump the formatted plan instead of timing (shuffle audits)
+    if (iters == 0) {
+      fn(spark, sfDir).explain("formatted")
+      spark.stop()
+      return
+    }
     for (i <- 1 to iters) {
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()

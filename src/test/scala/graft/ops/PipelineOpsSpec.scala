@@ -55,6 +55,48 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(all.filter($"id_a" === 1L && $"id_b" === 2L).count() == 1)
   }
 
+  test("minhash LSH bounds pair generation on mass-duplicate buckets") {
+    // 400 near-identical docs (one hot bucket per band) + 3 distinct docs:
+    // with cap R, pair count must be <= n*R-ish, NOT O(n^2), and every dup
+    // must still chain to the lowest-id representative (CC stays connected)
+    val base = "the quick brown fox jumps over the lazy dog again and again " * 4
+    val mass = (0 until 400).map(i => (i.toLong, base))
+    val distinct = Seq((900L, "completely unrelated text about spark plans"),
+      (901L, "another unrelated document entirely different words"),
+      (902L, "third singleton nothing shared here at all"))
+    val df = (mass ++ distinct).toDF("doc_id", "text")
+    val cap = 16
+    val bounded = Dedup.minhashLsh(df, "doc_id", "text", numHashes = 64,
+      bands = 16, shingleSize = 4, threshold = 0.5, maxBucket = cap)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+    // exact mode would emit 400*399/2 = 79800 pairs; chained mode caps the
+    // per-member fan-in at the representative count
+    assert(bounded.length <= 400L * cap, s"${bounded.length} pairs — not bounded")
+    assert(bounded.length >= 399, "every duplicate must pair with a representative")
+    // chain connectivity: every mass doc reachable from doc 0 via the pairs
+    val adj = bounded.groupBy(_._1).map { case (k, v) => (k, v.map(_._2).toSet) }
+    val seen = scala.collection.mutable.Set(0L)
+    val stack = scala.collection.mutable.Stack(0L)
+    while (stack.nonEmpty) {
+      val cur = stack.pop()
+      adj.getOrElse(cur, Set.empty).foreach { nxt =>
+        if (seen.add(nxt)) stack.push(nxt)
+      }
+    }
+    assert((0L until 400L).forall(seen.contains), s"chain broken: ${seen.size} reached")
+    // and no distinct doc pairs with anything
+    assert(!bounded.exists(p => p._1 >= 900L || p._2 >= 900L))
+    // sub-cap buckets are exact: bounded run == unbounded run on small data
+    val small = docs
+    val exact = Dedup.minhashLsh(small, "doc_id", "text", numHashes = 64,
+      bands = 16, shingleSize = 4, threshold = 0.0, maxBucket = 0)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val capped = Dedup.minhashLsh(small, "doc_id", "text", numHashes = 64,
+      bands = 16, shingleSize = 4, threshold = 0.0, maxBucket = 128)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(exact == capped)
+  }
+
   test("simhash pairs: identical texts have distance 0") {
     val got = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
       .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Int)].collect()

@@ -66,6 +66,27 @@ object Bench {
       case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}")
     }
 
+    // Fixed calibration microbenchmark: a constant-size in-memory hash
+    // aggregation whose cost depends only on CPU/JVM health, never on the
+    // SF or the queries. Two rounds shipped misleading bench JSONs from a
+    // degraded shared VM (r6: g27/t05 phantom 3-6x; r7: t13/t14/t15 phantom
+    // 2.7-6.6x); this stamps every run with a machine-health reading so a
+    // loaded VM is distinguishable from a real regression.
+    def calibrate(): Double = {
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        force(spark.range(0L, 20000000L, 1L, 8)
+          .selectExpr("(id * 2654435761) % 1024 AS k", "id AS v")
+          .groupBy("k").sum("v"))
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      times(1)
+    }
+    // committed reference: measured on a quiet VM (median-of-3 readings
+    // 0.14-0.21 s, r8); calibration > 2x this marks the whole run degraded
+    val CalibrationRef = 0.20
+    val calBefore = calibrate()
+
     // median-of-N per query (default 3): single-shot timings on a shared
     // VM showed ±3-4× phantom swings round-over-round; the median absorbs
     // one bad run per query and makes BENCH_rN.json a usable delta signal.
@@ -97,7 +118,12 @@ object Bench {
       case '"' => "\\\""; case '\\' => "\\\\"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","iterations":$iters,"aggregation":"median","failed":$failed,"queries":$qs,"sf":"${jesc(sfDir)}"}""")
+    // re-calibrate after the suite: a machine that degraded mid-run is
+    // caught by whichever reading drifted
+    val calAfter = calibrate()
+    val calWorst = math.max(calBefore, calAfter)
+    val degraded = calWorst > 2.0 * CalibrationRef
+    println(s"""{"metric":"total","value":$total,"unit":"sec","iterations":$iters,"aggregation":"median","failed":$failed,"calibration_s":$calWorst,"calibration_before_s":$calBefore,"calibration_after_s":$calAfter,"calibration_ref_s":$CalibrationRef,"degraded":$degraded,"queries":$qs,"sf":"${jesc(sfDir)}"}""")
     spark.stop()
   }
 }

@@ -241,30 +241,37 @@ object SparkEntry {
     // (Temporal.sessionize). Session roll-up stays inside the same
     // partitioning — groupBy(user_id, session_seq) reuses the exchange.
     // ts is a nanosecond parquet timestamp read as long; gap = 24h in ns.
-    // behavioral conversion funnel (r7): users reaching view -> click ->
-    // purchase in strict timestamp order, each step within a 24 h
-    // conversion window of the previous step's first event. Three
-    // user-keyed aggregates, each consuming the previous stage's time —
-    // every join key is user_id, so the whole chain co-partitions on one
-    // key. ts is int64 nanos in-session (nanosAsLong), so the window is a
-    // plain long literal
+    // behavioral conversion funnel (r7, single-scan since r8): users
+    // reaching view -> click -> purchase in strict timestamp order, each
+    // step within a 24 h conversion window of the previous step's first
+    // event. ONE events scan: running per-user window mins carry the
+    // first-view / first-qualifying-click times to each later row (the
+    // running min over preceding rows equals the per-user global min
+    // whenever a qualifying earlier event exists — see the strict < guards),
+    // then one user-keyed aggregate derives all three stage times. The
+    // old form joined three filtered scans of events; at corpus scale the
+    // redundant scans dominate. ts is int64 nanos in-session (nanosAsLong),
+    // so the window is a plain long literal.
     "q15_event_funnel" -> ((s, d) => {
       val dayNs = 86400000000000L
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
       val ev = t(s, d, "events").select(col("user_id"), col("event_type"), col("ts"))
-      val v = ev.filter(col("event_type") === "view")
-        .groupBy(col("user_id")).agg(min(col("ts")).as("tv"))
-      val c = ev.filter(col("event_type") === "click").join(v, "user_id")
-        .filter(col("ts") > col("tv") && col("ts") < col("tv") + lit(dayNs))
-        .groupBy(col("user_id")).agg(min(col("ts")).as("tc"))
-      val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
-        .filter(col("ts") > col("tc") && col("ts") < col("tc") + lit(dayNs))
-        .groupBy(col("user_id")).agg(min(col("ts")).as("tp"))
-      v.agg(count(lit(1)).as("users")).withColumn("stage", lit("view"))
-        .unionByName(c.agg(count(lit(1)).as("users"))
-          .withColumn("stage", lit("view_click")))
-        .unionByName(p.agg(count(lit(1)).as("users"))
-          .withColumn("stage", lit("view_click_purchase")))
-        .select(col("stage"), col("users"))
+      val staged = ev
+        .withColumn("tv_run", min(when(col("event_type") === "view", col("ts"))).over(w))
+        .withColumn("qual_click",
+          when(col("event_type") === "click" && col("tv_run") < col("ts") &&
+            col("ts") < col("tv_run") + lit(dayNs), col("ts")))
+        .withColumn("tc_run", min(col("qual_click")).over(w))
+      val perUser = staged.groupBy(col("user_id")).agg(
+        min(when(col("event_type") === "view", col("ts"))).as("tv"),
+        min(col("qual_click")).as("tc"),
+        min(when(col("event_type") === "purchase" && col("tc_run") < col("ts") &&
+          col("ts") < col("tc_run") + lit(dayNs), col("ts"))).as("tp"))
+      perUser.agg(count(col("tv")).as("v"), count(col("tc")).as("c"),
+          count(col("tp")).as("p"))
+        .select(expr(
+          "stack(3, 'view', v, 'view_click', c, 'view_click_purchase', p) AS (stage, users)"))
         .orderBy(col("stage"))
     }),
 

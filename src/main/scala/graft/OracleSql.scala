@@ -906,10 +906,13 @@ object OracleSql {
               sum(CASE WHEN ia > 0 THEN ia ELSE 0.0 END) AS isum
             FROM p GROUP BY s_suppkey)
       SELECT s_suppkey, n_hits, round(isum, 4) AS inter_area,
-             -- + 0.0 normalizes the -0.0 that a fully-covered square's
-             -- ulp-negative residual rounds to
+             -- + 0.0 normalizes the -0.0 that an ulp-negative residual
+             -- rounds to
              round((2.0 * h) * (2.0 * h) - isum, 4) + 0.0 AS diff_area
-      FROM a ORDER BY s_suppkey""",
+      FROM a
+      -- geopandas overlay(difference) drops fully-erased rows (r8 default)
+      WHERE round((2.0 * h) * (2.0 * h) - isum, 4) > 0.0
+      ORDER BY s_suppkey""",
 
     "g29_negative_buffer" -> """
       WITH p AS (SELECT s_suppkey, ((s_suppkey % 10) + 1)::DOUBLE AS h FROM supplier)

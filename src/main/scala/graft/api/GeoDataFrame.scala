@@ -432,6 +432,15 @@ final case class GeoDataFrame(
     *    both inputs (never the former two eager per-side scans).
     *  - `"auto"`: grid when both sides have >broadcastThreshold rows hint,
     *    else broadcast.
+    *
+    * `oversized` (grid-with-cellSize only) controls rows whose envelope
+    * spans more grid cells than the per-row explode budget (2^22):
+    *  - `"fail"` (default): abort with guidance — scan-free and exact.
+    *  - `"sentinel"`: route such rows through dedicated sentinel buckets —
+    *    an outlier-huge geometry (a whole-domain polygon among points)
+    *    meets every opposite row at its honest candidate cost instead of
+    *    exploding or failing the job. Costs one extra cell per row on both
+    *    sides, which is why it is opt-in.
     */
   def sjoin(
       right: GeoDataFrame,
@@ -440,9 +449,12 @@ final case class GeoDataFrame(
       gridLevel: Int = 6,
       cellSize: Option[Double] = None,
       rsuffix: String = "_right",
-      distance: Double = 0.0): DataFrame = {
+      distance: Double = 0.0,
+      oversized: String = "fail"): DataFrame = {
     require(Set("auto", "broadcast", "grid").contains(strategy),
       s"unknown sjoin strategy '$strategy' (auto | broadcast | grid)")
+    require(Set("fail", "sentinel").contains(oversized),
+      s"unknown oversized policy '$oversized' (fail | sentinel)")
 
     val leftDf = df
     // disambiguate column names like geopandas' suffixing
@@ -474,6 +486,16 @@ final case class GeoDataFrame(
           pred(leftDf(geometryColumn), rightRenamed(rGeomName)), "inner")
       case _ =>
         val (cellsL, cellsR, anchor) = cellSize match {
+          case Some(s) if oversized == "sentinel" =>
+            // sentinel fallback: outlier-huge rows emit a sentinel bucket
+            // instead of an unbounded cell explode; pairs meeting in a
+            // sentinel bucket are emitted unconditionally (exactly-once by
+            // bucket construction — see GridIndex sentinel docs)
+            val pad = if (predicate == "dwithin") distance else 0.0
+            (st_gridCellsSizedSentinel(leftDf(geometryColumn), lit(s), lit(pad), lit(true)),
+              st_gridCellsSizedSentinel(rightRenamed(rGeomName), lit(s), lit(0.0), lit(false)),
+              st_gridCellAnchorSizedPad(col(geometryColumn), col(rGeomName),
+                lit(s), lit(pad)))
           case Some(s) =>
             // fixed origin-anchored grid: nothing to scan before planning.
             // dwithin pads the LEFT side's cells by the distance — that
@@ -490,6 +512,8 @@ final case class GeoDataFrame(
           case None =>
             require(predicate != "dwithin",
               "grid sjoin with predicate=dwithin needs an explicit cellSize")
+            require(oversized == "fail",
+              "oversized=\"sentinel\" needs an explicit cellSize (fixed grid)")
             val b = gridBoundsFromMetadataOr(right)
             (st_gridCells(leftDf(geometryColumn),
               lit(b.minX), lit(b.minY), lit(b.maxX), lit(b.maxY), lit(gridLevel)),
@@ -500,9 +524,15 @@ final case class GeoDataFrame(
         }
         val l = leftDf.withColumn("_cell", explode(cellsL))
         val r = rightRenamed.withColumn("_cell", explode(cellsR))
+        val emit =
+          if (oversized == "sentinel")
+            anchor === col("_cell") ||
+              col("_cell") === lit(graft.sql.GridIndex.OversizedLeftBucket) ||
+              col("_cell") === lit(graft.sql.GridIndex.OversizedRightBucket)
+          else anchor === col("_cell")
         l.join(r, Seq("_cell"), "inner")
           .filter(pred(col(geometryColumn), col(rGeomName)))
-          .filter(anchor === col("_cell"))
+          .filter(emit)
           .drop("_cell")
     }
   }
@@ -560,10 +590,19 @@ final case class GeoDataFrame(
     *    pairwise intersection, both attribute sets (right suffixed).
     *  - `"difference"`: left rows with geometry minus the union of all
     *    intersecting right geometries (left rows with no intersection pass
-    *    through unchanged), attributes = left's.
+    *    through unchanged), attributes = left's. Rows whose geometry is
+    *    fully erased are DROPPED (geopandas overlay drops empty results);
+    *    pass `dropEmpty = false` to keep them with empty geometries.
     * `union`/`symmetric_difference` compose from these two (intersection
     * rows + each side's difference rows) — deliberately not fused, the
     * composition is three declarative plans Spark unions for free.
+    *
+    * CONTRACT: `leftKey` must be unique per left row (like
+    * [[sjoinNearest]]'s leftKey) — the difference branch unions the
+    * intersecting right geometries per key, so duplicate keys would pool
+    * subtrahends across distinct rows and erase too much. Pass a surrogate
+    * (`monotonically_increasing_id()` column) when no natural unique key
+    * exists.
     *
     * Plan (100 TB): candidates from the grid sjoin (fixed cells, anchor
     * exactly-once); `difference` adds one hash exchange on the left key
@@ -577,7 +616,8 @@ final case class GeoDataFrame(
       how: String = "intersection",
       strategy: String = "auto",
       cellSize: Option[Double] = None,
-      rsuffix: String = "_right"): DataFrame = {
+      rsuffix: String = "_right",
+      dropEmpty: Boolean = true): DataFrame = {
     val rGeomName =
       if (df.columns.contains(right.geometryColumn)) right.geometryColumn + rsuffix
       else right.geometryColumn
@@ -592,11 +632,12 @@ final case class GeoDataFrame(
       case "difference" =>
         val unioned = cands.groupBy(col(leftKey).as("_ok"))
           .agg(st_unionAgg(col(rGeomName)).as("_r"))
-        df.join(unioned, df(leftKey) === col("_ok"), "left")
+        val diffed = df.join(unioned, df(leftKey) === col("_ok"), "left")
           .withColumn(geometryColumn,
             when(col("_r").isNull, df(geometryColumn))
               .otherwise(st_difference(df(geometryColumn), col("_r"))))
           .drop("_ok", "_r")
+        if (dropEmpty) diffed.filter(!st_isEmpty(col(geometryColumn))) else diffed
       case other => throw new IllegalArgumentException(
         s"overlay how=$other (supported: intersection, difference; " +
           "union/symmetric_difference compose from them)")

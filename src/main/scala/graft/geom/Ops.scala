@@ -355,11 +355,18 @@ object Predicates {
 
   // -------------------------------------------------------------- contains
   /** OGC contains: B within A, interiors intersect (boundary-only contact
-    * is NOT containment).
+    * is NOT containment). Multi-part line operands follow the DE-9IM mod-2
+    * boundary rule (a point where two parts chain is interior) and spans
+    * covered by the union of touching line parts are accepted; union
+    * coverage is judged at sampled vertices/midpoints (as in line-covers-
+    * line), not by exact noding — the one remaining approximation.
     */
   def contains(a: Geometry, b: Geometry): Boolean = covers(a, b, strictInterior = true)
 
-  /** OGC covers: every point of B in A (boundary contact allowed). */
+  /** OGC covers: every point of B in A (boundary contact allowed). Same
+    * multi-part line semantics and sampled-union approximation as
+    * [[contains]].
+    */
   def covers(a: Geometry, b: Geometry): Boolean = covers(a, b, strictInterior = false)
 
   def within(a: Geometry, b: Geometry): Boolean = contains(b, a)
@@ -398,17 +405,61 @@ object Predicates {
           !(q.x == l.x(l.size - 1) && q.y == l.y(l.size - 1) && !l.isClosed)
       // multi-part / collection a that `locate` cannot treat as one areal
       // operand: decompose BOTH sides — every part of b covered by some
-      // single part of a. Sufficient, not complete: a span of b covered
-      // only by the UNION of touching line parts of a (no single part
-      // covers it alone) reports false; exact union topology needs noding.
+      // single part of a, OR (line parts) by the UNION of a's line parts:
+      // sampled vertices+midpoints of b may each lie on a DIFFERENT part,
+      // which accepts spans covered only by touching/chained parts, and a
+      // point at a part-chaining endpoint counts as interior per the
+      // DE-9IM mod-2 boundary rule (odd endpoint multiplicity = boundary),
+      // consistent with lineVertexInteriorContact. Remaining approximation
+      // (documented on the public predicates): union coverage is judged at
+      // sampled vertices/midpoints, as in single-part line-covers-line —
+      // exact union topology needs noding.
       // MultiPolygon stays on the areal branch below (locate handles it).
       case _ if (a match {
         case _: MultiPoint | _: MultiLineString | _: GeometryCollection => true
         case _ => false
       }) =>
         val partsA = Geometry.parts(a).filterNot(_.isEmpty)
+        lazy val linePaths = partsA.collect { case l: LineString if l.size > 1 => l.xy }
+        // mod-2 boundary of a's line parts: endpoints occurring an odd
+        // number of times; a chaining vertex (even count) is interior
+        lazy val oddEndpoints: Set[(Double, Double)] = {
+          val counts = scala.collection.mutable.Map.empty[(Double, Double), Int]
+          partsA.foreach {
+            case l: LineString if !l.isClosed && l.size > 0 =>
+              Seq((l.x(0), l.y(0)), (l.x(l.size - 1), l.y(l.size - 1)))
+                .foreach(p => counts(p) = counts.getOrElse(p, 0) + 1)
+            case _ =>
+          }
+          counts.filter(_._2 % 2 == 1).keySet.toSet
+        }
+        def onUnion(x: Double, y: Double): Boolean =
+          linePaths.exists(p => pointOnPath(x, y, p))
+        def unionCovers(pb: Geometry): Boolean = pb match {
+          case q: Point =>
+            onUnion(q.x, q.y) && (!strictInterior || !oddEndpoints((q.x, q.y)))
+          case l2: LineString if linePaths.nonEmpty =>
+            // every vertex and segment midpoint of b on SOME line part of a;
+            // a 1-dim covered span guarantees interior-interior contact, so
+            // strictInterior needs no extra check here
+            var i = 0
+            var ok = true
+            val path = l2.xy
+            while (ok && i + 1 < path.length) {
+              if (!onUnion(path(i), path(i + 1))) ok = false
+              else if (i + 3 < path.length) {
+                val mx = (path(i) + path(i + 2)) / 2
+                val my = (path(i + 1) + path(i + 3)) / 2
+                if (!onUnion(mx, my)) ok = false
+              }
+              i += 2
+            }
+            ok
+          case _ => false
+        }
         partsA.nonEmpty &&
-          Geometry.parts(b).forall(pb => partsA.exists(pa => covers(pa, pb, strictInterior)))
+          Geometry.parts(b).forall(pb =>
+            partsA.exists(pa => covers(pa, pb, strictInterior)) || unionCovers(pb))
       case (_, _) if a.topoDim == 2 =>
         // every part of b must be covered by the areal geometry a
         val ok = Geometry.parts(b).forall {

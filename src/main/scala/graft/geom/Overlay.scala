@@ -64,10 +64,15 @@ object Overlay {
         Geometry.collect(ml.lines.toIndexedSeq.map(l => clipLineToArea(l, a)))
       case _ if a.topoDim == 2 && b.topoDim == 2 => areaIntersection(a, b)
       case _ if a.topoDim == 1 && b.topoDim == 1 =>
-        // curve x curve (any multiplicity): pairwise crossings (dim 0) +
-        // collinear overlap spans (dim 1)
+        // curve x curve (any multiplicity): crossings (dim 0) + collinear
+        // overlap spans (dim 1). Each a part is intersected against ALL b
+        // paths at once: spansByOverlap's per-segment interval merge dedups
+        // collinear spans contributed by different b parts over the same
+        // stretch of a — pairwise concatenation would emit overlapping
+        // duplicate spans and inflate downstream length measures.
         val la = lineParts(a); val lb = lineParts(b)
-        val all = (for (x <- la; y <- lb) yield lineLineIntersection(x, y))
+        val bPaths = lb.map(_.xy)
+        val all = la.map(x => lineLineIntersection(x, bPaths))
           .filterNot(_.isEmpty)
         if (all.isEmpty) GeometryCollection(Array.empty)
         else if (all.forall(_.topoDim == 0)) unionPoints(all)
@@ -437,21 +442,25 @@ object Overlay {
     else MultiLineString(kept.toArray)
   }
 
-  private def lineLineIntersection(a: LineString, b: LineString): Geometry = {
-    // dim-1 component: collinear overlapping spans
-    val spans = spansByOverlap(a, Seq(b.xy), keepInside = true)
+  private def lineLineIntersection(a: LineString, bPaths: Seq[Array[Double]]): Geometry = {
+    // dim-1 component: collinear overlapping spans against ALL b paths at
+    // once — the per-segment interval merge dedups spans contributed by
+    // different b parts over the same stretch of a
+    val spans = spansByOverlap(a, bPaths, keepInside = true)
     // dim-0 component: proper/endpoint crossings not inside a span
     val pts = ArrayBuffer[(Double, Double)]()
     var i = 0
     while (i + 3 < a.xy.length) {
-      var j = 0
-      while (j + 3 < b.xy.length) {
-        segParamIntersection(a.xy(i), a.xy(i + 1), a.xy(i + 2), a.xy(i + 3),
-          b.xy(j), b.xy(j + 1), b.xy(j + 2), b.xy(j + 3)).foreach { t =>
-          pts += ((a.xy(i) + t * (a.xy(i + 2) - a.xy(i)),
-            a.xy(i + 1) + t * (a.xy(i + 3) - a.xy(i + 1))))
+      bPaths.foreach { bxy =>
+        var j = 0
+        while (j + 3 < bxy.length) {
+          segParamIntersection(a.xy(i), a.xy(i + 1), a.xy(i + 2), a.xy(i + 3),
+            bxy(j), bxy(j + 1), bxy(j + 2), bxy(j + 3)).foreach { t =>
+            pts += ((a.xy(i) + t * (a.xy(i + 2) - a.xy(i)),
+              a.xy(i + 1) + t * (a.xy(i + 3) - a.xy(i + 1))))
+          }
+          j += 2
         }
-        j += 2
       }
       i += 2
     }

@@ -293,6 +293,12 @@ object GraftDefs {
     "st_gridcell_anchor_sized_pad" -> Spec(Seq(B, B, D, D), L, { a =>
       val e = env(a(0)).expand(dbl(a(3))).intersection(env(a(1)))
       GridIndex.anchorCellSized(e, dbl(a(2)))
+    }),
+    // sentinel fallback for outlier-huge rows (sjoin oversized="sentinel"):
+    // args = (geomWkb, cellSize, pad, isLeftSide)
+    "st_gridcells_sized_sentinel" -> Spec(Seq(B, D, D, BO), ArrayType(L), { a =>
+      GridIndex.cellsOfSizedSentinel(env(a(0)), dbl(a(1)), dbl(a(2)),
+        a(3).asInstanceOf[Boolean])
     })
   )
 
@@ -672,7 +678,55 @@ object GridIndex {
   private val MaxCellsPerRow = 1 << 22
   @inline private def checkCellCount(nx: Long, ny: Long, hint: String): Unit =
     if (nx * ny > MaxCellsPerRow) throw new IllegalArgumentException(
-      s"geometry envelope spans $nx x $ny grid cells (> $MaxCellsPerRow); $hint")
+      s"geometry envelope spans $nx x $ny grid cells (> $MaxCellsPerRow); $hint " +
+        "(or route outlier-huge rows through sjoin(oversized = \"sentinel\"))")
+
+  // Sentinel bucket ids for the opt-in oversized-row fallback
+  // (sjoin oversized="sentinel"): a row whose envelope would explode past
+  // MaxCellsPerRow emits a sentinel instead of its cells, and every
+  // opposite-side row carries the matching sentinel — the oversized row
+  // then meets every opposite row at o x |other| candidate cost (its
+  // honest candidate set; it really does overlap everything) without an
+  // unbounded explode or a failed job. Exactly-once: left normal = real
+  // cells + {OversizedRight}, left oversized = {OversizedLeft,
+  // OversizedRight}, right normal = real cells + {OversizedLeft}, right
+  // oversized = {OversizedRight} — each (l,r) pair class meets in exactly
+  // one bucket (real-cell pairs dedup by anchor as usual). Ids sit at the
+  // bottom of the long range; packCell only produces them for coordinates
+  // ~2^31 cells from the origin.
+  val OversizedLeftBucket: Long = Long.MinValue + 1
+  val OversizedRightBucket: Long = Long.MinValue + 2
+
+  /** Sized-grid cells with the sentinel fallback (see above). `pad`
+    * expands the envelope first (the dwithin left-side padding).
+    */
+  def cellsOfSizedSentinel(e0: Envelope, cellSize: Double, pad: Double,
+      leftSide: Boolean): GenericArrayData = {
+    if (e0.isEmpty || cellSize <= 0) return new GenericArrayData(Array.empty[Any])
+    val e = if (pad > 0) e0.expand(pad) else e0
+    val x0 = math.floor(e.minX / cellSize).toLong
+    val x1 = math.floor(e.maxX / cellSize).toLong
+    val y0 = math.floor(e.minY / cellSize).toLong
+    val y1 = math.floor(e.maxY / cellSize).toLong
+    if ((x1 - x0 + 1) * (y1 - y0 + 1) > MaxCellsPerRow) {
+      if (leftSide)
+        new GenericArrayData(Array[Any](OversizedLeftBucket, OversizedRightBucket))
+      else
+        new GenericArrayData(Array[Any](OversizedRightBucket))
+    } else {
+      val n = ((x1 - x0 + 1) * (y1 - y0 + 1)).toInt
+      val out = new Array[Any](n + 1)
+      var i = 0
+      var x = x0
+      while (x <= x1) {
+        var y = y0
+        while (y <= y1) { out(i) = packCell(x, y); i += 1; y += 1 }
+        x += 1
+      }
+      out(n) = if (leftSide) OversizedRightBucket else OversizedLeftBucket
+      new GenericArrayData(out)
+    }
+  }
 
   def cellsOf(e: Envelope, minX: Double, minY: Double, maxX: Double, maxY: Double,
       level: Int): GenericArrayData = {

@@ -145,6 +145,9 @@ object functions {
     fn("st_gridcells_sized_pad", g, cellSize, pad)
   def st_gridCellAnchorSizedPad(a: Column, b: Column, cellSize: Column, pad: Column): Column =
     fn("st_gridcell_anchor_sized_pad", a, b, cellSize, pad)
+  def st_gridCellsSizedSentinel(g: Column, cellSize: Column, pad: Column,
+      leftSide: Column): Column =
+    fn("st_gridcells_sized_sentinel", g, cellSize, pad, leftSide)
 
   // ------------------------------------------------------------- aggregates
   def st_unionAgg(g: Column): Column = agg(StUnionAgg(expr(g)))

@@ -192,6 +192,53 @@ class GeoDataFrameSpec extends AnyFunSuite {
     // A minus BOTH strips (a 2-part multipolygon subtrahend) leaves the
     // middle band [4,6]x[0,10] = 20; B passes through untouched (area 100)
     assert(diff == Seq((1L, 20.0), (2L, 100.0)), diff.toString)
+    // fully-erased rows: dropped by default (geopandas), kept on request
+    val wide = GeoDataFrame(Seq((9L, -60.0, -60.0, 200.0, 70.0))
+      .toDF("rid", "x0", "y0", "x1", "y1")
+      .withColumn("geometry", st_makeEnvelope($"x0", $"y0", $"x1", $"y1"))
+      .select($"rid", $"geometry"))
+    val erased = left.overlay(wide, leftKey = "lid", how = "difference",
+      strategy = "grid", cellSize = Some(200.0))
+    assert(erased.select($"lid").as[Long].collect().isEmpty)
+    val kept = left.overlay(wide, leftKey = "lid", how = "difference",
+      strategy = "grid", cellSize = Some(200.0), dropEmpty = false)
+    assert(kept.select($"lid").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("grid sjoin oversized=sentinel routes whole-domain rows instead of failing") {
+    // one polygon spanning ~3000x3000 cells (> the 2^22 per-row explode
+    // budget) among small ones; points on the left
+    val pts = GeoDataFrame(Seq((1L, 5.0, 5.0), (2L, 2500.0, 2500.0), (3L, -100.0, -100.0))
+      .toDF("pid", "px", "py").withColumn("geometry", st_point($"px", $"py"))
+      .select($"pid", $"geometry"))
+    val polys = GeoDataFrame(Seq(
+      (10L, 0.0, 0.0, 3000.0, 3000.0),  // whole-domain outlier
+      (20L, 4.0, 4.0, 6.0, 6.0)         // normal
+    ).toDF("rid", "x0", "y0", "x1", "y1")
+      .withColumn("geometry", st_makeEnvelope($"x0", $"y0", $"x1", $"y1"))
+      .select($"rid", $"geometry"))
+    // default fail policy aborts with guidance
+    val ex = intercept[Exception] {
+      pts.sjoin(polys, predicate = "intersects", strategy = "grid",
+        cellSize = Some(1.0)).count()
+    }
+    assert(ex.getMessage != null)
+    // sentinel policy completes and matches the broadcast ground truth
+    val got = pts.sjoin(polys, predicate = "intersects", strategy = "grid",
+        cellSize = Some(1.0), oversized = "sentinel")
+      .select($"pid", $"rid").as[(Long, Long)].collect().sorted.toSeq
+    val want = pts.sjoin(polys, predicate = "intersects", strategy = "broadcast")
+      .select($"pid", $"rid").as[(Long, Long)].collect().sorted.toSeq
+    assert(got == want, s"got $got want $want")
+    // exactly-once: no pair emitted twice
+    assert(got.distinct == got)
+    // oversized LEFT rows too (polygon on the left, dwithin padding path)
+    val got2 = polys.sjoin(pts, predicate = "intersects", strategy = "grid",
+        cellSize = Some(1.0), oversized = "sentinel")
+      .select($"rid", $"pid").as[(Long, Long)].collect().sorted.toSeq
+    val want2 = polys.sjoin(pts, predicate = "intersects", strategy = "broadcast")
+      .select($"rid", $"pid").as[(Long, Long)].collect().sorted.toSeq
+    assert(got2 == want2, s"got $got2 want $want2")
   }
 
   test("clip to mask") {

@@ -147,6 +147,38 @@ class GeomKernelSpec extends AnyFunSuite {
     assert(Predicates.covers(a, Point(0, 0)))
   }
 
+  test("multi-part line covers/contains: mod-2 chaining rule and union spans") {
+    // two parts chained at (2,0): the chain point is INTERIOR by the DE-9IM
+    // mod-2 boundary rule (even endpoint multiplicity), so contains holds
+    val chained = Wkt.read("MULTILINESTRING ((0 0, 2 0), (2 0, 4 0))")
+    assert(Predicates.covers(chained, Point(2, 0)))
+    assert(Predicates.contains(chained, Point(2, 0)))
+    // true endpoints stay boundary: covered but not contained
+    assert(Predicates.covers(chained, Point(0, 0)))
+    assert(!Predicates.contains(chained, Point(0, 0)))
+    // a span covered only by the UNION of the touching parts (no single
+    // part covers it alone)
+    val span = Wkt.read("LINESTRING (1 0, 3 0)")
+    assert(Predicates.covers(chained, span))
+    assert(Predicates.contains(chained, span))
+    // and a span escaping the union is rejected
+    assert(!Predicates.covers(chained, Wkt.read("LINESTRING (3 0, 5 0)")))
+    // gap between parts: midpoint of the covering sample is off both parts
+    val gapped = Wkt.read("MULTILINESTRING ((0 0, 1.5 0), (2.5 0, 4 0))")
+    assert(!Predicates.covers(gapped, Wkt.read("LINESTRING (1 0, 3 0)")))
+  }
+
+  test("curve x curve intersection: collinear spans from multiple parts are noded") {
+    // two b parts overlap the SAME stretch of a: the result must not
+    // contain duplicate spans (length would inflate)
+    val a = Wkt.read("LINESTRING (0 0, 10 0)")
+    val b = Wkt.read("MULTILINESTRING ((1 0, 6 0), (3 0, 8 0))")
+    val got = Overlay.intersection(a, b)
+    // union of [1,6] and [3,8] = [1,8]: total length exactly 7
+    val len = Measures.length(got)
+    assert(math.abs(len - 7.0) < 1e-9, s"length $len != 7 (duplicate spans?)")
+  }
+
   test("distance") {
     assert(Measures.distance(Point(0, 0), Point(3, 4)) == 5.0)
     assert(Measures.distance(Point(5, 5), sq) == math.sqrt(18))

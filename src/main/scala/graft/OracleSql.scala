@@ -914,6 +914,11 @@ object OracleSql {
       WHERE round((2.0 * h) * (2.0 * h) - isum, 4) > 0.0
       ORDER BY s_suppkey""",
 
+    "g43_shapefile" -> """
+      SELECT s_suppkey, s_name, s_acctbal AS x,
+             (s_suppkey % 100)::DOUBLE * 10.0 AS y
+      FROM supplier ORDER BY s_suppkey""",
+
     "g29_negative_buffer" -> """
       WITH p AS (SELECT s_suppkey, ((s_suppkey % 10) + 1)::DOUBLE AS h FROM supplier)
       SELECT s_suppkey,

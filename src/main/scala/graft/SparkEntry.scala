@@ -92,6 +92,29 @@ object SparkEntry {
     }
   }
 
+  // g43's shapefile is a fixture like q14's bucketed tables: written once
+  // per (session, sf-dir), so the bench times the chunked distributed READ
+  // (the operator under test), not the fixture write.
+  private val g43Done =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, String]())
+  private def ensureG43Shapefile(s: SparkSession, d: String): String = g43Done.synchronized {
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val loc = s"/tmp/graft_g43_$tag"
+    val p = new org.apache.hadoop.fs.Path(loc)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (g43Done.get(s) != d || !fs.exists(p)) {
+      graft.io.ShapefileIO.write(
+        supplierPts(s, d)
+          .withColumn("geometry", st_point(col("x0"), col("y0")))
+          .select(col("s_suppkey"), col("s_name"), col("geometry"))
+          .repartition(2),
+        loc)
+      g43Done.put(s, d)
+    }
+    loc
+  }
+
   // region triangles via collect + convex hull (CCW shells)
   private def regionTris(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "region")
@@ -859,6 +882,18 @@ object SparkEntry {
           coalesce(col("n_hits"), lit(0L)).as("n_hits"),
           coalesce(col("inter_area"), lit(0.0)).as("inter_area"),
           col("diff_area"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // pure-JVM shapefile roundtrip (reference read_file, io/file.py:49-149):
+    // fixture write of supplier points to part-N.{shp,shx,dbf}, then the
+    // chunked distributed read (record-range tasks seeking via .shx) —
+    // geometry coordinates and N/C attributes must roundtrip exactly
+    "g43_shapefile" -> ((s, d) => {
+      val loc = ensureG43Shapefile(s, d)
+      graft.io.ShapefileIO.read(s, loc, chunkSize = 32)
+        .select(col("s_suppkey"), col("s_name"),
+          st_x(col("geometry")).as("x"), st_y(col("geometry")).as("y"))
         .orderBy(col("s_suppkey"))
     }),
 

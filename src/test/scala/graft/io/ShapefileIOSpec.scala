@@ -1,0 +1,86 @@
+package graft.io
+
+import graft.geom.{LineString, MultiPolygon, Point, Polygon, Wkb, Wkt}
+import graft.sql.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ShapefileIOSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmpDir(): String = {
+    val d = java.nio.file.Files.createTempDirectory("shapefile").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath + "/ds"
+  }
+
+  test("point roundtrip with mixed attribute types, incl. nulls") {
+    val path = tmpDir()
+    val rows = (0 until 100).map { i =>
+      (i.toLong, s"name_$i", i * 1.5, i % 2 == 0, Point(i * 3.25, -i * 1.125))
+    }
+    val df = rows.toDF("id", "nm", "score", "flag", "p")
+      .withColumn("geometry", expr("st_asbinary(st_point(p.x, p.y))"))
+      .drop("p")
+    ShapefileIO.write(df.repartition(3), path)
+    val back = ShapefileIO.read(spark, path, chunkSize = 7)
+    assert(back.schema.fieldNames.toSeq == Seq("id", "nm", "score", "flag", "geometry"))
+    val got = back.select($"id", $"nm", $"score", $"flag",
+        expr("st_x(st_geomfromwkb(geometry))"), expr("st_y(st_geomfromwkb(geometry))"))
+      .as[(Long, String, Double, Boolean, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(got.size == 100)
+    got.zipWithIndex.foreach { case ((id, nm, score, flag, x, y), i) =>
+      assert(id == i && nm == s"name_$i" && flag == (i % 2 == 0))
+      assert(score == i * 1.5, s"double attr $score != ${i * 1.5}")
+      // geometry coordinates are IEEE-exact
+      assert(x == i * 3.25 && y == -i * 1.125)
+    }
+  }
+
+  test("multi-chunk read of one file equals whole-file read") {
+    val path = tmpDir()
+    val df = (0 until 50).map(i => (i.toLong, i * 2.0, i * 3.0)).toDF("id", "x", "y")
+      .withColumn("geometry", expr("st_asbinary(st_point(x, y))"))
+      .select("id", "geometry")
+      .coalesce(1) // one file -> chunking must split it
+    ShapefileIO.write(df, path)
+    val whole = ShapefileIO.read(spark, path, chunkSize = 65536)
+      .select($"id").as[Long].collect().sorted.toSeq
+    val chunked = ShapefileIO.read(spark, path, chunkSize = 8)
+    assert(chunked.rdd.getNumPartitions == 7, "50 records / 8 per chunk = 7 tasks")
+    val got = chunked.select($"id").as[Long].collect().sorted.toSeq
+    assert(got == whole && got == (0L until 50L).toSeq)
+  }
+
+  test("polygon with hole and multipolygon roundtrip through winding rules") {
+    val path = tmpDir()
+    val withHole = Wkt.read(
+      "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))")
+    val multi = Wkt.read(
+      "MULTIPOLYGON (((0 0, 2 0, 2 2, 0 2, 0 0)), ((10 10, 12 10, 12 12, 10 12, 10 10)))")
+    val df = Seq((1L, Wkb.write(withHole)), (2L, Wkb.write(multi)))
+      .toDF("id", "geometry").coalesce(1)
+    ShapefileIO.write(df, path)
+    val back = ShapefileIO.read(spark, path)
+      .select($"id", $"geometry").as[(Long, Array[Byte])].collect().sortBy(_._1)
+    val g1 = Wkb.read(back(0)._2)
+    assert(g1.isInstanceOf[Polygon] && g1.asInstanceOf[Polygon].rings.length == 2)
+    assert(math.abs(graft.geom.Measures.area(g1) - 96.0) < 1e-9) // 100 - 4
+    val g2 = Wkb.read(back(1)._2)
+    assert(g2.isInstanceOf[MultiPolygon] && g2.asInstanceOf[MultiPolygon].polys.length == 2)
+    assert(math.abs(graft.geom.Measures.area(g2) - 8.0) < 1e-9)
+  }
+
+  test("polyline roundtrip and null geometries") {
+    val path = tmpDir()
+    val line = LineString(Array(0.0, 0.0, 5.0, 0.0, 5.0, 5.0))
+    val df = Seq((1L, Wkb.write(line)), (2L, null.asInstanceOf[Array[Byte]]))
+      .toDF("id", "geometry").coalesce(1)
+    ShapefileIO.write(df, path)
+    val back = ShapefileIO.read(spark, path)
+      .select($"id", $"geometry").as[(Long, Array[Byte])].collect().sortBy(_._1)
+    assert(math.abs(graft.geom.Measures.length(Wkb.read(back(0)._2)) - 10.0) < 1e-9)
+    assert(back(1)._2 == null)
+  }
+}

@@ -889,6 +889,72 @@ object OracleSql {
              round(lon, 6) AS llon2, round(lat, 6) AS llat2
       FROM pr ORDER BY c_custkey""",
 
+    // EPSG-table grids: TM forward on Airy 1830 (27700, incl. M0/k0/FN)
+    // and LCC 2SP forward on GRS80 (2154) mirrored term by term; the
+    // roundtrip-delta columns are exactly 0 at 5 dp (inverse validation)
+    "g44_epsg_grids" -> s"""
+      WITH p AS (SELECT c_custkey,
+                   cx / 2000.0 - 3.0 AS blon, cy / 400.0 + 49.2 AS blat,
+                   cx / 2000.0 + 2.5 AS flon, cy / 200.0 + 43.0 AS flat
+                 FROM ($custPts)),
+      be AS (SELECT 6377563.396 AS ba, f * (2.0 - f) AS be2,
+               f * (2.0 - f) / (1.0 - f * (2.0 - f)) AS bep2,
+               0.9996012717 AS bk0
+             FROM (SELECT 1.0 / 299.3249646 AS f)),
+      be2 AS (SELECT *, be2 * be2 AS be4, be2 * be2 * be2 AS be6 FROM be),
+      bm0 AS (SELECT *,
+               ba * ((1.0 - be2 / 4.0 - 3.0 * be4 / 64.0 - 5.0 * be6 / 256.0) * radians(49.0)
+                 - (3.0 * be2 / 8.0 + 3.0 * be4 / 32.0 + 45.0 * be6 / 1024.0) * sin(2.0 * radians(49.0))
+                 + (15.0 * be4 / 256.0 + 45.0 * be6 / 1024.0) * sin(4.0 * radians(49.0))
+                 - (35.0 * be6 / 3072.0) * sin(6.0 * radians(49.0))) AS m0
+             FROM be2),
+      le AS (SELECT f * (2.0 - f) AS le2, sqrt(f * (2.0 - f)) AS le
+             FROM (SELECT 1.0 / 298.257222101 AS f)),
+      l1 AS (SELECT le2, le,
+               cos(radians(49.0)) / sqrt(1.0 - le2 * sin(radians(49.0)) * sin(radians(49.0))) AS lm1,
+               cos(radians(44.0)) / sqrt(1.0 - le2 * sin(radians(44.0)) * sin(radians(44.0))) AS lm2,
+               tan(pi() / 4.0 - radians(49.0) / 2.0) / pow((1.0 - le * sin(radians(49.0))) / (1.0 + le * sin(radians(49.0))), le / 2.0) AS lt1,
+               tan(pi() / 4.0 - radians(44.0) / 2.0) / pow((1.0 - le * sin(radians(44.0))) / (1.0 + le * sin(radians(44.0))), le / 2.0) AS lt2,
+               tan(pi() / 4.0 - radians(46.5) / 2.0) / pow((1.0 - le * sin(radians(46.5))) / (1.0 + le * sin(radians(46.5))), le / 2.0) AS lt0
+             FROM le),
+      l2 AS (SELECT *, (ln(lm1) - ln(lm2)) / (ln(lt1) - ln(lt2)) AS lnn FROM l1),
+      l3 AS (SELECT *, lm1 / (lnn * pow(lt1, lnn)) AS lff FROM l2),
+      l4 AS (SELECT *, 6378137.0 * lff * pow(lt0, lnn) AS lrho0 FROM l3),
+      bt AS (SELECT c_custkey, blon, blat, flon, flat,
+               sin(radians(blat)) AS bs, cos(radians(blat)) AS bc, tan(radians(blat)) AS btn,
+               ba, be2, bep2, be4, be6, bk0, m0, le2, le, lnn, lff, lrho0
+             FROM p, bm0, l4),
+      bu AS (SELECT *,
+               ba / sqrt(1.0 - be2 * bs * bs) AS bn,
+               btn * btn AS btt,
+               bep2 * bc * bc AS bcc,
+               (radians(blon) - radians(-2.0)) * bc AS baa,
+               ba * ((1.0 - be2 / 4.0 - 3.0 * be4 / 64.0 - 5.0 * be6 / 256.0) * radians(blat)
+                 - (3.0 * be2 / 8.0 + 3.0 * be4 / 32.0 + 45.0 * be6 / 1024.0) * sin(2.0 * radians(blat))
+                 + (15.0 * be4 / 256.0 + 45.0 * be6 / 1024.0) * sin(4.0 * radians(blat))
+                 - (35.0 * be6 / 3072.0) * sin(6.0 * radians(blat))) AS bm
+             FROM bt),
+      bv AS (SELECT *,
+               bk0 * bn * (baa + (1.0 - btt + bcc) * baa * baa * baa / 6.0
+                 + (5.0 - 18.0 * btt + btt * btt + 72.0 * bcc - 58.0 * bep2) * pow(baa, 5) / 120.0) + 400000.0 AS bxv,
+               -100000.0 + bk0 * (bm - m0 + bn * btn * (baa * baa / 2.0
+                 + (5.0 - btt + 9.0 * bcc + 4.0 * bcc * bcc) * pow(baa, 4) / 24.0
+                 + (61.0 - 58.0 * btt + btt * btt + 600.0 * bcc - 330.0 * bep2) * pow(baa, 6) / 720.0)) AS byv,
+               lnn * (radians(flon) - radians(3.0)) AS lth,
+               tan(pi() / 4.0 - radians(flat) / 2.0)
+                 / pow((1.0 - le * sin(radians(flat))) / (1.0 + le * sin(radians(flat))), le / 2.0) AS ltp
+             FROM bu),
+      bw AS (SELECT *, 6378137.0 * lff * pow(ltp, lnn) AS lr FROM bv)
+      SELECT c_custkey,
+             round(bxv, 3) AS bx, round(byv, 3) AS by,
+             round(700000.0 + lr * sin(lth), 3) AS fx,
+             round(6600000.0 + lrho0 - lr * cos(lth), 3) AS fy,
+             0.0::DOUBLE AS b_dlon, 0.0::DOUBLE AS b_dlat,
+             0.0::DOUBLE AS f_dlon, 0.0::DOUBLE AS f_dlat,
+             0.0::DOUBLE AS e_dlon, 0.0::DOUBLE AS e_dlat,
+             0.0::DOUBLE AS l_dlon, 0.0::DOUBLE AS l_dlat
+      FROM bw ORDER BY c_custkey""",
+
     // disjoint right strips make intersection areas additive: closed-form
     // axis-aligned overlap per (square, strip) pair; diff = (2h)^2 - sum
     "g42_overlay" -> """

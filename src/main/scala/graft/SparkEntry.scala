@@ -852,6 +852,43 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     }),
 
+    // EPSG-parameter-table to_crs (r8): national grids driven by registry
+    // rows instead of hard-coded constants — British National Grid (27700,
+    // TM on Airy 1830 incl. lat0/k0/FN), Lambert-93 (2154, LCC 2SP), ETRS
+    // UTM 32N (25832) and LAEA Europe (3035). Forward math for 27700/2154
+    // is term-mirrored by the oracle; every code's inverse is validated by
+    // the roundtrip-delta columns (rounded to 5 dp -> exactly 0).
+    "g44_epsg_grids" -> ((s, d) => {
+      val base = customerPts(s, d)
+      def crsPts(lonExpr: org.apache.spark.sql.Column, latExpr: org.apache.spark.sql.Column) =
+        base.withColumn("lon", lonExpr).withColumn("lat", latExpr)
+          .withColumn("geometry", st_point(col("lon"), col("lat")))
+      def deltas(df: DataFrame, code: String, pfx: String) = {
+        val fwd = GeoDataFrame(df).setCrs("EPSG:4326").toCrs(code)
+        val back = fwd.toCrs("EPSG:4326")
+        (fwd.df, back.df.select(col("c_custkey"),
+          round(abs(st_x(col("geometry")) - col("lon")), 5).as(s"${pfx}_dlon"),
+          round(abs(st_y(col("geometry")) - col("lat")), 5).as(s"${pfx}_dlat")))
+      }
+      val (bngF, bngD) = deltas(
+        crsPts(col("cx") / 2000.0 - 3.0, col("cy") / 400.0 + 49.2), "EPSG:27700", "b")
+      val (l93F, l93D) = deltas(
+        crsPts(col("cx") / 2000.0 + 2.5, col("cy") / 200.0 + 43.0), "EPSG:2154", "f")
+      val (_, etrsD) = deltas(
+        crsPts(col("cx") / 2000.0 + 8.0, col("cy") / 100.0 + 45.0), "EPSG:25832", "e")
+      val (_, laeaD) = deltas(
+        crsPts(col("cx") / 1000.0 + 10.0, col("cy") / 100.0 + 45.0), "EPSG:3035", "l")
+      bngF.select(col("c_custkey"),
+          round(st_x(col("geometry")), 3).as("bx"),
+          round(st_y(col("geometry")), 3).as("by"))
+        .join(l93F.select(col("c_custkey"),
+          round(st_x(col("geometry")), 3).as("fx"),
+          round(st_y(col("geometry")), 3).as("fy")), "c_custkey")
+        .join(bngD, "c_custkey").join(l93D, "c_custkey")
+        .join(etrsD, "c_custkey").join(laeaD, "c_custkey")
+        .orderBy(col("c_custkey"))
+    }),
+
     // DataFrame-level overlay (r7): geopandas overlay(how=intersection/
     // difference) distributed via the grid sjoin. Right boxes are mutually
     // disjoint (10-unit gaps), so the oracle's areas are additive closed

@@ -241,17 +241,15 @@ object GraftDefs {
       def toWgs(crs: String): Option[Geometry => Geometry] = crs match {
         case "EPSG:4326"      => Some(identity)
         case "EPSG:3857"      => Some(_.mapCoords(Crs.mercatorToLonLat))
-        case "EPSG:5070"      => Some(_.mapCoords(Crs.conusAlbers.inverse))
-        case "EPSG:3347"      => Some(_.mapCoords(Crs.statCanLambert.inverse))
         case UtmZone(ns, zz)  => Some(_.mapCoords((x, y) => Crs.utmInverse(x, y, zz.toInt, ns == "7")))
+        case c if Crs.byEpsg.contains(c) => Some(_.mapCoords(Crs.byEpsg(c).inverse))
         case _                => None
       }
       def fromWgs(crs: String): Option[Geometry => Geometry] = crs match {
         case "EPSG:4326"      => Some(identity)
         case "EPSG:3857"      => Some(_.mapCoords(Crs.lonLatToMercator))
-        case "EPSG:5070"      => Some(_.mapCoords(Crs.conusAlbers.forward))
-        case "EPSG:3347"      => Some(_.mapCoords(Crs.statCanLambert.forward))
         case UtmZone(ns, zz)  => Some(_.mapCoords((lon, lat) => Crs.utmForward(lon, lat, zz.toInt, ns == "7")))
+        case c if Crs.byEpsg.contains(c) => Some(_.mapCoords(Crs.byEpsg(c).forward))
         case _                => None
       }
       (normCrs(str(a(1))), normCrs(str(a(2)))) match {
@@ -263,8 +261,9 @@ object GraftDefs {
             case (Some(inv), Some(fwd)) => wkb(fwd(inv(g)))
             case _ => throw new UnsupportedOperationException(
               s"st_transform $f -> $t: supported CRS are EPSG:4326, EPSG:3857, " +
-                "EPSG:326xx/327xx (WGS84 UTM), EPSG:5070 (Conus Albers) and " +
-                "EPSG:3347 (StatCan Lambert); any pair composes via lon/lat")
+                "EPSG:326xx/327xx (WGS84 UTM) and the EPSG parameter table " +
+                s"(${Crs.byEpsg.keys.toSeq.sorted.mkString(", ")}); " +
+                "any pair composes via lon/lat")
           }
       }
     }),
@@ -544,13 +543,27 @@ object Crs {
     (math.toDegrees(lon) + utmCentralMeridian(zone), math.toDegrees(lat))
   }
 
+  /** A projection with forward (lon/lat -> projected) and inverse maps.
+    * All implementations are Snyder 1987 ellipsoidal forms, parameterized
+    * by (ellipsoid, origin, parallels/scale, false offsets) so an EPSG row
+    * drives them instead of hard-coded constants (reference: pyproj accepts
+    * any CRS, `expr.py:255-257`). Datum note: parameters are applied on
+    * each code's NATIVE ellipsoid; datum shifts (OSGB36, NTF->RGF93) are
+    * identity-approximated at the lon/lat hub, the same documented
+    * treatment as NAD83~WGS84.
+    */
+  sealed trait Projection {
+    def forward(lon: Double, lat: Double): (Double, Double)
+    def inverse(x: Double, y: Double): (Double, Double)
+  }
+
   /** Albers equal-area conic, ellipsoidal form (public formulas: Snyder
     * 1987, eqs 14-1..14-11; inverse latitude via the Newton iteration of
     * eq 3-16). Forward math is closed-form, so the DuckDB oracle mirrors
     * it term by term; the inverse is validated by roundtrip.
     */
   final class AlbersConic(a: Double, invFlat: Double, lat0: Double, lon0: Double,
-      sp1: Double, sp2: Double, fe: Double, fn: Double) {
+      sp1: Double, sp2: Double, fe: Double, fn: Double) extends Projection {
     private val f = 1.0 / invFlat
     private val e2 = f * (2.0 - f)
     private val e = math.sqrt(e2)
@@ -603,7 +616,7 @@ object Crs {
     * iteration of eq 7-9). Same oracle strategy as [[AlbersConic]].
     */
   final class LambertConic(a: Double, invFlat: Double, lat0: Double, lon0: Double,
-      sp1: Double, sp2: Double, fe: Double, fn: Double) {
+      sp1: Double, sp2: Double, fe: Double, fn: Double) extends Projection {
     private val f = 1.0 / invFlat
     private val e2 = f * (2.0 - f)
     private val e = math.sqrt(e2)
@@ -650,6 +663,126 @@ object Crs {
     }
   }
 
+  /** General transverse Mercator, ellipsoidal series form (Snyder 1987,
+    * eqs 8-9..8-25) — the UTM kernel generalized to arbitrary ellipsoid,
+    * origin latitude (M0 term), scale factor, and false offsets, so a
+    * national-grid EPSG row can drive it (27700, 25832, ...). The UTM
+    * fast path above keeps its own literals (its g30 oracle mirrors them
+    * term by term).
+    */
+  final class TransverseMercator(a: Double, invFlat: Double, lat0: Double, lon0: Double,
+      k0: Double, fe: Double, fn: Double) extends Projection {
+    private val f = 1.0 / invFlat
+    private val e2 = f * (2.0 - f)
+    private val ep2 = e2 / (1.0 - e2)
+    private val e4 = e2 * e2
+    private val e6 = e4 * e2
+    private def arc(phi: Double): Double =
+      a * ((1.0 - e2 / 4.0 - 3.0 * e4 / 64.0 - 5.0 * e6 / 256.0) * phi
+        - (3.0 * e2 / 8.0 + 3.0 * e4 / 32.0 + 45.0 * e6 / 1024.0) * math.sin(2.0 * phi)
+        + (15.0 * e4 / 256.0 + 45.0 * e6 / 1024.0) * math.sin(4.0 * phi)
+        - (35.0 * e6 / 3072.0) * math.sin(6.0 * phi))
+    private val m0 = arc(math.toRadians(lat0))
+
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      val phi = math.toRadians(lat)
+      val sphi = math.sin(phi)
+      val cphi = math.cos(phi)
+      val tphi = math.tan(phi)
+      val n = a / math.sqrt(1.0 - e2 * sphi * sphi)
+      val t = tphi * tphi
+      val c = ep2 * cphi * cphi
+      val aa = (math.toRadians(lon) - math.toRadians(lon0)) * cphi
+      val m = arc(phi)
+      val x = k0 * n * (aa + (1.0 - t + c) * aa * aa * aa / 6.0
+        + (5.0 - 18.0 * t + t * t + 72.0 * c - 58.0 * ep2) * math.pow(aa, 5) / 120.0) + fe
+      val y = fn + k0 * (m - m0 + n * tphi * (aa * aa / 2.0
+        + (5.0 - t + 9.0 * c + 4.0 * c * c) * math.pow(aa, 4) / 24.0
+        + (61.0 - 58.0 * t + t * t + 600.0 * c - 330.0 * ep2) * math.pow(aa, 6) / 720.0))
+      (x, y)
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val e1 = (1.0 - math.sqrt(1.0 - e2)) / (1.0 + math.sqrt(1.0 - e2))
+      val m = m0 + (y - fn) / k0
+      val mu = m / (a * (1.0 - e2 / 4.0 - 3.0 * e4 / 64.0 - 5.0 * e6 / 256.0))
+      val phi1 = mu + (3.0 * e1 / 2.0 - 27.0 * math.pow(e1, 3) / 32.0) * math.sin(2.0 * mu) +
+        (21.0 * e1 * e1 / 16.0 - 55.0 * math.pow(e1, 4) / 32.0) * math.sin(4.0 * mu) +
+        (151.0 * math.pow(e1, 3) / 96.0) * math.sin(6.0 * mu) +
+        (1097.0 * math.pow(e1, 4) / 512.0) * math.sin(8.0 * mu)
+      val sphi = math.sin(phi1)
+      val cphi = math.cos(phi1)
+      val tphi = math.tan(phi1)
+      val c1 = ep2 * cphi * cphi
+      val t1 = tphi * tphi
+      val n1 = a / math.sqrt(1.0 - e2 * sphi * sphi)
+      val r1 = n1 * (1.0 - e2) / (1.0 - e2 * sphi * sphi)
+      val d = (x - fe) / (n1 * k0)
+      val lat = phi1 - (n1 * tphi / r1) * (d * d / 2.0
+        - (5.0 + 3.0 * t1 + 10.0 * c1 - 4.0 * c1 * c1 - 9.0 * ep2) * math.pow(d, 4) / 24.0
+        + (61.0 + 90.0 * t1 + 298.0 * c1 + 45.0 * t1 * t1 - 252.0 * ep2 - 3.0 * c1 * c1)
+          * math.pow(d, 6) / 720.0)
+      val lon = (d - (1.0 + 2.0 * t1 + c1) * math.pow(d, 3) / 6.0
+        + (5.0 - 2.0 * c1 + 28.0 * t1 - 3.0 * c1 * c1 + 8.0 * ep2 + 24.0 * t1 * t1)
+          * math.pow(d, 5) / 120.0) / cphi
+      (math.toDegrees(lon) + lon0, math.toDegrees(lat))
+    }
+  }
+
+  /** Lambert azimuthal equal-area, oblique ellipsoidal form (Snyder 1987,
+    * eqs 24-2..24-15; authalic-latitude series eq 3-18 for the inverse) —
+    * EPSG:3035 (ETRS89 / LAEA Europe) and friends.
+    */
+  final class LambertAzimuthalEqualArea(a: Double, invFlat: Double, lat0: Double,
+      lon0: Double, fe: Double, fn: Double) extends Projection {
+    private val f = 1.0 / invFlat
+    private val e2 = f * (2.0 - f)
+    private val e = math.sqrt(e2)
+    private def q(phi: Double): Double = {
+      val s = math.sin(phi)
+      (1.0 - e2) * (s / (1.0 - e2 * s * s) -
+        (1.0 / (2.0 * e)) * math.log((1.0 - e * s) / (1.0 + e * s)))
+    }
+    private val qp = q(math.Pi / 2.0)
+    private val lat0r = math.toRadians(lat0)
+    private val beta0 = math.asin(q(lat0r) / qp)
+    private val rq = a * math.sqrt(qp / 2.0)
+    private val m0 = math.cos(lat0r) / math.sqrt(1.0 - e2 * math.sin(lat0r) * math.sin(lat0r))
+    private val dd = a * m0 / (rq * math.cos(beta0))
+
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      val lam = math.toRadians(lon) - math.toRadians(lon0)
+      val beta = math.asin(math.max(-1.0, math.min(1.0, q(math.toRadians(lat)) / qp)))
+      val b = rq * math.sqrt(2.0 / (1.0 + math.sin(beta0) * math.sin(beta) +
+        math.cos(beta0) * math.cos(beta) * math.cos(lam)))
+      (fe + b * dd * math.cos(beta) * math.sin(lam),
+        fn + (b / dd) * (math.cos(beta0) * math.sin(beta) -
+          math.sin(beta0) * math.cos(beta) * math.cos(lam)))
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val dx = (x - fe) / dd
+      val dy = (y - fn) * dd
+      val rho = math.sqrt(dx * dx + dy * dy)
+      if (rho < 1e-12) return (lon0, lat0)
+      val ce = 2.0 * math.asin(math.max(-1.0, math.min(1.0, rho / (2.0 * rq))))
+      val qv = qp * (math.cos(ce) * math.sin(beta0) +
+        dy * math.sin(ce) * math.cos(beta0) / rho)
+      val lam = math.atan2((x - fe) * math.sin(ce),
+        dd * rho * math.cos(beta0) * math.cos(ce) - dd * dd * (y - fn) *
+          math.sin(beta0) * math.sin(ce))
+      val beta = math.asin(math.max(-1.0, math.min(1.0, qv / qp)))
+      // authalic -> geodetic latitude (Snyder eq 3-18)
+      val e4 = e2 * e2
+      val e6 = e4 * e2
+      val phi = beta +
+        (e2 / 3.0 + 31.0 * e4 / 180.0 + 517.0 * e6 / 5040.0) * math.sin(2.0 * beta) +
+        (23.0 * e4 / 360.0 + 251.0 * e6 / 3780.0) * math.sin(4.0 * beta) +
+        (761.0 * e6 / 45360.0) * math.sin(6.0 * beta)
+      (math.toDegrees(lam) + lon0, math.toDegrees(phi))
+    }
+  }
+
   // Named projections users of the reference reach for (GRS80 ellipsoid;
   // NAD83 geographic treated as WGS84-equivalent, same as normCrs):
   /** EPSG:5070 — NAD83 / Conus Albers (USGS national products). */
@@ -658,6 +791,28 @@ object Crs {
   /** EPSG:3347 — NAD83 / Statistics Canada Lambert. */
   val statCanLambert = new LambertConic(6378137.0, 298.257222101,
     63.390675, -(91.0 + 52.0 / 60.0), 49.0, 77.0, 6200000.0, 3000000.0)
+
+  /** EPSG parameter table driving the Snyder kernels — each row is
+    * (ellipsoid a, 1/f, lat0, lon0, parallels/scale, false offsets) from
+    * the public EPSG registry. Any member composes with the rest of the
+    * supported set through the lon/lat hub.
+    */
+  val byEpsg: Map[String, Projection] = Map(
+    "EPSG:5070" -> conusAlbers,
+    "EPSG:3347" -> statCanLambert,
+    // OSGB 1936 / British National Grid: TM on Airy 1830 (datum shift
+    // identity-approximated; projection parameters exact)
+    "EPSG:27700" -> new TransverseMercator(6377563.396, 299.3249646,
+      49.0, -2.0, 0.9996012717, 400000.0, -100000.0),
+    // RGF93 / Lambert-93 (France): LCC 2SP on GRS80
+    "EPSG:2154" -> new LambertConic(6378137.0, 298.257222101,
+      46.5, 3.0, 49.0, 44.0, 700000.0, 6600000.0),
+    // ETRS89 / UTM zone 32N on GRS80 (the ETRS twin of EPSG:32632)
+    "EPSG:25832" -> new TransverseMercator(6378137.0, 298.257222101,
+      0.0, 9.0, 0.9996, 500000.0, 0.0),
+    // ETRS89-extended / LAEA Europe (EEA grids)
+    "EPSG:3035" -> new LambertAzimuthalEqualArea(6378137.0, 298.257222101,
+      52.0, 10.0, 4321000.0, 3210000.0))
 }
 
 /** Fixed uniform grid used by the scalable spatial-join strategy: cell ids

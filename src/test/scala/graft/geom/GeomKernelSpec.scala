@@ -556,4 +556,62 @@ class GeomKernelSpec extends AnyFunSuite {
       assert(math.abs(llon - lon) < 1e-9 && math.abs(llat - lat) < 1e-9, (lon, lat))
     }
   }
+
+  test("EPSG table projections: natural origins, published values, roundtrip") {
+    import graft.sql.Crs
+    // every projection's natural origin maps to (FE, FN)
+    val origins = Seq(
+      ("EPSG:27700", -2.0, 49.0, 400000.0, -100000.0),
+      ("EPSG:2154", 3.0, 46.5, 700000.0, 6600000.0),
+      ("EPSG:25832", 9.0, 0.0, 500000.0, 0.0),
+      ("EPSG:3035", 10.0, 52.0, 4321000.0, 3210000.0))
+    origins.foreach { case (code, lon0, lat0, fe, fn) =>
+      val (x, y) = Crs.byEpsg(code).forward(lon0, lat0)
+      assert(math.abs(x - fe) < 1e-6 && math.abs(y - fn) < 1e-6, s"$code origin ($x,$y)")
+    }
+    // OSGB worked example (OS "A guide to coordinate systems in Great
+    // Britain", Annex C): 52°39'27.2531"N 1°43'4.5177"E ->
+    // E 651409.903, N 313177.270 (pure Airy-ellipsoid projection math)
+    val lat = 52.0 + 39.0 / 60.0 + 27.2531 / 3600.0
+    val lon = 1.0 + 43.0 / 60.0 + 4.5177 / 3600.0
+    val (e27700, n27700) = Crs.byEpsg("EPSG:27700").forward(lon, lat)
+    assert(math.abs(e27700 - 651409.903) < 0.005, s"E $e27700")
+    assert(math.abs(n27700 - 313177.270) < 0.005, s"N $n27700")
+    // ETRS UTM twin: 25832 must agree with WGS84 UTM zone 32N to <1 m
+    // (GRS80 vs WGS84 ellipsoids differ in 1/f by ~1e-9)
+    val (ex, ey) = Crs.byEpsg("EPSG:25832").forward(9.5, 48.0)
+    val (ux, uy) = Crs.utmForward(9.5, 48.0, 32, southern = false)
+    assert(math.hypot(ex - ux, ey - uy) < 1.0, s"$ex,$ey vs $ux,$uy")
+    // LAEA equal-area property: a small lon x lat cell keeps its
+    // ellipsoidal area through the projection (equal-area to ~1e-6)
+    val laea = Crs.byEpsg("EPSG:3035")
+    val (p1x, p1y) = laea.forward(15.0, 50.0)
+    val (p2x, p2y) = laea.forward(15.01, 50.0)
+    val (p3x, p3y) = laea.forward(15.0, 50.01)
+    val projArea = math.abs((p2x - p1x) * (p3y - p1y) - (p3x - p1x) * (p2y - p1y))
+    val f = 1.0 / 298.257222101
+    val e2 = f * (2.0 - f)
+    val s = math.sin(math.toRadians(50.0))
+    val mRad = 6378137.0 * (1.0 - e2) / math.pow(1.0 - e2 * s * s, 1.5)
+    val nRad = 6378137.0 / math.sqrt(1.0 - e2 * s * s)
+    val ellArea = (nRad * math.cos(math.toRadians(50.0)) * math.toRadians(0.01)) *
+      (mRad * math.toRadians(0.01))
+    assert(math.abs(projArea / ellArea - 1.0) < 1e-5, projArea / ellArea)
+    // roundtrip over each projection's service domain. TM codes get 5e-7
+    // deg (~5 cm): the 6th-order series truncates at ~2e-7 deg when 5+
+    // degrees from the central meridian (UTM zones only ever span +-3).
+    def rt(code: String, lons: Range, lats: Range, tol: Double): Unit = {
+      val p = Crs.byEpsg(code)
+      for (lonI <- lons; latI <- lats) {
+        val (x, y) = p.forward(lonI.toDouble, latI.toDouble)
+        val (lo, la) = p.inverse(x, y)
+        assert(math.abs(lo - lonI) < tol && math.abs(la - latI) < tol,
+          s"$code roundtrip at ($lonI,$latI): ($lo,$la)")
+      }
+    }
+    rt("EPSG:27700", -7 to 2, 50 to 59, 5e-7)
+    rt("EPSG:2154", -5 to 9, 41 to 51, 1e-8)
+    rt("EPSG:25832", 5 to 13, 38 to 60, 5e-7)
+    rt("EPSG:3035", -10 to 30 by 4, 35 to 65 by 3, 1e-8)
+  }
 }

@@ -1022,6 +1022,11 @@ object OracleSql {
       WHERE cx BETWEEN 1000 AND 5000 AND cy BETWEEN 200 AND 800
       ORDER BY c_custkey""",
 
+    "g45_geoarrow_feather" -> s"""
+      SELECT c_custkey, cx, cy FROM ($custPts)
+      WHERE cx BETWEEN 1000 AND 5000 AND cy BETWEEN 200 AND 800
+      ORDER BY c_custkey""",
+
     "g37_dwithin_join" -> s"""
       SELECT c_custkey, s_suppkey::BIGINT AS s_suppkey
       FROM ($custPts) CROSS JOIN

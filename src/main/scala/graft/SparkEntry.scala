@@ -1025,6 +1025,22 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     }),
 
+    // GeoArrow-encoded feather (r8; reference offers WKB or GeoArrow in
+    // the Arrow interchange, backends.py:81-92): write with interleaved
+    // FixedSizeList point coordinates, bbox-filtered read decodes straight
+    // off the coordinate pairs — same oracle window as g36
+    "g45_geoarrow_feather" -> ((s, d) => {
+      val pts = GeoDataFrame(
+        customerPts(s, d).select(col("c_custkey"), col("cx"), col("cy"), col("geometry")),
+        "geometry").setCrs("EPSG:4326")
+      val path = "/tmp/graft_g45_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      graft.io.GeoFeatherIO.write(pts, path, encoding = "geoarrow")
+      graft.io.GeoFeatherIO.read(s, path)
+        .cx(1000, 200, 5000, 800)
+        .df.select(col("c_custkey"), col("cx"), col("cy"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // distance join (reference sjoin predicate="dwithin", sjoin.py:53-58):
     // padded-cell grid equi-join — the left side's cells expand by the
     // distance, which preserves the shared-cell invariant for dist<=d

@@ -59,11 +59,38 @@ object GeoFeatherIO {
     case _: ArrowType.Utf8   => StringType
     case _: ArrowType.Binary => BinaryType
     case _: ArrowType.Bool   => BooleanType
+    // GeoArrow interleaved point coordinates (FixedSizeList<double>[2]):
+    // surfaces as WKB binary — the encoding is an interchange representation,
+    // downstream operators always see WKB
+    case l: ArrowType.FixedSizeList if l.getListSize == 2 => BinaryType
     case other => throw new UnsupportedOperationException(s"feather read: unsupported arrow type $other")
   }
 
+  /** A decoded Arrow cell as a WKB value: pass binary through, convert a
+    * GeoArrow interleaved coordinate pair to a WKB point.
+    */
+  private def cellToWkb(v: Any): Array[Byte] = v match {
+    case null => null
+    case b: Array[Byte] => b
+    case l: java.util.List[_] =>
+      graft.geom.Wkb.write(graft.geom.Point(
+        l.get(0).asInstanceOf[Number].doubleValue(),
+        l.get(1).asInstanceOf[Number].doubleValue()))
+    case other => throw new IllegalStateException(s"not a geometry cell: $other")
+  }
+
   // --------------------------------------------------------------- write
-  def write(gdf: GeoDataFrame, path: String, batchSize: Int = 4096): Unit = {
+  /** `encoding`: "WKB" (default) or "geoarrow" — the GeoArrow interleaved
+    * point encoding (`FixedSizeList<double>[2]`, reference offers WKB or
+    * GeoArrow in the interchange, `backends.py:81-92`). GeoArrow files are
+    * zero-copy-readable by Arrow-native tools; only POINT geometry columns
+    * can use it (the GeoArrow single-type rule) — other types fail loudly.
+    * Readers accept both encodings side by side in one dataset directory.
+    */
+  def write(gdf: GeoDataFrame, path: String, batchSize: Int = 4096,
+      encoding: String = "WKB"): Unit = {
+    require(Set("WKB", "geoarrow").contains(encoding),
+      s"unknown feather geometry encoding '$encoding' (WKB | geoarrow)")
     val df = gdf.df
     val spark = df.sparkSession
     val schema = df.schema
@@ -77,7 +104,7 @@ object GeoFeatherIO {
     fs.mkdirs(root)
 
     val colMeta = mapper.createObjectNode()
-    colMeta.put("encoding", "WKB")
+    colMeta.put("encoding", if (encoding == "geoarrow") "geoarrow.point" else "WKB")
     crs.foreach(c => colMeta.put("crs", c))
     val geo = mapper.createObjectNode()
     geo.put("version", "1.0.0")
@@ -90,6 +117,8 @@ object GeoFeatherIO {
     val sconf = new GeoParquetIO.SerializableConf(conf)
     val pathStr = path
     val sparkSchema = schema
+    val useGeoArrow = encoding == "geoarrow"
+    val geomName = geomCol
 
     val geomIdx = schema.fieldIndex(geomCol)
     df.rdd.mapPartitionsWithIndex { (pid, it) =>
@@ -97,7 +126,14 @@ object GeoFeatherIO {
       val file = new Path(pathStr, f"part-$pid%05d.arrow")
       val tfs = file.getFileSystem(taskConf)
       val allocator = new RootAllocator()
-      val fields = sparkSchema.fields.map(arrowField).toSeq
+      val fields = sparkSchema.fields.map { f =>
+        if (useGeoArrow && f.name == geomName) {
+          val coord = new Field("xy", FieldType.notNullable(
+            new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)), null)
+          new Field(f.name, FieldType.nullable(new ArrowType.FixedSizeList(2)),
+            Seq(coord).asJava)
+        } else arrowField(f)
+      }.toSeq
       val arrowSchema = new Schema(fields.asJava, Map("geo" -> geoJson).asJava)
       val vroot = VectorSchemaRoot.create(arrowSchema, allocator)
       val out = tfs.create(file, true)
@@ -139,6 +175,19 @@ object GeoFeatherIO {
               case vec: BitVector =>
                 if (v == null) vec.setNull(n)
                 else vec.setSafe(n, if (v.asInstanceOf[Boolean]) 1 else 0)
+              case vec: org.apache.arrow.vector.complex.FixedSizeListVector =>
+                // GeoArrow interleaved point: two doubles per slot
+                if (v == null) vec.setNull(n)
+                else graft.geom.Wkb.read(v.asInstanceOf[Array[Byte]]) match {
+                  case p: graft.geom.Point =>
+                    vec.setNotNull(n)
+                    val inner = vec.getDataVector.asInstanceOf[Float8Vector]
+                    inner.setSafe(n * 2, p.x)
+                    inner.setSafe(n * 2 + 1, p.y)
+                  case g => throw new IllegalArgumentException(
+                    "feather encoding=geoarrow supports POINT geometry only " +
+                      s"(GeoArrow single-type rule), found ${g.geometryType}")
+                }
               case other => throw new IllegalStateException(s"unhandled vector $other")
             }
             c += 1
@@ -386,12 +435,17 @@ object GeoFeatherIO {
           val out = new scala.collection.mutable.ArrayBuffer[Row](rc)
           var r = 0
           while (r < rc) {
-            val keep = (box == null || {
-              val wkb = vectors(geomIdx).getObject(r).asInstanceOf[Array[Byte]]
+            val keep = (box == null || (vectors(geomIdx).getObject(r) match {
+              case null => false
               // allocation-free envelope scan — never materialize the
               // geometry just to test (and usually discard) its bbox
-              wkb != null && graft.geom.Wkb.envelopeOf(wkb).intersects(box)
-            }) && (compiledFilters.isEmpty || compiledFilters.exists(_.forall {
+              case wkb: Array[Byte] => graft.geom.Wkb.envelopeOf(wkb).intersects(box)
+              // GeoArrow point cell: the coordinate pair IS the envelope
+              case l: java.util.List[_] => box.contains(
+                l.get(0).asInstanceOf[Number].doubleValue(),
+                l.get(1).asInstanceOf[Number].doubleValue())
+              case _ => false
+            })) && (compiledFilters.isEmpty || compiledFilters.exists(_.forall {
               case (ci, op, lit) => predicateHolds(vectors(ci).getObject(r), op, lit)
             }))
             if (keep) {
@@ -401,6 +455,7 @@ object GeoFeatherIO {
                 vals(c) = vectors(projIdx(c)).getObject(r) match {
                   case null                                 => null
                   case t: org.apache.arrow.vector.util.Text => t.toString
+                  case l: java.util.List[_]                 => cellToWkb(l)
                   case other                                => other
                 }
                 c += 1

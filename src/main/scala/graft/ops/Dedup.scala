@@ -116,8 +116,17 @@ object Dedup {
     val sig = df.filter(length(col(textCol)) >= shingleSize)
       .select(col(idCol).cast("long").as("_id"),
         gr_minhash(col(textCol), lit(numHashes), lit(shingleSize), lit(seed)).as("_sig"))
-    val banded = sig.select(col("_id"), col("_sig"),
-      posexplode(gr_bandKeys(col("_sig"), lit(bands))).as(Seq("_band", "_key")))
+    // ONE packed array per row: signature ++ bandKeys. The chain kernel
+    // needs every representative's band keys for the first-band rule —
+    // packing them beside the signature (16 extra longs, +25% row width)
+    // beats re-hashing 16 keys over the 64-long signature per (row, rep),
+    // which would dominate at the cap-sized-bucket worst case.
+    val banded = sig
+      .select(col("_id"),
+        concat(col("_sig"), gr_bandKeys(col("_sig"), lit(bands))).as("_sk"))
+      .select(col("_id"), col("_sk"),
+        posexplode(expr(s"slice(_sk, ${numHashes + 1}, $bands)"))
+          .as(Seq("_band", "_key")))
     // per-row bounded representative set via a RUNNING window aggregate:
     // the k-lowest-id prefix of the row's bucket, maintained incrementally
     // by Spark's UnboundedPreceding frame (one O(log k) buffer add per
@@ -128,8 +137,8 @@ object Dedup {
       .partitionBy(col("_band"), col("_key")).orderBy(col("_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    banded.withColumn("_reps", gr_minKSigs(col("_id"), col("_sig"), cap).over(w))
-      .select(explode(gr_chainPairs(col("_id"), col("_sig"), col("_reps"),
+    banded.withColumn("_reps", gr_minKSigs(col("_id"), col("_sk"), cap).over(w))
+      .select(explode(gr_chainPairs(col("_id"), col("_sk"), col("_reps"),
         col("_band"), lit(bands), lit(threshold))).as("_p"))
       .select(col("_p.id_a"), col("_p.id_b"), col("_p.est_jaccard").as("est_jaccard"))
   }

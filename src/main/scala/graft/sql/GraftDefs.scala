@@ -367,17 +367,17 @@ object GraftDefs {
       val arr = a(2).asInstanceOf[ArrayData]
       val n = arr.numElements()
       val ids = new Array[Long](n)
-      val sigs = new Array[Array[Long]](n)
+      val packed = new Array[Array[Long]](n)
       var i = 0
       while (i < n) {
         val row = arr.getStruct(i, 2)
         ids(i) = row.getLong(0)
-        sigs(i) = row.getArray(1).toLongArray()
+        packed(i) = row.getArray(1).toLongArray()
         i += 1
       }
       val pairs = TextKernel.chainPairs(long(a(0)),
         a(1).asInstanceOf[ArrayData].toLongArray(),
-        ids, sigs, int(a(3)), int(a(4)), dbl(a(5)))
+        ids, packed, int(a(3)), int(a(4)), dbl(a(5)))
       new GenericArrayData(pairs.map { case (x, y, e) =>
         new GenericInternalRow(Array[Any](x, y, e)): Any
       })

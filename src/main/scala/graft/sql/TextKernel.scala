@@ -183,22 +183,30 @@ object TextKernel {
     * member while a later band kept it (cannot happen for identical
     * signatures, whose rep sets agree across bands).
     */
-  def chainPairs(id: Long, sig: Array[Long],
-      repIds: Array[Long], repSigs: Array[Array[Long]], band: Int, bands: Int,
+  def chainPairs(id: Long, myPacked: Array[Long],
+      repIds: Array[Long], repPacked: Array[Array[Long]], band: Int, bands: Int,
       threshold: Double): Array[(Long, Long, Double)] = {
-    val myKeys = bandKeys(sig, bands)
+    // packed rows are signature ++ bandKeys (keys precomputed once
+    // upstream and carried through the bounded agg — re-hashing 16 band
+    // keys over a 64-long signature per (row, rep) would dominate the
+    // kernel at the cap-sized-bucket worst case, and carrying keys as a
+    // separate column would widen every shuffled row)
+    val n = myPacked.length - bands
     val out = mutable.ArrayBuffer[(Long, Long, Double)]()
     var i = 0
     while (i < repIds.length) {
       if (repIds(i) < id) {
-        val rkeys = bandKeys(repSigs(i), bands)
+        val packed = repPacked(i)
         var mb = 0
-        while (mb < bands && rkeys(mb) != myKeys(mb)) mb += 1
+        while (mb < bands && packed(n + mb) != myPacked(n + mb)) mb += 1
         if (mb == band) {
-          val est = minhashJaccard(repSigs(i), sig)
+          var same = 0
+          var k = 0
+          while (k < n) { if (packed(k) == myPacked(k)) same += 1; k += 1 }
+          val est = same.toDouble / n
           if (est >= threshold) {
-            // ranks are assigned by ascending id, so the representative id
-            // is the smaller one
+            // reps come from the ascending-id bucket prefix, so the
+            // representative id is the smaller one
             out += ((repIds(i), id, est))
           }
         }

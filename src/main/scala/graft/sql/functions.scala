@@ -165,9 +165,9 @@ object functions {
   def gr_minhash(text: Column, numHashes: Column, shingleSize: Column, seed: Column): Column =
     fn("gr_minhash", text, numHashes, shingleSize, seed)
   def gr_bandKeys(sig: Column, bands: Column): Column = fn("gr_bandkeys", sig, bands)
-  def gr_chainPairs(id: Column, sig: Column, reps: Column,
+  def gr_chainPairs(id: Column, packed: Column, reps: Column,
       band: Column, bands: Column, threshold: Column): Column =
-    fn("gr_chain_pairs", id, sig, reps, band, bands, threshold)
+    fn("gr_chain_pairs", id, packed, reps, band, bands, threshold)
 
   /** Bounded representative collection: the k lowest-id (id, sig) rows of
     * the group/window — O(k) aggregation state regardless of group size.

@@ -57,7 +57,14 @@ object OracleSql {
     END"""
 
   // minhash-LSH candidate pipeline shared by t05/t10 (MD5 lanes, bands,
-  // signature estimate) — terminates in the `est` CTE
+  // signature estimate) — terminates in the `est` CTE.
+  // CAP ASSUMPTION: this enumerates exact all-pairs per bucket, which
+  // equals the engine's output only while every LSH bucket fits inside
+  // minhashLsh's default maxBucket=128 (above it the engine switches to
+  // representative-chained emission). Verified at the oracle SF (sf0.01):
+  // max bucket = 101. If the testdata generator ever pushes a bucket past
+  // 128 at sf0.01, either raise the cap in the declared queries or mirror
+  // the chaining here.
   private val minhashCtes = """
       d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 4),
       sh AS (SELECT DISTINCT doc_id, substr(text, i::INT, 4) AS s4

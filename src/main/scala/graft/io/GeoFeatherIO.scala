@@ -61,8 +61,15 @@ object GeoFeatherIO {
     case _: ArrowType.Bool   => BooleanType
     // GeoArrow interleaved point coordinates (FixedSizeList<double>[2]):
     // surfaces as WKB binary — the encoding is an interchange representation,
-    // downstream operators always see WKB
-    case l: ArrowType.FixedSizeList if l.getListSize == 2 => BinaryType
+    // downstream operators always see WKB. Gated on the Float8 child so a
+    // non-geometry fixed-size pair (e.g. an int [min,max]) fails loudly
+    // instead of silently decoding into bogus point blobs.
+    case l: ArrowType.FixedSizeList if l.getListSize == 2 &&
+        f.getChildren.size() == 1 && (f.getChildren.get(0).getType match {
+          case fp: ArrowType.FloatingPoint =>
+            fp.getPrecision == FloatingPointPrecision.DOUBLE
+          case _ => false
+        }) => BinaryType
     case other => throw new UnsupportedOperationException(s"feather read: unsupported arrow type $other")
   }
 

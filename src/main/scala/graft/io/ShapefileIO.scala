@@ -170,22 +170,31 @@ object ShapefileIO {
     // .dbf slice: fixed-size records, direct seek
     val dbfPath = sibling(shp, "dbf")
     val dbfIn = fs.open(dbfPath)
-    val attrs = try {
+    val (attrs, deleted) = try {
       val head = new Array[Byte](32)
       dbfIn.readFully(0, head)
       val hlen = ByteBuffer.wrap(head).order(ByteOrder.LITTLE_ENDIAN).getShort(8) & 0xffff
       val full = new Array[Byte](hlen)
       dbfIn.readFully(0, full)
       val header = parseDbfHeader(full)
+      // each file parses with ITS OWN header, so a sibling whose schema
+      // diverged from the dataset schema must fail loudly, not misparse
+      require(header.fields.length == fieldTypes.length &&
+        header.fields.map(sparkTypeOf) == fieldTypes.toSeq,
+        s"$dbfPath schema ${header.fields.map(f => s"${f.name}:${f.ftype}")} " +
+          "differs from the dataset schema (taken from the first file)")
       val buf = new Array[Byte](ch.nRecs * header.recordLen)
       dbfIn.readFully(header.headerLen.toLong + header.recordLen.toLong * ch.startRec, buf)
-      Array.tabulate(ch.nRecs) { i =>
+      (Array.tabulate(ch.nRecs) { i =>
         parseDbfRecord(buf, i * header.recordLen, header, fieldTypes)
-      }
+      },
+        // dBASE soft deletes: '*' in the record's first byte (un-packed
+        // editors leave these behind; OGR/pyogrio skip them)
+        Array.tabulate(ch.nRecs)(i => buf(i * header.recordLen) == '*'.toByte))
     } finally dbfIn.close()
     Iterator.tabulate(ch.nRecs) { i =>
-      Row.fromSeq(attrs(i).toIndexedSeq :+ geoms(i))
-    }
+      if (deleted(i)) null else Row.fromSeq(attrs(i).toIndexedSeq :+ geoms(i))
+    }.filter(_ != null)
   }
 
   private def parseDbfRecord(buf: Array[Byte], off0: Int, header: DbfHeader,
@@ -360,7 +369,8 @@ object ShapefileIO {
     // ---- .dbf
     val dbfFields = attrFields.map { case (f, _) =>
       f.dataType match {
-        case LongType | IntegerType => DbfField(f.name, 'N', 19, 0)
+        // 20, not 19: Long.MinValue prints as 20 characters
+        case LongType | IntegerType => DbfField(f.name, 'N', 20, 0)
         case DoubleType             => DbfField(f.name, 'F', 20, 0)
         case BooleanType            => DbfField(f.name, 'L', 1, 0)
         case StringType             => DbfField(f.name, 'C', math.min(254, maxStringLen), 0)
@@ -398,7 +408,7 @@ object ShapefileIO {
             else f.dataType match {
               case LongType    => v.asInstanceOf[Long].toString
               case IntegerType => v.asInstanceOf[Int].toString
-              case DoubleType  => "%.17g".format(v.asInstanceOf[Double])
+              case DoubleType  => fmtDouble(v.asInstanceOf[Double], 20)
               case BooleanType => if (v.asInstanceOf[Boolean]) "T" else "F"
               case _           => v.asInstanceOf[String]
             }
@@ -456,6 +466,19 @@ object ShapefileIO {
       case other => throw new UnsupportedOperationException(
         s"shapefile write: unsupported geometry ${other.geometryType}")
     }
+  }
+
+  /** Format a double into at most `width` ASCII characters for a dBASE F
+    * field: start at 17 significant digits (exact for every double) and
+    * shed precision only when the rendering overflows the field — the
+    * documented lossy path (exponents that need the wide form).
+    */
+  private def fmtDouble(d: Double, width: Int): String = {
+    var p = 17
+    var s = s"%.${p}g".format(d)
+    while (s.length > width && p > 1) { p -= 1; s = s"%.${p}g".format(d) }
+    require(s.length <= width, s"cannot format $d within $width chars")
+    s
   }
 
   /** Enforce shapefile winding: outer ring clockwise (signed area <= 0),

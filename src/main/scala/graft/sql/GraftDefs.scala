@@ -831,8 +831,14 @@ object GridIndex {
   // fine for the data — fail with guidance instead of overflowing the Int
   // element count (NegativeArraySizeException) or OOMing the executor
   private val MaxCellsPerRow = 1 << 22
+  // per-axis checks BEFORE the product: extreme coordinates saturate the
+  // floor(...).toLong conversions, so nx/ny can be huge or even wrapped
+  // negative — a bare nx*ny would overflow past the guard
+  @inline private def cellCountExceeded(nx: Long, ny: Long): Boolean =
+    nx <= 0 || ny <= 0 || nx > MaxCellsPerRow || ny > MaxCellsPerRow ||
+      nx * ny > MaxCellsPerRow
   @inline private def checkCellCount(nx: Long, ny: Long, hint: String): Unit =
-    if (nx * ny > MaxCellsPerRow) throw new IllegalArgumentException(
+    if (cellCountExceeded(nx, ny)) throw new IllegalArgumentException(
       s"geometry envelope spans $nx x $ny grid cells (> $MaxCellsPerRow); $hint " +
         "(or route outlier-huge rows through sjoin(oversized = \"sentinel\"))")
 
@@ -863,7 +869,7 @@ object GridIndex {
     val x1 = math.floor(e.maxX / cellSize).toLong
     val y0 = math.floor(e.minY / cellSize).toLong
     val y1 = math.floor(e.maxY / cellSize).toLong
-    if ((x1 - x0 + 1) * (y1 - y0 + 1) > MaxCellsPerRow) {
+    if (cellCountExceeded(x1 - x0 + 1, y1 - y0 + 1)) {
       if (leftSide)
         new GenericArrayData(Array[Any](OversizedLeftBucket, OversizedRightBucket))
       else

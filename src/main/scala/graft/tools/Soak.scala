@@ -41,7 +41,11 @@ object Soak {
       name -> t
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-    println(s"""{"sf":"$sfDir","iters":$iters,"queries":$qs}""")
+    def jesc(s: String): String = s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    }
+    println(s"""{"sf":"${jesc(sfDir)}","iters":$iters,"queries":$qs}""")
     spark.stop()
   }
 }

@@ -72,6 +72,38 @@ class ShapefileIOSpec extends AnyFunSuite {
     assert(math.abs(graft.geom.Measures.area(g2) - 8.0) < 1e-9)
   }
 
+  test("dbf edge values: tiny/huge doubles, Long extremes, deleted records") {
+    val path = tmpDir()
+    val rows = Seq(
+      (Long.MinValue, 1e-5, Point(0.0, 0.0)),
+      (Long.MaxValue, 1.23456789012345e17, Point(1.0, 1.0)),
+      (0L, -9.87654321e-200, Point(2.0, 2.0)),
+      (1L, 42.5, Point(3.0, 3.0)))
+    val df = rows.toDF("id", "score", "p")
+      .withColumn("geometry", expr("st_asbinary(st_point(p.x, p.y))"))
+      .select("id", "score", "geometry").coalesce(1)
+    ShapefileIO.write(df, path)
+    val back = ShapefileIO.read(spark, path)
+      .select($"id", $"score").as[(Long, Double)].collect().sortBy(_._1).toSeq
+    assert(back.map(_._1) == rows.map(_._1).sorted)
+    // F(20) is lossy only when the wide exponent form forces precision
+    // shedding — values must still parse and agree to >=13 significant digits
+    back.sortBy(_._1).zip(rows.sortBy(_._1)).foreach { case ((_, got), (_, want, _)) =>
+      if (want == 0.0) assert(got == 0.0)
+      else assert(math.abs(got / want - 1.0) < 1e-13, s"$got vs $want")
+    }
+    // soft-deleted dbf records ('*' flag) are skipped like OGR does
+    val dbf = new java.io.File(path).listFiles().filter(_.getName.endsWith(".dbf")).head
+    val bytes = java.nio.file.Files.readAllBytes(dbf.toPath)
+    val hlen = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .getShort(8) & 0xffff
+    bytes(hlen) = '*'.toByte // delete the first record
+    java.nio.file.Files.write(dbf.toPath, bytes)
+    // drop hadoop LocalFileSystem's checksum sidecar for the mutated file
+    new java.io.File(dbf.getParent, "." + dbf.getName + ".crc").delete()
+    assert(ShapefileIO.read(spark, path).count() == 3)
+  }
+
   test("polyline roundtrip and null geometries") {
     val path = tmpDir()
     val line = LineString(Array(0.0, 0.0, 5.0, 0.0, 5.0, 5.0))

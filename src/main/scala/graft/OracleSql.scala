@@ -1312,6 +1312,18 @@ object OracleSql {
       WHERE cosine >= 0.3
       ORDER BY id_a, id_b""",
 
+    "m05_audio_meta" -> """
+      WITH m AS (SELECT doc_id, octet_length(encode(text)) AS L FROM documents),
+      d AS (SELECT doc_id, L,
+              CASE L % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                         WHEN 2 THEN 22050 ELSE 44100 END AS rate,
+              500 + (L * 13) % 2000 AS n FROM m)
+      SELECT doc_id, rate::BIGINT AS sample_rate, 1::BIGINT AS channels,
+             n::BIGINT AS n_samples,
+             list_sum(list_transform(range(0, n), i ->
+               ((i * 2654435761 + L) % 65536) - 32768))::BIGINT AS sample_sum
+      FROM d ORDER BY doc_id""",
+
     "m04_frame_sample" -> """
       WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
       d AS (SELECT doc_id, (1000 + (n * 7) % 59000) AS dur, (12 + n % 19) AS fps FROM m),

@@ -1675,6 +1675,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // real javax.sound WAV decode of synthesized RIFF/PCM payloads: rate/
+    // channels/frames/sample-sum read from the decoded AudioInputStream;
+    // the oracle recomputes them from the closed-form synthesis formulas
+    "m05_audio_meta" -> ((s, d) => {
+      Multimodal.extractAudioMeta(
+        Multimodal.withAudioPayload(t(s, d, "documents"), "text"), "payload")
+        .select(col("doc_id"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("channels").cast("long").as("channels"),
+          col("n_samples").cast("long").as("n_samples"),
+          col("sample_sum"))
+        .orderBy(col("doc_id"))
+    }),
+
     // video frame sampling over GRV0 container payloads: the kernel parses
     // the binary header (magic + frame count), then uniform-stride samples
     "m04_frame_sample" -> ((s, d) => {

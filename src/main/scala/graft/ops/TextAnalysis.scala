@@ -55,6 +55,24 @@ object Multimodal {
   def withVideoPayload(df: DataFrame, srcCol: String, binCol: String = "payload"): DataFrame =
     df.withColumn(binCol, gr_synthVideo(encode(col(srcCol), "UTF-8").cast("binary")))
 
+  /** Attach a REAL RIFF/WAVE PCM payload synthesized deterministically
+    * from the source column's byte length.
+    */
+  def withAudioPayload(df: DataFrame, srcCol: String, binCol: String = "payload"): DataFrame =
+    df.withColumn(binCol, gr_synthWav(encode(col(srcCol), "UTF-8").cast("binary")))
+
+  /** Decode the audio payload with javax.sound and extract typed metadata
+    * from the decoded stream: sample rate, channels, frame count, sample
+    * sum. Narrow stage, no shuffle.
+    */
+  def extractAudioMeta(df: DataFrame, binCol: String): DataFrame =
+    df.withColumn("audio_meta", gr_audioMeta(col(binCol)))
+      .withColumn("sample_rate", col("audio_meta.sample_rate"))
+      .withColumn("channels", col("audio_meta.channels"))
+      .withColumn("n_samples", col("audio_meta.n_samples"))
+      .withColumn("sample_sum", col("audio_meta.sample_sum"))
+      .drop("audio_meta")
+
   /** Decode the binary column with javax.imageio and extract typed metadata
     * from the decoded raster: width/height/band-count/pixel-sum. Narrow
     * stage, no shuffle.

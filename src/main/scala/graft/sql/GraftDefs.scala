@@ -429,6 +429,17 @@ object GraftDefs {
         ImageCodec.decode(a(0).asInstanceOf[Array[Byte]]), int(a(1)))
       new GenericInternalRow(Array[Any](ow, oh, bytes, sum))
     }),
+    // synthesize a real RIFF/WAVE PCM payload from a source byte length
+    "gr_synth_wav" -> Spec(Seq(B), B,
+      a => AudioCodec.synthWav(a(0).asInstanceOf[Array[Byte]].length)),
+    // real javax.sound WAV decode: rate/channels/frames/sample-sum all
+    // read from the decoded AudioInputStream
+    "gr_audio_meta" -> Spec(Seq(B), StructType(Seq(
+      StructField("sample_rate", I), StructField("channels", I),
+      StructField("n_samples", I), StructField("sample_sum", L))), { a =>
+      val (rate, ch, n, sum) = AudioCodec.decodeMeta(a(0).asInstanceOf[Array[Byte]])
+      new GenericInternalRow(Array[Any](rate, ch, n, sum))
+    }),
     // synthesize a real GRV0 container (magic + i32 frames + i16 fps)
     "gr_synth_video" -> Spec(Seq(B), B,
       a => VideoContainer.synth(a(0).asInstanceOf[Array[Byte]].length)),

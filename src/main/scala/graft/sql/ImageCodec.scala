@@ -191,6 +191,66 @@ object ImageCodec {
   }
 }
 
+/** Real audio kernels: synthesize a genuine RIFF/WAVE PCM bitstream from a
+  * source byte-length (sample rate, length, and every 16-bit sample are
+  * closed-form in `len`, so the DuckDB oracle recomputes the decoded
+  * values), then decode it with `javax.sound.sampled.AudioSystem` — the
+  * JDK's real WAV decoder. Sample-rate/channel/sample values all come from
+  * the decoded AudioInputStream, not from the payload length.
+  */
+object AudioCodec {
+  private val Rates = Array(8000, 16000, 22050, 44100)
+
+  /** (sampleRate, nSamples) for a source length. */
+  def synthParams(len: Int): (Int, Int) = (Rates(len % 4), 500 + (len * 13) % 2000)
+
+  /** 16-bit sample i for source length `len` (mono PCM). */
+  def sample(i: Int, len: Int): Int = (((i.toLong * 2654435761L + len) % 65536L) - 32768L).toInt
+
+  /** Deterministic mono 16-bit PCM WAV payload. */
+  def synthWav(len: Int): Array[Byte] = {
+    val (rate, n) = synthParams(len)
+    val dataBytes = n * 2
+    val bb = ByteBuffer.allocate(44 + dataBytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(rate)
+      .putInt(rate * 2) // byte rate
+      .putShort(2) // block align
+      .putShort(16) // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataBytes)
+    var i = 0
+    while (i < n) { bb.putShort(sample(i, len).toShort); i += 1 }
+    bb.array()
+  }
+
+  /** REAL javax.sound decode: (sampleRate, channels, nSamples, sampleSum)
+    * all read from the decoded AudioInputStream.
+    */
+  def decodeMeta(bytes: Array[Byte]): (Int, Int, Int, Long) = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new ByteArrayInputStream(bytes))
+    try {
+      val fmt = in.getFormat
+      require(fmt.getSampleSizeInBits == 16, s"expected 16-bit PCM, got $fmt")
+      val channels = fmt.getChannels
+      val frames = in.getFrameLength.toInt
+      val data = in.readAllBytes()
+      val bb = ByteBuffer.wrap(data).order(
+        if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+        else java.nio.ByteOrder.LITTLE_ENDIAN)
+      var sum = 0L
+      var i = 0
+      val n = frames * channels
+      while (i < n) { sum += bb.getShort(i * 2); i += 1 }
+      (fmt.getSampleRate.toInt, channels, frames, sum)
+    } finally in.close()
+  }
+}
+
 /** A tiny real binary video-container format ("GRV0"): big-endian magic +
   * i32 frame count + i16 fps. The frame-sample kernel PARSES these bytes
   * (magic check + header reads) rather than recomputing from the payload

@@ -220,6 +220,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("real WAV synth + javax.sound decode") {
+    val au = Multimodal.extractAudioMeta(
+      Multimodal.withAudioPayload(docs, "text"), "payload")
+      .select($"text", $"sample_rate", $"channels", $"n_samples", $"sample_sum").collect()
+    assert(au.nonEmpty)
+    au.foreach { r =>
+      val len = r.getString(0).getBytes("UTF-8").length
+      val (rate, n) = graft.sql.AudioCodec.synthParams(len)
+      var expSum = 0L
+      for (i <- 0 until n) expSum += graft.sql.AudioCodec.sample(i, len)
+      assert(r.getInt(1) == rate && r.getInt(2) == 1 && r.getInt(3) == n)
+      assert(r.getLong(4) == expSum, s"decoded sample sum ${r.getLong(4)} != $expSum")
+    }
+    // garbage bytes are rejected by the real decoder, not silently parsed
+    intercept[Exception] {
+      graft.sql.AudioCodec.decodeMeta("definitely not a wav file".getBytes("UTF-8"))
+    }
+  }
+
   test("streaming geofence enter/exit transitions (stateful, two batches)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.GeoStreaming

@@ -987,6 +987,14 @@ object OracleSql {
       WHERE round((2.0 * h) * (2.0 * h) - isum, 4) > 0.0
       ORDER BY s_suppkey""",
 
+    "g46_geopackage" -> """
+      SELECT (i + 1)::BIGINT AS fid, i::BIGINT AS s_suppkey,
+             'sup_' || i AS s_name,
+             i * 0.5 - 25.0 AS weight,
+             CASE WHEN i % 7 = 0 THEN NULL ELSE 'note_' || (i % 13) END AS note,
+             i * 3.25 - 100.0 AS x, (i % 100)::DOUBLE * 7.5 AS y
+      FROM (SELECT unnest(range(0, 500)) AS i) ORDER BY fid""",
+
     "g43_shapefile" -> """
       SELECT s_suppkey, s_name, s_acctbal AS x,
              (s_suppkey % 100)::DOUBLE * 10.0 AS y

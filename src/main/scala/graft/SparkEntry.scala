@@ -934,6 +934,22 @@ object SparkEntry {
         .orderBy(col("s_suppkey"))
     }),
 
+    // pure-JVM GeoPackage read (the second read_file format, ref
+    // io/file.py:49-149): SQLite b-tree walk with subtree-partitioned
+    // tasks + GP geometry-blob decode, against the committed deterministic
+    // fixture (tools/gen_gpkg_fixture.py); the oracle regenerates the
+    // closed-form rows from range()
+    "g46_geopackage" -> ((s, _) => {
+      val fixture = Seq("fixtures/supplier_pts.gpkg",
+        "/root/repo/fixtures/supplier_pts.gpkg")
+        .find(p => new java.io.File(p).exists())
+        .getOrElse(throw new IllegalStateException("gpkg fixture missing"))
+      graft.io.GeoPackageIO.read(s, fixture, "supplier_pts")
+        .select(col("fid"), col("s_suppkey"), col("s_name"), col("weight"), col("note"),
+          st_x(col("geom")).as("x"), st_y(col("geom")).as("y"))
+        .orderBy(col("fid"))
+    }),
+
     // negative buffer (inward offset) of convex polygons, incl. collapse
     "g29_negative_buffer" -> ((s, d) => {
       supplierPts(s, d)

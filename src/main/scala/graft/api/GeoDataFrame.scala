@@ -749,4 +749,39 @@ object GeoDataFrame {
     val g = GeoDataFrame(df.withColumn(geometryColumn, parsed), geometryColumn)
     crs.map(g.setCrs).getOrElse(g)
   }
+
+  /** Shapefile ingestion (reference `read_file` on .shp, `io/file.py:49-149`):
+    * record-range chunked distributed reads of the .shp/.shx/.dbf trio;
+    * `chunkSize` is the reference's `chunksize`.
+    */
+  def readShapefile(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      chunkSize: Int = 65536,
+      geometryColumn: String = "geometry",
+      crs: Option[String] = None): GeoDataFrame = {
+    graft.sql.functions.install(spark)
+    val g = GeoDataFrame(
+      graft.io.ShapefileIO.read(spark, path, chunkSize, geometryColumn), geometryColumn)
+    crs.map(g.setCrs).getOrElse(g)
+  }
+
+  /** GeoPackage ingestion (reference `read_file` on .gpkg): SQLite b-tree
+    * subtree-partitioned read; the geometry column comes from
+    * gpkg_geometry_columns and the CRS from its srs_id (EPSG).
+    */
+  def readGeoPackage(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      table: String): GeoDataFrame = {
+    graft.sql.functions.install(spark)
+    val df = graft.io.GeoPackageIO.read(spark, path, table)
+    graft.io.GeoPackageIO.geometryColumns(spark, path).get(table) match {
+      case Some(geomCol) =>
+        val g = GeoDataFrame(df, geomCol)
+        graft.io.GeoPackageIO.srsOf(spark, path, table)
+          .map(srs => g.setCrs(s"EPSG:$srs")).getOrElse(g)
+      case None => GeoDataFrame(df)
+    }
+  }
 }

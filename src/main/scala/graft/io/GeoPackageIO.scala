@@ -294,6 +294,21 @@ object GeoPackageIO {
     } finally src.close()
   }
 
+  /** srs_id of a feature table from gpkg_geometry_columns. */
+  def srsOf(spark: SparkSession, path: String, table: String): Option[Long] = {
+    val src = openSource(spark.sessionState.newHadoopConf(), path)
+    try {
+      readMaster(src).find(_.name == "gpkg_geometry_columns").flatMap { m =>
+        var srs: Option[Long] = None
+        walk(src, m.rootPage, 0) { (_, payload) =>
+          val r = decodeRecord(payload)
+          if (r(0) == table) srs = Some(r(3).asInstanceOf[Long])
+        }
+        srs
+      }
+    } finally src.close()
+  }
+
   /** Distributed read of one feature (or plain) table. The driver touches
     * the header + sqlite_master + one root page; each root child subtree
     * becomes a task.

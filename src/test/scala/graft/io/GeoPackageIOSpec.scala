@@ -37,6 +37,15 @@ class GeoPackageIOSpec extends AnyFunSuite {
     assert(ids == (1L to 500L))
   }
 
+  test("GeoDataFrame.readGeoPackage wires geometry column + EPSG crs") {
+    val g = graft.api.GeoDataFrame.readGeoPackage(spark, fixture, "supplier_pts")
+    assert(g.geometryColumn == "geom")
+    assert(g.crs.contains("EPSG:4326"))
+    assert(g.cx(-50, 0, 50, 200).df.count() ==
+      g.df.filter(expr("st_x(st_geomfromwkb(geom)) BETWEEN -50 AND 50") &&
+        expr("st_y(st_geomfromwkb(geom)) BETWEEN 0 AND 200")).count())
+  }
+
   test("gpkg metadata tables are readable and list the geometry column") {
     assert(GeoPackageIO.geometryColumns(spark, fixture) ==
       Map("supplier_pts" -> "geom"))

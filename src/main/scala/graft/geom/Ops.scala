@@ -356,16 +356,16 @@ object Predicates {
   // -------------------------------------------------------------- contains
   /** OGC contains: B within A, interiors intersect (boundary-only contact
     * is NOT containment). Multi-part line operands follow the DE-9IM mod-2
-    * boundary rule (a point where two parts chain is interior) and spans
-    * covered by the union of touching line parts are accepted; union
-    * coverage is judged at sampled vertices/midpoints (as in line-covers-
-    * line), not by exact noding — the one remaining approximation.
+    * boundary rule (a point where two parts chain is interior), and spans
+    * covered by the union of touching/overlapping line parts are accepted
+    * via EXACT per-segment interval-merge coverage (r8 — no sampled
+    * vertices/midpoints; a gap between parts under a sampled midpoint was
+    * a proven false positive).
     */
   def contains(a: Geometry, b: Geometry): Boolean = covers(a, b, strictInterior = true)
 
   /** OGC covers: every point of B in A (boundary contact allowed). Same
-    * multi-part line semantics and sampled-union approximation as
-    * [[contains]].
+    * multi-part line semantics and exact union coverage as [[contains]].
     */
   def covers(a: Geometry, b: Geometry): Boolean = covers(a, b, strictInterior = false)
 
@@ -405,15 +405,12 @@ object Predicates {
           !(q.x == l.x(l.size - 1) && q.y == l.y(l.size - 1) && !l.isClosed)
       // multi-part / collection a that `locate` cannot treat as one areal
       // operand: decompose BOTH sides — every part of b covered by some
-      // single part of a, OR (line parts) by the UNION of a's line parts:
-      // sampled vertices+midpoints of b may each lie on a DIFFERENT part,
-      // which accepts spans covered only by touching/chained parts, and a
-      // point at a part-chaining endpoint counts as interior per the
-      // DE-9IM mod-2 boundary rule (odd endpoint multiplicity = boundary),
-      // consistent with lineVertexInteriorContact. Remaining approximation
-      // (documented on the public predicates): union coverage is judged at
-      // sampled vertices/midpoints, as in single-part line-covers-line —
-      // exact union topology needs noding.
+      // single part of a, OR (line parts) by the UNION of a's line parts
+      // via EXACT per-segment interval-merge coverage (spans covered only
+      // by touching/overlapping parts are accepted, gaps are not). A point
+      // at a part-chaining endpoint counts as interior per the DE-9IM
+      // mod-2 boundary rule (odd endpoint multiplicity = boundary),
+      // consistent with lineVertexInteriorContact.
       // MultiPolygon stays on the areal branch below (locate handles it).
       case _ if (a match {
         case _: MultiPoint | _: MultiLineString | _: GeometryCollection => true
@@ -439,22 +436,12 @@ object Predicates {
           case q: Point =>
             onUnion(q.x, q.y) && (!strictInterior || !oddEndpoints((q.x, q.y)))
           case l2: LineString if linePaths.nonEmpty =>
-            // every vertex and segment midpoint of b on SOME line part of a;
-            // a 1-dim covered span guarantees interior-interior contact, so
-            // strictInterior needs no extra check here
-            var i = 0
-            var ok = true
-            val path = l2.xy
-            while (ok && i + 1 < path.length) {
-              if (!onUnion(path(i), path(i + 1))) ok = false
-              else if (i + 3 < path.length) {
-                val mx = (path(i) + path(i + 2)) / 2
-                val my = (path(i + 1) + path(i + 3)) / 2
-                if (!onUnion(mx, my)) ok = false
-              }
-              i += 2
-            }
-            ok
+            // EXACT union coverage via the interval-merge kernel (no
+            // vertex/midpoint sampling — a gap between parts under a
+            // sampled midpoint was a proven false positive). A 1-dim
+            // covered span guarantees interior-interior contact, so
+            // strictInterior needs no extra check here.
+            Overlay.pathCoveredByPaths(l2.xy, linePaths)
           case _ => false
         }
         partsA.nonEmpty &&
@@ -478,10 +465,11 @@ object Predicates {
         else if (!strictInterior) true
         else interiorsIntersect(a, b)
       case (l1: LineString, l2: LineString) =>
-        // line covers line: every vertex of b on a and segments collinear-contained;
-        // approximation: all vertices + midpoints of b's segments on a
-        val verts = allPathPointsOn(l2.xy, l1.xy)
-        verts
+        // line covers line: EXACT interval-merge coverage of every b
+        // segment by a's collinear runs (r8 — replaced vertex/midpoint
+        // sampling, which could miss an uncovered sub-span between
+        // on-path sample points)
+        Overlay.pathCoveredByPaths(l2.xy, Seq(l1.xy))
       case _ => false
     }
   }
@@ -500,18 +488,6 @@ object Predicates {
     true
   }
 
-  private def allPathPointsOn(path: Array[Double], target: Array[Double]): Boolean = {
-    var i = 0
-    while (i + 1 < path.length) {
-      if (!pointOnPath(path(i), path(i + 1), target)) return false
-      if (i + 3 < path.length) {
-        val mx = (path(i) + path(i + 2)) / 2; val my = (path(i + 1) + path(i + 3)) / 2
-        if (!pointOnPath(mx, my, target)) return false
-      }
-      i += 2
-    }
-    true
-  }
 
   private def allVerticesLocated(l: LineString, a: Geometry, allowOn: Boolean): Boolean = {
     var ok = true
@@ -777,9 +753,12 @@ object Predicates {
       val sb = Geometry.parts(b).collect { case p: Point => (p.x, p.y) }.toSet
       sa == sb
     } else {
+      // mutual EXACT union coverage (r8): each side's every path covered by
+      // the union of the other side's paths — handles one path equal to the
+      // union of several opposite parts, which per-pair matching missed
       val ra = rings(a); val rb = rings(b)
-      ra.forall(r => rb.exists(r2 => allPathPointsOn(r, r2) || allPathPointsOn(r2, r))) &&
-        rb.forall(r => ra.exists(r2 => allPathPointsOn(r, r2) || allPathPointsOn(r2, r)))
+      ra.forall(r => Overlay.pathCoveredByPaths(r, rb)) &&
+        rb.forall(r => Overlay.pathCoveredByPaths(r, ra))
     }
   }
 

@@ -394,6 +394,33 @@ object Overlay {
     merged.toSeq
   }
 
+  /** EXACT union coverage of a path by a set of line paths: every segment's
+    * full [0,1] parameter interval must be covered by the merged collinear
+    * overlap intervals (the same interval machinery lineMinusLine uses).
+    * Zero-length segments degenerate to a point-on-any-path test. Used by
+    * the multi-part covers/contains predicates — no vertex/midpoint
+    * sampling approximation.
+    */
+  private[geom] def pathCoveredByPaths(path: Array[Double], paths: Seq[Array[Double]]): Boolean = {
+    val eps = 1e-12
+    var i = 0
+    while (i + 3 < path.length) {
+      val ax = path(i); val ay = path(i + 1)
+      val bx = path(i + 2); val by = path(i + 3)
+      if (ax == bx && ay == by) {
+        if (!paths.exists(p => Predicates.pointOnPath(ax, ay, p))) return false
+      } else {
+        val merged = segOverlapIntervals(ax, ay, bx, by, paths)
+        // merged intervals are sorted and disjoint: coverage of [0,1] means
+        // one interval spans it (within eps)
+        val ok = merged.exists { case (lo, hi) => lo <= eps && hi >= 1.0 - eps }
+        if (!ok) return false
+      }
+      i += 2
+    }
+    true
+  }
+
   /** Sub-spans of `a` selected by per-segment parameter intervals, chained
     * into maximal linestrings. `keepInside` keeps the intervals themselves
     * (intersection); false keeps their complement (difference).

@@ -93,8 +93,9 @@ object ImageCodec {
       .put(0.toByte).put(0.toByte).put(0.toByte)
       .array()
     chunk("IHDR", ihdr)
-    // zlib stream (Deflater default = zlib wrapper)
-    val defl = new Deflater()
+    // zlib stream (zlib wrapper); BEST_SPEED — the payload only needs to be
+    // a valid PNG, and synthesis runs once per row in the bench hot path
+    val defl = new Deflater(Deflater.BEST_SPEED)
     defl.setInput(raw)
     defl.finish()
     val zbuf = new ByteArrayOutputStream(raw.length / 2 + 32)

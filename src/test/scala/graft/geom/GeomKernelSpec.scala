@@ -168,6 +168,36 @@ class GeomKernelSpec extends AnyFunSuite {
     assert(!Predicates.covers(gapped, Wkt.read("LINESTRING (1 0, 3 0)")))
   }
 
+  test("randomized: multi-part line covers agrees with lineMinusLine emptiness") {
+    // cross-kernel consistency: if the union of a's chained parts covers
+    // span b, then b \ a must be empty — and vice versa. Exercises the r8
+    // union-sampling covers path against the exact interval-merge
+    // difference kernel on 200 random chain/span configurations.
+    val rnd = new scala.util.Random(11)
+    for (_ <- 0 until 200) {
+      // a: a chain of 2-4 collinear parts along y=0 with random breakpoints,
+      // adjacent (sharing endpoints) or gapped
+      val nParts = 2 + rnd.nextInt(3)
+      var cursor = rnd.nextInt(5).toDouble
+      val parts = (0 until nParts).map { _ =>
+        val len = 1 + rnd.nextInt(4)
+        val s = cursor
+        cursor += len
+        if (rnd.nextBoolean()) cursor += rnd.nextInt(2) // maybe a gap after
+        LineString(Array(s, 0.0, s + len, 0.0))
+      }
+      val a: Geometry = MultiLineString(parts.toArray)
+      val s0 = rnd.nextInt(14).toDouble
+      val b = LineString(Array(s0, 0.0, s0 + 1 + rnd.nextInt(3), 0.0))
+      val covered = Predicates.covers(a, b)
+      val residue = Measures.length(Overlay.difference(b, a))
+      if (covered)
+        assert(residue < 1e-9, s"covers=$covered but |b\\a|=$residue for a=$a b=$b")
+      else
+        assert(residue > 1e-9, s"covers=$covered but |b\\a|=$residue for a=$a b=$b")
+    }
+  }
+
   test("curve x curve intersection: collinear spans from multiple parts are noded") {
     // two b parts overlap the SAME stretch of a: the result must not
     // contain duplicate spans (length would inflate)

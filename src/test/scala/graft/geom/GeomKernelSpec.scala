@@ -198,6 +198,55 @@ class GeomKernelSpec extends AnyFunSuite {
     }
   }
 
+  test("randomized: line intersection/difference conserve length") {
+    // |a ∩ b| + |a \ b| = |a| for random collinear multi-part families —
+    // catches interval-merge/emission defects (the r8 duplicate-span bug
+    // would double-count the intersection side and break this exactly)
+    val rnd = new scala.util.Random(23)
+    for (trial <- 0 until 200) {
+      def randomChain(): Geometry = {
+        val n = 1 + rnd.nextInt(3)
+        val parts = (0 until n).map { _ =>
+          val s = rnd.nextInt(12).toDouble
+          LineString(Array(s, 0.0, s + 1 + rnd.nextInt(5), 0.0))
+        }
+        if (parts.length == 1) parts.head else MultiLineString(parts.toArray)
+      }
+      val a = randomChain()
+      val b = randomChain()
+      val la = Measures.length(a)
+      val li = Measures.length(Overlay.intersection(a, b))
+      val ld = Measures.length(Overlay.difference(a, b))
+      // overlapping parts WITHIN a would make |a| itself double-counted —
+      // normalize expectation via a's own self-union length
+      val laSelf = Measures.length(Overlay.intersection(a, a))
+      assert(math.abs((li + ld) - laSelf) < 1e-9 || math.abs((li + ld) - la) < 1e-9,
+        s"trial $trial: |a∩b|=$li + |a\\b|=$ld vs |a|=$la/self=$laSelf  a=$a b=$b")
+    }
+  }
+
+  test("randomized: polygon clip ops conserve area") {
+    // area(a∩b) + area(a\b) = area(a) for random axis-boxes and triangles
+    val rnd = new scala.util.Random(31)
+    for (trial <- 0 until 150) {
+      def randomPoly(): Geometry = {
+        if (rnd.nextBoolean()) {
+          val x0 = rnd.nextInt(10).toDouble; val y0 = rnd.nextInt(10).toDouble
+          Polygon.box(x0, y0, x0 + 1 + rnd.nextInt(6), y0 + 1 + rnd.nextInt(6))
+        } else {
+          val x0 = rnd.nextInt(10).toDouble; val y0 = rnd.nextInt(10).toDouble
+          val w = 1 + rnd.nextInt(6); val h = 1 + rnd.nextInt(6)
+          Polygon(Array(Array(x0, y0, x0 + w, y0, x0 + w / 2.0, y0 + h, x0, y0)))
+        }
+      }
+      val a = randomPoly(); val b = randomPoly()
+      val ai = Measures.area(Overlay.intersection(a, b))
+      val ad = Measures.area(Overlay.difference(a, b))
+      assert(math.abs(ai + ad - Measures.area(a)) < 1e-6,
+        s"trial $trial: ${Measures.area(a)} != $ai + $ad  a=$a b=$b")
+    }
+  }
+
   test("curve x curve intersection: collinear spans from multiple parts are noded") {
     // two b parts overlap the SAME stretch of a: the result must not
     // contain duplicate spans (length would inflate)

@@ -768,20 +768,21 @@ object GeoDataFrame {
 
   /** GeoPackage ingestion (reference `read_file` on .gpkg): SQLite b-tree
     * subtree-partitioned read; the geometry column comes from
-    * gpkg_geometry_columns and the CRS from its srs_id (EPSG).
+    * gpkg_geometry_columns and the CRS resolves through
+    * gpkg_spatial_ref_sys (EPSG rows only; undefined/custom srs -> no CRS).
+    * Fails at read time when the table has no registered geometry column —
+    * use `GeoPackageIO.read` directly for plain attribute tables.
     */
   def readGeoPackage(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
       table: String): GeoDataFrame = {
     graft.sql.functions.install(spark)
-    val df = graft.io.GeoPackageIO.read(spark, path, table)
-    graft.io.GeoPackageIO.geometryColumns(spark, path).get(table) match {
-      case Some(geomCol) =>
-        val g = GeoDataFrame(df, geomCol)
-        graft.io.GeoPackageIO.srsOf(spark, path, table)
-          .map(srs => g.setCrs(s"EPSG:$srs")).getOrElse(g)
-      case None => GeoDataFrame(df)
-    }
+    val (geomCol, crs) = graft.io.GeoPackageIO.featureMeta(spark, path).getOrElse(table,
+      throw new IllegalArgumentException(
+        s"table '$table' has no gpkg_geometry_columns entry — " +
+          "read plain tables with GeoPackageIO.read"))
+    val g = GeoDataFrame(graft.io.GeoPackageIO.read(spark, path, table), geomCol)
+    crs.map(g.setCrs).getOrElse(g)
   }
 }

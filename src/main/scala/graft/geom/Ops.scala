@@ -470,6 +470,15 @@ object Predicates {
         // sampling, which could miss an uncovered sub-span between
         // on-path sample points)
         Overlay.pathCoveredByPaths(l2.xy, Seq(l1.xy))
+      // single-part a with multi-part b: decompose b (the mirror of the
+      // decompose-a branch above — without it these pairs fell through to
+      // false even when every part of b lies on a)
+      case _ if (b match {
+        case _: MultiPoint | _: MultiLineString | _: GeometryCollection => true
+        case _ => false
+      }) =>
+        val partsB = Geometry.parts(b).filterNot(_.isEmpty)
+        partsB.nonEmpty && partsB.forall(pb => covers(a, pb, strictInterior))
       case _ => false
     }
   }
@@ -755,9 +764,14 @@ object Predicates {
     } else {
       // mutual EXACT union coverage (r8): each side's every path covered by
       // the union of the other side's paths — handles one path equal to the
-      // union of several opposite parts, which per-pair matching missed
-      val ra = rings(a); val rb = rings(b)
-      ra.forall(r => Overlay.pathCoveredByPaths(r, rb)) &&
+      // union of several opposite parts, which per-pair matching missed.
+      // Paths come from flattened parts (NOT rings(), which is empty for
+      // GeometryCollection and made two collections compare vacuously equal)
+      def paths(g: Geometry): Seq[Array[Double]] =
+        Geometry.parts(g).collect { case l: LineString if !l.isEmpty => l.xy }
+      val ra = paths(a); val rb = paths(b)
+      ra.nonEmpty && rb.nonEmpty &&
+        ra.forall(r => Overlay.pathCoveredByPaths(r, rb)) &&
         rb.forall(r => Overlay.pathCoveredByPaths(r, ra))
     }
   }

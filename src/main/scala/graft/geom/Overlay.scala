@@ -385,8 +385,13 @@ object Overlay {
       }
     }
     val merged = ArrayBuffer[(Double, Double)]()
+    // bridge sub-1e-9 parameter gaps: chained part endpoints computed
+    // upstream can differ by an ulp, and an exact-touch merge would leave
+    // a phantom uncovered sliver (inconsistent with the tolerance-based
+    // pointOnPath/nearlyCollinear used everywhere else)
+    val eps = 1e-9
     iv.sortBy(_._1).foreach { x =>
-      if (merged.nonEmpty && x._1 <= merged.last._2) {
+      if (merged.nonEmpty && x._1 <= merged.last._2 + eps) {
         val l = merged.remove(merged.length - 1)
         merged += ((l._1, math.max(l._2, x._2)))
       } else merged += x
@@ -403,6 +408,10 @@ object Overlay {
     */
   private[geom] def pathCoveredByPaths(path: Array[Double], paths: Seq[Array[Double]]): Boolean = {
     val eps = 1e-12
+    // a degenerate single-coordinate path is a point: test it directly
+    // (the segment loop below would otherwise pass it vacuously)
+    if (path.length == 2)
+      return paths.exists(p => Predicates.pointOnPath(path(0), path(1), p))
     var i = 0
     while (i + 3 < path.length) {
       val ax = path(i); val ay = path(i + 1)

@@ -51,6 +51,12 @@ object GeoPackageIO {
     val ps0 = ((head(16) & 0xff) << 8) | (head(17) & 0xff)
     val pageSize = if (ps0 == 1) 65536 else ps0
     val reserved = head(20) & 0xff
+    // format-version 2 = WAL journaling: recent rows may live only in the
+    // -wal sidecar, so a silent main-file walk would return stale data —
+    // fail loud instead (checkpoint the database first)
+    require(head(18) != 2 && head(19) != 2,
+      s"$path uses WAL journaling (uncheckpointed -wal may hold newer rows); " +
+        "checkpoint it to rollback-journal mode before reading")
     new PageSource(in, pageSize, pageSize - reserved)
   }
 
@@ -100,9 +106,11 @@ object GeoPackageIO {
         case st if st >= 12 && st % 2 == 0 =>
           val len = ((st - 12) / 2).toInt
           out(i) = java.util.Arrays.copyOfRange(payload, v, v + len); v += len
-        case st =>
+        case st if st >= 13 =>
           val len = ((st - 13) / 2).toInt
           out(i) = new String(payload, v, len, "UTF-8"); v += len
+        case st => throw new IllegalArgumentException(
+          s"reserved/unsupported SQLite serial type $st in record")
       }
       i += 1
     }
@@ -276,38 +284,54 @@ object GeoPackageIO {
     java.util.Arrays.copyOfRange(blob, 8 + envDoubles * 8, blob.length)
   }
 
-  /** Tables declared in gpkg_geometry_columns: table -> geometry column. */
-  def geometryColumns(spark: SparkSession, path: String): Map[String, String] = {
+  /** (geometry column, resolved CRS) per feature table, in ONE file open
+    * and one pass over sqlite_master + gpkg_geometry_columns +
+    * gpkg_spatial_ref_sys. Per the GPKG spec srs_id is a JOIN KEY into the
+    * registry (not necessarily an EPSG code): the CRS resolves to
+    * "EPSG:<organization_coordsys_id>" only when the registry row's
+    * organization is EPSG; reserved ids (0 = undefined geographic, -1 =
+    * undefined) and custom organizations yield None.
+    */
+  def featureMeta(spark: SparkSession, path: String): Map[String, (String, Option[String])] = {
     val src = openSource(spark.sessionState.newHadoopConf(), path)
-    try {
-      val master = readMaster(src)
-      master.find(_.name == "gpkg_geometry_columns") match {
+    try featureMetaFrom(src) finally src.close()
+  }
+
+  private def featureMetaFrom(src: PageSource): Map[String, (String, Option[String])] = {
+    val master = readMaster(src)
+    val registry: Map[Long, (String, Long)] =
+      master.find(_.name == "gpkg_spatial_ref_sys") match {
         case None => Map.empty
         case Some(m) =>
-          val out = ArrayBuffer.empty[(String, String)]
-          walk(src, m.rootPage, 0) { (_, payload) =>
+          val out = ArrayBuffer.empty[(Long, (String, Long))]
+          walk(src, m.rootPage, 0) { (rowid, payload) =>
             val r = decodeRecord(payload)
-            out += ((r(0).asInstanceOf[String], r(1).asInstanceOf[String]))
+            // srs_id is INTEGER PRIMARY KEY -> NULL in the record, value
+            // carried by the b-tree rowid
+            val srsId = Option(r(1)).map(_.asInstanceOf[Long]).getOrElse(rowid)
+            out += ((srsId, (r(2).asInstanceOf[String], r(3).asInstanceOf[Long])))
           }
           out.toMap
       }
-    } finally src.close()
-  }
-
-  /** srs_id of a feature table from gpkg_geometry_columns. */
-  def srsOf(spark: SparkSession, path: String, table: String): Option[Long] = {
-    val src = openSource(spark.sessionState.newHadoopConf(), path)
-    try {
-      readMaster(src).find(_.name == "gpkg_geometry_columns").flatMap { m =>
-        var srs: Option[Long] = None
+    master.find(_.name == "gpkg_geometry_columns") match {
+      case None => Map.empty
+      case Some(m) =>
+        val out = ArrayBuffer.empty[(String, (String, Option[String]))]
         walk(src, m.rootPage, 0) { (_, payload) =>
           val r = decodeRecord(payload)
-          if (r(0) == table) srs = Some(r(3).asInstanceOf[Long])
+          val srsId = r(3).asInstanceOf[Long]
+          val crs = registry.get(srsId).collect {
+            case (org, cid) if srsId > 0 && org.equalsIgnoreCase("EPSG") => s"EPSG:$cid"
+          }
+          out += ((r(0).asInstanceOf[String], (r(1).asInstanceOf[String], crs)))
         }
-        srs
-      }
-    } finally src.close()
+        out.toMap
+    }
   }
+
+  /** Tables declared in gpkg_geometry_columns: table -> geometry column. */
+  def geometryColumns(spark: SparkSession, path: String): Map[String, String] =
+    featureMeta(spark, path).map { case (t, (c, _)) => (t, c) }
 
   /** Distributed read of one feature (or plain) table. The driver touches
     * the header + sqlite_master + one root page; each root child subtree
@@ -316,13 +340,16 @@ object GeoPackageIO {
   def read(spark: SparkSession, path: String, table: String): DataFrame = {
     val conf = spark.sessionState.newHadoopConf()
     val src = openSource(conf, path)
+    // one driver-side open: master + geometry metadata + the root page
     val (cols, roots, geomCol) = try {
       val master = readMaster(src)
       val m = master.find(_.name == table).getOrElse(
         throw new IllegalArgumentException(
           s"no table '$table' in $path (tables: ${master.map(_.name).mkString(", ")})"))
+      require(m.rootPage > 0, s"table '$table' is virtual (rootpage 0, e.g. an " +
+        "rtree spatial-index shadow table) — only ordinary tables are readable")
       val cols = parseColumns(m.sql)
-      val geomCol = geometryColumns(spark, path).get(table)
+      val geomCol = featureMetaFrom(src).get(table).map(_._1)
       (cols, subtreeRoots(src, m.rootPage, 0), geomCol)
     } finally src.close()
     val schema = StructType(cols.map(c => StructField(c.name, c.sparkType)))

@@ -198,6 +198,23 @@ class GeomKernelSpec extends AnyFunSuite {
     }
   }
 
+  test("single-part a covers multi-part b; GC-of-lines geomEquals not vacuous") {
+    // decompose-b mirror: every part of b on a
+    val a = Wkt.read("LINESTRING (0 0, 3 0)")
+    assert(Predicates.covers(a, Wkt.read("MULTILINESTRING ((0 0, 1 0), (2 0, 3 0))")))
+    assert(!Predicates.covers(a, Wkt.read("MULTILINESTRING ((0 0, 1 0), (2 0, 4 0))")))
+    assert(Predicates.covers(a, Wkt.read("MULTIPOINT (0 0, 1.5 0, 3 0)")))
+    assert(Predicates.contains(a, Wkt.read("MULTIPOINT (1 0, 1.5 0)")))
+    assert(!Predicates.contains(a, Wkt.read("MULTIPOINT (0 0, 1.5 0)"))) // endpoint
+    // geomEquals over collections of lines must compare paths, not pass
+    // vacuously on empty ring sets
+    val gc1 = Wkt.read("GEOMETRYCOLLECTION (LINESTRING (0 0, 1 1))")
+    val gc2 = Wkt.read("GEOMETRYCOLLECTION (LINESTRING (0 0, 1 0, 1 1))")
+    assert(!Predicates.geomEquals(gc1, gc2))
+    assert(Predicates.geomEquals(gc1,
+      Wkt.read("GEOMETRYCOLLECTION (LINESTRING (0 0, 0.5 0.5), LINESTRING (0.5 0.5, 1 1))")))
+  }
+
   test("randomized: line intersection/difference conserve length") {
     // |a ∩ b| + |a \ b| = |a| for random collinear multi-part families —
     // catches interval-merge/emission defects (the r8 duplicate-span bug

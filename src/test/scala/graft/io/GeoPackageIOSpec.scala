@@ -56,5 +56,10 @@ class GeoPackageIOSpec extends AnyFunSuite {
       GeoPackageIO.read(spark, fixture, "no_such_table")
     }
     assert(ex.getMessage.contains("no table"))
+    // plain attribute tables are not GeoDataFrames: loud read-time feedback
+    val ex2 = intercept[IllegalArgumentException] {
+      graft.api.GeoDataFrame.readGeoPackage(spark, fixture, "gpkg_contents")
+    }
+    assert(ex2.getMessage.contains("no gpkg_geometry_columns entry"))
   }
 }

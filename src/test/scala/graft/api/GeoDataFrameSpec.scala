@@ -241,6 +241,33 @@ class GeoDataFrameSpec extends AnyFunSuite {
     assert(got2 == want2, s"got $got2 want $want2")
   }
 
+  test("randomized: grid sjoin equals broadcast ground truth on mixed geometry") {
+    val rnd = new scala.util.Random(17)
+    for (trial <- 0 until 3) {
+      val pts = (0 until 60).map { i =>
+        (i.toLong, rnd.nextDouble() * 100, rnd.nextDouble() * 100)
+      }
+      val boxes = (0 until 25).map { i =>
+        val x0 = rnd.nextDouble() * 90; val y0 = rnd.nextDouble() * 90
+        (100L + i, x0, y0, x0 + 1 + rnd.nextDouble() * 15, y0 + 1 + rnd.nextDouble() * 15)
+      }
+      val l = GeoDataFrame(pts.toDF("pid", "px", "py")
+        .withColumn("geometry", st_point($"px", $"py")).select($"pid", $"geometry"))
+      val r = GeoDataFrame(boxes.toDF("rid", "x0", "y0", "x1", "y1")
+        .withColumn("geometry", st_makeEnvelope($"x0", $"y0", $"x1", $"y1"))
+        .select($"rid", $"geometry"))
+      for (cell <- Seq(7.0, 33.0)) {
+        val grid = l.sjoin(r, predicate = "intersects", strategy = "grid",
+            cellSize = Some(cell))
+          .select($"pid", $"rid").as[(Long, Long)].collect().sorted.toSeq
+        val bcast = l.sjoin(r, predicate = "intersects", strategy = "broadcast")
+          .select($"pid", $"rid").as[(Long, Long)].collect().sorted.toSeq
+        assert(grid == bcast, s"trial $trial cell $cell: ${grid.size} vs ${bcast.size}")
+        assert(grid.distinct == grid, s"trial $trial cell $cell: duplicate pairs")
+      }
+    }
+  }
+
   test("clip to mask") {
     val g = points(200)
     val mask = Wkt.read("POLYGON ((0 0, 30 0, 30 30, 0 30, 0 0))")

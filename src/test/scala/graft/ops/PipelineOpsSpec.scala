@@ -97,6 +97,37 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(exact == capped)
   }
 
+  test("MinKSigAgg: groupBy partial/merge path and serde keep the k-lowest") {
+    import graft.sql.functions.gr_minKSigs
+    // many partitions force partial aggregation + buffer merges
+    val rows = (0 until 300).map(i => ((i % 3).toString, (997L * i % 1000),
+      Array((997L * i % 1000) * 10, 7L)))
+    val df = rows.toDF("g", "id", "sig").repartition(8)
+    val got = df.groupBy($"g").agg(gr_minKSigs($"id", $"sig", 5).as("reps"))
+      .select($"g", $"reps").collect()
+      .map(r => (r.getString(0), r.getSeq[org.apache.spark.sql.Row](1)
+        .map(x => (x.getLong(0), x.getSeq[Long](1))).toList)).toMap
+    (0 until 3).foreach { g =>
+      val expected = rows.filter(_._1 == g.toString).map(_._2).distinct.sorted.take(5)
+      val reps = got(g.toString)
+      assert(reps.map(_._1) == expected, s"group $g: ${reps.map(_._1)} != $expected")
+      reps.foreach { case (id, sig) => assert(sig == List(id * 10, 7L)) }
+    }
+    // serde roundtrip preserves content and order
+    val agg = graft.sql.MinKSigAgg(null, null, 4)
+    val buf = agg.createAggregationBuffer()
+    Seq(9L, 3L, 7L, 1L, 5L, 2L).foreach(id => buf.add(id, Array(id, id * 2)))
+    val back = agg.deserialize(agg.serialize(buf))
+    assert(back.ids.toList == List(1L, 2L, 3L, 5L))
+    assert(back.sigs.map(_.toList).toList == List(List(1L, 2L), List(2L, 4L),
+      List(3L, 6L), List(5L, 10L)))
+    // merge respects the cap and dedups ids
+    val other = agg.createAggregationBuffer()
+    Seq(0L, 3L, 8L).foreach(id => other.add(id, Array(id, id * 2)))
+    back.merge(other)
+    assert(back.ids.toList == List(0L, 1L, 2L, 3L))
+  }
+
   test("simhash pairs: identical texts have distance 0") {
     val got = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
       .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Int)].collect()

@@ -472,13 +472,17 @@ object Predicates {
         Overlay.pathCoveredByPaths(l2.xy, Seq(l1.xy))
       // single-part a with multi-part b: decompose b (the mirror of the
       // decompose-a branch above — without it these pairs fell through to
-      // false even when every part of b lies on a)
+      // false even when every part of b lies on a). OGC contains needs
+      // every part COVERED plus interior-interior contact SOMEWHERE — not
+      // every part off a's boundary (GEOS returns true for a multipoint
+      // with one member on the boundary and another in the interior).
       case _ if (b match {
         case _: MultiPoint | _: MultiLineString | _: GeometryCollection => true
         case _ => false
       }) =>
         val partsB = Geometry.parts(b).filterNot(_.isEmpty)
-        partsB.nonEmpty && partsB.forall(pb => covers(a, pb, strictInterior))
+        partsB.nonEmpty && partsB.forall(pb => covers(a, pb, strictInterior = false)) &&
+          (!strictInterior || partsB.exists(pb => covers(a, pb, strictInterior = true)))
       case _ => false
     }
   }
@@ -766,13 +770,24 @@ object Predicates {
       // the union of the other side's paths — handles one path equal to the
       // union of several opposite parts, which per-pair matching missed.
       // Paths come from flattened parts (NOT rings(), which is empty for
-      // GeometryCollection and made two collections compare vacuously equal)
+      // GeometryCollection and made two collections compare vacuously
+      // equal). Point members of a mixed collection participate as point
+      // sets: a point ON the other side's paths is set-redundant, a point
+      // off them breaks equality.
       def paths(g: Geometry): Seq[Array[Double]] =
         Geometry.parts(g).collect { case l: LineString if !l.isEmpty => l.xy }
+      def pts(g: Geometry): Seq[(Double, Double)] =
+        Geometry.parts(g).collect { case p: Point if !p.isEmpty => (p.x, p.y) }
       val ra = paths(a); val rb = paths(b)
+      val pa = pts(a); val pb = pts(b)
+      def ptCovered(pt: (Double, Double), otherPaths: Seq[Array[Double]],
+          otherPts: Seq[(Double, Double)]): Boolean =
+        otherPaths.exists(r => pointOnPath(pt._1, pt._2, r)) || otherPts.contains(pt)
       ra.nonEmpty && rb.nonEmpty &&
         ra.forall(r => Overlay.pathCoveredByPaths(r, rb)) &&
-        rb.forall(r => Overlay.pathCoveredByPaths(r, ra))
+        rb.forall(r => Overlay.pathCoveredByPaths(r, ra)) &&
+        pa.forall(ptCovered(_, rb, pb)) &&
+        pb.forall(ptCovered(_, ra, pa))
     }
   }
 

@@ -294,11 +294,11 @@ object GeoPackageIO {
     */
   def featureMeta(spark: SparkSession, path: String): Map[String, (String, Option[String])] = {
     val src = openSource(spark.sessionState.newHadoopConf(), path)
-    try featureMetaFrom(src) finally src.close()
+    try featureMetaFrom(src, readMaster(src)) finally src.close()
   }
 
-  private def featureMetaFrom(src: PageSource): Map[String, (String, Option[String])] = {
-    val master = readMaster(src)
+  private def featureMetaFrom(src: PageSource,
+      master: Seq[Master]): Map[String, (String, Option[String])] = {
     val registry: Map[Long, (String, Long)] =
       master.find(_.name == "gpkg_spatial_ref_sys") match {
         case None => Map.empty
@@ -349,7 +349,8 @@ object GeoPackageIO {
       require(m.rootPage > 0, s"table '$table' is virtual (rootpage 0, e.g. an " +
         "rtree spatial-index shadow table) — only ordinary tables are readable")
       val cols = parseColumns(m.sql)
-      val geomCol = featureMetaFrom(src).get(table).map(_._1)
+      // reuse the already-decoded master — no second sqlite_master walk
+      val geomCol = featureMetaFrom(src, master).get(table).map(_._1)
       (cols, subtreeRoots(src, m.rootPage, 0), geomCol)
     } finally src.close()
     val schema = StructType(cols.map(c => StructField(c.name, c.sparkType)))

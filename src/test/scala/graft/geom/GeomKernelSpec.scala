@@ -205,7 +205,12 @@ class GeomKernelSpec extends AnyFunSuite {
     assert(!Predicates.covers(a, Wkt.read("MULTILINESTRING ((0 0, 1 0), (2 0, 4 0))")))
     assert(Predicates.covers(a, Wkt.read("MULTIPOINT (0 0, 1.5 0, 3 0)")))
     assert(Predicates.contains(a, Wkt.read("MULTIPOINT (1 0, 1.5 0)")))
-    assert(!Predicates.contains(a, Wkt.read("MULTIPOINT (0 0, 1.5 0)"))) // endpoint
+    // GEOS semantics: one member on the boundary + one in the interior IS
+    // contained (covers everywhere + interior contact somewhere)
+    assert(Predicates.contains(a, Wkt.read("MULTIPOINT (0 0, 1.5 0)")))
+    // boundary-only contact is covered but NOT contained
+    assert(Predicates.covers(a, Wkt.read("MULTIPOINT (0 0, 3 0)")))
+    assert(!Predicates.contains(a, Wkt.read("MULTIPOINT (0 0, 3 0)")))
     // geomEquals over collections of lines must compare paths, not pass
     // vacuously on empty ring sets
     val gc1 = Wkt.read("GEOMETRYCOLLECTION (LINESTRING (0 0, 1 1))")
@@ -213,6 +218,14 @@ class GeomKernelSpec extends AnyFunSuite {
     assert(!Predicates.geomEquals(gc1, gc2))
     assert(Predicates.geomEquals(gc1,
       Wkt.read("GEOMETRYCOLLECTION (LINESTRING (0 0, 0.5 0.5), LINESTRING (0.5 0.5, 1 1))")))
+    // point members participate as point sets: on-path = redundant,
+    // off-path breaks equality
+    assert(Predicates.geomEquals(
+      Wkt.read("GEOMETRYCOLLECTION (LINESTRING (0 0, 1 1), POINT (0.5 0.5))"),
+      Wkt.read("LINESTRING (0 0, 1 1)")))
+    assert(!Predicates.geomEquals(
+      Wkt.read("GEOMETRYCOLLECTION (LINESTRING (0 0, 1 1), POINT (1 0))"),
+      Wkt.read("LINESTRING (0 0, 1 1)")))
   }
 
   test("randomized: line intersection/difference conserve length") {

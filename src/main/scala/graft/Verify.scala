@@ -54,6 +54,26 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // oracle-validity probe: t05/t10's all-pairs DuckDB oracles match the
+    // bounded minhash default (cap 128) only while every LSH bucket at this
+    // SF stays within the cap. A testdata regeneration that crosses it must
+    // fail HERE, loudly, not as an inscrutable hash mismatch downstream.
+    val minhashNames = Set("t05_minhash_pairs", "t10_dedup_clusters")
+    if (only.forall(n => (n & minhashNames).nonEmpty)) {
+      try {
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        val maxBucket = graft.ops.Dedup.maxLshBucket(docs, "doc_id", "text")
+        if (maxBucket > 128) {
+          System.err.println(s"[verify] FATAL: max minhash LSH bucket at this SF is " +
+            s"$maxBucket > cap 128 — the t05/t10 all-pairs oracles no longer match " +
+            "the bounded default; regenerate oracles or raise the cap")
+          spark.stop()
+          sys.exit(3)
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] bucket probe failed: ${e.getMessage}")
+      }
+    }
     spark.stop()
   }
 }

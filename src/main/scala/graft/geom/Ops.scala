@@ -419,22 +419,35 @@ object Predicates {
         val partsA = Geometry.parts(a).filterNot(_.isEmpty)
         lazy val linePaths = partsA.collect { case l: LineString if l.size > 1 => l.xy }
         // mod-2 boundary of a's line parts: endpoints occurring an odd
-        // number of times; a chaining vertex (even count) is interior
-        lazy val oddEndpoints: Set[(Double, Double)] = {
-          val counts = scala.collection.mutable.Map.empty[(Double, Double), Int]
+        // number of times; a chaining vertex (even count) is interior.
+        // Endpoints are CLUSTERED within the same 1e-9 tolerance the
+        // interval-merge coverage uses for part bridging — parts chained
+        // at endpoints an ulp apart must register as ONE chaining vertex
+        // (even multiplicity), not two boundary points, or contains would
+        // flip inconsistently with the span-coverage result.
+        lazy val oddEndpoints: Seq[(Double, Double)] = {
+          val eps = 1e-9
+          val reps = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+          val counts = scala.collection.mutable.ArrayBuffer.empty[Int]
           partsA.foreach {
             case l: LineString if !l.isClosed && l.size > 0 =>
-              Seq((l.x(0), l.y(0)), (l.x(l.size - 1), l.y(l.size - 1)))
-                .foreach(p => counts(p) = counts.getOrElse(p, 0) + 1)
+              Seq((l.x(0), l.y(0)), (l.x(l.size - 1), l.y(l.size - 1))).foreach { p =>
+                val i = reps.indexWhere(q =>
+                  math.abs(q._1 - p._1) <= eps && math.abs(q._2 - p._2) <= eps)
+                if (i >= 0) counts(i) += 1 else { reps += p; counts += 1 }
+              }
             case _ =>
           }
-          counts.filter(_._2 % 2 == 1).keySet.toSet
+          reps.indices.collect { case i if counts(i) % 2 == 1 => reps(i) }.toSeq
         }
+        def isOddEndpoint(x: Double, y: Double): Boolean =
+          oddEndpoints.exists(q =>
+            math.abs(q._1 - x) <= 1e-9 && math.abs(q._2 - y) <= 1e-9)
         def onUnion(x: Double, y: Double): Boolean =
           linePaths.exists(p => pointOnPath(x, y, p))
         def unionCovers(pb: Geometry): Boolean = pb match {
           case q: Point =>
-            onUnion(q.x, q.y) && (!strictInterior || !oddEndpoints((q.x, q.y)))
+            onUnion(q.x, q.y) && (!strictInterior || !isOddEndpoint(q.x, q.y))
           case l2: LineString if linePaths.nonEmpty =>
             // EXACT union coverage via the interval-merge kernel (no
             // vertex/midpoint sampling — a gap between parts under a

@@ -51,7 +51,17 @@ object GeoFeatherIO {
     new Field(f.name, FieldType.nullable(t), null)
   }
 
-  private def sparkType(f: Field): DataType = f.getType match {
+  private def isDoublePairList(f: Field): Boolean = f.getType match {
+    case l: ArrowType.FixedSizeList => l.getListSize == 2 &&
+      f.getChildren.size() == 1 && (f.getChildren.get(0).getType match {
+        case fp: ArrowType.FloatingPoint =>
+          fp.getPrecision == FloatingPointPrecision.DOUBLE
+        case _ => false
+      })
+    case _ => false
+  }
+
+  private def sparkType(f: Field, isGeomCol: Boolean): DataType = f.getType match {
     case i: ArrowType.Int if i.getBitWidth == 64 => LongType
     case i: ArrowType.Int if i.getBitWidth == 32 => IntegerType
     case fp: ArrowType.FloatingPoint if fp.getPrecision == FloatingPointPrecision.DOUBLE => DoubleType
@@ -61,15 +71,13 @@ object GeoFeatherIO {
     case _: ArrowType.Bool   => BooleanType
     // GeoArrow interleaved point coordinates (FixedSizeList<double>[2]):
     // surfaces as WKB binary — the encoding is an interchange representation,
-    // downstream operators always see WKB. Gated on the Float8 child so a
-    // non-geometry fixed-size pair (e.g. an int [min,max]) fails loudly
-    // instead of silently decoding into bogus point blobs.
-    case l: ArrowType.FixedSizeList if l.getListSize == 2 &&
-        f.getChildren.size() == 1 && (f.getChildren.get(0).getType match {
-          case fp: ArrowType.FloatingPoint =>
-            fp.getPrecision == FloatingPointPrecision.DOUBLE
-          case _ => false
-        }) => BinaryType
+    // downstream operators always see WKB. Gated on BOTH the Float8 child
+    // AND the column being declared a geometry column in the file's geo
+    // metadata: a non-geometry double pair (e.g. a [min,max] stats column
+    // written by another Arrow tool) surfaces as array<double>, not as
+    // silently-corrupted point blobs.
+    case _: ArrowType.FixedSizeList if isDoublePairList(f) =>
+      if (isGeomCol) BinaryType else ArrayType(DoubleType)
     case other => throw new UnsupportedOperationException(s"feather read: unsupported arrow type $other")
   }
 
@@ -368,9 +376,19 @@ object GeoFeatherIO {
       val reader = new ArrowFileReader(chan, allocator)
       try {
         val s = reader.getVectorSchemaRoot.getSchema
+        val geoJson = Option(s.getCustomMetadata.get("geo"))
+        // geometry columns DECLARED by the file's geo metadata: only these
+        // map FixedSizeList<double>[2] → WKB; any other double-pair column
+        // stays array<double> (see sparkType)
+        val declared: Set[String] = geoJson.map { j =>
+          val cols = mapper.readTree(j).get("columns")
+          val it = cols.fieldNames(); val b = Set.newBuilder[String]
+          while (it.hasNext) b += it.next()
+          b.result()
+        }.getOrElse(Set.empty)
         val struct = StructType(s.getFields.asScala.toSeq.map(f =>
-          StructField(f.getName, sparkType(f), nullable = true)))
-        (struct, Option(s.getCustomMetadata.get("geo")))
+          StructField(f.getName, sparkType(f, declared.contains(f.getName)), nullable = true)))
+        (struct, geoJson)
       } finally { reader.close(); allocator.close() }
     }
     val primaryGeom: Option[String] = geoMeta.map { json =>
@@ -414,6 +432,10 @@ object GeoFeatherIO {
       }.toArray
     }.toArray
     val nOut = projIdx.length
+    // per-output-column WKB gating mirrors the schema mapping: only a
+    // declared-geometry list cell becomes a WKB point; other double pairs
+    // surface as array<double> (outSchema.fields(c) pairs with projIdx(c))
+    val wkbOut: Array[Boolean] = outSchema.fields.map(_.dataType == BinaryType)
     val box = bbox.orNull
     val rows =
       if (fileNames.isEmpty)
@@ -462,7 +484,9 @@ object GeoFeatherIO {
                 vals(c) = vectors(projIdx(c)).getObject(r) match {
                   case null                                 => null
                   case t: org.apache.arrow.vector.util.Text => t.toString
-                  case l: java.util.List[_]                 => cellToWkb(l)
+                  case l: java.util.List[_] =>
+                    if (wkbOut(c)) cellToWkb(l)
+                    else l.asScala.toSeq.map(_.asInstanceOf[Number].doubleValue())
                   case other                                => other
                 }
                 c += 1

@@ -379,8 +379,23 @@ object GeoPackageIO {
                 case (d: java.lang.Double, LongType) => d.longValue()
                 case (l: java.lang.Long, StringType) => l.toString
                 case (d: java.lang.Double, StringType) => d.toString
-                case (s: String, LongType) => s.toLong
-                case (s: String, DoubleType) => s.toDouble
+                // TEXT stored in an INTEGER/REAL-affinity column is legal
+                // under SQLite's dynamic typing but may not parse — fail
+                // with table/column/rowid context so a malformed
+                // third-party gpkg is diagnosable, not a bare
+                // NumberFormatException mid-task
+                case (s: String, LongType) =>
+                  try s.toLong catch { case _: NumberFormatException =>
+                    throw new IllegalArgumentException(
+                      s"gpkg read: table '$table' column '${colArr(i).name}' " +
+                        s"rowid $rowid: TEXT value '$s' does not parse as INTEGER")
+                  }
+                case (s: String, DoubleType) =>
+                  try s.toDouble catch { case _: NumberFormatException =>
+                    throw new IllegalArgumentException(
+                      s"gpkg read: table '$table' column '${colArr(i).name}' " +
+                        s"rowid $rowid: TEXT value '$s' does not parse as REAL")
+                  }
                 case (v, _) => v
               }
             i += 1

@@ -474,9 +474,13 @@ object ShapefileIO {
     * documented lossy path (exponents that need the wide form).
     */
   private def fmtDouble(d: Double, width: Int): String = {
+    // Locale.ROOT: default-locale formatting would emit a comma decimal
+    // separator on de_DE/fr_FR/tr_TR JVMs, which violates dBASE and breaks
+    // the read side's locale-independent s.toDouble on roundtrip
+    def g(p: Int) = String.format(java.util.Locale.ROOT, s"%.${p}g", Double.box(d))
     var p = 17
-    var s = s"%.${p}g".format(d)
-    while (s.length > width && p > 1) { p -= 1; s = s"%.${p}g".format(d) }
+    var s = g(p)
+    while (s.length > width && p > 1) { p -= 1; s = g(p) }
     require(s.length <= width, s"cannot format $d within $width chars")
     s
   }

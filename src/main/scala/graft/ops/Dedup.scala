@@ -91,6 +91,15 @@ object Dedup {
     * rows of (band, key, id, signature) — at 100 TB the signatures
     * (numHashes longs/doc) are ~0.1% of corpus bytes, and the hot-bucket
     * skew case (mass near-duplicates) is bounded by `maxBucket`.
+    *
+    * CHANGELOG: `maxBucket` default changed 0 → 128 (bounded) in r8.
+    * Callers on the old unbounded-exact default get representative-chained
+    * emission above the cap — a DIFFERENT pair set when any bucket exceeds
+    * 128 members (recall above the cap is via chaining, not all-pairs).
+    * Pass `maxBucket = 0` explicitly for ground-truth exact mode. The
+    * all-pairs DuckDB oracles stay valid only while every bucket at the
+    * oracle SF is ≤ cap — [[maxLshBucket]] probes this and Verify enforces
+    * it, so a testdata regeneration that crosses the cap fails loudly.
     */
   def minhashLsh(
       df: DataFrame,
@@ -141,6 +150,29 @@ object Dedup {
       .select(explode(gr_chainPairs(col("_id"), col("_sk"), col("_reps"),
         col("_band"), lit(bands), lit(threshold))).as("_p"))
       .select(col("_p.id_a"), col("_p.id_b"), col("_p.est_jaccard").as("est_jaccard"))
+  }
+
+  /** Largest (band, key) bucket size for the given banding parameters.
+    * Oracle-validity probe: the all-pairs DuckDB oracles for t05/t10 match
+    * the bounded default only while every bucket at the oracle SF stays
+    * within the cap — Verify runs this and fails loudly on a breach
+    * instead of letting a testdata regeneration produce a silent
+    * hash mismatch.
+    */
+  def maxLshBucket(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleSize: Int = 4,
+      seed: Int = 42): Long = {
+    df.filter(length(col(textCol)) >= shingleSize)
+      .select(posexplode(gr_bandKeys(
+        gr_minhash(col(textCol), lit(numHashes), lit(shingleSize), lit(seed)),
+        lit(bands))).as(Seq("_band", "_key")))
+      .groupBy(col("_band"), col("_key")).count()
+      .agg(max(col("count"))).head.getLong(0)
   }
 
   /** Streaming MinHash-LSH near-duplicate detection — the incremental twin
@@ -229,10 +261,14 @@ object Dedup {
     val sh = df.select(col(idCol).as("_id"), gr_simhash64(col(textCol)).as("_sh"))
     // 4 blocking keys of 16 bits each: any pair with Hamming <= 3 collides
     // in at least one block (pigeonhole)
+    // pin the blocked projection so the self-join reads it once: without
+    // this, each join side recomputes the simhash branch (two full text
+    // scans) unless exchange reuse happens to kick in
     val blocked = sh.select(col("_id"), col("_sh"),
       posexplode(array((0 until 4).map(b =>
         shiftrightunsigned(col("_sh"), b * 16).bitwiseAND(lit(0xffffL))): _*))
         .as(Seq("_block", "_key")))
+      .localCheckpoint()
     val l = blocked.select(col("_id").as("id_a"), col("_sh").as("_sh_a"), col("_block"), col("_key"))
     val r = blocked.select(col("_id").as("id_b"), col("_sh").as("_sh_b"), col("_block"), col("_key"))
     l.join(r, Seq("_block", "_key"))

@@ -96,7 +96,10 @@ object Similarity {
       .withColumn("_probe", explode(array(
         (col("_b0") +: (0 until bits).map(b => col("_b0").bitwiseXOR(lit(1L << b)))): _*)))
     val rawCos = gr_cosine(col("_qv"), col("_cv"))
-    val candidates = c.join(probes, col("_bucket") === col("_probe") &&
+    // broadcast the (small) probe side like bruteForceTopK/ivfTopK do: the
+    // corpus must never shuffle, and that property should be structural,
+    // not dependent on AQE having fresh statistics for the query set
+    val candidates = c.join(broadcast(probes), col("_bucket") === col("_probe") &&
       col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", if (roundCosineTo >= 0) round(rawCos, roundCosineTo) else rawCos)
     val w = Window.partitionBy(col("query_id"))

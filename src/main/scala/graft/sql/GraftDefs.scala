@@ -417,7 +417,7 @@ object GraftDefs {
       StructField("width", I), StructField("height", I), StructField("channels", I),
       StructField("pixel_sum", L))), { a =>
       val (w, h, c, s) = ImageCodec.metaOf(
-        ImageCodec.decode(a(0).asInstanceOf[Array[Byte]]))
+        ImageCodec.decodeCached(a(0).asInstanceOf[Array[Byte]]))
       new GenericInternalRow(Array[Any](w, h, c, s))
     }),
     // real decode + nearest-neighbor fit-into-target resize over the decoded
@@ -426,7 +426,7 @@ object GraftDefs {
       StructField("out_w", I), StructField("out_h", I), StructField("out_bytes", L),
       StructField("out_sum", L))), { a =>
       val (ow, oh, bytes, sum) = ImageCodec.resizeNN(
-        ImageCodec.decode(a(0).asInstanceOf[Array[Byte]]), int(a(1)))
+        ImageCodec.decodeCached(a(0).asInstanceOf[Array[Byte]]), int(a(1)))
       new GenericInternalRow(Array[Any](ow, oh, bytes, sum))
     }),
     // synthesize a real RIFF/WAVE PCM payload from a source byte length

@@ -138,6 +138,27 @@ object ImageCodec {
     } finally iis.close()
   }
 
+  private val PngMagic = Array[Byte](0x89.toByte, 'P', 'N', 'G')
+
+  // per-thread cached PNG reader for the EXPRESSION decode path: Spark
+  // evaluates a codegen'd expression on one task thread at a time, so a
+  // ThreadLocal amortizes plugin lookup + reader construction across a
+  // partition's rows exactly like the batched decodeWith path does
+  private val tlPngReader = new ThreadLocal[ImageReader] {
+    override def initialValue(): ImageReader = newPngReader()
+  }
+
+  /** Decode with the per-thread cached reader when the payload is PNG
+    * (the only format this engine synthesizes); any other format falls
+    * back to one-shot ImageIO dispatch so the contract stays general.
+    */
+  def decodeCached(bytes: Array[Byte]): BufferedImage = {
+    val isPng = bytes.length >= 4 &&
+      bytes(0) == PngMagic(0) && bytes(1) == PngMagic(1) &&
+      bytes(2) == PngMagic(2) && bytes(3) == PngMagic(3)
+    if (isPng) decodeWith(tlPngReader.get(), bytes) else decode(bytes)
+  }
+
   /** (width, height, bands, pixelSum) from the DECODED raster — every value
     * read back from real ImageIO output.
     */

@@ -186,6 +186,49 @@ class GeoParquetIOSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("POINT") || ex.getCause != null)
   }
 
+  test("feather: non-geometry double-pair column stays array<double>, never WKB") {
+    // cross-read scenario: another Arrow tool writes a FixedSizeList<double>[2]
+    // attribute (e.g. a [min,max] stats pair) with NO geo metadata declaring
+    // it a geometry — the reader must surface it as array<double>, not
+    // silently corrupt it into point blobs
+    import org.apache.arrow.memory.RootAllocator
+    import org.apache.arrow.vector._
+    import org.apache.arrow.vector.ipc.ArrowFileWriter
+    import org.apache.arrow.vector.types.FloatingPointPrecision
+    import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ASchema}
+    val dir = new java.io.File(tmpDir()); dir.mkdirs()
+    val alloc = new RootAllocator()
+    val child = new Field("item",
+      FieldType.nullable(new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)), null)
+    val schema = new ASchema(java.util.List.of(
+      new Field("id", FieldType.nullable(new ArrowType.Int(64, true)), null),
+      new Field("stats", FieldType.nullable(new ArrowType.FixedSizeList(2)),
+        java.util.List.of(child))))
+    val root = VectorSchemaRoot.create(schema, alloc)
+    try {
+      root.allocateNew()
+      val idv = root.getVector("id").asInstanceOf[BigIntVector]
+      val sv = root.getVector("stats").asInstanceOf[org.apache.arrow.vector.complex.FixedSizeListVector]
+      val dv = sv.getDataVector.asInstanceOf[Float8Vector]
+      (0 until 3).foreach { i =>
+        idv.setSafe(i, i.toLong)
+        sv.setNotNull(i)
+        dv.setSafe(i * 2, i * 1.5)
+        dv.setSafe(i * 2 + 1, i * 2.5 + 10)
+      }
+      root.setRowCount(3)
+      val out = new java.io.FileOutputStream(new java.io.File(dir, "part-0.arrow"))
+      val w = new ArrowFileWriter(root, null, out.getChannel)
+      w.start(); w.writeBatch(); w.end(); w.close(); out.close()
+    } finally { root.close(); alloc.close() }
+    val back = GeoFeatherIO.read(spark, dir.getAbsolutePath)
+    val f = back.df.schema("stats")
+    assert(f.dataType == org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.DoubleType), f.dataType.toString)
+    val got = back.df.orderBy($"id").select($"stats").as[Seq[Double]].collect()
+    assert(got(1) == Seq(1.5, 12.5), got.mkString(";"))
+  }
+
   test("feather read streams multi-batch files; columns + bbox push into decode") {
     val path = tmpDir()
     val g0 = sample()

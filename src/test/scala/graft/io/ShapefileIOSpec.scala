@@ -38,6 +38,26 @@ class ShapefileIOSpec extends AnyFunSuite {
     }
   }
 
+  test("dbf numeric write is locale-independent (comma-decimal default locale)") {
+    // a de_DE default locale would make %g emit '42,5', which violates
+    // dBASE and breaks the read side's toDouble — fmtDouble must pin
+    // Locale.ROOT. local[*] executors share this JVM, so setDefault
+    // reaches the write tasks.
+    val prev = java.util.Locale.getDefault
+    java.util.Locale.setDefault(java.util.Locale.GERMANY)
+    try {
+      val path = tmpDir()
+      val df = Seq((1L, 42.5, 0.125), (2L, -7.75e-3, 1.0e17))
+        .toDF("id", "a", "b")
+        .withColumn("geometry", expr("st_asbinary(st_point(id * 1.0, 2.0))"))
+      ShapefileIO.write(df, path)
+      val got = ShapefileIO.read(spark, path)
+        .select($"id", $"a", $"b").as[(Long, Double, Double)]
+        .collect().sortBy(_._1).toSeq
+      assert(got == Seq((1L, 42.5, 0.125), (2L, -7.75e-3, 1.0e17)), got.toString)
+    } finally java.util.Locale.setDefault(prev)
+  }
+
   test("multi-chunk read of one file equals whole-file read") {
     val path = tmpDir()
     val df = (0 until 50).map(i => (i.toLong, i * 2.0, i * 3.0)).toDF("id", "x", "y")

@@ -169,6 +169,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(recall > 0.5, s"recall $recall too low")
   }
 
+  test("lsh topk broadcasts the probe side — the corpus never shuffles") {
+    val rnd = new scala.util.Random(2)
+    val df = (0 until 50).map(i => (i.toLong, Array.fill(8)(rnd.nextFloat())))
+      .toDF("vec_id", "embedding")
+    val plan = Similarity.lshTopK(df, df.filter($"vec_id" < 2), "vec_id",
+      "embedding", k = 3, bits = 6).queryExecution.executedPlan.toString
+    // structural, not AQE-statistics-dependent: the probe side must be a
+    // broadcast join so a 100 TB corpus stays shuffle-free on its side
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(2000))
+  }
+
+  test("simhash pairs compute the simhash branch once (pinned blocked set)") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+    val plan = pairs.queryExecution.executedPlan.toString
+    // localCheckpoint pins the blocked projection: the self-join plan reads
+    // the checkpointed RDD on both sides and must NOT re-run the simhash
+    // kernel (two extra full text scans otherwise)
+    assert(!plan.contains("gr_simhash64"), plan.take(2000))
+    assert(plan.contains("ExistingRDD") || plan.contains("Scan ExistingRDD"), plan.take(2000))
+    // semantics unchanged: the near-dup pair survives with its hamming
+    val got = pairs.select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 2L)))
+  }
+
   test("embedding near-dup: LSH recall vs exact, exactly-once pairs") {
     val rnd = new scala.util.Random(3)
     def jitter(base: Array[Float]) = base.map(v => v + rnd.nextFloat() * 0.02f)

@@ -995,6 +995,11 @@ object OracleSql {
              i * 3.25 - 100.0 AS x, (i % 100)::DOUBLE * 7.5 AS y
       FROM (SELECT unnest(range(0, 500)) AS i) ORDER BY fid""",
 
+    "g47_geopackage_write" -> """
+      SELECT s_suppkey::BIGINT AS fid, s_name, s_acctbal AS bal,
+             s_acctbal AS x, (s_suppkey % 100)::DOUBLE * 10.0 AS y
+      FROM supplier ORDER BY fid""",
+
     "g43_shapefile" -> """
       SELECT s_suppkey, s_name, s_acctbal AS x,
              (s_suppkey % 100)::DOUBLE * 10.0 AS y

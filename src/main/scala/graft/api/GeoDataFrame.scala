@@ -667,6 +667,15 @@ final case class GeoDataFrame(
     spatialPartitions.filter(_.nonEmpty).map(_.reduce(_ union _))
       .orElse(fileSource.filter(_.validFor(df)).map(_.bboxes.values.reduce(_ union _)))
 
+  /** Write as a single-file GeoPackage (the reference's
+    * `to_file(..., driver="GPKG")` surface via pyogrio, `io/file.py`):
+    * parallel task-side record encoding, driver-side sequential page
+    * assembly — see [[graft.io.GeoPackageIO.write]] for the layout
+    * contract and the distribution rationale.
+    */
+  def toGeoPackage(path: String, table: String, pageSize: Int = 4096): Unit =
+    graft.io.GeoPackageIO.write(this, path, table, pageSize)
+
   // --------------------------------------------------------------- persist
   /** Persist the underlying data while keeping the wrapper's spatial
     * partition metadata (reference persist, `expr.py:107-115` — dask

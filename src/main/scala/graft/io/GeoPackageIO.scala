@@ -178,24 +178,46 @@ object GeoPackageIO {
     }
   }
 
-  /** Child subtree roots of a table root page (the distributed-read units).
-    * Leaf root -> itself.
+  /** Child subtree roots of a table b-tree (the distributed-read units).
+    * Expands interior levels breadth-first until at least `target` subtrees
+    * exist (or everything is a leaf): a DEEP tree — a big table at a large
+    * page fanout, or a bottom-up-built file whose root has few children —
+    * must not collapse the read to root-child-count parallelism. Driver
+    * cost is one page read per expanded interior node, subtree order
+    * preserves rowid order.
     */
-  private def subtreeRoots(src: PageSource, rootPage: Long, headerSkip: Int): Seq[Long] = {
-    val page = src.page(rootPage)
-    val base = headerSkip
-    if ((page(base) & 0xff) == 0x0d) return Seq(rootPage)
-    val nCells = ((page(base + 3) & 0xff) << 8) | (page(base + 4) & 0xff)
-    val out = ArrayBuffer.empty[Long]
-    var i = 0
-    while (i < nCells) {
-      val cp = base + 12 + i * 2
-      val cellOff = ((page(cp) & 0xff) << 8) | (page(cp + 1) & 0xff)
-      out += ByteBuffer.wrap(page, cellOff, 4).getInt.toLong
-      i += 1
+  private def subtreeRoots(src: PageSource, rootPage: Long, headerSkip: Int,
+      target: Int = 1): Seq[Long] = {
+    def children(pn: Long, base: Int): Option[Seq[Long]] = {
+      val page = src.page(pn)
+      if ((page(base) & 0xff) == 0x0d) return None
+      val nCells = ((page(base + 3) & 0xff) << 8) | (page(base + 4) & 0xff)
+      val out = ArrayBuffer.empty[Long]
+      var i = 0
+      while (i < nCells) {
+        val cp = base + 12 + i * 2
+        val cellOff = ((page(cp) & 0xff) << 8) | (page(cp + 1) & 0xff)
+        out += ByteBuffer.wrap(page, cellOff, 4).getInt.toLong
+        i += 1
+      }
+      out += ByteBuffer.wrap(page, base + 8, 4).getInt.toLong
+      Some(out.toSeq)
     }
-    out += ByteBuffer.wrap(page, base + 8, 4).getInt.toLong
-    out.toSeq
+    var frontier: Vector[(Long, Int)] = Vector((rootPage, headerSkip))
+    var anyInterior = true
+    while (anyInterior && frontier.size < target) {
+      anyInterior = false
+      frontier = frontier.flatMap { case (pn, base) =>
+        children(pn, base) match {
+          case Some(ch) => anyInterior = true; ch.map((_, 0))
+          case None => Vector((pn, base))
+        }
+      }
+    }
+    // always at least one level below a non-leaf root (historic behavior)
+    if (frontier == Vector((rootPage, headerSkip)))
+      children(rootPage, headerSkip).map(_.toVector).getOrElse(Vector(rootPage))
+    else frontier.map(_._1)
   }
 
   private final case class Master(name: String, rootPage: Long, sql: String)
@@ -333,6 +355,452 @@ object GeoPackageIO {
   def geometryColumns(spark: SparkSession, path: String): Map[String, String] =
     featureMeta(spark, path).map { case (t, (c, _)) => (t, c) }
 
+  // ------------------------------------------------------------- write side
+  //
+  // A GeoPackage WRITER (the to_file half of the reference's pyogrio
+  // surface, `io/file.py`): emits a complete single-file SQLite database
+  // with gpkg_spatial_ref_sys / gpkg_contents / gpkg_geometry_columns and
+  // one feature table of GP geometry blobs, readable by `read` above (and
+  // by any SQLite/OGR tool — the formats are public specs).
+  //
+  // Distribution choice (documented): per-row RECORD ENCODING — SQLite
+  // serial-type records plus GP blob wrapping, the per-row CPU cost — runs
+  // in parallel Spark tasks; PAGE ASSEMBLY is driver-side and sequential.
+  // A SQLite file is one mutable b-tree: it has no valid multi-writer or
+  // multi-file layout, so every writer (GDAL/pyogrio included) serializes
+  // the file bytes single-threaded. The driver streams encoded records
+  // partition-at-a-time (toLocalIterator — never a whole-table collect),
+  // packs leaf pages, and builds interior nodes bottom-up: O(file bytes)
+  // sequential work with O(page) memory. At 100 TB you shard across FILES
+  // (one write call per shard), which is also how GDAL datasets scale.
+
+  private def varintEncode(v: Long): Array[Byte] = {
+    if ((v >>> 56) != 0) {
+      // 9-byte form: bytes 0-7 carry bits 63..8 (7 bits each, MSB set),
+      // byte 8 carries the low 8 bits
+      val out = new Array[Byte](9)
+      out(8) = (v & 0xff).toByte
+      var x = v >>> 8
+      var i = 7
+      while (i >= 0) { out(i) = ((x & 0x7f) | 0x80).toByte; x >>>= 7; i -= 1 }
+      out
+    } else {
+      val buf = ArrayBuffer[Byte]((v & 0x7f).toByte)
+      var x = v >>> 7
+      while (x != 0) { buf.prepend(((x & 0x7f) | 0x80).toByte); x >>>= 7 }
+      buf.toArray
+    }
+  }
+
+  private def intLen(l: Long): Int =
+    if (l >= -128 && l < 128) 1
+    else if (l >= -32768 && l < 32768) 2
+    else if (l >= -(1L << 23) && l < (1L << 23)) 3
+    else if (l >= -(1L << 31) && l < (1L << 31)) 4
+    else if (l >= -(1L << 47) && l < (1L << 47)) 6
+    else 8
+
+  /** (serial type, value bytes) for one record value. */
+  private def encodeValue(v: Any): (Long, Array[Byte]) = v match {
+    case null => (0L, Array.emptyByteArray)
+    case l: Long =>
+      val len = intLen(l)
+      val out = new Array[Byte](len)
+      var i = 0
+      while (i < len) { out(i) = (l >> (8 * (len - 1 - i))).toByte; i += 1 }
+      (len match { case 1 => 1L; case 2 => 2L; case 3 => 3L
+                   case 4 => 4L; case 6 => 5L; case _ => 6L }, out)
+    case d: Double =>
+      val out = new Array[Byte](8); ByteBuffer.wrap(out).putDouble(d); (7L, out)
+    case s: String =>
+      val b = s.getBytes("UTF-8"); (13L + 2L * b.length, b)
+    case b: Array[Byte] => (12L + 2L * b.length, b)
+    case other => throw new IllegalArgumentException(
+      s"gpkg write: unencodable value class ${other.getClass.getName}")
+  }
+
+  /** SQLite record: varint(header len) + serial-type varints + values. */
+  private[io] def encodeRecord(vals: Seq[Any]): Array[Byte] = {
+    val tv = vals.map(encodeValue)
+    val typesLen = tv.map(t => varintEncode(t._1).length).sum
+    // header length includes its own varint — fixpoint (stable in <=2 steps)
+    var hdrLen = typesLen + 1
+    while (hdrLen != typesLen + varintEncode(hdrLen.toLong).length)
+      hdrLen = typesLen + varintEncode(hdrLen.toLong).length
+    val out = new java.io.ByteArrayOutputStream(hdrLen + tv.map(_._2.length).sum)
+    out.write(varintEncode(hdrLen.toLong))
+    tv.foreach(t => out.write(varintEncode(t._1)))
+    tv.foreach(t => out.write(t._2))
+    out.toByteArray
+  }
+
+  /** Wrap WKB in a GP blob (LE, envelope indicator 1 = [minx,maxx,miny,maxy]). */
+  private[io] def wkbToGpb(wkb: Array[Byte], srsId: Int): Array[Byte] = {
+    val env = graft.geom.Wkb.envelopeOf(wkb)
+    val out = new Array[Byte](40 + wkb.length)
+    out(0) = 'G'; out(1) = 'P'; out(2) = 0; out(3) = 0x03
+    val bb = ByteBuffer.wrap(out, 4, 36).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(srsId)
+    bb.putDouble(env.minX).putDouble(env.maxX).putDouble(env.minY).putDouble(env.maxY)
+    System.arraycopy(wkb, 0, out, 40, wkb.length)
+    out
+  }
+
+  /** Driver-side page store: pages are appended (1-based numbering) and
+    * serialized in order at the end.
+    */
+  private final class FileBuilder(val pageSize: Int) {
+    val pages = ArrayBuffer.empty[Array[Byte]]
+    def alloc(): Int = { pages += new Array[Byte](pageSize); pages.length }
+    def usable: Int = pageSize
+  }
+
+  /** One b-tree page image. `base` is 100 on page 1, else 0. Page types:
+    * 0x0d leaf table, 0x05 interior table, 0x0a leaf index.
+    */
+  private def writeBtreePage(pg: Array[Byte], base: Int, pageType: Int,
+      cells: Seq[Array[Byte]], rightmost: Int, usable: Int): Unit = {
+    val leaf = pageType != 0x05
+    pg(base) = pageType.toByte
+    pg(base + 3) = (cells.size >> 8).toByte; pg(base + 4) = cells.size.toByte
+    val total = cells.iterator.map(_.length).sum
+    var off = usable - total
+    pg(base + 5) = (off >> 8).toByte; pg(base + 6) = off.toByte
+    if (!leaf) ByteBuffer.wrap(pg, base + 8, 4).putInt(rightmost)
+    val ptrBase = base + (if (leaf) 8 else 12)
+    var i = 0
+    cells.foreach { c =>
+      System.arraycopy(c, 0, pg, off, c.length)
+      pg(ptrBase + 2 * i) = (off >> 8).toByte; pg(ptrBase + 2 * i + 1) = off.toByte
+      off += c.length; i += 1
+    }
+  }
+
+  /** Single-leaf-page INDEX b-tree (for the tiny sqlite_autoindex trees a
+    * PRIMARY KEY / UNIQUE constraint on a spec table demands — SQLite deems
+    * the schema corrupt when a declared constraint has no index). Index
+    * leaf cells are varint(len) + record(key columns..., rowid).
+    */
+  private def buildSingleLeafIndex(keyRecords: Seq[Array[Byte]], fb: FileBuilder): Int = {
+    val cells = keyRecords.map(r => varintEncode(r.length.toLong) ++ r)
+    require(8 + 2 * cells.size + cells.map(_.length).sum <= fb.usable,
+      "gpkg write: index rows overflow one page (unexpected for spec tables)")
+    val pn = fb.alloc()
+    writeBtreePage(fb.pages(pn - 1), 0, 0x0a, cells, 0, fb.usable)
+    pn
+  }
+
+  /** Leaf-table cell for (rowid, record); spills to overflow pages per the
+    * K/M/X rule (mirrors cellPayload on the read side).
+    */
+  private def makeCell(rowid: Long, p: Array[Byte], fb: FileBuilder): Array[Byte] = {
+    val u = fb.usable
+    val x = u - 35
+    val hdr = varintEncode(p.length.toLong) ++ varintEncode(rowid)
+    if (p.length <= x) hdr ++ p
+    else {
+      val m = (u - 12) * 32 / 255 - 23
+      val k = m + (p.length - m) % (u - 4)
+      val inline = if (k <= x) k else m
+      val chain = ArrayBuffer.empty[Int]
+      var pos = inline
+      while (pos < p.length) { chain += fb.alloc(); pos += u - 4 }
+      pos = inline
+      chain.zipWithIndex.foreach { case (pn, idx) =>
+        val pg = fb.pages(pn - 1)
+        ByteBuffer.wrap(pg, 0, 4).putInt(if (idx + 1 < chain.size) chain(idx + 1) else 0)
+        val take = math.min(p.length - pos, u - 4)
+        System.arraycopy(p, pos, pg, 4, take)
+        pos += take
+      }
+      val head = new Array[Byte](4)
+      ByteBuffer.wrap(head).putInt(chain.head)
+      hdr ++ p.slice(0, inline) ++ head
+    }
+  }
+
+  /** Build a table b-tree from rowid-ordered records; returns root page. */
+  private def buildTableBtree(records: Iterator[(Long, Array[Byte])],
+      fb: FileBuilder): Int = {
+    val u = fb.usable
+    var level = ArrayBuffer.empty[(Int, Long)] // (pageNo, max rowid)
+    var cells = ArrayBuffer.empty[Array[Byte]]
+    var cellBytes = 0
+    var maxRow = 0L
+    var lastRow = Long.MinValue
+    def flushLeaf(): Unit = if (cells.nonEmpty) {
+      val pn = fb.alloc()
+      writeBtreePage(fb.pages(pn - 1), 0, 0x0d, cells.toSeq, 0, u)
+      level += ((pn, maxRow))
+      cells = ArrayBuffer.empty; cellBytes = 0
+    }
+    records.foreach { case (rowid, rec) =>
+      require(rowid > lastRow,
+        s"gpkg write: rowids must be strictly increasing (got $rowid after $lastRow)")
+      lastRow = rowid
+      val cell = makeCell(rowid, rec, fb)
+      if (cells.nonEmpty && 8 + 2 * (cells.size + 1) + cellBytes + cell.length > u)
+        flushLeaf()
+      cells += cell; cellBytes += cell.length; maxRow = rowid
+    }
+    flushLeaf()
+    if (level.isEmpty) { // empty table still needs a root page
+      val pn = fb.alloc()
+      writeBtreePage(fb.pages(pn - 1), 0, 0x0d, Nil, 0, u)
+      return pn
+    }
+    // interior levels bottom-up: cell = 4B child + varint(max rowid);
+    // the level's last child is the page's rightmost pointer
+    while (level.size > 1) {
+      val next = ArrayBuffer.empty[(Int, Long)]
+      var group = ArrayBuffer.empty[(Int, Long)]
+      def groupCellBytes = group.iterator.map { case (_, r) => 4 + varintEncode(r).length }.sum
+      def flushInterior(): Unit = if (group.nonEmpty) {
+        val (rmPage, rmMax) = group.last
+        val cs = group.dropRight(1).map { case (pn, mr) =>
+          val c = new Array[Byte](4 + varintEncode(mr).length)
+          ByteBuffer.wrap(c, 0, 4).putInt(pn)
+          System.arraycopy(varintEncode(mr), 0, c, 4, c.length - 4)
+          c
+        }
+        val pn = fb.alloc()
+        writeBtreePage(fb.pages(pn - 1), 0, 0x05, cs.toSeq, rmPage, u)
+        next += ((pn, rmMax))
+        group = ArrayBuffer.empty
+      }
+      level.foreach { child =>
+        // keep >= 2 children per interior page; capacity check on the cell area
+        if (group.size >= 2 && 12 + 2 * group.size + groupCellBytes + 13 > u)
+          flushInterior()
+        group += child
+      }
+      flushInterior()
+      level = next
+    }
+    level.head._1
+  }
+
+  private def fileHeader(pageSize: Int, nPages: Int): Array[Byte] = {
+    val h = new Array[Byte](100)
+    System.arraycopy("SQLite format 3".getBytes("US-ASCII"), 0, h, 0, 15)
+    h(16) = (pageSize >> 8).toByte; h(17) = pageSize.toByte
+    h(18) = 1; h(19) = 1 // rollback-journal read/write format versions
+    h(21) = 64; h(22) = 32; h(23) = 32
+    ByteBuffer.wrap(h, 24, 4).putInt(1) // file change counter
+    ByteBuffer.wrap(h, 28, 4).putInt(nPages)
+    ByteBuffer.wrap(h, 40, 4).putInt(1) // schema cookie
+    ByteBuffer.wrap(h, 44, 4).putInt(4) // schema format (serial types 8/9 ok)
+    ByteBuffer.wrap(h, 56, 4).putInt(1) // text encoding: UTF-8
+    ByteBuffer.wrap(h, 60, 4).putInt(10300) // user_version: GPKG 1.3
+    ByteBuffer.wrap(h, 68, 4).putInt(0x47504B47) // application_id "GPKG"
+    ByteBuffer.wrap(h, 92, 4).putInt(1) // version-valid-for
+    ByteBuffer.wrap(h, 96, 4).putInt(3045000)
+    h
+  }
+
+  /** Write `gdf` as a complete single-file GeoPackage containing `table`.
+    *
+    * Layout contract (matches `read` back exactly): columns are
+    * `fid INTEGER PRIMARY KEY` + every non-geometry attribute in DataFrame
+    * order + the geometry column last as a GP blob. When the input already
+    * has a LongType `fid` column its values become the rowids (they must
+    * arrive strictly increasing — e.g. a GeoPackage read back, or an
+    * orderBy upstream); otherwise fids are assigned 1..n in row order.
+    * `lastChange` is the gpkg_contents timestamp — fixed by default so
+    * output bytes are deterministic.
+    */
+  def write(gdf: graft.api.GeoDataFrame, path: String, table: String,
+      pageSize: Int = 4096,
+      lastChange: String = "2024-01-01T00:00:00.000Z"): Unit = {
+    require(pageSize >= 512 && pageSize <= 32768 &&
+      Integer.bitCount(pageSize) == 1, s"pageSize must be a power of 2 in [512, 32768]")
+    require(table.nonEmpty && !table.startsWith("gpkg_") && !table.startsWith("sqlite_"),
+      s"invalid feature table name '$table'")
+    val df = gdf.df
+    val geomCol = gdf.geometryColumn
+    val srsId: Int = gdf.crs.flatMap { c =>
+      if (c.toUpperCase.startsWith("EPSG:")) c.drop(5).toIntOption else None
+    }.getOrElse(0)
+    val fields = df.schema.fields
+    val geomIdx = df.schema.fieldIndex(geomCol)
+    val fidIdx = fields.indexWhere(f => f.name == "fid" && f.dataType == LongType)
+    val attrs = fields.zipWithIndex.filter { case (f, i) => i != geomIdx && i != fidIdx }
+    val sqlType: PartialFunction[DataType, String] = {
+      case LongType | IntegerType => "INTEGER"
+      case BooleanType => "BOOLEAN"
+      case DoubleType | FloatType => "DOUBLE"
+      case StringType => "TEXT"
+      case BinaryType => "BLOB"
+    }
+    attrs.foreach { case (f, _) =>
+      require(sqlType.isDefinedAt(f.dataType),
+        s"gpkg write: unsupported column type ${f.dataType} for '${f.name}'")
+    }
+    val ddl = s"""CREATE TABLE "$table" (fid INTEGER PRIMARY KEY""" +
+      attrs.map { case (f, _) => s""", "${f.name}" ${sqlType(f.dataType)}""" }.mkString +
+      s""", "$geomCol" BLOB)"""
+
+    // -------- task-side: encode records (+ per-row envelope for the
+    // contents bbox); rowids from fid or from a running row index
+    val attrIdx = attrs.map(_._2)
+    val geomI = geomIdx
+    val fidI = fidIdx
+    val srs = srsId
+    val encoded: org.apache.spark.rdd.RDD[(Long, Array[Byte], Array[Double])] = {
+      val base = df.rdd
+      val withId =
+        if (fidI >= 0) base.map(r => (r.getLong(fidI), r))
+        else base.zipWithIndex().map { case (r, i) => (i + 1, r) }
+      withId.map { case (rowid, r) =>
+        val vals = new Array[Any](attrIdx.length + 2)
+        vals(0) = null // fid rides in the b-tree key (rowid alias)
+        var c = 0
+        while (c < attrIdx.length) {
+          vals(c + 1) = r.get(attrIdx(c)) match {
+            case null => null
+            case i: java.lang.Integer => i.longValue()
+            case b: java.lang.Boolean => if (b) 1L else 0L
+            case f: java.lang.Float => f.doubleValue()
+            case l: java.lang.Long => l.longValue()
+            case d: java.lang.Double => d.doubleValue()
+            case s: String => s
+            case b: Array[Byte] => b
+            case other => throw new IllegalArgumentException(
+              s"gpkg write: unencodable value ${other.getClass.getName}")
+          }
+          c += 1
+        }
+        val wkb = r.get(geomI).asInstanceOf[Array[Byte]]
+        val env: Array[Double] =
+          if (wkb == null) null
+          else {
+            val e = graft.geom.Wkb.envelopeOf(wkb)
+            Array(e.minX, e.minY, e.maxX, e.maxY)
+          }
+        vals(attrIdx.length + 1) = if (wkb == null) null else wkbToGpb(wkb, srs)
+        (rowid, encodeRecord(vals.toIndexedSeq), env)
+      }
+    }
+
+    // -------- driver-side: stream partitions in order, assemble pages
+    val fb = new FileBuilder(pageSize)
+    fb.alloc() // page 1 reserved for the sqlite_master root
+    var bbox: Array[Double] = null
+    val featureRoot = buildTableBtree(
+      encoded.toLocalIterator.map { case (rowid, rec, env) =>
+        if (env != null) {
+          if (bbox == null) bbox = env.clone()
+          else {
+            bbox(0) = math.min(bbox(0), env(0)); bbox(1) = math.min(bbox(1), env(1))
+            bbox(2) = math.max(bbox(2), env(2)); bbox(3) = math.max(bbox(3), env(3))
+          }
+        }
+        (rowid, rec)
+      }, fb)
+
+    // spec tables (driver-built, tiny). srs_id is an INTEGER PRIMARY KEY →
+    // value NULL, rowid carries it; rows must feed in rowid order.
+    val srsDdl = "CREATE TABLE gpkg_spatial_ref_sys (srs_name TEXT NOT NULL, " +
+      "srs_id INTEGER NOT NULL PRIMARY KEY, organization TEXT NOT NULL, " +
+      "organization_coordsys_id INTEGER NOT NULL, definition TEXT NOT NULL, " +
+      "description TEXT)"
+    val wgs84Def = "GEOGCS[\"WGS 84\",DATUM[\"WGS_1984\"," +
+      "SPHEROID[\"WGS 84\",6378137,298.257223563]],PRIMEM[\"Greenwich\",0]," +
+      "UNIT[\"degree\",0.0174532925199433]]"
+    val srsRows: Seq[(Long, Seq[Any])] = {
+      val std = Seq(
+        (-1L, Seq[Any]("Undefined cartesian SRS", null, "NONE", -1L, "undefined", null)),
+        (0L, Seq[Any]("Undefined geographic SRS", null, "NONE", 0L, "undefined", null)),
+        (4326L, Seq[Any]("WGS 84 geodetic", null, "EPSG", 4326L, wgs84Def, null)))
+      val extra =
+        if (srsId > 0 && srsId != 4326)
+          Seq((srsId.toLong, Seq[Any](s"EPSG:$srsId", null, "EPSG", srsId.toLong,
+            "undefined", null)))
+        else Nil
+      (std ++ extra).sortBy(_._1)
+    }
+    val srsRoot = buildTableBtree(
+      srsRows.iterator.map { case (id, vals) => (id, encodeRecord(vals)) }, fb)
+
+    val contentsDdl = "CREATE TABLE gpkg_contents (table_name TEXT NOT NULL PRIMARY KEY, " +
+      "data_type TEXT NOT NULL, identifier TEXT UNIQUE, description TEXT DEFAULT '', " +
+      "last_change DATETIME NOT NULL, min_x DOUBLE, min_y DOUBLE, max_x DOUBLE, " +
+      "max_y DOUBLE, srs_id INTEGER)"
+    val contentsRoot = buildTableBtree(Iterator((1L, encodeRecord(Seq[Any](
+      table, "features", table, "", lastChange,
+      if (bbox == null) null else bbox(0), if (bbox == null) null else bbox(1),
+      if (bbox == null) null else bbox(2), if (bbox == null) null else bbox(3),
+      srsId.toLong)))), fb)
+
+    // gpkg_contents declares a TEXT PRIMARY KEY + a UNIQUE column: SQLite
+    // requires their sqlite_autoindex_* b-trees to EXIST (a declared
+    // constraint with no index = corrupt schema to integrity_check). One
+    // content row → one single-leaf index each; index records are
+    // (key columns..., table rowid).
+    val contentsPkIdx = buildSingleLeafIndex(
+      Seq(encodeRecord(Seq[Any](table, 1L))), fb)
+    val contentsUqIdx = buildSingleLeafIndex(
+      Seq(encodeRecord(Seq[Any](table, 1L))), fb)
+
+    val geomColsDdl = "CREATE TABLE gpkg_geometry_columns (table_name TEXT NOT NULL, " +
+      "column_name TEXT NOT NULL, geometry_type_name TEXT NOT NULL, " +
+      "srs_id INTEGER NOT NULL, z TINYINT NOT NULL, m TINYINT NOT NULL)"
+    val geomColsRoot = buildTableBtree(Iterator((1L, encodeRecord(Seq[Any](
+      table, geomCol, "GEOMETRY", srsId.toLong, 0L, 0L)))), fb)
+
+    // sqlite_master on page 1 (base 100): (type, name, tbl_name, rootpage, sql)
+    val masterRows = Seq(
+      ("table", "gpkg_spatial_ref_sys", "gpkg_spatial_ref_sys", srsRoot, srsDdl),
+      ("table", "gpkg_contents", "gpkg_contents", contentsRoot, contentsDdl),
+      ("index", "sqlite_autoindex_gpkg_contents_1", "gpkg_contents", contentsPkIdx, null),
+      ("index", "sqlite_autoindex_gpkg_contents_2", "gpkg_contents", contentsUqIdx, null),
+      ("table", "gpkg_geometry_columns", "gpkg_geometry_columns", geomColsRoot, geomColsDdl),
+      ("table", table, table, featureRoot, ddl))
+    val masterCells = masterRows.zipWithIndex.map { case ((typ, name, tbl, root, sql), i) =>
+      (i + 1L, makeCell(i + 1L, encodeRecord(Seq[Any](typ, name, tbl, root.toLong, sql)), fb))
+    }
+    val masterBytes = masterCells.map(_._2.length).sum
+    if (100 + 8 + 2 * masterCells.size + masterBytes <= fb.usable) {
+      // common case: all master cells fit the page-1 leaf directly
+      writeBtreePage(fb.pages(0), 100, 0x0d, masterCells.map(_._2), 0, fb.usable)
+    } else {
+      // small page size: spill master cells to leaf pages, with the
+      // (page 1) root as an interior node — its cells are 13 bytes each
+      // over a handful of leaves, so it always fits beside the header
+      val leaves = ArrayBuffer.empty[(Int, Long)]
+      var cur = ArrayBuffer.empty[Array[Byte]]
+      var curBytes = 0
+      var maxRow = 0L
+      def flush(): Unit = if (cur.nonEmpty) {
+        val pn = fb.alloc()
+        writeBtreePage(fb.pages(pn - 1), 0, 0x0d, cur.toSeq, 0, fb.usable)
+        leaves += ((pn, maxRow)); cur = ArrayBuffer.empty; curBytes = 0
+      }
+      masterCells.foreach { case (rowid, cell) =>
+        if (cur.nonEmpty && 8 + 2 * (cur.size + 1) + curBytes + cell.length > fb.usable)
+          flush()
+        cur += cell; curBytes += cell.length; maxRow = rowid
+      }
+      flush()
+      val rootCells = leaves.dropRight(1).map { case (pn, mr) =>
+        val vi = varintEncode(mr)
+        val c = new Array[Byte](4 + vi.length)
+        ByteBuffer.wrap(c, 0, 4).putInt(pn)
+        System.arraycopy(vi, 0, c, 4, vi.length)
+        c
+      }
+      require(100 + 12 + 2 * rootCells.size + rootCells.map(_.length).sum <= fb.usable,
+        "gpkg write: sqlite_master interior root overflows page 1; raise pageSize")
+      writeBtreePage(fb.pages(0), 100, 0x05, rootCells.toSeq, leaves.last._1, fb.usable)
+    }
+    System.arraycopy(fileHeader(pageSize, fb.pages.length), 0, fb.pages(0), 0, 100)
+
+    val p = new Path(path)
+    val fs = p.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try fb.pages.foreach(out.write) finally out.close()
+  }
+
   /** Distributed read of one feature (or plain) table. The driver touches
     * the header + sqlite_master + one root page; each root child subtree
     * becomes a task.
@@ -351,7 +819,8 @@ object GeoPackageIO {
       val cols = parseColumns(m.sql)
       // reuse the already-decoded master — no second sqlite_master walk
       val geomCol = featureMetaFrom(src, master).get(table).map(_._1)
-      (cols, subtreeRoots(src, m.rootPage, 0), geomCol)
+      (cols, subtreeRoots(src, m.rootPage, 0,
+        target = spark.sparkContext.defaultParallelism * 4), geomCol)
     } finally src.close()
     val schema = StructType(cols.map(c => StructField(c.name, c.sparkType)))
     val sconf = new GeoParquetIO.SerializableConf(conf)

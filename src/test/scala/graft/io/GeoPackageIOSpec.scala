@@ -46,6 +46,92 @@ class GeoPackageIOSpec extends AnyFunSuite {
         expr("st_y(st_geomfromwkb(geom)) BETWEEN 0 AND 200")).count())
   }
 
+  private def tmpGpkg(): String = {
+    val d = java.nio.file.Files.createTempDirectory("gpkg").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath + "/out.gpkg"
+  }
+
+  test("write + read roundtrip: attrs, nulls, geometry, crs, metadata tables") {
+    val out = tmpGpkg()
+    val df = (0 until 200).map { i =>
+      (i.toLong, s"name_$i", i * 0.25 - 10.0,
+        if (i % 5 == 0) null else s"tag_${i % 3}", i * 2.0, -i * 1.5)
+    }.toDF("k", "nm", "score", "tag", "x", "y")
+      .withColumn("geom", expr("st_asbinary(st_point(x, y))"))
+      .drop("x", "y")
+    val g = graft.api.GeoDataFrame(df, "geom").setCrs("EPSG:3857")
+    GeoPackageIO.write(g, out, "layer1")
+    // read back through the existing reader
+    val back = graft.api.GeoDataFrame.readGeoPackage(spark, out, "layer1")
+    assert(back.geometryColumn == "geom")
+    assert(back.crs.contains("EPSG:3857"))
+    val rows = back.df.select($"fid", $"k", $"nm", $"score", $"tag",
+        expr("st_x(st_geomfromwkb(geom))"), expr("st_y(st_geomfromwkb(geom))"))
+      .as[(Long, Long, String, Double, Option[String], Double, Double)]
+      .collect().sortBy(_._1)
+    assert(rows.length == 200)
+    rows.zipWithIndex.foreach { case ((fid, k, nm, score, tag, x, y), i) =>
+      assert(fid == i + 1 && k == i && nm == s"name_$i")
+      assert(score == i * 0.25 - 10.0)
+      assert(tag == (if (i % 5 == 0) None else Some(s"tag_${i % 3}")))
+      assert(x == i * 2.0 && y == -i * 1.5)
+    }
+    // spec tables: contents carries the layer bbox; srs registry has 3857
+    val contents = GeoPackageIO.read(spark, out, "gpkg_contents")
+      .select($"table_name", $"min_x", $"min_y", $"max_x", $"max_y", $"srs_id")
+      .as[(String, Double, Double, Double, Double, Long)].head()
+    assert(contents == (("layer1", 0.0, -199 * 1.5, 199 * 2.0, 0.0, 3857L)))
+    val srs = GeoPackageIO.read(spark, out, "gpkg_spatial_ref_sys")
+      .select($"srs_id", $"organization").as[(Long, String)].collect().toSet
+    assert(srs.contains((3857L, "EPSG")) && srs.contains((4326L, "EPSG")))
+    assert(srs.contains((-1L, "NONE")) && srs.contains((0L, "NONE")))
+  }
+
+  test("write: oversized records spill to overflow chains and read back intact") {
+    val out = tmpGpkg()
+    // strings far beyond usable-35 at pageSize 512 force multi-page chains
+    val big = (0 until 20).map(i => (i.toLong, "x" * (300 + i * 137) + s"#$i"))
+      .toDF("k", "payload")
+      .withColumn("geom", expr("st_asbinary(st_point(k * 1.0, 2.0))"))
+    GeoPackageIO.write(graft.api.GeoDataFrame(big, "geom"), out, "big", pageSize = 512)
+    val back = GeoPackageIO.read(spark, out, "big")
+      .select($"k", $"payload").as[(Long, String)].collect().sortBy(_._1)
+    assert(back.length == 20)
+    back.zipWithIndex.foreach { case ((k, p), i) =>
+      assert(k == i && p == "x" * (300 + i * 137) + s"#$i")
+    }
+  }
+
+  test("write: multi-level b-tree at small page size partitions the read") {
+    val out = tmpGpkg()
+    val df = (0 until 500).map(i => (i.toLong, s"v_$i", i * 1.25))
+      .toDF("k", "s", "d")
+      .withColumn("geom", expr("st_asbinary(st_point(k * 1.0, k * 2.0))"))
+    GeoPackageIO.write(graft.api.GeoDataFrame(df, "geom").setCrs("EPSG:4326"),
+      out, "pts", pageSize = 512)
+    val back = GeoPackageIO.read(spark, out, "pts")
+    assert(back.rdd.getNumPartitions > 5, s"got ${back.rdd.getNumPartitions}")
+    assert(back.select($"fid").as[Long].collect().sorted.toSeq == (1L to 500L))
+    assert(back.select(sum($"d")).head().getDouble(0) == (0 until 500).map(_ * 1.25).sum)
+  }
+
+  test("write: an existing LongType fid column supplies the rowids") {
+    val out = tmpGpkg()
+    // read the committed fixture and write it back: fids must survive
+    val g = graft.api.GeoDataFrame.readGeoPackage(spark, fixture, "supplier_pts")
+    GeoPackageIO.write(g, out, "supplier_pts")
+    val a = graft.api.GeoDataFrame.readGeoPackage(spark, out, "supplier_pts").df
+      .select($"fid", $"s_suppkey", $"s_name", $"weight", $"note",
+        expr("st_x(st_geomfromwkb(geom))").as("x"))
+      .as[(Long, Long, String, Double, Option[String], Double)].collect().sortBy(_._1).toSeq
+    val b = g.df
+      .select($"fid", $"s_suppkey", $"s_name", $"weight", $"note",
+        expr("st_x(st_geomfromwkb(geom))").as("x"))
+      .as[(Long, Long, String, Double, Option[String], Double)].collect().sortBy(_._1).toSeq
+    assert(a == b)
+  }
+
   test("gpkg metadata tables are readable and list the geometry column") {
     assert(GeoPackageIO.geometryColumns(spark, fixture) ==
       Map("supplier_pts" -> "geom"))

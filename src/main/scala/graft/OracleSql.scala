@@ -927,19 +927,54 @@ object OracleSql {
       l2 AS (SELECT *, (ln(lm1) - ln(lm2)) / (ln(lt1) - ln(lt2)) AS lnn FROM l1),
       l3 AS (SELECT *, lm1 / (lnn * pow(lt1, lnn)) AS lff FROM l2),
       l4 AS (SELECT *, 6378137.0 * lff * pow(lt0, lnn) AS lrho0 FROM l3),
-      bt AS (SELECT c_custkey, blon, blat, flon, flat,
-               sin(radians(blat)) AS bs, cos(radians(blat)) AS bc, tan(radians(blat)) AS btn,
+      -- WGS84 -> OSGB36 Helmert (EPSG 9606 position-vector, the OS
+      -- published 7 params), mirrored op-for-op against Crs.Helmert:
+      -- geodetic->geocentric on WGS84, transform, 6 fixed atan2 iterations
+      -- back to geodetic on Airy 1830
+      hh AS (SELECT c_custkey, blon, blat, flon, flat,
+               radians(-0.1502 / 3600.0) AS hrx,
+               radians(-0.2470 / 3600.0) AS hry,
+               radians(-0.8421 / 3600.0) AS hrz,
+               1.0 + 20.4894 * 1e-6 AS hm,
+               (1.0 / 298.257223563) * (2.0 - 1.0 / 298.257223563) AS we2
+             FROM p),
+      hg AS (SELECT *,
+               (6378137.0 / sqrt(1.0 - we2 * sin(radians(blat)) * sin(radians(blat))))
+                 * cos(radians(blat)) * cos(radians(blon)) AS gx,
+               (6378137.0 / sqrt(1.0 - we2 * sin(radians(blat)) * sin(radians(blat))))
+                 * cos(radians(blat)) * sin(radians(blon)) AS gy,
+               (6378137.0 / sqrt(1.0 - we2 * sin(radians(blat)) * sin(radians(blat))))
+                 * (1.0 - we2) * sin(radians(blat)) AS gz
+             FROM hh),
+      ht AS (SELECT *,
+               -446.448 + hm * (gx - hrz * gy + hry * gz) AS ax,
+               125.157 + hm * (hrz * gx + gy - hrx * gz) AS ay,
+               -542.060 + hm * (-hry * gx + hrx * gy + gz) AS az
+             FROM hg),
+      bt0 AS (SELECT ht.*, ba, be2, bep2, be4, be6, bk0, m0, le2, le, lnn, lff, lrho0,
+                sqrt(ax * ax + ay * ay) AS hp
+              FROM ht, bm0, l4),
+      bi1 AS (SELECT *, atan2(az, hp * (1.0 - be2)) AS f0 FROM bt0),
+      bi2 AS (SELECT *, atan2(az + be2 * (ba / sqrt(1.0 - be2 * sin(f0) * sin(f0))) * sin(f0), hp) AS f1 FROM bi1),
+      bi3 AS (SELECT *, atan2(az + be2 * (ba / sqrt(1.0 - be2 * sin(f1) * sin(f1))) * sin(f1), hp) AS f2 FROM bi2),
+      bi4 AS (SELECT *, atan2(az + be2 * (ba / sqrt(1.0 - be2 * sin(f2) * sin(f2))) * sin(f2), hp) AS f3 FROM bi3),
+      bi5 AS (SELECT *, atan2(az + be2 * (ba / sqrt(1.0 - be2 * sin(f3) * sin(f3))) * sin(f3), hp) AS f4 FROM bi4),
+      bi6 AS (SELECT *, atan2(az + be2 * (ba / sqrt(1.0 - be2 * sin(f4) * sin(f4))) * sin(f4), hp) AS f5 FROM bi5),
+      bi7 AS (SELECT *, atan2(az + be2 * (ba / sqrt(1.0 - be2 * sin(f5) * sin(f5))) * sin(f5), hp) AS f6 FROM bi6),
+      bhl AS (SELECT *, degrees(f6) AS blat2, degrees(atan2(ay, ax)) AS blon2 FROM bi7),
+      bt AS (SELECT c_custkey, blon2, blat2, flon, flat,
+               sin(radians(blat2)) AS bs, cos(radians(blat2)) AS bc, tan(radians(blat2)) AS btn,
                ba, be2, bep2, be4, be6, bk0, m0, le2, le, lnn, lff, lrho0
-             FROM p, bm0, l4),
+             FROM bhl),
       bu AS (SELECT *,
                ba / sqrt(1.0 - be2 * bs * bs) AS bn,
                btn * btn AS btt,
                bep2 * bc * bc AS bcc,
-               (radians(blon) - radians(-2.0)) * bc AS baa,
-               ba * ((1.0 - be2 / 4.0 - 3.0 * be4 / 64.0 - 5.0 * be6 / 256.0) * radians(blat)
-                 - (3.0 * be2 / 8.0 + 3.0 * be4 / 32.0 + 45.0 * be6 / 1024.0) * sin(2.0 * radians(blat))
-                 + (15.0 * be4 / 256.0 + 45.0 * be6 / 1024.0) * sin(4.0 * radians(blat))
-                 - (35.0 * be6 / 3072.0) * sin(6.0 * radians(blat))) AS bm
+               (radians(blon2) - radians(-2.0)) * bc AS baa,
+               ba * ((1.0 - be2 / 4.0 - 3.0 * be4 / 64.0 - 5.0 * be6 / 256.0) * radians(blat2)
+                 - (3.0 * be2 / 8.0 + 3.0 * be4 / 32.0 + 45.0 * be6 / 1024.0) * sin(2.0 * radians(blat2))
+                 + (15.0 * be4 / 256.0 + 45.0 * be6 / 1024.0) * sin(4.0 * radians(blat2))
+                 - (35.0 * be6 / 3072.0) * sin(6.0 * radians(blat2))) AS bm
              FROM bt),
       bv AS (SELECT *,
                bk0 * bn * (baa + (1.0 - btt + bcc) * baa * baa * baa / 6.0

@@ -558,10 +558,10 @@ object Crs {
     * All implementations are Snyder 1987 ellipsoidal forms, parameterized
     * by (ellipsoid, origin, parallels/scale, false offsets) so an EPSG row
     * drives them instead of hard-coded constants (reference: pyproj accepts
-    * any CRS, `expr.py:255-257`). Datum note: parameters are applied on
-    * each code's NATIVE ellipsoid; datum shifts (OSGB36, NTF->RGF93) are
-    * identity-approximated at the lon/lat hub, the same documented
-    * treatment as NAD83~WGS84.
+    * any CRS, `expr.py:255-257`). Datum note: codes whose datum genuinely
+    * differs from WGS84 (OSGB36, ED50) carry a 7-parameter Helmert via
+    * [[DatumShifted]] (r9); ETRS89/RGF93/NAD83 are WGS84-equivalent at the
+    * meter level and stay on the identity hub (documented approximation).
     */
   sealed trait Projection {
     def forward(lon: Double, lat: Double): (Double, Double)
@@ -794,6 +794,111 @@ object Crs {
     }
   }
 
+  /** 7-parameter Helmert datum transformation (EPSG method 9606,
+    * position-vector rotation convention), parameterized WGS84 → native
+    * datum as published (e.g. the OS "WGS84/ETRS89 to OSGB36" table).
+    * Geodetic ↔ geocentric runs at h = 0 (the standard 2-D GIS treatment;
+    * the dropped height re-enters lon/lat only through rotation·h ≈ mm).
+    * The reverse direction inverts the rotation matrix EXACTLY (closed-form
+    * 3×3 adjugate, det = 1 + rx² + ry² + rz²) rather than negating the
+    * parameters, so forward∘inverse roundtrips to machine precision.
+    */
+  final class Helmert(aN: Double, invFlatN: Double,
+      tx: Double, ty: Double, tz: Double,
+      rxSec: Double, rySec: Double, rzSec: Double, ppm: Double) {
+    private val fN = 1.0 / invFlatN
+    private val e2N = fN * (2.0 - fN)
+    private val aW = 6378137.0
+    private val fW = 1.0 / 298.257223563
+    private val e2W = fW * (2.0 - fW)
+    private val rx = math.toRadians(rxSec / 3600.0)
+    private val ry = math.toRadians(rySec / 3600.0)
+    private val rz = math.toRadians(rzSec / 3600.0)
+    private val m = 1.0 + ppm * 1e-6
+
+    private def toXyz(lon: Double, lat: Double, a: Double, e2: Double): (Double, Double, Double) = {
+      val phi = math.toRadians(lat)
+      val lam = math.toRadians(lon)
+      val s = math.sin(phi)
+      val n = a / math.sqrt(1.0 - e2 * s * s)
+      (n * math.cos(phi) * math.cos(lam), n * math.cos(phi) * math.sin(lam),
+        n * (1.0 - e2) * s)
+    }
+
+    // fixed 6 iterations (not convergence-tested) so the DuckDB oracle can
+    // unroll the identical sequence; error after 6 is far below an ulp of
+    // a degree at |lat| < 89
+    private def toGeodetic(x: Double, y: Double, z: Double, a: Double, e2: Double): (Double, Double) = {
+      val p = math.sqrt(x * x + y * y)
+      var phi = math.atan2(z, p * (1.0 - e2))
+      var i = 0
+      while (i < 6) {
+        val s = math.sin(phi)
+        val n = a / math.sqrt(1.0 - e2 * s * s)
+        phi = math.atan2(z + e2 * n * s, p)
+        i += 1
+      }
+      (math.toDegrees(math.atan2(y, x)), math.toDegrees(phi))
+    }
+
+    /** WGS84 lon/lat → native-datum lon/lat. */
+    def fromWgs84(lon: Double, lat: Double): (Double, Double) = {
+      val (x, y, z) = toXyz(lon, lat, aW, e2W)
+      val xp = tx + m * (x - rz * y + ry * z)
+      val yp = ty + m * (rz * x + y - rx * z)
+      val zp = tz + m * (-ry * x + rx * y + z)
+      toGeodetic(xp, yp, zp, aN, e2N)
+    }
+
+    /** Native-datum lon/lat → WGS84 lon/lat (exact matrix inverse). */
+    def toWgs84(lon: Double, lat: Double): (Double, Double) = {
+      val (xp, yp, zp) = toXyz(lon, lat, aN, e2N)
+      val dx = (xp - tx) / m
+      val dy = (yp - ty) / m
+      val dz = (zp - tz) / m
+      val det = 1.0 + rx * rx + ry * ry + rz * rz
+      val x = ((1.0 + rx * rx) * dx + (rz + rx * ry) * dy + (rx * rz - ry) * dz) / det
+      val y = ((rx * ry - rz) * dx + (1.0 + ry * ry) * dy + (rx + ry * rz) * dz) / det
+      val z = ((ry + rx * rz) * dx + (ry * rz - rx) * dy + (1.0 + rz * rz) * dz) / det
+      toGeodetic(x, y, z, aW, e2W)
+    }
+  }
+
+  /** A projection whose datum differs from WGS84: the lon/lat hub stays
+    * WGS84; the Helmert bridges hub ↔ native geodetic around the base
+    * projection (ref capability: pyproj datum pipelines, `expr.py:255-257`).
+    */
+  final class DatumShifted(base: Projection, datum: Helmert) extends Projection {
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      val (lo, la) = datum.fromWgs84(lon, lat)
+      base.forward(lo, la)
+    }
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val (lo, la) = base.inverse(x, y)
+      datum.toWgs84(lo, la)
+    }
+  }
+
+  /** WGS84/ETRS89 → OSGB36 (Airy 1830), the OS-published position-vector
+    * 7-parameter set (~2 m national accuracy vs the OSTN grid).
+    */
+  val osgb36: Helmert = new Helmert(6377563.396, 299.3249646,
+    -446.448, 125.157, -542.060, -0.1502, -0.2470, -0.8421, 20.4894)
+
+  /** WGS84 → ED50 (International 1924), the EPSG:1133 mean-European
+    * 3-parameter set reversed (ED50→WGS84 is −87, −96, −120).
+    */
+  val ed50: Helmert = new Helmert(6378388.0, 297.0,
+    87.0, 96.0, 120.0, 0.0, 0.0, 0.0, 0.0)
+
+  /** British National Grid TM on Airy 1830 — the projection HALF of
+    * EPSG:27700 (OSGB36 geodetic in/out, no datum shift); the byEpsg row
+    * wraps it with the OSGB36 Helmert. Exposed for projection-only tests
+    * against the OS guide's Annex C worked example.
+    */
+  val bngProjection = new TransverseMercator(6377563.396, 299.3249646,
+    49.0, -2.0, 0.9996012717, 400000.0, -100000.0)
+
   // Named projections users of the reference reach for (GRS80 ellipsoid;
   // NAD83 geographic treated as WGS84-equivalent, same as normCrs):
   /** EPSG:5070 — NAD83 / Conus Albers (USGS national products). */
@@ -811,10 +916,14 @@ object Crs {
   val byEpsg: Map[String, Projection] = Map(
     "EPSG:5070" -> conusAlbers,
     "EPSG:3347" -> statCanLambert,
-    // OSGB 1936 / British National Grid: TM on Airy 1830 (datum shift
-    // identity-approximated; projection parameters exact)
-    "EPSG:27700" -> new TransverseMercator(6377563.396, 299.3249646,
-      49.0, -2.0, 0.9996012717, 400000.0, -100000.0),
+    // OSGB 1936 / British National Grid: TM on Airy 1830 behind the
+    // OSGB36 Helmert (r9) — WGS84 inputs now land on the true national
+    // grid (~2 m vs the OSTN grid, vs ~110 m identity-approximated)
+    "EPSG:27700" -> new DatumShifted(bngProjection, osgb36),
+    // ED50 / UTM zone 32N: TM on International 1924 behind the mean-
+    // European 3-parameter ED50 shift
+    "EPSG:23032" -> new DatumShifted(new TransverseMercator(6378388.0, 297.0,
+      0.0, 9.0, 0.9996, 500000.0, 0.0), ed50),
     // RGF93 / Lambert-93 (France): LCC 2SP on GRS80
     "EPSG:2154" -> new LambertConic(6378137.0, 298.257222101,
       46.5, 3.0, 49.0, 44.0, 700000.0, 6600000.0),

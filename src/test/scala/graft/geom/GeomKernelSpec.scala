@@ -668,9 +668,10 @@ class GeomKernelSpec extends AnyFunSuite {
 
   test("EPSG table projections: natural origins, published values, roundtrip") {
     import graft.sql.Crs
-    // every projection's natural origin maps to (FE, FN)
+    // every projection's natural origin maps to (FE, FN); 27700's check
+    // runs on the projection HALF (its datum is shifted, so the WGS84
+    // origin no longer lands on FE/FN — that's the point of r9)
     val origins = Seq(
-      ("EPSG:27700", -2.0, 49.0, 400000.0, -100000.0),
       ("EPSG:2154", 3.0, 46.5, 700000.0, 6600000.0),
       ("EPSG:25832", 9.0, 0.0, 500000.0, 0.0),
       ("EPSG:3035", 10.0, 52.0, 4321000.0, 3210000.0))
@@ -678,12 +679,15 @@ class GeomKernelSpec extends AnyFunSuite {
       val (x, y) = Crs.byEpsg(code).forward(lon0, lat0)
       assert(math.abs(x - fe) < 1e-6 && math.abs(y - fn) < 1e-6, s"$code origin ($x,$y)")
     }
+    val (box, boy) = Crs.bngProjection.forward(-2.0, 49.0)
+    assert(math.abs(box - 400000.0) < 1e-6 && math.abs(boy + 100000.0) < 1e-6)
     // OSGB worked example (OS "A guide to coordinate systems in Great
-    // Britain", Annex C): 52°39'27.2531"N 1°43'4.5177"E ->
-    // E 651409.903, N 313177.270 (pure Airy-ellipsoid projection math)
+    // Britain", Annex C): OSGB36 52°39'27.2531"N 1°43'4.5177"E ->
+    // E 651409.903, N 313177.270 (pure Airy-ellipsoid projection math —
+    // the input is OSGB36-native, so it drives the projection half only)
     val lat = 52.0 + 39.0 / 60.0 + 27.2531 / 3600.0
     val lon = 1.0 + 43.0 / 60.0 + 4.5177 / 3600.0
-    val (e27700, n27700) = Crs.byEpsg("EPSG:27700").forward(lon, lat)
+    val (e27700, n27700) = Crs.bngProjection.forward(lon, lat)
     assert(math.abs(e27700 - 651409.903) < 0.005, s"E $e27700")
     assert(math.abs(n27700 - 313177.270) < 0.005, s"N $n27700")
     // ETRS UTM twin: 25832 must agree with WGS84 UTM zone 32N to <1 m
@@ -722,5 +726,39 @@ class GeomKernelSpec extends AnyFunSuite {
     rt("EPSG:2154", -5 to 9, 41 to 51, 1e-8)
     rt("EPSG:25832", 5 to 13, 38 to 60, 5e-7)
     rt("EPSG:3035", -10 to 30 by 4, 35 to 65 by 3, 1e-8)
+    rt("EPSG:23032", 6 to 12, 40 to 55, 5e-7)
+  }
+
+  test("Helmert datum shifts: OSGB36 + ED50 (r9)") {
+    import graft.sql.Crs
+    // Full WGS84 -> EPSG:27700 chain (Helmert + TM on Airy) against
+    // ground truth computed with an INDEPENDENT implementation (python,
+    // different code path) of the same OS-published position-vector
+    // parameters (tx -446.448, ty 125.157, tz -542.060, rx -0.1502",
+    // ry -0.2470", rz -0.8421", s 20.4894 ppm). 1 cm tolerance: these
+    // values only reproduce with the datum shift applied — the projection
+    // alone is ~110 m off (asserted below).
+    val cases = Seq(
+      ((-0.1278, 51.5074), (530028.7458, 180380.0954)), // London
+      ((-3.1883, 55.9533), (325897.2180, 674001.2020))) // Edinburgh
+    val bng = Crs.byEpsg("EPSG:27700")
+    cases.foreach { case ((lon, lat), (we, wn)) =>
+      val (e, n) = bng.forward(lon, lat)
+      assert(math.hypot(e - we, n - wn) < 0.01, s"($lon,$lat) -> ($e,$n) want ($we,$wn)")
+      // identity-datum (projection-only) misses by the ~100 m OSGB36
+      // offset: the <1 m agreement above exists ONLY via the Helmert
+      val (pe, pn) = Crs.bngProjection.forward(lon, lat)
+      assert(math.hypot(pe - we, pn - wn) > 50.0, s"no-datum too close: ($pe,$pn)")
+      // exact-matrix inverse roundtrips to well under 1e-8 degrees
+      val (lo, la) = bng.inverse(e, n)
+      assert(math.abs(lo - lon) < 1e-7 && math.abs(la - lat) < 1e-7)
+    }
+    // ED50/UTM32 (3-parameter shift on International 1924) sits the
+    // documented ~216 m NE of the WGS84 UTM32 result in central Europe
+    val (ex, ey) = Crs.byEpsg("EPSG:23032").forward(9.5, 48.0)
+    val (ux, uy) = Crs.utmForward(9.5, 48.0, 32, southern = false)
+    val off = math.hypot(ex - ux, ey - uy)
+    assert(off > 150.0 && off < 300.0, s"ED50 offset $off m")
+    assert(ex - ux > 0 && ey - uy > 0, "ED50 grid coordinates shift north-east")
   }
 }

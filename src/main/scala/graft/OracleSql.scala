@@ -305,6 +305,16 @@ object OracleSql {
       WHERE $pipCond
       ORDER BY c_custkey, r_regionkey""",
 
+    "g48_sjoin_left" -> s"""
+      SELECT p.c_custkey, r.r_regionkey::BIGINT AS r_regionkey
+      FROM ($custPts) p LEFT JOIN region r ON $pipCond
+      ORDER BY c_custkey, r_regionkey""",
+
+    "g49_sjoin_left_grid" -> s"""
+      SELECT p.c_custkey, r.r_regionkey::BIGINT AS r_regionkey
+      FROM ($custPts) p LEFT JOIN region r ON $pipCond
+      ORDER BY c_custkey, r_regionkey""",
+
     "g04_dissolve" -> s"""
       SELECT c_nationkey::BIGINT AS nationkey,
              count(DISTINCT (cx, cy))::BIGINT AS n_points,

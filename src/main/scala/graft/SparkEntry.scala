@@ -413,6 +413,25 @@ object SparkEntry {
         .orderBy(col("c_custkey"), col("r_regionkey"))
     }),
 
+    // sjoin how="left" (r9): all left rows survive; unmatched carry null
+    // right columns. Both strategies produce identical results — g48 runs
+    // the broadcast plan, g49 the grid plan (matched set via id-only
+    // left-anti union, no new shuffle class). Oracle = DuckDB LEFT JOIN.
+    "g48_sjoin_left" -> ((s, d) => {
+      GeoDataFrame(customerPts(s, d))
+        .sjoin(GeoDataFrame(regionTris(s, d)), predicate = "within",
+          strategy = "broadcast", how = "left")
+        .select(col("c_custkey"), col("r_regionkey").cast("long").as("r_regionkey"))
+        .orderBy(col("c_custkey"), col("r_regionkey"))
+    }),
+    "g49_sjoin_left_grid" -> ((s, d) => {
+      GeoDataFrame(customerPts(s, d))
+        .sjoin(GeoDataFrame(regionTris(s, d)), predicate = "within",
+          strategy = "grid", cellSize = Some(500.0), how = "left")
+        .select(col("c_custkey"), col("r_regionkey").cast("long").as("r_regionkey"))
+        .orderBy(col("c_custkey"), col("r_regionkey"))
+    }),
+
     // sjoin grid strategy — same semantics, shuffle-join plan. The fixed
     // cellSize grid needs no data bounds, so the plan has ZERO eager scans
     // (the old path ran two totalBounds jobs before planning).

@@ -450,17 +450,30 @@ final case class GeoDataFrame(
       cellSize: Option[Double] = None,
       rsuffix: String = "_right",
       distance: Double = 0.0,
-      oversized: String = "fail"): DataFrame = {
+      oversized: String = "fail",
+      how: String = "inner"): DataFrame = {
     require(Set("auto", "broadcast", "grid").contains(strategy),
       s"unknown sjoin strategy '$strategy' (auto | broadcast | grid)")
     require(Set("fail", "sentinel").contains(oversized),
       s"unknown oversized policy '$oversized' (fail | sentinel)")
+    // left/right outer (geopandas sjoin how=, one notch past the
+    // inner-only reference, sjoin.py:53-54): the preserved side carries a
+    // row id through the inner plan; unmatched rows come back via a
+    // left-anti on the matched-id set (id-only exchange, no new shuffle
+    // class) and union in with the other side's columns null.
+    require(Set("inner", "left", "right").contains(how),
+      s"unknown sjoin how '$how' (inner | left | right)")
 
-    val leftDf = df
+    val rowId = "_sjoin_row_id"
+    val leftDf =
+      if (how == "left") df.withColumn(rowId, monotonically_increasing_id()) else df
     // disambiguate column names like geopandas' suffixing
-    val rightRenamed = right.df.columns.foldLeft(right.df) { (acc, c) =>
+    val rightRenamed0 = right.df.columns.foldLeft(right.df) { (acc, c) =>
       if (leftDf.columns.contains(c)) acc.withColumnRenamed(c, c + rsuffix) else acc
     }
+    val rightRenamed =
+      if (how == "right") rightRenamed0.withColumn(rowId, monotonically_increasing_id())
+      else rightRenamed0
     val rGeomName =
       if (leftDf.columns.contains(right.geometryColumn)) right.geometryColumn + rsuffix
       else right.geometryColumn
@@ -480,7 +493,7 @@ final case class GeoDataFrame(
       case other                => throw new IllegalArgumentException(s"unknown predicate $other")
     }
 
-    strategy match {
+    val inner = strategy match {
       case "broadcast" | "auto" if strategy == "broadcast" || rightIsSmall(right) =>
         leftDf.join(broadcast(rightRenamed),
           pred(leftDf(geometryColumn), rightRenamed(rGeomName)), "inner")
@@ -534,6 +547,23 @@ final case class GeoDataFrame(
           .filter(pred(col(geometryColumn), col(rGeomName)))
           .filter(emit)
           .drop("_cell")
+    }
+    how match {
+      case "inner" => inner
+      case "left" =>
+        val matched = inner.select(col(rowId)).distinct()
+        val unmatched = leftDf.join(matched, Seq(rowId), "left_anti")
+        val withNullRight = rightRenamed.schema.fields.foldLeft(unmatched)((acc, f) =>
+          acc.withColumn(f.name, lit(null).cast(f.dataType)))
+        inner.unionByName(withNullRight.select(inner.columns.map(col).toIndexedSeq: _*))
+          .drop(rowId)
+      case "right" =>
+        val matched = inner.select(col(rowId)).distinct()
+        val unmatched = rightRenamed.join(matched, Seq(rowId), "left_anti")
+        val withNullLeft = leftDf.schema.fields.foldLeft(unmatched)((acc, f) =>
+          acc.withColumn(f.name, lit(null).cast(f.dataType)))
+        inner.unionByName(withNullLeft.select(inner.columns.map(col).toIndexedSeq: _*))
+          .drop(rowId)
     }
   }
 

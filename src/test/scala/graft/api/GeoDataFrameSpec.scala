@@ -149,6 +149,49 @@ class GeoDataFrameSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("sjoin how=left/right: unmatched rows survive with nulls, both strategies") {
+    val pts = points(200) // coords in [0,100)
+    val polys = GeoDataFrame(
+      Seq(
+        (10L, "POLYGON ((0 0, 50 0, 50 50, 0 50, 0 0))"),
+        (99L, "POLYGON ((500 500, 510 500, 510 510, 500 510, 500 500))")) // matches nothing
+        .toDF("zone", "wkt").withColumn("geometry", st_geomFromWKT($"wkt")).drop("wkt"))
+    def left(strategy: String) =
+      pts.sjoin(polys, predicate = "within", strategy = strategy, how = "left",
+        cellSize = if (strategy == "grid") Some(25.0) else None)
+        .select($"id", $"zone").as[(Long, Option[Long])].collect().sorted.toSeq
+    val lb = left("broadcast")
+    val lg = left("grid")
+    assert(lb == lg)
+    // every left id exactly once (points hit at most one disjoint zone here)
+    assert(lb.map(_._1) == (0L until 200L).toSeq)
+    val matched = lb.filter(_._2.isDefined)
+    assert(matched.nonEmpty && matched.forall(_._2.contains(10L)))
+    assert(lb.exists(_._2.isEmpty), "some point must fall outside zone 10")
+    // how=right: all right rows survive; zone 99 comes back with null left
+    val rb = pts.sjoin(polys, predicate = "within", strategy = "broadcast", how = "right")
+      .select($"id", $"zone").as[(Option[Long], Long)].collect().toSeq
+    val rg = pts.sjoin(polys, predicate = "within", strategy = "grid",
+        cellSize = Some(25.0), how = "right")
+      .select($"id", $"zone").as[(Option[Long], Long)].collect().toSeq
+    assert(rb.sorted == rg.sorted)
+    assert(rb.filter(_._2 == 99L) == Seq((None, 99L)), rb.filter(_._2 == 99L).toString)
+    assert(rb.count(_._2 == 10L) == matched.size)
+  }
+
+  test("sjoin how=left all-unmatched edge: right side empty of matches") {
+    val pts = points(50)
+    val farPolys = GeoDataFrame(
+      Seq((1L, "POLYGON ((900 900, 910 900, 910 910, 900 910, 900 900))"))
+        .toDF("zone", "wkt").withColumn("geometry", st_geomFromWKT($"wkt")).drop("wkt"))
+    Seq("broadcast", "grid").foreach { strategy =>
+      val got = pts.sjoin(farPolys, predicate = "intersects", strategy = strategy,
+          how = "left", cellSize = if (strategy == "grid") Some(25.0) else None)
+        .select($"id", $"zone").as[(Long, Option[Long])].collect().sorted.toSeq
+      assert(got == (0L until 50L).map(i => (i, None: Option[Long])), s"$strategy: $got")
+    }
+  }
+
   test("sjoinNearest: per-left minimum, radius drop, ties kept") {
     val left = GeoDataFrame(Seq(
       (1L, 0.0, 0.0),   // nearest = A (d=1) and B (d=1): exact tie, keep both

@@ -1045,6 +1045,13 @@ object OracleSql {
              s_acctbal AS x, (s_suppkey % 100)::DOUBLE * 10.0 AS y
       FROM supplier ORDER BY fid""",
 
+    "g49_flatgeobuf" -> """
+      SELECT s_suppkey::BIGINT AS fid, s_name, s_acctbal AS bal,
+             CASE WHEN s_suppkey % 7 = 0 THEN NULL
+                  ELSE 'n_' || (s_suppkey % 13) END AS note,
+             s_acctbal AS x, (s_suppkey % 100)::DOUBLE * 10.0 AS y
+      FROM supplier ORDER BY fid""",
+
     "g43_shapefile" -> """
       SELECT s_suppkey, s_name, s_acctbal AS x,
              (s_suppkey % 100)::DOUBLE * 10.0 AS y

@@ -122,6 +122,33 @@ object SparkEntry {
     loc
   }
 
+  // g49's FlatGeobuf file: same once-per-(session, sf-dir) fixture rule —
+  // first touch times the hilbert-sorted write + packed-R-tree build, after
+  // that the bench times the index-chunked distributed read.
+  private val g49Done =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, String]())
+  private def ensureG49Fgb(s: SparkSession, d: String): String = g49Done.synchronized {
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val loc = s"/tmp/graft_g49_$tag.fgb"
+    val p = new org.apache.hadoop.fs.Path(loc)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (g49Done.get(s) != d || !fs.exists(p)) {
+      val df = supplierPts(s, d)
+        .withColumn("fid", col("s_suppkey").cast("long"))
+        .withColumn("note",
+          when(col("s_suppkey") % 7 === 0, lit(null).cast("string"))
+            .otherwise(concat(lit("n_"), (col("s_suppkey") % 13).cast("string"))))
+        .withColumn("geometry", st_point(col("x0"), col("y0")))
+        .select(col("fid"), col("s_name"), col("s_acctbal").as("bal"),
+          col("note"), col("geometry"))
+      graft.io.FlatGeobufIO.write(
+        graft.api.GeoDataFrame(df, "geometry").setCrs("EPSG:4326"), loc, "sup")
+      g49Done.put(s, d)
+    }
+    loc
+  }
+
   private def ensureG43Shapefile(s: SparkSession, d: String): String = g43Done.synchronized {
     val tag = d.replaceAll("[^A-Za-z0-9]", "_")
     val loc = s"/tmp/graft_g43_$tag"
@@ -1003,6 +1030,20 @@ object SparkEntry {
       graft.api.GeoDataFrame.readGeoPackage(s, loc, "sup").df
         .select(col("fid"), col("s_name"), col("bal"),
           st_x(col("geom")).as("x"), st_y(col("geom")).as("y"))
+        .orderBy(col("fid"))
+    }),
+
+    // FlatGeobuf write + read roundtrip (the cloud-native fourth file
+    // format after shp/gpkg/feather; reference reads it via pyogrio,
+    // io/file.py:32-46): hilbert-sorted single-file write with a packed
+    // Hilbert R-tree, then the index-chunked distributed read — features
+    // come back hilbert-ordered, so fid restores row identity and the
+    // nullable `note` column exercises sparse property packing.
+    "g49_flatgeobuf" -> ((s, d) => {
+      val loc = ensureG49Fgb(s, d)
+      graft.io.FlatGeobufIO.read(s, loc, chunkSize = 128)
+        .select(col("fid"), col("s_name"), col("bal"), col("note"),
+          st_x(col("geometry")).as("x"), st_y(col("geometry")).as("y"))
         .orderBy(col("fid"))
     }),
 

@@ -1,0 +1,1055 @@
+package graft.io
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** FlatGeobuf (FGB) reader/writer — pure JVM, no flatbuffers dependency.
+  *
+  * The reference reads FlatGeobuf through pyogrio/OGR (`read_file`,
+  * `dask_geopandas/io/file.py:32-46` plans record-range chunks per file);
+  * this module implements the public FGB v3 spec directly
+  * (https://flatgeobuf.org, spec/ in the flatgeobuf repo):
+  *
+  *   magic(8) | size-prefixed Header flatbuffer | packed Hilbert R-tree |
+  *   size-prefixed Feature flatbuffers
+  *
+  * Spark-first distribution, mirroring [[ShapefileIO]]:
+  *  - READ: the driver reads the header plus O(numChunks) 40-byte leaf node
+  *    items from the index — never the whole index — to plan contiguous
+  *    byte ranges of `chunkSize` features; each task does ONE positioned
+  *    read of its range and walks the size-prefixed features. With `bbox`,
+  *    the driver traverses the R-tree top-down (one positioned read per
+  *    visited node block, O(log n) blocks per hit run), merges the
+  *    candidate feature indices into runs, and tasks read only those runs:
+  *    a selective window on a 100 TB-era file touches kilobytes of index
+  *    and only the matching feature bytes.
+  *  - WRITE: single-file output (the format is inherently single-file,
+  *    like [[GeoPackageIO.write]]): tasks Hilbert-sort and encode Feature
+  *    buffers in parallel; the driver streams them in order to the target,
+  *    then writes header + packed R-tree from the streamed (bbox, size)
+  *    metadata (40 bytes/feature driver memory — inherent to the format's
+  *    front-positioned index; pass `withIndex = false` to stream with O(1)
+  *    driver state when no spatial index is wanted).
+  *
+  * The flatbuffers wire format (vtable-indirected tables, back-to-front
+  * building) is implemented minimally in [[FlatGeobufIO.FbBuilder]] /
+  * [[FlatGeobufIO.FbTable]] from the public FlatBuffers internals doc —
+  * only the field shapes the FGB schema needs.
+  */
+object FlatGeobufIO {
+
+  // ---------------------------------------------------------------- consts
+
+  /** "fgb" 0x03 "fgb" patch — we write patch 0 and accept any patch byte. */
+  private val Magic: Array[Byte] =
+    Array[Byte](0x66, 0x67, 0x62, 0x03, 0x66, 0x67, 0x62, 0x00)
+
+  // GeometryType enum (header-level and per-geometry), FGB header.fbs
+  final val GtUnknown = 0
+  final val GtPoint = 1
+  final val GtLineString = 2
+  final val GtPolygon = 3
+  final val GtMultiPoint = 4
+  final val GtMultiLineString = 5
+  final val GtMultiPolygon = 6
+  final val GtGeometryCollection = 7
+
+  // ColumnType enum, FGB header.fbs
+  private final val CtByte = 0
+  private final val CtUByte = 1
+  private final val CtBool = 2
+  private final val CtShort = 3
+  private final val CtUShort = 4
+  private final val CtInt = 5
+  private final val CtUInt = 6
+  private final val CtLong = 7
+  private final val CtULong = 8
+  private final val CtFloat = 9
+  private final val CtDouble = 10
+  private final val CtString = 11
+  private final val CtJson = 12
+  private final val CtDateTime = 13
+  private final val CtBinary = 14
+
+  private final val NodeItemLen = 40 // 4 doubles + uint64 offset
+
+  // ------------------------------------------------------- mini flatbuffers
+
+  /** Minimal back-to-front FlatBuffers builder (public wire format: tables
+    * with signed-offset vtables, uint32 forward references, 32-bit
+    * size-prefixed roots). Only what the FGB schema requires.
+    */
+  private[io] final class FbBuilder(initialSize: Int = 1024) {
+    private var buf = new Array[Byte](math.max(initialSize, 64))
+    private var head = buf.length // data lives in [head, buf.length)
+    private var minalign = 1
+    private var slots: Array[Int] = _
+    private var objectStart = 0
+
+    def offset: Int = buf.length - head
+
+    private def ensure(n: Int): Unit = {
+      if (head < n) {
+        val used = offset
+        var cap = buf.length
+        while (cap - used < n) cap *= 2
+        val nb = new Array[Byte](cap)
+        System.arraycopy(buf, head, nb, cap - used, used)
+        buf = nb
+        head = cap - used
+      }
+    }
+
+    /** Align so that (offset + additional) is a multiple of `size`, and
+      * reserve room for size + additional bytes.
+      */
+    private def prep(size: Int, additional: Int): Unit = {
+      if (size > minalign) minalign = size
+      val alignSize = (~(offset + additional) + 1) & (size - 1)
+      ensure(alignSize + size + additional)
+      var i = 0
+      while (i < alignSize) { head -= 1; buf(head) = 0; i += 1 }
+    }
+
+    private def putB(v: Byte): Unit = { head -= 1; buf(head) = v }
+    private def putS(v: Short): Unit = {
+      head -= 2
+      buf(head) = (v & 0xff).toByte; buf(head + 1) = ((v >> 8) & 0xff).toByte
+    }
+    private def putI(v: Int): Unit = {
+      head -= 4
+      var i = 0
+      while (i < 4) { buf(head + i) = ((v >>> (8 * i)) & 0xff).toByte; i += 1 }
+    }
+    private def putL(v: Long): Unit = {
+      head -= 8
+      var i = 0
+      while (i < 8) { buf(head + i) = ((v >>> (8 * i)) & 0xff).toByte; i += 1 }
+    }
+
+    def addByte(v: Byte): Unit = { prep(1, 0); putB(v) }
+    def addShort(v: Short): Unit = { prep(2, 0); putS(v) }
+    def addInt(v: Int): Unit = { prep(4, 0); putI(v) }
+    def addLong(v: Long): Unit = { prep(8, 0); putL(v) }
+    def addDouble(v: Double): Unit = { prep(8, 0); putL(java.lang.Double.doubleToLongBits(v)) }
+
+    /** uint32 forward reference to an object previously built at `off`. */
+    def addOffset(off: Int): Unit = {
+      prep(4, 0)
+      putI(offset - off + 4)
+    }
+
+    def createString(s: String): Int = {
+      val bytes = s.getBytes(UTF_8)
+      addByte(0) // null terminator (spec: convenience for C readers)
+      prep(4, bytes.length)
+      head -= bytes.length
+      System.arraycopy(bytes, 0, buf, head, bytes.length)
+      putI(bytes.length)
+      offset
+    }
+
+    def createByteVector(a: Array[Byte]): Int = {
+      prep(4, a.length)
+      head -= a.length
+      System.arraycopy(a, 0, buf, head, a.length)
+      putI(a.length)
+      offset
+    }
+
+    def createDoubleVector(a: Array[Double]): Int = {
+      prep(4, 8 * a.length) // room for the length prefix
+      prep(8, 8 * a.length) // elements 8-aligned (flatbuffers convention)
+      var i = a.length - 1
+      while (i >= 0) { putL(java.lang.Double.doubleToLongBits(a(i))); i -= 1 }
+      putI(a.length)
+      offset
+    }
+
+    def createUIntVector(a: Array[Int]): Int = {
+      prep(4, 4 * a.length)
+      var i = a.length - 1
+      while (i >= 0) { putI(a(i)); i -= 1 }
+      putI(a.length)
+      offset
+    }
+
+    def createOffsetVector(offs: Array[Int]): Int = {
+      prep(4, 4 * offs.length)
+      var i = offs.length - 1
+      while (i >= 0) { putI(offset - offs(i) + 4); i -= 1 }
+      putI(offs.length)
+      offset
+    }
+
+    def startTable(numSlots: Int): Unit = {
+      slots = new Array[Int](numSlots)
+      objectStart = offset
+    }
+
+    private def slot(id: Int): Unit = slots(id) = offset
+
+    def addByteSlot(id: Int, v: Int, dflt: Int): Unit =
+      if (v != dflt) { addByte(v.toByte); slot(id) }
+    def addShortSlot(id: Int, v: Int, dflt: Int): Unit =
+      if (v != dflt) { addShort(v.toShort); slot(id) }
+    def addIntSlot(id: Int, v: Int, dflt: Int): Unit =
+      if (v != dflt) { addInt(v); slot(id) }
+    def addLongSlot(id: Int, v: Long, dflt: Long): Unit =
+      if (v != dflt) { addLong(v); slot(id) }
+    def addBoolSlot(id: Int, v: Boolean, dflt: Boolean): Unit =
+      if (v != dflt) { addByte(if (v) 1 else 0); slot(id) }
+    def addOffsetSlot(id: Int, off: Int): Unit =
+      if (off != 0) { addOffset(off); slot(id) }
+
+    def endTable(): Int = {
+      addInt(0) // soffset placeholder — this position IS the table start
+      val tableOff = offset
+      var n = slots.length
+      while (n > 0 && slots(n - 1) == 0) n -= 1 // trim absent trailing fields
+      var i = n - 1
+      while (i >= 0) {
+        addShort(if (slots(i) == 0) 0 else (tableOff - slots(i)).toShort)
+        i -= 1
+      }
+      addShort((tableOff - objectStart).toShort) // table byte size
+      addShort(((n + 2) * 2).toShort) // vtable byte size
+      // patch the placeholder: soffset = vtablePos distance (positive:
+      // the vtable sits at a lower file position than the table)
+      val so = offset - tableOff
+      val p = buf.length - tableOff
+      var j = 0
+      while (j < 4) { buf(p + j) = ((so >>> (8 * j)) & 0xff).toByte; j += 1 }
+      slots = null
+      tableOff
+    }
+
+    def finish(root: Int): Array[Byte] = {
+      prep(minalign, 4)
+      addOffset(root)
+      java.util.Arrays.copyOfRange(buf, head, buf.length)
+    }
+  }
+
+  /** Minimal FlatBuffers table reader (vtable field lookup). */
+  private[io] final class FbTable(val bb: ByteBuffer, val pos: Int) {
+    private def voff(id: Int): Int = {
+      val vt = pos - bb.getInt(pos)
+      val o = 4 + 2 * id
+      if (o < (bb.getShort(vt) & 0xffff)) bb.getShort(vt + o) & 0xffff else 0
+    }
+    def ubyteField(id: Int, dflt: Int): Int = {
+      val o = voff(id); if (o == 0) dflt else bb.get(pos + o) & 0xff
+    }
+    def boolField(id: Int, dflt: Boolean): Boolean = {
+      val o = voff(id); if (o == 0) dflt else bb.get(pos + o) != 0
+    }
+    def ushortField(id: Int, dflt: Int): Int = {
+      val o = voff(id); if (o == 0) dflt else bb.getShort(pos + o) & 0xffff
+    }
+    def intField(id: Int, dflt: Int): Int = {
+      val o = voff(id); if (o == 0) dflt else bb.getInt(pos + o)
+    }
+    def longField(id: Int, dflt: Long): Long = {
+      val o = voff(id); if (o == 0) dflt else bb.getLong(pos + o)
+    }
+    /** Absolute position of the referenced object, 0 if the field is absent. */
+    def target(id: Int): Int = {
+      val o = voff(id); if (o == 0) 0 else { val p = pos + o; p + bb.getInt(p) }
+    }
+    def stringField(id: Int): String = {
+      val t = target(id)
+      if (t == 0) null
+      else {
+        val len = bb.getInt(t)
+        val a = new Array[Byte](len)
+        var i = 0
+        while (i < len) { a(i) = bb.get(t + 4 + i); i += 1 }
+        new String(a, UTF_8)
+      }
+    }
+    def doubleVec(id: Int): Array[Double] = {
+      val t = target(id)
+      if (t == 0) null
+      else {
+        val len = bb.getInt(t)
+        val a = new Array[Double](len)
+        var i = 0
+        while (i < len) { a(i) = bb.getDouble(t + 4 + 8 * i); i += 1 }
+        a
+      }
+    }
+    def uintVec(id: Int): Array[Int] = {
+      val t = target(id)
+      if (t == 0) null
+      else {
+        val len = bb.getInt(t)
+        val a = new Array[Int](len)
+        var i = 0
+        while (i < len) { a(i) = bb.getInt(t + 4 + 4 * i); i += 1 }
+        a
+      }
+    }
+    def byteVec(id: Int): Array[Byte] = {
+      val t = target(id)
+      if (t == 0) null
+      else {
+        val len = bb.getInt(t)
+        val a = new Array[Byte](len)
+        var i = 0
+        while (i < len) { a(i) = bb.get(t + 4 + i); i += 1 }
+        a
+      }
+    }
+    def tableField(id: Int): FbTable = {
+      val t = target(id); if (t == 0) null else new FbTable(bb, t)
+    }
+    def vecLen(id: Int): Int = {
+      val t = target(id); if (t == 0) 0 else bb.getInt(t)
+    }
+    def vecTable(id: Int, i: Int): FbTable = {
+      val t = target(id)
+      val ep = t + 4 + 4 * i
+      new FbTable(bb, ep + bb.getInt(ep))
+    }
+  }
+
+  private def rootTable(bytes: Array[Byte]): FbTable = {
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    new FbTable(bb, bb.getInt(0))
+  }
+
+  // ------------------------------------------------------- geometry codec
+
+  import graft.geom.{Geometry, Point, LineString, Polygon, MultiPoint,
+    MultiLineString, MultiPolygon, GeometryCollection, Wkb}
+
+  /** FGB geometry table field ids (geometry.fbs): ends=0, xy=1, z=2, m=3,
+    * t=4, tm=5, type=6, parts=7. `ends` are exclusive end indices in
+    * coordinate-pair units per part.
+    */
+  private[io] def writeGeometry(b: FbBuilder, g: Geometry): Int = g match {
+    case p: Point =>
+      writeSimpleGeom(b, GtPoint, Array(p.x, p.y),
+        if (p.z.isNaN) null else Array(p.z), null)
+    case l: LineString =>
+      writeSimpleGeom(b, GtLineString, l.xy, l.zs, null)
+    case pg: Polygon =>
+      val (xy, ends) = flattenRings(pg.rings)
+      writeSimpleGeom(b, GtPolygon, xy, null, if (pg.rings.length > 1) ends else null)
+    case mp: MultiPoint =>
+      val xy = new Array[Double](2 * mp.pts.length)
+      var i = 0
+      while (i < mp.pts.length) { xy(2 * i) = mp.pts(i).x; xy(2 * i + 1) = mp.pts(i).y; i += 1 }
+      writeSimpleGeom(b, GtMultiPoint, xy, null, null)
+    case ml: MultiLineString =>
+      val total = ml.lines.map(_.xy.length).sum
+      val xy = new Array[Double](total)
+      val ends = new Array[Int](ml.lines.length)
+      var o = 0
+      var i = 0
+      while (i < ml.lines.length) {
+        System.arraycopy(ml.lines(i).xy, 0, xy, o, ml.lines(i).xy.length)
+        o += ml.lines(i).xy.length
+        ends(i) = o / 2
+        i += 1
+      }
+      writeSimpleGeom(b, GtMultiLineString, xy, null, if (ends.length > 1) ends else null)
+    case mpg: MultiPolygon =>
+      writePartsGeom(b, GtMultiPolygon, mpg.polys.map(p => writeGeometry(b, p)))
+    case gc: GeometryCollection =>
+      writePartsGeom(b, GtGeometryCollection, gc.geoms.map(g2 => writeGeometry(b, g2)))
+  }
+
+  private def flattenRings(rings: Array[Array[Double]]): (Array[Double], Array[Int]) = {
+    val total = rings.map(_.length).sum
+    val xy = new Array[Double](total)
+    val ends = new Array[Int](rings.length)
+    var o = 0
+    var i = 0
+    while (i < rings.length) {
+      System.arraycopy(rings(i), 0, xy, o, rings(i).length)
+      o += rings(i).length
+      ends(i) = o / 2
+      i += 1
+    }
+    (xy, ends)
+  }
+
+  private def writeSimpleGeom(b: FbBuilder, gt: Int, xy: Array[Double],
+      z: Array[Double], ends: Array[Int]): Int = {
+    val endsOff = if (ends != null) b.createUIntVector(ends) else 0
+    val zOff = if (z != null) b.createDoubleVector(z) else 0
+    val xyOff = b.createDoubleVector(xy)
+    b.startTable(8)
+    b.addOffsetSlot(0, endsOff)
+    b.addOffsetSlot(1, xyOff)
+    b.addOffsetSlot(2, zOff)
+    b.addByteSlot(6, gt, GtUnknown)
+    b.endTable()
+  }
+
+  private def writePartsGeom(b: FbBuilder, gt: Int, parts: Array[Int]): Int = {
+    val pv = b.createOffsetVector(parts)
+    b.startTable(8)
+    b.addByteSlot(6, gt, GtUnknown)
+    b.addOffsetSlot(7, pv)
+    b.endTable()
+  }
+
+  private[io] def readGeometry(t: FbTable, fallbackType: Int): Geometry = {
+    val gt0 = t.ubyteField(6, GtUnknown)
+    val gt = if (gt0 != GtUnknown) gt0 else fallbackType
+    gt match {
+      case GtMultiPolygon =>
+        MultiPolygon(Array.tabulate(t.vecLen(7)) { i =>
+          readGeometry(t.vecTable(7, i), GtPolygon).asInstanceOf[Polygon]
+        })
+      case GtGeometryCollection =>
+        GeometryCollection(Array.tabulate(t.vecLen(7)) { i =>
+          readGeometry(t.vecTable(7, i), GtUnknown)
+        })
+      case _ =>
+        val xy = t.doubleVec(1)
+        val ends = t.uintVec(0)
+        val z = t.doubleVec(2)
+        gt match {
+          case GtPoint =>
+            Point(xy(0), xy(1), if (z != null && z.length > 0) z(0) else Double.NaN)
+          case GtLineString => LineString(xy, z)
+          case GtPolygon => Polygon(splitParts(xy, ends))
+          case GtMultiPoint =>
+            MultiPoint(Array.tabulate(xy.length / 2)(i => Point(xy(2 * i), xy(2 * i + 1))))
+          case GtMultiLineString =>
+            MultiLineString(splitParts(xy, ends).map(p => LineString(p)))
+          case other =>
+            throw new IllegalArgumentException(s"fgb: unsupported geometry type $other")
+        }
+    }
+  }
+
+  private def splitParts(xy: Array[Double], ends: Array[Int]): Array[Array[Double]] = {
+    if (ends == null || ends.length <= 1) Array(xy)
+    else {
+      val parts = new Array[Array[Double]](ends.length)
+      var start = 0
+      var i = 0
+      while (i < ends.length) {
+        val end = ends(i) * 2
+        parts(i) = java.util.Arrays.copyOfRange(xy, start, end)
+        start = end
+        i += 1
+      }
+      parts
+    }
+  }
+
+  // ------------------------------------------------------ properties codec
+
+  private[io] final case class FgbColumn(name: String, ctype: Int)
+
+  /** Pack one row's non-null attributes: (u16 column index, value)*.
+    * Scalars are fixed-width LE; String/Json/DateTime/Binary carry a u32
+    * length prefix (FGB feature.fbs properties contract).
+    */
+  private def encodeProperties(cols: Array[FgbColumn], vals: Array[Any]): Array[Byte] = {
+    var size = 0
+    var i = 0
+    while (i < cols.length) {
+      if (vals(i) != null) size += 2 + (cols(i).ctype match {
+        case CtBool | CtByte | CtUByte => 1
+        case CtShort | CtUShort => 2
+        case CtInt | CtUInt | CtFloat => 4
+        case CtLong | CtULong | CtDouble => 8
+        case CtString | CtJson | CtDateTime =>
+          4 + vals(i).asInstanceOf[String].getBytes(UTF_8).length
+        case CtBinary => 4 + vals(i).asInstanceOf[Array[Byte]].length
+      })
+      i += 1
+    }
+    if (size == 0) return Array.emptyByteArray
+    val bb = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
+    i = 0
+    while (i < cols.length) {
+      val v = vals(i)
+      if (v != null) {
+        bb.putShort(i.toShort)
+        cols(i).ctype match {
+          case CtBool => bb.put(if (v.asInstanceOf[Boolean]) 1.toByte else 0.toByte)
+          case CtByte | CtUByte => bb.put(v.asInstanceOf[Number].byteValue())
+          case CtShort | CtUShort => bb.putShort(v.asInstanceOf[Number].shortValue())
+          case CtInt | CtUInt => bb.putInt(v.asInstanceOf[Number].intValue())
+          case CtFloat => bb.putFloat(v.asInstanceOf[Number].floatValue())
+          case CtLong | CtULong => bb.putLong(v.asInstanceOf[Number].longValue())
+          case CtDouble => bb.putDouble(v.asInstanceOf[Number].doubleValue())
+          case CtString | CtJson | CtDateTime =>
+            val b = v.asInstanceOf[String].getBytes(UTF_8)
+            bb.putInt(b.length); bb.put(b)
+          case CtBinary =>
+            val b = v.asInstanceOf[Array[Byte]]
+            bb.putInt(b.length); bb.put(b)
+        }
+      }
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** Decode packed properties into `out` (indexed like `cols`); columns not
+    * present in the bytes stay null. `wanted(i) = false` columns are walked
+    * past without materializing values (column pruning).
+    */
+  private def decodeProperties(cols: Array[FgbColumn], bytes: Array[Byte],
+      wanted: Array[Boolean], out: Array[Any]): Unit = {
+    if (bytes == null) return
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    while (bb.remaining() >= 2) {
+      val idx = bb.getShort() & 0xffff
+      require(idx < cols.length, s"fgb: property column index $idx out of range")
+      val keep = wanted(idx)
+      cols(idx).ctype match {
+        case CtBool =>
+          val v = bb.get() != 0; if (keep) out(idx) = v
+        case CtByte => val v = bb.get(); if (keep) out(idx) = v
+        case CtUByte => val v = (bb.get() & 0xff).toShort; if (keep) out(idx) = v
+        case CtShort => val v = bb.getShort(); if (keep) out(idx) = v
+        case CtUShort => val v = bb.getShort() & 0xffff; if (keep) out(idx) = v
+        case CtInt => val v = bb.getInt(); if (keep) out(idx) = v
+        case CtUInt => val v = (bb.getInt() & 0xffffffffL); if (keep) out(idx) = v
+        case CtFloat => val v = bb.getFloat(); if (keep) out(idx) = v
+        case CtLong | CtULong => val v = bb.getLong(); if (keep) out(idx) = v
+        case CtDouble => val v = bb.getDouble(); if (keep) out(idx) = v
+        case CtString | CtJson | CtDateTime =>
+          val len = bb.getInt()
+          if (keep) {
+            val a = new Array[Byte](len); bb.get(a); out(idx) = new String(a, UTF_8)
+          } else bb.position(bb.position() + len)
+        case CtBinary =>
+          val len = bb.getInt()
+          if (keep) { val a = new Array[Byte](len); bb.get(a); out(idx) = a }
+          else bb.position(bb.position() + len)
+      }
+    }
+  }
+
+  private def sparkTypeOf(ctype: Int): DataType = ctype match {
+    case CtBool => BooleanType
+    case CtByte => ByteType
+    case CtUByte | CtShort => ShortType
+    case CtUShort => IntegerType
+    case CtInt => IntegerType
+    case CtUInt => LongType
+    case CtLong | CtULong => LongType // ULong may exceed Long.MaxValue; documented
+    case CtFloat => FloatType
+    case CtDouble => DoubleType
+    case CtString | CtJson | CtDateTime => StringType
+    case CtBinary => BinaryType
+    case other => throw new IllegalArgumentException(s"fgb: unsupported column type $other")
+  }
+
+  private def ctypeOf(dt: DataType, name: String): Int = dt match {
+    case BooleanType => CtBool
+    case ByteType => CtByte
+    case ShortType => CtShort
+    case IntegerType => CtInt
+    case LongType => CtLong
+    case FloatType => CtFloat
+    case DoubleType => CtDouble
+    case StringType => CtString
+    case BinaryType => CtBinary
+    case other =>
+      throw new IllegalArgumentException(s"fgb write: unsupported column type $other for '$name'")
+  }
+
+  // --------------------------------------------------- packed Hilbert R-tree
+
+  /** Static packed R-tree math (FGB spec / flatbush family): leaves are the
+    * features in file order, `nodeSize` children per node, nodes serialized
+    * root-first; an internal node's offset field is the node-item index of
+    * its first child, a leaf's offset is the feature's byte offset within
+    * the features section.
+    */
+  private[io] object PackedRTree {
+
+    /** Per-level (start, end) node-item index ranges, LEAF LEVEL FIRST;
+      * root is the single node of the last level at index 0.
+      */
+    def levelBounds(numItems: Long, nodeSize: Int): IndexedSeq[(Long, Long)] = {
+      require(numItems > 0 && nodeSize >= 2)
+      var n = numItems
+      var total = n
+      val perLevel = scala.collection.mutable.ArrayBuffer(n)
+      while (n != 1) {
+        n = (n + nodeSize - 1) / nodeSize
+        total += n
+        perLevel += n
+      }
+      var acc = total
+      perLevel.map { size => acc -= size; (acc, acc + size) }.toIndexedSeq
+    }
+
+    def numNodes(numItems: Long, nodeSize: Int): Long = levelBounds(numItems, nodeSize).head._2
+
+    def indexSize(numItems: Long, nodeSize: Int): Long =
+      if (numItems == 0) 0L else numNodes(numItems, nodeSize) * NodeItemLen
+
+    /** Build the serialized index. `items` = (minX, minY, maxX, maxY,
+      * featureByteOffset) per feature, in file order.
+      */
+    def build(items: Array[(Double, Double, Double, Double, Long)], nodeSize: Int): Array[Byte] = {
+      val lb = levelBounds(items.length.toLong, nodeSize)
+      val total = numNodes(items.length.toLong, nodeSize).toInt
+      val minX = new Array[Double](total)
+      val minY = new Array[Double](total)
+      val maxX = new Array[Double](total)
+      val maxY = new Array[Double](total)
+      val off = new Array[Long](total)
+      val leafStart = lb(0)._1.toInt
+      var i = 0
+      while (i < items.length) {
+        val (a, b, c, d, o) = items(i)
+        minX(leafStart + i) = a; minY(leafStart + i) = b
+        maxX(leafStart + i) = c; maxY(leafStart + i) = d
+        off(leafStart + i) = o
+        i += 1
+      }
+      var level = 0
+      while (level < lb.length - 1) {
+        var pos = lb(level)._1.toInt
+        val end = lb(level)._2.toInt
+        var newpos = lb(level + 1)._1.toInt
+        while (pos < end) {
+          var mnx = Double.PositiveInfinity; var mny = Double.PositiveInfinity
+          var mxx = Double.NegativeInfinity; var mxy = Double.NegativeInfinity
+          off(newpos) = pos.toLong
+          var j = 0
+          while (j < nodeSize && pos < end) {
+            mnx = math.min(mnx, minX(pos)); mny = math.min(mny, minY(pos))
+            mxx = math.max(mxx, maxX(pos)); mxy = math.max(mxy, maxY(pos))
+            pos += 1; j += 1
+          }
+          minX(newpos) = mnx; minY(newpos) = mny; maxX(newpos) = mxx; maxY(newpos) = mxy
+          newpos += 1
+        }
+        level += 1
+      }
+      val bb = ByteBuffer.allocate(total * NodeItemLen).order(ByteOrder.LITTLE_ENDIAN)
+      i = 0
+      while (i < total) {
+        bb.putDouble(minX(i)); bb.putDouble(minY(i))
+        bb.putDouble(maxX(i)); bb.putDouble(maxY(i))
+        bb.putLong(off(i))
+        i += 1
+      }
+      bb.array()
+    }
+
+    /** Candidate (featureByteOffset, featureIndex) pairs whose leaf bbox
+      * intersects the query window, traversing top-down with one positioned
+      * read per visited sibling block — never loads the whole index.
+      */
+    def search(readAt: (Long, Int) => Array[Byte], numItems: Long, nodeSize: Int,
+        qMinX: Double, qMinY: Double, qMaxX: Double, qMaxY: Double): Array[(Long, Long)] = {
+      val lb = levelBounds(numItems, nodeSize)
+      val leafStart = lb(0)._1
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      val stack = scala.collection.mutable.Stack[(Long, Int)]((0L, lb.length - 1))
+      while (stack.nonEmpty) {
+        val (nodeIndex, level) = stack.pop()
+        val end = math.min(nodeIndex + nodeSize, lb(level)._2)
+        val n = (end - nodeIndex).toInt
+        val bytes = readAt(nodeIndex * NodeItemLen, n * NodeItemLen)
+        val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+        var i = 0
+        while (i < n) {
+          val base = i * NodeItemLen
+          val mnx = bb.getDouble(base); val mny = bb.getDouble(base + 8)
+          val mxx = bb.getDouble(base + 16); val mxy = bb.getDouble(base + 24)
+          if (mnx <= qMaxX && mxx >= qMinX && mny <= qMaxY && mxy >= qMinY) {
+            val o = bb.getLong(base + 32)
+            if (level == 0) out += ((o, nodeIndex + i - leafStart))
+            else stack.push((o, level - 1))
+          }
+          i += 1
+        }
+      }
+      out.sortBy(_._2).toArray
+    }
+  }
+
+  // ----------------------------------------------------------------- header
+
+  private[io] final case class FgbMeta(
+      name: String,
+      geometryType: Int,
+      columns: Array[FgbColumn],
+      featuresCount: Long,
+      nodeSize: Int,
+      crs: Option[String],
+      headerEnd: Long) {
+    def indexSize: Long =
+      if (nodeSize > 0 && featuresCount > 0) PackedRTree.indexSize(featuresCount, nodeSize) else 0L
+    def featuresStart: Long = headerEnd + indexSize
+  }
+
+  /** Header.fbs field ids: name=0 envelope=1 geometry_type=2 has_z=3
+    * has_m=4 has_t=5 has_tm=6 columns=7 features_count=8 index_node_size=9
+    * crs=10. Crs.fbs: org=0 code=1 name=2 description=3 wkt=4 code_string=5.
+    * Column.fbs: name=0 type=1 (the rest defaulted).
+    */
+  private def buildHeader(name: String, envelope: Array[Double], geometryType: Int,
+      cols: Array[FgbColumn], featuresCount: Long, nodeSize: Int,
+      epsg: Option[Int]): Array[Byte] = {
+    val b = new FbBuilder(512)
+    val colOffs = cols.map { c =>
+      val n = b.createString(c.name)
+      b.startTable(11)
+      b.addOffsetSlot(0, n)
+      b.addByteSlot(1, c.ctype, CtByte)
+      b.endTable()
+    }
+    val colsVec = if (cols.nonEmpty) b.createOffsetVector(colOffs) else 0
+    val crsOff = epsg.map { code =>
+      val org = b.createString("EPSG")
+      b.startTable(6)
+      b.addOffsetSlot(0, org)
+      b.addIntSlot(1, code, 0) // Crs.code is int32 at slot 1
+      b.endTable()
+    }.getOrElse(0)
+    val envOff = if (envelope != null) b.createDoubleVector(envelope) else 0
+    val nameOff = b.createString(name)
+    b.startTable(14)
+    b.addOffsetSlot(0, nameOff)
+    b.addOffsetSlot(1, envOff)
+    b.addByteSlot(2, geometryType, GtUnknown)
+    b.addOffsetSlot(7, colsVec)
+    b.addLongSlot(8, featuresCount, 0L)
+    b.addShortSlot(9, nodeSize, 16)
+    b.addOffsetSlot(10, crsOff)
+    b.finish(b.endTable())
+  }
+
+  private def parseHeader(bytes: Array[Byte], headerEnd: Long): FgbMeta = {
+    val t = rootTable(bytes)
+    val cols = Array.tabulate(t.vecLen(7)) { i =>
+      val c = t.vecTable(7, i)
+      FgbColumn(c.stringField(0), c.ubyteField(1, CtByte))
+    }
+    val crs = Option(t.tableField(10)).flatMap { c =>
+      val code = c.intField(1, 0)
+      if (code > 0) Some(s"EPSG:$code") else Option(c.stringField(5)).map(s => s"EPSG:$s")
+    }
+    FgbMeta(
+      name = t.stringField(0),
+      geometryType = t.ubyteField(2, GtUnknown),
+      columns = cols,
+      featuresCount = t.longField(8, 0L),
+      nodeSize = t.ushortField(9, 16),
+      crs = crs,
+      headerEnd = headerEnd)
+  }
+
+  // ------------------------------------------------------------------ write
+
+  /** Write `gdf` as a single FlatGeobuf file. Features are Hilbert-sorted
+    * (task-side key + range sort) so the packed R-tree prunes well; the
+    * driver streams encoded features in order and assembles
+    * magic | header | index | features. Geometry must be non-null
+    * (FGB features without geometry are readable but not written here).
+    */
+  def write(gdf: graft.api.GeoDataFrame, path: String, name: String = "layer",
+      nodeSize: Int = 16, withIndex: Boolean = true): Unit = {
+    require(nodeSize >= 2 && nodeSize <= 65535, "nodeSize must be in [2, 65535]")
+    val df = gdf.df
+    val geomCol = gdf.geometryColumn
+    val geomIdx = df.schema.fieldIndex(geomCol)
+    val attrs = df.schema.fields.zipWithIndex.filter(_._2 != geomIdx)
+    val cols = attrs.map { case (f, _) => FgbColumn(f.name, ctypeOf(f.dataType, f.name)) }
+    val epsg = gdf.crs.flatMap { c =>
+      if (c.toUpperCase.startsWith("EPSG:")) c.drop(5).toIntOption else None
+    }
+
+    // pass 1: extent (drives Hilbert quantization) — a cheap min/max agg
+    import org.apache.spark.sql.functions._
+    import graft.sql.functions._
+    graft.sql.functions.install(df.sparkSession)
+    val ext = df.agg(
+      min(st_xmin(col(geomCol))), min(st_ymin(col(geomCol))),
+      max(st_xmax(col(geomCol))), max(st_ymax(col(geomCol)))).head()
+    require(!ext.isNullAt(0), "fgb write: no non-null geometries")
+    val (exMinX, exMinY, exMaxX, exMaxY) =
+      (ext.getDouble(0), ext.getDouble(1), ext.getDouble(2), ext.getDouble(3))
+
+    // pass 2: range-sort by Hilbert key, encode Feature buffers task-side
+    val sorted = df
+      .withColumn("__hk", st_hilbert(col(geomCol), lit(15),
+        lit(exMinX), lit(exMinY), lit(exMaxX), lit(exMaxY)))
+      .orderBy(col("__hk"))
+      .drop("__hk")
+    val attrIdxs = attrs.map(_._2)
+    val gi = geomIdx
+    val colsB = cols
+    val encoded = sorted.rdd.mapPartitions { it =>
+      it.map { r =>
+        val wkb = r.get(gi).asInstanceOf[Array[Byte]]
+        require(wkb != null, "fgb write: null geometry not supported")
+        val g = Wkb.read(wkb)
+        val env = Wkb.envelopeOf(wkb)
+        val vals = new Array[Any](attrIdxs.length)
+        var i = 0
+        while (i < attrIdxs.length) { vals(i) = r.get(attrIdxs(i)); i += 1 }
+        val b = new FbBuilder(256)
+        val props = encodeProperties(colsB, vals)
+        val propsOff = if (props.nonEmpty) b.createByteVector(props) else 0
+        val geomOff = writeGeometry(b, g)
+        b.startTable(3)
+        b.addOffsetSlot(0, geomOff)
+        b.addOffsetSlot(1, propsOff)
+        val root = b.endTable()
+        val body = b.finish(root)
+        val sized = ByteBuffer.allocate(4 + body.length).order(ByteOrder.LITTLE_ENDIAN)
+        sized.putInt(body.length).put(body)
+        (Array(env.minX, env.minY, env.maxX, env.maxY), sized.array())
+      }
+    }
+
+    // driver: stream features to a temp file, keep (bbox, size) for the index
+    val tmp = java.io.File.createTempFile("fgb_features", ".bin")
+    val meta = scala.collection.mutable.ArrayBuffer.empty[(Array[Double], Int)]
+    var gMinX = Double.PositiveInfinity; var gMinY = Double.PositiveInfinity
+    var gMaxX = Double.NegativeInfinity; var gMaxY = Double.NegativeInfinity
+    val tout = new java.io.BufferedOutputStream(new java.io.FileOutputStream(tmp), 1 << 20)
+    var count = 0L
+    try {
+      encoded.toLocalIterator.foreach { case (env, bytes) =>
+        tout.write(bytes)
+        if (withIndex) meta += ((env, bytes.length))
+        count += 1
+        gMinX = math.min(gMinX, env(0)); gMinY = math.min(gMinY, env(1))
+        gMaxX = math.max(gMaxX, env(2)); gMaxY = math.max(gMaxY, env(3))
+      }
+    } finally tout.close()
+
+    // header geometry type: sample the first row (cosmetic field — each
+    // Feature carries its own type byte, so mixed-type frames read fine)
+    val headerGt = df.select(col(geomCol)).limit(1).collect().headOption
+      .map(r => fgbTypeOf(Wkb.read(r.getAs[Array[Byte]](0))))
+      .getOrElse(GtUnknown)
+
+    val hadoopPath = new Path(path)
+    val fs = hadoopPath.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
+    val out = new java.io.BufferedOutputStream(fs.create(hadoopPath, true), 1 << 20)
+    try {
+      out.write(Magic)
+      val effectiveNodeSize = if (withIndex && meta.nonEmpty) nodeSize else 0
+      val header = buildHeader(name,
+        if (gMinX <= gMaxX) Array(gMinX, gMinY, gMaxX, gMaxY) else null,
+        headerGt, cols, count, effectiveNodeSize, epsg)
+      val sz = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(header.length)
+      out.write(sz.array()); out.write(header)
+      if (withIndex && meta.nonEmpty) {
+        var offAcc = 0L
+        val items = meta.map { case (env, len) =>
+          val t = (env(0), env(1), env(2), env(3), offAcc)
+          offAcc += len
+          t
+        }.toArray
+        out.write(PackedRTree.build(items, nodeSize))
+      }
+      val in = new java.io.BufferedInputStream(new java.io.FileInputStream(tmp), 1 << 20)
+      try {
+        val buf = new Array[Byte](1 << 16)
+        var n = in.read(buf)
+        while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+      } finally in.close()
+    } finally {
+      out.close()
+      tmp.delete()
+    }
+  }
+
+  private def fgbTypeOf(g: Geometry): Int = g match {
+    case _: Point => GtPoint
+    case _: LineString => GtLineString
+    case _: Polygon => GtPolygon
+    case _: MultiPoint => GtMultiPoint
+    case _: MultiLineString => GtMultiLineString
+    case _: MultiPolygon => GtMultiPolygon
+    case _: GeometryCollection => GtGeometryCollection
+  }
+
+  // ------------------------------------------------------------------- read
+
+  /** One task's slice: `count` size-prefixed features starting at absolute
+    * byte `start`. Self-delimiting, so no end offset is needed.
+    */
+  private final case class FgbChunk(path: String, start: Long, count: Long)
+
+  def readMeta(spark: SparkSession, path: String): FgbMeta = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(p)
+    try {
+      val magic = new Array[Byte](8)
+      in.readFully(0, magic)
+      require(magic(0) == 0x66 && magic(1) == 0x67 && magic(2) == 0x62 && magic(3) == 3 &&
+        magic(4) == 0x66 && magic(5) == 0x67 && magic(6) == 0x62,
+        s"not a FlatGeobuf v3 file: $path")
+      val szBuf = new Array[Byte](4)
+      in.readFully(8, szBuf)
+      val headerSize = ByteBuffer.wrap(szBuf).order(ByteOrder.LITTLE_ENDIAN).getInt
+      require(headerSize > 0 && headerSize < (1 << 26), s"fgb: implausible header size $headerSize")
+      val hb = new Array[Byte](headerSize)
+      in.readFully(12, hb)
+      parseHeader(hb, 12L + headerSize)
+    } finally in.close()
+  }
+
+  def schemaOf(meta: FgbMeta, geomCol: String, columns: Option[Seq[String]]): StructType = {
+    val attrFields = meta.columns.map(c => StructField(c.name, sparkTypeOf(c.ctype)))
+    val kept = columns match {
+      case Some(sel) =>
+        val selSet = sel.toSet
+        val unknown = selSet -- attrFields.map(_.name).toSet
+        require(unknown.isEmpty, s"fgb: unknown columns ${unknown.mkString(", ")}")
+        attrFields.filter(f => selSet.contains(f.name))
+      case None => attrFields
+    }
+    StructType(kept :+ StructField(geomCol, BinaryType))
+  }
+
+  /** Distributed read. With `bbox`, the driver prunes via the packed R-tree
+    * and tasks apply an exact envelope-intersects residual; without an
+    * index the file is a single sequential task (the format offers no
+    * random access then — documented trade-off).
+    */
+  def read(spark: SparkSession, path: String, chunkSize: Int = 65536,
+      geomCol: String = "geometry",
+      bbox: Option[(Double, Double, Double, Double)] = None,
+      columns: Option[Seq[String]] = None): DataFrame = {
+    require(chunkSize > 0, "chunkSize must be positive")
+    val meta = readMeta(spark, path)
+    val schema = schemaOf(meta, geomCol, columns)
+    val p = new Path(path)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = p.getFileSystem(conf)
+    val n = meta.featuresCount
+
+    val chunks: Seq[FgbChunk] =
+      if (meta.nodeSize == 0) {
+        // no index: size prefixes only resolve sequentially (count 0 means
+        // "unknown / streamed" per spec — read to EOF)
+        Seq(FgbChunk(path, meta.featuresStart, if (n > 0) n else Long.MaxValue))
+      } else if (n == 0) Seq.empty
+      else {
+        val in = fs.open(p)
+        try {
+          val lb = PackedRTree.levelBounds(n, meta.nodeSize)
+          val leafStart = lb(0)._1
+          val indexBase = meta.headerEnd
+          def readIdx(off: Long, len: Int): Array[Byte] = {
+            val a = new Array[Byte](len)
+            in.readFully(indexBase + off, a)
+            a
+          }
+          def leafOffset(i: Long): Long = {
+            val a = new Array[Byte](8)
+            in.readFully(indexBase + (leafStart + i) * NodeItemLen + 32, a)
+            ByteBuffer.wrap(a).order(ByteOrder.LITTLE_ENDIAN).getLong
+          }
+          bbox match {
+            case None =>
+              (0L until n by chunkSize.toLong).map { s =>
+                FgbChunk(path, meta.featuresStart + leafOffset(s), math.min(chunkSize, n - s))
+              }
+            case Some((qx0, qy0, qx1, qy1)) =>
+              val hits = PackedRTree.search(readIdx, n, meta.nodeSize, qx0, qy0, qx1, qy1)
+              // merge consecutive feature indices into runs, split at chunkSize
+              val runs = scala.collection.mutable.ArrayBuffer.empty[FgbChunk]
+              var i = 0
+              while (i < hits.length) {
+                val (startOff, startIdx) = hits(i)
+                var j = i
+                while (j + 1 < hits.length && hits(j + 1)._2 == hits(j)._2 + 1 &&
+                  (hits(j + 1)._2 - startIdx) < chunkSize) j += 1
+                runs += FgbChunk(path, meta.featuresStart + startOff, hits(j)._2 - startIdx + 1)
+                i = j + 1
+              }
+              runs.toSeq
+          }
+        } finally in.close()
+      }
+
+    val sconf = new GeoParquetIO.SerializableConf(conf)
+    val cols = meta.columns
+    val wanted: Array[Boolean] = {
+      val keptNames = schema.fields.dropRight(1).map(_.name).toSet
+      cols.map(c => keptNames.contains(c.name))
+    }
+    val outIdx: Array[Int] = {
+      // property column index -> output row position (-1 if pruned)
+      val pos = schema.fields.dropRight(1).map(_.name).zipWithIndex.toMap
+      cols.map(c => pos.getOrElse(c.name, -1))
+    }
+    val headerGt = meta.geometryType
+    val q = bbox
+    val nOut = schema.length
+    val rows = spark.sparkContext
+      .parallelize(chunks, math.max(1, chunks.size))
+      .flatMap { ch =>
+        readChunk(sconf.value, ch, cols, wanted, outIdx, nOut, headerGt, q)
+      }
+    spark.createDataFrame(rows, schema)
+  }
+
+  private def readChunk(conf: org.apache.hadoop.conf.Configuration, ch: FgbChunk,
+      cols: Array[FgbColumn], wanted: Array[Boolean], outIdx: Array[Int], nOut: Int,
+      headerGt: Int, bbox: Option[(Double, Double, Double, Double)]): Iterator[Row] = {
+    val p = new Path(ch.path)
+    val fs = p.getFileSystem(conf)
+    val fileLen = fs.getFileStatus(p).getLen
+    val in = fs.open(p)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+    try {
+      var pos = ch.start
+      var k = 0L
+      val szBuf = new Array[Byte](4)
+      while (k < ch.count && pos + 4 <= fileLen) {
+        in.readFully(pos, szBuf)
+        val size = ByteBuffer.wrap(szBuf).order(ByteOrder.LITTLE_ENDIAN).getInt
+        require(size > 0 && pos + 4 + size <= fileLen, s"fgb: corrupt feature size $size at $pos")
+        val body = new Array[Byte](size)
+        in.readFully(pos + 4, body)
+        pos += 4 + size
+        k += 1
+        val t = rootTable(body)
+        val geomT = t.tableField(0)
+        val wkb = if (geomT == null) null else Wkb.write(readGeometry(geomT, headerGt))
+        val keep = bbox match {
+          case Some((qx0, qy0, qx1, qy1)) if wkb != null =>
+            val e = Wkb.envelopeOf(wkb)
+            e.minX <= qx1 && e.maxX >= qx0 && e.minY <= qy1 && e.maxY >= qy0
+          case Some(_) => false
+          case None => true
+        }
+        if (keep) {
+          val vals = new Array[Any](nOut)
+          val propVals = new Array[Any](cols.length)
+          decodeProperties(cols, t.byteVec(1), wanted, propVals)
+          var i = 0
+          while (i < cols.length) {
+            if (outIdx(i) >= 0) vals(outIdx(i)) = propVals(i)
+            i += 1
+          }
+          vals(nOut - 1) = wkb
+          out += Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
+        }
+      }
+    } finally in.close()
+    out.iterator
+  }
+}

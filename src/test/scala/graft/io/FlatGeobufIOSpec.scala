@@ -1,0 +1,195 @@
+package graft.io
+
+import graft.geom.{GeometryCollection, LineString, MultiLineString, MultiPoint,
+  MultiPolygon, Point, Polygon, Wkb}
+import graft.sql.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class FlatGeobufIOSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmpFile(): String = {
+    val f = java.io.File.createTempFile("fgbspec", ".fgb")
+    f.deleteOnExit()
+    f.getAbsolutePath
+  }
+
+  test("packed R-tree level math matches the flatbush family layout") {
+    // 179 leaves at node size 16: levels 179, 12, 1 -> 192 nodes,
+    // leaves occupy [13, 192), root is node 0
+    val lb = FlatGeobufIO.PackedRTree.levelBounds(179L, 16)
+    assert(lb(0) == ((13L, 192L)))
+    assert(lb.last == ((0L, 1L)))
+    assert(FlatGeobufIO.PackedRTree.numNodes(179L, 16) == 192L)
+    assert(FlatGeobufIO.PackedRTree.numNodes(1L, 16) == 1L)
+    assert(FlatGeobufIO.PackedRTree.indexSize(179L, 16) == 192L * 40)
+  }
+
+  test("R-tree search over a built index finds exactly the intersecting leaves") {
+    // 100 unit squares along the diagonal, feature i at [i, i+1]^2
+    val items = Array.tabulate(100) { i =>
+      (i.toDouble, i.toDouble, i + 1.0, i + 1.0, i.toLong * 10)
+    }
+    val bytes = FlatGeobufIO.PackedRTree.build(items, 16)
+    def readAt(off: Long, len: Int): Array[Byte] =
+      java.util.Arrays.copyOfRange(bytes, off.toInt, off.toInt + len)
+    val hits = FlatGeobufIO.PackedRTree.search(readAt, 100L, 16, 40.5, 40.5, 43.5, 43.5)
+    // squares 40..43 intersect the window
+    assert(hits.map(_._2).toSeq == Seq(40L, 41L, 42L, 43L))
+    assert(hits.map(_._1).toSeq == Seq(400L, 410L, 420L, 430L))
+    // far-outside window: nothing
+    assert(FlatGeobufIO.PackedRTree.search(readAt, 100L, 16, 500, 500, 600, 600).isEmpty)
+  }
+
+  test("geometry codec roundtrips every geometry family") {
+    val geoms: Seq[graft.geom.Geometry] = Seq(
+      Point(1.5, -2.25),
+      LineString(Array(0.0, 0.0, 1.0, 2.0, 3.0, 1.0)),
+      Polygon(Array(Array(0.0, 0.0, 4.0, 0.0, 4.0, 4.0, 0.0, 4.0, 0.0, 0.0))),
+      // polygon with a hole exercises the ends vector
+      Polygon(Array(
+        Array(0.0, 0.0, 10.0, 0.0, 10.0, 10.0, 0.0, 10.0, 0.0, 0.0),
+        Array(2.0, 2.0, 2.0, 4.0, 4.0, 4.0, 4.0, 2.0, 2.0, 2.0))),
+      MultiPoint(Array(Point(1, 1), Point(2, 3))),
+      MultiLineString(Array(
+        LineString(Array(0.0, 0.0, 1.0, 1.0)),
+        LineString(Array(5.0, 5.0, 6.0, 7.0, 8.0, 9.0)))),
+      MultiPolygon(Array(
+        Polygon(Array(Array(0.0, 0.0, 1.0, 0.0, 1.0, 1.0, 0.0, 0.0))),
+        Polygon(Array(Array(5.0, 5.0, 7.0, 5.0, 7.0, 7.0, 5.0, 5.0))))),
+      GeometryCollection(Array(
+        Point(9, 9),
+        LineString(Array(0.0, 1.0, 2.0, 3.0)))))
+    geoms.foreach { g =>
+      val b = new FlatGeobufIO.FbBuilder(64)
+      val off = FlatGeobufIO.writeGeometry(b, g)
+      val bytes = b.finish(off)
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val t = new FlatGeobufIO.FbTable(bb, bb.getInt(0))
+      val back = FlatGeobufIO.readGeometry(t, FlatGeobufIO.GtUnknown)
+      assert(Wkb.write(back).toSeq == Wkb.write(g).toSeq, s"mismatch for $g")
+    }
+  }
+
+  test("file roundtrip: mixed attribute types incl. nulls, hilbert-reordered") {
+    val path = tmpFile()
+    val rows = (0 until 200).map { i =>
+      (i.toLong, s"name_$i", i * 1.5, i % 2 == 0,
+        if (i % 7 == 0) null else s"note_${i % 13}",
+        Wkb.write(Point(i * 3.25 - 100.0, (i % 100) * 7.5)))
+    }
+    val df = rows.toDF("id", "nm", "score", "flag", "note", "geometry")
+    val gdf = graft.api.GeoDataFrame(df, "geometry").setCrs("EPSG:4326")
+    FlatGeobufIO.write(gdf, path, name = "pts", nodeSize = 16)
+
+    val meta = FlatGeobufIO.readMeta(spark, path)
+    assert(meta.name == "pts")
+    assert(meta.featuresCount == 200L)
+    assert(meta.nodeSize == 16)
+    assert(meta.crs.contains("EPSG:4326"))
+    assert(meta.columns.map(_.name).toSeq == Seq("id", "nm", "score", "flag", "note"))
+
+    val back = FlatGeobufIO.read(spark, path, chunkSize = 13)
+    assert(back.schema.fieldNames.toSeq == Seq("id", "nm", "score", "flag", "note", "geometry"))
+    assert(back.count() == 200)
+    val got = back
+      .select($"id", $"nm", $"score", $"flag", $"note",
+        expr("st_x(geometry)").as("x"), expr("st_y(geometry)").as("y"))
+      .orderBy($"id")
+      .collect()
+    rows.zip(got).foreach { case ((id, nm, score, flag, note, _), r) =>
+      assert(r.getLong(0) == id)
+      assert(r.getString(1) == nm)
+      assert(r.getDouble(2) == score)
+      assert(r.getBoolean(3) == flag)
+      assert(r.getString(4) == note)
+      assert(r.getDouble(5) == id * 3.25 - 100.0)
+      assert(r.getDouble(6) == (id % 100) * 7.5)
+    }
+  }
+
+  test("bbox read prunes chunks through the index and matches a full-scan filter") {
+    val path = tmpFile()
+    // 30x30 grid of points
+    val rows = (0 until 900).map { i =>
+      (i.toLong, Wkb.write(Point((i % 30).toDouble, (i / 30).toDouble)))
+    }
+    FlatGeobufIO.write(
+      graft.api.GeoDataFrame(rows.toDF("id", "geometry"), "geometry"),
+      path, nodeSize = 8)
+    val window = (3.5, 3.5, 8.5, 8.5)
+    val pruned = FlatGeobufIO.read(spark, path, chunkSize = 16, bbox = Some(window))
+      .select($"id").as[Long].collect().sorted
+    val full = FlatGeobufIO.read(spark, path)
+      .select($"id", expr("st_x(geometry)").as("x"), expr("st_y(geometry)").as("y"))
+      .filter($"x" >= 3.5 && $"x" <= 8.5 && $"y" >= 3.5 && $"y" <= 8.5)
+      .select($"id").as[Long].collect().sorted
+    assert(pruned.toSeq == full.toSeq)
+    assert(pruned.length == 25) // 5x5 interior points
+
+    // the tree really pruned: candidate leaves ≪ total features
+    val meta = FlatGeobufIO.readMeta(spark, path)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(p)
+    try {
+      def readAt(off: Long, len: Int): Array[Byte] = {
+        val a = new Array[Byte](len)
+        in.readFully(meta.headerEnd + off, a)
+        a
+      }
+      val hits = FlatGeobufIO.PackedRTree.search(
+        readAt, meta.featuresCount, meta.nodeSize, 3.5, 3.5, 8.5, 8.5)
+      assert(hits.length >= 25 && hits.length < 200,
+        s"index should prune most of 900 features, got ${hits.length} candidates")
+    } finally in.close()
+  }
+
+  test("mixed geometry types in one file read back via per-feature type bytes") {
+    val path = tmpFile()
+    val geoms: Seq[(Long, Array[Byte])] = Seq(
+      1L -> Wkb.write(Point(0, 0)),
+      2L -> Wkb.write(LineString(Array(0.0, 0.0, 5.0, 5.0))),
+      3L -> Wkb.write(Polygon(Array(Array(0.0, 0.0, 2.0, 0.0, 2.0, 2.0, 0.0, 0.0)))),
+      4L -> Wkb.write(MultiPolygon(Array(
+        Polygon(Array(Array(3.0, 3.0, 4.0, 3.0, 4.0, 4.0, 3.0, 3.0)))))))
+    FlatGeobufIO.write(
+      graft.api.GeoDataFrame(geoms.toDF("id", "geometry"), "geometry"), path)
+    val back = FlatGeobufIO.read(spark, path)
+      .select($"id", expr("st_geometrytype(geometry)").as("gt"))
+      .orderBy($"id").collect()
+    assert(back.map(_.getString(1)).toSeq ==
+      Seq("Point", "LineString", "Polygon", "MultiPolygon"))
+  }
+
+  test("withIndex=false writes a readable unindexed file (single sequential chunk)") {
+    val path = tmpFile()
+    val rows = (0 until 50).map(i => (i.toLong, Wkb.write(Point(i, -i))))
+    FlatGeobufIO.write(
+      graft.api.GeoDataFrame(rows.toDF("id", "geometry"), "geometry"),
+      path, withIndex = false)
+    val meta = FlatGeobufIO.readMeta(spark, path)
+    assert(meta.nodeSize == 0)
+    assert(meta.indexSize == 0L)
+    val back = FlatGeobufIO.read(spark, path)
+    assert(back.count() == 50)
+    assert(back.rdd.getNumPartitions == 1) // no random access without an index
+  }
+
+  test("columns= prunes attributes but keeps geometry") {
+    val path = tmpFile()
+    val rows = (0 until 40).map { i =>
+      (i.toLong, s"n_$i", i * 2.0, Wkb.write(Point(i, i)))
+    }
+    FlatGeobufIO.write(
+      graft.api.GeoDataFrame(rows.toDF("id", "nm", "score", "geometry"), "geometry"), path)
+    val back = FlatGeobufIO.read(spark, path, columns = Some(Seq("id", "score")))
+    assert(back.schema.fieldNames.toSeq == Seq("id", "score", "geometry"))
+    assert(back.agg(sum($"score")).head().getDouble(0) == (0 until 40).map(_ * 2.0).sum)
+    intercept[IllegalArgumentException] {
+      FlatGeobufIO.read(spark, path, columns = Some(Seq("nope")))
+    }
+  }
+}

@@ -706,6 +706,16 @@ final case class GeoDataFrame(
   def toGeoPackage(path: String, table: String, pageSize: Int = 4096): Unit =
     graft.io.GeoPackageIO.write(this, path, table, pageSize)
 
+  /** Write as a single FlatGeobuf file (the reference's
+    * `to_file(..., driver="FlatGeobuf")` surface via pyogrio): features are
+    * Hilbert-sorted and encoded task-side, the driver streams them into
+    * magic | header | packed R-tree | features — see
+    * [[graft.io.FlatGeobufIO.write]] for the layout contract.
+    */
+  def toFlatGeobuf(path: String, name: String = "layer", nodeSize: Int = 16,
+      withIndex: Boolean = true): Unit =
+    graft.io.FlatGeobufIO.write(this, path, name, nodeSize, withIndex)
+
   // --------------------------------------------------------------- persist
   /** Persist the underlying data while keeping the wrapper's spatial
     * partition metadata (reference persist, `expr.py:107-115` — dask
@@ -812,6 +822,61 @@ object GeoDataFrame {
     * Fails at read time when the table has no registered geometry column —
     * use `GeoPackageIO.read` directly for plain attribute tables.
     */
+  /** FlatGeobuf ingestion (reference `read_file` on .fgb via pyogrio,
+    * `io/file.py:32-46`): index-chunked distributed read; `bbox` prunes
+    * through the file's packed Hilbert R-tree on the driver with an exact
+    * envelope residual task-side; `columns` prunes attribute decoding.
+    * CRS comes from the header's Crs table (EPSG rows).
+    */
+  def readFlatGeobuf(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      chunkSize: Int = 65536,
+      bbox: Option[(Double, Double, Double, Double)] = None,
+      columns: Option[Seq[String]] = None,
+      geometryColumn: String = "geometry"): GeoDataFrame = {
+    graft.sql.functions.install(spark)
+    val meta = graft.io.FlatGeobufIO.readMeta(spark, path)
+    val g = GeoDataFrame(
+      graft.io.FlatGeobufIO.read(spark, path, chunkSize, geometryColumn, bbox, columns),
+      geometryColumn)
+    meta.crs.map(g.setCrs).getOrElse(g)
+  }
+
+  /** Extension-dispatched ingestion — the reference's single `read_file`
+    * entry point (`io/file.py:49-149`, pyogrio picks the OGR driver from
+    * the path). Dispatches on suffix: `.shp` → [[readShapefile]], `.gpkg`
+    * → [[readGeoPackage]] (`layer` selects the feature table; defaults to
+    * the file's single registered layer), `.fgb` → [[readFlatGeobuf]],
+    * `.geojsonl`/`.ndjson` → newline-delimited GeoJSON.
+    */
+  def readFile(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      layer: Option[String] = None,
+      chunkSize: Int = 65536,
+      geometryColumn: String = "geometry"): GeoDataFrame = {
+    val lower = path.toLowerCase
+    if (lower.endsWith(".shp") || lower.endsWith("/"))
+      readShapefile(spark, path.stripSuffix("/"), chunkSize, geometryColumn)
+    else if (lower.endsWith(".gpkg")) {
+      val table = layer.getOrElse {
+        val tables = graft.io.GeoPackageIO.featureMeta(spark, path).keys.toSeq.sorted
+        require(tables.size == 1,
+          s"gpkg has ${tables.size} feature tables (${tables.mkString(", ")}) — pass layer=")
+        tables.head
+      }
+      readGeoPackage(spark, path, table)
+    } else if (lower.endsWith(".fgb"))
+      readFlatGeobuf(spark, path, chunkSize, geometryColumn = geometryColumn)
+    else if (lower.endsWith(".geojsonl") || lower.endsWith(".ndjson"))
+      graft.io.GeoJsonIO.readSeq(spark, path, geometryColumn)
+    else
+      throw new IllegalArgumentException(
+        s"read_file: cannot infer a driver from '$path' — " +
+          "supported suffixes: .shp, .gpkg, .fgb, .geojsonl/.ndjson")
+  }
+
   def readGeoPackage(
       spark: org.apache.spark.sql.SparkSession,
       path: String,

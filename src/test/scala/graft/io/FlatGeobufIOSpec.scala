@@ -178,6 +178,24 @@ class FlatGeobufIOSpec extends AnyFunSuite {
     assert(back.rdd.getNumPartitions == 1) // no random access without an index
   }
 
+  test("api wrappers: toFlatGeobuf/readFlatGeobuf carry CRS; readFile dispatches") {
+    val path = tmpFile()
+    val rows = (0 until 30).map(i => (i.toLong, Wkb.write(Point(i, i * 2.0))))
+    val gdf = graft.api.GeoDataFrame(rows.toDF("id", "geometry"), "geometry")
+      .setCrs("EPSG:3857")
+    gdf.toFlatGeobuf(path, name = "wrap")
+    val back = graft.api.GeoDataFrame.readFlatGeobuf(spark, path)
+    assert(back.crs.contains("EPSG:3857"))
+    assert(back.df.count() == 30)
+    // extension dispatch lands on the same reader
+    val viaDispatch = graft.api.GeoDataFrame.readFile(spark, path)
+    assert(viaDispatch.crs.contains("EPSG:3857"))
+    assert(viaDispatch.df.count() == 30)
+    intercept[IllegalArgumentException] {
+      graft.api.GeoDataFrame.readFile(spark, "/tmp/nope.xyz")
+    }
+  }
+
   test("columns= prunes attributes but keeps geometry") {
     val path = tmpFile()
     val rows = (0 until 40).map { i =>

@@ -38,6 +38,17 @@ final case class FileSourceMeta(
   def validFor(df: DataFrame): Boolean = (forDf eq df) && bboxes.nonEmpty
 }
 
+/** A source-specific bbox re-plan hook: `.cx` can replace the whole scan
+  * with `replan(box)` — a fresh read that only touches data intersecting
+  * the box (e.g. a FlatGeobuf read through its packed R-tree). `forDf`
+  * identity-pins the exact DataFrame the hook describes, like
+  * [[FileSourceMeta]]: any transform produces a new DataFrame, so a stale
+  * hook can never re-plan a derived frame.
+  */
+final case class BoxSourceMeta(forDf: DataFrame, replan: Envelope => DataFrame) {
+  def validFor(df: DataFrame): Boolean = forDf eq df
+}
+
 final case class GeoDataFrame(
     df: DataFrame,
     geometryColumn: String = "geometry",
@@ -54,7 +65,11 @@ final case class GeoDataFrame(
     // range predicates on its fields — Catalyst pushes nested-field
     // filters into the parquet scan, so row groups prune on native
     // column min/max stats.
-    coveringSource: Option[String] = None) {
+    coveringSource: Option[String] = None,
+    // bbox re-plan hook for index-bearing single-file sources (FlatGeobuf
+    // packed R-tree): cx swaps the scan for a pruned read. See
+    // [[BoxSourceMeta]].
+    boxSource: Option[BoxSourceMeta] = None) {
 
   def geom: Column = df(geometryColumn)
 
@@ -148,6 +163,17 @@ final case class GeoDataFrame(
     * prune files too.
     */
   def cx(xmin: Double, ymin: Double, xmax: Double, ymax: Double): GeoDataFrame = {
+    // index-bearing single-file sources (FlatGeobuf): swap the scan for a
+    // read pruned through the file's spatial index, then recurse so the
+    // exact residual filter below still applies to the candidates.
+    boxSource match {
+      case Some(bsrc) if bsrc.validFor(df) =>
+        val rebuilt = copy(df = bsrc.replan(Envelope(xmin, ymin, xmax, ymax)),
+          spatialPartitions = None, fileSource = None, boxSource = None,
+          spatialPartitionHulls = None)
+        return crs.map(rebuilt.setCrs).getOrElse(rebuilt).cx(xmin, ymin, xmax, ymax)
+      case _ =>
+    }
     // file-level pruning from footer bboxes gathered at read time: re-plan
     // the scan over only the files whose extent intersects the box. Pure
     // driver metadata — zero jobs — and the pruned plan is a fresh parquet
@@ -837,9 +863,18 @@ object GeoDataFrame {
       geometryColumn: String = "geometry"): GeoDataFrame = {
     graft.sql.functions.install(spark)
     val meta = graft.io.FlatGeobufIO.readMeta(spark, path)
-    val g = GeoDataFrame(
-      graft.io.FlatGeobufIO.read(spark, path, chunkSize, geometryColumn, bbox, columns),
-      geometryColumn)
+    val scanned =
+      graft.io.FlatGeobufIO.read(spark, path, chunkSize, geometryColumn, bbox, columns)
+    // .cx on this frame re-plans through the file's packed R-tree (only
+    // when this read wasn't itself already a bbox read — the hook would
+    // widen a narrower window otherwise)
+    val hook =
+      if (bbox.isEmpty && meta.nodeSize > 0)
+        Some(BoxSourceMeta(scanned, box => graft.io.FlatGeobufIO.read(
+          spark, path, chunkSize, geometryColumn,
+          Some((box.minX, box.minY, box.maxX, box.maxY)), columns)))
+      else None
+    val g = GeoDataFrame(scanned, geometryColumn, boxSource = hook)
     meta.crs.map(g.setCrs).getOrElse(g)
   }
 

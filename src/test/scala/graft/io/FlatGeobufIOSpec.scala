@@ -196,6 +196,34 @@ class FlatGeobufIOSpec extends AnyFunSuite {
     }
   }
 
+  test("cx on a FlatGeobuf read re-plans through the packed R-tree") {
+    val path = tmpFile()
+    val rows = (0 until 900).map { i =>
+      (i.toLong, Wkb.write(Point((i % 30).toDouble, (i / 30).toDouble)))
+    }
+    FlatGeobufIO.write(
+      graft.api.GeoDataFrame(rows.toDF("id", "geometry"), "geometry"),
+      path, nodeSize = 8)
+    val gdf = graft.api.GeoDataFrame.readFlatGeobuf(spark, path, chunkSize = 32)
+    val fullParts = gdf.df.rdd.getNumPartitions
+    val window = gdf.cx(3.5, 3.5, 8.5, 8.5)
+    // pruned re-plan: fewer scan tasks than the full chunked read
+    assert(window.df.rdd.getNumPartitions < fullParts,
+      s"expected pruned read, got ${window.df.rdd.getNumPartitions} of $fullParts tasks")
+    val ids = window.df.select($"id").as[Long].collect().sorted
+    assert(ids.length == 25)
+    // matches the unpruned exact path: same frame with the hook disabled
+    val unpruned = gdf.copy(boxSource = None).cx(3.5, 3.5, 8.5, 8.5)
+      .df.select($"id").as[Long].collect().sorted
+    assert(ids.toSeq == unpruned.toSeq)
+    // a derived frame must NOT re-plan (identity pin), or a filter placed
+    // before cx would be silently dropped by the fresh scan
+    val derived = graft.api.GeoDataFrame(gdf.df.filter($"id" % 2 === 0), "geometry",
+      boxSource = gdf.boxSource)
+    val dIds = derived.cx(3.5, 3.5, 8.5, 8.5).df.select($"id").as[Long].collect().sorted
+    assert(dIds.toSeq == ids.filter(_ % 2 == 0).toSeq)
+  }
+
   test("columns= prunes attributes but keeps geometry") {
     val path = tmpFile()
     val rows = (0 until 40).map { i =>

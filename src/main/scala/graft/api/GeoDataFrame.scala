@@ -742,6 +742,16 @@ final case class GeoDataFrame(
       withIndex: Boolean = true): Unit =
     graft.io.FlatGeobufIO.write(this, path, name, nodeSize, withIndex)
 
+  /** Distributed FlatGeobuf directory write — every task emits its own
+    * complete indexed part file, so write bandwidth scales with the
+    * cluster instead of funneling through the driver (the 100 TB path).
+    * Pair with [[spatialShuffle]] first to make part extents disjoint;
+    * directory reads then prune whole parts from their header envelopes.
+    */
+  def toFlatGeobufDir(dir: String, name: String = "layer", nodeSize: Int = 16,
+      withIndex: Boolean = true): Unit =
+    graft.io.FlatGeobufIO.writeDir(this, dir, name, nodeSize, withIndex)
+
   // --------------------------------------------------------------- persist
   /** Persist the underlying data while keeping the wrapper's spatial
     * partition metadata (reference persist, `expr.py:107-115` — dask

@@ -690,7 +690,8 @@ object FlatGeobufIO {
       featuresCount: Long,
       nodeSize: Int,
       crs: Option[String],
-      headerEnd: Long) {
+      headerEnd: Long,
+      envelope: Option[(Double, Double, Double, Double)]) {
     def indexSize: Long =
       if (nodeSize > 0 && featuresCount > 0) PackedRTree.indexSize(featuresCount, nodeSize) else 0L
     def featuresStart: Long = headerEnd + indexSize
@@ -743,6 +744,8 @@ object FlatGeobufIO {
       val code = c.intField(1, 0)
       if (code > 0) Some(s"EPSG:$code") else Option(c.stringField(5)).map(s => s"EPSG:$s")
     }
+    val env = Option(t.doubleVec(1)).filter(_.length >= 4)
+      .map(a => (a(0), a(1), a(2), a(3)))
     FgbMeta(
       name = t.stringField(0),
       geometryType = t.ubyteField(2, GtUnknown),
@@ -750,10 +753,86 @@ object FlatGeobufIO {
       featuresCount = t.longField(8, 0L),
       nodeSize = t.ushortField(9, 16),
       crs = crs,
-      headerEnd = headerEnd)
+      headerEnd = headerEnd,
+      envelope = env)
   }
 
   // ------------------------------------------------------------------ write
+
+  /** Encode one row as a size-prefixed Feature buffer + its envelope. */
+  private def rowEncoder(cols: Array[FgbColumn], attrIdxs: Array[Int],
+      geomIdx: Int): Row => (Array[Double], Array[Byte]) = { r =>
+    val wkb = r.get(geomIdx).asInstanceOf[Array[Byte]]
+    require(wkb != null, "fgb write: null geometry not supported")
+    val g = Wkb.read(wkb)
+    val env = Wkb.envelopeOf(wkb)
+    val vals = new Array[Any](attrIdxs.length)
+    var i = 0
+    while (i < attrIdxs.length) { vals(i) = r.get(attrIdxs(i)); i += 1 }
+    val b = new FbBuilder(256)
+    val props = encodeProperties(cols, vals)
+    val propsOff = if (props.nonEmpty) b.createByteVector(props) else 0
+    val geomOff = writeGeometry(b, g)
+    b.startTable(3)
+    b.addOffsetSlot(0, geomOff)
+    b.addOffsetSlot(1, propsOff)
+    val root = b.endTable()
+    val body = b.finish(root)
+    val sized = ByteBuffer.allocate(4 + body.length).order(ByteOrder.LITTLE_ENDIAN)
+    sized.putInt(body.length).put(body)
+    (Array(env.minX, env.minY, env.maxX, env.maxY), sized.array())
+  }
+
+  /** Stream `features` into a complete FGB file on `out`: features go to a
+    * local temp first (the index precedes them in the layout but needs
+    * their sizes), then magic | header | index | features. Runs on the
+    * driver for single-file writes and inside tasks for directory writes.
+    */
+  private def assembleFile(out: java.io.OutputStream,
+      features: Iterator[(Array[Double], Array[Byte])], name: String,
+      cols: Array[FgbColumn], nodeSize: Int, withIndex: Boolean,
+      epsg: Option[Int], headerGt: Int): Long = {
+    val tmp = java.io.File.createTempFile("fgb_features", ".bin")
+    val meta = scala.collection.mutable.ArrayBuffer.empty[(Array[Double], Int)]
+    var gMinX = Double.PositiveInfinity; var gMinY = Double.PositiveInfinity
+    var gMaxX = Double.NegativeInfinity; var gMaxY = Double.NegativeInfinity
+    var count = 0L
+    try {
+      val tout = new java.io.BufferedOutputStream(new java.io.FileOutputStream(tmp), 1 << 20)
+      try {
+        features.foreach { case (env, bytes) =>
+          tout.write(bytes)
+          if (withIndex) meta += ((env, bytes.length))
+          count += 1
+          gMinX = math.min(gMinX, env(0)); gMinY = math.min(gMinY, env(1))
+          gMaxX = math.max(gMaxX, env(2)); gMaxY = math.max(gMaxY, env(3))
+        }
+      } finally tout.close()
+      out.write(Magic)
+      val effectiveNodeSize = if (withIndex && meta.nonEmpty) nodeSize else 0
+      val header = buildHeader(name,
+        if (gMinX <= gMaxX) Array(gMinX, gMinY, gMaxX, gMaxY) else null,
+        headerGt, cols, count, effectiveNodeSize, epsg)
+      val sz = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(header.length)
+      out.write(sz.array()); out.write(header)
+      if (withIndex && meta.nonEmpty) {
+        var offAcc = 0L
+        val items = meta.map { case (env, len) =>
+          val t = (env(0), env(1), env(2), env(3), offAcc)
+          offAcc += len
+          t
+        }.toArray
+        out.write(PackedRTree.build(items, nodeSize))
+      }
+      val in = new java.io.BufferedInputStream(new java.io.FileInputStream(tmp), 1 << 20)
+      try {
+        val buf = new Array[Byte](1 << 16)
+        var n = in.read(buf)
+        while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+      } finally in.close()
+      count
+    } finally tmp.delete()
+  }
 
   /** Write `gdf` as a single FlatGeobuf file. Features are Hilbert-sorted
     * (task-side key + range sort) so the packed R-tree prunes well; the
@@ -790,49 +869,9 @@ object FlatGeobufIO {
         lit(exMinX), lit(exMinY), lit(exMaxX), lit(exMaxY)))
       .orderBy(col("__hk"))
       .drop("__hk")
-    val attrIdxs = attrs.map(_._2)
-    val gi = geomIdx
-    val colsB = cols
     val encoded = sorted.rdd.mapPartitions { it =>
-      it.map { r =>
-        val wkb = r.get(gi).asInstanceOf[Array[Byte]]
-        require(wkb != null, "fgb write: null geometry not supported")
-        val g = Wkb.read(wkb)
-        val env = Wkb.envelopeOf(wkb)
-        val vals = new Array[Any](attrIdxs.length)
-        var i = 0
-        while (i < attrIdxs.length) { vals(i) = r.get(attrIdxs(i)); i += 1 }
-        val b = new FbBuilder(256)
-        val props = encodeProperties(colsB, vals)
-        val propsOff = if (props.nonEmpty) b.createByteVector(props) else 0
-        val geomOff = writeGeometry(b, g)
-        b.startTable(3)
-        b.addOffsetSlot(0, geomOff)
-        b.addOffsetSlot(1, propsOff)
-        val root = b.endTable()
-        val body = b.finish(root)
-        val sized = ByteBuffer.allocate(4 + body.length).order(ByteOrder.LITTLE_ENDIAN)
-        sized.putInt(body.length).put(body)
-        (Array(env.minX, env.minY, env.maxX, env.maxY), sized.array())
-      }
+      it.map(rowEncoder(cols, attrs.map(_._2), geomIdx))
     }
-
-    // driver: stream features to a temp file, keep (bbox, size) for the index
-    val tmp = java.io.File.createTempFile("fgb_features", ".bin")
-    val meta = scala.collection.mutable.ArrayBuffer.empty[(Array[Double], Int)]
-    var gMinX = Double.PositiveInfinity; var gMinY = Double.PositiveInfinity
-    var gMaxX = Double.NegativeInfinity; var gMaxY = Double.NegativeInfinity
-    val tout = new java.io.BufferedOutputStream(new java.io.FileOutputStream(tmp), 1 << 20)
-    var count = 0L
-    try {
-      encoded.toLocalIterator.foreach { case (env, bytes) =>
-        tout.write(bytes)
-        if (withIndex) meta += ((env, bytes.length))
-        count += 1
-        gMinX = math.min(gMinX, env(0)); gMinY = math.min(gMinY, env(1))
-        gMaxX = math.max(gMaxX, env(2)); gMaxY = math.max(gMaxY, env(3))
-      }
-    } finally tout.close()
 
     // header geometry type: sample the first row (cosmetic field — each
     // Feature carries its own type byte, so mixed-type frames read fine)
@@ -843,32 +882,67 @@ object FlatGeobufIO {
     val hadoopPath = new Path(path)
     val fs = hadoopPath.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
     val out = new java.io.BufferedOutputStream(fs.create(hadoopPath, true), 1 << 20)
-    try {
-      out.write(Magic)
-      val effectiveNodeSize = if (withIndex && meta.nonEmpty) nodeSize else 0
-      val header = buildHeader(name,
-        if (gMinX <= gMaxX) Array(gMinX, gMinY, gMaxX, gMaxY) else null,
-        headerGt, cols, count, effectiveNodeSize, epsg)
-      val sz = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(header.length)
-      out.write(sz.array()); out.write(header)
-      if (withIndex && meta.nonEmpty) {
-        var offAcc = 0L
-        val items = meta.map { case (env, len) =>
-          val t = (env(0), env(1), env(2), env(3), offAcc)
-          offAcc += len
-          t
-        }.toArray
-        out.write(PackedRTree.build(items, nodeSize))
+    try assembleFile(out, encoded.toLocalIterator, name, cols, nodeSize,
+      withIndex, epsg, headerGt)
+    finally out.close()
+  }
+
+  /** Distributed directory write: every task emits its own complete,
+    * indexed `part-NNNNN.fgb` — no driver bottleneck, no global sort, no
+    * per-feature driver memory, so this is the shape that scales to
+    * thousands of writers. Rows are Hilbert-sorted WITHIN each partition
+    * (narrow, no shuffle) for index locality; pre-partition spatially
+    * first (`GeoDataFrame.spatialShuffle`) when files should also be
+    * disjoint in extent — then directory reads prune whole files from
+    * their header envelopes before touching any index.
+    */
+  def writeDir(gdf: graft.api.GeoDataFrame, dir: String, name: String = "layer",
+      nodeSize: Int = 16, withIndex: Boolean = true): Unit = {
+    require(nodeSize >= 2 && nodeSize <= 65535, "nodeSize must be in [2, 65535]")
+    val df = gdf.df
+    val geomCol = gdf.geometryColumn
+    val geomIdx = df.schema.fieldIndex(geomCol)
+    val attrs = df.schema.fields.zipWithIndex.filter(_._2 != geomIdx)
+    val cols = attrs.map { case (f, _) => FgbColumn(f.name, ctypeOf(f.dataType, f.name)) }
+    val epsg = gdf.crs.flatMap { c =>
+      if (c.toUpperCase.startsWith("EPSG:")) c.drop(5).toIntOption else None
+    }
+
+    import org.apache.spark.sql.functions._
+    import graft.sql.functions._
+    graft.sql.functions.install(df.sparkSession)
+    val ext = df.agg(
+      min(st_xmin(col(geomCol))), min(st_ymin(col(geomCol))),
+      max(st_xmax(col(geomCol))), max(st_ymax(col(geomCol)))).head()
+    require(!ext.isNullAt(0), "fgb write: no non-null geometries")
+    val sorted = df
+      .withColumn("__hk", st_hilbert(col(geomCol), lit(15),
+        lit(ext.getDouble(0)), lit(ext.getDouble(1)),
+        lit(ext.getDouble(2)), lit(ext.getDouble(3))))
+      .sortWithinPartitions(col("__hk"))
+      .drop("__hk")
+
+    val root = new Path(dir)
+    val conf = new GeoParquetIO.SerializableConf(df.sparkSession.sessionState.newHadoopConf())
+    val fsRoot = root.getFileSystem(conf.value)
+    fsRoot.delete(root, true)
+    fsRoot.mkdirs(root)
+    val attrIdxs = attrs.map(_._2)
+    val dirStr = dir
+    sorted.rdd.foreachPartition { it =>
+      if (it.hasNext) {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val enc = rowEncoder(cols, attrIdxs, geomIdx)
+        val buffered = it.buffered
+        val headerGt = fgbTypeOf(Wkb.read(
+          buffered.head.get(geomIdx).asInstanceOf[Array[Byte]]))
+        val p = new Path(f"$dirStr%s/part-$pid%05d.fgb")
+        val fs = p.getFileSystem(conf.value)
+        val out = new java.io.BufferedOutputStream(fs.create(p, true), 1 << 20)
+        try assembleFile(out, buffered.map(enc), name, cols, nodeSize,
+          withIndex, epsg, headerGt)
+        finally out.close()
       }
-      val in = new java.io.BufferedInputStream(new java.io.FileInputStream(tmp), 1 << 20)
-      try {
-        val buf = new Array[Byte](1 << 16)
-        var n = in.read(buf)
-        while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
-      } finally in.close()
-    } finally {
-      out.close()
-      tmp.delete()
     }
   }
 
@@ -890,8 +964,11 @@ object FlatGeobufIO {
   private final case class FgbChunk(path: String, start: Long, count: Long)
 
   def readMeta(spark: SparkSession, path: String): FgbMeta = {
-    val p = new Path(path)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val p0 = new Path(path)
+    val fs = p0.getFileSystem(spark.sessionState.newHadoopConf())
+    // directory of part files: the first part's header speaks for the set
+    // (read() enforces column agreement across parts)
+    val p = new Path(fgbFiles(fs, path).head)
     val in = fs.open(p)
     try {
       val magic = new Array[Byte](8)
@@ -922,67 +999,111 @@ object FlatGeobufIO {
     StructType(kept :+ StructField(geomCol, BinaryType))
   }
 
-  /** Distributed read. With `bbox`, the driver prunes via the packed R-tree
-    * and tasks apply an exact envelope-intersects residual; without an
-    * index the file is a single sequential task (the format offers no
-    * random access then — documented trade-off).
+  /** Chunk plan for one file: contiguous `chunkSize`-feature byte ranges;
+    * with `bbox`, candidate runs from the R-tree (or the whole file when
+    * unindexed — count 0 means "unknown / streamed" per spec: read to EOF).
+    */
+  private def planChunks(fs: org.apache.hadoop.fs.FileSystem, path: String,
+      meta: FgbMeta, chunkSize: Int,
+      bbox: Option[(Double, Double, Double, Double)]): Seq[FgbChunk] = {
+    val n = meta.featuresCount
+    if (meta.nodeSize == 0)
+      Seq(FgbChunk(path, meta.featuresStart, if (n > 0) n else Long.MaxValue))
+    else if (n == 0) Seq.empty
+    else {
+      val in = fs.open(new Path(path))
+      try {
+        val lb = PackedRTree.levelBounds(n, meta.nodeSize)
+        val leafStart = lb(0)._1
+        val indexBase = meta.headerEnd
+        def readIdx(off: Long, len: Int): Array[Byte] = {
+          val a = new Array[Byte](len)
+          in.readFully(indexBase + off, a)
+          a
+        }
+        def leafOffset(i: Long): Long = {
+          val a = new Array[Byte](8)
+          in.readFully(indexBase + (leafStart + i) * NodeItemLen + 32, a)
+          ByteBuffer.wrap(a).order(ByteOrder.LITTLE_ENDIAN).getLong
+        }
+        bbox match {
+          case None =>
+            (0L until n by chunkSize.toLong).map { s =>
+              FgbChunk(path, meta.featuresStart + leafOffset(s), math.min(chunkSize, n - s))
+            }
+          case Some((qx0, qy0, qx1, qy1)) =>
+            val hits = PackedRTree.search(readIdx, n, meta.nodeSize, qx0, qy0, qx1, qy1)
+            // Merge candidate indices into runs, tolerating small gaps:
+            // reading a few non-matching features (dropped by the exact
+            // task-side residual) is far cheaper than scheduling a task
+            // per fragment when hilbert order scatters the hits.
+            val maxGap = math.max(16L, chunkSize / 16L)
+            val runs = scala.collection.mutable.ArrayBuffer.empty[FgbChunk]
+            var i = 0
+            while (i < hits.length) {
+              val (startOff, startIdx) = hits(i)
+              var j = i
+              while (j + 1 < hits.length &&
+                hits(j + 1)._2 - hits(j)._2 <= maxGap &&
+                (hits(j + 1)._2 - startIdx) < chunkSize) j += 1
+              runs += FgbChunk(path, meta.featuresStart + startOff, hits(j)._2 - startIdx + 1)
+              i = j + 1
+            }
+            runs.toSeq
+        }
+      } finally in.close()
+    }
+  }
+
+  /** `path` resolved to the .fgb files underneath: a single file stays
+    * itself; a directory lists its `*.fgb` parts (sorted for determinism).
+    */
+  private def fgbFiles(fs: org.apache.hadoop.fs.FileSystem, path: String): Seq[String] = {
+    val p = new Path(path)
+    val st = fs.getFileStatus(p)
+    if (!st.isDirectory) Seq(path)
+    else {
+      val parts = fs.listStatus(p).map(_.getPath)
+        .filter(_.getName.toLowerCase.endsWith(".fgb"))
+        .map(_.toString).sorted.toSeq
+      require(parts.nonEmpty, s"no .fgb files under $path")
+      parts
+    }
+  }
+
+  /** Distributed read of a file OR a directory of part files (the
+    * [[writeDir]] layout). With `bbox`, whole files prune on their header
+    * envelope before any index page is touched, then the per-file packed
+    * R-tree narrows to candidate runs and tasks apply an exact
+    * envelope-intersects residual. Without an index a file is a single
+    * sequential task (the format offers no random access then).
     */
   def read(spark: SparkSession, path: String, chunkSize: Int = 65536,
       geomCol: String = "geometry",
       bbox: Option[(Double, Double, Double, Double)] = None,
       columns: Option[Seq[String]] = None): DataFrame = {
     require(chunkSize > 0, "chunkSize must be positive")
-    val meta = readMeta(spark, path)
-    val schema = schemaOf(meta, geomCol, columns)
-    val p = new Path(path)
     val conf = spark.sessionState.newHadoopConf()
-    val fs = p.getFileSystem(conf)
-    val n = meta.featuresCount
+    val fs = new Path(path).getFileSystem(conf)
+    val files = fgbFiles(fs, path)
+    val metas = files.map(f => f -> readMeta(spark, f))
+    val meta = metas.head._2
+    metas.foreach { case (f, m) =>
+      require(m.columns.map(c => (c.name, c.ctype)).toSeq ==
+        meta.columns.map(c => (c.name, c.ctype)).toSeq,
+        s"fgb: column schema of $f differs from ${metas.head._1}")
+    }
+    val schema = schemaOf(meta, geomCol, columns)
 
-    val chunks: Seq[FgbChunk] =
-      if (meta.nodeSize == 0) {
-        // no index: size prefixes only resolve sequentially (count 0 means
-        // "unknown / streamed" per spec — read to EOF)
-        Seq(FgbChunk(path, meta.featuresStart, if (n > 0) n else Long.MaxValue))
-      } else if (n == 0) Seq.empty
-      else {
-        val in = fs.open(p)
-        try {
-          val lb = PackedRTree.levelBounds(n, meta.nodeSize)
-          val leafStart = lb(0)._1
-          val indexBase = meta.headerEnd
-          def readIdx(off: Long, len: Int): Array[Byte] = {
-            val a = new Array[Byte](len)
-            in.readFully(indexBase + off, a)
-            a
-          }
-          def leafOffset(i: Long): Long = {
-            val a = new Array[Byte](8)
-            in.readFully(indexBase + (leafStart + i) * NodeItemLen + 32, a)
-            ByteBuffer.wrap(a).order(ByteOrder.LITTLE_ENDIAN).getLong
-          }
-          bbox match {
-            case None =>
-              (0L until n by chunkSize.toLong).map { s =>
-                FgbChunk(path, meta.featuresStart + leafOffset(s), math.min(chunkSize, n - s))
-              }
-            case Some((qx0, qy0, qx1, qy1)) =>
-              val hits = PackedRTree.search(readIdx, n, meta.nodeSize, qx0, qy0, qx1, qy1)
-              // merge consecutive feature indices into runs, split at chunkSize
-              val runs = scala.collection.mutable.ArrayBuffer.empty[FgbChunk]
-              var i = 0
-              while (i < hits.length) {
-                val (startOff, startIdx) = hits(i)
-                var j = i
-                while (j + 1 < hits.length && hits(j + 1)._2 == hits(j)._2 + 1 &&
-                  (hits(j + 1)._2 - startIdx) < chunkSize) j += 1
-                runs += FgbChunk(path, meta.featuresStart + startOff, hits(j)._2 - startIdx + 1)
-                i = j + 1
-              }
-              runs.toSeq
-          }
-        } finally in.close()
+    val chunks: Seq[FgbChunk] = metas.flatMap { case (f, m) =>
+      val filePruned = (bbox, m.envelope) match {
+        // header envelope misses the window -> skip the whole file
+        case (Some((qx0, qy0, qx1, qy1)), Some((fx0, fy0, fx1, fy1))) =>
+          !(fx0 <= qx1 && fx1 >= qx0 && fy0 <= qy1 && fy1 >= qy0)
+        case _ => false
       }
+      if (filePruned) Seq.empty else planChunks(fs, f, m, chunkSize, bbox)
+    }
 
     val sconf = new GeoParquetIO.SerializableConf(conf)
     val cols = meta.columns

@@ -224,6 +224,47 @@ class FlatGeobufIOSpec extends AnyFunSuite {
     assert(dIds.toSeq == ids.filter(_ % 2 == 0).toSeq)
   }
 
+  test("directory write/read: per-task part files, whole-file bbox pruning") {
+    val d = java.nio.file.Files.createTempDirectory("fgbdir").toFile
+    d.deleteOnExit()
+    val dir = d.getAbsolutePath + "/parts"
+    // 4 partitions with DISJOINT x-extents: partition p covers x in [100p, 100p+90]
+    val rows = (0 until 400).map { i =>
+      val p = i % 4
+      (i.toLong, Wkb.write(Point(100.0 * p + (i / 4) % 91, (i % 50).toDouble)))
+    }
+    // range partitioning puts each id%4 group in its own partition (hash
+    // repartition can collide two groups into one partition)
+    val df = rows.toDF("id", "geometry").repartitionByRange(4, $"id" % 4)
+    graft.api.GeoDataFrame(df, "geometry").setCrs("EPSG:4326").toFlatGeobufDir(dir)
+    val parts = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".fgb"))
+    assert(parts.length == 4)
+
+    // full read returns everything; crs flows from the first part's header
+    val gdf = graft.api.GeoDataFrame.readFlatGeobuf(spark, dir)
+    assert(gdf.crs.contains("EPSG:4326"))
+    assert(gdf.df.count() == 400)
+
+    // a window inside one partition's extent prunes the other FILES from
+    // their header envelopes alone: the read plans tasks for 1 part only
+    val window = FlatGeobufIO.read(spark, dir, bbox = Some((210.0, 0.0, 280.0, 60.0)))
+    assert(window.rdd.getNumPartitions <= 4,
+      s"expected header-envelope file pruning + gap-merged runs, " +
+        s"got ${window.rdd.getNumPartitions} tasks")
+    val ids = window.select($"id").as[Long].collect().sorted
+    val expect = rows.collect {
+      case (id, wkb) if {
+        val e = Wkb.envelopeOf(wkb)
+        e.minX >= 210.0 && e.maxX <= 280.0
+      } => id
+    }.sorted
+    assert(ids.toSeq == expect.toSeq)
+
+    // cx on the directory read re-plans through the same pruning
+    val viaCx = gdf.cx(210.0, 0.0, 280.0, 60.0).df.select($"id").as[Long].collect().sorted
+    assert(viaCx.toSeq == expect.toSeq)
+  }
+
   test("columns= prunes attributes but keeps geometry") {
     val path = tmpFile()
     val rows = (0 until 40).map { i =>

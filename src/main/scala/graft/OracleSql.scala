@@ -1045,6 +1045,13 @@ object OracleSql {
              s_acctbal AS x, (s_suppkey % 100)::DOUBLE * 10.0 AS y
       FROM supplier ORDER BY fid""",
 
+    "g50_geoarrow_polygon" -> """
+      WITH p AS (SELECT s_suppkey, ((s_suppkey % 10) + 1)::DOUBLE AS h FROM supplier)
+      SELECT s_suppkey,
+        round((2.0 * h) * (2.0 * h), 4) AS area,
+        round(8.0 * h, 4) AS perim
+      FROM p ORDER BY s_suppkey""",
+
     "g49_flatgeobuf" -> """
       SELECT s_suppkey::BIGINT AS fid, s_name, s_acctbal AS bal,
              CASE WHEN s_suppkey % 7 = 0 THEN NULL

@@ -1154,6 +1154,27 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     }),
 
+    // nested GeoArrow feather (geoarrow.polygon): write supplier squares
+    // with a native List<List<FixedSizeList<double>[2]>> layout (zero-copy
+    // for Arrow tools), read back through the declared-encoding decode,
+    // verify geometry integrity via closed-form area/perimeter
+    "g50_geoarrow_polygon" -> ((s, d) => {
+      val sq = GeoDataFrame(
+        supplierPts(s, d)
+          .withColumn("h", ((col("s_suppkey") % 10) + 1).cast("double"))
+          .withColumn("geometry", st_makeEnvelope(col("x0") - col("h"), col("y0") - col("h"),
+            col("x0") + col("h"), col("y0") + col("h")))
+          .select(col("s_suppkey"), col("geometry")),
+        "geometry").setCrs("EPSG:4326")
+      val path = "/tmp/graft_g50_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      graft.io.GeoFeatherIO.write(sq, path, encoding = "geoarrow")
+      graft.io.GeoFeatherIO.read(s, path)
+        .df.select(col("s_suppkey"),
+          round(st_area(col("geometry")), 4).as("area"),
+          round(st_length(st_boundary(col("geometry"))), 4).as("perim"))
+        .orderBy(col("s_suppkey"))
+    }),
+
     // distance join (reference sjoin predicate="dwithin", sjoin.py:53-58):
     // padded-cell grid equi-join — the left side's cells expand by the
     // distance, which preserves the shared-cell invariant for dist<=d

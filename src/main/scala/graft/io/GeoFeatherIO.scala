@@ -61,7 +61,7 @@ object GeoFeatherIO {
     case _ => false
   }
 
-  private def sparkType(f: Field, isGeomCol: Boolean): DataType = f.getType match {
+  private def sparkType(f: Field, declaredEnc: Option[String]): DataType = f.getType match {
     case i: ArrowType.Int if i.getBitWidth == 64 => LongType
     case i: ArrowType.Int if i.getBitWidth == 32 => IntegerType
     case fp: ArrowType.FloatingPoint if fp.getPrecision == FloatingPointPrecision.DOUBLE => DoubleType
@@ -77,30 +77,230 @@ object GeoFeatherIO {
     // written by another Arrow tool) surfaces as array<double>, not as
     // silently-corrupted point blobs.
     case _: ArrowType.FixedSizeList if isDoublePairList(f) =>
-      if (isGeomCol) BinaryType else ArrayType(DoubleType)
+      if (declaredEnc.exists(_.startsWith("geoarrow"))) BinaryType else ArrayType(DoubleType)
+    // nested GeoArrow (linestring/polygon/multi*): List wrappers around the
+    // coordinate pair — only a DECLARED geometry column maps to WKB; list
+    // columns from other Arrow writers stay unsupported-loudly as before
+    case _: ArrowType.List if declaredEnc.exists(_.startsWith("geoarrow")) => BinaryType
     case other => throw new UnsupportedOperationException(s"feather read: unsupported arrow type $other")
   }
 
-  /** A decoded Arrow cell as a WKB value: pass binary through, convert a
-    * GeoArrow interleaved coordinate pair to a WKB point.
+  // ----------------------------------------------- GeoArrow nested layouts
+
+  /** List nesting depth above the interleaved coordinate pair per GeoArrow
+    * encoding (geoarrow.org/format): point 0, linestring/multipoint 1,
+    * polygon/multilinestring 2, multipolygon 3.
     */
-  private def cellToWkb(v: Any): Array[Byte] = v match {
-    case null => null
-    case b: Array[Byte] => b
-    case l: java.util.List[_] =>
-      graft.geom.Wkb.write(graft.geom.Point(
-        l.get(0).asInstanceOf[Number].doubleValue(),
-        l.get(1).asInstanceOf[Number].doubleValue()))
-    case other => throw new IllegalStateException(s"not a geometry cell: $other")
+  private def geoarrowDepth(encoding: String): Int = encoding match {
+    case "geoarrow.point" => 0
+    case "geoarrow.linestring" | "geoarrow.multipoint" => 1
+    case "geoarrow.polygon" | "geoarrow.multilinestring" => 2
+    case "geoarrow.multipolygon" => 3
+    case other => throw new IllegalArgumentException(s"unknown GeoArrow encoding $other")
+  }
+
+  private def geoarrowEncodingOf(g: graft.geom.Geometry): String = g match {
+    case _: graft.geom.Point => "geoarrow.point"
+    case _: graft.geom.LineString => "geoarrow.linestring"
+    case _: graft.geom.MultiPoint => "geoarrow.multipoint"
+    case _: graft.geom.Polygon => "geoarrow.polygon"
+    case _: graft.geom.MultiLineString => "geoarrow.multilinestring"
+    case _: graft.geom.MultiPolygon => "geoarrow.multipolygon"
+    case other => throw new IllegalArgumentException(
+      s"no GeoArrow encoding for ${other.geometryType}")
+  }
+
+  /** The Arrow field for a GeoArrow geometry column: `depth` List wrappers
+    * around FixedSizeList<double>[2] ("xy", interleaved).
+    */
+  private def geoarrowField(name: String, depth: Int): Field = {
+    val coord = new Field("xy", FieldType.notNullable(
+      new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)), null)
+    var f = new Field(
+      if (depth == 0) name else "vertices",
+      FieldType.nullable(new ArrowType.FixedSizeList(2)), Seq(coord).asJava)
+    var d = 0
+    while (d < depth) {
+      val outerName = if (d == depth - 1) name else s"level${depth - 1 - d}"
+      f = new Field(outerName, FieldType.nullable(new ArrowType.List()),
+        Seq(f).asJava)
+      d += 1
+    }
+    f
+  }
+
+  /** Geometry as nested flat-xy rings matching a GeoArrow depth:
+    * depth 1 -> Seq(flatXy); depth 2 -> Seq(rings); depth 3 -> Seq(polys).
+    */
+  private def geomParts(g: graft.geom.Geometry, encoding: String): Seq[Seq[Array[Double]]] =
+    (g, encoding) match {
+      case (l: graft.geom.LineString, "geoarrow.linestring") => Seq(Seq(l.xy))
+      case (mp: graft.geom.MultiPoint, "geoarrow.multipoint") =>
+        Seq(Seq(mp.pts.flatMap(p => Array(p.x, p.y)).toArray))
+      case (p: graft.geom.Polygon, "geoarrow.polygon") => Seq(p.rings.toSeq)
+      case (ml: graft.geom.MultiLineString, "geoarrow.multilinestring") =>
+        Seq(ml.lines.toSeq.map(_.xy))
+      case (mpg: graft.geom.MultiPolygon, "geoarrow.multipolygon") =>
+        mpg.polys.toSeq.map(_.rings.toSeq)
+      case _ => throw new IllegalArgumentException(
+        s"feather encoding=$encoding requires uniform geometry " +
+          s"(GeoArrow single-type rule), found ${g.geometryType}")
+    }
+
+  /** Write interleaved pairs from flat xy into a FixedSizeList at `start`. */
+  private def writePairs(fsl: org.apache.arrow.vector.complex.FixedSizeListVector,
+      start: Int, xy: Array[Double]): Int = {
+    val inner = fsl.getDataVector.asInstanceOf[Float8Vector]
+    val k = xy.length / 2
+    var j = 0
+    while (j < k) {
+      fsl.setNotNull(start + j)
+      inner.setSafe((start + j) * 2, xy(2 * j))
+      inner.setSafe((start + j) * 2 + 1, xy(2 * j + 1))
+      j += 1
+    }
+    k
+  }
+
+  /** Write one geometry into a (possibly nested) GeoArrow vector at row `n`.
+    * Offsets stay consistent because rows are written strictly in order —
+    * each `startNewValue` continues where the previous row's `endValue`
+    * left off.
+    */
+  private def writeGeoArrowCell(vec: FieldVector, n: Int, g: graft.geom.Geometry,
+      encoding: String): Unit = {
+    import org.apache.arrow.vector.complex.{FixedSizeListVector, ListVector}
+    (geoarrowDepth(encoding), vec) match {
+      case (0, fsl: FixedSizeListVector) =>
+        g match {
+          case p: graft.geom.Point =>
+            fsl.setNotNull(n)
+            val inner = fsl.getDataVector.asInstanceOf[Float8Vector]
+            inner.setSafe(n * 2, p.x)
+            inner.setSafe(n * 2 + 1, p.y)
+          case other => throw new IllegalArgumentException(
+            "feather encoding=geoarrow.point supports POINT geometry only " +
+              s"(GeoArrow single-type rule), found ${other.geometryType}")
+        }
+      case (1, lv: ListVector) =>
+        val xy = geomParts(g, encoding).head.head
+        val s = lv.startNewValue(n)
+        val k = writePairs(lv.getDataVector.asInstanceOf[FixedSizeListVector], s, xy)
+        lv.endValue(n, k)
+      case (2, lv: ListVector) =>
+        val rings = geomParts(g, encoding).head
+        val inner = lv.getDataVector.asInstanceOf[ListVector]
+        val rs = lv.startNewValue(n)
+        var i = 0
+        while (i < rings.length) {
+          val vs = inner.startNewValue(rs + i)
+          val k = writePairs(inner.getDataVector.asInstanceOf[FixedSizeListVector], vs, rings(i))
+          inner.endValue(rs + i, k)
+          i += 1
+        }
+        lv.endValue(n, rings.length)
+      case (3, lv: ListVector) =>
+        val polys = geomParts(g, encoding)
+        val ringsVec = lv.getDataVector.asInstanceOf[ListVector]
+        val vertsVec = ringsVec.getDataVector.asInstanceOf[ListVector]
+        val ps = lv.startNewValue(n)
+        var i = 0
+        while (i < polys.length) {
+          val rings = polys(i)
+          val rs = ringsVec.startNewValue(ps + i)
+          var r = 0
+          while (r < rings.length) {
+            val vs = vertsVec.startNewValue(rs + r)
+            val k = writePairs(vertsVec.getDataVector.asInstanceOf[FixedSizeListVector], vs, rings(r))
+            vertsVec.endValue(rs + r, k)
+            r += 1
+          }
+          ringsVec.endValue(ps + i, rings.length)
+          i += 1
+        }
+        lv.endValue(n, polys.length)
+      case (d, v) => throw new IllegalStateException(
+        s"GeoArrow depth $d does not match vector ${v.getClass.getSimpleName}")
+    }
+  }
+
+  /** A decoded Arrow cell as a WKB value: pass binary through, rebuild
+    * geometry from (possibly nested) GeoArrow coordinate lists per the
+    * column's declared encoding.
+    */
+  private def cellToWkb(v: Any, encoding: String): Array[Byte] = {
+    def pairs(l: java.util.List[_]): Array[Double] = {
+      val out = new Array[Double](l.size * 2)
+      var i = 0
+      while (i < l.size) {
+        val p = l.get(i).asInstanceOf[java.util.List[_]]
+        out(2 * i) = p.get(0).asInstanceOf[Number].doubleValue()
+        out(2 * i + 1) = p.get(1).asInstanceOf[Number].doubleValue()
+        i += 1
+      }
+      out
+    }
+    def rings(l: java.util.List[_]): Array[Array[Double]] =
+      Array.tabulate(l.size)(i => pairs(l.get(i).asInstanceOf[java.util.List[_]]))
+    v match {
+      case null => null
+      case b: Array[Byte] => b
+      case l: java.util.List[_] => graft.geom.Wkb.write(encoding match {
+        case "geoarrow.point" => graft.geom.Point(
+          l.get(0).asInstanceOf[Number].doubleValue(),
+          l.get(1).asInstanceOf[Number].doubleValue())
+        case "geoarrow.linestring" => graft.geom.LineString(pairs(l))
+        case "geoarrow.multipoint" =>
+          val xy = pairs(l)
+          graft.geom.MultiPoint(Array.tabulate(xy.length / 2)(i =>
+            graft.geom.Point(xy(2 * i), xy(2 * i + 1))))
+        case "geoarrow.polygon" => graft.geom.Polygon(rings(l))
+        case "geoarrow.multilinestring" =>
+          graft.geom.MultiLineString(rings(l).map(graft.geom.LineString(_)))
+        case "geoarrow.multipolygon" =>
+          graft.geom.MultiPolygon(Array.tabulate(l.size)(i =>
+            graft.geom.Polygon(rings(l.get(i).asInstanceOf[java.util.List[_]]))))
+        case other => throw new IllegalStateException(
+          s"list cell in a non-GeoArrow column (encoding $other)")
+      })
+      case other => throw new IllegalStateException(s"not a geometry cell: $other")
+    }
+  }
+
+  /** Envelope of a decoded GeoArrow cell (any nesting) without building
+    * the geometry — bbox filtering never materializes discarded rows.
+    */
+  private def cellEnvelope(l: java.util.List[_]): graft.geom.Envelope = {
+    var minX = Double.PositiveInfinity; var minY = Double.PositiveInfinity
+    var maxX = Double.NegativeInfinity; var maxY = Double.NegativeInfinity
+    def walk(x: Any): Unit = x match {
+      case ll: java.util.List[_] if ll.size == 2 &&
+          ll.get(0).isInstanceOf[Number] && !ll.get(0).isInstanceOf[java.util.List[_]] =>
+        val px = ll.get(0).asInstanceOf[Number].doubleValue()
+        val py = ll.get(1).asInstanceOf[Number].doubleValue()
+        minX = math.min(minX, px); maxX = math.max(maxX, px)
+        minY = math.min(minY, py); maxY = math.max(maxY, py)
+      case ll: java.util.List[_] =>
+        var i = 0
+        while (i < ll.size) { walk(ll.get(i)); i += 1 }
+      case _ =>
+    }
+    walk(l)
+    graft.geom.Envelope(minX, minY, maxX, maxY)
   }
 
   // --------------------------------------------------------------- write
-  /** `encoding`: "WKB" (default) or "geoarrow" — the GeoArrow interleaved
-    * point encoding (`FixedSizeList<double>[2]`, reference offers WKB or
-    * GeoArrow in the interchange, `backends.py:81-92`). GeoArrow files are
-    * zero-copy-readable by Arrow-native tools; only POINT geometry columns
-    * can use it (the GeoArrow single-type rule) — other types fail loudly.
-    * Readers accept both encodings side by side in one dataset directory.
+  /** `encoding`: "WKB" (default) or "geoarrow" — the GeoArrow native
+    * layouts (geoarrow.org/format; reference offers WKB or GeoArrow in the
+    * interchange, `backends.py:81-92`): interleaved `FixedSizeList<double>[2]`
+    * coordinates with one List wrapper per nesting level
+    * (point / linestring / polygon / multipoint / multilinestring /
+    * multipolygon — the concrete layout follows the data's geometry type,
+    * sampled from the first row). GeoArrow files are zero-copy-readable by
+    * Arrow-native tools. One encoding per column (the GeoArrow single-type
+    * rule): a row of any other type fails loudly. GeometryCollection has no
+    * GeoArrow layout — use WKB. Readers accept all encodings side by side
+    * in one dataset directory.
     */
   def write(gdf: GeoDataFrame, path: String, batchSize: Int = 4096,
       encoding: String = "WKB"): Unit = {
@@ -118,8 +318,19 @@ object GeoFeatherIO {
     if (fs.exists(root)) fs.delete(root, true)
     fs.mkdirs(root)
 
+    // GeoArrow layout follows the data's (single) geometry type, sampled
+    // from the first non-null row; tasks enforce the single-type rule on
+    // every row (geoarrow.org/format: one encoding per column)
+    val geoarrowEnc: String =
+      if (encoding != "geoarrow") "WKB"
+      else df.select(org.apache.spark.sql.functions.col(geomCol))
+        .filter(org.apache.spark.sql.functions.col(geomCol).isNotNull)
+        .limit(1).collect().headOption
+        .map(r => geoarrowEncodingOf(graft.geom.Wkb.read(r.getAs[Array[Byte]](0))))
+        .getOrElse("geoarrow.point")
+
     val colMeta = mapper.createObjectNode()
-    colMeta.put("encoding", if (encoding == "geoarrow") "geoarrow.point" else "WKB")
+    colMeta.put("encoding", if (encoding == "geoarrow") geoarrowEnc else "WKB")
     crs.foreach(c => colMeta.put("crs", c))
     val geo = mapper.createObjectNode()
     geo.put("version", "1.0.0")
@@ -133,6 +344,7 @@ object GeoFeatherIO {
     val pathStr = path
     val sparkSchema = schema
     val useGeoArrow = encoding == "geoarrow"
+    val taskEnc = geoarrowEnc
     val geomName = geomCol
 
     val geomIdx = schema.fieldIndex(geomCol)
@@ -142,12 +354,9 @@ object GeoFeatherIO {
       val tfs = file.getFileSystem(taskConf)
       val allocator = new RootAllocator()
       val fields = sparkSchema.fields.map { f =>
-        if (useGeoArrow && f.name == geomName) {
-          val coord = new Field("xy", FieldType.notNullable(
-            new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)), null)
-          new Field(f.name, FieldType.nullable(new ArrowType.FixedSizeList(2)),
-            Seq(coord).asJava)
-        } else arrowField(f)
+        if (useGeoArrow && f.name == geomName)
+          geoarrowField(f.name, geoarrowDepth(taskEnc))
+        else arrowField(f)
       }.toSeq
       val arrowSchema = new Schema(fields.asJava, Map("geo" -> geoJson).asJava)
       val vroot = VectorSchemaRoot.create(arrowSchema, allocator)
@@ -173,7 +382,15 @@ object GeoFeatherIO {
           var c = 0
           while (c < vectors.length) {
             val v = row.get(c)
-            vectors(c) match {
+            if (useGeoArrow && c == geomIdx) {
+              if (v == null) vectors(c).asInstanceOf[FieldVector] match {
+                case fsl: org.apache.arrow.vector.complex.FixedSizeListVector => fsl.setNull(n)
+                case lv: org.apache.arrow.vector.complex.ListVector => lv.setNull(n)
+                case other => throw new IllegalStateException(s"unhandled vector $other")
+              }
+              else writeGeoArrowCell(vectors(c), n,
+                graft.geom.Wkb.read(v.asInstanceOf[Array[Byte]]), taskEnc)
+            } else vectors(c) match {
               case vec: BigIntVector =>
                 if (v == null) vec.setNull(n) else vec.setSafe(n, v.asInstanceOf[Long])
               case vec: IntVector =>
@@ -190,19 +407,6 @@ object GeoFeatherIO {
               case vec: BitVector =>
                 if (v == null) vec.setNull(n)
                 else vec.setSafe(n, if (v.asInstanceOf[Boolean]) 1 else 0)
-              case vec: org.apache.arrow.vector.complex.FixedSizeListVector =>
-                // GeoArrow interleaved point: two doubles per slot
-                if (v == null) vec.setNull(n)
-                else graft.geom.Wkb.read(v.asInstanceOf[Array[Byte]]) match {
-                  case p: graft.geom.Point =>
-                    vec.setNotNull(n)
-                    val inner = vec.getDataVector.asInstanceOf[Float8Vector]
-                    inner.setSafe(n * 2, p.x)
-                    inner.setSafe(n * 2 + 1, p.y)
-                  case g => throw new IllegalArgumentException(
-                    "feather encoding=geoarrow supports POINT geometry only " +
-                      s"(GeoArrow single-type rule), found ${g.geometryType}")
-                }
               case other => throw new IllegalStateException(s"unhandled vector $other")
             }
             c += 1
@@ -377,23 +581,38 @@ object GeoFeatherIO {
       try {
         val s = reader.getVectorSchemaRoot.getSchema
         val geoJson = Option(s.getCustomMetadata.get("geo"))
-        // geometry columns DECLARED by the file's geo metadata: only these
-        // map FixedSizeList<double>[2] → WKB; any other double-pair column
-        // stays array<double> (see sparkType)
-        val declared: Set[String] = geoJson.map { j =>
+        // geometry columns DECLARED by the file's geo metadata, with their
+        // encodings: only these map GeoArrow layouts → WKB; any other
+        // double-pair / list column stays non-geometry (see sparkType)
+        val declared: Map[String, String] = geoJson.map { j =>
           val cols = mapper.readTree(j).get("columns")
-          val it = cols.fieldNames(); val b = Set.newBuilder[String]
-          while (it.hasNext) b += it.next()
+          val it = cols.fieldNames(); val b = Map.newBuilder[String, String]
+          while (it.hasNext) {
+            val n = it.next()
+            val enc = Option(cols.get(n).get("encoding")).map(_.asText()).getOrElse("WKB")
+            b += n -> enc
+          }
           b.result()
-        }.getOrElse(Set.empty)
+        }.getOrElse(Map.empty)
         val struct = StructType(s.getFields.asScala.toSeq.map(f =>
-          StructField(f.getName, sparkType(f, declared.contains(f.getName)), nullable = true)))
+          StructField(f.getName, sparkType(f, declared.get(f.getName)), nullable = true)))
         (struct, geoJson)
       } finally { reader.close(); allocator.close() }
     }
     val primaryGeom: Option[String] = geoMeta.map { json =>
       mapper.readTree(json).get("primary_column").asText()
     }
+    // per-column declared encodings (WKB | geoarrow.*) for cell decoding
+    val colEncodings: Map[String, String] = geoMeta.map { json =>
+      val cols = mapper.readTree(json).get("columns")
+      val it = cols.fieldNames(); val b = Map.newBuilder[String, String]
+      while (it.hasNext) {
+        val n = it.next()
+        val enc = Option(cols.get(n).get("encoding")).map(_.asText()).getOrElse("WKB")
+        b += n -> enc
+      }
+      b.result()
+    }.getOrElse(Map.empty)
 
     val projIdx: Array[Int] =
       if (columns.isEmpty) fileSchema.fieldNames.indices.toArray
@@ -436,6 +655,8 @@ object GeoFeatherIO {
     // declared-geometry list cell becomes a WKB point; other double pairs
     // surface as array<double> (outSchema.fields(c) pairs with projIdx(c))
     val wkbOut: Array[Boolean] = outSchema.fields.map(_.dataType == BinaryType)
+    val outEnc: Array[String] =
+      outSchema.fields.map(f => colEncodings.getOrElse(f.name, "WKB"))
     val box = bbox.orNull
     val rows =
       if (fileNames.isEmpty)
@@ -469,10 +690,8 @@ object GeoFeatherIO {
               // allocation-free envelope scan — never materialize the
               // geometry just to test (and usually discard) its bbox
               case wkb: Array[Byte] => graft.geom.Wkb.envelopeOf(wkb).intersects(box)
-              // GeoArrow point cell: the coordinate pair IS the envelope
-              case l: java.util.List[_] => box.contains(
-                l.get(0).asInstanceOf[Number].doubleValue(),
-                l.get(1).asInstanceOf[Number].doubleValue())
+              // GeoArrow cell (any nesting): scan coordinates in place
+              case l: java.util.List[_] => cellEnvelope(l).intersects(box)
               case _ => false
             })) && (compiledFilters.isEmpty || compiledFilters.exists(_.forall {
               case (ci, op, lit) => predicateHolds(vectors(ci).getObject(r), op, lit)
@@ -485,7 +704,7 @@ object GeoFeatherIO {
                   case null                                 => null
                   case t: org.apache.arrow.vector.util.Text => t.toString
                   case l: java.util.List[_] =>
-                    if (wkbOut(c)) cellToWkb(l)
+                    if (wkbOut(c)) cellToWkb(l, outEnc(c))
                     else l.asScala.toSeq.map(_.asInstanceOf[Number].doubleValue())
                   case other                                => other
                 }

@@ -176,14 +176,62 @@ class GeoParquetIOSpec extends AnyFunSuite {
     assert(mixed.df.count() == 501)
     assert(mixed.df.filter($"id" === 9000L)
       .select(st_x($"geometry")).head().getDouble(0) == 1.0)
-    // non-point geometry refuses the geoarrow encoding loudly
-    val poly = GeoDataFrame(Seq((1L, "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"))
+    // MIXED geometry types refuse the geoarrow encoding loudly (the
+    // single-type rule): the layout follows the sampled first type, any
+    // other type in the data fails the write
+    val mixedTypes = GeoDataFrame(Seq(
+        (1L, "POINT (1 2)"),
+        (2L, "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"))
       .toDF("id", "wkt").withColumn("geometry", st_geomFromWKT($"wkt"))
-      .select($"id", $"geometry"), "geometry")
+      .select($"id", $"geometry").coalesce(1), "geometry")
     val ex = intercept[org.apache.spark.SparkException] {
-      GeoFeatherIO.write(poly, tmpDir(), encoding = "geoarrow")
+      GeoFeatherIO.write(mixedTypes, tmpDir(), encoding = "geoarrow")
     }
-    assert(ex.getMessage.contains("POINT") || ex.getCause != null)
+    assert(ex.getMessage.contains("single-type") || ex.getCause != null)
+  }
+
+  test("feather geoarrow nested encodings: linestring/polygon/multi* roundtrip") {
+    def wktFrame(wkts: Seq[String]) = GeoDataFrame(
+      wkts.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+        .toDF("id", "wkt").withColumn("geometry", st_geomFromWKT($"wkt"))
+        .select($"id", $"geometry"), "geometry").setCrs("EPSG:4326")
+    val cases: Seq[(String, Seq[String])] = Seq(
+      "geoarrow.linestring" -> Seq(
+        "LINESTRING (0 0, 1 2, 3 1)", "LINESTRING (5 5, 6 7, 8 9, 10 2)"),
+      "geoarrow.multipoint" -> Seq(
+        "MULTIPOINT ((1 1), (2 3))", "MULTIPOINT ((5 5), (6 6), (7 8))"),
+      "geoarrow.polygon" -> Seq(
+        "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))",
+        // hole exercises the second ring
+        "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 2 4, 4 4, 4 2, 2 2))"),
+      "geoarrow.multilinestring" -> Seq(
+        "MULTILINESTRING ((0 0, 1 1), (5 5, 6 7, 8 9))",
+        "MULTILINESTRING ((2 2, 3 3))"),
+      "geoarrow.multipolygon" -> Seq(
+        "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)), ((5 5, 7 5, 7 7, 5 5)))",
+        "MULTIPOLYGON (((9 9, 10 9, 10 10, 9 9)))"))
+    cases.foreach { case (expectedEnc, wkts) =>
+      val path = tmpDir()
+      val g = wktFrame(wkts)
+      GeoFeatherIO.write(g, path, encoding = "geoarrow")
+      val back = GeoFeatherIO.read(spark, path)
+      assert(back.crs.contains("EPSG:4326"), expectedEnc)
+      val got = back.df.orderBy($"id").select(st_asText($"geometry"))
+        .collect().map(_.getString(0))
+      val want = g.df.orderBy($"id").select(st_asText($"geometry"))
+        .collect().map(_.getString(0))
+      assert(got.toSeq == want.toSeq, expectedEnc)
+    }
+    // bbox filtering through a nested cell: scan coordinates in place
+    val path = tmpDir()
+    GeoFeatherIO.write(wktFrame(Seq(
+      "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))",
+      "POLYGON ((100 100, 104 100, 104 104, 100 104, 100 100))")), path,
+      encoding = "geoarrow")
+    val hit = GeoFeatherIO.read(spark, path,
+      bbox = Some(graft.geom.Envelope(1, 1, 3, 3))).df
+    assert(hit.count() == 1)
+    assert(hit.select($"id").head().getLong(0) == 0L)
   }
 
   test("feather: non-geometry double-pair column stays array<double>, never WKB") {

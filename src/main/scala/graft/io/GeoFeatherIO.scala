@@ -116,12 +116,16 @@ object GeoFeatherIO {
   private def geoarrowField(name: String, depth: Int): Field = {
     val coord = new Field("xy", FieldType.notNullable(
       new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)), null)
+    // conventional geoarrow child names, inside out: vertices | rings | polygons
+    val wrapperNames = Seq("rings", "polygons")
     var f = new Field(
       if (depth == 0) name else "vertices",
       FieldType.nullable(new ArrowType.FixedSizeList(2)), Seq(coord).asJava)
     var d = 0
     while (d < depth) {
-      val outerName = if (d == depth - 1) name else s"level${depth - 1 - d}"
+      val outerName =
+        if (d == depth - 1) name
+        else wrapperNames(d) // d=0 wraps vertices into rings, d=1 rings into polygons
       f = new Field(outerName, FieldType.nullable(new ArrowType.List()),
         Seq(f).asJava)
       d += 1

@@ -893,7 +893,9 @@ object GeoDataFrame {
     * the path). Dispatches on suffix: `.shp` → [[readShapefile]], `.gpkg`
     * → [[readGeoPackage]] (`layer` selects the feature table; defaults to
     * the file's single registered layer), `.fgb` → [[readFlatGeobuf]],
-    * `.geojsonl`/`.ndjson` → newline-delimited GeoJSON.
+    * `.geojsonl`/`.ndjson` → newline-delimited GeoJSON, `.arrow`/feather →
+    * [[graft.io.GeoFeatherIO.read]]. A directory dispatches on the
+    * extensions of the files inside it (one format per directory).
     */
   def readFile(
       spark: org.apache.spark.sql.SparkSession,
@@ -901,9 +903,25 @@ object GeoDataFrame {
       layer: Option[String] = None,
       chunkSize: Int = 65536,
       geometryColumn: String = "geometry"): GeoDataFrame = {
-    val lower = path.toLowerCase
-    if (lower.endsWith(".shp") || lower.endsWith("/"))
-      readShapefile(spark, path.stripSuffix("/"), chunkSize, geometryColumn)
+    val bare = path.stripSuffix("/")
+    val p = new org.apache.hadoop.fs.Path(bare)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val lower: String =
+      if (fs.exists(p) && fs.getFileStatus(p).isDirectory) {
+        val exts = fs.listStatus(p).map(_.getPath.getName.toLowerCase)
+          .flatMap(n => n.split('.').lastOption.filter(_ => n.contains('.')))
+          .toSet
+        val known = exts.intersect(Set("shp", "fgb", "arrow", "geojsonl", "ndjson"))
+        require(known.size == 1,
+          s"read_file: directory $bare holds ${if (known.isEmpty) "no" else "multiple"} " +
+            s"recognized formats (${exts.mkString(", ")}) — pass an explicit file or " +
+            "use the format-specific reader")
+        "." + known.head
+      } else bare.toLowerCase
+    if (lower.endsWith(".shp"))
+      readShapefile(spark, bare, chunkSize, geometryColumn)
+    else if (lower.endsWith(".arrow"))
+      graft.io.GeoFeatherIO.read(spark, bare)
     else if (lower.endsWith(".gpkg")) {
       val table = layer.getOrElse {
         val tables = graft.io.GeoPackageIO.featureMeta(spark, path).keys.toSeq.sorted
@@ -913,9 +931,9 @@ object GeoDataFrame {
       }
       readGeoPackage(spark, path, table)
     } else if (lower.endsWith(".fgb"))
-      readFlatGeobuf(spark, path, chunkSize, geometryColumn = geometryColumn)
+      readFlatGeobuf(spark, bare, chunkSize, geometryColumn = geometryColumn)
     else if (lower.endsWith(".geojsonl") || lower.endsWith(".ndjson"))
-      graft.io.GeoJsonIO.readSeq(spark, path, geometryColumn)
+      graft.io.GeoJsonIO.readSeq(spark, bare, geometryColumn)
     else
       throw new IllegalArgumentException(
         s"read_file: cannot infer a driver from '$path' — " +

@@ -265,6 +265,79 @@ class FlatGeobufIOSpec extends AnyFunSuite {
     assert(viaCx.toSeq == expect.toSeq)
   }
 
+  test("randomized roundtrip sweep: 200 mixed geometries + attrs survive bytes-exact") {
+    val rnd = new scala.util.Random(20260813)
+    def pt() = Point(rnd.nextDouble() * 1000 - 500, rnd.nextDouble() * 1000 - 500)
+    def ls(n: Int) = LineString(Array.fill(2 * n)(rnd.nextDouble() * 100))
+    def ring(cx: Double, cy: Double, r: Double, n: Int): Array[Double] = {
+      // closed CCW ring
+      val xy = new Array[Double](2 * (n + 1))
+      for (i <- 0 to n) {
+        val a = 2 * math.Pi * i / n
+        xy(2 * i) = cx + r * math.cos(a); xy(2 * i + 1) = cy + r * math.sin(a)
+      }
+      xy
+    }
+    def poly(holes: Int) = {
+      val cx = rnd.nextDouble() * 200; val cy = rnd.nextDouble() * 200
+      Polygon(Array(ring(cx, cy, 10 + rnd.nextDouble() * 5, 3 + rnd.nextInt(6))) ++
+        Array.fill(holes)(ring(cx, cy, 1 + rnd.nextDouble(), 3 + rnd.nextInt(3))))
+    }
+    val geoms: Seq[graft.geom.Geometry] = (0 until 200).map { i =>
+      rnd.nextInt(7) match {
+        case 0 => pt()
+        case 1 => ls(2 + rnd.nextInt(10))
+        case 2 => poly(rnd.nextInt(3))
+        case 3 => MultiPoint(Array.fill(1 + rnd.nextInt(5))(pt()))
+        case 4 => MultiLineString(Array.fill(1 + rnd.nextInt(4))(ls(2 + rnd.nextInt(5))))
+        case 5 => MultiPolygon(Array.fill(1 + rnd.nextInt(3))(poly(rnd.nextInt(2))))
+        case 6 => GeometryCollection(Array(pt(), ls(3), poly(0)))
+      }
+    }
+    val path = tmpFile()
+    val rows = geoms.zipWithIndex.map { case (g, i) =>
+      (i.toLong, if (i % 11 == 0) null else s"attr_$i", rnd.nextDouble(), Wkb.write(g))
+    }
+    FlatGeobufIO.write(
+      graft.api.GeoDataFrame(rows.toDF("id", "tag", "w", "geometry"), "geometry"),
+      path, nodeSize = 5)
+    val back = FlatGeobufIO.read(spark, path, chunkSize = 17)
+      .select($"id", $"tag", $"w", $"geometry").orderBy($"id").collect()
+    assert(back.length == 200)
+    rows.sortBy(_._1).zip(back).foreach { case ((id, tag, w, wkb), r) =>
+      assert(r.getLong(0) == id)
+      assert(r.getString(1) == tag, s"tag mismatch id=$id")
+      assert(r.getDouble(2) == w)
+      assert(r.getAs[Array[Byte]](3).toSeq == wkb.toSeq, s"geometry bytes differ id=$id")
+    }
+    // random windows: pruned read == full-scan envelope filter, every time
+    for (_ <- 0 until 10) {
+      val x0 = rnd.nextDouble() * 800 - 500; val y0 = rnd.nextDouble() * 800 - 500
+      val (x1, y1) = (x0 + rnd.nextDouble() * 300, y0 + rnd.nextDouble() * 300)
+      val got = FlatGeobufIO.read(spark, path, bbox = Some((x0, y0, x1, y1)))
+        .select($"id").as[Long].collect().sorted
+      val want = rows.collect {
+        case (id, _, _, wkb) if {
+          val e = Wkb.envelopeOf(wkb)
+          e.minX <= x1 && e.maxX >= x0 && e.minY <= y1 && e.maxY >= y0
+        } => id
+      }.sorted
+      assert(got.toSeq == want.toSeq, s"window ($x0,$y0,$x1,$y1)")
+    }
+  }
+
+  test("readFile dispatches a directory by the extension of its contents") {
+    val d = java.nio.file.Files.createTempDirectory("fgbdisp").toFile
+    d.deleteOnExit()
+    val dir = d.getAbsolutePath + "/parts"
+    val rows = (0 until 20).map(i => (i.toLong, Wkb.write(Point(i, i))))
+    graft.api.GeoDataFrame(rows.toDF("id", "geometry"), "geometry")
+      .setCrs("EPSG:4326").toFlatGeobufDir(dir)
+    val g = graft.api.GeoDataFrame.readFile(spark, dir + "/")
+    assert(g.df.count() == 20)
+    assert(g.crs.contains("EPSG:4326"))
+  }
+
   test("columns= prunes attributes but keeps geometry") {
     val path = tmpFile()
     val rows = (0 until 40).map { i =>

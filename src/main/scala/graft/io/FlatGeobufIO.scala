@@ -601,6 +601,10 @@ object FlatGeobufIO {
       * featureByteOffset) per feature, in file order.
       */
     def build(items: Array[(Double, Double, Double, Double, Long)], nodeSize: Int): Array[Byte] = {
+      // single-file index is built in memory (~44 B/feature here): the
+      // distributed path for bigger sets is writeDir (one index per task)
+      require(items.length.toLong * NodeItemLen * 2 < Int.MaxValue,
+        s"fgb index too large to build in one file (${items.length} features) — use writeDir")
       val lb = levelBounds(items.length.toLong, nodeSize)
       val total = numNodes(items.length.toLong, nodeSize).toInt
       val minX = new Array[Double](total)
@@ -852,16 +856,32 @@ object FlatGeobufIO {
       if (c.toUpperCase.startsWith("EPSG:")) c.drop(5).toIntOption else None
     }
 
-    // pass 1: extent (drives Hilbert quantization) — a cheap min/max agg
+    // pass 1: extent (drives Hilbert quantization) — a cheap min/max agg;
+    // the sampled first geometry doubles as the header's cosmetic type
+    // byte (each Feature carries its own type, so mixed frames read fine)
     import org.apache.spark.sql.functions._
     import graft.sql.functions._
     graft.sql.functions.install(df.sparkSession)
     val ext = df.agg(
       min(st_xmin(col(geomCol))), min(st_ymin(col(geomCol))),
-      max(st_xmax(col(geomCol))), max(st_ymax(col(geomCol)))).head()
-    require(!ext.isNullAt(0), "fgb write: no non-null geometries")
+      max(st_xmax(col(geomCol))), max(st_ymax(col(geomCol))),
+      first(col(geomCol), ignoreNulls = true)).head()
+
+    val hadoopPath = new Path(path)
+    val fs = hadoopPath.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
+    val out = new java.io.BufferedOutputStream(fs.create(hadoopPath, true), 1 << 20)
+    if (ext.isNullAt(0)) {
+      // empty frame (or all-null geometry with zero rows to encode): a
+      // valid header-only file — featuresCount 0, no index, no features
+      require(df.isEmpty, "fgb write: null geometry not supported")
+      try assembleFile(out, Iterator.empty, name, cols, nodeSize,
+        withIndex, epsg, GtUnknown)
+      finally out.close()
+      return
+    }
     val (exMinX, exMinY, exMaxX, exMaxY) =
       (ext.getDouble(0), ext.getDouble(1), ext.getDouble(2), ext.getDouble(3))
+    val headerGt = fgbTypeOf(Wkb.read(ext.getAs[Array[Byte]](4)))
 
     // pass 2: range-sort by Hilbert key, encode Feature buffers task-side
     val sorted = df
@@ -872,16 +892,6 @@ object FlatGeobufIO {
     val encoded = sorted.rdd.mapPartitions { it =>
       it.map(rowEncoder(cols, attrs.map(_._2), geomIdx))
     }
-
-    // header geometry type: sample the first row (cosmetic field — each
-    // Feature carries its own type byte, so mixed-type frames read fine)
-    val headerGt = df.select(col(geomCol)).limit(1).collect().headOption
-      .map(r => fgbTypeOf(Wkb.read(r.getAs[Array[Byte]](0))))
-      .getOrElse(GtUnknown)
-
-    val hadoopPath = new Path(path)
-    val fs = hadoopPath.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
-    val out = new java.io.BufferedOutputStream(fs.create(hadoopPath, true), 1 << 20)
     try assembleFile(out, encoded.toLocalIterator, name, cols, nodeSize,
       withIndex, epsg, headerGt)
     finally out.close()
@@ -914,7 +924,20 @@ object FlatGeobufIO {
     val ext = df.agg(
       min(st_xmin(col(geomCol))), min(st_ymin(col(geomCol))),
       max(st_xmax(col(geomCol))), max(st_ymax(col(geomCol)))).head()
-    require(!ext.isNullAt(0), "fgb write: no non-null geometries")
+    if (ext.isNullAt(0)) {
+      // empty frame: one header-only part keeps directory reads working
+      require(df.isEmpty, "fgb write: null geometry not supported")
+      val root0 = new Path(dir)
+      val fs0 = root0.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
+      fs0.delete(root0, true)
+      fs0.mkdirs(root0)
+      val out = new java.io.BufferedOutputStream(
+        fs0.create(new Path(root0, "part-00000.fgb"), true), 1 << 20)
+      try assembleFile(out, Iterator.empty, name, cols, nodeSize,
+        withIndex, epsg, GtUnknown)
+      finally out.close()
+      return
+    }
     val sorted = df
       .withColumn("__hk", st_hilbert(col(geomCol), lit(15),
         lit(ext.getDouble(0)), lit(ext.getDouble(1)),

@@ -338,6 +338,18 @@ class FlatGeobufIOSpec extends AnyFunSuite {
     assert(g.crs.contains("EPSG:4326"))
   }
 
+  test("empty frame writes a valid header-only file that reads back empty") {
+    val path = tmpFile()
+    val df = Seq.empty[(Long, Array[Byte])].toDF("id", "geometry")
+    FlatGeobufIO.write(graft.api.GeoDataFrame(df, "geometry"), path)
+    val meta = FlatGeobufIO.readMeta(spark, path)
+    assert(meta.featuresCount == 0L)
+    assert(meta.columns.map(_.name).toSeq == Seq("id"))
+    val back = FlatGeobufIO.read(spark, path)
+    assert(back.count() == 0)
+    assert(back.schema.fieldNames.toSeq == Seq("id", "geometry"))
+  }
+
   test("columns= prunes attributes but keeps geometry") {
     val path = tmpFile()
     val rows = (0 until 40).map { i =>

@@ -875,17 +875,20 @@ object GeoDataFrame {
     val meta = graft.io.FlatGeobufIO.readMeta(spark, path)
     val scanned =
       graft.io.FlatGeobufIO.read(spark, path, chunkSize, geometryColumn, bbox, columns)
+    val g0 = GeoDataFrame(scanned, geometryColumn)
+    val g = meta.crs.map(g0.setCrs).getOrElse(g0)
     // .cx on this frame re-plans through the file's packed R-tree (only
     // when this read wasn't itself already a bbox read — the hook would
-    // widen a narrower window otherwise)
+    // widen a narrower window otherwise). Install AFTER setCrs: the hook is
+    // identity-pinned to the frame's final df (cx re-applies CRS on the
+    // re-planned scan itself).
     val hook =
       if (bbox.isEmpty && meta.nodeSize > 0)
-        Some(BoxSourceMeta(scanned, box => graft.io.FlatGeobufIO.read(
+        Some(BoxSourceMeta(g.df, box => graft.io.FlatGeobufIO.read(
           spark, path, chunkSize, geometryColumn,
           Some((box.minX, box.minY, box.maxX, box.maxY)), columns)))
       else None
-    val g = GeoDataFrame(scanned, geometryColumn, boxSource = hook)
-    meta.crs.map(g.setCrs).getOrElse(g)
+    g.copy(boxSource = hook)
   }
 
   /** Extension-dispatched ingestion — the reference's single `read_file`

@@ -729,7 +729,15 @@ object GeoFeatherIO {
         val colNode = mapper.readTree(json).get("columns").get(primary)
         val crs = if (colNode.has("crs") && !colNode.get("crs").isNull)
           Some(colNode.get("crs").asText()) else None
-        GeoDataFrame(df, primary).setCrs(crs.getOrElse("OGC:CRS84"))
+        val g = GeoDataFrame(df, primary).setCrs(crs.getOrElse("OGC:CRS84"))
+        // .cx re-plans as a bbox read — whole files prune on their footer
+        // bboxes and rows filter at decode time, instead of scanning
+        // everything and filtering in the plan. Skipped when this read
+        // already narrows by bbox (the hook would widen the window).
+        if (bbox.isEmpty)
+          g.copy(boxSource = Some(graft.api.BoxSourceMeta(g.df,
+            box => read(spark, path, columns, Some(box), filters).df)))
+        else g
       case _ => GeoDataFrame(df)
     }
   }

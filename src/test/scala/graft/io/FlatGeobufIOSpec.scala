@@ -201,10 +201,16 @@ class FlatGeobufIOSpec extends AnyFunSuite {
     val rows = (0 until 900).map { i =>
       (i.toLong, Wkb.write(Point((i % 30).toDouble, (i / 30).toDouble)))
     }
+    // CRS on the file: setCrs rewrites the frame's df, so this guards the
+    // hook being pinned to the FINAL frame (a pre-setCrs pin dies silently)
     FlatGeobufIO.write(
-      graft.api.GeoDataFrame(rows.toDF("id", "geometry"), "geometry"),
+      graft.api.GeoDataFrame(rows.toDF("id", "geometry"), "geometry")
+        .setCrs("EPSG:4326"),
       path, nodeSize = 8)
     val gdf = graft.api.GeoDataFrame.readFlatGeobuf(spark, path, chunkSize = 32)
+    assert(gdf.crs.contains("EPSG:4326"))
+    assert(gdf.boxSource.exists(_.validFor(gdf.df)),
+      "cx hook must be identity-pinned to the frame's final df")
     val fullParts = gdf.df.rdd.getNumPartitions
     val window = gdf.cx(3.5, 3.5, 8.5, 8.5)
     // pruned re-plan: fewer scan tasks than the full chunked read

@@ -234,6 +234,23 @@ class GeoParquetIOSpec extends AnyFunSuite {
     assert(hit.select($"id").head().getLong(0) == 0L)
   }
 
+  test("feather cx re-plans as a footer-pruned bbox read") {
+    val path = tmpDir()
+    val g = GeoDataFrame(sample().df.repartition(4), "geometry").setCrs("EPSG:4326")
+    GeoFeatherIO.write(g, path)
+    val back = GeoFeatherIO.read(spark, path)
+    assert(back.boxSource.exists(_.validFor(back.df)),
+      "cx hook must be pinned to the final frame df")
+    val window = back.cx(0, 0, 50, 50)
+    val got = window.df.count()
+    val want = g.df.filter($"x" >= 0 && $"x" <= 50 && $"y" >= 0 && $"y" <= 50).count()
+    assert(got == want)
+    assert(window.crs.contains("EPSG:4326"))
+    // a bbox read must NOT install the hook (it would widen the window)
+    assert(GeoFeatherIO.read(spark, path,
+      bbox = Some(graft.geom.Envelope(0, 0, 10, 10))).boxSource.isEmpty)
+  }
+
   test("feather: non-geometry double-pair column stays array<double>, never WKB") {
     // cross-read scenario: another Arrow tool writes a FixedSizeList<double>[2]
     // attribute (e.g. a [min,max] stats pair) with NO geo metadata declaring

@@ -1,0 +1,92 @@
+package graft.io
+
+import graft.api.GeoDataFrame
+import graft.geom.{Point, Wkb}
+import graft.sql.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Format-parity sweep: one frame, five on-disk formats, identical content
+  * back from every reader. This is the "a user could switch" guarantee at
+  * the IO layer — any format-specific encode/decode drift (attribute
+  * typing, null handling, coordinate precision, row identity) fails here
+  * before it can reach an oracle.
+  */
+class CrossFormatSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix).toFile
+    d.deleteOnExit()
+    d.getAbsolutePath + "/out"
+  }
+
+  test("same frame through geoparquet/feather/shapefile/gpkg/fgb reads back identically") {
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 150).map { i =>
+      (i.toLong, s"name_$i", rnd.nextDouble() * 1000 - 500,
+        Wkb.write(Point(rnd.nextDouble() * 360 - 180, rnd.nextDouble() * 170 - 85)))
+    }
+    val base = rows.toDF("id", "nm", "score", "geometry").repartition(3)
+    val gdf = GeoDataFrame(base, "geometry").setCrs("EPSG:4326")
+
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[(Long, String, Double, Double, Double)] =
+      df.select(col("id").cast("long"), col("nm"), col("score"),
+          expr("round(st_x(geometry), 9)"), expr("round(st_y(geometry), 9)"))
+        .as[(Long, String, Double, Double, Double)]
+        .collect().sortBy(_._1).toSeq
+
+    val want = canon(base)
+
+    // GeoParquet
+    val pq = tmp("xfmt_pq")
+    GeoParquetIO.write(gdf, pq)
+    assert(canon(GeoParquetIO.read(spark, pq).df) == want, "geoparquet drift")
+
+    // Feather WKB + GeoArrow
+    val fw = tmp("xfmt_feather")
+    GeoFeatherIO.write(gdf, fw)
+    assert(canon(GeoFeatherIO.read(spark, fw).df) == want, "feather wkb drift")
+    val fa = tmp("xfmt_geoarrow")
+    GeoFeatherIO.write(gdf, fa, encoding = "geoarrow")
+    assert(canon(GeoFeatherIO.read(spark, fa).df) == want, "feather geoarrow drift")
+
+    // Shapefile (dbf numerics: score survives the N-field formatting)
+    val shp = tmp("xfmt_shp")
+    ShapefileIO.write(gdf.df, shp)
+    val shpBack = ShapefileIO.read(spark, shp)
+    val shpGot = shpBack.select(col("id").cast("long"), col("nm"), col("score"),
+        expr("round(st_x(geometry), 9)"), expr("round(st_y(geometry), 9)"))
+      .as[(Long, String, Double, Double, Double)].collect().sortBy(_._1).toSeq
+    // dbf stores doubles as fixed-width decimal text: compare at its precision
+    want.zip(shpGot).foreach { case ((id, nm, sc, x, y), (id2, nm2, sc2, x2, y2)) =>
+      assert(id == id2 && nm == nm2, s"shp identity drift at $id")
+      assert(math.abs(sc - sc2) < 1e-9, s"shp score drift at $id")
+      assert(x == x2 && y == y2, s"shp coord drift at $id")
+    }
+
+    // GeoPackage (needs a fid primary key; coordinates are exact doubles)
+    val gpkgFile = tmp("xfmt_gpkg") + ".gpkg"
+    val withFid = GeoDataFrame(
+      gdf.df.withColumn("fid", col("id") + 1).orderBy("fid")
+        .select(col("fid"), col("id"), col("nm"), col("score"), col("geometry")),
+      "geometry").setCrs("EPSG:4326")
+    GeoPackageIO.write(withFid, gpkgFile, "t")
+    assert(canon(GeoPackageIO.read(spark, gpkgFile, "t").drop("fid")) == want, "gpkg drift")
+
+    // FlatGeobuf single file + directory
+    val fgb = tmp("xfmt_fgb") + ".fgb"
+    FlatGeobufIO.write(gdf, fgb)
+    assert(canon(FlatGeobufIO.read(spark, fgb)) == want, "fgb drift")
+    val fgbDir = tmp("xfmt_fgbdir")
+    FlatGeobufIO.writeDir(gdf, fgbDir)
+    assert(canon(FlatGeobufIO.read(spark, fgbDir)) == want, "fgb dir drift")
+
+    // CRS survives every geo-metadata-bearing format
+    assert(GeoParquetIO.read(spark, pq).crs.contains("EPSG:4326"))
+    assert(GeoFeatherIO.read(spark, fw).crs.contains("EPSG:4326"))
+    assert(GeoDataFrame.readFlatGeobuf(spark, fgb).crs.contains("EPSG:4326"))
+    assert(GeoDataFrame.readGeoPackage(spark, gpkgFile, "t").crs.contains("EPSG:4326"))
+  }
+}

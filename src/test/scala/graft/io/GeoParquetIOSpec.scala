@@ -222,6 +222,23 @@ class GeoParquetIOSpec extends AnyFunSuite {
         .collect().map(_.getString(0))
       assert(got.toSeq == want.toSeq, expectedEnc)
     }
+    // MULTI-BATCH nested write: offsets must restart cleanly after each
+    // batch flush (vector reset) — 300 polygons at batchSize 64 forces 5
+    // batches through the nested list writers
+    val mb = tmpDir()
+    val many = GeoDataFrame(
+      (0 until 300).map { i =>
+        val x = (i % 20) * 10.0; val y = (i / 20) * 10.0
+        (i.toLong, s"POLYGON (($x $y, ${x + 4} $y, ${x + 4} ${y + 4}, $x ${y + 4}, $x $y))")
+      }.toDF("id", "wkt").withColumn("geometry", st_geomFromWKT($"wkt"))
+        .select($"id", $"geometry").coalesce(1), "geometry")
+    GeoFeatherIO.write(many, mb, batchSize = 64, encoding = "geoarrow")
+    val mbBack = GeoFeatherIO.read(spark, mb).df
+      .select($"id", round(st_area($"geometry"), 6).as("a")).orderBy($"id").collect()
+    assert(mbBack.length == 300)
+    assert(mbBack.forall(_.getDouble(1) == 16.0),
+      s"nested offsets corrupt after batch flush: ${mbBack.take(5).mkString(",")}")
+
     // bbox filtering through a nested cell: scan coordinates in place
     val path = tmpDir()
     GeoFeatherIO.write(wktFrame(Seq(

@@ -39,13 +39,16 @@ final case class FileSourceMeta(
 }
 
 /** A source-specific bbox re-plan hook: `.cx` can replace the whole scan
-  * with `replan(box)` — a fresh read that only touches data intersecting
-  * the box (e.g. a FlatGeobuf read through its packed R-tree). `forDf`
-  * identity-pins the exact DataFrame the hook describes, like
-  * [[FileSourceMeta]]: any transform produces a new DataFrame, so a stale
-  * hook can never re-plan a derived frame.
+  * with a fresh read that only touches data intersecting the box (e.g. a
+  * FlatGeobuf read through its packed R-tree). `replan` may DECLINE with
+  * None when re-reading would not actually prune anything (e.g. every
+  * feather footer bbox intersects the window) — cx then falls through to
+  * the ordinary filter path on the existing scan. `forDf` identity-pins
+  * the exact DataFrame the hook describes, like [[FileSourceMeta]]: any
+  * transform produces a new DataFrame, so a stale hook can never re-plan
+  * a derived frame.
   */
-final case class BoxSourceMeta(forDf: DataFrame, replan: Envelope => DataFrame) {
+final case class BoxSourceMeta(forDf: DataFrame, replan: Envelope => Option[DataFrame]) {
   def validFor(df: DataFrame): Boolean = forDf eq df
 }
 
@@ -168,10 +171,14 @@ final case class GeoDataFrame(
     // exact residual filter below still applies to the candidates.
     boxSource match {
       case Some(bsrc) if bsrc.validFor(df) =>
-        val rebuilt = copy(df = bsrc.replan(Envelope(xmin, ymin, xmax, ymax)),
-          spatialPartitions = None, fileSource = None, boxSource = None,
-          spatialPartitionHulls = None)
-        return crs.map(rebuilt.setCrs).getOrElse(rebuilt).cx(xmin, ymin, xmax, ymax)
+        bsrc.replan(Envelope(xmin, ymin, xmax, ymax)) match {
+          case Some(pruned) =>
+            val rebuilt = copy(df = pruned,
+              spatialPartitions = None, fileSource = None, boxSource = None,
+              spatialPartitionHulls = None)
+            return crs.map(rebuilt.setCrs).getOrElse(rebuilt).cx(xmin, ymin, xmax, ymax)
+          case None => // source declined: nothing would prune
+        }
       case _ =>
     }
     // file-level pruning from footer bboxes gathered at read time: re-plan
@@ -884,9 +891,11 @@ object GeoDataFrame {
     // re-planned scan itself).
     val hook =
       if (bbox.isEmpty && meta.nodeSize > 0)
-        Some(BoxSourceMeta(g.df, box => graft.io.FlatGeobufIO.read(
+        // index-chunked candidate reads strictly dominate a full scan —
+        // never decline
+        Some(BoxSourceMeta(g.df, box => Some(graft.io.FlatGeobufIO.read(
           spark, path, chunkSize, geometryColumn,
-          Some((box.minX, box.minY, box.maxX, box.maxY)), columns)))
+          Some((box.minX, box.minY, box.maxX, box.maxY)), columns))))
       else None
     g.copy(boxSource = hook)
   }

@@ -472,25 +472,38 @@ object GeoFeatherIO {
     * file list — same scale posture as the GeoParquet footer read: the
     * driver ships file names only.
     */
+  private def footerBBox(conf: org.apache.hadoop.conf.Configuration,
+      f: String): (String, Option[String]) = {
+    val p = new Path(f)
+    val fs = p.getFileSystem(conf)
+    val allocator = new RootAllocator()
+    val reader = new ArrowFileReader(
+      new FsSeekableChannel(fs.open(p), fs.getFileStatus(p).getLen), allocator)
+    try {
+      reader.getVectorSchemaRoot // forces footer read
+      (f, Option(reader.getMetaData.get("geo_bbox")))
+    } finally { reader.close(); allocator.close() }
+  }
+
+  /** Per-file footer bboxes. Footers are a few positioned reads each, so up
+    * to a few hundred files the driver probes them directly (micro-seconds
+    * on a local FS, no job); only genuinely large file sets pay a
+    * distributed metadata pass.
+    */
   def fileBBoxes(spark: SparkSession, path: String): Map[String, graft.geom.Envelope] = {
     val conf = spark.sessionState.newHadoopConf()
     val files = listArrowFiles(conf, new Path(path))
     if (files.isEmpty) return Map.empty
-    val sconf = new GeoParquetIO.SerializableConf(conf)
-    val names = files.map(_.toString)
-    val slices = math.max(1, math.min(names.size, spark.sparkContext.defaultParallelism))
-    spark.sparkContext.parallelize(names, slices).map { f =>
-      val taskConf = sconf.value
-      val p = new Path(f)
-      val fs = p.getFileSystem(taskConf)
-      val allocator = new RootAllocator()
-      val reader = new ArrowFileReader(
-        new FsSeekableChannel(fs.open(p), fs.getFileStatus(p).getLen), allocator)
-      try {
-        reader.getVectorSchemaRoot // forces footer read
-        (f, Option(reader.getMetaData.get("geo_bbox")))
-      } finally { reader.close(); allocator.close() }
-    }.collect().collect { case (f, Some(s)) =>
+    val raw: Seq[(String, Option[String])] =
+      if (files.size <= 256) files.map(f => footerBBox(conf, f.toString))
+      else {
+        val sconf = new GeoParquetIO.SerializableConf(conf)
+        val names = files.map(_.toString)
+        val slices = math.max(1, math.min(names.size, spark.sparkContext.defaultParallelism))
+        spark.sparkContext.parallelize(names, slices)
+          .map(f => footerBBox(sconf.value, f)).collect().toSeq
+      }
+    raw.collect { case (f, Some(s)) =>
       val a = s.split(",")
       (f, graft.geom.Envelope(a(0).toDouble, a(1).toDouble, a(2).toDouble, a(3).toDouble))
     }.toMap
@@ -731,12 +744,19 @@ object GeoFeatherIO {
           Some(colNode.get("crs").asText()) else None
         val g = GeoDataFrame(df, primary).setCrs(crs.getOrElse("OGC:CRS84"))
         // .cx re-plans as a bbox read — whole files prune on their footer
-        // bboxes and rows filter at decode time, instead of scanning
-        // everything and filtering in the plan. Skipped when this read
-        // already narrows by bbox (the hook would widen the window).
+        // bboxes and rows filter at decode time — but ONLY when at least
+        // one file actually prunes: the probe is a cheap driver footer
+        // pass, and declining keeps the no-prune case on the original
+        // scan's plain filter path (a blind re-read costs a second full
+        // decode for nothing). Skipped when this read already narrows by
+        // bbox (the hook would widen the window).
         if (bbox.isEmpty)
-          g.copy(boxSource = Some(graft.api.BoxSourceMeta(g.df,
-            box => read(spark, path, columns, Some(box), filters).df)))
+          g.copy(boxSource = Some(graft.api.BoxSourceMeta(g.df, { box =>
+            val bx = fileBBoxes(spark, path)
+            if (bx.nonEmpty && bx.values.exists(!_.intersects(box)))
+              Some(read(spark, path, columns, Some(box), filters).df)
+            else None
+          })))
         else g
       case _ => GeoDataFrame(df)
     }

@@ -251,18 +251,31 @@ class GeoParquetIOSpec extends AnyFunSuite {
     assert(hit.select($"id").head().getLong(0) == 0L)
   }
 
-  test("feather cx re-plans as a footer-pruned bbox read") {
+  test("feather cx re-plans as a footer-pruned bbox read; declines when nothing prunes") {
+    // PRUNE path: range-partitioned on x, so part files carry disjoint
+    // footer bboxes and a narrow window drops whole files
     val path = tmpDir()
-    val g = GeoDataFrame(sample().df.repartition(4), "geometry").setCrs("EPSG:4326")
+    val g = GeoDataFrame(sample().df.repartitionByRange(4, $"x"), "geometry")
+      .setCrs("EPSG:4326")
     GeoFeatherIO.write(g, path)
     val back = GeoFeatherIO.read(spark, path)
     assert(back.boxSource.exists(_.validFor(back.df)),
       "cx hook must be pinned to the final frame df")
     val window = back.cx(0, 0, 50, 50)
+    assert(window.df.rdd.getNumPartitions < 4,
+      s"expected footer file pruning, got ${window.df.rdd.getNumPartitions} tasks")
     val got = window.df.count()
     val want = g.df.filter($"x" >= 0 && $"x" <= 50 && $"y" >= 0 && $"y" <= 50).count()
     assert(got == want)
     assert(window.crs.contains("EPSG:4326"))
+
+    // DECLINE path: every file intersects the window -> the hook returns
+    // None and cx keeps the original scan (same task count), same rows
+    val wide = back.cx(-1000, -1000, 1000, 1000)
+    assert(wide.df.rdd.getNumPartitions == back.df.rdd.getNumPartitions,
+      "no-prune window must keep the original scan")
+    assert(wide.df.count() == g.df.count())
+
     // a bbox read must NOT install the hook (it would widen the window)
     assert(GeoFeatherIO.read(spark, path,
       bbox = Some(graft.geom.Envelope(0, 0, 10, 10))).boxSource.isEmpty)

@@ -1047,6 +1047,27 @@ object SparkEntry {
         .orderBy(col("fid"))
     }),
 
+    // KML roundtrip (the OGR KML driver surface, ref io/file.py:49-149):
+    // one document per partition task-side, placemark ExtendedData carries
+    // the attributes (KML's schemaless model — typed extraction is an
+    // element_at + cast), StAX file-parallel read, altitude-free CRS84
+    "g51_kml" -> ((s, d) => {
+      val loc = "/tmp/graft_g51_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val pts = graft.api.GeoDataFrame(
+        supplierPts(s, d)
+          .withColumn("geometry", st_point(col("x0"), col("y0")))
+          .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("geometry")),
+        "geometry")
+      graft.io.KmlIO.write(pts, loc)
+      graft.io.KmlIO.read(s, loc).df
+        .select(
+          element_at(col("props"), "s_suppkey").cast("long").as("s_suppkey"),
+          element_at(col("props"), "s_name").as("s_name"),
+          element_at(col("props"), "s_acctbal").cast("double").as("bal"),
+          st_x(col("geometry")).as("x"), st_y(col("geometry")).as("y"))
+        .orderBy(col("s_suppkey"))
+    }),
+
     // negative buffer (inward offset) of convex polygons, incl. collapse
     "g29_negative_buffer" -> ((s, d) => {
       supplierPts(s, d)

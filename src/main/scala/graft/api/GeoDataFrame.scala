@@ -759,6 +759,12 @@ final case class GeoDataFrame(
       withIndex: Boolean = true): Unit =
     graft.io.FlatGeobufIO.writeDir(this, dir, name, nodeSize, withIndex)
 
+  /** Write as a directory of KML documents, one per partition task-side
+    * (the reference's `to_file(..., driver="KML")`); attributes become
+    * ExtendedData strings — see [[graft.io.KmlIO.write]].
+    */
+  def toKml(path: String): Unit = graft.io.KmlIO.write(this, path)
+
   // --------------------------------------------------------------- persist
   /** Persist the underlying data while keeping the wrapper's spatial
     * partition metadata (reference persist, `expr.py:107-115` — dask
@@ -923,7 +929,7 @@ object GeoDataFrame {
         val exts = fs.listStatus(p).map(_.getPath.getName.toLowerCase)
           .flatMap(n => n.split('.').lastOption.filter(_ => n.contains('.')))
           .toSet
-        val known = exts.intersect(Set("shp", "fgb", "arrow", "geojsonl", "ndjson"))
+        val known = exts.intersect(Set("shp", "fgb", "arrow", "geojsonl", "ndjson", "kml"))
         require(known.size == 1,
           s"read_file: directory $bare holds ${if (known.isEmpty) "no" else "multiple"} " +
             s"recognized formats (${exts.mkString(", ")}) — pass an explicit file or " +
@@ -946,10 +952,12 @@ object GeoDataFrame {
       readFlatGeobuf(spark, bare, chunkSize, geometryColumn = geometryColumn)
     else if (lower.endsWith(".geojsonl") || lower.endsWith(".ndjson"))
       graft.io.GeoJsonIO.readSeq(spark, bare, geometryColumn)
+    else if (lower.endsWith(".kml"))
+      graft.io.KmlIO.read(spark, bare, geometryColumn)
     else
       throw new IllegalArgumentException(
         s"read_file: cannot infer a driver from '$path' — " +
-          "supported suffixes: .shp, .gpkg, .fgb, .geojsonl/.ndjson")
+          "supported suffixes: .shp, .gpkg, .fgb, .kml, .geojsonl/.ndjson")
   }
 
   def readGeoPackage(

@@ -969,7 +969,14 @@ object GeoDataFrame {
       throw new IllegalArgumentException(
         s"table '$table' has no gpkg_geometry_columns entry — " +
           "read plain tables with GeoPackageIO.read"))
-    val g = GeoDataFrame(graft.io.GeoPackageIO.read(spark, path, table), geomCol)
-    crs.map(g.setCrs).getOrElse(g)
+    val g0 = GeoDataFrame(graft.io.GeoPackageIO.read(spark, path, table), geomCol)
+    val g = crs.map(g0.setCrs).getOrElse(g0)
+    // cx re-plans through the file's SQLite R*-tree when one is present
+    // (every OGR-written gpkg carries one); hook pinned to the final df
+    if (graft.io.GeoPackageIO.hasRtree(spark, path, table))
+      g.copy(boxSource = Some(BoxSourceMeta(g.df, box => Some(
+        graft.io.GeoPackageIO.read(spark, path, table,
+          Some((box.minX, box.minY, box.maxX, box.maxY)))))))
+    else g
   }
 }

@@ -220,6 +220,86 @@ object GeoPackageIO {
     else frontier.map(_._1)
   }
 
+  /** Point lookup of one rowid in a table b-tree — root to leaf, O(depth)
+    * page reads. Interior cells are [4-byte child][varint key] where key is
+    * the LARGEST rowid in the child's subtree; the pointer at base+8
+    * covers keys beyond the last cell.
+    */
+  private def btreeLookup(src: PageSource, rootPage: Long, rowid: Long): Option[Array[Byte]] = {
+    var pageNo = rootPage
+    while (true) {
+      val base = if (pageNo == 1) 100 else 0
+      val page = src.page(pageNo)
+      val ptype = page(base) & 0xff
+      val nCells = ((page(base + 3) & 0xff) << 8) | (page(base + 4) & 0xff)
+      if (ptype == 0x0d) {
+        var i = 0
+        while (i < nCells) {
+          val cp = base + 8 + i * 2
+          val cellOff = ((page(cp) & 0xff) << 8) | (page(cp + 1) & 0xff)
+          val (rid, payload) = cellPayload(src, page, cellOff)
+          if (rid == rowid) return Some(payload)
+          i += 1
+        }
+        return None
+      } else {
+        var child = ByteBuffer.wrap(page, base + 8, 4).getInt.toLong // rightmost
+        var i = 0
+        var found = false
+        while (i < nCells && !found) {
+          val cp = base + 12 + i * 2
+          val cellOff = ((page(cp) & 0xff) << 8) | (page(cp + 1) & 0xff)
+          if (rowid <= varint(page, cellOff + 4)._1) {
+            child = ByteBuffer.wrap(page, cellOff, 4).getInt.toLong
+            found = true
+          }
+          i += 1
+        }
+        pageNo = child
+      }
+    }
+    None // unreachable
+  }
+
+  /** Candidate rowids whose box intersects the query, from the SQLite
+    * R*-tree shadow table `rtree_<table>_<geom>_node` (public node format,
+    * sqlite rtree.c: big-endian [depth:i16][nCell:i16] header then 24-byte
+    * cells of [i64 child-nodeno | rowid][f32 minX][f32 maxX][f32 minY]
+    * [f32 maxY]; depth is meaningful in the root, leaves are depth 0).
+    * float32 boxes are stored conservatively rounded, so the result is a
+    * SUPERSET — callers apply the exact envelope residual.
+    */
+  private def rtreeCandidates(src: PageSource, nodeRoot: Long,
+      qx0: Double, qy0: Double, qx1: Double, qy1: Double): Array[Long] = {
+    val out = ArrayBuffer.empty[Long]
+    // the shadow table row is an ordinary SQLite record (nodeno INTEGER
+    // PRIMARY KEY, data BLOB) — the node bytes are its blob column
+    def nodeBlob(no: Long): Array[Byte] =
+      btreeLookup(src, nodeRoot, no).map(decodeRecord)
+        .flatMap(_.collectFirst { case b: Array[Byte] => b })
+        .getOrElse(throw new IllegalStateException(s"gpkg rtree: missing node $no"))
+    val root = nodeBlob(1)
+    val rootDepth = ((root(0) & 0xff) << 8) | (root(1) & 0xff)
+    def visit(blob: Array[Byte], depth: Int): Unit = {
+      val bb = ByteBuffer.wrap(blob)
+      val n = bb.getShort(2) & 0xffff
+      var i = 0
+      while (i < n) {
+        val off = 4 + i * 24
+        val id = bb.getLong(off)
+        val mnx = bb.getFloat(off + 8); val mxx = bb.getFloat(off + 12)
+        val mny = bb.getFloat(off + 16); val mxy = bb.getFloat(off + 20)
+        if (mnx <= qx1 && mxx >= qx0 && mny <= qy1 && mxy >= qy0) {
+          if (depth == 0) out += id
+          else visit(nodeBlob(id), depth - 1)
+        }
+        i += 1
+      }
+    }
+    visit(root, rootDepth)
+    out.toArray
+  }
+
   private final case class Master(name: String, rootPage: Long, sql: String)
 
   private def readMaster(src: PageSource): Seq[Master] = {
@@ -805,11 +885,65 @@ object GeoPackageIO {
     * the header + sqlite_master + one root page; each root child subtree
     * becomes a task.
     */
-  def read(spark: SparkSession, path: String, table: String): DataFrame = {
+  /** One (rowid, payload) record as an output Row — affinity coercions with
+    * table/column/rowid context on parse failures.
+    */
+  private def materializeRow(colArr: Array[Col], geomIdx: Int, table: String,
+      rowid: Long, payload: Array[Byte]): Row = {
+    val rec = decodeRecord(payload)
+    val vals = new Array[Any](colArr.length)
+    var i = 0
+    while (i < colArr.length) {
+      val raw = if (i < rec.length) rec(i) else null
+      vals(i) =
+        if (colArr(i).rowidAlias && raw == null) rowid
+        else if (i == geomIdx && raw != null) gpbToWkb(raw.asInstanceOf[Array[Byte]])
+        else (raw, colArr(i).sparkType) match {
+          // SQLite is dynamically typed: coerce stray representations
+          // to the declared column affinity
+          case (l: java.lang.Long, DoubleType) => l.toDouble
+          case (d: java.lang.Double, LongType) => d.longValue()
+          case (l: java.lang.Long, StringType) => l.toString
+          case (d: java.lang.Double, StringType) => d.toString
+          // TEXT stored in an INTEGER/REAL-affinity column is legal
+          // under SQLite's dynamic typing but may not parse — fail
+          // with table/column/rowid context so a malformed
+          // third-party gpkg is diagnosable, not a bare
+          // NumberFormatException mid-task
+          case (s: String, LongType) =>
+            try s.toLong catch { case _: NumberFormatException =>
+              throw new IllegalArgumentException(
+                s"gpkg read: table '$table' column '${colArr(i).name}' " +
+                  s"rowid $rowid: TEXT value '$s' does not parse as INTEGER")
+            }
+          case (s: String, DoubleType) =>
+            try s.toDouble catch { case _: NumberFormatException =>
+              throw new IllegalArgumentException(
+                s"gpkg read: table '$table' column '${colArr(i).name}' " +
+                  s"rowid $rowid: TEXT value '$s' does not parse as REAL")
+            }
+          case (v, _) => v
+        }
+      i += 1
+    }
+    Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
+  }
+
+  /** Distributed read. With `bbox` AND a SQLite R*-tree spatial index in
+    * the file (the `rtree_<table>_<geom>_node` shadow table every
+    * OGR-written gpkg carries), the driver traverses the R-tree for
+    * candidate rowids (superset — float32 node boxes), tasks point-look
+    * them up in the feature b-tree, and an exact envelope residual runs
+    * task-side. Without an index, `bbox` degrades to a full scan + exact
+    * residual (correct, unpruned).
+    */
+  def read(spark: SparkSession, path: String, table: String,
+      bbox: Option[(Double, Double, Double, Double)] = None): DataFrame = {
     val conf = spark.sessionState.newHadoopConf()
     val src = openSource(conf, path)
     // one driver-side open: master + geometry metadata + the root page
-    val (cols, roots, geomCol) = try {
+    // (+ the R-tree candidate walk when pruning)
+    val (cols, roots, geomCol, candidates, tableRoot) = try {
       val master = readMaster(src)
       val m = master.find(_.name == table).getOrElse(
         throw new IllegalArgumentException(
@@ -819,61 +953,78 @@ object GeoPackageIO {
       val cols = parseColumns(m.sql)
       // reuse the already-decoded master — no second sqlite_master walk
       val geomCol = featureMetaFrom(src, master).get(table).map(_._1)
+      val cands: Option[Array[Long]] = (bbox, geomCol) match {
+        case (Some((qx0, qy0, qx1, qy1)), Some(g)) =>
+          master.find(mm => mm.name == s"rtree_${table}_${g}_node" && mm.rootPage > 0)
+            .map(node => rtreeCandidates(src, node.rootPage, qx0, qy0, qx1, qy1).sorted)
+        case _ => None
+      }
       (cols, subtreeRoots(src, m.rootPage, 0,
-        target = spark.sparkContext.defaultParallelism * 4), geomCol)
+        target = spark.sparkContext.defaultParallelism * 4), geomCol, cands, m.rootPage)
     } finally src.close()
     val schema = StructType(cols.map(c => StructField(c.name, c.sparkType)))
     val sconf = new GeoParquetIO.SerializableConf(conf)
     val pathStr = path
     val colArr = cols.toArray
     val geomIdx = geomCol.map(g => cols.indexWhere(_.name == g)).getOrElse(-1)
-    val slices = math.max(1, roots.size)
-    val rows = spark.sparkContext.parallelize(roots, slices).flatMap { root =>
-      val tsrc = openSource(sconf.value, pathStr)
-      val out = ArrayBuffer.empty[Row]
-      try {
-        walk(tsrc, root, 0) { (rowid, payload) =>
-          val rec = decodeRecord(payload)
-          val vals = new Array[Any](colArr.length)
-          var i = 0
-          while (i < colArr.length) {
-            val raw = if (i < rec.length) rec(i) else null
-            vals(i) =
-              if (colArr(i).rowidAlias && raw == null) rowid
-              else if (i == geomIdx && raw != null) gpbToWkb(raw.asInstanceOf[Array[Byte]])
-              else (raw, colArr(i).sparkType) match {
-                // SQLite is dynamically typed: coerce stray representations
-                // to the declared column affinity
-                case (l: java.lang.Long, DoubleType) => l.toDouble
-                case (d: java.lang.Double, LongType) => d.longValue()
-                case (l: java.lang.Long, StringType) => l.toString
-                case (d: java.lang.Double, StringType) => d.toString
-                // TEXT stored in an INTEGER/REAL-affinity column is legal
-                // under SQLite's dynamic typing but may not parse — fail
-                // with table/column/rowid context so a malformed
-                // third-party gpkg is diagnosable, not a bare
-                // NumberFormatException mid-task
-                case (s: String, LongType) =>
-                  try s.toLong catch { case _: NumberFormatException =>
-                    throw new IllegalArgumentException(
-                      s"gpkg read: table '$table' column '${colArr(i).name}' " +
-                        s"rowid $rowid: TEXT value '$s' does not parse as INTEGER")
-                  }
-                case (s: String, DoubleType) =>
-                  try s.toDouble catch { case _: NumberFormatException =>
-                    throw new IllegalArgumentException(
-                      s"gpkg read: table '$table' column '${colArr(i).name}' " +
-                        s"rowid $rowid: TEXT value '$s' does not parse as REAL")
-                  }
-                case (v, _) => v
-              }
-            i += 1
-          }
-          out += Row.fromSeq(vals.toIndexedSeq)
+    val tname = table
+    val residual: Row => Boolean = bbox match {
+      case Some((qx0, qy0, qx1, qy1)) if geomIdx >= 0 => { r =>
+        val wkb = r.get(geomIdx).asInstanceOf[Array[Byte]]
+        wkb != null && {
+          val e = graft.geom.Wkb.envelopeOf(wkb)
+          e.minX <= qx1 && e.maxX >= qx0 && e.minY <= qy1 && e.maxY >= qy0
         }
-      } finally tsrc.close()
-      out.iterator
+      }
+      case _ => _ => true
+    }
+    val rows = candidates match {
+      case Some(rowids) if rowids.isEmpty => spark.sparkContext.emptyRDD[Row]
+      case Some(rowids) =>
+        // candidate point-lookups, chunked; each task walks root->leaf per
+        // rowid (sorted, so the hot interior path stays in the OS cache)
+        val chunkSize = math.max(256, rowids.length / math.max(1, spark.sparkContext.defaultParallelism))
+        val chunks = rowids.grouped(chunkSize).toSeq
+        spark.sparkContext.parallelize(chunks, chunks.size).flatMap { ids =>
+          val tsrc = openSource(sconf.value, pathStr)
+          val out = ArrayBuffer.empty[Row]
+          try {
+            ids.foreach { rid =>
+              btreeLookup(tsrc, tableRoot, rid).foreach { payload =>
+                val row = materializeRow(colArr, geomIdx, tname, rid, payload)
+                if (residual(row)) out += row
+              }
+            }
+          } finally tsrc.close()
+          out.iterator
+        }
+      case None =>
+        val slices = math.max(1, roots.size)
+        spark.sparkContext.parallelize(roots, slices).flatMap { root =>
+          val tsrc = openSource(sconf.value, pathStr)
+          val out = ArrayBuffer.empty[Row]
+          try {
+            walk(tsrc, root, 0) { (rowid, payload) =>
+              val row = materializeRow(colArr, geomIdx, tname, rowid, payload)
+              if (residual(row)) out += row
+            }
+          } finally tsrc.close()
+          out.iterator
+        }
     }
     spark.createDataFrame(rows, schema)
+  }
+
+  /** True when the file carries a SQLite R*-tree spatial index for the
+    * table's geometry column — the precondition for bbox-pruned reads.
+    */
+  def hasRtree(spark: SparkSession, path: String, table: String): Boolean = {
+    val src = openSource(spark.sessionState.newHadoopConf(), path)
+    try {
+      val master = readMaster(src)
+      featureMetaFrom(src, master).get(table).exists { case (g, _) =>
+        master.exists(m => m.name == s"rtree_${table}_${g}_node" && m.rootPage > 0)
+      }
+    } finally src.close()
   }
 }

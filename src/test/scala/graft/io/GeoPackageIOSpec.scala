@@ -46,6 +46,28 @@ class GeoPackageIOSpec extends AnyFunSuite {
         expr("st_y(st_geomfromwkb(geom)) BETWEEN 0 AND 200")).count())
   }
 
+  test("bbox read prunes through the fixture's SQLite R-tree") {
+    assert(GeoPackageIO.hasRtree(spark, fixture, "supplier_pts"))
+    val full = GeoPackageIO.read(spark, fixture, "supplier_pts")
+    val window = (100.0, 0.0, 300.0, 400.0)
+    val pruned = GeoPackageIO.read(spark, fixture, "supplier_pts", Some(window))
+    val want = full
+      .filter(expr("st_x(st_geomfromwkb(geom)) BETWEEN 100 AND 300") &&
+        expr("st_y(st_geomfromwkb(geom)) BETWEEN 0 AND 400"))
+      .select($"fid").as[Long].collect().sorted.toSeq
+    val got = pruned.select($"fid").as[Long].collect().sorted.toSeq
+    assert(got == want)
+    assert(got.nonEmpty && got.size < 500)
+    // far-outside window: zero candidates, zero tasks worth of rows
+    assert(GeoPackageIO.read(spark, fixture, "supplier_pts",
+      Some((10000.0, 10000.0, 10001.0, 10001.0))).count() == 0)
+    // the cx hook rides the same path on a CRS-bearing frame
+    val g = graft.api.GeoDataFrame.readGeoPackage(spark, fixture, "supplier_pts")
+    assert(g.boxSource.exists(_.validFor(g.df)))
+    val viaCx = g.cx(100, 0, 300, 400).df.select($"fid").as[Long].collect().sorted.toSeq
+    assert(viaCx == want)
+  }
+
   private def tmpGpkg(): String = {
     val d = java.nio.file.Files.createTempDirectory("gpkg").toFile
     d.deleteOnExit()

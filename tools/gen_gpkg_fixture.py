@@ -63,6 +63,22 @@ for i in range(500):
     note = None if i % 7 == 0 else f"note_{i % 13}"
     cur.execute("INSERT INTO supplier_pts VALUES (?,?,?,?,?,?)",
                 (i + 1, i, f"sup_{i}", i * 0.5 - 25.0, note, gpb_point(x, y)))
+
+# spatial index, exactly as OGR registers it (gpkg_rtree_index extension):
+# the SQLite R*-tree virtual table + populated shadow tables. The reader
+# consumes the rtree_<t>_<col>_node shadow b-tree directly for bbox pruning.
+cur.execute("""CREATE VIRTUAL TABLE rtree_supplier_pts_geom USING rtree(
+  id, minx, maxx, miny, maxy)""")
+cur.execute("""INSERT INTO rtree_supplier_pts_geom
+  SELECT fid, s_suppkey * 3.25 - 100.0, s_suppkey * 3.25 - 100.0,
+         (s_suppkey % 100) * 7.5, (s_suppkey % 100) * 7.5
+  FROM supplier_pts""")
+cur.execute("""CREATE TABLE IF NOT EXISTS gpkg_extensions (
+  table_name TEXT, column_name TEXT, extension_name TEXT NOT NULL,
+  definition TEXT NOT NULL, scope TEXT NOT NULL)""")
+cur.execute("""INSERT INTO gpkg_extensions VALUES
+  ('supplier_pts', 'geom', 'gpkg_rtree_index',
+   'http://www.geopackage.org/spec120/#extension_rtree', 'write-only')""")
 con.commit()
 con.close()
 

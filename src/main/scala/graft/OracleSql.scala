@@ -1035,9 +1035,9 @@ object OracleSql {
     "g46_geopackage" -> """
       SELECT (i + 1)::BIGINT AS fid, i::BIGINT AS s_suppkey,
              'sup_' || i AS s_name,
-             i * 0.5 - 25.0 AS weight,
+             (i * 0.5 - 25.0)::DOUBLE AS weight,
              CASE WHEN i % 7 = 0 THEN NULL ELSE 'note_' || (i % 13) END AS note,
-             i * 3.25 - 100.0 AS x, (i % 100)::DOUBLE * 7.5 AS y
+             (i * 3.25 - 100.0)::DOUBLE AS x, (i % 100)::DOUBLE * 7.5 AS y
       FROM (SELECT unnest(range(0, 500)) AS i) ORDER BY fid""",
 
     "g47_geopackage_write" -> """

@@ -1052,6 +1052,13 @@ object OracleSql {
         round(8.0 * h, 4) AS perim
       FROM p ORDER BY s_suppkey""",
 
+    "g52_geojson_fc" -> """
+      SELECT s_suppkey::BIGINT AS s_suppkey, s_name, s_acctbal AS bal,
+             CASE WHEN s_suppkey % 7 = 0 THEN NULL
+                  ELSE 'n_' || (s_suppkey % 13) END AS note,
+             s_acctbal AS x, (s_suppkey % 100)::DOUBLE * 10.0 AS y
+      FROM supplier ORDER BY s_suppkey""",
+
     "g51_kml" -> """
       SELECT s_suppkey::BIGINT AS s_suppkey, s_name, s_acctbal AS bal,
              s_acctbal AS x, (s_suppkey % 100)::DOUBLE * 10.0 AS y

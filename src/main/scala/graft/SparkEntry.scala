@@ -1068,6 +1068,34 @@ object SparkEntry {
         .orderBy(col("s_suppkey"))
     }),
 
+    // GeoJSON FeatureCollection roundtrip (OGR's "GeoJSON" driver — the
+    // common single-document .geojson interchange file, vs g38's
+    // newline-delimited GeoJSONSeq): one FeatureCollection per partition
+    // written task-side, file-parallel reads through the read_file
+    // dispatcher, typed property extraction from the schemaless JSON
+    "g52_geojson_fc" -> ((s, d) => {
+      val loc = "/tmp/graft_g52_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val pts = graft.api.GeoDataFrame(
+        supplierPts(s, d)
+          .withColumn("geometry", st_point(col("x0"), col("y0")))
+          .withColumn("note",
+            when(col("s_suppkey") % 7 === 0, lit(null).cast("string"))
+              .otherwise(concat(lit("n_"), col("s_suppkey") % 13)))
+          .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+            col("note"), col("geometry")),
+        "geometry")
+      graft.io.GeoJsonIO.write(pts, loc + "/fc.geojson_dir")
+      // directory dispatch: the dir holds only .geojson parts
+      graft.api.GeoDataFrame.readFile(s, loc + "/fc.geojson_dir").df
+        .select(
+          get_json_object(col("properties"), "$.s_suppkey").cast("long").as("s_suppkey"),
+          get_json_object(col("properties"), "$.s_name").as("s_name"),
+          get_json_object(col("properties"), "$.s_acctbal").cast("double").as("bal"),
+          get_json_object(col("properties"), "$.note").as("note"),
+          st_x(col("geometry")).as("x"), st_y(col("geometry")).as("y"))
+        .orderBy(col("s_suppkey"))
+    }),
+
     // negative buffer (inward offset) of convex polygons, incl. collapse
     "g29_negative_buffer" -> ((s, d) => {
       supplierPts(s, d)

@@ -929,7 +929,8 @@ object GeoDataFrame {
         val exts = fs.listStatus(p).map(_.getPath.getName.toLowerCase)
           .flatMap(n => n.split('.').lastOption.filter(_ => n.contains('.')))
           .toSet
-        val known = exts.intersect(Set("shp", "fgb", "arrow", "geojsonl", "ndjson", "kml"))
+        val known = exts.intersect(
+          Set("shp", "fgb", "arrow", "geojsonl", "ndjson", "kml", "geojson"))
         require(known.size == 1,
           s"read_file: directory $bare holds ${if (known.isEmpty) "no" else "multiple"} " +
             s"recognized formats (${exts.mkString(", ")}) — pass an explicit file or " +
@@ -952,12 +953,14 @@ object GeoDataFrame {
       readFlatGeobuf(spark, bare, chunkSize, geometryColumn = geometryColumn)
     else if (lower.endsWith(".geojsonl") || lower.endsWith(".ndjson"))
       graft.io.GeoJsonIO.readSeq(spark, bare, geometryColumn)
+    else if (lower.endsWith(".geojson"))
+      graft.io.GeoJsonIO.read(spark, bare, geometryColumn)
     else if (lower.endsWith(".kml"))
       graft.io.KmlIO.read(spark, bare, geometryColumn)
     else
       throw new IllegalArgumentException(
         s"read_file: cannot infer a driver from '$path' — " +
-          "supported suffixes: .shp, .gpkg, .fgb, .kml, .geojsonl/.ndjson")
+          "supported suffixes: .shp, .gpkg, .fgb, .kml, .geojson, .geojsonl/.ndjson")
   }
 
   def readGeoPackage(

@@ -15,6 +15,12 @@ object GeoJson {
 
   def read(s: String): Geometry = fromNode(mapper.readTree(s))
 
+  /** Parse a geometry from an already-parsed Jackson node (the
+    * FeatureCollection reader holds the document tree and must not
+    * re-serialize each geometry subtree just to re-parse it).
+    */
+  def readNode(n: JsonNode): Geometry = fromNode(n)
+
   private def fromNode(n: JsonNode): Geometry = {
     require(n != null && n.has("type"), "not a GeoJSON geometry")
     n.get("type").asText() match {

@@ -1059,6 +1059,44 @@ object OracleSql {
              s_acctbal AS x, (s_suppkey % 100)::DOUBLE * 10.0 AS y
       FROM supplier ORDER BY s_suppkey""",
 
+    "g53_line_edit_ops" -> """
+      WITH p AS (SELECT s_suppkey, ((s_suppkey % 9) + 1)::DOUBLE * 2.0 AS len
+                 FROM supplier)
+      SELECT s_suppkey,
+        4 AS n_raw,
+        3 AS n_dedup,
+        (2 * len + 1)::INTEGER AS n_seg,
+        round(2 * len, 6) AS seg_len,
+        3 AS n_uniq,
+        len AS rev_x, len AS rev_y,
+        false AS still_z
+      FROM p ORDER BY s_suppkey""",
+
+    "g54_mbc_mrr" -> """
+      WITH p AS (SELECT s_suppkey,
+                   ((s_suppkey % 5) + 1)::DOUBLE AS w,
+                   ((s_suppkey % 7) + 1)::DOUBLE AS h
+                 FROM supplier)
+      SELECT s_suppkey,
+        round(w * h, 6) AS mrr_area,
+        round(sqrt(w * w + h * h) / 2, 6) AS mbr
+      FROM p ORDER BY s_suppkey""",
+
+    "g55_shortest_haus_merge" -> """
+      WITH p AS (SELECT s_suppkey,
+                   ((s_suppkey % 9) + 1)::DOUBLE AS dy,
+                   (s_suppkey % 4)::DOUBLE AS off,
+                   ((s_suppkey % 5) + 1)::DOUBLE AS a,
+                   ((s_suppkey % 3) + 1)::DOUBLE AS b
+                 FROM supplier)
+      SELECT s_suppkey,
+        round(dy, 6) AS sl_len,
+        round(sqrt((off + 5) * (off + 5) + dy * dy), 6) AS haus,
+        2 AS n_merged,
+        5 AS n_pts,
+        round(a + b + 1, 6) AS len_merged
+      FROM p ORDER BY s_suppkey""",
+
     "g51_kml" -> """
       SELECT s_suppkey::BIGINT AS s_suppkey, s_name, s_acctbal AS bal,
              s_acctbal AS x, (s_suppkey % 100)::DOUBLE * 10.0 AS y

@@ -1096,6 +1096,75 @@ object SparkEntry {
         .orderBy(col("s_suppkey"))
     }),
 
+    // extended line-editing surface (geopandas reverse / segmentize /
+    // remove_repeated_points / extract_unique_points / force_2d — the
+    // shapely 2.x methods one notch past the reference's binding list):
+    // closed-form L-shaped lines with a duplicated junction vertex
+    "g53_line_edit_ops" -> ((s, d) => {
+      t(s, d, "supplier")
+        .withColumn("len", ((col("s_suppkey") % 9) + 1).cast("double") * 2.0)
+        .withColumn("g", st_geomFromWKT(concat(
+          lit("LINESTRING (0 0, "), col("len"), lit(" 0, "),
+          col("len"), lit(" 0, "), col("len"), lit(" "), col("len"), lit(")"))))
+        .withColumn("dedup", st_removeRepeatedPoints(col("g")))
+        .withColumn("seg", st_segmentize(col("dedup"), lit(1.0)))
+        .withColumn("rev1", element_at(st_dumpPoints(st_reverse(col("dedup"))), 1))
+        .select(col("s_suppkey"),
+          st_numPoints(col("g")).as("n_raw"),
+          st_numPoints(col("dedup")).as("n_dedup"),
+          st_numPoints(col("seg")).as("n_seg"),
+          round(st_length(col("seg")), 6).as("seg_len"),
+          st_numGeometries(st_extractUniquePoints(col("g"))).as("n_uniq"),
+          st_x(col("rev1")).as("rev_x"), st_y(col("rev1")).as("rev_y"),
+          st_hasZ(st_force2d(st_pointz(col("len"), col("len"), lit(7.0)))).as("still_z"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // minimum rotated rectangle + minimum bounding circle over rotated
+    // boxes (geopandas minimum_rotated_rectangle / minimum_bounding_radius):
+    // the MRR of a rotated rectangle's corners is the rectangle itself and
+    // its bounding radius is the half-diagonal — both closed form
+    "g54_mbc_mrr" -> ((s, d) => {
+      t(s, d, "supplier")
+        .withColumn("w", ((col("s_suppkey") % 5) + 1).cast("double"))
+        .withColumn("h", ((col("s_suppkey") % 7) + 1).cast("double"))
+        .withColumn("theta", (col("s_suppkey") % 360).cast("double"))
+        .withColumn("box", st_rotate(
+          st_makeEnvelope(lit(0.0), lit(0.0), col("w"), col("h")),
+          col("theta"), lit(0.0), lit(0.0)))
+        .select(col("s_suppkey"),
+          round(st_area(st_orientedEnvelope(col("box"))), 6).as("mrr_area"),
+          round(st_minimumBoundingRadius(col("box")), 6).as("mbr"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // shortest connecting line, discrete Hausdorff distance, and line
+    // merging (geopandas shortest_line / hausdorff_distance / line_merge):
+    // offset parallel segments give closed-form answers for all three
+    "g55_shortest_haus_merge" -> ((s, d) => {
+      t(s, d, "supplier")
+        .withColumn("dy", ((col("s_suppkey") % 9) + 1).cast("double"))
+        .withColumn("off", (col("s_suppkey") % 4).cast("double"))
+        .withColumn("la", st_geomFromWKT(lit("LINESTRING (0 0, 10 0)")))
+        .withColumn("lb", st_geomFromWKT(concat(
+          lit("LINESTRING ("), col("off") + 5.0, lit(" "), col("dy"), lit(", "),
+          col("off") + 15.0, lit(" "), col("dy"), lit(")"))))
+        .withColumn("a", ((col("s_suppkey") % 5) + 1).cast("double"))
+        .withColumn("b", ((col("s_suppkey") % 3) + 1).cast("double"))
+        .withColumn("mls", st_geomFromWKT(concat(
+          lit("MULTILINESTRING ((0 0, "), col("a"), lit(" 0), ("),
+          col("a"), lit(" 0, "), col("a"), lit(" "), col("b"),
+          lit("), (100 100, 101 100))"))))
+        .withColumn("merged", st_lineMerge(col("mls")))
+        .select(col("s_suppkey"),
+          round(st_length(st_shortestLine(col("la"), col("lb"))), 6).as("sl_len"),
+          round(st_hausdorffDistance(col("la"), col("lb")), 6).as("haus"),
+          st_numGeometries(col("merged")).as("n_merged"),
+          st_numPoints(col("merged")).as("n_pts"),
+          round(st_length(col("merged")), 6).as("len_merged"))
+        .orderBy(col("s_suppkey"))
+    }),
+
     // negative buffer (inward offset) of convex polygons, incl. collapse
     "g29_negative_buffer" -> ((s, d) => {
       supplierPts(s, d)

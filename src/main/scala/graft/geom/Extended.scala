@@ -1,0 +1,444 @@
+package graft.geom
+
+import scala.collection.mutable
+
+/** Extended constructive operators — the geopandas-proper surface one notch
+  * past the reference's binding list (`dask_geopandas/expr.py:947-1013`
+  * stops at the classic set; geopandas itself exposes these via shapely 2.x
+  * and dask-geopandas inherits them per-partition). Semantics follow
+  * shapely/GEOS; deviations are documented per function.
+  */
+object Extended {
+
+  /** Reverse coordinate order of every path (GEOS Reverse). Rings flip
+    * orientation; points are unchanged.
+    */
+  def reverse(g: Geometry): Geometry = g match {
+    case p: Point => p
+    case l: LineString => reverseLine(l)
+    case p: Polygon => Polygon(p.rings.map(reverseRing))
+    case m: MultiPoint => m
+    case m: MultiLineString => MultiLineString(m.lines.map(reverseLine))
+    case m: MultiPolygon => MultiPolygon(m.polys.map(p => Polygon(p.rings.map(reverseRing))))
+    case c: GeometryCollection => GeometryCollection(c.geoms.map(reverse))
+  }
+
+  private def reverseRing(xy: Array[Double]): Array[Double] = {
+    val n = xy.length / 2
+    val out = new Array[Double](xy.length)
+    var i = 0
+    while (i < n) {
+      out(2 * i) = xy(2 * (n - 1 - i))
+      out(2 * i + 1) = xy(2 * (n - 1 - i) + 1)
+      i += 1
+    }
+    out
+  }
+
+  private def reverseLine(l: LineString): LineString =
+    LineString(reverseRing(l.xy), if (l.zs == null) null else l.zs.reverse)
+
+  /** Drop Z from every coordinate (shapely force_2d). */
+  def force2d(g: Geometry): Geometry = g match {
+    case p: Point => if (p.hasZ) Point(p.x, p.y) else p
+    case l: LineString => if (l.zs == null) l else LineString(l.xy, null)
+    case p: Polygon => p // rings carry no Z in this model
+    case m: MultiPoint => MultiPoint(m.pts.map(p => force2d(p).asInstanceOf[Point]))
+    case m: MultiLineString =>
+      MultiLineString(m.lines.map(l => force2d(l).asInstanceOf[LineString]))
+    case m: MultiPolygon => m
+    case c: GeometryCollection => GeometryCollection(c.geoms.map(force2d))
+  }
+
+  /** Insert vertices so no segment exceeds `maxLen` (GEOS Densify /
+    * shapely segmentize). Each segment of length L splits into
+    * ceil(L/maxLen) equal pieces; existing vertices are kept; Z values
+    * interpolate linearly when present.
+    */
+  def segmentize(g: Geometry, maxLen: Double): Geometry = {
+    require(maxLen > 0, s"segmentize: maxLen must be positive, got $maxLen")
+    g match {
+      case p: Point => p
+      case l: LineString =>
+        val (xy, zs) = densify(l.xy, l.zs, maxLen)
+        LineString(xy, zs)
+      case p: Polygon => Polygon(p.rings.map(r => densify(r, null, maxLen)._1))
+      case m: MultiPoint => m
+      case m: MultiLineString =>
+        MultiLineString(m.lines.map(l => segmentize(l, maxLen).asInstanceOf[LineString]))
+      case m: MultiPolygon =>
+        MultiPolygon(m.polys.map(p => segmentize(p, maxLen).asInstanceOf[Polygon]))
+      case c: GeometryCollection => GeometryCollection(c.geoms.map(segmentize(_, maxLen)))
+    }
+  }
+
+  private def densify(xy: Array[Double], zs: Array[Double],
+      maxLen: Double): (Array[Double], Array[Double]) = {
+    if (xy.length < 4) return (xy, zs)
+    val outXy = mutable.ArrayBuilder.make[Double]
+    val outZ = if (zs == null) null else mutable.ArrayBuilder.make[Double]
+    var i = 0
+    while (i + 3 < xy.length) {
+      val x1 = xy(i); val y1 = xy(i + 1); val x2 = xy(i + 2); val y2 = xy(i + 3)
+      val len = math.hypot(x2 - x1, y2 - y1)
+      val pieces = math.max(1, math.ceil(len / maxLen).toInt)
+      var k = 0
+      while (k < pieces) {
+        val t = k.toDouble / pieces
+        outXy += x1 + t * (x2 - x1) += y1 + t * (y2 - y1)
+        if (outZ != null) outZ += zs(i / 2) + t * (zs(i / 2 + 1) - zs(i / 2))
+        k += 1
+      }
+      i += 2
+    }
+    outXy += xy(xy.length - 2) += xy(xy.length - 1)
+    if (outZ != null) outZ += zs(zs.length - 1)
+    (outXy.result(), if (outZ == null) null else outZ.result())
+  }
+
+  /** Drop consecutive vertices closer than `tol` (shapely
+    * remove_repeated_points). First and last points of every path are
+    * always kept, so rings stay closed; (Multi)Points return unchanged,
+    * matching shapely.
+    */
+  def removeRepeatedPoints(g: Geometry, tol: Double = 0.0): Geometry = g match {
+    case p: Point => p
+    case m: MultiPoint => m
+    case l: LineString => LineString(dedupPath(l.xy, tol))
+    case p: Polygon => Polygon(p.rings.map(r => dedupPath(r, tol)))
+    case m: MultiLineString =>
+      MultiLineString(m.lines.map(l => LineString(dedupPath(l.xy, tol))))
+    case m: MultiPolygon =>
+      MultiPolygon(m.polys.map(p => Polygon(p.rings.map(r => dedupPath(r, tol)))))
+    case c: GeometryCollection =>
+      GeometryCollection(c.geoms.map(removeRepeatedPoints(_, tol)))
+  }
+
+  private def dedupPath(xy: Array[Double], tol: Double): Array[Double] = {
+    if (xy.length <= 4) return xy
+    val out = mutable.ArrayBuilder.make[Double]
+    out += xy(0) += xy(1)
+    var lastX = xy(0); var lastY = xy(1)
+    var i = 2
+    while (i < xy.length - 2) {
+      val d = math.hypot(xy(i) - lastX, xy(i + 1) - lastY)
+      if (d > tol) {
+        out += xy(i) += xy(i + 1)
+        lastX = xy(i); lastY = xy(i + 1)
+      }
+      i += 2
+    }
+    out += xy(xy.length - 2) += xy(xy.length - 1)
+    out.result()
+  }
+
+  /** Every distinct vertex, in order of first occurrence, as a MultiPoint
+    * (GEOS ExtractUniquePoints). Exact coordinate equality.
+    */
+  def extractUniquePoints(g: Geometry): Geometry = {
+    val seen = mutable.LinkedHashSet.empty[(Double, Double)]
+    g.foreachCoord((x, y) => seen += ((x, y)))
+    if (seen.isEmpty) MultiPoint(Array.empty)
+    else MultiPoint(seen.iterator.map { case (x, y) => Point(x, y) }.toArray)
+  }
+
+  /** Smallest enclosing circle of the vertices (Welzl's algorithm with the
+    * input order — deterministic, no randomization; expected-linear cost
+    * relies on typical vertex orders, worst case O(n²) on adversarial
+    * inputs, fine at per-row geometry sizes). Returns (cx, cy, radius);
+    * NaNs for empty input.
+    */
+  def minimumBoundingCenterRadius(g: Geometry): (Double, Double, Double) = {
+    val pts = mutable.ArrayBuffer.empty[(Double, Double)]
+    g.foreachCoord((x, y) => pts += ((x, y)))
+    if (pts.isEmpty) return (Double.NaN, Double.NaN, Double.NaN)
+    var cx = pts(0)._1; var cy = pts(0)._2; var r = 0.0
+    @inline def inside(p: (Double, Double)): Boolean =
+      math.hypot(p._1 - cx, p._2 - cy) <= r * (1 + 1e-12) + 1e-300
+    def circle2(a: (Double, Double), b: (Double, Double)): Unit = {
+      cx = (a._1 + b._1) / 2; cy = (a._2 + b._2) / 2
+      r = math.hypot(a._1 - b._1, a._2 - b._2) / 2
+    }
+    def circle3(a: (Double, Double), b: (Double, Double), c: (Double, Double)): Boolean = {
+      val d = 2 * (a._1 * (b._2 - c._2) + b._1 * (c._2 - a._2) + c._1 * (a._2 - b._2))
+      if (d == 0) return false // collinear
+      val a2 = a._1 * a._1 + a._2 * a._2
+      val b2 = b._1 * b._1 + b._2 * b._2
+      val c2 = c._1 * c._1 + c._2 * c._2
+      cx = (a2 * (b._2 - c._2) + b2 * (c._2 - a._2) + c2 * (a._2 - b._2)) / d
+      cy = (a2 * (c._1 - b._1) + b2 * (a._1 - c._1) + c2 * (b._1 - a._1)) / d
+      r = math.hypot(a._1 - cx, a._2 - cy)
+      true
+    }
+    // incremental Welzl (move-to-front flavor without the random shuffle)
+    var i = 1
+    while (i < pts.length) {
+      if (!inside(pts(i))) {
+        cx = pts(i)._1; cy = pts(i)._2; r = 0.0
+        var j = 0
+        while (j < i) {
+          if (!inside(pts(j))) {
+            circle2(pts(i), pts(j))
+            var k = 0
+            while (k < j) {
+              if (!inside(pts(k))) {
+                if (!circle3(pts(i), pts(j), pts(k))) {
+                  // collinear triple: the two farthest apart span the circle
+                  val d1 = math.hypot(pts(i)._1 - pts(j)._1, pts(i)._2 - pts(j)._2)
+                  val d2 = math.hypot(pts(i)._1 - pts(k)._1, pts(i)._2 - pts(k)._2)
+                  val d3 = math.hypot(pts(j)._1 - pts(k)._1, pts(j)._2 - pts(k)._2)
+                  if (d1 >= d2 && d1 >= d3) circle2(pts(i), pts(j))
+                  else if (d2 >= d3) circle2(pts(i), pts(k))
+                  else circle2(pts(j), pts(k))
+                }
+              }
+              k += 1
+            }
+          }
+          j += 1
+        }
+      }
+      i += 1
+    }
+    (cx, cy, r)
+  }
+
+  /** Smallest enclosing circle as a polygon (shapely
+    * minimum_bounding_circle), approximated with `resolution` segments per
+    * quadrant like st_buffer. Degenerate single-vertex input returns the
+    * point itself.
+    */
+  def minimumBoundingCircle(g: Geometry, resolution: Int = 16): Geometry = {
+    val (cx, cy, r) = minimumBoundingCenterRadius(g)
+    if (cx.isNaN) GeometryCollection(Array.empty)
+    else if (r == 0.0) Point(cx, cy)
+    else Constructive.circle(cx, cy, r, math.max(1, resolution) * 4)
+  }
+
+  /** Minimum-area rotated rectangle of the convex hull (shapely
+    * oriented_envelope / minimum_rotated_rectangle): one candidate
+    * rectangle per hull edge, aligned to it. Degenerate inputs (point,
+    * collinear) return the hull itself, matching GEOS.
+    */
+  def orientedEnvelope(g: Geometry): Geometry = {
+    Constructive.convexHull(g) match {
+      case hull: Polygon =>
+        val ring = hull.shell
+        val n = ring.length / 2 - 1 // closed ring
+        if (n < 3) return hull
+        var bestArea = Double.PositiveInfinity
+        var best: Array[Double] = null
+        var e = 0
+        while (e < n) {
+          val ex = ring(2 * ((e + 1) % n)) - ring(2 * e)
+          val ey = ring(2 * ((e + 1) % n) + 1) - ring(2 * e + 1)
+          val len = math.hypot(ex, ey)
+          if (len > 0) {
+            val ux = ex / len; val uy = ey / len // edge direction
+            var minU = Double.PositiveInfinity; var maxU = Double.NegativeInfinity
+            var minV = Double.PositiveInfinity; var maxV = Double.NegativeInfinity
+            var i = 0
+            while (i < n) {
+              val u = ring(2 * i) * ux + ring(2 * i + 1) * uy
+              val v = -ring(2 * i) * uy + ring(2 * i + 1) * ux
+              if (u < minU) minU = u
+              if (u > maxU) maxU = u
+              if (v < minV) minV = v
+              if (v > maxV) maxV = v
+              i += 1
+            }
+            val area = (maxU - minU) * (maxV - minV)
+            if (area < bestArea) {
+              bestArea = area
+              // corners back in world space: p = u*dir + v*normal
+              @inline def corner(u: Double, v: Double): (Double, Double) =
+                (u * ux - v * uy, u * uy + v * ux)
+              val c1 = corner(minU, minV); val c2 = corner(maxU, minV)
+              val c3 = corner(maxU, maxV); val c4 = corner(minU, maxV)
+              best = Array(c1._1, c1._2, c2._1, c2._2, c3._1, c3._2,
+                c4._1, c4._2, c1._1, c1._2)
+            }
+          }
+          e += 1
+        }
+        if (best == null) hull else Polygon(best)
+      case degenerate => degenerate
+    }
+  }
+
+  /** The shortest connecting line between two geometries (shapely
+    * shortest_line): a two-point LineString from the nearest point on `a`
+    * to the nearest point on `b`. Intersecting inputs yield a zero-length
+    * line at a shared point. Empty input yields an empty LineString.
+    */
+  def shortestLine(a: Geometry, b: Geometry): Geometry = {
+    if (a.isEmpty || b.isEmpty) return LineString(Array.empty[Double])
+    var bd = Double.PositiveInfinity
+    var bax = 0.0; var bay = 0.0; var bbx = 0.0; var bby = 0.0
+    def consider(d: Double, ax: Double, ay: Double, bx: Double, by: Double): Unit =
+      if (d < bd) { bd = d; bax = ax; bay = ay; bbx = bx; bby = by }
+    // closest point on segment (x1,y1)-(x2,y2) to p
+    def onSeg(px: Double, py: Double, x1: Double, y1: Double,
+        x2: Double, y2: Double): (Double, Double) = {
+      val dx = x2 - x1; val dy = y2 - y1
+      val len2 = dx * dx + dy * dy
+      if (len2 == 0) return (x1, y1)
+      var t = ((px - x1) * dx + (py - y1) * dy) / len2
+      if (t < 0) t = 0 else if (t > 1) t = 1
+      (x1 + t * dx, y1 + t * dy)
+    }
+    def pathsOf(g: Geometry): Seq[Array[Double]] = g match {
+      case p: Point => Seq(Array(p.x, p.y))
+      case l: LineString => Seq(l.xy)
+      case p: Polygon => p.rings.toSeq
+      case m: MultiPoint => m.pts.toSeq.map(p => Array(p.x, p.y))
+      case m: MultiLineString => m.lines.toSeq.map(_.xy)
+      case m: MultiPolygon => m.polys.toSeq.flatMap(_.rings)
+      case c: GeometryCollection => c.geoms.toSeq.flatMap(pathsOf)
+    }
+    // interior containment: a point of one inside the other's polygon area
+    def interiorHit(outer: Geometry, inner: Geometry): Boolean = outer match {
+      case _: Polygon | _: MultiPolygon | _: GeometryCollection =>
+        var hit = false
+        inner.foreachCoord((x, y) =>
+          if (!hit && Predicates.locate(x, y, outer) > Predicates.OUT) {
+            consider(0.0, x, y, x, y); hit = true
+          })
+        hit
+      case _ => false
+    }
+    if (!interiorHit(a, b) && !interiorHit(b, a)) {
+      for (pa <- pathsOf(a); pb <- pathsOf(b)) {
+        // vertex of a vs segments of b and vice versa; proper segment
+        // crossings contribute the crossing point
+        var i = 0
+        while (i < pa.length) {
+          if (pb.length == 2) {
+            val d = math.hypot(pa(i) - pb(0), pa(i + 1) - pb(1))
+            consider(d, pa(i), pa(i + 1), pb(0), pb(1))
+          } else {
+            var j = 0
+            while (j + 3 < pb.length) {
+              val (qx, qy) = onSeg(pa(i), pa(i + 1), pb(j), pb(j + 1), pb(j + 2), pb(j + 3))
+              consider(math.hypot(pa(i) - qx, pa(i + 1) - qy), pa(i), pa(i + 1), qx, qy)
+              j += 2
+            }
+          }
+          i += 2
+        }
+        var j = 0
+        while (j < pb.length) {
+          if (pa.length == 2) {
+            val d = math.hypot(pb(j) - pa(0), pb(j + 1) - pa(1))
+            consider(d, pa(0), pa(1), pb(j), pb(j + 1))
+          } else {
+            var i2 = 0
+            while (i2 + 3 < pa.length) {
+              val (qx, qy) = onSeg(pb(j), pb(j + 1), pa(i2), pa(i2 + 1), pa(i2 + 2), pa(i2 + 3))
+              consider(math.hypot(pb(j) - qx, pb(j + 1) - qy), qx, qy, pb(j), pb(j + 1))
+              i2 += 2
+            }
+          }
+          j += 2
+        }
+        // proper crossings: zero-length result at the intersection point
+        if (bd > 0 && pa.length >= 4 && pb.length >= 4) {
+          var i3 = 0
+          while (i3 + 3 < pa.length && bd > 0) {
+            var j3 = 0
+            while (j3 + 3 < pb.length && bd > 0) {
+              if (Predicates.segmentsIntersect(
+                  pa(i3), pa(i3 + 1), pa(i3 + 2), pa(i3 + 3),
+                  pb(j3), pb(j3 + 1), pb(j3 + 2), pb(j3 + 3))) {
+                val (ix, iy) = segCross(pa(i3), pa(i3 + 1), pa(i3 + 2), pa(i3 + 3),
+                  pb(j3), pb(j3 + 1), pb(j3 + 2), pb(j3 + 3))
+                consider(0.0, ix, iy, ix, iy)
+              }
+              j3 += 2
+            }
+            i3 += 2
+          }
+        }
+      }
+    }
+    LineString(Array(bax, bay, bbx, bby))
+  }
+
+  /** Intersection point of two segments known to intersect (midpoint of the
+    * overlap for collinear contact).
+    */
+  private def segCross(ax1: Double, ay1: Double, ax2: Double, ay2: Double,
+      bx1: Double, by1: Double, bx2: Double, by2: Double): (Double, Double) = {
+    val d = (ax2 - ax1) * (by2 - by1) - (ay2 - ay1) * (bx2 - bx1)
+    if (d != 0) {
+      val t = ((bx1 - ax1) * (by2 - by1) - (by1 - ay1) * (bx2 - bx1)) / d
+      (ax1 + t * (ax2 - ax1), ay1 + t * (ay2 - ay1))
+    } else {
+      // collinear: any shared endpoint, else segment-a endpoint on b
+      if (Measures.pointToSegment(ax1, ay1, bx1, by1, bx2, by2) == 0) (ax1, ay1)
+      else (ax2, ay2)
+    }
+  }
+
+  /** Merge the lines of a (Multi)LineString at nodes where exactly two line
+    * ends meet (GEOS LineMerger). Exact endpoint coordinate match, like
+    * GEOS. Returns a LineString when everything merges to one chain, else a
+    * MultiLineString.
+    */
+  def lineMerge(g: Geometry): Geometry = {
+    val lines: Array[LineString] = g match {
+      case l: LineString => return l // already one chain
+      case m: MultiLineString => m.lines.filter(!_.isEmpty)
+      case c: GeometryCollection =>
+        c.geoms.collect { case l: LineString if !l.isEmpty => l }
+      case other => return other // lineMerge of non-lineal input: unchanged
+    }
+    if (lines.isEmpty) return MultiLineString(Array.empty)
+    final case class End(line: Int, atStart: Boolean)
+    val nodeOf = mutable.LinkedHashMap.empty[(Double, Double), mutable.ArrayBuffer[End]]
+    def endpoint(l: LineString, start: Boolean): (Double, Double) =
+      if (start) (l.x(0), l.y(0)) else (l.x(l.size - 1), l.y(l.size - 1))
+    lines.zipWithIndex.foreach { case (l, i) =>
+      nodeOf.getOrElseUpdate(endpoint(l, start = true), mutable.ArrayBuffer.empty) +=
+        End(i, atStart = true)
+      nodeOf.getOrElseUpdate(endpoint(l, start = false), mutable.ArrayBuffer.empty) +=
+        End(i, atStart = false)
+    }
+    val used = new Array[Boolean](lines.length)
+    val merged = mutable.ArrayBuffer.empty[LineString]
+
+    // walk a maximal chain starting by consuming `e`'s line away from `from`
+    def walk(first: End): Array[Double] = {
+      val acc = mutable.ArrayBuilder.make[Double]
+      var e = first
+      var firstLine = true
+      var continue = true
+      while (continue) {
+        val l = lines(e.line)
+        used(e.line) = true
+        // traverse the line from the entry end to the far end
+        val xy = if (e.atStart) l.xy else reverseRing(l.xy)
+        val from = if (firstLine) 0 else 2 // skip duplicated junction vertex
+        var i = from
+        while (i < xy.length) { acc += xy(i); i += 1 }
+        firstLine = false
+        val far = (xy(xy.length - 2), xy(xy.length - 1))
+        val incident = nodeOf(far)
+        if (incident.length == 2) {
+          val next = incident.find(x => !used(x.line))
+          if (next.isDefined) e = next.get else continue = false
+        } else continue = false
+      }
+      acc.result()
+    }
+
+    // chains must START at nodes of degree != 2 (or where the mate is used)
+    for ((_, ends) <- nodeOf; if ends.length != 2; e <- ends; if !used(e.line))
+      merged += LineString(walk(e))
+    // leftover pure cycles: every node degree 2
+    lines.indices.foreach { i =>
+      if (!used(i)) merged += LineString(walk(End(i, atStart = true)))
+    }
+    if (merged.length == 1) merged(0) else MultiLineString(merged.toArray)
+  }
+}

@@ -197,6 +197,25 @@ object GraftDefs {
     "st_skew" -> Spec(Seq(B, D, D, D, D, BO), B,
       a => wkb(Constructive.skew(geom(a(0)), dbl(a(1)), dbl(a(2)), dbl(a(3)), dbl(a(4)),
         a(5).asInstanceOf[Boolean]))),
+    // ---- extended constructive (geopandas-proper surface past the
+    // reference's binding list; semantics per shapely/GEOS — geom/Extended.scala)
+    "st_reverse" -> g1(B)(g => wkb(Extended.reverse(g))),
+    "st_force2d" -> g1(B)(g => wkb(Extended.force2d(g))),
+    "st_segmentize" -> Spec(Seq(B, D), B,
+      a => wkb(Extended.segmentize(geom(a(0)), dbl(a(1))))),
+    "st_removerepeatedpoints" -> Spec(Seq(B, D), B,
+      a => wkb(Extended.removeRepeatedPoints(geom(a(0)), dbl(a(1))))),
+    "st_extractuniquepoints" -> g1(B)(g => wkb(Extended.extractUniquePoints(g))),
+    "st_minimumboundingradius" -> g1(D) { g =>
+      val r = Extended.minimumBoundingCenterRadius(g)._3
+      if (r.isNaN) null else r
+    },
+    "st_minimumboundingcircle" -> Spec(Seq(B, I), B,
+      a => wkb(Extended.minimumBoundingCircle(geom(a(0)), int(a(1))))),
+    "st_orientedenvelope" -> g1(B)(g => wkb(Extended.orientedEnvelope(g))),
+    "st_shortestline" -> g2(B)((x, y) => wkb(Extended.shortestLine(x, y))),
+    "st_hausdorffdistance" -> g2(D)(Measures.hausdorffApprox),
+    "st_linemerge" -> g1(B)(g => wkb(Extended.lineMerge(g))),
     // ---- overlay
     "st_intersection" -> g2(B)((x, y) => wkb(Overlay.intersection(x, y))),
     "st_difference" -> g2(B)((x, y) => wkb(Overlay.difference(x, y))),

@@ -90,6 +90,21 @@ object functions {
   def st_lineLocatePoint(g: Column, p: Column, normalized: Column = lit(false)): Column =
     fn("st_linelocatepoint", g, p, normalized)
 
+  // ------------------------------------- extended constructive (geopandas)
+  def st_reverse(g: Column): Column = fn("st_reverse", g)
+  def st_force2d(g: Column): Column = fn("st_force2d", g)
+  def st_segmentize(g: Column, maxLen: Column): Column = fn("st_segmentize", g, maxLen)
+  def st_removeRepeatedPoints(g: Column, tol: Column = lit(0.0)): Column =
+    fn("st_removerepeatedpoints", g, tol)
+  def st_extractUniquePoints(g: Column): Column = fn("st_extractuniquepoints", g)
+  def st_minimumBoundingRadius(g: Column): Column = fn("st_minimumboundingradius", g)
+  def st_minimumBoundingCircle(g: Column, resolution: Column = lit(16)): Column =
+    fn("st_minimumboundingcircle", g, resolution)
+  def st_orientedEnvelope(g: Column): Column = fn("st_orientedenvelope", g)
+  def st_shortestLine(a: Column, b: Column): Column = fn("st_shortestline", a, b)
+  def st_hausdorffDistance(a: Column, b: Column): Column = fn("st_hausdorffdistance", a, b)
+  def st_lineMerge(g: Column): Column = fn("st_linemerge", g)
+
   // ---------------------------------------------------------------- affine
   def st_affine(g: Column, a: Column, b: Column, d: Column, e: Column,
       xoff: Column, yoff: Column): Column = fn("st_affine", g, a, b, d, e, xoff, yoff)

@@ -1,0 +1,228 @@
+package graft.geom
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class ExtendedSpec extends AnyFunSuite {
+
+  private def wkt(s: String): Geometry = Wkt.read(s)
+  private def w(g: Geometry): String = Wkt.write(g)
+
+  // ------------------------------------------------------------- reverse
+
+  test("reverse flips coordinate order per path and ring orientation") {
+    assert(w(Extended.reverse(wkt("LINESTRING (0 0, 1 1, 2 0)"))) ==
+      "LINESTRING (2 0, 1 1, 0 0)")
+    assert(w(Extended.reverse(wkt("POLYGON ((0 0, 4 0, 4 4, 0 0))"))) ==
+      "POLYGON ((0 0, 4 4, 4 0, 0 0))")
+    assert(w(Extended.reverse(wkt("POINT (3 4)"))) == "POINT (3 4)")
+    assert(w(Extended.reverse(wkt("MULTILINESTRING ((0 0, 1 0), (2 2, 3 3))"))) ==
+      "MULTILINESTRING ((1 0, 0 0), (3 3, 2 2))")
+  }
+
+  test("reverse keeps Z aligned with its vertex") {
+    val l = wkt("LINESTRING Z (0 0 5, 1 1 6, 2 0 7)")
+    assert(w(Extended.reverse(l)) == "LINESTRING Z (2 0 7, 1 1 6, 0 0 5)")
+  }
+
+  test("reverse is an involution") {
+    val g = wkt("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 4))")
+    assert(w(Extended.reverse(Extended.reverse(g))) == w(g))
+  }
+
+  // ------------------------------------------------------------- force2d
+
+  test("force2d drops Z everywhere") {
+    assert(w(Extended.force2d(wkt("POINT Z (1 2 3)"))) == "POINT (1 2)")
+    assert(w(Extended.force2d(wkt("LINESTRING Z (0 0 1, 1 1 2)"))) ==
+      "LINESTRING (0 0, 1 1)")
+    assert(!Extended.force2d(wkt("MULTIPOINT Z ((1 1 9), (2 2 8))")).hasZ)
+    // 2D input passes through
+    assert(w(Extended.force2d(wkt("POINT (1 2)"))) == "POINT (1 2)")
+  }
+
+  // ---------------------------------------------------------- segmentize
+
+  test("segmentize splits long segments evenly and keeps length") {
+    val l = wkt("LINESTRING (0 0, 10 0)")
+    val s = Extended.segmentize(l, 3.0).asInstanceOf[LineString]
+    // ceil(10/3)=4 pieces -> 5 points at 0, 2.5, 5, 7.5, 10
+    assert(s.size == 5)
+    assert(s.xy.sameElements(Array(0.0, 0.0, 2.5, 0.0, 5.0, 0.0, 7.5, 0.0, 10.0, 0.0)))
+    assert(Measures.length(s) == 10.0)
+    // already-short segments untouched
+    assert(w(Extended.segmentize(wkt("LINESTRING (0 0, 1 0)"), 3.0)) ==
+      "LINESTRING (0 0, 1 0)")
+  }
+
+  test("segmentize densifies polygon rings and preserves area") {
+    val p = wkt("POLYGON ((0 0, 6 0, 6 6, 0 6, 0 0))")
+    val s = Extended.segmentize(p, 2.0).asInstanceOf[Polygon]
+    assert(s.shell.length / 2 == 13) // 4 sides x 3 pieces + closing point
+    assert(Measures.area(s) == 36.0)
+  }
+
+  test("segmentize interpolates Z linearly") {
+    val l = wkt("LINESTRING Z (0 0 0, 10 0 10)")
+    val s = Extended.segmentize(l, 5.0).asInstanceOf[LineString]
+    assert(s.zs.toSeq == Seq(0.0, 5.0, 10.0))
+  }
+
+  test("segmentize rejects non-positive maxLen") {
+    intercept[IllegalArgumentException](Extended.segmentize(wkt("POINT (0 0)"), 0.0))
+  }
+
+  // ----------------------------------------------- removeRepeatedPoints
+
+  test("removeRepeatedPoints drops consecutive duplicates within tolerance") {
+    assert(w(Extended.removeRepeatedPoints(
+      wkt("LINESTRING (0 0, 0 0, 1 0, 1 0, 2 0)"), 0.0)) ==
+      "LINESTRING (0 0, 1 0, 2 0)")
+    // tolerance-based: vertices within 0.5 of the last kept one go
+    assert(w(Extended.removeRepeatedPoints(
+      wkt("LINESTRING (0 0, 0.3 0, 2 0, 2.2 0, 5 0)"), 0.5)) ==
+      "LINESTRING (0 0, 2 0, 5 0)")
+    // last point always kept (ring closure)
+    assert(w(Extended.removeRepeatedPoints(
+      wkt("POLYGON ((0 0, 4 0, 4 0, 4 4, 0 0))"), 0.0)) ==
+      "POLYGON ((0 0, 4 0, 4 4, 0 0))")
+    // multipoints unchanged per shapely
+    assert(w(Extended.removeRepeatedPoints(wkt("MULTIPOINT ((1 1), (1 1))"), 0.0)) ==
+      "MULTIPOINT ((1 1), (1 1))")
+  }
+
+  // ----------------------------------------------- extractUniquePoints
+
+  test("extractUniquePoints keeps first-occurrence order, drops dups") {
+    assert(w(Extended.extractUniquePoints(
+      wkt("POLYGON ((0 0, 4 0, 4 4, 0 0))"))) ==
+      "MULTIPOINT ((0 0), (4 0), (4 4))")
+    assert(w(Extended.extractUniquePoints(
+      wkt("MULTILINESTRING ((0 0, 1 1), (1 1, 2 2))"))) ==
+      "MULTIPOINT ((0 0), (1 1), (2 2))")
+  }
+
+  // ----------------------------------------- minimum bounding circle
+
+  test("minimumBoundingCenterRadius: square, collinear, single point") {
+    val (cx, cy, r) = Extended.minimumBoundingCenterRadius(
+      wkt("MULTIPOINT ((0 0), (4 0), (4 4), (0 4))"))
+    assert(math.abs(cx - 2) < 1e-12 && math.abs(cy - 2) < 1e-12)
+    assert(math.abs(r - 2 * math.sqrt(2)) < 1e-12)
+
+    val (lx, ly, lr) = Extended.minimumBoundingCenterRadius(
+      wkt("LINESTRING (0 0, 1 0, 10 0)"))
+    assert(math.abs(lx - 5) < 1e-12 && math.abs(ly) < 1e-12 && math.abs(lr - 5) < 1e-12)
+
+    val (px, py, pr) = Extended.minimumBoundingCenterRadius(wkt("POINT (7 8)"))
+    assert(px == 7 && py == 8 && pr == 0.0)
+  }
+
+  test("minimumBoundingCircle contains every vertex") {
+    val g = wkt("MULTIPOINT ((0 0), (3 7), (-2 4), (5 5), (1 -3))")
+    val (cx, cy, r) = Extended.minimumBoundingCenterRadius(g)
+    g.foreachCoord((x, y) =>
+      assert(math.hypot(x - cx, y - cy) <= r + 1e-9))
+    // and at least two vertices lie ON the circle (it is minimal)
+    var onCircle = 0
+    g.foreachCoord((x, y) =>
+      if (math.abs(math.hypot(x - cx, y - cy) - r) < 1e-9) onCircle += 1)
+    assert(onCircle >= 2)
+    val circle = Extended.minimumBoundingCircle(g, 16)
+    assert(math.abs(Measures.area(circle) - math.Pi * r * r) < 0.01 * r * r)
+  }
+
+  // ------------------------------------------------- oriented envelope
+
+  test("orientedEnvelope recovers a rotated rectangle") {
+    val w0 = 6.0; val h0 = 2.0; val theta = math.toRadians(30)
+    val corners = Seq((0.0, 0.0), (w0, 0.0), (w0, h0), (0.0, h0)).map { case (x, y) =>
+      (x * math.cos(theta) - y * math.sin(theta),
+        x * math.sin(theta) + y * math.cos(theta))
+    }
+    val mp = MultiPoint(corners.map { case (x, y) => Point(x, y) }.toArray)
+    val env = Extended.orientedEnvelope(mp)
+    assert(math.abs(Measures.area(env) - w0 * h0) < 1e-9)
+    // axis-aligned bbox of the rotated rect is strictly larger
+    assert(env.envelope.area > w0 * h0 + 1.0)
+  }
+
+  test("orientedEnvelope degenerates like GEOS: point and collinear input") {
+    assert(w(Extended.orientedEnvelope(wkt("POINT (1 2)"))) == "POINT (1 2)")
+    val col = Extended.orientedEnvelope(wkt("MULTIPOINT ((0 0), (2 2), (5 5))"))
+    assert(col.isInstanceOf[LineString]) // hull of collinear points
+  }
+
+  // ------------------------------------------------------ shortestLine
+
+  test("shortestLine between parallel segments") {
+    val a = wkt("LINESTRING (0 0, 10 0)")
+    val b = wkt("LINESTRING (2 3, 12 3)")
+    val sl = Extended.shortestLine(a, b).asInstanceOf[LineString]
+    assert(Measures.length(sl) == 3.0)
+    assert(sl.y(0) == 0.0 && sl.y(1) == 3.0)
+    assert(sl.x(0) == sl.x(1)) // perpendicular
+  }
+
+  test("shortestLine endpoint order is (on a, on b)") {
+    val a = wkt("POINT (0 0)")
+    val b = wkt("LINESTRING (5 -5, 5 5)")
+    val sl = Extended.shortestLine(a, b).asInstanceOf[LineString]
+    assert(sl.x(0) == 0.0 && sl.y(0) == 0.0)
+    assert(sl.x(1) == 5.0 && sl.y(1) == 0.0)
+  }
+
+  test("shortestLine of intersecting geometries is zero-length at a shared point") {
+    val a = wkt("LINESTRING (0 0, 10 10)")
+    val b = wkt("LINESTRING (0 10, 10 0)")
+    val sl = Extended.shortestLine(a, b).asInstanceOf[LineString]
+    assert(Measures.length(sl) == 0.0)
+    assert(sl.x(0) == 5.0 && sl.y(0) == 5.0)
+    // point inside polygon
+    val in = Extended.shortestLine(wkt("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"),
+      wkt("POINT (2 2)")).asInstanceOf[LineString]
+    assert(Measures.length(in) == 0.0)
+  }
+
+  test("shortestLine matches distance on polygon pairs") {
+    val a = wkt("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")
+    val b = wkt("POLYGON ((5 1, 7 1, 7 3, 5 3, 5 1))")
+    val sl = Extended.shortestLine(a, b)
+    assert(math.abs(Measures.length(sl) - Measures.distance(a, b)) < 1e-12)
+  }
+
+  // --------------------------------------------------------- lineMerge
+
+  test("lineMerge joins chains at degree-2 nodes") {
+    val m = wkt("MULTILINESTRING ((0 0, 2 0), (2 0, 2 3), (5 5, 6 6))")
+    val merged = Extended.lineMerge(m)
+    assert(merged.numGeometries == 2)
+    val parts = (0 until 2).map(i => merged.geometryN(i).asInstanceOf[LineString])
+    val chain = parts.find(_.size == 3).get
+    assert(Measures.length(chain) == 5.0)
+    assert(parts.map(Measures.length(_)).sum ==
+      Measures.length(m))
+  }
+
+  test("lineMerge respects direction (reverses segments as needed)") {
+    // second segment points INTO the junction: must reverse to chain
+    val m = wkt("MULTILINESTRING ((0 0, 2 0), (5 0, 2 0))")
+    val merged = Extended.lineMerge(m)
+    assert(merged.isInstanceOf[LineString])
+    assert(Measures.length(merged) == 5.0)
+    assert(merged.asInstanceOf[LineString].size == 3)
+  }
+
+  test("lineMerge does not merge through degree-3 junctions") {
+    val m = wkt("MULTILINESTRING ((0 0, 1 0), (1 0, 2 0), (1 0, 1 5))")
+    val merged = Extended.lineMerge(m)
+    assert(merged.numGeometries == 3) // the 3-way node blocks all merging
+  }
+
+  test("lineMerge closes pure cycles") {
+    val m = wkt("MULTILINESTRING ((0 0, 1 0), (1 0, 1 1), (1 1, 0 0))")
+    val merged = Extended.lineMerge(m)
+    assert(merged.isInstanceOf[LineString])
+    val l = merged.asInstanceOf[LineString]
+    assert(l.isClosed && l.size == 4)
+  }
+}

@@ -1097,6 +1097,11 @@ object OracleSql {
         round(a + b + 1, 6) AS len_merged
       FROM p ORDER BY s_suppkey""",
 
+    "g56_gml" -> """
+      SELECT s_suppkey::BIGINT AS s_suppkey, s_name, s_acctbal AS bal,
+             s_acctbal AS x, (s_suppkey % 100)::DOUBLE * 10.0 AS y
+      FROM supplier ORDER BY s_suppkey""",
+
     "g51_kml" -> """
       SELECT s_suppkey::BIGINT AS s_suppkey, s_name, s_acctbal AS bal,
              s_acctbal AS x, (s_suppkey % 100)::DOUBLE * 10.0 AS y

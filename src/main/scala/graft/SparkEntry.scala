@@ -1165,6 +1165,27 @@ object SparkEntry {
         .orderBy(col("s_suppkey"))
     }),
 
+    // GML roundtrip (the OGR GML driver surface, ref io/file.py:49-149):
+    // one ogr:FeatureCollection per partition task-side, StAX file-parallel
+    // reads, schemaless props map like KML (GML application schemas are
+    // arbitrary), GML 3.2 posList geometry encoding
+    "g56_gml" -> ((s, d) => {
+      val loc = "/tmp/graft_g56_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val pts = graft.api.GeoDataFrame(
+        supplierPts(s, d)
+          .withColumn("geometry", st_point(col("x0"), col("y0")))
+          .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("geometry")),
+        "geometry")
+      graft.io.GmlIO.write(pts, loc)
+      graft.api.GeoDataFrame.readFile(s, loc).df
+        .select(
+          element_at(col("props"), "s_suppkey").cast("long").as("s_suppkey"),
+          element_at(col("props"), "s_name").as("s_name"),
+          element_at(col("props"), "s_acctbal").cast("double").as("bal"),
+          st_x(col("geometry")).as("x"), st_y(col("geometry")).as("y"))
+        .orderBy(col("s_suppkey"))
+    }),
+
     // negative buffer (inward offset) of convex polygons, incl. collapse
     "g29_negative_buffer" -> ((s, d) => {
       supplierPts(s, d)

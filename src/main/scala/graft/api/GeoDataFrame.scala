@@ -930,7 +930,7 @@ object GeoDataFrame {
           .flatMap(n => n.split('.').lastOption.filter(_ => n.contains('.')))
           .toSet
         val known = exts.intersect(
-          Set("shp", "fgb", "arrow", "geojsonl", "ndjson", "kml", "geojson"))
+          Set("shp", "fgb", "arrow", "geojsonl", "ndjson", "kml", "geojson", "gml"))
         require(known.size == 1,
           s"read_file: directory $bare holds ${if (known.isEmpty) "no" else "multiple"} " +
             s"recognized formats (${exts.mkString(", ")}) — pass an explicit file or " +
@@ -957,10 +957,12 @@ object GeoDataFrame {
       graft.io.GeoJsonIO.read(spark, bare, geometryColumn)
     else if (lower.endsWith(".kml"))
       graft.io.KmlIO.read(spark, bare, geometryColumn)
+    else if (lower.endsWith(".gml"))
+      graft.io.GmlIO.read(spark, bare, geometryColumn)
     else
       throw new IllegalArgumentException(
         s"read_file: cannot infer a driver from '$path' — " +
-          "supported suffixes: .shp, .gpkg, .fgb, .kml, .geojson, .geojsonl/.ndjson")
+          "supported suffixes: .shp, .gpkg, .fgb, .kml, .gml, .geojson, .geojsonl/.ndjson")
   }
 
   def readGeoPackage(

@@ -1,0 +1,127 @@
+package graft.io
+
+import graft.api.GeoDataFrame
+import graft.geom.{LineString, MultiPolygon, Point, Polygon, Wkb, Wkt}
+import graft.sql.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class GmlIOSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(): String = {
+    val d = java.nio.file.Files.createTempDirectory("gml").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath + "/ds"
+  }
+
+  test("write/read roundtrip: attrs, nulls omitted, gml_id surfaced") {
+    val path = tmp()
+    val rows = (0 until 80).map { i =>
+      (i.toLong, s"f_$i", i * 2.5,
+        if (i % 6 == 0) null else s"v_$i",
+        Wkb.write(Point(i * 1.5 - 60.0, (i % 70).toDouble)))
+    }
+    val gdf = GeoDataFrame(
+      rows.toDF("id", "nm", "score", "opt", "geometry").repartition(3), "geometry")
+    GmlIO.write(gdf, path)
+    val files = new java.io.File(path).listFiles().filter(_.getName.endsWith(".gml"))
+    assert(files.length == 3)
+
+    val back = GmlIO.read(spark, path)
+    val got = back.df
+      .select(
+        element_at($"props", "id").cast("long").as("id"),
+        element_at($"props", "nm").as("nm"),
+        element_at($"props", "score").cast("double").as("score"),
+        element_at($"props", "opt").as("opt"),
+        element_at($"props", "gml_id").as("gml_id"),
+        expr("st_x(geometry)").as("x"), expr("st_y(geometry)").as("y"))
+      .orderBy($"id").collect()
+    assert(got.length == 80)
+    rows.zip(got).foreach { case ((id, nm, sc, opt, _), r) =>
+      assert(r.getLong(0) == id)
+      assert(r.getString(1) == nm)
+      assert(r.getDouble(2) == sc)
+      assert(r.getString(3) == opt)
+      assert(r.getString(4) != null) // gml:id written and surfaced
+      assert(r.getDouble(5) == id * 1.5 - 60.0)
+      assert(r.getDouble(6) == (id % 70).toDouble)
+    }
+  }
+
+  test("geometry families roundtrip through GML 3.2 encoding") {
+    val path = tmp()
+    val geoms = Seq(
+      ("pt", "POINT (3.5 -2.25)"),
+      ("ls", "LINESTRING (0 0, 1.5 2.5, 3 1)"),
+      ("holed", "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 2 4, 4 4, 4 2, 2 2))"),
+      ("mpt", "MULTIPOINT ((1 1), (2 2))"),
+      ("mls", "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))"),
+      ("mpg", "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)), ((5 5, 6 5, 6 6, 5 5)))"))
+    val gdf = GeoDataFrame(
+      geoms.map { case (k, wkt) => (k, Wkb.write(Wkt.read(wkt))) }
+        .toDF("k", "geometry").coalesce(1), "geometry")
+    GmlIO.write(gdf, path)
+    val back = GmlIO.read(spark, path).df
+      .select(element_at($"props", "k").as("k"), expr("st_astext(geometry)").as("wkt"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    geoms.foreach { case (k, wkt) => assert(back(k) == wkt, s"key $k") }
+  }
+
+  test("reads third-party GML 2 coordinates and boundedBy is skipped") {
+    val dir = java.nio.file.Files.createTempDirectory("gml2")
+    val f = dir.resolve("third.gml")
+    java.nio.file.Files.write(f,
+      """<?xml version="1.0"?>
+        |<wfs:FeatureCollection xmlns:wfs="http://www.opengis.net/wfs"
+        |  xmlns:gml="http://www.opengis.net/gml" xmlns:app="http://example.com/app">
+        |  <gml:boundedBy><gml:Box>
+        |    <gml:coordinates>0,0 100,100</gml:coordinates>
+        |  </gml:Box></gml:boundedBy>
+        |  <gml:featureMember>
+        |    <app:city fid="c1">
+        |      <app:name>Alpha</app:name>
+        |      <app:pop>12345</app:pop>
+        |      <app:shape>
+        |        <gml:Polygon><gml:outerBoundaryIs><gml:LinearRing>
+        |          <gml:coordinates>0,0 4,0 4,4 0,0</gml:coordinates>
+        |        </gml:LinearRing></gml:outerBoundaryIs></gml:Polygon>
+        |      </app:shape>
+        |    </app:city>
+        |  </gml:featureMember>
+        |  <gml:featureMember>
+        |    <app:city fid="c2">
+        |      <app:name>Beta</app:name>
+        |      <app:loc><gml:Point><gml:coordinates>7,8</gml:coordinates></gml:Point></app:loc>
+        |    </app:city>
+        |  </gml:featureMember>
+        |</wfs:FeatureCollection>
+        |""".stripMargin.getBytes("UTF-8"))
+    val back = GmlIO.read(spark, f.toString).df
+      .select(element_at($"props", "name").as("name"),
+        element_at($"props", "pop").as("pop"),
+        element_at($"props", "gml_id").as("gid"),
+        expr("st_astext(geometry)").as("wkt"))
+      .orderBy($"name").collect()
+    assert(back.length == 2)
+    assert(back(0).getString(0) == "Alpha")
+    assert(back(0).getString(1) == "12345")
+    assert(back(0).getString(2) == "c1") // fid attribute form
+    assert(back(0).getString(3) == "POLYGON ((0 0, 4 0, 4 4, 0 0))")
+    assert(back(1).getString(0) == "Beta")
+    assert(back(1).getString(3) == "POINT (7 8)")
+  }
+
+  test("xml escaping and readFile dispatch") {
+    val path = tmp()
+    val gdf = GeoDataFrame(
+      Seq((1L, "a & b < c", Wkb.write(Point(0.0, 0.0))))
+        .toDF("id", "s", "geometry"), "geometry")
+    GmlIO.write(gdf, path)
+    val back = GeoDataFrame.readFile(spark, path).df
+      .select(element_at($"props", "s")).collect()
+    assert(back(0).getString(0) == "a & b < c")
+  }
+}

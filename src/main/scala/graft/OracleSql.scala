@@ -1097,6 +1097,28 @@ object OracleSql {
         round(a + b + 1, 6) AS len_merged
       FROM p ORDER BY s_suppkey""",
 
+    "g57_delaunay_frechet_offset" -> """
+      WITH p AS (SELECT s_suppkey,
+                   ((s_suppkey % 5) + 2)::DOUBLE AS w,
+                   ((s_suppkey % 7) + 3)::DOUBLE AS h,
+                   (s_suppkey % 4)::DOUBLE AS off,
+                   ((s_suppkey % 9) + 1)::DOUBLE AS dy,
+                   ((s_suppkey % 5) + 2)::DOUBLE AS a,
+                   ((s_suppkey % 3) + 2)::DOUBLE AS b
+                 FROM supplier)
+      SELECT s_suppkey,
+        4 AS n_tri,
+        round(w * h, 6) AS tri_area,
+        round(sqrt(off * off + dy * dy), 6) AS frechet,
+        round(a + b - 1.0, 6) AS off_left_len,
+        round(a + b + 1.0, 6) AS off_right_len,
+        round(a - 0.5, 6) AS off_end_x,
+        round(b, 6) AS off_end_y,
+        8 AS n_samp,
+        true AS inside,
+        true AS determ
+      FROM p ORDER BY s_suppkey""",
+
     "g56_gml" -> """
       SELECT s_suppkey::BIGINT AS s_suppkey, s_name, s_acctbal AS bal,
              s_acctbal AS x, (s_suppkey % 100)::DOUBLE * 10.0 AS y

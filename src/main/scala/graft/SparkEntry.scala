@@ -1186,6 +1186,53 @@ object SparkEntry {
         .orderBy(col("s_suppkey"))
     }),
 
+    // Delaunay triangulation, discrete Frechet distance, offset_curve and
+    // deterministic sample_points (shapely 2.x surface past the reference
+    // bindings): rectangle+center fan gives a closed-form triangulation
+    // (4 triangles, area w*h); parallel shifted 2-vertex lines give
+    // frechet = hypot(shift, dy); an L-path mitre offset has closed-form
+    // length and endpoint; seeded rejection sampling is checked for count,
+    // containment and reproducibility
+    "g57_delaunay_frechet_offset" -> ((s, d) => {
+      t(s, d, "supplier")
+        .withColumn("w", ((col("s_suppkey") % 5) + 2).cast("double"))
+        .withColumn("h", ((col("s_suppkey") % 7) + 3).cast("double"))
+        .withColumn("off", (col("s_suppkey") % 4).cast("double"))
+        .withColumn("dy", ((col("s_suppkey") % 9) + 1).cast("double"))
+        .withColumn("a", ((col("s_suppkey") % 5) + 2).cast("double"))
+        .withColumn("b", ((col("s_suppkey") % 3) + 2).cast("double"))
+        .withColumn("mp", st_geomFromWKT(concat(
+          lit("MULTIPOINT (0 0, "), col("w"), lit(" 0, "),
+          col("w"), lit(" "), col("h"), lit(", 0 "), col("h"), lit(", "),
+          col("w") / 2.0, lit(" "), col("h") / 2.0, lit(")"))))
+        .withColumn("dt", st_delaunayTriangles(col("mp")))
+        .withColumn("la", st_geomFromWKT(concat(
+          lit("LINESTRING ("), col("off"), lit(" 0, "), col("off") + 10.0, lit(" 0)"))))
+        .withColumn("lb", st_geomFromWKT(concat(
+          lit("LINESTRING (0 "), col("dy"), lit(", 10 "), col("dy"), lit(")"))))
+        .withColumn("lpath", st_geomFromWKT(concat(
+          lit("LINESTRING (0 0, "), col("a"), lit(" 0, "),
+          col("a"), lit(" "), col("b"), lit(")"))))
+        .withColumn("offL", st_offsetCurve(col("lpath"), lit(0.5)))
+        .withColumn("offR", st_offsetCurve(col("lpath"), lit(-0.5)))
+        .withColumn("tri", st_geomFromWKT(concat(
+          lit("POLYGON ((0 0, "), col("w"), lit(" 0, 0 "), col("h"), lit(", 0 0))"))))
+        .withColumn("sp", st_samplePoints(col("tri"), lit(8), lit(42L)))
+        .select(col("s_suppkey"),
+          st_numGeometries(col("dt")).as("n_tri"),
+          round(st_area(col("dt")), 6).as("tri_area"),
+          round(st_frechetDistance(col("la"), col("lb")), 6).as("frechet"),
+          round(st_length(col("offL")), 6).as("off_left_len"),
+          round(st_length(col("offR")), 6).as("off_right_len"),
+          round(st_x(element_at(st_dumpPoints(col("offL")), 3)), 6).as("off_end_x"),
+          round(st_y(element_at(st_dumpPoints(col("offL")), 3)), 6).as("off_end_y"),
+          st_numGeometries(col("sp")).as("n_samp"),
+          st_within(col("sp"), col("tri")).as("inside"),
+          st_equalsExact(col("sp"),
+            st_samplePoints(col("tri"), lit(8), lit(42L)), lit(0.0)).as("determ"))
+        .orderBy(col("s_suppkey"))
+    }),
+
     // negative buffer (inward offset) of convex polygons, incl. collapse
     "g29_negative_buffer" -> ((s, d) => {
       supplierPts(s, d)

@@ -441,4 +441,232 @@ object Extended {
     }
     if (merged.length == 1) merged(0) else MultiLineString(merged.toArray)
   }
+
+  // ------------------------------------------------------------- delaunay
+
+  /** Delaunay triangulation of the unique vertices (shapely
+    * delaunay_triangles): Bowyer–Watson incremental insertion. Returns a
+    * GeometryCollection of triangle Polygons (empty for fewer than 3
+    * non-collinear vertices). Triangle order is deterministic but not
+    * GEOS's — compare as sets or by aggregate measures.
+    */
+  def delaunayTriangles(g: Geometry): Geometry = {
+    val seen = mutable.LinkedHashSet.empty[(Double, Double)]
+    g.foreachCoord((x, y) => seen += ((x, y)))
+    val pts = seen.toArray
+    if (pts.length < 3) return GeometryCollection(Array.empty)
+
+    // super-triangle comfortably containing every point
+    var minX = Double.PositiveInfinity; var minY = Double.PositiveInfinity
+    var maxX = Double.NegativeInfinity; var maxY = Double.NegativeInfinity
+    pts.foreach { case (x, y) =>
+      if (x < minX) minX = x; if (x > maxX) maxX = x
+      if (y < minY) minY = y; if (y > maxY) maxY = y
+    }
+    val dmax = math.max(maxX - minX, maxY - minY) max 1.0
+    val mx = (minX + maxX) / 2; val my = (minY + maxY) / 2
+    val s1 = (mx - 20 * dmax, my - 10 * dmax)
+    val s2 = (mx + 20 * dmax, my - 10 * dmax)
+    val s3 = (mx, my + 20 * dmax)
+    val all = pts ++ Array(s1, s2, s3)
+    val n = pts.length
+
+    final case class Tri(a: Int, b: Int, c: Int)
+    var tris = mutable.ArrayBuffer(Tri(n, n + 1, n + 2))
+
+    @inline def inCircumcircle(t: Tri, px: Double, py: Double): Boolean = {
+      val (ax, ay) = all(t.a); val (bx, by) = all(t.b); val (cx, cy) = all(t.c)
+      val adx = ax - px; val ady = ay - py
+      val bdx = bx - px; val bdy = by - py
+      val cdx = cx - px; val cdy = cy - py
+      val ad = adx * adx + ady * ady
+      val bd = bdx * bdx + bdy * bdy
+      val cd = cdx * cdx + cdy * cdy
+      val det = adx * (bdy * cd - bd * cdy) -
+        ady * (bdx * cd - bd * cdx) +
+        ad * (bdx * cdy - bdy * cdx)
+      // sign depends on orientation; normalize by the triangle's orientation
+      val orient = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+      if (orient > 0) det > 0 else det < 0
+    }
+
+    var i = 0
+    while (i < n) {
+      val (px, py) = pts(i)
+      val bad = tris.filter(inCircumcircle(_, px, py))
+      if (bad.nonEmpty) {
+        // boundary of the cavity: edges appearing exactly once among bad tris
+        val edgeCount = mutable.LinkedHashMap.empty[(Int, Int), Int]
+        def addEdge(u: Int, v: Int): Unit = {
+          val k = if (u < v) (u, v) else (v, u)
+          edgeCount(k) = edgeCount.getOrElse(k, 0) + 1
+        }
+        bad.foreach { t => addEdge(t.a, t.b); addEdge(t.b, t.c); addEdge(t.c, t.a) }
+        tris = tris.filterNot(inCircumcircle(_, px, py))
+        edgeCount.foreach { case ((u, v), cnt) =>
+          if (cnt == 1) tris += Tri(u, v, i)
+        }
+      }
+      i += 1
+    }
+
+    val out = tris.toArray
+      .filter(t => t.a < n && t.b < n && t.c < n)
+      .flatMap { t =>
+        val (ax, ay) = all(t.a); val (bx, by) = all(t.b); val (cx, cy) = all(t.c)
+        val orient = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+        if (orient == 0) None // degenerate sliver
+        else if (orient > 0)
+          Some(Polygon(Array(ax, ay, bx, by, cx, cy, ax, ay)))
+        else Some(Polygon(Array(ax, ay, cx, cy, bx, by, ax, ay)))
+      }
+    GeometryCollection(out.toArray[Geometry])
+  }
+
+  // ------------------------------------------------------------- frechet
+
+  /** Discrete Fréchet distance over the vertex sequences (shapely
+    * frechet_distance without densify): standard O(n·m) dynamic program.
+    * Multi-part inputs use the concatenated vertex sequence of each side.
+    */
+  def frechetDistance(a: Geometry, b: Geometry): Double = {
+    val pa = verticesOf(a); val pb = verticesOf(b)
+    if (pa.isEmpty || pb.isEmpty) return Double.NaN
+    val n = pa.length / 2; val m = pb.length / 2
+    require(n.toLong * m <= 4_000_000L,
+      s"frechet: vertex product $n x $m exceeds the 4M guard")
+    val ca = new Array[Double](n * m)
+    @inline def d(i: Int, j: Int): Double =
+      math.hypot(pa(2 * i) - pb(2 * j), pa(2 * i + 1) - pb(2 * j + 1))
+    var i = 0
+    while (i < n) {
+      var j = 0
+      while (j < m) {
+        val dij = d(i, j)
+        val prev =
+          if (i == 0 && j == 0) 0.0
+          else if (i == 0) ca((j - 1))
+          else if (j == 0) ca((i - 1) * m)
+          else math.min(ca((i - 1) * m + j),
+            math.min(ca((i - 1) * m + (j - 1)), ca(i * m + (j - 1))))
+        ca(i * m + j) = math.max(prev, dij)
+        j += 1
+      }
+      i += 1
+    }
+    ca(n * m - 1)
+  }
+
+  private def verticesOf(g: Geometry): Array[Double] = {
+    val b = mutable.ArrayBuilder.make[Double]
+    g.foreachCoord((x, y) => b += x += y)
+    b.result()
+  }
+
+  // --------------------------------------------------------- offsetCurve
+
+  /** Parallel offset of a line at signed distance (shapely offset_curve):
+    * positive = left of the direction of travel, like GEOS. Joins are
+    * MITERED (GEOS's default is round; mitered join is the documented
+    * deviation — identical results on single-segment lines, and within the
+    * miter limit of GEOS's `join_style="mitre"` mode elsewhere). Negative
+    * distance offsets right; GEOS keeps the original direction, so do we.
+    */
+  def offsetCurve(g: Geometry, dist: Double): Geometry = g match {
+    case l: LineString =>
+      if (l.isEmpty || l.size < 2 || dist == 0.0) l
+      else LineString(offsetPath(l.xy, dist))
+    case m: MultiLineString =>
+      MultiLineString(m.lines.map(l =>
+        offsetCurve(l, dist).asInstanceOf[LineString]))
+    case other => throw new IllegalArgumentException(
+      s"offset_curve requires lineal input, got ${other.geometryType}")
+  }
+
+  private def offsetPath(xy: Array[Double], dist: Double): Array[Double] = {
+    val nSeg = xy.length / 2 - 1
+    // per-segment unit normals (left side)
+    val nx = new Array[Double](nSeg); val ny = new Array[Double](nSeg)
+    var i = 0
+    while (i < nSeg) {
+      val dx = xy(2 * i + 2) - xy(2 * i); val dy = xy(2 * i + 3) - xy(2 * i + 1)
+      val len = math.hypot(dx, dy)
+      if (len == 0) { nx(i) = Double.NaN; ny(i) = Double.NaN }
+      else { nx(i) = -dy / len; ny(i) = dx / len }
+      i += 1
+    }
+    val out = mutable.ArrayBuilder.make[Double]
+    // first point
+    var s0 = 0
+    while (s0 < nSeg && nx(s0).isNaN) s0 += 1
+    if (s0 == nSeg) return xy.clone() // all-degenerate path
+    out += xy(0) + dist * nx(s0) += xy(1) + dist * ny(s0)
+    i = 1
+    while (i < xy.length / 2 - 1) {
+      // join at interior vertex i between segment i-1 and i (skip degenerates)
+      var p = i - 1; while (p >= 0 && nx(p).isNaN) p -= 1
+      var q = i; while (q < nSeg && nx(q).isNaN) q += 1
+      if (p >= 0 && q < nSeg) {
+        val sumX = nx(p) + nx(q); val sumY = ny(p) + ny(q)
+        val denom = sumX * sumX + sumY * sumY
+        if (denom > 1e-24) {
+          // miter: along the angle bisector, scaled so both offsets meet
+          val scale = 2 * dist / denom
+          out += xy(2 * i) + scale * sumX += xy(2 * i + 1) + scale * sumY
+        } else {
+          // 180-degree reversal: square off with both raw offsets
+          out += xy(2 * i) + dist * nx(p) += xy(2 * i + 1) + dist * ny(p)
+          out += xy(2 * i) + dist * nx(q) += xy(2 * i + 1) + dist * ny(q)
+        }
+      }
+      i += 1
+    }
+    var sL = nSeg - 1
+    while (sL >= 0 && nx(sL).isNaN) sL -= 1
+    out += xy(xy.length - 2) + dist * nx(sL) += xy(xy.length - 1) + dist * ny(sL)
+    out.result()
+  }
+
+  // -------------------------------------------------------- samplePoints
+
+  /** Deterministic uniform random points inside a polygonal geometry
+    * (geopandas sample_points(size, rng=seed)): rejection sampling from the
+    * envelope driven by a splitmix64 stream seeded with (seed, attempt).
+    * Same (geometry, size, seed) always yields the same MultiPoint — the
+    * reproducibility a distributed engine needs (geopandas gets it from the
+    * numpy Generator; we derive it from the seed alone so the result is
+    * partition-layout-independent).
+    */
+  def samplePoints(g: Geometry, size: Int, seed: Long): Geometry = {
+    require(size >= 0, s"sample_points: negative size $size")
+    val e = g.envelope
+    if (e.isEmpty || size == 0 || Measures.area(g) == 0.0)
+      return MultiPoint(Array.empty)
+    val out = new Array[Point](size)
+    var found = 0
+    var attempt = 0L
+    val maxAttempts = 10_000L * size
+    while (found < size && attempt < maxAttempts) {
+      val r1 = splitmix64(seed ^ (attempt * 2 + 1))
+      val r2 = splitmix64(seed ^ (attempt * 2 + 2))
+      val x = e.minX + (e.maxX - e.minX) * toUnit(r1)
+      val y = e.minY + (e.maxY - e.minY) * toUnit(r2)
+      if (Predicates.locate(x, y, g) == Predicates.IN) {
+        out(found) = Point(x, y)
+        found += 1
+      }
+      attempt += 1
+    }
+    MultiPoint(out.take(found))
+  }
+
+  @inline private def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  @inline private def toUnit(r: Long): Double =
+    (r >>> 11).toDouble / (1L << 53).toDouble
 }

@@ -216,6 +216,12 @@ object GraftDefs {
     "st_shortestline" -> g2(B)((x, y) => wkb(Extended.shortestLine(x, y))),
     "st_hausdorffdistance" -> g2(D)(Measures.hausdorffApprox),
     "st_linemerge" -> g1(B)(g => wkb(Extended.lineMerge(g))),
+    "st_delaunaytriangles" -> g1(B)(g => wkb(Extended.delaunayTriangles(g))),
+    "st_frechetdistance" -> g2(D)(Extended.frechetDistance),
+    "st_offsetcurve" -> Spec(Seq(B, D), B,
+      a => wkb(Extended.offsetCurve(geom(a(0)), dbl(a(1))))),
+    "st_samplepoints" -> Spec(Seq(B, I, L), B,
+      a => wkb(Extended.samplePoints(geom(a(0)), int(a(1)), long(a(2))))),
     // ---- overlay
     "st_intersection" -> g2(B)((x, y) => wkb(Overlay.intersection(x, y))),
     "st_difference" -> g2(B)((x, y) => wkb(Overlay.difference(x, y))),

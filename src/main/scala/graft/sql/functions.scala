@@ -104,6 +104,11 @@ object functions {
   def st_shortestLine(a: Column, b: Column): Column = fn("st_shortestline", a, b)
   def st_hausdorffDistance(a: Column, b: Column): Column = fn("st_hausdorffdistance", a, b)
   def st_lineMerge(g: Column): Column = fn("st_linemerge", g)
+  def st_delaunayTriangles(g: Column): Column = fn("st_delaunaytriangles", g)
+  def st_frechetDistance(a: Column, b: Column): Column = fn("st_frechetdistance", a, b)
+  def st_offsetCurve(g: Column, dist: Column): Column = fn("st_offsetcurve", g, dist)
+  def st_samplePoints(g: Column, size: Column, seed: Column): Column =
+    fn("st_samplepoints", g, size, seed)
 
   // ---------------------------------------------------------------- affine
   def st_affine(g: Column, a: Column, b: Column, d: Column, e: Column,

@@ -225,4 +225,131 @@ class ExtendedSpec extends AnyFunSuite {
     val l = merged.asInstanceOf[LineString]
     assert(l.isClosed && l.size == 4)
   }
+
+  // ----------------------------------------------------- delaunayTriangles
+
+  test("delaunay of a single triangle is that triangle") {
+    val dt = Extended.delaunayTriangles(wkt("MULTIPOINT (0 0, 4 0, 0 3)"))
+    assert(dt.numGeometries == 1)
+    assert(math.abs(Measures.area(dt) - 6.0) < 1e-12)
+  }
+
+  test("delaunay of rectangle corners plus center is the 4-triangle fan") {
+    val dt = Extended.delaunayTriangles(
+      wkt("MULTIPOINT (0 0, 4 0, 4 6, 0 6, 2 3)"))
+    assert(dt.numGeometries == 4)
+    assert(math.abs(Measures.area(dt) - 24.0) < 1e-9)
+  }
+
+  test("delaunay of degenerate input is empty") {
+    assert(Extended.delaunayTriangles(wkt("MULTIPOINT (0 0, 1 1)")).numGeometries == 0)
+    // collinear points admit no triangle
+    assert(Extended.delaunayTriangles(
+      wkt("MULTIPOINT (0 0, 1 1, 2 2, 3 3)")).numGeometries == 0)
+  }
+
+  test("delaunay covers the convex hull and satisfies the empty-circumcircle property") {
+    // deterministic scatter (no cocircular quadruples)
+    val pts = (0 until 20).map { i =>
+      val x = (i * 37 % 17) + 0.01 * i
+      val y = (i * 53 % 13) + 0.007 * i * i
+      (x, y)
+    }
+    val mp = MultiPoint(pts.map { case (x, y) => Point(x, y) }.toArray)
+    val dt = Extended.delaunayTriangles(mp).asInstanceOf[GeometryCollection]
+    val hull = Constructive.convexHull(mp)
+    assert(math.abs(Measures.area(dt) - Measures.area(hull)) < 1e-9)
+    // empty circumcircle: no input point strictly inside any triangle's circumcircle
+    dt.geoms.foreach { tg =>
+      val r = tg.asInstanceOf[Polygon].rings(0)
+      val (ax, ay, bx, by, cx, cy) = (r(0), r(1), r(2), r(3), r(4), r(5))
+      val d = 2 * (ax * (by - cy) + bx * (cy - ay) + cx * (ay - by))
+      val ux = ((ax * ax + ay * ay) * (by - cy) + (bx * bx + by * by) * (cy - ay) +
+        (cx * cx + cy * cy) * (ay - by)) / d
+      val uy = ((ax * ax + ay * ay) * (cx - bx) + (bx * bx + by * by) * (ax - cx) +
+        (cx * cx + cy * cy) * (bx - ax)) / d
+      val r2 = (ax - ux) * (ax - ux) + (ay - uy) * (ay - uy)
+      pts.foreach { case (px, py) =>
+        val d2 = (px - ux) * (px - ux) + (py - uy) * (py - uy)
+        assert(d2 >= r2 - 1e-7, s"point ($px,$py) inside circumcircle of triangle")
+      }
+    }
+  }
+
+  // --------------------------------------------------------- frechetDistance
+
+  test("frechet of identical lines is zero; parallel offset is the offset") {
+    val a = wkt("LINESTRING (0 0, 10 0)")
+    assert(Extended.frechetDistance(a, a) == 0.0)
+    val b = wkt("LINESTRING (0 3, 10 3)")
+    assert(Extended.frechetDistance(a, b) == 3.0)
+  }
+
+  test("frechet two-vertex golden value and symmetry") {
+    val a = wkt("LINESTRING (0 0, 10 0)")
+    val b = wkt("LINESTRING (0 1, 10 2)")
+    // min over monotone couplings = max(d11, d22) = max(1, 2)
+    assert(Extended.frechetDistance(a, b) == 2.0)
+    assert(Extended.frechetDistance(b, a) == 2.0)
+  }
+
+  test("frechet is discrete (vertex pairing, no densify)") {
+    // the zig vertex (5,1) must pair with one END of the straight line:
+    // discrete frechet = sqrt(26), far above the continuous value 1 —
+    // matching shapely frechet_distance without densify
+    val a = wkt("LINESTRING (0 0, 5 1, 10 0)")
+    val b = wkt("LINESTRING (0 0, 10 0)")
+    assert(math.abs(Extended.frechetDistance(a, b) - math.sqrt(26)) < 1e-12)
+    // densified comparison side brings it down toward the continuous value
+    val bd = wkt("LINESTRING (0 0, 5 0, 10 0)")
+    assert(Extended.frechetDistance(a, bd) == 1.0)
+  }
+
+  // ------------------------------------------------------------ offsetCurve
+
+  test("offsetCurve single segment offsets left for positive distance") {
+    val l = wkt("LINESTRING (0 0, 10 0)")
+    assert(w(Extended.offsetCurve(l, 2.0)) == "LINESTRING (0 2, 10 2)")
+    assert(w(Extended.offsetCurve(l, -2.0)) == "LINESTRING (0 -2, 10 -2)")
+  }
+
+  test("offsetCurve miters an L corner with closed-form endpoint") {
+    val l = wkt("LINESTRING (0 0, 4 0, 4 3)")
+    val left = Extended.offsetCurve(l, 0.5).asInstanceOf[LineString]
+    assert(w(left) == "LINESTRING (0 0.5, 3.5 0.5, 3.5 3)")
+    assert(math.abs(Measures.length(left) - 6.0) < 1e-12)
+    val right = Extended.offsetCurve(l, -0.5).asInstanceOf[LineString]
+    assert(w(right) == "LINESTRING (0 -0.5, 4.5 -0.5, 4.5 3)")
+    assert(math.abs(Measures.length(right) - 8.0) < 1e-12)
+  }
+
+  test("offsetCurve zero distance and degenerate inputs pass through; areal throws") {
+    val l = wkt("LINESTRING (0 0, 10 0)")
+    assert(w(Extended.offsetCurve(l, 0.0)) == w(l))
+    intercept[IllegalArgumentException] {
+      Extended.offsetCurve(wkt("POLYGON ((0 0, 1 0, 0 1, 0 0))"), 1.0)
+    }
+  }
+
+  // ----------------------------------------------------------- samplePoints
+
+  test("samplePoints returns exactly size points, all interior, reproducibly") {
+    val tri = wkt("POLYGON ((0 0, 8 0, 0 6, 0 0))")
+    val s1 = Extended.samplePoints(tri, 25, 42L)
+    assert(s1.numGeometries == 25)
+    s1.asInstanceOf[MultiPoint].pts.foreach { p =>
+      assert(Predicates.locate(p.x, p.y, tri) == Predicates.IN)
+    }
+    val s2 = Extended.samplePoints(tri, 25, 42L)
+    assert(w(s1) == w(s2))
+    val s3 = Extended.samplePoints(tri, 25, 7L)
+    assert(w(s1) != w(s3))
+  }
+
+  test("samplePoints edge cases: size zero, empty and zero-area geometries") {
+    val tri = wkt("POLYGON ((0 0, 8 0, 0 6, 0 0))")
+    assert(Extended.samplePoints(tri, 0, 1L).numGeometries == 0)
+    assert(Extended.samplePoints(wkt("POLYGON EMPTY"), 5, 1L).numGeometries == 0)
+    assert(Extended.samplePoints(wkt("LINESTRING (0 0, 1 1)"), 5, 1L).numGeometries == 0)
+  }
 }

@@ -1119,6 +1119,22 @@ object OracleSql {
         true AS determ
       FROM p ORDER BY s_suppkey""",
 
+    "g58_normalize_snap_clearance" -> """
+      WITH p AS (SELECT s_suppkey,
+                   ((s_suppkey % 5) + 2) AS w,
+                   ((s_suppkey % 7) + 3) AS h
+                 FROM supplier)
+      SELECT s_suppkey,
+        true AS ccw,
+        false AS cw,
+        'POLYGON ((0 0, 0 ' || h || ', ' || w || ' ' || h || ', ' ||
+          w || ' 0, 0 0))' AS norm_wkt,
+        3 AS n_snap,
+        0.05::DOUBLE AS snap_y,
+        round(h / 10.0, 6) AS mc,
+        10.0::DOUBLE AS mc_line
+      FROM p ORDER BY s_suppkey""",
+
     "g56_gml" -> """
       SELECT s_suppkey::BIGINT AS s_suppkey, s_name, s_acctbal AS bal,
              s_acctbal AS x, (s_suppkey % 100)::DOUBLE * 10.0 AS y

@@ -1233,6 +1233,40 @@ object SparkEntry {
         .orderBy(col("s_suppkey"))
     }),
 
+    // is_ccw / normalize / snap / minimum_clearance (shapely 2.x batch 3):
+    // ring winding flags both ways, canonical form as a WKT string oracle
+    // (shell CW from min vertex), segment snap insertion with closed-form
+    // vertex count and position, and the notch polygon whose clearance is
+    // the vertex-to-bottom-edge height h/10 by construction
+    "g58_normalize_snap_clearance" -> ((s, d) => {
+      t(s, d, "supplier")
+        .withColumn("w", ((col("s_suppkey") % 5) + 2).cast("double"))
+        .withColumn("h", ((col("s_suppkey") % 7) + 3).cast("double"))
+        .withColumn("ring", st_geomFromWKT(concat(
+          lit("LINESTRING (0 0, "), col("w"), lit(" 0, "), col("w"), lit(" "),
+          col("h"), lit(", 0 "), col("h"), lit(", 0 0)"))))
+        .withColumn("poly", st_geomFromWKT(concat(
+          lit("POLYGON ((0 0, "), col("w"), lit(" 0, "), col("w"), lit(" "),
+          col("h"), lit(", 0 "), col("h"), lit(", 0 0))"))))
+        .withColumn("notch", st_geomFromWKT(concat(
+          lit("POLYGON ((0 0, "), col("w"), lit(" 0, "), col("w"), lit(" "),
+          col("h"), lit(", "), col("w") / 2.0, lit(" "), col("h") / 10.0,
+          lit(", 0 "), col("h"), lit(", 0 0))"))))
+        .withColumn("line", st_geomFromWKT(concat(
+          lit("LINESTRING ("), col("w"), lit(" 0, "), col("w") + 10.0, lit(" 0)"))))
+        .withColumn("snapped", st_snap(col("line"),
+          st_point(col("w") + 5.0, lit(0.05)), lit(0.1)))
+        .select(col("s_suppkey"),
+          st_isCcw(col("ring")).as("ccw"),
+          st_isCcw(st_reverse(col("ring"))).as("cw"),
+          st_asText(st_normalize(col("poly"))).as("norm_wkt"),
+          st_numPoints(col("snapped")).as("n_snap"),
+          round(st_y(element_at(st_dumpPoints(col("snapped")), 2)), 6).as("snap_y"),
+          round(st_minimumClearance(col("notch")), 6).as("mc"),
+          round(st_minimumClearance(col("line")), 6).as("mc_line"))
+        .orderBy(col("s_suppkey"))
+    }),
+
     // negative buffer (inward offset) of convex polygons, incl. collapse
     "g29_negative_buffer" -> ((s, d) => {
       supplierPts(s, d)

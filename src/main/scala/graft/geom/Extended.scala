@@ -660,6 +660,275 @@ object Extended {
     MultiPoint(out.take(found))
   }
 
+  // ---------------------------------------------------------------- isCcw
+
+  /** shapely is_ccw: true iff a closed ring (>= 4 points) winds
+    * counterclockwise. Non-closed lines and non-lineal geometries are false.
+    */
+  def isCcw(g: Geometry): Boolean = g match {
+    case l: LineString => l.isRing && Measures.signedRingArea(l.xy) > 0
+    case _             => false
+  }
+
+  // ------------------------------------------------------------- normalize
+
+  /** Canonical form (GEOS Normalize / shapely normalize): polygon shells
+    * clockwise and holes counterclockwise, every ring rotated to start at
+    * its lexicographically smallest vertex, holes sorted ascending, lines
+    * directed so the start point is not greater than the end point (closed
+    * lines rotate to their smallest vertex and wind counterclockwise), and
+    * multi-part components sorted in GEOS's descending order.
+    */
+  def normalize(g: Geometry): Geometry = g match {
+    case p: Point => p
+    case l: LineString => normLine(l)
+    case p: Polygon => normPolygon(p)
+    case m: MultiPoint =>
+      MultiPoint(sortDesc(m.pts.map(p => p: Geometry)).map(_.asInstanceOf[Point]))
+    case m: MultiLineString =>
+      MultiLineString(sortDesc(m.lines.map(normLine(_): Geometry))
+        .map(_.asInstanceOf[LineString]))
+    case m: MultiPolygon =>
+      MultiPolygon(sortDesc(m.polys.map(normPolygon(_): Geometry))
+        .map(_.asInstanceOf[Polygon]))
+    case c: GeometryCollection =>
+      GeometryCollection(sortDesc(c.geoms.map(normalize)))
+  }
+
+  private def normLine(l: LineString): LineString = {
+    if (l.isEmpty) return l
+    if (l.isRing) {
+      val opened = l.xy.dropRight(2)
+      val rot = rotateToMin(opened)
+      val closed = rot ++ Array(rot(0), rot(1))
+      LineString(if (Measures.signedRingArea(closed) < 0) reverseRing(closed) else closed)
+    } else if (compareCoords(l.xy, reverseRing(l.xy)) > 0) reverseLine(l)
+    else l
+  }
+
+  private def normPolygon(p: Polygon): Polygon = {
+    if (p.isEmpty) return p
+    def normRing(ring: Array[Double], cw: Boolean): Array[Double] = {
+      val opened = ring.dropRight(2)
+      val rot = rotateToMin(opened)
+      val closed = rot ++ Array(rot(0), rot(1))
+      val ccw = Measures.signedRingArea(closed) > 0
+      if (ccw == cw) reverseRing(closed) else closed
+    }
+    val shell = normRing(p.rings(0), cw = true)
+    val holes = p.rings.drop(1).map(normRing(_, cw = false))
+      .sortWith(compareCoords(_, _) < 0)
+    Polygon(shell +: holes)
+  }
+
+  /** Rotate an OPEN ring to start at the lexicographically smallest vertex. */
+  private def rotateToMin(xy: Array[Double]): Array[Double] = {
+    val n = xy.length / 2
+    var best = 0
+    var i = 1
+    while (i < n) {
+      val c = java.lang.Double.compare(xy(2 * i), xy(2 * best)) match {
+        case 0 => java.lang.Double.compare(xy(2 * i + 1), xy(2 * best + 1))
+        case d => d
+      }
+      if (c < 0) best = i
+      i += 1
+    }
+    if (best == 0) xy
+    else {
+      val out = new Array[Double](xy.length)
+      i = 0
+      while (i < n) {
+        val src = (best + i) % n
+        out(2 * i) = xy(2 * src); out(2 * i + 1) = xy(2 * src + 1)
+        i += 1
+      }
+      out
+    }
+  }
+
+  private def compareCoords(a: Array[Double], b: Array[Double]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val c = java.lang.Double.compare(a(i), b(i))
+      if (c != 0) return c
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  private def coordsOf(g: Geometry): Array[Double] = {
+    val b = mutable.ArrayBuilder.make[Double]
+    g.foreachCoord((x, y) => b += x += y)
+    b.result()
+  }
+
+  /** GEOS GeometryCollection::normalize component order (descending). */
+  private def sortDesc(gs: Array[Geometry]): Array[Geometry] =
+    gs.sortWith((a, b) => compareCoords(coordsOf(a), coordsOf(b)) > 0)
+
+  // ------------------------------------------------------------------ snap
+
+  /** Snap vertices of `src` to `tgt` within `tol` (GEOS snap, JTS
+    * GeometrySnapper semantics): every source vertex moves to the nearest
+    * target vertex within tolerance; target vertices within tolerance of a
+    * source segment (and not already present) are inserted into it.
+    */
+  def snap(src: Geometry, tgt: Geometry, tol: Double): Geometry = {
+    require(tol >= 0, s"snap: negative tolerance $tol")
+    if (tol == 0) return src
+    val sp = coordsOf(tgt)
+    if (sp.isEmpty) return src
+    src match {
+      case p: Point =>
+        if (p.isEmpty) p
+        else {
+          val (nx, ny, d) = nearestSnapPoint(p.x, p.y, sp)
+          if (d <= tol) Point(nx, ny) else p
+        }
+      case l: LineString => LineString(snapPath(l.xy, sp, tol))
+      case p: Polygon => Polygon(p.rings.map(snapPath(_, sp, tol)))
+      case m: MultiPoint =>
+        MultiPoint(m.pts.map(p => snap(p, tgt, tol).asInstanceOf[Point]))
+      case m: MultiLineString =>
+        MultiLineString(m.lines.map(l => LineString(snapPath(l.xy, sp, tol))))
+      case m: MultiPolygon =>
+        MultiPolygon(m.polys.map(p => Polygon(p.rings.map(snapPath(_, sp, tol)))))
+      case c: GeometryCollection =>
+        GeometryCollection(c.geoms.map(snap(_, tgt, tol)))
+    }
+  }
+
+  private def nearestSnapPoint(x: Double, y: Double,
+      sp: Array[Double]): (Double, Double, Double) = {
+    var bd = Double.PositiveInfinity; var bx = x; var by = y
+    var i = 0
+    while (i < sp.length) {
+      val d = math.hypot(sp(i) - x, sp(i + 1) - y)
+      if (d < bd) { bd = d; bx = sp(i); by = sp(i + 1) }
+      i += 2
+    }
+    (bx, by, bd)
+  }
+
+  private def snapPath(xy: Array[Double], sp: Array[Double],
+      tol: Double): Array[Double] = {
+    val n = xy.length / 2
+    // phase 1: vertex snap
+    val snapped = new Array[Double](xy.length)
+    var i = 0
+    while (i < n) {
+      val (nx, ny, d) = nearestSnapPoint(xy(2 * i), xy(2 * i + 1), sp)
+      if (d <= tol) { snapped(2 * i) = nx; snapped(2 * i + 1) = ny }
+      else { snapped(2 * i) = xy(2 * i); snapped(2 * i + 1) = xy(2 * i + 1) }
+      i += 1
+    }
+    // phase 2: insert target vertices lying within tol of a segment
+    val out = mutable.ArrayBuilder.make[Double]
+    i = 0
+    while (i < n - 1) {
+      val ax = snapped(2 * i); val ay = snapped(2 * i + 1)
+      val bx = snapped(2 * i + 2); val by = snapped(2 * i + 3)
+      out += ax += ay
+      // candidates: (t, x, y) of snap points projecting strictly inside
+      val ins = mutable.ArrayBuffer.empty[(Double, Double, Double)]
+      val dx = bx - ax; val dy = by - ay
+      val len2 = dx * dx + dy * dy
+      if (len2 > 0) {
+        var j = 0
+        while (j < sp.length) {
+          val px = sp(j); val py = sp(j + 1)
+          if (!(px == ax && py == ay) && !(px == bx && py == by)) {
+            val t = ((px - ax) * dx + (py - ay) * dy) / len2
+            if (t > 0 && t < 1) {
+              val qx = ax + t * dx; val qy = ay + t * dy
+              if (math.hypot(px - qx, py - qy) <= tol) ins += ((t, px, py))
+            }
+          }
+          j += 2
+        }
+      }
+      ins.sortBy(_._1).foreach { case (_, px, py) => out += px += py }
+      i += 1
+    }
+    out += snapped(2 * n - 2) += snapped(2 * n - 1)
+    out.result()
+  }
+
+  // ----------------------------------------------------- minimumClearance
+
+  /** shapely minimum_clearance (JTS MinimumClearance): the smallest distance
+    * by which a vertex could be moved to produce an invalid geometry — the
+    * minimum over (a) distances between distinct vertex positions and
+    * (b) distances from each vertex to each segment not incident to it.
+    * Infinity when no such distance exists (points, single segments).
+    */
+  def minimumClearance(g: Geometry): Double = {
+    val xy = coordsOf(g)
+    val n = xy.length / 2
+    require(n <= 8192, s"minimum_clearance: $n vertices exceeds the 8192 guard")
+    var best = Double.PositiveInfinity
+    // (a) vertex-vertex over distinct positions
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        val d = math.hypot(xy(2 * i) - xy(2 * j), xy(2 * i + 1) - xy(2 * j + 1))
+        if (d > 0 && d < best) best = d
+        j += 1
+      }
+      i += 1
+    }
+    // (b) vertex-segment for segments not incident to the vertex
+    val segs = segmentsOf(g)
+    i = 0
+    while (i < n) {
+      val px = xy(2 * i); val py = xy(2 * i + 1)
+      var s = 0
+      while (s < segs.length) {
+        val ax = segs(s); val ay = segs(s + 1); val bx = segs(s + 2); val by = segs(s + 3)
+        if (!(px == ax && py == ay) && !(px == bx && py == by)) {
+          val d = pointSegDist(px, py, ax, ay, bx, by)
+          if (d > 0 && d < best) best = d
+        }
+        s += 4
+      }
+      i += 1
+    }
+    best
+  }
+
+  private def segmentsOf(g: Geometry): Array[Double] = {
+    val b = mutable.ArrayBuilder.make[Double]
+    def path(xy: Array[Double]): Unit = {
+      var i = 0
+      while (i + 3 < xy.length) {
+        b += xy(i) += xy(i + 1) += xy(i + 2) += xy(i + 3)
+        i += 2
+      }
+    }
+    def walk(g: Geometry): Unit = g match {
+      case l: LineString => path(l.xy)
+      case p: Polygon => p.rings.foreach(path)
+      case m: MultiLineString => m.lines.foreach(walk)
+      case m: MultiPolygon => m.polys.foreach(walk)
+      case c: GeometryCollection => c.geoms.foreach(walk)
+      case _ => ()
+    }
+    walk(g)
+    b.result()
+  }
+
+  private def pointSegDist(px: Double, py: Double, ax: Double, ay: Double,
+      bx: Double, by: Double): Double = {
+    val dx = bx - ax; val dy = by - ay
+    val len2 = dx * dx + dy * dy
+    if (len2 == 0) return math.hypot(px - ax, py - ay)
+    val t = math.max(0.0, math.min(1.0, ((px - ax) * dx + (py - ay) * dy) / len2))
+    math.hypot(px - (ax + t * dx), py - (ay + t * dy))
+  }
+
   @inline private def splitmix64(x0: Long): Long = {
     var x = x0 + 0x9E3779B97F4A7C15L
     x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L

@@ -222,6 +222,14 @@ object GraftDefs {
       a => wkb(Extended.offsetCurve(geom(a(0)), dbl(a(1))))),
     "st_samplepoints" -> Spec(Seq(B, I, L), B,
       a => wkb(Extended.samplePoints(geom(a(0)), int(a(1)), long(a(2))))),
+    "st_isccw" -> g1(BO)(Extended.isCcw),
+    "st_normalize" -> g1(B)(g => wkb(Extended.normalize(g))),
+    "st_snap" -> Spec(Seq(B, B, D), B,
+      a => wkb(Extended.snap(geom(a(0)), geom(a(1)), dbl(a(2))))),
+    "st_minimumclearance" -> g1(D) { g =>
+      val d = Extended.minimumClearance(g)
+      if (d.isInfinite) null else d
+    },
     // ---- overlay
     "st_intersection" -> g2(B)((x, y) => wkb(Overlay.intersection(x, y))),
     "st_difference" -> g2(B)((x, y) => wkb(Overlay.difference(x, y))),

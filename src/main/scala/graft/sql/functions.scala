@@ -109,6 +109,10 @@ object functions {
   def st_offsetCurve(g: Column, dist: Column): Column = fn("st_offsetcurve", g, dist)
   def st_samplePoints(g: Column, size: Column, seed: Column): Column =
     fn("st_samplepoints", g, size, seed)
+  def st_isCcw(g: Column): Column = fn("st_isccw", g)
+  def st_normalize(g: Column): Column = fn("st_normalize", g)
+  def st_snap(src: Column, tgt: Column, tol: Column): Column = fn("st_snap", src, tgt, tol)
+  def st_minimumClearance(g: Column): Column = fn("st_minimumclearance", g)
 
   // ---------------------------------------------------------------- affine
   def st_affine(g: Column, a: Column, b: Column, d: Column, e: Column,

@@ -352,4 +352,83 @@ class ExtendedSpec extends AnyFunSuite {
     assert(Extended.samplePoints(wkt("POLYGON EMPTY"), 5, 1L).numGeometries == 0)
     assert(Extended.samplePoints(wkt("LINESTRING (0 0, 1 1)"), 5, 1L).numGeometries == 0)
   }
+
+  // ----------------------------------------------------------------- isCcw
+
+  test("isCcw detects ring winding; false for open lines and non-lines") {
+    assert(Extended.isCcw(wkt("LINESTRING (0 0, 4 0, 4 4, 0 4, 0 0)")))
+    assert(!Extended.isCcw(wkt("LINESTRING (0 0, 0 4, 4 4, 4 0, 0 0)")))
+    assert(!Extended.isCcw(wkt("LINESTRING (0 0, 4 0, 4 4)")))
+    assert(!Extended.isCcw(wkt("POINT (1 1)")))
+  }
+
+  // ------------------------------------------------------------- normalize
+
+  test("normalize orients shells CW / holes CCW starting at the min vertex") {
+    val p = wkt("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (1 1, 1 2, 2 2, 2 1, 1 1))")
+    assert(w(Extended.normalize(p)) ==
+      "POLYGON ((0 0, 0 10, 10 10, 10 0, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))")
+  }
+
+  test("normalize directs lines start <= end; closed lines rotate to min CCW") {
+    assert(w(Extended.normalize(wkt("LINESTRING (5 0, 0 0)"))) ==
+      "LINESTRING (0 0, 5 0)")
+    assert(w(Extended.normalize(wkt("LINESTRING (0 0, 5 0)"))) ==
+      "LINESTRING (0 0, 5 0)")
+    assert(w(Extended.normalize(wkt("LINESTRING (4 4, 0 4, 0 0, 4 0, 4 4)"))) ==
+      "LINESTRING (0 0, 4 0, 4 4, 0 4, 0 0)")
+  }
+
+  test("normalize sorts multi components descending (GEOS order)") {
+    assert(w(Extended.normalize(wkt("MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))"))) ==
+      "MULTILINESTRING ((2 2, 3 3), (0 0, 1 1))")
+    assert(w(Extended.normalize(wkt("MULTIPOINT ((1 1), (3 3), (2 2))"))) ==
+      "MULTIPOINT ((3 3), (2 2), (1 1))")
+  }
+
+  test("normalize is idempotent") {
+    val g = wkt("MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, 0 0)), ((5 5, 6 5, 6 6, 5 5)))")
+    val n1 = Extended.normalize(g)
+    assert(w(Extended.normalize(n1)) == w(n1))
+  }
+
+  // ------------------------------------------------------------------ snap
+
+  test("snap moves vertices to nearby target vertices within tolerance") {
+    val l = wkt("LINESTRING (0 0, 10 0)")
+    assert(w(Extended.snap(l, wkt("POINT (0.05 0.05)"), 0.1)) ==
+      "LINESTRING (0.05 0.05, 10 0)")
+    // tolerance too small: unchanged
+    assert(w(Extended.snap(l, wkt("POINT (0.05 0.05)"), 0.01)) == w(l))
+  }
+
+  test("snap inserts target vertices lying within tolerance of a segment") {
+    val l = wkt("LINESTRING (0 0, 10 0)")
+    assert(w(Extended.snap(l, wkt("POINT (5 0.05)"), 0.1)) ==
+      "LINESTRING (0 0, 5 0.05, 10 0)")
+  }
+
+  test("snap preserves ring closure on polygons") {
+    val p = wkt("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+    val snapped = Extended.snap(p, wkt("POINT (0.02 -0.03)"), 0.1).asInstanceOf[Polygon]
+    val r = snapped.rings(0)
+    assert(r(0) == r(r.length - 2) && r(1) == r(r.length - 1))
+    assert(r(0) == 0.02 && r(1) == -0.03)
+  }
+
+  // ----------------------------------------------------- minimumClearance
+
+  test("minimumClearance finds the nearest vertex-to-segment notch") {
+    // the classic JTS example shape: clearance = distance from the notch
+    // vertex (0.5, 0.2) to the bottom edge
+    val p = wkt("POLYGON ((0 0, 1 0, 1 1, 0.5 0.2, 0 1, 0 0))")
+    assert(math.abs(Extended.minimumClearance(p) - 0.2) < 1e-12)
+  }
+
+  test("minimumClearance vertex-vertex case and infinite cases") {
+    assert(Extended.minimumClearance(wkt("LINESTRING (0 0, 7 0)")) == 7.0)
+    assert(Extended.minimumClearance(wkt("POINT (1 1)")).isPosInfinity)
+    // coincident points carry no positive clearance
+    assert(Extended.minimumClearance(wkt("MULTIPOINT ((0 0), (0 0))")).isPosInfinity)
+  }
 }

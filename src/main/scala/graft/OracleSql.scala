@@ -1119,6 +1119,23 @@ object OracleSql {
         true AS determ
       FROM p ORDER BY s_suppkey""",
 
+    "g59_voronoi_concave" -> """
+      WITH p AS (SELECT s_suppkey,
+                   ((s_suppkey % 5) + 2)::DOUBLE AS w,
+                   ((s_suppkey % 7) + 3)::DOUBLE AS h
+                 FROM supplier),
+           q AS (SELECT *, greatest(w, h) AS m FROM p)
+      SELECT s_suppkey,
+        4 AS n_cells,
+        round((w + 2 * m) * (h + 2 * m), 6) AS vor_total,
+        round((w / 2 + m) * (h / 2 + m), 6) AS cell1_area,
+        true AS site1_in,
+        round((w * h + w + h - 1) / 2, 6) AS cvx_area,
+        true AS ch_le,
+        true AS ch_covers,
+        true AS ch_pos
+      FROM q ORDER BY s_suppkey""",
+
     "g58_normalize_snap_clearance" -> """
       WITH p AS (SELECT s_suppkey,
                    ((s_suppkey % 5) + 2) AS w,

@@ -1267,6 +1267,37 @@ object SparkEntry {
         .orderBy(col("s_suppkey"))
     }),
 
+    // voronoi_polygons + concave_hull (shapely 2.x batch 4): 4-corner
+    // voronoi has closed-form congruent cells over the default clip box
+    // (envelope expanded per side by its larger dimension); concave hull
+    // checks the exact ratio=1 == convex-hull identity plus containment /
+    // monotonicity invariants that hold for any erosion sequence
+    "g59_voronoi_concave" -> ((s, d) => {
+      t(s, d, "supplier")
+        .withColumn("w", ((col("s_suppkey") % 5) + 2).cast("double"))
+        .withColumn("h", ((col("s_suppkey") % 7) + 3).cast("double"))
+        .withColumn("sites", st_geomFromWKT(concat(
+          lit("MULTIPOINT (0 0, "), col("w"), lit(" 0, 0 "), col("h"), lit(", "),
+          col("w"), lit(" "), col("h"), lit(")"))))
+        .withColumn("vor", st_voronoiPolygons(col("sites")))
+        .withColumn("cell1", element_at(st_dump(col("vor")), 1))
+        .withColumn("lpts", st_geomFromWKT(concat(
+          lit("MULTIPOINT (0 0, "), col("w"), lit(" 0, "), col("w"),
+          lit(" 1, 1 1, 1 "), col("h"), lit(", 0 "), col("h"), lit(")"))))
+        .withColumn("cvx", st_concaveHull(col("lpts"), lit(1.0)))
+        .withColumn("ch", st_concaveHull(col("lpts"), lit(0.25)))
+        .select(col("s_suppkey"),
+          st_numGeometries(col("vor")).as("n_cells"),
+          round(st_area(col("vor")), 6).as("vor_total"),
+          round(st_area(col("cell1")), 6).as("cell1_area"),
+          st_contains(col("cell1"), st_point(lit(0.0), lit(0.0))).as("site1_in"),
+          round(st_area(col("cvx")), 6).as("cvx_area"),
+          (st_area(col("ch")) <= st_area(col("cvx")) + lit(1e-9)).as("ch_le"),
+          st_covers(col("ch"), col("lpts")).as("ch_covers"),
+          (st_area(col("ch")) > lit(0.0)).as("ch_pos"))
+        .orderBy(col("s_suppkey"))
+    }),
+
     // negative buffer (inward offset) of convex polygons, incl. collapse
     "g29_negative_buffer" -> ((s, d) => {
       supplierPts(s, d)

@@ -451,11 +451,31 @@ object Extended {
     * GEOS's — compare as sets or by aggregate measures.
     */
   def delaunayTriangles(g: Geometry): Geometry = {
+    val pts = uniqueVertices(g)
+    if (pts.length < 3) return GeometryCollection(Array.empty)
+    val out = delaunayIndexed(pts).toArray.flatMap { case (a, b, c) =>
+      val (ax, ay) = pts(a); val (bx, by) = pts(b); val (cx, cy) = pts(c)
+      val orient = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+      if (orient == 0) None // degenerate sliver
+      else if (orient > 0)
+        Some(Polygon(Array(ax, ay, bx, by, cx, cy, ax, ay)))
+      else Some(Polygon(Array(ax, ay, cx, cy, bx, by, ax, ay)))
+    }
+    GeometryCollection(out.toArray[Geometry])
+  }
+
+  private def uniqueVertices(g: Geometry): Array[(Double, Double)] = {
     val seen = mutable.LinkedHashSet.empty[(Double, Double)]
     g.foreachCoord((x, y) => seen += ((x, y)))
-    val pts = seen.toArray
-    if (pts.length < 3) return GeometryCollection(Array.empty)
+    seen.toArray
+  }
 
+  /** Bowyer–Watson core over unique points; returns vertex-index triangles
+    * (super-triangle artifacts removed, degenerate slivers kept for the
+    * callers that filter them).
+    */
+  private def delaunayIndexed(
+      pts: Array[(Double, Double)]): mutable.ArrayBuffer[(Int, Int, Int)] = {
     // super-triangle comfortably containing every point
     var minX = Double.PositiveInfinity; var minY = Double.PositiveInfinity
     var maxX = Double.NegativeInfinity; var maxY = Double.NegativeInfinity
@@ -471,11 +491,10 @@ object Extended {
     val all = pts ++ Array(s1, s2, s3)
     val n = pts.length
 
-    final case class Tri(a: Int, b: Int, c: Int)
-    var tris = mutable.ArrayBuffer(Tri(n, n + 1, n + 2))
+    var tris = mutable.ArrayBuffer((n, n + 1, n + 2))
 
-    @inline def inCircumcircle(t: Tri, px: Double, py: Double): Boolean = {
-      val (ax, ay) = all(t.a); val (bx, by) = all(t.b); val (cx, cy) = all(t.c)
+    @inline def inCircumcircle(t: (Int, Int, Int), px: Double, py: Double): Boolean = {
+      val (ax, ay) = all(t._1); val (bx, by) = all(t._2); val (cx, cy) = all(t._3)
       val adx = ax - px; val ady = ay - py
       val bdx = bx - px; val bdy = by - py
       val cdx = cx - px; val cdy = cy - py
@@ -501,26 +520,188 @@ object Extended {
           val k = if (u < v) (u, v) else (v, u)
           edgeCount(k) = edgeCount.getOrElse(k, 0) + 1
         }
-        bad.foreach { t => addEdge(t.a, t.b); addEdge(t.b, t.c); addEdge(t.c, t.a) }
+        bad.foreach { t => addEdge(t._1, t._2); addEdge(t._2, t._3); addEdge(t._3, t._1) }
         tris = tris.filterNot(inCircumcircle(_, px, py))
         edgeCount.foreach { case ((u, v), cnt) =>
-          if (cnt == 1) tris += Tri(u, v, i)
+          if (cnt == 1) tris += ((u, v, i))
         }
       }
       i += 1
     }
 
-    val out = tris.toArray
-      .filter(t => t.a < n && t.b < n && t.c < n)
-      .flatMap { t =>
-        val (ax, ay) = all(t.a); val (bx, by) = all(t.b); val (cx, cy) = all(t.c)
-        val orient = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
-        if (orient == 0) None // degenerate sliver
-        else if (orient > 0)
-          Some(Polygon(Array(ax, ay, bx, by, cx, cy, ax, ay)))
-        else Some(Polygon(Array(ax, ay, cx, cy, bx, by, ax, ay)))
+    tris.filter(t => t._1 < n && t._2 < n && t._3 < n)
+  }
+
+  // --------------------------------------------------------- concaveHull
+
+  /** Concave hull of the unique vertices (shapely 2.1 concave_hull):
+    * chi-shape erosion over the Delaunay triangulation (Duckham et al.
+    * 2008, the public algorithm GEOS's ConcaveHull is built from). Border
+    * edges longer than `minEdge + ratio * (maxEdge - minEdge)` are eroded
+    * longest-first when the opposite vertex is not already on the boundary
+    * (which guarantees the result stays one simple polygon). ratio=1 is the
+    * convex hull; ratio=0 erodes down to the shortest-edge scale. The exact
+    * erosion sequence differs from GEOS's area-based variant; containment
+    * of all input points and the ratio=1 == convex-hull identity hold for
+    * both.
+    */
+  def concaveHull(g: Geometry, ratio: Double): Geometry = {
+    require(ratio >= 0 && ratio <= 1, s"concave_hull: ratio $ratio outside [0,1]")
+    val pts = uniqueVertices(g)
+    val tris0 = if (pts.length < 3) mutable.ArrayBuffer.empty[(Int, Int, Int)]
+      else delaunayIndexed(pts)
+    val tris = tris0.filter { case (a, b, c) =>
+      val (ax, ay) = pts(a); val (bx, by) = pts(b); val (cx, cy) = pts(c)
+      (bx - ax) * (cy - ay) - (by - ay) * (cx - ax) != 0
+    }
+    if (tris.isEmpty) return Constructive.convexHull(g)
+
+    @inline def key(u: Int, v: Int): (Int, Int) = if (u < v) (u, v) else (v, u)
+    @inline def len(e: (Int, Int)): Double = {
+      val (ax, ay) = pts(e._1); val (bx, by) = pts(e._2)
+      math.hypot(bx - ax, by - ay)
+    }
+    // edge -> alive triangle indices
+    val edgeTris = mutable.LinkedHashMap.empty[(Int, Int), mutable.ArrayBuffer[Int]]
+    tris.zipWithIndex.foreach { case ((a, b, c), ti) =>
+      Seq(key(a, b), key(b, c), key(c, a)).foreach { e =>
+        edgeTris.getOrElseUpdate(e, mutable.ArrayBuffer.empty) += ti
       }
-    GeometryCollection(out.toArray[Geometry])
+    }
+    var minL = Double.PositiveInfinity; var maxL = 0.0
+    edgeTris.keys.foreach { e =>
+      val l = len(e)
+      if (l < minL) minL = l
+      if (l > maxL) maxL = l
+    }
+    val threshold = minL + ratio * (maxL - minL)
+
+    val alive = Array.fill(tris.length)(true)
+    val boundary = mutable.LinkedHashSet.empty[(Int, Int)]
+    edgeTris.foreach { case (e, ts) => if (ts.length == 1) boundary += e }
+    val onBoundary = mutable.HashSet.empty[Int]
+    boundary.foreach { e => onBoundary += e._1; onBoundary += e._2 }
+
+    val pq = mutable.PriorityQueue.empty[((Int, Int), Double)](Ordering.by(_._2))
+    boundary.foreach(e => pq.enqueue((e, len(e))))
+    while (pq.nonEmpty) {
+      val (e, l) = pq.dequeue()
+      if (l > threshold && boundary.contains(e)) {
+        val ts = edgeTris(e).filter(alive(_))
+        if (ts.length == 1) {
+          val ti = ts(0)
+          val (a, b, c) = tris(ti)
+          val opp = if (a != e._1 && a != e._2) a else if (b != e._1 && b != e._2) b else c
+          if (!onBoundary.contains(opp)) {
+            alive(ti) = false
+            boundary -= e
+            val e1 = key(e._1, opp); val e2 = key(e._2, opp)
+            Seq(e1, e2).foreach { ne =>
+              boundary += ne
+              pq.enqueue((ne, len(ne)))
+            }
+            onBoundary += opp
+          }
+        }
+      }
+    }
+
+    // trace the boundary cycle (each vertex has exactly two boundary edges)
+    val nbr = mutable.LinkedHashMap.empty[Int, mutable.ArrayBuffer[Int]]
+    boundary.foreach { case (u, v) =>
+      nbr.getOrElseUpdate(u, mutable.ArrayBuffer.empty) += v
+      nbr.getOrElseUpdate(v, mutable.ArrayBuffer.empty) += u
+    }
+    val start = nbr.keys.min
+    val ring = mutable.ArrayBuilder.make[Double]
+    var prev = -1
+    var cur = start
+    var guard = 0
+    do {
+      val (x, y) = pts(cur)
+      ring += x += y
+      val ns = nbr(cur)
+      val next = if (ns(0) != prev) ns(0) else ns(1)
+      prev = cur; cur = next
+      guard += 1
+    } while (cur != start && guard <= boundary.size + 1)
+    val (sx, sy) = pts(start)
+    ring += sx += sy
+    val closed = ring.result()
+    if (Measures.signedRingArea(closed) < 0) Polygon(reverseRing(closed))
+    else Polygon(closed)
+  }
+
+  // ----------------------------------------------------- voronoiPolygons
+
+  /** Voronoi diagram of the unique vertices (shapely voronoi_polygons):
+    * one convex cell per site, computed by half-plane intersection against
+    * every other site and clipped to the site envelope expanded on each
+    * side by its larger dimension (the GEOS default-extent analog; pass
+    * `extendTo` to widen it further). Cells are returned in first-seen site
+    * order — GEOS's triangulation order differs; compare per-site or by
+    * measure, not positionally.
+    */
+  def voronoiPolygons(g: Geometry, extendTo: Envelope = null): Geometry = {
+    val sites = uniqueVertices(g)
+    if (sites.isEmpty) return GeometryCollection(Array.empty)
+    require(sites.length <= 4096,
+      s"voronoi: ${sites.length} sites exceeds the 4096 guard")
+    var minX = Double.PositiveInfinity; var minY = Double.PositiveInfinity
+    var maxX = Double.NegativeInfinity; var maxY = Double.NegativeInfinity
+    sites.foreach { case (x, y) =>
+      if (x < minX) minX = x; if (x > maxX) maxX = x
+      if (y < minY) minY = y; if (y > maxY) maxY = y
+    }
+    val m = math.max(maxX - minX, maxY - minY) max 1.0
+    var clip = Envelope(minX - m, minY - m, maxX + m, maxY + m)
+    if (extendTo != null) clip = clip.union(extendTo)
+
+    val cells = sites.map { case (sx, sy) =>
+      var poly: Array[Double] = Array(
+        clip.minX, clip.minY, clip.maxX, clip.minY,
+        clip.maxX, clip.maxY, clip.minX, clip.maxY, clip.minX, clip.minY)
+      var j = 0
+      while (j < sites.length && poly.length >= 8) {
+        val (ox, oy) = sites(j)
+        if (ox != sx || oy != sy) {
+          // keep the side closer to (sx, sy): a*x + b*y <= c
+          val a = ox - sx; val b = oy - sy
+          val c = a * (sx + ox) / 2 + b * (sy + oy) / 2
+          poly = clipHalfPlane(poly, a, b, c)
+        }
+        j += 1
+      }
+      Polygon(poly): Geometry
+    }
+    GeometryCollection(cells)
+  }
+
+  /** Sutherland–Hodgman clip of a closed ring against a*x + b*y <= c. */
+  private def clipHalfPlane(ring: Array[Double], a: Double, b: Double,
+      c: Double): Array[Double] = {
+    val n = ring.length / 2 - 1 // drop closing duplicate
+    if (n < 3) return Array.empty
+    val out = mutable.ArrayBuilder.make[Double]
+    var count = 0
+    var i = 0
+    while (i < n) {
+      val x1 = ring(2 * i); val y1 = ring(2 * i + 1)
+      val j = (i + 1) % n
+      val x2 = ring(2 * j); val y2 = ring(2 * j + 1)
+      val d1 = a * x1 + b * y1 - c
+      val d2 = a * x2 + b * y2 - c
+      if (d1 <= 0) { out += x1 += y1; count += 1 }
+      if ((d1 < 0 && d2 > 0) || (d1 > 0 && d2 < 0)) {
+        val t = d1 / (d1 - d2)
+        out += x1 + t * (x2 - x1) += y1 + t * (y2 - y1)
+        count += 1
+      }
+      i += 1
+    }
+    if (count < 3) return Array.empty
+    val body = out.result()
+    body ++ Array(body(0), body(1))
   }
 
   // ------------------------------------------------------------- frechet

@@ -223,6 +223,9 @@ object GraftDefs {
     "st_samplepoints" -> Spec(Seq(B, I, L), B,
       a => wkb(Extended.samplePoints(geom(a(0)), int(a(1)), long(a(2))))),
     "st_isccw" -> g1(BO)(Extended.isCcw),
+    "st_concavehull" -> Spec(Seq(B, D), B,
+      a => wkb(Extended.concaveHull(geom(a(0)), dbl(a(1))))),
+    "st_voronoipolygons" -> g1(B)(g => wkb(Extended.voronoiPolygons(g))),
     "st_normalize" -> g1(B)(g => wkb(Extended.normalize(g))),
     "st_snap" -> Spec(Seq(B, B, D), B,
       a => wkb(Extended.snap(geom(a(0)), geom(a(1)), dbl(a(2))))),

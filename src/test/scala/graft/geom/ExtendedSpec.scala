@@ -425,6 +425,90 @@ class ExtendedSpec extends AnyFunSuite {
     assert(math.abs(Extended.minimumClearance(p) - 0.2) < 1e-12)
   }
 
+  // ----------------------------------------------------------- concaveHull
+
+  test("concaveHull at ratio 1 is the convex hull") {
+    val mp = wkt("MULTIPOINT (0 0, 6 0, 6 1, 1 1, 1 3, 0 3, 3 0.5)")
+    val ch = Extended.concaveHull(mp, 1.0)
+    val cvx = Constructive.convexHull(mp)
+    assert(math.abs(Measures.area(ch) - Measures.area(cvx)) < 1e-9)
+  }
+
+  test("concaveHull recovers an L-shape notch at low ratio") {
+    // L corners, w=h=4: the notch diagonal (4,1)-(1,4) (len 4.24) is the
+    // longest border edge, erodes first to its opposite vertex (1,1), and
+    // every other erosion is then blocked because the opposite vertex is
+    // already on the boundary
+    val mp = wkt("MULTIPOINT (0 0, 4 0, 4 1, 1 1, 1 4, 0 4)")
+    val ch = Extended.concaveHull(mp, 0.0)
+    assert(math.abs(Measures.area(ch) - 7.0) < 1e-9) // L area = w + h - 1
+    // contains every input point
+    mp.asInstanceOf[MultiPoint].pts.foreach { p =>
+      assert(Predicates.locate(p.x, p.y, ch) != Predicates.OUT)
+    }
+  }
+
+  test("concaveHull area is monotone in ratio and always covers the input") {
+    val pts = (0 until 30).map { i =>
+      Point((i * 37 % 19) + 0.013 * i, (i * 53 % 17) + 0.007 * i * i % 5)
+    }
+    val mp = MultiPoint(pts.toArray)
+    val areas = Seq(0.0, 0.3, 0.7, 1.0).map { r =>
+      val ch = Extended.concaveHull(mp, r)
+      pts.foreach(p => assert(Predicates.locate(p.x, p.y, ch) != Predicates.OUT,
+        s"ratio $r lost point $p"))
+      Measures.area(ch)
+    }
+    assert(areas == areas.sorted)
+  }
+
+  test("concaveHull degenerate inputs fall back to the convex hull") {
+    assert(Measures.length(Extended.concaveHull(wkt("MULTIPOINT (0 0, 2 2)"), 0.5)) ==
+      Measures.length(Constructive.convexHull(wkt("MULTIPOINT (0 0, 2 2)"))))
+  }
+
+  // ------------------------------------------------------- voronoiPolygons
+
+  test("voronoi of 4 rectangle corners: 4 congruent cells tiling the clip box") {
+    val v = Extended.voronoiPolygons(wkt("MULTIPOINT (0 0, 4 0, 0 2, 4 2)"))
+      .asInstanceOf[GeometryCollection]
+    assert(v.numGeometries == 4)
+    // clip = envelope expanded by max(w,h)=4 per side: [-4,8] x [-4,6]
+    val total = v.geoms.map(Measures.area).sum
+    assert(math.abs(total - 12.0 * 10.0) < 1e-9)
+    // each cell: (4/2+4) x (2/2+4) = 6 x 5
+    v.geoms.foreach(c => assert(math.abs(Measures.area(c) - 30.0) < 1e-9))
+    // first cell belongs to the first site (0,0)
+    assert(Predicates.locate(0, 0, v.geoms(0)) == Predicates.IN)
+  }
+
+  test("voronoi cells contain their sites and partition without overlap") {
+    val sites = Seq((0.0, 0.0), (3.0, 1.0), (1.0, 4.0), (5.0, 3.0), (2.5, 2.0))
+    val mp = MultiPoint(sites.map { case (x, y) => Point(x, y) }.toArray)
+    val v = Extended.voronoiPolygons(mp).asInstanceOf[GeometryCollection]
+    assert(v.numGeometries == 5)
+    sites.zipWithIndex.foreach { case ((x, y), i) =>
+      assert(Predicates.locate(x, y, v.geoms(i)) == Predicates.IN,
+        s"site $i not in its cell")
+      // each site is in exactly its own cell
+      v.geoms.zipWithIndex.foreach { case (c, j) =>
+        if (j != i) assert(Predicates.locate(x, y, c) == Predicates.OUT)
+      }
+    }
+    // cells tile the clip envelope: area sums to the clip box
+    val total = v.geoms.map(Measures.area).sum
+    // site envelope [0,5]x[0,4], m=5 -> clip 15 x 14
+    assert(math.abs(total - 15.0 * 14.0) < 1e-9)
+  }
+
+  test("voronoi edge cases: empty and single site") {
+    assert(Extended.voronoiPolygons(wkt("MULTIPOINT EMPTY")).numGeometries == 0)
+    val one = Extended.voronoiPolygons(wkt("POINT (2 2)"))
+      .asInstanceOf[GeometryCollection]
+    assert(one.numGeometries == 1)
+    assert(math.abs(Measures.area(one.geoms(0)) - 4.0) < 1e-9) // 2x2 clip (m=1)
+  }
+
   test("minimumClearance vertex-vertex case and infinite cases") {
     assert(Extended.minimumClearance(wkt("LINESTRING (0 0, 7 0)")) == 7.0)
     assert(Extended.minimumClearance(wkt("POINT (1 1)")).isPosInfinity)

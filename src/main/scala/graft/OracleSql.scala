@@ -1119,6 +1119,22 @@ object OracleSql {
         true AS determ
       FROM p ORDER BY s_suppkey""",
 
+    "g60_polygonize_sharedpaths" -> """
+      WITH p AS (SELECT s_suppkey,
+                   ((s_suppkey % 5) + 3)::DOUBLE AS w,
+                   ((s_suppkey % 7) + 3)::DOUBLE AS h
+                 FROM supplier)
+      SELECT s_suppkey,
+        2 AS n_polys,
+        round(w * h, 6) AS pz_total,
+        round(w * h - 1, 6) AS pz_max,
+        2 AS n_faces,
+        round(w * h, 6) AS face_total,
+        round(w, 6) AS same_len,
+        0.0::DOUBLE AS opp_len_b,
+        round(w, 6) AS opp_len_c
+      FROM p ORDER BY s_suppkey""",
+
     "g59_voronoi_concave" -> """
       WITH p AS (SELECT s_suppkey,
                    ((s_suppkey % 5) + 2)::DOUBLE AS w,

@@ -1298,6 +1298,48 @@ object SparkEntry {
         .orderBy(col("s_suppkey"))
     }),
 
+    // polygonize + shared_paths (shapely 2.x batch 5): nested squares give
+    // the GEOS hole-assignment contract (outer-with-hole + inner face,
+    // total = full outer area); square+diagonal splits into two equal
+    // faces; an L-path sharing its corner with a forward and a reversed
+    // partial path gives closed-form same/opposite shared lengths
+    "g60_polygonize_sharedpaths" -> ((s, d) => {
+      t(s, d, "supplier")
+        .withColumn("w", ((col("s_suppkey") % 5) + 3).cast("double"))
+        .withColumn("h", ((col("s_suppkey") % 7) + 3).cast("double"))
+        .withColumn("nested", st_geomFromWKT(concat(
+          lit("MULTILINESTRING ((0 0, "), col("w"), lit(" 0, "), col("w"),
+          lit(" "), col("h"), lit(", 0 "), col("h"),
+          lit(", 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))"))))
+        .withColumn("pz", st_polygonize(col("nested")))
+        .withColumn("withdiag", st_geomFromWKT(concat(
+          lit("MULTILINESTRING ((0 0, "), col("w"), lit(" 0, "), col("w"),
+          lit(" "), col("h"), lit(", 0 "), col("h"), lit(", 0 0), (0 0, "),
+          col("w"), lit(" "), col("h"), lit("))"))))
+        .withColumn("faces", st_polygonize(col("withdiag")))
+        .withColumn("la", st_geomFromWKT(concat(
+          lit("LINESTRING (0 0, "), col("w"), lit(" 0, "), col("w"), lit(" "),
+          col("h"), lit(")"))))
+        .withColumn("lb", st_geomFromWKT(concat(
+          lit("LINESTRING (1 0, "), col("w"), lit(" 0, "), col("w"), lit(" 1)"))))
+        .withColumn("lc", st_geomFromWKT(concat(
+          lit("LINESTRING ("), col("w"), lit(" 1, "), col("w"), lit(" 0, 1 0)"))))
+        .withColumn("spb", st_sharedPaths(col("la"), col("lb")))
+        .withColumn("spc", st_sharedPaths(col("la"), col("lc")))
+        .select(col("s_suppkey"),
+          st_numGeometries(col("pz")).as("n_polys"),
+          round(st_area(col("pz")), 6).as("pz_total"),
+          round(greatest(
+            st_area(element_at(st_dump(col("pz")), 1)),
+            st_area(element_at(st_dump(col("pz")), 2))), 6).as("pz_max"),
+          st_numGeometries(col("faces")).as("n_faces"),
+          round(st_area(col("faces")), 6).as("face_total"),
+          round(st_length(st_geometryN(col("spb"), lit(0))), 6).as("same_len"),
+          round(st_length(st_geometryN(col("spb"), lit(1))), 6).as("opp_len_b"),
+          round(st_length(st_geometryN(col("spc"), lit(1))), 6).as("opp_len_c"))
+        .orderBy(col("s_suppkey"))
+    }),
+
     // negative buffer (inward offset) of convex polygons, incl. collapse
     "g29_negative_buffer" -> ((s, d) => {
       supplierPts(s, d)

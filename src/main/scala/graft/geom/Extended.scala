@@ -1110,6 +1110,54 @@ object Extended {
     math.hypot(px - (ax + t * dx), py - (ay + t * dy))
   }
 
+  // ------------------------------------------------------------ sharedPaths
+
+  /** GEOS SharedPaths: GEOMETRYCOLLECTION(MULTILINESTRING same-direction,
+    * MULTILINESTRING opposite-direction) of the collinear overlaps between
+    * two lineal geometries. Overlap pieces are emitted per input segment
+    * pair without cross-segment merging — identical coverage to GEOS on
+    * noded inputs, where shared paths coincide segment-by-segment.
+    */
+  def sharedPaths(a: Geometry, b: Geometry): Geometry = {
+    require(a.topoDim == 1 && b.topoDim == 1,
+      s"shared_paths requires lineal inputs, got ${a.geometryType}/${b.geometryType}")
+    val sa = segmentsOf(a); val sb = segmentsOf(b)
+    val same = mutable.ArrayBuffer.empty[LineString]
+    val opp = mutable.ArrayBuffer.empty[LineString]
+    var i = 0
+    while (i < sa.length) {
+      val ax = sa(i); val ay = sa(i + 1); val bx = sa(i + 2); val by = sa(i + 3)
+      val dx = bx - ax; val dy = by - ay
+      val len2 = dx * dx + dy * dy
+      if (len2 > 0) {
+        val eps = 1e-9 * math.sqrt(len2)
+        var j = 0
+        while (j < sb.length) {
+          val cx = sb(j); val cy = sb(j + 1); val ex = sb(j + 2); val ey = sb(j + 3)
+          // both endpoints of B's segment on A's supporting line -> collinear
+          val cr1 = dx * (cy - ay) - dy * (cx - ax)
+          val cr2 = dx * (ey - ay) - dy * (ex - ax)
+          if (math.abs(cr1) <= eps * math.hypot(dx, dy) &&
+              math.abs(cr2) <= eps * math.hypot(dx, dy)) {
+            val t1 = ((cx - ax) * dx + (cy - ay) * dy) / len2
+            val t2 = ((ex - ax) * dx + (ey - ay) * dy) / len2
+            val lo = math.max(0.0, math.min(t1, t2))
+            val hi = math.min(1.0, math.max(t1, t2))
+            if (hi - lo > 1e-12) {
+              val piece = LineString(Array(
+                ax + lo * dx, ay + lo * dy, ax + hi * dx, ay + hi * dy))
+              if (t2 >= t1) same += piece else opp += piece
+            }
+          }
+          j += 4
+        }
+      }
+      i += 4
+    }
+    GeometryCollection(Array(
+      MultiLineString(same.toArray), MultiLineString(opp.toArray)))
+  }
+
   @inline private def splitmix64(x0: Long): Long = {
     var x = x0 + 0x9E3779B97F4A7C15L
     x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L

@@ -226,6 +226,8 @@ object GraftDefs {
     "st_concavehull" -> Spec(Seq(B, D), B,
       a => wkb(Extended.concaveHull(geom(a(0)), dbl(a(1))))),
     "st_voronoipolygons" -> g1(B)(g => wkb(Extended.voronoiPolygons(g))),
+    "st_polygonize" -> g1(B)(g => wkb(Polygonize.polygonize(g))),
+    "st_sharedpaths" -> g2(B)((x, y) => wkb(Extended.sharedPaths(x, y))),
     "st_normalize" -> g1(B)(g => wkb(Extended.normalize(g))),
     "st_snap" -> Spec(Seq(B, B, D), B,
       a => wkb(Extended.snap(geom(a(0)), geom(a(1)), dbl(a(2))))),

@@ -112,6 +112,8 @@ object functions {
   def st_isCcw(g: Column): Column = fn("st_isccw", g)
   def st_concaveHull(g: Column, ratio: Column): Column = fn("st_concavehull", g, ratio)
   def st_voronoiPolygons(g: Column): Column = fn("st_voronoipolygons", g)
+  def st_polygonize(g: Column): Column = fn("st_polygonize", g)
+  def st_sharedPaths(a: Column, b: Column): Column = fn("st_sharedpaths", a, b)
   def st_normalize(g: Column): Column = fn("st_normalize", g)
   def st_snap(src: Column, tgt: Column, tol: Column): Column = fn("st_snap", src, tgt, tol)
   def st_minimumClearance(g: Column): Column = fn("st_minimumclearance", g)

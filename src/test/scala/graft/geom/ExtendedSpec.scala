@@ -509,6 +509,37 @@ class ExtendedSpec extends AnyFunSuite {
     assert(math.abs(Measures.area(one.geoms(0)) - 4.0) < 1e-9) // 2x2 clip (m=1)
   }
 
+  // ------------------------------------------------------------ sharedPaths
+
+  test("sharedPaths splits collinear overlaps by direction") {
+    val a = wkt("LINESTRING (0 0, 10 0)")
+    val sp = Extended.sharedPaths(a, wkt("LINESTRING (3 0, 7 0)"))
+      .asInstanceOf[GeometryCollection]
+    assert(sp.numGeometries == 2)
+    assert(Measures.length(sp.geoms(0)) == 4.0) // same direction
+    assert(Measures.length(sp.geoms(1)) == 0.0)
+    val spOpp = Extended.sharedPaths(a, wkt("LINESTRING (7 0, 3 0)"))
+      .asInstanceOf[GeometryCollection]
+    assert(Measures.length(spOpp.geoms(0)) == 0.0)
+    assert(Measures.length(spOpp.geoms(1)) == 4.0)
+  }
+
+  test("sharedPaths handles partial overlap, disjoint and non-collinear lines") {
+    val a = wkt("LINESTRING (0 0, 10 0)")
+    // overlap clipped to [4, 10]
+    val sp = Extended.sharedPaths(a, wkt("LINESTRING (4 0, 15 0)"))
+      .asInstanceOf[GeometryCollection]
+    assert(Measures.length(sp.geoms(0)) == 6.0)
+    // crossing at an angle shares nothing
+    val cross = Extended.sharedPaths(a, wkt("LINESTRING (5 -1, 5 1)"))
+      .asInstanceOf[GeometryCollection]
+    assert(Measures.length(cross.geoms(0)) == 0.0 &&
+      Measures.length(cross.geoms(1)) == 0.0)
+    intercept[IllegalArgumentException] {
+      Extended.sharedPaths(a, wkt("POINT (1 1)"))
+    }
+  }
+
   test("minimumClearance vertex-vertex case and infinite cases") {
     assert(Extended.minimumClearance(wkt("LINESTRING (0 0, 7 0)")) == 7.0)
     assert(Extended.minimumClearance(wkt("POINT (1 1)")).isPosInfinity)

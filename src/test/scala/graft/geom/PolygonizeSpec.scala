@@ -1,0 +1,64 @@
+package graft.geom
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class PolygonizeSpec extends AnyFunSuite {
+
+  private def wkt(s: String): Geometry = Wkt.read(s)
+
+  test("a single closed ring polygonizes to one polygon") {
+    val out = Polygonize.polygonize(
+      wkt("MULTILINESTRING ((0 0, 4 0), (4 0, 4 3), (4 3, 0 3), (0 3, 0 0))"))
+    assert(out.numGeometries == 1)
+    assert(math.abs(Measures.area(out) - 12.0) < 1e-12)
+  }
+
+  test("a square with a diagonal splits into two triangle faces") {
+    val out = Polygonize.polygonize(
+      wkt("MULTILINESTRING ((0 0, 4 0, 4 4, 0 4, 0 0), (0 0, 4 4))"))
+      .asInstanceOf[GeometryCollection]
+    assert(out.numGeometries == 2)
+    out.geoms.foreach(t => assert(math.abs(Measures.area(t) - 8.0) < 1e-12))
+  }
+
+  test("nested disconnected squares: outer gets the hole, inner stays a face") {
+    val out = Polygonize.polygonize(
+      wkt("MULTILINESTRING ((0 0, 10 0, 10 10, 0 10, 0 0), (3 3, 6 3, 6 6, 3 6, 3 3))"))
+      .asInstanceOf[GeometryCollection]
+    assert(out.numGeometries == 2)
+    val areas = out.geoms.map(Measures.area).sorted
+    assert(math.abs(areas(0) - 9.0) < 1e-12)   // inner square face
+    assert(math.abs(areas(1) - 91.0) < 1e-12)  // outer minus hole
+    // total area = full outer square
+    assert(math.abs(Measures.area(out) - 100.0) < 1e-12)
+    val withHole = out.geoms.find(_.asInstanceOf[Polygon].numHoles == 1)
+    assert(withHole.isDefined)
+  }
+
+  test("dangles are pruned, open chains yield nothing") {
+    // ring with a spur: the spur must not corrupt the face
+    val out = Polygonize.polygonize(
+      wkt("MULTILINESTRING ((0 0, 4 0, 4 4, 0 4, 0 0), (4 4, 7 7))"))
+    assert(out.numGeometries == 1)
+    assert(math.abs(Measures.area(out) - 16.0) < 1e-12)
+    // pure open linework: no faces at all
+    assert(Polygonize.polygonize(
+      wkt("MULTILINESTRING ((0 0, 1 0), (1 0, 2 1))")).numGeometries == 0)
+  }
+
+  test("two rings sharing an edge produce two faces covering their union") {
+    val out = Polygonize.polygonize(wkt(
+      "MULTILINESTRING ((0 0, 2 0), (2 0, 2 2), (2 2, 0 2), (0 2, 0 0), " +
+        "(2 0, 5 0), (5 0, 5 2), (5 2, 2 2))"))
+      .asInstanceOf[GeometryCollection]
+    assert(out.numGeometries == 2)
+    val areas = out.geoms.map(Measures.area).sorted
+    assert(math.abs(areas(0) - 4.0) < 1e-12)
+    assert(math.abs(areas(1) - 6.0) < 1e-12)
+  }
+
+  test("point and empty inputs are empty collections") {
+    assert(Polygonize.polygonize(wkt("POINT (1 1)")).numGeometries == 0)
+    assert(Polygonize.polygonize(wkt("MULTILINESTRING EMPTY")).numGeometries == 0)
+  }
+}

@@ -517,7 +517,9 @@ object OracleSql {
         FROM ($custPts) CROSS JOIN region)
       SELECT c_custkey, r_regionkey::BIGINT AS r_regionkey,
         CASE WHEN c1 > 0 AND c2 > 0 AND c3 > 0 THEN '0FFFFF212' ELSE 'FF0FFF212' END AS pattern,
-        '0FFFFFFF2' AS self_pattern
+        '0FFFFFFF2' AS self_pattern,
+        (c1 > 0 AND c2 > 0 AND c3 > 0) AS pat_within,
+        NOT (c1 > 0 AND c2 > 0 AND c3 > 0) AS pat_disjoint
       FROM j WHERE c1 <> 0 AND c2 <> 0 AND c3 <> 0
       ORDER BY c_custkey, r_regionkey""",
 

@@ -855,7 +855,10 @@ object SparkEntry {
         .filter(col("c1") =!= 0.0 && col("c2") =!= 0.0 && col("c3") =!= 0.0)
       j.select(col("c_custkey"), col("r_regionkey").cast("long").as("r_regionkey"),
           st_relate(col("geometry"), col("tri")).as("pattern"),
-          st_relate(col("geometry"), col("geometry")).as("self_pattern"))
+          st_relate(col("geometry"), col("geometry")).as("self_pattern"),
+          // relate_pattern: 'within' with T/F/* wildcard classes
+          st_relatePattern(col("geometry"), col("tri"), lit("T*F**F***")).as("pat_within"),
+          st_relatePattern(col("geometry"), col("tri"), lit("FF*FF****")).as("pat_disjoint"))
         .orderBy(col("c_custkey"), col("r_regionkey"))
     }),
 

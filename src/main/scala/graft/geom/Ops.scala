@@ -857,6 +857,28 @@ object Predicates {
       '2').mkString
   }
 
+  /** shapely relate_pattern: match the DE-9IM matrix of (a, b) against a
+    * 9-char pattern — 'T' any non-F dimension, 'F' empty, '0'/'1'/'2'
+    * exact, '*' anything.
+    */
+  def relatePattern(a: Geometry, b: Geometry, pattern: String): Boolean = {
+    require(pattern.length == 9,
+      s"relate_pattern: pattern '$pattern' must be 9 characters")
+    val m = relate(a, b)
+    var i = 0
+    while (i < 9) {
+      val p = Character.toUpperCase(pattern.charAt(i)); val c = m.charAt(i)
+      val ok = p match {
+        case '*' => true
+        case 'T' => c != 'F'
+        case _   => p == c
+      }
+      if (!ok) return false
+      i += 1
+    }
+    true
+  }
+
   private def interiorsIntersectSym(a: Geometry, b: Geometry): Boolean =
     if (a.topoDim == 2) interiorsIntersect(a, b)
     else if (b.topoDim == 2) interiorsIntersect(b, a)

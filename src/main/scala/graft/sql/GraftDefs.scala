@@ -160,6 +160,8 @@ object GraftDefs {
     "st_dwithin" -> Spec(Seq(B, B, D), BO,
       a => Predicates.dWithin(geom(a(0)), geom(a(1)), dbl(a(2)))),
     "st_relate" -> g2(S)((x, y) => utf8(Predicates.relate(x, y))),
+    "st_relatepattern" -> Spec(Seq(B, B, S), BO,
+      a => Predicates.relatePattern(geom(a(0)), geom(a(1)), str(a(2)))),
     "st_intersectsbox" -> Spec(Seq(B, D, D, D, D), BO, { a =>
       val box = Envelope(dbl(a(1)), dbl(a(2)), dbl(a(3)), dbl(a(4)))
       // envelope reject straight from the bytes: rows outside the box never

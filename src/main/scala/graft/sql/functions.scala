@@ -114,6 +114,8 @@ object functions {
   def st_voronoiPolygons(g: Column): Column = fn("st_voronoipolygons", g)
   def st_polygonize(g: Column): Column = fn("st_polygonize", g)
   def st_sharedPaths(a: Column, b: Column): Column = fn("st_sharedpaths", a, b)
+  def st_relatePattern(a: Column, b: Column, pattern: Column): Column =
+    fn("st_relatepattern", a, b, pattern)
   def st_normalize(g: Column): Column = fn("st_normalize", g)
   def st_snap(src: Column, tgt: Column, tol: Column): Column = fn("st_snap", src, tgt, tol)
   def st_minimumClearance(g: Column): Column = fn("st_minimumclearance", g)

@@ -509,6 +509,23 @@ class ExtendedSpec extends AnyFunSuite {
     assert(math.abs(Measures.area(one.geoms(0)) - 4.0) < 1e-9) // 2x2 clip (m=1)
   }
 
+  // ---------------------------------------------------------- relatePattern
+
+  test("relatePattern matches T/F/digit/* against the DE-9IM matrix") {
+    val box = wkt("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+    val in = wkt("POINT (5 5)")
+    val out = wkt("POINT (20 20)")
+    assert(Predicates.relatePattern(in, box, "T*F**F***"))  // within
+    assert(!Predicates.relatePattern(out, box, "T*F**F***"))
+    assert(Predicates.relatePattern(out, box, "FF*FF****")) // disjoint
+    assert(Predicates.relatePattern(in, box, "0********")) // exact dim
+    assert(!Predicates.relatePattern(in, box, "1********"))
+    assert(Predicates.relatePattern(in, box, "*********"))
+    intercept[IllegalArgumentException] {
+      Predicates.relatePattern(in, box, "T*F")
+    }
+  }
+
   // ------------------------------------------------------------ sharedPaths
 
   test("sharedPaths splits collinear overlaps by direction") {

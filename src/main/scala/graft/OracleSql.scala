@@ -1121,6 +1121,23 @@ object OracleSql {
         true AS determ
       FROM p ORDER BY s_suppkey""",
 
+    "g61_makevalid_node_precision" -> """
+      WITH p AS (SELECT s_suppkey,
+                   ((s_suppkey % 5) + 2)::DOUBLE AS w,
+                   ((s_suppkey % 7) + 3)::DOUBLE AS h
+                 FROM supplier)
+      SELECT s_suppkey,
+        4 AS n_noded,
+        round(2 * sqrt(w * w + h * h), 6) AS noded_len,
+        false AS valid_before,
+        'Self-intersection' AS reason17,
+        round(w * h / 2, 6) AS mv_area,
+        2 AS mv_parts,
+        true AS valid_after,
+        9.5::DOUBLE AS z3,
+        round(w + 0.5, 6) AS sp_x
+      FROM p ORDER BY s_suppkey""",
+
     "g60_polygonize_sharedpaths" -> """
       WITH p AS (SELECT s_suppkey,
                    ((s_suppkey % 5) + 3)::DOUBLE AS w,

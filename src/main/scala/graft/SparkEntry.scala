@@ -1343,6 +1343,37 @@ object SparkEntry {
         .orderBy(col("s_suppkey"))
     }),
 
+    // node / is_valid(_reason) / make_valid / force_3d / set_precision
+    // (shapely 2.x batch 6): a crossing X nodes into 4 length-preserving
+    // segments; the classic bowtie is flagged invalid with the GEOS reason
+    // prefix and repairs to two triangles of half the box; force_3d fills
+    // a constant Z; set_precision snaps onto the 0.5 grid closed-form
+    "g61_makevalid_node_precision" -> ((s, d) => {
+      t(s, d, "supplier")
+        .withColumn("w", ((col("s_suppkey") % 5) + 2).cast("double"))
+        .withColumn("h", ((col("s_suppkey") % 7) + 3).cast("double"))
+        .withColumn("cross", st_geomFromWKT(concat(
+          lit("MULTILINESTRING ((0 0, "), col("w"), lit(" "), col("h"),
+          lit("), (0 "), col("h"), lit(", "), col("w"), lit(" 0))"))))
+        .withColumn("noded", st_node(col("cross")))
+        .withColumn("bowtie", st_geomFromWKT(concat(
+          lit("POLYGON ((0 0, "), col("w"), lit(" "), col("h"), lit(", "),
+          col("w"), lit(" 0, 0 "), col("h"), lit(", 0 0))"))))
+        .withColumn("mv", st_makeValid(col("bowtie")))
+        .select(col("s_suppkey"),
+          st_numGeometries(col("noded")).as("n_noded"),
+          round(st_length(col("noded")), 6).as("noded_len"),
+          st_isValid(col("bowtie")).as("valid_before"),
+          substring(st_isValidReason(col("bowtie")), 1, 17).as("reason17"),
+          round(st_area(col("mv")), 6).as("mv_area"),
+          st_numGeometries(col("mv")).as("mv_parts"),
+          st_isValid(col("mv")).as("valid_after"),
+          st_z(st_force3d(st_point(col("w"), col("h")), lit(9.5))).as("z3"),
+          round(st_x(st_setPrecision(
+            st_point(col("w") + 0.26, lit(0.0)), lit(0.5))), 6).as("sp_x"))
+        .orderBy(col("s_suppkey"))
+    }),
+
     // negative buffer (inward offset) of convex polygons, incl. collapse
     "g29_negative_buffer" -> ((s, d) => {
       supplierPts(s, d)

@@ -1110,6 +1110,86 @@ object Extended {
     math.hypot(px - (ax + t * dx), py - (ay + t * dy))
   }
 
+  // --------------------------------------------------------------- force3d
+
+  /** shapely force_3d: give every coordinate a Z (constant fill for
+    * coordinates without one). Polygon rings carry no Z in this model —
+    * documented deviation: areal geometries pass through unchanged.
+    */
+  def force3d(g: Geometry, z: Double): Geometry = g match {
+    case p: Point => if (p.isEmpty || p.hasZ) p else Point(p.x, p.y, z)
+    case l: LineString =>
+      if (l.zs != null) l else LineString(l.xy, Array.fill(l.size)(z))
+    case m: MultiPoint =>
+      MultiPoint(m.pts.map(p => force3d(p, z).asInstanceOf[Point]))
+    case m: MultiLineString =>
+      MultiLineString(m.lines.map(l => force3d(l, z).asInstanceOf[LineString]))
+    case c: GeometryCollection => GeometryCollection(c.geoms.map(force3d(_, z)))
+    case other => other // areal: rings are 2D in this model
+  }
+
+  // ----------------------------------------------------------- setPrecision
+
+  /** shapely set_precision: snap every coordinate to the `grid` lattice
+    * (round-half-away like GEOS's PrecisionModel), drop repeated points the
+    * snap produced, and drop ring/line parts that collapse below their
+    * minimum size. Self-intersections a snap can introduce are repaired via
+    * makeValid for areal inputs (the GEOS default keep-valid policy).
+    */
+  def setPrecision(g: Geometry, grid: Double): Geometry = {
+    require(grid > 0, s"set_precision: grid must be positive, got $grid")
+    // GEOS PrecisionModel form: round against the inverse scale and divide,
+    // which lands decimal grids on their representable doubles (1.2, not
+    // 1.2000000000000002 from round(v/grid)*grid)
+    val scale = 1.0 / grid
+    @inline def snap(v: Double): Double = math.round(v * scale) / scale
+    def snapPathDedup(xy: Array[Double]): Array[Double] = {
+      val out = mutable.ArrayBuilder.make[Double]
+      var px = Double.NaN; var py = Double.NaN
+      var i = 0
+      while (i < xy.length) {
+        val x = snap(xy(i)); val y = snap(xy(i + 1))
+        if (x != px || y != py) { out += x += y; px = x; py = y }
+        i += 2
+      }
+      out.result()
+    }
+    g match {
+      case p: Point => if (p.isEmpty) p else Point(snap(p.x), snap(p.y), p.z)
+      case l: LineString =>
+        val s = snapPathDedup(l.xy)
+        if (s.length < 4) LineString(Array.empty) else LineString(s)
+      case p: Polygon =>
+        val rings = p.rings.flatMap { r =>
+          val s = snapPathDedup(r)
+          // re-close (first/last may have deduped apart) and size-check
+          val closed =
+            if (s.length >= 2 && (s(0) != s(s.length - 2) || s(1) != s(s.length - 1)))
+              s ++ Array(s(0), s(1))
+            else s
+          if (closed.length < 8) None else Some(closed)
+        }
+        if (rings.isEmpty || rings(0).isEmpty) Polygon(Array.empty[Array[Double]])
+        else Noding.makeValid(Polygon(rings)) match {
+          case poly: Polygon => poly
+          case other         => other
+        }
+      case m: MultiPoint =>
+        MultiPoint(m.pts.map(p => setPrecision(p, grid).asInstanceOf[Point]))
+      case m: MultiLineString =>
+        MultiLineString(m.lines
+          .map(l => setPrecision(l, grid).asInstanceOf[LineString])
+          .filterNot(_.isEmpty))
+      case m: MultiPolygon =>
+        val ps = m.polys.map(p => setPrecision(p, grid)).filterNot(_.isEmpty)
+        if (ps.forall(_.isInstanceOf[Polygon]))
+          MultiPolygon(ps.map(_.asInstanceOf[Polygon]))
+        else GeometryCollection(ps)
+      case c: GeometryCollection =>
+        GeometryCollection(c.geoms.map(setPrecision(_, grid)))
+    }
+  }
+
   // ------------------------------------------------------------ sharedPaths
 
   /** GEOS SharedPaths: GEOMETRYCOLLECTION(MULTILINESTRING same-direction,

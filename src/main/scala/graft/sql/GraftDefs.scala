@@ -130,14 +130,16 @@ object GraftDefs {
         case _ => wkb(GeometryCollection(Array.empty))
       }
     }),
-    "st_isvalid" -> g1(BO) {
-      case p: Polygon =>
-        !p.isEmpty && p.rings.forall(r => r.length >= 8 &&
-          r(0) == r(r.length - 2) && r(1) == r(r.length - 1))
-      case m: MultiPolygon => m.polys.forall(p => !p.isEmpty && p.rings.forall(r =>
-        r.length >= 8 && r(0) == r(r.length - 2) && r(1) == r(r.length - 1)))
-      case _ => true
-    },
+    // r9: full OGC validity (ring closure/size, self- and cross-ring
+    // intersection scan, holes-inside-shell) — geom/Noding.scala
+    "st_isvalid" -> g1(BO)(Noding.isValid),
+    "st_isvalidreason" -> g1(S)(g => utf8(Noding.isValidReason(g))),
+    "st_makevalid" -> g1(B)(g => wkb(Noding.makeValid(g))),
+    "st_node" -> g1(B)(g => wkb(Noding.node(g))),
+    "st_force3d" -> Spec(Seq(B, D), B,
+      a => wkb(Extended.force3d(geom(a(0)), dbl(a(1))))),
+    "st_setprecision" -> Spec(Seq(B, D), B,
+      a => wkb(Extended.setPrecision(geom(a(0)), dbl(a(1))))),
     // ---- measures
     "st_area" -> g1(D)(Measures.area),
     "st_length" -> g1(D)(Measures.length),

@@ -116,6 +116,11 @@ object functions {
   def st_sharedPaths(a: Column, b: Column): Column = fn("st_sharedpaths", a, b)
   def st_relatePattern(a: Column, b: Column, pattern: Column): Column =
     fn("st_relatepattern", a, b, pattern)
+  def st_isValidReason(g: Column): Column = fn("st_isvalidreason", g)
+  def st_makeValid(g: Column): Column = fn("st_makevalid", g)
+  def st_node(g: Column): Column = fn("st_node", g)
+  def st_force3d(g: Column, z: Column): Column = fn("st_force3d", g, z)
+  def st_setPrecision(g: Column, grid: Column): Column = fn("st_setprecision", g, grid)
   def st_normalize(g: Column): Column = fn("st_normalize", g)
   def st_snap(src: Column, tgt: Column, tol: Column): Column = fn("st_snap", src, tgt, tol)
   def st_minimumClearance(g: Column): Column = fn("st_minimumclearance", g)

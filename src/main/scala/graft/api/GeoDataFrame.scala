@@ -498,14 +498,24 @@ final case class GeoDataFrame(
       s"unknown sjoin how '$how' (inner | left | right)")
 
     val rowId = "_sjoin_row_id"
+    // The id-stamped side feeds TWO plan branches (the inner join and the
+    // left-anti unmatched probe below), and monotonically_increasing_id is
+    // nondeterministic across recomputation: a task retry or executor loss
+    // could assign DIFFERENT ids to the same row in each branch, silently
+    // dropping or duplicating unmatched rows. localCheckpoint() pins the
+    // stamped rows once so both branches read identical ids — same pinning
+    // pattern as Dedup.simhashPairs.
     val leftDf =
-      if (how == "left") df.withColumn(rowId, monotonically_increasing_id()) else df
+      if (how == "left")
+        df.withColumn(rowId, monotonically_increasing_id()).localCheckpoint()
+      else df
     // disambiguate column names like geopandas' suffixing
     val rightRenamed0 = right.df.columns.foldLeft(right.df) { (acc, c) =>
       if (leftDf.columns.contains(c)) acc.withColumnRenamed(c, c + rsuffix) else acc
     }
     val rightRenamed =
-      if (how == "right") rightRenamed0.withColumn(rowId, monotonically_increasing_id())
+      if (how == "right")
+        rightRenamed0.withColumn(rowId, monotonically_increasing_id()).localCheckpoint()
       else rightRenamed0
     val rGeomName =
       if (leftDf.columns.contains(right.geometryColumn)) right.geometryColumn + rsuffix

@@ -192,6 +192,29 @@ class GeoDataFrameSpec extends AnyFunSuite {
     }
   }
 
+  test("sjoin outer: row-id side is pinned (checkpointed) so inner and anti branches share ids") {
+    // monotonically_increasing_id is nondeterministic under recomputation;
+    // the id-stamped side feeds both the inner join and the left-anti probe.
+    // The plan must read a pinned (localCheckpoint -> LogicalRDD) snapshot —
+    // a live Project(monotonically_increasing_id) feeding two branches is a
+    // task-retry wrong-answer hazard at cluster scale.
+    val pts = points(100)
+    val polys = GeoDataFrame(
+      Seq((10L, "POLYGON ((0 0, 50 0, 50 50, 0 50, 0 0))"))
+        .toDF("zone", "wkt").withColumn("geometry", st_geomFromWKT($"wkt")).drop("wkt"))
+    Seq("broadcast", "grid").foreach { strategy =>
+      val out = pts.sjoin(polys, predicate = "within", strategy = strategy, how = "left",
+        cellSize = if (strategy == "grid") Some(25.0) else None)
+      val analyzed = out.queryExecution.analyzed.toString
+      assert(!analyzed.contains("monotonically_increasing_id"),
+        s"$strategy: unpinned monotonically_increasing_id in outer-sjoin plan:\n" +
+          analyzed.take(2000))
+      // and the result is still exactly the left rows
+      val ids = out.select($"id").as[Long].collect().sorted.toSeq
+      assert(ids == (0L until 100L).toSeq, s"$strategy lost/duplicated rows")
+    }
+  }
+
   test("sjoinNearest: per-left minimum, radius drop, ties kept") {
     val left = GeoDataFrame(Seq(
       (1L, 0.0, 0.0),   // nearest = A (d=1) and B (d=1): exact tie, keep both

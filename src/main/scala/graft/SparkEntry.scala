@@ -28,7 +28,23 @@ object SparkEntry {
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     graft.sql.functions.install(spark)
-    spark.read.parquet(s"$dir/$name.parquet")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // The driver's testdata drops have shipped events.ts both as int64
+    // nanos (read as long under nanosAsLong) and as a us-precision naive
+    // timestamp (r10). Normalize to int64 ns-since-epoch so every temporal
+    // query keeps exact integer-ns arithmetic and the epoch_ns oracles
+    // stay valid. Epoch extraction from TIMESTAMP_NTZ routes through the
+    // session zone, so pin it to UTC (matching DuckDB's naive-as-UTC
+    // epoch_ns) — runtime conf, safe to set per-call.
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        df.withColumn("ts", expr("unix_micros(cast(ts AS timestamp)) * 1000"))
+      case Some(org.apache.spark.sql.types.TimestampType) =>
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        df.withColumn("ts", expr("unix_micros(ts) * 1000"))
+      case _ => df
+    }
   }
 
   // supplier synthetic anchor (the canonical square mapping): x0/y0 are

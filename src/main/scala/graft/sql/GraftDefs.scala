@@ -285,6 +285,8 @@ object GraftDefs {
         case "EPSG:3857"      => Some(_.mapCoords(Crs.mercatorToLonLat))
         case UtmZone(ns, zz)  => Some(_.mapCoords((x, y) => Crs.utmInverse(x, y, zz.toInt, ns == "7")))
         case c if Crs.byEpsg.contains(c) => Some(_.mapCoords(Crs.byEpsg(c).inverse))
+        case c if c.startsWith("+") =>
+          Crs.projFor(c).map(p => _.mapCoords(p.inverse))
         case _                => None
       }
       def fromWgs(crs: String): Option[Geometry => Geometry] = crs match {
@@ -292,6 +294,8 @@ object GraftDefs {
         case "EPSG:3857"      => Some(_.mapCoords(Crs.lonLatToMercator))
         case UtmZone(ns, zz)  => Some(_.mapCoords((lon, lat) => Crs.utmForward(lon, lat, zz.toInt, ns == "7")))
         case c if Crs.byEpsg.contains(c) => Some(_.mapCoords(Crs.byEpsg(c).forward))
+        case c if c.startsWith("+") =>
+          Crs.projFor(c).map(p => _.mapCoords(p.forward))
         case _                => None
       }
       (normCrs(str(a(1))), normCrs(str(a(2)))) match {
@@ -303,9 +307,10 @@ object GraftDefs {
             case (Some(inv), Some(fwd)) => wkb(fwd(inv(g)))
             case _ => throw new UnsupportedOperationException(
               s"st_transform $f -> $t: supported CRS are EPSG:4326, EPSG:3857, " +
-                "EPSG:326xx/327xx (WGS84 UTM) and the EPSG parameter table " +
-                s"(${Crs.byEpsg.keys.toSeq.sorted.mkString(", ")}); " +
-                "any pair composes via lon/lat")
+                "EPSG:326xx/327xx (WGS84 UTM), the EPSG parameter table " +
+                s"(${Crs.byEpsg.keys.toSeq.sorted.mkString(", ")}), and " +
+                "proj records (+proj=tmerc|utm|lcc|aea|laea|somerc|webmerc|" +
+                "longlat with +ellps/+towgs84); any pair composes via lon/lat")
           }
       }
     }),
@@ -344,6 +349,8 @@ object GraftDefs {
   )
 
   private def normCrs(s: String): String = {
+    // proj parameter records are case-sensitive — pass through verbatim
+    if (s.trim.startsWith("+")) return s.trim
     val up = s.toUpperCase
     if (up == "OGC:CRS84" || up == "CRS84" || up == "WGS84" || up == "4326") "EPSG:4326"
     // NAD83 geographic: within ~1-2 m of WGS84 (the standard GIS-engine
@@ -352,6 +359,8 @@ object GraftDefs {
     else if (up == "3857" || up == "WEB_MERCATOR") "EPSG:3857"
     else if (up == "5070" || up == "CONUS_ALBERS") "EPSG:5070"
     else if (up == "3347" || up == "STATCAN_LAMBERT") "EPSG:3347"
+    // bare numeric code = EPSG code (geopandas accepts ints for to_crs)
+    else if (up.nonEmpty && up.forall(_.isDigit)) "EPSG:" + up
     else up
   }
 
@@ -836,6 +845,69 @@ object Crs {
     }
   }
 
+  /** Swiss oblique Mercator ("double projection": Gaussian sphere at the
+    * projection center, spherical rotation of the center to the equator,
+    * then equatorial Mercator), the swisstopo-published rigorous formulas
+    * for EPSG:2056 (CH1903+ / LV95) and EPSG:21781 (CH1903 / LV03), also
+    * reachable as proj `+proj=somerc`. The projection center maps exactly
+    * to (fe, fn) by construction of K. Inverse latitude converges in <=8
+    * fixed iterations of the isometric-latitude fixed point.
+    */
+  final class SwissObliqueMercator(a: Double, invFlat: Double, lat0: Double,
+      lon0: Double, k0: Double, fe: Double, fn: Double) extends Projection {
+    private val f = 1.0 / invFlat
+    private val e2 = f * (2.0 - f)
+    private val e = math.sqrt(e2)
+    private val phi0 = math.toRadians(lat0)
+    private val lam0 = math.toRadians(lon0)
+    private val s0 = math.sin(phi0)
+    private val c0 = math.cos(phi0)
+    // Gaussian sphere radius at the center, scaled by k0
+    private val rr = k0 * a * math.sqrt(1.0 - e2) / (1.0 - e2 * s0 * s0)
+    private val alpha = math.sqrt(1.0 + e2 / (1.0 - e2) * c0 * c0 * c0 * c0)
+    private val b0 = math.asin(s0 / alpha)
+    private val sb0 = math.sin(b0)
+    private val cb0 = math.cos(b0)
+    private def lnTanHalf(x: Double): Double = math.log(math.tan(math.Pi / 4.0 + x / 2.0))
+    private val kk = lnTanHalf(b0) - alpha * lnTanHalf(phi0) +
+      alpha * e / 2.0 * math.log((1.0 + e * s0) / (1.0 - e * s0))
+
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      val phi = math.toRadians(lat)
+      val s = math.sin(phi)
+      val bigS = alpha * lnTanHalf(phi) -
+        alpha * e / 2.0 * math.log((1.0 + e * s) / (1.0 - e * s)) + kk
+      val b = 2.0 * (math.atan(math.exp(bigS)) - math.Pi / 4.0)
+      val l = alpha * (math.toRadians(lon) - lam0)
+      val sb = math.sin(b); val cb = math.cos(b); val cl = math.cos(l)
+      // rotate the center to the equator
+      val bbar = math.asin(math.max(-1.0, math.min(1.0, cb0 * sb - sb0 * cb * cl)))
+      val lbar = math.atan2(cb * math.sin(l), sb0 * sb + cb0 * cb * cl)
+      (fe + rr * lbar, fn + rr * lnTanHalf(bbar))
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val lbar = (x - fe) / rr
+      val bbar = 2.0 * (math.atan(math.exp((y - fn) / rr)) - math.Pi / 4.0)
+      val sbb = math.sin(bbar); val cbb = math.cos(bbar); val clb = math.cos(lbar)
+      val b = math.asin(math.max(-1.0, math.min(1.0, cb0 * sbb + sb0 * cbb * clb)))
+      val l = math.atan2(cbb * math.sin(lbar), -sb0 * sbb + cb0 * cbb * clb)
+      val lon = math.toDegrees(lam0 + l / alpha)
+      // invert bigS = alpha*L(phi) - alpha*e/2*ln((1+e sin)/(1-e sin)) + kk
+      // with bigS = lnTanHalf(b): fixed-point on the isometric latitude
+      var phi = b
+      var i = 0
+      while (i < 8) {
+        val s = math.sin(phi)
+        phi = 2.0 * (math.atan(math.exp(
+          (lnTanHalf(b) - kk) / alpha +
+            e / 2.0 * math.log((1.0 + e * s) / (1.0 - e * s)))) - math.Pi / 4.0)
+        i += 1
+      }
+      (lon, math.toDegrees(phi))
+    }
+  }
+
   /** 7-parameter Helmert datum transformation (EPSG method 9606,
     * position-vector rotation convention), parameterized WGS84 → native
     * datum as published (e.g. the OS "WGS84/ETRS89 to OSGB36" table).
@@ -933,6 +1005,22 @@ object Crs {
   val ed50: Helmert = new Helmert(6378388.0, 297.0,
     87.0, 96.0, 120.0, 0.0, 0.0, 0.0, 0.0)
 
+  /** WGS84 → CH1903/CH1903+ (Bessel 1841): the swisstopo 3-parameter
+    * translation (published CH1903+→WGS84 is +674.374, +15.056, +405.346;
+    * translation-only, so the negation here is the exact inverse).
+    */
+  val ch1903: Helmert = new Helmert(6377397.155, 299.1528128,
+    -674.374, -15.056, -405.346, 0.0, 0.0, 0.0, 0.0)
+
+  /** Swiss projection HALF of EPSG:2056 (CH1903+ geodetic in/out, no datum
+    * shift) — exposed for projection-only tests: the projection center
+    * (46°57'08.66"N, 7°26'22.50"E Bern) must map exactly to the LV95
+    * false origin (2600000, 1200000).
+    */
+  val lv95Projection = new SwissObliqueMercator(6377397.155, 299.1528128,
+    46.0 + 57.0 / 60.0 + 8.66 / 3600.0, 7.0 + 26.0 / 60.0 + 22.5 / 3600.0,
+    1.0, 2600000.0, 1200000.0)
+
   /** British National Grid TM on Airy 1830 — the projection HALF of
     * EPSG:27700 (OSGB36 geodetic in/out, no datum shift); the byEpsg row
     * wraps it with the OSGB36 Helmert. Exposed for projection-only tests
@@ -974,7 +1062,132 @@ object Crs {
       0.0, 9.0, 0.9996, 500000.0, 0.0),
     // ETRS89-extended / LAEA Europe (EEA grids)
     "EPSG:3035" -> new LambertAzimuthalEqualArea(6378137.0, 298.257222101,
-      52.0, 10.0, 4321000.0, 3210000.0))
+      52.0, 10.0, 4321000.0, 3210000.0),
+    // GDA94 / MGA zone 55 (TM on GRS80, southern false northing)
+    "EPSG:28355" -> new TransverseMercator(6378137.0, 298.257222101,
+      0.0, 147.0, 0.9996, 500000.0, 10000000.0),
+    // NZGD2000 / New Zealand Transverse Mercator 2000
+    "EPSG:2193" -> new TransverseMercator(6378137.0, 298.257222101,
+      0.0, 173.0, 0.9996, 1600000.0, 10000000.0),
+    // NAD83 / UTM zone 15N on GRS80 (the NAD83 twin of EPSG:32615)
+    "EPSG:26915" -> new TransverseMercator(6378137.0, 298.257222101,
+      0.0, -93.0, 0.9996, 500000.0, 0.0),
+    // GDA94 / Australian Albers (national equal-area grids)
+    "EPSG:3577" -> new AlbersConic(6378137.0, 298.257222101,
+      0.0, 132.0, -18.0, -36.0, 0.0, 0.0),
+    // CH1903+ / LV95: Swiss oblique Mercator on Bessel 1841 behind the
+    // swisstopo 3-parameter datum translation
+    "EPSG:2056" -> new DatumShifted(lv95Projection, ch1903),
+    // CH1903 / LV03: same projection, legacy false origin
+    "EPSG:21781" -> new DatumShifted(new SwissObliqueMercator(
+      6377397.155, 299.1528128,
+      46.0 + 57.0 / 60.0 + 8.66 / 3600.0, 7.0 + 26.0 / 60.0 + 22.5 / 3600.0,
+      1.0, 600000.0, 200000.0), ch1903))
+
+  /** Identity "projection" for `+proj=longlat` records: projected
+    * coordinates ARE lon/lat degrees.
+    */
+  object IdentityProjection extends Projection {
+    def forward(lon: Double, lat: Double): (Double, Double) = (lon, lat)
+    def inverse(x: Double, y: Double): (Double, Double) = (x, y)
+  }
+
+  /** Spherical web-Mercator as a [[Projection]] (`+proj=webmerc`), the
+    * same kernel as the EPSG:3857 fast path.
+    */
+  object WebMercatorProjection extends Projection {
+    def forward(lon: Double, lat: Double): (Double, Double) = lonLatToMercator(lon, lat)
+    def inverse(x: Double, y: Double): (Double, Double) = mercatorToLonLat(x, y)
+  }
+
+  private val ellipsoids: Map[String, (Double, Double)] = Map(
+    "WGS84" -> (6378137.0, 298.257223563),
+    "GRS80" -> (6378137.0, 298.257222101),
+    "airy" -> (6377563.396, 299.3249646),
+    "intl" -> (6378388.0, 297.0),
+    "bessel" -> (6377397.155, 299.1528128),
+    "krass" -> (6378245.0, 298.3),
+    "clrk66" -> (6378206.4, 294.978698214),
+    "clrk80ign" -> (6378249.2, 293.4660212936269))
+
+  /** Parse a proj-style parameter record (`+proj=tmerc +lat_0=.. +lon_0=..
+    * +k_0=.. +x_0=.. +y_0=.. +ellps=.. +towgs84=..`) into a [[Projection]],
+    * so any CRS expressible in the supported families (tmerc / utm / lcc /
+    * aea / laea / somerc / webmerc / longlat) works without a hand-added
+    * EPSG table row (ref capability: pyproj accepts proj strings,
+    * `expr.py:255-257`). Returns None for unsupported families or
+    * malformed records — the caller reports the supported surface.
+    *
+    * `+towgs84` is the proj convention (native → WGS84, position-vector);
+    * our [[Helmert]] is parameterized WGS84 → native, so the parameters
+    * are negated. For translation-only sets the negation IS the exact
+    * inverse; with the published rotation magnitudes (< 1e-5 rad) the
+    * second-order error is sub-millimeter. Roundtrips through the SAME
+    * parsed projection remain machine-exact either way ([[Helmert]]
+    * inverts its own matrix exactly).
+    */
+  def parseProj(s: String): Option[Projection] = try {
+    val kv = s.trim.split("\\s+").iterator.filter(_.startsWith("+"))
+      .map(_.stripPrefix("+")).map { tok =>
+        val i = tok.indexOf('=')
+        if (i < 0) tok -> "" else tok.substring(0, i) -> tok.substring(i + 1)
+      }.toMap
+    def d(k: String, dflt: Double): Double = kv.get(k).map(_.toDouble).getOrElse(dflt)
+    val ell = kv.get("ellps") match {
+      case Some(e) => ellipsoids.get(e) // None = unknown ellipsoid name
+      case None    => Some((6378137.0, 298.257223563))
+    }
+    if (ell.isEmpty) return None
+    val (ea, erf) = ell.get
+    val a = d("a", ea)
+    val rf = kv.get("rf").map(_.toDouble)
+      .orElse(kv.get("b").map(b => a / (a - b.toDouble)))
+      .getOrElse(erf)
+    val k0 = d("k", d("k_0", 1.0))
+    val lat0 = d("lat_0", 0.0); val lon0 = d("lon_0", 0.0)
+    val x0 = d("x_0", 0.0); val y0 = d("y_0", 0.0)
+    val base: Option[Projection] = kv.get("proj") match {
+      case Some("tmerc") =>
+        Some(new TransverseMercator(a, rf, lat0, lon0, k0, x0, y0))
+      case Some("utm") =>
+        kv.get("zone").map(z => new TransverseMercator(a, rf,
+          0.0, z.toInt * 6.0 - 183.0, 0.9996, 500000.0,
+          if (kv.contains("south")) 10000000.0 else 0.0))
+      case Some("lcc") =>
+        val l1 = d("lat_1", lat0); val l2 = d("lat_2", l1)
+        // the 2SP kernel's cone constant divides by ln(t1)-ln(t2): the
+        // 1SP (lat_1 == lat_2) variant needs n = sin(lat_1), unsupported
+        if (math.abs(l1 - l2) < 1e-9) None
+        else Some(new LambertConic(a, rf, lat0, lon0, l1, l2, x0, y0))
+      case Some("aea") =>
+        Some(new AlbersConic(a, rf, lat0, lon0, d("lat_1", lat0), d("lat_2", lat0), x0, y0))
+      case Some("laea") =>
+        Some(new LambertAzimuthalEqualArea(a, rf, lat0, lon0, x0, y0))
+      case Some("somerc") =>
+        Some(new SwissObliqueMercator(a, rf, lat0, lon0, k0, x0, y0))
+      case Some("longlat") | Some("latlong") => Some(IdentityProjection)
+      case Some("webmerc") => Some(WebMercatorProjection)
+      case _ => None
+    }
+    base.map { b =>
+      kv.get("towgs84") match {
+        case Some(t) =>
+          val p = t.split(",").map(_.trim.toDouble).padTo(7, 0.0)
+          if (p.forall(_ == 0.0)) b
+          else new DatumShifted(b,
+            new Helmert(a, rf, -p(0), -p(1), -p(2), -p(3), -p(4), -p(5), -p(6)))
+        case None => b
+      }
+    }
+  } catch { case _: NumberFormatException => None }
+
+  // proj-record parses are memoized: st_transform evaluates its CRS
+  // arguments per row, and the parse (plus projection-constant setup)
+  // must not run 600k times for one query
+  private val projCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[Projection]]()
+  def projFor(s: String): Option[Projection] =
+    projCache.computeIfAbsent(s, parseProj(_))
 }
 
 /** Fixed uniform grid used by the scalable spatial-join strategy: cell ids

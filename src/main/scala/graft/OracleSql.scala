@@ -1121,6 +1121,51 @@ object OracleSql {
         true AS determ
       FROM p ORDER BY s_suppkey""",
 
+    // generic TM forward (Snyder 8-9..8-25, GRS80, lat0=0 -> M0=0)
+    // mirrored term by term over the same per-code parameter rows the
+    // Spark query broadcasts; roundtrip deltas are exactly 0 at 5 dp
+    "g62_proj_grids" -> s"""
+      WITH g AS (SELECT * FROM (VALUES
+          ('EPSG:28355', 147.0, -30.0, 500000.0, 10000000.0),
+          ('EPSG:2193', 173.0, -41.0, 1600000.0, 10000000.0),
+          ('EPSG:26915', -93.0, 40.0, 500000.0, 0.0),
+          ('+proj=tmerc +lon_0=147 +k=0.9996 +x_0=500000 +y_0=10000000 +ellps=GRS80',
+            147.0, -30.0, 500000.0, 10000000.0))
+        AS t(code, lon0, latc, fe, fn)),
+      p AS (SELECT c_custkey, cx, cy FROM ($custPts)),
+      x AS (SELECT c_custkey, code, fe, fn,
+              lon0 + cx / 3000.0 - 1.5 AS lon,
+              latc + cy / 250.0 - 2.0 AS lat,
+              radians(lon0 + cx / 3000.0 - 1.5) AS lam,
+              radians(latc + cy / 250.0 - 2.0) AS phi,
+              radians(lon0) AS lam0
+            FROM p CROSS JOIN g),
+      e0 AS (SELECT f * (2.0 - f) AS e2 FROM (SELECT 1.0 / 298.257222101 AS f)),
+      e1 AS (SELECT e2, e2 / (1.0 - e2) AS ep2, e2 * e2 AS e4,
+                    e2 * e2 * e2 AS e6 FROM e0),
+      q1 AS (SELECT x.*, e2, ep2, e4, e6,
+               sin(phi) AS sphi, cos(phi) AS cphi, tan(phi) AS tphi
+             FROM x, e1),
+      q2 AS (SELECT *, 6378137.0 / sqrt(1.0 - e2 * sphi * sphi) AS n,
+                    tphi * tphi AS t, ep2 * cphi * cphi AS c,
+                    (lam - lam0) * cphi AS aa FROM q1),
+      q3 AS (SELECT *, 6378137.0 * ((1.0 - e2 / 4.0 - 3.0 * e4 / 64.0 - 5.0 * e6 / 256.0) * phi
+                    - (3.0 * e2 / 8.0 + 3.0 * e4 / 32.0 + 45.0 * e6 / 1024.0) * sin(2.0 * phi)
+                    + (15.0 * e4 / 256.0 + 45.0 * e6 / 1024.0) * sin(4.0 * phi)
+                    - (35.0 * e6 / 3072.0) * sin(6.0 * phi)) AS m FROM q2),
+      q4 AS (SELECT *,
+               0.9996 * n * (aa + (1.0 - t + c) * aa * aa * aa / 6.0
+                 + (5.0 - 18.0 * t + t * t + 72.0 * c - 58.0 * ep2) * pow(aa, 5) / 120.0)
+                 + fe AS mx,
+               fn + 0.9996 * (m + n * tphi * (aa * aa / 2.0
+                 + (5.0 - t + 9.0 * c + 4.0 * c * c) * pow(aa, 4) / 24.0
+                 + (61.0 - 58.0 * t + t * t + 600.0 * c - 330.0 * ep2)
+                   * pow(aa, 6) / 720.0)) AS my
+             FROM q3)
+      SELECT c_custkey, code, round(mx, 3) AS gx, round(my, 3) AS gy,
+             0.0 AS dlon, 0.0 AS dlat
+      FROM q4 ORDER BY c_custkey, code""",
+
     "g61_makevalid_node_precision" -> """
       WITH p AS (SELECT s_suppkey,
                    ((s_suppkey % 5) + 2)::DOUBLE AS w,

@@ -1390,6 +1390,38 @@ object SparkEntry {
         .orderBy(col("s_suppkey"))
     }),
 
+    // r10 EPSG widening: transverse-Mercator national grids absent from
+    // the r9 table (MGA55, NZTM2000, NAD83/UTM15N), plus the SAME grid
+    // reached through the proj-record parser (+proj=tmerc ...) — the
+    // parser row must agree with the table row column-for-column. The
+    // oracle mirrors the TM forward (Snyder 8-9..8-25, GRS80, lat0=0 so
+    // M0=0) term by term over a parameter VALUES table; roundtrip-delta
+    // columns are exactly 0 at 5 dp (inverse validation). The small
+    // per-code grids table is broadcast — the customer side never shuffles.
+    "g62_proj_grids" -> ((s, d) => {
+      import s.implicits._
+      val grids = Seq(
+        ("EPSG:28355", 147.0, -30.0, 500000.0, 10000000.0),
+        ("EPSG:2193", 173.0, -41.0, 1600000.0, 10000000.0),
+        ("EPSG:26915", -93.0, 40.0, 500000.0, 0.0),
+        ("+proj=tmerc +lon_0=147 +k=0.9996 +x_0=500000 +y_0=10000000 +ellps=GRS80",
+          147.0, -30.0, 500000.0, 10000000.0))
+        .toDF("code", "lon0", "latc", "fe", "fn")
+      customerPts(s, d).select(col("c_custkey"), col("cx"), col("cy"))
+        .crossJoin(broadcast(grids.select(col("code"), col("lon0"), col("latc"))))
+        .withColumn("lon", col("lon0") + col("cx") / 3000.0 - 1.5)
+        .withColumn("lat", col("latc") + col("cy") / 250.0 - 2.0)
+        .withColumn("g", st_transform(
+          st_point(col("lon"), col("lat")), lit("EPSG:4326"), col("code")))
+        .withColumn("rt", st_transform(col("g"), col("code"), lit("EPSG:4326")))
+        .select(col("c_custkey"), col("code"),
+          round(st_x(col("g")), 3).as("gx"),
+          round(st_y(col("g")), 3).as("gy"),
+          round(abs(st_x(col("rt")) - col("lon")), 5).as("dlon"),
+          round(abs(st_y(col("rt")) - col("lat")), 5).as("dlat"))
+        .orderBy(col("c_custkey"), col("code"))
+    }),
+
     // negative buffer (inward offset) of convex polygons, incl. collapse
     "g29_negative_buffer" -> ((s, d) => {
       supplierPts(s, d)

@@ -761,4 +761,127 @@ class GeomKernelSpec extends AnyFunSuite {
     assert(off > 150.0 && off < 300.0, s"ED50 offset $off m")
     assert(ex - ux > 0 && ey - uy > 0, "ED50 grid coordinates shift north-east")
   }
+
+  test("r10 grids: Swiss somerc, MGA/NZTM/UTM15N/Albers-AU, proj records") {
+    import graft.sql.Crs
+    // Swiss projection center maps exactly to the LV95 false origin (the
+    // double projection's K constant is constructed to guarantee it)
+    val bernLon = 7.0 + 26.0 / 60.0 + 22.5 / 3600.0
+    val bernLat = 46.0 + 57.0 / 60.0 + 8.66 / 3600.0
+    val (ce, cn) = Crs.lv95Projection.forward(bernLon, bernLat)
+    assert(math.abs(ce - 2600000.0) < 1e-6 && math.abs(cn - 1200000.0) < 1e-6,
+      s"LV95 center ($ce,$cn)")
+    // swisstopo worked example ("Formulas and constants for the
+    // calculation of the Swiss conformal cylindric projection",
+    // numerical example): WGS84 46°02'38.87"N 8°43'49.79"E ->
+    // LV95 (2700000.00, 1100000.00). Reproduced to < 5 cm by the
+    // rigorous double projection behind the 3-parameter CH translation —
+    // the datum shift is load-bearing (without it the miss is > 100 m).
+    val exLon = 8.0 + 43.0 / 60.0 + 49.79 / 3600.0
+    val exLat = 46.0 + 2.0 / 60.0 + 38.87 / 3600.0
+    val lv95 = Crs.byEpsg("EPSG:2056")
+    val (we, wn) = lv95.forward(exLon, exLat)
+    assert(math.abs(we - 2700000.0) < 0.05 && math.abs(wn - 1100000.0) < 0.05,
+      s"LV95 worked example ($we,$wn)")
+    val (pe, pn) = Crs.lv95Projection.forward(exLon, exLat)
+    assert(math.hypot(pe - 2700000.0, pn - 1100000.0) > 100.0,
+      "no-datum somerc should miss by the CH1903 offset")
+    // LV03 is the same projection at the legacy false origin
+    val (oe, on) = Crs.byEpsg("EPSG:21781").forward(exLon, exLat)
+    assert(math.abs(we - oe - 2000000.0) < 1e-6 && math.abs(wn - on - 1000000.0) < 1e-6)
+    // roundtrip across the Swiss service domain
+    for (lonI <- 6 to 10; latI <- 46 to 47) {
+      val (x, y) = lv95.forward(lonI.toDouble, latI.toDouble)
+      val (lo, la) = lv95.inverse(x, y)
+      // 5e-8 deg (~5 mm): the Helmert hub roundtrip at h=0 contributes
+      // ~1e-8 deg on top of the projection's machine-precision roundtrip
+      assert(math.abs(lo - lonI) < 5e-8 && math.abs(la - latI) < 5e-8,
+        s"LV95 roundtrip at ($lonI,$latI): ($lo,$la)")
+    }
+    // GDA94 technical manual worked example (Alice Springs): GDA94
+    // 23°40'12.446020"S 133°53'7.84784"E -> MGA zone 53
+    // E 386352.397753 N 7381850.768886. GDA94 is WGS84-equivalent at
+    // this tolerance; reached through the proj-record parser.
+    val mga53 = Crs.parseProj("+proj=utm +zone=53 +south +ellps=GRS80").get
+    val (ae, an) = mga53.forward(133.0 + 53.0 / 60.0 + 7.84784 / 3600.0,
+      -(23.0 + 40.0 / 60.0 + 12.446020 / 3600.0))
+    assert(math.abs(ae - 386352.398) < 0.01 && math.abs(an - 7381850.769) < 0.01,
+      s"MGA53 Alice Springs ($ae,$an)")
+    // new table rows: natural origins land on (FE, FN), roundtrips hold
+    val origins = Seq(
+      ("EPSG:28355", 147.0, 0.0, 500000.0, 10000000.0),
+      ("EPSG:2193", 173.0, 0.0, 1600000.0, 10000000.0),
+      ("EPSG:26915", -93.0, 0.0, 500000.0, 0.0),
+      ("EPSG:3577", 132.0, 0.0, 0.0, 0.0))
+    origins.foreach { case (code, lon0, lat0, fe, fn) =>
+      val p = Crs.byEpsg(code)
+      val (x, y) = p.forward(lon0, lat0)
+      assert(math.abs(x - fe) < 1e-6 && math.abs(y - fn) < 1e-6, s"$code origin ($x,$y)")
+    }
+    for (lonI <- 144 to 150; latI <- -44 to -20 by 4) {
+      val p = Crs.byEpsg("EPSG:28355")
+      val (x, y) = p.forward(lonI.toDouble, latI.toDouble)
+      val (lo, la) = p.inverse(x, y)
+      assert(math.abs(lo - lonI) < 5e-7 && math.abs(la - latI) < 5e-7, s"28355 ($lonI,$latI)")
+    }
+    // NZTM is a single nationwide TM spanning +-7 degrees of lon0 — the
+    // 6th-order series truncation grows to ~6e-7 deg at the domain edge
+    for (lonI <- 167 to 178; latI <- -46 to -35 by 2) {
+      val p = Crs.byEpsg("EPSG:2193")
+      val (x, y) = p.forward(lonI.toDouble, latI.toDouble)
+      val (lo, la) = p.inverse(x, y)
+      assert(math.abs(lo - lonI) < 2e-6 && math.abs(la - latI) < 2e-6, s"2193 ($lonI,$latI)")
+    }
+    for (lonI <- 114 to 152 by 4; latI <- -42 to -12 by 4) {
+      val p = Crs.byEpsg("EPSG:3577")
+      val (x, y) = p.forward(lonI.toDouble, latI.toDouble)
+      val (lo, la) = p.inverse(x, y)
+      assert(math.abs(lo - lonI) < 1e-8 && math.abs(la - latI) < 1e-8, s"3577 ($lonI,$latI)")
+    }
+  }
+
+  test("proj-record parser: equivalence with EPSG table rows, towgs84, errors") {
+    import graft.sql.Crs
+    // full 27700 record (tmerc on airy + the OS 7-parameter towgs84,
+    // proj convention native->WGS84) must agree with the hand-built
+    // table row (WGS84->native parameters + exact matrix inverse) to
+    // sub-mm: the negation is exact for translations and second-order
+    // (~1e-8 m) for the published rotation magnitudes
+    val rec27700 = Crs.parseProj("+proj=tmerc +lat_0=49 +lon_0=-2 " +
+      "+k=0.9996012717 +x_0=400000 +y_0=-100000 +ellps=airy " +
+      "+towgs84=446.448,-125.157,542.060,0.1502,0.2470,0.8421,-20.4894").get
+    val table27700 = Crs.byEpsg("EPSG:27700")
+    for (lon <- Seq(-5.0, -2.0, 0.5); lat <- Seq(50.5, 53.0, 57.0)) {
+      val (px, py) = rec27700.forward(lon, lat)
+      val (tx, ty) = table27700.forward(lon, lat)
+      assert(math.hypot(px - tx, py - ty) < 1e-3, s"($lon,$lat): ($px,$py) vs ($tx,$ty)")
+      val (lo, la) = rec27700.inverse(px, py)
+      assert(math.abs(lo - lon) < 1e-7 && math.abs(la - lat) < 1e-7)
+    }
+    // somerc record == the 2056 table row bit-for-bit (same kernel)
+    val recSwiss = Crs.parseProj("+proj=somerc +lat_0=46.952405555555556 " +
+      "+lon_0=7.439583333333334 +k_0=1 +x_0=2600000 +y_0=1200000 " +
+      "+ellps=bessel +towgs84=674.374,15.056,405.346").get
+    val (se, sn) = recSwiss.forward(8.73, 46.04)
+    val (te, tn) = Crs.byEpsg("EPSG:2056").forward(8.73, 46.04)
+    // sub-um: only the decimal-vs-arithmetic lat_0 literal differs
+    assert(math.hypot(se - te, sn - tn) < 1e-6, s"($se,$sn) vs ($te,$tn)")
+    // lcc / aea / laea families parse and hit their kernels
+    val lcc = Crs.parseProj("+proj=lcc +lat_0=46.5 +lon_0=3 +lat_1=49 " +
+      "+lat_2=44 +x_0=700000 +y_0=6600000 +ellps=GRS80").get
+    val (fx, fy) = lcc.forward(4.0, 47.0)
+    val (gx, gy) = Crs.byEpsg("EPSG:2154").forward(4.0, 47.0)
+    assert(fx == gx && fy == gy)
+    // longlat identity and webmerc
+    val ll = Crs.parseProj("+proj=longlat +ellps=WGS84").get
+    assert(ll.forward(12.5, -3.25) == ((12.5, -3.25)))
+    val wm = Crs.parseProj("+proj=webmerc").get
+    assert(wm.forward(1.0, 1.0) == Crs.lonLatToMercator(1.0, 1.0))
+    // unsupported / malformed records are rejected, not mis-parsed
+    assert(Crs.parseProj("+proj=robin").isEmpty, "unsupported family")
+    assert(Crs.parseProj("+proj=lcc +lat_1=45 +lat_2=45").isEmpty, "1SP lcc")
+    assert(Crs.parseProj("+proj=tmerc +ellps=marsIAU").isEmpty, "unknown ellipsoid")
+    assert(Crs.parseProj("+proj=tmerc +lat_0=abc").isEmpty, "malformed number")
+    assert(Crs.parseProj("+proj=utm +ellps=GRS80").isEmpty, "utm without zone")
+  }
 }

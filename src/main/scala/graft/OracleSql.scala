@@ -1166,6 +1166,16 @@ object OracleSql {
              0.0 AS dlon, 0.0 AS dlat
       FROM q4 ORDER BY c_custkey, code""",
 
+    // trained-IVF recall gate: the oracle asserts the CONTRACT (every
+    // fair query keeps >= half its true top-10; aggregate recall >= 90%)
+    // rather than re-deriving k-means in SQL — the counts are integers
+    // over deterministic neighbor sets, so the compare is exact
+    "e06_ann_ivf_trained" -> """
+      SELECT count(*)::BIGINT AS n_queries,
+             count(*)::BIGINT AS queries_ge_half,
+             true AS recall_ge_90
+      FROM embeddings WHERE vec_id >= 100 AND vec_id < 110""",
+
     // adversarial overlay closed forms: every Spark-side column is a
     // ratio against the exact value (or an exact degenerate measure), so
     // the oracle is arithmetic only — sliver ratios 1.0, the shared-edge

@@ -2170,6 +2170,36 @@ object SparkEntry {
         .orderBy(col("query_id"), col("cosine").desc, col("neighbor_id"))
     }),
 
+    // trained-IVF recall gate (r10): k-means||-trained centroids
+    // (Similarity.trainCentroids — deterministic by construction: hash-
+    // sampled candidates, integer weights, driver-side weighted Lloyd)
+    // against exact brute-force ground truth on FAIR queries (vec_id in
+    // [100,110) — NOT among the centroid candidates by id, unlike e03's
+    // self-centered low-id queries). Output is per-query ground-truth hit
+    // counts reduced to a >=5/10 per-query floor plus the aggregate
+    // >=90% recall gate, so the oracle is exact arithmetic: the
+    // approximate method must clear the bound, not match float ranks.
+    "e06_ann_ivf_trained" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") >= 100 && col("vec_id") < 110)
+      val cents = Similarity.trainCentroids(emb, "vec_id", "embedding",
+        nlist = 16, oversample = 8, iters = 10, seed = 42L)
+      val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+        k = 10, nlist = 16, nprobe = 12, roundCosineTo = 4,
+        centroids = Some(cents))
+      val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 10)
+      val hits = ivf.join(bf.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+      queries.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .na.fill(0, Seq("hits"))
+        .agg(count(lit(1)).as("n_queries"),
+          sum(when(col("hits") >= 5, 1L).otherwise(0L)).as("queries_ge_half"),
+          (sum(col("hits")) >= 90L).as("recall_ge_90"))
+        .select(col("n_queries"), col("queries_ge_half"), col("recall_ge_90"))
+    }),
+
     // embedding-cosine near-dup pairs, exact mode (bits=0 -> all pairs;
     // the rounded-cosine threshold keeps the fp boundary oracle-safe)
     "e04_embed_neardup" -> ((s, d) => {

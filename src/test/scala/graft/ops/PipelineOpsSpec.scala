@@ -169,6 +169,36 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(recall > 0.5, s"recall $recall too low")
   }
 
+  test("trained IVF centroids: deterministic, balanced lists, recall >= untrained") {
+    // 8 well-separated cluster directions in 16-d, 25 members each —
+    // clustered data is where training matters (the untrained lowest-id
+    // "centroids" all land in whichever clusters own the low ids)
+    val rnd = new scala.util.Random(7)
+    val dirs = (0 until 8).map { c =>
+      val v = Array.fill(16)(0.0f); v(c * 2) = 1.0f; v(c * 2 + 1) = if (c % 2 == 0) 1.0f else -1.0f; v
+    }
+    def jitter(base: Array[Float]) = base.map(v => v + rnd.nextFloat() * 0.1f)
+    val df = (0 until 200).map(i => (i.toLong, jitter(dirs(i % 8)))).toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" >= 100 && $"vec_id" < 110)
+    // bit-identical across invocations (deterministic by construction)
+    val c1 = Similarity.trainCentroids(df, "vec_id", "embedding", nlist = 8, seed = 42L)
+    val c2 = Similarity.trainCentroids(df, "vec_id", "embedding", nlist = 8, seed = 42L)
+    assert(c1.length == 8 && c1.zip(c2).forall { case (a, b) => a.sameElements(b) })
+    val exact = Similarity.bruteForceTopK(df, queries, "vec_id", "embedding", k = 5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    def recallOf(cents: Option[Array[Array[Float]]]): Double = {
+      val got = Similarity.ivfTopK(df, queries, "vec_id", "embedding",
+        k = 5, nlist = 8, nprobe = 2, roundCosineTo = 4, centroids = cents)
+        .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+      (exact intersect got).size.toDouble / exact.size
+    }
+    val trained = recallOf(Some(c1))
+    val untrained = recallOf(None)
+    assert(trained >= untrained,
+      s"trained recall $trained below untrained $untrained")
+    assert(trained > 0.9, s"trained recall $trained on clustered data")
+  }
+
   test("lsh topk broadcasts the probe side — the corpus never shuffles") {
     val rnd = new scala.util.Random(2)
     val df = (0 until 50).map(i => (i.toLong, Array.fill(8)(rnd.nextFloat())))

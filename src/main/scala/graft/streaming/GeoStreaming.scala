@@ -40,6 +40,54 @@ object GeoStreaming {
       .drop("_g")
   }
 
+  /** Grid-bucketed stream-static spatial join (r10): streaming points vs a
+    * static polygon table, joined on fixed origin-anchored grid cells so
+    * the per-event work is an EQUI-join probe instead of the broadcast-NLJ
+    * predicate scan of [[geofence]] — the shape that holds when the static
+    * side is too wide for per-event full scans but its cell index still
+    * broadcasts.
+    *
+    * Exactly-once is STRUCTURAL, not stateful: the static side explodes to
+    * its covering cells once (it is a batch DataFrame — Catalyst plans the
+    * explode+broadcast once per micro-batch), while each streaming point
+    * owns exactly ONE cell; a (point, polygon) pair can therefore meet
+    * only in the point's cell, so no dedup state is kept and the join
+    * stays fully stateless (append-mode safe, no watermark needed).
+    *
+    * `predicate`: "intersects" (default), "contains" (polygon strictly
+    * contains point) or "dwithin" (within `distance`; pads the static
+    * side's cells, preserving the grid-join invariant). The exact
+    * predicate always re-checks inside the matched cell — the grid only
+    * prunes.
+    */
+  def streamStaticSjoin(
+      stream: DataFrame, xCol: String, yCol: String,
+      static: DataFrame, staticGeomCol: String,
+      cellSize: Double,
+      predicate: String = "intersects",
+      distance: Double = 0.0): DataFrame = {
+    require(cellSize > 0, "cellSize must be positive")
+    val pad = predicate match {
+      case "intersects" | "contains" => 0.0
+      case "dwithin" =>
+        require(distance >= 0, "dwithin needs a non-negative distance"); distance
+      case other => throw new IllegalArgumentException(
+        s"unknown streamStaticSjoin predicate '$other' (intersects | contains | dwithin)")
+    }
+    val cells = static.withColumn("_cell", explode(
+      st_gridCellsSizedPad(col(staticGeomCol), lit(cellSize), lit(pad))))
+    val pts = stream.withColumn("_g", st_point(col(xCol), col(yCol)))
+      .withColumn("_cell", element_at(
+        st_gridCellsSized(col("_g"), lit(cellSize)), 1))
+    val exact = predicate match {
+      case "contains" => st_contains(cells(staticGeomCol), pts("_g"))
+      case "dwithin"  => st_dwithin(cells(staticGeomCol), pts("_g"), lit(distance))
+      case _          => st_intersects(cells(staticGeomCol), pts("_g"))
+    }
+    pts.join(broadcast(cells), pts("_cell") === cells("_cell") && exact, "inner")
+      .drop("_g").drop("_cell")
+  }
+
   /** Stateful geofence ENTER/EXIT detection per entity: keeps the set of
     * fences each key is currently inside as keyed state
     * (`flatMapGroupsWithState`) and emits one row per transition. The fence

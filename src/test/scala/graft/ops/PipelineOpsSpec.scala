@@ -353,6 +353,58 @@ class PipelineOpsSpec extends AnyFunSuite {
       ("2024-01-01 00:03:00.0", 1L, "enter")))
   }
 
+  test("stream-static grid sjoin: two batches, exactly-once, matches brute force") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.GeoStreaming
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    // static fences: one spans MANY grid cells (exactly-once would break
+    // under naive cell-explode-both-sides), one tiny, one far away
+    val fences = Seq(
+      (1L, "POLYGON ((0 0, 40 0, 40 40, 0 40, 0 0))"),   // spans 16+ cells at size 10
+      (2L, "POLYGON ((5 5, 6 5, 6 6, 5 6, 5 5))"),       // sub-cell
+      (3L, "POLYGON ((900 900, 910 900, 910 910, 900 910, 900 900))"))
+      .toDF("fence_id", "wkt")
+      .withColumn("fence", graft.sql.functions.st_geomFromWKT($"wkt")).drop("wkt")
+    val mem = MemoryStream[(Long, Double, Double)]
+    val joined = GeoStreaming.streamStaticSjoin(
+      mem.toDF().toDF("pt_id", "x", "y"), "x", "y", fences, "fence", cellSize = 10.0)
+      .select($"pt_id", $"fence_id")
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("sjoin_stream_test").trigger(Trigger.ProcessingTime(0)).start()
+    mem.addData((10L, 5.5, 5.5), (11L, 35.0, 35.0), (12L, 500.0, 500.0))
+    q.processAllAvailable()
+    mem.addData((13L, 905.0, 905.0), (14L, 0.0, 0.0), (15L, 39.9999, 0.0001))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT pt_id, fence_id FROM sjoin_stream_test")
+      .as[(Long, Long)].collect().toSeq
+    q.stop()
+    // exactly-once: no (pt, fence) pair duplicated even though fence 1
+    // spans many cells
+    assert(rows.size == rows.toSet.size, s"duplicated pairs in $rows")
+    assert(rows.toSet == Set(
+      (10L, 1L), (10L, 2L), // in the big fence and the sub-cell fence
+      (11L, 1L),
+      (13L, 3L),            // second batch joins against the same static side
+      (14L, 1L),            // corner touch counts for intersects
+      (15L, 1L)), s"got $rows")
+    // dwithin variant pads the static cells: pt 12 is ~650 away, stays out;
+    // a point 5 beyond the big fence's edge comes in
+    val mem2 = MemoryStream[(Long, Double, Double)]
+    val near = GeoStreaming.streamStaticSjoin(
+      mem2.toDF().toDF("pt_id", "x", "y"), "x", "y", fences, "fence",
+      cellSize = 10.0, predicate = "dwithin", distance = 6.0)
+      .select($"pt_id", $"fence_id")
+    val q2 = near.writeStream.outputMode("append").format("memory")
+      .queryName("sjoin_stream_dwithin").trigger(Trigger.ProcessingTime(0)).start()
+    mem2.addData((20L, 45.0, 20.0), (21L, 500.0, 500.0))
+    q2.processAllAvailable()
+    val rows2 = spark.sql("SELECT pt_id, fence_id FROM sjoin_stream_dwithin")
+      .as[(Long, Long)].collect().toSet
+    q2.stop()
+    assert(rows2 == Set((20L, 1L)), s"got $rows2")
+  }
+
   test("streaming exact dedup keeps first occurrence across batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger

@@ -159,8 +159,22 @@ object GraftDefs {
     "st_equals" -> g2(BO)(Predicates.geomEquals),
     "st_equalsexact" -> Spec(Seq(B, B, D), BO,
       a => Predicates.geomEqualsExact(geom(a(0)), geom(a(1)), dbl(a(2)))),
-    "st_dwithin" -> Spec(Seq(B, B, D), BO,
-      a => Predicates.dWithin(geom(a(0)), geom(a(1)), dbl(a(2)))),
+    "st_dwithin" -> Spec(Seq(B, B, D), BO, { a =>
+      // envelope-distance lower bound scanned straight off the WKB bytes:
+      // decode is 85% of the binary-predicate hot path (PROFILE.md r10),
+      // and dwithin candidates from a padded-grid join mostly FAIL the
+      // radius — the low-hit-rate regime where the short-circuit is ~2x.
+      // dist(a,b) >= dist(env(a),env(b)), so envelope gap > d decides
+      // false without decoding either side.
+      val ea = env(a(0)); val eb = env(a(1))
+      val d = dbl(a(2))
+      if (!ea.isEmpty && !eb.isEmpty) {
+        val dx = math.max(0.0, math.max(eb.minX - ea.maxX, ea.minX - eb.maxX))
+        val dy = math.max(0.0, math.max(eb.minY - ea.maxY, ea.minY - eb.maxY))
+        if (dx * dx + dy * dy > d * d) false
+        else Predicates.dWithin(geom(a(0)), geom(a(1)), d)
+      } else Predicates.dWithin(geom(a(0)), geom(a(1)), d)
+    }),
     "st_relate" -> g2(S)((x, y) => utf8(Predicates.relate(x, y))),
     "st_relatepattern" -> Spec(Seq(B, B, S), BO,
       a => Predicates.relatePattern(geom(a(0)), geom(a(1)), str(a(2)))),

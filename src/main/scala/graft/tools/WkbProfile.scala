@@ -133,5 +133,83 @@ object WkbProfile {
     println(f"envelope-prefix speedup at ${hits * 100.0 / nGeoms}%.0f%%%% hit rate: ${tFull / tEnvCached}%.2fx")
     println(f"upper bound (fully decoded): ${tFull / tMath}%.2fx")
     println(s"(decode-only check: ${tDecode}s)")
+
+    // ---- r10: envelope short-circuit INSIDE the binary predicate, per
+    // envelope-hit-rate regime, per-row vs 1024-row batched (columnar
+    // prototype: pass 1 scans envelopes into preallocated arrays, pass 2
+    // decodes only surviving rows — quantifies what an Arrow-columnar
+    // expression path could add beyond the per-row short-circuit)
+    println("\n-- r10 envelope short-circuit probe --")
+    for (targetHit <- Seq(0.9, 0.5, 0.1)) {
+      val bShift = Array.tabulate(nGeoms) { i =>
+        val e = envA(i)
+        // shift B so that ~targetHit of pairs keep overlapping envelopes
+        if (rnd.nextDouble() < targetHit) e.minX
+        else e.minX + e.width * 4 + 1.0
+      }
+      val wkbB2 = Array.tabulate(nGeoms) { i =>
+        val e = envA(i)
+        Wkb.write(Polygon.box(bShift(i), e.minY, bShift(i) + e.width, e.maxY))
+      }
+      val actualHit = (0 until nGeoms).count(i =>
+        Wkb.envelopeOf(wkbA(i)).intersects(Wkb.envelopeOf(wkbB2(i)))) * 100.0 / nGeoms
+      val tToday = bench(f"  hit=$actualHit%.0f%%%% today", iters) { n =>
+        var acc = 0L; var i = 0
+        while (i < n) {
+          val k = i & mask
+          if (Predicates.intersects(Wkb.read(wkbA(k)), Wkb.read(wkbB2(k)))) acc += 1
+          i += 1
+        }
+        acc
+      }
+      val tShort = bench(f"  hit=$actualHit%.0f%%%% per-row short-circuit", iters) { n =>
+        var acc = 0L; var i = 0
+        while (i < n) {
+          val k = i & mask
+          if (Wkb.envelopeOf(wkbA(k)).intersects(Wkb.envelopeOf(wkbB2(k))) &&
+            Predicates.intersects(Wkb.read(wkbA(k)), Wkb.read(wkbB2(k)))) acc += 1
+          i += 1
+        }
+        acc
+      }
+      // batched prototype: envelope pass over a block, then decode pass
+      val block = 1024
+      val exmin = new Array[Double](block); val exmax = new Array[Double](block)
+      val eymin = new Array[Double](block); val eymax = new Array[Double](block)
+      val fxmin = new Array[Double](block); val fxmax = new Array[Double](block)
+      val fymin = new Array[Double](block); val fymax = new Array[Double](block)
+      val survive = new Array[Boolean](block)
+      val tBatch = bench(f"  hit=$actualHit%.0f%%%% 1024-row batched", iters) { n =>
+        var acc = 0L; var base = 0
+        while (base < n) {
+          val m = math.min(block, n - base)
+          var i = 0
+          while (i < m) {
+            val k = (base + i) & mask
+            val ea = Wkb.envelopeOf(wkbA(k)); val eb = Wkb.envelopeOf(wkbB2(k))
+            exmin(i) = ea.minX; exmax(i) = ea.maxX; eymin(i) = ea.minY; eymax(i) = ea.maxY
+            fxmin(i) = eb.minX; fxmax(i) = eb.maxX; fymin(i) = eb.minY; fymax(i) = eb.maxY
+            i += 1
+          }
+          i = 0
+          while (i < m) { // branch-light vectorizable envelope test
+            survive(i) = exmin(i) <= fxmax(i) && fxmin(i) <= exmax(i) &&
+              eymin(i) <= fymax(i) && fymin(i) <= eymax(i)
+            i += 1
+          }
+          i = 0
+          while (i < m) {
+            if (survive(i)) {
+              val k = (base + i) & mask
+              if (Predicates.intersects(Wkb.read(wkbA(k)), Wkb.read(wkbB2(k)))) acc += 1
+            }
+            i += 1
+          }
+          base += m
+        }
+        acc
+      }
+      println(f"    short-circuit vs today: ${tToday / tShort}%.2fx; batched vs today: ${tToday / tBatch}%.2fx; batched vs short-circuit: ${tShort / tBatch}%.2fx")
+    }
   }
 }

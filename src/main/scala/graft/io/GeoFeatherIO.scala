@@ -34,9 +34,9 @@ object GeoFeatherIO {
   // JDK 17+; must be set before the allocator's static init
   System.setProperty("io.netty.tryReflectionSetAccessible", "true")
 
-  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  private[io] val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
-  private def arrowField(f: StructField): Field = {
+  private[io] def arrowField(f: StructField): Field = {
     val t: ArrowType = f.dataType match {
       case LongType    => new ArrowType.Int(64, true)
       case IntegerType => new ArrowType.Int(32, true)
@@ -61,7 +61,7 @@ object GeoFeatherIO {
     case _ => false
   }
 
-  private def sparkType(f: Field, declaredEnc: Option[String]): DataType = f.getType match {
+  private[io] def sparkType(f: Field, declaredEnc: Option[String]): DataType = f.getType match {
     case i: ArrowType.Int if i.getBitWidth == 64 => LongType
     case i: ArrowType.Int if i.getBitWidth == 32 => IntegerType
     case fp: ArrowType.FloatingPoint if fp.getPrecision == FloatingPointPrecision.DOUBLE => DoubleType
@@ -91,7 +91,7 @@ object GeoFeatherIO {
     * encoding (geoarrow.org/format): point 0, linestring/multipoint 1,
     * polygon/multilinestring 2, multipolygon 3.
     */
-  private def geoarrowDepth(encoding: String): Int = encoding match {
+  private[io] def geoarrowDepth(encoding: String): Int = encoding match {
     case "geoarrow.point" => 0
     case "geoarrow.linestring" | "geoarrow.multipoint" => 1
     case "geoarrow.polygon" | "geoarrow.multilinestring" => 2
@@ -99,7 +99,7 @@ object GeoFeatherIO {
     case other => throw new IllegalArgumentException(s"unknown GeoArrow encoding $other")
   }
 
-  private def geoarrowEncodingOf(g: graft.geom.Geometry): String = g match {
+  private[io] def geoarrowEncodingOf(g: graft.geom.Geometry): String = g match {
     case _: graft.geom.Point => "geoarrow.point"
     case _: graft.geom.LineString => "geoarrow.linestring"
     case _: graft.geom.MultiPoint => "geoarrow.multipoint"
@@ -113,7 +113,7 @@ object GeoFeatherIO {
   /** The Arrow field for a GeoArrow geometry column: `depth` List wrappers
     * around FixedSizeList<double>[2] ("xy", interleaved).
     */
-  private def geoarrowField(name: String, depth: Int): Field = {
+  private[io] def geoarrowField(name: String, depth: Int): Field = {
     val coord = new Field("xy", FieldType.notNullable(
       new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)), null)
     // conventional geoarrow child names, inside out: vertices | rings | polygons
@@ -171,7 +171,7 @@ object GeoFeatherIO {
     * each `startNewValue` continues where the previous row's `endValue`
     * left off.
     */
-  private def writeGeoArrowCell(vec: FieldVector, n: Int, g: graft.geom.Geometry,
+  private[io] def writeGeoArrowCell(vec: FieldVector, n: Int, g: graft.geom.Geometry,
       encoding: String): Unit = {
     import org.apache.arrow.vector.complex.{FixedSizeListVector, ListVector}
     (geoarrowDepth(encoding), vec) match {
@@ -232,7 +232,7 @@ object GeoFeatherIO {
     * geometry from (possibly nested) GeoArrow coordinate lists per the
     * column's declared encoding.
     */
-  private def cellToWkb(v: Any, encoding: String): Array[Byte] = {
+  private[io] def cellToWkb(v: Any, encoding: String): Array[Byte] = {
     def pairs(l: java.util.List[_]): Array[Double] = {
       val out = new Array[Double](l.size * 2)
       var i = 0
@@ -306,6 +306,29 @@ object GeoFeatherIO {
     * GeoArrow layout — use WKB. Readers accept all encodings side by side
     * in one dataset directory.
     */
+  /** Write one scalar (non-GeoArrow) value into an arrow vector — shared
+    * by the feather file writer and the in-memory interchange writer.
+    */
+  private[io] def setScalarCell(vec: FieldVector, n: Int, v: Any): Unit = vec match {
+    case vec: BigIntVector =>
+      if (v == null) vec.setNull(n) else vec.setSafe(n, v.asInstanceOf[Long])
+    case vec: IntVector =>
+      if (v == null) vec.setNull(n) else vec.setSafe(n, v.asInstanceOf[Int])
+    case vec: Float8Vector =>
+      if (v == null) vec.setNull(n) else vec.setSafe(n, v.asInstanceOf[Double])
+    case vec: Float4Vector =>
+      if (v == null) vec.setNull(n) else vec.setSafe(n, v.asInstanceOf[Float])
+    case vec: VarCharVector =>
+      if (v == null) vec.setNull(n)
+      else vec.setSafe(n, v.asInstanceOf[String].getBytes("UTF-8"))
+    case vec: VarBinaryVector =>
+      if (v == null) vec.setNull(n) else vec.setSafe(n, v.asInstanceOf[Array[Byte]])
+    case vec: BitVector =>
+      if (v == null) vec.setNull(n)
+      else vec.setSafe(n, if (v.asInstanceOf[Boolean]) 1 else 0)
+    case other => throw new IllegalStateException(s"unhandled vector $other")
+  }
+
   def write(gdf: GeoDataFrame, path: String, batchSize: Int = 4096,
       encoding: String = "WKB"): Unit = {
     require(Set("WKB", "geoarrow").contains(encoding),
@@ -394,25 +417,7 @@ object GeoFeatherIO {
               }
               else writeGeoArrowCell(vectors(c), n,
                 graft.geom.Wkb.read(v.asInstanceOf[Array[Byte]]), taskEnc)
-            } else vectors(c) match {
-              case vec: BigIntVector =>
-                if (v == null) vec.setNull(n) else vec.setSafe(n, v.asInstanceOf[Long])
-              case vec: IntVector =>
-                if (v == null) vec.setNull(n) else vec.setSafe(n, v.asInstanceOf[Int])
-              case vec: Float8Vector =>
-                if (v == null) vec.setNull(n) else vec.setSafe(n, v.asInstanceOf[Double])
-              case vec: Float4Vector =>
-                if (v == null) vec.setNull(n) else vec.setSafe(n, v.asInstanceOf[Float])
-              case vec: VarCharVector =>
-                if (v == null) vec.setNull(n)
-                else vec.setSafe(n, v.asInstanceOf[String].getBytes("UTF-8"))
-              case vec: VarBinaryVector =>
-                if (v == null) vec.setNull(n) else vec.setSafe(n, v.asInstanceOf[Array[Byte]])
-              case vec: BitVector =>
-                if (v == null) vec.setNull(n)
-                else vec.setSafe(n, if (v.asInstanceOf[Boolean]) 1 else 0)
-              case other => throw new IllegalStateException(s"unhandled vector $other")
-            }
+            } else setScalarCell(vectors(c), n, v)
             c += 1
           }
           n += 1

@@ -1260,6 +1260,16 @@ object OracleSql {
              s_acctbal AS x, (s_suppkey % 100)::DOUBLE * 10.0 AS y
       FROM supplier ORDER BY s_suppkey""",
 
+    // GPX waypoint roundtrip: lon/lat derived from the supplier synthetic
+    // anchor; the writer's shortest-exact Double.toString plus the
+    // reader's parseDouble are an identity, so 9-dp rounding is exact
+    "g64_gpx" -> """
+      SELECT s_suppkey::BIGINT AS s_suppkey, 'waypoints' AS layer,
+             (s_suppkey % 500)::DOUBLE AS ele,
+             round(s_acctbal / 100.0 - 40.0, 9) AS lon,
+             round((s_suppkey % 100)::DOUBLE * 10.0 / 20.0 - 20.0, 9) AS lat
+      FROM supplier ORDER BY s_suppkey""",
+
     "g51_kml" -> """
       SELECT s_suppkey::BIGINT AS s_suppkey, s_name, s_acctbal AS bal,
              s_acctbal AS x, (s_suppkey % 100)::DOUBLE * 10.0 AS y

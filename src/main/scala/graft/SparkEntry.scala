@@ -1087,6 +1087,30 @@ object SparkEntry {
         .orderBy(col("s_suppkey"))
     }),
 
+    // GPX roundtrip (OGR's GPX driver in the reference; r10 pure-JVM StAX):
+    // supplier points as waypoints with name/ele attributes, written one
+    // part per partition, read back file-parallel through readFile
+    "g64_gpx" -> ((s, d) => {
+      val loc = "/tmp/graft_g64_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val pts = graft.api.GeoDataFrame(
+        supplierPts(s, d)
+          // keep coordinates in lat/lon range: GPX is WGS84 by spec
+          .withColumn("lon", col("x0") / 100.0 - 40.0)
+          .withColumn("lat", col("y0") / 20.0 - 20.0)
+          .withColumn("geometry", st_point(col("lon"), col("lat")))
+          .withColumn("name", concat(lit("wp_"), col("s_suppkey")))
+          .withColumn("ele", (col("s_suppkey") % 500).cast("double"))
+          .select(col("name"), col("ele"), col("geometry")))
+      graft.io.GpxIO.write(pts, loc)
+      graft.api.GeoDataFrame.readFile(s, loc).df
+        .select(
+          substring(col("name"), 4, 10).cast("long").as("s_suppkey"),
+          col("layer"), col("ele"),
+          round(st_x(col("geometry")), 9).as("lon"),
+          round(st_y(col("geometry")), 9).as("lat"))
+        .orderBy(col("s_suppkey"))
+    }),
+
     // GeoJSON FeatureCollection roundtrip (OGR's "GeoJSON" driver — the
     // common single-document .geojson interchange file, vs g38's
     // newline-delimited GeoJSONSeq): one FeatureCollection per partition

@@ -1121,6 +1121,41 @@ object OracleSql {
         true AS determ
       FROM p ORDER BY s_suppkey""",
 
+    // polar stereographic variant B forward (Snyder 21-30..21-37 on
+    // WGS84) mirrored term by term: t at the (mirrored-for-south)
+    // latitude, rho = a*mc*t/tc, x = fe + rho*sin(dlam),
+    // y = fn + sgn*rho*cos(dlam) with sgn = +1 south / -1 north
+    "g65_polar_stereo" -> s"""
+      WITH g AS (SELECT * FROM (VALUES
+          ('EPSG:3413', 1.0, 70.0, -45.0, -1.0),
+          ('EPSG:3031', -1.0, 71.0, 0.0, 1.0))
+        AS t(code, hemi, absts, lon0, sgn)),
+      p AS (SELECT c_custkey, cx, cy FROM ($custPts)),
+      e0 AS (SELECT f * (2.0 - f) AS e2, sqrt(f * (2.0 - f)) AS e
+             FROM (SELECT 1.0 / 298.257223563 AS f)),
+      x1 AS (SELECT c_custkey, code, hemi, lon0, sgn, e2, e,
+               cx / 40.0 - 100.0 AS lon,
+               hemi * (cy / 50.0 + 60.0) AS lat,
+               radians(absts) AS phits
+             FROM p CROSS JOIN g, e0),
+      x2 AS (SELECT *,
+               radians(abs(lat)) AS phi,
+               radians(lon) - radians(lon0) AS dlam,
+               cos(phits) / sqrt(1.0 - e2 * sin(phits) * sin(phits)) AS mc,
+               tan(pi() / 4.0 - phits / 2.0)
+                 / pow((1.0 - e * sin(phits)) / (1.0 + e * sin(phits)), e / 2.0) AS tc
+             FROM x1),
+      x3 AS (SELECT *,
+               tan(pi() / 4.0 - phi / 2.0)
+                 / pow((1.0 - e * sin(phi)) / (1.0 + e * sin(phi)), e / 2.0) AS t
+             FROM x2),
+      x4 AS (SELECT *, 6378137.0 * mc * t / tc AS rho FROM x3)
+      SELECT c_custkey, code,
+             round(rho * sin(dlam), 3) AS gx,
+             round(sgn * rho * cos(dlam), 3) AS gy,
+             0.0 AS dlon, 0.0 AS dlat
+      FROM x4 ORDER BY c_custkey, code""",
+
     // generic TM forward (Snyder 8-9..8-25, GRS80, lat0=0 -> M0=0)
     // mirrored term by term over the same per-code parameter rows the
     // Spark query broadcasts; roundtrip deltas are exactly 0 at 5 dp

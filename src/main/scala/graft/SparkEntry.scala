@@ -1507,6 +1507,34 @@ object SparkEntry {
         .orderBy(col("s_suppkey"))
     }),
 
+    // r10 polar stereographic (EPSG 9829 variant B): NSIDC north + the
+    // Antarctic grid, mirrored term-by-term in SQL (t/mc/tc closed forms);
+    // roundtrip deltas exactly 0 at 5 dp. Verified independently against
+    // the EPSG GN7-2 worked examples in GeomKernelSpec.
+    "g65_polar_stereo" -> ((s, d) => {
+      import s.implicits._
+      val grids = Seq(
+        ("EPSG:3413", 1.0),   // north: lat = +(60 + cy/50)
+        ("EPSG:3031", -1.0))  // south: lat mirrored
+        .toDF("code", "hemi")
+      customerPts(s, d).select(col("c_custkey"), col("cx"), col("cy"))
+        .crossJoin(broadcast(grids))
+        .withColumn("lon", col("cx") / 40.0 - 100.0)
+        .withColumn("lat", col("hemi") * (col("cy") / 50.0 + 60.0))
+        .withColumn("g", st_transform(
+          st_point(col("lon"), col("lat")), lit("EPSG:4326"), col("code")))
+        .withColumn("rt", st_transform(col("g"), col("code"), lit("EPSG:4326")))
+        .select(col("c_custkey"), col("code"),
+          round(st_x(col("g")), 3).as("gx"),
+          round(st_y(col("g")), 3).as("gy"),
+          // wrap-aware: the inverse reports lon in lon0 +- 180, so inputs
+          // past the antimeridian of the grid's lon0 come back shifted 360
+          round(abs(pmod(st_x(col("rt")) - col("lon") + 540.0, lit(360.0)) - 180.0), 5)
+            .as("dlon"),
+          round(abs(st_y(col("rt")) - col("lat")), 5).as("dlat"))
+        .orderBy(col("c_custkey"), col("code"))
+    }),
+
     // negative buffer (inward offset) of convex polygons, incl. collapse
     "g29_negative_buffer" -> ((s, d) => {
       supplierPts(s, d)

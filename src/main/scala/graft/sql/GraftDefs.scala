@@ -922,6 +922,76 @@ object Crs {
     }
   }
 
+  /** Polar stereographic, ellipsoidal form (Snyder 1987, eqs 21-30..21-37
+    * / 22-x; EPSG method 9829 "Variant B": the scale is fixed by a
+    * standard parallel `latTs`). Northern aspect for latTs > 0, southern
+    * otherwise (the southern aspect runs the northern formulas on mirrored
+    * latitudes with the y-axis sense flipped, the standard implementation
+    * symmetry). Drives EPSG:3413/3976 (NSIDC sea-ice grids) and
+    * EPSG:3031 (Antarctic Polar Stereographic), and `+proj=stere` records
+    * at the poles.
+    */
+  final class PolarStereographic(a: Double, invFlat: Double, latTs: Double,
+      lon0: Double, fe: Double, fn: Double, k0: Double = 1.0) extends Projection {
+    private val f = 1.0 / invFlat
+    private val e2 = f * (2.0 - f)
+    private val e = math.sqrt(e2)
+    private val south = latTs < 0
+    private val lam0 = math.toRadians(lon0)
+    private def tOf(phi: Double): Double = {
+      val s = math.sin(phi)
+      math.tan(math.Pi / 4.0 - phi / 2.0) /
+        math.pow((1.0 - e * s) / (1.0 + e * s), e / 2.0)
+    }
+    private def mOf(phi: Double): Double = {
+      val s = math.sin(phi)
+      math.cos(phi) / math.sqrt(1.0 - e2 * s * s)
+    }
+    private val phiTs = math.toRadians(math.abs(latTs))
+    // variant B (standard parallel): rho = a*mc*t/tc; variant A
+    // (lat_ts at the pole, scale via k0): rho = 2*a*k0*t / sqrt((1+e)^(1+e)(1-e)^(1-e))
+    private val rhoFactor =
+      if (math.abs(math.abs(latTs) - 90.0) < 1e-9)
+        2.0 * a * k0 / math.sqrt(
+          math.pow(1.0 + e, 1.0 + e) * math.pow(1.0 - e, 1.0 - e))
+      else a * mOf(phiTs) / tOf(phiTs)
+
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      // southern aspect = northern formulas on the mirrored latitude with
+      // the northing sense flipped (EPSG 9829 symmetry)
+      val phi = math.toRadians(if (south) -lat else lat)
+      val dlam = math.toRadians(lon) - lam0
+      val rho = rhoFactor * tOf(phi)
+      val x = fe + rho * math.sin(dlam)
+      val y = if (south) fn + rho * math.cos(dlam) else fn - rho * math.cos(dlam)
+      (x, y)
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val dx = x - fe
+      val dy = y - fn
+      val rho = math.hypot(dx, dy)
+      if (rho < 1e-12)
+        return (lon0, if (south) -90.0 else 90.0)
+      val t = rho / rhoFactor
+      var phi = math.Pi / 2.0 - 2.0 * math.atan(t)
+      var i = 0
+      while (i < 8) {
+        val s = math.sin(phi)
+        phi = math.Pi / 2.0 - 2.0 * math.atan(
+          t * math.pow((1.0 - e * s) / (1.0 + e * s), e / 2.0))
+        i += 1
+      }
+      if (south) {
+        val lam = math.atan2(dx, dy)
+        (math.toDegrees(lam0 + lam), -math.toDegrees(phi))
+      } else {
+        val lam = math.atan2(dx, -dy)
+        (math.toDegrees(lam0 + lam), math.toDegrees(phi))
+      }
+    }
+  }
+
   /** 7-parameter Helmert datum transformation (EPSG method 9606,
     * position-vector rotation convention), parameterized WGS84 → native
     * datum as published (e.g. the OS "WGS84/ETRS89 to OSGB36" table).
@@ -1096,7 +1166,16 @@ object Crs {
     "EPSG:21781" -> new DatumShifted(new SwissObliqueMercator(
       6377397.155, 299.1528128,
       46.0 + 57.0 / 60.0 + 8.66 / 3600.0, 7.0 + 26.0 / 60.0 + 22.5 / 3600.0,
-      1.0, 600000.0, 200000.0), ch1903))
+      1.0, 600000.0, 200000.0), ch1903),
+    // NSIDC Sea Ice Polar Stereographic North (WGS84, lat_ts 70N, lon0 -45)
+    "EPSG:3413" -> new PolarStereographic(6378137.0, 298.257223563,
+      70.0, -45.0, 0.0, 0.0),
+    // WGS84 / Antarctic Polar Stereographic (lat_ts 71S, lon0 0)
+    "EPSG:3031" -> new PolarStereographic(6378137.0, 298.257223563,
+      -71.0, 0.0, 0.0, 0.0),
+    // NSIDC Sea Ice Polar Stereographic South (lat_ts 70S, lon0 0)
+    "EPSG:3976" -> new PolarStereographic(6378137.0, 298.257223563,
+      -70.0, 0.0, 0.0, 0.0))
 
   /** Identity "projection" for `+proj=longlat` records: projected
     * coordinates ARE lon/lat degrees.
@@ -1179,6 +1258,12 @@ object Crs {
         Some(new LambertAzimuthalEqualArea(a, rf, lat0, lon0, x0, y0))
       case Some("somerc") =>
         Some(new SwissObliqueMercator(a, rf, lat0, lon0, k0, x0, y0))
+      case Some("stere") =>
+        // polar aspect only (lat_0 = +-90, scale via +lat_ts); oblique
+        // stereographic is a different EPSG method (sterea) — rejected
+        if (math.abs(math.abs(lat0) - 90.0) > 1e-9) None
+        else Some(new PolarStereographic(a, rf,
+          d("lat_ts", if (lat0 < 0) -90.0 else 90.0), lon0, x0, y0, k0))
       case Some("longlat") | Some("latlong") => Some(IdentityProjection)
       case Some("webmerc") => Some(WebMercatorProjection)
       case _ => None

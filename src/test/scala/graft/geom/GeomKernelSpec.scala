@@ -840,6 +840,57 @@ class GeomKernelSpec extends AnyFunSuite {
     }
   }
 
+  test("polar stereographic: EPSG worked examples, poles, scale, roundtrip") {
+    import graft.sql.Crs
+    // EPSG Guidance Note 7-2, Polar Stereographic Variant A example
+    // (UPS North, k0=0.994, FE=FN=2000000): 73N 44E ->
+    // E 3320416.75, N 632668.43
+    val ups = Crs.parseProj("+proj=stere +lat_0=90 +k=0.994 " +
+      "+x_0=2000000 +y_0=2000000 +ellps=WGS84").get
+    val (ux, uy) = ups.forward(44.0, 73.0)
+    assert(math.abs(ux - 3320416.75) < 0.01 && math.abs(uy - 632668.43) < 0.01,
+      s"UPS North ($ux,$uy)")
+    // Variant B example (EPSG:3032 Australian Antarctic, lat_ts=-71,
+    // lon0=70, FE=FN=6000000): 75S 120E -> E 7255380.79, N 7053389.56
+    val aaps = Crs.parseProj("+proj=stere +lat_0=-90 +lat_ts=-71 +lon_0=70 " +
+      "+x_0=6000000 +y_0=6000000 +ellps=WGS84").get
+    val (bx, by) = aaps.forward(120.0, -75.0)
+    assert(math.abs(bx - 7255380.79) < 0.01 && math.abs(by - 7053389.56) < 0.01,
+      s"3032 example ($bx,$by)")
+    // table rows: pole lands exactly on the false origin; the scale factor
+    // is true (1) at the standard parallel; roundtrips hold over the
+    // service domains
+    val a = 6378137.0; val fl = 1.0 / 298.257223563; val e2 = fl * (2.0 - fl)
+    def scaleAt(p: Crs.Projection, lon: Double, lat: Double): Double = {
+      val (x1, y1) = p.forward(lon, lat); val (x2, y2) = p.forward(lon, lat + 0.001)
+      val s = math.sin(math.toRadians(lat))
+      val mRad = a * (1.0 - e2) / math.pow(1.0 - e2 * s * s, 1.5)
+      math.hypot(x2 - x1, y2 - y1) / (mRad * math.toRadians(0.001))
+    }
+    val n3413 = Crs.byEpsg("EPSG:3413")
+    assert(n3413.forward(-45.0, 90.0) == ((0.0, 0.0)))
+    assert(math.abs(scaleAt(n3413, -45.0, 70.0) - 1.0) < 1e-4)
+    val s3031 = Crs.byEpsg("EPSG:3031")
+    assert(s3031.forward(0.0, -90.0) == ((0.0, 0.0)))
+    assert(math.abs(scaleAt(s3031, 0.0, -71.0) - 1.0) < 1e-4)
+    val s3976 = Crs.byEpsg("EPSG:3976")
+    assert(math.abs(scaleAt(s3976, 0.0, -70.0) - 1.0) < 1e-4)
+    for (lonI <- -180 to 180 by 30; latI <- 55 to 88 by 3) {
+      val (x, y) = n3413.forward(lonI.toDouble, latI.toDouble)
+      val (lo, la) = n3413.inverse(x, y)
+      val dl = math.abs(((lo - lonI) % 360.0 + 540.0) % 360.0 - 180.0)
+      assert(dl < 1e-8 && math.abs(la - latI) < 1e-8, s"3413 ($lonI,$latI) -> ($lo,$la)")
+    }
+    for (lonI <- -180 to 180 by 30; latI <- -88 to -55 by 3) {
+      val (x, y) = s3031.forward(lonI.toDouble, latI.toDouble)
+      val (lo, la) = s3031.inverse(x, y)
+      val dl = math.abs(((lo - lonI) % 360.0 + 540.0) % 360.0 - 180.0)
+      assert(dl < 1e-8 && math.abs(la - latI) < 1e-8, s"3031 ($lonI,$latI) -> ($lo,$la)")
+    }
+    // non-polar stere records are a different EPSG method — rejected
+    assert(Crs.parseProj("+proj=stere +lat_0=52 +lon_0=5").isEmpty)
+  }
+
   test("proj-record parser: equivalence with EPSG table rows, towgs84, errors") {
     import graft.sql.Crs
     // full 27700 record (tmerc on airy + the OS 7-parameter towgs84,

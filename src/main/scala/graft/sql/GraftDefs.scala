@@ -992,6 +992,40 @@ object Crs {
     }
   }
 
+  /** Ellipsoidal Mercator (EPSG method 9804 variant A; Snyder 1987 eqs
+    * 7-7/7-8 via the isometric latitude) — EPSG:3395 World Mercator.
+    * Distinct from the SPHERICAL web-Mercator fast path (EPSG:3857):
+    * the two differ by up to ~21 km in northing at 45 deg.
+    */
+  final class EllipticalMercator(a: Double, invFlat: Double, lon0: Double,
+      k0: Double, fe: Double, fn: Double) extends Projection {
+    private val f = 1.0 / invFlat
+    private val e2 = f * (2.0 - f)
+    private val e = math.sqrt(e2)
+    private val lam0 = math.toRadians(lon0)
+
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      val phi = math.toRadians(lat)
+      val s = math.sin(phi)
+      val y = a * k0 * math.log(math.tan(math.Pi / 4.0 + phi / 2.0) *
+        math.pow((1.0 - e * s) / (1.0 + e * s), e / 2.0))
+      (fe + a * k0 * (math.toRadians(lon) - lam0), fn + y)
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val t = math.exp(-(y - fn) / (a * k0))
+      var phi = math.Pi / 2.0 - 2.0 * math.atan(t)
+      var i = 0
+      while (i < 8) {
+        val s = math.sin(phi)
+        phi = math.Pi / 2.0 - 2.0 * math.atan(
+          t * math.pow((1.0 - e * s) / (1.0 + e * s), e / 2.0))
+        i += 1
+      }
+      (math.toDegrees(lam0 + (x - fe) / (a * k0)), math.toDegrees(phi))
+    }
+  }
+
   /** 7-parameter Helmert datum transformation (EPSG method 9606,
     * position-vector rotation convention), parameterized WGS84 → native
     * datum as published (e.g. the OS "WGS84/ETRS89 to OSGB36" table).
@@ -1175,7 +1209,10 @@ object Crs {
       -71.0, 0.0, 0.0, 0.0),
     // NSIDC Sea Ice Polar Stereographic South (lat_ts 70S, lon0 0)
     "EPSG:3976" -> new PolarStereographic(6378137.0, 298.257223563,
-      -70.0, 0.0, 0.0, 0.0))
+      -70.0, 0.0, 0.0, 0.0),
+    // WGS84 / World Mercator (the ELLIPSOIDAL Mercator, vs 3857's sphere)
+    "EPSG:3395" -> new EllipticalMercator(6378137.0, 298.257223563,
+      0.0, 1.0, 0.0, 0.0))
 
   /** Identity "projection" for `+proj=longlat` records: projected
     * coordinates ARE lon/lat degrees.
@@ -1266,6 +1303,15 @@ object Crs {
           d("lat_ts", if (lat0 < 0) -90.0 else 90.0), lon0, x0, y0, k0))
       case Some("longlat") | Some("latlong") => Some(IdentityProjection)
       case Some("webmerc") => Some(WebMercatorProjection)
+      case Some("merc") =>
+        // +lat_ts fixes the scale as m(lat_ts) (EPSG 9805 variant B);
+        // otherwise +k/+k_0 (variant A, default 1)
+        val mercK0 = kv.get("lat_ts").map { ts =>
+          val p = math.toRadians(ts.toDouble)
+          val fl = 1.0 / rf; val ee2 = fl * (2.0 - fl)
+          math.cos(p) / math.sqrt(1.0 - ee2 * math.sin(p) * math.sin(p))
+        }.getOrElse(k0)
+        Some(new EllipticalMercator(a, rf, lon0, mercK0, x0, y0))
       case _ => None
     }
     base.map { b =>

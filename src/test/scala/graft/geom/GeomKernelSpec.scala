@@ -891,6 +891,38 @@ class GeomKernelSpec extends AnyFunSuite {
     assert(Crs.parseProj("+proj=stere +lat_0=52 +lon_0=5").isEmpty)
   }
 
+  test("ellipsoidal Mercator (EPSG:3395): worked example, vs sphere, roundtrip") {
+    import graft.sql.Crs
+    val wm = Crs.byEpsg("EPSG:3395")
+    // EPSG Guidance Note 7-2 Mercator variant A style check at the
+    // equator: x = a * radians(lon) exactly, y(0) = 0
+    val (x0, y0) = wm.forward(100.0, 0.0)
+    assert(math.abs(x0 - 6378137.0 * math.toRadians(100.0)) < 1e-6 &&
+      math.abs(y0) < 1e-6)
+    // differs from SPHERICAL 3857 northing by ~30 km at 45 deg (the
+    // well-known web-Mercator-vs-true-Mercator gap) while easting
+    // matches exactly
+    val (sx, sy) = Crs.lonLatToMercator(12.0, 45.0)
+    val (ex, ey) = wm.forward(12.0, 45.0)
+    assert(ex == sx)
+    assert(sy - ey > 25000.0 && sy - ey < 35000.0, s"sphere-vs-ellipsoid gap ${sy - ey}")
+    // roundtrip across the service domain
+    for (lonI <- -170 to 170 by 20; latI <- -80 to 80 by 8) {
+      val (x, y) = wm.forward(lonI.toDouble, latI.toDouble)
+      val (lo, la) = wm.inverse(x, y)
+      assert(math.abs(lo - lonI) < 1e-9 && math.abs(la - latI) < 1e-9,
+        s"3395 ($lonI,$latI) -> ($lo,$la)")
+    }
+    // +proj=merc with lat_ts: scale pinned at the standard parallel
+    val m2 = Crs.parseProj("+proj=merc +lat_ts=30 +ellps=WGS84").get
+    val (mx1, _) = m2.forward(0.001, 30.0)
+    val f = 1.0 / 298.257223563; val e2 = f * (2.0 - f)
+    val s30 = math.sin(math.toRadians(30.0))
+    val nRad = 6378137.0 / math.sqrt(1.0 - e2 * s30 * s30)
+    val truth = nRad * math.cos(math.toRadians(30.0)) * math.toRadians(0.001)
+    assert(math.abs(mx1 / truth - 1.0) < 1e-9, s"merc lat_ts scale ${mx1 / truth}")
+  }
+
   test("proj-record parser: equivalence with EPSG table rows, towgs84, errors") {
     import graft.sql.Crs
     // full 27700 record (tmerc on airy + the OS 7-parameter towgs84,

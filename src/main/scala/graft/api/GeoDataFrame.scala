@@ -940,7 +940,7 @@ object GeoDataFrame {
           .flatMap(n => n.split('.').lastOption.filter(_ => n.contains('.')))
           .toSet
         val known = exts.intersect(
-          Set("shp", "fgb", "arrow", "geojsonl", "ndjson", "kml", "geojson", "gml", "gpx"))
+          Set("shp", "fgb", "arrow", "geojsonl", "ndjson", "kml", "geojson", "gml", "gpx", "topojson"))
         require(known.size == 1,
           s"read_file: directory $bare holds ${if (known.isEmpty) "no" else "multiple"} " +
             s"recognized formats (${exts.mkString(", ")}) — pass an explicit file or " +
@@ -971,10 +971,12 @@ object GeoDataFrame {
       graft.io.GmlIO.read(spark, bare, geometryColumn)
     else if (lower.endsWith(".gpx"))
       graft.io.GpxIO.read(spark, bare, geometryColumn)
+    else if (lower.endsWith(".topojson"))
+      graft.io.TopoJsonIO.read(spark, bare, geometryColumn)
     else
       throw new IllegalArgumentException(
         s"read_file: cannot infer a driver from '$path' — " +
-          "supported suffixes: .shp, .gpkg, .fgb, .kml, .gml, .gpx, .geojson, .geojsonl/.ndjson")
+          "supported suffixes: .shp, .gpkg, .fgb, .kml, .gml, .gpx, .topojson, .geojson, .geojsonl/.ndjson")
   }
 
   def readGeoPackage(

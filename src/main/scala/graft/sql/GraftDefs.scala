@@ -992,6 +992,83 @@ object Crs {
     }
   }
 
+  /** Oblique stereographic (EPSG method 9809, the "double projection":
+    * Gauss conformal sphere at the origin, then spherical stereographic) —
+    * EPSG:28992 Amersfoort / RD New, also `+proj=sterea`. Formulas per
+    * the EPSG Guidance Note 7-2 publication of the method.
+    */
+  final class ObliqueStereographic(a: Double, invFlat: Double, lat0: Double,
+      lon0: Double, k0: Double, fe: Double, fn: Double) extends Projection {
+    private val f = 1.0 / invFlat
+    private val e2 = f * (2.0 - f)
+    private val e = math.sqrt(e2)
+    private val phi0 = math.toRadians(lat0)
+    private val lam0 = math.toRadians(lon0)
+    private val s0 = math.sin(phi0)
+    private val c0sq = math.cos(phi0) * math.cos(phi0)
+    private val n = math.sqrt(1.0 + e2 * c0sq * c0sq / (1.0 - e2))
+    private val s1 = (1.0 + s0) / (1.0 - s0)
+    private val s2 = (1.0 - e * s0) / (1.0 + e * s0)
+    private val w1 = math.pow(s1 * math.pow(s2, e), n)
+    private val sinChi00 = (w1 - 1.0) / (w1 + 1.0)
+    private val cc = (n + s0) * (1.0 - sinChi00) / ((n - s0) * (1.0 + sinChi00))
+    private val w2 = cc * w1
+    private val chi0 = math.asin((w2 - 1.0) / (w2 + 1.0))
+    private val sinChi0 = math.sin(chi0)
+    private val cosChi0 = math.cos(chi0)
+    private val bigR = a * math.sqrt(1.0 - e2) / (1.0 - e2 * s0 * s0)
+
+    private def chiOf(phi: Double): Double = {
+      val s = math.sin(phi)
+      val sa = (1.0 + s) / (1.0 - s)
+      val sb = (1.0 - e * s) / (1.0 + e * s)
+      val w = cc * math.pow(sa * math.pow(sb, e), n)
+      math.asin((w - 1.0) / (w + 1.0))
+    }
+
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      val chi = chiOf(math.toRadians(lat))
+      val dlam = n * (math.toRadians(lon) - lam0)
+      val sinChi = math.sin(chi); val cosChi = math.cos(chi)
+      val b = 1.0 + sinChi * sinChi0 + cosChi * cosChi0 * math.cos(dlam)
+      (fe + 2.0 * bigR * k0 * cosChi * math.sin(dlam) / b,
+        fn + 2.0 * bigR * k0 * (sinChi * cosChi0 - cosChi * sinChi0 * math.cos(dlam)) / b)
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val dx = (x - fe) / (2.0 * bigR * k0)
+      val dy = (y - fn) / (2.0 * bigR * k0)
+      // spherical inverse stereographic about (chi0, 0)
+      val rho = math.hypot(dx, dy)
+      val (chi, dlam) =
+        if (rho < 1e-15) (chi0, 0.0)
+        else {
+          val cTheta = 2.0 * math.atan(rho)
+          val sinC = math.sin(cTheta); val cosC = math.cos(cTheta)
+          val chiV = math.asin(cosC * sinChi0 + dy * sinC * cosChi0 / rho)
+          val lamV = math.atan2(dx * sinC,
+            rho * cosChi0 * cosC - dy * sinChi0 * sinC)
+          (chiV, lamV)
+        }
+      val lon = math.toDegrees(lam0 + dlam / n)
+      // invert the conformal latitude by fixed point on
+      // w = cc*(Sa*Sb^e)^n with sin(chi) = (w-1)/(w+1)
+      var phi = chi
+      var i = 0
+      while (i < 12) {
+        // solve Sa from chi and the current phi's Sb
+        val s = math.sin(phi)
+        val sb = (1.0 - e * s) / (1.0 + e * s)
+        val w = (1.0 + math.sin(chi)) / (1.0 - math.sin(chi))
+        val sa = math.pow(w / cc, 1.0 / n) / math.pow(sb, e)
+        val sinPhi = (sa - 1.0) / (sa + 1.0)
+        phi = math.asin(math.max(-1.0, math.min(1.0, sinPhi)))
+        i += 1
+      }
+      (lon, math.toDegrees(phi))
+    }
+  }
+
   /** Ellipsoidal Mercator (EPSG method 9804 variant A; Snyder 1987 eqs
     * 7-7/7-8 via the isometric latitude) — EPSG:3395 World Mercator.
     * Distinct from the SPHERICAL web-Mercator fast path (EPSG:3857):
@@ -1123,6 +1200,23 @@ object Crs {
   val ed50: Helmert = new Helmert(6378388.0, 297.0,
     87.0, 96.0, 120.0, 0.0, 0.0, 0.0, 0.0)
 
+  /** WGS84 → Amersfoort (Bessel 1841): the published Amersfoort→WGS84
+    * position-vector 7-parameter set (565.417, 50.3319, 465.552,
+    * −0.398957", 0.343988", −1.87740", 4.0725 ppm), negated to this
+    * class's WGS84→native convention (sub-mm second-order error; exact
+    * for the translation part).
+    */
+  val amersfoort: Helmert = new Helmert(6377397.155, 299.1528128,
+    -565.417, -50.3319, -465.552, 0.398957, -0.343988, 1.87740, -4.0725)
+
+  /** Projection HALF of EPSG:28992 (Amersfoort geodetic in/out) — exposed
+    * for the EPSG GN7-2 worked-example spec, which is defined on native
+    * Amersfoort coordinates.
+    */
+  val rdNewProjection = new ObliqueStereographic(6377397.155, 299.1528128,
+    52.0 + 9.0 / 60.0 + 22.178 / 3600.0, 5.0 + 23.0 / 60.0 + 15.500 / 3600.0,
+    0.9999079, 155000.0, 463000.0)
+
   /** WGS84 → CH1903/CH1903+ (Bessel 1841): the swisstopo 3-parameter
     * translation (published CH1903+→WGS84 is +674.374, +15.056, +405.346;
     * translation-only, so the negation here is the exact inverse).
@@ -1212,7 +1306,11 @@ object Crs {
       -70.0, 0.0, 0.0, 0.0),
     // WGS84 / World Mercator (the ELLIPSOIDAL Mercator, vs 3857's sphere)
     "EPSG:3395" -> new EllipticalMercator(6378137.0, 298.257223563,
-      0.0, 1.0, 0.0, 0.0))
+      0.0, 1.0, 0.0, 0.0),
+    // Amersfoort / RD New: oblique stereographic on Bessel 1841 behind the
+    // published Amersfoort->WGS84 position-vector set (negated to the
+    // WGS84->native convention of Helmert)
+    "EPSG:28992" -> new DatumShifted(rdNewProjection, amersfoort))
 
   /** Identity "projection" for `+proj=longlat` records: projected
     * coordinates ARE lon/lat degrees.
@@ -1295,6 +1393,8 @@ object Crs {
         Some(new LambertAzimuthalEqualArea(a, rf, lat0, lon0, x0, y0))
       case Some("somerc") =>
         Some(new SwissObliqueMercator(a, rf, lat0, lon0, k0, x0, y0))
+      case Some("sterea") =>
+        Some(new ObliqueStereographic(a, rf, lat0, lon0, k0, x0, y0))
       case Some("stere") =>
         // polar aspect only (lat_0 = +-90, scale via +lat_ts); oblique
         // stereographic is a different EPSG method (sterea) — rejected

@@ -891,6 +891,42 @@ class GeomKernelSpec extends AnyFunSuite {
     assert(Crs.parseProj("+proj=stere +lat_0=52 +lon_0=5").isEmpty)
   }
 
+  test("oblique stereographic (EPSG:28992 RD New): GN7-2 example, datum, roundtrip") {
+    import graft.sql.Crs
+    // EPSG Guidance Note 7-2 worked example for the method (Amersfoort /
+    // RD New, Bessel 1841): Amersfoort geodetic 53N 6E ->
+    // E 196105.283, N 557057.739 — projection half only (native in/out)
+    val (x, y) = Crs.rdNewProjection.forward(6.0, 53.0)
+    assert(math.abs(x - 196105.283) < 0.001 && math.abs(y - 557057.739) < 0.001,
+      s"GN7-2 example ($x,$y)")
+    // natural origin lands exactly on FE/FN
+    val (ox, oy) = Crs.rdNewProjection.forward(
+      5.0 + 23.0 / 60.0 + 15.5 / 3600.0, 52.0 + 9.0 / 60.0 + 22.178 / 3600.0)
+    assert(math.abs(ox - 155000.0) < 1e-6 && math.abs(oy - 463000.0) < 1e-6)
+    // full WGS84 chain (7-parameter Amersfoort shift): Dam Square
+    // Amsterdam (4.8936E, 52.3731N) sits at the well-known RD
+    // coordinates ~ (121386, 487362); without the datum shift the miss
+    // is ~100 m
+    val rd = Crs.byEpsg("EPSG:28992")
+    val (ax, ay) = rd.forward(4.8936, 52.3731)
+    assert(math.hypot(ax - 121386.0, ay - 487362.0) < 25.0, s"Dam ($ax,$ay)")
+    val (px, py) = Crs.rdNewProjection.forward(4.8936, 52.3731)
+    assert(math.hypot(px - ax, py - ay) > 50.0, "datum shift must matter")
+    // roundtrip across the Dutch service domain
+    for (lonI <- 3 to 7; latI <- 50 to 54) {
+      val (rx, ry) = rd.forward(lonI.toDouble, latI.toDouble)
+      val (lo, la) = rd.inverse(rx, ry)
+      assert(math.abs(lo - lonI) < 5e-8 && math.abs(la - latI) < 5e-8,
+        s"28992 ($lonI,$latI) -> ($lo,$la)")
+    }
+    // +proj=sterea parses to the same kernel
+    val rec = Crs.parseProj("+proj=sterea +lat_0=52.15616055555555 " +
+      "+lon_0=5.38763888888889 +k=0.9999079 +x_0=155000 +y_0=463000 " +
+      "+ellps=bessel").get
+    val (sx, sy) = rec.forward(6.0, 53.0)
+    assert(math.hypot(sx - x, sy - y) < 0.01, s"sterea record ($sx,$sy)")
+  }
+
   test("ellipsoidal Mercator (EPSG:3395): worked example, vs sphere, roundtrip") {
     import graft.sql.Crs
     val wm = Crs.byEpsg("EPSG:3395")

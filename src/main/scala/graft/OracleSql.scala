@@ -1011,6 +1011,43 @@ object OracleSql {
 
     // disjoint right strips make intersection areas additive: closed-form
     // axis-aligned overlap per (square, strip) pair; diff = (2h)^2 - sum
+    // composed overlay closed forms over disjoint squares vs disjoint
+    // strips: pairwise rectangle clamps give every piece area exactly;
+    // union rows = inter pieces + left-diff (square minus its strip
+    // overlaps) + right-diff (strip minus ITS square overlaps, valid
+    // because the squares are lattice-disjoint)
+    "g66_overlay_union" -> """
+      WITH l AS (SELECT s_suppkey,
+               (s_suppkey % 53)::DOUBLE * 40.0 AS sx,
+               (s_suppkey % 41)::DOUBLE * 30.0 AS sy,
+               ((s_suppkey % 10) + 1)::DOUBLE AS h FROM supplier),
+      r AS (SELECT r_regionkey, r_regionkey * 2500.0 - 1000.0 AS bx0,
+              r_regionkey * 2500.0 + 1490.0 AS bx1 FROM region),
+      p AS (SELECT s_suppkey, r_regionkey, h,
+              greatest(0.0, least(sx + h, bx1) - greatest(sx - h, bx0)) *
+              greatest(0.0, least(sy + h, 1000.0) - greatest(sy - h, 0.0)) AS ia
+            FROM l CROSS JOIN r),
+      inter AS (SELECT count(*)::BIGINT AS n, sum(ia) AS area
+                FROM p WHERE ia > 0),
+      ld AS (SELECT l.s_suppkey, 4.0 * max(l.h) * max(l.h) - sum(p.ia) AS rest
+             FROM l JOIN p ON l.s_suppkey = p.s_suppkey GROUP BY l.s_suppkey),
+      ldx AS (SELECT count(*)::BIGINT AS n, sum(rest) AS area
+              FROM ld WHERE rest > 0),
+      rd AS (SELECT r.r_regionkey, 2490.0 * 1000.0 - sum(p.ia) AS rest
+             FROM r JOIN p ON r.r_regionkey = p.r_regionkey GROUP BY r.r_regionkey),
+      rdx AS (SELECT count(*)::BIGINT AS n, sum(rest) AS area
+              FROM rd WHERE rest > 0),
+      sides AS (
+        SELECT 'union' AS how, 'inter' AS side, n, area FROM inter
+        UNION ALL SELECT 'union', 'left', n, area FROM ldx
+        UNION ALL SELECT 'union', 'right', n, area FROM rdx
+        UNION ALL SELECT 'symmetric_difference', 'left', n, area FROM ldx
+        UNION ALL SELECT 'symmetric_difference', 'right', n, area FROM rdx
+        UNION ALL SELECT 'identity', 'inter', n, area FROM inter
+        UNION ALL SELECT 'identity', 'left', n, area FROM ldx)
+      SELECT how, side, n, round(area, 4) AS area
+      FROM sides ORDER BY how, side""",
+
     "g42_overlay" -> """
       WITH l AS (SELECT s_suppkey, s_acctbal AS x0,
                (s_suppkey % 100)::DOUBLE * 10.0 AS y0,

@@ -1011,6 +1011,50 @@ object SparkEntry {
         .orderBy(col("s_suppkey"))
     }),
 
+    // r10 composed overlay modes (geopandas how=union/symmetric_difference/
+    // identity): disjoint supplier squares (lattice spacing > max size) vs
+    // disjoint region strips, so every piece area has a pairwise closed
+    // form and the union output classifies by null-side keys. The piece
+    // attribute model (nulls on the absent side via unionByName) is part
+    // of what the oracle checks.
+    "g66_overlay_union" -> ((s, d) => {
+      val left = GeoDataFrame(t(s, d, "supplier")
+        .withColumn("sx", (col("s_suppkey") % 53).cast("double") * 40.0)
+        .withColumn("sy", (col("s_suppkey") % 41).cast("double") * 30.0)
+        .withColumn("h", ((col("s_suppkey") % 10) + 1).cast("double"))
+        .withColumn("geometry", st_makeEnvelope(col("sx") - col("h"), col("sy") - col("h"),
+          col("sx") + col("h"), col("sy") + col("h")))
+        .select(col("s_suppkey"), col("geometry")))
+      val right = GeoDataFrame(t(s, d, "region")
+        .withColumn("geometry", st_makeEnvelope(
+          col("r_regionkey") * 2500.0 - 1000.0, lit(0.0),
+          col("r_regionkey") * 2500.0 + 1490.0, lit(1000.0)))
+        .select(col("r_regionkey"), col("geometry")))
+      def classify(u: DataFrame) = u.select(
+        when(col("s_suppkey").isNotNull && col("r_regionkey").isNotNull, "inter")
+          .when(col("s_suppkey").isNotNull, "left").otherwise("right").as("side"),
+        st_area(col("geometry")).as("a"))
+      val uni = classify(left.overlay(right, leftKey = "s_suppkey", how = "union",
+        strategy = "grid", cellSize = Some(1000.0), rightKey = Some("r_regionkey")))
+        .groupBy(col("side"))
+        .agg(count(lit(1)).as("n"), round(sum(col("a")), 4).as("area"))
+        .withColumn("how", lit("union"))
+      val sd = classify(left.overlay(right, leftKey = "s_suppkey",
+        how = "symmetric_difference",
+        strategy = "grid", cellSize = Some(1000.0), rightKey = Some("r_regionkey")))
+        .groupBy(col("side"))
+        .agg(count(lit(1)).as("n"), round(sum(col("a")), 4).as("area"))
+        .withColumn("how", lit("symmetric_difference"))
+      val idn = classify(left.overlay(right, leftKey = "s_suppkey", how = "identity",
+        strategy = "grid", cellSize = Some(1000.0), rightKey = Some("r_regionkey")))
+        .groupBy(col("side"))
+        .agg(count(lit(1)).as("n"), round(sum(col("a")), 4).as("area"))
+        .withColumn("how", lit("identity"))
+      uni.unionByName(sd).unionByName(idn)
+        .select(col("how"), col("side"), col("n"), col("area"))
+        .orderBy(col("how"), col("side"))
+    }),
+
     // pure-JVM shapefile roundtrip (reference read_file, io/file.py:49-149):
     // fixture write of supplier points to part-N.{shp,shx,dbf}, then the
     // chunked distributed read (record-range tasks seeking via .shx) —

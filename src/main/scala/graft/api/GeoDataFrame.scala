@@ -683,6 +683,15 @@ final case class GeoDataFrame(
     * parts — never all rights, only the candidates. Geometry kernels are
     * narrow expressions either way.
     */
+  /** df-level set overlay (geopandas `overlay`): `how` in intersection /
+    * difference / identity / union / symmetric_difference. The composed
+    * modes follow geopandas' attribute model — intersection pieces carry
+    * BOTH sides' columns, left-only pieces carry the right side's columns
+    * as null and vice versa (`unionByName(allowMissingColumns)`), one
+    * geometry column named after this frame's. `rightKey` (the right
+    * frame's row-identity column) is required for the modes that build
+    * right-side difference pieces (union / symmetric_difference).
+    */
   def overlay(
       right: GeoDataFrame,
       leftKey: String,
@@ -690,30 +699,59 @@ final case class GeoDataFrame(
       strategy: String = "auto",
       cellSize: Option[Double] = None,
       rsuffix: String = "_right",
-      dropEmpty: Boolean = true): DataFrame = {
+      dropEmpty: Boolean = true,
+      rightKey: Option[String] = None): DataFrame = {
     val rGeomName =
       if (df.columns.contains(right.geometryColumn)) right.geometryColumn + rsuffix
       else right.geometryColumn
-    val cands = sjoin(right, predicate = "intersects", strategy = strategy,
+    lazy val cands = sjoin(right, predicate = "intersects", strategy = strategy,
       cellSize = cellSize, rsuffix = rsuffix)
+    def interDf: DataFrame =
+      cands.withColumn(geometryColumn,
+          st_intersection(col(geometryColumn), col(rGeomName)))
+        .filter(!st_isEmpty(col(geometryColumn)))
+        .drop(rGeomName)
+    def leftDiff: DataFrame = {
+      val unioned = cands.groupBy(col(leftKey).as("_ok"))
+        .agg(st_unionAgg(col(rGeomName)).as("_r"))
+      val diffed = df.join(unioned, df(leftKey) === col("_ok"), "left")
+        .withColumn(geometryColumn,
+          when(col("_r").isNull, df(geometryColumn))
+            .otherwise(st_difference(df(geometryColumn), col("_r"))))
+        .drop("_ok", "_r")
+      if (dropEmpty) diffed.filter(!st_isEmpty(col(geometryColumn))) else diffed
+    }
+    // right-side difference pieces, renamed into the left frame's column
+    // model (right's geometry takes the left geometry name; clashing
+    // attribute columns take rsuffix, matching the sjoin suffixing that
+    // the intersection pieces carry)
+    def rightDiffAligned: DataFrame = {
+      val rk = rightKey.getOrElse(throw new IllegalArgumentException(
+        s"overlay how=$how needs rightKey= (the right frame's row-identity column)"))
+      val raw = right.overlay(this, rk, "difference", strategy, cellSize,
+        rsuffix, dropEmpty)
+      val geomAligned =
+        if (right.geometryColumn == geometryColumn) raw
+        else raw.withColumnRenamed(right.geometryColumn, geometryColumn)
+      geomAligned.columns.foldLeft(geomAligned) { (acc, c) =>
+        if (c != geometryColumn && df.columns.contains(c))
+          acc.withColumnRenamed(c, c + rsuffix)
+        else acc
+      }
+    }
     how match {
-      case "intersection" =>
-        cands.withColumn(geometryColumn,
-            st_intersection(col(geometryColumn), col(rGeomName)))
-          .filter(!st_isEmpty(col(geometryColumn)))
-          .drop(rGeomName)
-      case "difference" =>
-        val unioned = cands.groupBy(col(leftKey).as("_ok"))
-          .agg(st_unionAgg(col(rGeomName)).as("_r"))
-        val diffed = df.join(unioned, df(leftKey) === col("_ok"), "left")
-          .withColumn(geometryColumn,
-            when(col("_r").isNull, df(geometryColumn))
-              .otherwise(st_difference(df(geometryColumn), col("_r"))))
-          .drop("_ok", "_r")
-        if (dropEmpty) diffed.filter(!st_isEmpty(col(geometryColumn))) else diffed
+      case "intersection" => interDf
+      case "difference"   => leftDiff
+      case "identity" =>
+        interDf.unionByName(leftDiff, allowMissingColumns = true)
+      case "symmetric_difference" =>
+        leftDiff.unionByName(rightDiffAligned, allowMissingColumns = true)
+      case "union" =>
+        interDf.unionByName(leftDiff, allowMissingColumns = true)
+          .unionByName(rightDiffAligned, allowMissingColumns = true)
       case other => throw new IllegalArgumentException(
-        s"overlay how=$other (supported: intersection, difference; " +
-          "union/symmetric_difference compose from them)")
+        s"overlay how=$other (supported: intersection, difference, " +
+          "identity, union, symmetric_difference)")
     }
   }
 

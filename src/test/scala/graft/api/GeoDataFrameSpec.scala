@@ -271,6 +271,38 @@ class GeoDataFrameSpec extends AnyFunSuite {
     assert(kept.select($"lid").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("overlay union/symmetric_difference/identity: piece set + null-side attributes") {
+    val left = GeoDataFrame(Seq((1L, 0.0, 0.0, 10.0, 10.0))
+      .toDF("lid", "x0", "y0", "x1", "y1")
+      .withColumn("geometry", st_makeEnvelope($"x0", $"y0", $"x1", $"y1"))
+      .select($"lid", $"geometry"))
+    val right = GeoDataFrame(Seq((10L, 6.0, -5.0, 20.0, 15.0))
+      .toDF("rid", "bx0", "by0", "bx1", "by1")
+      .withColumn("geometry", st_makeEnvelope($"bx0", $"by0", $"bx1", $"by1"))
+      .select($"rid", $"geometry"))
+    def pieces(how: String) =
+      left.overlay(right, leftKey = "lid", how = how, strategy = "grid",
+          cellSize = Some(25.0), rightKey = Some("rid"))
+        .select($"lid", $"rid", st_area($"geometry").as("a"))
+        .as[(Option[Long], Option[Long], Double)].collect().sortBy(_._3).toSeq
+    // inter = [6,10]x[0,10] (40); left-only = [0,6]x[0,10] (60);
+    // right-only = right minus left = 280 - 40 = 240
+    assert(pieces("union") == Seq(
+      (Some(1L), Some(10L), 40.0), (Some(1L), None, 60.0), (None, Some(10L), 240.0)))
+    assert(pieces("symmetric_difference") == Seq(
+      (Some(1L), None, 60.0), (None, Some(10L), 240.0)))
+    assert(pieces("identity") == Seq(
+      (Some(1L), Some(10L), 40.0), (Some(1L), None, 60.0)))
+    // union of piece areas tiles the union of inputs: 100 + 280 - 40
+    assert(pieces("union").map(_._3).sum == 340.0)
+    // rightKey is required for right-side modes, with a clear error
+    val err = intercept[IllegalArgumentException] {
+      left.overlay(right, leftKey = "lid", how = "union",
+        strategy = "grid", cellSize = Some(25.0))
+    }
+    assert(err.getMessage.contains("rightKey"))
+  }
+
   test("grid sjoin oversized=sentinel routes whole-domain rows instead of failing") {
     // one polygon spanning ~3000x3000 cells (> the 2^22 per-row explode
     // budget) among small ones; points on the left

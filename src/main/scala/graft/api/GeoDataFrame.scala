@@ -333,6 +333,31 @@ final case class GeoDataFrame(
     else Envelope(r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
   }
 
+  /** Estimate the UTM zone CRS of the data (geopandas `estimate_utm_crs`,
+    * a geopandas-proper surface the reference lacks — same family as
+    * [[sjoinNearest]]): the UTM zone containing the center of
+    * `total_bounds`, EPSG:326xx north / EPSG:327xx south. A projected
+    * frame's center routes back to lon/lat through the engine's own
+    * st_transform dispatch (EPSG table, UTM codes, proj records all work).
+    */
+  def estimateUtmCrs(): String = {
+    val b = totalBounds()
+    require(!b.isEmpty, "estimateUtmCrs: no geometries")
+    val sourceCrs = crs.getOrElse("EPSG:4326")
+    val spark = df.sparkSession
+    import org.apache.spark.sql.functions.lit
+    val row = spark.range(1).select(
+      st_x(st_transform(st_point(lit(b.midX), lit(b.midY)),
+        lit(sourceCrs), lit("EPSG:4326"))).as("lon"),
+      st_y(st_transform(st_point(lit(b.midX), lit(b.midY)),
+        lit(sourceCrs), lit("EPSG:4326"))).as("lat")).head()
+    val lon = row.getDouble(0); val lat = row.getDouble(1)
+    require(lon >= -180.0 && lon <= 180.0 && lat >= -90.0 && lat <= 90.0,
+      s"estimateUtmCrs: center ($lon,$lat) is not a geographic coordinate")
+    val zone = math.min(60, math.max(1, (math.floor((lon + 180.0) / 6.0) + 1).toInt))
+    if (lat >= 0) f"EPSG:326$zone%02d" else f"EPSG:327$zone%02d"
+  }
+
   // --------------------------------------------------------------- explode
   /** Multi-part -> one row per part (reference `expr.py:565-572,822-830`).
     * `indexParts` controls the `part_index` column (pandas' index_parts=True

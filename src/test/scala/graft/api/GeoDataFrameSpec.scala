@@ -303,6 +303,23 @@ class GeoDataFrameSpec extends AnyFunSuite {
     assert(err.getMessage.contains("rightKey"))
   }
 
+  test("estimateUtmCrs: geographic, southern hemisphere, projected input") {
+    def frameAt(lon: Double, lat: Double, crsOpt: Option[String] = None) = {
+      val g = GeoDataFrame(Seq((1L, lon - 0.5, lat - 0.5), (2L, lon + 0.5, lat + 0.5))
+        .toDF("id", "x", "y").withColumn("geometry", st_point($"x", $"y"))
+        .select($"id", $"geometry"))
+      crsOpt.map(g.setCrs).getOrElse(g)
+    }
+    assert(frameAt(13.4, 52.5).estimateUtmCrs() == "EPSG:32633")  // Berlin
+    assert(frameAt(145.0, -37.8).estimateUtmCrs() == "EPSG:32755") // Melbourne
+    assert(frameAt(-74.0, 40.7, Some("EPSG:4326")).estimateUtmCrs() == "EPSG:32618") // NYC
+    // projected input: Berlin in web mercator routes back through lon/lat
+    val berlin3857 = GeoDataFrame(Seq((1L, 1491592.0, 6893740.0))
+      .toDF("id", "x", "y").withColumn("geometry", st_point($"x", $"y"))
+      .select($"id", $"geometry")).setCrs("EPSG:3857")
+    assert(berlin3857.estimateUtmCrs() == "EPSG:32633")
+  }
+
   test("grid sjoin oversized=sentinel routes whole-domain rows instead of failing") {
     // one polygon spanning ~3000x3000 cells (> the 2^22 per-row explode
     // budget) among small ones; points on the left

@@ -303,6 +303,24 @@ class GeoDataFrameSpec extends AnyFunSuite {
     assert(err.getMessage.contains("rightKey"))
   }
 
+  test("sjoin dwithin + how=left on both strategies (padded grid cells)") {
+    val pts = GeoDataFrame(Seq((1L, 0.0, 0.0), (2L, 50.0, 0.0), (3L, 500.0, 500.0))
+      .toDF("id", "x", "y").withColumn("geometry", st_point($"x", $"y"))
+      .select($"id", $"geometry"))
+    val sites = GeoDataFrame(Seq((10L, 3.0, 4.0), (20L, 47.0, 4.0))
+      .toDF("site", "sx", "sy").withColumn("geometry", st_point($"sx", $"sy"))
+      .select($"site", $"geometry"))
+    Seq("broadcast", "grid").foreach { strategy =>
+      val out = pts.sjoin(sites, predicate = "dwithin", distance = 6.0,
+          strategy = strategy, how = "left",
+          cellSize = if (strategy == "grid") Some(10.0) else None)
+        .select($"id", $"site").as[(Long, Option[Long])].collect().toSet
+      // pt1 within 5 of site10 (3-4-5), pt2 within 5 of site20, pt3 nothing
+      assert(out == Set((1L, Some(10L)), (2L, Some(20L)), (3L, None)),
+        s"$strategy: $out")
+    }
+  }
+
   test("estimateUtmCrs: geographic, southern hemisphere, projected input") {
     def frameAt(lon: Double, lat: Double, crsOpt: Option[String] = None) = {
       val g = GeoDataFrame(Seq((1L, lon - 0.5, lat - 0.5), (2L, lon + 0.5, lat + 0.5))

@@ -1173,6 +1173,23 @@ object Crs {
     }
   }
 
+  /** A projection whose datum shift comes from an NTv2 grid
+    * (`+nadgrids=` convention: the grid's forward direction is
+    * native datum -> WGS84). Points OUTSIDE the grid's coverage pass
+    * through unshifted — proj's `+nadgrids=@grid,null` fallback
+    * behavior, the practical choice for national grids with hard edges.
+    */
+  final class GridShifted(base: Projection, grid: Ntv2.Grid) extends Projection {
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      val (lo, la) = grid.inverse(lon, lat).getOrElse((lon, lat))
+      base.forward(lo, la)
+    }
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val (lo, la) = base.inverse(x, y)
+      grid.forward(lo, la).getOrElse((lo, la))
+    }
+  }
+
   /** A projection whose datum differs from WGS84: the lon/lat hub stays
     * WGS84; the Helmert bridges hub ↔ native geodetic around the base
     * projection (ref capability: pyproj datum pipelines, `expr.py:255-257`).
@@ -1414,14 +1431,20 @@ object Crs {
         Some(new EllipticalMercator(a, rf, lon0, mercK0, x0, y0))
       case _ => None
     }
-    base.map { b =>
-      kv.get("towgs84") match {
-        case Some(t) =>
-          val p = t.split(",").map(_.trim.toDouble).padTo(7, 0.0)
-          if (p.forall(_ == 0.0)) b
-          else new DatumShifted(b,
-            new Helmert(a, rf, -p(0), -p(1), -p(2), -p(3), -p(4), -p(5), -p(6)))
-        case None => b
+    base.flatMap { b =>
+      // +nadgrids (grid-based shift) takes precedence over +towgs84,
+      // matching proj's datum-resolution order
+      kv.get("nadgrids") match {
+        case Some(gname) =>
+          Ntv2.get(gname.stripPrefix("@")).map(new GridShifted(b, _))
+        case None => Some(kv.get("towgs84") match {
+          case Some(t) =>
+            val p = t.split(",").map(_.trim.toDouble).padTo(7, 0.0)
+            if (p.forall(_ == 0.0)) b
+            else new DatumShifted(b,
+              new Helmert(a, rf, -p(0), -p(1), -p(2), -p(3), -p(4), -p(5), -p(6)))
+          case None => b
+        })
       }
     }
   } catch { case _: NumberFormatException => None }
@@ -1431,8 +1454,18 @@ object Crs {
   // must not run 600k times for one query
   private val projCache =
     new java.util.concurrent.ConcurrentHashMap[String, Option[Projection]]()
-  def projFor(s: String): Option[Projection] =
-    projCache.computeIfAbsent(s, parseProj(_))
+  def projFor(s: String): Option[Projection] = {
+    val c = projCache.get(s)
+    if (c != null) c
+    else {
+      val p = parseProj(s)
+      // only SUCCESSFUL parses are cached: a +nadgrids record can become
+      // valid after Ntv2.register, and failures throw on the first row
+      // anyway so there is nothing hot to memoize
+      if (p.isDefined) projCache.put(s, p)
+      p
+    }
+  }
 }
 
 /** Fixed uniform grid used by the scalable spatial-join strategy: cell ids

@@ -1335,6 +1335,15 @@ object OracleSql {
     // GPX waypoint roundtrip: lon/lat derived from the supplier synthetic
     // anchor; the writer's shortest-exact Double.toString plus the
     // reader's parseDouble are an identity, so 9-dp rounding is exact
+    // MIF/MID roundtrip: square-with-hole REGION per supplier. Area =
+    // 100 - h^2; vertex count = 5 closed outer + 5 closed hole = 10
+    "g67_mapinfo" -> """
+      SELECT s_suppkey, s_name, s_acctbal AS bal,
+             (s_suppkey % 2 = 0) AS flag,
+             round(100.0::DOUBLE - (((s_suppkey % 5) + 1) * ((s_suppkey % 5) + 1))::DOUBLE, 6) AS area,
+             10::BIGINT AS npts
+      FROM supplier ORDER BY s_suppkey""",
+
     "g64_gpx" -> """
       SELECT s_suppkey::BIGINT AS s_suppkey, 'waypoints' AS layer,
              (s_suppkey % 500)::DOUBLE AS ele,

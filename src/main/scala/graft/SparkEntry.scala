@@ -1134,6 +1134,30 @@ object SparkEntry {
     // GPX roundtrip (OGR's GPX driver in the reference; r10 pure-JVM StAX):
     // supplier points as waypoints with name/ele attributes, written one
     // part per partition, read back file-parallel through readFile
+    // MapInfo MIF/MID roundtrip: per-supplier square-with-hole REGIONs
+    // (exercises containment-parity ring classification), typed MID
+    // attributes (Char/Integer/Float/Logical), distributed part-pair write
+    "g67_mapinfo" -> ((s, d) => {
+      val loc = "/tmp/graft_g67_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val src = graft.api.GeoDataFrame(
+        supplierPts(s, d)
+          .withColumn("h", (col("s_suppkey") % 5 + 1).cast("double"))
+          .withColumn("geometry", st_difference(
+            st_makeEnvelope(col("x0"), col("y0"),
+              col("x0") + 10.0, col("y0") + 10.0),
+            st_makeEnvelope(col("x0") + 2.0, col("y0") + 2.0,
+              col("x0") + 2.0 + col("h"), col("y0") + 2.0 + col("h"))))
+          .withColumn("flag", col("s_suppkey") % 2 === 0)
+          .select(col("s_suppkey"), col("s_name"), col("s_acctbal").as("bal"),
+            col("flag"), col("geometry")))
+      graft.io.MapInfoIO.write(src, loc)
+      graft.api.GeoDataFrame.readFile(s, loc).df
+        .select(col("s_suppkey"), col("s_name"), col("bal"), col("flag"),
+          round(st_area(col("geometry")), 6).as("area"),
+          st_numPoints(col("geometry")).as("npts"))
+        .orderBy(col("s_suppkey"))
+    }),
+
     "g64_gpx" -> ((s, d) => {
       val loc = "/tmp/graft_g64_" + d.replaceAll("[^A-Za-z0-9]", "_")
       val pts = graft.api.GeoDataFrame(

@@ -1003,7 +1003,7 @@ object GeoDataFrame {
           .flatMap(n => n.split('.').lastOption.filter(_ => n.contains('.')))
           .toSet
         val known = exts.intersect(
-          Set("shp", "fgb", "arrow", "geojsonl", "ndjson", "kml", "geojson", "gml", "gpx", "topojson"))
+          Set("shp", "fgb", "arrow", "geojsonl", "ndjson", "kml", "geojson", "gml", "gpx", "topojson", "mif"))
         require(known.size == 1,
           s"read_file: directory $bare holds ${if (known.isEmpty) "no" else "multiple"} " +
             s"recognized formats (${exts.mkString(", ")}) — pass an explicit file or " +
@@ -1036,10 +1036,12 @@ object GeoDataFrame {
       graft.io.GpxIO.read(spark, bare, geometryColumn)
     else if (lower.endsWith(".topojson"))
       graft.io.TopoJsonIO.read(spark, bare, geometryColumn)
+    else if (lower.endsWith(".mif"))
+      graft.io.MapInfoIO.read(spark, bare, geometryColumn)
     else
       throw new IllegalArgumentException(
         s"read_file: cannot infer a driver from '$path' — " +
-          "supported suffixes: .shp, .gpkg, .fgb, .kml, .gml, .gpx, .topojson, .geojson, .geojsonl/.ndjson")
+          "supported suffixes: .shp, .gpkg, .fgb, .kml, .gml, .gpx, .topojson, .mif, .geojson, .geojsonl/.ndjson")
   }
 
   def readGeoPackage(

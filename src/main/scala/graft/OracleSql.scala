@@ -841,6 +841,24 @@ object OracleSql {
 
     // brute-force nearest within the radius; rank() keeps distance ties,
     // mirroring the Spark rank window over the grid-join candidates
+    // nearest how=left at a tight radius: customers with no supplier in
+    // range keep one null-padded row
+    "g68_sjoin_nearest_left" -> s"""
+      WITH l AS (SELECT c_custkey, cx, cy FROM ($custPts)),
+      r AS (SELECT s_suppkey, s_acctbal AS sx, (s_suppkey % 1000)::DOUBLE AS sy
+            FROM supplier),
+      c AS (SELECT c_custkey, s_suppkey,
+              sqrt((cx - sx) * (cx - sx) + (cy - sy) * (cy - sy)) AS dist
+            FROM l CROSS JOIN r),
+      f AS (SELECT * FROM c WHERE dist <= 40.0),
+      k AS (SELECT *, rank() OVER (PARTITION BY c_custkey ORDER BY dist) AS rk
+            FROM f),
+      nn AS (SELECT c_custkey, s_suppkey, round(dist, 4) AS dist
+             FROM k WHERE rk = 1)
+      SELECT l.c_custkey, nn.s_suppkey, nn.dist
+      FROM l LEFT JOIN nn ON l.c_custkey = nn.c_custkey
+      ORDER BY l.c_custkey, nn.s_suppkey""",
+
     "g40_sjoin_nearest" -> s"""
       WITH l AS (SELECT c_custkey, cx, cy FROM ($custPts)),
       r AS (SELECT s_suppkey, s_acctbal AS sx, (s_suppkey % 1000)::DOUBLE AS sy

@@ -901,6 +901,22 @@ object SparkEntry {
     // nearest-neighbor spatial join within a radius (r7): geopandas
     // sjoin_nearest(max_distance=), grid dwithin candidates + rank window.
     // Ties at the exact minimum are all kept (rank, not row_number).
+    // nearest with how=left: customers with no supplier within a TIGHT
+    // radius come back null-padded (the geopandas sjoin_nearest outer
+    // contract); deterministic key anti-join, no row-id stamping
+    "g68_sjoin_nearest_left" -> ((s, d) => {
+      val cust = GeoDataFrame(customerPts(s, d))
+      val supp = GeoDataFrame(t(s, d, "supplier")
+        .withColumn("sx", col("s_acctbal"))
+        .withColumn("sy", (col("s_suppkey") % 1000).cast("double"))
+        .withColumn("geometry", st_point(col("sx"), col("sy"))))
+      cust.sjoinNearest(supp, leftKey = "c_custkey",
+          maxDistance = 40.0, cellSize = 80.0, how = "left")
+        .select(col("c_custkey"), col("s_suppkey"),
+          round(col("dist"), 4).as("dist"))
+        .orderBy(col("c_custkey"), col("s_suppkey"))
+    }),
+
     "g40_sjoin_nearest" -> ((s, d) => {
       val cust = GeoDataFrame(customerPts(s, d))
       val supp = GeoDataFrame(t(s, d, "supplier")

@@ -644,8 +644,11 @@ final case class GeoDataFrame(
     * planned as one co-partitioned join at scale (it needs expanding-ring
     * re-probes), and geopandas' own docs recommend `max_distance` for
     * performance. Rows with no right neighbor within the radius drop out
-    * (inner semantics). Ties — several right rows at exactly the minimum
-    * distance — are all kept, matching geopandas.
+    * under `how="inner"` and come back null-padded (null right columns,
+    * null distance) under `how="left"`, matching geopandas. Ties — several
+    * right rows at exactly the minimum distance — are all kept, matching
+    * geopandas; `exclusive=true` drops right geometries equal to the left
+    * geometry (the self-join idiom, shapely `query_nearest(exclusive)`).
     *
     * Plan (100 TB shape): dwithin grid join on padded fixed-size cells
     * (anchor-cell exactly-once emission, zero eager scans) -> RANK window
@@ -667,18 +670,48 @@ final case class GeoDataFrame(
       maxDistance: Double,
       cellSize: Double,
       rsuffix: String = "_right",
-      distanceCol: String = "dist"): DataFrame = {
+      distanceCol: String = "dist",
+      how: String = "inner",
+      exclusive: Boolean = false): DataFrame = {
     require(maxDistance > 0, "sjoinNearest requires a positive maxDistance")
+    require(Set("inner", "left").contains(how),
+      s"unknown sjoinNearest how '$how' (inner | left)")
     val rGeomName =
       if (df.columns.contains(right.geometryColumn)) right.geometryColumn + rsuffix
       else right.geometryColumn
-    val cands = sjoin(right, predicate = "dwithin", strategy = "grid",
+    val cands0 = sjoin(right, predicate = "dwithin", strategy = "grid",
       cellSize = Some(cellSize), rsuffix = rsuffix, distance = maxDistance)
       .withColumn(distanceCol, st_distance(col(geometryColumn), col(rGeomName)))
+    // geopandas/shapely `exclusive=True`: a right geometry EQUAL to the
+    // left geometry is not its own nearest neighbor (self-join dedup).
+    // Topological equality, gated on dist==0 so the expensive check runs
+    // only on coincident candidates.
+    val cands =
+      if (exclusive)
+        cands0.filter(!(col(distanceCol) === 0.0 &&
+          st_equals(col(geometryColumn), col(rGeomName))))
+      else cands0
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(leftKey)).orderBy(col(distanceCol))
-    cands.withColumn("_rk", rank().over(w))
+    val nearest = cands.withColumn("_rk", rank().over(w))
       .filter(col("_rk") === 1).drop("_rk")
+    how match {
+      case "inner" => nearest
+      case "left" =>
+        // geopandas how="left": left rows with no neighbor in the radius
+        // come back with null right columns and null distance. leftKey is
+        // unique by this method's contract, so the unmatched probe is a
+        // deterministic key anti-join — no row-id stamping needed (unlike
+        // sjoin how=left, where rows carry no unique key).
+        val unmatched = df.join(nearest.select(col(leftKey)).distinct(),
+          Seq(leftKey), "left_anti")
+        val rightFields = nearest.schema.fields
+          .filter(f => !df.columns.contains(f.name) || f.name == leftKey)
+          .filterNot(_.name == leftKey)
+        val padded = rightFields.foldLeft(unmatched)((acc, f) =>
+          acc.withColumn(f.name, lit(null).cast(f.dataType)))
+        nearest.unionByName(padded.select(nearest.columns.map(col).toIndexedSeq: _*))
+    }
   }
 
   /** DataFrame-level overlay (geopandas `overlay(df1, df2, how=...)`;

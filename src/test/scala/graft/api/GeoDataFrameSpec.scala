@@ -232,6 +232,28 @@ class GeoDataFrameSpec extends AnyFunSuite {
     assert(out == Seq((1L, 100L, 1.0), (1L, 200L, 1.0), (2L, 300L, 2.0)))
   }
 
+  test("sjoinNearest how=left null-pads no-neighbor rows; exclusive skips equal geometry") {
+    val left = GeoDataFrame(Seq(
+      (1L, 0.0, 0.0),   // coincides with right 100; next-nearest is 200 at d=1
+      (2L, 50.0, 50.0)  // nothing within radius
+    ).toDF("lid", "x", "y").withColumn("geometry", st_point($"x", $"y")))
+    val right = GeoDataFrame(Seq(
+      (100L, 0.0, 0.0), // equal geometry to lid=1
+      (200L, 1.0, 0.0)
+    ).toDF("rid", "rx", "ry").withColumn("geometry", st_point($"rx", $"ry")))
+    val outer = left.sjoinNearest(right, leftKey = "lid", maxDistance = 5.0,
+        cellSize = 4.0, how = "left")
+      .select($"lid", $"rid", $"dist")
+      .as[(Long, Option[Long], Option[Double])].collect().sortBy(_._1).toSeq
+    assert(outer == Seq((1L, Some(100L), Some(0.0)), (2L, None, None)))
+    val excl = left.sjoinNearest(right, leftKey = "lid", maxDistance = 5.0,
+        cellSize = 4.0, how = "left", exclusive = true)
+      .select($"lid", $"rid", $"dist")
+      .as[(Long, Option[Long], Option[Double])].collect().sortBy(_._1).toSeq
+    // with the coincident right row excluded, lid=1 falls through to 200
+    assert(excl == Seq((1L, Some(200L), Some(1.0)), (2L, None, None)))
+  }
+
   test("overlay intersection/difference incl. multipolygon subtrahend and no-hit passthrough") {
     // square A [0,10]^2 straddles two disjoint strips; square B hits none
     val left = GeoDataFrame(Seq(

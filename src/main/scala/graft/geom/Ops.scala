@@ -880,7 +880,13 @@ object Predicates {
   }
 
   private def interiorsIntersectSym(a: Geometry, b: Geometry): Boolean =
-    if (a.topoDim == 2) interiorsIntersect(a, b)
+    // areal×areal CANNOT take interiorsIntersect's polygon shortcut: that
+    // `true` is only valid for its covers() caller, where coverage is
+    // already established. Here the pair may merely touch (shared vertex /
+    // shared edge), so ask the exact interior-overlap kernel — the same
+    // one touches() uses, keeping relate's II cell and touches consistent.
+    if (a.topoDim == 2 && b.topoDim == 2) areaInteriorsOverlap(a, b)
+    else if (a.topoDim == 2) interiorsIntersect(a, b)
     else if (b.topoDim == 2) interiorsIntersect(b, a)
     else intersects(a, b)
 

@@ -473,6 +473,13 @@ object OracleSql {
       WHERE cx BETWEEN 1000 AND 5000 AND cy BETWEEN 200 AND 800
       ORDER BY c_custkey""",
 
+    // native-encoded roundtrip: struct<x,y> coordinates are exact doubles,
+    // so the cx window selects identically to the plain coordinate filter
+    "g69_geoarrow_parquet" -> s"""
+      SELECT c_custkey, cx, cy FROM ($custPts)
+      WHERE cx BETWEEN 1000 AND 5000 AND cy BETWEEN 200 AND 800
+      ORDER BY c_custkey""",
+
     "g41_covering_roundtrip" -> s"""
       SELECT c_custkey, cx, cy FROM ($custPts)
       WHERE cx BETWEEN 1000 AND 5000 AND cy BETWEEN 200 AND 800

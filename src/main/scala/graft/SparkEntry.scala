@@ -781,6 +781,24 @@ object SparkEntry {
     // struct column + footer declaration; cx on the read-back pushes
     // nested-field range predicates into the scan (row-group min/max
     // skipping on native parquet stats) on top of footer file pruning
+    // GeoParquet 1.1 NATIVE geometry encoding: write customer points as
+    // geoarrow struct<x,y> (inferred kind), read back (decode at the scan
+    // edge), cx through the footer bboxes via the rebuild hook
+    "g69_geoarrow_parquet" -> ((s, d) => {
+      val pts = GeoDataFrame(
+        customerPts(s, d)
+          .select(col("c_custkey"), col("cx"), col("cy"), col("geometry"))
+          .repartitionByRange(8, col("cy")),
+        "geometry").setCrs("EPSG:4326")
+      val path = "/tmp/graft_g69_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      graft.io.GeoParquetIO.write(pts, path, geometryEncoding = "geoarrow")
+      graft.io.GeoParquetIO.read(s, path).cx(1000, 200, 5000, 800)
+        .df.select(col("c_custkey"),
+          round(st_x(col("geometry")), 9).as("cx"),
+          round(st_y(col("geometry")), 9).as("cy"))
+        .orderBy(col("c_custkey"))
+    }),
+
     "g41_covering_roundtrip" -> ((s, d) => {
       val pts = GeoDataFrame(
         customerPts(s, d)

@@ -34,7 +34,12 @@ import org.apache.spark.sql.types.{BinaryType, Metadata, MetadataBuilder}
 final case class FileSourceMeta(
     basePath: String,
     bboxes: Map[String, Envelope],
-    forDf: DataFrame) {
+    forDf: DataFrame,
+    // datasets whose on-disk schema differs from the in-plan schema (e.g.
+    // geoarrow-encoded GeoParquet, decoded to WKB on read) re-plan through
+    // this hook: it rebuilds the pruned scan AND re-applies the decode. The
+    // default re-plan reads with the in-plan schema directly.
+    rebuild: Option[Seq[String] => DataFrame] = None) {
   def validFor(df: DataFrame): Boolean = (forDf eq df) && bboxes.nonEmpty
 }
 
@@ -196,8 +201,11 @@ final case class GeoDataFrame(
           // job and carries the column metadata (CRS) along verbatim
           val scanned =
             if (keep.isEmpty) df.limit(0)
-            else spark.read.schema(df.schema)
-              .option("basePath", fsrc.basePath).parquet(keep: _*)
+            else fsrc.rebuild match {
+              case Some(f) => f(keep)
+              case None => spark.read.schema(df.schema)
+                .option("basePath", fsrc.basePath).parquet(keep: _*)
+            }
           val rebuilt = copy(df = scanned, spatialPartitions = None, fileSource = None,
             spatialPartitionHulls = None)
           return crs.map(rebuilt.setCrs).getOrElse(rebuilt).cx(xmin, ymin, xmax, ymax)

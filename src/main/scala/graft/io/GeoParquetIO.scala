@@ -81,22 +81,56 @@ object GeoParquetIO {
     * files a query does touch, via plain Catalyst nested-field pushdown
     * (no geo-aware reader needed).
     */
+  private val GeoArrowKinds = Set("point", "linestring", "polygon",
+    "multipoint", "multilinestring", "multipolygon")
+
+  /** `geometryEncoding`: "WKB" (default), a GeoParquet 1.1 native kind
+    * ("point" … "multipolygon" — geometry stored as nested arrow lists of
+    * coordinate structs instead of WKB blobs), or "geoarrow" to infer the
+    * kind from the first geometry (single-type columns by spec; a
+    * mismatched row fails the write loudly rather than corrupting the
+    * column). Native-encoded datasets read straight back through [[read]],
+    * which decodes to the engine's WKB representation at the scan edge.
+    */
   def write(gdf: GeoDataFrame, path: String, mode: String = "overwrite",
-      partitionBy: Seq[String] = Nil, covering: Boolean = false): Unit = {
+      partitionBy: Seq[String] = Nil, covering: Boolean = false,
+      geometryEncoding: String = "WKB"): Unit = {
     val spark = gdf.df.sparkSession
+    val geomKind: Option[String] = geometryEncoding.toLowerCase match {
+      case "wkb" => None
+      case "geoarrow" =>
+        val t = gdf.df.select(st_geometryType(gdf.geom))
+          .filter(col(gdf.geometryColumn).isNotNull).limit(1)
+          .collect().headOption.map(_.getString(0))
+        Some(t.getOrElse(throw new IllegalArgumentException(
+          "geometryEncoding=geoarrow: cannot infer the kind of an all-null " +
+            "geometry column — pass the kind explicitly")).toLowerCase)
+      case k if GeoArrowKinds.contains(k) => Some(k)
+      case other => throw new IllegalArgumentException(
+        s"unknown geometryEncoding '$other' (WKB | geoarrow | ${GeoArrowKinds.mkString(" | ")})")
+    }
     val coveringCol = if (covering) Some(gdf.geometryColumn + "_bbox") else None
-    val outDf = coveringCol match {
+    val outDf0 = coveringCol match {
       case Some(bc) => gdf.df.withColumn(bc, st_bounds(gdf.geom))
       case None     => gdf.df
+    }
+    val outDf = geomKind match {
+      case Some(k) => outDf0.withColumn(gdf.geometryColumn,
+        graft.sql.functions.st_toGeoArrow(k, col(gdf.geometryColumn)))
+      case None => outDf0
     }
     val writer = outDf.write.mode(mode)
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer).parquet(path)
 
     // per-file bbox: one distributed aggregation over the written files
     val written = spark.read.parquet(path)
+    val writtenGeom = geomKind match {
+      case Some(k) => graft.sql.functions.st_fromGeoArrow(k, col(gdf.geometryColumn))
+      case None    => col(gdf.geometryColumn)
+    }
     val bboxes: Map[String, Envelope] = written
       .groupBy(input_file_name().as("file"))
-      .agg(st_envelopeAgg(col(gdf.geometryColumn)).as("b"))
+      .agg(st_envelopeAgg(writtenGeom).as("b"))
       .select(col("file"), col("b.xmin"), col("b.ymin"), col("b.xmax"), col("b.ymax"))
       .collect()
       // a file whose geometries are all NULL aggregates to a null struct:
@@ -118,8 +152,9 @@ object GeoParquetIO {
     val geomCol = gdf.geometryColumn
     val crs = gdf.crs
     val slices = math.max(1, math.min(work.size, spark.sparkContext.defaultParallelism))
+    val encName = geomKind.getOrElse("WKB")
     spark.sparkContext.parallelize(work, slices).foreach { case (file, bbox) =>
-      addGeoFooter(sconf.value, new Path(file), geomCol, crs, bbox, coveringCol)
+      addGeoFooter(sconf.value, new Path(file), geomCol, crs, bbox, coveringCol, encName)
     }
   }
 
@@ -128,7 +163,7 @@ object GeoParquetIO {
     */
   private def addGeoFooter(conf: Configuration, file: Path, geomCol: String,
       crs: Option[String], bbox: Option[Envelope],
-      coveringCol: Option[String] = None): Unit = {
+      coveringCol: Option[String] = None, encoding: String = "WKB"): Unit = {
     val in = HadoopInputFile.fromPath(file, conf)
     val footer = ParquetFileReader.open(in)
     val schema = footer.getFooter.getFileMetaData.getSchema
@@ -136,7 +171,7 @@ object GeoParquetIO {
     footer.close()
 
     val colMeta = mapper.createObjectNode()
-    colMeta.put("encoding", "WKB")
+    colMeta.put("encoding", encoding)
     crs.foreach(c => colMeta.put("crs", c))
     bbox.foreach { e =>
       val arr = colMeta.putArray("bbox")
@@ -153,7 +188,8 @@ object GeoParquetIO {
       colMeta.set[com.fasterxml.jackson.databind.JsonNode]("covering", cov)
     }
     val geo = mapper.createObjectNode()
-    geo.put("version", if (coveringCol.isDefined) "1.1.0" else "1.0.0")
+    geo.put("version",
+      if (coveringCol.isDefined || encoding != "WKB") "1.1.0" else "1.0.0")
     geo.put("primary_column", geomCol)
     geo.putObject("columns").set[com.fasterxml.jackson.databind.JsonNode](geomCol, colMeta)
 
@@ -184,13 +220,14 @@ object GeoParquetIO {
       // total data files in the dataset: fileBBoxes is only safe to PRUNE
       // with when it covers every file (a bbox-less file must never be
       // silently excluded from a re-planned scan)
-      fileCount: Int = 0)
+      fileCount: Int = 0,
+      encoding: String = "WKB")
 
   /** Parse one file's "geo" footer entry: (primary column, crs, bbox,
-    * covering bbox-column name).
+    * covering bbox-column name, geometry encoding).
     */
-  private def footerGeo(conf: Configuration,
-      p: Path): Option[(String, Option[String], Option[Envelope], Option[String])] = {
+  private def footerGeo(conf: Configuration, p: Path):
+      Option[(String, Option[String], Option[Envelope], Option[String], String)] = {
     val r = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
     val kv = try r.getFooter.getFileMetaData.getKeyValueMetaData finally r.close()
     Option(kv.get("geo")).map { json =>
@@ -215,7 +252,10 @@ object GeoParquetIO {
             b.get("xmin").size() > 0 => Some(b.get("xmin").get(0).asText())
           case _ => None
         }
-      (primary, crs, bbox, covering)
+      val encoding =
+        if (colNode.has("encoding") && !colNode.get("encoding").isNull)
+          colNode.get("encoding").asText() else "WKB"
+      (primary, crs, bbox, covering, encoding)
     }
   }
 
@@ -236,10 +276,10 @@ object GeoParquetIO {
     if (files.isEmpty) return None
 
     if (!gatherBBoxes || files.size == 1)
-      footerGeo(conf, files.head).map { case (primary, crs, bbox, covering) =>
+      footerGeo(conf, files.head).map { case (primary, crs, bbox, covering, enc) =>
         GeoFileMeta(primary, crs,
           if (gatherBBoxes) bbox.map(files.head.toString -> _).toMap else Map.empty,
-          covering, files.size)
+          covering, files.size, enc)
       }
     else {
       val sconf = new SerializableConf(conf)
@@ -253,9 +293,9 @@ object GeoParquetIO {
       else {
         val primary = geo.head._2._1
         val crs = geo.flatMap(_._2._2).headOption
-        val bboxes = geo.collect { case (f, (_, _, Some(e), _)) => (f, e) }.toMap
+        val bboxes = geo.collect { case (f, (_, _, Some(e), _, _)) => (f, e) }.toMap
         Some(GeoFileMeta(primary, crs, bboxes, geo.flatMap(_._2._4).headOption,
-          files.size))
+          files.size, geo.head._2._5))
       }
     }
   }
@@ -269,9 +309,18 @@ object GeoParquetIO {
       gatherBBoxes: Boolean = true): GeoDataFrame = {
     graft.sql.functions.install(spark)
     val meta = readMeta(spark, path, gatherBBoxes)
-    val df = spark.read.parquet(path)
+    val raw = spark.read.parquet(path)
     meta match {
       case Some(m) =>
+        // native (geoarrow) encoding: decode the nested column back to WKB
+        // at the scan edge — everything downstream sees the engine's
+        // uniform representation
+        val native = m.encoding != "WKB"
+        val decode = (d: org.apache.spark.sql.DataFrame) =>
+          if (native) d.withColumn(m.primaryColumn,
+            graft.sql.functions.st_fromGeoArrow(m.encoding.toLowerCase, col(m.primaryColumn)))
+          else d
+        val df = decode(raw)
         val g = GeoDataFrame(df, m.primaryColumn).setCrs(m.crs.getOrElse("OGC:CRS84"))
           // a declared covering bbox column lets cx push plain nested-field
           // range predicates into the scan (row-group min/max skipping)
@@ -279,11 +328,18 @@ object GeoParquetIO {
         // carry the footer bboxes on the wrapper: a subsequent cx prunes
         // whole files and sjoin gets grid bounds, both without another job.
         // ONLY when every file has a bbox — pruning from a partial map
-        // would silently drop the bbox-less files from the re-planned scan
-        if (m.fileBBoxes.nonEmpty && m.fileBBoxes.size == m.fileCount)
-          g.copy(fileSource = Some(graft.api.FileSourceMeta(path, m.fileBBoxes, g.df)))
-        else g
-      case None => GeoDataFrame(df)
+        // would silently drop the bbox-less files from the re-planned scan.
+        // Native-encoded datasets re-plan through the rebuild hook (the
+        // on-disk schema differs from the in-plan WKB schema).
+        if (m.fileBBoxes.nonEmpty && m.fileBBoxes.size == m.fileCount) {
+          val rebuild =
+            if (native) Some((keep: Seq[String]) => decode(
+              spark.read.schema(raw.schema).option("basePath", path).parquet(keep: _*)))
+            else None
+          g.copy(fileSource =
+            Some(graft.api.FileSourceMeta(path, m.fileBBoxes, g.df, rebuild)))
+        } else g
+      case None => GeoDataFrame(raw)
     }
   }
 

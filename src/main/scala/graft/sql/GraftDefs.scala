@@ -47,6 +47,38 @@ object GraftDefs {
     StructField("xmin", D), StructField("ymin", D),
     StructField("xmax", D), StructField("ymax", D)))
 
+  // GeoArrow separated-coordinate shapes (feather IO has the Arrow-level
+  // twin; these are the Catalyst-type versions for parquet columns)
+  val gaPointStruct: StructType = StructType(Seq(
+    StructField("x", D, nullable = false), StructField("y", D, nullable = false)))
+  val gaLineType: ArrayType = ArrayType(gaPointStruct, containsNull = false)
+  val gaPolyType: ArrayType = ArrayType(gaLineType, containsNull = false)
+  val gaMPolyType: ArrayType = ArrayType(gaPolyType, containsNull = false)
+  @inline private def gaPt(x: Double, y: Double): GenericInternalRow =
+    new GenericInternalRow(Array[Any](x, y))
+  private def gaPts(xy: Array[Double]): GenericArrayData =
+    new GenericArrayData(Array.tabulate(xy.length / 2)(i =>
+      gaPt(xy(2 * i), xy(2 * i + 1)): Any))
+  private def gaRings(rings: Array[Array[Double]]): GenericArrayData =
+    new GenericArrayData(rings.map(r => gaPts(r): Any))
+  private def gaXy(ad: ArrayData): Array[Double] = {
+    val n = ad.numElements()
+    val xy = new Array[Double](2 * n)
+    var i = 0
+    while (i < n) {
+      val s = ad.getStruct(i, 2)
+      xy(2 * i) = s.getDouble(0); xy(2 * i + 1) = s.getDouble(1)
+      i += 1
+    }
+    xy
+  }
+  private def gaXyRings(ad: ArrayData): Array[Array[Double]] =
+    Array.tabulate(ad.numElements())(i => gaXy(ad.getArray(i)))
+  private def gaMismatch(kind: String, g: Geometry): Nothing =
+    throw new IllegalArgumentException(
+      s"geoarrow '$kind' column cannot hold a ${g.getClass.getSimpleName} — " +
+        "geoarrow-encoded geometry columns are single-type by spec")
+
   val repetitionStruct: StructType = StructType(Seq(
     StructField("n_tokens", L), StructField("n_distinct", L),
     StructField("top_count", L),
@@ -91,6 +123,59 @@ object GraftDefs {
     // OGR's GeoJSON drivers — io/file.py:49-149)
     "st_geomfromgeojson" -> Spec(Seq(S), B, a => wkb(GeoJson.read(str(a(0))))),
     "st_asgeojson" -> g1(S)(g => utf8(GeoJson.write(g))),
+
+    // ---- GeoArrow native encoding (GeoParquet 1.1 single-type columns:
+    // point = struct<x,y>, linestring/multipoint = list<struct>,
+    // polygon/multilinestring = list<list<struct>>, multipolygon =
+    // list<list<list<struct>>>). WKB stays the engine's in-plan
+    // representation; these run only at the parquet write/read boundary.
+    // Encoders THROW on a mismatched geometry type — geoarrow columns are
+    // single-type by spec, and a silent null would corrupt the dataset.
+    "st_to_geoarrow_point" -> Spec(Seq(B), gaPointStruct, a => geom(a(0)) match {
+      case Point(x, y, _) => gaPt(x, y)
+      case g => gaMismatch("point", g)
+    }),
+    "st_to_geoarrow_linestring" -> Spec(Seq(B), gaLineType, a => geom(a(0)) match {
+      case l: LineString => gaPts(l.xy)
+      case g => gaMismatch("linestring", g)
+    }),
+    "st_to_geoarrow_multipoint" -> Spec(Seq(B), gaLineType, a => geom(a(0)) match {
+      case m: MultiPoint => new GenericArrayData(m.pts.map(p => gaPt(p.x, p.y): Any))
+      case g => gaMismatch("multipoint", g)
+    }),
+    "st_to_geoarrow_polygon" -> Spec(Seq(B), gaPolyType, a => geom(a(0)) match {
+      case p: Polygon => gaRings(p.rings)
+      case g => gaMismatch("polygon", g)
+    }),
+    "st_to_geoarrow_multilinestring" -> Spec(Seq(B), gaPolyType, a => geom(a(0)) match {
+      case m: MultiLineString => gaRings(m.lines.map(_.xy))
+      case g => gaMismatch("multilinestring", g)
+    }),
+    "st_to_geoarrow_multipolygon" -> Spec(Seq(B), gaMPolyType, a => geom(a(0)) match {
+      case m: MultiPolygon =>
+        new GenericArrayData(m.polys.map(p => gaRings(p.rings): Any))
+      case g => gaMismatch("multipolygon", g)
+    }),
+    "st_from_geoarrow_point" -> Spec(Seq(gaPointStruct), B, { a =>
+      val r = a(0).asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+      wkb(Point(r.getDouble(0), r.getDouble(1)))
+    }),
+    "st_from_geoarrow_linestring" -> Spec(Seq(gaLineType), B,
+      a => wkb(LineString(gaXy(a(0).asInstanceOf[ArrayData])))),
+    "st_from_geoarrow_multipoint" -> Spec(Seq(gaLineType), B, { a =>
+      val xy = gaXy(a(0).asInstanceOf[ArrayData])
+      wkb(MultiPoint(Array.tabulate(xy.length / 2)(i => Point(xy(2 * i), xy(2 * i + 1)))))
+    }),
+    "st_from_geoarrow_polygon" -> Spec(Seq(gaPolyType), B,
+      a => wkb(Polygon(gaXyRings(a(0).asInstanceOf[ArrayData])))),
+    "st_from_geoarrow_multilinestring" -> Spec(Seq(gaPolyType), B,
+      a => wkb(MultiLineString(
+        gaXyRings(a(0).asInstanceOf[ArrayData]).map(LineString(_))))),
+    "st_from_geoarrow_multipolygon" -> Spec(Seq(gaMPolyType), B, { a =>
+      val ad = a(0).asInstanceOf[ArrayData]
+      wkb(MultiPolygon(Array.tabulate(ad.numElements())(i =>
+        Polygon(gaXyRings(ad.getArray(i))))))
+    }),
     "st_geometrytype" -> g1(S)(g => utf8(g.geometryType)),
     "st_numgeometries" -> g1(I)(g => g.numGeometries),
     "st_numpoints" -> g1(I)(g => g.numPoints),

@@ -38,6 +38,13 @@ object functions {
   def st_ymax(g: Column): Column = fn("st_ymax", g)
   def st_bounds(g: Column): Column = fn("st_bounds", g)
   def st_geometryType(g: Column): Column = fn("st_geometrytype", g)
+  /** GeoArrow native encoding boundary (GeoParquet 1.1): kind is one of
+    * point/linestring/polygon/multipoint/multilinestring/multipolygon.
+    */
+  def st_toGeoArrow(kind: String, g: Column): Column =
+    fn(s"st_to_geoarrow_${kind.toLowerCase}", g)
+  def st_fromGeoArrow(kind: String, nested: Column): Column =
+    fn(s"st_from_geoarrow_${kind.toLowerCase}", nested)
   def st_numGeometries(g: Column): Column = fn("st_numgeometries", g)
   def st_numPoints(g: Column): Column = fn("st_numpoints", g)
   def st_geometryN(g: Column, i: Column): Column = fn("st_geometryn", g, i)

@@ -919,6 +919,22 @@ object SparkEntry {
     // nearest-neighbor spatial join within a radius (r7): geopandas
     // sjoin_nearest(max_distance=), grid dwithin candidates + rank window.
     // Ties at the exact minimum are all kept (rank, not row_number).
+    // UNBOUNDED nearest (geopandas sjoin_nearest without max_distance):
+    // expanding-ring re-probes from a deliberately tiny seed radius, so
+    // several doubling rounds actually execute; every customer matches
+    "g70_sjoin_nearest_expand" -> ((s, d) => {
+      val cust = GeoDataFrame(customerPts(s, d))
+      val supp = GeoDataFrame(t(s, d, "supplier")
+        .withColumn("sx", col("s_acctbal"))
+        .withColumn("sy", (col("s_suppkey") % 1000).cast("double"))
+        .withColumn("geometry", st_point(col("sx"), col("sy"))))
+      cust.sjoinNearestExpanding(supp, leftKey = "c_custkey",
+          seedDistance = 25.0, cellSize = 50.0)
+        .select(col("c_custkey"), col("s_suppkey"),
+          round(col("dist"), 4).as("dist"))
+        .orderBy(col("c_custkey"), col("s_suppkey"))
+    }),
+
     // nearest with how=left: customers with no supplier within a TIGHT
     // radius come back null-padded (the geopandas sjoin_nearest outer
     // contract); deterministic key anti-join, no row-id stamping

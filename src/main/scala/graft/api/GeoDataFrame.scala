@@ -722,6 +722,62 @@ final case class GeoDataFrame(
     }
   }
 
+  /** Unbounded nearest-neighbor join (geopandas `sjoin_nearest` WITHOUT
+    * `max_distance`) by expanding-ring re-probes: round k runs the bounded
+    * [[sjoinNearest]] at radius `seedDistance·2^k` (cells scale with the
+    * radius) over only the STILL-UNMATCHED left rows, so the expensive
+    * wide-radius rounds see geometrically fewer probes. A row matched at
+    * radius d is globally exact — the dwithin grid join surfaces every
+    * right row within d, so the per-row rank-1 minimum is the true
+    * nearest. Terminates when all left rows matched or after `maxRounds`
+    * doublings (seed·2^maxRounds should exceed the data extent; rows
+    * still unmatched then — right side empty in that region — throw,
+    * matching the method's total-coverage contract).
+    *
+    * 100 TB shape: each round is one grid equi-join + one rank exchange
+    * over the shrinking unmatched set; the remainder is localCheckpoint'd
+    * per round so the anti-join lineage doesn't stack. Pick seedDistance
+    * near the typical nearest-neighbor spacing: most rows match in round
+    * 0 and the tail rounds carry only outliers.
+    */
+  def sjoinNearestExpanding(
+      right: GeoDataFrame,
+      leftKey: String,
+      seedDistance: Double,
+      cellSize: Double,
+      rsuffix: String = "_right",
+      distanceCol: String = "dist",
+      exclusive: Boolean = false,
+      maxRounds: Int = 16): DataFrame = {
+    require(seedDistance > 0, "sjoinNearestExpanding requires a positive seedDistance")
+    var remaining = this
+    var out: Option[DataFrame] = None
+    var dist = seedDistance
+    var cell = cellSize
+    var round = 0
+    var done = false
+    while (round <= maxRounds && !done) {
+      val matched = remaining.sjoinNearest(right, leftKey, dist, cell,
+        rsuffix, distanceCol, how = "inner", exclusive = exclusive)
+      out = Some(out.map(_.unionByName(matched)).getOrElse(matched))
+      val rest = remaining.df
+        .join(matched.select(col(leftKey)).distinct(), Seq(leftKey), "left_anti")
+        .localCheckpoint() // pin: cuts the stacked anti-join lineage AND
+                           // makes the emptiness probe's work reusable
+      if (rest.isEmpty) done = true
+      else {
+        remaining = remaining.copy(df = rest, spatialPartitions = None,
+          pointSource = None, fileSource = None, boxSource = None,
+          coveringSource = None, spatialPartitionHulls = None)
+        dist *= 2; cell *= 2; round += 1
+      }
+    }
+    if (!done) throw new IllegalStateException(
+      s"sjoinNearestExpanding: rows still unmatched after $maxRounds doublings " +
+        s"(radius ${dist / 2}) — empty right side in their region? Raise seedDistance/maxRounds")
+    out.get
+  }
+
   /** DataFrame-level overlay (geopandas `overlay(df1, df2, how=...)`;
     * dask-geopandas does not distribute it — geopandas users drop to
     * single-node for this). Supported hows:

@@ -254,6 +254,29 @@ class GeoDataFrameSpec extends AnyFunSuite {
     assert(excl == Seq((1L, Some(200L), Some(1.0)), (2L, None, None)))
   }
 
+  test("sjoinNearestExpanding: outliers match in later rings; exhaustion throws") {
+    val left = GeoDataFrame(Seq(
+      (1L, 0.0, 0.0),    // round 0 (d=2): right A at d=1
+      (2L, 10.0, 0.0),   // round 2 (d=8): right B at d=5
+      (3L, 100.0, 0.0)   // round 6 (d=128): right B at d=85
+    ).toDF("lid", "x", "y").withColumn("geometry", st_point($"x", $"y")))
+    val right = GeoDataFrame(Seq(
+      (100L, 1.0, 0.0), (200L, 15.0, 0.0)
+    ).toDF("rid", "rx", "ry").withColumn("geometry", st_point($"rx", $"ry")))
+    val out = left.sjoinNearestExpanding(right, leftKey = "lid",
+        seedDistance = 2.0, cellSize = 4.0)
+      .select($"lid", $"rid", $"dist").as[(Long, Long, Double)]
+      .collect().sorted.toSeq
+    assert(out == Seq((1L, 100L, 1.0), (2L, 200L, 5.0), (3L, 200L, 85.0)))
+    // every left row must appear exactly once (keys are unique here)
+    assert(out.map(_._1) == Seq(1L, 2L, 3L))
+    val err = intercept[IllegalStateException] {
+      left.sjoinNearestExpanding(right, leftKey = "lid",
+        seedDistance = 2.0, cellSize = 4.0, maxRounds = 2)
+    }
+    assert(err.getMessage.contains("unmatched"))
+  }
+
   test("overlay intersection/difference incl. multipolygon subtrahend and no-hit passthrough") {
     // square A [0,10]^2 straddles two disjoint strips; square B hits none
     val left = GeoDataFrame(Seq(

@@ -1374,6 +1374,60 @@ object OracleSql {
     // GPX waypoint roundtrip: lon/lat derived from the supplier synthetic
     // anchor; the writer's shortest-exact Double.toString plus the
     // reader's parseDouble are an identity, so 9-dp rounding is exact
+    // Krovak forward mirrored term-by-term (EPSG GN7-2 formulas, Bessel
+    // 1841, EPSG:5514 parameters, East-North = negated southing/westing);
+    // roundtrip deltas are identically 0 at 5 dp
+    "g71_krovak" -> s"""
+      WITH cst AS (
+        SELECT 1.0 / 299.1528128 AS fl
+      ), c2 AS (
+        SELECT fl, fl * (2 - fl) AS e2, sqrt(fl * (2 - fl)) AS e,
+               radians(49.5) AS phic, radians(24.0 + 50.0 / 60.0) AS lam0,
+               radians(30.0 + 17.0 / 60.0 + 17.3031 / 3600.0) AS alphac,
+               radians(78.5) AS phip
+        FROM cst
+      ), c3 AS (
+        SELECT *,
+          6377397.155 * sqrt(1 - e2) / (1 - e2 * sin(phic) * sin(phic)) AS biga,
+          sqrt(1 + e2 * pow(cos(phic), 4) / (1 - e2)) AS bigb
+        FROM c2
+      ), c4 AS (
+        SELECT *, asin(sin(phic) / bigb) AS gamma0, sin(phip) AS n,
+               0.9999 * biga / tan(phip) AS r0
+        FROM c3
+      ), c5 AS (
+        SELECT *,
+          tan(pi() / 4 + gamma0 / 2)
+            * pow((1 + e * sin(phic)) / (1 - e * sin(phic)), e * bigb / 2)
+            / pow(tan(pi() / 4 + phic / 2), bigb) AS t0
+        FROM c4
+      ), pts AS (
+        SELECT c_custkey,
+               radians(12.0 + cx / 2000.0) AS lam,
+               radians(48.2 + cy / 400.0) AS phi
+        FROM ($custPts)
+      ), fwd AS (
+        SELECT c_custkey, lam, phi, c5.*,
+          2 * (atan(t0 * pow(tan(phi / 2 + pi() / 4), bigb)
+              / pow((1 + e * sin(phi)) / (1 - e * sin(phi)), e * bigb / 2))
+            - pi() / 4) AS u,
+          bigb * (lam0 - lam) AS v
+        FROM pts CROSS JOIN c5
+      ), f2 AS (
+        SELECT *, asin(cos(alphac) * sin(u) + sin(alphac) * cos(u) * cos(v)) AS t
+        FROM fwd
+      ), f3 AS (
+        SELECT *, n * asin(cos(u) * sin(v) / cos(t)) AS theta,
+          r0 * pow(tan(pi() / 4 + phip / 2), n) / pow(tan(t / 2 + pi() / 4), n) AS r
+        FROM f2
+      )
+      SELECT c_custkey,
+             round(-r * sin(theta), 3) AS gx,
+             round(-r * cos(theta), 3) AS gy,
+             0.0::DOUBLE AS dlon, 0.0::DOUBLE AS dlat,
+             0.0::DOUBLE AS kdlon, 0.0::DOUBLE AS kdlat
+      FROM f3 ORDER BY c_custkey""",
+
     // MIF/MID roundtrip: square-with-hole REGION per supplier. Area =
     // 100 - h^2; vertex count = 5 closed outer + 5 closed hole = 10
     "g67_mapinfo" -> """

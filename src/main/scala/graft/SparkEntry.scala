@@ -1540,6 +1540,31 @@ object SparkEntry {
     // M0=0) term by term over a parameter VALUES table; roundtrip-delta
     // columns are exactly 0 at 5 dp (inverse validation). The small
     // per-code grids table is broadcast — the customer side never shuffles.
+    // Krovak oblique conformal conic (EPSG 9819): projection half via a
+    // datum-free proj record, mirrored term-by-term by the DuckDB oracle;
+    // the full EPSG:5514 chain (S-JTSK Helmert) is verified by roundtrip
+    "g71_krovak" -> ((s, d) => {
+      val rec = "+proj=krovak +ellps=bessel"
+      customerPts(s, d).select(col("c_custkey"), col("cx"), col("cy"))
+        .withColumn("lon", lit(12.0) + col("cx") / 2000.0)
+        .withColumn("lat", lit(48.2) + col("cy") / 400.0)
+        .withColumn("g", st_transform(
+          st_point(col("lon"), col("lat")), lit("EPSG:4326"), lit(rec)))
+        .withColumn("rt", st_transform(col("g"), lit(rec), lit("EPSG:4326")))
+        .withColumn("g5514", st_transform(
+          st_point(col("lon"), col("lat")), lit("EPSG:4326"), lit("EPSG:5514")))
+        .withColumn("rt5514", st_transform(
+          col("g5514"), lit("EPSG:5514"), lit("EPSG:4326")))
+        .select(col("c_custkey"),
+          round(st_x(col("g")), 3).as("gx"),
+          round(st_y(col("g")), 3).as("gy"),
+          round(abs(st_x(col("rt")) - col("lon")), 5).as("dlon"),
+          round(abs(st_y(col("rt")) - col("lat")), 5).as("dlat"),
+          round(abs(st_x(col("rt5514")) - col("lon")), 5).as("kdlon"),
+          round(abs(st_y(col("rt5514")) - col("lat")), 5).as("kdlat"))
+        .orderBy(col("c_custkey"))
+    }),
+
     "g62_proj_grids" -> ((s, d) => {
       import s.implicits._
       val grids = Seq(

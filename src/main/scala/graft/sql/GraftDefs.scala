@@ -408,8 +408,9 @@ object GraftDefs {
               s"st_transform $f -> $t: supported CRS are EPSG:4326, EPSG:3857, " +
                 "EPSG:326xx/327xx (WGS84 UTM), the EPSG parameter table " +
                 s"(${Crs.byEpsg.keys.toSeq.sorted.mkString(", ")}), and " +
-                "proj records (+proj=tmerc|utm|lcc|aea|laea|somerc|webmerc|" +
-                "longlat with +ellps/+towgs84); any pair composes via lon/lat")
+                "proj records (+proj=tmerc|utm|lcc|aea|laea|somerc|sterea|" +
+                "stere|merc|krovak|webmerc|longlat with +ellps/+towgs84/" +
+                "+nadgrids); any pair composes via lon/lat")
           }
       }
     }),
@@ -1311,6 +1312,94 @@ object Crs {
   val amersfoort: Helmert = new Helmert(6377397.155, 299.1528128,
     -565.417, -50.3319, -465.552, 0.398957, -0.343988, 1.87740, -4.0725)
 
+  /** Krovak oblique conformal conic (EPSG method 9819, proj
+    * `+proj=krovak`): gaussian sphere at the projection centre, oblique
+    * cone through the pseudo standard parallel. Formulas per EPSG
+    * Guidance Note 7-2 §Krovak (public). The EPSG formulas produce
+    * Southing X / Westing Y; EPSG:5514 "Krovak East North" negates both,
+    * which is what this class returns (Czech coordinates come out
+    * negative, matching proj's EPSG:5514 output).
+    */
+  final class Krovak(a: Double, invFlat: Double,
+      latC: Double, lonC: Double, azimuth: Double, phiPdeg: Double,
+      k: Double, fe: Double, fn: Double) extends Projection {
+    private val f = 1.0 / invFlat
+    private val e2 = f * (2.0 - f)
+    private val e = math.sqrt(e2)
+    private val phiC = math.toRadians(latC)
+    private val lam0 = math.toRadians(lonC)
+    private val alphaC = math.toRadians(azimuth)
+    private val phiP = math.toRadians(phiPdeg)
+    private val bigA = a * math.sqrt(1.0 - e2) /
+      (1.0 - e2 * math.sin(phiC) * math.sin(phiC))
+    private val bigB = math.sqrt(
+      1.0 + e2 * math.pow(math.cos(phiC), 4) / (1.0 - e2))
+    private val gamma0 = math.asin(math.sin(phiC) / bigB)
+    private val t0 = math.tan(math.Pi / 4 + gamma0 / 2) *
+      math.pow((1 + e * math.sin(phiC)) / (1 - e * math.sin(phiC)), e * bigB / 2) /
+      math.pow(math.tan(math.Pi / 4 + phiC / 2), bigB)
+    private val n = math.sin(phiP)
+    private val r0 = k * bigA / math.tan(phiP)
+
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      val phi = math.toRadians(lat); val lam = math.toRadians(lon)
+      val u = 2 * (math.atan(
+        t0 * math.pow(math.tan(phi / 2 + math.Pi / 4), bigB) /
+          math.pow((1 + e * math.sin(phi)) / (1 - e * math.sin(phi)), e * bigB / 2))
+        - math.Pi / 4)
+      val v = bigB * (lam0 - lam)
+      val t = math.asin(math.cos(alphaC) * math.sin(u) +
+        math.sin(alphaC) * math.cos(u) * math.cos(v))
+      val dD = math.asin(math.cos(u) * math.sin(v) / math.cos(t))
+      val theta = n * dD
+      val r = r0 * math.pow(math.tan(math.Pi / 4 + phiP / 2), n) /
+        math.pow(math.tan(t / 2 + math.Pi / 4), n)
+      val southing = r * math.cos(theta)
+      val westing = r * math.sin(theta)
+      (fe - westing, fn - southing)
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val westing = fe - x; val southing = fn - y
+      val r = math.sqrt(southing * southing + westing * westing)
+      val theta = math.atan2(westing, southing)
+      val dD = theta / n
+      val t = 2 * (math.atan(math.pow(r0 / r, 1.0 / n) *
+        math.tan(math.Pi / 4 + phiP / 2)) - math.Pi / 4)
+      val u = math.asin(math.cos(alphaC) * math.sin(t) -
+        math.sin(alphaC) * math.cos(t) * math.cos(dD))
+      val v = math.asin(math.cos(t) * math.sin(dD) / math.cos(u))
+      val lam = lam0 - v / bigB
+      var phi = u
+      var i = 0
+      while (i < 15) {
+        phi = 2 * (math.atan(math.pow(t0, -1.0 / bigB) *
+          math.pow(math.tan(u / 2 + math.Pi / 4), 1.0 / bigB) *
+          math.pow((1 + e * math.sin(phi)) / (1 - e * math.sin(phi)), e / 2))
+          - math.Pi / 4)
+        i += 1
+      }
+      (math.toDegrees(lam), math.toDegrees(phi))
+    }
+  }
+
+  /** Projection HALF of EPSG:5514 (S-JTSK geodetic in/out, Bessel 1841) —
+    * exposed for the EPSG GN7-2 worked-example spec. EPSG parameters:
+    * centre 49°30'N, longitude of origin 42°30' E of Ferro = 24°50' E of
+    * Greenwich, cone azimuth 30°17'17.3031", pseudo parallel 78°30'N,
+    * scale 0.9999.
+    */
+  val krovakProjection = new Krovak(6377397.155, 299.1528128,
+    49.5, 24.0 + 50.0 / 60.0, 30.0 + 17.0 / 60.0 + 17.3031 / 3600.0,
+    78.5, 0.9999, 0.0, 0.0)
+
+  /** S-JTSK → WGS84 published position-vector set (570.8, 85.7, 462.8,
+    * 4.998", 1.587", 5.261", 3.56 ppm), negated to Helmert's WGS84→native
+    * convention.
+    */
+  val sjtsk: Helmert = new Helmert(6377397.155, 299.1528128,
+    -570.8, -85.7, -462.8, -4.998, -1.587, -5.261, -3.56)
+
   /** Projection HALF of EPSG:28992 (Amersfoort geodetic in/out) — exposed
     * for the EPSG GN7-2 worked-example spec, which is defined on native
     * Amersfoort coordinates.
@@ -1412,7 +1501,11 @@ object Crs {
     // Amersfoort / RD New: oblique stereographic on Bessel 1841 behind the
     // published Amersfoort->WGS84 position-vector set (negated to the
     // WGS84->native convention of Helmert)
-    "EPSG:28992" -> new DatumShifted(rdNewProjection, amersfoort))
+    "EPSG:28992" -> new DatumShifted(rdNewProjection, amersfoort),
+    // S-JTSK / Krovak East North (Czech + Slovak national grid): Krovak
+    // oblique conformal conic on Bessel 1841 behind the published
+    // S-JTSK->WGS84 position-vector set (negated)
+    "EPSG:5514" -> new DatumShifted(krovakProjection, sjtsk))
 
   /** Identity "projection" for `+proj=longlat` records: projected
     * coordinates ARE lon/lat degrees.
@@ -1503,6 +1596,13 @@ object Crs {
         if (math.abs(math.abs(lat0) - 90.0) > 1e-9) None
         else Some(new PolarStereographic(a, rf,
           d("lat_ts", if (lat0 < 0) -90.0 else 90.0), lon0, x0, y0, k0))
+      case Some("krovak") =>
+        // proj defaults mirror EPSG:5514 (lat_0 49.5, lon_0 24°50' E
+        // Greenwich, alpha 30°17'17.3031", k 0.9999); output is
+        // east/north (negative in Czechia) like proj's EPSG:5514
+        Some(new Krovak(a, rf, d("lat_0", 49.5), d("lon_0", 24.0 + 50.0 / 60.0),
+          d("alpha", 30.0 + 17.0 / 60.0 + 17.3031 / 3600.0), 78.5,
+          d("k", d("k_0", 0.9999)), x0, y0))
       case Some("longlat") | Some("latlong") => Some(IdentityProjection)
       case Some("webmerc") => Some(WebMercatorProjection)
       case Some("merc") =>

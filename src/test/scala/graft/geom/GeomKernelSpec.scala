@@ -927,6 +927,37 @@ class GeomKernelSpec extends AnyFunSuite {
     assert(math.hypot(sx - x, sy - y) < 0.01, s"sterea record ($sx,$sy)")
   }
 
+  test("Krovak (EPSG:5514 S-JTSK): GN7-2 example, datum, roundtrip, proj record") {
+    import graft.sql.Crs
+    // EPSG Guidance Note 7-2 worked example (S-JTSK geodetic on Bessel,
+    // projection half only): 50°12'32.4416\"N 16°50'59.1790\"E (Greenwich)
+    // -> Southing X 1050538.63, Westing Y 568991.00; East-North negates
+    val lat = 50.0 + 12.0 / 60.0 + 32.4416 / 3600.0
+    val lon = 16.0 + 50.0 / 60.0 + 59.179 / 3600.0
+    val (x, y) = Crs.krovakProjection.forward(lon, lat)
+    assert(math.abs(x - -568991.00) < 0.05 && math.abs(y - -1050538.63) < 0.05,
+      s"GN7-2 Krovak example ($x,$y)")
+    // full WGS84 chain: Prague centre (14.4208E, 50.0875N) must land in
+    // the right kilometre of the 5514 plane (the precise anchor is the
+    // GN7-2 example above; this guards axis/sign/datum-direction errors)
+    val kro = Crs.byEpsg("EPSG:5514")
+    val (px, py) = kro.forward(14.4208, 50.0875)
+    assert(math.hypot(px - -743000.0, py - -1043300.0) < 1000.0, s"Prague ($px,$py)")
+    val (qx, qy) = Crs.krovakProjection.forward(14.4208, 50.0875)
+    assert(math.hypot(qx - px, qy - py) > 80.0, "datum shift must matter")
+    // roundtrip across the Czech/Slovak service domain
+    for (lonI <- 12 to 22; latI <- 48 to 51) {
+      val (rx, ry) = kro.forward(lonI.toDouble, latI.toDouble)
+      val (lo, la) = kro.inverse(rx, ry)
+      assert(math.abs(lo - lonI) < 5e-8 && math.abs(la - latI) < 5e-8,
+        s"5514 ($lonI,$latI) -> ($lo,$la)")
+    }
+    // +proj=krovak parses to the same kernel (EPSG defaults)
+    val rec = Crs.parseProj("+proj=krovak +ellps=bessel").get
+    val (kx, ky) = rec.forward(lon, lat)
+    assert(math.hypot(kx - x, ky - y) < 0.01, s"krovak record ($kx,$ky)")
+  }
+
   test("ellipsoidal Mercator (EPSG:3395): worked example, vs sphere, roundtrip") {
     import graft.sql.Crs
     val wm = Crs.byEpsg("EPSG:3395")

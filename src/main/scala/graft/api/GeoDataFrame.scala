@@ -1,6 +1,6 @@
 package graft.api
 
-import graft.geom.{Envelope, Geometry, Wkb}
+import graft.geom.{Envelope, Geometry, GeometryCollection, Polygon, Wkb}
 import graft.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -304,6 +304,22 @@ final case class GeoDataFrame(
           st_geometryType(col(geometryColumn)) === concat(lit("Multi"), col("_orig_type")))
           .drop("_orig_type")
       else out.drop("_orig_type")
+    withCrsOf(GeoDataFrame(out, geometryColumn, None))
+  }
+
+  /** Per-row rectangle clip (geopandas `clip_by_rect`, shapely
+    * `clip_by_rect`): every row is KEPT — disjoint rows come back with an
+    * empty geometry instead of being filtered out (that's [[clip]]'s
+    * contract, not this one's). The envelope guard keeps the polygon
+    * clipper off rows whose bbox already misses the rectangle.
+    */
+  def clipByRect(xmin: Double, ymin: Double,
+      xmax: Double, ymax: Double): GeoDataFrame = {
+    val box = lit(Wkb.write(Polygon.box(xmin, ymin, xmax, ymax)))
+    val empty = lit(Wkb.write(GeometryCollection(Array.empty)))
+    val out = df.withColumn(geometryColumn,
+      when(st_intersectsBox(geom, lit(xmin), lit(ymin), lit(xmax), lit(ymax)),
+        st_intersection(geom, box)).otherwise(empty))
     withCrsOf(GeoDataFrame(out, geometryColumn, None))
   }
 

@@ -254,6 +254,22 @@ class GeoDataFrameSpec extends AnyFunSuite {
     assert(excl == Seq((1L, Some(200L), Some(1.0)), (2L, None, None)))
   }
 
+  test("clipByRect: rows kept, disjoint rows become empty, crs survives") {
+    val g = GeoDataFrame(Seq(
+      (1L, "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"), // straddles
+      (2L, "POINT (2 2)"),                             // inside
+      (3L, "POLYGON ((50 50, 60 50, 60 60, 50 60, 50 50))")) // disjoint
+      .toDF("id", "wkt")
+      .withColumn("geometry", st_geomFromWKT($"wkt")).drop("wkt"))
+      .setCrs("EPSG:4326")
+    val out = g.clipByRect(-1.0, -1.0, 4.0, 4.0)
+    assert(out.crs.contains("EPSG:4326"))
+    val got = out.df
+      .select($"id", st_area($"geometry").as("a"), st_isEmpty($"geometry").as("e"))
+      .as[(Long, Double, Boolean)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 16.0, false), (2L, 0.0, false), (3L, 0.0, true)))
+  }
+
   test("sjoinNearestExpanding: outliers match in later rings; exhaustion throws") {
     val left = GeoDataFrame(Seq(
       (1L, 0.0, 0.0),    // round 0 (d=2): right A at d=1

@@ -79,6 +79,30 @@ class GeomPropertySpec extends AnyFunSuite {
     assert(ms.distinct.length == n * n)
   }
 
+  test("wkt roundtrip is identity across all geometry types with random coords") {
+    def rc(): Double = math.rint(coord() * 1e6) / 1e6 // wkt prints 6+ sig figs exactly
+    (1 to 100).foreach { _ =>
+      val geoms: Seq[Geometry] = Seq(
+        Point(rc(), rc()),
+        LineString(Array(rc(), rc(), rc(), rc(), rc(), rc())),
+        { val x = rc(); val y = rc(); Polygon.box(x, y, x + smallPos(), y + smallPos()) },
+        MultiPoint(Array(Point(rc(), rc()), Point(rc(), rc()))),
+        MultiLineString(Array(
+          LineString(Array(rc(), rc(), rc(), rc())),
+          LineString(Array(rc(), rc(), rc(), rc())))),
+        { val x = rc(); val y = rc()
+          MultiPolygon(Array(Polygon.box(x, y, x + 1, y + 1),
+            Polygon.box(x + 5, y + 5, x + 6, y + 6))) },
+        GeometryCollection(Array(Point(rc(), rc()),
+          LineString(Array(rc(), rc(), rc(), rc())))))
+      geoms.foreach { g =>
+        val back = Wkt.read(Wkt.write(g))
+        assert(Predicates.geomEqualsExact(back, g, 0.0),
+          s"wkt roundtrip changed ${Wkt.write(g)} -> ${Wkt.write(back)}")
+      }
+    }
+  }
+
   test("wkb roundtrip is identity for random points and boxes") {
     (1 to N).foreach { _ =>
       val p = point()

@@ -478,6 +478,20 @@ object SparkEntry {
     // sjoin grid strategy — same semantics, shuffle-join plan. The fixed
     // cellSize grid needs no data bounds, so the plan has ZERO eager scans
     // (the old path ran two totalBounds jobs before planning).
+    // geopandas sjoin on_attribute: spatial predicate AND attribute
+    // equality; in the grid strategy the equality folds into the shuffle
+    // keys beside the cell id
+    "g72_sjoin_on_attribute" -> ((s, d) => {
+      val left = GeoDataFrame(customerPts(s, d)
+        .withColumn("cat", (col("c_nationkey") % 5).cast("long")))
+      val right = GeoDataFrame(regionTris(s, d)
+        .withColumn("cat", col("r_regionkey").cast("long")))
+      left.sjoin(right, predicate = "within", strategy = "grid",
+          cellSize = Some(500.0), onAttribute = Seq("cat"))
+        .select(col("c_custkey"), col("r_regionkey").cast("long").as("r_regionkey"))
+        .orderBy(col("c_custkey"), col("r_regionkey"))
+    }),
+
     "g15_sjoin_grid" -> ((s, d) => {
       GeoDataFrame(customerPts(s, d))
         .sjoin(GeoDataFrame(regionTris(s, d)), predicate = "within", strategy = "grid",

@@ -533,7 +533,13 @@ final case class GeoDataFrame(
       rsuffix: String = "_right",
       distance: Double = 0.0,
       oversized: String = "fail",
-      how: String = "inner"): DataFrame = {
+      how: String = "inner",
+      // geopandas sjoin on_attribute: pairs must ALSO match on these
+      // columns (present on both sides; the right copy keeps its suffix in
+      // the result). In the grid strategy Catalyst folds the equalities
+      // into the shuffle keys next to the cell id, so attribute-partitioned
+      // data co-locates better than by cell alone.
+      onAttribute: Seq[String] = Nil): DataFrame = {
     require(Set("auto", "broadcast", "grid").contains(strategy),
       s"unknown sjoin strategy '$strategy' (auto | broadcast | grid)")
     require(Set("fail", "sentinel").contains(oversized),
@@ -569,6 +575,15 @@ final case class GeoDataFrame(
     val rGeomName =
       if (leftDf.columns.contains(right.geometryColumn)) right.geometryColumn + rsuffix
       else right.geometryColumn
+    onAttribute.foreach { a =>
+      require(df.columns.contains(a) && right.df.columns.contains(a),
+        s"sjoin onAttribute '$a' must exist on both sides")
+    }
+    // right-side copies were just suffixed (every onAttribute column
+    // clashes by definition)
+    def attrEq: Column = onAttribute
+      .map(a => leftDf(a) === rightRenamed(a + rsuffix))
+      .foldLeft(lit(true))(_ && _)
 
     def pred(l: Column, r: Column): Column = predicate match {
       case "intersects"         => st_intersects(l, r)
@@ -588,7 +603,7 @@ final case class GeoDataFrame(
     val inner = strategy match {
       case "broadcast" | "auto" if strategy == "broadcast" || rightIsSmall(right) =>
         leftDf.join(broadcast(rightRenamed),
-          pred(leftDf(geometryColumn), rightRenamed(rGeomName)), "inner")
+          pred(leftDf(geometryColumn), rightRenamed(rGeomName)) && attrEq, "inner")
       case _ =>
         val (cellsL, cellsR, anchor) = cellSize match {
           case Some(s) if oversized == "sentinel" =>
@@ -636,6 +651,10 @@ final case class GeoDataFrame(
               col("_cell") === lit(graft.sql.GridIndex.OversizedRightBucket)
           else anchor === col("_cell")
         l.join(r, Seq("_cell"), "inner")
+          // attribute equalities FIRST: Catalyst folds them into the join
+          // condition as extra hash keys beside the cell id, and the
+          // cheap comparison culls candidates before the geometry kernel
+          .filter(attrEq)
           .filter(pred(col(geometryColumn), col(rGeomName)))
           .filter(emit)
           .drop("_cell")

@@ -180,6 +180,18 @@ object GraftDefs {
     "st_numgeometries" -> g1(I)(g => g.numGeometries),
     "st_numpoints" -> g1(I)(g => g.numPoints),
     "st_geometryn" -> Spec(Seq(B, I), B, a => wkb(geom(a(0)).geometryN(int(a(1))))),
+    // shapely get_point / PostGIS ST_PointN (0-based like shapely): nth
+    // vertex of a LineString; null off-range like shapely's None
+    "st_pointn" -> Spec(Seq(B, I), B, { a =>
+      geom(a(0)) match {
+        case l: LineString =>
+          val i = int(a(1))
+          val n = l.xy.length / 2
+          val j = if (i < 0) n + i else i
+          if (j < 0 || j >= n) null else wkb(Point(l.xy(2 * j), l.xy(2 * j + 1)))
+        case _ => null
+      }
+    }),
     "st_isempty" -> g1(BO)(g => g.isEmpty),
     "st_hasz" -> g1(BO)(g => g.hasZ),
     "st_isring" -> g1(BO) { case l: LineString => l.isRing; case _ => false },

@@ -48,6 +48,7 @@ object functions {
   def st_numGeometries(g: Column): Column = fn("st_numgeometries", g)
   def st_numPoints(g: Column): Column = fn("st_numpoints", g)
   def st_geometryN(g: Column, i: Column): Column = fn("st_geometryn", g, i)
+  def st_pointN(g: Column, i: Column): Column = fn("st_pointn", g, i)
   def st_isEmpty(g: Column): Column = fn("st_isempty", g)
   def st_hasZ(g: Column): Column = fn("st_hasz", g)
   def st_isRing(g: Column): Column = fn("st_isring", g)

@@ -254,6 +254,33 @@ class GeoDataFrameSpec extends AnyFunSuite {
     assert(excl == Seq((1L, Some(200L), Some(1.0)), (2L, None, None)))
   }
 
+  test("sjoin onAttribute: equality culls pairs on both strategies; st_pointN") {
+    val left = GeoDataFrame(Seq(
+      (1L, 1.0, 1.0, "a"), (2L, 1.5, 1.5, "b"))
+      .toDF("lid", "x", "y", "cat")
+      .withColumn("geometry", st_point($"x", $"y")))
+    val right = GeoDataFrame(Seq(
+      (10L, "a"), (20L, "b"))
+      .toDF("rid", "cat")
+      .withColumn("geometry", st_makeEnvelope(lit(0.0), lit(0.0), lit(5.0), lit(5.0))))
+    // both points fall in both squares; the attribute restricts to same-cat
+    for (strat <- Seq("broadcast", "grid")) {
+      val out = left.sjoin(right, predicate = "within", strategy = strat,
+          cellSize = Some(10.0), onAttribute = Seq("cat"))
+        .select($"lid", $"rid").as[(Long, Long)].collect().sorted.toSeq
+      assert(out == Seq((1L, 10L), (2L, 20L)), s"strategy=$strat: $out")
+    }
+    val pts = Seq(("LINESTRING (0 0, 1 1, 2 0)", 1, "POINT (1 1)"),
+        ("LINESTRING (0 0, 1 1, 2 0)", -1, "POINT (2 0)"))
+      .toDF("wkt", "i", "want")
+      .select(st_asText(st_pointN(st_geomFromWKT($"wkt"), $"i")).as("got"), $"want")
+      .as[(String, String)].collect().toSeq
+    pts.foreach { case (got, want) => assert(got == want) }
+    val off = Seq(("LINESTRING (0 0, 1 1)", 5)).toDF("wkt", "i")
+      .select(st_pointN(st_geomFromWKT($"wkt"), $"i")).collect().head
+    assert(off.isNullAt(0)) // off-range = null like shapely get_point
+  }
+
   test("clipByRect: rows kept, disjoint rows become empty, crs survives") {
     val g = GeoDataFrame(Seq(
       (1L, "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"), // straddles

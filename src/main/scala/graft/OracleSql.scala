@@ -1235,7 +1235,7 @@ object OracleSql {
       SELECT c_custkey, code,
              round(rho * sin(dlam), 3) AS gx,
              round(sgn * rho * cos(dlam), 3) AS gy,
-             0.0 AS dlon, 0.0 AS dlat
+             0.0::DOUBLE AS dlon, 0.0::DOUBLE AS dlat
       FROM x4 ORDER BY c_custkey, code""",
 
     // generic TM forward (Snyder 8-9..8-25, GRS80, lat0=0 -> M0=0)
@@ -1280,7 +1280,7 @@ object OracleSql {
                    * pow(aa, 6) / 720.0)) AS my
              FROM q3)
       SELECT c_custkey, code, round(mx, 3) AS gx, round(my, 3) AS gy,
-             0.0 AS dlon, 0.0 AS dlat
+             0.0::DOUBLE AS dlon, 0.0::DOUBLE AS dlat
       FROM q4 ORDER BY c_custkey, code""",
 
     // trained-IVF recall gate: the oracle asserts the CONTRACT (every
@@ -1300,10 +1300,12 @@ object OracleSql {
     // intersection has area 0 with touches/intersects both true
     "g63_overlay_adversarial" -> """
       SELECT s_suppkey,
-             1.0 AS i_sliver, 1.0 AS u_sliver, 1.0 AS d_sliver,
-             0.0 AS itri_area, 1.0 AS itri_len, true AS tri_touches,
-             1.0 AS u_tri, 0.0 AS ivert_area, true AS dia_touches,
-             true AS dia_intersects, 1.0 AS i_col, 1.0 AS sd_col
+             1.0::DOUBLE AS i_sliver, 1.0::DOUBLE AS u_sliver,
+             1.0::DOUBLE AS d_sliver, 0.0::DOUBLE AS itri_area,
+             1.0::DOUBLE AS itri_len, true AS tri_touches,
+             1.0::DOUBLE AS u_tri, 0.0::DOUBLE AS ivert_area,
+             true AS dia_touches, true AS dia_intersects,
+             1.0::DOUBLE AS i_col, 1.0::DOUBLE AS sd_col
       FROM supplier ORDER BY s_suppkey""",
 
     "g61_makevalid_node_precision" -> """

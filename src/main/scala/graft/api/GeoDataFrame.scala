@@ -857,17 +857,29 @@ final case class GeoDataFrame(
       cellSize: Option[Double] = None,
       rsuffix: String = "_right",
       dropEmpty: Boolean = true,
-      rightKey: Option[String] = None): DataFrame = {
+      rightKey: Option[String] = None,
+      // geopandas overlay keep_geom_type (default True there too): drop
+      // intersection pieces of LOWER topological dimension than the input
+      // row's geometry — two touching polygons produce a line piece that
+      // geopandas discards
+      keepGeomType: Boolean = true): DataFrame = {
     val rGeomName =
       if (df.columns.contains(right.geometryColumn)) right.geometryColumn + rsuffix
       else right.geometryColumn
     lazy val cands = sjoin(right, predicate = "intersects", strategy = strategy,
       cellSize = cellSize, rsuffix = rsuffix)
-    def interDf: DataFrame =
-      cands.withColumn(geometryColumn,
+    def interDf: DataFrame = {
+      val pieces = cands
+        .withColumn("_ldim", st_dimension(col(geometryColumn)))
+        .withColumn(geometryColumn,
           st_intersection(col(geometryColumn), col(rGeomName)))
         .filter(!st_isEmpty(col(geometryColumn)))
-        .drop(rGeomName)
+      val typed =
+        if (keepGeomType)
+          pieces.filter(st_dimension(col(geometryColumn)) === col("_ldim"))
+        else pieces
+      typed.drop(rGeomName, "_ldim")
+    }
     def leftDiff: DataFrame = {
       val unioned = cands.groupBy(col(leftKey).as("_ok"))
         .agg(st_unionAgg(col(rGeomName)).as("_r"))

@@ -177,6 +177,9 @@ object GraftDefs {
         Polygon(gaXyRings(ad.getArray(i))))))
     }),
     "st_geometrytype" -> g1(S)(g => utf8(g.geometryType)),
+    // topological dimension (shapely .dimension / PostGIS ST_Dimension):
+    // 0 points, 1 lines, 2 areas; collections report their max part
+    "st_dimension" -> g1(I)(g => g.topoDim),
     "st_numgeometries" -> g1(I)(g => g.numGeometries),
     "st_numpoints" -> g1(I)(g => g.numPoints),
     "st_geometryn" -> Spec(Seq(B, I), B, a => wkb(geom(a(0)).geometryN(int(a(1))))),

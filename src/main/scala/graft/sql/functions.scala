@@ -38,6 +38,7 @@ object functions {
   def st_ymax(g: Column): Column = fn("st_ymax", g)
   def st_bounds(g: Column): Column = fn("st_bounds", g)
   def st_geometryType(g: Column): Column = fn("st_geometrytype", g)
+  def st_dimension(g: Column): Column = fn("st_dimension", g)
   /** GeoArrow native encoding boundary (GeoParquet 1.1): kind is one of
     * point/linestring/polygon/multipoint/multilinestring/multipolygon.
     */

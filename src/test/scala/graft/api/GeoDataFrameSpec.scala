@@ -254,6 +254,25 @@ class GeoDataFrameSpec extends AnyFunSuite {
     assert(excl == Seq((1L, Some(200L), Some(1.0)), (2L, None, None)))
   }
 
+  test("overlay keepGeomType drops the line piece of touching polygons") {
+    // squares sharing edge x=10: intersection is LINESTRING (10 0, 10 10)
+    val left = GeoDataFrame(Seq((1L, 0.0, 0.0, 10.0, 10.0))
+      .toDF("lid", "x0", "y0", "x1", "y1")
+      .withColumn("geometry", st_makeEnvelope($"x0", $"y0", $"x1", $"y1"))
+      .select($"lid", $"geometry"))
+    val right = GeoDataFrame(Seq((10L, 10.0, 0.0, 20.0, 10.0))
+      .toDF("rid", "x0", "y0", "x1", "y1")
+      .withColumn("geometry", st_makeEnvelope($"x0", $"y0", $"x1", $"y1"))
+      .select($"rid", $"geometry"))
+    val kept = left.overlay(right, leftKey = "lid", how = "intersection",
+      strategy = "broadcast")
+    assert(kept.count() == 0, "keep_geom_type default must drop the line piece")
+    val raw = left.overlay(right, leftKey = "lid", how = "intersection",
+      strategy = "broadcast", keepGeomType = false)
+    val wkts = raw.select(st_asText($"geometry")).as[String].collect().toSeq
+    assert(wkts == Seq("LINESTRING (10 0, 10 10)"), wkts.toString)
+  }
+
   test("sjoin onAttribute: equality culls pairs on both strategies; st_pointN") {
     val left = GeoDataFrame(Seq(
       (1L, 1.0, 1.0, "a"), (2L, 1.5, 1.5, "b"))

@@ -826,9 +826,98 @@ object Predicates {
   /** DE-9IM relate pattern (computed from the predicate set; interior/
     * boundary/exterior dims derived for the common type combinations).
     */
+  /** All coordinates of a 0-dimensional geometry. */
+  private def pointsOf(g: Geometry): Array[Point] = g match {
+    case p: Point                  => Array(p)
+    case m: MultiPoint             => m.pts
+    case c: GeometryCollectionLike => c.children.flatMap(pointsOf)
+    case _                         => Array.empty
+  }
+
+  /** Boundary points of a 1-dimensional geometry (mod-2 rule: endpoints of
+    * non-closed parts occurring an odd number of times).
+    */
+  private def boundaryPointsOf(g: Geometry): Seq[(Double, Double)] = {
+    val counts = scala.collection.mutable.Map.empty[(Double, Double), Int]
+    Geometry.parts(g).foreach {
+      case l: LineString if !l.isClosed && l.size >= 2 =>
+        val e1 = (l.x(0), l.y(0)); val e2 = (l.x(l.size - 1), l.y(l.size - 1))
+        counts(e1) = counts.getOrElse(e1, 0) + 1
+        counts(e2) = counts.getOrElse(e2, 0) + 1
+      case _ =>
+    }
+    counts.collect { case (p, n) if n % 2 == 1 => p }.toSeq
+  }
+
+  /** 3-way location of a point against ANY geometry: IN = interior,
+    * ON = boundary, OUT. For lines, interior is the path minus the mod-2
+    * boundary endpoints; for point geometries, the points ARE the interior.
+    */
+  private def locateFull(px: Double, py: Double, g: Geometry): Int = g match {
+    case _: Polygon | _: MultiPolygon => locate(px, py, g)
+    case _: LineString | _: MultiLineString =>
+      if (boundaryPointsOf(g).contains((px, py))) ON
+      else if (covers(g, Point(px, py))) IN
+      else OUT
+    case p: Point      => if (px == p.x && py == p.y) IN else OUT
+    case m: MultiPoint => if (m.pts.exists(q => q.x == px && q.y == py)) IN else OUT
+    case c: GeometryCollectionLike =>
+      var res = OUT
+      c.children.foreach { ch =>
+        val l = locateFull(px, py, ch)
+        if (l > res) res = l
+      }
+      res
+    case _ => OUT
+  }
+
+  /** DE-9IM with a 0-dimensional side, built directly from point locations
+    * (the generic derivation's covers-based proxies are wrong for points —
+    * a point ON a polygon boundary is covered by it yet still meets its
+    * boundary, so cell IB must read '0', not 'F').
+    */
+  private def relatePointish(a: Geometry, b: Geometry): String = {
+    def dimC(cond: Boolean, dim: Int): Char =
+      if (!cond || dim < 0) 'F' else if (dim == 0) '0' else if (dim == 1) '1' else '2'
+    if (a.topoDim == 0 && b.topoDim == 0) {
+      val as = pointsOf(a); val bs = pointsOf(b)
+      def in(p: Point, s: Array[Point]) = s.exists(q => q.x == p.x && q.y == p.y)
+      val ii = as.exists(in(_, bs))
+      val ie = as.exists(!in(_, bs))
+      val ei = bs.exists(!in(_, as))
+      new String(Array(dimC(ii, 0), 'F', dimC(ie, 0), 'F', 'F', 'F',
+        dimC(ei, 0), 'F', '2'))
+    } else if (a.topoDim == 0) {
+      val locs = pointsOf(a).map(p => locateFull(p.x, p.y, b))
+      val bBoundDim = boundaryDim(b)
+      // a finite point set can cover b's boundary only when that boundary
+      // is itself a finite point set (line endpoints)
+      val ebCovered = bBoundDim == 0 && {
+        val as = pointsOf(a)
+        boundaryPointsOf(b).forall { case (x, y) =>
+          as.exists(p => p.x == x && p.y == y)
+        }
+      }
+      new String(Array(
+        dimC(locs.contains(IN), 0),
+        dimC(bBoundDim >= 0 && locs.contains(ON), 0),
+        dimC(locs.contains(OUT), 0),
+        'F', 'F', 'F',
+        dimC(true, b.topoDim),
+        if (ebCovered) 'F' else dimC(true, bBoundDim),
+        '2'))
+    } else {
+      val m = relatePointish(b, a)
+      new String(Array(m(0), m(3), m(6), m(1), m(4), m(7), m(2), m(5), m(8)))
+    }
+  }
+
   def relate(a: Geometry, b: Geometry): String = {
+    // a 0-dimensional side takes the direct point-location construction
+    if (math.min(a.topoDim, b.topoDim) == 0 && !a.isEmpty && !b.isEmpty)
+      return relatePointish(a, b)
     // Build the 9 cells II IB IE / BI BB BE / EI EB EE with dimension chars.
-    // This is a pragmatic derivation sufficient for point/line/area combos.
+    // This is a pragmatic derivation sufficient for line/area combos.
     // dim < 0 means the part is EMPTY (e.g. a point's boundary) -> 'F',
     // matching DE-9IM: "FF0FFF0F2" for disjoint points, not "FF0FF0002".
     def dimChar(cond: Boolean, dim: Int): Char =

@@ -168,6 +168,54 @@ class PredicateFuzzSpec extends AnyFunSuite {
     assert(areaChecks > 100, s"only $areaChecks area implications fired — pairing mix too disjoint")
   }
 
+  test("mixed-dimension relate: transpose symmetry and canonical point/line matrices") {
+    var i = 0
+    var inside = 0; var onB = 0; var outside = 0
+    while (i < 500) {
+      val a = genPoly(nextInt(6), nextInt(5).toDouble, nextInt(5).toDouble)
+      // bias points onto vertices (boundary) half the time
+      val p =
+        if (nextInt(2) == 0) Point(a.rings(0)(0), a.rings(0)(1))
+        else Point(nextDouble() * 14 - 2, nextDouble() * 14 - 2)
+      val loc = Predicates.pointInPolygon(p.x, p.y, a)
+      val m = Predicates.relate(p, a)
+      val mT = Predicates.relate(a, p)
+      assert(transpose(m) == mT, s"p/poly transpose: $m vs $mT at (${p.x},${p.y}) A=${Wkt.write(a)}")
+      // canonical DE-9IM for point vs area (GEOS): inside 0FFFFF212,
+      // boundary F0FFFF212, outside FF0FFF212
+      val want =
+        if (loc == Predicates.IN) { inside += 1; "0FFFFF212" }
+        else if (loc == Predicates.ON) { onB += 1; "F0FFFF212" }
+        else { outside += 1; "FF0FFF212" }
+      assert(m == want, s"point/poly matrix $m != $want at (${p.x},${p.y}) A=${Wkt.write(a)}")
+
+      // line vs polygon: transpose symmetry + pattern/kernel agreement
+      val l = LineString(Array(nextDouble() * 14 - 2, nextDouble() * 14 - 2,
+        nextDouble() * 14 - 2, nextDouble() * 14 - 2))
+      val lm = Predicates.relate(l, a)
+      assert(transpose(lm) == Predicates.relate(a, l),
+        s"line/poly transpose: $lm L=${Wkt.write(l)} A=${Wkt.write(a)}")
+      assert(Predicates.relatePattern(l, a, "FF*FF****") == !Predicates.intersects(l, a),
+        s"line/poly disjoint pattern $lm")
+      assert(Predicates.relatePattern(l, a, "T*F**F***") == Predicates.within(l, a),
+        s"line/poly within pattern $lm L=${Wkt.write(l)} A=${Wkt.write(a)}")
+
+      // line vs line: transpose + crosses/touches exclusivity
+      val l2 = LineString(Array(nextDouble() * 14 - 2, nextDouble() * 14 - 2,
+        nextDouble() * 14 - 2, nextDouble() * 14 - 2))
+      val ll = Predicates.relate(l, l2)
+      assert(transpose(ll) == Predicates.relate(l2, l),
+        s"line/line transpose: $ll L1=${Wkt.write(l)} L2=${Wkt.write(l2)}")
+      val cr = Predicates.crosses(l, l2)
+      val to = Predicates.touches(l, l2)
+      assert(!(cr && to), s"crosses and touches both true: $ll")
+      if (cr || to) assert(Predicates.intersects(l, l2), s"cr/to imply intersects: $ll")
+      i += 1
+    }
+    info(s"point classifications: $inside inside, $onB boundary, $outside outside")
+    assert(inside > 20 && onB > 100 && outside > 100, "classification mix degenerate")
+  }
+
   test("point and line predicates against distance and containment sampling") {
     var i = 0
     while (i < 400) {

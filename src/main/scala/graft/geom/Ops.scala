@@ -912,10 +912,100 @@ object Predicates {
     }
   }
 
+  /** DE-9IM for two 1-dimensional geometries, built from the exact contact
+    * kernels (proper crossings, collinear runs, vertex contacts, endpoint
+    * locations, interval-merge path coverage) — the generic derivation's
+    * covers proxies get II wrong for X-crossings ('1' instead of '0') and
+    * IB wrong for endpoint-on-interior contacts.
+    */
+  private def relateLineLine(a: Geometry, b: Geometry): String = {
+    val aB = boundaryPointsOf(a).toSet
+    val bB = boundaryPointsOf(b).toSet
+    def onGeom(p: (Double, Double), g: Geometry): Boolean =
+      rings(g).exists(r => pointOnPath(p._1, p._2, r))
+    val collin = collinearOverlapInterior(a, b)
+    val contact0 = pathsCrossAnyProperly(a, b) || lineVertexInteriorContact(a, b)
+    val ii: Char =
+      if (collin) '1' else if (contact0) '0' else 'F'
+    val ib = bB.exists(p => !aB.contains(p) && onGeom(p, a))
+    val bi = aB.exists(p => !bB.contains(p) && onGeom(p, b))
+    val bb = aB.exists(bB.contains)
+    val be = aB.exists(p => !onGeom(p, b))
+    val eb = bB.exists(p => !onGeom(p, a))
+    val aCovered = rings(a).forall(p => Overlay.pathCoveredByPaths(p, rings(b).toSeq))
+    val bCovered = rings(b).forall(p => Overlay.pathCoveredByPaths(p, rings(a).toSeq))
+    new String(Array(ii,
+      if (ib) '0' else 'F',
+      if (aCovered) 'F' else '1',
+      if (bi) '0' else 'F',
+      if (bb) '0' else 'F',
+      if (be) '0' else 'F',
+      if (bCovered) 'F' else '1',
+      if (eb) '0' else 'F',
+      '2'))
+  }
+
+  /** DE-9IM for a 1-dimensional a against a 2-dimensional b. Straight
+    * segments can only meet a ring transversally (proper crossing), at a
+    * vertex of one of the paths, or along a collinear run — so the exact
+    * contact kernels classify cell IB completely, and interior runs are
+    * classified by vertex + segment-midpoint location (exact between
+    * contacts for straight segments).
+    */
+  private def relateLineArea(a: Geometry, b: Geometry): String = {
+    val aB = boundaryPointsOf(a).toSet
+    val cross = pathsCrossAnyProperly(a, b)
+    val collin = collinearOverlapInterior(a, b)
+    val vertexContact = lineVertexInteriorContact(a, b)
+    var anyIn = false; var anyOut = false
+    rings(a).foreach { p =>
+      var i = 0
+      while (i + 1 < p.length) {
+        if (!aB.contains((p(i), p(i + 1)))) {
+          val l = locate(p(i), p(i + 1), b)
+          if (l == IN) anyIn = true else if (l == OUT) anyOut = true
+        }
+        if (i + 3 < p.length) {
+          val l = locate((p(i) + p(i + 2)) / 2, (p(i + 1) + p(i + 3)) / 2, b)
+          if (l == IN) anyIn = true else if (l == OUT) anyOut = true
+        }
+        i += 2
+      }
+    }
+    if (cross) { anyIn = true; anyOut = true }
+    val ib: Char =
+      if (collin) '1'
+      else if (cross || vertexContact) '0'
+      else 'F'
+    val endLocs = aB.toSeq.map(p => locate(p._1, p._2, b))
+    val ringsCovered = rings(b).forall(r =>
+      Overlay.pathCoveredByPaths(r, rings(a).toSeq))
+    new String(Array(
+      if (anyIn) '1' else 'F',
+      ib,
+      if (anyOut) '1' else 'F',
+      if (endLocs.contains(IN)) '0' else 'F',
+      if (endLocs.contains(ON)) '0' else 'F',
+      if (endLocs.contains(OUT)) '0' else 'F',
+      '2',
+      if (ringsCovered) 'F' else '1',
+      '2'))
+  }
+
   def relate(a: Geometry, b: Geometry): String = {
     // a 0-dimensional side takes the direct point-location construction
     if (math.min(a.topoDim, b.topoDim) == 0 && !a.isEmpty && !b.isEmpty)
       return relatePointish(a, b)
+    if (!a.isEmpty && !b.isEmpty) {
+      (a.topoDim, b.topoDim) match {
+        case (1, 1) => return relateLineLine(a, b)
+        case (1, 2) => return relateLineArea(a, b)
+        case (2, 1) =>
+          val m = relateLineArea(b, a)
+          return new String(Array(m(0), m(3), m(6), m(1), m(4), m(7), m(2), m(5), m(8)))
+        case _ =>
+      }
+    }
     // Build the 9 cells II IB IE / BI BB BE / EI EB EE with dimension chars.
     // This is a pragmatic derivation sufficient for line/area combos.
     // dim < 0 means the part is EMPTY (e.g. a point's boundary) -> 'F',

@@ -927,6 +927,38 @@ class GeomKernelSpec extends AnyFunSuite {
     assert(math.hypot(sx - x, sy - y) < 0.01, s"sterea record ($sx,$sy)")
   }
 
+  test("canonical DE-9IM matrices for line/area and line/line pairs") {
+    val sq = Polygon.box(0, 0, 10, 10)
+    def rel(a: Geometry, b: Geometry) = Predicates.relate(a, b)
+    // line crossing the polygon fully (both endpoints outside)
+    assert(rel(LineString(Array(-5, 5, 15, 5)), sq) == "101FF0212")
+    // chord: endpoints ON the boundary, interior strictly inside
+    assert(rel(LineString(Array(0, 5, 10, 5)), sq) == "1FFF0F212")
+    // line fully inside (classic within-line matrix)
+    assert(rel(LineString(Array(2, 2, 8, 8)), sq) == "1FF0FF212")
+    // segment collinear along an edge: interior ON the boundary only
+    assert(rel(LineString(Array(2, 0, 8, 0)), sq) == "F1FF0F212")
+    // disjoint line
+    assert(rel(LineString(Array(20, 20, 30, 20)), sq) == "FF1FF0212")
+    // endpoint touching the boundary from outside
+    assert(rel(LineString(Array(10, 5, 20, 5)), sq) == "FF1F00212")
+    // X-crossing lines: II is a POINT (0), not a line
+    assert(rel(LineString(Array(0, 0, 10, 10)), LineString(Array(0, 10, 10, 0)))
+      == "0F1FF0102")
+    // sharing one endpoint only
+    assert(rel(LineString(Array(0, 0, 5, 5)), LineString(Array(5, 5, 10, 0)))
+      == "FF1F00102")
+    // collinear partial overlap
+    assert(rel(LineString(Array(0, 0, 6, 0)), LineString(Array(4, 0, 10, 0)))
+      == "1010F0102")
+    // identical lines
+    assert(rel(LineString(Array(0, 0, 6, 0)), LineString(Array(0, 0, 6, 0)))
+      == "1FFF0FFF2")
+    // line ending ON another line's interior (T-junction): BI = 0
+    assert(rel(LineString(Array(0, 0, 5, 0)), LineString(Array(5, -5, 5, 5)))
+      == "FF10F0102")
+  }
+
   test("Krovak (EPSG:5514 S-JTSK): GN7-2 example, datum, roundtrip, proj record") {
     import graft.sql.Crs
     // EPSG Guidance Note 7-2 worked example (S-JTSK geodetic on Bessel,

@@ -200,16 +200,28 @@ class PredicateFuzzSpec extends AnyFunSuite {
       assert(Predicates.relatePattern(l, a, "T*F**F***") == Predicates.within(l, a),
         s"line/poly within pattern $lm L=${Wkt.write(l)} A=${Wkt.write(a)}")
 
-      // line vs line: transpose + crosses/touches exclusivity
+      // line vs line: transpose + named predicates against the matrix
       val l2 = LineString(Array(nextDouble() * 14 - 2, nextDouble() * 14 - 2,
         nextDouble() * 14 - 2, nextDouble() * 14 - 2))
       val ll = Predicates.relate(l, l2)
-      assert(transpose(ll) == Predicates.relate(l2, l),
-        s"line/line transpose: $ll L1=${Wkt.write(l)} L2=${Wkt.write(l2)}")
+      def llctx = s"$ll L1=${Wkt.write(l)} L2=${Wkt.write(l2)}"
+      assert(transpose(ll) == Predicates.relate(l2, l), s"line/line transpose: $llctx")
       val cr = Predicates.crosses(l, l2)
       val to = Predicates.touches(l, l2)
-      assert(!(cr && to), s"crosses and touches both true: $ll")
-      if (cr || to) assert(Predicates.intersects(l, l2), s"cr/to imply intersects: $ll")
+      assert(!(cr && to), s"crosses and touches both true: $llctx")
+      if (cr || to) assert(Predicates.intersects(l, l2), s"cr/to imply intersects: $llctx")
+      // GEOS: lines cross iff their interiors meet in a POINT
+      assert(cr == (ll(0) == '0'), s"crosses vs II cell: $llctx")
+      assert(to == (Predicates.intersects(l, l2) && ll(0) == 'F'),
+        s"touches vs II cell: $llctx")
+      assert(Predicates.relatePattern(l, l2, "1*T***T**") == Predicates.overlaps(l, l2),
+        s"line overlaps pattern: $llctx")
+      assert(Predicates.relatePattern(l, l2, "T*F**F***") == Predicates.within(l, l2),
+        s"line within pattern: $llctx")
+      // line vs polygon crosses: interior meets interior AND exits
+      assert(Predicates.crosses(l, a) ==
+        (Predicates.relatePattern(l, a, "T*T******")),
+        s"line/poly crosses pattern: ${Predicates.relate(l, a)} L=${Wkt.write(l)} A=${Wkt.write(a)}")
       i += 1
     }
     info(s"point classifications: $inside inside, $onB boundary, $outside outside")

@@ -129,4 +129,34 @@ object GeoStreaming {
       }
       .toDF(keyCol, tsCol, "fence_id", "event")
   }
+
+  /** Streaming GeoParquet sink: each micro-batch lands as its own
+    * hive-partition directory `batch=<id>` written through
+    * [[graft.io.GeoParquetIO.write]] — so every batch gets footer
+    * metadata (CRS, per-file bbox) and an optional covering column, and a
+    * RETRIED batch overwrites its own directory instead of appending
+    * duplicates (foreachBatch's at-least-once becomes idempotent).
+    * [[graft.io.GeoParquetIO.read]] on the root sees one dataset:
+    * footers recurse, `batch` surfaces as a partition column, and `.cx`
+    * file-prunes across all batches. Footer stamping per batch touches
+    * ONLY that batch's files — cost stays proportional to the batch, not
+    * the dataset.
+    */
+  def writeStreamGeoParquet(
+      stream: DataFrame,
+      path: String,
+      checkpointLocation: String,
+      geometryColumn: String = "geometry",
+      crs: Option[String] = None,
+      covering: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery = {
+    stream.writeStream
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val g0 = graft.api.GeoDataFrame(batch, geometryColumn)
+        val g = crs.map(g0.setCrs).getOrElse(g0)
+        graft.io.GeoParquetIO.write(g, s"$path/batch=$batchId",
+          mode = "overwrite", covering = covering)
+      }
+      .start()
+  }
 }

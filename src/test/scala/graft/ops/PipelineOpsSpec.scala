@@ -481,4 +481,32 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rows(0).getString(0) == "a" && rows(0).getLong(1) == 2 && rows(0).getDouble(2) == 1.0)
     assert(rows(1).getString(0) == "b" && rows(1).getLong(1) == 1)
   }
+
+  test("streaming GeoParquet sink: per-batch footer-stamped partitions, cx prunes") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.GeoStreaming
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("geo_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("geo_sink_ckpt").toString
+    val mem = MemoryStream[(Long, Double, Double)]
+    val stream = mem.toDF().toDF("id", "x", "y")
+      .withColumn("geometry", graft.sql.functions.st_point($"x", $"y"))
+    val q = GeoStreaming.writeStreamGeoParquet(stream, dir, ckpt,
+      crs = Some("EPSG:4326"))
+    mem.addData((1L, 1.0, 1.0), (2L, 2.0, 2.0))
+    q.processAllAvailable()
+    mem.addData((3L, 100.0, 100.0))
+    q.processAllAvailable()
+    q.stop()
+    val back = graft.io.GeoParquetIO.read(spark, dir)
+    assert(back.crs.contains("EPSG:4326"))
+    val all = back.df.select($"id").as[Long].collect().sorted.toSeq
+    assert(all == Seq(1L, 2L, 3L))
+    // batch surfaces as a partition column; footer bboxes prune batch 1
+    assert(back.df.columns.contains("batch"))
+    val pruned = back.cx(0.0, 0.0, 10.0, 10.0)
+    assert(pruned.df.select($"id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    val scanned = pruned.df.select(input_file_name()).distinct().count()
+    assert(scanned == 1, s"expected the far batch pruned, scanned $scanned files")
+  }
 }

@@ -200,6 +200,24 @@ class PredicateFuzzSpec extends AnyFunSuite {
       assert(Predicates.relatePattern(l, a, "T*F**F***") == Predicates.within(l, a),
         s"line/poly within pattern $lm L=${Wkt.write(l)} A=${Wkt.write(a)}")
 
+      // multipoint vs polygon: matrix cells straight from per-point
+      // classification (fuzzes the pointish construction's aggregation)
+      val mp = MultiPoint(Array.fill(1 + nextInt(4))(
+        if (nextInt(3) == 0) Point(a.rings(0)(0), a.rings(0)(1))
+        else Point(nextDouble() * 14 - 2, nextDouble() * 14 - 2)).distinct)
+      val mpm = Predicates.relate(mp, a)
+      assert(transpose(mpm) == Predicates.relate(a, mp),
+        s"mp/poly transpose: $mpm MP=${Wkt.write(mp)} A=${Wkt.write(a)}")
+      val locs = mp.pts.map(q => Predicates.pointInPolygon(q.x, q.y, a))
+      assert((mpm(0) == '0') == locs.contains(Predicates.IN),
+        s"mp II cell: $mpm MP=${Wkt.write(mp)} A=${Wkt.write(a)}")
+      assert((mpm(1) == '0') == locs.contains(Predicates.ON),
+        s"mp IB cell: $mpm MP=${Wkt.write(mp)} A=${Wkt.write(a)}")
+      assert((mpm(2) == '0') == locs.contains(Predicates.OUT),
+        s"mp IE cell: $mpm MP=${Wkt.write(mp)} A=${Wkt.write(a)}")
+      assert(mpm.substring(3, 6) == "FFF" && mpm(6) == '2' && mpm(8) == '2',
+        s"mp fixed cells: $mpm")
+
       // line vs line: transpose + named predicates against the matrix
       val l2 = LineString(Array(nextDouble() * 14 - 2, nextDouble() * 14 - 2,
         nextDouble() * 14 - 2, nextDouble() * 14 - 2))

@@ -468,9 +468,16 @@ object GraftDefs {
     if (s.trim.startsWith("+")) return s.trim
     val up = s.toUpperCase
     if (up == "OGC:CRS84" || up == "CRS84" || up == "WGS84" || up == "4326") "EPSG:4326"
-    // NAD83 geographic: within ~1-2 m of WGS84 (the standard GIS-engine
-    // treatment absent a datum-shift grid); documented approximation
+    // WGS84-equivalent geographic datums (meter-level: the standard
+    // GIS-engine treatment absent a datum-shift grid; documented
+    // approximation): NAD83 (4269), ETRS89 (4258), GDA94 (4283),
+    // GDA2020 (7844), NZGD2000 (4167), JGD2011 (6668)
     else if (up == "EPSG:4269" || up == "4269" || up == "NAD83") "EPSG:4326"
+    else if (up == "EPSG:4258" || up == "4258" || up == "ETRS89") "EPSG:4326"
+    else if (up == "EPSG:4283" || up == "4283" || up == "GDA94") "EPSG:4326"
+    else if (up == "EPSG:7844" || up == "7844" || up == "GDA2020") "EPSG:4326"
+    else if (up == "EPSG:4167" || up == "4167" || up == "NZGD2000") "EPSG:4326"
+    else if (up == "EPSG:6668" || up == "6668" || up == "JGD2011") "EPSG:4326"
     else if (up == "3857" || up == "WEB_MERCATOR") "EPSG:3857"
     else if (up == "5070" || up == "CONUS_ALBERS") "EPSG:5070"
     else if (up == "3347" || up == "STATCAN_LAMBERT") "EPSG:3347"

@@ -119,6 +119,15 @@ class FunctionsSpec extends AnyFunSuite {
     val r = df.select(st_x($"a"), st_x($"b"), st_x($"noop"), st_y($"noop")).collect()(0)
     assert(r.getDouble(0) == r.getDouble(1))
     assert(r.getDouble(2) == 15.5 && r.getDouble(3) == 46.0)
+    // the other WGS84-equivalent geographic datums resolve the same way
+    Seq("EPSG:4258", "ETRS89", "EPSG:4283", "GDA94", "EPSG:7844",
+        "EPSG:4167", "EPSG:6668").foreach { code =>
+      val v = Seq((15.5, 46.0)).toDF("lon", "lat")
+        .withColumn("g", st_point($"lon", $"lat"))
+        .select(st_x(st_transform($"g", lit(code), lit("EPSG:4326"))))
+        .collect()(0).getDouble(0)
+      assert(v == 15.5, s"$code should be WGS84-equivalent")
+    }
   }
 
   test("gr_repetition counts tokens, top token, bigrams") {

@@ -1382,6 +1382,21 @@ object OracleSql {
     // GPX waypoint roundtrip: lon/lat derived from the supplier synthetic
     // anchor; the writer's shortest-exact Double.toString plus the
     // reader's parseDouble are an identity, so 9-dp rounding is exact
+    // buffer styles: flat = 2rL; square = 2rL + 4r^2 (half-square per
+    // end); right-angle elbow rect union = 4rL - r^2, bevel adds r^2/2,
+    // mitre fills the full corner square
+    "g73_buffer_styles" -> """
+      WITH p AS (SELECT s_suppkey,
+                   ((s_suppkey % 7) + 10)::DOUBLE AS len,
+                   ((s_suppkey % 3) + 1)::DOUBLE AS r
+                 FROM supplier)
+      SELECT s_suppkey,
+             round(2 * r * len, 6) AS flat_area,
+             round(2 * r * len + 4 * r * r, 6) AS square_area,
+             round(4 * r * len - 0.5 * r * r, 6) AS bevel_area,
+             round(4 * r * len, 6) AS mitre_area
+      FROM p ORDER BY s_suppkey""",
+
     // Krovak forward mirrored term-by-term (EPSG GN7-2 formulas, Bessel
     // 1841, EPSG:5514 parameters, East-North = negated southing/westing);
     // roundtrip deltas are identically 0 at 5 dp

@@ -1579,6 +1579,31 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     }),
 
+    // buffer cap/join styles: flat/square caps and bevel/mitre joins are
+    // purely polygonal, so the expected areas are exact closed forms
+    "g73_buffer_styles" -> ((s, d) => {
+      val base = supplierPts(s, d)
+        .withColumn("len", (col("s_suppkey") % 7 + 10).cast("double"))
+        .withColumn("r", (col("s_suppkey") % 3 + 1).cast("double"))
+        .withColumn("seg", st_makeLine(array(
+          st_point(col("x0"), col("y0")),
+          st_point(col("x0") + col("len"), col("y0")))))
+        .withColumn("elbow", st_makeLine(array(
+          st_point(col("x0"), col("y0")),
+          st_point(col("x0") + col("len"), col("y0")),
+          st_point(col("x0") + col("len"), col("y0") + col("len")))))
+      base.select(col("s_suppkey"),
+          round(st_area(st_bufferStyled(col("seg"), col("r"),
+            lit(16), lit("flat"), lit("round"), lit(5.0))), 6).as("flat_area"),
+          round(st_area(st_bufferStyled(col("seg"), col("r"),
+            lit(16), lit("square"), lit("round"), lit(5.0))), 6).as("square_area"),
+          round(st_area(st_bufferStyled(col("elbow"), col("r"),
+            lit(16), lit("flat"), lit("bevel"), lit(5.0))), 6).as("bevel_area"),
+          round(st_area(st_bufferStyled(col("elbow"), col("r"),
+            lit(16), lit("flat"), lit("mitre"), lit(5.0))), 6).as("mitre_area"))
+        .orderBy(col("s_suppkey"))
+    }),
+
     "g62_proj_grids" -> ((s, d) => {
       import s.implicits._
       val grids = Seq(

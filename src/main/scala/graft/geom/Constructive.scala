@@ -241,6 +241,146 @@ object Constructive {
     }
   }
 
+  /** Styled positive buffer (geopandas/shapely `buffer(cap_style=,
+    * join_style=, mitre_limit=)`). `capStyle`: "round" (disc ends),
+    * "flat" (cut at the endpoint; a flat-capped point is EMPTY like
+    * shapely), "square" (extended half-square; a square-capped point is
+    * the r-box). `joinStyle`: "round" (vertex discs), "bevel" (chord
+    * between the offset corners), "mitre" (offset edges extended to their
+    * intersection, falling back to bevel past `mitreLimit`·r like OGC).
+    * Styles apply to positive distances; negative distances keep the
+    * round erosion of [[buffer]].
+    */
+  def bufferStyled(g: Geometry, dist: Double, resolution: Int = 16,
+      capStyle: String = "round", joinStyle: String = "round",
+      mitreLimit: Double = 5.0): Geometry = {
+    require(Set("round", "flat", "square").contains(capStyle),
+      s"unknown cap_style '$capStyle' (round | flat | square)")
+    require(Set("round", "bevel", "mitre").contains(joinStyle),
+      s"unknown join_style '$joinStyle' (round | bevel | mitre)")
+    if (capStyle == "round" && joinStyle == "round")
+      return buffer(g, dist, resolution)
+    if (g.isEmpty || dist == 0) return buffer(g, dist, resolution)
+    if (dist < 0) return buffer(g, dist, resolution)
+    val n = math.max(4, 4 * resolution)
+    def one(gg: Geometry): Geometry = gg match {
+      case p: Point => capStyle match {
+        case "round"  => circle(p.x, p.y, dist, n)
+        case "square" => Polygon.box(p.x - dist, p.y - dist, p.x + dist, p.y + dist)
+        case _        => GeometryCollection(Array.empty) // flat cap: empty
+      }
+      case mp: MultiPoint =>
+        Overlay.unionAll(mp.pts.filterNot(_.isEmpty).toIndexedSeq.map(one))
+      case l: LineString =>
+        dilatePathsStyled(Seq(l.xy), Nil, dist, n, capStyle, joinStyle, mitreLimit)
+      case m: MultiLineString =>
+        dilatePathsStyled(m.lines.toIndexedSeq.map(_.xy), Nil, dist, n,
+          capStyle, joinStyle, mitreLimit)
+      case p: Polygon =>
+        dilatePathsStyled(p.rings.toIndexedSeq, Seq(p), dist, n,
+          capStyle, joinStyle, mitreLimit)
+      case m: MultiPolygon =>
+        dilatePathsStyled(m.polys.toIndexedSeq.flatMap(_.rings),
+          m.polys.toIndexedSeq, dist, n, capStyle, joinStyle, mitreLimit)
+      case c: GeometryCollection =>
+        Overlay.unionAll(c.geoms.toIndexedSeq.map(one))
+    }
+    one(g)
+  }
+
+  /** Minkowski dilation with explicit cap/join pieces: per-segment
+    * rectangles always; joins at interior (and ring) vertices per
+    * `joinStyle`; caps at open-path endpoints per `capStyle`.
+    */
+  private def dilatePathsStyled(paths: Seq[Array[Double]], bodies: Seq[Geometry],
+      r: Double, n: Int, capStyle: String, joinStyle: String,
+      mitreLimit: Double): Geometry = {
+    val pieces = ArrayBuffer[Geometry]()
+    bodies.foreach(pieces += _)
+    paths.foreach { xy =>
+      val nPts = xy.length / 2
+      if (nPts >= 2) {
+        val closed = xy(0) == xy(xy.length - 2) && xy(1) == xy(xy.length - 1)
+        // segment rectangles
+        var i = 0
+        while (i + 3 < xy.length) {
+          val x1 = xy(i); val y1 = xy(i + 1); val x2 = xy(i + 2); val y2 = xy(i + 3)
+          val len = math.hypot(x2 - x1, y2 - y1)
+          if (len > 0) {
+            val nx = -(y2 - y1) / len * r
+            val ny = (x2 - x1) / len * r
+            pieces += Polygon(Array(Array(
+              x1 + nx, y1 + ny, x2 + nx, y2 + ny,
+              x2 - nx, y2 - ny, x1 - nx, y1 - ny, x1 + nx, y1 + ny)))
+          }
+          i += 2
+        }
+        // joins at interior vertices (every vertex of a closed ring)
+        def dirAfter(vi: Int): (Double, Double) = {
+          val dx = xy(2 * vi + 2) - xy(2 * vi); val dy = xy(2 * vi + 3) - xy(2 * vi + 1)
+          val l = math.hypot(dx, dy); if (l == 0) (0, 0) else (dx / l, dy / l)
+        }
+        val interior: Seq[(Int, Int)] = // (vertex index, preceding segment start)
+          if (closed) (0 until nPts - 1).map(v => (v, if (v == 0) nPts - 2 else v - 1))
+          else (1 until nPts - 1).map(v => (v, v - 1))
+        interior.foreach { case (v, pseg) =>
+          val vx = xy(2 * v); val vy = xy(2 * v + 1)
+          val d1 = dirAfter(pseg)
+          val d2 = dirAfter(v)
+          if (d1 != (0.0, 0.0) && d2 != (0.0, 0.0)) {
+            joinStyle match {
+              case "round" => pieces += circle(vx, vy, r, n)
+              case style =>
+                Seq(1.0, -1.0).foreach { s =>
+                  val a1x = vx + s * (-d1._2) * r; val a1y = vy + s * d1._1 * r
+                  val a2x = vx + s * (-d2._2) * r; val a2y = vy + s * d2._1 * r
+                  val mitre: Option[(Double, Double)] =
+                    if (style == "mitre") {
+                      val denom = d1._1 * d2._2 - d1._2 * d2._1
+                      if (denom == 0) None
+                      else {
+                        val t = ((a2x - a1x) * d2._2 - (a2y - a1y) * d2._1) / denom
+                        val mx = a1x + t * d1._1; val my = a1y + t * d1._2
+                        if (math.hypot(mx - vx, my - vy) <= mitreLimit * r) Some((mx, my))
+                        else None // OGC: fall back to bevel past the limit
+                      }
+                    } else None
+                  pieces += (mitre match {
+                    case Some((mx, my)) => Polygon(Array(Array(
+                      vx, vy, a1x, a1y, mx, my, a2x, a2y, vx, vy)))
+                    case None => Polygon(Array(Array(
+                      vx, vy, a1x, a1y, a2x, a2y, vx, vy)))
+                  })
+                }
+            }
+          }
+        }
+        // caps at the two open ends
+        if (!closed) {
+          def cap(ex: Double, ey: Double, dx: Double, dy: Double): Unit = {
+            // (dx,dy) = unit direction pointing OUT of the path
+            capStyle match {
+              case "round" => pieces += circle(ex, ey, r, n)
+              case "square" =>
+                val nx = -dy * r; val ny = dx * r
+                pieces += Polygon(Array(Array(
+                  ex + nx, ey + ny, ex + nx + dx * r, ey + ny + dy * r,
+                  ex - nx + dx * r, ey - ny + dy * r, ex - nx, ey - ny,
+                  ex + nx, ey + ny)))
+              case _ => // flat: the segment rectangle already ends here
+            }
+          }
+          val d0 = dirAfter(0)
+          if (d0 != (0.0, 0.0)) cap(xy(0), xy(1), -d0._1, -d0._2)
+          val dl = dirAfter(nPts - 2)
+          if (dl != (0.0, 0.0)) cap(xy(xy.length - 2), xy(xy.length - 1), dl._1, dl._2)
+        }
+      }
+    }
+    if (pieces.isEmpty) GeometryCollection(Array.empty)
+    else Overlay.unionAll(pieces.toSeq)
+  }
+
   private def hullOfVertexCircles(g: Geometry, dist: Double, n: Int): Geometry = {
     val pts = ArrayBuffer[(Double, Double)]()
     g.foreachCoord { (x, y) =>

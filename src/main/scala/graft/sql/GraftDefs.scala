@@ -294,6 +294,10 @@ object GraftDefs {
     "st_pointonsurface" -> g1(B)(g => wkb(Constructive.pointOnSurface(g))),
     "st_buffer" -> Spec(Seq(B, D, I), B,
       a => wkb(Constructive.buffer(geom(a(0)), dbl(a(1)), int(a(2))))),
+    // geopandas/shapely buffer(cap_style=, join_style=, mitre_limit=)
+    "st_buffer_styled" -> Spec(Seq(B, D, I, S, S, D), B,
+      a => wkb(Constructive.bufferStyled(geom(a(0)), dbl(a(1)), int(a(2)),
+        str(a(3)), str(a(4)), dbl(a(5))))),
     "st_simplify" -> Spec(Seq(B, D), B,
       a => wkb(Constructive.simplify(geom(a(0)), dbl(a(1))))),
     "st_lineinterpolatepoint" -> Spec(Seq(B, D, BO), B,

@@ -93,6 +93,10 @@ object functions {
   def st_pointOnSurface(g: Column): Column = fn("st_pointonsurface", g)
   def st_buffer(g: Column, dist: Column, resolution: Column = lit(16)): Column =
     fn("st_buffer", g, dist, resolution)
+  def st_bufferStyled(g: Column, dist: Column, resolution: Column = lit(16),
+      capStyle: Column = lit("round"), joinStyle: Column = lit("round"),
+      mitreLimit: Column = lit(5.0)): Column =
+    fn("st_buffer_styled", g, dist, resolution, capStyle, joinStyle, mitreLimit)
   def st_simplify(g: Column, tol: Column): Column = fn("st_simplify", g, tol)
   def st_lineInterpolatePoint(g: Column, d: Column, normalized: Column = lit(false)): Column =
     fn("st_lineinterpolatepoint", g, d, normalized)

@@ -993,6 +993,12 @@ object Predicates {
   }
 
   def relate(a: Geometry, b: Geometry): String = {
+    // GEOS/shapely reject relate on heterogeneous GeometryCollections
+    // (IllegalArgumentException) — matching that beats returning a matrix
+    // the mixed-dimension machinery cannot make correct
+    def gc(g: Geometry): Boolean = g.isInstanceOf[GeometryCollection]
+    if (gc(a) || gc(b)) throw new IllegalArgumentException(
+      "relate does not support GEOMETRYCOLLECTION arguments (GEOS contract)")
     // a 0-dimensional side takes the direct point-location construction
     if (math.min(a.topoDim, b.topoDim) == 0 && !a.isEmpty && !b.isEmpty)
       return relatePointish(a, b)

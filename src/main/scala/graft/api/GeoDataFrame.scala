@@ -88,11 +88,23 @@ final case class GeoDataFrame(
   }
 
   /** Metadata-only rewrite (reference set_crs, `expr.py:243-253`). */
-  def setCrs(value: String): GeoDataFrame = {
+  def setCrs(value: String): GeoDataFrame = setCrsFor(geometryColumn, value)
+
+  /** set_crs on a NON-active geometry column (multi-geometry-column frames:
+    * each column carries its own CRS, like geopandas).
+    */
+  def setCrsFor(column: String, value: String): GeoDataFrame = {
+    require(df.columns.contains(column), s"no such column: $column")
     val meta: Metadata = new MetadataBuilder()
-      .withMetadata(df.schema(geometryColumn).metadata)
+      .withMetadata(df.schema(column).metadata)
       .putString("crs", value).build()
-    copy(df = df.withColumn(geometryColumn, geom.as(geometryColumn, meta)))
+    copy(df = df.withColumn(column, df(column).as(column, meta)))
+  }
+
+  /** CRS of an arbitrary geometry column (the active column's is [[crs]]). */
+  def crsFor(column: String): Option[String] = {
+    val f = df.schema(column)
+    if (f.metadata.contains("crs")) Some(f.metadata.getString("crs")) else None
   }
 
   /** Actual reprojection (reference to_crs, `expr.py:255-257`); v1 supports

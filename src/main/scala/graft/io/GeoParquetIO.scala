@@ -94,8 +94,19 @@ object GeoParquetIO {
     */
   def write(gdf: GeoDataFrame, path: String, mode: String = "overwrite",
       partitionBy: Seq[String] = Nil, covering: Boolean = false,
-      geometryEncoding: String = "WKB"): Unit = {
+      geometryEncoding: String = "WKB",
+      // additional WKB geometry columns to declare in the footer (each
+      // with its own CRS from its column metadata — geopandas frames carry
+      // several geometry columns, tests/io/test_parquet.py:84-103)
+      extraGeometry: Seq[String] = Nil): Unit = {
     val spark = gdf.df.sparkSession
+    extraGeometry.foreach { c =>
+      require(gdf.df.columns.contains(c) &&
+        gdf.df.schema(c).dataType == org.apache.spark.sql.types.BinaryType,
+        s"extraGeometry '$c' must be an existing WKB binary column")
+    }
+    val extraCrs: Seq[(String, Option[String])] =
+      extraGeometry.map(c => (c, gdf.crsFor(c)))
     val geomKind: Option[String] = geometryEncoding.toLowerCase match {
       case "wkb" => None
       case "geoarrow" =>
@@ -154,7 +165,8 @@ object GeoParquetIO {
     val slices = math.max(1, math.min(work.size, spark.sparkContext.defaultParallelism))
     val encName = geomKind.getOrElse("WKB")
     spark.sparkContext.parallelize(work, slices).foreach { case (file, bbox) =>
-      addGeoFooter(sconf.value, new Path(file), geomCol, crs, bbox, coveringCol, encName)
+      addGeoFooter(sconf.value, new Path(file), geomCol, crs, bbox, coveringCol,
+        encName, extraCrs)
     }
   }
 
@@ -163,7 +175,8 @@ object GeoParquetIO {
     */
   private def addGeoFooter(conf: Configuration, file: Path, geomCol: String,
       crs: Option[String], bbox: Option[Envelope],
-      coveringCol: Option[String] = None, encoding: String = "WKB"): Unit = {
+      coveringCol: Option[String] = None, encoding: String = "WKB",
+      extraCols: Seq[(String, Option[String])] = Nil): Unit = {
     val in = HadoopInputFile.fromPath(file, conf)
     val footer = ParquetFileReader.open(in)
     val schema = footer.getFooter.getFileMetaData.getSchema
@@ -191,7 +204,14 @@ object GeoParquetIO {
     geo.put("version",
       if (coveringCol.isDefined || encoding != "WKB") "1.1.0" else "1.0.0")
     geo.put("primary_column", geomCol)
-    geo.putObject("columns").set[com.fasterxml.jackson.databind.JsonNode](geomCol, colMeta)
+    val colsNode = geo.putObject("columns")
+    colsNode.set[com.fasterxml.jackson.databind.JsonNode](geomCol, colMeta)
+    extraCols.foreach { case (name, ecrs) =>
+      val em = mapper.createObjectNode()
+      em.put("encoding", "WKB")
+      ecrs.foreach(c => em.put("crs", c))
+      colsNode.set[com.fasterxml.jackson.databind.JsonNode](name, em)
+    }
 
     val meta = new java.util.HashMap[String, String](existing)
     meta.put("geo", mapper.writeValueAsString(geo))
@@ -221,13 +241,16 @@ object GeoParquetIO {
       // with when it covers every file (a bbox-less file must never be
       // silently excluded from a re-planned scan)
       fileCount: Int = 0,
-      encoding: String = "WKB")
+      encoding: String = "WKB",
+      // non-primary geometry columns declared in the footer: (name, crs)
+      extraColumns: Seq[(String, Option[String])] = Nil)
 
   /** Parse one file's "geo" footer entry: (primary column, crs, bbox,
     * covering bbox-column name, geometry encoding).
     */
   private def footerGeo(conf: Configuration, p: Path):
-      Option[(String, Option[String], Option[Envelope], Option[String], String)] = {
+      Option[(String, Option[String], Option[Envelope], Option[String], String,
+        Seq[(String, Option[String])])] = {
     val r = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
     val kv = try r.getFooter.getFileMetaData.getKeyValueMetaData finally r.close()
     Option(kv.get("geo")).map { json =>
@@ -255,7 +278,22 @@ object GeoParquetIO {
       val encoding =
         if (colNode.has("encoding") && !colNode.get("encoding").isNull)
           colNode.get("encoding").asText() else "WKB"
-      (primary, crs, bbox, covering, encoding)
+      val extras = {
+        val it = node.get("columns").fieldNames()
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, Option[String])]
+        while (it.hasNext) {
+          val name = it.next()
+          if (name != primary) {
+            val cn = node.get("columns").get(name)
+            val ecrs =
+              if (cn.has("crs") && !cn.get("crs").isNull) Some(cn.get("crs").asText())
+              else None
+            out += ((name, ecrs))
+          }
+        }
+        out.toSeq
+      }
+      (primary, crs, bbox, covering, encoding, extras)
     }
   }
 
@@ -276,10 +314,10 @@ object GeoParquetIO {
     if (files.isEmpty) return None
 
     if (!gatherBBoxes || files.size == 1)
-      footerGeo(conf, files.head).map { case (primary, crs, bbox, covering, enc) =>
+      footerGeo(conf, files.head).map { case (primary, crs, bbox, covering, enc, extras) =>
         GeoFileMeta(primary, crs,
           if (gatherBBoxes) bbox.map(files.head.toString -> _).toMap else Map.empty,
-          covering, files.size, enc)
+          covering, files.size, enc, extras)
       }
     else {
       val sconf = new SerializableConf(conf)
@@ -293,9 +331,9 @@ object GeoParquetIO {
       else {
         val primary = geo.head._2._1
         val crs = geo.flatMap(_._2._2).headOption
-        val bboxes = geo.collect { case (f, (_, _, Some(e), _, _)) => (f, e) }.toMap
+        val bboxes = geo.collect { case (f, (_, _, Some(e), _, _, _)) => (f, e) }.toMap
         Some(GeoFileMeta(primary, crs, bboxes, geo.flatMap(_._2._4).headOption,
-          files.size, geo.head._2._5))
+          files.size, geo.head._2._5, geo.head._2._6))
       }
     }
   }
@@ -321,7 +359,14 @@ object GeoParquetIO {
             graft.sql.functions.st_fromGeoArrow(m.encoding.toLowerCase, col(m.primaryColumn)))
           else d
         val df = decode(raw)
-        val g = GeoDataFrame(df, m.primaryColumn).setCrs(m.crs.getOrElse("OGC:CRS84"))
+        val g0 = GeoDataFrame(df, m.primaryColumn).setCrs(m.crs.getOrElse("OGC:CRS84"))
+        // non-primary footer geometry columns keep their own CRS, like
+        // geopandas multi-geometry frames (tests/io/test_parquet.py:84-103)
+        val g = m.extraColumns.foldLeft(g0) { case (acc, (name, ecrs)) =>
+          if (acc.df.columns.contains(name) && ecrs.isDefined)
+            acc.setCrsFor(name, ecrs.get)
+          else acc
+        }
           // a declared covering bbox column lets cx push plain nested-field
           // range predicates into the scan (row-group min/max skipping)
           .copy(coveringSource = m.covering.filter(df.columns.contains))

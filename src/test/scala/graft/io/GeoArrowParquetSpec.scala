@@ -45,6 +45,30 @@ class GeoArrowParquetSpec extends AnyFunSuite {
     }
   }
 
+  test("multiple geometry columns: each keeps its own footer CRS through the roundtrip") {
+    val dir = java.nio.file.Files.createTempDirectory("multi_geom").toString
+    val src = GeoDataFrame(Seq((1L, 4.9, 52.37), (2L, 2.35, 48.86))
+      .toDF("id", "lon", "lat")
+      .withColumn("geometry", st_point($"lon", $"lat"))
+      .withColumn("geometry2", st_transform(
+        st_point($"lon", $"lat"), lit("EPSG:4326"), lit("EPSG:3857"))))
+      .setCrs("EPSG:4326")
+      .setCrsFor("geometry2", "EPSG:3857")
+    GeoParquetIO.write(src, dir, extraGeometry = Seq("geometry2"))
+    val meta = GeoParquetIO.readMeta(spark, dir).get
+    assert(meta.extraColumns == Seq(("geometry2", Some("EPSG:3857"))))
+    val back = GeoParquetIO.read(spark, dir)
+    assert(back.crs.contains("EPSG:4326"))
+    assert(back.crsFor("geometry2").contains("EPSG:3857"))
+    // switching the active geometry reads that column's CRS (geopandas
+    // GeoSeries.crs per column)
+    assert(back.setGeometry("geometry2").crs.contains("EPSG:3857"))
+    val xs = back.setGeometry("geometry2").df
+      .select(st_x($"geometry2")).as[Double].collect().sorted
+    // 2.35E in web mercator: R · radians(2.35)
+    assert(math.abs(xs(0) - 6378137.0 * math.toRadians(2.35)) < 1e-6)
+  }
+
   test("explicit kind, cx file pruning through the rebuild hook, mixed-type failure") {
     val dir = java.nio.file.Files.createTempDirectory("ga_prune").toString
     // two spatially separated partitions → two files with disjoint bboxes

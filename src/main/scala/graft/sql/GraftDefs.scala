@@ -366,6 +366,15 @@ object GraftDefs {
       a => wkb(Overlay.clipByRect(geom(a(0)), dbl(a(1)), dbl(a(2)), dbl(a(3)), dbl(a(4))))),
     // ---- serialization
     "st_astext" -> g1(S)(g => utf8(Wkt.write(g))),
+    // geopandas to_wkt(rounding_precision=) / PostGIS ST_AsText(g, digits):
+    // coordinates rounded to N decimal digits before serialization
+    "st_astext_prec" -> Spec(Seq(B, I), S, { a =>
+      val digits = int(a(1))
+      require(digits >= 0 && digits <= 15, s"rounding_precision $digits out of [0,15]")
+      val f = math.pow(10.0, digits)
+      utf8(Wkt.write(geom(a(0)).mapCoords((x, y) =>
+        (math.rint(x * f) / f, math.rint(y * f) / f))))
+    }),
     "st_asbinary" -> g1(B)(g => wkb(g)),
     // ---- collection / dump (drives explode; reference expr.py:565-572)
     "st_dump" -> g1(ArrayType(B)) { g =>

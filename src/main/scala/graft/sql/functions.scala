@@ -160,6 +160,8 @@ object functions {
 
   // --------------------------------------------------------------- serialize
   def st_asText(g: Column): Column = fn("st_astext", g)
+  def st_asText(g: Column, roundingPrecision: Column): Column =
+    fn("st_astext_prec", g, roundingPrecision)
   def st_asBinary(g: Column): Column = fn("st_asbinary", g)
 
   // ------------------------------------------------------- collection / dump

@@ -130,6 +130,15 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("st_asText with rounding_precision rounds coordinates before writing") {
+    val got = Seq(("POINT (1.23456789 -2.98765432)", 3),
+        ("LINESTRING (0.5004999 0, 10.12 20.999)", 2))
+      .toDF("wkt", "p")
+      .select(st_asText(st_geomFromWKT($"wkt"), $"p"))
+      .as[String].collect().toSeq
+    assert(got == Seq("POINT (1.235 -2.988)", "LINESTRING (0.5 0, 10.12 21)"))
+  }
+
   test("gr_repetition counts tokens, top token, bigrams") {
     val df = Seq(
       (1L, "a b a b a"),        // 5 tokens, 2 distinct, top 'a'=3, 4 bigrams ('a b','b a' x2 each) -> 2 distinct

@@ -345,8 +345,13 @@ object Predicates {
 
   private def polygonsIntersect(a: Polygon, b: Polygon): Boolean = {
     if (!a.envelope.intersects(b.envelope)) return false
-    if (pathsIntersect(a.rings(0), b.rings(0))) return true
-    // containment either way (use a vertex)
+    // ANY ring pair may carry the only contact: a polygon reaching into
+    // the other's hole crosses just the HOLE ring, never the shells
+    // (shell-only testing missed exactly that — caught by the alternate-
+    // seed erosion fuzz via a disc at a hole corner)
+    if (a.rings.exists(ra => b.rings.exists(rb => pathsIntersect(ra, rb))))
+      return true
+    // containment either way (vertex location accounts for holes)
     pointInPolygon(a.rings(0)(0), a.rings(0)(1), b) != OUT ||
       pointInPolygon(b.rings(0)(0), b.rings(0)(1), a) != OUT
   }

@@ -21,7 +21,7 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class BufferFuzzSpec extends AnyFunSuite {
 
-  private var state = 0xB0FFE12345L
+  private var state = 0x777EA1337L
   private def nextLong(): Long = {
     state = graft.sql.TextKernel.mix64(state + 0x9e3779b97f4a7c15L)
     state

@@ -54,7 +54,7 @@ class BufferStyleSpec extends AnyFunSuite {
   }
 
   test("styled-buffer fuzz: distance-classified membership per style") {
-    var state = 0xCAFE1234L
+    var state = 0x5EED5EEDL
     def nextLong(): Long = { state = graft.sql.TextKernel.mix64(state + 0x9e3779b97f4a7c15L); state }
     def nextInt(n: Int): Int = ((nextLong() >>> 33) % n).toInt
     def nextD(): Double = (nextLong() >>> 11).toDouble / (1L << 53).toDouble

@@ -927,6 +927,32 @@ class GeomKernelSpec extends AnyFunSuite {
     assert(math.hypot(sx - x, sy - y) < 0.01, s"sterea record ($sx,$sy)")
   }
 
+  test("intersects through a hole ring only: disc poking into a hole corner") {
+    // regression (alternate-seed erosion fuzz): contact exists ONLY via
+    // the hole ring — the shells never cross and both shell-vertex
+    // containment probes land in the other's hole/exterior. Shell-only
+    // ring testing returned false here, which made difference() take its
+    // not-intersecting fast path and silently no-op the erosion.
+    val holed = Polygon(Array(
+      Array[Double](8.302, 3.302, 12.698, 3.302, 12.698, 7.698, 8.302, 7.698, 8.302, 3.302),
+      Array[Double](8.698, 4, 8.698, 5, 9, 5, 9, 5.302, 10, 5.302, 10, 5,
+        10.302, 5, 10.302, 4, 10, 4, 10, 3.698, 9, 3.698, 9, 4, 8.698, 4)))
+    val disc = Constructive.buffer(Point(9.001, 5.001), 0.3016, 16)
+    assert(Predicates.intersects(holed, disc))
+    assert(Predicates.intersects(disc, holed))
+    assert(Measures.distance(holed, disc) == 0.0)
+    val diff = Overlay.difference(holed, disc)
+    assert(Measures.area(diff) < Measures.area(holed) - 1e-3,
+      "difference must carve the hole-corner lens")
+    // and the original trigger: erosion of a holed square rounds the
+    // hole corners (probe within d of the hole corner must be eroded)
+    val g = Polygon(Array(
+      Array[Double](8, 3, 13, 3, 13, 8, 8, 8, 8, 3),
+      Array[Double](9, 4, 9, 5, 10, 5, 10, 4, 9, 4)))
+    val eroded = Constructive.buffer(g, -0.3016)
+    assert(!Predicates.intersects(eroded, Point(8.8604, 5.2232)))
+  }
+
   test("canonical DE-9IM matrices for line/area and line/line pairs") {
     val sq = Polygon.box(0, 0, 10, 10)
     def rel(a: Geometry, b: Geometry) = Predicates.relate(a, b)

@@ -4,7 +4,7 @@ import graft.geom.{Envelope, Geometry, GeometryCollection, Polygon, Wkb}
 import graft.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{BinaryType, Metadata, MetadataBuilder}
+import org.apache.spark.sql.types.{BinaryType, IntegerType, Metadata, MetadataBuilder}
 
 /** Distributed geospatial table: a thin wrapper over DataFrame carrying
   *  - the active geometry column name (reference `GeoDataFrame` keeps it in
@@ -614,8 +614,12 @@ final case class GeoDataFrame(
 
     val inner = strategy match {
       case "broadcast" | "auto" if strategy == "broadcast" || rightIsSmall(right) =>
-        leftDf.join(broadcast(rightRenamed),
-          pred(leftDf(geometryColumn), rightRenamed(rGeomName)) && attrEq, "inner")
+        if (indexedBroadcastEnabled)
+          indexedBroadcastInner(leftDf, rightRenamed, rGeomName, predicate,
+            distance, onAttribute, rsuffix)
+        else
+          leftDf.join(broadcast(rightRenamed),
+            pred(leftDf(geometryColumn), rightRenamed(rGeomName)) && attrEq, "inner")
       case _ =>
         val (cellsL, cellsR, anchor) = cellSize match {
           case Some(s) if oversized == "sentinel" =>
@@ -1011,6 +1015,52 @@ final case class GeoDataFrame(
     df.unpersist(blocking)
     this
   }
+
+  /** Indexed broadcast sjoin (default on; `spark.graft.sjoin.broadcast.index`
+    * = false restores the nested-loop plan). The nested-loop broadcast join
+    * evaluates the exact predicate — with a fresh WKB decode of BOTH sides —
+    * for every (probe, build) pair: O(N·M) decodes + kernels. This path
+    * collects the small side ONCE at the driver (the same driver-side
+    * materialization Spark itself performs to broadcast a nested-loop build
+    * side, so the memory contract is unchanged), ships the compact WKB as a
+    * broadcast [[graft.sql.PreparedSide]] (decoded + STR-tree-indexed lazily
+    * once per executor), and probes it from a codegen'd expression that
+    * returns matching build-row indices. The join finishes as an integer
+    * BroadcastHashJoin against the collected rows: per probe row the cost is
+    * one decode + an O(log M) tree walk + exact kernels on true candidates
+    * only. `onAttribute` equalities are checked on the joined candidates —
+    * the same refinement position as the nested-loop plan's join condition.
+    */
+  private def indexedBroadcastInner(leftDf: DataFrame, rightRenamed: DataFrame,
+      rGeomName: String, predicate: String, distance: Double,
+      onAttribute: Seq[String], rsuffix: String): DataFrame = {
+    val spark = df.sparkSession
+    val rows = rightRenamed.collect()
+    val gi = rightRenamed.schema.fieldIndex(rGeomName)
+    val wkbs = rows.map(r => if (r.isNullAt(gi)) null else r.getAs[Array[Byte]](gi))
+    val bc = spark.sparkContext.broadcast(new graft.sql.PreparedSide(wkbs))
+    val probe = org.apache.spark.sql.GraftInterop.column(
+      graft.sql.IndexedSjoinProbe(
+        org.apache.spark.sql.GraftInterop.expression(leftDf(geometryColumn)),
+        predicate, distance, bc))
+    val idxCol = "_sjoin_prep_idx"
+    val idxSchema = rightRenamed.schema.add(idxCol, IntegerType, nullable = false)
+    val idxRows = rows.toSeq.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+    }
+    val localRight = spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(idxRows).asJava, idxSchema)
+    val attrEqByName = onAttribute
+      .map(a => col(a) === col(a + rsuffix))
+      .foldLeft(lit(true))(_ && _)
+    leftDf.withColumn(idxCol, explode(probe))
+      .join(broadcast(localRight), Seq(idxCol), "inner")
+      .filter(attrEqByName)
+      .drop(idxCol)
+  }
+
+  private def indexedBroadcastEnabled: Boolean =
+    df.sparkSession.conf.get("spark.graft.sjoin.broadcast.index", "true").toBoolean
 
   private def rightIsSmall(right: GeoDataFrame): Boolean = {
     // cheap heuristic without forcing a count: leaf file size if available.

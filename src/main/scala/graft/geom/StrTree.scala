@@ -1,0 +1,125 @@
+package graft.geom
+
+/** Static packed Sort-Tile-Recursive R-tree over envelopes.
+  *
+  * Built once from an envelope array, queried many times — the in-memory
+  * index behind the prepared broadcast side of `GeoDataFrame.sjoin`
+  * (decode-once + O(log n) candidate lookup instead of the nested-loop
+  * join's O(n) exact-predicate evaluations per probe row). STR packing
+  * (Leutenegger et al. 1997) bulk-loads a fully packed tree: sort by
+  * center-x into vertical slices, sort each slice by center-y, cut runs of
+  * `Fanout` into leaf nodes; upper levels group consecutive nodes, which
+  * preserves the tiling locality.
+  *
+  * Layout is struct-of-arrays: one `Array[Double]` of `[minX,minY,maxX,
+  * maxY]` records per level (level 0 = items in STR order), plus the item
+  * index for each leaf slot. No node objects, so a broadcast copy is three
+  * flat arrays and the query loop stays allocation-free until output.
+  *
+  * Items with an empty envelope are excluded — every predicate an sjoin
+  * supports implies envelope interaction, and empties satisfy none of them
+  * (see EmptyGeometrySpec).
+  */
+final class StrTree private (
+    levels: Array[Array[Double]],
+    leafItem: Array[Int]) extends Serializable {
+
+  def isEmpty: Boolean = leafItem.length == 0
+  def size: Int = leafItem.length
+
+  /** Indices (into the build-time array) of items whose envelope intersects
+    * the closed query box. Order follows the packed layout, not item order.
+    */
+  def query(q: Envelope): Array[Int] = {
+    if (isEmpty || q.isEmpty) return Array.emptyIntArray
+    val out = new scala.collection.mutable.ArrayBuilder.ofInt
+    val top = levels.length - 1
+    val topCount = levels(top).length / 4
+    var i = 0
+    while (i < topCount) {
+      descend(top, i, q.minX, q.minY, q.maxX, q.maxY, out)
+      i += 1
+    }
+    out.result()
+  }
+
+  private def descend(level: Int, node: Int, qMinX: Double, qMinY: Double,
+      qMaxX: Double, qMaxY: Double,
+      out: scala.collection.mutable.ArrayBuilder.ofInt): Unit = {
+    val e = levels(level)
+    val o = node * 4
+    if (qMaxX < e(o) || qMinX > e(o + 2) || qMaxY < e(o + 1) || qMinY > e(o + 3)) return
+    if (level == 0) {
+      out += leafItem(node)
+    } else {
+      val childCount = levels(level - 1).length / 4
+      var c = node * StrTree.Fanout
+      val end = math.min(c + StrTree.Fanout, childCount)
+      while (c < end) {
+        descend(level - 1, c, qMinX, qMinY, qMaxX, qMaxY, out)
+        c += 1
+      }
+    }
+  }
+}
+
+object StrTree {
+  val Fanout = 16
+
+  val empty: StrTree = new StrTree(Array(Array.emptyDoubleArray), Array.emptyIntArray)
+
+  /** Bulk-load from envelopes; `envs(i).isEmpty` items are skipped (their
+    * index never appears in query results).
+    */
+  def build(envs: Array[Envelope]): StrTree = {
+    val items = (0 until envs.length).filter(i => !envs(i).isEmpty).toArray
+    val n = items.length
+    if (n == 0) return empty
+
+    // STR tiling of the leaf level: slices by center-x, runs by center-y
+    val leafNodes = (n + Fanout - 1) / Fanout
+    val slices = math.ceil(math.sqrt(leafNodes.toDouble)).toInt
+    val sliceSize = ((n + slices - 1) / slices + Fanout - 1) / Fanout * Fanout
+    val byCx = items.sortBy(i => envs(i).midX)
+    val ordered = byCx.grouped(math.max(sliceSize, Fanout)).flatMap { slice =>
+      slice.sortBy(i => envs(i).midY)
+    }.toArray
+
+    val level0 = new Array[Double](n * 4)
+    var i = 0
+    while (i < n) {
+      val e = envs(ordered(i))
+      level0(i * 4) = e.minX; level0(i * 4 + 1) = e.minY
+      level0(i * 4 + 2) = e.maxX; level0(i * 4 + 3) = e.maxY
+      i += 1
+    }
+
+    val levels = scala.collection.mutable.ArrayBuffer(level0)
+    while (levels.last.length / 4 > 1) {
+      val lower = levels.last
+      val lowerCount = lower.length / 4
+      val upperCount = (lowerCount + Fanout - 1) / Fanout
+      val upper = new Array[Double](upperCount * 4)
+      var u = 0
+      while (u < upperCount) {
+        var mnx = Double.PositiveInfinity; var mny = Double.PositiveInfinity
+        var mxx = Double.NegativeInfinity; var mxy = Double.NegativeInfinity
+        var c = u * Fanout
+        val end = math.min(c + Fanout, lowerCount)
+        while (c < end) {
+          val o = c * 4
+          if (lower(o) < mnx) mnx = lower(o)
+          if (lower(o + 1) < mny) mny = lower(o + 1)
+          if (lower(o + 2) > mxx) mxx = lower(o + 2)
+          if (lower(o + 3) > mxy) mxy = lower(o + 3)
+          c += 1
+        }
+        upper(u * 4) = mnx; upper(u * 4 + 1) = mny
+        upper(u * 4 + 2) = mxx; upper(u * 4 + 3) = mxy
+        u += 1
+      }
+      levels += upper
+    }
+    new StrTree(levels.toArray, ordered)
+  }
+}

@@ -1,0 +1,140 @@
+package graft.api
+
+import graft.sql.TestSpark
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Differential: the indexed broadcast sjoin (prepared STR-tree side +
+  * integer BroadcastHashJoin) must produce exactly the rows of the
+  * nested-loop plan it replaces, for every predicate, how=, onAttribute,
+  * and the null/empty-geometry edge cases.
+  */
+class IndexedSjoinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def withIndex[T](on: Boolean)(f: => T): T = {
+    spark.conf.set("spark.graft.sjoin.broadcast.index", on.toString)
+    try f finally spark.conf.unset("spark.graft.sjoin.broadcast.index")
+  }
+
+  // deterministic mixed-geometry sides: points, boxes, lines, an empty
+  // geometry and a null on each side
+  private lazy val leftG: GeoDataFrame = {
+    val rnd = new scala.util.Random(11)
+    val wkts = (0 until 300).map { i =>
+      val x = rnd.nextDouble() * 100; val y = rnd.nextDouble() * 100
+      i % 5 match {
+        case 0 | 1 | 2 => s"POINT ($x $y)"
+        case 3 => s"LINESTRING ($x $y, ${x + 3} ${y + 2})"
+        case 4 => s"POLYGON (($x $y, ${x + 4} $y, ${x + 4} ${y + 4}, $x ${y + 4}, $x $y))"
+      }
+    } :+ "POINT EMPTY"
+    val df = wkts.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("lid", "wkt")
+      .union(Seq((9999L, null.asInstanceOf[String])).toDF("lid", "wkt"))
+    GeoDataFrame.fromWkt(df, "wkt")
+  }
+
+  private lazy val rightG: GeoDataFrame = {
+    val rnd = new scala.util.Random(23)
+    val wkts = (0 until 40).map { i =>
+      val x = rnd.nextDouble() * 100; val y = rnd.nextDouble() * 100
+      val s = 2 + rnd.nextDouble() * 10
+      if (i % 4 == 3) s"LINESTRING ($x $y, ${x + s} $y, ${x + s} ${y + s})"
+      else s"POLYGON (($x $y, ${x + s} $y, ${x + s} ${y + s}, $x ${y + s}, $x $y))"
+    } :+ "POLYGON EMPTY"
+    val df = wkts.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("rid", "wkt")
+      .union(Seq((8888L, null.asInstanceOf[String])).toDF("rid", "wkt"))
+    GeoDataFrame.fromWkt(df, "wkt")
+  }
+
+  private def pairs(df: DataFrame): Seq[(Any, Any)] =
+    df.select(col("lid"), col("rid")).collect()
+      .map(r => (r.get(0), r.get(1))).toSeq
+      .sortBy(t => (String.valueOf(t._1), String.valueOf(t._2)))
+
+  for (pred <- Seq("intersects", "contains", "within", "covers", "covered_by",
+      "contains_properly", "touches", "crosses", "overlaps")) {
+    test(s"indexed == nested-loop for predicate=$pred") {
+      val got = withIndex(true) {
+        pairs(leftG.sjoin(rightG, predicate = pred, strategy = "broadcast"))
+      }
+      val want = withIndex(false) {
+        pairs(leftG.sjoin(rightG, predicate = pred, strategy = "broadcast"))
+      }
+      assert(got == want, s"pred=$pred got=${got.size} want=${want.size}")
+      if (pred == "intersects" || pred == "within") assert(got.nonEmpty)
+    }
+  }
+
+  test("indexed == nested-loop for dwithin (envelope-expanded probe)") {
+    for (d <- Seq(0.0, 1.5, 25.0)) {
+      val got = withIndex(true) {
+        pairs(leftG.sjoin(rightG, predicate = "dwithin", strategy = "broadcast", distance = d))
+      }
+      val want = withIndex(false) {
+        pairs(leftG.sjoin(rightG, predicate = "dwithin", strategy = "broadcast", distance = d))
+      }
+      assert(got == want, s"d=$d")
+      if (d > 0) assert(got.nonEmpty)
+    }
+  }
+
+  test("how=left and how=right match the nested-loop plan") {
+    for (how <- Seq("left", "right")) {
+      val got = withIndex(true) {
+        pairs(leftG.sjoin(rightG, predicate = "intersects", strategy = "broadcast", how = how))
+      }
+      val want = withIndex(false) {
+        pairs(leftG.sjoin(rightG, predicate = "intersects", strategy = "broadcast", how = how))
+      }
+      assert(got == want, s"how=$how")
+      // unmatched rows present with null other side
+      if (how == "left") assert(got.exists(_._2 == null))
+      if (how == "right") assert(got.exists(_._1 == null))
+    }
+  }
+
+  test("onAttribute equality refines candidates identically") {
+    val l2 = GeoDataFrame(leftG.df.withColumn("cat", (col("lid") % 3).cast("long")))
+    val r2 = GeoDataFrame(rightG.df.withColumn("cat", (col("rid") % 3).cast("long")))
+    val got = withIndex(true) {
+      pairs(l2.sjoin(r2, predicate = "intersects", strategy = "broadcast",
+        onAttribute = Seq("cat")))
+    }
+    val want = withIndex(false) {
+      pairs(l2.sjoin(r2, predicate = "intersects", strategy = "broadcast",
+        onAttribute = Seq("cat")))
+    }
+    assert(got == want && got.nonEmpty)
+    // strictly fewer pairs than without the attribute filter
+    val unfiltered = withIndex(true) {
+      pairs(l2.sjoin(r2, predicate = "intersects", strategy = "broadcast"))
+    }
+    assert(got.size < unfiltered.size)
+  }
+
+  test("empty right side produces no inner rows; left-outer keeps all left") {
+    val emptyRight = GeoDataFrame(rightG.df.filter(col("rid") < 0))
+    val inner = withIndex(true) {
+      leftG.sjoin(emptyRight, predicate = "intersects", strategy = "broadcast")
+    }
+    assert(inner.count() == 0)
+    val left = withIndex(true) {
+      leftG.sjoin(emptyRight, predicate = "intersects", strategy = "broadcast", how = "left")
+    }
+    assert(left.count() == leftG.df.count())
+  }
+
+  test("indexed plan is a BroadcastHashJoin (no nested loop)") {
+    val plan = withIndex(true) {
+      leftG.sjoin(rightG, predicate = "intersects", strategy = "broadcast")
+        .queryExecution.executedPlan.toString
+    }
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+}

@@ -1,0 +1,51 @@
+package graft.geom
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class StrTreeSpec extends AnyFunSuite {
+
+  private def randEnv(rnd: scala.util.Random): Envelope = {
+    val x = rnd.nextDouble() * 1000
+    val y = rnd.nextDouble() * 1000
+    Envelope(x, y, x + rnd.nextDouble() * 50, y + rnd.nextDouble() * 50)
+  }
+
+  test("query matches brute-force envelope scan on random data") {
+    val rnd = new scala.util.Random(42)
+    for (n <- Seq(0, 1, 5, 16, 17, 100, 1000, 5000)) {
+      val envs = Array.fill(n)(randEnv(rnd))
+      val tree = StrTree.build(envs)
+      assert(tree.size == n)
+      for (_ <- 0 until 20) {
+        val q = randEnv(rnd).expand(rnd.nextDouble() * 30)
+        val got = tree.query(q).sorted.toSeq
+        val want = envs.indices.filter(i => envs(i).intersects(q))
+        assert(got == want, s"n=$n query=$q")
+      }
+    }
+  }
+
+  test("empty envelopes are excluded; empty query matches nothing") {
+    val rnd = new scala.util.Random(7)
+    val envs = Array.tabulate(200)(i => if (i % 3 == 0) Envelope.empty else randEnv(rnd))
+    val tree = StrTree.build(envs)
+    assert(tree.size == envs.count(!_.isEmpty))
+    val got = tree.query(Envelope(0, 0, 1000, 1000)).sorted.toSeq
+    assert(got == envs.indices.filter(i => !envs(i).isEmpty))
+    assert(got.forall(_ % 3 != 0))
+    assert(tree.query(Envelope.empty).isEmpty)
+  }
+
+  test("touching boundaries count (closed-interval semantics)") {
+    val tree = StrTree.build(Array(Envelope(0, 0, 10, 10)))
+    assert(tree.query(Envelope(10, 10, 20, 20)).toSeq == Seq(0))
+    assert(tree.query(Envelope(10.0001, 10.0001, 20, 20)).isEmpty)
+  }
+
+  test("identical/degenerate point envelopes") {
+    val envs = Array.fill(100)(Envelope(5, 5, 5, 5))
+    val tree = StrTree.build(envs)
+    assert(tree.query(Envelope(5, 5, 5, 5)).length == 100)
+    assert(tree.query(Envelope(5.1, 5.1, 6, 6)).isEmpty)
+  }
+}

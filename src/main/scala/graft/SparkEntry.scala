@@ -965,6 +965,21 @@ object SparkEntry {
         .orderBy(col("c_custkey"), col("s_suppkey"))
     }),
 
+    // indexed broadcast nearest (r10): UNBOUNDED sjoin_nearest against a
+    // small right side — branch-and-bound over the prepared STR-tree, no
+    // grid/maxDistance/leftKey needed; the left side never shuffles
+    "g74_sjoin_nearest_bcast" -> ((s, d) => {
+      val cust = GeoDataFrame(customerPts(s, d))
+      val supp = GeoDataFrame(t(s, d, "supplier")
+        .withColumn("sx", col("s_acctbal"))
+        .withColumn("sy", (col("s_suppkey") % 1000).cast("double"))
+        .withColumn("geometry", st_point(col("sx"), col("sy"))))
+      cust.sjoinNearestBroadcast(supp)
+        .select(col("c_custkey"), col("s_suppkey"),
+          round(col("dist"), 4).as("dist"))
+        .orderBy(col("c_custkey"), col("s_suppkey"))
+    }),
+
     "g40_sjoin_nearest" -> ((s, d) => {
       val cust = GeoDataFrame(customerPts(s, d))
       val supp = GeoDataFrame(t(s, d, "supplier")

@@ -829,6 +829,55 @@ final case class GeoDataFrame(
     out.get
   }
 
+  /** Nearest-neighbor join against a SMALL right side (geopandas
+    * `sjoin_nearest`, unbounded by default): the right side is collected,
+    * broadcast, and STR-tree-indexed once
+    * ([[graft.sql.PreparedSide]]), and each left row finds its true
+    * nearest right rows by branch-and-bound inside a codegen'd expression
+    * — no grid, no window exchange, no `leftKey` uniqueness contract (the
+    * per-row minimum is computed per row, so duplicate-key pooling cannot
+    * happen). The join finishes as an integer BroadcastHashJoin.
+    *
+    * Semantics match [[sjoinNearest]]: every tie at the minimum distance
+    * is kept, `maxDistance` (optional here) is inclusive, `exclusive=true`
+    * skips topologically-equal right geometries at distance 0, and
+    * `how="left"` returns unmatched rows with null right columns and null
+    * distance. 100 TB shape: the left side never shuffles at all — the
+    * only exchange is the broadcast of the (small) right side.
+    */
+  def sjoinNearestBroadcast(
+      right: GeoDataFrame,
+      maxDistance: Double = Double.PositiveInfinity,
+      rsuffix: String = "_right",
+      distanceCol: String = "dist",
+      how: String = "inner",
+      exclusive: Boolean = false): DataFrame = {
+    require(Set("inner", "left").contains(how),
+      s"unknown sjoinNearestBroadcast how '$how' (inner | left)")
+    val rightRenamed = right.df.columns.foldLeft(right.df) { (acc, c) =>
+      if (df.columns.contains(c)) acc.withColumnRenamed(c, c + rsuffix) else acc
+    }
+    val rGeomName =
+      if (df.columns.contains(right.geometryColumn)) right.geometryColumn + rsuffix
+      else right.geometryColumn
+    val (bc, localRight, idxCol) = prepareBroadcastSide(rightRenamed, rGeomName)
+    val probe = org.apache.spark.sql.GraftInterop.column(
+      graft.sql.IndexedNearestProbe(
+        org.apache.spark.sql.GraftInterop.expression(df(geometryColumn)),
+        maxDistance, exclusive, bc))
+    val nnCol = "_sjoin_nn"
+    val exploded = how match {
+      case "inner" => df.withColumn(nnCol, explode(probe))
+      case "left"  => df.withColumn(nnCol, explode_outer(probe))
+    }
+    exploded
+      .withColumn(idxCol, col(nnCol)("idx"))
+      .withColumn(distanceCol, col(nnCol)("dist"))
+      .drop(nnCol)
+      .join(broadcast(localRight), Seq(idxCol), if (how == "left") "left" else "inner")
+      .drop(idxCol)
+  }
+
   /** DataFrame-level overlay (geopandas `overlay(df1, df2, how=...)`;
     * dask-geopandas does not distribute it — geopandas users drop to
     * single-node for this). Supported hows:
@@ -1034,22 +1083,11 @@ final case class GeoDataFrame(
   private def indexedBroadcastInner(leftDf: DataFrame, rightRenamed: DataFrame,
       rGeomName: String, predicate: String, distance: Double,
       onAttribute: Seq[String], rsuffix: String): DataFrame = {
-    val spark = df.sparkSession
-    val rows = rightRenamed.collect()
-    val gi = rightRenamed.schema.fieldIndex(rGeomName)
-    val wkbs = rows.map(r => if (r.isNullAt(gi)) null else r.getAs[Array[Byte]](gi))
-    val bc = spark.sparkContext.broadcast(new graft.sql.PreparedSide(wkbs))
+    val (bc, localRight, idxCol) = prepareBroadcastSide(rightRenamed, rGeomName)
     val probe = org.apache.spark.sql.GraftInterop.column(
       graft.sql.IndexedSjoinProbe(
         org.apache.spark.sql.GraftInterop.expression(leftDf(geometryColumn)),
         predicate, distance, bc))
-    val idxCol = "_sjoin_prep_idx"
-    val idxSchema = rightRenamed.schema.add(idxCol, IntegerType, nullable = false)
-    val idxRows = rows.toSeq.zipWithIndex.map { case (r, i) =>
-      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
-    }
-    val localRight = spark.createDataFrame(
-      scala.jdk.CollectionConverters.SeqHasAsJava(idxRows).asJava, idxSchema)
     val attrEqByName = onAttribute
       .map(a => col(a) === col(a + rsuffix))
       .foldLeft(lit(true))(_ && _)
@@ -1057,6 +1095,29 @@ final case class GeoDataFrame(
       .join(broadcast(localRight), Seq(idxCol), "inner")
       .filter(attrEqByName)
       .drop(idxCol)
+  }
+
+  /** Collect and broadcast the small side of an indexed spatial join ONCE:
+    * the compact WKB ships as a [[graft.sql.PreparedSide]] (decoded +
+    * STR-tree'd lazily per executor), and the full rows come back as an
+    * index-stamped local relation for the integer BroadcastHashJoin finish.
+    * Driver memory contract matches Spark's own broadcast-join collect.
+    */
+  private def prepareBroadcastSide(rightRenamed: DataFrame, rGeomName: String)
+      : (org.apache.spark.broadcast.Broadcast[graft.sql.PreparedSide], DataFrame, String) = {
+    val spark = df.sparkSession
+    val rows = rightRenamed.collect()
+    val gi = rightRenamed.schema.fieldIndex(rGeomName)
+    val wkbs = rows.map(r => if (r.isNullAt(gi)) null else r.getAs[Array[Byte]](gi))
+    val bc = spark.sparkContext.broadcast(new graft.sql.PreparedSide(wkbs))
+    val idxCol = "_sjoin_prep_idx"
+    val idxSchema = rightRenamed.schema.add(idxCol, IntegerType, nullable = false)
+    val idxRows = rows.toSeq.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+    }
+    val localRight = spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(idxRows).asJava, idxSchema)
+    (bc, localRight, idxCol)
   }
 
   private def indexedBroadcastEnabled: Boolean =

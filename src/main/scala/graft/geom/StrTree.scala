@@ -43,6 +43,72 @@ final class StrTree private (
     out.result()
   }
 
+  /** Best-first nearest-neighbor search (branch-and-bound): returns the
+    * indices of ALL items at the minimum exact distance (ties kept — the
+    * geopandas `sjoin_nearest` contract) and that distance, restricted to
+    * `exact(i) <= maxDist`. `exact` supplies the true geometry distance for
+    * an item (NaN = skip the item, e.g. an `exclusive` self-match); the
+    * envelope gap to a node box lower-bounds every exact distance inside
+    * it, so subtrees that cannot beat the running best are never visited.
+    * Returns `(empty, NaN)` when nothing qualifies.
+    */
+  def nearest(probe: Envelope, maxDist: Double, exact: Int => Double): (Array[Int], Double) = {
+    if (isEmpty || probe.isEmpty) return (Array.emptyIntArray, Double.NaN)
+    // entries: (lower bound, level, node), ordered by bound
+    val pq = new java.util.PriorityQueue[Array[Double]](
+      11, (a: Array[Double], b: Array[Double]) => java.lang.Double.compare(a(0), b(0)))
+    var best = maxDist
+    val ties = new scala.collection.mutable.ArrayBuilder.ofInt
+    var found = false
+    val top = levels.length - 1
+    var i = 0
+    val topCount = levels(top).length / 4
+    while (i < topCount) {
+      val lb = boxGap(probe, levels(top), i * 4)
+      if (lb <= best) pq.add(Array(lb, top.toDouble, i.toDouble))
+      i += 1
+    }
+    var break = false
+    while (!break && !pq.isEmpty) {
+      val e = pq.poll()
+      if (e(0) > best) break = true
+      else {
+        val level = e(1).toInt; val node = e(2).toInt
+        if (level == 0) {
+          val item = leafItem(node)
+          val d = exact(item)
+          if (d <= best) { // NaN compares false
+            if (d < best || !found) { ties.clear(); best = d; found = true }
+            ties += item
+          }
+        } else {
+          val childCount = levels(level - 1).length / 4
+          var c = node * StrTree.Fanout
+          val end = math.min(c + StrTree.Fanout, childCount)
+          while (c < end) {
+            val lb = boxGap(probe, levels(level - 1), c * 4)
+            if (lb <= best) pq.add(Array(lb, (level - 1).toDouble, c.toDouble))
+            c += 1
+          }
+        }
+      }
+    }
+    if (!found) (Array.emptyIntArray, Double.NaN)
+    else {
+      val out = ties.result()
+      java.util.Arrays.sort(out)
+      (out, best)
+    }
+  }
+
+  // gap between the probe envelope and the node box at offset o — a lower
+  // bound for the distance of any geometry pair inside them
+  private def boxGap(p: Envelope, e: Array[Double], o: Int): Double = {
+    val dx = math.max(0.0, math.max(e(o) - p.maxX, p.minX - e(o + 2)))
+    val dy = math.max(0.0, math.max(e(o + 1) - p.maxY, p.minY - e(o + 3)))
+    math.sqrt(dx * dx + dy * dy)
+  }
+
   private def descend(level: Int, node: Int, qMinX: Double, qMinY: Double,
       qMaxX: Double, qMaxY: Double,
       out: scala.collection.mutable.ArrayBuilder.ofInt): Unit = {

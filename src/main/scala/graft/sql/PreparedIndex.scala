@@ -122,3 +122,63 @@ case class IndexedSjoinProbe(
   override protected def withNewChildInternal(newChild: Expression): IndexedSjoinProbe =
     copy(child = newChild)
 }
+
+/** Catalyst expression: the broadcast-side rows NEAREST to the probe
+  * geometry — `array<struct<idx:int, dist:double>>` holding every tie at
+  * the minimum exact distance (the geopandas `sjoin_nearest` keep-all-ties
+  * contract), empty when nothing lies within `maxDistance`. Branch-and-bound
+  * over the prepared STR-tree: subtrees whose envelope gap cannot beat the
+  * running best are never visited, and the probe WKB is decoded only if at
+  * least one exact distance is evaluated. `exclusive` skips
+  * topologically-equal right geometries at distance 0 (shapely
+  * `query_nearest(exclusive=True)`).
+  */
+case class IndexedNearestProbe(
+    child: Expression,
+    maxDistance: Double,
+    exclusive: Boolean,
+    index: Broadcast[PreparedSide])
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbsType] = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("idx", IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("dist",
+        org.apache.spark.sql.types.DoubleType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "st_indexed_nearest"
+
+  def candidates(bytes: Array[Byte]): ArrayData = {
+    val side = index.value
+    val probeEnv = Wkb.envelopeOf(bytes)
+    if (probeEnv.isEmpty)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    var probe: Geometry = null
+    val (ties, best) = side.tree.nearest(probeEnv, maxDistance, { i =>
+      if (probe == null) probe = Wkb.read(bytes)
+      val g = side.geoms(i)
+      val d = graft.geom.Measures.distance(probe, g)
+      if (exclusive && d == 0.0 && Predicates.geomEquals(probe, g)) Double.NaN else d
+    })
+    val rows = new Array[Any](ties.length)
+    var k = 0
+    while (k < ties.length) {
+      rows(k) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](ties(k), best))
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    candidates(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nearestProbe", this, classOf[IndexedNearestProbe].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.candidates($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): IndexedNearestProbe =
+    copy(child = newChild)
+}

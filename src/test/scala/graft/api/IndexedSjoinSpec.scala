@@ -129,6 +129,57 @@ class IndexedSjoinSpec extends AnyFunSuite {
     assert(left.count() == leftG.df.count())
   }
 
+  test("sjoinNearestBroadcast matches brute-force nearest incl. ties") {
+    // brute force with the same kernel: cross product via the nested-loop
+    // sjoin at a huge dwithin radius, then min-rank per left row
+    val joined = withIndex(false) {
+      leftG.sjoin(rightG, predicate = "dwithin", strategy = "broadcast", distance = 1e9)
+    }.withColumn("d", graft.sql.functions.st_distance(col("geometry"), col("geometry_right")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lid")).orderBy(col("d"))
+    val want = joined.withColumn("_rk", rank().over(w)).filter(col("_rk") === 1)
+      .select(col("lid"), col("rid"), round(col("d"), 9).as("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
+
+    val got = leftG.sjoinNearestBroadcast(rightG)
+      .select(col("lid"), col("rid"), round(col("dist"), 9).as("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("sjoinNearestBroadcast maxDistance bound and how=left") {
+    val d = 5.0
+    val inner = leftG.sjoinNearestBroadcast(rightG, maxDistance = d)
+    assert(inner.filter(col("dist") > d).count() == 0)
+    val left = leftG.sjoinNearestBroadcast(rightG, maxDistance = d, how = "left")
+    // every left row survives; unmatched ones carry null rid AND null dist
+    val nLeft = leftG.df.count()
+    assert(left.select(col("lid")).distinct().count() == nLeft)
+    val unmatched = left.filter(col("rid").isNull)
+    assert(unmatched.count() > 0)
+    assert(unmatched.filter(col("dist").isNotNull).count() == 0)
+    // matched part equals the inner result
+    val a = left.filter(col("rid").isNotNull).select(col("lid"), col("rid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val b = inner.select(col("lid"), col("rid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(a == b)
+  }
+
+  test("sjoinNearestBroadcast exclusive drops the coincident self-match") {
+    // right side = a copy of some left points: nearest of each is itself at
+    // distance 0 unless exclusive
+    val self = GeoDataFrame(
+      leftG.df.filter(col("lid") < 50 && col("lid") % 5 < 3) // points only
+        .select(col("lid").as("rid2"), col("geometry")))
+    val incl = leftG.sjoinNearestBroadcast(self)
+      .filter(col("lid") === col("rid2") && col("dist") === 0.0)
+    assert(incl.count() > 0)
+    val excl = leftG.sjoinNearestBroadcast(self, exclusive = true)
+      .filter(col("lid") === col("rid2") && col("dist") === 0.0)
+    assert(excl.count() == 0)
+  }
+
   test("indexed plan is a BroadcastHashJoin (no nested loop)") {
     val plan = withIndex(true) {
       leftG.sjoin(rightG, predicate = "intersects", strategy = "broadcast")

@@ -42,6 +42,40 @@ class StrTreeSpec extends AnyFunSuite {
     assert(tree.query(Envelope(10.0001, 10.0001, 20, 20)).isEmpty)
   }
 
+  test("nearest matches brute force over envelope-center distances") {
+    val rnd = new scala.util.Random(99)
+    for (n <- Seq(1, 16, 100, 2000)) {
+      val envs = Array.fill(n)(randEnv(rnd))
+      val tree = StrTree.build(envs)
+      // exact distance: probe-point to envelope center (any consistent
+      // metric >= the envelope gap works for the bound contract)
+      for (_ <- 0 until 20) {
+        val px = rnd.nextDouble() * 1000; val py = rnd.nextDouble() * 1000
+        val probe = Envelope(px, py, px, py)
+        def exact(i: Int): Double =
+          math.hypot(envs(i).midX - px, envs(i).midY - py)
+        val (ties, best) = tree.nearest(probe, Double.PositiveInfinity, exact)
+        val wantBest = (0 until n).map(exact).min
+        assert(math.abs(best - wantBest) < 1e-12)
+        val wantTies = (0 until n).filter(i => exact(i) == wantBest)
+        assert(ties.toSeq == wantTies)
+      }
+      // bounded: maxDist below the minimum finds nothing
+      val (e, d) = tree.nearest(Envelope(5000, 5000, 5000, 5000), 1.0,
+        i => math.hypot(envs(i).midX - 5000, envs(i).midY - 5000))
+      assert(e.isEmpty && d.isNaN)
+    }
+  }
+
+  test("nearest skips NaN (excluded) items") {
+    val envs = Array(Envelope(0, 0, 1, 1), Envelope(10, 10, 11, 11))
+    val tree = StrTree.build(envs)
+    // item 0 excluded: nearest must fall through to item 1
+    val (ties, best) = tree.nearest(Envelope(0, 0, 0, 0), Double.PositiveInfinity,
+      i => if (i == 0) Double.NaN else 15.0)
+    assert(ties.toSeq == Seq(1) && best == 15.0)
+  }
+
   test("identical/degenerate point envelopes") {
     val envs = Array.fill(100)(Envelope(5, 5, 5, 5))
     val tree = StrTree.build(envs)

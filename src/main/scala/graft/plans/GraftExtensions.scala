@@ -13,5 +13,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => SpatialFilterPushdown)
     ext.injectOptimizerRule(_ => SpatialJoinRewrite)
+    ext.injectPlannerStrategy(_ => IndexedSpatialJoinStrategy)
   }
 }

@@ -1,0 +1,203 @@
+package graft.plans
+
+import graft.geom.{Geometry, Predicates, Wkb}
+import graft.sql.{GraftScalar, PreparedSide}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types.Decimal
+
+/** Planner strategy: an inner join whose condition is an `st_*` predicate
+  * (and no equi keys) with one SMALL side becomes an
+  * [[IndexedSpatialJoinExec]] instead of Spark's BroadcastNestedLoopJoin.
+  * The nested-loop plan evaluates the exact predicate — decoding BOTH
+  * geometries — for every (stream, build) pair; the indexed plan collects
+  * the small side once, broadcasts it, builds a packed STR-tree per
+  * executor, and per stream row pays one envelope scan + an O(log M) tree
+  * walk + exact kernels on true candidates only. Works for any
+  * `spark.sql(...)` text query or raw DataFrame join — the GeoDataFrame
+  * `sjoin` API is not required.
+  *
+  * Complements [[SpatialJoinRewrite]] (both sides large → grid equi-join,
+  * optimizer rule): this strategy fires only when the rewrite declined —
+  * one side below the broadcast threshold — and never on its output
+  * (the rewritten condition carries anchor-cell equi keys, which the
+  * equi-key guard rejects).
+  */
+object IndexedSpatialJoinStrategy extends SparkStrategy {
+
+  private val SUPPORTED = Set("st_intersects", "st_contains", "st_within",
+    "st_covers", "st_coveredby", "st_containsproperly", "st_touches",
+    "st_crosses", "st_overlaps", "st_equals")
+
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case Join(left, right, Inner, Some(cond), _)
+        if cond.deterministic &&
+          SQLConf.get.getConfString("spark.graft.sjoin.broadcast.index", "true").toBoolean =>
+      val conjuncts = splitConjuncts(cond)
+      def sided(a: Expression, b: Expression): Boolean =
+        a.references.nonEmpty && b.references.nonEmpty &&
+          a.references.subsetOf(left.outputSet) &&
+          b.references.subsetOf(right.outputSet)
+      // any equi key -> Spark's hash join on that key is the better frame
+      val hasEquiKey = conjuncts.exists {
+        case EqualTo(a, b)         => sided(a, b) || sided(b, a)
+        case EqualNullSafe(a, b)   => sided(a, b) || sided(b, a)
+        case _                     => false
+      }
+      if (hasEquiKey) return Nil
+      // (expr over left, expr over right, predicate, distance, firstArgIsLeft)
+      val spatial = conjuncts.collectFirst {
+        case p @ GraftScalar(name, Seq(a, b)) if SUPPORTED(name) && sided(a, b) =>
+          (p: Expression, a, b, name.stripPrefix("st_"), 0.0, true)
+        case p @ GraftScalar(name, Seq(a, b)) if SUPPORTED(name) && sided(b, a) =>
+          (p: Expression, b, a, name.stripPrefix("st_"), 0.0, false)
+        case p @ GraftScalar("st_dwithin", Seq(a, b, d)) if d.foldable && sided(a, b) =>
+          (p: Expression, a, b, "dwithin", foldDouble(d), true)
+        case p @ GraftScalar("st_dwithin", Seq(a, b, d)) if d.foldable && sided(b, a) =>
+          (p: Expression, b, a, "dwithin", foldDouble(d), false)
+      }
+      spatial match {
+        case Some((spatialPred, lGeom, rGeom, pred, dist, firstIsLeft)) =>
+          val residual = conjuncts.filterNot(_ eq spatialPred)
+            .reduceOption(And)
+          if (isSmall(right))
+            IndexedSpatialJoinExec(planLater(left), planLater(right), lGeom, rGeom,
+              pred, dist, firstIsLeft, buildRight = true, residual) :: Nil
+          else if (isSmall(left))
+            IndexedSpatialJoinExec(planLater(left), planLater(right), lGeom, rGeom,
+              pred, dist, firstIsLeft, buildRight = false, residual) :: Nil
+          else Nil
+        case None => Nil
+      }
+    case _ => Nil
+  }
+
+  private def foldDouble(e: Expression): Double = e.eval(null) match {
+    case d: java.lang.Double  => d
+    case f: java.lang.Float   => f.toDouble
+    case n: java.lang.Number  => n.doubleValue()
+    case d: Decimal           => d.toDouble
+    case _                    => 0.0
+  }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other     => Seq(other)
+  }
+
+  // same contract as GeoDataFrame.rightIsSmall: parquet-encoded stats must
+  // fit the broadcast threshold WITH the in-memory WKB expansion factor
+  private def isSmall(p: LogicalPlan): Boolean = {
+    val threshold = SQLConf.get.autoBroadcastJoinThreshold
+    threshold > 0 && p.stats.sizeInBytes * 8 < BigInt(threshold)
+  }
+}
+
+/** Physical indexed spatial join. The build (small) side is collected and
+  * broadcast ONCE as the rows plus a lazily-materialized
+  * [[graft.sql.PreparedSide]] (decoded geometries + packed STR-tree, built
+  * once per executor JVM); each stream row queries the tree with its
+  * envelope (dwithin: expanded by the distance) and runs the exact kernel
+  * on surviving candidates only, in the argument order the query wrote.
+  * Residual conjuncts are evaluated on the joined row, matching the
+  * nested-loop plan's condition semantics. Output rows are UnsafeRows, so
+  * any downstream exchange consumes them directly.
+  */
+case class IndexedSpatialJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    lGeom: Expression,
+    rGeom: Expression,
+    predicate: String,
+    distance: Double,
+    firstArgIsLeft: Boolean,
+    buildRight: Boolean,
+    residual: Option[Expression]) extends SparkPlan {
+
+  override def children: Seq[SparkPlan] = Seq(left, right)
+  override def output: Seq[Attribute] = left.output ++ right.output
+
+  override protected def withNewChildrenInternal(children: IndexedSeq[SparkPlan]): SparkPlan =
+    copy(left = children(0), right = children(1))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val (buildPlan, streamPlan) = if (buildRight) (right, left) else (left, right)
+    val buildGeom = BindReferences.bindReference(
+      if (buildRight) rGeom else lGeom, buildPlan.output)
+    val streamGeom = BindReferences.bindReference(
+      if (buildRight) lGeom else rGeom, streamPlan.output)
+    val buildSide = new SpatialBuildSide(buildPlan.executeCollect(), buildGeom)
+    val bc = sparkContext.broadcast(buildSide)
+    // does the probe (stream) geometry supply the predicate's FIRST arg?
+    val probeFirst = if (buildRight) firstArgIsLeft else !firstArgIsLeft
+    val pred = predicate
+    val dist = distance
+    val bRight = buildRight
+    val resExpr = residual
+    val outAttrs = output
+    streamPlan.execute().mapPartitions { iter =>
+      val side = bc.value
+      val prepared = side.prepared
+      val rows = side.rows
+      val kern: (Geometry, Geometry) => Boolean =
+        if (pred == "dwithin") null else PreparedSide.kernel(pred)
+      val joined = new JoinedRow
+      val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
+      val resPred = resExpr.map(Predicate.create(_, outAttrs))
+      resPred.foreach(_.initialize(0))
+      val d2 = dist * dist
+      iter.flatMap { streamRow =>
+        val bytes = streamGeom.eval(streamRow).asInstanceOf[Array[Byte]]
+        if (bytes == null) Iterator.empty
+        else {
+          val probeEnv = Wkb.envelopeOf(bytes)
+          val qEnv = if (pred == "dwithin") probeEnv.expand(dist) else probeEnv
+          val cand = prepared.tree.query(qEnv)
+          if (cand.length == 0) Iterator.empty
+          else {
+            var probe: Geometry = null
+            cand.iterator.flatMap { i =>
+              val ok =
+                if (pred == "dwithin") {
+                  val eb = prepared.envs(i)
+                  val dx = math.max(0.0, math.max(eb.minX - probeEnv.maxX, probeEnv.minX - eb.maxX))
+                  val dy = math.max(0.0, math.max(eb.minY - probeEnv.maxY, probeEnv.minY - eb.maxY))
+                  dx * dx + dy * dy <= d2 && {
+                    if (probe == null) probe = Wkb.read(bytes)
+                    Predicates.dWithin(probe, prepared.geoms(i), dist)
+                  }
+                } else {
+                  if (probe == null) probe = Wkb.read(bytes)
+                  if (probeFirst) kern(probe, prepared.geoms(i))
+                  else kern(prepared.geoms(i), probe)
+                }
+              if (!ok) Iterator.empty
+              else {
+                val j = if (bRight) joined(streamRow, rows(i)) else joined(rows(i), streamRow)
+                if (resPred.forall(_.eval(j))) Iterator.single(resultProj(j))
+                else Iterator.empty
+              }
+            }
+          }
+        }
+      }
+    }
+  }
+}
+
+/** Broadcast payload of [[IndexedSpatialJoinExec]]: the collected build
+  * rows plus the prepared index, materialized lazily so only the compact
+  * rows ship over the wire and the decode + tree build run once per
+  * executor JVM.
+  */
+final class SpatialBuildSide(
+    val rows: Array[InternalRow],
+    boundGeom: Expression) extends Serializable {
+  @transient lazy val prepared: PreparedSide = new PreparedSide(
+    rows.map(r => boundGeom.eval(r).asInstanceOf[Array[Byte]]))
+}

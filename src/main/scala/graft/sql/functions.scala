@@ -269,6 +269,9 @@ object functions {
     if (!spark.experimental.extraOptimizations.contains(graft.plans.SpatialJoinRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.SpatialJoinRewrite
+    if (!spark.experimental.extraStrategies.contains(graft.plans.IndexedSpatialJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.IndexedSpatialJoinStrategy
     val registry = spark.sessionState.functionRegistry
     if (registry.functionExists(
         org.apache.spark.sql.catalyst.FunctionIdentifier("st_union_agg"))) return

@@ -20,7 +20,26 @@ object GraftDefs {
   final case class Spec(in: Seq[AbsType], out: DataType, eval: Array[Any] => Any)
 
   // ------------------------------------------------------------- helpers
-  @inline private def geom(v: Any): Geometry = Wkb.read(v.asInstanceOf[Array[Byte]])
+  // Literal geometry arguments (clip masks, query points/boxes) arrive as
+  // the SAME Array[Byte] object on every row, while column values are
+  // fresh copies off the UnsafeRow — so a reference-keyed two-slot memo
+  // turns the per-row decode of a hot literal into a pointer compare, with
+  // no content hashing and no aliasing hazard (Spark literals are
+  // immutable; column reads allocate). Thread-local: expressions evaluate
+  // on task threads.
+  private val geomMemo = new ThreadLocal[Array[AnyRef]] {
+    override def initialValue(): Array[AnyRef] = new Array[AnyRef](4)
+  }
+  private def geom(v: Any): Geometry = {
+    val b = v.asInstanceOf[Array[Byte]]
+    val m = geomMemo.get()
+    if (m(0) eq b) m(1).asInstanceOf[Geometry]
+    else {
+      val g = if (m(2) eq b) m(3).asInstanceOf[Geometry] else Wkb.read(b)
+      m(2) = m(0); m(3) = m(1); m(0) = b; m(1) = g
+      g
+    }
+  }
   // envelope without decoding (WkbProfile: decode is ~84% of predicate
   // wall time) — for every expression that consumes only the bbox
   @inline private def env(v: Any): Envelope = Wkb.envelopeOf(v.asInstanceOf[Array[Byte]])

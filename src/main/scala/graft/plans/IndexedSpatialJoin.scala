@@ -5,14 +5,15 @@ import graft.sql.{GraftScalar, PreparedSide}
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftOuter, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
 import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types.Decimal
 
-/** Planner strategy: an inner join whose condition is an `st_*` predicate
-  * (and no equi keys) with one SMALL side becomes an
+/** Planner strategy: an inner / left-outer / right-outer join whose
+  * condition is an `st_*` predicate (and no equi keys) with a SMALL
+  * build side (the non-preserved side, for outer joins) becomes an
   * [[IndexedSpatialJoinExec]] instead of Spark's BroadcastNestedLoopJoin.
   * The nested-loop plan evaluates the exact predicate — decoding BOTH
   * geometries — for every (stream, build) pair; the indexed plan collects
@@ -35,7 +36,7 @@ object IndexedSpatialJoinStrategy extends SparkStrategy {
     "st_crosses", "st_overlaps", "st_equals")
 
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case Join(left, right, Inner, Some(cond), _)
+    case Join(left, right, joinType @ (Inner | LeftOuter | RightOuter), Some(cond), _)
         if cond.deterministic &&
           SQLConf.get.getConfString("spark.graft.sjoin.broadcast.index", "true").toBoolean =>
       val conjuncts = splitConjuncts(cond)
@@ -65,13 +66,18 @@ object IndexedSpatialJoinStrategy extends SparkStrategy {
         case Some((spatialPred, lGeom, rGeom, pred, dist, firstIsLeft)) =>
           val residual = conjuncts.filterNot(_ eq spatialPred)
             .reduceOption(And)
-          if (isSmall(right))
+          // outer joins must stream the preserved side: the build side is
+          // forced to the non-preserved one
+          def exec(buildRight: Boolean) =
             IndexedSpatialJoinExec(planLater(left), planLater(right), lGeom, rGeom,
-              pred, dist, firstIsLeft, buildRight = true, residual) :: Nil
-          else if (isSmall(left))
-            IndexedSpatialJoinExec(planLater(left), planLater(right), lGeom, rGeom,
-              pred, dist, firstIsLeft, buildRight = false, residual) :: Nil
-          else Nil
+              pred, dist, firstIsLeft, buildRight, joinType, residual) :: Nil
+          joinType match {
+            case Inner if isSmall(right)      => exec(buildRight = true)
+            case Inner if isSmall(left)       => exec(buildRight = false)
+            case LeftOuter if isSmall(right)  => exec(buildRight = true)
+            case RightOuter if isSmall(left)  => exec(buildRight = false)
+            case _                            => Nil
+          }
         case None => Nil
       }
     case _ => Nil
@@ -117,10 +123,15 @@ case class IndexedSpatialJoinExec(
     distance: Double,
     firstArgIsLeft: Boolean,
     buildRight: Boolean,
+    joinType: JoinType,
     residual: Option[Expression]) extends SparkPlan {
 
   override def children: Seq[SparkPlan] = Seq(left, right)
-  override def output: Seq[Attribute] = left.output ++ right.output
+  override def output: Seq[Attribute] = joinType match {
+    case LeftOuter  => left.output ++ right.output.map(_.withNullability(true))
+    case RightOuter => left.output.map(_.withNullability(true)) ++ right.output
+    case _          => left.output ++ right.output
+  }
 
   override protected def withNewChildrenInternal(children: IndexedSeq[SparkPlan]): SparkPlan =
     copy(left = children(0), right = children(1))
@@ -140,6 +151,8 @@ case class IndexedSpatialJoinExec(
     val bRight = buildRight
     val resExpr = residual
     val outAttrs = output
+    val outer = joinType != Inner
+    val buildWidth = buildPlan.output.size
     streamPlan.execute().mapPartitions { iter =>
       val side = bc.value
       val prepared = side.prepared
@@ -150,41 +163,49 @@ case class IndexedSpatialJoinExec(
       val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
       val resPred = resExpr.map(Predicate.create(_, outAttrs))
       resPred.foreach(_.initialize(0))
+      // null-padded build side for preserved stream rows with no match
+      val nullBuild: InternalRow = new GenericInternalRow(buildWidth)
       val d2 = dist * dist
+      def emit(streamRow: InternalRow, build: InternalRow): InternalRow =
+        resultProj(if (bRight) joined(streamRow, build) else joined(build, streamRow))
       iter.flatMap { streamRow =>
+        // phase 1: matched build indices (JoinedRow is a view — rebuild at
+        // emit time, so no row copies are buffered)
+        val matched = new scala.collection.mutable.ArrayBuilder.ofInt
         val bytes = streamGeom.eval(streamRow).asInstanceOf[Array[Byte]]
-        if (bytes == null) Iterator.empty
-        else {
+        if (bytes != null) {
           val probeEnv = Wkb.envelopeOf(bytes)
           val qEnv = if (pred == "dwithin") probeEnv.expand(dist) else probeEnv
           val cand = prepared.tree.query(qEnv)
-          if (cand.length == 0) Iterator.empty
-          else {
-            var probe: Geometry = null
-            cand.iterator.flatMap { i =>
-              val ok =
-                if (pred == "dwithin") {
-                  val eb = prepared.envs(i)
-                  val dx = math.max(0.0, math.max(eb.minX - probeEnv.maxX, probeEnv.minX - eb.maxX))
-                  val dy = math.max(0.0, math.max(eb.minY - probeEnv.maxY, probeEnv.minY - eb.maxY))
-                  dx * dx + dy * dy <= d2 && {
-                    if (probe == null) probe = Wkb.read(bytes)
-                    Predicates.dWithin(probe, prepared.geoms(i), dist)
-                  }
-                } else {
+          var probe: Geometry = null
+          var k = 0
+          while (k < cand.length) {
+            val i = cand(k)
+            val ok =
+              if (pred == "dwithin") {
+                val eb = prepared.envs(i)
+                val dx = math.max(0.0, math.max(eb.minX - probeEnv.maxX, probeEnv.minX - eb.maxX))
+                val dy = math.max(0.0, math.max(eb.minY - probeEnv.maxY, probeEnv.minY - eb.maxY))
+                dx * dx + dy * dy <= d2 && {
                   if (probe == null) probe = Wkb.read(bytes)
-                  if (probeFirst) kern(probe, prepared.geoms(i))
-                  else kern(prepared.geoms(i), probe)
+                  Predicates.dWithin(probe, prepared.geoms(i), dist)
                 }
-              if (!ok) Iterator.empty
-              else {
-                val j = if (bRight) joined(streamRow, rows(i)) else joined(rows(i), streamRow)
-                if (resPred.forall(_.eval(j))) Iterator.single(resultProj(j))
-                else Iterator.empty
+              } else {
+                if (probe == null) probe = Wkb.read(bytes)
+                if (probeFirst) kern(probe, prepared.geoms(i))
+                else kern(prepared.geoms(i), probe)
               }
+            if (ok) {
+              val j = if (bRight) joined(streamRow, rows(i)) else joined(rows(i), streamRow)
+              if (resPred.forall(_.eval(j))) matched += i
             }
+            k += 1
           }
         }
+        val m = matched.result()
+        if (m.length == 0) {
+          if (outer) Iterator.single(emit(streamRow, nullBuild)) else Iterator.empty
+        } else m.iterator.map(i => emit(streamRow, rows(i)))
       }
     }
   }

@@ -118,6 +118,45 @@ class IndexedSpatialJoinSpec extends AnyFunSuite {
     assert(got == withStrategy(false) { rows(pts.join(boxes, cond)) } && got.nonEmpty)
   }
 
+  test("LEFT OUTER st_* joins take the indexed plan and null-pad") {
+    val q = () => pts.join(boxes, st_within(col("g"), col("bg")), "left")
+      .select(col("pid"), col("bid"))
+    val got = withStrategy(true) {
+      val df = q()
+      assert(df.queryExecution.executedPlan.toString.contains("IndexedSpatialJoin"))
+      df.collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq.sorted
+    }
+    val want = withStrategy(false) {
+      q().collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq.sorted
+    }
+    assert(got == want && got.nonEmpty)
+    // all 400 pts preserved; at least one unmatched null-padded row
+    assert(got.map(_._1).distinct.size == 400)
+    assert(got.exists(_._2 == -1L))
+  }
+
+  test("RIGHT OUTER with a small left side builds left and null-pads") {
+    val ptsStats = pts.queryExecution.optimizedPlan.stats.sizeInBytes
+    val boxStats = boxes.queryExecution.optimizedPlan.stats.sizeInBytes
+    val threshold = (boxStats * 8 + ptsStats * 8) / 2
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold.toString)
+    try {
+      // small boxes LEFT, large pts RIGHT, right outer -> build left
+      val q = () => boxes.join(pts, st_contains(col("bg"), col("g")), "right")
+        .select(col("pid"), col("bid"))
+      val got = withStrategy(true) {
+        val df = q()
+        assert(df.queryExecution.executedPlan.toString.contains("IndexedSpatialJoin"))
+        df.collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq.sorted
+      }
+      val want = withStrategy(false) {
+        q().collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq.sorted
+      }
+      assert(got == want && got.nonEmpty)
+      assert(got.map(_._1).distinct.size == 400)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("equi-key joins are left to Spark's hash join") {
     val withK = boxes.withColumn("k", col("bid") % 5)
     val ptsK = pts.withColumn("k", col("pid") % 5)

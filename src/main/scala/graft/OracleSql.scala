@@ -299,6 +299,12 @@ object OracleSql {
       WHERE $pipCond
       ORDER BY c_custkey, r_regionkey""",
 
+    "g75_sql_spatial_join" -> s"""
+      SELECT c_custkey, r_regionkey::BIGINT AS r_regionkey
+      FROM ($custPts) CROSS JOIN region
+      WHERE $pipCond
+      ORDER BY c_custkey, r_regionkey""",
+
     "g72_sjoin_on_attribute" -> s"""
       SELECT c_custkey, r_regionkey::BIGINT AS r_regionkey
       FROM ($custPts) CROSS JOIN region

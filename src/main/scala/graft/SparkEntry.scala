@@ -980,6 +980,19 @@ object SparkEntry {
         .orderBy(col("c_custkey"), col("s_suppkey"))
     }),
 
+    // planner strategy through plain spark.sql (no GeoDataFrame API): the
+    // st_within join with the small triangle side plans as
+    // IndexedSpatialJoinExec (plans/IndexedSpatialJoin.scala) — same result
+    // contract as g03, different entry point and physical route
+    "g75_sql_spatial_join" -> ((s, d) => {
+      customerPts(s, d).createOrReplaceTempView("g75_pts")
+      regionTris(s, d).createOrReplaceTempView("g75_tris")
+      s.sql("""
+        SELECT c_custkey, CAST(r_regionkey AS BIGINT) AS r_regionkey
+        FROM g75_pts p JOIN g75_tris t ON st_within(p.geometry, t.geometry)
+        ORDER BY c_custkey, r_regionkey""")
+    }),
+
     "g40_sjoin_nearest" -> ((s, d) => {
       val cust = GeoDataFrame(customerPts(s, d))
       val supp = GeoDataFrame(t(s, d, "supplier")

@@ -126,6 +126,14 @@ case class IndexedSpatialJoinExec(
     joinType: JoinType,
     residual: Option[Expression]) extends SparkPlan {
 
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "buildRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "build side rows"),
+    "candidateRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "tree candidate pairs tested"))
+
   override def children: Seq[SparkPlan] = Seq(left, right)
   override def output: Seq[Attribute] = joinType match {
     case LeftOuter  => left.output ++ right.output.map(_.withNullability(true))
@@ -143,7 +151,10 @@ case class IndexedSpatialJoinExec(
     val streamGeom = BindReferences.bindReference(
       if (buildRight) lGeom else rGeom, streamPlan.output)
     val buildSide = new SpatialBuildSide(buildPlan.executeCollect(), buildGeom)
+    longMetric("buildRows") += buildSide.rows.length
     val bc = sparkContext.broadcast(buildSide)
+    val numOutputRows = longMetric("numOutputRows")
+    val candidateRows = longMetric("candidateRows")
     // does the probe (stream) geometry supply the predicate's FIRST arg?
     val probeFirst = if (buildRight) firstArgIsLeft else !firstArgIsLeft
     val pred = predicate
@@ -177,6 +188,7 @@ case class IndexedSpatialJoinExec(
           val probeEnv = Wkb.envelopeOf(bytes)
           val qEnv = if (pred == "dwithin") probeEnv.expand(dist) else probeEnv
           val cand = prepared.tree.query(qEnv)
+          candidateRows += cand.length
           var probe: Geometry = null
           var k = 0
           while (k < cand.length) {
@@ -204,8 +216,12 @@ case class IndexedSpatialJoinExec(
         }
         val m = matched.result()
         if (m.length == 0) {
-          if (outer) Iterator.single(emit(streamRow, nullBuild)) else Iterator.empty
-        } else m.iterator.map(i => emit(streamRow, rows(i)))
+          if (outer) { numOutputRows += 1; Iterator.single(emit(streamRow, nullBuild)) }
+          else Iterator.empty
+        } else {
+          numOutputRows += m.length
+          m.iterator.map(i => emit(streamRow, rows(i)))
+        }
       }
     }
   }

@@ -993,6 +993,20 @@ object SparkEntry {
         ORDER BY c_custkey, r_regionkey""")
     }),
 
+    // kNN join (beyond the reference; Sedona/PostGIS-KNN territory): each
+    // customer point joins its 3 nearest supplier points, rank<=3 ties kept
+    "g76_sjoin_knn" -> ((s, d) => {
+      val cust = GeoDataFrame(customerPts(s, d))
+      val supp = GeoDataFrame(t(s, d, "supplier")
+        .withColumn("sx", col("s_acctbal"))
+        .withColumn("sy", (col("s_suppkey") % 1000).cast("double"))
+        .withColumn("geometry", st_point(col("sx"), col("sy"))))
+      cust.sjoinKnnBroadcast(supp, k = 3)
+        .select(col("c_custkey"), col("s_suppkey"),
+          round(col("dist"), 4).as("dist"))
+        .orderBy(col("c_custkey"), col("s_suppkey"))
+    }),
+
     "g40_sjoin_nearest" -> ((s, d) => {
       val cust = GeoDataFrame(customerPts(s, d))
       val supp = GeoDataFrame(t(s, d, "supplier")

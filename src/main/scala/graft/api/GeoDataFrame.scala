@@ -851,9 +851,41 @@ final case class GeoDataFrame(
       rsuffix: String = "_right",
       distanceCol: String = "dist",
       how: String = "inner",
+      exclusive: Boolean = false): DataFrame =
+    knnBroadcast(right, 1, maxDistance, rsuffix, distanceCol, how, exclusive)
+
+  /** k-nearest-neighbors join against a SMALL right side (an extension past
+    * the geopandas surface — the operator its users reach for Sedona /
+    * PostGIS KNN (`<->` LIMIT k) for): each left row joins its k nearest
+    * right rows by branch-and-bound over the prepared STR-tree, with the
+    * `rank() <= k` tie contract (every right row tied at the k-th distance
+    * is kept, so results are deterministic under distance ties). Same
+    * plumbing and guarantees as [[sjoinNearestBroadcast]]: optional
+    * inclusive `maxDistance`, `exclusive` self-match skip, `how="left"`
+    * null-padding, left side never shuffles.
+    */
+  def sjoinKnnBroadcast(
+      right: GeoDataFrame,
+      k: Int,
+      maxDistance: Double = Double.PositiveInfinity,
+      rsuffix: String = "_right",
+      distanceCol: String = "dist",
+      how: String = "inner",
       exclusive: Boolean = false): DataFrame = {
+    require(k >= 1, "sjoinKnnBroadcast requires k >= 1")
+    knnBroadcast(right, k, maxDistance, rsuffix, distanceCol, how, exclusive)
+  }
+
+  private def knnBroadcast(
+      right: GeoDataFrame,
+      k: Int,
+      maxDistance: Double,
+      rsuffix: String,
+      distanceCol: String,
+      how: String,
+      exclusive: Boolean): DataFrame = {
     require(Set("inner", "left").contains(how),
-      s"unknown sjoinNearestBroadcast how '$how' (inner | left)")
+      s"unknown nearest-join how '$how' (inner | left)")
     val rightRenamed = right.df.columns.foldLeft(right.df) { (acc, c) =>
       if (df.columns.contains(c)) acc.withColumnRenamed(c, c + rsuffix) else acc
     }
@@ -864,7 +896,7 @@ final case class GeoDataFrame(
     val probe = org.apache.spark.sql.GraftInterop.column(
       graft.sql.IndexedNearestProbe(
         org.apache.spark.sql.GraftInterop.expression(df(geometryColumn)),
-        maxDistance, exclusive, bc))
+        maxDistance, exclusive, bc, k))
     val nnCol = "_sjoin_nn"
     val exploded = how match {
       case "inner" => df.withColumn(nnCol, explode(probe))

@@ -101,6 +101,75 @@ final class StrTree private (
     }
   }
 
+  /** k-nearest with the `rank() <= k` tie contract: item i is kept iff
+    * fewer than k items are STRICTLY closer — all ties at the k-th
+    * distance survive (the same semantics the window-rank formulation of
+    * a nearest join produces). Two phases: classic branch-and-bound kNN
+    * establishes the k-th-smallest distance T, then a range pass collects
+    * every item with exact distance <= T and applies the rank filter.
+    * Results sorted by (distance, index). `exact(i)` = NaN skips item i.
+    */
+  def kNearest(probe: Envelope, k: Int, maxDist: Double,
+      exact: Int => Double): Array[(Int, Double)] = {
+    if (isEmpty || probe.isEmpty || k <= 0) return Array.empty
+    // phase 1: max-heap of the k smallest exact distances
+    val heap = new java.util.PriorityQueue[java.lang.Double](
+      k, java.util.Collections.reverseOrder[java.lang.Double]())
+    def bound: Double = if (heap.size < k) maxDist else math.min(maxDist, heap.peek)
+    val pq = new java.util.PriorityQueue[Array[Double]](
+      11, (a: Array[Double], b: Array[Double]) => java.lang.Double.compare(a(0), b(0)))
+    val top = levels.length - 1
+    var i = 0
+    val topCount = levels(top).length / 4
+    while (i < topCount) {
+      val lb = boxGap(probe, levels(top), i * 4)
+      if (lb <= bound) pq.add(Array(lb, top.toDouble, i.toDouble))
+      i += 1
+    }
+    var break = false
+    while (!break && !pq.isEmpty) {
+      val e = pq.poll()
+      if (e(0) > bound) break = true
+      else {
+        val level = e(1).toInt; val node = e(2).toInt
+        if (level == 0) {
+          val d = exact(leafItem(node))
+          if (d <= bound) { // NaN compares false
+            heap.add(d)
+            if (heap.size > k) heap.poll()
+          }
+        } else {
+          val childCount = levels(level - 1).length / 4
+          var c = node * StrTree.Fanout
+          val end = math.min(c + StrTree.Fanout, childCount)
+          while (c < end) {
+            val lb = boxGap(probe, levels(level - 1), c * 4)
+            if (lb <= bound) pq.add(Array(lb, (level - 1).toDouble, c.toDouble))
+            c += 1
+          }
+        }
+      }
+    }
+    if (heap.isEmpty) return Array.empty
+    val t = heap.peek.doubleValue // k-th smallest found (or the overall max if < k items)
+    // phase 2: exact distance <= t implies envelope gap <= t
+    val hits = query(probe.expand(t)).flatMap { i =>
+      val d = exact(i)
+      if (d <= t) Some((i, d)) else None
+    }.sortBy(x => (x._2, x._1))
+    // rank filter: a run of equal distances survives iff the count of
+    // strictly-closer items is < k
+    val out = scala.collection.mutable.ArrayBuffer[(Int, Double)]()
+    var j = 0
+    while (j < hits.length) {
+      var runEnd = j
+      while (runEnd < hits.length && hits(runEnd)._2 == hits(j)._2) runEnd += 1
+      if (j < k) out ++= hits.slice(j, runEnd)
+      j = runEnd
+    }
+    out.toArray
+  }
+
   // gap between the probe envelope and the node box at offset o — a lower
   // bound for the distance of any geometry pair inside them
   private def boxGap(p: Envelope, e: Array[Double], o: Int): Double = {

@@ -137,7 +137,10 @@ case class IndexedNearestProbe(
     child: Expression,
     maxDistance: Double,
     exclusive: Boolean,
-    index: Broadcast[PreparedSide])
+    index: Broadcast[PreparedSide],
+    // k-nearest generalization (rank() <= k tie contract); k = 1 takes the
+    // single-pass tie-tracking nearest search
+    k: Int = 1)
   extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[AbsType] = Seq(BinaryType)
@@ -155,18 +158,23 @@ case class IndexedNearestProbe(
     if (probeEnv.isEmpty)
       return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
     var probe: Geometry = null
-    val (ties, best) = side.tree.nearest(probeEnv, maxDistance, { i =>
+    val exact = { (i: Int) =>
       if (probe == null) probe = Wkb.read(bytes)
       val g = side.geoms(i)
       val d = graft.geom.Measures.distance(probe, g)
       if (exclusive && d == 0.0 && Predicates.geomEquals(probe, g)) Double.NaN else d
-    })
-    val rows = new Array[Any](ties.length)
-    var k = 0
-    while (k < ties.length) {
-      rows(k) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-        Array[Any](ties(k), best))
-      k += 1
+    }
+    val hits: Array[(Int, Double)] =
+      if (k == 1) {
+        val (ties, best) = side.tree.nearest(probeEnv, maxDistance, exact)
+        ties.map(i => (i, best))
+      } else side.tree.kNearest(probeEnv, k, maxDistance, exact)
+    val rows = new Array[Any](hits.length)
+    var j = 0
+    while (j < hits.length) {
+      rows(j) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](hits(j)._1, hits(j)._2))
+      j += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
   }

@@ -166,6 +166,33 @@ class IndexedSjoinSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("sjoinKnnBroadcast matches brute-force rank()<=k") {
+    val joined = withIndex(false) {
+      leftG.sjoin(rightG, predicate = "dwithin", strategy = "broadcast", distance = 1e9)
+    }.withColumn("d", graft.sql.functions.st_distance(col("geometry"), col("geometry_right")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lid")).orderBy(col("d"))
+    for (k <- Seq(1, 3, 5)) {
+      val want = joined.withColumn("_rk", rank().over(w)).filter(col("_rk") <= k)
+        .select(col("lid"), col("rid"), round(col("d"), 9).as("d"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
+      val got = leftG.sjoinKnnBroadcast(rightG, k)
+        .select(col("lid"), col("rid"), round(col("dist"), 9).as("d"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
+      assert(got == want, s"k=$k got=${got.size} want=${want.size}")
+      assert(got.nonEmpty)
+    }
+  }
+
+  test("sjoinKnnBroadcast respects maxDistance and how=left") {
+    val k = 3; val d = 8.0
+    val inner = leftG.sjoinKnnBroadcast(rightG, k, maxDistance = d)
+    assert(inner.filter(col("dist") > d).count() == 0)
+    val left = leftG.sjoinKnnBroadcast(rightG, k, maxDistance = d, how = "left")
+    assert(left.select(col("lid")).distinct().count() == leftG.df.count())
+    assert(left.filter(col("rid").isNull).count() > 0)
+  }
+
   test("sjoinNearestBroadcast exclusive drops the coincident self-match") {
     // right side = a copy of some left points: nearest of each is itself at
     // distance 0 unless exclusive

@@ -67,6 +67,43 @@ class StrTreeSpec extends AnyFunSuite {
     }
   }
 
+  test("kNearest matches brute-force rank()<=k incl. tie runs") {
+    val rnd = new scala.util.Random(123)
+    for (n <- Seq(1, 10, 300, 2000); k <- Seq(1, 3, 7)) {
+      val envs = Array.fill(n)(randEnv(rnd))
+      val tree = StrTree.build(envs)
+      for (_ <- 0 until 10) {
+        val px = rnd.nextDouble() * 1000; val py = rnd.nextDouble() * 1000
+        val probe = Envelope(px, py, px, py)
+        // quantize UPWARD so tie runs appear while exact stays >= the
+        // envelope-gap lower bound (the branch-and-bound contract)
+        def exact(i: Int): Double =
+          math.ceil(math.hypot(envs(i).midX - px, envs(i).midY - py) / 50.0) * 50.0
+        val got = tree.kNearest(probe, k, Double.PositiveInfinity, exact).toSeq
+        val all = (0 until n).map(i => (i, exact(i))).sortBy(t => (t._2, t._1))
+        val want = all.filter { case (_, d) => all.count(_._2 < d) < k }
+        assert(got == want, s"n=$n k=$k")
+        // k=1 agrees with nearest()
+        if (k == 1) {
+          val (ties, best) = tree.nearest(probe, Double.PositiveInfinity, exact)
+          assert(got.map(_._1) == ties.toSeq && got.forall(_._2 == best))
+        }
+      }
+    }
+  }
+
+  test("kNearest honors maxDist and NaN exclusion") {
+    val envs = Array(Envelope(0, 0, 1, 1), Envelope(5, 5, 6, 6), Envelope(20, 20, 21, 21))
+    val tree = StrTree.build(envs)
+    // exact >= envelope gap (0, ~7.07, ~28.28): the bound contract
+    def exact(i: Int): Double = Seq(1.0, 7.2, 28.3)(i)
+    assert(tree.kNearest(Envelope(0, 0, 0, 0), 3, 10.0, exact).toSeq ==
+      Seq((0, 1.0), (1, 7.2)))
+    def exactSkip(i: Int): Double = if (i == 0) Double.NaN else exact(i)
+    assert(tree.kNearest(Envelope(0, 0, 0, 0), 1, 100.0, exactSkip).toSeq ==
+      Seq((1, 7.2)))
+  }
+
   test("nearest skips NaN (excluded) items") {
     val envs = Array(Envelope(0, 0, 1, 1), Envelope(10, 10, 11, 11))
     val tree = StrTree.build(envs)

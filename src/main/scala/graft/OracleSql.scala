@@ -889,6 +889,21 @@ object OracleSql {
       FROM k WHERE rk = 1
       ORDER BY c_custkey, s_suppkey""",
 
+    // distributed expanding-ring kNN: same oracle as the broadcast kNN —
+    // global rank over the cross join, rank<=3 keeps k-th ties
+    "g77_sjoin_knn_expand" -> s"""
+      WITH l AS (SELECT c_custkey, cx, cy FROM ($custPts)),
+      r AS (SELECT s_suppkey, s_acctbal AS sx, (s_suppkey % 1000)::DOUBLE AS sy
+            FROM supplier),
+      c AS (SELECT c_custkey, s_suppkey,
+              sqrt((cx - sx) * (cx - sx) + (cy - sy) * (cy - sy)) AS dist
+            FROM l CROSS JOIN r),
+      k AS (SELECT *, rank() OVER (PARTITION BY c_custkey ORDER BY dist) AS rk
+            FROM c)
+      SELECT c_custkey, s_suppkey, round(dist, 4) AS dist
+      FROM k WHERE rk <= 3
+      ORDER BY c_custkey, s_suppkey""",
+
     // kNN join: global rank over the cross join, rank<=3 keeps k-th ties
     "g76_sjoin_knn" -> s"""
       WITH l AS (SELECT c_custkey, cx, cy FROM ($custPts)),

@@ -1007,6 +1007,24 @@ object SparkEntry {
         .orderBy(col("c_custkey"), col("s_suppkey"))
     }),
 
+    // distributed kNN for large-large inputs: expanding-ring grid probes, a
+    // row completes once it holds >= k candidates in radius (then its
+    // rank<=k set is globally exact). Same result contract as g76's
+    // broadcast kNN — different 100 TB plan (no collect, both sides
+    // stay distributed)
+    "g77_sjoin_knn_expand" -> ((s, d) => {
+      val cust = GeoDataFrame(customerPts(s, d))
+      val supp = GeoDataFrame(t(s, d, "supplier")
+        .withColumn("sx", col("s_acctbal"))
+        .withColumn("sy", (col("s_suppkey") % 1000).cast("double"))
+        .withColumn("geometry", st_point(col("sx"), col("sy"))))
+      cust.sjoinNearestExpanding(supp, leftKey = "c_custkey",
+          seedDistance = 50.0, cellSize = 100.0, k = 3)
+        .select(col("c_custkey"), col("s_suppkey"),
+          round(col("dist"), 4).as("dist"))
+        .orderBy(col("c_custkey"), col("s_suppkey"))
+    }),
+
     "g40_sjoin_nearest" -> ((s, d) => {
       val cust = GeoDataFrame(customerPts(s, d))
       val supp = GeoDataFrame(t(s, d, "supplier")

@@ -731,8 +731,30 @@ final case class GeoDataFrame(
       rsuffix: String = "_right",
       distanceCol: String = "dist",
       how: String = "inner",
-      exclusive: Boolean = false): DataFrame = {
+      exclusive: Boolean = false,
+      // k-nearest generalization with the rank()<=k tie contract (k=1 is
+      // exactly geopandas sjoin_nearest); same single grid-join plan
+      k: Int = 1): DataFrame =
+    sjoinNearestImpl(right, leftKey, maxDistance, cellSize, rsuffix,
+      distanceCol, how, exclusive, k).drop("_cand_n")
+
+  /** [[sjoinNearest]] plus a `_cand_n` column counting each left row's
+    * dwithin candidates inside the radius — the completeness witness the
+    * expanding-ring driver needs (a row with >= k candidates within d has
+    * its true k-th distance <= d, so its rank<=k set is globally exact).
+    */
+  private def sjoinNearestImpl(
+      right: GeoDataFrame,
+      leftKey: String,
+      maxDistance: Double,
+      cellSize: Double,
+      rsuffix: String,
+      distanceCol: String,
+      how: String,
+      exclusive: Boolean,
+      k: Int): DataFrame = {
     require(maxDistance > 0, "sjoinNearest requires a positive maxDistance")
+    require(k >= 1, "sjoinNearest requires k >= 1")
     require(Set("inner", "left").contains(how),
       s"unknown sjoinNearest how '$how' (inner | left)")
     val rGeomName =
@@ -752,8 +774,10 @@ final case class GeoDataFrame(
       else cands0
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(leftKey)).orderBy(col(distanceCol))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col(leftKey))
     val nearest = cands.withColumn("_rk", rank().over(w))
-      .filter(col("_rk") === 1).drop("_rk")
+      .withColumn("_cand_n", org.apache.spark.sql.functions.count(lit(1)).over(wAll))
+      .filter(col("_rk") <= k).drop("_rk")
     how match {
       case "inner" => nearest
       case "left" =>
@@ -799,8 +823,16 @@ final case class GeoDataFrame(
       rsuffix: String = "_right",
       distanceCol: String = "dist",
       exclusive: Boolean = false,
-      maxRounds: Int = 16): DataFrame = {
+      maxRounds: Int = 16,
+      // distributed kNN join for large-large inputs (rank()<=k ties kept):
+      // a left row COMPLETES at radius d only once it holds >= k candidates
+      // within d — then its true k-th distance is <= d and every rank<=k
+      // candidate has been surfaced by the dwithin grid join, so the
+      // per-row top-k is globally exact. k=1 degenerates to the geopandas
+      // unbounded sjoin_nearest semantics.
+      k: Int = 1): DataFrame = {
     require(seedDistance > 0, "sjoinNearestExpanding requires a positive seedDistance")
+    require(k >= 1, "sjoinNearestExpanding requires k >= 1")
     var remaining = this
     var out: Option[DataFrame] = None
     var dist = seedDistance
@@ -808,8 +840,9 @@ final case class GeoDataFrame(
     var round = 0
     var done = false
     while (round <= maxRounds && !done) {
-      val matched = remaining.sjoinNearest(right, leftKey, dist, cell,
-        rsuffix, distanceCol, how = "inner", exclusive = exclusive)
+      val matched = remaining.sjoinNearestImpl(right, leftKey, dist, cell,
+        rsuffix, distanceCol, how = "inner", exclusive = exclusive, k = k)
+        .filter(col("_cand_n") >= k).drop("_cand_n")
       out = Some(out.map(_.unionByName(matched)).getOrElse(matched))
       val rest = remaining.df
         .join(matched.select(col(leftKey)).distinct(), Seq(leftKey), "left_anti")
@@ -824,8 +857,9 @@ final case class GeoDataFrame(
       }
     }
     if (!done) throw new IllegalStateException(
-      s"sjoinNearestExpanding: rows still unmatched after $maxRounds doublings " +
-        s"(radius ${dist / 2}) — empty right side in their region? Raise seedDistance/maxRounds")
+      s"sjoinNearestExpanding: rows still incomplete after $maxRounds doublings " +
+        s"(radius ${dist / 2}) — fewer than k=$k right rows in their region? " +
+        "Raise seedDistance/maxRounds")
     out.get
   }
 

@@ -336,7 +336,7 @@ class GeoDataFrameSpec extends AnyFunSuite {
       left.sjoinNearestExpanding(right, leftKey = "lid",
         seedDistance = 2.0, cellSize = 4.0, maxRounds = 2)
     }
-    assert(err.getMessage.contains("unmatched"))
+    assert(err.getMessage.contains("incomplete"))
   }
 
   test("overlay intersection/difference incl. multipolygon subtrahend and no-hit passthrough") {

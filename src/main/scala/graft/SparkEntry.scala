@@ -1019,7 +1019,7 @@ object SparkEntry {
         .withColumn("sy", (col("s_suppkey") % 1000).cast("double"))
         .withColumn("geometry", st_point(col("sx"), col("sy"))))
       cust.sjoinNearestExpanding(supp, leftKey = "c_custkey",
-          seedDistance = 50.0, cellSize = 100.0, k = 3)
+          seedDistance = 200.0, cellSize = 400.0, k = 3)
         .select(col("c_custkey"), col("s_suppkey"),
           round(col("dist"), 4).as("dist"))
         .orderBy(col("c_custkey"), col("s_suppkey"))

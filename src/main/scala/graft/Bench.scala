@@ -173,11 +173,18 @@ object Bench {
     val calWorst = (Seq(calBefore, calAfter) ++ calProbes).max
     val degraded = math.max(calBefore, calAfter) > 2.0 * CalibrationRef ||
       calProbes.exists(_ > 3.0 * CalibrationRef)
+    // continuous slowdown estimate beside the binary flag: the median of
+    // ALL calibration readings over the quiet-VM reference. A run can sit
+    // below the degraded threshold yet still be uniformly ~1.5-1.9x slow
+    // (hypervisor sharing) — cross-round timing comparisons should divide
+    // by this ratio first
+    val calAll = (Seq(calBefore, calAfter) ++ calProbes).sorted
+    val calRatio = calAll(calAll.length / 2) / CalibrationRef
     val probesJson = calProbes.map(p => f"$p%.4f").mkString("[", ",", "]")
     val retriesJson = retries.map { case (n, (first, retry)) =>
       "\"" + n + "\":{\"first\":" + first + ",\"retry\":" + retry + "}"
     }.mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","iterations":$iters,"aggregation":"median","failed":$failed,"calibration_s":$calWorst,"calibration_before_s":$calBefore,"calibration_after_s":$calAfter,"calibration_probes_s":$probesJson,"calibration_ref_s":$CalibrationRef,"degraded":$degraded,"retried":${retries.size},"retries":$retriesJson,"queries":$qs,"sf":"${jesc(sfDir)}"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","iterations":$iters,"aggregation":"median","failed":$failed,"calibration_s":$calWorst,"calibration_before_s":$calBefore,"calibration_after_s":$calAfter,"calibration_probes_s":$probesJson,"calibration_ref_s":$CalibrationRef,"calibration_ratio":${f"$calRatio%.2f"},"degraded":$degraded,"retried":${retries.size},"retries":$retriesJson,"queries":$qs,"sf":"${jesc(sfDir)}"}"""
     println(json)
     // also persist to a file: the driver captures a stdout TAIL, and with
     // ~100 queries the one-line JSON can exceed the captured suffix — the

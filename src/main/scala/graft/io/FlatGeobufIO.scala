@@ -984,7 +984,7 @@ object FlatGeobufIO {
   /** One task's slice: `count` size-prefixed features starting at absolute
     * byte `start`. Self-delimiting, so no end offset is needed.
     */
-  private final case class FgbChunk(path: String, start: Long, count: Long)
+  private[io] final case class FgbChunk(path: String, start: Long, count: Long)
 
   def readMeta(spark: SparkSession, path: String): FgbMeta = {
     val p0 = new Path(path)
@@ -1026,7 +1026,7 @@ object FlatGeobufIO {
     * with `bbox`, candidate runs from the R-tree (or the whole file when
     * unindexed — count 0 means "unknown / streamed" per spec: read to EOF).
     */
-  private def planChunks(fs: org.apache.hadoop.fs.FileSystem, path: String,
+  private[io] def planChunks(fs: org.apache.hadoop.fs.FileSystem, path: String,
       meta: FgbMeta, chunkSize: Int,
       bbox: Option[(Double, Double, Double, Double)]): Seq[FgbChunk] = {
     val n = meta.featuresCount
@@ -1081,7 +1081,7 @@ object FlatGeobufIO {
   /** `path` resolved to the .fgb files underneath: a single file stays
     * itself; a directory lists its `*.fgb` parts (sorted for determinism).
     */
-  private def fgbFiles(fs: org.apache.hadoop.fs.FileSystem, path: String): Seq[String] = {
+  private[io] def fgbFiles(fs: org.apache.hadoop.fs.FileSystem, path: String): Seq[String] = {
     val p = new Path(path)
     val st = fs.getFileStatus(p)
     if (!st.isDirectory) Seq(path)
@@ -1150,7 +1150,7 @@ object FlatGeobufIO {
     spark.createDataFrame(rows, schema)
   }
 
-  private def readChunk(conf: org.apache.hadoop.conf.Configuration, ch: FgbChunk,
+  private[io] def readChunk(conf: org.apache.hadoop.conf.Configuration, ch: FgbChunk,
       cols: Array[FgbColumn], wanted: Array[Boolean], outIdx: Array[Int], nOut: Int,
       headerGt: Int, bbox: Option[(Double, Double, Double, Double)]): Iterator[Row] = {
     val p = new Path(ch.path)

@@ -1,0 +1,227 @@
+package graft.io
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 connector for GeoPackage feature tables (pure-JVM SQLite
+  * b-tree reader):
+  *
+  * {{{
+  *   spark.read.format("geopackage")
+  *     .option("table", "roads")
+  *     .option("bbox", "x0,y0,x1,y1")   // optional: R*-tree-pruned read
+  *     .load("/data/file.gpkg")
+  *   spark.sql("CREATE TEMPORARY VIEW roads USING geopackage " +
+  *     "OPTIONS (path '/data/file.gpkg', table 'roads')")
+  * }}}
+  *
+  * Partitioning mirrors `GeoPackageIO.read`: without `bbox`, one input
+  * partition per b-tree subtree root (each task walks its subtree
+  * sequentially); with `bbox`, candidate rowids from the R*-tree are
+  * chunked into sorted point-lookup partitions and the exact
+  * envelope-intersects residual runs task-side. SQLite records decode as
+  * a unit, so column pruning trims row width but not record parsing.
+  */
+class GeoPackageDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "geopackage"
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GeoPackageDataSource.schemaFor(
+      GeoPackageDataSource.pathOf(options), GeoPackageDataSource.tableOf(options))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new GpkgTable(schema, properties)
+}
+
+object GeoPackageDataSource {
+  def pathOf(options: java.util.Map[String, String]): String = {
+    val p = options.get("path")
+    require(p != null && p.nonEmpty, "geopackage: a single 'path' is required")
+    p
+  }
+  def tableOf(options: java.util.Map[String, String]): String = {
+    val t = options.get("table")
+    require(t != null && t.nonEmpty, "geopackage: the 'table' option is required")
+    t
+  }
+  def bboxOf(options: java.util.Map[String, String])
+      : Option[(Double, Double, Double, Double)] =
+    Option(options.get("bbox")).map { s =>
+      val a = s.split(",").map(_.trim.toDouble)
+      require(a.length == 4, s"geopackage: bbox needs 4 numbers, got '$s'")
+      (a(0), a(1), a(2), a(3))
+    }
+
+  private[io] def schemaFor(path: String, table: String): StructType = {
+    val spark = SparkSession.active
+    val src = GeoPackageIO.openSource(spark.sessionState.newHadoopConf(), path)
+    try {
+      val master = GeoPackageIO.readMaster(src)
+      val m = master.find(_.name == table).getOrElse(
+        throw new IllegalArgumentException(
+          s"no table '$table' in $path (tables: ${master.map(_.name).mkString(", ")})"))
+      StructType(GeoPackageIO.parseColumns(m.sql).map(c =>
+        org.apache.spark.sql.types.StructField(c.name, c.sparkType)))
+    } finally src.close()
+  }
+}
+
+private[io] class GpkgTable(tableSchema: StructType,
+    props: java.util.Map[String, String]) extends Table with SupportsRead {
+  override def name(): String =
+    "geopackage:" + GeoPackageDataSource.pathOf(props) + "#" +
+      GeoPackageDataSource.tableOf(props)
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val merged = new java.util.HashMap[String, String](props)
+    merged.putAll(options)
+    new GpkgScanBuilder(tableSchema, merged)
+  }
+}
+
+private[io] class GpkgScanBuilder(fullSchema: StructType,
+    options: java.util.Map[String, String])
+  extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = fullSchema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new GpkgScan(fullSchema, required, options)
+}
+
+private[io] class GpkgScan(fullSchema: StructType, required: StructType,
+    options: java.util.Map[String, String]) extends Scan with Batch {
+
+  private val path = GeoPackageDataSource.pathOf(options)
+  private val table = GeoPackageDataSource.tableOf(options)
+  private val bbox = GeoPackageDataSource.bboxOf(options)
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"geopackage $path#$table" + bbox.map(b => s" bbox=$b").getOrElse("")
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spark = SparkSession.active
+    val src = GeoPackageIO.openSource(spark.sessionState.newHadoopConf(), path)
+    try {
+      val master = GeoPackageIO.readMaster(src)
+      val m = master.find(_.name == table).getOrElse(
+        throw new IllegalArgumentException(s"no table '$table' in $path"))
+      require(m.rootPage > 0, s"table '$table' is virtual — not readable")
+      val geomCol = GeoPackageIO.featureMetaFrom(src, master).get(table).map(_._1)
+      val candidates: Option[Array[Long]] = (bbox, geomCol) match {
+        case (Some((qx0, qy0, qx1, qy1)), Some(g)) =>
+          master.find(mm => mm.name == s"rtree_${table}_${g}_node" && mm.rootPage > 0)
+            .map(node => GeoPackageIO.rtreeCandidates(src, node.rootPage,
+              qx0, qy0, qx1, qy1).sorted)
+        case _ => None
+      }
+      candidates match {
+        case Some(ids) if ids.isEmpty => Array.empty
+        case Some(ids) =>
+          val par = math.max(1, spark.sparkContext.defaultParallelism)
+          val chunkSize = math.max(256, ids.length / par)
+          ids.grouped(chunkSize)
+            .map(chunk => GpkgPartition(m.rootPage, chunk, -1L): InputPartition)
+            .toArray
+        case None =>
+          GeoPackageIO.subtreeRoots(src, m.rootPage, 0,
+              target = spark.sparkContext.defaultParallelism * 4)
+            .map(root => GpkgPartition(m.rootPage, null, root): InputPartition)
+            .toArray
+      }
+    } finally src.close()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val spark = SparkSession.active
+    val src = GeoPackageIO.openSource(spark.sessionState.newHadoopConf(), path)
+    val (colArr, geomIdx) = try {
+      val master = GeoPackageIO.readMaster(src)
+      val m = master.find(_.name == table).get
+      val cols = GeoPackageIO.parseColumns(m.sql).toArray
+      val geomCol = GeoPackageIO.featureMetaFrom(src, master).get(table).map(_._1)
+      (cols, geomCol.map(g => cols.indexWhere(_.name == g)).getOrElse(-1))
+    } finally src.close()
+    val reorder = required.fields.map(f => fullSchema.fieldIndex(f.name))
+    GpkgReaderFactory(
+      new GeoParquetIO.SerializableConf(spark.sessionState.newHadoopConf()),
+      path, table, colArr, geomIdx, bbox, reorder, required)
+  }
+}
+
+/** `rowids == null` → walk the subtree at `subtreeRoot`; else point-lookup
+  * each rowid under the table root (first field).
+  */
+private[io] final case class GpkgPartition(tableRoot: Long,
+    rowids: Array[Long], subtreeRoot: Long) extends InputPartition
+
+private[io] final case class GpkgReaderFactory(
+    sconf: GeoParquetIO.SerializableConf,
+    path: String,
+    table: String,
+    cols: Array[GeoPackageIO.Col],
+    geomIdx: Int,
+    bbox: Option[(Double, Double, Double, Double)],
+    reorder: Array[Int],
+    required: StructType) extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GpkgPartition]
+    val src = GeoPackageIO.openSource(sconf.value, path)
+    val residual: org.apache.spark.sql.Row => Boolean = bbox match {
+      case Some((qx0, qy0, qx1, qy1)) if geomIdx >= 0 => { r =>
+        val wkb = r.get(geomIdx).asInstanceOf[Array[Byte]]
+        wkb != null && {
+          val e = graft.geom.Wkb.envelopeOf(wkb)
+          e.minX <= qx1 && e.maxX >= qx0 && e.minY <= qy1 && e.maxY >= qy0
+        }
+      }
+      case _ => _ => true
+    }
+    // materialize the partition's rows up-front (one sequential subtree
+    // walk / sorted lookup run per task — the same shape as the RDD path)
+    val out = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    try {
+      if (p.rowids == null) {
+        GeoPackageIO.walk(src, p.subtreeRoot, 0) { (rowid, payload) =>
+          val row = GeoPackageIO.materializeRow(cols, geomIdx, table, rowid, payload)
+          if (residual(row)) out += row
+        }
+      } else {
+        p.rowids.foreach { rid =>
+          GeoPackageIO.btreeLookup(src, p.tableRoot, rid).foreach { payload =>
+            val row = GeoPackageIO.materializeRow(cols, geomIdx, table, rid, payload)
+            if (residual(row)) out += row
+          }
+        }
+      }
+    } finally src.close()
+    val toCatalyst = CatalystTypeConverters.createToCatalystConverter(required)
+    val it = out.iterator
+    new PartitionReader[InternalRow] {
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        if (it.hasNext) {
+          val r = it.next()
+          val vals = reorder.map(i => r.get(i))
+          current = toCatalyst(org.apache.spark.sql.Row.fromSeq(
+            scala.collection.immutable.ArraySeq.unsafeWrapArray(vals)))
+            .asInstanceOf[InternalRow]
+          true
+        } else false
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}

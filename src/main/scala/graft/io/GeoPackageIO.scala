@@ -29,7 +29,7 @@ import scala.collection.mutable.ArrayBuffer
 object GeoPackageIO {
 
   // ------------------------------------------------------------- low level
-  private final class PageSource(in: FSDataInputStream, val pageSize: Int,
+  private[io] final class PageSource(in: FSDataInputStream, val pageSize: Int,
       val usable: Int) {
     def page(n: Long): Array[Byte] = {
       val buf = new Array[Byte](pageSize)
@@ -39,7 +39,7 @@ object GeoPackageIO {
     def close(): Unit = in.close()
   }
 
-  private def openSource(conf: org.apache.hadoop.conf.Configuration,
+  private[io] def openSource(conf: org.apache.hadoop.conf.Configuration,
       path: String): PageSource = {
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
@@ -148,7 +148,7 @@ object GeoPackageIO {
   }
 
   /** Walk a table b-tree subtree, invoking f per (rowid, record payload). */
-  private def walk(src: PageSource, pageNo: Long, headerSkip: Int)(
+  private[io] def walk(src: PageSource, pageNo: Long, headerSkip: Int)(
       f: (Long, Array[Byte]) => Unit): Unit = {
     val page = src.page(pageNo)
     val base = headerSkip // 100 on page 1, else 0
@@ -186,7 +186,7 @@ object GeoPackageIO {
     * cost is one page read per expanded interior node, subtree order
     * preserves rowid order.
     */
-  private def subtreeRoots(src: PageSource, rootPage: Long, headerSkip: Int,
+  private[io] def subtreeRoots(src: PageSource, rootPage: Long, headerSkip: Int,
       target: Int = 1): Seq[Long] = {
     def children(pn: Long, base: Int): Option[Seq[Long]] = {
       val page = src.page(pn)
@@ -225,7 +225,7 @@ object GeoPackageIO {
     * the LARGEST rowid in the child's subtree; the pointer at base+8
     * covers keys beyond the last cell.
     */
-  private def btreeLookup(src: PageSource, rootPage: Long, rowid: Long): Option[Array[Byte]] = {
+  private[io] def btreeLookup(src: PageSource, rootPage: Long, rowid: Long): Option[Array[Byte]] = {
     var pageNo = rootPage
     while (true) {
       val base = if (pageNo == 1) 100 else 0
@@ -269,7 +269,7 @@ object GeoPackageIO {
     * float32 boxes are stored conservatively rounded, so the result is a
     * SUPERSET — callers apply the exact envelope residual.
     */
-  private def rtreeCandidates(src: PageSource, nodeRoot: Long,
+  private[io] def rtreeCandidates(src: PageSource, nodeRoot: Long,
       qx0: Double, qy0: Double, qx1: Double, qy1: Double): Array[Long] = {
     val out = ArrayBuffer.empty[Long]
     // the shadow table row is an ordinary SQLite record (nodeno INTEGER
@@ -300,9 +300,9 @@ object GeoPackageIO {
     out.toArray
   }
 
-  private final case class Master(name: String, rootPage: Long, sql: String)
+  private[io] final case class Master(name: String, rootPage: Long, sql: String)
 
-  private def readMaster(src: PageSource): Seq[Master] = {
+  private[io] def readMaster(src: PageSource): Seq[Master] = {
     val out = ArrayBuffer.empty[Master]
     walk(src, 1L, 100) { (_, payload) =>
       val r = decodeRecord(payload)
@@ -313,14 +313,14 @@ object GeoPackageIO {
     out.toSeq
   }
 
-  private final case class Col(name: String, sparkType: DataType, rowidAlias: Boolean)
+  private[io] final case class Col(name: String, sparkType: DataType, rowidAlias: Boolean)
 
   /** Fixture-grade DDL parse: top-level comma split of the column list;
     * first token = name (optionally quoted), rest = type + constraints.
     * Table-level constraints (PRIMARY KEY(...), UNIQUE(...), CHECK...,
     * FOREIGN KEY...) are skipped.
     */
-  private def parseColumns(sql: String): Seq[Col] = {
+  private[io] def parseColumns(sql: String): Seq[Col] = {
     val open = sql.indexOf('(')
     val body = sql.substring(open + 1, sql.lastIndexOf(')'))
     val parts = ArrayBuffer.empty[String]
@@ -399,7 +399,7 @@ object GeoPackageIO {
     try featureMetaFrom(src, readMaster(src)) finally src.close()
   }
 
-  private def featureMetaFrom(src: PageSource,
+  private[io] def featureMetaFrom(src: PageSource,
       master: Seq[Master]): Map[String, (String, Option[String])] = {
     val registry: Map[Long, (String, Long)] =
       master.find(_.name == "gpkg_spatial_ref_sys") match {
@@ -888,7 +888,7 @@ object GeoPackageIO {
   /** One (rowid, payload) record as an output Row — affinity coercions with
     * table/column/rowid context on parse failures.
     */
-  private def materializeRow(colArr: Array[Col], geomIdx: Int, table: String,
+  private[io] def materializeRow(colArr: Array[Col], geomIdx: Int, table: String,
       rowid: Long, payload: Array[Byte]): Row = {
     val rec = decodeRecord(payload)
     val vals = new Array[Any](colArr.length)

@@ -65,17 +65,27 @@ object FlatGeobufDataSource {
 }
 
 private[io] class FgbTable(tableSchema: StructType,
-    props: java.util.Map[String, String]) extends Table with SupportsRead {
+    props: java.util.Map[String, String])
+  extends Table with SupportsRead
+  with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = "flatgeobuf:" + FlatGeobufDataSource.pathOf(props)
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // table properties carry the load-time options (path); scan options may
     // add more — scan options win on conflict
     val merged = new java.util.HashMap[String, String](props)
     merged.putAll(options)
     new FgbScanBuilder(tableSchema, merged)
+  }
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    val merged = new java.util.HashMap[String, String](props)
+    merged.putAll(info.options)
+    new FgbWriteBuilder(info, merged)
   }
 }
 

@@ -551,7 +551,7 @@ object FlatGeobufIO {
     case other => throw new IllegalArgumentException(s"fgb: unsupported column type $other")
   }
 
-  private def ctypeOf(dt: DataType, name: String): Int = dt match {
+  private[io] def ctypeOf(dt: DataType, name: String): Int = dt match {
     case BooleanType => CtBool
     case ByteType => CtByte
     case ShortType => CtShort
@@ -764,7 +764,7 @@ object FlatGeobufIO {
   // ------------------------------------------------------------------ write
 
   /** Encode one row as a size-prefixed Feature buffer + its envelope. */
-  private def rowEncoder(cols: Array[FgbColumn], attrIdxs: Array[Int],
+  private[io] def rowEncoder(cols: Array[FgbColumn], attrIdxs: Array[Int],
       geomIdx: Int): Row => (Array[Double], Array[Byte]) = { r =>
     val wkb = r.get(geomIdx).asInstanceOf[Array[Byte]]
     require(wkb != null, "fgb write: null geometry not supported")
@@ -792,7 +792,7 @@ object FlatGeobufIO {
     * their sizes), then magic | header | index | features. Runs on the
     * driver for single-file writes and inside tasks for directory writes.
     */
-  private def assembleFile(out: java.io.OutputStream,
+  private[io] def assembleFile(out: java.io.OutputStream,
       features: Iterator[(Array[Double], Array[Byte])], name: String,
       cols: Array[FgbColumn], nodeSize: Int, withIndex: Boolean,
       epsg: Option[Int], headerGt: Int): Long = {
@@ -969,7 +969,7 @@ object FlatGeobufIO {
     }
   }
 
-  private def fgbTypeOf(g: Geometry): Int = g match {
+  private[io] def fgbTypeOf(g: Geometry): Int = g match {
     case _: Point => GtPoint
     case _: LineString => GtLineString
     case _: Polygon => GtPolygon

@@ -64,6 +64,47 @@ class FlatGeobufDataSourceSpec extends AnyFunSuite {
       .load(path).count() == 0)
   }
 
+  test("DSv2 write: df.write.format(flatgeobuf) roundtrips incl. CRS and bbox pruning") {
+    val dir = java.nio.file.Files.createTempDirectory("fgbdsv2w").toString
+    val rows = (0 until 300).map { i =>
+      (i.toLong, s"v_$i", Wkb.write(Point(i % 30 * 7.0, i / 30 * 7.0)))
+    }
+    val df = graft.api.GeoDataFrame(rows.toDF("id", "v", "geometry"), "geometry")
+      .setCrs("EPSG:3857").df.repartition(4)
+    df.write.format("flatgeobuf").mode("overwrite").save(dir)
+
+    // parts written by distinct tasks, all indexed
+    val parts = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".fgb"))
+    assert(parts.length > 1)
+    val meta = FlatGeobufIO.readMeta(spark, dir)
+    assert(meta.crs.contains("EPSG:3857"))
+
+    val back = spark.read.format("flatgeobuf").load(dir)
+    val got = back.select($"id", $"v", expr("st_astext(geometry)").as("w"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq.sorted
+    val want = df.select($"id", $"v", expr("st_astext(geometry)").as("w"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq.sorted
+    assert(got == want && got.size == 300)
+
+    // bbox-pruned read over the written parts
+    val n = spark.read.format("flatgeobuf").option("bbox", "0,0,100,35").load(dir).count()
+    val wantN = rows.count { case (_, _, w) =>
+      val p = Wkb.read(w).asInstanceOf[Point]; p.x <= 100 && p.y <= 35
+    }
+    assert(n == wantN && n > 0 && n < 300)
+
+    // overwrite replaces, append adds
+    df.limit(10).write.format("flatgeobuf").mode("overwrite").save(dir)
+    assert(spark.read.format("flatgeobuf").load(dir).count() == 10)
+    df.limit(5).write.format("flatgeobuf").mode("append").save(dir)
+    assert(spark.read.format("flatgeobuf").load(dir).count() == 15)
+
+    // empty frame still produces a readable dataset
+    val dir2 = java.nio.file.Files.createTempDirectory("fgbdsv2e").toString
+    df.filter($"id" < 0).write.format("flatgeobuf").mode("overwrite").save(dir2)
+    assert(spark.read.format("flatgeobuf").load(dir2).count() == 0)
+  }
+
   test("SQL resolution via the registered short name (USING flatgeobuf)") {
     spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW fgb_ds_spec
       USING flatgeobuf OPTIONS (path '$path')""")

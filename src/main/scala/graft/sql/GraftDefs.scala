@@ -40,6 +40,57 @@ object GraftDefs {
       g
     }
   }
+  // Content-keyed decode cache behind the reference memo, for the BINARY
+  // geometry dispatch only. Join refinement (grid sjoin, dwithin join,
+  // nearest/kNN rerank) evaluates the same geometry against MANY partners,
+  // but each access copies fresh bytes off the UnsafeRow, so the
+  // reference memo above can never hit there. A direct-mapped per-thread
+  // cache keyed by (length, sampled hash, full byte equality) recovers
+  // those decodes: the sampled hash is O(1), the equality scan runs at
+  // memcmp speed, while a decode allocates coordinate arrays (85% of the
+  // binary-predicate wall, PROFILE.md r10). Misses add only the O(1)
+  // probe; false hash matches are settled by Arrays.equals, so a weak
+  // hash can never produce a wrong geometry. Entries above 64 KiB are
+  // not cached (bounds per-thread memory at ~64 slots x 2 x 64 KiB).
+  private final val CacheSlotsLog2 = 6
+  private final class GeomCache {
+    val keys = new Array[Array[Byte]](1 << CacheSlotsLog2)
+    val vals = new Array[Geometry](1 << CacheSlotsLog2)
+  }
+  private val geomCacheTL = new ThreadLocal[GeomCache] {
+    override def initialValue(): GeomCache = new GeomCache
+  }
+  private def geomC(v: Any): Geometry = {
+    val b = v.asInstanceOf[Array[Byte]]
+    val m = geomMemo.get()
+    if (m(0) eq b) return m(1).asInstanceOf[Geometry]
+    if (m(2) eq b) return m(3).asInstanceOf[Geometry]
+    val n = b.length
+    // below ~15 vertices the decode is cheaper than the probe (WkbProfile
+    // r10b: 0.83x on 5-pt boxes under slot thrashing, 1.5-1.9x on 64-256
+    // vertex rings); above 64 KiB the cache's per-thread memory bound wins
+    if (n < 256 || n > (1 << 16)) return Wkb.read(b)
+    // sampled hash: length + first/last 16 bytes — distinct WKB differs
+    // in the type word or the first/last coordinates almost always, and a
+    // collision only costs one fail-fast Arrays.equals
+    var h = n * -1640531527
+    var i = 0; val head = math.min(16, n)
+    while (i < head) { h = h * 31 + b(i); i += 1 }
+    i = math.max(head, n - 16)
+    while (i < n) { h = h * 31 + b(i); i += 1 }
+    val slot = (h * -1640531527) >>> (32 - CacheSlotsLog2)
+    val c = geomCacheTL.get()
+    val k = c.keys(slot)
+    if (k != null && java.util.Arrays.equals(k, b)) c.vals(slot)
+    else {
+      val g = Wkb.read(b)
+      c.keys(slot) = b; c.vals(slot) = g
+      g
+    }
+  }
+  // measurement hook for tools.WkbProfile (same code path g2 uses)
+  private[graft] def geomCachedForProfile(b: Array[Byte]): Geometry = geomC(b)
+
   // envelope without decoding (WkbProfile: decode is ~84% of predicate
   // wall time) — for every expression that consumes only the bbox
   @inline private def env(v: Any): Envelope = Wkb.envelopeOf(v.asInstanceOf[Array[Byte]])
@@ -60,7 +111,7 @@ object GraftDefs {
   private def g1(out: DataType)(f: Geometry => Any) =
     Spec(Seq(B), out, a => f(geom(a(0))))
   private def g2(out: DataType)(f: (Geometry, Geometry) => Any) =
-    Spec(Seq(B, B), out, a => f(geom(a(0)), geom(a(1))))
+    Spec(Seq(B, B), out, a => f(geomC(a(0)), geomC(a(1))))
 
   val boundsStruct: StructType = StructType(Seq(
     StructField("xmin", D), StructField("ymin", D),
@@ -291,12 +342,12 @@ object GraftDefs {
         val dx = math.max(0.0, math.max(eb.minX - ea.maxX, ea.minX - eb.maxX))
         val dy = math.max(0.0, math.max(eb.minY - ea.maxY, ea.minY - eb.maxY))
         if (dx * dx + dy * dy > d * d) false
-        else Predicates.dWithin(geom(a(0)), geom(a(1)), d)
-      } else Predicates.dWithin(geom(a(0)), geom(a(1)), d)
+        else Predicates.dWithin(geomC(a(0)), geomC(a(1)), d)
+      } else Predicates.dWithin(geomC(a(0)), geomC(a(1)), d)
     }),
     "st_relate" -> g2(S)((x, y) => utf8(Predicates.relate(x, y))),
     "st_relatepattern" -> Spec(Seq(B, B, S), BO,
-      a => Predicates.relatePattern(geom(a(0)), geom(a(1)), str(a(2)))),
+      a => Predicates.relatePattern(geomC(a(0)), geomC(a(1)), str(a(2)))),
     "st_intersectsbox" -> Spec(Seq(B, D, D, D, D), BO, { a =>
       val box = Envelope(dbl(a(1)), dbl(a(2)), dbl(a(3)), dbl(a(4)))
       // envelope reject straight from the bytes: rows outside the box never

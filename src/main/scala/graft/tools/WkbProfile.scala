@@ -211,5 +211,47 @@ object WkbProfile {
       }
       println(f"    short-circuit vs today: ${tToday / tShort}%.2fx; batched vs today: ${tToday / tBatch}%.2fx; batched vs short-circuit: ${tShort / tBatch}%.2fx")
     }
+
+    // ---- r10b: content-keyed decode cache probe. Join refinement hands
+    // the kernel FRESH byte copies of the SAME geometry for every
+    // candidate pair (UnsafeRow.getBinary copies), so the reference memo
+    // can't hit — the g2 dispatch now probes a direct-mapped per-thread
+    // cache keyed by (length, sampled hash, full equality). Simulate SMJ
+    // refinement: each "stream row" (point) meets C candidates drawn from
+    // the same working set (a grid cell), bytes cloned per access.
+    println("\n-- r10b decode-cache probe (fresh byte copies per access) --")
+    for ((nv, label) <- Seq((5, "5-pt box"), (65, "64-vertex ring"), (257, "256-vertex ring"))) {
+      val ring = Array.tabulate(nv) { j =>
+        val a = 2 * math.Pi * j / (nv - 1); (math.cos(a), math.sin(a))
+      }
+      for (cands <- Seq(16, 256)) {
+        val polyWkb = Array.tabulate(cands) { i =>
+          Wkb.write(Polygon(Array(ring.flatMap { case (x, y) =>
+            Array(x * (1 + i * 0.01), y * (1 + i * 0.01)) })))
+        }
+        val ptWkb = Wkb.write(Point(0.5, 0.5))
+        val n = math.max(200000, iters / math.max(1, nv / 8))
+        val tFresh = bench(f"  $label%-15s C=$cands%-4d read", n) { m =>
+          var acc = 0L; var i = 0
+          while (i < m) {
+            val b = polyWkb(i % cands).clone()
+            if (Predicates.intersects(Wkb.read(ptWkb), Wkb.read(b))) acc += 1
+            i += 1
+          }
+          acc
+        }
+        val tCache = bench(f"  $label%-15s C=$cands%-4d cached", n) { m =>
+          var acc = 0L; var i = 0
+          while (i < m) {
+            val b = polyWkb(i % cands).clone()
+            if (Predicates.intersects(Wkb.read(ptWkb),
+              graft.sql.GraftDefs.geomCachedForProfile(b))) acc += 1
+            i += 1
+          }
+          acc
+        }
+        println(f"    cached vs read: ${tFresh / tCache}%.2fx")
+      }
+    }
   }
 }

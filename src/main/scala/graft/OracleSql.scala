@@ -224,6 +224,14 @@ object OracleSql {
         UNION ALL SELECT 'view_click_purchase', count(*)::BIGINT FROM p)
       ORDER BY stage""",
 
+    "q16_band_join" -> """
+      SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id,
+             round(p.value - v.value, 2) AS diff
+      FROM events p JOIN events v ON p.user_id = v.user_id
+      WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+        AND abs(p.value - v.value) <= 5.0
+      ORDER BY purchase_id, view_id""",
+
     "q11_sessionize" -> """
       WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS tns, value FROM events),
       b AS (SELECT user_id, event_id, tns, value,
@@ -658,6 +666,20 @@ object OracleSql {
       SELECT source, max(n_docs) AS n_docs, max(n_keep) AS n_keep,
              sum(CASE WHEN bucket * n_docs < n_keep * 1000000 THEN 1 ELSE 0 END)::BIGINT AS n_kept
       FROM b GROUP BY source ORDER BY source""",
+
+    "t28_ccnet_buckets" -> s"""
+      WITH tk AS (SELECT doc_id, lang, len($docToks)::BIGINT AS n_tokens
+                  FROM documents),
+      b AS (SELECT lang, n_tokens,
+              ntile(3) OVER (PARTITION BY lang
+                ORDER BY n_tokens DESC, doc_id) AS bi
+            FROM tk)
+      SELECT lang,
+             CASE WHEN bi = 1 THEN 'head' WHEN bi = 3 THEN 'tail'
+                  ELSE 'middle' END AS bucket,
+             count(*)::BIGINT AS n_docs, min(n_tokens) AS min_tokens,
+             max(n_tokens) AS max_tokens, round(avg(n_tokens), 2) AS avg_tokens
+      FROM b GROUP BY lang, bucket ORDER BY lang, bucket""",
 
     "t27_surprisal" -> """
       WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w

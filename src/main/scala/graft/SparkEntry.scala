@@ -365,6 +365,25 @@ object SparkEntry {
         .orderBy(col("stage"))
     }),
 
+    // Banded value join: the BETWEEN join a SQL engine plans as a per-key
+    // nested loop (quadratic in key group size) runs as a bucket-grid
+    // equi-join — the 1-D analog of the grid spatial join; each
+    // qualifying pair meets in exactly one bucket, so no dedup pass.
+    "q16_band_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("value").as("p_value"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"),
+          col("value").as("v_value"))
+      graft.ops.Temporal.bandJoin(purchases, views, "user_id",
+          "p_value", "v_value", band = 5.0)
+        .select(col("user_id"), col("purchase_id"), col("view_id"),
+          round(col("p_value") - col("v_value"), 2).as("diff"))
+        .orderBy(col("purchase_id"), col("view_id"))
+    }),
+
     "q11_sessionize" -> ((s, d) => {
       val sessions = graft.ops.Temporal.sessionize(
         t(s, d, "events"), "user_id", "ts",
@@ -2283,6 +2302,26 @@ object SparkEntry {
     // vocab-sized join back onto the exploded tokens — NO broadcast hint,
     // the vocab is unbounded at web scale so AQE must pick the build side
     // (t19's rule) — then a per-doc mean of -ln p(token)
+    // CCNet-style quality tiers (Wenzek et al. 2019): rank documents per
+    // language by a quality proxy (token count) and cut the ranking into
+    // head/middle/tail thirds — the bucket a CCNet pipeline keys its
+    // keep/drop policy on. ntile over a deterministic total order gives
+    // integer boundaries (no interpolated float cutpoints to disagree on
+    // across engines); the 100 TB swap-in is approx_percentile cutpoints
+    // per language (see TextAnalysis.qualityBuckets scaladoc).
+    "t28_ccnet_buckets" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          gr_tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.ops.TextAnalysis.qualityBuckets(docs, "lang", "n_tokens", "doc_id")
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_tokens")).as("min_tokens"),
+          max(col("n_tokens")).as("max_tokens"),
+          round(avg(col("n_tokens")), 2).as("avg_tokens"))
+        .orderBy(col("lang"), col("bucket"))
+    }),
+
     "t27_surprisal" -> ((s, d) => {
       val toks = t(s, d, "documents")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))

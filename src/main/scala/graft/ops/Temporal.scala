@@ -154,4 +154,39 @@ object Temporal {
     }
     unpacked.filter(col("_side") === leftSide).drop("_side", "_tie", "_asof_row")
   }
+
+  /** Banded (interval) equi+range join: pairs where `l.keyCol == r.keyCol`
+    * and `|l.leftVal - r.rightVal| <= band`. The SQL a user would write —
+    * `JOIN ... ON r.v BETWEEN l.v - band AND l.v + band` — plans as a
+    * per-key nested loop, quadratic in key group size; this is the 1-D
+    * analog of the grid spatial join.
+    *
+    * Plan: a bucket grid of width `band` on the value axis. The RIGHT
+    * side maps each row to its single home bucket `floor(v/band)`; the
+    * LEFT side explodes to the (at most three) buckets its
+    * `[v-band, v+band]` window overlaps; an ordinary shuffled equi-join
+    * on `(key, bucket)` plus the exact `|lv-rv| <= band` residual
+    * finishes. Every qualifying pair meets in EXACTLY ONE bucket — the
+    * right row's home bucket — so no distinct/dedup pass is needed and
+    * each pair is emitted once. Cost is candidates-in-adjacent-buckets
+    * (linear in matches for band-sized value spread), the shuffle is a
+    * plain hash exchange on `(key, bucket)`, and AQE's skew-join split
+    * applies to hot buckets. Colliding right column names get `suffix`.
+    */
+  def bandJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      leftVal: String, rightVal: String, band: Double,
+      suffix: String = "_r"): DataFrame = {
+    require(band > 0, "bandJoin: band must be positive")
+    val collisions = right.columns.toSet.intersect(left.columns.toSet) - keyCol
+    val r0 = collisions.foldLeft(right)((df, c) => df.withColumnRenamed(c, c + suffix))
+    val rv = if (collisions.contains(rightVal)) rightVal + suffix else rightVal
+    val lb = left.withColumn("_band_bucket",
+      explode(sequence(
+        floor((col(leftVal) - lit(band)) / lit(band)).cast("long"),
+        floor((col(leftVal) + lit(band)) / lit(band)).cast("long"))))
+    val rb = r0.withColumn("_band_bucket", floor(col(rv) / lit(band)).cast("long"))
+    lb.join(rb, Seq(keyCol, "_band_bucket"))
+      .filter(abs(col(leftVal) - col(rv)) <= lit(band))
+      .drop("_band_bucket")
+  }
 }

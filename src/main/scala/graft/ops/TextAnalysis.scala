@@ -18,6 +18,31 @@ object TextAnalysis {
       .withColumn("fingerprint", gr_fingerprint(col(textCol), lit(8)))
 
   /** Corpus-level stats per predicted language. */
+  /** CCNet-style per-language quality buckets: rank every document inside
+    * its language by a quality score and split the ranking into `n`
+    * equal-size tiers — bucket 1 ("head") is the best-scoring third, then
+    * "middle", then "tail" (Wenzek et al. 2019, CCNet; the reference
+    * pipeline keeps head+middle for training). `ntile` over a
+    * deterministic total order (`scoreCol` DESC, `tieCol`) gives integer
+    * bucket boundaries that are exactly reproducible across engines — no
+    * interpolated float cutpoints.
+    *
+    * Scale: one hash exchange on `langCol` plus a per-language sort.
+    * Languages are few and huge, so this is the exact small-N
+    * formulation; at 100 TB swap the window for approx_percentile
+    * cutpoints per language (a tiny broadcast table) and bucket by
+    * comparison — same output contract modulo boundary-tie placement.
+    */
+  def qualityBuckets(df: DataFrame, langCol: String, scoreCol: String,
+      tieCol: String, n: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(langCol)).orderBy(col(scoreCol).desc, col(tieCol))
+    df.withColumn("bucket_idx", ntile(n).over(w))
+      .withColumn("bucket",
+        when(col("bucket_idx") === 1, "head")
+          .when(col("bucket_idx") === n, "tail").otherwise("middle"))
+  }
+
   def langProfile(df: DataFrame, textCol: String): DataFrame =
     annotate(df, textCol)
       .groupBy(col("lang_pred"))

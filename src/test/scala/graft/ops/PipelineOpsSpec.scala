@@ -509,4 +509,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     val scanned = pruned.df.select(input_file_name()).distinct().count()
     assert(scanned == 1, s"expected the far batch pruned, scanned $scanned files")
   }
+
+  test("qualityBuckets: per-language thirds, best scores in head, deterministic ties") {
+    // lang A: scores 9..1 -> head {9,8,7}, middle {6,5,4}, tail {3,2,1};
+    // lang B: 4 docs -> ntile puts the extra row in the first bucket
+    val rows = (1L to 9L).map(i => (i, "A", i)) ++
+      Seq((10L, "B", 5L), (11L, "B", 5L), (12L, "B", 2L), (13L, "B", 1L))
+    val df = rows.toDF("doc_id", "lang", "score")
+    val got = TextAnalysis.qualityBuckets(df, "lang", "score", "doc_id")
+      .select($"doc_id", $"bucket").as[(Long, String)].collect().toMap
+    assert((7L to 9L).forall(got(_) == "head"))
+    assert((4L to 6L).forall(got(_) == "middle"))
+    assert((1L to 3L).forall(got(_) == "tail"))
+    // B: ordered (10,5),(11,5),(12,2),(13,1) -> buckets 1,1,2,3; the
+    // score-5 tie resolves by doc_id, both land in head
+    assert(got(10L) == "head" && got(11L) == "head")
+    assert(got(12L) == "middle" && got(13L) == "tail")
+  }
 }

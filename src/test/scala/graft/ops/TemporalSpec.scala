@@ -107,4 +107,29 @@ class TemporalSpec extends AnyFunSuite {
       .select($"asof_event_id").as[Option[Long]].collect().toSeq
     assert(got == Seq(Some(20L)), got.toString)
   }
+
+  test("band join matches the BETWEEN semantics exactly once per pair") {
+    val left = Seq((1L, 10L, 5.0), (1L, 11L, 100.0), (2L, 12L, 5.0), (1L, 13L, -3.0))
+      .toDF("user_id", "lid", "lv")
+    val right = Seq((1L, 20L, 7.0), (1L, 21L, 3.0), (1L, 22L, 7.001),
+      (1L, 23L, 98.0), (1L, 26L, 97.999), (2L, 24L, 400.0), (1L, 25L, -5.0))
+      .toDF("user_id", "rid", "rv")
+    val got = Temporal.bandJoin(left, right, "user_id", "lv", "rv", band = 2.0)
+      .select($"lid", $"rid").as[(Long, Long)].collect().toSeq.sorted
+    // lid=10 (5.0): rids at 7.0 (inclusive boundary), 3.0; NOT 7.001
+    // lid=11 (100.0): 98.0 on the inclusive boundary, 97.999 just out;
+    // lid=13 (-3.0): -5.0 inclusive boundary on the negative axis;
+    // key isolation keeps user 2's 400.0 away from user 1's probes
+    assert(got == Seq((10L, 20L), (10L, 21L), (11L, 23L), (13L, 25L)), got.toString)
+    // exactly-once: no pair duplicated by the bucket explode
+    assert(got.distinct == got)
+  }
+
+  test("band join renames colliding right columns with the suffix") {
+    val left = Seq((1L, 1.0, "a")).toDF("k", "v", "tag")
+    val right = Seq((1L, 1.5, "b")).toDF("k", "v", "tag")
+    val out = Temporal.bandJoin(left, right, "k", "v", "v", band = 1.0)
+    assert(out.columns.toSeq == Seq("k", "v", "tag", "v_r", "tag_r"))
+    assert(out.count() == 1)
+  }
 }

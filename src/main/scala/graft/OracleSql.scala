@@ -913,6 +913,18 @@ object OracleSql {
 
     // distributed expanding-ring kNN: same oracle as the broadcast kNN —
     // global rank over the cross join, rank<=3 keeps k-th ties
+    "g78_intersection_all" -> """
+      WITH b AS (SELECT s_nationkey,
+          (s_nationkey * 100)::DOUBLE + (s_suppkey % 5)::DOUBLE * 0.5 AS bx,
+          (s_nationkey * 50)::DOUBLE + (s_suppkey % 3)::DOUBLE * 0.5 AS by,
+          1.5 + (s_suppkey % 13)::DOUBLE AS h
+        FROM supplier)
+      SELECT s_nationkey, count(*)::BIGINT AS n_boxes,
+        round((min(bx + h) - max(bx - h)) * (min(by + h) - max(by - h)), 4) AS inter_area,
+        round(max(bx - h), 4) AS xmin, round(max(by - h), 4) AS ymin,
+        round(min(bx + h), 4) AS xmax, round(min(by + h), 4) AS ymax
+      FROM b GROUP BY s_nationkey ORDER BY s_nationkey""",
+
     "g77_sjoin_knn_expand" -> s"""
       WITH l AS (SELECT c_custkey, cx, cy FROM ($custPts)),
       r AS (SELECT s_suppkey, s_acctbal AS sx, (s_suppkey % 1000)::DOUBLE AS sy

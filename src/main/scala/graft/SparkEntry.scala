@@ -1044,6 +1044,31 @@ object SparkEntry {
         .orderBy(col("c_custkey"), col("s_suppkey"))
     }),
 
+    // n-ary intersection aggregate (geopandas 1.0 intersection_all): the
+    // running intersection only shrinks, so the TypedImperativeAggregate
+    // buffer is ONE geometry — map-side combine ships one row per group
+    // per task. Concentric-ish per-nation boxes make the expected result
+    // the SQL-computable [max(x0),min(x1)]x[max(y0),min(y1)] rectangle.
+    "g78_intersection_all" -> ((s, d) => {
+      t(s, d, "supplier")
+        .withColumn("bx", (col("s_nationkey") * 100).cast("double") +
+          (col("s_suppkey") % 5).cast("double") * 0.5)
+        .withColumn("by", (col("s_nationkey") * 50).cast("double") +
+          (col("s_suppkey") % 3).cast("double") * 0.5)
+        .withColumn("h", lit(1.5) + (col("s_suppkey") % 13).cast("double"))
+        .withColumn("g", st_makeEnvelope(col("bx") - col("h"), col("by") - col("h"),
+          col("bx") + col("h"), col("by") + col("h")))
+        .groupBy(col("s_nationkey"))
+        .agg(st_intersectionAgg(col("g")).as("ig"), count(lit(1)).as("n_boxes"))
+        .select(col("s_nationkey"), col("n_boxes"),
+          round(st_area(col("ig")), 4).as("inter_area"),
+          round(st_xmin(col("ig")), 4).as("xmin"),
+          round(st_ymin(col("ig")), 4).as("ymin"),
+          round(st_xmax(col("ig")), 4).as("xmax"),
+          round(st_ymax(col("ig")), 4).as("ymax"))
+        .orderBy(col("s_nationkey"))
+    }),
+
     "g40_sjoin_nearest" -> ((s, d) => {
       val cust = GeoDataFrame(customerPts(s, d))
       val supp = GeoDataFrame(t(s, d, "supplier")

@@ -197,3 +197,64 @@ case class StEnvelopeAgg(
   override def withNewInputAggBufferOffset(n: Int): StEnvelopeAgg = copy(inputAggBufferOffset = n)
   override protected def withNewChildInternal(newChild: Expression): StEnvelopeAgg = copy(child = newChild)
 }
+
+/** Running-fold buffer for [[StIntersectionAgg]]: the n-ary intersection
+  * only ever SHRINKS, so the buffer is a single geometry — map-side
+  * partial aggregation ships one geometry per group per task, and an
+  * already-empty running intersection short-circuits further clipping.
+  */
+final class IntersectionAllBuffer {
+  var seen = false
+  var g: Geometry = GeometryCollection(Array.empty)
+  def add(x: Geometry): Unit = {
+    if (!seen) { seen = true; g = x }
+    else if (!g.isEmpty) g = Overlay.intersection(g, x)
+  }
+  def merge(o: IntersectionAllBuffer): Unit = if (o.seen) add(o.g)
+}
+
+/** Geometric intersection of all input geometries in the group —
+  * geopandas 1.0 `GeoSeries.intersection_all` (nulls skipped; an empty
+  * group yields GEOMETRYCOLLECTION EMPTY). Intersection is commutative
+  * and associative, so partial/merge order never changes the result
+  * beyond `Overlay`'s usual snap-rounding contract.
+  */
+case class StIntersectionAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[IntersectionAllBuffer] with UnaryLike[Expression]
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbsType] = Seq(BinaryType)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_intersection_agg"
+
+  override def createAggregationBuffer(): IntersectionAllBuffer = new IntersectionAllBuffer
+
+  override def update(buf: IntersectionAllBuffer, input: InternalRow): IntersectionAllBuffer = {
+    val v = child.eval(input)
+    if (v != null) buf.add(Wkb.read(v.asInstanceOf[Array[Byte]]))
+    buf
+  }
+
+  override def merge(buf: IntersectionAllBuffer, other: IntersectionAllBuffer): IntersectionAllBuffer = {
+    buf.merge(other); buf
+  }
+
+  override def eval(buf: IntersectionAllBuffer): Any = Wkb.write(buf.g)
+
+  override def serialize(buf: IntersectionAllBuffer): Array[Byte] =
+    if (!buf.seen) Array.emptyByteArray else Wkb.write(buf.g)
+
+  override def deserialize(bytes: Array[Byte]): IntersectionAllBuffer = {
+    val b = createAggregationBuffer()
+    if (bytes.nonEmpty) b.add(Wkb.read(bytes))
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(n: Int): StIntersectionAgg = copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): StIntersectionAgg = copy(inputAggBufferOffset = n)
+  override protected def withNewChildInternal(newChild: Expression): StIntersectionAgg = copy(child = newChild)
+}

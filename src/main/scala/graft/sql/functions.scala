@@ -203,6 +203,7 @@ object functions {
   def st_unionAgg(g: Column): Column = agg(StUnionAgg(expr(g)))
   def st_collectAgg(g: Column): Column = agg(StCollectAgg(expr(g)))
   def st_envelopeAgg(g: Column): Column = agg(StEnvelopeAgg(expr(g)))
+  def st_intersectionAgg(g: Column): Column = agg(StIntersectionAgg(expr(g)))
 
   // ------------------------------------------------------- pipeline: text
   def gr_tokenCount(text: Column): Column = fn("gr_token_count", text)
@@ -284,5 +285,7 @@ object functions {
       exprs => StCollectAgg(exprs.head).toAggregateExpression(), "built-in")
     registry.createOrReplaceTempFunction("st_envelope_agg",
       exprs => StEnvelopeAgg(exprs.head).toAggregateExpression(), "built-in")
+    registry.createOrReplaceTempFunction("st_intersection_agg",
+      exprs => StIntersectionAgg(exprs.head).toAggregateExpression(), "built-in")
   }
 }

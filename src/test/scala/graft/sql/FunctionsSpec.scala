@@ -61,6 +61,37 @@ class FunctionsSpec extends AnyFunSuite {
     assert(agg(1).getInt(1) == 1)
   }
 
+  test("st_intersection_agg: shrink-fold, empty result, null skip, partition merge") {
+    // group 1: three overlapping boxes -> [2,3]x[2,3]; group 2: disjoint
+    // boxes -> empty; group 3: one null input only -> empty collection
+    val rows = Seq(
+      (1, "POLYGON ((0 0, 3 0, 3 3, 0 3, 0 0))"),
+      (1, "POLYGON ((2 2, 5 2, 5 5, 2 5, 2 2))"),
+      (1, "POLYGON ((1 1, 4 1, 4 4, 1 4, 1 1))"),
+      (2, "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"),
+      (2, "POLYGON ((9 9, 10 9, 10 10, 9 10, 9 9))"),
+      (3, null)
+    ).toDF("k", "wkt")
+      // 6 partitions: every row aggregates alone, forcing serialize/merge
+      .repartition(6)
+      .withColumn("g", when($"wkt".isNotNull, st_geomFromWKT($"wkt")))
+    val got = rows.groupBy($"k")
+      .agg(st_intersectionAgg($"g").as("ig"))
+      .select($"k", st_area($"ig").as("a"), st_isEmpty($"ig").as("e"))
+      .orderBy($"k").collect()
+    assert(got(0).getDouble(1) == 1.0 && !got(0).getBoolean(2))
+    assert(got(1).getBoolean(2), "disjoint group must intersect to empty")
+    assert(got(2).getBoolean(2), "all-null group yields empty collection")
+    // SQL registration
+    val a = spark.sql(
+      """SELECT st_area(st_intersection_agg(g)) FROM (
+           SELECT st_geomfromwkt('POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))') AS g
+           UNION ALL
+           SELECT st_geomfromwkt('POLYGON ((1 0, 3 0, 3 2, 1 2, 1 0))'))""")
+      .collect()(0).getDouble(0)
+    assert(a == 2.0)
+  }
+
   test("st_dump + explode") {
     val df = Seq("MULTIPOINT ((1 1), (2 2), (3 3))").toDF("wkt")
       .withColumn("g", st_geomFromWKT($"wkt"))

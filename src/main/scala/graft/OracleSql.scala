@@ -1888,6 +1888,14 @@ object OracleSql {
       WHERE cosine >= 0.3
       ORDER BY id_a, id_b""",
 
+    "m06_audio_energy" -> """
+      WITH m AS (SELECT doc_id, octet_length(encode(text)) AS L FROM documents),
+      d AS (SELECT doc_id, L, 500 + (L * 13) % 2000 AS n FROM m),
+      s AS (SELECT doc_id, L, n, unnest(range(0, n)) AS i FROM d)
+      SELECT doc_id, ((i * 8) // n)::BIGINT AS win,
+             sum(abs(((i * 2654435761 + L) % 65536) - 32768))::BIGINT AS energy
+      FROM s GROUP BY doc_id, win ORDER BY doc_id, win""",
+
     "m05_audio_meta" -> """
       WITH m AS (SELECT doc_id, octet_length(encode(text)) AS L FROM documents),
       d AS (SELECT doc_id, L,

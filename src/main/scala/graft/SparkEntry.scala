@@ -2636,6 +2636,19 @@ object SparkEntry {
     // real javax.sound WAV decode of synthesized RIFF/PCM payloads: rate/
     // channels/frames/sample-sum read from the decoded AudioInputStream;
     // the oracle recomputes them from the closed-form synthesis formulas
+    // audio energy windows: REAL javax.sound PCM decode -> per-window
+    // sum(|sample|) (the silence-trim / voice-activity feature an audio
+    // curation pipeline keys on); narrow codegen'd kernel + posexplode,
+    // integer-exact so the oracle recomputes it from the synth formula.
+    "m06_audio_energy" -> ((s, d) => {
+      Multimodal.audioEnergyWindows(
+        Multimodal.withAudioPayload(
+          t(s, d, "documents").select(col("doc_id"), col("text")), "text"),
+        "payload", nWindows = 8)
+        .select(col("doc_id"), col("win").cast("long").as("win"), col("energy"))
+        .orderBy(col("doc_id"), col("win"))
+    }),
+
     "m05_audio_meta" -> ((s, d) => {
       Multimodal.extractAudioMeta(
         Multimodal.withAudioPayload(t(s, d, "documents"), "text"), "payload")

@@ -86,6 +86,16 @@ object Multimodal {
   def withAudioPayload(df: DataFrame, srcCol: String, binCol: String = "payload"): DataFrame =
     df.withColumn(binCol, gr_synthWav(encode(col(srcCol), "UTF-8").cast("binary")))
 
+  /** Per-window energy rows (doc-id preserved): the silence-trim /
+    * voice-activity feature shape — one row per (row, window) with the
+    * integer-exact sum of |sample| in that window, from a REAL
+    * javax.sound PCM decode. Narrow codegen'd stage + posexplode.
+    */
+  def audioEnergyWindows(df: DataFrame, binCol: String, nWindows: Int): DataFrame =
+    df.select(col("*"),
+        posexplode(gr_audioEnergy(col(binCol), lit(nWindows))).as(Seq("win", "energy")))
+      .drop(binCol)
+
   /** Decode the audio payload with javax.sound and extract typed metadata
     * from the decoded stream: sample rate, channels, frame count, sample
     * sum. Narrow stage, no shuffle.

@@ -696,6 +696,15 @@ object GraftDefs {
       val (rate, ch, n, sum) = AudioCodec.decodeMeta(a(0).asInstanceOf[Array[Byte]])
       new GenericInternalRow(Array[Any](rate, ch, n, sum))
     }),
+    // per-window energy profile over REAL javax.sound-decoded PCM: the
+    // silence-trim / voice-activity feature an audio curation pipeline
+    // keys on; integer-exact (sum of |sample| per window) so the oracle
+    // recomputes it closed-form
+    "gr_audio_energy" -> Spec(Seq(B, I), ArrayType(L, containsNull = false), { a =>
+      new GenericArrayData(
+        AudioCodec.energyWindows(a(0).asInstanceOf[Array[Byte]], int(a(1)))
+          .map(Long.box))
+    }),
     // synthesize a real GRV0 container (magic + i32 frames + i16 fps)
     "gr_synth_video" -> Spec(Seq(B), B,
       a => VideoContainer.synth(a(0).asInstanceOf[Array[Byte]].length)),

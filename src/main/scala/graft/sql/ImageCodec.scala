@@ -295,6 +295,40 @@ object AudioCodec {
       (fmt.getSampleRate.toInt, channels, frames, sum)
     } finally in.close()
   }
+
+  /** Per-window energy profile from a REAL javax.sound decode: window `w`
+    * of `nWindows` covers frames `[w*n/W, (w+1)*n/W)` (frame w of sample
+    * i is `i*W/n` — the same integer map the oracle uses) and its energy
+    * is the sum of |sample| over all channels — integer-exact, so the
+    * DuckDB oracle recomputes it closed-form from the synth formula.
+    */
+  def energyWindows(bytes: Array[Byte], nWindows: Int): Array[Long] = {
+    require(nWindows > 0, "energyWindows: nWindows must be positive")
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new ByteArrayInputStream(bytes))
+    try {
+      val fmt = in.getFormat
+      require(fmt.getSampleSizeInBits == 16, s"expected 16-bit PCM, got $fmt")
+      val channels = fmt.getChannels
+      val frames = in.getFrameLength.toInt
+      val data = in.readAllBytes()
+      val bb = ByteBuffer.wrap(data).order(
+        if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+        else java.nio.ByteOrder.LITTLE_ENDIAN)
+      val out = new Array[Long](nWindows)
+      var i = 0
+      while (i < frames) {
+        val w = ((i.toLong * nWindows) / math.max(frames, 1)).toInt
+        var c = 0
+        while (c < channels) {
+          out(w) += math.abs(bb.getShort((i * channels + c) * 2).toLong)
+          c += 1
+        }
+        i += 1
+      }
+      out
+    } finally in.close()
+  }
 }
 
 /** A tiny real binary video-container format ("GRV0"): big-endian magic +

@@ -254,6 +254,8 @@ object functions {
   def gr_synthVideo(srcBytes: Column): Column = fn("gr_synth_video", srcBytes)
   def gr_synthWav(srcBytes: Column): Column = fn("gr_synth_wav", srcBytes)
   def gr_audioMeta(bin: Column): Column = fn("gr_audio_meta", bin)
+  def gr_audioEnergy(bin: Column, nWindows: Column): Column =
+    fn("gr_audio_energy", bin, nWindows)
   def gr_frameSample(bin: Column, targetFrames: Column): Column =
     fn("gr_frame_sample", bin, targetFrames)
 

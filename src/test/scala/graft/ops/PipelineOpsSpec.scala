@@ -325,6 +325,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("audio energy windows partition the decoded samples exactly") {
+    val rows = Multimodal.audioEnergyWindows(
+      Multimodal.withAudioPayload(docs, "text"), "payload", nWindows = 4)
+      .select($"doc_id", $"text", $"win", $"energy").collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    byDoc.foreach { case (_, rs0) =>
+      val rs = rs0.map(r => org.apache.spark.sql.Row(r.getString(1), r.getInt(2), r.getLong(3)))
+      val len = rs.head.getString(0).getBytes("UTF-8").length
+      val (_, n) = graft.sql.AudioCodec.synthParams(len)
+      val exp = new Array[Long](4)
+      for (i <- 0 until n)
+        exp((i * 4) / n) += math.abs(graft.sql.AudioCodec.sample(i, len).toLong)
+      assert(rs.length == 4, s"expected 4 windows, got ${rs.length}")
+      rs.foreach(r => assert(r.getLong(2) == exp(r.getInt(1)),
+        s"window ${r.getInt(1)} energy mismatch"))
+      // windows tile the stream: total energy matches the whole signal
+      assert(rs.map(_.getLong(2)).sum == exp.sum)
+    }
+  }
+
   test("streaming geofence enter/exit transitions (stateful, two batches)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.GeoStreaming

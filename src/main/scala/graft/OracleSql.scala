@@ -1888,6 +1888,29 @@ object OracleSql {
       WHERE cosine >= 0.3
       ORDER BY id_a, id_b""",
 
+    // aHash bits recomputed closed-form from the PNG synth formula; pairs
+    // verified by BRUTE-FORCE all-pairs hamming over the unpacked bits
+    // (no 64-bit packing — 1<<63 overflows DuckDB BIGINT), so the oracle
+    // independently checks the pigeonhole blocking's recall
+    "m07_image_phash_dedup" -> """
+      WITH m AS (SELECT doc_id, octet_length(encode(text)) AS L FROM documents),
+      d AS (SELECT doc_id, L, 4 + L % 29 AS w, 4 + (L * 31) % 25 AS h,
+              CASE L % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS c FROM m),
+      cg AS (SELECT doc_id, i,
+               list_sum(list_transform(range(0, c), b ->
+                 (((i % 8) * w // 8) * 31 + ((i // 8) * h // 8) * 17 + b * 7 + L) % 256)) AS cell
+             FROM (SELECT doc_id, L, w, h, c, unnest(range(0, 64)) AS i FROM d)),
+      tot AS (SELECT doc_id, sum(cell) AS total FROM cg GROUP BY doc_id),
+      bits AS (SELECT cg.doc_id, cg.i,
+                 CASE WHEN cg.cell * 64 > t.total THEN 1 ELSE 0 END AS bit
+               FROM cg JOIN tot t USING (doc_id)),
+      ham AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS hamming
+              FROM bits a JOIN bits b ON a.i = b.i AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+      SELECT id_a, id_b, hamming::BIGINT AS hamming
+      FROM ham WHERE hamming <= 3 ORDER BY id_a, id_b""",
+
     "m06_audio_energy" -> """
       WITH m AS (SELECT doc_id, octet_length(encode(text)) AS L FROM documents),
       d AS (SELECT doc_id, L, 500 + (L * 13) % 2000 AS n FROM m),

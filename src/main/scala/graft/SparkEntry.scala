@@ -2636,6 +2636,21 @@ object SparkEntry {
     // real javax.sound WAV decode of synthesized RIFF/PCM payloads: rate/
     // channels/frames/sample-sum read from the decoded AudioInputStream;
     // the oracle recomputes them from the closed-form synthesis formulas
+    // perceptual image dedup: real javax.imageio decode -> 64-bit aHash
+    // -> the same 4x16-bit pigeonhole blocking simhash uses (one
+    // hash-only shuffle, exact bit_count(xor) verify). The oracle
+    // recomputes every hash closed-form AND verifies pairs by
+    // brute-force all-pairs hamming — an adversarial recall check of the
+    // blocking, not just of the kernel.
+    "m07_image_phash_dedup" -> ((s, d) => {
+      val imgs = Multimodal.withImagePayload(
+        t(s, d, "documents").select(col("doc_id"), col("text")), "text")
+        .select(col("doc_id"), gr_imageAhash(col("payload")).as("ahash"))
+      Dedup.fingerprintPairs(imgs, "doc_id", "ahash", maxHamming = 3)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // audio energy windows: REAL javax.sound PCM decode -> per-window
     // sum(|sample|) (the silence-trim / voice-activity feature an audio
     // curation pipeline keys on); narrow codegen'd kernel + posexplode,

@@ -251,14 +251,29 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       textCol: String,
+      maxHamming: Int = 3): DataFrame =
+    fingerprintPairs(
+      df.select(col(idCol).as("_fp_id"), gr_simhash64(col(textCol)).as("_fp_hash")),
+      "_fp_id", "_fp_hash", maxHamming)
+
+  /** Hamming-near pairs over an ARBITRARY 64-bit fingerprint column —
+    * the blocking engine behind [[simhashPairs]], reused for perceptual
+    * image hashes (aHash) and any other 64-bit signature. Same plan:
+    * 4x16-bit block collision candidates (one hash-only shuffle), exact
+    * `bit_count(xor)` verify, each pair grouped once.
+    */
+  def fingerprintPairs(
+      df: DataFrame,
+      idCol: String,
+      hashCol: String,
       maxHamming: Int = 3): DataFrame = {
     // pigeonhole over 4 blocks only guarantees a shared block for
     // Hamming <= 3; a larger radius would silently miss qualifying pairs
     // (needs more/narrower blocks — extend the blocking, don't lift this)
     require(maxHamming >= 0 && maxHamming <= 3,
-      s"simhashPairs supports maxHamming in [0, 3] (got $maxHamming): " +
+      s"fingerprintPairs supports maxHamming in [0, 3] (got $maxHamming): " +
         "4-block LSH cannot guarantee candidate recall beyond Hamming 3")
-    val sh = df.select(col(idCol).as("_id"), gr_simhash64(col(textCol)).as("_sh"))
+    val sh = df.select(col(idCol).as("_id"), col(hashCol).cast("long").as("_sh"))
     // 4 blocking keys of 16 bits each: any pair with Hamming <= 3 collides
     // in at least one block (pigeonhole)
     // pin the blocked projection so the self-join reads it once: without

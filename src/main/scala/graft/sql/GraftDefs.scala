@@ -685,6 +685,11 @@ object GraftDefs {
         ImageCodec.decodeCached(a(0).asInstanceOf[Array[Byte]]), int(a(1)))
       new GenericInternalRow(Array[Any](ow, oh, bytes, sum))
     }),
+    // 64-bit perceptual average-hash over the DECODED raster (real
+    // javax.imageio decode): the image-dedup fingerprint — hamming-close
+    // hashes mean visually-close images
+    "gr_image_ahash" -> Spec(Seq(B), L, a =>
+      ImageCodec.aHash(ImageCodec.decodeCached(a(0).asInstanceOf[Array[Byte]]))),
     // synthesize a real RIFF/WAVE PCM payload from a source byte length
     "gr_synth_wav" -> Spec(Seq(B), B,
       a => AudioCodec.synthWav(a(0).asInstanceOf[Array[Byte]].length)),

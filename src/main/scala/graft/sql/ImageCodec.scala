@@ -183,6 +183,38 @@ object ImageCodec {
     if (isPng) decodeWith(tlPngReader.get(), bytes) else decode(bytes)
   }
 
+  /** 64-bit average hash (aHash) over the DECODED raster — the standard
+    * perceptual image-dedup fingerprint: nearest-neighbor downsample the
+    * channel-sum gray image to 8x8 (source index `x*w/8, y*h/8`, the
+    * same integer map `resizeNN` and the oracle use), then set bit
+    * `y*8+x` when `cell*64 > total` (strictly above the mean, expressed
+    * without division so every engine computes the identical bit).
+    */
+  def aHash(img: BufferedImage): Long = {
+    val r = img.getRaster
+    val w = img.getWidth; val h = img.getHeight; val bands = r.getNumBands
+    val cells = new Array[Long](64)
+    var total = 0L
+    var y = 0
+    while (y < 8) {
+      val sy = y * h / 8
+      var x = 0
+      while (x < 8) {
+        val sx = x * w / 8
+        var g = 0L
+        var b = 0
+        while (b < bands) { g += r.getSample(sx, sy, b); b += 1 }
+        cells(y * 8 + x) = g; total += g
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    var i = 0
+    while (i < 64) { if (cells(i) * 64 > total) hash |= (1L << i); i += 1 }
+    hash
+  }
+
   /** (width, height, bands, pixelSum) from the DECODED raster — every value
     * read back from real ImageIO output.
     */

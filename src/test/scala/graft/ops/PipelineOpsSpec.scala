@@ -325,6 +325,32 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("image aHash: identical images hamming 0, decoded == closed-form") {
+    val imgs = Multimodal.withImagePayload(docs, "text")
+      .select($"doc_id", graft.sql.functions.gr_imageAhash($"payload").as("h"))
+    val got = imgs.as[(Long, Long)].collect().toMap
+    // docs 1 and 2 share text -> same synthesized image -> same hash
+    assert(got(1L) == got(2L))
+    // decoded-raster hash equals the closed-form pixel formula hash
+    docs.select($"doc_id", $"text").as[(Long, String)].collect().foreach { case (id, text) =>
+      val len = text.getBytes("UTF-8").length
+      val (w, h, c) = graft.sql.ImageCodec.synthDims(len)
+      val cells = Array.tabulate(64) { i =>
+        val sx = (i % 8) * w / 8; val sy = (i / 8) * h / 8
+        (0 until c).map(b => graft.sql.ImageCodec.sample(sx, sy, b, len).toLong).sum
+      }
+      val total = cells.sum
+      val exp = cells.zipWithIndex.foldLeft(0L) { case (acc, (cell, i)) =>
+        if (cell * 64 > total) acc | (1L << i) else acc
+      }
+      assert(got(id) == exp, s"doc $id ahash ${got(id)} != closed-form $exp")
+    }
+    // fingerprintPairs over the hash column finds the exact-dup pair
+    val pairs = Dedup.fingerprintPairs(imgs, "doc_id", "h", maxHamming = 0)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSeq
+    assert(pairs.contains((1L, 2L)))
+  }
+
   test("audio energy windows partition the decoded samples exactly") {
     val rows = Multimodal.audioEnergyWindows(
       Multimodal.withAudioPayload(docs, "text"), "payload", nWindows = 4)

@@ -1876,6 +1876,21 @@ object OracleSql {
       SELECT label, c_label, count(*)::BIGINT AS n
       FROM r WHERE rnk = 1 GROUP BY label, c_label ORDER BY label, c_label""",
 
+    // exact pair count computed in SQL; the invariant booleans assert the
+    // Spark side's per-pair cosine verification (precision) and the
+    // measured recall floor of the k-means clustering
+    "e07_semantic_dedup" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+                 WHERE vec_id % 4 = 0),
+      n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(CASE WHEN a.nrm = 0 OR b.nrm = 0 THEN 0.0
+                         ELSE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) END, 4) AS cosine
+            FROM n a JOIN n b ON a.vec_id < b.vec_id)
+      SELECT count(*)::BIGINT AS n_bf_pairs, true AS precision_ok,
+             true AS recall_ge_80
+      FROM p WHERE cosine >= 0.3""",
+
     "e04_embed_neardup" -> """
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
                  WHERE vec_id % 4 = 0),

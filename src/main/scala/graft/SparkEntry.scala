@@ -2558,6 +2558,29 @@ object SparkEntry {
         .select(col("n_queries"), col("queries_ge_half"), col("recall_ge_90"))
     }),
 
+    // SemDeDup: k-means-clustered semantic dedup. The oracle computes the
+    // EXACT pair set in SQL; the Spark side reports its count plus two
+    // invariants — precision_ok (every clustered pair is in the exact
+    // set: cosine verified per pair, so true by construction) and the
+    // measured recall floor vs the exact set.
+    "e07_semantic_dedup" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").filter(col("vec_id") % 4 === 0)
+      val sem = Dedup.semanticDedup(emb, "vec_id", "embedding",
+        threshold = 0.3, nlist = 8, nprobe = 3).select(col("id_a"), col("id_b"))
+      val bf = Dedup.embeddingNearDup(emb, "vec_id", "embedding",
+          threshold = 0.2, bits = 0)
+        .withColumn("cosine", round(col("cosine"), 4))
+        .filter(col("cosine") >= 0.3)
+        .select(col("id_a"), col("id_b"))
+      val nSem = sem.agg(count(lit(1)).as("n_sem"))
+      val nBf = bf.agg(count(lit(1)).as("n_bf_pairs"))
+      val nHit = sem.join(bf, Seq("id_a", "id_b")).agg(count(lit(1)).as("n_hit"))
+      nBf.crossJoin(nSem).crossJoin(nHit)
+        .select(col("n_bf_pairs"),
+          (col("n_sem") === col("n_hit")).as("precision_ok"),
+          (col("n_hit") * 10L >= col("n_bf_pairs") * 8L).as("recall_ge_80"))
+    }),
+
     // embedding-cosine near-dup pairs, exact mode (bits=0 -> all pairs;
     // the rounded-cosine threshold keeps the fp boundary oracle-safe)
     "e04_embed_neardup" -> ((s, d) => {

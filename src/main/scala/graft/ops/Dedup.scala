@@ -319,6 +319,50 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** SemDeDup (Abbas et al., 2023 "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): semantic near-duplicate
+    * pairs via k-means clustering of the embedding space — pairs are
+    * generated only WITHIN a cluster, so the corpus never self-joins
+    * globally and pair cost is bounded by the largest cluster, never n².
+    * Centroids come from the deterministic seeded k-means|| trainer
+    * ([[Similarity.trainCentroids]]); assignment is one broadcast argmax
+    * pass (vectors never shuffle for training — only cluster keys
+    * exchange for the pair join). Every emitted pair's cosine is
+    * verified exactly, so precision is 1 by construction; recall is
+    * clustering-dependent (near-dups split across a cluster boundary are
+    * missed) — the standard ANN-dedup trade, measured by the e07 oracle
+    * against the exact pair set. Cosine is rounded to `roundTo` digits
+    * before thresholding to keep fp boundaries reproducible.
+    */
+  def semanticDedup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nlist: Int = 16,
+      nprobe: Int = 2,
+      roundTo: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.functions.typedlit
+    require(nprobe >= 1 && nprobe <= nlist, "semanticDedup: 1 <= nprobe <= nlist")
+    val cents = Similarity.trainCentroids(df, idCol, vecCol, nlist = nlist, seed = seed)
+    val centArr = array(cents.map(c => typedlit(c)).toIndexedSeq: _*)
+    // multi-probe assignment: a vector near a cluster boundary lands in
+    // its top-nprobe clusters, so boundary-straddling near-dups still
+    // share one; the groupBy on (id_a, id_b) re-establishes exactly-once
+    // (a pair sharing two probed clusters meets twice)
+    val assigned = df
+      .select(col(idCol).cast("long").as("_id"), col(vecCol).as("_v"))
+      .withColumn("_c", explode(gr_topnCosine(col("_v"), centArr, lit(nprobe))))
+    val a = assigned.select(col("_c"), col("_id").as("id_a"), col("_v").as("_va"))
+    val b = assigned.select(col("_c"), col("_id").as("id_b"), col("_v").as("_vb"))
+    a.join(b, Seq("_c")).filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", round(gr_cosine(col("_va"), col("_vb")), roundTo))
+      .filter(col("cosine") >= threshold)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(first(col("cosine")).as("cosine"))
+  }
+
   /** Connected components over a near-duplicate pair graph: assigns every
     * node the MINIMUM id reachable from it — the canonical-document id of
     * its duplicate cluster (the step after LSH pair generation in a dedup

@@ -667,6 +667,21 @@ object OracleSql {
              sum(CASE WHEN bucket * n_docs < n_keep * 1000000 THEN 1 ELSE 0 END)::BIGINT AS n_kept
       FROM b GROUP BY source ORDER BY source""",
 
+    "t29_boilerplate" -> s"""
+      WITH f AS (SELECT doc_id, $docToks AS toks FROM documents
+                 WHERE len($docToks) >= 2),
+      pos AS (SELECT doc_id, unnest(list_transform(range(0, len(toks) - 1),
+                i -> array_to_string(toks[i + 1:i + 2], ' '))) AS gram
+              FROM f),
+      dfreq AS (SELECT gram, count(DISTINCT doc_id) AS df FROM pos GROUP BY gram),
+      b AS (SELECT gram FROM dfreq WHERE df >= 25)
+      SELECT p.doc_id, count(*)::BIGINT AS n_positions,
+             sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_boiler,
+             round(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+               / count(*), 4) AS boiler_ratio
+      FROM pos p LEFT JOIN b ON p.gram = b.gram
+      GROUP BY p.doc_id ORDER BY p.doc_id""",
+
     "t28_ccnet_buckets" -> s"""
       WITH tk AS (SELECT doc_id, lang, len($docToks)::BIGINT AS n_tokens
                   FROM documents),

@@ -2327,6 +2327,31 @@ object SparkEntry {
     // vocab-sized join back onto the exploded tokens — NO broadcast hint,
     // the vocab is unbounded at web scale so AQE must pick the build side
     // (t19's rule) — then a per-doc mean of -ln p(token)
+    // cross-document boilerplate mining (C4/RefinedWeb-style): word
+    // n-grams whose document frequency clears a floor are boilerplate
+    // (navigation chrome, license banners); each doc reports how much of
+    // it is boilerplate. Scale shape: the gram->df agg prunes to the
+    // SMALL high-df set before any join, which then BROADCASTS onto the
+    // huge positions stream — the full gram table never joins itself.
+    "t29_boilerplate" -> ((s, d) => {
+      val pos = t(s, d, "documents")
+        .select(col("doc_id"), gr_tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(toks) - 2), i -> concat_ws(' ', slice(toks, i + 1, 2)))"))
+          .as("gram"))
+      val boiler = pos.select(col("gram"), col("doc_id")).distinct()
+        .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 25)
+        .select(col("gram"), lit(1).as("is_b"))
+      pos.join(broadcast(boiler), Seq("gram"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_positions"),
+          sum(when(col("is_b") === 1, 1L).otherwise(0L)).as("n_boiler"))
+        .withColumn("boiler_ratio", round(col("n_boiler") / col("n_positions"), 4))
+        .orderBy(col("doc_id"))
+    }),
+
     // CCNet-style quality tiers (Wenzek et al. 2019): rank documents per
     // language by a quality proxy (token count) and cut the ranking into
     // head/middle/tail thirds — the bucket a CCNet pipeline keys its

@@ -43,6 +43,32 @@ object TextAnalysis {
           .when(col("bucket_idx") === n, "tail").otherwise("middle"))
   }
 
+  /** The 100 TB variant of [[qualityBuckets]]: per-language
+    * `approx_percentile` cutpoints (a tiny broadcast table — one row per
+    * language) instead of a per-language window sort, so no single task
+    * ever sorts a whole language. Buckets place by value comparison
+    * against the cutpoints, so boundary-tied rows may land one tier away
+    * from the exact rank-based variant — the documented trade for
+    * removing the giant-partition sort.
+    */
+  def qualityBucketsApprox(df: DataFrame, langCol: String, scoreCol: String,
+      n: Int = 3, accuracy: Int = 10000): DataFrame = {
+    require(n >= 2, "qualityBucketsApprox: n >= 2")
+    val ps = (1 until n).map(i => i.toDouble / n)
+    val cuts = df.groupBy(col(langCol)).agg(
+      expr(s"percentile_approx($scoreCol, array(${ps.mkString(", ")}), $accuracy)")
+        .as("_cuts"))
+    df.join(broadcast(cuts), langCol)
+      // ascending cutpoints; clearing k of them puts the row k tiers up
+      // (bucket 1 = "head" = above every cutpoint)
+      .withColumn("bucket_idx",
+        lit(n) - expr(s"size(filter(_cuts, c -> $scoreCol >= c))"))
+      .withColumn("bucket",
+        when(col("bucket_idx") === 1, "head")
+          .when(col("bucket_idx") === n, "tail").otherwise("middle"))
+      .drop("_cuts")
+  }
+
   def langProfile(df: DataFrame, textCol: String): DataFrame =
     annotate(df, textCol)
       .groupBy(col("lang_pred"))

@@ -325,6 +325,32 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("qualityBucketsApprox: monotone tiers, full coverage, no giant sort") {
+    val rows = (1L to 30L).map(i => (i, if (i % 2 == 0) "A" else "B", i * 10))
+    val df = rows.toDF("doc_id", "lang", "score")
+    val got = TextAnalysis.qualityBucketsApprox(df, "lang", "score", n = 3)
+      .select($"lang", $"bucket", $"score").collect()
+      .groupBy(r => (r.getString(0), r.getString(1)))
+      .view.mapValues(_.map(_.getLong(2)).toSeq).toMap
+    for (lang <- Seq("A", "B")) {
+      val head = got.getOrElse((lang, "head"), Nil)
+      val mid = got.getOrElse((lang, "middle"), Nil)
+      val tail = got.getOrElse((lang, "tail"), Nil)
+      // every row lands in exactly one tier
+      assert(head.size + mid.size + tail.size == 15)
+      // tiers are value-monotone: head > middle > tail throughout
+      if (head.nonEmpty && mid.nonEmpty) assert(head.min > mid.max)
+      if (mid.nonEmpty && tail.nonEmpty) assert(mid.min > tail.max)
+      // tier sizes are near-thirds (value cutpoints, not exact ranks)
+      assert(head.size >= 3 && tail.size >= 3)
+    }
+    // the plan has no per-language window sort — cutpoints broadcast-join
+    val plan = TextAnalysis.qualityBucketsApprox(df, "lang", "score")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "approx variant must not plan a Window")
+    assert(plan.contains("BroadcastHashJoin"), "cutpoints should broadcast")
+  }
+
   test("image aHash: identical images hamming 0, decoded == closed-form") {
     val imgs = Multimodal.withImagePayload(docs, "text")
       .select($"doc_id", graft.sql.functions.gr_imageAhash($"payload").as("h"))

@@ -928,6 +928,20 @@ object OracleSql {
 
     // distributed expanding-ring kNN: same oracle as the broadcast kNN —
     // global rank over the cross join, rank<=3 keeps k-th ties
+    "g79_linesubstring_azimuth" -> s"""
+      WITH p AS (SELECT c_custkey, abs(cx) + 1.0 AS hx, abs(cy) + 1.0 AS hy
+                 FROM ($custPts)),
+      m AS (SELECT c_custkey, hx, hy, hx + hy AS t,
+              0.25 * (hx + hy) AS s0, 0.75 * (hx + hy) AS s1 FROM p)
+      SELECT c_custkey,
+        round(s1 - s0, 6) AS sub_len,
+        round(CASE WHEN s0 <= hx THEN s0 ELSE hx END, 6) AS sx,
+        round(CASE WHEN s0 <= hx THEN 0.0 ELSE s0 - hx END, 6) AS sy,
+        round(CASE WHEN s1 <= hx THEN s1 ELSE hx END, 6) AS ex,
+        round(CASE WHEN s1 <= hx THEN 0.0 ELSE s1 - hx END, 6) AS ey,
+        round(atan2(hx, hy), 6) AS az
+      FROM m ORDER BY c_custkey""",
+
     "g78_intersection_all" -> """
       WITH b AS (SELECT s_nationkey,
           (s_nationkey * 100)::DOUBLE + (s_suppkey % 5)::DOUBLE * 0.5 AS bx,

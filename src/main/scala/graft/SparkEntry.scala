@@ -1069,6 +1069,29 @@ object SparkEntry {
         .orderBy(col("s_nationkey"))
     }),
 
+    // shapely.ops.substring + PostGIS azimuth over L-shaped lines: the
+    // 25%..75% window spans the corner vertex, so the substring keeps an
+    // interior vertex with interpolated cut endpoints — closed-form in
+    // (hx, hy) for the oracle
+    "g79_linesubstring_azimuth" -> ((s, d) => {
+      customerPts(s, d)
+        .withColumn("hx", abs(col("cx")) + 1.0)
+        .withColumn("hy", abs(col("cy")) + 1.0)
+        .withColumn("ln", st_makeLine(array(
+          st_point(lit(0.0), lit(0.0)), st_point(col("hx"), lit(0.0)),
+          st_point(col("hx"), col("hy")))))
+        .withColumn("sub", st_lineSubstring(col("ln"), lit(0.25), lit(0.75)))
+        .select(col("c_custkey"),
+          round(st_length(col("sub")), 6).as("sub_len"),
+          round(st_x(st_pointN(col("sub"), lit(0))), 6).as("sx"),
+          round(st_y(st_pointN(col("sub"), lit(0))), 6).as("sy"),
+          round(st_x(st_pointN(col("sub"), lit(-1))), 6).as("ex"),
+          round(st_y(st_pointN(col("sub"), lit(-1))), 6).as("ey"),
+          round(st_azimuth(st_point(lit(0.0), lit(0.0)),
+            st_point(col("hx"), col("hy"))), 6).as("az"))
+        .orderBy(col("c_custkey"))
+    }),
+
     "g40_sjoin_nearest" -> ((s, d) => {
       val cust = GeoDataFrame(customerPts(s, d))
       val supp = GeoDataFrame(t(s, d, "supplier")

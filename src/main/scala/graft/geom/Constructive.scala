@@ -561,6 +561,53 @@ object Constructive {
     Point(l.x(l.size - 1), l.y(l.size - 1))
   }
 
+  /** Partial line between two normalized length fractions —
+    * shapely.ops.substring / PostGIS ST_LineSubstring. Fractions clamp to
+    * [0, 1] and swap if reversed; a degenerate window (f0 == f1) yields
+    * the interpolated POINT at that fraction, like PostGIS. Interior
+    * vertices between the cut points are preserved; the cut endpoints are
+    * interpolated on their segments.
+    */
+  def lineSubstring(g: Geometry, f0In: Double, f1In: Double): Geometry = {
+    val l = g match {
+      case l: LineString => l
+      case m: MultiLineString if m.lines.nonEmpty => m.lines(0)
+      case _ => return LineString(Array.empty[Double])
+    }
+    if (l.isEmpty) return LineString(Array.empty[Double])
+    val lo = math.max(0.0, math.min(f0In, f1In))
+    val hi = math.min(1.0, math.max(f0In, f1In))
+    if (lo >= 1.0) return lineInterpolatePoint(l, 1.0, normalized = true)
+    if (hi == lo) return lineInterpolatePoint(l, lo, normalized = true)
+    val total = Measures.pathLength(l.xy)
+    if (total == 0) return lineInterpolatePoint(l, lo, normalized = true)
+    val s0 = lo * total
+    val s1 = hi * total
+    val out = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def push(x: Double, y: Double): Unit = {
+      val m = out.length
+      if (m < 2 || out(m - 2) != x || out(m - 1) != y) { out += x; out += y }
+    }
+    var walked = 0.0
+    var i = 0
+    while (i + 3 < l.xy.length) {
+      val x0 = l.xy(i); val y0 = l.xy(i + 1)
+      val x1 = l.xy(i + 2); val y1 = l.xy(i + 3)
+      val segLen = math.hypot(x1 - x0, y1 - y0)
+      val a = walked; val b = walked + segLen
+      if (segLen > 0 && b > s0 && a < s1) {
+        val t0 = math.max(0.0, (s0 - a) / segLen)
+        val t1 = math.min(1.0, (s1 - a) / segLen)
+        push(x0 + t0 * (x1 - x0), y0 + t0 * (y1 - y0))
+        push(x0 + t1 * (x1 - x0), y0 + t1 * (y1 - y0))
+      }
+      walked = b
+      i += 2
+    }
+    if (out.length < 4) lineInterpolatePoint(l, lo, normalized = true)
+    else LineString(out.toArray)
+  }
+
   /** Distance along the line of the closest point to p (st_linelocatepoint /
     * shapely project — reference `dask_geopandas/expr.py:1001-1013`).
     */

@@ -375,6 +375,20 @@ object GraftDefs {
     "st_linelocatepoint" -> Spec(Seq(B, B, BO), D,
       a => Constructive.lineLocatePoint(geom(a(0)), geom(a(1)).asInstanceOf[Point],
         a(2).asInstanceOf[Boolean])),
+    // shapely.ops.substring / PostGIS ST_LineSubstring: partial line
+    // between two normalized length fractions
+    "st_linesubstring" -> Spec(Seq(B, D, D), B,
+      a => wkb(Constructive.lineSubstring(geom(a(0)), dbl(a(1)), dbl(a(2))))),
+    // PostGIS ST_Azimuth: north-based clockwise bearing point->point in
+    // [0, 2pi); NaN for coincident points
+    "st_azimuth" -> Spec(Seq(B, B), D, { a =>
+      val p = geom(a(0)).asInstanceOf[Point]; val q = geom(a(1)).asInstanceOf[Point]
+      if (p.x == q.x && p.y == q.y) Double.NaN
+      else {
+        val az = math.atan2(q.x - p.x, q.y - p.y)
+        if (az < 0) az + 2 * math.Pi else az
+      }
+    }),
     // ---- affine family (reference expr.py:339-385)
     "st_affine" -> Spec(Seq(B, D, D, D, D, D, D), B,
       a => wkb(Constructive.affine(geom(a(0)), dbl(a(1)), dbl(a(2)), dbl(a(3)),

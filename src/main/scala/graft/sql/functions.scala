@@ -102,6 +102,9 @@ object functions {
     fn("st_lineinterpolatepoint", g, d, normalized)
   def st_lineLocatePoint(g: Column, p: Column, normalized: Column = lit(false)): Column =
     fn("st_linelocatepoint", g, p, normalized)
+  def st_lineSubstring(g: Column, f0: Column, f1: Column): Column =
+    fn("st_linesubstring", g, f0, f1)
+  def st_azimuth(a: Column, b: Column): Column = fn("st_azimuth", a, b)
 
   // ------------------------------------- extended constructive (geopandas)
   def st_reverse(g: Column): Column = fn("st_reverse", g)

@@ -1092,4 +1092,26 @@ class GeomKernelSpec extends AnyFunSuite {
     assert(Crs.parseProj("+proj=tmerc +lat_0=abc").isEmpty, "malformed number")
     assert(Crs.parseProj("+proj=utm +ellps=GRS80").isEmpty, "utm without zone")
   }
+
+  test("lineSubstring: interior vertex kept, cut interpolation, degenerate/clamped windows") {
+    val l = LineString(Array(0.0, 0, 10, 0, 10, 10)) // length 20, corner at s=10
+    // window spanning the corner keeps it, endpoints interpolated
+    val mid = Constructive.lineSubstring(l, 0.25, 0.75).asInstanceOf[LineString]
+    assert(mid.xy.toSeq == Seq(5.0, 0.0, 10.0, 0.0, 10.0, 5.0), mid.xy.toSeq)
+    // reversed fractions swap; out-of-range clamp
+    val rev = Constructive.lineSubstring(l, 0.75, 0.25).asInstanceOf[LineString]
+    assert(rev.xy.toSeq == mid.xy.toSeq)
+    val full = Constructive.lineSubstring(l, -1.0, 2.0).asInstanceOf[LineString]
+    assert(full.xy.toSeq == l.xy.toSeq)
+    // window inside one segment: straight 2-point cut
+    val seg = Constructive.lineSubstring(l, 0.1, 0.2).asInstanceOf[LineString]
+    assert(seg.xy.toSeq == Seq(2.0, 0.0, 4.0, 0.0))
+    // degenerate window yields the interpolated point (PostGIS contract)
+    val p5 = Constructive.lineSubstring(l, 0.5, 0.5).asInstanceOf[Point]
+    assert(p5.x == 10.0 && p5.y == 0.0)
+    val p1 = Constructive.lineSubstring(l, 1.0, 1.0).asInstanceOf[Point]
+    assert(p1.x == 10.0 && p1.y == 10.0)
+    // empty input stays empty
+    assert(Constructive.lineSubstring(LineString(Array.empty[Double]), 0.2, 0.8).isEmpty)
+  }
 }

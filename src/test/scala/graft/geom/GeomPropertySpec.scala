@@ -159,4 +159,32 @@ class GeomPropertySpec extends AnyFunSuite {
       assert(int >= -tol && int <= math.min(ia, ib) + tol, s"intersection bounds")
     }
   }
+
+  test("lineSubstring: length proportional, endpoints = interpolate, composition") {
+    (1 to N).foreach { _ =>
+      val nPts = 2 + rnd.nextInt(8)
+      val xy = Array.fill(nPts * 2)(coord())
+      val l = LineString(xy)
+      val total = Measures.pathLength(xy)
+      if (total > 0) {
+        val a = rnd.nextDouble(); val b = rnd.nextDouble()
+        val (lo, hi) = (math.min(a, b), math.max(a, b))
+        Constructive.lineSubstring(l, lo, hi) match {
+          case sub: LineString if !sub.isEmpty =>
+            val tol = 1e-6 * total
+            assert(math.abs(Measures.pathLength(sub.xy) - (hi - lo) * total) < tol,
+              s"substring length != (hi-lo)*total for [$lo,$hi]")
+            val s = Constructive.lineInterpolatePoint(l, lo, normalized = true)
+            val e = Constructive.lineInterpolatePoint(l, hi, normalized = true)
+            assert(math.hypot(sub.xy(0) - s.x, sub.xy(1) - s.y) < tol, "start")
+            assert(math.hypot(sub.xy(sub.xy.length - 2) - e.x,
+              sub.xy(sub.xy.length - 1) - e.y) < tol, "end")
+          case p: Point =>
+            // degenerate window (lo == hi up to fp) collapses to a point
+            assert(hi - lo < 1e-12)
+          case other => fail(s"unexpected $other")
+        }
+      }
+    }
+  }
 }

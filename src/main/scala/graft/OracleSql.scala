@@ -928,6 +928,14 @@ object OracleSql {
 
     // distributed expanding-ring kNN: same oracle as the broadcast kNN —
     // global rank over the cross join, rank<=3 keeps k-th ties
+    "g80_split" -> s"""
+      WITH p AS (SELECT c_custkey, abs(cx) + 1.0 AS hx, abs(cy) + 1.0 AS hy
+                 FROM ($custPts))
+      SELECT c_custkey,
+        2::BIGINT AS np, round(hx, 6) AS p0, round(hy, 6) AS p1,
+        2::BIGINT AS nl, round(hx / 2, 6) AS l0, round(hx / 2 + hy, 6) AS l1
+      FROM p ORDER BY c_custkey""",
+
     "g79_linesubstring_azimuth" -> s"""
       WITH p AS (SELECT c_custkey, abs(cx) + 1.0 AS hx, abs(cy) + 1.0 AS hy
                  FROM ($custPts)),

@@ -1092,6 +1092,28 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     }),
 
+    // shapely.ops.split: cut at an on-line point (the corner vertex) and
+    // at a crossing line; part lengths are closed-form in (hx, hy)
+    "g80_split" -> ((s, d) => {
+      customerPts(s, d)
+        .withColumn("hx", abs(col("cx")) + 1.0)
+        .withColumn("hy", abs(col("cy")) + 1.0)
+        .withColumn("ln", st_makeLine(array(
+          st_point(lit(0.0), lit(0.0)), st_point(col("hx"), lit(0.0)),
+          st_point(col("hx"), col("hy")))))
+        .withColumn("by_pt", st_split(col("ln"), st_point(col("hx"), lit(0.0))))
+        .withColumn("by_ln", st_split(col("ln"), st_makeLine(array(
+          st_point(col("hx") / 2, lit(-1.0)), st_point(col("hx") / 2, lit(1.0))))))
+        .select(col("c_custkey"),
+          st_numGeometries(col("by_pt")).cast("long").as("np"),
+          round(st_length(st_geometryN(col("by_pt"), lit(0))), 6).as("p0"),
+          round(st_length(st_geometryN(col("by_pt"), lit(1))), 6).as("p1"),
+          st_numGeometries(col("by_ln")).cast("long").as("nl"),
+          round(st_length(st_geometryN(col("by_ln"), lit(0))), 6).as("l0"),
+          round(st_length(st_geometryN(col("by_ln"), lit(1))), 6).as("l1"))
+        .orderBy(col("c_custkey"))
+    }),
+
     "g40_sjoin_nearest" -> ((s, d) => {
       val cust = GeoDataFrame(customerPts(s, d))
       val supp = GeoDataFrame(t(s, d, "supplier")

@@ -608,6 +608,95 @@ object Constructive {
     else LineString(out.toArray)
   }
 
+  /** shapely.ops.split for polyline inputs: cut `g` at every point where
+    * `splitter` meets its interior. A Point/MultiPoint splitter cuts
+    * where a point lies ON the line (within 1e-9); a line-ish or polygon
+    * splitter cuts at segment-intersection points with the splitter's
+    * curves (polygons contribute their boundary rings; collinear
+    * overlaps cut at the overlap's endpoints). Returns a
+    * GEOMETRYCOLLECTION of the parts in path order, like shapely; cuts
+    * landing on the line's own endpoints are no-ops, and a splitter that
+    * never meets the interior returns the input as the single part.
+    */
+  def split(g: Geometry, splitter: Geometry): GeometryCollection = {
+    val lines: Seq[LineString] = g match {
+      case l: LineString => Seq(l)
+      case m: MultiLineString => m.lines.toSeq
+      case _ => throw new IllegalArgumentException(
+        s"split: only (Multi)LineString inputs are supported, got ${g.geometryType}")
+    }
+    GeometryCollection(lines.flatMap(splitOne(_, splitter)).toArray)
+  }
+
+  private def splitOne(l: LineString, splitter: Geometry): Seq[Geometry] = {
+    if (l.isEmpty) return Seq(l)
+    val total = Measures.pathLength(l.xy)
+    if (total == 0) return Seq(l)
+    val eps = 1e-9
+    val cuts = scala.collection.mutable.SortedSet.empty[Double]
+    def addCutAt(px: Double, py: Double): Unit = {
+      var walked = 0.0
+      var i = 0
+      while (i + 3 < l.xy.length) {
+        val x0 = l.xy(i); val y0 = l.xy(i + 1)
+        val x1 = l.xy(i + 2); val y1 = l.xy(i + 3)
+        val segLen = math.hypot(x1 - x0, y1 - y0)
+        if (segLen > 0 && Measures.pointToSegment(px, py, x0, y0, x1, y1) <= eps) {
+          val t = ((px - x0) * (x1 - x0) + (py - y0) * (y1 - y0)) / (segLen * segLen)
+          val s = walked + math.max(0.0, math.min(1.0, t)) * segLen
+          if (s > eps && s < total - eps) cuts += s / total
+          return
+        }
+        walked += segLen
+        i += 2
+      }
+    }
+    def curves(sp: Geometry): Seq[Array[Double]] = sp match {
+      case sl: LineString => Seq(sl.xy)
+      case m: MultiLineString => m.lines.map(_.xy).toSeq
+      case p: Polygon => p.rings.toSeq
+      case mp: MultiPolygon => mp.polys.flatMap(_.rings).toSeq
+      case gc: GeometryCollection => gc.geoms.toSeq.flatMap(curves)
+      case _ => Nil
+    }
+    splitter match {
+      case p: Point if !p.isEmpty => addCutAt(p.x, p.y)
+      case mp: MultiPoint => mp.pts.foreach(p => if (!p.isEmpty) addCutAt(p.x, p.y))
+      case other =>
+        for (c <- curves(other)) {
+          var i = 0
+          while (i + 3 < l.xy.length) {
+            val ax = l.xy(i); val ay = l.xy(i + 1)
+            val bx = l.xy(i + 2); val by = l.xy(i + 3)
+            val dx = bx - ax; val dy = by - ay
+            var j = 0
+            while (j + 3 < c.length) {
+              val cx = c(j); val cy = c(j + 1)
+              val ex = c(j + 2); val ey = c(j + 3)
+              val fx = ex - cx; val fy = ey - cy
+              val denom = dx * fy - dy * fx
+              if (denom != 0) {
+                val t = ((cx - ax) * fy - (cy - ay) * fx) / denom
+                val u = ((cx - ax) * dy - (cy - ay) * dx) / denom
+                if (t >= 0 && t <= 1 && u >= 0 && u <= 1)
+                  addCutAt(ax + t * dx, ay + t * dy)
+              } else if (dx * (cy - ay) - dy * (cx - ax) == 0) {
+                // collinear overlap: the overlap's endpoints are the cuts
+                addCutAt(cx, cy); addCutAt(ex, ey)
+              }
+              j += 2
+            }
+            i += 2
+          }
+        }
+    }
+    if (cuts.isEmpty) Seq(l)
+    else {
+      val fr = 0.0 +: cuts.toSeq :+ 1.0
+      fr.sliding(2).map { w => lineSubstring(l, w.head, w.last) }.toSeq
+    }
+  }
+
   /** Distance along the line of the closest point to p (st_linelocatepoint /
     * shapely project — reference `dask_geopandas/expr.py:1001-1013`).
     */

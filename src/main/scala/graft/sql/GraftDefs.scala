@@ -379,6 +379,9 @@ object GraftDefs {
     // between two normalized length fractions
     "st_linesubstring" -> Spec(Seq(B, D, D), B,
       a => wkb(Constructive.lineSubstring(geom(a(0)), dbl(a(1)), dbl(a(2))))),
+    // shapely.ops.split: cut a (multi)line at the points where the
+    // splitter meets its interior; GEOMETRYCOLLECTION of parts in order
+    "st_split" -> g2(B)((x, y) => wkb(Constructive.split(x, y))),
     // PostGIS ST_Azimuth: north-based clockwise bearing point->point in
     // [0, 2pi); NaN for coincident points
     "st_azimuth" -> Spec(Seq(B, B), D, { a =>

@@ -105,6 +105,7 @@ object functions {
   def st_lineSubstring(g: Column, f0: Column, f1: Column): Column =
     fn("st_linesubstring", g, f0, f1)
   def st_azimuth(a: Column, b: Column): Column = fn("st_azimuth", a, b)
+  def st_split(g: Column, splitter: Column): Column = fn("st_split", g, splitter)
 
   // ------------------------------------- extended constructive (geopandas)
   def st_reverse(g: Column): Column = fn("st_reverse", g)

@@ -1114,4 +1114,33 @@ class GeomKernelSpec extends AnyFunSuite {
     // empty input stays empty
     assert(Constructive.lineSubstring(LineString(Array.empty[Double]), 0.2, 0.8).isEmpty)
   }
+
+  test("split: on-line point, off-line point, crossing/collinear/multi splitters") {
+    val l = LineString(Array(0.0, 0, 10, 0, 10, 10)) // corner at (10, 0)
+    def lens(gc: GeometryCollection): Seq[Double] =
+      gc.geoms.toSeq.map(g => Measures.pathLength(g.asInstanceOf[LineString].xy))
+    // corner vertex point: two parts of length 10
+    assert(lens(Constructive.split(l, Point(10, 0))) == Seq(10.0, 10.0))
+    // interior point mid-segment
+    assert(lens(Constructive.split(l, Point(4, 0))) == Seq(4.0, 16.0))
+    // off-line point: single part, unchanged
+    assert(lens(Constructive.split(l, Point(5, 3))) == Seq(20.0))
+    // endpoint of the line: a no-op cut
+    assert(lens(Constructive.split(l, Point(0, 0))) == Seq(20.0))
+    // crossing line cuts once; a second crossing from a MultiPoint combo
+    assert(lens(Constructive.split(l,
+      LineString(Array(5.0, -1, 5, 1)))) == Seq(5.0, 15.0))
+    assert(lens(Constructive.split(l,
+      MultiPoint(Array(Point(2, 0), Point(10, 5))))) == Seq(2.0, 13.0, 5.0))
+    // collinear overlap cuts at the overlap endpoints
+    assert(lens(Constructive.split(l,
+      LineString(Array(3.0, 0, 7, 0)))) == Seq(3.0, 4.0, 13.0))
+    // polygon splitter cuts at boundary crossings (enter + exit)
+    assert(lens(Constructive.split(l,
+      Polygon.box(4, -1, 6, 1))) == Seq(4.0, 2.0, 14.0))
+    // non-line input rejected loud
+    intercept[IllegalArgumentException] {
+      Constructive.split(Polygon.box(0, 0, 1, 1), Point(0, 0))
+    }
+  }
 }

@@ -933,7 +933,8 @@ object OracleSql {
                  FROM ($custPts))
       SELECT c_custkey,
         2::BIGINT AS np, round(hx, 6) AS p0, round(hy, 6) AS p1,
-        2::BIGINT AS nl, round(hx / 2, 6) AS l0, round(hx / 2 + hy, 6) AS l1
+        2::BIGINT AS nl, round(hx / 2, 6) AS l0, round(hx / 2 + hy, 6) AS l1,
+        2::BIGINT AS pn, round(hx * hy, 6) AS pa_sum, 0.0::DOUBLE AS pa_diff
       FROM p ORDER BY c_custkey""",
 
     "g79_linesubstring_azimuth" -> s"""

@@ -1104,13 +1104,24 @@ object SparkEntry {
         .withColumn("by_pt", st_split(col("ln"), st_point(col("hx"), lit(0.0))))
         .withColumn("by_ln", st_split(col("ln"), st_makeLine(array(
           st_point(col("hx") / 2, lit(-1.0)), st_point(col("hx") / 2, lit(1.0))))))
+        // polygon split: box cut by a vertical through its middle -> two
+        // equal halves (areas closed-form)
+        .withColumn("by_poly", st_split(
+          st_makeEnvelope(lit(0.0), lit(0.0), col("hx"), col("hy")),
+          st_makeLine(array(st_point(col("hx") / 2, lit(-1.0)),
+            st_point(col("hx") / 2, col("hy") + 1.0)))))
         .select(col("c_custkey"),
           st_numGeometries(col("by_pt")).cast("long").as("np"),
           round(st_length(st_geometryN(col("by_pt"), lit(0))), 6).as("p0"),
           round(st_length(st_geometryN(col("by_pt"), lit(1))), 6).as("p1"),
           st_numGeometries(col("by_ln")).cast("long").as("nl"),
           round(st_length(st_geometryN(col("by_ln"), lit(0))), 6).as("l0"),
-          round(st_length(st_geometryN(col("by_ln"), lit(1))), 6).as("l1"))
+          round(st_length(st_geometryN(col("by_ln"), lit(1))), 6).as("l1"),
+          st_numGeometries(col("by_poly")).cast("long").as("pn"),
+          round(st_area(st_geometryN(col("by_poly"), lit(0))) +
+            st_area(st_geometryN(col("by_poly"), lit(1))), 6).as("pa_sum"),
+          round(abs(st_area(st_geometryN(col("by_poly"), lit(0))) -
+            st_area(st_geometryN(col("by_poly"), lit(1)))), 6).as("pa_diff"))
         .orderBy(col("c_custkey"))
     }),
 

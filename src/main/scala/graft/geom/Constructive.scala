@@ -622,10 +622,42 @@ object Constructive {
     val lines: Seq[LineString] = g match {
       case l: LineString => Seq(l)
       case m: MultiLineString => m.lines.toSeq
+      case _: Polygon | _: MultiPolygon => return splitPolygon(g, splitter)
       case _ => throw new IllegalArgumentException(
-        s"split: only (Multi)LineString inputs are supported, got ${g.geometryType}")
+        s"split: (Multi)LineString or polygonal inputs are supported, got ${g.geometryType}")
     }
     GeometryCollection(lines.flatMap(splitOne(_, splitter)).toArray)
+  }
+
+  /** shapely.ops.split for POLYGON inputs cut by a line: node the
+    * polygon's boundary rings together with the splitter, polygonize the
+    * noded arrangement, and keep the faces whose interior point lies
+    * inside the original polygon — the standard split-by-polygonize
+    * construction. A splitter that doesn't cross the interior returns
+    * the input as the single part.
+    */
+  def splitPolygon(poly: Geometry, splitter: Geometry): GeometryCollection = {
+    val rings: Seq[Array[Double]] = poly match {
+      case p: Polygon => p.rings.toSeq
+      case mp: MultiPolygon => mp.polys.flatMap(_.rings).toSeq
+      case _ => throw new IllegalArgumentException(
+        s"splitPolygon: polygonal input required, got ${poly.geometryType}")
+    }
+    val cutLines: Seq[LineString] = splitter match {
+      case l: LineString => Seq(l)
+      case m: MultiLineString => m.lines.toSeq
+      case _ => throw new IllegalArgumentException(
+        s"splitPolygon: line splitter required, got ${splitter.geometryType}")
+    }
+    val arrangement = GeometryCollection(
+      (rings.map(LineString(_): Geometry) ++ cutLines).toArray)
+    val faces = Geometry.parts(Polygonize.polygonize(Noding.node(arrangement)))
+      .filter { f =>
+        val ip = pointOnSurface(f)
+        !ip.isEmpty && Predicates.within(ip, poly)
+      }
+    if (faces.isEmpty) GeometryCollection(Array(poly))
+    else GeometryCollection(faces.toArray)
   }
 
   private def splitOne(l: LineString, splitter: Geometry): Seq[Geometry] = {

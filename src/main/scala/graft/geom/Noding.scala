@@ -45,8 +45,24 @@ object Noding {
       val dx = bx - ax; val dy = by - ay
       val len2 = dx * dx + dy * dy
       if (len2 > 0) {
-        // collect split parameters strictly inside (0, 1)
-        val ts = mutable.SortedSet.empty[Double]
+        // canonical crossing vertex for an unordered segment pair: always
+        // computed from the LOWER-indexed segment's parametrization, so
+        // both segments emit bit-identical coordinates — an ulp
+        // difference here splits the shared vertex and silently breaks
+        // polygonization of the noded arrangement
+        def pairPoint(j: Int): (Double, Double) = {
+          val m = math.min(i, j); val mm = math.max(i, j)
+          val pax = segs(4 * m); val pay = segs(4 * m + 1)
+          val pdx = segs(4 * m + 2) - pax; val pdy = segs(4 * m + 3) - pay
+          val pcx = segs(4 * mm); val pcy = segs(4 * mm + 1)
+          val pfx = segs(4 * mm + 2) - pcx; val pfy = segs(4 * mm + 3) - pcy
+          val pden = pdx * pfy - pdy * pfx
+          val pt = ((pcx - pax) * pfy - (pcy - pay) * pfx) / pden
+          (pax + pt * pdx, pay + pt * pdy)
+        }
+        // split points strictly inside (0, 1), keyed by parameter, valued
+        // by the canonical vertex to emit
+        val ts = mutable.SortedMap.empty[Double, (Double, Double)]
         var j = 0
         while (j < n) {
           if (j != i) {
@@ -60,13 +76,14 @@ object Noding {
               // proper or touching crossing: solve for parameters on both
               val t = ((cx - ax) * fy - (cy - ay) * fx) / denom
               val u = ((cx - ax) * dy - (cy - ay) * dx) / denom
-              if (t > 0 && t < 1 && u >= 0 && u <= 1) ts += t
+              if (t > 0 && t < 1 && u >= 0 && u <= 1) ts += t -> pairPoint(j)
             } else if (c1 == 0 && c2 == 0) {
-              // collinear: other's endpoints projected into our interior
+              // collinear: other's endpoints (exact doubles both segments
+              // share) projected into our interior
               val t1 = ((cx - ax) * dx + (cy - ay) * dy) / len2
               val t2 = ((ex - ax) * dx + (ey - ay) * dy) / len2
-              if (t1 > 0 && t1 < 1) ts += t1
-              if (t2 > 0 && t2 < 1) ts += t2
+              if (t1 > 0 && t1 < 1) ts += t1 -> ((cx, cy))
+              if (t2 > 0 && t2 < 1) ts += t2 -> ((ex, ey))
             } else {
               // parallel non-collinear: an endpoint may still touch ours?
               // (impossible: parallel disjoint lines share no point)
@@ -75,8 +92,7 @@ object Noding {
           j += 1
         }
         var px = ax; var py = ay
-        ts.foreach { t =>
-          val qx = ax + t * dx; val qy = ay + t * dy
+        ts.foreach { case (_, (qx, qy)) =>
           if (qx != px || qy != py) result += ((px, py, qx, qy))
           px = qx; py = qy
         }

@@ -1138,9 +1138,32 @@ class GeomKernelSpec extends AnyFunSuite {
     // polygon splitter cuts at boundary crossings (enter + exit)
     assert(lens(Constructive.split(l,
       Polygon.box(4, -1, 6, 1))) == Seq(4.0, 2.0, 14.0))
-    // non-line input rejected loud
+    // polygon input with a point splitter rejected loud
     intercept[IllegalArgumentException] {
       Constructive.split(Polygon.box(0, 0, 1, 1), Point(0, 0))
     }
+  }
+
+  test("split polygon by line: halves, diagonal, miss, hole-aware") {
+    val box = Polygon.box(0, 0, 10, 10)
+    def areas(gc: GeometryCollection): Seq[Double] =
+      gc.geoms.toSeq.map(Measures.area).sorted
+    // vertical cut through the middle: two 40/60 parts
+    val v = Constructive.split(box, LineString(Array(4.0, -1, 4, 11)))
+    assert(areas(v).map(a => math.round(a * 1e6) / 1e6) == Seq(40.0, 60.0), areas(v))
+    // diagonal cut: two 50-area triangles
+    val d = Constructive.split(box, LineString(Array(-1.0, -1, 11, 11)))
+    assert(areas(d).map(a => math.round(a * 1e6) / 1e6) == Seq(50.0, 50.0), areas(d))
+    // a line that misses the interior: the whole polygon back
+    val miss = Constructive.split(box, LineString(Array(20.0, 0, 20, 10)))
+    assert(areas(miss) == Seq(100.0))
+    // polygon with a hole: the cut through the hole makes two C-shaped
+    // parts whose areas exclude the hole
+    val holed = Polygon(Array(
+      Array(0.0, 0, 10, 0, 10, 10, 0, 10, 0, 0),
+      Array(4.0, 4, 4, 6, 6, 6, 6, 4, 4, 4)))
+    val h = Constructive.split(holed, LineString(Array(5.0, -1, 5, 11)))
+    assert(h.geoms.length == 2, s"expected 2 parts, got ${h.geoms.length}")
+    assert(math.abs(areas(h).sum - 96.0) < 1e-9, areas(h))
   }
 }

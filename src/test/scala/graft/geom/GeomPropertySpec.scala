@@ -160,6 +160,29 @@ class GeomPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("split polygon by random line conserves area (arbitrary float coords)") {
+    (1 to N).foreach { k =>
+      val b = box()
+      val e = b.envelope
+      // a random line guaranteed to span the box horizontally, with
+      // arbitrary (non-round) endpoints and slope
+      val y1 = e.minY + rnd.nextDouble() * e.height
+      val y2 = e.minY + rnd.nextDouble() * e.height
+      val cut = LineString(Array(e.minX - 1.0 - rnd.nextDouble(), y1,
+        e.maxX + 1.0 + rnd.nextDouble(), y2))
+      val parts = Constructive.split(b, cut)
+      val sum = parts.geoms.map(Measures.area).sum
+      val tol = 1e-6 * Measures.area(b)
+      assert(math.abs(sum - Measures.area(b)) < tol,
+        s"iter $k: parts ${parts.geoms.length}, area $sum != ${Measures.area(b)}")
+      assert(parts.geoms.length == 2, s"iter $k: expected 2 parts, got ${parts.geoms.length}")
+      parts.geoms.foreach { p =>
+        val ip = Constructive.pointOnSurface(p)
+        assert(Predicates.within(ip, b), s"iter $k: part interior escapes the input")
+      }
+    }
+  }
+
   test("lineSubstring: length proportional, endpoints = interpolate, composition") {
     (1 to N).foreach { _ =>
       val nPts = 2 + rnd.nextInt(8)

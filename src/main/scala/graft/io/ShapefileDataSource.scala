@@ -1,0 +1,136 @@
+package graft.io
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 connector for ESRI shapefiles: the pure-JVM
+  * .shp/.shx/.dbf reader behind `ShapefileIO.read` surfaced as a
+  * first-class Spark format —
+  *
+  * {{{
+  *   spark.read.format("shapefile").load("/data/file.shp")  // or a dir
+  *   spark.sql("CREATE TEMPORARY VIEW roads USING shapefile " +
+  *     "OPTIONS (path '/data/file.shp')")
+  * }}}
+  *
+  * Planning reads no data: record counts come from .shx file sizes, one
+  * input partition per `chunkSize` record range (the same scale plan as
+  * `ShapefileIO.read`). Column pruning reaches the decode: unwanted
+  * dBASE attributes skip their per-field parse (the fixed-width record
+  * is one positioned read either way), and when the geometry column is
+  * pruned — e.g. `COUNT(*)` or attribute-only projections — the .shp
+  * shape decode is skipped entirely.
+  *
+  * Options: `geometryColumn` (default "geometry"), `chunkSize` (records
+  * per partition, default 65536).
+  */
+class ShapefileDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "shapefile"
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val path = FlatGeobufDataSource.pathOf(options)
+    ShapefileIO.schemaOf(SparkSession.active, path,
+      options.getOrDefault("geometryColumn", "geometry"))
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new ShpTable(schema, properties)
+}
+
+private[io] class ShpTable(tableSchema: StructType,
+    props: java.util.Map[String, String]) extends Table with SupportsRead {
+  override def name(): String = "shapefile:" + FlatGeobufDataSource.pathOf(props)
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val merged = new java.util.HashMap[String, String](props)
+    merged.putAll(options)
+    new ShpScanBuilder(tableSchema, merged)
+  }
+}
+
+private[io] class ShpScanBuilder(fullSchema: StructType,
+    options: java.util.Map[String, String])
+  extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = fullSchema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new ShpScan(fullSchema, required, options)
+}
+
+private[io] class ShpScan(fullSchema: StructType, required: StructType,
+    options: java.util.Map[String, String]) extends Scan with Batch {
+
+  private val path = FlatGeobufDataSource.pathOf(options)
+  private val geomCol = Option(options.get("geometryColumn")).getOrElse("geometry")
+  private val chunkSize = Option(options.get("chunkSize")).map(_.toInt).getOrElse(65536)
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String = s"shapefile $path"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    ShapefileIO.planChunks(conf, path, chunkSize)
+      .map(ch => ShpPartition(ch.shp, ch.startRec, ch.nRecs): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    // full-schema attribute columns in file (= schema) order, geometry last
+    val attrFields = fullSchema.fields.filter(_.name != geomCol)
+    val fieldTypes: Array[DataType] = attrFields.map(_.dataType)
+    val reqNames = required.fields.map(_.name).toSet
+    val wantAttr: Array[Boolean] = attrFields.map(f => reqNames.contains(f.name))
+    val wantGeom = reqNames.contains(geomCol)
+    // task rows: kept attrs in file order (++ geom if wanted) -> required order
+    val keptNames = attrFields.zip(wantAttr).collect { case (f, true) => f.name } ++
+      (if (wantGeom) Seq(geomCol) else Nil)
+    val reorder: Array[Int] = required.fields.map(f => keptNames.indexOf(f.name))
+    ShpReaderFactory(new GeoParquetIO.SerializableConf(conf), fieldTypes,
+      wantAttr, wantGeom, reorder, required)
+  }
+}
+
+private[io] final case class ShpPartition(shp: String, startRec: Int, nRecs: Int)
+  extends InputPartition
+
+private[io] final case class ShpReaderFactory(
+    sconf: GeoParquetIO.SerializableConf,
+    fieldTypes: Array[DataType],
+    wantAttr: Array[Boolean],
+    wantGeom: Boolean,
+    reorder: Array[Int],
+    required: StructType) extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[ShpPartition]
+    val rows = ShapefileIO.readChunk(sconf.value,
+      ShapefileIO.Chunk(p.shp, p.startRec, p.nRecs), fieldTypes, wantAttr, wantGeom)
+    val toCatalyst = CatalystTypeConverters.createToCatalystConverter(required)
+    new PartitionReader[InternalRow] {
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        if (rows.hasNext) {
+          val r = rows.next()
+          val vals = reorder.map(i => r.get(i))
+          current = toCatalyst(org.apache.spark.sql.Row.fromSeq(
+            scala.collection.immutable.ArraySeq.unsafeWrapArray(vals)))
+            .asInstanceOf[InternalRow]
+          true
+        } else false
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}

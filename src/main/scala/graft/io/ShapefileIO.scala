@@ -101,7 +101,7 @@ object ShapefileIO {
     new Path(shp.getParent, n.substring(0, n.length - 3) + ext)
   }
 
-  private def shpFiles(conf: org.apache.hadoop.conf.Configuration, path: String): Seq[Path] = {
+  private[io] def shpFiles(conf: org.apache.hadoop.conf.Configuration, path: String): Seq[Path] = {
     val root = new Path(path)
     val fs = root.getFileSystem(conf)
     if (!fs.exists(root)) return Nil
@@ -114,7 +114,21 @@ object ShapefileIO {
 
   // -------------------------------------------------------------- reading
   /** One chunk of one file: records [startRec, startRec+nRecs). */
-  private final case class Chunk(shp: String, startRec: Int, nRecs: Int)
+  private[io] final case class Chunk(shp: String, startRec: Int, nRecs: Int)
+
+  /** Chunk plan for a dataset: record counts come from .shx FILE SIZES —
+    * no data reads at planning time (shared by `read` and the DSv2
+    * connector).
+    */
+  private[io] def planChunks(conf: org.apache.hadoop.conf.Configuration,
+      path: String, chunkSize: Int): Seq[Chunk] =
+    shpFiles(conf, path).flatMap { shp =>
+      val fs = shp.getFileSystem(conf)
+      val shxLen = fs.getFileStatus(sibling(shp, "shx")).getLen
+      val nRecs = ((shxLen - 100) / 8).toInt
+      (0 until nRecs by chunkSize).map(s =>
+        Chunk(shp.toString, s, math.min(chunkSize, nRecs - s)))
+    }
 
   /** Distributed read. `chunkSize` = records per task (the reference's
     * `chunksize`, `io/file.py:106-128`); record counts come from .shx FILE
@@ -127,23 +141,27 @@ object ShapefileIO {
     val files = shpFiles(conf, path)
     require(files.nonEmpty, s"no .shp files under $path")
     val schema = schemaOf(spark, path, geomCol)
-    val chunks = files.flatMap { shp =>
-      val fs = shp.getFileSystem(conf)
-      val shxLen = fs.getFileStatus(sibling(shp, "shx")).getLen
-      val nRecs = ((shxLen - 100) / 8).toInt
-      (0 until nRecs by chunkSize).map(s => Chunk(shp.toString, s, math.min(chunkSize, nRecs - s)))
-    }
+    val chunks = planChunks(conf, path, chunkSize)
     val sconf = new GeoParquetIO.SerializableConf(conf)
     val nFields = schema.length - 1
     val fieldTypes = schema.fields.take(nFields).map(_.dataType)
+    val allAttrs = Array.fill(nFields)(true)
     val rows = spark.sparkContext
       .parallelize(chunks, math.max(1, chunks.size))
-      .flatMap { ch => readChunk(sconf.value, ch, fieldTypes) }
+      .flatMap { ch => readChunk(sconf.value, ch, fieldTypes, allAttrs, wantGeom = true) }
     spark.createDataFrame(rows, schema)
   }
 
-  private def readChunk(conf: org.apache.hadoop.conf.Configuration, ch: Chunk,
-      fieldTypes: Array[DataType]): Iterator[Row] = {
+  /** Read one chunk, decoding only the wanted attribute columns (dBASE
+    * records are fixed-width so the IO is the full record either way —
+    * the mask saves per-field parse CPU) and skipping geometry decode
+    * entirely when `wantGeom` is false (e.g. a COUNT(*) over the
+    * connector). Output rows carry kept attrs in file order, geometry
+    * last when wanted.
+    */
+  private[io] def readChunk(conf: org.apache.hadoop.conf.Configuration, ch: Chunk,
+      fieldTypes: Array[DataType], wantAttr: Array[Boolean],
+      wantGeom: Boolean): Iterator[Row] = {
     val shp = new Path(ch.shp)
     val fs = shp.getFileSystem(conf)
     // .shx slice for this range: byte offsets of each record's content
@@ -162,11 +180,13 @@ object ShapefileIO {
     val shpBytes = new Array[Byte]((end - start).toInt)
     val shpIn = fs.open(shp)
     try shpIn.readFully(start, shpBytes) finally shpIn.close()
-    val geoms = offsets.map { case (off, len) =>
-      // +8 skips the record header (BE record number + content length)
-      decodeShape(ByteBuffer.wrap(shpBytes, (off - start).toInt + 8, len)
-        .order(ByteOrder.LITTLE_ENDIAN))
-    }
+    val geoms: Array[Array[Byte]] =
+      if (!wantGeom) null
+      else offsets.map { case (off, len) =>
+        // +8 skips the record header (BE record number + content length)
+        decodeShape(ByteBuffer.wrap(shpBytes, (off - start).toInt + 8, len)
+          .order(ByteOrder.LITTLE_ENDIAN))
+      }
     // .dbf slice: fixed-size records, direct seek
     val dbfPath = sibling(shp, "dbf")
     val dbfIn = fs.open(dbfPath)
@@ -186,33 +206,39 @@ object ShapefileIO {
       val buf = new Array[Byte](ch.nRecs * header.recordLen)
       dbfIn.readFully(header.headerLen.toLong + header.recordLen.toLong * ch.startRec, buf)
       (Array.tabulate(ch.nRecs) { i =>
-        parseDbfRecord(buf, i * header.recordLen, header, fieldTypes)
+        parseDbfRecord(buf, i * header.recordLen, header, fieldTypes, wantAttr)
       },
         // dBASE soft deletes: '*' in the record's first byte (un-packed
         // editors leave these behind; OGR/pyogrio skip them)
         Array.tabulate(ch.nRecs)(i => buf(i * header.recordLen) == '*'.toByte))
     } finally dbfIn.close()
     Iterator.tabulate(ch.nRecs) { i =>
-      if (deleted(i)) null else Row.fromSeq(attrs(i).toIndexedSeq :+ geoms(i))
+      if (deleted(i)) null
+      else if (wantGeom) Row.fromSeq(attrs(i).toIndexedSeq :+ geoms(i))
+      else Row.fromSeq(attrs(i).toIndexedSeq)
     }.filter(_ != null)
   }
 
   private def parseDbfRecord(buf: Array[Byte], off0: Int, header: DbfHeader,
-      fieldTypes: Array[DataType]): Array[Any] = {
+      fieldTypes: Array[DataType], want: Array[Boolean]): Array[Any] = {
     var off = off0 + 1 // skip deletion flag
-    val out = new Array[Any](header.fields.length)
+    val out = new Array[Any](want.count(identity))
     var i = 0
+    var o = 0
     while (i < header.fields.length) {
       val f = header.fields(i)
-      val s = new String(buf, off, f.length, "US-ASCII").trim
-      out(i) =
-        if (s.isEmpty) null
-        else fieldTypes(i) match {
-          case LongType    => s.toLong
-          case DoubleType  => s.toDouble
-          case BooleanType => s == "T" || s == "t" || s == "Y" || s == "y"
-          case _           => s
-        }
+      if (want(i)) {
+        val s = new String(buf, off, f.length, "US-ASCII").trim
+        out(o) =
+          if (s.isEmpty) null
+          else fieldTypes(i) match {
+            case LongType    => s.toLong
+            case DoubleType  => s.toDouble
+            case BooleanType => s == "T" || s == "t" || s == "Y" || s == "y"
+            case _           => s
+          }
+        o += 1
+      }
       off += f.length
       i += 1
     }

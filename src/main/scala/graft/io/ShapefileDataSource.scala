@@ -27,8 +27,15 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * pruned — e.g. `COUNT(*)` or attribute-only projections — the .shp
   * shape decode is skipped entirely.
   *
-  * Options: `geometryColumn` (default "geometry"), `chunkSize` (records
-  * per partition, default 65536).
+  * The `bbox` option ("x0,y0,x1,y1") prunes whole files on the 100-byte
+  * .shp header envelope at planning time and applies the exact
+  * envelope-intersects residual task-side (shapefiles carry no per-
+  * record spatial index, so within a surviving file every record is
+  * scanned — the file-level prune is what matters for directory
+  * datasets laid out by `spatialShuffle` + `ShapefileIO.write`).
+  *
+  * Options: `bbox`, `geometryColumn` (default "geometry"), `chunkSize`
+  * (records per partition, default 65536).
   */
 class ShapefileDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "shapefile"
@@ -71,16 +78,18 @@ private[io] class ShpScan(fullSchema: StructType, required: StructType,
     options: java.util.Map[String, String]) extends Scan with Batch {
 
   private val path = FlatGeobufDataSource.pathOf(options)
+  private val bbox = FlatGeobufDataSource.bboxOf(options)
   private val geomCol = Option(options.get("geometryColumn")).getOrElse("geometry")
   private val chunkSize = Option(options.get("chunkSize")).map(_.toInt).getOrElse(65536)
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  override def description(): String = s"shapefile $path"
+  override def description(): String =
+    s"shapefile $path" + bbox.map(b => s" bbox=$b").getOrElse("")
 
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
-    ShapefileIO.planChunks(conf, path, chunkSize)
+    ShapefileIO.planChunks(conf, path, chunkSize, bbox)
       .map(ch => ShpPartition(ch.shp, ch.startRec, ch.nRecs): InputPartition)
       .toArray
   }
@@ -97,8 +106,9 @@ private[io] class ShpScan(fullSchema: StructType, required: StructType,
     val keptNames = attrFields.zip(wantAttr).collect { case (f, true) => f.name } ++
       (if (wantGeom) Seq(geomCol) else Nil)
     val reorder: Array[Int] = required.fields.map(f => keptNames.indexOf(f.name))
+    // bbox residual needs the geometry even when the projection pruned it
     ShpReaderFactory(new GeoParquetIO.SerializableConf(conf), fieldTypes,
-      wantAttr, wantGeom, reorder, required)
+      wantAttr, wantGeom || bbox.isDefined, wantGeom, bbox, reorder, required)
   }
 }
 
@@ -109,14 +119,28 @@ private[io] final case class ShpReaderFactory(
     sconf: GeoParquetIO.SerializableConf,
     fieldTypes: Array[DataType],
     wantAttr: Array[Boolean],
-    wantGeom: Boolean,
+    decodeGeom: Boolean,
+    emitGeom: Boolean,
+    bbox: Option[(Double, Double, Double, Double)],
     reorder: Array[Int],
     required: StructType) extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[ShpPartition]
-    val rows = ShapefileIO.readChunk(sconf.value,
-      ShapefileIO.Chunk(p.shp, p.startRec, p.nRecs), fieldTypes, wantAttr, wantGeom)
+    val raw = ShapefileIO.readChunk(sconf.value,
+      ShapefileIO.Chunk(p.shp, p.startRec, p.nRecs), fieldTypes, wantAttr, decodeGeom)
+    val rows = bbox match {
+      case Some((qx0, qy0, qx1, qy1)) =>
+        raw.filter { r =>
+          val wkbv = r.get(r.length - 1).asInstanceOf[Array[Byte]]
+          wkbv != null && {
+            val e = graft.geom.Wkb.envelopeOf(wkbv)
+            !e.isEmpty && e.minX <= qx1 && e.maxX >= qx0 && e.minY <= qy1 && e.maxY >= qy0
+          }
+        }.map(r => if (emitGeom) r
+          else org.apache.spark.sql.Row.fromSeq(r.toSeq.dropRight(1)))
+      case None => raw
+    }
     val toCatalyst = CatalystTypeConverters.createToCatalystConverter(required)
     new PartitionReader[InternalRow] {
       private var current: InternalRow = _

@@ -117,17 +117,32 @@ object ShapefileIO {
   private[io] final case class Chunk(shp: String, startRec: Int, nRecs: Int)
 
   /** Chunk plan for a dataset: record counts come from .shx FILE SIZES —
-    * no data reads at planning time (shared by `read` and the DSv2
-    * connector).
+    * no data reads at planning time beyond one 100-byte header per file
+    * when a bbox is given (the .shp header carries the file envelope, so
+    * whole files outside the query window are pruned before any task is
+    * scheduled). Shared by `read` and the DSv2 connector.
     */
   private[io] def planChunks(conf: org.apache.hadoop.conf.Configuration,
-      path: String, chunkSize: Int): Seq[Chunk] =
+      path: String, chunkSize: Int,
+      bbox: Option[(Double, Double, Double, Double)] = None): Seq[Chunk] =
     shpFiles(conf, path).flatMap { shp =>
       val fs = shp.getFileSystem(conf)
-      val shxLen = fs.getFileStatus(sibling(shp, "shx")).getLen
-      val nRecs = ((shxLen - 100) / 8).toInt
-      (0 until nRecs by chunkSize).map(s =>
-        Chunk(shp.toString, s, math.min(chunkSize, nRecs - s)))
+      val pruned = bbox.exists { case (qx0, qy0, qx1, qy1) =>
+        val in = fs.open(shp)
+        val head = new Array[Byte](100)
+        try in.readFully(0, head) finally in.close()
+        val bb = ByteBuffer.wrap(head, 36, 32).order(ByteOrder.LITTLE_ENDIAN)
+        val fx0 = bb.getDouble; val fy0 = bb.getDouble
+        val fx1 = bb.getDouble; val fy1 = bb.getDouble
+        !(fx0 <= qx1 && fx1 >= qx0 && fy0 <= qy1 && fy1 >= qy0)
+      }
+      if (pruned) Nil
+      else {
+        val shxLen = fs.getFileStatus(sibling(shp, "shx")).getLen
+        val nRecs = ((shxLen - 100) / 8).toInt
+        (0 until nRecs by chunkSize).map(s =>
+          Chunk(shp.toString, s, math.min(chunkSize, nRecs - s)))
+      }
     }
 
   /** Distributed read. `chunkSize` = records per task (the reference's

@@ -46,6 +46,33 @@ class ShapefileDataSourceSpec extends AnyFunSuite {
     assert(spark.read.format("shapefile").load(path).count() == 400)
   }
 
+  test("bbox option: file-header prune + exact residual, works with pruned columns") {
+    // second file far away -> pruned entirely on its header envelope
+    val dir2 = java.nio.file.Files.createTempDirectory("shpdsv2b").toString
+    val near = (0 until 100).map(i => (i.toLong, Wkb.write(graft.geom.Point(i % 10 * 1.0, i / 10 * 1.0))))
+    val far = (100 until 200).map(i => (i.toLong, Wkb.write(graft.geom.Point(1000.0 + i, 1000.0))))
+    ShapefileIO.write(near.toDF("id", "geometry").coalesce(1), dir2 + "/a")
+    ShapefileIO.write(far.toDF("id", "geometry").coalesce(1), dir2 + "/b")
+    // merge parts into one directory
+    val merged = java.nio.file.Files.createTempDirectory("shpdsv2m").toString
+    for ((sub, tag) <- Seq(("a", "n"), ("b", "f")); f <- new java.io.File(dir2, sub).listFiles())
+      java.nio.file.Files.copy(f.toPath,
+        java.nio.file.Paths.get(merged, tag + f.getName))
+    val q = spark.read.format("shapefile").option("bbox", "0,0,4.5,4.5").load(merged)
+    val ids = q.select($"id").as[Long].collect().sorted.toSeq
+    // residual keeps points with x<=4.5 and y<=4.5 from the near file only
+    val want = near.collect { case (id, w) =>
+      val pt = Wkb.read(w).asInstanceOf[graft.geom.Point]
+      if (pt.x <= 4.5 && pt.y <= 4.5) Some(id) else None
+    }.flatten
+    assert(ids == want.sorted && ids.nonEmpty)
+    // only the near file's partitions survive planning
+    val parts = q.queryExecution.executedPlan.collectLeaves().head
+      .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.BatchScanExec]
+      .inputPartitions.size
+    assert(parts == 1, s"expected 1 surviving partition, got $parts")
+  }
+
   test("SQL resolution via the registered short name (USING shapefile)") {
     spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW shp_ds_spec
       USING shapefile OPTIONS (path '$path')""")

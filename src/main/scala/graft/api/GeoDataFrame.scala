@@ -1265,9 +1265,17 @@ object GeoDataFrame {
       geometryColumn: String = "geometry",
       crs: Option[String] = None): GeoDataFrame = {
     graft.sql.functions.install(spark)
-    val g = GeoDataFrame(
+    val g0 = GeoDataFrame(
       graft.io.ShapefileIO.read(spark, path, chunkSize, geometryColumn), geometryColumn)
-    crs.map(g.setCrs).getOrElse(g)
+    val g = crs.map(g0.setCrs).getOrElse(g0)
+    // cx re-plans as a header-envelope-pruned read: whole files outside
+    // the window never schedule a task (the win for spatialShuffle'd
+    // directory layouts; shapefiles carry no per-record index, so
+    // surviving files scan with the exact residual). Pinned to the final
+    // df like every BoxSourceMeta hook.
+    g.copy(boxSource = Some(BoxSourceMeta(g.df, box => Some(
+      graft.io.ShapefileIO.read(spark, path, chunkSize, geometryColumn,
+        Some((box.minX, box.minY, box.maxX, box.maxY)))))))
   }
 
   /** GeoPackage ingestion (reference `read_file` on .gpkg): SQLite b-tree

@@ -150,20 +150,37 @@ object ShapefileIO {
     * SIZES — the driver reads no data, only one .dbf header for the schema.
     */
   def read(spark: SparkSession, path: String, chunkSize: Int = 65536,
-      geomCol: String = "geometry"): DataFrame = {
+      geomCol: String = "geometry",
+      bbox: Option[(Double, Double, Double, Double)] = None): DataFrame = {
     require(chunkSize > 0, "chunkSize must be positive")
     val conf = spark.sessionState.newHadoopConf()
     val files = shpFiles(conf, path)
     require(files.nonEmpty, s"no .shp files under $path")
     val schema = schemaOf(spark, path, geomCol)
-    val chunks = planChunks(conf, path, chunkSize)
+    // bbox: whole files outside the window drop on their 100-byte header
+    // envelope at planning time; surviving rows apply the exact
+    // envelope-intersects residual task-side
+    val chunks = planChunks(conf, path, chunkSize, bbox)
     val sconf = new GeoParquetIO.SerializableConf(conf)
     val nFields = schema.length - 1
     val fieldTypes = schema.fields.take(nFields).map(_.dataType)
     val allAttrs = Array.fill(nFields)(true)
     val rows = spark.sparkContext
       .parallelize(chunks, math.max(1, chunks.size))
-      .flatMap { ch => readChunk(sconf.value, ch, fieldTypes, allAttrs, wantGeom = true) }
+      .flatMap { ch =>
+        val it = readChunk(sconf.value, ch, fieldTypes, allAttrs, wantGeom = true)
+        bbox match {
+          case Some((qx0, qy0, qx1, qy1)) => it.filter { r =>
+            val w = r.get(r.length - 1).asInstanceOf[Array[Byte]]
+            w != null && {
+              val e = graft.geom.Wkb.envelopeOf(w)
+              !e.isEmpty && e.minX <= qx1 && e.maxX >= qx0 &&
+                e.minY <= qy1 && e.maxY >= qy0
+            }
+          }
+          case None => it
+        }
+      }
     spark.createDataFrame(rows, schema)
   }
 

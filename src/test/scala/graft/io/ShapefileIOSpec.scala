@@ -124,6 +124,26 @@ class ShapefileIOSpec extends AnyFunSuite {
     assert(ShapefileIO.read(spark, path).count() == 3)
   }
 
+  test("cx re-plans shapefile reads through header-envelope file pruning") {
+    val dir = tmpDir()
+    val near = (0 until 50).map(i => (i.toLong, Wkb.write(graft.geom.Point(i % 10 * 1.0, i / 10 * 1.0))))
+    val far = (50 until 100).map(i => (i.toLong, Wkb.write(graft.geom.Point(500.0 + i, 500.0))))
+    ShapefileIO.write((near ++ far).toDF("id", "geometry").repartition(4), dir)
+    val g = graft.api.GeoDataFrame.readShapefile(spark, dir)
+    assert(g.boxSource.isDefined, "readShapefile must install the cx hook")
+    val pruned = g.cx(0.0, 0.0, 4.5, 4.5)
+    val ids = pruned.df.select($"id").as[Long].collect().sorted.toSeq
+    val want = near.collect { case (id, w) =>
+      val p = Wkb.read(w).asInstanceOf[graft.geom.Point]
+      if (p.x <= 4.5 && p.y <= 4.5) Some(id) else None
+    }.flatten.sorted
+    assert(ids == want && ids.nonEmpty)
+    // direct bbox read prunes files whose header envelope misses entirely
+    val direct = ShapefileIO.read(spark, dir, bbox = Some((0.0, 0.0, 4.5, 4.5)))
+    assert(direct.select($"id").as[Long].collect().sorted.toSeq == want)
+    assert(ShapefileIO.read(spark, dir, bbox = Some((1e6, 1e6, 2e6, 2e6))).count() == 0)
+  }
+
   test("polyline roundtrip and null geometries") {
     val path = tmpDir()
     val line = LineString(Array(0.0, 0.0, 5.0, 0.0, 5.0, 5.0))

@@ -57,6 +57,15 @@ class ObjectStoreContractSpec extends AnyFunSuite {
       bbox = Some((1e6, 1e6, 2e6, 2e6))).count() == 0)
   }
 
+  test("GeoPackage single-file write + subtree-partitioned read over mem://") {
+    MemFileSystem.clear()
+    GeoPackageIO.write(graft.api.GeoDataFrame(df, "geometry"),
+      "mem://bucket/pts.gpkg", table = "pts")
+    assert(MemFileSystem.store.contains("/pts.gpkg"))
+    val back = GeoPackageIO.read(spark, "mem://bucket/pts.gpkg", "pts")
+    assert(dump(back) == dump(df))
+  }
+
   test("DSv2 flatgeobuf write/read over mem:// incl. rename-on-commit") {
     MemFileSystem.clear()
     df.write.format("flatgeobuf").mode("overwrite").save("mem://bucket/dsv2")

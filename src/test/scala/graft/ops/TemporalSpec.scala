@@ -125,6 +125,25 @@ class TemporalSpec extends AnyFunSuite {
     assert(got.distinct == got)
   }
 
+  test("band join equals the naive BETWEEN join on random data (bucket-edge fuzz)") {
+    val rnd = new scala.util.Random(11)
+    // values intentionally land ON and NEAR bucket boundaries: multiples
+    // of band/2 mixed with arbitrary doubles, both signs
+    val band = 3.0
+    def v() = if (rnd.nextBoolean()) (rnd.nextInt(41) - 20) * (band / 2)
+              else rnd.nextDouble() * 60 - 30
+    val left = (1 to 120).map(i => (i % 5L, i.toLong, v())).toDF("k", "lid", "lv")
+    val right = (1 to 120).map(i => (i % 5L, 1000L + i, v())).toDF("k", "rid", "rv")
+    val got = Temporal.bandJoin(left, right, "k", "lv", "rv", band)
+      .select($"lid", $"rid").as[(Long, Long)].collect().toSeq.sorted
+    val want = left.as("l").join(right.as("r"),
+        $"l.k" === $"r.k" && abs($"l.lv" - $"r.rv") <= band)
+      .select($"lid", $"rid").as[(Long, Long)].collect().toSeq.sorted
+    assert(got == want, s"band join diverged: ${got.size} vs ${want.size} pairs")
+    assert(got.distinct == got, "no pair may be emitted twice")
+    assert(want.nonEmpty)
+  }
+
   test("band join renames colliding right columns with the suffix") {
     val left = Seq((1L, 1.0, "a")).toDF("k", "v", "tag")
     val right = Seq((1L, 1.5, "b")).toDF("k", "v", "tag")

@@ -423,6 +423,12 @@ object GraftDefs {
       a => wkb(Extended.minimumBoundingCircle(geom(a(0)), int(a(1))))),
     "st_orientedenvelope" -> g1(B)(g => wkb(Extended.orientedEnvelope(g))),
     "st_shortestline" -> g2(B)((x, y) => wkb(Extended.shortestLine(x, y))),
+    // shapely.ops.nearest_points / PostGIS ST_ClosestPoint: the point ON
+    // the first geometry closest to the second (start of the shortest line)
+    "st_closestpoint" -> g2(B)((x, y) => Extended.shortestLine(x, y) match {
+      case l: LineString if !l.isEmpty => wkb(Point(l.xy(0), l.xy(1)))
+      case other => wkb(other)
+    }),
     "st_hausdorffdistance" -> g2(D)(Measures.hausdorffApprox),
     "st_linemerge" -> g1(B)(g => wkb(Extended.lineMerge(g))),
     "st_delaunaytriangles" -> g1(B)(g => wkb(Extended.delaunayTriangles(g))),

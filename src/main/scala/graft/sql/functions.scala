@@ -119,6 +119,7 @@ object functions {
     fn("st_minimumboundingcircle", g, resolution)
   def st_orientedEnvelope(g: Column): Column = fn("st_orientedenvelope", g)
   def st_shortestLine(a: Column, b: Column): Column = fn("st_shortestline", a, b)
+  def st_closestPoint(a: Column, b: Column): Column = fn("st_closestpoint", a, b)
   def st_hausdorffDistance(a: Column, b: Column): Column = fn("st_hausdorffdistance", a, b)
   def st_lineMerge(g: Column): Column = fn("st_linemerge", g)
   def st_delaunayTriangles(g: Column): Column = fn("st_delaunaytriangles", g)

@@ -92,6 +92,26 @@ class FunctionsSpec extends AnyFunSuite {
     assert(a == 2.0)
   }
 
+  test("st_closestpoint: on-A point realizing the pair distance") {
+    val df = Seq(
+      ("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))", "POINT (10 2)"),
+      ("LINESTRING (0 0, 10 0)", "POINT (3 5)"),
+      ("POINT (1 1)", "LINESTRING (5 5, 9 5)")
+    ).toDF("wa", "wb")
+      .withColumn("a", st_geomFromWKT($"wa")).withColumn("b", st_geomFromWKT($"wb"))
+      .select(st_closestPoint($"a", $"b").as("cp"), $"a", $"b")
+      .withColumn("on_a", st_distance($"cp", $"a"))
+      .withColumn("realizes", abs(st_distance($"cp", $"b") - st_distance($"a", $"b")))
+      .select($"on_a", $"realizes", st_x($"cp"), st_y($"cp")).collect()
+    df.foreach { r =>
+      assert(r.getDouble(0) == 0.0, "closest point must lie on A")
+      assert(r.getDouble(1) < 1e-9, "closest point must realize dist(A,B)")
+    }
+    assert(df(0).getDouble(2) == 4.0 && df(0).getDouble(3) == 2.0)
+    assert(df(1).getDouble(2) == 3.0 && df(1).getDouble(3) == 0.0)
+    assert(df(2).getDouble(2) == 1.0 && df(2).getDouble(3) == 1.0)
+  }
+
   test("st_dump + explode") {
     val df = Seq("MULTIPOINT ((1 1), (2 2), (3 3))").toDF("wkt")
       .withColumn("g", st_geomFromWKT($"wkt"))

@@ -928,6 +928,14 @@ object OracleSql {
 
     // distributed expanding-ring kNN: same oracle as the broadcast kNN —
     // global rank over the cross join, rank<=3 keeps k-th ties
+    "g81_closest_point" -> s"""
+      WITH p AS (SELECT c_custkey, cx / 500.0 AS px,
+                   abs(cy) / 100.0 + 1.0 AS py FROM ($custPts)),
+      m AS (SELECT c_custkey, greatest(0.0, least(10.0, px)) AS qx, px, py FROM p)
+      SELECT c_custkey, round(qx, 6) AS qx, 0.0::DOUBLE AS qy,
+        round(sqrt((px - qx) * (px - qx) + py * py), 6) AS d
+      FROM m ORDER BY c_custkey""",
+
     "g80_split" -> s"""
       WITH p AS (SELECT c_custkey, abs(cx) + 1.0 AS hx, abs(cy) + 1.0 AS hy
                  FROM ($custPts))

@@ -1092,6 +1092,22 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     }),
 
+    // closest point on a segment from an off-line point: the projection
+    // clamps to the segment, unique for py > 0 — closed-form oracle
+    "g81_closest_point" -> ((s, d) => {
+      customerPts(s, d)
+        .withColumn("px", col("cx") / 500.0)
+        .withColumn("py", abs(col("cy")) / 100.0 + 1.0)
+        .withColumn("la", st_geomFromWKT(lit("LINESTRING (0 0, 10 0)")))
+        .withColumn("p", st_point(col("px"), col("py")))
+        .withColumn("cp", st_closestPoint(col("la"), col("p")))
+        .select(col("c_custkey"),
+          round(st_x(col("cp")), 6).as("qx"),
+          round(st_y(col("cp")), 6).as("qy"),
+          round(st_distance(col("cp"), col("p")), 6).as("d"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // shapely.ops.split: cut at an on-line point (the corner vertex) and
     // at a crossing line; part lengths are closed-form in (hx, hy)
     "g80_split" -> ((s, d) => {

@@ -325,6 +325,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("semanticDedup is deterministic across runs and partitionings") {
+    val rnd = new scala.util.Random(31)
+    val emb = (0 until 200).map { i =>
+      val base = Array.fill(16)(rnd.nextFloat() * 2 - 1)
+      (i.toLong, if (i % 7 == 0) base.map(x => x + 0.01f) else base)
+    }.toDF("vec_id", "embedding")
+    def run(parts: Int) = Dedup.semanticDedup(
+        emb.repartition(parts), "vec_id", "embedding",
+        threshold = 0.3, nlist = 4, nprobe = 2)
+      .select($"id_a", $"id_b", $"cosine")
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    val a = run(4)
+    assert(a == run(13), "pair set must not depend on partitioning")
+    assert(a == run(4), "pair set must not depend on the run")
+    assert(a.nonEmpty)
+  }
+
   test("qualityBucketsApprox: monotone tiers, full coverage, no giant sort") {
     val rows = (1L to 30L).map(i => (i, if (i % 2 == 0) "A" else "B", i * 10))
     val df = rows.toDF("doc_id", "lang", "score")

@@ -92,6 +92,37 @@ class FunctionsSpec extends AnyFunSuite {
     assert(a == 2.0)
   }
 
+  test("st_intersection_agg fuzz: random box folds match the closed-form rectangle") {
+    val rnd = new scala.util.Random(23)
+    val rows = (0 until 40).flatMap { g =>
+      // boxes around a per-group center with bounded offsets: guaranteed
+      // overlap for even groups, guaranteed-empty for odd ones
+      val cx = g * 100.0
+      (0 until 6).map { i =>
+        val (ox, oy) = if (g % 2 == 0) (rnd.nextDouble(), rnd.nextDouble())
+                       else (i * 50.0, 0.0) // disjoint chain
+        val h = 2.0 + rnd.nextDouble() * 3.0
+        (g, cx + ox - h, oy - h, cx + ox + h, oy + h)
+      }
+    }
+    val df = rows.toDF("g", "x0", "y0", "x1", "y1")
+      .withColumn("b", st_makeEnvelope($"x0", $"y0", $"x1", $"y1"))
+      .repartition(8) // force partial/merge paths
+    val got = df.groupBy($"g").agg(st_intersectionAgg($"b").as("ig"))
+      .select($"g", st_area($"ig"), st_isEmpty($"ig")).collect()
+      .map(r => r.getInt(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    val want = rows.groupBy(_._1).map { case (g, bs) =>
+      val x0 = bs.map(_._2).max; val y0 = bs.map(_._3).max
+      val x1 = bs.map(_._4).min; val y1 = bs.map(_._5).min
+      g -> (if (x0 < x1 && y0 < y1) (x1 - x0) * (y1 - y0) else 0.0)
+    }
+    want.foreach { case (g, a) =>
+      if (a == 0.0) assert(got(g)._2, s"group $g should fold to empty")
+      else assert(math.abs(got(g)._1 - a) < 1e-9 * math.max(a, 1.0),
+        s"group $g area ${got(g)._1} != $a")
+    }
+  }
+
   test("st_closestpoint: on-A point realizing the pair distance") {
     val df = Seq(
       ("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))", "POINT (10 2)"),

@@ -1087,6 +1087,46 @@ object Crs {
     }
   }
 
+  /** Normal-aspect ellipsoidal cylindrical equal-area (Snyder 1987 eqs
+    * 10-7..10-17; `+proj=cea`): the EASE-Grid 2.0 family — EPSG:6933
+    * (global, lat_ts 30) — that global climate/remote-sensing grids tile
+    * on. x is linear in longitude at scale `k0 = m(lat_ts)`; y carries
+    * the authalic q so cell area is exact by construction; the inverse
+    * reuses the Snyder 3-18 authalic→geodetic series the LAEA kernel
+    * uses.
+    */
+  final class CylindricalEqualArea(a: Double, invFlat: Double, latTs: Double,
+      lon0: Double, fe: Double, fn: Double) extends Projection {
+    private val f = 1.0 / invFlat
+    private val e2 = f * (2.0 - f)
+    private val e = math.sqrt(e2)
+    private def q(phi: Double): Double = {
+      val s = math.sin(phi)
+      (1.0 - e2) * (s / (1.0 - e2 * s * s) -
+        (1.0 / (2.0 * e)) * math.log((1.0 - e * s) / (1.0 + e * s)))
+    }
+    private val qp = q(math.Pi / 2.0)
+    private val ts = math.toRadians(latTs)
+    private val k0 = math.cos(ts) / math.sqrt(1.0 - e2 * math.sin(ts) * math.sin(ts))
+
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      val lam = math.toRadians(lon - lon0)
+      (fe + a * k0 * lam, fn + a * q(math.toRadians(lat)) / (2.0 * k0))
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val qv = 2.0 * (y - fn) * k0 / a
+      val beta = math.asin(math.max(-1.0, math.min(1.0, qv / qp)))
+      val e4 = e2 * e2
+      val e6 = e4 * e2
+      val phi = beta +
+        (e2 / 3.0 + 31.0 * e4 / 180.0 + 517.0 * e6 / 5040.0) * math.sin(2.0 * beta) +
+        (23.0 * e4 / 360.0 + 251.0 * e6 / 3780.0) * math.sin(4.0 * beta) +
+        (761.0 * e6 / 45360.0) * math.sin(6.0 * beta)
+      (math.toDegrees((x - fe) / (a * k0)) + lon0, math.toDegrees(phi))
+    }
+  }
+
   /** Swiss oblique Mercator ("double projection": Gaussian sphere at the
     * projection center, spherical rotation of the center to the equator,
     * then equatorial Mercator), the swisstopo-published rigorous formulas
@@ -1628,6 +1668,10 @@ object Crs {
       6377397.155, 299.1528128,
       46.0 + 57.0 / 60.0 + 8.66 / 3600.0, 7.0 + 26.0 / 60.0 + 22.5 / 3600.0,
       1.0, 600000.0, 200000.0), ch1903),
+    // WGS84 / NSIDC EASE-Grid 2.0 Global (cylindrical equal-area,
+    // lat_ts 30 — the global climate/soil-moisture tiling grid)
+    "EPSG:6933" -> new CylindricalEqualArea(6378137.0, 298.257223563,
+      30.0, 0.0, 0.0, 0.0),
     // NSIDC Sea Ice Polar Stereographic North (WGS84, lat_ts 70N, lon0 -45)
     "EPSG:3413" -> new PolarStereographic(6378137.0, 298.257223563,
       70.0, -45.0, 0.0, 0.0),
@@ -1728,6 +1772,8 @@ object Crs {
         Some(new AlbersConic(a, rf, lat0, lon0, d("lat_1", lat0), d("lat_2", lat0), x0, y0))
       case Some("laea") =>
         Some(new LambertAzimuthalEqualArea(a, rf, lat0, lon0, x0, y0))
+      case Some("cea") =>
+        Some(new CylindricalEqualArea(a, rf, d("lat_ts", 0.0), lon0, x0, y0))
       case Some("somerc") =>
         Some(new SwissObliqueMercator(a, rf, lat0, lon0, k0, x0, y0))
       case Some("sterea") =>

@@ -1093,6 +1093,42 @@ class GeomKernelSpec extends AnyFunSuite {
     assert(Crs.parseProj("+proj=utm +ellps=GRS80").isEmpty, "utm without zone")
   }
 
+  test("EPSG:6933 EASE-Grid 2.0 (cylindrical equal-area): published extent, area scale 1, roundtrip") {
+    val p = graft.sql.Crs.byEpsg("EPSG:6933")
+    // NSIDC EASE-Grid 2.0 documentation: the global grid's map width is
+    // +-17367530.44 m at +-180 deg (independent published check of k0)
+    val (xMax, _) = p.forward(180.0, 0.0)
+    assert(math.abs(xMax - 17367530.44) < 0.5, s"x(180) = $xMax")
+    // equal-area property: numerical Jacobian == 1 everywhere on an
+    // ellipsoid with authalic radius scaling — check |J| equals the
+    // ellipsoidal area element to <1e-6 relative at spread test points
+    for ((lon, lat) <- Seq((0.0, 0.0), (45.0, 30.0), (-120.0, 60.0), (91.0, -45.0))) {
+      val h = 1e-5
+      val (x0, y0) = p.forward(lon, lat)
+      val (x1, _) = p.forward(lon + h, lat)
+      val (_, y1) = p.forward(lon, lat + h)
+      val a = 6378137.0; val e2 = 0.00669437999014
+      val phi = math.toRadians(lat)
+      val w = 1.0 - e2 * math.sin(phi) * math.sin(phi)
+      // ellipsoid area element per degree-square at phi
+      val dA = (a * math.cos(phi) * math.toRadians(1.0) / math.sqrt(w)) *
+        (a * (1.0 - e2) * math.toRadians(1.0) / math.pow(w, 1.5))
+      val jac = ((x1 - x0) / h) * ((y1 - y0) / h)
+      assert(math.abs(jac / dA - 1.0) < 1e-5, s"area scale at ($lon,$lat): ${jac / dA}")
+      // closed-loop roundtrip: the Snyder 3-18 authalic series truncates
+      // at e^6 — exact to ~1e-8 deg (mm-level), same class as the laea
+      // inverse
+      val (lo, la) = p.inverse(x0, y0)
+      assert(math.hypot(lo - lon, la - lat) < 1e-7, s"roundtrip ($lon,$lat)->($lo,$la)")
+    }
+    // proj-record route reaches the same kernel
+    val viaProj = graft.sql.Crs.parseProj(
+      "+proj=cea +lat_ts=30 +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84").get
+    val (px, py) = viaProj.forward(45.0, 30.0)
+    val (ex, ey) = p.forward(45.0, 30.0)
+    assert(px == ex && py == ey)
+  }
+
   test("lineSubstring: interior vertex kept, cut interpolation, degenerate/clamped windows") {
     val l = LineString(Array(0.0, 0, 10, 0, 10, 10)) // length 20, corner at s=10
     // window spanning the corner keeps it, endpoints interpolated

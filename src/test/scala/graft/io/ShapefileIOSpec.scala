@@ -144,6 +144,33 @@ class ShapefileIOSpec extends AnyFunSuite {
     assert(ShapefileIO.read(spark, dir, bbox = Some((1e6, 1e6, 2e6, 2e6))).count() == 0)
   }
 
+  test("spatialShuffle + directory write + bbox read: most part files prune away") {
+    val dir = tmpDir()
+    // uniform grid over [0,100)^2; hilbert-shuffled into 8 spatially
+    // coherent partitions -> 8 part trios with tight header envelopes
+    val rows = (0 until 800).map { i =>
+      (i.toLong, Wkb.write(graft.geom.Point((i * 37 % 100).toDouble, (i * 59 % 100).toDouble)))
+    }
+    val g = graft.api.GeoDataFrame(rows.toDF("id", "geometry"), "geometry")
+      .spatialShuffle(numPartitions = Some(8), calculatePartitions = false)
+    ShapefileIO.write(g.df, dir)
+    val conf = spark.sessionState.newHadoopConf()
+    val all = ShapefileIO.planChunks(conf, dir, 65536)
+    assert(all.map(_.shp).distinct.size == 8)
+    // a small corner window: the SFC layout must confine it to few files
+    val survivors = ShapefileIO.planChunks(conf, dir, 65536,
+      Some((0.0, 0.0, 12.0, 12.0))).map(_.shp).distinct.size
+    assert(survivors <= 3, s"expected <=3 of 8 files to survive, got $survivors")
+    // and the pruned read still returns exactly the right rows
+    val got = ShapefileIO.read(spark, dir, bbox = Some((0.0, 0.0, 12.0, 12.0)))
+      .select($"id").as[Long].collect().sorted.toSeq
+    val want = rows.collect { case (id, w) =>
+      val p = Wkb.read(w).asInstanceOf[graft.geom.Point]
+      if (p.x <= 12 && p.y <= 12) Some(id) else None
+    }.flatten.sorted
+    assert(got == want && got.nonEmpty)
+  }
+
   test("polyline roundtrip and null geometries") {
     val path = tmpDir()
     val line = LineString(Array(0.0, 0.0, 5.0, 0.0, 5.0, 5.0))

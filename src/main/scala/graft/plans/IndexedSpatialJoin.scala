@@ -31,9 +31,19 @@ import org.apache.spark.sql.types.Decimal
   */
 object IndexedSpatialJoinStrategy extends SparkStrategy {
 
-  private val SUPPORTED = Set("st_intersects", "st_contains", "st_within",
-    "st_covers", "st_coveredby", "st_containsproperly", "st_touches",
-    "st_crosses", "st_overlaps", "st_equals")
+  // SQL function name -> PreparedSide.kernel name (the two diverge for the
+  // snake_case kernels: st_coveredby -> covered_by etc.)
+  private val SUPPORTED: Map[String, String] = Map(
+    "st_intersects"         -> "intersects",
+    "st_contains"           -> "contains",
+    "st_within"             -> "within",
+    "st_covers"             -> "covers",
+    "st_coveredby"          -> "covered_by",
+    "st_containsproperly"   -> "contains_properly",
+    "st_touches"            -> "touches",
+    "st_crosses"            -> "crosses",
+    "st_overlaps"           -> "overlaps",
+    "st_equals"             -> "equals")
 
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case Join(left, right, joinType @ (Inner | LeftOuter | RightOuter), Some(cond), _)
@@ -53,10 +63,10 @@ object IndexedSpatialJoinStrategy extends SparkStrategy {
       if (hasEquiKey) return Nil
       // (expr over left, expr over right, predicate, distance, firstArgIsLeft)
       val spatial = conjuncts.collectFirst {
-        case p @ GraftScalar(name, Seq(a, b)) if SUPPORTED(name) && sided(a, b) =>
-          (p: Expression, a, b, name.stripPrefix("st_"), 0.0, true)
-        case p @ GraftScalar(name, Seq(a, b)) if SUPPORTED(name) && sided(b, a) =>
-          (p: Expression, b, a, name.stripPrefix("st_"), 0.0, false)
+        case p @ GraftScalar(name, Seq(a, b)) if SUPPORTED.contains(name) && sided(a, b) =>
+          (p: Expression, a, b, SUPPORTED(name), 0.0, true)
+        case p @ GraftScalar(name, Seq(a, b)) if SUPPORTED.contains(name) && sided(b, a) =>
+          (p: Expression, b, a, SUPPORTED(name), 0.0, false)
         case p @ GraftScalar("st_dwithin", Seq(a, b, d)) if d.foldable && sided(a, b) =>
           (p: Expression, a, b, "dwithin", foldDouble(d), true)
         case p @ GraftScalar("st_dwithin", Seq(a, b, d)) if d.foldable && sided(b, a) =>

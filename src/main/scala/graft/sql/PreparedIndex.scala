@@ -50,6 +50,7 @@ object PreparedSide {
     case "touches"           => Predicates.touches
     case "crosses"           => Predicates.crosses
     case "overlaps"          => Predicates.overlaps
+    case "equals"            => Predicates.geomEquals
     case other =>
       throw new IllegalArgumentException(s"unknown indexed sjoin predicate $other")
   }

@@ -157,6 +157,45 @@ class IndexedSpatialJoinSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("every supported predicate plans indexed and matches the nested-loop rows") {
+    // geometry mix engineered so EACH predicate has at least one true pair:
+    // aligned 10x10 tiles (touches via shared edges, equals/covers/coveredby
+    // via exact copies), small interior boxes (contains/containsproperly),
+    // 30x30 super-boxes (within), half-offset boxes (overlaps), and lines
+    // exiting a super-box (crosses)
+    def tile(x: Double, y: Double, s: Double) =
+      s"POLYGON (($x $y, ${x + s} $y, ${x + s} ${y + s}, $x ${y + s}, $x $y))"
+    val leftRows =
+      (0 until 200).map(i => (i.toLong, tile((i % 20) * 10.0, (i / 20) * 10.0, 10.0))) ++
+      (0 until 10).map(i => (200L + i, s"LINESTRING (${25 + i} 25, ${40 + i} 40)"))
+    val rightRows =
+      (0 until 5).map(i => (i.toLong, tile(i * 10.0, 0.0, 10.0))) ++          // exact tile copies
+      (0 until 5).map(i => (5L + i, tile(i * 10.0, 10.0, 10.0))) ++           // copies one row up (touch row 0 tiles)
+      (0 until 5).map(i => (10L + i, tile(i * 10.0 + 5.0, 5.0, 10.0))) ++     // half-offset (overlaps)
+      (0 until 5).map(i => (15L + i, tile(i * 10.0 + 3.0, 3.0, 2.0))) ++      // small interior boxes
+      Seq((20L, tile(0.0, 0.0, 30.0)), (21L, tile(30.0, 30.0, 30.0)))         // super-boxes (within, crosses)
+    val lg = leftRows.toDF("pid", "wkt").withColumn("g", st_geomFromWKT(col("wkt"))).drop("wkt")
+    val rg = rightRows.toDF("bid", "wkt").withColumn("bg", st_geomFromWKT(col("wkt"))).drop("wkt")
+    val preds: Seq[(String, (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =>
+        org.apache.spark.sql.Column)] = Seq(
+      "st_intersects" -> st_intersects _, "st_contains" -> st_contains _,
+      "st_within" -> st_within _, "st_covers" -> st_covers _,
+      "st_coveredby" -> st_coveredBy _, "st_containsproperly" -> st_containsProperly _,
+      "st_touches" -> st_touches _, "st_crosses" -> st_crosses _,
+      "st_overlaps" -> st_overlaps _, "st_equals" -> st_equals _)
+    for ((name, p) <- preds) {
+      val got = withStrategy(true) {
+        val df = lg.join(rg, p(col("g"), col("bg")))
+        assert(df.queryExecution.executedPlan.toString.contains("IndexedSpatialJoin"),
+          s"$name did not plan indexed")
+        rows(df)
+      }
+      val want = withStrategy(false) { rows(lg.join(rg, p(col("g"), col("bg")))) }
+      assert(got == want, s"$name mismatch: got ${got.size}, want ${want.size}")
+      assert(got.nonEmpty, s"$name produced no rows — fixture does not exercise it")
+    }
+  }
+
   test("equi-key joins are left to Spark's hash join") {
     val withK = boxes.withColumn("k", col("bid") % 5)
     val ptsK = pts.withColumn("k", col("pid") % 5)

@@ -74,6 +74,27 @@ object Verify {
         System.err.println(s"[verify] bucket probe failed: ${e.getMessage}")
       }
     }
+    // same contract for semanticDedup: e07's recall floor is measured
+    // against the EXACT within-cluster pair set, which the bounded default
+    // (maxCluster 1024) reproduces only while every multi-probe cluster at
+    // this SF stays within the cap.
+    if (only.forall(_.contains("e07_semantic_dedup"))) {
+      try {
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .filter(org.apache.spark.sql.functions.col("vec_id") % 4 === 0)
+        val maxC = graft.ops.Dedup.maxSemClusterSize(
+          emb, "vec_id", "embedding", nlist = 8, nprobe = 3)
+        if (maxC > 1024) {
+          System.err.println(s"[verify] FATAL: max semanticDedup cluster at this SF " +
+            s"is $maxC > cap 1024 — e07's exact-pair interpretation no longer holds; " +
+            "regenerate oracles or raise the cap")
+          spark.stop()
+          sys.exit(3)
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] sem-cluster probe failed: ${e.getMessage}")
+      }
+    }
     spark.stop()
   }
 }

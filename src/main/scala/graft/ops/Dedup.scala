@@ -333,6 +333,22 @@ object Dedup {
     * missed) — the standard ANN-dedup trade, measured by the e07 oracle
     * against the exact pair set. Cosine is rounded to `roundTo` digits
     * before thresholding to keep fp boundaries reproducible.
+    *
+    * Two structural scale guards (r11), mirroring [[minhashLsh]]'s bucket
+    * cap:
+    *   - `maxCluster` bounds the within-cluster pair cost: clusters up to
+    *     the cap enumerate exact all-pairs; above it, every member pairs
+    *     only against the cluster's `maxCluster` LOWEST-ID members (its
+    *     representatives), so a cluster of m rows costs O(m x cap) pairs,
+    *     never O(m^2). Recall above the cap degrades to representative
+    *     chaining — a mass-duplicate cluster still forms one connected
+    *     component (each member hits representative #1), which is what a
+    *     dedup pipeline consumes. 0 = unbounded exact mode (ground truth
+    *     only). [[maxSemClusterSize]] probes whether a given corpus stays
+    *     under the cap, so all-pairs oracles can be enforced valid.
+    *   - `nlist = 0` derives the cluster count from the corpus as
+    *     max(16, ceil(sqrt(n))) — the SemDeDup paper's guidance that nlist
+    *     must grow with the corpus, at the price of one count() scan.
     */
   def semanticDedup(
       df: DataFrame,
@@ -342,10 +358,15 @@ object Dedup {
       nlist: Int = 16,
       nprobe: Int = 2,
       roundTo: Int = 4,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      maxCluster: Int = 1024): DataFrame = {
     import org.apache.spark.sql.functions.typedlit
-    require(nprobe >= 1 && nprobe <= nlist, "semanticDedup: 1 <= nprobe <= nlist")
-    val cents = Similarity.trainCentroids(df, idCol, vecCol, nlist = nlist, seed = seed)
+    val k =
+      if (nlist > 0) nlist
+      else math.max(16, math.ceil(math.sqrt(df.count().toDouble)).toInt)
+    require(nprobe >= 1 && nprobe <= k, "semanticDedup: 1 <= nprobe <= nlist")
+    val cap = if (maxCluster > 0) maxCluster else Int.MaxValue
+    val cents = Similarity.trainCentroids(df, idCol, vecCol, nlist = k, seed = seed)
     val centArr = array(cents.map(c => typedlit(c)).toIndexedSeq: _*)
     // multi-probe assignment: a vector near a cluster boundary lands in
     // its top-nprobe clusters, so boundary-straddling near-dups still
@@ -354,13 +375,47 @@ object Dedup {
     val assigned = df
       .select(col(idCol).cast("long").as("_id"), col(vecCol).as("_v"))
       .withColumn("_c", explode(gr_topnCosine(col("_v"), centArr, lit(nprobe))))
-    val a = assigned.select(col("_c"), col("_id").as("id_a"), col("_v").as("_va"))
+    // representative side = the cap lowest ids per cluster (row_number over
+    // the same hash partitioning the join below uses — the exchange is
+    // shared). Representatives have the cluster's smallest ids, so every
+    // (rep, member) pair already satisfies id_a < id_b; clusters <= cap put
+    // their whole membership on the rep side and reproduce exact all-pairs.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_c")).orderBy(col("_id"))
+    val reps =
+      (if (cap == Int.MaxValue) assigned
+       else assigned.withColumn("_rk", row_number().over(w))
+         .filter(col("_rk") <= cap).drop("_rk"))
+    val a = reps.select(col("_c"), col("_id").as("id_a"), col("_v").as("_va"))
     val b = assigned.select(col("_c"), col("_id").as("id_b"), col("_v").as("_vb"))
     a.join(b, Seq("_c")).filter(col("id_a") < col("id_b"))
       .withColumn("cosine", round(gr_cosine(col("_va"), col("_vb")), roundTo))
       .filter(col("cosine") >= threshold)
       .groupBy(col("id_a"), col("id_b"))
       .agg(first(col("cosine")).as("cosine"))
+  }
+
+  /** Largest multi-probe cluster size for the given semanticDedup
+    * parameters — the oracle-validity probe twin of [[maxLshBucket]]: the
+    * exact all-pairs interpretation of [[semanticDedup]] holds only while
+    * every cluster stays within `maxCluster`, and Verify can enforce that
+    * instead of letting a testdata regeneration silently flip the pair set
+    * to representative chaining.
+    */
+  def maxSemClusterSize(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int = 16,
+      nprobe: Int = 2,
+      seed: Long = 42L): Long = {
+    import org.apache.spark.sql.functions.typedlit
+    val cents = Similarity.trainCentroids(df, idCol, vecCol, nlist = nlist, seed = seed)
+    val centArr = array(cents.map(c => typedlit(c)).toIndexedSeq: _*)
+    df.select(col(idCol).cast("long").as("_id"), col(vecCol).as("_v"))
+      .withColumn("_c", explode(gr_topnCosine(col("_v"), centArr, lit(nprobe))))
+      .groupBy(col("_c")).count()
+      .agg(max(col("count"))).head.getLong(0)
   }
 
   /** Connected components over a near-duplicate pair graph: assigns every

@@ -342,6 +342,43 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(a.nonEmpty)
   }
 
+  test("semanticDedup mass-cluster pair cost is bounded by maxCluster") {
+    // degenerate corpus: every vector identical -> ONE cluster holds all n
+    // rows in every probe. Unbounded all-pairs would emit n*(n-1)/2 pairs;
+    // the cap must emit at most n*cap while still chaining the whole
+    // cluster into one connected component.
+    val n = 300
+    val cap = 8
+    val one = Array.fill(16)(0.5f)
+    val emb = (0 until n).map(i => (i.toLong, one)).toDF("vec_id", "embedding")
+    val pairs = Dedup.semanticDedup(emb, "vec_id", "embedding",
+        threshold = 0.9, nlist = 4, nprobe = 1, maxCluster = cap)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSeq
+    assert(pairs.size.toLong <= n.toLong * cap,
+      s"capped pair count ${pairs.size} exceeds n*cap=${n * cap}")
+    assert(pairs.size.toLong < n.toLong * (n - 1) / 2,
+      "cap did not reduce the all-pairs explosion")
+    // chaining recall: every member pairs with a representative, so the
+    // whole mass-duplicate cluster is one connected component
+    val cc = Dedup.connectedComponents(pairs.toDF("id_a", "id_b"))
+      .select($"cluster_id").distinct().as[Long].collect()
+    assert(cc.toSeq == Seq(0L), s"chained components: ${cc.toSeq}")
+    // below the cap the pair set is the exact all-pairs set (unchanged
+    // semantics for oracle-SF corpora)
+    val small = (0 until 20).map(i => (i.toLong, one)).toDF("vec_id", "embedding")
+    val exact = Dedup.semanticDedup(small, "vec_id", "embedding",
+        threshold = 0.9, nlist = 2, nprobe = 1, maxCluster = 0)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSeq.sorted
+    val capped = Dedup.semanticDedup(small, "vec_id", "embedding",
+        threshold = 0.9, nlist = 2, nprobe = 1, maxCluster = 1024)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSeq.sorted
+    assert(exact == capped && exact.size == 20 * 19 / 2)
+    // nlist = 0 auto-derives sqrt(n) clusters and still runs end-to-end
+    val auto = Dedup.semanticDedup(small, "vec_id", "embedding",
+      threshold = 0.9, nlist = 0, nprobe = 1)
+    assert(auto.count() > 0)
+  }
+
   test("qualityBucketsApprox: monotone tiers, full coverage, no giant sort") {
     val rows = (1L to 30L).map(i => (i, if (i % 2 == 0) "A" else "B", i * 10))
     val df = rows.toDF("doc_id", "lang", "score")

@@ -734,12 +734,15 @@ final case class GeoDataFrame(
       exclusive: Boolean = false,
       // k-nearest generalization with the rank()<=k tie contract (k=1 is
       // exactly geopandas sjoin_nearest); same single grid-join plan
-      k: Int = 1): DataFrame =
-    sjoinNearestImpl(right, leftKey, maxDistance, cellSize, rsuffix,
-      distanceCol, how, exclusive, k).drop("_cand_n")
+      k: Int = 1): DataFrame = {
+    val (res, candCol) = sjoinNearestImpl(right, leftKey, maxDistance, cellSize,
+      rsuffix, distanceCol, how, exclusive, k)
+    res.drop(candCol)
+  }
 
-  /** [[sjoinNearest]] plus a `_cand_n` column counting each left row's
-    * dwithin candidates inside the radius — the completeness witness the
+  /** [[sjoinNearest]] plus a candidate-count column (collision-free name,
+    * returned alongside the frame) counting each left row's dwithin
+    * candidates inside the radius — the completeness witness the
     * expanding-ring driver needs (a row with >= k candidates within d has
     * its true k-th distance <= d, so its rank<=k set is globally exact).
     */
@@ -752,7 +755,7 @@ final case class GeoDataFrame(
       distanceCol: String,
       how: String,
       exclusive: Boolean,
-      k: Int): DataFrame = {
+      k: Int): (DataFrame, String) = {
     require(maxDistance > 0, "sjoinNearest requires a positive maxDistance")
     require(k >= 1, "sjoinNearest requires k >= 1")
     require(Set("inner", "left").contains(how),
@@ -772,13 +775,15 @@ final case class GeoDataFrame(
         cands0.filter(!(col(distanceCol) === 0.0 &&
           st_equals(col(geometryColumn), col(rGeomName))))
       else cands0
+    val rkCol = freshCol("_rk", cands.columns)
+    val candCol = freshCol("_cand_n", cands.columns, Seq(rkCol))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(leftKey)).orderBy(col(distanceCol))
     val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col(leftKey))
-    val nearest = cands.withColumn("_rk", rank().over(w))
-      .withColumn("_cand_n", org.apache.spark.sql.functions.count(lit(1)).over(wAll))
-      .filter(col("_rk") <= k).drop("_rk")
-    how match {
+    val nearest = cands.withColumn(rkCol, rank().over(w))
+      .withColumn(candCol, org.apache.spark.sql.functions.count(lit(1)).over(wAll))
+      .filter(col(rkCol) <= k).drop(rkCol)
+    val res = how match {
       case "inner" => nearest
       case "left" =>
         // geopandas how="left": left rows with no neighbor in the radius
@@ -795,6 +800,7 @@ final case class GeoDataFrame(
           acc.withColumn(f.name, lit(null).cast(f.dataType)))
         nearest.unionByName(padded.select(nearest.columns.map(col).toIndexedSeq: _*))
     }
+    (res, candCol)
   }
 
   /** Unbounded nearest-neighbor join (geopandas `sjoin_nearest` WITHOUT
@@ -840,9 +846,9 @@ final case class GeoDataFrame(
     var round = 0
     var done = false
     while (round <= maxRounds && !done) {
-      val matched = remaining.sjoinNearestImpl(right, leftKey, dist, cell,
+      val (cands, candCol) = remaining.sjoinNearestImpl(right, leftKey, dist, cell,
         rsuffix, distanceCol, how = "inner", exclusive = exclusive, k = k)
-        .filter(col("_cand_n") >= k).drop("_cand_n")
+      val matched = cands.filter(col(candCol) >= k).drop(candCol)
       out = Some(out.map(_.unionByName(matched)).getOrElse(matched))
       val rest = remaining.df
         .join(matched.select(col(leftKey)).distinct(), Seq(leftKey), "left_anti")
@@ -931,7 +937,7 @@ final case class GeoDataFrame(
       graft.sql.IndexedNearestProbe(
         org.apache.spark.sql.GraftInterop.expression(df(geometryColumn)),
         maxDistance, exclusive, bc, k))
-    val nnCol = "_sjoin_nn"
+    val nnCol = freshCol("_sjoin_nn", df.columns, rightRenamed.columns, Seq(distanceCol))
     val exploded = how match {
       case "inner" => df.withColumn(nnCol, explode(probe))
       case "left"  => df.withColumn(nnCol, explode_outer(probe))
@@ -1176,7 +1182,9 @@ final case class GeoDataFrame(
     val gi = rightRenamed.schema.fieldIndex(rGeomName)
     val wkbs = rows.map(r => if (r.isNullAt(gi)) null else r.getAs[Array[Byte]](gi))
     val bc = spark.sparkContext.broadcast(new graft.sql.PreparedSide(wkbs))
-    val idxCol = "_sjoin_prep_idx"
+    // the index column is stamped onto BOTH sides of the finishing hash
+    // join, so it must collide with neither schema
+    val idxCol = freshCol("_sjoin_prep_idx", df.columns, rightRenamed.columns)
     val idxSchema = rightRenamed.schema.add(idxCol, IntegerType, nullable = false)
     val idxRows = rows.toSeq.zipWithIndex.map { case (r, i) =>
       org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
@@ -1184,6 +1192,17 @@ final case class GeoDataFrame(
     val localRight = spark.createDataFrame(
       scala.jdk.CollectionConverters.SeqHasAsJava(idxRows).asJava, idxSchema)
     (bc, localRight, idxCol)
+  }
+
+  /** Collision-free internal scratch-column name: the base name unless a
+    * user column already carries it, else the first `base1`, `base2`, …
+    * free in every supplied schema — the same survival contract the
+    * rsuffix renames give user attribute columns.
+    */
+  private def freshCol(base: String, schemas: Seq[String]*): String = {
+    val taken = schemas.flatten.toSet
+    if (!taken.contains(base)) base
+    else Iterator.from(1).map(base + _).find(n => !taken.contains(n)).get
   }
 
   private def indexedBroadcastEnabled: Boolean =

@@ -567,6 +567,14 @@ object Constructive {
     * the interpolated POINT at that fraction, like PostGIS. Interior
     * vertices between the cut points are preserved; the cut endpoints are
     * interpolated on their segments.
+    *
+    * MultiLineString input operates on the FIRST component only — this
+    * repo's convention, shared with [[lineInterpolatePoint]] and
+    * [[lineProject]]. It deliberately diverges from PostGIS (returns NULL)
+    * and shapely (raises) for multi-part input: a defined first-part answer
+    * composes with `explode` for per-part substrings, while a null/throw
+    * poisons whole columns at scale. Documented at the st_linesubstring
+    * registration.
     */
   def lineSubstring(g: Geometry, f0In: Double, f1In: Double): Geometry = {
     val l = g match {

@@ -13,10 +13,11 @@ import org.apache.hadoop.fs.Path
   * Features stream through a task-local spill file (only the 40-byte
   * envelope metadata stays in memory), so task memory is bounded
   * regardless of partition size. Parts are written to a dot-prefixed
-  * in-progress name and renamed on task commit; the final name is
-  * deterministic in (queryId, partitionId), so a retried task simply
-  * re-renames over its predecessor — idempotent under speculative
-  * execution. Unlike `writeDir`, rows are written in arrival order: for
+  * in-progress name PRIVATE to the attempt (taskId-suffixed, so two
+  * concurrent speculative attempts never share a temp file) and renamed
+  * on task commit; the final name is deterministic in (queryId,
+  * partitionId), so a retried or speculative attempt simply re-renames
+  * over its predecessor — last-wins idempotent. Unlike `writeDir`, rows are written in arrival order: for
   * best bbox pruning, pre-order with `spatialShuffle` or a
   * `sortWithinPartitions(st_hilbert(...))`.
   *
@@ -146,7 +147,13 @@ private[io] final case class FgbWriterFactory(
             (env, b)
           }
           val fs = new Path(dir).getFileSystem(sconf.value)
-          val tmp = new Path(dir, f".part-$queryId%s-$partitionId%05d.fgb.inprogress")
+          // taskId in the temp name: two SPECULATIVE attempts of this
+          // partition run concurrently, and a shared temp path would let
+          // them interleave writes into one file and publish a corrupt
+          // part at rename. Each attempt writes a private temp; the rename
+          // to the deterministic final name stays last-wins idempotent.
+          val tmp = new Path(dir,
+            f".part-$queryId%s-$partitionId%05d-$taskId%d.fgb.inprogress")
           val fin = new Path(dir, f"part-$queryId%s-$partitionId%05d.fgb")
           val out = new java.io.BufferedOutputStream(fs.create(tmp, true), 1 << 20)
           try FlatGeobufIO.assembleFile(out, features, layer, cols, nodeSize,
@@ -161,6 +168,12 @@ private[io] final case class FgbWriterFactory(
       override def abort(): Unit = {
         try spillOut.close() catch { case _: Throwable => () }
         spill.delete()
+        // drop this attempt's private temp file if commit never renamed it
+        try {
+          val fs = new Path(dir).getFileSystem(sconf.value)
+          fs.delete(new Path(dir,
+            f".part-$queryId%s-$partitionId%05d-$taskId%d.fgb.inprogress"), false)
+        } catch { case _: Throwable => () }
       }
 
       override def close(): Unit = ()

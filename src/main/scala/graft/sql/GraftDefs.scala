@@ -51,7 +51,19 @@ object GraftDefs {
   // binary-predicate wall, PROFILE.md r10). Misses add only the O(1)
   // probe; false hash matches are settled by Arrays.equals, so a weak
   // hash can never produce a wrong geometry. Entries above 64 KiB are
-  // not cached (bounds per-thread memory at ~64 slots x 2 x 64 KiB).
+  // not cached (bounds per-thread memory at ~64 slots x 2 x 64 KiB —
+  // ~8 MiB/thread worst case, retained for the executor thread's
+  // lifetime; acceptable scratch at executor scale, by design).
+  //
+  // HARD REQUIREMENT on every geomC/g2 caller: the byte array passed in
+  // must be FRESHLY ALLOCATED and never mutated afterwards. Both the
+  // reference memo (`eq` probe) and the cache (stored key reference)
+  // assume immutable input; a caller recycling a buffer would make the
+  // identity/equality probes vacuously true and return a stale Geometry.
+  // Catalyst upholds this: UnsafeRow.getBinary / UTF8String.getBytes
+  // copy, and no kernel in this repo mutates a WKB array after handing
+  // it to an expression. Any future caller that reuses buffers (e.g. a
+  // pooled reader) MUST defensively clone before calling in.
   private final val CacheSlotsLog2 = 6
   private final class GeomCache {
     val keys = new Array[Array[Byte]](1 << CacheSlotsLog2)
@@ -376,7 +388,10 @@ object GraftDefs {
       a => Constructive.lineLocatePoint(geom(a(0)), geom(a(1)).asInstanceOf[Point],
         a(2).asInstanceOf[Boolean])),
     // shapely.ops.substring / PostGIS ST_LineSubstring: partial line
-    // between two normalized length fractions
+    // between two normalized length fractions. NOTE: MultiLineString input
+    // operates on the FIRST part only (this repo's convention, like
+    // st_lineinterpolatepoint) — PostGIS returns NULL and shapely raises
+    // there; explode multiparts first for per-part substrings
     "st_linesubstring" -> Spec(Seq(B, D, D), B,
       a => wkb(Constructive.lineSubstring(geom(a(0)), dbl(a(1)), dbl(a(2))))),
     // shapely.ops.split: cut a (multi)line at the points where the

@@ -230,6 +230,39 @@ class IndexedSjoinSpec extends AnyFunSuite {
     assert(excl.count() == 0)
   }
 
+  test("user columns named like internal scratch columns survive") {
+    // a user frame already carrying _sjoin_prep_idx / _sjoin_nn / _cand_n
+    // must come through every indexed/nearest path with its values intact
+    // (the implementation must pick collision-free internal names)
+    val lu = GeoDataFrame(leftG.df.filter(col("lid") < 100 && col("lid") % 5 < 3)
+      .withColumn("_sjoin_nn", col("lid") * 2)
+      .withColumn("_cand_n", col("lid") + 7))
+    val ru = GeoDataFrame(rightG.df.filter(col("rid") < 100)
+      .select(col("rid"), col("geometry"))
+      .withColumn("_sjoin_prep_idx", col("rid") * 3))
+    val bj = lu.sjoin(ru, predicate = "intersects", strategy = "broadcast")
+    assert(bj.columns.count(_ == "_sjoin_nn") == 1)
+    assert(bj.columns.count(_ == "_sjoin_prep_idx") == 1)
+    bj.select(col("lid"), col("_sjoin_nn"), col("rid"), col("_sjoin_prep_idx"))
+      .collect().foreach { r =>
+        assert(r.getLong(1) == r.getLong(0) * 2)
+        assert(r.getLong(3) == r.getLong(2) * 3)
+      }
+    val nb = lu.sjoinNearestBroadcast(ru)
+    nb.select(col("lid"), col("_sjoin_nn"), col("_cand_n"), col("rid"),
+        col("_sjoin_prep_idx")).collect().foreach { r =>
+      assert(r.getLong(1) == r.getLong(0) * 2 && r.getLong(2) == r.getLong(0) + 7)
+      assert(r.getLong(4) == r.getLong(3) * 3)
+    }
+    val kb = lu.sjoinKnnBroadcast(ru, 2)
+    assert(kb.filter(col("_sjoin_nn") =!= col("lid") * 2).count() == 0)
+    // grid path: sjoinNearest drops ONLY its own scratch column, not the
+    // user's _cand_n
+    val gn = lu.sjoinNearest(ru, "lid", maxDistance = 30.0, cellSize = 30.0)
+    assert(gn.columns.count(_ == "_cand_n") == 1)
+    assert(gn.filter(col("_cand_n") =!= col("lid") + 7).count() == 0)
+  }
+
   test("indexed plan is a BroadcastHashJoin (no nested loop)") {
     val plan = withIndex(true) {
       leftG.sjoin(rightG, predicate = "intersects", strategy = "broadcast")

@@ -114,7 +114,7 @@ object Bench {
     // one bad run per query and makes BENCH_rN.json a usable delta signal.
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt.max(1)
     val calProbes = scala.collection.mutable.ArrayBuffer[Double]()
-    val retries = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
+    val retries = scala.collection.mutable.LinkedHashMap[String, (Double, Double, Double)]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex.map {
       case ((name, fn), idx) =>
       // mid-suite health probe: one calibration shot every 20 queries so
@@ -146,8 +146,22 @@ object Bench {
       var med = runMedian()
       refQueries.get(name).foreach { ref =>
         if (med > 3.0 * ref && med >= 0 && ref > 0) {
+          // defer the retry until the machine probe reads healthy: an
+          // immediate retry reruns inside the SAME contention window and
+          // keeps an inflated better-of-two (r10 committed t05 at 7.3 s
+          // where the quiet run reads 2.2 s). Bounded wait — probe, sleep
+          // 2 s, re-probe, at most 5 rounds — then retry regardless, with
+          // the last probe reading recorded beside both timings so a
+          // still-contended retry is distinguishable in the artifact.
+          var probe = calibrateOnce()
+          var waits = 0
+          while (probe > 2.0 * CalibrationRef && waits < 5) {
+            Thread.sleep(2000)
+            probe = calibrateOnce()
+            waits += 1
+          }
           val retry = runMedian()
-          retries(name) = (med, retry)
+          retries(name) = (med, retry, probe)
           if (retry >= 0 && retry < med) med = retry
         }
       }
@@ -181,8 +195,9 @@ object Bench {
     val calAll = (Seq(calBefore, calAfter) ++ calProbes).sorted
     val calRatio = calAll(calAll.length / 2) / CalibrationRef
     val probesJson = calProbes.map(p => f"$p%.4f").mkString("[", ",", "]")
-    val retriesJson = retries.map { case (n, (first, retry)) =>
-      "\"" + n + "\":{\"first\":" + first + ",\"retry\":" + retry + "}"
+    val retriesJson = retries.map { case (n, (first, retry, probe)) =>
+      "\"" + n + "\":{\"first\":" + first + ",\"retry\":" + retry +
+        ",\"probe_s\":" + f"$probe%.4f" + "}"
     }.mkString("{", ",", "}")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","iterations":$iters,"aggregation":"median","failed":$failed,"calibration_s":$calWorst,"calibration_before_s":$calBefore,"calibration_after_s":$calAfter,"calibration_probes_s":$probesJson,"calibration_ref_s":$CalibrationRef,"calibration_ratio":${f"$calRatio%.2f"},"degraded":$degraded,"retried":${retries.size},"retries":$retriesJson,"queries":$qs,"sf":"${jesc(sfDir)}"}"""
     println(json)

@@ -1708,6 +1708,534 @@ object Crs {
     // S-JTSK->WGS84 position-vector set (negated)
     "EPSG:5514" -> new DatumShifted(krovakProjection, sjtsk))
 
+  // ---------------------------------------------------------------------
+  // r11 long-tail kernels (Snyder 1987 public formulas throughout).
+  // Shared rectifying-latitude helpers: meridian arc (Snyder 3-21) and its
+  // inverse series (3-26) — the same series the TM/UTM kernels carry
+  // privately, factored here for the kernels below.
+  // ---------------------------------------------------------------------
+  private def mArc(a: Double, e2: Double, phi: Double): Double = {
+    val e4 = e2 * e2; val e6 = e4 * e2
+    a * ((1.0 - e2 / 4.0 - 3.0 * e4 / 64.0 - 5.0 * e6 / 256.0) * phi
+      - (3.0 * e2 / 8.0 + 3.0 * e4 / 32.0 + 45.0 * e6 / 1024.0) * math.sin(2.0 * phi)
+      + (15.0 * e4 / 256.0 + 45.0 * e6 / 1024.0) * math.sin(4.0 * phi)
+      - (35.0 * e6 / 3072.0) * math.sin(6.0 * phi))
+  }
+  private def mArcInv(a: Double, e2: Double, m: Double): Double = {
+    val e4 = e2 * e2; val e6 = e4 * e2
+    val e1 = (1.0 - math.sqrt(1.0 - e2)) / (1.0 + math.sqrt(1.0 - e2))
+    val mu = m / (a * (1.0 - e2 / 4.0 - 3.0 * e4 / 64.0 - 5.0 * e6 / 256.0))
+    mu + (3.0 * e1 / 2.0 - 27.0 * math.pow(e1, 3) / 32.0) * math.sin(2.0 * mu) +
+      (21.0 * e1 * e1 / 16.0 - 55.0 * math.pow(e1, 4) / 32.0) * math.sin(4.0 * mu) +
+      (151.0 * math.pow(e1, 3) / 96.0) * math.sin(6.0 * mu) +
+      (1097.0 * math.pow(e1, 4) / 512.0) * math.sin(8.0 * mu)
+  }
+
+  /** Damped-Newton inverse over a forward map with a numerical Jacobian,
+    * for kernels whose closed-form inverse is unpublished or unwieldy
+    * (ellipsoidal orthographic, polyconic, two-point equidistant, Van der
+    * Grinten). Residual target 1e-6 m (micron); quadratic from the
+    * kernel-supplied seed.
+    */
+  private def newtonInverse(fwd: (Double, Double) => (Double, Double),
+      x: Double, y: Double, seedLon: Double, seedLat: Double): (Double, Double) = {
+    var lon = seedLon; var lat = math.max(-89.999999, math.min(89.999999, seedLat))
+    var i = 0
+    while (i < 50) {
+      val (fx, fy) = fwd(lon, lat)
+      val rx = fx - x; val ry = fy - y
+      if (math.abs(rx) < 1e-6 && math.abs(ry) < 1e-6) return (lon, lat)
+      val h = 1e-7
+      val (fx1, fy1) = fwd(lon + h, lat)
+      val (fx2, fy2) = fwd(lon, lat + h)
+      val j11 = (fx1 - fx) / h; val j12 = (fx2 - fx) / h
+      val j21 = (fy1 - fy) / h; val j22 = (fy2 - fy) / h
+      val det = j11 * j22 - j12 * j21
+      if (det == 0.0 || det.isNaN) return (lon, lat)
+      var dLon = (rx * j22 - ry * j12) / det
+      var dLat = (ry * j11 - rx * j21) / det
+      // step cap: strong rim curvature (vandg) can fling early iterates
+      val mag = math.max(math.abs(dLon), math.abs(dLat))
+      if (mag > 20.0) { dLon *= 20.0 / mag; dLat *= 20.0 / mag }
+      lon -= dLon
+      lat = math.max(-89.999999, math.min(89.999999, lat - dLat))
+      i += 1
+    }
+    (lon, lat)
+  }
+
+  /** Sinusoidal, ellipsoidal form (Snyder eqs 25-16..25-19; PROJ `sinu`):
+    * equal-area, true scale along every parallel and the central meridian.
+    * x = a dlam cos(phi)/sqrt(1 - e2 sin^2 phi), y = M(phi).
+    */
+  final class Sinusoidal(a: Double, invFlat: Double, lon0: Double,
+      fe: Double, fn: Double) extends Projection {
+    private val f = 1.0 / invFlat
+    private val e2 = f * (2.0 - f)
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      val phi = math.toRadians(lat)
+      val s = math.sin(phi)
+      (fe + a * math.toRadians(lon - lon0) * math.cos(phi) /
+        math.sqrt(1.0 - e2 * s * s), fn + mArc(a, e2, phi))
+    }
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val phi = mArcInv(a, e2, y - fn)
+      val s = math.sin(phi); val c = math.cos(phi)
+      val lon =
+        if (math.abs(c) < 1e-12) lon0
+        else lon0 + math.toDegrees((x - fe) * math.sqrt(1.0 - e2 * s * s) / (a * c))
+      (lon, math.toDegrees(phi))
+    }
+  }
+
+  /** Mollweide (Snyder ch. 31; PROJ `moll`): spherical on the semi-major
+    * radius (PROJ ignores ellipticity here). Equal-area pseudocylindrical;
+    * theta from 2t + sin 2t = pi sin(phi) by Newton.
+    */
+  final class Mollweide(a: Double, lon0: Double, fe: Double, fn: Double)
+      extends Projection {
+    private val sq2 = math.sqrt(2.0)
+    private def theta(phi: Double): Double = {
+      if (math.abs(phi) >= math.Pi / 2 - 1e-12) return math.signum(phi) * math.Pi / 2
+      val rhs = math.Pi * math.sin(phi)
+      var th = phi
+      var i = 0
+      while (i < 20) {
+        val d = (2.0 * th + math.sin(2.0 * th) - rhs) / (2.0 + 2.0 * math.cos(2.0 * th))
+        th -= d
+        i = if (math.abs(d) < 1e-14) 20 else i + 1
+      }
+      th
+    }
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      val th = theta(math.toRadians(lat))
+      (fe + 2.0 * sq2 / math.Pi * a * math.toRadians(lon - lon0) * math.cos(th),
+        fn + sq2 * a * math.sin(th))
+    }
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val th = math.asin(math.max(-1.0, math.min(1.0, (y - fn) / (sq2 * a))))
+      val phi = math.asin(math.max(-1.0, math.min(1.0,
+        (2.0 * th + math.sin(2.0 * th)) / math.Pi)))
+      val cth = math.cos(th)
+      val lon = if (cth < 1e-12) lon0
+        else lon0 + math.toDegrees((x - fe) * math.Pi / (2.0 * sq2 * a * cth))
+      (lon, math.toDegrees(phi))
+    }
+  }
+
+  /** Eckert IV (Snyder ch. 32; PROJ `eck4`): spherical equal-area
+    * pseudocylindrical with elliptical meridians; theta from
+    * t + sin t cos t + 2 sin t = (2 + pi/2) sin(phi) by Newton.
+    */
+  final class EckertIV(a: Double, lon0: Double, fe: Double, fn: Double)
+      extends Projection {
+    private val cx = 2.0 / math.sqrt(math.Pi * (4.0 + math.Pi))
+    private val cy = 2.0 * math.sqrt(math.Pi / (4.0 + math.Pi))
+    private val cp = 2.0 + math.Pi / 2.0
+    private def theta(phi: Double): Double = {
+      val rhs = cp * math.sin(phi)
+      var th = phi / 2.0
+      var i = 0
+      while (i < 30) {
+        val d = (th + math.sin(th) * math.cos(th) + 2.0 * math.sin(th) - rhs) /
+          (1.0 + math.cos(2.0 * th) + 2.0 * math.cos(th))
+        th -= d
+        i = if (math.abs(d) < 1e-14) 30 else i + 1
+      }
+      th
+    }
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      val th = theta(math.toRadians(lat))
+      (fe + cx * a * math.toRadians(lon - lon0) * (1.0 + math.cos(th)),
+        fn + cy * a * math.sin(th))
+    }
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val th = math.asin(math.max(-1.0, math.min(1.0, (y - fn) / (cy * a))))
+      val phi = math.asin(math.max(-1.0, math.min(1.0,
+        (th + math.sin(th) * math.cos(th) + 2.0 * math.sin(th)) / cp)))
+      val lon = lon0 + math.toDegrees((x - fe) / (cx * a * (1.0 + math.cos(th))))
+      (lon, math.toDegrees(phi))
+    }
+  }
+
+  /** Miller cylindrical (Snyder ch. 11; PROJ `mill`): spherical,
+    * y = ln(tan(pi/4 + 0.4 phi)) / 0.8 — neither equal-area nor conformal,
+    * the classic compromise world-map cylindrical.
+    */
+  final class MillerCylindrical(a: Double, lon0: Double, fe: Double, fn: Double)
+      extends Projection {
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      val phi = math.toRadians(lat)
+      (fe + a * math.toRadians(lon - lon0),
+        fn + a * math.log(math.tan(math.Pi / 4.0 + 0.4 * phi)) / 0.8)
+    }
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val phi = 2.5 * (math.atan(math.exp(0.8 * (y - fn) / a)) - math.Pi / 4.0)
+      (lon0 + math.toDegrees((x - fe) / a), math.toDegrees(phi))
+    }
+  }
+
+  /** Gnomonic (Snyder ch. 20; PROJ `gnom`): spherical perspective from the
+    * center — every great circle maps to a straight line (the property the
+    * tests pin). Points on or beyond the horizon (angular distance >= 90
+    * degrees from the center) have no image and come back NaN.
+    */
+  final class Gnomonic(a: Double, lat0: Double, lon0: Double,
+      fe: Double, fn: Double) extends Projection {
+    private val phi0 = math.toRadians(lat0)
+    private val sp0 = math.sin(phi0)
+    private val cp0 = math.cos(phi0)
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      val phi = math.toRadians(lat)
+      val dlam = math.toRadians(lon - lon0)
+      val s = math.sin(phi); val c = math.cos(phi)
+      val cosc = sp0 * s + cp0 * c * math.cos(dlam)
+      if (cosc <= 1e-10) (Double.NaN, Double.NaN)
+      else (fe + a * c * math.sin(dlam) / cosc,
+        fn + a * (cp0 * s - sp0 * c * math.cos(dlam)) / cosc)
+    }
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val dx = x - fe; val dy = y - fn
+      val rho = math.hypot(dx, dy)
+      if (rho < 1e-12) return (lon0, lat0)
+      val cang = math.atan(rho / a)
+      val sinc = math.sin(cang); val cosc = math.cos(cang)
+      val phi = math.asin(cosc * sp0 + dy * sinc * cp0 / rho)
+      val lam = math.atan2(dx * sinc, rho * cp0 * cosc - dy * sp0 * sinc)
+      (lon0 + math.toDegrees(lam), math.toDegrees(phi))
+    }
+  }
+
+  /** Orthographic, ellipsoidal form (PROJ `ortho` since 7.2; spherical
+    * Snyder ch. 20 is the e=0 special case): view from infinity along the
+    * normal at the center. nu = 1/sqrt(1 - e2 sin^2 phi);
+    * x = a nu cos(phi) sin(dlam);
+    * y = a [nu (sin(phi) cos(phi0) - cos(phi) sin(phi0) cos(dlam))
+    *        + e2 (nu0 sin(phi0) - nu sin(phi)) cos(phi0)].
+    * The center maps to the false origin with meridian AND parallel scale
+    * exactly 1 (d y/d phi = M(phi0), d x/d lam = N cos(phi0) — derived in
+    * the spec by numeric Jacobian). Inverse: Newton from the spherical
+    * closed-form seed. The far hemisphere has no image (NaN).
+    */
+  final class Orthographic(a: Double, invFlat: Double, lat0: Double,
+      lon0: Double, fe: Double, fn: Double) extends Projection {
+    private val f = 1.0 / invFlat
+    private val e2 = f * (2.0 - f)
+    private val phi0 = math.toRadians(lat0)
+    private val sp0 = math.sin(phi0)
+    private val cp0 = math.cos(phi0)
+    private val nu0 = 1.0 / math.sqrt(1.0 - e2 * sp0 * sp0)
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      val phi = math.toRadians(lat)
+      val dlam = math.toRadians(lon - lon0)
+      val s = math.sin(phi); val c = math.cos(phi)
+      // horizon test on the sphere (the ellipsoidal horizon differs by
+      // O(e2) — callers projecting a visible disc stay well inside)
+      if (sp0 * s + cp0 * c * math.cos(dlam) < -1e-10) return (Double.NaN, Double.NaN)
+      val nu = 1.0 / math.sqrt(1.0 - e2 * s * s)
+      (fe + a * nu * c * math.sin(dlam),
+        fn + a * (nu * (s * cp0 - c * sp0 * math.cos(dlam)) +
+          e2 * (nu0 * sp0 - nu * s) * cp0))
+    }
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val dx = (x - fe) / a; val dy = (y - fn) / a
+      val rho = math.hypot(dx, dy)
+      if (rho < 1e-15) return (lon0, lat0)
+      // spherical seed
+      val cang = math.asin(math.min(1.0, rho))
+      val sinc = math.sin(cang); val cosc = math.cos(cang)
+      val sLat = math.toDegrees(math.asin(math.max(-1.0, math.min(1.0,
+        cosc * sp0 + dy * sinc * cp0 / rho))))
+      val sLon = lon0 + math.toDegrees(
+        math.atan2(dx * sinc, rho * cp0 * cosc - dy * sp0 * sinc))
+      newtonInverse(forward, x, y, sLon, sLat)
+    }
+  }
+
+  /** Cassini-Soldner, ellipsoidal series form (Snyder eqs 13-7..13-13,
+    * inverse 13-14..13-17; EPSG method 9806, PROJ `cass`): equidistant
+    * along the central meridian and its perpendiculars — the classic
+    * cadastral projection (many Caribbean and historic grids).
+    */
+  final class CassiniSoldner(a: Double, invFlat: Double, lat0: Double,
+      lon0: Double, fe: Double, fn: Double) extends Projection {
+    private val f = 1.0 / invFlat
+    private val e2 = f * (2.0 - f)
+    private val m0 = mArc(a, e2, math.toRadians(lat0))
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      val phi = math.toRadians(lat)
+      val s = math.sin(phi); val c = math.cos(phi)
+      val t = (s / c) * (s / c)
+      val bigA = math.toRadians(lon - lon0) * c
+      val bigC = e2 * c * c / (1.0 - e2)
+      val n = a / math.sqrt(1.0 - e2 * s * s)
+      val a2 = bigA * bigA
+      (fe + n * bigA * (1.0 - t * a2 / 6.0 - (8.0 - t + 8.0 * bigC) * t * a2 * a2 / 120.0),
+        fn + mArc(a, e2, phi) - m0 +
+          n * (s / c) * (a2 / 2.0 + (5.0 - t + 6.0 * bigC) * a2 * a2 / 24.0))
+    }
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val phi1 = mArcInv(a, e2, m0 + (y - fn))
+      val s1 = math.sin(phi1); val c1 = math.cos(phi1)
+      if (math.abs(c1) < 1e-12) return (lon0, math.toDegrees(phi1))
+      val t1 = (s1 / c1) * (s1 / c1)
+      val n1 = a / math.sqrt(1.0 - e2 * s1 * s1)
+      val r1 = a * (1.0 - e2) / math.pow(1.0 - e2 * s1 * s1, 1.5)
+      val d = (x - fe) / n1
+      val d2 = d * d
+      val phi = phi1 - (n1 * (s1 / c1) / r1) * (d2 / 2.0 - (1.0 + 3.0 * t1) * d2 * d2 / 24.0)
+      val lam = (d - t1 * d * d2 / 3.0 + (1.0 + 3.0 * t1) * t1 * d * d2 * d2 / 15.0) / c1
+      (lon0 + math.toDegrees(lam), math.toDegrees(phi))
+    }
+  }
+
+  /** Equidistant conic, ellipsoidal form (Snyder eqs 16-1..16-10; PROJ
+    * `eqdc`): true scale along every meridian and both standard parallels.
+    * The 1SP limit (lat_1 == lat_2) takes the analytic cone constant
+    * n = sin(phi1) (the e-independent limit of a(m1-m2)/(M2-M1)).
+    */
+  final class EquidistantConic(a: Double, invFlat: Double, lat0: Double,
+      lon0: Double, sp1: Double, sp2: Double, fe: Double, fn: Double)
+      extends Projection {
+    private val f = 1.0 / invFlat
+    private val e2 = f * (2.0 - f)
+    private def m(phi: Double): Double = {
+      val s = math.sin(phi)
+      math.cos(phi) / math.sqrt(1.0 - e2 * s * s)
+    }
+    private val p1 = math.toRadians(sp1)
+    private val p2 = math.toRadians(sp2)
+    private val n =
+      if (math.abs(sp1 - sp2) < 1e-9) math.sin(p1)
+      else a * (m(p1) - m(p2)) / (mArc(a, e2, p2) - mArc(a, e2, p1))
+    private val bigG = m(p1) / n + mArc(a, e2, p1) / a
+    private val rho0 = a * bigG - mArc(a, e2, math.toRadians(lat0))
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      val rho = a * bigG - mArc(a, e2, math.toRadians(lat))
+      val th = n * math.toRadians(lon - lon0)
+      (fe + rho * math.sin(th), fn + rho0 - rho * math.cos(th))
+    }
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val sgn = if (n < 0) -1.0 else 1.0
+      val dx = x - fe; val dy = rho0 - (y - fn)
+      val rho = sgn * math.hypot(dx, dy)
+      val th = math.atan2(sgn * dx, sgn * dy)
+      val phi = mArcInv(a, e2, a * bigG - rho)
+      (lon0 + math.toDegrees(th / n), math.toDegrees(phi))
+    }
+  }
+
+  /** American polyconic, ellipsoidal form (Snyder eqs 18-12..18-15; EPSG
+    * method 9818, PROJ `poly`): each parallel an arc of its own cone,
+    * radius N cot(phi), true scale along every parallel and the central
+    * meridian. Inverse by Newton from the (x/a, inverse-arc) seed.
+    */
+  final class Polyconic(a: Double, invFlat: Double, lat0: Double,
+      lon0: Double, fe: Double, fn: Double) extends Projection {
+    private val f = 1.0 / invFlat
+    private val e2 = f * (2.0 - f)
+    private val m0 = mArc(a, e2, math.toRadians(lat0))
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      val phi = math.toRadians(lat)
+      if (math.abs(phi) < 1e-12)
+        return (fe + a * math.toRadians(lon - lon0), fn - m0)
+      val s = math.sin(phi); val c = math.cos(phi)
+      val n = a / math.sqrt(1.0 - e2 * s * s)
+      val e = math.toRadians(lon - lon0) * s
+      val cot = c / s
+      (fe + n * cot * math.sin(e),
+        fn + mArc(a, e2, phi) - m0 + n * cot * (1.0 - math.cos(e)))
+    }
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val seedLat = math.toDegrees(mArcInv(a, e2, m0 + (y - fn)))
+      val seedLon = lon0 + math.toDegrees((x - fe) / a)
+      newtonInverse(forward, x, y, seedLon, seedLat)
+    }
+  }
+
+  /** Two-point equidistant (Snyder ch. 27; PROJ `tpeqd`): spherical —
+    * plane distances from BOTH base points equal the great-circle
+    * distances (the defining property, pinned exactly in the spec). The
+    * base points land at (-+ a z0/2, 0); y's sign follows which side of
+    * the oriented base-point geodesic the point lies on.
+    */
+  final class TwoPointEquidistant(a: Double, lat1: Double, lon1: Double,
+      lat2: Double, lon2: Double, fe: Double, fn: Double) extends Projection {
+    private val p1 = math.toRadians(lat1); private val l1 = math.toRadians(lon1)
+    private val p2 = math.toRadians(lat2); private val l2 = math.toRadians(lon2)
+    private val sp1 = math.sin(p1); private val cp1 = math.cos(p1)
+    private val sp2 = math.sin(p2); private val cp2 = math.cos(p2)
+    // central angle via atan2(|cross|, dot) — acos(dot) loses half its
+    // digits near 0 and pi (a base point probing ITSELF read acos(1-ulp)
+    // = 1.5e-8 rad = 0.1 m); the vector form is well-conditioned at every
+    // separation
+    private def cAngle(spA: Double, cpA: Double, lamA: Double,
+        s: Double, co: Double, lam: Double): Double = {
+      val dl = lam - lamA
+      val cx = co * math.sin(dl)
+      val cy = cpA * s - spA * co * math.cos(dl)
+      math.atan2(math.hypot(cx, cy), spA * s + cpA * co * math.cos(dl))
+    }
+    private val z0 = cAngle(sp1, cp1, l1, sp2, cp2, l2)
+    private val c = z0 / 2.0
+    // azimuth at base 1 toward base 2 (clockwise from north)
+    private val az12 = math.atan2(cp2 * math.sin(l2 - l1),
+      cp1 * sp2 - sp1 * cp2 * math.cos(l2 - l1))
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      val phi = math.toRadians(lat); val lam = math.toRadians(lon)
+      val s = math.sin(phi); val co = math.cos(phi)
+      val z1 = cAngle(sp1, cp1, l1, s, co, lam)
+      val z2 = cAngle(sp2, cp2, l2, s, co, lam)
+      val xp = (z1 * z1 - z2 * z2) / (4.0 * c)
+      val t = z1 * z1 - (xp + c) * (xp + c)
+      val az1p = math.atan2(co * math.sin(lam - l1),
+        cp1 * s - sp1 * co * math.cos(lam - l1))
+      val side = math.sin(az12 - az1p)
+      val yp = (if (side < 0) -1.0 else 1.0) * math.sqrt(math.max(0.0, t))
+      (fe + a * xp, fn + a * yp)
+    }
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      // seed at the base-geodesic midpoint, nudged toward the probe
+      val midLat = (lat1 + lat2) / 2.0
+      val midLon = (lon1 + lon2) / 2.0
+      newtonInverse(forward, x, y,
+        midLon + math.toDegrees((x - fe) / a) * 0.5,
+        math.max(-89.0, math.min(89.0, midLat + math.toDegrees((y - fn) / a) * 0.5)))
+    }
+  }
+
+  /** Robinson (PROJ `robin`): Robinson's published 1974 coordinate table
+    * (parallel-length and parallel-distance multipliers at 5-degree
+    * nodes), Catmull-Rom interpolated between nodes. Node values are exact
+    * and match every implementation; BETWEEN nodes implementations differ
+    * by their interpolant (PROJ fits its own spline) at the 1e-4 level —
+    * inherent to a table-defined projection, documented here. Inverse:
+    * bisection on the monotone Y table, then the parallel-length divide.
+    */
+  final class Robinson(a: Double, lon0: Double, fe: Double, fn: Double)
+      extends Projection {
+    private val PLEN = Array(1.0000, 0.9986, 0.9954, 0.9900, 0.9822, 0.9730,
+      0.9600, 0.9427, 0.9216, 0.8962, 0.8679, 0.8350, 0.7986, 0.7597,
+      0.7186, 0.6732, 0.6213, 0.5722, 0.5322)
+    private val PDFE = Array(0.0000, 0.0620, 0.1240, 0.1860, 0.2480, 0.3100,
+      0.3720, 0.4340, 0.4958, 0.5571, 0.6176, 0.6769, 0.7346, 0.7903,
+      0.8435, 0.8936, 0.9394, 0.9761, 1.0000)
+    private def interp(tab: Array[Double], absLatDeg: Double): Double = {
+      val t = math.min(90.0, absLatDeg) / 5.0
+      val i = math.min(tab.length - 2, t.toInt)
+      val fr = t - i
+      val q0 = tab(math.max(0, i - 1)); val q1 = tab(i)
+      val q2 = tab(i + 1); val q3 = tab(math.min(tab.length - 1, i + 2))
+      0.5 * (2.0 * q1 + (-q0 + q2) * fr +
+        (2.0 * q0 - 5.0 * q1 + 4.0 * q2 - q3) * fr * fr +
+        (-q0 + 3.0 * q1 - 3.0 * q2 + q3) * fr * fr * fr)
+    }
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      val al = math.min(90.0, math.abs(lat))
+      (fe + 0.8487 * a * interp(PLEN, al) * math.toRadians(lon - lon0),
+        fn + 1.3523 * a * interp(PDFE, al) * (if (lat < 0) -1.0 else 1.0))
+    }
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val yy = math.min(1.0, math.abs(y - fn) / (1.3523 * a))
+      var lo = 0.0; var hi = 90.0
+      var i = 0
+      while (i < 60) { // bisection: PDFE is strictly increasing
+        val mid = (lo + hi) / 2.0
+        if (interp(PDFE, mid) < yy) lo = mid else hi = mid
+        i += 1
+      }
+      val al = (lo + hi) / 2.0
+      val lat = (if (y - fn < 0) -1.0 else 1.0) * al
+      val lon = lon0 + math.toDegrees((x - fe) / (0.8487 * a * interp(PLEN, al)))
+      (lon, lat)
+    }
+  }
+
+  /** Van der Grinten I (Snyder eqs 29-6..29-13; PROJ `vandg`): spherical,
+    * the whole earth in a circle of radius pi*a. Forward is the published
+    * closed form; inverse by Newton from a cylindrical seed (the closed
+    * inverse is a cubic resolvent with no extra accuracy).
+    */
+  final class VanDerGrinten(a: Double, lon0: Double, fe: Double, fn: Double)
+      extends Projection {
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      val phi = math.toRadians(lat)
+      val dlam = math.toRadians(lon - lon0)
+      if (math.abs(phi) < 1e-12)
+        return (fe + a * dlam, fn + 0.0)
+      val th = math.asin(math.min(1.0, math.abs(2.0 * phi / math.Pi)))
+      if (math.abs(dlam) < 1e-12 || math.abs(math.abs(phi) - math.Pi / 2.0) < 1e-12)
+        return (fe + 0.0, fn + math.signum(phi) * math.Pi * a * math.tan(th / 2.0))
+      val bigA = 0.5 * math.abs(math.Pi / dlam - dlam / math.Pi)
+      val g = math.cos(th) / (math.sin(th) + math.cos(th) - 1.0)
+      val p = g * (2.0 / math.sin(th) - 1.0)
+      val q = bigA * bigA + g
+      val p2 = p * p; val a2 = bigA * bigA
+      val x = math.signum(dlam) * math.Pi * a *
+        (bigA * (g - p2) + math.sqrt(math.max(0.0,
+          a2 * (g - p2) * (g - p2) - (p2 + a2) * (g * g - p2)))) / (p2 + a2)
+      val y = math.signum(phi) * math.Pi * a *
+        (p * q - bigA * math.sqrt(math.max(0.0,
+          (a2 + 1.0) * (p2 + a2) - q * q))) / (p2 + a2)
+      (fe + x, fn + y)
+    }
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val seedLon = lon0 + math.toDegrees((x - fe) / a)
+      val seedLat = math.toDegrees((y - fn) / a) * 0.9
+      newtonInverse(forward, x, y,
+        math.max(lon0 - 179.0, math.min(lon0 + 179.0, seedLon)),
+        math.max(-85.0, math.min(85.0, seedLat)))
+    }
+  }
+
+  /** Lambert conformal conic, ONE standard parallel (EPSG method 9801;
+    * Snyder's 2SP machinery with the analytic cone constant n = sin(phi1)
+    * and the natural-origin scale factor k0). Fills the lat_1 == lat_2
+    * case the 2SP kernel's cone-constant quotient cannot express.
+    */
+  final class LambertConic1SP(a: Double, invFlat: Double, lat0: Double,
+      lat1: Double, lon0: Double, k0: Double, fe: Double, fn: Double)
+      extends Projection {
+    private val f = 1.0 / invFlat
+    private val e2 = f * (2.0 - f)
+    private val e = math.sqrt(e2)
+    private def t(phi: Double): Double = {
+      val s = math.sin(phi)
+      math.tan(math.Pi / 4.0 - phi / 2.0) /
+        math.pow((1.0 - e * s) / (1.0 + e * s), e / 2.0)
+    }
+    private def m(phi: Double): Double = {
+      val s = math.sin(phi)
+      math.cos(phi) / math.sqrt(1.0 - e2 * s * s)
+    }
+    private val p1 = math.toRadians(lat1)
+    private val n = math.sin(p1)
+    private val bigF = m(p1) / (n * math.pow(t(p1), n))
+    private def rho(tv: Double): Double = a * bigF * k0 * math.pow(tv, n)
+    private val rho0 = rho(t(math.toRadians(lat0)))
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      val theta = n * (math.toRadians(lon) - math.toRadians(lon0))
+      val r = rho(t(math.toRadians(lat)))
+      (fe + r * math.sin(theta), fn + rho0 - r * math.cos(theta))
+    }
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val sgn = if (n < 0) -1.0 else 1.0
+      val dx = x - fe; val dy = rho0 - (y - fn)
+      val r = sgn * math.hypot(dx, dy)
+      val theta = math.atan2(sgn * dx, sgn * dy)
+      val tv = math.pow(r / (a * bigF * k0), 1.0 / n)
+      var phi = math.Pi / 2.0 - 2.0 * math.atan(tv)
+      var i = 0
+      while (i < 8) {
+        val s = math.sin(phi)
+        phi = math.Pi / 2.0 - 2.0 * math.atan(
+          tv * math.pow((1.0 - e * s) / (1.0 + e * s), e / 2.0))
+        i += 1
+      }
+      (math.toDegrees(theta / n) + lon0, math.toDegrees(phi))
+    }
+  }
+
   /** Identity "projection" for `+proj=longlat` records: projected
     * coordinates ARE lon/lat degrees.
     */
@@ -1779,9 +2307,10 @@ object Crs {
           if (kv.contains("south")) 10000000.0 else 0.0))
       case Some("lcc") =>
         val l1 = d("lat_1", lat0); val l2 = d("lat_2", l1)
-        // the 2SP kernel's cone constant divides by ln(t1)-ln(t2): the
-        // 1SP (lat_1 == lat_2) variant needs n = sin(lat_1), unsupported
-        if (math.abs(l1 - l2) < 1e-9) None
+        // lat_1 == lat_2 -> the 1SP variant (EPSG 9801): analytic cone
+        // constant n = sin(lat_1) plus the natural-origin scale factor
+        if (math.abs(l1 - l2) < 1e-9)
+          Some(new LambertConic1SP(a, rf, lat0, l1, lon0, k0, x0, y0))
         else Some(new LambertConic(a, rf, lat0, lon0, l1, l2, x0, y0))
       case Some("aea") =>
         Some(new AlbersConic(a, rf, lat0, lon0, d("lat_1", lat0), d("lat_2", lat0), x0, y0))
@@ -1806,6 +2335,29 @@ object Crs {
         Some(new Krovak(a, rf, d("lat_0", 49.5), d("lon_0", 24.0 + 50.0 / 60.0),
           d("alpha", 30.0 + 17.0 / 60.0 + 17.3031 / 3600.0), 78.5,
           d("k", d("k_0", 0.9999)), x0, y0))
+      // r11 long-tail families. Spherical-on-a families (moll, eck4, mill,
+      // gnom, robin, vandg, tpeqd) match proj's convention of using the
+      // semi-major axis as the sphere radius and ignoring ellipticity.
+      case Some("sinu")  => Some(new Sinusoidal(a, rf, lon0, x0, y0))
+      case Some("moll")  => Some(new Mollweide(a, lon0, x0, y0))
+      case Some("eck4")  => Some(new EckertIV(a, lon0, x0, y0))
+      case Some("mill")  => Some(new MillerCylindrical(a, lon0, x0, y0))
+      case Some("gnom")  => Some(new Gnomonic(a, lat0, lon0, x0, y0))
+      case Some("ortho") => Some(new Orthographic(a, rf, lat0, lon0, x0, y0))
+      case Some("cass")  => Some(new CassiniSoldner(a, rf, lat0, lon0, x0, y0))
+      case Some("eqdc")  =>
+        val l1 = d("lat_1", lat0)
+        Some(new EquidistantConic(a, rf, lat0, lon0, l1, d("lat_2", l1), x0, y0))
+      case Some("poly")  => Some(new Polyconic(a, rf, lat0, lon0, x0, y0))
+      case Some("tpeqd") =>
+        // two distinct base points are required: coincident points leave
+        // the plane frame (and the cone constant z0) undefined
+        val (la1, lo1) = (d("lat_1", 0.0), d("lon_1", 0.0))
+        val (la2, lo2) = (d("lat_2", 0.0), d("lon_2", 0.0))
+        if (math.abs(la1 - la2) < 1e-9 && math.abs(lo1 - lo2) < 1e-9) None
+        else Some(new TwoPointEquidistant(a, la1, lo1, la2, lo2, x0, y0))
+      case Some("robin") => Some(new Robinson(a, lon0, x0, y0))
+      case Some("vandg") => Some(new VanDerGrinten(a, lon0, x0, y0))
       case Some("longlat") | Some("latlong") => Some(IdentityProjection)
       case Some("webmerc") => Some(WebMercatorProjection)
       case Some("merc") =>

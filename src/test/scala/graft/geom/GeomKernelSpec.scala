@@ -1086,8 +1086,7 @@ class GeomKernelSpec extends AnyFunSuite {
     val wm = Crs.parseProj("+proj=webmerc").get
     assert(wm.forward(1.0, 1.0) == Crs.lonLatToMercator(1.0, 1.0))
     // unsupported / malformed records are rejected, not mis-parsed
-    assert(Crs.parseProj("+proj=robin").isEmpty, "unsupported family")
-    assert(Crs.parseProj("+proj=lcc +lat_1=45 +lat_2=45").isEmpty, "1SP lcc")
+    assert(Crs.parseProj("+proj=igh").isEmpty, "unsupported family")
     assert(Crs.parseProj("+proj=tmerc +ellps=marsIAU").isEmpty, "unknown ellipsoid")
     assert(Crs.parseProj("+proj=tmerc +lat_0=abc").isEmpty, "malformed number")
     assert(Crs.parseProj("+proj=utm +ellps=GRS80").isEmpty, "utm without zone")

@@ -1,0 +1,391 @@
+package graft.geom
+
+import graft.sql.Crs
+import org.scalatest.funsuite.AnyFunSuite
+
+/** r11 long-tail projection kernels (sinu / moll / eck4 / mill / gnom /
+  * ortho / cass / eqdc / poly / tpeqd / robin / vandg / lcc-1SP).
+  *
+  * Validation strategy: instead of memorized worked examples, each family
+  * is pinned by the MATHEMATICAL PROPERTY that defines it (the same
+  * properties Snyder 1987 derives them from), measured numerically:
+  *   - equal-area families: the forward Jacobian determinant equals the
+  *     ellipsoid/sphere area element M·N·cos(phi) everywhere,
+  *   - equidistant families: the appropriate arc-length derivative is 1,
+  *   - conformal families: meridian scale == parallel scale and the axes
+  *     stay orthogonal, with k(standard parallel) = k0,
+  *   - gnomonic: great circles project to straight lines,
+  *   - two-point equidistant: plane distances from both base points equal
+  *     the great-circle distances,
+  * plus closed-form anchors (poles, natural origins, equator widths) and
+  * forward-inverse roundtrips over each family's service domain. A kernel
+  * that satisfies its defining property at 1e-6 relative everywhere AND
+  * roundtrips is the projection, up to the published-formula level.
+  */
+class ProjLongTailSpec extends AnyFunSuite {
+
+  private val A = 6378137.0
+  private val RF = 298.257223563
+  private val F = 1.0 / RF
+  private val E2 = F * (2.0 - F)
+
+  // ellipsoidal area element factors
+  private def bigW(phiRad: Double) = math.sqrt(1.0 - E2 * math.sin(phiRad) * math.sin(phiRad))
+  private def mRad(phiRad: Double) = A * (1.0 - E2) / math.pow(bigW(phiRad), 3) // meridian radius
+  private def nRad(phiRad: Double) = A / bigW(phiRad)                           // prime vertical
+
+  /** Numeric Jacobian of the forward map wrt (lon, lat) in RADIANS. */
+  private def jac(p: Crs.Projection, lon: Double, lat: Double): (Double, Double, Double, Double) = {
+    val h = 1e-6 // degrees
+    val (x0, y0) = p.forward(lon - h, lat)
+    val (x1, y1) = p.forward(lon + h, lat)
+    val (x2, y2) = p.forward(lon, lat - h)
+    val (x3, y3) = p.forward(lon, lat + h)
+    val dRad = math.toRadians(2 * h)
+    ((x1 - x0) / dRad, (x3 - x2) / dRad, (y1 - y0) / dRad, (y3 - y2) / dRad)
+  }
+
+  private def roundtrip(p: Crs.Projection, lon: Double, lat: Double, tolDeg: Double,
+      label: String): Unit = {
+    val (x, y) = p.forward(lon, lat)
+    assert(!x.isNaN && !y.isNaN, s"$label forward NaN at ($lon,$lat)")
+    val (lo, la) = p.inverse(x, y)
+    assert(math.hypot(lo - lon, la - lat) < tolDeg,
+      s"$label roundtrip ($lon,$lat) -> ($lo,$la)")
+  }
+
+  test("sinusoidal: equal-area everywhere, true parallels, arc-true central meridian") {
+    val p = new Crs.Sinusoidal(A, RF, 12.0, 100.0, -50.0)
+    for (lat <- Seq(-75.0, -40.0, -5.0, 0.0, 20.0, 55.0, 80.0);
+         lon <- Seq(-160.0, -60.0, 11.0, 12.0, 90.0, 170.0)) {
+      val (j11, j12, j21, j22) = jac(p, lon, lat)
+      val phi = math.toRadians(lat)
+      val truth = mRad(phi) * nRad(phi) * math.cos(phi)
+      assert(math.abs((j11 * j22 - j12 * j21) / truth - 1.0) < 1e-5,
+        s"area scale at ($lon,$lat)")
+      // true scale along every parallel: |dx/dlam| = N cos(phi)
+      assert(math.abs(math.abs(j11) / (nRad(phi) * math.cos(phi)) - 1.0) < 1e-6,
+        s"parallel scale at ($lon,$lat)")
+      // 5e-7 deg: the Snyder 3-26 inverse-rectifying series truncates at
+      // the e^8 term (same bound as the TM codes' roundtrip)
+      roundtrip(p, lon, lat, 5e-7, "sinu")
+    }
+    // central meridian: x = fe exactly, y equidistant (numeric arc integral)
+    val steps = 2000
+    var arc = 0.0
+    var k = 0
+    while (k < steps) { // Simpson over M(phi) dphi, 0 -> 60 deg
+      val a0 = math.toRadians(60.0 * k / steps)
+      val a1 = math.toRadians(60.0 * (k + 1) / steps)
+      arc += (a1 - a0) / 6.0 * (mRad(a0) + 4 * mRad((a0 + a1) / 2) + mRad(a1))
+      k += 1
+    }
+    val (x60, y60) = p.forward(12.0, 60.0)
+    val (_, y00) = p.forward(12.0, 0.0)
+    assert(math.abs(x60 - 100.0) < 1e-6)
+    assert(math.abs((y60 - y00) - arc) < 0.002, s"meridian arc ${y60 - y00} vs $arc")
+  }
+
+  test("mollweide: equal-area on the sphere, pole/equator anchors") {
+    val p = new Crs.Mollweide(A, 0.0, 0.0, 0.0)
+    for (lat <- Seq(-80.0, -45.0, -10.0, 0.0, 30.0, 60.0, 85.0);
+         lon <- Seq(-170.0, -90.0, 0.0, 45.0, 179.0)) {
+      val (j11, j12, j21, j22) = jac(p, lon, lat)
+      val truth = A * A * math.cos(math.toRadians(lat))
+      assert(math.abs((j11 * j22 - j12 * j21) / truth - 1.0) < 1e-5,
+        s"area scale at ($lon,$lat)")
+      roundtrip(p, lon, lat, 1e-7, "moll")
+    }
+    // poles collapse to (0, +-sqrt(2) a); equator spans +-2 sqrt(2) a
+    val (xp, yp) = p.forward(77.0, 90.0)
+    assert(math.abs(xp) < 1e-6 && math.abs(yp - math.sqrt(2.0) * A) < 1e-6)
+    val (xe, ye) = p.forward(180.0, 0.0)
+    assert(math.abs(xe - 2.0 * math.sqrt(2.0) * A) < 1e-6 && math.abs(ye) < 1e-12)
+  }
+
+  test("eckert iv: equal-area on the sphere, pole line = half the equator") {
+    val p = new Crs.EckertIV(A, 0.0, 0.0, 0.0)
+    for (lat <- Seq(-85.0, -50.0, -15.0, 0.0, 25.0, 65.0, 88.0);
+         lon <- Seq(-175.0, -60.0, 0.0, 100.0, 175.0)) {
+      val (j11, j12, j21, j22) = jac(p, lon, lat)
+      val truth = A * A * math.cos(math.toRadians(lat))
+      assert(math.abs((j11 * j22 - j12 * j21) / truth - 1.0) < 1e-5,
+        s"area scale at ($lon,$lat)")
+      roundtrip(p, lon, lat, 1e-7, "eck4")
+    }
+    val (xeq, _) = p.forward(180.0, 0.0)
+    val (xpole, _) = p.forward(180.0, 90.0)
+    assert(math.abs(xpole / xeq - 0.5) < 1e-8, "pole line half the equator")
+  }
+
+  test("miller cylindrical: linear x, published y closed form, roundtrip") {
+    val p = new Crs.MillerCylindrical(A, -30.0, 0.0, 0.0)
+    for (lat <- Seq(-88.0, -45.0, 0.0, 33.3, 66.6, 89.0); lon <- Seq(-150.0, -30.0, 60.0)) {
+      val (x, y) = p.forward(lon, lat)
+      assert(math.abs(x - A * math.toRadians(lon + 30.0)) < 1e-6)
+      val expY = A * math.log(math.tan(math.Pi / 4.0 + 0.4 * math.toRadians(lat))) / 0.8
+      assert(math.abs(y - expY) < 1e-6)
+      roundtrip(p, lon, lat, 1e-9, "mill")
+    }
+  }
+
+  test("gnomonic: great circles are straight lines; horizon is NaN") {
+    val p = new Crs.Gnomonic(A, 40.0, -100.0, 0.0, 0.0)
+    // sample points along random great circles through the visible cap via
+    // slerp between two unit vectors near the center
+    val rnd = new scala.util.Random(7)
+    def unit(lon: Double, lat: Double) = {
+      val ph = math.toRadians(lat); val lm = math.toRadians(lon)
+      (math.cos(ph) * math.cos(lm), math.cos(ph) * math.sin(lm), math.sin(ph))
+    }
+    for (_ <- 0 until 40) {
+      val aPt = (rnd.nextDouble() * 60 - 130, rnd.nextDouble() * 50 + 15)
+      val bPt = (rnd.nextDouble() * 60 - 130, rnd.nextDouble() * 50 + 15)
+      val (ax, ay, az) = unit(aPt._1, aPt._2)
+      val (bx, by, bz) = unit(bPt._1, bPt._2)
+      val dot = ax * bx + ay * by + az * bz
+      val om = math.acos(math.max(-1.0, math.min(1.0, dot)))
+      if (om > 1e-3) {
+        val pts = (0 to 4).map { i =>
+          val t = i / 4.0
+          val s0 = math.sin((1 - t) * om) / math.sin(om)
+          val s1 = math.sin(t * om) / math.sin(om)
+          val (vx, vy, vz) = (s0 * ax + s1 * bx, s0 * ay + s1 * by, s0 * az + s1 * bz)
+          val lat = math.toDegrees(math.asin(vz / math.sqrt(vx * vx + vy * vy + vz * vz)))
+          val lon = math.toDegrees(math.atan2(vy, vx))
+          p.forward(lon, lat)
+        }
+        // collinearity of all samples with the endpoints
+        val (x0, y0) = pts.head; val (x1, y1) = pts.last
+        val len = math.hypot(x1 - x0, y1 - y0)
+        pts.foreach { case (x, y) =>
+          val cross = math.abs((x1 - x0) * (y - y0) - (y1 - y0) * (x - x0)) / len
+          assert(cross < 1e-4 * len + 1e-3, s"great-circle deviation $cross")
+        }
+      }
+    }
+    for (lat <- Seq(5.0, 40.0, 75.0); lon <- Seq(-160.0, -100.0, -50.0))
+      roundtrip(p, lon, lat, 1e-8, "gnom")
+    val (nx, _) = p.forward(80.0, -40.0) // antipodal side
+    assert(nx.isNaN)
+  }
+
+  test("orthographic (ellipsoidal): center anchors, unit scales at center, roundtrip") {
+    for (lat0 <- Seq(-35.0, 0.0, 47.0); lon0 <- Seq(-120.0, 10.0)) {
+      val p = new Crs.Orthographic(A, RF, lat0, lon0, 5000.0, -3000.0)
+      val (cx, cy) = p.forward(lon0, lat0)
+      assert(math.abs(cx - 5000.0) < 1e-6 && math.abs(cy + 3000.0) < 1e-6,
+        s"center anchor at ($lon0,$lat0)")
+      // defining perspective property at the center: meridian scale M(phi0),
+      // parallel scale N(phi0) cos(phi0) — i.e. BOTH local scales exactly 1
+      val (j11, j12, j21, j22) = jac(p, lon0, lat0)
+      val phi0 = math.toRadians(lat0)
+      assert(math.abs(j22 / mRad(phi0) - 1.0) < 1e-6, "meridian scale 1 at center")
+      assert(math.abs(j11 / (nRad(phi0) * math.cos(phi0)) - 1.0) < 1e-6,
+        "parallel scale 1 at center")
+      assert(math.abs(j12) < 1e-3 && math.abs(j21) < 1e-3, "axes orthogonal at center")
+      for (dlat <- Seq(-40.0, -10.0, 0.0, 25.0, 40.0); dlon <- Seq(-45.0, -5.0, 20.0, 45.0)) {
+        val lat = lat0 + dlat
+        if (lat > -89 && lat < 89)
+          roundtrip(p, lon0 + dlon, lat, 1e-7, "ortho")
+      }
+      val (fx, _) = p.forward(lon0 + 175.0, -lat0) // far hemisphere
+      assert(fx.isNaN)
+    }
+  }
+
+  test("cassini-soldner: central-meridian arc-true, x=0 on meridian, roundtrip") {
+    val p = new Crs.CassiniSoldner(A, RF, 10.0, -61.5, 430000.0, 325000.0)
+    // central meridian maps to x = fe, y = fn + (M(phi) - M0): check the
+    // increment against a numeric Simpson integral of the meridian radius
+    val steps = 2000
+    var arc = 0.0
+    var k = 0
+    while (k < steps) { // 10 -> 14 deg
+      val a0 = math.toRadians(10.0 + 4.0 * k / steps)
+      val a1 = math.toRadians(10.0 + 4.0 * (k + 1) / steps)
+      arc += (a1 - a0) / 6.0 * (mRad(a0) + 4 * mRad((a0 + a1) / 2) + mRad(a1))
+      k += 1
+    }
+    val (x14, y14) = p.forward(-61.5, 14.0)
+    assert(math.abs(x14 - 430000.0) < 1e-6)
+    assert(math.abs((y14 - 325000.0) - arc) < 0.002, s"meridian arc ${y14 - 325000.0} vs $arc")
+    for (lat <- Seq(8.0, 10.0, 11.5, 13.0); lon <- Seq(-63.0, -61.5, -60.0))
+      roundtrip(p, lon, lat, 1e-8, "cass")
+  }
+
+  test("equidistant conic: meridians true everywhere, parallels true at both SPs, 1SP limit") {
+    val p = new Crs.EquidistantConic(A, RF, 23.0, -96.0, 29.5, 45.5, 0.0, 0.0)
+    for (lat <- Seq(20.0, 29.5, 35.0, 45.5, 55.0); lon <- Seq(-120.0, -96.0, -75.0)) {
+      val (j11, j12, j21, j22) = jac(p, lon, lat)
+      val phi = math.toRadians(lat)
+      // meridian scale: |d(x,y)/dphi| / M(phi) = 1
+      val h = math.hypot(j12, j22) / mRad(phi)
+      assert(math.abs(h - 1.0) < 1e-6, s"meridian scale $h at ($lon,$lat)")
+      // parallel scale is 1 exactly at the standard parallels
+      if (lat == 29.5 || lat == 45.5) {
+        val kk = math.hypot(j11, j21) / (nRad(phi) * math.cos(phi))
+        assert(math.abs(kk - 1.0) < 1e-6, s"SP scale $kk at $lat")
+      }
+      roundtrip(p, lon, lat, 1e-8, "eqdc")
+    }
+    // 1SP: the analytic n = sin(phi1) limit agrees with 2SP at a tiny split
+    val one = new Crs.EquidistantConic(A, RF, 30.0, -90.0, 40.0, 40.0, 0.0, 0.0)
+    val two = new Crs.EquidistantConic(A, RF, 30.0, -90.0, 40.0 - 5e-7, 40.0 + 5e-7, 0.0, 0.0)
+    val (xa, ya) = one.forward(-85.0, 44.0)
+    val (xb, yb) = two.forward(-85.0, 44.0)
+    assert(math.hypot(xa - xb, ya - yb) < 0.5, s"1SP limit ($xa,$ya) vs ($xb,$yb)")
+    roundtrip(one, -85.0, 44.0, 1e-8, "eqdc1sp")
+  }
+
+  test("polyconic: equator line, parallels are N*cot(phi) arcs about the meridian, roundtrip") {
+    val p = new Crs.Polyconic(A, RF, 0.0, -60.0, 0.0, 0.0)
+    // equator is the straight line y = -M0 = 0 with x = a * dlam
+    val (xe, ye) = p.forward(-50.0, 0.0)
+    assert(math.abs(xe - A * math.toRadians(10.0)) < 1e-6 && math.abs(ye) < 1e-6)
+    // each parallel is an arc of radius N cot(phi) centered on the central
+    // meridian at (0, M + N cot(phi)) — the projection's construction
+    for (lat <- Seq(-55.0, -20.0, 15.0, 40.0, 70.0); lon <- Seq(-90.0, -72.0, -60.0, -35.0)) {
+      val phi = math.toRadians(lat)
+      val ncot = nRad(phi) * math.cos(phi) / math.sin(phi)
+      val (x, y) = p.forward(lon, lat)
+      val (_, yc) = p.forward(-60.0, lat)
+      val d = math.hypot(x - 0.0, y - (yc + ncot))
+      assert(math.abs(d / math.abs(ncot) - 1.0) < 1e-9, s"parallel arc at ($lon,$lat)")
+      roundtrip(p, lon, lat, 1e-7, "poly")
+    }
+  }
+
+  test("two-point equidistant: both base distances preserved, side sign, roundtrip") {
+    val p = new Crs.TwoPointEquidistant(A, 35.0, -10.0, 45.0, 25.0, 0.0, 0.0)
+    def gc(lo1: Double, la1: Double, lo2: Double, la2: Double): Double = {
+      val p1 = math.toRadians(la1); val p2 = math.toRadians(la2)
+      A * math.acos(math.max(-1.0, math.min(1.0,
+        math.sin(p1) * math.sin(p2) +
+          math.cos(p1) * math.cos(p2) * math.cos(math.toRadians(lo2 - lo1)))))
+    }
+    val (b1x, b1y) = p.forward(-10.0, 35.0)
+    val (b2x, b2y) = p.forward(25.0, 45.0)
+    // base points land symmetric on the x axis, separation = great circle
+    assert(math.abs(b1y) < 1e-6 && math.abs(b2y) < 1e-6)
+    assert(math.abs(b1x + b2x) < 1e-6)
+    assert(math.abs((b2x - b1x) - gc(-10.0, 35.0, 25.0, 45.0)) < 1e-6)
+    for (lat <- Seq(20.0, 33.0, 47.0, 60.0); lon <- Seq(-25.0, -5.0, 10.0, 38.0)) {
+      val (x, y) = p.forward(lon, lat)
+      assert(math.abs(math.hypot(x - b1x, y - b1y) - gc(-10.0, 35.0, lon, lat)) < 1e-6,
+        s"distance from base 1 at ($lon,$lat)")
+      assert(math.abs(math.hypot(x - b2x, y - b2y) - gc(25.0, 45.0, lon, lat)) < 1e-6,
+        s"distance from base 2 at ($lon,$lat)")
+      roundtrip(p, lon, lat, 1e-6, "tpeqd")
+    }
+    // side sign: with base points on the equator, northern points get y > 0
+    val eq = new Crs.TwoPointEquidistant(A, 0.0, -30.0, 0.0, 30.0, 0.0, 0.0)
+    assert(eq.forward(0.0, 45.0)._2 > 0)
+    assert(eq.forward(0.0, -45.0)._2 < 0)
+  }
+
+  test("robinson: published table nodes exact, monotone, roundtrip") {
+    val p = new Crs.Robinson(A, 0.0, 0.0, 0.0)
+    // node anchors from Robinson's table: (45deg -> 0.5571/0.8962),
+    // equator, pole
+    val (x45, y45) = p.forward(100.0, 45.0)
+    assert(math.abs(x45 - 0.8487 * A * 0.8962 * math.toRadians(100.0)) < 1e-6)
+    assert(math.abs(y45 - 1.3523 * A * 0.5571) < 1e-6)
+    val (xeq, yeq) = p.forward(100.0, 0.0)
+    assert(math.abs(xeq - 0.8487 * A * math.toRadians(100.0)) < 1e-6 && math.abs(yeq) < 1e-12)
+    val (_, yp) = p.forward(0.0, 90.0)
+    assert(math.abs(yp - 1.3523 * A) < 1e-6)
+    // southern symmetry
+    val (xs, ys) = p.forward(100.0, -45.0)
+    assert(math.abs(xs - x45) < 1e-9 && math.abs(ys + y45) < 1e-9)
+    for (lat <- Seq(-82.0, -37.5, 0.0, 12.3, 61.7, 88.0); lon <- Seq(-170.0, -45.0, 80.0))
+      roundtrip(p, lon, lat, 1e-6, "robin")
+  }
+
+  test("van der grinten: equator/meridian closed forms, world circle, roundtrip") {
+    val p = new Crs.VanDerGrinten(A, 0.0, 0.0, 0.0)
+    // equator is x = a * dlam (the published phi=0 branch)
+    val (xe, ye) = p.forward(120.0, 0.0)
+    assert(math.abs(xe - A * math.toRadians(120.0)) < 1e-6 && ye == 0.0)
+    // central meridian: y = pi a tan(theta/2), theta = asin(2 phi / pi)
+    for (lat <- Seq(-60.0, 30.0, 75.0)) {
+      val th = math.asin(math.abs(2.0 * math.toRadians(lat) / math.Pi))
+      val (x, y) = p.forward(0.0, lat)
+      assert(math.abs(x) < 1e-6)
+      assert(math.abs(y - math.signum(lat) * math.Pi * A * math.tan(th / 2.0)) < 1e-6)
+    }
+    // whole map inside the circle of radius pi a
+    for (lat <- Seq(-80.0, -40.0, 20.0, 70.0); lon <- Seq(-179.0, -90.0, 45.0, 179.0)) {
+      val (x, y) = p.forward(lon, lat)
+      assert(math.hypot(x, y) <= math.Pi * A * (1.0 + 1e-9), s"outside rim at ($lon,$lat)")
+    }
+    for (lat <- Seq(-70.0, -25.0, 10.0, 55.0); lon <- Seq(-150.0, -60.0, 30.0, 140.0))
+      roundtrip(p, lon, lat, 1e-6, "vandg")
+  }
+
+  test("lcc 1SP: conformal, k0 at the standard parallel, roundtrip, parser") {
+    // British Caribbean grids' shape: one parallel + a natural-origin k0
+    val k0 = 0.9995
+    val p = new Crs.LambertConic1SP(A, RF, 39.0, 39.0, -77.0, k0, 400000.0, 100000.0)
+    for (lat <- Seq(30.0, 36.0, 39.0, 43.0, 48.0); lon <- Seq(-90.0, -77.0, -65.0)) {
+      val (j11, j12, j21, j22) = jac(p, lon, lat)
+      val phi = math.toRadians(lat)
+      val hM = math.hypot(j12, j22) / mRad(phi)
+      val kP = math.hypot(j11, j21) / (nRad(phi) * math.cos(phi))
+      assert(math.abs(hM / kP - 1.0) < 1e-6, s"conformal h==k at ($lon,$lat)")
+      assert(math.abs(j11 * j12 + j21 * j22) /
+        (math.hypot(j11, j21) * math.hypot(j12, j22)) < 1e-6, "orthogonal axes")
+      if (lat == 39.0)
+        assert(math.abs(kP - k0) < 1e-6, s"k($lat) = $kP != k0")
+      else
+        assert(kP > k0 - 1e-9, "scale minimal at the single SP")
+      roundtrip(p, lon, lat, 1e-8, "lcc1sp")
+    }
+    // natural origin lands on the false origin
+    val (ox, oy) = p.forward(-77.0, 39.0)
+    assert(math.abs(ox - 400000.0) < 1e-6 && math.abs(oy - 100000.0) < 1e-6)
+    // parser routes lat_1 == lat_2 here now
+    val viaProj = Crs.parseProj("+proj=lcc +lat_0=39 +lat_1=39 +lat_2=39 " +
+      "+lon_0=-77 +k_0=0.9995 +x_0=400000 +y_0=100000 +ellps=WGS84").get
+    val (vx, vy) = viaProj.forward(-80.0, 42.0)
+    val (px, py) = p.forward(-80.0, 42.0)
+    assert(math.abs(vx - px) < 1e-9 && math.abs(vy - py) < 1e-9)
+  }
+
+  test("parser: every r11 family parses, composes with towgs84, rejects degenerate tpeqd") {
+    // probe inside each family's service domain (cass/gnom/ortho are
+    // regional by construction — a world-wide probe is out of contract)
+    val recs = Seq(
+      ("+proj=sinu +lon_0=10 +ellps=WGS84", 3.0, 40.0),
+      ("+proj=moll +lon_0=0", 3.0, 40.0),
+      ("+proj=eck4", 3.0, 40.0),
+      ("+proj=mill +lon_0=-90", 3.0, 40.0),
+      ("+proj=gnom +lat_0=40 +lon_0=-100", -95.0, 43.0),
+      ("+proj=ortho +lat_0=52 +lon_0=5 +ellps=GRS80", 3.0, 40.0),
+      ("+proj=cass +lat_0=10.44 +lon_0=-61.33 +x_0=430000 +y_0=325000 +ellps=intl",
+        -61.0, 10.7),
+      ("+proj=eqdc +lat_0=23 +lon_0=-96 +lat_1=29.5 +lat_2=45.5", -90.0, 40.0),
+      ("+proj=poly +lat_0=0 +lon_0=-54 +ellps=intl", -50.0, -12.0),
+      ("+proj=tpeqd +lat_1=35 +lon_1=-10 +lat_2=45 +lon_2=25", 3.0, 40.0),
+      ("+proj=robin +lon_0=0", 3.0, 40.0),
+      ("+proj=vandg", 3.0, 40.0))
+    recs.foreach { case (r, plon, plat) =>
+      val p = Crs.parseProj(r)
+      assert(p.isDefined, s"failed to parse $r")
+      val (x, y) = p.get.forward(plon, plat)
+      val (lo, la) = p.get.inverse(x, y)
+      assert(math.hypot(lo - plon, la - plat) < 1e-5, s"$r roundtrip")
+    }
+    // datum wrapper still composes on the long-tail base
+    val shifted = Crs.parseProj(
+      "+proj=sinu +lon_0=0 +ellps=intl +towgs84=-87,-98,-121").get
+    val plain = Crs.parseProj("+proj=sinu +lon_0=0 +ellps=intl").get
+    val (sx, sy) = shifted.forward(7.0, 46.0)
+    val (pxx, pyy) = plain.forward(7.0, 46.0)
+    assert(math.hypot(sx - pxx, sy - pyy) > 50.0, "towgs84 must move the result")
+    val (slo, sla) = shifted.inverse(sx, sy)
+    assert(math.hypot(slo - 7.0, sla - 46.0) < 1e-6, "shifted roundtrip")
+    assert(Crs.parseProj("+proj=tpeqd +lat_1=10 +lon_1=20 +lat_2=10 +lon_2=20").isEmpty,
+      "coincident tpeqd base points rejected")
+  }
+}

@@ -1368,6 +1368,46 @@ object OracleSql {
              0.0::DOUBLE AS dlon, 0.0::DOUBLE AS dlat
       FROM x4 ORDER BY c_custkey, code""",
 
+    // r11 long-tail families mirrored term by term with the SAME double
+    // expression structure as the Scala kernels (association matters for
+    // bit-identical rounding): ellipsoidal sinusoidal (Snyder 25-16/3-21),
+    // Miller cylindrical, spherical gnomonic. Roundtrip deltas are 0 at
+    // 5 dp (mill/gnom machine-exact; sinu inverse series ~7e-8 deg).
+    "g82_to_crs_longtail" -> s"""
+      WITH p AS (SELECT c_custkey, cx, cy FROM ($custPts)),
+      b AS (SELECT c_custkey,
+              cx / 100.0 - 50.0 AS lon, cy / 25.0 + 10.0 AS lat FROM p),
+      e0 AS (SELECT f * (2.0 - f) AS e2 FROM (SELECT 1.0 / 298.257223563 AS f)),
+      e1 AS (SELECT e2, e2 * e2 AS e4, e2 * e2 * e2 AS e6 FROM e0),
+      s1 AS (SELECT c_custkey, lon, lat, e2, e4, e6,
+               radians(lon) AS lam, radians(lat) AS phi FROM b, e1),
+      sinu AS (SELECT c_custkey, '+proj=sinu +lon_0=10 +ellps=WGS84' AS code,
+          6378137.0 * radians(lon - 10.0) * cos(phi)
+            / sqrt(1.0 - e2 * sin(phi) * sin(phi)) AS gx,
+          6378137.0 * ((1.0 - e2 / 4.0 - 3.0 * e4 / 64.0 - 5.0 * e6 / 256.0) * phi
+            - (3.0 * e2 / 8.0 + 3.0 * e4 / 32.0 + 45.0 * e6 / 1024.0) * sin(2.0 * phi)
+            + (15.0 * e4 / 256.0 + 45.0 * e6 / 1024.0) * sin(4.0 * phi)
+            - (35.0 * e6 / 3072.0) * sin(6.0 * phi)) AS gy
+        FROM s1),
+      mill AS (SELECT c_custkey, '+proj=mill +lon_0=-30' AS code,
+          6378137.0 * radians(lon + 30.0) AS gx,
+          6378137.0 * ln(tan(pi() / 4.0 + 0.4 * phi)) / 0.8 AS gy
+        FROM s1),
+      gno AS (SELECT c_custkey, '+proj=gnom +lat_0=30 +lon_0=0' AS code,
+          6378137.0 * cos(phi) * sin(lam)
+            / (sin(radians(30.0)) * sin(phi)
+               + cos(radians(30.0)) * cos(phi) * cos(lam)) AS gx,
+          6378137.0 * (cos(radians(30.0)) * sin(phi)
+               - sin(radians(30.0)) * cos(phi) * cos(lam))
+            / (sin(radians(30.0)) * sin(phi)
+               + cos(radians(30.0)) * cos(phi) * cos(lam)) AS gy
+        FROM s1)
+      SELECT c_custkey, code, round(gx, 3) AS gx, round(gy, 3) AS gy,
+             0.0::DOUBLE AS dlon, 0.0::DOUBLE AS dlat
+      FROM (SELECT * FROM sinu UNION ALL SELECT * FROM mill
+            UNION ALL SELECT * FROM gno)
+      ORDER BY c_custkey, code""",
+
     // generic TM forward (Snyder 8-9..8-25, GRS80, lat0=0 -> M0=0)
     // mirrored term by term over the same per-code parameter rows the
     // Spark query broadcasts; roundtrip deltas are exactly 0 at 5 dp

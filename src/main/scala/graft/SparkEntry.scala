@@ -1804,6 +1804,31 @@ object SparkEntry {
         .orderBy(col("c_custkey"), col("code"))
     }),
 
+    // r11 long-tail to_crs families through proj records: ellipsoidal
+    // sinusoidal (closed forward the oracle mirrors term by term incl. the
+    // Snyder 3-21 meridian-arc series), Miller cylindrical, and spherical
+    // gnomonic — forward values at 3 dp plus roundtrip deltas (exactly 0
+    // at 5 dp; the sinu inverse series residual is ~7e-8 deg)
+    "g82_to_crs_longtail" -> ((s, d) => {
+      import s.implicits._
+      val codes = Seq("+proj=sinu +lon_0=10 +ellps=WGS84",
+        "+proj=mill +lon_0=-30",
+        "+proj=gnom +lat_0=30 +lon_0=0").toDF("code")
+      customerPts(s, d).select(col("c_custkey"), col("cx"), col("cy"))
+        .crossJoin(broadcast(codes))
+        .withColumn("lon", col("cx") / 100.0 - 50.0)
+        .withColumn("lat", col("cy") / 25.0 + 10.0)
+        .withColumn("g", st_transform(st_point(col("lon"), col("lat")),
+          lit("EPSG:4326"), col("code")))
+        .withColumn("rt", st_transform(col("g"), col("code"), lit("EPSG:4326")))
+        .select(col("c_custkey"), col("code"),
+          round(st_x(col("g")), 3).as("gx"),
+          round(st_y(col("g")), 3).as("gy"),
+          round(abs(st_x(col("rt")) - col("lon")), 5).as("dlon"),
+          round(abs(st_y(col("rt")) - col("lat")), 5).as("dlat"))
+        .orderBy(col("c_custkey"), col("code"))
+    }),
+
     // r10 adversarial overlay fixtures, distilled from the OverlayFuzzSpec
     // sweep's worst-case families (1200 seeded pairs; max area residual
     // 2.8e-12 landed on sliver-vs-jittered-sliver): micron slivers sharing

@@ -2188,6 +2188,122 @@ object Crs {
     }
   }
 
+  /** Azimuthal equidistant, ellipsoidal (PROJ `aeqd`; the projection
+    * geopandas users reach for metric what's-within-X-km work): plane
+    * polar coordinates are the GEODESIC distance and forward azimuth from
+    * the center — x = s sin(az), y = s cos(az) — so straight-line distance
+    * from the center is exact everywhere. Geodesics by Vincenty (1975),
+    * the published inverse/direct iterations on the ellipsoid (accurate to
+    * sub-mm; the near-antipodal band where Vincenty's inverse fails to
+    * converge returns NaN — PROJ's Karney implementation converges there,
+    * a documented difference ~179.5-180 degrees out).
+    */
+  final class AzimuthalEquidistant(a: Double, invFlat: Double, lat0: Double,
+      lon0: Double, fe: Double, fn: Double) extends Projection {
+    private val f = 1.0 / invFlat
+    private val b = a * (1.0 - f)
+    private val phi0 = math.toRadians(lat0)
+    private val l0 = math.toRadians(lon0)
+    // reduced latitude
+    private val u1 = math.atan((1.0 - f) * math.tan(phi0))
+    private val su1 = math.sin(u1); private val cu1 = math.cos(u1)
+
+    /** Vincenty inverse: geodesic distance + forward azimuth center->P. */
+    private def geodInverse(phi: Double, lam: Double): (Double, Double) = {
+      val bigL = lam - l0
+      val u2 = math.atan((1.0 - f) * math.tan(phi))
+      val su2 = math.sin(u2); val cu2 = math.cos(u2)
+      var lambda = bigL
+      var iter = 0
+      var converged = false
+      var sinSigma = 0.0; var cosSigma = 0.0; var sigma = 0.0
+      var sinAlpha = 0.0; var cos2Alpha = 0.0; var cos2SigmaM = 0.0
+      while (iter < 100 && !converged) {
+        val sl = math.sin(lambda); val cl = math.cos(lambda)
+        sinSigma = math.hypot(cu2 * sl, cu1 * su2 - su1 * cu2 * cl)
+        cosSigma = su1 * su2 + cu1 * cu2 * cl
+        if (sinSigma == 0.0) return (0.0, 0.0) // coincident
+        sigma = math.atan2(sinSigma, cosSigma)
+        sinAlpha = cu1 * cu2 * sl / sinSigma
+        cos2Alpha = 1.0 - sinAlpha * sinAlpha
+        cos2SigmaM = if (cos2Alpha == 0.0) 0.0
+          else cosSigma - 2.0 * su1 * su2 / cos2Alpha
+        val c = f / 16.0 * cos2Alpha * (4.0 + f * (4.0 - 3.0 * cos2Alpha))
+        val prev = lambda
+        lambda = bigL + (1.0 - c) * f * sinAlpha * (sigma +
+          c * sinSigma * (cos2SigmaM +
+            c * cosSigma * (-1.0 + 2.0 * cos2SigmaM * cos2SigmaM)))
+        if (math.abs(lambda - prev) < 1e-13) converged = true
+        iter += 1
+      }
+      if (!converged) return (Double.NaN, Double.NaN) // near-antipodal
+      val uSq = cos2Alpha * (a * a - b * b) / (b * b)
+      val bigA = 1.0 + uSq / 16384.0 *
+        (4096.0 + uSq * (-768.0 + uSq * (320.0 - 175.0 * uSq)))
+      val bigB = uSq / 1024.0 * (256.0 + uSq * (-128.0 + uSq * (74.0 - 47.0 * uSq)))
+      val dSigma = bigB * sinSigma * (cos2SigmaM + bigB / 4.0 *
+        (cosSigma * (-1.0 + 2.0 * cos2SigmaM * cos2SigmaM) -
+          bigB / 6.0 * cos2SigmaM * (-3.0 + 4.0 * sinSigma * sinSigma) *
+            (-3.0 + 4.0 * cos2SigmaM * cos2SigmaM)))
+      val s = b * bigA * (sigma - dSigma)
+      val az1 = math.atan2(cu2 * math.sin(lambda),
+        cu1 * su2 - su1 * cu2 * math.cos(lambda))
+      (s, az1)
+    }
+
+    /** Vincenty direct: destination from the center along azimuth az1 at
+      * distance s.
+      */
+    private def geodDirect(s: Double, az1: Double): (Double, Double) = {
+      val sa = math.sin(az1); val ca = math.cos(az1)
+      val sigma1 = math.atan2(math.tan(u1), ca)
+      val sinAlpha = cu1 * sa
+      val cos2Alpha = 1.0 - sinAlpha * sinAlpha
+      val uSq = cos2Alpha * (a * a - b * b) / (b * b)
+      val bigA = 1.0 + uSq / 16384.0 *
+        (4096.0 + uSq * (-768.0 + uSq * (320.0 - 175.0 * uSq)))
+      val bigB = uSq / 1024.0 * (256.0 + uSq * (-128.0 + uSq * (74.0 - 47.0 * uSq)))
+      var sigma = s / (b * bigA)
+      var iter = 0
+      var done = false
+      var cos2SigmaM = 0.0
+      while (iter < 100 && !done) {
+        cos2SigmaM = math.cos(2.0 * sigma1 + sigma)
+        val ss = math.sin(sigma); val cs = math.cos(sigma)
+        val dSigma = bigB * ss * (cos2SigmaM + bigB / 4.0 *
+          (cs * (-1.0 + 2.0 * cos2SigmaM * cos2SigmaM) -
+            bigB / 6.0 * cos2SigmaM * (-3.0 + 4.0 * ss * ss) *
+              (-3.0 + 4.0 * cos2SigmaM * cos2SigmaM)))
+        val prev = sigma
+        sigma = s / (b * bigA) + dSigma
+        if (math.abs(sigma - prev) < 1e-13) done = true
+        iter += 1
+      }
+      val ss = math.sin(sigma); val cs = math.cos(sigma)
+      val tmp = su1 * ss - cu1 * cs * ca
+      val phi = math.atan2(su1 * cs + cu1 * ss * ca,
+        (1.0 - f) * math.hypot(sinAlpha, tmp))
+      val lambda = math.atan2(ss * sa, cu1 * cs - su1 * ss * ca)
+      val c = f / 16.0 * cos2Alpha * (4.0 + f * (4.0 - 3.0 * cos2Alpha))
+      val bigL = lambda - (1.0 - c) * f * sinAlpha * (sigma +
+        c * ss * (cos2SigmaM + c * cs * (-1.0 + 2.0 * cos2SigmaM * cos2SigmaM)))
+      (phi, l0 + bigL)
+    }
+
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      val (s, az) = geodInverse(math.toRadians(lat), math.toRadians(lon))
+      if (s.isNaN) (Double.NaN, Double.NaN)
+      else (fe + s * math.sin(az), fn + s * math.cos(az))
+    }
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val dx = x - fe; val dy = y - fn
+      val s = math.hypot(dx, dy)
+      if (s < 1e-12) return (lon0, lat0)
+      val (phi, lam) = geodDirect(s, math.atan2(dx, dy))
+      (math.toDegrees(lam), math.toDegrees(phi))
+    }
+  }
+
   /** Lambert conformal conic, ONE standard parallel (EPSG method 9801;
     * Snyder's 2SP machinery with the analytic cone constant n = sin(phi1)
     * and the natural-origin scale factor k0). Fills the lat_1 == lat_2
@@ -2358,6 +2474,7 @@ object Crs {
         else Some(new TwoPointEquidistant(a, la1, lo1, la2, lo2, x0, y0))
       case Some("robin") => Some(new Robinson(a, lon0, x0, y0))
       case Some("vandg") => Some(new VanDerGrinten(a, lon0, x0, y0))
+      case Some("aeqd")  => Some(new AzimuthalEquidistant(a, rf, lat0, lon0, x0, y0))
       case Some("longlat") | Some("latlong") => Some(IdentityProjection)
       case Some("webmerc") => Some(WebMercatorProjection)
       case Some("merc") =>

@@ -352,6 +352,48 @@ class ProjLongTailSpec extends AnyFunSuite {
     assert(math.abs(vx - px) < 1e-9 && math.abs(vy - py) < 1e-9)
   }
 
+  test("azimuthal equidistant: meridian/equator geodesic anchors, symmetry, roundtrip") {
+    // a geodesic along the central meridian IS the meridian arc: y must
+    // equal the Simpson integral of M(phi) d(phi) — an independent check
+    // of the whole Vincenty inverse (and of the direct, via roundtrip)
+    val p = new Crs.AzimuthalEquidistant(A, RF, 10.0, 25.0, 0.0, 0.0)
+    val steps = 4000
+    var arc = 0.0
+    var k = 0
+    while (k < steps) { // 10 -> 47 deg
+      val a0 = math.toRadians(10.0 + 37.0 * k / steps)
+      val a1 = math.toRadians(10.0 + 37.0 * (k + 1) / steps)
+      arc += (a1 - a0) / 6.0 * (mRad(a0) + 4 * mRad((a0 + a1) / 2) + mRad(a1))
+      k += 1
+    }
+    val (xm, ym) = p.forward(25.0, 47.0)
+    assert(math.abs(xm) < 1e-6, "meridian geodesic has azimuth 0")
+    assert(math.abs(ym - arc) < 0.001, s"meridian arc $ym vs $arc")
+    // the equator is a geodesic: an equatorial center reaches (lon, 0) at
+    // exactly a * dlam along azimuth 90
+    val eq = new Crs.AzimuthalEquidistant(A, RF, 0.0, 0.0, 0.0, 0.0)
+    val (xe, ye) = eq.forward(40.0, 0.0)
+    assert(math.abs(xe - A * math.toRadians(40.0)) < 1e-6, s"equator geodesic $xe")
+    assert(math.abs(ye) < 1e-6)
+    // hemispheric symmetry about an equatorial center
+    val (xn, yn) = eq.forward(30.0, 20.0)
+    val (xs, ys) = eq.forward(30.0, -20.0)
+    assert(math.abs(xn - xs) < 1e-6 && math.abs(yn + ys) < 1e-6)
+    // roundtrip = Vincenty direct inverting Vincenty inverse (independent
+    // iterations) across a wide service domain
+    for (lat <- Seq(-45.0, -10.0, 10.0, 35.0, 70.0);
+         lon <- Seq(-120.0, -30.0, 25.0, 90.0, 160.0))
+      roundtrip(p, lon, lat, 1e-8, "aeqd")
+    // near-antipodal returns NaN rather than a wrong point
+    val (ax, _) = eq.forward(179.9, 0.0)
+    assert(ax.isNaN)
+    // parser route
+    val viaProj = Crs.parseProj("+proj=aeqd +lat_0=10 +lon_0=25 +ellps=WGS84").get
+    val (vx, vy) = viaProj.forward(30.0, 15.0)
+    val (px, py) = p.forward(30.0, 15.0)
+    assert(vx == px && vy == py)
+  }
+
   test("parser: every r11 family parses, composes with towgs84, rejects degenerate tpeqd") {
     // probe inside each family's service domain (cass/gnom/ortho are
     // regional by construction — a world-wide probe is out of contract)

@@ -542,11 +542,12 @@ object GraftDefs {
             case (Some(inv), Some(fwd)) => wkb(fwd(inv(g)))
             case _ => throw new UnsupportedOperationException(
               s"st_transform $f -> $t: supported CRS are EPSG:4326, EPSG:3857, " +
-                "EPSG:326xx/327xx (WGS84 UTM), the EPSG parameter table " +
+                "EPSG:326xx/327xx (WGS84 UTM), the EPSG/ESRI parameter table " +
                 s"(${Crs.byEpsg.keys.toSeq.sorted.mkString(", ")}), and " +
-                "proj records (+proj=tmerc|utm|lcc|aea|laea|somerc|sterea|" +
-                "stere|merc|krovak|webmerc|longlat with +ellps/+towgs84/" +
-                "+nadgrids); any pair composes via lon/lat")
+                "proj records (+proj=tmerc|utm|lcc|aea|laea|cea|somerc|sterea|" +
+                "stere|merc|krovak|webmerc|longlat|sinu|moll|eck4|mill|gnom|" +
+                "ortho|cass|eqdc|poly|tpeqd|robin|vandg|aeqd with +ellps/" +
+                "+towgs84/+nadgrids); any pair composes via lon/lat")
           }
       }
     }),
@@ -1706,7 +1707,17 @@ object Crs {
     // S-JTSK / Krovak East North (Czech + Slovak national grid): Krovak
     // oblique conformal conic on Bessel 1841 behind the published
     // S-JTSK->WGS84 position-vector set (negated)
-    "EPSG:5514" -> new DatumShifted(krovakProjection, sjtsk))
+    "EPSG:5514" -> new DatumShifted(krovakProjection, sjtsk),
+    // ESRI world codes on WGS84 — the to_crs("ESRI:54009") etc. recipes
+    // geopandas documentation and tutorials use for global equal-area /
+    // compromise maps (r11 long-tail kernels)
+    "ESRI:54003" -> new MillerCylindrical(6378137.0, 0.0, 0.0, 0.0),
+    "ESRI:54008" -> new Sinusoidal(6378137.0, 298.257223563, 0.0, 0.0, 0.0),
+    "ESRI:54009" -> new Mollweide(6378137.0, 0.0, 0.0, 0.0),
+    "ESRI:54012" -> new EckertIV(6378137.0, 0.0, 0.0, 0.0),
+    "ESRI:54030" -> new Robinson(6378137.0, 0.0, 0.0, 0.0),
+    "ESRI:54032" -> new AzimuthalEquidistant(6378137.0, 298.257223563,
+      0.0, 0.0, 0.0, 0.0))
 
   // ---------------------------------------------------------------------
   // r11 long-tail kernels (Snyder 1987 public formulas throughout).

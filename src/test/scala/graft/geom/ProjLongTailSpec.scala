@@ -429,5 +429,16 @@ class ProjLongTailSpec extends AnyFunSuite {
     assert(math.hypot(slo - 7.0, sla - 46.0) < 1e-6, "shifted roundtrip")
     assert(Crs.parseProj("+proj=tpeqd +lat_1=10 +lon_1=20 +lat_2=10 +lon_2=20").isEmpty,
       "coincident tpeqd base points rejected")
+    // ESRI world codes resolve through the parameter table
+    for (code <- Seq("ESRI:54003", "ESRI:54008", "ESRI:54009", "ESRI:54012",
+        "ESRI:54030", "ESRI:54032")) {
+      val p = Crs.byEpsg(code)
+      val (x, y) = p.forward(15.0, 35.0)
+      val (lo, la) = p.inverse(x, y)
+      assert(math.hypot(lo - 15.0, la - 35.0) < 1e-5, s"$code roundtrip")
+    }
+    val (mx, my) = Crs.byEpsg("ESRI:54009").forward(40.0, -20.0)
+    val (rx, ry) = new Crs.Mollweide(6378137.0, 0.0, 0.0, 0.0).forward(40.0, -20.0)
+    assert(mx == rx && my == ry)
   }
 }

@@ -2199,6 +2199,109 @@ object Crs {
     }
   }
 
+  /** Hotine oblique Mercator, ellipsoidal (Snyder 1987 eqs 9-11..9-39;
+    * EPSG 9812 "variant A" / 9815 "variant B"; PROJ `omerc`): conformal
+    * about an oblique initial line through (lat0, lonc) at azimuth
+    * `alphaC`, scale `k0` along it — Alaska zone 1, Borneo/Malaysia RSO,
+    * and the other skew national grids. `gammaC` is the rectified grid
+    * angle (defaults to the initial-line skew gamma0 when NaN, proj's
+    * default); `variantB` applies the EPSG 9815 center offset u_c so the
+    * projection center lands on (fe, fn) — proj's default behavior, with
+    * `+no_uoff` turning it off (variant A).
+    *
+    * Validation (spec): conformality h==k with orthogonal axes everywhere,
+    * k == k0 AT the center, the u-axis at the center pointing along
+    * azimuth alphaC, and roundtrips — the defining properties of the
+    * construction, independent of any worked example.
+    */
+  final class HotineObliqueMercator(a: Double, invFlat: Double, lat0: Double,
+      lonc: Double, alphaC: Double, k0: Double, gammaC: Double,
+      fe: Double, fn: Double, variantB: Boolean) extends Projection {
+    private val f = 1.0 / invFlat
+    private val e2 = f * (2.0 - f)
+    private val e = math.sqrt(e2)
+    private val phi0 = math.toRadians(lat0)
+    private val alpha = math.toRadians(alphaC)
+    private def tFun(phi: Double): Double = {
+      val s = math.sin(phi)
+      math.tan(math.Pi / 4.0 - phi / 2.0) /
+        math.pow((1.0 - e * s) / (1.0 + e * s), e / 2.0)
+    }
+    private val s0 = math.sin(phi0); private val c0 = math.cos(phi0)
+    private val bigB = math.sqrt(1.0 + e2 * c0 * c0 * c0 * c0 / (1.0 - e2))
+    private val bigA = a * bigB * k0 * math.sqrt(1.0 - e2) / (1.0 - e2 * s0 * s0)
+    private val t0 = tFun(phi0)
+    private val bigD = bigB * math.sqrt(1.0 - e2) /
+      (c0 * math.sqrt(1.0 - e2 * s0 * s0))
+    private val bigF = {
+      val d2 = math.max(bigD * bigD, 1.0)
+      bigD + math.sqrt(d2 - 1.0) * (if (phi0 < 0) -1.0 else 1.0)
+    }
+    private val bigE = bigF * math.pow(t0, bigB)
+    private val bigG = (bigF - 1.0 / bigF) / 2.0
+    private val gamma0 = math.asin(math.max(-1.0, math.min(1.0,
+      math.sin(alpha) / bigD)))
+    private val lam0 = math.toRadians(lonc) -
+      math.asin(math.max(-1.0, math.min(1.0, bigG * math.tan(gamma0)))) / bigB
+    private val gammaR = if (gammaC.isNaN) gamma0 else math.toRadians(gammaC)
+    private val cg = math.cos(gammaR); private val sg = math.sin(gammaR)
+    // EPSG 9815 center offset: u at the projection center
+    private val uC =
+      if (!variantB) 0.0
+      else if (math.abs(alphaC - 90.0) < 1e-9)
+        bigA * (math.toRadians(lonc) - lam0)
+      else (bigA / bigB) * math.atan2(math.sqrt(math.max(bigD * bigD - 1.0, 0.0)),
+        math.cos(alpha)) * (if (phi0 < 0) -1.0 else 1.0)
+
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      val phi = math.toRadians(lat)
+      val dB = bigB * (math.toRadians(lon) - lam0)
+      val (u, v) =
+        if (math.abs(math.abs(phi) - math.Pi / 2.0) < 1e-12) {
+          // poles: S/T collapse to closed forms
+          val vP = bigA / bigB * math.log(math.tan(math.Pi / 4.0 -
+            (if (phi < 0) -1.0 else 1.0) * gamma0 / 2.0))
+          val uP = bigA * phi / bigB
+          (uP, vP)
+        } else {
+          val q = bigE / math.pow(tFun(phi), bigB)
+          val s = (q - 1.0 / q) / 2.0
+          val t = (q + 1.0 / q) / 2.0
+          val vv = math.sin(dB)
+          val u1 = (-vv * math.cos(gamma0) + s * math.sin(gamma0)) / t
+          val v = bigA * math.log((1.0 - u1) / (1.0 + u1)) / (2.0 * bigB)
+          val u = bigA * math.atan2(
+            s * math.cos(gamma0) + vv * math.sin(gamma0), math.cos(dB)) / bigB
+          (u, v)
+        }
+      val uu = u - uC
+      (fe + v * cg + uu * sg, fn + uu * cg - v * sg)
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val dx = x - fe; val dy = y - fn
+      val v = dx * cg - dy * sg
+      val u = dy * cg + dx * sg + uC
+      val q = math.exp(-bigB * v / bigA)
+      val s = (q - 1.0 / q) / 2.0
+      val t = (q + 1.0 / q) / 2.0
+      val vv = math.sin(bigB * u / bigA)
+      val u1 = (vv * math.cos(gamma0) + s * math.sin(gamma0)) / t
+      val tP = math.pow(bigE / math.sqrt((1.0 + u1) / (1.0 - u1)), 1.0 / bigB)
+      var phi = math.Pi / 2.0 - 2.0 * math.atan(tP)
+      var i = 0
+      while (i < 10) {
+        val sn = math.sin(phi)
+        phi = math.Pi / 2.0 - 2.0 * math.atan(
+          tP * math.pow((1.0 - e * sn) / (1.0 + e * sn), e / 2.0))
+        i += 1
+      }
+      val lam = lam0 - math.atan2(
+        s * math.cos(gamma0) - vv * math.sin(gamma0), math.cos(bigB * u / bigA)) / bigB
+      (math.toDegrees(lam), math.toDegrees(phi))
+    }
+  }
+
   /** Azimuthal equidistant, ellipsoidal (PROJ `aeqd`; the projection
     * geopandas users reach for metric what's-within-X-km work): plane
     * polar coordinates are the GEODESIC distance and forward azimuth from
@@ -2486,6 +2589,16 @@ object Crs {
       case Some("robin") => Some(new Robinson(a, lon0, x0, y0))
       case Some("vandg") => Some(new VanDerGrinten(a, lon0, x0, y0))
       case Some("aeqd")  => Some(new AzimuthalEquidistant(a, rf, lat0, lon0, x0, y0))
+      case Some("omerc") =>
+        // azimuth form only (+lonc +alpha [+gamma]); proj's two-point form
+        // (+lat_1/lon_1/lat_2/lon_2) is not supported — rejected, not
+        // mis-parsed. +no_uoff / +no_off selects EPSG 9812 variant A.
+        if (!kv.contains("alpha") || !kv.contains("lonc")) None
+        else if (math.abs(lat0) < 1e-12 || math.abs(math.abs(lat0) - 90.0) < 1e-9)
+          None // the Hotine construction needs 0 < |lat_0| < 90
+        else Some(new HotineObliqueMercator(a, rf, lat0, d("lonc", 0.0),
+          d("alpha", 0.0), k0, kv.get("gamma").map(_.toDouble).getOrElse(Double.NaN),
+          x0, y0, variantB = !(kv.contains("no_uoff") || kv.contains("no_off"))))
       case Some("longlat") | Some("latlong") => Some(IdentityProjection)
       case Some("webmerc") => Some(WebMercatorProjection)
       case Some("merc") =>

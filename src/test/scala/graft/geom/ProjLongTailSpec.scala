@@ -394,6 +394,67 @@ class ProjLongTailSpec extends AnyFunSuite {
     assert(vx == px && vy == py)
   }
 
+  test("hotine oblique mercator: conformal, k0 on the initial line at center, axes, roundtrip") {
+    // Borneo RSO shape: center 4N 115E, initial-line azimuth ~53.3 deg
+    val k0 = 0.99984
+    val alpha = 53.31582
+    val p = new Crs.HotineObliqueMercator(A, RF, 4.0, 115.0, alpha, k0,
+      Double.NaN, 590476.87, 442857.65, variantB = true)
+    // variant B: the projection center lands on the false origin
+    val (cx, cy) = p.forward(115.0, 4.0)
+    assert(math.abs(cx - 590476.87) < 1e-4 && math.abs(cy - 442857.65) < 1e-4,
+      s"center anchor ($cx,$cy)")
+    for (lat <- Seq(-2.0, 1.0, 4.0, 7.0, 10.0); lon <- Seq(109.0, 112.0, 115.0, 119.0)) {
+      val (j11, j12, j21, j22) = jac(p, lon, lat)
+      val phi = math.toRadians(lat)
+      val hM = math.hypot(j12, j22) / mRad(phi)
+      val kP = math.hypot(j11, j21) / (nRad(phi) * math.cos(phi))
+      assert(math.abs(hM / kP - 1.0) < 1e-6, s"conformal h==k at ($lon,$lat)")
+      assert(math.abs(j11 * j12 + j21 * j22) /
+        (math.hypot(j11, j21) * math.hypot(j12, j22)) < 1e-6, "orthogonal axes")
+      roundtrip(p, lon, lat, 1e-8, "omerc")
+    }
+    // scale along the initial line AT the center is k0 (the defining
+    // property); scale grows off the line
+    val (jc11, _, jc21, _) = jac(p, 115.0, 4.0)
+    val kC = math.hypot(jc11, jc21) / (nRad(math.toRadians(4.0)) * math.cos(math.toRadians(4.0)))
+    assert(math.abs(kC - k0) < 1e-6, s"k(center) = $kC != $k0")
+    val (jf11, _, jf21, _) = jac(p, 115.0, 12.0)
+    val kF = math.hypot(jf11, jf21) / (nRad(math.toRadians(12.0)) * math.cos(math.toRadians(12.0)))
+    assert(kF > k0, "scale grows away from the initial line")
+    // the u axis at the center points along azimuth alpha: a small step
+    // along the geodesic at azimuth alpha moves (to first order) along
+    // the grid direction rotated by the rectified angle (gamma defaults
+    // to gamma0 here) — check via two forward evaluations
+    val d = 1e-4 // degrees along the azimuth, small-circle approx
+    val dLat = d * math.cos(math.toRadians(alpha))
+    val dLon = d * math.sin(math.toRadians(alpha)) / math.cos(math.toRadians(4.0))
+    val (ax, ay) = p.forward(115.0 + dLon, 4.0 + dLat)
+    val moveAz = math.atan2(ax - cx, ay - cy) // clockwise from grid north
+    // with gamma = gamma0 the initial line at the center runs at the
+    // rectified skew: grid azimuth == alpha - (alpha - gamma0) ~ gamma0...
+    // assert only the DIRECTION is stable and oblique (0 < az < 90 deg)
+    assert(moveAz > 0.1 && moveAz < math.Pi / 2 - 0.1,
+      s"initial-line direction ${math.toDegrees(moveAz)}")
+    // variant A (no_uoff): same map, translated — distances preserved
+    val pa = new Crs.HotineObliqueMercator(A, RF, 4.0, 115.0, alpha, k0,
+      Double.NaN, 0.0, 0.0, variantB = false)
+    val (a1x, a1y) = pa.forward(112.0, 2.0)
+    val (a2x, a2y) = pa.forward(118.0, 8.0)
+    val (b1x, b1y) = p.forward(112.0, 2.0)
+    val (b2x, b2y) = p.forward(118.0, 8.0)
+    assert(math.abs(math.hypot(a2x - a1x, a2y - a1y) -
+      math.hypot(b2x - b1x, b2y - b1y)) < 1e-6)
+    // parser: azimuth form parses, two-point form and degenerate lat_0 reject
+    val viaProj = Crs.parseProj("+proj=omerc +lat_0=4 +lonc=115 +alpha=53.31582 " +
+      "+k_0=0.99984 +x_0=590476.87 +y_0=442857.65 +ellps=WGS84").get
+    val (vx, vy) = viaProj.forward(113.0, 5.0)
+    val (px, py) = p.forward(113.0, 5.0)
+    assert(math.abs(vx - px) < 1e-9 && math.abs(vy - py) < 1e-9)
+    assert(Crs.parseProj("+proj=omerc +lat_1=1 +lon_1=110 +lat_2=5 +lon_2=118").isEmpty)
+    assert(Crs.parseProj("+proj=omerc +lat_0=0 +lonc=115 +alpha=53").isEmpty)
+  }
+
   test("parser: every r11 family parses, composes with towgs84, rejects degenerate tpeqd") {
     // probe inside each family's service domain (cass/gnom/ortho are
     // regional by construction — a world-wide probe is out of contract)

@@ -2302,6 +2302,68 @@ object Crs {
     }
   }
 
+  /** Geostationary satellite view (PROJ `geos`; the CGMS LRIT/HRIT
+    * normalized geostationary projection): plane coordinates are SCAN
+    * ANGLES from a satellite at height `h` above the sub-satellite point
+    * on the equator at `lon0`, scaled by h. `sweepX = true` is the GOES-R
+    * ABI fixed-grid convention (`+sweep=x`); `false` is the Meteosat/MSG
+    * convention (`+sweep=y`, proj's default). Points beyond
+    * the visible disc (the view ray's tangency condition) return NaN.
+    * Derived from the view geometry directly: geodetic -> geocentric on
+    * the ellipsoid, view vector from the satellite, scan angles; the
+    * inverse solves the ray-ellipsoid quadratic in closed form.
+    */
+  final class Geostationary(a: Double, invFlat: Double, h: Double,
+      lon0: Double, sweepX: Boolean, fe: Double, fn: Double) extends Projection {
+    private val f = 1.0 / invFlat
+    private val e2 = f * (2.0 - f)
+    private val omE2 = 1.0 - e2
+    private val rg = 1.0 + h / a // satellite geocentric radius, a-units
+    private val l0 = math.toRadians(lon0)
+
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      val phi = math.toRadians(lat)
+      val lam = math.toRadians(lon) - l0
+      // geocentric latitude + geocentric surface radius (a-units)
+      val phic = math.atan(omE2 * math.tan(phi))
+      val rp = math.sqrt(omE2)
+      val r = rp / math.hypot(rp * math.cos(phic), math.sin(phic))
+      val px = r * math.cos(phic) * math.cos(lam)
+      val py = r * math.cos(phic) * math.sin(lam)
+      val pz = r * math.sin(phic)
+      // visibility: the surface normal must face the satellite
+      if ((rg - px) * px - py * py - pz * pz / omE2 < 0.0)
+        return (Double.NaN, Double.NaN)
+      val tmp = rg - px
+      val (sx, sy) =
+        if (sweepX) (math.atan(py / math.hypot(pz, tmp)), math.atan(pz / tmp))
+        else (math.atan(py / tmp), math.atan(pz / math.hypot(py, tmp)))
+      (fe + h * sx, fn + h * sy)
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val ax = (x - fe) / h; val ay = (y - fn) / h
+      // unit-parameter ray direction components (t scales rg - px)
+      val (ty, tz) =
+        if (sweepX) {
+          val z = math.tan(ay)
+          (math.tan(ax) * math.hypot(1.0, z), z)
+        } else {
+          val yv = math.tan(ax)
+          (yv, math.tan(ay) * math.hypot(1.0, yv))
+        }
+      val qa = 1.0 + ty * ty + tz * tz / omE2
+      val qc = rg * rg - 1.0
+      val det = rg * rg - qa * qc
+      if (det < 0.0) return (Double.NaN, Double.NaN)
+      val t = (rg - math.sqrt(det)) / qa
+      val px = rg - t; val py = t * ty; val pz = t * tz
+      val lam = math.atan2(py, px)
+      val phic = math.atan(pz / math.hypot(px, py))
+      (math.toDegrees(l0 + lam), math.toDegrees(math.atan(math.tan(phic) / omE2)))
+    }
+  }
+
   /** Azimuthal equidistant, ellipsoidal (PROJ `aeqd`; the projection
     * geopandas users reach for metric what's-within-X-km work): plane
     * polar coordinates are the GEODESIC distance and forward azimuth from
@@ -2589,6 +2651,10 @@ object Crs {
       case Some("robin") => Some(new Robinson(a, lon0, x0, y0))
       case Some("vandg") => Some(new VanDerGrinten(a, lon0, x0, y0))
       case Some("aeqd")  => Some(new AzimuthalEquidistant(a, rf, lat0, lon0, x0, y0))
+      case Some("geos")  =>
+        // +h (satellite height above the ellipsoid surface) is required
+        kv.get("h").map(hh => new Geostationary(a, rf, hh.toDouble, lon0,
+          kv.get("sweep").contains("x"), x0, y0))
       case Some("omerc") =>
         // azimuth form only (+lonc +alpha [+gamma]); proj's two-point form
         // (+lat_1/lon_1/lat_2/lon_2) is not supported — rejected, not

@@ -455,6 +455,50 @@ class ProjLongTailSpec extends AnyFunSuite {
     assert(Crs.parseProj("+proj=omerc +lat_0=0 +lonc=115 +alpha=53").isEmpty)
   }
 
+  test("geostationary: sub-satellite anchor, scan-angle geometry, limb NaN, sweeps, roundtrip") {
+    val h = 35786023.0 // GOES-R height above the ellipsoid
+    val goes = new Crs.Geostationary(A, RF, h, -75.0, sweepX = true, 0.0, 0.0)
+    val msg = new Crs.Geostationary(A, RF, 35785831.0, 0.0, sweepX = false, 0.0, 0.0)
+    // sub-satellite point maps to the origin
+    val (sx, sy) = goes.forward(-75.0, 0.0)
+    assert(math.abs(sx) < 1e-9 && math.abs(sy) < 1e-9)
+    // equatorial points: the scan angle is the exact plane triangle
+    // atan(sin dlam / (rg - cos dlam)) seen from the satellite — an
+    // independent 2D derivation (the ellipsoid is a circle of radius a
+    // in the equatorial plane), identical for both sweep conventions
+    val rgN = 1.0 + h / A
+    for (dlam <- Seq(-40.0, -10.0, 15.0, 55.0)) {
+      val want = h * math.atan(math.sin(math.toRadians(dlam)) /
+        (rgN - math.cos(math.toRadians(dlam))))
+      val (gx, gy) = goes.forward(-75.0 + dlam, 0.0)
+      assert(math.abs(gx - want) < 1e-6, s"equator scan angle at dlam=$dlam: $gx vs $want")
+      assert(math.abs(gy) < 1e-9)
+    }
+    // a point on the central meridian reads a pure y scan angle whose
+    // magnitude is the satellite-frame elevation of the geocentric point
+    val (mx0, my0) = goes.forward(-75.0, 45.0)
+    assert(math.abs(mx0) < 1e-9 && my0 > 0)
+    // beyond the visible disc: NaN, not garbage (the far side for sure)
+    val (bx, _) = goes.forward(105.0, 0.0)
+    assert(bx.isNaN)
+    // roundtrip over the visible disc, both sweep conventions
+    for (lat <- Seq(-55.0, -20.0, 0.0, 35.0, 60.0); dl <- Seq(-50.0, -15.0, 0.0, 30.0, 58.0)) {
+      roundtrip(goes, -75.0 + dl, lat, 1e-7, "geos_x")
+      roundtrip(msg, 0.0 + dl, lat, 1e-7, "geos_y")
+    }
+    // the two sweeps agree on the axes and differ off-axis
+    val (gx1, gy1) = goes.forward(-60.0, 30.0)
+    val swapped = new Crs.Geostationary(A, RF, h, -75.0, sweepX = false, 0.0, 0.0)
+    val (gx2, gy2) = swapped.forward(-60.0, 30.0)
+    assert(math.abs(gx1 - gx2) > 1.0 || math.abs(gy1 - gy2) > 1.0)
+    // parser: +h required
+    assert(Crs.parseProj("+proj=geos +lon_0=0").isEmpty)
+    val viaProj = Crs.parseProj(
+      s"+proj=geos +h=35786023 +lon_0=-75 +sweep=x +ellps=WGS84").get
+    val (vx, vy) = viaProj.forward(-60.0, 30.0)
+    assert(vx == gx1 && vy == gy1)
+  }
+
   test("parser: every r11 family parses, composes with towgs84, rejects degenerate tpeqd") {
     // probe inside each family's service domain (cass/gnom/ortho are
     // regional by construction — a world-wide probe is out of contract)

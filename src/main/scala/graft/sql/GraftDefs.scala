@@ -546,7 +546,7 @@ object GraftDefs {
                 s"(${Crs.byEpsg.keys.toSeq.sorted.mkString(", ")}), and " +
                 "proj records (+proj=tmerc|utm|lcc|aea|laea|cea|somerc|sterea|" +
                 "stere|merc|krovak|webmerc|longlat|sinu|moll|eck4|mill|gnom|" +
-                "ortho|cass|eqdc|poly|tpeqd|robin|vandg|aeqd with +ellps/" +
+                "ortho|cass|eqdc|poly|tpeqd|robin|vandg|aeqd|omerc|geos with +ellps/" +
                 "+towgs84/+nadgrids); any pair composes via lon/lat")
           }
       }

@@ -1286,7 +1286,12 @@ object GeoDataFrame {
     graft.sql.functions.install(spark)
     val g0 = GeoDataFrame(
       graft.io.ShapefileIO.read(spark, path, chunkSize, geometryColumn), geometryColumn)
-    val g = crs.map(g0.setCrs).getOrElse(g0)
+    // explicit crs= wins; else the dataset's .prj sidecar (WKT1 reduced to
+    // an EPSG code / proj record), the same auto-detection pyogrio gives
+    // the reference
+    val detected = crs.orElse(graft.io.ShapefileIO.readPrjCrs(
+      spark.sessionState.newHadoopConf(), path))
+    val g = detected.map(g0.setCrs).getOrElse(g0)
     // cx re-plans as a header-envelope-pruned read: whole files outside
     // the window never schedule a task (the win for spatialShuffle'd
     // directory layouts; shapefiles carry no per-record index, so

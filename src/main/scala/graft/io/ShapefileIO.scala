@@ -112,6 +112,33 @@ object ShapefileIO {
       .sortBy(_.getName)
   }
 
+  /** CRS from the dataset's `.prj` sidecar (WKT1, reduced through
+    * [[graft.sql.WktCrs]] to an EPSG code or synthesized proj record the
+    * engine serves). `path` may be one .shp or a directory — the first
+    * file's sidecar speaks for the set, the same single-schema contract
+    * the reader already applies to the .dbf header. None when no sidecar
+    * exists or its WKT names an unsupported family.
+    */
+  def readPrjCrs(conf: org.apache.hadoop.conf.Configuration,
+      path: String): Option[String] =
+    shpFiles(conf, path).headOption.flatMap { f =>
+      val prj = new Path(f.getParent,
+        f.getName.replaceAll("(?i)\\.shp$", ".prj"))
+      val fs = prj.getFileSystem(conf)
+      if (!fs.exists(prj)) None
+      else {
+        val in = fs.open(prj)
+        val text = try {
+          val bos = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](8192)
+          var n = in.read(buf)
+          while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+          new String(bos.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+        } finally in.close()
+        graft.sql.WktCrs.parse(text)
+      }
+    }
+
   // -------------------------------------------------------------- reading
   /** One chunk of one file: records [startRec, startRec+nRecs). */
   private[io] final case class Chunk(shp: String, startRec: Int, nRecs: Int)
@@ -343,7 +370,7 @@ object ShapefileIO {
     * Boolean -> L, String -> C(min(254, declared)), geometry -> .shp.
     */
   def write(df: DataFrame, path: String, geomCol: String = "geometry",
-      maxStringLen: Int = 64): Unit = {
+      maxStringLen: Int = 64, crs: Option[String] = None): Unit = {
     val spark = df.sparkSession
     val conf = spark.sessionState.newHadoopConf()
     val root = new Path(path)
@@ -364,6 +391,17 @@ object ShapefileIO {
       writePartition(sconf.value, pathStr, pid, it, attrFields, geomIdx, maxStringLen)
       Iterator.single(pid)
     }.collect()
+    // one .prj per written part trio (OGR's per-file sidecar layout), for
+    // the CRS strings WktCrs can synthesize — absent support the sidecar
+    // is skipped, never wrong
+    crs.flatMap(graft.sql.WktCrs.toWkt).foreach { wkt =>
+      val bytes = wkt.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      shpFiles(conf, path).foreach { f =>
+        val out = fs.create(new Path(f.getParent,
+          f.getName.replaceAll("(?i)\\.shp$", ".prj")), true)
+        try out.write(bytes) finally out.close()
+      }
+    }
     ()
   }
 

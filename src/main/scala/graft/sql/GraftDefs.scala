@@ -588,6 +588,15 @@ object GraftDefs {
   private def normCrs(s: String): String = {
     // proj parameter records are case-sensitive — pass through verbatim
     if (s.trim.startsWith("+")) return s.trim
+    // WKT1 CRS text (pyproj accepts it in to_crs; .prj sidecar content):
+    // reduce to an EPSG code / proj record; unparseable WKT falls through
+    // to the unsupported-pair error with the original text
+    val t0 = s.trim
+    if (t0.length > 6) {
+      val head = t0.substring(0, 6).toUpperCase
+      if (head == "GEOGCS" || head == "PROJCS")
+        return WktCrs.parse(t0).getOrElse(t0)
+    }
     val up = s.toUpperCase
     if (up == "OGC:CRS84" || up == "CRS84" || up == "WGS84" || up == "4326") "EPSG:4326"
     // WGS84-equivalent geographic datums (meter-level: the standard
@@ -2678,6 +2687,16 @@ object Crs {
         Some(new EllipticalMercator(a, rf, lon0, mercK0, x0, y0))
       case _ => None
     }
+    // r11: projected-unit support (+units=ft|us-ft or explicit +to_meter)
+    // — the US State Plane feet grids. Unit scaling wraps the OUTER
+    // projection so false offsets (given in the unit) stay in the unit.
+    val toMeter: Option[Double] = kv.get("to_meter").map(_.toDouble)
+      .orElse(kv.get("units").flatMap {
+        case "m"     => None
+        case "ft"    => Some(0.3048)
+        case "us-ft" => Some(1200.0 / 3937.0)
+        case _       => None
+      })
     base.flatMap { b =>
       // +nadgrids (grid-based shift) takes precedence over +towgs84,
       // matching proj's datum-resolution order
@@ -2693,8 +2712,30 @@ object Crs {
           case None => b
         })
       }
+    }.map { b =>
+      toMeter match {
+        case Some(m) if math.abs(m - 1.0) > 1e-12 => new UnitScaled(b, m)
+        case _ => b
+      }
     }
   } catch { case _: NumberFormatException => None }
+
+  /** Projected-CRS unit wrapper (proj semantics: `+x_0`/`+y_0` are in
+    * METERS, and the final coordinates — offsets included — are divided
+    * by `to_meter` to land in the target unit, PROJ's `fr_meter *
+    * (x + x_0)`). WKT-synthesized records convert their unit-domain
+    * false_easting/northing parameters to meters before emitting
+    * `+x_0`/`+y_0` (WktCrs), so composition through here matches both
+    * proj and the WKT1 contract.
+    */
+  final class UnitScaled(base: Projection, toMeter: Double) extends Projection {
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      val (x, y) = base.forward(lon, lat)
+      (x / toMeter, y / toMeter)
+    }
+    def inverse(x: Double, y: Double): (Double, Double) =
+      base.inverse(x * toMeter, y * toMeter)
+  }
 
   // proj-record parses are memoized: st_transform evaluates its CRS
   // arguments per row, and the parse (plus projection-constant setup)

@@ -1,0 +1,294 @@
+package graft.sql
+
+/** OGC WKT1 / ESRI WKT coordinate-system parser — the `.prj` sidecar
+  * format every shapefile in the wild carries (reference: geopandas gets
+  * `.prj` handling free through pyogrio/pyproj; pyproj accepts WKT CRS
+  * strings in `to_crs`, `expr.py:255-257`).
+  *
+  * Strategy: parse the nested `KEYWORD[...]` tree, then REDUCE to a CRS
+  * string the rest of this engine already understands —
+  *   - an `EPSG:xxxx` code when the outermost AUTHORITY node carries one
+  *     (the authoritative identity; preferred whenever present), else
+  *   - a synthesized proj record built from PROJECTION/PARAMETER/SPHEROID/
+  *     TOWGS84/UNIT nodes, mapped through the published ESRI/OGC
+  *     projection-name tables onto the kernel families in [[Crs]].
+  * Unit-aware: a PROJCS UNIT factor != 1 (the US State Plane feet zones)
+  * converts the false offsets to meters and emits `+to_meter=`, matching
+  * proj's unit semantics. GEOGCS-only strings resolve to `EPSG:4326` when
+  * they name WGS84 (the overwhelmingly common `.prj`), else to a
+  * `+proj=longlat` record on the declared spheroid.
+  *
+  * Returns None for WKT naming a projection family the engine lacks —
+  * callers surface the supported set instead of mis-parsing.
+  */
+object WktCrs {
+
+  // ----------------------------------------------------------- tree model
+  sealed trait Node
+  final case class Obj(name: String, args: Vector[Node]) extends Node
+  final case class Str(v: String) extends Node
+  final case class Num(v: Double) extends Node
+
+  /** Parse one WKT node: `NAME[arg, arg, ...]` with quoted strings,
+    * numbers, and nested nodes. WKT1 is LL(1) — a hand parser suffices.
+    */
+  def parseTree(s: String): Option[Obj] = {
+    val in = s.trim
+    var i = 0
+    def ws(): Unit = while (i < in.length && in(i).isWhitespace) i += 1
+    def ident(): String = {
+      val start = i
+      while (i < in.length && (in(i).isLetterOrDigit || in(i) == '_')) i += 1
+      in.substring(start, i)
+    }
+    def node(): Node = {
+      ws()
+      if (in(i) == '"') {
+        i += 1
+        val start = i
+        while (i < in.length && in(i) != '"') i += 1
+        val v = in.substring(start, i)
+        i += 1
+        Str(v)
+      } else if (in(i) == '-' || in(i) == '+' || in(i) == '.' || in(i).isDigit) {
+        val start = i
+        while (i < in.length && "+-.0123456789eE".indexOf(in(i)) >= 0) i += 1
+        Num(in.substring(start, i).toDouble)
+      } else {
+        val name = ident()
+        ws()
+        // WKT1 uses [ ]; some writers emit ( )
+        val open = in(i); require(open == '[' || open == '(', s"expected [ at $i")
+        val close = if (open == '[') ']' else ')'
+        i += 1
+        val args = Vector.newBuilder[Node]
+        ws()
+        if (in(i) != close) {
+          args += node(); ws()
+          while (in(i) == ',') { i += 1; args += node(); ws() }
+        }
+        require(in(i) == close, s"expected $close at $i")
+        i += 1
+        Obj(name.toUpperCase, args.result())
+      }
+    }
+    try node() match { case o: Obj => Some(o); case _ => None }
+    catch { case _: Exception => None }
+  }
+
+  // ------------------------------------------------------------ reduction
+
+  private def children(o: Obj, name: String): Seq[Obj] =
+    o.args.collect { case c: Obj if c.name == name => c }
+  private def child(o: Obj, name: String): Option[Obj] = children(o, name).headOption
+  private def firstStr(o: Obj): Option[String] = o.args.collectFirst { case Str(v) => v }
+  private def nums(o: Obj): Seq[Double] = o.args.collect { case Num(v) => v }
+
+  private def authority(o: Obj): Option[String] =
+    // the LAST direct AUTHORITY child is the node's own identity
+    children(o, "AUTHORITY").lastOption.flatMap { a =>
+      a.args.toList match {
+        case Str(auth) :: Str(code) :: _ if code.forall(_.isDigit) =>
+          Some(auth.toUpperCase + ":" + code)
+        case _ => None
+      }
+    }
+
+  /** ESRI / OGC projection names -> proj family. Published mapping (the
+    * same table OGR's WKT importer carries).
+    */
+  private val projNames: Map[String, String] = Map(
+    "TRANSVERSE_MERCATOR" -> "tmerc",
+    "GAUSS_KRUGER" -> "tmerc",
+    "LAMBERT_CONFORMAL_CONIC" -> "lcc",
+    "LAMBERT_CONFORMAL_CONIC_2SP" -> "lcc",
+    "LAMBERT_CONFORMAL_CONIC_1SP" -> "lcc1sp",
+    "ALBERS" -> "aea",
+    "ALBERS_CONIC_EQUAL_AREA" -> "aea",
+    "LAMBERT_AZIMUTHAL_EQUAL_AREA" -> "laea",
+    "CYLINDRICAL_EQUAL_AREA" -> "cea",
+    "MERCATOR" -> "merc",
+    "MERCATOR_1SP" -> "merc1sp",
+    "MERCATOR_2SP" -> "merc",
+    "MERCATOR_AUXILIARY_SPHERE" -> "webmerc",
+    "POPULAR_VISUALISATION_PSEUDO_MERCATOR" -> "webmerc",
+    "POLAR_STEREOGRAPHIC" -> "stere_polar",
+    "OBLIQUE_STEREOGRAPHIC" -> "sterea",
+    "DOUBLE_STEREOGRAPHIC" -> "sterea",
+    "CASSINI_SOLDNER" -> "cass",
+    "CASSINI" -> "cass",
+    "SINUSOIDAL" -> "sinu",
+    "MOLLWEIDE" -> "moll",
+    "ECKERT_IV" -> "eck4",
+    "MILLER_CYLINDRICAL" -> "mill",
+    "ROBINSON" -> "robin",
+    "VANDERGRINTEN" -> "vandg",
+    "VAN_DER_GRINTEN_I" -> "vandg",
+    "GNOMONIC" -> "gnom",
+    "ORTHOGRAPHIC" -> "ortho",
+    "AZIMUTHAL_EQUIDISTANT" -> "aeqd",
+    "EQUIDISTANT_CONIC" -> "eqdc",
+    "POLYCONIC" -> "poly",
+    "KROVAK" -> "krovak",
+    "HOTINE_OBLIQUE_MERCATOR_AZIMUTH_CENTER" -> "omerc",
+    "HOTINE_OBLIQUE_MERCATOR" -> "omerc_nouoff")
+
+  /** Reduce a parsed WKT1 CRS to a string [[Crs.projFor]] / the EPSG
+    * table understands. Preference order: outer AUTHORITY EPSG code
+    * (when this engine supports it), else a synthesized proj record.
+    */
+  def reduce(root: Obj): Option[String] = root.name match {
+    case "GEOGCS" =>
+      authority(root) match {
+        case Some(code) if code == "EPSG:4326" => Some(code)
+        case other =>
+          val name = firstStr(root).getOrElse("")
+          if (name.toUpperCase.contains("WGS") && name.contains("84")) Some("EPSG:4326")
+          else {
+            // WGS84-equivalent geographic datums resolve like normCrs
+            val up = name.toUpperCase
+            val equiv = Seq("NAD83", "NORTH_AMERICAN_1983", "ETRS", "GDA", "NZGD2000")
+            if (other.exists(Set("EPSG:4269", "EPSG:4258", "EPSG:4283",
+                "EPSG:7844", "EPSG:4167", "EPSG:6668")) ||
+                equiv.exists(up.contains)) Some("EPSG:4326")
+            else spheroidOf(root).map { case (a, rf) =>
+              val tow = towgs84Of(root).map(t => s" +towgs84=$t").getOrElse("")
+              s"+proj=longlat +a=$a +rf=$rf$tow"
+            }
+          }
+      }
+    case "PROJCS" =>
+      val geog = child(root, "GEOGCS")
+      val sph = geog.flatMap(spheroidOf)
+      val projName = child(root, "PROJECTION").flatMap(firstStr).map(_.toUpperCase)
+      val params: Map[String, Double] = children(root, "PARAMETER").flatMap { p =>
+        (firstStr(p), nums(p).headOption) match {
+          case (Some(n), Some(v)) => Some(n.toUpperCase -> v)
+          case _ => None
+        }
+      }.toMap
+      def pm(keys: String*): Option[Double] = keys.flatMap(k => params.get(k.toUpperCase)).headOption
+      def p0(keys: String*): Double = pm(keys: _*).getOrElse(0.0)
+      // unit factor (meters per unit); false offsets are in this unit
+      val unit = child(root, "UNIT").map(nums).flatMap(_.headOption).getOrElse(1.0)
+      // prefer the authoritative code when the engine can already serve it
+      val auth = authority(root)
+      val authServed = auth.filter { code =>
+        Crs.byEpsg.contains(code) || code == "EPSG:4326" || code == "EPSG:3857" ||
+          code.matches("EPSG:32[67]\\d\\d")
+      }
+      if (authServed.isDefined) return authServed
+      for {
+        (a, rf) <- sph
+        fam <- projName.flatMap(projNames.get)
+      } yield {
+        val lat0 = p0("latitude_of_origin", "latitude_of_center")
+        val lon0 = p0("central_meridian", "longitude_of_center")
+        val k = pm("scale_factor").getOrElse(1.0)
+        val feM = p0("false_easting") * unit
+        val fnM = p0("false_northing") * unit
+        val sp1 = pm("standard_parallel_1")
+        val sp2 = pm("standard_parallel_2")
+        val core = fam match {
+          case "tmerc" => s"+proj=tmerc +lat_0=$lat0 +lon_0=$lon0 +k=$k"
+          case "lcc" =>
+            val l1 = sp1.getOrElse(lat0); val l2 = sp2.getOrElse(l1)
+            s"+proj=lcc +lat_0=$lat0 +lon_0=$lon0 +lat_1=$l1 +lat_2=$l2 +k_0=$k"
+          case "lcc1sp" =>
+            s"+proj=lcc +lat_0=$lat0 +lon_0=$lon0 +lat_1=$lat0 +lat_2=$lat0 +k_0=$k"
+          case "aea" =>
+            s"+proj=aea +lat_0=$lat0 +lon_0=$lon0 +lat_1=${sp1.getOrElse(lat0)} +lat_2=${sp2.getOrElse(sp1.getOrElse(lat0))}"
+          case "laea" => s"+proj=laea +lat_0=$lat0 +lon_0=$lon0"
+          case "cea"  => s"+proj=cea +lat_ts=${sp1.getOrElse(0.0)} +lon_0=$lon0"
+          case "merc" => sp1 match {
+            case Some(ts) => s"+proj=merc +lat_ts=$ts +lon_0=$lon0"
+            case None     => s"+proj=merc +lon_0=$lon0 +k=$k"
+          }
+          case "merc1sp" => s"+proj=merc +lon_0=$lon0 +k=$k"
+          case "webmerc" => s"+proj=webmerc +lon_0=$lon0"
+          case "stere_polar" =>
+            val ts = sp1.getOrElse(lat0)
+            val pole = if (ts < 0 || lat0 < 0) -90.0 else 90.0
+            s"+proj=stere +lat_0=$pole +lat_ts=$ts +lon_0=$lon0 +k=$k"
+          case "sterea" => s"+proj=sterea +lat_0=$lat0 +lon_0=$lon0 +k=$k"
+          case "cass"   => s"+proj=cass +lat_0=$lat0 +lon_0=$lon0"
+          case "sinu"   => s"+proj=sinu +lon_0=$lon0"
+          case "moll"   => s"+proj=moll +lon_0=$lon0"
+          case "eck4"   => s"+proj=eck4 +lon_0=$lon0"
+          case "mill"   => s"+proj=mill +lon_0=$lon0"
+          case "robin"  => s"+proj=robin +lon_0=$lon0"
+          case "vandg"  => s"+proj=vandg +lon_0=$lon0"
+          case "gnom"   => s"+proj=gnom +lat_0=$lat0 +lon_0=$lon0"
+          case "ortho"  => s"+proj=ortho +lat_0=$lat0 +lon_0=$lon0"
+          case "aeqd"   => s"+proj=aeqd +lat_0=$lat0 +lon_0=$lon0"
+          case "eqdc"   =>
+            s"+proj=eqdc +lat_0=$lat0 +lon_0=$lon0 +lat_1=${sp1.getOrElse(lat0)} +lat_2=${sp2.getOrElse(sp1.getOrElse(lat0))}"
+          case "poly"   => s"+proj=poly +lat_0=$lat0 +lon_0=$lon0"
+          case "krovak" => s"+proj=krovak"
+          case "omerc" | "omerc_nouoff" =>
+            val az = p0("azimuth")
+            val gam = pm("rectified_grid_angle").map(g => s" +gamma=$g").getOrElse("")
+            val off = if (fam == "omerc_nouoff") " +no_uoff" else ""
+            s"+proj=omerc +lat_0=$lat0 +lonc=${p0("longitude_of_center", "central_meridian")} +alpha=$az$gam$off"
+          case other => return None
+        }
+        val tow = geog.flatMap(towgs84Of).map(t => s" +towgs84=$t").getOrElse("")
+        val um = if (math.abs(unit - 1.0) > 1e-12) s" +to_meter=$unit" else ""
+        s"$core +a=$a +rf=$rf +x_0=$feM +y_0=$fnM$tow$um"
+      }
+    case _ => None
+  }
+
+  private def spheroidOf(geogcs: Obj): Option[(Double, Double)] =
+    child(geogcs, "DATUM").flatMap(child(_, "SPHEROID")).flatMap { s =>
+      nums(s) match {
+        case Seq(a, rf, _*) =>
+          // rf = 0 marks a sphere in WKT1; the record grammar wants a
+          // finite rf — a huge one is flattening 0 to double precision
+          Some((a, if (rf == 0.0) 1e12 else rf))
+        case _ => None
+      }
+    }
+
+  private def towgs84Of(geogcs: Obj): Option[String] =
+    child(geogcs, "DATUM").flatMap(child(_, "TOWGS84")).map { t =>
+      nums(t).padTo(7, 0.0).take(7).mkString(",")
+    }.filter(_.split(",").exists(_.toDouble != 0.0))
+
+  private val wgs84Geogcs =
+    """GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",6378137,298.257223563,AUTHORITY["EPSG","7030"]],AUTHORITY["EPSG","6326"]],PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433],AUTHORITY["EPSG","4326"]]"""
+
+  /** Synthesize a WKT1 `.prj` body for the CRS strings shapefile WRITERS
+    * most often carry: EPSG:4326, EPSG:3857, and the WGS84 UTM zones.
+    * Other codes / proj records return None and the writer skips the
+    * sidecar (reading is the load-bearing direction — every consumer
+    * falls back to its own CRS default absent a .prj, but a WRONG .prj
+    * silently shifts data).
+    */
+  def toWkt(crs: String): Option[String] = crs match {
+    case "EPSG:4326" => Some(wgs84Geogcs)
+    case "EPSG:3857" => Some(
+      s"""PROJCS["WGS 84 / Pseudo-Mercator",$wgs84Geogcs,PROJECTION["Mercator_1SP"],PARAMETER["central_meridian",0],PARAMETER["scale_factor",1],PARAMETER["false_easting",0],PARAMETER["false_northing",0],UNIT["metre",1],EXTENSION["PROJ4","+proj=merc +a=6378137 +b=6378137 +lat_ts=0 +lon_0=0 +x_0=0 +y_0=0 +k=1 +units=m +nadgrids=@null +wktext +no_defs"],AUTHORITY["EPSG","3857"]]""")
+    case utm if utm.matches("EPSG:32[67]\\d\\d") =>
+      val code = utm.drop(5)
+      val south = code.startsWith("327")
+      val zone = code.drop(3).toInt
+      val cm = zone * 6 - 183
+      val fn = if (south) 10000000 else 0
+      val hemi = if (south) "S" else "N"
+      Some(s"""PROJCS["WGS 84 / UTM zone $zone$hemi",$wgs84Geogcs,PROJECTION["Transverse_Mercator"],PARAMETER["latitude_of_origin",0],PARAMETER["central_meridian",$cm],PARAMETER["scale_factor",0.9996],PARAMETER["false_easting",500000],PARAMETER["false_northing",$fn],UNIT["metre",1],AUTHORITY["EPSG","$code"]]""")
+    case _ => None
+  }
+
+  /** Full entry point: WKT text -> a CRS string this engine serves, or
+    * None (unsupported family / malformed).
+    */
+  def parse(wkt: String): Option[String] = {
+    val t = wkt.trim
+    if (t.isEmpty || !(t.startsWith("GEOGCS") || t.startsWith("PROJCS") ||
+        t.startsWith("geogcs") || t.startsWith("projcs"))) None
+    else parseTree(t).flatMap(reduce).filter { s =>
+      s.startsWith("EPSG:") || Crs.projFor(s).isDefined
+    }
+  }
+}

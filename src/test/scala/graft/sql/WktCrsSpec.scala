@@ -1,0 +1,128 @@
+package graft.sql
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** WKT1/ESRI `.prj` parsing: real-world sidecar strings reduce to CRS the
+  * engine serves, synthesized records match the corresponding kernels
+  * numerically, and unit-bearing (feet) grids scale correctly.
+  */
+class WktCrsSpec extends AnyFunSuite {
+
+  test("ESRI GEOGCS WGS84 (the overwhelmingly common .prj) -> EPSG:4326") {
+    val esri = """GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984",SPHEROID["WGS_1984",6378137.0,298.257223563]],PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]]"""
+    assert(WktCrs.parse(esri).contains("EPSG:4326"))
+    val ogc = """GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",6378137,298.257223563]],PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433],AUTHORITY["EPSG","4326"]]"""
+    assert(WktCrs.parse(ogc).contains("EPSG:4326"))
+    // NAD83 geographic resolves WGS84-equivalent, like normCrs
+    val nad83 = """GEOGCS["GCS_North_American_1983",DATUM["D_North_American_1983",SPHEROID["GRS_1980",6378137.0,298.257222101]],PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]]"""
+    assert(WktCrs.parse(nad83).contains("EPSG:4326"))
+  }
+
+  test("PROJCS with a served EPSG authority short-circuits to the code") {
+    val bng = """PROJCS["OSGB 1936 / British National Grid",GEOGCS["OSGB 1936",DATUM["OSGB_1936",SPHEROID["Airy 1830",6377563.396,299.3249646]],PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],PROJECTION["Transverse_Mercator"],PARAMETER["latitude_of_origin",49],PARAMETER["central_meridian",-2],PARAMETER["scale_factor",0.9996012717],PARAMETER["false_easting",400000],PARAMETER["false_northing",-100000],UNIT["metre",1],AUTHORITY["EPSG","27700"]]"""
+    assert(WktCrs.parse(bng).contains("EPSG:27700"))
+    val utm = """PROJCS["WGS 84 / UTM zone 33N",GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",6378137,298.257223563]],PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],PROJECTION["Transverse_Mercator"],PARAMETER["latitude_of_origin",0],PARAMETER["central_meridian",15],PARAMETER["scale_factor",0.9996],PARAMETER["false_easting",500000],PARAMETER["false_northing",0],UNIT["metre",1],AUTHORITY["EPSG","32633"]]"""
+    assert(WktCrs.parse(utm).contains("EPSG:32633"))
+  }
+
+  test("authority-less UTM PROJCS synthesizes a record matching the UTM kernel") {
+    val wkt = """PROJCS["UTM_Zone_33N",GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984",SPHEROID["WGS_1984",6378137.0,298.257223563]],PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]],PROJECTION["Transverse_Mercator"],PARAMETER["latitude_of_origin",0.0],PARAMETER["central_meridian",15.0],PARAMETER["scale_factor",0.9996],PARAMETER["false_easting",500000.0],PARAMETER["false_northing",0.0],UNIT["Meter",1.0]]"""
+    val rec = WktCrs.parse(wkt).get
+    assert(rec.startsWith("+proj=tmerc"))
+    val p = Crs.projFor(rec).get
+    val (x, y) = p.forward(14.0, 47.0)
+    val (ux, uy) = Crs.utmForward(14.0, 47.0, 33, southern = false)
+    assert(math.abs(x - ux) < 0.01 && math.abs(y - uy) < 0.01,
+      s"($x,$y) vs UTM ($ux,$uy)")
+    val (lo, la) = p.inverse(x, y)
+    assert(math.hypot(lo - 14.0, la - 47.0) < 1e-6)
+  }
+
+  test("US State Plane LCC in US survey feet: unit-scaled output, roundtrip") {
+    // California zone 3 shape (NAD83, Lambert 2SP, US foot)
+    val wkt = """PROJCS["NAD_1983_StatePlane_California_III_FIPS_0403_Feet",GEOGCS["GCS_North_American_1983",DATUM["D_North_American_1983",SPHEROID["GRS_1980",6378137.0,298.257222101]],PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]],PROJECTION["Lambert_Conformal_Conic"],PARAMETER["False_Easting",6561666.666666666],PARAMETER["False_Northing",1640416.666666667],PARAMETER["Central_Meridian",-120.5],PARAMETER["Standard_Parallel_1",37.06666666666667],PARAMETER["Standard_Parallel_2",38.43333333333333],PARAMETER["Latitude_Of_Origin",36.5],UNIT["Foot_US",0.3048006096012192]]"""
+    val rec = WktCrs.parse(wkt).get
+    assert(rec.contains("+proj=lcc") && rec.contains("+to_meter=0.3048006096012192"), rec)
+    val p = Crs.projFor(rec).get
+    // the same grid in meters: offsets converted, no unit wrapper
+    val meters = Crs.projFor(
+      "+proj=lcc +lat_0=36.5 +lon_0=-120.5 +lat_1=37.06666666666667 " +
+        "+lat_2=38.43333333333333 +k_0=1.0 +a=6378137.0 +rf=298.257222101 " +
+        s"+x_0=${6561666.666666666 * 0.3048006096012192} " +
+        s"+y_0=${1640416.666666667 * 0.3048006096012192}").get
+    val (fx, fy) = p.forward(-121.5, 37.5)
+    val (mx, my) = meters.forward(-121.5, 37.5)
+    assert(math.abs(fx * 0.3048006096012192 - mx) < 1e-6)
+    assert(math.abs(fy * 0.3048006096012192 - my) < 1e-6)
+    // natural origin lands on the false origin IN FEET
+    val (ox, oy) = p.forward(-120.5, 36.5)
+    assert(math.abs(ox - 6561666.666666666) < 1e-4)
+    assert(math.abs(oy - 1640416.666666667) < 1e-4)
+    val (lo, la) = p.inverse(fx, fy)
+    assert(math.hypot(lo + 121.5, la - 37.5) < 1e-7)
+  }
+
+  test("long-tail families parse from ESRI names; unsupported family -> None") {
+    val moll = """PROJCS["World_Mollweide",GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984",SPHEROID["WGS_1984",6378137.0,298.257223563]],PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]],PROJECTION["Mollweide"],PARAMETER["False_Easting",0.0],PARAMETER["False_Northing",0.0],PARAMETER["Central_Meridian",0.0],UNIT["Meter",1.0]]"""
+    val rec = WktCrs.parse(moll).get
+    val (x, y) = Crs.projFor(rec).get.forward(40.0, -20.0)
+    val (rx, ry) = new Crs.Mollweide(6378137.0, 0.0, 0.0, 0.0).forward(40.0, -20.0)
+    assert(x == rx && y == ry)
+    val bonne = moll.replace("\"Mollweide\"", "\"Bonne\"")
+    assert(WktCrs.parse(bonne).isEmpty, "unsupported projection name")
+    assert(WktCrs.parse("LOCAL_CS[\"engineering\"]").isEmpty)
+    assert(WktCrs.parse("not wkt at all").isEmpty)
+  }
+
+  test("TOWGS84 in the GEOGCS becomes +towgs84 on the record") {
+    val wkt = """PROJCS["Monte Mario / Italy zone 1",GEOGCS["Monte Mario",DATUM["Monte_Mario",SPHEROID["International 1924",6378388,297],TOWGS84[-104.1,-49.1,-9.9,0.971,-2.917,0.714,-11.68]],PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],PROJECTION["Transverse_Mercator"],PARAMETER["latitude_of_origin",0],PARAMETER["central_meridian",9],PARAMETER["scale_factor",0.9996],PARAMETER["false_easting",1500000],PARAMETER["false_northing",0],UNIT["metre",1]]"""
+    val rec = WktCrs.parse(wkt).get
+    assert(rec.contains("+towgs84=-104.1,-49.1,-9.9,0.971,-2.917,0.714,-11.68"), rec)
+    // the shift must move the result vs the shiftless twin
+    val shifted = Crs.projFor(rec).get
+    val plain = Crs.projFor(rec.replaceAll(" \\+towgs84=[^ ]+", "")).get
+    val (sx, sy) = shifted.forward(12.0, 42.0)
+    val (px, py) = plain.forward(12.0, 42.0)
+    assert(math.hypot(sx - px, sy - py) > 30.0)
+    val (lo, la) = shifted.inverse(sx, sy)
+    assert(math.hypot(lo - 12.0, la - 42.0) < 1e-6)
+  }
+
+  test("st_transform accepts WKT text directly (pyproj to_crs parity)") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    import graft.sql.functions._
+    import spark.implicits._
+    val esri = "GEOGCS[\"GCS_WGS_1984\",DATUM[\"D_WGS_1984\",SPHEROID[\"WGS_1984\",6378137.0,298.257223563]],PRIMEM[\"Greenwich\",0.0],UNIT[\"Degree\",0.0174532925199433]]"
+    val utmWkt = "PROJCS[\"UTM_Zone_33N\",GEOGCS[\"GCS_WGS_1984\",DATUM[\"D_WGS_1984\",SPHEROID[\"WGS_1984\",6378137.0,298.257223563]],PRIMEM[\"Greenwich\",0.0],UNIT[\"Degree\",0.0174532925199433]],PROJECTION[\"Transverse_Mercator\"],PARAMETER[\"latitude_of_origin\",0.0],PARAMETER[\"central_meridian\",15.0],PARAMETER[\"scale_factor\",0.9996],PARAMETER[\"false_easting\",500000.0],PARAMETER[\"false_northing\",0.0],UNIT[\"Meter\",1.0]]"
+    val got = Seq((14.0, 47.0)).toDF("lon", "lat")
+      .select(st_transform(st_point($"lon", $"lat"), lit(esri), lit(utmWkt)).as("g"))
+      .select(st_x($"g"), st_y($"g")).as[(Double, Double)].head()
+    val (ux, uy) = Crs.utmForward(14.0, 47.0, 33, southern = false)
+    assert(math.abs(got._1 - ux) < 0.01 && math.abs(got._2 - uy) < 0.01)
+  }
+
+  test("shapefile .prj sidecar: written on write(crs=), detected on read") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    import graft.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("shp_prj").toString
+    val df = Seq((1L, 7.44, 46.95), (2L, -0.13, 51.5))
+      .toDF("id", "lon", "lat")
+      .withColumn("geometry", st_point($"lon", $"lat"))
+      .select($"id", $"geometry")
+    graft.io.ShapefileIO.write(df.repartition(2), dir, crs = Some("EPSG:4326"))
+    // every part trio carries a sidecar
+    val prjs = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".prj"))
+    assert(prjs.length == new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".shp")))
+    val back = graft.api.GeoDataFrame.readShapefile(spark, dir)
+    assert(back.crs.contains("EPSG:4326"))
+    // unsupported synthesis: no sidecar, read detects nothing, still works
+    val dir2 = java.nio.file.Files.createTempDirectory("shp_noprj").toString
+    graft.io.ShapefileIO.write(df, dir2, crs = Some("EPSG:5514"))
+    assert(!new java.io.File(dir2).listFiles().exists(_.getName.endsWith(".prj")))
+    assert(graft.api.GeoDataFrame.readShapefile(spark, dir2).crs.isEmpty)
+  }
+}

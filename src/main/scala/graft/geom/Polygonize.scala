@@ -164,4 +164,35 @@ object Polygonize {
     }
     GeometryCollection(polys)
   }
+
+  /** GEOS/shapely `build_area`: form the maximal areal geometry from
+    * linework — polygonize the faces, classify the nesting tree by shell
+    * containment (a face whose representative interior point sits inside
+    * an odd number of OTHER faces' shells is a hole), keep the even-depth
+    * faces, and dissolve shared edges by unioning them. Empty / dangling
+    * linework yields an empty collection, like GEOS.
+    */
+  def buildArea(g: Geometry): Geometry = {
+    val faces: Array[Polygon] = polygonize(g) match {
+      case p: Polygon            => Array(p)
+      case m: MultiPolygon       => m.polys
+      case c: GeometryCollection => c.geoms.collect { case p: Polygon => p }
+      case _                     => Array.empty
+    }
+    if (faces.isEmpty) return GeometryCollection(Array.empty)
+    val pts = faces.map(Constructive.pointOnSurface)
+    val keep = faces.indices.filter { i =>
+      var d = 0
+      var j = 0
+      while (j < faces.length) {
+        if (j != i) {
+          val shell = Polygon(Array(faces(j).rings(0)))
+          if (Predicates.locate(pts(i).x, pts(i).y, shell) == Predicates.IN) d += 1
+        }
+        j += 1
+      }
+      d % 2 == 0
+    }.map(faces).toSeq
+    Overlay.unionAll(keep)
+  }
 }

@@ -457,6 +457,10 @@ object GraftDefs {
       a => wkb(Extended.concaveHull(geom(a(0)), dbl(a(1))))),
     "st_voronoipolygons" -> g1(B)(g => wkb(Extended.voronoiPolygons(g))),
     "st_polygonize" -> g1(B)(g => wkb(Polygonize.polygonize(g))),
+    // shapely.build_area / PostGIS ST_BuildArea: maximal areal geometry
+    // from noded linework (odd-depth faces become holes, shared edges
+    // dissolve)
+    "st_buildarea" -> g1(B)(g => wkb(Polygonize.buildArea(g))),
     "st_sharedpaths" -> g2(B)((x, y) => wkb(Extended.sharedPaths(x, y))),
     "st_normalize" -> g1(B)(g => wkb(Extended.normalize(g))),
     "st_snap" -> Spec(Seq(B, B, D), B,

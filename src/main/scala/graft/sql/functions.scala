@@ -131,6 +131,7 @@ object functions {
   def st_concaveHull(g: Column, ratio: Column): Column = fn("st_concavehull", g, ratio)
   def st_voronoiPolygons(g: Column): Column = fn("st_voronoipolygons", g)
   def st_polygonize(g: Column): Column = fn("st_polygonize", g)
+  def st_buildArea(g: Column): Column = fn("st_buildarea", g)
   def st_sharedPaths(a: Column, b: Column): Column = fn("st_sharedpaths", a, b)
   def st_relatePattern(a: Column, b: Column, pattern: Column): Column =
     fn("st_relatepattern", a, b, pattern)

@@ -61,4 +61,25 @@ class PolygonizeSpec extends AnyFunSuite {
     assert(Polygonize.polygonize(wkt("POINT (1 1)")).numGeometries == 0)
     assert(Polygonize.polygonize(wkt("MULTILINESTRING EMPTY")).numGeometries == 0)
   }
+
+  test("buildArea: nested rings alternate fill/hole, shared edges dissolve") {
+    // two nested squares: the inner face is odd-depth -> a hole; result is
+    // the annulus (GEOS ST_BuildArea semantics)
+    val annulus = Polygonize.buildArea(wkt(
+      "MULTILINESTRING ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 8 2, 8 8, 2 8, 2 2))"))
+    assert(math.abs(Measures.area(annulus) - (100.0 - 36.0)) < 1e-9)
+    // triple nesting: outer annulus + the innermost square are kept
+    val triple = Polygonize.buildArea(wkt(
+      "MULTILINESTRING ((0 0, 12 0, 12 12, 0 12, 0 0), " +
+        "(2 2, 10 2, 10 10, 2 10, 2 2), (4 4, 8 4, 8 8, 4 8, 4 4))"))
+    assert(math.abs(Measures.area(triple) - ((144.0 - 64.0) + 16.0)) < 1e-9)
+    // two squares sharing an edge: ONE polygon, the shared edge dissolved
+    val merged = Polygonize.buildArea(wkt(
+      "MULTILINESTRING ((0 0, 2 0), (2 0, 2 2), (2 2, 0 2), (0 2, 0 0), " +
+        "(2 0, 5 0), (5 0, 5 2), (5 2, 2 2))"))
+    assert(math.abs(Measures.area(merged) - 10.0) < 1e-9)
+    assert(merged.isInstanceOf[Polygon], s"expected dissolved polygon, got $merged")
+    // dangling linework only: empty, like GEOS
+    assert(Polygonize.buildArea(wkt("LINESTRING (0 0, 5 5)")).numGeometries == 0)
+  }
 }

@@ -92,8 +92,16 @@ object ShapefileIO {
       in.readFully(0, full)
       parseDbfHeader(full)
     } finally in.close()
+    // the .prj sidecar's CRS rides on the geometry field as the same
+    // `crs` metadata key GeoDataFrame.setCrs writes, so DSv2 reads carry
+    // it too (spark.read.format("shapefile") -> GeoDataFrame(df) keeps it)
+    val geomMeta = readPrjCrs(conf, path) match {
+      case Some(c) => new org.apache.spark.sql.types.MetadataBuilder()
+        .putString("crs", c).build()
+      case None => org.apache.spark.sql.types.Metadata.empty
+    }
     StructType(header.fields.map(f => StructField(f.name, sparkTypeOf(f))) :+
-      StructField(geomCol, BinaryType))
+      StructField(geomCol, BinaryType, nullable = true, geomMeta))
   }
 
   private def sibling(shp: Path, ext: String): Path = {

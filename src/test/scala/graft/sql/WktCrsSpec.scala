@@ -119,6 +119,10 @@ class WktCrsSpec extends AnyFunSuite {
       .count(_.getName.endsWith(".shp")))
     val back = graft.api.GeoDataFrame.readShapefile(spark, dir)
     assert(back.crs.contains("EPSG:4326"))
+    // the DSv2 connector carries the same crs metadata on its schema
+    val viaConnector = spark.read.format("shapefile").load(dir)
+    val gf = viaConnector.schema("geometry")
+    assert(gf.metadata.contains("crs") && gf.metadata.getString("crs") == "EPSG:4326")
     // unsupported synthesis: no sidecar, read detects nothing, still works
     val dir2 = java.nio.file.Files.createTempDirectory("shp_noprj").toString
     graft.io.ShapefileIO.write(df, dir2, crs = Some("EPSG:5514"))

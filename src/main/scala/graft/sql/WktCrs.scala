@@ -281,14 +281,23 @@ object WktCrs {
   }
 
   /** Full entry point: WKT text -> a CRS string this engine serves, or
-    * None (unsupported family / malformed).
+    * None (unsupported family / malformed). Memoized: st_transform
+    * normalizes its CRS arguments per ROW, and a WKT parse must not run
+    * 600k times for one query (same contract as Crs.projFor).
     */
   def parse(wkt: String): Option[String] = {
+    val c = cache.get(wkt)
+    if (c != null) return c
     val t = wkt.trim
-    if (t.isEmpty || !(t.startsWith("GEOGCS") || t.startsWith("PROJCS") ||
-        t.startsWith("geogcs") || t.startsWith("projcs"))) None
-    else parseTree(t).flatMap(reduce).filter { s =>
-      s.startsWith("EPSG:") || Crs.projFor(s).isDefined
-    }
+    val r =
+      if (t.isEmpty || !(t.startsWith("GEOGCS") || t.startsWith("PROJCS") ||
+          t.startsWith("geogcs") || t.startsWith("projcs"))) None
+      else parseTree(t).flatMap(reduce).filter { s =>
+        s.startsWith("EPSG:") || Crs.projFor(s).isDefined
+      }
+    cache.put(wkt, r)
+    r
   }
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[String]]()
 }

@@ -327,6 +327,42 @@ object GraftDefs {
     "st_length" -> g1(D)(Measures.length),
     "st_perimeter" -> g1(D)(Measures.perimeter),
     "st_distance" -> g2(D)(Measures.distance),
+    // PostGIS geography surface over lon/lat WGS84 coordinates — metric
+    // results without a to_crs roundtrip. Spheroid = Vincenty (sub-mm,
+    // near-antipodal band falls back to the sphere, documented);
+    // sphere = haversine on the IUGG mean radius.
+    "st_distancespheroid" -> g2(D)((a, b) => (a, b) match {
+      case (p: Point, q: Point) =>
+        Crs.geodesicDistance(p.x, p.y, q.x, q.y)
+      case _ => throw new IllegalArgumentException(
+        "st_distancespheroid expects two POINTs (lon/lat degrees)")
+    }),
+    "st_distancesphere" -> g2(D)((a, b) => (a, b) match {
+      case (p: Point, q: Point) =>
+        Crs.sphereDistance(p.x, p.y, q.x, q.y)
+      case _ => throw new IllegalArgumentException(
+        "st_distancesphere expects two POINTs (lon/lat degrees)")
+    }),
+    // geodesic length of (multi)linestring vertices chained with Vincenty
+    "st_lengthspheroid" -> g1(D) { g =>
+      def lineLen(l: LineString): Double = {
+        var s = 0.0
+        var i = 0
+        while (i + 3 < l.xy.length) {
+          s += Crs.geodesicDistance(l.xy(i), l.xy(i + 1), l.xy(i + 2), l.xy(i + 3))
+          i += 2
+        }
+        s
+      }
+      g match {
+        case l: LineString      => lineLen(l)
+        case m: MultiLineString => m.lines.map(lineLen).sum
+        case _: Point           => 0.0
+        case c: GeometryCollectionLike =>
+          c.children.collect { case l: LineString => lineLen(l) }.sum
+        case _                  => 0.0
+      }
+    },
     // ---- predicates (reference expr.py:983-998)
     "st_intersects" -> g2(BO)(Predicates.intersects),
     "st_disjoint" -> g2(BO)(Predicates.disjoint),
@@ -2491,6 +2527,70 @@ object Crs {
       val (phi, lam) = geodDirect(s, math.atan2(dx, dy))
       (math.toDegrees(lam), math.toDegrees(phi))
     }
+  }
+
+  /** Standalone Vincenty inverse on WGS84: geodesic distance in meters
+    * between two lon/lat points — the kernel behind st_distancespheroid /
+    * st_lengthspheroid (PostGIS geography surface). Near-antipodal pairs
+    * where Vincenty's lambda iteration diverges (a ~0.5-degree band
+    * around the antipode) fall back to the great circle on the mean
+    * radius — worst-case ~0.5% there, documented, never NaN.
+    */
+  def geodesicDistance(lon1: Double, lat1: Double,
+      lon2: Double, lat2: Double): Double = {
+    val a = 6378137.0; val f = 1.0 / 298.257223563
+    val b = a * (1.0 - f)
+    val u1 = math.atan((1.0 - f) * math.tan(math.toRadians(lat1)))
+    val u2 = math.atan((1.0 - f) * math.tan(math.toRadians(lat2)))
+    val su1 = math.sin(u1); val cu1 = math.cos(u1)
+    val su2 = math.sin(u2); val cu2 = math.cos(u2)
+    val bigL = math.toRadians(lon2 - lon1)
+    var lambda = bigL
+    var iter = 0
+    var converged = false
+    var sinSigma = 0.0; var cosSigma = 0.0; var sigma = 0.0
+    var cos2Alpha = 0.0; var cos2SigmaM = 0.0
+    while (iter < 100 && !converged) {
+      val sl = math.sin(lambda); val cl = math.cos(lambda)
+      sinSigma = math.hypot(cu2 * sl, cu1 * su2 - su1 * cu2 * cl)
+      cosSigma = su1 * su2 + cu1 * cu2 * cl
+      if (sinSigma == 0.0) return 0.0
+      sigma = math.atan2(sinSigma, cosSigma)
+      val sinAlpha = cu1 * cu2 * sl / sinSigma
+      cos2Alpha = 1.0 - sinAlpha * sinAlpha
+      cos2SigmaM = if (cos2Alpha == 0.0) 0.0
+        else cosSigma - 2.0 * su1 * su2 / cos2Alpha
+      val c = f / 16.0 * cos2Alpha * (4.0 + f * (4.0 - 3.0 * cos2Alpha))
+      val prev = lambda
+      lambda = bigL + (1.0 - c) * f * sinAlpha * (sigma +
+        c * sinSigma * (cos2SigmaM +
+          c * cosSigma * (-1.0 + 2.0 * cos2SigmaM * cos2SigmaM)))
+      if (math.abs(lambda - prev) < 1e-13) converged = true
+      iter += 1
+    }
+    if (!converged) return sphereDistance(lon1, lat1, lon2, lat2)
+    val uSq = cos2Alpha * (a * a - b * b) / (b * b)
+    val bigA = 1.0 + uSq / 16384.0 *
+      (4096.0 + uSq * (-768.0 + uSq * (320.0 - 175.0 * uSq)))
+    val bigB = uSq / 1024.0 * (256.0 + uSq * (-128.0 + uSq * (74.0 - 47.0 * uSq)))
+    val dSigma = bigB * sinSigma * (cos2SigmaM + bigB / 4.0 *
+      (cosSigma * (-1.0 + 2.0 * cos2SigmaM * cos2SigmaM) -
+        bigB / 6.0 * cos2SigmaM * (-3.0 + 4.0 * sinSigma * sinSigma) *
+          (-3.0 + 4.0 * cos2SigmaM * cos2SigmaM)))
+    b * bigA * (sigma - dSigma)
+  }
+
+  /** Great-circle distance (haversine) on the IUGG mean Earth radius
+    * 6371008.8 m — PostGIS ST_DistanceSphere's kernel.
+    */
+  def sphereDistance(lon1: Double, lat1: Double,
+      lon2: Double, lat2: Double): Double = {
+    val r = 6371008.8
+    val p1 = math.toRadians(lat1); val p2 = math.toRadians(lat2)
+    val dp = p2 - p1; val dl = math.toRadians(lon2 - lon1)
+    val h = math.sin(dp / 2) * math.sin(dp / 2) +
+      math.cos(p1) * math.cos(p2) * math.sin(dl / 2) * math.sin(dl / 2)
+    2.0 * r * math.asin(math.min(1.0, math.sqrt(h)))
   }
 
   /** Lambert conformal conic, ONE standard parallel (EPSG method 9801;

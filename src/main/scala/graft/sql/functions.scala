@@ -63,6 +63,9 @@ object functions {
   def st_length(g: Column): Column = fn("st_length", g)
   def st_perimeter(g: Column): Column = fn("st_perimeter", g)
   def st_distance(a: Column, b: Column): Column = fn("st_distance", a, b)
+  def st_distanceSpheroid(a: Column, b: Column): Column = fn("st_distancespheroid", a, b)
+  def st_distanceSphere(a: Column, b: Column): Column = fn("st_distancesphere", a, b)
+  def st_lengthSpheroid(g: Column): Column = fn("st_lengthspheroid", g)
 
   // -------------------------------------------------------------- predicates
   def st_intersects(a: Column, b: Column): Column = fn("st_intersects", a, b)

@@ -499,6 +499,36 @@ class ProjLongTailSpec extends AnyFunSuite {
     assert(vx == gx1 && vy == gy1)
   }
 
+  test("geodesic distance: equator/meridian anchors, sphere agreement, antipodal fallback") {
+    // the equator is a geodesic of radius a
+    assert(math.abs(Crs.geodesicDistance(0.0, 0.0, 10.0, 0.0) -
+      A * math.toRadians(10.0)) < 1e-6)
+    // a meridian is a geodesic: Vincenty must reproduce the meridian arc
+    val steps = 4000
+    var arc = 0.0
+    var k = 0
+    while (k < steps) { // 0 -> 50 deg
+      val a0 = math.toRadians(50.0 * k / steps)
+      val a1 = math.toRadians(50.0 * (k + 1) / steps)
+      arc += (a1 - a0) / 6.0 * (mRad(a0) + 4 * mRad((a0 + a1) / 2) + mRad(a1))
+      k += 1
+    }
+    assert(math.abs(Crs.geodesicDistance(25.0, 0.0, 25.0, 50.0) - arc) < 0.001,
+      s"meridian ${Crs.geodesicDistance(25.0, 0.0, 25.0, 50.0)} vs $arc")
+    // symmetry + zero
+    assert(Crs.geodesicDistance(7.0, 46.0, 7.0, 46.0) == 0.0)
+    assert(math.abs(Crs.geodesicDistance(7.0, 46.0, 9.0, 48.0) -
+      Crs.geodesicDistance(9.0, 48.0, 7.0, 46.0)) < 1e-9)
+    // sphere and spheroid agree to the flattening scale (< 0.6%)
+    val dV = Crs.geodesicDistance(2.0, 41.0, 37.6, 55.7)
+    val dS = Crs.sphereDistance(2.0, 41.0, 37.6, 55.7)
+    assert(math.abs(dV / dS - 1.0) < 0.006, s"$dV vs $dS")
+    assert(dV > 2.9e6 && dV < 3.2e6) // Barcelona -> Moscow ~3050 km
+    // near-antipodal: finite fallback, never NaN, ~ half the circumference
+    val anti = Crs.geodesicDistance(0.0, 0.0, 179.9, 0.3)
+    assert(!anti.isNaN && anti > 1.9e7 && anti < 2.1e7)
+  }
+
   test("parser: every r11 family parses, composes with towgs84, rejects degenerate tpeqd") {
     // probe inside each family's service domain (cass/gnom/ortho are
     // regional by construction — a world-wide probe is out of contract)

@@ -251,4 +251,18 @@ class FunctionsSpec extends AnyFunSuite {
     // roundtrip mercator -> UTM -> mercator within series accuracy
     assert(math.abs(r.getDouble(4) - r.getDouble(5)) < 1e-3)
   }
+
+  test("geography measures: st_distancespheroid/sphere/lengthspheroid") {
+    val r = Seq((7.44, 46.95, 8.54, 47.38)).toDF("x1", "y1", "x2", "y2")
+      .select(
+        st_distanceSpheroid(st_point($"x1", $"y1"), st_point($"x2", $"y2")).as("dv"),
+        st_distanceSphere(st_point($"x1", $"y1"), st_point($"x2", $"y2")).as("ds"),
+        st_lengthSpheroid(st_makeLine(array(
+          st_point($"x1", $"y1"), st_point($"x2", $"y2")))).as("len"))
+      .collect()(0)
+    // Bern -> Zurich ~95 km; the line's length IS the endpoint geodesic
+    assert(r.getDouble(0) > 90000 && r.getDouble(0) < 100000)
+    assert(math.abs(r.getDouble(0) / r.getDouble(1) - 1.0) < 0.006)
+    assert(r.getDouble(2) == r.getDouble(0))
+  }
 }

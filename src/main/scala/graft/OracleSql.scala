@@ -1408,6 +1408,32 @@ object OracleSql {
             UNION ALL SELECT * FROM gno)
       ORDER BY c_custkey, code""",
 
+    // r11 geography: haversine on the IUGG mean radius mirrored with the
+    // SAME double expression structure as the kernel; the Vincenty columns
+    // are contract booleans (flattening-scale agreement, line length ==
+    // endpoint geodesic)
+    "g83_geography" -> s"""
+      WITH p AS (SELECT c_custkey, cx, cy FROM ($custPts)),
+      b AS (SELECT c_custkey,
+              cx / 100.0 - 50.0 AS lon1, cy / 25.0 + 10.0 AS lat1,
+              (cx / 100.0 - 50.0) + 3.0 + (c_custkey % 7)::DOUBLE AS lon2,
+              (cy / 25.0 + 10.0) - 5.0 + (c_custkey % 11)::DOUBLE AS lat2
+            FROM p),
+      h AS (SELECT c_custkey,
+              radians(lat1) AS p1, radians(lat2) AS p2,
+              radians(lat2) - radians(lat1) AS dp,
+              radians(lon2 - lon1) AS dl
+            FROM b),
+      x AS (SELECT c_custkey,
+              sin(dp / 2) * sin(dp / 2) +
+                cos(p1) * cos(p2) * sin(dl / 2) * sin(dl / 2) AS hav
+            FROM h)
+      SELECT c_custkey,
+             round(2.0 * 6371008.8 * asin(least(1.0, sqrt(hav))), 3) AS sphere_m,
+             true AS spheroid_ok,
+             true AS len_eq
+      FROM x ORDER BY c_custkey""",
+
     // generic TM forward (Snyder 8-9..8-25, GRS80, lat0=0 -> M0=0)
     // mirrored term by term over the same per-code parameter rows the
     // Spark query broadcasts; roundtrip deltas are exactly 0 at 5 dp

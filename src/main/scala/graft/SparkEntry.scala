@@ -1829,6 +1829,29 @@ object SparkEntry {
         .orderBy(col("c_custkey"), col("code"))
     }),
 
+    // r11 geography measures: haversine mirrored term-by-term in SQL
+    // (closed form); Vincenty has no closed form, so the oracle checks
+    // its CONTRACT — within the flattening scale of the sphere value and
+    // identical to the 2-point line's geodesic length
+    "g83_geography" -> ((s, d) => {
+      customerPts(s, d)
+        .withColumn("lon1", col("cx") / 100.0 - 50.0)
+        .withColumn("lat1", col("cy") / 25.0 + 10.0)
+        .withColumn("lon2", col("lon1") + 3.0 + (col("c_custkey") % 7).cast("double"))
+        .withColumn("lat2", col("lat1") - 5.0 + (col("c_custkey") % 11).cast("double"))
+        .withColumn("p1", st_point(col("lon1"), col("lat1")))
+        .withColumn("p2", st_point(col("lon2"), col("lat2")))
+        .withColumn("ds", st_distanceSphere(col("p1"), col("p2")))
+        .withColumn("dv", st_distanceSpheroid(col("p1"), col("p2")))
+        .withColumn("len", st_lengthSpheroid(st_makeLine(array(col("p1"), col("p2")))))
+        .select(col("c_custkey"),
+          round(col("ds"), 3).as("sphere_m"),
+          (col("dv") / col("ds") > 0.993 && col("dv") / col("ds") < 1.007)
+            .as("spheroid_ok"),
+          (col("len") === col("dv")).as("len_eq"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // r10 adversarial overlay fixtures, distilled from the OverlayFuzzSpec
     // sweep's worst-case families (1200 seeded pairs; max area residual
     // 2.8e-12 landed on sliver-vs-jittered-sliver): micron slivers sharing

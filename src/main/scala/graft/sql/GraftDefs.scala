@@ -2593,6 +2593,83 @@ object Crs {
     2.0 * r * math.asin(math.min(1.0, math.sqrt(h)))
   }
 
+  /** Equal Earth (Šavrič, Patterson & Jenny 2018; PROJ `eqearth`): the
+    * modern standard equal-area world map. Spherical on the semi-major
+    * radius with the published quartic coefficients; theta = asin(sqrt(3)/2
+    * sin(phi)) is closed-form, the inverse solves the y polynomial by
+    * Newton. Equal-area by construction — the spec pins |J| == a^2 cos(phi)
+    * numerically, which uniquely validates the coefficient set.
+    */
+  final class EqualEarth(a: Double, lon0: Double, fe: Double, fn: Double)
+      extends Projection {
+    private val A1 = 1.340264; private val A2 = -0.081106
+    private val A3 = 0.000893; private val A4 = 0.003796
+    private val M = math.sqrt(3.0) / 2.0
+    private def yOf(th: Double): Double = {
+      val t2 = th * th; val t6 = t2 * t2 * t2
+      th * (A1 + A2 * t2 + t6 * (A3 + A4 * t2))
+    }
+    private def dyOf(th: Double): Double = {
+      val t2 = th * th; val t6 = t2 * t2 * t2
+      A1 + 3.0 * A2 * t2 + t6 * (7.0 * A3 + 9.0 * A4 * t2)
+    }
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      val phi = math.toRadians(lat)
+      val th = math.asin(M * math.sin(phi))
+      (fe + a * math.toRadians(lon - lon0) * math.cos(th) / (M * dyOf(th)),
+        fn + a * yOf(th))
+    }
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val yy = (y - fn) / a
+      var th = yy
+      var i = 0
+      while (i < 30) {
+        val d = (yOf(th) - yy) / dyOf(th)
+        th -= d
+        i = if (math.abs(d) < 1e-14) 30 else i + 1
+      }
+      val phi = math.asin(math.max(-1.0, math.min(1.0, math.sin(th) / M)))
+      val lon = lon0 + math.toDegrees((x - fe) * M * dyOf(th) / (a * math.cos(th)))
+      (lon, math.toDegrees(phi))
+    }
+  }
+
+  /** Bonne pseudoconic, ellipsoidal form (Snyder 1987 ch. 19 eqs
+    * 19-1..19-6; PROJ `bonne`): equal-area with every parallel an arc of
+    * true length — the classic French/Swiss historic sheets. rho =
+    * a m1/sin(phi1) + M1 - M(phi); the spec pins the equal-area Jacobian
+    * and the arc-true parallels.
+    */
+  final class Bonne(a: Double, invFlat: Double, lat1: Double, lon0: Double,
+      fe: Double, fn: Double) extends Projection {
+    private val f = 1.0 / invFlat
+    private val e2 = f * (2.0 - f)
+    private val p1 = math.toRadians(lat1)
+    private def m(phi: Double): Double = {
+      val s = math.sin(phi)
+      math.cos(phi) / math.sqrt(1.0 - e2 * s * s)
+    }
+    private val base = a * m(p1) / math.sin(p1) + mArc(a, e2, p1)
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      val phi = math.toRadians(lat)
+      val rho = base - mArc(a, e2, phi)
+      val eAng = a * m(phi) * math.toRadians(lon - lon0) / rho
+      (fe + rho * math.sin(eAng), fn + a * m(p1) / math.sin(p1) - rho * math.cos(eAng))
+    }
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val cot1 = a * m(p1) / math.sin(p1)
+      val dx = x - fe; val dy = cot1 - (y - fn)
+      val sgn = if (p1 < 0) -1.0 else 1.0
+      val rho = sgn * math.hypot(dx, dy)
+      val phi = mArcInv(a, e2, base - rho)
+      val mm = m(phi)
+      val lon =
+        if (math.abs(mm) < 1e-12) lon0
+        else lon0 + math.toDegrees(rho * math.atan2(sgn * dx, sgn * dy) / (a * mm))
+      (lon, math.toDegrees(phi))
+    }
+  }
+
   /** Lambert conformal conic, ONE standard parallel (EPSG method 9801;
     * Snyder's 2SP machinery with the analytic cone constant n = sin(phi1)
     * and the natural-origin scale factor k0). Fills the lat_1 == lat_2
@@ -2763,6 +2840,11 @@ object Crs {
         else Some(new TwoPointEquidistant(a, la1, lo1, la2, lo2, x0, y0))
       case Some("robin") => Some(new Robinson(a, lon0, x0, y0))
       case Some("vandg") => Some(new VanDerGrinten(a, lon0, x0, y0))
+      case Some("eqearth") => Some(new EqualEarth(a, lon0, x0, y0))
+      case Some("bonne") =>
+        // lat_1 = 0 degenerates the cone (rho singular) — proj rejects too
+        kv.get("lat_1").map(_.toDouble).filter(l => math.abs(l) > 1e-9)
+          .map(l1 => new Bonne(a, rf, l1, lon0, x0, y0))
       case Some("aeqd")  => Some(new AzimuthalEquidistant(a, rf, lat0, lon0, x0, y0))
       case Some("geos")  =>
         // +h (satellite height above the ellipsoid surface) is required

@@ -131,7 +131,9 @@ object WktCrs {
     "POLYCONIC" -> "poly",
     "KROVAK" -> "krovak",
     "HOTINE_OBLIQUE_MERCATOR_AZIMUTH_CENTER" -> "omerc",
-    "HOTINE_OBLIQUE_MERCATOR" -> "omerc_nouoff")
+    "HOTINE_OBLIQUE_MERCATOR" -> "omerc_nouoff",
+    "EQUAL_EARTH" -> "eqearth",
+    "BONNE" -> "bonne")
 
   /** Reduce a parsed WKT1 CRS to a string [[Crs.projFor]] / the EPSG
     * table understands. Preference order: outer AUTHORITY EPSG code
@@ -224,6 +226,8 @@ object WktCrs {
           case "eqdc"   =>
             s"+proj=eqdc +lat_0=$lat0 +lon_0=$lon0 +lat_1=${sp1.getOrElse(lat0)} +lat_2=${sp2.getOrElse(sp1.getOrElse(lat0))}"
           case "poly"   => s"+proj=poly +lat_0=$lat0 +lon_0=$lon0"
+          case "eqearth" => s"+proj=eqearth +lon_0=$lon0"
+          case "bonne"  => s"+proj=bonne +lat_1=${sp1.getOrElse(lat0)} +lon_0=$lon0"
           case "krovak" => s"+proj=krovak"
           case "omerc" | "omerc_nouoff" =>
             val az = p0("azimuth")

@@ -499,6 +499,55 @@ class ProjLongTailSpec extends AnyFunSuite {
     assert(vx == gx1 && vy == gy1)
   }
 
+  test("equal earth: equal-area everywhere (validates the published coefficients), roundtrip") {
+    val p = new Crs.EqualEarth(A, 0.0, 0.0, 0.0)
+    for (lat <- Seq(-85.0, -50.0, -15.0, 0.0, 25.0, 60.0, 88.0);
+         lon <- Seq(-175.0, -60.0, 0.0, 100.0, 175.0)) {
+      val (j11, j12, j21, j22) = jac(p, lon, lat)
+      val truth = A * A * math.cos(math.toRadians(lat))
+      assert(math.abs((j11 * j22 - j12 * j21) / truth - 1.0) < 1e-5,
+        s"area scale at ($lon,$lat)")
+      roundtrip(p, lon, lat, 1e-7, "eqearth")
+    }
+    // equator anchors: y = 0, x symmetric
+    val (xe, ye) = p.forward(120.0, 0.0)
+    assert(math.abs(ye) < 1e-9 && xe > 0)
+    val (xw, _) = p.forward(-120.0, 0.0)
+    assert(math.abs(xe + xw) < 1e-9)
+    // parser + ESRI WKT name route
+    val viaProj = Crs.parseProj("+proj=eqearth +lon_0=0").get
+    val (vx, vy) = viaProj.forward(40.0, -20.0)
+    val (px, py) = p.forward(40.0, -20.0)
+    assert(vx == px && vy == py)
+  }
+
+  test("bonne: equal-area, arc-true parallels, SP anchor, roundtrip") {
+    val p = new Crs.Bonne(A, RF, 45.0, 10.0, 0.0, 0.0)
+    for (lat <- Seq(-30.0, 10.0, 30.0, 45.0, 60.0, 80.0);
+         lon <- Seq(-60.0, -10.0, 10.0, 50.0, 80.0)) {
+      val (j11, j12, j21, j22) = jac(p, lon, lat)
+      val phi = math.toRadians(lat)
+      val truth = mRad(phi) * nRad(phi) * math.cos(phi)
+      assert(math.abs((j11 * j22 - j12 * j21) / truth - 1.0) < 1e-5,
+        s"area scale at ($lon,$lat)")
+      // every parallel has true length: plane distance per radian of
+      // longitude along the parallel equals N cos(phi)
+      val kP = math.hypot(j11, j21) / (nRad(phi) * math.cos(phi))
+      assert(math.abs(kP - 1.0) < 1e-6, s"parallel scale $kP at ($lon,$lat)")
+      roundtrip(p, lon, lat, 5e-7, "bonne")
+    }
+    // the central meridian at the standard parallel is the natural origin
+    val (ox, oy) = p.forward(10.0, 45.0)
+    assert(math.abs(ox) < 1e-9 && math.abs(oy) < 1e-9)
+    // parser: lat_1 required and non-zero
+    assert(Crs.parseProj("+proj=bonne +lon_0=10").isEmpty)
+    assert(Crs.parseProj("+proj=bonne +lat_1=0 +lon_0=10").isEmpty)
+    val viaProj = Crs.parseProj("+proj=bonne +lat_1=45 +lon_0=10 +ellps=WGS84").get
+    val (vx, vy) = viaProj.forward(20.0, 50.0)
+    val (px, py) = p.forward(20.0, 50.0)
+    assert(vx == px && vy == py)
+  }
+
   test("geodesic distance: equator/meridian anchors, sphere agreement, antipodal fallback") {
     // the equator is a geodesic of radius a
     assert(math.abs(Crs.geodesicDistance(0.0, 0.0, 10.0, 0.0) -

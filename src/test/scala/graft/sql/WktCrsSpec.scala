@@ -68,7 +68,7 @@ class WktCrsSpec extends AnyFunSuite {
     val (x, y) = Crs.projFor(rec).get.forward(40.0, -20.0)
     val (rx, ry) = new Crs.Mollweide(6378137.0, 0.0, 0.0, 0.0).forward(40.0, -20.0)
     assert(x == rx && y == ry)
-    val bonne = moll.replace("\"Mollweide\"", "\"Bonne\"")
+    val bonne = moll.replace("\"Mollweide\"", "\"Craster_Parabolic\"")
     assert(WktCrs.parse(bonne).isEmpty, "unsupported projection name")
     assert(WktCrs.parse("LOCAL_CS[\"engineering\"]").isEmpty)
     assert(WktCrs.parse("not wkt at all").isEmpty)

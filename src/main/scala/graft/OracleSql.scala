@@ -1408,6 +1408,27 @@ object OracleSql {
             UNION ALL SELECT * FROM gno)
       ORDER BY c_custkey, code""",
 
+    // r11 Equal Earth forward mirrored with the kernel's exact double
+    // expression structure (A-coefficients, closed-form theta, shared t2/t6
+    // powers); roundtrip deltas 0 at 6 dp
+    "g84_equal_earth" -> s"""
+      WITH p AS (SELECT c_custkey, cx, cy FROM ($custPts)),
+      b AS (SELECT c_custkey,
+              radians((cx / 30.0 - 170.0) - 12.0) AS dlam,
+              radians(cy / 6.0 - 83.0) AS phi FROM p),
+      t AS (SELECT c_custkey, dlam,
+              asin(sqrt(3.0) / 2.0 * sin(phi)) AS th FROM b),
+      q0 AS (SELECT c_custkey, dlam, th, th * th AS t2 FROM t),
+      q AS (SELECT c_custkey, dlam, th, t2, t2 * t2 * t2 AS t6 FROM q0)
+      SELECT c_custkey,
+        round(6378137.0 * dlam * cos(th)
+          / (sqrt(3.0) / 2.0 * (1.340264 + 3.0 * -0.081106 * t2
+             + t6 * (7.0 * 0.000893 + 9.0 * 0.003796 * t2))), 3) AS gx,
+        round(6378137.0 * (th * (1.340264 + -0.081106 * t2
+             + t6 * (0.000893 + 0.003796 * t2))), 3) AS gy,
+        0.0::DOUBLE AS dlon, 0.0::DOUBLE AS dlat
+      FROM q ORDER BY c_custkey""",
+
     // r11 geography: haversine on the IUGG mean radius mirrored with the
     // SAME double expression structure as the kernel; the Vincenty columns
     // are contract booleans (flattening-scale agreement, line length ==

@@ -1829,6 +1829,25 @@ object SparkEntry {
         .orderBy(col("c_custkey"), col("code"))
     }),
 
+    // r11 Equal Earth through a proj record — closed-form (theta = asin of
+    // sqrt(3)/2 sin(phi), quartic polynomial), so the oracle mirrors it
+    // term by term; roundtrip deltas 0 at 6 dp (Newton converges to fp)
+    "g84_equal_earth" -> ((s, d) => {
+      customerPts(s, d)
+        .withColumn("lon", col("cx") / 30.0 - 170.0)
+        .withColumn("lat", col("cy") / 6.0 - 83.0)
+        .withColumn("g", st_transform(st_point(col("lon"), col("lat")),
+          lit("EPSG:4326"), lit("+proj=eqearth +lon_0=12")))
+        .withColumn("rt", st_transform(col("g"),
+          lit("+proj=eqearth +lon_0=12"), lit("EPSG:4326")))
+        .select(col("c_custkey"),
+          round(st_x(col("g")), 3).as("gx"),
+          round(st_y(col("g")), 3).as("gy"),
+          round(abs(st_x(col("rt")) - col("lon")), 6).as("dlon"),
+          round(abs(st_y(col("rt")) - col("lat")), 6).as("dlat"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // r11 geography measures: haversine mirrored term-by-term in SQL
     // (closed form); Vincenty has no closed form, so the oracle checks
     // its CONTRACT — within the flattening scale of the sphere value and

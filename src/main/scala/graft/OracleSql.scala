@@ -727,6 +727,17 @@ object OracleSql {
              n_docs::BIGINT AS n_docs
       FROM r WHERE rnk = 1 ORDER BY cluster_id""",
 
+    // bloom delta dedup: contract oracle — the sketch is not SQL-
+    // reproducible, but the planted-copy recall (bloom's no-false-negative
+    // guarantee) and fp budget are; n_incoming counts src0 + 20 plants
+    "t30_delta_bloom" -> """
+      SELECT (SELECT count(*) FROM documents WHERE source = 'src0')::BIGINT
+               + 20 AS n_incoming,
+             20::BIGINT AS n_planted,
+             20::BIGINT AS planted_flagged,
+             true AS no_false_neg,
+             true AS fp_ok""",
+
     "t24_delta_dedup" -> """
       WITH starts AS (
         SELECT doc_id, source, text,

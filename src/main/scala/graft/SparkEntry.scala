@@ -2567,6 +2567,37 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // r11 bloom-filter delta dedup: the fixed-size-sketch version of t24
+    // for corpora whose distinct-hash set is too big to join — sketch
+    // ships as a plan literal, probe is codegen'd might_contain, zero
+    // corpus shuffle. The oracle checks the CONTRACT (bloom internals are
+    // not SQL-reproducible): 20 planted exact copies all flagged, zero
+    // false negatives against the exact truth join, false-positive count
+    // within 5x the configured fpp (floor 10 for small batches).
+    "t30_delta_bloom" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val corpus = docs.filter(col("source") =!= "src0")
+      val planted = corpus.orderBy(col("doc_id")).limit(20)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      val incoming = docs.filter(col("source") === "src0").unionByName(planted)
+      val flagged = Dedup.deltaDedupBloom(corpus, incoming, "text",
+        expectedItems = 100000L, fpp = 0.01)
+      val withTruth = flagged.join(
+        corpus.select(col("text")).distinct().withColumn("_dup", lit(1L)),
+        Seq("text"), "left")
+      withTruth.agg(
+        count(lit(1)).as("n_incoming"),
+        sum(when(col("doc_id") >= 1000000L, 1L).otherwise(0L)).as("n_planted"),
+        sum(when(col("doc_id") >= 1000000L && col("dup_maybe"), 1L).otherwise(0L))
+          .as("planted_flagged"),
+        (sum(when(col("_dup").isNotNull && !col("dup_maybe"), 1L).otherwise(0L))
+          === 0L).as("no_false_neg"),
+        (sum(when(col("_dup").isNull && col("dup_maybe"), 1L).otherwise(0L))
+          <= greatest(lit(10.0), count(lit(1)) * 0.05)).as("fp_ok"))
+        .select(col("n_incoming"), col("n_planted"), col("planted_flagged"),
+          col("no_false_neg"), col("fp_ok"))
+    }),
+
     // corpus TF-IDF, top terms per source: the corpus explodes once into
     // two hash aggregates (term freq per source, doc freq per term).
     // No broadcast hint on dfreq: its row count is the distinct-token

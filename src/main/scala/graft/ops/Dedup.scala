@@ -418,6 +418,52 @@ object Dedup {
       .agg(max(col("count"))).head.getLong(0)
   }
 
+  /** Bloom-filter delta dedup — the fixed-size-sketch twin of the exact
+    * distinct-hash join (t24): the corpus reduces to ONE bit array via
+    * Spark's native `BloomFilterAggregate` (partial + merge tree
+    * aggregation, codegen'd update path), which ships to the probe side
+    * as a foldable literal — no join against a corpus-sized hash set, no
+    * corpus shuffle, probe cost is one codegen'd `might_contain` per row.
+    *
+    * One-sided error, which is exactly the dedup contract: a text whose
+    * hash is in the corpus is ALWAYS flagged (no false negatives); false
+    * positives drop innocents at <= fpp and the flagged subset can be
+    * re-checked with the exact join when that matters. Deterministic:
+    * xxhash64 and the sketch layout are fixed, so re-runs flag identical
+    * rows.
+    *
+    * Size contract: the sketch is numBits/8 bytes on the driver and in
+    * the plan (~1.2 GB per 10^9 expected items at 1% — size fpp and the
+    * delta WINDOW, not all history, to the broadcast budget; all-history
+    * dedup at 10^11 docs wants the exact-join path or sharded sketches).
+    */
+  def deltaDedupBloom(
+      corpus: DataFrame,
+      incoming: DataFrame,
+      textCol: String,
+      expectedItems: Long,
+      fpp: Double = 0.01,
+      flagCol: String = "dup_maybe"): DataFrame = {
+    require(expectedItems > 0 && fpp > 0 && fpp < 1, "deltaDedupBloom: bad sizing")
+    import org.apache.spark.sql.GraftInterop
+    // standard optimal-bits formula for the target false-positive rate
+    val numBits = math.max(64L, math.ceil(-expectedItems.toDouble *
+      math.log(fpp) / (math.log(2.0) * math.log(2.0))).toLong)
+    val agg = new org.apache.spark.sql.catalyst.expressions.aggregate
+      .BloomFilterAggregate(
+        GraftInterop.expression(xxhash64(col(textCol))),
+        org.apache.spark.sql.catalyst.expressions.Literal(expectedItems),
+        org.apache.spark.sql.catalyst.expressions.Literal(numBits))
+      .toAggregateExpression()
+    val bytes = corpus.select(GraftInterop.column(agg).as("_bf"))
+      .head.getAs[Array[Byte]](0)
+    val mc = org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+      org.apache.spark.sql.catalyst.expressions.Literal(bytes,
+        org.apache.spark.sql.types.BinaryType),
+      GraftInterop.expression(xxhash64(col(textCol))))
+    incoming.withColumn(flagCol, coalesce(GraftInterop.column(mc), lit(false)))
+  }
+
   /** Connected components over a near-duplicate pair graph: assigns every
     * node the MINIMUM id reachable from it — the canonical-document id of
     * its duplicate cluster (the step after LSH pair generation in a dedup

@@ -379,6 +379,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(auto.count() > 0)
   }
 
+  test("deltaDedupBloom: no false negatives, bounded fp, deterministic, plan has no join") {
+    val corpus = (0 until 5000).map(i => (i.toLong, s"corpus document number $i body"))
+      .toDF("doc_id", "text")
+    val incoming = ((0 until 300).map(i => (100000L + i, s"fresh incoming doc $i")) ++
+      (0 until 50).map(i => (200000L + i, s"corpus document number ${i * 7} body")))
+      .toDF("doc_id", "text")
+    val flagged = Dedup.deltaDedupBloom(corpus, incoming, "text",
+      expectedItems = 10000L, fpp = 0.01)
+    val rows = flagged.select($"doc_id", $"dup_maybe").as[(Long, Boolean)]
+      .collect().toMap
+    // every true duplicate flagged — the bloom guarantee
+    for (i <- 0 until 50) assert(rows(200000L + i), s"false negative at $i")
+    // false positives within a generous multiple of fpp
+    val fp = (0 until 300).count(i => rows(100000L + i))
+    assert(fp <= 15, s"$fp false positives out of 300 at fpp=0.01")
+    // deterministic across partitionings
+    val again = Dedup.deltaDedupBloom(corpus.repartition(13), incoming.repartition(7),
+      "text", expectedItems = 10000L, fpp = 0.01)
+      .select($"doc_id", $"dup_maybe").as[(Long, Boolean)].collect().toMap
+    assert(again == rows)
+    // the probe plan is join-free: the sketch rides as a literal
+    val plan = flagged.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("join"), plan)
+  }
+
   test("qualityBucketsApprox: monotone tiers, full coverage, no giant sort") {
     val rows = (1L to 30L).map(i => (i, if (i % 2 == 0) "A" else "B", i * 10))
     val df = rows.toDF("doc_id", "lang", "score")

@@ -139,7 +139,15 @@ object WktCrs {
     * table understands. Preference order: outer AUTHORITY EPSG code
     * (when this engine supports it), else a synthesized proj record.
     */
+  /** A non-Greenwich PRIMEM (Paris/Ferro historic datums) would silently
+    * shift every longitude if ignored — reject the whole CRS instead.
+    */
+  private def greenwichPrimem(geogcs: Obj): Boolean =
+    child(geogcs, "PRIMEM").forall(p =>
+      nums(p).headOption.forall(v => math.abs(v) < 1e-12))
+
   def reduce(root: Obj): Option[String] = root.name match {
+    case "GEOGCS" if !greenwichPrimem(root) => None
     case "GEOGCS" =>
       authority(root) match {
         case Some(code) if code == "EPSG:4326" => Some(code)
@@ -161,6 +169,7 @@ object WktCrs {
       }
     case "PROJCS" =>
       val geog = child(root, "GEOGCS")
+      if (!geog.forall(greenwichPrimem)) return None
       val sph = geog.flatMap(spheroidOf)
       val projName = child(root, "PROJECTION").flatMap(firstStr).map(_.toUpperCase)
       val params: Map[String, Double] = children(root, "PARAMETER").flatMap { p =>

@@ -548,6 +548,32 @@ class ProjLongTailSpec extends AnyFunSuite {
     assert(vx == px && vy == py)
   }
 
+  test("world families: poles and antimeridian are finite, point-poles collapse to x=fe") {
+    val world: Seq[(String, Crs.Projection, Boolean)] = Seq(
+      ("sinu", new Crs.Sinusoidal(A, RF, 0.0, 100.0, 50.0), true),
+      ("moll", new Crs.Mollweide(A, 0.0, 100.0, 50.0), true),
+      ("eck4", new Crs.EckertIV(A, 0.0, 100.0, 50.0), false), // pole LINE
+      ("robin", new Crs.Robinson(A, 0.0, 100.0, 50.0), false),
+      ("eqearth", new Crs.EqualEarth(A, 0.0, 100.0, 50.0), false),
+      ("mill", new Crs.MillerCylindrical(A, 0.0, 100.0, 50.0), false),
+      ("eqdc", new Crs.EquidistantConic(A, RF, 23.0, 0.0, 29.5, 45.5, 100.0, 50.0), false))
+    for ((name, p, pointPole) <- world; lat <- Seq(-90.0, 90.0); lon <- Seq(0.0, 77.0)) {
+      val (x, y) = p.forward(lon, lat)
+      assert(!x.isNaN && !y.isNaN && !x.isInfinite && !y.isInfinite,
+        s"$name pole ($lon,$lat) -> ($x,$y)")
+      if (pointPole) assert(math.abs(x - 100.0) < 1e-6,
+        s"$name pole should collapse to the central meridian, got x=$x")
+    }
+    for ((name, p, _) <- world; lat <- Seq(-60.0, 0.0, 60.0)) {
+      val (x1, y1) = p.forward(180.0, lat)
+      val (x2, y2) = p.forward(-180.0, lat)
+      assert(!x1.isNaN && !x2.isNaN, s"$name antimeridian")
+      // symmetric rims about the central meridian
+      assert(math.abs((x1 - 100.0) + (x2 - 100.0)) < 1e-6, s"$name rim symmetry")
+      assert(math.abs(y1 - y2) < 1e-6)
+    }
+  }
+
   test("geodesic distance: equator/meridian anchors, sphere agreement, antipodal fallback") {
     // the equator is a geodesic of radius a
     assert(math.abs(Crs.geodesicDistance(0.0, 0.0, 10.0, 0.0) -

@@ -72,6 +72,10 @@ class WktCrsSpec extends AnyFunSuite {
     assert(WktCrs.parse(bonne).isEmpty, "unsupported projection name")
     assert(WktCrs.parse("LOCAL_CS[\"engineering\"]").isEmpty)
     assert(WktCrs.parse("not wkt at all").isEmpty)
+    // a non-Greenwich prime meridian (NTF Paris) must be rejected whole —
+    // ignoring it would silently shift every longitude by 2.33 degrees
+    val paris = """GEOGCS["NTF (Paris)",DATUM["Nouvelle_Triangulation_Francaise_Paris",SPHEROID["Clarke 1880 (IGN)",6378249.2,293.4660212936265]],PRIMEM["Paris",2.33722917],UNIT["grad",0.01570796326794897]]"""
+    assert(WktCrs.parse(paris).isEmpty, "Paris meridian must reject")
   }
 
   test("TOWGS84 in the GEOGCS becomes +towgs84 on the record") {

@@ -242,7 +242,7 @@ object WktCrs {
             val az = p0("azimuth")
             val gam = pm("rectified_grid_angle").map(g => s" +gamma=$g").getOrElse("")
             val off = if (fam == "omerc_nouoff") " +no_uoff" else ""
-            s"+proj=omerc +lat_0=$lat0 +lonc=${p0("longitude_of_center", "central_meridian")} +alpha=$az$gam$off"
+            s"+proj=omerc +lat_0=$lat0 +lonc=${p0("longitude_of_center", "central_meridian")} +alpha=$az +k_0=$k$gam$off"
           case other => return None
         }
         val tow = geog.flatMap(towgs84Of).map(t => s" +towgs84=$t").getOrElse("")
@@ -268,17 +268,151 @@ object WktCrs {
       nums(t).padTo(7, 0.0).take(7).mkString(",")
     }.filter(_.split(",").exists(_.toDouble != 0.0))
 
+  // ------------------------------------------------------------ synthesis
+
+  /** proj family -> WKT1 PROJECTION name + the parameters it carries, for
+    * [[recordToWkt]] (the inverse direction of [[reduce]]'s name table).
+    */
+  private val famToWkt: Map[String, String] = Map(
+    "tmerc" -> "Transverse_Mercator", "aea" -> "Albers_Conic_Equal_Area",
+    "laea" -> "Lambert_Azimuthal_Equal_Area", "cea" -> "Cylindrical_Equal_Area",
+    "sterea" -> "Oblique_Stereographic", "cass" -> "Cassini_Soldner",
+    "sinu" -> "Sinusoidal", "moll" -> "Mollweide", "eck4" -> "Eckert_IV",
+    "mill" -> "Miller_Cylindrical", "robin" -> "Robinson",
+    "vandg" -> "VanDerGrinten", "gnom" -> "Gnomonic", "ortho" -> "Orthographic",
+    "aeqd" -> "Azimuthal_Equidistant", "eqdc" -> "Equidistant_Conic",
+    "poly" -> "Polyconic", "eqearth" -> "Equal_Earth", "bonne" -> "Bonne")
+
+  /** Synthesize a WKT1 `.prj` body from a proj record in the supported
+    * grammar — the write-direction closure of [[parse]]: for every record
+    * R that [[Crs.parseProj]] serves, `parse(recordToWkt(R))` resolves to
+    * a projection whose forward map equals R's (the spec asserts this
+    * numerically per family). `+nadgrids` has no WKT1 expression — None.
+    */
+  def recordToWkt(rec: String): Option[String] = {
+    val kv = rec.trim.split("\\s+").iterator.filter(_.startsWith("+"))
+      .map(_.stripPrefix("+")).map { tok =>
+        val i = tok.indexOf('=')
+        if (i < 0) tok -> "" else tok.substring(0, i) -> tok.substring(i + 1)
+      }.toMap
+    if (kv.contains("nadgrids")) return None
+    if (Crs.projFor(rec).isEmpty) return None
+    def d(k: String, dflt: Double): Double =
+      kv.get(k).map(_.toDouble).getOrElse(dflt)
+    // ellipsoid values exactly as parseProj resolves them
+    val named = Map("WGS84" -> (6378137.0, 298.257223563),
+      "GRS80" -> (6378137.0, 298.257222101), "airy" -> (6377563.396, 299.3249646),
+      "intl" -> (6378388.0, 297.0), "bessel" -> (6377397.155, 299.1528128),
+      "krass" -> (6378245.0, 298.3), "clrk66" -> (6378206.4, 294.978698214))
+    val (ea, erf) = kv.get("ellps").flatMap(named.get).getOrElse((6378137.0, 298.257223563))
+    val a = d("a", ea)
+    val rf = kv.get("rf").map(_.toDouble)
+      .orElse(kv.get("b").map(b => a / (a - b.toDouble))).getOrElse(erf)
+    val toM = d("to_meter", kv.get("units") match {
+      case Some("ft") => 0.3048; case Some("us-ft") => 1200.0 / 3937.0; case _ => 1.0
+    })
+    val tow = kv.get("towgs84").map { t =>
+      s""",TOWGS84[${t.split(",").map(_.trim).padTo(7, "0").take(7).mkString(",")}]"""
+    }.getOrElse("")
+    val geogcs = s"""GEOGCS["unnamed",DATUM["unnamed",SPHEROID["unnamed",$a,$rf]$tow],PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]]"""
+    val fam = kv.getOrElse("proj", "")
+    if (fam == "longlat" || fam == "latlong") return Some(geogcs)
+    val lat0 = d("lat_0", 0.0); val lon0 = d("lon_0", 0.0)
+    val k0 = d("k", d("k_0", 1.0))
+    val feU = d("x_0", 0.0) / toM; val fnU = d("y_0", 0.0) / toM
+    def p(n: String, v: Double) = s""",PARAMETER["$n",$v]"""
+    val (projName, params): (String, String) = fam match {
+      case "utm" =>
+        val zone = kv("zone").toInt
+        ("Transverse_Mercator",
+          p("latitude_of_origin", 0.0) + p("central_meridian", zone * 6.0 - 183.0) +
+            p("scale_factor", 0.9996) + p("false_easting", 500000.0 / toM) +
+            p("false_northing", (if (kv.contains("south")) 10000000.0 else 0.0) / toM))
+      case "tmerc" =>
+        ("Transverse_Mercator", p("latitude_of_origin", lat0) +
+          p("central_meridian", lon0) + p("scale_factor", k0) +
+          p("false_easting", feU) + p("false_northing", fnU))
+      case "lcc" =>
+        val l1 = d("lat_1", lat0); val l2 = d("lat_2", l1)
+        if (math.abs(l1 - l2) < 1e-9)
+          ("Lambert_Conformal_Conic_1SP", p("latitude_of_origin", lat0) +
+            p("central_meridian", lon0) + p("scale_factor", k0) +
+            p("false_easting", feU) + p("false_northing", fnU))
+        else
+          ("Lambert_Conformal_Conic_2SP", p("standard_parallel_1", l1) +
+            p("standard_parallel_2", l2) + p("latitude_of_origin", lat0) +
+            p("central_meridian", lon0) +
+            p("false_easting", feU) + p("false_northing", fnU))
+      case "aea" =>
+        ("Albers_Conic_Equal_Area", p("standard_parallel_1", d("lat_1", lat0)) +
+          p("standard_parallel_2", d("lat_2", d("lat_1", lat0))) +
+          p("latitude_of_origin", lat0) + p("central_meridian", lon0) +
+          p("false_easting", feU) + p("false_northing", fnU))
+      case "eqdc" =>
+        ("Equidistant_Conic", p("standard_parallel_1", d("lat_1", lat0)) +
+          p("standard_parallel_2", d("lat_2", d("lat_1", lat0))) +
+          p("latitude_of_origin", lat0) + p("central_meridian", lon0) +
+          p("false_easting", feU) + p("false_northing", fnU))
+      case "cea" =>
+        ("Cylindrical_Equal_Area", p("standard_parallel_1", d("lat_ts", 0.0)) +
+          p("central_meridian", lon0) +
+          p("false_easting", feU) + p("false_northing", fnU))
+      case "merc" =>
+        kv.get("lat_ts") match {
+          case Some(ts) => ("Mercator_2SP", p("standard_parallel_1", ts.toDouble) +
+            p("central_meridian", lon0) +
+            p("false_easting", feU) + p("false_northing", fnU))
+          case None => ("Mercator_1SP", p("central_meridian", lon0) +
+            p("scale_factor", k0) +
+            p("false_easting", feU) + p("false_northing", fnU))
+        }
+      case "webmerc" =>
+        ("Popular_Visualisation_Pseudo_Mercator", p("central_meridian", lon0) +
+          p("false_easting", feU) + p("false_northing", fnU))
+      case "stere" =>
+        ("Polar_Stereographic",
+          p("latitude_of_origin", lat0) +
+            p("standard_parallel_1", d("lat_ts", if (lat0 < 0) -90.0 else 90.0)) +
+            p("central_meridian", lon0) + p("scale_factor", k0) +
+            p("false_easting", feU) + p("false_northing", fnU))
+      case "omerc" =>
+        val gam = kv.get("gamma").map(g => p("rectified_grid_angle", g.toDouble))
+          .getOrElse("")
+        val name = if (kv.contains("no_uoff") || kv.contains("no_off"))
+          "Hotine_Oblique_Mercator" else "Hotine_Oblique_Mercator_Azimuth_Center"
+        (name, p("latitude_of_center", lat0) +
+          p("longitude_of_center", d("lonc", 0.0)) +
+          p("azimuth", d("alpha", 0.0)) + gam + p("scale_factor", k0) +
+          p("false_easting", feU) + p("false_northing", fnU))
+      case "bonne" =>
+        ("Bonne", p("standard_parallel_1", d("lat_1", 0.0)) +
+          p("central_meridian", lon0) +
+          p("false_easting", feU) + p("false_northing", fnU))
+      case f if famToWkt.contains(f) =>
+        // one-origin families: lat_0/lon_0 (+k where the parser reads it)
+        (famToWkt(f), p("latitude_of_origin", lat0) + p("central_meridian", lon0) +
+          p("scale_factor", k0) +
+          p("false_easting", feU) + p("false_northing", fnU))
+      case _ => return None // tpeqd/geos/krovak have no faithful WKT1 spelling here
+    }
+    val unit = if (math.abs(toM - 1.0) > 1e-12)
+      s"""UNIT["unit",$toM]""" else """UNIT["metre",1]"""
+    Some(s"""PROJCS["unnamed",$geogcs,PROJECTION["$projName"]$params,$unit]""")
+  }
+
   private val wgs84Geogcs =
     """GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",6378137,298.257223563,AUTHORITY["EPSG","7030"]],AUTHORITY["EPSG","6326"]],PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433],AUTHORITY["EPSG","4326"]]"""
 
-  /** Synthesize a WKT1 `.prj` body for the CRS strings shapefile WRITERS
-    * most often carry: EPSG:4326, EPSG:3857, and the WGS84 UTM zones.
-    * Other codes / proj records return None and the writer skips the
-    * sidecar (reading is the load-bearing direction — every consumer
-    * falls back to its own CRS default absent a .prj, but a WRONG .prj
-    * silently shifts data).
+  /** Synthesize a WKT1 `.prj` body: literal registry WKT for EPSG:4326 /
+    * EPSG:3857 / the WGS84 UTM zones (authority-stamped), and
+    * [[recordToWkt]] synthesis for ANY supported proj record (r11) —
+    * covering every family [[Crs.parseProj]] serves except nadgrids /
+    * tpeqd / geos / krovak, which have no faithful WKT1 spelling here.
+    * Unsupported inputs return None and the writer skips the sidecar
+    * (a WRONG .prj silently shifts data; absence just loses metadata).
     */
   def toWkt(crs: String): Option[String] = crs match {
+    case rec if rec.trim.startsWith("+") => recordToWkt(rec)
     case "EPSG:4326" => Some(wgs84Geogcs)
     case "EPSG:3857" => Some(
       s"""PROJCS["WGS 84 / Pseudo-Mercator",$wgs84Geogcs,PROJECTION["Mercator_1SP"],PARAMETER["central_meridian",0],PARAMETER["scale_factor",1],PARAMETER["false_easting",0],PARAMETER["false_northing",0],UNIT["metre",1],EXTENSION["PROJ4","+proj=merc +a=6378137 +b=6378137 +lat_ts=0 +lon_0=0 +x_0=0 +y_0=0 +k=1 +units=m +nadgrids=@null +wktext +no_defs"],AUTHORITY["EPSG","3857"]]""")

@@ -92,6 +92,77 @@ class WktCrsSpec extends AnyFunSuite {
     assert(math.hypot(lo - 12.0, la - 42.0) < 1e-6)
   }
 
+  test("recordToWkt closure: parse(synthesize(R)) matches R's forward map per family") {
+    val records = Seq(
+      "+proj=tmerc +lat_0=49 +lon_0=-2 +k=0.9996012717 +x_0=400000 +y_0=-100000 +ellps=airy",
+      "+proj=utm +zone=33 +ellps=WGS84",
+      "+proj=utm +zone=19 +south +ellps=GRS80",
+      "+proj=lcc +lat_0=46.5 +lon_0=3 +lat_1=49 +lat_2=44 +x_0=700000 +y_0=6600000 +ellps=GRS80",
+      "+proj=lcc +lat_0=39 +lat_1=39 +lat_2=39 +lon_0=-77 +k_0=0.9995 +x_0=400000 +y_0=100000",
+      "+proj=aea +lat_0=23 +lon_0=-96 +lat_1=29.5 +lat_2=45.5",
+      "+proj=laea +lat_0=52 +lon_0=10 +x_0=4321000 +y_0=3210000 +ellps=GRS80",
+      "+proj=cea +lat_ts=30 +lon_0=0",
+      "+proj=merc +lat_ts=20 +lon_0=5",
+      "+proj=merc +k=0.98 +lon_0=5",
+      "+proj=webmerc +lon_0=0",
+      "+proj=stere +lat_0=90 +lat_ts=70 +lon_0=-45",
+      "+proj=stere +lat_0=-90 +lat_ts=-71 +lon_0=0",
+      "+proj=sterea +lat_0=52.15616055555555 +lon_0=5.38763888888889 +k=0.9999079 +x_0=155000 +y_0=463000 +ellps=bessel",
+      "+proj=cass +lat_0=10.44 +lon_0=-61.33 +x_0=430000 +y_0=325000 +ellps=intl",
+      "+proj=sinu +lon_0=10 +ellps=WGS84",
+      "+proj=moll +lon_0=20",
+      "+proj=eck4 +lon_0=-30",
+      "+proj=mill +lon_0=90",
+      "+proj=robin +lon_0=0",
+      "+proj=vandg +lon_0=0",
+      "+proj=gnom +lat_0=40 +lon_0=-100",
+      "+proj=ortho +lat_0=52 +lon_0=5 +ellps=GRS80",
+      "+proj=aeqd +lat_0=10 +lon_0=25 +ellps=WGS84",
+      "+proj=eqdc +lat_0=23 +lon_0=-96 +lat_1=29.5 +lat_2=45.5",
+      "+proj=poly +lat_0=0 +lon_0=-54 +ellps=intl",
+      "+proj=eqearth +lon_0=12",
+      "+proj=bonne +lat_1=45 +lon_0=10 +ellps=WGS84",
+      "+proj=omerc +lat_0=4 +lonc=115 +alpha=53.31582 +k_0=0.99984 +x_0=590476.87 +y_0=442857.65 +ellps=WGS84",
+      "+proj=tmerc +lat_0=0 +lon_0=9 +k=0.9996 +x_0=1500000 +ellps=intl +towgs84=-104.1,-49.1,-9.9,0.971,-2.917,0.714,-11.68",
+      "+proj=lcc +lat_0=36.5 +lon_0=-120.5 +lat_1=37.0667 +lat_2=38.4333 +x_0=2000000 +y_0=500000 +units=us-ft +ellps=GRS80",
+      "+proj=longlat +ellps=intl")
+    for (rec <- records) {
+      val orig = Crs.projFor(rec)
+      assert(orig.isDefined, s"fixture record must parse: $rec")
+      val wkt = WktCrs.recordToWkt(rec)
+      assert(wkt.isDefined, s"no WKT synthesized for $rec")
+      val back = WktCrs.parse(wkt.get)
+      assert(back.isDefined, s"synthesized WKT failed to parse back: ${wkt.get}")
+      val p2 = if (back.get.startsWith("EPSG:")) None else Crs.projFor(back.get)
+      // EPSG short-circuit (e.g. 4326 via a WGS84 GEOGCS) is equivalence
+      // by identity; otherwise compare forward maps on in-domain samples
+      p2.foreach { q =>
+        val p1 = orig.get
+        val samples = rec match {
+          case r if r.contains("cass")  => Seq((-61.0, 10.7), (-61.5, 10.0))
+          case r if r.contains("gnom")  => Seq((-95.0, 43.0), (-100.0, 40.0))
+          case r if r.contains("ortho") => Seq((3.0, 50.0), (5.0, 52.0))
+          case r if r.contains("omerc") => Seq((113.0, 5.0), (117.0, 2.0))
+          case r if r.contains("stere +lat_0=-90") => Seq((10.0, -75.0), (-60.0, -80.0))
+          case r if r.contains("stere +lat_0=90")  => Seq((10.0, 75.0), (-60.0, 80.0))
+          case _ => Seq((3.0, 40.0), (-15.0, 52.0))
+        }
+        for ((lo, la) <- samples) {
+          val (x1, y1) = p1.forward(lo, la)
+          val (x2, y2) = q.forward(lo, la)
+          assert(math.hypot(x1 - x2, y1 - y2) < 1e-6,
+            s"$rec forward mismatch at ($lo,$la): ($x1,$y1) vs ($x2,$y2) via ${back.get}")
+        }
+      }
+    }
+    // no faithful WKT1 spelling -> None, never a wrong sidecar
+    assert(WktCrs.recordToWkt("+proj=tpeqd +lat_1=35 +lon_1=-10 +lat_2=45 +lon_2=25").isEmpty)
+    assert(WktCrs.recordToWkt("+proj=geos +h=35786023 +lon_0=-75 +sweep=x").isEmpty)
+    assert(WktCrs.recordToWkt("+proj=krovak +ellps=bessel").isEmpty)
+    assert(WktCrs.recordToWkt("+proj=tmerc +nadgrids=@foo").isEmpty)
+    assert(WktCrs.recordToWkt("+proj=nosuch").isEmpty)
+  }
+
   test("st_transform accepts WKT text directly (pyproj to_crs parity)") {
     val spark = TestSpark.spark
     import org.apache.spark.sql.functions._

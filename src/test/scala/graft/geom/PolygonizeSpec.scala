@@ -62,6 +62,37 @@ class PolygonizeSpec extends AnyFunSuite {
     assert(Polygonize.polygonize(wkt("MULTILINESTRING EMPTY")).numGeometries == 0)
   }
 
+  test("buildArea fuzz: boundary linework of a random union rebuilds the union") {
+    // consistency across three independent engines: overlay union builds
+    // an areal truth; its boundary rings feed polygonize+buildArea, which
+    // must reproduce the SAME area (holes included) for any nesting the
+    // random squares produce
+    val rnd = new scala.util.Random(47)
+    for (round <- 0 until 30) {
+      val squares = (0 until (3 + rnd.nextInt(5))).map { _ =>
+        val x = rnd.nextInt(40).toDouble
+        val y = rnd.nextInt(40).toDouble
+        val s = (2 + rnd.nextInt(8)).toDouble
+        Polygon(Array(Array(x, y, x + s, y, x + s, y + s, x, y + s, x, y)))
+      }
+      val u = Overlay.unionAll(squares)
+      // boundary rings as linework (closed LineStrings)
+      val rings = scala.collection.mutable.ArrayBuffer.empty[LineString]
+      def walk(g: Geometry): Unit = g match {
+        case p: Polygon => p.rings.foreach(r => rings += LineString(r))
+        case m: MultiPolygon => m.polys.foreach(walk)
+        case c: GeometryCollection => c.geoms.foreach(walk)
+        case _ => ()
+      }
+      walk(u)
+      val rebuilt = Polygonize.buildArea(MultiLineString(rings.toArray))
+      val a1 = Measures.area(u)
+      val a2 = Measures.area(rebuilt)
+      assert(math.abs(a1 - a2) < 1e-6 * math.max(1.0, a1),
+        s"round $round: union area $a1 vs rebuilt $a2")
+    }
+  }
+
   test("buildArea: nested rings alternate fill/hole, shared edges dissolve") {
     // two nested squares: the inner face is odd-depth -> a hole; result is
     // the annulus (GEOS ST_BuildArea semantics)

@@ -187,6 +187,25 @@ class DxfIOSpec extends AnyFunSuite {
     assert(byEnt("TEXT").head._4 == "POINT (7 8)")
   }
 
+  test("malformed input never crashes: garbage, truncation, bad numbers yield partial/empty") {
+    val rnd = new scala.util.Random(3)
+    // pure garbage text
+    val junk = (0 until 200).map(_ => rnd.nextPrintableChar()).mkString("\n")
+    assert(DxfIO.parseEntities(junk).isEmpty)
+    // truncated mid-entity: everything complete BEFORE the cut survives
+    val cut = doc.substring(0, doc.indexOf("CIRCLE") + 3)
+    val partial = DxfIO.parseEntities(cut)
+    assert(partial.exists(_.entity == "POINT") && partial.exists(_.entity == "LINE"))
+    // non-numeric coordinates: the entity drops, the document survives
+    val bad = doc.replaceFirst("3\\.5", "not-a-number")
+    val ents = try DxfIO.parseEntities(bad) catch {
+      case _: NumberFormatException => Seq.empty // also acceptable: reject loudly
+    }
+    // either the POINT dropped or parsing rejected — never a silent wrong point
+    assert(!ents.exists(e => e.entity == "POINT" &&
+      e.geom.asInstanceOf[graft.geom.Point].x == 3.5))
+  }
+
   test("write/read roundtrip via writeDir; readFile directory dispatch") {
     val dir = java.nio.file.Files.createTempDirectory("dxf_rt").toString
     val src = Seq(

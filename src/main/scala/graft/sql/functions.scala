@@ -66,6 +66,8 @@ object functions {
   def st_distanceSpheroid(a: Column, b: Column): Column = fn("st_distancespheroid", a, b)
   def st_distanceSphere(a: Column, b: Column): Column = fn("st_distancesphere", a, b)
   def st_lengthSpheroid(g: Column): Column = fn("st_lengthspheroid", g)
+  def st_areaSpheroid(g: Column): Column = fn("st_areaspheroid", g)
+  def st_perimeterSpheroid(g: Column): Column = fn("st_perimeterspheroid", g)
 
   // -------------------------------------------------------------- predicates
   def st_intersects(a: Column, b: Column): Column = fn("st_intersects", a, b)

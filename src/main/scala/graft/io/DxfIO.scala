@@ -293,9 +293,8 @@ object DxfIO {
         val doc = entitiesDoc(rows)
         val p = new Path(dir, f"part-$pid%05d.dxf")
         val tfs = p.getFileSystem(conf.value)
-        val os = tfs.create(p, true)
-        try os.write(doc.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        finally os.close()
+        AtomicTaskFile.withOutput(tfs, p)(
+          _.write(doc.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
       }
     }
   }

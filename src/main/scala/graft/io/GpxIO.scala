@@ -200,9 +200,6 @@ object GpxIO {
       val taskConf = sconf.value
       val file = new Path(pathStr, f"part-$pid%05d.gpx")
       val tfs = file.getFileSystem(taskConf)
-      val out = tfs.create(file, true)
-      val w = new java.io.OutputStreamWriter(
-        new java.io.BufferedOutputStream(out), "UTF-8")
       def esc(s: String): String = s
         .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
       def fmt(v: Double): String = {
@@ -218,7 +215,9 @@ object GpxIO {
           sb ++= s"<desc>${esc(row.get(descIdx).toString)}</desc>"
         sb.result()
       }
-      try {
+      AtomicTaskFile.withOutput(tfs, file) { os =>
+        val w = new java.io.OutputStreamWriter(
+          new java.io.BufferedOutputStream(os), "UTF-8")
         w.write("""<?xml version="1.0" encoding="UTF-8"?>""" + "\n")
         w.write("""<gpx version="1.1" creator="graft" xmlns="http://www.topografix.com/GPX/1/1">""" + "\n")
         it.foreach { row =>
@@ -260,7 +259,8 @@ object GpxIO {
           }
         }
         w.write("</gpx>\n")
-      } finally w.close()
+        w.flush()
+      }
       Iterator.single(file.toString)
     }.collect()
     ()

@@ -267,9 +267,9 @@ object KmlIO {
         val pid = org.apache.spark.TaskContext.getPartitionId()
         val p = new Path(f"$pathStr%s/part-$pid%05d.kml")
         val tfs = p.getFileSystem(conf.value)
-        val w = new java.io.OutputStreamWriter(
-          new java.io.BufferedOutputStream(tfs.create(p, true), 1 << 20), "UTF-8")
-        try {
+        AtomicTaskFile.withOutput(tfs, p) { os =>
+          val w = new java.io.OutputStreamWriter(
+            new java.io.BufferedOutputStream(os, 1 << 20), "UTF-8")
           w.write("""<?xml version="1.0" encoding="UTF-8"?>""")
           w.write("\n<kml xmlns=\"http://www.opengis.net/kml/2.2\">\n<Document>\n")
           it.foreach { row =>
@@ -289,7 +289,8 @@ object KmlIO {
             w.write("</Placemark>\n")
           }
           w.write("</Document>\n</kml>\n")
-        } finally w.close()
+          w.flush()
+        }
       }
     }
   }

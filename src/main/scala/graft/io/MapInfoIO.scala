@@ -347,15 +347,16 @@ object MapInfoIO {
       val mifPath = new Path(pathStr, f"part-$pid%05d.mif")
       val midPath = new Path(pathStr, f"part-$pid%05d.mid")
       val tfs = mifPath.getFileSystem(taskConf)
-      val mif = new java.io.OutputStreamWriter(
-        new java.io.BufferedOutputStream(tfs.create(mifPath, true)), "UTF-8")
-      val mid = new java.io.OutputStreamWriter(
-        new java.io.BufferedOutputStream(tfs.create(midPath, true)), "UTF-8")
       def fmt(v: Double): String = {
         val s = java.lang.Double.toString(v)
         if (s.endsWith(".0")) s.dropRight(2) else s
       }
-      try {
+      AtomicTaskFile.withOutput(tfs, mifPath) { mifOs =>
+      AtomicTaskFile.withOutput(tfs, midPath) { midOs =>
+        val mif = new java.io.OutputStreamWriter(
+          new java.io.BufferedOutputStream(mifOs), "UTF-8")
+        val mid = new java.io.OutputStreamWriter(
+          new java.io.BufferedOutputStream(midOs), "UTF-8")
         mif.write("Version 300\nCharset \"Neutral\"\nDelimiter \",\"\n")
         if (wgs84) mif.write("CoordSys Earth Projection 1, 104\n")
         mif.write(s"Columns ${attrs.length}\n")
@@ -387,7 +388,8 @@ object MapInfoIO {
           if (row.isNullAt(geomIdx)) mif.write("NONE\n")
           else writeGeom(mif, Wkb.read(row.getAs[Array[Byte]](geomIdx)), fmt)
         }
-      } finally { mif.close(); mid.close() }
+        mif.flush(); mid.flush()
+      } }
       Iterator.single(pid)
     }.count()
     ()

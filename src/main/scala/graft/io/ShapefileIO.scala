@@ -445,10 +445,10 @@ object ShapefileIO {
 
     val base = f"part-$pid%05d"
     val fs = new Path(path).getFileSystem(conf)
-    // ---- .shp + .shx
-    val shpOut = fs.create(new Path(path, s"$base.shp"), true)
-    val shxOut = fs.create(new Path(path, s"$base.shx"), true)
-    try {
+    // ---- .shp + .shx (attempt-private temps + rename: speculative-safe)
+    AtomicTaskFile.withOutput(fs, new Path(path, s"$base.shp")) { shpOut =>
+    AtomicTaskFile.withOutput(fs, new Path(path, s"$base.shx")) { shxOut =>
+    {
       var shpPos = 100L
       val shxBody = ByteBuffer.allocate(rows.length * 8).order(ByteOrder.BIG_ENDIAN)
       val shpBody = new java.io.ByteArrayOutputStream()
@@ -468,7 +468,7 @@ object ShapefileIO {
       shpOut.write(shpBody.toByteArray)
       shxOut.write(header(100L + rows.length * 8L, fileType))
       shxOut.write(shxBody.array())
-    } finally { shpOut.close(); shxOut.close() }
+    } } }
 
     // ---- .dbf
     val dbfFields = attrFields.map { case (f, _) =>
@@ -483,8 +483,8 @@ object ShapefileIO {
     }
     val recordLen = 1 + dbfFields.map(_.length).sum
     val headerLen = 32 + 32 * dbfFields.length + 1
-    val dbfOut = fs.create(new Path(path, s"$base.dbf"), true)
-    try {
+    AtomicTaskFile.withOutput(fs, new Path(path, s"$base.dbf")) { dbfOut =>
+    {
       val head = ByteBuffer.allocate(headerLen).order(ByteOrder.LITTLE_ENDIAN)
       head.put(0, 0x03.toByte)
       head.putInt(4, rows.length)
@@ -527,7 +527,7 @@ object ShapefileIO {
         dbfOut.write(rec)
       }
       dbfOut.write(0x1a) // EOF marker
-    } finally dbfOut.close()
+    } }
   }
 
   /** Encode one geometry to (shapeType, recordContentBytes, envelope). */

@@ -961,10 +961,12 @@ object FlatGeobufIO {
           buffered.head.get(geomIdx).asInstanceOf[Array[Byte]]))
         val p = new Path(f"$dirStr%s/part-$pid%05d.fgb")
         val fs = p.getFileSystem(conf.value)
-        val out = new java.io.BufferedOutputStream(fs.create(p, true), 1 << 20)
-        try assembleFile(out, buffered.map(enc), name, cols, nodeSize,
-          withIndex, epsg, headerGt)
-        finally out.close()
+        AtomicTaskFile.withOutput(fs, p) { os =>
+          val out = new java.io.BufferedOutputStream(os, 1 << 20)
+          assembleFile(out, buffered.map(enc), name, cols, nodeSize,
+            withIndex, epsg, headerGt)
+          out.flush()
+        }
       }
     }
   }

@@ -387,7 +387,7 @@ object GeoFeatherIO {
       }.toSeq
       val arrowSchema = new Schema(fields.asJava, Map("geo" -> geoJson).asJava)
       val vroot = VectorSchemaRoot.create(arrowSchema, allocator)
-      val out = tfs.create(file, true)
+      AtomicTaskFile.withOutput(tfs, file) { out =>
       // footer custom metadata: the map is serialized at end(), so the
       // per-file bbox accumulated while writing can be added just before —
       // that's what lets reads prune whole files from footers alone
@@ -429,7 +429,8 @@ object GeoFeatherIO {
             s"${fileEnv.minX},${fileEnv.minY},${fileEnv.maxX},${fileEnv.maxY}")
         writer.end()
       } finally {
-        writer.close(); out.close(); vroot.close(); allocator.close()
+        writer.close(); vroot.close(); allocator.close()
+      }
       }
       Iterator.single(file.toString)
     }.collect()

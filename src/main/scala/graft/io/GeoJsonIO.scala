@@ -157,9 +157,9 @@ object GeoJsonIO {
         val pid = org.apache.spark.TaskContext.getPartitionId()
         val p = new Path(f"$pathStr%s/part-$pid%05d.geojson")
         val tfs = p.getFileSystem(conf.value)
-        val w = new java.io.OutputStreamWriter(
-          new java.io.BufferedOutputStream(tfs.create(p, true), 1 << 20), "UTF-8")
-        try {
+        AtomicTaskFile.withOutput(tfs, p) { os =>
+          val w = new java.io.OutputStreamWriter(
+            new java.io.BufferedOutputStream(os, 1 << 20), "UTF-8")
           w.write("""{"type":"FeatureCollection","features":[""")
           var first = true
           it.foreach { row =>
@@ -169,7 +169,8 @@ object GeoJsonIO {
             first = false
           }
           w.write("\n]}\n")
-        } finally w.close()
+          w.flush()
+        }
       }
     }
   }

@@ -334,9 +334,9 @@ object GmlIO {
         val pid = org.apache.spark.TaskContext.getPartitionId()
         val p = new Path(f"$pathStr%s/part-$pid%05d.gml")
         val tfs = p.getFileSystem(conf.value)
-        val w = new java.io.OutputStreamWriter(
-          new java.io.BufferedOutputStream(tfs.create(p, true), 1 << 20), "UTF-8")
-        try {
+        AtomicTaskFile.withOutput(tfs, p) { os =>
+          val w = new java.io.OutputStreamWriter(
+            new java.io.BufferedOutputStream(os, 1 << 20), "UTF-8")
           w.write("""<?xml version="1.0" encoding="UTF-8"?>""")
           w.write("\n<ogr:FeatureCollection xmlns:ogr=\"http://ogr.maptools.org/\" " +
             "xmlns:gml=\"http://www.opengis.net/gml/3.2\">\n")
@@ -359,7 +359,8 @@ object GmlIO {
             n += 1
           }
           w.write("</ogr:FeatureCollection>\n")
-        } finally w.close()
+          w.flush()
+        }
       }
     }
   }

@@ -1443,8 +1443,8 @@ object OracleSql {
     // r11 ellipsoidal area/perimeter: the Spark side divides by the SAME
     // closed forms, so the ratios are exactly 1.0 at 4 dp
     "g85_geography_area" -> s"""
-      SELECT c_custkey, 1.0::DOUBLE AS area_ratio, 1.0::DOUBLE AS perim_ratio
-      FROM customer ORDER BY c_custkey""",
+      SELECT s_suppkey, 1.0::DOUBLE AS area_ratio, 1.0::DOUBLE AS perim_ratio
+      FROM supplier ORDER BY s_suppkey""",
 
     // r11 geography: haversine on the IUGG mean radius mirrored with the
     // SAME double expression structure as the kernel; the Vincenty columns

@@ -1859,9 +1859,9 @@ object SparkEntry {
     "g85_geography_area" -> ((s, d) => {
       import org.apache.spark.sql.functions.{transform => sqlTransform}
       val ptStep = (base: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) => base + i.cast("double") * 0.05
-      val quad = customerPts(s, d)
-        .withColumn("lon0", col("cx") / 500.0 - 5.0)
-        .withColumn("lat0", col("cy") / 20.0 - 25.0)
+      val quad = supplierPts(s, d)
+        .withColumn("lon0", col("x0") / 500.0 - 5.0)
+        .withColumn("lat0", col("y0") / 20.0 - 25.0)
       val withWkt = quad.withColumn("wkt", concat(lit("POLYGON (("),
         concat_ws(", ",
           sqlTransform(sequence(lit(0), lit(20)),
@@ -1902,10 +1902,10 @@ object SparkEntry {
         parArc(col("lat0")) + parArc(col("lat0") + 1.0)
       withWkt
         .withColumn("g", st_geomFromWKT(col("wkt")))
-        .select(col("c_custkey"),
+        .select(col("s_suppkey"),
           round(st_areaSpheroid(col("g")) / truthArea, 4).as("area_ratio"),
           round(st_perimeterSpheroid(col("g")) / truthPerim, 4).as("perim_ratio"))
-        .orderBy(col("c_custkey"))
+        .orderBy(col("s_suppkey"))
     }),
 
     // r11 geography measures: haversine mirrored term-by-term in SQL

@@ -539,6 +539,17 @@ class ProjLongTailSpec extends AnyFunSuite {
     // the central meridian at the standard parallel is the natural origin
     val (ox, oy) = p.forward(10.0, 45.0)
     assert(math.abs(ox) < 1e-9 && math.abs(oy) < 1e-9)
+    // southern standard parallel: the cone opens the other way — equal
+    // area and roundtrips must hold there too
+    val south = new Crs.Bonne(A, RF, -30.0, 135.0, 0.0, 0.0)
+    for (lat <- Seq(-60.0, -30.0, -5.0, 15.0); lon <- Seq(110.0, 135.0, 155.0)) {
+      val (j11, j12, j21, j22) = jac(south, lon, lat)
+      val phi = math.toRadians(lat)
+      val truth = mRad(phi) * nRad(phi) * math.cos(phi)
+      assert(math.abs((j11 * j22 - j12 * j21) / truth - 1.0) < 1e-5,
+        s"southern area scale at ($lon,$lat)")
+      roundtrip(south, lon, lat, 5e-7, "bonne_s")
+    }
     // parser: lat_1 required and non-zero
     assert(Crs.parseProj("+proj=bonne +lon_0=10").isEmpty)
     assert(Crs.parseProj("+proj=bonne +lat_1=0 +lon_0=10").isEmpty)

@@ -2390,6 +2390,59 @@ object Crs {
     }
   }
 
+  object HotineObliqueMercator {
+    /** Two-point form (Snyder 1987 eqs 9-16..9-24; PROJ `omerc` with
+      * +lat_1/lon_1/lat_2/lon_2): the initial line is the Hotine central
+      * line THROUGH the two given points, reduced to the azimuth form by
+      * deriving (alpha_c, lon_c) at lat_0. The spec pins the defining
+      * property: both points AND the lat_0 center are collinear in the
+      * projected plane (the initial line maps to the u axis).
+      */
+    def twoPoint(a: Double, invFlat: Double, lat0: Double,
+        lat1: Double, lon1: Double, lat2: Double, lon2: Double,
+        k0: Double, fe: Double, fn: Double,
+        variantB: Boolean): HotineObliqueMercator = {
+      val f = 1.0 / invFlat
+      val e2 = f * (2.0 - f)
+      val e = math.sqrt(e2)
+      def tFun(phi: Double): Double = {
+        val s = math.sin(phi)
+        math.tan(math.Pi / 4.0 - phi / 2.0) /
+          math.pow((1.0 - e * s) / (1.0 + e * s), e / 2.0)
+      }
+      val phi0 = math.toRadians(lat0)
+      val s0 = math.sin(phi0); val c0 = math.cos(phi0)
+      val bigB = math.sqrt(1.0 + e2 * c0 * c0 * c0 * c0 / (1.0 - e2))
+      val bigD = bigB * math.sqrt(1.0 - e2) / (c0 * math.sqrt(1.0 - e2 * s0 * s0))
+      val d2 = math.max(bigD * bigD, 1.0)
+      val bigE = (bigD + math.sqrt(d2 - 1.0) * (if (phi0 < 0) -1.0 else 1.0)) *
+        math.pow(tFun(phi0), bigB)
+      val bigH = math.pow(tFun(math.toRadians(lat1)), bigB)
+      val bigL = math.pow(tFun(math.toRadians(lat2)), bigB)
+      val bigF = bigE / bigH
+      val bigG = (bigF - 1.0 / bigF) / 2.0
+      val bigJ = (bigE * bigE - bigL * bigH) / (bigE * bigE + bigL * bigH)
+      val bigP = (bigL - bigH) / (bigL + bigH)
+      val l1 = math.toRadians(lon1); val l2 = math.toRadians(lon2)
+      val lam0 = (l1 + l2) / 2.0 -
+        math.atan(bigJ * math.tan(bigB * (l1 - l2) / 2.0) / bigP) / bigB
+      val gamma0 = math.atan(math.sin(bigB * (l1 - lam0)) / bigG)
+      val alphaC = math.asin(math.max(-1.0, math.min(1.0,
+        bigD * math.sin(gamma0))))
+      // hand back through the azimuth form: lon_c chosen so the class's
+      // internal lam0 derivation recovers exactly this lam0. NOTE the
+      // class derives lam0 with ITS G — from F = D + sqrt(D^2-1) — not
+      // the two-point G above (F = E/H); mixing them shifts the line by
+      // whole degrees (caught by the collinearity spec)
+      val fCls = bigD + math.sqrt(d2 - 1.0) * (if (phi0 < 0) -1.0 else 1.0)
+      val gCls = (fCls - 1.0 / fCls) / 2.0
+      val lonc = math.toDegrees(lam0 +
+        math.asin(math.max(-1.0, math.min(1.0, gCls * math.tan(gamma0)))) / bigB)
+      new HotineObliqueMercator(a, invFlat, lat0, lonc,
+        math.toDegrees(alphaC), k0, Double.NaN, fe, fn, variantB)
+    }
+  }
+
   /** Geostationary satellite view (PROJ `geos`; the CGMS LRIT/HRIT
     * normalized geostationary projection): plane coordinates are SCAN
     * ANGLES from a satellite at height `h` above the sub-satellite point
@@ -2890,15 +2943,21 @@ object Crs {
         kv.get("h").map(hh => new Geostationary(a, rf, hh.toDouble, lon0,
           kv.get("sweep").contains("x"), x0, y0))
       case Some("omerc") =>
-        // azimuth form only (+lonc +alpha [+gamma]); proj's two-point form
-        // (+lat_1/lon_1/lat_2/lon_2) is not supported — rejected, not
-        // mis-parsed. +no_uoff / +no_off selects EPSG 9812 variant A.
-        if (!kv.contains("alpha") || !kv.contains("lonc")) None
-        else if (math.abs(lat0) < 1e-12 || math.abs(math.abs(lat0) - 90.0) < 1e-9)
-          None // the Hotine construction needs 0 < |lat_0| < 90
-        else Some(new HotineObliqueMercator(a, rf, lat0, d("lonc", 0.0),
-          d("alpha", 0.0), k0, kv.get("gamma").map(_.toDouble).getOrElse(Double.NaN),
-          x0, y0, variantB = !(kv.contains("no_uoff") || kv.contains("no_off"))))
+        // azimuth form (+lonc +alpha [+gamma]) or two-point form
+        // (+lat_1/lon_1/lat_2/lon_2); +no_uoff / +no_off selects EPSG
+        // 9812 variant A. The Hotine construction needs 0 < |lat_0| < 90.
+        val variantB = !(kv.contains("no_uoff") || kv.contains("no_off"))
+        if (math.abs(lat0) < 1e-12 || math.abs(math.abs(lat0) - 90.0) < 1e-9) None
+        else if (kv.contains("alpha") && kv.contains("lonc"))
+          Some(new HotineObliqueMercator(a, rf, lat0, d("lonc", 0.0),
+            d("alpha", 0.0), k0, kv.get("gamma").map(_.toDouble).getOrElse(Double.NaN),
+            x0, y0, variantB))
+        else if (Seq("lat_1", "lon_1", "lat_2", "lon_2").forall(kv.contains) &&
+            math.abs(d("lat_1", 0.0) - d("lat_2", 0.0)) > 1e-9)
+          Some(HotineObliqueMercator.twoPoint(a, rf, lat0,
+            d("lat_1", 0.0), d("lon_1", 0.0), d("lat_2", 0.0), d("lon_2", 0.0),
+            k0, x0, y0, variantB))
+        else None
       case Some("longlat") | Some("latlong") => Some(IdentityProjection)
       case Some("webmerc") => Some(WebMercatorProjection)
       case Some("merc") =>

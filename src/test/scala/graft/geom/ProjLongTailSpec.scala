@@ -615,6 +615,71 @@ class ProjLongTailSpec extends AnyFunSuite {
     assert(!anti.isNaN && anti > 1.9e7 && anti < 2.1e7)
   }
 
+  test("omerc two-point form: both points + the lat_0 center lie on the straight initial line") {
+    val (lat1, lon1, lat2, lon2) = (1.0, 110.0, 7.0, 120.0)
+    val p = Crs.HotineObliqueMercator.twoPoint(A, RF, 4.0,
+      lat1, lon1, lat2, lon2, 1.0, 0.0, 0.0, variantB = false)
+    // the initial line maps to the u axis — any three of its points are
+    // collinear in the plane. Find the lat_0 crossing by bisecting the
+    // inverse: the point on the segment between the projections of P1/P2
+    // whose latitude is lat_0 (monotone along the line here)
+    val (x1, y1) = p.forward(lon1, lat1)
+    val (x2, y2) = p.forward(lon2, lat2)
+    var lo = 0.0; var hi = 1.0
+    for (_ <- 0 until 60) {
+      val mid = (lo + hi) / 2.0
+      val (_, la) = p.inverse(x1 + (x2 - x1) * mid, y1 + (y2 - y1) * mid)
+      if (la < 4.0) lo = mid else hi = mid
+    }
+    val t = (lo + hi) / 2.0
+    val (clon, clat) = p.inverse(x1 + (x2 - x1) * t, y1 + (y2 - y1) * t)
+    assert(math.abs(clat - 4.0) < 1e-7, s"lat_0 crossing found at $clat")
+    // that crossing, projected back, must land on the P1-P2 segment (it
+    // does by construction of the bisection) AND the projection must be
+    // conformal + roundtrip across the domain
+    for (lat <- Seq(-1.0, 2.0, 5.0, 8.0); lon <- Seq(108.0, 113.0, 118.0, 122.0)) {
+      val (j11, j12, j21, j22) = jac(p, lon, lat)
+      val phi = math.toRadians(lat)
+      val hM = math.hypot(j12, j22) / mRad(phi)
+      val kP = math.hypot(j11, j21) / (nRad(phi) * math.cos(phi))
+      assert(math.abs(hM / kP - 1.0) < 1e-6, s"conformal at ($lon,$lat)")
+      roundtrip(p, lon, lat, 1e-8, "omerc2pt")
+    }
+    // THE defining check, exact in the construction: with variant B the
+    // projection CENTER maps to the false origin, and the initial line
+    // (v = 0, rectified by gamma0) is a straight line THROUGH it — so the
+    // origin and both given points must be collinear. A wrong lam0/gamma0
+    // derivation breaks this at the first order.
+    val pb = Crs.HotineObliqueMercator.twoPoint(A, RF, 4.0,
+      lat1, lon1, lat2, lon2, 1.0, 0.0, 0.0, variantB = true)
+    val (bx1, by1) = pb.forward(lon1, lat1)
+    val (bx2, by2) = pb.forward(lon2, lat2)
+    val cross = math.abs(bx1 * by2 - bx2 * by1) /
+      math.max(math.hypot(bx1, by1), math.hypot(bx2, by2))
+    assert(cross < 1e-4, s"P1/P2/center collinearity residual $cross m")
+    // scale ON the line stays within the documented aposphere drift
+    // (exactly k0 at the center, second-order along the line), and grows
+    // much faster off it
+    def scaleAt(lon: Double, lat: Double): Double = {
+      val (j11, _, j21, _) = jac(p, lon, lat)
+      math.hypot(j11, j21) / (nRad(math.toRadians(lat)) * math.cos(math.toRadians(lat)))
+    }
+    assert(math.abs(scaleAt(lon1, lat1) - 1.0) < 3e-3, s"k(P1) = ${scaleAt(lon1, lat1)}")
+    assert(math.abs(scaleAt(lon2, lat2) - 1.0) < 3e-3, s"k(P2) = ${scaleAt(lon2, lat2)}")
+    assert(scaleAt(lon1, lat1 + 6.0) > 1.004, "scale grows off the line")
+    // parser: two-point records route here; scale rides along
+    val viaProj = Crs.parseProj("+proj=omerc +lat_0=4 +lat_1=1 +lon_1=110 " +
+      "+lat_2=7 +lon_2=120 +k_0=0.99984 +ellps=WGS84").get
+    val (vx, vy) = viaProj.forward(115.0, 5.0)
+    assert(!vx.isNaN && !vy.isNaN)
+    val (rl, rp) = viaProj.inverse(vx, vy)
+    assert(math.hypot(rl - 115.0, rp - 5.0) < 1e-8)
+    // degenerate: equal-latitude points have an east-west line the
+    // construction cannot express (P = 0 divides) — rejected
+    assert(Crs.parseProj("+proj=omerc +lat_0=4 +lat_1=3 +lon_1=110 " +
+      "+lat_2=3 +lon_2=120").isEmpty)
+  }
+
   test("parser: every r11 family parses, composes with towgs84, rejects degenerate tpeqd") {
     // probe inside each family's service domain (cass/gnom/ortho are
     // regional by construction — a world-wide probe is out of contract)

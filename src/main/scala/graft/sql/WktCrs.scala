@@ -376,6 +376,9 @@ object WktCrs {
             p("central_meridian", lon0) + p("scale_factor", k0) +
             p("false_easting", feU) + p("false_northing", fnU))
       case "omerc" =>
+        // the two-point form (+lat_1/lon_1/... without +alpha/+lonc) has
+        // no WKT1 spelling — emitting azimuth=0 would be a WRONG sidecar
+        if (!kv.contains("alpha") || !kv.contains("lonc")) return None
         val gam = kv.get("gamma").map(g => p("rectified_grid_angle", g.toDouble))
           .getOrElse("")
         val name = if (kv.contains("no_uoff") || kv.contains("no_off"))

@@ -157,6 +157,8 @@ class WktCrsSpec extends AnyFunSuite {
     }
     // no faithful WKT1 spelling -> None, never a wrong sidecar
     assert(WktCrs.recordToWkt("+proj=tpeqd +lat_1=35 +lon_1=-10 +lat_2=45 +lon_2=25").isEmpty)
+    assert(WktCrs.recordToWkt("+proj=omerc +lat_0=4 +lat_1=1 +lon_1=110 " +
+      "+lat_2=7 +lon_2=120").isEmpty, "two-point omerc has no WKT1 spelling")
     assert(WktCrs.recordToWkt("+proj=geos +h=35786023 +lon_0=-75 +sweep=x").isEmpty)
     assert(WktCrs.recordToWkt("+proj=krovak +ellps=bessel").isEmpty)
     assert(WktCrs.recordToWkt("+proj=tmerc +nadgrids=@foo").isEmpty)

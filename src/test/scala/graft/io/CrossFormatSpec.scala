@@ -89,4 +89,41 @@ class CrossFormatSpec extends AnyFunSuite {
     assert(GeoDataFrame.readFlatGeobuf(spark, fgb).crs.contains("EPSG:4326"))
     assert(GeoDataFrame.readGeoPackage(spark, gpkgFile, "t").crs.contains("EPSG:4326"))
   }
+
+  test("r11 end-to-end: .prj-carrying shapefile -> auto CRS -> toCrs equal-area -> area") {
+    import graft.sql.functions._
+    // a geodesy-real scenario: city points written WITH a .prj sidecar,
+    // read back with auto-detected CRS, reprojected through a proj record
+    // (Equal Earth) via toCrs, and measured — no explicit CRS strings on
+    // the read path anywhere
+    val dir = java.nio.file.Files.createTempDirectory("e2e_prj").toString
+    val src = Seq((1L, 7.44, 46.95), (2L, 2.35, 48.85), (3L, -0.13, 51.5),
+        (4L, 13.4, 52.5), (5L, -3.7, 40.4))
+      .toDF("id", "lon", "lat")
+      .withColumn("geometry", st_point(col("lon"), col("lat")))
+      .select(col("id"), col("geometry"))
+    ShapefileIO.write(src, dir, crs = Some("EPSG:4326"))
+    val back = GeoDataFrame.readFile(spark, dir)
+    assert(back.crs.contains("EPSG:4326"), "auto-detected from the sidecar")
+    val ee = back.toCrs("+proj=eqearth +lon_0=0")
+    assert(ee.crs.contains("+proj=eqearth +lon_0=0"))
+    // projected coordinates match the kernel directly
+    val got = ee.df.select(col("id"), st_x(col("geometry")), st_y(col("geometry")))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val k = new graft.sql.Crs.EqualEarth(6378137.0, 0.0, 0.0, 0.0)
+    val (bx, by) = k.forward(7.44, 46.95)
+    assert(math.abs(got(1L)._1 - bx) < 1e-6 && math.abs(got(1L)._2 - by) < 1e-6)
+    // the convex hull's ellipsoidal area agrees between st_areaspheroid on
+    // the ORIGINAL lon/lat frame and planar area in the equal-area frame
+    val hullLl = back.df.agg(st_convexHull(st_collectAgg(col("geometry"))).as("h"))
+      .select(st_areaSpheroid(col("h"))).head.getDouble(0)
+    val hullEe = ee.df.agg(st_convexHull(st_collectAgg(col("geometry"))).as("h"))
+      .select(st_area(col("h"))).head.getDouble(0)
+    // ~0.4% apart at this continental hull: the edges are straight in
+    // DIFFERENT projections (LAEA vs Equal Earth) — exactly the documented
+    // long-edge caveat; densified edges converge (FunctionsSpec pins the
+    // densified case at 2e-6)
+    assert(math.abs(hullLl / hullEe - 1.0) < 0.01,
+      s"spheroid area $hullLl vs equal-area-plane $hullEe")
+  }
 }

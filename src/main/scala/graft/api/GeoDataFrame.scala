@@ -112,6 +112,12 @@ final case class GeoDataFrame(
     */
   def toCrs(target: String): GeoDataFrame = {
     val from = crs.getOrElse("EPSG:4326")
+    // fail fast at PLAN time: per-row evaluation would surface an
+    // unsupported CRS as a mid-job task failure (at 100 TB: hours in)
+    require(graft.sql.GraftDefs.crsServable(from),
+      s"toCrs: this frame's CRS '$from' is not a supported source")
+    require(graft.sql.GraftDefs.crsServable(target),
+      s"toCrs: unsupported target CRS '$target'")
     val out = df.withColumn(geometryColumn, st_transform(geom, lit(from), lit(target)))
     // pointSource must not survive reprojection: the source x/y columns
     // still hold coordinates in the OLD crs, so a later cx would push

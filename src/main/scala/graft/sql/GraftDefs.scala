@@ -664,6 +664,18 @@ object GraftDefs {
     })
   )
 
+  /** Whether a CRS string is servable by st_transform — for FAIL-FAST
+    * validation at PLAN time (GeoDataFrame.toCrs): per-row evaluation
+    * would otherwise surface an unsupported CRS as a mid-job task failure
+    * at 100 TB instead of an immediate driver error. Mirrors the
+    * normCrs + toWgs/fromWgs resolution exactly.
+    */
+  def crsServable(s: String): Boolean = {
+    val n = normCrs(s)
+    n == "EPSG:4326" || n == "EPSG:3857" || n.matches("EPSG:32[67][0-9]{2}") ||
+      Crs.byEpsg.contains(n) || (n.startsWith("+") && Crs.projFor(n).isDefined)
+  }
+
   private def normCrs(s: String): String = {
     // proj parameter records are case-sensitive — pass through verbatim
     if (s.trim.startsWith("+")) return s.trim

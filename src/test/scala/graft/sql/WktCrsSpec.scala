@@ -179,6 +179,20 @@ class WktCrsSpec extends AnyFunSuite {
     assert(math.abs(got._1 - ux) < 0.01 && math.abs(got._2 - uy) < 0.01)
   }
 
+  test("toCrs fails fast at plan time on an unsupported CRS") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    import graft.sql.functions._
+    import spark.implicits._
+    val g = graft.api.GeoDataFrame(Seq((1L, 5.0, 50.0)).toDF("id", "x", "y")
+      .withColumn("geometry", st_point($"x", $"y")))
+    val ex = intercept[IllegalArgumentException] { g.toCrs("EPSG:99999") }
+    assert(ex.getMessage.contains("unsupported target"))
+    intercept[IllegalArgumentException] { g.toCrs("+proj=igh") }
+    // supported strings of every form pass the gate
+    g.toCrs("EPSG:32633"); g.toCrs("+proj=eqearth"); g.toCrs("ESRI:54009")
+  }
+
   test("shapefile .prj sidecar: written on write(crs=), detected on read") {
     val spark = TestSpark.spark
     import org.apache.spark.sql.functions._

@@ -3046,7 +3046,9 @@ object Crs {
       // only SUCCESSFUL parses are cached: a +nadgrids record can become
       // valid after Ntv2.register, and failures throw on the first row
       // anyway so there is nothing hot to memoize
-      if (p.isDefined) projCache.put(s, p)
+      // size-capped like WktCrs.parse: a per-row GENERATED record column
+      // must not grow the cache without limit (uncached stays correct)
+      if (p.isDefined && projCache.size < 4096) projCache.put(s, p)
       p
     }
   }

@@ -445,7 +445,10 @@ object WktCrs {
       else parseTree(t).flatMap(reduce).filter { s =>
         s.startsWith("EPSG:") || Crs.projFor(s).isDefined
       }
-    cache.put(wkt, r)
+    // bounded: distinct CRS strings in real queries number a handful, but
+    // a pathological per-row GENERATED WKT column must not grow the cache
+    // without limit — beyond the cap, parses stay correct, just uncached
+    if (cache.size < 4096) cache.put(wkt, r)
     r
   }
   private val cache =

@@ -113,6 +113,8 @@ object WktCrs {
     "MERCATOR_AUXILIARY_SPHERE" -> "webmerc",
     "POPULAR_VISUALISATION_PSEUDO_MERCATOR" -> "webmerc",
     "POLAR_STEREOGRAPHIC" -> "stere_polar",
+    "STEREOGRAPHIC_NORTH_POLE" -> "stere_polar",
+    "STEREOGRAPHIC_SOUTH_POLE" -> "stere_polar",
     "OBLIQUE_STEREOGRAPHIC" -> "sterea",
     "DOUBLE_STEREOGRAPHIC" -> "sterea",
     "CASSINI_SOLDNER" -> "cass",

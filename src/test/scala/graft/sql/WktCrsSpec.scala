@@ -78,6 +78,16 @@ class WktCrsSpec extends AnyFunSuite {
     assert(WktCrs.parse(paris).isEmpty, "Paris meridian must reject")
   }
 
+  test("ESRI polar stereo spellings map to the polar kernel") {
+    val esri = """PROJCS["South_Pole_Stereographic",GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984",SPHEROID["WGS_1984",6378137.0,298.257223563]],PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]],PROJECTION["Stereographic_South_Pole"],PARAMETER["False_Easting",0.0],PARAMETER["False_Northing",0.0],PARAMETER["Central_Meridian",0.0],PARAMETER["Standard_Parallel_1",-71.0],UNIT["Meter",1.0]]"""
+    val rec = WktCrs.parse(esri).get
+    val p = Crs.projFor(rec).get
+    // must agree with the EPSG:3031 kernel (same lat_ts/lon_0)
+    val (x, y) = p.forward(45.0, -80.0)
+    val (ex, ey) = Crs.byEpsg("EPSG:3031").forward(45.0, -80.0)
+    assert(math.abs(x - ex) < 1e-6 && math.abs(y - ey) < 1e-6, s"($x,$y) vs ($ex,$ey)")
+  }
+
   test("TOWGS84 in the GEOGCS becomes +towgs84 on the record") {
     val wkt = """PROJCS["Monte Mario / Italy zone 1",GEOGCS["Monte Mario",DATUM["Monte_Mario",SPHEROID["International 1924",6378388,297],TOWGS84[-104.1,-49.1,-9.9,0.971,-2.917,0.714,-11.68]],PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],PROJECTION["Transverse_Mercator"],PARAMETER["latitude_of_origin",0],PARAMETER["central_meridian",9],PARAMETER["scale_factor",0.9996],PARAMETER["false_easting",1500000],PARAMETER["false_northing",0],UNIT["metre",1]]"""
     val rec = WktCrs.parse(wkt).get

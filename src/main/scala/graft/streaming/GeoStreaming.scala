@@ -88,6 +88,49 @@ object GeoStreaming {
       .drop("_g").drop("_cell")
   }
 
+  /** Watermarked STREAM-STREAM proximity join (r11): pairs of events from
+    * two live point streams that occur within `distance` of each other AND
+    * within `withinSeconds` of each other — the moving-proximity join
+    * (vehicle encounters, contact tracing, sensor co-observation). Spark's
+    * stream-stream machinery needs equality keys plus a bounded event-time
+    * range: the GRID supplies the equality key — the left point explodes
+    * to its distance-padded cells, the right point keeps its single home
+    * cell, so each qualifying pair meets in EXACTLY one cell (the right
+    * home) with no dedup pass, the same exactly-once construction as the
+    * batch grid sjoin. State is bounded by the watermark: each side keeps
+    * only rows younger than `watermarkDelay` + `withinSeconds`.
+    *
+    * Left columns pass through; right columns come back `_r`-suffixed.
+    * Both timestamp columns must be TimestampType.
+    */
+  def streamStreamDwithin(
+      left: DataFrame, lx: String, ly: String, lts: String,
+      right: DataFrame, rx: String, ry: String, rts: String,
+      cellSize: Double, distance: Double, withinSeconds: Long,
+      watermarkDelay: String = "30 seconds"): DataFrame = {
+    require(cellSize > 0 && distance >= 0 && withinSeconds >= 0,
+      "streamStreamDwithin: bad parameters")
+    val l = left.withWatermark(lts, watermarkDelay)
+      .withColumn("_lg", st_point(col(lx), col(ly)))
+      .withColumn("_cell", explode(
+        st_gridCellsSizedPad(col("_lg"), lit(cellSize), lit(distance))))
+    val rRenamed = right.columns.foldLeft(right) { (acc, c) =>
+      if (left.columns.contains(c)) acc.withColumnRenamed(c, c + "_r") else acc
+    }
+    val rtsName = if (left.columns.contains(rts)) rts + "_r" else rts
+    val rxName = if (left.columns.contains(rx)) rx + "_r" else rx
+    val ryName = if (left.columns.contains(ry)) ry + "_r" else ry
+    val r = rRenamed.withWatermark(rtsName, watermarkDelay)
+      .withColumn("_rg", st_point(col(rxName), col(ryName)))
+      .withColumn("_rcell", element_at(
+        st_gridCellsSized(col("_rg"), lit(cellSize)), 1))
+    val timeBand = col(rtsName) >= col(lts) - expr(s"INTERVAL $withinSeconds SECONDS") &&
+      col(rtsName) <= col(lts) + expr(s"INTERVAL $withinSeconds SECONDS")
+    l.join(r, col("_cell") === col("_rcell") && timeBand &&
+        st_dwithin(col("_lg"), col("_rg"), lit(distance)), "inner")
+      .drop("_lg", "_rg", "_cell", "_rcell")
+  }
+
   /** Stateful geofence ENTER/EXIT detection per entity: keeps the set of
     * fences each key is currently inside as keyed state
     * (`flatMapGroupsWithState`) and emits one row per transition. The fence

@@ -504,6 +504,48 @@ class PipelineOpsSpec extends AnyFunSuite {
       ("2024-01-01 00:03:00.0", 1L, "enter")))
   }
 
+  test("stream-stream proximity join: watermarked, exactly-once, matches brute force") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.GeoStreaming
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000)
+    val lMem = MemoryStream[(Long, java.sql.Timestamp, Double, Double)]
+    val rMem = MemoryStream[(Long, java.sql.Timestamp, Double, Double)]
+    val joined = GeoStreaming.streamStreamDwithin(
+      lMem.toDF().toDF("lid", "ts", "x", "y"), "x", "y", "ts",
+      rMem.toDF().toDF("rid", "ts", "x", "y"), "x", "y", "ts",
+      cellSize = 10.0, distance = 3.0, withinSeconds = 5)
+      .select($"lid", $"rid")
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("ss_dwithin_test").trigger(Trigger.ProcessingTime(0)).start()
+    // pairs engineered across a CELL BOUNDARY (x=10) so exactly-once under
+    // the padded-left/home-right construction is actually exercised, plus
+    // time-band inclusions/exclusions and a distance miss
+    lMem.addData(
+      (1L, ts(0), 9.0, 5.0),    // near r=11.0 (dist 2, cross-boundary)
+      (2L, ts(0), 50.0, 50.0),  // distance miss vs (102) at 4 units
+      (3L, ts(100), 9.0, 5.0))  // time miss vs r at ts(0)
+    rMem.addData(
+      (101L, ts(3), 11.0, 5.0),   // pairs with 1 (dt=3 <= 5), not 3 (dt=97)
+      (102L, ts(0), 54.0, 50.0),  // 4 > 3 away from 2
+      (103L, ts(6), 9.5, 5.0))    // dt=6 > 5 vs 1 -> excluded
+    q.processAllAvailable()
+    val got = spark.sql("SELECT lid, rid FROM ss_dwithin_test").as[(Long, Long)]
+      .collect().toSeq.sorted
+    assert(got == Seq((1L, 101L)), s"got $got")
+    // second batch: same-cell pair, late-but-in-watermark arrival still joins
+    lMem.addData((4L, ts(200), 25.0, 25.0))
+    rMem.addData((104L, ts(202), 26.0, 25.5))
+    q.processAllAvailable()
+    val got2 = spark.sql("SELECT lid, rid FROM ss_dwithin_test").as[(Long, Long)]
+      .collect().toSeq.sorted
+    assert(got2 == Seq((1L, 101L), (4L, 104L)), s"got $got2")
+    // exactly-once: no duplicate pair rows despite the left's multi-cell explode
+    assert(got2.distinct == got2)
+    q.stop()
+  }
+
   test("stream-static grid sjoin: two batches, exactly-once, matches brute force") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.GeoStreaming

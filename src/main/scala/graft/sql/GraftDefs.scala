@@ -382,6 +382,16 @@ object GraftDefs {
       }
       walk(g)
     },
+    // geodesic forward azimuth at point A toward point B, clockwise from
+    // north in radians (PostGIS ST_Azimuth(geography) convention:
+    // normalized to [0, 2*pi))
+    "st_azimuthspheroid" -> g2(D)((a, b) => (a, b) match {
+      case (p: Point, q: Point) =>
+        val az = Crs.geodesicAzimuth(p.x, p.y, q.x, q.y)
+        if (az < 0) az + 2.0 * math.Pi else az
+      case _ => throw new IllegalArgumentException(
+        "st_azimuthspheroid expects two POINTs (lon/lat degrees)")
+    }),
     // geodesic length of (multi)linestring vertices chained with Vincenty
     "st_lengthspheroid" -> g1(D) { g =>
       def lineLen(l: LineString): Double = {
@@ -2682,6 +2692,51 @@ object Crs {
         bigB / 6.0 * cos2SigmaM * (-3.0 + 4.0 * sinSigma * sinSigma) *
           (-3.0 + 4.0 * cos2SigmaM * cos2SigmaM)))
     b * bigA * (sigma - dSigma)
+  }
+
+  /** Geodesic forward azimuth at the first point toward the second
+    * (clockwise from north, radians in [-pi, pi]) — the direction half of
+    * the Vincenty inverse behind [[geodesicDistance]]; PostGIS
+    * ST_Azimuth(geography). Near-antipodal pairs fall back to the
+    * great-circle bearing (same band as the distance fallback).
+    */
+  def geodesicAzimuth(lon1: Double, lat1: Double,
+      lon2: Double, lat2: Double): Double = {
+    val f = 1.0 / 298.257223563
+    val u1 = math.atan((1.0 - f) * math.tan(math.toRadians(lat1)))
+    val u2 = math.atan((1.0 - f) * math.tan(math.toRadians(lat2)))
+    val su1 = math.sin(u1); val cu1 = math.cos(u1)
+    val su2 = math.sin(u2); val cu2 = math.cos(u2)
+    val bigL = math.toRadians(lon2 - lon1)
+    var lambda = bigL
+    var iter = 0
+    var converged = false
+    while (iter < 100 && !converged) {
+      val sl = math.sin(lambda); val cl = math.cos(lambda)
+      val sinSigma = math.hypot(cu2 * sl, cu1 * su2 - su1 * cu2 * cl)
+      if (sinSigma == 0.0) return 0.0
+      val cosSigma = su1 * su2 + cu1 * cu2 * cl
+      val sigma = math.atan2(sinSigma, cosSigma)
+      val sinAlpha = cu1 * cu2 * sl / sinSigma
+      val cos2Alpha = 1.0 - sinAlpha * sinAlpha
+      val cos2SigmaM = if (cos2Alpha == 0.0) 0.0
+        else cosSigma - 2.0 * su1 * su2 / cos2Alpha
+      val c = f / 16.0 * cos2Alpha * (4.0 + f * (4.0 - 3.0 * cos2Alpha))
+      val prev = lambda
+      lambda = bigL + (1.0 - c) * f * sinAlpha * (sigma +
+        c * sinSigma * (cos2SigmaM +
+          c * cosSigma * (-1.0 + 2.0 * cos2SigmaM * cos2SigmaM)))
+      if (math.abs(lambda - prev) < 1e-13) converged = true
+      iter += 1
+    }
+    if (!converged) {
+      // spherical bearing fallback in the non-convergence band
+      val p1 = math.toRadians(lat1); val p2 = math.toRadians(lat2)
+      val dl = math.toRadians(lon2 - lon1)
+      return math.atan2(math.cos(p2) * math.sin(dl),
+        math.cos(p1) * math.sin(p2) - math.sin(p1) * math.cos(p2) * math.cos(dl))
+    }
+    math.atan2(cu2 * math.sin(lambda), cu1 * su2 - su1 * cu2 * math.cos(lambda))
   }
 
   /** Great-circle distance (haversine) on the IUGG mean Earth radius

@@ -67,6 +67,7 @@ object functions {
   def st_distanceSphere(a: Column, b: Column): Column = fn("st_distancesphere", a, b)
   def st_lengthSpheroid(g: Column): Column = fn("st_lengthspheroid", g)
   def st_areaSpheroid(g: Column): Column = fn("st_areaspheroid", g)
+  def st_azimuthSpheroid(a: Column, b: Column): Column = fn("st_azimuthspheroid", a, b)
   def st_perimeterSpheroid(g: Column): Column = fn("st_perimeterspheroid", g)
 
   // -------------------------------------------------------------- predicates

@@ -613,6 +613,18 @@ class ProjLongTailSpec extends AnyFunSuite {
     // near-antipodal: finite fallback, never NaN, ~ half the circumference
     val anti = Crs.geodesicDistance(0.0, 0.0, 179.9, 0.3)
     assert(!anti.isNaN && anti > 1.9e7 && anti < 2.1e7)
+    // forward azimuth anchors: due north along a meridian, due east along
+    // the equator, due south back; general point agrees with the spherical
+    // bearing to within the flattening scale
+    assert(math.abs(Crs.geodesicAzimuth(25.0, 10.0, 25.0, 40.0)) < 1e-12)
+    assert(math.abs(Crs.geodesicAzimuth(0.0, 0.0, 30.0, 0.0) - math.Pi / 2) < 1e-12)
+    assert(math.abs(math.abs(Crs.geodesicAzimuth(25.0, 40.0, 25.0, 10.0)) - math.Pi) < 1e-12)
+    val azV = Crs.geodesicAzimuth(2.0, 41.0, 37.6, 55.7)
+    val p1 = math.toRadians(41.0); val p2 = math.toRadians(55.7)
+    val dl = math.toRadians(35.6)
+    val azS = math.atan2(math.cos(p2) * math.sin(dl),
+      math.cos(p1) * math.sin(p2) - math.sin(p1) * math.cos(p2) * math.cos(dl))
+    assert(math.abs(azV - azS) < 0.01, s"$azV vs spherical $azS")
   }
 
   test("omerc two-point form: both points + the lat_0 center lie on the straight initial line") {

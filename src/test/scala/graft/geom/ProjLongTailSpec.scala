@@ -212,6 +212,22 @@ class ProjLongTailSpec extends AnyFunSuite {
     assert(math.abs((y14 - 325000.0) - arc) < 0.002, s"meridian arc ${y14 - 325000.0} vs $arc")
     for (lat <- Seq(8.0, 10.0, 11.5, 13.0); lon <- Seq(-63.0, -61.5, -60.0))
       roundtrip(p, lon, lat, 1e-8, "cass")
+    // THE Cassini property, cross-checked against an INDEPENDENT engine:
+    // |x - fe| is the geodesic distance from the point to the central
+    // meridian (the perpendicular foot) — minimize Vincenty distance to
+    // (lon0, latF) over latF by ternary search
+    for ((lon, lat) <- Seq((-60.5, 11.0), (-62.3, 9.2))) {
+      val (x, _) = p.forward(lon, lat)
+      def dTo(latF: Double) = Crs.geodesicDistance(lon, lat, -61.5, latF)
+      var lo = lat - 1.0; var hi = lat + 1.0
+      for (_ <- 0 until 200) {
+        val m1 = lo + (hi - lo) / 3.0; val m2 = hi - (hi - lo) / 3.0
+        if (dTo(m1) < dTo(m2)) hi = m2 else lo = m1
+      }
+      val perp = dTo((lo + hi) / 2.0)
+      assert(math.abs(math.abs(x - 430000.0) - perp) < 0.5,
+        s"cassini x ${math.abs(x - 430000.0)} vs perpendicular geodesic $perp at ($lon,$lat)")
+    }
   }
 
   test("equidistant conic: meridians true everywhere, parallels true at both SPs, 1SP limit") {

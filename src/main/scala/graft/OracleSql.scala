@@ -1469,7 +1469,8 @@ object OracleSql {
       SELECT c_custkey,
              round(2.0 * 6371008.8 * asin(least(1.0, sqrt(hav))), 3) AS sphere_m,
              true AS spheroid_ok,
-             true AS len_eq
+             true AS len_eq,
+             true AS azimuth_ok
       FROM x ORDER BY c_custkey""",
 
     // generic TM forward (Snyder 8-9..8-25, GRS80, lat0=0 -> M0=0)

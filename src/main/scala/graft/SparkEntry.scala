@@ -1923,11 +1923,21 @@ object SparkEntry {
         .withColumn("ds", st_distanceSphere(col("p1"), col("p2")))
         .withColumn("dv", st_distanceSpheroid(col("p1"), col("p2")))
         .withColumn("len", st_lengthSpheroid(st_makeLine(array(col("p1"), col("p2")))))
+        .withColumn("azv", st_azimuthSpheroid(col("p1"), col("p2")))
+        // spherical bearing, normalized to [0, 2pi) like the operator
+        .withColumn("azs", pmod(atan2(
+          cos(radians(col("lat2"))) * sin(radians(col("lon2") - col("lon1"))),
+          cos(radians(col("lat1"))) * sin(radians(col("lat2"))) -
+            sin(radians(col("lat1"))) * cos(radians(col("lat2"))) *
+              cos(radians(col("lon2") - col("lon1")))), lit(2.0 * math.Pi)))
         .select(col("c_custkey"),
           round(col("ds"), 3).as("sphere_m"),
           (col("dv") / col("ds") > 0.993 && col("dv") / col("ds") < 1.007)
             .as("spheroid_ok"),
-          (col("len") === col("dv")).as("len_eq"))
+          (col("len") === col("dv")).as("len_eq"),
+          // geodesic vs spherical azimuth agree to the flattening scale
+          (abs(col("azv") - col("azs")) < 0.01 ||
+            abs(abs(col("azv") - col("azs")) - 2.0 * math.Pi) < 0.01).as("azimuth_ok"))
         .orderBy(col("c_custkey"))
     }),
 

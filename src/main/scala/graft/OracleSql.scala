@@ -1446,6 +1446,88 @@ object OracleSql {
       SELECT s_suppkey, 1.0::DOUBLE AS area_ratio, 1.0::DOUBLE AS perim_ratio
       FROM supplier ORDER BY s_suppkey""",
 
+    // r11 conic/pseudoconic forwards mirrored term by term (Snyder series
+    // with the kernels' exact double association; shared e2/e4/e6 CTE and
+    // the 3-21 meridian-arc macro). Roundtrip deltas 0 at 5 dp.
+    "g86_to_crs_conics" -> {
+      def mArcSql(phi: String): String =
+        s"6378137.0 * ((1.0 - e2 / 4.0 - 3.0 * e4 / 64.0 - 5.0 * e6 / 256.0) * ($phi) " +
+          s"- (3.0 * e2 / 8.0 + 3.0 * e4 / 32.0 + 45.0 * e6 / 1024.0) * sin(2.0 * ($phi)) " +
+          s"+ (15.0 * e4 / 256.0 + 45.0 * e6 / 1024.0) * sin(4.0 * ($phi)) " +
+          s"- (35.0 * e6 / 3072.0) * sin(6.0 * ($phi)))"
+      def mSql(phi: String): String =
+        s"cos($phi) / sqrt(1.0 - e2 * sin($phi) * sin($phi))"
+      s"""
+      WITH p AS (SELECT c_custkey, cx, cy FROM ($custPts)),
+      e0 AS (SELECT f * (2.0 - f) AS e2 FROM (SELECT 1.0 / 298.257223563 AS f)),
+      e1 AS (SELECT e2, e2 * e2 AS e4, e2 * e2 * e2 AS e6 FROM e0),
+      -- Cassini-Soldner (lat0 10, lon0 -61.5): Snyder 13-7/13-8
+      ca AS (SELECT c_custkey, '+proj=cass +lat_0=10 +lon_0=-61.5' AS code, gx, gy
+        FROM (SELECT c_custkey,
+            6378137.0 / sqrt(1.0 - e2 * sin(phi) * sin(phi)) * aa *
+              (1.0 - t * aa * aa / 6.0
+               - (8.0 - t + 8.0 * cc) * t * aa * aa * aa * aa / 120.0) AS gx,
+            ${mArcSql("phi")} - m0 +
+              6378137.0 / sqrt(1.0 - e2 * sin(phi) * sin(phi)) *
+                (sin(phi) / cos(phi)) * (aa * aa / 2.0
+                  + (5.0 - t + 6.0 * cc) * aa * aa * aa * aa / 24.0) AS gy
+          FROM (SELECT c_custkey, e2, e4, e6, phi,
+                  (lam - radians(-61.5)) * cos(phi) AS aa,
+                  (sin(phi) / cos(phi)) * (sin(phi) / cos(phi)) AS t,
+                  e2 * cos(phi) * cos(phi) / (1.0 - e2) AS cc,
+                  ${mArcSql("radians(10.0)")} AS m0
+                FROM (SELECT c_custkey, e2, e4, e6,
+                        radians(cx / 4000.0 - 62.8) AS lam,
+                        radians(cy / 250.0 + 8.5) AS phi
+                      FROM p, e1)))),
+      -- Equidistant conic (lat0 23, lon0 -96, SPs 29.5/45.5): Snyder 16-x
+      eq AS (SELECT c_custkey,
+          '+proj=eqdc +lat_0=23 +lon_0=-96 +lat_1=29.5 +lat_2=45.5' AS code,
+          rho * sin(nc * (lam - radians(-96.0))) AS gx,
+          rho0 - rho * cos(nc * (lam - radians(-96.0))) AS gy
+        FROM (SELECT c_custkey, lam, nc,
+                6378137.0 * gg - ${mArcSql("phi")} AS rho,
+                6378137.0 * gg - ${mArcSql("radians(23.0)")} AS rho0
+          FROM (SELECT c_custkey, e2, e4, e6, lam, phi, nc,
+                  ${mSql("radians(29.5)")} / nc + ${mArcSql("radians(29.5)")} / 6378137.0 AS gg
+            FROM (SELECT c_custkey, e2, e4, e6, lam, phi,
+                    6378137.0 * (${mSql("radians(29.5)")} - ${mSql("radians(45.5)")})
+                      / (${mArcSql("radians(45.5)")} - ${mArcSql("radians(29.5)")}) AS nc
+                  FROM (SELECT c_custkey, e2, e4, e6,
+                          radians(cx / 250.0 - 118.0) AS lam,
+                          radians(cy / 40.0 + 22.0) AS phi
+                        FROM p, e1))))),
+      -- American polyconic (lat0 0, lon0 -54): Snyder 18-12..18-15
+      po AS (SELECT c_custkey, '+proj=poly +lat_0=0 +lon_0=-54' AS code,
+          6378137.0 / sqrt(1.0 - e2 * sin(phi) * sin(phi)) *
+            (cos(phi) / sin(phi)) * sin((lam - radians(-54.0)) * sin(phi)) AS gx,
+          ${mArcSql("phi")} - 0.0 +
+            6378137.0 / sqrt(1.0 - e2 * sin(phi) * sin(phi)) *
+              (cos(phi) / sin(phi)) *
+              (1.0 - cos((lam - radians(-54.0)) * sin(phi))) AS gy
+        FROM (SELECT c_custkey, e2, e4, e6,
+                radians(cx / 1000.0 - 59.0) AS lam,
+                radians(cy / 40.0 + 5.0) AS phi
+              FROM p, e1)),
+      -- Bonne (lat1 45, lon0 10): Snyder 19-1..19-6
+      bo AS (SELECT c_custkey, '+proj=bonne +lat_1=45 +lon_0=10' AS code,
+          rho * sin(6378137.0 * ${mSql("phi")} * (lam - radians(10.0)) / rho) AS gx,
+          cot1 - rho * cos(6378137.0 * ${mSql("phi")} * (lam - radians(10.0)) / rho) AS gy
+        FROM (SELECT c_custkey, e2, e4, e6, lam, phi, cot1,
+                cot1 + ${mArcSql("radians(45.0)")} - ${mArcSql("phi")} AS rho
+          FROM (SELECT c_custkey, e2, e4, e6, lam, phi,
+                  6378137.0 * ${mSql("radians(45.0)")} / sin(radians(45.0)) AS cot1
+                FROM (SELECT c_custkey, e2, e4, e6,
+                        radians(cx / 150.0 - 27.0) AS lam,
+                        radians(cy / 25.0 + 12.0) AS phi
+                      FROM p, e1))))
+      SELECT c_custkey, code, round(gx, 3) AS gx, round(gy, 3) AS gy,
+             0.0::DOUBLE AS dlon, 0.0::DOUBLE AS dlat
+      FROM (SELECT * FROM ca UNION ALL SELECT * FROM eq
+            UNION ALL SELECT * FROM po UNION ALL SELECT * FROM bo)
+      ORDER BY c_custkey, code"""
+    },
+
     // r11 geography: haversine on the IUGG mean radius mirrored with the
     // SAME double expression structure as the kernel; the Vincenty columns
     // are contract booleans (flattening-scale agreement, line length ==

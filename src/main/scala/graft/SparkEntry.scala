@@ -1908,6 +1908,34 @@ object SparkEntry {
         .orderBy(col("s_suppkey"))
     }),
 
+    // r11 conic/pseudoconic long-tail families with CLOSED-FORM forwards
+    // (Cassini-Soldner series, equidistant conic, polyconic, Bonne) — each
+    // mirrored term by term in the oracle over its own service domain;
+    // roundtrip deltas 0 at 5 dp
+    "g86_to_crs_conics" -> ((s, d) => {
+      val base = customerPts(s, d).select(col("c_custkey"), col("cx"), col("cy"))
+      def branch(code: String, lon: org.apache.spark.sql.Column, lat: org.apache.spark.sql.Column): DataFrame =
+        base.withColumn("lon", lon).withColumn("lat", lat)
+          .withColumn("code", lit(code))
+          .withColumn("g", st_transform(st_point(col("lon"), col("lat")),
+            lit("EPSG:4326"), col("code")))
+          .withColumn("rt", st_transform(col("g"), col("code"), lit("EPSG:4326")))
+          .select(col("c_custkey"), col("code"),
+            round(st_x(col("g")), 3).as("gx"),
+            round(st_y(col("g")), 3).as("gy"),
+            round(abs(st_x(col("rt")) - col("lon")), 5).as("dlon"),
+            round(abs(st_y(col("rt")) - col("lat")), 5).as("dlat"))
+      branch("+proj=cass +lat_0=10 +lon_0=-61.5",
+          col("cx") / 4000.0 - 62.8, col("cy") / 250.0 + 8.5)
+        .unionByName(branch("+proj=eqdc +lat_0=23 +lon_0=-96 +lat_1=29.5 +lat_2=45.5",
+          col("cx") / 250.0 - 118.0, col("cy") / 40.0 + 22.0))
+        .unionByName(branch("+proj=poly +lat_0=0 +lon_0=-54",
+          col("cx") / 1000.0 - 59.0, col("cy") / 40.0 + 5.0))
+        .unionByName(branch("+proj=bonne +lat_1=45 +lon_0=10",
+          col("cx") / 150.0 - 27.0, col("cy") / 25.0 + 12.0))
+        .orderBy(col("c_custkey"), col("code"))
+    }),
+
     // r11 geography measures: haversine mirrored term-by-term in SQL
     // (closed form); Vincenty has no closed form, so the oracle checks
     // its CONTRACT — within the flattening scale of the sphere value and

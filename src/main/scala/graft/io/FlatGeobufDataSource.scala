@@ -64,10 +64,12 @@ object FlatGeobufDataSource {
     }
 }
 
-private[io] class FgbTable(tableSchema: StructType,
+private[graft] class FgbTable(tableSchema: StructType,
     props: java.util.Map[String, String])
   extends Table with SupportsRead
   with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  private[graft] def graftGeomCol: Option[String] =
+    Some(Option(props.get("geometryColumn")).getOrElse("geometry"))
   override def name(): String = "flatgeobuf:" + FlatGeobufDataSource.pathOf(props)
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
@@ -89,7 +91,7 @@ private[io] class FgbTable(tableSchema: StructType,
   }
 }
 
-private[io] class FgbScanBuilder(fullSchema: StructType,
+private[graft] class FgbScanBuilder(fullSchema: StructType,
     options: java.util.Map[String, String])
   extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = fullSchema
@@ -98,7 +100,7 @@ private[io] class FgbScanBuilder(fullSchema: StructType,
   override def build(): Scan = new FgbScan(fullSchema, required, options)
 }
 
-private[io] class FgbScan(fullSchema: StructType, required: StructType,
+private[graft] class FgbScan(fullSchema: StructType, required: StructType,
     options: java.util.Map[String, String]) extends Scan with Batch {
 
   private val path = FlatGeobufDataSource.pathOf(options)
@@ -110,6 +112,15 @@ private[io] class FgbScan(fullSchema: StructType, required: StructType,
   override def toBatch: Batch = this
   override def description(): String =
     s"flatgeobuf $path" + bbox.map(b => s" bbox=$b").getOrElse("")
+
+  // V2BboxPushdown hooks (see ShapefileDataSource)
+  private[graft] def graftGeomCol: Option[String] = Some(geomCol)
+  private[graft] def graftBbox: Option[(Double, Double, Double, Double)] = bbox
+  private[graft] def graftWithBbox(b: String): Scan = {
+    val m = new java.util.HashMap[String, String](options)
+    m.put("bbox", b)
+    new FgbScan(fullSchema, required, m)
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active

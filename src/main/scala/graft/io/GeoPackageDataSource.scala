@@ -60,6 +60,30 @@ object GeoPackageDataSource {
       (a(0), a(1), a(2), a(3))
     }
 
+  /** Geometry column of a feature table per gpkg_geometry_columns; memoized
+    * (bounded) so optimizer fixed-point iterations don't reopen the file.
+    */
+  private val geomColMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[String]]()
+  private[graft] def geomColFor(path: String, table: String): Option[String] = {
+    val key = path + "#" + table
+    val hit = geomColMemo.get(key)
+    if (hit != null) hit
+    else {
+      val v =
+        try {
+          val src = GeoPackageIO.openSource(
+            SparkSession.active.sessionState.newHadoopConf(), path)
+          try {
+            val master = GeoPackageIO.readMaster(src)
+            GeoPackageIO.featureMetaFrom(src, master).get(table).map(_._1)
+          } finally src.close()
+        } catch { case _: Exception => None }
+      if (geomColMemo.size < 1024) geomColMemo.put(key, v)
+      v
+    }
+  }
+
   private[io] def schemaFor(path: String, table: String): StructType = {
     val spark = SparkSession.active
     val src = GeoPackageIO.openSource(spark.sessionState.newHadoopConf(), path)
@@ -74,8 +98,11 @@ object GeoPackageDataSource {
   }
 }
 
-private[io] class GpkgTable(tableSchema: StructType,
+private[graft] class GpkgTable(tableSchema: StructType,
     props: java.util.Map[String, String]) extends Table with SupportsRead {
+  private[graft] def graftGeomCol: Option[String] =
+    GeoPackageDataSource.geomColFor(
+      GeoPackageDataSource.pathOf(props), GeoPackageDataSource.tableOf(props))
   override def name(): String =
     "geopackage:" + GeoPackageDataSource.pathOf(props) + "#" +
       GeoPackageDataSource.tableOf(props)
@@ -89,7 +116,7 @@ private[io] class GpkgTable(tableSchema: StructType,
   }
 }
 
-private[io] class GpkgScanBuilder(fullSchema: StructType,
+private[graft] class GpkgScanBuilder(fullSchema: StructType,
     options: java.util.Map[String, String])
   extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = fullSchema
@@ -98,7 +125,7 @@ private[io] class GpkgScanBuilder(fullSchema: StructType,
   override def build(): Scan = new GpkgScan(fullSchema, required, options)
 }
 
-private[io] class GpkgScan(fullSchema: StructType, required: StructType,
+private[graft] class GpkgScan(fullSchema: StructType, required: StructType,
     options: java.util.Map[String, String]) extends Scan with Batch {
 
   private val path = GeoPackageDataSource.pathOf(options)
@@ -109,6 +136,18 @@ private[io] class GpkgScan(fullSchema: StructType, required: StructType,
   override def toBatch: Batch = this
   override def description(): String =
     s"geopackage $path#$table" + bbox.map(b => s" bbox=$b").getOrElse("")
+
+  // V2BboxPushdown hooks (see ShapefileDataSource). The geometry column
+  // name comes from gpkg_geometry_columns — one small metadata read,
+  // cached on this scan instance.
+  private[graft] lazy val graftGeomCol: Option[String] =
+    GeoPackageDataSource.geomColFor(path, table)
+  private[graft] def graftBbox: Option[(Double, Double, Double, Double)] = bbox
+  private[graft] def graftWithBbox(b: String): Scan = {
+    val m = new java.util.HashMap[String, String](options)
+    m.put("bbox", b)
+    new GpkgScan(fullSchema, required, m)
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active

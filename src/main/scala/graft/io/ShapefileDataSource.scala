@@ -52,8 +52,10 @@ class ShapefileDataSource extends TableProvider with DataSourceRegister {
     new ShpTable(schema, properties)
 }
 
-private[io] class ShpTable(tableSchema: StructType,
+private[graft] class ShpTable(tableSchema: StructType,
     props: java.util.Map[String, String]) extends Table with SupportsRead {
+  private[graft] def graftGeomCol: Option[String] =
+    Some(Option(props.get("geometryColumn")).getOrElse("geometry"))
   override def name(): String = "shapefile:" + FlatGeobufDataSource.pathOf(props)
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
@@ -65,7 +67,7 @@ private[io] class ShpTable(tableSchema: StructType,
   }
 }
 
-private[io] class ShpScanBuilder(fullSchema: StructType,
+private[graft] class ShpScanBuilder(fullSchema: StructType,
     options: java.util.Map[String, String])
   extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = fullSchema
@@ -74,7 +76,7 @@ private[io] class ShpScanBuilder(fullSchema: StructType,
   override def build(): Scan = new ShpScan(fullSchema, required, options)
 }
 
-private[io] class ShpScan(fullSchema: StructType, required: StructType,
+private[graft] class ShpScan(fullSchema: StructType, required: StructType,
     options: java.util.Map[String, String]) extends Scan with Batch {
 
   private val path = FlatGeobufDataSource.pathOf(options)
@@ -86,6 +88,16 @@ private[io] class ShpScan(fullSchema: StructType, required: StructType,
   override def toBatch: Batch = this
   override def description(): String =
     s"shapefile $path" + bbox.map(b => s" bbox=$b").getOrElse("")
+
+  // V2BboxPushdown hooks: let the optimizer narrow this scan when a plain
+  // spatial Filter sits above it (no `bbox` option needed from the user)
+  private[graft] def graftGeomCol: Option[String] = Some(geomCol)
+  private[graft] def graftBbox: Option[(Double, Double, Double, Double)] = bbox
+  private[graft] def graftWithBbox(b: String): Scan = {
+    val m = new java.util.HashMap[String, String](options)
+    m.put("bbox", b)
+    new ShpScan(fullSchema, required, m)
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = SparkSession.active.sessionState.newHadoopConf()

@@ -12,6 +12,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => SpatialFilterPushdown)
+    ext.injectOptimizerRule(_ => V2BboxPushdown)
     ext.injectOptimizerRule(_ => SpatialJoinRewrite)
     ext.injectPlannerStrategy(_ => IndexedSpatialJoinStrategy)
   }

@@ -48,13 +48,17 @@ object SpatialFilterPushdown extends Rule[LogicalPlan] {
     case other     => Seq(other)
   }
 
-  private def dLit(e: Expression): Option[Double] = e match {
+  private[plans] def dLit(e: Expression): Option[Double] = e match {
     case Literal(v: Double, DoubleType) => Some(v)
-    case _                              => None
+    case _ if e.foldable && e.dataType == DoubleType =>
+      // pre-constant-folding shapes (e.g. Cast(intLit) in the analyzed plan)
+      try Option(e.eval(null)).map(_.asInstanceOf[Double])
+      catch { case _: Exception => None }
+    case _ => None
   }
 
   /** Envelope of a foldable geometry expression, if evaluable. */
-  private def foldEnvelope(e: Expression): Option[Envelope] =
+  private[plans] def foldEnvelope(e: Expression): Option[Envelope] =
     if (!e.foldable) None
     else try {
       e.eval(null) match {

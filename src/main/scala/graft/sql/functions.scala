@@ -282,6 +282,9 @@ object functions {
     if (!spark.experimental.extraOptimizations.contains(graft.plans.SpatialFilterPushdown))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.SpatialFilterPushdown
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.V2BboxPushdown))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.V2BboxPushdown
     if (!spark.experimental.extraOptimizations.contains(graft.plans.SpatialJoinRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.SpatialJoinRewrite

@@ -455,8 +455,28 @@ object Dedup {
         org.apache.spark.sql.catalyst.expressions.Literal(expectedItems),
         org.apache.spark.sql.catalyst.expressions.Literal(numBits))
       .toAggregateExpression()
-    val bytes = corpus.select(GraftInterop.column(agg).as("_bf"))
-      .head.getAs[Array[Byte]](0)
+    // BloomFilterAggregate SILENTLY clamps its sizing to the runtime-filter
+    // session caps (maxNumBits default 64M bits ~ 8 MB, maxNumItems 4M) —
+    // beyond ~7M expected items the sketch would be undersized and the
+    // actual fp rate could approach 1 while still "succeeding". Raise the
+    // caps to this sketch's sizing for the build, then restore, so the
+    // documented <= fpp contract actually holds at any expectedItems.
+    val spark = corpus.sparkSession
+    val kBits = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val kItems = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val prevBits = spark.conf.get(kBits)
+    val prevItems = spark.conf.get(kItems)
+    val bytes =
+      try {
+        if (prevBits.toLong < numBits) spark.conf.set(kBits, numBits.toString)
+        if (prevItems.toLong < expectedItems)
+          spark.conf.set(kItems, expectedItems.toString)
+        corpus.select(GraftInterop.column(agg).as("_bf"))
+          .head.getAs[Array[Byte]](0)
+      } finally {
+        spark.conf.set(kBits, prevBits)
+        spark.conf.set(kItems, prevItems)
+      }
     val mc = org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
       org.apache.spark.sql.catalyst.expressions.Literal(bytes,
         org.apache.spark.sql.types.BinaryType),

@@ -354,12 +354,19 @@ object GraftDefs {
     // difference is third-order in edge length (negligible below ~100 km
     // edges; densify long edges first when arc-edge semantics matter).
     "st_areaspheroid" -> g1(D) { g =>
-      val env = g.envelope
-      if (env.isEmpty) 0.0
+      val env0 = g.envelope
+      if (env0.isEmpty) 0.0
       else {
+        // antimeridian-spanning inputs (lon span > 180): shift the western
+        // hemisphere +360 so the envelope midpoint — the projection center —
+        // lands on the geometry rather than ~180 degrees away from it
+        val crosses = env0.maxX - env0.minX > 180.0
+        val gn = if (crosses)
+          g.mapCoords((x, y) => (if (x < 0) x + 360.0 else x, y)) else g
+        val env = if (crosses) gn.envelope else env0
         val laea = new Crs.LambertAzimuthalEqualArea(6378137.0, 298.257223563,
           (env.minY + env.maxY) / 2.0, (env.minX + env.maxX) / 2.0, 0.0, 0.0)
-        Measures.area(g.mapCoords(laea.forward))
+        Measures.area(gn.mapCoords(laea.forward))
       }
     },
     // true geodesic perimeter: boundary segment lengths chained with
@@ -403,14 +410,15 @@ object GraftDefs {
         }
         s
       }
-      g match {
-        case l: LineString      => lineLen(l)
-        case m: MultiLineString => m.lines.map(lineLen).sum
-        case _: Point           => 0.0
-        case c: GeometryCollectionLike =>
-          c.children.collect { case l: LineString => lineLen(l) }.sum
-        case _                  => 0.0
+      // recursive walk so MultiLineStrings nested inside collections
+      // contribute (matches st_perimeterspheroid's traversal)
+      def walk(gg: Geometry): Double = gg match {
+        case l: LineString             => lineLen(l)
+        case m: MultiLineString        => m.lines.map(lineLen).sum
+        case c: GeometryCollectionLike => c.children.map(walk(_: Geometry)).sum
+        case _                         => 0.0
       }
+      walk(g)
     },
     // ---- predicates (reference expr.py:983-998)
     "st_intersects" -> g2(BO)(Predicates.intersects),
@@ -2987,8 +2995,13 @@ object Crs {
       case Some("ortho") => Some(new Orthographic(a, rf, lat0, lon0, x0, y0))
       case Some("cass")  => Some(new CassiniSoldner(a, rf, lat0, lon0, x0, y0))
       case Some("eqdc")  =>
+        // symmetric parallels (lat_1 = -lat_2, incl. both 0) give cone
+        // constant n = 0 and the whole frame blows up — proj rejects the
+        // record at setup, so do we
         val l1 = d("lat_1", lat0)
-        Some(new EquidistantConic(a, rf, lat0, lon0, l1, d("lat_2", l1), x0, y0))
+        val l2 = d("lat_2", l1)
+        if (math.abs(l1 + l2) < 1e-9) None
+        else Some(new EquidistantConic(a, rf, lat0, lon0, l1, l2, x0, y0))
       case Some("poly")  => Some(new Polyconic(a, rf, lat0, lon0, x0, y0))
       case Some("tpeqd") =>
         // two distinct base points are required: coincident points leave

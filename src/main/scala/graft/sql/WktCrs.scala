@@ -441,9 +441,12 @@ object WktCrs {
     val c = cache.get(wkt)
     if (c != null) return c
     val t = wkt.trim
+    // case-insensitive head check (WKT keywords are case-insensitive and
+    // mixed-case writers exist — e.g. "GeogCS[..."); must match normCrs's
+    // detection or a recognized .prj falls through to the unsupported error
+    val head = if (t.length >= 6) t.substring(0, 6).toUpperCase else ""
     val r =
-      if (t.isEmpty || !(t.startsWith("GEOGCS") || t.startsWith("PROJCS") ||
-          t.startsWith("geogcs") || t.startsWith("projcs"))) None
+      if (!(head == "GEOGCS" || head == "PROJCS")) None
       else parseTree(t).flatMap(reduce).filter { s =>
         s.startsWith("EPSG:") || Crs.projFor(s).isDefined
       }

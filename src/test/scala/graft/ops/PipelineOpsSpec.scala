@@ -404,6 +404,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!plan.toLowerCase.contains("join"), plan)
   }
 
+  test("deltaDedupBloom: sizing holds beyond Spark's runtime-filter clamp (confs restored)") {
+    // expectedItems=8M at 1% wants ~76.7M bits — ABOVE the session's
+    // runtime.bloomFilter.maxNumBits default (64M): without the temporary
+    // raise the sketch would be silently undersized (fp rate -> ~1)
+    val kBits = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val kItems = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val beforeBits = spark.conf.get(kBits)
+    val beforeItems = spark.conf.get(kItems)
+    val corpus = (0 until 100).map(i => (i.toLong, s"big corpus doc $i")).toDF("doc_id", "text")
+    val incoming = (0 until 10).map(i => (1000L + i, s"big corpus doc $i")).toDF("doc_id", "text")
+    val flagged = Dedup.deltaDedupBloom(corpus, incoming, "text",
+      expectedItems = 8000000L, fpp = 0.01)
+    // the probe literal IS the sketch: its byte size must reflect the full
+    // un-clamped numBits (~9.6 MB), not the 8 MB clamp ceiling
+    val lit = flagged.queryExecution.analyzed.expressions.flatMap(_.collect {
+      case org.apache.spark.sql.catalyst.expressions.Literal(b: Array[Byte], _) => b
+    }).maxBy(_.length)
+    assert(lit.length.toLong > 67108864L / 8, s"sketch only ${lit.length} bytes — clamped")
+    assert(flagged.filter($"dup_maybe").count() == 10)
+    assert(spark.conf.get(kBits) == beforeBits && spark.conf.get(kItems) == beforeItems,
+      "session clamp confs must be restored")
+  }
+
   test("qualityBucketsApprox: monotone tiers, full coverage, no giant sort") {
     val rows = (1L to 30L).map(i => (i, if (i % 2 == 0) "A" else "B", i * 10))
     val df = rows.toDF("doc_id", "lang", "score")

@@ -318,4 +318,33 @@ class FunctionsSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(0) / r.getDouble(1) - 1.0) < 0.006)
     assert(r.getDouble(2) == r.getDouble(0))
   }
+
+  test("st_lengthspheroid recurses into collections; st_areaspheroid handles the antimeridian") {
+    // a MultiLineString nested inside a GeometryCollection must contribute
+    // (one-level collect used to silently drop it)
+    val q = Seq(1).toDF("i").select(
+      expr("st_lengthspheroid(st_geomfromwkt(" +
+        "'GEOMETRYCOLLECTION(MULTILINESTRING((0 0, 1 0),(2 0, 3 0)), LINESTRING(4 0, 5 0))'))")
+        .as("nested"),
+      expr("st_lengthspheroid(st_geomfromwkt('MULTILINESTRING((0 0, 1 0),(2 0, 3 0),(4 0, 5 0))'))")
+        .as("flat")).collect()(0)
+    assert(q.getDouble(0) > 0 && q.getDouble(0) == q.getDouble(1))
+
+    // antimeridian-spanning quad: same shape as a lon-0 quad, so the
+    // ellipsoidal area must match (center used to land ~180 deg away)
+    val a = Seq(1).toDF("i").select(
+      expr("st_areaspheroid(st_geomfromwkt('POLYGON((179 10, -179 10, -179 11, 179 11, 179 10))'))")
+        .as("am"),
+      expr("st_areaspheroid(st_geomfromwkt('POLYGON((0 10, 2 10, 2 11, 0 11, 0 10))'))")
+        .as("ref")).collect()(0)
+    assert(a.getDouble(1) > 0)
+    assert(math.abs(a.getDouble(0) / a.getDouble(1) - 1.0) < 1e-9,
+      s"antimeridian area ${a.getDouble(0)} vs ${a.getDouble(1)}")
+  }
+
+  test("degenerate CRS records are rejected at parse (eqdc symmetric parallels)") {
+    assert(Crs.projFor("+proj=eqdc +lat_1=10 +lat_2=-10 +lat_0=0 +lon_0=0 +ellps=WGS84").isEmpty)
+    assert(Crs.projFor("+proj=eqdc +lat_1=0 +lat_2=0 +lat_0=0 +lon_0=0 +ellps=WGS84").isEmpty)
+    assert(Crs.projFor("+proj=eqdc +lat_1=20 +lat_2=60 +lat_0=40 +lon_0=-96 +ellps=WGS84").isDefined)
+  }
 }

@@ -16,6 +16,9 @@ class WktCrsSpec extends AnyFunSuite {
     // NAD83 geographic resolves WGS84-equivalent, like normCrs
     val nad83 = """GEOGCS["GCS_North_American_1983",DATUM["D_North_American_1983",SPHEROID["GRS_1980",6378137.0,298.257222101]],PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]]"""
     assert(WktCrs.parse(nad83).contains("EPSG:4326"))
+    // WKT keywords are case-insensitive; mixed-case writers exist
+    val mixed = """GeogCS["GCS_WGS_1984",Datum["D_WGS_1984",Spheroid["WGS_1984",6378137.0,298.257223563]],PriMem["Greenwich",0.0],Unit["Degree",0.0174532925199433]]"""
+    assert(WktCrs.parse(mixed).contains("EPSG:4326"))
   }
 
   test("PROJCS with a served EPSG authority short-circuits to the code") {

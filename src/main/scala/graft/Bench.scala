@@ -153,9 +153,12 @@ object Bench {
           // 2 s, re-probe, at most 5 rounds — then retry regardless, with
           // the last probe reading recorded beside both timings so a
           // still-contended retry is distinguishable in the artifact.
+          // 1.5x gate (was 2x): r11 showed a 0.38 s probe passing the 2x
+          // threshold and the retry re-running inside the same mildly-hot
+          // window — t11 committed at 5.3x its quiet value
           var probe = calibrateOnce()
           var waits = 0
-          while (probe > 2.0 * CalibrationRef && waits < 5) {
+          while (probe > 1.5 * CalibrationRef && waits < 5) {
             Thread.sleep(2000)
             probe = calibrateOnce()
             waits += 1
@@ -199,7 +202,16 @@ object Bench {
       "\"" + n + "\":{\"first\":" + first + ",\"retry\":" + retry +
         ",\"probe_s\":" + f"$probe%.4f" + "}"
     }.mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","iterations":$iters,"aggregation":"median","failed":$failed,"calibration_s":$calWorst,"calibration_before_s":$calBefore,"calibration_after_s":$calAfter,"calibration_probes_s":$probesJson,"calibration_ref_s":$CalibrationRef,"calibration_ratio":${f"$calRatio%.2f"},"degraded":$degraded,"retried":${retries.size},"retries":$retriesJson,"queries":$qs,"sf":"${jesc(sfDir)}"}"""
+    // contention that survived the retry gate is FLAGGED, never silently
+    // committed: any committed median still > 3x its quiet-run reference
+    // lands in "suspect" so the round-over-round delta reader knows those
+    // numbers are machine noise, not plan changes
+    val suspects = results.collect {
+      case (n, med) if med >= 0 &&
+        refQueries.get(n).exists(r => r > 0 && med > 3.0 * r) => n
+    }
+    val suspectJson = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","iterations":$iters,"aggregation":"median","failed":$failed,"calibration_s":$calWorst,"calibration_before_s":$calBefore,"calibration_after_s":$calAfter,"calibration_probes_s":$probesJson,"calibration_ref_s":$CalibrationRef,"calibration_ratio":${f"$calRatio%.2f"},"degraded":$degraded,"retried":${retries.size},"retries":$retriesJson,"suspect":$suspectJson,"queries":$qs,"sf":"${jesc(sfDir)}"}"""
     println(json)
     // also persist to a file: the driver captures a stdout TAIL, and with
     // ~100 queries the one-line JSON can exceed the captured suffix — the

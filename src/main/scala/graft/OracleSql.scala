@@ -330,7 +330,7 @@ object OracleSql {
       FROM ($custPts) p LEFT JOIN region r ON $pipCond
       ORDER BY c_custkey, r_regionkey""",
 
-    "g49_sjoin_left_grid" -> s"""
+    "g87_sjoin_left_grid" -> s"""
       SELECT p.c_custkey, r.r_regionkey::BIGINT AS r_regionkey
       FROM ($custPts) p LEFT JOIN region r ON $pipCond
       ORDER BY c_custkey, r_regionkey""",
@@ -1527,6 +1527,44 @@ object OracleSql {
             UNION ALL SELECT * FROM po UNION ALL SELECT * FROM bo)
       ORDER BY c_custkey, code"""
     },
+
+    // r12 WKT2 CRS routing: all three spellings (record / WKT1 / WKT2)
+    // resolve to the same TM kernel, so the cross-route deltas are exactly
+    // 0 and the forward is the g62-style Snyder TM mirror on WGS84
+    "g88_wkt2_crs" -> s"""
+      WITH p AS (SELECT c_custkey, cx, cy FROM ($custPts)),
+      x AS (SELECT c_custkey,
+              cx / 3000.0 + 13.5 AS lon, cy / 250.0 + 38.0 AS lat,
+              radians(cx / 3000.0 + 13.5) AS lam,
+              radians(cy / 250.0 + 38.0) AS phi,
+              radians(15.0) AS lam0
+            FROM p),
+      e0 AS (SELECT f * (2.0 - f) AS e2 FROM (SELECT 1.0 / 298.257223563 AS f)),
+      e1 AS (SELECT e2, e2 / (1.0 - e2) AS ep2, e2 * e2 AS e4,
+                    e2 * e2 * e2 AS e6 FROM e0),
+      q1 AS (SELECT x.*, e2, ep2, e4, e6,
+               sin(phi) AS sphi, cos(phi) AS cphi, tan(phi) AS tphi
+             FROM x, e1),
+      q2 AS (SELECT *, 6378137.0 / sqrt(1.0 - e2 * sphi * sphi) AS n,
+                    tphi * tphi AS t, ep2 * cphi * cphi AS c,
+                    (lam - lam0) * cphi AS aa FROM q1),
+      q3 AS (SELECT *, 6378137.0 * ((1.0 - e2 / 4.0 - 3.0 * e4 / 64.0 - 5.0 * e6 / 256.0) * phi
+                    - (3.0 * e2 / 8.0 + 3.0 * e4 / 32.0 + 45.0 * e6 / 1024.0) * sin(2.0 * phi)
+                    + (15.0 * e4 / 256.0 + 45.0 * e6 / 1024.0) * sin(4.0 * phi)
+                    - (35.0 * e6 / 3072.0) * sin(6.0 * phi)) AS m FROM q2),
+      q4 AS (SELECT *,
+               0.9996 * n * (aa + (1.0 - t + c) * aa * aa * aa / 6.0
+                 + (5.0 - 18.0 * t + t * t + 72.0 * c - 58.0 * ep2) * pow(aa, 5) / 120.0)
+                 + 500000.0 AS mx,
+               0.9996 * (m + n * tphi * (aa * aa / 2.0
+                 + (5.0 - t + 9.0 * c + 4.0 * c * c) * pow(aa, 4) / 24.0
+                 + (61.0 - 58.0 * t + t * t + 600.0 * c - 330.0 * ep2)
+                   * pow(aa, 6) / 720.0)) AS my
+             FROM q3)
+      SELECT c_custkey, round(mx, 3) AS gx, round(my, 3) AS gy,
+             0.0::DOUBLE AS d_wkt1, 0.0::DOUBLE AS d_rec,
+             0.0::DOUBLE AS dlon, 0.0::DOUBLE AS dlat
+      FROM q4 ORDER BY c_custkey""",
 
     // r11 geography: haversine on the IUGG mean radius mirrored with the
     // SAME double expression structure as the kernel; the Vincenty columns

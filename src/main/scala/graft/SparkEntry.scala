@@ -486,7 +486,7 @@ object SparkEntry {
         .select(col("c_custkey"), col("r_regionkey").cast("long").as("r_regionkey"))
         .orderBy(col("c_custkey"), col("r_regionkey"))
     }),
-    "g49_sjoin_left_grid" -> ((s, d) => {
+    "g87_sjoin_left_grid" -> ((s, d) => {
       GeoDataFrame(customerPts(s, d))
         .sjoin(GeoDataFrame(regionTris(s, d)), predicate = "within",
           strategy = "grid", cellSize = Some(500.0), how = "left")
@@ -1934,6 +1934,36 @@ object SparkEntry {
         .unionByName(branch("+proj=bonne +lat_1=45 +lon_0=10",
           col("cx") / 150.0 - 27.0, col("cy") / 25.0 + 12.0))
         .orderBy(col("c_custkey"), col("code"))
+    }),
+
+    // r12 WKT2 (ISO 19162) CRS input: the SAME Transverse-Mercator grid
+    // reached through three spellings — a proj record, WKT1, and the WKT2
+    // text pyproj >= 3 emits by default. The three kernels must agree
+    // bitwise (identical resolved parameters), so the cross-route deltas
+    // are exactly 0; the oracle mirrors the TM forward term by term
+    // (Snyder 8-9..8-25, WGS84) like g62.
+    "g88_wkt2_crs" -> ((s, d) => {
+      val rec = "+proj=tmerc +lat_0=0 +lon_0=15 +k=0.9996 +x_0=500000 +y_0=0 +ellps=WGS84"
+      val wkt1 = """PROJCS["UTM33-like",GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984",SPHEROID["WGS_1984",6378137.0,298.257223563]],PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]],PROJECTION["Transverse_Mercator"],PARAMETER["latitude_of_origin",0.0],PARAMETER["central_meridian",15.0],PARAMETER["scale_factor",0.9996],PARAMETER["false_easting",500000.0],PARAMETER["false_northing",0.0],UNIT["Meter",1.0]]"""
+      val wkt2 = """PROJCRS["UTM33-like",BASEGEOGCRS["WGS 84",ENSEMBLE["World Geodetic System 1984 ensemble",MEMBER["World Geodetic System 1984 (Transit)"],ELLIPSOID["WGS 84",6378137,298.257223563,LENGTHUNIT["metre",1]],ENSEMBLEACCURACY[2.0]],PRIMEM["Greenwich",0,ANGLEUNIT["degree",0.0174532925199433]]],CONVERSION["Transverse Mercator",METHOD["Transverse Mercator",ID["EPSG",9807]],PARAMETER["Latitude of natural origin",0,ANGLEUNIT["degree",0.0174532925199433],ID["EPSG",8801]],PARAMETER["Longitude of natural origin",15,ANGLEUNIT["degree",0.0174532925199433],ID["EPSG",8802]],PARAMETER["Scale factor at natural origin",0.9996,SCALEUNIT["unity",1],ID["EPSG",8805]],PARAMETER["False easting",500000,LENGTHUNIT["metre",1],ID["EPSG",8806]],PARAMETER["False northing",0,LENGTHUNIT["metre",1],ID["EPSG",8807]]],CS[Cartesian,2],AXIS["(E)",east,ORDER[1],LENGTHUNIT["metre",1]],AXIS["(N)",north,ORDER[2],LENGTHUNIT["metre",1]],USAGE[SCOPE["Engineering survey."],AREA["Between 12E and 18E."],BBOX[0,12,84,18]]]"""
+      customerPts(s, d).select(col("c_custkey"), col("cx"), col("cy"))
+        .withColumn("lon", col("cx") / 3000.0 + 13.5)
+        .withColumn("lat", col("cy") / 250.0 + 38.0)
+        .withColumn("pt", st_point(col("lon"), col("lat")))
+        .withColumn("g2", st_transform(col("pt"), lit("EPSG:4326"), lit(wkt2)))
+        .withColumn("g1", st_transform(col("pt"), lit("EPSG:4326"), lit(wkt1)))
+        .withColumn("gr", st_transform(col("pt"), lit("EPSG:4326"), lit(rec)))
+        .withColumn("rt", st_transform(col("g2"), lit(wkt2), lit("EPSG:4326")))
+        .select(col("c_custkey"),
+          round(st_x(col("g2")), 3).as("gx"),
+          round(st_y(col("g2")), 3).as("gy"),
+          round(abs(st_x(col("g2")) - st_x(col("g1"))) +
+            abs(st_y(col("g2")) - st_y(col("g1"))), 9).as("d_wkt1"),
+          round(abs(st_x(col("g2")) - st_x(col("gr"))) +
+            abs(st_y(col("g2")) - st_y(col("gr"))), 9).as("d_rec"),
+          round(abs(st_x(col("rt")) - col("lon")), 5).as("dlon"),
+          round(abs(st_y(col("rt")) - col("lat")), 5).as("dlat"))
+        .orderBy(col("c_custkey"))
     }),
 
     // r11 geography measures: haversine mirrored term-by-term in SQL

@@ -701,11 +701,9 @@ object GraftDefs {
     // reduce to an EPSG code / proj record; unparseable WKT falls through
     // to the unsupported-pair error with the original text
     val t0 = s.trim
-    if (t0.length > 6) {
-      val head = t0.substring(0, 6).toUpperCase
-      if (head == "GEOGCS" || head == "PROJCS")
-        return WktCrs.parse(t0).getOrElse(t0)
-    }
+    val head = t0.takeWhile(c => c.isLetterOrDigit || c == '_').toUpperCase
+    if (WktCrs.WktHeads.contains(head))
+      return WktCrs.parse(t0).getOrElse(t0)
     val up = s.toUpperCase
     if (up == "OGC:CRS84" || up == "CRS84" || up == "WGS84" || up == "4326") "EPSG:4326"
     // WGS84-equivalent geographic datums (meter-level: the standard

@@ -57,6 +57,10 @@ object WktCrs {
       } else {
         val name = ident()
         ws()
+        // WKT2 has bare enumeration keywords (CS[Cartesian,2], axis
+        // directions `east`/`north`) — an identifier not followed by a
+        // bracket is an atom, not a node
+        if (i >= in.length || (in(i) != '[' && in(i) != '(')) return Str(name)
         // WKT1 uses [ ]; some writers emit ( )
         val open = in(i); require(open == '[' || open == '(', s"expected [ at $i")
         val close = if (open == '[') ']' else ')'
@@ -149,6 +153,10 @@ object WktCrs {
       nums(p).headOption.forall(v => math.abs(v) < 1e-12))
 
   def reduce(root: Obj): Option[String] = root.name match {
+    // WKT2 (ISO 19162) heads adapt onto the WKT1 shapes below
+    case "GEOGCRS" | "GEODCRS" => wkt2Geog(root).flatMap(reduce)
+    case "PROJCRS"             => wkt2Proj(root).flatMap(reduce)
+    case "BOUNDCRS"            => wkt2Bound(root).flatMap(reduce)
     case "GEOGCS" if !greenwichPrimem(root) => None
     case "GEOGCS" =>
       authority(root) match {
@@ -269,6 +277,239 @@ object WktCrs {
     child(geogcs, "DATUM").flatMap(child(_, "TOWGS84")).map { t =>
       nums(t).padTo(7, 0.0).take(7).mkString(",")
     }.filter(_.split(",").exists(_.toDouble != 0.0))
+
+  // ---------------------------------------------- WKT2 (ISO 19162) input
+
+  /** WKT2 is what pyproj >= 3 and modern GDAL emit by default, so real
+    * `.prj` sidecars / CRS metadata increasingly arrive in it. The grammar
+    * is the same bracket tree; node names, EPSG method/parameter spellings,
+    * and unit handling differ. Strategy: ADAPT the WKT2 tree onto the
+    * WKT1 shape [[reduce]] already serves (same preference order: served
+    * ID/AUTHORITY code first, else a synthesized proj record), converting
+    * per-parameter units (ANGLEUNIT grad/radian -> degree, LENGTHUNIT ->
+    * the CS unit) in the process. Axis order nodes are ignored — the
+    * engine's coordinates are always lon/lat, easting/northing (the same
+    * always-xy convention the reference applies via pyproj).
+    */
+
+  /** EPSG method names (WKT2 METHOD) -> the WKT1 projection names in
+    * [[projNames]]. Published mapping (EPSG Guidance Note 7-2 method
+    * names; same table GDAL's WKT2->WKT1 exporter carries).
+    */
+  private val wkt2Methods: Map[String, String] = Map(
+    "TRANSVERSE MERCATOR" -> "TRANSVERSE_MERCATOR",
+    "GAUSS-KRUGER" -> "TRANSVERSE_MERCATOR",
+    "LAMBERT CONIC CONFORMAL (2SP)" -> "LAMBERT_CONFORMAL_CONIC_2SP",
+    "LAMBERT CONIC CONFORMAL (1SP)" -> "LAMBERT_CONFORMAL_CONIC_1SP",
+    "ALBERS EQUAL AREA" -> "ALBERS_CONIC_EQUAL_AREA",
+    "LAMBERT AZIMUTHAL EQUAL AREA" -> "LAMBERT_AZIMUTHAL_EQUAL_AREA",
+    "LAMBERT CYLINDRICAL EQUAL AREA" -> "CYLINDRICAL_EQUAL_AREA",
+    "MERCATOR (VARIANT A)" -> "MERCATOR_1SP",
+    "MERCATOR (VARIANT B)" -> "MERCATOR_2SP",
+    "POPULAR VISUALISATION PSEUDO MERCATOR" -> "POPULAR_VISUALISATION_PSEUDO_MERCATOR",
+    "POLAR STEREOGRAPHIC (VARIANT A)" -> "POLAR_STEREOGRAPHIC",
+    "POLAR STEREOGRAPHIC (VARIANT B)" -> "POLAR_STEREOGRAPHIC",
+    "OBLIQUE STEREOGRAPHIC" -> "OBLIQUE_STEREOGRAPHIC",
+    "CASSINI-SOLDNER" -> "CASSINI_SOLDNER",
+    "SINUSOIDAL" -> "SINUSOIDAL",
+    "MOLLWEIDE" -> "MOLLWEIDE",
+    "ECKERT IV" -> "ECKERT_IV",
+    "MILLER CYLINDRICAL" -> "MILLER_CYLINDRICAL",
+    "ROBINSON" -> "ROBINSON",
+    "VAN DER GRINTEN" -> "VANDERGRINTEN",
+    "GNOMONIC" -> "GNOMONIC",
+    "ORTHOGRAPHIC" -> "ORTHOGRAPHIC",
+    "AZIMUTHAL EQUIDISTANT" -> "AZIMUTHAL_EQUIDISTANT",
+    "MODIFIED AZIMUTHAL EQUIDISTANT" -> "AZIMUTHAL_EQUIDISTANT",
+    "EQUIDISTANT CONIC" -> "EQUIDISTANT_CONIC",
+    "AMERICAN POLYCONIC" -> "POLYCONIC",
+    "KROVAK" -> "KROVAK",
+    "HOTINE OBLIQUE MERCATOR (VARIANT A)" -> "HOTINE_OBLIQUE_MERCATOR",
+    "HOTINE OBLIQUE MERCATOR (VARIANT B)" -> "HOTINE_OBLIQUE_MERCATOR_AZIMUTH_CENTER",
+    "EQUAL EARTH" -> "EQUAL_EARTH",
+    "BONNE" -> "BONNE")
+
+  /** EPSG parameter names (WKT2 PARAMETER) -> WKT1 parameter names. */
+  private val wkt2Params: Map[String, String] = Map(
+    "LATITUDE OF NATURAL ORIGIN" -> "latitude_of_origin",
+    "LONGITUDE OF NATURAL ORIGIN" -> "central_meridian",
+    "SCALE FACTOR AT NATURAL ORIGIN" -> "scale_factor",
+    "FALSE EASTING" -> "false_easting",
+    "FALSE NORTHING" -> "false_northing",
+    "LATITUDE OF FALSE ORIGIN" -> "latitude_of_origin",
+    "LONGITUDE OF FALSE ORIGIN" -> "central_meridian",
+    "EASTING AT FALSE ORIGIN" -> "false_easting",
+    "NORTHING AT FALSE ORIGIN" -> "false_northing",
+    "LATITUDE OF 1ST STANDARD PARALLEL" -> "standard_parallel_1",
+    "LATITUDE OF 2ND STANDARD PARALLEL" -> "standard_parallel_2",
+    "LATITUDE OF STANDARD PARALLEL" -> "standard_parallel_1",
+    "LONGITUDE OF ORIGIN" -> "central_meridian",
+    "LATITUDE OF PROJECTION CENTRE" -> "latitude_of_center",
+    "LONGITUDE OF PROJECTION CENTRE" -> "longitude_of_center",
+    "AZIMUTH OF INITIAL LINE" -> "azimuth",
+    "AZIMUTH AT PROJECTION CENTRE" -> "azimuth",
+    "ANGLE FROM RECTIFIED TO SKEW GRID" -> "rectified_grid_angle",
+    "ANGLE FROM RECTIFIED TO SKEWED GRID" -> "rectified_grid_angle",
+    "SCALE FACTOR ON INITIAL LINE" -> "scale_factor",
+    "SCALE FACTOR AT PROJECTION CENTRE" -> "scale_factor",
+    "EASTING AT PROJECTION CENTRE" -> "false_easting",
+    "NORTHING AT PROJECTION CENTRE" -> "false_northing")
+
+  private val angleParamNames = Set("latitude_of_origin", "central_meridian",
+    "standard_parallel_1", "standard_parallel_2", "latitude_of_center",
+    "longitude_of_center", "azimuth", "rectified_grid_angle")
+
+  /** degrees per unit for a node's ANGLEUNIT/UNIT child (default: degree).
+    * WKT2 unit factors are radians per unit.
+    */
+  private def angleFactorDeg(o: Obj): Double =
+    child(o, "ANGLEUNIT").orElse(child(o, "UNIT")).flatMap(u => nums(u).headOption)
+      .map { radPerUnit =>
+        val f = radPerUnit * 180.0 / math.Pi
+        // the WKT degree factor is a DECIMAL approximation of pi/180 — its
+        // round trip lands 1 ulp off 1.0 and would perturb every converted
+        // angle (lon_0=15 -> 14.999999999999998); degrees pass through exact
+        if (math.abs(f - 1.0) < 1e-10) 1.0 else f
+      }.getOrElse(1.0)
+
+  /** meters per unit for a node's LENGTHUNIT/UNIT child (default: metre). */
+  private def lengthFactorM(o: Obj): Double =
+    child(o, "LENGTHUNIT").orElse(child(o, "UNIT")).flatMap(u => nums(u).headOption)
+      .getOrElse(1.0)
+
+  /** WKT2 ID[...] (code as number or string) -> a WKT1 AUTHORITY node. */
+  private def idAuthority(o: Obj): Option[Obj] =
+    children(o, "ID").lastOption.flatMap { id =>
+      id.args.toList match {
+        case Str(auth) :: rest =>
+          rest.collectFirst {
+            case Num(v) if v == math.floor(v) => v.toLong.toString
+            case Str(s) if s.nonEmpty && s.forall(_.isDigit) => s
+          }.map(code => Obj("AUTHORITY", Vector(Str(auth), Str(code))))
+        case _ => None
+      }
+    }.orElse(children(o, "AUTHORITY").lastOption)
+
+  /** ELLIPSOID under DATUM / datum ENSEMBLE / TRF, semi-major converted to
+    * meters via its own LENGTHUNIT.
+    */
+  private def wkt2Ellipsoid(datum: Obj): Option[(Double, Double)] =
+    child(datum, "ELLIPSOID").orElse(child(datum, "SPHEROID")).flatMap { e =>
+      nums(e) match {
+        case Seq(a, rf, _*) =>
+          Some((a * lengthFactorM(e), if (rf == 0.0) 1e12 else rf))
+        case _ => None
+      }
+    }
+
+  /** GEOGCRS / GEODCRS / BASEGEOGCRS / BASEGEODCRS -> a WKT1 GEOGCS node
+    * [[reduce]] serves. None for a non-Greenwich prime meridian (same
+    * rejection as WKT1 — ignoring it would shift every longitude).
+    */
+  private def wkt2Geog(g: Obj): Option[Obj] = {
+    val datum = child(g, "DATUM").orElse(child(g, "ENSEMBLE")).orElse(child(g, "TRF"))
+    val primOk = child(g, "PRIMEM").forall { p =>
+      math.abs(nums(p).headOption.getOrElse(0.0) * angleFactorDeg(p)) < 1e-12
+    }
+    if (!primOk) None
+    else datum.flatMap(wkt2Ellipsoid).map { case (a, rf) =>
+      val dName = datum.flatMap(firstStr).getOrElse("unnamed")
+      Obj("GEOGCS", Vector[Node](Str(firstStr(g).getOrElse("unnamed")),
+        Obj("DATUM", Vector(Str(dName),
+          Obj("SPHEROID", Vector(Str(dName), Num(a), Num(rf))))),
+        Obj("PRIMEM", Vector(Str("Greenwich"), Num(0.0)))) ++
+        idAuthority(g).toVector)
+    }
+  }
+
+  /** PROJCRS -> a WKT1 PROJCS node: BASEGEOGCRS adapts through
+    * [[wkt2Geog]], the CONVERSION's METHOD/PARAMETERs map through the
+    * EPSG-name tables with angle parameters converted to degrees and
+    * length parameters to the CS unit (so the WKT1 unit-scaling semantics
+    * — false offsets in CS units, `+to_meter` for non-metric grids —
+    * apply unchanged).
+    */
+  private def wkt2Proj(root: Obj): Option[Obj] = {
+    // CS unit: a LENGTHUNIT directly under PROJCRS (after the axes) or
+    // inside the first AXIS node
+    val csUnitM = child(root, "LENGTHUNIT").orElse(child(root, "UNIT"))
+      .flatMap(u => nums(u).headOption)
+      .orElse(children(root, "AXIS").headOption.map(lengthFactorM))
+      .getOrElse(1.0)
+    for {
+      base <- child(root, "BASEGEOGCRS").orElse(child(root, "BASEGEODCRS"))
+      g1 <- wkt2Geog(base)
+      conv <- child(root, "CONVERSION")
+      methodName <- child(conv, "METHOD").flatMap(firstStr).map(_.toUpperCase)
+      wkt1Proj <- wkt2Methods.get(methodName)
+    } yield {
+      val params: Vector[Node] = children(conv, "PARAMETER").flatMap { p =>
+        for {
+          pn <- firstStr(p).map(_.toUpperCase)
+          w1 <- wkt2Params.get(pn)
+          v <- nums(p).headOption
+        } yield {
+          val vv =
+            if (angleParamNames(w1)) v * angleFactorDeg(p)
+            else if (w1 == "false_easting" || w1 == "false_northing")
+              v * lengthFactorM(p) / csUnitM // express in the CS unit
+            else v
+          Obj("PARAMETER", Vector(Str(w1), Num(vv))): Node
+        }
+      }.toVector
+      Obj("PROJCS", Vector[Node](Str(firstStr(root).getOrElse("unnamed")), g1,
+        Obj("PROJECTION", Vector(Str(wkt1Proj)))) ++ params ++
+        Vector[Node](Obj("UNIT", Vector(Str("unit"), Num(csUnitM)))) ++
+        idAuthority(root).toVector)
+    }
+  }
+
+  /** BOUNDCRS: adapt the SOURCECRS and inject the ABRIDGEDTRANSFORMATION's
+    * Helmert terms as a WKT1 TOWGS84 (abridged conventions: translations
+    * in meters, rotations in arc-seconds, scale as the (1 + dS)
+    * multiplier -> ppm).
+    */
+  private def wkt2Bound(root: Obj): Option[Obj] = {
+    val src = child(root, "SOURCECRS")
+      .flatMap(_.args.collectFirst { case o: Obj => o })
+    val adapted = src.flatMap {
+      case g if g.name == "GEOGCRS" || g.name == "GEODCRS" => wkt2Geog(g)
+      case p if p.name == "PROJCRS" => wkt2Proj(p)
+      case _ => None
+    }
+    val tow: Option[Obj] = child(root, "ABRIDGEDTRANSFORMATION").map { tr =>
+      val pv: Map[String, Double] = children(tr, "PARAMETER").flatMap { p =>
+        (firstStr(p).map(_.toUpperCase), nums(p).headOption) match {
+          case (Some(n), Some(v)) => Some(n -> v)
+          case _ => None
+        }
+      }.toMap
+      def g(n: String): Double = pv.getOrElse(n, 0.0)
+      val ppm = pv.get("SCALE DIFFERENCE").map(m => (m - 1.0) * 1e6).getOrElse(0.0)
+      Obj("TOWGS84", Vector(
+        Num(g("X-AXIS TRANSLATION")), Num(g("Y-AXIS TRANSLATION")),
+        Num(g("Z-AXIS TRANSLATION")), Num(g("X-AXIS ROTATION")),
+        Num(g("Y-AXIS ROTATION")), Num(g("Z-AXIS ROTATION")), Num(ppm)))
+    }
+    adapted.map { w1 =>
+      tow match {
+        case None => w1
+        case Some(t) =>
+          def addTow(o: Obj): Obj = o.name match {
+            case "GEOGCS" => Obj("GEOGCS", o.args.map {
+              case d: Obj if d.name == "DATUM" => Obj("DATUM", d.args :+ (t: Node))
+              case other => other
+            })
+            case "PROJCS" => Obj("PROJCS", o.args.map {
+              case g: Obj if g.name == "GEOGCS" => addTow(g): Node
+              case other => other
+            })
+            case _ => o
+          }
+          addTow(w1)
+      }
+    }
+  }
 
   // ------------------------------------------------------------ synthesis
 
@@ -444,9 +685,9 @@ object WktCrs {
     // case-insensitive head check (WKT keywords are case-insensitive and
     // mixed-case writers exist — e.g. "GeogCS[..."); must match normCrs's
     // detection or a recognized .prj falls through to the unsupported error
-    val head = if (t.length >= 6) t.substring(0, 6).toUpperCase else ""
+    val head = t.takeWhile(c => c.isLetterOrDigit || c == '_').toUpperCase
     val r =
-      if (!(head == "GEOGCS" || head == "PROJCS")) None
+      if (!WktHeads.contains(head)) None
       else parseTree(t).flatMap(reduce).filter { s =>
         s.startsWith("EPSG:") || Crs.projFor(s).isDefined
       }
@@ -458,4 +699,8 @@ object WktCrs {
   }
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, Option[String]]()
+
+  /** Heads [[parse]] recognizes: WKT1/ESRI and WKT2 (ISO 19162) CRS text. */
+  val WktHeads: Set[String] =
+    Set("GEOGCS", "PROJCS", "GEOGCRS", "GEODCRS", "PROJCRS", "BOUNDCRS")
 }

@@ -233,4 +233,79 @@ class WktCrsSpec extends AnyFunSuite {
     assert(!new java.io.File(dir2).listFiles().exists(_.getName.endsWith(".prj")))
     assert(graft.api.GeoDataFrame.readShapefile(spark, dir2).crs.isEmpty)
   }
+
+  // ------------------------------------------------------------- WKT2
+
+  test("WKT2: pyproj-default GEOGCRS (datum ensemble, axes, usage) -> EPSG:4326") {
+    // exactly the shape `pyproj.CRS(4326).to_wkt()` emits (WKT2-2019)
+    val wkt2 = """GEOGCRS["WGS 84",ENSEMBLE["World Geodetic System 1984 ensemble",MEMBER["World Geodetic System 1984 (Transit)"],MEMBER["World Geodetic System 1984 (G2296)"],ELLIPSOID["WGS 84",6378137,298.257223563,LENGTHUNIT["metre",1]],ENSEMBLEACCURACY[2.0]],PRIMEM["Greenwich",0,ANGLEUNIT["degree",0.0174532925199433]],CS[ellipsoidal,2],AXIS["geodetic latitude (Lat)",north,ORDER[1],ANGLEUNIT["degree",0.0174532925199433]],AXIS["geodetic longitude (Lon)",east,ORDER[2],ANGLEUNIT["degree",0.0174532925199433]],USAGE[SCOPE["Horizontal component of 3D system."],AREA["World."],BBOX[-90,-180,90,180]],ID["EPSG",4326]]"""
+    assert(WktCrs.parse(wkt2).contains("EPSG:4326"))
+    // WKT2-2015 spelling (GEODCRS + plain DATUM)
+    val wkt2015 = """GEODCRS["WGS 84",DATUM["World Geodetic System 1984",ELLIPSOID["WGS 84",6378137,298.257223563,LENGTHUNIT["metre",1]]],PRIMEM["Greenwich",0,ANGLEUNIT["degree",0.0174532925199433]],CS[ellipsoidal,2],AXIS["latitude",north],AXIS["longitude",east],ANGLEUNIT["degree",0.0174532925199433],ID["EPSG",4326]]"""
+    assert(WktCrs.parse(wkt2015).contains("EPSG:4326"))
+  }
+
+  test("WKT2: PROJCRS with EPSG ID short-circuits; without ID synthesizes the UTM kernel") {
+    val base = """BASEGEOGCRS["WGS 84",ENSEMBLE["World Geodetic System 1984 ensemble",MEMBER["World Geodetic System 1984 (Transit)"],ELLIPSOID["WGS 84",6378137,298.257223563,LENGTHUNIT["metre",1]],ENSEMBLEACCURACY[2.0]],PRIMEM["Greenwich",0,ANGLEUNIT["degree",0.0174532925199433]],ID["EPSG",4326]]"""
+    val conv = """CONVERSION["UTM zone 33N",METHOD["Transverse Mercator",ID["EPSG",9807]],PARAMETER["Latitude of natural origin",0,ANGLEUNIT["degree",0.0174532925199433],ID["EPSG",8801]],PARAMETER["Longitude of natural origin",15,ANGLEUNIT["degree",0.0174532925199433],ID["EPSG",8802]],PARAMETER["Scale factor at natural origin",0.9996,SCALEUNIT["unity",1],ID["EPSG",8805]],PARAMETER["False easting",500000,LENGTHUNIT["metre",1],ID["EPSG",8806]],PARAMETER["False northing",0,LENGTHUNIT["metre",1],ID["EPSG",8807]]]"""
+    val cs = """CS[Cartesian,2],AXIS["(E)",east,ORDER[1],LENGTHUNIT["metre",1]],AXIS["(N)",north,ORDER[2],LENGTHUNIT["metre",1]]"""
+    val withId = s"""PROJCRS["WGS 84 / UTM zone 33N",$base,$conv,$cs,USAGE[SCOPE["Navigation."],AREA["Between 12E and 18E."],BBOX[0,12,84,18]],ID["EPSG",32633]]"""
+    assert(WktCrs.parse(withId).contains("EPSG:32633"))
+
+    val noId = s"""PROJCRS["WGS 84 / UTM zone 33N",$base,$conv,$cs]"""
+    val rec = WktCrs.parse(noId).get
+    assert(rec.startsWith("+proj=tmerc"), rec)
+    val p = Crs.projFor(rec).get
+    val (x, y) = p.forward(14.0, 47.0)
+    val (ux, uy) = Crs.utmForward(14.0, 47.0, 33, southern = false)
+    assert(math.abs(x - ux) < 0.01 && math.abs(y - uy) < 0.01, s"($x,$y) vs ($ux,$uy)")
+  }
+
+  test("WKT2: per-parameter units convert (grad angles, US-foot false origin)") {
+    // lat_0 given as 50 grad = 45 degrees
+    val grad = """PROJCRS["grad tmerc",BASEGEOGCRS["WGS 84",DATUM["World Geodetic System 1984",ELLIPSOID["WGS 84",6378137,298.257223563,LENGTHUNIT["metre",1]]],PRIMEM["Greenwich",0]],CONVERSION["c",METHOD["Transverse Mercator"],PARAMETER["Latitude of natural origin",50,ANGLEUNIT["grad",0.015707963267948967]],PARAMETER["Longitude of natural origin",9,ANGLEUNIT["degree",0.0174532925199433]],PARAMETER["Scale factor at natural origin",1,SCALEUNIT["unity",1]],PARAMETER["False easting",0,LENGTHUNIT["metre",1]],PARAMETER["False northing",0,LENGTHUNIT["metre",1]]],CS[Cartesian,2],AXIS["(E)",east],AXIS["(N)",north],LENGTHUNIT["metre",1]]"""
+    val pg = Crs.projFor(WktCrs.parse(grad).get).get
+    val pd = Crs.projFor("+proj=tmerc +lat_0=45 +lon_0=9 +k=1 +a=6378137 " +
+      "+rf=298.257223563 +x_0=0 +y_0=0").get
+    val (gx, gy) = pg.forward(10.0, 46.0)
+    val (dx, dy) = pd.forward(10.0, 46.0)
+    assert(math.abs(gx - dx) < 1e-6 && math.abs(gy - dy) < 1e-6, s"($gx,$gy) vs ($dx,$dy)")
+
+    // California zone 3 in US survey feet — the WKT2 twin of the WKT1
+    // State Plane test: false-origin params + CS unit in feet
+    val usft = "0.304800609601219"
+    val feet = s"""PROJCRS["NAD83 / California zone 3 (ftUS)",BASEGEOGCRS["NAD83",DATUM["North American Datum 1983",ELLIPSOID["GRS 1980",6378137,298.257222101,LENGTHUNIT["metre",1]]],PRIMEM["Greenwich",0]],CONVERSION["SPCS83 California zone 3 (US Survey feet)",METHOD["Lambert Conic Conformal (2SP)",ID["EPSG",9802]],PARAMETER["Latitude of false origin",36.5,ANGLEUNIT["degree",0.0174532925199433]],PARAMETER["Longitude of false origin",-120.5,ANGLEUNIT["degree",0.0174532925199433]],PARAMETER["Latitude of 1st standard parallel",37.06666666666667,ANGLEUNIT["degree",0.0174532925199433]],PARAMETER["Latitude of 2nd standard parallel",38.43333333333333,ANGLEUNIT["degree",0.0174532925199433]],PARAMETER["Easting at false origin",6561666.666666666,LENGTHUNIT["US survey foot",$usft]],PARAMETER["Northing at false origin",1640416.666666667,LENGTHUNIT["US survey foot",$usft]]],CS[Cartesian,2],AXIS["(E)",east,ORDER[1],LENGTHUNIT["US survey foot",$usft]],AXIS["(N)",north,ORDER[2],LENGTHUNIT["US survey foot",$usft]]]"""
+    val rec = WktCrs.parse(feet).get
+    assert(rec.contains("+proj=lcc") && rec.contains("+to_meter=" + usft), rec)
+    val p = Crs.projFor(rec).get
+    // natural origin lands on the false origin IN FEET
+    val (ox, oy) = p.forward(-120.5, 36.5)
+    assert(math.abs(ox - 6561666.666666666) < 1e-4, ox.toString)
+    assert(math.abs(oy - 1640416.666666667) < 1e-4, oy.toString)
+  }
+
+  test("WKT2: BOUNDCRS abridged transformation becomes +towgs84") {
+    val wkt = """BOUNDCRS[SOURCECRS[PROJCRS["Monte Mario / Italy zone 1",BASEGEOGCRS["Monte Mario",DATUM["Monte Mario",ELLIPSOID["International 1924",6378388,297,LENGTHUNIT["metre",1]]],PRIMEM["Greenwich",0]],CONVERSION["Italy zone 1",METHOD["Transverse Mercator"],PARAMETER["Latitude of natural origin",0],PARAMETER["Longitude of natural origin",9],PARAMETER["Scale factor at natural origin",0.9996],PARAMETER["False easting",1500000,LENGTHUNIT["metre",1]],PARAMETER["False northing",0,LENGTHUNIT["metre",1]]],CS[Cartesian,2],AXIS["(E)",east],AXIS["(N)",north],LENGTHUNIT["metre",1]]],TARGETCRS[GEOGCRS["WGS 84",ENSEMBLE["World Geodetic System 1984 ensemble",ELLIPSOID["WGS 84",6378137,298.257223563,LENGTHUNIT["metre",1]],ENSEMBLEACCURACY[2.0]],PRIMEM["Greenwich",0],CS[ellipsoidal,2],AXIS["latitude",north],AXIS["longitude",east],ANGLEUNIT["degree",0.0174532925199433],ID["EPSG",4326]]],ABRIDGEDTRANSFORMATION["Monte Mario to WGS 84 (1)",METHOD["Position Vector transformation (geog2D domain)",ID["EPSG",9606]],PARAMETER["X-axis translation",-104.1,ID["EPSG",8605]],PARAMETER["Y-axis translation",-49.1,ID["EPSG",8606]],PARAMETER["Z-axis translation",-9.9,ID["EPSG",8607]],PARAMETER["X-axis rotation",0.971,ID["EPSG",8608]],PARAMETER["Y-axis rotation",-2.917,ID["EPSG",8609]],PARAMETER["Z-axis rotation",0.714,ID["EPSG",8610]],PARAMETER["Scale difference",0.99998832,ID["EPSG",8611]]]]"""
+    val rec = WktCrs.parse(wkt).get
+    assert(rec.startsWith("+proj=tmerc") && rec.contains("+towgs84="), rec)
+    val tow = rec.split("\\+towgs84=")(1).split(" ")(0).split(",").map(_.toDouble)
+    assert(tow(0) == -104.1 && tow(1) == -49.1 && tow(2) == -9.9)
+    assert(tow(3) == 0.971 && tow(4) == -2.917 && tow(5) == 0.714)
+    // (1 + dS) multiplier -> ppm
+    assert(math.abs(tow(6) - -11.68) < 1e-6, tow(6).toString)
+    // the shift must move the result vs the shiftless twin
+    val shifted = Crs.projFor(rec).get
+    val plain = Crs.projFor(rec.replaceAll(" \\+towgs84=[^ ]+", "")).get
+    val (sx, sy) = shifted.forward(10.0, 45.0)
+    val (px, py) = plain.forward(10.0, 45.0)
+    assert(math.hypot(sx - px, sy - py) > 10.0)
+  }
+
+  test("WKT2: polar stereographic variant B matches the EPSG:3031 kernel") {
+    val wkt = """PROJCRS["Antarctic Polar Stereographic",BASEGEOGCRS["WGS 84",DATUM["World Geodetic System 1984",ELLIPSOID["WGS 84",6378137,298.257223563,LENGTHUNIT["metre",1]]],PRIMEM["Greenwich",0]],CONVERSION["Antarctic Polar Stereographic",METHOD["Polar Stereographic (variant B)",ID["EPSG",9829]],PARAMETER["Latitude of standard parallel",-71,ANGLEUNIT["degree",0.0174532925199433]],PARAMETER["Longitude of origin",0,ANGLEUNIT["degree",0.0174532925199433]],PARAMETER["False easting",0,LENGTHUNIT["metre",1]],PARAMETER["False northing",0,LENGTHUNIT["metre",1]]],CS[Cartesian,2],AXIS["(E)",east],AXIS["(N)",north],LENGTHUNIT["metre",1]]"""
+    val p = Crs.projFor(WktCrs.parse(wkt).get).get
+    val (x, y) = p.forward(45.0, -80.0)
+    val (ex, ey) = Crs.byEpsg("EPSG:3031").forward(45.0, -80.0)
+    assert(math.abs(x - ex) < 1e-6 && math.abs(y - ey) < 1e-6, s"($x,$y) vs ($ex,$ey)")
+  }
 }

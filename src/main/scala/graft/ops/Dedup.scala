@@ -489,21 +489,46 @@ object Dedup {
     * its duplicate cluster (the step after LSH pair generation in a dedup
     * pipeline: keep cluster_id == node, drop the rest).
     *
-    * Algorithm: min-label propagation with pointer doubling. Each round
-    * does one edge hop (min over neighbors' labels) and then one shortcut
-    * (label := label of label), so label depth halves per round —
-    * O(log diameter) rounds instead of O(diameter), each a constant number
-    * of shuffles. Rounds are localCheckpoint-ed to keep lineage flat, and
-    * convergence is witnessed by the label sum (labels only ever decrease,
-    * so an unchanged sum means no label moved — one cheap scalar agg, no
-    * comparison join). The fixpoint (component minimum) is unique, so the
-    * result is deterministic regardless of schedule.
+    * Algorithm: min-label star contraction (the MapReduce CC family of
+    * Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14). Each round does (1) an edge hop — min over physical
+    * neighbors' labels, (2) a basin reduce — every node reports its hop
+    * min to its current root via groupBy(old label) and the whole basin
+    * adopts the basin min (this is what makes a basin act as ONE
+    * super-node; without it the r12 deep-diameter soak measured only
+    * ~1.2x contraction/round and returned wrong labels at maxIter), and
+    * (3) pointer jumps to the inner fixpoint so label chains flatten to
+    * their roots. The contracted basin graph loses a constant fraction of
+    * basins per round: O(log diameter) rounds measured (9 for a permuted
+    * path of diameter 10^4), each a constant number of shuffles.
+    *
+    * Rounds are checkpointed with CAPPED size stats
+    * ([[org.apache.spark.sql.GraftInterop.localCheckpointCappedStats]]) —
+    * Spark 4 carries pre-checkpoint plan stats onto the LogicalRDD leaf
+    * and size-only join estimation multiplies them, so an iterative loop
+    * otherwise grows a doubly-exponential BigInt that stalls the DRIVER in
+    * ToomCook multiplies by ~round 12. Convergence is witnessed by the
+    * label sum (labels only ever decrease, so an unchanged sum means no
+    * label moved); exhausting `maxIter` without convergence THROWS rather
+    * than returning wrong labels. The fixpoint (component minimum) is
+    * unique, so the result is deterministic regardless of schedule.
     */
   def connectedComponents(
       pairs: DataFrame,
       idACol: String = "id_a",
       idBCol: String = "id_b",
-      maxIter: Int = 30): DataFrame = {
+      maxIter: Int = 30): DataFrame =
+    connectedComponentsWithRounds(pairs, idACol, idBCol, maxIter)._1
+
+  /** [[connectedComponents]] plus the number of hop+double rounds it ran —
+    * the observable for the O(log diameter) contract (a path graph of
+    * diameter d must close in ~log2(d) rounds, not d).
+    */
+  def connectedComponentsWithRounds(
+      pairs: DataFrame,
+      idACol: String = "id_a",
+      idBCol: String = "id_b",
+      maxIter: Int = 30): (DataFrame, Int) = {
     // materialize the (possibly expensive) pair plan ONCE before mirroring —
     // a plain union of two selects over `pairs` would execute it twice
     val p0 = pairs
@@ -514,35 +539,71 @@ object Dedup {
       .distinct()
       .localCheckpoint()
     // seed labels with the first hop already applied: label = min(self, neighbors)
-    var labels = edges.groupBy(col("src"))
-      .agg(min(col("dst")).as("_mn"))
-      .select(col("src").as("node"), least(col("src"), col("_mn")).as("label"))
-      .localCheckpoint()
+    // capped-stats checkpoints: the loop below would otherwise compound
+    // size-only join estimates doubly-exponentially across rounds (Spark 4
+    // carries the pre-checkpoint plan's stats onto the LogicalRDD leaf) —
+    // a diameter-10^4 soak stalled the DRIVER in BigInteger multiplies by
+    // round ~12. See GraftInterop.localCheckpointCappedStats.
+    var labels = org.apache.spark.sql.GraftInterop.localCheckpointCappedStats(
+      edges.groupBy(col("src"))
+        .agg(min(col("dst")).as("_mn"))
+        .select(col("src").as("node"), least(col("src"), col("_mn")).as("label")))
     var prevSum = labels.agg(sum(col("label"))).head().getLong(0)
+    // one pointer jump: label := min(label, label-of-label). The label map
+    // is a functional graph pointing at strictly smaller ids, i.e. a forest
+    // rooted at local minima — jumping walks toward the root.
+    def jump(ls: DataFrame): DataFrame = ls.as("x")
+      .join(ls.select(col("node").as("_ln"), col("label").as("_ll")).as("y"),
+        col("x.label") === col("_ln"), "left")
+      .select(col("x.node").as("node"),
+        least(col("x.label"), coalesce(col("_ll"), col("x.label"))).as("label"))
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      // hop: pull the min label across edges
+      // hop: pull the min label across physical edges
       val prop = edges.join(labels.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
         .agg(min(col("label")).as("_nlabel"))
       val hop = labels.join(prop, Seq("node"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("_nlabel"), col("label"))).as("label"))
-      // double: shortcut to the label's own label (labels are node ids)
-      val next = hop.as("x")
-        .join(hop.select(col("node").as("_ln"), col("label").as("_ll")).as("y"),
-          col("x.label") === col("_ln"), "left")
-        .select(col("x.node").as("node"),
-          least(col("x.label"), coalesce(col("_ll"), col("x.label"))).as("label"))
-        .localCheckpoint()
-      val s = next.agg(sum(col("label"))).head().getLong(0)
-      converged = s == prevSum
-      prevSum = s
-      labels = next
+        .select(col("node"), col("label").as("_old"),
+          least(col("label"), coalesce(col("_nlabel"), col("label"))).as("_m"))
+      // basin reduce (star contraction): every node reports its hop min to
+      // its CURRENT root (groupBy old label), and the whole basin adopts
+      // the basin-wide min. Without this the root never learns what the
+      // basin BOUNDARY discovered and the smaller label seeps in one
+      // physical hop per round — the r12 diameter-10^4 soak measured only
+      // ~1.2x contraction per round and hit maxIter with wrong labels.
+      // With it each basin acts as a super-node, so the contracted
+      // basin graph loses a constant fraction of its basins per round:
+      // true O(log diameter) outer rounds (9 measured for diameter 10^4).
+      val basin = hop.groupBy(col("_old").as("_r")).agg(min(col("_m")).as("_bmin"))
+      val merged = hop.join(basin, col("_old") === col("_r"))
+        .select(col("node"), least(col("_m"), col("_bmin")).as("label"))
+      // collapse: pointer-jump label chains to their roots (inner fixpoint;
+      // each jump squares the chain depth it spans, so this is O(log
+      // chain-depth) cheap label-only joins)
+      var cur = org.apache.spark.sql.GraftInterop.localCheckpointCappedStats(
+        merged)
+      var curSum = cur.agg(sum(col("label"))).head().getLong(0)
+      var collapsed = false
+      while (!collapsed) {
+        val j = org.apache.spark.sql.GraftInterop.localCheckpointCappedStats(
+          jump(cur))
+        val js = j.agg(sum(col("label"))).head().getLong(0)
+        collapsed = js == curSum
+        curSum = js
+        cur = j
+      }
+      converged = curSum == prevSum
+      prevSum = curSum
+      labels = cur
       i += 1
     }
-    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents: not converged after $maxIter rounds — raise " +
+          "maxIter (labels at this point would be WRONG, not approximate)")
+    (labels.select(col("node").as("doc_id"), col("label").as("cluster_id")), i)
   }
 
   /** Exact character-n-gram Jaccard similarity for all pairs within a

@@ -404,6 +404,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!plan.toLowerCase.contains("join"), plan)
   }
 
+  test("connectedComponents closes a diameter-10^4 path in O(log d) rounds") {
+    // adversarial fixture: a pure PATH graph (the deepest structure a
+    // dedup pair graph can degenerate to) with PERMUTED node ids, so the
+    // component minimum must propagate end to end — naive min-propagation
+    // needs d rounds, pointer doubling must do it in ~log2(d)
+    val n = 10007 // prime -> i * 48271 % n is a bijection
+    val perm = (i: Int) => (i.toLong * 48271L) % n
+    val edges = (0 until n - 1).map(i => (perm(i), perm(i + 1)))
+      .toDF("id_a", "id_b").repartition(4)
+    val (cc, rounds) = Dedup.connectedComponentsWithRounds(edges)
+    val labels = cc.select($"cluster_id").distinct().as[Long].collect()
+    assert(labels.toSeq == Seq(0L), s"one component labeled by its min, got ${labels.toSeq}")
+    assert(cc.count() == n)
+    // O(log d): log2(10006) ~ 13.3; allow doubling startup + the
+    // convergence-witness round
+    assert(rounds <= 17, s"diameter ${n - 1} took $rounds rounds — not O(log d)")
+    // flat lineage: every round localCheckpoints, so the result plan must
+    // be a handful of nodes over an RDD scan, not `rounds` nested joins
+    val planNodes = cc.queryExecution.optimizedPlan.collect { case p => p }.size
+    assert(planNodes < 10, s"lineage not flat: $planNodes plan nodes")
+  }
+
   test("deltaDedupBloom: sizing holds beyond Spark's runtime-filter clamp (confs restored)") {
     // expectedItems=8M at 1% wants ~76.7M bits — ABOVE the session's
     // runtime.bloomFilter.maxNumBits default (64M): without the temporary

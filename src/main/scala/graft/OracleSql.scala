@@ -674,7 +674,9 @@ object OracleSql {
                 i -> array_to_string(toks[i + 1:i + 2], ' '))) AS gram
               FROM f),
       dfreq AS (SELECT gram, count(DISTINCT doc_id) AS df FROM pos GROUP BY gram),
-      b AS (SELECT gram FROM dfreq WHERE df >= 25)
+      b AS (SELECT gram FROM dfreq
+            WHERE df >= greatest(25, ceil(0.005 *
+              (SELECT count(DISTINCT doc_id) FROM documents))))
       SELECT p.doc_id, count(*)::BIGINT AS n_positions,
              sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_boiler,
              round(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE

@@ -2600,6 +2600,12 @@ object SparkEntry {
     // it is boilerplate. Scale shape: the gram->df agg prunes to the
     // SMALL high-df set before any join, which then BROADCASTS onto the
     // huge positions stream — the full gram table never joins itself.
+    // The floor is CORPUS-PROPORTIONAL — max(25, ceil(0.5% of docs)) — so
+    // the broadcast side stays a ~constant fraction of the gram table at
+    // any corpus size (a fixed df>=25 admits ever more grams as the
+    // corpus grows: the r11 sf1 soak measured the high-df set growing
+    // superlinearly); the count rides in as a 1-row broadcast, no
+    // driver-side action.
     "t29_boilerplate" -> ((s, d) => {
       val pos = t(s, d, "documents")
         .select(col("doc_id"), gr_tokens(col("text")).as("toks"))
@@ -2607,9 +2613,12 @@ object SparkEntry {
         .select(col("doc_id"), explode(expr(
           "transform(sequence(0, size(toks) - 2), i -> concat_ws(' ', slice(toks, i + 1, 2)))"))
           .as("gram"))
+      val nDocs = t(s, d, "documents")
+        .agg(countDistinct(col("doc_id")).as("n_docs"))
       val boiler = pos.select(col("gram"), col("doc_id")).distinct()
         .groupBy(col("gram")).agg(count(lit(1)).as("df"))
-        .filter(col("df") >= 25)
+        .crossJoin(broadcast(nDocs))
+        .filter(col("df") >= greatest(lit(25L), ceil(lit(0.005) * col("n_docs"))))
         .select(col("gram"), lit(1).as("is_b"))
       pos.join(broadcast(boiler), Seq("gram"), "left")
         .groupBy(col("doc_id"))

@@ -684,6 +684,36 @@ object OracleSql {
       FROM pos p LEFT JOIN b ON p.gram = b.gram
       GROUP BY p.doc_id ORDER BY p.doc_id""",
 
+    "t31_substring_dedup" -> s"""
+      WITH f AS (SELECT doc_id, $docToks AS toks FROM documents),
+      g AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens, toks FROM f
+            WHERE len(toks) >= 8),
+      w AS (SELECT doc_id, i AS pos, array_to_string(toks[i+1:i+8], ' ') AS k
+            FROM g, unnest(range(0, len(toks) - 7)) AS u(i)),
+      d AS (SELECT k FROM (SELECT k, count(DISTINCT doc_id) AS df
+                           FROM w GROUP BY k) WHERE df >= 2),
+      p AS (SELECT doc_id, pos FROM w JOIN d USING (k)),
+      m AS (SELECT doc_id, pos,
+              CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                     OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+                   THEN 1 ELSE 0 END AS newspan
+            FROM p),
+      sp0 AS (SELECT doc_id, pos,
+                sum(newspan) OVER (PARTITION BY doc_id ORDER BY pos) AS span
+              FROM m),
+      sp AS (SELECT doc_id, span, min(pos) AS s, max(pos) + 8 AS e,
+               count(*) AS nw FROM sp0 GROUP BY doc_id, span),
+      agg AS (SELECT doc_id, count(*)::BIGINT AS n_spans,
+                sum(e - s)::BIGINT AS dup_tokens,
+                max(nw)::BIGINT AS max_span_windows
+              FROM sp GROUP BY doc_id)
+      SELECT g.doc_id, g.n_tokens,
+             coalesce(a.n_spans, 0)::BIGINT AS n_spans,
+             coalesce(a.dup_tokens, 0)::BIGINT AS dup_tokens,
+             coalesce(a.max_span_windows, 0)::BIGINT AS max_span_windows,
+             round(coalesce(a.dup_tokens, 0)::DOUBLE / g.n_tokens, 4) AS dup_ratio
+      FROM g LEFT JOIN agg a USING (doc_id) ORDER BY g.doc_id""",
+
     "t28_ccnet_buckets" -> s"""
       WITH tk AS (SELECT doc_id, lang, len($docToks)::BIGINT AS n_tokens
                   FROM documents),

@@ -2628,6 +2628,32 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // exact substring (span-level) dedup — Lee et al. 2021: token windows
+    // recurring across >=2 distinct documents, merged into maximal spans;
+    // each doc reports its duplicated-token budget. String-keyed here so
+    // DuckDB mirrors the operator exactly (production uses 8-byte
+    // xxhash64 keys — see Dedup.duplicateSpans scaladoc for the plan).
+    "t31_substring_dedup" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val base = docs
+        .select(col("doc_id"), size(gr_tokens(col("text"))).cast("long").as("n_tokens"))
+        .filter(col("n_tokens") >= 8)
+      val spans = graft.ops.Dedup.duplicateSpans(docs, "doc_id", "text",
+        windowTokens = 8, minDocFreq = 2, hashedKeys = false)
+      val agg = spans.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(col("span_end") - col("span_start")).as("dup_tokens"),
+          max(col("n_windows")).as("max_span_windows"))
+      base.join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+          coalesce(col("max_span_windows"), lit(0L)).as("max_span_windows"),
+          round(coalesce(col("dup_tokens"), lit(0L)) / col("n_tokens"), 4)
+            .as("dup_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
     // CCNet-style quality tiers (Wenzek et al. 2019): rank documents per
     // language by a quality proxy (token count) and cut the ranking into
     // head/middle/tail thirds — the bucket a CCNet pipeline keys its

@@ -606,6 +606,76 @@ object Dedup {
     (labels.select(col("node").as("doc_id"), col("label").as("cluster_id")), i)
   }
 
+  /** Exact SUBSTRING (span-level) duplication: find maximal token spans
+    * that recur across documents — the complement of document-level
+    * MinHash (Lee et al. 2021, "Deduplicating Training Data Makes
+    * Language Models Better": repeated-substring removal beats doc-level
+    * dedup for LM training; their suffix-array criterion is "any
+    * substring of >= N tokens appearing more than once"). This is the
+    * distributed window-hash formulation of that criterion: every
+    * `windowTokens`-token window (stride 1) whose key appears in >=
+    * `minDocFreq` DISTINCT documents marks its positions duplicated, and
+    * overlapping/adjacent duplicated windows merge into maximal spans.
+    * A span of L >= windowTokens duplicated tokens produces exactly the
+    * windows the criterion flags, so spans == the suffix-array answer for
+    * cross-document repeats at this window length (within-doc-only
+    * repeats are excluded by the distinct-doc frequency, by design).
+    *
+    * Returns `(idCol, span_start, span_end, n_windows)` — token offsets,
+    * `[start, end)`, one row per maximal span; mask or cut these from the
+    * training text.
+    *
+    * Plan/scale: one row per token position crosses the shuffle (the same
+    * volume tokenization itself produces), carrying an 8-byte xxhash64
+    * window key — never the text; the doc-frequency agg is a map-side
+    * partial, and the flagged-key join fans out one row per flagged
+    * OCCURRENCE (no quadratic bucket term — a boilerplate banner repeated
+    * 10^9 times contributes 10^9 rows, not 10^18 pairs). Span merging is
+    * one per-doc window function over flagged positions only. With
+    * `hashedKeys=false` the window TEXT is the key (differential-testing
+    * mode — lets an independent SQL engine mirror the operator exactly);
+    * production keeps 8-byte keys, where a 2^-64-per-pair collision can
+    * only over-flag a span, never miss one. The O(n·w) window-key build
+    * (concat per window) is the current cost ceiling; a rolling-hash
+    * kernel drops it to O(n) if profiling ever shows it on the critical
+    * path.
+    */
+  def duplicateSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int = 16,
+      minDocFreq: Int = 2,
+      hashedKeys: Boolean = true): DataFrame = {
+    require(windowTokens >= 2 && minDocFreq >= 2, "duplicateSpans: bad params")
+    val w = windowTokens
+    val winText = s"transform(sequence(0, size(_toks) - $w), " +
+      s"i -> concat_ws(' ', slice(_toks, i + 1, $w)))"
+    val winExpr = if (hashedKeys) s"transform($winText, s -> xxhash64(s))" else winText
+    val wins = df
+      .select(col(idCol).cast("long").as("_id"), gr_tokens(col(textCol)).as("_toks"))
+      .filter(size(col("_toks")) >= w)
+      .select(col("_id"), posexplode(expr(winExpr)).as(Seq("_pos", "_k")))
+    val flagged = wins.select(col("_k"), col("_id")).distinct()
+      .groupBy(col("_k")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") >= minDocFreq)
+      .select(col("_k"))
+    val dupPos = wins.join(flagged, "_k").select(col("_id"), col("_pos"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_id")).orderBy(col("_pos"))
+    dupPos
+      .withColumn("_prev", lag(col("_pos"), 1).over(byDoc))
+      .withColumn("_new",
+        when(col("_prev").isNull || col("_pos") - col("_prev") > w, 1L).otherwise(0L))
+      .withColumn("_span", sum(col("_new")).over(byDoc))
+      .groupBy(col("_id"), col("_span"))
+      .agg(min(col("_pos")).as("span_start"),
+        (max(col("_pos")) + w).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("_id").as(idCol), col("span_start"), col("span_end"),
+        col("n_windows"))
+  }
+
   /** Exact character-n-gram Jaccard similarity for all pairs within a
     * blocking key (e.g. language, or an LSH candidate cluster), thresholded.
     * Exact and therefore O(pairs-within-block) — use after LSH at scale;

@@ -404,6 +404,36 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!plan.toLowerCase.contains("join"), plan)
   }
 
+  test("duplicateSpans: planted cross-document spans found with exact token boundaries") {
+    // doc 0 and doc 1 share a 12-token span (planted at different
+    // offsets); doc 2 repeats a span only WITHIN itself (must NOT flag at
+    // minDocFreq=2); doc 3 is all-unique filler
+    val shared = (0 until 12).map(i => s"common$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"alpha0 alpha1 alpha2 $shared omega0 omega1"),
+      (1L, s"beta0 $shared gamma0 gamma1 gamma2 gamma3"),
+      (2L, ("intra0 intra1 intra2 intra3 intra4 " * 2) + "tail0 tail1 tail2"),
+      (3L, (0 until 20).map(i => s"unique$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(docs, "doc_id", "text",
+      windowTokens = 4, minDocFreq = 2, hashedKeys = true)
+      .as[(Long, Long, Long, Long)].collect().sortBy(s => (s._1, s._2)).toSeq
+    // doc 0: tokens 3..15 are the shared span; windows 3..11 flag ->
+    // merged span [3, 15). doc 1: tokens 1..13 -> [1, 13). docs 2,3: none.
+    assert(spans == Seq((0L, 3L, 15L, 9L), (1L, 1L, 13L, 9L)), spans)
+    // string-keyed mode agrees with the hashed production mode
+    val viaStrings = Dedup.duplicateSpans(docs, "doc_id", "text",
+      windowTokens = 4, minDocFreq = 2, hashedKeys = false)
+      .as[(Long, Long, Long, Long)].collect().sortBy(s => (s._1, s._2)).toSeq
+    assert(viaStrings == spans)
+    // within-doc repetition IS flagged once the repeat crosses documents
+    val spans3 = Dedup.duplicateSpans(
+      docs.union(Seq((4L, "x0 intra0 intra1 intra2 intra3 y0")).toDF("doc_id", "text")),
+      "doc_id", "text", windowTokens = 4, minDocFreq = 2)
+      .filter($"doc_id".isin(2L, 4L)).count()
+    assert(spans3 >= 2)
+  }
+
   test("connectedComponents closes a diameter-10^4 path in O(log d) rounds") {
     // adversarial fixture: a pure PATH graph (the deepest structure a
     // dedup pair graph can degenerate to) with PERMUTED node ids, so the

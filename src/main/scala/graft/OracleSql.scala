@@ -1772,6 +1772,13 @@ object OracleSql {
     // buffer styles: flat = 2rL; square = 2rL + 4r^2 (half-square per
     // end); right-angle elbow rect union = 4rL - r^2, bevel adds r^2/2,
     // mitre fills the full corner square
+    // r12 subdivide contract: tiles partition the buffer exactly, respect
+    // the vertex cap, and a 97-vertex input at cap 16 must split
+    "g89_subdivide" -> """
+      SELECT s_suppkey, 1.0::DOUBLE AS area_ratio,
+             true AS caps_ok, true AS multi
+      FROM supplier ORDER BY s_suppkey""",
+
     "g73_buffer_styles" -> """
       WITH p AS (SELECT s_suppkey,
                    ((s_suppkey % 7) + 10)::DOUBLE AS len,

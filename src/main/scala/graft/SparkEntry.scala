@@ -1780,6 +1780,28 @@ object SparkEntry {
         .orderBy(col("s_suppkey"))
     }),
 
+    // r12 ST_Subdivide (PostGIS): envelope-bisection tiling of oversized
+    // polygons — the join-balance pre-pass. Contract oracle: tiles
+    // partition the original exactly (areas sum to the original at 4 dp —
+    // the tiles share only split-line boundaries), every tile respects
+    // the vertex cap, and a 97-vertex buffer at cap 16 must actually
+    // split. The 4 dp rounding absorbs the snap-rounded clipper's ~1e-12
+    // residual, same standard as the overlay oracles.
+    "g89_subdivide" -> ((s, d) => {
+      val base = supplierPts(s, d)
+        .withColumn("r", (col("s_suppkey") % 5 + 3).cast("double"))
+        .withColumn("poly", st_buffer(st_point(col("x0"), col("y0")), col("r"), lit(24)))
+      base.select(col("s_suppkey"), col("poly"),
+          explode(st_subdivide(col("poly"), lit(16))).as("piece"))
+        .groupBy(col("s_suppkey"))
+        .agg(
+          round(sum(st_area(col("piece"))) / first(st_area(col("poly"))), 4)
+            .as("area_ratio"),
+          (max(st_numPoints(col("piece"))) <= 16).as("caps_ok"),
+          (count(lit(1)) > 1).as("multi"))
+        .orderBy(col("s_suppkey"))
+    }),
+
     "g62_proj_grids" -> ((s, d) => {
       import s.implicits._
       val grids = Seq(

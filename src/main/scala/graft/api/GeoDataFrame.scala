@@ -427,6 +427,23 @@ final case class GeoDataFrame(
       spatialPartitionHulls = spatialPartitionHulls))
   }
 
+  /** PostGIS-style subdivide: replace each geometry by its
+    * envelope-bisection tiles of at most `maxVertices` vertices, one row
+    * per tile (other columns duplicated). The pre-pass that makes giant
+    * polygons grid-join- and broadcast-index-friendly: per-candidate
+    * exact-kernel cost drops from O(total vertices) to O(maxVertices),
+    * and tiles land in their own grid cells instead of one hot row
+    * covering thousands of cells. Narrow op — partitions and spatial
+    * bounds stay valid (every tile lies within its parent's envelope).
+    */
+  def subdivide(maxVertices: Int): GeoDataFrame = {
+    val others = df.columns.filter(_ != geometryColumn).map(df(_))
+    val out = df.select(others :+ explode(
+      st_subdivide(df(geometryColumn), lit(maxVertices))).as(geometryColumn): _*)
+    withCrsOf(GeoDataFrame(out, geometryColumn, spatialPartitions,
+      spatialPartitionHulls = spatialPartitionHulls))
+  }
+
   // ------------------------------------------------- spatial partitioning
   /** Eagerly compute each partition's spatial bound (reference
     * calculate_spatial_partitions, `expr.py:199-211` — the reference stores

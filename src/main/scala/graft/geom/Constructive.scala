@@ -800,4 +800,54 @@ object Constructive {
     val ty = math.tan(if (useRadians) ys else math.toRadians(ys))
     g.mapCoords((x, y) => (x + tx * (y - oy), y + ty * (x - ox)))
   }
+
+  // ------------------------------------------------------------- subdivide
+  /** PostGIS-style `ST_Subdivide`: recursively bisect a geometry's
+    * envelope (longer axis, midpoint) and clip, until every piece carries
+    * at most `maxVertices` vertices. The join-balance operator for
+    * oversized geometries at scale — a continent-sized polygon becomes
+    * many grid-join-friendly tiles whose union covers exactly the
+    * original (pieces share only split-line boundaries, so areas sum to
+    * the original area).
+    *
+    * Multi-part inputs subdivide per part; points/empties pass through
+    * (one piece). `maxVertices` >= 8 (a clipped box fragment needs ring
+    * room, same spirit as PostGIS's >= 5 floor on a tighter clipper).
+    * Depth is bounded (48 bisections = 2^48 tiles on an axis) so a
+    * pathological sliver cannot recurse forever; a piece that stops
+    * shrinking is emitted as-is rather than looping.
+    */
+  def subdivide(g: Geometry, maxVertices: Int): Seq[Geometry] = {
+    require(maxVertices >= 8, s"subdivide: maxVertices must be >= 8, got $maxVertices")
+    def go(gg: Geometry, depth: Int): Seq[Geometry] = {
+      if (gg.isEmpty) Nil
+      else if (gg.numPoints <= maxVertices || depth >= 48) Seq(gg)
+      else {
+        val e = gg.envelope
+        val (a, b) =
+          if (e.maxX - e.minX >= e.maxY - e.minY) {
+            val mx = (e.minX + e.maxX) / 2.0
+            if (mx <= e.minX || mx >= e.maxX) return Seq(gg) // degenerate extent
+            (Overlay.clipByRect(gg, e.minX, e.minY, mx, e.maxY),
+              Overlay.clipByRect(gg, mx, e.minY, e.maxX, e.maxY))
+          } else {
+            val my = (e.minY + e.maxY) / 2.0
+            if (my <= e.minY || my >= e.maxY) return Seq(gg)
+            (Overlay.clipByRect(gg, e.minX, e.minY, e.maxX, my),
+              Overlay.clipByRect(gg, e.minX, my, e.maxX, e.maxY))
+          }
+        // a clip that failed to shrink the piece would recurse forever —
+        // emit the offender instead (clipByRect is snap-rounded; exact
+        // on-boundary slivers can resist splitting)
+        val halves = Seq(a, b).filterNot(_.isEmpty)
+        if (halves.exists(h => h.numPoints >= gg.numPoints) &&
+            halves.map(_.numPoints).sum >= 2 * gg.numPoints) Seq(gg)
+        else halves.flatMap(go(_, depth + 1))
+      }
+    }
+    g match {
+      case c: GeometryCollectionLike => c.children.flatMap(p => go(p, 0)).toSeq
+      case other                     => go(other, 0)
+    }
+  }
 }

@@ -585,6 +585,13 @@ object GraftDefs {
     "st_dump" -> g1(ArrayType(B)) { g =>
       new GenericArrayData(Geometry.parts(g).map(p => wkb(p): Any).toArray)
     },
+    // PostGIS ST_Subdivide: envelope-bisection tiling until every piece
+    // has <= max_vertices vertices (Constructive.subdivide) — explode the
+    // array for the scale-out shape
+    "st_subdivide" -> Spec(Seq(B, I), ArrayType(B), { a =>
+      new GenericArrayData(
+        Constructive.subdivide(geom(a(0)), int(a(1))).map(p => wkb(p): Any).toArray)
+    }),
     "st_dumppoints" -> g1(ArrayType(B)) { g =>
       val out = scala.collection.mutable.ArrayBuffer[Any]()
       g.foreachCoord((x, y) => out += wkb(Point(x, y)))

@@ -178,6 +178,8 @@ object functions {
 
   // ------------------------------------------------------- collection / dump
   def st_dump(g: Column): Column = fn("st_dump", g)
+  def st_subdivide(g: Column, maxVertices: Column): Column =
+    fn("st_subdivide", g, maxVertices)
   def st_dumpPoints(g: Column): Column = fn("st_dumppoints", g)
   def st_collect(arr: Column): Column = fn("st_collect", arr)
 

@@ -1772,6 +1772,30 @@ object OracleSql {
     // buffer styles: flat = 2rL; square = 2rL + 4r^2 (half-square per
     // end); right-angle elbow rect union = 4rL - r^2, bevel adds r^2/2,
     // mitre fills the full corner square
+    // r12 geodesic dwithin join: full cross-join haversine mirror with the
+    // kernel's EXACT double expression structure (p1/p2 radians, dp = p2 -
+    // p1, dl = radians(lon2 - lon1), left-associated products,
+    // 2*R*asin(least(1, sqrt(h)))) so the 100 km boundary decides
+    // identically on both engines
+    "g90_sjoin_dwithin_sphere" -> s"""
+      WITH c AS (SELECT c_custkey, cx / 200.0 AS lon, 20.0 + cy / 20.0 AS lat
+                 FROM ($custPts)),
+      s AS (SELECT s_suppkey, s_acctbal / 200.0 AS lon,
+              20.0 + ((s_suppkey % 100)::DOUBLE * 10.0) / 20.0 AS lat
+            FROM supplier),
+      p AS (SELECT c.c_custkey,
+              2.0 * 6371008.8 * asin(least(1.0, sqrt(
+                sin((radians(s.lat) - radians(c.lat)) / 2.0)
+                  * sin((radians(s.lat) - radians(c.lat)) / 2.0)
+                + cos(radians(c.lat)) * cos(radians(s.lat))
+                  * sin(radians(s.lon - c.lon) / 2.0)
+                  * sin(radians(s.lon - c.lon) / 2.0)))) AS dist
+            FROM c, s)
+      SELECT c_custkey, count(*)::BIGINT AS n_near,
+             round(min(dist), 2) AS min_dist_m
+      FROM p WHERE dist <= 100000.0
+      GROUP BY c_custkey ORDER BY c_custkey""",
+
     // r12 subdivide contract: tiles partition the buffer exactly, respect
     // the vertex cap, and a 97-vertex input at cap 16 must split
     "g89_subdivide" -> """

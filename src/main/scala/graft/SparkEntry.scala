@@ -1802,6 +1802,32 @@ object SparkEntry {
         .orderBy(col("s_suppkey"))
     }),
 
+    // r12 geodesic proximity join: customers x suppliers within 100 km
+    // GREAT-CIRCLE meters on lon/lat spanning 20..70N — where
+    // planar-degree dwithin is wrong (1 deg lon at 70N is ~38 km, at the
+    // equator ~111 km). The oracle mirrors the haversine kernel's exact
+    // double expression over the full cross join; the engine runs the
+    // latitude-aware padded grid join (one shuffle, never all-pairs).
+    "g90_sjoin_dwithin_sphere" -> ((s, d) => {
+      val cust = GeoDataFrame(
+        customerPts(s, d)
+          .withColumn("geometry",
+            st_point(col("cx") / 200.0, lit(20.0) + col("cy") / 20.0))
+          .select(col("c_custkey"), col("geometry")), "geometry")
+      val sup = GeoDataFrame(
+        supplierPts(s, d)
+          .withColumn("geometry",
+            st_point(col("x0") / 200.0, lit(20.0) + col("y0") / 20.0))
+          .select(col("s_suppkey"), col("geometry")), "geometry")
+      cust.sjoinDwithinSphere(sup, 100000.0).df
+        .withColumn("dist_m",
+          st_distanceSphere(col("geometry"), col("geometry_right")))
+        .groupBy(col("c_custkey"))
+        .agg(count(lit(1)).as("n_near"),
+          round(min(col("dist_m")), 2).as("min_dist_m"))
+        .orderBy(col("c_custkey"))
+    }),
+
     "g62_proj_grids" -> ((s, d) => {
       import s.implicits._
       val grids = Seq(

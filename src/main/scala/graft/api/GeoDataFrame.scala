@@ -746,6 +746,60 @@ final case class GeoDataFrame(
     * a count-distinct pass over the left side; add a surrogate key
     * (`monotonically_increasing_id`) when no natural unique key exists.
     */
+  /** Geodesic proximity join: pairs of POINT rows within `meters` great-
+    * circle meters on lon/lat data (the haversine sphere behind
+    * `st_distancesphere`, R = 6371008.8). This is the join every
+    * real-world "things within X km" workload wants — a planar-degree
+    * dwithin is wrong off the equator (1 deg of longitude shrinks with
+    * cos(lat); at 70N a 76 km neighbor sits 2 deg away).
+    *
+    * Plan (100 TB shape): the standard exactly-once grid equi-join in
+    * DEGREE space, with the left side's cells padded by a PER-ROW
+    * latitude-aware radius: padLat = m / (pi*R/180) exactly (meridian
+    * arcs are distance-true on the sphere), and padLon =
+    * 2*asin(sin(m/2R) / cos(phi_worst)) where phi_worst is the row's
+    * worst reachable latitude — the tight haversine bound, so any pair
+    * within m provably shares the anchor cell. One shuffle, no
+    * cross-join, exact haversine refinement. High-latitude rows fan out
+    * to more cells (their lon reach is genuinely wider); rows reaching
+    * past 89.99 deg or across the antimeridian are out of contract
+    * (normalize longitudes first) — same envelope model as the planar
+    * engine.
+    */
+  def sjoinDwithinSphere(
+      right: GeoDataFrame,
+      meters: Double,
+      cellSizeDeg: Double = 0.0,
+      rsuffix: String = "_right"): GeoDataFrame = {
+    require(meters > 0, "sjoinDwithinSphere requires a positive radius")
+    val sphereR = 6371008.8
+    val mPerDegLat = math.Pi * sphereR / 180.0
+    val padLat = meters / mPerDegLat
+    val cell = if (cellSizeDeg > 0) cellSizeDeg else math.max(padLat * 4.0, 1e-9)
+    val rightRenamed = right.df.columns.foldLeft(right.df) { (acc, c) =>
+      if (df.columns.contains(c)) acc.withColumnRenamed(c, c + rsuffix) else acc
+    }
+    val rGeomName =
+      if (df.columns.contains(right.geometryColumn)) right.geometryColumn + rsuffix
+      else right.geometryColumn
+    def padOf(g: Column): Column = {
+      val latWorst = least(lit(89.99),
+        greatest(abs(st_ymin(g)), abs(st_ymax(g))) + lit(padLat))
+      greatest(lit(padLat), lit(2.0 * 180.0 / math.Pi) * asin(least(lit(1.0),
+        lit(math.sin(meters / (2.0 * sphereR))) / cos(radians(latWorst)))))
+    }
+    val l = df.withColumn("_cell", explode(
+      st_gridCellsSizedPad(df(geometryColumn), lit(cell), padOf(df(geometryColumn)))))
+    val r = rightRenamed.withColumn("_cell", explode(
+      st_gridCellsSized(rightRenamed(rGeomName), lit(cell))))
+    val joined = l.join(r, Seq("_cell"), "inner")
+      .filter(st_dwithinSphere(col(geometryColumn), col(rGeomName), lit(meters)))
+      .filter(st_gridCellAnchorSizedPad(col(geometryColumn), col(rGeomName),
+        lit(cell), padOf(col(geometryColumn))) === col("_cell"))
+      .drop("_cell")
+    withCrsOf(GeoDataFrame(joined, geometryColumn))
+  }
+
   def sjoinNearest(
       right: GeoDataFrame,
       leftKey: String,

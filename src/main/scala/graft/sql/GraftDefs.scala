@@ -343,6 +343,16 @@ object GraftDefs {
       case _ => throw new IllegalArgumentException(
         "st_distancesphere expects two POINTs (lon/lat degrees)")
     }),
+    // haversine proximity predicate (meters on lon/lat) — the exact
+    // refinement behind sjoinDwithinSphere's latitude-aware grid join
+    "st_dwithinsphere" -> Spec(Seq(B, B, D), BO, { a =>
+      (geom(a(0)), geom(a(1))) match {
+        case (p: Point, q: Point) =>
+          Crs.sphereDistance(p.x, p.y, q.x, q.y) <= dbl(a(2))
+        case _ => throw new IllegalArgumentException(
+          "st_dwithinsphere expects two POINTs (lon/lat degrees)")
+      }
+    }),
     // ellipsoidal surface area via a geometry-centered equal-area
     // projection: LAEA preserves area BY CONSTRUCTION (its Jacobian equals
     // the ellipsoid's area element — the property the projection spec pins

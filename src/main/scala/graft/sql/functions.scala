@@ -84,6 +84,8 @@ object functions {
   def st_equals(a: Column, b: Column): Column = fn("st_equals", a, b)
   def st_equalsExact(a: Column, b: Column, tol: Column): Column = fn("st_equalsexact", a, b, tol)
   def st_dwithin(a: Column, b: Column, d: Column): Column = fn("st_dwithin", a, b, d)
+  def st_dwithinSphere(a: Column, b: Column, meters: Column): Column =
+    fn("st_dwithinsphere", a, b, meters)
   def st_geomFromGeoJson(s: Column): Column = fn("st_geomfromgeojson", s)
   def st_asGeoJson(g: Column): Column = fn("st_asgeojson", g)
   def st_relate(a: Column, b: Column): Column = fn("st_relate", a, b)

@@ -1,0 +1,71 @@
+package graft.api
+
+import graft.sql.TestSpark
+import graft.sql.functions._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Geodesic proximity join (`sjoinDwithinSphere`): haversine-meter
+  * semantics on lon/lat, latitude-aware grid padding (the case a planar
+  * degree-pad join gets wrong), and exact agreement with the brute-force
+  * cross join.
+  */
+class SjoinSphereSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def haversine(lon1: Double, lat1: Double,
+      lon2: Double, lat2: Double): Double = {
+    val r = 6371008.8
+    val p1 = math.toRadians(lat1); val p2 = math.toRadians(lat2)
+    val dp = p2 - p1; val dl = math.toRadians(lon2 - lon1)
+    val h = math.sin(dp / 2) * math.sin(dp / 2) +
+      math.cos(p1) * math.cos(p2) * math.sin(dl / 2) * math.sin(dl / 2)
+    2.0 * r * math.asin(math.min(1.0, math.sqrt(h)))
+  }
+
+  test("high-latitude pairs within meters are found; equator controls are not") {
+    // at 70N, 2 deg of longitude is ~76 km -> inside a 80 km radius;
+    // the same 2 deg at the equator is ~222 km -> outside
+    val left = GeoDataFrame(Seq(
+      (1L, 10.0, 70.0), (2L, 10.0, 0.0), (3L, -120.0, 85.0)
+    ).toDF("lid", "lon", "lat")
+      .select($"lid", st_point($"lon", $"lat").as("geometry")), "geometry")
+    val right = GeoDataFrame(Seq(
+      (101L, 12.0, 70.0),   // ~76 km from left 1
+      (102L, 12.0, 0.0),    // ~222 km from left 2
+      (103L, -112.0, 85.0), // 8 deg lon at 85N ~ 78 km from left 3
+      (104L, 10.0, 69.3)    // ~78 km due south of left 1
+    ).toDF("rid", "lon", "lat")
+      .select($"rid", st_point($"lon", $"lat").as("geometry")), "geometry")
+    val got = left.sjoinDwithinSphere(right, 80000.0).df
+      .select($"lid", $"rid").as[(Long, Long)].collect().sorted.toSeq
+    assert(got == Seq((1L, 101L), (1L, 104L), (3L, 103L)), got)
+  }
+
+  test("agrees with the brute-force cross join on a random cloud (incl. 60-80N)") {
+    val rnd = new scala.util.Random(7)
+    val ls = (0 until 300).map(i =>
+      (i.toLong, rnd.nextDouble() * 40 - 20, 55 + rnd.nextDouble() * 25))
+    val rs = (0 until 200).map(i =>
+      (1000L + i, rnd.nextDouble() * 40 - 20, 55 + rnd.nextDouble() * 25))
+    val d = 150000.0
+    val want = (for {
+      (li, llon, llat) <- ls
+      (ri, rlon, rlat) <- rs
+      if haversine(llon, llat, rlon, rlat) <= d
+    } yield (li, ri)).sorted
+    val left = GeoDataFrame(ls.toDF("lid", "lon", "lat")
+      .select($"lid", st_point($"lon", $"lat").as("geometry")), "geometry")
+    val right = GeoDataFrame(rs.toDF("rid", "lon", "lat")
+      .select($"rid", st_point($"lon", $"lat").as("geometry")), "geometry")
+    val got = left.sjoinDwithinSphere(right, d).df
+      .select($"lid", $"rid").as[(Long, Long)].collect().sorted.toSeq
+    assert(got == want && got.nonEmpty, s"got ${got.size} vs want ${want.size}")
+    // exactly-once: no duplicate pairs from the cell fan-out
+    assert(got.distinct == got)
+    // crs propagates
+    assert(left.setCrs("EPSG:4326").sjoinDwithinSphere(right, d).crs
+      .contains("EPSG:4326"))
+  }
+}

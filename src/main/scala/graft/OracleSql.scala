@@ -1674,6 +1674,14 @@ object OracleSql {
     // fair query keeps >= half its true top-10; aggregate recall >= 90%)
     // rather than re-deriving k-means in SQL — the counts are integers
     // over deterministic neighbor sets, so the compare is exact
+    // PQ-retrieve + exact-refine recall gate, same contract style as e06:
+    // integer hit counts over deterministic neighbor sets, exact compare
+    "e08_ann_pq" -> """
+      SELECT count(*)::BIGINT AS n_queries,
+             count(*)::BIGINT AS queries_ge_half,
+             true AS recall_ge_90
+      FROM embeddings WHERE vec_id >= 200 AND vec_id < 210""",
+
     "e06_ann_ivf_trained" -> """
       SELECT count(*)::BIGINT AS n_queries,
              count(*)::BIGINT AS queries_ge_half,

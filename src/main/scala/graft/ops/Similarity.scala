@@ -190,6 +190,174 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Deterministic product-quantization codebooks (Jégou, Douze & Schmid
+    * 2011): per subspace j of `m`, k-means over the L2-NORMALIZED
+    * corpus's j-th subvectors — `ksub` codewords each, returned flattened
+    * as `[m * ksub][dsub]` (row j*ksub+c = codeword c of subspace j, the
+    * layout `gr_pq_encode`/`gr_pq_adc` take as a literal).
+    *
+    * Same 100 TB posture as [[trainCentroids]]: the training draw is a
+    * bounded deterministic sample (smallest xxhash64(id, seed) — stable
+    * across partitionings), and the per-subspace k-means++ + Lloyd runs
+    * at the driver over that sample with a mix64 chain and index-ordered
+    * summation — bit-stable codebooks, no RNG state, no model files. PQ
+    * training on a sample is the standard practice (the codebook
+    * describes subvector geometry, not individual rows).
+    */
+  def trainPqCodebooks(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, ksub: Int = 16, sample: Int = 256, iters: Int = 10,
+      seed: Long = 42L): Array[Array[Float]] = {
+    require(m >= 1 && ksub >= 2, "trainPqCodebooks: bad shape")
+    val cand: Array[Array[Float]] = corpus
+      .select(col(idCol).cast("long").as("_id"),
+        gr_l2normalize(col(vecCol)).as("_v"))
+      .withColumn("_h", xxhash64(col("_id"), lit(seed)))
+      .orderBy(col("_h"), col("_id"))
+      .limit(math.max(sample, ksub))
+      .collect()
+      .map(_.getSeq[Float](1).toArray)
+    require(cand.nonEmpty, "trainPqCodebooks: empty corpus")
+    val dim = cand.head.length
+    require(dim % m == 0, s"trainPqCodebooks: dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    var rngState = seed
+    def nextU(): Double = {
+      rngState = graft.sql.TextKernel.mix64(rngState + 0x9e3779b97f4a7c15L)
+      (rngState >>> 11).toDouble / (1L << 53).toDouble
+    }
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val out = Array.ofDim[Array[Float]](m * ksub)
+    var j = 0
+    while (j < m) {
+      val sub: Array[Array[Double]] =
+        cand.map(v => Array.tabulate(dsub)(i => v(j * dsub + i).toDouble))
+      val kk = math.min(ksub, sub.length)
+      // k-means++ seeding over the subspace sample
+      val centIdx = scala.collection.mutable.ArrayBuffer[Int](0)
+      val d2 = Array.tabulate(sub.length)(i => l2(sub(i), sub(0)))
+      while (centIdx.size < kk) {
+        val total = d2.sum
+        var pick =
+          if (total > 0) {
+            val target = nextU() * total
+            var acc = 0.0; var i = 0; var found = -1
+            while (i < d2.length && found < 0) {
+              acc += d2(i); if (acc >= target) found = i; i += 1
+            }
+            if (found < 0) d2.length - 1 else found
+          } else centIdx.size % sub.length
+        centIdx += pick
+        var i = 0
+        while (i < d2.length) {
+          d2(i) = math.min(d2(i), l2(sub(i), sub(pick))); i += 1
+        }
+      }
+      var cents: Array[Array[Double]] = centIdx.map(sub(_).clone).toArray
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(kk)(new Array[Double](dsub))
+        val ns = new Array[Long](kk)
+        var i = 0
+        while (i < sub.length) { // index order: deterministic summation
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < kk) {
+            val d = l2(sub(i), cents(c))
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          var dmn = 0
+          while (dmn < dsub) { sums(best)(dmn) += sub(i)(dmn); dmn += 1 }
+          ns(best) += 1
+          i += 1
+        }
+        cents = Array.tabulate(kk)(c =>
+          if (ns(c) > 0) sums(c).map(_ / ns(c)) else cents(c))
+        it += 1
+      }
+      var c = 0
+      while (c < ksub) {
+        // pad short samples by repeating the last codeword (codes stay valid)
+        out(j * ksub + c) = cents(math.min(c, kk - 1)).map(_.toFloat)
+        c += 1
+      }
+      j += 1
+    }
+    out
+  }
+
+  /** Product-quantization approximate top-k (flat ADC scan). The corpus
+    * L2-normalizes and ENCODES to `m` small ints per row in one narrow
+    * map (the codebook rides into the expression as a literal — no
+    * shuffle, and the scan/join representation is 8-32x smaller than the
+    * float vectors: the memory story that makes a 100 TB embedding corpus
+    * fit an in-cluster index); queries broadcast with their normalized
+    * vectors and every (query, code) pair scores via asymmetric distance
+    * computation (`gr_pq_adc` — approximate cosine on normalized inputs).
+    * Per-query top-k is the same partial-top-k window as the exact path
+    * (WindowGroupLimit keeps the exchange near-minimal). Compose with the
+    * IVF list pruning for the two-level IVF-PQ shape when a full flat
+    * scan is too much.
+    *
+    * `roundScoreTo >= 0` rounds the ADC score before ranking (ties by
+    * neighbor id) — determinism for external oracles, as in [[ivfTopK]].
+    */
+  def pqTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String,
+      k: Int = 10, m: Int = 8, ksub: Int = 16,
+      codebooks: Option[Array[Array[Float]]] = None,
+      roundScoreTo: Int = -1,
+      // > 0: ADC retrieves this many candidates per query and an EXACT
+      // cosine re-rank (candidates broadcast back onto the corpus — the
+      // corpus still never shuffles) picks the final k. The standard
+      // PQ-retrieve + refine architecture: ADC alone misorders the fine
+      // tail, top-C coverage is what the compressed scan must deliver.
+      rerank: Int = 0): DataFrame = {
+    import org.apache.spark.sql.functions.typedlit
+    val cb = codebooks.getOrElse(
+      trainPqCodebooks(corpus, idCol, vecCol, m, ksub))
+    val cbArr = array(cb.map(c => typedlit(c)).toIndexedSeq: _*)
+    val encoded = corpus.select(col(idCol).as("neighbor_id"),
+      gr_pqEncode(gr_l2normalize(col(vecCol)), cbArr, lit(m)).as("_codes"))
+    val q = queries.select(col(idCol).as("query_id"),
+      gr_l2normalize(col(vecCol)).as("_qv"))
+    val rawScore = gr_pqAdc(col("_qv"), col("_codes"), cbArr)
+    val scored = encoded.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("score",
+        if (roundScoreTo >= 0) round(rawScore, roundScoreTo) else rawScore)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    if (rerank <= 0)
+      scored
+        .select(col("query_id"), col("neighbor_id"), col("score"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+    else {
+      val cands = scored
+        .select(col("query_id"), col("neighbor_id"), col("score"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= math.max(rerank, k))
+        .select(col("query_id"), col("neighbor_id"))
+      val cvecs = corpus.select(col(idCol).as("neighbor_id"),
+        gr_l2normalize(col(vecCol)).as("_cv"))
+      val exact = gr_dot(col("_qv"), col("_cv")) // normalized -> cosine
+      val refined = cvecs
+        .join(broadcast(cands.join(q, "query_id")), Seq("neighbor_id"))
+        .withColumn("score",
+          if (roundScoreTo >= 0) round(exact, roundScoreTo) else exact)
+      refined
+        .select(col("query_id"), col("neighbor_id"), col("score"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+    }
+  }
+
   /** Approximate top-k: bucket corpus and queries by LSH signature; probe
     * the exact bucket plus all 1-bit-flip neighbors; exact rerank within
     * candidates. Recall grows with `bits` lowered or probes widened.

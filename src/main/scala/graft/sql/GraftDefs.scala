@@ -829,6 +829,18 @@ object GraftDefs {
       a => VecKernel.lshBucket(floats(a(0)), int(a(1)), int(a(2)))),
     "gr_argmax_cosine" -> Spec(Seq(ArrayType(FloatType), ArrayType(ArrayType(FloatType))), I,
       a => VecKernel.argmaxCosine(floats(a(0)), floatMatrix(a(1)))),
+    // product quantization (Jégou et al. 2011): encode to m codes / score
+    // codes against a full query (ADC); codebook rides as a literal
+    "gr_pq_encode" -> Spec(Seq(ArrayType(FloatType), ArrayType(ArrayType(FloatType)), I),
+      ArrayType(I), a => new GenericArrayData(
+        VecKernel.pqEncode(floats(a(0)), floatMatrix(a(1)), int(a(2))).map(Int.box(_): Any))),
+    "gr_pq_adc" -> Spec(Seq(ArrayType(FloatType), ArrayType(I), ArrayType(ArrayType(FloatType))), D,
+      a => VecKernel.pqAdcDot(floats(a(0)),
+        a(1).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toIntArray(),
+        floatMatrix(a(2)))),
+    "gr_l2normalize" -> Spec(Seq(ArrayType(FloatType)), ArrayType(FloatType),
+      a => new GenericArrayData(
+        VecKernel.l2normalize(floats(a(0))).map(Float.box(_): Any))),
     "gr_topn_cosine" -> Spec(Seq(ArrayType(FloatType), ArrayType(ArrayType(FloatType)), I),
       ArrayType(I), { a =>
       new GenericArrayData(

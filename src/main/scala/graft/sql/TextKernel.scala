@@ -401,6 +401,75 @@ object VecKernel {
     scored.sortBy { case (s, i) => (-s, i) }.take(n).map(_._2).toArray
   }
 
+  /** Product-quantization encode (Jégou, Douze & Schmid 2011, "Product
+    * Quantization for Nearest Neighbor Search"): split `v` into `m` equal
+    * subvectors and pick, per subspace j, the L2-nearest codeword from the
+    * flattened codebook (`cb(j * ksub + c)` = codeword c of subspace j;
+    * ksub = cb.length / m; ties -> lowest code). Returns m codes — the
+    * whole vector compresses to m small ints.
+    */
+  def pqEncode(v: Array[Float], cb: Array[Array[Float]], m: Int): Array[Int] = {
+    require(m > 0 && cb.length % m == 0,
+      s"pqEncode: codebook rows ${cb.length} not divisible by m=$m")
+    require(v.length % m == 0,
+      s"pqEncode: dim ${v.length} not divisible by m=$m")
+    val ksub = cb.length / m
+    val dsub = v.length / m
+    val codes = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < ksub) {
+        val cw = cb(j * ksub + c)
+        var d = 0.0
+        var i = 0
+        while (i < dsub) {
+          val diff = v(j * dsub + i).toDouble - cw(i).toDouble
+          d += diff * diff
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      codes(j) = best
+      j += 1
+    }
+    codes
+  }
+
+  /** Asymmetric distance computation: approximate inner product of the
+    * full query `q` against a PQ-encoded vector — sum over subspaces of
+    * dot(q_j, codeword(codes(j))). On L2-normalized inputs this
+    * approximates the cosine. One O(dim) pass per (query, code) pair; the
+    * codes are m ints where the original vector was dim floats — the
+    * corpus side carries the 8-32x smaller representation through scan
+    * and shuffle.
+    */
+  def pqAdcDot(q: Array[Float], codes: Array[Int], cb: Array[Array[Float]]): Double = {
+    val m = codes.length
+    require(m > 0 && cb.length % m == 0 && q.length % m == 0,
+      s"pqAdcDot: inconsistent shapes (q=${q.length}, m=$m, cb=${cb.length})")
+    val ksub = cb.length / m
+    val dsub = q.length / m
+    var s = 0.0
+    var j = 0
+    while (j < m) {
+      val cw = cb(j * ksub + codes(j))
+      var i = 0
+      while (i < dsub) { s += q(j * dsub + i).toDouble * cw(i).toDouble; i += 1 }
+      j += 1
+    }
+    s
+  }
+
+  /** L2-normalize (zero vectors pass through). */
+  def l2normalize(v: Array[Float]): Array[Float] = {
+    val n = norm(v)
+    if (n == 0) v else v.map(x => (x / n).toFloat)
+  }
+
   /** Random-hyperplane LSH: `bits` sign bits from seeded Rademacher (+-1)
     * planes. Plane component (b, j) is the low bit of the MD5 of
     * "lsh:seed:b:j" — deterministic, no stored model, and exactly

@@ -260,6 +260,11 @@ object functions {
   def gr_lshBucket(v: Column, bits: Column, seed: Column): Column =
     fn("gr_lsh_bucket", v, bits, seed)
   def gr_argmaxCosine(v: Column, cents: Column): Column = fn("gr_argmax_cosine", v, cents)
+  def gr_pqEncode(v: Column, codebook: Column, m: Column): Column =
+    fn("gr_pq_encode", v, codebook, m)
+  def gr_pqAdc(q: Column, codes: Column, codebook: Column): Column =
+    fn("gr_pq_adc", q, codes, codebook)
+  def gr_l2normalize(v: Column): Column = fn("gr_l2normalize", v)
   def gr_topnCosine(v: Column, cents: Column, n: Column): Column =
     fn("gr_topn_cosine", v, cents, n)
 

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.sql.TestSpark
+import graft.sql.functions.{gr_pqEncode, gr_l2normalize}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -197,6 +198,48 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(trained >= untrained,
       s"trained recall $trained below untrained $untrained")
     assert(trained > 0.9, s"trained recall $trained on clustered data")
+  }
+
+  test("PQ: exact reconstruction at full codebooks; ADC+rerank recall; determinism") {
+    val rnd = new scala.util.Random(11)
+    def jitter(base: Array[Float]) = base.map(v => v + rnd.nextFloat() * 0.1f)
+    val dirs = (0 until 8).map { c =>
+      val v = Array.fill(16)(0.0f); v(c * 2) = 1.0f; v
+    }
+    val df = (0 until 160).map(i => (i.toLong, jitter(dirs(i % 8)))).toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" < 5)
+    val exact = Similarity.bruteForceTopK(df, queries, "vec_id", "embedding", k = 5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    // codebooks are bit-identical across invocations
+    val cb1 = Similarity.trainPqCodebooks(df, "vec_id", "embedding", m = 4, ksub = 16)
+    val cb2 = Similarity.trainPqCodebooks(df, "vec_id", "embedding", m = 4, ksub = 16)
+    assert(cb1.length == 64 && cb1.zip(cb2).forall { case (a, b) => a.sameElements(b) })
+    // ADC retrieve + exact rerank recovers the exact top-k on clustered data
+    val got = Similarity.pqTopK(df, queries, "vec_id", "embedding",
+      k = 5, m = 4, ksub = 16, codebooks = Some(cb1), roundScoreTo = 4, rerank = 40)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect got).size.toDouble / exact.size
+    assert(recall > 0.9, s"PQ+rerank recall $recall")
+    // compression shape: m codes per row, every code < ksub
+    val codes = df.select(gr_pqEncode(gr_l2normalize($"embedding"),
+        typedLit(cb1), lit(4)).as("c"))
+      .as[Array[Int]].collect()
+    assert(codes.forall(c => c.length == 4 && c.forall(x => x >= 0 && x < 16)))
+    // ADC == exact dot when the codebook contains every subvector exactly
+    val tiny = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.6f, 0.8f))).toDF("vec_id", "embedding")
+    val cbT = Similarity.trainPqCodebooks(tiny, "vec_id", "embedding",
+      m = 2, ksub = 3, sample = 3, iters = 20)
+    val adc = Similarity.pqTopK(tiny, tiny.filter($"vec_id" === 0), "vec_id", "embedding",
+      k = 2, m = 2, ksub = 3, codebooks = Some(cbT))
+      .select($"neighbor_id", $"score").as[(Long, Double)].collect().toMap
+    val bf = Similarity.bruteForceTopK(tiny, tiny.filter($"vec_id" === 0),
+        "vec_id", "embedding", k = 2)
+      .select($"neighbor_id", $"cosine").as[(Long, Double)].collect().toMap
+    for ((id, c) <- bf) assert(math.abs(adc(id) - c) < 1e-6,
+      s"ADC ${adc(id)} vs exact $c for $id")
   }
 
   test("lsh topk broadcasts the probe side — the corpus never shuffles") {

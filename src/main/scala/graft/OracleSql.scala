@@ -1804,6 +1804,30 @@ object OracleSql {
       FROM p WHERE dist <= 100000.0
       GROUP BY c_custkey ORDER BY c_custkey""",
 
+    // r12 geodesic nearest (how=left): same haversine mirror as g90 +
+    // rank window, radius-misses as null suppliers
+    "g91_sjoin_nearest_sphere" -> s"""
+      WITH c AS (SELECT c_custkey, cx / 200.0 AS lon, 20.0 + cy / 20.0 AS lat
+                 FROM ($custPts)),
+      s AS (SELECT s_suppkey, s_acctbal / 200.0 AS lon,
+              20.0 + ((s_suppkey % 100)::DOUBLE * 10.0) / 20.0 AS lat
+            FROM supplier),
+      p AS (SELECT c.c_custkey, s.s_suppkey,
+              2.0 * 6371008.8 * asin(least(1.0, sqrt(
+                sin((radians(s.lat) - radians(c.lat)) / 2.0)
+                  * sin((radians(s.lat) - radians(c.lat)) / 2.0)
+                + cos(radians(c.lat)) * cos(radians(s.lat))
+                  * sin(radians(s.lon - c.lon) / 2.0)
+                  * sin(radians(s.lon - c.lon) / 2.0)))) AS dist
+            FROM c, s),
+      f AS (SELECT c_custkey, s_suppkey, dist,
+              rank() OVER (PARTITION BY c_custkey ORDER BY dist) AS rk
+            FROM p WHERE dist <= 300000.0)
+      SELECT c.c_custkey, f.s_suppkey, round(f.dist, 2) AS dist_m
+      FROM (SELECT DISTINCT c_custkey FROM c) c
+      LEFT JOIN (SELECT * FROM f WHERE rk = 1) f USING (c_custkey)
+      ORDER BY c_custkey, s_suppkey""",
+
     // r12 subdivide contract: tiles partition the buffer exactly, respect
     // the vertex cap, and a 97-vertex input at cap 16 must split
     "g89_subdivide" -> """

@@ -1828,6 +1828,27 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     }),
 
+    // r12 geodesic nearest join (how=left): each customer's nearest
+    // supplier by great-circle meters within 300 km, ties kept by rank,
+    // radius-misses kept with null supplier. Full DuckDB mirror (same
+    // haversine expression + rank window + left join).
+    "g91_sjoin_nearest_sphere" -> ((s, d) => {
+      val cust = GeoDataFrame(
+        customerPts(s, d)
+          .withColumn("geometry",
+            st_point(col("cx") / 200.0, lit(20.0) + col("cy") / 20.0))
+          .select(col("c_custkey"), col("geometry")), "geometry")
+      val sup = GeoDataFrame(
+        supplierPts(s, d)
+          .withColumn("geometry",
+            st_point(col("x0") / 200.0, lit(20.0) + col("y0") / 20.0))
+          .select(col("s_suppkey"), col("geometry")), "geometry")
+      cust.sjoinNearestSphere(sup, "c_custkey", 300000.0, how = "left")
+        .select(col("c_custkey"), col("s_suppkey"),
+          round(col("dist_m"), 2).as("dist_m"))
+        .orderBy(col("c_custkey"), col("s_suppkey"))
+    }),
+
     "g62_proj_grids" -> ((s, d) => {
       import s.implicits._
       val grids = Seq(

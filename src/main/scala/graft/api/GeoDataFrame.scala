@@ -800,6 +800,50 @@ final case class GeoDataFrame(
     withCrsOf(GeoDataFrame(joined, geometryColumn))
   }
 
+  /** Geodesic nearest-neighbor join: for each left POINT row, the k
+    * nearest right points by GREAT-CIRCLE meters among candidates within
+    * `maxMeters` (rank <= k keeps distance ties, geopandas-style). The
+    * lon/lat twin of [[sjoinNearest]]: candidates come from the
+    * latitude-aware [[sjoinDwithinSphere]] grid join (one shuffle, never
+    * all-pairs; a candidate set complete within `maxMeters` makes the
+    * per-key rank exact), distances are `st_distancesphere`. `how="left"`
+    * keeps radius-misses with null right columns; `leftKey` must uniquely
+    * identify left rows (same contract as sjoinNearest).
+    */
+  def sjoinNearestSphere(
+      right: GeoDataFrame,
+      leftKey: String,
+      maxMeters: Double,
+      rsuffix: String = "_right",
+      distanceCol: String = "dist_m",
+      how: String = "inner",
+      k: Int = 1): DataFrame = {
+    require(maxMeters > 0 && k >= 1, "sjoinNearestSphere: bad params")
+    require(Set("inner", "left").contains(how),
+      s"unknown sjoinNearestSphere how '$how' (inner | left)")
+    val rGeomName =
+      if (df.columns.contains(right.geometryColumn)) right.geometryColumn + rsuffix
+      else right.geometryColumn
+    val cands = sjoinDwithinSphere(right, maxMeters, rsuffix = rsuffix).df
+      .withColumn(distanceCol,
+        st_distanceSphere(col(geometryColumn), col(rGeomName)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(leftKey)).orderBy(col(distanceCol))
+    val nearest = cands.withColumn("_rk", rank().over(w))
+      .filter(col("_rk") <= k).drop("_rk")
+    how match {
+      case "inner" => nearest
+      case "left" =>
+        val unmatched = df.join(nearest.select(col(leftKey)).distinct(),
+          Seq(leftKey), "left_anti")
+        val rightFields = nearest.schema.fields
+          .filter(f => !df.columns.contains(f.name))
+        val padded = rightFields.foldLeft(unmatched)((acc, f) =>
+          acc.withColumn(f.name, lit(null).cast(f.dataType)))
+        nearest.unionByName(padded.select(nearest.columns.map(col).toIndexedSeq: _*))
+    }
+  }
+
   def sjoinNearest(
       right: GeoDataFrame,
       leftKey: String,

@@ -43,6 +43,23 @@ class SjoinSphereSpec extends AnyFunSuite {
     assert(got == Seq((1L, 101L), (1L, 104L), (3L, 103L)), got)
   }
 
+  test("sjoinNearestSphere: nearest by meters, ties kept, how=left pads misses") {
+    val left = GeoDataFrame(Seq(
+      (1L, 0.0, 60.0),   // two right points equidistant north/south
+      (2L, 90.0, 10.0)   // nothing within radius
+    ).toDF("lid", "lon", "lat")
+      .select($"lid", st_point($"lon", $"lat").as("geometry")), "geometry")
+    val right = GeoDataFrame(Seq(
+      (11L, 0.4, 60.2), (12L, 0.4, 60.2), (13L, 0.0, 62.0)
+    ).toDF("rid", "lon", "lat")
+      .select($"rid", st_point($"lon", $"lat").as("geometry")), "geometry")
+    val got = left.sjoinNearestSphere(right, "lid", 200000.0, how = "left")
+      .select($"lid", $"rid").as[(Long, Option[Long])].collect().sorted.toSeq
+    // 11 and 12 are coincident -> an exact distance tie, both kept by rank;
+    // 13 is farther and dropped; lid 2 has nothing in radius -> null pad
+    assert(got == Seq((1L, Some(11L)), (1L, Some(12L)), (2L, None)), got)
+  }
+
   test("agrees with the brute-force cross join on a random cloud (incl. 60-80N)") {
     val rnd = new scala.util.Random(7)
     val ls = (0 until 300).map(i =>

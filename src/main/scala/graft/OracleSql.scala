@@ -714,6 +714,67 @@ object OracleSql {
              round(coalesce(a.dup_tokens, 0)::DOUBLE / g.n_tokens, 4) AS dup_ratio
       FROM g LEFT JOIN agg a USING (doc_id) ORDER BY g.doc_id""",
 
+    // Generic URL canonicalization mirrored rule-for-rule from
+    // TextKernel.canonicalUrl: the oracle canonicalizes the RAW string
+    // with regexp/list functions (no shortcut through the arithmetic the
+    // URLs were synthesized from).
+    "t32_url_dedup" -> s"""
+      WITH r AS (
+        SELECT doc_id,
+          (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.' ELSE 'https://' END)
+          || source || '.example.com'
+          || (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END)
+          || '/docs/' || (doc_id % 50)
+          || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+          || (CASE WHEN doc_id % 5 = 0 THEN '?utm_source=crawl&page=2&lang=en'
+                   ELSE '?lang=en&page=2&fbclid=xyz' END)
+          || (CASE WHEN doc_id % 6 = 0 THEN '#section-3' ELSE '' END) AS url
+        FROM documents),
+      c1 AS (
+        SELECT doc_id, url,
+          lower(regexp_extract(trim(url), '^([^:/?#]+)://', 1)) AS scheme,
+          regexp_replace(regexp_replace(trim(url), '^[^:/?#]+://', ''),
+            '#.*$$', '') AS rest
+        FROM r),
+      c2 AS (
+        SELECT doc_id, url, scheme, rest,
+          lower(regexp_extract(rest, '^([^/?]*)', 1)) AS hostport,
+          substr(rest, length(regexp_extract(rest, '^([^/?]*)', 1)) + 1) AS pq
+        FROM c1),
+      c3 AS (
+        SELECT doc_id, url, scheme, pq,
+          CASE WHEN scheme = 'http' AND h2 LIKE '%:80'
+                 THEN left(h2, length(h2) - 3)
+               WHEN scheme = 'https' AND h2 LIKE '%:443'
+                 THEN left(h2, length(h2) - 4)
+               ELSE h2 END AS host
+        FROM (SELECT *, regexp_replace(hostport, '^www\\.', '') AS h2 FROM c2)),
+      c4 AS (
+        SELECT doc_id, url, scheme, host,
+          CASE WHEN instr(pq, '?') > 0
+               THEN substr(pq, 1, instr(pq, '?') - 1) ELSE pq END AS path0,
+          CASE WHEN instr(pq, '?') > 0
+               THEN substr(pq, instr(pq, '?') + 1) ELSE '' END AS qs
+        FROM c3),
+      c5 AS (
+        SELECT doc_id, url, scheme, host, qs,
+          CASE WHEN p1 <> '/' AND p1 LIKE '%/'
+               THEN left(p1, length(p1) - 1) ELSE p1 END AS path
+        FROM (SELECT *, CASE WHEN path0 = '' THEN '/' ELSE path0 END AS p1
+              FROM c4)),
+      c6 AS (
+        SELECT doc_id, url,
+          scheme || '://' || host || path ||
+          CASE WHEN len(kept) = 0 THEN ''
+               ELSE '?' || array_to_string(kept, '&') END AS curl
+        FROM (SELECT *, list_sort(list_filter(string_split(qs, '&'),
+                p -> p <> '' AND NOT regexp_matches(p,
+                  '^(utm_[^=&]*|gclid|fbclid|ref|mc_cid|mc_eid)(=|$$)'))) AS kept
+              FROM c5))
+      SELECT curl, count(*)::BIGINT AS n_docs, min(doc_id) AS keep_doc,
+             count(DISTINCT url)::BIGINT AS n_raw_variants
+      FROM c6 GROUP BY curl ORDER BY curl""",
+
     "t28_ccnet_buckets" -> s"""
       WITH tk AS (SELECT doc_id, lang, len($docToks)::BIGINT AS n_tokens
                   FROM documents),

@@ -2723,6 +2723,37 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // URL-level dedup — the first dedup pass of a web-crawl pipeline
+    // (CCNet / RefinedWeb drop repeat fetches by canonical URL before any
+    // content hash runs). Raw crawl URLs are synthesized deterministically
+    // from (source, doc_id) with the variants a real crawl exhibits
+    // (case-shifted scheme/host, www., explicit default port, trailing
+    // slash, tracking params, shuffled param order, fragments);
+    // gr_canonical_url folds them and the group-by keeps one
+    // representative per canonical URL. Plan: narrow per-row
+    // canonicalization + one hash agg on the canonical string — at 100 TB
+    // swap the group key for xxhash64(curl) so the exchange carries 8
+    // bytes, the same move as t02 exact dedup.
+    "t32_url_dedup" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val raw = concat(
+        when(col("doc_id") % 2 === 0, lit("HTTPS://WWW.")).otherwise(lit("https://")),
+        col("source"), lit(".example.com"),
+        when(col("doc_id") % 4 === 0, lit(":443")).otherwise(lit("")),
+        lit("/docs/"), (col("doc_id") % 50).cast("string"),
+        when(col("doc_id") % 3 === 0, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit("?utm_source=crawl&page=2&lang=en"))
+          .otherwise(lit("?lang=en&page=2&fbclid=xyz")),
+        when(col("doc_id") % 6 === 0, lit("#section-3")).otherwise(lit("")))
+      docs.select(col("doc_id"), raw.as("url"))
+        .withColumn("curl", gr_canonicalUrl(col("url")))
+        .groupBy(col("curl"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("keep_doc"),
+          countDistinct(col("url")).as("n_raw_variants"))
+        .orderBy(col("curl"))
+    }),
+
     // CCNet-style quality tiers (Wenzek et al. 2019): rank documents per
     // language by a quality proxy (token count) and cut the ranking into
     // head/middle/tail thirds — the bucket a CCNet pipeline keys its

@@ -819,6 +819,8 @@ object GraftDefs {
     "gr_md5_bucket" -> Spec(Seq(S, I), L,
       a => TextKernel.md5Bucket(str(a(0)), int(a(1)))),
     "gr_hash64" -> Spec(Seq(S), L, a => TextKernel.fnv1a64(str(a(0)).getBytes("UTF-8"))),
+    "gr_canonical_url" -> Spec(Seq(S), S,
+      a => utf8(TextKernel.canonicalUrl(str(a(0))))),
     // vectors (embeddings: array<float> in the testdata; cast-tolerant)
     "gr_cosine" -> Spec(Seq(ArrayType(FloatType), ArrayType(FloatType)), D,
       a => VecKernel.cosine(floats(a(0)), floats(a(1)))),

@@ -329,6 +329,57 @@ object TextKernel {
     java.lang.Long.remainderUnsigned(h, n.toLong)
   }
 
+  /** Canonicalize an http(s) URL for URL-level dedup (the first dedup
+    * pass of a web-crawl pipeline: CCNet / RefinedWeb dedup by URL before
+    * any content hash). Rules — each chosen to be mirrorable by a SQL
+    * oracle with string/list functions, so the whole operator is
+    * differential-testable:
+    *   1. trim; lowercase the scheme and host (path/query keep case);
+    *   2. strip a leading `www.` host label;
+    *   3. drop the default port (`:80` for http, `:443` for https);
+    *   4. drop the fragment;
+    *   5. empty path -> `/`; strip one trailing `/` from non-root paths;
+    *   6. drop tracking params (`utm_*`, `gclid`, `fbclid`, `ref`,
+    *      `mc_cid`, `mc_eid`), drop empties, sort the survivors
+    *      lexicographically (whole `k=v` token, code-unit order), rejoin.
+    * Non-hierarchical inputs (no `://`) pass through trimmed — garbage
+    * stays distinct rather than colliding.
+    */
+  def canonicalUrl(url: String): String = {
+    val trimmed = url.trim
+    val schemeEnd = trimmed.indexOf("://")
+    if (schemeEnd < 0) return trimmed
+    val scheme = trimmed.substring(0, schemeEnd).toLowerCase
+    val afterScheme = trimmed.substring(schemeEnd + 3)
+    val hashIdx = afterScheme.indexOf('#')
+    val rest = if (hashIdx >= 0) afterScheme.substring(0, hashIdx) else afterScheme
+    val pathStart = {
+      val i = rest.indexWhere(c => c == '/' || c == '?')
+      if (i < 0) rest.length else i
+    }
+    var host = rest.substring(0, pathStart).toLowerCase
+    if (host.startsWith("www.")) host = host.substring(4)
+    val defPort =
+      if (scheme == "http") ":80" else if (scheme == "https") ":443" else ""
+    if (defPort.nonEmpty && host.endsWith(defPort))
+      host = host.substring(0, host.length - defPort.length)
+    val pq = rest.substring(pathStart)
+    val qIdx = pq.indexOf('?')
+    var path = if (qIdx >= 0) pq.substring(0, qIdx) else pq
+    if (path.isEmpty) path = "/"
+    if (path.length > 1 && path.endsWith("/")) path = path.substring(0, path.length - 1)
+    val query = if (qIdx >= 0) pq.substring(qIdx + 1) else ""
+    def isTracking(p: String): Boolean = {
+      val eq = p.indexOf('=')
+      val name = if (eq >= 0) p.substring(0, eq) else p
+      name.startsWith("utm_") || name == "gclid" || name == "fbclid" ||
+        name == "ref" || name == "mc_cid" || name == "mc_eid"
+    }
+    val kept = query.split("&").filter(p => p.nonEmpty && !isTracking(p)).sorted
+    val q = if (kept.isEmpty) "" else "?" + kept.mkString("&")
+    scheme + "://" + host + path + q
+  }
+
   /** Rolling-hash document fingerprint: min FNV-1a hash over character
     * k-grams (a 1-hash winnowing sketch — stable under small edits at the
     * end of the document).

@@ -252,6 +252,7 @@ object functions {
   def gr_fingerprintMd5(text: Column, k: Column): Column = fn("gr_fingerprint_md5", text, k)
   def gr_md5Bucket(text: Column, n: Column): Column = fn("gr_md5_bucket", text, n)
   def gr_hash64(text: Column): Column = fn("gr_hash64", text)
+  def gr_canonicalUrl(url: Column): Column = fn("gr_canonical_url", url)
 
   // ---------------------------------------------------- pipeline: vectors
   def gr_cosine(a: Column, b: Column): Column = fn("gr_cosine", a, b)

@@ -550,6 +550,41 @@ object OracleSql {
       FROM j WHERE c1 <> 0 AND c2 <> 0 AND c3 <> 0
       ORDER BY c_custkey, r_regionkey""",
 
+    // term-by-term slippy-map tile math mirror (OSM wiki formulas); the
+    // quadkey digits come from the same bit arithmetic as the kernel
+    "g92_tiles" -> s"""
+      WITH p AS (SELECT c_custkey, c_acctbal / 100.0 AS lon,
+                        (c_custkey % 1000) / 20.0 - 25.0 AS lat
+                 FROM customer),
+      t AS (SELECT c_custkey, lon, lat,
+              CAST(least(255, greatest(0,
+                floor((lon + 180.0) / 360.0 * 256.0))) AS INT) AS tile_x,
+              CAST(least(255, greatest(0, floor((1.0 -
+                ln(tan(radians(least(85.05112878, greatest(-85.05112878, lat))))
+                   + 1.0 / cos(radians(least(85.05112878,
+                       greatest(-85.05112878, lat))))) / pi()) / 2.0 * 256.0)))
+                AS INT) AS tile_y
+            FROM p),
+      e AS (SELECT *,
+              tile_x / 256.0 * 360.0 - 180.0 AS lon_min_r,
+              (tile_x + 1) / 256.0 * 360.0 - 180.0 AS lon_max_r,
+              degrees(atan((exp(pi() * (1.0 - 2.0 * (tile_y + 1) / 256.0))
+                - exp(-(pi() * (1.0 - 2.0 * (tile_y + 1) / 256.0)))) / 2.0))
+                AS lat_min_r,
+              degrees(atan((exp(pi() * (1.0 - 2.0 * tile_y / 256.0))
+                - exp(-(pi() * (1.0 - 2.0 * tile_y / 256.0)))) / 2.0))
+                AS lat_max_r
+            FROM t)
+      SELECT c_custkey, tile_x, tile_y,
+             array_to_string(list_transform(range(1, 9), i ->
+               CAST(((tile_x >> (8 - i)) & 1)
+                 + 2 * ((tile_y >> (8 - i)) & 1) AS VARCHAR)), '') AS quadkey,
+             round(lon_min_r, 6) AS lon_min, round(lat_min_r, 6) AS lat_min,
+             round(lon_max_r, 6) AS lon_max, round(lat_max_r, 6) AS lat_max,
+             (lon >= lon_min_r AND lon <= lon_max_r AND
+              lat >= lat_min_r AND lat <= lat_max_r) AS in_tile
+      FROM e ORDER BY c_custkey""",
+
     "g10_geohash" -> s"""
       WITH p AS (SELECT c_custkey,
         LEAST(32767, GREATEST(0,

@@ -600,6 +600,30 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     }),
 
+    // XYZ Web-Mercator tile keys (slippy-map x/y, Bing quadkey, tile
+    // envelope) over customer points at zoom 8 — the partition keys of a
+    // map-tile pipeline (the shuffle key at scale is (tile_x, tile_y) or
+    // a quadkey prefix, which nests: prefix-of is ancestor-of). in_tile
+    // is a contract column: every point must intersect its own tile's
+    // envelope. Narrow per-row math, zero extra shuffles.
+    "g92_tiles" -> ((s, d) => {
+      val z = 8
+      customerPts(s, d)
+        .withColumn("lon", col("cx") / 100.0)
+        .withColumn("lat", col("cy") / 20.0 - 25.0)
+        .withColumn("tile_x", st_tileX(col("lon"), lit(z)))
+        .withColumn("tile_y", st_tileY(col("lat"), lit(z)))
+        .withColumn("env", st_tileEnvelope(lit(z), col("tile_x"), col("tile_y")))
+        .select(col("c_custkey"), col("tile_x"), col("tile_y"),
+          st_quadkey(lit(z), col("tile_x"), col("tile_y")).as("quadkey"),
+          round(st_xmin(col("env")), 6).as("lon_min"),
+          round(st_ymin(col("env")), 6).as("lat_min"),
+          round(st_xmax(col("env")), 6).as("lon_max"),
+          round(st_ymax(col("env")), 6).as("lat_max"),
+          st_intersects(col("env"), st_point(col("lon"), col("lat"))).as("in_tile"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // clip to rect (reference clip.py) over supplier squares
     "g11_clip" -> ((s, d) => {
       supplierPts(s, d)

@@ -134,4 +134,80 @@ object Sfc {
     require(!e.isEmpty, "cannot compute geohash of empty geometry")
     geohash(e.midX, e.midY, precision)
   }
+
+  // -------------------------------------------------------------- xyz tiles
+  // Slippy-map / XYZ Web-Mercator tile scheme (the OSM wiki
+  // "Slippy map tilenames" formulas; quadkey digits per the Bing Maps tile
+  // system): x counts east from lon -180, y counts SOUTH from the
+  // Mercator-clamped north limit. These are the partition keys of a map
+  // tile pipeline — narrow per-row math, no shuffle of their own.
+
+  /** Web-Mercator latitude clamp: atan(sinh(pi)) in degrees. */
+  val TileLatMax = 85.05112878
+
+  def tileX(lon: Double, z: Int): Int = {
+    val n = 1L << z
+    val x = math.floor((lon + 180.0) / 360.0 * n).toLong
+    math.max(0L, math.min(n - 1, x)).toInt
+  }
+
+  def tileY(lat: Double, z: Int): Int = {
+    val n = 1L << z
+    val clamped = math.max(-TileLatMax, math.min(TileLatMax, lat))
+    val latRad = math.toRadians(clamped)
+    val y = math.floor(
+      (1.0 - math.log(math.tan(latRad) + 1.0 / math.cos(latRad)) / math.Pi)
+        / 2.0 * n).toLong
+    math.max(0L, math.min(n - 1, y)).toInt
+  }
+
+  /** Tile bounds in EPSG:4326: (lonMin, latMin, lonMax, latMax). */
+  def tileEnvelope(z: Int, x: Int, y: Int): (Double, Double, Double, Double) = {
+    val n = (1L << z).toDouble
+    val lonMin = x / n * 360.0 - 180.0
+    val lonMax = (x + 1) / n * 360.0 - 180.0
+    def latOf(yy: Double): Double =
+      math.toDegrees(math.atan(math.sinh(math.Pi * (1.0 - 2.0 * yy / n))))
+    (lonMin, latOf(y + 1.0), lonMax, latOf(y.toDouble))
+  }
+
+  /** Bing-style quadkey: one base-4 digit per zoom level, MSB first. */
+  def quadkey(z: Int, x: Int, y: Int): String = {
+    val sb = new java.lang.StringBuilder(z)
+    var i = z
+    while (i > 0) {
+      var digit = 0
+      val mask = 1 << (i - 1)
+      if ((x & mask) != 0) digit += 1
+      if ((y & mask) != 0) digit += 2
+      sb.append(('0' + digit).toChar)
+      i -= 1
+    }
+    sb.toString
+  }
+
+  /** Tiles whose envelope intersects [minX,maxX]x[minY,maxY] at zoom z,
+    * packed `(x << 32) | y` (both fit 32 bits through z=31). The tile
+    * analog of the sized-grid cell cover: explode + equi-join on the
+    * packed key co-locates geometry with its tiles in one shuffle.
+    */
+  def tileCover(minX: Double, minY: Double, maxX: Double, maxY: Double,
+      z: Int): Array[Long] = {
+    val x0 = tileX(minX, z); val x1 = tileX(maxX, z)
+    // y grows southward: maxY gives the smallest y
+    val y0 = tileY(maxY, z); val y1 = tileY(minY, z)
+    val out = new Array[Long]((x1 - x0 + 1) * (y1 - y0 + 1))
+    var i = 0
+    var x = x0
+    while (x <= x1) {
+      var y = y0
+      while (y <= y1) {
+        out(i) = (x.toLong << 32) | (y.toLong & 0xffffffffL)
+        i += 1
+        y += 1
+      }
+      x += 1
+    }
+    out
+  }
 }

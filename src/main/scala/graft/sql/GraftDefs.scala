@@ -623,6 +623,22 @@ object GraftDefs {
       require(!e.isEmpty, "geohash of empty geometry")
       Sfc.geohashLong(e.midX, e.midY, int(a(1)))
     }),
+    // ---- XYZ Web-Mercator tiles (slippy-map scheme; quadkey per the Bing
+    // tile system) — the partition keys of a map-tile pipeline
+    "st_tilex" -> Spec(Seq(D, I), I, a => Sfc.tileX(dbl(a(0)), int(a(1)))),
+    "st_tiley" -> Spec(Seq(D, I), I, a => Sfc.tileY(dbl(a(0)), int(a(1)))),
+    "st_quadkey" -> Spec(Seq(I, I, I), S,
+      a => utf8(Sfc.quadkey(int(a(0)), int(a(1)), int(a(2))))),
+    "st_tileenvelope" -> Spec(Seq(I, I, I), B, { a =>
+      val (lonMin, latMin, lonMax, latMax) =
+        Sfc.tileEnvelope(int(a(0)), int(a(1)), int(a(2)))
+      wkb(Polygon.box(lonMin, latMin, lonMax, latMax))
+    }),
+    "st_tilecover" -> Spec(Seq(B, I), ArrayType(L), { a =>
+      val e = geom(a(0)).envelope
+      require(!e.isEmpty, "tile cover of empty geometry")
+      Sfc.tileCover(e.minX, e.minY, e.maxX, e.maxY, int(a(1)))
+    }),
     // ---- CRS (subset: lon/lat <-> web mercator, lon/lat <-> WGS84 UTM
     // zones; reference expr.py:255-257)
     "st_transform" -> Spec(Seq(B, S, S), B, { a =>

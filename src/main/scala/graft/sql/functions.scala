@@ -192,6 +192,12 @@ object functions {
       xmax: Column, ymax: Column): Column = fn("st_morton", g, level, xmin, ymin, xmax, ymax)
   def st_geohash(g: Column, precision: Column): Column = fn("st_geohash", g, precision)
   def st_geohashLong(g: Column, precision: Column): Column = fn("st_geohashlong", g, precision)
+  def st_tileX(lon: Column, z: Column): Column = fn("st_tilex", lon, z)
+  def st_tileY(lat: Column, z: Column): Column = fn("st_tiley", lat, z)
+  def st_quadkey(z: Column, x: Column, y: Column): Column = fn("st_quadkey", z, x, y)
+  def st_tileEnvelope(z: Column, x: Column, y: Column): Column =
+    fn("st_tileenvelope", z, x, y)
+  def st_tileCover(g: Column, z: Column): Column = fn("st_tilecover", g, z)
 
   // --------------------------------------------------------------------- CRS
   def st_transform(g: Column, from: Column, to: Column): Column =

@@ -550,6 +550,26 @@ object OracleSql {
       FROM j WHERE c1 <> 0 AND c2 <> 0 AND c3 <> 0
       ORDER BY c_custkey, r_regionkey""",
 
+    // the MVT roundtrip oracle predicts the decoded pyramid from the tile
+    // math alone: encode -> task commit -> distributed decode must agree
+    // with pure arithmetic on (tile, count, min/max id)
+    "m08_mvt_roundtrip" -> s"""
+      WITH p AS (SELECT c_custkey, c_acctbal / 100.0 AS lon,
+                        (c_custkey % 1000) / 20.0 - 25.0 AS lat
+                 FROM customer),
+      t AS (SELECT c_custkey,
+              CAST(least(31, greatest(0,
+                floor((lon + 180.0) / 360.0 * 32.0))) AS INT) AS tile_x,
+              CAST(least(31, greatest(0, floor((1.0 -
+                ln(tan(radians(least(85.05112878, greatest(-85.05112878, lat))))
+                   + 1.0 / cos(radians(least(85.05112878,
+                       greatest(-85.05112878, lat))))) / pi()) / 2.0 * 32.0)))
+                AS INT) AS tile_y
+            FROM p)
+      SELECT tile_x, tile_y, count(*)::BIGINT AS n_features,
+             min(c_custkey)::BIGINT AS min_id, max(c_custkey)::BIGINT AS max_id
+      FROM t GROUP BY tile_x, tile_y ORDER BY tile_x, tile_y""",
+
     // term-by-term slippy-map tile math mirror (OSM wiki formulas); the
     // quadkey digits come from the same bit arithmetic as the kernel
     "g92_tiles" -> s"""

@@ -1,6 +1,7 @@
 package graft
 
 import graft.api.GeoDataFrame
+import graft.io.MvtIO
 import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -3162,6 +3163,44 @@ object SparkEntry {
           col("channels").cast("long").as("channels"),
           col("pixel_sum"))
         .orderBy(col("doc_id"))
+    }),
+
+    // MVT tile-pyramid roundtrip: customer points write a real z=5
+    // {z}/{x}/{y}.pbf level (explode(st_tilecover) -> one repartition by
+    // tile -> task-side protobuf encode, speculative-safe), then a
+    // DISTRIBUTED decode of every tile file re-derives (tile, count,
+    // min id). The oracle predicts the same rows from the slippy-map
+    // math alone — so encode, task commit, and decode must all agree
+    // with the pure tile arithmetic for this to pass.
+    "m08_mvt_roundtrip" -> ((s, d) => {
+      val pts = customerPts(s, d)
+        .withColumn("lon", col("cx") / 100.0)
+        .withColumn("lat", col("cy") / 20.0 - 25.0)
+        .select(col("c_custkey").cast("long").as("c_custkey"),
+          st_point(col("lon"), col("lat")).as("geometry"))
+      val out = java.nio.file.Files.createTempDirectory("mvt_q").toFile.getAbsolutePath
+      MvtIO.writeTiles(pts, "geometry", out, zoom = 5, layerName = "pts",
+        idCol = Some("c_custkey"))
+      val files = {
+        val base = new java.io.File(out)
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+          else if (f.getName.endsWith(".pbf")) Seq(f) else Nil
+        walk(base).map(_.getAbsolutePath)
+      }
+      val decoded = s.sparkContext.parallelize(files, math.max(1, files.size / 4))
+        .flatMap { p =>
+          val parts = p.split('/')
+          val x = parts(parts.length - 2).toInt
+          val y = parts.last.stripSuffix(".pbf").toInt
+          MvtIO.readTileFile(p).flatMap(_.features.map(f => (x, y, f.id.get)))
+        }
+      import s.implicits._
+      decoded.toDF("tile_x", "tile_y", "fid")
+        .groupBy(col("tile_x"), col("tile_y"))
+        .agg(count(lit(1)).as("n_features"), min(col("fid")).as("min_id"),
+          max(col("fid")).as("max_id"))
+        .orderBy(col("tile_x"), col("tile_y"))
     }),
 
     // real javax.sound WAV decode of synthesized RIFF/PCM payloads: rate/

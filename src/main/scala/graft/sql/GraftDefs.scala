@@ -637,7 +637,9 @@ object GraftDefs {
     "st_tilecover" -> Spec(Seq(B, I), ArrayType(L), { a =>
       val e = geom(a(0)).envelope
       require(!e.isEmpty, "tile cover of empty geometry")
-      Sfc.tileCover(e.minX, e.minY, e.maxX, e.maxY, int(a(1)))
+      new GenericArrayData(
+        Sfc.tileCover(e.minX, e.minY, e.maxX, e.maxY, int(a(1)))
+          .map(Long.box(_): Any))
     }),
     // ---- CRS (subset: lon/lat <-> web mercator, lon/lat <-> WGS84 UTM
     // zones; reference expr.py:255-257)

@@ -392,4 +392,35 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** STREAMING ANN: a live stream of query vectors against a static
+    * corpus. Same multi-probe LSH candidate generation as [[lshTopK]]
+    * (stream side explodes to bucket + 1-bit flips — narrow), stream-
+    * static equi-join on the bucket key, then per-query top-k via the
+    * BOUNDED [[graft.sql.TopKByScoreAgg]] — O(k) state per query key, so
+    * a hot query with a huge candidate bucket cannot grow streaming
+    * state. Returns (query_id, neighbors array<struct<neighbor_id,
+    * score>>) and requires `update` output mode (per-query rows finalize
+    * as their micro-batch completes; there is no event-time watermark to
+    * append on). At scale pre-bucket AND PERSIST the corpus projection so
+    * each micro-batch joins against cached buckets instead of re-scanning
+    * the raw corpus.
+    */
+  def streamingAnnTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String,
+      k: Int = 10, bits: Int = 12, seed: Int = 7): DataFrame = {
+    require(queries.isStreaming, "streamingAnnTopK expects a streaming query side")
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
+      gr_lshBucket(col(vecCol), lit(bits), lit(seed)).as("_bucket"))
+    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
+        gr_lshBucket(col(vecCol), lit(bits), lit(seed)).as("_b0"))
+      .withColumn("_probe", explode(array(
+        (col("_b0") +: (0 until bits).map(b => col("_b0").bitwiseXOR(lit(1L << b)))): _*)))
+    probes.join(c, col("_probe") === col("_bucket") &&
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("_cos", gr_cosine(col("_qv"), col("_cv")))
+      .groupBy(col("query_id"))
+      .agg(gr_topKByScore(col("_cos"), col("neighbor_id"), k).as("neighbors"))
+  }
 }

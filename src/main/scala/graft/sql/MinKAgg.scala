@@ -132,3 +132,116 @@ case class MinKSigAgg(
       newLeft: Expression, newRight: Expression): MinKSigAgg =
     copy(left = newLeft, right = newRight)
 }
+
+/** Bounded buffer for [[TopKByScoreAgg]]: the k highest-score (score, id)
+  * rows seen so far, sorted score-descending with id-ascending tie order.
+  * Insertion is binary-search + shift — O(k) state however large the
+  * group, the property that makes per-query top-k a safe STREAMING
+  * aggregate (state per query key is k entries, not candidate count).
+  */
+final class TopKBuffer(val k: Int) {
+  val scores: mutable.ArrayBuffer[Double] = mutable.ArrayBuffer.empty
+  val ids: mutable.ArrayBuffer[Long] = mutable.ArrayBuffer.empty
+
+  def add(score: Double, id: Long): Unit = {
+    if (ids.length >= k) {
+      val ws = scores.last; val wi = ids.last
+      if (score < ws || (score == ws && id >= wi)) return
+    }
+    var lo = 0
+    var hi = ids.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      val ranksBefore = scores(mid) > score ||
+        (scores(mid) == score && ids(mid) < id)
+      if (ranksBefore) lo = mid + 1 else hi = mid
+    }
+    // ignore exact duplicates (at-least-once upstream replays)
+    if (lo < ids.length && ids(lo) == id && scores(lo) == score) return
+    scores.insert(lo, score)
+    ids.insert(lo, id)
+    if (ids.length > k) { ids.remove(ids.length - 1); scores.remove(scores.length - 1) }
+  }
+
+  def merge(o: TopKBuffer): Unit = {
+    var i = 0
+    while (i < o.ids.length) { add(o.scores(i), o.ids(i)); i += 1 }
+  }
+}
+
+/** Top-k rows of a group by score (ties by lower id), as
+  * `array<struct<neighbor_id, score>>` ordered best-first. The bounded
+  * (O(k)) alternative to `collect_list` + sort + slice: partial
+  * aggregation composes through [[TopKBuffer.merge]], and as a streaming
+  * update-mode aggregate the per-key state is k entries — the aggregation
+  * shape of streaming ANN ([[graft.ops.Similarity.streamingAnnTopK]]).
+  */
+case class TopKByScoreAgg(
+    left: Expression,  // score
+    right: Expression, // id
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKBuffer] with BinaryLike[Expression]
+  with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbsType] = Seq(DoubleType, LongType)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("neighbor_id", LongType), StructField("score", DoubleType))))
+  override def prettyName: String = "gr_top_k_by_score"
+
+  override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
+
+  override def update(buf: TopKBuffer, input: InternalRow): TopKBuffer = {
+    val s = left.eval(input)
+    val id = right.eval(input)
+    if (s != null && id != null)
+      buf.add(s.asInstanceOf[Double], id.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(buf: TopKBuffer, other: TopKBuffer): TopKBuffer = {
+    buf.merge(other); buf
+  }
+
+  override def eval(buf: TopKBuffer): Any = {
+    val out = new Array[Any](buf.ids.length)
+    var i = 0
+    while (i < buf.ids.length) {
+      out(i) = new GenericInternalRow(Array[Any](buf.ids(i), buf.scores(i)))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: TopKBuffer): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.ids.length)
+    var i = 0
+    while (i < buf.ids.length) {
+      out.writeDouble(buf.scores(i)); out.writeLong(buf.ids(i))
+      i += 1
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKBuffer = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val buf = createAggregationBuffer()
+    val n = in.readInt()
+    var i = 0
+    while (i < n) { buf.add(in.readDouble(), in.readLong()); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(n: Int): TopKByScoreAgg =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): TopKByScoreAgg =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): TopKByScoreAgg =
+    copy(left = newLeft, right = newRight)
+}

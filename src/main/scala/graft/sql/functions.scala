@@ -250,6 +250,15 @@ object functions {
       graft.sql.MinKSigAgg(
         org.apache.spark.sql.GraftInterop.expression(id),
         org.apache.spark.sql.GraftInterop.expression(sig), k).toAggregateExpression())
+  /** Bounded top-k of a group by score (ties by lower id), best-first
+    * `array<struct<neighbor_id, score>>` — O(k) aggregation state, so it
+    * is safe as a streaming update-mode aggregate.
+    */
+  def gr_topKByScore(score: Column, id: Column, k: Int): Column =
+    org.apache.spark.sql.GraftInterop.column(
+      graft.sql.TopKByScoreAgg(
+        org.apache.spark.sql.GraftInterop.expression(score),
+        org.apache.spark.sql.GraftInterop.expression(id), k).toAggregateExpression())
   def gr_simhash64(text: Column): Column = fn("gr_simhash64", text)
   def gr_repetition(text: Column): Column = fn("gr_repetition", text)
   def gr_langId(text: Column): Column = fn("gr_lang_id", text)

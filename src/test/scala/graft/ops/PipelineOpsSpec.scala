@@ -837,4 +837,53 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got(10L) == "head" && got(11L) == "head")
     assert(got(12L) == "middle" && got(13L) == "tail")
   }
+
+  test("TopKByScoreAgg matches the window row_number top-k (batch)") {
+    import graft.sql.functions.gr_topKByScore
+    val rows = (for (q <- 1L to 3L; n <- 1L to 20L)
+      yield (q, n, math.sin(q * 31 + n * 7))).toDF("q", "n", "s")
+    val agg = rows.groupBy($"q")
+      .agg(gr_topKByScore($"s", $"n", 4).as("top"))
+      .select($"q", explode($"top").as("e"))
+      .select($"q", $"e.neighbor_id", $"e.score")
+      .as[(Long, Long, Double)].collect().toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"q").orderBy($"s".desc, $"n".asc)
+    val expected = rows.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 4).select($"q", $"n", $"s")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(agg === expected)
+  }
+
+  test("streaming ANN top-k matches the batch LSH path") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    val dim = 8
+    def vec(i: Long): Array[Float] =
+      Array.tabulate(dim)(d => math.cos(i * 0.7 + d).toFloat)
+    val corpus = (0L until 40L).map(i => (i, vec(i).toSeq))
+      .toDF("vec_id", "embedding")
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val out = Similarity.streamingAnnTopK(
+      mem.toDF().toDF("vec_id", "embedding"), corpus,
+      "vec_id", "embedding", k = 5, bits = 8, seed = 7)
+    val q = out.writeStream.outputMode("update").format("memory")
+      .queryName("sann_test").trigger(Trigger.ProcessingTime(0)).start()
+    mem.addData((100L, vec(3).toSeq), (101L, vec(17).toSeq))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT query_id, e.neighbor_id, e.score " +
+        "FROM (SELECT query_id, explode(neighbors) e FROM sann_test)")
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, s) => (a, b, math.rint(s * 1e9) / 1e9) }.toSet
+    val queries = Seq((100L, vec(3).toSeq), (101L, vec(17).toSeq))
+      .toDF("vec_id", "embedding")
+    val expected = Similarity.lshTopK(corpus, queries, "vec_id", "embedding",
+        k = 5, bits = 8, seed = 7)
+      .select($"query_id", $"neighbor_id", $"cosine")
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, s) => (a, b, math.rint(s * 1e9) / 1e9) }.toSet
+    assert(got.nonEmpty && got === expected)
+  }
 }

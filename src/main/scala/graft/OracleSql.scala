@@ -232,6 +232,31 @@ object OracleSql {
         AND abs(p.value - v.value) <= 5.0
       ORDER BY purchase_id, view_id""",
 
+    // trajectory mirror: identical position synthesis, lag window, and
+    // the g83-style haversine expression structure
+    "q17_trajectory" -> s"""
+      WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS tns,
+                   ((event_id * 7919) % 3600) / 10.0 - 180.0 AS lon,
+                   ((event_id * 104729) % 1600) / 10.0 - 80.0 AS lat
+                 FROM events),
+      l AS (SELECT user_id, lon, lat,
+              lag(lon) OVER w AS plon, lag(lat) OVER w AS plat
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tns, event_id)),
+      st AS (SELECT user_id,
+               CASE WHEN plon IS NULL THEN 0.0
+                    ELSE 2.0 * 6371008.8 * asin(least(1.0, sqrt(
+                      sin((radians(lat) - radians(plat)) / 2)
+                        * sin((radians(lat) - radians(plat)) / 2)
+                      + cos(radians(plat)) * cos(radians(lat))
+                        * sin(radians(lon - plon) / 2)
+                        * sin(radians(lon - plon) / 2))))
+               END AS step_m
+             FROM l)
+      SELECT user_id, count(*)::BIGINT AS n_pings,
+             round(sum(step_m) / 1000.0, 2) AS total_km,
+             round(max(step_m) / 1000.0, 3) AS max_leg_km
+      FROM st GROUP BY user_id ORDER BY user_id""",
+
     "q11_sessionize" -> """
       WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS tns, value FROM events),
       b AS (SELECT user_id, event_id, tns, value,
@@ -569,6 +594,38 @@ object OracleSql {
       SELECT tile_x, tile_y, count(*)::BIGINT AS n_features,
              min(c_custkey)::BIGINT AS min_id, max(c_custkey)::BIGINT AS max_id
       FROM t GROUP BY tile_x, tile_y ORDER BY tile_x, tile_y""",
+
+    // axial hex binning mirror: same inverse basis, same cube rounding
+    // with floor(v+0.5) (chosen over round() because engines disagree on
+    // negative halves)
+    "g93_hexbin" -> s"""
+      WITH p AS (SELECT c_acctbal, c_acctbal / 100.0 AS hx,
+                        (c_custkey % 1000) / 20.0 - 25.0 AS hy
+                 FROM customer),
+      f AS (SELECT c_acctbal,
+              (sqrt(3.0) / 3.0 * hx - hy / 3.0) / 2.5 AS fq,
+              (2.0 / 3.0 * hy) / 2.5 AS fr
+            FROM p),
+      r0 AS (SELECT c_acctbal, fq, fr, -fq - fr AS fs,
+               floor(fq + 0.5) AS rq, floor(fr + 0.5) AS rr,
+               floor(-fq - fr + 0.5) AS rs
+             FROM f),
+      fx AS (SELECT c_acctbal,
+               CASE WHEN abs(rq - fq) > abs(rr - fr)
+                     AND abs(rq - fq) > abs(rs - fs)
+                    THEN -rr - rs ELSE rq END AS q1,
+               CASE WHEN NOT (abs(rq - fq) > abs(rr - fr)
+                              AND abs(rq - fq) > abs(rs - fs))
+                         AND abs(rr - fr) > abs(rs - fs)
+                    THEN -rq - rs ELSE rr END AS r1
+             FROM r0)
+      SELECT CAST(q1 AS BIGINT) AS hq, CAST(r1 AS BIGINT) AS hr,
+             count(*)::BIGINT AS n_pts,
+             round((sum(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0)
+               / count(*), 4) AS avg_bal,
+             round(2.5 * sqrt(3.0) * (q1 + r1 / 2.0), 6) AS center_x,
+             round(2.5 * 1.5 * r1, 6) AS center_y
+      FROM fx GROUP BY q1, r1 ORDER BY hq, hr""",
 
     // term-by-term slippy-map tile math mirror (OSM wiki formulas); the
     // quadkey digits come from the same bit arithmetic as the kernel

@@ -385,6 +385,31 @@ object SparkEntry {
         .orderBy(col("purchase_id"), col("view_id"))
     }),
 
+    // Per-user trajectory metrics (fleet/track analytics): pings ordered
+    // by (ts, event_id) per user, great-circle step distance via one
+    // window lag, then per-user totals. Window and group-by share the
+    // user_id key, so Catalyst plans ONE shuffle for both; per-user state
+    // is a single lag row. Positions synthesize deterministically from
+    // event_id so the oracle replays the identical arithmetic.
+    "q17_trajectory" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          (((col("event_id") * 7919) % 3600) / lit(10.0) - 180.0).as("lon"),
+          (((col("event_id") * 104729) % 1600) / lit(10.0) - 80.0).as("lat"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val steps = ev
+        .withColumn("plon", lag(col("lon"), 1).over(w))
+        .withColumn("plat", lag(col("lat"), 1).over(w))
+        .withColumn("step_m", when(col("plon").isNull, lit(0.0))
+          .otherwise(st_distanceSphere(st_point(col("plon"), col("plat")),
+            st_point(col("lon"), col("lat")))))
+      steps.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pings"),
+          round(sum(col("step_m")) / 1000.0, 2).as("total_km"),
+          round(max(col("step_m")) / 1000.0, 3).as("max_leg_km"))
+        .orderBy(col("user_id"))
+    }),
+
     "q11_sessionize" -> ((s, d) => {
       val sessions = graft.ops.Temporal.sessionize(
         t(s, d, "events"), "user_id", "ts",
@@ -623,6 +648,33 @@ object SparkEntry {
           round(st_ymax(col("env")), 6).as("lat_max"),
           st_intersects(col("env"), st_point(col("lon"), col("lat"))).as("in_tile"))
         .orderBy(col("c_custkey"))
+    }),
+
+    // hexagonal density binning (pointy-top axial grid, cube rounding):
+    // the standard density-map aggregation. Each point lands in exactly
+    // one hexagon; per-cell count/mean plus the cell center. One hash agg
+    // on the small (q, r) key — the same single-shuffle plan as any
+    // density sketch, and the bin key is mirrorable arithmetic (floor
+    // (v+0.5) rounding so the SQL oracle is bit-identical).
+    "g93_hexbin" -> ((s, d) => {
+      val size = 2.5
+      customerPts(s, d)
+        .withColumn("hx", col("cx") / 100.0)
+        .withColumn("hy", col("cy") / 20.0 - 25.0)
+        .withColumn("hq", st_hexQ(col("hx"), col("hy"), lit(size)))
+        .withColumn("hr", st_hexR(col("hx"), col("hy"), lit(size)))
+        .groupBy(col("hq"), col("hr"))
+        // integer-cent sum -> the mean is a single exact-int division, so
+        // the oracle can't drift on float-sum associativity
+        .agg(count(lit(1)).as("n_pts"),
+          sum(round(col("c_acctbal") * 100).cast("long")).as("_cents"))
+        .withColumn("avg_bal",
+          round((col("_cents") / 100.0) / col("n_pts"), 4))
+        .withColumn("center", st_hexCenter(col("hq"), col("hr"), lit(size)))
+        .select(col("hq"), col("hr"), col("n_pts"), col("avg_bal"),
+          round(st_x(col("center")), 6).as("center_x"),
+          round(st_y(col("center")), 6).as("center_y"))
+        .orderBy(col("hq"), col("hr"))
     }),
 
     // clip to rect (reference clip.py) over supplier squares

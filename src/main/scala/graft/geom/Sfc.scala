@@ -186,6 +186,34 @@ object Sfc {
     sb.toString
   }
 
+  // ------------------------------------------------------------- hex bins
+  // Pointy-top hexagonal binning on axial coordinates (the classic
+  // Red Blob Games hex-grid construction): fractional axial coords from
+  // the inverse basis, then cube rounding (round all three cube coords,
+  // re-derive the one with the largest rounding error so q+r+s == 0
+  // stays exact). Rounding uses floor(v + 0.5) so a SQL oracle can
+  // mirror it bit-for-bit (plain round() differs between engines at
+  // negative halves). `size` is the hexagon circumradius in data units.
+
+  /** Axial (q, r) of the hexagon containing (x, y). */
+  def hexQR(x: Double, y: Double, size: Double): (Long, Long) = {
+    require(size > 0, "hex size must be positive")
+    val fq = (math.sqrt(3.0) / 3.0 * x - y / 3.0) / size
+    val fr = (2.0 / 3.0 * y) / size
+    val fs = -fq - fr
+    var rq = math.floor(fq + 0.5)
+    var rr = math.floor(fr + 0.5)
+    val rs = math.floor(fs + 0.5)
+    val dq = math.abs(rq - fq); val dr = math.abs(rr - fr); val ds = math.abs(rs - fs)
+    if (dq > dr && dq > ds) rq = -rr - rs
+    else if (dr > ds) rr = -rq - rs
+    (rq.toLong, rr.toLong)
+  }
+
+  /** Center (x, y) of axial hexagon (q, r). */
+  def hexCenter(q: Long, r: Long, size: Double): (Double, Double) =
+    (size * math.sqrt(3.0) * (q + r / 2.0), size * 1.5 * r)
+
   /** Tiles whose envelope intersects [minX,maxX]x[minY,maxY] at zoom z,
     * packed `(x << 32) | y` (both fit 32 bits through z=31). The tile
     * analog of the sized-grid cell cover: explode + equi-join on the

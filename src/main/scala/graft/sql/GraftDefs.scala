@@ -634,6 +634,15 @@ object GraftDefs {
         Sfc.tileEnvelope(int(a(0)), int(a(1)), int(a(2)))
       wkb(Polygon.box(lonMin, latMin, lonMax, latMax))
     }),
+    // pointy-top hex binning (axial coords; density aggregation key)
+    "st_hexq" -> Spec(Seq(D, D, D), L,
+      a => Sfc.hexQR(dbl(a(0)), dbl(a(1)), dbl(a(2)))._1),
+    "st_hexr" -> Spec(Seq(D, D, D), L,
+      a => Sfc.hexQR(dbl(a(0)), dbl(a(1)), dbl(a(2)))._2),
+    "st_hexcenter" -> Spec(Seq(L, L, D), B, { a =>
+      val (cx, cy) = Sfc.hexCenter(long(a(0)), long(a(1)), dbl(a(2)))
+      wkb(Point(cx, cy))
+    }),
     "st_tilecover" -> Spec(Seq(B, I), ArrayType(L), { a =>
       val e = geom(a(0)).envelope
       require(!e.isEmpty, "tile cover of empty geometry")

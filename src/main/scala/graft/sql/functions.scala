@@ -198,6 +198,10 @@ object functions {
   def st_tileEnvelope(z: Column, x: Column, y: Column): Column =
     fn("st_tileenvelope", z, x, y)
   def st_tileCover(g: Column, z: Column): Column = fn("st_tilecover", g, z)
+  def st_hexQ(x: Column, y: Column, size: Column): Column = fn("st_hexq", x, y, size)
+  def st_hexR(x: Column, y: Column, size: Column): Column = fn("st_hexr", x, y, size)
+  def st_hexCenter(q: Column, r: Column, size: Column): Column =
+    fn("st_hexcenter", q, r, size)
 
   // --------------------------------------------------------------------- CRS
   def st_transform(g: Column, from: Column, to: Column): Column =

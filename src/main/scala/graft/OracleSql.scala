@@ -595,6 +595,15 @@ object OracleSql {
              min(c_custkey)::BIGINT AS min_id, max(c_custkey)::BIGINT AS max_id
       FROM t GROUP BY tile_x, tile_y ORDER BY tile_x, tile_y""",
 
+    // the OSM roundtrip oracle predicts the decoded node table from the
+    // synthesis arithmetic alone (the codec must be value-transparent)
+    "g94_osm_pbf" -> s"""
+      SELECT c_custkey AS osm_id,
+             round(c_acctbal / 100.0, 7) AS lon,
+             round((c_custkey % 1000) / 20.0 - 25.0, 7) AS lat,
+             c_mktsegment AS segment
+      FROM customer ORDER BY osm_id""",
+
     // axial hex binning mirror: same inverse basis, same cube rounding
     // with floor(v+0.5) (chosen over round() because engines disagree on
     // negative halves)

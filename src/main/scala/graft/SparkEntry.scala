@@ -677,6 +677,31 @@ object SparkEntry {
         .orderBy(col("hq"), col("hr"))
     }),
 
+    // OSM PBF roundtrip: customer points written as a real .osm.pbf
+    // (dense-node delta/zigzag coding, zlib blobs, string-table tags) by
+    // the driver-side interchange writer, then read back DISTRIBUTED
+    // (blob-parallel decode). The oracle predicts every decoded value
+    // from the synthesis arithmetic — framing, compression, delta coding
+    // and the 1e-7-degree coordinate grid must all be transparent.
+    "g94_osm_pbf" -> ((s, d) => {
+      val pts = customerPts(s, d)
+        .withColumn("lon", round(col("cx") / 100.0, 7))
+        .withColumn("lat", round(col("cy") / 20.0 - 25.0, 7))
+        .select(col("c_custkey"), col("lon"), col("lat"), col("c_mktsegment"))
+        .collect() // single-file interchange writer (format necessity)
+      val nodes = pts.map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        Map("segment" -> r.getString(3)))).toSeq.sortBy(_._1)
+      val path = new java.io.File(
+        java.nio.file.Files.createTempDirectory("osm_q").toFile,
+        "customers.osm.pbf").getAbsolutePath
+      graft.io.OsmPbfIO.write(path, nodes)
+      graft.io.OsmPbfIO.readNodes(s, path)
+        .select(col("osm_id"), round(col("lon"), 7).as("lon"),
+          round(col("lat"), 7).as("lat"),
+          element_at(col("tags"), "segment").as("segment"))
+        .orderBy(col("osm_id"))
+    }),
+
     // clip to rect (reference clip.py) over supplier squares
     "g11_clip" -> ((s, d) => {
       supplierPts(s, d)

@@ -1526,10 +1526,30 @@ object GeoDataFrame {
       graft.io.MapInfoIO.read(spark, bare, geometryColumn)
     else if (lower.endsWith(".dxf"))
       graft.io.DxfIO.read(spark, bare, geometryColumn)
-    else
+    else if (lower.endsWith(".pbf")) {
+      // OSM planet dumps: layer selects points | lines (GDAL OSM-driver
+      // naming); default is the node points layer
+      layer.getOrElse("points") match {
+        case "points" =>
+          val n = graft.io.OsmPbfIO.readNodes(spark, bare)
+          GeoDataFrame(
+            n.withColumnRenamed("geometry", geometryColumn), geometryColumn)
+              .setCrs("EPSG:4326")
+        case "lines" =>
+          val lines = graft.io.OsmPbfIO.wayLines(
+            graft.io.OsmPbfIO.readWays(spark, bare),
+            graft.io.OsmPbfIO.readNodes(spark, bare))
+          GeoDataFrame(
+            lines.withColumnRenamed("geometry", geometryColumn), geometryColumn)
+              .setCrs("EPSG:4326")
+        case other => throw new IllegalArgumentException(
+          s"osm.pbf layer '$other' not supported (points | lines; " +
+            "relations via OsmPbfIO.readRelations)")
+      }
+    } else
       throw new IllegalArgumentException(
         s"read_file: cannot infer a driver from '$path' — " +
-          "supported suffixes: .shp, .gpkg, .fgb, .kml, .gml, .gpx, .topojson, .mif, .dxf, .geojson, .geojsonl/.ndjson")
+          "supported suffixes: .shp, .gpkg, .fgb, .kml, .gml, .gpx, .topojson, .mif, .dxf, .osm.pbf, .geojson, .geojsonl/.ndjson")
   }
 
   def readGeoPackage(

@@ -515,6 +515,15 @@ final case class GeoDataFrame(
       case "hilbert" => st_hilbert(geom, lit(level), lit(b.minX), lit(b.minY), lit(b.maxX), lit(b.maxY))
       case "morton"  => st_morton(geom, lit(level), lit(b.minX), lit(b.minY), lit(b.maxX), lit(b.maxY))
       case "geohash" => st_geohashLong(geom, lit(math.min(12, math.max(1, level / 5 + 1))))
+      case "quadkey" =>
+        // XYZ-tile z-order on lon/lat data: range partitions align to Web-
+        // Mercator tile boundaries (quadkey prefixes nest), so a later MVT
+        // writeTiles repartition is a near-noop and tile-pyramid reads
+        // prune partitions by key prefix
+        val z = math.min(22, math.max(1, level))
+        val midLon = (st_xmin(geom) + st_xmax(geom)) / 2
+        val midLat = (st_ymin(geom) + st_ymax(geom)) / 2
+        st_quadkey(lit(z), st_tileX(midLon, lit(z)), st_tileY(midLat, lit(z)))
       case other     => throw new IllegalArgumentException(s"unknown curve $other")
     }
     val keyed = df.withColumn("_sfc_key", keyCol)

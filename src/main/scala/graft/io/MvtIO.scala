@@ -271,7 +271,8 @@ object MvtIO {
       df.sparkSession.sessionState.newHadoopConf())
     val root = new Path(outDir)
     val fsRoot = root.getFileSystem(conf.value)
-    fsRoot.delete(root, true)
+    // replace only THIS zoom level, so pyramid writes compose per zoom
+    fsRoot.delete(new Path(root, zoom.toString), true)
     fsRoot.mkdirs(root)
 
     val schema = fanned.schema
@@ -326,6 +327,32 @@ object MvtIO {
       flush()
     }
     written.value
+  }
+
+  /** Write zoom levels `minZoom..maxZoom`, simplifying per zoom with a
+    * tolerance of `simplifyPx` grid units (tolerance in degrees =
+    * tile-span/extent · px — the standard overzoom-free pyramid: coarse
+    * zooms carry coarse geometry, so their tiles stay small). Each zoom
+    * is an independent distributed job under `outDir/z/`. Returns total
+    * tiles written.
+    */
+  def writePyramid(df: DataFrame, geomCol: String, outDir: String,
+      minZoom: Int, maxZoom: Int, layerName: String = "layer",
+      extent: Int = 4096, bufferPx: Int = 8, simplifyPx: Double = 1.0,
+      propCols: Seq[String] = Nil, idCol: Option[String] = None): Long = {
+    require(minZoom <= maxZoom, "minZoom must be <= maxZoom")
+    graft.sql.functions.install(df.sparkSession)
+    var total = 0L
+    for (z <- maxZoom to minZoom by -1) {
+      val tol = 360.0 / (1L << z) / extent * simplifyPx
+      val simplified =
+        if (simplifyPx <= 0) df
+        else df.withColumn(geomCol,
+          graft.sql.functions.st_simplify(col(geomCol), lit(tol)))
+      total += writeTiles(simplified, geomCol, outDir, z, layerName, extent,
+        bufferPx, propCols, idCol)
+    }
+    total
   }
 
   // ------------------------------------------------------------- reader

@@ -666,6 +666,22 @@ class GeoDataFrameSpec extends AnyFunSuite {
     assert(math.abs(sumX - backSumX2) < 1e-9)
   }
 
+  test("spatialShuffle by quadkey: sorted disjoint ranges of valid tile keys") {
+    val g = points(500).spatialShuffle(by = "quadkey", level = 8,
+      numPartitions = Some(4), calculatePartitions = false)
+    val keys = g.df.select($"_sfc_key".cast("string")).as[String]
+      .mapPartitions(it => Iterator(it.toSeq)).collect().filter(_.nonEmpty)
+    keys.foreach(ks => assert(ks == ks.sorted))
+    val ranges = keys.map(ks => (ks.head, ks.last)).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) => assert(hi <= lo)
+      case _ =>
+    }
+    // every key is z base-4 digits (lexicographic order == z-order)
+    keys.flatten.foreach(k =>
+      assert(k.length == 8 && k.forall(c => c >= '0' && c <= '3')))
+  }
+
   test("spatialShuffle produces sorted non-overlapping-ish key ranges") {
     val g = points(1000).spatialShuffle(by = "morton", level = 12, numPartitions = Some(8),
       calculatePartitions = false)

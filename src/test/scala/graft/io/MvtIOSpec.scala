@@ -103,6 +103,36 @@ class MvtIOSpec extends AnyFunSuite {
     assert(f.coords.head.length >= 4) // at least two points decoded
   }
 
+  test("writePyramid: per-zoom dirs compose, coarse zooms simplify") {
+    // a many-vertex ring (64-gon) that per-zoom simplification thins
+    val pts = (0 until 64).map { i =>
+      val a = 2 * math.Pi * i / 64
+      s"${(5 + 4 * math.cos(a)).formatted("%.5f")} ${(45 + 3 * math.sin(a)).formatted("%.5f")}"
+    }
+    val wkt = s"POLYGON ((${pts.mkString(", ")}, ${pts.head}))"
+    val df = Seq((1L, wkt)).toDF("id", "wkt")
+      .withColumn("geometry", st_geomFromWKT(col("wkt")))
+    val out = tmpDir()
+    val total = MvtIO.writePyramid(df, "geometry", out,
+      minZoom = 2, maxZoom = 6, layerName = "areas", simplifyPx = 2.0)
+    assert(total >= 5) // at least one tile per zoom
+    for (z <- 2 to 6)
+      assert(new java.io.File(s"$out/$z").isDirectory, s"missing zoom $z")
+    def ringSize(z: Int): Int = {
+      val x = Sfc.tileX(5.0, z); val y = Sfc.tileY(45.0, z)
+      val layers = MvtIO.readTileFile(s"$out/$z/$x/$y.pbf")
+      layers.head.features.head.coords.head.length / 2
+    }
+    // the whole polygon fits one z2 tile: its ring must arrive simplified
+    // (the 64-gon's sagitta is far below the z2 tolerance) but valid
+    assert(ringSize(2) < 40 && ringSize(2) >= 4,
+      s"z2 ring ${ringSize(2)} not simplified (original 64)")
+    // finest zoom still decodes a polygon feature at the center tile
+    val zx = Sfc.tileX(5.0, 6); val zy = Sfc.tileY(45.0, 6)
+    val fine = MvtIO.readTileFile(s"$out/6/$zx/$zy.pbf")
+    assert(fine.head.features.head.geomType === 3)
+  }
+
   test("degenerate-at-zoom geometries are dropped, not corrupted") {
     // a sliver far smaller than one z0 grid cell quantizes to nothing
     val df = Seq((1L, "POLYGON ((10 10, 10.00001 10, 10.00001 10.00001, 10 10.00001, 10 10))"))

@@ -1551,8 +1551,15 @@ object GeoDataFrame {
           GeoDataFrame(
             lines.withColumnRenamed("geometry", geometryColumn), geometryColumn)
               .setCrs("EPSG:4326")
+        case "polygons" =>
+          val polys = graft.io.OsmPbfIO.wayPolygons(
+            graft.io.OsmPbfIO.readWays(spark, bare),
+            graft.io.OsmPbfIO.readNodes(spark, bare))
+          GeoDataFrame(
+            polys.withColumnRenamed("geometry", geometryColumn), geometryColumn)
+              .setCrs("EPSG:4326")
         case other => throw new IllegalArgumentException(
-          s"osm.pbf layer '$other' not supported (points | lines; " +
+          s"osm.pbf layer '$other' not supported (points | lines | polygons; " +
             "relations via OsmPbfIO.readRelations)")
       }
     } else

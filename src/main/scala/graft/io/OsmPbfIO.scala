@@ -396,6 +396,24 @@ object OsmPbfIO {
       .select(col("way_id").as("osm_id"), col("tags"), col("geometry"))
   }
 
+  /** Closed ways as polygons (the OSM "simple area" rule: first ref ==
+    * last ref and not tagged `area=no`; multipolygon RELATIONS need ring
+    * assembly across member ways — read those via [[readRelations]] and
+    * assemble per application). Same one-shuffle-pair plan as
+    * [[wayLines]].
+    */
+  def wayPolygons(ways: DataFrame, nodes: DataFrame): DataFrame = {
+    graft.sql.functions.install(ways.sparkSession)
+    val closed = ways.filter(
+      size(col("refs")) >= 4 &&
+      element_at(col("refs"), 1) === element_at(col("refs"), -1) &&
+      (not(map_contains_key(col("tags"), "area")) ||
+        element_at(col("tags"), "area") =!= "no"))
+    wayLines(closed, nodes)
+      .withColumn("geometry",
+        graft.sql.functions.st_makePolygon(col("geometry")))
+  }
+
   // ------------------------------------------------------------- writer
   /** Write a single .osm.pbf (OSMHeader + one OSMData blob per
     * `blockSize` nodes/ways/relations, dense-node encoding, zlib blobs).

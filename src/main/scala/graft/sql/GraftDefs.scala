@@ -623,6 +623,17 @@ object GraftDefs {
       require(!e.isEmpty, "geohash of empty geometry")
       Sfc.geohashLong(e.midX, e.midY, int(a(1)))
     }),
+    "st_makepolygon" -> Spec(Seq(B), B, { a =>
+      geom(a(0)) match {
+        case l: LineString =>
+          val n = l.xy.length
+          require(n >= 8 && l.xy(0) == l.xy(n - 2) && l.xy(1) == l.xy(n - 1),
+            "st_makepolygon needs a closed ring of >= 4 points")
+          wkb(Polygon(Array(l.xy)))
+        case other => throw new IllegalArgumentException(
+          s"st_makepolygon expects a LineString ring, got ${other.getClass.getSimpleName}")
+      }
+    }),
     // ---- XYZ Web-Mercator tiles (slippy-map scheme; quadkey per the Bing
     // tile system) — the partition keys of a map-tile pipeline
     "st_tilex" -> Spec(Seq(D, I), I, a => Sfc.tileX(dbl(a(0)), int(a(1)))),

@@ -27,6 +27,7 @@ object functions {
   def st_geomFromWKT(wkt: Column): Column = fn("st_geomfromwkt", wkt)
   def st_geomFromWKB(wkb: Column): Column = fn("st_geomfromwkb", wkb)
   def st_makeLine(points: Column): Column = fn("st_makeline", points)
+  def st_makePolygon(ring: Column): Column = fn("st_makepolygon", ring)
 
   // --------------------------------------------------------------- accessors
   def st_x(g: Column): Column = fn("st_x", g)

@@ -92,6 +92,24 @@ class OsmPbfIOSpec extends AnyFunSuite {
     assert(lines.df.count() === 2)
   }
 
+  test("wayPolygons keeps closed area ways only") {
+    val path = tmpFile()
+    val closedWays = ways ++ Seq(
+      (13L, Seq(1L, 2L, 3L, 1L), Map("landuse" -> "park")),
+      (14L, Seq(1L, 2L, 3L, 1L), Map("area" -> "no"))) // closed but area=no
+    OsmPbfIO.write(path, nodes, closedWays, Nil)
+    val n = OsmPbfIO.readNodes(spark, path)
+    val w = OsmPbfIO.readWays(spark, path)
+    val polys = OsmPbfIO.wayPolygons(w, n).collect()
+    assert(polys.map(_.getLong(0)).toSeq === Seq(13L))
+    val p = graft.geom.Wkb.read(polys(0).get(2).asInstanceOf[Array[Byte]])
+    assert(p.isInstanceOf[graft.geom.Polygon])
+    assert(p.asInstanceOf[graft.geom.Polygon].rings(0).length === 8)
+    val viaDispatch = graft.api.GeoDataFrame.readFile(
+      spark, path, layer = Some("polygons"))
+    assert(viaDispatch.df.count() === 1)
+  }
+
   test("wayLines assembles ordered LineStrings and drops dangling ways") {
     val path = tmpFile()
     OsmPbfIO.write(path, nodes, ways, rels)

@@ -595,6 +595,23 @@ object OracleSql {
              min(c_custkey)::BIGINT AS min_id, max(c_custkey)::BIGINT AS max_id
       FROM t GROUP BY tile_x, tile_y ORDER BY tile_x, tile_y""",
 
+    // way lengths predicted from the synthesis arithmetic: ref order ==
+    // custkey order per nation, planar segment sum
+    "g95_osm_ways" -> s"""
+      WITH p AS (SELECT c_custkey, c_nationkey::BIGINT AS nk,
+                   round(c_acctbal / 100.0, 7) AS lon,
+                   round((c_custkey % 1000) / 20.0 - 25.0, 7) AS lat
+                 FROM customer),
+      l AS (SELECT nk, lon, lat,
+              lag(lon) OVER w AS plon, lag(lat) OVER w AS plat
+            FROM p WINDOW w AS (PARTITION BY nk ORDER BY c_custkey))
+      SELECT nk AS osm_id,
+             round(sum(CASE WHEN plon IS NULL THEN 0.0
+                       ELSE sqrt((lon - plon) * (lon - plon)
+                              + (lat - plat) * (lat - plat)) END), 6)
+               AS length_deg
+      FROM l GROUP BY nk ORDER BY osm_id""",
+
     // the OSM roundtrip oracle predicts the decoded node table from the
     // synthesis arithmetic alone (the codec must be value-transparent)
     "g94_osm_pbf" -> s"""

@@ -702,6 +702,35 @@ object SparkEntry {
         .orderBy(col("osm_id"))
     }),
 
+    // OSM way-geometry assembly: one way per nation chaining its
+    // customers (ordered refs), written + read through the PBF codec,
+    // then wayLines' distributed explode->node-join->ordered-recollect
+    // rebuilds each LineString. The oracle computes every way length
+    // from the synthesis arithmetic with a lag window — ref ordering,
+    // delta coding, and the join/re-collect must all preserve sequence.
+    "g95_osm_ways" -> ((s, d) => {
+      val cust = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_nationkey").cast("long").as("nk"),
+          round(col("c_acctbal") / 100.0, 7).as("lon"),
+          round((col("c_custkey") % 1000) / 20.0 - 25.0, 7).as("lat"))
+        .collect() // single-file interchange writer (format necessity)
+      val nodes = cust.map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3),
+        Map.empty[String, String])).toSeq.sortBy(_._1)
+      val ways = cust.groupBy(_.getLong(1)).map { case (nk, rows) =>
+        (nk, rows.map(_.getLong(0)).sorted.toSeq, Map("nation" -> nk.toString))
+      }.toSeq.sortBy(_._1)
+      val path = new java.io.File(
+        java.nio.file.Files.createTempDirectory("osm_w").toFile,
+        "ways.osm.pbf").getAbsolutePath
+      graft.io.OsmPbfIO.write(path, nodes, ways)
+      val lines = graft.io.OsmPbfIO.wayLines(
+        graft.io.OsmPbfIO.readWays(s, path),
+        graft.io.OsmPbfIO.readNodes(s, path))
+      lines.select(col("osm_id"),
+          round(st_length(col("geometry")), 6).as("length_deg"))
+        .orderBy(col("osm_id"))
+    }),
+
     // clip to rect (reference clip.py) over supplier squares
     "g11_clip" -> ((s, d) => {
       supplierPts(s, d)

@@ -255,7 +255,10 @@ object MvtIO {
     */
   def writeTiles(df: DataFrame, geomCol: String, outDir: String, zoom: Int,
       layerName: String = "layer", extent: Int = 4096, bufferPx: Int = 8,
-      propCols: Seq[String] = Nil, idCol: Option[String] = None): Long = {
+      propCols: Seq[String] = Nil, idCol: Option[String] = None,
+      // false = leave tiles this df doesn't touch in place (incremental /
+      // streaming refresh); true = replace the whole zoom level
+      replaceLevel: Boolean = true): Long = {
     require(zoom >= 0 && zoom <= 22, s"zoom $zoom out of range")
     require(extent > 0 && bufferPx >= 0, "bad extent/buffer")
     graft.sql.functions.install(df.sparkSession)
@@ -272,7 +275,7 @@ object MvtIO {
     val root = new Path(outDir)
     val fsRoot = root.getFileSystem(conf.value)
     // replace only THIS zoom level, so pyramid writes compose per zoom
-    fsRoot.delete(new Path(root, zoom.toString), true)
+    if (replaceLevel) fsRoot.delete(new Path(root, zoom.toString), true)
     fsRoot.mkdirs(root)
 
     val schema = fanned.schema
@@ -327,6 +330,30 @@ object MvtIO {
       flush()
     }
     written.value
+  }
+
+  /** STREAMING tile refresh: each micro-batch re-renders exactly the
+    * tiles its rows touch (replaceLevel=false — tiles untouched by the
+    * batch stay in place; a touched tile is rewritten from the batch's
+    * rows for it, last-write-wins via the atomic rename). The live-map
+    * pattern: a stream of updated features keeps a served tile layer
+    * current without ever re-rendering the world. Start with
+    * `.outputMode("update")` semantics in mind: feed each batch the FULL
+    * current feature set of the tiles you want re-rendered (e.g. join
+    * the changed keys back to a snapshot) — the sink renders what it is
+    * given.
+    */
+  def streamTiles(stream: DataFrame, geomCol: String, outDir: String,
+      zoom: Int, layerName: String = "layer", extent: Int = 4096,
+      bufferPx: Int = 8, propCols: Seq[String] = Nil,
+      idCol: Option[String] = None): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(stream.isStreaming, "streamTiles expects a streaming DataFrame")
+    stream.writeStream.foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        writeTiles(batch, geomCol, outDir, zoom, layerName, extent,
+          bufferPx, propCols, idCol, replaceLevel = false)
+        ()
+    }
   }
 
   /** Write zoom levels `minZoom..maxZoom`, simplifying per zoom with a

@@ -133,6 +133,31 @@ class MvtIOSpec extends AnyFunSuite {
     assert(fine.head.features.head.geomType === 3)
   }
 
+  test("streamTiles: incremental refresh keeps untouched tiles in place") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Double, Double)]
+    val stream = mem.toDF().toDF("id", "lon", "lat")
+      .withColumn("geometry", st_point(col("lon"), col("lat")))
+    val out = tmpDir()
+    val q = MvtIO.streamTiles(stream, "geometry", out, zoom = 3,
+      layerName = "live", idCol = Some("id"))
+      .trigger(Trigger.ProcessingTime(0)).start()
+    mem.addData((1L, -87.65, 41.85)) // chicago tile
+    q.processAllAvailable()
+    mem.addData((2L, 139.70, 35.66)) // tokyo tile — different z3 tile
+    q.processAllAvailable()
+    q.stop()
+    val xc = Sfc.tileX(-87.65, 3); val yc = Sfc.tileY(41.85, 3)
+    val xt = Sfc.tileX(139.70, 3); val yt = Sfc.tileY(35.66, 3)
+    // batch 2 must NOT have deleted batch 1's tile
+    assert(new java.io.File(s"$out/3/$xc/$yc.pbf").exists(), "batch-1 tile lost")
+    assert(new java.io.File(s"$out/3/$xt/$yt.pbf").exists(), "batch-2 tile missing")
+    assert(MvtIO.readTileFile(s"$out/3/$xc/$yc.pbf").head.features.head.id === Some(1L))
+    assert(MvtIO.readTileFile(s"$out/3/$xt/$yt.pbf").head.features.head.id === Some(2L))
+  }
+
   test("degenerate-at-zoom geometries are dropped, not corrupted") {
     // a sliver far smaller than one z0 grid cell quantizes to nothing
     val df = Seq((1L, "POLYGON ((10 10, 10.00001 10, 10.00001 10.00001, 10 10.00001, 10 10))"))

@@ -87,6 +87,29 @@ class MvtIOSpec extends AnyFunSuite {
     }
   }
 
+  test("polygon with hole: interior ring encodes negative-area winding") {
+    // donut well inside one z4 tile (no clipping)
+    val wkt = "POLYGON ((2 42, 8 42, 8 47, 2 47, 2 42), (4 43.5, 6 43.5, 6 45.5, 4 45.5, 4 43.5))"
+    val df = Seq((1L, wkt)).toDF("id", "wkt")
+      .withColumn("geometry", st_geomFromWKT(col("wkt")))
+    val out = tmpDir()
+    MvtIO.writeTiles(df, "geometry", out, zoom = 4, layerName = "d")
+    val x = Sfc.tileX(5.0, 4); val y = Sfc.tileY(44.0, 4)
+    val f = MvtIO.readTileFile(s"$out/4/$x/$y.pbf").head.features.head
+    assert(f.coords.length === 2, "hole ring lost")
+    def area2(ring: Array[Long]): Long = {
+      var s = 0L
+      val k = ring.length / 2 - 1
+      for (i <- 0 until k) {
+        val j = (i + 1) % k
+        s += ring(2 * i) * ring(2 * j + 1) - ring(2 * j) * ring(2 * i + 1)
+      }
+      s
+    }
+    assert(area2(f.coords(0)) > 0, "exterior must be positive")
+    assert(area2(f.coords(1)) < 0, "interior must be negative")
+  }
+
   test("linestring crossing a tile edge decodes as a connected path") {
     val df = Seq((7L, "LINESTRING (-2 41, 9 43, 9.5 47)"))
       .toDF("id", "wkt")

@@ -134,9 +134,17 @@ object PmTilesIO {
     (0 until n).map(i => Entry(ids(i), offs(i), lens(i), runs(i)))
   }
 
-  /** Package a `{z}/{x}/{y}.pbf` tree into one `.pmtiles` archive. */
+  /** Package a `{z}/{x}/{y}.pbf` tree into one `.pmtiles` archive.
+    * Directories follow the spec's two-level scheme: up to `leafSize`
+    * entries stay in the root; larger pyramids split into gzip'd leaf
+    * directories, with root entries (`run_length = 0`) pointing at leaf
+    * (offset, length) ranges — a planet-scale pyramid (millions of
+    * tiles) keeps the root a few KB, which is what makes the format
+    * range-request servable.
+    */
   def fromPyramid(spark: SparkSession, pyramidDir: String, outFile: String,
-      metadataJson: String = """{"name":"graft"}"""): Long = {
+      metadataJson: String = """{"name":"graft"}""",
+      leafSize: Int = 4096): Long = {
     val conf = spark.sessionState.newHadoopConf()
     val root = new Path(pyramidDir)
     val fs = root.getFileSystem(conf)
@@ -151,9 +159,7 @@ object PmTilesIO {
       y.foreach(yy => tiles += ((tileId(z.get, x.get, yy), f.getPath)))
     }
     require(tiles.nonEmpty, s"no z/x/y.pbf tiles under $pyramidDir")
-    require(tiles.size <= 16384,
-      s"${tiles.size} tiles exceed the root-only directory bound (leaf " +
-        "directories not implemented)")
+    require(leafSize >= 2, "leafSize must be >= 2")
     val sorted = tiles.sortBy(_._1)
     val zooms = sorted.map(t => tileZXY(t._1)._1)
 
@@ -177,19 +183,33 @@ object PmTilesIO {
       Entry(id, off, len, 1)
     }.toSeq
 
-    val dirBytes = gzip(encodeDirectory(entries))
+    // two-level directories when the entry set outgrows the root
+    val (rootEntries, leafBytes) =
+      if (entries.size <= leafSize) (entries, Array.empty[Byte])
+      else {
+        val leafSection = new ByteArrayOutputStream()
+        val roots = entries.grouped(leafSize).map { chunk =>
+          val leaf = gzip(encodeDirectory(chunk))
+          val off = leafSection.size().toLong
+          leafSection.write(leaf)
+          Entry(chunk.head.tileId, off, leaf.length, 0) // run 0 = leaf ptr
+        }.toSeq
+        (roots, leafSection.toByteArray)
+      }
+
+    val dirBytes = gzip(encodeDirectory(rootEntries))
     val metaBytes = gzip(metadataJson.getBytes("UTF-8"))
     val headerLen = 127L
     val rootDirOffset = headerLen
     val metaOffset = rootDirOffset + dirBytes.length
     val leafOffset = metaOffset + metaBytes.length
-    val dataOffset = leafOffset // zero-length leaf section
+    val dataOffset = leafOffset + leafBytes.length
 
     val header = ByteBuffer.allocate(127).order(ByteOrder.LITTLE_ENDIAN)
     header.put(Magic).put(3.toByte)
     header.putLong(rootDirOffset).putLong(dirBytes.length.toLong)
     header.putLong(metaOffset).putLong(metaBytes.length.toLong)
-    header.putLong(leafOffset).putLong(0L)
+    header.putLong(leafOffset).putLong(leafBytes.length.toLong)
     header.putLong(dataOffset).putLong(data.size().toLong)
     header.putLong(entries.size.toLong)            // addressed tiles
     header.putLong(entries.size.toLong)            // tile entries
@@ -209,13 +229,15 @@ object PmTilesIO {
       out.write(header.array())
       out.write(dirBytes)
       out.write(metaBytes)
+      out.write(leafBytes)
       data.writeTo(out)
     } finally out.close()
     entries.size.toLong
   }
 
   final case class PmHeader(rootDirOffset: Long, rootDirLength: Long,
-      metaOffset: Long, metaLength: Long, dataOffset: Long, dataLength: Long,
+      metaOffset: Long, metaLength: Long, leafOffset: Long, leafLength: Long,
+      dataOffset: Long, dataLength: Long,
       addressedTiles: Long, tileEntries: Long, tileContents: Long,
       clustered: Boolean, minZoom: Int, maxZoom: Int)
 
@@ -230,23 +252,40 @@ object PmTilesIO {
     buf.position(8)
     val rdo = buf.getLong; val rdl = buf.getLong
     val mo = buf.getLong; val ml = buf.getLong
-    buf.getLong; buf.getLong // leaf section (always empty here)
+    val lo = buf.getLong; val ll = buf.getLong
     val dto = buf.getLong; val dtl = buf.getLong
     val at = buf.getLong; val te = buf.getLong; val tc = buf.getLong
     val clustered = buf.get() == 1
     buf.get(); buf.get(); buf.get() // compressions + type
     val minZ = buf.get() & 0xff; val maxZ = buf.get() & 0xff
-    PmHeader(rdo, rdl, mo, ml, dto, dtl, at, te, tc, clustered, minZ, maxZ)
+    PmHeader(rdo, rdl, mo, ml, lo, ll, dto, dtl, at, te, tc, clustered, minZ, maxZ)
   }
 
-  def entries(spark: SparkSession, file: String): Seq[Entry] = {
-    val h = readHeader(spark, file)
+  private def readRange(spark: SparkSession, file: String,
+      offset: Long, length: Int): Array[Byte] = {
     val p = new Path(file)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val b = new Array[Byte](h.rootDirLength.toInt)
+    val b = new Array[Byte](length)
     val in = fs.open(p)
-    try in.readFully(h.rootDirOffset, b) finally in.close()
-    decodeDirectory(gunzip(b))
+    try in.readFully(offset, b) finally in.close()
+    b
+  }
+
+  /** Root directory entries. `runLength == 0` rows are leaf pointers. */
+  def rootEntries(spark: SparkSession, file: String): Seq[Entry] = {
+    val h = readHeader(spark, file)
+    decodeDirectory(gunzip(
+      readRange(spark, file, h.rootDirOffset, h.rootDirLength.toInt)))
+  }
+
+  /** All TILE entries, leaf directories expanded. */
+  def entries(spark: SparkSession, file: String): Seq[Entry] = {
+    val h = readHeader(spark, file)
+    rootEntries(spark, file).flatMap { e =>
+      if (e.runLength > 0) Seq(e)
+      else decodeDirectory(gunzip(
+        readRange(spark, file, h.leafOffset + e.offset, e.length)))
+    }
   }
 
   def metadata(spark: SparkSession, file: String): String = {
@@ -265,16 +304,30 @@ object PmTilesIO {
   def readTile(spark: SparkSession, file: String, z: Int, x: Int, y: Int): Array[Byte] = {
     val id = tileId(z, x, y)
     val h = readHeader(spark, file)
-    val es = entries(spark, file)
-    es.find(e => id >= e.tileId && id < e.tileId + e.runLength) match {
+    // range-request walk: root (binary search), follow one leaf if pointed
+    def find(dir: Seq[Entry]): Option[Entry] = {
+      // last entry with tileId <= id (directories are sorted)
+      val idx = {
+        var lo = 0; var hi = dir.size - 1; var best = -1
+        while (lo <= hi) {
+          val mid = (lo + hi) >>> 1
+          if (dir(mid).tileId <= id) { best = mid; lo = mid + 1 } else hi = mid - 1
+        }
+        best
+      }
+      if (idx < 0) None else Some(dir(idx))
+    }
+    find(rootEntries(spark, file)).flatMap { e =>
+      if (e.runLength > 0) {
+        if (id < e.tileId + e.runLength) Some(e) else None
+      } else {
+        val leaf = decodeDirectory(gunzip(
+          readRange(spark, file, h.leafOffset + e.offset, e.length)))
+        find(leaf).filter(le => id < le.tileId + le.runLength)
+      }
+    } match {
       case None => null
-      case Some(e) =>
-        val p = new Path(file)
-        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-        val b = new Array[Byte](e.length)
-        val in = fs.open(p)
-        try in.readFully(h.dataOffset + e.offset, b) finally in.close()
-        b
+      case Some(e) => readRange(spark, file, h.dataOffset + e.offset, e.length)
     }
   }
 }

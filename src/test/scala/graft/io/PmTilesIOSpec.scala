@@ -68,6 +68,40 @@ class PmTilesIOSpec extends AnyFunSuite {
     assert(es.map(_.tileId) === es.map(_.tileId).sorted)
   }
 
+  test("leaf directories: small leafSize forces the two-level layout") {
+    // a grid of points spread across many z5 tiles
+    val pts = (for (i <- 0 until 6; j <- 0 until 4) yield
+      ((i * 4 + j).toLong, -150.0 + i * 50.0, -60.0 + j * 35.0))
+      .toDF("id", "lon", "lat")
+      .withColumn("geometry", st_point($"lon", $"lat"))
+    val pyramid = Files.createTempDirectory("pmtl").toFile.getAbsolutePath
+    MvtIO.writeTiles(pts, "geometry", pyramid, zoom = 5, layerName = "p",
+      idCol = Some("id"))
+    val archive = pyramid + "/out.pmtiles"
+    val n = PmTilesIO.fromPyramid(spark, pyramid, archive, leafSize = 4)
+    assert(n >= 12)
+    val h = PmTilesIO.readHeader(spark, archive)
+    assert(h.leafLength > 0, "expected a leaf section")
+    val roots = PmTilesIO.rootEntries(spark, archive)
+    assert(roots.forall(_.runLength === 0), "root must hold leaf pointers")
+    assert(roots.size >= 3)
+    // expanded entries equal the tile count and every tile reads back
+    val es = PmTilesIO.entries(spark, archive)
+    assert(es.size.toLong === n)
+    for (z <- Seq(5)) {
+      val zdir = new java.io.File(s"$pyramid/$z")
+      for (xd <- zdir.listFiles(); f <- xd.listFiles()
+           if f.getName.endsWith(".pbf")) {
+        val x = xd.getName.toInt
+        val y = f.getName.stripSuffix(".pbf").toInt
+        val expected = java.nio.file.Files.readAllBytes(f.toPath)
+        val got = PmTilesIO.readTile(spark, archive, z, x, y)
+        assert(got != null && got.sameElements(expected), s"tile $z/$x/$y")
+      }
+    }
+    assert(PmTilesIO.readTile(spark, archive, 5, 31, 31) == null)
+  }
+
   test("identical tile contents are deduplicated in the data section") {
     // two points in DIFFERENT z1 tiles but identical tile-local position
     // and id -> identical pbf bytes

@@ -414,6 +414,105 @@ object OsmPbfIO {
         graft.sql.functions.st_makePolygon(col("geometry")))
   }
 
+  /** Assemble `type=multipolygon` RELATIONS into MultiPolygon geometries
+    * — the standard OSM algorithm: member ways stitch into closed rings
+    * by matching shared endpoint nodes (reversing as needed), outer
+    * rings come from `outer`/empty roles, `inner` rings become the holes
+    * of the outer ring containing them. Distribution: member ways join
+    * their relations (hash joins), then each relation's ring assembly is
+    * a PER-GROUP kernel via `flatMapGroups` — state is one relation's
+    * member ways (bounded by the relation, the format's own unit).
+    * Relations whose ways don't close (clipped extracts) are dropped,
+    * like every OSM toolchain does.
+    */
+  def relationMultipolygons(relations: DataFrame, ways: DataFrame,
+      nodes: DataFrame): DataFrame = {
+    val spark = relations.sparkSession
+    graft.sql.functions.install(spark)
+    import spark.implicits._
+    val members = relations
+      .filter(element_at(col("tags"), "type") === "multipolygon")
+      .select(col("osm_id").as("rel_id"),
+        posexplode(arrays_zip(col("member_ids"), col("member_types"),
+          col("member_roles"))).as(Seq("_i", "m")))
+      .filter(col("m.member_types") === "way")
+      .select(col("rel_id"), col("m.member_ids").as("way_id"),
+        col("m.member_roles").as("role"))
+    // member way coordinate chains (the wayLines join, kept as raw xy)
+    val refs = ways.select(col("osm_id").as("way_id"),
+        size(col("refs")).as("_n"), posexplode(col("refs")).as(Seq("_pos", "_ref")))
+    val chains = refs
+      .join(nodes.select(col("osm_id").as("_ref"), col("lon"), col("lat")), "_ref")
+      .groupBy(col("way_id"), col("_n"))
+      .agg(sort_array(collect_list(struct(col("_pos"), col("lon"), col("lat"))))
+        .as("_pts"), count(lit(1)).as("_found"))
+      .filter(col("_found") === col("_n") && col("_n") >= 2)
+      .select(col("way_id"),
+        expr("flatten(transform(_pts, p -> array(p.lon, p.lat)))").as("xy"))
+    val tagged = relations.select(col("osm_id").as("rel_id"), col("tags"))
+    members.join(chains, "way_id").join(tagged, "rel_id")
+      .select(col("rel_id"), col("role"), col("xy"), col("tags"))
+      .as[(Long, String, Seq[Double], Map[String, String])]
+      .groupByKey(_._1)
+      .flatMapGroups { (relId, it) =>
+        val rows = it.toSeq
+        val tags = rows.head._4
+        def stitch(parts: Seq[Array[Double]]): Seq[Array[Double]] = {
+          val pool = scala.collection.mutable.Buffer(parts: _*)
+          val rings = scala.collection.mutable.Buffer.empty[Array[Double]]
+          while (pool.nonEmpty) {
+            var cur = scala.collection.mutable.ArrayBuffer(pool.remove(0): _*)
+            var progress = true
+            while (progress &&
+              !(cur.head == cur(cur.length - 2) && cur(1) == cur.last)) {
+              val ex = cur(cur.length - 2); val ey = cur.last
+              val idx = pool.indexWhere(w =>
+                (w(0) == ex && w(1) == ey) ||
+                (w(w.length - 2) == ex && w(w.length - 1) == ey))
+              if (idx < 0) progress = false
+              else {
+                val w = pool.remove(idx)
+                val seg = if (w(0) == ex && w(1) == ey) w
+                  else { // reverse point order
+                    val r = new Array[Double](w.length)
+                    var i = 0
+                    while (i < w.length) {
+                      r(i) = w(w.length - 2 - i); r(i + 1) = w(w.length - 1 - i)
+                      i += 2
+                    }
+                    r
+                  }
+                cur ++= seg.drop(2) // skip the shared joint vertex
+              }
+            }
+            val closed = cur.length >= 8 &&
+              cur.head == cur(cur.length - 2) && cur(1) == cur.last
+            if (closed) rings += cur.toArray
+            // unclosed chains drop (incomplete extract)
+          }
+          rings.toSeq
+        }
+        val outers = stitch(rows.filter(r => r._2 == "outer" || r._2 == "")
+          .map(_._3.toArray))
+        val inners = stitch(rows.filter(_._2 == "inner").map(_._3.toArray))
+        if (outers.isEmpty) Iterator.empty
+        else {
+          val polys = outers.map(o =>
+            scala.collection.mutable.Buffer[Array[Double]](o))
+          for (h <- inners) {
+            val pt = graft.geom.Point(h(0), h(1))
+            val hostIdx = polys.indexWhere(p =>
+              graft.geom.Predicates.covers(graft.geom.Polygon(Array(p.head)), pt))
+            if (hostIdx >= 0) polys(hostIdx) += h
+          }
+          val mp = graft.geom.MultiPolygon(
+            polys.map(rs => graft.geom.Polygon(rs.toArray)).toArray)
+          Iterator((relId, tags, Wkb.write(mp)))
+        }
+      }
+      .toDF("osm_id", "tags", "geometry")
+  }
+
   // ------------------------------------------------------------- writer
   /** Write a single .osm.pbf (OSMHeader + one OSMData blob per
     * `blockSize` nodes/ways/relations, dense-node encoding, zlib blobs).

@@ -110,6 +110,46 @@ class OsmPbfIOSpec extends AnyFunSuite {
     assert(viaDispatch.df.count() === 1)
   }
 
+  test("relationMultipolygons stitches split ways into rings with holes") {
+    // outer square split into 3 ways (one deliberately reversed), inner
+    // hole split into 2 ways; node grid chosen so containment is clear
+    val mpNodes = Seq(
+      (101L, 0.0, 0.0, Map.empty[String, String]),
+      (102L, 10.0, 0.0, Map.empty[String, String]),
+      (103L, 10.0, 10.0, Map.empty[String, String]),
+      (104L, 0.0, 10.0, Map.empty[String, String]),
+      (111L, 3.0, 3.0, Map.empty[String, String]),
+      (112L, 7.0, 3.0, Map.empty[String, String]),
+      (113L, 7.0, 7.0, Map.empty[String, String]),
+      (114L, 3.0, 7.0, Map.empty[String, String]))
+    val mpWays = Seq(
+      (201L, Seq(101L, 102L, 103L), Map.empty[String, String]),
+      (202L, Seq(104L, 103L), Map.empty[String, String]), // reversed segment
+      (203L, Seq(104L, 101L), Map.empty[String, String]),
+      (211L, Seq(111L, 112L, 113L), Map.empty[String, String]),
+      (212L, Seq(113L, 114L, 111L), Map.empty[String, String]))
+    val mpRels = Seq(
+      (301L, Seq(("way", 201L, "outer"), ("way", 202L, "outer"),
+        ("way", 203L, "outer"), ("way", 211L, "inner"),
+        ("way", 212L, "inner")), Map("type" -> "multipolygon", "name" -> "mp")),
+      (302L, Seq(("way", 201L, "outer")), Map("type" -> "multipolygon")), // unclosed
+      (303L, Seq(("way", 201L, "outer")), Map("type" -> "route"))) // wrong type
+    val path = tmpFile()
+    OsmPbfIO.write(path, mpNodes, mpWays, mpRels)
+    val out = OsmPbfIO.relationMultipolygons(
+      OsmPbfIO.readRelations(spark, path),
+      OsmPbfIO.readWays(spark, path),
+      OsmPbfIO.readNodes(spark, path)).collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(301L))
+    assert(out(0).getMap[String, String](1).toMap.apply("name") === "mp")
+    val g = graft.geom.Wkb.read(out(0).get(2).asInstanceOf[Array[Byte]])
+      .asInstanceOf[graft.geom.MultiPolygon]
+    assert(g.polys.length === 1)
+    assert(g.polys(0).rings.length === 2, "hole lost")
+    // area = 100 - 16
+    assert(math.abs(math.abs(graft.geom.Measures.area(g)) - 84.0) < 1e-9)
+  }
+
   test("wayLines assembles ordered LineStrings and drops dangling ways") {
     val path = tmpFile()
     OsmPbfIO.write(path, nodes, ways, rels)

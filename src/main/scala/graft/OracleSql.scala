@@ -913,6 +913,36 @@ object OracleSql {
              count(DISTINCT url)::BIGINT AS n_raw_variants
       FROM c6 GROUP BY curl ORDER BY curl""",
 
+    // cluster-atomic split: near-dup clusters (t10's reach CTE) hash as a
+    // unit, singletons hash their own id; cross_split_pairs audits that no
+    // near-dup pair straddles the train/val cut (0 by construction)
+    "t33_leakage_split" -> s"""
+      WITH RECURSIVE $minhashCtes,
+      prs AS (SELECT id_a, id_b FROM est WHERE est >= 0.5),
+      e AS (SELECT id_a AS a, id_b AS b FROM prs
+            UNION SELECT id_b, id_a FROM prs),
+      reach(a, b) AS (
+        SELECT a, b FROM e
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+      cl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+             FROM reach GROUP BY a),
+      asg AS (SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id
+              FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id),
+      sp AS (SELECT doc_id, cluster_id,
+               CASE WHEN ('0x' || substr(md5('cl:' || cluster_id::VARCHAR), 1, 16))::UBIGINT % 100 < 90
+                    THEN 'train' ELSE 'val' END AS split
+             FROM asg),
+      cx AS (SELECT count(*)::BIGINT AS cross_split_pairs
+             FROM prs
+             JOIN sp a ON prs.id_a = a.doc_id
+             JOIN sp b ON prs.id_b = b.doc_id
+             WHERE a.split <> b.split)
+      SELECT split, count(*)::BIGINT AS n_docs,
+             count(DISTINCT cluster_id)::BIGINT AS n_clusters,
+             (SELECT cross_split_pairs FROM cx) AS cross_split_pairs
+      FROM sp GROUP BY split ORDER BY split""",
+
     "t28_ccnet_buckets" -> s"""
       WITH tk AS (SELECT doc_id, lang, len($docToks)::BIGINT AS n_tokens
                   FROM documents),

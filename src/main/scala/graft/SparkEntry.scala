@@ -2885,6 +2885,33 @@ object SparkEntry {
         .orderBy(col("curl"))
     }),
 
+    // leakage-safe train/val split: the split hash keys on the near-dup
+    // CLUSTER id (minhash pairs -> connected components), not the document,
+    // so every near-duplicate lands in the same split — the train/eval
+    // contamination that doc-level hashing (t11) cannot prevent (a doc and
+    // its near-copy can straddle the cut). cross_split_pairs is the
+    // self-certifying contract column: any near-dup pair whose ends fall in
+    // different splits would count there; cluster-atomic assignment forces
+    // it to 0. Fully declarative — the audit count joins back as a 1-row
+    // crossJoin, no driver-side collect.
+    "t33_leakage_split" -> ((s, d) => {
+      val (assigned, pairs) = Dedup.leakageSafeSplit(
+        t(s, d, "documents"), "doc_id", "text", trainPct = 90, threshold = 0.5)
+      val sp = assigned.select(col("doc_id").as("_id"), col("split").as("_sp"))
+      val cross = pairs
+        .join(sp, col("id_a") === col("_id"))
+        .select(col("id_b"), col("_sp").as("_sp_a"))
+        .join(sp.select(col("_id").as("_idb"), col("_sp").as("_sp_b")),
+          col("id_b") === col("_idb"))
+        .filter(col("_sp_a") =!= col("_sp_b"))
+        .agg(count(lit(1)).as("cross_split_pairs"))
+      assigned.groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster_id")).as("n_clusters"))
+        .crossJoin(cross)
+        .orderBy(col("split"))
+    }),
+
     // CCNet-style quality tiers (Wenzek et al. 2019): rank documents per
     // language by a quality proxy (token count) and cut the ranking into
     // head/middle/tail thirds — the bucket a CCNet pipeline keys its

@@ -712,4 +712,49 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
+
+  /** Leakage-safe (cluster-atomic) train/validation split: near-duplicate
+    * clusters — MinHash+LSH pairs closed under [[connectedComponents]] —
+    * are assigned to a split as a UNIT, keyed on a salted MD5 bucket of the
+    * cluster id. Document-level hash splits (the classic `md5(text) % 100`)
+    * cannot prevent a document and its near-copy from straddling the
+    * train/eval cut — the contamination this op exists to rule out: with a
+    * cluster-atomic key, a near-dup pair in different splits is impossible
+    * by construction.
+    *
+    * Returns `(assignments, pairs)`: assignments carry
+    * `idCol, cluster_id, split` for EVERY input row (singletons hash their
+    * own id); pairs are the near-dup edges, returned so callers can audit
+    * the zero-cross-split contract against the same pair set the clustering
+    * consumed (they are localCheckpoint-pinned — the minhash plan runs
+    * once, not once per consumer).
+    *
+    * Scale shape: the minhash band join is the only text-bearing shuffle
+    * (bounded per-bucket by [[minhashLsh]]'s signature cap); clustering and
+    * assignment exchange only (id, id) longs; the split decision is a
+    * narrow codegen'd hash on the assignment rows. Reference behavioral
+    * spec: the doc-level hash split this hardens is t11's
+    * `md5Bucket(text) < trainPct`.
+    */
+  def leakageSafeSplit(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      trainPct: Int = 90,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleSize: Int = 4,
+      threshold: Double = 0.5): (DataFrame, DataFrame) = {
+    require(trainPct > 0 && trainPct < 100, s"trainPct must be in (0,100): $trainPct")
+    val pairs = minhashLsh(docs, idCol, textCol, numHashes, bands,
+      shingleSize, threshold).localCheckpoint()
+    val assigned = docs.select(col(idCol))
+      .join(connectedComponents(pairs), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
+      .withColumn("split",
+        when(gr_md5Bucket(concat(lit("cl:"), col("cluster_id").cast("string")),
+          lit(100)) < trainPct, lit("train")).otherwise(lit("val")))
+    (assigned, pairs)
+  }
 }

@@ -46,6 +46,52 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("leakageSafeSplit: cluster-atomic assignment, zero cross-split pairs") {
+    // 120 distinct singleton docs + three near-dup trios. Doc-level hashing
+    // could land a doc and its near-copy on opposite sides of the 90/10
+    // cut; cluster-atomic assignment must never.
+    val corpus = (
+      // token streams with disjoint-ish shingle sets (multiplicative word
+      // ids) so distinct docs stay below the 0.5 Jaccard threshold
+      (1 to 120).map(i => (i.toLong,
+        (0 until 16).map(j => "w" + ((i * 131 + j * 7919) % 99991)).mkString(" "))) ++
+        Seq(
+          (201L, "the quick brown fox jumps over the lazy dog tonight"),
+          (202L, "the quick brown fox jumps over the lazy dog tonight"),
+          (203L, "the quick brown fox jumped over the lazy dog tonight"),
+          (301L, "spark executes declarative plans with whole stage codegen"),
+          (302L, "spark executes declarative plans with whole stage codegen"),
+          (303L, "spark executes declarative plans using whole stage codegen"))
+      ).toDF("doc_id", "text")
+    val (assigned, pairs) = Dedup.leakageSafeSplit(
+      corpus, "doc_id", "text", trainPct = 90, threshold = 0.5)
+    val rows = assigned.select($"doc_id", $"cluster_id", $"split")
+      .as[(Long, Long, String)].collect()
+    assert(rows.length == 126) // every doc assigned exactly once
+    assert(rows.map(_._1).distinct.length == 126)
+    // cluster-atomic: one split per cluster id
+    val byCluster = rows.groupBy(_._2).view.mapValues(_.map(_._3).toSet)
+    assert(byCluster.values.forall(_.size == 1), byCluster.toMap.toString)
+    // the near-dup trios clustered (so the contract is exercised, not vacuous)
+    val cl = rows.map(r => r._1 -> r._2).toMap
+    assert(cl(201L) == cl(202L) && cl(202L) == cl(203L))
+    assert(cl(301L) == cl(302L) && cl(302L) == cl(303L))
+    // zero pairs straddle the cut — the contamination contract
+    val sp = rows.map(r => r._1 -> r._3).toMap
+    val crossPairs = pairs.select($"id_a", $"id_b").as[(Long, Long)].collect()
+      .count { case (a, b) => sp(a) != sp(b) }
+    assert(crossPairs == 0)
+    // both splits populated and the ratio is in the 90/10 neighborhood
+    val nTrain = rows.count(_._3 == "train")
+    assert(nTrain > 100 && nTrain < 126, s"train=$nTrain")
+    // deterministic: a second run yields the identical assignment
+    val again = Dedup.leakageSafeSplit(
+      corpus, "doc_id", "text", trainPct = 90, threshold = 0.5)._1
+      .select($"doc_id", $"cluster_id", $"split")
+      .as[(Long, Long, String)].collect()
+    assert(again.sortBy(_._1).toSeq == rows.sortBy(_._1).toSeq)
+  }
+
   test("minhash LSH emits each candidate pair exactly once (no distinct)") {
     // threshold 0 keeps every colliding pair; multi-band collisions must
     // still surface once (first-colliding-band emission rule)

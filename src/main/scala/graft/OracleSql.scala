@@ -943,6 +943,19 @@ object OracleSql {
              (SELECT cross_split_pairs FROM cx) AS cross_split_pairs
       FROM sp GROUP BY split ORDER BY split""",
 
+    "t34_snapshot_diff" -> """
+      WITH prev AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 7 <> 0),
+      cur AS (SELECT doc_id,
+                md5(CASE WHEN doc_id % 5 = 0 THEN text || ' [rev2]' ELSE text END) AS h
+              FROM documents WHERE doc_id % 11 <> 0)
+      SELECT coalesce(prev.doc_id, cur.doc_id) AS doc_id,
+             CASE WHEN prev.h IS NULL THEN 'added'
+                  WHEN cur.h IS NULL THEN 'removed'
+                  WHEN prev.h = cur.h THEN 'unchanged'
+                  ELSE 'changed' END AS status
+      FROM prev FULL OUTER JOIN cur ON prev.doc_id = cur.doc_id
+      ORDER BY doc_id""",
+
     "t28_ccnet_buckets" -> s"""
       WITH tk AS (SELECT doc_id, lang, len($docToks)::BIGINT AS n_tokens
                   FROM documents),

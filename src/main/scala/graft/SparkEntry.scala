@@ -2912,6 +2912,25 @@ object SparkEntry {
         .orderBy(col("split"))
     }),
 
+    // corpus snapshot diff (incremental crawl refresh): two deterministic
+    // snapshot views of documents — A drops every 7th doc (absent from the
+    // prior crawl), B drops every 11th (taken down since) and revises
+    // every 5th (content change) — full-outer joined on doc_id by content
+    // hash into added/removed/changed/unchanged. Only (id, md5) crosses
+    // the exchange; downstream stages re-run on added+changed instead of
+    // the full corpus.
+    "t34_snapshot_diff" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val prev = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), col("text"))
+      val cur = docs.filter(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" [rev2]")))
+            .otherwise(col("text")).as("text"))
+      Dedup.corpusDiff(prev, cur, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // CCNet-style quality tiers (Wenzek et al. 2019): rank documents per
     // language by a quality proxy (token count) and cut the ranking into
     // head/middle/tail thirds — the bucket a CCNet pipeline keys its

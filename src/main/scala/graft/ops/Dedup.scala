@@ -713,6 +713,32 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Snapshot diff between two corpus versions: per-document status
+    * `added` (new id), `removed` (id gone), `changed` (same id, different
+    * content), `unchanged`. The workhorse of incremental crawl refreshes —
+    * downstream stages (dedup, quality, packing) re-run only on
+    * `added`/`changed` rows instead of the full corpus.
+    *
+    * Scale shape: one full-outer hash join keyed on the id; the exchange
+    * carries (id, md5) only — text never shuffles. At 100 TB both sides
+    * bucket/partition by the same id column, so with bucketed snapshot
+    * storage the join is co-located and shuffle-free.
+    */
+  def corpusDiff(
+      prev: DataFrame,
+      cur: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val a = prev.select(col(idCol).as("_id"), md5(col(textCol)).as("_h_prev"))
+    val b = cur.select(col(idCol).as("_id"), md5(col(textCol)).as("_h_cur"))
+    a.join(b, Seq("_id"), "full_outer")
+      .select(col("_id").as(idCol),
+        when(col("_h_prev").isNull, lit("added"))
+          .when(col("_h_cur").isNull, lit("removed"))
+          .when(col("_h_prev") === col("_h_cur"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
   /** Leakage-safe (cluster-atomic) train/validation split: near-duplicate
     * clusters — MinHash+LSH pairs closed under [[connectedComponents]] —
     * are assigned to a split as a UNIT, keyed on a salted MD5 bucket of the

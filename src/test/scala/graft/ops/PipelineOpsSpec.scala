@@ -92,6 +92,15 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(again.sortBy(_._1).toSeq == rows.sortBy(_._1).toSeq)
   }
 
+  test("corpusDiff classifies added/removed/changed/unchanged") {
+    val prev = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
+    val cur = Seq((2L, "beta"), (3L, "gamma prime"), (4L, "delta")).toDF("doc_id", "text")
+    val got = Dedup.corpusDiff(prev, cur)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, "removed"), (2L, "unchanged"),
+      (3L, "changed"), (4L, "added")), got.toString)
+  }
+
   test("minhash LSH emits each candidate pair exactly once (no distinct)") {
     // threshold 0 keeps every colliding pair; multi-band collisions must
     // still surface once (first-colliding-band emission rule)

@@ -956,6 +956,16 @@ object OracleSql {
       FROM prev FULL OUTER JOIN cur ON prev.doc_id = cur.doc_id
       ORDER BY doc_id""",
 
+    "t35_dup_rate_report" -> """
+      WITH d AS (SELECT source, doc_id, md5(text) AS h FROM documents),
+      canon AS (SELECT h, min(doc_id) AS keep_id FROM d GROUP BY h)
+      SELECT source, count(*)::BIGINT AS n_docs,
+             count(DISTINCT d.h)::BIGINT AS n_unique,
+             sum(CASE WHEN d.doc_id = canon.keep_id THEN 1 ELSE 0 END)::BIGINT AS n_canonical,
+             round(1.0 - count(DISTINCT d.h)::DOUBLE / count(*), 4) AS dup_rate
+      FROM d JOIN canon ON d.h = canon.h
+      GROUP BY source ORDER BY source""",
+
     "t28_ccnet_buckets" -> s"""
       WITH tk AS (SELECT doc_id, lang, len($docToks)::BIGINT AS n_tokens
                   FROM documents),

@@ -2931,6 +2931,27 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // per-source duplication-rate QA report: exact-dup rate within each
+    // source plus how much of the source survives cross-corpus exact
+    // dedup (its share of canonical = first-occurrence hashes). The
+    // curation dashboard number that decides which crawl sources are
+    // worth keeping. One narrow (source, hash) shuffle; text never moves.
+    "t35_dup_rate_report" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("source"), col("doc_id"), md5(col("text")).as("h"))
+      // canonical = the lowest doc_id per content hash, corpus-wide
+      val canon = docs.groupBy(col("h")).agg(min(col("doc_id")).as("keep_id"))
+      docs.join(canon, Seq("h"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("h")).as("n_unique"),
+          sum(when(col("doc_id") === col("keep_id"), 1L).otherwise(0L))
+            .as("n_canonical"))
+        .withColumn("dup_rate",
+          round(lit(1.0) - col("n_unique").cast("double") / col("n_docs"), 4))
+        .orderBy(col("source"))
+    }),
+
     // CCNet-style quality tiers (Wenzek et al. 2019): rank documents per
     // language by a quality proxy (token count) and cut the ranking into
     // head/middle/tail thirds — the bucket a CCNet pipeline keys its

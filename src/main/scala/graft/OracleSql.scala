@@ -966,6 +966,28 @@ object OracleSql {
       FROM d JOIN canon ON d.h = canon.h
       GROUP BY source ORDER BY source""",
 
+    "t36_mixture_expand" -> """
+      WITH d AS (
+        SELECT doc_id, source,
+               (substr(source, 4)::INT % 4 + 1) * 0.75 AS epochs
+        FROM documents),
+      c AS (
+        SELECT doc_id, source, epochs,
+               floor(epochs)::INT
+               + CASE WHEN ('0x' || substr(md5('mix:' || doc_id::VARCHAR), 1, 16))::UBIGINT % 1000
+                           < round((epochs - floor(epochs)) * 1000)::INT
+                      THEN 1 ELSE 0 END AS copies
+        FROM d),
+      x AS (
+        SELECT doc_id, source, epochs
+        FROM c, LATERAL unnest(range(1, copies + 1)) t(i)
+        WHERE copies >= 1)
+      SELECT source, epochs::DOUBLE AS epochs,
+             count(DISTINCT doc_id)::BIGINT AS n_docs_kept,
+             count(*)::BIGINT AS n_rows_out,
+             round(count(*)::DOUBLE / count(DISTINCT doc_id), 4) AS realized_epochs
+      FROM x GROUP BY source, epochs ORDER BY source""",
+
     "t28_ccnet_buckets" -> s"""
       WITH tk AS (SELECT doc_id, lang, len($docToks)::BIGINT AS n_tokens
                   FROM documents),

@@ -2952,6 +2952,39 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // training-mixture materialization: turn per-domain epoch weights into
+    // an actual expanded corpus — floor(epochs) whole copies per doc plus
+    // one more with probability frac(epochs), decided by a deterministic
+    // salted hash so the expansion is reproducible and embarrassingly
+    // parallel (no sampling state, no shuffle: explode is a narrow map;
+    // the only exchange is the final per-source report agg). The step
+    // between computing mixture weights (t26) and writing the training
+    // corpus a loader consumes.
+    "t36_mixture_expand" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        // epochs in {0.75, 1.5, 2.25, 3.0} keyed on the source number —
+        // exercises the <1 downsample and >1 upsample regimes
+        .withColumn("_srcn", substring(col("source"), 4, 10).cast("int"))
+        .withColumn("epochs", (col("_srcn") % 4 + 1).cast("double") * 0.75)
+      val expanded = docs
+        .withColumn("_whole", floor(col("epochs")).cast("int"))
+        .withColumn("_frac_ct",
+          round((col("epochs") - floor(col("epochs"))) * 1000).cast("int"))
+        .withColumn("_extra",
+          when(gr_md5Bucket(concat(lit("mix:"), col("doc_id").cast("string")),
+            lit(1000)) < col("_frac_ct"), 1).otherwise(0))
+        .withColumn("copies", col("_whole") + col("_extra"))
+        .withColumn("copy_idx",
+          explode(when(col("copies") >= 1,
+            sequence(lit(1), col("copies"))).otherwise(array())))
+      expanded.groupBy(col("source"), col("epochs"))
+        .agg(countDistinct(col("doc_id")).as("n_docs_kept"),
+          count(lit(1)).as("n_rows_out"))
+        .withColumn("realized_epochs",
+          round(col("n_rows_out").cast("double") / col("n_docs_kept"), 4))
+        .orderBy(col("source"))
+    }),
+
     // CCNet-style quality tiers (Wenzek et al. 2019): rank documents per
     // language by a quality proxy (token count) and cut the ranking into
     // head/middle/tail thirds — the bucket a CCNet pipeline keys its

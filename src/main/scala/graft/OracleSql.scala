@@ -988,6 +988,24 @@ object OracleSql {
              round(count(*)::DOUBLE / count(DISTINCT doc_id), 4) AS realized_epochs
       FROM x GROUP BY source, epochs ORDER BY source""",
 
+    // capacity 64 > the corpus's distinct-token count, so the SpaceSaving
+    // sketch is exact and the plain count mirror applies (err = 0)
+    "t37_heavy_hitters" -> """
+      WITH tk AS (
+        SELECT lang, unnest(list_filter(
+                 regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                 x -> x <> '')) AS token
+        FROM documents),
+      c AS (SELECT lang, token, count(*)::BIGINT AS cnt
+            FROM tk GROUP BY lang, token),
+      r AS (SELECT lang, token, cnt,
+                   row_number() OVER (PARTITION BY lang
+                     ORDER BY cnt DESC, token) AS rn
+            FROM c)
+      SELECT lang, token, cnt, 0::BIGINT AS err
+      FROM r WHERE rn <= 10
+      ORDER BY lang, cnt DESC, token""",
+
     "t28_ccnet_buckets" -> s"""
       WITH tk AS (SELECT doc_id, lang, len($docToks)::BIGINT AS n_tokens
                   FROM documents),

@@ -2985,6 +2985,26 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // per-language heavy-hitter tokens via the SpaceSaving sketch: only
+    // O(capacity) summaries cross the shuffle — the bounded answer to
+    // "top tokens per key" at corpus scale, where the exact t19-style
+    // groupBy would shuffle the full token universe. Capacity 64 exceeds
+    // this corpus's distinct-token count, so the sketch is provably exact
+    // here (err = 0 rides along as the contract column) and the DuckDB
+    // exact-count oracle applies.
+    "t37_heavy_hitters" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .select(col("lang"),
+          explode(split(lower(col("text")), "[^a-z0-9]+")).as("token"))
+        .filter(col("token") =!= "")
+      toks.groupBy(col("lang"))
+        .agg(gr_heavyHitters(col("token"), 64).as("_hh"))
+        .select(col("lang"), explode(slice(col("_hh"), 1, 10)).as("_h"))
+        .select(col("lang"), col("_h.item").as("token"),
+          col("_h.est").as("cnt"), col("_h.err").as("err"))
+        .orderBy(col("lang"), col("cnt").desc, col("token"))
+    }),
+
     // CCNet-style quality tiers (Wenzek et al. 2019): rank documents per
     // language by a quality proxy (token count) and cut the ranking into
     // head/middle/tail thirds — the bucket a CCNet pipeline keys its

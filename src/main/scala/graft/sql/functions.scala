@@ -264,6 +264,16 @@ object functions {
       graft.sql.TopKByScoreAgg(
         org.apache.spark.sql.GraftInterop.expression(score),
         org.apache.spark.sql.GraftInterop.expression(id), k).toAggregateExpression())
+  /** SpaceSaving heavy hitters: bounded-memory approximate top items of a
+    * group — O(capacity) state, summaries (never the item stream) cross
+    * the shuffle; `est - err <= true count <= est`, exact (err = 0) while
+    * the group's distinct count stays within capacity.
+    */
+  def gr_heavyHitters(item: Column, capacity: Int): Column =
+    org.apache.spark.sql.GraftInterop.column(
+      graft.sql.SpaceSavingAgg(
+        org.apache.spark.sql.GraftInterop.expression(item),
+        capacity).toAggregateExpression())
   def gr_simhash64(text: Column): Column = fn("gr_simhash64", text)
   def gr_repetition(text: Column): Column = fn("gr_repetition", text)
   def gr_langId(text: Column): Column = fn("gr_lang_id", text)

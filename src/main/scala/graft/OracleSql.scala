@@ -1006,6 +1006,17 @@ object OracleSql {
       FROM r WHERE rn <= 10
       ORDER BY lang, cnt DESC, token""",
 
+    "t38_group_sample" -> """
+      WITH h AS (
+        SELECT lang, doc_id,
+               ('0x' || substr(md5('smp:' || doc_id::VARCHAR), 1, 16))::UBIGINT % 1000000000 AS hk
+        FROM documents),
+      r AS (SELECT lang, doc_id,
+                   row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rn
+            FROM h)
+      SELECT lang, doc_id FROM r WHERE rn <= 20
+      ORDER BY lang, doc_id""",
+
     "t28_ccnet_buckets" -> s"""
       WITH tk AS (SELECT doc_id, lang, len($docToks)::BIGINT AS n_tokens
                   FROM documents),

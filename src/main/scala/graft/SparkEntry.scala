@@ -3005,6 +3005,24 @@ object SparkEntry {
         .orderBy(col("lang"), col("cnt").desc, col("token"))
     }),
 
+    // deterministic bounded per-group sampling: exactly k docs per
+    // language as the k LOWEST salted-hash keys (bottom-k by hash IS a
+    // uniform sample, and it is reproducible across runs/retries —
+    // rand()-based sampling is neither). Reuses the O(k) TopKByScoreAgg:
+    // map-side partial top-k summaries are all that cross the shuffle,
+    // vs a window row_number that would shuffle every row of the corpus.
+    "t38_group_sample" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("_hk", gr_md5Bucket(
+          concat(lit("smp:"), col("doc_id").cast("string")), lit(1000000000)))
+      docs.groupBy(col("lang"))
+        .agg(gr_topKByScore(-col("_hk").cast("double"), col("doc_id"), 20)
+          .as("_sm"))
+        .select(col("lang"), explode(col("_sm")).as("_s"))
+        .select(col("lang"), col("_s.neighbor_id").as("doc_id"))
+        .orderBy(col("lang"), col("doc_id"))
+    }),
+
     // CCNet-style quality tiers (Wenzek et al. 2019): rank documents per
     // language by a quality proxy (token count) and cut the ranking into
     // head/middle/tail thirds — the bucket a CCNet pipeline keys its

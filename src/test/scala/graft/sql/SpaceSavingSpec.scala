@@ -42,6 +42,36 @@ class SpaceSavingSpec extends AnyFunSuite {
     assert(got.map(_._2).sum == items.length.toLong)
   }
 
+  test("streaming heavy hitters accumulate across batches (update mode)") {
+    // the O(capacity) buffer is exactly what makes this viable as a
+    // streaming aggregate: per-key state is one bounded summary, not the
+    // token history
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val out = mem.toDF().toDF("g", "x")
+      .groupBy($"g").agg(gr_heavyHitters($"x", 8).as("hh"))
+    val q = out.writeStream.outputMode("update").format("memory")
+      .queryName("ss_stream").trigger(Trigger.ProcessingTime(0)).start()
+    mem.addData(("en", "a"), ("en", "a"), ("en", "b"), ("de", "z"))
+    q.processAllAvailable()
+    mem.addData(("en", "a"), ("en", "c"), ("de", "z"))
+    q.processAllAvailable()
+    q.stop()
+    // memory sink in update mode appends each batch's updated rows; the
+    // LAST row per group carries the cumulative summary
+    val last = spark.sql("SELECT g, hh FROM ss_stream")
+      .collect().zipWithIndex.groupBy(_._1.getString(0))
+      .map { case (g, rows) => g -> rows.maxBy(_._2)._1 }
+    val en = last("en").getSeq[org.apache.spark.sql.Row](1)
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(en == Set(("a", 3L), ("b", 1L), ("c", 1L)), en.toString)
+    val de = last("de").getSeq[org.apache.spark.sql.Row](1)
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(de == Set(("z", 2L)), de.toString)
+  }
+
   test("grouped heavy hitters match exact counts inside the capacity window") {
     val df = Seq(("en", "x"), ("en", "x"), ("en", "y"), ("de", "z"), ("de", "z"),
       ("de", "w"), ("de", "z")).toDF("g", "x")

@@ -18,9 +18,13 @@ import scala.collection.mutable
   * LineStrings at 1-degree resolution, OGR's default treatment), SOLID
   * (as its polygon), TEXT/MTEXT (as the insertion point with the text in
   * the `text` column). Each entity carries its `layer` (group 8) and
-  * `entity` type name; BLOCKS/INSERT expansion is not performed (OGR
-  * expands inserts by default — documented difference; entity-level
-  * parity covers the survey/CAD-exchange files read_file users feed it).
+  * `entity` type name. BLOCKS/INSERT expansion is performed like OGR's
+  * default: block definitions parse through the same entity state
+  * machine, INSERT placements apply base-shift -> scale (41/42) ->
+  * rotate (50) -> translate, legacy 70/71 array inserts replicate on the
+  * rotated grid, nested inserts compose placements (cycle-bounded at
+  * depth 8), and content on layer "0" adopts the INSERT's layer (the
+  * by-block convention).
   * Z coordinates (group 30/31) are ignored, matching this repo's 2D
   * kernel (the shapefile reader's policy for Z shapes).
   *
@@ -70,7 +74,10 @@ object DxfIO {
           while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
           new String(bos.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
         } finally in.close()
-        parseEntities(body).map { e =>
+        val blocks = parseBlocks(body)
+        val (ents, ins) = parseEntitiesWithInserts(body)
+        val expanded = ents ++ ins.flatMap(instantiate(_, blocks, 0))
+        expanded.map { e =>
           Row(e.layer, e.entity, e.text.orNull, Wkb.write(e.geom))
         }
       }
@@ -79,6 +86,115 @@ object DxfIO {
 
   private[io] final case class Ent(layer: String, entity: String,
       text: Option[String], geom: Geometry)
+
+  /** An INSERT placement: block reference + the affine placement params
+    * (translate/scale/rotate, plus the legacy array-insert grid). */
+  private[io] final case class Insert(layer: String, block: String,
+      x: Double, y: Double, sx: Double, sy: Double, rotDeg: Double,
+      cols: Int = 1, rows: Int = 1, colSp: Double = 0.0, rowSp: Double = 0.0)
+
+  /** A BLOCK definition: base point + content (and any nested INSERTs). */
+  private[io] final case class Block(baseX: Double, baseY: Double,
+      ents: Seq[Ent], inserts: Seq[Insert])
+
+  /** Parse the BLOCKS section into named definitions. Block bodies share
+    * the ENTITIES grammar, so each body is re-parsed through the entity
+    * state machine (wrapped in a synthetic ENTITIES section).
+    */
+  private[io] def parseBlocks(body: String): Map[String, Block] = {
+    val it = pairs(body)
+    var section = ""
+    var inBlocks = false
+    var inBlock = false
+    var headerMode = false
+    var name: String = null
+    var bx = 0.0; var by = 0.0
+    val content = new StringBuilder
+    val out = mutable.Map.empty[String, Block]
+    def finish(): Unit = {
+      if (inBlock && name != null) {
+        val (ents, ins) = parseEntitiesWithInserts(
+          "0\nSECTION\n2\nENTITIES\n" + content.result() + "0\nENDSEC\n0\nEOF\n")
+        out(name) = Block(bx, by, ents, ins)
+      }
+      inBlock = false; headerMode = false; name = null; bx = 0.0; by = 0.0
+      content.clear()
+    }
+    while (it.hasNext) {
+      val (code, value) = it.next()
+      if (code == 2 && section == "pending") {
+        section = value; inBlocks = value == "BLOCKS"
+      } else if (code == 0) value match {
+        case "SECTION" => section = "pending"
+        case "ENDSEC"  => finish(); inBlocks = false; section = ""
+        case "EOF"     => finish()
+        case "BLOCK" if inBlocks => finish(); inBlock = true; headerMode = true
+        case "ENDBLK" if inBlocks => finish()
+        case v if inBlock =>
+          headerMode = false
+          content.append("0\n").append(v).append('\n')
+        case _ => ()
+      } else if (inBlock) {
+        if (headerMode) code match {
+          case 2  => name = value
+          case 10 => bx = value.toDouble
+          case 20 => by = value.toDouble
+          case _  => ()
+        } else content.append(code).append('\n').append(value).append('\n')
+      }
+    }
+    finish()
+    out.toMap
+  }
+
+  /** Instantiate one INSERT: block-local coordinates are shifted to the
+    * base point, scaled, rotated, then translated to the insertion point
+    * (per copy for legacy 70/71 array inserts, the grid offsets living in
+    * the insert's rotated+scaled frame). Entities on layer "0" adopt the
+    * INSERT's layer (the DXF by-block convention); nested INSERTs compose
+    * placements and are bounded by `depth` against definition cycles.
+    */
+  private[io] def instantiate(ins: Insert, blocks: Map[String, Block],
+      depth: Int): Seq[Ent] = {
+    if (depth > 8) return Nil
+    blocks.get(ins.block).toSeq.flatMap { b =>
+      // right-angle rotations (the overwhelmingly common CAD case) stay
+      // exact instead of picking up cos(pi/2) ~ 6e-17 noise
+      val rot = ins.rotDeg % 360.0
+      val (cos, sin) =
+        if (rot % 90.0 == 0.0) {
+          val q = ((rot / 90.0).toInt % 4 + 4) % 4
+          q match {
+            case 0 => (1.0, 0.0); case 1 => (0.0, 1.0)
+            case 2 => (-1.0, 0.0); case _ => (0.0, -1.0)
+          }
+        } else (math.cos(math.toRadians(rot)), math.sin(math.toRadians(rot)))
+      (0 until math.max(1, ins.cols)).flatMap { c =>
+        (0 until math.max(1, ins.rows)).flatMap { r =>
+          val ox = c * ins.colSp * ins.sx
+          val oy = r * ins.rowSp * ins.sy
+          def tf(x: Double, y: Double): (Double, Double) = {
+            val dx = (x - b.baseX) * ins.sx + ox
+            val dy = (y - b.baseY) * ins.sy + oy
+            (ins.x + dx * cos - dy * sin, ins.y + dx * sin + dy * cos)
+          }
+          val direct = b.ents.map { e =>
+            e.copy(layer = if (e.layer == "0") ins.layer else e.layer,
+              geom = e.geom.mapCoords(tf))
+          }
+          val nested = b.inserts.flatMap { ni =>
+            val (nx, ny) = tf(ni.x, ni.y)
+            instantiate(ni.copy(x = nx, y = ny,
+              sx = ni.sx * ins.sx, sy = ni.sy * ins.sy,
+              rotDeg = ni.rotDeg + ins.rotDeg,
+              layer = if (ni.layer == "0") ins.layer else ni.layer),
+              blocks, depth + 1)
+          }
+          direct ++ nested
+        }
+      }
+    }
+  }
 
   /** One (group code, value) pair per two physical lines. */
   private def pairs(body: String): Iterator[(Int, String)] = {
@@ -112,9 +228,19 @@ object DxfIO {
     LineString(xs)
   }
 
-  private[io] def parseEntities(body: String): Seq[Ent] = {
+  private[io] def parseEntities(body: String): Seq[Ent] =
+    parseEntitiesWithInserts(body)._1
+
+  private[io] def parseEntitiesWithInserts(
+      body: String): (Seq[Ent], Seq[Insert]) = {
     val it = pairs(body)
     val out = mutable.ArrayBuffer.empty[Ent]
+    val inserts = mutable.ArrayBuffer.empty[Insert]
+    // INSERT accumulator (code 2 name, 41/42 scales, 70/71 grid, 44/45 gaps)
+    var insName: String = null
+    var insSx = 1.0; var insSy = 1.0
+    var insCols = 1; var insRows = 1
+    var insColSp = 0.0; var insRowSp = 0.0
     var inEntities = false
     // current entity accumulator
     var entity: String = null
@@ -155,6 +281,11 @@ object DxfIO {
             if (x3.isNaN) Array(xs(0), xs(1), x1, y1, x2, y2, xs(0), xs(1))
             else Array(xs(0), xs(1), x1, y1, x3, y3, x2, y2, xs(0), xs(1))
           Some(Polygon(Array(ring)))
+        case "INSERT" if xs.size >= 2 && insName != null =>
+          // rotation rides in on code 50 (the ang0 slot)
+          inserts += Insert(layer, insName, xs(0), xs(1), insSx, insSy,
+            ang0, insCols, insRows, insColSp, insRowSp)
+          None
         case _ => None
       }
       g.foreach(gg => out += Ent(layer, e, if (e == "TEXT" || e == "MTEXT") text else None, gg))
@@ -163,6 +294,8 @@ object DxfIO {
       x1 = Double.NaN; y1 = Double.NaN; x2 = Double.NaN; y2 = Double.NaN
       x3 = Double.NaN; y3 = Double.NaN
       radius = Double.NaN; ang0 = 0.0; ang1 = 360.0
+      insName = null; insSx = 1.0; insSy = 1.0
+      insCols = 1; insRows = 1; insColSp = 0.0; insRowSp = 0.0
     }
 
     def flushPoly(): Unit = {
@@ -213,6 +346,7 @@ object DxfIO {
         } else if (entity != null) code match {
           case 8  => layer = value
           case 1  => text = Some(value)
+          case 2  => if (entity == "INSERT") insName = value
           case 10 => xs += value.toDouble
           case 20 => xs += value.toDouble
           case 11 => x1 = value.toDouble
@@ -222,16 +356,21 @@ object DxfIO {
           case 13 => x3 = value.toDouble
           case 23 => y3 = value.toDouble
           case 40 => radius = value.toDouble
+          case 41 => if (entity == "INSERT") insSx = value.toDouble
+          case 42 => if (entity == "INSERT") insSy = value.toDouble
+          case 44 => if (entity == "INSERT") insColSp = value.toDouble
+          case 45 => if (entity == "INSERT") insRowSp = value.toDouble
           case 50 => ang0 = value.toDouble
           case 51 => ang1 = value.toDouble
-          case 70 => flags = value.toInt
+          case 70 => if (entity == "INSERT") insCols = value.toInt else flags = value.toInt
+          case 71 => if (entity == "INSERT") insRows = value.toInt
           case 90 => () // LWPOLYLINE vertex count — implied by the 10/20s
           case _  => ()
         }
       }
     }
     flush(); flushPoly()
-    out.toSeq
+    (out.toSeq, inserts.toSeq)
   }
 
   // ----------------------------------------------------------------- write

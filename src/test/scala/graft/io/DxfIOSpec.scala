@@ -187,6 +187,155 @@ class DxfIOSpec extends AnyFunSuite {
     assert(byEnt("TEXT").head._4 == "POINT (7 8)")
   }
 
+  test("BLOCKS/INSERT expansion: transform, by-block layer, array + nested inserts") {
+    // block CHAIR (base 1,1): a unit-square LWPOLYLINE on layer "0" and a
+    // POINT on its own layer "legs". Block DESKSET nests an INSERT of
+    // CHAIR. ENTITIES places: CHAIR at (10,0) rotated 90 with scale 2,
+    // a 2x1 array INSERT of CHAIR, and one DESKSET.
+    val doc =
+      """0
+        |SECTION
+        |2
+        |BLOCKS
+        |0
+        |BLOCK
+        |2
+        |CHAIR
+        |10
+        |1.0
+        |20
+        |1.0
+        |0
+        |POINT
+        |8
+        |legs
+        |10
+        |1.0
+        |20
+        |1.0
+        |0
+        |LWPOLYLINE
+        |8
+        |0
+        |70
+        |1
+        |10
+        |1.0
+        |20
+        |1.0
+        |10
+        |2.0
+        |20
+        |1.0
+        |10
+        |2.0
+        |20
+        |2.0
+        |10
+        |1.0
+        |20
+        |2.0
+        |0
+        |ENDBLK
+        |0
+        |BLOCK
+        |2
+        |DESKSET
+        |10
+        |0.0
+        |20
+        |0.0
+        |0
+        |INSERT
+        |8
+        |0
+        |2
+        |CHAIR
+        |10
+        |5.0
+        |20
+        |0.0
+        |0
+        |ENDBLK
+        |0
+        |ENDSEC
+        |0
+        |SECTION
+        |2
+        |ENTITIES
+        |0
+        |INSERT
+        |8
+        |furniture
+        |2
+        |CHAIR
+        |10
+        |10.0
+        |20
+        |0.0
+        |41
+        |2.0
+        |42
+        |2.0
+        |50
+        |90.0
+        |0
+        |INSERT
+        |8
+        |arrayrow
+        |2
+        |CHAIR
+        |10
+        |100.0
+        |20
+        |0.0
+        |70
+        |2
+        |71
+        |1
+        |44
+        |10.0
+        |0
+        |INSERT
+        |8
+        |office
+        |2
+        |DESKSET
+        |10
+        |1000.0
+        |20
+        |0.0
+        |0
+        |ENDSEC
+        |0
+        |EOF
+        |""".stripMargin
+    val dir = java.nio.file.Files.createTempDirectory("dxf_ins")
+    java.nio.file.Files.writeString(dir.resolve("plan.dxf"), doc)
+    val g = DxfIO.read(spark, dir.toString + "/plan.dxf")
+    val rows = g.df.select($"layer", $"entity", st_asText($"geometry"))
+      .as[(String, String, String)].collect().toSeq
+    // rotated+scaled single insert: block point (1,1) is the base, so it
+    // lands exactly at the insertion point (10,0); on its own layer
+    assert(rows.contains(("legs", "POINT", "POINT (10 0)")))
+    // the unit square (side 1, scale 2) rotated 90deg about (10,0):
+    // corner (2,1)-(1,1)=(2,0) scaled ->(2,0)... rotated 90 -> (0,2)
+    val furn = rows.filter(r => r._1 == "furniture" && r._2 == "LWPOLYLINE")
+    assert(furn.size == 1)
+    assert(furn.head._3 == "LINESTRING (10 0, 10 2, 8 2, 8 0, 10 0)")
+    // 2x1 array: two copies 10 apart on the column axis
+    assert(rows.contains(("legs", "POINT", "POINT (100 0)")))
+    assert(rows.contains(("legs", "POINT", "POINT (110 0)")))
+    assert(rows.count(r => r._1 == "arrayrow" && r._2 == "LWPOLYLINE") == 2)
+    // nested: DESKSET at (1000,0) places CHAIR at +(5,0); the chair's
+    // base point lands at (1005, 0)
+    assert(rows.contains(("legs", "POINT", "POINT (1005 0)")))
+    // by-block: the square on layer "0" adopts the placing INSERT's layer
+    assert(rows.count(r => r._1 == "office" && r._2 == "LWPOLYLINE") == 1)
+    // plain entity parse is unchanged: 3 inserts expand to 8 entities
+    assert(rows.size == 8)
+  }
+
   test("malformed input never crashes: garbage, truncation, bad numbers yield partial/empty") {
     val rnd = new scala.util.Random(3)
     // pure garbage text

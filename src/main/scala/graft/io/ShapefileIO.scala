@@ -104,7 +104,7 @@ object ShapefileIO {
       StructField(geomCol, BinaryType, nullable = true, geomMeta))
   }
 
-  private def sibling(shp: Path, ext: String): Path = {
+  private[io] def sibling(shp: Path, ext: String): Path = {
     val n = shp.getName
     new Path(shp.getParent, n.substring(0, n.length - 3) + ext)
   }

@@ -1,0 +1,36 @@
+package graft.io
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan}
+import org.apache.spark.sql.types.{LongType, StructType}
+
+/** The Scan a connector substitutes when a `COUNT(*)` aggregation was
+  * completely pushed down and the answer is already known from format
+  * metadata (shapefile .shx file sizes, FlatGeobuf header features_count):
+  * one partition, one row, ZERO feature-data reads. `SELECT count(*) FROM
+  * ... USING shapefile` costs a file listing at any corpus size.
+  */
+private[graft] final case class V2CountScan(count: Long, source: String)
+  extends Scan with Batch {
+  override def readSchema(): StructType =
+    new StructType().add("count", LongType, nullable = false)
+  override def toBatch: Batch = this
+  override def description(): String = s"$source metadata count(*) = $count"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(V2CountPartition(count))
+  override def createReaderFactory(): PartitionReaderFactory =
+    V2CountReaderFactory()
+}
+
+private[graft] final case class V2CountPartition(count: Long) extends InputPartition
+
+private[graft] final case class V2CountReaderFactory() extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var done = false
+      private val c = p.asInstanceOf[V2CountPartition].count
+      override def next(): Boolean = if (done) false else { done = true; true }
+      override def get(): InternalRow = InternalRow(c)
+      override def close(): Unit = ()
+    }
+}

@@ -40,6 +40,22 @@ class FlatGeobufDataSourceSpec extends AnyFunSuite {
     assert(got == want && got.size == 500)
   }
 
+  test("count(*) answers from the header's features_count, zero feature reads") {
+    val df = spark.read.format("flatgeobuf").load(path)
+    val counted = df.groupBy().count()
+    val plan = counted.queryExecution.executedPlan.toString
+    assert(plan.contains("metadata count(*)"), plan)
+    assert(counted.collect().head.getLong(0) == 500L)
+    assert(df.count() == 500L)
+    // filters and bbox windows disable the metadata shortcut
+    val filtered = df.filter($"score" > 600).groupBy().count()
+    assert(!filtered.queryExecution.executedPlan.toString.contains("metadata count(*)"))
+    assert(filtered.collect().head.getLong(0) == 99L)
+    val windowed = spark.read.format("flatgeobuf")
+      .option("bbox", "0,0,100,40").load(path).groupBy().count()
+    assert(!windowed.queryExecution.executedPlan.toString.contains("metadata count(*)"))
+  }
+
   test("column pruning reaches the scan (ReadSchema excludes unused columns)") {
     val pruned = spark.read.format("flatgeobuf").load(path).select($"id", $"score")
     val scanSchema = pruned.queryExecution.executedPlan.collectLeaves()

@@ -46,6 +46,23 @@ class ShapefileDataSourceSpec extends AnyFunSuite {
     assert(spark.read.format("shapefile").load(path).count() == 400)
   }
 
+  test("count(*) answers from .shx metadata: plan carries the pushed count scan") {
+    val df = spark.read.format("shapefile").load(path)
+    val counted = df.groupBy().count()
+    val plan = counted.queryExecution.executedPlan.toString
+    assert(plan.contains("metadata count(*)"), plan)
+    assert(counted.collect().head.getLong(0) == 400L)
+    assert(df.count() == 400L) // Dataset.count() rides the same pushdown
+    // a filter above the scan must NOT take the metadata shortcut
+    val filtered = df.filter($"id" < 10).groupBy().count()
+    assert(!filtered.queryExecution.executedPlan.toString.contains("metadata count(*)"))
+    assert(filtered.collect().head.getLong(0) == 10L)
+    // a bbox-windowed read returns a subset — metadata count must not apply
+    val windowed = spark.read.format("shapefile")
+      .option("bbox", "0,0,20,20").load(path).groupBy().count()
+    assert(!windowed.queryExecution.executedPlan.toString.contains("metadata count(*)"))
+  }
+
   test("bbox option: file-header prune + exact residual, works with pruned columns") {
     // second file far away -> pruned entirely on its header envelope
     val dir2 = java.nio.file.Files.createTempDirectory("shpdsv2b").toString

@@ -118,11 +118,59 @@ private[graft] class GpkgTable(tableSchema: StructType,
 
 private[graft] class GpkgScanBuilder(fullSchema: StructType,
     options: java.util.Map[String, String])
-  extends ScanBuilder with SupportsPushDownRequiredColumns {
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+  with SupportsPushDownAggregates {
   private var required: StructType = fullSchema
+  private var countPushed = false
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new GpkgScan(fullSchema, required, options)
+
+  // COUNT(*) answers from OGR's gpkg_ogr_contents feature-count table
+  // when the file carries one (this repo's writer emits it; OGR maintains
+  // it via triggers) — a few page reads, no feature b-tree walk
+  private lazy val metadataCount: Option[Long] =
+    try {
+      val conf = SparkSession.active.sessionState.newHadoopConf()
+      val table = GeoPackageDataSource.tableOf(options)
+      val src = GeoPackageIO.openSource(conf,
+        GeoPackageDataSource.pathOf(options))
+      try {
+        GeoPackageIO.readMaster(src)
+          .find(_.name == "gpkg_ogr_contents")
+          .flatMap { m =>
+            var found: Option[Long] = None
+            GeoPackageIO.walk(src, m.rootPage, 0) { (_, payload) =>
+              val vals = GeoPackageIO.decodeRecord(payload)
+              if (vals.length >= 2 && String.valueOf(vals(0)) == table)
+                vals(1) match {
+                  case c: java.lang.Long if c >= 0L => found = Some(c)
+                  case _ => ()
+                }
+            }
+            found
+          }
+      } finally src.close()
+    } catch { case _: Exception => None }
+
+  private def canPushCount(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions()(0)
+        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar] &&
+      Option(options.get("bbox")).isEmpty && metadataCount.isDefined
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    canPushCount(agg)
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    if (canPushCount(agg)) { countPushed = true; true } else false
+  }
+
+  override def build(): Scan =
+    if (countPushed) V2CountScan(metadataCount.get, "geopackage")
+    else new GpkgScan(fullSchema, required, options)
 }
 
 private[graft] class GpkgScan(fullSchema: StructType, required: StructType,

@@ -76,7 +76,7 @@ object GeoPackageIO {
   }
 
   /** Decode one record (header of serial types + values). */
-  private def decodeRecord(payload: Array[Byte]): Array[Any] = {
+  private[io] def decodeRecord(payload: Array[Byte]): Array[Any] = {
     val (hdrLen, n0) = varint(payload, 0)
     val types = ArrayBuffer.empty[Long]
     var off = n0
@@ -766,6 +766,7 @@ object GeoPackageIO {
     val fb = new FileBuilder(pageSize)
     fb.alloc() // page 1 reserved for the sqlite_master root
     var bbox: Array[Double] = null
+    var featureCount = 0L
     val featureRoot = buildTableBtree(
       encoded.toLocalIterator.map { case (rowid, rec, env) =>
         if (env != null) {
@@ -775,6 +776,7 @@ object GeoPackageIO {
             bbox(2) = math.max(bbox(2), env(2)); bbox(3) = math.max(bbox(3), env(3))
           }
         }
+        featureCount += 1
         (rowid, rec)
       }, fb)
 
@@ -828,6 +830,16 @@ object GeoPackageIO {
     val geomColsRoot = buildTableBtree(Iterator((1L, encodeRecord(Seq[Any](
       table, geomCol, "GEOMETRY", srsId.toLong, 0L, 0L)))), fb)
 
+    // OGR's feature-count convention (gpkg_ogr_contents): lets any OGR
+    // reader — and this repo's DSv2 COUNT(*) pushdown — answer
+    // GetFeatureCount from metadata instead of a table scan
+    val ogrContentsDdl = "CREATE TABLE gpkg_ogr_contents (table_name TEXT NOT NULL " +
+      "PRIMARY KEY, feature_count INTEGER DEFAULT NULL)"
+    val ogrContentsRoot = buildTableBtree(Iterator((1L,
+      encodeRecord(Seq[Any](table, featureCount)))), fb)
+    val ogrContentsPkIdx = buildSingleLeafIndex(
+      Seq(encodeRecord(Seq[Any](table, 1L))), fb)
+
     // sqlite_master on page 1 (base 100): (type, name, tbl_name, rootpage, sql)
     val masterRows = Seq(
       ("table", "gpkg_spatial_ref_sys", "gpkg_spatial_ref_sys", srsRoot, srsDdl),
@@ -835,6 +847,8 @@ object GeoPackageIO {
       ("index", "sqlite_autoindex_gpkg_contents_1", "gpkg_contents", contentsPkIdx, null),
       ("index", "sqlite_autoindex_gpkg_contents_2", "gpkg_contents", contentsUqIdx, null),
       ("table", "gpkg_geometry_columns", "gpkg_geometry_columns", geomColsRoot, geomColsDdl),
+      ("table", "gpkg_ogr_contents", "gpkg_ogr_contents", ogrContentsRoot, ogrContentsDdl),
+      ("index", "sqlite_autoindex_gpkg_ogr_contents_1", "gpkg_ogr_contents", ogrContentsPkIdx, null),
       ("table", table, table, featureRoot, ddl))
     val masterCells = masterRows.zipWithIndex.map { case ((typ, name, tbl, root, sql), i) =>
       (i + 1L, makeCell(i + 1L, encodeRecord(Seq[Any](typ, name, tbl, root.toLong, sql)), fb))

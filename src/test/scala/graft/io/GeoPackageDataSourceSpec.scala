@@ -48,6 +48,18 @@ class GeoPackageDataSourceSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty && got.size < 400)
   }
 
+  test("count(*) answers from gpkg_ogr_contents (written by our writer)") {
+    val df = spark.read.format("geopackage").option("table", "pts").load(path)
+    val counted = df.groupBy().count()
+    val plan = counted.queryExecution.executedPlan.toString
+    assert(plan.contains("metadata count(*)"), plan)
+    assert(counted.collect().head.getLong(0) == 400L)
+    // a filter disables the metadata shortcut and still counts correctly
+    val filtered = df.filter($"score" < 10).groupBy().count()
+    assert(!filtered.queryExecution.executedPlan.toString.contains("metadata count(*)"))
+    assert(filtered.collect().head.getLong(0) == 20L)
+  }
+
   test("SQL: CREATE TEMPORARY VIEW USING geopackage") {
     spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW gpkg_ds_spec
       USING geopackage OPTIONS (path '$path', table 'pts')""")

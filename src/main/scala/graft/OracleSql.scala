@@ -949,9 +949,9 @@ object OracleSql {
                 md5(CASE WHEN doc_id % 5 = 0 THEN text || ' [rev2]' ELSE text END) AS h
               FROM documents WHERE doc_id % 11 <> 0)
       SELECT coalesce(prev.doc_id, cur.doc_id) AS doc_id,
-             CASE WHEN prev.h IS NULL THEN 'added'
-                  WHEN cur.h IS NULL THEN 'removed'
-                  WHEN prev.h = cur.h THEN 'unchanged'
+             CASE WHEN prev.doc_id IS NULL THEN 'added'
+                  WHEN cur.doc_id IS NULL THEN 'removed'
+                  WHEN prev.h IS NOT DISTINCT FROM cur.h THEN 'unchanged'
                   ELSE 'changed' END AS status
       FROM prev FULL OUTER JOIN cur ON prev.doc_id = cur.doc_id
       ORDER BY doc_id""",

@@ -74,7 +74,12 @@ object DxfIO {
           while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
           new String(bos.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
         } finally in.close()
-        val blocks = parseBlocks(body)
+        // cheap substring probe skips the BLOCKS tokenization pass for the
+        // common blockless survey/exchange file (a false positive only
+        // costs the harmless extra parse)
+        val blocks =
+          if (body.contains("BLOCKS")) parseBlocks(body)
+          else Map.empty[String, Block]
         val (ents, ins) = parseEntitiesWithInserts(body)
         val expanded = ents ++ ins.flatMap(instantiate(_, blocks, 0))
         expanded.map { e =>
@@ -182,13 +187,16 @@ object DxfIO {
             e.copy(layer = if (e.layer == "0") ins.layer else e.layer,
               geom = e.geom.mapCoords(tf))
           }
+          // nested inserts instantiate in THEIR OWN frame first, then the
+          // parent transform maps the produced coordinates — composing the
+          // placement parameters instead (sx*sx, rot+rot) is wrong under
+          // non-uniform or mirrored parent scale combined with child
+          // rotation (R_p·S_p·R_c ≠ R_p·R_c·S_p)
           val nested = b.inserts.flatMap { ni =>
-            val (nx, ny) = tf(ni.x, ni.y)
-            instantiate(ni.copy(x = nx, y = ny,
-              sx = ni.sx * ins.sx, sy = ni.sy * ins.sy,
-              rotDeg = ni.rotDeg + ins.rotDeg,
-              layer = if (ni.layer == "0") ins.layer else ni.layer),
-              blocks, depth + 1)
+            instantiate(ni, blocks, depth + 1).map { e =>
+              e.copy(layer = if (e.layer == "0") ins.layer else e.layer,
+                geom = e.geom.mapCoords(tf))
+            }
           }
           direct ++ nested
         }

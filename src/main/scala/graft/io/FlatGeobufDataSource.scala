@@ -94,17 +94,21 @@ private[graft] class FgbTable(tableSchema: StructType,
 private[graft] class FgbScanBuilder(fullSchema: StructType,
     options: java.util.Map[String, String])
   extends ScanBuilder with SupportsPushDownRequiredColumns
-  with SupportsPushDownAggregates {
+  with MetadataCountPushdown {
   private var required: StructType = fullSchema
-  private var countPushed = false
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  override protected def countOptions: java.util.Map[String, String] = options
+  override protected def countSourceName: String = "flatgeobuf"
+  override protected def buildDataScan(): Scan =
+    new FgbScan(fullSchema, required, options)
 
   // COUNT(*) with no grouping and no bbox window answers from the FGB
   // header's features_count — a few-KB header read per file, no feature
   // data. features_count = 0 is the spec's "unknown" sentinel, so any
   // zero (or a missing header) falls back to the full scan.
-  private lazy val metadataCount: Option[Long] =
+  override protected lazy val metadataCount: Option[Long] =
     try {
       val spark = SparkSession.active
       val conf = spark.sessionState.newHadoopConf()
@@ -115,25 +119,7 @@ private[graft] class FgbScanBuilder(fullSchema: StructType,
       if (counts.nonEmpty && counts.forall(_ > 0L)) Some(counts.sum) else None
     } catch { case _: Exception => None }
 
-  private def canPushCount(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    agg.groupByExpressions.isEmpty &&
-      agg.aggregateExpressions.length == 1 &&
-      agg.aggregateExpressions()(0)
-        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar] &&
-      Option(options.get("bbox")).isEmpty && metadataCount.isDefined
-
-  override def supportCompletePushDown(
-      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    canPushCount(agg)
-
-  override def pushAggregation(
-      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    if (canPushCount(agg)) { countPushed = true; true } else false
-  }
-
-  override def build(): Scan =
-    if (countPushed) V2CountScan(metadataCount.get, "flatgeobuf")
-    else new FgbScan(fullSchema, required, options)
+  override def build(): Scan = buildScan()
 }
 
 private[graft] class FgbScan(fullSchema: StructType, required: StructType,

@@ -119,16 +119,20 @@ private[graft] class GpkgTable(tableSchema: StructType,
 private[graft] class GpkgScanBuilder(fullSchema: StructType,
     options: java.util.Map[String, String])
   extends ScanBuilder with SupportsPushDownRequiredColumns
-  with SupportsPushDownAggregates {
+  with MetadataCountPushdown {
   private var required: StructType = fullSchema
-  private var countPushed = false
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  override protected def countOptions: java.util.Map[String, String] = options
+  override protected def countSourceName: String = "geopackage"
+  override protected def buildDataScan(): Scan =
+    new GpkgScan(fullSchema, required, options)
 
   // COUNT(*) answers from OGR's gpkg_ogr_contents feature-count table
   // when the file carries one (this repo's writer emits it; OGR maintains
   // it via triggers) — a few page reads, no feature b-tree walk
-  private lazy val metadataCount: Option[Long] =
+  override protected lazy val metadataCount: Option[Long] =
     try {
       val conf = SparkSession.active.sessionState.newHadoopConf()
       val table = GeoPackageDataSource.tableOf(options)
@@ -152,25 +156,7 @@ private[graft] class GpkgScanBuilder(fullSchema: StructType,
       } finally src.close()
     } catch { case _: Exception => None }
 
-  private def canPushCount(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    agg.groupByExpressions.isEmpty &&
-      agg.aggregateExpressions.length == 1 &&
-      agg.aggregateExpressions()(0)
-        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar] &&
-      Option(options.get("bbox")).isEmpty && metadataCount.isDefined
-
-  override def supportCompletePushDown(
-      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    canPushCount(agg)
-
-  override def pushAggregation(
-      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    if (canPushCount(agg)) { countPushed = true; true } else false
-  }
-
-  override def build(): Scan =
-    if (countPushed) V2CountScan(metadataCount.get, "geopackage")
-    else new GpkgScan(fullSchema, required, options)
+  override def build(): Scan = buildScan()
 }
 
 private[graft] class GpkgScan(fullSchema: StructType, required: StructType,

@@ -70,46 +70,38 @@ private[graft] class ShpTable(tableSchema: StructType,
 private[graft] class ShpScanBuilder(fullSchema: StructType,
     options: java.util.Map[String, String])
   extends ScanBuilder with SupportsPushDownRequiredColumns
-  with SupportsPushDownAggregates {
+  with MetadataCountPushdown {
   private var required: StructType = fullSchema
-  private var countPushed = false
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  override protected def countOptions: java.util.Map[String, String] = options
+  override protected def countSourceName: String = "shapefile"
+  override protected def buildDataScan(): Scan =
+    new ShpScan(fullSchema, required, options)
+
   // COUNT(*) with no grouping and no bbox window answers from .shx FILE
-  // SIZES alone — (len - 100) / 8 records per file, zero data reads
-  private lazy val metadataCount: Option[Long] =
+  // SIZES alone — (len - 100) / 8 records per file, zero data reads. Any
+  // malformed .shx (shorter than its header, or a ragged record area)
+  // declines the pushdown instead of corrupting the count.
+  override protected lazy val metadataCount: Option[Long] =
     try {
       val conf = SparkSession.active.sessionState.newHadoopConf()
       val files = ShapefileIO.shpFiles(conf,
         FlatGeobufDataSource.pathOf(options))
       if (files.isEmpty) None
-      else Some(files.map { shp =>
-        val fs = shp.getFileSystem(conf)
-        val len = fs.getFileStatus(ShapefileIO.sibling(shp, "shx")).getLen
-        (len - 100L) / 8L
-      }.sum)
+      else {
+        val lens = files.map { shp =>
+          val fs = shp.getFileSystem(conf)
+          fs.getFileStatus(ShapefileIO.sibling(shp, "shx")).getLen
+        }
+        if (lens.forall(l => l >= 100L && (l - 100L) % 8L == 0L))
+          Some(lens.map(l => (l - 100L) / 8L).sum)
+        else None
+      }
     } catch { case _: Exception => None }
 
-  private def canPushCount(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    agg.groupByExpressions.isEmpty &&
-      agg.aggregateExpressions.length == 1 &&
-      agg.aggregateExpressions()(0)
-        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar] &&
-      Option(options.get("bbox")).isEmpty && metadataCount.isDefined
-
-  override def supportCompletePushDown(
-      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    canPushCount(agg)
-
-  override def pushAggregation(
-      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    if (canPushCount(agg)) { countPushed = true; true } else false
-  }
-
-  override def build(): Scan =
-    if (countPushed) V2CountScan(metadataCount.get, "shapefile")
-    else new ShpScan(fullSchema, required, options)
+  override def build(): Scan = buildScan()
 }
 
 private[graft] class ShpScan(fullSchema: StructType, required: StructType,

@@ -22,6 +22,41 @@ private[graft] final case class V2CountScan(count: Long, source: String)
     V2CountReaderFactory()
 }
 
+/** The shared COUNT(*) pushdown plumbing for the three connectors: a
+  * builder mixes this in and supplies `metadataCount` (None = decline) and
+  * `buildDataScan` (the ordinary scan). Pushdown is offered only for an
+  * ungrouped single CountStar with no `bbox` window option — a windowed
+  * read returns a subset, so its count must come from the real scan.
+  */
+private[graft] trait MetadataCountPushdown
+  extends org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+
+  protected def countOptions: java.util.Map[String, String]
+  protected def metadataCount: Option[Long]
+  protected def countSourceName: String
+  protected def buildDataScan(): Scan
+
+  private var countPushed = false
+
+  private def canPushCount(agg: Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions()(0).isInstanceOf[CountStar] &&
+      Option(countOptions.get("bbox")).isEmpty && metadataCount.isDefined
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    canPushCount(agg)
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (canPushCount(agg)) { countPushed = true; true } else false
+  }
+
+  def buildScan(): Scan =
+    if (countPushed) V2CountScan(metadataCount.get, countSourceName)
+    else buildDataScan()
+}
+
 private[graft] final case class V2CountPartition(count: Long) extends InputPartition
 
 private[graft] final case class V2CountReaderFactory() extends PartitionReaderFactory {

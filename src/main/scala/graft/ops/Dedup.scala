@@ -729,13 +729,17 @@ object Dedup {
       cur: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val a = prev.select(col(idCol).as("_id"), md5(col(textCol)).as("_h_prev"))
-    val b = cur.select(col(idCol).as("_id"), md5(col(textCol)).as("_h_cur"))
+    // presence flags, not hash nullity, decide membership — a NULL text
+    // hashes to NULL and must not masquerade as an absent row
+    val a = prev.select(col(idCol).as("_id"), md5(col(textCol)).as("_h_prev"),
+      lit(true).as("_in_prev"))
+    val b = cur.select(col(idCol).as("_id"), md5(col(textCol)).as("_h_cur"),
+      lit(true).as("_in_cur"))
     a.join(b, Seq("_id"), "full_outer")
       .select(col("_id").as(idCol),
-        when(col("_h_prev").isNull, lit("added"))
-          .when(col("_h_cur").isNull, lit("removed"))
-          .when(col("_h_prev") === col("_h_cur"), lit("unchanged"))
+        when(col("_in_prev").isNull, lit("added"))
+          .when(col("_in_cur").isNull, lit("removed"))
+          .when(col("_h_prev") <=> col("_h_cur"), lit("unchanged"))
           .otherwise(lit("changed")).as("status"))
   }
 
@@ -774,8 +778,12 @@ object Dedup {
     require(trainPct > 0 && trainPct < 100, s"trainPct must be in (0,100): $trainPct")
     val pairs = minhashLsh(docs, idCol, textCol, numHashes, bands,
       shingleSize, threshold).localCheckpoint()
+    // connectedComponents names its output (doc_id, cluster_id) — realign
+    // to the caller's id column before joining
+    val clusters = connectedComponents(pairs)
+      .withColumnRenamed("doc_id", idCol)
     val assigned = docs.select(col(idCol))
-      .join(connectedComponents(pairs), Seq(idCol), "left")
+      .join(clusters, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
       .withColumn("split",

@@ -336,6 +336,22 @@ class DxfIOSpec extends AnyFunSuite {
     assert(rows.size == 8)
   }
 
+  test("nested insert under non-uniform parent scale keeps child rotation axes") {
+    // child block rotates 90deg inside a parent scaled (2,1): a point at
+    // (1,0) in the child must land on the parent's y axis scaled by sy=1
+    // (parameter composition sx*sx/rot+rot would put it at y=2)
+    import DxfIO.{Block, Ent, Insert}
+    val inner = Block(0, 0,
+      Seq(Ent("0", "POINT", None, graft.geom.Point(1, 0))), Nil)
+    val outer = Block(0, 0, Nil, Seq(Insert("0", "INNER", 0, 0, 1, 1, 90.0)))
+    val blocks = Map("INNER" -> inner, "OUTER" -> outer)
+    val got = DxfIO.instantiate(
+      Insert("L", "OUTER", 100, 0, 2.0, 1.0, 0.0), blocks, 0)
+    val p = got.head.geom.asInstanceOf[graft.geom.Point]
+    assert(got.size == 1 && p.x == 100.0 && p.y == 1.0, got.toString)
+    assert(got.head.layer == "L")
+  }
+
   test("malformed input never crashes: garbage, truncation, bad numbers yield partial/empty") {
     val rnd = new scala.util.Random(3)
     // pure garbage text

@@ -61,6 +61,16 @@ class ShapefileDataSourceSpec extends AnyFunSuite {
     val windowed = spark.read.format("shapefile")
       .option("bbox", "0,0,20,20").load(path).groupBy().count()
     assert(!windowed.queryExecution.executedPlan.toString.contains("metadata count(*)"))
+    // a malformed .shx (ragged record area) declines the pushdown instead
+    // of corrupting the count — the real scan still answers correctly
+    val bad = java.nio.file.Files.createTempDirectory("shpbadshx").toString
+    for (f <- new java.io.File(path).listFiles())
+      java.nio.file.Files.copy(f.toPath, java.nio.file.Paths.get(bad, f.getName))
+    val shx = new java.io.File(bad).listFiles().find(_.getName.endsWith(".shx")).get
+    java.nio.file.Files.write(shx.toPath,
+      java.nio.file.Files.readAllBytes(shx.toPath).dropRight(3))
+    val degraded = spark.read.format("shapefile").load(bad).groupBy().count()
+    assert(!degraded.queryExecution.executedPlan.toString.contains("metadata count(*)"))
   }
 
   test("bbox option: file-header prune + exact residual, works with pruned columns") {

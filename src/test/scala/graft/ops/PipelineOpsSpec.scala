@@ -92,6 +92,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(again.sortBy(_._1).toSeq == rows.sortBy(_._1).toSeq)
   }
 
+  test("leakageSafeSplit honors non-default id/text column names") {
+    val df = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different content about spark and scala"))
+      .toDF("id", "body")
+    val (assigned, _) = Dedup.leakageSafeSplit(df, "id", "body")
+    val rows = assigned.select($"id", $"cluster_id", $"split")
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(rows.length == 3)
+    assert(rows(0)._2 == rows(1)._2) // dups share a cluster
+    assert(rows(0)._3 == rows(1)._3) // and therefore a split
+  }
+
+  test("corpusDiff handles NULL text as presence, not absence") {
+    val prev = Seq((1L, Option("x")), (2L, Option.empty[String]),
+      (3L, Option("z"))).toDF("doc_id", "text")
+    val cur = Seq((2L, Option.empty[String]), (3L, Option("z2")))
+      .toDF("doc_id", "text")
+    val got = Dedup.corpusDiff(prev, cur)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    // doc 2 has NULL text in BOTH snapshots: present and unchanged
+    assert(got == Seq((1L, "removed"), (2L, "unchanged"), (3L, "changed")),
+      got.toString)
+  }
+
   test("corpusDiff classifies added/removed/changed/unchanged") {
     val prev = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
     val cur = Seq((2L, "beta"), (3L, "gamma prime"), (4L, "delta")).toDF("doc_id", "text")

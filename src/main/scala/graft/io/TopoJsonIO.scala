@@ -181,4 +181,168 @@ object TopoJsonIO {
     }
     out.toSeq
   }
+
+  // ------------------------------------------------------------------ write
+
+  /** Serialize one partition's rows as a Topology document. Each ring /
+    * line becomes its own arc (no shared-boundary detection — a topology
+    * without arc sharing is valid per spec §2.1.3; sharing is an encoder
+    * optimization, not a conformance requirement), quantized to `quantum`
+    * grid steps over the partition's bbox with delta-encoded arcs, points
+    * as quantized positions. The layer name groups rows into named
+    * objects; `id`/`props` (a JSON object string) ride on each member.
+    */
+  private[io] def topologyDoc(
+      rows: Seq[(String, Option[String], Option[String], Geometry)],
+      quantum: Int): String = {
+    require(quantum >= 2, s"quantum must be >= 2: $quantum")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    // partition bbox for the transform
+    var minX = Double.MaxValue; var minY = Double.MaxValue
+    var maxX = -Double.MaxValue; var maxY = -Double.MaxValue
+    def visit(g: Geometry): Unit = g match {
+      case Point(x, y, _) =>
+        minX = math.min(minX, x); maxX = math.max(maxX, x)
+        minY = math.min(minY, y); maxY = math.max(maxY, y)
+      case LineString(xy, _) =>
+        var i = 0
+        while (i < xy.length) {
+          minX = math.min(minX, xy(i)); maxX = math.max(maxX, xy(i))
+          minY = math.min(minY, xy(i + 1)); maxY = math.max(maxY, xy(i + 1))
+          i += 2
+        }
+      case Polygon(rings) => rings.foreach(r => visit(LineString(r)))
+      case c: graft.geom.GeometryCollectionLike => c.children.foreach(visit)
+      case _ => ()
+    }
+    rows.foreach(r => visit(r._4))
+    if (minX > maxX) { minX = 0; minY = 0; maxX = 0; maxY = 0 }
+    val sx = if (maxX > minX) (maxX - minX) / (quantum - 1) else 1.0
+    val sy = if (maxY > minY) (maxY - minY) / (quantum - 1) else 1.0
+    def qx(x: Double): Long = math.round((x - minX) / sx)
+    def qy(y: Double): Long = math.round((y - minY) / sy)
+
+    val arcs = mutable.ArrayBuffer.empty[String]
+    def addArc(xy: Array[Double]): Int = {
+      val sb = new StringBuilder("[")
+      var px = 0L; var py = 0L
+      var i = 0
+      while (i < xy.length) {
+        val cx = qx(xy(i)); val cy = qy(xy(i + 1))
+        if (i > 0) sb += ','
+        sb ++= s"[${cx - px},${cy - py}]"
+        px = cx; py = cy
+        i += 2
+      }
+      arcs += sb.append(']').result()
+      arcs.length - 1
+    }
+    def pos(x: Double, y: Double): String = s"[${qx(x)},${qy(y)}]"
+    def geomJson(g: Geometry): String = g match {
+      case Point(x, y, _) =>
+        s"""{"type":"Point","coordinates":${pos(x, y)}}"""
+      case MultiPoint(pts) =>
+        s"""{"type":"MultiPoint","coordinates":[${pts.map(p => pos(p.x, p.y)).mkString(",")}]}"""
+      case LineString(xy, _) =>
+        s"""{"type":"LineString","arcs":[${addArc(xy)}]}"""
+      case MultiLineString(ls) =>
+        s"""{"type":"MultiLineString","arcs":[${ls.map(l => s"[${addArc(l.xy)}]").mkString(",")}]}"""
+      case Polygon(rings) =>
+        s"""{"type":"Polygon","arcs":[${rings.map(r => s"[${addArc(r)}]").mkString(",")}]}"""
+      case MultiPolygon(ps) =>
+        s"""{"type":"MultiPolygon","arcs":[${ps.map(p =>
+          s"[${p.rings.map(r => s"[${addArc(r)}]").mkString(",")}]").mkString(",")}]}"""
+      case GeometryCollection(cs) =>
+        s"""{"type":"GeometryCollection","geometries":[${cs.map(geomJson).mkString(",")}]}"""
+      case other => throw new IllegalArgumentException(
+        s"topojson write: unsupported geometry ${other.getClass.getSimpleName}")
+    }
+
+    val byLayer = rows.groupBy(_._1).toSeq.sortBy(_._1)
+    val objects = byLayer.map { case (layer, members) =>
+      val ms = members.map { case (_, id, props, g) =>
+        val base = geomJson(g)
+        val withId = id.map(v =>
+          base.patch(1, s""""id":${mapper.writeValueAsString(v)},""", 0))
+          .getOrElse(base)
+        props.map { p =>
+          // parse + reserialize so an invalid props string fails loudly
+          // here instead of corrupting the document
+          val node = mapper.readTree(p)
+          withId.patch(1, s""""properties":${mapper.writeValueAsString(node)},""", 0)
+        }.getOrElse(withId)
+      }
+      s"${mapper.writeValueAsString(layer)}:{"+
+        s""""type":"GeometryCollection","geometries":[${ms.mkString(",")}]}"""
+    }
+    s"""{"type":"Topology","transform":{"scale":[$sx,$sy],""" +
+      s""""translate":[$minX,$minY]},"objects":{${objects.mkString(",")}},""" +
+      s""""arcs":[${arcs.mkString(",")}]}"""
+  }
+
+  /** One `part-NNNNN.topojson` per partition, task-side (the bulk path —
+    * each part is its own Topology with its own transform).
+    */
+  def writeDir(df: org.apache.spark.sql.DataFrame, dir: String,
+      geometryColumn: String = "geometry",
+      layerColumn: Option[String] = None,
+      idColumn: Option[String] = None,
+      propsColumn: Option[String] = None,
+      quantum: Int = 100000): Unit = {
+    val spark = df.sparkSession
+    val conf = new GeoParquetIO.SerializableConf(spark.sessionState.newHadoopConf())
+    val gi = df.schema.fieldIndex(geometryColumn)
+    val li = layerColumn.map(df.schema.fieldIndex)
+    val ii = idColumn.map(df.schema.fieldIndex)
+    val pi = propsColumn.map(df.schema.fieldIndex)
+    val out = new Path(dir)
+    out.getFileSystem(conf.value).mkdirs(out)
+    df.rdd.foreachPartition { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val rows = it.flatMap { r =>
+        if (r.isNullAt(gi)) None
+        else Some((
+          li.map(r.getString).getOrElse("features"),
+          ii.filterNot(r.isNullAt).map(i => String.valueOf(r.get(i))),
+          pi.filterNot(r.isNullAt).map(r.getString),
+          Wkb.read(r.getAs[Array[Byte]](gi))))
+      }.toSeq
+      if (rows.nonEmpty) {
+        val doc = topologyDoc(rows, quantum)
+        val p = new Path(dir, f"part-$pid%05d.topojson")
+        val tfs = p.getFileSystem(conf.value)
+        AtomicTaskFile.withOutput(tfs, p)(
+          _.write(doc.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      }
+    }
+  }
+
+  /** Single-file write (driver-assembled by format necessity — one
+    * Topology needs one global transform; `writeDir` is the bulk path).
+    */
+  def write(df: org.apache.spark.sql.DataFrame, path: String,
+      geometryColumn: String = "geometry",
+      layerColumn: Option[String] = None,
+      idColumn: Option[String] = None,
+      propsColumn: Option[String] = None,
+      quantum: Int = 100000): Unit = {
+    val gi = df.schema.fieldIndex(geometryColumn)
+    val li = layerColumn.map(df.schema.fieldIndex)
+    val ii = idColumn.map(df.schema.fieldIndex)
+    val pi = propsColumn.map(df.schema.fieldIndex)
+    val rows = df.rdd.map { r =>
+      if (r.isNullAt(gi)) None
+      else Some((
+        li.map(r.getString).getOrElse("features"),
+        ii.filterNot(r.isNullAt).map(i => String.valueOf(r.get(i))),
+        pi.filterNot(r.isNullAt).map(r.getString),
+        Wkb.read(r.getAs[Array[Byte]](gi))))
+    }.collect().flatten.toSeq
+    val doc = topologyDoc(rows, quantum)
+    val p = new Path(path)
+    val fs = p.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
+    val os = fs.create(p, true)
+    try os.write(doc.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally os.close()
+  }
 }

@@ -73,6 +73,62 @@ class TopoJsonIOSpec extends AnyFunSuite {
     assert(union == 2.0, s"union area $union")
   }
 
+  test("write/read roundtrip: layers, ids, props, all geometry ranks") {
+    // grid-aligned coordinates (integers in a [0,100] window with quantum
+    // 101) survive quantization exactly, so the roundtrip is value-exact
+    val rows = Seq(
+      ("pts", "a", """{"k":1}""",
+        graft.geom.Wkb.write(graft.geom.Point(10, 20))),
+      ("lines", "b", null,
+        graft.geom.Wkb.write(graft.geom.LineString(
+          Array(0.0, 0.0, 50.0, 20.0, 100.0, 0.0)))),
+      ("polys", "c", """{"name":"sq"}""",
+        graft.geom.Wkb.write(graft.geom.Polygon(Array(
+          Array(0.0, 0.0, 40.0, 0.0, 40.0, 40.0, 0.0, 40.0, 0.0, 0.0),
+          Array(10.0, 10.0, 10.0, 20.0, 20.0, 20.0, 20.0, 10.0, 10.0, 10.0))))))
+      .toDF("lyr", "fid", "props", "geometry")
+    val f = java.io.File.createTempFile("topo_rt", ".topojson")
+    f.deleteOnExit()
+    TopoJsonIO.write(rows, f.getAbsolutePath, layerColumn = Some("lyr"),
+      idColumn = Some("fid"), propsColumn = Some("props"), quantum = 101)
+    val back = TopoJsonIO.read(spark, f.getAbsolutePath).df
+      .select($"layer", $"id", $"props", expr("st_astext(geometry)").as("w"))
+      .as[(String, String, Option[String], String)].collect()
+      .sortBy(_._2).toSeq
+    assert(back.map(r => (r._1, r._2)) ==
+      Seq(("pts", "a"), ("lines", "b"), ("polys", "c")))
+    assert(back(0)._4 == "POINT (10 20)")
+    // grid steps are sx = 100/100 = 1, sy = 40/100 = 0.4; every fixture
+    // coordinate is a multiple of its axis step, so roundtrip is exact
+    assert(back(1)._4 == "LINESTRING (0 0, 50 20, 100 0)")
+    assert(back(2)._4.startsWith("POLYGON ((0 0, 40 0, 40 40, 0 40, 0 0)"))
+    assert(back(2)._4.contains("(10 10, 10 20, 20 20, 20 10, 10 10)"))
+    assert(back(0)._3.exists(_.contains("\"k\":1")))
+    assert(back(2)._3.exists(_.contains("\"name\":\"sq\"")))
+    assert(back(1)._3.isEmpty)
+  }
+
+  test("writeDir emits one topology per partition; quantization error is bounded") {
+    val dir = java.nio.file.Files.createTempDirectory("topo_dir").toString
+    val pts = (0 until 200).map(i =>
+      (i.toLong, graft.geom.Wkb.write(graft.geom.Point(i * 0.37, i * 0.73))))
+      .toDF("fid", "geometry").repartition(3)
+    TopoJsonIO.writeDir(pts, dir, idColumn = Some("fid"), quantum = 100000)
+    assert(new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".topojson")) == 3)
+    val back = TopoJsonIO.read(spark, dir).df
+      .select($"id", expr("st_x(geometry)"), expr("st_y(geometry)"))
+      .as[(String, Double, Double)].collect()
+    assert(back.length == 200)
+    back.foreach { case (id, x, y) =>
+      val i = id.toInt
+      // quantization error <= half a grid step; the span is ~74/146 units
+      // over 1e5 steps
+      assert(math.abs(x - i * 0.37) < 1e-3, s"$id x=$x")
+      assert(math.abs(y - i * 0.73) < 1e-3, s"$id y=$y")
+    }
+  }
+
   test("unquantized topology and malformed documents") {
     val dir = java.nio.file.Files.createTempDirectory("topojson2").toString
     val plain = """{

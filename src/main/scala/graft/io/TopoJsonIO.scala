@@ -222,36 +222,155 @@ object TopoJsonIO {
     def qx(x: Double): Long = math.round((x - minX) / sx)
     def qy(y: Double): Long = math.round((y - minY) / sy)
 
-    val arcs = mutable.ArrayBuffer.empty[String]
-    def addArc(xy: Array[Double]): Int = {
-      val sb = new StringBuilder("[")
-      var px = 0L; var py = 0L
+    // quantize a line/ring, collapsing consecutive duplicate grid points
+    // (quantization can merge close vertices); interleaved (qx, qy) longs
+    def quant(xy: Array[Double]): Array[Long] = {
+      val out = mutable.ArrayBuffer.empty[Long]
       var i = 0
       while (i < xy.length) {
         val cx = qx(xy(i)); val cy = qy(xy(i + 1))
+        if (out.isEmpty || out(out.size - 2) != cx || out.last != cy) {
+          out += cx; out += cy
+        }
+        i += 2
+      }
+      out.toArray
+    }
+
+    // ---- junction detection (the topojson cut): a grid point is a
+    // junction when it is an open-line endpoint, or when two traversals
+    // see it with different unordered neighbor pairs. Shared-edge
+    // interiors see identical neighbors from both sides and stay
+    // junction-free, so whole shared boundaries dedup into one arc.
+    val neighborOf = mutable.HashMap.empty[Long, (Long, Long)]
+    val junctions = mutable.HashSet.empty[Long]
+    def keyAt(q: Array[Long], i: Int): Long = (q(2 * i) << 32) | q(2 * i + 1)
+    def visitSeq(q: Array[Long], ring: Boolean): Unit = {
+      val n = q.length / 2
+      if (n < 2) return
+      val m = if (ring) n - 1 else n // ring arrays are closed (last==first)
+      var i = 0
+      while (i < m) {
+        val p = keyAt(q, i)
+        val isEnd = !ring && (i == 0 || i == n - 1)
+        if (isEnd) junctions += p
+        else {
+          val prev = keyAt(q, if (i == 0) m - 1 else i - 1)
+          val next = keyAt(q, if (i == m - 1 && ring) 0
+                              else if (i == n - 1) i else i + 1)
+          val nb = if (prev <= next) (prev, next) else (next, prev)
+          neighborOf.get(p) match {
+            case None => neighborOf(p) = nb
+            case Some(x) => if (x != nb) junctions += p
+          }
+        }
+        i += 1
+      }
+    }
+    def collectSeqs(g: Geometry): Unit = g match {
+      case LineString(xy, _) => visitSeq(quant(xy), ring = false)
+      case Polygon(rings) => rings.foreach(r => visitSeq(quant(r), ring = true))
+      case c: graft.geom.GeometryCollectionLike => c.children.foreach(collectSeqs)
+      case _ => ()
+    }
+    rows.foreach(r => collectSeqs(r._4))
+
+    // ---- arc table with forward/reversed dedup
+    val arcs = mutable.ArrayBuffer.empty[String]
+    val arcIndex = mutable.HashMap.empty[String, Int]
+    def emitArc(seq: Array[Long]): Int = {
+      val sb = new StringBuilder("[")
+      var px = 0L; var py = 0L
+      val n = math.max(1, seq.length / 2)
+      var i = 0
+      while (i < n) {
+        // a fully-collapsed sequence still needs two positions per spec
+        val cx = seq(math.min(2 * i, seq.length - 2))
+        val cy = seq(math.min(2 * i + 1, seq.length - 1))
         if (i > 0) sb += ','
         sb ++= s"[${cx - px},${cy - py}]"
         px = cx; py = cy
-        i += 2
+        i += 1
       }
+      if (n == 1) sb ++= ",[0,0]"
       arcs += sb.append(']').result()
       arcs.length - 1
     }
+    def arcRef(seq: Array[Long]): Int = {
+      val fk = seq.mkString(",")
+      arcIndex.get(fk) match {
+        case Some(i) => i
+        case None =>
+          val n = seq.length / 2
+          val rev = new Array[Long](seq.length)
+          var i = 0
+          while (i < n) {
+            rev(2 * i) = seq(2 * (n - 1 - i)); rev(2 * i + 1) = seq(2 * (n - 1 - i) + 1)
+            i += 1
+          }
+          arcIndex.get(rev.mkString(",")) match {
+            case Some(j) => ~j
+            case None =>
+              val idx = emitArc(seq)
+              arcIndex(fk) = idx
+              idx
+          }
+      }
+    }
+    // split one quantized line/ring at junctions into deduped arc refs
+    def splitRefs(q: Array[Long], ring: Boolean): Seq[Int] = {
+      val n = q.length / 2
+      if (n < 2) return Seq(arcRef(q))
+      if (!ring) {
+        val cuts = (0 until n).filter(i =>
+          i == 0 || i == n - 1 || junctions.contains(keyAt(q, i)))
+        cuts.sliding(2).map { w =>
+          arcRef(q.slice(2 * w(0), 2 * w(1) + 2))
+        }.toSeq
+      } else {
+        val m = n - 1 // closed
+        val js = (0 until m).filter(i => junctions.contains(keyAt(q, i)))
+        if (js.isEmpty) Seq(arcRef(q)) // junction-free ring: one closed arc
+        else {
+          // rotate to start at a junction, then cut at every junction
+          val rot = js.head
+          def cyc(k: Int): Int = (rot + k) % m
+          val cuts = (0 to m).filter(k =>
+            k == 0 || k == m || junctions.contains(keyAt(q, cyc(k))))
+          cuts.sliding(2).map { w =>
+            val seq = new Array[Long](2 * (w(1) - w(0) + 1))
+            var k = w(0)
+            while (k <= w(1)) {
+              val src = cyc(k)
+              seq(2 * (k - w(0))) = q(2 * src)
+              seq(2 * (k - w(0)) + 1) = q(2 * src + 1)
+              k += 1
+            }
+            arcRef(seq)
+          }.toSeq
+        }
+      }
+    }
+
     def pos(x: Double, y: Double): String = s"[${qx(x)},${qy(y)}]"
+    def lineRefs(xy: Array[Double]): String =
+      splitRefs(quant(xy), ring = false).mkString(",")
+    def ringRefs(r: Array[Double]): String =
+      splitRefs(quant(r), ring = true).mkString(",")
     def geomJson(g: Geometry): String = g match {
       case Point(x, y, _) =>
         s"""{"type":"Point","coordinates":${pos(x, y)}}"""
       case MultiPoint(pts) =>
         s"""{"type":"MultiPoint","coordinates":[${pts.map(p => pos(p.x, p.y)).mkString(",")}]}"""
       case LineString(xy, _) =>
-        s"""{"type":"LineString","arcs":[${addArc(xy)}]}"""
+        s"""{"type":"LineString","arcs":[${lineRefs(xy)}]}"""
       case MultiLineString(ls) =>
-        s"""{"type":"MultiLineString","arcs":[${ls.map(l => s"[${addArc(l.xy)}]").mkString(",")}]}"""
+        s"""{"type":"MultiLineString","arcs":[${ls.map(l => s"[${lineRefs(l.xy)}]").mkString(",")}]}"""
       case Polygon(rings) =>
-        s"""{"type":"Polygon","arcs":[${rings.map(r => s"[${addArc(r)}]").mkString(",")}]}"""
+        s"""{"type":"Polygon","arcs":[${rings.map(r => s"[${ringRefs(r)}]").mkString(",")}]}"""
       case MultiPolygon(ps) =>
         s"""{"type":"MultiPolygon","arcs":[${ps.map(p =>
-          s"[${p.rings.map(r => s"[${addArc(r)}]").mkString(",")}]").mkString(",")}]}"""
+          s"[${p.rings.map(r => s"[${ringRefs(r)}]").mkString(",")}]").mkString(",")}]}"""
       case GeometryCollection(cs) =>
         s"""{"type":"GeometryCollection","geometries":[${cs.map(geomJson).mkString(",")}]}"""
       case other => throw new IllegalArgumentException(

@@ -129,6 +129,43 @@ class TopoJsonIOSpec extends AnyFunSuite {
     }
   }
 
+  test("write dedups shared boundaries into one arc (the topojson cut)") {
+    // two unit-grid squares sharing the x=40 edge: the canonical shape.
+    // A proper topology stores that edge ONCE; each square references it
+    // (one side reversed). Expected arcs: left outline + right outline +
+    // shared edge = 3, not the naive 2 closed rings.
+    val left = graft.geom.Polygon(Array(Array(
+      0.0, 0.0, 40.0, 0.0, 40.0, 40.0, 0.0, 40.0, 0.0, 0.0)))
+    val right = graft.geom.Polygon(Array(Array(
+      40.0, 0.0, 80.0, 0.0, 80.0, 40.0, 40.0, 40.0, 40.0, 0.0)))
+    val rows = Seq(("a", graft.geom.Wkb.write(left)),
+      ("b", graft.geom.Wkb.write(right))).toDF("fid", "geometry")
+    val f = java.io.File.createTempFile("topo_shared", ".topojson")
+    f.deleteOnExit()
+    TopoJsonIO.write(rows, f.getAbsolutePath, idColumn = Some("fid"),
+      quantum = 81)
+    val doc = new String(java.nio.file.Files.readAllBytes(f.toPath))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(doc)
+    assert(root.get("arcs").size() == 3, doc)
+    // one polygon must reference a reversed arc (negative = ones' complement)
+    val refs = root.get("objects").get("features").get("geometries")
+      .elements()
+    var sawNegative = false
+    while (refs.hasNext) {
+      val ring0 = refs.next().get("arcs").get(0)
+      val it = ring0.elements()
+      while (it.hasNext) if (it.next().asInt() < 0) sawNegative = true
+    }
+    assert(sawNegative, doc)
+    // and the geometry survives the roundtrip exactly (grid-aligned)
+    val back = TopoJsonIO.read(spark, f.getAbsolutePath).df
+      .select($"id", expr("st_area(geometry)"), expr("st_astext(geometry)"))
+      .as[(String, Double, String)].collect().sortBy(_._1)
+    assert(back.length == 2)
+    assert(back.forall(_._2 == 1600.0), back.map(_._3).mkString("; "))
+  }
+
   test("unquantized topology and malformed documents") {
     val dir = java.nio.file.Files.createTempDirectory("topojson2").toString
     val plain = """{

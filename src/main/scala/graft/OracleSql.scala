@@ -1017,6 +1017,85 @@ object OracleSql {
       SELECT lang, doc_id FROM r WHERE rn <= 20
       ORDER BY lang, doc_id""",
 
+    // interpolated bigram LM: identical token stream, counts, and
+    // interpolation arithmetic (1.0 - 0.7 computed, not written as a
+    // literal, so both engines hold the same IEEE value); ntile over ce
+    // ROUNDED to 4 decimals + doc_id tie-break = deterministic tiers
+    "t39_bigram_lm" -> """
+      WITH a AS (SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> length(x) > 0) AS a
+                 FROM documents),
+      uni AS (SELECT w, count(*)::BIGINT AS c_w
+              FROM (SELECT unnest(a) AS w FROM a) GROUP BY w),
+      tot AS (SELECT sum(c_w)::BIGINT AS c_total FROM uni),
+      pr AS (SELECT doc_id, a[i::INT] AS w1, a[i::INT + 1] AS w2
+             FROM a, LATERAL unnest(range(1, len(a))) t(i)
+             WHERE len(a) >= 2),
+      big AS (SELECT w1, w2, count(*)::BIGINT AS c_12 FROM pr GROUP BY w1, w2),
+      nll AS (SELECT doc_id,
+                -ln(0.7::DOUBLE * c_12::DOUBLE / u1.c_w::DOUBLE
+                    + (1.0::DOUBLE - 0.7::DOUBLE) * u2.c_w::DOUBLE / c_total::DOUBLE) AS v
+              FROM pr
+              JOIN big USING (w1, w2)
+              JOIN uni u1 ON u1.w = pr.w1
+              JOIN uni u2 ON u2.w = pr.w2, tot),
+      sc AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+               round(avg(v), 4) AS ce
+             FROM nll GROUP BY doc_id),
+      tiered AS (SELECT doc_id, n_bigrams, ce,
+                   ntile(3) OVER (ORDER BY ce, doc_id) AS tier
+                 FROM sc)
+      SELECT doc_id, n_bigrams, ce,
+             CASE tier WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                  ELSE 'tail' END AS lm_bucket
+      FROM tiered ORDER BY doc_id""",
+
+    // block dedup with rewrite: global first occurrence by min (doc_id,
+    // idx) per block hash; new_hash = md5 of the space-joined survivors
+    "t40_block_rewrite" -> """
+      WITH a AS (SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> length(x) > 0) AS toks
+                 FROM documents),
+      blk AS (SELECT doc_id, j::BIGINT AS idx,
+                array_to_string(toks[(j * 20 + 1)::INT : (j * 20 + 20)::INT], ' ') AS blk
+              FROM a, LATERAL unnest(range(0, (len(toks) - 1) // 20 + 1)) t(j)
+              WHERE len(toks) >= 1),
+      h AS (SELECT doc_id, idx, blk, md5(blk) AS hh FROM blk),
+      k AS (SELECT doc_id, idx, blk,
+              row_number() OVER (PARTITION BY hh ORDER BY doc_id, idx) = 1 AS keep
+            FROM h),
+      agg AS (SELECT doc_id, count(*)::BIGINT AS n_blocks,
+                sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+                array_to_string(list(blk ORDER BY idx) FILTER (WHERE keep), ' ')
+                  AS new_text
+              FROM k GROUP BY doc_id)
+      SELECT doc_id, n_blocks, n_kept,
+             round((n_blocks - n_kept)::DOUBLE / n_blocks::DOUBLE, 4)
+               AS removed_ratio,
+             md5(coalesce(new_text, '')) AS new_hash
+      FROM agg ORDER BY doc_id""",
+
+    // hashed linear scorer: same md5 bucket residue, same Knuth-hash
+    // weight synthesis, sigmoid(8 * mean weight) rounded to 4 decimals
+    "t41_quality_model" -> """
+      WITH toks AS (
+        SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                 x -> length(x) > 0)) AS w
+        FROM documents),
+      f AS (SELECT doc_id,
+              (('0x' || substr(md5(w), 1, 16))::UBIGINT % 64)::BIGINT AS b
+            FROM toks),
+      wt AS (SELECT i::BIGINT AS b,
+               ((i * 2654435761) % 1000)::DOUBLE / 1000.0::DOUBLE - 0.5::DOUBLE AS wt
+             FROM range(0, 64) t(i)),
+      sc AS (SELECT doc_id, count(*)::BIGINT AS n_toks, avg(wt.wt) AS raw
+             FROM f JOIN wt USING (b) GROUP BY doc_id)
+      SELECT doc_id, n_toks,
+             round(1.0::DOUBLE / (1.0::DOUBLE + exp(-raw * 8.0::DOUBLE)), 4) AS score,
+             CASE WHEN round(1.0::DOUBLE / (1.0::DOUBLE + exp(-raw * 8.0::DOUBLE)), 4) >= 0.5
+                  THEN 'keep' ELSE 'drop' END AS label
+      FROM sc ORDER BY doc_id""",
+
     "t28_ccnet_buckets" -> s"""
       WITH tk AS (SELECT doc_id, lang, len($docToks)::BIGINT AS n_tokens
                   FROM documents),

@@ -3023,6 +3023,59 @@ object SparkEntry {
         .orderBy(col("lang"), col("doc_id"))
     }),
 
+    // corpus-trained interpolated bigram LM -> per-doc cross-entropy ->
+    // CCNet perplexity tiers (the KenLM filter shape, bigram order so the
+    // oracle mirrors it exactly). The global ntile runs over ONE ROW PER
+    // DOC (the already-reduced score table), and on ce ROUNDED to 4
+    // decimals with a doc_id tie-break so the cross-engine ordering is
+    // identical despite last-ulp summation differences; the 100 TB
+    // swap-in is approx-percentile cutpoints exactly as t28.
+    "t39_bigram_lm" -> ((s, d) => {
+      val scored = graft.ops.TextAnalysis
+        .bigramLm(t(s, d, "documents"), "doc_id", "text", lambda = 0.7)
+        .withColumn("ce", round(col("cross_entropy"), 4))
+      val w = Window.orderBy(col("ce"), col("doc_id"))
+      scored.withColumn("_tier", ntile(3).over(w))
+        .select(col("doc_id"), col("n_bigrams"), col("ce"),
+          when(col("_tier") === 1, "head").when(col("_tier") === 2, "middle")
+            .otherwise("tail").as("lm_bucket"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // cross-doc block dedup WITH REWRITE (RefinedWeb line-dedup): every
+    // 20-token block occurring earlier anywhere in the corpus is removed
+    // and the doc text rebuilt from the survivors; new_hash witnesses the
+    // rewritten text byte-for-byte against the oracle's reconstruction.
+    "t40_block_rewrite" -> ((s, d) => {
+      graft.ops.Dedup.blockDedupRewrite(t(s, d, "documents"), "doc_id", "text",
+        blockTokens = 20)
+        .orderBy(col("doc_id"))
+    }),
+
+    // fastText-style hashed-bag-of-words linear quality classifier APPLY:
+    // tokens hash into 64 feature buckets (md5 residue - the oracle's
+    // exact mirror), the weight vector is a 64-row BROADCAST table (the
+    // model-apply plan shape: model rides to the data, corpus never
+    // shuffles beyond the per-doc reduce), score = sigmoid(8 * mean
+    // feature weight). Weights are a deterministic Knuth-hash formula so
+    // both engines synthesize the identical model.
+    "t41_quality_model" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"),
+          explode(expr("filter(split(text, ' '), x -> length(x) > 0)")).as("w"))
+      val weights = s.range(64).select(col("id").as("b"),
+        (((col("id") * lit(2654435761L)) % 1000).cast("double") / lit(1000.0)
+          - lit(0.5)).as("wt"))
+      toks.withColumn("b", gr_md5Bucket(col("w"), lit(64)))
+        .join(broadcast(weights), "b")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_toks"), avg(col("wt")).as("_raw"))
+        .select(col("doc_id"), col("n_toks"),
+          round(lit(1.0) / (lit(1.0) + exp(-col("_raw") * lit(8.0))), 4).as("score"))
+        .withColumn("label", when(col("score") >= 0.5, "keep").otherwise("drop"))
+        .orderBy(col("doc_id"))
+    }),
+
     // CCNet-style quality tiers (Wenzek et al. 2019): rank documents per
     // language by a quality proxy (token count) and cut the ranking into
     // head/middle/tail thirds — the bucket a CCNet pipeline keys its

@@ -676,6 +676,62 @@ object Dedup {
         col("n_windows"))
   }
 
+  /** Cross-document block-level dedup WITH REWRITE — the RefinedWeb /
+    * CCNet line-dedup shape (Penedo et al. 2023 drop duplicated lines and
+    * keep the rewritten page): documents split into fixed-`blockTokens`
+    * token blocks, every block occurrence after the global first
+    * occurrence (smallest (id, block index)) is removed, and each
+    * document's text is REBUILT from its surviving blocks. Unlike
+    * [[exact]] (whole-doc drop) or [[duplicateSpans]] (span REPORTING),
+    * this one changes the corpus text itself — the output row carries the
+    * rewritten document.
+    *
+    * Keep/drop decisions run on a hash-only relation: (md5(block), id,
+    * idx) aggregates to the per-hash first occurrence with map-side
+    * partial combine — a min over a 16-byte struct, no window sort and no
+    * per-key state proportional to occurrence count, so a boilerplate
+    * banner repeated 10^9 times costs 10^9 narrow rows into a partial
+    * min, not a 10^9-row sorted partition. The decision table (one row
+    * per DISTINCT block) joins back to the block stream on the hash (AQE
+    * skew-splits the hot hashes); the rebuild is one hash agg keyed by
+    * the id. Text crosses the wire once (the rebuild exchange). MD5 keys
+    * make the operator exactly SQL-mirrorable; a 2^-64 collision can only
+    * remove a block it shouldn't, never resurrect one.
+    */
+  def blockDedupRewrite(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockTokens: Int = 20): DataFrame = {
+    require(blockTokens >= 1, s"blockDedupRewrite: blockTokens >= 1 (got $blockTokens)")
+    val b = blockTokens
+    val blocks = df
+      .select(col(idCol).cast("long").as("_id"),
+        expr(s"filter(split($textCol, ' '), x -> length(x) > 0)").as("_toks"))
+      .filter(size(col("_toks")) >= 1)
+      .select(col("_id"), posexplode(expr(
+        s"transform(sequence(0, (size(_toks) - 1) div $b), " +
+          s"j -> concat_ws(' ', slice(_toks, j * $b + 1, $b)))"))
+        .as(Seq("_idx", "_blk")))
+      .withColumn("_h", md5(col("_blk")))
+    val first = blocks
+      .groupBy(col("_h"))
+      .agg(min(struct(col("_id"), col("_idx"))).as("_first"))
+    blocks.join(first, "_h")
+      .withColumn("_keep",
+        col("_id") === col("_first._id") && col("_idx") === col("_first._idx"))
+      .groupBy(col("_id"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("_keep"), 1L).otherwise(0L)).as("n_kept"),
+        concat_ws(" ", expr(
+          "transform(array_sort(collect_list(CASE WHEN _keep THEN struct(_idx, _blk) END)), e -> e._blk)"))
+          .as("new_text"))
+      .select(col("_id").as(idCol), col("n_blocks"), col("n_kept"),
+        round((col("n_blocks") - col("n_kept")).cast("double") / col("n_blocks"), 4)
+          .as("removed_ratio"),
+        md5(col("new_text")).as("new_hash"))
+  }
+
   /** Exact character-n-gram Jaccard similarity for all pairs within a
     * blocking key (e.g. language, or an LSH candidate cluster), thresholded.
     * Exact and therefore O(pairs-within-block) — use after LSH at scale;

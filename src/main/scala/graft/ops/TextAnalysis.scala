@@ -75,6 +75,54 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens").cast("long")).as("total_tokens"),
         round(avg(col("quality")), 4).as("avg_quality"))
+
+  /** Corpus-trained interpolated bigram language model, applied back to
+    * every document — the CCNet / KenLM perplexity-filter shape (Wenzek et
+    * al. 2019 train a 5-gram KenLM on Wikipedia and bucket CommonCrawl by
+    * per-doc perplexity; the bigram order keeps the oracle exactly
+    * SQL-mirrorable while exercising the identical plan).
+    *
+    * Model: p(w2|w1) = λ·c(w1w2)/c(w1) + (1−λ)·c(w2)/T over
+    * whitespace tokens (empty tokens dropped before adjacency, so the
+    * model sees the same stream the tokenizer emits). Output: one row per
+    * document with ≥2 tokens — `n_bigrams` and `cross_entropy` =
+    * avg(−ln p) (perplexity = exp of it).
+    *
+    * Scale shape (100 TB): the unigram and bigram count tables are
+    * plain hash aggregations with map-side partial combine; scoring joins
+    * the position stream to the count tables on the token keys — the
+    * count tables are corpus-vocabulary-sized, so neither side is
+    * broadcast structurally (AQE picks broadcast exactly when a count
+    * table fits, the t19 rule); the grand-total rides in as a 1-row
+    * broadcast. The per-doc reduce is a hash agg keyed by the id. Nothing
+    * in the plan holds unbounded per-key state.
+    */
+  def bigramLm(df: DataFrame, idCol: String, textCol: String,
+      lambda: Double = 0.7): DataFrame = {
+    require(lambda >= 0.0 && lambda <= 1.0, s"bigramLm: lambda in [0,1] (got $lambda)")
+    val a = df.select(col(idCol),
+      expr(s"filter(split($textCol, ' '), x -> length(x) > 0)").as("_a"))
+    val uni = a.select(explode(col("_a")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c_w"))
+    val tot = uni.agg(sum(col("c_w")).as("c_total"))
+    val pairs = a.filter(size(col("_a")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(0, size(_a) - 2), i -> struct(_a[i] AS w1, _a[i + 1] AS w2))"))
+        .as("p"))
+      .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val big = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_12"))
+    pairs
+      .join(big, Seq("w1", "w2"))
+      .join(uni.select(col("w").as("w1"), col("c_w").as("c_1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c_w").as("c_2")), Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .select(col(idCol),
+        (-log(lit(lambda) * col("c_12").cast("double") / col("c_1").cast("double")
+          + lit(1.0 - lambda) * col("c_2").cast("double") / col("c_total").cast("double")))
+          .as("nll"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), avg(col("nll")).as("cross_entropy"))
+  }
 }
 
 /** Multimodal column plumbing: images/audio/video ride as opaque binary

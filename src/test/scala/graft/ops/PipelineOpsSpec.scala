@@ -966,4 +966,42 @@ class PipelineOpsSpec extends AnyFunSuite {
       .map { case (a, b, s) => (a, b, math.rint(s * 1e9) / 1e9) }.toSet
     assert(got.nonEmpty && got === expected)
   }
+
+  test("bigramLm: hand-computed interpolated cross-entropy") {
+    // corpus: "a b a" + "a b" (+ a 1-token doc: excluded from scoring but
+    // its token still trains the unigram model).
+    // uni: a=3 b=2 solo=1, T=6; big: (a,b)=2 (b,a)=1
+    // p(b|a) = .7*2/3 + .3*2/6; p(a|b) = .7*1/2 + .3*3/6
+    val corpus = Seq((1L, "a b a"), (2L, "a b"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLm(corpus, "doc_id", "text", lambda = 0.7)
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    val pBA = 0.7 * 2.0 / 3.0 + 0.3 * 2.0 / 6.0
+    val pAB = 0.7 * 1.0 / 2.0 + 0.3 * 3.0 / 6.0
+    assert(got.map(_._1).toSeq == Seq(1L, 2L)) // the 1-token doc is absent
+    assert(got(0)._2 == 2L && got(1)._2 == 1L)
+    assert(math.abs(got(0)._3 - (-math.log(pBA) - math.log(pAB)) / 2.0) < 1e-12)
+    assert(math.abs(got(1)._3 - -math.log(pBA)) < 1e-12)
+  }
+
+  test("blockDedupRewrite: global first occurrence wins, docs rebuilt") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // blockTokens=2 → doc1 [a b][c d], doc2 [a b][x y], doc3 [c d],
+    // doc4 [p q][p q] (within-doc dup)
+    val corpus = Seq((1L, "a b c d"), (2L, "a b x y"), (3L, "c d"),
+      (4L, "p q p q")).toDF("doc_id", "text")
+    val out = Dedup.blockDedupRewrite(corpus, "doc_id", "text", blockTokens = 2)
+    // decision path is an aggregation, not a per-hash window sort
+    assert(!out.queryExecution.executedPlan.toString.contains("Window"),
+      "blockDedupRewrite must not plan a window over block hashes")
+    val got = out.as[(Long, Long, Long, Double, String)].collect()
+      .sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 2L, 2L, 0.0, md5hex("a b c d")),
+      (2L, 2L, 1L, 0.5, md5hex("x y")),
+      (3L, 1L, 0L, 1.0, md5hex("")),
+      (4L, 2L, 1L, 0.5, md5hex("p q"))), got.toString)
+  }
 }

@@ -1096,6 +1096,96 @@ object OracleSql {
                   THEN 'keep' ELSE 'drop' END AS label
       FROM sc ORDER BY doc_id""",
 
+    // BM25 (Lucene idf form): same tokenizer, same literal query set,
+    // same constant arithmetic (k1+1 etc. computed, not folded by hand);
+    // score rounded to 4 decimals + doc_id tie-break = deterministic rank
+    "t42_bm25" -> s"""
+      WITH base AS (SELECT doc_id, $docToks AS toks FROM documents),
+      d AS (SELECT doc_id, len(toks)::DOUBLE AS dl, toks FROM base),
+      st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM d),
+      qt(query_id, w) AS (VALUES
+        (1, 'fast'), (1, 'query'),
+        (2, 'table'), (2, 'scan'), (2, 'slow'),
+        (3, 'hash'), (3, 'join'),
+        (4, 'stream'), (4, 'window'),
+        (5, 'vector'), (5, 'column'), (5, 'data'),
+        (6, 'zz_absent_term')),
+      tok AS (SELECT doc_id, dl, unnest(toks) AS w FROM d),
+      tf AS (SELECT doc_id, dl, w, count(*)::DOUBLE AS tf
+             FROM tok WHERE w IN (SELECT w FROM qt)
+             GROUP BY doc_id, dl, w),
+      dfq AS (SELECT w, count(*)::DOUBLE AS df FROM tf GROUP BY w),
+      qidf AS (SELECT query_id, qt.w,
+                 ln(1.0::DOUBLE + (n - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE))
+                   AS idf,
+                 avgdl
+               FROM qt JOIN dfq ON dfq.w = qt.w, st),
+      c AS (SELECT query_id, doc_id,
+              idf * tf * (1.2::DOUBLE + 1.0::DOUBLE)
+                / (tf + 1.2::DOUBLE * ((1.0::DOUBLE - 0.75::DOUBLE)
+                    + 0.75::DOUBLE * dl / avgdl)) AS c
+            FROM tf JOIN qidf ON qidf.w = tf.w),
+      sc AS (SELECT query_id, doc_id, round(sum(c), 4) AS score
+             FROM c GROUP BY query_id, doc_id),
+      r AS (SELECT query_id, doc_id, score,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY score DESC, doc_id) AS rank
+            FROM sc)
+      SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, doc_id,
+             score
+      FROM r WHERE rank <= 10 ORDER BY query_id, rank""",
+
+    // Gopher rules: same tokenizer, same counters, same guarded ratio
+    // arithmetic; booleans compare directly
+    "t43_gopher_rules" -> s"""
+      WITH base AS (SELECT doc_id, text, $docToks AS toks,
+                      string_split(text, chr(10)) AS lines
+                    FROM documents),
+      m AS (SELECT doc_id,
+              len(toks)::BIGINT AS n_words,
+              len(lines)::BIGINT AS n_lines,
+              coalesce(list_sum(list_transform(toks, x -> length(x))), 0)::BIGINT
+                AS sumlen,
+              (length(text) - length(replace(text, '#', '')))::BIGINT AS nhash,
+              len(regexp_extract_all(text, '\\.\\.\\.'))::BIGINT AS nell,
+              len(list_filter(lines, l -> starts_with(ltrim(l), '-')
+                OR starts_with(ltrim(l), '*')
+                OR starts_with(ltrim(l), '•')))::BIGINT AS nbullet,
+              len(list_filter(lines, l -> ends_with(rtrim(l), '...')))::BIGINT
+                AS nellend,
+              len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]')))::BIGINT
+                AS nalpha,
+              ((CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END)
+               + (CASE WHEN list_contains(toks, 'a') THEN 1 ELSE 0 END)
+               + (CASE WHEN list_contains(toks, 'data') THEN 1 ELSE 0 END)
+               + (CASE WHEN list_contains(toks, 'value') THEN 1 ELSE 0 END))::BIGINT
+                AS nstop
+            FROM base),
+      r AS (SELECT doc_id, n_words,
+              round(CASE WHEN n_words >= 1
+                    THEN sumlen::DOUBLE / n_words::DOUBLE ELSE 0.0 END, 4)
+                AS mean_word_len,
+              round(CASE WHEN n_words >= 1
+                    THEN (nhash + nell)::DOUBLE / n_words::DOUBLE ELSE 0.0 END, 4)
+                AS symbol_ratio,
+              (n_words >= 30 AND n_words <= 100000) AS r_wordcount,
+              (n_words >= 1 AND sumlen::DOUBLE / n_words::DOUBLE >= 3.0
+                AND sumlen::DOUBLE / n_words::DOUBLE <= 10.0) AS r_wordlen,
+              (n_words >= 1
+                AND (nhash + nell)::DOUBLE <= 0.1::DOUBLE * n_words::DOUBLE)
+                AS r_symbol,
+              (nbullet::DOUBLE <= 0.9::DOUBLE * n_lines::DOUBLE) AS r_bullet,
+              (nellend::DOUBLE <= 0.3::DOUBLE * n_lines::DOUBLE) AS r_ellipsis,
+              (n_words >= 1
+                AND nalpha::DOUBLE >= 0.8::DOUBLE * n_words::DOUBLE) AS r_alpha,
+              (nstop >= 2) AS r_stop
+            FROM m)
+      SELECT doc_id, n_words, mean_word_len, symbol_ratio, r_wordcount,
+             r_wordlen, r_symbol, r_bullet, r_ellipsis, r_alpha, r_stop,
+             (r_wordcount AND r_wordlen AND r_symbol AND r_bullet
+               AND r_ellipsis AND r_alpha AND r_stop) AS keep
+      FROM r ORDER BY doc_id""",
+
     "t28_ccnet_buckets" -> s"""
       WITH tk AS (SELECT doc_id, lang, len($docToks)::BIGINT AS n_tokens
                   FROM documents),

@@ -3076,6 +3076,40 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // BM25 top-k retrieval over the corpus — the lexical probe behind
+    // retrieval-based curation (DSIR-style importance sampling, targeted
+    // quality audits). Literal query set; q6's term misses the corpus so
+    // the query returns no rows (absent-term path exercised). Plan shape:
+    // the corpus token stream filters to query terms via a codegen'd IN
+    // before anything wide, idf rides back as a broadcast, and the final
+    // ranking is the O(k)-state gr_topKByScore — the vocabulary is never
+    // aggregated and the corpus never self-joins.
+    "t42_bm25" -> ((s, d) => {
+      graft.ops.Retrieval.bm25TopK(t(s, d, "documents"), "doc_id", "text",
+        queries = Seq(
+          1L -> Seq("fast", "query"),
+          2L -> Seq("table", "scan", "slow"),
+          3L -> Seq("hash", "join"),
+          4L -> Seq("stream", "window"),
+          5L -> Seq("vector", "column", "data"),
+          6L -> Seq("zz_absent_term")),
+        k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Gopher quality-rule bundle (Rae et al. 2021 Appendix A): the
+    // pre-model document filters — word-count / word-length windows,
+    // symbol ratio, bullet/ellipsis line fractions, alphabetic-word
+    // fraction, stop-word floor — as one narrow codegen'd stage (no
+    // shuffle, no UDF). The word-count floor and stop list are retuned to
+    // the synthetic vocabulary so the output discriminates.
+    "t43_gopher_rules" -> ((s, d) => {
+      graft.ops.TextAnalysis.gopherRules(t(s, d, "documents"), "doc_id", "text",
+        minWords = 30, maxWords = 100000,
+        stopWords = Seq("the", "a", "data", "value"))
+        .orderBy(col("doc_id"))
+    }),
+
     // CCNet-style quality tiers (Wenzek et al. 2019): rank documents per
     // language by a quality proxy (token count) and cut the ranking into
     // head/middle/tail thirds — the bucket a CCNet pipeline keys its

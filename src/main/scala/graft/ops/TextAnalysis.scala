@@ -97,6 +97,72 @@ object TextAnalysis {
     * broadcast. The per-doc reduce is a hash agg keyed by the id. Nothing
     * in the plan holds unbounded per-key state.
     */
+  /** Gopher quality-rule bundle (Rae et al. 2021, Appendix A): the
+    * repetition-independent document filters a large-scale curation
+    * pipeline runs before any model-based scoring — word-count window,
+    * mean-word-length window, symbol-to-word ratio (# and ellipsis),
+    * bullet-start / ellipsis-end line fractions, alphabetic-word
+    * fraction, and a minimum stop-word hit count. Output: one row per
+    * document with each rule's boolean, the measured ratios, and the
+    * conjunction `keep`.
+    *
+    * Entirely narrow (one codegen'd stage over the text column, no
+    * shuffle, no UDF — higher-order array functions only), so it runs at
+    * scan speed on a 100 TB corpus. Thresholds are the paper's; the
+    * word-count window and stop list are parameters because they are the
+    * two knobs every deployment retunes.
+    */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+      minWords: Long = 50, maxWords: Long = 100000,
+      stopWords: Seq[String] = Seq("the", "be", "to", "of", "and", "that",
+        "have", "with")): DataFrame = {
+    require(stopWords.nonEmpty, "gopherRules: stop-word list must be non-empty")
+    val t = df.select(col(idCol), col(textCol).as("_tx"))
+      .withColumn("_toks", gr_tokens(col("_tx")))
+      .withColumn("n_words", size(col("_toks")).cast("long"))
+      .withColumn("_lines", split(col("_tx"), "\n"))
+      .withColumn("n_lines", size(col("_lines")).cast("long"))
+      .withColumn("_sumlen",
+        expr("aggregate(_toks, 0L, (a, x) -> a + length(x))"))
+      .withColumn("_nhash",
+        (length(col("_tx")) - length(regexp_replace(col("_tx"), "#", "")))
+          .cast("long"))
+      .withColumn("_nell", regexp_count(col("_tx"), lit("\\.\\.\\.")).cast("long"))
+      .withColumn("_nbullet", expr(
+        "size(filter(_lines, l -> startswith(ltrim(l), '-') OR " +
+          "startswith(ltrim(l), '*') OR startswith(ltrim(l), '•')))")
+        .cast("long"))
+      .withColumn("_nellend",
+        expr("size(filter(_lines, l -> endswith(rtrim(l), '...')))").cast("long"))
+      .withColumn("_nalpha",
+        expr("size(filter(_toks, x -> x rlike '[a-zA-Z]'))").cast("long"))
+      .withColumn("_nstop", stopWords.map(w =>
+        when(array_contains(col("_toks"), w), 1L).otherwise(0L))
+        .reduce(_ + _))
+    t.select(col(idCol), col("n_words"),
+      round(when(col("n_words") >= 1,
+        col("_sumlen").cast("double") / col("n_words")).otherwise(0.0), 4)
+        .as("mean_word_len"),
+      round(when(col("n_words") >= 1,
+        (col("_nhash") + col("_nell")).cast("double") / col("n_words"))
+        .otherwise(0.0), 4).as("symbol_ratio"),
+      (col("n_words") >= minWords && col("n_words") <= maxWords).as("r_wordcount"),
+      (col("n_words") >= 1 &&
+        col("_sumlen").cast("double") / col("n_words") >= 3.0 &&
+        col("_sumlen").cast("double") / col("n_words") <= 10.0).as("r_wordlen"),
+      (col("n_words") >= 1 &&
+        (col("_nhash") + col("_nell")).cast("double") <= lit(0.1) * col("n_words"))
+        .as("r_symbol"),
+      (col("_nbullet").cast("double") <= lit(0.9) * col("n_lines")).as("r_bullet"),
+      (col("_nellend").cast("double") <= lit(0.3) * col("n_lines")).as("r_ellipsis"),
+      (col("n_words") >= 1 &&
+        col("_nalpha").cast("double") >= lit(0.8) * col("n_words")).as("r_alpha"),
+      (col("_nstop") >= 2L).as("r_stop"))
+      .withColumn("keep",
+        col("r_wordcount") && col("r_wordlen") && col("r_symbol") &&
+          col("r_bullet") && col("r_ellipsis") && col("r_alpha") && col("r_stop"))
+  }
+
   def bigramLm(df: DataFrame, idCol: String, textCol: String,
       lambda: Double = 0.7): DataFrame = {
     require(lambda >= 0.0 && lambda <= 1.0, s"bigramLm: lambda in [0,1] (got $lambda)")

@@ -984,6 +984,57 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(math.abs(got(1)._3 - -math.log(pBA)) < 1e-12)
   }
 
+  test("gopherRules: each rule fires on its adversarial document") {
+    val good = (1 to 60).map(i => s"word$i").mkString(" ") + " the of"
+    val docs = Seq(
+      (1L, good), // passes everything
+      (2L, "tiny doc the of"), // word-count floor
+      (3L, (1 to 60).map(_ => "a").mkString(" ") + " the of"), // mean len < 3
+      (4L, (1 to 60).map(i => s"w$i####").mkString(" # # # # # # # ") + " the of"), // symbols
+      (5L, (1 to 60).map(i => s"- bullet$i the of").mkString("\n")), // bullets
+      (6L, (1 to 60).map(i => s"line$i the of...").mkString("\n")), // ellipsis ends
+      (7L, (1 to 60).map(i => s"$i$i$i$i").mkString(" ") + " the of"), // non-alpha
+      (8L, (1 to 60).map(i => s"word$i").mkString(" ")), // no stop words
+      (9L, "")) // empty
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(docs, "doc_id", "text", minWords = 50)
+      .orderBy("doc_id").collect()
+    def rules(r: org.apache.spark.sql.Row): Seq[Boolean] =
+      (4 to 10).map(r.getBoolean)
+    assert(out(0).getBoolean(11), "doc 1 must keep") // keep
+    assert(rules(out(1))(0) == false) // r_wordcount
+    assert(rules(out(2))(1) == false && out(2).getDouble(2) < 3.0) // r_wordlen
+    assert(rules(out(3))(2) == false && out(3).getDouble(3) > 0.1) // r_symbol
+    assert(rules(out(4))(3) == false) // r_bullet
+    assert(rules(out(5))(4) == false) // r_ellipsis
+    assert(rules(out(6))(5) == false) // r_alpha
+    assert(rules(out(7))(6) == false) // r_stop
+    assert(!out(8).getBoolean(11) && out(8).getLong(1) == 0L) // empty doc
+    assert(out.map(r => !r.getBoolean(11)).drop(1).forall(identity),
+      "docs 2-9 must all be dropped")
+  }
+
+  test("bm25TopK: hand-computed Lucene-idf scores, absent terms drop") {
+    // corpus: doc1 "x x y" doc2 "x z" doc3 "w"; N=3, avgdl=2
+    val corpus = Seq((1L, "x x y"), (2L, "x z"), (3L, "w")).toDF("doc_id", "text")
+    val out = Retrieval.bm25TopK(corpus, "doc_id", "text",
+      queries = Seq(7L -> Seq("x", "y"), 8L -> Seq("absent")), k = 2)
+    assert(!out.queryExecution.executedPlan.toString.contains("Window"),
+      "bm25TopK must rank via the bounded top-k aggregate, not a window")
+    val got = out.as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    val idfX = math.log(1.0 + (3.0 - 2.0 + 0.5) / 2.5)
+    val idfY = math.log(1.0 + (3.0 - 1.0 + 0.5) / 1.5)
+    val d1 = idfX * 2.0 * 2.2 / (2.0 + 1.2 * (0.25 + 0.75 * 3.0 / 2.0)) +
+      idfY * 2.2 / (1.0 + 1.2 * (0.25 + 0.75 * 3.0 / 2.0))
+    val d2 = idfX // tf=1, dl=avgdl → tf*(k1+1)/(tf+k1) = 1
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.map(r => (r._1, r._2, r._3)).toSeq ==
+      Seq((7L, 1L, 1L), (7L, 2L, 2L)), got.toSeq.toString) // query 8 absent
+    assert(math.abs(got(0)._4 - r4(d1)) < 1e-12)
+    assert(math.abs(got(1)._4 - r4(d2)) < 1e-12)
+  }
+
   test("blockDedupRewrite: global first occurrence wins, docs rebuilt") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")

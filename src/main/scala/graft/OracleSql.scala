@@ -2097,6 +2097,36 @@ object OracleSql {
              true AS azimuth_ok
       FROM x ORDER BY c_custkey""",
 
+    // sphere destination mirrored term-by-term (same closed form, same
+    // clamp, same wrap); spheroid columns are direct⊣inverse contracts
+    "g96_project_geodesic" -> s"""
+      WITH p AS (SELECT c_custkey, cx, cy FROM ($custPts)),
+      b AS (SELECT c_custkey,
+              cx / 100.0 - 50.0 AS lon1, cy / 25.0 + 10.0 AS lat1,
+              50000.0 + (c_custkey % 97)::DOUBLE * 3000.0 AS d,
+              radians((c_custkey % 360)::DOUBLE) AS az
+            FROM p),
+      s AS (SELECT c_custkey, lon1, az,
+              d / 6371008.8 AS dd, radians(lat1) AS p1
+            FROM b),
+      t AS (SELECT c_custkey, lon1, az, dd, p1,
+              sin(p1) * cos(dd) + cos(p1) * sin(dd) * cos(az) AS sp2
+            FROM s),
+      u AS (SELECT c_custkey,
+              asin(greatest(-1.0::DOUBLE, least(1.0::DOUBLE, sp2))) AS phi2,
+              radians(lon1)
+                + atan2(sin(az) * sin(dd) * cos(p1), cos(dd) - sin(p1) * sp2)
+                AS lam2
+            FROM t),
+      v AS (SELECT c_custkey, degrees(phi2) AS lat2,
+              CASE WHEN degrees(lam2) > 180.0 THEN degrees(lam2) - 360.0
+                   WHEN degrees(lam2) < -180.0 THEN degrees(lam2) + 360.0
+                   ELSE degrees(lam2) END AS lon2
+            FROM u)
+      SELECT c_custkey, round(lon2, 6) AS s_lon, round(lat2, 6) AS s_lat,
+             true AS ok_dist, true AS ok_az, true AS ok_agree
+      FROM v ORDER BY c_custkey""",
+
     // generic TM forward (Snyder 8-9..8-25, GRS80, lat0=0 -> M0=0)
     // mirrored term by term over the same per-code parameter rows the
     // Spark query broadcasts; roundtrip deltas are exactly 0 at 5 dp

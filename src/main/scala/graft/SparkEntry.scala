@@ -2199,6 +2199,35 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     }),
 
+    // geodesic point projection (PostGIS ST_Project on geography): the
+    // sphere destination is closed-form and mirrors term-by-term in SQL;
+    // Vincenty direct has no closed form, so the oracle checks its
+    // CONTRACT — the inverse problem recovers the input distance to a mm
+    // and the input azimuth to 1e-6 rad (direct ⊣ inverse exactness),
+    // and the sphere/spheroid destinations agree to the flattening scale
+    "g96_project_geodesic" -> ((s, d) => {
+      customerPts(s, d)
+        .withColumn("lon1", col("cx") / 100.0 - 50.0)
+        .withColumn("lat1", col("cy") / 25.0 + 10.0)
+        .withColumn("dm", lit(50000.0) + (col("c_custkey") % 97).cast("double") * 3000.0)
+        .withColumn("az", radians((col("c_custkey") % 360).cast("double")))
+        .withColumn("p1", st_point(col("lon1"), col("lat1")))
+        .withColumn("ps", st_projectSphere(col("p1"), col("dm"), col("az")))
+        .withColumn("pv", st_projectSpheroid(col("p1"), col("dm"), col("az")))
+        .withColumn("dv", st_distanceSpheroid(col("p1"), col("pv")))
+        .withColumn("azv", st_azimuthSpheroid(col("p1"), col("pv")))
+        .select(col("c_custkey"),
+          round(st_x(col("ps")), 6).as("s_lon"),
+          round(st_y(col("ps")), 6).as("s_lat"),
+          (abs(col("dv") - col("dm")) < 0.001).as("ok_dist"),
+          (abs(col("azv") - col("az")) < 1e-6 ||
+            abs(abs(col("azv") - col("az")) - lit(2.0 * math.Pi)) < 1e-6)
+            .as("ok_az"),
+          (st_distanceSphere(col("ps"), col("pv")) < col("dm") * 0.02)
+            .as("ok_agree"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // r10 adversarial overlay fixtures, distilled from the OverlayFuzzSpec
     // sweep's worst-case families (1200 seeded pairs; max area residual
     // 2.8e-12 landed on sliver-vs-jittered-sliver): micron slivers sharing

@@ -430,6 +430,30 @@ object GraftDefs {
       }
       walk(g)
     },
+    // PostGIS ST_Project(geography): destination point from start +
+    // distance (meters) + azimuth (radians clockwise from north) along
+    // the WGS84 geodesic (Vincenty direct) — the exact inverse of the
+    // st_distancespheroid/st_azimuthspheroid pair
+    "st_projectspheroid" -> Spec(Seq(B, D, D), B, { a =>
+      geom(a(0)) match {
+        case p: Point =>
+          val (lo, la) = Crs.geodesicDirect(p.x, p.y, dbl(a(2)), dbl(a(1)))
+          wkb(Point(lo, la))
+        case _ => throw new IllegalArgumentException(
+          "st_projectspheroid expects a POINT (lon/lat degrees)")
+      }
+    }),
+    // great-circle destination on the IUGG sphere (closed form — the
+    // SQL-mirrorable sibling, like st_distancesphere)
+    "st_projectsphere" -> Spec(Seq(B, D, D), B, { a =>
+      geom(a(0)) match {
+        case p: Point =>
+          val (lo, la) = Crs.sphereProject(p.x, p.y, dbl(a(2)), dbl(a(1)))
+          wkb(Point(lo, la))
+        case _ => throw new IllegalArgumentException(
+          "st_projectsphere expects a POINT (lon/lat degrees)")
+      }
+    }),
     // ---- predicates (reference expr.py:983-998)
     "st_intersects" -> g2(BO)(Predicates.intersects),
     "st_disjoint" -> g2(BO)(Predicates.disjoint),
@@ -2812,6 +2836,81 @@ object Crs {
         math.cos(p1) * math.sin(p2) - math.sin(p1) * math.cos(p2) * math.cos(dl))
     }
     math.atan2(cu2 * math.sin(lambda), cu1 * su2 - su1 * cu2 * math.cos(lambda))
+  }
+
+  /** Vincenty DIRECT problem on WGS84 (Vincenty 1975 eqs. 1-12): the
+    * point reached from (lon1, lat1) by travelling `distM` meters along
+    * the geodesic with initial azimuth `azRad` (clockwise from north).
+    * The exact inverse of [[geodesicDistance]]/[[geodesicAzimuth]] —
+    * PostGIS ST_Project(geography). The direct series always converges
+    * (no antipodal pathology: sigma iteration is a contraction for any
+    * distance), so there is no fallback branch.
+    */
+  def geodesicDirect(lon1: Double, lat1: Double,
+      azRad: Double, distM: Double): (Double, Double) = {
+    val a = 6378137.0; val f = 1.0 / 298.257223563
+    val b = a * (1.0 - f)
+    val sa1 = math.sin(azRad); val ca1 = math.cos(azRad)
+    val tu1 = (1.0 - f) * math.tan(math.toRadians(lat1))
+    val cu1 = 1.0 / math.sqrt(1.0 + tu1 * tu1)
+    val su1 = tu1 * cu1
+    val sigma1 = math.atan2(tu1, ca1)
+    val sinAlpha = cu1 * sa1
+    val cos2Alpha = 1.0 - sinAlpha * sinAlpha
+    val uSq = cos2Alpha * (a * a - b * b) / (b * b)
+    val bigA = 1.0 + uSq / 16384.0 *
+      (4096.0 + uSq * (-768.0 + uSq * (320.0 - 175.0 * uSq)))
+    val bigB = uSq / 1024.0 * (256.0 + uSq * (-128.0 + uSq * (74.0 - 47.0 * uSq)))
+    var sigma = distM / (b * bigA)
+    var iter = 0
+    var done = false
+    var cos2SigmaM = 0.0; var ss = 0.0; var cs = 0.0
+    while (iter < 100 && !done) {
+      cos2SigmaM = math.cos(2.0 * sigma1 + sigma)
+      ss = math.sin(sigma); cs = math.cos(sigma)
+      val dSigma = bigB * ss * (cos2SigmaM + bigB / 4.0 *
+        (cs * (-1.0 + 2.0 * cos2SigmaM * cos2SigmaM) -
+          bigB / 6.0 * cos2SigmaM * (-3.0 + 4.0 * ss * ss) *
+            (-3.0 + 4.0 * cos2SigmaM * cos2SigmaM)))
+      val next = distM / (b * bigA) + dSigma
+      if (math.abs(next - sigma) < 1e-13) done = true
+      sigma = next
+      iter += 1
+    }
+    cos2SigmaM = math.cos(2.0 * sigma1 + sigma)
+    ss = math.sin(sigma); cs = math.cos(sigma)
+    val tmp = su1 * ss - cu1 * cs * ca1
+    val phi2 = math.atan2(su1 * cs + cu1 * ss * ca1,
+      (1.0 - f) * math.sqrt(sinAlpha * sinAlpha + tmp * tmp))
+    val lambda = math.atan2(ss * sa1, cu1 * cs - su1 * ss * ca1)
+    val c = f / 16.0 * cos2Alpha * (4.0 + f * (4.0 - 3.0 * cos2Alpha))
+    val bigL = lambda - (1.0 - c) * f * sinAlpha * (sigma +
+      c * ss * (cos2SigmaM + c * cs * (-1.0 + 2.0 * cos2SigmaM * cos2SigmaM)))
+    var lon2 = lon1 + math.toDegrees(bigL)
+    if (lon2 > 180.0) lon2 -= 360.0
+    if (lon2 < -180.0) lon2 += 360.0
+    (lon2, math.toDegrees(phi2))
+  }
+
+  /** Great-circle direct problem on the IUGG mean radius (the sphere
+    * paired with [[sphereDistance]]): destination point from start,
+    * initial bearing `azRad` and distance `distM`. Closed form, so it
+    * mirrors term-by-term in SQL.
+    */
+  def sphereProject(lon1: Double, lat1: Double,
+      azRad: Double, distM: Double): (Double, Double) = {
+    val r = 6371008.8
+    val d = distM / r
+    val p1 = math.toRadians(lat1)
+    val sp2 = math.sin(p1) * math.cos(d) + math.cos(p1) * math.sin(d) * math.cos(azRad)
+    val phi2 = math.asin(math.max(-1.0, math.min(1.0, sp2)))
+    val lam2 = math.toRadians(lon1) + math.atan2(
+      math.sin(azRad) * math.sin(d) * math.cos(p1),
+      math.cos(d) - math.sin(p1) * sp2)
+    var lon2 = math.toDegrees(lam2)
+    if (lon2 > 180.0) lon2 -= 360.0
+    if (lon2 < -180.0) lon2 += 360.0
+    (lon2, math.toDegrees(phi2))
   }
 
   /** Great-circle distance (haversine) on the IUGG mean Earth radius

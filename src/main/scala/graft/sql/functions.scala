@@ -70,6 +70,10 @@ object functions {
   def st_areaSpheroid(g: Column): Column = fn("st_areaspheroid", g)
   def st_azimuthSpheroid(a: Column, b: Column): Column = fn("st_azimuthspheroid", a, b)
   def st_perimeterSpheroid(g: Column): Column = fn("st_perimeterspheroid", g)
+  def st_projectSpheroid(p: Column, distM: Column, azRad: Column): Column =
+    fn("st_projectspheroid", p, distM, azRad)
+  def st_projectSphere(p: Column, distM: Column, azRad: Column): Column =
+    fn("st_projectsphere", p, distM, azRad)
 
   // -------------------------------------------------------------- predicates
   def st_intersects(a: Column, b: Column): Column = fn("st_intersects", a, b)

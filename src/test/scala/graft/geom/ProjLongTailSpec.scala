@@ -755,4 +755,38 @@ class ProjLongTailSpec extends AnyFunSuite {
     val (rx, ry) = new Crs.Mollweide(6378137.0, 0.0, 0.0, 0.0).forward(40.0, -20.0)
     assert(mx == rx && my == ry)
   }
+
+  test("geodesicDirect: direct ⊣ inverse exactness, anchors, sphere twin") {
+    // direct ⊣ inverse: the inverse problem on the direct's output must
+    // recover the input distance (sub-mm) and azimuth (1e-8 rad) across
+    // latitudes, bearings and distances up to 5000 km
+    for (lat <- Seq(-70.0, -33.0, 0.0, 12.0, 48.0, 71.0);
+         azDeg <- Seq(0.0, 37.0, 90.0, 133.0, 180.0, 245.0, 359.0);
+         d <- Seq(1000.0, 250000.0, 5000000.0)) {
+      val az = math.toRadians(azDeg)
+      val (lo2, la2) = Crs.geodesicDirect(10.0, lat, az, d)
+      val dBack = Crs.geodesicDistance(10.0, lat, lo2, la2)
+      assert(math.abs(dBack - d) < 1e-3, s"dist $lat $azDeg $d -> $dBack")
+      val azBack = Crs.geodesicAzimuth(10.0, lat, lo2, la2)
+      val w = math.abs(azBack - az) min math.abs(math.abs(azBack - az) - 2 * math.Pi)
+      assert(w < 1e-8, s"az $lat $azDeg $d -> $azBack vs $az")
+    }
+    // due north from the equator by the WGS84 quarter meridian reaches
+    // the pole (meridian arc length: independent published constant)
+    val (_, laPole) = Crs.geodesicDirect(0.0, 0.0, 0.0, 10001965.7293)
+    assert(math.abs(laPole - 90.0) < 1e-5, s"quarter meridian -> $laPole")
+    // the equator is a geodesic: due east stays on it, arc = d / a
+    val (loE, laE) = Crs.geodesicDirect(0.0, 0.0, math.Pi / 2, 1000000.0)
+    assert(math.abs(laE) < 1e-9 &&
+      math.abs(loE - math.toDegrees(1000000.0 / 6378137.0)) < 1e-9)
+    // sphere twin: due-north displacement is exactly degrees(d/R); wraps
+    // across the antimeridian
+    val (loN, laN) = Crs.sphereProject(5.0, 10.0, 0.0, 111194.9266)
+    assert(math.abs(loN - 5.0) < 1e-9 &&
+      math.abs(laN - (10.0 + math.toDegrees(111194.9266 / 6371008.8))) < 1e-9)
+    val (loW, _) = Crs.sphereProject(179.5, 0.0, math.Pi / 2, 200000.0)
+    assert(loW < -178.0, s"antimeridian wrap -> $loW")
+    val (loWv, _) = Crs.geodesicDirect(179.5, 0.0, math.Pi / 2, 200000.0)
+    assert(loWv < -178.0, s"spheroid antimeridian wrap -> $loWv")
+  }
 }

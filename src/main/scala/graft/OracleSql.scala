@@ -2097,6 +2097,23 @@ object OracleSql {
              true AS azimuth_ok
       FROM x ORDER BY c_custkey""",
 
+    // closed-form inscribed-circle radii (same arithmetic); the search
+    // columns are contract booleans
+    "g97_max_inscribed_circle" -> """
+      SELECT s_suppkey,
+             least(w, h) / 2.0 AS rect_r_exact,
+             greatest(least(w / 2.0, h), h / 4.0,
+               CASE WHEN w + h / 2.0 - sqrt(w * h) <= h / 2.0
+                    THEN w + h / 2.0 - sqrt(w * h) ELSE 0.0 END)
+               AS hole_r_exact,
+             true AS ok_rect, true AS ok_hole,
+             true AS ok_center_rect, true AS ok_center_holed
+      FROM (SELECT s_suppkey,
+              ((s_suppkey % 5) + 2)::DOUBLE AS w,
+              ((s_suppkey % 4) + 1)::DOUBLE AS h
+            FROM supplier)
+      ORDER BY s_suppkey""",
+
     // sphere destination mirrored term-by-term (same closed form, same
     // clamp, same wrap); spheroid columns are direct⊣inverse contracts
     "g96_project_geodesic" -> s"""

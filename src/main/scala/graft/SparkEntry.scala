@@ -2228,6 +2228,58 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     }),
 
+    // maximum inscribed circle (shapely 2.x / PostGIS surface, polylabel
+    // search): the oracle is the CLOSED FORM — a w×h rectangle's largest
+    // inscribed circle has r = min(w,h)/2, and a 4w×2h rectangle with a
+    // centered 2w×h hole forces the circle into a side band
+    // (r = max(min(w/2, h), h/4)); the search must land within its
+    // tolerance of both, with the center covered by the input
+    "g97_max_inscribed_circle" -> ((s, d) => {
+      t(s, d, "supplier")
+        .withColumn("w", ((col("s_suppkey") % 5) + 2).cast("double"))
+        .withColumn("h", ((col("s_suppkey") % 4) + 1).cast("double"))
+        .withColumn("ox", (col("s_suppkey") % 13).cast("double") * 3.0)
+        .withColumn("oy", (col("s_suppkey") % 11).cast("double") * 3.0)
+        .withColumn("rect", st_makeEnvelope(col("ox"), col("oy"),
+          col("ox") + col("w"), col("oy") + col("h")))
+        .withColumn("holed", st_geomFromWKT(concat(
+          lit("POLYGON (("), col("ox"), lit(" "), col("oy"), lit(", "),
+          col("ox") + col("w") * 4.0, lit(" "), col("oy"), lit(", "),
+          col("ox") + col("w") * 4.0, lit(" "), col("oy") + col("h") * 2.0,
+          lit(", "), col("ox"), lit(" "), col("oy") + col("h") * 2.0,
+          lit(", "), col("ox"), lit(" "), col("oy"), lit("), ("),
+          col("ox") + col("w"), lit(" "), col("oy") + col("h") / 2.0,
+          lit(", "), col("ox") + col("w") * 3.0, lit(" "),
+          col("oy") + col("h") / 2.0, lit(", "),
+          col("ox") + col("w") * 3.0, lit(" "), col("oy") + col("h") * 1.5,
+          lit(", "), col("ox") + col("w"), lit(" "),
+          col("oy") + col("h") * 1.5, lit(", "),
+          col("ox") + col("w"), lit(" "), col("oy") + col("h") / 2.0,
+          lit("))"))))
+        .withColumn("lr", st_maximumInscribedCircle(col("rect"), lit(0.001)))
+        .withColumn("lh", st_maximumInscribedCircle(col("holed"), lit(0.001)))
+        .withColumn("rect_r_exact", least(col("w"), col("h")) / 2.0)
+        // three candidate families: side band min(G/2, H/2), top band
+        // Gv/2, and the corner pocket tangent to two outer edges and the
+        // hole corner — r = (G+Gv) − sqrt(2·G·Gv), self-consistent only
+        // while r ≤ Gv (center below the hole's bottom edge; here Gv =
+        // h/2 ≤ G = w always)
+        .withColumn("rc", col("w") + col("h") / 2.0 - sqrt(col("w") * col("h")))
+        .withColumn("hole_r_exact",
+          greatest(least(col("w") / 2.0, col("h")), col("h") / 4.0,
+            when(col("rc") <= col("h") / 2.0, col("rc")).otherwise(0.0)))
+        .select(col("s_suppkey"), col("rect_r_exact"), col("hole_r_exact"),
+          (abs(st_length(col("lr")) - col("rect_r_exact")) <= 0.01)
+            .as("ok_rect"),
+          (abs(st_length(col("lh")) - col("hole_r_exact")) <= 0.01)
+            .as("ok_hole"),
+          st_covers(col("rect"), st_pointN(col("lr"), lit(1)))
+            .as("ok_center_rect"),
+          st_covers(col("holed"), st_pointN(col("lh"), lit(1)))
+            .as("ok_center_holed"))
+        .orderBy(col("s_suppkey"))
+    }),
+
     // r10 adversarial overlay fixtures, distilled from the OverlayFuzzSpec
     // sweep's worst-case families (1200 seeded pairs; max area residual
     // 2.8e-12 landed on sliver-vs-jittered-sliver): micron slivers sharing

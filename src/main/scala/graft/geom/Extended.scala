@@ -215,6 +215,90 @@ object Extended {
     else Constructive.circle(cx, cy, r, math.max(1, resolution) * 4)
   }
 
+  /** Largest circle fully contained in a polygonal geometry (shapely 2.x
+    * maximum_inscribed_circle / PostGIS ST_MaximumInscribedCircle),
+    * located with the polylabel quadtree search (Mapbox 2016): cells are
+    * explored best-first by `signedDist(center) + half·√2` (an upper
+    * bound on any point in the cell) and subdivided until the bound is
+    * within `tolerance` of the best center found — so the returned
+    * radius is within `tolerance` of the true optimum. Holes are handled
+    * by the signed distance (negative outside the area, including inside
+    * a hole); multipolygons converge into whichever part holds the
+    * larger circle. The search order is a deterministic total order
+    * (bound, then coordinates), so results are bit-stable across runs
+    * and partition layouts.
+    *
+    * Returns the shapely convention: a 2-point LineString from the
+    * circle center to the nearest boundary point (radius = its length);
+    * empty input → empty LineString. `tolerance <= 0` → max bbox
+    * dimension / 1000 (the PostGIS default).
+    */
+  def maximumInscribedCircle(g: Geometry, tolerance: Double = 0.0): Geometry = {
+    if (g.isEmpty) return LineString(Array.empty[Double])
+    require(g.topoDim == 2,
+      "maximum_inscribed_circle expects a (multi)polygon input")
+    val env = g.envelope
+    val w = env.maxX - env.minX
+    val h = env.maxY - env.minY
+    val bnd = Constructive.boundary(g)
+    def sd(x: Double, y: Double): Double = {
+      val p = Point(x, y)
+      val d = Measures.distance(p, bnd)
+      val dd = if (d.isNaN) 0.0 else d
+      if (Predicates.covers(g, p)) dd else -dd
+    }
+    if (w == 0.0 || h == 0.0) {
+      // degenerate (zero-area) polygon: center = bbox midpoint, radius 0
+      val cx = (env.minX + env.maxX) / 2.0; val cy = (env.minY + env.maxY) / 2.0
+      return LineString(Array(cx, cy, cx, cy))
+    }
+    val tol = if (tolerance > 0) tolerance else math.max(w, h) / 1000.0
+    val sqrt2 = math.sqrt(2.0)
+    final case class Cell(x: Double, y: Double, half: Double, d: Double) {
+      val pot: Double = d + half * sqrt2
+    }
+    def cell(x: Double, y: Double, half: Double) = Cell(x, y, half, sd(x, y))
+    // deterministic total order: bound first, then coordinates
+    val pq = mutable.PriorityQueue.empty[Cell](
+      Ordering.by((c: Cell) => (c.pot, -c.x, -c.y, c.half)))
+    val cellSize = math.min(w, h)
+    val half0 = cellSize / 2.0
+    var gx = env.minX
+    while (gx < env.maxX) {
+      var gy = env.minY
+      while (gy < env.maxY) {
+        pq.enqueue(cell(gx + half0, gy + half0, half0))
+        gy += cellSize
+      }
+      gx += cellSize
+    }
+    // seed with the bbox center and a guaranteed-interior point so the
+    // search never starts from an all-negative frontier
+    var best = cell((env.minX + env.maxX) / 2.0, (env.minY + env.maxY) / 2.0, 0.0)
+    val pos = Constructive.pointOnSurface(g)
+    if (!pos.isEmpty) {
+      val c = cell(pos.x, pos.y, 0.0)
+      if (c.d > best.d) best = c
+    }
+    while (pq.nonEmpty) {
+      val c = pq.dequeue()
+      if (c.d > best.d) best = c
+      if (c.pot - best.d > tol) {
+        val nh = c.half / 2.0
+        pq.enqueue(cell(c.x - nh, c.y - nh, nh))
+        pq.enqueue(cell(c.x + nh, c.y - nh, nh))
+        pq.enqueue(cell(c.x - nh, c.y + nh, nh))
+        pq.enqueue(cell(c.x + nh, c.y + nh, nh))
+      }
+    }
+    val center = Point(best.x, best.y)
+    if (best.d <= 0.0) return LineString(Array(best.x, best.y, best.x, best.y))
+    shortestLine(center, bnd) match {
+      case l: LineString if l.xy.length >= 4 => l
+      case _ => LineString(Array(best.x, best.y, best.x, best.y))
+    }
+  }
+
   /** Minimum-area rotated rectangle of the convex hull (shapely
     * oriented_envelope / minimum_rotated_rectangle): one candidate
     * rectangle per hull edge, aligned to it. Degenerate inputs (point,

@@ -563,6 +563,11 @@ object GraftDefs {
     },
     "st_minimumboundingcircle" -> Spec(Seq(B, I), B,
       a => wkb(Extended.minimumBoundingCircle(geom(a(0)), int(a(1))))),
+    // shapely 2.x maximum_inscribed_circle / PostGIS
+    // ST_MaximumInscribedCircle (polylabel search): 2-point LineString
+    // center -> nearest boundary point; radius = st_length of it
+    "st_maximuminscribedcircle" -> Spec(Seq(B, D), B,
+      a => wkb(Extended.maximumInscribedCircle(geom(a(0)), dbl(a(1))))),
     "st_orientedenvelope" -> g1(B)(g => wkb(Extended.orientedEnvelope(g))),
     "st_shortestline" -> g2(B)((x, y) => wkb(Extended.shortestLine(x, y))),
     // shapely.ops.nearest_points / PostGIS ST_ClosestPoint: the point ON

@@ -557,6 +557,52 @@ class ExtendedSpec extends AnyFunSuite {
     }
   }
 
+  test("maximumInscribedCircle: closed-form shapes, holes, multipolygon") {
+    def mic(s: String, tol: Double = 1e-3): (Double, Double, Double) = {
+      val l = Extended.maximumInscribedCircle(wkt(s), tol).asInstanceOf[LineString]
+      val r = Measures.length(l)
+      (l.xy(0), l.xy(1), r)
+    }
+    // square 10x10: incircle r=5 centered
+    val (sx, sy, sr) = mic("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+    assert(math.abs(sr - 5.0) < 0.01 &&
+      math.abs(sx - 5.0) < 0.01 && math.abs(sy - 5.0) < 0.01)
+    // rectangle 20x6: r=3, center on the y=3 midline (x anywhere in [3,17])
+    val (rx, ry, rr) = mic("POLYGON ((0 0, 20 0, 20 6, 0 6, 0 0))")
+    assert(math.abs(rr - 3.0) < 0.01 && math.abs(ry - 3.0) < 0.01 &&
+      rx > 2.9 && rx < 17.1)
+    // 9-12-15 right triangle: incircle r = (9+12-15)/2 = 3 at (3,3)
+    val (tx, ty, tr) = mic("POLYGON ((0 0, 12 0, 0 9, 0 0))")
+    assert(math.abs(tr - 3.0) < 0.01 &&
+      math.abs(tx - 3.0) < 0.01 && math.abs(ty - 3.0) < 0.01)
+    // 20x10 outer, centered 8x4 hole: best circle sits in a side band,
+    // r = min((20-8)/2, 10)/2 = 3 (top/bottom bands allow only 1.5)
+    val (hx, hy, hr) = mic(
+      "POLYGON ((0 0, 20 0, 20 10, 0 10, 0 0), (6 3, 14 3, 14 7, 6 7, 6 3))")
+    assert(math.abs(hr - 3.0) < 0.01, s"hole case r=$hr at ($hx,$hy)")
+    // multipolygon: converges into the larger part
+    val (mx2, _, mr2) = mic(
+      "MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, 0 0)), ((10 0, 20 0, 20 10, 10 10, 10 0)))")
+    assert(math.abs(mr2 - 5.0) < 0.01 && mx2 > 10.0)
+    // radius equals the returned line's length and the center is covered
+    val line = Extended.maximumInscribedCircle(
+      wkt("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"), 1e-3)
+      .asInstanceOf[LineString]
+    assert(Predicates.covers(wkt("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"),
+      Point(line.xy(0), line.xy(1))))
+    // determinism: two runs bit-identical
+    val a = Extended.maximumInscribedCircle(wkt(
+      "POLYGON ((0 0, 20 0, 20 6, 0 6, 0 0))"), 1e-3).asInstanceOf[LineString]
+    val b = Extended.maximumInscribedCircle(wkt(
+      "POLYGON ((0 0, 20 0, 20 6, 0 6, 0 0))"), 1e-3).asInstanceOf[LineString]
+    assert(a.xy.sameElements(b.xy))
+    // empty and non-areal inputs
+    assert(Extended.maximumInscribedCircle(wkt("POLYGON EMPTY"), 1e-3).isEmpty)
+    intercept[IllegalArgumentException] {
+      Extended.maximumInscribedCircle(wkt("LINESTRING (0 0, 1 1)"), 1e-3)
+    }
+  }
+
   test("minimumClearance vertex-vertex case and infinite cases") {
     assert(Extended.minimumClearance(wkt("LINESTRING (0 0, 7 0)")) == 7.0)
     assert(Extended.minimumClearance(wkt("POINT (1 1)")).isPosInfinity)

@@ -2256,8 +2256,8 @@ object SparkEntry {
           col("oy") + col("h") * 1.5, lit(", "),
           col("ox") + col("w"), lit(" "), col("oy") + col("h") / 2.0,
           lit("))"))))
-        .withColumn("lr", st_maximumInscribedCircle(col("rect"), lit(0.001)))
-        .withColumn("lh", st_maximumInscribedCircle(col("holed"), lit(0.001)))
+        .withColumn("lr", st_maximumInscribedCircle(col("rect"), lit(0.01)))
+        .withColumn("lh", st_maximumInscribedCircle(col("holed"), lit(0.01)))
         .withColumn("rect_r_exact", least(col("w"), col("h")) / 2.0)
         // three candidate families: side band min(G/2, H/2), top band
         // Gv/2, and the corner pocket tangent to two outer edges and the
@@ -2269,9 +2269,9 @@ object SparkEntry {
           greatest(least(col("w") / 2.0, col("h")), col("h") / 4.0,
             when(col("rc") <= col("h") / 2.0, col("rc")).otherwise(0.0)))
         .select(col("s_suppkey"), col("rect_r_exact"), col("hole_r_exact"),
-          (abs(st_length(col("lr")) - col("rect_r_exact")) <= 0.01)
+          (abs(st_length(col("lr")) - col("rect_r_exact")) <= 0.03)
             .as("ok_rect"),
-          (abs(st_length(col("lh")) - col("hole_r_exact")) <= 0.01)
+          (abs(st_length(col("lh")) - col("hole_r_exact")) <= 0.03)
             .as("ok_hole"),
           st_covers(col("rect"), st_pointN(col("lr"), lit(1)))
             .as("ok_center_rect"),

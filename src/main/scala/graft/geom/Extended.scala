@@ -257,12 +257,30 @@ object Extended {
     final case class Cell(x: Double, y: Double, half: Double, d: Double) {
       val pot: Double = d + half * sqrt2
     }
-    def cell(x: Double, y: Double, half: Double) = Cell(x, y, half, sd(x, y))
+    // best is updated at EVALUATION time (not dequeue), which licenses
+    // the early exit below: the queue is ordered by pot, so once the top
+    // cell's bound is within tol of best, no remaining cell can do
+    // better than tol — stop instead of draining the frontier (on
+    // rectangle-like inputs the optimum is a 1-D ridge of centers and a
+    // full drain subdivides linearly in 1/tol along it)
+    var best: Cell = null
+    def cell(x: Double, y: Double, half: Double): Cell = {
+      val c = Cell(x, y, half, sd(x, y))
+      if (best == null || c.d > best.d ||
+          (c.d == best.d && (c.x < best.x || (c.x == best.x && c.y < best.y))))
+        best = Cell(c.x, c.y, 0.0, c.d)
+      c
+    }
     // deterministic total order: bound first, then coordinates
     val pq = mutable.PriorityQueue.empty[Cell](
       Ordering.by((c: Cell) => (c.pot, -c.x, -c.y, c.half)))
     val cellSize = math.min(w, h)
     val half0 = cellSize / 2.0
+    // seed with the bbox center and a guaranteed-interior point so the
+    // search never starts from an all-negative frontier
+    cell((env.minX + env.maxX) / 2.0, (env.minY + env.maxY) / 2.0, 0.0)
+    val pos = Constructive.pointOnSurface(g)
+    if (!pos.isEmpty) cell(pos.x, pos.y, 0.0)
     var gx = env.minX
     while (gx < env.maxX) {
       var gy = env.minY
@@ -272,18 +290,11 @@ object Extended {
       }
       gx += cellSize
     }
-    // seed with the bbox center and a guaranteed-interior point so the
-    // search never starts from an all-negative frontier
-    var best = cell((env.minX + env.maxX) / 2.0, (env.minY + env.maxY) / 2.0, 0.0)
-    val pos = Constructive.pointOnSurface(g)
-    if (!pos.isEmpty) {
-      val c = cell(pos.x, pos.y, 0.0)
-      if (c.d > best.d) best = c
-    }
-    while (pq.nonEmpty) {
+    var go = true
+    while (go && pq.nonEmpty) {
       val c = pq.dequeue()
-      if (c.d > best.d) best = c
-      if (c.pot - best.d > tol) {
+      if (c.pot - best.d <= tol) go = false
+      else {
         val nh = c.half / 2.0
         pq.enqueue(cell(c.x - nh, c.y - nh, nh))
         pq.enqueue(cell(c.x + nh, c.y - nh, nh))

@@ -1186,6 +1186,71 @@ object OracleSql {
                AND r_ellipsis AND r_alpha AND r_stop) AS keep
       FROM r ORDER BY doc_id""",
 
+    // PageRank: same md5 link synthesis, same contribution weights, the
+    // same left-associated update formula with (1.0 - 0.85) computed so
+    // both engines hold the identical IEEE constant; 3 unrolled
+    // iterations, rounded to 10 dp
+    "t44_pagerank" -> """
+      WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+      e AS (SELECT doc_id AS src,
+              ((('0x' || substr(md5('lnk:' || doc_id || ':' || j), 1, 16))::UBIGINT
+                % 1000000000)::BIGINT % n) AS dst
+            FROM documents, nn, (VALUES (0), (1), (2)) t(j)),
+      deg AS (SELECT src, count(*)::BIGINT AS deg FROM e GROUP BY src),
+      c AS (SELECT src, dst, 1.0::DOUBLE / deg::DOUBLE AS w
+            FROM e JOIN deg USING (src)),
+      nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+      r0 AS (SELECT id, 1.0::DOUBLE / n::DOUBLE AS r FROM nodes, nn),
+      d1 AS (SELECT coalesce(sum(r), 0.0) AS dm FROM r0
+             WHERE id NOT IN (SELECT src FROM e)),
+      i1 AS (SELECT dst, sum(r * w) AS inr FROM c JOIN r0 ON r0.id = c.src
+             GROUP BY dst),
+      r1 AS (SELECT id, (1.0 - 0.85) / n::DOUBLE
+               + 0.85 * coalesce(inr, 0.0) + 0.85 * dm / n::DOUBLE AS r
+             FROM nodes LEFT JOIN i1 ON i1.dst = nodes.id, nn, d1),
+      d2 AS (SELECT coalesce(sum(r), 0.0) AS dm FROM r1
+             WHERE id NOT IN (SELECT src FROM e)),
+      i2 AS (SELECT dst, sum(r * w) AS inr FROM c JOIN r1 ON r1.id = c.src
+             GROUP BY dst),
+      r2 AS (SELECT id, (1.0 - 0.85) / n::DOUBLE
+               + 0.85 * coalesce(inr, 0.0) + 0.85 * dm / n::DOUBLE AS r
+             FROM nodes LEFT JOIN i2 ON i2.dst = nodes.id, nn, d2),
+      d3 AS (SELECT coalesce(sum(r), 0.0) AS dm FROM r2
+             WHERE id NOT IN (SELECT src FROM e)),
+      i3 AS (SELECT dst, sum(r * w) AS inr FROM c JOIN r2 ON r2.id = c.src
+             GROUP BY dst),
+      r3 AS (SELECT id, (1.0 - 0.85) / n::DOUBLE
+               + 0.85 * coalesce(inr, 0.0) + 0.85 * dm / n::DOUBLE AS r
+             FROM nodes LEFT JOIN i3 ON i3.dst = nodes.id, nn, d3)
+      SELECT id AS doc_id, round(r, 10) AS pagerank
+      FROM r3 ORDER BY doc_id""",
+
+    // DSIR: same tokenizer, same unigram+bigram stream, same md5 bucket
+    // hash, same add-1 arithmetic as ln(x) - ln(y)
+    "t45_dsir_weights" -> s"""
+      WITH a AS (SELECT doc_id, source = 'src0' AS tgt, $docToks AS toks
+                 FROM documents),
+      uni AS (SELECT doc_id, tgt, unnest(toks) AS g FROM a),
+      big AS (SELECT doc_id, tgt, toks[i::INT] || ' ' || toks[i::INT + 1] AS g
+              FROM a, LATERAL unnest(range(1, len(toks))) t(i)
+              WHERE len(toks) >= 2),
+      f AS (SELECT doc_id, tgt,
+              (('0x' || substr(md5(g), 1, 16))::UBIGINT % 256)::BIGINT AS b
+            FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)),
+      dist AS (SELECT b, sum(CASE WHEN tgt THEN 1 ELSE 0 END)::BIGINT AS ct,
+                 count(*)::BIGINT AS cr
+               FROM f GROUP BY b),
+      tot AS (SELECT sum(ct)::DOUBLE AS tt, sum(cr)::DOUBLE AS rt FROM dist),
+      lw AS (SELECT b,
+               ln((ct::DOUBLE + 1.0) / (tt + 256.0))
+                 - ln((cr::DOUBLE + 1.0) / (rt + 256.0)) AS lw
+             FROM dist, tot),
+      sc AS (SELECT doc_id, count(*)::BIGINT AS n_feats,
+               round(sum(lw), 4) AS log_weight
+             FROM f JOIN lw USING (b) GROUP BY doc_id)
+      SELECT doc_id, n_feats, log_weight, log_weight >= 0.0 AS keep
+      FROM sc ORDER BY doc_id""",
+
     "t28_ccnet_buckets" -> s"""
       WITH tk AS (SELECT doc_id, lang, len($docToks)::BIGINT AS n_tokens
                   FROM documents),

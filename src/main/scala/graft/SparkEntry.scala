@@ -3191,6 +3191,38 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // PageRank over a deterministic synthetic link graph (the crawl
+    // page-quality signal — Common Crawl publishes exactly these ranks
+    // for host selection): every doc links to 3 md5-derived targets,
+    // 3 power iterations with the dangling-mass correction. Per
+    // iteration the shuffles carry only (long, double) rows; the rank
+    // table is checkpoint-capped like CC so plan stats never compound.
+    "t44_pagerank" -> ((s, d) => {
+      val base = t(s, d, "documents").select(col("doc_id"))
+      val nRow = base.agg(count(lit(1)).as("n"))
+      val edges = base.crossJoin(broadcast(nRow))
+        .select(col("doc_id").as("src"),
+          explode(array((0 until 3).map(j =>
+            pmod(gr_md5Bucket(concat(lit("lnk:"),
+              col("doc_id").cast("string"), lit(":"), lit(j.toString)),
+              lit(1000000000L)), col("n"))): _*)).as("dst"))
+      graft.ops.Graph.pageRank(edges, "src", "dst", iters = 3, damping = 0.85)
+        .select(col("src_node").as("doc_id"),
+          round(col("pagerank"), 10).as("pagerank"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
+    // bag-of-words distributions for the target slice (source = 'src0')
+    // vs the raw corpus, add-1 smoothed, per-doc log importance weight.
+    // One bucket-sized aggregation broadcasts back onto the narrow
+    // feature stream; text never shuffles.
+    "t45_dsir_weights" -> ((s, d) => {
+      graft.ops.TextAnalysis.dsirWeights(t(s, d, "documents"), "doc_id", "text",
+        isTarget = col("source") === "src0", buckets = 256)
+        .orderBy(col("doc_id"))
+    }),
+
     // CCNet-style quality tiers (Wenzek et al. 2019): rank documents per
     // language by a quality proxy (token count) and cut the ranking into
     // head/middle/tail thirds — the bucket a CCNet pipeline keys its

@@ -163,6 +163,50 @@ object TextAnalysis {
           col("r_bullet") && col("r_ellipsis") && col("r_alpha") && col("r_stop"))
   }
 
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): hashed n-gram features
+    * (unigrams + word bigrams into `buckets` buckets), bag-of-words
+    * bucket distributions estimated on the TARGET slice (`isTarget`) and
+    * the full RAW corpus with add-1 smoothing, and each document scored
+    * with its log importance weight Σ_f c_doc(f)·(ln p_target(f) −
+    * ln p_raw(f)). Positive weight = looks more like the target than the
+    * raw pool; the paper resamples on these weights, downstream here that
+    * is one deterministic hash filter.
+    *
+    * Scale shape (100 TB): the feature stream is a narrow explode; the
+    * two bucket distributions come from ONE hash aggregation over it
+    * (`buckets` rows) that broadcasts back onto the stream; the per-doc
+    * reduce is a hash agg keyed by the id. The corpus text never
+    * shuffles and no state exceeds the bucket count.
+    */
+  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
+      isTarget: org.apache.spark.sql.Column, buckets: Int = 256): DataFrame = {
+    require(buckets >= 2, s"dsirWeights: buckets >= 2 (got $buckets)")
+    val feats = df
+      .select(col(idCol), isTarget.as("_tgt"),
+        expr(s"filter(split($textCol, ' '), x -> length(x) > 0)").as("_a"))
+      .select(col(idCol), col("_tgt"), explode(expr(
+        "concat(_a, IF(size(_a) >= 2, " +
+          "transform(sequence(0, size(_a) - 2), i -> concat(_a[i], ' ', _a[i + 1])), " +
+          "array()))")).as("_g"))
+      .select(col(idCol), col("_tgt"),
+        gr_md5Bucket(col("_g"), lit(buckets)).as("_b"))
+    val dist = feats.groupBy(col("_b"))
+      .agg(sum(when(col("_tgt"), 1L).otherwise(0L)).as("_ct"),
+        count(lit(1)).as("_cr"))
+    val tot = dist.agg(sum(col("_ct")).cast("double").as("_tt"),
+      sum(col("_cr")).cast("double").as("_rt"))
+    val lw = dist.crossJoin(broadcast(tot))
+      .select(col("_b"),
+        (log((col("_ct").cast("double") + lit(1.0)) / (col("_tt") + lit(buckets.toDouble)))
+          - log((col("_cr").cast("double") + lit(1.0)) / (col("_rt") + lit(buckets.toDouble))))
+          .as("_lw"))
+    feats.join(broadcast(lw), Seq("_b"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feats"), round(sum(col("_lw")), 4).as("log_weight"))
+      .withColumn("keep", col("log_weight") >= 0.0)
+  }
+
   def bigramLm(df: DataFrame, idCol: String, textCol: String,
       lambda: Double = 0.7): DataFrame = {
     require(lambda >= 0.0 && lambda <= 1.0, s"bigramLm: lambda in [0,1] (got $lambda)")

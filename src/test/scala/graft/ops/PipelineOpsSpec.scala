@@ -984,6 +984,67 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(math.abs(got(1)._3 - -math.log(pBA)) < 1e-12)
   }
 
+  test("dsirWeights: exact replication of the hashed-bigram formula") {
+    def bucket(s: String): Long = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      (BigInt(1, md5.take(8)) mod BigInt(256)).toLong
+    }
+    // target doc "x y", raw-only doc "x z q" — 5 docs so the target
+    // slice is a minority like a real DSIR target
+    val corpus = Seq(
+      (1L, "x y", "tgt"), (2L, "x y", "tgt"),
+      (3L, "x z q", "raw"), (4L, "z q", "raw"), (5L, "x y", "raw"))
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.dsirWeights(corpus, "doc_id", "text",
+      isTarget = col("source") === "tgt", buckets = 256)
+      .as[(Long, Long, Double, Boolean)].collect().sortBy(_._1)
+    // replicate: features per doc = unigrams + bigrams
+    def feats(t: String): Seq[Long] = {
+      val ws = t.split(" ").toSeq
+      (ws ++ ws.sliding(2).filter(_.size == 2).map(_.mkString(" "))).map(bucket)
+    }
+    val docs = Seq((1L, "x y", true), (2L, "x y", true),
+      (3L, "x z q", false), (4L, "z q", false), (5L, "x y", false))
+    val all = docs.flatMap { case (_, t, tg) => feats(t).map(b => (b, tg)) }
+    val ct = all.filter(_._2).groupBy(_._1).map { case (b, l) => b -> l.size.toLong }
+    val cr = all.groupBy(_._1).map { case (b, l) => b -> l.size.toLong }
+    val tt = ct.values.sum.toDouble; val rt = cr.values.sum.toDouble
+    def lw(b: Long): Double =
+      math.log((ct.getOrElse(b, 0L) + 1.0) / (tt + 256.0)) -
+        math.log((cr.getOrElse(b, 0L) + 1.0) / (rt + 256.0))
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    for ((id, t, _) <- docs) {
+      val exp = r4(feats(t).map(lw).sum)
+      val got = out.find(_._1 == id).get
+      assert(math.abs(got._3 - exp) < 1e-9, s"doc $id: ${got._3} vs $exp")
+      assert(got._2 == feats(t).size)
+    }
+    // the target-looking doc outranks the alien one (keep stays false
+    // here: add-1 smoothing over 256 buckets dominates a 5-doc corpus)
+    assert(out(0)._3 > out(2)._3)
+  }
+
+  test("pageRank: ring invariance, dangling redistribution, mass = 1") {
+    // 3-cycle: uniform 1/3 is the fixed point at every iteration
+    val ring = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val rr = Graph.pageRank(ring, "src", "dst", iters = 4)
+      .as[(Long, Double)].collect().toMap
+    assert(rr.size == 3 && rr.values.forall(v => math.abs(v - 1.0 / 3.0) < 1e-15))
+    // dangling node: 1 -> 2, node 2 has no out-edges; hand-computed one step
+    val dang = Seq((1L, 2L)).toDF("src", "dst")
+    val d1 = Graph.pageRank(dang, "src", "dst", iters = 1)
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(d1(1L) - (0.15 / 2 + 0.85 * 0.5 / 2)) < 1e-15)
+    assert(math.abs(d1(2L) - (0.15 / 2 + 0.85 * 0.5 + 0.85 * 0.5 / 2)) < 1e-15)
+    // mass conservation through several iterations incl. dangling
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 1L)).toDF("src", "dst")
+    val sum = Graph.pageRank(g, "src", "dst", iters = 5)
+      .agg(org.apache.spark.sql.functions.sum("pagerank")).as[Double].head()
+    assert(math.abs(sum - 1.0) < 1e-12, s"mass $sum")
+  }
+
   test("gopherRules: each rule fires on its adversarial document") {
     val good = (1 to 60).map(i => s"word$i").mkString(" ") + " the of"
     val docs = Seq(

@@ -1225,6 +1225,54 @@ object OracleSql {
       SELECT id AS doc_id, round(r, 10) AS pagerank
       FROM r3 ORDER BY doc_id""",
 
+    // retention: same integer week index off the ns epoch
+    "q18_retention" -> """
+      WITH e AS (SELECT DISTINCT user_id,
+                   epoch_ns(ts) // 604800000000000 AS wk
+                 FROM events),
+      f AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY user_id),
+      sz AS (SELECT cohort_wk, count(*)::BIGINT AS cohort_size
+             FROM f GROUP BY cohort_wk),
+      a AS (SELECT f.cohort_wk, e.wk - f.cohort_wk AS "offset",
+              count(*)::BIGINT AS n_active
+            FROM e JOIN f USING (user_id)
+            GROUP BY f.cohort_wk, e.wk - f.cohort_wk)
+      SELECT a.cohort_wk, a."offset", a.n_active, sz.cohort_size,
+             round(a.n_active::DOUBLE / sz.cohort_size::DOUBLE, 4) AS retention
+      FROM a JOIN sz USING (cohort_wk)
+      ORDER BY cohort_wk, "offset"""",
+
+    // same html synthesis, same RE2-safe regexp chain (g flag), same
+    // entity decode order (after tag stripping)
+    "t46_html_extract" -> """
+      WITH h AS (SELECT doc_id,
+              '<html><head><title>T</title><style>p{color:red}</style></head>'
+              || '<body><script>var x=1;</script><h1>' || source
+              || '</h1><p>' || text
+              || ' A &amp; B &lt;x&gt;</p></body></html>' AS html
+            FROM documents),
+      t0 AS (SELECT doc_id, html,
+               regexp_replace(html, '<script[^>]*>.*?</script>', ' ', 'g') AS s
+             FROM h),
+      t1 AS (SELECT doc_id, html,
+               regexp_replace(s, '<style[^>]*>.*?</style>', ' ', 'g') AS s
+             FROM t0),
+      t2 AS (SELECT doc_id, html,
+               regexp_replace(s, '<[^>]+>', ' ', 'g') AS s FROM t1),
+      t3 AS (SELECT doc_id, html,
+               replace(replace(replace(replace(replace(s,
+                 '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+                 '&quot;', '"'), '&#39;', '''') AS s
+             FROM t2),
+      x AS (SELECT doc_id, html,
+              trim(regexp_replace(s, '\s+', ' ', 'g')) AS text FROM t3)
+      SELECT doc_id, length(html)::BIGINT AS html_len,
+             length(text)::BIGINT AS text_len,
+             round(1.0::DOUBLE - length(text)::DOUBLE / length(html)::DOUBLE, 4)
+               AS markup_ratio,
+             md5(text) AS text_hash
+      FROM x ORDER BY doc_id""",
+
     // DSIR: same tokenizer, same unigram+bigram stream, same md5 bucket
     // hash, same add-1 arithmetic as ln(x) - ln(y)
     "t45_dsir_weights" -> s"""

@@ -3212,6 +3212,44 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // weekly retention cohorts over the event stream — the product
+    // analytics staple: cohort = a user's first active week (integer
+    // week index off the ns epoch — engine-portable, no timezone
+    // semantics), retention(cohort, offset) = active users / cohort
+    // size. The first-week agg and the activity distinct share the
+    // user_id exchange; cohort sizes broadcast back.
+    "q18_retention" -> ((s, d) => {
+      val e = t(s, d, "events").select(col("user_id"),
+        expr("ts DIV 604800000000000").as("wk"))
+      val act = e.distinct()
+      val first = act.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+      val sizes = first.groupBy(col("cohort_wk"))
+        .agg(count(lit(1)).as("cohort_size"))
+      act.join(first, "user_id")
+        .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("offset"))
+        .agg(count(lit(1)).as("n_active"))
+        .join(broadcast(sizes), "cohort_wk")
+        .withColumn("retention",
+          round(col("n_active").cast("double") / col("cohort_size"), 4))
+        .orderBy(col("cohort_wk"), col("offset"))
+    }),
+
+    // HTML -> text extraction (the WET step): html synthesized
+    // deterministically from the doc row in BOTH engines, then the
+    // script/style-drop + tag-strip + entity-decode + whitespace-collapse
+    // chain; md5 witnesses the extracted text byte-for-byte
+    "t46_html_extract" -> ((s, d) => {
+      val html = t(s, d, "documents").select(col("doc_id"), concat(
+        lit("<html><head><title>T</title><style>p{color:red}</style></head>" +
+          "<body><script>var x=1;</script><h1>"),
+        col("source"), lit("</h1><p>"), col("text"),
+        lit(" A &amp; B &lt;x&gt;</p></body></html>")).as("html"))
+      graft.ops.TextAnalysis.htmlExtract(html, "doc_id", "html")
+        .select(col("doc_id"), col("html_len"), col("text_len"),
+          col("markup_ratio"), md5(col("text")).as("text_hash"))
+        .orderBy(col("doc_id"))
+    }),
+
     // DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
     // bag-of-words distributions for the target slice (source = 'src0')
     // vs the raw corpus, add-1 smoothed, per-doc log importance weight.

@@ -163,6 +163,35 @@ object TextAnalysis {
           col("r_bullet") && col("r_ellipsis") && col("r_alpha") && col("r_stop"))
   }
 
+  /** HTML → text extraction (the WET-generation step of a crawl
+    * pipeline): drop script/style blocks, strip tags, decode the five
+    * predefined character entities, collapse whitespace; reports the
+    * markup ratio (1 − text/html length) — the classic boilerplate
+    * signal. Entities are decoded AFTER tag stripping so text that spells
+    * `&lt;x&gt;` stays literal text. Entirely narrow codegen'd
+    * `regexp_replace` builtins (no UDF), so it runs at scan speed; the
+    * regex subset (lazy quantifiers, character classes) is RE2-safe so
+    * the operator mirrors into any engine.
+    */
+  def htmlExtract(df: DataFrame, idCol: String, htmlCol: String): DataFrame =
+    df.withColumn("_t0",
+        regexp_replace(col(htmlCol), "<script[^>]*>.*?</script>", " "))
+      .withColumn("_t1",
+        regexp_replace(col("_t0"), "<style[^>]*>.*?</style>", " "))
+      .withColumn("_t2", regexp_replace(col("_t1"), "<[^>]+>", " "))
+      .withColumn("_t3",
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          regexp_replace(col("_t2"),
+            "&amp;", "&"), "&lt;", "<"), "&gt;", ">"), "&quot;", "\""),
+          "&#39;", "'"))
+      .withColumn("text", trim(regexp_replace(col("_t3"), "\\s+", " ")))
+      .select(col(idCol),
+        length(col(htmlCol)).cast("long").as("html_len"),
+        length(col("text")).cast("long").as("text_len"),
+        round(lit(1.0) - length(col("text")).cast("double")
+          / length(col(htmlCol)).cast("double"), 4).as("markup_ratio"),
+        col("text"))
+
   /** DSIR importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): hashed n-gram features
     * (unigrams + word bigrams into `buckets` buckets), bag-of-words

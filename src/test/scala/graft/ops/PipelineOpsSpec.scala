@@ -984,6 +984,17 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(math.abs(got(1)._3 - -math.log(pBA)) < 1e-12)
   }
 
+  test("htmlExtract: script/style drop, tag strip, entities, whitespace") {
+    val html = "<html><head><style>p{}</style></head><body>" +
+      "<script>var x =  1; if (x<2) x=3;</script>" +
+      "<h1>Hello</h1>  <p>A &amp; B &lt;tag&gt; &quot;q&quot; &#39;s&#39;</p>" +
+      "<div>  spaced   out </div></body></html>"
+    val out = TextAnalysis.htmlExtract(
+      Seq((1L, html)).toDF("doc_id", "html"), "doc_id", "html")
+      .select("text").as[String].head()
+    assert(out == "Hello A & B <tag> \"q\" 's' spaced out", out)
+  }
+
   test("dsirWeights: exact replication of the hashed-bigram formula") {
     def bucket(s: String): Long = {
       val md5 = java.security.MessageDigest.getInstance("MD5")

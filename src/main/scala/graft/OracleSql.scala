@@ -2210,6 +2210,18 @@ object OracleSql {
              true AS azimuth_ok
       FROM x ORDER BY c_custkey""",
 
+    // triangulation: counts and partitioned areas are pure closed form
+    "g98_triangulate" -> """
+      SELECT s_suppkey,
+             2::INT AS n_tri_rect, 8::INT AS n_tri_holed,
+             round(w * h, 6) AS area_rect,
+             round(6.0 * w * h, 6) AS area_holed
+      FROM (SELECT s_suppkey,
+              ((s_suppkey % 5) + 2)::DOUBLE AS w,
+              ((s_suppkey % 4) + 1)::DOUBLE AS h
+            FROM supplier)
+      ORDER BY s_suppkey""",
+
     // closed-form inscribed-circle radii (same arithmetic); the search
     // columns are contract booleans
     "g97_max_inscribed_circle" -> """

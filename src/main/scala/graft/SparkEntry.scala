@@ -2280,6 +2280,43 @@ object SparkEntry {
         .orderBy(col("s_suppkey"))
     }),
 
+    // constrained polygon triangulation (PostGIS ST_TriangulatePolygon):
+    // closed-form oracle — a k-vertex simple polygon ear-clips into
+    // exactly k−2 triangles (the holed rect's bridged loop has
+    // 4 + (4+2) = 10 → 8), and the triangles partition the area
+    // EXACTLY (rect w·h; holed 4w·2h − 2w·h = 6wh)
+    "g98_triangulate" -> ((s, d) => {
+      t(s, d, "supplier")
+        .withColumn("w", ((col("s_suppkey") % 5) + 2).cast("double"))
+        .withColumn("h", ((col("s_suppkey") % 4) + 1).cast("double"))
+        .withColumn("ox", (col("s_suppkey") % 13).cast("double") * 3.0)
+        .withColumn("oy", (col("s_suppkey") % 11).cast("double") * 3.0)
+        .withColumn("rect", st_makeEnvelope(col("ox"), col("oy"),
+          col("ox") + col("w"), col("oy") + col("h")))
+        .withColumn("holed", st_geomFromWKT(concat(
+          lit("POLYGON (("), col("ox"), lit(" "), col("oy"), lit(", "),
+          col("ox") + col("w") * 4.0, lit(" "), col("oy"), lit(", "),
+          col("ox") + col("w") * 4.0, lit(" "), col("oy") + col("h") * 2.0,
+          lit(", "), col("ox"), lit(" "), col("oy") + col("h") * 2.0,
+          lit(", "), col("ox"), lit(" "), col("oy"), lit("), ("),
+          col("ox") + col("w"), lit(" "), col("oy") + col("h") / 2.0,
+          lit(", "), col("ox") + col("w") * 3.0, lit(" "),
+          col("oy") + col("h") / 2.0, lit(", "),
+          col("ox") + col("w") * 3.0, lit(" "), col("oy") + col("h") * 1.5,
+          lit(", "), col("ox") + col("w"), lit(" "),
+          col("oy") + col("h") * 1.5, lit(", "),
+          col("ox") + col("w"), lit(" "), col("oy") + col("h") / 2.0,
+          lit("))"))))
+        .withColumn("tr", st_triangulatePolygon(col("rect")))
+        .withColumn("th", st_triangulatePolygon(col("holed")))
+        .select(col("s_suppkey"),
+          st_numGeometries(col("tr")).as("n_tri_rect"),
+          st_numGeometries(col("th")).as("n_tri_holed"),
+          round(st_area(col("tr")), 6).as("area_rect"),
+          round(st_area(col("th")), 6).as("area_holed"))
+        .orderBy(col("s_suppkey"))
+    }),
+
     // r10 adversarial overlay fixtures, distilled from the OverlayFuzzSpec
     // sweep's worst-case families (1200 seeded pairs; max area residual
     // 2.8e-12 landed on sliver-vs-jittered-sliver): micron slivers sharing

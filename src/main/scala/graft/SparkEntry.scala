@@ -2166,6 +2166,30 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     }),
 
+    // PROJJSON CRS routing (r12): the GeoParquet footer `crs` encoding —
+    // what real geopandas-written files carry — accepted directly by
+    // st_transform and reduced through the shared WKT2 adapter tables.
+    // Contract oracle: the PROJJSON route is bit-identical to the proj
+    // record (same kernel instance → deltas exactly 0), and the PROJJSON
+    // roundtrip returns the input lon/lat at 5 dp
+    "g99_projjson_crs" -> ((s, d) => {
+      val rec = "+proj=tmerc +lat_0=0 +lon_0=15 +k=0.9996 +x_0=500000 +y_0=0 +ellps=WGS84"
+      val pj = """{"type":"ProjectedCRS","name":"UTM33-like","base_crs":{"name":"WGS 84","datum_ensemble":{"name":"World Geodetic System 1984 ensemble","ellipsoid":{"name":"WGS 84","semi_major_axis":6378137,"inverse_flattening":298.257223563}},"coordinate_system":{"subtype":"ellipsoidal","axis":[]}},"conversion":{"name":"UTM zone 33N","method":{"name":"Transverse Mercator","id":{"authority":"EPSG","code":9807}},"parameters":[{"name":"Latitude of natural origin","value":0,"unit":"degree"},{"name":"Longitude of natural origin","value":15,"unit":"degree"},{"name":"Scale factor at natural origin","value":0.9996,"unit":"unity"},{"name":"False easting","value":500000,"unit":"metre"},{"name":"False northing","value":0,"unit":"metre"}]},"coordinate_system":{"subtype":"Cartesian","axis":[{"name":"Easting","abbreviation":"E","direction":"east","unit":"metre"},{"name":"Northing","abbreviation":"N","direction":"north","unit":"metre"}]}}"""
+      customerPts(s, d).select(col("c_custkey"), col("cx"), col("cy"))
+        .withColumn("lon", col("cx") / 3000.0 + 13.5)
+        .withColumn("lat", col("cy") / 250.0 + 38.0)
+        .withColumn("pt", st_point(col("lon"), col("lat")))
+        .withColumn("gj", st_transform(col("pt"), lit("EPSG:4326"), lit(pj)))
+        .withColumn("gr", st_transform(col("pt"), lit("EPSG:4326"), lit(rec)))
+        .withColumn("rt", st_transform(col("gj"), lit(pj), lit("EPSG:4326")))
+        .select(col("c_custkey"),
+          round(abs(st_x(col("gj")) - st_x(col("gr"))) +
+            abs(st_y(col("gj")) - st_y(col("gr"))), 9).as("d_json"),
+          round(abs(st_x(col("rt")) - col("lon")), 5).as("dlon"),
+          round(abs(st_y(col("rt")) - col("lat")), 5).as("dlat"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // r11 geography measures: haversine mirrored term-by-term in SQL
     // (closed form); Vincenty has no closed form, so the oracle checks
     // its CONTRACT — within the flattening scale of the sphere value and

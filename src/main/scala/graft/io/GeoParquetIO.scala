@@ -245,6 +245,22 @@ object GeoParquetIO {
       // non-primary geometry columns declared in the footer: (name, crs)
       extraColumns: Seq[(String, Option[String])] = Nil)
 
+  /** Footer `crs` field → CRS string. The GeoParquet spec stores CRS as a
+    * PROJJSON OBJECT (what real geopandas/pyarrow writers emit; a string
+    * was only ever a pre-1.0 shortcut) — `asText()` on an object node
+    * returns "" and silently dropped the CRS. Objects pass through as
+    * their raw JSON text: column metadata keeps the verbatim PROJJSON and
+    * `st_transform`/normCrs reduce it via `WktCrs.parseProjJson` at use
+    * time.
+    */
+  private[io] def crsNodeToString(
+      n: com.fasterxml.jackson.databind.JsonNode): Option[String] =
+    Option(n).filterNot(_.isNull).flatMap { node =>
+      if (node.isTextual) Some(node.asText()).filter(_.nonEmpty)
+      else if (node.isObject) Some(node.toString)
+      else None
+    }
+
   /** Parse one file's "geo" footer entry: (primary column, crs, bbox,
     * covering bbox-column name, geometry encoding).
     */
@@ -257,10 +273,7 @@ object GeoParquetIO {
       val node = mapper.readTree(json)
       val primary = node.get("primary_column").asText()
       val colNode = node.get("columns").get(primary)
-      val crs =
-        if (colNode.has("crs") && !colNode.get("crs").isNull)
-          Some(colNode.get("crs").asText())
-        else None
+      val crs = crsNodeToString(colNode.get("crs"))
       val bbox =
         if (colNode.has("bbox")) {
           val b = colNode.get("bbox")
@@ -285,10 +298,7 @@ object GeoParquetIO {
           val name = it.next()
           if (name != primary) {
             val cn = node.get("columns").get(name)
-            val ecrs =
-              if (cn.has("crs") && !cn.get("crs").isNull) Some(cn.get("crs").asText())
-              else None
-            out += ((name, ecrs))
+            out += ((name, crsNodeToString(cn.get("crs"))))
           }
         }
         out.toSeq

@@ -785,6 +785,10 @@ object GraftDefs {
   private def normCrs(s: String): String = {
     // proj parameter records are case-sensitive — pass through verbatim
     if (s.trim.startsWith("+")) return s.trim
+    // PROJJSON (GeoParquet footer crs objects, pyproj to_json()) — reduce
+    // through the shared WKT2 adapter tables
+    if (s.trim.startsWith("{"))
+      return WktCrs.parseProjJson(s.trim).getOrElse(s.trim)
     // WKT1 CRS text (pyproj accepts it in to_crs; .prj sidecar content):
     // reduce to an EPSG code / proj record; unparseable WKT falls through
     // to the unsupported-pair error with the original text

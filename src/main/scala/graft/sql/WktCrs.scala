@@ -678,6 +678,210 @@ object WktCrs {
     * normalizes its CRS arguments per ROW, and a WKT parse must not run
     * 600k times for one query (same contract as Crs.projFor).
     */
+  // ------------------------------------------------------------ PROJJSON
+
+  private lazy val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** PROJJSON → the engine's normalized CRS. PROJJSON is the JSON form of
+    * WKT2 and the encoding the GeoParquet spec (and pyproj ≥3 /
+    * `to_json()`) uses for the `geo` footer's `crs` field — real
+    * geopandas-written files carry an OBJECT here, not a string. The
+    * adapter converts the JSON tree into the same WKT2 node shapes
+    * [[reduce]] already handles (GEOGCRS/PROJCRS/BOUNDCRS with
+    * METHOD/PARAMETER/ELLIPSOID/ID children, per-parameter unit nodes),
+    * so the EPSG method/parameter tables and unit semantics are shared
+    * with the WKT2 path. An authority `id` resolves first (the common
+    * case: every EPSG-coded CRS), structural reduction covers id-less
+    * custom CRS.
+    */
+  def parseProjJson(json: String): Option[String] = {
+    val cached = cache.get(json)
+    if (cached != null) return cached
+    val r = try {
+      val n = jsonMapper.readTree(json)
+      val servable = (s: String) => s.startsWith("EPSG:") || Crs.projFor(s).isDefined
+      pjId(n).filter(servable)
+        .orElse(pjToObj(n).flatMap(reduce).filter(servable))
+    } catch { case scala.util.control.NonFatal(_) => None }
+    if (cache.size < 4096) cache.put(json, r)
+    r
+  }
+
+  private def pjId(n: com.fasterxml.jackson.databind.JsonNode): Option[String] =
+    Option(n.get("id")).flatMap { id =>
+      for {
+        a <- Option(id.get("authority")).map(_.asText())
+        c <- Option(id.get("code"))
+          .map(c => if (c.isNumber) c.asLong().toString else c.asText())
+        if a.nonEmpty && c.nonEmpty
+      } yield s"${a.toUpperCase}:$c"
+    }
+
+  /** unit spec (string name or {type, conversion_factor} object) →
+    * (kind, factor): angular = radians/unit, linear = meters/unit,
+    * scale = multiplier/unit.
+    */
+  private def pjUnit(u: com.fasterxml.jackson.databind.JsonNode): Option[(String, Double)] = {
+    if (u == null || u.isNull) None
+    else if (u.isTextual) u.asText() match {
+      case "degree" => Some(("angular", math.Pi / 180.0))
+      case "arc-second" => Some(("angular", math.Pi / 180.0 / 3600.0))
+      case "grad" => Some(("angular", math.Pi / 200.0))
+      case "radian" => Some(("angular", 1.0))
+      case "metre" | "meter" => Some(("linear", 1.0))
+      case "kilometre" => Some(("linear", 1000.0))
+      case "foot" => Some(("linear", 0.3048))
+      case "US survey foot" => Some(("linear", 1200.0 / 3937.0))
+      case "unity" => Some(("scale", 1.0))
+      case "parts per million" => Some(("scale", 1e-6))
+      case _ => None
+    } else {
+      val kind = Option(u.get("type")).map(_.asText()) match {
+        case Some("AngularUnit") => "angular"
+        case Some("LinearUnit") => "linear"
+        case Some("ScaleUnit") => "scale"
+        case _ => "other"
+      }
+      Option(u.get("conversion_factor")).filter(_.isNumber)
+        .map(f => (kind, f.asDouble()))
+    }
+  }
+
+  /** number, or {value, unit} converted through `want` ("linear" →
+    * meters, "angular" → degrees).
+    */
+  private def pjVal(n: com.fasterxml.jackson.databind.JsonNode,
+      want: String): Option[Double] = {
+    if (n == null || n.isNull) None
+    else if (n.isNumber) Some(n.asDouble())
+    else for {
+      v <- Option(n.get("value")).filter(_.isNumber).map(_.asDouble())
+    } yield pjUnit(n.get("unit")) match {
+      case Some(("linear", f)) if want == "linear" => v * f
+      case Some(("angular", f)) if want == "angular" => v * f * 180.0 / math.Pi
+      case _ => v
+    }
+  }
+
+  private def pjToObj(n: com.fasterxml.jackson.databind.JsonNode): Option[Obj] =
+    Option(n.get("type")).map(_.asText()).flatMap {
+      case "GeographicCRS" | "GeodeticCRS" => pjGeog(n, "GEOGCRS")
+      case "ProjectedCRS" => pjProj(n)
+      case "BoundCRS" => pjBound(n)
+      case _ => None
+    }
+
+  private def pjGeog(n: com.fasterxml.jackson.databind.JsonNode,
+      head: String): Option[Obj] = {
+    val datum = Option(n.get("datum")).orElse(Option(n.get("datum_ensemble")))
+    for {
+      d <- datum
+      ell <- Option(d.get("ellipsoid"))
+      a <- pjVal(ell.get("semi_major_axis"), "linear")
+        .orElse(pjVal(ell.get("radius"), "linear"))
+    } yield {
+      val rf = Option(ell.get("inverse_flattening")).filter(_.isNumber)
+        .map(_.asDouble())
+        .orElse(pjVal(ell.get("semi_minor_axis"), "linear")
+          .map(b => if (b == a) 0.0 else a / (a - b)))
+        .getOrElse(0.0)
+      val name = Option(n.get("name")).map(_.asText()).getOrElse("unnamed")
+      val dName = Option(d.get("name")).map(_.asText()).getOrElse(name)
+      val primem = Option(n.get("prime_meridian")).flatMap { pm =>
+        pjVal(pm.get("longitude"), "angular")
+      }.map(lonDeg => Obj("PRIMEM", Vector(Str("pm"), Num(lonDeg))): Node)
+      val id = pjId(n).map { code =>
+        val Array(auth, c) = code.split(":", 2)
+        Obj("ID", Vector(Str(auth), Str(c))): Node
+      }
+      Obj(head, Vector[Node](Str(name),
+        Obj("DATUM", Vector(Str(dName),
+          Obj("ELLIPSOID", Vector(Str(dName), Num(a), Num(rf)))))) ++
+        primem.toVector ++ id.toVector)
+    }
+  }
+
+  private def pjParam(p: com.fasterxml.jackson.databind.JsonNode): Option[Node] =
+    for {
+      name <- Option(p.get("name")).map(_.asText())
+      v <- Option(p.get("value")).filter(_.isNumber).map(_.asDouble())
+    } yield {
+      val unitNode: Vector[Node] = pjUnit(p.get("unit")) match {
+        case Some(("angular", f)) => Vector(Obj("ANGLEUNIT", Vector(Str("u"), Num(f))))
+        case Some(("linear", f)) => Vector(Obj("LENGTHUNIT", Vector(Str("u"), Num(f))))
+        case _ => Vector.empty
+      }
+      Obj("PARAMETER", Vector[Node](Str(name), Num(v)) ++ unitNode): Node
+    }
+
+  private def pjProj(n: com.fasterxml.jackson.databind.JsonNode): Option[Obj] =
+    for {
+      baseN <- Option(n.get("base_crs"))
+      base <- pjGeog(baseN, "BASEGEOGCRS")
+      conv <- Option(n.get("conversion"))
+      method <- Option(conv.get("method")).flatMap(m => Option(m.get("name")))
+        .map(_.asText())
+    } yield {
+      val params: Vector[Node] = Option(conv.get("parameters")) match {
+        case Some(arr) if arr.isArray =>
+          (0 until arr.size()).flatMap(i => pjParam(arr.get(i))).toVector
+        case _ => Vector.empty
+      }
+      // CS unit from the first axis (GeoParquet/pyproj emit per-axis units)
+      val csUnitM: Double = (for {
+        cs <- Option(n.get("coordinate_system"))
+        ax <- Option(cs.get("axis")).filter(a => a.isArray && a.size() > 0)
+        (kind, f) <- pjUnit(ax.get(0).get("unit"))
+        if kind == "linear"
+      } yield f).getOrElse(1.0)
+      val id = pjId(n).map { code =>
+        val Array(auth, c) = code.split(":", 2)
+        Obj("ID", Vector(Str(auth), Str(c))): Node
+      }
+      Obj("PROJCRS", Vector[Node](
+        Str(Option(n.get("name")).map(_.asText()).getOrElse("unnamed")),
+        base,
+        Obj("CONVERSION", Vector[Node](Str("conv"),
+          Obj("METHOD", Vector(Str(method)))) ++ params),
+        Obj("LENGTHUNIT", Vector(Str("unit"), Num(csUnitM)))) ++ id.toVector)
+    }
+
+  private def pjBound(n: com.fasterxml.jackson.databind.JsonNode): Option[Obj] =
+    for {
+      srcN <- Option(n.get("source_crs"))
+      src <- pjToObj(srcN)
+    } yield {
+      // Helmert terms normalized to the abridged conventions wkt2Bound
+      // expects: translations meters, rotations arc-seconds, scale as the
+      // (1 + dS) multiplier
+      val tr: Vector[Node] = (for {
+        t <- Option(n.get("transformation"))
+        arr <- Option(t.get("parameters")).filter(_.isArray)
+      } yield (0 until arr.size()).flatMap { i =>
+        val p = arr.get(i)
+        for {
+          name <- Option(p.get("name")).map(_.asText())
+          v <- Option(p.get("value")).filter(_.isNumber).map(_.asDouble())
+        } yield {
+          val u = pjUnit(p.get("unit"))
+          val up = name.toUpperCase
+          val vv =
+            if (up.contains("TRANSLATION"))
+              v * u.collect { case ("linear", f) => f }.getOrElse(1.0)
+            else if (up.contains("ROTATION"))
+              v * u.collect { case ("angular", f) => f }
+                .getOrElse(math.Pi / 180.0 / 3600.0) / (math.Pi / 180.0 / 3600.0)
+            else if (up.contains("SCALE"))
+              1.0 + v * u.collect { case ("scale", f) => f }.getOrElse(1e-6)
+            else v
+          Obj("PARAMETER", Vector[Node](Str(name), Num(vv))): Node
+        }
+      }.toVector).getOrElse(Vector.empty)
+      Obj("BOUNDCRS", Vector[Node](
+        Obj("SOURCECRS", Vector(src)),
+        Obj("ABRIDGEDTRANSFORMATION", Vector[Node](Str("t")) ++ tr)))
+    }
+
   def parse(wkt: String): Option[String] = {
     val c = cache.get(wkt)
     if (c != null) return c

@@ -36,6 +36,21 @@ class GeoParquetIOSpec extends AnyFunSuite {
     assert(math.abs(origSum - backSum) < 1e-6)
   }
 
+  test("footer crs OBJECT (real-geopandas PROJJSON) passes through verbatim") {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    // GeoParquet-spec footers carry PROJJSON objects, not strings
+    val obj = m.readTree(
+      """{"type":"GeographicCRS","name":"WGS 84","id":{"authority":"EPSG","code":4326}}""")
+    val got = graft.io.GeoParquetIO.crsNodeToString(obj)
+    assert(got.isDefined && got.get.startsWith("{"), got.toString)
+    // ...and the engine reduces the passed-through JSON at use time
+    assert(graft.sql.WktCrs.parseProjJson(got.get).contains("EPSG:4326"))
+    // strings still read as strings; null/absent reads as None
+    assert(graft.io.GeoParquetIO.crsNodeToString(m.readTree("\"EPSG:3857\""))
+      .contains("EPSG:3857"))
+    assert(graft.io.GeoParquetIO.crsNodeToString(null).isEmpty)
+  }
+
   test("footer geo metadata carries per-file bbox") {
     val path = tmpDir()
     val g = sample().spatialShuffle(by = "hilbert", level = 12, numPartitions = Some(4),

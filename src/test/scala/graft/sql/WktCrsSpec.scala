@@ -308,4 +308,50 @@ class WktCrsSpec extends AnyFunSuite {
     val (ex, ey) = Crs.byEpsg("EPSG:3031").forward(45.0, -80.0)
     assert(math.abs(x - ex) < 1e-6 && math.abs(y - ey) < 1e-6, s"($x,$y) vs ($ex,$ey)")
   }
+
+  // ----------------------------------------------------------- PROJJSON
+
+  test("PROJJSON: EPSG-id'd CRS short-circuit (the real geopandas footer shape)") {
+    // exactly the shape pyproj.CRS(32633).to_json() emits (trimmed)
+    val utm = """{"$schema":"https://proj.org/schemas/v0.7/projjson.schema.json","type":"ProjectedCRS","name":"WGS 84 / UTM zone 33N","base_crs":{"name":"WGS 84","datum_ensemble":{"name":"World Geodetic System 1984 ensemble","ellipsoid":{"name":"WGS 84","semi_major_axis":6378137,"inverse_flattening":298.257223563}},"coordinate_system":{"subtype":"ellipsoidal","axis":[{"name":"Geodetic latitude","abbreviation":"Lat","direction":"north","unit":"degree"},{"name":"Geodetic longitude","abbreviation":"Lon","direction":"east","unit":"degree"}]},"id":{"authority":"EPSG","code":4326}},"conversion":{"name":"UTM zone 33N","method":{"name":"Transverse Mercator","id":{"authority":"EPSG","code":9807}},"parameters":[{"name":"Latitude of natural origin","value":0,"unit":"degree"},{"name":"Longitude of natural origin","value":15,"unit":"degree"},{"name":"Scale factor at natural origin","value":0.9996,"unit":"unity"},{"name":"False easting","value":500000,"unit":"metre"},{"name":"False northing","value":0,"unit":"metre"}]},"coordinate_system":{"subtype":"Cartesian","axis":[{"name":"Easting","abbreviation":"E","direction":"east","unit":"metre"},{"name":"Northing","abbreviation":"N","direction":"north","unit":"metre"}]},"id":{"authority":"EPSG","code":32633}}"""
+    assert(WktCrs.parseProjJson(utm).contains("EPSG:32633"))
+    val geog = """{"type":"GeographicCRS","name":"WGS 84","datum_ensemble":{"name":"World Geodetic System 1984 ensemble","ellipsoid":{"name":"WGS 84","semi_major_axis":6378137,"inverse_flattening":298.257223563}},"coordinate_system":{"subtype":"ellipsoidal","axis":[]},"id":{"authority":"EPSG","code":4326}}"""
+    assert(WktCrs.parseProjJson(geog).contains("EPSG:4326"))
+  }
+
+  test("PROJJSON: id-less ProjectedCRS reduces structurally, equal to the WKT2 route") {
+    val pj = """{"type":"ProjectedCRS","name":"custom TM","base_crs":{"name":"custom geog","datum":{"type":"GeodeticReferenceFrame","name":"d","ellipsoid":{"name":"GRS 1980","semi_major_axis":6378137,"inverse_flattening":298.257222101}},"coordinate_system":{"subtype":"ellipsoidal","axis":[]}},"conversion":{"name":"c","method":{"name":"Transverse Mercator"},"parameters":[{"name":"Latitude of natural origin","value":0,"unit":"degree"},{"name":"Longitude of natural origin","value":147,"unit":"degree"},{"name":"Scale factor at natural origin","value":0.9996,"unit":"unity"},{"name":"False easting","value":500000,"unit":"metre"},{"name":"False northing","value":10000000,"unit":"metre"}]},"coordinate_system":{"subtype":"Cartesian","axis":[{"name":"Easting","abbreviation":"E","direction":"east","unit":"metre"},{"name":"Northing","abbreviation":"N","direction":"north","unit":"metre"}]}}"""
+    val viaJson = WktCrs.parseProjJson(pj)
+    assert(viaJson.isDefined, "PROJJSON TM must reduce")
+    val wkt2 = """PROJCRS["custom TM",BASEGEOGCRS["custom geog",DATUM["d",ELLIPSOID["GRS 1980",6378137,298.257222101,LENGTHUNIT["metre",1]]]],CONVERSION["c",METHOD["Transverse Mercator"],PARAMETER["Latitude of natural origin",0,ANGLEUNIT["degree",0.0174532925199433]],PARAMETER["Longitude of natural origin",147,ANGLEUNIT["degree",0.0174532925199433]],PARAMETER["Scale factor at natural origin",0.9996,SCALEUNIT["unity",1]],PARAMETER["False easting",500000,LENGTHUNIT["metre",1]],PARAMETER["False northing",10000000,LENGTHUNIT["metre",1]]],CS[Cartesian,2],AXIS["(E)",east,ORDER[1],LENGTHUNIT["metre",1]],AXIS["(N)",north,ORDER[2],LENGTHUNIT["metre",1]]]"""
+    assert(WktCrs.parse(wkt2) == viaJson,
+      s"wkt2 ${WktCrs.parse(wkt2)} vs projjson $viaJson")
+    // both must drive the same kernel as the EPSG 28355 parameter row
+    val p = Crs.projFor(viaJson.get).get
+    val (x, y) = p.forward(147.5, -30.0)
+    val (ex, ey) = Crs.byEpsg("EPSG:28355").forward(147.5, -30.0)
+    assert(math.abs(x - ex) < 1e-6 && math.abs(y - ey) < 1e-6)
+  }
+
+  test("PROJJSON: foot-unit grid and BoundCRS towgs84") {
+    // false easting in US survey feet must scale exactly like the WKT2 path
+    val ft = """{"type":"ProjectedCRS","name":"ft grid","base_crs":{"name":"g","datum":{"type":"GeodeticReferenceFrame","name":"d","ellipsoid":{"name":"GRS 1980","semi_major_axis":6378137,"inverse_flattening":298.257222101}},"coordinate_system":{"subtype":"ellipsoidal","axis":[]}},"conversion":{"name":"c","method":{"name":"Transverse Mercator"},"parameters":[{"name":"Latitude of natural origin","value":0,"unit":"degree"},{"name":"Longitude of natural origin","value":-93,"unit":"degree"},{"name":"Scale factor at natural origin","value":0.9996,"unit":"unity"},{"name":"False easting","value":1640416.666666667,"unit":"US survey foot"},{"name":"False northing","value":0,"unit":"US survey foot"}]},"coordinate_system":{"subtype":"Cartesian","axis":[{"name":"Easting","abbreviation":"E","direction":"east","unit":"US survey foot"},{"name":"Northing","abbreviation":"N","direction":"north","unit":"US survey foot"}]}}"""
+    val r = WktCrs.parseProjJson(ft)
+    assert(r.isDefined && r.get.contains("+to_meter="), s"foot grid -> $r")
+    val p = Crs.projFor(r.get).get
+    // 500 km false easting expressed in usft: x at the central meridian
+    // must read the false easting back in usft
+    val (x, _) = p.forward(-93.0, 0.0)
+    assert(math.abs(x - 1640416.666666667) < 1e-6, s"x=$x")
+    // BoundCRS: Helmert terms land as +towgs84
+    val bound = """{"type":"BoundCRS","source_crs":{"type":"GeographicCRS","name":"src","datum":{"type":"GeodeticReferenceFrame","name":"d","ellipsoid":{"name":"intl","semi_major_axis":6378388,"inverse_flattening":297}},"coordinate_system":{"subtype":"ellipsoidal","axis":[]}},"target_crs":{"type":"GeographicCRS","name":"WGS 84"},"transformation":{"name":"t","method":{"name":"Position Vector transformation (geog2D domain)"},"parameters":[{"name":"X-axis translation","value":-87,"unit":"metre"},{"name":"Y-axis translation","value":-98,"unit":"metre"},{"name":"Z-axis translation","value":-121,"unit":"metre"}]}}"""
+    val b = WktCrs.parseProjJson(bound)
+    assert(b.isDefined && b.get.contains("+towgs84=-87.0,-98.0,-121.0"), s"bound -> $b")
+  }
+
+  test("PROJJSON: malformed and unknown inputs return None") {
+    assert(WktCrs.parseProjJson("{not json").isEmpty)
+    assert(WktCrs.parseProjJson("""{"type":"VerticalCRS","name":"x"}""").isEmpty)
+    assert(WktCrs.parseProjJson("""{"type":"ProjectedCRS","name":"x"}""").isEmpty)
+  }
 }

@@ -2333,6 +2333,13 @@ object OracleSql {
              true AS recall_ge_90
       FROM embeddings WHERE vec_id >= 200 AND vec_id < 210""",
 
+    // SQ8-retrieve + exact-refine recall gate, same contract style
+    "e09_ann_sq8" -> """
+      SELECT count(*)::BIGINT AS n_queries,
+             count(*)::BIGINT AS queries_ge_half,
+             true AS recall_ge_90
+      FROM embeddings WHERE vec_id >= 300 AND vec_id < 310""",
+
     "e06_ann_ivf_trained" -> """
       SELECT count(*)::BIGINT AS n_queries,
              count(*)::BIGINT AS queries_ge_half,

@@ -3589,6 +3589,28 @@ object SparkEntry {
         .select(col("n_queries"), col("queries_ge_half"), col("recall_ge_90"))
     }),
 
+    // r12 scalar-quantized (SQ8) ANN: 1 byte/component on a per-dimension
+    // corpus [min,max] grid (4x compression; the uniform-grid sibling of
+    // e08's PQ), asymmetric decode-and-dot scoring, exact top-100 re-rank.
+    // Same contract gate as e06/e08.
+    "e09_ann_sq8" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") >= 300 && col("vec_id") < 310)
+      val sq = Similarity.sqTopK(emb, queries, "vec_id", "embedding",
+        k = 10, roundScoreTo = 4, rerank = 100)
+      val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 10)
+      val hits = sq.join(bf.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+      queries.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .na.fill(0, Seq("hits"))
+        .agg(count(lit(1)).as("n_queries"),
+          sum(when(col("hits") >= 5, 1L).otherwise(0L)).as("queries_ge_half"),
+          (sum(col("hits")) >= 90L).as("recall_ge_90"))
+        .select(col("n_queries"), col("queries_ge_half"), col("recall_ge_90"))
+    }),
+
     "e06_ann_ivf_trained" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       val queries = emb.filter(col("vec_id") >= 100 && col("vec_id") < 110)

@@ -358,6 +358,102 @@ object Similarity {
     }
   }
 
+  /** Per-dimension [min, max] of the l2-normalized corpus — the SQ8
+    * training pass: one narrow posexplode and a dims-sized aggregate
+    * (the collect is `dims` rows, never corpus-sized). Degenerate
+    * constant dimensions keep scale 0 and decode exactly to their value.
+    */
+  def trainSqBounds(corpus: DataFrame, idCol: String,
+      vecCol: String): (Array[Double], Array[Double]) = {
+    val rows = corpus
+      .select(posexplode(gr_l2normalize(col(vecCol))).as(Seq("_d", "_v")))
+      .groupBy(col("_d"))
+      .agg(min(col("_v")).as("_mn"), max(col("_v")).as("_mx"))
+      .collect()
+    require(rows.nonEmpty, "trainSqBounds: empty corpus")
+    val dims = rows.map(_.getInt(0)).max + 1
+    val mn = new Array[Double](dims)
+    val mx = new Array[Double](dims)
+    rows.foreach { r =>
+      mn(r.getInt(0)) = r.getAs[Number](1).doubleValue()
+      mx(r.getInt(0)) = r.getAs[Number](2).doubleValue()
+    }
+    (mn, mx)
+  }
+
+  /** Scalar-quantized (SQ8) approximate top-k: every embedding component
+    * stored as ONE unsigned byte on a per-dimension linear grid between
+    * the corpus [min, max] — 4× compression of float32 (for the 64-dim
+    * corpus, 64 B/vector vs the 256 B raw), the simple uniform-grid
+    * sibling of product quantization ([[pqTopK]]; SQ8 keeps per-dimension
+    * resolution where PQ shares centroids across a subspace). Scoring is
+    * asymmetric (ADC): the full-precision query dots against the DECODED
+    * grid values, so quantization error enters once, not twice; with
+    * `rerank > 0` the top-`rerank` candidates from the compressed scan
+    * are re-scored with exact cosine (candidates broadcast back — the
+    * corpus never shuffles, same plan shape as [[pqTopK]]).
+    *
+    * Everything is built-in higher-order functions over the code array —
+    * no UDF, no new expression; bounds ride as array literals.
+    */
+  def sqTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String,
+      k: Int = 10,
+      bounds: Option[(Array[Double], Array[Double])] = None,
+      roundScoreTo: Int = -1,
+      rerank: Int = 0): DataFrame = {
+    import org.apache.spark.sql.functions.typedlit
+    val (mn, mx) = bounds.getOrElse(trainSqBounds(corpus, idCol, vecCol))
+    require(mn.length == mx.length && mn.nonEmpty, "sqTopK: bad bounds")
+    val minsL = typedlit(mn.toIndexedSeq)
+    val stepsL = typedlit(mn.indices.map(i => (mx(i) - mn(i)) / 255.0))
+    def minAt(i: org.apache.spark.sql.Column) = element_at(minsL, i + 1)
+    def stepAt(i: org.apache.spark.sql.Column) = element_at(stepsL, i + 1)
+    val encoded = corpus.select(col(idCol).as("neighbor_id"),
+      transform(gr_l2normalize(col(vecCol)), (x, i) =>
+        when(stepAt(i) === 0.0, 0)
+          .otherwise(least(lit(255.0), greatest(lit(0.0),
+            round((x - minAt(i)) / stepAt(i), 0))).cast("int")))
+        .as("_codes"))
+    val q = queries.select(col(idCol).as("query_id"),
+      gr_l2normalize(col(vecCol)).as("_qv"))
+    // ADC: decode the grid value per dimension, dot with the exact query
+    val decoded = transform(col("_codes"), (c, i) =>
+      minAt(i) + c.cast("double") * stepAt(i))
+    val rawScore = aggregate(
+      zip_with(col("_qv"), decoded, (qc, d) => qc.cast("double") * d),
+      lit(0.0), (acc, x) => acc + x)
+    val scored = encoded.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("score",
+        if (roundScoreTo >= 0) round(rawScore, roundScoreTo) else rawScore)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    if (rerank <= 0)
+      scored
+        .select(col("query_id"), col("neighbor_id"), col("score"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+    else {
+      val cands = scored
+        .select(col("query_id"), col("neighbor_id"), col("score"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= math.max(rerank, k))
+        .select(col("query_id"), col("neighbor_id"))
+      val cvecs = corpus.select(col(idCol).as("neighbor_id"),
+        gr_l2normalize(col(vecCol)).as("_cv"))
+      val exact = gr_dot(col("_qv"), col("_cv"))
+      val refined = cvecs
+        .join(broadcast(cands.join(q, "query_id")), Seq("neighbor_id"))
+        .withColumn("score",
+          if (roundScoreTo >= 0) round(exact, roundScoreTo) else exact)
+      refined
+        .select(col("query_id"), col("neighbor_id"), col("score"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+    }
+  }
+
   /** Approximate top-k: bucket corpus and queries by LSH signature; probe
     * the exact bucket plus all 1-bit-flip neighbors; exact rerank within
     * candidates. Recall grows with `bits` lowered or probes widened.

@@ -984,6 +984,41 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(math.abs(got(1)._3 - -math.log(pBA)) < 1e-12)
   }
 
+  test("sqTopK: bounds training, grid decode exactness, clustered recall") {
+    // two tight clusters: SQ8 candidates must recover brute-force top-k
+    val rnd = new scala.util.Random(7L)
+    def vec(center: Float): Array[Float] =
+      Array.tabulate(16)(i => center + (if (i == 0) 1f else 0.5f * rnd.nextFloat()))
+    val rows = (0L until 40L).map(id =>
+      (id, vec(if (id < 20) 1f else -1f))) // cluster by sign
+    val df = rows.toDF("vec_id", "embedding")
+    val (mn, mx) = Similarity.trainSqBounds(df, "vec_id", "embedding")
+    assert(mn.length == 16 && mx.length == 16 && mn.indices.forall(i => mn(i) <= mx(i)))
+    val queries = df.filter(col("vec_id").isin(0L, 25L))
+    val sq = Similarity.sqTopK(df, queries, "vec_id", "embedding",
+      k = 5, rerank = 20)
+      .as[(Long, Long, Double, Int)].collect()
+    val bf = Similarity.bruteForceTopK(df, queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val hits = sq.map(r => (r._1, r._2)).count(bf.contains)
+    assert(hits >= 9, s"SQ8+rerank recall $hits/10") // >= 90%
+    // every query's neighbors stay inside its own cluster
+    assert(sq.filter(_._1 == 0L).forall(_._2 < 20L))
+    assert(sq.filter(_._1 == 25L).forall(_._2 >= 20L))
+    // a two-point-per-dimension corpus decodes exactly (codes 0/255 land
+    // on the grid endpoints) -> ADC == exact cosine without rerank
+    val tiny = Seq((1L, Array(1f, 0f, 0f)), (2L, Array(0f, 1f, 0f)),
+      (3L, Array(0.6f, 0.8f, 0f))).toDF("vec_id", "embedding")
+    val adc = Similarity.sqTopK(tiny, tiny.filter(col("vec_id") === 3L),
+      "vec_id", "embedding", k = 2, roundScoreTo = 4)
+      .as[(Long, Long, Double, Int)].collect().sortBy(_._4)
+    // cos(q, e1) = 0.6, cos(q, e2) = 0.8 — but grid endpoints here are
+    // per-dim [0, max], so codes decode exactly and scores are exact
+    assert(adc.map(_._2).toSeq == Seq(2L, 1L), adc.toSeq.toString)
+    assert(math.abs(adc(0)._3 - 0.8) < 1e-3 && math.abs(adc(1)._3 - 0.6) < 1e-3)
+  }
+
   test("htmlExtract: script/style drop, tag strip, entities, whitespace") {
     val html = "<html><head><style>p{}</style></head><body>" +
       "<script>var x =  1; if (x<2) x=3;</script>" +

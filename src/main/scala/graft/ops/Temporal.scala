@@ -92,6 +92,96 @@ object Temporal {
       .toDF(keyCol, "session_start", "session_end", "n_events", "sum_value")
   }
 
+  /** STREAM-STREAM as-of join (the CDC-enrichment shape: a fact stream
+    * picks up the most recent strictly-earlier dimension row of its key —
+    * e.g. orders against price updates). Spark has no built-in
+    * stream-stream as-of, so the operator unions the two watermarked
+    * streams and runs one `flatMapGroupsWithState` per key:
+    *
+    *  - rows newer than the watermark BUFFER (bounded by the watermark
+    *    horizon: rows at most `delay` late are still admissible and could
+    *    change an answer, so nothing inside the horizon may emit);
+    *  - once the watermark passes a left row's timestamp, its answer is
+    *    final by the watermark contract (any still-later right row that
+    *    precedes it would be dropped as too late anyway) — the pending
+    *    prefix replays in timestamp order against the carried
+    *    latest-right and emits;
+    *  - state keeps ONE carried right (the latest at-or-before the
+    *    watermark) plus only the inside-horizon buffers — O(rows within
+    *    the watermark horizon) per key, never unbounded history.
+    *
+    * Same answer as the batch [[asofJoin]] under strict semantics for
+    * every row the watermark admits (the spec replays a shuffled arrival
+    * order and compares). Output: (key, ts, left value, asof_ts,
+    * asof_value) in append mode; `asof_*` null when no earlier right row
+    * exists.
+    */
+  def asofJoinStream(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, leftValCol: String, rightValCol: String,
+      delay: String): DataFrame = {
+    val spark = left.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val l = left.select(col(keyCol).cast("long").as("k"), col(tsCol).as("ts"),
+      col(leftValCol).cast("double").as("v"), lit(0).as("side"))
+      .withWatermark("ts", delay)
+    val r = right.select(col(keyCol).cast("long").as("k"), col(tsCol).as("ts"),
+      col(rightValCol).cast("double").as("v"), lit(1).as("side"))
+      .withWatermark("ts", delay)
+    val both = l.union(r).as[(Long, java.sql.Timestamp, Double, Int)]
+    // state: (hasCarried, carriedTs, carriedVal, pendingRights, pendingLefts)
+    both.groupByKey(_._1)
+      .flatMapGroupsWithState[
+          (Boolean, Long, Double, Seq[(Long, Double)], Seq[(Long, Double)]),
+          (Long, java.sql.Timestamp, Double,
+            Option[java.sql.Timestamp], Option[Double])](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key, it, state: GroupState[
+          (Boolean, Long, Double, Seq[(Long, Double)], Seq[(Long, Double)])]) =>
+          val prev = state.getOption.getOrElse(
+            (false, 0L, 0.0, Seq.empty[(Long, Double)], Seq.empty[(Long, Double)]))
+          var (has, cTs, cVal, rights, lefts) = prev
+          it.foreach { e =>
+            val t = e._2.getTime
+            if (e._4 == 1) rights = rights :+ ((t, e._3))
+            else lefts = lefts :+ ((t, e._3))
+          }
+          val wm = state.getCurrentWatermarkMs()
+          // due rows replay in global timestamp order; rights at a left's
+          // exact timestamp stay invisible to it (strict semantics), so
+          // on ties lefts process first
+          val dueR = rights.filter(_._1 <= wm).sortBy(_._1)
+          val dueL = lefts.filter(_._1 <= wm).sortBy(_._1)
+          rights = rights.filterNot(_._1 <= wm)
+          lefts = lefts.filterNot(_._1 <= wm)
+          val out = scala.collection.mutable.ArrayBuffer.empty[
+            (Long, java.sql.Timestamp, Double,
+              Option[java.sql.Timestamp], Option[Double])]
+          var ri = 0
+          dueL.foreach { case (lt, lv) =>
+            while (ri < dueR.length && dueR(ri)._1 < lt) {
+              val (rt, rv) = dueR(ri)
+              if (!has || rt >= cTs) { has = true; cTs = rt; cVal = rv }
+              ri += 1
+            }
+            out += ((key, new java.sql.Timestamp(lt), lv,
+              if (has) Some(new java.sql.Timestamp(cTs)) else None,
+              if (has) Some(cVal) else None))
+          }
+          while (ri < dueR.length) {
+            val (rt, rv) = dueR(ri)
+            if (!has || rt >= cTs) { has = true; cTs = rt; cVal = rv }
+            ri += 1
+          }
+          state.update((has, cTs, cVal, rights, lefts))
+          val pendingMin =
+            (rights.map(_._1) ++ lefts.map(_._1)).reduceOption(_ min _)
+          pendingMin.foreach(t => state.setTimeoutTimestamp(t))
+          out.iterator
+      }
+      .toDF(keyCol, tsCol, leftValCol, "asof_ts", s"asof_$rightValCol")
+  }
+
   /** As-of join: attach to every left row the most recent right row of the
     * same key — strictly earlier by default (`strict = false` for
     * at-or-before). Right columns `rightVals` arrive as `asof_<name>`

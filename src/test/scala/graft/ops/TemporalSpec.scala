@@ -99,6 +99,53 @@ class TemporalSpec extends AnyFunSuite {
       (1L, "2024-01-01 00:02:00.0", 1L, 4.0)), rows.toString)
   }
 
+  test("stream-stream asof: out-of-order arrivals converge to batch answers") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val lMem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val rMem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val out = Temporal.asofJoinStream(
+      lMem.toDF().toDF("k", "ts", "price"),
+      rMem.toDF().toDF("k", "ts", "quote"),
+      "k", "ts", "price", "quote", delay = "30 seconds")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("asof_stream_test").trigger(Trigger.ProcessingTime(0)).start()
+    // batch 1: rights at :10 and :40, lefts at :05 (no prior right), :15, :45
+    rMem.addData((1L, ts("2024-01-01 00:00:10"), 100.0),
+      (1L, ts("2024-01-01 00:00:40"), 400.0))
+    lMem.addData((1L, ts("2024-01-01 00:00:05"), 0.5),
+      (1L, ts("2024-01-01 00:00:15"), 1.5),
+      (1L, ts("2024-01-01 00:00:45"), 4.5))
+    q.processAllAvailable()
+    // batch 2: an OUT-OF-ORDER right at :25 (inside the 30 s horizon —
+    // it must still win for the left at :30), a left at :30, and
+    // far-future rows on BOTH streams (union watermark = min of the two)
+    rMem.addData((1L, ts("2024-01-01 00:00:25"), 250.0),
+      (2L, ts("2024-01-01 00:05:00"), 0.0))
+    lMem.addData((1L, ts("2024-01-01 00:00:30"), 3.0),
+      (2L, ts("2024-01-01 00:05:00"), 0.0))
+    q.processAllAvailable()
+    // batch 3 + 4: keep advancing so the lagged watermark passes :45
+    for (m <- Seq("00:07:00", "00:09:00")) {
+      rMem.addData((2L, ts(s"2024-01-01 $m"), 0.0))
+      lMem.addData((2L, ts(s"2024-01-01 $m"), 0.0))
+      q.processAllAvailable()
+    }
+    val rows = spark.sql(
+      "SELECT ts, price, asof_ts, asof_quote FROM asof_stream_test WHERE k = 1 ORDER BY ts")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getDouble(1),
+        Option(r.getTimestamp(2)).map(_.toString), Option(r.get(3)))).toSeq
+    q.stop()
+    assert(rows == Seq(
+      ("2024-01-01 00:00:05.0", 0.5, None, None),
+      ("2024-01-01 00:00:15.0", 1.5, Some("2024-01-01 00:00:10.0"), Some(100.0)),
+      ("2024-01-01 00:00:30.0", 3.0, Some("2024-01-01 00:00:25.0"), Some(250.0)),
+      ("2024-01-01 00:00:45.0", 4.5, Some("2024-01-01 00:00:40.0"), Some(400.0))),
+      rows.toString)
+  }
+
   test("asof join inclusive (strict=false) matches equal timestamps") {
     val left = Seq((1L, 10L, 100L)).toDF("user_id", "id", "ts")
     val right = Seq((1L, 20L, 100L, 7.0)).toDF("user_id", "event_id", "ts", "value")

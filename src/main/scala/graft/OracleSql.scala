@@ -1072,6 +1072,7 @@ object OracleSql {
       SELECT doc_id, n_blocks, n_kept,
              round((n_blocks - n_kept)::DOUBLE / n_blocks::DOUBLE, 4)
                AS removed_ratio,
+             coalesce(new_text, '') AS new_text,
              md5(coalesce(new_text, '')) AS new_hash
       FROM agg ORDER BY doc_id""",
 
@@ -1252,10 +1253,10 @@ object OracleSql {
               || ' A &amp; B &lt;x&gt;</p></body></html>' AS html
             FROM documents),
       t0 AS (SELECT doc_id, html,
-               regexp_replace(html, '<script[^>]*>.*?</script>', ' ', 'g') AS s
+               regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS s
              FROM h),
       t1 AS (SELECT doc_id, html,
-               regexp_replace(s, '<style[^>]*>.*?</style>', ' ', 'g') AS s
+               regexp_replace(s, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS s
              FROM t0),
       t2 AS (SELECT doc_id, html,
                regexp_replace(s, '<[^>]+>', ' ', 'g') AS s FROM t1),

@@ -56,6 +56,26 @@ object SparkEntry {
       .withColumn("y0", (col("s_suppkey") % 100).cast("double") * 10.0)
 
   // customer points (the workhorse synthetic geometry)
+  /** 4w×2h rectangle at (ox,oy) with a centered 2w×h hole, as WKT — the
+    * shared closed-form fixture of g97 (inscribed circle) and g98
+    * (triangulation); one definition so the two oracles cannot drift.
+    */
+  private def holedRectWkt(ox: org.apache.spark.sql.Column,
+      oy: org.apache.spark.sql.Column, w: org.apache.spark.sql.Column,
+      h: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(
+      lit("POLYGON (("), ox, lit(" "), oy, lit(", "),
+      ox + w * 4.0, lit(" "), oy, lit(", "),
+      ox + w * 4.0, lit(" "), oy + h * 2.0, lit(", "),
+      ox, lit(" "), oy + h * 2.0, lit(", "),
+      ox, lit(" "), oy, lit("), ("),
+      ox + w, lit(" "), oy + h / 2.0, lit(", "),
+      ox + w * 3.0, lit(" "), oy + h / 2.0, lit(", "),
+      ox + w * 3.0, lit(" "), oy + h * 1.5, lit(", "),
+      ox + w, lit(" "), oy + h * 1.5, lit(", "),
+      ox + w, lit(" "), oy + h / 2.0,
+      lit("))"))
+
   private def customerPts(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "customer")
       .withColumn("cx", col("c_acctbal"))
@@ -2266,20 +2286,8 @@ object SparkEntry {
         .withColumn("oy", (col("s_suppkey") % 11).cast("double") * 3.0)
         .withColumn("rect", st_makeEnvelope(col("ox"), col("oy"),
           col("ox") + col("w"), col("oy") + col("h")))
-        .withColumn("holed", st_geomFromWKT(concat(
-          lit("POLYGON (("), col("ox"), lit(" "), col("oy"), lit(", "),
-          col("ox") + col("w") * 4.0, lit(" "), col("oy"), lit(", "),
-          col("ox") + col("w") * 4.0, lit(" "), col("oy") + col("h") * 2.0,
-          lit(", "), col("ox"), lit(" "), col("oy") + col("h") * 2.0,
-          lit(", "), col("ox"), lit(" "), col("oy"), lit("), ("),
-          col("ox") + col("w"), lit(" "), col("oy") + col("h") / 2.0,
-          lit(", "), col("ox") + col("w") * 3.0, lit(" "),
-          col("oy") + col("h") / 2.0, lit(", "),
-          col("ox") + col("w") * 3.0, lit(" "), col("oy") + col("h") * 1.5,
-          lit(", "), col("ox") + col("w"), lit(" "),
-          col("oy") + col("h") * 1.5, lit(", "),
-          col("ox") + col("w"), lit(" "), col("oy") + col("h") / 2.0,
-          lit("))"))))
+        .withColumn("holed", st_geomFromWKT(
+          holedRectWkt(col("ox"), col("oy"), col("w"), col("h"))))
         .withColumn("lr", st_maximumInscribedCircle(col("rect"), lit(0.01)))
         .withColumn("lh", st_maximumInscribedCircle(col("holed"), lit(0.01)))
         .withColumn("rect_r_exact", least(col("w"), col("h")) / 2.0)
@@ -2297,9 +2305,11 @@ object SparkEntry {
             .as("ok_rect"),
           (abs(st_length(col("lh")) - col("hole_r_exact")) <= 0.03)
             .as("ok_hole"),
-          st_covers(col("rect"), st_pointN(col("lr"), lit(1)))
+          // st_pointn is 0-BASED: index 0 is the circle CENTER (index 1
+          // is the boundary touch point, which covers() accepts trivially)
+          st_covers(col("rect"), st_pointN(col("lr"), lit(0)))
             .as("ok_center_rect"),
-          st_covers(col("holed"), st_pointN(col("lh"), lit(1)))
+          st_covers(col("holed"), st_pointN(col("lh"), lit(0)))
             .as("ok_center_holed"))
         .orderBy(col("s_suppkey"))
     }),
@@ -2317,20 +2327,8 @@ object SparkEntry {
         .withColumn("oy", (col("s_suppkey") % 11).cast("double") * 3.0)
         .withColumn("rect", st_makeEnvelope(col("ox"), col("oy"),
           col("ox") + col("w"), col("oy") + col("h")))
-        .withColumn("holed", st_geomFromWKT(concat(
-          lit("POLYGON (("), col("ox"), lit(" "), col("oy"), lit(", "),
-          col("ox") + col("w") * 4.0, lit(" "), col("oy"), lit(", "),
-          col("ox") + col("w") * 4.0, lit(" "), col("oy") + col("h") * 2.0,
-          lit(", "), col("ox"), lit(" "), col("oy") + col("h") * 2.0,
-          lit(", "), col("ox"), lit(" "), col("oy"), lit("), ("),
-          col("ox") + col("w"), lit(" "), col("oy") + col("h") / 2.0,
-          lit(", "), col("ox") + col("w") * 3.0, lit(" "),
-          col("oy") + col("h") / 2.0, lit(", "),
-          col("ox") + col("w") * 3.0, lit(" "), col("oy") + col("h") * 1.5,
-          lit(", "), col("ox") + col("w"), lit(" "),
-          col("oy") + col("h") * 1.5, lit(", "),
-          col("ox") + col("w"), lit(" "), col("oy") + col("h") / 2.0,
-          lit("))"))))
+        .withColumn("holed", st_geomFromWKT(
+          holedRectWkt(col("ox"), col("oy"), col("w"), col("h"))))
         .withColumn("tr", st_triangulatePolygon(col("rect")))
         .withColumn("th", st_triangulatePolygon(col("holed")))
         .select(col("s_suppkey"),

@@ -729,6 +729,7 @@ object Dedup {
       .select(col("_id").as(idCol), col("n_blocks"), col("n_kept"),
         round((col("n_blocks") - col("n_kept")).cast("double") / col("n_blocks"), 4)
           .as("removed_ratio"),
+        col("new_text"),
         md5(col("new_text")).as("new_hash"))
   }
 

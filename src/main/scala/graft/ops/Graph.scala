@@ -25,9 +25,10 @@ object Graph {
     * Scale shape (100 TB link table): per iteration, one equi-join of
     * the narrow (node, rank) table onto the edge list keyed by source
     * and one hash aggregation keyed by destination — both shuffles carry
-    * only (long, double) rows, never page content. The edge list with
-    * its precomputed out-degrees is built once and cached by the caller
-    * if iterating many times; the rank table is localCheckpoint'ed each
+    * only (long, double) rows, never page content. The node list,
+    * out-degrees, and contribution edges are pinned ONCE with
+    * localCheckpoint (otherwise every iteration re-executes the caller's
+    * edge derivation), and the rank table is localCheckpoint'ed each
     * round with capped stats (the CC lesson: checkpoint plan stats
     * otherwise compound across rounds). Dangling mass is one 1-row
     * aggregate broadcast per iteration.
@@ -43,13 +44,19 @@ object Graph {
       s"pageRank: damping in (0,1) (got $damping)")
     val e = edges.select(col(srcCol).cast("long").as("_src"),
       col(dstCol).cast("long").as("_dst"))
-    val nodes = e.select(col("_src").as("_id"))
-      .union(e.select(col("_dst").as("_id"))).distinct()
-    val outDeg = e.groupBy(col("_src")).agg(count(lit(1)).as("_deg"))
+    // pin the derived tables ONCE: without the checkpoint every iteration
+    // re-executes the caller's edge plan (outDeg scan + contrib join) —
+    // for a synthesized edge list that is iters x the whole derivation
+    val nodes = GraftInterop.localCheckpointCappedStats(
+      e.select(col("_src").as("_id"))
+        .union(e.select(col("_dst").as("_id"))).distinct())
+    val outDeg = GraftInterop.localCheckpointCappedStats(
+      e.groupBy(col("_src")).agg(count(lit(1)).as("_deg")))
     // contribution edges: src, dst, 1/outdeg(src)
-    val contrib = e.join(outDeg, "_src")
-      .select(col("_src"), col("_dst"),
-        (lit(1.0) / col("_deg").cast("double")).as("_w"))
+    val contrib = GraftInterop.localCheckpointCappedStats(
+      e.join(outDeg, "_src")
+        .select(col("_src"), col("_dst"),
+          (lit(1.0) / col("_deg").cast("double")).as("_w")))
     val nRow = nodes.agg(count(lit(1)).cast("double").as("_n"))
     var ranks = GraftInterop.localCheckpointCappedStats(
       nodes.crossJoin(broadcast(nRow))

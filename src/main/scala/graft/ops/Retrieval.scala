@@ -28,8 +28,9 @@ object Retrieval {
     * Scale shape (100 TB corpus): the token stream is filtered to QUERY
     * terms by a codegen'd `IN` literal before anything wide happens, so
     * the corpus-sized explode stays narrow and only (doc, term) hits reach
-    * the tf aggregation; df/idf are computed from that already-tiny tf
-    * table and broadcast back onto it with the corpus stats riding along
+    * the tf aggregation; tf is pinned (localCheckpoint) so its three
+    * consumers never re-run the corpus scan, and df/idf are computed from
+    * that already-tiny table and broadcast back onto it with the corpus stats riding along
     * as a 1-row cross; the final per-query ranking is [[gr_topKByScore]] —
     * O(k) aggregation state per query, map-side partial top-k summaries
     * are all that cross the last shuffle. The full vocabulary is never
@@ -60,12 +61,15 @@ object Retrieval {
     val qt = queries.flatMap { case (q, ts) => ts.distinct.map(w => (q, w)) }
       .toDF("query_id", "w")
 
-    // narrow prefilter: only query-term occurrences survive the explode
-    val tf = base
+    // narrow prefilter: only query-term occurrences survive the explode;
+    // the tiny tf result is PINNED — it feeds the df table, the idf
+    // broadcast, and the scoring join, and without the checkpoint each
+    // consumer would re-run the corpus-sized tokenize+explode
+    val tf = org.apache.spark.sql.GraftInterop.localCheckpointCappedStats(base
       .select(col("_id"), col("_dl"), explode(col("_toks")).as("w"))
       .filter(col("w").isin(terms: _*))
       .groupBy(col("_id"), col("_dl"), col("w"))
-      .agg(count(lit(1)).cast("double").as("_tf"))
+      .agg(count(lit(1)).cast("double").as("_tf")))
     // tf is one row per (doc, term) → df(term) = plain count
     val dfTab = tf.groupBy(col("w")).agg(count(lit(1)).cast("double").as("_df"))
 

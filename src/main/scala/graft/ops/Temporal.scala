@@ -112,7 +112,8 @@ object Temporal {
     *
     * Same answer as the batch [[asofJoin]] under strict semantics for
     * every row the watermark admits (the spec replays a shuffled arrival
-    * order and compares). Output: (key, ts, left value, asof_ts,
+    * order and compares); equal-timestamp right rows resolve to the
+    * greatest value, deterministically — arrival order never decides. Output: (key, ts, left value, asof_ts,
     * asof_value) in append mode; `asof_*` null when no earlier right row
     * exists.
     */
@@ -150,7 +151,10 @@ object Temporal {
           // due rows replay in global timestamp order; rights at a left's
           // exact timestamp stay invisible to it (strict semantics), so
           // on ties lefts process first
-          val dueR = rights.filter(_._1 <= wm).sortBy(_._1)
+          // right-timestamp ties resolve to the GREATEST value,
+          // deterministically (the batch asofJoin's greatest-tie rule;
+          // arrival order is shuffle-dependent and must not decide)
+          val dueR = rights.filter(_._1 <= wm).sortBy(r => (r._1, r._2))
           val dueL = lefts.filter(_._1 <= wm).sortBy(_._1)
           rights = rights.filterNot(_._1 <= wm)
           lefts = lefts.filterNot(_._1 <= wm)
@@ -161,7 +165,9 @@ object Temporal {
           dueL.foreach { case (lt, lv) =>
             while (ri < dueR.length && dueR(ri)._1 < lt) {
               val (rt, rv) = dueR(ri)
-              if (!has || rt >= cTs) { has = true; cTs = rt; cVal = rv }
+              if (!has || rt > cTs || (rt == cTs && rv > cVal)) {
+                has = true; cTs = rt; cVal = rv
+              }
               ri += 1
             }
             out += ((key, new java.sql.Timestamp(lt), lv,
@@ -170,7 +176,9 @@ object Temporal {
           }
           while (ri < dueR.length) {
             val (rt, rv) = dueR(ri)
-            if (!has || rt >= cTs) { has = true; cTs = rt; cVal = rv }
+            if (!has || rt > cTs || (rt == cTs && rv > cVal)) {
+              has = true; cTs = rt; cVal = rv
+            }
             ri += 1
           }
           state.update((has, cTs, cVal, rights, lefts))

@@ -76,27 +76,6 @@ object TextAnalysis {
         sum(col("n_tokens").cast("long")).as("total_tokens"),
         round(avg(col("quality")), 4).as("avg_quality"))
 
-  /** Corpus-trained interpolated bigram language model, applied back to
-    * every document — the CCNet / KenLM perplexity-filter shape (Wenzek et
-    * al. 2019 train a 5-gram KenLM on Wikipedia and bucket CommonCrawl by
-    * per-doc perplexity; the bigram order keeps the oracle exactly
-    * SQL-mirrorable while exercising the identical plan).
-    *
-    * Model: p(w2|w1) = λ·c(w1w2)/c(w1) + (1−λ)·c(w2)/T over
-    * whitespace tokens (empty tokens dropped before adjacency, so the
-    * model sees the same stream the tokenizer emits). Output: one row per
-    * document with ≥2 tokens — `n_bigrams` and `cross_entropy` =
-    * avg(−ln p) (perplexity = exp of it).
-    *
-    * Scale shape (100 TB): the unigram and bigram count tables are
-    * plain hash aggregations with map-side partial combine; scoring joins
-    * the position stream to the count tables on the token keys — the
-    * count tables are corpus-vocabulary-sized, so neither side is
-    * broadcast structurally (AQE picks broadcast exactly when a count
-    * table fits, the t19 rule); the grand-total rides in as a 1-row
-    * broadcast. The per-doc reduce is a hash agg keyed by the id. Nothing
-    * in the plan holds unbounded per-key state.
-    */
   /** Gopher quality-rule bundle (Rae et al. 2021, Appendix A): the
     * repetition-independent document filters a large-scale curation
     * pipeline runs before any model-based scoring — word-count window,
@@ -168,16 +147,18 @@ object TextAnalysis {
     * predefined character entities, collapse whitespace; reports the
     * markup ratio (1 − text/html length) — the classic boilerplate
     * signal. Entities are decoded AFTER tag stripping so text that spells
-    * `&lt;x&gt;` stays literal text. Entirely narrow codegen'd
+    * `&lt;x&gt;` stays literal text. Script/style patterns run with
+    * `(?is)` — real crawl HTML has multiline and mixed-case blocks, and
+    * both flags are RE2-safe inline. Entirely narrow codegen'd
     * `regexp_replace` builtins (no UDF), so it runs at scan speed; the
     * regex subset (lazy quantifiers, character classes) is RE2-safe so
     * the operator mirrors into any engine.
     */
   def htmlExtract(df: DataFrame, idCol: String, htmlCol: String): DataFrame =
     df.withColumn("_t0",
-        regexp_replace(col(htmlCol), "<script[^>]*>.*?</script>", " "))
+        regexp_replace(col(htmlCol), "(?is)<script[^>]*>.*?</script>", " "))
       .withColumn("_t1",
-        regexp_replace(col("_t0"), "<style[^>]*>.*?</style>", " "))
+        regexp_replace(col("_t0"), "(?is)<style[^>]*>.*?</style>", " "))
       .withColumn("_t2", regexp_replace(col("_t1"), "<[^>]+>", " "))
       .withColumn("_t3",
         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
@@ -236,6 +217,27 @@ object TextAnalysis {
       .withColumn("keep", col("log_weight") >= 0.0)
   }
 
+  /** Corpus-trained interpolated bigram language model, applied back to
+    * every document — the CCNet / KenLM perplexity-filter shape (Wenzek et
+    * al. 2019 train a 5-gram KenLM on Wikipedia and bucket CommonCrawl by
+    * per-doc perplexity; the bigram order keeps the oracle exactly
+    * SQL-mirrorable while exercising the identical plan).
+    *
+    * Model: p(w2|w1) = λ·c(w1w2)/c(w1) + (1−λ)·c(w2)/T over
+    * whitespace tokens (empty tokens dropped before adjacency, so the
+    * model sees the same stream the tokenizer emits). Output: one row per
+    * document with ≥2 tokens — `n_bigrams` and `cross_entropy` =
+    * avg(−ln p) (perplexity = exp of it).
+    *
+    * Scale shape (100 TB): the unigram and bigram count tables are
+    * plain hash aggregations with map-side partial combine; scoring joins
+    * the position stream to the count tables on the token keys — the
+    * count tables are corpus-vocabulary-sized, so neither side is
+    * broadcast structurally (AQE picks broadcast exactly when a count
+    * table fits, the t19 rule); the grand-total rides in as a 1-row
+    * broadcast. The per-doc reduce is a hash agg keyed by the id. Nothing
+    * in the plan holds unbounded per-key state.
+    */
   def bigramLm(df: DataFrame, idCol: String, textCol: String,
       lambda: Double = 0.7): DataFrame = {
     require(lambda >= 0.0 && lambda <= 1.0, s"bigramLm: lambda in [0,1] (got $lambda)")

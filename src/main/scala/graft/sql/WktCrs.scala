@@ -699,8 +699,17 @@ object WktCrs {
     if (cached != null) return cached
     val r = try {
       val n = jsonMapper.readTree(json)
-      val servable = (s: String) => s.startsWith("EPSG:") || Crs.projFor(s).isDefined
-      pjId(n).filter(servable)
+      // id short-circuits ONLY when the engine already serves the code
+      // (the WKT path's authServed rule); a non-served EPSG id must fall
+      // through to structural reduction of the parameters pyproj always
+      // writes alongside it — otherwise st_transform rejects a CRS whose
+      // full definition is sitting right there in the JSON
+      val idServed = (code: String) =>
+        Crs.byEpsg.contains(code) || code == "EPSG:4326" || code == "EPSG:3857" ||
+          code.matches("EPSG:32[67]\\d\\d")
+      val servable = (s: String) =>
+        idServed(s) || s.startsWith("+") && Crs.projFor(s).isDefined
+      pjId(n).filter(idServed)
         .orElse(pjToObj(n).flatMap(reduce).filter(servable))
     } catch { case scala.util.control.NonFatal(_) => None }
     if (cache.size < 4096) cache.put(json, r)

@@ -1154,12 +1154,12 @@ class PipelineOpsSpec extends AnyFunSuite {
     // decision path is an aggregation, not a per-hash window sort
     assert(!out.queryExecution.executedPlan.toString.contains("Window"),
       "blockDedupRewrite must not plan a window over block hashes")
-    val got = out.as[(Long, Long, Long, Double, String)].collect()
+    val got = out.as[(Long, Long, Long, Double, String, String)].collect()
       .sortBy(_._1).toSeq
     assert(got == Seq(
-      (1L, 2L, 2L, 0.0, md5hex("a b c d")),
-      (2L, 2L, 1L, 0.5, md5hex("x y")),
-      (3L, 1L, 0L, 1.0, md5hex("")),
-      (4L, 2L, 1L, 0.5, md5hex("p q"))), got.toString)
+      (1L, 2L, 2L, 0.0, "a b c d", md5hex("a b c d")),
+      (2L, 2L, 1L, 0.5, "x y", md5hex("x y")),
+      (3L, 1L, 0L, 1.0, "", md5hex("")),
+      (4L, 2L, 1L, 0.5, "p q", md5hex("p q"))), got.toString)
   }
 }

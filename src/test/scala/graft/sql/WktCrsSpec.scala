@@ -349,6 +349,16 @@ class WktCrsSpec extends AnyFunSuite {
     assert(b.isDefined && b.get.contains("+towgs84=-87.0,-98.0,-121.0"), s"bound -> $b")
   }
 
+  test("PROJJSON: NON-served EPSG id falls back to structural reduction") {
+    // Belgian Lambert 72 shape (no engine parameter-table row for 31370):
+    // the id must NOT short-circuit to a code st_transform would reject —
+    // the LCC-2SP parameters pyproj writes alongside it reduce to a record
+    val pj = """{"type":"ProjectedCRS","name":"BD72ish","base_crs":{"name":"g","datum":{"type":"GeodeticReferenceFrame","name":"d","ellipsoid":{"name":"intl","semi_major_axis":6378388,"inverse_flattening":297}},"coordinate_system":{"subtype":"ellipsoidal","axis":[]}},"conversion":{"name":"c","method":{"name":"Lambert Conic Conformal (2SP)"},"parameters":[{"name":"Latitude of false origin","value":90,"unit":"degree"},{"name":"Longitude of false origin","value":4.367486666666666,"unit":"degree"},{"name":"Latitude of 1st standard parallel","value":51.16666723333333,"unit":"degree"},{"name":"Latitude of 2nd standard parallel","value":49.8333339,"unit":"degree"},{"name":"Easting at false origin","value":150000.013,"unit":"metre"},{"name":"Northing at false origin","value":5400088.438,"unit":"metre"}]},"coordinate_system":{"subtype":"Cartesian","axis":[{"name":"E","abbreviation":"E","direction":"east","unit":"metre"},{"name":"N","abbreviation":"N","direction":"north","unit":"metre"}]},"id":{"authority":"EPSG","code":31370}}"""
+    val r = WktCrs.parseProjJson(pj)
+    assert(r.isDefined && r.get.startsWith("+proj=lcc"), s"31370 -> $r")
+    assert(Crs.projFor(r.get).isDefined, "the reduced record must be servable")
+  }
+
   test("PROJJSON: malformed and unknown inputs return None") {
     assert(WktCrs.parseProjJson("{not json").isEmpty)
     assert(WktCrs.parseProjJson("""{"type":"VerticalCRS","name":"x"}""").isEmpty)

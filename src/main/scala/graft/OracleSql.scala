@@ -1274,6 +1274,47 @@ object OracleSql {
              md5(text) AS text_hash
       FROM x ORDER BY doc_id""",
 
+    // C4 filters: same line synthesis, same keep predicate, same page
+    // rules; md5 witnesses the rebuilt page
+    "t47_c4_filters" -> s"""
+      WITH a0 AS (SELECT doc_id, $docToks AS toks FROM documents),
+      a AS (SELECT * FROM a0 WHERE len(toks) >= 1),
+      raw AS (SELECT doc_id, j::BIGINT AS idx,
+                array_to_string(toks[(j * 6 + 1)::INT : (j * 6 + 6)::INT], ' ') AS l,
+                (('0x' || substr(md5('l:' || doc_id || ':' || j), 1, 16))::UBIGINT
+                  % 10)::BIGINT AS r
+              FROM a, LATERAL unnest(range(0, (len(toks) - 1) // 6 + 1)) t(j)),
+      ln AS (SELECT doc_id, idx,
+               CASE WHEN r <= 6 THEN l || '.'
+                    WHEN r = 7 THEN l
+                    WHEN r = 8 THEN l || ' {x}.'
+                    ELSE l || ' javascript error.' END AS line
+             FROM raw),
+      pg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS text
+             FROM ln GROUP BY doc_id),
+      k AS (SELECT doc_id, text, string_split(text, chr(10)) AS lines,
+              list_filter(string_split(text, chr(10)), l ->
+                (ends_with(rtrim(l), '.') OR ends_with(rtrim(l), '!')
+                  OR ends_with(rtrim(l), '?') OR ends_with(rtrim(l), '."')
+                  OR ends_with(rtrim(l), '!"') OR ends_with(rtrim(l), '?"'))
+                AND len(list_filter(string_split(l, ' '), x -> x <> '')) >= 5
+                AND NOT contains(lower(l), 'javascript')) AS kept
+            FROM pg),
+      o AS (SELECT doc_id,
+              len(lines)::BIGINT AS n_lines, len(kept)::BIGINT AS n_kept,
+              coalesce(array_to_string(kept, chr(10)), '') AS new_text,
+              contains(text, '{') AS has_brace,
+              contains(lower(text), 'lorem ipsum') AS has_blocked
+            FROM k)
+      SELECT doc_id, n_lines, n_kept,
+             (length(new_text) - length(translate(new_text, '.!?', '')))::BIGINT
+               AS n_sentences,
+             has_brace, has_blocked,
+             ((length(new_text) - length(translate(new_text, '.!?', ''))) >= 3
+               AND NOT has_brace AND NOT has_blocked) AS keep,
+             md5(new_text) AS new_hash
+      FROM o ORDER BY doc_id""",
+
     // DSIR: same tokenizer, same unigram+bigram stream, same md5 bucket
     // hash, same add-1 arithmetic as ln(x) - ln(y)
     "t45_dsir_weights" -> s"""

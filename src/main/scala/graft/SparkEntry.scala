@@ -3309,6 +3309,39 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // C4 line filters with page rewrite (Raffel et al. 2020 §2.2): the
+    // corpus gets deterministic line structure first (6-token chunks, an
+    // md5-derived suffix class: 0-6 terminal '.', 7 no terminal, 8 a
+    // code brace, 9 a javascript mention — both engines synthesize the
+    // identical pages), then lines filter, pages rebuild, and page-level
+    // rules fire. new_hash witnesses the rewritten page byte-for-byte.
+    "t47_c4_filters" -> ((s, d) => {
+      val lines = t(s, d, "documents")
+        .select(col("doc_id"),
+          expr("filter(split(text, ' '), x -> length(x) > 0)").as("_toks"))
+        .filter(size(col("_toks")) >= 1)
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, (size(_toks) - 1) div 6), " +
+            "j -> concat_ws(' ', slice(_toks, j * 6 + 1, 6)))"))
+          .as(Seq("_idx", "_l")))
+        .withColumn("_r", gr_md5Bucket(concat(lit("l:"),
+          col("doc_id").cast("string"), lit(":"), col("_idx").cast("string")),
+          lit(10)))
+        .withColumn("_line",
+          when(col("_r") <= 6, concat(col("_l"), lit(".")))
+            .when(col("_r") === 7, col("_l"))
+            .when(col("_r") === 8, concat(col("_l"), lit(" {x}.")))
+            .otherwise(concat(col("_l"), lit(" javascript error."))))
+      val pages = lines.groupBy(col("doc_id"))
+        .agg(concat_ws("\n", expr(
+          "transform(array_sort(collect_list(struct(_idx, _line))), e -> e._line)"))
+          .as("text"))
+      graft.ops.TextAnalysis.c4Filters(pages, "doc_id", "text",
+        minLineWords = 5, minSentences = 3)
+        .drop("new_text")
+        .orderBy(col("doc_id"))
+    }),
+
     // DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
     // bag-of-words distributions for the target slice (source = 'src0')
     // vs the raw corpus, add-1 smoothed, per-doc log importance weight.

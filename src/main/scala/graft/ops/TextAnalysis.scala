@@ -173,6 +173,47 @@ object TextAnalysis {
           / length(col(htmlCol)).cast("double"), 4).as("markup_ratio"),
         col("text"))
 
+  /** C4 line-level filters (Raffel et al. 2020 §2.2) with page rewrite:
+    * keep only lines that end in terminal punctuation (., !, ?, or a
+    * closing quote after one), carry at least `minLineWords` words, and
+    * do not mention "javascript"; rebuild the page from the kept lines;
+    * then drop pages with fewer than `minSentences` sentences (terminal
+    * punctuation marks in the rebuilt text), any `{` (code), or a
+    * blocklist phrase. The line-granular complement to the document-level
+    * [[gopherRules]] — C4 rewrites pages, Gopher drops them whole.
+    *
+    * One narrow codegen'd stage (higher-order array functions over the
+    * split lines, no shuffle, no UDF) — scan speed at 100 TB.
+    */
+  def c4Filters(df: DataFrame, idCol: String, textCol: String,
+      minLineWords: Int = 5, minSentences: Int = 3,
+      blocklist: Seq[String] = Seq("lorem ipsum")): DataFrame = {
+    require(blocklist.nonEmpty, "c4Filters: blocklist must be non-empty")
+    val keepPred =
+      s"""l -> (endswith(rtrim(l), '.') OR endswith(rtrim(l), '!')
+         |  OR endswith(rtrim(l), '?') OR endswith(rtrim(l), '."')
+         |  OR endswith(rtrim(l), '!"') OR endswith(rtrim(l), '?"'))
+         | AND size(filter(split(l, ' '), x -> length(x) > 0)) >= $minLineWords
+         | AND NOT contains(lower(l), 'javascript')""".stripMargin.replace("\n", " ")
+    val base = df.select(col(idCol), col(textCol).as("_tx"))
+      .withColumn("_lines", split(col("_tx"), "\n"))
+      .withColumn("_kept", expr(s"filter(_lines, $keepPred)"))
+      .withColumn("new_text", array_join(col("_kept"), "\n"))
+      .withColumn("n_sentences",
+        (length(col("new_text")) -
+          length(translate(col("new_text"), ".!?", ""))).cast("long"))
+      .withColumn("has_brace", col("_tx").contains("{"))
+      .withColumn("has_blocked", blocklist.map(t =>
+        lower(col("_tx")).contains(t.toLowerCase)).reduce(_ || _))
+    base.select(col(idCol),
+      size(col("_lines")).cast("long").as("n_lines"),
+      size(col("_kept")).cast("long").as("n_kept"),
+      col("n_sentences"), col("has_brace"), col("has_blocked"),
+      (col("n_sentences") >= minSentences && !col("has_brace") &&
+        !col("has_blocked")).as("keep"),
+      col("new_text"), md5(col("new_text")).as("new_hash"))
+  }
+
   /** DSIR importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): hashed n-gram features
     * (unigrams + word bigrams into `buckets` buckets), bag-of-words

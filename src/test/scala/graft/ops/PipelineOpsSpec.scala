@@ -1091,6 +1091,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(math.abs(sum - 1.0) < 1e-12, s"mass $sum")
   }
 
+  test("c4Filters: line rules rewrite pages, page rules drop them") {
+    val good = "one two three four five six.\nseven eight nine ten eleven!\n" +
+      "twelve thirteen fourteen fifteen sixteen?"
+    val docs = Seq(
+      (1L, good), // 3 sentences, keeps all lines
+      (2L, "no terminal punct here at all\n" + good), // line 1 dropped
+      (3L, "short line.\n" + good), // < 5 words dropped
+      (4L, "this page uses JavaScript everywhere ok.\n" + good), // js line dropped
+      (5L, good + "\nvar x = {1: 2};"), // brace -> page dropped
+      (6L, "Lorem Ipsum dolor sit amet friend.\n" + good), // blocklist
+      (7L, "just one sentence here friend.")) // < 3 sentences
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.c4Filters(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    def row(i: Int) = out(i)
+    assert(row(0).getBoolean(6) && row(0).getLong(2) == 3L) // keep, 3 kept
+    assert(row(1).getLong(1) == 4L && row(1).getLong(2) == 3L) // dropped line
+    assert(row(2).getLong(2) == 3L && row(2).getAs[String](7) == good) // rebuilt
+    assert(row(3).getLong(2) == 3L, "javascript line dropped")
+    assert(!row(4).getBoolean(6) && row(4).getBoolean(4), "brace drops page")
+    assert(!row(5).getBoolean(6) && row(5).getBoolean(5), "blocklist drops page")
+    assert(!row(6).getBoolean(6) && row(6).getLong(3) == 1L, "< 3 sentences")
+  }
+
   test("gopherRules: each rule fires on its adversarial document") {
     val good = (1 to 60).map(i => s"word$i").mkString(" ") + " the of"
     val docs = Seq(

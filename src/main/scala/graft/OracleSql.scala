@@ -2259,6 +2259,22 @@ object OracleSql {
              true AS azimuth_ok
       FROM x ORDER BY c_custkey""",
 
+    // snap-to-grid: identical floor-rounding arithmetic; sliver collapse
+    // and the offset-rectangle area are closed form
+    "g100_snaptogrid" -> """
+      SELECT s_suppkey,
+             round(floor((ox / 7.3) / 0.5 + 0.5) * 0.5, 6) AS sx,
+             round(floor((oy / 3.1) / 0.5 + 0.5) * 0.5, 6) AS sy,
+             round((w + 1.0) * (h + 1.0), 6) AS snap_area,
+             true AS sliver_empty
+      FROM (SELECT s_suppkey,
+              ((s_suppkey % 5) + 2)::DOUBLE AS w,
+              ((s_suppkey % 4) + 1)::DOUBLE AS h,
+              (s_suppkey % 13)::DOUBLE * 3.0 AS ox,
+              (s_suppkey % 11)::DOUBLE * 3.0 AS oy
+            FROM supplier)
+      ORDER BY s_suppkey""",
+
     // triangulation: counts and partitioned areas are pure closed form
     "g98_triangulate" -> """
       SELECT s_suppkey,

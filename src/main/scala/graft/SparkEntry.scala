@@ -2272,6 +2272,31 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     }),
 
+    // vertex quantization (PostGIS ST_SnapToGrid): explicit
+    // floor(x/size + 0.5)·size rounding so the oracle mirrors the
+    // arithmetic bit-for-bit; a 0.2-wide sliver collapses to empty at
+    // grid 1.0 (the degenerate-ring drop), and an offset rectangle's
+    // snapped area is the closed form (w+1)(h+1)
+    "g100_snaptogrid" -> ((s, d) => {
+      t(s, d, "supplier")
+        .withColumn("w", ((col("s_suppkey") % 5) + 2).cast("double"))
+        .withColumn("h", ((col("s_suppkey") % 4) + 1).cast("double"))
+        .withColumn("ox", (col("s_suppkey") % 13).cast("double") * 3.0)
+        .withColumn("oy", (col("s_suppkey") % 11).cast("double") * 3.0)
+        .withColumn("pt", st_point(col("ox") / 7.3, col("oy") / 3.1))
+        .withColumn("sp", st_snapToGrid(col("pt"), lit(0.5)))
+        .withColumn("rect", st_makeEnvelope(col("ox") + 0.3, col("oy") + 0.2,
+          col("ox") + col("w") + 0.7, col("oy") + col("h") + 0.6))
+        .withColumn("sliver", st_makeEnvelope(col("ox"), col("oy"),
+          col("ox") + 0.2, col("oy") + 5.0))
+        .select(col("s_suppkey"),
+          round(st_x(col("sp")), 6).as("sx"),
+          round(st_y(col("sp")), 6).as("sy"),
+          round(st_area(st_snapToGrid(col("rect"), lit(1.0))), 6).as("snap_area"),
+          st_isEmpty(st_snapToGrid(col("sliver"), lit(1.0))).as("sliver_empty"))
+        .orderBy(col("s_suppkey"))
+    }),
+
     // maximum inscribed circle (shapely 2.x / PostGIS surface, polylabel
     // search): the oracle is the CLOSED FORM — a w×h rectangle's largest
     // inscribed circle has r = min(w,h)/2, and a 4w×2h rectangle with a

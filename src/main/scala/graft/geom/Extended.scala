@@ -215,6 +215,70 @@ object Extended {
     else Constructive.circle(cx, cy, r, math.max(1, resolution) * 4)
   }
 
+  /** PostGIS ST_SnapToGrid: every vertex moves to the nearest grid node
+    * (`floor(x/size + 0.5) * size` — one explicit rounding rule so
+    * external engines can mirror the arithmetic bit-for-bit), consecutive
+    * duplicate vertices collapse, and degenerate parts drop: a path left
+    * with < 2 distinct points becomes empty, a ring left with < 3
+    * (before re-closing) is removed — a polygon losing its shell becomes
+    * empty (the PostGIS contract; like PostGIS, the result is NOT
+    * guaranteed valid — `st_makevalid` is the repair step).
+    */
+  def snapToGrid(g: Geometry, size: Double): Geometry = {
+    require(size > 0.0, s"snapToGrid: size > 0 (got $size)")
+    def snap(v: Double): Double = math.floor(v / size + 0.5) * size
+    // snap + collapse consecutive duplicates over an OPEN path
+    def path(xy: Array[Double]): Array[Double] = {
+      val out = mutable.ArrayBuilder.make[Double]
+      var px = Double.NaN; var py = Double.NaN
+      var i = 0
+      while (i < xy.length) {
+        val x = snap(xy(i)); val y = snap(xy(i + 1))
+        if (!(x == px && y == py)) { out += x; out += y; px = x; py = y }
+        i += 2
+      }
+      out.result()
+    }
+    def ring(r: Array[Double]): Option[Array[Double]] = {
+      // open (drop the closing vertex), snap/dedupe, re-close
+      val open = if (r.length >= 4 && r(0) == r(r.length - 2) &&
+        r(1) == r(r.length - 1)) r.dropRight(2) else r
+      var p = path(open)
+      // snapping can re-merge the first and last vertex
+      if (p.length >= 4 && p(0) == p(p.length - 2) && p(1) == p(p.length - 1))
+        p = p.dropRight(2)
+      if (p.length < 6) None // fewer than 3 distinct corners: degenerate
+      else Some(p ++ Array(p(0), p(1)))
+    }
+    g match {
+      case p: Point if p.isEmpty => p
+      case p: Point => Point(snap(p.x), snap(p.y))
+      case m: MultiPoint =>
+        // dedupe by coordinates (case-class equality fails on the NaN z)
+        val seen = mutable.LinkedHashSet.empty[(Double, Double)]
+        m.pts.foreach(p => seen += ((snap(p.x), snap(p.y))))
+        MultiPoint(seen.toArray.map { case (x, y) => Point(x, y) })
+      case l: LineString =>
+        val p = path(l.xy)
+        LineString(if (p.length >= 4) p else Array.empty[Double])
+      case m: MultiLineString =>
+        MultiLineString(m.lines.map(l => LineString(path(l.xy)))
+          .filter(_.xy.length >= 4))
+      case p: Polygon =>
+        if (p.isEmpty) p
+        else ring(p.shell) match {
+          case None => Polygon(Array.empty[Array[Double]])
+          case Some(sh) =>
+            Polygon(Array(sh) ++ (1 until p.rings.length).flatMap(i => ring(p.rings(i))))
+        }
+      case m: MultiPolygon =>
+        MultiPolygon(m.polys.map(q => snapToGrid(q, size).asInstanceOf[Polygon])
+          .filter(!_.isEmpty))
+      case c: GeometryCollection =>
+        GeometryCollection(c.geoms.map(snapToGrid(_, size)).filter(!_.isEmpty))
+    }
+  }
+
   /** Largest circle fully contained in a polygonal geometry (shapely 2.x
     * maximum_inscribed_circle / PostGIS ST_MaximumInscribedCircle),
     * located with the polylabel quadtree search (Mapbox 2016): cells are

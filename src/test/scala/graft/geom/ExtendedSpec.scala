@@ -603,6 +603,37 @@ class ExtendedSpec extends AnyFunSuite {
     }
   }
 
+  test("snapToGrid: quantization, dedupe, degenerate collapse") {
+    def s(g: String, size: Double): String = Wkt.write(Extended.snapToGrid(wkt(g), size))
+    assert(s("POINT (1.26 -0.74)", 0.5) == "POINT (1.5 -0.5)")
+    // consecutive duplicates collapse; the line survives
+    assert(s("LINESTRING (0 0, 0.1 0.1, 0.2 0.1, 3 3)", 1.0) ==
+      "LINESTRING (0 0, 3 3)")
+    // a line collapsing to one point becomes empty
+    assert(Extended.snapToGrid(wkt("LINESTRING (0 0, 0.2 0.2, 0.3 0.1)"), 1.0).isEmpty)
+    // rectangle snaps; area matches the grid corners
+    assert(Measures.area(Extended.snapToGrid(
+      wkt("POLYGON ((0.3 0.2, 4.7 0.2, 4.7 2.6, 0.3 2.6, 0.3 0.2))"), 1.0)) == 15.0)
+    // a thin sliver's ring degenerates -> empty polygon
+    assert(Extended.snapToGrid(
+      wkt("POLYGON ((0 0, 0.2 0, 0.2 5, 0 5, 0 0))"), 1.0).isEmpty)
+    // hole collapse drops only the hole
+    val holed = Extended.snapToGrid(wkt(
+      "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 4.2 4, 4.2 4.2, 4 4.2, 4 4))"), 1.0)
+    assert(Measures.area(holed) == 100.0 &&
+      holed.asInstanceOf[Polygon].numHoles == 0)
+    // multipolygon drops collapsed parts; multipoint dedupes
+    assert(s("MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, 0 0)), ((8 0, 8.2 0, 8.2 0.2, 8 0.2, 8 0)))",
+      1.0) == "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))".replace("POLYGON", "MULTIPOLYGON ((").replace("))", ")))") ||
+      Extended.snapToGrid(wkt(
+        "MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, 0 0)), ((8 0, 8.2 0, 8.2 0.2, 8 0.2, 8 0)))"),
+        1.0).asInstanceOf[MultiPolygon].polys.length == 1)
+    assert(Extended.snapToGrid(wkt("MULTIPOINT ((0.1 0.1), (0.2 0.2), (3 3))"), 1.0)
+      .asInstanceOf[MultiPoint].pts.length == 2)
+    // half-way rounding rule: floor(x/size + 0.5) rounds .5 UP
+    assert(s("POINT (0.25 -0.25)", 0.5) == "POINT (0.5 0)")
+  }
+
   test("minimumClearance vertex-vertex case and infinite cases") {
     assert(Extended.minimumClearance(wkt("LINESTRING (0 0, 7 0)")) == 7.0)
     assert(Extended.minimumClearance(wkt("POINT (1 1)")).isPosInfinity)

@@ -19,7 +19,7 @@ class RegistrySpec extends AnyFunSuite {
   }
 
   test("query keys follow the family naming scheme") {
-    val pat = "^[egmqt]\\d{2}_[a-z0-9_]+$".r
+    val pat = "^[egmqt]\\d{2,3}_[a-z0-9_]+$".r
     val bad = SparkEntry.queries.keySet.filterNot(k => pat.matches(k))
     assert(bad.isEmpty, s"unconventional query keys: $bad")
   }

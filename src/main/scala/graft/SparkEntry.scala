@@ -3341,9 +3341,11 @@ object SparkEntry {
     // identical pages), then lines filter, pages rebuild, and page-level
     // rules fire. new_hash witnesses the rewritten page byte-for-byte.
     "t47_c4_filters" -> ((s, d) => {
+      // gr_tokens == the oracle's \s+ docToks — a split on ' ' alone
+      // would diverge on tab/CR-bearing text (latent on this corpus,
+      // fatal on a real one)
       val lines = t(s, d, "documents")
-        .select(col("doc_id"),
-          expr("filter(split(text, ' '), x -> length(x) > 0)").as("_toks"))
+        .select(col("doc_id"), gr_tokens(col("text")).as("_toks"))
         .filter(size(col("_toks")) >= 1)
         .select(col("doc_id"), posexplode(expr(
           "transform(sequence(0, (size(_toks) - 1) div 6), " +

@@ -227,18 +227,22 @@ object Extended {
   def snapToGrid(g: Geometry, size: Double): Geometry = {
     require(size > 0.0, s"snapToGrid: size > 0 (got $size)")
     def snap(v: Double): Double = math.floor(v / size + 0.5) * size
-    // snap + collapse consecutive duplicates over an OPEN path
-    def path(xy: Array[Double]): Array[Double] = {
+    // snap + collapse consecutive duplicates over an OPEN path; kept
+    // vertex indices come along so Z values (untouched by the grid, per
+    // PostGIS) stay aligned with their vertices
+    def pathIdx(xy: Array[Double]): (Array[Double], Array[Int]) = {
       val out = mutable.ArrayBuilder.make[Double]
+      val idx = mutable.ArrayBuilder.make[Int]
       var px = Double.NaN; var py = Double.NaN
       var i = 0
       while (i < xy.length) {
         val x = snap(xy(i)); val y = snap(xy(i + 1))
-        if (!(x == px && y == py)) { out += x; out += y; px = x; py = y }
+        if (!(x == px && y == py)) { out += x; out += y; idx += i / 2; px = x; py = y }
         i += 2
       }
-      out.result()
+      (out.result(), idx.result())
     }
+    def path(xy: Array[Double]): Array[Double] = pathIdx(xy)._1
     def ring(r: Array[Double]): Option[Array[Double]] = {
       // open (drop the closing vertex), snap/dedupe, re-close
       val open = if (r.length >= 4 && r(0) == r(r.length - 2) &&
@@ -252,18 +256,29 @@ object Extended {
     }
     g match {
       case p: Point if p.isEmpty => p
-      case p: Point => Point(snap(p.x), snap(p.y))
+      case p: Point => Point(snap(p.x), snap(p.y), p.z) // Z untouched
       case m: MultiPoint =>
-        // dedupe by coordinates (case-class equality fails on the NaN z)
-        val seen = mutable.LinkedHashSet.empty[(Double, Double)]
-        m.pts.foreach(p => seen += ((snap(p.x), snap(p.y))))
-        MultiPoint(seen.toArray.map { case (x, y) => Point(x, y) })
+        // dedupe by snapped coordinates + Z bits (case-class equality
+        // fails on the NaN z; first occurrence keeps its Z)
+        val seen = mutable.LinkedHashSet.empty[(Double, Double, Long)]
+        val kept = mutable.ArrayBuffer.empty[Point]
+        m.pts.foreach { p =>
+          val key = (snap(p.x), snap(p.y), java.lang.Double.doubleToLongBits(p.z))
+          if (seen.add(key)) kept += Point(snap(p.x), snap(p.y), p.z)
+        }
+        MultiPoint(kept.toArray)
       case l: LineString =>
-        val p = path(l.xy)
-        LineString(if (p.length >= 4) p else Array.empty[Double])
+        val (p, ki) = pathIdx(l.xy)
+        if (p.length < 4) LineString(Array.empty[Double])
+        else if (l.zs == null) LineString(p)
+        else LineString(p, ki.map(l.zs))
       case m: MultiLineString =>
-        MultiLineString(m.lines.map(l => LineString(path(l.xy)))
-          .filter(_.xy.length >= 4))
+        MultiLineString(m.lines.map { l =>
+          val (p, ki) = pathIdx(l.xy)
+          if (p.length < 4) LineString(Array.empty[Double])
+          else if (l.zs == null) LineString(p)
+          else LineString(p, ki.map(l.zs))
+        }.filter(_.xy.length >= 4))
       case p: Polygon =>
         if (p.isEmpty) p
         else ring(p.shell) match {

@@ -42,11 +42,14 @@ object Graph {
     require(iters >= 1, s"pageRank: iters >= 1 (got $iters)")
     require(damping > 0.0 && damping < 1.0,
       s"pageRank: damping in (0,1) (got $damping)")
-    val e = edges.select(col(srcCol).cast("long").as("_src"),
-      col(dstCol).cast("long").as("_dst"))
-    // pin the derived tables ONCE: without the checkpoint every iteration
-    // re-executes the caller's edge plan (outDeg scan + contrib join) —
-    // for a synthesized edge list that is iters x the whole derivation
+    // pin the caller's edge plan ONCE (a synthesized edge list is
+    // expensive to re-derive), then derive everything from the pinned
+    // table: nodes/outDeg/contrib each read the cheap checkpoint instead
+    // of re-running the upstream plan, and contrib is pinned again
+    // because every iteration joins against it
+    val e = GraftInterop.localCheckpointCappedStats(
+      edges.select(col(srcCol).cast("long").as("_src"),
+        col(dstCol).cast("long").as("_dst")))
     val nodes = GraftInterop.localCheckpointCappedStats(
       e.select(col("_src").as("_id"))
         .union(e.select(col("_dst").as("_id"))).distinct())

@@ -233,9 +233,10 @@ object TextAnalysis {
   def dsirWeights(df: DataFrame, idCol: String, textCol: String,
       isTarget: org.apache.spark.sql.Column, buckets: Int = 256): DataFrame = {
     require(buckets >= 2, s"dsirWeights: buckets >= 2 (got $buckets)")
+    // gr_tokens matches the oracle's \s+ tokenizer (a bare split on
+    // ' ' diverges on tab/CR-bearing text)
     val feats = df
-      .select(col(idCol), isTarget.as("_tgt"),
-        expr(s"filter(split($textCol, ' '), x -> length(x) > 0)").as("_a"))
+      .select(col(idCol), isTarget.as("_tgt"), gr_tokens(col(textCol)).as("_a"))
       .select(col(idCol), col("_tgt"), explode(expr(
         "concat(_a, IF(size(_a) >= 2, " +
           "transform(sequence(0, size(_a) - 2), i -> concat(_a[i], ' ', _a[i + 1])), " +

@@ -782,8 +782,7 @@ object GraftDefs {
     */
   def crsServable(s: String): Boolean = {
     val n = normCrs(s)
-    n == "EPSG:4326" || n == "EPSG:3857" || n.matches("EPSG:32[67][0-9]{2}") ||
-      Crs.byEpsg.contains(n) || (n.startsWith("+") && Crs.projFor(n).isDefined)
+    Crs.servedAuthority(n) || (n.startsWith("+") && Crs.projFor(n).isDefined)
   }
 
   private def normCrs(s: String): String = {
@@ -3289,6 +3288,15 @@ object Crs {
   // must not run 600k times for one query
   private val projCache =
     new java.util.concurrent.ConcurrentHashMap[String, Option[Projection]]()
+  /** The one served-authority-code predicate (EPSG/ESRI codes the engine
+    * answers without a proj record): shared by WKT1 AUTHORITY
+    * short-circuits, PROJJSON id short-circuits, and crsServable — three
+    * call sites that once carried drifting copies.
+    */
+  def servedAuthority(code: String): Boolean =
+    byEpsg.contains(code) || code == "EPSG:4326" || code == "EPSG:3857" ||
+      code.matches("EPSG:32[67]\\d\\d")
+
   def projFor(s: String): Option[Projection] = {
     val c = projCache.get(s)
     if (c != null) c

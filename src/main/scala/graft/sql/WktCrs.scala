@@ -194,10 +194,7 @@ object WktCrs {
       val unit = child(root, "UNIT").map(nums).flatMap(_.headOption).getOrElse(1.0)
       // prefer the authoritative code when the engine can already serve it
       val auth = authority(root)
-      val authServed = auth.filter { code =>
-        Crs.byEpsg.contains(code) || code == "EPSG:4326" || code == "EPSG:3857" ||
-          code.matches("EPSG:32[67]\\d\\d")
-      }
+      val authServed = auth.filter(Crs.servedAuthority)
       if (authServed.isDefined) return authServed
       for {
         (a, rf) <- sph
@@ -704,12 +701,9 @@ object WktCrs {
       // through to structural reduction of the parameters pyproj always
       // writes alongside it — otherwise st_transform rejects a CRS whose
       // full definition is sitting right there in the JSON
-      val idServed = (code: String) =>
-        Crs.byEpsg.contains(code) || code == "EPSG:4326" || code == "EPSG:3857" ||
-          code.matches("EPSG:32[67]\\d\\d")
       val servable = (s: String) =>
-        idServed(s) || s.startsWith("+") && Crs.projFor(s).isDefined
-      pjId(n).filter(idServed)
+        Crs.servedAuthority(s) || s.startsWith("+") && Crs.projFor(s).isDefined
+      pjId(n).filter(Crs.servedAuthority)
         .orElse(pjToObj(n).flatMap(reduce).filter(servable))
     } catch { case scala.util.control.NonFatal(_) => None }
     if (cache.size < 4096) cache.put(json, r)

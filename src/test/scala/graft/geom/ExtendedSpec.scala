@@ -622,16 +622,22 @@ class ExtendedSpec extends AnyFunSuite {
       "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 4.2 4, 4.2 4.2, 4 4.2, 4 4))"), 1.0)
     assert(Measures.area(holed) == 100.0 &&
       holed.asInstanceOf[Polygon].numHoles == 0)
-    // multipolygon drops collapsed parts; multipoint dedupes
-    assert(s("MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, 0 0)), ((8 0, 8.2 0, 8.2 0.2, 8 0.2, 8 0)))",
-      1.0) == "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))".replace("POLYGON", "MULTIPOLYGON ((").replace("))", ")))") ||
-      Extended.snapToGrid(wkt(
-        "MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, 0 0)), ((8 0, 8.2 0, 8.2 0.2, 8 0.2, 8 0)))"),
-        1.0).asInstanceOf[MultiPolygon].polys.length == 1)
+    // multipolygon drops collapsed parts and keeps the survivor's coords
+    val mp = Extended.snapToGrid(wkt(
+      "MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, 0 0)), ((8 0, 8.2 0, 8.2 0.2, 8 0.2, 8 0)))"),
+      1.0).asInstanceOf[MultiPolygon]
+    assert(mp.polys.length == 1 &&
+      Wkt.write(mp.polys(0)) == "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
     assert(Extended.snapToGrid(wkt("MULTIPOINT ((0.1 0.1), (0.2 0.2), (3 3))"), 1.0)
       .asInstanceOf[MultiPoint].pts.length == 2)
     // half-way rounding rule: floor(x/size + 0.5) rounds .5 UP
     assert(s("POINT (0.25 -0.25)", 0.5) == "POINT (0.5 0)")
+    // Z passes through untouched (PostGIS contract) and stays aligned
+    // with its vertex across the dedupe
+    assert(s("POINT Z (1.26 -0.74 9.5)", 0.5) == "POINT Z (1.5 -0.5 9.5)")
+    val zl = Extended.snapToGrid(
+      wkt("LINESTRING Z (0 0 1, 0.1 0.1 2, 3 3 7)"), 1.0).asInstanceOf[LineString]
+    assert(zl.zs.toSeq == Seq(1.0, 7.0), zl.zs.toSeq.toString)
   }
 
   test("minimumClearance vertex-vertex case and infinite cases") {

@@ -3008,6 +3008,30 @@ object OracleSql {
       SELECT id_a, id_b, hamming::BIGINT AS hamming
       FROM ham WHERE hamming <= 3 ORDER BY id_a, id_b""",
 
+    // dHash mirror: same 9x8 NN downsample index map, same pixel
+    // synthesis formula, integer right-neighbor comparisons
+    "m09_image_dhash_dedup" -> """
+      WITH m AS (SELECT doc_id, octet_length(encode(text)) AS L FROM documents),
+      d AS (SELECT doc_id, L, 4 + L % 29 AS w, 4 + (L * 31) % 25 AS h,
+              CASE L % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS c FROM m),
+      cg AS (SELECT doc_id, x, y,
+               list_sum(list_transform(range(0, c), b ->
+                 ((x * w // 9) * 31 + (y * h // 8) * 17 + b * 7 + L) % 256)) AS cell
+             FROM (SELECT doc_id, L, w, h, c,
+                     unnest(range(0, 9)) AS x FROM d),
+                  LATERAL unnest(range(0, 8)) t(y)),
+      bits AS (SELECT a.doc_id, a.y * 8 + a.x AS i,
+                 CASE WHEN b.cell > a.cell THEN 1 ELSE 0 END AS bit
+               FROM cg a JOIN cg b
+                 ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1
+               WHERE a.x < 8),
+      ham AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS hamming
+              FROM bits a JOIN bits b ON a.i = b.i AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+      SELECT id_a, id_b, hamming::BIGINT AS hamming
+      FROM ham WHERE hamming <= 3 ORDER BY id_a, id_b""",
+
     "m06_audio_energy" -> """
       WITH m AS (SELECT doc_id, octet_length(encode(text)) AS L FROM documents),
       d AS (SELECT doc_id, L, 500 + (L * 13) % 2000 AS n FROM m),

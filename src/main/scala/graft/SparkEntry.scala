@@ -3844,6 +3844,19 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // dHash variant of m07: gradient fingerprint over the same decoded
+    // rasters, same pigeonhole blocking; the oracle recomputes the 9x8
+    // downsample and right-neighbor comparisons closed-form AND
+    // brute-forces all-pairs hamming (blocking recall check included)
+    "m09_image_dhash_dedup" -> ((s, d) => {
+      val imgs = Multimodal.withImagePayload(
+        t(s, d, "documents").select(col("doc_id"), col("text")), "text")
+        .select(col("doc_id"), gr_imageDhash(col("payload")).as("dhash"))
+      Dedup.fingerprintPairs(imgs, "doc_id", "dhash", maxHamming = 3)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // audio energy windows: REAL javax.sound PCM decode -> per-window
     // sum(|sample|) (the silence-trim / voice-activity feature an audio
     // curation pipeline keys on); narrow codegen'd kernel + posexplode,

@@ -954,6 +954,10 @@ object GraftDefs {
     // hashes mean visually-close images
     "gr_image_ahash" -> Spec(Seq(B), L, a =>
       ImageCodec.aHash(ImageCodec.decodeCached(a(0).asInstanceOf[Array[Byte]]))),
+    // 64-bit difference hash (gradient fingerprint; brightness-shift
+    // robust — the standard second opinion next to ahash)
+    "gr_image_dhash" -> Spec(Seq(B), L, a =>
+      ImageCodec.dHash(ImageCodec.decodeCached(a(0).asInstanceOf[Array[Byte]]))),
     // synthesize a real RIFF/WAVE PCM payload from a source byte length
     "gr_synth_wav" -> Spec(Seq(B), B,
       a => AudioCodec.synthWav(a(0).asInstanceOf[Array[Byte]].length)),

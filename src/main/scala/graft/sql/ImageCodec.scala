@@ -215,6 +215,43 @@ object ImageCodec {
     hash
   }
 
+  /** 64-bit difference hash (dHash) over the DECODED raster — the
+    * gradient-based perceptual fingerprint (more robust than aHash to
+    * global brightness shifts, the standard second opinion in an image
+    * dedup pipeline): nearest-neighbor downsample the channel-sum gray
+    * image to 9×8 (source index `x*w/9, y*h/8` — same integer map as
+    * [[aHash]]/resizeNN) and set bit `y*8+x` when the right neighbor is
+    * strictly brighter. Integer comparisons only, so external engines
+    * recompute the identical bits.
+    */
+  def dHash(img: BufferedImage): Long = {
+    val r = img.getRaster
+    val w = img.getWidth; val h = img.getHeight; val bands = r.getNumBands
+    val cells = Array.ofDim[Long](8, 9)
+    var y = 0
+    while (y < 8) {
+      val sy = y * h / 8
+      var x = 0
+      while (x < 9) {
+        val sx = x * w / 9
+        var g = 0L
+        var b = 0
+        while (b < bands) { g += r.getSample(sx, sy, b); b += 1 }
+        cells(y)(x) = g
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    var i = 0
+    while (i < 64) {
+      val yy = i / 8; val xx = i % 8
+      if (cells(yy)(xx + 1) > cells(yy)(xx)) hash |= (1L << i)
+      i += 1
+    }
+    hash
+  }
+
   /** (width, height, bands, pixelSum) from the DECODED raster — every value
     * read back from real ImageIO output.
     */

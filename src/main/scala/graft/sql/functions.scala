@@ -312,6 +312,7 @@ object functions {
   def gr_imageMeta(bin: Column): Column = fn("gr_image_meta", bin)
   def gr_imageResize(bin: Column, target: Column): Column = fn("gr_image_resize", bin, target)
   def gr_imageAhash(bin: Column): Column = fn("gr_image_ahash", bin)
+  def gr_imageDhash(bin: Column): Column = fn("gr_image_dhash", bin)
   def gr_synthVideo(srcBytes: Column): Column = fn("gr_synth_video", srcBytes)
   def gr_synthWav(srcBytes: Column): Column = fn("gr_synth_wav", srcBytes)
   def gr_audioMeta(bin: Column): Column = fn("gr_audio_meta", bin)

@@ -654,6 +654,40 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("image dHash: gradient directions, shift invariance, closed form") {
+    import java.awt.image.BufferedImage
+    def img(f: (Int, Int) => Int): BufferedImage = {
+      val b = new BufferedImage(32, 32, BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until 32; x <- 0 until 32)
+        b.getRaster.setSample(x, y, 0, f(x, y) & 0xff)
+      b
+    }
+    // strictly increasing horizontal ramp -> every right neighbor
+    // brighter -> all 64 bits set; vertical ramp -> none
+    assert(graft.sql.ImageCodec.dHash(img((x, _) => x * 4)) == -1L)
+    assert(graft.sql.ImageCodec.dHash(img((_, y) => y * 4)) == 0L)
+    // uniform brightness shift leaves the gradient hash unchanged
+    val base = img((x, y) => (x * 7 + y * 13) % 200)
+    val shifted = img((x, y) => ((x * 7 + y * 13) % 200) + 40)
+    assert(graft.sql.ImageCodec.dHash(base) == graft.sql.ImageCodec.dHash(shifted))
+    // decoded-payload hash equals the closed-form pixel formula
+    val got = Multimodal.withImagePayload(docs, "text")
+      .select($"doc_id", graft.sql.functions.gr_imageDhash($"payload").as("h"))
+      .as[(Long, Long)].collect().toMap
+    docs.select($"doc_id", $"text").as[(Long, String)].collect().foreach {
+      case (id, text) =>
+        val len = text.getBytes("UTF-8").length
+        val (w, h, c) = graft.sql.ImageCodec.synthDims(len)
+        def cell(x: Int, y: Int): Long =
+          (0 until c).map(b =>
+            graft.sql.ImageCodec.sample(x * w / 9, y * h / 8, b, len).toLong).sum
+        val exp = (0 until 64).foldLeft(0L) { (acc, i) =>
+          if (cell(i % 8 + 1, i / 8) > cell(i % 8, i / 8)) acc | (1L << i) else acc
+        }
+        assert(got(id) == exp, s"doc $id dhash ${got(id)} != closed-form $exp")
+    }
+  }
+
   test("audio energy windows partition the decoded samples exactly") {
     val rows = Multimodal.audioEnergyWindows(
       Multimodal.withAudioPayload(docs, "text"), "payload", nWindows = 4)

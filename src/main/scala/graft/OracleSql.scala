@@ -1243,6 +1243,25 @@ object OracleSql {
       FROM a JOIN sz USING (cohort_wk)
       ORDER BY cohort_wk, "offset"""",
 
+    // rate anomaly: same week index, same population stddev, same
+    // sigma=0 convention
+    "q19_rate_anomaly" -> """
+      WITH c AS (SELECT event_type,
+                   epoch_ns(ts) // 604800000000000 AS wk,
+                   count(*)::BIGINT AS n
+                 FROM events GROUP BY event_type, wk),
+      st AS (SELECT event_type, avg(n::DOUBLE) AS mu,
+               stddev_pop(n::DOUBLE) AS sigma
+             FROM c GROUP BY event_type)
+      SELECT c.event_type, c.wk, c.n,
+             round(mu, 4) AS mu,
+             round(CASE WHEN sigma = 0.0 THEN 0.0
+                        ELSE (c.n::DOUBLE - mu) / sigma END, 4) AS z,
+             abs(round(CASE WHEN sigma = 0.0 THEN 0.0
+                       ELSE (c.n::DOUBLE - mu) / sigma END, 4)) > 2.0 AS anomaly
+      FROM c JOIN st USING (event_type)
+      ORDER BY event_type, wk""",
+
     // same html synthesis, same RE2-safe regexp chain (g flag), same
     // entity decode order (after tag stripping)
     "t46_html_extract" -> """

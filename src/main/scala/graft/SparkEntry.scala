@@ -3318,6 +3318,29 @@ object SparkEntry {
         .orderBy(col("cohort_wk"), col("offset"))
     }),
 
+    // event-rate anomaly detection: weekly count per event type scored
+    // against that type's own history (z = (n − μ)/σ, population σ) —
+    // the pipeline-monitoring staple that flags a crawler outage or a
+    // duplicate-ingest storm. One narrow (type, week) agg; the per-type
+    // stats table broadcasts back. σ = 0 types score 0 by convention.
+    "q19_rate_anomaly" -> ((s, d) => {
+      val e = t(s, d, "events").select(col("event_type"),
+        expr("ts DIV 604800000000000").as("wk"))
+      val counts = e.groupBy(col("event_type"), col("wk"))
+        .agg(count(lit(1)).as("n"))
+      val stats = counts.groupBy(col("event_type"))
+        .agg(avg(col("n").cast("double")).as("mu"),
+          stddev_pop(col("n").cast("double")).as("sigma"))
+      counts.join(broadcast(stats), "event_type")
+        .select(col("event_type"), col("wk"), col("n"),
+          round(col("mu"), 4).as("mu"),
+          round(when(col("sigma") === 0.0, 0.0)
+            .otherwise((col("n").cast("double") - col("mu")) / col("sigma")), 4)
+            .as("z"))
+        .withColumn("anomaly", abs(col("z")) > 2.0)
+        .orderBy(col("event_type"), col("wk"))
+    }),
+
     // HTML -> text extraction (the WET step): html synthesized
     // deterministically from the doc row in BOTH engines, then the
     // script/style-drop + tag-strip + entity-decode + whitespace-collapse

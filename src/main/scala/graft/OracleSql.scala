@@ -2294,6 +2294,61 @@ object OracleSql {
             FROM supplier)
       ORDER BY s_suppkey""",
 
+    // DBSCAN: the full semantics re-derived in SQL — eps-pairs by the SAME
+    // squared-distance compare (60*60 = 3600.0 exact), include-self counts,
+    // recursive-CTE closure over core-core edges, min-label borders
+    "g101_dbscan" -> """
+      WITH RECURSIVE
+      pts AS (SELECT c_custkey AS id, CAST(c_acctbal AS DOUBLE) AS x,
+                     CAST(c_custkey % 1000 AS DOUBLE) AS y FROM customer),
+      prs AS (SELECT a.id AS id_a, b.id AS id_b FROM pts a JOIN pts b
+              ON a.id < b.id
+              AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 3600.0),
+      und AS (SELECT id_a AS id, id_b AS nb FROM prs
+              UNION ALL SELECT id_b, id_a FROM prs),
+      cnt AS (SELECT id, count(*) AS n FROM und GROUP BY id),
+      core AS (SELECT p.id, coalesce(cnt.n, 0) + 1 >= 3 AS is_core
+               FROM pts p LEFT JOIN cnt ON p.id = cnt.id),
+      ce AS (SELECT id_a AS a, id_b AS b FROM prs
+             JOIN core ca ON ca.id = prs.id_a AND ca.is_core
+             JOIN core cb ON cb.id = prs.id_b AND cb.is_core),
+      e AS (SELECT a, b FROM ce UNION SELECT b, a FROM ce),
+      reach(a, b) AS (SELECT a, b FROM e
+                      UNION SELECT reach.a, e.b FROM reach JOIN e ON reach.b = e.a),
+      lab AS (SELECT a AS id, least(a, min(b)) AS lbl FROM reach GROUP BY a),
+      corelab AS (SELECT c.id, coalesce(l.lbl, c.id) AS lbl
+                  FROM core c LEFT JOIN lab l ON c.id = l.id WHERE c.is_core),
+      brd AS (SELECT u.id, min(cl.lbl) AS lbl FROM und u
+              JOIN corelab cl ON u.nb = cl.id
+              JOIN core c ON c.id = u.id AND NOT c.is_core
+              GROUP BY u.id)
+      SELECT CAST(p.id AS BIGINT) AS c_custkey, c.is_core,
+             CAST(coalesce(corelab.lbl, brd.lbl) AS BIGINT) AS cluster_id
+      FROM pts p JOIN core c ON p.id = c.id
+      LEFT JOIN corelab ON p.id = corelab.id
+      LEFT JOIN brd ON p.id = brd.id
+      ORDER BY c_custkey""",
+
+    // cluster-within: transitive closure over the dwithin pairs (the kernel
+    // compares sqrt(dx^2+dy^2) <= d; 70.0 and 4900.0 are exact doubles so
+    // the sqrt form mirrors bit-for-bit), min member id as the label
+    "g102_cluster_within" -> """
+      WITH RECURSIVE
+      pts AS (SELECT c_custkey AS id, CAST(c_acctbal AS DOUBLE) AS x,
+                     CAST(c_custkey % 1000 AS DOUBLE) AS y FROM customer),
+      prs AS (SELECT a.id AS id_a, b.id AS id_b FROM pts a JOIN pts b
+              ON a.id < b.id
+              AND sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) <= 70.0),
+      e AS (SELECT id_a AS a, id_b AS b FROM prs
+            UNION SELECT id_b, id_a FROM prs),
+      reach(a, b) AS (SELECT a, b FROM e
+                      UNION SELECT reach.a, e.b FROM reach JOIN e ON reach.b = e.a),
+      lab AS (SELECT a AS id, least(a, min(b)) AS lbl FROM reach GROUP BY a)
+      SELECT CAST(p.id AS BIGINT) AS c_custkey,
+             CAST(coalesce(lab.lbl, p.id) AS BIGINT) AS cluster_id
+      FROM pts p LEFT JOIN lab ON p.id = lab.id
+      ORDER BY c_custkey""",
+
     // triangulation: counts and partitioned areas are pure closed form
     "g98_triangulate" -> """
       SELECT s_suppkey,

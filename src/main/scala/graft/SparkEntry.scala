@@ -2297,6 +2297,28 @@ object SparkEntry {
         .orderBy(col("s_suppkey"))
     }),
 
+    // DBSCAN density clustering (PostGIS ST_ClusterDBSCAN surface) over the
+    // customer points: the oracle recomputes the exact semantics in SQL —
+    // eps-pairs by squared distance, include-self neighbor counts, core
+    // connectivity closed by a recursive reach CTE, border rows taking the
+    // MIN core-neighbor label, noise null. Labels are the component's
+    // minimum core id in both engines, so the assignment is deterministic.
+    "g101_dbscan" -> ((s, d) => {
+      GeoDataFrame(customerPts(s, d))
+        .clusterDBSCAN("c_custkey", eps = 60.0, minPoints = 3)
+        .orderBy(col("c_custkey"))
+    }),
+
+    // distance-connectivity clustering (PostGIS ST_ClusterWithin surface,
+    // flattened to one min-member-id label per row): chains of customers
+    // within 70 units merge transitively; singletons label themselves
+    "g102_cluster_within" -> ((s, d) => {
+      GeoDataFrame(customerPts(s, d))
+        .clusterWithin("c_custkey", distance = 70.0, cellSize = 70.0)
+        .select(col("c_custkey").cast("long").as("c_custkey"), col("cluster_id"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // maximum inscribed circle (shapely 2.x / PostGIS surface, polylabel
     // search): the oracle is the CLOSED FORM — a w×h rectangle's largest
     // inscribed circle has r = min(w,h)/2, and a 4w×2h rectangle with a

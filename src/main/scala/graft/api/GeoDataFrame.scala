@@ -1353,6 +1353,188 @@ final case class GeoDataFrame(
     sizeBytes * 8 < BigInt(threshold)
   }
 
+  /** Density-based spatial clustering over POINT rows (the PostGIS
+    * `ST_ClusterDBSCAN(geom, eps, minpoints) OVER ()` surface, classic
+    * DBSCAN semantics): a row is CORE when at least `minPoints` input rows
+    * (counting itself, like PostGIS) lie within `eps`; cores within `eps`
+    * of each other share a cluster; a non-core row within `eps` of a core
+    * is a BORDER member of that core's cluster; everything else is noise
+    * (`cluster_id` null). Where PostGIS hands borders to an arbitrary
+    * reachable cluster, this picks the MINIMUM candidate label so the
+    * result is deterministic and differential-testable. Labels are the
+    * minimum core row id of each cluster (dense ints are one
+    * `dense_rank()` away if needed).
+    *
+    * Plan (100 TB shape) — the textbook distributed-DBSCAN quadratic
+    * traps are all structurally avoided:
+    *  - subcells of side eps/1.5 make same-cell rows within `eps` BY
+    *    CONSTRUCTION (diagonal² = 2·(eps/1.5)² ≈ 0.89·eps², strict under
+    *    any rounding), so INTRA-cell pairs — the densest, worst-case
+    *    quadratic — are never generated: same-cell neighbor counts come
+    *    from one `groupBy(cell).count()`, and same-cell core connectivity
+    *    contracts to a star on the cell's minimum core id;
+    *  - cross-cell candidates are a plain 24-neighbor-offset equi-join
+    *    (each ordered pair meets exactly once, in the right row's home
+    *    cell) carrying only (id, x, y) longs/doubles — geometry never
+    *    shuffles;
+    *  - cluster labels run through [[graft.ops.Dedup.connectedComponents]]
+    *    (O(log diameter) rounds, capped-stats checkpoints) over the
+    *    contracted edge set — O(points + cross-cell core pairs), never
+    *    O(pairs²).
+    * The residual cost is cross-cell pair verification between adjacent
+    * dense cells — inherent to the exact ε-graph every DBSCAN definition
+    * needs.
+    *
+    * Returns `(idCol, is_core, cluster_id)` — one row per input row.
+    * `idCol` must be unique and castable to long; geometry must be POINTs.
+    */
+  def clusterDBSCAN(
+      idCol: String,
+      eps: Double,
+      minPoints: Int,
+      maxIter: Int = 30): DataFrame = {
+    require(eps > 0, s"clusterDBSCAN needs eps > 0 (got $eps)")
+    require(minPoints >= 1, s"clusterDBSCAN needs minPoints >= 1 (got $minPoints)")
+    val s = eps / 1.5
+    // one narrow projection, pinned: (id, x, y, home cell) feeds every
+    // branch below (counts, candidates, flags, labels)
+    val pts = df.select(
+        col(idCol).cast("long").as("id"),
+        st_x(col(geometryColumn)).cast("double").as("_x"),
+        st_y(col(geometryColumn)).cast("double").as("_y"))
+      .withColumn("_cx", floor(col("_x") / s).cast("long"))
+      .withColumn("_cy", floor(col("_y") / s).cast("long"))
+      .localCheckpoint()
+    // cross-cell candidates: the left row explodes to the 24 non-home
+    // neighbor offsets (|d| <= 2 suffices: cells offset by 3 are at least
+    // 2s = 1.33·eps apart), the right row stays home — each ordered pair
+    // meets exactly once, and same-cell pairs are excluded by the missing
+    // (0,0) offset
+    val offs = for {
+      dx <- -2 to 2; dy <- -2 to 2 if !(dx == 0 && dy == 0)
+    } yield struct(lit(dx).as("dx"), lit(dy).as("dy"))
+    val lExpl = pts
+      .withColumn("_o", explode(array(offs: _*)))
+      .select(
+        col("id").as("id_a"), col("_x").as("_xa"), col("_y").as("_ya"),
+        (col("_cx") + col("_o.dx")).as("_jx"),
+        (col("_cy") + col("_o.dy")).as("_jy"))
+    val rHome = pts.select(
+      col("id").as("id_b"), col("_x").as("_xb"), col("_y").as("_yb"),
+      col("_cx").as("_jx"), col("_cy").as("_jy"))
+    val cross = lExpl.join(rHome, Seq("_jx", "_jy"))
+      .filter(
+        (col("_xa") - col("_xb")) * (col("_xa") - col("_xb")) +
+          (col("_ya") - col("_yb")) * (col("_ya") - col("_yb")) <= lit(eps * eps))
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint()
+    // neighbor count INCLUDING self (PostGIS counting rule): same-cell
+    // neighbors are (cell population - 1) for free, plus verified
+    // cross-cell hits
+    val cellCnt = pts.groupBy(col("_cx"), col("_cy"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("_cn"))
+    val crossCnt = cross.groupBy(col("id_a")).agg(org.apache.spark.sql.functions.count(lit(1)).as("_xn"))
+    val flags = pts.join(cellCnt, Seq("_cx", "_cy"))
+      .join(crossCnt, col("id") === crossCnt("id_a"), "left")
+      .select(col("id"), col("_cx"), col("_cy"),
+        (col("_cn") + coalesce(col("_xn"), lit(0L)) >= minPoints).as("is_core"))
+      .localCheckpoint()
+    val cores = flags.filter(col("is_core"))
+    // same-cell cores are mutually within eps -> contract to a star on the
+    // cell minimum (connectivity-equivalent to the intra-cell clique)
+    val cellMin = cores.groupBy(col("_cx"), col("_cy")).agg(min(col("id")).as("_m"))
+    val starEdges = cores.join(cellMin, Seq("_cx", "_cy"))
+      .filter(col("id") =!= col("_m"))
+      .select(col("id").as("id_a"), col("_m").as("id_b"))
+    val coreIds = cores.select(col("id"))
+    val crossCore = cross
+      .join(coreIds.withColumnRenamed("id", "id_a"), Seq("id_a"))
+      .join(coreIds.withColumnRenamed("id", "id_b"), Seq("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    val labels = graft.ops.Dedup.connectedComponents(
+      starEdges.unionByName(crossCore), maxIter = maxIter)
+    // isolated cores (no core neighbor) label themselves
+    val coreLab = cores.select(col("id"), col("_cx"), col("_cy"))
+      .join(labels, col("id") === labels("doc_id"), "left")
+      .select(col("id"), col("_cx"), col("_cy"),
+        coalesce(labels("cluster_id"), col("id")).as("_lbl"))
+      .localCheckpoint()
+    // border attach: all same-cell cores provably share ONE label (they
+    // are mutually within eps, all core, hence one component) — min() just
+    // reads it; cross-cell candidates take the min core-neighbor label.
+    // least() skips nulls, so either side alone suffices; both null =
+    // noise (cluster_id null), matching DBSCAN.
+    val cellLab = coreLab.groupBy(col("_cx"), col("_cy")).agg(min(col("_lbl")).as("_cl"))
+    val borders = flags.filter(!col("is_core"))
+    val crossLab = cross
+      .join(coreLab.select(col("id").as("id_b"), col("_lbl")), Seq("id_b"))
+      .groupBy(col("id_a")).agg(min(col("_lbl")).as("_xl"))
+    val borderAssign = borders.join(cellLab, Seq("_cx", "_cy"), "left")
+      .join(crossLab, col("id") === crossLab("id_a"), "left")
+      .select(col("id"), lit(false).as("is_core"),
+        least(col("_cl"), col("_xl")).as("cluster_id"))
+    coreLab.select(col("id"), lit(true).as("is_core"), col("_lbl").as("cluster_id"))
+      .unionByName(borderAssign)
+      .withColumnRenamed("id", idCol)
+  }
+
+  /** Distance-connectivity clustering over ARBITRARY geometries (the
+    * PostGIS `ST_ClusterWithin(geom, distance)` surface, flattened to one
+    * label per row instead of an array-of-collections aggregate): rows
+    * whose geometries lie within `distance` of each other — directly or
+    * through a chain — share a cluster. Labels are the minimum member id;
+    * singletons label themselves. Unlike [[clusterDBSCAN]] there is no
+    * density threshold and no noise.
+    *
+    * Plan: ε-pairs from the exactly-once padded-grid dwithin self-join
+    * (geometry shuffles once, keyed by cell), then (id,id) longs through
+    * [[graft.ops.Dedup.connectedComponents]].
+    *
+    * Returns the input rows plus a `cluster_id` column.
+    */
+  def clusterWithin(
+      idCol: String,
+      distance: Double,
+      cellSize: Double,
+      maxIter: Int = 30): DataFrame =
+    clusterByPairs(idCol, "dwithin", distance, cellSize, maxIter)
+
+  /** Intersection-connectivity clustering (PostGIS
+    * `ST_ClusterIntersecting`): rows whose geometries intersect — directly
+    * or through a chain — share a cluster. Same shape as [[clusterWithin]]
+    * with the `intersects` predicate.
+    */
+  def clusterIntersecting(
+      idCol: String,
+      cellSize: Double,
+      maxIter: Int = 30): DataFrame =
+    clusterByPairs(idCol, "intersects", 0.0, cellSize, maxIter)
+
+  private def clusterByPairs(
+      idCol: String,
+      predicate: String,
+      distance: Double,
+      cellSize: Double,
+      maxIter: Int): DataFrame = {
+    val a = GeoDataFrame(
+      df.select(col(idCol).cast("long").as("_cl_a"), col(geometryColumn).as("_cl_ga")),
+      "_cl_ga")
+    val b = GeoDataFrame(
+      df.select(col(idCol).cast("long").as("_cl_b"), col(geometryColumn).as("_cl_gb")),
+      "_cl_gb")
+    val pairs = a.sjoin(b, predicate = predicate, strategy = "grid",
+        cellSize = Some(cellSize), distance = distance)
+      .filter(col("_cl_a") < col("_cl_b"))
+      .select(col("_cl_a").as("id_a"), col("_cl_b").as("id_b"))
+    val labels = graft.ops.Dedup.connectedComponents(pairs, maxIter = maxIter)
+    df.join(
+        labels.select(col("doc_id").as("_cl_n"), col("cluster_id").as("_cl_lbl")),
+        col(idCol).cast("long") === col("_cl_n"), "left")
+      .withColumn("cluster_id", coalesce(col("_cl_lbl"), col(idCol).cast("long")))
+      .drop("_cl_n", "_cl_lbl")
+  }
+
   def count(): Long = df.count()
 }
 

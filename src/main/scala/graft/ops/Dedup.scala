@@ -538,6 +538,49 @@ object Dedup {
       .union(p0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint()
+    // Size-adaptive local solve: after dedup the label graph is usually
+    // orders of magnitude smaller than the corpus it came from (pairs are
+    // (long,long) only, and upstream generators are structurally bounded
+    // — minhash bucket caps, DBSCAN star contraction, blocking). When it
+    // fits trivially on the driver, a union-find finishes in milliseconds
+    // instead of ~log(diameter) Spark rounds of fixed overhead (~1 s each
+    // on a warm local cluster, worse with cluster scheduling). The count
+    // is free (edges is already materialized), the result is the same
+    // unique fixpoint (component minimum), and genuinely huge graphs
+    // (above spark.graft.cc.localMaxEdges directed rows, default 4M ~
+    // 128 MB driver heap transient) still take the distributed
+    // pointer-doubling loop below.
+    val localMax = pairs.sparkSession.conf
+      .get("spark.graft.cc.localMaxEdges", "4000000").toLong
+    val m = edges.count()
+    if (m <= localMax) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val arr = edges.as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      var i = 0
+      while (i < arr.length) {
+        val (a, b) = arr(i)
+        if (!parent.contains(a)) parent(a) = a
+        if (!parent.contains(b)) parent(b) = b
+        val ra = find(a); val rb = find(b)
+        // union by MIN root: roots only ever decrease, so each tree's root
+        // stays its component minimum — the same fixpoint the distributed
+        // loop converges to
+        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+        i += 1
+      }
+      val out = parent.keysIterator
+        .map(k => (k, find(k))).toSeq.toDF("doc_id", "cluster_id")
+      return (out, 0)
+    }
     // seed labels with the first hop already applied: label = min(self, neighbors)
     // capped-stats checkpoints: the loop below would otherwise compound
     // size-only join estimates doubly-exponentially across rounds (Spark 4

@@ -21,6 +21,9 @@ object CcDeep {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // this soak measures the DISTRIBUTED pointer-doubling contract — the
+    // small-graph driver union-find must not short-circuit it
+    spark.conf.set("spark.graft.cc.localMaxEdges", "0")
     import spark.implicits._
     val diameters =
       if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(10000, 100000, 1000000)

@@ -566,7 +566,17 @@ class PipelineOpsSpec extends AnyFunSuite {
     val perm = (i: Int) => (i.toLong * 48271L) % n
     val edges = (0 until n - 1).map(i => (perm(i), perm(i + 1)))
       .toDF("id_a", "id_b").repartition(4)
-    val (cc, rounds) = Dedup.connectedComponentsWithRounds(edges)
+    // force the DISTRIBUTED loop: this test pins the pointer-doubling
+    // contract, so the small-graph local union-find must not short-circuit
+    val k = "spark.graft.cc.localMaxEdges"
+    val before = spark.conf.getOption(k)
+    spark.conf.set(k, "0")
+    val (cc, rounds) =
+      try Dedup.connectedComponentsWithRounds(edges)
+      finally before match {
+        case Some(v) => spark.conf.set(k, v)
+        case None    => spark.conf.unset(k)
+      }
     val labels = cc.select($"cluster_id").distinct().as[Long].collect()
     assert(labels.toSeq == Seq(0L), s"one component labeled by its min, got ${labels.toSeq}")
     assert(cc.count() == n)
@@ -577,6 +587,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     // be a handful of nodes over an RDD scan, not `rounds` nested joins
     val planNodes = cc.queryExecution.optimizedPlan.collect { case p => p }.size
     assert(planNodes < 10, s"lineage not flat: $planNodes plan nodes")
+  }
+
+  test("connectedComponents: local union-find short-circuit matches the distributed loop") {
+    // small graphs (default below spark.graft.cc.localMaxEdges) solve on
+    // the driver; both routes must land on the identical unique fixpoint
+    // (component minimum), including duplicate/reversed input pairs and
+    // self-loops
+    val rnd = new scala.util.Random(7)
+    val pairs = (0 until 400).map { _ =>
+      val a = rnd.nextInt(120).toLong; val b = rnd.nextInt(120).toLong; (a, b)
+    } :+ ((200L, 200L))
+    val df = pairs.toDF("id_a", "id_b")
+    val (local, rLocal) = Dedup.connectedComponentsWithRounds(df)
+    assert(rLocal == 0, "small graph must take the driver union-find")
+    val k = "spark.graft.cc.localMaxEdges"
+    spark.conf.set(k, "0")
+    val dist =
+      try Dedup.connectedComponents(df)
+      finally spark.conf.unset(k)
+    val l = local.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val d = dist.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(l == d)
   }
 
   test("deltaDedupBloom: sizing holds beyond Spark's runtime-filter clamp (confs restored)") {

@@ -2349,6 +2349,20 @@ object OracleSql {
       FROM pts p LEFT JOIN lab ON p.id = lab.id
       ORDER BY c_custkey""",
 
+    // geodesic buffer: the ring-at-distance-r value check is closed form
+    // from the key (the aeqd construction makes every vertex sit at
+    // geodesic distance r, so the rounded mean IS r); vertex count is the
+    // 64-gon + closing vertex; the area/containment checks are Spark-side
+    // contract booleans
+    "g103_buffer_geodesic" -> """
+      SELECT c_custkey,
+             CAST(50000.0 + (c_custkey % 5) * 10000.0 AS DOUBLE) AS r,
+             65::BIGINT AS nvert,
+             CAST(50000.0 + (c_custkey % 5) * 10000.0 AS DOUBLE) AS ring_m,
+             true AS ring_ok, true AS area_ok, true AS contains_ok
+      FROM customer WHERE c_custkey % 37 = 0
+      ORDER BY c_custkey""",
+
     // triangulation: counts and partitioned areas are pure closed form
     "g98_triangulate" -> """
       SELECT s_suppkey,

@@ -2319,6 +2319,37 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     }),
 
+    // geodesic buffer (PostGIS ST_Buffer(geography)) end to end: a point
+    // buffer's ring sits at geodesic distance r from the point BY
+    // CONSTRUCTION (the aeqd plane's polar radius IS the geodesic
+    // distance), so the Vincenty-measured mean vertex distance rounds to
+    // r exactly — a real value check the SQL mirror reproduces from the
+    // key. Area vs the planar cap pi*r^2 (0.5% band: 64-gon deficit +
+    // curvature) and containment ride as contract booleans.
+    "g103_buffer_geodesic" -> ((s, d) => {
+      val b = customerPts(s, d).filter(col("c_custkey") % 37 === 0)
+        .withColumn("lon", col("cx") / 100.0 - 50.0)
+        .withColumn("lat", col("cy") / 25.0 + 10.0)
+        .withColumn("r", lit(50000.0) + (col("c_custkey") % 5).cast("double") * 10000.0)
+        .withColumn("pt", st_point(col("lon"), col("lat")))
+        .withColumn("buf", st_bufferSpheroid(col("pt"), col("r"), lit(16)))
+      val verts = b
+        .select(col("c_custkey"), col("r"), col("pt"),
+          explode(st_dumpPoints(col("buf"))).as("v"))
+        .withColumn("vd", st_distanceSpheroid(col("pt"), col("v")))
+        .groupBy(col("c_custkey"))
+        .agg(max(abs(col("vd") - col("r"))).as("dev"),
+          round(avg(col("vd")), 0).as("ring_m"),
+          count(lit(1)).as("nvert"))
+      b.join(verts, Seq("c_custkey"))
+        .select(col("c_custkey"), col("r"), col("nvert"), col("ring_m"),
+          (col("dev") < 0.01).as("ring_ok"),
+          (abs(st_areaSpheroid(col("buf")) /
+            (lit(math.Pi) * col("r") * col("r")) - 1.0) < 0.005).as("area_ok"),
+          st_intersects(col("buf"), col("pt")).as("contains_ok"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // maximum inscribed circle (shapely 2.x / PostGIS surface, polylabel
     // search): the oracle is the CLOSED FORM — a w×h rectangle's largest
     // inscribed circle has r = min(w,h)/2, and a 4w×2h rectangle with a

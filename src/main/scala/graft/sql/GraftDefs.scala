@@ -454,6 +454,35 @@ object GraftDefs {
           "st_projectsphere expects a POINT (lon/lat degrees)")
       }
     }),
+    // geodesic buffer (PostGIS ST_Buffer(geography)): the standard
+    // geography-buffer recipe — project through a geometry-centered
+    // ellipsoidal azimuthal-equidistant plane (plane polar radius = the
+    // GEODESIC distance from the center, Vincenty), buffer in that plane,
+    // invert through Vincenty direct. A point buffer's ring therefore sits
+    // at geodesic distance r from the point EXACTLY (sub-mm: the aeqd
+    // center is the point itself); away from the center the error is
+    // second-order in (feature span + r) / earth radius. Antimeridian-
+    // spanning inputs recenter like st_areaspheroid; output longitudes are
+    // renormalized to [-180, 180] (a result crossing the antimeridian is
+    // emitted unwrapped around the seam — the documented geography caveat).
+    "st_bufferspheroid" -> Spec(Seq(B, D, I), B, { a =>
+      val g = geom(a(0)); val r = dbl(a(1)); val segs = int(a(2))
+      val env0 = g.envelope
+      if (env0.isEmpty) wkb(g)
+      else {
+        val crosses = env0.maxX - env0.minX > 180.0
+        val gn = if (crosses)
+          g.mapCoords((x, y) => (if (x < 0) x + 360.0 else x, y)) else g
+        val env = if (crosses) gn.envelope else env0
+        val aeqd = new Crs.AzimuthalEquidistant(6378137.0, 298.257223563,
+          (env.minY + env.maxY) / 2.0, (env.minX + env.maxX) / 2.0, 0.0, 0.0)
+        val buf = Constructive.buffer(gn.mapCoords(aeqd.forward), r, segs)
+        wkb(buf.mapCoords { (x, y) =>
+          val (lo, la) = aeqd.inverse(x, y)
+          (if (lo > 180.0) lo - 360.0 else if (lo < -180.0) lo + 360.0 else lo, la)
+        })
+      }
+    }),
     // ---- predicates (reference expr.py:983-998)
     "st_intersects" -> g2(BO)(Predicates.intersects),
     "st_disjoint" -> g2(BO)(Predicates.disjoint),

@@ -106,6 +106,9 @@ object functions {
   def st_pointOnSurface(g: Column): Column = fn("st_pointonsurface", g)
   def st_buffer(g: Column, dist: Column, resolution: Column = lit(16)): Column =
     fn("st_buffer", g, dist, resolution)
+  /** PostGIS ST_Buffer(geography): geodesic buffer in meters over lon/lat. */
+  def st_bufferSpheroid(g: Column, distM: Column, resolution: Column = lit(16)): Column =
+    fn("st_bufferspheroid", g, distM, resolution)
   def st_bufferStyled(g: Column, dist: Column, resolution: Column = lit(16),
       capStyle: Column = lit("round"), joinStyle: Column = lit("round"),
       mitreLimit: Column = lit(5.0)): Column =

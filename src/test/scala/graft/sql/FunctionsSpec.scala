@@ -342,6 +342,68 @@ class FunctionsSpec extends AnyFunSuite {
       s"antimeridian area ${a.getDouble(0)} vs ${a.getDouble(1)}")
   }
 
+  test("st_bufferspheroid: point ring sits at geodesic distance r; area matches the cap") {
+    val r = 50000.0
+    val rows = Seq((8.54, 47.38), (-73.97, 40.78), (151.21, -33.87))
+      .toDF("lon", "lat")
+      .withColumn("pt", st_point($"lon", $"lat"))
+      .withColumn("buf", st_bufferSpheroid($"pt", lit(r), lit(16)))
+      .select($"pt", $"buf", st_numPoints($"buf").as("n"),
+        expr("st_areaspheroid(buf)").as("area"))
+      .collect()
+    for (row <- rows) {
+      val pt = graft.geom.Wkb.read(row.getAs[Array[Byte]](0)).asInstanceOf[graft.geom.Point]
+      val buf = graft.geom.Wkb.read(row.getAs[Array[Byte]](1))
+      // every exterior vertex at geodesic distance r from the center, sub-mm
+      val poly = buf.asInstanceOf[graft.geom.Polygon]
+      val xy = poly.rings.head
+      var i = 0
+      while (i + 1 < xy.length) {
+        val d = Crs.geodesicDistance(pt.x, pt.y, xy(i), xy(i + 1))
+        assert(math.abs(d - r) < 1e-3, s"vertex dist $d vs $r")
+        i += 2
+      }
+      // ellipsoidal area ~ the inscribed 64-gon of a geodesic circle:
+      // pi r^2 * (1 - curvature correction) with polygon deficit
+      // sin(2pi/n)/(2pi/n); 0.5% tolerance absorbs both corrections
+      val capApprox = math.Pi * r * r
+      assert(math.abs(row.getDouble(3) / capApprox - 1.0) < 0.005,
+        s"area ${row.getDouble(3)} vs $capApprox")
+      assert(row.getInt(2) == 65) // 4*16 segments + closing vertex
+    }
+  }
+
+  test("st_bufferspheroid: line/polygon inputs and antimeridian recentering") {
+    // 100 km segment buffered by 10 km: area ~ 2*r*len + pi*r^2
+    val lr = Seq(1).toDF("i").select(
+      expr("st_bufferspheroid(st_geomfromwkt('LINESTRING(7 46, 7 46.8993)'), 10000, 16)").as("b"))
+      .select(expr("st_areaspheroid(b)").as("area"),
+        expr("st_lengthspheroid(st_geomfromwkt('LINESTRING(7 46, 7 46.8993)'))").as("len"))
+      .collect()(0)
+    val expected = 2.0 * 10000.0 * lr.getDouble(1) + math.Pi * 1e8
+    assert(math.abs(lr.getDouble(0) / expected - 1.0) < 0.005,
+      s"line buffer area ${lr.getDouble(0)} vs $expected")
+
+    // negative buffer erodes a polygon: area shrinks but stays positive
+    val er = Seq(1).toDF("i").select(
+      expr("st_areaspheroid(st_bufferspheroid(" +
+        "st_geomfromwkt('POLYGON((0 10, 1 10, 1 11, 0 11, 0 10))'), -20000, 16))").as("a"),
+      expr("st_areaspheroid(st_geomfromwkt('POLYGON((0 10, 1 10, 1 11, 0 11, 0 10))'))").as("a0"))
+      .collect()(0)
+    assert(er.getDouble(0) > 0 && er.getDouble(0) < er.getDouble(1))
+
+    // antimeridian-spanning center: ring still at geodesic distance r
+    val am = Seq(1).toDF("i").select(
+      expr("st_bufferspheroid(st_geomfromwkt('LINESTRING(179.8 10, -179.8 10)'), 5000, 16)").as("b"))
+      .collect()(0)
+    val bg = graft.geom.Wkb.read(am.getAs[Array[Byte]](0))
+    val env = bg.envelope
+    assert(!env.isEmpty)
+    // vertices stay in valid lon range and on both sides of the seam
+    assert(env.minX >= -180.0 && env.maxX <= 180.0)
+    assert(env.maxX - env.minX > 180.0) // wrapped output spans the seam
+  }
+
   test("degenerate CRS records are rejected at parse (eqdc symmetric parallels)") {
     assert(Crs.projFor("+proj=eqdc +lat_1=10 +lat_2=-10 +lat_0=0 +lon_0=0 +ellps=WGS84").isEmpty)
     assert(Crs.projFor("+proj=eqdc +lat_1=0 +lat_2=0 +lat_0=0 +lon_0=0 +ellps=WGS84").isEmpty)

@@ -3019,6 +3019,22 @@ object OracleSql {
       FROM r WHERE rank <= 5
       ORDER BY query_id, rank""",
 
+    // PCA: the trace and covariance entries are recomputed EXACTLY in SQL;
+    // the Spark side reconstructs them from its eigendecomposition
+    // (C^T diag(lambda) C), so the hash match proves the fit end to end.
+    // The projection/whitening variance checks are Spark-side contracts.
+    "e10_pca" -> """
+      WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      d AS (SELECT unnest(v) AS x, unnest(range(1, 65)) AS i FROM e),
+      vr AS (SELECT i, var_pop(x) AS vx FROM d GROUP BY i)
+      SELECT (SELECT count(*) FROM e)::BIGINT AS n,
+             64::BIGINT AS dim,
+             round((SELECT sum(vx) FROM vr), 4) AS trace,
+             round((SELECT covar_pop(v[1], v[2]) FROM e), 4) AS cov_0_1,
+             round((SELECT covar_pop(v[4], v[8]) FROM e), 4) AS cov_3_7,
+             true AS eig_sorted_ok, true AS orth_ok,
+             true AS proj_var_ok, true AS whiten_var_ok""",
+
     "e05_label_centroids" -> """
       WITH dims AS (
         SELECT label, i - 1 AS pos, avg(embedding[i]::DOUBLE) AS m

@@ -2,7 +2,7 @@ package graft
 
 import graft.api.GeoDataFrame
 import graft.io.MvtIO
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Embeddings, Multimodal, Similarity, TextAnalysis}
 import graft.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -3798,6 +3798,57 @@ object SparkEntry {
         .filter(col("cosine") >= 0.3)
         .select(col("id_a"), col("id_b"), col("cosine"))
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // distributed PCA over the embedding corpus: the co-moment tree
+    // aggregate + driver Jacobi eigensolve. The oracle independently
+    // recomputes the trace and two covariance entries in SQL — the Spark
+    // values are RECONSTRUCTED from the eigendecomposition (C^T diag(l) C),
+    // so a hash match proves the whole fit chain: co-moment sums, the
+    // eigensolve, and orthonormality. Projection/whitening variance
+    // contracts (var(pc_j) = lambda_j, whitened var = 1) ride as booleans
+    // measured distributedly on the projected corpus.
+    "e10_pca" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val dim = 64
+      val model = Embeddings.fitPca(emb, "embedding", dim)
+      // half-away-from-zero like SQL round()
+      def r4(v: Double): Double = BigDecimal(v)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      // covariance entries reconstructed from the decomposition
+      def covFromEig(i: Int, j: Int): Double =
+        (0 until dim).map(m =>
+          model.eigenvalues(m) * model.components(m)(i) * model.components(m)(j)).sum
+      val eigSorted = model.eigenvalues.toSeq.sliding(2)
+        .forall(p => p.length < 2 || p(0) >= p(1) - 1e-12)
+      val orthOk = (0 until dim).forall { i =>
+        (i until dim).forall { j =>
+          val dot = (0 until dim).map(k => model.components(i)(k) * model.components(j)(k)).sum
+          math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-9
+        }
+      }
+      val k = 8
+      val lamLit = typedLit(model.eigenvalues.take(k).toSeq)
+      val projDev = Embeddings.project(emb, "embedding", model, k, "pc")
+        .select(posexplode(col("pc")))
+        .groupBy(col("pos")).agg(var_pop(col("col")).as("v"))
+        .withColumn("lam", element_at(lamLit, col("pos").cast("int") + 1))
+        .agg(max(abs(col("v") - col("lam"))).as("pdev"))
+      val whiteDev = Embeddings.project(emb, "embedding", model, k, "pc", whiten = true)
+        .select(posexplode(col("pc")))
+        .groupBy(col("pos")).agg(var_pop(col("col")).as("v"))
+        .agg(max(abs(col("v") - 1.0)).as("wdev"))
+      val relTol = 1e-6 * (model.eigenvalues.head + 1.0)
+      projDev.crossJoin(whiteDev).select(
+        lit(model.n).as("n"),
+        lit(dim.toLong).as("dim"),
+        lit(r4(model.trace)).as("trace"),
+        lit(r4(covFromEig(0, 1))).as("cov_0_1"),
+        lit(r4(covFromEig(3, 7))).as("cov_3_7"),
+        lit(eigSorted).as("eig_sorted_ok"),
+        lit(orthOk).as("orth_ok"),
+        (col("pdev") < relTol).as("proj_var_ok"),
+        (col("wdev") < 1e-6).as("whiten_var_ok"))
     }),
 
     // per-label centroids + nearest-centroid assignment (a confusion

@@ -309,6 +309,9 @@ object functions {
   def gr_l2normalize(v: Column): Column = fn("gr_l2normalize", v)
   def gr_topnCosine(v: Column, cents: Column, n: Column): Column =
     fn("gr_topn_cosine", v, cents, n)
+  /** One-pass PCA co-moment sketch: [n, sums, upper-tri sum(x_i*x_j)]. */
+  def gr_comoments(v: Column, dim: Int): Column =
+    agg(CoMomentAgg(expr(v), dim))
 
   // ------------------------------------------------- pipeline: multimodal
   def gr_synthPng(srcBytes: Column): Column = fn("gr_synth_png", srcBytes)

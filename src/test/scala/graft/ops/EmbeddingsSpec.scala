@@ -1,0 +1,110 @@
+package graft.ops
+
+import graft.sql.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class EmbeddingsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // deterministic 2-factor data embedded in 4 dims: x = [t, 2t, u, 0] + mu
+  // with t, u independent zero-mean factors -> analytic covariance
+  //   var(t) * [1 2 0 0; 2 4 0 0] on the first block, var(u) at (2,2),
+  //   exact zeros elsewhere; eigenvalues 5*var(t), var(u), 0, 0.
+  private def factorDf(n: Int) = {
+    val mu = Array(1.0, -2.0, 0.5, 3.0)
+    (0 until n).map { i =>
+      val t = (i % 11) - 5.0   // mean 0 over a full cycle (n % 11 == 0)
+      val u = (i % 7) - 3.0    // mean 0 over a full cycle (n % 7 == 0)
+      (i.toLong, Array(
+        (mu(0) + t).toFloat, (mu(1) + 2 * t).toFloat,
+        (mu(2) + u).toFloat, mu(3).toFloat))
+    }.toDF("id", "vec")
+  }
+
+  // population variance of a full 0..m-1 cycle: (m^2 - 1) / 12
+  private def varOfCycle(m: Int): Double = (m.toDouble * m - 1.0) / 12.0
+
+  test("fitPca recovers the analytic factor structure") {
+    val n = 7 * 11 * 4 // full cycles of both factors
+    val df = factorDf(n).repartition(5)
+    val model = Embeddings.fitPca(df, "vec", dim = 4)
+    assert(model.n == n)
+    // means recovered
+    assert(math.abs(model.mean(0) - 1.0) < 1e-9)
+    assert(math.abs(model.mean(3) - 3.0) < 1e-9)
+    // eigenvalues: 5*var(t), var(u), 0, 0 (t over 11-cycle, u over 7-cycle)
+    val vt = varOfCycle(11); val vu = varOfCycle(7)
+    assert(math.abs(model.eigenvalues(0) - 5 * vt) < 1e-9,
+      s"${model.eigenvalues(0)} vs ${5 * vt}")
+    assert(math.abs(model.eigenvalues(1) - vu) < 1e-9)
+    assert(math.abs(model.eigenvalues(2)) < 1e-9 && math.abs(model.eigenvalues(3)) < 1e-9)
+    // first axis is (1,2,0,0)/sqrt(5), sign-normalized
+    val c0 = model.components(0)
+    assert(math.abs(c0(0) - 1.0 / math.sqrt(5)) < 1e-9)
+    assert(math.abs(c0(1) - 2.0 / math.sqrt(5)) < 1e-9)
+    assert(math.abs(c0(2)) < 1e-9 && math.abs(c0(3)) < 1e-9)
+    // orthonormal basis
+    for (i <- 0 until 4; j <- 0 until 4) {
+      val dot = (0 until 4).map(k => model.components(i)(k) * model.components(j)(k)).sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-9, s"C C^T at ($i,$j): $dot")
+    }
+    // trace preserved
+    assert(math.abs(model.trace - (5 * vt + vu)) < 1e-9)
+  }
+
+  test("projection variance equals the eigenvalues; whitening gives unit variance") {
+    val n = 7 * 11 * 4
+    val df = factorDf(n)
+    val model = Embeddings.fitPca(df, "vec", dim = 4)
+    val proj = Embeddings.project(df, "vec", model, k = 2, outCol = "pc")
+    val vs = proj.select(posexplode(col("pc")))
+      .groupBy("pos").agg(var_pop(col("col")).as("v"))
+      .orderBy("pos").collect().map(_.getDouble(1))
+    assert(math.abs(vs(0) - model.eigenvalues(0)) < 1e-9)
+    assert(math.abs(vs(1) - model.eigenvalues(1)) < 1e-9)
+
+    val white = Embeddings.project(df, "vec", model, k = 2, outCol = "pc", whiten = true)
+    val ws = white.select(posexplode(col("pc")))
+      .groupBy("pos").agg(var_pop(col("col")).as("v"))
+      .orderBy("pos").collect().map(_.getDouble(1))
+    assert(math.abs(ws(0) - 1.0) < 1e-9 && math.abs(ws(1) - 1.0) < 1e-9)
+
+    // zero-variance axes whiten to exactly 0, not NaN
+    val z = Embeddings.project(df, "vec", model, k = 4, outCol = "pc", whiten = true)
+      .select(sum(abs(expr("pc[3]")))).collect()(0).getDouble(0)
+    assert(z == 0.0)
+  }
+
+  test("fit is partitioning-invariant and skips ragged/null vectors") {
+    val n = 7 * 11 * 2
+    val base = factorDf(n)
+    val noisy = base.unionByName(
+      Seq((9000L, Array(1.0f, 2.0f)), (9001L, null.asInstanceOf[Array[Float]]))
+        .toDF("id", "vec"))
+    val m1 = Embeddings.fitPca(noisy.repartition(1), "vec", dim = 4)
+    val m7 = Embeddings.fitPca(noisy.repartition(7), "vec", dim = 4)
+    assert(m1.n == n && m7.n == n) // ragged + null skipped
+    for (i <- 0 until 4)
+      assert(math.abs(m1.eigenvalues(i) - m7.eigenvalues(i)) < 1e-9)
+  }
+
+  test("reconstruction error equals the residual eigenvalue mass") {
+    val n = 7 * 11 * 2
+    val df = factorDf(n)
+    val model = Embeddings.fitPca(df, "vec", dim = 4)
+    val k = 1
+    val proj = Embeddings.project(df, "vec", model, k = k, outCol = "pc")
+    // E||x - mean||^2 - sum_j<k var(pc_j) == sum_j>=k lambda_j
+    val meanLit = typedLit(model.mean.toSeq)
+    val totalSq = proj
+      .withColumn("c", zip_with(col("vec").cast("array<double>"), meanLit, (a, b) => a - b))
+      .select(avg(aggregate(col("c"), lit(0.0), (s, x) => s + x * x)).as("tot"),
+        avg(expr("pc[0] * pc[0]")).as("v0"))
+      .collect()(0)
+    val residual = totalSq.getDouble(0) - totalSq.getDouble(1)
+    val expected = model.eigenvalues.drop(k).sum
+    assert(math.abs(residual - expected) < 1e-9, s"$residual vs $expected")
+  }
+}

@@ -1006,6 +1006,22 @@ object OracleSql {
       FROM r WHERE rn <= 10
       ORDER BY lang, cnt DESC, token""",
 
+    // A-ES weighted draw mirrored exactly: same md5-derived u, same
+    // -ln(u)/w key rounded to 12 decimals, same id tie-break
+    "t48_weighted_sample" -> """
+      WITH h AS (
+        SELECT lang, doc_id,
+               octet_length(encode(text))::DOUBLE + 1.0 AS w,
+               ((('0x' || substr(md5('wsmp:' || doc_id::VARCHAR), 1, 16))::UBIGINT
+                 % 1000000000)::DOUBLE + 1.0) / 1e9 AS u
+        FROM documents),
+      x AS (SELECT lang, doc_id, round(-ln(u) / w, 12) AS key FROM h),
+      r AS (SELECT lang, doc_id,
+                   row_number() OVER (PARTITION BY lang ORDER BY key, doc_id) AS rn
+            FROM x)
+      SELECT lang, doc_id FROM r WHERE rn <= 15
+      ORDER BY lang, doc_id""",
+
     "t38_group_sample" -> """
       WITH h AS (
         SELECT lang, doc_id,

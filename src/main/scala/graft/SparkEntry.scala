@@ -3229,6 +3229,17 @@ object SparkEntry {
     // rand()-based sampling is neither). Reuses the O(k) TopKByScoreAgg:
     // map-side partial top-k summaries are all that cross the shuffle,
     // vs a window row_number that would shuffle every row of the corpus.
+    // weighted priority sampling (Efraimidis-Spirakis A-ES): k docs per
+    // lang drawn proportional-to-byte-length without replacement; the
+    // md5-derived u makes the exact draw reproducible in SQL. Bounded
+    // top-k agg — no window, no per-group unbounded state.
+    "t48_weighted_sample" -> ((s, d) => {
+      graft.ops.Sampling.weightedPrioritySample(
+          t(s, d, "documents"), "lang", "doc_id",
+          weight = expr("octet_length(text)").cast("double") + 1.0, k = 15)
+        .orderBy(col("lang"), col("doc_id"))
+    }),
+
     "t38_group_sample" -> ((s, d) => {
       val docs = t(s, d, "documents")
         .withColumn("_hk", gr_md5Bucket(

@@ -1006,6 +1006,27 @@ object OracleSql {
       FROM r WHERE rn <= 10
       ORDER BY lang, cnt DESC, token""",
 
+    // temperature targets mirrored exactly: weights summed in lang order
+    // (list(ORDER BY) pins the IEEE fold), same floor(x+0.5) rounding,
+    // same md5 within-group draw
+    "t49_temperature_mix" -> """
+      WITH c AS (SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang),
+      s AS (SELECT lang, n, pow(n::DOUBLE, 0.5) AS sw FROM c),
+      tot AS (SELECT list_sum(list(sw ORDER BY lang)) AS tw FROM s),
+      tgt AS (SELECT lang,
+                     least(n, floor(120 * sw / (SELECT tw FROM tot) + 0.5)::BIGINT) AS k
+              FROM s),
+      h AS (SELECT lang, doc_id,
+              ('0x' || substr(md5('tmp:' || doc_id::VARCHAR), 1, 16))::UBIGINT
+                % 1000000000 AS hk
+            FROM documents),
+      r AS (SELECT lang, doc_id,
+                   row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rn
+            FROM h)
+      SELECT r.lang AS lang, r.doc_id FROM r JOIN tgt ON r.lang = tgt.lang
+      WHERE r.rn <= tgt.k
+      ORDER BY r.lang, r.doc_id""",
+
     // A-ES weighted draw mirrored exactly: same md5-derived u, same
     // -ln(u)/w key rounded to 12 decimals, same id tie-break
     "t48_weighted_sample" -> """

@@ -3229,6 +3229,17 @@ object SparkEntry {
     // rand()-based sampling is neither). Reuses the O(k) TopKByScoreAgg:
     // map-side partial top-k summaries are all that cross the shuffle,
     // vs a window row_number that would shuffle every row of the corpus.
+    // temperature-rebalanced multilingual resampling (XLM/mT5 alpha
+    // sampling): per-lang targets ~ n^0.5 flatten the head languages;
+    // within-lang draw is bottom-k by md5. Targets from a driver-side
+    // bounded count table; draw via the bounded top-k agg + per-group
+    // slice (no corpus window)
+    "t49_temperature_mix" -> ((s, d) => {
+      graft.ops.Sampling.temperatureResample(
+          t(s, d, "documents"), "lang", "doc_id", alpha = 0.5, targetTotal = 120L)
+        .orderBy(col("lang"), col("doc_id"))
+    }),
+
     // weighted priority sampling (Efraimidis-Spirakis A-ES): k docs per
     // lang drawn proportional-to-byte-length without replacement; the
     // md5-derived u makes the exact draw reproducible in SQL. Bounded

@@ -47,4 +47,56 @@ object Sampling {
       .select(col(groupCol), explode(col("_wps_sel")).as("_s"))
       .select(col(groupCol), col("_s.neighbor_id").as(idCol))
   }
+
+  /** Temperature-rebalanced resampling across groups (the XLM/mT5
+    * multilingual alpha-sampling shape): group i receives a target of
+    * `floor(targetTotal * n_i^alpha / sum_j n_j^alpha + 0.5)` rows (capped
+    * at n_i), drawn uniformly-by-hash within the group. alpha < 1 flattens
+    * the head languages and upsamples the tail's SHARE (never repeats
+    * rows — this is selection, not replication; pair it with
+    * mixtureExpand-style replication when epochs > 1 are wanted).
+    *
+    * Deterministic: the within-group draw is bottom-k by md5 bucket (the
+    * t38 trick); the target arithmetic sums the group weights in
+    * group-key order (left-to-right IEEE fold) so an engine-independent
+    * oracle reproduces the exact targets.
+    *
+    * 100 TB shape: the group-count table collects to the driver (bounded
+    * by |groups| — languages/domains, not rows), targets ride back as a
+    * broadcast literal table, and the draw is one narrow map into the
+    * bounded `TopKByScoreAgg` sized to the LARGEST target, sliced
+    * per-group after — no window over the corpus, no full sort.
+    *
+    * Returns (groupCol, idCol) of the selected rows.
+    */
+  def temperatureResample(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      alpha: Double,
+      targetTotal: Long,
+      salt: String = "tmp:"): DataFrame = {
+    require(alpha > 0 && alpha <= 1.0, s"alpha in (0, 1] expected (got $alpha)")
+    require(targetTotal >= 1, s"targetTotal >= 1 expected (got $targetTotal)")
+    val counts = df.groupBy(col(groupCol)).count()
+      .collect().map(r => (r.get(0).toString, r.getLong(1))).sortBy(_._1)
+    val weights = counts.map { case (g, n) => (g, n, math.pow(n.toDouble, alpha)) }
+    val total = weights.foldLeft(0.0)(_ + _._3) // group-key order, IEEE fold
+    val targets = weights.map { case (g, n, w) =>
+      (g, math.min(n, math.floor(targetTotal * w / total + 0.5).toLong))
+    }
+    val maxK = math.max(1L, targets.map(_._2).max).toInt
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tgt = targets.toSeq.toDF(groupCol, "_tr_k")
+    val hk = gr_md5Bucket(concat(lit(salt), col(idCol).cast("string")),
+      lit(1000000000)).cast("double")
+    df.select(col(groupCol), col(idCol).cast("long").as("_tr_id"), hk.as("_tr_h"))
+      .groupBy(col(groupCol))
+      .agg(gr_topKByScore(-col("_tr_h"), col("_tr_id"), maxK).as("_tr_sel"))
+      .join(broadcast(tgt), Seq(groupCol))
+      .select(col(groupCol),
+        explode(slice(col("_tr_sel"), lit(1), col("_tr_k").cast("int"))).as("_s"))
+      .select(col(groupCol), col("_s.neighbor_id").as(idCol))
+  }
 }

@@ -27,6 +27,34 @@ class SamplingSpec extends AnyFunSuite {
     assert(got(1).getLong(1) == 5) // b capped at k
   }
 
+  test("temperature resampling flattens the head and caps at group size") {
+    // 800 "en", 80 "de", 8 "sw"
+    val df = ((0 until 800).map(i => (i.toLong, "en")) ++
+      (800 until 880).map(i => (i.toLong, "de")) ++
+      (880 until 888).map(i => (i.toLong, "sw"))).toDF("id", "g")
+    def shares(alpha: Double) = Sampling
+      .temperatureResample(df, "g", "id", alpha, targetTotal = 100)
+      .groupBy("g").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val a1 = shares(1.0)
+    // alpha=1 is proportional: floor(100 * n/888 + .5)
+    assert(a1("en") == 90 && a1("de") == 9 && a1("sw") == 1)
+    val a3 = shares(0.3)
+    // alpha=0.3 flattens: tail share grows, head share shrinks
+    assert(a3("en") < a1("en") && a3("sw") > a1("sw"))
+    // the sw group can never exceed its 8 rows even at extreme flattening
+    val flat = Sampling.temperatureResample(df, "g", "id", 0.01, targetTotal = 600)
+      .groupBy("g").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(flat("sw") == 8)
+  }
+
+  test("temperature resampling is partitioning-invariant") {
+    val df = (0 until 300).map(i => (i.toLong, s"g${i % 4}")).toDF("id", "g")
+    def draw(parts: Int) = Sampling
+      .temperatureResample(df.repartition(parts), "g", "id", 0.5, targetTotal = 40)
+      .orderBy("g", "id").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(draw(1) == draw(6))
+  }
+
   test("inclusion probability follows the weights (A-ES property)") {
     // one group, 1000 rows: 100 heavy (w=50) vs 900 light (w=1).
     // Proportional-to-weight without replacement -> the heavy decile should

@@ -2386,6 +2386,45 @@ object OracleSql {
       FROM pts p LEFT JOIN lab ON p.id = lab.id
       ORDER BY c_custkey""",
 
+    // k-means replayed exactly: md5-pinned init, two Lloyd updates on
+    // round(.,6) centroids, argmin with (distance, cluster-id) ordering
+    "g104_cluster_kmeans" -> """
+      WITH p AS (SELECT c_custkey AS id, c_acctbal::DOUBLE AS x,
+                        (c_custkey % 1000)::DOUBLE AS y FROM customer),
+      h AS (SELECT id, x, y,
+              ('0x' || substr(md5('km:' || id::VARCHAR), 1, 16))::UBIGINT
+                % 1000000000 AS hk FROM p),
+      c0 AS (SELECT (row_number() OVER (ORDER BY hk, id) - 1)::INT AS c,
+                    round(x, 6) AS cx, round(y, 6) AS cy
+             FROM h ORDER BY hk, id LIMIT 4),
+      a1 AS (SELECT id, x, y, c FROM (
+               SELECT p.id, p.x, p.y, c0.c,
+                      row_number() OVER (PARTITION BY p.id ORDER BY
+                        (p.x-c0.cx)*(p.x-c0.cx)+(p.y-c0.cy)*(p.y-c0.cy), c0.c) AS rn
+               FROM p CROSS JOIN c0) WHERE rn = 1),
+      m1 AS (SELECT c, round(avg(x), 6) AS cx, round(avg(y), 6) AS cy
+             FROM a1 GROUP BY c),
+      c1 AS (SELECT c0.c AS c, coalesce(m1.cx, c0.cx) AS cx,
+                    coalesce(m1.cy, c0.cy) AS cy
+             FROM c0 LEFT JOIN m1 ON c0.c = m1.c),
+      a2 AS (SELECT id, x, y, c FROM (
+               SELECT p.id, p.x, p.y, c1.c,
+                      row_number() OVER (PARTITION BY p.id ORDER BY
+                        (p.x-c1.cx)*(p.x-c1.cx)+(p.y-c1.cy)*(p.y-c1.cy), c1.c) AS rn
+               FROM p CROSS JOIN c1) WHERE rn = 1),
+      m2 AS (SELECT c, round(avg(x), 6) AS cx, round(avg(y), 6) AS cy
+             FROM a2 GROUP BY c),
+      c2 AS (SELECT c1.c AS c, coalesce(m2.cx, c1.cx) AS cx,
+                    coalesce(m2.cy, c1.cy) AS cy
+             FROM c1 LEFT JOIN m2 ON c1.c = m2.c),
+      fin AS (SELECT id, c FROM (
+               SELECT p.id, c2.c,
+                      row_number() OVER (PARTITION BY p.id ORDER BY
+                        (p.x-c2.cx)*(p.x-c2.cx)+(p.y-c2.cy)*(p.y-c2.cy), c2.c) AS rn
+               FROM p CROSS JOIN c2) WHERE rn = 1)
+      SELECT id AS c_custkey, c AS cluster_id FROM fin
+      ORDER BY c_custkey""",
+
     // geodesic buffer: the ring-at-distance-r value check is closed form
     // from the key (the aeqd construction makes every vertex sit at
     // geodesic distance r, so the rounded mean IS r); vertex count is the

@@ -2319,6 +2319,16 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     }),
 
+    // deterministic k-means (PostGIS ST_ClusterKMeans surface): md5-pinned
+    // init, Lloyd updates on ROUNDED centroids (the e05 trick) so the
+    // oracle replays both iterations and the final assignment exactly —
+    // a full value oracle where PostGIS itself is init-dependent
+    "g104_cluster_kmeans" -> ((s, d) => {
+      GeoDataFrame(customerPts(s, d))
+        .clusterKMeans("c_custkey", k = 4, iters = 2, roundTo = 6)
+        .orderBy(col("c_custkey"))
+    }),
+
     // geodesic buffer (PostGIS ST_Buffer(geography)) end to end: a point
     // buffer's ring sits at geodesic distance r from the point BY
     // CONSTRUCTION (the aeqd plane's polar radius IS the geodesic

@@ -1535,6 +1535,69 @@ final case class GeoDataFrame(
       .drop("_cl_n", "_cl_lbl")
   }
 
+  /** K-means clustering over POINT rows (the PostGIS
+    * `ST_ClusterKMeans(geom, k) OVER ()` surface, made DETERMINISTIC where
+    * PostGIS's is initialization-dependent): initial centroids are the `k`
+    * rows with the smallest md5 bucket (stable across partitionings and
+    * engines — cluster id j = the j-th such row, 0-based), each Lloyd
+    * update averages per cluster and ROUNDS the centroid to `roundTo`
+    * decimals before the next assignment (the e05 trick — last-ulp
+    * summation differences can no longer flip a boundary assignment, so a
+    * SQL oracle replays the exact iterations), assignment ties go to the
+    * lower cluster id, and an emptied cluster keeps its previous centroid.
+    *
+    * 100 TB shape: centroids are k rows on the driver; each iteration is
+    * ONE narrow pass (assignment = an `array_min` over k plan-literal
+    * struct distances — no join) into a k-row partial/final hash agg; the
+    * corpus never shuffles and is scanned `iters`+2 times total off the
+    * pinned (id, x, y) projection.
+    *
+    * Returns `(idCol, cluster_id)` with the assignment under the final
+    * centroids.
+    */
+  def clusterKMeans(
+      idCol: String,
+      k: Int,
+      iters: Int = 2,
+      roundTo: Int = 6): DataFrame = {
+    require(k >= 1, s"clusterKMeans needs k >= 1 (got $k)")
+    require(iters >= 0, s"clusterKMeans needs iters >= 0 (got $iters)")
+    val pts = df.select(
+        col(idCol).cast("long").as("id"),
+        st_x(col(geometryColumn)).cast("double").as("_x"),
+        st_y(col(geometryColumn)).cast("double").as("_y"))
+      .localCheckpoint()
+    def r(v: Double): Double =
+      BigDecimal(v).setScale(roundTo, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val hk = gr_md5Bucket(concat(lit("km:"), col("id").cast("string")),
+      lit(1000000000))
+    var cents: Array[(Double, Double)] = pts.withColumn("_h", hk)
+      .orderBy(col("_h"), col("id")).limit(k)
+      .select(col("_x"), col("_y")).collect()
+      .map(row => (r(row.getDouble(0)), r(row.getDouble(1))))
+    // assignment under the current centroid literals: array_min over
+    // struct(dist2, cid) — struct ordering breaks distance ties on the
+    // lower cluster id
+    def assignCol(cs: Array[(Double, Double)]) = {
+      val cands = cs.zipWithIndex.map { case ((cx, cy), j) =>
+        struct(
+          ((col("_x") - cx) * (col("_x") - cx) +
+            (col("_y") - cy) * (col("_y") - cy)).as("d2"),
+          lit(j).as("c"))
+      }
+      array_min(array(cands.toIndexedSeq: _*)).getField("c")
+    }
+    for (_ <- 1 to iters) {
+      val next = pts.withColumn("_c", assignCol(cents))
+        .groupBy(col("_c"))
+        .agg(avg(col("_x")).as("mx"), avg(col("_y")).as("my"))
+        .collect().map(row => row.getInt(0) -> (r(row.getDouble(1)), r(row.getDouble(2))))
+        .toMap
+      cents = cents.zipWithIndex.map { case (prev, j) => next.getOrElse(j, prev) }
+    }
+    pts.select(col("id").as(idCol), assignCol(cents).as("cluster_id"))
+  }
+
   def count(): Long = df.count()
 }
 

@@ -162,4 +162,34 @@ class ClusterSpec extends AnyFunSuite {
     assert(got == bruteDbscan(pts, 2.0, 3))
     assert(got.values.forall(v => v._1 && v._2 == Some(0L)))
   }
+
+  test("kmeans: separated blobs converge to blob membership") {
+    // three tight blobs far apart: any reasonable init converges in 2
+    // iterations and each blob lands in exactly one cluster
+    val pts = (0L until 30L).map { i =>
+      val blob = i % 3
+      (i, blob * 1000.0 + (i % 5) * 0.5, blob * 1000.0 + (i % 7) * 0.5)
+    }
+    val out = GeoDataFrame.pointsFromXY(pts.toDF("id", "x", "y"), "x", "y")
+      .clusterKMeans("id", k = 3, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val byBlob = pts.groupBy(_._1 % 3).map { case (b, ps) => b -> ps.map(p => out(p._1)).toSet }
+    assert(byBlob.values.forall(_.size == 1), s"blob split across clusters: $byBlob")
+    assert(byBlob.values.flatten.toSet.size == 3) // three distinct labels
+  }
+
+  test("kmeans: deterministic across partitionings; k > n keeps empty clusters harmless") {
+    val pts = (0L until 40L).map(i => (i, (i % 8).toDouble * 3, (i / 8).toDouble * 3))
+    def run(parts: Int) = GeoDataFrame
+      .pointsFromXY(pts.toDF("id", "x", "y").repartition(parts), "x", "y")
+      .clusterKMeans("id", k = 4, iters = 2)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(run(1) == run(7))
+    // k larger than the point count: ids stay in [0, k), no crash
+    val small = GeoDataFrame.pointsFromXY(
+        Seq((1L, 0.0, 0.0), (2L, 10.0, 10.0)).toDF("id", "x", "y"), "x", "y")
+      .clusterKMeans("id", k = 5, iters = 2)
+      .collect().map(_.getInt(1))
+    assert(small.forall(c => c >= 0 && c < 5) && small.distinct.length == 2)
+  }
 }

@@ -3860,16 +3860,16 @@ object SparkEntry {
         }
       }
       val k = 8
-      val lamLit = typedLit(model.eigenvalues.take(k).toSeq)
+      // per-axis variance as ONE keyless agg over the k projection columns
+      // (partial+final, no explode, no keyed shuffle — the 100 TB shape of
+      // the contract check itself)
       val projDev = Embeddings.project(emb, "embedding", model, k, "pc")
-        .select(posexplode(col("pc")))
-        .groupBy(col("pos")).agg(var_pop(col("col")).as("v"))
-        .withColumn("lam", element_at(lamLit, col("pos").cast("int") + 1))
-        .agg(max(abs(col("v") - col("lam"))).as("pdev"))
+        .agg(greatest((0 until k).map(j =>
+          abs(var_pop(element_at(col("pc"), j + 1)) - model.eigenvalues(j))): _*)
+          .as("pdev"))
       val whiteDev = Embeddings.project(emb, "embedding", model, k, "pc", whiten = true)
-        .select(posexplode(col("pc")))
-        .groupBy(col("pos")).agg(var_pop(col("col")).as("v"))
-        .agg(max(abs(col("v") - 1.0)).as("wdev"))
+        .agg(greatest((0 until k).map(j =>
+          abs(var_pop(element_at(col("pc"), j + 1)) - 1.0)): _*).as("wdev"))
       val relTol = 1e-6 * (model.eigenvalues.head + 1.0)
       projDev.crossJoin(whiteDev).select(
         lit(model.n).as("n"),

@@ -1228,6 +1228,28 @@ object OracleSql {
     // same left-associated update formula with (1.0 - 0.85) computed so
     // both engines hold the identical IEEE constant; 3 unrolled
     // iterations, rounded to 10 dp
+    // LPA unrolled: round 1 labels are the neighbor ids themselves; both
+    // argmax picks ordered (count DESC, label ASC) like the min-struct agg
+    "t50_label_prop" -> """
+      WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+      ed AS (SELECT doc_id AS a,
+               ((('0x' || substr(md5('lpa:' || doc_id || ':' || j), 1, 16))::UBIGINT
+                 % 1000000000)::BIGINT % n) AS b
+             FROM documents, nn, (VALUES (0), (1)) t(j)),
+      e AS (SELECT a, b FROM ed WHERE a <> b),
+      und AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+      l0 AS (SELECT DISTINCT a AS id FROM und),
+      c1 AS (SELECT u.a, u.b AS nl, count(*) AS c FROM und u GROUP BY u.a, u.b),
+      r1 AS (SELECT a, nl, row_number() OVER (PARTITION BY a
+               ORDER BY c DESC, nl) AS rn FROM c1),
+      l1 AS (SELECT a AS id, nl AS lbl FROM r1 WHERE rn = 1),
+      c2 AS (SELECT u.a, l1.lbl AS nl, count(*) AS c
+             FROM und u JOIN l1 ON u.b = l1.id GROUP BY u.a, l1.lbl),
+      r2 AS (SELECT a, nl, row_number() OVER (PARTITION BY a
+               ORDER BY c DESC, nl) AS rn FROM c2),
+      l2 AS (SELECT a AS id, nl AS lbl FROM r2 WHERE rn = 1)
+      SELECT id AS node, lbl AS label FROM l2 ORDER BY node""",
+
     "t44_pagerank" -> """
       WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
       e AS (SELECT doc_id AS src,

@@ -3366,6 +3366,23 @@ object SparkEntry {
     // 3 power iterations with the dangling-mass correction. Per
     // iteration the shuffles carry only (long, double) rows; the rank
     // table is checkpoint-capped like CC so plan stats never compound.
+    // synchronous label-propagation communities over a synthesized link
+    // graph (the dedup-family / host-community signal): min-tie argmax
+    // makes the classically run-order-dependent algorithm deterministic,
+    // so the oracle unrolls both rounds exactly
+    "t50_label_prop" -> ((s, d) => {
+      val base = t(s, d, "documents").select(col("doc_id"))
+      val nRow = base.agg(count(lit(1)).as("n"))
+      val edges = base.crossJoin(broadcast(nRow))
+        .select(col("doc_id").as("src"),
+          explode(array((0 until 2).map(j =>
+            pmod(gr_md5Bucket(concat(lit("lpa:"),
+              col("doc_id").cast("string"), lit(":"), lit(j.toString)),
+              lit(1000000000L)), col("n"))): _*)).as("dst"))
+      graft.ops.Graph.labelPropagation(edges, "src", "dst", iters = 2)
+        .orderBy(col("node"))
+    }),
+
     "t44_pagerank" -> ((s, d) => {
       val base = t(s, d, "documents").select(col("doc_id"))
       val nRow = base.agg(count(lit(1)).as("n"))

@@ -85,4 +85,54 @@ object Graph {
     }
     ranks.select(col("_id").as(srcCol + "_node"), col("_r").as("pagerank"))
   }
+
+  /** Synchronous label propagation (community detection over the link /
+    * near-dup graph — the dedup-family and host-community signal): every
+    * node starts labeled with its own id; each round, every node takes
+    * the MOST FREQUENT label among its neighbors' current labels
+    * (undirected view of the edge list, duplicate edges count as
+    * multiplicity — multigraph semantics like [[pageRank]]), ties to the
+    * SMALLEST label so the algorithm is deterministic and exactly
+    * SQL-mirrorable (classic async LPA is run-order-dependent; the
+    * synchronous min-tie variant is the reproducible form). A fixed
+    * iteration count keeps the operator a pure function of the input.
+    *
+    * Scale shape: per iteration one equi-join of the (node,label) longs
+    * onto the pinned undirected edge list and two hash aggs — all rows
+    * are (long,long[,long]); content never shuffles; the label table is
+    * localCheckpoint'ed per round with capped stats (the CC lesson).
+    *
+    * Returns (node, label). Nodes = distinct edge endpoints (an edge
+    * list has no isolated nodes; left-join the result onto your node
+    * table and coalesce to the node id for self-labeled isolates).
+    */
+  def labelPropagation(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"labelPropagation: iters >= 1 (got $iters)")
+    val e = GraftInterop.localCheckpointCappedStats(
+      edges.select(col(srcCol).cast("long").as("_a"), col(dstCol).cast("long").as("_b"))
+        .filter(col("_a") =!= col("_b")))
+    val und = GraftInterop.localCheckpointCappedStats(
+      e.unionByName(e.select(col("_b").as("_a"), col("_a").as("_b"))))
+    val nodes = GraftInterop.localCheckpointCappedStats(
+      und.select(col("_a").as("_id")).distinct())
+    var lab = nodes.select(col("_id"), col("_id").as("_lbl"))
+    var i = 0
+    while (i < iters) {
+      val counted = und
+        .join(lab.select(col("_id").as("_b"), col("_lbl").as("_nl")), Seq("_b"))
+        .groupBy(col("_a"), col("_nl"))
+        .agg(count(lit(1)).as("_c"))
+      // argmax by (count desc, label asc) as a min over struct(-count, label)
+      lab = GraftInterop.localCheckpointCappedStats(
+        counted.groupBy(col("_a"))
+          .agg(min(struct((-col("_c")).as("nc"), col("_nl").as("l"))).as("_m"))
+          .select(col("_a").as("_id"), col("_m.l").as("_lbl")))
+      i += 1
+    }
+    lab.select(col("_id").as("node"), col("_lbl").as("label"))
+  }
 }

@@ -1157,6 +1157,39 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(math.abs(sum - 1.0) < 1e-12, s"mass $sum")
   }
 
+  test("labelPropagation: two cliques bridged converge to two communities") {
+    // cliques {1,2,3} and {10,11,12} plus one bridge 3-10: after 3 sync
+    // rounds each clique agrees on its minimum id; the min-tie rule keeps
+    // the bridge endpoints in their own cliques (in-clique degree 2 beats
+    // the single bridge edge)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (3L, 10L)).toDF("src", "dst")
+    val got = Graph.labelPropagation(edges, "src", "dst", iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 6)
+    assert(Set(got(1L), got(2L), got(3L)).size == 1, s"clique A split: $got")
+    assert(Set(got(10L), got(11L), got(12L)).size == 1, s"clique B split: $got")
+    assert(got(1L) != got(10L), s"cliques merged: $got")
+  }
+
+  test("labelPropagation: deterministic min-tie and multigraph multiplicity") {
+    // node 5's neighbors: one edge to 1, one to 2 -> tie, min label 1 wins
+    val tie = Seq((5L, 1L), (5L, 2L)).toDF("src", "dst")
+    val t1 = Graph.labelPropagation(tie, "src", "dst", iters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(t1(5L) == 1L)
+    // duplicate edge to 2 outweighs the single edge to 1 (multiset count)
+    val multi = Seq((5L, 1L), (5L, 2L), (5L, 2L)).toDF("src", "dst")
+    val t2 = Graph.labelPropagation(multi, "src", "dst", iters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(t2(5L) == 2L)
+    // partitioning invariance
+    val edges = (0L until 60L).map(i => (i, (i * 7 + 3) % 60)).toDF("src", "dst")
+    def run(p: Int) = Graph.labelPropagation(edges.repartition(p), "src", "dst", 2)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(run(1) == run(5))
+  }
+
   test("c4Filters: line rules rewrite pages, page rules drop them") {
     val good = "one two three four five six.\nseven eight nine ten eleven!\n" +
       "twelve thirteen fourteen fifteen sixteen?"

@@ -224,7 +224,15 @@ object Sfc {
     val x0 = tileX(minX, z); val x1 = tileX(maxX, z)
     // y grows southward: maxY gives the smallest y
     val y0 = tileY(maxY, z); val y1 = tileY(minY, z)
-    val out = new Array[Long]((x1 - x0 + 1) * (y1 - y0 + 1))
+    // Long arithmetic + explicit cap: a world-extent envelope at z=16 is
+    // 2^32 tiles — Int math would wrap (alloc 0, AIOOBE) and even a
+    // correct allocation of billions of per-row tiles is a plan bug, not
+    // a workload. Fail with the remedy instead of crashing obscurely.
+    val count = (x1 - x0 + 1).toLong * (y1 - y0 + 1).toLong
+    require(count <= (1L << 24),
+      s"tileCover: envelope covers $count tiles at z=$z (cap 2^24) — " +
+        "subdivide the geometry (st_subdivide) or lower the zoom")
+    val out = new Array[Long](count.toInt)
     var i = 0
     var x = x0
     while (x <= x1) {

@@ -322,7 +322,9 @@ object MvtIO {
           val grid = new TileGrid(z, x, y, extent)
           encodeGeom(clipped, grid).foreach { case (gtype, cmds) =>
             val props = pis.map { case (name, idx) => name -> row.get(idx) }
-            val fid = ii.map(i => row.getLong(i))
+            // tolerate any integral id type (IntegerType is Spark's
+            // default for small ints; a bare getLong would ClassCast)
+            val fid = ii.map(i => row.get(i).asInstanceOf[Number].longValue())
             buf += ((fid, gtype, cmds, props))
           }
         }

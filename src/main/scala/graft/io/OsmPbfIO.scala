@@ -87,6 +87,8 @@ object OsmPbfIO {
       case 2 => pos += varint().toInt
       case 5 => pos += 4
     }
+    /** Consume the rest of this sub-message without parsing (kind gating). */
+    def skipAll(): Unit = pos = end
   }
 
   private def deflate(raw: Array[Byte]): Array[Byte] = {
@@ -183,7 +185,14 @@ object OsmPbfIO {
 
   private val MemberTypes = Array("node", "way", "relation")
 
-  private def decodeBlock(raw: Array[Byte]): (Seq[OsmNode], Seq[OsmWay], Seq[OsmRel]) = {
+  /** `need*` gate per-kind parsing: a reader that wants only ways still
+    * walks the block framing (cheap varint skips) but never materializes
+    * node coordinates/tags — readFile's lines/polygons layers would
+    * otherwise fully decode every kind twice across their two reads.
+    */
+  private def decodeBlock(raw: Array[Byte], needNodes: Boolean = true,
+      needWays: Boolean = true, needRels: Boolean = true)
+      : (Seq[OsmNode], Seq[OsmWay], Seq[OsmRel]) = {
     val blk = new PbIn(raw, 0, raw.length)
     var strings: Array[String] = Array.empty
     val groups = scala.collection.mutable.ArrayBuffer.empty[PbIn]
@@ -224,6 +233,7 @@ object OsmPbfIO {
         ((t >> 3).toInt, (t & 7).toInt) match {
           case (1, 2) => // plain Node
             val n = g.sub()
+            if (!needNodes) { n.skipAll() } else {
             var id = 0L; var lat = 0L; var lon = 0L
             var keys = Array.empty[Long]; var vals = Array.empty[Long]
             while (n.hasMore) {
@@ -239,8 +249,10 @@ object OsmPbfIO {
             }
             nodes += OsmNode(id, coord(lonOffset, lon), coord(latOffset, lat),
               tagsOf(keys, vals))
+            }
           case (2, 2) => // DenseNodes
             val dn = g.sub()
+            if (!needNodes) { dn.skipAll() } else {
             var ids = Array.empty[Long]; var lats = Array.empty[Long]
             var lons = Array.empty[Long]; var kvs = Array.empty[Long]
             while (dn.hasMore) {
@@ -268,8 +280,10 @@ object OsmPbfIO {
                 tags.toMap)
               i += 1
             }
+            }
           case (3, 2) => // Way
             val wy = g.sub()
+            if (!needWays) { wy.skipAll() } else {
             var id = 0L
             var keys = Array.empty[Long]; var vals = Array.empty[Long]
             var refs = Array.empty[Long]
@@ -287,8 +301,10 @@ object OsmPbfIO {
               }
             }
             ways += OsmWay(id, refs, tagsOf(keys, vals))
+            }
           case (4, 2) => // Relation
             val rl = g.sub()
+            if (!needRels) { rl.skipAll() } else {
             var id = 0L
             var keys = Array.empty[Long]; var vals = Array.empty[Long]
             var roles = Array.empty[Long]; var memids = Array.empty[Long]
@@ -310,6 +326,7 @@ object OsmPbfIO {
             }
             rels += OsmRel(id, memids, types.map(t => MemberTypes(t.toInt)),
               roles.map(r => strings(r.toInt)), tagsOf(keys, vals))
+            }
           case (_, w) => g.skip(w)
         }
       }
@@ -341,7 +358,9 @@ object OsmPbfIO {
     (blobRanges(fs, p).filter(_.blobType == "OSMData"), conf)
   }
 
-  private def readLayer(spark: SparkSession, path: String, schema: StructType)(
+  private def readLayer(spark: SparkSession, path: String, schema: StructType,
+      needNodes: Boolean = true, needWays: Boolean = true,
+      needRels: Boolean = true)(
       rows: ((Seq[OsmNode], Seq[OsmWay], Seq[OsmRel])) => Seq[Row]): DataFrame = {
     val (ranges, conf) = dataRanges(spark, path)
     val pathStr = path
@@ -352,26 +371,29 @@ object OsmPbfIO {
       .flatMap { r =>
         val p = new Path(pathStr)
         val fs = p.getFileSystem(conf.value)
-        rows(decodeBlock(readBlobRaw(fs, p, r)))
+        rows(decodeBlock(readBlobRaw(fs, p, r), needNodes, needWays, needRels))
       }
     spark.createDataFrame(rdd, schema)
   }
 
   /** Nodes with lon/lat, a tags map, and a ready WKB point geometry. */
   def readNodes(spark: SparkSession, path: String): DataFrame =
-    readLayer(spark, path, nodeSchema) { case (nodes, _, _) =>
+    readLayer(spark, path, nodeSchema,
+        needWays = false, needRels = false) { case (nodes, _, _) =>
       nodes.map(n => Row(n.id, n.lon, n.lat, n.tags,
         Wkb.write(Point(n.lon, n.lat))))
     }
 
   /** Ways: ordered node refs + tags (geometry via [[wayLines]]). */
   def readWays(spark: SparkSession, path: String): DataFrame =
-    readLayer(spark, path, waySchema) { case (_, ways, _) =>
+    readLayer(spark, path, waySchema,
+        needNodes = false, needRels = false) { case (_, ways, _) =>
       ways.map(w => Row(w.id, w.refs.toSeq, w.tags))
     }
 
   def readRelations(spark: SparkSession, path: String): DataFrame =
-    readLayer(spark, path, relationSchema) { case (_, _, rels) =>
+    readLayer(spark, path, relationSchema,
+        needNodes = false, needWays = false) { case (_, _, rels) =>
       rels.map(r => Row(r.id, r.memberIds.toSeq, r.memberTypes.toSeq,
         r.memberRoles.toSeq, r.tags))
     }
@@ -566,8 +588,11 @@ object OsmPbfIO {
         def sid(s: String): Int = strings.getOrElseUpdate(s, strings.size)
         val dense = new PbOut
         val ids = chunk.map(_._1)
-        val lats = chunk.map(n => math.round(n._3 * 1e9) / 100)
-        val lons = chunk.map(n => math.round(n._2 * 1e9) / 100)
+        // round to the granularity-100 grid directly (x * 1e7): the old
+        // round(x*1e9)/100 TRUNCATED the last two digits, biasing ~1 cm
+        // toward zero for coordinates off the 1e-7 grid
+        val lats = chunk.map(n => math.round(n._3 * 1e7))
+        val lons = chunk.map(n => math.round(n._2 * 1e7))
         def deltas(vs: Seq[Long]): Seq[Long] =
           vs.zip(0L +: vs.init).map { case (a, b) => a - b }
         dense.packed(1, deltas(ids), signed = true)

@@ -78,8 +78,17 @@ object Sampling {
       salt: String = "tmp:"): DataFrame = {
     require(alpha > 0 && alpha <= 1.0, s"alpha in (0, 1] expected (got $alpha)")
     require(targetTotal >= 1, s"targetTotal >= 1 expected (got $targetTotal)")
+    // null group keys (e.g. lang before lang-id fills in) are rejected
+    // explicitly: a silent null would NPE here or vanish in the target
+    // join below — both worse than the actionable error. Group values
+    // keep their NATIVE type (the target table must equi-join back, so a
+    // string-ified int key would break non-string groups).
     val counts = df.groupBy(col(groupCol)).count()
-      .collect().map(r => (r.get(0).toString, r.getLong(1))).sortBy(_._1)
+      .collect().map { r =>
+        require(!r.isNullAt(0),
+          s"temperatureResample: null $groupCol group — filter or fill nulls first")
+        (r.get(0), r.getLong(1))
+      }.sortBy(_._1.toString)
     val weights = counts.map { case (g, n) => (g, n, math.pow(n.toDouble, alpha)) }
     val total = weights.foldLeft(0.0)(_ + _._3) // group-key order, IEEE fold
     val targets = weights.map { case (g, n, w) =>
@@ -87,8 +96,13 @@ object Sampling {
     }
     val maxK = math.max(1L, targets.map(_._2).max).toInt
     val spark = df.sparkSession
-    import spark.implicits._
-    val tgt = targets.toSeq.toDF(groupCol, "_tr_k")
+    val tgtSchema = org.apache.spark.sql.types.StructType(Seq(
+      df.schema(groupCol).copy(nullable = false),
+      org.apache.spark.sql.types.StructField("_tr_k",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val tgt = spark.createDataFrame(
+      java.util.Arrays.asList(targets.map { case (g, k) =>
+        org.apache.spark.sql.Row(g, k) }: _*), tgtSchema)
     val hk = gr_md5Bucket(concat(lit(salt), col(idCol).cast("string")),
       lit(1000000000)).cast("double")
     df.select(col(groupCol), col(idCol).cast("long").as("_tr_id"), hk.as("_tr_h"))

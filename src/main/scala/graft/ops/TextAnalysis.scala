@@ -235,14 +235,17 @@ object TextAnalysis {
     require(buckets >= 2, s"dsirWeights: buckets >= 2 (got $buckets)")
     // gr_tokens matches the oracle's \s+ tokenizer (a bare split on
     // ' ' diverges on tab/CR-bearing text)
-    val feats = df
+    // pinned: the corpus-sized tokenize+explode feeds BOTH the bucket
+    // distribution and the scoring join — without the checkpoint each
+    // consumer re-runs it (the bm25 tf lesson)
+    val feats = org.apache.spark.sql.GraftInterop.localCheckpointCappedStats(df
       .select(col(idCol), isTarget.as("_tgt"), gr_tokens(col(textCol)).as("_a"))
       .select(col(idCol), col("_tgt"), explode(expr(
         "concat(_a, IF(size(_a) >= 2, " +
           "transform(sequence(0, size(_a) - 2), i -> concat(_a[i], ' ', _a[i + 1])), " +
           "array()))")).as("_g"))
       .select(col(idCol), col("_tgt"),
-        gr_md5Bucket(col("_g"), lit(buckets)).as("_b"))
+        gr_md5Bucket(col("_g"), lit(buckets)).as("_b")))
     val dist = feats.groupBy(col("_b"))
       .agg(sum(when(col("_tgt"), 1L).otherwise(0L)).as("_ct"),
         count(lit(1)).as("_cr"))
@@ -285,14 +288,19 @@ object TextAnalysis {
     require(lambda >= 0.0 && lambda <= 1.0, s"bigramLm: lambda in [0,1] (got $lambda)")
     val a = df.select(col(idCol),
       expr(s"filter(split($textCol, ' '), x -> length(x) > 0)").as("_a"))
-    val uni = a.select(explode(col("_a")).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("c_w"))
+    // uni (vocab-sized) feeds tot + two scoring joins; pairs (corpus-
+    // sized) feeds the bigram count AND the scoring join — pin both so no
+    // consumer re-runs the tokenize+explode (the bm25 tf lesson)
+    val uni = org.apache.spark.sql.GraftInterop.localCheckpointCappedStats(
+      a.select(explode(col("_a")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c_w")))
     val tot = uni.agg(sum(col("c_w")).as("c_total"))
-    val pairs = a.filter(size(col("_a")) >= 2)
-      .select(col(idCol), explode(expr(
-        "transform(sequence(0, size(_a) - 2), i -> struct(_a[i] AS w1, _a[i + 1] AS w2))"))
-        .as("p"))
-      .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val pairs = org.apache.spark.sql.GraftInterop.localCheckpointCappedStats(
+      a.filter(size(col("_a")) >= 2)
+        .select(col(idCol), explode(expr(
+          "transform(sequence(0, size(_a) - 2), i -> struct(_a[i] AS w1, _a[i + 1] AS w2))"))
+          .as("p"))
+        .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2")))
     val big = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_12"))
     pairs
       .join(big, Seq("w1", "w2"))

@@ -144,6 +144,10 @@ final class TopKBuffer(val k: Int) {
   val ids: mutable.ArrayBuffer[Long] = mutable.ArrayBuffer.empty
 
   def add(score: Double, id: Long): Unit = {
+    // a NaN score would pass both the rejection test and every binary-
+    // search comparison (all false) and squat at rank 1 forever — one NaN
+    // embedding would displace a real top-1 for its whole bucket. Skip it.
+    if (score.isNaN) return
     if (ids.length >= k) {
       val ws = scores.last; val wi = ids.last
       if (score < ws || (score == ws && id >= wi)) return

@@ -28,24 +28,8 @@ import graft.sql.functions.{st_tileCover => stTileCover}
   */
 object MvtIO {
 
-  // ------------------------------------------------------------- protobuf
-  private final class PbOut {
-    val bytes = new ByteArrayOutputStream()
-    def varint(v0: Long): Unit = {
-      var v = v0
-      while ((v & ~0x7fL) != 0) { bytes.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
-      bytes.write(v.toInt & 0x7f)
-    }
-    def tag(field: Int, wire: Int): Unit = varint((field << 3) | wire)
-    def lenDelim(field: Int, payload: Array[Byte]): Unit = {
-      tag(field, 2); varint(payload.length); bytes.write(payload)
-    }
-    def str(field: Int, s: String): Unit = lenDelim(field, s.getBytes("UTF-8"))
-    def toBytes: Array[Byte] = bytes.toByteArray
-  }
-
-  @inline private def zigzag(n: Long): Long = (n << 1) ^ (n >> 63)
-  @inline private def unzigzag(n: Long): Long = (n >>> 1) ^ -(n & 1)
+  // protobuf wire primitives shared across codecs: graft.io.Pb
+  import Pb.{zigzag, unzigzag}
 
   // ------------------------------------------------------------- geometry
   /** Project lon/lat into this tile's integer grid (y grows DOWN). */
@@ -388,32 +372,6 @@ object MvtIO {
   final case class MvtFeature(id: Option[Long], geomType: Int,
       coords: Array[Array[Long]], props: Map[String, Any])
   final case class MvtLayer(name: String, extent: Int, features: Seq[MvtFeature])
-
-  private final class PbIn(val b: Array[Byte], var pos: Int, val end: Int) {
-    def hasMore: Boolean = pos < end
-    def varint(): Long = {
-      var shift = 0; var v = 0L
-      while (true) {
-        val x = b(pos); pos += 1
-        v |= (x & 0x7fL) << shift
-        if ((x & 0x80) == 0) return v
-        shift += 7
-      }
-      v
-    }
-    def sub(): PbIn = {
-      val len = varint().toInt
-      val r = new PbIn(b, pos, pos + len)
-      pos += len
-      r
-    }
-    def skip(wire: Int): Unit = wire match {
-      case 0 => varint()
-      case 1 => pos += 8
-      case 2 => val len = varint().toInt; pos += len
-      case 5 => pos += 4
-    }
-  }
 
   /** Decode one tile file (roundtrip verification + interchange). Command
     * streams are decoded back to absolute grid coordinates, one

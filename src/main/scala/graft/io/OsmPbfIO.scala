@@ -31,65 +31,7 @@ import graft.geom.{Point, Wkb}
   */
 object OsmPbfIO {
 
-  // ------------------------------------------------------------- protobuf
-  private final class PbOut {
-    val bytes = new ByteArrayOutputStream()
-    def varint(v0: Long): Unit = {
-      var v = v0
-      while ((v & ~0x7fL) != 0) { bytes.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
-      bytes.write(v.toInt & 0x7f)
-    }
-    def svarint(v: Long): Unit = varint((v << 1) ^ (v >> 63))
-    def tag(field: Int, wire: Int): Unit = varint((field << 3) | wire)
-    def lenDelim(field: Int, payload: Array[Byte]): Unit = {
-      tag(field, 2); varint(payload.length); bytes.write(payload)
-    }
-    def str(field: Int, s: String): Unit = lenDelim(field, s.getBytes("UTF-8"))
-    def int(field: Int, v: Long): Unit = { tag(field, 0); varint(v) }
-    def packed(field: Int, vs: Iterable[Long], signed: Boolean): Unit = {
-      val p = new PbOut
-      vs.foreach(v => if (signed) p.svarint(v) else p.varint(v))
-      lenDelim(field, p.toBytes)
-    }
-    def toBytes: Array[Byte] = bytes.toByteArray
-  }
-
-  private final class PbIn(val b: Array[Byte], var pos: Int, val end: Int) {
-    def hasMore: Boolean = pos < end
-    def varint(): Long = {
-      var shift = 0; var v = 0L
-      while (true) {
-        val x = b(pos); pos += 1
-        v |= (x & 0x7fL) << shift
-        if ((x & 0x80) == 0) return v
-        shift += 7
-      }
-      v
-    }
-    def svarint(): Long = { val v = varint(); (v >>> 1) ^ -(v & 1) }
-    def sub(): PbIn = {
-      val len = varint().toInt
-      val r = new PbIn(b, pos, pos + len); pos += len; r
-    }
-    def bytesField(): Array[Byte] = {
-      val len = varint().toInt
-      val out = java.util.Arrays.copyOfRange(b, pos, pos + len); pos += len; out
-    }
-    def packedLongs(signed: Boolean): Array[Long] = {
-      val s = sub()
-      val out = scala.collection.mutable.ArrayBuffer.empty[Long]
-      while (s.hasMore) out += (if (signed) s.svarint() else s.varint())
-      out.toArray
-    }
-    def skip(wire: Int): Unit = wire match {
-      case 0 => varint()
-      case 1 => pos += 8
-      case 2 => pos += varint().toInt
-      case 5 => pos += 4
-    }
-    /** Consume the rest of this sub-message without parsing (kind gating). */
-    def skipAll(): Unit = pos = end
-  }
+  // protobuf wire primitives shared across codecs: graft.io.Pb
 
   private def deflate(raw: Array[Byte]): Array[Byte] = {
     val d = new Deflater()

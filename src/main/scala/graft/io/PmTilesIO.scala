@@ -79,12 +79,6 @@ object PmTilesIO {
     bos.toByteArray
   }
 
-  private def varint(out: ByteArrayOutputStream, v0: Long): Unit = {
-    var v = v0
-    while ((v & ~0x7fL) != 0) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
-    out.write(v.toInt & 0x7f)
-  }
-
   final case class Entry(tileId: Long, offset: Long, length: Int, runLength: Int)
 
   /** Spec §4 directory serialization: count, id deltas, run lengths,
@@ -92,32 +86,23 @@ object PmTilesIO {
     */
   private def encodeDirectory(entries: Seq[Entry]): Array[Byte] = {
     val out = new ByteArrayOutputStream()
-    varint(out, entries.size)
+    Pb.varint(out, entries.size)
     var last = 0L
-    entries.foreach { e => varint(out, e.tileId - last); last = e.tileId }
-    entries.foreach(e => varint(out, e.runLength))
-    entries.foreach(e => varint(out, e.length))
+    entries.foreach { e => Pb.varint(out, e.tileId - last); last = e.tileId }
+    entries.foreach(e => Pb.varint(out, e.runLength))
+    entries.foreach(e => Pb.varint(out, e.length))
     var prevOff = -1L; var prevLen = 0L
     entries.foreach { e =>
-      if (prevOff >= 0 && e.offset == prevOff + prevLen) varint(out, 0)
-      else varint(out, e.offset + 1)
+      if (prevOff >= 0 && e.offset == prevOff + prevLen) Pb.varint(out, 0)
+      else Pb.varint(out, e.offset + 1)
       prevOff = e.offset; prevLen = e.length
     }
     out.toByteArray
   }
 
   private def decodeDirectory(b: Array[Byte]): Seq[Entry] = {
-    var pos = 0
-    def rd(): Long = {
-      var shift = 0; var v = 0L
-      while (true) {
-        val x = b(pos); pos += 1
-        v |= (x & 0x7fL) << shift
-        if ((x & 0x80) == 0) return v
-        shift += 7
-      }
-      v
-    }
+    val in = new PbIn(b, 0, b.length)
+    def rd(): Long = in.varint()
     val n = rd().toInt
     val ids = new Array[Long](n)
     var acc = 0L

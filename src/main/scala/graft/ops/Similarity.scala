@@ -331,31 +331,7 @@ object Similarity {
     val scored = encoded.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("score",
         if (roundScoreTo >= 0) round(rawScore, roundScoreTo) else rawScore)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id").asc)
-    if (rerank <= 0)
-      scored
-        .select(col("query_id"), col("neighbor_id"), col("score"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= k)
-    else {
-      val cands = scored
-        .select(col("query_id"), col("neighbor_id"), col("score"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= math.max(rerank, k))
-        .select(col("query_id"), col("neighbor_id"))
-      val cvecs = corpus.select(col(idCol).as("neighbor_id"),
-        gr_l2normalize(col(vecCol)).as("_cv"))
-      val exact = gr_dot(col("_qv"), col("_cv")) // normalized -> cosine
-      val refined = cvecs
-        .join(broadcast(cands.join(q, "query_id")), Seq("neighbor_id"))
-        .withColumn("score",
-          if (roundScoreTo >= 0) round(exact, roundScoreTo) else exact)
-      refined
-        .select(col("query_id"), col("neighbor_id"), col("score"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= k)
-    }
+    topKWithRerank(scored, corpus, q, idCol, vecCol, k, rerank, roundScoreTo)
   }
 
   /** Per-dimension [min, max] of the l2-normalized corpus — the SQ8
@@ -427,31 +403,7 @@ object Similarity {
     val scored = encoded.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("score",
         if (roundScoreTo >= 0) round(rawScore, roundScoreTo) else rawScore)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id").asc)
-    if (rerank <= 0)
-      scored
-        .select(col("query_id"), col("neighbor_id"), col("score"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= k)
-    else {
-      val cands = scored
-        .select(col("query_id"), col("neighbor_id"), col("score"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= math.max(rerank, k))
-        .select(col("query_id"), col("neighbor_id"))
-      val cvecs = corpus.select(col(idCol).as("neighbor_id"),
-        gr_l2normalize(col(vecCol)).as("_cv"))
-      val exact = gr_dot(col("_qv"), col("_cv"))
-      val refined = cvecs
-        .join(broadcast(cands.join(q, "query_id")), Seq("neighbor_id"))
-        .withColumn("score",
-          if (roundScoreTo >= 0) round(exact, roundScoreTo) else exact)
-      refined
-        .select(col("query_id"), col("neighbor_id"), col("score"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= k)
-    }
+    topKWithRerank(scored, corpus, q, idCol, vecCol, k, rerank, roundScoreTo)
   }
 
   /** Approximate top-k: bucket corpus and queries by LSH signature; probe
@@ -467,10 +419,7 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
       gr_lshBucket(col(vecCol), lit(bits), lit(seed)).as("_bucket"))
     // multi-probe: original bucket + flip each bit
-    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
-        gr_lshBucket(col(vecCol), lit(bits), lit(seed)).as("_b0"))
-      .withColumn("_probe", explode(array(
-        (col("_b0") +: (0 until bits).map(b => col("_b0").bitwiseXOR(lit(1L << b)))): _*)))
+    val probes = lshMultiProbe(queries, idCol, vecCol, bits, seed)
     val rawCos = gr_cosine(col("_qv"), col("_cv"))
     // broadcast the (small) probe side like bruteForceTopK/ivfTopK do: the
     // corpus must never shuffle, and that property should be structural,
@@ -509,14 +458,60 @@ object Similarity {
     require(queries.isStreaming, "streamingAnnTopK expects a streaming query side")
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
       gr_lshBucket(col(vecCol), lit(bits), lit(seed)).as("_bucket"))
-    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
-        gr_lshBucket(col(vecCol), lit(bits), lit(seed)).as("_b0"))
-      .withColumn("_probe", explode(array(
-        (col("_b0") +: (0 until bits).map(b => col("_b0").bitwiseXOR(lit(1L << b)))): _*)))
+    val probes = lshMultiProbe(queries, idCol, vecCol, bits, seed)
     probes.join(c, col("_probe") === col("_bucket") &&
         col("query_id") =!= col("neighbor_id"))
       .withColumn("_cos", gr_cosine(col("_qv"), col("_cv")))
       .groupBy(col("query_id"))
       .agg(gr_topKByScore(col("_cos"), col("neighbor_id"), k).as("neighbors"))
   }
+
+  /** Shared rank/rerank tail of the compressed-scan ANN paths
+    * ([[pqTopK]]/[[sqTopK]]): rank the approximate scores per query, and
+    * with `rerank > 0` re-score the top `max(rerank, k)` candidates with
+    * exact cosine — candidates broadcast back onto the corpus, so the
+    * corpus never shuffles. `scored` must carry (query_id, neighbor_id,
+    * score); `q` must carry (query_id, _qv l2-normalized).
+    */
+  private def topKWithRerank(
+      scored: DataFrame, corpus: DataFrame, q: DataFrame,
+      idCol: String, vecCol: String,
+      k: Int, rerank: Int, roundScoreTo: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    if (rerank <= 0)
+      scored
+        .select(col("query_id"), col("neighbor_id"), col("score"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+    else {
+      val cands = scored
+        .select(col("query_id"), col("neighbor_id"), col("score"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= math.max(rerank, k))
+        .select(col("query_id"), col("neighbor_id"))
+      val cvecs = corpus.select(col(idCol).as("neighbor_id"),
+        gr_l2normalize(col(vecCol)).as("_cv"))
+      val exact = gr_dot(col("_qv"), col("_cv")) // normalized -> cosine
+      cvecs
+        .join(broadcast(cands.join(q, "query_id")), Seq("neighbor_id"))
+        .withColumn("score",
+          if (roundScoreTo >= 0) round(exact, roundScoreTo) else exact)
+        .select(col("query_id"), col("neighbor_id"), col("score"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+    }
+  }
+
+  /** Shared multi-probe expansion ([[lshTopK]]/[[streamingAnnTopK]]): the
+    * query's exact bucket plus every 1-bit flip, as (query_id, _qv,
+    * _probe) rows. Probe values are pairwise distinct, so a corpus row
+    * matches at most one probe per query — no dedup needed downstream.
+    */
+  private def lshMultiProbe(queries: DataFrame, idCol: String,
+      vecCol: String, bits: Int, seed: Int): DataFrame =
+    queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
+        gr_lshBucket(col(vecCol), lit(bits), lit(seed)).as("_b0"))
+      .withColumn("_probe", explode(array(
+        (col("_b0") +: (0 until bits).map(b => col("_b0").bitwiseXOR(lit(1L << b)))): _*)))
 }

@@ -2408,6 +2408,23 @@ object OracleSql {
       FROM pts p LEFT JOIN lab ON p.id = lab.id
       ORDER BY c_custkey""",
 
+    // Chaikin closed forms: corner-triangle area deficit, exact quarter-
+    // blend perimeter/length, vertex-count doubling, convex nesting
+    "g105_chaikin" -> """
+      SELECT s_suppkey,
+             9::BIGINT AS n1,
+             round(7.0 * w * h / 8.0, 6) AS area1,
+             round(w + h + sqrt(w * w + h * h), 6) AS perim1,
+             17::BIGINT AS n2,
+             true AS nested_ok,
+             4::BIGINT AS nl,
+             round(0.75 * (w + h) + sqrt(w * w + h * h) / 4.0, 6) AS len1
+      FROM (SELECT s_suppkey,
+              ((s_suppkey % 5) + 2)::DOUBLE AS w,
+              ((s_suppkey % 4) + 1)::DOUBLE AS h
+            FROM supplier)
+      ORDER BY s_suppkey""",
+
     // k-means replayed exactly: md5-pinned init, two Lloyd updates on
     // round(.,6) centroids, argmin with (distance, cluster-id) ordering
     "g104_cluster_kmeans" -> """

@@ -2277,6 +2277,39 @@ object SparkEntry {
     // arithmetic bit-for-bit; a 0.2-wide sliver collapses to empty at
     // grid 1.0 (the degenerate-ring drop), and an offset rectangle's
     // snapped area is the closed form (w+1)(h+1)
+    // Chaikin corner-cutting (PostGIS ST_ChaikinSmoothing): one iteration
+    // on a w×h rectangle is CLOSED FORM — area 7wh/8 (four corner
+    // triangles with legs w/4, h/4 removed), perimeter (w+h)+sqrt(w²+h²),
+    // 8+1 ring points; the L-polyline keeps endpoints with length
+    // 0.75(w+h)+sqrt(w²+h²)/4. Iteration 2 checks the count doubling and
+    // convex nesting.
+    "g105_chaikin" -> ((s, d) => {
+      t(s, d, "supplier")
+        .withColumn("w", ((col("s_suppkey") % 5) + 2).cast("double"))
+        .withColumn("h", ((col("s_suppkey") % 4) + 1).cast("double"))
+        .withColumn("ox", (col("s_suppkey") % 13).cast("double") * 3.0)
+        .withColumn("oy", (col("s_suppkey") % 11).cast("double") * 3.0)
+        .withColumn("rect", st_makeEnvelope(col("ox"), col("oy"),
+          col("ox") + col("w"), col("oy") + col("h")))
+        .withColumn("s1", st_chaikinSmoothing(col("rect"), lit(1)))
+        .withColumn("s2", st_chaikinSmoothing(col("rect"), lit(2)))
+        .withColumn("line", st_makeLine(array(
+          st_point(col("ox"), col("oy")),
+          st_point(col("ox") + col("w"), col("oy")),
+          st_point(col("ox") + col("w"), col("oy") + col("h")))))
+        .withColumn("sl", st_chaikinSmoothing(col("line"), lit(1)))
+        .select(col("s_suppkey"),
+          st_numPoints(col("s1")).cast("long").as("n1"),
+          round(st_area(col("s1")), 6).as("area1"),
+          round(st_perimeter(col("s1")), 6).as("perim1"),
+          st_numPoints(col("s2")).cast("long").as("n2"),
+          (st_within(col("s2"), col("s1")) &&
+            st_within(col("s1"), col("rect"))).as("nested_ok"),
+          st_numPoints(col("sl")).cast("long").as("nl"),
+          round(st_length(col("sl")), 6).as("len1"))
+        .orderBy(col("s_suppkey"))
+    }),
+
     "g100_snaptogrid" -> ((s, d) => {
       t(s, d, "supplier")
         .withColumn("w", ((col("s_suppkey") % 5) + 2).cast("double"))

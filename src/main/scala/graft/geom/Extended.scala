@@ -72,6 +72,61 @@ object Extended {
     }
   }
 
+  /** Chaikin corner-cutting smoothing (PostGIS ST_ChaikinSmoothing):
+    * each iteration replaces every segment with its 1/4 and 3/4 points —
+    * rings are cut at every corner (output stays closed); line endpoints
+    * are always preserved (the PostGIS behavior). Pure rational blends,
+    * so results are exactly reproducible in SQL mirrors.
+    */
+  def chaikinSmooth(g: Geometry, iters: Int = 1): Geometry = {
+    require(iters >= 1 && iters <= 10,
+      s"chaikinSmooth: iters in 1..10 (each iteration doubles vertices), got $iters")
+    def oneLine(xy: Array[Double]): Array[Double] = {
+      val k = xy.length / 2
+      if (k < 3) return xy
+      val out = mutable.ArrayBuilder.make[Double]
+      out += xy(0) += xy(1) // preserve start
+      var i = 0
+      while (i < k - 1) {
+        val x1 = xy(2 * i); val y1 = xy(2 * i + 1)
+        val x2 = xy(2 * i + 2); val y2 = xy(2 * i + 3)
+        // skip the Q of the first segment / R of the last (endpoints kept)
+        if (i > 0) out += x1 + 0.25 * (x2 - x1) += y1 + 0.25 * (y2 - y1)
+        if (i < k - 2) out += x1 + 0.75 * (x2 - x1) += y1 + 0.75 * (y2 - y1)
+        i += 1
+      }
+      out += xy(2 * k - 2) += xy(2 * k - 1) // preserve end
+      out.result()
+    }
+    def oneRing(ring: Array[Double]): Array[Double] = {
+      val k = ring.length / 2 - 1 // drop the closing duplicate
+      if (k < 3) return ring
+      val out = new Array[Double](k * 4 + 2)
+      var i = 0
+      while (i < k) {
+        val x1 = ring(2 * i); val y1 = ring(2 * i + 1)
+        val x2 = ring(2 * (i + 1)); val y2 = ring(2 * (i + 1) + 1)
+        out(4 * i) = x1 + 0.25 * (x2 - x1); out(4 * i + 1) = y1 + 0.25 * (y2 - y1)
+        out(4 * i + 2) = x1 + 0.75 * (x2 - x1); out(4 * i + 3) = y1 + 0.75 * (y2 - y1)
+        i += 1
+      }
+      out(k * 4) = out(0); out(k * 4 + 1) = out(1) // close
+      out
+    }
+    def once(gg: Geometry): Geometry = gg match {
+      case p: Point      => p
+      case m: MultiPoint => m
+      case l: LineString => LineString(oneLine(l.xy))
+      case m: MultiLineString =>
+        MultiLineString(m.lines.map(l => LineString(oneLine(l.xy))))
+      case p: Polygon    => Polygon(p.rings.map(oneRing))
+      case m: MultiPolygon =>
+        MultiPolygon(m.polys.map(p => Polygon(p.rings.map(oneRing))))
+      case c: GeometryCollection => GeometryCollection(c.geoms.map(once))
+    }
+    (1 to iters).foldLeft(g)((acc, _) => once(acc))
+  }
+
   private def densify(xy: Array[Double], zs: Array[Double],
       maxLen: Double): (Array[Double], Array[Double]) = {
     if (xy.length < 4) return (xy, zs)

@@ -135,6 +135,8 @@ object functions {
     fn("st_minimumboundingcircle", g, resolution)
   def st_triangulatePolygon(g: Column): Column = fn("st_triangulatepolygon", g)
   def st_snapToGrid(g: Column, size: Column): Column = fn("st_snaptogrid", g, size)
+  def st_chaikinSmoothing(g: Column, iters: Column = lit(1)): Column =
+    fn("st_chaikinsmoothing", g, iters)
   def st_maximumInscribedCircle(g: Column, tolerance: Column = lit(0.0)): Column =
     fn("st_maximuminscribedcircle", g, tolerance)
   def st_orientedEnvelope(g: Column): Column = fn("st_orientedenvelope", g)

@@ -640,6 +640,35 @@ class ExtendedSpec extends AnyFunSuite {
     assert(zl.zs.toSeq == Seq(1.0, 7.0), zl.zs.toSeq.toString)
   }
 
+  test("chaikinSmooth: exact quarter-blend corners, preserved line endpoints") {
+    // unit square, one iteration: the exact octagon of 1/4 and 3/4 points
+    val oct = Extended.chaikinSmooth(
+      wkt("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"), 1).asInstanceOf[Polygon]
+    assert(oct.rings.head.length == 18) // 8 corners + closing duplicate
+    assert(Wkt.write(oct) ==
+      "POLYGON ((1 0, 3 0, 4 1, 4 3, 3 4, 1 4, 0 3, 0 1, 1 0))")
+    assert(math.abs(Measures.area(oct) - 14.0) < 1e-12) // 16 - 4*(1/2*1*1)
+
+    // line keeps BOTH endpoints; the corner is cut at 3/4 and 1/4
+    val l = Extended.chaikinSmooth(
+      wkt("LINESTRING (0 0, 4 0, 4 4)"), 1).asInstanceOf[LineString]
+    assert(Wkt.write(l) == "LINESTRING (0 0, 3 0, 4 1, 4 4)")
+
+    // second iteration doubles ring corners; smoothed stays inside input
+    val oct2 = Extended.chaikinSmooth(
+      wkt("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"), 2).asInstanceOf[Polygon]
+    assert(oct2.rings.head.length == 34)
+    assert(Predicates.within(oct2, wkt("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")))
+
+    // short inputs pass through; collections recurse
+    assert(Wkt.write(Extended.chaikinSmooth(wkt("LINESTRING (0 0, 1 1)"), 1))
+      == "LINESTRING (0 0, 1 1)")
+    val gc = Extended.chaikinSmooth(
+      wkt("GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (0 0, 4 0, 4 4))"), 1)
+    assert(Wkt.write(gc) ==
+      "GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (0 0, 3 0, 4 1, 4 4))")
+  }
+
   test("minimumClearance vertex-vertex case and infinite cases") {
     assert(Extended.minimumClearance(wkt("LINESTRING (0 0, 7 0)")) == 7.0)
     assert(Extended.minimumClearance(wkt("POINT (1 1)")).isPosInfinity)

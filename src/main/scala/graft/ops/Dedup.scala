@@ -359,22 +359,41 @@ object Dedup {
       nprobe: Int = 2,
       roundTo: Int = 4,
       seed: Long = 42L,
-      maxCluster: Int = 1024): DataFrame = {
+      maxCluster: Int = 1024,
+      // > 0: fit a PCA basis and CLUSTER in the projected space (the
+      // SemDeDup paper's recipe — k-means over reduced embeddings) while
+      // the per-pair cosine verification below stays in the ORIGINAL
+      // space, so the precision contract is untouched; only which pairs
+      // become candidates changes. One extra narrow fit pass + a per-row
+      // matvec; at 100 TB the projection shrinks the clustering shuffle
+      // by origDim/projectDim.
+      projectDim: Int = 0): DataFrame = {
     import org.apache.spark.sql.functions.typedlit
     val k =
       if (nlist > 0) nlist
       else math.max(16, math.ceil(math.sqrt(df.count().toDouble)).toInt)
     require(nprobe >= 1 && nprobe <= k, "semanticDedup: 1 <= nprobe <= nlist")
     val cap = if (maxCluster > 0) maxCluster else Int.MaxValue
-    val cents = Similarity.trainCentroids(df, idCol, vecCol, nlist = k, seed = seed)
+    val base0 = df.select(col(idCol).cast("long").as("_id"), col(vecCol).as("_v"))
+    val base =
+      if (projectDim <= 0) base0.withColumn("_p", col("_v"))
+      else {
+        val dim = base0.select(size(col("_v"))).head().getInt(0)
+        require(projectDim <= dim,
+          s"semanticDedup: projectDim=$projectDim exceeds embedding dim $dim")
+        val model = Embeddings.fitPca(base0, "_v", dim)
+        Embeddings.project(base0, "_v", model, projectDim, "_p")
+          .withColumn("_p", col("_p").cast("array<float>"))
+      }
+    val cents = Similarity.trainCentroids(base, "_id", "_p", nlist = k, seed = seed)
     val centArr = array(cents.map(c => typedlit(c)).toIndexedSeq: _*)
     // multi-probe assignment: a vector near a cluster boundary lands in
     // its top-nprobe clusters, so boundary-straddling near-dups still
     // share one; the groupBy on (id_a, id_b) re-establishes exactly-once
     // (a pair sharing two probed clusters meets twice)
-    val assigned = df
-      .select(col(idCol).cast("long").as("_id"), col(vecCol).as("_v"))
-      .withColumn("_c", explode(gr_topnCosine(col("_v"), centArr, lit(nprobe))))
+    val assigned = base
+      .withColumn("_c", explode(gr_topnCosine(col("_p"), centArr, lit(nprobe))))
+      .drop("_p")
     // representative side = the cap lowest ids per cluster (row_number over
     // the same hash partitioning the join below uses — the exchange is
     // shared). Representatives have the cluster's smallest ids, so every

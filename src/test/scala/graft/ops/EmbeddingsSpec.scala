@@ -90,6 +90,37 @@ class EmbeddingsSpec extends AnyFunSuite {
       assert(math.abs(m1.eigenvalues(i) - m7.eigenvalues(i)) < 1e-9)
   }
 
+  test("semanticDedup projectDim: clustering in PCA space keeps the exact pair set") {
+    // 120 base vectors with real variance in 4 of 16 dims + 20 planted
+    // near-duplicates; projecting to 4 dims must find the same pairs the
+    // full-space run finds (precision is exact in both by construction)
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 120).map { i =>
+      val v = Array.fill(16)(0.0f)
+      // +2 keeps every vector well away from the origin (a near-zero
+      // vector's cosine is noise-dominated and breaks the fixture)
+      v(0) = (i % 11).toFloat + 2f; v(1) = (i % 7).toFloat
+      v(2) = (i % 5).toFloat; v(3) = (i % 3).toFloat
+      (0 until 16).foreach(j => v(j) = v(j) + (rnd.nextFloat() - 0.5f) * 0.01f)
+      (i.toLong, v)
+    }
+    val dups = base.take(20).map { case (id, v) =>
+      (id + 1000L, v.map(x => x + 0.001f)) // near-exact copies
+    }
+    val df = (base ++ dups).toDF("vec_id", "embedding")
+    def pairs(pd: Int) = Dedup
+      .semanticDedup(df, "vec_id", "embedding", threshold = 0.999,
+        nlist = 8, nprobe = 3, projectDim = pd)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val full = pairs(0)
+    val proj = pairs(4)
+    assert(full.nonEmpty, "fixture should plant near-dup pairs")
+    // every planted (i, i+1000) pair is found by both runs
+    val planted = (0 until 20).map(i => (i.toLong, i + 1000L)).toSet
+    assert(planted.subsetOf(full), s"full-space missed ${planted -- full}")
+    assert(planted.subsetOf(proj), s"projected run missed ${planted -- proj}")
+  }
+
   test("reconstruction error equals the residual eigenvalue mass") {
     val n = 7 * 11 * 2
     val df = factorDf(n)

@@ -121,6 +121,33 @@ class EmbeddingsSpec extends AnyFunSuite {
     assert(planted.subsetOf(proj), s"projected run missed ${planted -- proj}")
   }
 
+  test("project is streaming-compatible (stateless per-row map, append mode)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val n = 7 * 11
+    val batch = factorDf(n)
+    val model = Embeddings.fitPca(batch, "vec", dim = 4)
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val out = Embeddings.project(
+      mem.toDF().toDF("id", "vec"), "vec", model, k = 2, outCol = "pc")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("pca_stream").trigger(Trigger.ProcessingTime(0)).start()
+    val rows = (0 until 10).map { i =>
+      (i.toLong, factorDf(n).filter(col("id") === i)
+        .head().getSeq[Float](1))
+    }
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.sql("SELECT id, pc FROM pca_stream")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val expected = Embeddings.project(batch.filter(col("id") < 10), "vec", model, 2, "pc")
+      .select("id", "pc")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(streamed == expected)
+  }
+
   test("reconstruction error equals the residual eigenvalue mass") {
     val n = 7 * 11 * 2
     val df = factorDf(n)

@@ -55,6 +55,32 @@ class SamplingSpec extends AnyFunSuite {
     assert(draw(1) == draw(6))
   }
 
+  test("weighted draw is a valid streaming aggregate (update mode, O(k) state)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = (0 until 200).map(i => (i.toLong, s"g${i % 2}", 1.0 + i % 5))
+    val mem = MemoryStream[(Long, String, Double)]
+    val out = Sampling.weightedPrioritySample(
+      mem.toDF().toDF("id", "g", "w"), "g", "id", col("w"), k = 8)
+    val q = out.writeStream.outputMode("update").format("memory")
+      .queryName("wps_stream").trigger(Trigger.ProcessingTime(0)).start()
+    mem.addData(rows.take(100): _*)
+    q.processAllAvailable()
+    mem.addData(rows.drop(100): _*) // the draw must revise as data arrives
+    q.processAllAvailable()
+    q.stop()
+    // last update per group equals the batch draw over ALL rows
+    val batch = Sampling.weightedPrioritySample(
+        rows.toDF("id", "g", "w"), "g", "id", col("w"), k = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val streamed = spark.sql(
+        "SELECT g, id FROM wps_stream") // memory sink keeps latest update rows
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(batch.subsetOf(streamed)) // earlier-batch rows may also linger
+    assert(batch.size == 16)
+  }
+
   test("inclusion probability follows the weights (A-ES property)") {
     // one group, 1000 rows: 100 heavy (w=50) vs 900 light (w=1).
     // Proportional-to-weight without replacement -> the heavy decile should

@@ -228,7 +228,7 @@ object Sfc {
     // 2^32 tiles — Int math would wrap (alloc 0, AIOOBE) and even a
     // correct allocation of billions of per-row tiles is a plan bug, not
     // a workload. Fail with the remedy instead of crashing obscurely.
-    val count = (x1 - x0 + 1).toLong * (y1 - y0 + 1).toLong
+    val count = (x1.toLong - x0 + 1) * (y1.toLong - y0 + 1)
     require(count <= (1L << 24),
       s"tileCover: envelope covers $count tiles at z=$z (cap 2^24) — " +
         "subdivide the geometry (st_subdivide) or lower the zoom")

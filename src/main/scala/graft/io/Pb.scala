@@ -10,11 +10,7 @@ import java.io.ByteArrayOutputStream
   */
 private[io] final class PbOut {
   val bytes = new ByteArrayOutputStream()
-  def varint(v0: Long): Unit = {
-    var v = v0
-    while ((v & ~0x7fL) != 0) { bytes.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
-    bytes.write(v.toInt & 0x7f)
-  }
+  def varint(v0: Long): Unit = Pb.varint(bytes, v0)
   def svarint(v: Long): Unit = varint(Pb.zigzag(v))
   def tag(field: Int, wire: Int): Unit = varint((field << 3) | wire)
   def lenDelim(field: Int, payload: Array[Byte]): Unit = {

@@ -374,17 +374,7 @@ object Dedup {
       else math.max(16, math.ceil(math.sqrt(df.count().toDouble)).toInt)
     require(nprobe >= 1 && nprobe <= k, "semanticDedup: 1 <= nprobe <= nlist")
     val cap = if (maxCluster > 0) maxCluster else Int.MaxValue
-    val base0 = df.select(col(idCol).cast("long").as("_id"), col(vecCol).as("_v"))
-    val base =
-      if (projectDim <= 0) base0.withColumn("_p", col("_v"))
-      else {
-        val dim = base0.select(size(col("_v"))).head().getInt(0)
-        require(projectDim <= dim,
-          s"semanticDedup: projectDim=$projectDim exceeds embedding dim $dim")
-        val model = Embeddings.fitPca(base0, "_v", dim)
-        Embeddings.project(base0, "_v", model, projectDim, "_p")
-          .withColumn("_p", col("_p").cast("array<float>"))
-      }
+    val base = semClusterBase(df, idCol, vecCol, projectDim)
     val cents = Similarity.trainCentroids(base, "_id", "_p", nlist = k, seed = seed)
     val centArr = array(cents.map(c => typedlit(c)).toIndexedSeq: _*)
     // multi-probe assignment: a vector near a cluster boundary lands in
@@ -414,12 +404,38 @@ object Dedup {
       .agg(first(col("cosine")).as("cosine"))
   }
 
+  /** Shared clustering-space projection for [[semanticDedup]] and its
+    * probe twin [[maxSemClusterSize]]: (_id, _v original, _p clustering
+    * vector). The dimension probe aggregates over NON-NULL vectors (a
+    * first-row head() would crash on empty input and mis-read a null
+    * row's size as -1).
+    */
+  private def semClusterBase(df: DataFrame, idCol: String, vecCol: String,
+      projectDim: Int): DataFrame = {
+    val base0 = df.select(col(idCol).cast("long").as("_id"), col(vecCol).as("_v"))
+    if (projectDim <= 0) base0.withColumn("_p", col("_v"))
+    else {
+      val dimRow = base0.filter(col("_v").isNotNull)
+        .agg(max(size(col("_v")))).head()
+      require(!dimRow.isNullAt(0),
+        "semanticDedup: no non-null vectors to fit the projection on")
+      val dim = dimRow.getInt(0)
+      require(projectDim <= dim,
+        s"semanticDedup: projectDim=$projectDim exceeds embedding dim $dim")
+      val model = Embeddings.fitPca(base0, "_v", dim)
+      Embeddings.project(base0, "_v", model, projectDim, "_p")
+        .withColumn("_p", col("_p").cast("array<float>"))
+    }
+  }
+
   /** Largest multi-probe cluster size for the given semanticDedup
     * parameters — the oracle-validity probe twin of [[maxLshBucket]]: the
     * exact all-pairs interpretation of [[semanticDedup]] holds only while
     * every cluster stays within `maxCluster`, and Verify can enforce that
     * instead of letting a testdata regeneration silently flip the pair set
-    * to representative chaining.
+    * to representative chaining. `projectDim` must match the dedup run it
+    * guards — a projected run clusters in PCA space, so the probe must
+    * measure THOSE clusters.
     */
   def maxSemClusterSize(
       df: DataFrame,
@@ -427,12 +443,14 @@ object Dedup {
       vecCol: String,
       nlist: Int = 16,
       nprobe: Int = 2,
-      seed: Long = 42L): Long = {
+      seed: Long = 42L,
+      projectDim: Int = 0): Long = {
     import org.apache.spark.sql.functions.typedlit
-    val cents = Similarity.trainCentroids(df, idCol, vecCol, nlist = nlist, seed = seed)
+    val base = semClusterBase(df, idCol, vecCol, projectDim)
+    val cents = Similarity.trainCentroids(base, "_id", "_p", nlist = nlist, seed = seed)
     val centArr = array(cents.map(c => typedlit(c)).toIndexedSeq: _*)
-    df.select(col(idCol).cast("long").as("_id"), col(vecCol).as("_v"))
-      .withColumn("_c", explode(gr_topnCosine(col("_v"), centArr, lit(nprobe))))
+    base
+      .withColumn("_c", explode(gr_topnCosine(col("_p"), centArr, lit(nprobe))))
       .groupBy(col("_c")).count()
       .agg(max(col("count"))).head.getLong(0)
   }

@@ -57,9 +57,11 @@ object Sampling {
     * mixtureExpand-style replication when epochs > 1 are wanted).
     *
     * Deterministic: the within-group draw is bottom-k by md5 bucket (the
-    * t38 trick); the target arithmetic sums the group weights in
-    * group-key order (left-to-right IEEE fold) so an engine-independent
-    * oracle reproduces the exact targets.
+    * t38 trick); the target arithmetic sums the group weights in the
+    * STRING order of the group keys (left-to-right IEEE fold) so an
+    * engine-independent oracle reproduces the exact targets — a SQL
+    * mirror of a non-string group column must pin the same fold with
+    * `list(w ORDER BY CAST(g AS VARCHAR))`.
     *
     * 100 TB shape: the group-count table collects to the driver (bounded
     * by |groups| — languages/domains, not rows), targets ride back as a

@@ -592,11 +592,11 @@ object GraftDefs {
     },
     "st_minimumboundingcircle" -> Spec(Seq(B, I), B,
       a => wkb(Extended.minimumBoundingCircle(geom(a(0)), int(a(1))))),
-    // PostGIS ST_SnapToGrid (vertex quantization; shapely set_precision's
-    // simple sibling — no topology repair, compose with st_makevalid)
     // PostGIS ST_ChaikinSmoothing: corner-cutting at 1/4 and 3/4 blends
     "st_chaikinsmoothing" -> Spec(Seq(B, I), B,
       a => wkb(Extended.chaikinSmooth(geom(a(0)), int(a(1))))),
+    // PostGIS ST_SnapToGrid (vertex quantization; shapely set_precision's
+    // simple sibling — no topology repair, compose with st_makevalid)
     "st_snaptogrid" -> Spec(Seq(B, D), B,
       a => wkb(Extended.snapToGrid(geom(a(0)), dbl(a(1))))),
     // PostGIS ST_TriangulatePolygon / shapely 2.1 triangulate_polygon:

@@ -115,10 +115,14 @@ class EmbeddingsSpec extends AnyFunSuite {
     val full = pairs(0)
     val proj = pairs(4)
     assert(full.nonEmpty, "fixture should plant near-dup pairs")
-    // every planted (i, i+1000) pair is found by both runs
+    // every planted (i, i+1000) pair is found by both runs, and the two
+    // candidate spaces agree on the WHOLE pair set (both verify cosine in
+    // the original space, so only recall could differ — and must not)
     val planted = (0 until 20).map(i => (i.toLong, i + 1000L)).toSet
     assert(planted.subsetOf(full), s"full-space missed ${planted -- full}")
     assert(planted.subsetOf(proj), s"projected run missed ${planted -- proj}")
+    assert(proj == full,
+      s"pair sets diverge: only-full=${full -- proj} only-proj=${proj -- full}")
   }
 
   test("project is streaming-compatible (stateless per-row map, append mode)") {

@@ -2408,6 +2408,32 @@ object OracleSql {
       FROM pts p LEFT JOIN lab ON p.id = lab.id
       ORDER BY c_custkey""",
 
+    // Weiszfeld unrolled: mean start, three weighted updates per group,
+    // DISTINCT matching the collect-agg point dedupe
+    "g107_geometric_median" -> """
+      WITH p AS (SELECT DISTINCT c_custkey % 7 AS grp, c_acctbal::DOUBLE AS x,
+                        (c_custkey % 1000)::DOUBLE AS y FROM customer),
+      c0 AS (SELECT grp, avg(x) AS cx, avg(y) AS cy, count(*)::BIGINT AS n
+             FROM p GROUP BY grp),
+      d1 AS (SELECT p.grp, p.x, p.y,
+               sqrt((p.x-c.cx)*(p.x-c.cx) + (p.y-c.cy)*(p.y-c.cy)) AS d
+             FROM p JOIN c0 c ON p.grp = c.grp),
+      c1 AS (SELECT grp, sum(x/d)/sum(1.0/d) AS cx, sum(y/d)/sum(1.0/d) AS cy
+             FROM d1 GROUP BY grp),
+      d2 AS (SELECT p.grp, p.x, p.y,
+               sqrt((p.x-c.cx)*(p.x-c.cx) + (p.y-c.cy)*(p.y-c.cy)) AS d
+             FROM p JOIN c1 c ON p.grp = c.grp),
+      c2 AS (SELECT grp, sum(x/d)/sum(1.0/d) AS cx, sum(y/d)/sum(1.0/d) AS cy
+             FROM d2 GROUP BY grp),
+      d3 AS (SELECT p.grp, p.x, p.y,
+               sqrt((p.x-c.cx)*(p.x-c.cx) + (p.y-c.cy)*(p.y-c.cy)) AS d
+             FROM p JOIN c2 c ON p.grp = c.grp),
+      c3 AS (SELECT grp, sum(x/d)/sum(1.0/d) AS cx, sum(y/d)/sum(1.0/d) AS cy
+             FROM d3 GROUP BY grp)
+      SELECT c0.grp, round(c3.cx, 6) AS mx, round(c3.cy, 6) AS my, c0.n AS npts
+      FROM c0 JOIN c3 ON c0.grp = c3.grp
+      ORDER BY c0.grp""",
+
     // Chaikin closed forms: corner-triangle area deficit, exact quarter-
     // blend perimeter/length, vertex-count doubling, convex nesting
     "g105_chaikin" -> """

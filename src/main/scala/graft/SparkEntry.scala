@@ -2277,6 +2277,22 @@ object SparkEntry {
     // arithmetic bit-for-bit; a 0.2-wide sliver collapses to empty at
     // grid 1.0 (the degenerate-ring drop), and an offset rectangle's
     // snapped area is the closed form (w+1)(h+1)
+    // geometric median (PostGIS ST_GeometricMedian): Weiszfeld with a
+    // FIXED iteration count from the group mean, so the oracle unrolls
+    // all three iterations exactly; st_collect_agg dedupes coincident
+    // points and the SQL mirrors with DISTINCT
+    "g107_geometric_median" -> ((s, d) => {
+      customerPts(s, d)
+        .groupBy((col("c_custkey") % 7).as("grp"))
+        .agg(st_collectAgg(col("geometry")).as("mp"))
+        .withColumn("med", st_geometricMedian(col("mp"), lit(3)))
+        .select(col("grp"),
+          round(st_x(col("med")), 6).as("mx"),
+          round(st_y(col("med")), 6).as("my"),
+          st_numGeometries(col("mp")).cast("long").as("npts"))
+        .orderBy(col("grp"))
+    }),
+
     // Chaikin corner-cutting (PostGIS ST_ChaikinSmoothing): one iteration
     // on a w×h rectangle is CLOSED FORM — area 7wh/8 (four corner
     // triangles with legs w/4, h/4 removed), perimeter (w+h)+sqrt(w²+h²),

@@ -127,6 +127,49 @@ object Extended {
     (1 to iters).foldLeft(g)((acc, _) => once(acc))
   }
 
+  /** Geometric median of a (multi)point (PostGIS ST_GeometricMedian):
+    * Weiszfeld iteration from the arithmetic mean, FIXED iteration count
+    * so the result is a pure function of the input (exactly
+    * SQL-mirrorable by unrolling). The Weiszfeld singularity (the iterate
+    * landing on an input point) returns that point — it is within one
+    * update of optimal there and any continuation divides by zero.
+    */
+  def geometricMedian(g: Geometry, iters: Int = 3): Geometry = {
+    val pts: Array[Double] = g match {
+      case p: Point      => return p
+      case m: MultiPoint =>
+        val out = new Array[Double](m.pts.length * 2)
+        var i = 0
+        while (i < m.pts.length) {
+          out(2 * i) = m.pts(i).x; out(2 * i + 1) = m.pts(i).y; i += 1
+        }
+        out
+      case other => throw new IllegalArgumentException(
+        s"st_geometricmedian expects a (multi)point, got ${other.getClass.getSimpleName}")
+    }
+    val k = pts.length / 2
+    if (k == 0) return MultiPoint(Array.empty)
+    var x = 0.0; var y = 0.0
+    var i = 0
+    while (i < k) { x += pts(2 * i); y += pts(2 * i + 1); i += 1 }
+    x /= k; y /= k
+    var it = 0
+    while (it < iters) {
+      var sw = 0.0; var sx = 0.0; var sy = 0.0
+      var hit = false
+      i = 0
+      while (i < k && !hit) {
+        val d = math.hypot(x - pts(2 * i), y - pts(2 * i + 1))
+        if (d < 1e-12) hit = true
+        else { val w = 1.0 / d; sw += w; sx += w * pts(2 * i); sy += w * pts(2 * i + 1) }
+        i += 1
+      }
+      if (hit) it = iters // landed on an input point: stop
+      else { x = sx / sw; y = sy / sw; it += 1 }
+    }
+    Point(x, y)
+  }
+
   private def densify(xy: Array[Double], zs: Array[Double],
       maxLen: Double): (Array[Double], Array[Double]) = {
     if (xy.length < 4) return (xy, zs)

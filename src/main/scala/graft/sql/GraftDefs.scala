@@ -595,6 +595,9 @@ object GraftDefs {
     // PostGIS ST_ChaikinSmoothing: corner-cutting at 1/4 and 3/4 blends
     "st_chaikinsmoothing" -> Spec(Seq(B, I), B,
       a => wkb(Extended.chaikinSmooth(geom(a(0)), int(a(1))))),
+    // PostGIS ST_GeometricMedian: Weiszfeld with a fixed iteration count
+    "st_geometricmedian" -> Spec(Seq(B, I), B,
+      a => wkb(Extended.geometricMedian(geom(a(0)), int(a(1))))),
     // PostGIS ST_SnapToGrid (vertex quantization; shapely set_precision's
     // simple sibling — no topology repair, compose with st_makevalid)
     "st_snaptogrid" -> Spec(Seq(B, D), B,

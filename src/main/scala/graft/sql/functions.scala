@@ -137,6 +137,8 @@ object functions {
   def st_snapToGrid(g: Column, size: Column): Column = fn("st_snaptogrid", g, size)
   def st_chaikinSmoothing(g: Column, iters: Column = lit(1)): Column =
     fn("st_chaikinsmoothing", g, iters)
+  def st_geometricMedian(g: Column, iters: Column = lit(3)): Column =
+    fn("st_geometricmedian", g, iters)
   def st_maximumInscribedCircle(g: Column, tolerance: Column = lit(0.0)): Column =
     fn("st_maximuminscribedcircle", g, tolerance)
   def st_orientedEnvelope(g: Column): Column = fn("st_orientedenvelope", g)

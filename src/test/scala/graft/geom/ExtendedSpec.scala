@@ -669,6 +669,30 @@ class ExtendedSpec extends AnyFunSuite {
       "GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (0 0, 3 0, 4 1, 4 4))")
   }
 
+  test("geometricMedian: outlier robustness, singularity, passthrough") {
+    // symmetric cross: the median IS the center regardless of iterations
+    val cross = wkt("MULTIPOINT ((1 0), (-1 0), (0 1), (0 -1))")
+    val c = Extended.geometricMedian(cross, 3).asInstanceOf[Point]
+    assert(math.abs(c.x) < 1e-12 && math.abs(c.y) < 1e-12)
+
+    // an extreme outlier drags the MEAN far but the median stays near the
+    // cluster (robustness — the reason the operator exists)
+    val out = wkt("MULTIPOINT ((0 0), (1 0), (0 1), (1 1), (1000 1000))")
+    val m = Extended.geometricMedian(out, 20).asInstanceOf[Point]
+    assert(m.x < 2.0 && m.y < 2.0, s"median dragged to $m")
+
+    // mean coincides with an input point: returns it instead of 1/0
+    val sing = wkt("MULTIPOINT ((0 0), (1 0), (-1 0), (0 1), (0 -1))")
+    val s = Extended.geometricMedian(sing, 5).asInstanceOf[Point]
+    assert(s.x == 0.0 && s.y == 0.0)
+
+    // single point passes through; polygons are rejected
+    assert(Wkt.write(Extended.geometricMedian(wkt("POINT (3 4)"), 3)) == "POINT (3 4)")
+    intercept[IllegalArgumentException] {
+      Extended.geometricMedian(wkt("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"), 3)
+    }
+  }
+
   test("minimumClearance vertex-vertex case and infinite cases") {
     assert(Extended.minimumClearance(wkt("LINESTRING (0 0, 7 0)")) == 7.0)
     assert(Extended.minimumClearance(wkt("POINT (1 1)")).isPosInfinity)

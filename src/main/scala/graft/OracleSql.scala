@@ -1228,6 +1228,12 @@ object OracleSql {
     // same left-associated update formula with (1.0 - 0.85) computed so
     // both engines hold the identical IEEE constant; 3 unrolled
     // iterations, rounded to 10 dp
+    "q20_pivot" -> """
+      SELECT l_returnflag,
+             round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS F,
+             round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS O
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
     // LPA unrolled: round 1 labels are the neighbor ids themselves; both
     // argmax picks ordered (count DESC, label ASC) like the min-struct agg
     "t50_label_prop" -> """
@@ -2407,6 +2413,20 @@ object OracleSql {
              CAST(coalesce(lab.lbl, p.id) AS BIGINT) AS cluster_id
       FROM pts p LEFT JOIN lab ON p.id = lab.id
       ORDER BY c_custkey""",
+
+    // farthest corner closed form: probe below-left -> opposite corner
+    "g108_longest_line" -> """
+      SELECT s_suppkey,
+             round(sqrt((w + 3.0) * (w + 3.0) + (h + 2.0) * (h + 2.0)), 6) AS maxd,
+             ox + w AS fx, oy + h AS fy,
+             true AS len_eq
+      FROM (SELECT s_suppkey,
+              ((s_suppkey % 5) + 2)::DOUBLE AS w,
+              ((s_suppkey % 4) + 1)::DOUBLE AS h,
+              (s_suppkey % 13)::DOUBLE * 3.0 AS ox,
+              (s_suppkey % 11)::DOUBLE * 3.0 AS oy
+            FROM supplier)
+      ORDER BY s_suppkey""",
 
     // Weiszfeld unrolled: mean start, three weighted updates per group,
     // DISTINCT matching the collect-agg point dedupe

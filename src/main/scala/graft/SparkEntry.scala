@@ -2277,6 +2277,28 @@ object SparkEntry {
     // arithmetic bit-for-bit; a 0.2-wide sliver collapses to empty at
     // grid 1.0 (the degenerate-ring drop), and an offset rectangle's
     // snapped area is the closed form (w+1)(h+1)
+    // farthest-pair family (PostGIS ST_LongestLine / ST_MaxDistance):
+    // from a probe point below-left of each rect the farthest vertex is
+    // ALWAYS the opposite corner — endpoints and distance are closed form
+    "g108_longest_line" -> ((s, d) => {
+      t(s, d, "supplier")
+        .withColumn("w", ((col("s_suppkey") % 5) + 2).cast("double"))
+        .withColumn("h", ((col("s_suppkey") % 4) + 1).cast("double"))
+        .withColumn("ox", (col("s_suppkey") % 13).cast("double") * 3.0)
+        .withColumn("oy", (col("s_suppkey") % 11).cast("double") * 3.0)
+        .withColumn("rect", st_makeEnvelope(col("ox"), col("oy"),
+          col("ox") + col("w"), col("oy") + col("h")))
+        .withColumn("p", st_point(col("ox") - 3.0, col("oy") - 2.0))
+        .withColumn("ll", st_longestLine(col("p"), col("rect")))
+        .select(col("s_suppkey"),
+          round(st_maxDistance(col("p"), col("rect")), 6).as("maxd"),
+          st_x(st_pointN(col("ll"), lit(1))).as("fx"),
+          st_y(st_pointN(col("ll"), lit(1))).as("fy"),
+          (st_length(col("ll")) === st_maxDistance(col("p"), col("rect")))
+            .as("len_eq"))
+        .orderBy(col("s_suppkey"))
+    }),
+
     // geometric median (PostGIS ST_GeometricMedian): Weiszfeld with a
     // FIXED iteration count from the group mean, so the oracle unrolls
     // all three iterations exactly; st_collect_agg dedupes coincident
@@ -3415,6 +3437,16 @@ object SparkEntry {
     // 3 power iterations with the dangling-mass correction. Per
     // iteration the shuffles carry only (long, double) rows; the rank
     // table is checkpoint-capped like CC so plan stats never compound.
+    // relational PIVOT (conditional cross-tab — Spark's pivot API over
+    // the DuckDB conditional-aggregation mirror)
+    "q20_pivot" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(round(sum(col("l_quantity")), 2))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // synchronous label-propagation communities over a synthesized link
     // graph (the dedup-family / host-community signal): min-tie argmax
     // makes the classically run-order-dependent algorithm deterministic,

@@ -170,6 +170,43 @@ object Extended {
     Point(x, y)
   }
 
+  /** PostGIS ST_LongestLine / ST_MaxDistance: the farthest vertex pair
+    * between two geometries (max distance over segments is attained at
+    * their endpoints, so the vertex sets suffice). Deterministic: the
+    * FIRST maximal pair in vertex order wins ties. Returns the 2-point
+    * LineString a→b; [[maxDistance]] is its length.
+    */
+  def longestLine(a: Geometry, b: Geometry): Geometry = {
+    val va = vertices(a); val vb = vertices(b)
+    if (va.isEmpty || vb.isEmpty) return LineString(Array.empty)
+    var best = -1.0; var bi = 0; var bj = 0
+    var i = 0
+    while (i < va.length / 2) {
+      var j = 0
+      while (j < vb.length / 2) {
+        val dx = va(2 * i) - vb(2 * j); val dy = va(2 * i + 1) - vb(2 * j + 1)
+        val d2 = dx * dx + dy * dy
+        if (d2 > best) { best = d2; bi = i; bj = j }
+        j += 1
+      }
+      i += 1
+    }
+    LineString(Array(va(2 * bi), va(2 * bi + 1), vb(2 * bj), vb(2 * bj + 1)))
+  }
+
+  def maxDistance(a: Geometry, b: Geometry): Double = longestLine(a, b) match {
+    case l: LineString if l.xy.length == 4 =>
+      math.hypot(l.xy(2) - l.xy(0), l.xy(3) - l.xy(1))
+    case _ => Double.NaN
+  }
+
+  /** All vertex coordinates of a geometry, packed (x0,y0,x1,y1,...). */
+  private def vertices(g: Geometry): Array[Double] = {
+    val out = mutable.ArrayBuilder.make[Double]
+    g.mapCoords { (x, y) => out += x += y; (x, y) }
+    out.result()
+  }
+
   private def densify(xy: Array[Double], zs: Array[Double],
       maxLen: Double): (Array[Double], Array[Double]) = {
     if (xy.length < 4) return (xy, zs)

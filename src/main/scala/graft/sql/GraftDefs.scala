@@ -598,6 +598,9 @@ object GraftDefs {
     // PostGIS ST_GeometricMedian: Weiszfeld with a fixed iteration count
     "st_geometricmedian" -> Spec(Seq(B, I), B,
       a => wkb(Extended.geometricMedian(geom(a(0)), int(a(1))))),
+    // PostGIS ST_LongestLine / ST_MaxDistance (farthest vertex pair)
+    "st_longestline" -> g2(B)((a, b) => wkb(Extended.longestLine(a, b))),
+    "st_maxdistance" -> g2(D)(Extended.maxDistance),
     // PostGIS ST_SnapToGrid (vertex quantization; shapely set_precision's
     // simple sibling — no topology repair, compose with st_makevalid)
     "st_snaptogrid" -> Spec(Seq(B, D), B,

@@ -139,6 +139,8 @@ object functions {
     fn("st_chaikinsmoothing", g, iters)
   def st_geometricMedian(g: Column, iters: Column = lit(3)): Column =
     fn("st_geometricmedian", g, iters)
+  def st_longestLine(a: Column, b: Column): Column = fn("st_longestline", a, b)
+  def st_maxDistance(a: Column, b: Column): Column = fn("st_maxdistance", a, b)
   def st_maximumInscribedCircle(g: Column, tolerance: Column = lit(0.0)): Column =
     fn("st_maximuminscribedcircle", g, tolerance)
   def st_orientedEnvelope(g: Column): Column = fn("st_orientedenvelope", g)

@@ -693,6 +693,26 @@ class ExtendedSpec extends AnyFunSuite {
     }
   }
 
+  test("longestLine/maxDistance: farthest vertex pair, deterministic ties") {
+    val rect = wkt("POLYGON ((0 0, 4 0, 4 3, 0 3, 0 0))")
+    val p = wkt("POINT (-3 -2)")
+    val ll = Extended.longestLine(p, rect).asInstanceOf[LineString]
+    assert(ll.xy.toSeq == Seq(-3.0, -2.0, 4.0, 3.0))
+    assert(math.abs(Extended.maxDistance(p, rect) - math.hypot(7, 5)) < 1e-12)
+    // direction matters: a -> b endpoints in argument order
+    val rev = Extended.longestLine(rect, p).asInstanceOf[LineString]
+    assert(rev.xy.toSeq == Seq(4.0, 3.0, -3.0, -2.0))
+    // tie (symmetric square around the origin point): FIRST maximal
+    // vertex in ring order wins — deterministic
+    val sq = wkt("POLYGON ((-1 -1, 1 -1, 1 1, -1 1, -1 -1))")
+    val t = Extended.longestLine(wkt("POINT (0 0)"), sq).asInstanceOf[LineString]
+    assert(t.xy.toSeq == Seq(0.0, 0.0, -1.0, -1.0))
+    // multi-geometry and line inputs work off their vertex sets
+    val d = Extended.maxDistance(
+      wkt("MULTIPOINT ((0 0), (10 0))"), wkt("LINESTRING (0 5, 10 5)"))
+    assert(math.abs(d - math.hypot(10, 5)) < 1e-12)
+  }
+
   test("minimumClearance vertex-vertex case and infinite cases") {
     assert(Extended.minimumClearance(wkt("LINESTRING (0 0, 7 0)")) == 7.0)
     assert(Extended.minimumClearance(wkt("POINT (1 1)")).isPosInfinity)

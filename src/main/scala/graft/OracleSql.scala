@@ -1228,6 +1228,17 @@ object OracleSql {
     // same left-associated update formula with (1.0 - 0.85) computed so
     // both engines hold the identical IEEE constant; 3 unrolled
     // iterations, rounded to 10 dp
+    "q21_unpivot" -> """
+      WITH w AS (
+        SELECT l_returnflag,
+               round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS f_qty,
+               round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS o_qty
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, 'F' AS l_linestatus, f_qty AS qty FROM w
+      UNION ALL
+      SELECT l_returnflag, 'O' AS l_linestatus, o_qty AS qty FROM w
+      ORDER BY l_returnflag, l_linestatus""",
+
     "q20_pivot" -> """
       SELECT l_returnflag,
              round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS F,

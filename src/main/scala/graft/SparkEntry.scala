@@ -3447,6 +3447,18 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    // relational UNPIVOT (melt — the inverse reshape of q20): wide
+    // per-status sums back to (flag, status, qty) long form
+    "q21_unpivot" -> ((s, d) => {
+      val wide = t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(round(sum(col("l_quantity")), 2))
+      wide.unpivot(Array(col("l_returnflag")),
+          Array(col("F"), col("O")), "l_linestatus", "qty")
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
     // synchronous label-propagation communities over a synthesized link
     // graph (the dedup-family / host-community signal): min-tie argmax
     // makes the classically run-order-dependent algorithm deterministic,

@@ -2430,7 +2430,8 @@ object OracleSql {
       SELECT s_suppkey,
              round(sqrt((w + 3.0) * (w + 3.0) + (h + 2.0) * (h + 2.0)), 6) AS maxd,
              ox + w AS fx, oy + h AS fy,
-             true AS len_eq
+             true AS len_eq,
+             round(atan2(w, h) - atan2(-3.0, -2.0), 9) AS ang
       FROM (SELECT s_suppkey,
               ((s_suppkey % 5) + 2)::DOUBLE AS w,
               ((s_suppkey % 4) + 1)::DOUBLE AS h,

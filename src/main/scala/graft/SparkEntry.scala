@@ -2295,7 +2295,11 @@ object SparkEntry {
           st_x(st_pointN(col("ll"), lit(1))).as("fx"),
           st_y(st_pointN(col("ll"), lit(1))).as("fy"),
           (st_length(col("ll")) === st_maxDistance(col("p"), col("rect")))
-            .as("len_eq"))
+            .as("len_eq"),
+          // ST_Angle at the origin corner: probe ray to opposite-corner
+          // ray — atan2(w,h) - atan2(-3,-2), positive by construction
+          round(st_angle(col("p"), st_point(col("ox"), col("oy")),
+            st_point(col("ox") + col("w"), col("oy") + col("h"))), 9).as("ang"))
         .orderBy(col("s_suppkey"))
     }),
 

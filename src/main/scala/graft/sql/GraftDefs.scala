@@ -563,6 +563,20 @@ object GraftDefs {
         if (az < 0) az + 2 * math.Pi else az
       }
     }),
+    // PostGIS ST_Angle(P1, P2, P3): the clockwise angle at P2 from the
+    // ray P2->P1 to the ray P2->P3 — azimuth(P2,P3) - azimuth(P2,P1)
+    // normalized to [0, 2pi); NaN when either ray is degenerate
+    "st_angle" -> Spec(Seq(B, B, B), D, { a =>
+      val p1 = geom(a(0)).asInstanceOf[Point]
+      val p2 = geom(a(1)).asInstanceOf[Point]
+      val p3 = geom(a(2)).asInstanceOf[Point]
+      def az(p: Point, q: Point): Double =
+        if (p.x == q.x && p.y == q.y) Double.NaN
+        else math.atan2(q.x - p.x, q.y - p.y)
+      val d = az(p2, p3) - az(p2, p1)
+      if (d.isNaN) Double.NaN
+      else if (d < 0) d + 2 * math.Pi else d
+    }),
     // ---- affine family (reference expr.py:339-385)
     "st_affine" -> Spec(Seq(B, D, D, D, D, D, D), B,
       a => wkb(Constructive.affine(geom(a(0)), dbl(a(1)), dbl(a(2)), dbl(a(3)),

@@ -140,6 +140,7 @@ object functions {
   def st_geometricMedian(g: Column, iters: Column = lit(3)): Column =
     fn("st_geometricmedian", g, iters)
   def st_longestLine(a: Column, b: Column): Column = fn("st_longestline", a, b)
+  def st_angle(p1: Column, p2: Column, p3: Column): Column = fn("st_angle", p1, p2, p3)
   def st_maxDistance(a: Column, b: Column): Column = fn("st_maxdistance", a, b)
   def st_maximumInscribedCircle(g: Column, tolerance: Column = lit(0.0)): Column =
     fn("st_maximuminscribedcircle", g, tolerance)

@@ -115,47 +115,50 @@ object Bench {
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt.max(1)
     val calProbes = scala.collection.mutable.ArrayBuffer[Double]()
     val retries = scala.collection.mutable.LinkedHashMap[String, (Double, Double, Double)]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex.map {
-      case ((name, fn), idx) =>
+    // a failed iteration must NOT contribute its time-to-failure: a
+    // fast-failing query would otherwise read as a fast-passing one and
+    // the round-over-round delta would show a phantom speedup exactly
+    // when something breaks. Median over successful iterations only;
+    // -1.0 marks a query with zero successes.
+    // one UNTIMED warmup run per query: the suite-level warmup warms
+    // shared machinery but not each query's own generated code, so the
+    // first timed run otherwise folds one-off codegen/JIT cost into the
+    // median (r8 recorded t24/t25 at ~2x their warm cost this way)
+    def runMedian(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      try force(fn(spark, sfDir)) catch { case _: Throwable => () }
+      val times = (1 to iters).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try { force(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); None
+        }
+      }.sorted
+      // LOWER median on even counts: with 2 iterations the upper pick
+      // would deterministically report the first run — the one that pays
+      // any once-per-session fixture setup (q14's bucketed tables)
+      if (times.isEmpty) -1.0 else times((times.size - 1) / 2)
+    }
+    val queryFns = SparkEntry.queries
+    val resultsMap = scala.collection.mutable.LinkedHashMap[String, Double]()
+    queryFns.toSeq.sortBy(_._1).zipWithIndex.foreach { case ((name, fn), idx) =>
       // mid-suite health probe: one calibration shot every 20 queries so
       // contention confined to the middle of the run is visible
       if (idx > 0 && idx % 20 == 0) calProbes += calibrateOnce()
-      // a failed iteration must NOT contribute its time-to-failure: a
-      // fast-failing query would otherwise read as a fast-passing one and
-      // the round-over-round delta would show a phantom speedup exactly
-      // when something breaks. Median over successful iterations only;
-      // -1.0 marks a query with zero successes.
-      // one UNTIMED warmup run per query: the suite-level warmup warms
-      // shared machinery but not each query's own generated code, so the
-      // first timed run otherwise folds one-off codegen/JIT cost into the
-      // median (r8 recorded t24/t25 at ~2x their warm cost this way)
-      def runMedian(): Double = {
-        try force(fn(spark, sfDir)) catch { case _: Throwable => () }
-        val times = (1 to iters).flatMap { _ =>
-          val t0 = System.nanoTime()
-          try { force(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}"); None
-          }
-        }.sorted
-        // LOWER median on even counts: with 2 iterations the upper pick
-        // would deterministically report the first run — the one that pays
-        // any once-per-session fixture setup (q14's bucketed tables)
-        if (times.isEmpty) -1.0 else times((times.size - 1) / 2)
-      }
-      var med = runMedian()
+      var med = runMedian(name, fn)
       refQueries.get(name).foreach { ref =>
         if (med > 3.0 * ref && med >= 0 && ref > 0) {
           // defer the retry until the machine probe reads healthy: an
           // immediate retry reruns inside the SAME contention window and
           // keeps an inflated better-of-two (r10 committed t05 at 7.3 s
           // where the quiet run reads 2.2 s). Bounded wait — probe, sleep
-          // 2 s, re-probe, at most 5 rounds — then retry regardless, with
-          // the last probe reading recorded beside both timings so a
-          // still-contended retry is distinguishable in the artifact.
-          // 1.5x gate (was 2x): r11 showed a 0.38 s probe passing the 2x
-          // threshold and the retry re-running inside the same mildly-hot
-          // window — t11 committed at 5.3x its quiet value
+          // 2 s, re-probe, at most 5 rounds. 1.5x gate (was 2x): r11
+          // showed a 0.38 s probe passing the 2x threshold and the retry
+          // re-running inside the same mildly-hot window. If the probe
+          // STILL fails after the waits, skip the inline retry entirely —
+          // r12 committed two contention-poisoned retries (q14 9.1x, q15
+          // 6.0x) exactly this way; the end-of-suite quarantine pass below
+          // re-runs the query once the machine actually quiets.
           var probe = calibrateOnce()
           var waits = 0
           while (probe > 1.5 * CalibrationRef && waits < 5) {
@@ -163,13 +166,51 @@ object Bench {
             probe = calibrateOnce()
             waits += 1
           }
-          val retry = runMedian()
-          retries(name) = (med, retry, probe)
-          if (retry >= 0 && retry < med) med = retry
+          if (probe <= 1.5 * CalibrationRef) {
+            val retry = runMedian(name, fn)
+            retries(name) = (med, retry, probe)
+            if (retry >= 0 && retry < med) med = retry
+          } else {
+            retries(name) = (med, -1.0, probe) // retry deferred to quarantine
+          }
         }
       }
-      name -> med
+      resultsMap(name) = med
     }
+
+    // End-of-suite quarantine: any query whose committed median still
+    // exceeds 3x its quiet-run reference gets re-run AFTER the rest of the
+    // suite, when transient VM contention has usually passed — up to 3
+    // passes, each gated on a healthy calibration probe (with a longer
+    // bounded wait than the inline gate: contention bursts on the shared
+    // VM are minutes, not seconds). The committed value is min(previous,
+    // quarantine re-runs); every pass is recorded so a value that stayed
+    // inflated is visibly "re-measured under load N times", never a
+    // silently-committed first reading.
+    val quarantinePasses =
+      scala.collection.mutable.LinkedHashMap[String, List[(Double, Double)]]()
+    def stillSuspect(): Seq[String] = resultsMap.toSeq.collect {
+      case (n, med) if med >= 0 &&
+        refQueries.get(n).exists(r => r > 0 && med > 3.0 * r) => n
+    }.map(_.toString)
+    var qPass = 0
+    while (qPass < 3 && stillSuspect().nonEmpty) {
+      qPass += 1
+      var probe = calibrateOnce()
+      var waits = 0
+      while (probe > 1.5 * CalibrationRef && waits < 20) {
+        Thread.sleep(3000)
+        probe = calibrateOnce()
+        waits += 1
+      }
+      stillSuspect().foreach { n =>
+        val rerun = runMedian(n, queryFns(n))
+        quarantinePasses(n) =
+          quarantinePasses.getOrElse(n, Nil) :+ ((rerun, probe))
+        if (rerun >= 0 && rerun < resultsMap(n)) resultsMap(n) = rerun
+      }
+    }
+    val results = resultsMap.toSeq
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     // failed count rides along so a query regressing to all-failures can't
@@ -211,7 +252,12 @@ object Bench {
         refQueries.get(n).exists(r => r > 0 && med > 3.0 * r) => n
     }
     val suspectJson = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","iterations":$iters,"aggregation":"median","failed":$failed,"calibration_s":$calWorst,"calibration_before_s":$calBefore,"calibration_after_s":$calAfter,"calibration_probes_s":$probesJson,"calibration_ref_s":$CalibrationRef,"calibration_ratio":${f"$calRatio%.2f"},"degraded":$degraded,"retried":${retries.size},"retries":$retriesJson,"suspect":$suspectJson,"queries":$qs,"sf":"${jesc(sfDir)}"}"""
+    val quarantineJson = quarantinePasses.map { case (n, passes) =>
+      "\"" + n + "\":[" + passes.map { case (v, p) =>
+        "{\"rerun\":" + v + ",\"probe_s\":" + f"$p%.4f" + "}"
+      }.mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","iterations":$iters,"aggregation":"median","failed":$failed,"calibration_s":$calWorst,"calibration_before_s":$calBefore,"calibration_after_s":$calAfter,"calibration_probes_s":$probesJson,"calibration_ref_s":$CalibrationRef,"calibration_ratio":${f"$calRatio%.2f"},"degraded":$degraded,"retried":${retries.size},"retries":$retriesJson,"quarantine":$quarantineJson,"suspect":$suspectJson,"queries":$qs,"sf":"${jesc(sfDir)}"}"""
     println(json)
     // also persist to a file: the driver captures a stdout TAIL, and with
     // ~100 queries the one-line JSON can exceed the captured suffix — the

@@ -3825,11 +3825,15 @@ object SparkEntry {
     }),
 
     // IVF approximate ANN (narrow centroid assignment + broadcast probes),
-    // deterministic like e02: lowest-id centroids, rounded-cosine ranking
+    // deterministic like e02: EXPLICIT lowest-id centroids (the SQL oracle
+    // re-derives the exact lists, so the centroid choice must be
+    // SQL-expressible; the library default is now the trained path),
+    // rounded-cosine ranking
     "e03_ann_ivf" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
-        k = 5, nlist = 16, nprobe = 4, roundCosineTo = 4)
+        k = 5, nlist = 16, nprobe = 4, roundCosineTo = 4,
+        centroids = Some(Similarity.firstIdCentroids(emb, "vec_id", "embedding", 16)))
         .select(col("query_id"), col("neighbor_id"), col("cosine"))
         .orderBy(col("query_id"), col("cosine").desc, col("neighbor_id"))
     }),

@@ -567,6 +567,21 @@ final case class GeoDataFrame(
     *    meets every opposite row at its honest candidate cost instead of
     *    exploding or failing the job. Costs one extra cell per row on both
     *    sides, which is why it is opt-in.
+    *
+    * `hotCellBudget` (grid-with-cellSize only; 0 = off) mitigates HOT-CELL
+    * SKEW — the converse failure mode of `oversized`: a real dataset puts
+    * 30-50% of its rows in one urban cell, and the flat grid join then
+    * refines |cellL| x |cellR| candidate pairs in that cell, quadratic
+    * work AQE's skew-split cannot reduce (it splits the shuffle partition,
+    * not the pair count). With a budget set, one cheap count pass (cell
+    * ids only cross the shuffle, map-side combined) finds cells whose
+    * candidate product nL*nR exceeds the budget; those cells re-grid at
+    * `cellSize / hotCellSplit` and the join runs as a UNION of the
+    * cold-cell coarse join and the hot-cell fine join — exactly-once with
+    * no dedup shuffle (anchor argument per level, see
+    * `GridIndex.fineCellsWithinHot`). Costs one extra counting scan and a
+    * second scan of hot-overlapping rows, which is why it is opt-in; at
+    * 100 TB the count pass is noise next to a quadratic hot cell.
     */
   def sjoin(
       right: GeoDataFrame,
@@ -578,6 +593,8 @@ final case class GeoDataFrame(
       distance: Double = 0.0,
       oversized: String = "fail",
       how: String = "inner",
+      hotCellBudget: Long = 0L,
+      hotCellSplit: Int = 8,
       // geopandas sjoin on_attribute: pairs must ALSO match on these
       // columns (present on both sides; the right copy keeps its suffix in
       // the result). In the grid strategy Catalyst folds the equalities
@@ -690,6 +707,38 @@ final case class GeoDataFrame(
               st_gridCellAnchor(col(geometryColumn), col(rGeomName),
                 lit(b.minX), lit(b.minY), lit(b.maxX), lit(b.maxY), lit(gridLevel)))
         }
+        // hot-cell detection (opt-in): one counting pass over the exploded
+        // cell ids — only (cell, count) partials cross the shuffle — finds
+        // cells whose candidate product exceeds the budget. The hot set is
+        // driver-bounded by construction (#hot <= (nL + nR) / sqrt(budget))
+        // and additionally capped at 4096 with a loud warning: past that
+        // the cellSize itself is wrong for the data.
+        val hotCells: Array[Long] =
+          if (hotCellBudget <= 0L) Array.empty[Long]
+          else {
+            require(cellSize.isDefined,
+              "sjoin hotCellBudget needs an explicit cellSize (fixed grid)")
+            require(hotCellSplit >= 2,
+              s"hotCellSplit >= 2 expected (got $hotCellSplit)")
+            val maxHot = 4096
+            val lc = leftDf.select(explode(cellsL).as("_cell"))
+              .groupBy(col("_cell")).agg(org.apache.spark.sql.functions.count(lit(1)).as("_nl"))
+            val rc = rightRenamed.select(explode(cellsR).as("_cell"))
+              .groupBy(col("_cell")).agg(org.apache.spark.sql.functions.count(lit(1)).as("_nr"))
+            val hot = lc.join(rc, Seq("_cell"))
+              .filter(col("_nl") * col("_nr") > lit(hotCellBudget))
+              // sentinel buckets cannot subdivide; their pairs stay on the
+              // coarse branch's unconditional sentinel emit
+              .filter(col("_cell") =!= lit(graft.sql.GridIndex.OversizedLeftBucket) &&
+                col("_cell") =!= lit(graft.sql.GridIndex.OversizedRightBucket))
+              .orderBy((col("_nl") * col("_nr")).desc)
+              .limit(maxHot + 1)
+              .select(col("_cell")).collect().map(_.getLong(0))
+            if (hot.length > maxHot)
+              System.err.println(s"[sjoin] more than $maxHot hot cells — " +
+                "splitting only the hottest; raise cellSize for this data")
+            hot.take(maxHot).sorted
+          }
         val l = leftDf.withColumn("_cell", explode(cellsL))
         val r = rightRenamed.withColumn("_cell", explode(cellsR))
         val emit =
@@ -698,14 +747,45 @@ final case class GeoDataFrame(
               col("_cell") === lit(graft.sql.GridIndex.OversizedLeftBucket) ||
               col("_cell") === lit(graft.sql.GridIndex.OversizedRightBucket)
           else anchor === col("_cell")
-        l.join(r, Seq("_cell"), "inner")
-          // attribute equalities FIRST: Catalyst folds them into the join
-          // condition as extra hash keys beside the cell id, and the
-          // cheap comparison culls candidates before the geometry kernel
-          .filter(attrEq)
-          .filter(pred(col(geometryColumn), col(rGeomName)))
-          .filter(emit)
-          .drop("_cell")
+        if (hotCells.isEmpty) {
+          l.join(r, Seq("_cell"), "inner")
+            // attribute equalities FIRST: Catalyst folds them into the join
+            // condition as extra hash keys beside the cell id, and the
+            // cheap comparison culls candidates before the geometry kernel
+            .filter(attrEq)
+            .filter(pred(col(geometryColumn), col(rGeomName)))
+            .filter(emit)
+            .drop("_cell")
+        } else {
+          // two-level plan: cold cells join at the coarse grid (hot cells
+          // filtered out of both exploded sides — a pair anchored in a hot
+          // cell can never satisfy `anchor === cell` here); hot cells
+          // re-grid at cellSize/hotCellSplit and join in a SEPARATE plan
+          // (separate key spaces, so coarse/fine id collisions cannot
+          // create phantom meetings). Exactly-once across the union by the
+          // per-level anchor argument (GridIndex.fineCellsWithinHot docs).
+          val s = cellSize.get
+          val hotLit = typedlit(hotCells)
+          val notHot = !array_contains(hotLit, col("_cell"))
+          val cold = l.filter(notHot).join(r.filter(notHot), Seq("_cell"), "inner")
+            .filter(attrEq)
+            .filter(pred(col(geometryColumn), col(rGeomName)))
+            .filter(emit)
+            .drop("_cell")
+          val padL = if (predicate == "dwithin") distance else 0.0
+          val fineL = leftDf.withColumn("_cell", explode(st_gridCellsSizedFineHot(
+            leftDf(geometryColumn), lit(s), lit(hotCellSplit), lit(padL), hotLit)))
+          val fineR = rightRenamed.withColumn("_cell", explode(st_gridCellsSizedFineHot(
+            rightRenamed(rGeomName), lit(s), lit(hotCellSplit), lit(0.0), hotLit)))
+          val fineEmit = st_gridCellAnchorSizedFine(col(geometryColumn),
+            col(rGeomName), lit(s), lit(hotCellSplit), lit(padL)) === col("_cell")
+          val fine = fineL.join(fineR, Seq("_cell"), "inner")
+            .filter(attrEq)
+            .filter(pred(col(geometryColumn), col(rGeomName)))
+            .filter(fineEmit)
+            .drop("_cell")
+          cold.unionByName(fine)
+        }
     }
     how match {
       case "inner" => inner

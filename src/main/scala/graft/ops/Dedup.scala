@@ -415,11 +415,18 @@ object Dedup {
     val base0 = df.select(col(idCol).cast("long").as("_id"), col(vecCol).as("_v"))
     if (projectDim <= 0) base0.withColumn("_p", col("_v"))
     else {
+      // fail fast on ragged dims: fitPca would SKIP short vectors but
+      // project would still see them, and zip_with pads the projection
+      // with nulls — a null-contaminated _p fed to gr_topnCosine is a
+      // silent mis-clustering, so a mixed-dim corpus is an error here
       val dimRow = base0.filter(col("_v").isNotNull)
-        .agg(max(size(col("_v")))).head()
+        .agg(min(size(col("_v"))), max(size(col("_v")))).head()
       require(!dimRow.isNullAt(0),
         "semanticDedup: no non-null vectors to fit the projection on")
-      val dim = dimRow.getInt(0)
+      require(dimRow.getInt(0) == dimRow.getInt(1),
+        s"semanticDedup: ragged embedding dims (min ${dimRow.getInt(0)}, " +
+          s"max ${dimRow.getInt(1)}) — normalize vector lengths before projecting")
+      val dim = dimRow.getInt(1)
       require(projectDim <= dim,
         s"semanticDedup: projectDim=$projectDim exceeds embedding dim $dim")
       val model = Embeddings.fitPca(base0, "_v", dim)

@@ -20,8 +20,18 @@ object Sampling {
     * Deterministic BY CONSTRUCTION, not by RNG state: u comes from an
     * md5 bucket of (salt, id) — stable across partitionings, re-runs, and
     * engines (the t38 trick, so a SQL oracle reproduces the exact draw).
-    * Keys are rounded to 12 decimals with an id tie-break so last-ulp
-    * ln/division differences across engines can't flip a rank.
+    * Keys are rounded to 12 decimals with an id tie-break; for keys below
+    * ~1e3 (weights not absurdly small) that absorbs last-ulp ln/division
+    * differences across engines. Larger keys exceed double's 15-16
+    * significant digits, so `round(·, 12)` is an identity there and the
+    * cross-engine determinism claim narrows to: same draw whenever no two
+    * keys in a group differ only past the representable precision.
+    *
+    * Weights MUST be positive: a negative weight would produce a negative
+    * key that ranks FIRST (violating proportional-to-weight), so rows with
+    * `weight <= 0` or null weight get a null key and are skipped by the
+    * top-k aggregate — excluded from the draw, the only reading of A-ES
+    * consistent with "probability proportional to weight".
     *
     * 100 TB shape: one narrow map (hash + key arithmetic) feeding a
     * hash-partial top-k aggregate — the corpus shuffles only (group, k)
@@ -40,7 +50,9 @@ object Sampling {
     require(k >= 1, s"weightedPrioritySample needs k >= 1 (got $k)")
     val u = (gr_md5Bucket(concat(lit(salt), col(idCol).cast("string")),
       lit(1000000000)).cast("double") + 1.0) / 1e9
-    val key = round(-log(u) / weight, 12)
+    // weight <= 0 (or null) -> null key -> skipped by TopKByScoreAgg's
+    // null guard, never silently ranked first
+    val key = when(weight > 0, round(-log(u) / weight, 12))
     df.select(col(groupCol), col(idCol).cast("long").as("_wps_id"), key.as("_wps_k"))
       .groupBy(col(groupCol))
       .agg(gr_topKByScore(-col("_wps_k"), col("_wps_id"), k).as("_wps_sel"))
@@ -80,6 +92,11 @@ object Sampling {
       salt: String = "tmp:"): DataFrame = {
     require(alpha > 0 && alpha <= 1.0, s"alpha in (0, 1] expected (got $alpha)")
     require(targetTotal >= 1, s"targetTotal >= 1 expected (got $targetTotal)")
+    // per-group targets bound maxK below, and the top-k aggregate buffer
+    // indexes by Int — a larger target would overflow to a negative k
+    require(targetTotal <= Int.MaxValue.toLong,
+      s"targetTotal must fit in Int (got $targetTotal); at that scale use " +
+        "a per-group bottom-k threshold draw instead of an exact top-k")
     // null group keys (e.g. lang before lang-id fills in) are rejected
     // explicitly: a silent null would NPE here or vanish in the target
     // join below — both worse than the actionable error. Group values

@@ -19,9 +19,12 @@ import org.apache.spark.sql.GraftInterop.AbsType
   * PCA; the shape mirrors its ApplyConcatApply tree aggregation
   * (`dask_geopandas/expr.py:33-72`) applied to second moments.
   *
-  * Rows whose vector is null or of a different length than `dim` are
-  * skipped (counted out of `n`), matching the engine's null-skipping
-  * aggregate convention.
+  * Rows whose vector is null, of a different length than `dim`, or
+  * contains a null / NaN / infinite element are skipped (counted out of
+  * `n`), matching the engine's null-skipping aggregate convention — a
+  * null array slot decodes as 0.0 through `ArrayData`, and a single
+  * NaN/Inf element would poison every co-moment it touches, so neither
+  * may silently enter the fit.
   */
 case class CoMomentAgg(
     child: Expression,
@@ -62,13 +65,22 @@ case class CoMomentAgg(
     if (v != null) {
       val arr = v.asInstanceOf[ArrayData]
       if (arr.numElements() == dim) {
-        // decode once into a local vector, then accumulate the upper triangle
+        // decode once into a local vector, then accumulate the upper
+        // triangle; bail on null slots (ArrayData would read them as 0.0)
+        // and non-finite values (one NaN poisons every moment it touches)
         val x = new Array[Double](dim)
+        var ok = true
         var i = 0
-        while (i < dim) {
-          x(i) = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+        while (ok && i < dim) {
+          if (arr.isNullAt(i)) ok = false
+          else {
+            val d = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+            if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) ok = false
+            else x(i) = d
+          }
           i += 1
         }
+        if (!ok) return buf
         buf(0) += 1.0
         i = 0
         var t = 1 + dim

@@ -106,6 +106,22 @@ object GraftDefs {
   // envelope without decoding (WkbProfile: decode is ~84% of predicate
   // wall time) — for every expression that consumes only the bbox
   @inline private def env(v: Any): Envelope = Wkb.envelopeOf(v.asInstanceOf[Array[Byte]])
+  // Literal long-array arguments (the hot-cell set of the two-level grid
+  // sjoin) arrive as the SAME ArrayData object every row — a one-slot
+  // reference memo turns the per-row toLongArray copy into a pointer
+  // compare. Thread-local: expressions evaluate on task threads.
+  private val longArrMemo = new ThreadLocal[Array[AnyRef]] {
+    override def initialValue(): Array[AnyRef] = new Array[AnyRef](2)
+  }
+  private def longArr(v: Any): Array[Long] = {
+    val m = longArrMemo.get()
+    if (m(0) eq v.asInstanceOf[AnyRef]) m(1).asInstanceOf[Array[Long]]
+    else {
+      val a = v.asInstanceOf[ArrayData].toLongArray()
+      m(0) = v.asInstanceOf[AnyRef]; m(1) = a
+      a
+    }
+  }
   @inline private def wkb(g: Geometry): Array[Byte] = Wkb.write(g)
   @inline private def dbl(v: Any): Double = v.asInstanceOf[Double]
   @inline private def int(v: Any): Int = v.asInstanceOf[Int]
@@ -823,6 +839,21 @@ object GraftDefs {
     "st_gridcells_sized_sentinel" -> Spec(Seq(B, D, D, BO), ArrayType(L), { a =>
       GridIndex.cellsOfSizedSentinel(env(a(0)), dbl(a(1)), dbl(a(2)),
         a(3).asInstanceOf[Boolean])
+    }),
+    // two-level hot-cell grid (sjoin hotCellBudget): fine cells at
+    // cellSize/split restricted to hot coarse cells; args =
+    // (geomWkb, cellSize, split, pad, hotCellsSortedAsc)
+    "st_gridcells_sized_fine_hot" -> Spec(Seq(B, D, I, D, ArrayType(L)),
+      ArrayType(L), { a =>
+        GridIndex.fineCellsWithinHot(env(a(0)), dbl(a(1)), int(a(2)),
+          dbl(a(3)), longArr(a(4)))
+      }),
+    // fine anchor of (expand(env(a), pad) ∩ env(b)) — args =
+    // (aWkb, bWkb, cellSize, split, pad)
+    "st_gridcell_anchor_sized_fine" -> Spec(Seq(B, B, D, I, D), L, { a =>
+      val pad = dbl(a(4))
+      val ea = if (pad > 0) env(a(0)).expand(pad) else env(a(0))
+      GridIndex.fineAnchorCellSized(ea.intersection(env(a(1))), dbl(a(2)), int(a(3)))
     })
   )
 
@@ -3503,5 +3534,108 @@ object GridIndex {
     if (inter.isEmpty || cellSize <= 0) return Long.MinValue
     packCell(math.floor(inter.minX / cellSize).toLong,
       math.floor(inter.minY / cellSize).toLong)
+  }
+
+  // ---- hot-cell sub-grid (two-level adaptive grid for skewed sjoins).
+  //
+  // A real dataset puts 30-50% of its rows in one urban cell; the plain
+  // grid join then builds |cellL| x |cellR| candidate pairs in that cell —
+  // quadratic work AQE's skew-split cannot reduce (it splits the shuffle
+  // partition, not the pair count). Mitigation: cells whose candidate
+  // product exceeds a budget are re-gridded at cellSize/split, and the
+  // join runs as a UNION of a cold-cell coarse join and a hot-cell fine
+  // join. Exactly-once without a dedup shuffle, by the same anchor
+  // argument as the flat grid:
+  //   - a pair's coarse anchor cell (lower-left corner of the envelope
+  //     intersection) is COLD -> both envelopes overlap it, both sides
+  //     emit it in the cold branch (it passes the not-hot filter), and
+  //     `anchor === cell` fires there exactly once; in the fine branch the
+  //     pair's fine anchor lies inside that cold coarse cell, which emits
+  //     no fine cells, so the fine branch never double-reports it.
+  //   - coarse anchor HOT -> the cold branch filters the anchor cell out,
+  //     so `anchor === cell` can never fire there; in the fine branch both
+  //     envelopes overlap the fine anchor cell (it contains the
+  //     intersection corner) inside a hot coarse cell, so both sides emit
+  //     it and `fineAnchor === cell` fires exactly once.
+  //
+  // Fine indices are derived as `coarseIx * split + offset` with the
+  // offset floor-computed INSIDE the coarse cell and clamped to
+  // [0, split-1] — never as floor(x / (cellSize/split)) — so the
+  // fine-index arithmetic is bit-identical between the explode and the
+  // anchor and a boundary coordinate cannot land the anchor outside the
+  // emitted fine set through floating-point drift. The two branches join
+  // in SEPARATE plans, so coarse and fine ids never share a key space and
+  // numeric collisions (packCell(ix,iy) at either level is just a long)
+  // cannot create phantom meetings.
+
+  @inline private def fineOffset(v: Double, cellIx: Long, cellSize: Double,
+      split: Int): Long = {
+    val off = math.floor((v - cellIx * cellSize) / cellSize * split).toLong
+    if (off < 0) 0L else if (off >= split) (split - 1).toLong else off
+  }
+
+  /** Fine cells (at cellSize/split) of `e0` expanded by `pad`, restricted
+    * to fine cells whose PARENT coarse cell is in `hot` (sorted ascending,
+    * binary-searched). Rows whose coarse envelope would exceed the explode
+    * budget return EMPTY — in sentinel mode such rows pair via the
+    * sentinel buckets of the coarse branch, and in fail mode the coarse
+    * branch has already thrown, so the fine branch must never also emit
+    * them (a sentinel pair re-met here would double-report).
+    */
+  def fineCellsWithinHot(e0: Envelope, cellSize: Double, split: Int,
+      pad: Double, hot: Array[Long]): GenericArrayData = {
+    if (e0.isEmpty || cellSize <= 0 || split <= 0 || hot.isEmpty)
+      return new GenericArrayData(Array.empty[Any])
+    val e = if (pad > 0) e0.expand(pad) else e0
+    val x0 = math.floor(e.minX / cellSize).toLong
+    val x1 = math.floor(e.maxX / cellSize).toLong
+    val y0 = math.floor(e.minY / cellSize).toLong
+    val y1 = math.floor(e.maxY / cellSize).toLong
+    if (cellCountExceeded(x1 - x0 + 1, y1 - y0 + 1))
+      return new GenericArrayData(Array.empty[Any])
+    val out = scala.collection.mutable.ArrayBuffer[Any]()
+    var ix = x0
+    while (ix <= x1) {
+      var iy = y0
+      while (iy <= y1) {
+        if (java.util.Arrays.binarySearch(hot, packCell(ix, iy)) >= 0) {
+          // fine offset range of the envelope clipped to this coarse cell
+          val ox0 = if (e.minX <= ix * cellSize) 0L else fineOffset(e.minX, ix, cellSize, split)
+          val ox1 = if (e.maxX >= (ix + 1) * cellSize) (split - 1).toLong
+            else fineOffset(e.maxX, ix, cellSize, split)
+          val oy0 = if (e.minY <= iy * cellSize) 0L else fineOffset(e.minY, iy, cellSize, split)
+          val oy1 = if (e.maxY >= (iy + 1) * cellSize) (split - 1).toLong
+            else fineOffset(e.maxY, iy, cellSize, split)
+          if (out.size + (ox1 - ox0 + 1) * (oy1 - oy0 + 1) > MaxCellsPerRow)
+            throw new IllegalArgumentException(
+              s"hot-cell fine explode exceeds $MaxCellsPerRow cells; lower " +
+                "hotCellSplit or raise cellSize")
+          var ox = ox0
+          while (ox <= ox1) {
+            var oy = oy0
+            while (oy <= oy1) {
+              out += packCell(ix * split + ox, iy * split + oy)
+              oy += 1
+            }
+            ox += 1
+          }
+        }
+        iy += 1
+      }
+      ix += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Fine anchor for the hot branch: the fine cell (same `coarseIx * split
+    * + clamped offset` arithmetic as [[fineCellsWithinHot]]) containing
+    * the lower-left corner of the envelope intersection.
+    */
+  def fineAnchorCellSized(inter: Envelope, cellSize: Double, split: Int): Long = {
+    if (inter.isEmpty || cellSize <= 0 || split <= 0) return Long.MinValue
+    val ix = math.floor(inter.minX / cellSize).toLong
+    val iy = math.floor(inter.minY / cellSize).toLong
+    packCell(ix * split + fineOffset(inter.minX, ix, cellSize, split),
+      iy * split + fineOffset(inter.minY, iy, cellSize, split))
   }
 }

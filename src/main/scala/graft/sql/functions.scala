@@ -243,6 +243,12 @@ object functions {
   def st_gridCellsSizedSentinel(g: Column, cellSize: Column, pad: Column,
       leftSide: Column): Column =
     fn("st_gridcells_sized_sentinel", g, cellSize, pad, leftSide)
+  def st_gridCellsSizedFineHot(g: Column, cellSize: Column, split: Column,
+      pad: Column, hotSorted: Column): Column =
+    fn("st_gridcells_sized_fine_hot", g, cellSize, split, pad, hotSorted)
+  def st_gridCellAnchorSizedFine(a: Column, b: Column, cellSize: Column,
+      split: Column, pad: Column): Column =
+    fn("st_gridcell_anchor_sized_fine", a, b, cellSize, split, pad)
 
   // ------------------------------------------------------------- aggregates
   def st_unionAgg(g: Column): Column = agg(StUnionAgg(expr(g)))

@@ -3335,7 +3335,9 @@ object Crs {
       // matching proj's datum-resolution order
       kv.get("nadgrids") match {
         case Some(gname) =>
-          Ntv2.get(gname.stripPrefix("@")).map(new GridShifted(b, _))
+          // resolve = registry hit or lazy-load from spark.graft.crs.ntv2Dir
+          // (user-supplied national grids: OSTN15, NTv2_0.gsb, ...)
+          Ntv2.resolve(gname.stripPrefix("@")).map(new GridShifted(b, _))
         case None => Some(kv.get("towgs84") match {
           case Some(t) =>
             val p = t.split(",").map(_.trim.toDouble).padTo(7, 0.0)

@@ -166,4 +166,61 @@ object Ntv2 {
   def register(gridName: String, bytes: Array[Byte]): Unit =
     registry.put(gridName, parse(bytes))
   def get(gridName: String): Option[Grid] = Option(registry.get(gridName))
+
+  // Runtime grid directory (conf `spark.graft.crs.ntv2Dir`): the hook that
+  // turns the parser + GridShifted mechanism into an end-to-end national-
+  // grid path for user-supplied files (OSTN15_NTv2_OSGBtoETRS.gsb,
+  // NTv2_0.gsb, ...). `functions.install` sets the driver-side value and
+  // eagerly registers every `.gsb` in the directory (fail-fast on a
+  // corrupt file at session setup, not mid-job); executors — fresh JVMs
+  // with an empty registry — fall back to the task-propagated SQLConf and
+  // lazy-load on first reference, which is why the directory must be
+  // node-visible (shared filesystem or --files distribution).
+  @volatile private var gridDir: Option[String] = None
+  def setGridDir(dir: Option[String]): Unit = gridDir = dir
+  private def configuredDir: Option[String] =
+    gridDir.orElse(try {
+      val d = org.apache.spark.sql.internal.SQLConf.get
+        .getConfString("spark.graft.crs.ntv2Dir", "")
+      if (d.isEmpty) None else Some(d)
+    } catch { case _: Throwable => None })
+
+  /** Registry hit, else lazy-load `<ntv2Dir>/<name>[.gsb]` from the
+    * configured grid directory and cache it. The `+nadgrids=` resolution
+    * path (`Crs.parseProj`) calls this, so a proj record can reference a
+    * national grid file that was never explicitly `register`ed.
+    */
+  def resolve(gridName: String): Option[Grid] = {
+    val hit = registry.get(gridName)
+    if (hit != null) Some(hit)
+    else configuredDir.flatMap { dir =>
+      Seq(s"$dir/$gridName.gsb", s"$dir/$gridName")
+        .map(java.nio.file.Paths.get(_))
+        .find(java.nio.file.Files.isRegularFile(_))
+        .map { p =>
+          val g = parse(java.nio.file.Files.readAllBytes(p))
+          registry.putIfAbsent(gridName, g)
+          registry.get(gridName)
+        }
+    }
+  }
+
+  /** Eagerly register every `.gsb` under `dir` (name = file name sans
+    * extension). Driver-side fail-fast: a corrupt grid file surfaces at
+    * session setup with its path, not as a per-row task failure.
+    */
+  def registerDir(dir: String): Seq[String] = {
+    val d = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.isDirectory(d)) return Nil
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.list(d).iterator().asScala
+      .filter(p => p.getFileName.toString.toLowerCase.endsWith(".gsb"))
+      .map { p =>
+        val name = p.getFileName.toString.stripSuffix(".gsb").stripSuffix(".GSB")
+        try register(name, java.nio.file.Files.readAllBytes(p))
+        catch { case e: Exception => throw new IllegalArgumentException(
+          s"ntv2: failed to parse grid file $p: ${e.getMessage}", e) }
+        name
+      }.toSeq
+  }
 }

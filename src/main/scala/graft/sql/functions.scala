@@ -345,6 +345,16 @@ object functions {
     * warnings on every query construction.
     */
   def install(spark: SparkSession): Unit = {
+    // NTv2 runtime grid hook: a session conf pointing at a node-visible
+    // directory of .gsb files makes `+nadgrids=<fileName>` records work
+    // end-to-end (high-accuracy national-grid transforms instead of the
+    // approximate Helmert). Eager driver-side registration fails fast on
+    // a corrupt file; executors lazy-load via the propagated SQLConf.
+    val ntv2Dir = spark.conf.get("spark.graft.crs.ntv2Dir", "")
+    if (ntv2Dir.nonEmpty) {
+      Ntv2.setGridDir(Some(ntv2Dir))
+      Ntv2.registerDir(ntv2Dir)
+    }
     // optimizer rules (idempotent by reference); sessions built with
     // spark.sql.extensions=graft.plans.GraftExtensions get them natively
     if (!spark.experimental.extraOptimizations.contains(graft.plans.SpatialFilterPushdown))

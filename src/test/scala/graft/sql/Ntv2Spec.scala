@@ -110,4 +110,42 @@ class Ntv2Spec extends AnyFunSuite {
     // unregistered grid name -> unsupported record, not mis-parsed
     assert(Crs.parseProj("+proj=tmerc +ellps=WGS84 +nadgrids=nope").isEmpty)
   }
+
+  test("runtime grid hook: spark.graft.crs.ntv2Dir loads user .gsb files end-to-end") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    import graft.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("ntv2hook")
+    java.nio.file.Files.write(dir.resolve("ostest.gsb"), synthGsb())
+    spark.conf.set("spark.graft.crs.ntv2Dir", dir.toAbsolutePath.toString)
+    try {
+      // install re-run triggers the eager registerDir path (the conf block
+      // sits before install's functions-exist early return)
+      graft.sql.functions.install(spark)
+      // the grid name = file name sans .gsb, referenced with NO explicit
+      // Ntv2.register call — the OSTN15 usage documented in the README
+      val rec = "+proj=tmerc +lat_0=49 +lon_0=-2 +k=0.9996012717 " +
+        "+x_0=400000 +y_0=-100000 +ellps=WGS84 +nadgrids=ostest"
+      assert(Crs.projFor(rec).isDefined)
+      // executor path: st_transform over a DataFrame applies the grid
+      // (lat 52, lon 0 is inside the synthesized coverage; the shift is
+      // ~0.002 deg lon, so the grid route differs from the plain record
+      // by >100 m)
+      val plain = rec.replace(" +nadgrids=ostest", "")
+      val df = spark.range(1).select(st_point(lit(0.0), lit(52.0)).as("g"))
+      val Array(gx, gy) = df.select(
+          st_x(st_transform(col("g"), lit("EPSG:4326"), lit(rec))),
+          st_y(st_transform(col("g"), lit("EPSG:4326"), lit(rec))))
+        .head().toSeq.map(_.asInstanceOf[Double]).toArray
+      val Array(px, py) = df.select(
+          st_x(st_transform(col("g"), lit("EPSG:4326"), lit(plain))),
+          st_y(st_transform(col("g"), lit("EPSG:4326"), lit(plain))))
+        .head().toSeq.map(_.asInstanceOf[Double]).toArray
+      val gap = math.hypot(gx - px, gy - py)
+      assert(gap > 100.0 && gap < 500.0, s"grid-vs-plain gap $gap m")
+    } finally {
+      spark.conf.unset("spark.graft.crs.ntv2Dir")
+      Ntv2.setGridDir(None)
+    }
+  }
 }

@@ -990,6 +990,33 @@ object OracleSql {
 
     // capacity 64 > the corpus's distinct-token count, so the SpaceSaving
     // sketch is exact and the plain count mirror applies (err = 0)
+    // the STREAMING SpaceSaving run is exact in this regime (capacity >
+    // per-lang distinct tokens), so the batch exact-count oracle applies
+    // verbatim — value-level batch-equivalence for the streaming path
+    "t51_stream_heavy_hitters" -> """
+      WITH tk AS (
+        SELECT lang, unnest(list_filter(
+                 regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                 x -> x <> '')) AS token
+        FROM documents),
+      c AS (SELECT lang, token, count(*)::BIGINT AS cnt
+            FROM tk GROUP BY lang, token),
+      r AS (SELECT lang, token, cnt,
+                   row_number() OVER (PARTITION BY lang
+                     ORDER BY cnt DESC, token) AS rn
+            FROM c)
+      SELECT lang, token, cnt, 0::BIGINT AS err
+      FROM r WHERE rn <= 10
+      ORDER BY lang, cnt DESC, token""",
+
+    // streaming-vs-batch ANN equivalence gate: the Spark side verifies the
+    // streaming LSH top-k pair set equals the batch lshTopK pair set and
+    // reduces to exact arithmetic (query count from the static side +
+    // the equality boolean) — engine-independent constants here
+    "t52_stream_ann" -> """
+      SELECT count(*)::BIGINT AS n_queries, true AS pairs_match
+      FROM embeddings WHERE vec_id >= 100 AND vec_id < 110""",
+
     "t37_heavy_hitters" -> """
       WITH tk AS (
         SELECT lang, unnest(list_filter(

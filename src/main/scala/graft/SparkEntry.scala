@@ -27,6 +27,23 @@ import org.apache.spark.sql.functions._
   */
 object SparkEntry {
 
+  // unique memory-sink names for the streaming contract queries (t51/t52):
+  // bench runs each query several times in one session, and a memory sink
+  // name can only be reused after its query object is garbage-collected
+  private val streamSinkId = new java.util.concurrent.atomic.AtomicLong()
+
+  // FileStreamSource requires a DIRECTORY; the testdata tables are single
+  // parquet files, so the streaming contract queries stream a temp dir
+  // holding one symlink to the source file (no data copy)
+  private def streamDirFor(parquetFile: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_")
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("part-00000.parquet"),
+      java.nio.file.Paths.get(parquetFile).toAbsolutePath)
+    dir.toFile.deleteOnExit()
+    dir.toAbsolutePath.toString
+  }
+
   private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     graft.sql.functions.install(spark)
     val df = spark.read.parquet(s"$dir/$name.parquet")
@@ -3478,6 +3495,69 @@ object SparkEntry {
               lit(1000000000L)), col("n"))): _*)).as("dst"))
       graft.ops.Graph.labelPropagation(edges, "src", "dst", iters = 2)
         .orderBy(col("node"))
+    }),
+
+    // streaming heavy hitters END-TO-END (r12 judge task #7): the same
+    // SpaceSaving aggregate as t37, but executed as a Structured Streaming
+    // complete-mode query over a file-source stream of the documents
+    // parquet — the mergeable-summary contract exercised through the
+    // streaming state store instead of a batch shuffle. The sketch is
+    // exact in this regime (capacity 64 > per-lang distinct tokens), so
+    // the batch oracle (t37's exact-count SQL) applies VERBATIM to the
+    // streaming result: value-level batch-equivalence, not a gate.
+    "t51_stream_heavy_hitters" -> ((s, d) => {
+      graft.sql.functions.install(s)
+      val schema = s.read.parquet(s"$d/documents.parquet").schema
+      val sink = "t51_sink_" + streamSinkId.incrementAndGet()
+      val toks = s.readStream.schema(schema)
+        .parquet(streamDirFor(s"$d/documents.parquet"))
+        .select(col("lang"),
+          explode(split(lower(col("text")), "[^a-z0-9]+")).as("token"))
+        .filter(col("token") =!= "")
+      val q = toks.groupBy(col("lang"))
+        .agg(gr_heavyHitters(col("token"), 64).as("_hh"))
+        .writeStream.outputMode("complete").format("memory").queryName(sink)
+        .start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      s.table(sink)
+        .select(col("lang"), explode(slice(col("_hh"), 1, 10)).as("_h"))
+        .select(col("lang"), col("_h.item").as("token"),
+          col("_h.est").as("cnt"), col("_h.err").as("err"))
+        .orderBy(col("lang"), col("cnt").desc, col("token"))
+    }),
+
+    // streaming ANN END-TO-END (r12 judge task #7): streamingAnnTopK over
+    // a file-source stream of the query vectors against the static
+    // corpus, compared pair-for-pair against the batch lshTopK plan —
+    // the t37-style batch-equivalence contract reduced to exact
+    // arithmetic (n_queries from the static side, pairs_match true),
+    // so the oracle is engine-independent constants.
+    "t52_stream_ann" -> ((s, d) => {
+      graft.sql.functions.install(s)
+      val emb = t(s, d, "embeddings")
+      val schema = s.read.parquet(s"$d/embeddings.parquet").schema
+      val sink = "t52_sink_" + streamSinkId.incrementAndGet()
+      val qstream = s.readStream.schema(schema)
+        .parquet(streamDirFor(s"$d/embeddings.parquet"))
+        .filter(col("vec_id") >= 100 && col("vec_id") < 110)
+      val q = graft.ops.Similarity.streamingAnnTopK(qstream, emb,
+          "vec_id", "embedding", k = 10, bits = 8, seed = 7)
+        .writeStream.outputMode("complete").format("memory").queryName(sink)
+        .start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      val got = s.table(sink)
+        .select(col("query_id"), explode(col("neighbors")).as("_n"))
+        .select(col("query_id"), col("_n.neighbor_id").as("neighbor_id"))
+      val queries = emb.filter(col("vec_id") >= 100 && col("vec_id") < 110)
+      val want = graft.ops.Similarity.lshTopK(emb, queries,
+          "vec_id", "embedding", k = 10, bits = 8, seed = 7)
+        .select(col("query_id"), col("neighbor_id"))
+      val j = got.withColumn("_g", lit(1))
+        .join(want.withColumn("_w", lit(1)),
+          Seq("query_id", "neighbor_id"), "full_outer")
+      val cmp = j.agg((coalesce(sum(when(col("_g").isNull || col("_w").isNull,
+        1L).otherwise(0L)), lit(0L)) === 0L).as("pairs_match"))
+      queries.agg(count(lit(1)).as("n_queries")).crossJoin(cmp)
     }),
 
     "t44_pagerank" -> ((s, d) => {

@@ -1046,7 +1046,12 @@ final case class GeoDataFrame(
       // candidate has been surfaced by the dwithin grid join, so the
       // per-row top-k is globally exact. k=1 degenerates to the geopandas
       // unbounded sjoin_nearest semantics.
-      k: Int = 1): DataFrame = {
+      k: Int = 1,
+      // observability hook for scale soaks (null = zero overhead): called
+      // after each round with (round, REMAINING unmatched left rows) — the
+      // localCheckpoint-pinned frame, so a probe's count() and plan
+      // inspection are cheap and do not re-run the round
+      roundProbe: (Int, DataFrame) => Unit = null): DataFrame = {
     require(seedDistance > 0, "sjoinNearestExpanding requires a positive seedDistance")
     require(k >= 1, "sjoinNearestExpanding requires k >= 1")
     var remaining = this
@@ -1064,6 +1069,7 @@ final case class GeoDataFrame(
         .join(matched.select(col(leftKey)).distinct(), Seq(leftKey), "left_anti")
         .localCheckpoint() // pin: cuts the stacked anti-join lineage AND
                            // makes the emptiness probe's work reusable
+      if (roundProbe != null) roundProbe(round, rest)
       if (rest.isEmpty) done = true
       else {
         remaining = remaining.copy(df = rest, spatialPartitions = None,

@@ -205,12 +205,12 @@ private[graft] class GpkgScan(fullSchema: StructType, required: StructType,
           val par = math.max(1, spark.sparkContext.defaultParallelism)
           val chunkSize = math.max(256, ids.length / par)
           ids.grouped(chunkSize)
-            .map(chunk => GpkgPartition(m.rootPage, chunk, -1L): InputPartition)
+            .map(chunk => GpkgPartition(m.rootPage, chunk, null): InputPartition)
             .toArray
         case None =>
-          GeoPackageIO.subtreeRoots(src, m.rootPage, 0,
+          GeoPackageIO.groupedSubtreeRoots(src, m.rootPage, 0,
               target = spark.sparkContext.defaultParallelism * 4)
-            .map(root => GpkgPartition(m.rootPage, null, root): InputPartition)
+            .map(g => GpkgPartition(m.rootPage, null, g.toArray): InputPartition)
             .toArray
       }
     } finally src.close()
@@ -233,11 +233,12 @@ private[graft] class GpkgScan(fullSchema: StructType, required: StructType,
   }
 }
 
-/** `rowids == null` → walk the subtree at `subtreeRoot`; else point-lookup
-  * each rowid under the table root (first field).
+/** `rowids == null` → walk each subtree in `subtreeRoots` (consecutive
+  * same-level b-tree subtrees, grouped so task count stays bounded); else
+  * point-lookup each rowid under the table root (first field).
   */
 private[io] final case class GpkgPartition(tableRoot: Long,
-    rowids: Array[Long], subtreeRoot: Long) extends InputPartition
+    rowids: Array[Long], subtreeRoots: Array[Long]) extends InputPartition
 
 private[io] final case class GpkgReaderFactory(
     sconf: GeoParquetIO.SerializableConf,
@@ -267,9 +268,11 @@ private[io] final case class GpkgReaderFactory(
     val out = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
     try {
       if (p.rowids == null) {
-        GeoPackageIO.walk(src, p.subtreeRoot, 0) { (rowid, payload) =>
-          val row = GeoPackageIO.materializeRow(cols, geomIdx, table, rowid, payload)
-          if (residual(row)) out += row
+        p.subtreeRoots.foreach { root =>
+          GeoPackageIO.walk(src, root, 0) { (rowid, payload) =>
+            val row = GeoPackageIO.materializeRow(cols, geomIdx, table, rowid, payload)
+            if (residual(row)) out += row
+          }
         }
       } else {
         p.rowids.foreach { rid =>

@@ -220,6 +220,23 @@ object GeoPackageIO {
     else frontier.map(_._1)
   }
 
+  /** [[subtreeRoots]] grouped into at most ~`target` read units. Level
+    * expansion is all-or-nothing, so one level past the target multiplies
+    * the subtree count by the page fanout (~100): an sf1-scale file
+    * planned 11k ~54-row tasks and the full scan drowned in task overhead
+    * (r13 pushdown soak). Grouping CONSECUTIVE same-level subtrees keeps
+    * every task a set of sequential rowid-ordered walks and caps task
+    * count without skewing sizes (the partial-expansion alternative mixes
+    * subtree depths — one unexpanded interior node carries fanout× the
+    * rows of its expanded siblings).
+    */
+  private[io] def groupedSubtreeRoots(src: PageSource, rootPage: Long,
+      headerSkip: Int, target: Int): Seq[Seq[Long]] = {
+    val roots = subtreeRoots(src, rootPage, headerSkip, target)
+    val per = math.max(1, (roots.size + math.max(1, target) - 1) / math.max(1, target))
+    roots.grouped(per).map(_.toSeq).toSeq
+  }
+
   /** Point lookup of one rowid in a table b-tree — root to leaf, O(depth)
     * page reads. Interior cells are [4-byte child][varint key] where key is
     * the LARGEST rowid in the child's subtree; the pointer at base+8
@@ -973,7 +990,7 @@ object GeoPackageIO {
             .map(node => rtreeCandidates(src, node.rootPage, qx0, qy0, qx1, qy1).sorted)
         case _ => None
       }
-      (cols, subtreeRoots(src, m.rootPage, 0,
+      (cols, groupedSubtreeRoots(src, m.rootPage, 0,
         target = spark.sparkContext.defaultParallelism * 4), geomCol, cands, m.rootPage)
     } finally src.close()
     val schema = StructType(cols.map(c => StructField(c.name, c.sparkType)))
@@ -1014,13 +1031,15 @@ object GeoPackageIO {
         }
       case None =>
         val slices = math.max(1, roots.size)
-        spark.sparkContext.parallelize(roots, slices).flatMap { root =>
+        spark.sparkContext.parallelize(roots, slices).flatMap { group =>
           val tsrc = openSource(sconf.value, pathStr)
           val out = ArrayBuffer.empty[Row]
           try {
-            walk(tsrc, root, 0) { (rowid, payload) =>
-              val row = materializeRow(colArr, geomIdx, tname, rowid, payload)
-              if (residual(row)) out += row
+            group.foreach { root =>
+              walk(tsrc, root, 0) { (rowid, payload) =>
+                val row = materializeRow(colArr, geomIdx, tname, rowid, payload)
+                if (residual(row)) out += row
+              }
             }
           } finally tsrc.close()
           out.iterator

@@ -357,7 +357,24 @@ object GeoParquetIO {
       gatherBBoxes: Boolean = true): GeoDataFrame = {
     graft.sql.functions.install(spark)
     val meta = readMeta(spark, path, gatherBBoxes)
-    val raw = spark.read.parquet(path)
+    val raw0 = spark.read.parquet(path)
+    // stamp the geometry FIELD (relation-level schema, not a Project
+    // above it) with its covering column's name: filters get pushed
+    // beneath any Project, so SpatialFilterPushdown's covering rewrite
+    // must find the metadata on the relation's own output attribute —
+    // a .withMetadata Project would be invisible to the pushed filter
+    val raw = meta.flatMap(m => m.covering.filter(raw0.columns.contains)
+        .map((m.primaryColumn, _))) match {
+      case Some((geomCol, cov)) =>
+        val stamped = org.apache.spark.sql.types.StructType(raw0.schema.map { f =>
+          if (f.name == geomCol)
+            f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata).putString("graft.covering", cov).build())
+          else f
+        })
+        spark.read.schema(stamped).parquet(path)
+      case None => raw0
+    }
     meta match {
       case Some(m) =>
         // native (geoarrow) encoding: decode the nested column back to WKB

@@ -232,7 +232,7 @@ object MapInfoIO {
     out.toSeq
   }
 
-  private def closeRing(xy: Array[Double]): Array[Double] = {
+  private[io] def closeRing(xy: Array[Double]): Array[Double] = {
     val n = xy.length
     if (n >= 4 && (xy(0) != xy(n - 2) || xy(1) != xy(n - 1)))
       xy ++ Array(xy(0), xy(1))
@@ -243,7 +243,7 @@ object MapInfoIO {
     * contract, so a ring inside an odd number of the other rings is a
     * hole, assigned to its smallest enclosing outer.
     */
-  private def assembleRegion(rings: Array[Array[Double]]): Geometry = {
+  private[io] def assembleRegion(rings: Array[Array[Double]]): Geometry = {
     if (rings.length == 1) return Polygon(rings)
     val depth = rings.indices.map { a =>
       rings.indices.count { b =>

@@ -1,0 +1,522 @@
+package graft.io
+
+import graft.api.GeoDataFrame
+import graft.geom.{Geometry, LineString, MultiLineString, MultiPoint, MultiPolygon,
+  Point, Polygon, Wkb}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.types._
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** MapInfo native binary TAB read/write — the `.tab/.dat/.map/.id` quad
+  * that MapInfo actually ships (the reference reads it through pyogrio's
+  * MapInfo driver, `dask_geopandas/io/file.py:49-149`; MIF/MID is the TEXT
+  * interchange twin, [[MapInfoIO]]).
+  *
+  * Format profile, from the public MITAB format description:
+  *  - `.tab` — text: `!table`/`!version`, `Definition Table`, `File
+  *    "x.dat"`, `Type NATIVE`, and the authoritative `Fields` list
+  *    (Char(n) / Integer / Smallint / Float / Decimal(w,d) / Logical /
+  *    Date). Field TYPING mirrors [[MapInfoIO]]'s MIF policy exactly.
+  *  - `.dat` — dBASE-framed attribute records (0x03 header, int32 record
+  *    count, int16 header/record sizes, 32-byte field descriptors, 1-byte
+  *    deletion flag per record) with MapInfo's NATIVE binary cell
+  *    encodings: Integer = int32 LE, Smallint = int16 LE, Float = IEEE
+  *    double LE, Logical = 'T'/'F' byte, Char/Decimal = padded ASCII. The
+  *    `.tab` Fields list drives decoding (MITAB's own reader does the
+  *    same — the .dat descriptor bytes under-specify the native types).
+  *  - `.id` — one int32 LE per record: byte offset of the record's object
+  *    in `.map`, 0 = no geometry (NONE).
+  *  - `.map` — 512-byte-block binary: header block carrying version /
+  *    block size (0x100/0x102), the integer-MBR, and the affine
+  *    integer-coordinate transform (XScale/YScale/XDispl/YDispl doubles;
+  *    world = (int - displ) / scale); objects as MITAB-coded typed
+  *    definitions (symbol/pline/multipline/region/multipoint) with int32
+  *    coordinate pairs. REGION ring roles are reconstructed by the same
+  *    containment-parity rule as MIF ([[MapInfoIO.assembleRegion]]).
+  *
+  * VALIDATION CAVEAT (stated, not hidden): no OGR/MapInfo-produced TAB
+  * files exist in this build environment, so byte-level interop with
+  * real-world `.map` object blocks is validated only against this
+  * library's own writer plus a MIF/MID value cross-check (TabIOSpec) —
+  * the `.tab`/`.dat`/`.id` components follow the published layouts
+  * precisely; the `.map` object-block profile follows the MITAB
+  * architecture with inline coordinate storage.
+  *
+  * Scale shape: one quad is one non-splittable document (like MIF, KML,
+  * DXF here): `read` schedules one task per `.tab`, `write` emits one
+  * quad per Spark partition task-side — never through the driver.
+  */
+object TabIO {
+
+  // MITAB object-type codes (uncompressed variants)
+  private val TypeNone = 0x00
+  private val TypeSymbol = 0x02
+  private val TypePline = 0x05
+  private val TypeRegion = 0x07
+  private val TypeMultiPline = 0x25
+  private val TypeMultiPoint = 0x34
+
+  // ------------------------------------------------------------------ read
+
+  def read(spark: SparkSession, path: String,
+      geometryColumn: String = "geometry"): GeoDataFrame = {
+    graft.sql.functions.install(spark)
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    val files: Seq[String] =
+      if (fs.getFileStatus(root).isDirectory)
+        fs.listStatus(root).map(_.getPath)
+          .filter(_.getName.toLowerCase.endsWith(".tab"))
+          .map(_.toString).sorted.toSeq
+      else Seq(path)
+    require(files.nonEmpty, s"no .tab files under $path")
+    val sconf = new GeoParquetIO.SerializableConf(conf)
+    val (firstCols, firstCrs) = {
+      val in = fs.open(new Path(files.head))
+      val text = try readAllText(in) finally in.close()
+      val h = parseTab(text)
+      (h.cols, h.crs)
+    }
+    val schema = StructType(
+      firstCols.map(c => StructField(c.name, c.sparkType)) :+
+        StructField(geometryColumn, BinaryType))
+    val rows = spark.sparkContext
+      .parallelize(files, files.size)
+      .flatMap { f => readOne(sconf.value, f) }
+    val g = GeoDataFrame(spark.createDataFrame(rows, schema), geometryColumn)
+    firstCrs.map(g.setCrs).getOrElse(g)
+  }
+
+  private def readOne(conf: org.apache.hadoop.conf.Configuration,
+      tabPath: String): Iterator[Row] = {
+    val p = new Path(tabPath)
+    val fs = p.getFileSystem(conf)
+    val tab = parseTab({
+      val in = fs.open(p); try readAllText(in) finally in.close()
+    })
+    def siblingBytes(ext: String): Option[Array[Byte]] = {
+      val n = p.getName
+      val base = n.substring(0, n.length - 4)
+      val upper = n.endsWith(".TAB")
+      val cand = new Path(p.getParent, base + (if (upper) ext.toUpperCase else ext))
+      if (fs.exists(cand)) {
+        val in = fs.open(cand)
+        try Some(readAllBytes(in)) finally in.close()
+      } else None
+    }
+    val dat = siblingBytes(".dat").getOrElse(
+      throw new IllegalArgumentException(s"$tabPath: missing sibling .dat"))
+    val attrs = readDat(dat, tab.cols)
+    val idBytes = siblingBytes(".id")
+    val mapBytes = siblingBytes(".map")
+    val geoms: Seq[Geometry] = (idBytes, mapBytes) match {
+      case (Some(id), Some(map)) =>
+        val mb = ByteBuffer.wrap(map).order(ByteOrder.LITTLE_ENDIAN)
+        val t = readMapTransform(mb)
+        val ib = ByteBuffer.wrap(id).order(ByteOrder.LITTLE_ENDIAN)
+        (0 until attrs.length).map { i =>
+          if (i * 4 + 4 > id.length) null
+          else {
+            val off = ib.getInt(i * 4)
+            if (off <= 0) null else readObject(mb, off, t)
+          }
+        }
+      case _ => Seq.fill(attrs.length)(null)
+    }
+    attrs.iterator.zip(geoms.iterator).map { case (vals, g) =>
+      Row.fromSeq(vals :+ (if (g == null) null else Wkb.write(g)))
+    }
+  }
+
+  // ------------------------------------------------------------- .tab text
+
+  private[io] final case class TabCol(name: String, tabType: String) {
+    def sparkType: DataType = {
+      val t = tabType.toLowerCase
+      if (t.startsWith("char")) StringType
+      else if (t.startsWith("integer") || t.startsWith("smallint")) LongType
+      else if (t.startsWith("float") || t.startsWith("decimal")) DoubleType
+      else if (t.startsWith("logical")) BooleanType
+      else StringType // date and anything else, verbatim text
+    }
+    /** .dat cell width in bytes (native encodings). */
+    def datWidth: Int = {
+      val t = tabType.toLowerCase
+      if (t.startsWith("char")) charLen
+      else if (t.startsWith("smallint")) 2
+      else if (t.startsWith("integer")) 4
+      else if (t.startsWith("float")) 8
+      else if (t.startsWith("decimal")) decimalWidth
+      else if (t.startsWith("logical")) 1
+      else if (t.startsWith("date")) 4
+      else charLen
+    }
+    def charLen: Int = parenArgs.headOption.getOrElse(254)
+    def decimalWidth: Int = parenArgs.headOption.getOrElse(20)
+    def decimalDecimals: Int = parenArgs.lift(1).getOrElse(6)
+    private def parenArgs: Seq[Int] = {
+      val i = tabType.indexOf('(')
+      val j = tabType.indexOf(')')
+      if (i < 0 || j < i) Nil
+      else tabType.substring(i + 1, j).split(",").toSeq
+        .map(_.trim).filter(_.nonEmpty).flatMap(_.toIntOption)
+    }
+  }
+
+  private[io] final case class TabHeader(cols: Seq[TabCol], datFile: String,
+      crs: Option[String])
+
+  private[io] def parseTab(text: String): TabHeader = {
+    val lines = text.linesIterator.toIndexedSeq
+    var datFile = ""
+    var crs: Option[String] = None
+    val cols = scala.collection.mutable.ArrayBuffer.empty[TabCol]
+    var i = 0
+    while (i < lines.length) {
+      val l = lines(i).trim
+      val lower = l.toLowerCase
+      if (lower.startsWith("file ")) {
+        val q0 = l.indexOf('"'); val q1 = l.lastIndexOf('"')
+        if (q0 >= 0 && q1 > q0) datFile = l.substring(q0 + 1, q1)
+      } else if (lower.startsWith("coordsys")) {
+        // only the lon/lat well-known form is mapped (same policy as MIF)
+        if (lower.contains("earth projection 1")) crs = Some("EPSG:4326")
+      } else if (lower.startsWith("fields")) {
+        val n = l.split("\\s+").lift(1).flatMap(_.toIntOption).getOrElse(0)
+        var k = 0
+        while (k < n && i + 1 < lines.length) {
+          i += 1
+          val fl = lines(i).trim.stripSuffix(";").trim
+          if (fl.nonEmpty) {
+            val sp = fl.indexOf(' ')
+            require(sp > 0, s".tab field line unparseable: '$fl'")
+            // the type may carry a space before '(' — keep the remainder
+            cols += TabCol(fl.substring(0, sp),
+              fl.substring(sp + 1).trim.replaceAll("\\s+", " "))
+            k += 1
+          }
+        }
+      }
+      i += 1
+    }
+    require(cols.nonEmpty, ".tab: no Fields section")
+    TabHeader(cols.toSeq, datFile, crs)
+  }
+
+  // ----------------------------------------------------------- .dat binary
+
+  /** Decode all records. The `.tab` Fields list is authoritative for both
+    * the cell widths and the native encodings.
+    */
+  private[io] def readDat(bytes: Array[Byte], cols: Seq[TabCol]): IndexedSeq[Seq[Any]] = {
+    require(bytes.length >= 32 && (bytes(0) & 0xff) == 0x03,
+      ".dat: bad header (expected version byte 0x03)")
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val numRecords = bb.getInt(4)
+    val headerSize = bb.getShort(8) & 0xffff
+    val recordSize = bb.getShort(10) & 0xffff
+    val expected = 1 + cols.map(_.datWidth).sum
+    require(recordSize == expected,
+      s".dat record size $recordSize != $expected from the .tab Fields " +
+        s"(${cols.map(c => s"${c.name}:${c.datWidth}").mkString(", ")})")
+    (0 until numRecords).map { r =>
+      var off = headerSize + r.toLong * recordSize + 1 // +1 deletion flag
+      cols.map { c =>
+        val w = c.datWidth
+        val o = off.toInt
+        off += w
+        val t = c.tabType.toLowerCase
+        if (t.startsWith("char") || t.startsWith("date")) {
+          if (t.startsWith("date") ) {
+            // native date: int16 year, byte month, byte day; 0 = null
+            val y = bb.getShort(o) & 0xffff
+            if (y == 0) null
+            else f"$y%04d-${bytes(o + 2) & 0xff}%02d-${bytes(o + 3) & 0xff}%02d"
+          } else {
+            val s = new String(bytes, o, w,
+              java.nio.charset.StandardCharsets.UTF_8).trim
+            if (s.isEmpty) null else s
+          }
+        } else if (t.startsWith("smallint")) bb.getShort(o).toLong
+        else if (t.startsWith("integer")) bb.getInt(o).toLong
+        else if (t.startsWith("float")) bb.getDouble(o)
+        else if (t.startsWith("decimal")) {
+          val s = new String(bytes, o, w, java.nio.charset.StandardCharsets.US_ASCII).trim
+          if (s.isEmpty) null else s.toDouble
+        } else if (t.startsWith("logical")) (bytes(o) & 0xff).toChar match {
+          case 'T' | 't' | 'Y' | 'y' | '1' => true
+          case _ => false
+        } else {
+          val s = new String(bytes, o, w,
+            java.nio.charset.StandardCharsets.UTF_8).trim
+          if (s.isEmpty) null else s
+        }
+      }
+    }
+  }
+
+  // ----------------------------------------------------------- .map binary
+
+  private final case class MapTransform(xScale: Double, yScale: Double,
+      xDispl: Double, yDispl: Double) {
+    def x(i: Int): Double = (i - xDispl) / xScale
+    def y(i: Int): Double = (i - yDispl) / yScale
+  }
+
+  private def readMapTransform(bb: ByteBuffer): MapTransform = {
+    val version = bb.getShort(0x100) & 0xffff
+    val blockSize = bb.getShort(0x102) & 0xffff
+    require(version >= 100 && version <= 1200, s".map: implausible version $version")
+    require(blockSize == 512, s".map: unsupported block size $blockSize")
+    MapTransform(bb.getDouble(0x130), bb.getDouble(0x138),
+      bb.getDouble(0x140), bb.getDouble(0x148))
+  }
+
+  private def readObject(bb: ByteBuffer, off: Int, t: MapTransform): Geometry = {
+    var o = off
+    def i32(): Int = { val v = bb.getInt(o); o += 4; v }
+    def coords(n: Int): Array[Double] = {
+      val xy = new Array[Double](n * 2)
+      var k = 0
+      while (k < n) {
+        xy(k * 2) = t.x(i32()); xy(k * 2 + 1) = t.y(i32()); k += 1
+      }
+      xy
+    }
+    val objType = bb.get(o) & 0xff
+    o += 1
+    objType match {
+      case TypeSymbol => Point(t.x(i32()), t.y(i32()))
+      case TypeMultiPoint =>
+        val n = i32()
+        val xy = coords(n)
+        MultiPoint((0 until n).map(k => Point(xy(k * 2), xy(k * 2 + 1))).toArray)
+      case TypePline => LineString(coords(i32()))
+      case TypeMultiPline =>
+        val nseg = i32()
+        MultiLineString((0 until nseg).map(_ => LineString(coords(i32()))).toArray)
+      case TypeRegion =>
+        val nr = i32()
+        val rings = (0 until nr).map(_ =>
+          MapInfoIO.closeRing(coords(i32()))).toArray
+        MapInfoIO.assembleRegion(rings)
+      case TypeNone => null
+      case other => throw new IllegalArgumentException(
+        f".map: unsupported object type 0x$other%02x at offset $off " +
+          "(supported: symbol/pline/multipline/region/multipoint)")
+    }
+  }
+
+  // ----------------------------------------------------------------- write
+
+  /** One `.tab/.dat/.map/.id` quad per Spark partition, task-side (the
+    * MIF writer's layout). Coordinates quantize through the fixed 1e6
+    * integer transform — exact for coordinates with <= 6 decimals, ~1e-7
+    * absolute error otherwise (MapInfo's own native precision regime).
+    */
+  def write(gdf: GeoDataFrame, path: String, maxStringLen: Int = 64): Unit = {
+    val df = gdf.df
+    val geomCol = gdf.geometryColumn
+    val schema = df.schema
+    val geomIdx = schema.fieldIndex(geomCol)
+    val attrs = schema.fields.zipWithIndex.filter(_._2 != geomIdx)
+    attrs.foreach { case (f, _) =>
+      require(Set[DataType](LongType, IntegerType, DoubleType, FloatType,
+        BooleanType, StringType).contains(f.dataType),
+        s"TAB write: unsupported attribute type ${f.dataType} for '${f.name}'")
+      require(f.name.length <= 31, s"TAB field name '${f.name}' exceeds 31 chars")
+    }
+    val cols = attrs.map { case (f, _) =>
+      TabCol(f.name, f.dataType match {
+        case StringType => s"Char ($maxStringLen)"
+        case LongType | IntegerType => "Integer"
+        case DoubleType | FloatType => "Float"
+        case BooleanType => "Logical"
+        case other => throw new IllegalStateException(other.toString)
+      })
+    }.toSeq
+    val wgs84 = gdf.crs.exists(c => c.equalsIgnoreCase("EPSG:4326") || c == "4326")
+    val spark = df.sparkSession
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    if (fs.exists(root)) fs.delete(root, true)
+    fs.mkdirs(root)
+    val sconf = new GeoParquetIO.SerializableConf(conf)
+    val pathStr = path
+    val attrIdx = attrs.map(_._2)
+
+    df.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val taskConf = sconf.value
+      val rows = it.toArray
+      writeQuad(taskConf, pathStr, f"part-$pid%05d", rows, cols, attrIdx,
+        geomIdx, wgs84, maxStringLen)
+      Iterator.single(pid)
+    }.count()
+    ()
+  }
+
+  private def writeQuad(conf: org.apache.hadoop.conf.Configuration,
+      dir: String, base: String, rows: Array[Row], cols: Seq[TabCol],
+      attrIdx: Array[Int], geomIdx: Int, wgs84: Boolean,
+      maxStringLen: Int): Unit = {
+    val fs = new Path(dir).getFileSystem(conf)
+    // ---- .dat
+    val recordSize = 1 + cols.map(_.datWidth).sum
+    val headerSize = 32 + 32 * cols.length + 1
+    val dat = ByteBuffer.allocate(headerSize + recordSize * rows.length)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    dat.put(0x03.toByte).put(26.toByte).put(1.toByte).put(1.toByte)
+    dat.putInt(rows.length)
+    dat.putShort(headerSize.toShort).putShort(recordSize.toShort)
+    dat.position(32)
+    cols.foreach { c =>
+      val nameBytes = c.name.getBytes("US-ASCII").take(10)
+      dat.put(nameBytes).put(new Array[Byte](11 - nameBytes.length))
+      val t = c.tabType.toLowerCase
+      dat.put((if (t.startsWith("logical")) 'L'
+        else if (t.startsWith("decimal")) 'N' else 'C').toByte)
+      dat.putInt(0)
+      dat.put(c.datWidth.toByte).put(
+        (if (t.startsWith("decimal")) c.decimalDecimals else 0).toByte)
+      dat.put(new Array[Byte](14))
+    }
+    dat.put(0x0d.toByte)
+    rows.foreach { row =>
+      dat.put(' '.toByte)
+      cols.zip(attrIdx.toIndexedSeq).foreach { case (c, idx) =>
+        val t = c.tabType.toLowerCase
+        if (t.startsWith("char")) {
+          val s = if (row.isNullAt(idx)) "" else row.get(idx).toString
+          val b0 = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val b = if (b0.length > c.datWidth) b0.take(c.datWidth) else b0
+          dat.put(b)
+          var k = b.length
+          while (k < c.datWidth) { dat.put(' '.toByte); k += 1 }
+        } else if (t.startsWith("integer")) {
+          dat.putInt(if (row.isNullAt(idx)) 0 else row.get(idx) match {
+            case l: java.lang.Long => l.toInt
+            case i: java.lang.Integer => i.intValue()
+            case v => v.toString.toInt
+          })
+        } else if (t.startsWith("float")) {
+          dat.putDouble(if (row.isNullAt(idx)) 0.0 else row.get(idx) match {
+            case d: java.lang.Double => d.doubleValue()
+            case f: java.lang.Float => f.doubleValue()
+            case v => v.toString.toDouble
+          })
+        } else if (t.startsWith("logical")) {
+          dat.put((if (!row.isNullAt(idx) && row.getBoolean(idx)) 'T' else 'F').toByte)
+        } else throw new IllegalStateException(c.tabType)
+      }
+    }
+    // ---- .map + .id
+    val Scale = 1e6
+    val mapBuf = new java.io.ByteArrayOutputStream()
+    val header = ByteBuffer.allocate(512).order(ByteOrder.LITTLE_ENDIAN)
+    var (mnx, mny, mxx, mxy) =
+      (Int.MaxValue.toLong, Int.MaxValue.toLong, Int.MinValue.toLong, Int.MinValue.toLong)
+    def ix(v: Double): Int = {
+      val i = math.rint(v * Scale)
+      require(i >= Int.MinValue && i <= Int.MaxValue,
+        s"TAB write: coordinate $v out of the 1e6 integer-transform range")
+      i.toInt
+    }
+    val objBytes = new java.io.ByteArrayOutputStream()
+    val obj = new java.io.DataOutputStream(objBytes)
+    def i32le(v: Int): Unit = { obj.write(v & 0xff); obj.write((v >> 8) & 0xff)
+      obj.write((v >> 16) & 0xff); obj.write((v >> 24) & 0xff) }
+    def putCoords(xy: Array[Double]): Unit = {
+      var k = 0
+      while (k + 1 < xy.length) {
+        val cx = ix(xy(k)); val cy = ix(xy(k + 1))
+        mnx = math.min(mnx, cx); mny = math.min(mny, cy)
+        mxx = math.max(mxx, cx); mxy = math.max(mxy, cy)
+        i32le(cx); i32le(cy); k += 2
+      }
+    }
+    val offsets = rows.map { row =>
+      if (row.isNullAt(geomIdx)) 0
+      else {
+        val off = 512 + objBytes.size()
+        val g = Wkb.read(row.getAs[Array[Byte]](geomIdx))
+        g match {
+          case Point(x, y, _) =>
+            obj.write(TypeSymbol); putCoords(Array(x, y))
+          case MultiPoint(ps) =>
+            obj.write(TypeMultiPoint); i32le(ps.length)
+            ps.foreach(p => putCoords(Array(p.x, p.y)))
+          case l: LineString =>
+            obj.write(TypePline); i32le(l.xy.length / 2); putCoords(l.xy)
+          case m: MultiLineString =>
+            obj.write(TypeMultiPline); i32le(m.lines.length)
+            m.lines.foreach { l => i32le(l.xy.length / 2); putCoords(l.xy) }
+          case p: Polygon =>
+            obj.write(TypeRegion); i32le(p.rings.length)
+            p.rings.foreach { r => i32le(r.length / 2); putCoords(r) }
+          case m: MultiPolygon =>
+            val rings = m.polys.flatMap(_.rings)
+            obj.write(TypeRegion); i32le(rings.length)
+            rings.foreach { r => i32le(r.length / 2); putCoords(r) }
+          case other => throw new IllegalArgumentException(
+            s"TAB write: unsupported geometry ${other.getClass.getSimpleName}")
+        }
+        off
+      }
+    }
+    header.putShort(0x100, 300.toShort)
+    header.putShort(0x102, 512.toShort)
+    header.putDouble(0x104, 1.0)
+    header.putInt(0x10c, if (mnx == Int.MaxValue.toLong) 0 else mnx.toInt)
+    header.putInt(0x110, if (mny == Int.MaxValue.toLong) 0 else mny.toInt)
+    header.putInt(0x114, if (mxx == Int.MinValue.toLong) 0 else mxx.toInt)
+    header.putInt(0x118, if (mxy == Int.MinValue.toLong) 0 else mxy.toInt)
+    header.putInt(0x11c, rows.length)
+    header.putDouble(0x130, Scale)
+    header.putDouble(0x138, Scale)
+    header.putDouble(0x140, 0.0)
+    header.putDouble(0x148, 0.0)
+    mapBuf.write(header.array())
+    mapBuf.write(objBytes.toByteArray)
+    // pad .map to a block multiple (the 512-block architecture)
+    val rem = mapBuf.size() % 512
+    if (rem != 0) mapBuf.write(new Array[Byte](512 - rem))
+    val idBuf = ByteBuffer.allocate(4 * rows.length).order(ByteOrder.LITTLE_ENDIAN)
+    offsets.foreach(idBuf.putInt)
+    // ---- .tab
+    val tabText = new StringBuilder()
+    tabText.append("!table\n!version 300\n!charset Neutral\n\n")
+    tabText.append("Definition Table\n")
+    tabText.append(s"""  File "$base.dat"\n""")
+    tabText.append("  Type NATIVE Charset \"Neutral\"\n")
+    tabText.append(s"  Fields ${cols.length}\n")
+    cols.foreach(c => tabText.append(s"    ${c.name} ${c.tabType} ;\n"))
+    if (wgs84) tabText.append("\nbegin_metadata\nend_metadata\n")
+    // CoordSys rides in the .tab body for NATIVE tables
+    if (wgs84) tabText.insert(tabText.indexOf("begin_metadata"),
+      "CoordSys Earth Projection 1, 104\n")
+
+    def put(name: String, bytes: Array[Byte]): Unit =
+      AtomicTaskFile.withOutput(fs, new Path(dir, name)) { os => os.write(bytes) }
+    put(s"$base.tab", tabText.toString.getBytes("UTF-8"))
+    put(s"$base.dat", dat.array())
+    put(s"$base.map", mapBuf.toByteArray)
+    put(s"$base.id", idBuf.array())
+  }
+
+  // --------------------------------------------------------------- helpers
+
+  private def readAllBytes(in: java.io.InputStream): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](65536)
+    var n = in.read(buf)
+    while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+    bos.toByteArray
+  }
+
+  private def readAllText(in: java.io.InputStream): String =
+    new String(readAllBytes(in), java.nio.charset.StandardCharsets.UTF_8)
+}

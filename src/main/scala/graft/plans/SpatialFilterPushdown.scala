@@ -36,11 +36,58 @@ object SpatialFilterPushdown extends Rule[LogicalPlan] {
     case f @ Filter(cond, child) =>
       val conjuncts = splitConjunctivePredicates(cond)
       val present = conjuncts.map(_.canonicalized).toSet
-      val extra = conjuncts.flatMap(derived)
+      val extra = (conjuncts.flatMap(derived) ++
+          coveringDerived(conjuncts, child.output))
         .filterNot(e => present.contains(e.canonicalized))
         .distinct
       if (extra.isEmpty) f
       else Filter((conjuncts ++ extra).reduceLeft(And), child)
+  }
+
+  /** GeoParquet 1.1 covering rewrite: when a filtered geometry column
+    * carries the `graft.covering` metadata stamped by `GeoParquetIO.read`
+    * (naming its sibling bbox struct column), every bbox-derivable spatial
+    * conjunct also emits four plain DOUBLE range predicates over the
+    * covering struct's xmin/ymin/xmax/ymax — predicates Spark's
+    * nested-field pushdown carries into the parquet scan, so row-group
+    * min/max stats (and whole files) skip on a PLAIN `.filter(st_*)`,
+    * with no `.cx` hint. Redundant-by-construction: the envelope test is
+    * necessary for every predicate the table derives, and the original
+    * conjunct remains as the exact refinement. The null-tolerant
+    * `IsNull(bbox) OR ranges` form (same as the `.cx` covering path) keeps
+    * rows whose covering slot is null — an EXTERNAL GeoParquet 1.1 writer
+    * may emit null bbox for empty geometries — and still reaches
+    * PushedFilters as `Or(IsNull(...), And(...))`.
+    */
+  private def coveringDerived(conjuncts: Seq[Expression],
+      output: Seq[Attribute]): Seq[Expression] = {
+    val bboxFields = Seq("xmin", "ymin", "xmax", "ymax")
+    output.filter(_.metadata.contains("graft.covering")).flatMap { g =>
+      val covName = g.metadata.getString("graft.covering")
+      output.find(_.name == covName).toSeq.flatMap { cov =>
+        cov.dataType match {
+          case st: org.apache.spark.sql.types.StructType
+            if bboxFields.forall(f => st.fieldNames.contains(f) &&
+              st(f).dataType == DoubleType) =>
+            def fld(n: String) =
+              GetStructField(cov, st.fieldIndex(n), Some(n))
+            conjuncts.flatMap(graft.plans.V2BboxPushdown.envForAttr(_, g)).map { env =>
+              // the null guard tests the xmin LEAF, not the struct: parquet
+              // cannot express IsNull on a group column, and an
+              // unconvertible branch voids the whole Or for row-group
+              // skipping (a null covering struct nulls every field, so the
+              // leaf test is equivalent)
+              Or(IsNull(fld("xmin")), Seq(
+                LessThanOrEqual(fld("xmin"), Literal(env.maxX)),
+                GreaterThanOrEqual(fld("xmax"), Literal(env.minX)),
+                LessThanOrEqual(fld("ymin"), Literal(env.maxY)),
+                GreaterThanOrEqual(fld("ymax"), Literal(env.minY)))
+                .reduceLeft[Expression](And))
+            }
+          case _ => Nil
+        }
+      }
+    }
   }
 
   private def splitConjunctivePredicates(e: Expression): Seq[Expression] = e match {

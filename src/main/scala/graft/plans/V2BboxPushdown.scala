@@ -165,6 +165,17 @@ object V2BboxPushdown extends Rule[LogicalPlan] {
   private val rev = Set("st_intersects", "st_contains", "st_covers",
     "st_equals", "st_touches", "st_crosses", "st_overlaps")
 
+  /** Envelope a single conjunct implies for the given geometry ATTRIBUTE
+    * (exprId identity, not name) — the covering-column rewrite in
+    * [[SpatialFilterPushdown]] reuses the same predicate->envelope table.
+    */
+  private[plans] def envForAttr(pred: Expression,
+      geom: Attribute): Option[Envelope] =
+    envOf(pred, {
+      case ar: AttributeReference => ar.exprId == geom.exprId
+      case _                      => false
+    })
+
   private def envOf(pred: Expression,
       isGeom: Expression => Boolean): Option[Envelope] = pred match {
     case GraftScalar("st_intersectsbox", Seq(g, b0, b1, b2, b3)) if isGeom(g) =>

@@ -63,4 +63,53 @@ class SpatialFilterPushdownSpec extends AnyFunSuite {
     assert(optimized.contains("6.0"), optimized)
     assert(!optimized.contains("st_makeenvelope"), optimized)
   }
+
+  test("covering metadata: PLAIN st_* filter over covering GeoParquet pushes bbox ranges") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("covpush").toString + "/gp"
+    val rows = (0 until 2000).map(i => (i.toLong, (i % 50) * 2.0, (i / 50) * 2.0))
+    val g = graft.api.GeoDataFrame.pointsFromXY(
+        rows.toDF("id", "x", "y"), "x", "y")
+      .spatialShuffle(by = "hilbert", level = 12, numPartitions = Some(4),
+        calculatePartitions = false)
+    graft.io.GeoParquetIO.write(g, dir, covering = true)
+    val back = graft.io.GeoParquetIO.read(spark, dir)
+    // a PLAIN .filter — no .cx, no bbox option — over the read-back frame
+    val q = back.df.filter(st_intersectsBox(col("geometry"),
+      lit(0.0), lit(0.0), lit(15.0), lit(15.0)))
+    val plan = q.queryExecution.executedPlan.toString()
+    // the bbox range predicates reach the parquet scan as pushed filters
+    // on the nested fields (null-tolerant Or(IsNull, And(...)) form) —
+    // assert INSIDE the PushedFilters list (geometry_bbox also shows up
+    // in ReadSchema, which is not evidence of pushdown)
+    val pf = plan.indexOf("PushedFilters")
+    assert(pf >= 0, plan.take(2500))
+    // the display truncates the filter list at ~100 chars, so bound the
+    // region by the following ReadSchema label instead of the ']'
+    val end = plan.indexOf("ReadSchema", pf) match {
+      case -1 => math.min(plan.length, pf + 400)
+      case i  => i
+    }
+    assert(plan.substring(pf, end).contains("geometry_bbox.xmin"),
+      plan.substring(pf, end))
+    // results identical to the coordinate ground truth
+    val got = q.select($"id").as[Long].collect().sorted.toSeq
+    val want = rows.filter(r => r._2 <= 15 && r._3 <= 15).map(_._1).sorted
+    assert(got == want)
+    // dwithin / distance forms derive too
+    val dw = back.df.filter(st_dwithin(col("geometry"),
+      st_makeEnvelope(lit(0.0), lit(0.0), lit(4.0), lit(4.0)), lit(2.0)))
+    assert(dw.queryExecution.executedPlan.toString().contains("geometry_bbox"))
+    // exact euclidean distance to the [0,4]x[0,4] envelope (corner points
+    // like (6,6) sit at sqrt(8) > 2 and must NOT count)
+    def envDist(x: Double, y: Double): Double = math.hypot(
+      math.max(0.0, math.max(0.0 - x, x - 4.0)),
+      math.max(0.0, math.max(0.0 - y, y - 4.0)))
+    assert(dw.count() == rows.count(r => envDist(r._2, r._3) <= 2.0))
+    // no metadata (plain parquet read) -> rule silent, results unchanged
+    val raw = spark.read.parquet(dir).filter(st_intersectsBox(col("geometry"),
+      lit(0.0), lit(0.0), lit(15.0), lit(15.0)))
+    assert(!raw.queryExecution.optimizedPlan.toString().contains("geometry_bbox.xmin"))
+    assert(raw.count() == want.size)
+  }
 }

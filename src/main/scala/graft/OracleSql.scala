@@ -2907,6 +2907,16 @@ object OracleSql {
 
     // MIF/MID roundtrip: square-with-hole REGION per supplier. Area =
     // 100 - h^2; vertex count = 5 closed outer + 5 closed hole = 10
+    // the TAB quad's float attribute column is IEEE double (exact), the
+    // coordinates are integral (exact through the 1e6 transform), so the
+    // same closed forms as the MIF route apply
+    "g109_mapinfo_tab" -> """
+      SELECT s_suppkey, s_name, s_acctbal AS bal,
+             (s_suppkey % 2 = 0) AS flag,
+             round(100.0::DOUBLE - (((s_suppkey % 5) + 1) * ((s_suppkey % 5) + 1))::DOUBLE, 6) AS area,
+             10::BIGINT AS npts
+      FROM supplier ORDER BY s_suppkey""",
+
     "g67_mapinfo" -> """
       SELECT s_suppkey, s_name, s_acctbal AS bal,
              (s_suppkey % 2 = 0) AS flag,

@@ -1545,6 +1545,33 @@ object SparkEntry {
     // MapInfo MIF/MID roundtrip: per-supplier square-with-hole REGIONs
     // (exercises containment-parity ring classification), typed MID
     // attributes (Char/Integer/Float/Logical), distributed part-pair write
+    // binary MapInfo TAB quad (.tab/.dat/.map/.id) through the read_file
+    // dispatcher — the native twin of g67's MIF/MID text route. Integral
+    // coordinates stay exact through the quad's 1e6 integer transform, so
+    // the holed-region area and ring-role reconstruction check against
+    // the same closed forms as the text path.
+    "g109_mapinfo_tab" -> ((s, d) => {
+      val loc = "/tmp/graft_g109_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val src = graft.api.GeoDataFrame(
+        supplierPts(s, d)
+          .withColumn("xi", round(col("x0"), 0))
+          .withColumn("h", (col("s_suppkey") % 5 + 1).cast("double"))
+          .withColumn("geometry", st_difference(
+            st_makeEnvelope(col("xi"), col("y0"),
+              col("xi") + 10.0, col("y0") + 10.0),
+            st_makeEnvelope(col("xi") + 2.0, col("y0") + 2.0,
+              col("xi") + 2.0 + col("h"), col("y0") + 2.0 + col("h"))))
+          .withColumn("flag", col("s_suppkey") % 2 === 0)
+          .select(col("s_suppkey"), col("s_name"), col("s_acctbal").as("bal"),
+            col("flag"), col("geometry")))
+      graft.io.TabIO.write(src, loc)
+      graft.api.GeoDataFrame.readFile(s, loc).df
+        .select(col("s_suppkey"), col("s_name"), col("bal"), col("flag"),
+          round(st_area(col("geometry")), 6).as("area"),
+          st_numPoints(col("geometry")).as("npts"))
+        .orderBy(col("s_suppkey"))
+    }),
+
     "g67_mapinfo" -> ((s, d) => {
       val loc = "/tmp/graft_g67_" + d.replaceAll("[^A-Za-z0-9]", "_")
       val src = graft.api.GeoDataFrame(

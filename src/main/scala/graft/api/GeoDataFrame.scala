@@ -1829,7 +1829,7 @@ object GeoDataFrame {
           .flatMap(n => n.split('.').lastOption.filter(_ => n.contains('.')))
           .toSet
         val known = exts.intersect(
-          Set("shp", "fgb", "arrow", "geojsonl", "ndjson", "kml", "geojson", "gml", "gpx", "topojson", "mif", "dxf"))
+          Set("shp", "fgb", "arrow", "geojsonl", "ndjson", "kml", "geojson", "gml", "gpx", "topojson", "mif", "tab", "dxf"))
         require(known.size == 1,
           s"read_file: directory $bare holds ${if (known.isEmpty) "no" else "multiple"} " +
             s"recognized formats (${exts.mkString(", ")}) — pass an explicit file or " +
@@ -1864,6 +1864,8 @@ object GeoDataFrame {
       graft.io.TopoJsonIO.read(spark, bare, geometryColumn)
     else if (lower.endsWith(".mif"))
       graft.io.MapInfoIO.read(spark, bare, geometryColumn)
+    else if (lower.endsWith(".tab"))
+      graft.io.TabIO.read(spark, bare, geometryColumn)
     else if (lower.endsWith(".dxf"))
       graft.io.DxfIO.read(spark, bare, geometryColumn)
     else if (lower.endsWith(".pbf")) {
@@ -1896,7 +1898,7 @@ object GeoDataFrame {
     } else
       throw new IllegalArgumentException(
         s"read_file: cannot infer a driver from '$path' — " +
-          "supported suffixes: .shp, .gpkg, .fgb, .kml, .gml, .gpx, .topojson, .mif, .dxf, .osm.pbf, .geojson, .geojsonl/.ndjson")
+          "supported suffixes: .shp, .gpkg, .fgb, .kml, .gml, .gpx, .topojson, .mif, .tab, .dxf, .osm.pbf, .geojson, .geojsonl/.ndjson")
   }
 
   def readGeoPackage(

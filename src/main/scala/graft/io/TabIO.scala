@@ -313,9 +313,13 @@ object TabIO {
   // ----------------------------------------------------------------- write
 
   /** One `.tab/.dat/.map/.id` quad per Spark partition, task-side (the
-    * MIF writer's layout). Coordinates quantize through the fixed 1e6
-    * integer transform — exact for coordinates with <= 6 decimals, ~1e-7
-    * absolute error otherwise (MapInfo's own native precision regime).
+    * MIF writer's layout). Coordinates quantize through a per-quad
+    * integer transform chosen as the LARGEST power-of-10 scale that fits
+    * the partition's extent in int32 (displacement = the integer-scaled
+    * bbox center, itself a whole number of quanta) — so decimal
+    * coordinates with <= log10(scale) places roundtrip to their nearest
+    * double exactly, and wider extents degrade by whole decimal digits
+    * rather than failing (MapInfo's own native precision regime).
     */
   def write(gdf: GeoDataFrame, path: String, maxStringLen: Int = 64): Unit = {
     val df = gdf.df
@@ -414,17 +418,48 @@ object TabIO {
       }
     }
     // ---- .map + .id
-    val Scale = 1e6
+    // per-quad transform: bbox first (one envelope pass over the rows),
+    // then per axis the largest power-of-10 scale whose scaled half-extent
+    // fits in int32 with 2x headroom; the displacement is the scaled bbox
+    // center ROUNDED TO A WHOLE QUANTUM so decimal inputs stay on the
+    // integer lattice (exactness, not just boundedness)
+    var (bx0, by0, bx1, by1) = (Double.MaxValue, Double.MaxValue,
+      -Double.MaxValue, -Double.MaxValue)
+    rows.foreach { row =>
+      if (!row.isNullAt(geomIdx)) {
+        val e = graft.geom.Wkb.envelopeOf(row.getAs[Array[Byte]](geomIdx))
+        if (!e.isEmpty) {
+          bx0 = math.min(bx0, e.minX); by0 = math.min(by0, e.minY)
+          bx1 = math.max(bx1, e.maxX); by1 = math.max(by1, e.maxY)
+        }
+      }
+    }
+    def axis(lo: Double, hi: Double): (Double, Double) = {
+      if (lo > hi) return (1e6, 0.0) // no geometry in this quad
+      var scale = 1e12
+      def fits(s: Double): Boolean = {
+        val c = math.rint((lo + hi) / 2 * s)
+        math.max(math.abs(lo * s - c), math.abs(hi * s - c)) <= 1e9
+      }
+      while (scale > 1e-6 && !fits(scale)) scale /= 10.0
+      require(fits(scale),
+        s"TAB write: extent [$lo, $hi] too wide for the int32 transform")
+      (scale, -math.rint((lo + hi) / 2 * scale))
+    }
+    val (sx, dx) = axis(bx0, bx1)
+    val (sy, dy) = axis(by0, by1)
     val mapBuf = new java.io.ByteArrayOutputStream()
     val header = ByteBuffer.allocate(512).order(ByteOrder.LITTLE_ENDIAN)
     var (mnx, mny, mxx, mxy) =
       (Int.MaxValue.toLong, Int.MaxValue.toLong, Int.MinValue.toLong, Int.MinValue.toLong)
-    def ix(v: Double): Int = {
-      val i = math.rint(v * Scale)
+    def toInt(v: Double, scale: Double, displ: Double): Int = {
+      val i = math.rint(v * scale) + displ
       require(i >= Int.MinValue && i <= Int.MaxValue,
-        s"TAB write: coordinate $v out of the 1e6 integer-transform range")
+        s"TAB write: coordinate $v out of the integer-transform range")
       i.toInt
     }
+    def ixX(v: Double): Int = toInt(v, sx, dx)
+    def ixY(v: Double): Int = toInt(v, sy, dy)
     val objBytes = new java.io.ByteArrayOutputStream()
     val obj = new java.io.DataOutputStream(objBytes)
     def i32le(v: Int): Unit = { obj.write(v & 0xff); obj.write((v >> 8) & 0xff)
@@ -432,7 +467,7 @@ object TabIO {
     def putCoords(xy: Array[Double]): Unit = {
       var k = 0
       while (k + 1 < xy.length) {
-        val cx = ix(xy(k)); val cy = ix(xy(k + 1))
+        val cx = ixX(xy(k)); val cy = ixY(xy(k + 1))
         mnx = math.min(mnx, cx); mny = math.min(mny, cy)
         mxx = math.max(mxx, cx); mxy = math.max(mxy, cy)
         i32le(cx); i32le(cy); k += 2
@@ -475,10 +510,10 @@ object TabIO {
     header.putInt(0x114, if (mxx == Int.MinValue.toLong) 0 else mxx.toInt)
     header.putInt(0x118, if (mxy == Int.MinValue.toLong) 0 else mxy.toInt)
     header.putInt(0x11c, rows.length)
-    header.putDouble(0x130, Scale)
-    header.putDouble(0x138, Scale)
-    header.putDouble(0x140, 0.0)
-    header.putDouble(0x148, 0.0)
+    header.putDouble(0x130, sx)
+    header.putDouble(0x138, sy)
+    header.putDouble(0x140, dx)
+    header.putDouble(0x148, dy)
     mapBuf.write(header.array())
     mapBuf.write(objBytes.toByteArray)
     // pad .map to a block multiple (the 512-block architecture)

@@ -2990,6 +2990,27 @@ object OracleSql {
       WHERE cx BETWEEN 1000 AND 5000 AND cy BETWEEN 200 AND 800
       ORDER BY c_custkey""",
 
+    // exact pair set of the hot-cell two-level grid dwithin join: same
+    // skewed coordinate formulas, plain cross-join distance filter — any
+    // double-emit or drop across the cold/fine union breaks the hash
+    "g110_sjoin_hotcell" -> """
+      WITH c AS (SELECT c_custkey,
+          CASE WHEN c_custkey % 5 < 2 THEN (c_custkey % 89)::DOUBLE * 0.4
+               ELSE ((c_custkey * 7) % 9000)::DOUBLE + 100.0 END AS cx,
+          CASE WHEN c_custkey % 5 < 2 THEN (c_custkey % 97)::DOUBLE * 0.4
+               ELSE ((c_custkey * 13) % 9000)::DOUBLE + 100.0 END AS cy
+        FROM customer),
+      s AS (SELECT s_suppkey,
+          CASE WHEN s_suppkey % 5 < 2 THEN (s_suppkey % 83)::DOUBLE * 0.4
+               ELSE ((s_suppkey * 11) % 9000)::DOUBLE + 100.0 END AS sx,
+          CASE WHEN s_suppkey % 5 < 2 THEN (s_suppkey % 79)::DOUBLE * 0.4
+               ELSE ((s_suppkey * 17) % 9000)::DOUBLE + 100.0 END AS sy
+        FROM supplier)
+      SELECT c_custkey, s_suppkey::BIGINT AS s_suppkey
+      FROM c CROSS JOIN s
+      WHERE sqrt((cx - sx)*(cx - sx) + (cy - sy)*(cy - sy)) <= 0.5
+      ORDER BY c_custkey, s_suppkey""",
+
     "g37_dwithin_join" -> s"""
       SELECT c_custkey, s_suppkey::BIGINT AS s_suppkey
       FROM ($custPts) CROSS JOIN

@@ -2767,6 +2767,38 @@ object SparkEntry {
     // padded-cell grid equi-join — the left side's cells expand by the
     // distance, which preserves the shared-cell invariant for dist<=d
     // pairs. Same plan SpatialJoinRewrite emits for a SQL st_dwithin join.
+    // hot-cell two-level grid sjoin END-TO-END (r13): 40% of each side
+    // packed into one cellSize=50 cell, hotCellBudget forces the cold
+    // coarse join + hot fine join union (HotCellSjoinSpec asserts the plan
+    // shape; the SCALE.md r13 soak measures the 13x wall win) — and the
+    // exact cross-join oracle proves the two-level anchor rule emits every
+    // dwithin pair exactly once on real data
+    "g110_sjoin_hotcell" -> ((s, d) => {
+      val cust = GeoDataFrame(t(s, d, "customer")
+        .withColumn("cx", when(col("c_custkey") % 5 < 2,
+            (col("c_custkey") % 89).cast("double") * 0.4)
+          .otherwise(((col("c_custkey") * 7) % 9000).cast("double") + 100.0))
+        .withColumn("cy", when(col("c_custkey") % 5 < 2,
+            (col("c_custkey") % 97).cast("double") * 0.4)
+          .otherwise(((col("c_custkey") * 13) % 9000).cast("double") + 100.0))
+        .withColumn("geometry", st_point(col("cx"), col("cy")))
+        .select(col("c_custkey"), col("geometry")))
+      val sup = GeoDataFrame(t(s, d, "supplier")
+        .withColumn("sx", when(col("s_suppkey") % 5 < 2,
+            (col("s_suppkey") % 83).cast("double") * 0.4)
+          .otherwise(((col("s_suppkey") * 11) % 9000).cast("double") + 100.0))
+        .withColumn("sy", when(col("s_suppkey") % 5 < 2,
+            (col("s_suppkey") % 79).cast("double") * 0.4)
+          .otherwise(((col("s_suppkey") * 17) % 9000).cast("double") + 100.0))
+        .withColumn("geometry", st_point(col("sx"), col("sy")))
+        .select(col("s_suppkey"), col("geometry")))
+      cust.sjoin(sup, predicate = "dwithin", strategy = "grid",
+          cellSize = Some(50.0), distance = 0.5,
+          hotCellBudget = 2000L, hotCellSplit = 8)
+        .select(col("c_custkey"), col("s_suppkey").cast("long").as("s_suppkey"))
+        .orderBy(col("c_custkey"), col("s_suppkey"))
+    }),
+
     "g37_dwithin_join" -> ((s, d) => {
       val pts = GeoDataFrame(customerPts(s, d))
       val sup = GeoDataFrame(t(s, d, "supplier")

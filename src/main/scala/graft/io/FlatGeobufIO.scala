@@ -1161,15 +1161,21 @@ object FlatGeobufIO {
     val in = fs.open(p)
     val out = scala.collection.mutable.ArrayBuffer.empty[Row]
     try {
+      // features are CONTIGUOUS within a chunk: one seek + buffered
+      // sequential reads. The old per-feature positioned readFully pair
+      // (size word + body) cost two syscalls + checksum verifications per
+      // feature — 600k rows scanned at 62k rows/s in the r13 pushdown
+      // soak; sequential buffering reads the same bytes at scan speed.
+      in.seek(ch.start)
+      val buf = new java.io.DataInputStream(
+        new java.io.BufferedInputStream(in, 1 << 16))
       var pos = ch.start
       var k = 0L
-      val szBuf = new Array[Byte](4)
       while (k < ch.count && pos + 4 <= fileLen) {
-        in.readFully(pos, szBuf)
-        val size = ByteBuffer.wrap(szBuf).order(ByteOrder.LITTLE_ENDIAN).getInt
+        val size = Integer.reverseBytes(buf.readInt()) // stored LE
         require(size > 0 && pos + 4 + size <= fileLen, s"fgb: corrupt feature size $size at $pos")
         val body = new Array[Byte](size)
-        in.readFully(pos + 4, body)
+        buf.readFully(body)
         pos += 4 + size
         k += 1
         val t = rootTable(body)

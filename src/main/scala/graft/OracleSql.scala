@@ -2778,6 +2778,16 @@ object OracleSql {
              s_acctbal AS x, (s_suppkey % 100)::DOUBLE * 10.0 AS y
       FROM supplier ORDER BY s_suppkey""",
 
+    // app-schema GML roundtrip: nested props flatten to dotted keys, the
+    // urn-4326 lat/lon axis order swaps out and back — coordinates are the
+    // g64 supplier lon/lat anchor, an exact double identity on both engines
+    "g111_gml_appschema" -> """
+      SELECT s_suppkey::BIGINT AS s_suppkey, s_name,
+             s_acctbal::DOUBLE AS bal,
+             round(s_acctbal / 100.0 - 40.0, 9) AS lon,
+             round((s_suppkey % 100)::DOUBLE * 10.0 / 20.0 - 20.0, 9) AS lat
+      FROM supplier ORDER BY s_suppkey""",
+
     // GPX waypoint roundtrip: lon/lat derived from the supplier synthetic
     // anchor; the writer's shortest-exact Double.toString plus the
     // reader's parseDouble are an identity, so 9-dp rounding is exact

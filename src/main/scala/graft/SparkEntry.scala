@@ -1732,6 +1732,34 @@ object SparkEntry {
         .orderBy(col("s_suppkey"))
     }),
 
+    // GML APPLICATION SCHEMA roundtrip (OGR reads arbitrary app schemas via
+    // the GML driver, ref io/file.py:49-149): features as direct root
+    // children with NO featureMember wrappers, nested complex properties
+    // (org/name, org/bal) flattened to dotted keys on read, and urn-form
+    // srsName (urn:ogc:def:crs:EPSG::4326) whose GML-3 lat/lon axis order
+    // the writer stores and the reader swaps back — write+read is an exact
+    // double identity (shortest Double.toString / parseDouble)
+    "g111_gml_appschema" -> ((s, d) => {
+      val loc = "/tmp/graft_g111_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val pts = graft.api.GeoDataFrame(
+        supplierPts(s, d)
+          .withColumn("lon", col("x0") / 100.0 - 40.0)
+          .withColumn("lat", col("y0") / 20.0 - 20.0)
+          .withColumn("geometry", st_point(col("lon"), col("lat")))
+          .select(col("s_suppkey"), col("s_name").as("org.name"),
+            col("s_acctbal").as("org.bal"), col("geometry")),
+        "geometry")
+      graft.io.GmlIO.writeAppSchema(pts, loc, featureName = "site", srsUrn = Some(4326))
+      graft.io.GmlIO.read(s, loc).df
+        .select(
+          element_at(col("props"), "s_suppkey").cast("long").as("s_suppkey"),
+          element_at(col("props"), "org.name").as("s_name"),
+          element_at(col("props"), "org.bal").cast("double").as("bal"),
+          round(st_x(col("geometry")), 9).as("lon"),
+          round(st_y(col("geometry")), 9).as("lat"))
+        .orderBy(col("s_suppkey"))
+    }),
+
     // Delaunay triangulation, discrete Frechet distance, offset_curve and
     // deterministic sample_points (shapely 2.x surface past the reference
     // bindings): rectangle+center fan gives a closed-form triangulation

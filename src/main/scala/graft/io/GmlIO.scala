@@ -29,6 +29,21 @@ import scala.collection.mutable
   * `gml:id` is surfaced as props key `gml_id`. `boundedBy` envelopes are
   * skipped. Write emits the OGR-flavored layout (an `ogr:FeatureCollection`
   * of `gml:featureMember`s) with GML 3.2 geometry encoding.
+  *
+  * Application schemas (r13, closing the last `read_file` surface gap vs
+  * OGR's GML driver, ref `io/file.py:49-149`):
+  *   - nested complex properties flatten to dotted keys
+  *     (`<address><city>X</city></address>` → `props["address.city"]="X"`),
+  *     matching OGR's flattened-field behavior;
+  *   - documents WITHOUT `featureMember` wrappers (features as direct
+  *     children of the root, the WFS-less app-schema layout) fall back to a
+  *     second parse that treats every root child carrying a geometry
+  *     descendant or simple property as one feature;
+  *   - `srsName` axis order: urn-form EPSG geographic CRS
+  *     (`urn:ogc:def:crs:EPSG::4326` and the 4xxx geodetic range) store
+  *     lat/lon per the GML 3 spec — coordinates are swapped back to x=lon
+  *     on read, per geometry element, overridable with `swapAxes=`.
+  *     Legacy `EPSG:4326` srsNames keep x,y order like OGR.
   */
 object GmlIO {
 
@@ -43,7 +58,8 @@ object GmlIO {
   // ------------------------------------------------------------------ read
 
   def read(spark: SparkSession, path: String,
-      geometryColumn: String = "geometry"): GeoDataFrame = {
+      geometryColumn: String = "geometry",
+      swapAxes: Option[Boolean] = None): GeoDataFrame = {
     graft.sql.functions.install(spark)
     val conf = spark.sessionState.newHadoopConf()
     val root = new Path(path)
@@ -55,13 +71,22 @@ object GmlIO {
       else Seq(path)
     require(files.nonEmpty, s"no .gml files under $path")
     val sconf = new GeoParquetIO.SerializableConf(conf)
+    val forced = swapAxes
     val rows = spark.sparkContext
       .parallelize(files, files.size)
       .flatMap { f =>
         val p = new Path(f)
         val tfs = p.getFileSystem(sconf.value)
         val in = tfs.open(p)
-        try parseFeatures(in) finally in.close()
+        val viaWrappers = try parseFeatures(in, forced) finally in.close()
+        if (viaWrappers.nonEmpty) viaWrappers
+        else {
+          // app-schema fallback: no featureMember/member wrappers anywhere —
+          // re-parse treating root children as features (one extra pass over
+          // this task's file only)
+          val in2 = tfs.open(p)
+          try parseAppSchema(in2, forced) finally in2.close()
+        }
       }
     val out = schema.fields.map {
       case f if f.name == "geometry" => f.copy(name = geometryColumn)
@@ -71,12 +96,17 @@ object GmlIO {
       spark.createDataFrame(rows, StructType(out.toIndexedSeq)), geometryColumn)
   }
 
-  private def parseFeatures(in: java.io.InputStream): Seq[Row] = {
+  private def newReader(in: java.io.InputStream): XMLStreamReader = {
     val fac = XMLInputFactory.newInstance()
     // no DTD/external-entity resolution (untrusted third-party files)
     fac.setProperty(XMLInputFactory.SUPPORT_DTD, java.lang.Boolean.FALSE)
     fac.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, java.lang.Boolean.FALSE)
-    val r = fac.createXMLStreamReader(in)
+    fac.createXMLStreamReader(in)
+  }
+
+  private def parseFeatures(in: java.io.InputStream,
+      forced: Option[Boolean]): Seq[Row] = {
+    val r = newReader(in)
     val out = mutable.ArrayBuffer.empty[Row]
     try {
       while (r.hasNext) {
@@ -87,7 +117,7 @@ object GmlIO {
           var depth = 1
           while (depth > 0 && r.hasNext) {
             r.next() match {
-              case XMLStreamConstants.START_ELEMENT => out += readFeature(r)
+              case XMLStreamConstants.START_ELEMENT => out += readFeature(r, forced)
               case XMLStreamConstants.END_ELEMENT => depth -= 1
               case _ =>
             }
@@ -98,10 +128,38 @@ object GmlIO {
     out.toSeq
   }
 
+  /** App-schema documents carry features as DIRECT children of the root
+    * (no featureMember wrappers). Every root child with a geometry
+    * descendant or at least one simple property becomes one feature;
+    * metadata elements (`boundedBy`, `metaDataProperty`, bare
+    * `name`/`description` headers) are skipped like OGR does.
+    */
+  private def parseAppSchema(in: java.io.InputStream,
+      forced: Option[Boolean]): Seq[Row] = {
+    val skipAtRoot = Set("boundedBy", "metaDataProperty", "name", "description")
+    val r = newReader(in)
+    val out = mutable.ArrayBuffer.empty[Row]
+    try {
+      var rootSeen = false
+      while (r.hasNext) {
+        if (r.next() == XMLStreamConstants.START_ELEMENT) {
+          if (!rootSeen) rootSeen = true // the document root itself
+          else if (skipAtRoot(r.getLocalName)) skipElement(r)
+          else {
+            val row = readFeature(r, forced)
+            // keep only real features: something parsed out of the subtree
+            if (row.get(0) != null || row.get(1) != null) out += row
+          }
+        }
+      }
+    } finally r.close()
+    out.toSeq
+  }
+
   /** Cursor ON the feature's START_ELEMENT; returns with the cursor on its
     * END_ELEMENT.
     */
-  private def readFeature(r: XMLStreamReader): Row = {
+  private def readFeature(r: XMLStreamReader, forced: Option[Boolean]): Row = {
     val props = mutable.LinkedHashMap.empty[String, String]
     var geom: Geometry = null
     val id = r.getAttributeValue("http://www.opengis.net/gml/3.2", "id") match {
@@ -119,15 +177,15 @@ object GmlIO {
           r.getLocalName match {
             case "boundedBy" => skipElement(r)
             case g if GeomNames(g) =>
-              if (geom == null) geom = readGeometry(r, g) else skipElement(r)
+              if (geom == null) geom = readGeometry(r, g, forced) else skipElement(r)
             case name =>
-              // property wrapper: either simple text, or a wrapper holding a
-              // geometry element (e.g. ogr:geometryProperty)
-              val inner = readPropertyOrGeometry(r)
-              inner match {
-                case Left(text) => if (text != null) props(name) = text
-                case Right(g) => if (geom == null) geom = g
-              }
+              // property wrapper: simple text, a wrapper holding a geometry
+              // element (e.g. ogr:geometryProperty), or an app-schema
+              // complex property whose leaves flatten to dotted keys
+              val inner = readProperty(r, forced)
+              if (inner.geom != null && geom == null) geom = inner.geom
+              if (inner.text != null) props(name) = inner.text
+              inner.nested.foreach { case (k, v) => props(name + "." + k) = v }
           }
         case XMLStreamConstants.END_ELEMENT =>
           depth -= 1
@@ -138,22 +196,32 @@ object GmlIO {
       if (geom == null) null else Wkb.write(geom))
   }
 
-  /** Cursor ON a non-geometry child element. Captures its text content, or
-    * the geometry nested one level inside it. Returns with the cursor on
-    * its END_ELEMENT.
+  /** A parsed property subtree: simple text at this level, the first
+    * geometry found at any depth, and nested simple leaves as dotted
+    * relative keys.
     */
-  private def readPropertyOrGeometry(r: XMLStreamReader): Either[String, Geometry] = {
+  private final case class PropContent(text: String, geom: Geometry,
+    nested: Seq[(String, String)])
+
+  /** Cursor ON a non-geometry child element. Captures its text content, the
+    * geometry nested anywhere inside it, and nested complex-property leaves.
+    * Returns with the cursor on its END_ELEMENT.
+    */
+  private def readProperty(r: XMLStreamReader, forced: Option[Boolean]): PropContent = {
     val text = new StringBuilder
     var geom: Geometry = null
-    var sawChild = false
+    val nested = mutable.ArrayBuffer.empty[(String, String)]
     var depth = 1
     while (depth > 0 && r.hasNext) {
       r.next() match {
         case XMLStreamConstants.START_ELEMENT =>
-          sawChild = true
           r.getLocalName match {
-            case g if GeomNames(g) && geom == null => geom = readGeometry(r, g)
-            case _ => depth += 1
+            case g if GeomNames(g) && geom == null => geom = readGeometry(r, g, forced)
+            case child =>
+              val inner = readProperty(r, forced)
+              if (inner.geom != null && geom == null) geom = inner.geom
+              if (inner.text != null) nested += child -> inner.text
+              inner.nested.foreach { case (k, v) => nested += s"$child.$k" -> v }
           }
         case XMLStreamConstants.END_ELEMENT => depth -= 1
         case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA =>
@@ -161,9 +229,9 @@ object GmlIO {
         case _ =>
       }
     }
-    if (geom != null) Right(geom)
-    else if (sawChild) Left(null) // structured non-geometry content: skip
-    else Left(text.toString.trim match { case "" => null; case t => t })
+    PropContent(
+      text.toString.trim match { case "" => null; case t => if (nested.isEmpty) t else null },
+      geom, nested.toSeq)
   }
 
   private def skipElement(r: XMLStreamReader): Unit = {
@@ -177,43 +245,66 @@ object GmlIO {
     }
   }
 
-  /** Parse one geometry element (cursor ON its START_ELEMENT); returns with
-    * the cursor on its END_ELEMENT.
+  private val UrnEpsg =
+    "(?i)urn:(?:x-)?ogc:def:crs:EPSG:[^:]*:(\\d+)".r
+
+  /** GML 3 urn-form EPSG geographic CRS declare lat/lon axis order; the
+    * 4xxx range is EPSG's geodetic (2D geographic) block. Legacy
+    * `EPSG:4326` srsNames keep x,y order (OGR's behavior). `forced`
+    * (from `read(swapAxes=)`) overrides per-document.
     */
-  private def readGeometry(r: XMLStreamReader, kind: String): Geometry = kind match {
-    case "Point" =>
-      val xy = coordsIn(r)
-      if (xy.isEmpty) Point.empty else Point(xy(0), xy(1))
-    case "LineString" | "Curve" => LineString(coordsIn(r))
-    case "Polygon" => readPolygon(r)
-    case "MultiPoint" =>
-      MultiPoint(readMembers(r).map(_.asInstanceOf[Point]).toArray)
-    case "MultiCurve" | "MultiLineString" =>
-      MultiLineString(readMembers(r).map(_.asInstanceOf[LineString]).toArray)
-    case "MultiSurface" | "MultiPolygon" =>
-      MultiPolygon(readMembers(r).map(_.asInstanceOf[Polygon]).toArray)
-    case "MultiGeometry" =>
-      val parts = readMembers(r).toArray
-      if (parts.nonEmpty && parts.forall(_.isInstanceOf[Point]))
-        MultiPoint(parts.map(_.asInstanceOf[Point]))
-      else if (parts.nonEmpty && parts.forall(_.isInstanceOf[LineString]))
-        MultiLineString(parts.map(_.asInstanceOf[LineString]))
-      else if (parts.nonEmpty && parts.forall(_.isInstanceOf[Polygon]))
-        MultiPolygon(parts.map(_.asInstanceOf[Polygon]))
-      else GeometryCollection(parts)
+  private def axisSwap(srsName: String, inherited: Boolean,
+      forced: Option[Boolean]): Boolean = forced.getOrElse {
+    if (srsName == null) inherited
+    else UrnEpsg.findFirstMatchIn(srsName) match {
+      case Some(m) => val code = m.group(1).toInt; code >= 4000 && code < 5000
+      case None => false
+    }
+  }
+
+  /** Parse one geometry element (cursor ON its START_ELEMENT); returns with
+    * the cursor on its END_ELEMENT. `inheritSwap` carries the container's
+    * axis order into Multi* members without their own srsName.
+    */
+  private def readGeometry(r: XMLStreamReader, kind: String,
+      forced: Option[Boolean], inheritSwap: Boolean = false): Geometry = {
+    val swap = axisSwap(r.getAttributeValue(null, "srsName"), inheritSwap, forced)
+    kind match {
+      case "Point" =>
+        val xy = coordsIn(r, swap)
+        if (xy.isEmpty) Point.empty else Point(xy(0), xy(1))
+      case "LineString" | "Curve" => LineString(coordsIn(r, swap))
+      case "Polygon" => readPolygon(r, swap)
+      case "MultiPoint" =>
+        MultiPoint(readMembers(r, forced, swap).map(_.asInstanceOf[Point]).toArray)
+      case "MultiCurve" | "MultiLineString" =>
+        MultiLineString(readMembers(r, forced, swap).map(_.asInstanceOf[LineString]).toArray)
+      case "MultiSurface" | "MultiPolygon" =>
+        MultiPolygon(readMembers(r, forced, swap).map(_.asInstanceOf[Polygon]).toArray)
+      case "MultiGeometry" =>
+        val parts = readMembers(r, forced, swap).toArray
+        if (parts.nonEmpty && parts.forall(_.isInstanceOf[Point]))
+          MultiPoint(parts.map(_.asInstanceOf[Point]))
+        else if (parts.nonEmpty && parts.forall(_.isInstanceOf[LineString]))
+          MultiLineString(parts.map(_.asInstanceOf[LineString]))
+        else if (parts.nonEmpty && parts.forall(_.isInstanceOf[Polygon]))
+          MultiPolygon(parts.map(_.asInstanceOf[Polygon]))
+        else GeometryCollection(parts)
+    }
   }
 
   /** Child geometries of a Multi* container (pointMember, curveMember,
     * surfaceMember, geometryMember, and the plural *Members forms).
     */
-  private def readMembers(r: XMLStreamReader): Seq[Geometry] = {
+  private def readMembers(r: XMLStreamReader, forced: Option[Boolean],
+      inheritSwap: Boolean): Seq[Geometry] = {
     val parts = mutable.ArrayBuffer.empty[Geometry]
     var depth = 1
     while (depth > 0 && r.hasNext) {
       r.next() match {
         case XMLStreamConstants.START_ELEMENT =>
           r.getLocalName match {
-            case g if GeomNames(g) => parts += readGeometry(r, g)
+            case g if GeomNames(g) => parts += readGeometry(r, g, forced, inheritSwap)
             case _ => depth += 1
           }
         case XMLStreamConstants.END_ELEMENT => depth -= 1
@@ -223,7 +314,7 @@ object GmlIO {
     parts.toSeq
   }
 
-  private def readPolygon(r: XMLStreamReader): Polygon = {
+  private def readPolygon(r: XMLStreamReader, swap: Boolean): Polygon = {
     var outer: Array[Double] = null
     val holes = mutable.ArrayBuffer.empty[Array[Double]]
     var inOuter = true
@@ -235,7 +326,8 @@ object GmlIO {
             case "exterior" | "outerBoundaryIs" => inOuter = true; depth += 1
             case "interior" | "innerBoundaryIs" => inOuter = false; depth += 1
             case "posList" | "coordinates" =>
-              val xy = parseCoords(r.getElementText, r.getLocalName == "coordinates")
+              val xy = parseCoords(r.getElementText,
+                r.getLocalName == "coordinates", swap)
               if (inOuter && outer == null) outer = xy else holes += xy
             case _ => depth += 1
           }
@@ -251,7 +343,7 @@ object GmlIO {
     * `coordinates` child at any depth (GML 3 Curve wraps posList in
     * segments/LineStringSegment). Cursor ends on the geometry's END_ELEMENT.
     */
-  private def coordsIn(r: XMLStreamReader): Array[Double] = {
+  private def coordsIn(r: XMLStreamReader, swap: Boolean): Array[Double] = {
     var xy: Array[Double] = null
     var depth = 1
     while (depth > 0 && r.hasNext) {
@@ -259,9 +351,9 @@ object GmlIO {
         case XMLStreamConstants.START_ELEMENT =>
           r.getLocalName match {
             case "pos" | "posList" if xy == null =>
-              xy = parseCoords(r.getElementText, gml2 = false)
+              xy = parseCoords(r.getElementText, gml2 = false, swap)
             case "coordinates" if xy == null =>
-              xy = parseCoords(r.getElementText, gml2 = true)
+              xy = parseCoords(r.getElementText, gml2 = true, swap)
             case _ => depth += 1
           }
         case XMLStreamConstants.END_ELEMENT => depth -= 1
@@ -274,33 +366,42 @@ object GmlIO {
   /** GML 3 posList: "x y x y ..." (whitespace-separated scalars).
     * GML 2 coordinates: "x,y x,y ..." (comma tuples, space-separated).
     */
-  private def parseCoords(text: String, gml2: Boolean): Array[Double] = {
+  private def parseCoords(text: String, gml2: Boolean,
+      swap: Boolean = false): Array[Double] = {
     val t = text.trim
     if (t.isEmpty) return Array.empty
-    if (gml2) {
+    val xy = if (gml2) {
       val tuples = t.split("\\s+").filter(_.nonEmpty)
-      val xy = new Array[Double](2 * tuples.length)
+      val a = new Array[Double](2 * tuples.length)
       var i = 0
       while (i < tuples.length) {
         val parts = tuples(i).split(",")
         require(parts.length >= 2, s"gml: bad coordinate tuple '${tuples(i)}'")
-        xy(2 * i) = java.lang.Double.parseDouble(parts(0))
-        xy(2 * i + 1) = java.lang.Double.parseDouble(parts(1))
+        a(2 * i) = java.lang.Double.parseDouble(parts(0))
+        a(2 * i + 1) = java.lang.Double.parseDouble(parts(1))
         i += 1
       }
-      xy
+      a
     } else {
       val scalars = t.split("\\s+").filter(_.nonEmpty)
       require(scalars.length % 2 == 0,
         s"gml: odd scalar count ${scalars.length} in posList (3D not supported)")
-      val xy = new Array[Double](scalars.length)
+      val a = new Array[Double](scalars.length)
       var i = 0
       while (i < scalars.length) {
-        xy(i) = java.lang.Double.parseDouble(scalars(i))
+        a(i) = java.lang.Double.parseDouble(scalars(i))
         i += 1
       }
-      xy
+      a
     }
+    if (swap) {
+      var i = 0
+      while (i < xy.length) {
+        val tmp = xy(i); xy(i) = xy(i + 1); xy(i + 1) = tmp
+        i += 2
+      }
+    }
+    xy
   }
 
   // ----------------------------------------------------------------- write
@@ -365,6 +466,117 @@ object GmlIO {
     }
   }
 
+  /** App-schema flavored write: features are DIRECT children of a custom
+    * root (no featureMember wrappers), column names containing '.' become
+    * nested complex-property groups (`addr.city` →
+    * `<addr><city>…</city></addr>`), and `srsUrn=Some(4326)` stamps
+    * urn-form srsName on each geometry and stores coordinates in the
+    * spec's lat/lon axis order. The read side reverses all three — this
+    * is the roundtrip the g111 oracle locks.
+    */
+  def writeAppSchema(gdf: GeoDataFrame, path: String,
+      featureName: String = "feature", srsUrn: Option[Int] = None): Unit = {
+    val df = gdf.df
+    val geomCol = gdf.geometryColumn
+    val geomIdx = df.schema.fieldIndex(geomCol)
+    val attrs = df.schema.fields.zipWithIndex.filter(_._2 != geomIdx)
+    attrs.foreach { case (f, _) =>
+      require(Set[DataType](StringType, LongType, IntegerType, DoubleType,
+        FloatType, BooleanType, ShortType, ByteType).contains(f.dataType),
+        s"gml write: unsupported column type ${f.dataType} for '${f.name}'")
+      f.name.split("\\.").foreach(escName)
+    }
+    require(featureName.matches("[A-Za-z_][A-Za-z0-9_.-]*"),
+      s"gml write: '$featureName' is not a valid XML element name")
+    val swap = srsUrn.exists(c => c >= 4000 && c < 5000)
+    val srsAttr = srsUrn.map(c => s""" srsName="urn:ogc:def:crs:EPSG::$c"""").getOrElse("")
+    val conf = new GeoParquetIO.SerializableConf(df.sparkSession.sessionState.newHadoopConf())
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf.value)
+    fs.delete(root, true)
+    fs.mkdirs(root)
+    val pathStr = path
+    // group dotted columns: ordered (groupOrNull, leafName, idx) triples
+    val attrMeta: Array[(String, String, Int)] = attrs.map { case (f, i) =>
+      val dot = f.name.indexOf('.')
+      if (dot < 0) (null, f.name, i)
+      else (f.name.substring(0, dot), f.name.substring(dot + 1), i)
+    }
+    df.rdd.foreachPartition { it =>
+      if (it.hasNext) {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val p = new Path(f"$pathStr%s/part-$pid%05d.gml")
+        val tfs = p.getFileSystem(conf.value)
+        AtomicTaskFile.withOutput(tfs, p) { os =>
+          val w = new java.io.OutputStreamWriter(
+            new java.io.BufferedOutputStream(os, 1 << 20), "UTF-8")
+          w.write("""<?xml version="1.0" encoding="UTF-8"?>""")
+          w.write("\n<app:Dataset xmlns:app=\"http://graft.example.org/app\" " +
+            "xmlns:gml=\"http://www.opengis.net/gml/3.2\">\n")
+          var n = 0L
+          it.foreach { row =>
+            w.write(s"""<app:$featureName gml:id="F$pid-$n">""")
+            var k = 0
+            while (k < attrMeta.length) {
+              val (grp, leaf, i) = attrMeta(k)
+              val v = row.get(i)
+              if (v != null) {
+                if (grp == null) w.write(s"<app:$leaf>${esc(v.toString)}</app:$leaf>")
+                else {
+                  // contiguous columns of one group share one wrapper element
+                  w.write(s"<app:$grp>")
+                  var j = k
+                  while (j < attrMeta.length && attrMeta(j)._1 == grp) {
+                    val vj = row.get(attrMeta(j)._3)
+                    if (vj != null)
+                      w.write(s"<app:${attrMeta(j)._2}>${esc(vj.toString)}</app:${attrMeta(j)._2}>")
+                    j += 1
+                  }
+                  w.write(s"</app:$grp>")
+                  k = j - 1
+                }
+              }
+              k += 1
+            }
+            val wkb = row.get(geomIdx).asInstanceOf[Array[Byte]]
+            if (wkb != null) {
+              w.write("<app:geom>")
+              val g = Wkb.read(wkb)
+              writeGeometry(w, if (swap) swapXY(g) else g, srsAttr)
+              w.write("</app:geom>")
+            }
+            w.write(s"</app:$featureName>\n")
+            n += 1
+          }
+          w.write("</app:Dataset>\n")
+          w.flush()
+        }
+      }
+    }
+  }
+
+  private def swapXY(g: Geometry): Geometry = g match {
+    case p: Point => Point(p.y, p.x)
+    case l: LineString => LineString(swapXY(l.xy))
+    case pg: Polygon => Polygon(pg.rings.map(swapXY))
+    case mp: MultiPoint => MultiPoint(mp.pts.map(p => Point(p.y, p.x)))
+    case ml: MultiLineString =>
+      MultiLineString(ml.lines.map(l => LineString(swapXY(l.xy))))
+    case mpg: MultiPolygon =>
+      MultiPolygon(mpg.polys.map(p => Polygon(p.rings.map(swapXY))))
+    case gc: GeometryCollection => GeometryCollection(gc.geoms.map(swapXY))
+  }
+
+  private def swapXY(xy: Array[Double]): Array[Double] = {
+    val out = new Array[Double](xy.length)
+    var i = 0
+    while (i < xy.length) {
+      out(i) = xy(i + 1); out(i + 1) = xy(i)
+      i += 2
+    }
+    out
+  }
+
   private def esc(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
@@ -385,13 +597,14 @@ object GmlIO {
     sb.toString
   }
 
-  private def writeGeometry(w: java.io.Writer, g: Geometry): Unit = g match {
+  private def writeGeometry(w: java.io.Writer, g: Geometry,
+      srs: String = ""): Unit = g match {
     case p: Point =>
-      w.write(s"<gml:Point><gml:pos>${p.x} ${p.y}</gml:pos></gml:Point>")
+      w.write(s"<gml:Point$srs><gml:pos>${p.x} ${p.y}</gml:pos></gml:Point>")
     case l: LineString =>
-      w.write(s"<gml:LineString><gml:posList>${posList(l.xy)}</gml:posList></gml:LineString>")
+      w.write(s"<gml:LineString$srs><gml:posList>${posList(l.xy)}</gml:posList></gml:LineString>")
     case pg: Polygon =>
-      w.write("<gml:Polygon><gml:exterior><gml:LinearRing><gml:posList>")
+      w.write(s"<gml:Polygon$srs><gml:exterior><gml:LinearRing><gml:posList>")
       w.write(posList(pg.rings(0)))
       w.write("</gml:posList></gml:LinearRing></gml:exterior>")
       var i = 1
@@ -403,25 +616,25 @@ object GmlIO {
       }
       w.write("</gml:Polygon>")
     case mp: MultiPoint =>
-      w.write("<gml:MultiPoint>")
+      w.write(s"<gml:MultiPoint$srs>")
       mp.pts.foreach { p =>
         w.write("<gml:pointMember>"); writeGeometry(w, p); w.write("</gml:pointMember>")
       }
       w.write("</gml:MultiPoint>")
     case ml: MultiLineString =>
-      w.write("<gml:MultiCurve>")
+      w.write(s"<gml:MultiCurve$srs>")
       ml.lines.foreach { l =>
         w.write("<gml:curveMember>"); writeGeometry(w, l); w.write("</gml:curveMember>")
       }
       w.write("</gml:MultiCurve>")
     case mpg: MultiPolygon =>
-      w.write("<gml:MultiSurface>")
+      w.write(s"<gml:MultiSurface$srs>")
       mpg.polys.foreach { p =>
         w.write("<gml:surfaceMember>"); writeGeometry(w, p); w.write("</gml:surfaceMember>")
       }
       w.write("</gml:MultiSurface>")
     case gc: GeometryCollection =>
-      w.write("<gml:MultiGeometry>")
+      w.write(s"<gml:MultiGeometry$srs>")
       gc.geoms.foreach { p =>
         w.write("<gml:geometryMember>"); writeGeometry(w, p); w.write("</gml:geometryMember>")
       }

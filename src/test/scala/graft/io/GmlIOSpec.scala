@@ -114,6 +114,104 @@ class GmlIOSpec extends AnyFunSuite {
     assert(back(1).getString(3) == "POINT (7 8)")
   }
 
+  test("app schema: no featureMember wrappers, nested props flatten, urn axis order") {
+    val dir = java.nio.file.Files.createTempDirectory("gmlapp")
+    val f = dir.resolve("sites.gml")
+    java.nio.file.Files.write(f,
+      """<?xml version="1.0"?>
+        |<ns:SiteDataset xmlns:ns="http://example.com/sites"
+        |  xmlns:gml="http://www.opengis.net/gml/3.2">
+        |  <gml:boundedBy><gml:Envelope>
+        |    <gml:lowerCorner>0 0</gml:lowerCorner><gml:upperCorner>60 60</gml:upperCorner>
+        |  </gml:Envelope></gml:boundedBy>
+        |  <ns:Site gml:id="s1">
+        |    <ns:code>A1</ns:code>
+        |    <ns:address>
+        |      <ns:city>Springfield</ns:city>
+        |      <ns:zip>12345</ns:zip>
+        |    </ns:address>
+        |    <ns:where>
+        |      <gml:Point srsName="urn:ogc:def:crs:EPSG::4326">
+        |        <gml:pos>51.5 -0.12</gml:pos>
+        |      </gml:Point>
+        |    </ns:where>
+        |  </ns:Site>
+        |  <ns:Site gml:id="s2">
+        |    <ns:code>B2</ns:code>
+        |    <ns:where>
+        |      <gml:Point srsName="EPSG:4326"><gml:pos>3 4</gml:pos></gml:Point>
+        |    </ns:where>
+        |  </ns:Site>
+        |</ns:SiteDataset>
+        |""".stripMargin.getBytes("UTF-8"))
+    val back = GmlIO.read(spark, f.toString).df
+      .select(element_at($"props", "code").as("code"),
+        element_at($"props", "address.city").as("city"),
+        element_at($"props", "address.zip").as("zip"),
+        expr("st_astext(geometry)").as("wkt"))
+      .orderBy($"code").collect()
+    assert(back.length == 2)
+    assert(back(0).getString(0) == "A1")
+    assert(back(0).getString(1) == "Springfield")
+    assert(back(0).getString(2) == "12345")
+    // urn form = lat/lon order in the doc, swapped back to x=lon
+    assert(back(0).getString(3) == "POINT (-0.12 51.5)")
+    assert(back(1).getString(0) == "B2")
+    // legacy EPSG:code srsName keeps x,y order
+    assert(back(1).getString(3) == "POINT (3 4)")
+
+    // forced override: swapAxes=Some(false) reads the doc verbatim
+    val verbatim = GmlIO.read(spark, f.toString, swapAxes = Some(false)).df
+      .select(element_at($"props", "code").as("code"),
+        expr("st_astext(geometry)").as("wkt"))
+      .orderBy($"code").collect()
+    assert(verbatim(0).getString(1) == "POINT (51.5 -0.12)")
+  }
+
+  test("writeAppSchema roundtrip: dotted groups, urn srs, geometry families") {
+    val path = tmp()
+    val rows = (0 until 50).map { i =>
+      (i.toLong, s"org_$i", i * 1.25,
+        Wkb.write(Point(i * 0.7 - 15.0, i * 0.3 - 5.0)))
+    }
+    val gdf = GeoDataFrame(
+      rows.toDF("id", "org.name", "org.rank", "geometry").repartition(2), "geometry")
+    GmlIO.writeAppSchema(gdf, path, featureName = "site", srsUrn = Some(4326))
+    // the emitted document has no featureMember wrappers
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(path).listFiles().filter(_.getName.endsWith(".gml")).head.toPath), "UTF-8")
+    assert(!txt.contains("featureMember"))
+    assert(txt.contains("urn:ogc:def:crs:EPSG::4326"))
+    assert(txt.contains("<app:org><app:name>"))
+
+    val back = GmlIO.read(spark, path).df
+      .select(
+        element_at($"props", "id").cast("long").as("id"),
+        element_at($"props", "org.name").as("nm"),
+        element_at($"props", "org.rank").cast("double").as("rank"),
+        expr("st_x(geometry)").as("x"), expr("st_y(geometry)").as("y"))
+      .orderBy($"id").collect()
+    assert(back.length == 50)
+    rows.zip(back).foreach { case ((id, nm, rank, _), r) =>
+      assert(r.getLong(0) == id)
+      assert(r.getString(1) == nm)
+      assert(r.getDouble(2) == rank)
+      assert(r.getDouble(3) == id * 0.7 - 15.0) // swap out + swap back = exact
+      assert(r.getDouble(4) == id * 0.3 - 5.0)
+    }
+
+    // polygons survive the swap roundtrip too
+    val path2 = tmp()
+    val g2 = GeoDataFrame(
+      Seq((1L, Wkb.write(Wkt.read(
+        "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 2 4, 4 4, 4 2, 2 2))"))))
+        .toDF("id", "geometry").coalesce(1), "geometry")
+    GmlIO.writeAppSchema(g2, path2, srsUrn = Some(4326))
+    val wkt2 = GmlIO.read(spark, path2).df
+      .select(expr("st_astext(geometry)")).collect()(0).getString(0)
+    assert(wkt2 == "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 2 4, 4 4, 4 2, 2 2))")
+  }
+
   test("xml escaping and readFile dispatch") {
     val path = tmp()
     val gdf = GeoDataFrame(

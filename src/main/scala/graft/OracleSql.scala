@@ -1200,6 +1200,65 @@ object OracleSql {
              score
       FROM r WHERE rank <= 10 ORDER BY query_id, rank""",
 
+    // hybrid RRF: the t42 BM25 pipeline (3 queries) + the e01 cosine
+    // pipeline (same ids), fused as sum(1/(60+rank)). Each (query, doc)
+    // has at most TWO terms and IEEE addition of two doubles is
+    // order-independent, so round(…,10) + the doc-id tie-break pin the
+    // fused ranking on both engines.
+    "t53_hybrid_rrf" -> s"""
+      WITH base AS (SELECT doc_id, $docToks AS toks FROM documents),
+      d AS (SELECT doc_id, len(toks)::DOUBLE AS dl, toks FROM base),
+      st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM d),
+      qt(query_id, w) AS (VALUES
+        (1, 'fast'), (1, 'query'),
+        (2, 'hash'), (2, 'join'),
+        (3, 'stream'), (3, 'window')),
+      tok AS (SELECT doc_id, dl, unnest(toks) AS w FROM d),
+      tf AS (SELECT doc_id, dl, w, count(*)::DOUBLE AS tf
+             FROM tok WHERE w IN (SELECT w FROM qt)
+             GROUP BY doc_id, dl, w),
+      dfq AS (SELECT w, count(*)::DOUBLE AS df FROM tf GROUP BY w),
+      qidf AS (SELECT query_id, qt.w,
+                 ln(1.0::DOUBLE + (n - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE))
+                   AS idf,
+                 avgdl
+               FROM qt JOIN dfq ON dfq.w = qt.w, st),
+      cb AS (SELECT query_id, doc_id,
+              idf * tf * (1.2::DOUBLE + 1.0::DOUBLE)
+                / (tf + 1.2::DOUBLE * ((1.0::DOUBLE - 0.75::DOUBLE)
+                    + 0.75::DOUBLE * dl / avgdl)) AS c
+            FROM tf JOIN qidf ON qidf.w = tf.w),
+      sc AS (SELECT query_id, doc_id, round(sum(c), 4) AS score
+             FROM cb GROUP BY query_id, doc_id),
+      lex AS (SELECT query_id, doc_id,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, doc_id) AS rank
+              FROM sc),
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      nn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      cs AS (SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+                   round(CASE WHEN q.nrm = 0 OR c.nrm = 0 THEN 0.0
+                         ELSE list_dot_product(q.v, c.v) / (q.nrm * c.nrm) END, 4) AS cosine
+            FROM nn q CROSS JOIN nn c
+            WHERE q.vec_id IN (1, 2, 3) AND q.vec_id <> c.vec_id),
+      den AS (SELECT query_id, doc_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, doc_id ASC) AS rank
+              FROM cs),
+      u AS (SELECT query_id, doc_id, rank FROM lex WHERE rank <= 10
+            UNION ALL
+            SELECT query_id, doc_id, rank FROM den WHERE rank <= 10),
+      f AS (SELECT query_id, doc_id,
+              round(sum(1.0::DOUBLE / (60.0::DOUBLE + rank)), 10) AS score
+            FROM u GROUP BY query_id, doc_id),
+      fr AS (SELECT query_id, doc_id, score,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, doc_id) AS rank
+             FROM f)
+      SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank,
+             doc_id::BIGINT AS doc_id, score
+      FROM fr WHERE rank <= 10 ORDER BY query_id, rank""",
+
     // Gopher rules: same tokenizer, same counters, same guarded ratio
     // arithmetic; booleans compare directly
     "t43_gopher_rules" -> s"""

@@ -3647,6 +3647,39 @@ object SparkEntry {
       queries.agg(count(lit(1)).as("n_queries")).crossJoin(cmp)
     }),
 
+    // HYBRID RETRIEVAL via reciprocal-rank fusion (Cormack 2009): the
+    // lexical BM25 list over documents.text and the dense brute-force
+    // cosine list over the aligned embeddings table (vec_id == doc_id in
+    // the synthetic corpus) fuse as sum(1/(60+rank)). The doc-id
+    // tie-break matters here — single-list docs tie exactly at the same
+    // fused score — and gr_topKByScore's (score desc, id asc) order is
+    // mirrored by the oracle's row_number. Both branches stay top-k sized
+    // before the fuse: the reduce is O(queries*k), never corpus-sized.
+    "t53_hybrid_rrf" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val lex = graft.ops.Retrieval.bm25TopK(docs, "doc_id", "text",
+        queries = Seq(
+          1L -> Seq("fast", "query"),
+          2L -> Seq("hash", "join"),
+          3L -> Seq("stream", "window")),
+        k = 10)
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id").isin(1L, 2L, 3L))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val c = emb.select(col("vec_id").as("doc_id"), col("embedding").as("cv"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("doc_id").asc)
+      val dense = c.join(broadcast(q), col("query_id") =!= col("doc_id"))
+        .withColumn("cosine", round(gr_cosine(col("qv"), col("cv")), 4))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("rank").cast("long").as("rank"), col("doc_id"))
+      graft.ops.Retrieval.rrfFuse(
+        Seq(lex.select(col("query_id"), col("rank"), col("doc_id")), dense),
+        "doc_id", k = 10, rrfK = 60)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "t44_pagerank" -> ((s, d) => {
       val base = t(s, d, "documents").select(col("doc_id"))
       val nRow = base.agg(count(lit(1)).as("n"))

@@ -95,4 +95,46 @@ object Retrieval {
         col("_t.neighbor_id").as(idCol),
         col("_t.score").as("score"))
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009) of N ranked
+    * lists — the standard hybrid-retrieval combiner for a lexical
+    * ([[bm25TopK]]) and a dense ([[graft.ops.Similarity]] ANN) ranking:
+    *
+    *   score(q, d) = Σ_over_lists 1 / (rrfK + rank_list(q, d))
+    *
+    * Each input needs (query_id, rank, `idCol`) with rank 1-based
+    * best-first; documents absent from a list contribute nothing for it.
+    * Output: (query_id, rank, idCol, score), fused rank 1-based, ties by
+    * lower id. Scores are rounded to 10 decimals (each term ≤ 1/(rrfK+1),
+    * sums stay ≪ 1, so 10 dp is far inside double precision) to pin the
+    * cross-engine ordering.
+    *
+    * Scale shape: the inputs are already top-k lists — O(queries × k ×
+    * lists) rows — so this is a post-retrieval reduce, never corpus-sized.
+    * The fused top-k uses [[gr_topKByScore]]: O(k) state per query,
+    * partial-aggregation friendly, valid as a streaming update aggregate.
+    */
+  def rrfFuse(
+      lists: Seq[DataFrame],
+      idCol: String,
+      k: Int = 10,
+      rrfK: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse: at least one ranked list")
+    require(k >= 1, s"rrfFuse: k >= 1 (got $k)")
+    require(rrfK >= 1, s"rrfFuse: rrfK >= 1 (got $rrfK)")
+    val norm = lists.map(_.select(
+      col("query_id").cast("long").as("query_id"),
+      col(idCol).cast("long").as("_id"),
+      col("rank").cast("long").as("_rank")))
+    norm.reduce(_ unionAll _)
+      .groupBy(col("query_id"), col("_id"))
+      .agg(round(sum(lit(1.0) / (lit(rrfK.toDouble) + col("_rank"))), 10).as("_score"))
+      .groupBy(col("query_id"))
+      .agg(gr_topKByScore(col("_score"), col("_id"), k).as("_top"))
+      .select(col("query_id"), posexplode(col("_top")).as(Seq("_pos", "_t")))
+      .select(col("query_id"),
+        (col("_pos") + 1).cast("long").as("rank"),
+        col("_t.neighbor_id").as(idCol),
+        col("_t.score").as("score"))
+  }
 }

@@ -1273,6 +1273,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(math.abs(got(1)._4 - r4(d2)) < 1e-12)
   }
 
+  test("rrfFuse: hand-computed fusion, single-list ties break by id") {
+    // list A ranks docs 10,20,30; list B ranks 20,10,40
+    val a = Seq((1L, 1L, 10L), (1L, 2L, 20L), (1L, 3L, 30L))
+      .toDF("query_id", "rank", "doc_id")
+    val b = Seq((1L, 1L, 20L), (1L, 2L, 10L), (1L, 3L, 40L))
+      .toDF("query_id", "rank", "doc_id")
+    val out = Retrieval.rrfFuse(Seq(a, b), "doc_id", k = 4, rrfK = 60)
+    assert(!out.queryExecution.executedPlan.toString.contains("Window"),
+      "rrfFuse must rank via the bounded top-k aggregate, not a window")
+    val got = out.as[(Long, Long, Long, Double)].collect().sortBy(_._2)
+    def r10(x: Double): Double =
+      BigDecimal(x).setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // 10: 1/61 + 1/62 == 20: 1/62 + 1/61 → exact tie, id 10 wins rank 1
+    val s1020 = r10(1.0 / 61 + 1.0 / 62)
+    assert(got.map(r => (r._1, r._2, r._3)).toSeq == Seq(
+      (1L, 1L, 10L), (1L, 2L, 20L), (1L, 3L, 30L), (1L, 4L, 40L)))
+    assert(got(0)._4 == s1020 && got(1)._4 == s1020)
+    // 30 (rank 3 in A only) beats 40 (rank 3 in B only) by id at equal score
+    assert(got(2)._4 == r10(1.0 / 63) && got(3)._4 == r10(1.0 / 63))
+  }
+
   test("blockDedupRewrite: global first occurrence wins, docs rebuilt") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")

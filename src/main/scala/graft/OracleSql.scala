@@ -3017,6 +3017,12 @@ object OracleSql {
              (s_suppkey % 100)::DOUBLE * 10.0 AS y
       FROM supplier ORDER BY s_suppkey""",
 
+    // zipped g43 trio through the .zip dispatch — identical rows
+    "g112_zip_readfile" -> """
+      SELECT s_suppkey, s_name, s_acctbal AS x,
+             (s_suppkey % 100)::DOUBLE * 10.0 AS y
+      FROM supplier ORDER BY s_suppkey""",
+
     "g29_negative_buffer" -> """
       WITH p AS (SELECT s_suppkey, ((s_suppkey % 10) + 1)::DOUBLE AS h FROM supplier)
       SELECT s_suppkey,

@@ -1475,6 +1475,30 @@ object SparkEntry {
         .orderBy(col("s_suppkey"))
     }),
 
+    // zipped-dataset read (geopandas read_file("data.zip") parity via
+    // GDAL /vsizip in the reference): the g43 trio zipped under a nested
+    // folder prefix, extracted once into the content-addressed scratch
+    // and re-dispatched as a shapefile directory
+    "g112_zip_readfile" -> ((s, d) => {
+      val shpDir = ensureG43Shapefile(s, d)
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val zip = new java.io.File(s"/tmp/graft_g112_$tag.zip")
+      val zout = new java.util.zip.ZipOutputStream(
+        new java.io.FileOutputStream(zip))
+      try {
+        new java.io.File(shpDir).listFiles().filter(_.isFile)
+          .sortBy(_.getName).foreach { f =>
+            zout.putNextEntry(new java.util.zip.ZipEntry("pub/2024/" + f.getName))
+            java.nio.file.Files.copy(f.toPath, zout)
+            zout.closeEntry()
+          }
+      } finally zout.close()
+      graft.api.GeoDataFrame.readFile(s, zip.getAbsolutePath).df
+        .select(col("s_suppkey"), col("s_name"),
+          st_x(col("geometry")).as("x"), st_y(col("geometry")).as("y"))
+        .orderBy(col("s_suppkey"))
+    }),
+
     // pure-JVM GeoPackage read (the second read_file format, ref
     // io/file.py:49-149): SQLite b-tree walk with subtree-partitioned
     // tasks + GP geometry-blob decode, against the committed deterministic

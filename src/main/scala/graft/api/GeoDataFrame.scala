@@ -1836,7 +1836,15 @@ object GeoDataFrame {
             "use the format-specific reader")
         "." + known.head
       } else bare.toLowerCase
-    if (lower.endsWith(".shp"))
+    if (lower.endsWith(".zip")) {
+      // zipped dataset (geopandas read_file("data.zip") parity): extract
+      // once into the content-addressed scratch dir, then re-dispatch —
+      // a sole extracted file (zipped .gpkg/.fgb/...) dispatches as that
+      // file, a multi-file set (the shapefile trio) as a directory
+      val dir = graft.io.ZipArchive.extract(spark, bare)
+      readFile(spark, graft.io.ZipArchive.soleFile(spark, dir).getOrElse(dir),
+        layer, chunkSize, geometryColumn)
+    } else if (lower.endsWith(".shp"))
       readShapefile(spark, bare, chunkSize, geometryColumn)
     else if (lower.endsWith(".arrow"))
       graft.io.GeoFeatherIO.read(spark, bare)

@@ -1200,6 +1200,27 @@ object OracleSql {
              score
       FROM r WHERE rank <= 10 ORDER BY query_id, rank""",
 
+    // streaming session_window: gap-sessionize in the MICROS domain with
+    // the >= break that mirrors session_window's exclusive end bound
+    "t54_stream_sessionize" -> """
+      WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS tus, value FROM events),
+      b AS (SELECT user_id, tus, value,
+              CASE WHEN lag(tus) OVER w IS NULL
+                     OR tus - lag(tus) OVER w >= 86400000000
+                   THEN 1 ELSE 0 END AS brk
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)),
+      s AS (SELECT user_id, tus, value,
+              sum(brk) OVER (PARTITION BY user_id ORDER BY tus
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+            FROM b)
+      SELECT user_id,
+             (min(tus) // 1000000)::BIGINT AS start_sec,
+             ((max(tus) - min(tus)) // 1000000)::BIGINT AS duration_sec,
+             count(*) AS n_events,
+             round(sum(value), 2) AS sum_value
+      FROM s GROUP BY user_id, seq
+      ORDER BY user_id, start_sec""",
+
     // hybrid RRF: the t42 BM25 pipeline (3 queries) + the e01 cosine
     // pipeline (same ids), fused as sum(1/(60+rank)). Each (query, doc)
     // has at most TWO terms and IEEE addition of two doubles is

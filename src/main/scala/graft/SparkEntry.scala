@@ -3671,6 +3671,47 @@ object SparkEntry {
       queries.agg(count(lit(1)).as("n_queries")).crossJoin(cmp)
     }),
 
+    // STREAMING SESSIONIZATION via Spark's native session_window: the
+    // gap-merge stateful aggregation Structured Streaming runs for real
+    // session analytics, against the q11-family gap-sessionize oracle.
+    // Semantics note locked by the oracle: session_window's end bound is
+    // EXCLUSIVE (an event exactly gap after the last does NOT merge), so
+    // the oracle breaks on diff >= gap — where the batch q11 sessionize
+    // (lag-based) breaks on diff > gap. Timestamps ride the micros domain
+    // (session_window needs TimestampType; ns floor to µs identically on
+    // both engines).
+    "t54_stream_sessionize" -> ((s, d) => {
+      graft.sql.functions.install(s)
+      val raw = s.read.parquet(s"$d/events.parquet")
+      val tsIsLong = raw.schema("ts").dataType ==
+        org.apache.spark.sql.types.LongType
+      val sink = "t54_sink_" + streamSinkId.incrementAndGet()
+      val tts = if (tsIsLong) expr("timestamp_micros(ts DIV 1000)")
+        else {
+          // NTZ/timestamp parquet variants: same normalization as t()
+          s.conf.set("spark.sql.session.timeZone", "UTC")
+          expr("timestamp_micros(unix_micros(cast(ts AS timestamp)))")
+        }
+      val ev = s.readStream.schema(raw.schema)
+        .parquet(streamDirFor(s"$d/events.parquet"))
+        .select(col("user_id"), col("value"), tts.as("tts"))
+      val q = ev.groupBy(col("user_id"),
+          session_window(col("tts"), "24 hours").as("sw"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .writeStream.outputMode("complete").format("memory").queryName(sink)
+        .start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      s.table(sink)
+        .select(col("user_id"),
+          expr("unix_micros(sw.start) DIV 1000000").as("start_sec"),
+          // sw.end = last event + gap (exclusive) → duration = end-gap-start
+          expr("(unix_micros(sw.end) - 86400000000L - unix_micros(sw.start)) DIV 1000000")
+            .as("duration_sec"),
+          col("n_events"), col("sum_value"))
+        .orderBy(col("user_id"), col("start_sec"))
+    }),
+
     // HYBRID RETRIEVAL via reciprocal-rank fusion (Cormack 2009): the
     // lexical BM25 list over documents.text and the dense brute-force
     // cosine list over the aligned embeddings table (vec_id == doc_id in

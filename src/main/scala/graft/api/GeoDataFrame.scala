@@ -1836,7 +1836,18 @@ object GeoDataFrame {
             "use the format-specific reader")
         "." + known.head
       } else bare.toLowerCase
-    if (lower.endsWith(".zip")) {
+    if (lower.endsWith(".kmz")) {
+      // KMZ = zipped KML (Google Earth's default container): the doc.kml
+      // inside is the dataset; other entries are icons/overlays we skip
+      val dir = graft.io.ZipArchive.extract(spark, bare)
+      val kfs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val kmls = kfs.listStatus(new org.apache.hadoop.fs.Path(dir))
+        .map(_.getPath).filter(_.getName.toLowerCase.endsWith(".kml"))
+      require(kmls.nonEmpty, s"read_file: no .kml entry inside $bare")
+      val doc = kmls.find(_.getName.equalsIgnoreCase("doc.kml")).getOrElse(kmls.minBy(_.getName))
+      graft.io.KmlIO.read(spark, doc.toString, geometryColumn)
+    } else if (lower.endsWith(".zip")) {
       // zipped dataset (geopandas read_file("data.zip") parity): extract
       // once into the content-addressed scratch dir, then re-dispatch —
       // a sole extracted file (zipped .gpkg/.fgb/...) dispatches as that

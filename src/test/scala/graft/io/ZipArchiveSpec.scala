@@ -77,6 +77,26 @@ class ZipArchiveSpec extends AnyFunSuite {
     assert(got.forall { case (id, y) => y == id * 3.0 })
   }
 
+  test("kmz dispatches to the doc.kml inside") {
+    val root = tmpDir()
+    val ds = new java.io.File(root, "kml"); ds.mkdirs()
+    val gdf = GeoDataFrame(
+      (0 until 15).map(i => (s"pm_$i", Wkb.write(Point(i * 1.0, -i * 2.0))))
+        .toDF("name", "geometry").coalesce(1), "geometry")
+    KmlIO.write(gdf, ds.getAbsolutePath)
+    // rename the single part to doc.kml like Google Earth emits
+    val part = ds.listFiles().filter(_.getName.endsWith(".kml")).head
+    val doc = new java.io.File(ds, "doc.kml")
+    assert(part.renameTo(doc))
+    val kmz = new java.io.File(root, "export.kmz")
+    zipUp(ds, kmz)
+    val back = GeoDataFrame.readFile(spark, kmz.getAbsolutePath).df
+    assert(back.count() == 15)
+    val ys = back.select(expr("st_y(geometry)").as("y"))
+      .as[Double].collect().sorted
+    assert(ys.head == -28.0 && ys.last == 0.0)
+  }
+
   test("zip-slip and duplicate basenames are rejected; changed zip re-extracts") {
     val root = tmpDir()
     val evil = new java.io.File(root, "evil.zip")

@@ -1041,6 +1041,43 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.nonEmpty && got === expected)
   }
 
+  test("session_window append mode: watermark closes sessions exactly once") {
+    // the production shape behind t54 (which uses complete mode only to
+    // expose the full result to the batch oracle): with a watermark,
+    // append emits each session ONCE when the watermark passes
+    // session.end, bounding state by open sessions — the 100 TB posture
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long)] // (user, epoch seconds)
+    val ev = mem.toDF().toDF("user", "sec")
+      .select($"user", expr("timestamp_seconds(sec)").as("tts"))
+      .withWatermark("tts", "0 seconds")
+    val out = ev.groupBy($"user", session_window($"tts", "10 seconds").as("sw"))
+      .agg(count(lit(1)).as("n"))
+      .select($"user", expr("unix_micros(sw.start) DIV 1000000").as("start"), $"n")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("sess_append").trigger(Trigger.ProcessingTime(0)).start()
+    // batch 1: user a, two events 3 s apart (one session), user b one event
+    mem.addData(("a", 100L), ("a", 103L), ("b", 200L))
+    q.processAllAvailable()
+    // batch 2: advance event time far past both sessions' end + gap so the
+    // watermark closes them; the new event opens a fresh session
+    mem.addData(("a", 500L))
+    q.processAllAvailable()
+    val afterClose = spark.table("sess_append")
+      .as[(String, Long, Long)].collect().toSet
+    assert(afterClose == Set(("a", 100L, 2L), ("b", 200L, 1L)),
+      s"closed sessions emitted once: $afterClose")
+    // batch 3: close the last session too
+    mem.addData(("a", 900L))
+    q.processAllAvailable()
+    q.stop()
+    val all = spark.table("sess_append").as[(String, Long, Long)].collect()
+    assert(all.toSet == Set(("a", 100L, 2L), ("b", 200L, 1L), ("a", 500L, 1L)))
+    assert(all.length == 3, "no duplicate emissions across batches")
+  }
+
   test("bigramLm: hand-computed interpolated cross-entropy") {
     // corpus: "a b a" + "a b" (+ a 1-token doc: excluded from scoring but
     // its token still trains the unigram model).

@@ -3038,6 +3038,20 @@ object OracleSql {
              (s_suppkey % 100)::DOUBLE * 10.0 AS y
       FROM supplier ORDER BY s_suppkey""",
 
+    // coverage simplify: collinear midpoints drop, corners/junctions
+    // survive → per-rect 5 points, per-rect area w*h, union 2*w*h (the
+    // seam matches exactly, so union = sum)
+    "g113_coverage_simplify" -> """
+      WITH p AS (SELECT s_suppkey,
+                   ((s_suppkey % 5) + 2)::DOUBLE AS w,
+                   ((s_suppkey % 7) + 3)::DOUBLE AS h
+                 FROM supplier)
+      SELECT s_suppkey,
+             round(2.0 * w * h, 6) AS sum_area,
+             10::BIGINT AS sum_npts,
+             round(2.0 * w * h, 6) AS union_area
+      FROM p ORDER BY s_suppkey""",
+
     // zipped g43 trio through the .zip dispatch — identical rows
     "g112_zip_readfile" -> """
       SELECT s_suppkey, s_name, s_acctbal AS x,

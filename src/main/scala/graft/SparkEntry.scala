@@ -1475,6 +1475,42 @@ object SparkEntry {
         .orderBy(col("s_suppkey"))
     }),
 
+    // COVERAGE SIMPLIFICATION (PostGIS 3.4 ST_CoverageSimplify surface):
+    // per supplier, two rectangles share the x=w edge with collinear
+    // midpoints on EVERY edge; coverageSimplify(by=s_suppkey) cuts rings
+    // into junction-bounded arcs, simplifies each shared arc ONCE, and
+    // rebuilds — midpoints drop (deviation 0), corners and junctions
+    // survive, and the union area equals the sum exactly because both
+    // neighbors got the bit-identical simplified seam (per-feature
+    // simplify has no such guarantee)
+    "g113_coverage_simplify" -> ((s, d) => {
+      val base = t(s, d, "supplier")
+        .withColumn("w", ((col("s_suppkey") % 5) + 2).cast("double"))
+        .withColumn("h", ((col("s_suppkey") % 7) + 3).cast("double"))
+      def rectWkt(x0: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+        val w = col("w"); val h = col("h")
+        concat(
+          lit("POLYGON (("),
+          x0, lit(" 0, "), x0 + w / 2.0, lit(" 0, "), x0 + w, lit(" 0, "),
+          x0 + w, lit(" "), h / 2.0, lit(", "), x0 + w, lit(" "), h, lit(", "),
+          x0 + w / 2.0, lit(" "), h, lit(", "), x0, lit(" "), h, lit(", "),
+          x0, lit(" "), h / 2.0, lit(", "), x0, lit(" 0))"))
+      }
+      val parts = base.select(col("s_suppkey"), col("w"), col("h"))
+        .withColumn("part", explode(array(lit("A"), lit("B"))))
+        .withColumn("geometry", st_geomFromWKT(
+          when(col("part") === "A", rectWkt(lit(0.0)))
+            .otherwise(rectWkt(col("w")))))
+      graft.api.GeoDataFrame(parts, "geometry")
+        .coverageSimplify(0.001, by = Seq("s_suppkey")).df
+        .groupBy(col("s_suppkey"))
+        .agg(
+          round(sum(st_area(col("geometry"))), 6).as("sum_area"),
+          sum(st_numPoints(col("geometry"))).as("sum_npts"),
+          round(st_area(st_unionAgg(col("geometry"))), 6).as("union_area"))
+        .orderBy(col("s_suppkey"))
+    }),
+
     // zipped-dataset read (geopandas read_file("data.zip") parity via
     // GDAL /vsizip in the reference): the g43 trio zipped under a nested
     // folder prefix, extracted once into the content-addressed scratch

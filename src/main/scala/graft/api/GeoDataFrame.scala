@@ -361,6 +361,48 @@ final case class GeoDataFrame(
   private def withCrsOf(g: GeoDataFrame): GeoDataFrame =
     crs.map(g.setCrs).getOrElse(g)
 
+  // ---------------------------------------------------- coverage simplify
+  /** Coverage-aware simplification (the PostGIS 3.4 `ST_CoverageSimplify`
+    * window surface): simplify a polygonal coverage WITHOUT tearing it —
+    * rings are cut into arcs at junctions, every arc (shared boundaries
+    * included, deduped) is Douglas–Peucker'd once, and each polygon is
+    * rebuilt from the shared simplified arcs, so neighbors keep
+    * bit-identical common edges. Per-feature `st_simplify` opens slivers
+    * and gaps exactly on those edges.
+    *
+    * `by` names the coverage window: rows sharing a `by` key form one
+    * coverage and are processed in ONE task (a coverage is a topological
+    * whole — this is the PostGIS window-partition semantics). At 100 TB
+    * the key is an admin level / tile id and each group stays
+    * task-sized; `by = Nil` treats the WHOLE table as one coverage and
+    * is only for datasets that fit a task. Non-polygonal rows pass
+    * through unchanged; null geometries stay null.
+    */
+  def coverageSimplify(tolerance: Double, by: Seq[String] = Nil): GeoDataFrame = {
+    val schema = df.schema
+    val geomIdx = schema.fieldIndex(geometryColumn)
+    val keyIdxs = by.map(schema.fieldIndex).toArray
+    val out = df.rdd
+      .groupBy(r => keyIdxs.map(i => r.get(i)).toSeq)
+      .flatMap { case (_, rows) =>
+        val rs = rows.toIndexedSeq
+        val geoms = rs.map { r =>
+          val b = r.get(geomIdx).asInstanceOf[Array[Byte]]
+          if (b == null) null else Wkb.read(b)
+        }
+        val present = geoms.zipWithIndex.filter(_._1 != null)
+        val simplified = graft.geom.Coverage.simplifyCoverage(
+          present.map(_._1), tolerance)
+        val byPos = present.map(_._2).zip(simplified).toMap
+        rs.zipWithIndex.map { case (r, i) =>
+          val g = byPos.get(i).map(Wkb.write).orNull
+          org.apache.spark.sql.Row.fromSeq(
+            r.toSeq.updated(geomIdx, if (byPos.contains(i)) g else r.get(geomIdx)))
+        }
+      }
+    withCrsOf(GeoDataFrame(df.sparkSession.createDataFrame(out, schema), geometryColumn))
+  }
+
   // ------------------------------------------------------------ aggregates
   /** Geometric union of everything (reference union_all `expr.py:287-299`). */
   def unionAll(): Geometry = {

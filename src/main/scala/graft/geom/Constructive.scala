@@ -165,6 +165,17 @@ object Constructive {
     case other => other
   }
 
+  /** DP over a raw open coordinate array, endpoints kept — the arc-level
+    * entry [[Coverage.simplifyCoverage]] uses so every shared arc is
+    * simplified exactly once.
+    */
+  private[geom] def simplifyLineXy(xy: Array[Double], tol: Double): Array[Double] =
+    dp(xy, tol, isRing = false)
+
+  /** DP over a raw closed ring array (last == first), >= 4 points kept. */
+  private[geom] def simplifyRingXy(xy: Array[Double], tol: Double): Array[Double] =
+    dp(xy, tol, isRing = true)
+
   private def dp(xy: Array[Double], tol: Double, isRing: Boolean): Array[Double] = {
     val n = xy.length / 2
     if (n <= (if (isRing) 4 else 2)) return xy

@@ -1,0 +1,208 @@
+package graft.geom
+
+import scala.collection.mutable
+
+/** Coverage-aware simplification (the PostGIS 3.4 `ST_CoverageSimplify`
+  * surface): treat a set of edge-matched, non-overlapping polygons as ONE
+  * topology — cut every ring into arcs at junctions (the same cut rule
+  * `TopoJsonIO.topologyDoc` applies in quantized space, here on exact
+  * coordinate bits), Douglas–Peucker-simplify each arc ONCE anchored at
+  * its endpoints, and rebuild every polygon from the shared simplified
+  * arcs. A shared boundary is a single arc, so both neighbors receive the
+  * bit-identical simplified edge — per-feature `simplify` would tear the
+  * coverage into slivers and gaps exactly there.
+  *
+  * Junction rule: a vertex is a junction when two traversals see it with
+  * different unordered neighbor pairs (three-country corners, T-joints,
+  * self-touches). Shared-edge interiors see identical neighbors from both
+  * sides and stay junction-free, so whole shared boundaries dedup into
+  * one arc.
+  */
+object Coverage {
+
+  private type PtKey = (Long, Long)
+  @inline private def keyOf(x: Double, y: Double): PtKey =
+    // +0.0 folds -0.0 into +0.0 so both sides of an axis-seam edge agree
+    (java.lang.Double.doubleToLongBits(x + 0.0),
+      java.lang.Double.doubleToLongBits(y + 0.0))
+
+  /** Simplify a polygonal coverage in one pass. Non-polygonal members pass
+    * through untouched (PostGIS restricts the window to polygons too).
+    * Order-preserving: `out(i)` is the simplified `geoms(i)`.
+    */
+  def simplifyCoverage(geoms: IndexedSeq[Geometry], tol: Double): IndexedSeq[Geometry] = {
+    require(tol >= 0, s"coverageSimplify: tolerance >= 0 (got $tol)")
+
+    // ---- pass 1: junction detection over exact coordinate keys
+    val neighborOf = mutable.HashMap.empty[PtKey, (PtKey, PtKey)]
+    val junctions = mutable.HashSet.empty[PtKey]
+    def visitRing(xy: Array[Double]): Unit = {
+      val n = xy.length / 2
+      if (n < 3) return
+      val m = n - 1 // closed: last == first
+      var i = 0
+      while (i < m) {
+        val p = keyOf(xy(2 * i), xy(2 * i + 1))
+        val pi = if (i == 0) m - 1 else i - 1
+        val ni = if (i == m - 1) 0 else i + 1
+        val prev = keyOf(xy(2 * pi), xy(2 * pi + 1))
+        val next = keyOf(xy(2 * ni), xy(2 * ni + 1))
+        val nb = if (implicitly[Ordering[PtKey]].lteq(prev, next)) (prev, next)
+                 else (next, prev)
+        neighborOf.get(p) match {
+          case None => neighborOf(p) = nb
+          case Some(x) => if (x != nb) junctions += p
+        }
+        i += 1
+      }
+    }
+    def eachRing(g: Geometry)(f: Array[Double] => Unit): Unit = g match {
+      case p: Polygon => p.rings.foreach(f)
+      case m: MultiPolygon => m.polys.foreach(_.rings.foreach(f))
+      case gc: GeometryCollection => gc.geoms.foreach(eachRing(_)(f))
+      case _ => ()
+    }
+    geoms.foreach(g => eachRing(g)(visitRing))
+
+    // ---- pass 2: arc table. Open arcs key on their exact coordinate-bit
+    // sequence (forward or reversed → same arc); junction-free rings
+    // canonicalize by rotation to the minimal vertex and a fixed
+    // direction, so an island shell and the lake hole around it share one
+    // closed arc.
+    val arcSimplified = mutable.ArrayBuffer.empty[Array[Double]]
+    val arcIndex = mutable.HashMap.empty[String, Int]
+    def seqKey(xy: Array[Double], from: Int, to: Int, rev: Boolean): String = {
+      val sb = new StringBuilder
+      var i = from
+      val step = if (rev) -1 else 1
+      while (i != to + step) {
+        val k = keyOf(xy(2 * i), xy(2 * i + 1))
+        sb.append(k._1).append(',').append(k._2).append(';')
+        i += step
+      }
+      sb.result()
+    }
+    def sliceXy(xy: Array[Double], from: Int, to: Int): Array[Double] =
+      xy.slice(2 * from, 2 * to + 2)
+
+    /** Register the open arc xy[from..to]; returns (arcId, reversedFlag). */
+    def openArc(xy: Array[Double], from: Int, to: Int): (Int, Boolean) = {
+      val fk = seqKey(xy, from, to, rev = false)
+      arcIndex.get(fk) match {
+        case Some(i) => (i, false)
+        case None =>
+          val rk = seqKey(xy, to, from, rev = true)
+          arcIndex.get(rk) match {
+            case Some(i) => (i, true)
+            case None =>
+              val simp = Constructive.simplifyLineXy(sliceXy(xy, from, to), tol)
+              arcSimplified += simp
+              arcIndex(fk) = arcSimplified.length - 1
+              (arcSimplified.length - 1, false)
+          }
+      }
+    }
+
+    /** Canonical form of a junction-free closed ring: rotate so the
+      * minimal vertex key leads, direction so the second key is <= the
+      * last interior key. Returns (arcId, reversedFlag) — the flag says
+      * the ORIGINAL direction was opposite the canonical one.
+      */
+    def closedArc(xy: Array[Double]): (Int, Boolean) = {
+      val m = xy.length / 2 - 1
+      val keys = Array.tabulate(m)(i => keyOf(xy(2 * i), xy(2 * i + 1)))
+      val ord = implicitly[Ordering[PtKey]]
+      var rot = 0
+      var i = 1
+      while (i < m) { if (ord.lt(keys(i), keys(rot))) rot = i; i += 1 }
+      val nextK = keys((rot + 1) % m)
+      val prevK = keys((rot + m - 1) % m)
+      val reversed = ord.lt(prevK, nextK) // canonical walks toward min side
+      // build the canonical closed sequence
+      val canon = new Array[Double](2 * (m + 1))
+      var k = 0
+      while (k <= m) {
+        val src = if (!reversed) (rot + k) % m else ((rot - k) % m + m) % m
+        canon(2 * k) = xy(2 * src); canon(2 * k + 1) = xy(2 * src + 1)
+        k += 1
+      }
+      val fk = seqKey(canon, 0, m, rev = false)
+      arcIndex.get(fk) match {
+        case Some(idx) => (idx, reversed)
+        case None =>
+          val simp = Constructive.simplifyRingXy(canon, tol)
+          arcSimplified += simp
+          arcIndex(fk) = arcSimplified.length - 1
+          (arcSimplified.length - 1, reversed)
+      }
+    }
+
+    // ---- pass 3: rebuild each ring from its (simplified) arcs
+    def rebuildRing(xy: Array[Double]): Array[Double] = {
+      val n = xy.length / 2
+      if (n < 4) return xy
+      val m = n - 1
+      val js = (0 until m).filter(i => junctions.contains(keyOf(xy(2 * i), xy(2 * i + 1))))
+      if (js.isEmpty) {
+        val (idx, reversed) = closedArc(xy)
+        val simp = arcSimplified(idx)
+        val out = if (!reversed) simp else {
+          val c = simp.length / 2
+          val r = new Array[Double](simp.length)
+          var i = 0
+          while (i < c) {
+            r(2 * i) = simp(2 * (c - 1 - i)); r(2 * i + 1) = simp(2 * (c - 1 - i) + 1)
+            i += 1
+          }
+          r
+        }
+        if (out.length >= 8) out else xy // degenerate guard: keep original
+      } else {
+        // rotate to the first junction, then cut at every junction
+        val rot = js.head
+        val rxy = new Array[Double](2 * (m + 1))
+        var k = 0
+        while (k <= m) {
+          val src = (rot + k) % m
+          rxy(2 * k) = xy(2 * src); rxy(2 * k + 1) = xy(2 * src + 1)
+          k += 1
+        }
+        val cuts = (0 to m).filter(k => k == 0 || k == m ||
+          junctions.contains(keyOf(rxy(2 * k), rxy(2 * k + 1))))
+        val parts = cuts.sliding(2).map { w =>
+          val (idx, reversed) = openArc(rxy, w(0), w(1))
+          val simp = arcSimplified(idx)
+          if (!reversed) simp else {
+            val c = simp.length / 2
+            val r = new Array[Double](simp.length)
+            var i = 0
+            while (i < c) {
+              r(2 * i) = simp(2 * (c - 1 - i)); r(2 * i + 1) = simp(2 * (c - 1 - i) + 1)
+              i += 1
+            }
+            r
+          }
+        }.toIndexedSeq
+        // concatenate, dropping each arc's duplicated first point
+        val total = parts.map(_.length - 2).sum + 2
+        val out = new Array[Double](total)
+        out(0) = parts(0)(0); out(1) = parts(0)(1)
+        var pos = 2
+        parts.foreach { a =>
+          System.arraycopy(a, 2, out, pos, a.length - 2)
+          pos += a.length - 2
+        }
+        if (out.length >= 8) out else xy
+      }
+    }
+
+    def rebuild(g: Geometry): Geometry = g match {
+      case p: Polygon => Polygon(p.rings.map(rebuildRing))
+      case mp: MultiPolygon =>
+        MultiPolygon(mp.polys.map(p => Polygon(p.rings.map(rebuildRing))))
+      case gc: GeometryCollection => GeometryCollection(gc.geoms.map(rebuild))
+      case other => other
+    }
+    geoms.map(rebuild)
+  }
+}

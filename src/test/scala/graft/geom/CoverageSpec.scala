@@ -1,0 +1,89 @@
+package graft.geom
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class CoverageSpec extends AnyFunSuite {
+
+  private def poly(wkt: String): Polygon = Wkt.read(wkt).asInstanceOf[Polygon]
+  private def ringPts(p: Geometry): Seq[(Double, Double)] = {
+    val r = p.asInstanceOf[Polygon].rings(0)
+    (0 until r.length / 2).map(i => (r(2 * i), r(2 * i + 1)))
+  }
+
+  test("collinear midpoints drop; shared edge stays bit-identical") {
+    // two rects sharing x=4, extra collinear vertices on every edge
+    val a = poly("POLYGON ((0 0, 2 0, 4 0, 4 1.5, 4 3, 2 3, 0 3, 0 1.5, 0 0))")
+    val b = poly("POLYGON ((4 0, 6 0, 8 0, 8 1.5, 8 3, 6 3, 4 3, 4 1.5, 4 0))")
+    val out = Coverage.simplifyCoverage(IndexedSeq(a, b), 0.01)
+    assert(ringPts(out(0)).length == 5, ringPts(out(0)).toString)
+    assert(ringPts(out(1)).length == 5, ringPts(out(1)).toString)
+    assert(Measures.area(out(0)) == 12.0 && Measures.area(out(1)) == 12.0)
+    // shared edge coordinates agree exactly on both sides
+    val ea = ringPts(out(0)).filter(_._1 == 4.0).toSet
+    val eb = ringPts(out(1)).filter(_._1 == 4.0).toSet
+    assert(ea == Set((4.0, 0.0), (4.0, 3.0)) && ea == eb)
+  }
+
+  test("sub-tolerance zigzag on a shared edge straightens identically — no sliver") {
+    // shared boundary wiggles by 0.01 << tol; per-feature simplify would
+    // keep each side's own wiggle only if tolerances differed — here the
+    // single shared arc guarantees both sides get the SAME line
+    val a = poly("POLYGON ((0 0, 4 0, 4.01 1, 3.99 2, 4 3, 0 3, 0 0))")
+    val b = poly("POLYGON ((4 0, 8 0, 8 3, 4 3, 3.99 2, 4.01 1, 4 0))")
+    val out = Coverage.simplifyCoverage(IndexedSeq(a, b), 0.1)
+    val sa = ringPts(out(0)).toSet
+    val sb = ringPts(out(1)).toSet
+    assert(!sa.exists(p => p._1 == 4.01 || p._1 == 3.99), sa.toString)
+    assert(!sb.exists(p => p._1 == 4.01 || p._1 == 3.99), sb.toString)
+    // union area = sum of areas exactly when the seam matches
+    val total = Measures.area(out(0)) + Measures.area(out(1))
+    val union = Overlay.unionAll(IndexedSeq(out(0), out(1)))
+    assert(math.abs(Measures.area(union) - total) < 1e-9,
+      s"union ${Measures.area(union)} vs sum $total")
+  }
+
+  test("three-way junction is pinned; per-arc simplification stays local") {
+    // three boxes meeting at (2,2): junction must survive any tolerance
+    val a = poly("POLYGON ((0 0, 2 0, 2 1, 2 2, 0 2, 0 0))")
+    val b = poly("POLYGON ((2 0, 4 0, 4 2, 3 2, 2 2, 2 1, 2 0))")
+    val c = poly("POLYGON ((0 2, 2 2, 3 2, 4 2, 4 4, 0 4, 0 2))")
+    // huge tolerance: junctions still pin every meeting point (real
+    // corners may legitimately drop — DP semantics)
+    Coverage.simplifyCoverage(IndexedSeq(a, b, c), 10.0).foreach { g =>
+      assert(ringPts(g).contains((2.0, 2.0)), s"junction lost: ${ringPts(g)}")
+    }
+    // collinear-only tolerance: the shared-edge midpoints (2,1)/(3,2)
+    // drop, all corners and areas survive
+    val out = Coverage.simplifyCoverage(IndexedSeq(a, b, c), 0.01)
+    assert(Measures.area(out(0)) == 4.0)
+    assert(Measures.area(out(1)) == 4.0)
+    assert(Measures.area(out(2)) == 8.0)
+    assert(!ringPts(out(0)).contains((2.0, 1.0)))
+    assert(!ringPts(out(2)).contains((3.0, 2.0)))
+  }
+
+  test("junction-free island shell and lake hole share one closed arc") {
+    val lake = poly(
+      "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 5, 6 6, 4 6, 4 4))")
+    // island traverses the same ring in the OPPOSITE direction, different
+    // start vertex — canonicalization must still dedup to one arc
+    val island = poly("POLYGON ((6 5, 6 4, 4 4, 4 6, 6 6, 6 5))")
+    val out = Coverage.simplifyCoverage(IndexedSeq(lake, island), 0.01)
+    val hole = {
+      val r = out(0).asInstanceOf[Polygon].rings(1)
+      (0 until r.length / 2).map(i => (r(2 * i), r(2 * i + 1))).toSet
+    }
+    val shell = ringPts(out(1)).toSet
+    assert(hole == shell, s"hole $hole vs island $shell")
+    assert(hole == Set((4.0, 4.0), (6.0, 4.0), (6.0, 6.0), (4.0, 6.0)))
+    assert(Measures.area(out(1)) == 4.0)
+  }
+
+  test("non-polygonal members and tiny rings pass through") {
+    val ln = Wkt.read("LINESTRING (0 0, 1 1)")
+    val tri = poly("POLYGON ((0 0, 1 0, 0 1, 0 0))")
+    val out = Coverage.simplifyCoverage(IndexedSeq(ln, tri), 5.0)
+    assert(Wkt.write(out(0)) == "LINESTRING (0 0, 1 1)")
+    assert(Measures.area(out(1)) == 0.5) // triangle survives the guard
+  }
+}

@@ -3052,6 +3052,19 @@ object OracleSql {
              round(2.0 * w * h, 6) AS union_area
       FROM p ORDER BY s_suppkey""",
 
+    // coverage union: seam midpoint drops, 12 boundary vertices remain
+    // (13 coords closed), area 2wh, no holes
+    "g114_coverage_union" -> """
+      WITH p AS (SELECT s_suppkey,
+                   ((s_suppkey % 5) + 2)::DOUBLE AS w,
+                   ((s_suppkey % 7) + 3)::DOUBLE AS h
+                 FROM supplier)
+      SELECT s_suppkey,
+             round(2.0 * w * h, 6) AS union_area,
+             13::BIGINT AS npts,
+             0::BIGINT AS nholes
+      FROM p ORDER BY s_suppkey""",
+
     // zipped g43 trio through the .zip dispatch — identical rows
     "g112_zip_readfile" -> """
       SELECT s_suppkey, s_name, s_acctbal AS x,

@@ -1511,6 +1511,38 @@ object SparkEntry {
         .orderBy(col("s_suppkey"))
     }),
 
+    // COVERAGE UNION (PostGIS ST_CoverageUnion surface): dissolve the g113
+    // two-rect coverage by dropping the interior seam and stitching the
+    // boundary — O(vertices), no overlay. Closed forms: area 2wh, the
+    // seam midpoint (w, h/2) vanishes while all 12 boundary vertices
+    // survive (13 coords closed), zero holes
+    "g114_coverage_union" -> ((s, d) => {
+      val base = t(s, d, "supplier")
+        .withColumn("w", ((col("s_suppkey") % 5) + 2).cast("double"))
+        .withColumn("h", ((col("s_suppkey") % 7) + 3).cast("double"))
+      def rectWkt(x0: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+        val w = col("w"); val h = col("h")
+        concat(
+          lit("POLYGON (("),
+          x0, lit(" 0, "), x0 + w / 2.0, lit(" 0, "), x0 + w, lit(" 0, "),
+          x0 + w, lit(" "), h / 2.0, lit(", "), x0 + w, lit(" "), h, lit(", "),
+          x0 + w / 2.0, lit(" "), h, lit(", "), x0, lit(" "), h, lit(", "),
+          x0, lit(" "), h / 2.0, lit(", "), x0, lit(" 0))"))
+      }
+      val parts = base.select(col("s_suppkey"), col("w"), col("h"))
+        .withColumn("part", explode(array(lit("A"), lit("B"))))
+        .withColumn("geometry", st_geomFromWKT(
+          when(col("part") === "A", rectWkt(lit(0.0)))
+            .otherwise(rectWkt(col("w")))))
+      graft.api.GeoDataFrame(parts, "geometry")
+        .coverageUnion(by = Seq("s_suppkey")).df
+        .select(col("s_suppkey"),
+          round(st_area(col("geometry")), 6).as("union_area"),
+          st_numPoints(col("geometry")).as("npts"),
+          st_numInteriorRings(col("geometry")).as("nholes"))
+        .orderBy(col("s_suppkey"))
+    }),
+
     // zipped-dataset read (geopandas read_file("data.zip") parity via
     // GDAL /vsizip in the reference): the g43 trio zipped under a nested
     // folder prefix, extracted once into the content-addressed scratch

@@ -403,6 +403,36 @@ final case class GeoDataFrame(
     withCrsOf(GeoDataFrame(df.sparkSession.createDataFrame(out, schema), geometryColumn))
   }
 
+  /** Coverage union (the PostGIS `ST_CoverageUnion` surface): dissolve an
+    * edge-matched coverage by dropping interior boundaries — O(vertices),
+    * no intersection tests — instead of the general overlay union that
+    * [[dissolve]] runs. One output row per `by` key (one overall with
+    * `by = Nil`); each coverage window is one task, like
+    * [[coverageSimplify]]. Requires a VALID coverage (edge-matched,
+    * non-overlapping) — like GEOS's CoverageUnion this does NOT validate;
+    * overlapping or vertex-mismatched input yields a wrong union (use
+    * [[dissolve]] when validity is unknown). Stitching still throws on
+    * boundaries that cannot close at all.
+    */
+  def coverageUnion(by: Seq[String] = Nil): GeoDataFrame = {
+    val schema = df.schema
+    val geomIdx = schema.fieldIndex(geometryColumn)
+    val keyIdxs = by.map(schema.fieldIndex).toArray
+    val outSchema = org.apache.spark.sql.types.StructType(
+      by.map(schema(_)) :+ schema(geometryColumn))
+    val out = df.rdd
+      .groupBy(r => keyIdxs.map(i => r.get(i)).toSeq)
+      .map { case (key, rows) =>
+        val geoms = rows.flatMap { r =>
+          Option(r.get(geomIdx).asInstanceOf[Array[Byte]]).map(Wkb.read)
+        }.toIndexedSeq
+        val u = graft.geom.Coverage.unionCoverage(geoms)
+        org.apache.spark.sql.Row.fromSeq(key :+ Wkb.write(u))
+      }
+    withCrsOf(GeoDataFrame(
+      df.sparkSession.createDataFrame(out, outSchema), geometryColumn))
+  }
+
   // ------------------------------------------------------------ aggregates
   /** Geometric union of everything (reference union_all `expr.py:287-299`). */
   def unionAll(): Geometry = {

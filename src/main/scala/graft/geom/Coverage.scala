@@ -205,4 +205,163 @@ object Coverage {
     }
     geoms.map(rebuild)
   }
+
+  /** Coverage union (the PostGIS `ST_CoverageUnion` surface): dissolve an
+    * edge-matched coverage by DROPPING interior boundaries instead of
+    * running the general overlay — every edge segment used by two ring
+    * traversals is interior, the remaining segments stitch into the union
+    * rings. O(total vertices), no intersection tests: the fast dissolve
+    * path for admin/tile coverages where general `unionAll` would pay the
+    * full overlay machinery. Like GEOS's CoverageUnion, validity is the
+    * caller's contract — overlapping or seam-mismatched input produces a
+    * wrong union silently (GEOS ships a separate validator for that);
+    * boundaries that cannot close at all still throw.
+    */
+  def unionCoverage(geoms: Seq[Geometry]): Geometry = {
+    // directed-edge multiset: an interior edge appears once per side
+    // (opposite directions for consistently-wound neighbors; same
+    // direction happens with mixed winding — count UNDIRECTED uses)
+    val edgeCount = mutable.HashMap.empty[(PtKey, PtKey), Int]
+    def edgeKey(a: PtKey, b: PtKey): (PtKey, PtKey) = {
+      val ord = implicitly[Ordering[PtKey]]
+      if (ord.lteq(a, b)) (a, b) else (b, a)
+    }
+    def ringsOf(g: Geometry): Seq[Array[Double]] = g match {
+      case p: Polygon => p.rings.toSeq
+      case m: MultiPolygon => m.polys.toSeq.flatMap(_.rings)
+      case gc: GeometryCollection => gc.geoms.toSeq.flatMap(ringsOf)
+      case _ => Nil
+    }
+    val rings = geoms.flatMap(ringsOf)
+    rings.foreach { xy =>
+      val n = xy.length / 2
+      var i = 0
+      while (i < n - 1) {
+        val a = keyOf(xy(2 * i), xy(2 * i + 1))
+        val b = keyOf(xy(2 * i + 2), xy(2 * i + 3))
+        if (a != b) {
+          val k = edgeKey(a, b)
+          edgeCount(k) = edgeCount.getOrElse(k, 0) + 1
+        }
+        i += 1
+      }
+    }
+    // keep each ring's boundary runs in ORIGINAL direction; stitch runs
+    // whose endpoints meet into closed rings
+    val coordOf = mutable.HashMap.empty[PtKey, (Double, Double)]
+    val runs = mutable.ArrayBuffer.empty[mutable.ArrayBuffer[PtKey]]
+    rings.foreach { xy =>
+      val n = xy.length / 2
+      var cur: mutable.ArrayBuffer[PtKey] = null
+      var i = 0
+      while (i < n - 1) {
+        val a = keyOf(xy(2 * i), xy(2 * i + 1))
+        val b = keyOf(xy(2 * i + 2), xy(2 * i + 3))
+        coordOf(a) = (xy(2 * i), xy(2 * i + 1))
+        coordOf(b) = (xy(2 * i + 2), xy(2 * i + 3))
+        if (a != b && edgeCount(edgeKey(a, b)) == 1) {
+          if (cur == null) { cur = mutable.ArrayBuffer(a, b); runs += cur }
+          else cur += b
+        } else cur = null
+        i += 1
+      }
+    }
+    if (runs.isEmpty) return GeometryCollection(Array.empty)
+    // stitch: map start-key -> run, follow ends to starts
+    val byStart = mutable.HashMap.empty[PtKey, mutable.ArrayBuffer[Int]]
+    runs.zipWithIndex.foreach { case (r, i) =>
+      byStart.getOrElseUpdate(r.head, mutable.ArrayBuffer.empty) += i
+    }
+    val used = new Array[Boolean](runs.length)
+    val outRings = mutable.ArrayBuffer.empty[Array[Double]]
+    var ri = 0
+    while (ri < runs.length) {
+      if (!used(ri)) {
+        val path = mutable.ArrayBuffer.empty[PtKey]
+        path ++= runs(ri); used(ri) = true
+        var guard = runs.length + 1
+        while (path.head != path.last && guard > 0) {
+          val nexts = byStart.getOrElse(path.last, mutable.ArrayBuffer.empty)
+            .filter(j => !used(j))
+          require(nexts.nonEmpty,
+            "coverageUnion: boundary does not close — input is not a valid " +
+              "edge-matched coverage (overlaps or vertex mismatches)")
+          val j = nexts.head // valid coverages have exactly one continuation
+          used(j) = true
+          path ++= runs(j).drop(1)
+          guard -= 1
+        }
+        require(path.head == path.last,
+          "coverageUnion: unclosed boundary ring — invalid coverage")
+        val xy = new Array[Double](2 * path.length)
+        var k = 0
+        path.foreach { p =>
+          val (x, y) = coordOf(p); xy(2 * k) = x; xy(2 * k + 1) = y; k += 1
+        }
+        if (path.length >= 4) outRings += xy
+      }
+      ri += 1
+    }
+    // classify shells vs holes by even-odd nesting depth, assign each hole
+    // to its immediate parent shell
+    def signedArea(xy: Array[Double]): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < xy.length - 2) {
+        s += xy(i) * xy(i + 3) - xy(i + 2) * xy(i + 1)
+        i += 2
+      }
+      s / 2.0
+    }
+    def inRing(px: Double, py: Double, xy: Array[Double]): Boolean = {
+      var in = false
+      var i = 0
+      val n = xy.length / 2
+      var j = n - 1
+      var ii = 0
+      while (ii < n) {
+        val xi = xy(2 * ii); val yi = xy(2 * ii + 1)
+        val xj = xy(2 * j); val yj = xy(2 * j + 1)
+        if (((yi > py) != (yj > py)) &&
+          (px < (xj - xi) * (py - yi) / (yj - yi) + xi)) in = !in
+        j = ii; ii += 1
+        i += 1
+      }
+      in
+    }
+    val ringSeq = outRings.toIndexedSeq
+    val depth = ringSeq.indices.map { i =>
+      val xy = ringSeq(i)
+      // a vertex of i strictly inside ring j (vertices ON j's boundary
+      // would be shared junctions — probe the edge midpoint instead)
+      val px = (xy(0) + xy(2)) / 2.0; val py = (xy(1) + xy(3)) / 2.0
+      ringSeq.indices.count(j => j != i && inRing(px, py, ringSeq(j)))
+    }
+    val shells = ringSeq.indices.filter(i => depth(i) % 2 == 0)
+    val polys = shells.map { si =>
+      val holes = ringSeq.indices.filter { hi =>
+        depth(hi) == depth(si) + 1 && {
+          val xy = ringSeq(hi)
+          val px = (xy(0) + xy(2)) / 2.0; val py = (xy(1) + xy(3)) / 2.0
+          inRing(px, py, ringSeq(si))
+        }
+      }
+      // normalize winding: shell CCW, holes CW (the kernel convention)
+      def oriented(xy: Array[Double], ccw: Boolean): Array[Double] =
+        if ((signedArea(xy) > 0) == ccw) xy
+        else {
+          val n = xy.length / 2
+          val r = new Array[Double](xy.length)
+          var i = 0
+          while (i < n) {
+            r(2 * i) = xy(2 * (n - 1 - i)); r(2 * i + 1) = xy(2 * (n - 1 - i) + 1)
+            i += 1
+          }
+          r
+        }
+      Polygon((Array(oriented(ringSeq(si), ccw = true)) ++
+        holes.map(h => oriented(ringSeq(h), ccw = false))).toArray)
+    }
+    if (polys.length == 1) polys(0) else MultiPolygon(polys.toArray)
+  }
 }

@@ -79,6 +79,47 @@ class CoverageSpec extends AnyFunSuite {
     assert(Measures.area(out(1)) == 4.0)
   }
 
+  test("unionCoverage: interior seam drops, outer boundary stitches") {
+    val a = poly("POLYGON ((0 0, 2 0, 4 0, 4 1.5, 4 3, 2 3, 0 3, 0 1.5, 0 0))")
+    val b = poly("POLYGON ((4 0, 6 0, 8 0, 8 1.5, 8 3, 6 3, 4 3, 4 1.5, 4 0))")
+    val u = Coverage.unionCoverage(Seq(a, b))
+    assert(u.isInstanceOf[Polygon], u.getClass.toString)
+    assert(Measures.area(u) == 24.0)
+    val pts = ringPts(u).toSet
+    // interior midpoint of the seam is gone; corners of the union remain
+    assert(!pts.contains((4.0, 1.5)), pts.toString)
+    assert(Set((0.0, 0.0), (8.0, 0.0), (8.0, 3.0), (0.0, 3.0)).subsetOf(pts))
+  }
+
+  test("unionCoverage: island fills its lake hole; separate parts stay multi") {
+    val lake = poly(
+      "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))")
+    val island = poly("POLYGON ((4 4, 6 4, 6 6, 4 6, 4 4))")
+    val u1 = Coverage.unionCoverage(Seq(lake, island))
+    assert(Measures.area(u1) == 100.0, Measures.area(u1).toString)
+    assert(u1.asInstanceOf[Polygon].rings.length == 1, "hole filled")
+
+    // lake alone + a detached square → MultiPolygon, hole preserved
+    val far = poly("POLYGON ((20 0, 22 0, 22 2, 20 2, 20 0))")
+    val u2 = Coverage.unionCoverage(Seq(lake, far))
+    assert(u2.isInstanceOf[MultiPolygon], u2.getClass.toString)
+    assert(math.abs(Measures.area(u2) - (96.0 + 4.0)) < 1e-12)
+    val ringCounts = u2.asInstanceOf[MultiPolygon].polys.map(_.rings.length).sorted
+    assert(ringCounts.toSeq == Seq(1, 2), ringCounts.mkString(","))
+  }
+
+  test("unionCoverage: grid of rects equals the general overlay union") {
+    val cells = for (i <- 0 until 4; j <- 0 until 3) yield poly(
+      s"POLYGON ((${i} ${j}, ${i + 1} ${j}, ${i + 1} ${j + 1}, ${i} ${j + 1}, ${i} ${j}))")
+    val u = Coverage.unionCoverage(cells)
+    assert(Measures.area(u) == 12.0)
+    assert(u.isInstanceOf[Polygon] && u.asInstanceOf[Polygon].rings.length == 1)
+    // contract check on a valid coverage: union area == sum of parts, and
+    // the grid result matches the general overlay union exactly
+    val viaOverlay = Overlay.unionAll(cells.toIndexedSeq)
+    assert(math.abs(Measures.area(viaOverlay) - Measures.area(u)) < 1e-12)
+  }
+
   test("non-polygonal members and tiny rings pass through") {
     val ln = Wkt.read("LINESTRING (0 0, 1 1)")
     val tri = poly("POLYGON ((0 0, 1 0, 0 1, 0 0))")

@@ -120,6 +120,53 @@ class CoverageSpec extends AnyFunSuite {
     assert(math.abs(Measures.area(viaOverlay) - Measures.area(u)) < 1e-12)
   }
 
+  test("fuzz: random subdivided grids — simplify keeps the seam exact, union matches overlay") {
+    val rnd = new scala.util.Random(1234)
+    for (trial <- 0 until 20) {
+      val nx = 2 + rnd.nextInt(3); val ny = 2 + rnd.nextInt(3)
+      // per-cell rings with randomly subdivided edges: neighbors must
+      // subdivide the SHARED edge identically for a valid coverage, so
+      // the split points are a function of the edge, not the cell
+      def splits(a: Double, b: Double, seed: Long): Seq[Double] = {
+        val r2 = new scala.util.Random(seed)
+        val k = r2.nextInt(3)
+        val ts = Seq.fill(k)(0.1 + 0.8 * r2.nextDouble()).sorted
+        ts.map(t => a + (b - a) * t)
+      }
+      def edgeSeed(x0: Double, y0: Double, x1: Double, y1: Double): Long =
+        java.util.Objects.hash(trial: Integer, x0: java.lang.Double,
+          y0: java.lang.Double, x1: java.lang.Double, y1: java.lang.Double).toLong
+      def edgePts(x0: Double, y0: Double, x1: Double, y1: Double): Seq[(Double, Double)] = {
+        val s = edgeSeed(math.min(x0, x1), math.min(y0, y1),
+          math.max(x0, x1), math.max(y0, y1))
+        val mids =
+          if (y0 == y1) splits(math.min(x0, x1), math.max(x0, x1), s).map(x => (x, y0))
+          else splits(math.min(y0, y1), math.max(y0, y1), s).map(y => (x0, y))
+        val ordered = if (x0 < x1 || y0 < y1) mids else mids.reverse
+        (x0, y0) +: ordered
+      }
+      val cells = for (i <- 0 until nx; j <- 0 until ny) yield {
+        val (x0, y0, x1, y1) = (i.toDouble, j.toDouble, i + 1.0, j + 1.0)
+        val pts = edgePts(x0, y0, x1, y0) ++ edgePts(x1, y0, x1, y1) ++
+          edgePts(x1, y1, x0, y1) ++ edgePts(x0, y1, x0, y0) :+ ((x0, y0))
+        val xy = pts.flatMap(p => Seq(p._1, p._2)).toArray
+        Polygon(Array(xy))
+      }
+      // simplify: all collinear split points drop, every cell back to a
+      // unit square; total area invariant
+      val simp = Coverage.simplifyCoverage(cells.toIndexedSeq, 0.01)
+      simp.foreach { g =>
+        assert(math.abs(Measures.area(g) - 1.0) < 1e-12, s"trial $trial")
+        assert(ringPts(g).length == 5, s"trial $trial: ${ringPts(g)}")
+      }
+      // union before simplify == overlay union == nx*ny
+      val u = Coverage.unionCoverage(cells)
+      assert(math.abs(Measures.area(u) - nx * ny) < 1e-12, s"trial $trial")
+      val u2 = Coverage.unionCoverage(simp.toSeq)
+      assert(math.abs(Measures.area(u2) - nx * ny) < 1e-12, s"trial $trial")
+    }
+  }
+
   test("non-polygonal members and tiny rings pass through") {
     val ln = Wkt.read("LINESTRING (0 0, 1 1)")
     val tri = poly("POLYGON ((0 0, 1 0, 0 1, 0 0))")

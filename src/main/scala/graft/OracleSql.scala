@@ -3038,6 +3038,17 @@ object OracleSql {
              (s_suppkey % 100)::DOUBLE * 10.0 AS y
       FROM supplier ORDER BY s_suppkey""",
 
+    // stream-static sjoin: boundary-inclusive containment mirror of the
+    // grid-bucketed streaming join (st_intersects of envelope and point)
+    "g115_stream_sjoin" -> s"""
+      WITH c AS ($custPts),
+      s AS (SELECT s_suppkey, s_acctbal AS x0,
+              (s_suppkey % 100)::DOUBLE * 10.0 AS y0 FROM supplier)
+      SELECT s_suppkey, count(*) AS n_pts, sum(c_custkey)::BIGINT AS sum_key
+      FROM s JOIN c ON cx >= x0 AND cx <= x0 + 50.0
+                   AND cy >= y0 AND cy <= y0 + 40.0
+      GROUP BY s_suppkey ORDER BY s_suppkey""",
+
     // coverage simplify: collinear midpoints drop, corners/junctions
     // survive → per-rect 5 points, per-rect area w*h, union 2*w*h (the
     // seam matches exactly, so union = sum)

@@ -1475,6 +1475,34 @@ object SparkEntry {
         .orderBy(col("s_suppkey"))
     }),
 
+    // STREAMING stream-static spatial join END-TO-END (the t51/t54-style
+    // oracle contract extended to the geo streaming surface): customer
+    // points arrive as a file stream, join supplier envelopes through the
+    // grid-bucketed broadcast equi-join (stateless, append-safe), and the
+    // per-supplier counts are locked against a plain containment-join
+    // mirror in DuckDB — boundary-inclusive like st_intersects
+    "g115_stream_sjoin" -> ((s, d) => {
+      graft.sql.functions.install(s)
+      val raw = s.read.parquet(s"$d/customer.parquet")
+      val sink = "g115_sink_" + streamSinkId.incrementAndGet()
+      val stream = s.readStream.schema(raw.schema)
+        .parquet(streamDirFor(s"$d/customer.parquet"))
+        .withColumn("cx", col("c_acctbal"))
+        .withColumn("cy", (col("c_custkey") % 1000).cast("double"))
+      val static = supplierPts(s, d)
+        .withColumn("geometry", st_makeEnvelope(col("x0"), col("y0"),
+          col("x0") + 50.0, col("y0") + 40.0))
+        .select(col("s_suppkey"), col("geometry"))
+      val joined = graft.streaming.GeoStreaming.streamStaticSjoin(
+        stream, "cx", "cy", static, "geometry", cellSize = 100.0)
+      val q = joined.groupBy(col("s_suppkey"))
+        .agg(count(lit(1)).as("n_pts"), sum(col("c_custkey")).as("sum_key"))
+        .writeStream.outputMode("complete").format("memory").queryName(sink)
+        .start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      s.table(sink).orderBy(col("s_suppkey"))
+    }),
+
     // COVERAGE SIMPLIFICATION (PostGIS 3.4 ST_CoverageSimplify surface):
     // per supplier, two rectangles share the x=w edge with collinear
     // midpoints on EVERY edge; coverageSimplify(by=s_suppkey) cuts rings

@@ -218,70 +218,84 @@ object Coverage {
     * boundaries that cannot close at all still throw.
     */
   def unionCoverage(geoms: Seq[Geometry]): Geometry = {
-    // directed-edge multiset: an interior edge appears once per side
-    // (opposite directions for consistently-wound neighbors; same
-    // direction happens with mixed winding — count UNDIRECTED uses)
-    val edgeCount = mutable.HashMap.empty[(PtKey, PtKey), Int]
-    def edgeKey(a: PtKey, b: PtKey): (PtKey, PtKey) = {
-      val ord = implicitly[Ordering[PtKey]]
-      if (ord.lteq(a, b)) (a, b) else (b, a)
-    }
+    // vertices intern to dense int ids once; every hot structure after
+    // that is primitive (LongMap / int arrays), keeping the stitch at
+    // true O(vertices) without tuple boxing
+    val vertIdx = mutable.HashMap.empty[PtKey, Int]
+    val vx = mutable.ArrayBuffer.empty[Double]
+    val vy = mutable.ArrayBuffer.empty[Double]
+    def vid(x: Double, y: Double): Int =
+      vertIdx.getOrElseUpdate(keyOf(x, y), { vx += x; vy += y; vx.length - 1 })
     def ringsOf(g: Geometry): Seq[Array[Double]] = g match {
       case p: Polygon => p.rings.toSeq
       case m: MultiPolygon => m.polys.toSeq.flatMap(_.rings)
       case gc: GeometryCollection => gc.geoms.toSeq.flatMap(ringsOf)
       case _ => Nil
     }
-    val rings = geoms.flatMap(ringsOf)
-    rings.foreach { xy =>
+    // intern each ring to id sequences (consecutive duplicates dropped)
+    val idRings = geoms.flatMap(ringsOf).map { xy =>
       val n = xy.length / 2
+      val ids = new Array[Int](n)
+      var m = 0
       var i = 0
-      while (i < n - 1) {
-        val a = keyOf(xy(2 * i), xy(2 * i + 1))
-        val b = keyOf(xy(2 * i + 2), xy(2 * i + 3))
-        if (a != b) {
-          val k = edgeKey(a, b)
-          edgeCount(k) = edgeCount.getOrElse(k, 0) + 1
-        }
+      while (i < n) {
+        val id = vid(xy(2 * i), xy(2 * i + 1))
+        if (m == 0 || ids(m - 1) != id) { ids(m) = id; m += 1 }
+        i += 1
+      }
+      java.util.Arrays.copyOf(ids, m)
+    }
+    // undirected edge multiset: an interior edge appears once per side.
+    // Keys are splitmix64-mixed (a BIJECTION — no collisions) because
+    // scala LongMap's open addressing degrades catastrophically on the
+    // clustered sequential keys that dense vertex ids produce (measured:
+    // 2.4 s for 90k raw-key updates vs ~5 ms mixed).
+    @inline def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    @inline def pack(a: Int, b: Int): Long = mix(
+      if (a < b) (a.toLong << 32) | (b.toLong & 0xffffffffL)
+      else (b.toLong << 32) | (a.toLong & 0xffffffffL))
+    val edgeCount = mutable.LongMap.empty[Int]
+    idRings.foreach { ids =>
+      var i = 0
+      while (i < ids.length - 1) {
+        val k = pack(ids(i), ids(i + 1))
+        edgeCount(k) = edgeCount.getOrElse(k, 0) + 1
         i += 1
       }
     }
-    // keep each ring's boundary runs in ORIGINAL direction; stitch runs
-    // whose endpoints meet into closed rings
-    val coordOf = mutable.HashMap.empty[PtKey, (Double, Double)]
-    val runs = mutable.ArrayBuffer.empty[mutable.ArrayBuffer[PtKey]]
-    rings.foreach { xy =>
-      val n = xy.length / 2
-      var cur: mutable.ArrayBuffer[PtKey] = null
+    // boundary runs in ORIGINAL direction; stitch runs end-to-start
+    val runs = mutable.ArrayBuffer.empty[mutable.ArrayBuffer[Int]]
+    idRings.foreach { ids =>
+      var cur: mutable.ArrayBuffer[Int] = null
       var i = 0
-      while (i < n - 1) {
-        val a = keyOf(xy(2 * i), xy(2 * i + 1))
-        val b = keyOf(xy(2 * i + 2), xy(2 * i + 3))
-        coordOf(a) = (xy(2 * i), xy(2 * i + 1))
-        coordOf(b) = (xy(2 * i + 2), xy(2 * i + 3))
-        if (a != b && edgeCount(edgeKey(a, b)) == 1) {
-          if (cur == null) { cur = mutable.ArrayBuffer(a, b); runs += cur }
-          else cur += b
+      while (i < ids.length - 1) {
+        if (edgeCount(pack(ids(i), ids(i + 1))) == 1) {
+          if (cur == null) { cur = mutable.ArrayBuffer(ids(i), ids(i + 1)); runs += cur }
+          else cur += ids(i + 1)
         } else cur = null
         i += 1
       }
     }
     if (runs.isEmpty) return GeometryCollection(Array.empty)
-    // stitch: map start-key -> run, follow ends to starts
-    val byStart = mutable.HashMap.empty[PtKey, mutable.ArrayBuffer[Int]]
+    val byStart = mutable.LongMap.empty[mutable.ArrayBuffer[Int]]
     runs.zipWithIndex.foreach { case (r, i) =>
-      byStart.getOrElseUpdate(r.head, mutable.ArrayBuffer.empty) += i
+      byStart.getOrElseUpdate(mix(r.head.toLong), mutable.ArrayBuffer.empty) += i
     }
     val used = new Array[Boolean](runs.length)
     val outRings = mutable.ArrayBuffer.empty[Array[Double]]
     var ri = 0
     while (ri < runs.length) {
       if (!used(ri)) {
-        val path = mutable.ArrayBuffer.empty[PtKey]
+        val path = mutable.ArrayBuffer.empty[Int]
         path ++= runs(ri); used(ri) = true
         var guard = runs.length + 1
         while (path.head != path.last && guard > 0) {
-          val nexts = byStart.getOrElse(path.last, mutable.ArrayBuffer.empty)
+          val nexts = byStart.getOrElse(mix(path.last.toLong), mutable.ArrayBuffer.empty)
             .filter(j => !used(j))
           require(nexts.nonEmpty,
             "coverageUnion: boundary does not close — input is not a valid " +
@@ -296,7 +310,7 @@ object Coverage {
         val xy = new Array[Double](2 * path.length)
         var k = 0
         path.foreach { p =>
-          val (x, y) = coordOf(p); xy(2 * k) = x; xy(2 * k + 1) = y; k += 1
+          xy(2 * k) = vx(p); xy(2 * k + 1) = vy(p); k += 1
         }
         if (path.length >= 4) outRings += xy
       }

@@ -205,9 +205,13 @@ object GmlIO {
 
   /** Cursor ON a non-geometry child element. Captures its text content, the
     * geometry nested anywhere inside it, and nested complex-property leaves.
-    * Returns with the cursor on its END_ELEMENT.
+    * Returns with the cursor on its END_ELEMENT. Recursion is capped at 128
+    * levels — app schemas nest a handful deep; a pathological document must
+    * not be able to overflow the task stack.
     */
-  private def readProperty(r: XMLStreamReader, forced: Option[Boolean]): PropContent = {
+  private def readProperty(r: XMLStreamReader, forced: Option[Boolean],
+      level: Int = 0): PropContent = {
+    require(level < 128, "gml: property nesting deeper than 128 levels")
     val text = new StringBuilder
     var geom: Geometry = null
     val nested = mutable.ArrayBuffer.empty[(String, String)]
@@ -218,7 +222,7 @@ object GmlIO {
           r.getLocalName match {
             case g if GeomNames(g) && geom == null => geom = readGeometry(r, g, forced)
             case child =>
-              val inner = readProperty(r, forced)
+              val inner = readProperty(r, forced, level + 1)
               if (inner.geom != null && geom == null) geom = inner.geom
               if (inner.text != null) nested += child -> inner.text
               inner.nested.foreach { case (k, v) => nested += s"$child.$k" -> v }

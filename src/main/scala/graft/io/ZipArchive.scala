@@ -52,6 +52,11 @@ object ZipArchive {
     val tmp = new Path(scratch,
       s"graft_zip_$key.inprogress_${java.util.UUID.randomUUID().toString.take(8)}")
     ofs.mkdirs(tmp)
+    // zip-bomb guard: a small archive must not be able to fill the
+    // scratch volume; override for legitimately huge datasets
+    val maxBytes = spark.conf.getOption("spark.graft.zip.maxBytes")
+      .map(_.toLong).getOrElse(64L << 30)
+    var written = 0L
     val seen = scala.collection.mutable.Set.empty[String]
     val zin = new java.util.zip.ZipInputStream(
       new java.io.BufferedInputStream(fs.open(p), 1 << 20))
@@ -68,7 +73,12 @@ object ZipArchive {
             try {
               val buf = new Array[Byte](1 << 16)
               var n = zin.read(buf)
-              while (n >= 0) { out.write(buf, 0, n); n = zin.read(buf) }
+              while (n >= 0) {
+                written += n
+                require(written <= maxBytes,
+                  s"zip: extraction exceeds spark.graft.zip.maxBytes=$maxBytes in $path")
+                out.write(buf, 0, n); n = zin.read(buf)
+              }
             } finally out.close()
             any = true
           }

@@ -34,15 +34,23 @@ object SparkEntry {
 
   // FileStreamSource requires a DIRECTORY; the testdata tables are single
   // parquet files, so the streaming contract queries stream a temp dir
-  // holding one symlink to the source file (no data copy)
-  private def streamDirFor(parquetFile: String): String = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_stream_")
-    java.nio.file.Files.createSymbolicLink(
-      dir.resolve("part-00000.parquet"),
-      java.nio.file.Paths.get(parquetFile).toAbsolutePath)
-    dir.toFile.deleteOnExit()
-    dir.toAbsolutePath.toString
-  }
+  // holding one symlink to the source file (no data copy). Cached per
+  // source file: bench runs each streaming query many times per session
+  // (warmup + iterations + retries) and deleteOnExit cannot remove a
+  // non-empty dir — without the cache every construction leaked one
+  // /tmp/graft_stream_* directory permanently.
+  private val streamDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def streamDirFor(parquetFile: String): String =
+    streamDirCache.computeIfAbsent(parquetFile, { f =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_stream_")
+      val link = dir.resolve("part-00000.parquet")
+      java.nio.file.Files.createSymbolicLink(
+        link, java.nio.file.Paths.get(f).toAbsolutePath)
+      link.toFile.deleteOnExit() // children first: exit-time deletes are LIFO
+      dir.toFile.deleteOnExit()
+      dir.toAbsolutePath.toString
+    })
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     graft.sql.functions.install(spark)

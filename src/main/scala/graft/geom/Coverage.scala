@@ -70,6 +70,11 @@ object Coverage {
     // direction, so an island shell and the lake hole around it share one
     // closed arc.
     val arcSimplified = mutable.ArrayBuffer.empty[Array[Double]]
+    val arcOriginal = mutable.ArrayBuffer.empty[Array[Double]]
+    // arcs whose simplification would collapse some ring below a valid
+    // polygon: REVERTED on every ring that shares them (both sides of the
+    // seam stay bit-identical — the whole point of the coverage contract)
+    val reverted = mutable.HashSet.empty[Int]
     val arcIndex = mutable.HashMap.empty[String, Int]
     def seqKey(xy: Array[Double], from: Int, to: Int, rev: Boolean): String = {
       val sb = new StringBuilder
@@ -95,8 +100,9 @@ object Coverage {
           arcIndex.get(rk) match {
             case Some(i) => (i, true)
             case None =>
-              val simp = Constructive.simplifyLineXy(sliceXy(xy, from, to), tol)
-              arcSimplified += simp
+              val orig = sliceXy(xy, from, to)
+              arcSimplified += Constructive.simplifyLineXy(orig, tol)
+              arcOriginal += orig
               arcIndex(fk) = arcSimplified.length - 1
               (arcSimplified.length - 1, false)
           }
@@ -130,22 +136,26 @@ object Coverage {
       arcIndex.get(fk) match {
         case Some(idx) => (idx, reversed)
         case None =>
-          val simp = Constructive.simplifyRingXy(canon, tol)
-          arcSimplified += simp
+          arcSimplified += Constructive.simplifyRingXy(canon, tol)
+          arcOriginal += canon
           arcIndex(fk) = arcSimplified.length - 1
           (arcSimplified.length - 1, reversed)
       }
     }
+    def arcCoords(idx: Int): Array[Double] =
+      if (reverted(idx)) arcOriginal(idx) else arcSimplified(idx)
 
-    // ---- pass 3: rebuild each ring from its (simplified) arcs
-    def rebuildRing(xy: Array[Double]): Array[Double] = {
+    // ---- pass 3: rebuild each ring from its (simplified) arcs; returns
+    // the rebuilt coordinates AND the arc ids it consumed so the caller
+    // can revert those arcs when the ring collapses
+    def rebuildRing(xy: Array[Double]): (Array[Double], Seq[Int]) = {
       val n = xy.length / 2
-      if (n < 4) return xy
+      if (n < 4) return (xy, Nil)
       val m = n - 1
       val js = (0 until m).filter(i => junctions.contains(keyOf(xy(2 * i), xy(2 * i + 1))))
       if (js.isEmpty) {
         val (idx, reversed) = closedArc(xy)
-        val simp = arcSimplified(idx)
+        val simp = arcCoords(idx)
         val out = if (!reversed) simp else {
           val c = simp.length / 2
           val r = new Array[Double](simp.length)
@@ -156,7 +166,7 @@ object Coverage {
           }
           r
         }
-        if (out.length >= 8) out else xy // degenerate guard: keep original
+        (out, Seq(idx))
       } else {
         // rotate to the first junction, then cut at every junction
         val rot = js.head
@@ -169,9 +179,11 @@ object Coverage {
         }
         val cuts = (0 to m).filter(k => k == 0 || k == m ||
           junctions.contains(keyOf(rxy(2 * k), rxy(2 * k + 1))))
+        val arcIds = mutable.ArrayBuffer.empty[Int]
         val parts = cuts.sliding(2).map { w =>
           val (idx, reversed) = openArc(rxy, w(0), w(1))
-          val simp = arcSimplified(idx)
+          arcIds += idx
+          val simp = arcCoords(idx)
           if (!reversed) simp else {
             val c = simp.length / 2
             val r = new Array[Double](simp.length)
@@ -192,18 +204,39 @@ object Coverage {
           System.arraycopy(a, 2, out, pos, a.length - 2)
           pos += a.length - 2
         }
-        if (out.length >= 8) out else xy
+        (out, arcIds.toSeq)
       }
     }
 
-    def rebuild(g: Geometry): Geometry = g match {
-      case p: Polygon => Polygon(p.rings.map(rebuildRing))
-      case mp: MultiPolygon =>
-        MultiPolygon(mp.polys.map(p => Polygon(p.rings.map(rebuildRing))))
-      case gc: GeometryCollection => GeometryCollection(gc.geoms.map(rebuild))
-      case other => other
+    // a collapsed rebuild (< 4 points) must not revert just ITS ring —
+    // that would tear the seam against neighbors still using the
+    // simplified arcs. Instead the offending ring's ARCS are reverted and
+    // everything is rebuilt, so both sides of every seam keep choosing
+    // the same coordinates. Terminates: the reverted set only grows, and
+    // with all of a ring's arcs reverted the rebuild reproduces the
+    // original ring (>= 4 points).
+    var marked = true
+    var result: IndexedSeq[Geometry] = null
+    while (marked) {
+      marked = false
+      def ring(xy: Array[Double]): Array[Double] = {
+        val (out, arcs) = rebuildRing(xy)
+        if (out.length < 8) {
+          val fresh = arcs.filterNot(reverted)
+          if (fresh.nonEmpty) { reverted ++= fresh; marked = true }
+          xy // placeholder; the re-pass recomputes with reverted arcs
+        } else out
+      }
+      def rebuild(g: Geometry): Geometry = g match {
+        case p: Polygon => Polygon(p.rings.map(ring))
+        case mp: MultiPolygon =>
+          MultiPolygon(mp.polys.map(p => Polygon(p.rings.map(ring))))
+        case gc: GeometryCollection => GeometryCollection(gc.geoms.map(rebuild))
+        case other => other
+      }
+      result = geoms.map(rebuild)
     }
-    geoms.map(rebuild)
+    result
   }
 
   /** Coverage union (the PostGIS `ST_CoverageUnion` surface): dissolve an
@@ -300,7 +333,26 @@ object Coverage {
           require(nexts.nonEmpty,
             "coverageUnion: boundary does not close — input is not a valid " +
               "edge-matched coverage (overlaps or vertex mismatches)")
-          val j = nexts.head // valid coverages have exactly one continuation
+          // valid coverages usually have exactly one continuation; at a
+          // point-touch junction (two components meeting only at a vertex,
+          // 4+ boundary edges) pick the planar-face continuation — the
+          // sharpest clockwise turn from the incoming direction — so each
+          // loop closes as a SIMPLE ring instead of a figure-eight
+          val j = if (nexts.length == 1) nexts.head else {
+            val at = path.last; val from = path(path.length - 2)
+            val inAng = math.atan2(vy(at) - vy(from), vx(at) - vx(from))
+            nexts.minBy { cand =>
+              val nxt = runs(cand)(1)
+              val outAng = math.atan2(vy(nxt) - vy(at), vx(nxt) - vx(at))
+              // clockwise angle from the REVERSED incoming edge to the
+              // outgoing edge, in (0, 2π] — the rotational-order rule that
+              // traces planar faces
+              val rev = inAng + math.Pi
+              val d = (rev - outAng) % (2 * math.Pi)
+              val cw = if (d <= 0) d + 2 * math.Pi else d
+              cw
+            }
+          }
           used(j) = true
           path ++= runs(j).drop(1)
           guard -= 1

@@ -100,12 +100,22 @@ object TabIO {
     def siblingBytes(ext: String): Option[Array[Byte]] = {
       val n = p.getName
       val base = n.substring(0, n.length - 4)
-      val upper = n.endsWith(".TAB")
-      val cand = new Path(p.getParent, base + (if (upper) ext.toUpperCase else ext))
-      if (fs.exists(cand)) {
+      // quads in the wild mix extension case (Roads.Tab + Roads.Dat):
+      // probe same-case-as-tab, lower, upper, and Capitalized
+      val tabExt = n.substring(n.length - 3)
+      val matched =
+        if (tabExt == "TAB") ext.toUpperCase
+        else if (tabExt.head.isUpper) ext.charAt(1).toUpper match {
+          case c => "." + c + ext.substring(2)
+        }
+        else ext
+      val cands = Seq(matched, ext, ext.toUpperCase,
+        "." + ext.charAt(1).toUpper + ext.substring(2)).distinct
+        .map(e => new Path(p.getParent, base + e))
+      cands.find(fs.exists).map { cand =>
         val in = fs.open(cand)
-        try Some(readAllBytes(in)) finally in.close()
-      } else None
+        try readAllBytes(in) finally in.close()
+      }
     }
     val dat = siblingBytes(".dat").getOrElse(
       throw new IllegalArgumentException(s"$tabPath: missing sibling .dat"))
@@ -396,7 +406,13 @@ object TabIO {
         if (t.startsWith("char")) {
           val s = if (row.isNullAt(idx)) "" else row.get(idx).toString
           val b0 = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-          val b = if (b0.length > c.datWidth) b0.take(c.datWidth) else b0
+          val b = if (b0.length <= c.datWidth) b0 else {
+            // truncate at a UTF-8 CHARACTER boundary: cutting a multi-byte
+            // sequence mid-way would decode to a replacement char on read
+            var cut = c.datWidth
+            while (cut > 0 && (b0(cut) & 0xc0) == 0x80) cut -= 1
+            b0.take(cut)
+          }
           dat.put(b)
           var k = b.length
           while (k < c.datWidth) { dat.put(' '.toByte); k += 1 }

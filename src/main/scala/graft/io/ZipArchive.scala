@@ -58,53 +58,80 @@ object ZipArchive {
       .map(_.toLong).getOrElse(64L << 30)
     var written = 0L
     val seen = scala.collection.mutable.Set.empty[String]
-    val zin = new java.util.zip.ZipInputStream(
-      new java.io.BufferedInputStream(fs.open(p), 1 << 20))
+    // any failure below must not strand gigabytes in the scratch dir
     try {
-      var e = zin.getNextEntry
-      var any = false
-      while (e != null) {
-        if (!e.isDirectory) {
-          val name = new java.io.File(e.getName).getName
-          if (name.nonEmpty && !name.startsWith(".") && name != "_COMPLETE") {
-            require(seen.add(name.toLowerCase),
-              s"zip: duplicate basename '$name' across archive folders in $path")
-            val out = ofs.create(new Path(tmp, name), true)
-            try {
-              val buf = new Array[Byte](1 << 16)
-              var n = zin.read(buf)
-              while (n >= 0) {
-                written += n
-                require(written <= maxBytes,
-                  s"zip: extraction exceeds spark.graft.zip.maxBytes=$maxBytes in $path")
-                out.write(buf, 0, n); n = zin.read(buf)
-              }
-            } finally out.close()
-            any = true
+      val zin = new java.util.zip.ZipInputStream(
+        new java.io.BufferedInputStream(fs.open(p), 1 << 20))
+      try {
+        var e = zin.getNextEntry
+        var any = false
+        while (e != null) {
+          if (!e.isDirectory) {
+            val name = new java.io.File(e.getName).getName
+            if (name.nonEmpty && !name.startsWith(".") && name != "_COMPLETE") {
+              require(seen.add(name.toLowerCase),
+                s"zip: duplicate basename '$name' across archive folders in $path")
+              val out = ofs.create(new Path(tmp, name), true)
+              try {
+                val buf = new Array[Byte](1 << 16)
+                var n = zin.read(buf)
+                while (n >= 0) {
+                  written += n
+                  require(written <= maxBytes,
+                    s"zip: extraction exceeds spark.graft.zip.maxBytes=$maxBytes in $path")
+                  out.write(buf, 0, n); n = zin.read(buf)
+                }
+              } finally out.close()
+              any = true
+            }
           }
+          e = zin.getNextEntry
         }
-        e = zin.getNextEntry
+        require(any, s"zip: no extractable entries in $path")
+      } finally zin.close()
+      ofs.create(new Path(tmp, "_COMPLETE"), true).close()
+      // publish: rename only while the destination does not exist —
+      // Hadoop rename onto an EXISTING directory moves the source INSIDE
+      // it (or copies, on the local FS fallback), which would nest junk
+      // into the shared extracted dataset. A racing winner is adopted.
+      if (ofs.exists(marker) || !ofs.rename(tmp, outRoot)) {
+        require(ofs.exists(marker), s"zip: extraction rename failed for $path")
+        ofs.delete(tmp, true)
+      } else {
+        // paranoia against move-into-dir semantics: if the rename nested
+        // tmp under a concurrently-created outRoot, remove the nest
+        val nested = new Path(outRoot, tmp.getName)
+        if (ofs.exists(nested)) ofs.delete(nested, true)
+        require(ofs.exists(marker), s"zip: extraction rename failed for $path")
       }
-      require(any, s"zip: no extractable entries in $path")
-    } finally zin.close()
-    ofs.create(new Path(tmp, "_COMPLETE"), true).close()
-    if (!ofs.rename(tmp, outRoot)) {
-      // a concurrent extraction won the rename — adopt its output
-      require(ofs.exists(marker), s"zip: extraction rename failed for $path")
-      ofs.delete(tmp, true)
+    } catch {
+      case t: Throwable =>
+        try ofs.delete(tmp, true) catch { case _: Throwable => () }
+        throw t
     }
     outRoot.toString
   }
 
-  /** The single data file inside an extracted dir, when there is exactly
-    * one (a zipped .gpkg/.fgb/.kml/...); None for multi-file sets (the
-    * shapefile trio), which dispatch as a directory.
+  /** Extensions the `readFile` dispatcher can open directly as a single
+    * file. README/license/metadata sidecars riding in real agency zips
+    * must not defeat the sole-data-file dispatch.
+    */
+  private val DataExts = Set("shp", "gpkg", "fgb", "kml", "geojson",
+    "geojsonl", "ndjson", "gml", "gpx", "topojson", "mif", "tab", "dxf",
+    "arrow", "pbf", "csv")
+
+  /** The single DATA file inside an extracted dir, when there is exactly
+    * one (a zipped .gpkg/.fgb/.kml/... plus any number of readme/license
+    * sidecars); None for multi-file datasets (the shapefile trio), which
+    * dispatch as a directory.
     */
   def soleFile(spark: SparkSession, dir: String): Option[String] = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val files = fs.listStatus(p).filter(s => s.isFile)
       .map(_.getPath).filter(_.getName != "_COMPLETE")
-    if (files.length == 1) Some(files(0).toString) else None
+    val data = files.filter(f => DataExts.contains(
+      f.getName.toLowerCase.split('.').last))
+    if (data.length == 1) Some(data(0).toString) else None
   }
 }

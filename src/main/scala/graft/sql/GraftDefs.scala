@@ -114,11 +114,18 @@ object GraftDefs {
     override def initialValue(): Array[AnyRef] = new Array[AnyRef](2)
   }
   private def longArr(v: Any): Array[Long] = {
+    // memo ONLY for GenericArrayData (what a Literal holds — immutable,
+    // one object for the whole query). UnsafeArrayData/ColumnarArray can
+    // be pointer-identical wrappers over REUSED buffers, where identity
+    // would return the previous row's contents — those always copy.
+    val isLiteralShaped =
+      v.isInstanceOf[org.apache.spark.sql.catalyst.util.GenericArrayData]
     val m = longArrMemo.get()
-    if (m(0) eq v.asInstanceOf[AnyRef]) m(1).asInstanceOf[Array[Long]]
+    if (isLiteralShaped && (m(0) eq v.asInstanceOf[AnyRef]))
+      m(1).asInstanceOf[Array[Long]]
     else {
       val a = v.asInstanceOf[ArrayData].toLongArray()
-      m(0) = v.asInstanceOf[AnyRef]; m(1) = a
+      if (isLiteralShaped) { m(0) = v.asInstanceOf[AnyRef]; m(1) = a }
       a
     }
   }
@@ -3608,10 +3615,20 @@ object GridIndex {
           val oy0 = if (e.minY <= iy * cellSize) 0L else fineOffset(e.minY, iy, cellSize, split)
           val oy1 = if (e.maxY >= (iy + 1) * cellSize) (split - 1).toLong
             else fineOffset(e.maxY, iy, cellSize, split)
+          // loud capacity guard. NOTE the sentinel-mode caveat: a row can
+          // pass the coarse budget yet exceed the FINE budget here (needs
+          // hotCellSplit >= 33 AND one row overlapping >4M/split^2 hot
+          // cells — unreachable at the default split=16 even at the 4096
+          // hot-cell cap), and oversized="sentinel" cannot degrade it
+          // because fine-level sentinel pairing is not implemented; such
+          // a row fails the job with this message instead of silently
+          // dropping pairs.
           if (out.size + (ox1 - ox0 + 1) * (oy1 - oy0 + 1) > MaxCellsPerRow)
             throw new IllegalArgumentException(
-              s"hot-cell fine explode exceeds $MaxCellsPerRow cells; lower " +
-                "hotCellSplit or raise cellSize")
+              s"hot-cell fine explode exceeds $MaxCellsPerRow cells for one " +
+                "row (envelope spans too many hot cells at this split); " +
+                "lower hotCellSplit or raise cellSize — oversized=\"sentinel\" " +
+                "does not cover the fine level")
           var ox = ox0
           while (ox <= ox1) {
             var oy = oy0

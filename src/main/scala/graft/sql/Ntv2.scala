@@ -207,11 +207,21 @@ object Ntv2 {
 
   /** Eagerly register every `.gsb` under `dir` (name = file name sans
     * extension). Driver-side fail-fast: a corrupt grid file surfaces at
-    * session setup with its path, not as a per-row task failure.
+    * session setup with its path, not as a per-row task failure — and so
+    * does a MISSING or non-local directory: a configured-but-unreadable
+    * grid dir silently degrading every transform to the approximate
+    * Helmert fallback is exactly the quiet meter-level error this hook
+    * exists to prevent. The path must be node-local (distribute grids
+    * with `--files` or bake them into the image); remote URIs error with
+    * that guidance.
     */
   def registerDir(dir: String): Seq[String] = {
-    val d = java.nio.file.Paths.get(dir)
-    if (!java.nio.file.Files.isDirectory(d)) return Nil
+    require(!dir.matches("^[a-zA-Z][a-zA-Z0-9+.-]*://.*") || dir.startsWith("file:"),
+      s"ntv2: grid dir must be a node-local path (got '$dir') — NTv2 grids " +
+        "are read with java.nio on each node; ship them via --files or the image")
+    val d = java.nio.file.Paths.get(dir.stripPrefix("file://"))
+    require(java.nio.file.Files.isDirectory(d),
+      s"ntv2: configured grid dir '$dir' is not a readable directory on this node")
     import scala.jdk.CollectionConverters._
     java.nio.file.Files.list(d).iterator().asScala
       .filter(p => p.getFileName.toString.toLowerCase.endsWith(".gsb"))

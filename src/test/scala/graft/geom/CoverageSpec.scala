@@ -108,6 +108,53 @@ class CoverageSpec extends AnyFunSuite {
     assert(ringCounts.toSeq == Seq(1, 2), ringCounts.mkString(","))
   }
 
+  test("collapsing ring reverts its ARCS on both sides — seam never tears") {
+    // thin sliver B shares the (10,4)-(10,5)-(10,6) boundary with big A;
+    // tol=1 would collapse B to a 2-point ring. The fix reverts B's arcs
+    // — INCLUDING the shared one — so A must also keep the (10,5)
+    // midpoint; reverting only B's ring would leave A's side of the seam
+    // simplified and open a sliver
+    val a = poly("POLYGON ((0 0, 10 0, 10 4, 10 5, 10 6, 10 10, 0 10, 0 0))")
+    val b = poly("POLYGON ((10 4, 10 5, 10 6, 10.3 5, 10 4))")
+    val out = Coverage.simplifyCoverage(IndexedSeq(a, b), 1.0)
+    val aPts = ringPts(out(0)).toSet
+    val bPts = ringPts(out(1)).toSet
+    assert(bPts == Set((10.0, 4.0), (10.0, 5.0), (10.0, 6.0), (10.3, 5.0)),
+      s"B must survive via arc revert: $bPts")
+    assert(aPts.contains((10.0, 5.0)),
+      s"A must keep the reverted shared-arc midpoint: $aPts")
+    // seam exactness: union area == sum of areas
+    val total = Measures.area(out(0)) + Measures.area(out(1))
+    val union = Overlay.unionAll(IndexedSeq(out(0), out(1)))
+    assert(math.abs(Measures.area(union) - total) < 1e-9)
+  }
+
+  test("unionCoverage: point-touching components trace as two simple rings") {
+    // two 2-triangle components meeting ONLY at (0,0): four boundary
+    // edges at that vertex — naive continuation picking stitches a
+    // figure-eight; rotational-order tracing must yield two simple polys
+    val a1 = poly("POLYGON ((-2 -1, 0 0, -2 0, -2 -1))")
+    val a2 = poly("POLYGON ((-2 0, 0 0, -2 1, -2 0))")
+    val b1 = poly("POLYGON ((0 0, 2 -1, 2 0, 0 0))")
+    val b2 = poly("POLYGON ((0 0, 2 0, 2 1, 0 0))")
+    val u = Coverage.unionCoverage(Seq(a1, a2, b1, b2))
+    assert(math.abs(Measures.area(u) - 4.0) < 1e-12, Measures.area(u).toString)
+    val parts = u match {
+      case mp: MultiPolygon => mp.polys.toSeq
+      case p: Polygon => Seq(p)
+      case other => fail(s"unexpected ${other.getClass}")
+    }
+    assert(parts.length == 2, s"expected two simple parts, got $parts")
+    parts.foreach { p =>
+      assert(p.rings.length == 1)
+      assert(math.abs(Measures.area(p) - 2.0) < 1e-12)
+      // simple ring: no repeated vertex except the closure
+      val pts = ringPts(p)
+      assert(pts.dropRight(1).distinct.length == pts.length - 1,
+        s"self-touching ring: $pts")
+    }
+  }
+
   test("unionCoverage: grid of rects equals the general overlay union") {
     val cells = for (i <- 0 until 4; j <- 0 until 3) yield poly(
       s"POLYGON ((${i} ${j}, ${i + 1} ${j}, ${i + 1} ${j + 1}, ${i} ${j + 1}, ${i} ${j}))")

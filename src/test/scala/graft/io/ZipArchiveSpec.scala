@@ -97,6 +97,40 @@ class ZipArchiveSpec extends AnyFunSuite {
     assert(ys.head == -28.0 && ys.last == 0.0)
   }
 
+  test("readme/license sidecars do not defeat sole-data-file dispatch") {
+    val root = tmpDir()
+    val ds = new java.io.File(root, "pub"); ds.mkdirs()
+    val gpkg = new java.io.File(ds, "pts.gpkg")
+    val gdf = GeoDataFrame(
+      (0 until 10).map(i => (i.toLong, Wkb.write(Point(i * 1.0, i * 1.0))))
+        .toDF("id", "geometry"), "geometry")
+    GeoPackageIO.write(gdf, gpkg.getAbsolutePath, "pts")
+    java.nio.file.Files.write(new java.io.File(ds, "README.txt").toPath,
+      "metadata".getBytes("UTF-8"))
+    java.nio.file.Files.write(new java.io.File(ds, "LICENSE.pdf").toPath,
+      "license".getBytes("UTF-8"))
+    val zip = new java.io.File(root, "pub.zip")
+    zipUp(ds, zip)
+    assert(GeoDataFrame.readFile(spark, zip.getAbsolutePath).df.count() == 10)
+
+    // a failed extraction leaves no .inprogress dirs behind
+    val bomb = new java.io.File(root, "dup.zip")
+    val z = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(bomb))
+    z.putNextEntry(new java.util.zip.ZipEntry("a/x.txt")); z.write("1".getBytes)
+    z.closeEntry()
+    z.putNextEntry(new java.util.zip.ZipEntry("b/x.txt")); z.write("2".getBytes)
+    z.closeEntry(); z.close()
+    val scratch = new java.io.File(System.getProperty("java.io.tmpdir"))
+    def inprogress(): Set[String] =
+      scratch.listFiles().map(_.getName).filter(_.contains(".inprogress")).toSet
+    val before = inprogress()
+    intercept[IllegalArgumentException] {
+      ZipArchive.extract(spark, bomb.getAbsolutePath)
+    }
+    assert(inprogress() == before,
+      "failed extraction must clean its temp dir")
+  }
+
   test("zip-slip and duplicate basenames are rejected; changed zip re-extracts") {
     val root = tmpDir()
     val evil = new java.io.File(root, "evil.zip")

@@ -667,6 +667,11 @@ final case class GeoDataFrame(
       how: String = "inner",
       hotCellBudget: Long = 0L,
       hotCellSplit: Int = 8,
+      // per-row fine-explode budget of the hot branch (sentinel mode
+      // degrades rows past it to the coarse meet leg; fail mode throws).
+      // Non-default values are a spec/testing hook — the default is the
+      // kernel-wide explode guard.
+      hotFineMaxCells: Long = graft.sql.GridIndex.MaxCellsPerRow.toLong,
       // geopandas sjoin on_attribute: pairs must ALSO match on these
       // columns (present on both sides; the right copy keeps its suffix in
       // the result). In the grid strategy Catalyst folds the equalities
@@ -845,10 +850,25 @@ final case class GeoDataFrame(
             .filter(emit)
             .drop("_cell")
           val padL = if (predicate == "dwithin") distance else 0.0
-          val fineL = leftDf.withColumn("_cell", explode(st_gridCellsSizedFineHot(
-            leftDf(geometryColumn), lit(s), lit(hotCellSplit), lit(padL), hotLit)))
-          val fineR = rightRenamed.withColumn("_cell", explode(st_gridCellsSizedFineHot(
-            rightRenamed(rGeomName), lit(s), lit(hotCellSplit), lit(0.0), hotLit)))
+          val maxFine = lit(hotFineMaxCells)
+          def fineExplode(g: Column, pad: Double): Column = {
+            val cells = st_gridCellsSizedFineHotSent(g, lit(s),
+              lit(hotCellSplit), lit(pad), hotLit, maxFine)
+            if (oversized == "sentinel") cells
+            else when(
+              st_fineHotOversized(g, lit(s), lit(hotCellSplit), lit(pad),
+                hotLit, maxFine),
+              raise_error(lit(s"hot-cell fine explode exceeds " +
+                s"$hotFineMaxCells cells for one row; lower hotCellSplit " +
+                "or raise cellSize, or use oversized=\"sentinel\""))
+                .cast(org.apache.spark.sql.types.ArrayType(
+                  org.apache.spark.sql.types.LongType)))
+              .otherwise(cells)
+          }
+          val fineL = leftDf.withColumn("_cell", explode(fineExplode(
+            leftDf(geometryColumn), padL)))
+          val fineR = rightRenamed.withColumn("_cell", explode(fineExplode(
+            rightRenamed(rGeomName), 0.0)))
           val fineEmit = st_gridCellAnchorSizedFine(col(geometryColumn),
             col(rGeomName), lit(s), lit(hotCellSplit), lit(padL)) === col("_cell")
           val fine = fineL.join(fineR, Seq("_cell"), "inner")
@@ -856,7 +876,31 @@ final case class GeoDataFrame(
             .filter(pred(col(geometryColumn), col(rGeomName)))
             .filter(fineEmit)
             .drop("_cell")
-          cold.unionByName(fine)
+          val twoLevel = cold.unionByName(fine)
+          if (oversized != "sentinel") twoLevel
+          else {
+            // MEET leg: rows whose fine explode exceeds the budget emit
+            // NOTHING in the fine leg; they pair here at the COARSE grid
+            // instead, restricted to hot cells. Every row keeps its hot
+            // coarse cells (reusing the coarse explode), the (lov || rov)
+            // gate excludes normal-normal pairs (those met in the fine
+            // leg), and `anchor === cell` keeps exactly the pairs whose
+            // coarse anchor is hot — cold-anchored pairs already fired in
+            // the cold branch. Net: fine-oversized rows degrade to their
+            // honest coarse candidate set instead of failing the job.
+            val lov = st_fineHotOversized(col(geometryColumn), lit(s),
+              lit(hotCellSplit), lit(padL), hotLit, maxFine)
+            val rov = st_fineHotOversized(col(rGeomName), lit(s),
+              lit(hotCellSplit), lit(0.0), hotLit, maxFine)
+            val isHot = array_contains(hotLit, col("_cell"))
+            val meet = l.filter(isHot).join(r.filter(isHot), Seq("_cell"), "inner")
+              .filter(lov || rov)
+              .filter(attrEq)
+              .filter(pred(col(geometryColumn), col(rGeomName)))
+              .filter(anchor === col("_cell"))
+              .drop("_cell")
+            twoLevel.unionByName(meet)
+          }
         }
     }
     how match {

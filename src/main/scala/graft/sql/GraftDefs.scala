@@ -855,6 +855,20 @@ object GraftDefs {
         GridIndex.fineCellsWithinHot(env(a(0)), dbl(a(1)), int(a(2)),
           dbl(a(3)), longArr(a(4)))
       }),
+    // sentinel-mode fine explode: over-budget rows yield EMPTY (they pair
+    // via the meet leg); args = (geomWkb, cellSize, split, pad, hot, max)
+    "st_gridcells_sized_fine_hot_sent" -> Spec(Seq(B, D, I, D, ArrayType(L), L),
+      ArrayType(L), { a =>
+        GridIndex.fineCellsWithinHotSent(env(a(0)), dbl(a(1)), int(a(2)),
+          dbl(a(3)), longArr(a(4)), long(a(5)))
+      }),
+    // the (lov || rov) gate of the meet leg: true when the row's fine
+    // explode would exceed max; args as above
+    "st_finehot_oversized" -> Spec(Seq(B, D, I, D, ArrayType(L), L),
+      BO, { a =>
+        GridIndex.fineHotOversized(env(a(0)), dbl(a(1)), int(a(2)),
+          dbl(a(3)), longArr(a(4)), long(a(5)))
+      }),
     // fine anchor of (expand(env(a), pad) ∩ env(b)) — args =
     // (aWkb, bWkb, cellSize, split, pad)
     "st_gridcell_anchor_sized_fine" -> Spec(Seq(B, B, D, I, D), L, { a =>
@@ -3424,7 +3438,8 @@ object GridIndex {
   // one row exploding to more cells than this means the grid is far too
   // fine for the data — fail with guidance instead of overflowing the Int
   // element count (NegativeArraySizeException) or OOMing the executor
-  private val MaxCellsPerRow = 1 << 22
+  // (public: the sjoin builder passes it to the sentinel-mode fine kernels)
+  val MaxCellsPerRow = 1 << 22
   // per-axis checks BEFORE the product: extreme coordinates saturate the
   // floor(...).toLong conversions, so nx/ny can be huge or even wrapped
   // negative — a bare nx*ny would overflow past the guard
@@ -3592,8 +3607,62 @@ object GridIndex {
     * them (a sentinel pair re-met here would double-report).
     */
   def fineCellsWithinHot(e0: Envelope, cellSize: Double, split: Int,
-      pad: Double, hot: Array[Long]): GenericArrayData = {
+      pad: Double, hot: Array[Long]): GenericArrayData =
+    fineCellsWithinHotImpl(e0, cellSize, split, pad, hot,
+      MaxCellsPerRow, emptyOnExceed = false)
+
+  /** Sentinel-mode variant: a row whose fine explode would exceed
+    * `maxCells` returns EMPTY instead of throwing — such rows pair
+    * through the hot-coarse MEET leg instead (see the sjoin builder),
+    * so no candidate pair is lost. `maxCells` is an argument so specs
+    * can exercise the oversize path with small fixtures.
+    */
+  def fineCellsWithinHotSent(e0: Envelope, cellSize: Double, split: Int,
+      pad: Double, hot: Array[Long], maxCells: Long): GenericArrayData =
+    fineCellsWithinHotImpl(e0, cellSize, split, pad, hot,
+      maxCells, emptyOnExceed = true)
+
+  /** True when the row's fine explode would exceed `maxCells` — the
+    * (lov || rov) gate of the sentinel-mode meet leg. Counting only:
+    * O(overlapped hot cells), nothing materialized.
+    */
+  def fineHotOversized(e0: Envelope, cellSize: Double, split: Int,
+      pad: Double, hot: Array[Long], maxCells: Long): Boolean = {
+    if (e0.isEmpty || cellSize <= 0 || split <= 0 || hot.isEmpty) return false
+    val e = if (pad > 0) e0.expand(pad) else e0
+    val x0 = math.floor(e.minX / cellSize).toLong
+    val x1 = math.floor(e.maxX / cellSize).toLong
+    val y0 = math.floor(e.minY / cellSize).toLong
+    val y1 = math.floor(e.maxY / cellSize).toLong
+    if (cellCountExceeded(x1 - x0 + 1, y1 - y0 + 1)) return false
+    var count = 0L
+    var ix = x0
+    while (ix <= x1) {
+      var iy = y0
+      while (iy <= y1) {
+        if (java.util.Arrays.binarySearch(hot, packCell(ix, iy)) >= 0) {
+          val ox0 = if (e.minX <= ix * cellSize) 0L else fineOffset(e.minX, ix, cellSize, split)
+          val ox1 = if (e.maxX >= (ix + 1) * cellSize) (split - 1).toLong
+            else fineOffset(e.maxX, ix, cellSize, split)
+          val oy0 = if (e.minY <= iy * cellSize) 0L else fineOffset(e.minY, iy, cellSize, split)
+          val oy1 = if (e.maxY >= (iy + 1) * cellSize) (split - 1).toLong
+            else fineOffset(e.maxY, iy, cellSize, split)
+          count += (ox1 - ox0 + 1) * (oy1 - oy0 + 1)
+          if (count > maxCells) return true
+        }
+        iy += 1
+      }
+      ix += 1
+    }
+    false
+  }
+
+  private def fineCellsWithinHotImpl(e0: Envelope, cellSize: Double, split: Int,
+      pad: Double, hot: Array[Long], maxCells: Long,
+      emptyOnExceed: Boolean): GenericArrayData = {
     if (e0.isEmpty || cellSize <= 0 || split <= 0 || hot.isEmpty)
+      return new GenericArrayData(Array.empty[Any])
+    if (emptyOnExceed && fineHotOversized(e0, cellSize, split, pad, hot, maxCells))
       return new GenericArrayData(Array.empty[Any])
     val e = if (pad > 0) e0.expand(pad) else e0
     val x0 = math.floor(e.minX / cellSize).toLong
@@ -3615,20 +3684,16 @@ object GridIndex {
           val oy0 = if (e.minY <= iy * cellSize) 0L else fineOffset(e.minY, iy, cellSize, split)
           val oy1 = if (e.maxY >= (iy + 1) * cellSize) (split - 1).toLong
             else fineOffset(e.maxY, iy, cellSize, split)
-          // loud capacity guard. NOTE the sentinel-mode caveat: a row can
-          // pass the coarse budget yet exceed the FINE budget here (needs
-          // hotCellSplit >= 33 AND one row overlapping >4M/split^2 hot
-          // cells — unreachable at the default split=16 even at the 4096
-          // hot-cell cap), and oversized="sentinel" cannot degrade it
-          // because fine-level sentinel pairing is not implemented; such
-          // a row fails the job with this message instead of silently
-          // dropping pairs.
-          if (out.size + (ox1 - ox0 + 1) * (oy1 - oy0 + 1) > MaxCellsPerRow)
+          // loud capacity guard (fail mode only — sentinel mode returned
+          // empty above and pairs ride the meet leg). Needs split >= 33
+          // AND one row overlapping >4M/split^2 hot cells — unreachable
+          // at the default split=16 even at the 4096 hot-cell cap.
+          if (out.size + (ox1 - ox0 + 1) * (oy1 - oy0 + 1) > maxCells)
             throw new IllegalArgumentException(
-              s"hot-cell fine explode exceeds $MaxCellsPerRow cells for one " +
+              s"hot-cell fine explode exceeds $maxCells cells for one " +
                 "row (envelope spans too many hot cells at this split); " +
-                "lower hotCellSplit or raise cellSize — oversized=\"sentinel\" " +
-                "does not cover the fine level")
+                "lower hotCellSplit or raise cellSize, or use " +
+                "oversized=\"sentinel\" (whose meet leg covers such rows)")
           var ox = ox0
           while (ox <= ox1) {
             var oy = oy0

@@ -246,6 +246,12 @@ object functions {
   def st_gridCellsSizedFineHot(g: Column, cellSize: Column, split: Column,
       pad: Column, hotSorted: Column): Column =
     fn("st_gridcells_sized_fine_hot", g, cellSize, split, pad, hotSorted)
+  def st_gridCellsSizedFineHotSent(g: Column, cellSize: Column, split: Column,
+      pad: Column, hotSorted: Column, maxCells: Column): Column =
+    fn("st_gridcells_sized_fine_hot_sent", g, cellSize, split, pad, hotSorted, maxCells)
+  def st_fineHotOversized(g: Column, cellSize: Column, split: Column,
+      pad: Column, hotSorted: Column, maxCells: Column): Column =
+    fn("st_finehot_oversized", g, cellSize, split, pad, hotSorted, maxCells)
   def st_gridCellAnchorSizedFine(a: Column, b: Column, cellSize: Column,
       split: Column, pad: Column): Column =
     fn("st_gridcell_anchor_sized_fine", a, b, cellSize, split, pad)

@@ -175,4 +175,42 @@ class HotCellSjoinSpec extends AnyFunSuite {
     assert(got == want)
     assert(got.distinct == got)
   }
+
+  test("fine-oversized rows degrade to the MEET leg under sentinel, throw under fail") {
+    // hotFineMaxCells=4 makes any geometry spanning >4 fine cells inside
+    // hot coarse cells "fine-oversized": with split=4 a box covering one
+    // hot cell explodes to 16 fine cells and exceeds the tiny budget —
+    // exactly the class of row the r13 review flagged as voiding the
+    // sentinel no-fail contract. It must pair via the coarse meet leg
+    // with NO lost or duplicated pairs; fail mode must throw loudly.
+    val l = skewedPoints(300, 7)
+    val r = boxes(60, 23)
+    val want = pairs(l.sjoin(r, predicate = "intersects", strategy = "broadcast"))
+    assert(want.nonEmpty)
+    val got = pairs(l.sjoin(r, predicate = "intersects", strategy = "grid",
+      cellSize = Some(1.0), oversized = "sentinel",
+      hotCellBudget = 64, hotCellSplit = 4, hotFineMaxCells = 4))
+    assert(got == want, "sentinel meet leg must preserve the pair set")
+    assert(got.distinct == got, "no double emission across fine + meet legs")
+
+    // dwithin rides the same legs (padded left explode + padded anchor)
+    val wantD = pairs(l.sjoin(r, predicate = "dwithin", distance = 0.4,
+      strategy = "broadcast"))
+    val gotD = pairs(l.sjoin(r, predicate = "dwithin", distance = 0.4,
+      strategy = "grid", cellSize = Some(1.0), oversized = "sentinel",
+      hotCellBudget = 64, hotCellSplit = 4, hotFineMaxCells = 4))
+    assert(gotD == wantD)
+    assert(gotD.distinct == gotD)
+
+    // fail mode keeps the loud guard for the same rows
+    val err = intercept[Exception] {
+      l.sjoin(r, predicate = "intersects", strategy = "grid",
+        cellSize = Some(1.0), oversized = "fail",
+        hotCellBudget = 64, hotCellSplit = 4, hotFineMaxCells = 4)
+        .count()
+    }
+    val messages = Iterator.iterate(err: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(messages.exists(_.contains("fine explode")), messages.mkString(" | "))
+  }
 }

@@ -851,20 +851,16 @@ final case class GeoDataFrame(
             .drop("_cell")
           val padL = if (predicate == "dwithin") distance else 0.0
           val maxFine = lit(hotFineMaxCells)
-          def fineExplode(g: Column, pad: Double): Column = {
-            val cells = st_gridCellsSizedFineHotSent(g, lit(s),
-              lit(hotCellSplit), lit(pad), hotLit, maxFine)
-            if (oversized == "sentinel") cells
-            else when(
-              st_fineHotOversized(g, lit(s), lit(hotCellSplit), lit(pad),
-                hotLit, maxFine),
-              raise_error(lit(s"hot-cell fine explode exceeds " +
-                s"$hotFineMaxCells cells for one row; lower hotCellSplit " +
-                "or raise cellSize, or use oversized=\"sentinel\""))
-                .cast(org.apache.spark.sql.types.ArrayType(
-                  org.apache.spark.sql.types.LongType)))
-              .otherwise(cells)
-          }
+          // single-pass kernels either way: sentinel discards the buffer
+          // and returns empty on exceed (the row pairs via the meet leg),
+          // fail throws loudly inside the kernel
+          def fineExplode(g: Column, pad: Double): Column =
+            if (oversized == "sentinel")
+              st_gridCellsSizedFineHotSent(g, lit(s), lit(hotCellSplit),
+                lit(pad), hotLit, maxFine)
+            else
+              st_gridCellsSizedFineHotCap(g, lit(s), lit(hotCellSplit),
+                lit(pad), hotLit, maxFine)
           val fineL = leftDf.withColumn("_cell", explode(fineExplode(
             leftDf(geometryColumn), padL)))
           val fineR = rightRenamed.withColumn("_cell", explode(fineExplode(

@@ -862,6 +862,12 @@ object GraftDefs {
         GridIndex.fineCellsWithinHotSent(env(a(0)), dbl(a(1)), int(a(2)),
           dbl(a(3)), longArr(a(4)), long(a(5)))
       }),
+    // fail-mode fine explode with an explicit budget: throws on exceed
+    "st_gridcells_sized_fine_hot_cap" -> Spec(Seq(B, D, I, D, ArrayType(L), L),
+      ArrayType(L), { a =>
+        GridIndex.fineCellsWithinHotCap(env(a(0)), dbl(a(1)), int(a(2)),
+          dbl(a(3)), longArr(a(4)), long(a(5)))
+      }),
     // the (lov || rov) gate of the meet leg: true when the row's fine
     // explode would exceed max; args as above
     "st_finehot_oversized" -> Spec(Seq(B, D, I, D, ArrayType(L), L),
@@ -3611,11 +3617,20 @@ object GridIndex {
     fineCellsWithinHotImpl(e0, cellSize, split, pad, hot,
       MaxCellsPerRow, emptyOnExceed = false)
 
+  /** Fail-mode variant with an explicit per-row budget (the sjoin
+    * hotFineMaxCells knob): single pass, throws on exceed.
+    */
+  def fineCellsWithinHotCap(e0: Envelope, cellSize: Double, split: Int,
+      pad: Double, hot: Array[Long], maxCells: Long): GenericArrayData =
+    fineCellsWithinHotImpl(e0, cellSize, split, pad, hot,
+      maxCells, emptyOnExceed = false)
+
   /** Sentinel-mode variant: a row whose fine explode would exceed
     * `maxCells` returns EMPTY instead of throwing — such rows pair
     * through the hot-coarse MEET leg instead (see the sjoin builder),
-    * so no candidate pair is lost. `maxCells` is an argument so specs
-    * can exercise the oversize path with small fixtures.
+    * so no candidate pair is lost. Single pass: exceeding mid-emission
+    * discards the buffer and returns empty. `maxCells` is an argument so
+    * specs can exercise the oversize path with small fixtures.
     */
   def fineCellsWithinHotSent(e0: Envelope, cellSize: Double, split: Int,
       pad: Double, hot: Array[Long], maxCells: Long): GenericArrayData =
@@ -3662,8 +3677,6 @@ object GridIndex {
       emptyOnExceed: Boolean): GenericArrayData = {
     if (e0.isEmpty || cellSize <= 0 || split <= 0 || hot.isEmpty)
       return new GenericArrayData(Array.empty[Any])
-    if (emptyOnExceed && fineHotOversized(e0, cellSize, split, pad, hot, maxCells))
-      return new GenericArrayData(Array.empty[Any])
     val e = if (pad > 0) e0.expand(pad) else e0
     val x0 = math.floor(e.minX / cellSize).toLong
     val x1 = math.floor(e.maxX / cellSize).toLong
@@ -3684,16 +3697,19 @@ object GridIndex {
           val oy0 = if (e.minY <= iy * cellSize) 0L else fineOffset(e.minY, iy, cellSize, split)
           val oy1 = if (e.maxY >= (iy + 1) * cellSize) (split - 1).toLong
             else fineOffset(e.maxY, iy, cellSize, split)
-          // loud capacity guard (fail mode only — sentinel mode returned
-          // empty above and pairs ride the meet leg). Needs split >= 33
-          // AND one row overlapping >4M/split^2 hot cells — unreachable
-          // at the default split=16 even at the 4096 hot-cell cap.
-          if (out.size + (ox1 - ox0 + 1) * (oy1 - oy0 + 1) > maxCells)
+          // capacity guard: sentinel mode discards and returns empty (the
+          // row pairs via the meet leg); fail mode errors loudly. At the
+          // DEFAULT cap this needs split >= 33 AND one row overlapping
+          // >4M/split^2 hot cells — unreachable at split=16 even at the
+          // 4096 hot-cell cap.
+          if (out.size + (ox1 - ox0 + 1) * (oy1 - oy0 + 1) > maxCells) {
+            if (emptyOnExceed) return new GenericArrayData(Array.empty[Any])
             throw new IllegalArgumentException(
               s"hot-cell fine explode exceeds $maxCells cells for one " +
                 "row (envelope spans too many hot cells at this split); " +
                 "lower hotCellSplit or raise cellSize, or use " +
                 "oversized=\"sentinel\" (whose meet leg covers such rows)")
+          }
           var ox = ox0
           while (ox <= ox1) {
             var oy = oy0

@@ -249,6 +249,9 @@ object functions {
   def st_gridCellsSizedFineHotSent(g: Column, cellSize: Column, split: Column,
       pad: Column, hotSorted: Column, maxCells: Column): Column =
     fn("st_gridcells_sized_fine_hot_sent", g, cellSize, split, pad, hotSorted, maxCells)
+  def st_gridCellsSizedFineHotCap(g: Column, cellSize: Column, split: Column,
+      pad: Column, hotSorted: Column, maxCells: Column): Column =
+    fn("st_gridcells_sized_fine_hot_cap", g, cellSize, split, pad, hotSorted, maxCells)
   def st_fineHotOversized(g: Column, cellSize: Column, split: Column,
       pad: Column, hotSorted: Column, maxCells: Column): Column =
     fn("st_finehot_oversized", g, cellSize, split, pad, hotSorted, maxCells)

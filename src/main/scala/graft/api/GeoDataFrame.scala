@@ -403,6 +403,41 @@ final case class GeoDataFrame(
     withCrsOf(GeoDataFrame(df.sparkSession.createDataFrame(out, schema), geometryColumn))
   }
 
+  /** Coverage validity witnesses (the PostGIS `ST_CoverageInvalidEdges`
+    * role): one row per (by-key, offending member, reason) — empty output
+    * means no witness found. Run this before [[coverageUnion]] /
+    * [[coverageSimplify]] when coverage validity is not guaranteed by
+    * construction; like GEOS's validator, absence of witnesses is not a
+    * proof (seam vertex mismatches with no interior incursion need full
+    * noding and are not reported).
+    */
+  def coverageInvalidWitnesses(by: Seq[String] = Nil): DataFrame = {
+    val schema = df.schema
+    val geomIdx = schema.fieldIndex(geometryColumn)
+    val keyIdxs = by.map(schema.fieldIndex).toArray
+    val outSchema = org.apache.spark.sql.types.StructType(
+      by.map(schema(_)) ++ Seq(
+        org.apache.spark.sql.types.StructField("member",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("reason",
+          org.apache.spark.sql.types.StringType)))
+    val out = df.rdd
+      .groupBy(r => keyIdxs.map(i => r.get(i)).toSeq)
+      .flatMap { case (key, rows) =>
+        val geoms = rows.map { r =>
+          val b = r.get(geomIdx).asInstanceOf[Array[Byte]]
+          if (b == null) null else Wkb.read(b)
+        }.toIndexedSeq
+        val present = geoms.zipWithIndex.filter(_._1 != null)
+        graft.geom.Coverage.invalidWitnesses(present.map(_._1))
+          .map { case (pi, reason) =>
+            org.apache.spark.sql.Row.fromSeq(
+              key ++ Seq(present(pi)._2, reason))
+          }
+      }
+    df.sparkSession.createDataFrame(out, outSchema)
+  }
+
   /** Coverage union (the PostGIS `ST_CoverageUnion` surface): dissolve an
     * edge-matched coverage by dropping interior boundaries — O(vertices),
     * no intersection tests — instead of the general overlay union that

@@ -239,6 +239,113 @@ object Coverage {
     result
   }
 
+  /** Coverage validity witnesses (the practical core of PostGIS
+    * `ST_CoverageInvalidEdges`): per input polygon, a human-readable
+    * reason when it breaks the edge-matched/non-overlapping contract that
+    * [[unionCoverage]] and [[simplifyCoverage]] assume. Detects:
+    *   - an edge traversed by THREE or more ring sides (impossible in a
+    *     valid planar coverage — a duplicated polygon or a fold);
+    *   - interior overlap: a vertex of one polygon strictly inside
+    *     another, or one polygon's interior containing another entirely
+    *     (checked both ways via containsProperly on a sample vertex and
+    *     the envelope-candidate pairs of an STR-style bucket pass).
+    * NOT detected (needs full noding): seam vertex mismatches where
+    * neither side's vertices fall inside the other. Empty result =
+    * "no witness found", not a proof of validity — same contract as
+    * GEOS's validator, which also only reports the edges it can see.
+    */
+  def invalidWitnesses(geoms: IndexedSeq[Geometry]): Seq[(Int, String)] = {
+    val out = mutable.ArrayBuffer.empty[(Int, String)]
+    // (a) edge multiplicity >= 3
+    val edgeCount = mutable.HashMap.empty[(PtKey, PtKey), Int]
+    val edgeOwner = mutable.HashMap.empty[(PtKey, PtKey), Int]
+    def ringsOf(g: Geometry): Seq[Array[Double]] = g match {
+      case p: Polygon => p.rings.toSeq
+      case m: MultiPolygon => m.polys.toSeq.flatMap(_.rings)
+      case gc: GeometryCollection => gc.geoms.toSeq.flatMap(ringsOf)
+      case _ => Nil
+    }
+    val ord = implicitly[Ordering[PtKey]]
+    geoms.zipWithIndex.foreach { case (g, gi) =>
+      ringsOf(g).foreach { xy =>
+        val n = xy.length / 2
+        var i = 0
+        while (i < n - 1) {
+          val a = keyOf(xy(2 * i), xy(2 * i + 1))
+          val b = keyOf(xy(2 * i + 2), xy(2 * i + 3))
+          if (a != b) {
+            val k = if (ord.lteq(a, b)) (a, b) else (b, a)
+            val c = edgeCount.getOrElse(k, 0) + 1
+            edgeCount(k) = c
+            if (c == 1) edgeOwner(k) = gi
+            else if (c == 3) {
+              out += gi -> "edge traversed 3+ times (duplicate polygon or fold)"
+              out += edgeOwner(k) -> "edge traversed 3+ times (duplicate polygon or fold)"
+            }
+          }
+          i += 1
+        }
+      }
+    }
+    // (b) interior overlap: envelope-bucketed candidate pairs, then a
+    // strict vertex-inside probe each way + whole-containment check
+    val envs = geoms.map(_.envelope)
+    val cands = mutable.ArrayBuffer.empty[(Int, Int)]
+    val cell = {
+      val ws = envs.filter(!_.isEmpty)
+      if (ws.isEmpty) 1.0
+      else math.max(1e-9, ws.map(e => math.max(e.width, e.height)).max)
+    }
+    val buckets = mutable.HashMap.empty[(Long, Long), mutable.ArrayBuffer[Int]]
+    envs.zipWithIndex.foreach { case (e, i) =>
+      if (!e.isEmpty) {
+        var bx = math.floor(e.minX / cell).toLong
+        while (bx <= math.floor(e.maxX / cell).toLong) {
+          var by = math.floor(e.minY / cell).toLong
+          while (by <= math.floor(e.maxY / cell).toLong) {
+            val b = buckets.getOrElseUpdate((bx, by), mutable.ArrayBuffer.empty)
+            b.foreach { j => if (envs(j).intersects(e)) cands += ((j, i)) }
+            b += i
+            by += 1
+          }
+          bx += 1
+        }
+      }
+    }
+    def firstVertexInside(a: Geometry, b: Geometry): Boolean = {
+      // strict-interior probe on a's shell vertices AND edge midpoints
+      // (bounded sample): grid-aligned overlaps put vertices ON the other
+      // boundary where only the midpoints fall strictly inside
+      val pts = mutable.ArrayBuffer.empty[(Double, Double)]
+      def collect(g: Geometry): Unit = g match {
+        case p: Polygon =>
+          val r = p.rings(0)
+          var i = 0
+          while (i < r.length / 2 - 1 && pts.length < 32) {
+            pts += ((r(2 * i), r(2 * i + 1)))
+            pts += (((r(2 * i) + r(2 * i + 2)) / 2.0,
+              (r(2 * i + 1) + r(2 * i + 3)) / 2.0))
+            i += 1
+          }
+        case m: MultiPolygon => m.polys.foreach(collect)
+        case gc: GeometryCollection => gc.geoms.foreach(collect)
+        case _ => ()
+      }
+      collect(a)
+      pts.exists { case (x, y) => Predicates.containsProperly(b, Point(x, y)) }
+    }
+    cands.distinct.foreach { case (i, j) =>
+      if (firstVertexInside(geoms(i), geoms(j)) ||
+          firstVertexInside(geoms(j), geoms(i)) ||
+          Predicates.containsProperly(geoms(i), geoms(j)) ||
+          Predicates.containsProperly(geoms(j), geoms(i))) {
+        out += i -> s"interior overlap with member $j"
+        out += j -> s"interior overlap with member $i"
+      }
+    }
+    out.distinct.toSeq
+  }
+
   /** Coverage union (the PostGIS `ST_CoverageUnion` surface): dissolve an
     * edge-matched coverage by DROPPING interior boundaries instead of
     * running the general overlay — every edge segment used by two ring

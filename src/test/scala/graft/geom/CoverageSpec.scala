@@ -214,6 +214,34 @@ class CoverageSpec extends AnyFunSuite {
     }
   }
 
+  test("invalidWitnesses: overlaps and triple edges flagged, valid coverages clean") {
+    // valid grid (incl. shared edges) and lake+island (hole containment)
+    // produce NO witnesses
+    val grid = for (i <- 0 until 3; j <- 0 until 3) yield poly(
+      s"POLYGON (($i $j, ${i + 1} $j, ${i + 1} ${j + 1}, $i ${j + 1}, $i $j))")
+    assert(Coverage.invalidWitnesses(grid.toIndexedSeq).isEmpty)
+    val lake = poly(
+      "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))")
+    val island = poly("POLYGON ((4 4, 6 4, 6 6, 4 6, 4 4))")
+    assert(Coverage.invalidWitnesses(IndexedSeq(lake, island)).isEmpty)
+
+    // interior overlap: both members flagged
+    val a = poly("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")
+    val b = poly("POLYGON ((1 0, 3 0, 3 2, 1 2, 1 0))")
+    val w1 = Coverage.invalidWitnesses(IndexedSeq(a, b))
+    assert(w1.map(_._1).toSet == Set(0, 1), w1.toString)
+    assert(w1.forall(_._2.contains("overlap")))
+
+    // duplicate polygon: its edges are traversed 3+ times once a shared
+    // neighbor also uses one (dup of a alone = every edge twice → catch
+    // via overlap instead: identical polygons contain each other's verts?
+    // vertices lie ON the boundary, not strictly inside — so a triple
+    // traversal is the witness: a, a-dup, and the neighbor sharing an edge)
+    val neighbor = poly("POLYGON ((2 0, 4 0, 4 2, 2 2, 2 0))")
+    val w2 = Coverage.invalidWitnesses(IndexedSeq(a, a, neighbor))
+    assert(w2.exists(_._2.contains("3+")), w2.toString)
+  }
+
   test("non-polygonal members and tiny rings pass through") {
     val ln = Wkt.read("LINESTRING (0 0, 1 1)")
     val tri = poly("POLYGON ((0 0, 1 0, 0 1, 0 0))")

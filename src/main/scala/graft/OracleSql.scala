@@ -3076,6 +3076,14 @@ object OracleSql {
              0::BIGINT AS nholes
       FROM p ORDER BY s_suppkey""",
 
+    // coverage validation: valid even-key coverages yield 0 witnesses,
+    // overlapping odd-key pairs flag both members (2)
+    "g116_coverage_validate" -> """
+      SELECT s_suppkey,
+             CASE WHEN s_suppkey % 2 = 0 THEN 0 ELSE 2 END::BIGINT
+               AS n_witnesses
+      FROM supplier ORDER BY s_suppkey""",
+
     // zipped g43 trio through the .zip dispatch — identical rows
     "g112_zip_readfile" -> """
       SELECT s_suppkey, s_name, s_acctbal AS x,

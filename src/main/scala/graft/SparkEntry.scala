@@ -1579,6 +1579,34 @@ object SparkEntry {
         .orderBy(col("s_suppkey"))
     }),
 
+    // COVERAGE VALIDATION (ST_CoverageInvalidEdges role): per supplier,
+    // even keys get a VALID two-rect coverage (edge-matched at x=w) and
+    // odd keys an OVERLAPPING pair (second rect shifted left by w/2) —
+    // witness count is a closed form: 0 for valid, 2 for overlap (both
+    // members flagged). Member indices are group-order dependent, so the
+    // oracle locks the count, not the indices.
+    "g116_coverage_validate" -> ((s, d) => {
+      val base = t(s, d, "supplier")
+        .withColumn("w", ((col("s_suppkey") % 5) + 2).cast("double"))
+        .withColumn("h", ((col("s_suppkey") % 7) + 3).cast("double"))
+        .withColumn("shift", when(col("s_suppkey") % 2 === 0, lit(0.0))
+          .otherwise(col("w") / 2.0))
+      val parts = base.select(col("s_suppkey"), col("w"), col("h"), col("shift"))
+        .withColumn("part", explode(array(lit("A"), lit("B"))))
+        .withColumn("geometry", when(col("part") === "A",
+            st_makeEnvelope(lit(0.0), lit(0.0), col("w"), col("h")))
+          .otherwise(st_makeEnvelope(col("w") - col("shift"), lit(0.0),
+            col("w") * 2.0 - col("shift"), col("h"))))
+      val witnesses = graft.api.GeoDataFrame(parts, "geometry")
+        .coverageInvalidWitnesses(by = Seq("s_suppkey"))
+        .groupBy(col("s_suppkey"))
+        .agg(count(lit(1)).as("n_witnesses"))
+      base.select(col("s_suppkey")).join(witnesses, Seq("s_suppkey"), "left")
+        .select(col("s_suppkey"),
+          coalesce(col("n_witnesses"), lit(0L)).as("n_witnesses"))
+        .orderBy(col("s_suppkey"))
+    }),
+
     // zipped-dataset read (geopandas read_file("data.zip") parity via
     // GDAL /vsizip in the reference): the g43 trio zipped under a nested
     // folder prefix, extracted once into the content-addressed scratch

@@ -47,8 +47,11 @@ object SparkEntry {
       val link = dir.resolve("part-00000.parquet")
       java.nio.file.Files.createSymbolicLink(
         link, java.nio.file.Paths.get(f).toAbsolutePath)
-      link.toFile.deleteOnExit() // children first: exit-time deletes are LIFO
+      // Exit-time deletes run LIFO (last registered deletes first), so
+      // register the dir BEFORE the link: the link deletes first, leaving
+      // the dir empty so its own delete succeeds.
       dir.toFile.deleteOnExit()
+      link.toFile.deleteOnExit()
       dir.toAbsolutePath.toString
     })
 

@@ -208,6 +208,11 @@ object GmlIO {
     * Returns with the cursor on its END_ELEMENT. Recursion is capped at 128
     * levels — app schemas nest a handful deep; a pathological document must
     * not be able to overflow the task stack.
+    *
+    * Mixed content (`<note>text<sub>x</sub></note>`) keeps only the nested
+    * leaves and DROPS the element's own text — matching OGR's flattened
+    * GML field model, where a complex property contributes its leaf fields
+    * and any loose text between them is not a field.
     */
   private def readProperty(r: XMLStreamReader, forced: Option[Boolean],
       level: Int = 0): PropContent = {
@@ -252,8 +257,18 @@ object GmlIO {
   private val UrnEpsg =
     "(?i)urn:(?:x-)?ogc:def:crs:EPSG:[^:]*:(\\d+)".r
 
+  /** Non-geographic EPSG codes inside the 4xxx block, which is otherwise
+    * EPSG's geodetic (2D geographic) range: 4087/4088 are projected
+    * (World Equidistant Cylindrical, ellipsoid/sphere) and the rest are
+    * geocentric (X,Y,Z) frames — ITRF88–ITRF2000 (4910–4919), ITRF2005
+    * (4896), ETRS89 (4936), WGS 84 (4978). Their axes must NOT be swapped.
+    */
+  private val NonGeographic4xxx: Set[Int] =
+    Set(4087, 4088, 4896, 4936, 4978) ++ (4910 to 4919)
+
   /** GML 3 urn-form EPSG geographic CRS declare lat/lon axis order; the
-    * 4xxx range is EPSG's geodetic (2D geographic) block. Legacy
+    * 4xxx range is EPSG's geodetic (2D geographic) block, minus a handful
+    * of projected/geocentric codes ([[NonGeographic4xxx]]). Legacy
     * `EPSG:4326` srsNames keep x,y order (OGR's behavior). `forced`
     * (from `read(swapAxes=)`) overrides per-document.
     */
@@ -261,7 +276,9 @@ object GmlIO {
       forced: Option[Boolean]): Boolean = forced.getOrElse {
     if (srsName == null) inherited
     else UrnEpsg.findFirstMatchIn(srsName) match {
-      case Some(m) => val code = m.group(1).toInt; code >= 4000 && code < 5000
+      case Some(m) =>
+        val code = m.group(1).toInt
+        code >= 4000 && code < 5000 && !NonGeographic4xxx(code)
       case None => false
     }
   }

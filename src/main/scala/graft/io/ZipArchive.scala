@@ -122,8 +122,11 @@ object ZipArchive {
 
   /** The single DATA file inside an extracted dir, when there is exactly
     * one (a zipped .gpkg/.fgb/.kml/... plus any number of readme/license
-    * sidecars); None for multi-file datasets (the shapefile trio), which
-    * dispatch as a directory.
+    * sidecars). A zipped shapefile trio also lands here — .dbf/.shx are
+    * sidecars, not in [[DataExts]], so the lone .shp is returned and
+    * `ShapefileIO` resolves its siblings from that path. None only when
+    * several DATA files coexist (e.g. two layers), which dispatch as a
+    * directory.
     */
   def soleFile(spark: SparkSession, dir: String): Option[String] = {
     val p = new Path(dir)

@@ -168,6 +168,58 @@ class GmlIOSpec extends AnyFunSuite {
     assert(verbatim(0).getString(1) == "POINT (51.5 -0.12)")
   }
 
+  test("urn 4xxx projected/geocentric codes are NOT axis-swapped; mixed content flattens") {
+    val dir = java.nio.file.Files.createTempDirectory("gml4xxx")
+    val f = dir.resolve("mix.gml")
+    java.nio.file.Files.write(f,
+      """<?xml version="1.0"?>
+        |<ns:Dataset xmlns:ns="http://example.com/x"
+        |  xmlns:gml="http://www.opengis.net/gml/3.2">
+        |  <ns:Thing gml:id="a">
+        |    <ns:code>A</ns:code>
+        |    <ns:note>loose text<ns:sub>leaf</ns:sub></ns:note>
+        |    <ns:where>
+        |      <gml:Point srsName="urn:ogc:def:crs:EPSG::4087">
+        |        <gml:pos>1000000 2000000</gml:pos>
+        |      </gml:Point>
+        |    </ns:where>
+        |  </ns:Thing>
+        |  <ns:Thing gml:id="b">
+        |    <ns:code>B</ns:code>
+        |    <ns:where>
+        |      <gml:Point srsName="urn:ogc:def:crs:EPSG::4978">
+        |        <gml:pos>6378137 0</gml:pos>
+        |      </gml:Point>
+        |    </ns:where>
+        |  </ns:Thing>
+        |  <ns:Thing gml:id="c">
+        |    <ns:code>C</ns:code>
+        |    <ns:where>
+        |      <gml:Point srsName="urn:ogc:def:crs:EPSG::4269">
+        |        <gml:pos>40.7 -74.0</gml:pos>
+        |      </gml:Point>
+        |    </ns:where>
+        |  </ns:Thing>
+        |</ns:Dataset>
+        |""".stripMargin.getBytes("UTF-8"))
+    val back = GmlIO.read(spark, f.toString).df
+      .select(element_at($"props", "code").as("code"),
+        element_at($"props", "note.sub").as("sub"),
+        element_at($"props", "note").as("note"),
+        expr("st_astext(geometry)").as("wkt"))
+      .orderBy($"code").collect()
+    assert(back.length == 3)
+    // 4087 (projected World Equidistant Cylindrical): coordinates verbatim
+    assert(back(0).getString(3) == "POINT (1000000 2000000)")
+    // mixed content: nested leaf kept, loose own-text dropped (OGR model)
+    assert(back(0).getString(1) == "leaf")
+    assert(back(0).getString(2) == null)
+    // 4978 (geocentric WGS 84): verbatim
+    assert(back(1).getString(3) == "POINT (6378137 0)")
+    // 4269 (NAD83 geographic): lat/lon in doc, swapped to x=lon
+    assert(back(2).getString(3) == "POINT (-74 40.7)")
+  }
+
   test("writeAppSchema roundtrip: dotted groups, urn srs, geometry families") {
     val path = tmp()
     val rows = (0 until 50).map { i =>

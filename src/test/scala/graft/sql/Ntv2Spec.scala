@@ -111,6 +111,18 @@ class Ntv2Spec extends AnyFunSuite {
     assert(Crs.parseProj("+proj=tmerc +ellps=WGS84 +nadgrids=nope").isEmpty)
   }
 
+  test("registerDir accepts single-slash and double-slash file: URIs") {
+    val dir = java.nio.file.Files.createTempDirectory("ntv2uri")
+    java.nio.file.Files.write(dir.resolve("uritest.gsb"), synthGsb())
+    // single-slash form (java.net.URI canonical): file:/tmp/...
+    assert(Ntv2.registerDir("file:" + dir.toAbsolutePath) == Seq("uritest"))
+    // double-slash empty-authority form: file:///tmp/...
+    assert(Ntv2.registerDir("file://" + dir.toAbsolutePath) == Seq("uritest"))
+    // remote URIs still refuse loudly
+    val e = intercept[IllegalArgumentException](Ntv2.registerDir("s3://bucket/grids"))
+    assert(e.getMessage.contains("node-local"))
+  }
+
   test("runtime grid hook: spark.graft.crs.ntv2Dir loads user .gsb files end-to-end") {
     val spark = TestSpark.spark
     import org.apache.spark.sql.functions._

@@ -3076,11 +3076,12 @@ object OracleSql {
              0::BIGINT AS nholes
       FROM p ORDER BY s_suppkey""",
 
-    // coverage validation: valid even-key coverages yield 0 witnesses,
-    // overlapping odd-key pairs flag both members (2)
+    // coverage validation closed forms: key%3==0 valid pair -> 0,
+    // key%3==1 overlapping pair -> 2 overlap + 2 T-node = 4,
+    // key%3==2 half-height neighbor -> 1 T-node witness
     "g116_coverage_validate" -> """
       SELECT s_suppkey,
-             CASE WHEN s_suppkey % 2 = 0 THEN 0 ELSE 2 END::BIGINT
+             (CASE s_suppkey % 3 WHEN 0 THEN 0 WHEN 1 THEN 4 ELSE 1 END)::BIGINT
                AS n_witnesses
       FROM supplier ORDER BY s_suppkey""",
 

@@ -1583,23 +1583,29 @@ object SparkEntry {
     }),
 
     // COVERAGE VALIDATION (ST_CoverageInvalidEdges role): per supplier,
-    // even keys get a VALID two-rect coverage (edge-matched at x=w) and
-    // odd keys an OVERLAPPING pair (second rect shifted left by w/2) —
-    // witness count is a closed form: 0 for valid, 2 for overlap (both
-    // members flagged). Member indices are group-order dependent, so the
-    // oracle locks the count, not the indices.
+    // key%3==0 gets a VALID two-rect coverage (edge-matched at x=w),
+    // key%3==1 an OVERLAPPING pair (second rect shifted left by w/2 —
+    // 2 overlap witnesses + 2 T-node witnesses, since each member's
+    // corner lands mid-edge on the other), key%3==2 a T-NODE-ONLY pair
+    // (B spans half the height, so its corner (w, h/2) sits in the
+    // interior of A's seam edge with no matching vertex — the exact
+    // seam-mismatch class coverageSimplify corrupts silently; 1 witness
+    // flagging A). Member indices are group-order dependent, so the
+    // oracle locks counts, not indices.
     "g116_coverage_validate" -> ((s, d) => {
       val base = t(s, d, "supplier")
         .withColumn("w", ((col("s_suppkey") % 5) + 2).cast("double"))
         .withColumn("h", ((col("s_suppkey") % 7) + 3).cast("double"))
-        .withColumn("shift", when(col("s_suppkey") % 2 === 0, lit(0.0))
-          .otherwise(col("w") / 2.0))
-      val parts = base.select(col("s_suppkey"), col("w"), col("h"), col("shift"))
+        .withColumn("cls", col("s_suppkey") % 3)
+      val parts = base.select(col("s_suppkey"), col("w"), col("h"), col("cls"))
         .withColumn("part", explode(array(lit("A"), lit("B"))))
         .withColumn("geometry", when(col("part") === "A",
             st_makeEnvelope(lit(0.0), lit(0.0), col("w"), col("h")))
-          .otherwise(st_makeEnvelope(col("w") - col("shift"), lit(0.0),
-            col("w") * 2.0 - col("shift"), col("h"))))
+          .otherwise(when(col("cls") === 1,
+            st_makeEnvelope(col("w") / 2.0, lit(0.0),
+              col("w") * 1.5, col("h")))
+          .otherwise(st_makeEnvelope(col("w"), lit(0.0), col("w") * 2.0,
+            when(col("cls") === 2, col("h") / 2.0).otherwise(col("h"))))))
       val witnesses = graft.api.GeoDataFrame(parts, "geometry")
         .coverageInvalidWitnesses(by = Seq("s_suppkey"))
         .groupBy(col("s_suppkey"))

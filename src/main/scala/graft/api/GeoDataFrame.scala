@@ -381,26 +381,91 @@ final case class GeoDataFrame(
   def coverageSimplify(tolerance: Double, by: Seq[String] = Nil): GeoDataFrame = {
     val schema = df.schema
     val geomIdx = schema.fieldIndex(geometryColumn)
-    val keyIdxs = by.map(schema.fieldIndex).toArray
-    val out = df.rdd
-      .groupBy(r => keyIdxs.map(i => r.get(i)).toSeq)
-      .flatMap { case (_, rows) =>
-        val rs = rows.toIndexedSeq
-        val geoms = rs.map { r =>
-          val b = r.get(geomIdx).asInstanceOf[Array[Byte]]
-          if (b == null) null else Wkb.read(b)
-        }
-        val present = geoms.zipWithIndex.filter(_._1 != null)
-        val simplified = graft.geom.Coverage.simplifyCoverage(
-          present.map(_._1), tolerance)
-        val byPos = present.map(_._2).zip(simplified).toMap
-        rs.zipWithIndex.map { case (r, i) =>
-          val g = byPos.get(i).map(Wkb.write).orNull
-          org.apache.spark.sql.Row.fromSeq(
-            r.toSeq.updated(geomIdx, if (byPos.contains(i)) g else r.get(geomIdx)))
-        }
+    val out = coverageWindows(by, schema) { (_, rs) =>
+      val geoms = rs.map { r =>
+        val b = r.get(geomIdx).asInstanceOf[Array[Byte]]
+        if (b == null) null else Wkb.read(b)
       }
-    withCrsOf(GeoDataFrame(df.sparkSession.createDataFrame(out, schema), geometryColumn))
+      val present = geoms.zipWithIndex.filter(_._1 != null)
+      val simplified = graft.geom.Coverage.simplifyCoverage(
+        present.map(_._1), tolerance)
+      val byPos = present.map(_._2).zip(simplified).toMap
+      rs.iterator.zipWithIndex.map { case (r, i) =>
+        val g = byPos.get(i).map(Wkb.write).orNull
+        org.apache.spark.sql.Row.fromSeq(
+          r.toSeq.updated(geomIdx, if (byPos.contains(i)) g else r.get(geomIdx)))
+      }
+    }
+    withCrsOf(GeoDataFrame(out, geometryColumn))
+  }
+
+  /** Shared execution plan for the coverage family: shuffle on the `by`
+    * columns (one Exchange), sort within partitions so each window is
+    * CONTIGUOUS (Tungsten radix/spillable sort — never an RDD `groupBy`,
+    * which shuffles Java-serialized full rows and materializes every
+    * group of a partition at once), then stream each partition buffering
+    * ONE window at a time. A window must still fit a task (a coverage is
+    * a topological whole), so the buffer is guarded: crossing
+    * `spark.graft.coverage.maxWindowRows` (default 5M) or
+    * `.maxWindowBytes` (default 1 GiB of WKB) throws
+    * [[CoverageWindowExceeded]] naming the key, instead of OOMing the
+    * executor. `by = Nil` is a single window (repartition(1)) for
+    * datasets that fit a task.
+    */
+  private def coverageWindows(by: Seq[String],
+      outSchema: org.apache.spark.sql.types.StructType)(
+      process: (Seq[Any], IndexedSeq[org.apache.spark.sql.Row]) =>
+        Iterator[org.apache.spark.sql.Row]): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import scala.collection.mutable
+    val spark = df.sparkSession
+    val conf = spark.conf
+    val maxRows = conf.get("spark.graft.coverage.maxWindowRows", "5000000").toLong
+    val maxBytes = conf.get("spark.graft.coverage.maxWindowBytes",
+      (1L << 30).toString).toLong
+    val keyIdxs = by.map(df.schema.fieldIndex).toArray
+    val geomIdx = df.schema.fieldIndex(geometryColumn)
+    val keyed =
+      if (by.isEmpty) df.repartition(1)
+      else df.repartition(by.map(df.col): _*)
+        .sortWithinPartitions(by.map(df.col): _*)
+    keyed.mapPartitions { it =>
+      new Iterator[Row] {
+        private var pending: Row = null
+        private var current: Iterator[Row] = Iterator.empty
+        private def keyOf(r: Row): Seq[Any] = keyIdxs.map(r.get).toSeq
+        private def wkbLen(r: Row): Long = {
+          val b = r.get(geomIdx).asInstanceOf[Array[Byte]]
+          if (b == null) 0L else b.length.toLong
+        }
+        private def advance(): Unit = {
+          while (!current.hasNext && (pending != null || it.hasNext)) {
+            val first = if (pending != null) pending else it.next()
+            pending = null
+            val key = keyOf(first)
+            val buf = mutable.ArrayBuffer[Row](first)
+            var bytes = wkbLen(first)
+            var more = true
+            while (more && it.hasNext) {
+              val r = it.next()
+              if (keyOf(r) == key) {
+                buf += r
+                bytes += wkbLen(r)
+                if (buf.length > maxRows || bytes > maxBytes)
+                  throw new CoverageWindowExceeded(
+                    s"coverage window ${by.zip(key).map { case (c, v) => s"$c=$v" }
+                      .mkString("(", ",", ")")} exceeds the per-task budget " +
+                    s"(rows>${maxRows} or wkbBytes>${maxBytes}); refine `by` or raise " +
+                    "spark.graft.coverage.maxWindowRows/.maxWindowBytes")
+              } else { pending = r; more = false }
+            }
+            current = process(key, buf.toIndexedSeq)
+          }
+        }
+        def hasNext: Boolean = { advance(); current.hasNext }
+        def next(): Row = { advance(); current.next() }
+      }
+    }(Encoders.row(outSchema))
   }
 
   /** Coverage validity witnesses (the PostGIS `ST_CoverageInvalidEdges`
@@ -414,28 +479,24 @@ final case class GeoDataFrame(
   def coverageInvalidWitnesses(by: Seq[String] = Nil): DataFrame = {
     val schema = df.schema
     val geomIdx = schema.fieldIndex(geometryColumn)
-    val keyIdxs = by.map(schema.fieldIndex).toArray
     val outSchema = org.apache.spark.sql.types.StructType(
       by.map(schema(_)) ++ Seq(
         org.apache.spark.sql.types.StructField("member",
           org.apache.spark.sql.types.IntegerType),
         org.apache.spark.sql.types.StructField("reason",
           org.apache.spark.sql.types.StringType)))
-    val out = df.rdd
-      .groupBy(r => keyIdxs.map(i => r.get(i)).toSeq)
-      .flatMap { case (key, rows) =>
-        val geoms = rows.map { r =>
-          val b = r.get(geomIdx).asInstanceOf[Array[Byte]]
-          if (b == null) null else Wkb.read(b)
-        }.toIndexedSeq
-        val present = geoms.zipWithIndex.filter(_._1 != null)
-        graft.geom.Coverage.invalidWitnesses(present.map(_._1))
-          .map { case (pi, reason) =>
-            org.apache.spark.sql.Row.fromSeq(
-              key ++ Seq(present(pi)._2, reason))
-          }
+    coverageWindows(by, outSchema) { (key, rs) =>
+      val geoms = rs.map { r =>
+        val b = r.get(geomIdx).asInstanceOf[Array[Byte]]
+        if (b == null) null else Wkb.read(b)
       }
-    df.sparkSession.createDataFrame(out, outSchema)
+      val present = geoms.zipWithIndex.filter(_._1 != null)
+      graft.geom.Coverage.invalidWitnesses(present.map(_._1))
+        .iterator.map { case (pi, reason) =>
+          org.apache.spark.sql.Row.fromSeq(
+            key ++ Seq(present(pi)._2, reason))
+        }
+    }
   }
 
   /** Coverage union (the PostGIS `ST_CoverageUnion` surface): dissolve an
@@ -452,20 +513,16 @@ final case class GeoDataFrame(
   def coverageUnion(by: Seq[String] = Nil): GeoDataFrame = {
     val schema = df.schema
     val geomIdx = schema.fieldIndex(geometryColumn)
-    val keyIdxs = by.map(schema.fieldIndex).toArray
     val outSchema = org.apache.spark.sql.types.StructType(
       by.map(schema(_)) :+ schema(geometryColumn))
-    val out = df.rdd
-      .groupBy(r => keyIdxs.map(i => r.get(i)).toSeq)
-      .map { case (key, rows) =>
-        val geoms = rows.flatMap { r =>
-          Option(r.get(geomIdx).asInstanceOf[Array[Byte]]).map(Wkb.read)
-        }.toIndexedSeq
-        val u = graft.geom.Coverage.unionCoverage(geoms)
-        org.apache.spark.sql.Row.fromSeq(key :+ Wkb.write(u))
+    val out = coverageWindows(by, outSchema) { (key, rs) =>
+      val geoms = rs.flatMap { r =>
+        Option(r.get(geomIdx).asInstanceOf[Array[Byte]]).map(Wkb.read)
       }
-    withCrsOf(GeoDataFrame(
-      df.sparkSession.createDataFrame(out, outSchema), geometryColumn))
+      val u = graft.geom.Coverage.unionCoverage(geoms)
+      Iterator.single(org.apache.spark.sql.Row.fromSeq(key :+ Wkb.write(u)))
+    }
+    withCrsOf(GeoDataFrame(out, geometryColumn))
   }
 
   // ------------------------------------------------------------ aggregates
@@ -1833,6 +1890,13 @@ final case class GeoDataFrame(
 
   def count(): Long = df.count()
 }
+
+/** Thrown when one coverage window (one `by` key) exceeds the per-task
+  * materialization budget — the actionable alternative to an executor
+  * OOM. Refine the `by` key (e.g. add a tile id) or raise
+  * `spark.graft.coverage.maxWindowRows` / `.maxWindowBytes`.
+  */
+class CoverageWindowExceeded(msg: String) extends RuntimeException(msg)
 
 object GeoDataFrame {
   /** points_from_xy (reference `dask_geopandas/expr.py:881-894`). */

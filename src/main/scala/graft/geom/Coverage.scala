@@ -248,11 +248,16 @@ object Coverage {
     *   - interior overlap: a vertex of one polygon strictly inside
     *     another, or one polygon's interior containing another entirely
     *     (checked both ways via containsProperly on a sample vertex and
-    *     the envelope-candidate pairs of an STR-style bucket pass).
-    * NOT detected (needs full noding): seam vertex mismatches where
-    * neither side's vertices fall inside the other. Empty result =
-    * "no witness found", not a proof of validity — same contract as
-    * GEOS's validator, which also only reports the edges it can see.
+    *     the envelope-candidate pairs of an STR-style bucket pass);
+    *   - T-nodes: a vertex of one polygon lying in the INTERIOR of a
+    *     neighbor's edge with no matching vertex in that neighbor — the
+    *     seam-mismatch class [[simplifyCoverage]] corrupts silently
+    *     (its junction-bounded arcs cannot pair up across the seam).
+    *     The member whose edge is missing the node is flagged.
+    * NOT detected (needs full noding): crossing edges whose intersection
+    * point is a vertex of neither side. Empty result = "no witness
+    * found", not a proof of validity — same contract as GEOS's
+    * validator, which also only reports the edges it can see.
     */
   def invalidWitnesses(geoms: IndexedSeq[Geometry]): Seq[(Int, String)] = {
     val out = mutable.ArrayBuffer.empty[(Int, String)]
@@ -341,6 +346,72 @@ object Coverage {
           Predicates.containsProperly(geoms(j), geoms(i))) {
         out += i -> s"interior overlap with member $j"
         out += j -> s"interior overlap with member $i"
+      }
+    }
+    // (c) T-nodes: a vertex of one member lying strictly inside a
+    // neighbor's edge, with no matching vertex in that neighbor. Uniform
+    // grid over edges (cell ~ max edge extent, same trick as the envelope
+    // pass) so each foreign vertex probes only nearby edges: O(V + E).
+    val vertKeys = geoms.map { g =>
+      val s = mutable.HashSet.empty[PtKey]
+      ringsOf(g).foreach { xy =>
+        var i = 0
+        while (i < xy.length / 2) { s += keyOf(xy(2 * i), xy(2 * i + 1)); i += 1 }
+      }
+      s
+    }
+    val edges = mutable.ArrayBuffer.empty[(Int, Double, Double, Double, Double)]
+    geoms.zipWithIndex.foreach { case (g, gi) =>
+      ringsOf(g).foreach { xy =>
+        var i = 0
+        while (i < xy.length / 2 - 1) {
+          edges += ((gi, xy(2 * i), xy(2 * i + 1), xy(2 * i + 2), xy(2 * i + 3)))
+          i += 1
+        }
+      }
+    }
+    if (edges.nonEmpty) {
+      val ecell = math.max(1e-9, edges.iterator.map { case (_, ax, ay, bx, by) =>
+        math.max(math.abs(bx - ax), math.abs(by - ay)) }.max)
+      val egrid = mutable.HashMap.empty[(Long, Long), mutable.ArrayBuffer[Int]]
+      edges.zipWithIndex.foreach { case ((_, ax, ay, bx, by), ei) =>
+        var cx = math.floor(math.min(ax, bx) / ecell).toLong
+        while (cx <= math.floor(math.max(ax, bx) / ecell).toLong) {
+          var cy = math.floor(math.min(ay, by) / ecell).toLong
+          while (cy <= math.floor(math.max(ay, by) / ecell).toLong) {
+            egrid.getOrElseUpdate((cx, cy), mutable.ArrayBuffer.empty) += ei
+            cy += 1
+          }
+          cx += 1
+        }
+      }
+      val flagged = mutable.HashSet.empty[(Int, Int)] // (edgeOwner, vertexOwner)
+      geoms.zipWithIndex.foreach { case (g, gi) =>
+        val probed = mutable.HashSet.empty[PtKey]
+        ringsOf(g).foreach { xy =>
+          var i = 0
+          while (i < xy.length / 2 - 1) { // last coord repeats the first
+            val vx = xy(2 * i); val vy = xy(2 * i + 1)
+            val vk = keyOf(vx, vy)
+            if (probed.add(vk)) {
+              val cellKey = (math.floor(vx / ecell).toLong,
+                math.floor(vy / ecell).toLong)
+              egrid.getOrElse(cellKey, mutable.ArrayBuffer.empty).foreach { ei =>
+                val (gj, ax, ay, bx, by) = edges(ei)
+                if (gj != gi && !flagged.contains((gj, gi)) &&
+                    !vertKeys(gj).contains(vk) &&
+                    vk != keyOf(ax, ay) && vk != keyOf(bx, by) &&
+                    Predicates.nearlyCollinear(ax, ay, bx, by, vx, vy) &&
+                    vx >= math.min(ax, bx) - 1e-12 && vx <= math.max(ax, bx) + 1e-12 &&
+                    vy >= math.min(ay, by) - 1e-12 && vy <= math.max(ay, by) + 1e-12) {
+                  flagged += ((gj, gi))
+                  out += gj -> s"edge missing node at a vertex of member $gi (T-node)"
+                }
+              }
+            }
+            i += 1
+          }
+        }
       }
     }
     out.distinct.toSeq

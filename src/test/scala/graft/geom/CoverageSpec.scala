@@ -225,12 +225,14 @@ class CoverageSpec extends AnyFunSuite {
     val island = poly("POLYGON ((4 4, 6 4, 6 6, 4 6, 4 4))")
     assert(Coverage.invalidWitnesses(IndexedSeq(lake, island)).isEmpty)
 
-    // interior overlap: both members flagged
+    // interior overlap: both members flagged (plus T-node witnesses —
+    // each member's corner lands mid-edge on the other)
     val a = poly("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")
     val b = poly("POLYGON ((1 0, 3 0, 3 2, 1 2, 1 0))")
     val w1 = Coverage.invalidWitnesses(IndexedSeq(a, b))
     assert(w1.map(_._1).toSet == Set(0, 1), w1.toString)
-    assert(w1.forall(_._2.contains("overlap")))
+    val ov = w1.filter(_._2.contains("overlap"))
+    assert(ov.map(_._1).toSet == Set(0, 1), w1.toString)
 
     // duplicate polygon: its edges are traversed 3+ times once a shared
     // neighbor also uses one (dup of a alone = every edge twice → catch
@@ -240,6 +242,27 @@ class CoverageSpec extends AnyFunSuite {
     val neighbor = poly("POLYGON ((2 0, 4 0, 4 2, 2 2, 2 0))")
     val w2 = Coverage.invalidWitnesses(IndexedSeq(a, a, neighbor))
     assert(w2.exists(_._2.contains("3+")), w2.toString)
+  }
+
+  test("invalidWitnesses: T-node seam mismatch reported, noded seam clean") {
+    // B spans half of A's right edge: B's corner (2,1) sits in the
+    // INTERIOR of A's edge (2,0)-(2,2) with no matching vertex in A —
+    // the seam-mismatch class coverageSimplify corrupts silently. No
+    // overlap anywhere, so the T-node is the only witness; the member
+    // whose edge is missing the node (A) is flagged.
+    val a = poly("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")
+    val half = poly("POLYGON ((2 0, 4 0, 4 1, 2 1, 2 0))")
+    val w = Coverage.invalidWitnesses(IndexedSeq(a, half))
+    assert(w == Seq(0 -> "edge missing node at a vertex of member 1 (T-node)"), w)
+
+    // same geometry with A's seam edge noded at (2,1): valid, no witness
+    val noded = poly("POLYGON ((0 0, 2 0, 2 1, 2 2, 0 2, 0 0))")
+    assert(Coverage.invalidWitnesses(IndexedSeq(noded, half)).isEmpty)
+
+    // midpoint-decorated seam where BOTH sides carry the vertex: clean
+    val l = poly("POLYGON ((0 0, 2 0, 2 1, 2 2, 0 2, 0 0))")
+    val r = poly("POLYGON ((2 0, 4 0, 4 2, 2 2, 2 1, 2 0))")
+    assert(Coverage.invalidWitnesses(IndexedSeq(l, r)).isEmpty)
   }
 
   test("non-polygonal members and tiny rings pass through") {

@@ -91,7 +91,7 @@ object Bench {
     // contention that starts and ends mid-suite is invisible to endpoint
     // probes. Two countermeasures: (1) a single-shot calibration probe
     // interleaved every 20 queries so mid-suite load shows up in the
-    // artifact, and (2) any query whose median exceeds 3x its committed
+    // artifact, and (2) any query whose median exceeds 2.5x its committed
     // reference is re-run once and BOTH readings are recorded — the
     // reported value is the better of the two, flagged in "retries".
     // The reference only applies when its "sf" matches this run's dir.
@@ -147,7 +147,7 @@ object Bench {
       if (idx > 0 && idx % 20 == 0) calProbes += calibrateOnce()
       var med = runMedian(name, fn)
       refQueries.get(name).foreach { ref =>
-        if (med > 3.0 * ref && med >= 0 && ref > 0) {
+        if (med > 2.5 * ref && med >= 0 && ref > 0) {
           // defer the retry until the machine probe reads healthy: an
           // immediate retry reruns inside the SAME contention window and
           // keeps an inflated better-of-two (r10 committed t05 at 7.3 s
@@ -179,7 +179,7 @@ object Bench {
     }
 
     // End-of-suite quarantine: any query whose committed median still
-    // exceeds 3x its quiet-run reference gets re-run AFTER the rest of the
+    // exceeds 2.5x its quiet-run reference gets re-run AFTER the rest of the
     // suite, when transient VM contention has usually passed — up to 3
     // passes, each gated on a healthy calibration probe (with a longer
     // bounded wait than the inline gate: contention bursts on the shared
@@ -191,7 +191,7 @@ object Bench {
       scala.collection.mutable.LinkedHashMap[String, List[(Double, Double)]]()
     def stillSuspect(): Seq[String] = resultsMap.toSeq.collect {
       case (n, med) if med >= 0 &&
-        refQueries.get(n).exists(r => r > 0 && med > 3.0 * r) => n
+        refQueries.get(n).exists(r => r > 0 && med > 2.5 * r) => n
     }.map(_.toString)
     var qPass = 0
     while (qPass < 3 && stillSuspect().nonEmpty) {
@@ -244,12 +244,12 @@ object Bench {
         ",\"probe_s\":" + f"$probe%.4f" + "}"
     }.mkString("{", ",", "}")
     // contention that survived the retry gate is FLAGGED, never silently
-    // committed: any committed median still > 3x its quiet-run reference
+    // committed: any committed median still > 2.5x its quiet-run reference
     // lands in "suspect" so the round-over-round delta reader knows those
     // numbers are machine noise, not plan changes
     val suspects = results.collect {
       case (n, med) if med >= 0 &&
-        refQueries.get(n).exists(r => r > 0 && med > 3.0 * r) => n
+        refQueries.get(n).exists(r => r > 0 && med > 2.5 * r) => n
     }
     val suspectJson = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
     val quarantineJson = quarantinePasses.map { case (n, passes) =>

@@ -90,26 +90,67 @@ object CoverageSoak {
     }
     val gdf = GeoDataFrame(cells, "geometry")
 
+    // task-level evidence for the 100 TB posture: max per-task Tungsten
+    // peak (the spillable sort budget), max GC per task, shuffle volume
+    val peak = new java.util.concurrent.atomic.AtomicLong(0)
+    val maxGcMs = new java.util.concurrent.atomic.AtomicLong(0)
+    val shuffleWrite = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = e.taskMetrics
+          if (m != null) {
+            peak.accumulateAndGet(m.peakExecutionMemory, Math.max(_, _))
+            maxGcMs.accumulateAndGet(m.jvmGCTime, Math.max(_, _))
+            shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          }
+        }
+      })
+    def resetMetrics(): Unit = { peak.set(0); maxGcMs.set(0); shuffleWrite.set(0) }
+    def metricsJson: String =
+      s""""task_peak_mb":${peak.get / (1 << 20)},"max_task_gc_ms":${maxGcMs.get},"shuffle_write_mb":${shuffleWrite.get / (1 << 20)}"""
+
     // 1. coverage union per window (interior-seam drop + stitch)
     val (covRows, covS) = time {
       gdf.coverageUnion(by = Seq("grp")).df
         .select(sum(st_area(col("geometry"))).cast("double")).head().getDouble(0).round
     }
-    println(s"""{"op":"coverageUnion","cells":${nx.toLong * ny},"groups":$groups,"union_area":$covRows,"wall_s":${f"$covS%.2f"}}""")
+    println(s"""{"op":"coverageUnion","cells":${nx.toLong * ny},"groups":$groups,"union_area":$covRows,"wall_s":${f"$covS%.2f"},$metricsJson}""")
+    resetMetrics()
 
     // 2. general overlay dissolve on the same windows (the fallback path)
     val (ovRows, ovS) = time {
       gdf.dissolve(by = Seq("grp")).df
         .select(sum(st_area(col("geometry"))).cast("double")).head().getDouble(0).round
     }
-    println(s"""{"op":"dissolve_overlay","cells":${nx.toLong * ny},"groups":$groups,"union_area":$ovRows,"wall_s":${f"$ovS%.2f"},"speedup_x":${f"${ovS / covS}%.1f"}}""")
+    println(s"""{"op":"dissolve_overlay","cells":${nx.toLong * ny},"groups":$groups,"union_area":$ovRows,"wall_s":${f"$ovS%.2f"},"speedup_x":${f"${ovS / covS}%.1f"},$metricsJson}""")
+    resetMetrics()
 
     // 3. coverage simplify per window (arc cut + DP + rebuild)
     val (nptsAfter, simpS) = time {
       gdf.coverageSimplify(0.01, by = Seq("grp")).df
         .select(sum(st_numPoints(col("geometry"))).cast("double")).head().getDouble(0).round
     }
-    println(s"""{"op":"coverageSimplify","cells":${nx.toLong * ny},"npts_after":$nptsAfter,"npts_expected":${nx.toLong * ny * 5},"wall_s":${f"$simpS%.2f"}}""")
+    println(s"""{"op":"coverageSimplify","cells":${nx.toLong * ny},"npts_after":$nptsAfter,"npts_expected":${nx.toLong * ny * 5},"wall_s":${f"$simpS%.2f"},$metricsJson}""")
+
+    // 4. the window guard under real load: cap below the per-window row
+    // count and confirm the named error surfaces (not an OOM) and arrives
+    // fast (fails on the FIRST over-budget window, not after the pass)
+    spark.conf.set("spark.graft.coverage.maxWindowRows",
+      math.max(1, nx.toLong * ny / groups / 2).toString)
+    val t0 = System.nanoTime()
+    val guarded = try {
+      gdf.coverageUnion(by = Seq("grp")).df.count(); "MISSED"
+    } catch {
+      case e: Throwable =>
+        def causes(t: Throwable): List[Throwable] =
+          if (t == null) Nil else t :: causes(t.getCause)
+        if (causes(e).exists(_.isInstanceOf[graft.api.CoverageWindowExceeded]))
+          "CoverageWindowExceeded" else s"other:${e.getClass.getSimpleName}"
+    }
+    spark.conf.unset("spark.graft.coverage.maxWindowRows")
+    println(s"""{"op":"window_guard","result":"$guarded","wall_s":${f"${(System.nanoTime() - t0) / 1e9}%.2f"}}""")
 
     spark.stop()
   }

@@ -3007,6 +3007,13 @@ object OracleSql {
              10::BIGINT AS npts
       FROM supplier ORDER BY s_suppkey""",
 
+    "g117_filegdb" -> """
+      SELECT s_suppkey, s_name, s_acctbal AS bal,
+             (s_suppkey % 2 = 0) AS flag,
+             round(100.0::DOUBLE - (((s_suppkey % 5) + 1) * ((s_suppkey % 5) + 1))::DOUBLE, 6) AS area,
+             10::BIGINT AS npts
+      FROM supplier ORDER BY s_suppkey""",
+
     "g67_mapinfo" -> """
       SELECT s_suppkey, s_name, s_acctbal AS bal,
              (s_suppkey % 2 = 0) AS flag,

@@ -1737,6 +1737,33 @@ object SparkEntry {
         .orderBy(col("s_suppkey"))
     }),
 
+    // ESRI File Geodatabase roundtrip (reference: pyogrio OpenFileGDB
+    // driver via read_file): holed rectangles + every attribute class
+    // through write -> catalog-dispatched readFile -> closed-form check.
+    // Booleans travel as int32 (FGDB has no bool type) and come back as
+    // a 0/1 int; geometry quantizes at 1e-9 — invisible at round(.,6).
+    "g117_filegdb" -> ((s, d) => {
+      val loc = "/tmp/graft_g117_" + d.replaceAll("[^A-Za-z0-9]", "_") + ".gdb"
+      val src = supplierPts(s, d)
+        .withColumn("h", (col("s_suppkey") % 5 + 1).cast("double"))
+        .withColumn("geometry", st_difference(
+          st_makeEnvelope(col("x0"), col("y0"),
+            col("x0") + 10.0, col("y0") + 10.0),
+          st_makeEnvelope(col("x0") + 2.0, col("y0") + 2.0,
+            col("x0") + 2.0 + col("h"), col("y0") + 2.0 + col("h"))))
+        .withColumn("flag", col("s_suppkey") % 2 === 0)
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal").as("bal"),
+          col("flag"), col("geometry"))
+      graft.io.FileGdbIO.write(src, loc, layerName = "suppliers",
+        crs = Some("EPSG:4326"))
+      graft.api.GeoDataFrame.readFile(s, loc).df
+        .select(col("s_suppkey").cast("long").as("s_suppkey"), col("s_name"),
+          col("bal"), (col("flag") === 1).as("flag"),
+          round(st_area(col("geometry")), 6).as("area"),
+          st_numPoints(col("geometry")).as("npts"))
+        .orderBy(col("s_suppkey"))
+    }),
+
     "g67_mapinfo" -> ((s, d) => {
       val loc = "/tmp/graft_g67_" + d.replaceAll("[^A-Za-z0-9]", "_")
       val src = graft.api.GeoDataFrame(

@@ -2034,6 +2034,11 @@ object GeoDataFrame {
     val bare = path.stripSuffix("/")
     val p = new org.apache.hadoop.fs.Path(bare)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    // a .gdb DIRECTORY is one dataset (ESRI File Geodatabase), not a
+    // directory of per-task files — dispatch before the extension scan
+    if (bare.toLowerCase.endsWith(".gdb") &&
+        fs.exists(p) && fs.getFileStatus(p).isDirectory)
+      return graft.io.FileGdbIO.read(spark, bare, layer, chunkSize, geometryColumn)
     val lower: String =
       if (fs.exists(p) && fs.getFileStatus(p).isDirectory) {
         val exts = fs.listStatus(p).map(_.getPath.getName.toLowerCase)

@@ -1,0 +1,694 @@
+package graft.io
+
+import graft.api.GeoDataFrame
+import graft.geom.{Envelope, Geometry, LineString, MultiLineString, MultiPoint,
+  MultiPolygon, Point, Polygon, Wkb}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** ESRI File Geodatabase (OpenFileGDB) read/write — the `.gdb` directory
+  * of `a%08x.gdbtable`/`.gdbtablx` pairs (the reference reads it through
+  * pyogrio's OpenFileGDB driver, `dask_geopandas/io/file.py:49-149`).
+  *
+  * Format profile, from the public reverse-engineered FGDB spec
+  * (rouault/dump_gdbtable wiki), FGDB 10 layout:
+  *  - `a00000001.gdbtable` — GDB_SystemCatalog: one row per table; the
+  *    row's ObjectID IS the table's file number (`a%08x`). Rows whose
+  *    name starts with `GDB_` are system tables; the rest are layers.
+  *  - `.gdbtable` — 40-byte header (magic 3, row count, int64 file size,
+  *    int64 field-section offset), a field-description section (version,
+  *    geometry type byte, field list: UTF-16 name/alias, type code, per-
+  *    type width/flag data; the geometry field carries the SRS text and
+  *    the coordinate quantization origin/scale/tolerance), then rows:
+  *    int32 length, null bitmap (one bit per nullable field, LSB first),
+  *    values in field order. ObjectID occupies no row bytes — it is the
+  *    row's position in `.gdbtablx`.
+  *  - `.gdbtablx` — 16-byte header (magic, 1024-row block count, row
+  *    count, entry width = 5) then one 5-byte little-endian offset per
+  *    row (0 = deleted/absent), padded to whole 1024-entry blocks.
+  *  - geometry blobs — shape-type varuint (1 point / 8 multipoint /
+  *    3 polyline / 5 polygon), then quantized integer coordinates:
+  *    `i = round((v - origin) * scale)`, points as `varuint(i)+1`,
+  *    multi-part shapes as point/part counts + varuint bbox + FGDB
+  *    signed varints (bit 6 of the first byte is the sign) of
+  *    consecutive-integer deltas, x/y interleaved per point.
+  *
+  * Field type codes: 0 int16, 1 int32, 2 float32, 3 float64, 4 string
+  * (varuint byte length + UTF-8), 5 datetime (float64 days since
+  * 1899-12-30), 6 objectid, 7 geometry, 8 binary, 10/11 UUID (16 bytes).
+  *
+  * VALIDATION CAVEAT (stated, not hidden — same contract as [[TabIO]]):
+  * no GDAL/ESRI-produced `.gdb` exists in this build environment, so
+  * byte-level interop is validated only against this library's own
+  * writer; the header/tablx/row/varint layouts follow the published spec
+  * precisely, while the field-descriptor TAIL after the tolerances
+  * (extent doubles + grid-size list) follows the spec's field order
+  * without byte-level cross-validation.
+  *
+  * Scale shape: reads are record-chunked like [[ShapefileIO]] — the
+  * driver reads only the catalog + one field section + one tablx header;
+  * each task seeks its own `.gdbtablx` slice for offsets and reads its
+  * rows from `.gdbtable`. Writes coalesce to ONE task (the format has a
+  * global catalog and a single data file per table — a parallel-write
+  * pipeline should target GeoParquet; FileGDB is interchange egress,
+  * like TAB/MIF here).
+  */
+object FileGdbIO {
+
+  private val T_INT16 = 0; private val T_INT32 = 1
+  private val T_FLOAT32 = 2; private val T_FLOAT64 = 3
+  private val T_STRING = 4; private val T_DATETIME = 5
+  private val T_OID = 6; private val T_GEOMETRY = 7
+  private val T_BINARY = 8; private val T_UUID = 10; private val T_UUID2 = 11
+  private val T_XML = 12
+
+  /** Days from 1899-12-30 (the FGDB datetime epoch) to 1970-01-01. */
+  private val EpochDays = 25569.0
+
+  private final case class GdbField(name: String, ftype: Int, nullable: Boolean)
+
+  /** Geometry quantization + SRS carried by the geometry field. */
+  private final case class GeomMeta(srs: String, xOrigin: Double,
+    yOrigin: Double, xyScale: Double)
+
+  private final case class TableMeta(nRows: Int, fields: IndexedSeq[GdbField],
+    geom: Option[GeomMeta])
+
+  // ------------------------------------------------------------- binary IO
+
+  private final class Cur(val b: Array[Byte], var p: Int) {
+    def u8(): Int = { val v = b(p) & 0xff; p += 1; v }
+    def i16(): Int = { val v = (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8); p += 2; v.toShort.toInt }
+    def i32(): Int = {
+      val v = (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8) |
+        ((b(p + 2) & 0xff) << 16) | ((b(p + 3) & 0xff) << 24)
+      p += 4; v
+    }
+    def i64(): Long = { val lo = i32().toLong & 0xffffffffL; val hi = i32().toLong; (hi << 32) | lo }
+    def f32(): Float = java.lang.Float.intBitsToFloat(i32())
+    def f64(): Double = java.lang.Double.longBitsToDouble(i64())
+    def varuint(): Long = {
+      var v = 0L; var shift = 0; var more = true
+      while (more) {
+        val c = u8()
+        v |= (c & 0x7fL) << shift
+        shift += 7; more = (c & 0x80) != 0
+      }
+      v
+    }
+    /** FGDB signed varint: first byte = [cont|sign|6 payload bits]. */
+    def svarint(): Long = {
+      val c0 = u8()
+      val neg = (c0 & 0x40) != 0
+      var v = (c0 & 0x3fL); var shift = 6; var more = (c0 & 0x80) != 0
+      while (more) {
+        val c = u8()
+        v |= (c & 0x7fL) << shift
+        shift += 7; more = (c & 0x80) != 0
+      }
+      if (neg) -v else v
+    }
+    def bytes(n: Int): Array[Byte] = { val a = java.util.Arrays.copyOfRange(b, p, p + n); p += n; a }
+    def utf16(nchars: Int): String = new String(bytes(nchars * 2), "UTF-16LE")
+    def utf8(n: Int): String = new String(bytes(n), "UTF-8")
+  }
+
+  private final class Buf {
+    private val out = new java.io.ByteArrayOutputStream()
+    def size: Int = out.size
+    def toBytes: Array[Byte] = out.toByteArray
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def i16(v: Int): Unit = { u8(v); u8(v >> 8) }
+    def i32(v: Int): Unit = { u8(v); u8(v >> 8); u8(v >> 16); u8(v >> 24) }
+    def i64(v: Long): Unit = { i32(v.toInt); i32((v >> 32).toInt) }
+    def f64(v: Double): Unit = i64(java.lang.Double.doubleToLongBits(v))
+    def f32(v: Float): Unit = i32(java.lang.Float.floatToIntBits(v))
+    def varuint(v0: Long): Unit = {
+      require(v0 >= 0, s"varuint of negative $v0")
+      var v = v0
+      do { val c = (v & 0x7f).toInt; v >>>= 7; u8(if (v != 0) c | 0x80 else c) }
+      while (v != 0)
+    }
+    def svarint(v0: Long): Unit = {
+      val neg = v0 < 0
+      var v = if (neg) -v0 else v0
+      val c0 = ((v & 0x3f).toInt | (if (neg) 0x40 else 0))
+      v >>>= 6
+      u8(if (v != 0) c0 | 0x80 else c0)
+      while (v != 0) { val c = (v & 0x7f).toInt; v >>>= 7; u8(if (v != 0) c | 0x80 else c) }
+    }
+    def bytes(a: Array[Byte]): Unit = out.write(a, 0, a.length)
+    def utf16(s: String): Unit = bytes(s.getBytes("UTF-16LE"))
+  }
+
+  // --------------------------------------------------------------- parsing
+
+  /** Parse a `.gdbtable` header + field-description section. */
+  private def parseTable(bytes: Array[Byte]): TableMeta = {
+    val c = new Cur(bytes, 0)
+    require(c.i32() == 3, "gdb: bad .gdbtable magic")
+    val nRows = c.i32()
+    c.p = 32
+    val fieldOff = c.i64()
+    c.p = fieldOff.toInt
+    /* section length */ c.i32()
+    val version = c.i32()
+    require((version & 0xff) == 4, s"gdb: unsupported layer version $version")
+    /* geometry type byte + 3 flag bytes */ c.u8(); c.u8(); c.u8(); c.u8()
+    val nFields = c.i16()
+    val fields = IndexedSeq.newBuilder[GdbField]
+    var geom: Option[GeomMeta] = None
+    var k = 0
+    while (k < nFields) {
+      val name = c.utf16(c.u8())
+      /* alias */ c.utf16(c.u8())
+      val ftype = c.u8()
+      var nullable = true
+      ftype match {
+        case T_OID => c.u8(); c.u8(); nullable = false
+        case T_INT16 | T_INT32 | T_FLOAT32 | T_FLOAT64 | T_DATETIME =>
+          c.u8(); nullable = (c.u8() & 1) != 0
+        case T_STRING | T_XML =>
+          c.i32(); nullable = (c.u8() & 1) != 0
+        case T_BINARY | T_UUID | T_UUID2 =>
+          c.u8(); nullable = (c.u8() & 1) != 0
+        case T_GEOMETRY =>
+          c.u8(); nullable = (c.u8() & 1) != 0
+          val srs = c.utf16(c.i16())
+          // bit1 = has_m, bit2 = has_z (GDAL OpenFileGDB semantics);
+          // m/z origin+scale+tolerance ride only when flagged
+          val gflags = c.u8()
+          val hasM = (gflags & 2) != 0; val hasZ = (gflags & 4) != 0
+          val xo = c.f64(); val yo = c.f64(); val sc = c.f64()
+          if (hasM) { c.f64(); c.f64() }
+          if (hasZ) { c.f64(); c.f64() }
+          /* xytolerance */ c.f64()
+          if (hasM) c.f64()
+          if (hasZ) c.f64()
+          /* extent */ c.f64(); c.f64(); c.f64(); c.f64()
+          val nGrids = c.i32()
+          var g = 0; while (g < nGrids) { c.f64(); g += 1 }
+          geom = Some(GeomMeta(srs, xo, yo, sc))
+        case other => throw new IllegalArgumentException(
+          s"gdb: unsupported field type $other for '$name'")
+      }
+      fields += GdbField(name, ftype, nullable)
+      k += 1
+    }
+    TableMeta(nRows, fields.result(), geom)
+  }
+
+  private def sparkTypeOf(f: GdbField): DataType = f.ftype match {
+    case T_INT16 => ShortType
+    case T_INT32 => IntegerType
+    case T_FLOAT32 => FloatType
+    case T_FLOAT64 => DoubleType
+    case T_STRING | T_XML | T_UUID | T_UUID2 => StringType
+    case T_DATETIME => TimestampType
+    case T_OID => LongType
+    case T_BINARY | T_GEOMETRY => BinaryType
+  }
+
+  /** Parse one row blob (after its int32 length) into field values. */
+  private def parseRow(blob: Array[Byte], oid: Long,
+      fields: IndexedSeq[GdbField], geom: Option[GeomMeta]): Row = {
+    val c = new Cur(blob, 0)
+    val nNullable = fields.count(_.nullable)
+    val bitmap = c.bytes((nNullable + 7) / 8)
+    var nullIdx = 0
+    val vals = fields.map { f =>
+      val isNull = f.nullable && {
+        val bit = (bitmap(nullIdx / 8) >> (nullIdx % 8) & 1) != 0
+        nullIdx += 1; bit
+      }
+      if (isNull) null
+      else f.ftype match {
+        case T_OID => oid
+        case T_INT16 => c.i16().toShort
+        case T_INT32 => c.i32()
+        case T_FLOAT32 => c.f32()
+        case T_FLOAT64 => c.f64()
+        case T_DATETIME =>
+          val days = c.f64()
+          new java.sql.Timestamp(((days - EpochDays) * 86400000.0).round)
+        case T_STRING | T_XML => c.utf8(c.varuint().toInt)
+        case T_BINARY => c.bytes(c.varuint().toInt)
+        case T_UUID | T_UUID2 =>
+          val raw = c.bytes(16)
+          val bb = java.nio.ByteBuffer.wrap(raw)
+          new java.util.UUID(bb.getLong, bb.getLong).toString
+        case T_GEOMETRY =>
+          val g = decodeShape(c.bytes(c.varuint().toInt), geom.get)
+          if (g == null) null else Wkb.write(g)
+      }
+    }
+    Row.fromSeq(vals)
+  }
+
+  // ------------------------------------------------------- geometry codec
+
+  private def decodeShape(blob: Array[Byte], m: GeomMeta): Geometry = {
+    if (blob.isEmpty) return null
+    val c = new Cur(blob, 0)
+    val stype = (c.varuint() & 0xff).toInt
+    @inline def ix(v: Long): Double = (v - 1).toDouble / m.xyScale + m.xOrigin
+    @inline def iy(v: Long): Double = (v - 1).toDouble / m.xyScale + m.yOrigin
+    stype match {
+      case 0 => null // null shape
+      case 1 => Point(ix(c.varuint()), iy(c.varuint()))
+      case 8 | 3 | 5 =>
+        val nPts = c.varuint().toInt
+        if (nPts == 0) return (stype: @unchecked) match {
+          case 8 => MultiPoint(Array.empty)
+          case 3 => LineString(Array.empty[Double])
+          case 5 => Polygon(Array.empty[Array[Double]])
+        }
+        val nParts = if (stype == 8) 1 else c.varuint().toInt
+        // bbox (planning metadata; coordinates re-derive it)
+        c.varuint(); c.varuint(); c.varuint(); c.varuint()
+        val counts = new Array[Int](nParts)
+        var i = 0; var seen = 0
+        while (i < nParts - 1) { counts(i) = c.varuint().toInt; seen += counts(i); i += 1 }
+        counts(nParts - 1) = nPts - seen
+        val parts = Array.tabulate(nParts)(p => new Array[Double](counts(p) * 2))
+        var xi = 0L; var yi = 0L
+        var p = 0
+        while (p < nParts) {
+          var j = 0
+          while (j < counts(p)) {
+            xi += c.svarint(); yi += c.svarint()
+            parts(p)(2 * j) = xi.toDouble / m.xyScale + m.xOrigin
+            parts(p)(2 * j + 1) = yi.toDouble / m.xyScale + m.yOrigin
+            j += 1
+          }
+          p += 1
+        }
+        stype match {
+          case 8 =>
+            MultiPoint(parts(0).grouped(2).map(a => Point(a(0), a(1))).toArray)
+          case 3 =>
+            if (nParts == 1) LineString(parts(0))
+            else MultiLineString(parts.map(LineString(_)))
+          case 5 => ShapefileIO.assemblePolygons(parts)
+        }
+      case other => throw new IllegalArgumentException(
+        s"gdb: unsupported shape type $other (points/multipoints/" +
+          "polylines/polygons are supported; curves/multipatch are not)")
+    }
+  }
+
+  private def encodeShape(g: Geometry, m: GeomMeta): Array[Byte] = {
+    val b = new Buf
+    @inline def qx(x: Double): Long = (( x - m.xOrigin) * m.xyScale).round
+    @inline def qy(y: Double): Long = ((y - m.yOrigin) * m.xyScale).round
+    def multi(stype: Int, parts: Seq[Array[Double]]): Unit = {
+      val nPts = parts.map(_.length / 2).sum
+      b.varuint(stype)
+      b.varuint(nPts)
+      if (nPts == 0) return
+      if (stype != 8) b.varuint(parts.length)
+      var xmin = Double.MaxValue; var ymin = Double.MaxValue
+      var xmax = Double.MinValue; var ymax = Double.MinValue
+      parts.foreach { a =>
+        var i = 0
+        while (i < a.length / 2) {
+          xmin = math.min(xmin, a(2 * i)); xmax = math.max(xmax, a(2 * i))
+          ymin = math.min(ymin, a(2 * i + 1)); ymax = math.max(ymax, a(2 * i + 1))
+          i += 1
+        }
+      }
+      b.varuint(qx(xmin)); b.varuint(qy(ymin))
+      b.varuint(((xmax - xmin) * m.xyScale).round)
+      b.varuint(((ymax - ymin) * m.xyScale).round)
+      (0 until parts.length - 1).foreach(i => b.varuint(parts(i).length / 2))
+      var xi = 0L; var yi = 0L
+      parts.foreach { a =>
+        var i = 0
+        while (i < a.length / 2) {
+          val nx = qx(a(2 * i)); val ny = qy(a(2 * i + 1))
+          b.svarint(nx - xi); b.svarint(ny - yi)
+          xi = nx; yi = ny
+          i += 1
+        }
+      }
+    }
+    g match {
+      case p: Point =>
+        if (p.isEmpty) { b.varuint(1); b.varuint(0); b.varuint(0) }
+        else { b.varuint(1); b.varuint(qx(p.x) + 1); b.varuint(qy(p.y) + 1) }
+      case mp: MultiPoint =>
+        multi(8, Seq(mp.pts.flatMap(p => Array(p.x, p.y))))
+      case l: LineString => multi(3, Seq(l.xy))
+      case ml: MultiLineString => multi(3, ml.lines.map(_.xy).toSeq)
+      case p: Polygon => multi(5, ShapefileIO.windPolygon(p))
+      case mp: MultiPolygon =>
+        multi(5, mp.polys.toSeq.flatMap(ShapefileIO.windPolygon))
+      case other => throw new IllegalArgumentException(
+        s"gdb: cannot encode ${other.getClass.getSimpleName}")
+    }
+    b.toBytes
+  }
+
+  // ------------------------------------------------------------------ read
+
+  private def fileFor(dir: Path, idx: Long): Path =
+    new Path(dir, f"a$idx%08x.gdbtable")
+
+  /** Table names in the catalog, keyed by file number (catalog row id). */
+  private[io] def catalog(conf: org.apache.hadoop.conf.Configuration,
+      gdbDir: String): Seq[(Long, String)] = {
+    val dir = new Path(gdbDir)
+    val rows = readTableLocal(conf, fileFor(dir, 1).toString)
+    rows.flatMap { r =>
+      val oid = r.getLong(0)
+      Option(r.get(1)).map(n => oid -> n.toString)
+    }
+  }
+
+  /** Whole-table single-process read (catalog-sized tables only). */
+  private def readTableLocal(conf: org.apache.hadoop.conf.Configuration,
+      tablePath: String): Seq[Row] = {
+    val p = new Path(tablePath)
+    val fs = p.getFileSystem(conf)
+    val bytes = readFully(conf, p)
+    val meta = parseTable(bytes)
+    val tablx = readFully(conf,
+      new Path(tablePath.stripSuffix(".gdbtable") + ".gdbtablx"))
+    val tc = new Cur(tablx, 0)
+    require(tc.i32() == 3, "gdb: bad .gdbtablx magic")
+    tc.i32(); val nRows = tc.i32(); val width = tc.i32()
+    (0 until nRows).flatMap { i =>
+      tc.p = 16 + i * width
+      var off = 0L; var k = 0
+      while (k < width) { off |= (tc.b(tc.p + k) & 0xffL) << (8 * k); k += 1 }
+      if (off == 0) None
+      else {
+        val rc = new Cur(bytes, off.toInt)
+        val len = rc.i32()
+        Some(parseRow(rc.bytes(len), i + 1L, meta.fields, meta.geom))
+      }
+    }
+  }
+
+  private def readFully(conf: org.apache.hadoop.conf.Configuration,
+      p: Path): Array[Byte] = {
+    val fs = p.getFileSystem(conf)
+    val len = fs.getFileStatus(p).getLen.toInt
+    val out = new Array[Byte](len)
+    val in = fs.open(p)
+    try in.readFully(0, out) finally in.close()
+    out
+  }
+
+  /** Distributed read of one layer. The driver touches only the catalog,
+    * the layer's field section, and the 16-byte tablx header; each task
+    * reads its own tablx slice + rows (`chunkSize` rows per task).
+    */
+  def read(spark: SparkSession, path: String, layer: Option[String] = None,
+      chunkSize: Int = 65536,
+      geometryColumn: String = "geometry"): GeoDataFrame = {
+    graft.sql.functions.install(spark)
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = new Path(path)
+    val cat = catalog(conf, path)
+    val layers = cat.filterNot(_._2.toUpperCase.startsWith("GDB_"))
+    val (fileNo, name) = layer match {
+      case Some(l) => layers.find(_._2.equalsIgnoreCase(l)).getOrElse(
+        throw new IllegalArgumentException(
+          s"gdb: no layer '$l' in $path (have: ${layers.map(_._2).mkString(", ")})"))
+      case None =>
+        require(layers.size == 1,
+          s"gdb has ${layers.size} layers (${layers.map(_._2).mkString(", ")}) — pass layer=")
+        layers.head
+    }
+    val tablePath = fileFor(dir, fileNo).toString
+    val fs = dir.getFileSystem(conf)
+    // driver: field section only (header + section prefix of the file)
+    val headLen = math.min(fs.getFileStatus(new Path(tablePath)).getLen, 1L << 20).toInt
+    val head = new Array[Byte](headLen)
+    val in = fs.open(new Path(tablePath))
+    try in.readFully(0, head) finally in.close()
+    val meta = parseTable(head)
+    // tablx header: total row slots (incl. deleted)
+    val tablxPath = tablePath.stripSuffix(".gdbtable") + ".gdbtablx"
+    val th = new Array[Byte](16)
+    val tin = fs.open(new Path(tablxPath))
+    try tin.readFully(0, th) finally tin.close()
+    val thc = new Cur(th, 0)
+    require(thc.i32() == 3, "gdb: bad .gdbtablx magic")
+    thc.i32(); val slots = thc.i32(); val width = thc.i32()
+
+    val schema = StructType(meta.fields.map { f =>
+      val n = if (f.ftype == T_GEOMETRY) geometryColumn else f.name
+      StructField(n, sparkTypeOf(f), nullable = f.ftype != T_OID)
+    })
+    val sconf = new GeoParquetIO.SerializableConf(conf)
+    val fieldsB = meta.fields
+    val geomB = meta.geom
+    val chunks = (0 until slots by chunkSize)
+      .map(s => (s, math.min(chunkSize, slots - s)))
+    val rows = spark.sparkContext
+      .parallelize(chunks, math.max(1, chunks.size))
+      .flatMap { case (start, n) =>
+        val cfg = sconf.value
+        val tp = new Path(tablePath)
+        val tfs = tp.getFileSystem(cfg)
+        val idx = new Array[Byte](n * width)
+        val ixIn = tfs.open(new Path(tablxPath))
+        try ixIn.readFully(16L + start.toLong * width, idx) finally ixIn.close()
+        val dataIn = tfs.open(tp)
+        val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+        try {
+          var i = 0
+          while (i < n) {
+            var off = 0L; var k = 0
+            while (k < width) { off |= (idx(i * width + k) & 0xffL) << (8 * k); k += 1 }
+            if (off != 0) {
+              val lenB = new Array[Byte](4)
+              dataIn.readFully(off, lenB)
+              val len = (lenB(0) & 0xff) | ((lenB(1) & 0xff) << 8) |
+                ((lenB(2) & 0xff) << 16) | ((lenB(3) & 0xff) << 24)
+              val blob = new Array[Byte](len)
+              dataIn.readFully(off + 4, blob)
+              out += parseRow(blob, start + i + 1L, fieldsB, geomB)
+            }
+            i += 1
+          }
+        } finally dataIn.close()
+        out
+      }
+    val df = spark.createDataFrame(rows, schema)
+    val crs = meta.geom.map(_.srs).filter(_.nonEmpty).flatMap { s =>
+      if (s.startsWith("{")) graft.sql.WktCrs.parseProjJson(s)
+      else if (s.contains("[")) graft.sql.WktCrs.parse(s)
+      else Some(s)
+    }
+    val g = GeoDataFrame(df, geometryColumn)
+    crs.map(g.setCrs).getOrElse(g)
+  }
+
+  // ----------------------------------------------------------------- write
+
+  /** Write `df` as a one-layer `.gdb`. Coalesced to ONE task (global
+    * catalog + single data file per table — see scaladoc); the task
+    * builds both tables in memory, so this is an interchange egress for
+    * results that fit a task, not a bulk sink.
+    */
+  def write(df: DataFrame, path: String, geomCol: String = "geometry",
+      layerName: String = "layer1", crs: Option[String] = None,
+      xyScale: Double = 1e9): Unit = {
+    val schema = df.schema
+    val geomIdx = schema.fieldIndex(geomCol)
+    val spark = df.sparkSession
+    val conf = new GeoParquetIO.SerializableConf(spark.sessionState.newHadoopConf())
+    val srsText = crs.map(c => graft.sql.WktCrs.toWkt(c).getOrElse(c)).getOrElse("")
+    val lname = layerName
+    df.coalesce(1).queryExecution.toRdd
+      .mapPartitions { it =>
+        val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+          .encoderFor(schema)
+        val de = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(enc)
+          .resolveAndBind().createDeserializer()
+        val rows = it.map(ir => de(ir.copy())).toIndexedSeq
+        writeGdb(conf.value, path, lname, schema, geomIdx, rows, srsText, xyScale)
+        Iterator.empty
+      }.count()
+  }
+
+  private def gdbFieldOf(f: StructField, geomIdx: Int, idx: Int): GdbField =
+    if (idx == geomIdx) GdbField("SHAPE", T_GEOMETRY, nullable = true)
+    else f.dataType match {
+      case ShortType => GdbField(f.name, T_INT16, nullable = true)
+      case IntegerType | LongType | BooleanType => GdbField(f.name, T_INT32, nullable = true)
+      case FloatType => GdbField(f.name, T_FLOAT32, nullable = true)
+      case DoubleType => GdbField(f.name, T_FLOAT64, nullable = true)
+      case StringType => GdbField(f.name, T_STRING, nullable = true)
+      case TimestampType => GdbField(f.name, T_DATETIME, nullable = true)
+      case BinaryType => GdbField(f.name, T_BINARY, nullable = true)
+      case other => throw new IllegalArgumentException(
+        s"gdb: unsupported column type $other for '${f.name}'")
+    }
+
+  private def writeGdb(conf: org.apache.hadoop.conf.Configuration,
+      path: String, layerName: String, schema: StructType, geomIdx: Int,
+      rows: IndexedSeq[Row], srsText: String, xyScale: Double): Unit = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf)
+    fs.mkdirs(dir)
+    // quantized coordinates are non-negative offsets from the origin, so
+    // the origin must sit at/below the data's min corner (ESRI derives it
+    // from the layer's spatial domain the same way; a fixed -400 would
+    // corrupt any dataset extending further west/south)
+    var minX = -400.0; var minY = -400.0
+    rows.foreach { r =>
+      val w = r.get(geomIdx).asInstanceOf[Array[Byte]]
+      if (w != null) {
+        val e = Wkb.envelopeOf(w)
+        if (!e.isEmpty) {
+          minX = math.min(minX, math.floor(e.minX) - 1.0)
+          minY = math.min(minY, math.floor(e.minY) - 1.0)
+        }
+      }
+    }
+    val m = GeomMeta(srsText, minX, minY, xyScale)
+
+    // layer fields: OBJECTID + the DataFrame columns (geometry -> SHAPE)
+    val layerFields = GdbField("OBJECTID", T_OID, nullable = false) +:
+      schema.fields.zipWithIndex.map { case (f, i) => gdbFieldOf(f, geomIdx, i) }.toIndexedSeq
+    val geomType = 4 // descriptor byte; actual shapes carry their own type
+    val layerRows: IndexedSeq[IndexedSeq[Any]] = rows.map { r =>
+      null +: (0 until schema.length).map(r.get)
+    }
+    writeTable(fs, fileFor(dir, 2), layerFields, geomType,
+      Some(m), layerRows, geomIdx + 1)
+
+    // catalog: row oid == table file number (1 = itself, 2 = the layer)
+    val catFields = IndexedSeq(
+      GdbField("OBJECTID", T_OID, nullable = false),
+      GdbField("Name", T_STRING, nullable = true),
+      GdbField("FileFormat", T_INT32, nullable = true))
+    val catRows = IndexedSeq(
+      IndexedSeq[Any](null, "GDB_SystemCatalog", 0),
+      IndexedSeq[Any](null, layerName, 0))
+    writeTable(fs, fileFor(dir, 1), catFields, 0, None, catRows, -1)
+  }
+
+  private def writeTable(fs: org.apache.hadoop.fs.FileSystem, table: Path,
+      fields: IndexedSeq[GdbField], geomType: Int, geom: Option[GeomMeta],
+      rows: IndexedSeq[IndexedSeq[Any]], geomFieldIdx: Int): Unit = {
+    // rows first (the field section carries the layer extent)
+    var ext = Envelope.empty
+    val rowBlobs = rows.map { vals =>
+      val b = new Buf
+      val nNullable = fields.count(_.nullable)
+      val bitmap = new Array[Byte]((nNullable + 7) / 8)
+      var nullIdx = 0
+      val payload = new Buf
+      fields.zipWithIndex.foreach { case (f, i) =>
+        val v = vals(i)
+        if (f.nullable) {
+          if (v == null) bitmap(nullIdx / 8) = (bitmap(nullIdx / 8) | (1 << (nullIdx % 8))).toByte
+          nullIdx += 1
+        }
+        if (v != null) f.ftype match {
+          case T_OID => ()
+          case T_INT16 => payload.i16(v.asInstanceOf[Short].toInt)
+          case T_INT32 => payload.i32(v match {
+            case b: Boolean => if (b) 1 else 0
+            case n: Int => n
+            case n: Long =>
+              require(n >= Int.MinValue && n <= Int.MaxValue,
+                s"gdb: $n overflows int32 field '${f.name}'")
+              n.toInt
+          })
+          case T_FLOAT32 => payload.f32(v.asInstanceOf[Float])
+          case T_FLOAT64 => payload.f64(v.asInstanceOf[Double])
+          case T_DATETIME => payload.f64(
+            v.asInstanceOf[java.sql.Timestamp].getTime / 86400000.0 + EpochDays)
+          case T_STRING =>
+            val bs = v.toString.getBytes("UTF-8")
+            payload.varuint(bs.length); payload.bytes(bs)
+          case T_BINARY =>
+            val bs = v.asInstanceOf[Array[Byte]]
+            payload.varuint(bs.length); payload.bytes(bs)
+          case T_GEOMETRY =>
+            val g = Wkb.read(v.asInstanceOf[Array[Byte]])
+            val e = g.envelope
+            if (!e.isEmpty) ext = if (ext.isEmpty) e else Envelope(
+              math.min(ext.minX, e.minX), math.min(ext.minY, e.minY),
+              math.max(ext.maxX, e.maxX), math.max(ext.maxY, e.maxY))
+            val bs = encodeShape(g, geom.get)
+            payload.varuint(bs.length); payload.bytes(bs)
+        }
+      }
+      b.bytes(bitmap); b.bytes(payload.toBytes)
+      b.toBytes
+    }
+
+    // field-description section
+    val sec = new Buf
+    sec.i32(4) // layer version (FGDB 10)
+    sec.u8(geomType); sec.u8(0); sec.u8(0); sec.u8(0)
+    sec.i16(fields.length)
+    fields.foreach { f =>
+      sec.u8(f.name.length); sec.utf16(f.name)
+      sec.u8(0) // no alias
+      sec.u8(f.ftype)
+      f.ftype match {
+        case T_OID => sec.u8(4); sec.u8(2)
+        case T_INT16 => sec.u8(2); sec.u8(1)
+        case T_INT32 => sec.u8(4); sec.u8(1)
+        case T_FLOAT32 => sec.u8(4); sec.u8(1)
+        case T_FLOAT64 => sec.u8(8); sec.u8(1)
+        case T_DATETIME => sec.u8(8); sec.u8(1)
+        case T_STRING => sec.i32(65536); sec.u8(1)
+        case T_BINARY => sec.u8(0); sec.u8(1)
+        case T_GEOMETRY =>
+          val m = geom.get
+          sec.u8(0); sec.u8(7)
+          sec.i16(m.srs.length); sec.utf16(m.srs)
+          sec.u8(1) // xy only (bit1 = has_m, bit2 = has_z)
+          sec.f64(m.xOrigin); sec.f64(m.yOrigin); sec.f64(m.xyScale)
+          sec.f64(2.0 / m.xyScale) // xytolerance
+          if (ext.isEmpty) { sec.f64(0); sec.f64(0); sec.f64(0); sec.f64(0) }
+          else { sec.f64(ext.minX); sec.f64(ext.minY); sec.f64(ext.maxX); sec.f64(ext.maxY) }
+          sec.i32(1); sec.f64(1000.0)
+      }
+    }
+    val secBytes = sec.toBytes
+
+    // assemble .gdbtable: header(40) + [i32 secLen][section] + rows
+    val file = new Buf
+    file.i32(3); file.i32(rows.length)
+    file.i32(4); file.i32(0); file.i32(0); file.i32(0)
+    val dataStart = 40 + 4 + secBytes.length
+    val totalLen = dataStart + rowBlobs.map(_.length + 4).sum
+    file.i64(totalLen); file.i64(40)
+    file.i32(secBytes.length); file.bytes(secBytes)
+    val offsets = new Array[Long](rows.length)
+    var off = dataStart.toLong
+    rowBlobs.zipWithIndex.foreach { case (blob, i) =>
+      offsets(i) = off
+      file.i32(blob.length); file.bytes(blob)
+      off += blob.length + 4
+    }
+    val out = fs.create(table, true)
+    try out.write(file.toBytes) finally out.close()
+
+    // .gdbtablx: 5-byte offsets padded to 1024-entry blocks
+    val tablx = new Buf
+    val nBlocks = math.max(1, (rows.length + 1023) / 1024)
+    tablx.i32(3); tablx.i32(nBlocks); tablx.i32(rows.length); tablx.i32(5)
+    (0 until nBlocks * 1024).foreach { i =>
+      val v = if (i < rows.length) offsets(i) else 0L
+      var k = 0
+      while (k < 5) { tablx.u8(((v >> (8 * k)) & 0xff).toInt); k += 1 }
+    }
+    // dense-file trailer: no sparse bitmap
+    tablx.i32(0); tablx.i32(nBlocks); tablx.i32(nBlocks); tablx.i32(0)
+    val xout = fs.create(new Path(
+      table.toString.stripSuffix(".gdbtable") + ".gdbtablx"), true)
+    try xout.write(tablx.toBytes) finally xout.close()
+  }
+}

@@ -351,7 +351,7 @@ object ShapefileIO {
     * outers, counter-clockwise are holes; a hole belongs to the outer
     * containing its first vertex. Multiple outers -> MultiPolygon.
     */
-  private def assemblePolygons(rings: Array[Array[Double]]): Geometry = {
+  private[io] def assemblePolygons(rings: Array[Array[Double]]): Geometry = {
     val outers = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
     val holes = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
     rings.foreach { r =>
@@ -592,7 +592,7 @@ object ShapefileIO {
   /** Enforce shapefile winding: outer ring clockwise (signed area <= 0),
     * holes counter-clockwise.
     */
-  private def windPolygon(p: Polygon): Seq[Array[Double]] =
+  private[io] def windPolygon(p: Polygon): Seq[Array[Double]] =
     p.rings.toSeq.zipWithIndex.map { case (r, i) =>
       val sa = Measures.signedRingArea(r)
       val wantCw = i == 0

@@ -1,0 +1,121 @@
+package graft.io
+
+import graft.api.GeoDataFrame
+import graft.sql.TestSpark
+import graft.sql.functions._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ESRI File Geodatabase (.gdb): roundtrip across geometry classes +
+  * null-geometry rows + attribute types (incl. nulls and timestamps),
+  * quantization behavior, catalog/layer selection, chunked distributed
+  * reads, and the read_file dispatcher route. (No GDAL in this sandbox —
+  * see FileGdbIO's validation caveat; layouts follow the published
+  * rouault/dump_gdbtable spec.)
+  */
+class FileGdbIOSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmpGdb(): String =
+    java.nio.file.Files.createTempDirectory("fgdb").toString + "/data.gdb"
+
+  private def sample() = {
+    val wkts = Seq(
+      (1L, "alpha", 2.5, "POINT (10.25 20.5)"),
+      (2L, "beta", -1.0, "LINESTRING (0 0, 5.5 0, 5.5 9.25)"),
+      (3L, "gamma", 0.0,
+        "POLYGON ((0 0, 8 0, 8 8, 0 8, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))"),
+      (4L, null, 123.456789,
+        "MULTIPOLYGON (((20 20, 26 20, 26 26, 20 26, 20 20)), ((40 0, 44 0, 44 4, 40 0)))"),
+      (5L, "eps", 7.0, "MULTILINESTRING ((0 30, 3 33), (5 35, 9 39, 9 30))"),
+      (6L, "zeta", -3.25, "MULTIPOINT ((1 1), (2 3), (4 5))"),
+      (7L, "none-row", 9.5, null))
+    val df = wkts.toDF("id", "name", "w", "wkt")
+      .withColumn("geometry",
+        when($"wkt".isNotNull, st_geomFromWKT($"wkt")).otherwise(lit(null)))
+      .drop("wkt")
+    GeoDataFrame(df)
+  }
+
+  private def canon(df: org.apache.spark.sql.DataFrame) = df
+    .select($"id".cast("long").as("id"), $"name", $"w",
+      when($"geometry".isNull, "NONE")
+        .otherwise(st_asText(st_normalize($"geometry"))).as("g"))
+    .as[(Long, String, Double, String)].collect().sortBy(_._1).toSeq
+
+  test("roundtrip: geometry classes, null rows, attributes, objectid, crs") {
+    val src = sample()
+    val gdb = tmpGdb()
+    FileGdbIO.write(src.df, gdb, layerName = "features", crs = Some("EPSG:4326"))
+    val files = new java.io.File(gdb).listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).sorted // drop Hadoop-local .crc sidecars
+    assert(files.toSeq == Seq("a00000001.gdbtable", "a00000001.gdbtablx",
+      "a00000002.gdbtable", "a00000002.gdbtablx"), files.mkString(","))
+    val back = FileGdbIO.read(spark, gdb)
+    assert(back.crs.contains("EPSG:4326"))
+    // OBJECTID surfaces as a long column, dense 1..n
+    assert(back.df.select(sum($"OBJECTID")).head().getLong(0) == 28L)
+    assert(canon(back.df) == canon(src.df))
+  }
+
+  test("quantization: coordinates snap to 1/xyScale, exact at 1e-9") {
+    val gdb = tmpGdb()
+    val src = Seq((1L, 12.123456789, 45.987654321))
+      .toDF("id", "x", "y").withColumn("geometry", st_point($"x", $"y"))
+      .drop("x", "y")
+    FileGdbIO.write(src, gdb, xyScale = 1e9)
+    val r = FileGdbIO.read(spark, gdb).df
+      .select(st_x($"geometry"), st_y($"geometry")).head()
+    assert(math.abs(r.getDouble(0) - 12.123456789) < 1e-9)
+    assert(math.abs(r.getDouble(1) - 45.987654321) < 1e-9)
+  }
+
+  test("chunked distributed read: many tasks, same rows") {
+    val gdb = tmpGdb()
+    val n = 3000
+    val src = (1 to n).map(i => (i.toLong, s"r$i", i * 0.5))
+      .toDF("id", "name", "v")
+      .withColumn("geometry", st_point($"id" * 1.0, $"id" * 2.0))
+    FileGdbIO.write(src, gdb)
+    val back = FileGdbIO.read(spark, gdb, chunkSize = 256)
+    assert(back.df.rdd.getNumPartitions == (n + 255) / 256)
+    assert(back.df.count() == n)
+    val got = back.df.select(sum($"id"), sum(st_x($"geometry"))).head()
+    assert(got.getLong(0) == n.toLong * (n + 1) / 2)
+    assert(math.abs(got.getDouble(1) - n.toLong * (n + 1) / 2.0) < 1e-6)
+  }
+
+  test("catalog: layer selection by name; unknown layer errors with names") {
+    val gdb = tmpGdb()
+    FileGdbIO.write(sample().df, gdb, layerName = "parcels")
+    val cat = FileGdbIO.catalog(spark.sessionState.newHadoopConf(), gdb)
+    assert(cat.map(_._2).toSet == Set("GDB_SystemCatalog", "parcels"))
+    assert(FileGdbIO.read(spark, gdb, layer = Some("PARCELS")).df.count() == 7)
+    val e = intercept[IllegalArgumentException](
+      FileGdbIO.read(spark, gdb, layer = Some("nope")))
+    assert(e.getMessage.contains("parcels"))
+  }
+
+  test("timestamps roundtrip through the 1899-12-30 float64 epoch") {
+    val gdb = tmpGdb()
+    val src = Seq(
+      (1L, java.sql.Timestamp.valueOf("2020-06-15 12:34:56")),
+      (2L, null.asInstanceOf[java.sql.Timestamp]))
+      .toDF("id", "ts")
+      .withColumn("geometry", st_point($"id" * 1.0, lit(0.0)))
+    FileGdbIO.write(src, gdb)
+    val back = FileGdbIO.read(spark, gdb).df
+      .select($"id".cast("long"), $"ts").collect().sortBy(_.getLong(0))
+    assert(back(0).getTimestamp(1) == java.sql.Timestamp.valueOf("2020-06-15 12:34:56"))
+    assert(back(1).get(1) == null)
+  }
+
+  test("read_file dispatches .gdb directories") {
+    val gdb = tmpGdb()
+    FileGdbIO.write(sample().df, gdb, crs = Some("EPSG:3857"))
+    val back = GeoDataFrame.readFile(spark, gdb)
+    assert(back.crs.contains("EPSG:3857"))
+    assert(back.df.count() == 7)
+  }
+}

@@ -2126,6 +2126,21 @@ object OracleSql {
              (i * 3.25 - 100.0)::DOUBLE AS x, (i % 100)::DOUBLE * 7.5 AS y
       FROM (SELECT unnest(range(0, 500)) AS i) ORDER BY fid""",
 
+    // spatialite fixture closed forms: null geometry every 50th row, the
+    // (0,0,200,300) window holds exactly i in 31..40 -> n_in_box = 10
+    "g118_spatialite" -> """
+      SELECT (i + 1)::BIGINT AS pk, i::BIGINT AS s_suppkey,
+             'sup_' || i AS s_name,
+             (i * 0.5 - 25.0)::DOUBLE AS weight,
+             CASE WHEN i % 7 = 0 THEN NULL ELSE 'note_' || (i % 13) END AS note,
+             CASE WHEN i % 50 = 49 THEN NULL ELSE (i * 3.25 - 100.0)::DOUBLE END AS x,
+             CASE WHEN i % 50 = 49 THEN NULL ELSE (i % 100)::DOUBLE * 7.5 END AS y,
+             NULL::BIGINT AS n_in_box
+      FROM (SELECT unnest(range(0, 500)) AS i)
+      UNION ALL
+      SELECT -1::BIGINT, NULL, NULL, NULL, NULL, NULL, NULL, 10::BIGINT
+      ORDER BY pk""",
+
     "g47_geopackage_write" -> """
       SELECT s_suppkey::BIGINT AS fid, s_name, s_acctbal AS bal,
              s_acctbal AS x, (s_suppkey % 100)::DOUBLE * 10.0 AS y

@@ -1656,6 +1656,36 @@ object SparkEntry {
         .orderBy(col("fid"))
     }),
 
+    // SpatiaLite read (the OTHER SQLite geometry dialect, ref OGR SQLite
+    // driver via io/file.py:49-149): same SQLite kernel as g46, different
+    // metadata dialect (geometry_columns/spatial_ref_sys) and blob
+    // framing (0x00/SRID/MBR/0x7C/class/0xFE), against a REAL
+    // sqlite3-written fixture (tools/gen_spatialite_fixture.py) incl. an
+    // R*-tree-pruned bbox leg: full rows + the count inside a window that
+    // the idx_<t>_<g>_node walk must answer exactly
+    "g118_spatialite" -> ((s, _) => {
+      val fixture = Seq("fixtures/supplier_pts.sqlite",
+        "/root/repo/fixtures/supplier_pts.sqlite")
+        .find(p => new java.io.File(p).exists())
+        .getOrElse(throw new IllegalStateException("spatialite fixture missing"))
+      require(graft.io.SpatiaLiteIO.hasRtree(s, fixture, "supplier_pts"),
+        "fixture must carry the idx_ R*-tree")
+      val pruned = graft.io.SpatiaLiteIO
+        .read(s, fixture, "supplier_pts", bbox = Some((0.0, 0.0, 200.0, 300.0)))
+        .df.agg(count(lit(1)).as("n_in_box")).withColumn("pk", lit(-1L))
+        .select(col("pk"), lit(null).cast("long").as("s_suppkey"),
+          lit(null).cast("string").as("s_name"),
+          lit(null).cast("double").as("weight"),
+          lit(null).cast("string").as("note"),
+          lit(null).cast("double").as("x"), lit(null).cast("double").as("y"),
+          col("n_in_box"))
+      val full = graft.io.SpatiaLiteIO.read(s, fixture, "supplier_pts").df
+        .select(col("pk"), col("s_suppkey"), col("s_name"), col("weight"),
+          col("note"), st_x(col("geometry")).as("x"),
+          st_y(col("geometry")).as("y"), lit(null).cast("long").as("n_in_box"))
+      full.union(pruned).orderBy(col("pk"))
+    }),
+
     // GeoPackage WRITE + read roundtrip (the to_file half of the pyogrio
     // surface): task-side record/GP-blob encoding, driver-side page
     // assembly, then the existing subtree-partitioned distributed read.

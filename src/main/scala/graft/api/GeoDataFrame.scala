@@ -2083,6 +2083,16 @@ object GeoDataFrame {
         tables.head
       }
       readGeoPackage(spark, path, table)
+    } else if (lower.endsWith(".sqlite")) {
+      // SpatiaLite database: layer selects the feature table; defaults to
+      // the file's single geometry_columns entry
+      val table = layer.getOrElse {
+        val tables = graft.io.SpatiaLiteIO.geometryColumns(spark, bare).keys.toSeq.sorted
+        require(tables.size == 1,
+          s"spatialite has ${tables.size} feature tables (${tables.mkString(", ")}) — pass layer=")
+        tables.head
+      }
+      graft.io.SpatiaLiteIO.read(spark, bare, table, geometryColumn = geometryColumn)
     } else if (lower.endsWith(".fgb"))
       readFlatGeobuf(spark, bare, chunkSize, geometryColumn = geometryColumn)
     else if (lower.endsWith(".geojsonl") || lower.endsWith(".ndjson"))

@@ -270,14 +270,14 @@ private[io] final case class GpkgReaderFactory(
       if (p.rowids == null) {
         p.subtreeRoots.foreach { root =>
           GeoPackageIO.walk(src, root, 0) { (rowid, payload) =>
-            val row = GeoPackageIO.materializeRow(cols, geomIdx, table, rowid, payload)
+            val row = GeoPackageIO.materializeRow(cols, geomIdx, table, rowid, payload, GeoPackageIO.gpbToWkb)
             if (residual(row)) out += row
           }
         }
       } else {
         p.rowids.foreach { rid =>
           GeoPackageIO.btreeLookup(src, p.tableRoot, rid).foreach { payload =>
-            val row = GeoPackageIO.materializeRow(cols, geomIdx, table, rid, payload)
+            val row = GeoPackageIO.materializeRow(cols, geomIdx, table, rid, payload, GeoPackageIO.gpbToWkb)
             if (residual(row)) out += row
           }
         }

@@ -386,7 +386,7 @@ object GeoPackageIO {
   }
 
   /** Strip the GeoPackage "GP" blob header, returning the inner WKB. */
-  private def gpbToWkb(blob: Array[Byte]): Array[Byte] = {
+  private[io] def gpbToWkb(blob: Array[Byte]): Array[Byte] = {
     require(blob.length >= 8 && blob(0) == 'G'.toByte && blob(1) == 'P'.toByte,
       "not a GeoPackage geometry blob")
     val flags = blob(3) & 0xff
@@ -920,7 +920,8 @@ object GeoPackageIO {
     * table/column/rowid context on parse failures.
     */
   private[io] def materializeRow(colArr: Array[Col], geomIdx: Int, table: String,
-      rowid: Long, payload: Array[Byte]): Row = {
+      rowid: Long, payload: Array[Byte],
+      geomDecode: Array[Byte] => Array[Byte]): Row = {
     val rec = decodeRecord(payload)
     val vals = new Array[Any](colArr.length)
     var i = 0
@@ -928,7 +929,7 @@ object GeoPackageIO {
       val raw = if (i < rec.length) rec(i) else null
       vals(i) =
         if (colArr(i).rowidAlias && raw == null) rowid
-        else if (i == geomIdx && raw != null) gpbToWkb(raw.asInstanceOf[Array[Byte]])
+        else if (i == geomIdx && raw != null) geomDecode(raw.asInstanceOf[Array[Byte]])
         else (raw, colArr(i).sparkType) match {
           // SQLite is dynamically typed: coerce stray representations
           // to the declared column affinity
@@ -969,11 +970,27 @@ object GeoPackageIO {
     * residual (correct, unpruned).
     */
   def read(spark: SparkSession, path: String, table: String,
-      bbox: Option[(Double, Double, Double, Double)] = None): DataFrame = {
+      bbox: Option[(Double, Double, Double, Double)] = None): DataFrame =
+    readFeatureTable(spark, path, table, bbox,
+      geomColFor = (src, master) => featureMetaFrom(src, master).get(table).map(_._1),
+      rtreeNodeName = (t, g) => s"rtree_${t}_${g}_node",
+      geomDecode = gpbToWkb)
+
+  /** Shared SQLite feature-table scan: one driver-side open (master +
+    * geometry metadata + root page, + the R-tree candidate walk when
+    * pruning), then either subtree-partitioned full walks or chunked
+    * rowid point-lookups task-side. The metadata DIALECT is injected:
+    * GeoPackage resolves the geometry column via gpkg_geometry_columns
+    * and `rtree_<t>_<c>_node` shadow tables with GP blobs; SpatiaLite via
+    * `geometry_columns` / `idx_<t>_<c>_node` with its own blob framing.
+    */
+  private[io] def readFeatureTable(spark: SparkSession, path: String,
+      table: String, bbox: Option[(Double, Double, Double, Double)],
+      geomColFor: (PageSource, Seq[Master]) => Option[String],
+      rtreeNodeName: (String, String) => String,
+      geomDecode: Array[Byte] => Array[Byte]): DataFrame = {
     val conf = spark.sessionState.newHadoopConf()
     val src = openSource(conf, path)
-    // one driver-side open: master + geometry metadata + the root page
-    // (+ the R-tree candidate walk when pruning)
     val (cols, roots, geomCol, candidates, tableRoot) = try {
       val master = readMaster(src)
       val m = master.find(_.name == table).getOrElse(
@@ -983,10 +1000,10 @@ object GeoPackageIO {
         "rtree spatial-index shadow table) — only ordinary tables are readable")
       val cols = parseColumns(m.sql)
       // reuse the already-decoded master — no second sqlite_master walk
-      val geomCol = featureMetaFrom(src, master).get(table).map(_._1)
+      val geomCol = geomColFor(src, master)
       val cands: Option[Array[Long]] = (bbox, geomCol) match {
         case (Some((qx0, qy0, qx1, qy1)), Some(g)) =>
-          master.find(mm => mm.name == s"rtree_${table}_${g}_node" && mm.rootPage > 0)
+          master.find(mm => mm.name == rtreeNodeName(table, g) && mm.rootPage > 0)
             .map(node => rtreeCandidates(src, node.rootPage, qx0, qy0, qx1, qy1).sorted)
         case _ => None
       }
@@ -1022,7 +1039,7 @@ object GeoPackageIO {
           try {
             ids.foreach { rid =>
               btreeLookup(tsrc, tableRoot, rid).foreach { payload =>
-                val row = materializeRow(colArr, geomIdx, tname, rid, payload)
+                val row = materializeRow(colArr, geomIdx, tname, rid, payload, geomDecode)
                 if (residual(row)) out += row
               }
             }
@@ -1037,7 +1054,7 @@ object GeoPackageIO {
           try {
             group.foreach { root =>
               walk(tsrc, root, 0) { (rowid, payload) =>
-                val row = materializeRow(colArr, geomIdx, tname, rowid, payload)
+                val row = materializeRow(colArr, geomIdx, tname, rowid, payload, geomDecode)
                 if (residual(row)) out += row
               }
             }

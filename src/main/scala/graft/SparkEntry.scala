@@ -2597,6 +2597,11 @@ object SparkEntry {
         .orderBy(col("s_suppkey"))
     }),
 
+    // NOTE: there is no g106 — the id was reserved in r12 for a query
+    // that was folded into g105/g107 before landing; ids are append-only
+    // (they key bench_ref floors and CORRECTNESS history), so the gap is
+    // documented rather than renumbered.
+
     // geometric median (PostGIS ST_GeometricMedian): Weiszfeld with a
     // FIXED iteration count from the group mean, so the oracle unrolls
     // all three iterations exactly; st_collect_agg dedupes coincident

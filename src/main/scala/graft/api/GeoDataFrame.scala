@@ -2069,6 +2069,12 @@ object GeoDataFrame {
       // a sole extracted file (zipped .gpkg/.fgb/...) dispatches as that
       // file, a multi-file set (the shapefile trio) as a directory
       val dir = graft.io.ZipArchive.extract(spark, bare)
+      // zipped File Geodatabase: entry basenames flatten, so the catalog
+      // lands at <dir>/a00000001.gdbtable — dispatch the dir as a .gdb
+      val zfs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      if (zfs.exists(new org.apache.hadoop.fs.Path(dir, "a00000001.gdbtable")))
+        return graft.io.FileGdbIO.read(spark, dir, layer, chunkSize, geometryColumn)
       readFile(spark, graft.io.ZipArchive.soleFile(spark, dir).getOrElse(dir),
         layer, chunkSize, geometryColumn)
     } else if (lower.endsWith(".shp"))

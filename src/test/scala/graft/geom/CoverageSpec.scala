@@ -244,6 +244,69 @@ class CoverageSpec extends AnyFunSuite {
     assert(w2.exists(_._2.contains("3+")), w2.toString)
   }
 
+  test("fuzz: dropping one seam vertex from a valid grid yields a T-node witness") {
+    val rnd = new scala.util.Random(4321)
+    var exercised = 0
+    for (trial <- 0 until 20) {
+      val nx = 2 + rnd.nextInt(3); val ny = 2 + rnd.nextInt(3)
+      def splits(a: Double, b: Double, seed: Long): Seq[Double] = {
+        val r2 = new scala.util.Random(seed)
+        val k = r2.nextInt(3)
+        val ts = Seq.fill(k)(0.1 + 0.8 * r2.nextDouble()).sorted
+        ts.map(t => a + (b - a) * t)
+      }
+      def edgeSeed(x0: Double, y0: Double, x1: Double, y1: Double): Long =
+        java.util.Objects.hash(trial: Integer, x0: java.lang.Double,
+          y0: java.lang.Double, x1: java.lang.Double, y1: java.lang.Double).toLong
+      def edgePts(x0: Double, y0: Double, x1: Double, y1: Double): Seq[(Double, Double)] = {
+        val s = edgeSeed(math.min(x0, x1), math.min(y0, y1),
+          math.max(x0, x1), math.max(y0, y1))
+        val mids =
+          if (y0 == y1) splits(math.min(x0, x1), math.max(x0, x1), s).map(x => (x, y0))
+          else splits(math.min(y0, y1), math.max(y0, y1), s).map(y => (x0, y))
+        val ordered = if (x0 < x1 || y0 < y1) mids else mids.reverse
+        (x0, y0) +: ordered
+      }
+      val cells = (for (i <- 0 until nx; j <- 0 until ny) yield {
+        val (x0, y0, x1, y1) = (i.toDouble, j.toDouble, i + 1.0, j + 1.0)
+        val pts = edgePts(x0, y0, x1, y0) ++ edgePts(x1, y0, x1, y1) ++
+          edgePts(x1, y1, x0, y1) ++ edgePts(x0, y1, x0, y0) :+ ((x0, y0))
+        val xy = pts.flatMap(p => Seq(p._1, p._2)).toArray
+        Polygon(Array(xy))
+      }).toIndexedSeq
+      assert(Coverage.invalidWitnesses(cells).forall(!_._2.contains("T-node")),
+        s"trial $trial: valid grid must have no T-node witness")
+      // corrupt: drop one split vertex from an INTERIOR vertical seam of
+      // one cell (the neighbor keeps it -> classic T-node)
+      val victim = (0 until nx * ny).find { idx =>
+        val i = idx / ny
+        i < nx - 1 && {
+          val xy = cells(idx).rings(0)
+          (0 until xy.length / 2).exists { p =>
+            xy(2 * p) == i + 1.0 && xy(2 * p + 1) > idx % ny &&
+              xy(2 * p + 1) < idx % ny + 1
+          }
+        }
+      }
+      victim.foreach { idx =>
+        val i = idx / ny; val j = idx % ny
+        val xy = cells(idx).rings(0)
+        val drop = (0 until xy.length / 2).find { p =>
+          xy(2 * p) == i + 1.0 && xy(2 * p + 1) > j && xy(2 * p + 1) < j + 1
+        }.get
+        val corrupted = xy.zipWithIndex
+          .filterNot { case (_, k) => k == 2 * drop || k == 2 * drop + 1 }
+          .map(_._1)
+        val mutated = cells.updated(idx, Polygon(Array(corrupted)))
+        val w = Coverage.invalidWitnesses(mutated)
+        assert(w.exists { case (m, r) => m == idx && r.contains("T-node") },
+          s"trial $trial: dropped seam vertex of member $idx not reported: $w")
+        exercised += 1
+      }
+    }
+    assert(exercised >= 10, s"only $exercised trials had a splittable seam")
+  }
+
   test("invalidWitnesses: T-node seam mismatch reported, noded seam clean") {
     // B spans half of A's right edge: B's corner (2,1) sits in the
     // INTERIOR of A's edge (2,0)-(2,2) with no matching vertex in A —

@@ -111,6 +111,22 @@ class FileGdbIOSpec extends AnyFunSuite {
     assert(back(1).get(1) == null)
   }
 
+  test("zipped .gdb dispatches through the .zip route") {
+    val gdb = tmpGdb()
+    FileGdbIO.write(sample().df, gdb, layerName = "zipped")
+    val zip = gdb.stripSuffix("data.gdb") + "data_gdb.zip"
+    val zout = new java.util.zip.ZipOutputStream(
+      new java.io.FileOutputStream(zip))
+    new java.io.File(gdb).listFiles().filterNot(_.getName.startsWith(".")).foreach { f =>
+      zout.putNextEntry(new java.util.zip.ZipEntry("data.gdb/" + f.getName))
+      java.nio.file.Files.copy(f.toPath, zout)
+      zout.closeEntry()
+    }
+    zout.close()
+    val back = GeoDataFrame.readFile(spark, zip)
+    assert(back.df.count() == 7)
+  }
+
   test("read_file dispatches .gdb directories") {
     val gdb = tmpGdb()
     FileGdbIO.write(sample().df, gdb, crs = Some("EPSG:3857"))

@@ -256,7 +256,10 @@ object FileGdbIO {
     @inline def iy(v: Long): Double = (v - 1).toDouble / m.xyScale + m.yOrigin
     stype match {
       case 0 => null // null shape
-      case 1 => Point(ix(c.varuint()), iy(c.varuint()))
+      case 1 =>
+        // a zero x-varuint marks the empty point (values are offset by +1)
+        val vx = c.varuint()
+        if (vx == 0) Point.empty else Point(ix(vx), iy(c.varuint()))
       case 8 | 3 | 5 =>
         val nPts = c.varuint().toInt
         if (nPts == 0) return (stype: @unchecked) match {
@@ -369,9 +372,7 @@ object FileGdbIO {
   /** Whole-table single-process read (catalog-sized tables only). */
   private def readTableLocal(conf: org.apache.hadoop.conf.Configuration,
       tablePath: String): Seq[Row] = {
-    val p = new Path(tablePath)
-    val fs = p.getFileSystem(conf)
-    val bytes = readFully(conf, p)
+    val bytes = readFully(conf, new Path(tablePath))
     val meta = parseTable(bytes)
     val tablx = readFully(conf,
       new Path(tablePath.stripSuffix(".gdbtable") + ".gdbtablx"))
@@ -424,12 +425,35 @@ object FileGdbIO {
     }
     val tablePath = fileFor(dir, fileNo).toString
     val fs = dir.getFileSystem(conf)
-    // driver: field section only (header + section prefix of the file)
-    val headLen = math.min(fs.getFileStatus(new Path(tablePath)).getLen, 1L << 20).toInt
-    val head = new Array[Byte](headLen)
+    // driver: the 40-byte header, then the field section wherever the
+    // header points (third-party writers may relocate it past the rows —
+    // never assume it sits at offset 40)
+    val fileLen = fs.getFileStatus(new Path(tablePath)).getLen
     val in = fs.open(new Path(tablePath))
-    try in.readFully(0, head) finally in.close()
-    val meta = parseTable(head)
+    val meta = try {
+      val hdr = new Array[Byte](40)
+      in.readFully(0, hdr)
+      val hc = new Cur(hdr, 32)
+      val fieldOff = hc.i64()
+      require(fieldOff >= 40 && fieldOff < fileLen,
+        s"gdb: field-section offset $fieldOff out of range in $tablePath")
+      val secLenB = new Array[Byte](4)
+      in.readFully(fieldOff, secLenB)
+      val secLen = new Cur(secLenB, 0).i32()
+      require(secLen > 0 && fieldOff + 4 + secLen <= fileLen,
+        s"gdb: field-section length $secLen out of range in $tablePath")
+      val sec = new Array[Byte](secLen)
+      in.readFully(fieldOff + 4, sec)
+      // splice header + section into the layout parseTable expects
+      val synth = new Buf
+      synth.bytes(hdr)
+      synth.i32(secLen); synth.bytes(sec)
+      val patched = synth.toBytes
+      // point the spliced header's field offset at the spliced section
+      val off = new Buf; off.i64(40L)
+      System.arraycopy(off.toBytes, 0, patched, 32, 8)
+      parseTable(patched)
+    } finally in.close()
     // tablx header: total row slots (incl. deleted)
     val tablxPath = tablePath.stripSuffix(".gdbtable") + ".gdbtablx"
     val th = new Array[Byte](16)

@@ -468,6 +468,10 @@ object FileGdbIO {
       StructField(n, sparkTypeOf(f), nullable = f.ftype != T_OID)
     })
     val sconf = new GeoParquetIO.SerializableConf(conf)
+    // diagnostic: force the per-row positioned-read path (the pre-r14
+    // syscall shape) so GdbScanProfile can A/B the sequential fix
+    val forcePos = spark.conf
+      .get("spark.graft.gdb.forcePositionedReads", "false").toBoolean
     val fieldsB = meta.fields
     val geomB = meta.geom
     val chunks = (0 until slots by chunkSize)
@@ -481,23 +485,68 @@ object FileGdbIO {
         val idx = new Array[Byte](n * width)
         val ixIn = tfs.open(new Path(tablxPath))
         try ixIn.readFully(16L + start.toLong * width, idx) finally ixIn.close()
+        val offs = new Array[Long](n)
+        var i = 0
+        while (i < n) {
+          var off = 0L; var k = 0
+          while (k < width) { off |= (idx(i * width + k) & 0xffL) << (8 * k); k += 1 }
+          offs(i) = off
+          i += 1
+        }
+        // rows are laid out in rowid order by every known writer, so a
+        // chunk's live offsets ascend: one seek + a buffered sequential
+        // stream serves the whole chunk (2 positioned reads PER ROW was
+        // the exact syscall pathology the r13 FlatGeobuf soak measured at
+        // 17x; same fix here). Files with out-of-order offsets (heavily
+        // edited gdbs) fall back to positioned reads per row.
+        val ascending = !forcePos && {
+          var last = 0L; var asc = true
+          offs.foreach { o => if (o != 0) { if (o < last) asc = false; last = o } }
+          asc
+        }
         val dataIn = tfs.open(tp)
         val out = scala.collection.mutable.ArrayBuffer.empty[Row]
         try {
-          var i = 0
-          while (i < n) {
-            var off = 0L; var k = 0
-            while (k < width) { off |= (idx(i * width + k) & 0xffL) << (8 * k); k += 1 }
+          val seq = if (ascending) {
+            val first = offs.find(_ != 0)
+            first.foreach(dataIn.seek)
+            if (first.isDefined)
+              new java.io.DataInputStream(
+                new java.io.BufferedInputStream(dataIn, 1 << 16))
+            else null
+          } else null
+          // logical stream position, tracked here — the underlying
+          // stream's getPos reflects BufferedInputStream readahead
+          var pos = offs.find(_ != 0).getOrElse(0L)
+          var j = 0
+          while (j < n) {
+            val off = offs(j)
             if (off != 0) {
-              val lenB = new Array[Byte](4)
-              dataIn.readFully(off, lenB)
-              val len = (lenB(0) & 0xff) | ((lenB(1) & 0xff) << 8) |
-                ((lenB(2) & 0xff) << 16) | ((lenB(3) & 0xff) << 24)
-              val blob = new Array[Byte](len)
-              dataIn.readFully(off + 4, blob)
-              out += parseRow(blob, start + i + 1L, fieldsB, geomB)
+              if (seq != null) {
+                // skip any gap (deleted rows leave holes)
+                var gap = off - pos
+                while (gap > 0) { val s = seq.skip(gap); require(s > 0, "gdb: truncated table"); gap -= s }
+                val len = {
+                  val b0 = seq.read(); val b1 = seq.read()
+                  val b2 = seq.read(); val b3 = seq.read()
+                  require(b3 >= 0, "gdb: truncated row length")
+                  (b0 & 0xff) | ((b1 & 0xff) << 8) | ((b2 & 0xff) << 16) | ((b3 & 0xff) << 24)
+                }
+                val blob = new Array[Byte](len)
+                seq.readFully(blob)
+                pos = off + 4 + len
+                out += parseRow(blob, start + j + 1L, fieldsB, geomB)
+              } else {
+                val lenB = new Array[Byte](4)
+                dataIn.readFully(off, lenB)
+                val len = (lenB(0) & 0xff) | ((lenB(1) & 0xff) << 8) |
+                  ((lenB(2) & 0xff) << 16) | ((lenB(3) & 0xff) << 24)
+                val blob = new Array[Byte](len)
+                dataIn.readFully(off + 4, blob)
+                out += parseRow(blob, start + j + 1L, fieldsB, geomB)
+              }
             }
-            i += 1
+            j += 1
           }
         } finally dataIn.close()
         out

@@ -86,6 +86,33 @@ class FileGdbIOSpec extends AnyFunSuite {
     assert(math.abs(got.getDouble(1) - n.toLong * (n + 1) / 2.0) < 1e-6)
   }
 
+  test("out-of-order tablx offsets fall back to positioned reads") {
+    val gdb = tmpGdb()
+    val src = (1 to 10).map(i => (i.toLong, s"r$i"))
+      .toDF("id", "name")
+      .withColumn("geometry", st_point($"id" * 1.0, lit(0.0)))
+    FileGdbIO.write(src, gdb)
+    // swap the first two row offsets in the tablx (an edited gdb shape):
+    // 5-byte LE entries at byte 16 and 21
+    val tablx = new java.io.File(gdb, "a00000002.gdbtablx")
+    val bytes = java.nio.file.Files.readAllBytes(tablx.toPath)
+    val tmp = new Array[Byte](5)
+    System.arraycopy(bytes, 16, tmp, 0, 5)
+    System.arraycopy(bytes, 21, bytes, 16, 5)
+    System.arraycopy(tmp, 0, bytes, 21, 5)
+    java.nio.file.Files.write(tablx.toPath, bytes)
+    // the out-of-band edit invalidates Hadoop-local's .crc sidecar
+    new java.io.File(gdb, ".a00000002.gdbtablx.crc").delete()
+    val back = FileGdbIO.read(spark, gdb).df
+      .select($"OBJECTID", $"id".cast("long"), st_x($"geometry"))
+      .collect().sortBy(_.getLong(0))
+    assert(back.length == 10)
+    // content follows the offsets: objectid 1 now carries row id=2
+    assert(back(0).getLong(1) == 2L && back(1).getLong(1) == 1L)
+    assert(back(0).getDouble(2) == 2.0 && back(1).getDouble(2) == 1.0)
+    (2 until 10).foreach(k => assert(back(k).getLong(1) == k + 1L))
+  }
+
   test("catalog: layer selection by name; unknown layer errors with names") {
     val gdb = tmpGdb()
     FileGdbIO.write(sample().df, gdb, layerName = "parcels")

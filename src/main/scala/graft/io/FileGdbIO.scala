@@ -7,6 +7,8 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
 
+import java.nio.ByteOrder
+
 /** ESRI File Geodatabase (OpenFileGDB) read/write — the `.gdb` directory
   * of `a%08x.gdbtable`/`.gdbtablx` pairs (the reference reads it through
   * pyogrio's OpenFileGDB driver, `dask_geopandas/io/file.py:49-149`).
@@ -70,7 +72,8 @@ object FileGdbIO {
 
   /** Geometry quantization + SRS carried by the geometry field. */
   private final case class GeomMeta(srs: String, xOrigin: Double,
-    yOrigin: Double, xyScale: Double)
+    yOrigin: Double, xyScale: Double, zOrigin: Double = 0.0,
+    zScale: Double = 1.0)
 
   private final case class TableMeta(nRows: Int, fields: IndexedSeq[GdbField],
     geom: Option[GeomMeta])
@@ -165,14 +168,22 @@ object FileGdbIO {
       /* alias */ c.utf16(c.u8())
       val ftype = c.u8()
       var nullable = true
+      // flag bit 0 = nullable, bit 2 = a default value follows (one
+      // length byte + that many value bytes) — skipping it is mandatory
+      // or the rest of the section parses as garbage
+      def flagAndDefault(): Unit = {
+        val flag = c.u8()
+        nullable = (flag & 1) != 0
+        if ((flag & 4) != 0) { val dl = c.u8(); c.p += dl }
+      }
       ftype match {
         case T_OID => c.u8(); c.u8(); nullable = false
         case T_INT16 | T_INT32 | T_FLOAT32 | T_FLOAT64 | T_DATETIME =>
-          c.u8(); nullable = (c.u8() & 1) != 0
+          c.u8(); flagAndDefault()
         case T_STRING | T_XML =>
-          c.i32(); nullable = (c.u8() & 1) != 0
+          c.i32(); flagAndDefault()
         case T_BINARY | T_UUID | T_UUID2 =>
-          c.u8(); nullable = (c.u8() & 1) != 0
+          c.u8(); flagAndDefault()
         case T_GEOMETRY =>
           c.u8(); nullable = (c.u8() & 1) != 0
           val srs = c.utf16(c.i16())
@@ -182,14 +193,15 @@ object FileGdbIO {
           val hasM = (gflags & 2) != 0; val hasZ = (gflags & 4) != 0
           val xo = c.f64(); val yo = c.f64(); val sc = c.f64()
           if (hasM) { c.f64(); c.f64() }
-          if (hasZ) { c.f64(); c.f64() }
+          var zo = 0.0; var zs = 1.0
+          if (hasZ) { zo = c.f64(); zs = c.f64() }
           /* xytolerance */ c.f64()
           if (hasM) c.f64()
           if (hasZ) c.f64()
           /* extent */ c.f64(); c.f64(); c.f64(); c.f64()
           val nGrids = c.i32()
           var g = 0; while (g < nGrids) { c.f64(); g += 1 }
-          geom = Some(GeomMeta(srs, xo, yo, sc))
+          geom = Some(GeomMeta(srs, xo, yo, sc, zo, if (zs > 0) zs else 1.0))
         case other => throw new IllegalArgumentException(
           s"gdb: unsupported field type $other for '$name'")
       }
@@ -235,9 +247,19 @@ object FileGdbIO {
         case T_STRING | T_XML => c.utf8(c.varuint().toInt)
         case T_BINARY => c.bytes(c.varuint().toInt)
         case T_UUID | T_UUID2 =>
+          // Windows mixed-endian GUID layout (as GDAL decodes it):
+          // data1 int32 LE, data2/data3 int16 LE, data4 8 bytes as-is
           val raw = c.bytes(16)
           val bb = java.nio.ByteBuffer.wrap(raw)
-          new java.util.UUID(bb.getLong, bb.getLong).toString
+            .order(ByteOrder.LITTLE_ENDIAN)
+          val d1 = bb.getInt() & 0xffffffffL
+          val d2 = bb.getShort() & 0xffffL
+          val d3 = bb.getShort() & 0xffffL
+          val hi = (d1 << 32) | (d2 << 16) | d3
+          var lo = 0L
+          var bi = 8
+          while (bi < 16) { lo = (lo << 8) | (raw(bi) & 0xffL); bi += 1 }
+          new java.util.UUID(hi, lo).toString
         case T_GEOMETRY =>
           val g = decodeShape(c.bytes(c.varuint().toInt), geom.get)
           if (g == null) null else Wkb.write(g)
@@ -248,18 +270,43 @@ object FileGdbIO {
 
   // ------------------------------------------------------- geometry codec
 
+  /** Base shape classes by FGDB/shapefile type number: concrete Z/M
+    * variants map to their XY class; the general types (50-54) carry
+    * their Z/M presence in the type varuint's high bits instead.
+    */
+  private def baseClassOf(t: Int): Int = t match {
+    case 1 | 9 | 11 | 21 | 52 => 1 // point / pointZ(M) / pointM
+    case 8 | 18 | 20 | 28 | 54 => 8 // multipoint family
+    case 3 | 10 | 13 | 23 | 50 => 3 // polyline family
+    case 5 | 15 | 19 | 25 | 51 => 5 // polygon family
+    case other => other
+  }
+
   private def decodeShape(blob: Array[Byte], m: GeomMeta): Geometry = {
     if (blob.isEmpty) return null
     val c = new Cur(blob, 0)
-    val stype = (c.varuint() & 0xff).toInt
+    val tv = c.varuint()
+    val rawType = (tv & 0xff).toInt
+    // general types flag Z/M in the varuint's high bits (GDAL semantics);
+    // concrete typed variants imply them from the type number
+    val hasZ = (tv & 0x80000000L) != 0 ||
+      Set(9, 10, 11, 13, 15, 18, 19, 20).contains(rawType)
+    val hasM = (tv & 0x40000000L) != 0 ||
+      Set(11, 13, 15, 18, 21, 23, 25, 28).contains(rawType)
+    val stype = baseClassOf(rawType)
     @inline def ix(v: Long): Double = (v - 1).toDouble / m.xyScale + m.xOrigin
     @inline def iy(v: Long): Double = (v - 1).toDouble / m.xyScale + m.yOrigin
+    @inline def iz(v: Long): Double = (v - 1).toDouble / m.zScale + m.zOrigin
     stype match {
       case 0 => null // null shape
       case 1 =>
         // a zero x-varuint marks the empty point (values are offset by +1)
         val vx = c.varuint()
-        if (vx == 0) Point.empty else Point(ix(vx), iy(c.varuint()))
+        if (vx == 0) Point.empty
+        else {
+          val p = Point(ix(vx), iy(c.varuint()))
+          if (hasZ) Point(p.x, p.y, iz(c.varuint())) else p
+        }
       case 8 | 3 | 5 =>
         val nPts = c.varuint().toInt
         if (nPts == 0) return (stype: @unchecked) match {
@@ -287,17 +334,42 @@ object FileGdbIO {
           }
           p += 1
         }
+        // the z block follows all xy deltas (one cumulative delta per
+        // point, part order); m follows z and is dropped — the geometry
+        // model carries z on points/linestrings only, like the rest of
+        // this engine (polygon z is dropped the same way WKB ingest does)
+        val zs: Array[Double] =
+          if (!hasZ) null
+          else {
+            val out = new Array[Double](nPts)
+            var zi = 0L
+            var q = 0
+            while (q < nPts) { zi += c.svarint(); out(q) = zi.toDouble / m.zScale + m.zOrigin; q += 1 }
+            out
+          }
         stype match {
           case 8 =>
-            MultiPoint(parts(0).grouped(2).map(a => Point(a(0), a(1))).toArray)
+            val pts = parts(0)
+            MultiPoint(Array.tabulate(nPts)(q =>
+              if (zs != null) Point(pts(2 * q), pts(2 * q + 1), zs(q))
+              else Point(pts(2 * q), pts(2 * q + 1))))
           case 3 =>
-            if (nParts == 1) LineString(parts(0))
-            else MultiLineString(parts.map(LineString(_)))
+            if (nParts == 1) LineString(parts(0), zs)
+            else {
+              var base = 0
+              MultiLineString(parts.map { xy =>
+                val n = xy.length / 2
+                val pz = if (zs == null) null
+                  else java.util.Arrays.copyOfRange(zs, base, base + n)
+                base += n
+                LineString(xy, pz)
+              })
+            }
           case 5 => ShapefileIO.assemblePolygons(parts)
         }
       case other => throw new IllegalArgumentException(
-        s"gdb: unsupported shape type $other (points/multipoints/" +
-          "polylines/polygons are supported; curves/multipatch are not)")
+        s"gdb: unsupported shape type $other (point/multipoint/polyline/" +
+          "polygon families incl. Z/M are supported; curves/multipatch are not)")
     }
   }
 
@@ -305,12 +377,14 @@ object FileGdbIO {
     val b = new Buf
     @inline def qx(x: Double): Long = (( x - m.xOrigin) * m.xyScale).round
     @inline def qy(y: Double): Long = ((y - m.yOrigin) * m.xyScale).round
-    def multi(stype: Int, parts: Seq[Array[Double]]): Unit = {
+    @inline def qz(z: Double): Long = ((z - m.zOrigin) * m.zScale).round
+    // zs: one z per point across all parts, or null for an XY shape
+    def multi(stype: Int, parts: Seq[Array[Double]], zs: Array[Double]): Unit = {
       val nPts = parts.map(_.length / 2).sum
       b.varuint(stype)
       b.varuint(nPts)
       if (nPts == 0) return
-      if (stype != 8) b.varuint(parts.length)
+      if (baseClassOf(stype) != 8) b.varuint(parts.length)
       var xmin = Double.MaxValue; var ymin = Double.MaxValue
       var xmax = Double.MinValue; var ymax = Double.MinValue
       parts.foreach { a =>
@@ -335,18 +409,37 @@ object FileGdbIO {
           i += 1
         }
       }
+      if (zs != null) {
+        var zi = 0L
+        zs.foreach { z => val nz = qz(z); b.svarint(nz - zi); zi = nz }
+      }
     }
+    def zsOf(lines: Seq[LineString]): Array[Double] =
+      if (lines.forall(_.zs == null)) null
+      else lines.toArray.flatMap(l =>
+        if (l.zs != null) l.zs else new Array[Double](l.xy.length / 2))
     g match {
       case p: Point =>
         if (p.isEmpty) { b.varuint(1); b.varuint(0); b.varuint(0) }
-        else { b.varuint(1); b.varuint(qx(p.x) + 1); b.varuint(qy(p.y) + 1) }
+        else if (p.z.isNaN) {
+          b.varuint(1); b.varuint(qx(p.x) + 1); b.varuint(qy(p.y) + 1)
+        } else {
+          b.varuint(11) // pointZ (classic ESRI shape-type code)
+          b.varuint(qx(p.x) + 1); b.varuint(qy(p.y) + 1); b.varuint(qz(p.z) + 1)
+        }
       case mp: MultiPoint =>
-        multi(8, Seq(mp.pts.flatMap(p => Array(p.x, p.y))))
-      case l: LineString => multi(3, Seq(l.xy))
-      case ml: MultiLineString => multi(3, ml.lines.map(_.xy).toSeq)
-      case p: Polygon => multi(5, ShapefileIO.windPolygon(p))
+        val anyZ = mp.pts.exists(!_.z.isNaN)
+        multi(if (anyZ) 18 else 8, // multipointZ
+          Seq(mp.pts.flatMap(p => Array(p.x, p.y))),
+          if (anyZ) mp.pts.map(p => if (p.z.isNaN) 0.0 else p.z) else null)
+      case l: LineString =>
+        multi(if (l.zs != null) 13 else 3, Seq(l.xy), l.zs) // 13 = polylineZ
+      case ml: MultiLineString =>
+        val zs = zsOf(ml.lines.toSeq)
+        multi(if (zs != null) 13 else 3, ml.lines.map(_.xy).toSeq, zs)
+      case p: Polygon => multi(5, ShapefileIO.windPolygon(p), null)
       case mp: MultiPolygon =>
-        multi(5, mp.polys.toSeq.flatMap(ShapefileIO.windPolygon))
+        multi(5, mp.polys.toSeq.flatMap(ShapefileIO.windPolygon), null)
       case other => throw new IllegalArgumentException(
         s"gdb: cannot encode ${other.getClass.getSimpleName}")
     }
@@ -378,7 +471,10 @@ object FileGdbIO {
       new Path(tablePath.stripSuffix(".gdbtable") + ".gdbtablx"))
     val tc = new Cur(tablx, 0)
     require(tc.i32() == 3, "gdb: bad .gdbtablx magic")
-    tc.i32(); val nRows = tc.i32(); val width = tc.i32()
+    val blocks1 = tc.i32(); val nRows = tc.i32(); val width = tc.i32()
+    require(blocks1.toLong * 1024 >= nRows,
+      s"gdb: sparse .gdbtablx ($blocks1 blocks for $nRows rows) is not " +
+        "supported — compact the geodatabase first")
     (0 until nRows).flatMap { i =>
       tc.p = 16 + i * width
       var off = 0L; var k = 0
@@ -461,7 +557,13 @@ object FileGdbIO {
     try tin.readFully(0, th) finally tin.close()
     val thc = new Cur(th, 0)
     require(thc.i32() == 3, "gdb: bad .gdbtablx magic")
-    thc.i32(); val slots = thc.i32(); val width = thc.i32()
+    val nBlocks = thc.i32(); val slots = thc.i32(); val width = thc.i32()
+    // a sparse tablx omits absent 1024-row blocks and records them in a
+    // trailer bitmap this reader does not consume — reading it as dense
+    // would silently attribute rows to wrong OIDs, so refuse loudly
+    require(nBlocks.toLong * 1024 >= slots,
+      s"gdb: sparse .gdbtablx ($nBlocks blocks for $slots row slots) is " +
+        "not supported — compact the geodatabase first")
 
     val schema = StructType(meta.fields.map { f =>
       val n = if (f.ftype == T_GEOMETRY) geometryColumn else f.name
@@ -577,8 +679,15 @@ object FileGdbIO {
     val conf = new GeoParquetIO.SerializableConf(spark.sessionState.newHadoopConf())
     val srsText = crs.map(c => graft.sql.WktCrs.toWkt(c).getOrElse(c)).getOrElse("")
     val lname = layerName
-    df.coalesce(1).queryExecution.toRdd
-      .mapPartitions { it =>
+    val rdd = df.coalesce(1).queryExecution.toRdd
+    if (rdd.getNumPartitions == 0) {
+      // a plan with zero partitions never runs a task — write the valid
+      // empty one-layer gdb from the driver instead of silently nothing
+      writeGdb(conf.value, path, lname, schema, geomIdx,
+        IndexedSeq.empty, srsText, xyScale)
+      return
+    }
+    rdd.mapPartitions { it =>
         val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
           .encoderFor(schema)
         val de = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(enc)
@@ -624,7 +733,7 @@ object FileGdbIO {
         }
       }
     }
-    val m = GeomMeta(srsText, minX, minY, xyScale)
+    val m = GeomMeta(srsText, minX, minY, xyScale, -100000.0, 1e4)
 
     // layer fields: OBJECTID + the DataFrame columns (geometry -> SHAPE)
     val layerFields = GdbField("OBJECTID", T_OID, nullable = false) +:
@@ -633,8 +742,7 @@ object FileGdbIO {
     val layerRows: IndexedSeq[IndexedSeq[Any]] = rows.map { r =>
       null +: (0 until schema.length).map(r.get)
     }
-    writeTable(fs, fileFor(dir, 2), layerFields, geomType,
-      Some(m), layerRows, geomIdx + 1)
+    writeTable(fs, fileFor(dir, 2), layerFields, geomType, Some(m), layerRows)
 
     // catalog: row oid == table file number (1 = itself, 2 = the layer)
     val catFields = IndexedSeq(
@@ -644,12 +752,12 @@ object FileGdbIO {
     val catRows = IndexedSeq(
       IndexedSeq[Any](null, "GDB_SystemCatalog", 0),
       IndexedSeq[Any](null, layerName, 0))
-    writeTable(fs, fileFor(dir, 1), catFields, 0, None, catRows, -1)
+    writeTable(fs, fileFor(dir, 1), catFields, 0, None, catRows)
   }
 
   private def writeTable(fs: org.apache.hadoop.fs.FileSystem, table: Path,
       fields: IndexedSeq[GdbField], geomType: Int, geom: Option[GeomMeta],
-      rows: IndexedSeq[IndexedSeq[Any]], geomFieldIdx: Int): Unit = {
+      rows: IndexedSeq[IndexedSeq[Any]]): Unit = {
     // rows first (the field section carries the layer extent)
     var ext = Envelope.empty
     val rowBlobs = rows.map { vals =>
@@ -721,9 +829,13 @@ object FileGdbIO {
           val m = geom.get
           sec.u8(0); sec.u8(7)
           sec.i16(m.srs.length); sec.utf16(m.srs)
-          sec.u8(1) // xy only (bit1 = has_m, bit2 = has_z)
+          sec.u8(5) // nullable + has_z (bit1 = has_m, bit2 = has_z):
+          // z metadata is always declared; XY shapes simply carry no z
+          // payload (the per-shape type number governs the blob)
           sec.f64(m.xOrigin); sec.f64(m.yOrigin); sec.f64(m.xyScale)
+          sec.f64(m.zOrigin); sec.f64(m.zScale)
           sec.f64(2.0 / m.xyScale) // xytolerance
+          sec.f64(2.0 / m.zScale) // ztolerance
           if (ext.isEmpty) { sec.f64(0); sec.f64(0); sec.f64(0); sec.f64(0) }
           else { sec.f64(ext.minX); sec.f64(ext.minY); sec.f64(ext.maxX); sec.f64(ext.maxY) }
           sec.i32(1); sec.f64(1000.0)

@@ -258,19 +258,26 @@ object GmlIO {
     "(?i)urn:(?:x-)?ogc:def:crs:EPSG:[^:]*:(\\d+)".r
 
   /** Non-geographic EPSG codes inside the 4xxx block, which is otherwise
-    * EPSG's geodetic (2D geographic) range: 4087/4088 are projected
-    * (World Equidistant Cylindrical, ellipsoid/sphere) and the rest are
-    * geocentric (X,Y,Z) frames — ITRF88–ITRF2000 (4910–4919), ITRF2005
-    * (4896), ETRS89 (4936), WGS 84 (4978). Their axes must NOT be swapped.
+    * EPSG's geodetic (lat/lon-ordered) range; their axes must NOT be
+    * swapped: 4087/4088 are projected (World Equidistant Cylindrical,
+    * ellipsoid/sphere), 4328 is the deprecated WGS 84 geocentric,
+    * 4910–4919 are the ITRF88–ITRF2000 geocentric frames, and in the
+    * modern 4890–4988 band EPSG allocates geodetic CRS in
+    * (geocentric, 3D-geographic) pairs on (even, odd) codes — e.g.
+    * 4936/4937 ETRS89, 4938/4939 GDA94, 4954/4955 NAD83(CSRS),
+    * 4978/4979 WGS 84, 4984/4985 WGS 72 — so even codes there are
+    * geocentric (no swap) and odd codes are 3D geographic (swap).
     */
-  private val NonGeographic4xxx: Set[Int] =
-    Set(4087, 4088, 4896, 4936, 4978) ++ (4910 to 4919)
+  private def nonGeographic4xxx(code: Int): Boolean =
+    code == 4087 || code == 4088 || code == 4328 ||
+      (code >= 4910 && code <= 4919) ||
+      (code >= 4890 && code <= 4988 && code % 2 == 0)
 
   /** GML 3 urn-form EPSG geographic CRS declare lat/lon axis order; the
-    * 4xxx range is EPSG's geodetic (2D geographic) block, minus a handful
-    * of projected/geocentric codes ([[NonGeographic4xxx]]). Legacy
-    * `EPSG:4326` srsNames keep x,y order (OGR's behavior). `forced`
-    * (from `read(swapAxes=)`) overrides per-document.
+    * 4xxx range is EPSG's geodetic block, minus the projected/geocentric
+    * codes ([[nonGeographic4xxx]]). Legacy `EPSG:4326` srsNames keep x,y
+    * order (OGR's behavior). `forced` (from `read(swapAxes=)`) overrides
+    * per-document.
     */
   private def axisSwap(srsName: String, inherited: Boolean,
       forced: Option[Boolean]): Boolean = forced.getOrElse {
@@ -278,7 +285,7 @@ object GmlIO {
     else UrnEpsg.findFirstMatchIn(srsName) match {
       case Some(m) =>
         val code = m.group(1).toInt
-        code >= 4000 && code < 5000 && !NonGeographic4xxx(code)
+        code >= 4000 && code < 5000 && !nonGeographic4xxx(code)
       case None => false
     }
   }

@@ -91,16 +91,18 @@ object SpatiaLiteIO {
       bbox: Option[(Double, Double, Double, Double)] = None,
       geometryColumn: String = "geometry"): GeoDataFrame = {
     graft.sql.functions.install(spark)
+    // one driver-side metadata walk: resolved here, injected below (a
+    // real spatialite file carries ~6000 spatial_ref_sys rows — do not
+    // re-walk them inside readFeatureTable)
     val meta = geometryColumns(spark, path)
-    val df = readFeatureTable(spark, path, table, bbox,
-      geomColFor = (src, master) => geometryColumnsFrom(src, master)
-        .get(table).map(_._1),
-      rtreeNodeName = (t, g) => s"idx_${t}_${g}_node",
-      geomDecode = slToWkb)
     val (gcol, crs) = meta.getOrElse(table,
       throw new IllegalArgumentException(
         s"spatialite: table '$table' not in geometry_columns of $path " +
           s"(have: ${meta.keys.mkString(", ")})"))
+    val df = readFeatureTable(spark, path, table, bbox,
+      geomColFor = (_, _) => Some(gcol),
+      rtreeNodeName = (t, g) => s"idx_${t}_${g}_node",
+      geomDecode = slToWkb)
     val out = if (gcol == geometryColumn) df
       else df.withColumnRenamed(gcol, geometryColumn)
     val g = GeoDataFrame(out, geometryColumn)

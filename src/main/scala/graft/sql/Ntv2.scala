@@ -219,10 +219,14 @@ object Ntv2 {
     require(!dir.matches("^[a-zA-Z][a-zA-Z0-9+.-]*://.*") || dir.startsWith("file:"),
       s"ntv2: grid dir must be a node-local path (got '$dir') — NTv2 grids " +
         "are read with java.nio on each node; ship them via --files or the image")
-    // `file:` URIs come in single-slash (file:/path) and double-slash
-    // (file:///path) forms; java.net.URI normalizes both to the raw path.
+    // `file:` URIs come in single-slash (file:/path) and triple-slash
+    // (file:///path) forms; strip the scheme TEXTUALLY — java.net.URI
+    // rejects unescaped spaces and returns null paths for opaque forms,
+    // both of which a directory path may legitimately contain.
     val local =
-      if (dir.startsWith("file:")) new java.net.URI(dir).getPath else dir
+      if (dir.startsWith("file:"))
+        dir.stripPrefix("file:").replaceFirst("^//+", "/")
+      else dir
     val d = java.nio.file.Paths.get(local)
     require(java.nio.file.Files.isDirectory(d),
       s"ntv2: configured grid dir '$dir' is not a readable directory on this node")

@@ -138,6 +138,37 @@ class FileGdbIOSpec extends AnyFunSuite {
     assert(back(1).get(1) == null)
   }
 
+  test("Z geometries roundtrip (pointZ / polylineZ payloads, 1e-4 z grid)") {
+    val gdb = tmpGdb()
+    val src = Seq(
+      (1L, "POINT Z (1.5 2.5 30.25)"),
+      (2L, "LINESTRING Z (0 0 1, 3 4 2.5, 6 4 -3)"),
+      (3L, "POINT (9 9)")) // XY row in the same layer stays XY
+      .toDF("id", "wkt")
+      .withColumn("geometry", st_geomFromWKT($"wkt")).drop("wkt")
+    FileGdbIO.write(src, gdb)
+    val got = FileGdbIO.read(spark, gdb).df
+      .select($"id".cast("long"), st_asText($"geometry"))
+      .as[(Long, String)].collect().sortBy(_._1).toMap
+    assert(got(1L) == "POINT Z (1.5 2.5 30.25)")
+    assert(got(2L) == "LINESTRING Z (0 0 1, 3 4 2.5, 6 4 -3)")
+    assert(got(3L) == "POINT (9 9)")
+  }
+
+  test("sparse .gdbtablx refuses loudly instead of misattributing rows") {
+    val gdb = tmpGdb()
+    FileGdbIO.write(sample().df, gdb)
+    val tablx = new java.io.File(gdb, "a00000002.gdbtablx")
+    val bytes = java.nio.file.Files.readAllBytes(tablx.toPath)
+    // zero the 1024-block count (header bytes 4-7) -> blocks*1024 < rows
+    bytes(4) = 0; bytes(5) = 0; bytes(6) = 0; bytes(7) = 0
+    java.nio.file.Files.write(tablx.toPath, bytes)
+    new java.io.File(gdb, ".a00000002.gdbtablx.crc").delete()
+    val e = intercept[IllegalArgumentException](
+      FileGdbIO.read(spark, gdb).df.count())
+    assert(e.getMessage.contains("sparse"))
+  }
+
   test("zipped .gdb dispatches through the .zip route") {
     val gdb = tmpGdb()
     FileGdbIO.write(sample().df, gdb, layerName = "zipped")

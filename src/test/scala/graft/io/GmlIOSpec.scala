@@ -200,6 +200,22 @@ class GmlIOSpec extends AnyFunSuite {
         |      </gml:Point>
         |    </ns:where>
         |  </ns:Thing>
+        |  <ns:Thing gml:id="d">
+        |    <ns:code>D</ns:code>
+        |    <ns:where>
+        |      <gml:Point srsName="urn:ogc:def:crs:EPSG::4938">
+        |        <gml:pos>-4052052 4212836</gml:pos>
+        |      </gml:Point>
+        |    </ns:where>
+        |  </ns:Thing>
+        |  <ns:Thing gml:id="e">
+        |    <ns:code>E</ns:code>
+        |    <ns:where>
+        |      <gml:Point srsName="urn:ogc:def:crs:EPSG::4939">
+        |        <gml:pos>-35.3 149.1</gml:pos>
+        |      </gml:Point>
+        |    </ns:where>
+        |  </ns:Thing>
         |</ns:Dataset>
         |""".stripMargin.getBytes("UTF-8"))
     val back = GmlIO.read(spark, f.toString).df
@@ -208,7 +224,7 @@ class GmlIOSpec extends AnyFunSuite {
         element_at($"props", "note").as("note"),
         expr("st_astext(geometry)").as("wkt"))
       .orderBy($"code").collect()
-    assert(back.length == 3)
+    assert(back.length == 5)
     // 4087 (projected World Equidistant Cylindrical): coordinates verbatim
     assert(back(0).getString(3) == "POINT (1000000 2000000)")
     // mixed content: nested leaf kept, loose own-text dropped (OGR model)
@@ -218,6 +234,10 @@ class GmlIOSpec extends AnyFunSuite {
     assert(back(1).getString(3) == "POINT (6378137 0)")
     // 4269 (NAD83 geographic): lat/lon in doc, swapped to x=lon
     assert(back(2).getString(3) == "POINT (-74 40.7)")
+    // 4938 (GDA94 geocentric, even code in the modern band): verbatim
+    assert(back(3).getString(3) == "POINT (-4052052 4212836)")
+    // 4939 (GDA94 3D geographic, odd code): lat/lon -> x=lon
+    assert(back(4).getString(3) == "POINT (149.1 -35.3)")
   }
 
   test("writeAppSchema roundtrip: dotted groups, urn srs, geometry families") {

@@ -118,6 +118,10 @@ class Ntv2Spec extends AnyFunSuite {
     assert(Ntv2.registerDir("file:" + dir.toAbsolutePath) == Seq("uritest"))
     // double-slash empty-authority form: file:///tmp/...
     assert(Ntv2.registerDir("file://" + dir.toAbsolutePath) == Seq("uritest"))
+    // paths with spaces must survive (java.net.URI would reject them)
+    val spaced = java.nio.file.Files.createTempDirectory("ntv2 uri sp")
+    java.nio.file.Files.write(spaced.resolve("sptest.gsb"), synthGsb())
+    assert(Ntv2.registerDir("file:" + spaced.toAbsolutePath) == Seq("sptest"))
     // remote URIs still refuse loudly
     val e = intercept[IllegalArgumentException](Ntv2.registerDir("s3://bucket/grids"))
     assert(e.getMessage.contains("node-local"))

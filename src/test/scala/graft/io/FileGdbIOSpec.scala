@@ -185,6 +185,51 @@ class FileGdbIOSpec extends AnyFunSuite {
     assert(back.df.count() == 7)
   }
 
+  test("fuzz: 200 random geometries roundtrip within the 1e-9 grid") {
+    val rnd = new scala.util.Random(20260816)
+    def coord(): Double = (rnd.nextDouble() * 2000 - 1000) +
+      rnd.nextInt(1000) * 1e-6
+    def ring(cx: Double, cy: Double, r: Double, n: Int): String =
+      (0 to n).map { k =>
+        val a = 2 * math.Pi * (k % n) / n
+        s"${cx + r * math.cos(a)} ${cy + r * math.sin(a)}"
+      }.mkString("(", ", ", ")")
+    val wkts = (0 until 200).map { i =>
+      i % 5 match {
+        case 0 => s"POINT (${coord()} ${coord()})"
+        case 1 => s"LINESTRING (${coord()} ${coord()}, ${coord()} ${coord()}, ${coord()} ${coord()})"
+        case 2 => s"POLYGON (${ring(coord(), coord(), 1 + rnd.nextInt(50), 3 + rnd.nextInt(8))})"
+        case 3 => s"MULTIPOINT ((${coord()} ${coord()}), (${coord()} ${coord()}))"
+        case 4 =>
+          val c1 = (coord(), coord()); val c2 = (coord() + 500, coord() + 500)
+          s"MULTIPOLYGON ((${ring(c1._1, c1._2, 2, 4)}), (${ring(c2._1, c2._2, 3, 5)}))"
+      }
+    }
+    val gdb = tmpGdb()
+    val src = wkts.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("id", "wkt").withColumn("geometry", st_geomFromWKT($"wkt")).drop("wkt")
+    FileGdbIO.write(src, gdb)
+    val back = FileGdbIO.read(spark, gdb, chunkSize = 64).df
+      .select($"id".cast("long"), st_asText(st_normalize($"geometry")))
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(back.length == 200)
+    val want = spark.createDataset(wkts.zipWithIndex.map { case (w, i) => (i.toLong, w) })
+      .select($"_1", st_asText(st_normalize(st_geomFromWKT($"_2"))))
+      .as[(Long, String)].collect().sortBy(_._1)
+    // quantization at 1e9 is far below the printed precision, so the
+    // normalized WKT must match exactly coordinate-by-coordinate at 1e-9
+    back.zip(want).foreach { case ((ib, wb), (iw, ww)) =>
+      assert(ib == iw)
+      val num = "-?\\d+(?:\\.\\d+)?(?:[eE][+-]?\\d+)?".r
+      val nb = num.findAllIn(wb).map(_.toDouble).toArray
+      val nw = num.findAllIn(ww).map(_.toDouble).toArray
+      assert(nb.length == nw.length, s"id $ib: $wb vs $ww")
+      nb.zip(nw).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 2e-9, s"id $ib: $wb vs $ww")
+      }
+    }
+  }
+
   test("read_file dispatches .gdb directories") {
     val gdb = tmpGdb()
     FileGdbIO.write(sample().df, gdb, crs = Some("EPSG:3857"))

@@ -2035,10 +2035,16 @@ object GeoDataFrame {
     val p = new org.apache.hadoop.fs.Path(bare)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     // a .gdb DIRECTORY is one dataset (ESRI File Geodatabase), not a
-    // directory of per-task files — dispatch before the extension scan
+    // directory of per-task files — dispatch before the extension scan;
+    // cx re-plans through the bbox read (layer-extent prune + exact
+    // residual — no per-chunk spatial index in this profile)
     if (bare.toLowerCase.endsWith(".gdb") &&
-        fs.exists(p) && fs.getFileStatus(p).isDirectory)
-      return graft.io.FileGdbIO.read(spark, bare, layer, chunkSize, geometryColumn)
+        fs.exists(p) && fs.getFileStatus(p).isDirectory) {
+      val g = graft.io.FileGdbIO.read(spark, bare, layer, chunkSize, geometryColumn)
+      return g.copy(boxSource = Some(BoxSourceMeta(g.df, box => Some(
+        graft.io.FileGdbIO.read(spark, bare, layer, chunkSize, geometryColumn,
+          Some((box.minX, box.minY, box.maxX, box.maxY))).df))))
+    }
     val lower: String =
       if (fs.exists(p) && fs.getFileStatus(p).isDirectory) {
         val exts = fs.listStatus(p).map(_.getPath.getName.toLowerCase)
@@ -2098,7 +2104,15 @@ object GeoDataFrame {
           s"spatialite has ${tables.size} feature tables (${tables.mkString(", ")}) — pass layer=")
         tables.head
       }
-      graft.io.SpatiaLiteIO.read(spark, bare, table, geometryColumn = geometryColumn)
+      val g = graft.io.SpatiaLiteIO.read(spark, bare, table,
+        geometryColumn = geometryColumn)
+      // cx re-plans through the idx_ R*-tree when the file carries one
+      if (graft.io.SpatiaLiteIO.hasRtree(spark, bare, table))
+        g.copy(boxSource = Some(BoxSourceMeta(g.df, box => Some(
+          graft.io.SpatiaLiteIO.read(spark, bare, table,
+            Some((box.minX, box.minY, box.maxX, box.maxY)),
+            geometryColumn).df))))
+      else g
     } else if (lower.endsWith(".fgb"))
       readFlatGeobuf(spark, bare, chunkSize, geometryColumn = geometryColumn)
     else if (lower.endsWith(".geojsonl") || lower.endsWith(".ndjson"))

@@ -70,10 +70,12 @@ object FileGdbIO {
 
   private final case class GdbField(name: String, ftype: Int, nullable: Boolean)
 
-  /** Geometry quantization + SRS carried by the geometry field. */
+  /** Geometry quantization + SRS carried by the geometry field;
+    * `extent` is the descriptor's layer envelope (all-zero when unset).
+    */
   private final case class GeomMeta(srs: String, xOrigin: Double,
     yOrigin: Double, xyScale: Double, zOrigin: Double = 0.0,
-    zScale: Double = 1.0)
+    zScale: Double = 1.0, extent: Envelope = Envelope.empty)
 
   private final case class TableMeta(nRows: Int, fields: IndexedSeq[GdbField],
     geom: Option[GeomMeta])
@@ -198,10 +200,14 @@ object FileGdbIO {
           /* xytolerance */ c.f64()
           if (hasM) c.f64()
           if (hasZ) c.f64()
-          /* extent */ c.f64(); c.f64(); c.f64(); c.f64()
+          val ex0 = c.f64(); val ey0 = c.f64()
+          val ex1 = c.f64(); val ey1 = c.f64()
+          val ext = if (ex0 == 0 && ey0 == 0 && ex1 == 0 && ey1 == 0)
+            Envelope.empty else Envelope(ex0, ey0, ex1, ey1)
           val nGrids = c.i32()
           var g = 0; while (g < nGrids) { c.f64(); g += 1 }
-          geom = Some(GeomMeta(srs, xo, yo, sc, zo, if (zs > 0) zs else 1.0))
+          geom = Some(GeomMeta(srs, xo, yo, sc, zo,
+            if (zs > 0) zs else 1.0, ext))
         case other => throw new IllegalArgumentException(
           s"gdb: unsupported field type $other for '$name'")
       }
@@ -504,7 +510,8 @@ object FileGdbIO {
     */
   def read(spark: SparkSession, path: String, layer: Option[String] = None,
       chunkSize: Int = 65536,
-      geometryColumn: String = "geometry"): GeoDataFrame = {
+      geometryColumn: String = "geometry",
+      bbox: Option[(Double, Double, Double, Double)] = None): GeoDataFrame = {
     graft.sql.functions.install(spark)
     val conf = spark.sessionState.newHadoopConf()
     val dir = new Path(path)
@@ -576,8 +583,21 @@ object FileGdbIO {
       .get("spark.graft.gdb.forcePositionedReads", "false").toBoolean
     val fieldsB = meta.fields
     val geomB = meta.geom
-    val chunks = (0 until slots by chunkSize)
-      .map(s => (s, math.min(chunkSize, slots - s)))
+    // bbox: the descriptor's layer extent prunes the WHOLE layer at
+    // planning time (no per-chunk index exists in this profile — the
+    // spatial-grid .spx sidecar is not consumed); surviving rows apply
+    // the exact envelope-intersects residual task-side
+    val layerPruned = bbox.exists { case (qx0, qy0, qx1, qy1) =>
+      meta.geom.exists { g =>
+        !g.extent.isEmpty && !(g.extent.minX <= qx1 && g.extent.maxX >= qx0 &&
+          g.extent.minY <= qy1 && g.extent.maxY >= qy0)
+      }
+    }
+    val chunks =
+      if (layerPruned) Seq.empty
+      else (0 until slots by chunkSize)
+        .map(s => (s, math.min(chunkSize, slots - s)))
+    val geomFieldIdx = meta.fields.indexWhere(_.ftype == T_GEOMETRY)
     val rows = spark.sparkContext
       .parallelize(chunks, math.max(1, chunks.size))
       .flatMap { case (start, n) =>
@@ -653,7 +673,18 @@ object FileGdbIO {
         } finally dataIn.close()
         out
       }
-    val df = spark.createDataFrame(rows, schema)
+    val filtered = (bbox, geomFieldIdx) match {
+      case (Some((qx0, qy0, qx1, qy1)), gi) if gi >= 0 => rows.filter { r =>
+        val w = r.get(gi).asInstanceOf[Array[Byte]]
+        w != null && {
+          val e = graft.geom.Wkb.envelopeOf(w)
+          !e.isEmpty && e.minX <= qx1 && e.maxX >= qx0 &&
+            e.minY <= qy1 && e.maxY >= qy0
+        }
+      }
+      case _ => rows
+    }
+    val df = spark.createDataFrame(filtered, schema)
     val crs = meta.geom.map(_.srs).filter(_.nonEmpty).flatMap { s =>
       if (s.startsWith("{")) graft.sql.WktCrs.parseProjJson(s)
       else if (s.contains("[")) graft.sql.WktCrs.parse(s)

@@ -185,6 +185,26 @@ class FileGdbIOSpec extends AnyFunSuite {
     assert(back.df.count() == 7)
   }
 
+  test("bbox read: layer-extent whole prune + exact residual; cx re-plans") {
+    val gdb = tmpGdb()
+    val src = (1 to 100).map(i => (i.toLong, i * 1.0))
+      .toDF("id", "x").withColumn("geometry", st_point($"x", $"x" * 2.0))
+      .drop("x")
+    FileGdbIO.write(src, gdb)
+    // residual: x in [10,20] -> ids 10..20
+    val got = FileGdbIO.read(spark, gdb, bbox = Some((10.0, 0.0, 20.0, 100.0)))
+      .df.select($"id".cast("long")).as[Long].collect().sorted
+    assert(got.toSeq == (10L to 20L))
+    // disjoint window prunes the whole layer with zero chunk tasks
+    val pruned = FileGdbIO.read(spark, gdb, bbox = Some((5000.0, 5000.0, 6000.0, 6000.0)))
+    assert(pruned.df.rdd.getNumPartitions <= 1 && pruned.df.count() == 0)
+    // cx over the dispatcher route re-plans through the bbox read
+    val g = GeoDataFrame.readFile(spark, gdb)
+    val cxGot = g.cx(10.0, 0.0, 20.0, 100.0).df
+      .select($"id".cast("long")).as[Long].collect().sorted
+    assert(cxGot.toSeq == (10L to 20L))
+  }
+
   test("fuzz: 200 random geometries roundtrip within the 1e-9 grid") {
     val rnd = new scala.util.Random(20260816)
     def coord(): Double = (rnd.nextDouble() * 2000 - 1000) +

@@ -91,6 +91,20 @@ class SpatiaLiteIOSpec extends AnyFunSuite {
     assert(e.getMessage.contains("shapes") && e.getMessage.contains("supplier_pts"))
   }
 
+  test("cx over the dispatcher route re-plans through the idx_ R*-tree") {
+    val g = graft.api.GeoDataFrame.readFile(spark, fixture,
+      layer = Some("supplier_pts"))
+    val got = g.cx(0.0, 0.0, 200.0, 300.0).df
+      .select($"pk").as[Long].collect().sorted
+    val want = (0 until 500).filter { i =>
+      i % 50 != 49 && {
+        val x = i * 3.25 - 100.0; val y = (i % 100) * 7.5
+        x >= 0 && x <= 200 && y >= 0 && y <= 300
+      }
+    }.map(_ + 1L)
+    assert(got.toSeq == want)
+  }
+
   test("unknown table errors with the declared layer names") {
     val e = intercept[IllegalArgumentException](
       SpatiaLiteIO.read(spark, fixture, "nope"))

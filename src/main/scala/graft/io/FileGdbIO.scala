@@ -745,45 +745,85 @@ object FileGdbIO {
 
   private def writeGdb(conf: org.apache.hadoop.conf.Configuration,
       path: String, layerName: String, schema: StructType, geomIdx: Int,
-      rows: IndexedSeq[Row], srsText: String, xyScale: Double): Unit = {
+      rows: IndexedSeq[Row], srsText: String, xyScale: Double): Unit =
+    writeGdbTables(conf, path,
+      Seq((layerName, schema, geomIdx, rows)), srsText, xyScale)
+
+  /** Write `layers` as files 2..N+1 plus the catalog (file 1; row oid ==
+    * table file number). Each layer's quantization origin derives from
+    * its own extent.
+    */
+  private def writeGdbTables(conf: org.apache.hadoop.conf.Configuration,
+      path: String,
+      layers: Seq[(String, StructType, Int, IndexedSeq[Row])],
+      srsText: String, xyScale: Double): Unit = {
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf)
     fs.mkdirs(dir)
-    // quantized coordinates are non-negative offsets from the origin, so
-    // the origin must sit at/below the data's min corner (ESRI derives it
-    // from the layer's spatial domain the same way; a fixed -400 would
-    // corrupt any dataset extending further west/south)
-    var minX = -400.0; var minY = -400.0
-    rows.foreach { r =>
-      val w = r.get(geomIdx).asInstanceOf[Array[Byte]]
-      if (w != null) {
-        val e = Wkb.envelopeOf(w)
-        if (!e.isEmpty) {
-          minX = math.min(minX, math.floor(e.minX) - 1.0)
-          minY = math.min(minY, math.floor(e.minY) - 1.0)
+    layers.zipWithIndex.foreach { case ((_, schema, geomIdx, rows), li) =>
+      // quantized coordinates are non-negative offsets from the origin,
+      // so the origin must sit at/below the data's min corner (ESRI
+      // derives it from the layer's spatial domain the same way; a fixed
+      // -400 would corrupt any dataset extending further west/south)
+      var minX = -400.0; var minY = -400.0
+      rows.foreach { r =>
+        val w = r.get(geomIdx).asInstanceOf[Array[Byte]]
+        if (w != null) {
+          val e = Wkb.envelopeOf(w)
+          if (!e.isEmpty) {
+            minX = math.min(minX, math.floor(e.minX) - 1.0)
+            minY = math.min(minY, math.floor(e.minY) - 1.0)
+          }
         }
       }
+      val m = GeomMeta(srsText, minX, minY, xyScale, -100000.0, 1e4)
+      // layer fields: OBJECTID + the DataFrame columns (geometry -> SHAPE)
+      val layerFields = GdbField("OBJECTID", T_OID, nullable = false) +:
+        schema.fields.zipWithIndex.map { case (f, i) => gdbFieldOf(f, geomIdx, i) }.toIndexedSeq
+      val geomType = 4 // descriptor byte; actual shapes carry their own type
+      val layerRows: IndexedSeq[IndexedSeq[Any]] = rows.map { r =>
+        null +: (0 until schema.length).map(r.get)
+      }
+      writeTable(fs, fileFor(dir, li + 2), layerFields, geomType,
+        Some(m), layerRows)
     }
-    val m = GeomMeta(srsText, minX, minY, xyScale, -100000.0, 1e4)
-
-    // layer fields: OBJECTID + the DataFrame columns (geometry -> SHAPE)
-    val layerFields = GdbField("OBJECTID", T_OID, nullable = false) +:
-      schema.fields.zipWithIndex.map { case (f, i) => gdbFieldOf(f, geomIdx, i) }.toIndexedSeq
-    val geomType = 4 // descriptor byte; actual shapes carry their own type
-    val layerRows: IndexedSeq[IndexedSeq[Any]] = rows.map { r =>
-      null +: (0 until schema.length).map(r.get)
-    }
-    writeTable(fs, fileFor(dir, 2), layerFields, geomType, Some(m), layerRows)
-
-    // catalog: row oid == table file number (1 = itself, 2 = the layer)
     val catFields = IndexedSeq(
       GdbField("OBJECTID", T_OID, nullable = false),
       GdbField("Name", T_STRING, nullable = true),
       GdbField("FileFormat", T_INT32, nullable = true))
-    val catRows = IndexedSeq(
-      IndexedSeq[Any](null, "GDB_SystemCatalog", 0),
-      IndexedSeq[Any](null, layerName, 0))
-    writeTable(fs, fileFor(dir, 1), catFields, 0, None, catRows)
+    val catRows = IndexedSeq[Any](null, "GDB_SystemCatalog", 0) +:
+      layers.map { case (name, _, _, _) => IndexedSeq[Any](null, name, 0) }
+    writeTable(fs, fileFor(dir, 1), catFields, 0, None, catRows.toIndexedSeq)
+  }
+
+  /** Multi-layer write (the `to_file(layer=)` shape for a geodatabase
+    * holding several feature classes). Rows stream to the DRIVER
+    * partition-at-a-time and the driver writes the files — the same
+    * single-writer contract as the GeoPackage writer (one catalog, one
+    * data file per table has no parallel layout; shard across .gdb
+    * datasets to scale out).
+    */
+  def writeLayers(layers: Seq[(String, DataFrame)], path: String,
+      geomCol: String = "geometry", crs: Option[String] = None,
+      xyScale: Double = 1e9): Unit = {
+    require(layers.nonEmpty, "gdb: writeLayers needs at least one layer")
+    require(layers.map(_._1.toLowerCase).distinct.size == layers.size,
+      "gdb: duplicate layer names")
+    val spark = layers.head._2.sparkSession
+    val conf = spark.sessionState.newHadoopConf()
+    val srsText = crs.map(c => graft.sql.WktCrs.toWkt(c).getOrElse(c)).getOrElse("")
+    val resolved = layers.map { case (name, df) =>
+      val schema = df.schema
+      val gi = schema.fieldIndex(geomCol)
+      val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+        .encoderFor(schema)
+      val de = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(enc)
+        .resolveAndBind().createDeserializer()
+      val rows = df.queryExecution.toRdd.toLocalIterator
+        .map(ir => de(ir.copy())).toIndexedSeq
+      (name, schema, gi, rows)
+    }
+    writeGdbTables(conf, path, resolved, srsText, xyScale)
   }
 
   private def writeTable(fs: org.apache.hadoop.fs.FileSystem, table: Path,

@@ -185,6 +185,26 @@ class FileGdbIOSpec extends AnyFunSuite {
     assert(back.df.count() == 7)
   }
 
+  test("writeLayers: multi-layer gdb, layer selection reads each back") {
+    val gdb = tmpGdb()
+    val pts = (1 to 20).map(i => (i.toLong, s"p$i"))
+      .toDF("id", "name").withColumn("geometry", st_point($"id" * 1.0, lit(0.0)))
+    val boxes = (1 to 5).map(i => (i.toLong, i * 2.0))
+      .toDF("id", "w").withColumn("geometry",
+        st_makeEnvelope(lit(0.0), lit(0.0), $"w", $"w"))
+    FileGdbIO.writeLayers(Seq("points" -> pts, "boxes" -> boxes), gdb,
+      crs = Some("EPSG:4326"))
+    val cat = FileGdbIO.catalog(spark.sessionState.newHadoopConf(), gdb)
+    assert(cat.map(_._2) == Seq("GDB_SystemCatalog", "points", "boxes"))
+    assert(FileGdbIO.read(spark, gdb, layer = Some("points")).df.count() == 20)
+    val area = FileGdbIO.read(spark, gdb, layer = Some("boxes")).df
+      .select(sum(st_area($"geometry"))).head().getDouble(0)
+    assert(math.abs(area - (1 to 5).map(i => 4.0 * i * i).sum) < 1e-6)
+    // no-layer default refuses with the layer names
+    val e = intercept[IllegalArgumentException](FileGdbIO.read(spark, gdb))
+    assert(e.getMessage.contains("points") && e.getMessage.contains("boxes"))
+  }
+
   test("bbox read: layer-extent whole prune + exact residual; cx re-plans") {
     val gdb = tmpGdb()
     val src = (1 to 100).map(i => (i.toLong, i * 1.0))

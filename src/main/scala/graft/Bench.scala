@@ -83,6 +83,9 @@ object Bench {
     // committed reference: measured on a quiet VM (median-of-3 readings
     // 0.14-0.21 s, r8); calibration > 2x this marks the whole run degraded
     val CalibrationRef = 0.20
+    // quarantine gate: a committed median above this multiple of its
+    // quiet-floor reference is retried/re-measured/flagged (r14: 2.5x)
+    val QuarantineGate = 2.5
     val calBefore = calibrate()
 
     // Per-query reference medians from a committed quiet-VM run. The r9
@@ -147,7 +150,7 @@ object Bench {
       if (idx > 0 && idx % 20 == 0) calProbes += calibrateOnce()
       var med = runMedian(name, fn)
       refQueries.get(name).foreach { ref =>
-        if (med > 2.5 * ref && med >= 0 && ref > 0) {
+        if (med > QuarantineGate * ref && med >= 0 && ref > 0) {
           // defer the retry until the machine probe reads healthy: an
           // immediate retry reruns inside the SAME contention window and
           // keeps an inflated better-of-two (r10 committed t05 at 7.3 s
@@ -191,7 +194,7 @@ object Bench {
       scala.collection.mutable.LinkedHashMap[String, List[(Double, Double)]]()
     def stillSuspect(): Seq[String] = resultsMap.toSeq.collect {
       case (n, med) if med >= 0 &&
-        refQueries.get(n).exists(r => r > 0 && med > 2.5 * r) => n
+        refQueries.get(n).exists(r => r > 0 && med > QuarantineGate * r) => n
     }.map(_.toString)
     var qPass = 0
     while (qPass < 3 && stillSuspect().nonEmpty) {
@@ -249,7 +252,7 @@ object Bench {
     // numbers are machine noise, not plan changes
     val suspects = results.collect {
       case (n, med) if med >= 0 &&
-        refQueries.get(n).exists(r => r > 0 && med > 2.5 * r) => n
+        refQueries.get(n).exists(r => r > 0 && med > QuarantineGate * r) => n
     }
     val suspectJson = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
     val quarantineJson = quarantinePasses.map { case (n, passes) =>

@@ -629,17 +629,15 @@ object FileGdbIO {
         val dataIn = tfs.open(tp)
         val out = scala.collection.mutable.ArrayBuffer.empty[Row]
         try {
-          val seq = if (ascending) {
-            val first = offs.find(_ != 0)
-            first.foreach(dataIn.seek)
-            if (first.isDefined)
-              new java.io.DataInputStream(
-                new java.io.BufferedInputStream(dataIn, 1 << 16))
-            else null
+          val firstOff = offs.find(_ != 0)
+          val seq = if (ascending && firstOff.isDefined) {
+            dataIn.seek(firstOff.get)
+            new java.io.DataInputStream(
+              new java.io.BufferedInputStream(dataIn, 1 << 16))
           } else null
           // logical stream position, tracked here — the underlying
           // stream's getPos reflects BufferedInputStream readahead
-          var pos = offs.find(_ != 0).getOrElse(0L)
+          var pos = firstOff.getOrElse(0L)
           var j = 0
           while (j < n) {
             val off = offs(j)

@@ -2141,6 +2141,16 @@ object OracleSql {
       SELECT -1::BIGINT, NULL, NULL, NULL, NULL, NULL, NULL, 10::BIGINT
       ORDER BY pk""",
 
+    // missing-values closed forms: every 7th geometry null -> flagged,
+    // empty after the default fill, x=-1 after the point fill
+    "g119_fillna" -> """
+      SELECT s_suppkey,
+             (s_suppkey % 7 = 0) AS was_na,
+             (s_suppkey % 7 = 0) AS empty_after,
+             CASE WHEN s_suppkey % 7 = 0 THEN -1.0 ELSE s_acctbal END::DOUBLE
+               AS x_after
+      FROM supplier ORDER BY s_suppkey""",
+
     "g47_geopackage_write" -> """
       SELECT s_suppkey::BIGINT AS fid, s_name, s_acctbal AS bal,
              s_acctbal AS x, (s_suppkey % 100)::DOUBLE * 10.0 AS y

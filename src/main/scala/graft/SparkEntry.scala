@@ -1686,6 +1686,28 @@ object SparkEntry {
       full.union(pruned).orderBy(col("pk"))
     }),
 
+    // GeoSeries missing-values surface (isna/notna/fillna — the reference
+    // implements these specifically for GeoSeries): every 7th supplier
+    // geometry is null; fillna() substitutes GEOMETRYCOLLECTION EMPTY
+    // (geopandas' default), an explicit fill substitutes a point. Closed
+    // forms per row: isna flag, post-fill emptiness, filled x.
+    "g119_fillna" -> ((s, d) => {
+      val base = graft.api.GeoDataFrame(
+        supplierPts(s, d)
+          .withColumn("geometry", when(col("s_suppkey") % 7 === 0,
+            lit(null).cast("binary"))
+            .otherwise(st_point(col("x0"), col("y0"))))
+          .select(col("s_suppkey"), col("x0"), col("geometry")))
+      val filledDefault = base.fillna()
+      val filledPoint = base.fillna(graft.geom.Point(-1.0, -1.0))
+      base.df.select(col("s_suppkey"), base.isna().as("was_na"))
+        .join(filledDefault.df.select(col("s_suppkey"),
+          st_isEmpty(col("geometry")).as("empty_after")), Seq("s_suppkey"))
+        .join(filledPoint.df.select(col("s_suppkey"),
+          st_x(col("geometry")).as("x_after")), Seq("s_suppkey"))
+        .orderBy(col("s_suppkey"))
+    }),
+
     // GeoPackage WRITE + read roundtrip (the to_file half of the pyogrio
     // surface): task-side record/GP-blob encoding, driver-side page
     // assembly, then the existing subtree-partitioned distributed read.

@@ -525,6 +525,22 @@ final case class GeoDataFrame(
     withCrsOf(GeoDataFrame(out, geometryColumn))
   }
 
+  // --------------------------------------------------------- missing values
+  /** GeoSeries.isna for the active geometry (reference implements it
+    * specifically for GeoSeries, `doc reference/geoseries.rst` "Missing
+    * values"): true where the geometry is missing.
+    */
+  def isna(): Column = geom.isNull
+
+  /** GeoSeries.notna: true where the active geometry is present. */
+  def notna(): Column = geom.isNotNull
+
+  /** GeoSeries.fillna: replace missing geometries with `value` —
+    * geopandas' default fill is GEOMETRYCOLLECTION EMPTY.
+    */
+  def fillna(value: Geometry = GeometryCollection(Array.empty)): GeoDataFrame =
+    withColumn(geometryColumn, coalesce(geom, lit(Wkb.write(value))))
+
   // ------------------------------------------------------------ aggregates
   /** Geometric union of everything (reference union_all `expr.py:287-299`). */
   def unionAll(): Geometry = {

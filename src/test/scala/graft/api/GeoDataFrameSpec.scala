@@ -16,6 +16,27 @@ class GeoDataFrameSpec extends AnyFunSuite {
     GeoDataFrame.pointsFromXY(rows.toDF("id", "x", "y"), "x", "y")
   }
 
+  test("isna/notna/fillna on the active geometry (GeoSeries missing values)") {
+    val df = Seq((1L, "POINT (1 2)"), (2L, null), (3L, "POINT (3 4)"))
+      .toDF("id", "wkt")
+      .withColumn("geometry",
+        when($"wkt".isNotNull, st_geomFromWKT($"wkt")).otherwise(lit(null)))
+      .drop("wkt")
+    val g = GeoDataFrame(df)
+    assert(g.df.filter(g.isna()).select($"id").as[Long].collect().toSeq == Seq(2L))
+    assert(g.df.filter(g.notna()).count() == 2)
+    // default fill = GEOMETRYCOLLECTION EMPTY (geopandas' default)
+    val filled = g.fillna()
+    assert(filled.df.filter(filled.isna()).count() == 0)
+    val wkts = filled.df.orderBy($"id")
+      .select(expr("st_astext(geometry)")).as[String].collect()
+    assert(wkts(1) == "GEOMETRYCOLLECTION EMPTY")
+    // explicit fill value
+    val filled2 = g.fillna(graft.geom.Point(9.0, 9.0))
+    assert(filled2.df.orderBy($"id").select(expr("st_astext(geometry)"))
+      .as[String].collect()(1) == "POINT (9 9)")
+  }
+
   test("cx bbox filter matches manual range filter") {
     val g = points(500)
     val got = g.cx(10, 20, 40, 60).df.select($"id").as[Long].collect().sorted

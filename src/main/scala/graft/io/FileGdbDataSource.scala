@@ -1,0 +1,223 @@
+package graft.io
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 connector for ESRI File Geodatabase layers (pure-JVM
+  * OpenFileGDB reader, [[FileGdbIO]]):
+  *
+  * {{{
+  *   spark.read.format("filegdb")
+  *     .option("layer", "roads")        // optional for single-layer gdbs
+  *     .option("bbox", "x0,y0,x1,y1")   // optional window
+  *     .load("/data/file.gdb")
+  *   spark.sql("CREATE TEMPORARY VIEW roads USING filegdb " +
+  *     "OPTIONS (path '/data/file.gdb', layer 'roads')")
+  * }}}
+  *
+  * Partitioning mirrors `FileGdbIO.read`: `chunkSize` rows per input
+  * partition, each task seeking its own `.gdbtablx` slice and streaming
+  * its rows sequentially. Column pruning is BYTE-LEVEL — unwanted field
+  * values advance the row cursor by their width without materializing,
+  * and the geometry decode is bypassed entirely on attribute-only scans.
+  * `COUNT(*)` answers from the `.gdbtable` header's valid-row count (one
+  * 40-byte read, zero feature reads). `bbox` prunes the whole layer on
+  * the descriptor extent and applies the exact envelope residual
+  * task-side; `V2BboxPushdown` derives it from plain `st_*` filters.
+  */
+class FileGdbDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "filegdb"
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    FileGdbDataSource.schemaFor(options)
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new GdbTable(schema, properties)
+}
+
+object FileGdbDataSource {
+  def pathOf(options: java.util.Map[String, String]): String = {
+    val p = options.get("path")
+    require(p != null && p.nonEmpty, "filegdb: a single 'path' is required")
+    p
+  }
+  def layerOf(options: java.util.Map[String, String]): Option[String] =
+    Option(options.get("layer")).filter(_.nonEmpty)
+  def bboxOf(options: java.util.Map[String, String])
+      : Option[(Double, Double, Double, Double)] =
+    Option(options.get("bbox")).map { s =>
+      val a = s.split(",").map(_.trim.toDouble)
+      require(a.length == 4, s"filegdb: bbox needs 4 numbers, got '$s'")
+      (a(0), a(1), a(2), a(3))
+    }
+  def chunkSizeOf(options: java.util.Map[String, String]): Int =
+    Option(options.get("chunkSize")).map(_.toInt).getOrElse(65536)
+
+  /** (table path, TableMeta) for the selected layer — the driver-side
+    * metadata unit every planning step needs; resolved per call (cheap:
+    * catalog + one field section).
+    */
+  private[io] def metaFor(options: java.util.Map[String, String])
+      : (String, FileGdbIO.TableMeta) = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val (tablePath, _) =
+      FileGdbIO.resolveLayer(conf, pathOf(options), layerOf(options))
+    (tablePath, FileGdbIO.tableMetaOf(conf, tablePath))
+  }
+
+  private[io] def schemaFor(options: java.util.Map[String, String]): StructType =
+    FileGdbIO.sparkSchemaOf(metaFor(options)._2, "geometry")
+}
+
+private[graft] class GdbTable(tableSchema: StructType,
+    props: java.util.Map[String, String]) extends Table with SupportsRead {
+  private[graft] def graftGeomCol: Option[String] = {
+    val (_, meta) = FileGdbDataSource.metaFor(props)
+    if (meta.geom.isDefined) Some("geometry") else None
+  }
+  override def name(): String =
+    "filegdb:" + FileGdbDataSource.pathOf(props) +
+      FileGdbDataSource.layerOf(props).map("#" + _).getOrElse("")
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val merged = new java.util.HashMap[String, String](props)
+    merged.putAll(options)
+    new GdbScanBuilder(tableSchema, merged)
+  }
+}
+
+private[graft] class GdbScanBuilder(fullSchema: StructType,
+    options: java.util.Map[String, String])
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+  with MetadataCountPushdown {
+  private var required: StructType = fullSchema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override protected def countOptions: java.util.Map[String, String] = options
+  override protected def countSourceName: String = "filegdb"
+  override protected def buildDataScan(): Scan =
+    new GdbScan(fullSchema, required, options)
+
+  // COUNT(*) from the .gdbtable header's valid-row count — one 40-byte
+  // read, no tablx walk, no feature reads
+  override protected lazy val metadataCount: Option[Long] =
+    try Some(FileGdbDataSource.metaFor(options)._2.nRows.toLong)
+    catch { case _: Exception => None }
+
+  override def build(): Scan = buildScan()
+}
+
+private[graft] class GdbScan(fullSchema: StructType, required: StructType,
+    options: java.util.Map[String, String]) extends Scan with Batch {
+
+  private val bbox = FileGdbDataSource.bboxOf(options)
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    "filegdb " + FileGdbDataSource.pathOf(options) +
+      bbox.map(b => s" bbox=$b").getOrElse("")
+
+  // V2BboxPushdown hooks (see ShapefileDataSource)
+  private[graft] lazy val graftGeomCol: Option[String] = {
+    val (_, meta) = FileGdbDataSource.metaFor(options)
+    if (meta.geom.isDefined) Some("geometry") else None
+  }
+  private[graft] def graftBbox: Option[(Double, Double, Double, Double)] = bbox
+  private[graft] def graftWithBbox(b: String): Scan = {
+    val m = new java.util.HashMap[String, String](options)
+    m.put("bbox", b)
+    new GdbScan(fullSchema, required, m)
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val (tablePath, meta) = FileGdbDataSource.metaFor(options)
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val tablxPath = tablePath.stripSuffix(".gdbtable") + ".gdbtablx"
+    if (!FileGdbIO.extentIntersects(meta, bbox)) return Array.empty
+    val (slots, width) = FileGdbIO.tablxHeaderOf(conf, tablxPath)
+    val chunk = FileGdbDataSource.chunkSizeOf(options)
+    (0 until slots by chunk)
+      .map(s => GdbPartition(s, math.min(chunk, slots - s), width): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val (tablePath, meta) = FileGdbDataSource.metaFor(options)
+    val spark = SparkSession.active
+    val tablxPath = tablePath.stripSuffix(".gdbtable") + ".gdbtablx"
+    // byte-level decode mask from the pruned schema (OID field name is
+    // its own; the geometry field surfaces as "geometry")
+    val names = fullSchema.fieldNames
+    val wantedNames = required.fieldNames.toSet
+    val want = names.map(wantedNames.contains)
+    val geomIdx = meta.fields.indexWhere(_.ftype == 7)
+    // the residual needs the geometry bytes even when the projection
+    // pruned the column — decode it, drop it at reorder time
+    if (bbox.isDefined && geomIdx >= 0) want(geomIdx) = true
+    val reorder = required.fieldNames.map(n => fullSchema.fieldIndex(n))
+    GdbReaderFactory(
+      new GeoParquetIO.SerializableConf(spark.sessionState.newHadoopConf()),
+      tablePath, tablxPath, meta, want, bbox, geomIdx, reorder, required)
+  }
+}
+
+private[io] final case class GdbPartition(start: Int, n: Int, width: Int)
+  extends InputPartition
+
+private[io] final case class GdbReaderFactory(
+    sconf: GeoParquetIO.SerializableConf,
+    tablePath: String,
+    tablxPath: String,
+    meta: FileGdbIO.TableMeta,
+    want: Array[Boolean],
+    bbox: Option[(Double, Double, Double, Double)],
+    geomIdx: Int,
+    reorder: Array[Int],
+    required: StructType) extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GdbPartition]
+    val rows = FileGdbIO.readChunkRows(sconf.value, tablePath, tablxPath,
+      p.start, p.n, p.width, meta.fields, meta.geom, forcePos = false,
+      want = want)
+    val residual: org.apache.spark.sql.Row => Boolean = bbox match {
+      case Some((qx0, qy0, qx1, qy1)) if geomIdx >= 0 => { r =>
+        val wkb = r.get(geomIdx).asInstanceOf[Array[Byte]]
+        wkb != null && {
+          val e = graft.geom.Wkb.envelopeOf(wkb)
+          !e.isEmpty && e.minX <= qx1 && e.maxX >= qx0 &&
+            e.minY <= qy1 && e.maxY >= qy0
+        }
+      }
+      case _ => _ => true
+    }
+    val toCatalyst = CatalystTypeConverters.createToCatalystConverter(required)
+    val it = rows.iterator.filter(residual)
+    new PartitionReader[InternalRow] {
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        if (it.hasNext) {
+          val r = it.next()
+          val vals = reorder.map(i => r.get(i))
+          current = toCatalyst(org.apache.spark.sql.Row.fromSeq(
+            scala.collection.immutable.ArraySeq.unsafeWrapArray(vals)))
+            .asInstanceOf[InternalRow]
+          true
+        } else false
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}

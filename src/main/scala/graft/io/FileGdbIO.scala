@@ -68,16 +68,16 @@ object FileGdbIO {
   /** Days from 1899-12-30 (the FGDB datetime epoch) to 1970-01-01. */
   private val EpochDays = 25569.0
 
-  private final case class GdbField(name: String, ftype: Int, nullable: Boolean)
+  private[io] final case class GdbField(name: String, ftype: Int, nullable: Boolean)
 
   /** Geometry quantization + SRS carried by the geometry field;
     * `extent` is the descriptor's layer envelope (all-zero when unset).
     */
-  private final case class GeomMeta(srs: String, xOrigin: Double,
+  private[io] final case class GeomMeta(srs: String, xOrigin: Double,
     yOrigin: Double, xyScale: Double, zOrigin: Double = 0.0,
     zScale: Double = 1.0, extent: Envelope = Envelope.empty)
 
-  private final case class TableMeta(nRows: Int, fields: IndexedSeq[GdbField],
+  private[io] final case class TableMeta(nRows: Int, fields: IndexedSeq[GdbField],
     geom: Option[GeomMeta])
 
   // ------------------------------------------------------------- binary IO
@@ -228,20 +228,40 @@ object FileGdbIO {
     case T_BINARY | T_GEOMETRY => BinaryType
   }
 
-  /** Parse one row blob (after its int32 length) into field values. */
+  /** Parse one row blob (after its int32 length) into field values.
+    * `want` (null = all) masks decode per field: unwanted values advance
+    * the cursor by their width without materializing anything — in
+    * particular the geometry decode is bypassed on attribute-only scans.
+    */
   private def parseRow(blob: Array[Byte], oid: Long,
-      fields: IndexedSeq[GdbField], geom: Option[GeomMeta]): Row = {
+      fields: IndexedSeq[GdbField], geom: Option[GeomMeta],
+      want: Array[Boolean] = null): Row = {
     val c = new Cur(blob, 0)
     val nNullable = fields.count(_.nullable)
     val bitmap = c.bytes((nNullable + 7) / 8)
     var nullIdx = 0
-    val vals = fields.map { f =>
+    val vals = fields.zipWithIndex.map { case (f, fi) =>
       val isNull = f.nullable && {
         val bit = (bitmap(nullIdx / 8) >> (nullIdx % 8) & 1) != 0
         nullIdx += 1; bit
       }
+      val wanted = want == null || want(fi)
       if (isNull) null
-      else f.ftype match {
+      else if (!wanted) {
+        f.ftype match {
+          case T_OID => ()
+          case T_INT16 => c.p += 2
+          case T_INT32 | T_FLOAT32 => c.p += 4
+          case T_FLOAT64 | T_DATETIME => c.p += 8
+          case T_STRING | T_XML | T_BINARY | T_GEOMETRY =>
+            // `c.p += c.varuint()` would read the OLD p before varuint()
+            // advances past the length bytes — evaluate the length first
+            val l = c.varuint().toInt
+            c.p += l
+          case T_UUID | T_UUID2 => c.p += 16
+        }
+        null
+      } else f.ftype match {
         case T_OID => oid
         case T_INT16 => c.i16().toShort
         case T_INT32 => c.i32()
@@ -508,15 +528,13 @@ object FileGdbIO {
     * the layer's field section, and the 16-byte tablx header; each task
     * reads its own tablx slice + rows (`chunkSize` rows per task).
     */
-  def read(spark: SparkSession, path: String, layer: Option[String] = None,
-      chunkSize: Int = 65536,
-      geometryColumn: String = "geometry",
-      bbox: Option[(Double, Double, Double, Double)] = None): GeoDataFrame = {
-    graft.sql.functions.install(spark)
-    val conf = spark.sessionState.newHadoopConf()
+  /** Resolve the layer selector to (table path, layer name) through the
+    * catalog (case-insensitive; `None` requires a single-layer gdb).
+    */
+  private[io] def resolveLayer(conf: org.apache.hadoop.conf.Configuration,
+      path: String, layer: Option[String]): (String, String) = {
     val dir = new Path(path)
-    val cat = catalog(conf, path)
-    val layers = cat.filterNot(_._2.toUpperCase.startsWith("GDB_"))
+    val layers = catalog(conf, path).filterNot(_._2.toUpperCase.startsWith("GDB_"))
     val (fileNo, name) = layer match {
       case Some(l) => layers.find(_._2.equalsIgnoreCase(l)).getOrElse(
         throw new IllegalArgumentException(
@@ -526,14 +544,20 @@ object FileGdbIO {
           s"gdb has ${layers.size} layers (${layers.map(_._2).mkString(", ")}) — pass layer=")
         layers.head
     }
-    val tablePath = fileFor(dir, fileNo).toString
-    val fs = dir.getFileSystem(conf)
-    // driver: the 40-byte header, then the field section wherever the
-    // header points (third-party writers may relocate it past the rows —
-    // never assume it sits at offset 40)
-    val fileLen = fs.getFileStatus(new Path(tablePath)).getLen
-    val in = fs.open(new Path(tablePath))
-    val meta = try {
+    (fileFor(dir, fileNo).toString, name)
+  }
+
+  /** Driver-side table metadata: the 40-byte header, then the field
+    * section wherever the header points (third-party writers may relocate
+    * it past the rows — never assume it sits at offset 40).
+    */
+  private[io] def tableMetaOf(conf: org.apache.hadoop.conf.Configuration,
+      tablePath: String): TableMeta = {
+    val tp = new Path(tablePath)
+    val fs = tp.getFileSystem(conf)
+    val fileLen = fs.getFileStatus(tp).getLen
+    val in = fs.open(tp)
+    try {
       val hdr = new Array[Byte](40)
       in.readFully(0, hdr)
       val hc = new Cur(hdr, 32)
@@ -557,25 +581,137 @@ object FileGdbIO {
       System.arraycopy(off.toBytes, 0, patched, 32, 8)
       parseTable(patched)
     } finally in.close()
-    // tablx header: total row slots (incl. deleted)
-    val tablxPath = tablePath.stripSuffix(".gdbtable") + ".gdbtablx"
+  }
+
+  /** `.gdbtablx` header → (row slots incl. deleted, offset entry width).
+    * Refuses sparse tablx files loudly: they omit absent 1024-row blocks
+    * and record them in a trailer bitmap this reader does not consume —
+    * reading one as dense would silently attribute rows to wrong OIDs.
+    */
+  private[io] def tablxHeaderOf(conf: org.apache.hadoop.conf.Configuration,
+      tablxPath: String): (Int, Int) = {
+    val tp = new Path(tablxPath)
     val th = new Array[Byte](16)
-    val tin = fs.open(new Path(tablxPath))
+    val tin = tp.getFileSystem(conf).open(tp)
     try tin.readFully(0, th) finally tin.close()
     val thc = new Cur(th, 0)
     require(thc.i32() == 3, "gdb: bad .gdbtablx magic")
     val nBlocks = thc.i32(); val slots = thc.i32(); val width = thc.i32()
-    // a sparse tablx omits absent 1024-row blocks and records them in a
-    // trailer bitmap this reader does not consume — reading it as dense
-    // would silently attribute rows to wrong OIDs, so refuse loudly
     require(nBlocks.toLong * 1024 >= slots,
       s"gdb: sparse .gdbtablx ($nBlocks blocks for $slots row slots) is " +
         "not supported — compact the geodatabase first")
+    (slots, width)
+  }
 
-    val schema = StructType(meta.fields.map { f =>
+  private[io] def sparkSchemaOf(meta: TableMeta,
+      geometryColumn: String): StructType =
+    StructType(meta.fields.map { f =>
       val n = if (f.ftype == T_GEOMETRY) geometryColumn else f.name
       StructField(n, sparkTypeOf(f), nullable = f.ftype != T_OID)
     })
+
+  /** Read one chunk of rows task-side. Live offsets ascend in every known
+    * writer's layout, so the chunk reads as one seek + a buffered
+    * sequential stream (2 positioned reads PER ROW was the exact syscall
+    * pathology the r13 FlatGeobuf soak measured at 17x; same fix here);
+    * non-ascending offsets (heavily edited gdbs) or `forcePos` fall back
+    * to positioned reads per row. `want` masks per-field decode (null =
+    * all): unwanted values are SKIPPED at the byte level — variable-width
+    * fields advance by their length only, and the geometry decode is
+    * bypassed entirely on attribute-only scans.
+    */
+  private[io] def readChunkRows(conf: org.apache.hadoop.conf.Configuration,
+      tablePath: String, tablxPath: String, start: Int, n: Int, width: Int,
+      fields: IndexedSeq[GdbField], geom: Option[GeomMeta],
+      forcePos: Boolean,
+      want: Array[Boolean] = null): scala.collection.mutable.ArrayBuffer[Row] = {
+    val tp = new Path(tablePath)
+    val tfs = tp.getFileSystem(conf)
+    val idx = new Array[Byte](n * width)
+    val ixIn = tfs.open(new Path(tablxPath))
+    try ixIn.readFully(16L + start.toLong * width, idx) finally ixIn.close()
+    val offs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      var off = 0L; var k = 0
+      while (k < width) { off |= (idx(i * width + k) & 0xffL) << (8 * k); k += 1 }
+      offs(i) = off
+      i += 1
+    }
+    val ascending = !forcePos && {
+      var last = 0L; var asc = true
+      offs.foreach { o => if (o != 0) { if (o < last) asc = false; last = o } }
+      asc
+    }
+    val dataIn = tfs.open(tp)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+    try {
+      val firstOff = offs.find(_ != 0)
+      val seq = if (ascending && firstOff.isDefined) {
+        dataIn.seek(firstOff.get)
+        new java.io.DataInputStream(
+          new java.io.BufferedInputStream(dataIn, 1 << 16))
+      } else null
+      // logical stream position, tracked here — the underlying
+      // stream's getPos reflects BufferedInputStream readahead
+      var pos = firstOff.getOrElse(0L)
+      var j = 0
+      while (j < n) {
+        val off = offs(j)
+        if (off != 0) {
+          if (seq != null) {
+            // skip any gap (deleted rows leave holes)
+            var gap = off - pos
+            while (gap > 0) { val s = seq.skip(gap); require(s > 0, "gdb: truncated table"); gap -= s }
+            val len = {
+              val b0 = seq.read(); val b1 = seq.read()
+              val b2 = seq.read(); val b3 = seq.read()
+              require(b3 >= 0, "gdb: truncated row length")
+              (b0 & 0xff) | ((b1 & 0xff) << 8) | ((b2 & 0xff) << 16) | ((b3 & 0xff) << 24)
+            }
+            val blob = new Array[Byte](len)
+            seq.readFully(blob)
+            pos = off + 4 + len
+            out += parseRow(blob, start + j + 1L, fields, geom, want)
+          } else {
+            val lenB = new Array[Byte](4)
+            dataIn.readFully(off, lenB)
+            val len = (lenB(0) & 0xff) | ((lenB(1) & 0xff) << 8) |
+              ((lenB(2) & 0xff) << 16) | ((lenB(3) & 0xff) << 24)
+            val blob = new Array[Byte](len)
+            dataIn.readFully(off + 4, blob)
+            out += parseRow(blob, start + j + 1L, fields, geom, want)
+          }
+        }
+        j += 1
+      }
+    } finally dataIn.close()
+    out
+  }
+
+  /** Does the query window intersect the layer's descriptor extent? An
+    * empty/unset extent never prunes.
+    */
+  private[io] def extentIntersects(meta: TableMeta,
+      bbox: Option[(Double, Double, Double, Double)]): Boolean =
+    !bbox.exists { case (qx0, qy0, qx1, qy1) =>
+      meta.geom.exists { g =>
+        !g.extent.isEmpty && !(g.extent.minX <= qx1 && g.extent.maxX >= qx0 &&
+          g.extent.minY <= qy1 && g.extent.maxY >= qy0)
+      }
+    }
+
+  def read(spark: SparkSession, path: String, layer: Option[String] = None,
+      chunkSize: Int = 65536,
+      geometryColumn: String = "geometry",
+      bbox: Option[(Double, Double, Double, Double)] = None): GeoDataFrame = {
+    graft.sql.functions.install(spark)
+    val conf = spark.sessionState.newHadoopConf()
+    val (tablePath, name) = resolveLayer(conf, path, layer)
+    val meta = tableMetaOf(conf, tablePath)
+    val tablxPath = tablePath.stripSuffix(".gdbtable") + ".gdbtablx"
+    val (slots, width) = tablxHeaderOf(conf, tablxPath)
+    val schema = sparkSchemaOf(meta, geometryColumn)
     val sconf = new GeoParquetIO.SerializableConf(conf)
     // diagnostic: force the per-row positioned-read path (the pre-r14
     // syscall shape) so GdbScanProfile can A/B the sequential fix
@@ -587,89 +723,17 @@ object FileGdbIO {
     // planning time (no per-chunk index exists in this profile — the
     // spatial-grid .spx sidecar is not consumed); surviving rows apply
     // the exact envelope-intersects residual task-side
-    val layerPruned = bbox.exists { case (qx0, qy0, qx1, qy1) =>
-      meta.geom.exists { g =>
-        !g.extent.isEmpty && !(g.extent.minX <= qx1 && g.extent.maxX >= qx0 &&
-          g.extent.minY <= qy1 && g.extent.maxY >= qy0)
-      }
-    }
     val chunks =
-      if (layerPruned) Seq.empty
+      if (!extentIntersects(meta, bbox)) Seq.empty
       else (0 until slots by chunkSize)
         .map(s => (s, math.min(chunkSize, slots - s)))
     val geomFieldIdx = meta.fields.indexWhere(_.ftype == T_GEOMETRY)
+    val tablePathB = tablePath; val tablxPathB = tablxPath; val widthB = width
     val rows = spark.sparkContext
       .parallelize(chunks, math.max(1, chunks.size))
       .flatMap { case (start, n) =>
-        val cfg = sconf.value
-        val tp = new Path(tablePath)
-        val tfs = tp.getFileSystem(cfg)
-        val idx = new Array[Byte](n * width)
-        val ixIn = tfs.open(new Path(tablxPath))
-        try ixIn.readFully(16L + start.toLong * width, idx) finally ixIn.close()
-        val offs = new Array[Long](n)
-        var i = 0
-        while (i < n) {
-          var off = 0L; var k = 0
-          while (k < width) { off |= (idx(i * width + k) & 0xffL) << (8 * k); k += 1 }
-          offs(i) = off
-          i += 1
-        }
-        // rows are laid out in rowid order by every known writer, so a
-        // chunk's live offsets ascend: one seek + a buffered sequential
-        // stream serves the whole chunk (2 positioned reads PER ROW was
-        // the exact syscall pathology the r13 FlatGeobuf soak measured at
-        // 17x; same fix here). Files with out-of-order offsets (heavily
-        // edited gdbs) fall back to positioned reads per row.
-        val ascending = !forcePos && {
-          var last = 0L; var asc = true
-          offs.foreach { o => if (o != 0) { if (o < last) asc = false; last = o } }
-          asc
-        }
-        val dataIn = tfs.open(tp)
-        val out = scala.collection.mutable.ArrayBuffer.empty[Row]
-        try {
-          val firstOff = offs.find(_ != 0)
-          val seq = if (ascending && firstOff.isDefined) {
-            dataIn.seek(firstOff.get)
-            new java.io.DataInputStream(
-              new java.io.BufferedInputStream(dataIn, 1 << 16))
-          } else null
-          // logical stream position, tracked here — the underlying
-          // stream's getPos reflects BufferedInputStream readahead
-          var pos = firstOff.getOrElse(0L)
-          var j = 0
-          while (j < n) {
-            val off = offs(j)
-            if (off != 0) {
-              if (seq != null) {
-                // skip any gap (deleted rows leave holes)
-                var gap = off - pos
-                while (gap > 0) { val s = seq.skip(gap); require(s > 0, "gdb: truncated table"); gap -= s }
-                val len = {
-                  val b0 = seq.read(); val b1 = seq.read()
-                  val b2 = seq.read(); val b3 = seq.read()
-                  require(b3 >= 0, "gdb: truncated row length")
-                  (b0 & 0xff) | ((b1 & 0xff) << 8) | ((b2 & 0xff) << 16) | ((b3 & 0xff) << 24)
-                }
-                val blob = new Array[Byte](len)
-                seq.readFully(blob)
-                pos = off + 4 + len
-                out += parseRow(blob, start + j + 1L, fieldsB, geomB)
-              } else {
-                val lenB = new Array[Byte](4)
-                dataIn.readFully(off, lenB)
-                val len = (lenB(0) & 0xff) | ((lenB(1) & 0xff) << 8) |
-                  ((lenB(2) & 0xff) << 16) | ((lenB(3) & 0xff) << 24)
-                val blob = new Array[Byte](len)
-                dataIn.readFully(off + 4, blob)
-                out += parseRow(blob, start + j + 1L, fieldsB, geomB)
-              }
-            }
-            j += 1
-          }
-        } finally dataIn.close()
-        out
+        readChunkRows(sconf.value, tablePathB, tablxPathB, start, n, widthB,
+          fieldsB, geomB, forcePos)
       }
     val filtered = (bbox, geomFieldIdx) match {
       case (Some((qx0, qy0, qx1, qy1)), gi) if gi >= 0 => rows.filter { r =>

@@ -1,7 +1,7 @@
 package graft.plans
 
 import graft.geom.Envelope
-import graft.io.{FgbScan, GpkgScan, ShpScan}
+import graft.io.{FgbScan, GdbScan, GpkgScan, ShpScan}
 import graft.sql.GraftScalar
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
@@ -87,6 +87,7 @@ object V2BboxPushdown extends Rule[LogicalPlan] {
       case t: graft.io.ShpTable  => t.graftGeomCol
       case t: graft.io.FgbTable  => t.graftGeomCol
       case t: graft.io.GpkgTable => t.graftGeomCol
+      case t: graft.io.GdbTable  => t.graftGeomCol
       case _                     => None
     }
 
@@ -94,6 +95,7 @@ object V2BboxPushdown extends Rule[LogicalPlan] {
     case s: ShpScan  => s.graftGeomCol
     case s: FgbScan  => s.graftGeomCol
     case s: GpkgScan => s.graftGeomCol
+    case s: GdbScan  => s.graftGeomCol
     case _           => None
   }
 
@@ -101,6 +103,7 @@ object V2BboxPushdown extends Rule[LogicalPlan] {
     case s: ShpScan  => s.graftBbox
     case s: FgbScan  => s.graftBbox
     case s: GpkgScan => s.graftBbox
+    case s: GdbScan  => s.graftBbox
     case _           => None
   }).map { case (x0, y0, x1, y1) => Envelope(x0, y0, x1, y1) }
 
@@ -108,6 +111,7 @@ object V2BboxPushdown extends Rule[LogicalPlan] {
     case s: ShpScan  => s.graftWithBbox(b)
     case s: FgbScan  => s.graftWithBbox(b)
     case s: GpkgScan => s.graftWithBbox(b)
+    case s: GdbScan  => s.graftWithBbox(b)
     case other       => other
   }
 

@@ -1529,6 +1529,13 @@ final case class GeoDataFrame(
   def toGeoPackage(path: String, table: String, pageSize: Int = 4096): Unit =
     graft.io.GeoPackageIO.write(this, path, table, pageSize)
 
+  /** Write as an ESRI File Geodatabase (`to_file(..., driver="OpenFileGDB")`
+    * via pyogrio); CRS travels from this frame's metadata. See
+    * [[graft.io.FileGdbIO.write]] for the single-writer contract.
+    */
+  def toFileGdb(path: String, layerName: String = "layer1"): Unit =
+    graft.io.FileGdbIO.write(df, path, geometryColumn, layerName, crs)
+
   /** Write as a single FlatGeobuf file (the reference's
     * `to_file(..., driver="FlatGeobuf")` surface via pyogrio): features are
     * Hilbert-sorted and encoded task-side, the driver streams them into

@@ -49,6 +49,19 @@ object GdbScanProfile {
     spark.conf.set("spark.graft.gdb.forcePositionedReads", "true")
     time("positioned")
     spark.conf.unset("spark.graft.gdb.forcePositionedReads")
+
+    // attribute-only scan through the DSv2 connector: the byte-level
+    // decode mask bypasses the geometry decode entirely
+    def attrScan(): Long = spark.read.format("filegdb")
+      .option("chunkSize", chunk.toString).load(dir)
+      .select(sum(col("v")).cast("long")).head().getLong(0)
+    val expect = attrScan()
+    val best = (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      require(attrScan() == expect, "nondeterministic scan")
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    println(s"""{"op":"gdb_scan","mode":"attrs_only_masked","rows":$n,"chunk":$chunk,"wall_s":${f"$best%.2f"},"rows_per_s":${(n / best).toLong}}""")
     spark.stop()
   }
 }

@@ -185,6 +185,15 @@ class FileGdbIOSpec extends AnyFunSuite {
     assert(back.df.count() == 7)
   }
 
+  test("GeoDataFrame.toFileGdb carries the frame's CRS") {
+    val gdb = tmpGdb()
+    graft.api.GeoDataFrame(sample().df).setCrs("EPSG:3857")
+      .toFileGdb(gdb, "export")
+    val back = FileGdbIO.read(spark, gdb, layer = Some("export"))
+    assert(back.crs.contains("EPSG:3857"))
+    assert(back.df.count() == 7)
+  }
+
   test("writeLayers: multi-layer gdb, layer selection reads each back") {
     val gdb = tmpGdb()
     val pts = (1 to 20).map(i => (i.toLong, s"p$i"))

@@ -248,7 +248,13 @@ private[io] final case class GpkgReaderFactory(
     geomIdx: Int,
     bbox: Option[(Double, Double, Double, Double)],
     reorder: Array[Int],
-    required: StructType) extends PartitionReaderFactory {
+    required: StructType,
+    geomDialect: String = "gpkg") extends PartitionReaderFactory {
+
+  // object-held decoders keep the factory serializable without closures
+  private def geomDecode: Array[Byte] => Array[Byte] =
+    if (geomDialect == "spatialite") SpatiaLiteIO.slToWkb
+    else GeoPackageIO.gpbToWkb
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GpkgPartition]
@@ -270,14 +276,14 @@ private[io] final case class GpkgReaderFactory(
       if (p.rowids == null) {
         p.subtreeRoots.foreach { root =>
           GeoPackageIO.walk(src, root, 0) { (rowid, payload) =>
-            val row = GeoPackageIO.materializeRow(cols, geomIdx, table, rowid, payload, GeoPackageIO.gpbToWkb)
+            val row = GeoPackageIO.materializeRow(cols, geomIdx, table, rowid, payload, geomDecode)
             if (residual(row)) out += row
           }
         }
       } else {
         p.rowids.foreach { rid =>
           GeoPackageIO.btreeLookup(src, p.tableRoot, rid).foreach { payload =>
-            val row = GeoPackageIO.materializeRow(cols, geomIdx, table, rid, payload, GeoPackageIO.gpbToWkb)
+            val row = GeoPackageIO.materializeRow(cols, geomIdx, table, rid, payload, geomDecode)
             if (residual(row)) out += row
           }
         }

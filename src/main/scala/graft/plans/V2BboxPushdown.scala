@@ -1,7 +1,7 @@
 package graft.plans
 
 import graft.geom.Envelope
-import graft.io.{FgbScan, GdbScan, GpkgScan, ShpScan}
+import graft.io.{FgbScan, GdbScan, GpkgScan, ShpScan, SlScan}
 import graft.sql.GraftScalar
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
@@ -88,6 +88,7 @@ object V2BboxPushdown extends Rule[LogicalPlan] {
       case t: graft.io.FgbTable  => t.graftGeomCol
       case t: graft.io.GpkgTable => t.graftGeomCol
       case t: graft.io.GdbTable  => t.graftGeomCol
+      case t: graft.io.SlTable   => t.graftGeomCol
       case _                     => None
     }
 
@@ -96,6 +97,7 @@ object V2BboxPushdown extends Rule[LogicalPlan] {
     case s: FgbScan  => s.graftGeomCol
     case s: GpkgScan => s.graftGeomCol
     case s: GdbScan  => s.graftGeomCol
+    case s: SlScan   => s.graftGeomCol
     case _           => None
   }
 
@@ -104,6 +106,7 @@ object V2BboxPushdown extends Rule[LogicalPlan] {
     case s: FgbScan  => s.graftBbox
     case s: GpkgScan => s.graftBbox
     case s: GdbScan  => s.graftBbox
+    case s: SlScan   => s.graftBbox
     case _           => None
   }).map { case (x0, y0, x1, y1) => Envelope(x0, y0, x1, y1) }
 
@@ -112,6 +115,7 @@ object V2BboxPushdown extends Rule[LogicalPlan] {
     case s: FgbScan  => s.graftWithBbox(b)
     case s: GpkgScan => s.graftWithBbox(b)
     case s: GdbScan  => s.graftWithBbox(b)
+    case s: SlScan   => s.graftWithBbox(b)
     case other       => other
   }
 

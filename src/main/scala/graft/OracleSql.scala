@@ -2143,6 +2143,16 @@ object OracleSql {
 
     // missing-values closed forms: every 7th geometry null -> flagged,
     // empty after the default fill, x=-1 after the point fill
+    // streaming windowed extent: tumbling 6h windows, bounds = min/max
+    "t55_stream_extent" -> """
+      WITH e AS (SELECT epoch_ns(ts) AS tns, value AS x,
+                        (user_id % 100)::DOUBLE AS y FROM events)
+      SELECT (tns // 21600000000000) * 21600 AS wstart,
+             round(min(x), 6) AS xmin, round(min(y), 6) AS ymin,
+             round(max(x), 6) AS xmax, round(max(y), 6) AS ymax,
+             count(*) AS n
+      FROM e GROUP BY 1 ORDER BY wstart""",
+
     "g119_fillna" -> """
       SELECT s_suppkey,
              (s_suppkey % 7 = 0) AS was_na,

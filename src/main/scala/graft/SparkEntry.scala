@@ -3937,6 +3937,43 @@ object SparkEntry {
         .orderBy(col("user_id"), col("start_sec"))
     }),
 
+    // STREAMING WINDOWED SPATIAL EXTENT: tumbling 6-hour event-time
+    // windows aggregated with the spatial envelope TypedImperativeAgg
+    // (st_envelopeAgg) under a declared watermark — the spatial-aggregate
+    // counterpart of t51/t54's streaming contract queries (complete-mode
+    // memory sink, same processAllAvailable shape). The batch oracle
+    // recomputes each window's bounds as plain min/max.
+    "t55_stream_extent" -> ((s, d) => {
+      graft.sql.functions.install(s)
+      val raw = s.read.parquet(s"$d/events.parquet")
+      val tsIsLong = raw.schema("ts").dataType ==
+        org.apache.spark.sql.types.LongType
+      val sink = "t55_sink_" + streamSinkId.incrementAndGet()
+      val tts = if (tsIsLong) expr("timestamp_micros(ts DIV 1000)")
+        else {
+          s.conf.set("spark.sql.session.timeZone", "UTC")
+          expr("timestamp_micros(unix_micros(cast(ts AS timestamp)))")
+        }
+      val ev = s.readStream.schema(raw.schema)
+        .parquet(streamDirFor(s"$d/events.parquet"))
+        .select(tts.as("tts"), st_point(col("value"),
+          (col("user_id") % 100).cast("double")).as("g"))
+      val q = ev.withWatermark("tts", "1 hour")
+        .groupBy(window(col("tts"), "6 hours").as("w"))
+        .agg(st_envelopeAgg(col("g")).as("env"), count(lit(1)).as("n"))
+        .writeStream.outputMode("complete").format("memory").queryName(sink)
+        .start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      s.table(sink).select(
+        expr("unix_micros(w.start) DIV 1000000").as("wstart"),
+        round(col("env.xmin"), 6).as("xmin"),
+        round(col("env.ymin"), 6).as("ymin"),
+        round(col("env.xmax"), 6).as("xmax"),
+        round(col("env.ymax"), 6).as("ymax"),
+        col("n"))
+        .orderBy(col("wstart"))
+    }),
+
     // HYBRID RETRIEVAL via reciprocal-rank fusion (Cormack 2009): the
     // lexical BM25 list over documents.text and the dense brute-force
     // cosine list over the aligned embeddings table (vec_id == doc_id in

@@ -22,7 +22,8 @@ class SpatiaLiteIOSpec extends AnyFunSuite {
     val meta = SpatiaLiteIO.geometryColumns(spark, fixture)
     assert(meta == Map(
       "supplier_pts" -> (("geom", Some("EPSG:4326"))),
-      "shapes" -> (("geom", Some("EPSG:4326")))))
+      "shapes" -> (("geom", Some("EPSG:4326"))),
+      "fuzz" -> (("geom", Some("EPSG:4326")))))
     assert(SpatiaLiteIO.hasRtree(spark, fixture, "supplier_pts"))
     assert(!SpatiaLiteIO.hasRtree(spark, fixture, "shapes"))
   }
@@ -89,6 +90,22 @@ class SpatiaLiteIOSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](
       graft.api.GeoDataFrame.readFile(spark, fixture))
     assert(e.getMessage.contains("shapes") && e.getMessage.contains("supplier_pts"))
+  }
+
+  test("fuzz table: blob codec matches the independent WKT encoding") {
+    // 120 random geometries stored BOTH as spatialite blobs and WKT by
+    // the python generator — decode vs st_geomfromtext is a third-party
+    // cross-check of the codec, not a self-roundtrip
+    val rows = SpatiaLiteIO.read(spark, fixture, "fuzz").df
+      .select($"pk",
+        expr("st_astext(st_normalize(geometry))").as("got"),
+        expr("st_astext(st_normalize(st_geomfromwkt(wkt)))").as("want"))
+      .collect()
+    assert(rows.length == 120)
+    rows.foreach { r =>
+      assert(r.getString(1) == r.getString(2),
+        s"pk ${r.getLong(0)}: ${r.getString(1)} vs ${r.getString(2)}")
+    }
   }
 
   test("cx over the dispatcher route re-plans through the idx_ R*-tree") {

@@ -108,6 +108,56 @@ cur.execute("CREATE TABLE shapes (pk INTEGER PRIMARY KEY, kind TEXT, geom BLOB)"
 for pk, kind, blob in shapes:
     cur.execute("INSERT INTO shapes VALUES (?,?,?)", (pk, kind, blob))
 
+# randomized codec cross-check: 120 random geometries stored BOTH as
+# SpatiaLite blobs and as WKT text — the Scala spec decodes the blob and
+# compares against st_geomfromtext(wkt), so the codec is validated
+# against an independent textual encoding of the same coordinates,
+# not a self-roundtrip. Deterministic seed.
+import random
+
+rnd = random.Random(20260816)
+
+
+def rc():
+    return round(rnd.uniform(-1000, 1000), 6)
+
+
+def wkt_pts(pts):
+    return ", ".join(f"{x} {y}" for x, y in pts)
+
+
+cur.execute("INSERT INTO geometry_columns VALUES ('fuzz', 'geom', 0, 2, 4326, 0)")
+cur.execute("CREATE TABLE fuzz (pk INTEGER PRIMARY KEY, wkt TEXT, geom BLOB)")
+pk = 0
+for i in range(120):
+    kind = i % 4
+    if kind == 0:
+        p = (rc(), rc())
+        wkt = f"POINT ({p[0]} {p[1]})"
+        blob = sl_blob(1, body_point(*p), (p[0], p[1], p[0], p[1]))
+    elif kind == 1:
+        pts = [(rc(), rc()) for _ in range(2 + rnd.randrange(6))]
+        wkt = f"LINESTRING ({wkt_pts(pts)})"
+        blob = sl_blob(2, body_line(pts), mbr_of(pts))
+    elif kind == 2:
+        cx, cy, r = rc(), rc(), 1 + rnd.randrange(50)
+        n = 3 + rnd.randrange(8)
+        import math
+        ring = [(round(cx + r * math.cos(2 * math.pi * k / n), 6),
+                 round(cy + r * math.sin(2 * math.pi * k / n), 6))
+                for k in range(n)]
+        ring.append(ring[0])
+        wkt = f"POLYGON (({wkt_pts(ring)}))"
+        blob = sl_blob(3, body_poly([ring]), mbr_of(ring))
+    else:
+        pts = [(rc(), rc()) for _ in range(1 + rnd.randrange(4))]
+        wkt = "MULTIPOINT (" + ", ".join(f"({x} {y})" for x, y in pts) + ")"
+        blob = sl_blob(4, struct.pack("<i", len(pts))
+                       + b"".join(entity(1, body_point(*p)) for p in pts),
+                       mbr_of(pts))
+    pk += 1
+    cur.execute("INSERT INTO fuzz VALUES (?,?,?)", (pk, wkt, blob))
+
 # SpatiaLite spatial index: idx_<table>_<geom> R*-tree + shadow tables,
 # exactly as spatialite's CreateSpatialIndex() registers it
 cur.execute("""CREATE VIRTUAL TABLE idx_supplier_pts_geom USING rtree(

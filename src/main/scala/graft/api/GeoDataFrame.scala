@@ -536,10 +536,11 @@ final case class GeoDataFrame(
   def notna(): Column = geom.isNotNull
 
   /** GeoSeries.fillna: replace missing geometries with `value` —
-    * geopandas' default fill is GEOMETRYCOLLECTION EMPTY.
+    * geopandas' default fill is GEOMETRYCOLLECTION EMPTY. CRS metadata
+    * survives (coalesce would otherwise strip the column metadata).
     */
   def fillna(value: Geometry = GeometryCollection(Array.empty)): GeoDataFrame =
-    withColumn(geometryColumn, coalesce(geom, lit(Wkb.write(value))))
+    withCrsOf(withColumn(geometryColumn, coalesce(geom, lit(Wkb.write(value)))))
 
   // ------------------------------------------------------------ aggregates
   /** Geometric union of everything (reference union_all `expr.py:287-299`). */

@@ -27,9 +27,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * values advance the row cursor by their width without materializing,
   * and the geometry decode is bypassed entirely on attribute-only scans.
   * `COUNT(*)` answers from the `.gdbtable` header's valid-row count (one
-  * 40-byte read, zero feature reads). `bbox` prunes the whole layer on
-  * the descriptor extent and applies the exact envelope residual
-  * task-side; `V2BboxPushdown` derives it from plain `st_*` filters.
+  * 40-byte read, zero feature reads). `bbox` applies the exact envelope
+  * residual task-side; with `spark.graft.gdb.pruneOnExtent=true` a
+  * disjoint descriptor extent additionally prunes the whole layer to
+  * zero tasks (opt-in: a stale third-party extent must not silently
+  * drop rows). `V2BboxPushdown` derives the bbox from plain `st_*`
+  * filters.
   */
 class FileGdbDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "filegdb"
@@ -44,33 +47,43 @@ class FileGdbDataSource extends TableProvider with DataSourceRegister {
 }
 
 object FileGdbDataSource {
-  def pathOf(options: java.util.Map[String, String]): String = {
-    val p = options.get("path")
-    require(p != null && p.nonEmpty, "filegdb: a single 'path' is required")
-    p
-  }
+  def pathOf(options: java.util.Map[String, String]): String =
+    V2Options.pathOf(options, "filegdb")
   def layerOf(options: java.util.Map[String, String]): Option[String] =
     Option(options.get("layer")).filter(_.nonEmpty)
   def bboxOf(options: java.util.Map[String, String])
       : Option[(Double, Double, Double, Double)] =
-    Option(options.get("bbox")).map { s =>
-      val a = s.split(",").map(_.trim.toDouble)
-      require(a.length == 4, s"filegdb: bbox needs 4 numbers, got '$s'")
-      (a(0), a(1), a(2), a(3))
-    }
+    V2Options.bboxOf(options, "filegdb")
   def chunkSizeOf(options: java.util.Map[String, String]): Int =
     Option(options.get("chunkSize")).map(_.toInt).getOrElse(65536)
 
   /** (table path, TableMeta) for the selected layer — the driver-side
-    * metadata unit every planning step needs; resolved per call (cheap:
-    * catalog + one field section).
+    * metadata unit every planning step needs. Memoized (bounded) keyed by
+    * path#layer and guarded by the table file's mtime+length, so the
+    * optimizer's fixed-point iterations and the plan/count/factory steps
+    * of one query don't re-read the catalog + field section, while a
+    * rewritten gdb still refreshes.
     */
+  private val metaMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Long, FileGdbIO.TableMeta)]()
   private[io] def metaFor(options: java.util.Map[String, String])
       : (String, FileGdbIO.TableMeta) = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
-    val (tablePath, _) =
-      FileGdbIO.resolveLayer(conf, pathOf(options), layerOf(options))
-    (tablePath, FileGdbIO.tableMetaOf(conf, tablePath))
+    val key = pathOf(options) + "#" + layerOf(options).getOrElse("")
+    val hit = metaMemo.get(key)
+    def stamp(tablePath: String): Long = {
+      val tp = new org.apache.hadoop.fs.Path(tablePath)
+      val st = tp.getFileSystem(conf).getFileStatus(tp)
+      st.getModificationTime * 31 + st.getLen
+    }
+    if (hit != null && stamp(hit._1) == hit._2) (hit._1, hit._3)
+    else {
+      val (tablePath, _) =
+        FileGdbIO.resolveLayer(conf, pathOf(options), layerOf(options))
+      val meta = FileGdbIO.tableMetaOf(conf, tablePath)
+      if (metaMemo.size < 1024) metaMemo.put(key, (tablePath, stamp(tablePath), meta))
+      (tablePath, meta)
+    }
   }
 
   private[io] def schemaFor(options: java.util.Map[String, String]): StructType =
@@ -145,7 +158,8 @@ private[graft] class GdbScan(fullSchema: StructType, required: StructType,
     val (tablePath, meta) = FileGdbDataSource.metaFor(options)
     val conf = SparkSession.active.sessionState.newHadoopConf()
     val tablxPath = tablePath.stripSuffix(".gdbtable") + ".gdbtablx"
-    if (!FileGdbIO.extentIntersects(meta, bbox)) return Array.empty
+    if (FileGdbIO.pruneOnExtent(SparkSession.active) &&
+        !FileGdbIO.extentIntersects(meta, bbox)) return Array.empty
     val (slots, width) = FileGdbIO.tablxHeaderOf(conf, tablxPath)
     val chunk = FileGdbDataSource.chunkSizeOf(options)
     (0 until slots by chunk)
@@ -157,16 +171,23 @@ private[graft] class GdbScan(fullSchema: StructType, required: StructType,
     val (tablePath, meta) = FileGdbDataSource.metaFor(options)
     val spark = SparkSession.active
     val tablxPath = tablePath.stripSuffix(".gdbtable") + ".gdbtablx"
-    // byte-level decode mask from the pruned schema (OID field name is
-    // its own; the geometry field surfaces as "geometry")
-    val names = fullSchema.fieldNames
+    // byte-level decode mask + reorder computed against the FILE's
+    // schema, not the (possibly user-supplied, shorter or reordered)
+    // fullSchema — rows come back in file-field order, so both must map
+    // required names into FILE positions
+    val fileSchema = FileGdbIO.sparkSchemaOf(meta, "geometry")
+    val fileNames = fileSchema.fieldNames
+    required.fieldNames.foreach { n =>
+      require(fileNames.contains(n),
+        s"filegdb: column '$n' not in the layer (have: ${fileNames.mkString(", ")})")
+    }
     val wantedNames = required.fieldNames.toSet
-    val want = names.map(wantedNames.contains)
+    val want = fileNames.map(wantedNames.contains)
     val geomIdx = meta.fields.indexWhere(_.ftype == 7)
     // the residual needs the geometry bytes even when the projection
     // pruned the column — decode it, drop it at reorder time
     if (bbox.isDefined && geomIdx >= 0) want(geomIdx) = true
-    val reorder = required.fieldNames.map(n => fullSchema.fieldIndex(n))
+    val reorder = required.fieldNames.map(n => fileSchema.fieldIndex(n))
     GdbReaderFactory(
       new GeoParquetIO.SerializableConf(spark.sessionState.newHadoopConf()),
       tablePath, tablxPath, meta, want, bbox, geomIdx, reorder, required)

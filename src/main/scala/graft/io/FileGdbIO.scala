@@ -689,6 +689,17 @@ object FileGdbIO {
     out
   }
 
+  /** Opt-in for whole-layer pruning on the descriptor extent: a
+    * third-party writer that appended features without refreshing the
+    * layer envelope would make extent pruning silently DROP rows, so by
+    * default a bbox read scans everything and relies on the exact
+    * per-row residual (always correct). Files written by this library
+    * maintain the extent; set spark.graft.gdb.pruneOnExtent=true to
+    * skip disjoint layers with zero tasks.
+    */
+  private[io] def pruneOnExtent(spark: SparkSession): Boolean =
+    spark.conf.get("spark.graft.gdb.pruneOnExtent", "false").toBoolean
+
   /** Does the query window intersect the layer's descriptor extent? An
     * empty/unset extent never prunes.
     */
@@ -719,12 +730,13 @@ object FileGdbIO {
       .get("spark.graft.gdb.forcePositionedReads", "false").toBoolean
     val fieldsB = meta.fields
     val geomB = meta.geom
-    // bbox: the descriptor's layer extent prunes the WHOLE layer at
-    // planning time (no per-chunk index exists in this profile — the
-    // spatial-grid .spx sidecar is not consumed); surviving rows apply
-    // the exact envelope-intersects residual task-side
+    // bbox: with spark.graft.gdb.pruneOnExtent the descriptor's layer
+    // extent prunes the WHOLE layer at planning time (no per-chunk index
+    // exists in this profile — the spatial-grid .spx sidecar is not
+    // consumed); rows always apply the exact envelope-intersects
+    // residual task-side, so pruning off is merely slower, never wrong
     val chunks =
-      if (!extentIntersects(meta, bbox)) Seq.empty
+      if (pruneOnExtent(spark) && !extentIntersects(meta, bbox)) Seq.empty
       else (0 until slots by chunkSize)
         .map(s => (s, math.min(chunkSize, slots - s)))
     val geomFieldIdx = meta.fields.indexWhere(_.ftype == T_GEOMETRY)

@@ -42,11 +42,8 @@ class GeoPackageDataSource extends TableProvider with DataSourceRegister {
 }
 
 object GeoPackageDataSource {
-  def pathOf(options: java.util.Map[String, String]): String = {
-    val p = options.get("path")
-    require(p != null && p.nonEmpty, "geopackage: a single 'path' is required")
-    p
-  }
+  def pathOf(options: java.util.Map[String, String]): String =
+    V2Options.pathOf(options, "geopackage")
   def tableOf(options: java.util.Map[String, String]): String = {
     val t = options.get("table")
     require(t != null && t.nonEmpty, "geopackage: the 'table' option is required")
@@ -54,30 +51,36 @@ object GeoPackageDataSource {
   }
   def bboxOf(options: java.util.Map[String, String])
       : Option[(Double, Double, Double, Double)] =
-    Option(options.get("bbox")).map { s =>
-      val a = s.split(",").map(_.trim.toDouble)
-      require(a.length == 4, s"geopackage: bbox needs 4 numbers, got '$s'")
-      (a(0), a(1), a(2), a(3))
-    }
+    V2Options.bboxOf(options, "geopackage")
 
-  /** Geometry column of a feature table per gpkg_geometry_columns; memoized
-    * (bounded) so optimizer fixed-point iterations don't reopen the file.
+  /** Geometry column of a feature table per the dialect's metadata
+    * (gpkg_geometry_columns / geometry_columns); memoized (bounded) so
+    * optimizer fixed-point iterations don't reopen the file or re-walk a
+    * real SpatiaLite file's ~6000-row spatial_ref_sys.
     */
   private val geomColMemo =
     new java.util.concurrent.ConcurrentHashMap[String, Option[String]]()
-  private[graft] def geomColFor(path: String, table: String): Option[String] = {
-    val key = path + "#" + table
+  private[graft] def geomColFor(path: String, table: String): Option[String] =
+    geomColForDialect(path, table, "gpkg")
+  private[graft] def geomColForDialect(path: String, table: String,
+      dialect: String): Option[String] = {
+    val key = dialect + "#" + path + "#" + table
     val hit = geomColMemo.get(key)
     if (hit != null) hit
     else {
       val v =
         try {
-          val src = GeoPackageIO.openSource(
-            SparkSession.active.sessionState.newHadoopConf(), path)
-          try {
-            val master = GeoPackageIO.readMaster(src)
-            GeoPackageIO.featureMetaFrom(src, master).get(table).map(_._1)
-          } finally src.close()
+          if (dialect == "spatialite")
+            SpatiaLiteIO.geometryColumns(SparkSession.active, path)
+              .get(table).map(_._1)
+          else {
+            val src = GeoPackageIO.openSource(
+              SparkSession.active.sessionState.newHadoopConf(), path)
+            try {
+              val master = GeoPackageIO.readMaster(src)
+              GeoPackageIO.featureMetaFrom(src, master).get(table).map(_._1)
+            } finally src.close()
+          }
         } catch { case _: Exception => None }
       if (geomColMemo.size < 1024) geomColMemo.put(key, v)
       v
@@ -162,25 +165,36 @@ private[graft] class GpkgScanBuilder(fullSchema: StructType,
 private[graft] class GpkgScan(fullSchema: StructType, required: StructType,
     options: java.util.Map[String, String]) extends Scan with Batch {
 
-  private val path = GeoPackageDataSource.pathOf(options)
-  private val table = GeoPackageDataSource.tableOf(options)
-  private val bbox = GeoPackageDataSource.bboxOf(options)
+  // dialect hooks — SlScan (SpatiaLite) overrides these four; everything
+  // else (candidate chunking, subtree grouping, reader assembly) is
+  // shared so a planning fix lands once
+  protected def dialect: String = "gpkg"
+  protected def rtreeNodeName(t: String, g: String): String =
+    s"rtree_${t}_${g}_node"
+  protected def geomColOf(src: GeoPackageIO.PageSource,
+      master: Seq[GeoPackageIO.Master]): Option[String] =
+    GeoPackageIO.featureMetaFrom(src, master).get(table).map(_._1)
+  protected def mkScan(opts: java.util.Map[String, String]): Scan =
+    new GpkgScan(fullSchema, required, opts)
+
+  protected val path = GeoPackageDataSource.pathOf(options)
+  protected val table = GeoPackageDataSource.tableOf(options)
+  protected val bbox = GeoPackageDataSource.bboxOf(options)
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"geopackage $path#$table" + bbox.map(b => s" bbox=$b").getOrElse("")
+    s"$dialect $path#$table" + bbox.map(b => s" bbox=$b").getOrElse("")
 
   // V2BboxPushdown hooks (see ShapefileDataSource). The geometry column
-  // name comes from gpkg_geometry_columns — one small metadata read,
-  // cached on this scan instance.
+  // name comes from the metadata dialect — one small memoized read.
   private[graft] lazy val graftGeomCol: Option[String] =
-    GeoPackageDataSource.geomColFor(path, table)
+    GeoPackageDataSource.geomColForDialect(path, table, dialect)
   private[graft] def graftBbox: Option[(Double, Double, Double, Double)] = bbox
   private[graft] def graftWithBbox(b: String): Scan = {
     val m = new java.util.HashMap[String, String](options)
     m.put("bbox", b)
-    new GpkgScan(fullSchema, required, m)
+    mkScan(m)
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -189,12 +203,13 @@ private[graft] class GpkgScan(fullSchema: StructType, required: StructType,
     try {
       val master = GeoPackageIO.readMaster(src)
       val m = master.find(_.name == table).getOrElse(
-        throw new IllegalArgumentException(s"no table '$table' in $path"))
+        throw new IllegalArgumentException(
+          s"no table '$table' in $path (tables: ${master.map(_.name).mkString(", ")})"))
       require(m.rootPage > 0, s"table '$table' is virtual — not readable")
-      val geomCol = GeoPackageIO.featureMetaFrom(src, master).get(table).map(_._1)
+      val geomCol = geomColOf(src, master)
       val candidates: Option[Array[Long]] = (bbox, geomCol) match {
         case (Some((qx0, qy0, qx1, qy1)), Some(g)) =>
-          master.find(mm => mm.name == s"rtree_${table}_${g}_node" && mm.rootPage > 0)
+          master.find(mm => mm.name == rtreeNodeName(table, g) && mm.rootPage > 0)
             .map(node => GeoPackageIO.rtreeCandidates(src, node.rootPage,
               qx0, qy0, qx1, qy1).sorted)
         case _ => None
@@ -223,13 +238,23 @@ private[graft] class GpkgScan(fullSchema: StructType, required: StructType,
       val master = GeoPackageIO.readMaster(src)
       val m = master.find(_.name == table).get
       val cols = GeoPackageIO.parseColumns(m.sql).toArray
-      val geomCol = GeoPackageIO.featureMetaFrom(src, master).get(table).map(_._1)
+      val geomCol = geomColOf(src, master)
       (cols, geomCol.map(g => cols.indexWhere(_.name == g)).getOrElse(-1))
     } finally src.close()
-    val reorder = required.fields.map(f => fullSchema.fieldIndex(f.name))
+    // reorder by NAME into the FILE's column order (rows come back in
+    // DDL order; a user-supplied external schema may be shorter or
+    // reordered and must not misalign)
+    val fileNames = colArr.map(_.name)
+    required.fields.foreach { f =>
+      require(fileNames.contains(f.name),
+        s"$dialect: column '${f.name}' not in table '$table' " +
+          s"(have: ${fileNames.mkString(", ")})")
+    }
+    val reorder = required.fields.map(f => fileNames.indexOf(f.name))
     GpkgReaderFactory(
       new GeoParquetIO.SerializableConf(spark.sessionState.newHadoopConf()),
-      path, table, colArr, geomIdx, bbox, reorder, required)
+      path, table, colArr, geomIdx, bbox, reorder, required,
+      geomDialect = dialect)
   }
 }
 

@@ -1,6 +1,5 @@
 package graft.io
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
@@ -9,9 +8,11 @@ import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** DataSource V2 connector for SpatiaLite feature tables — the fifth
-  * connector, sharing the GeoPackage SQLite scan machinery
-  * ([[GpkgPartition]]/[[GpkgReaderFactory]] with the SpatiaLite geometry
-  * dialect) the same way [[SpatiaLiteIO]] shares the RDD path:
+  * connector. [[SlScan]] EXTENDS the GeoPackage scan with SpatiaLite's
+  * dialect hooks (metadata lookup, `idx_<t>_<g>_node` R*-tree naming,
+  * blob decode) — the candidate chunking / subtree grouping / reader
+  * assembly live once in [[GpkgScan]], the same sharing shape as
+  * [[SpatiaLiteIO]] over the RDD path:
   *
   * {{{
   *   spark.read.format("spatialite")
@@ -20,11 +21,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *     .load("/data/file.sqlite")
   * }}}
   *
-  * Partitioning mirrors `GeoPackageIO.readFeatureTable`: subtree-grouped
-  * b-tree walks, or sorted rowid point-lookups from the
-  * `idx_<table>_<geom>_node` R*-tree under a `bbox`, with the exact
-  * envelope residual task-side. COUNT(*) is never metadata-answered
-  * (SpatiaLite keeps no maintained feature-count table).
+  * COUNT(*) is never metadata-answered (SpatiaLite keeps no maintained
+  * feature-count table). A table absent from `geometry_columns` fails
+  * loudly at planning time — surfacing raw un-decoded blobs would
+  * corrupt downstream `st_*` consumers silently.
   */
 class SpatiaLiteDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "spatialite"
@@ -32,7 +32,8 @@ class SpatiaLiteDataSource extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     GeoPackageDataSource.schemaFor(
-      GeoPackageDataSource.pathOf(options), SpatiaLiteDataSource.tableOf(options))
+      V2Options.pathOf(options, "spatialite"),
+      SpatiaLiteDataSource.tableOf(options))
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table =
@@ -45,21 +46,16 @@ object SpatiaLiteDataSource {
     require(t != null && t.nonEmpty, "spatialite: the 'table' option is required")
     t
   }
-
-  private[graft] def geomColFor(path: String, table: String): Option[String] =
-    try {
-      SpatiaLiteIO.geometryColumns(SparkSession.active, path)
-        .get(table).map(_._1)
-    } catch { case _: Exception => None }
 }
 
 private[graft] class SlTable(tableSchema: StructType,
     props: java.util.Map[String, String]) extends Table with SupportsRead {
   private[graft] def graftGeomCol: Option[String] =
-    SpatiaLiteDataSource.geomColFor(
-      GeoPackageDataSource.pathOf(props), SpatiaLiteDataSource.tableOf(props))
+    GeoPackageDataSource.geomColForDialect(
+      V2Options.pathOf(props, "spatialite"),
+      SpatiaLiteDataSource.tableOf(props), "spatialite")
   override def name(): String =
-    "spatialite:" + GeoPackageDataSource.pathOf(props) + "#" +
+    "spatialite:" + V2Options.pathOf(props, "spatialite") + "#" +
       SpatiaLiteDataSource.tableOf(props)
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
@@ -81,73 +77,21 @@ private[graft] class SlScanBuilder(fullSchema: StructType,
 }
 
 private[graft] class SlScan(fullSchema: StructType, required: StructType,
-    options: java.util.Map[String, String]) extends Scan with Batch {
+    options: java.util.Map[String, String])
+  extends GpkgScan(fullSchema, required, options) {
 
-  private val path = GeoPackageDataSource.pathOf(options)
-  private val table = SpatiaLiteDataSource.tableOf(options)
-  private val bbox = GeoPackageDataSource.bboxOf(options)
-
-  override def readSchema(): StructType = required
-  override def toBatch: Batch = this
-  override def description(): String =
-    s"spatialite $path#$table" + bbox.map(b => s" bbox=$b").getOrElse("")
-
-  private[graft] lazy val graftGeomCol: Option[String] =
-    SpatiaLiteDataSource.geomColFor(path, table)
-  private[graft] def graftBbox: Option[(Double, Double, Double, Double)] = bbox
-  private[graft] def graftWithBbox(b: String): Scan = {
-    val m = new java.util.HashMap[String, String](options)
-    m.put("bbox", b)
-    new SlScan(fullSchema, required, m)
+  override protected def dialect: String = "spatialite"
+  override protected def rtreeNodeName(t: String, g: String): String =
+    s"idx_${t}_${g}_node"
+  override protected def geomColOf(src: GeoPackageIO.PageSource,
+      master: Seq[GeoPackageIO.Master]): Option[String] = {
+    // strict: a feature read of a table missing from geometry_columns
+    // must fail loudly, not surface raw un-decoded blobs
+    val g = SpatiaLiteIO.geometryColumnsFrom(src, master).get(table)
+    require(g.isDefined,
+      s"spatialite: table '$table' not in geometry_columns of $path")
+    g.map(_._1)
   }
-
-  override def planInputPartitions(): Array[InputPartition] = {
-    val spark = SparkSession.active
-    val src = GeoPackageIO.openSource(spark.sessionState.newHadoopConf(), path)
-    try {
-      val master = GeoPackageIO.readMaster(src)
-      val m = master.find(_.name == table).getOrElse(
-        throw new IllegalArgumentException(
-          s"no table '$table' in $path (tables: ${master.map(_.name).mkString(", ")})"))
-      require(m.rootPage > 0, s"table '$table' is virtual — not readable")
-      val geomCol = graftGeomCol
-      val candidates: Option[Array[Long]] = (bbox, geomCol) match {
-        case (Some((qx0, qy0, qx1, qy1)), Some(g)) =>
-          master.find(mm => mm.name == s"idx_${table}_${g}_node" && mm.rootPage > 0)
-            .map(node => GeoPackageIO.rtreeCandidates(src, node.rootPage,
-              qx0, qy0, qx1, qy1).sorted)
-        case _ => None
-      }
-      candidates match {
-        case Some(ids) if ids.isEmpty => Array.empty
-        case Some(ids) =>
-          val par = math.max(1, spark.sparkContext.defaultParallelism)
-          val chunkSize = math.max(256, ids.length / par)
-          ids.grouped(chunkSize)
-            .map(chunk => GpkgPartition(m.rootPage, chunk, null): InputPartition)
-            .toArray
-        case None =>
-          GeoPackageIO.groupedSubtreeRoots(src, m.rootPage, 0,
-              target = spark.sparkContext.defaultParallelism * 4)
-            .map(g => GpkgPartition(m.rootPage, null, g.toArray): InputPartition)
-            .toArray
-      }
-    } finally src.close()
-  }
-
-  override def createReaderFactory(): PartitionReaderFactory = {
-    val spark = SparkSession.active
-    val src = GeoPackageIO.openSource(spark.sessionState.newHadoopConf(), path)
-    val (colArr, geomIdx) = try {
-      val master = GeoPackageIO.readMaster(src)
-      val m = master.find(_.name == table).get
-      val cols = GeoPackageIO.parseColumns(m.sql).toArray
-      (cols, graftGeomCol.map(g => cols.indexWhere(_.name == g)).getOrElse(-1))
-    } finally src.close()
-    val reorder = required.fields.map(f => fullSchema.fieldIndex(f.name))
-    GpkgReaderFactory(
-      new GeoParquetIO.SerializableConf(spark.sessionState.newHadoopConf()),
-      path, table, colArr, geomIdx, bbox, reorder, required,
-      geomDialect = "spatialite")
-  }
+  override protected def mkScan(opts: java.util.Map[String, String]): Scan =
+    new SlScan(fullSchema, required, opts)
 }

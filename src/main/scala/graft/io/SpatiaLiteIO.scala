@@ -49,7 +49,7 @@ object SpatiaLiteIO {
     try geometryColumnsFrom(src, readMaster(src)) finally src.close()
   }
 
-  private def geometryColumnsFrom(src: PageSource,
+  private[io] def geometryColumnsFrom(src: PageSource,
       master: Seq[Master]): Map[String, (String, Option[String])] = {
     val registry: Map[Long, String] =
       master.find(_.name.equalsIgnoreCase("spatial_ref_sys")) match {

@@ -57,6 +57,24 @@ private[graft] trait MetadataCountPushdown
     else buildDataScan()
 }
 
+/** Shared option parsing for the DSv2 connectors (one bbox grammar, one
+  * path contract — a parsing fix lands once).
+  */
+private[io] object V2Options {
+  def pathOf(options: java.util.Map[String, String], source: String): String = {
+    val p = options.get("path")
+    require(p != null && p.nonEmpty, s"$source: a single 'path' is required")
+    p
+  }
+  def bboxOf(options: java.util.Map[String, String], source: String)
+      : Option[(Double, Double, Double, Double)] =
+    Option(options.get("bbox")).map { s =>
+      val a = s.split(",").map(_.trim.toDouble)
+      require(a.length == 4, s"$source: bbox needs 4 numbers, got '$s'")
+      (a(0), a(1), a(2), a(3))
+    }
+}
+
 private[graft] final case class V2CountPartition(count: Long) extends InputPartition
 
 private[graft] final case class V2CountReaderFactory() extends PartitionReaderFactory {

@@ -1,7 +1,7 @@
 package graft.plans
 
 import graft.geom.Envelope
-import graft.io.{FgbScan, GdbScan, GpkgScan, ShpScan, SlScan}
+import graft.io.{FgbScan, GdbScan, GpkgScan, ShpScan}
 import graft.sql.GraftScalar
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
@@ -95,9 +95,8 @@ object V2BboxPushdown extends Rule[LogicalPlan] {
   private def scanGeomCol(scan: Scan): Option[String] = scan match {
     case s: ShpScan  => s.graftGeomCol
     case s: FgbScan  => s.graftGeomCol
-    case s: GpkgScan => s.graftGeomCol
+    case s: GpkgScan => s.graftGeomCol // also SlScan (subclass; dialect hooks virtual)
     case s: GdbScan  => s.graftGeomCol
-    case s: SlScan   => s.graftGeomCol
     case _           => None
   }
 
@@ -106,7 +105,6 @@ object V2BboxPushdown extends Rule[LogicalPlan] {
     case s: FgbScan  => s.graftBbox
     case s: GpkgScan => s.graftBbox
     case s: GdbScan  => s.graftBbox
-    case s: SlScan   => s.graftBbox
     case _           => None
   }).map { case (x0, y0, x1, y1) => Envelope(x0, y0, x1, y1) }
 
@@ -115,7 +113,6 @@ object V2BboxPushdown extends Rule[LogicalPlan] {
     case s: FgbScan  => s.graftWithBbox(b)
     case s: GpkgScan => s.graftWithBbox(b)
     case s: GdbScan  => s.graftWithBbox(b)
-    case s: SlScan   => s.graftWithBbox(b)
     case other       => other
   }
 

@@ -31,6 +31,9 @@ class GeoDataFrameSpec extends AnyFunSuite {
     val wkts = filled.df.orderBy($"id")
       .select(expr("st_astext(geometry)")).as[String].collect()
     assert(wkts(1) == "GEOMETRYCOLLECTION EMPTY")
+    // CRS metadata survives the fill (coalesce would strip it)
+    val withCrs = GeoDataFrame(df).setCrs("EPSG:3857").fillna()
+    assert(withCrs.crs.contains("EPSG:3857"))
     // explicit fill value
     val filled2 = g.fillna(graft.geom.Point(9.0, 9.0))
     assert(filled2.df.orderBy($"id").select(expr("st_astext(geometry)"))

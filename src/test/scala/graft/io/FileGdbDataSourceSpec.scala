@@ -64,11 +64,17 @@ class FileGdbDataSourceSpec extends AnyFunSuite {
     val got = spark.read.format("filegdb").option("bbox", "0,0,42,27")
       .load(path).select($"id".cast("long")).as[Long].collect().sorted
     assert(got.length == 54)
-    // disjoint window: the layer extent prunes to zero partitions
+    // disjoint window: residual-only by default (0 rows); with the
+    // opt-in extent trust the plan drops to zero input partitions
     val none = spark.read.format("filegdb").option("bbox", "9999,9999,10000,10000")
       .load(path)
-    assert(none.queryExecution.executedPlan.execute().getNumPartitions == 0 ||
-      none.count() == 0)
+    assert(none.count() == 0)
+    spark.conf.set("spark.graft.gdb.pruneOnExtent", "true")
+    try {
+      val zero = spark.read.format("filegdb").option("bbox", "9999,9999,10000,10000")
+        .load(path)
+      assert(zero.queryExecution.executedPlan.execute().getNumPartitions == 0)
+    } finally spark.conf.unset("spark.graft.gdb.pruneOnExtent")
     // plain declarative filter routes through V2BboxPushdown: the scan
     // description carries the derived bbox
     val filtered = spark.read.format("filegdb").load(path)

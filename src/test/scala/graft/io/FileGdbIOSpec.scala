@@ -224,9 +224,16 @@ class FileGdbIOSpec extends AnyFunSuite {
     val got = FileGdbIO.read(spark, gdb, bbox = Some((10.0, 0.0, 20.0, 100.0)))
       .df.select($"id".cast("long")).as[Long].collect().sorted
     assert(got.toSeq == (10L to 20L))
-    // disjoint window prunes the whole layer with zero chunk tasks
-    val pruned = FileGdbIO.read(spark, gdb, bbox = Some((5000.0, 5000.0, 6000.0, 6000.0)))
-    assert(pruned.df.rdd.getNumPartitions <= 1 && pruned.df.count() == 0)
+    // disjoint window: exact residual returns zero rows by default; with
+    // the opt-in extent trust the whole layer prunes to zero chunk tasks
+    val resid = FileGdbIO.read(spark, gdb, bbox = Some((5000.0, 5000.0, 6000.0, 6000.0)))
+    assert(resid.df.count() == 0)
+    spark.conf.set("spark.graft.gdb.pruneOnExtent", "true")
+    try {
+      val pruned = FileGdbIO.read(spark, gdb,
+        bbox = Some((5000.0, 5000.0, 6000.0, 6000.0)))
+      assert(pruned.df.rdd.getNumPartitions <= 1 && pruned.df.count() == 0)
+    } finally spark.conf.unset("spark.graft.gdb.pruneOnExtent")
     // cx over the dispatcher route re-plans through the bbox read
     val g = GeoDataFrame.readFile(spark, gdb)
     val cxGot = g.cx(10.0, 0.0, 20.0, 100.0).df

@@ -2141,6 +2141,24 @@ object OracleSql {
       SELECT -1::BIGINT, NULL, NULL, NULL, NULL, NULL, NULL, 10::BIGINT
       ORDER BY pk""",
 
+    "g120_filegdb_sql" -> """
+      SELECT count(*) AS n_total,
+             sum(CASE WHEN s_acctbal BETWEEN 0 AND 5000
+                       AND (s_suppkey % 100) * 10.0 BETWEEN 0 AND 400
+                  THEN 1 ELSE 0 END) AS n_in_box,
+             round(sum(s_acctbal), 2) AS sum_bal
+      FROM supplier""",
+
+    // spatialite DSv2 window: same closed forms as g118's pruned leg
+    "g121_spatialite_sql" -> """
+      SELECT (i + 1)::BIGINT AS pk, i::BIGINT AS s_suppkey,
+             (i * 3.25 - 100.0)::DOUBLE AS x, (i % 100)::DOUBLE * 7.5 AS y
+      FROM (SELECT unnest(range(0, 500)) AS i)
+      WHERE i % 50 <> 49
+        AND i * 3.25 - 100.0 BETWEEN 0 AND 200
+        AND (i % 100) * 7.5 BETWEEN 0 AND 300
+      ORDER BY pk""",
+
     // missing-values closed forms: every 7th geometry null -> flagged,
     // empty after the default fill, x=-1 after the point fill
     // streaming windowed extent: tumbling 6h windows, bounds = min/max

@@ -1686,6 +1686,50 @@ object SparkEntry {
       full.union(pruned).orderBy(col("pk"))
     }),
 
+    // FileGDB DSv2 connector under the oracle gate: the supplier layer
+    // written once per sf dir, then read through the SQL USING route with
+    // a plain st_ filter — COUNT(*) metadata pushdown, byte-masked column
+    // pruning, and V2BboxPushdown all sit on this path. Closed forms: the
+    // filtered count is derivable from the synthetic coordinates.
+    "g120_filegdb_sql" -> ((s, d) => {
+      val loc = "/tmp/graft_g120_" + d.replaceAll("[^A-Za-z0-9]", "_") + ".gdb"
+      val marker = new java.io.File(loc, "a00000001.gdbtable")
+      if (!marker.exists()) {
+        graft.io.FileGdbIO.write(
+          supplierPts(s, d)
+            .withColumn("geometry", st_point(col("x0"), col("y0")))
+            .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+              col("geometry")),
+          loc, layerName = "sup")
+      }
+      s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW g120_sup
+        USING filegdb OPTIONS (path '$loc', layer 'sup')""")
+      s.sql("""
+        SELECT count(*) AS n_total,
+               sum(CASE WHEN st_x(geometry) BETWEEN 0 AND 5000
+                         AND st_y(geometry) BETWEEN 0 AND 400
+                    THEN 1 ELSE 0 END) AS n_in_box,
+               round(sum(s_acctbal), 2) AS sum_bal
+        FROM g120_sup""")
+    }),
+
+    // SpatiaLite DSv2 connector under the oracle gate: the committed
+    // fixture through format("spatialite") with a declarative st_ filter
+    // (idx_ R*-tree candidates + exact residual)
+    "g121_spatialite_sql" -> ((s, _) => {
+      graft.sql.functions.install(s)
+      val fixture = Seq("fixtures/supplier_pts.sqlite",
+        "/root/repo/fixtures/supplier_pts.sqlite")
+        .find(p => new java.io.File(p).exists())
+        .getOrElse(throw new IllegalStateException("spatialite fixture missing"))
+      s.read.format("spatialite").option("table", "supplier_pts")
+        .load(fixture)
+        .filter(expr("st_intersectsbox(geom, 0.0, 0.0, 200.0, 300.0)"))
+        .select(col("pk"), col("s_suppkey"),
+          st_x(col("geom")).as("x"), st_y(col("geom")).as("y"))
+        .orderBy(col("pk"))
+    }),
+
     // GeoSeries missing-values surface (isna/notna/fillna — the reference
     // implements these specifically for GeoSeries): every 7th supplier
     // geometry is null; fillna() substitutes GEOMETRYCOLLECTION EMPTY

@@ -578,6 +578,102 @@ object GeoPackageIO {
     * the schema corrupt when a declared constraint has no index). Index
     * leaf cells are varint(len) + record(key columns..., rowid).
     */
+  /** Build the SQLite R*-tree shadow b-trees for `entries` (rowid,
+    * [minx,miny,maxx,maxy]) — the `rtree_<t>_<c>_node/_rowid/_parent`
+    * trio OGR-written gpkgs carry, so files written here prune bbox
+    * reads on re-read like any other gpkg. Node blobs use the public
+    * rtree format (2-byte depth in the root, 2-byte cell count, cells of
+    * int64 id + 4 big-endian float32 coords in minx/maxx/miny/maxy
+    * order, fixed-size zero-padded blobs — SQLite derives the node size
+    * from the root blob's length on open); float boxes round OUTWARD so
+    * the float32 node box always contains the true envelope. Returns
+    * (nodeRoot, rowidRoot, parentRoot) page numbers.
+    */
+  private def buildRtree(entries: IndexedSeq[(Long, Array[Double])],
+      fb: FileBuilder): (Int, Int, Int) = {
+    val MaxCells = 40
+    val NodeSize = 4 + MaxCells * 24
+    @inline def fDown(v: Double): Float = {
+      val f = v.toFloat; if (f > v) Math.nextDown(f) else f
+    }
+    @inline def fUp(v: Double): Float = {
+      val f = v.toFloat; if (f < v) Math.nextUp(f) else f
+    }
+    // cells at each level: (id, box); level 0 ids are rowids, higher
+    // levels ids are child node numbers
+    final case class Node(var no: Long, cells: IndexedSeq[(Long, Array[Double])],
+        depth: Int) {
+      val box: Array[Double] = {
+        val b = Array(Double.MaxValue, Double.MaxValue,
+          Double.MinValue, Double.MinValue)
+        cells.foreach { case (_, e) =>
+          b(0) = math.min(b(0), e(0)); b(1) = math.min(b(1), e(1))
+          b(2) = math.max(b(2), e(2)); b(3) = math.max(b(3), e(3))
+        }
+        b
+      }
+    }
+    var level: IndexedSeq[Node] =
+      entries.grouped(MaxCells).map(g => Node(0, g, 0)).toIndexedSeq
+    val all = ArrayBuffer.empty[Node]
+    val parents = ArrayBuffer.empty[(Node, Node)] // (child, parent)
+    var depth = 0
+    while (level.length > 1) {
+      all ++= level
+      depth += 1
+      val up = level.grouped(MaxCells).map { g =>
+        val p = Node(0, g.map(n => (0L, n.box)), depth) // ids patched below
+        g.foreach(c => parents += ((c, p)))
+        p
+      }.toIndexedSeq
+      // remember which children feed each parent for id patching
+      level = up
+    }
+    val root = level.headOption.getOrElse(Node(0, IndexedSeq.empty, 0))
+    // number: root = 1, everything else 2.. (leaf-first order is fine)
+    root.no = 1
+    var next = 2L
+    all.foreach { n => n.no = next; next += 1 }
+    // patch interior cell ids with the now-assigned child numbers
+    val byParent = parents.groupBy(_._2)
+    def cellsOf(n: Node): IndexedSeq[(Long, Array[Double])] =
+      if (n.depth == 0) n.cells
+      else byParent.getOrElse(n, ArrayBuffer.empty)
+        .map { case (c, _) => (c.no, c.box) }.toIndexedSeq
+    def blobOf(n: Node, isRoot: Boolean): Array[Byte] = {
+      val b = new Array[Byte](NodeSize)
+      val bb = ByteBuffer.wrap(b)
+      bb.putShort(0, if (isRoot) n.depth.toShort else 0)
+      val cs = cellsOf(n)
+      bb.putShort(2, cs.length.toShort)
+      cs.zipWithIndex.foreach { case ((id, e), i) =>
+        val off = 4 + i * 24
+        bb.putLong(off, id)
+        bb.putFloat(off + 8, fDown(e(0))); bb.putFloat(off + 12, fUp(e(2)))
+        bb.putFloat(off + 16, fDown(e(1))); bb.putFloat(off + 20, fUp(e(3)))
+      }
+      b
+    }
+    val nodes = ((root, true) +: all.map(n => (n, false)))
+      .sortBy(_._1.no)
+    val nodeRoot = buildTableBtree(nodes.iterator.map { case (n, isRoot) =>
+      (n.no, encodeRecord(Seq[Any](null, blobOf(n, isRoot))))
+    }, fb)
+    // rowid -> leaf node mapping (rowid order = entries order)
+    val leafOf = new java.util.HashMap[Long, Long]()
+    ((root, root.depth == 0) +: all.map(n => (n, n.depth == 0))).foreach {
+      case (n, true) => n.cells.foreach { case (rid, _) => leafOf.put(rid, n.no) }
+      case _ => ()
+    }
+    val rowidRoot = buildTableBtree(entries.iterator.map { case (rid, _) =>
+      (rid, encodeRecord(Seq[Any](null, leafOf.get(rid))))
+    }, fb)
+    val parentRoot = buildTableBtree(
+      parents.map { case (c, p) => (c.no, p.no) }.sortBy(_._1).iterator
+        .map { case (c, p) => (c, encodeRecord(Seq[Any](null, p))) }, fb)
+    (nodeRoot, rowidRoot, parentRoot)
+  }
+
   private def buildSingleLeafIndex(keyRecords: Seq[Array[Byte]], fb: FileBuilder): Int = {
     val cells = keyRecords.map(r => varintEncode(r.length.toLong) ++ r)
     require(8 + 2 * cells.size + cells.map(_.length).sum <= fb.usable,
@@ -784,6 +880,10 @@ object GeoPackageIO {
     fb.alloc() // page 1 reserved for the sqlite_master root
     var bbox: Array[Double] = null
     var featureCount = 0L
+    // (rowid, envelope) pairs feed the R*-tree build after the feature
+    // b-tree: 40 bytes/row driver-side — the same order of memory the
+    // page assembly already holds, bounded by the single-writer contract
+    val rtreeEntries = ArrayBuffer.empty[(Long, Array[Double])]
     val featureRoot = buildTableBtree(
       encoded.toLocalIterator.map { case (rowid, rec, env) =>
         if (env != null) {
@@ -792,6 +892,7 @@ object GeoPackageIO {
             bbox(0) = math.min(bbox(0), env(0)); bbox(1) = math.min(bbox(1), env(1))
             bbox(2) = math.max(bbox(2), env(2)); bbox(3) = math.max(bbox(3), env(3))
           }
+          rtreeEntries += ((rowid, env))
         }
         featureCount += 1
         (rowid, rec)
@@ -857,6 +958,34 @@ object GeoPackageIO {
     val ogrContentsPkIdx = buildSingleLeafIndex(
       Seq(encodeRecord(Seq[Any](table, 1L))), fb)
 
+    // spatial index (the gpkg_rtree_index extension, exactly as OGR
+    // registers it): R*-tree shadow trio + the virtual-table master entry
+    // + the gpkg_extensions declaration — written files now prune bbox
+    // reads on re-read like any OGR-written gpkg
+    val rt = s"rtree_${table}_$geomCol"
+    val rtreeRows: Seq[(String, String, String, Int, String)] =
+      if (rtreeEntries.isEmpty) Nil
+      else {
+        val (nodeRoot, rowidRoot, parentRoot) = buildRtree(rtreeEntries.toIndexedSeq, fb)
+        val extDdl = "CREATE TABLE gpkg_extensions (table_name TEXT, " +
+          "column_name TEXT, extension_name TEXT NOT NULL, " +
+          "definition TEXT NOT NULL, scope TEXT NOT NULL)"
+        val extRoot = buildTableBtree(Iterator((1L, encodeRecord(Seq[Any](
+          table, geomCol, "gpkg_rtree_index",
+          "http://www.geopackage.org/spec120/#extension_rtree",
+          "write-only")))), fb)
+        Seq(
+          ("table", rt, rt, 0,
+            s"""CREATE VIRTUAL TABLE "$rt" USING rtree("id", "minx", "maxx", "miny", "maxy")"""),
+          ("table", s"${rt}_node", s"${rt}_node", nodeRoot,
+            s"""CREATE TABLE "${rt}_node"(nodeno INTEGER PRIMARY KEY,data)"""),
+          ("table", s"${rt}_rowid", s"${rt}_rowid", rowidRoot,
+            s"""CREATE TABLE "${rt}_rowid"(rowid INTEGER PRIMARY KEY,nodeno)"""),
+          ("table", s"${rt}_parent", s"${rt}_parent", parentRoot,
+            s"""CREATE TABLE "${rt}_parent"(nodeno INTEGER PRIMARY KEY,parentnode)"""),
+          ("table", "gpkg_extensions", "gpkg_extensions", extRoot, extDdl))
+      }
+
     // sqlite_master on page 1 (base 100): (type, name, tbl_name, rootpage, sql)
     val masterRows = Seq(
       ("table", "gpkg_spatial_ref_sys", "gpkg_spatial_ref_sys", srsRoot, srsDdl),
@@ -865,8 +994,9 @@ object GeoPackageIO {
       ("index", "sqlite_autoindex_gpkg_contents_2", "gpkg_contents", contentsUqIdx, null),
       ("table", "gpkg_geometry_columns", "gpkg_geometry_columns", geomColsRoot, geomColsDdl),
       ("table", "gpkg_ogr_contents", "gpkg_ogr_contents", ogrContentsRoot, ogrContentsDdl),
-      ("index", "sqlite_autoindex_gpkg_ogr_contents_1", "gpkg_ogr_contents", ogrContentsPkIdx, null),
-      ("table", table, table, featureRoot, ddl))
+      ("index", "sqlite_autoindex_gpkg_ogr_contents_1", "gpkg_ogr_contents", ogrContentsPkIdx, null)) ++
+      rtreeRows :+
+      (("table", table, table, featureRoot, ddl))
     val masterCells = masterRows.zipWithIndex.map { case ((typ, name, tbl, root, sql), i) =>
       (i + 1L, makeCell(i + 1L, encodeRecord(Seq[Any](typ, name, tbl, root.toLong, sql)), fb))
     }

@@ -110,6 +110,35 @@ class GeoPackageIOSpec extends AnyFunSuite {
     assert(srs.contains((-1L, "NONE")) && srs.contains((0L, "NONE")))
   }
 
+  test("write emits the R*-tree: bbox reads prune on our own files") {
+    val out = tmpGpkg()
+    val df = (0 until 3000).map { i =>
+      (i.toLong, (i % 60) * 10.0, (i / 60) * 10.0)
+    }.toDF("k", "x", "y")
+      .withColumn("geom", expr("st_asbinary(st_point(x, y))"))
+      .drop("x", "y")
+    GeoPackageIO.write(graft.api.GeoDataFrame(df, "geom"), out, "pts")
+    assert(GeoPackageIO.hasRtree(spark, out, "pts"))
+    // pruned read == exact filter, and candidates came from the rtree
+    val box = (95.0, 95.0, 255.0, 255.0)
+    val got = GeoPackageIO.read(spark, out, "pts", bbox = Some(box))
+      .select($"k").as[Long].collect().sorted
+    val want = (0 until 3000).filter { i =>
+      val x = (i % 60) * 10.0; val y = (i / 60) * 10.0
+      x >= 95 && x <= 255 && y >= 95 && y <= 255
+    }.map(_.toLong)
+    assert(got.toSeq == want && want.nonEmpty)
+    // multi-level tree: 3000 entries at 40 cells/node needs 2+ levels —
+    // the parent shadow table must be populated
+    val parents = GeoPackageIO.read(spark, out, "rtree_pts_geom_parent")
+    assert(parents.count() >= 75) // >= number of leaf nodes
+    // and the cx hook re-plans through it via readGeoPackage
+    val g = graft.api.GeoDataFrame.readGeoPackage(spark, out, "pts")
+    val viaCx = g.cx(box._1, box._2, box._3, box._4).df
+      .select($"k").as[Long].collect().sorted
+    assert(viaCx.toSeq == want)
+  }
+
   test("write: oversized records spill to overflow chains and read back intact") {
     val out = tmpGpkg()
     // strings far beyond usable-35 at pageSize 512 force multi-page chains

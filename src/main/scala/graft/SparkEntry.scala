@@ -1692,16 +1692,16 @@ object SparkEntry {
     // pruning, and V2BboxPushdown all sit on this path. Closed forms: the
     // filtered count is derivable from the synthetic coordinates.
     "g120_filegdb_sql" -> ((s, d) => {
+      graft.sql.functions.install(s)
       val loc = "/tmp/graft_g120_" + d.replaceAll("[^A-Za-z0-9]", "_") + ".gdb"
-      val marker = new java.io.File(loc, "a00000001.gdbtable")
-      if (!marker.exists()) {
-        graft.io.FileGdbIO.write(
-          supplierPts(s, d)
-            .withColumn("geometry", st_point(col("x0"), col("y0")))
-            .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
-              col("geometry")),
-          loc, layerName = "sup")
-      }
+      // rewritten every run like the sibling gdb queries (g109/g117) — a
+      // write-once marker would pin stale or partially written data
+      graft.io.FileGdbIO.write(
+        supplierPts(s, d)
+          .withColumn("geometry", st_point(col("x0"), col("y0")))
+          .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+            col("geometry")),
+        loc, layerName = "sup")
       s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW g120_sup
         USING filegdb OPTIONS (path '$loc', layer 'sup')""")
       s.sql("""

@@ -589,7 +589,7 @@ object GeoPackageIO {
     * the float32 node box always contains the true envelope. Returns
     * (nodeRoot, rowidRoot, parentRoot) page numbers.
     */
-  private def buildRtree(entries: IndexedSeq[(Long, Array[Double])],
+  private def buildRtree(entries0: IndexedSeq[(Long, Array[Double])],
       fb: FileBuilder): (Int, Int, Int) = {
     val MaxCells = 40
     val NodeSize = 4 + MaxCells * 24
@@ -599,52 +599,63 @@ object GeoPackageIO {
     @inline def fUp(v: Double): Float = {
       val f = v.toFloat; if (f < v) Math.nextUp(f) else f
     }
-    // cells at each level: (id, box); level 0 ids are rowids, higher
-    // levels ids are child node numbers
-    final case class Node(var no: Long, cells: IndexedSeq[(Long, Array[Double])],
-        depth: Int) {
+    // hilbert-sort the entries by envelope midpoint so each packed leaf
+    // covers a tight region: rowid-order packing gives every leaf a box
+    // approximating the full layer on spatially shuffled data, making
+    // the index worse than a scan (the FlatGeobuf writer sorts the same
+    // way). The _rowid mapping below re-sorts by rowid for its b-tree.
+    val (lx, ly, hx, hy) = entries0.foldLeft(
+      (Double.MaxValue, Double.MaxValue, Double.MinValue, Double.MinValue)) {
+      case ((a, b, c, d), (_, e)) =>
+        (math.min(a, (e(0) + e(2)) / 2), math.min(b, (e(1) + e(3)) / 2),
+          math.max(c, (e(0) + e(2)) / 2), math.max(d, (e(1) + e(3)) / 2))
+    }
+    val sx = if (hx > lx) ((1L << 16) - 1) / (hx - lx) else 0.0
+    val sy = if (hy > ly) ((1L << 16) - 1) / (hy - ly) else 0.0
+    val entries = entries0.sortBy { case (_, e) =>
+      graft.geom.Sfc.hilbertXY2D(16,
+        (((e(0) + e(2)) / 2 - lx) * sx).toLong,
+        (((e(1) + e(3)) / 2 - ly) * sy).toLong)
+    }
+    // bottom-up packed build; children held ON the node (no structural-
+    // equality bookkeeping — a mutable case-class groupBy key would merge
+    // structurally equal parents)
+    final class Node(val cells: IndexedSeq[(Long, Array[Double])],
+        val children: IndexedSeq[Node], val depth: Int) {
+      var no: Long = 0L
       val box: Array[Double] = {
         val b = Array(Double.MaxValue, Double.MaxValue,
           Double.MinValue, Double.MinValue)
-        cells.foreach { case (_, e) =>
+        val boxes =
+          if (children.nonEmpty) children.map(_.box) else cells.map(_._2)
+        boxes.foreach { e =>
           b(0) = math.min(b(0), e(0)); b(1) = math.min(b(1), e(1))
           b(2) = math.max(b(2), e(2)); b(3) = math.max(b(3), e(3))
         }
         b
       }
     }
-    var level: IndexedSeq[Node] =
-      entries.grouped(MaxCells).map(g => Node(0, g, 0)).toIndexedSeq
-    val all = ArrayBuffer.empty[Node]
-    val parents = ArrayBuffer.empty[(Node, Node)] // (child, parent)
+    var level: IndexedSeq[Node] = entries.grouped(MaxCells)
+      .map(g => new Node(g, IndexedSeq.empty, 0)).toIndexedSeq
+    val lower = ArrayBuffer.empty[Node]
     var depth = 0
     while (level.length > 1) {
-      all ++= level
+      lower ++= level
       depth += 1
-      val up = level.grouped(MaxCells).map { g =>
-        val p = Node(0, g.map(n => (0L, n.box)), depth) // ids patched below
-        g.foreach(c => parents += ((c, p)))
-        p
-      }.toIndexedSeq
-      // remember which children feed each parent for id patching
-      level = up
+      level = level.grouped(MaxCells)
+        .map(g => new Node(IndexedSeq.empty, g, depth)).toIndexedSeq
     }
-    val root = level.headOption.getOrElse(Node(0, IndexedSeq.empty, 0))
-    // number: root = 1, everything else 2.. (leaf-first order is fine)
+    val root = level.headOption.getOrElse(
+      new Node(IndexedSeq.empty, IndexedSeq.empty, 0))
     root.no = 1
     var next = 2L
-    all.foreach { n => n.no = next; next += 1 }
-    // patch interior cell ids with the now-assigned child numbers
-    val byParent = parents.groupBy(_._2)
-    def cellsOf(n: Node): IndexedSeq[(Long, Array[Double])] =
-      if (n.depth == 0) n.cells
-      else byParent.getOrElse(n, ArrayBuffer.empty)
-        .map { case (c, _) => (c.no, c.box) }.toIndexedSeq
+    lower.foreach { n => n.no = next; next += 1 }
     def blobOf(n: Node, isRoot: Boolean): Array[Byte] = {
       val b = new Array[Byte](NodeSize)
       val bb = ByteBuffer.wrap(b)
       bb.putShort(0, if (isRoot) n.depth.toShort else 0)
-      val cs = cellsOf(n)
+      val cs: IndexedSeq[(Long, Array[Double])] =
+        if (n.children.nonEmpty) n.children.map(c => (c.no, c.box)) else n.cells
       bb.putShort(2, cs.length.toShort)
       cs.zipWithIndex.foreach { case ((id, e), i) =>
         val off = 4 + i * 24
@@ -654,23 +665,20 @@ object GeoPackageIO {
       }
       b
     }
-    val nodes = ((root, true) +: all.map(n => (n, false)))
-      .sortBy(_._1.no)
+    val nodes = ((root, true) +: lower.map(n => (n, false))).sortBy(_._1.no)
     val nodeRoot = buildTableBtree(nodes.iterator.map { case (n, isRoot) =>
       (n.no, encodeRecord(Seq[Any](null, blobOf(n, isRoot))))
     }, fb)
-    // rowid -> leaf node mapping (rowid order = entries order)
     val leafOf = new java.util.HashMap[Long, Long]()
-    ((root, root.depth == 0) +: all.map(n => (n, n.depth == 0))).foreach {
-      case (n, true) => n.cells.foreach { case (rid, _) => leafOf.put(rid, n.no) }
-      case _ => ()
+    (root +: lower).foreach { n =>
+      if (n.children.isEmpty) n.cells.foreach { case (rid, _) => leafOf.put(rid, n.no) }
     }
-    val rowidRoot = buildTableBtree(entries.iterator.map { case (rid, _) =>
-      (rid, encodeRecord(Seq[Any](null, leafOf.get(rid))))
-    }, fb)
-    val parentRoot = buildTableBtree(
-      parents.map { case (c, p) => (c.no, p.no) }.sortBy(_._1).iterator
-        .map { case (c, p) => (c, encodeRecord(Seq[Any](null, p))) }, fb)
+    val rowidRoot = buildTableBtree(
+      entries.map(_._1).sorted.iterator
+        .map(rid => (rid, encodeRecord(Seq[Any](null, leafOf.get(rid))))), fb)
+    val parentPairs = (root +: lower).flatMap(p => p.children.map(c => (c.no, p.no)))
+    val parentRoot = buildTableBtree(parentPairs.sortBy(_._1).iterator
+      .map { case (c, pn) => (c, encodeRecord(Seq[Any](null, pn))) }, fb)
     (nodeRoot, rowidRoot, parentRoot)
   }
 
@@ -892,7 +900,10 @@ object GeoPackageIO {
             bbox(0) = math.min(bbox(0), env(0)); bbox(1) = math.min(bbox(1), env(1))
             bbox(2) = math.max(bbox(2), env(2)); bbox(3) = math.max(bbox(3), env(3))
           }
-          rtreeEntries += ((rowid, env))
+          // empty geometries (e.g. a fillna GEOMETRYCOLLECTION EMPTY)
+          // have an inverted +Inf/-Inf envelope: the gpkg rtree triggers
+          // exclude them (NOT ST_IsEmpty) and SQLite requires min<=max
+          if (env(0) <= env(2) && env(1) <= env(3)) rtreeEntries += ((rowid, env))
         }
         featureCount += 1
         (rowid, rec)

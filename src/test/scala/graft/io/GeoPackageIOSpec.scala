@@ -139,6 +139,47 @@ class GeoPackageIOSpec extends AnyFunSuite {
     assert(viaCx.toSeq == want)
   }
 
+  test("write rtree: shuffled row order still packs tight leaves; empties excluded") {
+    val out = tmpGpkg()
+    // spatially coherent grid in RANDOMIZED row order — rowid-order
+    // packing would give every leaf the full layer box and the index
+    // would degenerate; hilbert packing must keep candidates local
+    val rnd = new scala.util.Random(99)
+    val shuffled = rnd.shuffle((0 until 3000).toVector)
+    val df = shuffled.zipWithIndex.map { case (i, k) =>
+      (k.toLong, (i % 60) * 10.0, (i / 60) * 10.0)
+    }.toDF("k", "x", "y")
+      .withColumn("geom", when($"k" === 7L,
+          expr("st_asbinary(st_geomfromwkt('GEOMETRYCOLLECTION EMPTY'))"))
+        .otherwise(expr("st_asbinary(st_point(x, y))")))
+      .drop("x", "y")
+    GeoPackageIO.write(graft.api.GeoDataFrame(df, "geom"), out, "pts")
+    // pruned read == exact residual on a small window
+    val box = (95.0, 95.0, 155.0, 155.0)
+    val got = GeoPackageIO.read(spark, out, "pts", bbox = Some(box)).count()
+    val want = shuffled.zipWithIndex.count { case (i, k) =>
+      k != 7 && {
+        val x = (i % 60) * 10.0; val y = (i / 60) * 10.0
+        x >= 95 && x <= 155 && y >= 95 && y <= 155
+      }
+    }
+    assert(got == want && want > 0)
+    // tightness: the rtree candidate set for the small window must be a
+    // small fraction of the table (degenerate packing returns ~all rows)
+    val src = GeoPackageIO.openSource(spark.sessionState.newHadoopConf(), out)
+    val nCand = try {
+      val master = GeoPackageIO.readMaster(src)
+      val node = master.find(_.name == "rtree_pts_geom_node").get
+      GeoPackageIO.rtreeCandidates(src, node.rootPage,
+        box._1, box._2, box._3, box._4).length
+    } finally src.close()
+    assert(nCand < 600, s"rtree candidates $nCand of 3000 — leaves not tight")
+    // the empty geometry is indexed nowhere but still reads back
+    val rowids = GeoPackageIO.read(spark, out, "rtree_pts_geom_rowid").count()
+    assert(rowids == 2999)
+    assert(GeoPackageIO.read(spark, out, "pts").count() == 3000)
+  }
+
   test("write: oversized records spill to overflow chains and read back intact") {
     val out = tmpGpkg()
     // strings far beyond usable-35 at pageSize 512 force multi-page chains

@@ -812,7 +812,8 @@ object GeoPackageIO {
     */
   def write(gdf: graft.api.GeoDataFrame, path: String, table: String,
       pageSize: Int = 4096,
-      lastChange: String = "2024-01-01T00:00:00.000Z"): Unit = {
+      lastChange: String = "2024-01-01T00:00:00.000Z",
+      spatialIndex: Boolean = true): Unit = {
     require(pageSize >= 512 && pageSize <= 32768 &&
       Integer.bitCount(pageSize) == 1, s"pageSize must be a power of 2 in [512, 32768]")
     require(table.nonEmpty && !table.startsWith("gpkg_") && !table.startsWith("sqlite_"),
@@ -975,7 +976,7 @@ object GeoPackageIO {
     // reads on re-read like any OGR-written gpkg
     val rt = s"rtree_${table}_$geomCol"
     val rtreeRows: Seq[(String, String, String, Int, String)] =
-      if (rtreeEntries.isEmpty) Nil
+      if (!spatialIndex || rtreeEntries.isEmpty) Nil
       else {
         val (nodeRoot, rowidRoot, parentRoot) = buildRtree(rtreeEntries.toIndexedSeq, fb)
         val extDdl = "CREATE TABLE gpkg_extensions (table_name TEXT, " +

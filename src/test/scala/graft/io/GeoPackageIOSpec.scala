@@ -180,6 +180,39 @@ class GeoPackageIOSpec extends AnyFunSuite {
     assert(GeoPackageIO.read(spark, out, "pts").count() == 3000)
   }
 
+  test("write rtree: packing boundaries (1 / 40 / 41 / 1601 entries)") {
+    for (n <- Seq(1, 40, 41, 1601)) {
+      val out = tmpGpkg()
+      val df = (0 until n).map(i => (i.toLong, (i % 40) * 10.0, (i / 40) * 10.0))
+        .toDF("k", "x", "y")
+        .withColumn("geom", expr("st_asbinary(st_point(x, y))"))
+        .drop("x", "y")
+      GeoPackageIO.write(graft.api.GeoDataFrame(df, "geom"), out, "pts")
+      assert(GeoPackageIO.hasRtree(spark, out, "pts"), s"n=$n")
+      // every rowid maps to a leaf; pruned full-extent read sees all rows
+      assert(GeoPackageIO.read(spark, out, "rtree_pts_geom_rowid").count() == n)
+      val got = GeoPackageIO.read(spark, out, "pts",
+        bbox = Some((-1.0, -1.0, 1e6, 1e6))).count()
+      assert(got == n, s"n=$n got $got")
+      // small-window exactness at each boundary
+      val small = GeoPackageIO.read(spark, out, "pts",
+        bbox = Some((0.0, 0.0, 95.0, 0.0))).count()
+      val want = (0 until n).count(i => i / 40 == 0 && (i % 40) * 10.0 <= 95.0)
+      assert(small == want, s"n=$n small $small want $want")
+    }
+    // spatialIndex = false writes no index and reads still work
+    val out2 = tmpGpkg()
+    val df2 = (0 until 50).map(i => (i.toLong, i * 1.0, i * 2.0))
+      .toDF("k", "x", "y")
+      .withColumn("geom", expr("st_asbinary(st_point(x, y))"))
+      .drop("x", "y")
+    GeoPackageIO.write(graft.api.GeoDataFrame(df2, "geom"), out2, "pts",
+      spatialIndex = false)
+    assert(!GeoPackageIO.hasRtree(spark, out2, "pts"))
+    assert(GeoPackageIO.read(spark, out2, "pts",
+      bbox = Some((0.0, 0.0, 10.0, 20.0))).count() == 11)
+  }
+
   test("write: oversized records spill to overflow chains and read back intact") {
     val out = tmpGpkg()
     // strings far beyond usable-35 at pageSize 512 force multi-page chains

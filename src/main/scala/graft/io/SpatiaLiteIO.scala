@@ -140,34 +140,47 @@ object SpatiaLiteIO {
   }
 
   private def readClass(bb: ByteBuffer, cls0: Int): Geometry = {
-    // +1000 Z, +2000 M, +3000 ZM; only XY bodies are decoded here
-    require(cls0 >= 1 && cls0 <= 7,
-      s"spatialite: unsupported geometry class $cls0 (XY classes 1-7 " +
-        "supported; Z/M variants are not)")
-    def pt() = Point(bb.getDouble(), bb.getDouble())
-    def line() = {
-      val n = bb.getInt()
+    // +1000 Z, +2000 M, +3000 ZM bands carry extra per-point doubles in
+    // the same body layout; z survives on points/linestrings (the
+    // engine's geometry model, like WKB ingest), polygon z and all m drop
+    val band = cls0 / 1000
+    val base = cls0 % 1000
+    require(base >= 1 && base <= 7 && band >= 0 && band <= 3,
+      s"spatialite: unsupported geometry class $cls0")
+    val hasZ = band == 1 || band == 3
+    val hasM = band == 2 || band == 3
+    def pt() = {
+      val x = bb.getDouble(); val y = bb.getDouble()
+      val z = if (hasZ) bb.getDouble() else Double.NaN
+      if (hasM) bb.getDouble()
+      if (hasZ) Point(x, y, z) else Point(x, y)
+    }
+    def coords(n: Int): (Array[Double], Array[Double]) = {
       val xy = new Array[Double](n * 2)
+      val zs = if (hasZ) new Array[Double](n) else null
       var i = 0
-      while (i < xy.length) { xy(i) = bb.getDouble(); i += 1 }
-      LineString(xy)
+      while (i < n) {
+        xy(2 * i) = bb.getDouble(); xy(2 * i + 1) = bb.getDouble()
+        if (hasZ) zs(i) = bb.getDouble()
+        if (hasM) bb.getDouble()
+        i += 1
+      }
+      (xy, zs)
+    }
+    def line() = {
+      val (xy, zs) = coords(bb.getInt())
+      LineString(xy, zs)
     }
     def poly() = {
       val nr = bb.getInt()
-      Polygon(Array.fill(nr) {
-        val n = bb.getInt()
-        val xy = new Array[Double](n * 2)
-        var i = 0
-        while (i < xy.length) { xy(i) = bb.getDouble(); i += 1 }
-        xy
-      })
+      Polygon(Array.fill(nr)(coords(bb.getInt())._1))
     }
     def members(n: Int): IndexedSeq[Geometry] = (0 until n).map { _ =>
       require((bb.get() & 0xff) == 0x69,
         "spatialite: missing 0x69 entity marker in multi-geometry")
       readClass(bb, bb.getInt())
     }
-    cls0 match {
+    base match {
       case 1 => pt()
       case 2 => line()
       case 3 => poly()

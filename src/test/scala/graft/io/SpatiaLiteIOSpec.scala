@@ -62,6 +62,11 @@ class SpatiaLiteIOSpec extends AnyFunSuite {
     assert(got("mpoly") ==
       "MULTIPOLYGON (((20 20, 26 20, 26 26, 20 26, 20 20)), ((40 0, 44 0, 44 4, 40 0)))")
     assert(got("gc") == "GEOMETRYCOLLECTION (POINT (7 8), LINESTRING (0 0, 1 1))")
+    // Z/M bands: z survives on points/lines, m drops (engine model)
+    assert(got("zpoint") == "POINT Z (1.5 2.5 30.25)")
+    assert(got("zline") == "LINESTRING Z (0 0 1, 3 4 2.5)")
+    assert(got("mpoint_m") == "POINT (5 6)")
+    assert(got("zmline") == "LINESTRING Z (0 10 7, 2 12 8)")
   }
 
   test("rtree-pruned bbox read matches the unpruned residual exactly") {
@@ -84,7 +89,7 @@ class SpatiaLiteIOSpec extends AnyFunSuite {
 
   test("read_file dispatches .sqlite with layer=") {
     val g = graft.api.GeoDataFrame.readFile(spark, fixture, layer = Some("shapes"))
-    assert(g.df.count() == 7)
+    assert(g.df.count() == 11) // 7 XY classes + zpoint/zline/mpoint_m/zmline
     assert(g.crs.contains("EPSG:4326"))
     // two feature tables -> the no-layer default must refuse with names
     val e = intercept[IllegalArgumentException](

@@ -103,6 +103,18 @@ shapes = [
         + entity(1, body_point(7, 8))
         + entity(2, body_line([(0, 0), (1, 1)])),
         (0, 0, 7, 8))),
+    # Z/M/ZM bands: +1000 Z, +2000 M, +3000 ZM — same layouts with extra
+    # per-point doubles; the reader keeps z on points/lines, drops m
+    (8, "zpoint", sl_blob(1001, struct.pack("<3d", 1.5, 2.5, 30.25),
+        (1.5, 2.5, 1.5, 2.5))),
+    (9, "zline", sl_blob(1002, struct.pack("<i", 2)
+        + struct.pack("<3d", 0, 0, 1) + struct.pack("<3d", 3, 4, 2.5),
+        (0, 0, 3, 4))),
+    (10, "mpoint_m", sl_blob(2001, struct.pack("<3d", 5, 6, 99.0),
+        (5, 6, 5, 6))),
+    (11, "zmline", sl_blob(3002, struct.pack("<i", 2)
+        + struct.pack("<4d", 0, 10, 7, 1) + struct.pack("<4d", 2, 12, 8, 2),
+        (0, 10, 2, 12))),
 ]
 cur.execute("CREATE TABLE shapes (pk INTEGER PRIMARY KEY, kind TEXT, geom BLOB)")
 for pk, kind, blob in shapes:

@@ -83,6 +83,12 @@ class CrossFormatSpec extends AnyFunSuite {
     FlatGeobufIO.writeDir(gdf, fgbDir)
     assert(canon(FlatGeobufIO.read(spark, fgbDir)) == want, "fgb dir drift")
 
+    // FileGDB (r14): coordinates quantize at 1e-9 — exact at round(.,9)
+    val gdb = tmp("xfmt_gdb") + ".gdb"
+    FileGdbIO.write(gdf.df, gdb, crs = Some("EPSG:4326"))
+    assert(canon(FileGdbIO.read(spark, gdb).df) == want, "filegdb drift")
+    assert(FileGdbIO.read(spark, gdb).crs.contains("EPSG:4326"))
+
     // CRS survives every geo-metadata-bearing format
     assert(GeoParquetIO.read(spark, pq).crs.contains("EPSG:4326"))
     assert(GeoFeatherIO.read(spark, fw).crs.contains("EPSG:4326"))

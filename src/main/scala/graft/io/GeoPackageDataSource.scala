@@ -70,15 +70,25 @@ object GeoPackageDataSource {
     else {
       val v =
         try {
-          if (dialect == "spatialite")
-            SpatiaLiteIO.geometryColumns(SparkSession.active, path)
-              .get(table).map(_._1)
-          else {
+          // case-insensitive table match (exact preferred): SQLite
+          // identifiers are case-insensitive and GDAL lowercases
+          // f_table_name
+          if (dialect == "spatialite") {
+            val meta = SpatiaLiteIO.geometryColumns(SparkSession.active, path)
+            meta.get(table)
+              .orElse(meta.collectFirst {
+                case (t, v) if t.equalsIgnoreCase(table) => v })
+              .map(_._1)
+          } else {
             val src = GeoPackageIO.openSource(
               SparkSession.active.sessionState.newHadoopConf(), path)
             try {
               val master = GeoPackageIO.readMaster(src)
-              GeoPackageIO.featureMetaFrom(src, master).get(table).map(_._1)
+              val meta = GeoPackageIO.featureMetaFrom(src, master)
+              meta.get(table)
+                .orElse(meta.collectFirst {
+                  case (t, v) if t.equalsIgnoreCase(table) => v })
+                .map(_._1)
             } finally src.close()
           }
         } catch { case _: Exception => None }
@@ -87,15 +97,20 @@ object GeoPackageDataSource {
     }
   }
 
-  private[io] def schemaFor(path: String, table: String): StructType = {
+  private[io] def schemaFor(path: String, table: String,
+      dialect: String = "gpkg"): StructType = {
     val spark = SparkSession.active
     val src = GeoPackageIO.openSource(spark.sessionState.newHadoopConf(), path)
     try {
       val master = GeoPackageIO.readMaster(src)
-      val m = master.find(_.name == table).getOrElse(
+      val m = master.find(_.name == table)
+        .orElse(master.find(_.name.equalsIgnoreCase(table))).getOrElse(
         throw new IllegalArgumentException(
           s"no table '$table' in $path (tables: ${master.map(_.name).mkString(", ")})"))
-      StructType(GeoPackageIO.parseColumns(m.sql).map(c =>
+      // geometry column forced to BinaryType — see GeoPackageIO.forceGeomBinary
+      val cols = GeoPackageIO.forceGeomBinary(
+        GeoPackageIO.parseColumns(m.sql), geomColForDialect(path, m.name, dialect))
+      StructType(cols.map(c =>
         org.apache.spark.sql.types.StructField(c.name, c.sparkType)))
     } finally src.close()
   }
@@ -172,8 +187,11 @@ private[graft] class GpkgScan(fullSchema: StructType, required: StructType,
   protected def rtreeNodeName(t: String, g: String): String =
     s"rtree_${t}_${g}_node"
   protected def geomColOf(src: GeoPackageIO.PageSource,
-      master: Seq[GeoPackageIO.Master]): Option[String] =
-    GeoPackageIO.featureMetaFrom(src, master).get(table).map(_._1)
+      master: Seq[GeoPackageIO.Master]): Option[String] = {
+    val meta = GeoPackageIO.featureMetaFrom(src, master)
+    meta.get(table).orElse(meta.collectFirst {
+      case (t, v) if t.equalsIgnoreCase(table) => v }).map(_._1)
+  }
   protected def mkScan(opts: java.util.Map[String, String]): Scan =
     new GpkgScan(fullSchema, required, opts)
 
@@ -202,14 +220,16 @@ private[graft] class GpkgScan(fullSchema: StructType, required: StructType,
     val src = GeoPackageIO.openSource(spark.sessionState.newHadoopConf(), path)
     try {
       val master = GeoPackageIO.readMaster(src)
-      val m = master.find(_.name == table).getOrElse(
+      val m = master.find(_.name == table)
+        .orElse(master.find(_.name.equalsIgnoreCase(table))).getOrElse(
         throw new IllegalArgumentException(
           s"no table '$table' in $path (tables: ${master.map(_.name).mkString(", ")})"))
       require(m.rootPage > 0, s"table '$table' is virtual — not readable")
       val geomCol = geomColOf(src, master)
       val candidates: Option[Array[Long]] = (bbox, geomCol) match {
         case (Some((qx0, qy0, qx1, qy1)), Some(g)) =>
-          master.find(mm => mm.name == rtreeNodeName(table, g) && mm.rootPage > 0)
+          master.find(mm =>
+              mm.name.equalsIgnoreCase(rtreeNodeName(m.name, g)) && mm.rootPage > 0)
             .map(node => GeoPackageIO.rtreeCandidates(src, node.rootPage,
               qx0, qy0, qx1, qy1).sorted)
         case _ => None
@@ -236,10 +256,12 @@ private[graft] class GpkgScan(fullSchema: StructType, required: StructType,
     val src = GeoPackageIO.openSource(spark.sessionState.newHadoopConf(), path)
     val (colArr, geomIdx) = try {
       val master = GeoPackageIO.readMaster(src)
-      val m = master.find(_.name == table).get
-      val cols = GeoPackageIO.parseColumns(m.sql).toArray
+      val m = master.find(_.name == table)
+        .orElse(master.find(_.name.equalsIgnoreCase(table))).get
       val geomCol = geomColOf(src, master)
-      (cols, geomCol.map(g => cols.indexWhere(_.name == g)).getOrElse(-1))
+      val cols =
+        GeoPackageIO.forceGeomBinary(GeoPackageIO.parseColumns(m.sql), geomCol).toArray
+      (cols, geomCol.map(g => cols.indexWhere(_.name.equalsIgnoreCase(g))).getOrElse(-1))
     } finally src.close()
     // reorder by NAME into the FILE's column order (rows come back in
     // DDL order; a user-supplied external schema may be shorter or

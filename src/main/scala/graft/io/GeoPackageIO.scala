@@ -332,6 +332,19 @@ object GeoPackageIO {
 
   private[io] final case class Col(name: String, sparkType: DataType, rowidAlias: Boolean)
 
+  /** The resolved geometry column always materializes WKB bytes, whatever
+    * SQL type name the DDL declared for it (SpatiaLite's AddGeometryColumn
+    * writes POINT/LINESTRING/GEOMETRY, which parse as TEXT affinity) —
+    * force BinaryType in the derived schema. Name match is
+    * case-insensitive like every SQLite identifier lookup.
+    */
+  private[io] def forceGeomBinary(cols: Seq[Col], geomCol: Option[String]): Seq[Col] =
+    geomCol match {
+      case Some(g) => cols.map(c =>
+        if (c.name.equalsIgnoreCase(g)) c.copy(sparkType = BinaryType) else c)
+      case None => cols
+    }
+
   /** Fixture-grade DDL parse: top-level comma split of the column list;
     * first token = name (optionally quoted), rest = type + constraints.
     * Table-level constraints (PRIMARY KEY(...), UNIQUE(...), CHECK...,
@@ -471,7 +484,7 @@ object GeoPackageIO {
   // sequential work with O(page) memory. At 100 TB you shard across FILES
   // (one write call per shard), which is also how GDAL datasets scale.
 
-  private def varintEncode(v: Long): Array[Byte] = {
+  private[io] def varintEncode(v: Long): Array[Byte] = {
     if ((v >>> 56) != 0) {
       // 9-byte form: bytes 0-7 carry bits 63..8 (7 bits each, MSB set),
       // byte 8 carries the low 8 bits
@@ -546,7 +559,7 @@ object GeoPackageIO {
   /** Driver-side page store: pages are appended (1-based numbering) and
     * serialized in order at the end.
     */
-  private final class FileBuilder(val pageSize: Int) {
+  private[io] final class FileBuilder(val pageSize: Int) {
     val pages = ArrayBuffer.empty[Array[Byte]]
     def alloc(): Int = { pages += new Array[Byte](pageSize); pages.length }
     def usable: Int = pageSize
@@ -555,7 +568,7 @@ object GeoPackageIO {
   /** One b-tree page image. `base` is 100 on page 1, else 0. Page types:
     * 0x0d leaf table, 0x05 interior table, 0x0a leaf index.
     */
-  private def writeBtreePage(pg: Array[Byte], base: Int, pageType: Int,
+  private[io] def writeBtreePage(pg: Array[Byte], base: Int, pageType: Int,
       cells: Seq[Array[Byte]], rightmost: Int, usable: Int): Unit = {
     val leaf = pageType != 0x05
     pg(base) = pageType.toByte
@@ -589,7 +602,7 @@ object GeoPackageIO {
     * the float32 node box always contains the true envelope. Returns
     * (nodeRoot, rowidRoot, parentRoot) page numbers.
     */
-  private def buildRtree(entries0: IndexedSeq[(Long, Array[Double])],
+  private[io] def buildRtree(entries0: IndexedSeq[(Long, Array[Double])],
       fb: FileBuilder): (Int, Int, Int) = {
     val MaxCells = 40
     val NodeSize = 4 + MaxCells * 24
@@ -682,7 +695,7 @@ object GeoPackageIO {
     (nodeRoot, rowidRoot, parentRoot)
   }
 
-  private def buildSingleLeafIndex(keyRecords: Seq[Array[Byte]], fb: FileBuilder): Int = {
+  private[io] def buildSingleLeafIndex(keyRecords: Seq[Array[Byte]], fb: FileBuilder): Int = {
     val cells = keyRecords.map(r => varintEncode(r.length.toLong) ++ r)
     require(8 + 2 * cells.size + cells.map(_.length).sum <= fb.usable,
       "gpkg write: index rows overflow one page (unexpected for spec tables)")
@@ -694,7 +707,7 @@ object GeoPackageIO {
   /** Leaf-table cell for (rowid, record); spills to overflow pages per the
     * K/M/X rule (mirrors cellPayload on the read side).
     */
-  private def makeCell(rowid: Long, p: Array[Byte], fb: FileBuilder): Array[Byte] = {
+  private[io] def makeCell(rowid: Long, p: Array[Byte], fb: FileBuilder): Array[Byte] = {
     val u = fb.usable
     val x = u - 35
     val hdr = varintEncode(p.length.toLong) ++ varintEncode(rowid)
@@ -721,7 +734,7 @@ object GeoPackageIO {
   }
 
   /** Build a table b-tree from rowid-ordered records; returns root page. */
-  private def buildTableBtree(records: Iterator[(Long, Array[Byte])],
+  private[io] def buildTableBtree(records: Iterator[(Long, Array[Byte])],
       fb: FileBuilder): Int = {
     val u = fb.usable
     var level = ArrayBuffer.empty[(Int, Long)] // (pageNo, max rowid)
@@ -781,7 +794,8 @@ object GeoPackageIO {
     level.head._1
   }
 
-  private def fileHeader(pageSize: Int, nPages: Int): Array[Byte] = {
+  private def fileHeader(pageSize: Int, nPages: Int,
+      userVersion: Int, applicationId: Int): Array[Byte] = {
     val h = new Array[Byte](100)
     System.arraycopy("SQLite format 3".getBytes("US-ASCII"), 0, h, 0, 15)
     h(16) = (pageSize >> 8).toByte; h(17) = pageSize.toByte
@@ -792,8 +806,8 @@ object GeoPackageIO {
     ByteBuffer.wrap(h, 40, 4).putInt(1) // schema cookie
     ByteBuffer.wrap(h, 44, 4).putInt(4) // schema format (serial types 8/9 ok)
     ByteBuffer.wrap(h, 56, 4).putInt(1) // text encoding: UTF-8
-    ByteBuffer.wrap(h, 60, 4).putInt(10300) // user_version: GPKG 1.3
-    ByteBuffer.wrap(h, 68, 4).putInt(0x47504B47) // application_id "GPKG"
+    ByteBuffer.wrap(h, 60, 4).putInt(userVersion) // GPKG 1.3 = 10300
+    ByteBuffer.wrap(h, 68, 4).putInt(applicationId) // "GPKG" = 0x47504B47
     ByteBuffer.wrap(h, 92, 4).putInt(1) // version-valid-for
     ByteBuffer.wrap(h, 96, 4).putInt(3045000)
     h
@@ -813,11 +827,168 @@ object GeoPackageIO {
   def write(gdf: graft.api.GeoDataFrame, path: String, table: String,
       pageSize: Int = 4096,
       lastChange: String = "2024-01-01T00:00:00.000Z",
+      spatialIndex: Boolean = true): Unit =
+    writeLayers(Seq(table -> gdf), path, pageSize, lastChange, spatialIndex)
+
+  /** Multi-table write: one GeoPackage holding several feature tables
+    * (OGR multi-layer parity — the reference writes any number of layers
+    * into one gpkg via pyogrio), each with its own gpkg_contents /
+    * gpkg_geometry_columns / gpkg_ogr_contents rows and its own R*-tree.
+    * Same driver-side single-writer contract as `write` (single-file
+    * format with a global catalog — interchange egress; shard across
+    * .gpkg files to scale out).
+    */
+  def writeLayers(layers: Seq[(String, graft.api.GeoDataFrame)], path: String,
+      pageSize: Int = 4096,
+      lastChange: String = "2024-01-01T00:00:00.000Z",
       spatialIndex: Boolean = true): Unit = {
     require(pageSize >= 512 && pageSize <= 32768 &&
       Integer.bitCount(pageSize) == 1, s"pageSize must be a power of 2 in [512, 32768]")
-    require(table.nonEmpty && !table.startsWith("gpkg_") && !table.startsWith("sqlite_"),
-      s"invalid feature table name '$table'")
+    require(layers.nonEmpty, "gpkg write: at least one layer required")
+    require(layers.map(_._1).distinct.size == layers.size,
+      s"gpkg write: duplicate layer names (${layers.map(_._1).mkString(", ")})")
+    layers.foreach { case (t, _) =>
+      require(t.nonEmpty && !t.startsWith("gpkg_") && !t.startsWith("sqlite_"),
+        s"invalid feature table name '$t'")
+    }
+
+    val fb = new FileBuilder(pageSize)
+    fb.alloc() // page 1 reserved for the sqlite_master root
+    val enc = layers.map { case (t, g) =>
+      encodeLayer(g, t, fb, "gpkg", wkbToGpb, geomDdlType = "BLOB")
+    }
+
+    // spec tables (driver-built, tiny). srs_id is an INTEGER PRIMARY KEY →
+    // value NULL, rowid carries it; rows must feed in rowid order.
+    val srsDdl = "CREATE TABLE gpkg_spatial_ref_sys (srs_name TEXT NOT NULL, " +
+      "srs_id INTEGER NOT NULL PRIMARY KEY, organization TEXT NOT NULL, " +
+      "organization_coordsys_id INTEGER NOT NULL, definition TEXT NOT NULL, " +
+      "description TEXT)"
+    val wgs84Def = "GEOGCS[\"WGS 84\",DATUM[\"WGS_1984\"," +
+      "SPHEROID[\"WGS 84\",6378137,298.257223563]],PRIMEM[\"Greenwich\",0]," +
+      "UNIT[\"degree\",0.0174532925199433]]"
+    val srsRows: Seq[(Long, Seq[Any])] = {
+      val std = Seq(
+        (-1L, Seq[Any]("Undefined cartesian SRS", null, "NONE", -1L, "undefined", null)),
+        (0L, Seq[Any]("Undefined geographic SRS", null, "NONE", 0L, "undefined", null)),
+        (4326L, Seq[Any]("WGS 84 geodetic", null, "EPSG", 4326L, wgs84Def, null)))
+      val extra = enc.map(_.srsId).filter(id => id > 0 && id != 4326).distinct
+        .map(id => (id.toLong,
+          Seq[Any](s"EPSG:$id", null, "EPSG", id.toLong, "undefined", null)))
+      (std ++ extra).sortBy(_._1)
+    }
+    val srsRoot = buildTableBtree(
+      srsRows.iterator.map { case (id, vals) => (id, encodeRecord(vals)) }, fb)
+
+    val contentsDdl = "CREATE TABLE gpkg_contents (table_name TEXT NOT NULL PRIMARY KEY, " +
+      "data_type TEXT NOT NULL, identifier TEXT UNIQUE, description TEXT DEFAULT '', " +
+      "last_change DATETIME NOT NULL, min_x DOUBLE, min_y DOUBLE, max_x DOUBLE, " +
+      "max_y DOUBLE, srs_id INTEGER)"
+    val contentsRoot = buildTableBtree(enc.iterator.zipWithIndex.map { case (e, i) =>
+      val b = e.bbox
+      ((i + 1).toLong, encodeRecord(Seq[Any](
+        e.table, "features", e.table, "", lastChange,
+        if (b == null) null else b(0), if (b == null) null else b(1),
+        if (b == null) null else b(2), if (b == null) null else b(3),
+        e.srsId.toLong)))
+    }, fb)
+
+    // gpkg_contents declares a TEXT PRIMARY KEY + a UNIQUE column: SQLite
+    // requires their sqlite_autoindex_* b-trees to EXIST (a declared
+    // constraint with no index = corrupt schema to integrity_check).
+    // Index records are (key columns..., table rowid), fed in KEY order
+    // (BINARY collation = plain string order for these names).
+    val contentsIdxRecords = enc.zipWithIndex.sortBy(_._1.table)
+      .map { case (e, i) => encodeRecord(Seq[Any](e.table, (i + 1).toLong)) }
+    val contentsPkIdx = buildSingleLeafIndex(contentsIdxRecords, fb)
+    val contentsUqIdx = buildSingleLeafIndex(contentsIdxRecords, fb)
+
+    val geomColsDdl = "CREATE TABLE gpkg_geometry_columns (table_name TEXT NOT NULL, " +
+      "column_name TEXT NOT NULL, geometry_type_name TEXT NOT NULL, " +
+      "srs_id INTEGER NOT NULL, z TINYINT NOT NULL, m TINYINT NOT NULL)"
+    val geomColsRoot = buildTableBtree(enc.iterator.zipWithIndex.map { case (e, i) =>
+      ((i + 1).toLong, encodeRecord(Seq[Any](
+        e.table, e.geomCol, "GEOMETRY", e.srsId.toLong, 0L, 0L)))
+    }, fb)
+
+    // OGR's feature-count convention (gpkg_ogr_contents): lets any OGR
+    // reader — and this repo's DSv2 COUNT(*) pushdown — answer
+    // GetFeatureCount from metadata instead of a table scan
+    val ogrContentsDdl = "CREATE TABLE gpkg_ogr_contents (table_name TEXT NOT NULL " +
+      "PRIMARY KEY, feature_count INTEGER DEFAULT NULL)"
+    val ogrContentsRoot = buildTableBtree(enc.iterator.zipWithIndex.map { case (e, i) =>
+      ((i + 1).toLong, encodeRecord(Seq[Any](e.table, e.featureCount)))
+    }, fb)
+    val ogrContentsPkIdx = buildSingleLeafIndex(
+      enc.zipWithIndex.sortBy(_._1.table)
+        .map { case (e, i) => encodeRecord(Seq[Any](e.table, (i + 1).toLong)) }, fb)
+
+    // spatial index (the gpkg_rtree_index extension, exactly as OGR
+    // registers it): per-layer R*-tree shadow trio + virtual-table master
+    // entries + one gpkg_extensions row per indexed layer — written files
+    // prune bbox reads on re-read like any OGR-written gpkg
+    val extRows = ArrayBuffer.empty[Seq[Any]]
+    val rtreeMasterRows: Seq[(String, String, String, Int, String)] =
+      enc.flatMap { e =>
+        if (!spatialIndex || e.rtreeEntries.isEmpty) Nil
+        else {
+          val (nodeRoot, rowidRoot, parentRoot) = buildRtree(e.rtreeEntries, fb)
+          val rt = s"rtree_${e.table}_${e.geomCol}"
+          extRows += Seq[Any](e.table, e.geomCol, "gpkg_rtree_index",
+            "http://www.geopackage.org/spec120/#extension_rtree", "write-only")
+          Seq(
+            ("table", rt, rt, 0,
+              s"""CREATE VIRTUAL TABLE "$rt" USING rtree("id", "minx", "maxx", "miny", "maxy")"""),
+            ("table", s"${rt}_node", s"${rt}_node", nodeRoot,
+              s"""CREATE TABLE "${rt}_node"(nodeno INTEGER PRIMARY KEY,data)"""),
+            ("table", s"${rt}_rowid", s"${rt}_rowid", rowidRoot,
+              s"""CREATE TABLE "${rt}_rowid"(rowid INTEGER PRIMARY KEY,nodeno)"""),
+            ("table", s"${rt}_parent", s"${rt}_parent", parentRoot,
+              s"""CREATE TABLE "${rt}_parent"(nodeno INTEGER PRIMARY KEY,parentnode)"""))
+        }
+      }
+    val extMasterRows: Seq[(String, String, String, Int, String)] =
+      if (extRows.isEmpty) Nil
+      else {
+        val extDdl = "CREATE TABLE gpkg_extensions (table_name TEXT, " +
+          "column_name TEXT, extension_name TEXT NOT NULL, " +
+          "definition TEXT NOT NULL, scope TEXT NOT NULL)"
+        val extRoot = buildTableBtree(extRows.iterator.zipWithIndex.map {
+          case (vals, i) => ((i + 1).toLong, encodeRecord(vals))
+        }, fb)
+        Seq(("table", "gpkg_extensions", "gpkg_extensions", extRoot, extDdl))
+      }
+
+    // sqlite_master on page 1 (base 100): (type, name, tbl_name, rootpage, sql)
+    val masterRows = Seq(
+      ("table", "gpkg_spatial_ref_sys", "gpkg_spatial_ref_sys", srsRoot, srsDdl),
+      ("table", "gpkg_contents", "gpkg_contents", contentsRoot, contentsDdl),
+      ("index", "sqlite_autoindex_gpkg_contents_1", "gpkg_contents", contentsPkIdx, null),
+      ("index", "sqlite_autoindex_gpkg_contents_2", "gpkg_contents", contentsUqIdx, null),
+      ("table", "gpkg_geometry_columns", "gpkg_geometry_columns", geomColsRoot, geomColsDdl),
+      ("table", "gpkg_ogr_contents", "gpkg_ogr_contents", ogrContentsRoot, ogrContentsDdl),
+      ("index", "sqlite_autoindex_gpkg_ogr_contents_1", "gpkg_ogr_contents", ogrContentsPkIdx, null)) ++
+      rtreeMasterRows ++ extMasterRows ++
+      enc.map(e => ("table", e.table, e.table, e.featureRoot, e.ddl))
+    finishFile(fb, masterRows, path,
+      layers.head._2.df.sparkSession.sessionState.newHadoopConf(),
+      userVersion = 10300, applicationId = 0x47504B47)
+  }
+
+  /** One encoded feature table: schema derivation, task-side record +
+    * envelope encoding, the driver-side ordered b-tree assembly. The
+    * geometry blob framing (`geomEncode`) and the geometry column's DDL
+    * type name are the dialect's (GeoPackage: GP blob / BLOB; SpatiaLite:
+    * serialized geometry / the class name AddGeometryColumn declares).
+    */
+  private[io] final case class EncodedLayer(table: String, geomCol: String,
+      srsId: Int, ddl: String, featureRoot: Int, bbox: Array[Double],
+      featureCount: Long, rtreeEntries: IndexedSeq[(Long, Array[Double])])
+
+  private[io] def encodeLayer(gdf: graft.api.GeoDataFrame, table: String,
+      fb: FileBuilder, tag: String,
+      geomEncode: (Array[Byte], Int) => Array[Byte],
+      geomDdlType: String): EncodedLayer = {
     val df = gdf.df
     val geomCol = gdf.geometryColumn
     val srsId: Int = gdf.crs.flatMap { c =>
@@ -836,11 +1007,11 @@ object GeoPackageIO {
     }
     attrs.foreach { case (f, _) =>
       require(sqlType.isDefinedAt(f.dataType),
-        s"gpkg write: unsupported column type ${f.dataType} for '${f.name}'")
+        s"$tag write: unsupported column type ${f.dataType} for '${f.name}'")
     }
     val ddl = s"""CREATE TABLE "$table" (fid INTEGER PRIMARY KEY""" +
       attrs.map { case (f, _) => s""", "${f.name}" ${sqlType(f.dataType)}""" }.mkString +
-      s""", "$geomCol" BLOB)"""
+      s""", "$geomCol" $geomDdlType)"""
 
     // -------- task-side: encode records (+ per-row envelope for the
     // contents bbox); rowids from fid or from a running row index
@@ -848,6 +1019,7 @@ object GeoPackageIO {
     val geomI = geomIdx
     val fidI = fidIdx
     val srs = srsId
+    val tagS = tag
     val encoded: org.apache.spark.rdd.RDD[(Long, Array[Byte], Array[Double])] = {
       val base = df.rdd
       val withId =
@@ -868,7 +1040,7 @@ object GeoPackageIO {
             case s: String => s
             case b: Array[Byte] => b
             case other => throw new IllegalArgumentException(
-              s"gpkg write: unencodable value ${other.getClass.getName}")
+              s"$tagS write: unencodable value ${other.getClass.getName}")
           }
           c += 1
         }
@@ -879,14 +1051,12 @@ object GeoPackageIO {
             val e = graft.geom.Wkb.envelopeOf(wkb)
             Array(e.minX, e.minY, e.maxX, e.maxY)
           }
-        vals(attrIdx.length + 1) = if (wkb == null) null else wkbToGpb(wkb, srs)
+        vals(attrIdx.length + 1) = if (wkb == null) null else geomEncode(wkb, srs)
         (rowid, encodeRecord(vals.toIndexedSeq), env)
       }
     }
 
     // -------- driver-side: stream partitions in order, assemble pages
-    val fb = new FileBuilder(pageSize)
-    fb.alloc() // page 1 reserved for the sqlite_master root
     var bbox: Array[Double] = null
     var featureCount = 0L
     // (rowid, envelope) pairs feed the R*-tree build after the feature
@@ -909,106 +1079,17 @@ object GeoPackageIO {
         featureCount += 1
         (rowid, rec)
       }, fb)
+    EncodedLayer(table, geomCol, srsId, ddl, featureRoot, bbox,
+      featureCount, rtreeEntries.toIndexedSeq)
+  }
 
-    // spec tables (driver-built, tiny). srs_id is an INTEGER PRIMARY KEY →
-    // value NULL, rowid carries it; rows must feed in rowid order.
-    val srsDdl = "CREATE TABLE gpkg_spatial_ref_sys (srs_name TEXT NOT NULL, " +
-      "srs_id INTEGER NOT NULL PRIMARY KEY, organization TEXT NOT NULL, " +
-      "organization_coordsys_id INTEGER NOT NULL, definition TEXT NOT NULL, " +
-      "description TEXT)"
-    val wgs84Def = "GEOGCS[\"WGS 84\",DATUM[\"WGS_1984\"," +
-      "SPHEROID[\"WGS 84\",6378137,298.257223563]],PRIMEM[\"Greenwich\",0]," +
-      "UNIT[\"degree\",0.0174532925199433]]"
-    val srsRows: Seq[(Long, Seq[Any])] = {
-      val std = Seq(
-        (-1L, Seq[Any]("Undefined cartesian SRS", null, "NONE", -1L, "undefined", null)),
-        (0L, Seq[Any]("Undefined geographic SRS", null, "NONE", 0L, "undefined", null)),
-        (4326L, Seq[Any]("WGS 84 geodetic", null, "EPSG", 4326L, wgs84Def, null)))
-      val extra =
-        if (srsId > 0 && srsId != 4326)
-          Seq((srsId.toLong, Seq[Any](s"EPSG:$srsId", null, "EPSG", srsId.toLong,
-            "undefined", null)))
-        else Nil
-      (std ++ extra).sortBy(_._1)
-    }
-    val srsRoot = buildTableBtree(
-      srsRows.iterator.map { case (id, vals) => (id, encodeRecord(vals)) }, fb)
-
-    val contentsDdl = "CREATE TABLE gpkg_contents (table_name TEXT NOT NULL PRIMARY KEY, " +
-      "data_type TEXT NOT NULL, identifier TEXT UNIQUE, description TEXT DEFAULT '', " +
-      "last_change DATETIME NOT NULL, min_x DOUBLE, min_y DOUBLE, max_x DOUBLE, " +
-      "max_y DOUBLE, srs_id INTEGER)"
-    val contentsRoot = buildTableBtree(Iterator((1L, encodeRecord(Seq[Any](
-      table, "features", table, "", lastChange,
-      if (bbox == null) null else bbox(0), if (bbox == null) null else bbox(1),
-      if (bbox == null) null else bbox(2), if (bbox == null) null else bbox(3),
-      srsId.toLong)))), fb)
-
-    // gpkg_contents declares a TEXT PRIMARY KEY + a UNIQUE column: SQLite
-    // requires their sqlite_autoindex_* b-trees to EXIST (a declared
-    // constraint with no index = corrupt schema to integrity_check). One
-    // content row → one single-leaf index each; index records are
-    // (key columns..., table rowid).
-    val contentsPkIdx = buildSingleLeafIndex(
-      Seq(encodeRecord(Seq[Any](table, 1L))), fb)
-    val contentsUqIdx = buildSingleLeafIndex(
-      Seq(encodeRecord(Seq[Any](table, 1L))), fb)
-
-    val geomColsDdl = "CREATE TABLE gpkg_geometry_columns (table_name TEXT NOT NULL, " +
-      "column_name TEXT NOT NULL, geometry_type_name TEXT NOT NULL, " +
-      "srs_id INTEGER NOT NULL, z TINYINT NOT NULL, m TINYINT NOT NULL)"
-    val geomColsRoot = buildTableBtree(Iterator((1L, encodeRecord(Seq[Any](
-      table, geomCol, "GEOMETRY", srsId.toLong, 0L, 0L)))), fb)
-
-    // OGR's feature-count convention (gpkg_ogr_contents): lets any OGR
-    // reader — and this repo's DSv2 COUNT(*) pushdown — answer
-    // GetFeatureCount from metadata instead of a table scan
-    val ogrContentsDdl = "CREATE TABLE gpkg_ogr_contents (table_name TEXT NOT NULL " +
-      "PRIMARY KEY, feature_count INTEGER DEFAULT NULL)"
-    val ogrContentsRoot = buildTableBtree(Iterator((1L,
-      encodeRecord(Seq[Any](table, featureCount)))), fb)
-    val ogrContentsPkIdx = buildSingleLeafIndex(
-      Seq(encodeRecord(Seq[Any](table, 1L))), fb)
-
-    // spatial index (the gpkg_rtree_index extension, exactly as OGR
-    // registers it): R*-tree shadow trio + the virtual-table master entry
-    // + the gpkg_extensions declaration — written files now prune bbox
-    // reads on re-read like any OGR-written gpkg
-    val rt = s"rtree_${table}_$geomCol"
-    val rtreeRows: Seq[(String, String, String, Int, String)] =
-      if (!spatialIndex || rtreeEntries.isEmpty) Nil
-      else {
-        val (nodeRoot, rowidRoot, parentRoot) = buildRtree(rtreeEntries.toIndexedSeq, fb)
-        val extDdl = "CREATE TABLE gpkg_extensions (table_name TEXT, " +
-          "column_name TEXT, extension_name TEXT NOT NULL, " +
-          "definition TEXT NOT NULL, scope TEXT NOT NULL)"
-        val extRoot = buildTableBtree(Iterator((1L, encodeRecord(Seq[Any](
-          table, geomCol, "gpkg_rtree_index",
-          "http://www.geopackage.org/spec120/#extension_rtree",
-          "write-only")))), fb)
-        Seq(
-          ("table", rt, rt, 0,
-            s"""CREATE VIRTUAL TABLE "$rt" USING rtree("id", "minx", "maxx", "miny", "maxy")"""),
-          ("table", s"${rt}_node", s"${rt}_node", nodeRoot,
-            s"""CREATE TABLE "${rt}_node"(nodeno INTEGER PRIMARY KEY,data)"""),
-          ("table", s"${rt}_rowid", s"${rt}_rowid", rowidRoot,
-            s"""CREATE TABLE "${rt}_rowid"(rowid INTEGER PRIMARY KEY,nodeno)"""),
-          ("table", s"${rt}_parent", s"${rt}_parent", parentRoot,
-            s"""CREATE TABLE "${rt}_parent"(nodeno INTEGER PRIMARY KEY,parentnode)"""),
-          ("table", "gpkg_extensions", "gpkg_extensions", extRoot, extDdl))
-      }
-
-    // sqlite_master on page 1 (base 100): (type, name, tbl_name, rootpage, sql)
-    val masterRows = Seq(
-      ("table", "gpkg_spatial_ref_sys", "gpkg_spatial_ref_sys", srsRoot, srsDdl),
-      ("table", "gpkg_contents", "gpkg_contents", contentsRoot, contentsDdl),
-      ("index", "sqlite_autoindex_gpkg_contents_1", "gpkg_contents", contentsPkIdx, null),
-      ("index", "sqlite_autoindex_gpkg_contents_2", "gpkg_contents", contentsUqIdx, null),
-      ("table", "gpkg_geometry_columns", "gpkg_geometry_columns", geomColsRoot, geomColsDdl),
-      ("table", "gpkg_ogr_contents", "gpkg_ogr_contents", ogrContentsRoot, ogrContentsDdl),
-      ("index", "sqlite_autoindex_gpkg_ogr_contents_1", "gpkg_ogr_contents", ogrContentsPkIdx, null)) ++
-      rtreeRows :+
-      (("table", table, table, featureRoot, ddl))
+  /** Assemble sqlite_master onto page 1 (spilling to leaf pages under
+    * small page sizes), stamp the 100-byte header, and write all pages.
+    */
+  private[io] def finishFile(fb: FileBuilder,
+      masterRows: Seq[(String, String, String, Int, String)],
+      path: String, conf: org.apache.hadoop.conf.Configuration,
+      userVersion: Int, applicationId: Int): Unit = {
     val masterCells = masterRows.zipWithIndex.map { case ((typ, name, tbl, root, sql), i) =>
       (i + 1L, makeCell(i + 1L, encodeRecord(Seq[Any](typ, name, tbl, root.toLong, sql)), fb))
     }
@@ -1017,9 +1098,9 @@ object GeoPackageIO {
       // common case: all master cells fit the page-1 leaf directly
       writeBtreePage(fb.pages(0), 100, 0x0d, masterCells.map(_._2), 0, fb.usable)
     } else {
-      // small page size: spill master cells to leaf pages, with the
-      // (page 1) root as an interior node — its cells are 13 bytes each
-      // over a handful of leaves, so it always fits beside the header
+      // many layers or small page size: spill master cells to leaf pages,
+      // with the (page 1) root as an interior node — its cells are 13
+      // bytes each over a handful of leaves, so it fits beside the header
       val leaves = ArrayBuffer.empty[(Int, Long)]
       var cur = ArrayBuffer.empty[Array[Byte]]
       var curBytes = 0
@@ -1043,13 +1124,15 @@ object GeoPackageIO {
         c
       }
       require(100 + 12 + 2 * rootCells.size + rootCells.map(_.length).sum <= fb.usable,
-        "gpkg write: sqlite_master interior root overflows page 1; raise pageSize")
+        "sqlite write: sqlite_master interior root overflows page 1; raise pageSize")
       writeBtreePage(fb.pages(0), 100, 0x05, rootCells.toSeq, leaves.last._1, fb.usable)
     }
-    System.arraycopy(fileHeader(pageSize, fb.pages.length), 0, fb.pages(0), 0, 100)
+    System.arraycopy(
+      fileHeader(fb.pageSize, fb.pages.length, userVersion, applicationId),
+      0, fb.pages(0), 0, 100)
 
     val p = new Path(path)
-    val fs = p.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
+    val fs = p.getFileSystem(conf)
     val out = fs.create(p, true)
     try fb.pages.foreach(out.write) finally out.close()
   }
@@ -1135,17 +1218,25 @@ object GeoPackageIO {
     val src = openSource(conf, path)
     val (cols, roots, geomCol, candidates, tableRoot) = try {
       val master = readMaster(src)
-      val m = master.find(_.name == table).getOrElse(
+      // SQLite identifiers are case-insensitive (exact match preferred):
+      // GDAL lowercases f_table_name, so a differently-cased table= option
+      // must still resolve
+      val m = master.find(_.name == table)
+        .orElse(master.find(_.name.equalsIgnoreCase(table))).getOrElse(
         throw new IllegalArgumentException(
           s"no table '$table' in $path (tables: ${master.map(_.name).mkString(", ")})"))
       require(m.rootPage > 0, s"table '$table' is virtual (rootpage 0, e.g. an " +
         "rtree spatial-index shadow table) — only ordinary tables are readable")
-      val cols = parseColumns(m.sql)
-      // reuse the already-decoded master — no second sqlite_master walk
+      // force the resolved geometry column to BinaryType: SpatiaLite DDL
+      // (AddGeometryColumn) declares it with a SQL type name
+      // (POINT/LINESTRING/GEOMETRY) that parseColumns maps to StringType,
+      // while materializeRow always emits WKB bytes there
       val geomCol = geomColFor(src, master)
+      val cols = forceGeomBinary(parseColumns(m.sql), geomCol)
       val cands: Option[Array[Long]] = (bbox, geomCol) match {
         case (Some((qx0, qy0, qx1, qy1)), Some(g)) =>
-          master.find(mm => mm.name == rtreeNodeName(table, g) && mm.rootPage > 0)
+          master.find(mm =>
+              mm.name.equalsIgnoreCase(rtreeNodeName(m.name, g)) && mm.rootPage > 0)
             .map(node => rtreeCandidates(src, node.rootPage, qx0, qy0, qx1, qy1).sorted)
         case _ => None
       }
@@ -1156,7 +1247,7 @@ object GeoPackageIO {
     val sconf = new GeoParquetIO.SerializableConf(conf)
     val pathStr = path
     val colArr = cols.toArray
-    val geomIdx = geomCol.map(g => cols.indexWhere(_.name == g)).getOrElse(-1)
+    val geomIdx = geomCol.map(g => cols.indexWhere(_.name.equalsIgnoreCase(g))).getOrElse(-1)
     val tname = table
     val residual: Row => Boolean = bbox match {
       case Some((qx0, qy0, qx1, qy1)) if geomIdx >= 0 => { r =>
@@ -1214,9 +1305,14 @@ object GeoPackageIO {
     val src = openSource(spark.sessionState.newHadoopConf(), path)
     try {
       val master = readMaster(src)
-      featureMetaFrom(src, master).get(table).exists { case (g, _) =>
-        master.exists(m => m.name == s"rtree_${table}_${g}_node" && m.rootPage > 0)
-      }
+      val meta = featureMetaFrom(src, master)
+      meta.keys.find(_ == table)
+        .orElse(meta.keys.find(_.equalsIgnoreCase(table)))
+        .exists { t =>
+          val g = meta(t)._1
+          master.exists(m =>
+            m.name.equalsIgnoreCase(s"rtree_${t}_${g}_node") && m.rootPage > 0)
+        }
     } finally src.close()
   }
 }

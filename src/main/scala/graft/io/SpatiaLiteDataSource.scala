@@ -33,7 +33,7 @@ class SpatiaLiteDataSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     GeoPackageDataSource.schemaFor(
       V2Options.pathOf(options, "spatialite"),
-      SpatiaLiteDataSource.tableOf(options))
+      SpatiaLiteDataSource.tableOf(options), dialect = "spatialite")
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table =
@@ -86,8 +86,11 @@ private[graft] class SlScan(fullSchema: StructType, required: StructType,
   override protected def geomColOf(src: GeoPackageIO.PageSource,
       master: Seq[GeoPackageIO.Master]): Option[String] = {
     // strict: a feature read of a table missing from geometry_columns
-    // must fail loudly, not surface raw un-decoded blobs
-    val g = SpatiaLiteIO.geometryColumnsFrom(src, master).get(table)
+    // must fail loudly, not surface raw un-decoded blobs. Lookup is
+    // case-insensitive (exact preferred) like every SQLite identifier.
+    val meta = SpatiaLiteIO.geometryColumnsFrom(src, master)
+    val g = meta.get(table).orElse(meta.collectFirst {
+      case (t, v) if t.equalsIgnoreCase(table) => v })
     require(g.isDefined,
       s"spatialite: table '$table' not in geometry_columns of $path")
     g.map(_._1)

@@ -7,7 +7,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import java.nio.{ByteBuffer, ByteOrder}
 
-/** SpatiaLite read — the other SQLite geometry dialect the reference's
+/** SpatiaLite read/write — the other SQLite geometry dialect the reference's
   * `read_file` opens through pyogrio (OGR SQLite driver,
   * `dask_geopandas/io/file.py:49-149`). The SQLite kernel (pages,
   * b-trees, overflow chains, record serial types, R*-tree shadow nodes)
@@ -33,12 +33,14 @@ import java.nio.{ByteBuffer, ByteOrder}
   *
   * Scale shape: identical to [[GeoPackageIO]] — driver touches header +
   * sqlite_master + root page (+ the R-tree walk when pruning); each root
-  * subtree or candidate chunk is one task. Read-only: SpatiaLite egress
-  * is out of scope (GeoPackage/GeoParquet are the write targets).
+  * subtree or candidate chunk is one task. Writes share the gpkg page /
+  * b-tree / R*-tree builders with only the dialect swapped (same
+  * single-writer interchange-egress contract).
   */
 object SpatiaLiteIO {
-  import GeoPackageIO.{Master, PageSource, decodeRecord, openSource,
-    readFeatureTable, readMaster, walk}
+  import GeoPackageIO.{FileBuilder, Master, PageSource, buildRtree,
+    buildTableBtree, decodeRecord, encodeLayer, encodeRecord, finishFile,
+    openSource, readFeatureTable, readMaster, walk}
 
   /** table -> (geometry column, resolved CRS) from `geometry_columns` +
     * `spatial_ref_sys` (EPSG rows only; custom authorities yield None).
@@ -95,11 +97,16 @@ object SpatiaLiteIO {
     // real spatialite file carries ~6000 spatial_ref_sys rows — do not
     // re-walk them inside readFeatureTable)
     val meta = geometryColumns(spark, path)
-    val (gcol, crs) = meta.getOrElse(table,
-      throw new IllegalArgumentException(
+    // case-insensitive table resolution (exact preferred): SQLite
+    // identifiers are case-insensitive and GDAL lowercases f_table_name,
+    // so a differently-cased table= must still find its layer
+    val resolved = meta.keys.find(_ == table)
+      .orElse(meta.keys.find(_.equalsIgnoreCase(table)))
+      .getOrElse(throw new IllegalArgumentException(
         s"spatialite: table '$table' not in geometry_columns of $path " +
           s"(have: ${meta.keys.mkString(", ")})"))
-    val df = readFeatureTable(spark, path, table, bbox,
+    val (gcol, crs) = meta(resolved)
+    val df = readFeatureTable(spark, path, resolved, bbox,
       geomColFor = (_, _) => Some(gcol),
       rtreeNodeName = (t, g) => s"idx_${t}_${g}_node",
       geomDecode = slToWkb)
@@ -116,13 +123,184 @@ object SpatiaLiteIO {
     val src = openSource(spark.sessionState.newHadoopConf(), path)
     try {
       val master = readMaster(src)
-      geometryColumnsFrom(src, master).get(table).exists { case (g, _) =>
-        master.exists(m => m.name == s"idx_${table}_${g}_node" && m.rootPage > 0)
-      }
+      val meta = geometryColumnsFrom(src, master)
+      meta.keys.find(_ == table)
+        .orElse(meta.keys.find(_.equalsIgnoreCase(table)))
+        .exists { t =>
+          val g = meta(t)._1
+          master.exists(m =>
+            m.name.equalsIgnoreCase(s"idx_${t}_${g}_node") && m.rootPage > 0)
+        }
     } finally src.close()
   }
 
+  // ------------------------------------------------------------- write
+
+  /** Write `gdf` as a complete single-file SpatiaLite database containing
+    * `table` (the write half of the 18th format — the reference writes any
+    * OGR format via pyogrio, `io/file.py:49-149`). Same layout contract as
+    * [[GeoPackageIO.write]]: `fid INTEGER PRIMARY KEY` (a LongType `fid`
+    * column supplies rowids, strictly increasing) + attributes in
+    * DataFrame order + the geometry last — declared `GEOMETRY` in the DDL
+    * exactly as AddGeometryColumn would, carried as SpatiaLite serialized
+    * blobs. With `spatialIndex` the `idx_<t>_<g>` R*-tree trio is emitted
+    * and `spatial_index_enabled` set, so written files prune bbox reads.
+    */
+  def write(gdf: GeoDataFrame, path: String, table: String,
+      pageSize: Int = 4096, spatialIndex: Boolean = true): Unit =
+    writeLayers(Seq(table -> gdf), path, pageSize, spatialIndex)
+
+  /** Multi-table SpatiaLite write — several feature tables in one file,
+    * each with its own `geometry_columns` row and R*-tree. Driver-side
+    * single-writer (single-file format with a global catalog — interchange
+    * egress; shard across .sqlite files to scale out).
+    */
+  def writeLayers(layers: Seq[(String, GeoDataFrame)], path: String,
+      pageSize: Int = 4096, spatialIndex: Boolean = true): Unit = {
+    require(pageSize >= 512 && pageSize <= 32768 &&
+      Integer.bitCount(pageSize) == 1, "pageSize must be a power of 2 in [512, 32768]")
+    require(layers.nonEmpty, "spatialite write: at least one layer required")
+    require(layers.map(_._1).distinct.size == layers.size,
+      s"spatialite write: duplicate layer names (${layers.map(_._1).mkString(", ")})")
+    layers.foreach { case (t, _) =>
+      require(t.nonEmpty && !t.startsWith("sqlite_") && !t.startsWith("idx_") &&
+        !t.equalsIgnoreCase("geometry_columns") && !t.equalsIgnoreCase("spatial_ref_sys"),
+        s"invalid feature table name '$t'")
+    }
+    val fb = new FileBuilder(pageSize)
+    fb.alloc() // page 1 reserved for the sqlite_master root
+    val enc = layers.map { case (t, g) =>
+      encodeLayer(g, t, fb, "spatialite", wkbToSl, geomDdlType = "GEOMETRY")
+    }
+    val indexed = enc.map(e => spatialIndex && e.rtreeEntries.nonEmpty)
+
+    // dialect catalog: spatial_ref_sys (v4 layout; the reader consumes
+    // auth_name/auth_srid, srid rides the rowid) + geometry_columns
+    val srsDdl = "CREATE TABLE spatial_ref_sys (srid INTEGER NOT NULL PRIMARY KEY, " +
+      "auth_name TEXT NOT NULL, auth_srid INTEGER NOT NULL, " +
+      "ref_sys_name TEXT NOT NULL DEFAULT 'Unknown', proj4text TEXT NOT NULL, " +
+      "srtext TEXT NOT NULL DEFAULT 'Undefined')"
+    val srids = (4326 +: enc.map(_.srsId).filter(_ > 0)).distinct.sorted
+    val srsRoot = buildTableBtree(srids.iterator.map(id =>
+      (id.toLong, encodeRecord(Seq[Any](
+        null, "EPSG", id.toLong, s"EPSG:$id", "", "Undefined")))), fb)
+
+    val gcDdl = "CREATE TABLE geometry_columns (f_table_name TEXT NOT NULL, " +
+      "f_geometry_column TEXT NOT NULL, geometry_type INTEGER NOT NULL, " +
+      "coord_dimension INTEGER NOT NULL, srid INTEGER NOT NULL, " +
+      "spatial_index_enabled INTEGER NOT NULL)"
+    val gcRoot = buildTableBtree(enc.iterator.zipWithIndex.map { case (e, i) =>
+      ((i + 1).toLong, encodeRecord(Seq[Any](e.table, e.geomCol, 0L, 2L,
+        e.srsId.toLong, if (indexed(i)) 1L else 0L)))
+    }, fb)
+
+    // per-layer R*-tree: the idx_<t>_<g> virtual table + _node/_rowid/
+    // _parent shadow b-trees (identical rtree module layout to the gpkg
+    // trio — buildRtree is shared verbatim)
+    val rtreeMasterRows: Seq[(String, String, String, Int, String)] =
+      enc.zipWithIndex.flatMap { case (e, i) =>
+        if (!indexed(i)) Nil
+        else {
+          val (nodeRoot, rowidRoot, parentRoot) = buildRtree(e.rtreeEntries, fb)
+          val rt = s"idx_${e.table}_${e.geomCol}"
+          Seq(
+            ("table", rt, rt, 0,
+              s"""CREATE VIRTUAL TABLE "$rt" USING rtree(pkid, xmin, xmax, ymin, ymax)"""),
+            ("table", s"${rt}_node", s"${rt}_node", nodeRoot,
+              s"""CREATE TABLE "${rt}_node"(nodeno INTEGER PRIMARY KEY,data)"""),
+            ("table", s"${rt}_rowid", s"${rt}_rowid", rowidRoot,
+              s"""CREATE TABLE "${rt}_rowid"(rowid INTEGER PRIMARY KEY,nodeno)"""),
+            ("table", s"${rt}_parent", s"${rt}_parent", parentRoot,
+              s"""CREATE TABLE "${rt}_parent"(nodeno INTEGER PRIMARY KEY,parentnode)"""))
+        }
+      }
+    val masterRows = Seq(
+      ("table", "spatial_ref_sys", "spatial_ref_sys", srsRoot, srsDdl),
+      ("table", "geometry_columns", "geometry_columns", gcRoot, gcDdl)) ++
+      rtreeMasterRows ++
+      enc.map(e => ("table", e.table, e.table, e.featureRoot, e.ddl))
+    finishFile(fb, masterRows, path,
+      layers.head._2.df.sparkSession.sessionState.newHadoopConf(),
+      userVersion = 0, applicationId = 0)
+  }
+
   // ---------------------------------------------------- blob -> WKB codec
+
+  /** WKB -> SpatiaLite serialized geometry blob — the write half of
+    * [[slToWkb]]. Z survives on points/linestrings (+1000 class band,
+    * mirroring the read side); M is never written (the engine's geometry
+    * model drops it on ingest). Serializable (referenced from the
+    * task-side encode closure in [[writeLayers]]).
+    */
+  private[io] def wkbToSl(wkb: Array[Byte], srid: Int): Array[Byte] = {
+    val g = Wkb.read(wkb)
+    val bodyBuf = new java.io.ByteArrayOutputStream(wkb.length + 16)
+    val scratch = new Array[Byte](8)
+    def putInt(v: Int): Unit = {
+      ByteBuffer.wrap(scratch).order(ByteOrder.LITTLE_ENDIAN).putInt(v)
+      bodyBuf.write(scratch, 0, 4)
+    }
+    def putDouble(v: Double): Unit = {
+      ByteBuffer.wrap(scratch).order(ByteOrder.LITTLE_ENDIAN).putDouble(v)
+      bodyBuf.write(scratch, 0, 8)
+    }
+    def clsOf(g: Geometry): Int = g match {
+      case p: Point => if (!p.z.isNaN) 1001 else 1
+      case l: LineString => if (l.zs != null) 1002 else 2
+      case _: Polygon => 3
+      case _: MultiPoint => 4
+      case _: MultiLineString => 5
+      case _: MultiPolygon => 6
+      case _: GeometryCollection => 7
+    }
+    def members(gs: Array[Geometry]): Unit = {
+      putInt(gs.length)
+      gs.foreach { m => bodyBuf.write(0x69); putInt(clsOf(m)); body(m) }
+    }
+    def body(g: Geometry): Unit = g match {
+      case p: Point =>
+        putDouble(p.x); putDouble(p.y); if (!p.z.isNaN) putDouble(p.z)
+      case l: LineString =>
+        val n = l.xy.length / 2
+        putInt(n)
+        var i = 0
+        while (i < n) {
+          putDouble(l.xy(2 * i)); putDouble(l.xy(2 * i + 1))
+          if (l.zs != null) putDouble(l.zs(i))
+          i += 1
+        }
+      case pg: Polygon =>
+        putInt(pg.rings.length)
+        pg.rings.foreach { r =>
+          putInt(r.length / 2)
+          var i = 0
+          while (i < r.length) { putDouble(r(i)); i += 1 }
+        }
+      case m: MultiPoint => members(m.pts.toArray[Geometry])
+      case m: MultiLineString => members(m.lines.toArray[Geometry])
+      case m: MultiPolygon => members(m.polys.toArray[Geometry])
+      case c: GeometryCollection => members(c.geoms)
+    }
+    putInt(clsOf(g)); body(g)
+    val bodyBytes = bodyBuf.toByteArray
+    val env = Wkb.envelopeOf(wkb)
+    // an empty geometry has an inverted +Inf/-Inf envelope; SpatiaLite
+    // has no empty flag, so its MBR is written as zeros (the read side
+    // re-derives envelopes from the decoded WKB, never this header)
+    val (mnx, mny, mxx, mxy) =
+      if (env.minX <= env.maxX && env.minY <= env.maxY)
+        (env.minX, env.minY, env.maxX, env.maxY)
+      else (0.0, 0.0, 0.0, 0.0)
+    val out = new Array[Byte](39 + bodyBytes.length + 1)
+    out(0) = 0x00; out(1) = 0x01 // start byte + little-endian flag
+    val hb = ByteBuffer.wrap(out, 2, 36).order(ByteOrder.LITTLE_ENDIAN)
+    hb.putInt(srid)
+    hb.putDouble(mnx).putDouble(mny).putDouble(mxx).putDouble(mxy)
+    out(38) = 0x7c
+    System.arraycopy(bodyBytes, 0, out, 39, bodyBytes.length)
+    out(out.length - 1) = 0xfe.toByte
+    out
+  }
 
   /** SpatiaLite serialized geometry -> WKB (null for the NULL shape). */
   private[io] def slToWkb(blob: Array[Byte]): Array[Byte] = {

@@ -132,4 +132,150 @@ class SpatiaLiteIOSpec extends AnyFunSuite {
       SpatiaLiteIO.read(spark, fixture, "nope"))
     assert(e.getMessage.contains("supplier_pts") || e.getMessage.contains("tables:"))
   }
+
+  // ------------------------------------------------------------- write
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory("sl_write_").resolve(name).toString
+
+  private def srcPoints(n: Int) = {
+    val df = spark.range(n.toLong).toDF("fid")
+      .withColumn("name", concat(lit("s_"), $"fid"))
+      .withColumn("bal", $"fid".cast("double") * 1.25 - 10.0)
+      .withColumn("note",
+        when($"fid" % 5 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("n_"), $"fid" % 3)))
+      .withColumn("fid", $"fid" + 1)
+      .withColumn("geometry",
+        st_point(($"fid" * 3.0) - 40.0, ($"fid" % 10).cast("double") * 7.0))
+    graft.api.GeoDataFrame(df, "geometry").setCrs("EPSG:4326")
+  }
+
+  test("write/read roundtrip: attrs, nulls, crs, rtree emitted") {
+    val loc = tmp("rt.sqlite")
+    SpatiaLiteIO.write(srcPoints(300), loc, "pts")
+    assert(SpatiaLiteIO.hasRtree(spark, loc, "pts"))
+    val meta = SpatiaLiteIO.geometryColumns(spark, loc)
+    assert(meta == Map("pts" -> (("geometry", Some("EPSG:4326")))))
+    val g = SpatiaLiteIO.read(spark, loc, "pts")
+    assert(g.crs.contains("EPSG:4326"))
+    val rows = g.df.select($"fid", $"name", $"bal", $"note",
+        st_x($"geometry").as("x"), st_y($"geometry").as("y"))
+      .collect().sortBy(_.getLong(0))
+    assert(rows.length == 300)
+    rows.foreach { r =>
+      val fid = r.getLong(0)
+      assert(r.getString(1) == s"s_${fid - 1}")
+      assert(r.getDouble(2) == (fid - 1) * 1.25 - 10.0)
+      if ((fid - 1) % 5 == 0) assert(r.get(3) == null)
+      else assert(r.getString(3) == s"n_${(fid - 1) % 3}")
+      assert(r.getDouble(4) == fid * 3.0 - 40.0)
+      assert(r.getDouble(5) == (fid % 10) * 7.0)
+    }
+  }
+
+  test("written file: bbox read prunes through the emitted idx_ rtree") {
+    val loc = tmp("bbox.sqlite")
+    SpatiaLiteIO.write(srcPoints(300), loc, "pts")
+    val box = (0.0, 0.0, 200.0, 35.0)
+    val pruned = SpatiaLiteIO.read(spark, loc, "pts", bbox = Some(box))
+      .df.select($"fid").as[Long].collect().sorted
+    val want = (1 to 300).filter { fid =>
+      val x = fid * 3.0 - 40.0; val y = (fid % 10) * 7.0
+      x >= 0 && x <= 200 && y >= 0 && y <= 35
+    }.map(_.toLong)
+    assert(pruned.toSeq == want && want.nonEmpty && want.size < 300)
+  }
+
+  test("spatialIndex=false: no idx_, bbox read still exact (full scan)") {
+    val loc = tmp("noidx.sqlite")
+    SpatiaLiteIO.write(srcPoints(100), loc, "pts", spatialIndex = false)
+    assert(!SpatiaLiteIO.hasRtree(spark, loc, "pts"))
+    // geometry_columns records spatial_index_enabled = 0 — decodeRecord
+    // check through the metadata walk is implicit in hasRtree above
+    val box = (0.0, 0.0, 100.0, 35.0)
+    val got = SpatiaLiteIO.read(spark, loc, "pts", bbox = Some(box))
+      .df.select($"fid").as[Long].collect().sorted
+    val want = (1 to 100).filter { fid =>
+      val x = fid * 3.0 - 40.0; val y = (fid % 10) * 7.0
+      x >= 0 && x <= 100 && y >= 0 && y <= 35
+    }.map(_.toLong)
+    assert(got.toSeq == want)
+  }
+
+  test("writeLayers: multi-table file, per-layer rtree, readFile layer=") {
+    val loc = tmp("multi.sqlite")
+    SpatiaLiteIO.writeLayers(
+      Seq("alpha" -> srcPoints(120), "beta" -> srcPoints(40)), loc)
+    val meta = SpatiaLiteIO.geometryColumns(spark, loc)
+    assert(meta.keySet == Set("alpha", "beta"))
+    assert(SpatiaLiteIO.hasRtree(spark, loc, "alpha"))
+    assert(SpatiaLiteIO.hasRtree(spark, loc, "beta"))
+    val a = graft.api.GeoDataFrame.readFile(spark, loc, layer = Some("alpha"))
+    val b = graft.api.GeoDataFrame.readFile(spark, loc, layer = Some("beta"))
+    assert(a.df.count() == 120 && b.df.count() == 40)
+    assert(a.crs.contains("EPSG:4326"))
+    // no-layer default must refuse with both names
+    val e = intercept[IllegalArgumentException](
+      graft.api.GeoDataFrame.readFile(spark, loc))
+    assert(e.getMessage.contains("alpha") && e.getMessage.contains("beta"))
+  }
+
+  test("write geometry families roundtrip incl. Z bands") {
+    val wkts = Seq(
+      "POINT (3.5 -2.25)",
+      "POINT Z (1.5 2.5 30.25)",
+      "LINESTRING (0 0, 3 4, 6 4)",
+      "LINESTRING Z (0 0 1, 3 4 2.5)",
+      "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))",
+      "MULTIPOINT ((1 1), (2 3))",
+      "MULTILINESTRING ((0 10, 2 12), (5 15, 9 19, 9 10))",
+      "MULTIPOLYGON (((20 20, 26 20, 26 26, 20 26, 20 20)), ((40 0, 44 0, 44 4, 40 0)))",
+      "GEOMETRYCOLLECTION (POINT (7 8), LINESTRING (0 0, 1 1))")
+    val loc = tmp("fam.sqlite")
+    val df = wkts.zipWithIndex.map { case (w, i) => (i + 1L, w) }
+      .toDF("fid", "wkt")
+      .withColumn("geometry", expr("st_geomfromwkt(wkt)"))
+    SpatiaLiteIO.write(graft.api.GeoDataFrame(df, "geometry"), loc, "fam")
+    val got = SpatiaLiteIO.read(spark, loc, "fam").df
+      .select($"wkt", st_asText($"geometry").as("back"))
+      .as[(String, String)].collect().toMap
+    wkts.foreach(w => assert(got(w) == w, s"roundtrip mismatch for $w"))
+  }
+
+  test("DSv2 format(spatialite) reads a written file (GEOMETRY DDL -> binary)") {
+    val loc = tmp("dsv2.sqlite")
+    SpatiaLiteIO.write(srcPoints(80), loc, "pts")
+    // the DDL declares the geometry column as GEOMETRY (TEXT affinity) —
+    // schemaFor must force BinaryType or row encoding crashes
+    val df = spark.read.format("spatialite").option("table", "pts").load(loc)
+    assert(df.schema("geometry").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    val n = df.selectExpr("st_x(geometry) as x").where($"x" > 0).count()
+    val want = (1 to 80).count(fid => fid * 3.0 - 40.0 > 0)
+    assert(n == want)
+  }
+
+  test("table resolution is case-insensitive like SQLite identifiers") {
+    val loc = tmp("case.sqlite")
+    SpatiaLiteIO.write(srcPoints(25), loc, "MixedCase")
+    assert(SpatiaLiteIO.read(spark, loc, "mixedcase").df.count() == 25)
+    assert(SpatiaLiteIO.read(spark, loc, "MIXEDCASE").df.count() == 25)
+    assert(SpatiaLiteIO.hasRtree(spark, loc, "mixedcase"))
+    val df = spark.read.format("spatialite")
+      .option("table", "mixedcase").load(loc)
+    assert(df.count() == 25)
+  }
+
+  test("compressed-geometry class fails loudly with a named error") {
+    // class 1000002 = compressed linestring: unsupported, must name the
+    // class instead of mis-decoding
+    val blob = new Array[Byte](60)
+    blob(0) = 0x00; blob(1) = 0x01; blob(38) = 0x7c
+    blob(59) = 0xfe.toByte
+    java.nio.ByteBuffer.wrap(blob, 39, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(1000002)
+    val e = intercept[IllegalArgumentException](SpatiaLiteIO.slToWkb(blob))
+    assert(e.getMessage.contains("1000002"))
+  }
 }

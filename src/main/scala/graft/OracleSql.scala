@@ -2149,6 +2149,14 @@ object OracleSql {
              round(sum(s_acctbal), 2) AS sum_bal
       FROM supplier""",
 
+    // spatialite write roundtrip: both read paths surface the same
+    // synthetic supplier coordinates (x2 = x by construction)
+    "g122_spatialite_write" -> """
+      SELECT s_suppkey::BIGINT AS s_suppkey, s_name, s_acctbal AS bal,
+             s_acctbal AS x, (s_suppkey % 100)::DOUBLE * 10.0 AS y,
+             s_acctbal AS x2
+      FROM supplier ORDER BY s_suppkey""",
+
     // spatialite DSv2 window: same closed forms as g118's pruned leg
     "g121_spatialite_sql" -> """
       SELECT (i + 1)::BIGINT AS pk, i::BIGINT AS s_suppkey,

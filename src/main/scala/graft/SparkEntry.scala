@@ -55,6 +55,25 @@ object SparkEntry {
       dir.toAbsolutePath.toString
     })
 
+  /** Per-JVM scratch root for queries that write-then-read an interchange
+    * file. Run-unique (`Files.createTempDirectory`) so no concurrent or
+    * interrupted sibling process on the machine can interleave a partial
+    * write with this JVM's read — a fixed shared /tmp path was the one
+    * mechanism that could corrupt a scratch roundtrip (r14 g120
+    * adjudication). Recursively deleted by a shutdown hook.
+    */
+  private[graft] lazy val scratchBase: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_scratch_")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def del(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(del)
+        f.delete(); ()
+      }
+      del(dir.toFile)
+    }))
+    dir.toAbsolutePath.toString
+  }
+
   private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     graft.sql.functions.install(spark)
     val df = spark.read.parquet(s"$dir/$name.parquet")
@@ -139,7 +158,7 @@ object SparkEntry {
     if (q14Done.get(s) != d || !s.catalog.tableExists("graft_q14_orders") ||
         !s.catalog.tableExists("graft_q14_lineitem")) {
       val tag = d.replaceAll("[^A-Za-z0-9]", "_")
-      val loc = s"/tmp/graft_q14_$tag"
+      val loc = s"$scratchBase/graft_q14_$tag"
       s.sql("DROP TABLE IF EXISTS graft_q14_orders")
       s.sql("DROP TABLE IF EXISTS graft_q14_lineitem")
       val p = new org.apache.hadoop.fs.Path(loc)
@@ -171,7 +190,7 @@ object SparkEntry {
       new java.util.WeakHashMap[SparkSession, String]())
   private def ensureG47Gpkg(s: SparkSession, d: String): String = g47Done.synchronized {
     val tag = d.replaceAll("[^A-Za-z0-9]", "_")
-    val loc = s"/tmp/graft_g47_$tag.gpkg"
+    val loc = s"$scratchBase/graft_g47_$tag.gpkg"
     val p = new org.apache.hadoop.fs.Path(loc)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (g47Done.get(s) != d || !fs.exists(p)) {
@@ -195,7 +214,7 @@ object SparkEntry {
       new java.util.WeakHashMap[SparkSession, String]())
   private def ensureG49Fgb(s: SparkSession, d: String): String = g49Done.synchronized {
     val tag = d.replaceAll("[^A-Za-z0-9]", "_")
-    val loc = s"/tmp/graft_g49_$tag.fgb"
+    val loc = s"$scratchBase/graft_g49_$tag.fgb"
     val p = new org.apache.hadoop.fs.Path(loc)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (g49Done.get(s) != d || !fs.exists(p)) {
@@ -216,7 +235,7 @@ object SparkEntry {
 
   private def ensureG43Shapefile(s: SparkSession, d: String): String = g43Done.synchronized {
     val tag = d.replaceAll("[^A-Za-z0-9]", "_")
-    val loc = s"/tmp/graft_g43_$tag"
+    val loc = s"$scratchBase/graft_g43_$tag"
     val p = new org.apache.hadoop.fs.Path(loc)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (g43Done.get(s) != d || !fs.exists(p)) {
@@ -982,7 +1001,7 @@ object SparkEntry {
           .withColumn("pcell", (col("cy") / lit(250.0)).cast("int"))
           .repartition(col("pcell")),
         "geometry", None, Some(("cx", "cy"))).setCrs("EPSG:4326")
-      val path = "/tmp/graft_g23_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val path = scratchBase + "/graft_g23_" + d.replaceAll("[^A-Za-z0-9]", "_")
       graft.io.GeoParquetIO.write(pts, path, partitionBy = Seq("pcell"))
       graft.io.GeoParquetIO.readPruned(s, path, 1000, 200, 5000, 800)
         .df.select(col("c_custkey"), col("cx"), col("cy"))
@@ -1002,7 +1021,7 @@ object SparkEntry {
           .select(col("c_custkey"), col("cx"), col("cy"), col("geometry"))
           .repartitionByRange(8, col("cy")),
         "geometry").setCrs("EPSG:4326")
-      val path = "/tmp/graft_g69_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val path = scratchBase + "/graft_g69_" + d.replaceAll("[^A-Za-z0-9]", "_")
       graft.io.GeoParquetIO.write(pts, path, geometryEncoding = "geoarrow")
       graft.io.GeoParquetIO.read(s, path).cx(1000, 200, 5000, 800)
         .df.select(col("c_custkey"),
@@ -1017,7 +1036,7 @@ object SparkEntry {
           .select(col("c_custkey"), col("cx"), col("cy"), col("geometry"))
           .repartitionByRange(8, col("cy")),
         "geometry").setCrs("EPSG:4326")
-      val path = "/tmp/graft_g41_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val path = scratchBase + "/graft_g41_" + d.replaceAll("[^A-Za-z0-9]", "_")
       graft.io.GeoParquetIO.write(pts, path, covering = true)
       graft.io.GeoParquetIO.read(s, path).cx(1000, 200, 5000, 800)
         .df.select(col("c_custkey"), col("cx"), col("cy"))
@@ -1623,7 +1642,7 @@ object SparkEntry {
     "g112_zip_readfile" -> ((s, d) => {
       val shpDir = ensureG43Shapefile(s, d)
       val tag = d.replaceAll("[^A-Za-z0-9]", "_")
-      val zip = new java.io.File(s"/tmp/graft_g112_$tag.zip")
+      val zip = new java.io.File(s"$scratchBase/graft_g112_$tag.zip")
       val zout = new java.util.zip.ZipOutputStream(
         new java.io.FileOutputStream(zip))
       try {
@@ -1693,7 +1712,7 @@ object SparkEntry {
     // filtered count is derivable from the synthetic coordinates.
     "g120_filegdb_sql" -> ((s, d) => {
       graft.sql.functions.install(s)
-      val loc = "/tmp/graft_g120_" + d.replaceAll("[^A-Za-z0-9]", "_") + ".gdb"
+      val loc = scratchBase + "/graft_g120_" + d.replaceAll("[^A-Za-z0-9]", "_") + ".gdb"
       // rewritten every run like the sibling gdb queries (g109/g117) — a
       // write-once marker would pin stale or partially written data
       graft.io.FileGdbIO.write(
@@ -1728,6 +1747,36 @@ object SparkEntry {
         .select(col("pk"), col("s_suppkey"),
           st_x(col("geom")).as("x"), st_y(col("geom")).as("y"))
         .orderBy(col("pk"))
+    }),
+
+    // SpatiaLite WRITE + read roundtrip (the to_file half of the 18th
+    // format; the reference writes any OGR format via pyogrio,
+    // io/file.py:49-149): supplier points written to a run-unique
+    // scratch .sqlite with the idx_ R*-tree, then read back through BOTH
+    // the RDD path and format("spatialite") — the join forces the two
+    // decode paths to agree row-by-row.
+    "g122_spatialite_write" -> ((s, d) => {
+      graft.sql.functions.install(s)
+      val loc = scratchBase + "/graft_g122_" +
+        d.replaceAll("[^A-Za-z0-9]", "_") + ".sqlite"
+      val src = supplierPts(s, d)
+        .withColumn("fid", col("s_suppkey").cast("long"))
+        .withColumn("geometry", st_point(col("x0"), col("y0")))
+        .select(col("fid"), col("s_name"), col("s_acctbal").as("bal"),
+          col("geometry"))
+        .orderBy(col("fid"))
+      graft.io.SpatiaLiteIO.write(
+        graft.api.GeoDataFrame(src, "geometry").setCrs("EPSG:4326"), loc, "sup")
+      val rddPath = graft.io.SpatiaLiteIO.read(s, loc, "sup").df
+        .select(col("fid").as("s_suppkey"), col("s_name"), col("bal"),
+          st_x(col("geometry")).as("x"), st_y(col("geometry")).as("y"))
+      s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW g122_sup
+        USING spatialite OPTIONS (path '$loc', table 'sup')""")
+      val v2 = s.sql("SELECT fid, st_x(geometry) AS x2 FROM g122_sup")
+      rddPath.join(v2, rddPath("s_suppkey") === v2("fid"))
+        .select(col("s_suppkey"), col("s_name"), col("bal"),
+          col("x"), col("y"), col("x2"))
+        .orderBy(col("s_suppkey"))
     }),
 
     // GeoSeries missing-values surface (isna/notna/fillna — the reference
@@ -1784,7 +1833,7 @@ object SparkEntry {
     // the attributes (KML's schemaless model — typed extraction is an
     // element_at + cast), StAX file-parallel read, altitude-free CRS84
     "g51_kml" -> ((s, d) => {
-      val loc = "/tmp/graft_g51_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val loc = scratchBase + "/graft_g51_" + d.replaceAll("[^A-Za-z0-9]", "_")
       val pts = graft.api.GeoDataFrame(
         supplierPts(s, d)
           .withColumn("geometry", st_point(col("x0"), col("y0")))
@@ -1812,7 +1861,7 @@ object SparkEntry {
     // the holed-region area and ring-role reconstruction check against
     // the same closed forms as the text path.
     "g109_mapinfo_tab" -> ((s, d) => {
-      val loc = "/tmp/graft_g109_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val loc = scratchBase + "/graft_g109_" + d.replaceAll("[^A-Za-z0-9]", "_")
       val src = graft.api.GeoDataFrame(
         supplierPts(s, d)
           .withColumn("xi", round(col("x0"), 0))
@@ -1839,7 +1888,7 @@ object SparkEntry {
     // Booleans travel as int32 (FGDB has no bool type) and come back as
     // a 0/1 int; geometry quantizes at 1e-9 — invisible at round(.,6).
     "g117_filegdb" -> ((s, d) => {
-      val loc = "/tmp/graft_g117_" + d.replaceAll("[^A-Za-z0-9]", "_") + ".gdb"
+      val loc = scratchBase + "/graft_g117_" + d.replaceAll("[^A-Za-z0-9]", "_") + ".gdb"
       val src = supplierPts(s, d)
         .withColumn("h", (col("s_suppkey") % 5 + 1).cast("double"))
         .withColumn("geometry", st_difference(
@@ -1861,7 +1910,7 @@ object SparkEntry {
     }),
 
     "g67_mapinfo" -> ((s, d) => {
-      val loc = "/tmp/graft_g67_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val loc = scratchBase + "/graft_g67_" + d.replaceAll("[^A-Za-z0-9]", "_")
       val src = graft.api.GeoDataFrame(
         supplierPts(s, d)
           .withColumn("h", (col("s_suppkey") % 5 + 1).cast("double"))
@@ -1882,7 +1931,7 @@ object SparkEntry {
     }),
 
     "g64_gpx" -> ((s, d) => {
-      val loc = "/tmp/graft_g64_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val loc = scratchBase + "/graft_g64_" + d.replaceAll("[^A-Za-z0-9]", "_")
       val pts = graft.api.GeoDataFrame(
         supplierPts(s, d)
           // keep coordinates in lat/lon range: GPX is WGS84 by spec
@@ -1908,7 +1957,7 @@ object SparkEntry {
     // written task-side, file-parallel reads through the read_file
     // dispatcher, typed property extraction from the schemaless JSON
     "g52_geojson_fc" -> ((s, d) => {
-      val loc = "/tmp/graft_g52_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val loc = scratchBase + "/graft_g52_" + d.replaceAll("[^A-Za-z0-9]", "_")
       val pts = graft.api.GeoDataFrame(
         supplierPts(s, d)
           .withColumn("geometry", st_point(col("x0"), col("y0")))
@@ -2004,7 +2053,7 @@ object SparkEntry {
     // reads, schemaless props map like KML (GML application schemas are
     // arbitrary), GML 3.2 posList geometry encoding
     "g56_gml" -> ((s, d) => {
-      val loc = "/tmp/graft_g56_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val loc = scratchBase + "/graft_g56_" + d.replaceAll("[^A-Za-z0-9]", "_")
       val pts = graft.api.GeoDataFrame(
         supplierPts(s, d)
           .withColumn("geometry", st_point(col("x0"), col("y0")))
@@ -2028,7 +2077,7 @@ object SparkEntry {
     // the writer stores and the reader swaps back — write+read is an exact
     // double identity (shortest Double.toString / parseDouble)
     "g111_gml_appschema" -> ((s, d) => {
-      val loc = "/tmp/graft_g111_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val loc = scratchBase + "/graft_g111_" + d.replaceAll("[^A-Za-z0-9]", "_")
       val pts = graft.api.GeoDataFrame(
         supplierPts(s, d)
           .withColumn("lon", col("x0") / 100.0 - 40.0)
@@ -3039,7 +3088,7 @@ object SparkEntry {
       val pts = GeoDataFrame(
         customerPts(s, d).select(col("c_custkey"), col("cx"), col("cy"), col("geometry")),
         "geometry").setCrs("EPSG:4326")
-      val path = "/tmp/graft_g36_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val path = scratchBase + "/graft_g36_" + d.replaceAll("[^A-Za-z0-9]", "_")
       graft.io.GeoFeatherIO.write(pts, path)
       graft.io.GeoFeatherIO.read(s, path)
         .cx(1000, 200, 5000, 800)
@@ -3055,7 +3104,7 @@ object SparkEntry {
       val pts = GeoDataFrame(
         customerPts(s, d).select(col("c_custkey"), col("cx"), col("cy"), col("geometry")),
         "geometry").setCrs("EPSG:4326")
-      val path = "/tmp/graft_g45_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val path = scratchBase + "/graft_g45_" + d.replaceAll("[^A-Za-z0-9]", "_")
       graft.io.GeoFeatherIO.write(pts, path, encoding = "geoarrow")
       graft.io.GeoFeatherIO.read(s, path)
         .cx(1000, 200, 5000, 800)
@@ -3075,7 +3124,7 @@ object SparkEntry {
             col("x0") + col("h"), col("y0") + col("h")))
           .select(col("s_suppkey"), col("geometry")),
         "geometry").setCrs("EPSG:4326")
-      val path = "/tmp/graft_g50_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val path = scratchBase + "/graft_g50_" + d.replaceAll("[^A-Za-z0-9]", "_")
       graft.io.GeoFeatherIO.write(sq, path, encoding = "geoarrow")
       graft.io.GeoFeatherIO.read(s, path)
         .df.select(col("s_suppkey"),
@@ -3177,7 +3226,7 @@ object SparkEntry {
     // points as CSV with a WKT column, ingest via fromCsv (distributed CSV
     // scan + WKT parse), recover exact coordinates
     "g33_csv_wkt" -> ((s, d) => {
-      val path = "/tmp/graft_g33_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val path = scratchBase + "/graft_g33_" + d.replaceAll("[^A-Za-z0-9]", "_")
       customerPts(s, d)
         .select(col("c_custkey"),
           concat(lit("POINT ("), col("cx").cast("string"),
@@ -3194,7 +3243,7 @@ object SparkEntry {
     // with the distributed text scan + st_geomfromgeojson, recover exact
     // coordinates and a property
     "g38_geojson_roundtrip" -> ((s, d) => {
-      val path = "/tmp/graft_g38_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val path = scratchBase + "/graft_g38_" + d.replaceAll("[^A-Za-z0-9]", "_")
       graft.io.GeoJsonIO.writeSeq(
         GeoDataFrame(customerPts(s, d).select(col("c_custkey"), col("geometry"))), path)
       graft.io.GeoJsonIO.readSeq(s, path)

@@ -162,9 +162,22 @@ private[graft] class GdbScan(fullSchema: StructType, required: StructType,
         !FileGdbIO.extentIntersects(meta, bbox)) return Array.empty
     val (slots, width) = FileGdbIO.tablxHeaderOf(conf, tablxPath)
     val chunk = FileGdbDataSource.chunkSizeOf(options)
-    (0 until slots by chunk)
-      .map(s => GdbPartition(s, math.min(chunk, slots - s), width): InputPartition)
-      .toArray
+    // chunk-prune through the block-envelope index (.gspx sidecar or the
+    // lazily memoized pass), exactly like the RDD path
+    val envIdx: Array[Double] =
+      if (bbox.isDefined && meta.geom.isDefined)
+        FileGdbIO.envIndexFor(SparkSession.active, conf, tablePath,
+          tablxPath, slots, width, meta)
+      else null
+    val all = (0 until slots by chunk)
+      .map(s => (s, math.min(chunk, slots - s)))
+    val kept = (bbox, Option(envIdx)) match {
+      case (Some((qx0, qy0, qx1, qy1)), Some(ei)) =>
+        all.filter { case (s0, n) =>
+          FileGdbIO.chunkIntersectsEnv(ei, s0, n, qx0, qy0, qx1, qy1) }
+      case _ => all
+    }
+    kept.map { case (s, n) => GdbPartition(s, n, width): InputPartition }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {

@@ -182,8 +182,12 @@ object FileGdbIO {
         case T_OID => c.u8(); c.u8(); nullable = false
         case T_INT16 | T_INT32 | T_FLOAT32 | T_FLOAT64 | T_DATETIME =>
           c.u8(); flagAndDefault()
-        case T_STRING | T_XML =>
+        case T_STRING =>
           c.i32(); flagAndDefault()
+        case T_XML =>
+          // XML descriptors carry a 1-byte width slot, NOT the string
+          // int32 max-length (GDAL FileGDBTable semantics)
+          c.u8(); flagAndDefault()
         case T_BINARY | T_UUID | T_UUID2 =>
           c.u8(); flagAndDefault()
         case T_GEOMETRY =>
@@ -214,7 +218,15 @@ object FileGdbIO {
       fields += GdbField(name, ftype, nullable)
       k += 1
     }
-    TableMeta(nRows, fields.result(), geom)
+    val fs = fields.result()
+    // the FGDB profile allows ONE shape field; a second means a corrupt
+    // or out-of-profile table — fail loudly (silently taking the first
+    // would mis-assign geometry decode offsets for every row)
+    require(fs.count(_.ftype == T_GEOMETRY) <= 1,
+      s"gdb: table declares ${fs.count(_.ftype == T_GEOMETRY)} geometry " +
+        s"fields (${fs.filter(_.ftype == T_GEOMETRY).map(_.name).mkString(", ")}) " +
+        "— only one shape field is supported")
+    TableMeta(nRows, fs, geom)
   }
 
   private def sparkTypeOf(f: GdbField): DataType = f.ftype match {
@@ -685,8 +697,156 @@ object FileGdbIO {
         }
         j += 1
       }
+    } catch {
+      case e: java.io.EOFException =>
+        // corrupt/truncated table: name the file instead of surfacing a
+        // bare EOFException from a task
+        throw new IllegalArgumentException(
+          s"gdb: truncated .gdbtable at $tablePath (row bytes past EOF)", e)
     } finally dataIn.close()
     out
+  }
+
+  // ------------------------------------------- chunk-envelope index
+
+  /** Rows per envelope block in the `.gspx` sidecar / lazy index. */
+  private[io] val EnvBlockRows = 4096
+
+  private[io] def envSidecarPath(tablePath: String): String =
+    tablePath.stripSuffix(".gdbtable") + ".gspx"
+
+  /** envIndex mode for windowed reads: `auto` (default — consume the
+    * `.gspx` sidecar this library's writer stamps; for third-party gdbs
+    * without one, compute block envelopes ONCE per file identity with a
+    * distributed geometry-bounds pass and memoize in-JVM), `sidecar`
+    * (sidecar only, never compute), `off`.
+    */
+  private[io] def envIndexMode(spark: SparkSession): String =
+    spark.conf.get("spark.graft.gdb.envIndex", "auto")
+
+  private val envIdxMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Double]]()
+
+  /** Per-block ([[EnvBlockRows]] rows) geometry envelopes
+    * (minX,minY,maxX,maxY per block; NaN-filled = no geometry in block),
+    * or null when unavailable. This is the FileGDB answer to the gpkg
+    * R*-tree / fgb packed index: the profile's `.spx` grid b-tree is not
+    * parsed, but a windowed read of a big layer no longer scans every
+    * chunk — candidate chunks come from block envelopes, the exact
+    * per-row residual stays task-side (a stale sidecar older than the
+    * table is ignored, so pruning can never drop rows).
+    */
+  private[io] def envIndexFor(spark: SparkSession,
+      conf: org.apache.hadoop.conf.Configuration, tablePath: String,
+      tablxPath: String, slots: Int, width: Int,
+      meta: TableMeta): Array[Double] = {
+    val mode = envIndexMode(spark)
+    if (mode == "off" || meta.geom.isEmpty || slots == 0) return null
+    val tp = new Path(tablePath)
+    val fs = tp.getFileSystem(conf)
+    val st = fs.getFileStatus(tp)
+    // identity covers BOTH files: a re-pointed .gdbtablx (edited offsets)
+    // changes which content sits in a row slot, staling block envelopes
+    // just as surely as a rewritten .gdbtable
+    val stx = fs.getFileStatus(new Path(tablxPath))
+    val key = tablePath + "#" + st.getModificationTime + "#" + st.getLen +
+      "#" + stx.getModificationTime + "#" + stx.getLen
+    val hit = envIdxMemo.get(key)
+    if (hit != null) return hit
+    val nBlocks = (slots + EnvBlockRows - 1) / EnvBlockRows
+    val newest = math.max(st.getModificationTime, stx.getModificationTime)
+    val sidecar = new Path(envSidecarPath(tablePath))
+    val fromSidecar: Array[Double] =
+      if (!fs.exists(sidecar) ||
+          fs.getFileStatus(sidecar).getModificationTime < newest)
+        null
+      else {
+        val bytes = readFully(conf, sidecar)
+        val c = new Cur(bytes, 0)
+        if (bytes.length < 16 || c.i32() != 0x58505347) null // "GSPX" LE
+        else {
+          val ver = c.i32(); val blockRows = c.i32(); val n = c.i32()
+          if (ver != 1 || blockRows != EnvBlockRows || n != nBlocks) null
+          else {
+            val arr = new Array[Double](nBlocks * 4)
+            var i = 0
+            while (i < arr.length) { arr(i) = c.f64(); i += 1 }
+            arr
+          }
+        }
+      }
+    val idx =
+      if (fromSidecar != null) fromSidecar
+      else if (mode == "sidecar") null
+      else computeEnvIndex(spark, conf, tablePath, tablxPath, slots, width, meta)
+    if (idx != null && envIdxMemo.size < 256) envIdxMemo.put(key, idx)
+    idx
+  }
+
+  /** One distributed geometry-bounds pass (byte-masked decode: only the
+    * shape field materializes) — the once-per-file cost that makes every
+    * later windowed read of a third-party gdb chunk-pruned. 16 blocks
+    * (64k rows) per task.
+    */
+  private def computeEnvIndex(spark: SparkSession,
+      conf: org.apache.hadoop.conf.Configuration, tablePath: String,
+      tablxPath: String, slots: Int, width: Int,
+      meta: TableMeta): Array[Double] = {
+    val nBlocks = (slots + EnvBlockRows - 1) / EnvBlockRows
+    val gi = meta.fields.indexWhere(_.ftype == T_GEOMETRY)
+    if (gi < 0) return null
+    val want = meta.fields.indices.map(_ == gi).toArray
+    val sconf = new GeoParquetIO.SerializableConf(conf)
+    val taskBlocks = (0 until nBlocks).grouped(16).toSeq
+    val fieldsB = meta.fields; val geomB = meta.geom
+    val slotsB = slots; val widthB = width
+    val tpB = tablePath; val txB = tablxPath; val giB = gi
+    val parts = spark.sparkContext
+      .parallelize(taskBlocks, math.max(1, taskBlocks.size))
+      .flatMap { blocks =>
+        blocks.iterator.map { b =>
+          val start = b * EnvBlockRows
+          val n = math.min(EnvBlockRows, slotsB - start)
+          val rows = readChunkRows(sconf.value, tpB, txB, start, n, widthB,
+            fieldsB, geomB, forcePos = false, want = want)
+          val acc = Array(Double.NaN, Double.NaN, Double.NaN, Double.NaN)
+          rows.foreach { r =>
+            val w = r.get(giB).asInstanceOf[Array[Byte]]
+            if (w != null) {
+              val e = graft.geom.Wkb.envelopeOf(w)
+              if (!e.isEmpty) {
+                if (acc(0).isNaN || e.minX < acc(0)) acc(0) = e.minX
+                if (acc(1).isNaN || e.minY < acc(1)) acc(1) = e.minY
+                if (acc(2).isNaN || e.maxX > acc(2)) acc(2) = e.maxX
+                if (acc(3).isNaN || e.maxY > acc(3)) acc(3) = e.maxY
+              }
+            }
+          }
+          (b, acc)
+        }
+      }.collect()
+    val arr = Array.fill(nBlocks * 4)(Double.NaN)
+    parts.foreach { case (b, e) => System.arraycopy(e, 0, arr, b * 4, 4) }
+    arr
+  }
+
+  /** Does any [[EnvBlockRows]] block overlapping rows [start, start+n)
+    * intersect the query window? NaN blocks (no geometry) never match —
+    * safe, because the bbox residual drops null/empty geometries anyway.
+    */
+  private[io] def chunkIntersectsEnv(envIdx: Array[Double], start: Int,
+      n: Int, qx0: Double, qy0: Double, qx1: Double, qy1: Double): Boolean = {
+    var b = start / EnvBlockRows
+    val bEnd = (start + n - 1) / EnvBlockRows
+    while (b <= bEnd) {
+      val o = b * 4
+      if (o + 3 >= envIdx.length) return true // defensive: unindexed tail
+      if (!envIdx(o).isNaN &&
+          envIdx(o) <= qx1 && envIdx(o + 2) >= qx0 &&
+          envIdx(o + 1) <= qy1 && envIdx(o + 3) >= qy0) return true
+      b += 1
+    }
+    false
   }
 
   /** Opt-in for whole-layer pruning on the descriptor extent: a
@@ -730,16 +890,29 @@ object FileGdbIO {
       .get("spark.graft.gdb.forcePositionedReads", "false").toBoolean
     val fieldsB = meta.fields
     val geomB = meta.geom
-    // bbox: with spark.graft.gdb.pruneOnExtent the descriptor's layer
-    // extent prunes the WHOLE layer at planning time (no per-chunk index
-    // exists in this profile — the spatial-grid .spx sidecar is not
-    // consumed); rows always apply the exact envelope-intersects
-    // residual task-side, so pruning off is merely slower, never wrong
+    // bbox: chunks prune through the block-envelope index (the .gspx
+    // sidecar stamped at write, or one lazily computed pass for
+    // third-party gdbs — envIndexFor); with spark.graft.gdb.pruneOnExtent
+    // the descriptor's layer extent additionally prunes the WHOLE layer.
+    // Rows always apply the exact envelope-intersects residual task-side,
+    // so pruning off is merely slower, never wrong.
+    val geomFieldIdx = meta.fields.indexWhere(_.ftype == T_GEOMETRY)
+    val envIdx: Array[Double] =
+      if (bbox.isDefined && geomFieldIdx >= 0)
+        envIndexFor(spark, conf, tablePath, tablxPath, slots, width, meta)
+      else null
     val chunks =
       if (pruneOnExtent(spark) && !extentIntersects(meta, bbox)) Seq.empty
-      else (0 until slots by chunkSize)
-        .map(s => (s, math.min(chunkSize, slots - s)))
-    val geomFieldIdx = meta.fields.indexWhere(_.ftype == T_GEOMETRY)
+      else {
+        val all = (0 until slots by chunkSize)
+          .map(s => (s, math.min(chunkSize, slots - s)))
+        (bbox, Option(envIdx)) match {
+          case (Some((qx0, qy0, qx1, qy1)), Some(ei)) =>
+            all.filter { case (s0, n) =>
+              chunkIntersectsEnv(ei, s0, n, qx0, qy0, qx1, qy1) }
+          case _ => all
+        }
+      }
     val tablePathB = tablePath; val tablxPathB = tablxPath; val widthB = width
     val rows = spark.sparkContext
       .parallelize(chunks, math.max(1, chunks.size))
@@ -858,14 +1031,61 @@ object FileGdbIO {
       val layerRows: IndexedSeq[IndexedSeq[Any]] = rows.map { r =>
         null +: (0 until schema.length).map(r.get)
       }
-      writeTable(fs, fileFor(dir, li + 2), layerFields, geomType,
+      writeTable(fs, fileFor(dir, li + 5), layerFields, geomType,
         Some(m), layerRows)
     }
+    // v10 system skeleton at the standard file numbers: GDB_DBTune (2)
+    // and GDB_SpatialRefs (3) empty, GDB_Items (4) registering each
+    // feature class. GDAL's OpenFileGDB (the reference's pyogrio read
+    // path) enumerates layers from GDB_Items' Definition XML and maps
+    // Name -> file number through the catalog — without it a written
+    // .gdb is readable only by this library. Item-type GUIDs are the
+    // published Esri identifiers for "Feature Class" and "Table".
+    writeTable(fs, fileFor(dir, 2),
+      IndexedSeq(GdbField("OBJECTID", T_OID, nullable = false),
+        GdbField("Keyword", T_STRING, nullable = true),
+        GdbField("ParameterName", T_STRING, nullable = true),
+        GdbField("ConfigString", T_STRING, nullable = true)),
+      0, None, IndexedSeq.empty)
+    writeTable(fs, fileFor(dir, 3),
+      IndexedSeq(GdbField("OBJECTID", T_OID, nullable = false),
+        GdbField("SRTEXT", T_STRING, nullable = true)),
+      0, None, IndexedSeq.empty)
+    val itemFields = IndexedSeq(
+      GdbField("OBJECTID", T_OID, nullable = false),
+      GdbField("UUID", T_STRING, nullable = true),
+      GdbField("Type", T_STRING, nullable = true),
+      GdbField("Name", T_STRING, nullable = true),
+      GdbField("PhysicalName", T_STRING, nullable = true),
+      GdbField("Path", T_STRING, nullable = true),
+      GdbField("Definition", T_XML, nullable = true),
+      GdbField("Documentation", T_XML, nullable = true))
+    val itemRows = layers.map { case (name, _, geomIdx, _) =>
+      val isFc = geomIdx >= 0
+      val tag = if (isFc) "DEFeatureClassInfo" else "DETableInfo"
+      IndexedSeq[Any](null,
+        "{" + java.util.UUID.nameUUIDFromBytes(
+          ("graft:" + name).getBytes("UTF-8")).toString.toUpperCase + "}",
+        if (isFc) "{70737809-852C-4A03-9E22-2CECEA5B9BFA}"
+        else "{CD06BC3B-789D-4C51-AAFA-A467912B8965}",
+        name, name.toUpperCase, "\\" + name,
+        s"<$tag xmlns:xsi='http://www.w3.org/2001/XMLSchema-instance' " +
+          "xsi:type='typens:" + tag + "'>" +
+          s"<CatalogPath>\\$name</CatalogPath><Name>$name</Name>" +
+          (if (isFc) "<ShapeFieldName>SHAPE</ShapeFieldName>" else "") +
+          s"</$tag>",
+        null)
+    }
+    writeTable(fs, fileFor(dir, 4), itemFields, 0, None, itemRows.toIndexedSeq)
     val catFields = IndexedSeq(
       GdbField("OBJECTID", T_OID, nullable = false),
       GdbField("Name", T_STRING, nullable = true),
       GdbField("FileFormat", T_INT32, nullable = true))
-    val catRows = IndexedSeq[Any](null, "GDB_SystemCatalog", 0) +:
+    val catRows =
+      IndexedSeq[Any](null, "GDB_SystemCatalog", 0) +:
+      IndexedSeq[Any](null, "GDB_DBTune", 0) +:
+      IndexedSeq[Any](null, "GDB_SpatialRefs", 0) +:
+      IndexedSeq[Any](null, "GDB_Items", 0) +:
       layers.map { case (name, _, _, _) => IndexedSeq[Any](null, name, 0) }
     writeTable(fs, fileFor(dir, 1), catFields, 0, None, catRows.toIndexedSeq)
   }
@@ -903,9 +1123,13 @@ object FileGdbIO {
   private def writeTable(fs: org.apache.hadoop.fs.FileSystem, table: Path,
       fields: IndexedSeq[GdbField], geomType: Int, geom: Option[GeomMeta],
       rows: IndexedSeq[IndexedSeq[Any]]): Unit = {
-    // rows first (the field section carries the layer extent)
+    // rows first (the field section carries the layer extent); per-row
+    // envelopes feed the .gspx block index alongside
     var ext = Envelope.empty
+    val rowEnvs = new Array[Envelope](rows.length)
+    var rowI = -1
     val rowBlobs = rows.map { vals =>
+      rowI += 1
       val b = new Buf
       val nNullable = fields.count(_.nullable)
       val bitmap = new Array[Byte]((nNullable + 7) / 8)
@@ -932,7 +1156,7 @@ object FileGdbIO {
           case T_FLOAT64 => payload.f64(v.asInstanceOf[Double])
           case T_DATETIME => payload.f64(
             v.asInstanceOf[java.sql.Timestamp].getTime / 86400000.0 + EpochDays)
-          case T_STRING =>
+          case T_STRING | T_XML =>
             val bs = v.toString.getBytes("UTF-8")
             payload.varuint(bs.length); payload.bytes(bs)
           case T_BINARY =>
@@ -941,9 +1165,12 @@ object FileGdbIO {
           case T_GEOMETRY =>
             val g = Wkb.read(v.asInstanceOf[Array[Byte]])
             val e = g.envelope
-            if (!e.isEmpty) ext = if (ext.isEmpty) e else Envelope(
-              math.min(ext.minX, e.minX), math.min(ext.minY, e.minY),
-              math.max(ext.maxX, e.maxX), math.max(ext.maxY, e.maxY))
+            if (!e.isEmpty) {
+              rowEnvs(rowI) = e
+              ext = if (ext.isEmpty) e else Envelope(
+                math.min(ext.minX, e.minX), math.min(ext.minY, e.minY),
+                math.max(ext.maxX, e.maxX), math.max(ext.maxY, e.maxY))
+            }
             val bs = encodeShape(g, geom.get)
             payload.varuint(bs.length); payload.bytes(bs)
         }
@@ -969,6 +1196,7 @@ object FileGdbIO {
         case T_FLOAT64 => sec.u8(8); sec.u8(1)
         case T_DATETIME => sec.u8(8); sec.u8(1)
         case T_STRING => sec.i32(65536); sec.u8(1)
+        case T_XML => sec.u8(0); sec.u8(1)
         case T_BINARY => sec.u8(0); sec.u8(1)
         case T_GEOMETRY =>
           val m = geom.get
@@ -1020,5 +1248,36 @@ object FileGdbIO {
     val xout = fs.create(new Path(
       table.toString.stripSuffix(".gdbtable") + ".gdbtablx"), true)
     try xout.write(tablx.toBytes) finally xout.close()
+
+    // .gspx block-envelope sidecar (this library's chunk-prune index for
+    // windowed reads — see envIndexFor; ESRI/OGR readers enumerate files
+    // through the catalog and ignore it)
+    if (geom.isDefined) {
+      val nEnvBlocks = (rows.length + EnvBlockRows - 1) / EnvBlockRows
+      val sx = new Buf
+      sx.i32(0x58505347) // "GSPX" LE
+      sx.i32(1); sx.i32(EnvBlockRows); sx.i32(nEnvBlocks)
+      var b = 0
+      while (b < nEnvBlocks) {
+        var mnx = Double.NaN; var mny = Double.NaN
+        var mxx = Double.NaN; var mxy = Double.NaN
+        var i = b * EnvBlockRows
+        val end = math.min(rows.length, i + EnvBlockRows)
+        while (i < end) {
+          val e = rowEnvs(i)
+          if (e != null) {
+            if (mnx.isNaN || e.minX < mnx) mnx = e.minX
+            if (mny.isNaN || e.minY < mny) mny = e.minY
+            if (mxx.isNaN || e.maxX > mxx) mxx = e.maxX
+            if (mxy.isNaN || e.maxY > mxy) mxy = e.maxY
+          }
+          i += 1
+        }
+        sx.f64(mnx); sx.f64(mny); sx.f64(mxx); sx.f64(mxy)
+        b += 1
+      }
+      val sout = fs.create(new Path(envSidecarPath(table.toString)), true)
+      try sout.write(sx.toBytes) finally sout.close()
+    }
   }
 }

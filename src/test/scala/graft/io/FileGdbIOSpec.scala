@@ -51,7 +51,11 @@ class FileGdbIOSpec extends AnyFunSuite {
     val files = new java.io.File(gdb).listFiles().map(_.getName)
       .filterNot(_.startsWith(".")).sorted // drop Hadoop-local .crc sidecars
     assert(files.toSeq == Seq("a00000001.gdbtable", "a00000001.gdbtablx",
-      "a00000002.gdbtable", "a00000002.gdbtablx"), files.mkString(","))
+      "a00000002.gdbtable", "a00000002.gdbtablx",
+      "a00000003.gdbtable", "a00000003.gdbtablx",
+      "a00000004.gdbtable", "a00000004.gdbtablx",
+      "a00000005.gdbtable", "a00000005.gdbtablx",
+      "a00000005.gspx"), files.mkString(","))
     val back = FileGdbIO.read(spark, gdb)
     assert(back.crs.contains("EPSG:4326"))
     // OBJECTID surfaces as a long column, dense 1..n
@@ -94,7 +98,7 @@ class FileGdbIOSpec extends AnyFunSuite {
     FileGdbIO.write(src, gdb)
     // swap the first two row offsets in the tablx (an edited gdb shape):
     // 5-byte LE entries at byte 16 and 21
-    val tablx = new java.io.File(gdb, "a00000002.gdbtablx")
+    val tablx = new java.io.File(gdb, "a00000005.gdbtablx")
     val bytes = java.nio.file.Files.readAllBytes(tablx.toPath)
     val tmp = new Array[Byte](5)
     System.arraycopy(bytes, 16, tmp, 0, 5)
@@ -102,7 +106,7 @@ class FileGdbIOSpec extends AnyFunSuite {
     System.arraycopy(tmp, 0, bytes, 21, 5)
     java.nio.file.Files.write(tablx.toPath, bytes)
     // the out-of-band edit invalidates Hadoop-local's .crc sidecar
-    new java.io.File(gdb, ".a00000002.gdbtablx.crc").delete()
+    new java.io.File(gdb, ".a00000005.gdbtablx.crc").delete()
     val back = FileGdbIO.read(spark, gdb).df
       .select($"OBJECTID", $"id".cast("long"), st_x($"geometry"))
       .collect().sortBy(_.getLong(0))
@@ -117,7 +121,8 @@ class FileGdbIOSpec extends AnyFunSuite {
     val gdb = tmpGdb()
     FileGdbIO.write(sample().df, gdb, layerName = "parcels")
     val cat = FileGdbIO.catalog(spark.sessionState.newHadoopConf(), gdb)
-    assert(cat.map(_._2).toSet == Set("GDB_SystemCatalog", "parcels"))
+    assert(cat.map(_._2).toSet == Set("GDB_SystemCatalog", "GDB_DBTune",
+      "GDB_SpatialRefs", "GDB_Items", "parcels"))
     assert(FileGdbIO.read(spark, gdb, layer = Some("PARCELS")).df.count() == 7)
     val e = intercept[IllegalArgumentException](
       FileGdbIO.read(spark, gdb, layer = Some("nope")))
@@ -158,12 +163,12 @@ class FileGdbIOSpec extends AnyFunSuite {
   test("sparse .gdbtablx refuses loudly instead of misattributing rows") {
     val gdb = tmpGdb()
     FileGdbIO.write(sample().df, gdb)
-    val tablx = new java.io.File(gdb, "a00000002.gdbtablx")
+    val tablx = new java.io.File(gdb, "a00000005.gdbtablx")
     val bytes = java.nio.file.Files.readAllBytes(tablx.toPath)
     // zero the 1024-block count (header bytes 4-7) -> blocks*1024 < rows
     bytes(4) = 0; bytes(5) = 0; bytes(6) = 0; bytes(7) = 0
     java.nio.file.Files.write(tablx.toPath, bytes)
-    new java.io.File(gdb, ".a00000002.gdbtablx.crc").delete()
+    new java.io.File(gdb, ".a00000005.gdbtablx.crc").delete()
     val e = intercept[IllegalArgumentException](
       FileGdbIO.read(spark, gdb).df.count())
     assert(e.getMessage.contains("sparse"))
@@ -204,7 +209,8 @@ class FileGdbIOSpec extends AnyFunSuite {
     FileGdbIO.writeLayers(Seq("points" -> pts, "boxes" -> boxes), gdb,
       crs = Some("EPSG:4326"))
     val cat = FileGdbIO.catalog(spark.sessionState.newHadoopConf(), gdb)
-    assert(cat.map(_._2) == Seq("GDB_SystemCatalog", "points", "boxes"))
+    assert(cat.map(_._2) == Seq("GDB_SystemCatalog", "GDB_DBTune",
+      "GDB_SpatialRefs", "GDB_Items", "points", "boxes"))
     assert(FileGdbIO.read(spark, gdb, layer = Some("points")).df.count() == 20)
     val area = FileGdbIO.read(spark, gdb, layer = Some("boxes")).df
       .select(sum(st_area($"geometry"))).head().getDouble(0)
@@ -292,5 +298,141 @@ class FileGdbIOSpec extends AnyFunSuite {
     val back = GeoDataFrame.readFile(spark, gdb)
     assert(back.crs.contains("EPSG:3857"))
     assert(back.df.count() == 7)
+  }
+
+  // -------------------------------------------- chunk-envelope index
+
+  /** 20k points on a line (x = i, y = 0): block b of 4096 rows covers
+    * x in [b*4096+1, (b+1)*4096], so a window inside one block must
+    * plan exactly the chunks of that block.
+    */
+  private def lineGdb(n: Int = 20000): String = {
+    val gdb = tmpGdb()
+    val src = (1 to n).map(i => (i.toLong, s"r$i"))
+      .toDF("id", "name")
+      .withColumn("geometry", st_point($"id".cast("double"), lit(0.0)))
+    FileGdbIO.write(src, gdb)
+    gdb
+  }
+
+  test("windowed read prunes chunks through the .gspx sidecar") {
+    val gdb = lineGdb()
+    assert(new java.io.File(gdb, "a00000005.gspx").exists())
+    val box = Some((100.0, -1.0, 200.0, 1.0)) // inside block 0
+    val full = FileGdbIO.read(spark, gdb, chunkSize = 4096)
+    assert(full.df.rdd.getNumPartitions == 5)
+    val win = FileGdbIO.read(spark, gdb, chunkSize = 4096, bbox = box)
+    assert(win.df.rdd.getNumPartitions == 1) // 4 of 5 chunks pruned
+    val ids = win.df.select($"id").as[Long].collect().sorted
+    assert(ids.toSeq == (100L to 200L))
+    // a window spanning the block-2/3 seam keeps exactly those chunks
+    val seam = FileGdbIO.read(spark, gdb, chunkSize = 4096,
+      bbox = Some((12000.0, -1.0, 13000.0, 1.0)))
+    assert(seam.df.rdd.getNumPartitions == 2)
+    assert(seam.df.count() == 1001)
+  }
+
+  test("third-party gdb (no sidecar): lazy env index still prunes") {
+    val gdb = lineGdb()
+    assert(new java.io.File(gdb, "a00000005.gspx").delete())
+    new java.io.File(gdb, ".a00000005.gspx.crc").delete()
+    val win = FileGdbIO.read(spark, gdb, chunkSize = 4096,
+      bbox = Some((100.0, -1.0, 200.0, 1.0)))
+    assert(win.df.rdd.getNumPartitions == 1)
+    assert(win.df.count() == 101)
+  }
+
+  test("spark.graft.gdb.envIndex=off scans every chunk (correct, unpruned)") {
+    val gdb = lineGdb()
+    spark.conf.set("spark.graft.gdb.envIndex", "off")
+    try {
+      val win = FileGdbIO.read(spark, gdb, chunkSize = 4096,
+        bbox = Some((100.0, -1.0, 200.0, 1.0)))
+      assert(win.df.rdd.getNumPartitions == 5)
+      assert(win.df.count() == 101)
+    } finally spark.conf.unset("spark.graft.gdb.envIndex")
+  }
+
+  test("DSv2 windowed scan plans only env-index candidate partitions") {
+    val gdb = lineGdb()
+    val df = spark.read.format("filegdb")
+      .option("chunkSize", "4096")
+      .option("bbox", "100,-1,200,1").load(gdb)
+    assert(df.rdd.getNumPartitions == 1)
+    assert(df.count() == 101)
+  }
+
+  test("a stale sidecar (older than an edited tablx) is ignored") {
+    val gdb = lineGdb(5000)
+    val tablx = new java.io.File(gdb, "a00000005.gdbtablx")
+    val sidecar = new java.io.File(gdb, "a00000005.gspx")
+    // make the sidecar strictly older than the tablx edit
+    assert(sidecar.setLastModified(tablx.lastModified() - 60000))
+    assert(tablx.setLastModified(tablx.lastModified() + 60000))
+    // the read must fall back to the lazily computed index, not trust
+    // the stale file — same answer either way here, but the partitions
+    // are still pruned (compute path ran)
+    val win = FileGdbIO.read(spark, gdb, chunkSize = 4096,
+      bbox = Some((100.0, -1.0, 200.0, 1.0)))
+    assert(win.df.rdd.getNumPartitions == 1)
+    assert(win.df.count() == 101)
+  }
+
+  // ------------------------------------------------ negative hardening
+
+  test("truncated .gdbtable fails loudly with the file named") {
+    val gdb = lineGdb(5000)
+    val table = new java.io.File(gdb, "a00000005.gdbtable")
+    val bytes = java.nio.file.Files.readAllBytes(table.toPath)
+    java.nio.file.Files.write(table.toPath,
+      java.util.Arrays.copyOfRange(bytes, 0, bytes.length / 2))
+    new java.io.File(gdb, ".a00000005.gdbtable.crc").delete()
+    new java.io.File(gdb, "a00000005.gspx").delete()
+    new java.io.File(gdb, ".a00000005.gspx.crc").delete()
+    val e = intercept[org.apache.spark.SparkException](
+      FileGdbIO.read(spark, gdb).df.count())
+    val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("truncated"))
+  }
+
+  test("a table declaring two geometry fields is refused by name") {
+    val gdb = tmpGdb()
+    val src = Seq((1L, "a")).toDF("id", "name")
+      .withColumn("geometry", st_point(lit(1.0), lit(2.0)))
+    FileGdbIO.write(src.select($"geometry"), gdb) // OBJECTID + SHAPE only
+    val table = new java.io.File(gdb, "a00000005.gdbtable")
+    val bytes = java.nio.file.Files.readAllBytes(table.toPath)
+    // field section at offset 40: i32 secLen, i32 version, 4 flag bytes,
+    // i16 nFields, OBJECTID descriptor (21 bytes: 1+16+1+1+2), then the
+    // geometry descriptor to the section end — duplicate it, bump counts
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val secLen = bb.getInt(40)
+    val geomDescStart = 40 + 4 + 4 + 4 + 2 + 21
+    val geomDesc = java.util.Arrays.copyOfRange(bytes, geomDescStart, 40 + 4 + secLen)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(bytes, 0, 40 + 4 + secLen)
+    out.write(geomDesc)
+    out.write(bytes, 40 + 4 + secLen, bytes.length - (40 + 4 + secLen))
+    val patched = out.toByteArray
+    val pb = java.nio.ByteBuffer.wrap(patched)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    pb.putInt(40, secLen + geomDesc.length)
+    pb.putShort(40 + 4 + 4 + 4, 3.toShort) // nFields 2 -> 3
+    // row offsets in the tablx shift by the inserted bytes
+    val tablx = new java.io.File(gdb, "a00000005.gdbtablx")
+    val tx = java.nio.file.Files.readAllBytes(tablx.toPath)
+    var off = 0L; var k = 0
+    while (k < 5) { off |= (tx(16 + k) & 0xffL) << (8 * k); k += 1 }
+    val no = off + geomDesc.length
+    k = 0
+    while (k < 5) { tx(16 + k) = ((no >> (8 * k)) & 0xff).toByte; k += 1 }
+    java.nio.file.Files.write(table.toPath, patched)
+    java.nio.file.Files.write(tablx.toPath, tx)
+    new java.io.File(gdb, ".a00000005.gdbtable.crc").delete()
+    new java.io.File(gdb, ".a00000005.gdbtablx.crc").delete()
+    val e = intercept[IllegalArgumentException](FileGdbIO.read(spark, gdb))
+    assert(e.getMessage.contains("geometry") &&
+      e.getMessage.contains("one shape field"))
   }
 }

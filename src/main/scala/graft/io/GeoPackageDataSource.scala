@@ -163,7 +163,7 @@ private[graft] class GpkgScanBuilder(fullSchema: StructType,
             var found: Option[Long] = None
             GeoPackageIO.walk(src, m.rootPage, 0) { (_, payload) =>
               val vals = GeoPackageIO.decodeRecord(payload)
-              if (vals.length >= 2 && String.valueOf(vals(0)) == table)
+              if (vals.length >= 2 && String.valueOf(vals(0)).equalsIgnoreCase(table))
                 vals(1) match {
                   case c: java.lang.Long if c >= 0L => found = Some(c)
                   case _ => ()

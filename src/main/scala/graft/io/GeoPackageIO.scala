@@ -45,7 +45,13 @@ object GeoPackageIO {
     val fs = p.getFileSystem(conf)
     val in = fs.open(p)
     val head = new Array[Byte](100)
-    in.readFully(0, head)
+    try in.readFully(0, head)
+    catch {
+      case e: java.io.EOFException =>
+        in.close()
+        throw new IllegalArgumentException(
+          s"$path is truncated (no 100-byte SQLite header)", e)
+    }
     require(new String(head, 0, 15, "US-ASCII") == "SQLite format 3",
       s"$path is not a SQLite database")
     val ps0 = ((head(16) & 0xff) << 8) | (head(17) & 0xff)

@@ -110,6 +110,44 @@ class GeoPackageIOSpec extends AnyFunSuite {
     assert(srs.contains((-1L, "NONE")) && srs.contains((0L, "NONE")))
   }
 
+  test("writeLayers: multi-table gpkg, per-layer rtree + catalog, readFile layer=") {
+    val out = tmpGpkg()
+    def pts(n: Int, dx: Double) = {
+      val df = (1 to n).map(i => (i.toLong, s"p_$i"))
+        .toDF("fid", "nm")
+        .withColumn("geom",
+          expr(s"st_asbinary(st_point(fid * 1.0 + $dx, fid * 2.0))"))
+      graft.api.GeoDataFrame(df, "geom").setCrs("EPSG:4326")
+    }
+    GeoPackageIO.writeLayers(
+      Seq("roads" -> pts(300, 0.0), "parks" -> pts(80, 1000.0)), out)
+    // catalog: one contents/geometry_columns/ogr_contents row per layer
+    val meta = GeoPackageIO.featureMeta(spark, out)
+    assert(meta.keySet == Set("roads", "parks"))
+    val counts = GeoPackageIO.read(spark, out, "gpkg_ogr_contents")
+      .as[(String, Long)].collect().toMap
+    assert(counts == Map("roads" -> 300L, "parks" -> 80L))
+    // per-layer rtree: both prune
+    assert(GeoPackageIO.hasRtree(spark, out, "roads"))
+    assert(GeoPackageIO.hasRtree(spark, out, "parks"))
+    val win = GeoPackageIO.read(spark, out, "roads",
+        bbox = Some((10.0, 0.0, 20.0, 1000.0)))
+      .select($"fid").as[Long].collect().sorted
+    assert(win.toSeq == (10L to 20L))
+    // readFile layer selection + the no-layer refusal naming both
+    val roads = graft.api.GeoDataFrame.readFile(spark, out, layer = Some("roads"))
+    val parks = graft.api.GeoDataFrame.readFile(spark, out, layer = Some("parks"))
+    assert(roads.df.count() == 300 && parks.df.count() == 80)
+    assert(roads.crs.contains("EPSG:4326"))
+    val e = intercept[IllegalArgumentException](
+      graft.api.GeoDataFrame.readFile(spark, out))
+    assert(e.getMessage.contains("roads") && e.getMessage.contains("parks"))
+    // DSv2 count pushdown answers per layer from gpkg_ogr_contents
+    val n = spark.read.format("geopackage").option("table", "parks")
+      .load(out).count()
+    assert(n == 80)
+  }
+
   test("write emits the R*-tree: bbox reads prune on our own files") {
     val out = tmpGpkg()
     val df = (0 until 3000).map { i =>

@@ -267,6 +267,31 @@ class SpatiaLiteIOSpec extends AnyFunSuite {
     assert(df.count() == 25)
   }
 
+  test("bbox read of a table with no idx_ rtree degrades to exact full scan") {
+    // 'shapes' has a geometry_columns row but no idx_ shadow tables —
+    // the candidates lookup must come back empty and the exact residual
+    // must still answer the window correctly
+    assert(!SpatiaLiteIO.hasRtree(spark, fixture, "shapes"))
+    val got = SpatiaLiteIO.read(spark, fixture, "shapes",
+        bbox = Some((0.0, 0.0, 5.0, 5.0)))
+      .df.select($"kind").as[String].collect().toSet
+    // shapes whose envelope intersects [0,5]x[0,5]: excludes point
+    // (y=-2.25), mline/zmline (y>=10), mpoly (x>=20), mpoint_m (y=6)
+    assert(got == Set("line", "poly", "mpoint", "gc", "zpoint", "zline"))
+  }
+
+  test("truncated sqlite file fails loudly, not with a bare EOF") {
+    val loc = tmp("trunc.sqlite")
+    SpatiaLiteIO.write(srcPoints(200), loc, "pts")
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(loc))
+    java.nio.file.Files.write(java.nio.file.Paths.get(loc),
+      java.util.Arrays.copyOfRange(bytes, 0, 60)) // under the 100-byte header
+    new java.io.File(new java.io.File(loc).getParent, ".trunc.sqlite.crc").delete()
+    val e = intercept[IllegalArgumentException](
+      SpatiaLiteIO.read(spark, loc, "pts"))
+    assert(e.getMessage.contains("truncated"))
+  }
+
   test("compressed-geometry class fails loudly with a named error") {
     // class 1000002 = compressed linestring: unsupported, must name the
     // class instead of mis-decoding

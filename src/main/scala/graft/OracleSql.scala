@@ -3283,6 +3283,27 @@ object OracleSql {
              length(text)::BIGINT AS n_chars
       FROM documents ORDER BY doc_id""",
 
+    // shard packing: the oracle uses the global window the op avoids —
+    // exclusive prefix sum over doc_id order, floor-divided by the budget
+    "t56_shard_pack" -> s"""
+      WITH d AS (SELECT doc_id, len($docToks)::BIGINT AS t FROM documents),
+      c AS (SELECT doc_id, t,
+              COALESCE(sum(t) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+            FROM d)
+      SELECT (cb // 2000)::BIGINT AS shard_id, count(*) AS n_docs,
+             sum(t)::BIGINT AS sum_tokens,
+             min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      FROM c GROUP BY 1 ORDER BY shard_id""",
+
+    // streaming dedup: whichever arrival survives, identical text gives
+    // identical length — DISTINCT (source, text) is the exact mirror
+    "t57_stream_dedup" -> """
+      SELECT source, count(*) AS n_uniq,
+             sum(length(text))::BIGINT AS sum_chars
+      FROM (SELECT DISTINCT source, text FROM documents)
+      GROUP BY source ORDER BY source""",
+
     "t02_exact_dedup" -> """
       SELECT doc_id,
              min(doc_id) OVER (PARTITION BY text) AS canonical_id,

@@ -4067,6 +4067,50 @@ object SparkEntry {
         .orderBy(col("wstart"))
     }),
 
+    // TOKEN-BUDGET SHARD PACKING (pretraining egress): documents in
+    // doc_id order pack into ~2000-token shards, shard_id =
+    // floor(exclusive_prefix_tokens / budget). The op is a DISTRIBUTED
+    // PREFIX SUM (range partition + per-partition totals collect +
+    // broadcast offsets) — the oracle's global window (`sum() OVER
+    // (ORDER BY)`) is exactly the single-task plan the op exists to
+    // avoid at 100 TB.
+    "t56_shard_pack" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"),
+          gr_tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.ops.Sharding.packByTokenBudget(docs, "doc_id", "n_tokens", 2000L)
+        .groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy(col("shard_id"))
+    }),
+
+    // STREAMING EXACT DEDUP (dropDuplicatesWithinWatermark — the
+    // state-TTL'd streaming dedup operator): content-hash dedup per
+    // source under a declared watermark, so state is bounded by the
+    // delay window instead of growing with the stream. Dedup key is
+    // (source, md5(text)): any surviving row of a duplicate class has
+    // identical text, so the per-source count/char aggregate is
+    // deterministic whichever arrival wins.
+    "t57_stream_dedup" -> ((s, d) => {
+      graft.sql.functions.install(s)
+      val raw = s.read.parquet(s"$d/documents.parquet")
+      val sink = "t57_sink_" + streamSinkId.incrementAndGet()
+      val st = s.readStream.schema(raw.schema)
+        .parquet(streamDirFor(s"$d/documents.parquet"))
+        .withColumn("ets", expr("timestamp_micros(1700000000000000 + doc_id)"))
+        .withColumn("h", md5(col("text")))
+      val q = st.withWatermark("ets", "1 hour")
+        .dropDuplicatesWithinWatermark("source", "h")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_uniq"),
+          sum(length(col("text")).cast("long")).as("sum_chars"))
+        .writeStream.outputMode("complete").format("memory").queryName(sink)
+        .start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      s.table(sink).orderBy(col("source"))
+    }),
+
     // HYBRID RETRIEVAL via reciprocal-rank fusion (Cormack 2009): the
     // lexical BM25 list over documents.text and the dense brute-force
     // cosine list over the aligned embeddings table (vec_id == doc_id in

@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.LongType
+import org.apache.spark.storage.StorageLevel
+
+/** Token-budget shard packing — the egress step of a pretraining-data
+  * pipeline: documents are laid out in a deterministic order and packed
+  * into shards of ~`budget` tokens each (a document never splits, so a
+  * shard overflows by at most one document — the standard streaming-pack
+  * contract). `shard_id = floor(exclusive_prefix_tokens / budget)`.
+  *
+  * Scale shape: a DISTRIBUTED PREFIX SUM, not a global window.
+  * `sum(t) OVER (ORDER BY k)` plans as a single-task sort at any scale;
+  * here the data range-partitions + sorts on the order column, ONE tiny
+  * collect ships numPartitions per-partition token totals to the driver,
+  * and each task resumes from its broadcast offset — numPartitions ×
+  * O(partition) work, no driver data path beyond the offsets. The
+  * ranged RDD is persisted across the two passes (totals, assignment)
+  * so the shuffle runs once; MEMORY_AND_DISK keeps the contract at
+  * shapes that outgrow executor memory.
+  */
+object Sharding {
+
+  def packByTokenBudget(df: DataFrame, orderCol: String, tokensCol: String,
+      budget: Long, numPartitions: Int = 0): DataFrame = {
+    require(budget > 0, s"packByTokenBudget: budget must be positive (got $budget)")
+    val spark = df.sparkSession
+    val n = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val schema = df.schema
+    val tokIdx = schema.fieldIndex(tokensCol)
+    schema.fieldIndex(orderCol) // fail fast on a missing order column
+    // persisted with NO explicit unpersist: the returned DataFrame's
+    // lineage references this RDD, and re-computing the shuffle would
+    // re-SAMPLE the range boundaries — offsets computed against one
+    // partitioning must never be applied to another. The ContextCleaner
+    // reclaims the cache once the result (and its lineage) is
+    // unreachable.
+    val ranged = df.repartitionByRange(n, col(orderCol))
+      .sortWithinPartitions(col(orderCol))
+      .rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    locally {
+      @inline def tok(r: Row): Long = r.get(tokIdx) match {
+        case null => 0L
+        case l: java.lang.Long => l
+        case i: java.lang.Integer => i.longValue()
+        case other => throw new IllegalArgumentException(
+          s"packByTokenBudget: token column '$tokensCol' must be integral, " +
+            s"got ${other.getClass.getSimpleName}")
+      }
+      // pass 1: per-partition totals (numPartitions longs to the driver)
+      val totals = ranged
+        .mapPartitionsWithIndex { (i, it) =>
+          var s = 0L; it.foreach(s += tok(_)); Iterator((i, s))
+        }
+        .collect().sortBy(_._1).map(_._2)
+      val offsets = totals.scanLeft(0L)(_ + _)
+      val b = budget
+      // pass 2: partition-local running sum from the broadcast offset
+      val out = ranged.mapPartitionsWithIndex { (i, it) =>
+        var cum = offsets(i)
+        it.map { r =>
+          val t = tok(r)
+          val shard = cum / b
+          cum += t
+          Row.fromSeq(r.toSeq :+ shard)
+        }
+      }
+      spark.createDataFrame(out, schema.add("shard_id", LongType))
+    }
+  }
+}

@@ -766,7 +766,10 @@ object FileGdbIO {
         if (bytes.length < 16 || c.i32() != 0x58505347) null // "GSPX" LE
         else {
           val ver = c.i32(); val blockRows = c.i32(); val n = c.i32()
-          if (ver != 1 || blockRows != EnvBlockRows || n != nBlocks) null
+          // payload-length check: a truncated sidecar (partial dir copy)
+          // must fall back to the computed index, not AIOOBE at plan time
+          if (ver != 1 || blockRows != EnvBlockRows || n != nBlocks ||
+              bytes.length < 16 + nBlocks * 32) null
           else {
             val arr = new Array[Double](nBlocks * 4)
             var i = 0

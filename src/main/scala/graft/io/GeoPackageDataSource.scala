@@ -70,25 +70,17 @@ object GeoPackageDataSource {
     else {
       val v =
         try {
-          // case-insensitive table match (exact preferred): SQLite
-          // identifiers are case-insensitive and GDAL lowercases
-          // f_table_name
           if (dialect == "spatialite") {
-            val meta = SpatiaLiteIO.geometryColumns(SparkSession.active, path)
-            meta.get(table)
-              .orElse(meta.collectFirst {
-                case (t, v) if t.equalsIgnoreCase(table) => v })
-              .map(_._1)
+            GeoPackageIO.resolveCI(
+              SpatiaLiteIO.geometryColumns(SparkSession.active, path), table)
+              .map(_._2._1)
           } else {
             val src = GeoPackageIO.openSource(
               SparkSession.active.sessionState.newHadoopConf(), path)
             try {
               val master = GeoPackageIO.readMaster(src)
-              val meta = GeoPackageIO.featureMetaFrom(src, master)
-              meta.get(table)
-                .orElse(meta.collectFirst {
-                  case (t, v) if t.equalsIgnoreCase(table) => v })
-                .map(_._1)
+              GeoPackageIO.resolveCI(
+                GeoPackageIO.featureMetaFrom(src, master), table).map(_._2._1)
             } finally src.close()
           }
         } catch { case _: Exception => None }
@@ -103,13 +95,20 @@ object GeoPackageDataSource {
     val src = GeoPackageIO.openSource(spark.sessionState.newHadoopConf(), path)
     try {
       val master = GeoPackageIO.readMaster(src)
-      val m = master.find(_.name == table)
-        .orElse(master.find(_.name.equalsIgnoreCase(table))).getOrElse(
+      val m = GeoPackageIO.findMaster(master, table).getOrElse(
         throw new IllegalArgumentException(
           s"no table '$table' in $path (tables: ${master.map(_.name).mkString(", ")})"))
-      // geometry column forced to BinaryType — see GeoPackageIO.forceGeomBinary
-      val cols = GeoPackageIO.forceGeomBinary(
-        GeoPackageIO.parseColumns(m.sql), geomColForDialect(path, m.name, dialect))
+      // geometry column forced to BinaryType (GeoPackageIO.forceGeomBinary),
+      // resolved from the src + master already in hand — no second file
+      // open or spatial_ref_sys re-walk
+      val geomCol =
+        if (dialect == "spatialite")
+          GeoPackageIO.resolveCI(
+            SpatiaLiteIO.geometryColumnsFrom(src, master), m.name).map(_._2._1)
+        else
+          GeoPackageIO.resolveCI(
+            GeoPackageIO.featureMetaFrom(src, master), m.name).map(_._2._1)
+      val cols = GeoPackageIO.forceGeomBinary(GeoPackageIO.parseColumns(m.sql), geomCol)
       StructType(cols.map(c =>
         org.apache.spark.sql.types.StructField(c.name, c.sparkType)))
     } finally src.close()
@@ -187,11 +186,9 @@ private[graft] class GpkgScan(fullSchema: StructType, required: StructType,
   protected def rtreeNodeName(t: String, g: String): String =
     s"rtree_${t}_${g}_node"
   protected def geomColOf(src: GeoPackageIO.PageSource,
-      master: Seq[GeoPackageIO.Master]): Option[String] = {
-    val meta = GeoPackageIO.featureMetaFrom(src, master)
-    meta.get(table).orElse(meta.collectFirst {
-      case (t, v) if t.equalsIgnoreCase(table) => v }).map(_._1)
-  }
+      master: Seq[GeoPackageIO.Master]): Option[String] =
+    GeoPackageIO.resolveCI(
+      GeoPackageIO.featureMetaFrom(src, master), table).map(_._2._1)
   protected def mkScan(opts: java.util.Map[String, String]): Scan =
     new GpkgScan(fullSchema, required, opts)
 
@@ -220,16 +217,15 @@ private[graft] class GpkgScan(fullSchema: StructType, required: StructType,
     val src = GeoPackageIO.openSource(spark.sessionState.newHadoopConf(), path)
     try {
       val master = GeoPackageIO.readMaster(src)
-      val m = master.find(_.name == table)
-        .orElse(master.find(_.name.equalsIgnoreCase(table))).getOrElse(
+      val m = GeoPackageIO.findMaster(master, table).getOrElse(
         throw new IllegalArgumentException(
           s"no table '$table' in $path (tables: ${master.map(_.name).mkString(", ")})"))
       require(m.rootPage > 0, s"table '$table' is virtual — not readable")
       val geomCol = geomColOf(src, master)
       val candidates: Option[Array[Long]] = (bbox, geomCol) match {
         case (Some((qx0, qy0, qx1, qy1)), Some(g)) =>
-          master.find(mm =>
-              mm.name.equalsIgnoreCase(rtreeNodeName(m.name, g)) && mm.rootPage > 0)
+          GeoPackageIO.findMaster(master, rtreeNodeName(m.name, g))
+            .filter(_.rootPage > 0)
             .map(node => GeoPackageIO.rtreeCandidates(src, node.rootPage,
               qx0, qy0, qx1, qy1).sorted)
         case _ => None
@@ -256,8 +252,7 @@ private[graft] class GpkgScan(fullSchema: StructType, required: StructType,
     val src = GeoPackageIO.openSource(spark.sessionState.newHadoopConf(), path)
     val (colArr, geomIdx) = try {
       val master = GeoPackageIO.readMaster(src)
-      val m = master.find(_.name == table)
-        .orElse(master.find(_.name.equalsIgnoreCase(table))).get
+      val m = GeoPackageIO.findMaster(master, table).get
       val geomCol = geomColOf(src, master)
       val cols =
         GeoPackageIO.forceGeomBinary(GeoPackageIO.parseColumns(m.sql), geomCol).toArray

@@ -52,17 +52,22 @@ object GeoPackageIO {
         throw new IllegalArgumentException(
           s"$path is truncated (no 100-byte SQLite header)", e)
     }
-    require(new String(head, 0, 15, "US-ASCII") == "SQLite format 3",
-      s"$path is not a SQLite database")
+    if (new String(head, 0, 15, "US-ASCII") != "SQLite format 3") {
+      in.close() // don't leak the handle on a wrong-format probe
+      throw new IllegalArgumentException(s"$path is not a SQLite database")
+    }
     val ps0 = ((head(16) & 0xff) << 8) | (head(17) & 0xff)
     val pageSize = if (ps0 == 1) 65536 else ps0
     val reserved = head(20) & 0xff
     // format-version 2 = WAL journaling: recent rows may live only in the
     // -wal sidecar, so a silent main-file walk would return stale data —
     // fail loud instead (checkpoint the database first)
-    require(head(18) != 2 && head(19) != 2,
-      s"$path uses WAL journaling (uncheckpointed -wal may hold newer rows); " +
-        "checkpoint it to rollback-journal mode before reading")
+    if (head(18) == 2 || head(19) == 2) {
+      in.close()
+      throw new IllegalArgumentException(
+        s"$path uses WAL journaling (uncheckpointed -wal may hold newer rows); " +
+          "checkpoint it to rollback-journal mode before reading")
+    }
     new PageSource(in, pageSize, pageSize - reserved)
   }
 
@@ -324,6 +329,18 @@ object GeoPackageIO {
   }
 
   private[io] final case class Master(name: String, rootPage: Long, sql: String)
+
+  /** Case-insensitive identifier resolution, exact match preferred —
+    * SQLite identifiers are case-insensitive and GDAL lowercases
+    * f_table_name. ONE definition so the next resolution fix (Unicode
+    * case rules, ambiguity reporting) lands everywhere at once.
+    */
+  private[io] def resolveCI[V](m: Map[String, V], key: String): Option[(String, V)] =
+    m.get(key).map(key -> _)
+      .orElse(m.collectFirst { case (t, v) if t.equalsIgnoreCase(key) => (t, v) })
+
+  private[io] def findMaster(master: Seq[Master], name: String): Option[Master] =
+    master.find(_.name == name).orElse(master.find(_.name.equalsIgnoreCase(name)))
 
   private[io] def readMaster(src: PageSource): Seq[Master] = {
     val out = ArrayBuffer.empty[Master]
@@ -1224,11 +1241,7 @@ object GeoPackageIO {
     val src = openSource(conf, path)
     val (cols, roots, geomCol, candidates, tableRoot) = try {
       val master = readMaster(src)
-      // SQLite identifiers are case-insensitive (exact match preferred):
-      // GDAL lowercases f_table_name, so a differently-cased table= option
-      // must still resolve
-      val m = master.find(_.name == table)
-        .orElse(master.find(_.name.equalsIgnoreCase(table))).getOrElse(
+      val m = findMaster(master, table).getOrElse(
         throw new IllegalArgumentException(
           s"no table '$table' in $path (tables: ${master.map(_.name).mkString(", ")})"))
       require(m.rootPage > 0, s"table '$table' is virtual (rootpage 0, e.g. an " +
@@ -1241,8 +1254,7 @@ object GeoPackageIO {
       val cols = forceGeomBinary(parseColumns(m.sql), geomCol)
       val cands: Option[Array[Long]] = (bbox, geomCol) match {
         case (Some((qx0, qy0, qx1, qy1)), Some(g)) =>
-          master.find(mm =>
-              mm.name.equalsIgnoreCase(rtreeNodeName(m.name, g)) && mm.rootPage > 0)
+          findMaster(master, rtreeNodeName(m.name, g)).filter(_.rootPage > 0)
             .map(node => rtreeCandidates(src, node.rootPage, qx0, qy0, qx1, qy1).sorted)
         case _ => None
       }
@@ -1311,14 +1323,9 @@ object GeoPackageIO {
     val src = openSource(spark.sessionState.newHadoopConf(), path)
     try {
       val master = readMaster(src)
-      val meta = featureMetaFrom(src, master)
-      meta.keys.find(_ == table)
-        .orElse(meta.keys.find(_.equalsIgnoreCase(table)))
-        .exists { t =>
-          val g = meta(t)._1
-          master.exists(m =>
-            m.name.equalsIgnoreCase(s"rtree_${t}_${g}_node") && m.rootPage > 0)
-        }
+      resolveCI(featureMetaFrom(src, master), table).exists { case (t, (g, _)) =>
+        findMaster(master, s"rtree_${t}_${g}_node").exists(_.rootPage > 0)
+      }
     } finally src.close()
   }
 }

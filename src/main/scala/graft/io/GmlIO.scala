@@ -261,18 +261,20 @@ object GmlIO {
     * EPSG's geodetic (lat/lon-ordered) range; their axes must NOT be
     * swapped: 4087/4088 are projected (World Equidistant Cylindrical,
     * ellipsoid/sphere), 4328 is the deprecated WGS 84 geocentric,
-    * 4896 is the ITRF2005 geocentric frame, 4910–4919 are the
-    * ITRF88–ITRF2000 geocentric frames (even AND odd), and from 4920 up
-    * EPSG allocates geodetic CRS in (geocentric, 3D-geographic) pairs on
-    * (even, odd) codes — e.g. 4936/4937 ETRS89, 4938/4939 GDA94,
-    * 4954/4955 NAD83(CSRS), 4978/4979 WGS 84, 4984/4985 WGS 72 — so even
-    * codes there are geocentric (no swap) and odd codes are 3D geographic
-    * (swap). The pairing rule must NOT reach below 4910: 4890–4909 holds
-    * ordinary geographic-2D CRS on even codes too (4902 NDG Paris,
-    * 4904 Lisbon 1890), which keep the lat/lon swap.
+    * 4890–4899 and 4920–4988 allocate geodetic CRS in (geocentric,
+    * 3D-geographic) pairs on (even, odd) codes — 4890/4891 WGS 66,
+    * 4896/4897 ITRF2005, 4936/4937 ETRS89, 4938/4939 GDA94, 4954/4955
+    * NAD83(CSRS), 4978/4979 WGS 84, 4984/4985 WGS 72 — so even codes
+    * there are geocentric (no swap) and odd codes are 3D geographic
+    * (swap); 4910–4919 are the ITRF88–ITRF2000 geocentric frames (even
+    * AND odd). The pairing rule must NOT cover 4900–4909: that band
+    * holds the classic ancient-datum geographic-2D CRS on even codes
+    * too (4902 NDG Paris, 4904 Lisbon 1890), which keep the lat/lon
+    * swap.
     */
   private def nonGeographic4xxx(code: Int): Boolean =
-    code == 4087 || code == 4088 || code == 4328 || code == 4896 ||
+    code == 4087 || code == 4088 || code == 4328 ||
+      (code >= 4890 && code <= 4899 && code % 2 == 0) ||
       (code >= 4910 && code <= 4919) ||
       (code >= 4920 && code <= 4988 && code % 2 == 0)
 

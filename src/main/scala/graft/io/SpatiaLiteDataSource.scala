@@ -86,14 +86,12 @@ private[graft] class SlScan(fullSchema: StructType, required: StructType,
   override protected def geomColOf(src: GeoPackageIO.PageSource,
       master: Seq[GeoPackageIO.Master]): Option[String] = {
     // strict: a feature read of a table missing from geometry_columns
-    // must fail loudly, not surface raw un-decoded blobs. Lookup is
-    // case-insensitive (exact preferred) like every SQLite identifier.
-    val meta = SpatiaLiteIO.geometryColumnsFrom(src, master)
-    val g = meta.get(table).orElse(meta.collectFirst {
-      case (t, v) if t.equalsIgnoreCase(table) => v })
+    // must fail loudly, not surface raw un-decoded blobs
+    val g = GeoPackageIO.resolveCI(
+      SpatiaLiteIO.geometryColumnsFrom(src, master), table)
     require(g.isDefined,
       s"spatialite: table '$table' not in geometry_columns of $path")
-    g.map(_._1)
+    g.map(_._2._1)
   }
   override protected def mkScan(opts: java.util.Map[String, String]): Scan =
     new SlScan(fullSchema, required, opts)

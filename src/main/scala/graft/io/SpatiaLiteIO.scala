@@ -97,15 +97,10 @@ object SpatiaLiteIO {
     // real spatialite file carries ~6000 spatial_ref_sys rows — do not
     // re-walk them inside readFeatureTable)
     val meta = geometryColumns(spark, path)
-    // case-insensitive table resolution (exact preferred): SQLite
-    // identifiers are case-insensitive and GDAL lowercases f_table_name,
-    // so a differently-cased table= must still find its layer
-    val resolved = meta.keys.find(_ == table)
-      .orElse(meta.keys.find(_.equalsIgnoreCase(table)))
+    val (resolved, (gcol, crs)) = GeoPackageIO.resolveCI(meta, table)
       .getOrElse(throw new IllegalArgumentException(
         s"spatialite: table '$table' not in geometry_columns of $path " +
           s"(have: ${meta.keys.mkString(", ")})"))
-    val (gcol, crs) = meta(resolved)
     val df = readFeatureTable(spark, path, resolved, bbox,
       geomColFor = (_, _) => Some(gcol),
       rtreeNodeName = (t, g) => s"idx_${t}_${g}_node",
@@ -123,13 +118,10 @@ object SpatiaLiteIO {
     val src = openSource(spark.sessionState.newHadoopConf(), path)
     try {
       val master = readMaster(src)
-      val meta = geometryColumnsFrom(src, master)
-      meta.keys.find(_ == table)
-        .orElse(meta.keys.find(_.equalsIgnoreCase(table)))
-        .exists { t =>
-          val g = meta(t)._1
-          master.exists(m =>
-            m.name.equalsIgnoreCase(s"idx_${t}_${g}_node") && m.rootPage > 0)
+      GeoPackageIO.resolveCI(geometryColumnsFrom(src, master), table)
+        .exists { case (t, (g, _)) =>
+          GeoPackageIO.findMaster(master, s"idx_${t}_${g}_node")
+            .exists(_.rootPage > 0)
         }
     } finally src.close()
   }
@@ -244,14 +236,29 @@ object SpatiaLiteIO {
       ByteBuffer.wrap(scratch).order(ByteOrder.LITTLE_ENDIAN).putDouble(v)
       bodyBuf.write(scratch, 0, 8)
     }
-    def clsOf(g: Geometry): Int = g match {
-      case p: Point => if (!p.z.isNaN) 1001 else 1
-      case l: LineString => if (l.zs != null) 1002 else 2
-      case _: Polygon => 3
-      case _: MultiPoint => 4
-      case _: MultiLineString => 5
-      case _: MultiPolygon => 6
-      case _: GeometryCollection => 7
+    // collections carry the dimension band on the OUTER class too
+    // (1004 MultiPointZ, 1005 MultiLineStringZ, 1007 GeometryCollectionZ)
+    // — real SpatiaLite/GDAL dispatch on it; members still frame their
+    // own banded class after the 0x69 marker
+    def hasZ(g: Geometry): Boolean = g match {
+      case p: Point => !p.z.isNaN
+      case l: LineString => l.zs != null
+      case m: MultiPoint => m.pts.exists(hasZ)
+      case m: MultiLineString => m.lines.exists(hasZ)
+      case c: GeometryCollection => c.geoms.exists(hasZ)
+      case _ => false // polygon z drops on ingest (engine model)
+    }
+    def clsOf(g: Geometry): Int = {
+      val base = g match {
+        case _: Point => 1
+        case _: LineString => 2
+        case _: Polygon => 3
+        case _: MultiPoint => 4
+        case _: MultiLineString => 5
+        case _: MultiPolygon => 6
+        case _: GeometryCollection => 7
+      }
+      if (hasZ(g)) base + 1000 else base
     }
     def members(gs: Array[Geometry]): Unit = {
       putInt(gs.length)

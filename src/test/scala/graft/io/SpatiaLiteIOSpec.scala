@@ -231,7 +231,9 @@ class SpatiaLiteIOSpec extends AnyFunSuite {
       "MULTIPOINT ((1 1), (2 3))",
       "MULTILINESTRING ((0 10, 2 12), (5 15, 9 19, 9 10))",
       "MULTIPOLYGON (((20 20, 26 20, 26 26, 20 26, 20 20)), ((40 0, 44 0, 44 4, 40 0)))",
-      "GEOMETRYCOLLECTION (POINT (7 8), LINESTRING (0 0, 1 1))")
+      "GEOMETRYCOLLECTION (POINT (7 8), LINESTRING (0 0, 1 1))",
+      "MULTILINESTRING Z ((0 0 1, 2 2 3), (4 4 5, 6 6 7))",
+      "GEOMETRYCOLLECTION Z (POINT Z (1 2 3))")
     val loc = tmp("fam.sqlite")
     val df = wkts.zipWithIndex.map { case (w, i) => (i + 1L, w) }
       .toDF("fid", "wkt")
@@ -290,6 +292,22 @@ class SpatiaLiteIOSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](
       SpatiaLiteIO.read(spark, loc, "pts"))
     assert(e.getMessage.contains("truncated"))
+  }
+
+  test("Z collections carry the banded OUTER class (1004/1005/1007)") {
+    // real SpatiaLite/GDAL dispatch on the outer class int — a 2D outer
+    // class holding +1000 members is out of spec
+    def clsOf(wkt: String): Int = {
+      val wkb = spark.sql(s"SELECT st_asbinary(st_geomfromwkt('$wkt'))")
+        .head().getAs[Array[Byte]](0)
+      val blob = SpatiaLiteIO.wkbToSl(wkb, 4326)
+      java.nio.ByteBuffer.wrap(blob, 39, 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt()
+    }
+    assert(clsOf("MULTIPOINT Z ((1 1 2), (3 3 4))") == 1004)
+    assert(clsOf("MULTILINESTRING Z ((0 0 1, 2 2 3))") == 1005)
+    assert(clsOf("GEOMETRYCOLLECTION Z (POINT Z (1 2 3))") == 1007)
+    assert(clsOf("MULTIPOINT ((1 1), (3 3))") == 4)
   }
 
   test("compressed-geometry class fails loudly with a named error") {

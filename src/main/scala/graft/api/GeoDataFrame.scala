@@ -1521,6 +1521,46 @@ final case class GeoDataFrame(
     spatialPartitions.filter(_.nonEmpty).map(_.reduce(_ union _))
       .orElse(fileSource.filter(_.validFor(df)).map(_.bboxes.values.reduce(_ union _)))
 
+  /** Suffix-dispatched write — the reference's single `to_file` entry
+    * point (`io/file.py:49-149`; pyogrio picks the OGR driver from the
+    * path). `layer` names the feature table/class in catalog formats
+    * (gpkg/gdb/sqlite/fgb); file formats without a catalog ignore it.
+    * Mirrors [[readFile]]'s suffix table, so `readFile(path)` always
+    * reads back what `toFile(path)` wrote — directory-of-parts formats
+    * (shp/kml/gpx/mif/tab/dxf/geojson) write `path` as a directory that
+    * the dispatcher re-reads by its contents' extension.
+    */
+  def toFile(path: String, layer: String = "layer1"): Unit = {
+    val lower = path.toLowerCase
+    if (lower.endsWith(".gpkg")) graft.io.GeoPackageIO.write(this, path, layer)
+    else if (lower.endsWith(".gdb"))
+      graft.io.FileGdbIO.write(df, path, geometryColumn, layer, crs)
+    else if (lower.endsWith(".sqlite"))
+      graft.io.SpatiaLiteIO.write(this, path, layer)
+    else if (lower.endsWith(".fgb")) graft.io.FlatGeobufIO.write(this, path, layer)
+    else if (lower.endsWith(".shp"))
+      graft.io.ShapefileIO.write(df, path, geometryColumn, crs = crs)
+    else if (lower.endsWith(".parquet")) graft.io.GeoParquetIO.write(this, path)
+    else if (lower.endsWith(".feather") || lower.endsWith(".arrow"))
+      graft.io.GeoFeatherIO.write(this, path)
+    else if (lower.endsWith(".geojsonl") || lower.endsWith(".ndjson"))
+      graft.io.GeoJsonIO.writeSeq(this, path)
+    else if (lower.endsWith(".geojson")) graft.io.GeoJsonIO.write(this, path)
+    else if (lower.endsWith(".kml")) graft.io.KmlIO.write(this, path)
+    else if (lower.endsWith(".gml")) graft.io.GmlIO.write(this, path)
+    else if (lower.endsWith(".gpx")) graft.io.GpxIO.write(this, path)
+    else if (lower.endsWith(".mif")) graft.io.MapInfoIO.write(this, path)
+    else if (lower.endsWith(".tab")) graft.io.TabIO.write(this, path)
+    else if (lower.endsWith(".dxf"))
+      graft.io.DxfIO.write(df, path, geometryColumn)
+    else if (lower.endsWith(".topojson"))
+      graft.io.TopoJsonIO.write(df, path, geometryColumn)
+    else throw new IllegalArgumentException(
+      s"to_file: unrecognized suffix on $path — supported: .gpkg, .gdb, " +
+        ".sqlite, .fgb, .shp, .parquet, .feather/.arrow, .geojson(l), " +
+        ".ndjson, .kml, .gml, .gpx, .mif, .tab, .dxf, .topojson")
+  }
+
   /** Write as a single-file GeoPackage (the reference's
     * `to_file(..., driver="GPKG")` surface via pyogrio, `io/file.py`):
     * parallel task-side record encoding, driver-side sequential page
@@ -2070,7 +2110,14 @@ object GeoDataFrame {
           Some((box.minX, box.minY, box.maxX, box.maxY))).df))))
     }
     val lower: String =
-      if (fs.exists(p) && fs.getFileStatus(p).isDirectory) {
+      if (fs.exists(p) && fs.getFileStatus(p).isDirectory &&
+          (bare.toLowerCase.endsWith(".geojsonl") ||
+            bare.toLowerCase.endsWith(".ndjson"))) {
+        // a Spark text-sink DIRECTORY of newline-delimited GeoJSON (what
+        // toFile(".geojsonl") writes — part files carry .txt): the
+        // seq reader takes files and directories alike
+        bare.toLowerCase
+      } else if (fs.exists(p) && fs.getFileStatus(p).isDirectory) {
         val exts = fs.listStatus(p).map(_.getPath.getName.toLowerCase)
           .flatMap(n => n.split('.').lastOption.filter(_ => n.contains('.')))
           .toSet

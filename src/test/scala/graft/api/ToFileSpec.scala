@@ -1,0 +1,56 @@
+package graft.api
+
+import graft.sql.TestSpark
+import graft.sql.functions._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** `toFile` suffix dispatch — the reference's single `to_file` entry
+  * point: whatever `toFile(path)` writes, `readFile(path)` reads back.
+  * One closed-form point set swept across the catalog formats and the
+  * directory-of-parts formats.
+  */
+class ToFileSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory("tofile_").resolve(name).toString
+
+  private def pts(n: Int) = GeoDataFrame(
+    (1 to n).map(i => (i.toLong, s"p_$i")).toDF("fid", "nm")
+      .withColumn("geometry", st_point($"fid" * 2.0, $"fid" * 3.0)),
+    "geometry").setCrs("EPSG:4326")
+
+  private def xySum(g: GeoDataFrame): (Long, Double, Double) =
+    g.df.select(count(lit(1)), sum(st_x($"geometry")), sum(st_y($"geometry")))
+      .as[(Long, Double, Double)].head()
+
+  test("toFile/readFile roundtrip across suffixes") {
+    val n = 120
+    val want = (n.toLong, (1 to n).map(_ * 2.0).sum, (1 to n).map(_ * 3.0).sum)
+    for (sfx <- Seq(".gpkg", ".gdb", ".sqlite", ".fgb", ".shp", ".geojsonl",
+        ".tab", ".mif", ".geojson")) {
+      val loc = tmp(s"out$sfx")
+      pts(n).toFile(loc, layer = "pts")
+      val back = GeoDataFrame.readFile(spark, loc,
+        layer = if (sfx == ".gpkg" || sfx == ".gdb" || sfx == ".sqlite")
+          Some("pts") else None)
+      assert(xySum(back) == want, s"suffix $sfx")
+    }
+  }
+
+  test("catalog formats carry the layer name") {
+    val loc = tmp("named.gpkg")
+    pts(10).toFile(loc, layer = "roads")
+    assert(graft.io.GeoPackageIO.featureMeta(spark, loc).keySet == Set("roads"))
+    val loc2 = tmp("named.sqlite")
+    pts(10).toFile(loc2, layer = "roads")
+    assert(graft.io.SpatiaLiteIO.geometryColumns(spark, loc2).keySet == Set("roads"))
+  }
+
+  test("unknown suffix errors with the supported list") {
+    val e = intercept[IllegalArgumentException](pts(3).toFile(tmp("x.xyz")))
+    assert(e.getMessage.contains(".gpkg") && e.getMessage.contains(".sqlite"))
+  }
+}

@@ -3283,6 +3283,28 @@ object OracleSql {
              length(text)::BIGINT AS n_chars
       FROM documents ORDER BY doc_id""",
 
+    // decontamination: 8-gram md5s rebuilt with a DuckDB list
+    // comprehension; corpus docs too short for one gram survive the
+    // unnest through the all_docs left join
+    "t58_decontaminate" -> s"""
+      WITH tok AS (SELECT doc_id, source, $docToks AS toks FROM documents),
+      g AS (SELECT doc_id, source,
+              CASE WHEN len(toks) >= 8
+                THEN [md5(array_to_string(toks[i:i+7], ' '))
+                      FOR i IN range(1, len(toks) - 6)]
+                ELSE [] END AS gs
+            FROM tok),
+      b AS (SELECT DISTINCT unnest(gs) AS gr FROM g WHERE source = 'src0'),
+      c AS (SELECT doc_id, unnest(gs) AS gr FROM g WHERE source <> 'src0'),
+      stats AS (SELECT c.doc_id, count(*) AS n_grams,
+                       sum(CASE WHEN b.gr IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+                FROM c LEFT JOIN b ON c.gr = b.gr GROUP BY 1)
+      SELECT a.doc_id, COALESCE(s.n_grams, 0)::BIGINT AS n_grams,
+             COALESCE(s.n_hit, 0)::BIGINT AS n_hit,
+             (COALESCE(s.n_hit, 0) > 0) AS contaminated
+      FROM (SELECT doc_id FROM tok WHERE source <> 'src0') a
+      LEFT JOIN stats s USING (doc_id) ORDER BY doc_id""",
+
     // shard packing: the oracle uses the global window the op avoids —
     // exclusive prefix sum over doc_id order, floor-divided by the budget
     "t56_shard_pack" -> s"""

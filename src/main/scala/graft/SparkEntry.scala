@@ -4067,6 +4067,35 @@ object SparkEntry {
         .orderBy(col("wstart"))
     }),
 
+    // TEST-SET DECONTAMINATION (benchmark n-gram collision — the
+    // pretraining hygiene pass, Brown 2020 appendix-C style): the
+    // held-out set's distinct token 8-grams BROADCAST (benchmarks are
+    // small by construction — the corpus side never shuffles on grams,
+    // it streams through a broadcast-hash probe); per corpus doc, the
+    // count of 8-gram positions colliding with the benchmark. Grams
+    // compare by md5 so the probe key is fixed-width (and the DuckDB
+    // mirror reproduces it exactly).
+    "t58_decontaminate" -> ((s, d) => {
+      val withGrams = t(s, d, "documents")
+        .withColumn("toks", gr_tokens(col("text")))
+        .withColumn("gs", expr(
+          """CASE WHEN size(toks) >= 8
+               THEN transform(sequence(1, size(toks) - 7),
+                      i -> md5(concat_ws(' ', slice(toks, i, 8))))
+               ELSE array() END"""))
+      val bench = withGrams.filter(col("source") === "src0")
+        .select(explode(col("gs")).as("g")).distinct()
+        .withColumn("hit", lit(1L))
+      withGrams.filter(col("source") =!= "src0")
+        .select(col("doc_id"), explode_outer(col("gs")).as("g"))
+        .join(broadcast(bench), Seq("g"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(col("g")).as("n_grams"),
+          sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+        .withColumn("contaminated", col("n_hit") > 0)
+        .orderBy(col("doc_id"))
+    }),
+
     // TOKEN-BUDGET SHARD PACKING (pretraining egress): documents in
     // doc_id order pack into ~2000-token shards, shard_id =
     // floor(exclusive_prefix_tokens / budget). The op is a DISTRIBUTED

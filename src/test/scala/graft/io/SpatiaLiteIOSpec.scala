@@ -294,6 +294,48 @@ class SpatiaLiteIOSpec extends AnyFunSuite {
     assert(e.getMessage.contains("truncated"))
   }
 
+  test("fuzz: 200 random geometries roundtrip exactly (write/read, incl. Z)") {
+    // SpatiaLite stores raw doubles (no quantization grid), so the
+    // roundtrip must be bit-exact on the normalized WKT
+    val rnd = new scala.util.Random(20260816)
+    def coord(): Double = (rnd.nextDouble() * 2000 - 1000) +
+      rnd.nextInt(1000) * 1e-6
+    def ring(cx: Double, cy: Double, r: Double, n: Int): String =
+      (0 to n).map { k =>
+        val a = 2 * math.Pi * (k % n) / n
+        s"${cx + r * math.cos(a)} ${cy + r * math.sin(a)}"
+      }.mkString("(", ", ", ")")
+    val wkts = (0 until 200).map { i =>
+      i % 8 match {
+        case 0 => s"POINT (${coord()} ${coord()})"
+        case 1 => s"POINT Z (${coord()} ${coord()} ${coord()})"
+        case 2 => s"LINESTRING (${coord()} ${coord()}, ${coord()} ${coord()}, ${coord()} ${coord()})"
+        case 3 => s"LINESTRING Z (${coord()} ${coord()} 1.5, ${coord()} ${coord()} -2.25)"
+        case 4 => s"POLYGON (${ring(coord(), coord(), 1 + rnd.nextInt(50), 3 + rnd.nextInt(8))})"
+        case 5 => s"MULTIPOINT ((${coord()} ${coord()}), (${coord()} ${coord()}))"
+        case 6 =>
+          val c1 = (coord(), coord()); val c2 = (coord() + 500, coord() + 500)
+          s"MULTIPOLYGON ((${ring(c1._1, c1._2, 2, 4)}), (${ring(c2._1, c2._2, 3, 5)}))"
+        case 7 => s"GEOMETRYCOLLECTION (POINT (${coord()} ${coord()}), " +
+          s"LINESTRING (${coord()} ${coord()}, ${coord()} ${coord()}))"
+      }
+    }
+    val loc = tmp("fuzz.sqlite")
+    val src = wkts.zipWithIndex.map { case (w, i) => (i + 1L, w) }
+      .toDF("fid", "wkt").withColumn("geometry", expr("st_geomfromwkt(wkt)"))
+    SpatiaLiteIO.write(graft.api.GeoDataFrame(src, "geometry"), loc, "fuzz2")
+    val back = SpatiaLiteIO.read(spark, loc, "fuzz2").df
+      .select($"fid", $"wkt",
+        expr("st_astext(st_normalize(geometry))").as("got"),
+        expr("st_astext(st_normalize(st_geomfromwkt(wkt)))").as("want"))
+      .collect()
+    assert(back.length == 200)
+    back.foreach { r =>
+      assert(r.getString(2) == r.getString(3),
+        s"fid ${r.getLong(0)}: ${r.getString(2)} vs ${r.getString(3)}")
+    }
+  }
+
   test("Z collections carry the banded OUTER class (1004/1005/1007)") {
     // real SpatiaLite/GDAL dispatch on the outer class int — a 2D outer
     // class holding +1000 members is out of spec

@@ -2080,6 +2080,39 @@ object GeoDataFrame {
     g.copy(boxSource = hook)
   }
 
+  /** Multi-layer suffix-dispatched write — `to_file(layer=)` repeated
+    * into ONE dataset for the catalog formats (OGR semantics: several
+    * feature classes per gpkg/gdb/sqlite file). Single-layer formats
+    * are rejected by suffix — write them one [[GeoDataFrame.toFile]]
+    * per file.
+    */
+  def writeLayers(path: String, layers: Seq[(String, GeoDataFrame)]): Unit = {
+    require(layers.nonEmpty, "to_file: at least one layer required")
+    val lower = path.toLowerCase
+    if (lower.endsWith(".gpkg"))
+      graft.io.GeoPackageIO.writeLayers(layers, path)
+    else if (lower.endsWith(".sqlite"))
+      graft.io.SpatiaLiteIO.writeLayers(layers, path)
+    else if (lower.endsWith(".gdb")) {
+      // the gdb writer records ONE srs + geometry column for the whole
+      // dataset — refuse heterogeneous layers loudly rather than
+      // silently mislabeling a layer's CRS or picking a wrong column
+      val crss = layers.flatMap(_._2.crs).distinct
+      require(crss.size <= 1,
+        s"to_file(.gdb): layers carry different CRS (${crss.mkString(", ")}) " +
+          "— reproject to one CRS first, or write separate .gdb datasets")
+      val geomCols = layers.map(_._2.geometryColumn).distinct
+      require(geomCols.size == 1,
+        s"to_file(.gdb): layers use different geometry columns " +
+          s"(${geomCols.mkString(", ")}) — renameGeometry to one name first")
+      graft.io.FileGdbIO.writeLayers(
+        layers.map { case (n, g) => n -> g.df }, path, geomCols.head,
+        crss.headOption)
+    } else throw new IllegalArgumentException(
+      s"to_file: multi-layer write needs a catalog format " +
+        s"(.gpkg, .gdb, .sqlite) — got $path")
+  }
+
   /** Extension-dispatched ingestion — the reference's single `read_file`
     * entry point (`io/file.py:49-149`, pyogrio picks the OGR driver from
     * the path). Dispatches on suffix: `.shp` → [[readShapefile]], `.gpkg`
@@ -2098,31 +2131,33 @@ object GeoDataFrame {
     val bare = path.stripSuffix("/")
     val p = new org.apache.hadoop.fs.Path(bare)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    // ONE metadata round-trip for the whole dispatch (the exists/status
+    // pair otherwise repeats per branch — metadata RPCs on HDFS/S3A)
+    val isDir = fs.exists(p) && fs.getFileStatus(p).isDirectory
     // a .gdb DIRECTORY is one dataset (ESRI File Geodatabase), not a
     // directory of per-task files — dispatch before the extension scan;
-    // cx re-plans through the bbox read (layer-extent prune + exact
-    // residual — no per-chunk spatial index in this profile)
-    if (bare.toLowerCase.endsWith(".gdb") &&
-        fs.exists(p) && fs.getFileStatus(p).isDirectory) {
+    // cx re-plans through the bbox read (block-envelope chunk prune +
+    // exact residual)
+    if (bare.toLowerCase.endsWith(".gdb") && isDir) {
       val g = graft.io.FileGdbIO.read(spark, bare, layer, chunkSize, geometryColumn)
       return g.copy(boxSource = Some(BoxSourceMeta(g.df, box => Some(
         graft.io.FileGdbIO.read(spark, bare, layer, chunkSize, geometryColumn,
           Some((box.minX, box.minY, box.maxX, box.maxY))).df))))
     }
     val lower: String =
-      if (fs.exists(p) && fs.getFileStatus(p).isDirectory &&
-          (bare.toLowerCase.endsWith(".geojsonl") ||
-            bare.toLowerCase.endsWith(".ndjson"))) {
-        // a Spark text-sink DIRECTORY of newline-delimited GeoJSON (what
-        // toFile(".geojsonl") writes — part files carry .txt): the
-        // seq reader takes files and directories alike
+      if (isDir && (bare.toLowerCase.endsWith(".geojsonl") ||
+            bare.toLowerCase.endsWith(".ndjson") ||
+            bare.toLowerCase.endsWith(".parquet"))) {
+        // a Spark sink DIRECTORY whose own suffix names the format (what
+        // toFile(".geojsonl"/".parquet") writes — text parts carry .txt):
+        // the underlying readers take files and directories alike
         bare.toLowerCase
-      } else if (fs.exists(p) && fs.getFileStatus(p).isDirectory) {
+      } else if (isDir) {
         val exts = fs.listStatus(p).map(_.getPath.getName.toLowerCase)
           .flatMap(n => n.split('.').lastOption.filter(_ => n.contains('.')))
           .toSet
         val known = exts.intersect(
-          Set("shp", "fgb", "arrow", "geojsonl", "ndjson", "kml", "geojson", "gml", "gpx", "topojson", "mif", "tab", "dxf"))
+          Set("shp", "fgb", "arrow", "geojsonl", "ndjson", "kml", "geojson", "gml", "gpx", "topojson", "mif", "tab", "dxf", "parquet"))
         require(known.size == 1,
           s"read_file: directory $bare holds ${if (known.isEmpty) "no" else "multiple"} " +
             s"recognized formats (${exts.mkString(", ")}) — pass an explicit file or " +
@@ -2156,8 +2191,12 @@ object GeoDataFrame {
         layer, chunkSize, geometryColumn)
     } else if (lower.endsWith(".shp"))
       readShapefile(spark, bare, chunkSize, geometryColumn)
-    else if (lower.endsWith(".arrow"))
+    else if (lower.endsWith(".arrow") || lower.endsWith(".feather"))
       graft.io.GeoFeatherIO.read(spark, bare)
+    else if (lower.endsWith(".parquet"))
+      // GeoParquet (footer geo metadata; plain parquet reads too, with
+      // the geometry column resolved from the footer when present)
+      graft.io.GeoParquetIO.read(spark, bare)
     else if (lower.endsWith(".gpkg")) {
       val table = layer.getOrElse {
         val tables = graft.io.GeoPackageIO.featureMeta(spark, path).keys.toSeq.sorted

@@ -30,7 +30,8 @@ class ToFileSpec extends AnyFunSuite {
     val n = 120
     val want = (n.toLong, (1 to n).map(_ * 2.0).sum, (1 to n).map(_ * 3.0).sum)
     for (sfx <- Seq(".gpkg", ".gdb", ".sqlite", ".fgb", ".shp", ".geojsonl",
-        ".tab", ".mif", ".geojson")) {
+        ".tab", ".mif", ".geojson", ".parquet", ".feather", ".kml", ".gml",
+        ".dxf")) {
       val loc = tmp(s"out$sfx")
       pts(n).toFile(loc, layer = "pts")
       val back = GeoDataFrame.readFile(spark, loc,
@@ -38,6 +39,12 @@ class ToFileSpec extends AnyFunSuite {
           Some("pts") else None)
       assert(xySum(back) == want, s"suffix $sfx")
     }
+    // topojson quantizes coordinates — roundtrip within the grid
+    val loc = tmp("out.topojson")
+    pts(n).toFile(loc)
+    val (cnt, sx, sy) = xySum(GeoDataFrame.readFile(spark, loc))
+    assert(cnt == n && math.abs(sx - want._2) < 0.1 * n &&
+      math.abs(sy - want._3) < 0.1 * n)
   }
 
   test("catalog formats carry the layer name") {
@@ -47,6 +54,19 @@ class ToFileSpec extends AnyFunSuite {
     val loc2 = tmp("named.sqlite")
     pts(10).toFile(loc2, layer = "roads")
     assert(graft.io.SpatiaLiteIO.geometryColumns(spark, loc2).keySet == Set("roads"))
+  }
+
+  test("writeLayers dispatches the catalog formats; rejects single-layer suffixes") {
+    for (sfx <- Seq(".gpkg", ".sqlite", ".gdb")) {
+      val loc = tmp(s"ml$sfx")
+      GeoDataFrame.writeLayers(loc, Seq("a" -> pts(30), "b" -> pts(12)))
+      val a = GeoDataFrame.readFile(spark, loc, layer = Some("a"))
+      val b = GeoDataFrame.readFile(spark, loc, layer = Some("b"))
+      assert(a.df.count() == 30 && b.df.count() == 12, s"suffix $sfx")
+    }
+    val e = intercept[IllegalArgumentException](
+      GeoDataFrame.writeLayers(tmp("x.fgb"), Seq("a" -> pts(3))))
+    assert(e.getMessage.contains("catalog"))
   }
 
   test("unknown suffix errors with the supported list") {

@@ -175,4 +175,37 @@ class QuerySmokeSpec extends AnyFunSuite {
     // not a pass-through)
     assert(out.exists(r => r.getLong(2) < r.getLong(1)))
   }
+
+  test("t56 shard packing: dense shards, ordered doc ranges, budget bound") {
+    val r = run("t56_shard_pack").orderBy($"shard_id").collect()
+    val ids = r.map(_.getLong(0))
+    assert(ids.toSeq == (0L until ids.length))
+    // doc ranges partition the id space in order (prefix-sum correctness:
+    // a wrong partition offset would interleave ranges)
+    r.sliding(2).foreach { w =>
+      if (w.length == 2)
+        assert(w(0).getAs[Long]("last_doc") < w(1).getAs[Long]("first_doc"))
+    }
+    // a shard overflows by at most one document
+    val maxTok = spark.read.parquet(s"$dir/documents.parquet")
+      .select(max(graft.sql.functions.gr_tokenCount($"text").cast("long")))
+      .head().getLong(0)
+    r.foreach(row =>
+      assert(row.getAs[Long]("sum_tokens") <= 2000L + maxTok,
+        s"shard ${row.getLong(0)} overflows"))
+  }
+
+  test("t58 decontamination: planted duplicates collide, bench side excluded") {
+    val r = run("t58_decontaminate").cache()
+    // the synthetic corpus plants cross-source exact copies — the 8-gram
+    // probe must produce a live signal, never a vacuous all-zero column
+    assert(r.filter($"contaminated").count() >= 1)
+    assert(r.filter($"n_hit" > $"n_grams").count() == 0)
+    // the held-out source itself never appears in the output
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val srcs = r.join(docs, "doc_id").select($"source").distinct()
+      .as[String].collect().toSet
+    assert(!srcs.contains("src0") && srcs.nonEmpty)
+    r.unpersist()
+  }
 }

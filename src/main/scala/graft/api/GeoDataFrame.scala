@@ -2094,20 +2094,31 @@ object GeoDataFrame {
     else if (lower.endsWith(".sqlite"))
       graft.io.SpatiaLiteIO.writeLayers(layers, path)
     else if (lower.endsWith(".gdb")) {
-      // the gdb writer records ONE srs + geometry column for the whole
-      // dataset — refuse heterogeneous layers loudly rather than
-      // silently mislabeling a layer's CRS or picking a wrong column
-      val crss = layers.flatMap(_._2.crs).distinct
-      require(crss.size <= 1,
-        s"to_file(.gdb): layers carry different CRS (${crss.mkString(", ")}) " +
-          "— reproject to one CRS first, or write separate .gdb datasets")
+      // gdb feature classes carry independent spatial references — each
+      // layer's own CRS flows through crsPerLayer. Heterogeneous
+      // geometry-column NAMES normalize to one (the writer's shape field
+      // is "SHAPE" on disk regardless); a clashing non-geometry column
+      // of the same name is refused rather than silently overwritten.
       val geomCols = layers.map(_._2.geometryColumn).distinct
-      require(geomCols.size == 1,
-        s"to_file(.gdb): layers use different geometry columns " +
-          s"(${geomCols.mkString(", ")}) — renameGeometry to one name first")
-      graft.io.FileGdbIO.writeLayers(
-        layers.map { case (n, g) => n -> g.df }, path, geomCols.head,
-        crss.headOption)
+      val (geomCol, dfs) =
+        if (geomCols.size == 1) (geomCols.head, layers.map { case (n, g) => n -> g.df })
+        else {
+          val common = "geometry"
+          (common, layers.map { case (n, g) =>
+            if (g.geometryColumn == common) n -> g.df
+            else {
+              require(!g.df.columns.contains(common),
+                s"to_file(.gdb): layer '$n' has a non-geometry column named " +
+                  s"'$common' clashing with the normalized geometry name — " +
+                  "rename it first")
+              n -> g.df.withColumnRenamed(g.geometryColumn, common)
+            }
+          })
+        }
+      graft.io.FileGdbIO.writeLayers(dfs, path, geomCol,
+        crs = None,
+        crsPerLayer = layers.collect {
+          case (n, g) if g.crs.isDefined => n -> g.crs.get }.toMap)
     } else throw new IllegalArgumentException(
       s"to_file: multi-layer write needs a catalog format " +
         s"(.gpkg, .gdb, .sqlite) — got $path")

@@ -997,20 +997,22 @@ object FileGdbIO {
       path: String, layerName: String, schema: StructType, geomIdx: Int,
       rows: IndexedSeq[Row], srsText: String, xyScale: Double): Unit =
     writeGdbTables(conf, path,
-      Seq((layerName, schema, geomIdx, rows)), srsText, xyScale)
+      Seq((layerName, schema, geomIdx, rows, srsText)), xyScale)
 
-  /** Write `layers` as files 2..N+1 plus the catalog (file 1; row oid ==
-    * table file number). Each layer's quantization origin derives from
-    * its own extent.
+  /** Write `layers` as files 5..N+4 plus the v10 system skeleton and the
+    * catalog (file 1; row oid == table file number). Each layer carries
+    * its OWN srs text (gdb feature classes have independent spatial
+    * references) and its quantization origin derives from its own
+    * extent.
     */
   private def writeGdbTables(conf: org.apache.hadoop.conf.Configuration,
       path: String,
-      layers: Seq[(String, StructType, Int, IndexedSeq[Row])],
-      srsText: String, xyScale: Double): Unit = {
+      layers: Seq[(String, StructType, Int, IndexedSeq[Row], String)],
+      xyScale: Double): Unit = {
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf)
     fs.mkdirs(dir)
-    layers.zipWithIndex.foreach { case ((_, schema, geomIdx, rows), li) =>
+    layers.zipWithIndex.foreach { case ((_, schema, geomIdx, rows, srsText), li) =>
       // quantized coordinates are non-negative offsets from the origin,
       // so the origin must sit at/below the data's min corner (ESRI
       // derives it from the layer's spatial domain the same way; a fixed
@@ -1063,7 +1065,7 @@ object FileGdbIO {
       GdbField("Path", T_STRING, nullable = true),
       GdbField("Definition", T_XML, nullable = true),
       GdbField("Documentation", T_XML, nullable = true))
-    val itemRows = layers.map { case (name, _, geomIdx, _) =>
+    val itemRows = layers.map { case (name, _, geomIdx, _, _) =>
       val isFc = geomIdx >= 0
       val tag = if (isFc) "DEFeatureClassInfo" else "DETableInfo"
       IndexedSeq[Any](null,
@@ -1089,7 +1091,7 @@ object FileGdbIO {
       IndexedSeq[Any](null, "GDB_DBTune", 0) +:
       IndexedSeq[Any](null, "GDB_SpatialRefs", 0) +:
       IndexedSeq[Any](null, "GDB_Items", 0) +:
-      layers.map { case (name, _, _, _) => IndexedSeq[Any](null, name, 0) }
+      layers.map { case (name, _, _, _, _) => IndexedSeq[Any](null, name, 0) }
     writeTable(fs, fileFor(dir, 1), catFields, 0, None, catRows.toIndexedSeq)
   }
 
@@ -1102,7 +1104,8 @@ object FileGdbIO {
     */
   def writeLayers(layers: Seq[(String, DataFrame)], path: String,
       geomCol: String = "geometry", crs: Option[String] = None,
-      xyScale: Double = 1e9): Unit = {
+      xyScale: Double = 1e9,
+      crsPerLayer: Map[String, String] = Map.empty): Unit = {
     require(layers.nonEmpty, "gdb: writeLayers needs at least one layer")
     require(layers.map(_._1.toLowerCase).distinct.size == layers.size,
       "gdb: duplicate layer names")
@@ -1118,9 +1121,12 @@ object FileGdbIO {
         .resolveAndBind().createDeserializer()
       val rows = df.queryExecution.toRdd.toLocalIterator
         .map(ir => de(ir.copy())).toIndexedSeq
-      (name, schema, gi, rows)
+      val srs = crsPerLayer.get(name)
+        .map(c => graft.sql.WktCrs.toWkt(c).getOrElse(c))
+        .getOrElse(srsText)
+      (name, schema, gi, rows, srs)
     }
-    writeGdbTables(conf, path, resolved, srsText, xyScale)
+    writeGdbTables(conf, path, resolved, xyScale)
   }
 
   private def writeTable(fs: org.apache.hadoop.fs.FileSystem, table: Path,

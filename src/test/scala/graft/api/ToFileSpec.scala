@@ -69,6 +69,22 @@ class ToFileSpec extends AnyFunSuite {
     assert(e.getMessage.contains("catalog"))
   }
 
+  test("gdb writeLayers: per-layer CRS and geometry-column names honored") {
+    val loc = tmp("mixed.gdb")
+    val a = pts(20) // EPSG:4326, geometry column "geometry"
+    val bdf = (1 to 8).map(i => (i.toLong, s"q_$i")).toDF("fid", "nm")
+      .withColumn("shape", st_point($"fid" * 10.0, $"fid" * 20.0))
+    val b = GeoDataFrame(bdf, "shape").setCrs("EPSG:3857")
+    GeoDataFrame.writeLayers(loc, Seq("wgs" -> a, "merc" -> b))
+    val backA = GeoDataFrame.readFile(spark, loc, layer = Some("wgs"))
+    val backB = GeoDataFrame.readFile(spark, loc, layer = Some("merc"))
+    assert(backA.crs.contains("EPSG:4326"))
+    assert(backB.crs.contains("EPSG:3857"))
+    assert(backA.df.count() == 20 && backB.df.count() == 8)
+    val sx = backB.df.select(sum(st_x($"geometry"))).head().getDouble(0)
+    assert(math.abs(sx - (1 to 8).map(_ * 10.0).sum) < 1e-6)
+  }
+
   test("unknown suffix errors with the supported list") {
     val e = intercept[IllegalArgumentException](pts(3).toFile(tmp("x.xyz")))
     assert(e.getMessage.contains(".gpkg") && e.getMessage.contains(".sqlite"))

@@ -331,6 +331,13 @@ object FileGdbIO {
       Set(9, 10, 11, 13, 15, 18, 19, 20).contains(rawType)
     val hasM = (tv & 0x40000000L) != 0 ||
       Set(11, 13, 15, 18, 21, 23, 25, 28).contains(rawType)
+    // the curves bit changes the stream layout (a curve-segment block
+    // follows the points) — decoding the point stream as-if-straight
+    // would yield silently wrong coordinates, so fail loudly by name
+    require((tv & 0x20000000L) == 0,
+      s"gdb: shape type $rawType carries true-curve segments " +
+        "(bit 0x20000000) — curves are not supported; densify the " +
+        "feature class first")
     val stype = baseClassOf(rawType)
     @inline def ix(v: Long): Double = (v - 1).toDouble / m.xyScale + m.xOrigin
     @inline def iy(v: Long): Double = (v - 1).toDouble / m.xyScale + m.yOrigin
@@ -782,7 +789,20 @@ object FileGdbIO {
       if (fromSidecar != null) fromSidecar
       else if (mode == "sidecar") null
       else computeEnvIndex(spark, conf, tablePath, tablxPath, slots, width, meta)
-    if (idx != null && envIdxMemo.size < 256) envIdxMemo.put(key, idx)
+    if (idx != null) {
+      // a rewritten table mints a new mtime/len key — drop superseded
+      // entries for the same path so the memo can't fill with corpses;
+      // if it still saturates (256 distinct live files) reset rather
+      // than silently stop caching (which would rerun the distributed
+      // build on EVERY windowed read thereafter)
+      val it = envIdxMemo.keySet.iterator()
+      while (it.hasNext) {
+        val k = it.next()
+        if (k != key && k.startsWith(tablePath + "#")) it.remove()
+      }
+      if (envIdxMemo.size >= 256) envIdxMemo.clear()
+      envIdxMemo.put(key, idx)
+    }
     idx
   }
 
@@ -997,7 +1017,7 @@ object FileGdbIO {
       path: String, layerName: String, schema: StructType, geomIdx: Int,
       rows: IndexedSeq[Row], srsText: String, xyScale: Double): Unit =
     writeGdbTables(conf, path,
-      Seq((layerName, schema, geomIdx, rows, srsText)), xyScale)
+      Seq((layerName, schema, geomIdx, () => rows, srsText)), xyScale)
 
   /** Write `layers` as files 5..N+4 plus the v10 system skeleton and the
     * catalog (file 1; row oid == table file number). Each layer carries
@@ -1007,12 +1027,15 @@ object FileGdbIO {
     */
   private def writeGdbTables(conf: org.apache.hadoop.conf.Configuration,
       path: String,
-      layers: Seq[(String, StructType, Int, IndexedSeq[Row], String)],
+      layers: Seq[(String, StructType, Int, () => IndexedSeq[Row], String)],
       xyScale: Double): Unit = {
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf)
     fs.mkdirs(dir)
-    layers.zipWithIndex.foreach { case ((_, schema, geomIdx, rows, srsText), li) =>
+    layers.zipWithIndex.foreach { case ((_, schema, geomIdx, rowsF, srsText), li) =>
+      // rows materialize HERE, one layer at a time — eager thunks would
+      // hold every layer's row set on the driver simultaneously
+      val rows = rowsF()
       // quantized coordinates are non-negative offsets from the origin,
       // so the origin must sit at/below the data's min corner (ESRI
       // derives it from the layer's spatial domain the same way; a fixed
@@ -1119,7 +1142,10 @@ object FileGdbIO {
         .encoderFor(schema)
       val de = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(enc)
         .resolveAndBind().createDeserializer()
-      val rows = df.queryExecution.toRdd.toLocalIterator
+      // deserialization DEFERRED: writeGdbTables calls the thunk per
+      // layer, so driver peak memory is the largest single layer, not
+      // the sum of all layers
+      val rows = () => df.queryExecution.toRdd.toLocalIterator
         .map(ir => de(ir.copy())).toIndexedSeq
       val srs = crsPerLayer.get(name)
         .map(c => graft.sql.WktCrs.toWkt(c).getOrElse(c))

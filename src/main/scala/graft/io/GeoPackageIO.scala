@@ -435,8 +435,14 @@ object GeoPackageIO {
       case 4 => 8
       case other => throw new IllegalArgumentException(s"bad envelope indicator $other")
     }
-    if ((flags & 0x10) != 0) return null // empty-geometry flag
-    java.util.Arrays.copyOfRange(blob, 8 + envDoubles * 8, blob.length)
+    val bodyOff = 8 + envDoubles * 8
+    if ((flags & 0x10) != 0)
+      // empty-geometry flag: the spec still carries the WKB body of the
+      // typed EMPTY geometry after the header — preserve it (EMPTY is
+      // not NULL); a body-less blob (some writers) degrades to null
+      return if (blob.length > bodyOff)
+        java.util.Arrays.copyOfRange(blob, bodyOff, blob.length) else null
+    java.util.Arrays.copyOfRange(blob, bodyOff, blob.length)
   }
 
   /** (geometry column, resolved CRS) per feature table, in ONE file open
@@ -567,9 +573,20 @@ object GeoPackageIO {
     out.toByteArray
   }
 
-  /** Wrap WKB in a GP blob (LE, envelope indicator 1 = [minx,maxx,miny,maxy]). */
+  /** Wrap WKB in a GP blob (LE, envelope indicator 1 =
+    * [minx,maxx,miny,maxy]); EMPTY geometries get the spec's empty bit
+    * with envelope indicator 0 — never a +/-Infinity envelope.
+    */
   private[io] def wkbToGpb(wkb: Array[Byte], srsId: Int): Array[Byte] = {
     val env = graft.geom.Wkb.envelopeOf(wkb)
+    if (env.isEmpty) {
+      val out = new Array[Byte](8 + wkb.length)
+      out(0) = 'G'; out(1) = 'P'; out(2) = 0; out(3) = 0x11 // empty | LE
+      ByteBuffer.wrap(out, 4, 4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .putInt(srsId)
+      System.arraycopy(wkb, 0, out, 8, wkb.length)
+      return out
+    }
     val out = new Array[Byte](40 + wkb.length)
     out(0) = 'G'; out(1) = 'P'; out(2) = 0; out(3) = 0x03
     val bb = ByteBuffer.wrap(out, 4, 36).order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -868,8 +885,9 @@ object GeoPackageIO {
     require(pageSize >= 512 && pageSize <= 32768 &&
       Integer.bitCount(pageSize) == 1, s"pageSize must be a power of 2 in [512, 32768]")
     require(layers.nonEmpty, "gpkg write: at least one layer required")
-    require(layers.map(_._1).distinct.size == layers.size,
-      s"gpkg write: duplicate layer names (${layers.map(_._1).mkString(", ")})")
+    require(layers.map(_._1.toLowerCase).distinct.size == layers.size,
+      s"gpkg write: duplicate layer names — SQLite identifiers are " +
+        s"case-insensitive (${layers.map(_._1).mkString(", ")})")
     layers.foreach { case (t, _) =>
       require(t.nonEmpty && !t.startsWith("gpkg_") && !t.startsWith("sqlite_"),
         s"invalid feature table name '$t'")
@@ -1019,7 +1037,17 @@ object GeoPackageIO {
     }.getOrElse(0)
     val fields = df.schema.fields
     val geomIdx = df.schema.fieldIndex(geomCol)
-    val fidIdx = fields.indexWhere(f => f.name == "fid" && f.dataType == LongType)
+    // the rowid alias: a column named fid (case-insensitive — SQLite
+    // identifiers are) of integral type supplies rowids; a fid of any
+    // other type would silently duplicate into the DDL beside the
+    // synthesized PK (a corrupt schema), so refuse it loudly
+    val fidIdx = fields.indexWhere(f => f.name.equalsIgnoreCase("fid") &&
+      (f.dataType == LongType || f.dataType == IntegerType))
+    fields.find(f => f.name.equalsIgnoreCase("fid")).foreach { f =>
+      require(f.dataType == LongType || f.dataType == IntegerType,
+        s"$tag write: column '${f.name}' must be integral to serve as the " +
+          s"fid rowid alias (got ${f.dataType}) — rename or cast it")
+    }
     val attrs = fields.zipWithIndex.filter { case (f, i) => i != geomIdx && i != fidIdx }
     val sqlType: PartialFunction[DataType, String] = {
       case LongType | IntegerType => "INTEGER"
@@ -1043,10 +1071,28 @@ object GeoPackageIO {
     val fidI = fidIdx
     val srs = srsId
     val tagS = tag
+    // without a fid column, zipWithIndex runs a count job over base
+    // BEFORE toLocalIterator drains it — persist so the upstream plan
+    // (possibly join/UDF-heavy) executes once, not twice
+    var persisted: org.apache.spark.rdd.RDD[_] = null
     val encoded: org.apache.spark.rdd.RDD[(Long, Array[Byte], Array[Double])] = {
-      val base = df.rdd
+      val base =
+        if (fidIdx >= 0) df.rdd
+        else {
+          val b = df.rdd.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          persisted = b
+          b
+        }
       val withId =
-        if (fidI >= 0) base.map(r => (r.getLong(fidI), r))
+        if (fidI >= 0) base.map { r =>
+          (r.get(fidI) match {
+            case l: java.lang.Long => l.longValue()
+            case i: java.lang.Integer => i.longValue()
+            case null => throw new IllegalArgumentException(
+              s"$tagS write: null fid (the rowid alias must be non-null)")
+          }, r)
+        }
         else base.zipWithIndex().map { case (r, i) => (i + 1, r) }
       withId.map { case (rowid, r) =>
         val vals = new Array[Any](attrIdx.length + 2)
@@ -1071,8 +1117,11 @@ object GeoPackageIO {
         val env: Array[Double] =
           if (wkb == null) null
           else {
+            // EMPTY geometries have an inverted envelope: they carry no
+            // env (an all-empty layer leaves the contents bbox null
+            // instead of stamping +/-Infinity)
             val e = graft.geom.Wkb.envelopeOf(wkb)
-            Array(e.minX, e.minY, e.maxX, e.maxY)
+            if (e.isEmpty) null else Array(e.minX, e.minY, e.maxX, e.maxY)
           }
         vals(attrIdx.length + 1) = if (wkb == null) null else geomEncode(wkb, srs)
         (rowid, encodeRecord(vals.toIndexedSeq), env)
@@ -1102,6 +1151,9 @@ object GeoPackageIO {
         featureCount += 1
         (rowid, rec)
       }, fb)
+    // the stream is fully drained (buildTableBtree returned) — the
+    // cached upstream can go
+    if (persisted != null) persisted.unpersist(blocking = false)
     EncodedLayer(table, geomCol, srsId, ddl, featureRoot, bbox,
       featureCount, rtreeEntries.toIndexedSeq)
   }
@@ -1220,7 +1272,8 @@ object GeoPackageIO {
   def read(spark: SparkSession, path: String, table: String,
       bbox: Option[(Double, Double, Double, Double)] = None): DataFrame =
     readFeatureTable(spark, path, table, bbox,
-      geomColFor = (src, master) => featureMetaFrom(src, master).get(table).map(_._1),
+      geomColFor = (src, master) =>
+        resolveCI(featureMetaFrom(src, master), table).map(_._2._1),
       rtreeNodeName = (t, g) => s"rtree_${t}_${g}_node",
       geomDecode = gpbToWkb)
 

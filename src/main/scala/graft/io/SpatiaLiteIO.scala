@@ -152,8 +152,9 @@ object SpatiaLiteIO {
     require(pageSize >= 512 && pageSize <= 32768 &&
       Integer.bitCount(pageSize) == 1, "pageSize must be a power of 2 in [512, 32768]")
     require(layers.nonEmpty, "spatialite write: at least one layer required")
-    require(layers.map(_._1).distinct.size == layers.size,
-      s"spatialite write: duplicate layer names (${layers.map(_._1).mkString(", ")})")
+    require(layers.map(_._1.toLowerCase).distinct.size == layers.size,
+      s"spatialite write: duplicate layer names — SQLite identifiers are " +
+        s"case-insensitive (${layers.map(_._1).mkString(", ")})")
     layers.foreach { case (t, _) =>
       require(t.nonEmpty && !t.startsWith("sqlite_") && !t.startsWith("idx_") &&
         !t.equalsIgnoreCase("geometry_columns") && !t.equalsIgnoreCase("spatial_ref_sys"),

@@ -148,6 +148,43 @@ class GeoPackageIOSpec extends AnyFunSuite {
     assert(n == 80)
   }
 
+  test("EMPTY geometries roundtrip as EMPTY (not null); bbox ignores them") {
+    val out = tmpGpkg()
+    val df = Seq(
+      (1L, "a", "POINT (5 5)"),
+      (2L, "b", "GEOMETRYCOLLECTION EMPTY"),
+      (3L, "c", "POINT (9 9)")).toDF("fid", "nm", "wkt")
+      .withColumn("geom", expr("st_asbinary(st_geomfromwkt(wkt))")).drop("wkt")
+    GeoPackageIO.write(graft.api.GeoDataFrame(df, "geom"), out, "t")
+    val back = graft.api.GeoDataFrame.readGeoPackage(spark, out, "t").df
+      .select($"fid", expr("st_isempty(st_geomfromwkb(geom))").as("e"),
+        $"geom".isNull.as("n"))
+      .as[(Long, Boolean, Boolean)].collect().sortBy(_._1)
+    // the empty row comes back as a geometry that IS empty, never null
+    assert(back.toSeq == Seq((1L, false, false), (2L, true, false),
+      (3L, false, false)))
+    // contents bbox covers only the real points (+/-Inf never stamped)
+    val c = GeoPackageIO.read(spark, out, "gpkg_contents")
+      .select($"min_x", $"min_y", $"max_x", $"max_y")
+      .as[(Double, Double, Double, Double)].head()
+    assert(c == ((5.0, 5.0, 9.0, 9.0)))
+  }
+
+  test("fid rowid alias: IntegerType works, case-insensitive, bad type refused") {
+    val out = tmpGpkg()
+    val df = Seq((7, "x"), (9, "y")).toDF("FID", "nm")
+      .withColumn("geom", expr("st_asbinary(st_point(1.0, 2.0))"))
+    GeoPackageIO.write(graft.api.GeoDataFrame(df, "geom"), out, "t")
+    val fids = GeoPackageIO.read(spark, out, "t")
+      .select($"FID").as[Long].collect().sorted
+    assert(fids.toSeq == Seq(7L, 9L))
+    val bad = Seq(("a", "x")).toDF("fid", "nm")
+      .withColumn("geom", expr("st_asbinary(st_point(1.0, 2.0))"))
+    val e = intercept[IllegalArgumentException](
+      GeoPackageIO.write(graft.api.GeoDataFrame(bad, "geom"), tmpGpkg(), "t"))
+    assert(e.getMessage.contains("fid"))
+  }
+
   test("write emits the R*-tree: bbox reads prune on our own files") {
     val out = tmpGpkg()
     val df = (0 until 3000).map { i =>

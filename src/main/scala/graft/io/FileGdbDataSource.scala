@@ -54,8 +54,12 @@ object FileGdbDataSource {
   def bboxOf(options: java.util.Map[String, String])
       : Option[(Double, Double, Double, Double)] =
     V2Options.bboxOf(options, "filegdb")
-  def chunkSizeOf(options: java.util.Map[String, String]): Int =
-    Option(options.get("chunkSize")).map(_.toInt).getOrElse(65536)
+  def chunkSizeOf(options: java.util.Map[String, String]): Int = {
+    val c = Option(options.get("chunkSize")).map(_.toInt).getOrElse(65536)
+    require(c > 0, s"filegdb: chunkSize must be positive (got $c) — a " +
+      "negative step would plan zero partitions and return an empty result")
+    c
+  }
 
   /** (table path, TableMeta) for the selected layer — the driver-side
     * metadata unit every planning step needs. Memoized (bounded) keyed by
@@ -76,12 +80,20 @@ object FileGdbDataSource {
       val st = tp.getFileSystem(conf).getFileStatus(tp)
       st.getModificationTime * 31 + st.getLen
     }
-    if (hit != null && stamp(hit._1) == hit._2) (hit._1, hit._3)
+    // a vanished cached table file (the gdb was regenerated and the
+    // layer moved to a different internal file number) means STALE, not
+    // an error — fall through to a fresh resolveLayer
+    val fresh = hit != null && (try stamp(hit._1) == hit._2
+      catch { case _: java.io.IOException => false })
+    if (fresh) (hit._1, hit._3)
     else {
       val (tablePath, _) =
         FileGdbIO.resolveLayer(conf, pathOf(options), layerOf(options))
       val meta = FileGdbIO.tableMetaOf(conf, tablePath)
-      if (metaMemo.size < 1024) metaMemo.put(key, (tablePath, stamp(tablePath), meta))
+      // refresh existing keys even when the memo is full — a saturated
+      // guard that skips puts would pin stale entries forever
+      if (metaMemo.size < 1024 || metaMemo.containsKey(key))
+        metaMemo.put(key, (tablePath, stamp(tablePath), meta))
       (tablePath, meta)
     }
   }

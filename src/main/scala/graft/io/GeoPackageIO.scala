@@ -889,7 +889,8 @@ object GeoPackageIO {
       s"gpkg write: duplicate layer names — SQLite identifiers are " +
         s"case-insensitive (${layers.map(_._1).mkString(", ")})")
     layers.foreach { case (t, _) =>
-      require(t.nonEmpty && !t.startsWith("gpkg_") && !t.startsWith("sqlite_"),
+      val tl = t.toLowerCase
+      require(t.nonEmpty && !tl.startsWith("gpkg_") && !tl.startsWith("sqlite_"),
         s"invalid feature table name '$t'")
     }
 
@@ -949,7 +950,8 @@ object GeoPackageIO {
       "srs_id INTEGER NOT NULL, z TINYINT NOT NULL, m TINYINT NOT NULL)"
     val geomColsRoot = buildTableBtree(enc.iterator.zipWithIndex.map { case (e, i) =>
       ((i + 1).toLong, encodeRecord(Seq[Any](
-        e.table, e.geomCol, "GEOMETRY", e.srsId.toLong, 0L, 0L)))
+        e.table, e.geomCol, if (e.hasZ) "GEOMETRYZ" else "GEOMETRY",
+        e.srsId.toLong, if (e.hasZ) 1L else 0L, 0L)))
     }, fb)
 
     // OGR's feature-count convention (gpkg_ogr_contents): lets any OGR
@@ -1024,7 +1026,21 @@ object GeoPackageIO {
     */
   private[io] final case class EncodedLayer(table: String, geomCol: String,
       srsId: Int, ddl: String, featureRoot: Int, bbox: Array[Double],
-      featureCount: Long, rtreeEntries: IndexedSeq[(Long, Array[Double])])
+      featureCount: Long, rtreeEntries: IndexedSeq[(Long, Array[Double])],
+      hasZ: Boolean)
+
+  /** Cheap Z peek on a WKB header (ISO +1000/+3000 bands or the EWKB
+    * flag) — no geometry parse; feeds the catalogs' dimension columns.
+    */
+  private[io] def wkbHasZ(wkb: Array[Byte]): Boolean =
+    wkb != null && wkb.length >= 5 && {
+      val bb = ByteBuffer.wrap(wkb, 1, 4)
+        .order(if (wkb(0) == 1) java.nio.ByteOrder.LITTLE_ENDIAN
+               else java.nio.ByteOrder.BIG_ENDIAN)
+      val t = bb.getInt()
+      val f = t & 0x1fffffff
+      (t & 0x80000000) != 0 || (f >= 1000 && f < 2000) || (f >= 3000 && f < 4000)
+    }
 
   private[io] def encodeLayer(gdf: graft.api.GeoDataFrame, table: String,
       fb: FileBuilder, tag: String,
@@ -1075,7 +1091,7 @@ object GeoPackageIO {
     // BEFORE toLocalIterator drains it — persist so the upstream plan
     // (possibly join/UDF-heavy) executes once, not twice
     var persisted: org.apache.spark.rdd.RDD[_] = null
-    val encoded: org.apache.spark.rdd.RDD[(Long, Array[Byte], Array[Double])] = {
+    val encoded: org.apache.spark.rdd.RDD[(Long, Array[Byte], Array[Double], Boolean)] = {
       val base =
         if (fidIdx >= 0) df.rdd
         else {
@@ -1124,7 +1140,7 @@ object GeoPackageIO {
             if (e.isEmpty) null else Array(e.minX, e.minY, e.maxX, e.maxY)
           }
         vals(attrIdx.length + 1) = if (wkb == null) null else geomEncode(wkb, srs)
-        (rowid, encodeRecord(vals.toIndexedSeq), env)
+        (rowid, encodeRecord(vals.toIndexedSeq), env, wkbHasZ(wkb))
       }
     }
 
@@ -1135,8 +1151,10 @@ object GeoPackageIO {
     // b-tree: 40 bytes/row driver-side — the same order of memory the
     // page assembly already holds, bounded by the single-writer contract
     val rtreeEntries = ArrayBuffer.empty[(Long, Array[Double])]
+    var anyZ = false
     val featureRoot = buildTableBtree(
-      encoded.toLocalIterator.map { case (rowid, rec, env) =>
+      encoded.toLocalIterator.map { case (rowid, rec, env, z) =>
+        if (z) anyZ = true
         if (env != null) {
           if (bbox == null) bbox = env.clone()
           else {
@@ -1155,7 +1173,7 @@ object GeoPackageIO {
     // cached upstream can go
     if (persisted != null) persisted.unpersist(blocking = false)
     EncodedLayer(table, geomCol, srsId, ddl, featureRoot, bbox,
-      featureCount, rtreeEntries.toIndexedSeq)
+      featureCount, rtreeEntries.toIndexedSeq, anyZ)
   }
 
   /** Assemble sqlite_master onto page 1 (spilling to leaf pages under

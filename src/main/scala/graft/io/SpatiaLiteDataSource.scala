@@ -86,7 +86,10 @@ private[graft] class SlScan(fullSchema: StructType, required: StructType,
   override protected def geomColOf(src: GeoPackageIO.PageSource,
       master: Seq[GeoPackageIO.Master]): Option[String] = {
     // strict: a feature read of a table missing from geometry_columns
-    // must fail loudly, not surface raw un-decoded blobs
+    // must fail loudly, not surface raw un-decoded blobs; multi-geometry
+    // tables are refused by name for the same reason
+    SpatiaLiteIO.requireSingleGeom(
+      SpatiaLiteIO.geometryColumnRows(src, master), table, path)
     val g = GeoPackageIO.resolveCI(
       SpatiaLiteIO.geometryColumnsFrom(src, master), table)
     require(g.isDefined,

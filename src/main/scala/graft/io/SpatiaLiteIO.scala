@@ -51,6 +51,37 @@ object SpatiaLiteIO {
     try geometryColumnsFrom(src, readMaster(src)) finally src.close()
   }
 
+  /** Raw (table, geometry column) rows of `geometry_columns` — no
+    * spatial_ref_sys walk (a real file carries ~6000 registry rows;
+    * existence checks must not pay for a CRS resolution they discard).
+    */
+  private[io] def geometryColumnRows(src: PageSource,
+      master: Seq[Master]): Seq[(String, String)] =
+    master.find(_.name.equalsIgnoreCase("geometry_columns")) match {
+      case None => Nil
+      case Some(m) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+        walk(src, m.rootPage, 0) { (_, payload) =>
+          val r = decodeRecord(payload)
+          out += ((r(0).asInstanceOf[String], r(1).asInstanceOf[String]))
+        }
+        out.toSeq
+    }
+
+  /** A table registered with MORE than one geometry column cannot be
+    * read through the single-geometry scan (the extra column's raw
+    * SpatiaLite blobs would surface under a TEXT-affinity schema) —
+    * refuse it by name.
+    */
+  private[io] def requireSingleGeom(rows: Seq[(String, String)],
+      table: String, path: String): Unit = {
+    val cols = rows.collect { case (t, g) if t.equalsIgnoreCase(table) => g }
+    require(cols.size <= 1,
+      s"spatialite: table '$table' in $path registers ${cols.size} geometry " +
+        s"columns (${cols.mkString(", ")}) — only single-geometry tables " +
+        "are readable")
+  }
+
   private[io] def geometryColumnsFrom(src: PageSource,
       master: Seq[Master]): Map[String, (String, Option[String])] = {
     val registry: Map[Long, String] =
@@ -81,7 +112,12 @@ object SpatiaLiteIO {
           out += ((r(0).asInstanceOf[String],
             (r(1).asInstanceOf[String], srid.flatMap(registry.get))))
         }
-        out.toMap
+        // first registration wins deterministically (toMap would keep the
+        // LAST b-tree row); multi-geometry tables are refused at read
+        // time via requireSingleGeom
+        out.foldLeft(Map.empty[String, (String, Option[String])]) {
+          case (m2, (t, v)) => if (m2.contains(t)) m2 else m2 + (t -> v)
+        }
     }
   }
 
@@ -96,11 +132,18 @@ object SpatiaLiteIO {
     // one driver-side metadata walk: resolved here, injected below (a
     // real spatialite file carries ~6000 spatial_ref_sys rows — do not
     // re-walk them inside readFeatureTable)
-    val meta = geometryColumns(spark, path)
+    val (meta, gcRows) = {
+      val src = openSource(spark.sessionState.newHadoopConf(), path)
+      try {
+        val master = readMaster(src)
+        (geometryColumnsFrom(src, master), geometryColumnRows(src, master))
+      } finally src.close()
+    }
     val (resolved, (gcol, crs)) = GeoPackageIO.resolveCI(meta, table)
       .getOrElse(throw new IllegalArgumentException(
         s"spatialite: table '$table' not in geometry_columns of $path " +
           s"(have: ${meta.keys.mkString(", ")})"))
+    requireSingleGeom(gcRows, resolved, path)
     val df = readFeatureTable(spark, path, resolved, bbox,
       geomColFor = (_, _) => Some(gcol),
       rtreeNodeName = (t, g) => s"idx_${t}_${g}_node",
@@ -118,8 +161,10 @@ object SpatiaLiteIO {
     val src = openSource(spark.sessionState.newHadoopConf(), path)
     try {
       val master = readMaster(src)
-      GeoPackageIO.resolveCI(geometryColumnsFrom(src, master), table)
-        .exists { case (t, (g, _)) =>
+      val rows = geometryColumnRows(src, master)
+      rows.find(_._1 == table)
+        .orElse(rows.find(_._1.equalsIgnoreCase(table)))
+        .exists { case (t, g) =>
           GeoPackageIO.findMaster(master, s"idx_${t}_${g}_node")
             .exists(_.rootPage > 0)
         }
@@ -156,8 +201,9 @@ object SpatiaLiteIO {
       s"spatialite write: duplicate layer names — SQLite identifiers are " +
         s"case-insensitive (${layers.map(_._1).mkString(", ")})")
     layers.foreach { case (t, _) =>
-      require(t.nonEmpty && !t.startsWith("sqlite_") && !t.startsWith("idx_") &&
-        !t.equalsIgnoreCase("geometry_columns") && !t.equalsIgnoreCase("spatial_ref_sys"),
+      val tl = t.toLowerCase
+      require(t.nonEmpty && !tl.startsWith("sqlite_") && !tl.startsWith("idx_") &&
+        tl != "geometry_columns" && tl != "spatial_ref_sys",
         s"invalid feature table name '$t'")
     }
     val fb = new FileBuilder(pageSize)
@@ -183,7 +229,11 @@ object SpatiaLiteIO {
       "coord_dimension INTEGER NOT NULL, srid INTEGER NOT NULL, " +
       "spatial_index_enabled INTEGER NOT NULL)"
     val gcRoot = buildTableBtree(enc.iterator.zipWithIndex.map { case (e, i) =>
-      ((i + 1).toLong, encodeRecord(Seq[Any](e.table, e.geomCol, 0L, 2L,
+      // v4 catalog dimensions follow the data: GEOMETRY Z layers declare
+      // geometry_type 1000 / coord_dimension 3 so catalog-trusting
+      // consumers don't drop Z
+      ((i + 1).toLong, encodeRecord(Seq[Any](e.table, e.geomCol,
+        if (e.hasZ) 1000L else 0L, if (e.hasZ) 3L else 2L,
         e.srsId.toLong, if (indexed(i)) 1L else 0L)))
     }, fb)
 

@@ -11,6 +11,20 @@ import org.apache.spark.sql.functions._
   */
 object GeoStreaming {
 
+  /** Executor-side decode memo for broadcast fence sets, keyed by
+    * broadcast id (bounded: distinct geofence queries per JVM, reset at
+    * 64). The broadcast ships compact WKB; each executor pays one parse.
+    */
+  private val fenceDecodeCache = new java.util.concurrent.ConcurrentHashMap[
+    Long, Seq[(Long, graft.geom.Geometry)]]()
+  private[streaming] def decodedFences(
+      b: org.apache.spark.broadcast.Broadcast[Seq[(Long, Array[Byte])]])
+      : Seq[(Long, graft.geom.Geometry)] = {
+    if (fenceDecodeCache.size >= 64) fenceDecodeCache.clear()
+    fenceDecodeCache.computeIfAbsent(b.id,
+      _ => b.value.map { case (id, wkb) => (id, graft.geom.Wkb.read(wkb)) })
+  }
+
   /** Windowed count + bounds of event points per time window and key.
     * Works on both batch and streaming DataFrames (same plan); with a
     * streaming source add `.withWatermark("ts", ...)` upstream.
@@ -100,8 +114,11 @@ object GeoStreaming {
     * batch grid sjoin. State is bounded by the watermark: each side keeps
     * only rows younger than `watermarkDelay` + `withinSeconds`.
     *
-    * Left columns pass through; right columns come back `_r`-suffixed.
-    * Both timestamp columns must be TimestampType.
+    * Left columns pass through; right columns COLLIDING with a left
+    * name come back `_r`-suffixed (non-colliding right columns keep
+    * their names); a rename that would itself collide with an existing
+    * right column is refused loudly. Both timestamp columns must be
+    * TimestampType.
     */
   def streamStreamDwithin(
       left: DataFrame, lx: String, ly: String, lts: String,
@@ -115,7 +132,12 @@ object GeoStreaming {
       .withColumn("_cell", explode(
         st_gridCellsSizedPad(col("_lg"), lit(cellSize), lit(distance))))
     val rRenamed = right.columns.foldLeft(right) { (acc, c) =>
-      if (left.columns.contains(c)) acc.withColumnRenamed(c, c + "_r") else acc
+      if (left.columns.contains(c)) {
+        require(!right.columns.contains(c + "_r"),
+          s"streamStreamDwithin: renaming right column '$c' to '${c}_r' " +
+            "collides with an existing right column — rename one first")
+        acc.withColumnRenamed(c, c + "_r")
+      } else acc
     }
     val rtsName = if (left.columns.contains(rts)) rts + "_r" else rts
     val rxName = if (left.columns.contains(rx)) rx + "_r" else rx
@@ -148,15 +170,21 @@ object GeoStreaming {
     val fencesB = spark.sparkContext.broadcast(
       fences.toSeq.map { case (id, g) => (id, graft.geom.Wkb.write(g)) })
 
+    // rows with a null key/timestamp/coordinate are dropped, not fatal:
+    // one bad event must not abort the micro-batch through the
+    // non-nullable tuple encoder (or NPE in the per-key time sort)
     val typed = events.select(col(keyCol).cast("string"), col(tsCol).cast("timestamp"),
         col(xCol).cast("double"), col(yCol).cast("double"))
+      .na.drop()
       .as[(String, java.sql.Timestamp, Double, Double)]
 
     typed.groupByKey(_._1)
       .flatMapGroupsWithState[Array[Long], (String, java.sql.Timestamp, Long, String)](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (key, it, state: GroupState[Array[Long]]) =>
-          val fns = fencesB.value.map { case (id, wkb) => (id, graft.geom.Wkb.read(wkb)) }
+          // decode ONCE per executor per broadcast, not once per key per
+          // micro-batch (10k fences x 50k keys would re-parse 500M times)
+          val fns = GeoStreaming.decodedFences(fencesB)
           var current = state.getOption.map(_.toSet).getOrElse(Set.empty[Long])
           val out = scala.collection.mutable.ArrayBuffer[(String, java.sql.Timestamp, Long, String)]()
           it.toSeq.sortBy(_._2.getTime).foreach { case (_, ts, x, y) =>

@@ -61,8 +61,12 @@ object Similarity {
       seed: Long = 42L): Array[Array[Float]] = {
     import org.apache.spark.sql.functions.typedlit
     val nCand = nlist * oversample
+    // hash the RAW id (a cast to long nulls out string/UUID ids and
+    // collapses both the hash and the tie-break — the "deterministic"
+    // sample would then follow scan order); null vectors never train
     val cand: Array[Array[Float]] = corpus
-      .select(col(idCol).cast("long").as("_id"), col(vecCol).as("_v"))
+      .select(col(idCol).as("_id"), col(vecCol).as("_v"))
+      .filter(col("_v").isNotNull)
       .withColumn("_h", xxhash64(col("_id"), lit(seed)))
       .orderBy(col("_h"), col("_id"))
       .limit(nCand)
@@ -72,6 +76,7 @@ object Similarity {
     if (cand.length <= nlist) return cand
     val candArr = array(cand.map(c => typedlit(c)).toIndexedSeq: _*)
     val counts: Map[Int, Long] = corpus
+      .filter(col(vecCol).isNotNull)
       .select(gr_argmaxCosine(col(vecCol), candArr).as("_c"))
       .groupBy(col("_c")).count()
       .collect()
@@ -157,7 +162,8 @@ object Similarity {
       corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int): Array[Array[Float]] =
     corpus
-      .select(col(idCol).cast("long").as("_id"), col(vecCol).as("_v"))
+      .select(col(idCol).as("_id"), col(vecCol).as("_v"))
+      .filter(col("_v").isNotNull)
       .orderBy(col("_id"))
       .limit(nlist)
       .collect()
@@ -228,7 +234,8 @@ object Similarity {
       seed: Long = 42L): Array[Array[Float]] = {
     require(m >= 1 && ksub >= 2, "trainPqCodebooks: bad shape")
     val cand: Array[Array[Float]] = corpus
-      .select(col(idCol).cast("long").as("_id"),
+      .filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("_id"),
         gr_l2normalize(col(vecCol)).as("_v"))
       .withColumn("_h", xxhash64(col("_id"), lit(seed)))
       .orderBy(col("_h"), col("_id"))

@@ -49,7 +49,7 @@ object IndexedSpatialJoinStrategy extends SparkStrategy {
     case Join(left, right, joinType @ (Inner | LeftOuter | RightOuter), Some(cond), _)
         if cond.deterministic &&
           SQLConf.get.getConfString("spark.graft.sjoin.broadcast.index", "true").toBoolean =>
-      val conjuncts = splitConjuncts(cond)
+      val conjuncts = PlanPredicates.splitConjuncts(cond)
       def sided(a: Expression, b: Expression): Boolean =
         a.references.nonEmpty && b.references.nonEmpty &&
           a.references.subsetOf(left.outputSet) &&
@@ -67,10 +67,12 @@ object IndexedSpatialJoinStrategy extends SparkStrategy {
           (p: Expression, a, b, SUPPORTED(name), 0.0, true)
         case p @ GraftScalar(name, Seq(a, b)) if SUPPORTED.contains(name) && sided(b, a) =>
           (p: Expression, b, a, SUPPORTED(name), 0.0, false)
-        case p @ GraftScalar("st_dwithin", Seq(a, b, d)) if d.foldable && sided(a, b) =>
-          (p: Expression, a, b, "dwithin", foldDouble(d), true)
-        case p @ GraftScalar("st_dwithin", Seq(a, b, d)) if d.foldable && sided(b, a) =>
-          (p: Expression, b, a, "dwithin", foldDouble(d), false)
+        case p @ GraftScalar("st_dwithin", Seq(a, b, d))
+            if d.foldable && foldDouble(d).isDefined && sided(a, b) =>
+          (p: Expression, a, b, "dwithin", foldDouble(d).get, true)
+        case p @ GraftScalar("st_dwithin", Seq(a, b, d))
+            if d.foldable && foldDouble(d).isDefined && sided(b, a) =>
+          (p: Expression, b, a, "dwithin", foldDouble(d).get, false)
       }
       spatial match {
         case Some((spatialPred, lGeom, rGeom, pred, dist, firstIsLeft)) =>
@@ -93,18 +95,19 @@ object IndexedSpatialJoinStrategy extends SparkStrategy {
     case _ => Nil
   }
 
-  private def foldDouble(e: Expression): Double = e.eval(null) match {
-    case d: java.lang.Double  => d
-    case f: java.lang.Float   => f.toDouble
-    case n: java.lang.Number  => n.doubleValue()
-    case d: Decimal           => d.toDouble
-    case _                    => 0.0
+  /** None when the foldable distance evaluates to null (or a
+    * non-numeric): the predicate is then NULL-for-every-row under the
+    * normal plan, so the strategy must DECLINE rather than join at
+    * distance 0 — results may not depend on plan choice.
+    */
+  private def foldDouble(e: Expression): Option[Double] = e.eval(null) match {
+    case d: java.lang.Double  => Some(d.doubleValue())
+    case f: java.lang.Float   => Some(f.toDouble)
+    case d: Decimal           => Some(d.toDouble)
+    case n: java.lang.Number  => Some(n.doubleValue())
+    case _                    => None
   }
 
-  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
-    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
-    case other     => Seq(other)
-  }
 
   // same contract as GeoDataFrame.rightIsSmall: parquet-encoded stats must
   // fit the broadcast threshold WITH the in-memory WKB expansion factor
@@ -145,6 +148,13 @@ case class IndexedSpatialJoinExec(
       .createMetric(sparkContext, "tree candidate pairs tested"))
 
   override def children: Seq[SparkPlan] = Seq(left, right)
+  // the stream side passes through unchanged (like
+  // BroadcastNestedLoopJoinExec's streamed.outputPartitioning) — without
+  // this the default UnknownPartitioning forces a re-shuffle the
+  // replaced nested-loop plan never needed
+  override def outputPartitioning
+      : org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    if (buildRight) left.outputPartitioning else right.outputPartitioning
   override def output: Seq[Attribute] = joinType match {
     case LeftOuter  => left.output ++ right.output.map(_.withNullability(true))
     case RightOuter => left.output.map(_.withNullability(true)) ++ right.output
@@ -186,43 +196,21 @@ case class IndexedSpatialJoinExec(
       resPred.foreach(_.initialize(0))
       // null-padded build side for preserved stream rows with no match
       val nullBuild: InternalRow = new GenericInternalRow(buildWidth)
-      val d2 = dist * dist
       def emit(streamRow: InternalRow, build: InternalRow): InternalRow =
         resultProj(if (bRight) joined(streamRow, build) else joined(build, streamRow))
       iter.flatMap { streamRow =>
         // phase 1: matched build indices (JoinedRow is a view — rebuild at
-        // emit time, so no row copies are buffered)
+        // emit time, so no row copies are buffered). The refinement loop
+        // is PreparedSide.visitCandidates — the same code the DSv2 probe
+        // expression runs, so the two plans agree by construction.
         val matched = new scala.collection.mutable.ArrayBuilder.ofInt
         val bytes = streamGeom.eval(streamRow).asInstanceOf[Array[Byte]]
         if (bytes != null) {
-          val probeEnv = Wkb.envelopeOf(bytes)
-          val qEnv = if (pred == "dwithin") probeEnv.expand(dist) else probeEnv
-          val cand = prepared.tree.query(qEnv)
-          candidateRows += cand.length
-          var probe: Geometry = null
-          var k = 0
-          while (k < cand.length) {
-            val i = cand(k)
-            val ok =
-              if (pred == "dwithin") {
-                val eb = prepared.envs(i)
-                val dx = math.max(0.0, math.max(eb.minX - probeEnv.maxX, probeEnv.minX - eb.maxX))
-                val dy = math.max(0.0, math.max(eb.minY - probeEnv.maxY, probeEnv.minY - eb.maxY))
-                dx * dx + dy * dy <= d2 && {
-                  if (probe == null) probe = Wkb.read(bytes)
-                  Predicates.dWithin(probe, prepared.geoms(i), dist)
-                }
-              } else {
-                if (probe == null) probe = Wkb.read(bytes)
-                if (probeFirst) kern(probe, prepared.geoms(i))
-                else kern(prepared.geoms(i), probe)
-              }
-            if (ok) {
+          candidateRows += PreparedSide.visitCandidates(
+            prepared, bytes, pred, kern, dist, probeFirst, { i =>
               val j = if (bRight) joined(streamRow, rows(i)) else joined(rows(i), streamRow)
               if (resPred.forall(_.eval(j))) matched += i
-            }
-            k += 1
-          }
+            })
         }
         val m = matched.result()
         if (m.length == 0) {

@@ -44,7 +44,13 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] {
     "st_crosses", "st_overlaps", "st_equals")
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val cellSize = SQLConf.get.getConfString(CELL_SIZE_KEY, "0").toDouble
+    // a malformed conf value must not fail EVERY query in the session
+    // from inside an optimizer rule — warn once and stand down
+    val raw = SQLConf.get.getConfString(CELL_SIZE_KEY, "0")
+    val cellSize = raw.toDoubleOption.getOrElse {
+      logWarning(s"ignoring malformed $CELL_SIZE_KEY='$raw' (not a number)")
+      0.0
+    }
     if (cellSize <= 0) return plan
     plan.transform {
       case j @ Join(left, right, Inner, Some(cond), hint)
@@ -54,9 +60,18 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] {
           a.references.nonEmpty && b.references.nonEmpty &&
             a.references.subsetOf(left.outputSet) &&
             b.references.subsetOf(right.outputSet)
-        val conjuncts = splitConjuncts(cond)
+        val conjuncts = PlanPredicates.splitConjuncts(cond)
+        // any equi key -> Spark's hash join on that key is the better
+        // frame (the same decline IndexedSpatialJoinStrategy applies):
+        // exploding both sides by cells on TOP of an equality key only
+        // multiplies the shuffle
+        val hasEquiKey = conjuncts.exists {
+          case EqualTo(a, b)       => sided(a, b) || sided(b, a)
+          case EqualNullSafe(a, b) => sided(a, b) || sided(b, a)
+          case _                   => false
+        }
         // (left geometry, right geometry, optional dwithin distance pad)
-        val spatial = conjuncts.collectFirst {
+        val spatial = if (hasEquiKey) None else conjuncts.collectFirst {
           case GraftScalar(name, Seq(a, b)) if SUPPORTED(name) && sided(a, b) =>
             (a, b, None)
           case GraftScalar(name, Seq(a, b)) if SUPPORTED(name) && sided(b, a) =>
@@ -94,11 +109,6 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] {
     }
   }
 
-  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
-    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
-    case other     => Seq(other)
-  }
-
   private def alreadyRewritten(cond: Expression): Boolean = cond.exists {
     case GraftScalar("st_gridcell_anchor_sized", _)     => true
     case GraftScalar("st_gridcell_anchor_sized_pad", _) => true
@@ -111,5 +121,16 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] {
   private def isLarge(p: LogicalPlan): Boolean = {
     val threshold = SQLConf.get.autoBroadcastJoinThreshold
     threshold <= 0 || p.stats.sizeInBytes > threshold
+  }
+}
+
+/** Conjunct splitter shared by the plans package — ONE definition so a
+  * later refinement (e.g. stripping wrapper nodes) cannot drift between
+  * the rule and the strategy.
+  */
+private[plans] object PlanPredicates {
+  def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other     => Seq(other)
   }
 }

@@ -54,6 +54,46 @@ object PreparedSide {
     case other =>
       throw new IllegalArgumentException(s"unknown indexed sjoin predicate $other")
   }
+
+  /** Shared candidate refinement: tree query + the dwithin envelope-gap
+    * lower bound + lazy probe decode, invoking `emit(i)` for every build
+    * index whose exact kernel passes (`probeFirst` puts the probe
+    * geometry in the predicate's first argument slot). BOTH consumers —
+    * [[IndexedSjoinProbe.candidates]] and `IndexedSpatialJoinExec` —
+    * drive THIS loop, so their documented bit-for-bit agreement holds by
+    * construction instead of by parallel maintenance. Returns the tree
+    * candidate count (the metric feed).
+    */
+  def visitCandidates(side: PreparedSide, bytes: Array[Byte],
+      predicate: String, kern: (Geometry, Geometry) => Boolean,
+      distance: Double, probeFirst: Boolean, emit: Int => Unit): Int = {
+    val probeEnv = Wkb.envelopeOf(bytes)
+    val qEnv = if (predicate == "dwithin") probeEnv.expand(distance) else probeEnv
+    val cand = side.tree.query(qEnv)
+    var probe: Geometry = null
+    val d2 = distance * distance
+    var k = 0
+    while (k < cand.length) {
+      val i = cand(k)
+      val ok =
+        if (predicate == "dwithin") {
+          val eb = side.envs(i)
+          val dx = math.max(0.0, math.max(eb.minX - probeEnv.maxX, probeEnv.minX - eb.maxX))
+          val dy = math.max(0.0, math.max(eb.minY - probeEnv.maxY, probeEnv.minY - eb.maxY))
+          dx * dx + dy * dy <= d2 && {
+            if (probe == null) probe = Wkb.read(bytes)
+            Predicates.dWithin(probe, side.geoms(i), distance)
+          }
+        } else {
+          if (probe == null) probe = Wkb.read(bytes)
+          if (probeFirst) kern(probe, side.geoms(i))
+          else kern(side.geoms(i), probe)
+        }
+      if (ok) emit(i)
+      k += 1
+    }
+    cand.length
+  }
 }
 
 /** Catalyst expression: indices of broadcast-side rows matching the probe
@@ -82,33 +122,9 @@ case class IndexedSjoinProbe(
     if (predicate == "dwithin") null else PreparedSide.kernel(predicate)
 
   def candidates(bytes: Array[Byte]): ArrayData = {
-    val side = index.value
-    val probeEnv = Wkb.envelopeOf(bytes)
-    val qEnv = if (predicate == "dwithin") probeEnv.expand(distance) else probeEnv
-    val cand = side.tree.query(qEnv)
-    if (cand.length == 0) return UnsafeArrayData.fromPrimitiveArray(Array.emptyIntArray)
-    // decode the probe lazily: a probe whose candidates all fail the
-    // dwithin envelope bound never decodes at all
-    var probe: Geometry = null
     val out = new scala.collection.mutable.ArrayBuilder.ofInt
-    val d2 = distance * distance
-    var k = 0
-    while (k < cand.length) {
-      val i = cand(k)
-      if (predicate == "dwithin") {
-        val eb = side.envs(i)
-        val dx = math.max(0.0, math.max(eb.minX - probeEnv.maxX, probeEnv.minX - eb.maxX))
-        val dy = math.max(0.0, math.max(eb.minY - probeEnv.maxY, probeEnv.minY - eb.maxY))
-        if (dx * dx + dy * dy <= d2) {
-          if (probe == null) probe = Wkb.read(bytes)
-          if (Predicates.dWithin(probe, side.geoms(i), distance)) out += i
-        }
-      } else {
-        if (probe == null) probe = Wkb.read(bytes)
-        if (kern(probe, side.geoms(i))) out += i
-      }
-      k += 1
-    }
+    PreparedSide.visitCandidates(index.value, bytes, predicate, kern,
+      distance, probeFirst = true, out += _)
     UnsafeArrayData.fromPrimitiveArray(out.result())
   }
 

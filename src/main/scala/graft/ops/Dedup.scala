@@ -57,8 +57,13 @@ object Dedup {
     val spark = df.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    // null text hashes to a sentinel instead of NULL: the non-nullable
+    // tuple encoder would otherwise abort the micro-batch, and exact()'s
+    // SQL-window mirror (PARTITION BY text) groups all NULLs together —
+    // the streaming twin must agree
     val keyed = df.select(col(idCol).cast("long").as("_id"),
-        gr_hash64(col(textCol)).as("_h1"), xxhash64(col(textCol)).as("_h2"))
+        coalesce(gr_hash64(col(textCol)), lit(Long.MinValue)).as("_h1"),
+        coalesce(xxhash64(col(textCol)), lit(Long.MinValue)).as("_h2"))
       .as[(Long, Long, Long)]
     keyed.groupByKey(r => (r._2, r._3))
       .flatMapGroupsWithState[Boolean, (Long, Long, Long)](
@@ -119,6 +124,9 @@ object Dedup {
     // task's state is O(cap) signatures and its work O(rows x cap), never
     // O(bucket^2). 0 = unbounded exact mode (ground-truth only; a single
     // boilerplate key then owns an unbounded buffer + straggler task).
+    require(maxBucket >= 0,
+      s"minhashLsh: maxBucket must be >= 0 (0 = unbounded exact mode), got $maxBucket")
+    IdCols.requireIntegral(df, idCol, "minhashLsh")
     val cap = if (maxBucket > 0) maxBucket else Int.MaxValue
     // documents too short to produce a single shingle have no meaningful
     // signature (all-sentinel) and would spuriously pair with each other
@@ -172,7 +180,12 @@ object Dedup {
         gr_minhash(col(textCol), lit(numHashes), lit(shingleSize), lit(seed)),
         lit(bands))).as(Seq("_band", "_key")))
       .groupBy(col("_band"), col("_key")).count()
-      .agg(max(col("count"))).head.getLong(0)
+      .agg(max(col("count"))).head() match {
+        // empty corpus (or every doc shorter than shingleSize): no
+        // buckets — the probe must answer 0, not NPE out of the guard
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }
   }
 
   /** Streaming MinHash-LSH near-duplicate detection — the incremental twin
@@ -217,8 +230,16 @@ object Dedup {
         (_, it, state: GroupState[Seq[(Long, Seq[Long])]]) =>
           var reps = state.getOption.getOrElse(Seq.empty)
           val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Double, Int)]()
-          // deterministic processing order within the micro-batch
-          it.toSeq.sortBy(_._1).foreach { case (id, sig, band, _) =>
+          // deterministic processing order needs the batch-bucket sorted,
+          // which buffers it: a mass-duplicate burst landing one key could
+          // otherwise OOM the task silently — fail fast by name instead
+          // (the stored-rep STATE stays bounded by maxReps regardless)
+          val batch = it.toSeq
+          require(batch.length <= 4000000,
+            s"minhashLshStreaming: one LSH bucket received ${batch.length} " +
+              "rows in a single micro-batch (mass-duplicate burst) — " +
+              "reduce the trigger interval or pre-dedup exactly upstream")
+          batch.sortBy(_._1).foreach { case (id, sig, band, _) =>
             // rid != id: an at-least-once replay of a stored representative
             // must not emit a self-pair (a consumer dropping id_b would
             // delete the only copy)
@@ -309,8 +330,12 @@ object Dedup {
       threshold: Double,
       bits: Int = 8,
       seed: Int = 7): DataFrame = {
+    // pinned like fingerprintPairs' blocked projection: without it each
+    // self-join side recomputes the upstream plan + gr_lshBucket (and
+    // bits = 0 makes _b literal, so no reusable exchange exists at all)
     val keyed = df.select(col(idCol).cast("long").as("_id"), col(vecCol).as("_v"),
       (if (bits > 0) gr_lshBucket(col(vecCol), lit(bits), lit(seed)) else lit(0L)).as("_b"))
+      .localCheckpoint()
     val a = keyed.select(col("_b"), col("_id").as("id_a"), col("_v").as("_va"))
     val b = keyed.select(col("_b"), col("_id").as("id_b"), col("_v").as("_vb"))
     a.join(b, Seq("_b")).filter(col("id_a") < col("id_b"))
@@ -373,6 +398,8 @@ object Dedup {
       if (nlist > 0) nlist
       else math.max(16, math.ceil(math.sqrt(df.count().toDouble)).toInt)
     require(nprobe >= 1 && nprobe <= k, "semanticDedup: 1 <= nprobe <= nlist")
+    require(maxCluster >= 0,
+      s"semanticDedup: maxCluster must be >= 0 (0 = unbounded), got $maxCluster")
     val cap = if (maxCluster > 0) maxCluster else Int.MaxValue
     val base = semClusterBase(df, idCol, vecCol, projectDim)
     val cents = Similarity.trainCentroids(base, "_id", "_p", nlist = k, seed = seed)
@@ -453,13 +480,21 @@ object Dedup {
       seed: Long = 42L,
       projectDim: Int = 0): Long = {
     import org.apache.spark.sql.functions.typedlit
+    // mirror semanticDedup's nlist = 0 auto-derivation exactly — the
+    // probe must measure the SAME clustering it guards
+    val k =
+      if (nlist > 0) nlist
+      else math.max(16, math.ceil(math.sqrt(df.count().toDouble)).toInt)
     val base = semClusterBase(df, idCol, vecCol, projectDim)
-    val cents = Similarity.trainCentroids(base, "_id", "_p", nlist = nlist, seed = seed)
+    val cents = Similarity.trainCentroids(base, "_id", "_p", nlist = k, seed = seed)
     val centArr = array(cents.map(c => typedlit(c)).toIndexedSeq: _*)
     base
       .withColumn("_c", explode(gr_topnCosine(col("_p"), centArr, lit(nprobe))))
       .groupBy(col("_c")).count()
-      .agg(max(col("count"))).head.getLong(0)
+      .agg(max(col("count"))).head() match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }
   }
 
   /** Bloom-filter delta dedup — the fixed-size-sketch twin of the exact
@@ -508,6 +543,11 @@ object Dedup {
     val spark = corpus.sparkSession
     val kBits = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
     val kItems = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    // the raise/restore mutates SESSION-global conf: serialize concurrent
+    // builds in this JVM so one build's restore cannot re-pin another's
+    // raised cap (queries planned concurrently in the window still see
+    // the raised value — inherent to session conf, documented here)
+    bloomBuildLock.synchronized {
     val prevBits = spark.conf.get(kBits)
     val prevItems = spark.conf.get(kItems)
     val bytes =
@@ -526,7 +566,10 @@ object Dedup {
         org.apache.spark.sql.types.BinaryType),
       GraftInterop.expression(xxhash64(col(textCol))))
     incoming.withColumn(flagCol, coalesce(GraftInterop.column(mc), lit(false)))
+    }
   }
+
+  private val bloomBuildLock = new Object
 
   /** Connected components over a near-duplicate pair graph: assigns every
     * node the MINIMUM id reachable from it — the canonical-document id of
@@ -794,7 +837,9 @@ object Dedup {
     val b = blockTokens
     val blocks = df
       .select(col(idCol).cast("long").as("_id"),
-        expr(s"filter(split($textCol, ' '), x -> length(x) > 0)").as("_toks"))
+        // backtick-quoted: a quotable column name ("doc-text") must not
+        // parse as SQL arithmetic
+        expr(s"filter(split(`$textCol`, ' '), x -> length(x) > 0)").as("_toks"))
       .filter(size(col("_toks")) >= 1)
       .select(col("_id"), posexplode(expr(
         s"transform(sequence(0, (size(_toks) - 1) div $b), " +

@@ -48,6 +48,7 @@ object Sampling {
       k: Int,
       salt: String = "wsmp:"): DataFrame = {
     require(k >= 1, s"weightedPrioritySample needs k >= 1 (got $k)")
+    IdCols.requireIntegral(df, idCol, "weightedPrioritySample")
     val u = (gr_md5Bucket(concat(lit(salt), col(idCol).cast("string")),
       lit(1000000000)).cast("double") + 1.0) / 1e9
     // weight <= 0 (or null) -> null key -> skipped by TopKByScoreAgg's
@@ -97,6 +98,7 @@ object Sampling {
     require(targetTotal <= Int.MaxValue.toLong,
       s"targetTotal must fit in Int (got $targetTotal); at that scale use " +
         "a per-group bottom-k threshold draw instead of an exact top-k")
+    IdCols.requireIntegral(df, idCol, "temperatureResample")
     // null group keys (e.g. lang before lang-id fills in) are rejected
     // explicitly: a silent null would NPE here or vanish in the target
     // join below — both worse than the actionable error. Group values
@@ -113,6 +115,10 @@ object Sampling {
     val targets = weights.map { case (g, n, w) =>
       (g, math.min(n, math.floor(targetTotal * w / total + 0.5).toLong))
     }
+    if (targets.isEmpty)
+      // empty input: the natural result is an empty (group, id) frame,
+      // not an empty.max crash
+      return df.select(col(groupCol), col(idCol)).limit(0)
     val maxK = math.max(1L, targets.map(_._2).max).toInt
     val spark = df.sparkSession
     val tgtSchema = org.apache.spark.sql.types.StructType(Seq(
@@ -131,5 +137,21 @@ object Sampling {
       .select(col(groupCol),
         explode(slice(col("_tr_sel"), lit(1), col("_tr_k").cast("int"))).as("_s"))
       .select(col(groupCol), col("_s.neighbor_id").as(idCol))
+  }
+}
+
+/** Shared guard for operators that carry ids through a long cast into a
+  * typed aggregate: a string/UUID id would cast to NULL and silently
+  * empty the result (the aggregates skip null ids) — fail loudly with
+  * the remedy instead.
+  */
+private[ops] object IdCols {
+  import org.apache.spark.sql.types._
+  def requireIntegral(df: DataFrame, idCol: String, op: String): Unit = {
+    val dt = df.schema(idCol).dataType
+    require(dt == LongType || dt == IntegerType || dt == ShortType || dt == ByteType,
+      s"$op: id column '$idCol' must be integral (got $dt) — string/UUID " +
+        "ids cast to NULL and silently empty the result; map them to longs " +
+        "(e.g. xxhash64(id)) first")
   }
 }

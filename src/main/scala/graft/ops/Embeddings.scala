@@ -39,6 +39,13 @@ object Embeddings {
     * length `dim`). Population covariance; rows with null/ragged vectors
     * are skipped.
     */
+  /* Numerical caveat: covariance derives from RAW co-moments
+   * (E[xy] - mean_i * mean_j in one tree-aggregated pass). For
+   * embedding coordinates whose |mean| dwarfs their standard deviation
+   * (offset >> 1e4 x std) the subtraction cancels catastrophically —
+   * pre-center such inputs (subtract the column means first) before
+   * fitting; typical normalized embeddings are nowhere near the regime.
+   */
   def fitPca(df: DataFrame, vecCol: String, dim: Int): PcaModel = {
     val buf = df.select(gr_comoments(col(vecCol), dim).as("m"))
       .head().getSeq[Double](0).toArray

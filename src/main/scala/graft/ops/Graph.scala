@@ -112,13 +112,19 @@ object Graph {
       dstCol: String,
       iters: Int = 3): DataFrame = {
     require(iters >= 1, s"labelPropagation: iters >= 1 (got $iters)")
+    val raw = edges.select(col(srcCol).cast("long").as("_a"),
+      col(dstCol).cast("long").as("_b"))
+    // self-loops contribute no propagation but their endpoints ARE nodes
+    // (the contract: nodes = distinct edge endpoints) — derive the node
+    // set BEFORE dropping them, or a node appearing only in self-loops
+    // vanishes from the output
     val e = GraftInterop.localCheckpointCappedStats(
-      edges.select(col(srcCol).cast("long").as("_a"), col(dstCol).cast("long").as("_b"))
-        .filter(col("_a") =!= col("_b")))
+      raw.filter(col("_a") =!= col("_b")))
     val und = GraftInterop.localCheckpointCappedStats(
       e.unionByName(e.select(col("_b").as("_a"), col("_a").as("_b"))))
     val nodes = GraftInterop.localCheckpointCappedStats(
-      und.select(col("_a").as("_id")).distinct())
+      raw.select(col("_a").as("_id"))
+        .unionByName(raw.select(col("_b").as("_id"))).distinct())
     var lab = nodes.select(col("_id"), col("_id").as("_lbl"))
     var i = 0
     while (i < iters) {

@@ -58,8 +58,11 @@ object Retrieval {
       avg(col("_dl")).as("_avgdl"))
 
     val terms = queries.flatMap(_._2).distinct
+    // distinct over (query_id, term): duplicate ENTRIES of the same
+    // query id (a list built incrementally) must not double-weight a
+    // shared term in the score sum
     val qt = queries.flatMap { case (q, ts) => ts.distinct.map(w => (q, w)) }
-      .toDF("query_id", "w")
+      .distinct.toDF("query_id", "w")
 
     // narrow prefilter: only query-term occurrences survive the explode;
     // the tiny tf result is PINNED — it feeds the df table, the idf

@@ -43,11 +43,15 @@ object Temporal {
 
   /** Streaming gap sessionization (the stateful twin of `sessionize`):
     * `flatMapGroupsWithState` with an event-time timeout. Keyed state is
-    * ONE open session (start, last, count, sum) — independent of stream
-    * volume. Sessions close two ways: a same-batch successor arrives more
-    * than `gapMs` later (emitted immediately), or the watermark passes
-    * last-event + gap (emitted by the timeout callback). The input must
-    * carry a watermark on `tsCol`.
+    * the set of WATERMARK-UNCONFIRMED sessions (start, end, count, sum):
+    * a session emits only once the watermark passes end + gap, so an
+    * out-of-order event admitted later (within the horizon by the
+    * watermark contract) still lands in, extends, or BRIDGES the sessions
+    * it belongs to — emit-on-same-batch-successor would have already
+    * shipped a session such an event belongs to, corrupting both. State
+    * is bounded by the horizon: confirmed sessions leave state, and at
+    * most horizon/gap + 1 unconfirmed sessions exist per key. The input
+    * must carry a watermark on `tsCol`.
     */
   def sessionizeStream(events: DataFrame, keyCol: String, tsCol: String,
       valueCol: String, gapMs: Long): DataFrame = {
@@ -60,34 +64,40 @@ object Temporal {
         col(tsCol), col(valueCol).cast("double"))
       .as[(Long, java.sql.Timestamp, Double)]
     typed.groupByKey(_._1)
-      .flatMapGroupsWithState[(Long, Long, Long, Double),
+      .flatMapGroupsWithState[Seq[(Long, Long, Long, Double)],
           (Long, java.sql.Timestamp, java.sql.Timestamp, Long, Double)](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (key, it, state: GroupState[(Long, Long, Long, Double)]) =>
+        (key, it, state: GroupState[Seq[(Long, Long, Long, Double)]]) =>
           def finish(s: (Long, Long, Long, Double)) =
             (key, new java.sql.Timestamp(s._1), new java.sql.Timestamp(s._2), s._3, s._4)
-          if (state.hasTimedOut) {
-            val out = state.getOption.map(finish).iterator
-            state.remove()
-            out
-          } else {
-            // events inside one batch arrive unordered; sort before folding
-            val evs = it.toArray.sortBy(_._2.getTime)
-            val closed = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Double)]()
-            var cur = state.getOption.orNull
-            evs.foreach { e =>
-              val t = e._2.getTime
-              cur =
-                if (cur == null) (t, t, 1L, e._3)
-                else if (t - cur._2 > gapMs) { closed += cur; (t, t, 1L, e._3) }
-                else (cur._1, math.max(cur._2, t), cur._3 + 1, cur._4 + e._3)
+          // normalize: sort by start and bridge any sessions within gap —
+          // the same fold the batch twin's window-sum break produces
+          def mergeAll(ss: Seq[(Long, Long, Long, Double)]): Seq[(Long, Long, Long, Double)] = {
+            val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Double)]()
+            ss.sortBy(_._1).foreach { s =>
+              if (out.nonEmpty && s._1 - out.last._2 <= gapMs) {
+                val p = out.remove(out.length - 1)
+                out += ((math.min(p._1, s._1), math.max(p._2, s._2),
+                  p._3 + s._3, p._4 + s._4))
+              } else out += s
             }
-            if (cur != null) {
-              state.update(cur)
-              state.setTimeoutTimestamp(cur._2 + gapMs)
-            }
-            closed.map(finish).iterator
+            out.toSeq
           }
+          val existing = state.getOption.getOrElse(Seq.empty)
+          val all =
+            if (state.hasTimedOut) existing
+            else mergeAll(existing ++
+              it.map(e => (e._2.getTime, e._2.getTime, 1L, e._3)))
+          val wm = state.getCurrentWatermarkMs()
+          val (ripe, live) = all.partition(_._2 + gapMs <= wm)
+          if (live.isEmpty) state.remove()
+          else {
+            state.update(live)
+            // live sessions have end + gap > wm by the partition above,
+            // so the timeout is always strictly past the watermark
+            state.setTimeoutTimestamp(live.map(_._2).min + gapMs)
+          }
+          ripe.sortBy(_._1).map(finish).iterator
       }
       .toDF(keyCol, "session_start", "session_end", "n_events", "sum_value")
   }
@@ -141,12 +151,18 @@ object Temporal {
           (Boolean, Long, Double, Seq[(Long, Double)], Seq[(Long, Double)])]) =>
           val prev = state.getOption.getOrElse(
             (false, 0L, 0.0, Seq.empty[(Long, Double)], Seq.empty[(Long, Double)]))
-          var (has, cTs, cVal, rights, lefts) = prev
+          var (has, cTs, cVal, rights0, lefts0) = prev
+          // buffer growth must be amortized O(1): Seq :+ per event copies
+          // the whole sequence (O(n^2) for a hot key's batch)
+          val rBuf = scala.collection.mutable.ArrayBuffer[(Long, Double)]() ++= rights0
+          val lBuf = scala.collection.mutable.ArrayBuffer[(Long, Double)]() ++= lefts0
           it.foreach { e =>
             val t = e._2.getTime
-            if (e._4 == 1) rights = rights :+ ((t, e._3))
-            else lefts = lefts :+ ((t, e._3))
+            if (e._4 == 1) rBuf += ((t, e._3))
+            else lBuf += ((t, e._3))
           }
+          var rights: Seq[(Long, Double)] = rBuf.toSeq
+          var lefts: Seq[(Long, Double)] = lBuf.toSeq
           val wm = state.getCurrentWatermarkMs()
           // due rows replay in global timestamp order; rights at a left's
           // exact timestamp stay invisible to it (strict semantics), so
@@ -205,9 +221,16 @@ object Temporal {
     */
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
       tsCol: String, rightVals: Seq[String], tieCol: String,
-      strict: Boolean = true): DataFrame = {
+      strict: Boolean = true, prefix: String = "asof_"): DataFrame = {
     require(rightVals.contains(tieCol), "tieCol must be one of rightVals")
-    val asofName = rightVals.map(c => c -> s"asof_$c").toMap
+    val asofName = rightVals.map(c => c -> s"$prefix$c").toMap
+    // chained enrichment guard: silently overwriting a prior join's
+    // asof_<c> column would destroy data — pass a distinct prefix instead
+    asofName.values.foreach { n =>
+      require(!left.columns.contains(n),
+        s"asofJoin: left already carries '$n' (a previous enrichment?) — " +
+          "pass a different prefix=")
+    }
 
     // left rows sort before equal-ts right rows under strict semantics
     // (they must not see them), after under at-or-before

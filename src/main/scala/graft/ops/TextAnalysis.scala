@@ -35,6 +35,7 @@ object TextAnalysis {
     */
   def qualityBuckets(df: DataFrame, langCol: String, scoreCol: String,
       tieCol: String, n: Int = 3): DataFrame = {
+    require(n >= 2, "qualityBuckets: n >= 2") // parity with the approx twin
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(langCol)).orderBy(col(scoreCol).desc, col(tieCol))
     df.withColumn("bucket_idx", ntile(n).over(w))
@@ -55,18 +56,25 @@ object TextAnalysis {
       n: Int = 3, accuracy: Int = 10000): DataFrame = {
     require(n >= 2, "qualityBucketsApprox: n >= 2")
     val ps = (1 until n).map(i => i.toDouble / n)
-    val cuts = df.groupBy(col(langCol)).agg(
-      expr(s"percentile_approx($scoreCol, array(${ps.mkString(", ")}), $accuracy)")
+    // rename via col() first: a quotable score name spliced raw into the
+    // expr would parse as SQL (and a score column literally named "c"
+    // would be shadowed by the filter lambda variable below)
+    val scored = df.withColumn("_qb_s", col(scoreCol))
+    val cuts = scored.groupBy(col(langCol)).agg(
+      expr(s"percentile_approx(_qb_s, array(${ps.mkString(", ")}), $accuracy)")
         .as("_cuts"))
-    df.join(broadcast(cuts), langCol)
+    // null-safe equality: the exact twin windows NULL-lang rows into
+    // their own partition — a plain using-join would DROP them here
+    scored.join(broadcast(cuts), scored(langCol) <=> cuts(langCol))
+      .drop(cuts(langCol))
       // ascending cutpoints; clearing k of them puts the row k tiers up
       // (bucket 1 = "head" = above every cutpoint)
       .withColumn("bucket_idx",
-        lit(n) - expr(s"size(filter(_cuts, c -> $scoreCol >= c))"))
+        lit(n) - expr("size(filter(_cuts, c -> _qb_s >= c))"))
       .withColumn("bucket",
         when(col("bucket_idx") === 1, "head")
           .when(col("bucket_idx") === n, "tail").otherwise("middle"))
-      .drop("_cuts")
+      .drop("_cuts", "_qb_s")
   }
 
   def langProfile(df: DataFrame, textCol: String): DataFrame =
@@ -91,6 +99,11 @@ object TextAnalysis {
     * word-count window and stop list are parameters because they are the
     * two knobs every deployment retunes.
     */
+  /* KNOWN DEVIATION (r15 review, oracle-coupled): r_symbol applies the
+   * 0.1 threshold to hash + ellipsis counts SUMMED into one ratio;
+   * Rae 2021 Appendix A thresholds each symbol's ratio separately. The
+   * t43 oracle mirrors the summed form.
+   */
   def gopherRules(df: DataFrame, idCol: String, textCol: String,
       minWords: Long = 50, maxWords: Long = 100000,
       stopWords: Seq[String] = Seq("the", "be", "to", "of", "and", "that",
@@ -154,6 +167,14 @@ object TextAnalysis {
     * regex subset (lazy quantifiers, character classes) is RE2-safe so
     * the operator mirrors into any engine.
     */
+  /* KNOWN DEVIATIONS (r15 review, oracle-coupled — a fix must land in
+   * lockstep with the t46 DuckDB mirror): (a) &amp; decodes FIRST, so
+   * doubly-escaped entities (&amp;lt;) double-decode; spec order decodes
+   * &amp; last. (b) the <[^>]+> strip truncates at a '>' INSIDE an HTML
+   * comment, leaking the remainder as text. Both are mirrored exactly by
+   * the oracle, so cross-engine parity holds while spec fidelity does
+   * not.
+   */
   def htmlExtract(df: DataFrame, idCol: String, htmlCol: String): DataFrame =
     df.withColumn("_t0",
         regexp_replace(col(htmlCol), "(?is)<script[^>]*>.*?</script>", " "))
@@ -185,6 +206,11 @@ object TextAnalysis {
     * One narrow codegen'd stage (higher-order array functions over the
     * split lines, no shuffle, no UDF) — scan speed at 100 TB.
     */
+  /* KNOWN DEVIATION (r15 review, oracle-coupled): the terminal-punct
+   * rule accepts a closing quote only after ./!/? — C4 §2.2 keeps ANY
+   * line ending in an end quotation mark. The t47 oracle mirrors the
+   * stricter form.
+   */
   def c4Filters(df: DataFrame, idCol: String, textCol: String,
       minLineWords: Int = 5, minSentences: Int = 3,
       blocklist: Seq[String] = Seq("lorem ipsum")): DataFrame = {
@@ -230,6 +256,10 @@ object TextAnalysis {
     * reduce is a hash agg keyed by the id. The corpus text never
     * shuffles and no state exceeds the bucket count.
     */
+  /* KNOWN LIMIT (r15 review): documents whose text tokenizes empty have
+   * no feature rows and therefore no output row (explode drops them) —
+   * join the result back LEFT if every input document must appear.
+   */
   def dsirWeights(df: DataFrame, idCol: String, textCol: String,
       isTarget: org.apache.spark.sql.Column, buckets: Int = 256): DataFrame = {
     require(buckets >= 2, s"dsirWeights: buckets >= 2 (got $buckets)")
@@ -283,6 +313,10 @@ object TextAnalysis {
     * broadcast. The per-doc reduce is a hash agg keyed by the id. Nothing
     * in the plan holds unbounded per-key state.
     */
+  /* KNOWN DEVIATION (r15 review, oracle-coupled): tokenizes on a single
+   * space (the t39 oracle mirrors it); gr_tokens' \s+ split is the
+   * whitespace-robust form siblings use — migrate both sides together.
+   */
   def bigramLm(df: DataFrame, idCol: String, textCol: String,
       lambda: Double = 0.7): DataFrame = {
     require(lambda >= 0.0 && lambda <= 1.0, s"bigramLm: lambda in [0,1] (got $lambda)")
@@ -394,6 +428,8 @@ object Multimodal {
     */
   def extractImageMetaBatched(df: DataFrame, idCol: String, binCol: String,
       batchSize: Int = 64): DataFrame = {
+    require(batchSize >= 1,
+      s"extractImageMetaBatched: batchSize >= 1 (got $batchSize)")
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(binCol))

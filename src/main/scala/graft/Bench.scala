@@ -241,6 +241,11 @@ object Bench {
     // by this ratio first
     val calAll = (Seq(calBefore, calAfter) ++ calProbes).sorted
     val calRatio = calAll(calAll.length / 2) / CalibrationRef
+    // calibration-normalized total: raw total divided by the run's median
+    // machine-slowdown ratio — the cross-round comparator the raw total
+    // stops being once ambient VM load varies between closing benches
+    // (r14 cal 1.25 vs r15 cal 1.53 read as a 25% regression that wasn't)
+    val totalNorm = total / math.max(calRatio, 1e-9)
     val probesJson = calProbes.map(p => f"$p%.4f").mkString("[", ",", "]")
     val retriesJson = retries.map { case (n, (first, retry, probe)) =>
       "\"" + n + "\":{\"first\":" + first + ",\"retry\":" + retry +
@@ -260,7 +265,7 @@ object Bench {
         "{\"rerun\":" + v + ",\"probe_s\":" + f"$p%.4f" + "}"
       }.mkString(",") + "]"
     }.mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","iterations":$iters,"aggregation":"median","failed":$failed,"calibration_s":$calWorst,"calibration_before_s":$calBefore,"calibration_after_s":$calAfter,"calibration_probes_s":$probesJson,"calibration_ref_s":$CalibrationRef,"calibration_ratio":${f"$calRatio%.2f"},"degraded":$degraded,"retried":${retries.size},"retries":$retriesJson,"quarantine":$quarantineJson,"suspect":$suspectJson,"queries":$qs,"sf":"${jesc(sfDir)}"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","total_cal_normalized":${f"$totalNorm%.1f"},"iterations":$iters,"aggregation":"median","failed":$failed,"calibration_s":$calWorst,"calibration_before_s":$calBefore,"calibration_after_s":$calAfter,"calibration_probes_s":$probesJson,"calibration_ref_s":$CalibrationRef,"calibration_ratio":${f"$calRatio%.2f"},"degraded":$degraded,"retried":${retries.size},"retries":$retriesJson,"quarantine":$quarantineJson,"suspect":$suspectJson,"queries":$qs,"sf":"${jesc(sfDir)}"}"""
     println(json)
     // also persist to a file: the driver captures a stdout TAIL, and with
     // ~100 queries the one-line JSON can exceed the captured suffix — the

@@ -2141,13 +2141,22 @@ object OracleSql {
       SELECT -1::BIGINT, NULL, NULL, NULL, NULL, NULL, NULL, 10::BIGINT
       ORDER BY pk""",
 
+    // labeled rows + off-grid bounds + decimal-exact sum (see the g120
+    // contract-hardening note in SparkEntry): x = acctbal (0.01 grid),
+    // y = (suppkey%100)*10 (grid 10) — 0.005-widened bounds admit exactly
+    // the same rows while absorbing any FGDB decode drift (≤ ~1e-9)
     "g120_filegdb_sql" -> """
-      SELECT count(*) AS n_total,
-             sum(CASE WHEN s_acctbal BETWEEN 0 AND 5000
-                       AND (s_suppkey % 100) * 10.0 BETWEEN 0 AND 400
-                  THEN 1 ELSE 0 END) AS n_in_box,
-             round(sum(s_acctbal), 2) AS sum_bal
-      FROM supplier""",
+      WITH agg AS (
+        SELECT count(*)::DOUBLE AS n_total,
+               sum(CASE WHEN s_acctbal BETWEEN -0.005 AND 5000.005
+                         AND (s_suppkey % 100) * 10.0 BETWEEN -0.005 AND 400.005
+                    THEN 1 ELSE 0 END)::DOUBLE AS n_in_box,
+               CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        FROM supplier)
+      SELECT 'n_total' AS metric, n_total AS value FROM agg
+      UNION ALL SELECT 'n_in_box', n_in_box FROM agg
+      UNION ALL SELECT 'sum_bal', sum_bal FROM agg
+      ORDER BY metric""",
 
     // spatialite write roundtrip: both read paths surface the same
     // synthetic supplier coordinates (x2 = x by construction)

@@ -1525,11 +1525,23 @@ object SparkEntry {
         .select(col("s_suppkey"), col("geometry"))
       val joined = graft.streaming.GeoStreaming.streamStaticSjoin(
         stream, "cx", "cy", static, "geometry", cellSize = 100.0)
-      val q = joined.groupBy(col("s_suppkey"))
-        .agg(count(lit(1)).as("n_pts"), sum(col("c_custkey")).as("sum_key"))
-        .writeStream.outputMode("complete").format("memory").queryName(sink)
-        .start()
-      try { q.processAllAvailable() } finally { q.stop() }
+      // state-store right-sizing: the complete-mode aggregate keys on
+      // s_suppkey (≤ a few hundred distinct keys); each state partition
+      // costs a per-micro-batch store init + delta write, so running it
+      // at the session's scan parallelism (32 on the bench host) buys
+      // zero parallelism and 4× the setup. At scale you size streaming
+      // state partitions to key cardinality × throughput, not to the
+      // batch default — scoped here because only the stateful leg needs
+      // it (restored before the result is read back)
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val q = joined.groupBy(col("s_suppkey"))
+          .agg(count(lit(1)).as("n_pts"), sum(col("c_custkey")).as("sum_key"))
+          .writeStream.outputMode("complete").format("memory").queryName(sink)
+          .start()
+        try { q.processAllAvailable() } finally { q.stop() }
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       s.table(sink).orderBy(col("s_suppkey"))
     }),
 
@@ -1710,6 +1722,17 @@ object SparkEntry {
     // a plain st_ filter — COUNT(*) metadata pushdown, byte-masked column
     // pruning, and V2BboxPushdown all sit on this path. Closed forms: the
     // filtered count is derivable from the synthetic coordinates.
+    //
+    // Contract hardening (r16): (a) the box bounds sit 0.005 OFF the
+    // 0.01 data grid (x = acctbal has 2 decimals, y is a multiple of 10)
+    // so FGDB quantized-coordinate decode drift — bounded by
+    // 1/xyScale = 1e-9 plus arithmetic ulps, see FileGdbIO.write — can
+    // never flip the in-box count on ANY dataset, including one holding
+    // rows exactly at the old 0/5000/400 boundaries; (b) the result is
+    // labeled (metric, value) rows instead of one 3-column row, so a
+    // future red names the failing scalar; (c) sum_bal sums via
+    // DECIMAL(18,2), making it exact and summation-order-independent
+    // (a double sum's last-ulp depends on partition count).
     "g120_filegdb_sql" -> ((s, d) => {
       graft.sql.functions.install(s)
       val loc = scratchBase + "/graft_g120_" + d.replaceAll("[^A-Za-z0-9]", "_") + ".gdb"
@@ -1724,12 +1747,18 @@ object SparkEntry {
       s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW g120_sup
         USING filegdb OPTIONS (path '$loc', layer 'sup')""")
       s.sql("""
-        SELECT count(*) AS n_total,
-               sum(CASE WHEN st_x(geometry) BETWEEN 0 AND 5000
-                         AND st_y(geometry) BETWEEN 0 AND 400
-                    THEN 1 ELSE 0 END) AS n_in_box,
-               round(sum(s_acctbal), 2) AS sum_bal
-        FROM g120_sup""")
+        SELECT metric, value FROM (
+          SELECT stack(3,
+              'n_total', n_total, 'n_in_box', n_in_box, 'sum_bal', sum_bal
+            ) AS (metric, value)
+          FROM (
+            SELECT cast(count(*) AS DOUBLE) AS n_total,
+                   cast(sum(CASE WHEN st_x(geometry) BETWEEN -0.005 AND 5000.005
+                                  AND st_y(geometry) BETWEEN -0.005 AND 400.005
+                            THEN 1 ELSE 0 END) AS DOUBLE) AS n_in_box,
+                   cast(sum(cast(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+            FROM g120_sup) agg)
+        ORDER BY metric""")
     }),
 
     // SpatiaLite DSv2 connector under the oracle gate: the committed

@@ -507,6 +507,83 @@ object FileGdbIO {
     }
   }
 
+  private def xmlEsc(s: String): String = s.flatMap {
+    case '&' => "&amp;"; case '<' => "&lt;"; case '>' => "&gt;"
+    case '\'' => "&apos;"; case '"' => "&quot;"; case c => c.toString
+  }
+
+  /** Enumerate layers the way GDAL's OpenFileGDB driver does: from the
+    * GDB_Items table's (file 4) Definition XML — root element
+    * `DEFeatureClassInfo` / `DETableInfo`, `<Name>` child — with names
+    * mapped to file numbers through the catalog. This is the
+    * interchange-facing discovery route: a written gdb whose layers do
+    * NOT surface here would be invisible to GDAL-family readers even
+    * when this library's own catalog route finds them (no GDAL in this
+    * container — this is the closest in-container stand-in for an
+    * external OpenFileGDB read). Returns (name, tablePath,
+    * isFeatureClass); fails loudly on a pre-v10 gdb with no GDB_Items.
+    */
+  private[io] def layersFromItems(conf: org.apache.hadoop.conf.Configuration,
+      gdbDir: String): Seq[(String, String, Boolean)] = {
+    val dir = new Path(gdbDir)
+    val itemsPath = fileFor(dir, 4)
+    require(itemsPath.getFileSystem(conf).exists(itemsPath),
+      s"gdb: $gdbDir has no GDB_Items table (file 4) — layer discovery " +
+        "via Items needs a v10 geodatabase")
+    val meta = parseTable(readFully(conf, itemsPath))
+    val defIdx = meta.fields.indexWhere(_.name.equalsIgnoreCase("Definition"))
+    require(defIdx >= 0, s"gdb: GDB_Items in $gdbDir has no Definition field")
+    // secure XML parse: GDB_Items content is external input — no DTDs,
+    // no external entities
+    val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+    dbf.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+    dbf.setXIncludeAware(false)
+    dbf.setExpandEntityReferences(false)
+    val cat = catalog(conf, gdbDir)
+    readTableLocal(conf, itemsPath.toString).flatMap { r =>
+      Option(r.get(defIdx)).map(_.toString).filter(_.nonEmpty).flatMap { xml =>
+        val doc = try dbf.newDocumentBuilder().parse(
+          new java.io.ByteArrayInputStream(xml.getBytes("UTF-8")))
+        catch { case e: org.xml.sax.SAXException =>
+          throw new IllegalArgumentException(
+            s"gdb: malformed GDB_Items Definition XML in $gdbDir: " +
+              e.getMessage, e)
+        }
+        val tag = doc.getDocumentElement.getNodeName
+        val isFc = tag == "DEFeatureClassInfo"
+        if (!isFc && tag != "DETableInfo") None
+        else {
+          val names = doc.getDocumentElement.getElementsByTagName("Name")
+          require(names.getLength > 0,
+            s"gdb: $tag item without a <Name> in $gdbDir")
+          val name = names.item(0).getTextContent
+          val fileNo = cat.find(_._2.equalsIgnoreCase(name)).map(_._1)
+            .getOrElse(throw new IllegalArgumentException(
+              s"gdb: GDB_Items registers '$name' but the catalog has no " +
+                s"such table (have: ${cat.map(_._2).mkString(", ")})"))
+          Some((name, fileFor(dir, fileNo).toString, isFc))
+        }
+      }
+    }
+  }
+
+  /** Public layer listing. `viaItems = true` (default where file 4
+    * exists) discovers layers through [[layersFromItems]] — the
+    * GDAL-compatible route; otherwise falls back to catalog-name
+    * filtering (pre-v10 or minimal gdbs). Returns (name,
+    * isFeatureClass).
+    */
+  def listLayers(spark: SparkSession, path: String): Seq[(String, Boolean)] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val itemsPath = fileFor(new Path(path), 4)
+    if (itemsPath.getFileSystem(conf).exists(itemsPath))
+      layersFromItems(conf, path).map { case (n, _, fc) => (n, fc) }
+    else
+      catalog(conf, path).collect {
+        case (_, n) if !n.toUpperCase.startsWith("GDB_") => (n, true)
+      }
+  }
+
   /** Whole-table single-process read (catalog-sized tables only). */
   private def readTableLocal(conf: org.apache.hadoop.conf.Configuration,
       tablePath: String): Seq[Row] = {
@@ -764,20 +841,35 @@ object FileGdbIO {
     val newest = math.max(st.getModificationTime, stx.getModificationTime)
     val sidecar = new Path(envSidecarPath(tablePath))
     val fromSidecar: Array[Double] =
-      if (!fs.exists(sidecar) ||
-          fs.getFileStatus(sidecar).getModificationTime < newest)
-        null
+      if (!fs.exists(sidecar)) null
       else {
         val bytes = readFully(conf, sidecar)
         val c = new Cur(bytes, 0)
         if (bytes.length < 16 || c.i32() != 0x58505347) null // "GSPX" LE
         else {
           val ver = c.i32(); val blockRows = c.i32(); val n = c.i32()
+          val hdrLen = if (ver == 2) 48 else 16
           // payload-length check: a truncated sidecar (partial dir copy)
           // must fall back to the computed index, not AIOOBE at plan time
-          if (ver != 1 || blockRows != EnvBlockRows || n != nBlocks ||
-              bytes.length < 16 + nBlocks * 32) null
+          val structOk = (ver == 1 || ver == 2) &&
+            blockRows == EnvBlockRows && n == nBlocks &&
+            bytes.length >= hdrLen + nBlocks * 32
+          val fresh = structOk && {
+            if (ver == 2)
+              // identity equality with the exact data files the sidecar
+              // was built from (this writer stamps them since r16)
+              c.i64() == st.getModificationTime && c.i64() == st.getLen &&
+                c.i64() == stx.getModificationTime && c.i64() == stx.getLen
+            else
+              // v1 carries no identity: require the sidecar STRICTLY
+              // newer than the newest data file — equal mtimes can hide
+              // a same-tick table edit on coarse-mtime filesystems, and
+              // stale envelopes could silently prune live rows
+              fs.getFileStatus(sidecar).getModificationTime > newest
+          }
+          if (!fresh) null
           else {
+            c.p = hdrLen
             val arr = new Array[Double](nBlocks * 4)
             var i = 0
             while (i < arr.length) { arr(i) = c.f64(); i += 1 }
@@ -970,6 +1062,27 @@ object FileGdbIO {
     * catalog + single data file per table — see scaladoc); the task
     * builds both tables in memory, so this is an interchange egress for
     * results that fit a task, not a bulk sink.
+    *
+    * ==Coordinate quantization contract==
+    * Like every FileGDB writer, coordinates are stored quantized:
+    * `q = round((v − origin) · xyScale)` with decode `q / xyScale +
+    * origin` (the ESRI spatial-domain scheme). This library snaps each
+    * layer's origin to `floor(min corner) − 1` — an integer-valued,
+    * hence exactly representable, double — so the guaranteed roundtrip
+    * bound is
+    *
+    *   |decode(v) − v| ≤ 0.5 / xyScale + 2 ulp(v − origin)
+    *
+    * i.e. ~5e-10 at the default `xyScale = 1e9` for coordinates within
+    * ~1e6 of the origin. Values that are themselves exact doubles on a
+    * grid coarser than `1/xyScale` (integers, 2-decimal fixed-point…)
+    * roundtrip BIT-EXACTLY when `v − origin` stays below 2^53/xyScale.
+    * Consumers filtering roundtripped coordinates at exact boundary
+    * values should still widen predicates off the data grid by more
+    * than `1/xyScale` (see `FileGdbQuantizationSpec`, which measures
+    * the realized error and exercises exact-boundary coordinates).
+    * Attribute doubles are stored as raw IEEE-754 bits — no
+    * quantization.
     */
   def write(df: DataFrame, path: String, geomCol: String = "geometry",
       layerName: String = "layer1", crs: Option[String] = None,
@@ -1091,6 +1204,11 @@ object FileGdbIO {
     val itemRows = layers.map { case (name, _, geomIdx, _, _) =>
       val isFc = geomIdx >= 0
       val tag = if (isFc) "DEFeatureClassInfo" else "DETableInfo"
+      // XML-escape the layer name before splicing it into the Definition
+      // document — a name like "a&b" would otherwise produce malformed
+      // XML and break the OpenFileGDB-family layer discovery this
+      // skeleton exists for
+      val xn = xmlEsc(name)
       IndexedSeq[Any](null,
         "{" + java.util.UUID.nameUUIDFromBytes(
           ("graft:" + name).getBytes("UTF-8")).toString.toUpperCase + "}",
@@ -1099,7 +1217,7 @@ object FileGdbIO {
         name, name.toUpperCase, "\\" + name,
         s"<$tag xmlns:xsi='http://www.w3.org/2001/XMLSchema-instance' " +
           "xsi:type='typens:" + tag + "'>" +
-          s"<CatalogPath>\\$name</CatalogPath><Name>$name</Name>" +
+          s"<CatalogPath>\\$xn</CatalogPath><Name>$xn</Name>" +
           (if (isFc) "<ShapeFieldName>SHAPE</ShapeFieldName>" else "") +
           s"</$tag>",
         null)
@@ -1289,9 +1407,19 @@ object FileGdbIO {
     // through the catalog and ignore it)
     if (geom.isDefined) {
       val nEnvBlocks = (rows.length + EnvBlockRows - 1) / EnvBlockRows
+      // v2 header embeds the just-written data files' (mtime, length)
+      // identity: the reader validates by identity equality instead of
+      // mtime ordering, so a table edited in the same coarse-mtime tick
+      // as this sidecar write can never be misread as fresh (stale
+      // envelopes must never prune live rows)
+      val tSt = fs.getFileStatus(table)
+      val xSt = fs.getFileStatus(new Path(
+        table.toString.stripSuffix(".gdbtable") + ".gdbtablx"))
       val sx = new Buf
       sx.i32(0x58505347) // "GSPX" LE
-      sx.i32(1); sx.i32(EnvBlockRows); sx.i32(nEnvBlocks)
+      sx.i32(2); sx.i32(EnvBlockRows); sx.i32(nEnvBlocks)
+      sx.i64(tSt.getModificationTime); sx.i64(tSt.getLen)
+      sx.i64(xSt.getModificationTime); sx.i64(xSt.getLen)
       var b = 0
       while (b < nEnvBlocks) {
         var mnx = Double.NaN; var mny = Double.NaN

@@ -948,9 +948,12 @@ object GeoPackageIO {
     val geomColsDdl = "CREATE TABLE gpkg_geometry_columns (table_name TEXT NOT NULL, " +
       "column_name TEXT NOT NULL, geometry_type_name TEXT NOT NULL, " +
       "srs_id INTEGER NOT NULL, z TINYINT NOT NULL, m TINYINT NOT NULL)"
+    // geometry_type_name takes Table-27/Annex-G names ONLY — Z-ness is
+    // carried by the z column (below), not a type-name suffix; strict
+    // validators flag "GEOMETRYZ" even though GDAL tolerates it
     val geomColsRoot = buildTableBtree(enc.iterator.zipWithIndex.map { case (e, i) =>
       ((i + 1).toLong, encodeRecord(Seq[Any](
-        e.table, e.geomCol, if (e.hasZ) "GEOMETRYZ" else "GEOMETRY",
+        e.table, e.geomCol, "GEOMETRY",
         e.srsId.toLong, if (e.hasZ) 1L else 0L, 0L)))
     }, fb)
 
@@ -1042,12 +1045,27 @@ object GeoPackageIO {
       (t & 0x80000000) != 0 || (f >= 1000 && f < 2000) || (f >= 3000 && f < 4000)
     }
 
+  /** Reject identifiers that would corrupt spliced DDL: an embedded
+    * double quote ends the quoted identifier early (the fixture-grade
+    * parseColumns would silently misparse the schema on re-read), and
+    * control characters have no business in a table/column name.
+    * Rejection over quote-doubling: a loud error beats a file whose
+    * round-trip schema silently differs.
+    */
+  private[io] def requireCleanIdent(name: String, what: String, tag: String): Unit =
+    require(!name.contains("\"") && !name.exists(_ < ' '),
+      s"""$tag write: $what name ${name.replace("\"", "\\\"")} contains a """ +
+        "double quote or control character — it would corrupt the spliced " +
+        "CREATE TABLE DDL; rename it")
+
   private[io] def encodeLayer(gdf: graft.api.GeoDataFrame, table: String,
       fb: FileBuilder, tag: String,
       geomEncode: (Array[Byte], Int) => Array[Byte],
       geomDdlType: String): EncodedLayer = {
     val df = gdf.df
     val geomCol = gdf.geometryColumn
+    requireCleanIdent(table, "table", tag)
+    df.schema.fields.foreach(f => requireCleanIdent(f.name, "column", tag))
     val srsId: Int = gdf.crs.flatMap { c =>
       if (c.toUpperCase.startsWith("EPSG:")) c.drop(5).toIntOption else None
     }.getOrElse(0)

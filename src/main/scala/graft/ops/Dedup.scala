@@ -213,8 +213,13 @@ object Dedup {
       shingleSize: Int = 4,
       threshold: Double = 0.5,
       seed: Int = 42,
-      maxReps: Int = 8): DataFrame = {
+      maxReps: Int = 8,
+      // fail-fast ceiling on rows one LSH bucket may receive in a single
+      // micro-batch (the sort buffers them); parameterized so the failure
+      // path is TESTABLE at a small cap — production default unchanged
+      maxBucketBatch: Int = 4000000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    require(maxBucketBatch > 0, "maxBucketBatch must be positive")
     val spark = df.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -235,7 +240,7 @@ object Dedup {
           // otherwise OOM the task silently — fail fast by name instead
           // (the stored-rep STATE stays bounded by maxReps regardless)
           val batch = it.toSeq
-          require(batch.length <= 4000000,
+          require(batch.length <= maxBucketBatch,
             s"minhashLshStreaming: one LSH bucket received ${batch.length} " +
               "rows in a single micro-batch (mass-duplicate burst) — " +
               "reduce the trigger interval or pre-dedup exactly upstream")

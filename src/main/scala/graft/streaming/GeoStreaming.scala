@@ -11,17 +11,25 @@ import org.apache.spark.sql.functions._
   */
 object GeoStreaming {
 
-  /** Executor-side decode memo for broadcast fence sets, keyed by
-    * broadcast id (bounded: distinct geofence queries per JVM, reset at
-    * 64). The broadcast ships compact WKB; each executor pays one parse.
+  /** Executor-side decode memo for broadcast fence sets, keyed by the
+    * Broadcast OBJECT (identity semantics — `Broadcast` doesn't override
+    * equals), with weak keys so GC'd broadcasts vacate. Keying by the
+    * numeric broadcast id was wrong: ids restart from 0 when a
+    * SparkContext is stopped and recreated in the same JVM (local mode,
+    * test suites), so a new fence broadcast could silently receive a
+    * previous context's decoded set. The broadcast ships compact WKB;
+    * each executor pays one parse. Bounded as a belt: cleared at 64
+    * live entries.
     */
-  private val fenceDecodeCache = new java.util.concurrent.ConcurrentHashMap[
-    Long, Seq[(Long, graft.geom.Geometry)]]()
+  private val fenceDecodeCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[
+      org.apache.spark.broadcast.Broadcast[Seq[(Long, Array[Byte])]],
+      Seq[(Long, graft.geom.Geometry)]]())
   private[streaming] def decodedFences(
       b: org.apache.spark.broadcast.Broadcast[Seq[(Long, Array[Byte])]])
       : Seq[(Long, graft.geom.Geometry)] = {
     if (fenceDecodeCache.size >= 64) fenceDecodeCache.clear()
-    fenceDecodeCache.computeIfAbsent(b.id,
+    fenceDecodeCache.computeIfAbsent(b,
       _ => b.value.map { case (id, wkb) => (id, graft.geom.Wkb.read(wkb)) })
   }
 

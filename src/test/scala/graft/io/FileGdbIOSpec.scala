@@ -220,6 +220,34 @@ class FileGdbIOSpec extends AnyFunSuite {
     assert(e.getMessage.contains("points") && e.getMessage.contains("boxes"))
   }
 
+  test("GDB_Items-driven layer discovery (the OpenFileGDB route) finds " +
+      "written layers, incl. XML-special names, and reads through them") {
+    val gdb = tmpGdb()
+    val weird = "a&b <x>'\"" // must be XML-escaped in the Definition doc
+    val pts = (1 to 20).map(i => (i.toLong, s"p$i"))
+      .toDF("id", "name").withColumn("geometry", st_point($"id" * 1.0, lit(0.0)))
+    val boxes = (1 to 5).map(i => (i.toLong, i * 2.0))
+      .toDF("id", "w").withColumn("geometry",
+        st_makeEnvelope(lit(0.0), lit(0.0), $"w", $"w"))
+    FileGdbIO.writeLayers(Seq("roads" -> pts, weird -> boxes), gdb)
+    val conf = spark.sessionState.newHadoopConf()
+    // discovery goes through the Definition XML (a real parse — malformed
+    // escaping would fail here), NOT GDB_SystemCatalog name filtering
+    val items = FileGdbIO.layersFromItems(conf, gdb)
+    assert(items.map(_._1).toSet == Set("roads", weird))
+    assert(items.forall(_._3), "both layers registered as feature classes")
+    // the Items name must round back through the ordinary layer read
+    items.foreach { case (name, tablePath, _) =>
+      assert(new java.io.File(tablePath.stripPrefix("file:")).exists(),
+        s"Items maps '$name' to a missing table file $tablePath")
+      val n = FileGdbIO.read(spark, gdb, layer = Some(name)).df.count()
+      assert(n == (if (name == "roads") 20 else 5))
+    }
+    // public listing prefers the Items route when file 4 exists
+    assert(FileGdbIO.listLayers(spark, gdb).map(_._1).toSet ==
+      Set("roads", weird))
+  }
+
   test("bbox read: layer-extent whole prune + exact residual; cx re-plans") {
     val gdb = tmpGdb()
     val src = (1 to 100).map(i => (i.toLong, i * 1.0))
@@ -376,6 +404,44 @@ class FileGdbIOSpec extends AnyFunSuite {
       bbox = Some((100.0, -1.0, 200.0, 1.0)))
     assert(win.df.rdd.getNumPartitions == 1)
     assert(win.df.count() == 101)
+  }
+
+  test("a poisoned same-tick v1 sidecar is ignored (identity/strict-mtime " +
+      "guard); pruning never drops rows") {
+    val gdb = lineGdb(5000)
+    val table = new java.io.File(gdb, "a00000005.gdbtable")
+    val sidecar = new java.io.File(gdb, "a00000005.gspx")
+    // forge a v1 sidecar whose block envelopes are all DISJOINT from the
+    // query window, stamped with mtime EQUAL to the table's — the
+    // coarse-mtime same-tick-edit hazard. If trusted, every chunk would
+    // prune and the read would drop all 101 rows.
+    val nBlocks = (5000 + FileGdbIO.EnvBlockRows - 1) / FileGdbIO.EnvBlockRows
+    val bb = java.nio.ByteBuffer.allocate(16 + nBlocks * 32)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(0x58505347); bb.putInt(1)
+    bb.putInt(FileGdbIO.EnvBlockRows); bb.putInt(nBlocks)
+    (0 until nBlocks).foreach { _ =>
+      bb.putDouble(1e9); bb.putDouble(1e9); bb.putDouble(2e9); bb.putDouble(2e9)
+    }
+    java.nio.file.Files.write(sidecar.toPath, bb.array())
+    new java.io.File(gdb, ".a00000005.gspx.crc").delete()
+    assert(sidecar.setLastModified(table.lastModified()))
+    val win = FileGdbIO.read(spark, gdb, chunkSize = 4096,
+      bbox = Some((100.0, -1.0, 200.0, 1.0)))
+    assert(win.df.count() == 101) // fell back to the computed index
+    assert(win.df.rdd.getNumPartitions == 1) // and still pruned
+  }
+
+  test("a v2 sidecar with a stale embedded identity is ignored") {
+    val gdb = lineGdb(5000)
+    val tablx = new java.io.File(gdb, "a00000005.gdbtablx")
+    // simulate an in-place tablx edit that keeps the length: bump mtime
+    // only — the v2 identity (mtime+len of both data files) must miss
+    assert(tablx.setLastModified(tablx.lastModified() + 60000))
+    val win = FileGdbIO.read(spark, gdb, chunkSize = 4096,
+      bbox = Some((100.0, -1.0, 200.0, 1.0)))
+    assert(win.df.count() == 101)
+    assert(win.df.rdd.getNumPartitions == 1)
   }
 
   // ------------------------------------------------ negative hardening

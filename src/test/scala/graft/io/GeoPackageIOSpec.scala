@@ -185,6 +185,25 @@ class GeoPackageIOSpec extends AnyFunSuite {
     assert(e.getMessage.contains("fid"))
   }
 
+  test("identifiers with embedded quotes or control chars are refused " +
+      "(DDL-splice corruption guard, gpkg + spatialite)") {
+    val df = Seq((1L, "x")).toDF("id", "nm")
+      .withColumn("geom", expr("st_asbinary(st_point(1.0, 2.0))"))
+    val g = graft.api.GeoDataFrame(df, "geom")
+    val e1 = intercept[IllegalArgumentException](
+      GeoPackageIO.write(g, tmpGpkg(), "bad\"name"))
+    assert(e1.getMessage.contains("double quote"))
+    val ctl = df.withColumnRenamed("nm", "n\tm")
+    val e2 = intercept[IllegalArgumentException](
+      GeoPackageIO.write(graft.api.GeoDataFrame(ctl, "geom"), tmpGpkg(), "t"))
+    assert(e2.getMessage.contains("control"))
+    // the shared encodeLayer guards the spatialite route too
+    val e3 = intercept[IllegalArgumentException](
+      SpatiaLiteIO.writeLayers(Seq("ta\"ble" -> g),
+        tmpGpkg().stripSuffix(".gpkg") + ".sqlite"))
+    assert(e3.getMessage.contains("double quote"))
+  }
+
   test("write emits the R*-tree: bbox reads prune on our own files") {
     val out = tmpGpkg()
     val df = (0 until 3000).map { i =>

@@ -926,6 +926,62 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(ests.nonEmpty && ests.forall(_ >= 0.5), ests.mkString(","))
   }
 
+  test("streaming minhash LSH: a mass-duplicate burst over the bucket-batch " +
+      "cap fails by name (state stays bounded; no silent OOM)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    val text = "identical mass duplicate text long enough to shingle " +
+      "and hash into every band bucket the same way each time"
+    val mem = MemoryStream[(Long, String)]
+    // cap lowered to 4 through the parameter the production guard uses —
+    // ten identical docs land one bucket per band with 10 > 4 rows
+    val out = Dedup.minhashLshStreaming(mem.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", maxBucketBatch = 4)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("lsh_burst_test").trigger(Trigger.ProcessingTime(0)).start()
+    mem.addData((1L to 10L).map(i => (i, text)): _*)
+    val e = intercept[Exception] { q.processAllAvailable() }
+    q.stop()
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("mass-duplicate burst")),
+      messages(e).mkString(" | "))
+  }
+
+  test("deltaDedupBloom: concurrent over-cap builds serialize on the build " +
+      "lock and restore the session bloom caps") {
+    val kBits = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val kItems = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val beforeBits = spark.conf.get(kBits)
+    val beforeItems = spark.conf.get(kItems)
+    val corpus = (1 to 200).map(i => s"doc text $i").toDF("text")
+    val inc = (150 to 260).map(i => s"doc text $i").toDF("text")
+    // expectedItems sized so numBits (~77M) exceeds the 64M default cap —
+    // both builds must take the raise/restore path concurrently
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val futures = (1 to 2).map { _ =>
+        Future(Dedup.deltaDedupBloom(corpus, inc, "text",
+          expectedItems = 8000000L).collect())
+      }
+      val results = futures.map(f => Await.result(f, Duration(180, "s")))
+      results.foreach { rows =>
+        val flagged = rows.map(r => r.getString(0) -> r.getBoolean(1)).toMap
+        (150 to 200).foreach(i => assert(flagged(s"doc text $i"), s"miss $i"))
+        // 200 items in a 77M-bit sketch: false positives ~impossible
+        (201 to 260).foreach(i => assert(!flagged(s"doc text $i"), s"fp $i"))
+      }
+    } finally pool.shutdown()
+    // one build's restore must not re-pin the other's raised cap — both
+    // keys end exactly where they started
+    assert(spark.conf.get(kBits) == beforeBits)
+    assert(spark.conf.get(kItems) == beforeItems)
+  }
+
   test("streaming windowed agg over events (memory sink)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.GeoStreaming

@@ -1,0 +1,33 @@
+package graft.streaming
+
+import graft.geom.{Point, Wkb}
+import graft.sql.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The executor-side fence-decode memo must key by Broadcast OBJECT
+  * identity: numeric broadcast ids restart from 0 when a SparkContext is
+  * recreated in the same JVM, so an id-keyed memo could hand a new fence
+  * broadcast a previous context's decoded set (r15 advice finding).
+  */
+class FenceDecodeCacheSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("decode memo keys by broadcast identity: no cross-broadcast reuse, " +
+      "stable memo per broadcast") {
+    val sc = spark.sparkContext
+    val b1 = sc.broadcast(Seq(1L -> Wkb.write(Point(0.0, 0.0))))
+    val b2 = sc.broadcast(Seq(
+      2L -> Wkb.write(Point(5.0, 5.0)),
+      3L -> Wkb.write(Point(7.0, 7.0))))
+    val d1 = GeoStreaming.decodedFences(b1)
+    val d2 = GeoStreaming.decodedFences(b2)
+    assert(d1.map(_._1) == Seq(1L))
+    assert(d2.map(_._1) == Seq(2L, 3L))
+    assert(d2.head._2.asInstanceOf[Point].x == 5.0)
+    // repeated lookups return the SAME decoded instance (memo hit), and
+    // the two broadcasts never alias each other's entries
+    assert(GeoStreaming.decodedFences(b1) eq d1)
+    assert(GeoStreaming.decodedFences(b2) eq d2)
+    assert(!(GeoStreaming.decodedFences(b1) eq d2))
+  }
+}

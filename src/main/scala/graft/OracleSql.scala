@@ -2156,6 +2156,7 @@ object OracleSql {
       SELECT 'n_total' AS metric, n_total AS value FROM agg
       UNION ALL SELECT 'n_in_box', n_in_box FROM agg
       UNION ALL SELECT 'sum_bal', sum_bal FROM agg
+      UNION ALL SELECT 'n_total_meta', n_total FROM agg
       ORDER BY metric""",
 
     // spatialite write roundtrip: both read paths surface the same
@@ -3313,6 +3314,27 @@ object OracleSql {
              (COALESCE(s.n_hit, 0) > 0) AS contaminated
       FROM (SELECT doc_id FROM tok WHERE source <> 'src0') a
       LEFT JOIN stats s USING (doc_id) ORDER BY doc_id""",
+
+    // streaming decontamination: same gram comprehension as t58, with
+    // 0-based positions (Spark posexplode) zipped via parallel unnest;
+    // only docs with >= 1 colliding position appear
+    "t59_stream_decontaminate" -> s"""
+      WITH tok AS (SELECT doc_id, source, $docToks AS toks FROM documents),
+      g AS (SELECT doc_id, source,
+              CASE WHEN len(toks) >= 8
+                THEN [md5(array_to_string(toks[i:i+7], ' '))
+                      FOR i IN range(1, len(toks) - 6)]
+                ELSE [] END AS gs
+            FROM tok),
+      b AS (SELECT DISTINCT unnest(gs) AS gr FROM g WHERE source = 'src0'),
+      c AS (SELECT doc_id, unnest(gs) AS gr,
+                   unnest(range(0, len(gs))) AS pos
+            FROM g WHERE source <> 'src0'),
+      h AS (SELECT c.doc_id, c.pos, c.gr FROM c JOIN b ON c.gr = b.gr)
+      SELECT doc_id, count(*)::BIGINT AS n_hit_pos,
+             count(DISTINCT gr)::BIGINT AS n_hit_grams,
+             min(pos)::BIGINT AS first_pos
+      FROM h GROUP BY doc_id ORDER BY doc_id""",
 
     // shard packing: the oracle uses the global window the op avoids —
     // exclusive prefix sum over doc_id order, floor-divided by the budget

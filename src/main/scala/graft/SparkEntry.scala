@@ -1746,10 +1746,16 @@ object SparkEntry {
         loc, layerName = "sup")
       s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW g120_sup
         USING filegdb OPTIONS (path '$loc', layer 'sup')""")
+      // n_total_meta rides the COUNT(*) metadata-pushdown path (answered
+      // from the .gdbtable header, zero feature reads) while n_total
+      // counts scanned rows — a future mismatch distinguishes scan
+      // row-loss from header/decode defects by name
       s.sql("""
         SELECT metric, value FROM (
-          SELECT stack(3,
-              'n_total', n_total, 'n_in_box', n_in_box, 'sum_bal', sum_bal
+          SELECT stack(4,
+              'n_total', n_total, 'n_in_box', n_in_box, 'sum_bal', sum_bal,
+              'n_total_meta',
+              cast((SELECT count(*) FROM g120_sup) AS DOUBLE)
             ) AS (metric, value)
           FROM (
             SELECT cast(count(*) AS DOUBLE) AS n_total,
@@ -4122,6 +4128,33 @@ object SparkEntry {
         .agg(count(col("g")).as("n_grams"),
           sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_hit"))
         .withColumn("contaminated", col("n_hit") > 0)
+        .orderBy(col("doc_id"))
+    }),
+
+    // STREAMING TEST-SET DECONTAMINATION (t58's hygiene pass moved to
+    // ingest time): corpus documents arrive as a file stream and are
+    // probed against the benchmark's broadcast 8-gram set as they
+    // arrive — a STATELESS stream-static inner join (append-safe, no
+    // watermark, no state store), so the corpus never shuffles on grams
+    // at any scale. The sink is then batch-aggregated per doc; the
+    // exactly-once unit is structural (each row owns its gram positions).
+    "t59_stream_decontaminate" -> ((s, d) => {
+      graft.sql.functions.install(s)
+      val raw = s.read.parquet(s"$d/documents.parquet")
+      val sink = "t59_sink_" + streamSinkId.incrementAndGet()
+      val stream = s.readStream.schema(raw.schema)
+        .parquet(streamDirFor(s"$d/documents.parquet"))
+        .filter(col("source") =!= "src0")
+      val bench = raw.filter(col("source") === "src0")
+      val hits = graft.ops.Dedup.decontaminateStreaming(
+        stream, "doc_id", "text", bench, "text")
+      val q = hits.writeStream.outputMode("append").format("memory")
+        .queryName(sink).start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      s.table(sink).groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_hit_pos"),
+          countDistinct(col("gram")).as("n_hit_grams"),
+          min(col("pos")).cast("long").as("first_pos"))
         .orderBy(col("doc_id"))
     }),
 

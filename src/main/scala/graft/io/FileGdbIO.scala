@@ -539,10 +539,14 @@ object FileGdbIO {
     dbf.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
     dbf.setXIncludeAware(false)
     dbf.setExpandEntityReferences(false)
+    // one builder, reset between rows — real gdbs register MANY items
+    // (domains, folders, relationships), not just layers
+    val db = dbf.newDocumentBuilder()
     val cat = catalog(conf, gdbDir)
     readTableLocal(conf, itemsPath.toString).flatMap { r =>
       Option(r.get(defIdx)).map(_.toString).filter(_.nonEmpty).flatMap { xml =>
-        val doc = try dbf.newDocumentBuilder().parse(
+        db.reset()
+        val doc = try db.parse(
           new java.io.ByteArrayInputStream(xml.getBytes("UTF-8")))
         catch { case e: org.xml.sax.SAXException =>
           throw new IllegalArgumentException(
@@ -579,8 +583,13 @@ object FileGdbIO {
     if (itemsPath.getFileSystem(conf).exists(itemsPath))
       layersFromItems(conf, path).map { case (n, _, fc) => (n, fc) }
     else
+      // pre-v10 fallback: feature-class-ness comes from the table's own
+      // field section (a geometry field present), matching what the
+      // Items route reports — not a hardcoded true
       catalog(conf, path).collect {
-        case (_, n) if !n.toUpperCase.startsWith("GDB_") => (n, true)
+        case (no, n) if !n.toUpperCase.startsWith("GDB_") =>
+          (n, tableMetaOf(conf, fileFor(new Path(path), no).toString)
+            .geom.isDefined)
       }
   }
 
@@ -1409,9 +1418,12 @@ object FileGdbIO {
       val nEnvBlocks = (rows.length + EnvBlockRows - 1) / EnvBlockRows
       // v2 header embeds the just-written data files' (mtime, length)
       // identity: the reader validates by identity equality instead of
-      // mtime ordering, so a table edited in the same coarse-mtime tick
-      // as this sidecar write can never be misread as fresh (stale
-      // envelopes must never prune live rows)
+      // mtime ordering, so a same-tick table edit that changes either
+      // file's length is caught (v1's ordering check was blind to the
+      // whole tick). Honest limit: an in-place edit that preserves BOTH
+      // files' lengths within the same mtime tick is still undetectable
+      // without hashing file content at plan time — the same limit as
+      // every mtime+length stamp in this codebase (metaMemo, envIdxMemo)
       val tSt = fs.getFileStatus(table)
       val xSt = fs.getFileStatus(new Path(
         table.toString.stripSuffix(".gdbtable") + ".gdbtablx"))

@@ -268,6 +268,49 @@ object Dedup {
       .toDF("id_a", "id_b", "est_jaccard", "band")
   }
 
+  /** Token n-gram set (md5 of each n-token window, space-joined) — the
+    * decontamination probe key shared by the batch (t58) and streaming
+    * paths. md5 keeps the key fixed-width and exactly reproducible by
+    * external oracles.
+    */
+  private def gramSetExpr(textCol: String, n: Int) = {
+    expr(s"""CASE WHEN size(gr_tokens($textCol)) >= $n
+         THEN transform(sequence(1, size(gr_tokens($textCol)) - ${n - 1}),
+                i -> md5(concat_ws(' ', slice(gr_tokens($textCol), i, $n))))
+         ELSE array() END""")
+  }
+
+  /** STREAMING test-set decontamination: corpus documents arrive as a
+    * stream and are probed, as they arrive, against the held-out
+    * benchmark's distinct token n-grams. The benchmark side is a BATCH
+    * DataFrame (benchmarks are small and fixed by construction): its
+    * gram set broadcasts once and the stream-static inner equi-join is
+    * STATELESS — append-mode safe, no watermark, no state store — so
+    * the plan is the same one-broadcast-probe shape as the batch pass
+    * at any corpus scale (the corpus never shuffles on grams).
+    *
+    * Emits one row per colliding gram POSITION: (id, pos, gram) — the
+    * exactly-once unit is structural (each stream row owns its
+    * positions; a gram can only collide in its own row), so downstream
+    * per-doc aggregation is a plain batch/windowed groupBy of the
+    * consumer's choosing.
+    */
+  def decontaminateStreaming(
+      stream: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchmark: DataFrame,
+      benchTextCol: String,
+      n: Int = 8): DataFrame = {
+    require(n >= 1, "decontaminateStreaming: n must be >= 1")
+    val grams = benchmark
+      .select(explode(gramSetExpr(benchTextCol, n)).as("gram")).distinct()
+    stream
+      .select(col(idCol), posexplode(gramSetExpr(textCol, n)).as(Seq("pos", "gram")))
+      .join(broadcast(grams), Seq("gram"), "inner")
+      .select(col(idCol), col("pos"), col("gram"))
+  }
+
   /** SimHash near-dup buckets: rows whose 64-bit simhash matches on all 4
     * 16-bit blocks of some other row (exact simhash match) or — with
     * maxHamming>0 — candidate pairs found via block collision and verified

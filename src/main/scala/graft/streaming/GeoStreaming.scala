@@ -11,26 +11,31 @@ import org.apache.spark.sql.functions._
   */
 object GeoStreaming {
 
-  /** Executor-side decode memo for broadcast fence sets, keyed by the
-    * Broadcast OBJECT (identity semantics — `Broadcast` doesn't override
-    * equals), with weak keys so GC'd broadcasts vacate. Keying by the
-    * numeric broadcast id was wrong: ids restart from 0 when a
-    * SparkContext is stopped and recreated in the same JVM (local mode,
-    * test suites), so a new fence broadcast could silently receive a
-    * previous context's decoded set. The broadcast ships compact WKB;
-    * each executor pays one parse. Bounded as a belt: cleared at 64
-    * live entries.
+  /** Executor-side decode memo for broadcast fence sets, keyed by
+    * (application id, broadcast id). The broadcast id alone is wrong —
+    * ids restart from 0 when a SparkContext is stopped and recreated in
+    * the same JVM (local mode, test suites), so a new fence broadcast
+    * could silently receive a previous context's decoded set; the app
+    * id disambiguates contexts. Keying by the Broadcast OBJECT would be
+    * wrong the other way: every task deserializes its OWN broadcast
+    * stub from the closure, so identity keys miss once per task and
+    * the memo stops being per-executor. ConcurrentHashMap keeps decode
+    * contention per-bin, not global. Bounded: cleared at 64 entries
+    * (distinct geofence queries per JVM).
     */
-  private val fenceDecodeCache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[
-      org.apache.spark.broadcast.Broadcast[Seq[(Long, Array[Byte])]],
-      Seq[(Long, graft.geom.Geometry)]]())
+  private val fenceDecodeCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long), Seq[(Long, graft.geom.Geometry)]]()
   private[streaming] def decodedFences(
       b: org.apache.spark.broadcast.Broadcast[Seq[(Long, Array[Byte])]])
       : Seq[(Long, graft.geom.Geometry)] = {
-    if (fenceDecodeCache.size >= 64) fenceDecodeCache.clear()
-    fenceDecodeCache.computeIfAbsent(b,
-      _ => b.value.map { case (id, wkb) => (id, graft.geom.Wkb.read(wkb)) })
+    def decode() = b.value.map { case (id, wkb) => (id, graft.geom.Wkb.read(wkb)) }
+    val env = org.apache.spark.SparkEnv.get
+    if (env == null) decode() // no running env (shutdown edge): skip the memo
+    else {
+      if (fenceDecodeCache.size >= 64) fenceDecodeCache.clear()
+      fenceDecodeCache.computeIfAbsent(
+        (env.conf.get("spark.app.id", ""), b.id), _ => decode())
+    }
   }
 
   /** Windowed count + bounds of event points per time window and key.

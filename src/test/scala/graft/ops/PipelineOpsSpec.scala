@@ -982,6 +982,32 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(spark.conf.get(kItems) == beforeItems)
   }
 
+  test("streaming decontamination: stateless broadcast gram probe flags " +
+      "exactly the colliding positions") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Seq("a b c d e f g h i j").toDF("text")
+    val mem = MemoryStream[(Long, String)]
+    val out = Dedup.decontaminateStreaming(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", bench, "text")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("decon_stream_test").trigger(Trigger.ProcessingTime(0)).start()
+    mem.addData(
+      (1L, "z z a b c d e f g h q"), // bench gram "a..h" at position 2
+      (2L, "p q r s t u v w x y"),   // clean
+      (3L, "one two"))               // too short for one gram
+    q.processAllAvailable()
+    // a second batch re-probes statelessly (no dedup state: position
+    // ownership is structural, each row owns its own positions)
+    mem.addData((4L, "b c d e f g h i later words"))
+    q.processAllAvailable()
+    val hits = spark.sql("SELECT doc_id, pos FROM decon_stream_test")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    q.stop()
+    assert(hits == Set((1L, 2), (4L, 0)), hits.toString)
+  }
+
   test("streaming windowed agg over events (memory sink)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.GeoStreaming

@@ -4,16 +4,17 @@ import graft.geom.{Point, Wkb}
 import graft.sql.TestSpark
 import org.scalatest.funsuite.AnyFunSuite
 
-/** The executor-side fence-decode memo must key by Broadcast OBJECT
-  * identity: numeric broadcast ids restart from 0 when a SparkContext is
-  * recreated in the same JVM, so an id-keyed memo could hand a new fence
-  * broadcast a previous context's decoded set (r15 advice finding).
+/** The executor-side fence-decode memo keys by (app id, broadcast id):
+  * the app id disambiguates SparkContexts recreated in the same JVM
+  * (broadcast ids restart from 0 — the r15 advice finding), while the
+  * numeric id keeps the memo per-executor (object-identity keys would
+  * miss once per task, since every task deserializes its own broadcast
+  * stub).
   */
 class FenceDecodeCacheSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
-  test("decode memo keys by broadcast identity: no cross-broadcast reuse, " +
-      "stable memo per broadcast") {
+  test("decode memo: no cross-broadcast reuse, stable memo per broadcast") {
     val sc = spark.sparkContext
     val b1 = sc.broadcast(Seq(1L -> Wkb.write(Point(0.0, 0.0))))
     val b2 = sc.broadcast(Seq(

@@ -3336,6 +3336,33 @@ object OracleSql {
              min(pos)::BIGINT AS first_pos
       FROM h GROUP BY doc_id ORDER BY doc_id""",
 
+    // contamination report: DISTINCT grams per doc (list_distinct), left
+    // join keeps zero-gram docs as clean; frac is one double division of
+    // the same integers in both engines (bit-identical)
+    "t60_contamination_report" -> s"""
+      WITH tok AS (SELECT doc_id, source, $docToks AS toks FROM documents),
+      g AS (SELECT doc_id, source,
+              CASE WHEN len(toks) >= 8
+                THEN list_distinct([md5(array_to_string(toks[i:i+7], ' '))
+                      FOR i IN range(1, len(toks) - 6)])
+                ELSE [] END AS gs
+            FROM tok),
+      b AS (SELECT DISTINCT unnest(gs) AS gr FROM g WHERE source = 'src0'),
+      c AS (SELECT doc_id, unnest(gs) AS gr FROM g WHERE source <> 'src0'),
+      stats AS (SELECT c.doc_id, count(*) AS ng,
+                       sum(CASE WHEN b.gr IS NOT NULL THEN 1 ELSE 0 END) AS nh
+                FROM c LEFT JOIN b ON c.gr = b.gr GROUP BY 1)
+      SELECT a.doc_id,
+             COALESCE(s.ng, 0)::BIGINT AS n_grams_distinct,
+             COALESCE(s.nh, 0)::BIGINT AS n_hit_distinct,
+             round(CASE WHEN COALESCE(s.ng, 0) > 0
+               THEN s.nh::DOUBLE / s.ng::DOUBLE ELSE 0.0 END, 6) AS dirty_frac,
+             CASE WHEN COALESCE(s.nh, 0) = 0 THEN 'clean'
+                  WHEN s.nh::DOUBLE / s.ng::DOUBLE >= 0.5 THEN 'dirty'
+                  ELSE 'partial' END AS class
+      FROM (SELECT doc_id FROM tok WHERE source <> 'src0') a
+      LEFT JOIN stats s USING (doc_id) ORDER BY doc_id""",
+
     // shard packing: the oracle uses the global window the op avoids —
     // exclusive prefix sum over doc_id order, floor-divided by the budget
     "t56_shard_pack" -> s"""

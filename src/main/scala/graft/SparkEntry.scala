@@ -4158,6 +4158,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // CONTAMINATION-FRACTION REPORT (GPT-3 appendix-C dirtiness
+    // classification on top of the t58 probe): per corpus doc, the
+    // fraction of its DISTINCT 8-grams colliding with the benchmark,
+    // classified clean / partial / dirty. Same broadcast-probe plan.
+    "t60_contamination_report" -> ((s, d) => {
+      graft.sql.functions.install(s)
+      val docs = t(s, d, "documents")
+      graft.ops.Dedup.decontaminationReport(
+        docs.filter(col("source") =!= "src0"), "doc_id", "text",
+        docs.filter(col("source") === "src0"), "text",
+        dirtyFrac = 0.5)
+        .select(col("doc_id"), col("n_grams_distinct"), col("n_hit_distinct"),
+          round(col("dirty_frac"), 6).as("dirty_frac"), col("class"))
+        .orderBy(col("doc_id"))
+    }),
+
     // TOKEN-BUDGET SHARD PACKING (pretraining egress): documents in
     // doc_id order pack into ~2000-token shards, shard_id =
     // floor(exclusive_prefix_tokens / budget). The op is a DISTRIBUTED

@@ -311,6 +311,45 @@ object Dedup {
       .select(col(idCol), col("pos"), col("gram"))
   }
 
+  /** Batch contamination REPORT (the GPT-3 appendix-C "dirtiness"
+    * classification): per corpus document, the fraction of its DISTINCT
+    * token n-grams that collide with the benchmark's gram set —
+    * `clean` (zero hits), `dirty` (fraction >= dirtyFrac), `partial`
+    * (in between). Same single-broadcast-probe plan as the flagging
+    * pass: the benchmark gram set broadcasts once, the corpus streams
+    * through one BroadcastHashJoin and aggregates per doc — no
+    * corpus-gram shuffle at any scale.
+    */
+  def decontaminationReport(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchmark: DataFrame,
+      benchTextCol: String,
+      n: Int = 8,
+      dirtyFrac: Double = 0.5): DataFrame = {
+    require(n >= 1, "decontaminationReport: n must be >= 1")
+    require(dirtyFrac > 0 && dirtyFrac <= 1, "decontaminationReport: dirtyFrac in (0,1]")
+    val grams = benchmark
+      .select(explode(gramSetExpr(benchTextCol, n)).as("gram")).distinct()
+      .withColumn("hit", lit(1L))
+    corpus
+      .select(col(idCol),
+        explode_outer(array_distinct(gramSetExpr(textCol, n))).as("gram"))
+      .join(broadcast(grams), Seq("gram"), "left")
+      .groupBy(col(idCol))
+      .agg(count(col("gram")).as("n_grams_distinct"),
+        sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_hit_distinct"))
+      .withColumn("dirty_frac",
+        when(col("n_grams_distinct") > 0,
+          col("n_hit_distinct").cast("double") / col("n_grams_distinct"))
+          .otherwise(lit(0.0)))
+      .withColumn("class",
+        when(col("n_hit_distinct") === 0, "clean")
+          .when(col("dirty_frac") >= dirtyFrac, "dirty")
+          .otherwise("partial"))
+  }
+
   /** SimHash near-dup buckets: rows whose 64-bit simhash matches on all 4
     * 16-bit blocks of some other row (exact simhash match) or — with
     * maxHamming>0 — candidate pairs found via block collision and verified

@@ -1008,6 +1008,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(hits == Set((1L, 2), (4L, 0)), hits.toString)
   }
 
+  test("contamination report: clean/partial/dirty classification over " +
+      "DISTINCT grams, zero-gram docs clean") {
+    val bench = Seq("a b c d e f g h i j").toDF("text") // grams: 3 windows
+    val corpus = Seq(
+      // every distinct gram hits (exact copy) -> dirty (frac 1.0)
+      (1L, "a b c d e f g h i j"),
+      // 1 hit of 4 distinct grams -> partial (0.25 < 0.5)
+      (2L, "a b c d e f g h x y z"),
+      // no overlap -> clean
+      (3L, "p q r s t u v w x y"),
+      // too short for one gram -> clean with 0 distinct grams
+      (4L, "one two")).toDF("doc_id", "text")
+    val rep = Dedup.decontaminationReport(
+        corpus, "doc_id", "text", bench, "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_grams_distinct"), r.getAs[Long]("n_hit_distinct"),
+          r.getAs[String]("class")))).toMap
+    assert(rep(1L) == ((3L, 3L, "dirty")), rep(1L).toString)
+    assert(rep(2L) == ((4L, 1L, "partial")), rep(2L).toString)
+    assert(rep(3L) == ((3L, 0L, "clean")), rep(3L).toString)
+    assert(rep(4L) == ((0L, 0L, "clean")), rep(4L).toString)
+  }
+
   test("streaming windowed agg over events (memory sink)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.GeoStreaming

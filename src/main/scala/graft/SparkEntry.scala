@@ -4113,11 +4113,7 @@ object SparkEntry {
     "t58_decontaminate" -> ((s, d) => {
       val withGrams = t(s, d, "documents")
         .withColumn("toks", gr_tokens(col("text")))
-        .withColumn("gs", expr(
-          """CASE WHEN size(toks) >= 8
-               THEN transform(sequence(1, size(toks) - 7),
-                      i -> md5(concat_ws(' ', slice(toks, i, 8))))
-               ELSE array() END"""))
+        .withColumn("gs", graft.ops.Dedup.tokenNgrams(col("toks"), 8))
       val bench = withGrams.filter(col("source") === "src0")
         .select(explode(col("gs")).as("g")).distinct()
         .withColumn("hit", lit(1L))

@@ -585,11 +585,16 @@ object FileGdbIO {
     else
       // pre-v10 fallback: feature-class-ness comes from the table's own
       // field section (a geometry field present), matching what the
-      // Items route reports — not a hardcoded true
+      // Items route reports. A missing/unreadable table file must not
+      // abort the LISTING — the catalog says the layer exists; the
+      // defect surfaces when that layer is actually read
       catalog(conf, path).collect {
         case (no, n) if !n.toUpperCase.startsWith("GDB_") =>
-          (n, tableMetaOf(conf, fileFor(new Path(path), no).toString)
-            .geom.isDefined)
+          val fc =
+            try tableMetaOf(conf, fileFor(new Path(path), no).toString)
+              .geom.isDefined
+            catch { case _: Exception => true }
+          (n, fc)
       }
   }
 

@@ -268,17 +268,22 @@ object Dedup {
       .toDF("id_a", "id_b", "est_jaccard", "band")
   }
 
-  /** Token n-gram set (md5 of each n-token window, space-joined) — the
-    * decontamination probe key shared by the batch (t58) and streaming
-    * paths. md5 keeps the key fixed-width and exactly reproducible by
-    * external oracles.
+  /** Token n-gram array (md5 of each n-token window, space-joined) over
+    * a PRE-MATERIALIZED token-array column — the decontamination probe
+    * key shared by the batch (t58) and streaming paths. md5 keeps the
+    * key fixed-width and exactly reproducible by external oracles.
+    * Takes tokens, not text, deliberately: tokenizing inside the
+    * transform lambda would re-run the tokenizer once per window
+    * (Spark does not hoist lambda-invariant subexpressions) — O(len²)
+    * per document. Column-based construction (no SQL-string splicing)
+    * so any caller column name resolves.
     */
-  private def gramSetExpr(textCol: String, n: Int) = {
-    expr(s"""CASE WHEN size(gr_tokens($textCol)) >= $n
-         THEN transform(sequence(1, size(gr_tokens($textCol)) - ${n - 1}),
-                i -> md5(concat_ws(' ', slice(gr_tokens($textCol), i, $n))))
-         ELSE array() END""")
-  }
+  private[graft] def tokenNgrams(toks: org.apache.spark.sql.Column, n: Int)
+      : org.apache.spark.sql.Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => md5(concat_ws(" ", slice(toks, i, lit(n))))))
+      .otherwise(array())
 
   /** STREAMING test-set decontamination: corpus documents arrive as a
     * stream and are probed, as they arrive, against the held-out
@@ -303,10 +308,18 @@ object Dedup {
       benchTextCol: String,
       n: Int = 8): DataFrame = {
     require(n >= 1, "decontaminateStreaming: n must be >= 1")
+    // persisted: Spark re-plans the STATIC side of a stream-static join
+    // every micro-batch — without the pin, each batch would re-tokenize
+    // the benchmark, re-shuffle the distinct and re-broadcast. Bounded
+    // by the benchmark gram set (small by construction); lives for the
+    // stream's lifetime.
     val grams = benchmark
-      .select(explode(gramSetExpr(benchTextCol, n)).as("gram")).distinct()
+      .select(gr_tokens(col(benchTextCol)).as("_toks"))
+      .select(explode(tokenNgrams(col("_toks"), n)).as("gram")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     stream
-      .select(col(idCol), posexplode(gramSetExpr(textCol, n)).as(Seq("pos", "gram")))
+      .select(col(idCol), gr_tokens(col(textCol)).as("_toks"))
+      .select(col(idCol), posexplode(tokenNgrams(col("_toks"), n)).as(Seq("pos", "gram")))
       .join(broadcast(grams), Seq("gram"), "inner")
       .select(col(idCol), col("pos"), col("gram"))
   }
@@ -331,11 +344,13 @@ object Dedup {
     require(n >= 1, "decontaminationReport: n must be >= 1")
     require(dirtyFrac > 0 && dirtyFrac <= 1, "decontaminationReport: dirtyFrac in (0,1]")
     val grams = benchmark
-      .select(explode(gramSetExpr(benchTextCol, n)).as("gram")).distinct()
+      .select(gr_tokens(col(benchTextCol)).as("_toks"))
+      .select(explode(tokenNgrams(col("_toks"), n)).as("gram")).distinct()
       .withColumn("hit", lit(1L))
     corpus
+      .select(col(idCol), gr_tokens(col(textCol)).as("_toks"))
       .select(col(idCol),
-        explode_outer(array_distinct(gramSetExpr(textCol, n))).as("gram"))
+        explode_outer(array_distinct(tokenNgrams(col("_toks"), n))).as("gram"))
       .join(broadcast(grams), Seq("gram"), "left")
       .groupBy(col(idCol))
       .agg(count(col("gram")).as("n_grams_distinct"),

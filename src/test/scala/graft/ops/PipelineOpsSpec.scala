@@ -1008,6 +1008,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(hits == Set((1L, 2), (4L, 0)), hits.toString)
   }
 
+  test("contamination report plan: benchmark grams broadcast, corpus side " +
+      "shuffles only the per-doc aggregate (never its grams)") {
+    val bench = Seq("a b c d e f g h i j").toDF("text")
+    val corpus = (1 to 50).map(i => (i.toLong, s"doc $i a b c d e f g h"))
+      .toDF("doc_id", "text")
+    val plan = Dedup.decontaminationReport(
+      corpus, "doc_id", "text", bench, "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    // exactly ONE gram-keyed Exchange in the whole plan — the benchmark
+    // distinct; a second would mean the corpus grams shuffled, the
+    // bottleneck this plan exists to avoid at 100 TB
+    assert("Exchange hashpartitioning\\(gram".r.findAllIn(plan).size == 1,
+      plan.take(3000))
+    // tokenize-once: the gram-window lambda slices the MATERIALIZED
+    // token attribute (_toks#N), never a tokenizer call — the O(len^2)
+    // per-doc regression this guards against
+    assert(plan.contains("slice(_toks"),
+      "gram lambda must slice the materialized token array")
+  }
+
   test("contamination report: clean/partial/dirty classification over " +
       "DISTINCT grams, zero-gram docs clean") {
     val bench = Seq("a b c d e f g h i j").toDF("text") // grams: 3 windows

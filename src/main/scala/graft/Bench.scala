@@ -241,6 +241,16 @@ object Bench {
     // by this ratio first
     val calAll = (Seq(calBefore, calAfter) ++ calProbes).sorted
     val calRatio = calAll(calAll.length / 2) / CalibrationRef
+    // the median mixes two populations — cold endpoints and mid-suite
+    // probes that sit 1.5-2.5x on a WARM heap even when the host is idle
+    // (see the probe comment above) — so calibration_ratio OVERSTATES
+    // ambient load on healthy runs (r16 run A: median ratio 1.56 while
+    // the post-suite endpoint read 0.138 s, BELOW the quiet reference).
+    // calibration_best_ratio reports the best reading the machine showed
+    // during the run: ~1.0 means the host itself was healthy and any
+    // median inflation is warm-heap methodology + transient load, not a
+    // uniformly slow machine.
+    val calBestRatio = math.max(1.0, calAll.head / CalibrationRef)
     // calibration-normalized total: raw total divided by the run's median
     // machine-slowdown ratio — the cross-round comparator the raw total
     // stops being once ambient VM load varies between closing benches
@@ -265,7 +275,7 @@ object Bench {
         "{\"rerun\":" + v + ",\"probe_s\":" + f"$p%.4f" + "}"
       }.mkString(",") + "]"
     }.mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","total_cal_normalized":${f"$totalNorm%.1f"},"iterations":$iters,"aggregation":"median","failed":$failed,"calibration_s":$calWorst,"calibration_before_s":$calBefore,"calibration_after_s":$calAfter,"calibration_probes_s":$probesJson,"calibration_ref_s":$CalibrationRef,"calibration_ratio":${f"$calRatio%.2f"},"degraded":$degraded,"retried":${retries.size},"retries":$retriesJson,"quarantine":$quarantineJson,"suspect":$suspectJson,"queries":$qs,"sf":"${jesc(sfDir)}"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","total_cal_normalized":${f"$totalNorm%.1f"},"iterations":$iters,"aggregation":"median","failed":$failed,"calibration_s":$calWorst,"calibration_before_s":$calBefore,"calibration_after_s":$calAfter,"calibration_probes_s":$probesJson,"calibration_ref_s":$CalibrationRef,"calibration_ratio":${f"$calRatio%.2f"},"calibration_min_s":${f"${calAll.head}%.4f"},"calibration_best_ratio":${f"$calBestRatio%.2f"},"degraded":$degraded,"retried":${retries.size},"retries":$retriesJson,"quarantine":$quarantineJson,"suspect":$suspectJson,"queries":$qs,"sf":"${jesc(sfDir)}"}"""
     println(json)
     // also persist to a file: the driver captures a stdout TAIL, and with
     // ~100 queries the one-line JSON can exceed the captured suffix — the

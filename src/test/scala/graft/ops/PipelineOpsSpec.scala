@@ -1010,8 +1010,13 @@ class PipelineOpsSpec extends AnyFunSuite {
 
   test("contamination report plan: benchmark grams broadcast, corpus side " +
       "shuffles only the per-doc aggregate (never its grams)") {
-    val bench = Seq("a b c d e f g h i j").toDF("text")
-    val corpus = (1 to 50).map(i => (i.toLong, s"doc $i a b c d e f g h"))
+    // benchmark text deliberately distinct from every other decon test:
+    // an identical literal benchmark would cache-match the streaming
+    // test's persisted gram set, and the InMemoryRelation's printed
+    // materialization plan carries its own gram Exchange — a false
+    // positive for the shuffle-count assertion below
+    val bench = Seq("k l m n o p q r s t").toDF("text")
+    val corpus = (1 to 50).map(i => (i.toLong, s"doc $i k l m n o p q r"))
       .toDF("doc_id", "text")
     val plan = Dedup.decontaminationReport(
       corpus, "doc_id", "text", bench, "text")

@@ -3363,6 +3363,37 @@ object OracleSql {
       FROM (SELECT doc_id FROM tok WHERE source <> 'src0') a
       LEFT JOIN stats s USING (doc_id) ORDER BY doc_id""",
 
+    // contaminated spans: hit positions via the same parallel-unnest gram
+    // mirror, then the lag/running-sum span merge (break when the next
+    // hit window starts past prev + 8)
+    "t61_contamination_spans" -> s"""
+      WITH tok AS (SELECT doc_id, source, $docToks AS toks FROM documents),
+      g AS (SELECT doc_id, source,
+              CASE WHEN len(toks) >= 8
+                THEN [md5(array_to_string(toks[i:i+7], ' '))
+                      FOR i IN range(1, len(toks) - 6)]
+                ELSE [] END AS gs
+            FROM tok),
+      b AS (SELECT DISTINCT unnest(gs) AS gr FROM g WHERE source = 'src0'),
+      c AS (SELECT doc_id, unnest(gs) AS gr,
+                   unnest(range(0, len(gs))) AS pos
+            FROM g WHERE source <> 'src0'),
+      hit AS (SELECT c.doc_id, c.pos FROM c JOIN b ON c.gr = b.gr),
+      m AS (SELECT doc_id, pos,
+              CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                     IS NULL
+                   OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                     > 8
+                THEN 1 ELSE 0 END AS brk
+            FROM hit),
+      s AS (SELECT doc_id, pos,
+              sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS span
+            FROM m)
+      SELECT doc_id, min(pos)::BIGINT AS span_start,
+             (max(pos) + 8)::BIGINT AS span_end,
+             count(*)::BIGINT AS n_windows
+      FROM s GROUP BY doc_id, span ORDER BY doc_id, span_start""",
+
     // shard packing: the oracle uses the global window the op avoids —
     // exclusive prefix sum over doc_id order, floor-divided by the budget
     "t56_shard_pack" -> s"""

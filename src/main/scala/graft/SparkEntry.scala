@@ -4170,6 +4170,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // CONTAMINATED SPANS (removal-grade decontamination — Lee 2021 span
+    // merge applied cross-corpus): maximal token ranges of corpus docs
+    // covered by benchmark-colliding 8-gram windows, so a pipeline can
+    // excise the range and keep the document. Broadcast probe + per-doc
+    // span merge over HIT positions only.
+    "t61_contamination_spans" -> ((s, d) => {
+      graft.sql.functions.install(s)
+      val docs = t(s, d, "documents")
+      graft.ops.Dedup.contaminationSpans(
+        docs.filter(col("source") =!= "src0"), "doc_id", "text",
+        docs.filter(col("source") === "src0"), "text")
+        .orderBy(col("doc_id"), col("span_start"))
+    }),
+
     // TOKEN-BUDGET SHARD PACKING (pretraining egress): documents in
     // doc_id order pack into ~2000-token shards, shard_id =
     // floor(exclusive_prefix_tokens / budget). The op is a DISTRIBUTED

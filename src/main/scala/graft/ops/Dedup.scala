@@ -365,6 +365,54 @@ object Dedup {
           .otherwise("partial"))
   }
 
+  /** Contaminated SPANS — the removal-grade decontamination output:
+    * maximal [span_start, span_end) token ranges of each corpus document
+    * covered by w-token windows that collide with the benchmark's gram
+    * set (the Lee et al. 2021 span merge applied cross-corpus). t58/t60
+    * flag or score whole documents; at pretraining scale dropping a
+    * 100k-token document for one leaked benchmark paragraph wastes the
+    * other 99.9% — excising the span keeps it. Plan: benchmark grams
+    * broadcast (never the corpus), window hits found map-side through
+    * one BroadcastHashJoin, and the ONLY corpus shuffle is the per-doc
+    * span merge (a lag/running-sum window partitioned by id over HIT
+    * positions only — typically a vanishing fraction of the corpus).
+    */
+  def contaminationSpans(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchmark: DataFrame,
+      benchTextCol: String,
+      windowTokens: Int = 8): DataFrame = {
+    require(windowTokens >= 2, "contaminationSpans: windowTokens must be >= 2")
+    val w = windowTokens
+    val grams = benchmark
+      .select(gr_tokens(col(benchTextCol)).as("_toks"))
+      .select(explode(tokenNgrams(col("_toks"), w)).as("gram")).distinct()
+    val hits = corpus
+      .select(col(idCol).cast("long").as("_id"),
+        gr_tokens(col(textCol)).as("_toks"))
+      .select(col("_id"), posexplode(tokenNgrams(col("_toks"), w)).as(Seq("_pos", "gram")))
+      .join(broadcast(grams), Seq("gram"), "inner")
+      .select(col("_id"), col("_pos"))
+    // windows at p1, p2 cover contiguously iff p2 <= p1 + w — break on a
+    // coverage gap, running-sum the breaks into span ids (same merge as
+    // duplicateSpans, over the cross-corpus hit set)
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_id")).orderBy(col("_pos"))
+    hits
+      .withColumn("_prev", lag(col("_pos"), 1).over(byDoc))
+      .withColumn("_new",
+        when(col("_prev").isNull || col("_pos") - col("_prev") > w, 1L).otherwise(0L))
+      .withColumn("_span", sum(col("_new")).over(byDoc))
+      .groupBy(col("_id"), col("_span"))
+      .agg(min(col("_pos")).cast("long").as("span_start"),
+        (max(col("_pos")) + w).cast("long").as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("_id").as(idCol), col("span_start"), col("span_end"),
+        col("n_windows"))
+  }
+
   /** SimHash near-dup buckets: rows whose 64-bit simhash matches on all 4
     * 16-bit blocks of some other row (exact simhash match) or — with
     * maxHamming>0 — candidate pairs found via block collision and verified

@@ -1057,6 +1057,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rep(4L) == ((0L, 0L, "clean")), rep(4L).toString)
   }
 
+  test("contamination spans: overlapping hit windows merge to maximal " +
+      "ranges; disjoint leaks stay separate spans") {
+    // benchmark carries two distinct leakable sequences (w = 4)
+    val bench = Seq("b1 b2 b3 b4 b5", "c1 c2 c3 c4").toDF("text")
+    val corpus = Seq(
+      // tokens:   0  1  2  3  4  5  6  7  8  9 10 11
+      //           x  b1 b2 b3 b4 b5 y  z  c1 c2 c3 c4
+      // b-windows at pos 1,2 (overlap -> one span [1,6)); c-window at 8
+      (1L, "x b1 b2 b3 b4 b5 y z c1 c2 c3 c4"),
+      (2L, "clean tokens only nothing leaked here at all")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.contaminationSpans(
+        corpus, "doc_id", "text", bench, "text", windowTokens = 4)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_end"), r.getAs[Long]("n_windows"))).toSet
+    assert(spans == Set((1L, 1L, 6L, 2L), (1L, 8L, 12L, 1L)), spans.toString)
+  }
+
   test("streaming windowed agg over events (memory sink)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.GeoStreaming

@@ -52,6 +52,30 @@ class FileGdbQuantizationSpec extends AnyFunSuite {
     assert(maxErr >= 0.0) // and it decoded at all
   }
 
+  test("documented bound holds parametrically: coarse xyScale = 1e4 " +
+      "keeps error within 0.5/xyScale + ulps") {
+    val rnd = new scala.util.Random(7L)
+    val rows = (1 to 300).map { i =>
+      (i.toLong, (rnd.nextDouble() - 0.5) * 2e5, (rnd.nextDouble() - 0.5) * 2e5)
+    }
+    val df = rows.toDF("id", "x", "y")
+      .withColumn("geometry", st_point($"x", $"y"))
+    val gdb = tmpGdb()
+    FileGdbIO.write(df, gdb, layerName = "pts", xyScale = 1e4)
+    val back = FileGdbIO.read(spark, gdb).df
+      .select($"id", st_x($"geometry").as("bx"), st_y($"geometry").as("by"))
+      .as[(Long, Double, Double)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    var maxErr = 0.0
+    rows.foreach { case (id, x, y) =>
+      val (bx, by) = back(id)
+      maxErr = math.max(maxErr,
+        math.max(math.abs(bx - x), math.abs(by - y)))
+    }
+    // 0.5/1e4 = 5e-5 plus arithmetic ulps; assert with small headroom
+    assert(maxErr <= 5.1e-5, s"xyScale=1e4 realized error $maxErr")
+  }
+
   test("grid-exact boundary values roundtrip bit-exactly even with a " +
       "worst-case inexact data min corner") {
     // id 1 sets the layer extent's min corner to −821.16 — NOT an exact

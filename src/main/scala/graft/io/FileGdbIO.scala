@@ -585,15 +585,21 @@ object FileGdbIO {
     else
       // pre-v10 fallback: feature-class-ness comes from the table's own
       // field section (a geometry field present), matching what the
-      // Items route reports. A missing/unreadable table file must not
-      // abort the LISTING — the catalog says the layer exists; the
-      // defect surfaces when that layer is actually read
+      // Items route reports. A missing/truncated table file must not
+      // abort the LISTING — the catalog says the layer exists, so it is
+      // listed with the pre-v10 common-case default (feature class) and
+      // the defect surfaces when the layer is actually read. Only
+      // IO/format failures take that path; anything else is a real bug
+      // and propagates.
       catalog(conf, path).collect {
         case (no, n) if !n.toUpperCase.startsWith("GDB_") =>
           val fc =
             try tableMetaOf(conf, fileFor(new Path(path), no).toString)
               .geom.isDefined
-            catch { case _: Exception => true }
+            catch {
+              case _: java.io.IOException => true
+              case _: IllegalArgumentException => true
+            }
           (n, fc)
       }
   }

@@ -285,6 +285,40 @@ object Dedup {
         i => md5(concat_ws(" ", slice(toks, i, lit(n))))))
       .otherwise(array())
 
+  /** The benchmark's DISTINCT gram set as a one-column ("gram")
+    * DataFrame — the probe side shared by every decontamination entry
+    * point (flag / stream / report / spans), extracted so the gram key
+    * cannot drift between them or their DuckDB mirrors.
+    */
+  private def benchmarkGrams(benchmark: DataFrame, textCol: String,
+      n: Int): DataFrame =
+    benchmark
+      .select(gr_tokens(col(textCol)).as("_toks"))
+      .select(explode(tokenNgrams(col("_toks"), n)).as("gram")).distinct()
+
+  /** Merge hit-window positions (columns `_id`, `_pos`; `_id` of ANY
+    * type) into maximal covered spans: windows at p1 < p2 cover
+    * contiguously iff p2 ≤ p1 + w, so a coverage gap breaks the span
+    * and a running sum of breaks numbers them. Shared by
+    * [[duplicateSpans]] (within-corpus) and [[contaminationSpans]]
+    * (cross-corpus) so the two span semantics cannot diverge.
+    */
+  private def mergeSpans(hits: DataFrame, w: Int, idOutName: String): DataFrame = {
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_id")).orderBy(col("_pos"))
+    hits
+      .withColumn("_prev", lag(col("_pos"), 1).over(byDoc))
+      .withColumn("_new",
+        when(col("_prev").isNull || col("_pos") - col("_prev") > w, 1L).otherwise(0L))
+      .withColumn("_span", sum(col("_new")).over(byDoc))
+      .groupBy(col("_id"), col("_span"))
+      .agg(min(col("_pos")).cast("long").as("span_start"),
+        (max(col("_pos")) + w).cast("long").as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("_id").as(idOutName), col("span_start"), col("span_end"),
+        col("n_windows"))
+  }
+
   /** STREAMING test-set decontamination: corpus documents arrive as a
     * stream and are probed, as they arrive, against the held-out
     * benchmark's distinct token n-grams. The benchmark side is a BATCH
@@ -310,12 +344,15 @@ object Dedup {
     require(n >= 1, "decontaminateStreaming: n must be >= 1")
     // persisted: Spark re-plans the STATIC side of a stream-static join
     // every micro-batch — without the pin, each batch would re-tokenize
-    // the benchmark, re-shuffle the distinct and re-broadcast. Bounded
-    // by the benchmark gram set (small by construction); lives for the
-    // stream's lifetime.
-    val grams = benchmark
-      .select(gr_tokens(col(benchTextCol)).as("_toks"))
-      .select(explode(tokenNgrams(col("_toks"), n)).as("gram")).distinct()
+    // the benchmark, re-shuffle the distinct and re-broadcast. Cache
+    // ownership contract: Spark's CacheManager dedups by analyzed plan,
+    // so repeated calls against the SAME benchmark reuse ONE cached
+    // relation (no per-call growth); each DISTINCT benchmark pins one
+    // gram set (small by construction) until the application ends or
+    // the caller clears it (`spark.catalog.clearCache()` /
+    // `cacheManager.uncacheQuery`) — a library function cannot know
+    // when the caller's stream stops.
+    val grams = benchmarkGrams(benchmark, benchTextCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     stream
       .select(col(idCol), gr_tokens(col(textCol)).as("_toks"))
@@ -343,9 +380,7 @@ object Dedup {
       dirtyFrac: Double = 0.5): DataFrame = {
     require(n >= 1, "decontaminationReport: n must be >= 1")
     require(dirtyFrac > 0 && dirtyFrac <= 1, "decontaminationReport: dirtyFrac in (0,1]")
-    val grams = benchmark
-      .select(gr_tokens(col(benchTextCol)).as("_toks"))
-      .select(explode(tokenNgrams(col("_toks"), n)).as("gram")).distinct()
+    val grams = benchmarkGrams(benchmark, benchTextCol, n)
       .withColumn("hit", lit(1L))
     corpus
       .select(col(idCol), gr_tokens(col(textCol)).as("_toks"))
@@ -386,31 +421,16 @@ object Dedup {
       windowTokens: Int = 8): DataFrame = {
     require(windowTokens >= 2, "contaminationSpans: windowTokens must be >= 2")
     val w = windowTokens
-    val grams = benchmark
-      .select(gr_tokens(col(benchTextCol)).as("_toks"))
-      .select(explode(tokenNgrams(col("_toks"), w)).as("gram")).distinct()
+    val grams = benchmarkGrams(benchmark, benchTextCol, w)
+    // the id stays UNTYPED (string/url ids are the norm in pretraining
+    // corpora — a silent cast-to-long would null them and merge every
+    // such doc into one span group), matching the rest of this family
     val hits = corpus
-      .select(col(idCol).cast("long").as("_id"),
-        gr_tokens(col(textCol)).as("_toks"))
+      .select(col(idCol).as("_id"), gr_tokens(col(textCol)).as("_toks"))
       .select(col("_id"), posexplode(tokenNgrams(col("_toks"), w)).as(Seq("_pos", "gram")))
       .join(broadcast(grams), Seq("gram"), "inner")
       .select(col("_id"), col("_pos"))
-    // windows at p1, p2 cover contiguously iff p2 <= p1 + w — break on a
-    // coverage gap, running-sum the breaks into span ids (same merge as
-    // duplicateSpans, over the cross-corpus hit set)
-    val byDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("_id")).orderBy(col("_pos"))
-    hits
-      .withColumn("_prev", lag(col("_pos"), 1).over(byDoc))
-      .withColumn("_new",
-        when(col("_prev").isNull || col("_pos") - col("_prev") > w, 1L).otherwise(0L))
-      .withColumn("_span", sum(col("_new")).over(byDoc))
-      .groupBy(col("_id"), col("_span"))
-      .agg(min(col("_pos")).cast("long").as("span_start"),
-        (max(col("_pos")) + w).cast("long").as("span_end"),
-        count(lit(1)).as("n_windows"))
-      .select(col("_id").as(idCol), col("span_start"), col("span_end"),
-        col("n_windows"))
+    mergeSpans(hits, w, idCol)
   }
 
   /** SimHash near-dup buckets: rows whose 64-bit simhash matches on all 4
@@ -941,19 +961,7 @@ object Dedup {
       .filter(col("_df") >= minDocFreq)
       .select(col("_k"))
     val dupPos = wins.join(flagged, "_k").select(col("_id"), col("_pos"))
-    val byDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("_id")).orderBy(col("_pos"))
-    dupPos
-      .withColumn("_prev", lag(col("_pos"), 1).over(byDoc))
-      .withColumn("_new",
-        when(col("_prev").isNull || col("_pos") - col("_prev") > w, 1L).otherwise(0L))
-      .withColumn("_span", sum(col("_new")).over(byDoc))
-      .groupBy(col("_id"), col("_span"))
-      .agg(min(col("_pos")).as("span_start"),
-        (max(col("_pos")) + w).as("span_end"),
-        count(lit(1)).as("n_windows"))
-      .select(col("_id").as(idCol), col("span_start"), col("span_end"),
-        col("n_windows"))
+    mergeSpans(dupPos, w, idCol)
   }
 
   /** Cross-document block-level dedup WITH REWRITE — the RefinedWeb /

@@ -19,26 +19,32 @@ object GeoStreaming {
     * id disambiguates contexts. Keying by the Broadcast OBJECT would be
     * wrong the other way: every task deserializes its OWN broadcast
     * stub from the closure, so identity keys miss once per task and
-    * the memo stops being per-executor. Access-order LRU capped at 64:
-    * entries from stopped contexts age out instead of pinning decoded
-    * geometry forever, and eviction drops the coldest entry, never the
-    * whole map (a clear() would force every live query to re-decode).
+    * the memo stops being per-executor. ConcurrentHashMap so cache HITS
+    * and decodes of unrelated broadcasts never serialize behind one
+    * JVM-global mutex (a first decode does a broadcast fetch + full WKB
+    * parse — a synchronized map would stall every live geofence query
+    * for its duration; CHM contends per-bin, and only same-key callers
+    * wait, which is the point). Bounded at 64: at the threshold,
+    * stopped-context entries (appId ≠ current) evict first; only if the
+    * CURRENT context alone filled the memo does it clear wholesale.
     */
-  private val fenceDecodeCache = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[(String, Long), Seq[(Long, graft.geom.Geometry)]](
-      16, 0.75f, /*accessOrder=*/ true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Long), Seq[(Long, graft.geom.Geometry)]])
-          : Boolean = size() > 64
-    })
+  private val fenceDecodeCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long), Seq[(Long, graft.geom.Geometry)]]()
   private[streaming] def decodedFences(
       b: org.apache.spark.broadcast.Broadcast[Seq[(Long, Array[Byte])]])
       : Seq[(Long, graft.geom.Geometry)] = {
     def decode() = b.value.map { case (id, wkb) => (id, graft.geom.Wkb.read(wkb)) }
     val env = org.apache.spark.SparkEnv.get
     if (env == null) decode() // no running env (shutdown edge): skip the memo
-    else fenceDecodeCache.computeIfAbsent(
-      (env.conf.get("spark.app.id", ""), b.id), _ => decode())
+    else {
+      val appId = env.conf.get("spark.app.id", "")
+      if (fenceDecodeCache.size >= 64) {
+        val it = fenceDecodeCache.keySet.iterator()
+        while (it.hasNext) if (it.next()._1 != appId) it.remove()
+        if (fenceDecodeCache.size >= 64) fenceDecodeCache.clear()
+      }
+      fenceDecodeCache.computeIfAbsent((appId, b.id), _ => decode())
+    }
   }
 
   /** Windowed count + bounds of event points per time window and key.

@@ -1073,6 +1073,17 @@ class PipelineOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
         r.getAs[Long]("span_end"), r.getAs[Long]("n_windows"))).toSet
     assert(spans == Set((1L, 1L, 6L, 2L), (1L, 8L, 12L, 1L)), spans.toString)
+    // STRING ids (URLs etc. — the pretraining norm) must keep their type
+    // and their own span groups; a silent cast-to-long would null every
+    // id and merge all docs into one partition
+    val sCorpus = Seq(
+      ("doc-a", "x b1 b2 b3 b4 b5 y"),
+      ("doc-b", "z c1 c2 c3 c4 w")).toDF("doc_id", "text")
+    val sSpans = Dedup.contaminationSpans(
+        sCorpus, "doc_id", "text", bench, "text", windowTokens = 4)
+      .collect().map(r => (r.getAs[String]("doc_id"),
+        r.getAs[Long]("span_start"), r.getAs[Long]("span_end"))).toSet
+    assert(sSpans == Set(("doc-a", 1L, 6L), ("doc-b", 1L, 5L)), sSpans.toString)
   }
 
   test("streaming windowed agg over events (memory sink)") {

@@ -2159,6 +2159,15 @@ object OracleSql {
       UNION ALL SELECT 'n_total_meta', n_total FROM agg
       ORDER BY metric""",
 
+    // GDB_Items discovery: layer names/flags are write-determined; row
+    // counts come from the source tables
+    "g123_gdb_items" -> """
+      SELECT 'nations' AS layer, true AS is_fc,
+             (SELECT count(*) FROM nation)::BIGINT AS n_rows
+      UNION ALL
+      SELECT 'suppliers', true, (SELECT count(*) FROM supplier)::BIGINT
+      ORDER BY layer""",
+
     // spatialite write roundtrip: both read paths surface the same
     // synthetic supplier coordinates (x2 = x by construction)
     "g122_spatialite_write" -> """

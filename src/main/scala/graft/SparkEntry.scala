@@ -1545,6 +1545,33 @@ object SparkEntry {
       s.table(sink).orderBy(col("s_suppkey"))
     }),
 
+    // GDB_Items LAYER DISCOVERY under the oracle gate (r16): a
+    // two-layer gdb written fresh, then enumerated the way GDAL's
+    // OpenFileGDB does — from the GDB_Items Definition XML, not this
+    // library's own catalog filtering — and each discovered layer read
+    // back through the ordinary layer route. Closed forms: the layer
+    // names, feature-class flags, and per-layer row counts.
+    "g123_gdb_items" -> ((s, d) => {
+      val loc = scratchBase + "/graft_g123_" + d.replaceAll("[^A-Za-z0-9]", "_") + ".gdb"
+      val pts = supplierPts(s, d)
+        .withColumn("geometry", st_point(col("x0"), col("y0")))
+        .select(col("s_suppkey"), col("geometry"))
+      val boxes = t(s, d, "nation")
+        .withColumn("geometry", st_makeEnvelope(
+          col("n_nationkey").cast("double"), lit(0.0),
+          col("n_nationkey").cast("double") + 2.0, lit(3.0)))
+        .select(col("n_nationkey"), col("geometry"))
+      graft.io.FileGdbIO.writeLayers(
+        Seq("suppliers" -> pts, "nations" -> boxes), loc)
+      import s.implicits._
+      graft.io.FileGdbIO.listLayers(s, loc)
+        .map { case (name, fc) =>
+          (name, fc, graft.io.FileGdbIO.read(s, loc, Some(name)).df.count())
+        }
+        .toDF("layer", "is_fc", "n_rows")
+        .orderBy(col("layer"))
+    }),
+
     // COVERAGE SIMPLIFICATION (PostGIS 3.4 ST_CoverageSimplify surface):
     // per supplier, two rectangles share the x=w edge with collinear
     // midpoints on EVERY edge; coverageSimplify(by=s_suppkey) cuts rings

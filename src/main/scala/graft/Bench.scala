@@ -270,12 +270,30 @@ object Bench {
         refQueries.get(n).exists(r => r > 0 && med > QuarantineGate * r) => n
     }
     val suspectJson = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // per-query normalized ratios (r16 judge #4): committed median divided
+    // by the run's median calibration ratio, over the query's bench_ref
+    // floor — the 2x weak-list adjudication readable straight from the
+    // artifact instead of a by-hand divide. Same comparator-only caveat as
+    // total_cal_normalized (the note below): valid against floors built
+    // from like runs, not as an absolute work measure.
+    val ratioJson = results.collect {
+      case (n, med) if med >= 0 && refQueries.get(n).exists(_ > 0) =>
+        val r = (med / math.max(calRatio, 1e-9)) / refQueries(n)
+        "\"" + n + "\":" + f"$r%.2f"
+    }.mkString("{", ",", "}")
     val quarantineJson = quarantinePasses.map { case (n, passes) =>
       "\"" + n + "\":[" + passes.map { case (v, p) =>
         "{\"rerun\":" + v + ",\"probe_s\":" + f"$p%.4f" + "}"
       }.mkString(",") + "]"
     }.mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","total_cal_normalized":${f"$totalNorm%.1f"},"iterations":$iters,"aggregation":"median","failed":$failed,"calibration_s":$calWorst,"calibration_before_s":$calBefore,"calibration_after_s":$calAfter,"calibration_probes_s":$probesJson,"calibration_ref_s":$CalibrationRef,"calibration_ratio":${f"$calRatio%.2f"},"calibration_min_s":${f"${calAll.head}%.4f"},"calibration_best_ratio":${f"$calBestRatio%.2f"},"degraded":$degraded,"retried":${retries.size},"retries":$retriesJson,"quarantine":$quarantineJson,"suspect":$suspectJson,"queries":$qs,"sf":"${jesc(sfDir)}"}"""
+    // the normalizer's median probe population runs on a WARM heap and
+    // reads 1.5-2.5x even on an idle host (see calBestRatio comment), so
+    // total_cal_normalized systematically DEFLATES the absolute total; it
+    // is a like-for-like cross-round comparator (both sides normalized the
+    // same way), never an absolute work measure — stamped into the
+    // artifact so no future reader treats it as one (r16 ADVICE #1).
+    val calNote = "comparator-only: normalizer median mixes warm-heap probes that overstate load; valid round-over-round, not absolute"
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","total_cal_normalized":${f"$totalNorm%.1f"},"cal_normalized_note":"${jesc(calNote)}","queries_norm_ratio":$ratioJson,"iterations":$iters,"aggregation":"median","failed":$failed,"calibration_s":$calWorst,"calibration_before_s":$calBefore,"calibration_after_s":$calAfter,"calibration_probes_s":$probesJson,"calibration_ref_s":$CalibrationRef,"calibration_ratio":${f"$calRatio%.2f"},"calibration_min_s":${f"${calAll.head}%.4f"},"calibration_best_ratio":${f"$calBestRatio%.2f"},"degraded":$degraded,"retried":${retries.size},"retries":$retriesJson,"quarantine":$quarantineJson,"suspect":$suspectJson,"queries":$qs,"sf":"${jesc(sfDir)}"}"""
     println(json)
     // also persist to a file: the driver captures a stdout TAIL, and with
     // ~100 queries the one-line JSON can exceed the captured suffix — the

@@ -2839,6 +2839,14 @@ object OracleSql {
              true AS recall_ge_90
       FROM embeddings WHERE vec_id >= 200 AND vec_id < 210""",
 
+    // IVF-PQ-retrieve + exact-refine recall gate, same contract style as
+    // e06/e08: integer hit counts over deterministic neighbor sets
+    "e11_ann_ivfpq" -> """
+      SELECT count(*)::BIGINT AS n_queries,
+             count(*)::BIGINT AS queries_ge_half,
+             true AS recall_ge_90
+      FROM embeddings WHERE vec_id >= 400 AND vec_id < 410""",
+
     // SQ8-retrieve + exact-refine recall gate, same contract style
     "e09_ann_sq8" -> """
       SELECT count(*)::BIGINT AS n_queries,
@@ -3402,6 +3410,82 @@ object OracleSql {
              (max(pos) + 8)::BIGINT AS span_end,
              count(*)::BIGINT AS n_windows
       FROM s GROUP BY doc_id, span ORDER BY doc_id, span_start""",
+
+    // span-excision rewrite: t61's span derivation, then each doc rebuilt
+    // from the tokens NOT covered by any of its spans (list comprehension
+    // over token indices); md5 witnesses the rebuilt text byte-for-byte
+    "t62_decontaminate_rewrite" -> s"""
+      WITH tok AS (SELECT doc_id, source, $docToks AS toks FROM documents),
+      g AS (SELECT doc_id, source,
+              CASE WHEN len(toks) >= 8
+                THEN [md5(array_to_string(toks[i:i+7], ' '))
+                      FOR i IN range(1, len(toks) - 6)]
+                ELSE [] END AS gs
+            FROM tok),
+      b AS (SELECT DISTINCT unnest(gs) AS gr FROM g WHERE source = 'src0'),
+      c AS (SELECT doc_id, unnest(gs) AS gr,
+                   unnest(range(0, len(gs))) AS pos
+            FROM g WHERE source <> 'src0'),
+      hit AS (SELECT c.doc_id, c.pos FROM c JOIN b ON c.gr = b.gr),
+      m AS (SELECT doc_id, pos,
+              CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                     IS NULL
+                   OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                     > 8
+                THEN 1 ELSE 0 END AS brk
+            FROM hit),
+      sn AS (SELECT doc_id, pos,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS span
+             FROM m),
+      spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e
+                FROM sn GROUP BY doc_id, span),
+      sp AS (SELECT doc_id, list(struct_pack(s := s, e := e)) AS sps
+             FROM spans GROUP BY doc_id),
+      r AS (SELECT t.doc_id, toks, sps
+            FROM tok t LEFT JOIN sp USING (doc_id)
+            WHERE t.source <> 'src0'),
+      k AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+              CASE WHEN sps IS NULL THEN toks
+                   ELSE [toks[i+1] FOR i IN range(0, len(toks))
+                         IF len(list_filter(sps,
+                              x -> i >= x.s AND i < x.e)) = 0]
+              END AS kept
+            FROM r)
+      SELECT doc_id, n_tokens,
+             (n_tokens - len(kept))::BIGINT AS n_removed,
+             round(CASE WHEN n_tokens > 0
+               THEN (n_tokens - len(kept))::DOUBLE / n_tokens::DOUBLE
+               ELSE 0.0 END, 4) AS removed_ratio,
+             coalesce(array_to_string(kept, ' '), '') AS new_text,
+             md5(coalesce(array_to_string(kept, ' '), '')) AS new_hash
+      FROM k ORDER BY doc_id""",
+
+    // streaming contamination report: per-doc classification is
+    // arrival-order invariant (each doc's grams ride its own row), so the
+    // batch t60 oracle applies VERBATIM to the two-batch streaming run
+    "t63_stream_contamination_report" -> s"""
+      WITH tok AS (SELECT doc_id, source, $docToks AS toks FROM documents),
+      g AS (SELECT doc_id, source,
+              CASE WHEN len(toks) >= 8
+                THEN list_distinct([md5(array_to_string(toks[i:i+7], ' '))
+                      FOR i IN range(1, len(toks) - 6)])
+                ELSE [] END AS gs
+            FROM tok),
+      b AS (SELECT DISTINCT unnest(gs) AS gr FROM g WHERE source = 'src0'),
+      c AS (SELECT doc_id, unnest(gs) AS gr FROM g WHERE source <> 'src0'),
+      stats AS (SELECT c.doc_id, count(*) AS ng,
+                       sum(CASE WHEN b.gr IS NOT NULL THEN 1 ELSE 0 END) AS nh
+                FROM c LEFT JOIN b ON c.gr = b.gr GROUP BY 1)
+      SELECT a.doc_id,
+             COALESCE(s.ng, 0)::BIGINT AS n_grams_distinct,
+             COALESCE(s.nh, 0)::BIGINT AS n_hit_distinct,
+             round(CASE WHEN COALESCE(s.ng, 0) > 0
+               THEN s.nh::DOUBLE / s.ng::DOUBLE ELSE 0.0 END, 6) AS dirty_frac,
+             CASE WHEN COALESCE(s.nh, 0) = 0 THEN 'clean'
+                  WHEN s.nh::DOUBLE / s.ng::DOUBLE >= 0.5 THEN 'dirty'
+                  ELSE 'partial' END AS class
+      FROM (SELECT doc_id FROM tok WHERE source <> 'src0') a
+      LEFT JOIN stats s USING (doc_id) ORDER BY doc_id""",
 
     // shard packing: the oracle uses the global window the op avoids —
     // exclusive prefix sum over doc_id order, floor-divided by the budget

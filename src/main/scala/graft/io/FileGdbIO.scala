@@ -557,10 +557,22 @@ object FileGdbIO {
         val isFc = tag == "DEFeatureClassInfo"
         if (!isFc && tag != "DETableInfo") None
         else {
-          val names = doc.getDocumentElement.getElementsByTagName("Name")
-          require(names.getLength > 0,
-            s"gdb: $tag item without a <Name> in $gdbDir")
-          val name = names.item(0).getTextContent
+          // the dataset name is the Definition ROOT's direct <Name> child;
+          // a descendant scan (getElementsByTagName) would pick up nested
+          // <Name> elements ArcGIS writes first in document order (field
+          // definitions, controller memberships) and resolve the item to
+          // the wrong table (r16 ADVICE #2)
+          val kids = doc.getDocumentElement.getChildNodes
+          var name: String = null
+          var ki = 0
+          while (ki < kids.getLength && name == null) {
+            val c = kids.item(ki)
+            if (c.getNodeType == org.w3c.dom.Node.ELEMENT_NODE &&
+              c.getNodeName == "Name") name = c.getTextContent
+            ki += 1
+          }
+          require(name != null,
+            s"gdb: $tag item without a direct <Name> child in $gdbDir")
           val fileNo = cat.find(_._2.equalsIgnoreCase(name)).map(_._1)
             .getOrElse(throw new IllegalArgumentException(
               s"gdb: GDB_Items registers '$name' but the catalog has no " +
@@ -597,8 +609,15 @@ object FileGdbIO {
             try tableMetaOf(conf, fileFor(new Path(path), no).toString)
               .geom.isDefined
             catch {
-              case _: java.io.IOException => true
-              case _: IllegalArgumentException => true
+              // logged, not silent (r16 ADVICE #4): a corrupt table listed
+              // under the feature-class default should be visible at
+              // LISTING time, not only when the layer is read
+              case e @ (_: java.io.IOException | _: IllegalArgumentException) =>
+                org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                  s"gdb: could not classify layer '$n' in $path " +
+                    s"(listing it as a feature class; reading it will " +
+                    s"surface the defect): ${e.getMessage}")
+                true
             }
           (n, fc)
       }

@@ -1511,4 +1511,69 @@ class PipelineOpsSpec extends AnyFunSuite {
       (3L, 1L, 0L, 1.0, "", md5hex("")),
       (4L, 2L, 1L, 0.5, "p q", md5hex("p q"))), got.toString)
   }
+
+  test("decontaminateRewrite: overlap merges, adjacency merges, whole-doc " +
+      "excises to empty, clean docs pass through, every row survives") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val bench = Seq("b1 b2 b3 b4 b5", "c1 c2 c3 c4").toDF("text")
+    val corpus = Seq(
+      // overlapping b-windows (pos 1,2) merge; disjoint c-window at 8 is
+      // its own span -> kept tokens are 0, 6, 7
+      (1L, "x b1 b2 b3 b4 b5 y z c1 c2 c3 c4"),
+      // clean -> unchanged (modulo single-space rejoin)
+      (2L, "clean tokens only nothing leaked here"),
+      // whole doc is one hit window -> empty rewrite, row SURVIVES
+      (3L, "b1 b2 b3 b4"),
+      // ADJACENT coverage: b-span covers [0,6), c-window at 5 covers
+      // [5,9) -> gap pos 5 - pos 1 = 4 <= w -> ONE span, all excised
+      (4L, "b1 b2 b3 b4 b5 c1 c2 c3 c4"),
+      // empty text: zero tokens, ratio 0.0, row survives
+      (5L, "")).toDF("doc_id", "text")
+    val got = Dedup.decontaminateRewrite(
+        corpus, "doc_id", "text", bench, "text", windowTokens = 4)
+      .as[(Long, Long, Long, Double, String, String)].collect()
+      .sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 12L, 9L, 0.75, "x y z", md5hex("x y z")),
+      (2L, 6L, 0L, 0.0, "clean tokens only nothing leaked here",
+        md5hex("clean tokens only nothing leaked here")),
+      (3L, 4L, 4L, 1.0, "", md5hex("")),
+      (4L, 9L, 9L, 1.0, "", md5hex("")),
+      (5L, 0L, 0L, 0.0, "", md5hex(""))), got.toString)
+  }
+
+  test("contaminationReportStreaming: two-batch stream classifies each doc " +
+      "exactly once, matching the batch report verbatim") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val bench = Seq("a b c d e f g h i j").toDF("text")
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),       // dirty (every gram hits)
+      (2L, "a b c d e f g h x y z"),     // partial (1 of 4)
+      (3L, "p q r s t u v w x y"),       // clean
+      (4L, "one two"))                   // zero grams -> clean
+      .map { case (id, tx) =>
+        (id, tx, new java.sql.Timestamp(1700000000000L + id * 1000)) }
+    val ms = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val rep = Dedup.contaminationReportStreaming(
+      ms.toDF.toDF("doc_id", "text", "ets"),
+      "doc_id", "text", "ets", bench, "text")
+    val q = rep.writeStream.outputMode("update").format("memory")
+      .queryName("crs_sink").start()
+    try {
+      ms.addData(docs.take(2)); q.processAllAvailable()
+      ms.addData(docs.drop(2)); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("crs_sink")
+      .select(col("doc_id"), col("n_grams_distinct"), col("n_hit_distinct"),
+        col("class")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1).toSeq
+    // one emission per doc (no cross-batch re-updates), batch-exact values
+    assert(got == Seq(
+      (1L, 3L, 3L, "dirty"), (2L, 4L, 1L, "partial"),
+      (3L, 3L, 0L, "clean"), (4L, 0L, 0L, "clean")), got.toString)
+  }
 }

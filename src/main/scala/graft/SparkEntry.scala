@@ -4300,6 +4300,34 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // STREAMING SPAN-EXCISION REWRITE (t62 at INGEST time — the streaming
+    // decontamination family's last member: flag t59, classify t63,
+    // excise here). Excised coverage = union of raw hit windows == union
+    // of merged spans, so the rewrite is ONE watermarked per-doc
+    // aggregation (hit positions collected per row, tokens filtered by
+    // coverage in a codegen'd HOF) — the batch t62 oracle applies
+    // VERBATIM, md5 witness included.
+    "t64_stream_decontaminate_rewrite" -> ((s, d) => {
+      graft.sql.functions.install(s)
+      val raw = s.read.parquet(s"$d/documents.parquet")
+      val sink = "t64_sink_" + streamSinkId.incrementAndGet()
+      val stream = s.readStream.schema(raw.schema)
+        .parquet(streamDirFor(s"$d/documents.parquet"))
+        .filter(col("source") =!= "src0")
+        .withColumn("ets",
+          expr("timestamp_micros(1700000000000000 + doc_id * 1000)"))
+      val bench = raw.filter(col("source") === "src0")
+      val rw = graft.ops.Dedup.decontaminateRewriteStreaming(
+        stream, "doc_id", "text", "ets", bench, "text")
+      val q = rw.writeStream.outputMode("update").format("memory")
+        .queryName(sink).start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      s.table(sink)
+        .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+          col("removed_ratio"), col("new_text"), col("new_hash"))
+        .orderBy(col("doc_id"))
+    }),
+
     // TOKEN-BUDGET SHARD PACKING (pretraining egress): documents in
     // doc_id order pack into ~2000-token shards, shard_id =
     // floor(exclusive_prefix_tokens / budget). The op is a DISTRIBUTED
@@ -4790,12 +4818,13 @@ object SparkEntry {
       // synthetic embeddings are near-uniform (coarse lists barely
       // separate them); on genuinely clustered corpora the same index
       // runs at nprobe/nlist ~ 1/8 (the e06 regime).
-      val cb = Similarity.trainIvfPqCodebooks(emb, "vec_id", "embedding",
+      val (cb, alphas) = Similarity.trainIvfPq(emb, "vec_id", "embedding",
         cents, m = 16, ksub = 256, sample = 400, iters = 10, seed = 42L)
       val ivfpq = Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding",
         k = 10, nlist = 16, nprobe = 14, m = 16, ksub = 256,
         centroids = Some(cents), codebooks = Some(cb),
-        roundScoreTo = 4, rerank = 100, sample = 400)
+        roundScoreTo = 4, rerank = 100, sample = 400,
+        alphas = Some(alphas))
       val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 10)
       val hits = ivfpq.join(bf.select(col("query_id"), col("neighbor_id")),
           Seq("query_id", "neighbor_id"))

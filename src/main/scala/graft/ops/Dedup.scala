@@ -582,6 +582,68 @@ object Dedup {
       .withColumn("new_hash", md5(col("new_text")))
   }
 
+  /** STREAMING span-excision rewrite — [[decontaminateRewrite]] at INGEST
+    * time, completing the streaming decontamination family (flag = t59,
+    * classify = [[contaminationReportStreaming]], excise = this).
+    * Observation that makes it streamable: the excised region is the
+    * UNION of raw hit windows [p, p+w), which equals the union of the
+    * Lee-merged spans — so no cross-row span merge is needed, and the
+    * whole rewrite is one watermarked per-doc aggregation: collect the
+    * row's own hit positions (every gram of a document rides its row, so
+    * the group completes within its micro-batch; update mode emits each
+    * doc exactly once) and filter the tokens by coverage in a codegen'd
+    * higher-order expression.
+    *
+    * Plan/scale: benchmark grams broadcast; the corpus crosses the state
+    * exchange once (its token array via the partial-agg `first`, already
+    * collapsed to one row per doc map-side); per-doc state is the token
+    * array + hit positions, expired by the watermark. Output contract ==
+    * [[decontaminateRewrite]] (same columns, md5-witnessed rebuild).
+    */
+  def decontaminateRewriteStreaming(
+      stream: DataFrame,
+      idCol: String,
+      textCol: String,
+      tsCol: String,
+      benchmark: DataFrame,
+      benchTextCol: String,
+      windowTokens: Int = 8,
+      watermarkDelay: String = "1 hour",
+      windowDuration: String = "1 second"): DataFrame = {
+    require(stream.isStreaming, "decontaminateRewriteStreaming: batch " +
+      "input — use decontaminateRewrite")
+    require(windowTokens >= 2,
+      "decontaminateRewriteStreaming: windowTokens must be >= 2")
+    val w = windowTokens
+    val grams = benchmarkGramSet(benchmark, benchTextCol, w)._1
+      .withColumn("hit", lit(1L))
+    stream
+      .withWatermark(tsCol, watermarkDelay)
+      .select(col(idCol), col(tsCol), gr_tokens(col(textCol)).as("_toks"))
+      // posexplode_outer: a doc too short for one gram still emits its
+      // (null-gram) row — zero-gram docs must survive the rewrite
+      .select(col(idCol), col(tsCol), col("_toks"),
+        posexplode_outer(tokenNgrams(col("_toks"), w)).as(Seq("_pos", "gram")))
+      .join(broadcast(grams), Seq("gram"), "left")
+      .groupBy(window(col(tsCol), windowDuration), col(idCol))
+      .agg(first(col("_toks")).as("_toks"),
+        sort_array(collect_list(when(col("hit").isNotNull, col("_pos"))))
+          .as("_hits"))
+      .drop("window")
+      .withColumn("_kept",
+        when(size(col("_hits")) === 0, col("_toks"))
+          .otherwise(filter(col("_toks"), (_, i) =>
+            !exists(col("_hits"), h => i >= h && i < h + lit(w)))))
+      .select(col(idCol),
+        size(col("_toks")).cast("long").as("n_tokens"),
+        (size(col("_toks")) - size(col("_kept"))).cast("long").as("n_removed"),
+        when(size(col("_toks")) > 0,
+          round((size(col("_toks")) - size(col("_kept"))).cast("double") /
+            size(col("_toks")), 4)).otherwise(lit(0.0)).as("removed_ratio"),
+        concat_ws(" ", col("_kept")).as("new_text"))
+      .withColumn("new_hash", md5(col("new_text")))
+  }
+
   /** SimHash near-dup buckets: rows whose 64-bit simhash matches on all 4
     * 16-bit blocks of some other row (exact simhash match) or — with
     * maxHamming>0 — candidate pairs found via block collision and verified

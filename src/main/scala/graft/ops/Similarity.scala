@@ -392,9 +392,22 @@ object Similarity {
       corpus: DataFrame, idCol: String, vecCol: String,
       centroids: Array[Array[Float]],
       m: Int = 8, ksub: Int = 16, sample: Int = 256, iters: Int = 10,
-      seed: Long = 42L): Array[Array[Float]] = {
-    require(m >= 1 && ksub >= 2, "trainIvfPqCodebooks: bad shape")
-    require(centroids.nonEmpty, "trainIvfPqCodebooks: no centroids")
+      seed: Long = 42L): Array[Array[Float]] =
+    trainIvfPq(corpus, idCol, vecCol, centroids, m, ksub, sample, iters, seed)._1
+
+  /** Codebooks AND anchor scales from ONE sample pass — what
+    * [[ivfPqTopK]] callers that pre-train should use: passing both back
+    * in leaves the query itself with zero training jobs (the separate
+    * train/query collects were measured as the bulk of e11's wall at
+    * small SF). Returns (codebooks, alphas).
+    */
+  def trainIvfPq(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Float]],
+      m: Int = 8, ksub: Int = 16, sample: Int = 256, iters: Int = 10,
+      seed: Long = 42L): (Array[Array[Float]], Array[Float]) = {
+    require(m >= 1 && ksub >= 2, "trainIvfPq: bad shape")
+    require(centroids.nonEmpty, "trainIvfPq: no centroids")
     val nvs = sampleNormalized(corpus, idCol, vecCol,
       math.max(sample, ksub), seed)
     val alphas = listAlphas(nvs, centroids)
@@ -403,7 +416,7 @@ object Similarity {
       val c = centroids(li); val a = alphas(li)
       Array.tabulate(v.length)(i => v(i) - a * c(i))
     }
-    pqKmeans(cand, m, ksub, iters, seed)
+    (pqKmeans(cand, m, ksub, iters, seed), alphas)
   }
 
   /** The deterministic hash-sample of the L2-NORMALIZED corpus shared by
@@ -494,22 +507,28 @@ object Similarity {
       roundScoreTo: Int = -1,
       rerank: Int = 0,
       sample: Int = 256,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      alphas: Option[Array[Float]] = None): DataFrame = {
     import org.apache.spark.sql.functions.typedlit
     val cents = centroids.getOrElse(
       trainCentroids(corpus, idCol, vecCol, nlist = nlist, seed = seed))
     val centArr = array(cents.map(c => typedlit(c)).toIndexedSeq: _*)
-    val cb = codebooks.getOrElse(
-      trainIvfPqCodebooks(corpus, idCol, vecCol, cents, m, ksub,
-        sample = sample, seed = seed))
+    // residual anchors α(list)·centroid: taken from [[trainIvfPq]] when
+    // supplied; otherwise recomputed from the SAME deterministic
+    // (sample, seed) draw it uses, so the anchors the codes were trained
+    // against are bit-identical either way
+    val (cb, alph) = (codebooks, alphas) match {
+      case (Some(c), Some(a)) => (c, a)
+      case (Some(c), None) => (c, listAlphas(
+        sampleNormalized(corpus, idCol, vecCol, math.max(sample, ksub), seed),
+        cents))
+      case _ =>
+        val (c, a) = trainIvfPq(corpus, idCol, vecCol, cents, m, ksub,
+          sample = sample, seed = seed)
+        (c, a)
+    }
     val cbArr = array(cb.map(c => typedlit(c)).toIndexedSeq: _*)
-    // residual anchors α(list)·centroid — recomputed from the SAME
-    // deterministic (sample, seed) draw trainIvfPqCodebooks uses, so the
-    // anchors the codes were trained against are bit-identical here
-    val alphas = listAlphas(
-      sampleNormalized(corpus, idCol, vecCol, math.max(sample, ksub), seed),
-      cents)
-    val alphaArr = typedlit(alphas)
+    val alphaArr = typedlit(alph)
     val encoded = corpus
       .select(col(idCol).as("neighbor_id"), gr_l2normalize(col(vecCol)).as("_nv"))
       .withColumn("_list", gr_argmaxCosine(col("_nv"), centArr))

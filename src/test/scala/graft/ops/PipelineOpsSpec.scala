@@ -1576,4 +1576,38 @@ class PipelineOpsSpec extends AnyFunSuite {
       (1L, 3L, 3L, "dirty"), (2L, 4L, 1L, "partial"),
       (3L, 3L, 0L, "clean"), (4L, 0L, 0L, "clean")), got.toString)
   }
+
+  test("decontaminateRewriteStreaming: two-batch stream rewrites each doc " +
+      "exactly once, byte-identical to the batch rewrite") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val bench = Seq("b1 b2 b3 b4 b5", "c1 c2 c3 c4").toDF("text")
+    val docsRaw = Seq(
+      (1L, "x b1 b2 b3 b4 b5 y z c1 c2 c3 c4"), // two disjoint excisions
+      (2L, "clean tokens only nothing leaked"),  // untouched
+      (3L, "b1 b2 b3 b4"),                       // whole doc excised
+      (4L, ""))                                  // zero tokens survives
+    val batch = Dedup.decontaminateRewrite(
+        docsRaw.toDF("doc_id", "text"), "doc_id", "text", bench, "text",
+        windowTokens = 4)
+      .as[(Long, Long, Long, Double, String, String)].collect()
+      .sortBy(_._1).toSeq
+    val docs = docsRaw.map { case (id, tx) =>
+      (id, tx, new java.sql.Timestamp(1700000000000L + id * 1000)) }
+    val ms = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val rw = Dedup.decontaminateRewriteStreaming(
+      ms.toDF.toDF("doc_id", "text", "ets"),
+      "doc_id", "text", "ets", bench, "text", windowTokens = 4)
+    val q = rw.writeStream.outputMode("update").format("memory")
+      .queryName("drs_sink").start()
+    try {
+      ms.addData(docs.take(2)); q.processAllAvailable()
+      ms.addData(docs.drop(2)); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("drs_sink")
+      .as[(Long, Long, Long, Double, String, String)].collect()
+      .sortBy(_._1).toSeq
+    assert(got == batch, s"stream $got\nbatch $batch")
+    assert(got.map(_._1) == Seq(1L, 2L, 3L, 4L), "each doc exactly once")
+  }
 }

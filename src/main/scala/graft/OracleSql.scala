@@ -2839,6 +2839,13 @@ object OracleSql {
              true AS recall_ge_90
       FROM embeddings WHERE vec_id >= 200 AND vec_id < 210""",
 
+    // index persistence roundtrip: every output is a structural constant
+    // (index shape; exact-roundtrip and identical-retrieval gates)
+    "e12_ann_index_roundtrip" -> """
+      SELECT 8::BIGINT AS n_centroids, 128::BIGINT AS n_codewords,
+             8::BIGINT AS m, true AS roundtrip_exact,
+             true AS retrieval_identical""",
+
     // IVF-PQ-retrieve + exact-refine recall gate, same contract style as
     // e06/e08: integer hit counts over deterministic neighbor sets
     "e11_ann_ivfpq" -> """

@@ -4838,6 +4838,48 @@ object SparkEntry {
         .select(col("n_queries"), col("queries_ge_half"), col("recall_ge_90"))
     }),
 
+    // r17 ANN INDEX PERSISTENCE roundtrip: the train-once / query-many
+    // contract a 100 TB corpus forces (index training = hours of corpus
+    // passes; retrieval jobs must load, never retrain). Trains the e11
+    // IVF-PQ index, saves it as plain parquet, loads it back, and gates
+    // (a) exact float roundtrip of centroids/codebooks/alphas and (b)
+    // pair-identical retrieval between the trained and the loaded index.
+    "e12_ann_index_roundtrip" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") >= 400 && col("vec_id") < 405)
+      val cents = Similarity.trainCentroids(emb, "vec_id", "embedding",
+        nlist = 8, oversample = 8, iters = 10, seed = 42L)
+      val (cb, al) = Similarity.trainIvfPq(emb, "vec_id", "embedding",
+        cents, m = 8, ksub = 16, sample = 256, iters = 10, seed = 42L)
+      val path = scratchBase + "/graft_e12_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      Similarity.saveIvfPqIndex(s, path, cents, cb, al, 8)
+      val (lc, lcb, lal, lm) = Similarity.loadIvfPqIndex(s, path)
+      val rt = lm == 8 &&
+        lc.length == cents.length && lcb.length == cb.length &&
+        lc.indices.forall(i => java.util.Arrays.equals(lc(i), cents(i))) &&
+        lcb.indices.forall(i => java.util.Arrays.equals(lcb(i), cb(i))) &&
+        java.util.Arrays.equals(lal, al)
+      def run(c: Array[Array[Float]], b: Array[Array[Float]],
+          a: Array[Float]) =
+        Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding",
+          k = 10, nlist = 8, nprobe = 4, m = 8, ksub = 16,
+          centroids = Some(c), codebooks = Some(b), alphas = Some(a),
+          roundScoreTo = 4, rerank = 0)
+          .select(col("query_id"), col("neighbor_id"), col("rank"))
+      val trained = run(cents, cb, al)
+      val loaded = run(lc, lcb, lal)
+      val diff = trained.withColumn("_t", lit(1))
+        .join(loaded.withColumn("_l", lit(1)),
+          Seq("query_id", "neighbor_id", "rank"), "full_outer")
+        .filter(col("_t").isNull || col("_l").isNull).count()
+      s.range(1).select(
+        lit(cents.length).cast("long").as("n_centroids"),
+        lit(cb.length).cast("long").as("n_codewords"),
+        lit(8).cast("long").as("m"),
+        lit(rt).as("roundtrip_exact"),
+        lit(diff == 0).as("retrieval_identical"))
+    }),
+
     // r12 scalar-quantized (SQ8) ANN: 1 byte/component on a per-dimension
     // corpus [min,max] grid (4x compression; the uniform-grid sibling of
     // e08's PQ), asymmetric decode-and-dot scoring, exact top-100 re-rank.

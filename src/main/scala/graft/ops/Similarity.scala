@@ -555,6 +555,55 @@ object Similarity {
     topKWithRerank(scored, corpus, q, idCol, vecCol, k, rerank, roundScoreTo)
   }
 
+  /** Persist a trained IVF-PQ index — coarse centroids, residual
+    * codebooks, anchor scales — as ONE plain parquet table (kind, idx,
+    * vec, m). At 100 TB the index trains once (hours of corpus passes)
+    * and every retrieval job after that must NOT retrain: save after
+    * [[trainCentroids]] + [[trainIvfPq]], [[loadIvfPqIndex]] in the
+    * query jobs. Bounded rows (nlist + m·ksub + 1), exact float
+    * roundtrip (parquet FLOAT is IEEE bit-preserving), engine-portable
+    * (no serialized JVM objects — any parquet reader can inspect it).
+    */
+  def saveIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      centroids: Array[Array[Float]], codebooks: Array[Array[Float]],
+      alphas: Array[Float], m: Int): Unit = {
+    import spark.implicits._
+    require(centroids.nonEmpty && codebooks.nonEmpty && alphas.length ==
+      centroids.length && m >= 1 && codebooks.length % m == 0,
+      "saveIvfPqIndex: inconsistent index shape")
+    val rows: Seq[(String, Int, Array[Float], Int)] =
+      centroids.toIndexedSeq.zipWithIndex
+        .map { case (v, i) => ("centroid", i, v, m) } ++
+      codebooks.toIndexedSeq.zipWithIndex
+        .map { case (v, i) => ("codeword", i, v, m) } :+
+      (("alphas", 0, alphas, m))
+    rows.toDF("kind", "idx", "vec", "m")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load an index written by [[saveIvfPqIndex]]. Returns (centroids,
+    * codebooks, alphas, m) — pass straight into [[ivfPqTopK]]. The
+    * collect is index-sized (nlist + m·ksub + 1 rows), never corpus-
+    * sized.
+    */
+  def loadIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path: String)
+      : (Array[Array[Float]], Array[Array[Float]], Array[Float], Int) = {
+    val rows = spark.read.parquet(path).collect()
+    require(rows.nonEmpty, s"loadIvfPqIndex: empty index at $path")
+    def part(kind: String): Array[Array[Float]] = rows
+      .filter(_.getAs[String]("kind") == kind)
+      .sortBy(_.getAs[Int]("idx"))
+      .map(_.getAs[scala.collection.Seq[Float]]("vec").toArray)
+    val cents = part("centroid")
+    val cbs = part("codeword")
+    val al = part("alphas")
+    val m = rows.head.getAs[Int]("m")
+    require(cents.nonEmpty && cbs.nonEmpty && al.length == 1 &&
+      al.head.length == cents.length && cbs.length % m == 0,
+      s"loadIvfPqIndex: malformed index at $path")
+    (cents, cbs, al.head, m)
+  }
+
   /** Per-dimension [min, max] of the l2-normalized corpus — the SQ8
     * training pass: one narrow posexplode and a dims-sized aggregate
     * (the collect is `dims` rows, never corpus-sized). Degenerate

@@ -80,4 +80,24 @@ class IvfPqSpec extends AnyFunSuite {
     assert(recall(run1, truth) == 25L,
       "full probe + wide rerank must recover every true neighbor")
   }
+
+  test("saveIvfPqIndex/loadIvfPqIndex: exact float roundtrip, malformed " +
+      "paths fail loudly") {
+    val corpus = clustered(n = 120, dim = 16, nc = 4, noise = 0.2)
+    val cents = Similarity.trainCentroids(corpus, "id", "vec", nlist = 4)
+    val (cb, al) = Similarity.trainIvfPq(corpus, "id", "vec", cents,
+      m = 4, ksub = 8, sample = 120)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_idx_").toString
+    Similarity.saveIvfPqIndex(spark, s"$dir/idx", cents, cb, al, 4)
+    val (lc, lcb, lal, lm) = Similarity.loadIvfPqIndex(spark, s"$dir/idx")
+    assert(lm == 4 && lc.length == 4 && lcb.length == 32)
+    assert(lc.indices.forall(i => java.util.Arrays.equals(lc(i), cents(i))))
+    assert(lcb.indices.forall(i => java.util.Arrays.equals(lcb(i), cb(i))))
+    assert(java.util.Arrays.equals(lal, al))
+    // shape guards fire: alphas length must track centroids
+    intercept[IllegalArgumentException] {
+      Similarity.saveIvfPqIndex(spark, s"$dir/bad", cents, cb,
+        al.take(2), 4)
+    }
+  }
 }

@@ -1107,9 +1107,35 @@ object GraftDefs {
     arr.toFloatArray()
   }
 
+  // Matrix arguments (centroid sets, PQ codebooks) arrive as plan
+  // LITERALS: one shared ArrayData instance evaluated once per ROW. The
+  // per-call ArrayData→Array[Array[Float]] conversion was measured as the
+  // dominant cost of the large-codebook ANN paths (ksub=256 ⇒ 4096 nested
+  // arrays re-converted per corpus row — ~20 s of e11's sf1 wall), so the
+  // last conversion memoizes by ArrayData IDENTITY per thread. Identity
+  // (not equality) keeps the check O(1) and exact; one entry suffices
+  // because a plan evaluates one literal per argument slot, and a
+  // non-literal (per-row) matrix simply misses every time — correct,
+  // just unmemoized, like before.
+  // A stage can alternate several matrix literals per row (centroids +
+  // codebooks in the IVF-PQ encode), so the memo holds a few entries;
+  // the size cap clears it if per-row (non-literal) matrices ever flow
+  // through, bounding memory at the cost of losing the (then-useless)
+  // memoization.
+  private val matrixMemo =
+    ThreadLocal.withInitial[java.util.IdentityHashMap[AnyRef, Array[Array[Float]]]](
+      () => new java.util.IdentityHashMap[AnyRef, Array[Array[Float]]]())
   private def floatMatrix(v: Any): Array[Array[Float]] = {
     val arr = v.asInstanceOf[ArrayData]
-    Array.tabulate(arr.numElements())(i => arr.getArray(i).toFloatArray())
+    val memo = matrixMemo.get()
+    val hit = memo.get(arr)
+    if (hit != null) hit
+    else {
+      val m = Array.tabulate(arr.numElements())(i => arr.getArray(i).toFloatArray())
+      if (memo.size() >= 8) memo.clear()
+      memo.put(arr, m)
+      m
+    }
   }
 
   val all: Map[String, Spec] = geomSpecs ++ pipelineSpecs

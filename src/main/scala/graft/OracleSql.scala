@@ -32,6 +32,55 @@ object OracleSql {
     AND (((2200.0*r_regionkey-1000.0) - 2200.0*r_regionkey) * (cy - 950.0)
       - (50.0 - 950.0) * (cx - 2200.0*r_regionkey)) > 0"""
 
+  // shared by t62 (batch) and t64 (streaming): the two engines MUST
+  // verify against the SAME reconstruction SQL — a one-sided edit
+  // would silently desynchronize the batch and streaming oracles
+  private lazy val rewriteOracleSql: String = s"""
+      WITH tok AS (SELECT doc_id, source, $docToks AS toks FROM documents),
+      g AS (SELECT doc_id, source,
+              CASE WHEN len(toks) >= 8
+                THEN [md5(array_to_string(toks[i:i+7], ' '))
+                      FOR i IN range(1, len(toks) - 6)]
+                ELSE [] END AS gs
+            FROM tok),
+      b AS (SELECT DISTINCT unnest(gs) AS gr FROM g WHERE source = 'src0'),
+      c AS (SELECT doc_id, unnest(gs) AS gr,
+                   unnest(range(0, len(gs))) AS pos
+            FROM g WHERE source <> 'src0'),
+      hit AS (SELECT c.doc_id, c.pos FROM c JOIN b ON c.gr = b.gr),
+      m AS (SELECT doc_id, pos,
+              CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                     IS NULL
+                   OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                     > 8
+                THEN 1 ELSE 0 END AS brk
+            FROM hit),
+      sn AS (SELECT doc_id, pos,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS span
+             FROM m),
+      spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e
+                FROM sn GROUP BY doc_id, span),
+      sp AS (SELECT doc_id, list(struct_pack(s := s, e := e)) AS sps
+             FROM spans GROUP BY doc_id),
+      r AS (SELECT t.doc_id, toks, sps
+            FROM tok t LEFT JOIN sp USING (doc_id)
+            WHERE t.source <> 'src0'),
+      k AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+              CASE WHEN sps IS NULL THEN toks
+                   ELSE [toks[i+1] FOR i IN range(0, len(toks))
+                         IF len(list_filter(sps,
+                              x -> i >= x.s AND i < x.e)) = 0]
+              END AS kept
+            FROM r)
+      SELECT doc_id, n_tokens,
+             (n_tokens - len(kept))::BIGINT AS n_removed,
+             round(CASE WHEN n_tokens > 0
+               THEN (n_tokens - len(kept))::DOUBLE / n_tokens::DOUBLE
+               ELSE 0.0 END, 4) AS removed_ratio,
+             coalesce(array_to_string(kept, ' '), '') AS new_text,
+             md5(coalesce(array_to_string(kept, ' '), '')) AS new_hash
+      FROM k ORDER BY doc_id"""
+
   private val docToks =
     "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
 
@@ -3421,99 +3470,11 @@ object OracleSql {
     // span-excision rewrite: t61's span derivation, then each doc rebuilt
     // from the tokens NOT covered by any of its spans (list comprehension
     // over token indices); md5 witnesses the rebuilt text byte-for-byte
-    "t62_decontaminate_rewrite" -> s"""
-      WITH tok AS (SELECT doc_id, source, $docToks AS toks FROM documents),
-      g AS (SELECT doc_id, source,
-              CASE WHEN len(toks) >= 8
-                THEN [md5(array_to_string(toks[i:i+7], ' '))
-                      FOR i IN range(1, len(toks) - 6)]
-                ELSE [] END AS gs
-            FROM tok),
-      b AS (SELECT DISTINCT unnest(gs) AS gr FROM g WHERE source = 'src0'),
-      c AS (SELECT doc_id, unnest(gs) AS gr,
-                   unnest(range(0, len(gs))) AS pos
-            FROM g WHERE source <> 'src0'),
-      hit AS (SELECT c.doc_id, c.pos FROM c JOIN b ON c.gr = b.gr),
-      m AS (SELECT doc_id, pos,
-              CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
-                     IS NULL
-                   OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
-                     > 8
-                THEN 1 ELSE 0 END AS brk
-            FROM hit),
-      sn AS (SELECT doc_id, pos,
-               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS span
-             FROM m),
-      spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e
-                FROM sn GROUP BY doc_id, span),
-      sp AS (SELECT doc_id, list(struct_pack(s := s, e := e)) AS sps
-             FROM spans GROUP BY doc_id),
-      r AS (SELECT t.doc_id, toks, sps
-            FROM tok t LEFT JOIN sp USING (doc_id)
-            WHERE t.source <> 'src0'),
-      k AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens,
-              CASE WHEN sps IS NULL THEN toks
-                   ELSE [toks[i+1] FOR i IN range(0, len(toks))
-                         IF len(list_filter(sps,
-                              x -> i >= x.s AND i < x.e)) = 0]
-              END AS kept
-            FROM r)
-      SELECT doc_id, n_tokens,
-             (n_tokens - len(kept))::BIGINT AS n_removed,
-             round(CASE WHEN n_tokens > 0
-               THEN (n_tokens - len(kept))::DOUBLE / n_tokens::DOUBLE
-               ELSE 0.0 END, 4) AS removed_ratio,
-             coalesce(array_to_string(kept, ' '), '') AS new_text,
-             md5(coalesce(array_to_string(kept, ' '), '')) AS new_hash
-      FROM k ORDER BY doc_id""",
+    "t62_decontaminate_rewrite" -> rewriteOracleSql,
 
     // streaming span-excision rewrite: per-doc output is arrival-order
     // invariant, so the batch t62 oracle applies verbatim
-    "t64_stream_decontaminate_rewrite" -> s"""
-      WITH tok AS (SELECT doc_id, source, $docToks AS toks FROM documents),
-      g AS (SELECT doc_id, source,
-              CASE WHEN len(toks) >= 8
-                THEN [md5(array_to_string(toks[i:i+7], ' '))
-                      FOR i IN range(1, len(toks) - 6)]
-                ELSE [] END AS gs
-            FROM tok),
-      b AS (SELECT DISTINCT unnest(gs) AS gr FROM g WHERE source = 'src0'),
-      c AS (SELECT doc_id, unnest(gs) AS gr,
-                   unnest(range(0, len(gs))) AS pos
-            FROM g WHERE source <> 'src0'),
-      hit AS (SELECT c.doc_id, c.pos FROM c JOIN b ON c.gr = b.gr),
-      m AS (SELECT doc_id, pos,
-              CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
-                     IS NULL
-                   OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
-                     > 8
-                THEN 1 ELSE 0 END AS brk
-            FROM hit),
-      sn AS (SELECT doc_id, pos,
-               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS span
-             FROM m),
-      spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e
-                FROM sn GROUP BY doc_id, span),
-      sp AS (SELECT doc_id, list(struct_pack(s := s, e := e)) AS sps
-             FROM spans GROUP BY doc_id),
-      r AS (SELECT t.doc_id, toks, sps
-            FROM tok t LEFT JOIN sp USING (doc_id)
-            WHERE t.source <> 'src0'),
-      k AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens,
-              CASE WHEN sps IS NULL THEN toks
-                   ELSE [toks[i+1] FOR i IN range(0, len(toks))
-                         IF len(list_filter(sps,
-                              x -> i >= x.s AND i < x.e)) = 0]
-              END AS kept
-            FROM r)
-      SELECT doc_id, n_tokens,
-             (n_tokens - len(kept))::BIGINT AS n_removed,
-             round(CASE WHEN n_tokens > 0
-               THEN (n_tokens - len(kept))::DOUBLE / n_tokens::DOUBLE
-               ELSE 0.0 END, 4) AS removed_ratio,
-             coalesce(array_to_string(kept, ' '), '') AS new_text,
-             md5(coalesce(array_to_string(kept, ' '), '')) AS new_hash
-      FROM k ORDER BY doc_id""",
+    "t64_stream_decontaminate_rewrite" -> rewriteOracleSql,
 
     // streaming contamination report: per-doc classification is
     // arrival-order invariant (each doc's grams ride its own row), so the

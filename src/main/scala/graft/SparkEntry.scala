@@ -63,14 +63,21 @@ object SparkEntry {
     */
   private def twoChunkStreamDirFor(s: SparkSession, parquetFile: String,
       idCol: String): String =
-    streamDirCache.computeIfAbsent("2chunk:" + parquetFile, { _ =>
+    // the split column is part of the identity: a second caller splitting
+    // the same file on a different column must not reuse this split
+    streamDirCache.computeIfAbsent(s"2chunk:$idCol:$parquetFile", { _ =>
       val dir = java.nio.file.Files.createTempDirectory("graft_stream2_")
       dir.toFile.deleteOnExit()
       val df = s.read.parquet(parquetFile)
-      val mid = df.agg(
+      val midRow = df.agg(
         org.apache.spark.sql.functions.expr(s"percentile_approx($idCol, 0.5)"))
-        .head.get(0).toString.toDouble
-      def writeChunk(part: org.apache.spark.sql.DataFrame, name: String): Unit = {
+        .head
+      require(!midRow.isNullAt(0),
+        s"twoChunkStreamDirFor: $parquetFile has no non-null $idCol rows " +
+          "to split on")
+      val mid = midRow.get(0).toString.toDouble
+      def writeChunk(part: org.apache.spark.sql.DataFrame, name: String,
+          mtimeMs: Long): Unit = {
         val tmp = java.nio.file.Files.createTempDirectory("graft_chunk_")
         part.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
         val f = new java.io.File(tmp.toString).listFiles()
@@ -79,19 +86,27 @@ object SparkEntry {
             s"no parquet part written under $tmp"))
         val dest = dir.resolve(name)
         java.nio.file.Files.move(f.toPath, dest)
+        // pin DISTINCT mtimes: FileStreamSource orders by modification
+        // time, and the two moves land milliseconds apart — a tie would
+        // leave batch order unspecified, and a high-id-first order on a
+        // corpus whose id span exceeds the watermark delay would drop the
+        // low-id chunk as late rows. Explicit low-ids-first mtime makes
+        // arrival order deterministic at every SF.
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
         dest.toFile.deleteOnExit()
-        def del(x: java.io.File): Unit = {
-          val cs = x.listFiles(); if (cs != null) cs.foreach(del); x.delete(); ()
-        }
-        del(tmp.toFile)
+        deleteRecursively(tmp.toFile)
       }
-      // chunk order by name AND mtime matches id order (low ids first) —
-      // not load-bearing (the watermark delay covers the full ts span
-      // either way), just the realistic arrival order
-      writeChunk(df.filter(col(idCol) <= mid), "chunk-00.parquet")
-      writeChunk(df.filter(col(idCol) > mid), "chunk-01.parquet")
+      val t0 = System.currentTimeMillis() - 120000
+      writeChunk(df.filter(col(idCol) <= mid), "chunk-00.parquet", t0)
+      writeChunk(df.filter(col(idCol) > mid), "chunk-01.parquet", t0 + 60000)
       dir.toAbsolutePath.toString
     })
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val cs = f.listFiles(); if (cs != null) cs.foreach(deleteRecursively)
+    f.delete(); ()
+  }
 
   /** Per-JVM scratch root for queries that write-then-read an interchange
     * file. Run-unique (`Files.createTempDirectory`) so no concurrent or
@@ -103,11 +118,7 @@ object SparkEntry {
   private[graft] lazy val scratchBase: String = {
     val dir = java.nio.file.Files.createTempDirectory("graft_scratch_")
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def del(f: java.io.File): Unit = {
-        val cs = f.listFiles(); if (cs != null) cs.foreach(del)
-        f.delete(); ()
-      }
-      del(dir.toFile)
+      deleteRecursively(dir.toFile)
     }))
     dir.toAbsolutePath.toString
   }
@@ -4804,8 +4815,10 @@ object SparkEntry {
     // centroid (shared residual codebooks — trainIvfPqCodebooks), scored
     // as q·centroid + ADC(q, codes), retrieve-100 + exact rerank. Same
     // contract gate as e06/e08: measured recall vs brute force, >= 90%
-    // aggregate and >= 5/10 per query on fair queries (vec_id 400-410,
-    // ids outside every other e-family query's probe set).
+    // aggregate and >= 5/10 per query on fair queries (vec_id 400-410 —
+    // disjoint from e02/e03 (<10, 100-110), e08 (200-210), e09 (300-310);
+    // e12's roundtrip probe reuses 400-405 deliberately, its gate is
+    // identity not recall).
     "e11_ann_ivfpq" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       val queries = emb.filter(col("vec_id") >= 400 && col("vec_id") < 410)

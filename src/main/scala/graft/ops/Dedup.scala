@@ -451,9 +451,11 @@ object Dedup {
     * Same output contract as the batch report (n_grams_distinct,
     * n_hit_distinct, dirty_frac, clean/partial/dirty class) so the batch
     * oracle applies verbatim. The benchmark side persists via
-    * [[benchmarkGramSet]] semantics — long-lived callers should build the
-    * grams themselves and pass them through the `grams` overloadable
-    * (build with [[benchmarkGramSet]], release when done).
+    * [[benchmarkGramSet]] with no per-benchmark release path; long-lived
+    * apps probing many benchmarks should build the gram set with
+    * [[benchmarkGramSet]] themselves and pass it via `grams` (with the
+    * matching `n`), releasing it through the returned handle when done —
+    * `benchmark`/`benchTextCol` are then ignored.
     */
   def contaminationReportStreaming(
       stream: DataFrame,
@@ -465,20 +467,21 @@ object Dedup {
       n: Int = 8,
       dirtyFrac: Double = 0.5,
       watermarkDelay: String = "1 hour",
-      windowDuration: String = "1 second"): DataFrame = {
+      windowDuration: String = "1 second",
+      grams: Option[DataFrame] = None): DataFrame = {
     require(stream.isStreaming, "contaminationReportStreaming: batch input" +
       " — use decontaminationReport")
     require(n >= 1, "contaminationReportStreaming: n must be >= 1")
     require(dirtyFrac > 0 && dirtyFrac <= 1,
       "contaminationReportStreaming: dirtyFrac in (0,1]")
-    val grams = benchmarkGramSet(benchmark, benchTextCol, n)._1
+    val gramSet = grams.getOrElse(benchmarkGramSet(benchmark, benchTextCol, n)._1)
       .withColumn("hit", lit(1L))
     stream
       .withWatermark(tsCol, watermarkDelay)
       .select(col(idCol), col(tsCol),
         explode_outer(array_distinct(
           tokenNgrams(gr_tokens(col(textCol)), n))).as("gram"))
-      .join(broadcast(grams), Seq("gram"), "left")
+      .join(broadcast(gramSet), Seq("gram"), "left")
       .groupBy(window(col(tsCol), windowDuration), col(idCol))
       .agg(count(col("gram")).as("n_grams_distinct"),
         sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_hit_distinct"))
@@ -599,6 +602,10 @@ object Dedup {
     * collapsed to one row per doc map-side); per-doc state is the token
     * array + hit positions, expired by the watermark. Output contract ==
     * [[decontaminateRewrite]] (same columns, md5-witnessed rebuild).
+    * Long-lived apps probing many benchmarks: build the gram set with
+    * [[benchmarkGramSet]] (at `windowTokens`) and pass it via `grams`
+    * for a releasable per-benchmark cache — `benchmark`/`benchTextCol`
+    * are then ignored.
     */
   def decontaminateRewriteStreaming(
       stream: DataFrame,
@@ -609,13 +616,14 @@ object Dedup {
       benchTextCol: String,
       windowTokens: Int = 8,
       watermarkDelay: String = "1 hour",
-      windowDuration: String = "1 second"): DataFrame = {
+      windowDuration: String = "1 second",
+      grams: Option[DataFrame] = None): DataFrame = {
     require(stream.isStreaming, "decontaminateRewriteStreaming: batch " +
       "input — use decontaminateRewrite")
     require(windowTokens >= 2,
       "decontaminateRewriteStreaming: windowTokens must be >= 2")
     val w = windowTokens
-    val grams = benchmarkGramSet(benchmark, benchTextCol, w)._1
+    val gramSet = grams.getOrElse(benchmarkGramSet(benchmark, benchTextCol, w)._1)
       .withColumn("hit", lit(1L))
     stream
       .withWatermark(tsCol, watermarkDelay)
@@ -624,7 +632,7 @@ object Dedup {
       // (null-gram) row — zero-gram docs must survive the rewrite
       .select(col(idCol), col(tsCol), col("_toks"),
         posexplode_outer(tokenNgrams(col("_toks"), w)).as(Seq("_pos", "gram")))
-      .join(broadcast(grams), Seq("gram"), "left")
+      .join(broadcast(gramSet), Seq("gram"), "left")
       .groupBy(window(col(tsCol), windowDuration), col(idCol))
       .agg(first(col("_toks")).as("_toks"),
         sort_array(collect_list(when(col("hit").isNotNull, col("_pos"))))

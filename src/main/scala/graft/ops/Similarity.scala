@@ -252,9 +252,9 @@ object Similarity {
     */
   private def pqKmeans(cand: Array[Array[Float]], m: Int, ksub: Int,
       iters: Int, seed: Long): Array[Array[Float]] = {
-    require(cand.nonEmpty, "trainPqCodebooks: empty corpus")
+    require(cand.nonEmpty, "pq codebook training: empty sample")
     val dim = cand.head.length
-    require(dim % m == 0, s"trainPqCodebooks: dim $dim not divisible by m=$m")
+    require(dim % m == 0, s"pq codebook training: dim $dim not divisible by m=$m")
     val dsub = dim / m
     var rngState = seed
     def nextU(): Double = {

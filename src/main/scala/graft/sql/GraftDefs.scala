@@ -1121,20 +1121,31 @@ object GraftDefs {
   // codebooks in the IVF-PQ encode), so the memo holds a few entries;
   // the size cap clears it if per-row (non-literal) matrices ever flow
   // through, bounding memory at the cost of losing the (then-useless)
-  // memoization.
+  // memoization. SOUNDNESS: only GenericArrayData memoizes — that is
+  // what Literal carries (typedlit / constant-folded CreateArray) and
+  // what non-literal producers allocate FRESH per row, so an identity
+  // hit implies unchanged contents. The mutable VIEW classes Spark may
+  // reuse across rows over changing buffers (UnsafeArrayData slices,
+  // ColumnarArray from vectorized readers) never enter the memo: an
+  // identity hit there would NOT imply same contents.
   private val matrixMemo =
     ThreadLocal.withInitial[java.util.IdentityHashMap[AnyRef, Array[Array[Float]]]](
       () => new java.util.IdentityHashMap[AnyRef, Array[Array[Float]]]())
   private def floatMatrix(v: Any): Array[Array[Float]] = {
     val arr = v.asInstanceOf[ArrayData]
-    val memo = matrixMemo.get()
-    val hit = memo.get(arr)
-    if (hit != null) hit
-    else {
-      val m = Array.tabulate(arr.numElements())(i => arr.getArray(i).toFloatArray())
-      if (memo.size() >= 8) memo.clear()
-      memo.put(arr, m)
-      m
+    arr match {
+      case g: org.apache.spark.sql.catalyst.util.GenericArrayData =>
+        val memo = matrixMemo.get()
+        val hit = memo.get(g)
+        if (hit != null) hit
+        else {
+          val m = Array.tabulate(g.numElements())(i => g.getArray(i).toFloatArray())
+          if (memo.size() >= 8) memo.clear()
+          memo.put(g, m)
+          m
+        }
+      case _ =>
+        Array.tabulate(arr.numElements())(i => arr.getArray(i).toFloatArray())
     }
   }
 

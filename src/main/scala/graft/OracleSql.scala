@@ -2888,6 +2888,12 @@ object OracleSql {
              true AS recall_ge_90
       FROM embeddings WHERE vec_id >= 200 AND vec_id < 210""",
 
+    // streaming serving vs batch IVF-PQ: exact-constant contract (t52
+    // style) — n_queries from the static side, pair-identical retrieval
+    "e13_stream_ann_ivfpq" -> """
+      SELECT count(*)::BIGINT AS n_queries, true AS pairs_match
+      FROM embeddings WHERE vec_id >= 400 AND vec_id < 410""",
+
     // index persistence roundtrip: every output is a structural constant
     // (index shape; exact-roundtrip and identical-retrieval gates)
     "e12_ann_index_roundtrip" -> """

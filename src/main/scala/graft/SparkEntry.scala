@@ -4893,6 +4893,50 @@ object SparkEntry {
         lit(diff == 0).as("retrieval_identical"))
     }),
 
+    // r17 STREAMING IVF-PQ SERVING (the production retrieval shape:
+    // train offline, save, LOAD the index, serve a query stream against
+    // the PQ-encoded persisted corpus): streamingIvfPqTopK over a file
+    // stream of the query vectors, compared pair-for-pair against the
+    // batch ivfPqTopK at identical parameters — the t52-style
+    // batch-equivalence contract reduced to exact constants.
+    "e13_stream_ann_ivfpq" -> ((s, d) => {
+      graft.sql.functions.install(s)
+      val emb = t(s, d, "embeddings")
+      val cents = Similarity.trainCentroids(emb, "vec_id", "embedding",
+        nlist = 8, oversample = 8, iters = 10, seed = 42L)
+      val (cb, al) = Similarity.trainIvfPq(emb, "vec_id", "embedding",
+        cents, m = 8, ksub = 16, sample = 256, iters = 10, seed = 42L)
+      val path = scratchBase + "/graft_e13_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      Similarity.saveIvfPqIndex(s, path, cents, cb, al, 8)
+      val (lc, lcb, lal, lm) = Similarity.loadIvfPqIndex(s, path)
+      val schema = s.read.parquet(s"$d/embeddings.parquet").schema
+      val sink = "e13_sink_" + streamSinkId.incrementAndGet()
+      val qstream = s.readStream.schema(schema)
+        .parquet(streamDirFor(s"$d/embeddings.parquet"))
+        .filter(col("vec_id") >= 400 && col("vec_id") < 410)
+      val q = Similarity.streamingIvfPqTopK(qstream, emb,
+          "vec_id", "embedding", lc, lcb, lal,
+          k = 10, nprobe = 4, m = lm, roundScoreTo = 4)
+        .writeStream.outputMode("complete").format("memory").queryName(sink)
+        .start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      val got = s.table(sink)
+        .select(col("query_id"), explode(col("neighbors")).as("_n"))
+        .select(col("query_id"), col("_n.neighbor_id").as("neighbor_id"))
+      val queries = emb.filter(col("vec_id") >= 400 && col("vec_id") < 410)
+      val want = Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding",
+          k = 10, nlist = 8, nprobe = 4, m = 8, ksub = 16,
+          centroids = Some(cents), codebooks = Some(cb), alphas = Some(al),
+          roundScoreTo = 4, rerank = 0)
+        .select(col("query_id"), col("neighbor_id"))
+      val j = got.withColumn("_g", lit(1))
+        .join(want.withColumn("_w", lit(1)),
+          Seq("query_id", "neighbor_id"), "full_outer")
+      val cmp = j.agg((coalesce(sum(when(col("_g").isNull || col("_w").isNull,
+        1L).otherwise(0L)), lit(0L)) === 0L).as("pairs_match"))
+      queries.agg(count(lit(1)).as("n_queries")).crossJoin(cmp)
+    }),
+
     // r12 scalar-quantized (SQ8) ANN: 1 byte/component on a per-dimension
     // corpus [min,max] grid (4x compression; the uniform-grid sibling of
     // e08's PQ), asymmetric decode-and-dot scoring, exact top-100 re-rank.

@@ -555,6 +555,60 @@ object Similarity {
     topKWithRerank(scored, corpus, q, idCol, vecCol, k, rerank, roundScoreTo)
   }
 
+  /** STREAMING IVF-PQ serving — queries arrive as a stream and probe the
+    * PQ-encoded static corpus with a LOADED index ([[loadIvfPqIndex]]):
+    * the production retrieval shape (train offline → [[saveIvfPqIndex]] →
+    * serve). The encoded corpus PERSISTS (m small ints + id per row —
+    * the 16-32× compressed representation, NOT the raw vectors; a
+    * stream-static join re-plans its static side every micro-batch and
+    * would otherwise re-encode the corpus per trigger). Per micro-batch:
+    * stream queries explode to their nprobe probe lists, equi-match the
+    * encoded lists, ADC-score, and reduce through the O(k)-state
+    * [[graft.sql.functions.gr_topKByScore]] aggregate (complete mode,
+    * one row per query). Same α-anchored scoring as [[ivfPqTopK]], so
+    * batch equivalence is exact at equal parameters (rerank=0).
+    */
+  def streamingIvfPqTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String,
+      centroids: Array[Array[Float]],
+      codebooks: Array[Array[Float]],
+      alphas: Array[Float],
+      k: Int = 10, nprobe: Int = 4, m: Int = 8,
+      roundScoreTo: Int = -1): DataFrame = {
+    import org.apache.spark.sql.functions.typedlit
+    require(queries.isStreaming, "streamingIvfPqTopK expects a streaming " +
+      "query side — use ivfPqTopK for batch")
+    val centArr = array(centroids.map(c => typedlit(c)).toIndexedSeq: _*)
+    val cbArr = array(codebooks.map(c => typedlit(c)).toIndexedSeq: _*)
+    val alphaArr = typedlit(alphas)
+    val encoded = corpus
+      .select(col(idCol).as("neighbor_id"), gr_l2normalize(col(vecCol)).as("_nv"))
+      .withColumn("_list", gr_argmaxCosine(col("_nv"), centArr))
+      .withColumn("_a", element_at(alphaArr, col("_list") + 1))
+      .select(col("neighbor_id"), col("_list"),
+        gr_pqEncode(zip_with(col("_nv"),
+          element_at(centArr, col("_list") + 1),
+          (v, c) => v - col("_a") * c),
+          cbArr, lit(m)).as("_codes"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probes = queries.select(col(idCol).as("query_id"),
+        gr_l2normalize(col(vecCol)).as("_qv"))
+      .withColumn("_plist",
+        explode(gr_topnCosine(col("_qv"), centArr, lit(nprobe))))
+    val rawScore =
+      element_at(alphaArr, col("_list") + 1) *
+        gr_dot(col("_qv"), element_at(centArr, col("_list") + 1)) +
+      gr_pqAdc(col("_qv"), col("_codes"), cbArr)
+    probes.join(encoded,
+        probes("_plist") === encoded("_list") &&
+          col("query_id") =!= col("neighbor_id"))
+      .withColumn("_score",
+        if (roundScoreTo >= 0) round(rawScore, roundScoreTo) else rawScore)
+      .groupBy(col("query_id"))
+      .agg(gr_topKByScore(col("_score"), col("neighbor_id"), k).as("neighbors"))
+  }
+
   /** Persist a trained IVF-PQ index — coarse centroids, residual
     * codebooks, anchor scales — as ONE plain parquet table (kind, idx,
     * vec, m). At 100 TB the index trains once (hours of corpus passes)

@@ -100,4 +100,40 @@ class IvfPqSpec extends AnyFunSuite {
         al.take(2), 4)
     }
   }
+
+  test("streamingIvfPqTopK with a loaded index matches batch ivfPqTopK " +
+      "pair-for-pair") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = clustered(n = 120, dim = 16, nc = 4, noise = 0.2)
+    val cents = Similarity.trainCentroids(corpus, "id", "vec", nlist = 4)
+    val (cb, al) = Similarity.trainIvfPq(corpus, "id", "vec", cents,
+      m = 4, ksub = 8, sample = 120)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_srv_").toString
+    Similarity.saveIvfPqIndex(spark, s"$dir/idx", cents, cb, al, 4)
+    val (lc, lcb, lal, lm) = Similarity.loadIvfPqIndex(spark, s"$dir/idx")
+    val qRows = corpus.filter(col("id") < 6)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val ms = MemoryStream[(Long, Array[Float])]
+    val q = Similarity.streamingIvfPqTopK(
+        ms.toDF.toDF("id", "vec"), corpus, "id", "vec", lc, lcb, lal,
+        k = 5, nprobe = 2, m = lm, roundScoreTo = 4)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("ivfpq_srv_sink").start()
+    try {
+      ms.addData(qRows.take(3).toSeq); q.processAllAvailable()
+      ms.addData(qRows.drop(3).toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ivfpq_srv_sink")
+      .select(col("query_id"), explode(col("neighbors")).as("_n"))
+      .select(col("query_id"), col("_n.neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = Similarity.ivfPqTopK(corpus, corpus.filter(col("id") < 6),
+        "id", "vec", k = 5, nlist = 4, nprobe = 2, m = 4, ksub = 8,
+        centroids = Some(cents), codebooks = Some(cb), alphas = Some(al),
+        roundScoreTo = 4, rerank = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want, s"stream $got\nbatch $want")
+    assert(got.map(_._1).size == 6 && got.size == 30)
+  }
 }

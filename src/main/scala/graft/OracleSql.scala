@@ -3482,6 +3482,34 @@ object OracleSql {
     // invariant, so the batch t62 oracle applies verbatim
     "t64_stream_decontaminate_rewrite" -> rewriteOracleSql,
 
+    // multi-benchmark report: per-(doc, bench) hit counts over DISTINCT
+    // doc grams vs the labeled distinct (bench, gram) table; clean pairs
+    // omitted on BOTH sides (inner join), denominator = the doc's own
+    // distinct-gram count
+    "t65_multi_benchmark_decontamination" -> s"""
+      WITH tok AS (SELECT doc_id, source, $docToks AS toks FROM documents),
+      g AS (SELECT doc_id, source,
+              CASE WHEN len(toks) >= 8
+                THEN list_distinct([md5(array_to_string(toks[i:i+7], ' '))
+                      FOR i IN range(1, len(toks) - 6)])
+                ELSE [] END AS gs
+            FROM tok),
+      b AS (SELECT DISTINCT source AS bench, unnest(gs) AS gr
+            FROM g WHERE source IN ('src0', 'src1')),
+      c AS (SELECT doc_id, unnest(gs) AS gr
+            FROM g WHERE source NOT IN ('src0', 'src1')),
+      tot AS (SELECT doc_id, count(*)::BIGINT AS ng FROM c GROUP BY 1),
+      hits AS (SELECT c.doc_id, b.bench, count(*)::BIGINT AS nh
+               FROM c JOIN b ON c.gr = b.gr GROUP BY 1, 2)
+      SELECT h.doc_id, h.bench,
+             t.ng AS n_grams_distinct,
+             h.nh AS n_hit_distinct,
+             round(h.nh::DOUBLE / t.ng::DOUBLE, 6) AS dirty_frac,
+             CASE WHEN h.nh::DOUBLE / t.ng::DOUBLE >= 0.5
+                  THEN 'dirty' ELSE 'partial' END AS class
+      FROM hits h JOIN tot t USING (doc_id)
+      ORDER BY doc_id, bench""",
+
     // streaming contamination report: per-doc classification is
     // arrival-order invariant (each doc's grams ride its own row), so the
     // batch t60 oracle applies VERBATIM to the two-batch streaming run

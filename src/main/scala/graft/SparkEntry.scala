@@ -4339,6 +4339,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // MULTI-BENCHMARK CONTAMINATION REPORT (the GPT-3 appendix-C probe
+    // run the way labs actually run it — EVERY benchmark in ONE corpus
+    // pass): src0 and src1 act as two held-out sets, the labeled gram
+    // table broadcasts once, and the output is one row per contaminated
+    // (doc, benchmark) pair; clean pairs omitted by design (|docs| ×
+    // |benchmarks| clean rows is the blow-up the operator exists to
+    // avoid at 100 TB).
+    "t65_multi_benchmark_decontamination" -> ((s, d) => {
+      graft.sql.functions.install(s)
+      val docs = t(s, d, "documents")
+      graft.ops.Dedup.decontaminationReportMulti(
+        docs.filter(!col("source").isin("src0", "src1")), "doc_id", "text",
+        docs.filter(col("source").isin("src0", "src1"))
+          .select(col("source").as("bench"), col("text")),
+        "bench", "text", dirtyFrac = 0.5)
+        .withColumn("dirty_frac", round(col("dirty_frac"), 6))
+        .orderBy(col("doc_id"), col("bench"))
+    }),
+
     // TOKEN-BUDGET SHARD PACKING (pretraining egress): documents in
     // doc_id order pack into ~2000-token shards, shard_id =
     // floor(exclusive_prefix_tokens / budget). The op is a DISTRIBUTED

@@ -434,6 +434,58 @@ object Dedup {
           .otherwise("partial"))
   }
 
+  /** MULTI-BENCHMARK contamination report — [[decontaminationReport]]
+    * against MANY held-out sets in ONE corpus pass (the shape labs run:
+    * GPT-3 appendix C probes every benchmark; re-scanning a 100 TB
+    * corpus per benchmark is the non-starter this avoids). The labeled
+    * gram table (bench, gram) broadcasts once; each corpus document's
+    * DISTINCT grams probe it through one BroadcastHashJoin and reduce
+    * per (doc, bench). Emits one row per (doc, bench) WITH at least one
+    * hit — clean (doc, bench) pairs are omitted BY DESIGN: materializing
+    * |docs| × |benchmarks| clean rows is exactly the blow-up the report
+    * must not pay at scale (a doc absent from the output is clean for
+    * every benchmark; its denominator still rides each emitted row).
+    * `class` is therefore `partial` or `dirty` only.
+    *
+    * Plan/scale: corpus text never shuffles — the exchanges carry
+    * (id, count) and (id, bench, count) rows only; gram fan-out per
+    * multi-benchmark hit is bounded by the benchmark count.
+    */
+  def decontaminationReportMulti(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchmarks: DataFrame,
+      benchCol: String,
+      benchTextCol: String,
+      n: Int = 8,
+      dirtyFrac: Double = 0.5): DataFrame = {
+    require(n >= 1, "decontaminationReportMulti: n must be >= 1")
+    require(dirtyFrac > 0 && dirtyFrac <= 1,
+      "decontaminationReportMulti: dirtyFrac in (0,1]")
+    val grams = benchmarks
+      .select(col(benchCol).as("bench"),
+        gr_tokens(col(benchTextCol)).as("_toks"))
+      .select(col("bench"), explode(tokenNgrams(col("_toks"), n)).as("gram"))
+      .distinct()
+    val docGrams = corpus
+      .select(col(idCol), gr_tokens(col(textCol)).as("_toks"))
+      .select(col(idCol),
+        explode(array_distinct(tokenNgrams(col("_toks"), n))).as("gram"))
+    val tot = docGrams.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams_distinct"))
+    docGrams.join(broadcast(grams), Seq("gram"), "inner")
+      .groupBy(col(idCol), col("bench"))
+      .agg(count(lit(1)).as("n_hit_distinct"))
+      .join(tot, Seq(idCol))
+      .withColumn("dirty_frac",
+        col("n_hit_distinct").cast("double") / col("n_grams_distinct"))
+      .withColumn("class",
+        when(col("dirty_frac") >= dirtyFrac, "dirty").otherwise("partial"))
+      .select(col(idCol), col("bench"), col("n_grams_distinct"),
+        col("n_hit_distinct"), col("dirty_frac"), col("class"))
+  }
+
   /** STREAMING contamination report — [[decontaminationReport]]'s GPT-3
     * appendix-C classification at ingest time (r16 judge #6: t59 streams
     * position-level hits; the per-doc dirtiness CLASSIFICATION existed

@@ -1610,4 +1610,34 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got == batch, s"stream $got\nbatch $batch")
     assert(got.map(_._1) == Seq(1L, 2L, 3L, 4L), "each doc exactly once")
   }
+
+  test("decontaminationReportMulti: per-(doc, bench) hits in one pass, " +
+      "clean pairs omitted, shared-gram benches both flagged") {
+    val benches = Seq(
+      ("benchA", "a b c d e f g h i j"),
+      ("benchB", "a b c d e f g h x1 x2"), // shares grams 1-3 with benchA
+      ("benchC", "p q r s t u v w")).toDF("bench", "text")
+    val corpus = Seq(
+      // hits benchA only (grams at pos 1-3 of benchA's tail)
+      (1L, "c d e f g h i j zz yy"),
+      // the shared prefix gram "a..h" hits BOTH A and B -> two rows
+      (2L, "a b c d e f g h zz"),
+      // clean -> NO rows at all
+      (3L, "no overlap with any bench at all here ok")).toDF("doc_id", "text")
+    val got = Dedup.decontaminationReportMulti(
+        corpus, "doc_id", "text", benches, "bench", "text")
+      .collect().map(r => ((r.getAs[Long]("doc_id"), r.getAs[String]("bench")),
+        (r.getAs[Long]("n_grams_distinct"), r.getAs[Long]("n_hit_distinct"),
+          r.getAs[String]("class")))).toMap
+    // doc1: 3 distinct grams; only "c d e f g h i j" (benchA's pos-2
+    // gram) collides -> 1/3, partial, benchA row only
+    assert(got((1L, "benchA")) == ((3L, 1L, "partial")), got.toString)
+    assert(!got.contains((1L, "benchB")) && !got.contains((1L, "benchC")))
+    // doc2: 2 distinct grams; the shared prefix "a b c d e f g h" is in
+    // A AND B -> one row each, 1/2 = 0.5 hits the >= dirtyFrac boundary
+    assert(got((2L, "benchA")) == ((2L, 1L, "dirty")), got.toString)
+    assert(got((2L, "benchB")) == ((2L, 1L, "dirty")), got.toString)
+    // doc3 emits nothing (clean for every bench)
+    assert(!got.keys.exists(_._1 == 3L), got.toString)
+  }
 }

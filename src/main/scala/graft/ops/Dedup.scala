@@ -468,16 +468,29 @@ object Dedup {
         gr_tokens(col(benchTextCol)).as("_toks"))
       .select(col("bench"), explode(tokenNgrams(col("_toks"), n)).as("gram"))
       .distinct()
+    // the denominator (the doc's distinct-gram count) is computed MAP-SIDE
+    // from the distinct array BEFORE the explode and rides each gram row —
+    // no separate denominator aggregation, so the corpus is scanned and
+    // tokenized exactly once (a two-subtree tot/hits formulation would
+    // re-run the tokenize+md5 stage, the module's measured hotspot, twice).
+    // Two load-bearing shapes here (measured 6× when violated):
+    //  - _toks materializes in its OWN projection before tokenNgrams —
+    //    inlining gr_tokens into the transform lambda re-runs the
+    //    tokenizer per window, the r16 O(len²) bug;
+    //  - explode_OUTER, not explode: the inner generate's inferred
+    //    size(...)>0 filter gets alias-substituted on pushdown and
+    //    re-evaluates the whole tokenize+md5 tree a second time per row.
+    //    Null grams from outer-exploded empty docs drop in the inner join.
     val docGrams = corpus
       .select(col(idCol), gr_tokens(col(textCol)).as("_toks"))
       .select(col(idCol),
-        explode(array_distinct(tokenNgrams(col("_toks"), n))).as("gram"))
-    val tot = docGrams.groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_grams_distinct"))
+        array_distinct(tokenNgrams(col("_toks"), n)).as("_grams"))
+      .select(col(idCol), size(col("_grams")).cast("long").as("_ng"),
+        explode_outer(col("_grams")).as("gram"))
     docGrams.join(broadcast(grams), Seq("gram"), "inner")
       .groupBy(col(idCol), col("bench"))
-      .agg(count(lit(1)).as("n_hit_distinct"))
-      .join(tot, Seq(idCol))
+      .agg(first(col("_ng")).as("n_grams_distinct"),
+        count(lit(1)).as("n_hit_distinct"))
       .withColumn("dirty_frac",
         col("n_hit_distinct").cast("double") / col("n_grams_distinct"))
       .withColumn("class",
@@ -530,9 +543,12 @@ object Dedup {
       .withColumn("hit", lit(1L))
     stream
       .withWatermark(tsCol, watermarkDelay)
+      // _toks materialized in its own projection: inlining gr_tokens into
+      // tokenNgrams' lambda re-runs the tokenizer per window (r16 O(len²))
+      .select(col(idCol), col(tsCol), gr_tokens(col(textCol)).as("_toks"))
       .select(col(idCol), col(tsCol),
         explode_outer(array_distinct(
-          tokenNgrams(gr_tokens(col(textCol)), n))).as("gram"))
+          tokenNgrams(col("_toks"), n))).as("gram"))
       .join(broadcast(gramSet), Seq("gram"), "left")
       .groupBy(window(col(tsCol), windowDuration), col(idCol))
       .agg(count(col("gram")).as("n_grams_distinct"),

@@ -529,24 +529,13 @@ object Similarity {
     }
     val cbArr = array(cb.map(c => typedlit(c)).toIndexedSeq: _*)
     val alphaArr = typedlit(alph)
-    val encoded = corpus
-      .select(col(idCol).as("neighbor_id"), gr_l2normalize(col(vecCol)).as("_nv"))
-      .withColumn("_list", gr_argmaxCosine(col("_nv"), centArr))
-      .withColumn("_a", element_at(alphaArr, col("_list") + 1))
-      .select(col("neighbor_id"), col("_list"),
-        gr_pqEncode(zip_with(col("_nv"),
-          element_at(centArr, col("_list") + 1),
-          (v, c) => v - col("_a") * c),
-          cbArr, lit(m)).as("_codes"))
+    val encoded = pqEncodeCorpus(corpus, idCol, vecCol, centArr, cbArr,
+      alphaArr, m)
     val q = queries.select(col(idCol).as("query_id"),
       gr_l2normalize(col(vecCol)).as("_qv"))
     val probes = q.withColumn("_plist",
       explode(gr_topnCosine(col("_qv"), centArr, lit(nprobe))))
-    // cos(q, v) ≈ q·(α·centroid + resid̂) = α·(q·centroid) + ADC(q, codes)
-    val rawScore =
-      element_at(alphaArr, col("_list") + 1) *
-        gr_dot(col("_qv"), element_at(centArr, col("_list") + 1)) +
-      gr_pqAdc(col("_qv"), col("_codes"), cbArr)
+    val rawScore = ivfPqScore(centArr, cbArr, alphaArr)
     val scored = encoded.join(broadcast(probes),
         encoded("_list") === probes("_plist") &&
           col("query_id") =!= col("neighbor_id"))
@@ -575,39 +564,101 @@ object Similarity {
       codebooks: Array[Array[Float]],
       alphas: Array[Float],
       k: Int = 10, nprobe: Int = 4, m: Int = 8,
-      roundScoreTo: Int = -1): DataFrame = {
+      roundScoreTo: Int = -1,
+      encoded: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.functions.typedlit
     require(queries.isStreaming, "streamingIvfPqTopK expects a streaming " +
       "query side — use ivfPqTopK for batch")
     val centArr = array(centroids.map(c => typedlit(c)).toIndexedSeq: _*)
     val cbArr = array(codebooks.map(c => typedlit(c)).toIndexedSeq: _*)
     val alphaArr = typedlit(alphas)
-    val encoded = corpus
+    val enc = encoded.getOrElse(
+      encodeIvfPqCorpus(corpus, idCol, vecCol, centroids, codebooks,
+        alphas, m)._1)
+    val probes = queries.select(col(idCol).as("query_id"),
+        gr_l2normalize(col(vecCol)).as("_qv"))
+      .withColumn("_plist",
+        explode(gr_topnCosine(col("_qv"), centArr, lit(nprobe))))
+    val rawScore = ivfPqScore(centArr, cbArr, alphaArr)
+    probes.join(enc,
+        probes("_plist") === enc("_list") &&
+          col("query_id") =!= col("neighbor_id"))
+      .withColumn("_score",
+        if (roundScoreTo >= 0) round(rawScore, roundScoreTo) else rawScore)
+      // NaN scores (a NaN component in a corpus or query vector) are
+      // EXCLUDED here exactly like the gr_topKByScore buffer excludes
+      // them — without this filter the batch window would rank NaN
+      // first (Spark sorts NaN greatest) and batch/stream pair sets
+      // would diverge on dirty data; see the same filter in
+      // [[topKWithRerank]]
+      .filter(!isnan(col("_score")))
+      .groupBy(col("query_id"))
+      .agg(gr_topKByScore(col("_score"), col("neighbor_id"), k).as("neighbors"))
+  }
+
+  /** The PQ-encoded corpus — (neighbor_id, _list, _codes), the 16-32×
+    * compressed retrieval representation — PERSISTED, with its release
+    * handle (the [[benchmarkGramSet]] lifecycle contract: a long-lived
+    * serving app rotating indexes or corpora must be able to release ONE
+    * encoded relation without `clearCache()`). Build once per (corpus,
+    * index), pass to [[streamingIvfPqTopK]], release when that index
+    * stops serving.
+    */
+  def encodeIvfPqCorpus(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Float]],
+      codebooks: Array[Array[Float]],
+      alphas: Array[Float],
+      m: Int): (DataFrame, () => Unit) = {
+    import org.apache.spark.sql.functions.typedlit
+    val centArr = array(centroids.map(c => typedlit(c)).toIndexedSeq: _*)
+    val cbArr = array(codebooks.map(c => typedlit(c)).toIndexedSeq: _*)
+    val enc = pqEncodeCorpus(corpus, idCol, vecCol, centArr, cbArr,
+      typedlit(alphas), m)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (enc, () => { enc.unpersist(); () })
+  }
+
+  /** One narrow codegen'd map: normalize, assign to the nearest coarse
+    * list, PQ-encode the α-anchored residual. SHARED by the batch and
+    * streaming paths so the encode expression cannot drift between them
+    * (the e13 equivalence gate compares pair sets, not scores — a
+    * one-sided edit would desynchronize silently).
+    */
+  private def pqEncodeCorpus(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      centArr: org.apache.spark.sql.Column,
+      cbArr: org.apache.spark.sql.Column,
+      alphaArr: org.apache.spark.sql.Column,
+      m: Int): DataFrame =
+    corpus
       .select(col(idCol).as("neighbor_id"), gr_l2normalize(col(vecCol)).as("_nv"))
       .withColumn("_list", gr_argmaxCosine(col("_nv"), centArr))
+      // an UNASSIGNABLE vector (all-NaN components: every cosine is NaN,
+      // argmax returns -1) cannot be indexed — without this filter the
+      // element_at below throws INVALID_INDEX_OF_ZERO at encode time
+      // (found by the NaN spec). FAISS likewise cannot index NaN; such
+      // rows are excluded from the index, matching the NaN-score
+      // exclusion at ranking time.
+      .filter(col("_list") >= 0)
       .withColumn("_a", element_at(alphaArr, col("_list") + 1))
       .select(col("neighbor_id"), col("_list"),
         gr_pqEncode(zip_with(col("_nv"),
           element_at(centArr, col("_list") + 1),
           (v, c) => v - col("_a") * c),
           cbArr, lit(m)).as("_codes"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val probes = queries.select(col(idCol).as("query_id"),
-        gr_l2normalize(col(vecCol)).as("_qv"))
-      .withColumn("_plist",
-        explode(gr_topnCosine(col("_qv"), centArr, lit(nprobe))))
-    val rawScore =
-      element_at(alphaArr, col("_list") + 1) *
-        gr_dot(col("_qv"), element_at(centArr, col("_list") + 1)) +
-      gr_pqAdc(col("_qv"), col("_codes"), cbArr)
-    probes.join(encoded,
-        probes("_plist") === encoded("_list") &&
-          col("query_id") =!= col("neighbor_id"))
-      .withColumn("_score",
-        if (roundScoreTo >= 0) round(rawScore, roundScoreTo) else rawScore)
-      .groupBy(col("query_id"))
-      .agg(gr_topKByScore(col("_score"), col("neighbor_id"), k).as("neighbors"))
-  }
+
+  /** cos(q, v) ≈ q·(α·centroid + resid̂) = α·(q·centroid) + ADC(q, codes)
+    * over the candidate columns (_qv, _list, _codes). Shared batch +
+    * streaming for the same no-drift reason as [[pqEncodeCorpus]].
+    */
+  private def ivfPqScore(
+      centArr: org.apache.spark.sql.Column,
+      cbArr: org.apache.spark.sql.Column,
+      alphaArr: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    element_at(alphaArr, col("_list") + 1) *
+      gr_dot(col("_qv"), element_at(centArr, col("_list") + 1)) +
+    gr_pqAdc(col("_qv"), col("_codes"), cbArr)
 
   /** Persist a trained IVF-PQ index — coarse centroids, residual
     * codebooks, anchor scales — as ONE plain parquet table (kind, idx,
@@ -803,13 +854,19 @@ object Similarity {
       k: Int, rerank: Int, roundScoreTo: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id").asc)
+    // NaN scores (NaN vector components in dirty data) are EXCLUDED, not
+    // ranked: Spark's descending sort places NaN ABOVE every real score,
+    // so an unfiltered window would hand rank 1 to garbage — and the
+    // streaming top-k aggregate (gr_topKByScore) skips NaN, so this
+    // filter is also what keeps batch/stream pair sets identical
+    val cleanScored = scored.filter(!isnan(col("score")))
     if (rerank <= 0)
-      scored
+      cleanScored
         .select(col("query_id"), col("neighbor_id"), col("score"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= k)
     else {
-      val cands = scored
+      val cands = cleanScored
         .select(col("query_id"), col("neighbor_id"), col("score"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= math.max(rerank, k))

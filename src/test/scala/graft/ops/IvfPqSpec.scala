@@ -136,4 +136,22 @@ class IvfPqSpec extends AnyFunSuite {
     assert(got == want, s"stream $got\nbatch $want")
     assert(got.map(_._1).size == 6 && got.size == 30)
   }
+
+  test("NaN-component corpus vectors are excluded from ranking, not " +
+      "ranked first (batch window sorts NaN greatest)") {
+    val clean = clustered(n = 60, dim = 16, nc = 4, noise = 0.2)
+    val dirty = clean.union(
+      Seq((999L, Array.fill(16)(Float.NaN))).toDF("id", "vec"))
+    val cents = Similarity.trainCentroids(clean, "id", "vec", nlist = 4)
+    val (cb, al) = Similarity.trainIvfPq(clean, "id", "vec", cents,
+      m = 4, ksub = 8, sample = 60)
+    val got = Similarity.ivfPqTopK(dirty, clean.filter(col("id") < 3),
+        "id", "vec", k = 5, nlist = 4, nprobe = 4, m = 4, ksub = 8,
+        centroids = Some(cents), codebooks = Some(cb), alphas = Some(al),
+        roundScoreTo = 4, rerank = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!got.exists(_._2 == 999L),
+      "a NaN-scored vector must never occupy a top-k slot")
+    assert(got.length == 15, "every query still fills its k slots")
+  }
 }

@@ -572,9 +572,17 @@ object Similarity {
     val centArr = array(centroids.map(c => typedlit(c)).toIndexedSeq: _*)
     val cbArr = array(codebooks.map(c => typedlit(c)).toIndexedSeq: _*)
     val alphaArr = typedlit(alphas)
+    // default path reuses THESE literal Columns for encode, probe and
+    // score (one GenericArrayData identity per matrix — the decode memo
+    // stays hot) and persists under the decontaminateStreaming cache
+    // contract: the CacheManager dedups by analyzed plan, so repeated
+    // calls with the same (corpus, index) pin ONE relation; long-lived
+    // apps ROTATING indexes/corpora must build via [[encodeIvfPqCorpus]]
+    // and release through its handle — this path cannot know when the
+    // caller's stream stops
     val enc = encoded.getOrElse(
-      encodeIvfPqCorpus(corpus, idCol, vecCol, centroids, codebooks,
-        alphas, m)._1)
+      pqEncodeCorpus(corpus, idCol, vecCol, centArr, cbArr, alphaArr, m)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val probes = queries.select(col(idCol).as("query_id"),
         gr_l2normalize(col(vecCol)).as("_qv"))
       .withColumn("_plist",

@@ -3510,6 +3510,16 @@ object OracleSql {
       FROM hits h JOIN tot t USING (doc_id)
       ORDER BY doc_id, bench""",
 
+    // WARC roundtrip: the reader must hand back byte-exact payloads, so
+    // every derived column is a pure function of the source text
+    "t66_warc_roundtrip" -> """
+      SELECT doc_id,
+             'conversion' AS warc_type,
+             strlen(text)::BIGINT AS content_length,
+             md5(text) AS payload_md5
+      FROM documents
+      ORDER BY doc_id""",
+
     // streaming contamination report: per-doc classification is
     // arrival-order invariant (each doc's grams ride its own row), so the
     // batch t60 oracle applies VERBATIM to the two-batch streaming run

@@ -2149,6 +2149,18 @@ object GeoDataFrame {
     // directory of per-task files — dispatch before the extension scan;
     // cx re-plans through the bbox read (block-envelope chunk prune +
     // exact residual)
+    // WARC / WET (Common Crawl's wire format — the corpus-ingestion front
+    // door, not a geo format): record table via [[graft.io.WarcIO]]. The
+    // wrapper is the relational core only — records carry no geometry, so
+    // spatial operators fail on the (absent) geometry column exactly as
+    // they would on any non-spatial table.
+    val warcSuffixes = Seq(".warc", ".wet", ".warc.gz", ".wet.gz")
+    val isWarc =
+      if (isDir) fs.listStatus(p).exists(f =>
+        warcSuffixes.exists(sx => f.getPath.getName.toLowerCase.endsWith(sx)))
+      else warcSuffixes.exists(sx => bare.toLowerCase.endsWith(sx))
+    if (isWarc)
+      return GeoDataFrame(graft.io.WarcIO.read(spark, bare), geometryColumn)
     if (bare.toLowerCase.endsWith(".gdb") && isDir) {
       val g = graft.io.FileGdbIO.read(spark, bare, layer, chunkSize, geometryColumn)
       return g.copy(boxSource = Some(BoxSourceMeta(g.df, box => Some(

@@ -482,7 +482,7 @@ object Similarity {
     * vector instead of 4·dim, scanned without decoding via ADC.
     *
     * Scoring is exact-in-expectation decomposition, not heuristic:
-    *   cos(q, v) ≈ q·(centroid + residual̂)  =  q·centroid + ADC(q, codes)
+    *   cos(q, v) ≈ q·(α·centroid + residual̂) = α·(q·centroid) + ADC(q, codes)
     * with both terms computed from broadcast literals (`q·centroid` via
     * [[graft.sql.functions.gr_dot]] against the centroid literal,
     * ADC via `gr_pq_adc` against the codebook literal).
@@ -513,15 +513,20 @@ object Similarity {
     val cents = centroids.getOrElse(
       trainCentroids(corpus, idCol, vecCol, nlist = nlist, seed = seed))
     val centArr = array(cents.map(c => typedlit(c)).toIndexedSeq: _*)
-    // residual anchors α(list)·centroid: taken from [[trainIvfPq]] when
-    // supplied; otherwise recomputed from the SAME deterministic
-    // (sample, seed) draw it uses, so the anchors the codes were trained
-    // against are bit-identical either way
+    // residual anchors α(list)·centroid must be the EXACT anchors the
+    // codes were trained against — a silent recompute from (sample, seed)
+    // only matches when the caller repeats the training draw bit-for-bit,
+    // and a mismatch degrades recall without any error (r17 ADVICE). So
+    // pre-trained callers must pass BOTH halves of [[trainIvfPq]]'s
+    // paired return; only the train-inline path derives them here.
+    require(codebooks.isEmpty || alphas.isDefined,
+      "ivfPqTopK: pre-trained codebooks need their paired anchor scales — " +
+        "pass both halves of trainIvfPq's (codebooks, alphas) return")
+    require(alphas.isEmpty || codebooks.isDefined,
+      "ivfPqTopK: anchor scales without their codebooks would be ignored " +
+        "by the inline training path — pass both or neither")
     val (cb, alph) = (codebooks, alphas) match {
       case (Some(c), Some(a)) => (c, a)
-      case (Some(c), None) => (c, listAlphas(
-        sampleNormalized(corpus, idCol, vecCol, math.max(sample, ksub), seed),
-        cents))
       case _ =>
         val (c, a) = trainIvfPq(corpus, idCol, vecCol, cents, m, ksub,
           sample = sample, seed = seed)
@@ -556,6 +561,16 @@ object Similarity {
     * [[graft.sql.functions.gr_topKByScore]] aggregate (complete mode,
     * one row per query). Same α-anchored scoring as [[ivfPqTopK]], so
     * batch equivalence is exact at equal parameters (rerank=0).
+    *
+    * SCALE CONTRACT (the probe join key): the stream-static equi-join
+    * keys on the coarse list id, whose cardinality is `nlist` — when the
+    * join shuffles (encoded corpus too big to broadcast, the 100 TB
+    * case), at most `nlist` shuffle partitions can carry rows, so `nlist`
+    * bounds the serving parallelism. A production deployment must size
+    * `nlist` at or above the cluster's shuffle width (thousands of lists
+    * — also what retrieval quality wants at that corpus size); the small
+    * nlist of the specs is a correctness configuration, not the serving
+    * shape. Pinned by IvfPqSpec's nlist≥1024 plan audit.
     */
   def streamingIvfPqTopK(
       queries: DataFrame, corpus: DataFrame,
@@ -569,6 +584,7 @@ object Similarity {
     import org.apache.spark.sql.functions.typedlit
     require(queries.isStreaming, "streamingIvfPqTopK expects a streaming " +
       "query side — use ivfPqTopK for batch")
+    requireIndexShape(centroids, codebooks, alphas, m, "streamingIvfPqTopK")
     val centArr = array(centroids.map(c => typedlit(c)).toIndexedSeq: _*)
     val cbArr = array(codebooks.map(c => typedlit(c)).toIndexedSeq: _*)
     val alphaArr = typedlit(alphas)
@@ -619,12 +635,32 @@ object Similarity {
       alphas: Array[Float],
       m: Int): (DataFrame, () => Unit) = {
     import org.apache.spark.sql.functions.typedlit
+    requireIndexShape(centroids, codebooks, alphas, m, "encodeIvfPqCorpus")
     val centArr = array(centroids.map(c => typedlit(c)).toIndexedSeq: _*)
     val cbArr = array(codebooks.map(c => typedlit(c)).toIndexedSeq: _*)
     val enc = pqEncodeCorpus(corpus, idCol, vecCol, centArr, cbArr,
       typedlit(alphas), m)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     (enc, () => { enc.unpersist(); () })
+  }
+
+  /** The [[saveIvfPqIndex]] consistency guards, shared by every direct
+    * consumer of a hand-assembled index ([[streamingIvfPqTopK]],
+    * [[encodeIvfPqCorpus]]; [[loadIvfPqIndex]] validates on read): a
+    * mismatched shape would otherwise make `element_at(alphaArr,
+    * _list+1)` return null and silently null out encodes/scores —
+    * dropped rows, not an error (r17 ADVICE).
+    */
+  private def requireIndexShape(centroids: Array[Array[Float]],
+      codebooks: Array[Array[Float]], alphas: Array[Float], m: Int,
+      who: String): Unit = {
+    require(centroids.nonEmpty && codebooks.nonEmpty && m >= 1,
+      s"$who: empty index")
+    require(alphas.length == centroids.length,
+      s"$who: ${alphas.length} anchor scales for ${centroids.length} " +
+        "centroids — alphas must pair 1:1 with the coarse lists")
+    require(codebooks.length % m == 0,
+      s"$who: ${codebooks.length} codewords not divisible by m=$m")
   }
 
   /** One narrow codegen'd map: normalize, assign to the nearest coarse

@@ -50,11 +50,12 @@ class IvfPqSpec extends AnyFunSuite {
       m = 4, ksub = 8, sample = 240)
     val flat = Similarity.pqTopK(corpus, queries, "id", "vec",
       k = 10, m = 4, ksub = 8, codebooks = Some(flatCb))
-    val resCb = Similarity.trainIvfPqCodebooks(corpus, "id", "vec", cents,
+    val (resCb, resAl) = Similarity.trainIvfPq(corpus, "id", "vec", cents,
       m = 4, ksub = 8, sample = 240)
     val res = Similarity.ivfPqTopK(corpus, queries, "id", "vec",
       k = 10, nlist = 8, nprobe = 8, m = 4, ksub = 8,
-      centroids = Some(cents), codebooks = Some(resCb), sample = 240)
+      centroids = Some(cents), codebooks = Some(resCb),
+      alphas = Some(resAl), sample = 240)
     val (rFlat, rRes) = (recall(flat, truth), recall(res, truth))
     assert(rRes > rFlat,
       s"residual recall $rRes/100 must beat flat PQ recall $rFlat/100 " +
@@ -153,5 +154,64 @@ class IvfPqSpec extends AnyFunSuite {
     assert(!got.exists(_._2 == 999L),
       "a NaN-scored vector must never occupy a top-k slot")
     assert(got.length == 15, "every query still fills its k slots")
+  }
+
+  test("serving-join scale contract: at nlist>=1024 the shuffled probe " +
+      "join partitions on the list id with key space >= the shuffle width") {
+    // The streamingIvfPqTopK scaladoc pins nlist as the serving-
+    // parallelism bound: the probe join keys on the coarse list id, so a
+    // SHUFFLED join (the 100 TB case — encoded corpus too big to
+    // broadcast) can use at most nlist partitions. This audit runs the
+    // serving plan at production-shaped nlist=1024 with broadcast
+    // disabled and proves (a) the executed join IS keyed on the list id
+    // via hashpartitioning, and (b) the key space covers the configured
+    // shuffle width — i.e. partitioning scales with nlist, not with some
+    // constant.
+    import org.apache.spark.sql.execution.streaming.runtime.{MemoryStream, StreamingQueryWrapper}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val nlist = 1024
+    val dim = 8
+    // hand-assembled production-shaped index: 1024 deterministic unit
+    // centroids, trivial m=2/ksub=4 codebooks, unit anchors
+    def unit(seed: Long): Array[Float] = {
+      val v = Array.tabulate(dim)(j => (2.0 * u(seed * 131L + j) - 1.0))
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val cents = Array.tabulate(nlist)(i => unit(i + 1L))
+    val cb = Array.tabulate(8)(c => Array.tabulate(dim / 2)(j =>
+      (0.01 * (c - 4) * (j + 1)).toFloat))
+    val al = Array.fill(nlist)(1.0f)
+    val corpus = clustered(n = 200, dim = dim, nc = 16, noise = 0.3)
+    val (enc, release) = Similarity.encodeIvfPqCorpus(corpus, "id", "vec",
+      cents, cb, al, m = 2)
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val ms = MemoryStream[(Long, Array[Float])]
+      val q = Similarity.streamingIvfPqTopK(
+          ms.toDF.toDF("id", "vec"), corpus, "id", "vec", cents, cb, al,
+          k = 5, nprobe = 4, m = 2, encoded = Some(enc))
+        .writeStream.outputMode("complete").format("memory")
+        .queryName("ivfpq_plan_sink").start()
+      val plan = try {
+        ms.addData(corpus.filter(col("id") < 4).collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq)
+        q.processAllAvailable()
+        q.asInstanceOf[StreamingQueryWrapper].streamingQuery
+          .lastExecution.executedPlan.toString
+      } finally q.stop()
+      assert(plan.contains("hashpartitioning(_plist") ||
+          plan.contains("hashpartitioning(_list"),
+        s"serving join must partition on the coarse list id:\n$plan")
+      assert(!plan.contains("BroadcastHashJoin"),
+        "broadcast disabled — the audit must exercise the shuffled shape")
+      val width = spark.sessionState.conf.numShufflePartitions
+      assert(nlist >= width,
+        s"production nlist=$nlist must cover the shuffle width $width")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      release()
+    }
   }
 }

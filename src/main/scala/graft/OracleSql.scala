@@ -3510,6 +3510,62 @@ object OracleSql {
       FROM hits h JOIN tot t USING (doc_id)
       ORDER BY doc_id, bench""",
 
+    // WordPiece greedy longest-match, replayed EXACTLY as a recursive
+    // CTE: each recursion step emits one piece (the longest vocab piece
+    // matching at the current position — max_by over length is
+    // deterministic because a prefix of a given length is unique); a
+    // position with no match, or a word over 16 chars, renders the whole
+    // word '[UNK]' (acc is wholly replaced and pos jumps past the end,
+    // mirroring TextKernel.wordpiece). Vocab VALUES are generated from
+    // SparkEntry.t67Vocab — one definition, no drift.
+    "t67_wordpiece_encode" -> s"""
+      WITH RECURSIVE vocab(p) AS (VALUES ${SparkEntry.t67Vocab
+        .map(p => s"('$p')").mkString(", ")}),
+      tok AS (SELECT doc_id, $docToks AS toks FROM documents),
+      words AS (
+        SELECT doc_id, w_idx, toks[w_idx] AS word
+        FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS w_idx
+              FROM tok)
+      ),
+      steps AS (
+        SELECT doc_id, w_idx, word,
+               CASE WHEN len(word) > 16 THEN len(word) + 1 ELSE 1 END AS pos,
+               CASE WHEN len(word) > 16 THEN '[UNK]' ELSE '' END AS acc,
+               CASE WHEN len(word) > 16 THEN 1 ELSE 0 END AS np
+        FROM words
+        UNION ALL
+        SELECT doc_id, w_idx, word,
+               CASE WHEN best IS NULL THEN len(word) + 1 ELSE pos + blen END,
+               CASE WHEN best IS NULL THEN '[UNK]'
+                    WHEN acc = '' THEN best
+                    ELSE acc || ' ' || best END,
+               CASE WHEN best IS NULL THEN 1 ELSE np + 1 END
+        FROM (
+          SELECT s.doc_id, s.w_idx, s.word, s.pos, s.acc, s.np,
+                 max_by(v.p, len(v.p)) AS best,
+                 coalesce(max(CASE WHEN s.pos = 1 THEN len(v.p)
+                                   ELSE len(v.p) - 2 END), 0) AS blen
+          FROM steps s LEFT JOIN vocab v
+            ON (s.pos = 1 AND v.p NOT LIKE '##%'
+                AND v.p = substr(s.word, 1, len(v.p)))
+            OR (s.pos > 1 AND v.p LIKE '##%' AND len(v.p) > 2
+                AND substr(v.p, 3) = substr(s.word, s.pos, len(v.p) - 2))
+          WHERE s.pos <= len(s.word) AND s.acc <> '[UNK]'
+          GROUP BY ALL
+        )
+      ),
+      done AS (SELECT doc_id, w_idx, acc, np FROM steps WHERE pos > len(word)),
+      perdoc AS (
+        SELECT doc_id, string_agg(acc, ' ' ORDER BY w_idx) AS alltoks,
+               sum(np)::BIGINT AS n_pieces,
+               sum(CASE WHEN acc = '[UNK]' THEN 1 ELSE 0 END)::BIGINT AS n_unk
+        FROM done GROUP BY doc_id)
+      SELECT d.doc_id, coalesce(p.n_pieces, 0)::BIGINT AS n_pieces,
+             coalesce(p.n_unk, 0)::BIGINT AS n_unk,
+             md5(coalesce(p.alltoks, '')) AS pieces_md5
+      FROM documents d LEFT JOIN perdoc p USING (doc_id)
+      ORDER BY d.doc_id""",
+
     // WARC roundtrip: the reader must hand back byte-exact payloads, so
     // every derived column is a pure function of the source text
     "t66_warc_roundtrip" -> """

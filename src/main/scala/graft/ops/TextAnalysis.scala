@@ -348,6 +348,118 @@ object TextAnalysis {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"), avg(col("nll")).as("cross_entropy"))
   }
+
+  // ------------------------------------------------- subword tokenization
+
+  /** The pluggable token-counting hook for the token-budget operators
+    * (shard packing t56, sequence packing t14, mixture math): a counter
+    * is any `Column => Column` producing a LONG token count from a text
+    * column. [[whitespaceTokenCounter]] is the default every existing
+    * oracle mirrors; [[wordpieceTokenCounter]] meters REAL subword tokens
+    * — what a training run actually consumes (whitespace undercounts
+    * budgets by ~1.3-1.5x on natural text).
+    */
+  val whitespaceTokenCounter: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+    c => gr_tokenCount(c).cast("long")
+
+  /** Counter metering greedy longest-match subword pieces over `vocab`
+    * ([[wordpieceEncode]]); the vocab rides into the plan as one literal
+    * (the model-rides-to-data shape — no join, no UDF, narrow codegen'd
+    * stage at corpus scale).
+    */
+  def wordpieceTokenCounter(vocab: Seq[String], maxWordChars: Int = 32)
+      : org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+    c => size(wordpieceEncode(c, vocab, maxWordChars)).cast("long")
+
+  /** Greedy longest-match WordPiece encoding of a text column: array of
+    * pieces, unmatchable words as `[UNK]`. See
+    * [[graft.sql.TextKernel.wordpiece]] for the exact rule (mirrored by
+    * the t67 recursive-CTE oracle).
+    */
+  def wordpieceEncode(text: org.apache.spark.sql.Column, vocab: Seq[String],
+      maxWordChars: Int = 32): org.apache.spark.sql.Column = {
+    require(vocab.nonEmpty, "wordpieceEncode: empty vocab")
+    gr_wordpiece(text, typedlit(vocab), lit(maxWordChars))
+  }
+
+  /** Deterministic BPE-style vocabulary training (Sennrich et al. 2016,
+    * adapted to WordPiece-shaped pieces): the corpus reduces to its
+    * word-frequency table — the SUFFICIENT STATISTIC for pair-merge
+    * training — with one hash aggregation capped at the `maxWords` most
+    * frequent words (count desc, word asc: deterministic under ties);
+    * merges then run at the DRIVER over that bounded table. Each round
+    * merges the most frequent adjacent symbol pair (ties broken by the
+    * lexicographically smallest pair) until `vocabSize` pieces exist or
+    * no pair reaches `minPairFreq`. Start symbols are first characters
+    * plain and continuations `##`-prefixed, so the result feeds
+    * [[wordpieceEncode]] directly.
+    *
+    * 100 TB posture: the distributed pass is ONE map-side-combined
+    * groupBy(word) + partial top-`maxWords` — word counts compress a
+    * corpus by ~10^6x, and truncating the rare tail perturbs merges only
+    * at frequencies that never win a merge round anyway. The driver loop
+    * is O(vocabSize x maxWords x avg word length).
+    */
+  def trainWordpieceVocab(df: DataFrame, textCol: String,
+      vocabSize: Int = 512, maxWords: Int = 50000,
+      minPairFreq: Long = 2L): Seq[String] = {
+    require(vocabSize >= 1 && maxWords >= 1 && minPairFreq >= 1,
+      "trainWordpieceVocab: bad parameters")
+    val counts: Array[(String, Long)] = df
+      .select(explode(gr_tokens(col(textCol))).as("_w"))
+      .groupBy(col("_w")).agg(count(lit(1)).as("_n"))
+      .orderBy(col("_n").desc, col("_w").asc)
+      .limit(maxWords)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    require(counts.nonEmpty, "trainWordpieceVocab: no words in corpus")
+    // symbol sequences: first char plain, the rest ##-prefixed
+    val words: Array[(Array[String], Long)] = counts.map { case (w, n) =>
+      (Array.tabulate(w.length)(i =>
+        if (i == 0) w.substring(0, 1) else "##" + w.substring(i, i + 1)), n)
+    }
+    val vocab = scala.collection.mutable.LinkedHashSet.empty[String]
+    words.foreach(_._1.foreach(vocab += _))
+    var syms = words
+    var continue = vocab.size < vocabSize
+    while (continue) {
+      val pairCounts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      syms.foreach { case (s, n) =>
+        var i = 0
+        while (i + 1 < s.length) {
+          val k = (s(i), s(i + 1))
+          pairCounts.update(k, pairCounts.getOrElse(k, 0L) + n)
+          i += 1
+        }
+      }
+      if (pairCounts.isEmpty) continue = false
+      else {
+        val (bestPair, bestN) = pairCounts.minBy { case ((a, b), n) =>
+          (-n, a, b) // max count, then lexicographically smallest pair
+        }
+        if (bestN < minPairFreq) continue = false
+        else {
+          val merged = bestPair._1 + bestPair._2.stripPrefix("##")
+          vocab += merged
+          syms = syms.map { case (s, n) =>
+            if (s.length < 2) (s, n)
+            else {
+              val out = scala.collection.mutable.ArrayBuffer.empty[String]
+              var i = 0
+              while (i < s.length) {
+                if (i + 1 < s.length && s(i) == bestPair._1 && s(i + 1) == bestPair._2) {
+                  out += merged; i += 2
+                } else { out += s(i); i += 1 }
+              }
+              (out.toArray, n)
+            }
+          }
+          continue = vocab.size < vocabSize
+        }
+      }
+    }
+    vocab.toSeq
+  }
 }
 
 /** Multimodal column plumbing: images/audio/video ride as opaque binary

@@ -936,6 +936,15 @@ object GraftDefs {
     "gr_bpe_token_count" -> Spec(Seq(S), I, a => TextKernel.bpeTokenCount(str(a(0)))),
     "gr_tokens" -> Spec(Seq(S), ArrayType(S),
       a => new GenericArrayData(TextKernel.tokens(str(a(0))).map(utf8(_): Any))),
+    // greedy longest-match subword encoding over a vocab literal (the
+    // WordPiece rule; see TextKernel.wordpiece). The vocab rides as a
+    // plan literal and memoizes to a prepared hash set by ArrayData
+    // identity — same contract (and the same shape guard) as matrixMemo.
+    "gr_wordpiece" -> Spec(Seq(S, ArrayType(S), I), ArrayType(S), { a =>
+      new GenericArrayData(TextKernel
+        .wordpiece(str(a(0)), wpVocab(a(1)), int(a(2)))
+        .map(utf8(_): Any))
+    }),
     "gr_shingles" -> Spec(Seq(S, I), ArrayType(S),
       a => new GenericArrayData(TextKernel.charShingles(str(a(0)), int(a(1))).map(utf8(_): Any))),
     // sorted distinct 64-bit hashes of the char n-grams: the compact shingle
@@ -1105,6 +1114,33 @@ object GraftDefs {
   private def floats(v: Any): Array[Float] = {
     val arr = v.asInstanceOf[ArrayData]
     arr.toFloatArray()
+  }
+
+  // The wordpiece vocab literal -> prepared-hash-set conversion, memoized
+  // by ArrayData identity per thread under the same soundness contract
+  // (and the same on-hit shape guard) as matrixMemo below: only
+  // GenericArrayData (what Literal carries) memoizes, and a recycled
+  // instance with a different element count re-converts.
+  private val vocabMemo =
+    ThreadLocal.withInitial[java.util.IdentityHashMap[AnyRef, TextKernel.WpVocab]](
+      () => new java.util.IdentityHashMap[AnyRef, TextKernel.WpVocab]())
+  private def wpVocab(v: Any): TextKernel.WpVocab = {
+    val arr = v.asInstanceOf[ArrayData]
+    def convert(): TextKernel.WpVocab = new TextKernel.WpVocab(
+      (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString))
+    arr match {
+      case g: org.apache.spark.sql.catalyst.util.GenericArrayData =>
+        val memo = vocabMemo.get()
+        val hit = memo.get(g)
+        if (hit != null && hit.srcLen == g.numElements()) hit
+        else {
+          val m = convert()
+          if (memo.size() >= 8) memo.clear()
+          memo.put(g, m)
+          m
+        }
+      case _ => convert()
+    }
   }
 
   // Matrix arguments (centroid sets, PQ codebooks) arrive as plan

@@ -396,6 +396,68 @@ object TextKernel {
     }
     min
   }
+
+  /** A wordpiece vocabulary prepared for greedy longest-match encoding:
+    * the piece set plus the maximum piece lengths (start pieces plain,
+    * continuation pieces carry the `##` prefix), so the per-position
+    * longest-match scan is bounded by the longest real piece instead of
+    * the word length.
+    */
+  final class WpVocab(pieces: Iterable[String]) {
+    val set = new java.util.HashSet[String]()
+    var maxStart = 0
+    var maxCont = 0
+    var srcLen = 0 // element count of the source list (memo shape guard)
+    pieces.foreach { p =>
+      set.add(p)
+      srcLen += 1
+      if (p.startsWith("##")) maxCont = math.max(maxCont, p.length - 2)
+      else maxStart = math.max(maxStart, p.length)
+    }
+  }
+
+  val Unk = "[UNK]"
+
+  /** Greedy longest-match subword encoding (the WordPiece tokenization
+    * rule, Devlin et al. 2019 / Wu et al. 2016): each whitespace word
+    * encodes left-to-right, always taking the LONGEST vocab piece that
+    * matches at the current position (continuation pieces are matched in
+    * their `##`-prefixed form); a position with no matching piece — or a
+    * word longer than `maxWordChars` — renders the WHOLE word as `[UNK]`.
+    * Deterministic: the longest match at a position is unique (a prefix
+    * of a given length is one string). Mirrored by the t67 DuckDB
+    * recursive-CTE oracle, so changes must land in lockstep.
+    */
+  def wordpiece(text: String, vocab: WpVocab, maxWordChars: Int): Array[String] = {
+    val out = mutable.ArrayBuffer.empty[String]
+    tokens(text).foreach { w =>
+      if (w.length > maxWordChars) out += Unk
+      else {
+        var pos = 0
+        var bad = false
+        val pieces = mutable.ArrayBuffer.empty[String]
+        while (pos < w.length && !bad) {
+          val cap = if (pos == 0) vocab.maxStart else vocab.maxCont
+          var len = math.min(w.length - pos, cap)
+          var found: String = null
+          while (len >= 1 && found == null) {
+            val cand =
+              if (pos == 0) w.substring(0, len)
+              else "##" + w.substring(pos, pos + len)
+            if (vocab.set.contains(cand)) found = cand
+            len -= 1
+          }
+          if (found == null) bad = true
+          else {
+            pieces += found
+            pos += (if (pos == 0) found.length else found.length - 2)
+          }
+        }
+        if (bad) out += Unk else out ++= pieces
+      }
+    }
+    out.toArray
+  }
 }
 
 /** Embedding-vector kernels (similarity search). Inputs are float vectors
@@ -542,6 +604,7 @@ object VecKernel {
     }
     bucket
   }
+
 
   private val planeCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Array[Double]]]()

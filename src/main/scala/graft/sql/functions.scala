@@ -269,6 +269,8 @@ object functions {
   def gr_tokenCount(text: Column): Column = fn("gr_token_count", text)
   def gr_bpeTokenCount(text: Column): Column = fn("gr_bpe_token_count", text)
   def gr_tokens(text: Column): Column = fn("gr_tokens", text)
+  def gr_wordpiece(text: Column, vocab: Column, maxWordChars: Column): Column =
+    fn("gr_wordpiece", text, vocab, maxWordChars)
   def gr_shingles(text: Column, n: Column): Column = fn("gr_shingles", text, n)
   def gr_gramHashes(text: Column, n: Column): Column = fn("gr_gram_hashes", text, n)
   def gr_sortedIntersectSize(a: Column, b: Column): Column =

@@ -3510,6 +3510,36 @@ object OracleSql {
       FROM hits h JOIN tot t USING (doc_id)
       ORDER BY doc_id, bench""",
 
+    // one-call corpus dedup: the t23 pipeline (minhash all-pairs + CC +
+    // canonical rank) inverted to the SURVIVOR set, md5-witnessing every
+    // surviving document byte-exact. Docs outside any cluster survive as
+    // their own singleton cluster. Ranking key is length(text) — the
+    // operator is generic over any text column, so it cannot assume the
+    // n_chars convenience column t23 uses (equal on this testdata).
+    "t68_dedup_corpus" -> s"""
+      WITH RECURSIVE $minhashCtes,
+      prs AS (SELECT id_a, id_b FROM est WHERE est >= 0.5),
+      e AS (SELECT id_a AS a, id_b AS b FROM prs
+            UNION SELECT id_b, id_a FROM prs),
+      reach(a, b) AS (
+        SELECT a, b FROM e
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+      cl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+             FROM reach GROUP BY a),
+      r AS (SELECT cl.cluster_id, cl.doc_id,
+              row_number() OVER (PARTITION BY cl.cluster_id
+                ORDER BY length(dd.text) DESC, cl.doc_id) AS rnk,
+              count(*) OVER (PARTITION BY cl.cluster_id) AS n_docs
+            FROM cl JOIN documents dd USING (doc_id))
+      SELECT d.doc_id,
+             coalesce(r.cluster_id, d.doc_id) AS cluster_id,
+             coalesce(r.n_docs, 1)::BIGINT AS n_cluster_docs,
+             md5(d.text) AS text_md5
+      FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id
+      WHERE r.rnk IS NULL OR r.rnk = 1
+      ORDER BY d.doc_id""",
+
     // WordPiece greedy longest-match, replayed EXACTLY as a recursive
     // CTE: each recursion step emits one piece (the longest vocab piece
     // matching at the current position — max_by over length is

@@ -4399,6 +4399,24 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("bench"))
     }),
 
+    // ONE-CALL CORPUS DEDUP (r18 judge #7): minhashLsh -> connected
+    // components -> canonical pick (longest text, ties to smallest id)
+    // in a single Dedup.dedupCorpus call — the composition every corpus
+    // pipeline runs. md5-witnessed oracle: the SURVIVING corpus must be
+    // byte-exact (text md5 per survivor), with cluster id + size; the
+    // DuckDB side replays the full minhash + recursive-reachability CC
+    // pipeline (the t23 CTEs) and keeps rnk=1 per cluster. threshold=0.5
+    // matches the t23/t33 oracle family; the all-pairs SQL stays exact
+    // while every LSH bucket is under the 128 cap (Verify probes this).
+    "t68_dedup_corpus" -> ((s, d) => {
+      graft.sql.functions.install(s)
+      Dedup.dedupCorpus(t(s, d, "documents"), "doc_id", "text",
+          threshold = 0.5)
+        .select(col("doc_id"), col("cluster_id"), col("n_cluster_docs"),
+          md5(col("text")).as("text_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // SUBWORD (WordPiece) ENCODE over a PLANTED vocab (r18 judge #2):
     // greedy longest-match tokenization of every document — the real
     // token meter behind the token-budget operators. The vocab covers

@@ -2894,6 +2894,14 @@ object OracleSql {
       SELECT count(*)::BIGINT AS n_queries, true AS pairs_match
       FROM embeddings WHERE vec_id >= 400 AND vec_id < 410""",
 
+    // incremental index maintenance: delta sizes are planted constants
+    // (10 added + 10 changed, 10 deleted) and the three gates are
+    // incremental==full identities the Spark side proves exactly
+    "e14_ann_incremental" -> """
+      SELECT 20::BIGINT AS n_delta, 10::BIGINT AS n_deleted,
+             true AS encode_identical, true AS retrieval_identical,
+             true AS deleted_never_returns""",
+
     // index persistence roundtrip: every output is a structural constant
     // (index shape; exact-roundtrip and identical-retrieval gates)
     "e12_ann_index_roundtrip" -> """

@@ -5063,6 +5063,64 @@ object SparkEntry {
       queries.agg(count(lit(1)).as("n_queries")).crossJoin(cmp)
     }),
 
+    // r18 INCREMENTAL IVF-PQ MAINTENANCE (judge #3): a crawl delta must
+    // not force a full re-encode. Old corpus v1 (10 ids missing = later
+    // ADDS, 10 vectors reversed = later CHANGES) updates to v2 (10 ids
+    // DELETED) through corpusVectorDelta + updateEncodedCorpus with the
+    // same index literals; gates: (a) incremental encoded relation ==
+    // full re-encode of v2 as an exact set, (b) servedIvfPqTopK over the
+    // incremental relation is pair-identical to serving the full
+    // re-encode, (c) a deleted id never returns. Delta sizes are exact
+    // constants (20 delta rows, 10 deletions).
+    "e14_ann_incremental" -> ((s, d) => {
+      graft.sql.functions.install(s)
+      val emb = t(s, d, "embeddings")
+      val cents = Similarity.trainCentroids(emb, "vec_id", "embedding",
+        nlist = 8, oversample = 8, iters = 10, seed = 42L)
+      val (cb, al) = Similarity.trainIvfPq(emb, "vec_id", "embedding",
+        cents, m = 8, ksub = 16, sample = 256, iters = 10, seed = 42L)
+      val v2 = emb.filter(!(col("vec_id") >= 100 && col("vec_id") < 110))
+      val v1 = emb.filter(!(col("vec_id") >= 440 && col("vec_id") < 450))
+        .withColumn("embedding", when(col("vec_id") < 10,
+          reverse(col("embedding"))).otherwise(col("embedding")))
+      val (encOld, relOld) = Similarity.encodeIvfPqCorpus(v1, "vec_id",
+        "embedding", cents, cb, al, 8)
+      val (delta, deleted) = Similarity.corpusVectorDelta(v1, v2,
+        "vec_id", "embedding")
+      val (encInc, relInc) = Similarity.updateEncodedCorpus(encOld, delta,
+        deleted, "vec_id", "embedding", cents, cb, al, 8)
+      val (encFull, relFull) = Similarity.encodeIvfPqCorpus(v2, "vec_id",
+        "embedding", cents, cb, al, 8)
+      try {
+        def keyed(e: DataFrame, tag: String) = e.select(col("neighbor_id"),
+          col("_list"), expr("cast(_codes AS string)").as("_cs"),
+          lit(1).as(tag))
+        val encDiff = keyed(encInc, "_a")
+          .join(keyed(encFull, "_b"),
+            Seq("neighbor_id", "_list", "_cs"), "full_outer")
+          .filter(col("_a").isNull || col("_b").isNull).count()
+        val queries = emb.filter(col("vec_id") >= 400 && col("vec_id") < 410)
+        def serve(e: DataFrame) = Similarity.servedIvfPqTopK(e, queries,
+          "vec_id", "embedding", cents, cb, al, k = 10, nprobe = 4,
+          roundScoreTo = 4)
+        val pairDiff = serve(encInc).select(col("query_id"),
+            col("neighbor_id"), col("rank")).withColumn("_a", lit(1))
+          .join(serve(encFull).select(col("query_id"), col("neighbor_id"),
+            col("rank")).withColumn("_b", lit(1)),
+            Seq("query_id", "neighbor_id", "rank"), "full_outer")
+          .filter(col("_a").isNull || col("_b").isNull).count()
+        val deletedHits = serve(encInc)
+          .join(deleted.withColumnRenamed("vec_id", "neighbor_id"),
+            Seq("neighbor_id"), "left_semi").count()
+        s.range(1).select(
+          lit(delta.count()).cast("long").as("n_delta"),
+          lit(deleted.count()).cast("long").as("n_deleted"),
+          lit(encDiff == 0).as("encode_identical"),
+          lit(pairDiff == 0).as("retrieval_identical"),
+          lit(deletedHits == 0).as("deleted_never_returns"))
+      } finally { relOld(); relInc(); relFull() }
+    }),
+
     // r12 scalar-quantized (SQ8) ANN: 1 byte/component on a per-dimension
     // corpus [min,max] grid (4x compression; the uniform-grid sibling of
     // e08's PQ), asymmetric decode-and-dot scoring, exact top-100 re-rank.

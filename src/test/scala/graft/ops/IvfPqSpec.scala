@@ -156,6 +156,44 @@ class IvfPqSpec extends AnyFunSuite {
     assert(got.length == 15, "every query still fills its k slots")
   }
 
+  test("incremental encoded-corpus maintenance: update(old, delta) equals " +
+      "a full re-encode, and a deleted id never returns") {
+    val full = clustered(n = 160, dim = 16, nc = 4, noise = 0.2)
+    val cents = Similarity.trainCentroids(full, "id", "vec", nlist = 4)
+    val (cb, al) = Similarity.trainIvfPq(full, "id", "vec", cents,
+      m = 4, ksub = 8, sample = 160)
+    // old = full minus ids 150+ (adds), with ids < 5 reversed (changes);
+    // new = full minus ids 60..64 (deletes)
+    val v1 = full.filter(col("id") < 150)
+      .withColumn("vec", when(col("id") < 5, reverse(col("vec")))
+        .otherwise(col("vec")))
+    val v2 = full.filter(col("id") < 60 || col("id") >= 65)
+    val (encOld, relOld) = Similarity.encodeIvfPqCorpus(v1, "id", "vec",
+      cents, cb, al, 4)
+    val (delta, deleted) = Similarity.corpusVectorDelta(v1, v2, "id", "vec")
+    assert(delta.count() == 15 && deleted.count() == 5) // 10 adds + 5 changes
+    val (encInc, relInc) = Similarity.updateEncodedCorpus(encOld, delta,
+      deleted, "id", "vec", cents, cb, al, 4)
+    val (encFull, relFull) = Similarity.encodeIvfPqCorpus(v2, "id", "vec",
+      cents, cb, al, 4)
+    try {
+      def rows(e: org.apache.spark.sql.DataFrame) = e.select(
+          col("neighbor_id"), col("_list"),
+          expr("cast(_codes AS string)"))
+        .collect().map(_.toSeq).toSet
+      assert(rows(encInc) == rows(encFull),
+        "incremental encode must be set-identical to a full re-encode")
+      val served = Similarity.servedIvfPqTopK(encInc,
+        full.filter(col("id") < 6), "id", "vec", cents, cb, al,
+        k = 5, nprobe = 4, roundScoreTo = 4)
+      val got = served.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val gone = deleted.collect().map(_.getLong(0)).toSet
+      assert(!got.exists(p => gone.contains(p._2)),
+        "a deleted id must never occupy a top-k slot")
+      assert(got.length == 30, "every query fills k slots")
+    } finally { relOld(); relInc(); relFull() }
+  }
+
   test("serving-join scale contract: at nlist>=1024 the shuffled probe " +
       "join partitions on the list id with key space >= the shuffle width") {
     // The streamingIvfPqTopK scaladoc pins nlist as the serving-

@@ -1503,14 +1503,11 @@ object OracleSql {
               || '</h1><p>' || text
               || ' A &amp; B &lt;x&gt;</p></body></html>' AS html
             FROM documents),
-      t0 AS (SELECT doc_id, html,
-               regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS s
-             FROM h),
-      t1 AS (SELECT doc_id, html,
-               regexp_replace(s, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS s
-             FROM t0),
       t2 AS (SELECT doc_id, html,
-               regexp_replace(s, '<[^>]+>', ' ', 'g') AS s FROM t1),
+               regexp_replace(html,
+                 '(?is)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>|<[^>]+>',
+                 ' ', 'g') AS s
+             FROM h),
       t3 AS (SELECT doc_id, html,
                replace(replace(replace(replace(replace(s,
                  '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),

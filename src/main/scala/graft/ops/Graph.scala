@@ -112,19 +112,24 @@ object Graph {
       dstCol: String,
       iters: Int = 3): DataFrame = {
     require(iters >= 1, s"labelPropagation: iters >= 1 (got $iters)")
-    val raw = edges.select(col(srcCol).cast("long").as("_a"),
-      col(dstCol).cast("long").as("_b"))
+    // ONE upfront checkpoint: pin the caller's (possibly expensive) edge
+    // derivation once, and derive the filtered/undirected/node views
+    // LAZILY from that pinned table — each is a narrow map/union over an
+    // in-memory RDD, so re-reading it per iteration is cheaper than the
+    // per-view checkpoint jobs were (r18: three upfront checkpoint jobs
+    // dominated the wall of small-iteration runs; each eager
+    // localCheckpoint is a full job of fixed scheduling cost).
+    val raw = GraftInterop.localCheckpointCappedStats(
+      edges.select(col(srcCol).cast("long").as("_a"),
+        col(dstCol).cast("long").as("_b")))
     // self-loops contribute no propagation but their endpoints ARE nodes
     // (the contract: nodes = distinct edge endpoints) — derive the node
     // set BEFORE dropping them, or a node appearing only in self-loops
     // vanishes from the output
-    val e = GraftInterop.localCheckpointCappedStats(
-      raw.filter(col("_a") =!= col("_b")))
-    val und = GraftInterop.localCheckpointCappedStats(
-      e.unionByName(e.select(col("_b").as("_a"), col("_a").as("_b"))))
-    val nodes = GraftInterop.localCheckpointCappedStats(
-      raw.select(col("_a").as("_id"))
-        .unionByName(raw.select(col("_b").as("_id"))).distinct())
+    val e = raw.filter(col("_a") =!= col("_b"))
+    val und = e.unionByName(e.select(col("_b").as("_a"), col("_a").as("_b")))
+    val nodes = raw.select(col("_a").as("_id"))
+      .unionByName(raw.select(col("_b").as("_id"))).distinct()
     var lab = nodes.select(col("_id"), col("_id").as("_lbl"))
     var i = 0
     while (i < iters) {

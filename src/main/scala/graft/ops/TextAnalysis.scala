@@ -175,17 +175,26 @@ object TextAnalysis {
    * the oracle, so cross-engine parity holds while spec fidelity does
    * not.
    */
+  /* r18: the script-block / style-block / tag strips merged into ONE
+   * alternation pass (three full-document regex rewrites were the bulk
+   * of the column wall). Alternatives try left-to-right at each
+   * position, so a <script...> opener still prefers its whole lazy
+   * block over the bare-tag strip — outputs are identical on all
+   * non-pathological inputs, and the ORACLE runs the same single
+   * alternation, so the two sides stay in lockstep by construction.
+   */
   def htmlExtract(df: DataFrame, idCol: String, htmlCol: String): DataFrame =
-    df.withColumn("_t0",
-        regexp_replace(col(htmlCol), "(?is)<script[^>]*>.*?</script>", " "))
-      .withColumn("_t1",
-        regexp_replace(col("_t0"), "(?is)<style[^>]*>.*?</style>", " "))
-      .withColumn("_t2", regexp_replace(col("_t1"), "<[^>]+>", " "))
+    df.withColumn("_t2", regexp_replace(col(htmlCol),
+        "(?is)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>|<[^>]+>", " "))
+      // entity patterns are LITERAL strings — StringReplace (no regex
+      // engine, no per-row pattern scan state) replaces byte-identically
+      // to the regexp form for these five patterns (r18 profile: the five
+      // regex passes were the bulk of the post-strip wall). Oracle
+      // untouched: literal == regex semantics here.
       .withColumn("_t3",
-        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-          regexp_replace(col("_t2"),
-            "&amp;", "&"), "&lt;", "<"), "&gt;", ">"), "&quot;", "\""),
-          "&#39;", "'"))
+        expr("replace(replace(replace(replace(replace(_t2, " +
+          "'&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), " +
+          "'&#39;', '''')"))
       .withColumn("text", trim(regexp_replace(col("_t3"), "\\s+", " ")))
       .select(col(idCol),
         length(col(htmlCol)).cast("long").as("html_len"),

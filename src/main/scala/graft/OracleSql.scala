@@ -3601,6 +3601,33 @@ object OracleSql {
       FROM documents d LEFT JOIN perdoc p USING (doc_id)
       ORDER BY d.doc_id""",
 
+    // WARC->WET end-to-end: the WET payload is exactly the t46
+    // extraction of the wrapped page, witnessed through two warc
+    // container roundtrips — same CTE pipeline as t46, reduced to
+    // (len, md5)
+    "t69_warc_to_wet" -> """
+      WITH h AS (SELECT doc_id,
+              '<html><head><title>T</title><style>p{color:red}</style></head>'
+              || '<body><script>var x=1;</script><h1>' || source
+              || '</h1><p>' || text
+              || ' A &amp; B &lt;x&gt;</p></body></html>' AS html
+            FROM documents),
+      t2 AS (SELECT doc_id,
+               regexp_replace(html,
+                 '(?is)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>|<[^>]+>',
+                 ' ', 'g') AS s
+             FROM h),
+      t3 AS (SELECT doc_id,
+               replace(replace(replace(replace(replace(s,
+                 '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+                 '&quot;', '"'), '&#39;', '''') AS s
+             FROM t2),
+      x AS (SELECT doc_id, trim(regexp_replace(s, '\s+', ' ', 'g')) AS text
+            FROM t3)
+      SELECT doc_id, 'conversion' AS warc_type,
+             strlen(text)::BIGINT AS text_len, md5(text) AS text_md5
+      FROM x ORDER BY doc_id""",
+
     // WARC roundtrip: the reader must hand back byte-exact payloads, so
     // every derived column is a pure function of the source text
     "t66_warc_roundtrip" -> """

@@ -152,6 +152,17 @@ object SparkEntry {
     dir.toAbsolutePath.toString
   }
 
+  /** The synthetic crawl-page wrapper shared by t46 (direct extraction)
+    * and t69 (full WARC→WET roundtrip) — ONE definition so the two
+    * queries, and their oracles' mirrored string concatenation, extract
+    * the same text.
+    */
+  private def t46HtmlWrap: org.apache.spark.sql.Column = concat(
+    lit("<html><head><title>T</title><style>p{color:red}</style></head>" +
+      "<body><script>var x=1;</script><h1>"),
+    col("source"), lit("</h1><p>"), col("text"),
+    lit(" A &amp; B &lt;x&gt;</p></body></html>"))
+
   /** The t67 planted WordPiece vocab — shared with the OracleSql mirror
     * so the two sides cannot drift: all single letters as start pieces,
     * all continuations EXCEPT ##k (plants a real [UNK]: 'spark'), and
@@ -4440,6 +4451,35 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // WARC -> WET END-TO-END (r18): the full Common Crawl conversion a
+    // pretraining pipeline runs before anything else — synthesize the
+    // crawl capture (response records, text/html payloads = the t46
+    // wrapper), write it as per-member .warc.gz, run wetFromWarc (read
+    // capture -> htmlExtract every response -> write conversion records
+    // as .wet.gz), read the WET back. Oracle: the extracted text is a
+    // pure function of the source documents (the t46 extraction SQL),
+    // md5-witnessed through TWO warc container roundtrips.
+    "t69_warc_to_wet" -> ((s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val crawlDir = scratchBase + s"/graft_t69_crawl_$tag"
+      val wetDir = scratchBase + s"/graft_t69_wet_$tag"
+      graft.io.WarcIO.write(
+        t(s, d, "documents").select(
+          concat(lit("http://crawl.test/page/"), col("doc_id")).as("target_uri"),
+          t46HtmlWrap.as("payload"),
+          lit("response").as("warc_type"),
+          lit("text/html").as("content_type")),
+        crawlDir)
+      TextAnalysis.wetFromWarc(s, crawlDir, wetDir, splitBytes = 1L << 20)
+      graft.io.WarcIO.read(s, wetDir)
+        .select(
+          regexp_extract(col("target_uri"), "page/(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+          col("warc_type"), col("content_length").as("text_len"),
+          md5(col("payload")).as("text_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // WARC/WET INGESTION ROUNDTRIP (r18 judge #1 — the format a web-scale
     // corpus actually arrives in): the documents table writes as a
     // directory of .warc.gz part files (ONE GZIP MEMBER PER RECORD, the
@@ -4607,11 +4647,8 @@ object SparkEntry {
     // script/style-drop + tag-strip + entity-decode + whitespace-collapse
     // chain; md5 witnesses the extracted text byte-for-byte
     "t46_html_extract" -> ((s, d) => {
-      val html = t(s, d, "documents").select(col("doc_id"), concat(
-        lit("<html><head><title>T</title><style>p{color:red}</style></head>" +
-          "<body><script>var x=1;</script><h1>"),
-        col("source"), lit("</h1><p>"), col("text"),
-        lit(" A &amp; B &lt;x&gt;</p></body></html>")).as("html"))
+      val html = t(s, d, "documents")
+        .select(col("doc_id"), t46HtmlWrap.as("html"))
       graft.ops.TextAnalysis.htmlExtract(html, "doc_id", "html")
         .select(col("doc_id"), col("html_len"), col("text_len"),
           col("markup_ratio"), md5(col("text")).as("text_hash"))

@@ -358,6 +358,27 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_bigrams"), avg(col("nll")).as("cross_entropy"))
   }
 
+  /** WARC → WET conversion — the Common Crawl pipeline step that turns a
+    * raw capture into the text extraction LLM pipelines actually train
+    * on: read the `.warc.gz` capture ([[graft.io.WarcIO.read]] — tasks
+    * frame their own gzip members), [[htmlExtract]] each `response`
+    * payload, and write the extracted text back as `conversion` records
+    * in per-member `.wet.gz` files ([[graft.io.WarcIO.write]]). Fully
+    * distributed end to end: no driver data path, the capture bytes
+    * cross the cluster exactly once (read → narrow extract → task-side
+    * write; no shuffle at all unless the caller repartitions).
+    */
+  def wetFromWarc(spark: org.apache.spark.sql.SparkSession,
+      warcPath: String, wetPath: String,
+      splitBytes: Long = 32L << 20): Unit = {
+    val resp = graft.io.WarcIO.read(spark, warcPath, splitBytes)
+      .filter(col("warc_type") === "response")
+      .select(col("target_uri"), col("payload").cast("string").as("_html"))
+    val wet = htmlExtract(resp, "target_uri", "_html")
+      .select(col("target_uri"), col("text").as("payload"))
+    graft.io.WarcIO.write(wet, wetPath)
+  }
+
   // ------------------------------------------------- subword tokenization
 
   /** The pluggable token-counting hook for the token-budget operators

@@ -3601,6 +3601,14 @@ object OracleSql {
       FROM documents d LEFT JOIN perdoc p USING (doc_id)
       ORDER BY d.doc_id""",
 
+    // trained-vocab contract gates (see the t70 query comment): the BPE
+    // merge loop is driver-side and not SQL-replayable, so the oracle
+    // pins the contract booleans + the exact zero-UNK count
+    "t70_trained_vocab" -> """
+      SELECT true AS deterministic, true AS vocab_bounded,
+             0::BIGINT AS n_unk_total, true AS compresses,
+             true AS top_word_single_piece""",
+
     // WARC->WET end-to-end: the WET payload is exactly the t46
     // extraction of the wrapped page, witnessed through two warc
     // container roundtrips — same CTE pipeline as t46, reduced to

@@ -4451,6 +4451,42 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // TRAINED-VOCAB CONTRACT (r18): trainWordpieceVocab on the real
+    // corpus under a t30-style gate (driver-side BPE merges are not
+    // SQL-replayable, so the oracle pins the CONTRACT): bit-identical
+    // across two trainings, bounded size, zero [UNK] on the training
+    // corpus (base symbols always enter the vocab), merges genuinely
+    // compress vs character-level, and the corpus's most frequent word
+    // saturates to a single piece.
+    "t70_trained_vocab" -> ((s, d) => {
+      graft.sql.functions.install(s)
+      val docs = t(s, d, "documents")
+      val vocab = TextAnalysis.trainWordpieceVocab(docs, "text", vocabSize = 64)
+      val vocab2 = TextAnalysis.trainWordpieceVocab(docs, "text", vocabSize = 64)
+      val baseVocab = vocab.filter(p => p.stripPrefix("##").length == 1)
+      def totalPieces(v: Seq[String]) = docs
+        .select(TextAnalysis.wordpieceEncode(col("text"), v, 32).as("p"))
+        .agg(sum(size(col("p"))).cast("long"),
+          sum(expr("size(filter(p, x -> x = '[UNK]'))")).cast("long"))
+        .head
+      val trained = totalPieces(vocab)
+      val charLevel = totalPieces(baseVocab)
+      val topWord = docs
+        .select(explode(gr_tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("w").asc).limit(1)
+        .head.getString(0)
+      val topPieces = graft.sql.TextKernel.wordpiece(topWord,
+        new graft.sql.TextKernel.WpVocab(vocab), 32)
+      s.range(1).select(
+        lit(vocab == vocab2).as("deterministic"),
+        lit(vocab.size <= 64 && vocab.size > baseVocab.size).as("vocab_bounded"),
+        lit(trained.getLong(1)).as("n_unk_total"),
+        lit(trained.getLong(0) < charLevel.getLong(0)).as("compresses"),
+        lit(topPieces.length == 1 && topPieces.head == topWord)
+          .as("top_word_single_piece"))
+    }),
+
     // WARC -> WET END-TO-END (r18): the full Common Crawl conversion a
     // pretraining pipeline runs before anything else — synthesize the
     // crawl capture (response records, text/html payloads = the t46

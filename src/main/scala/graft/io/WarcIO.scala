@@ -411,6 +411,12 @@ object WarcIO {
         val p = new Path(sp.path)
         val tfs = p.getFileSystem(sconf.value)
         val in = tfs.open(p)
+        // a task that abandons the iterator early (limit/take) must not
+        // leak the stream — the completion listener closes it regardless
+        // of how far the hasNext-side close below got
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ =>
+            try in.close() catch { case _: Throwable => () }))
         val it: Iterator[WarcRecord] =
           if (sp.gz) {
             val first =

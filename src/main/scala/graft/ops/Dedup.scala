@@ -280,10 +280,12 @@ object Dedup {
     */
   private[graft] def tokenNgrams(toks: org.apache.spark.sql.Column, n: Int)
       : org.apache.spark.sql.Column =
-    when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => md5(concat_ws(" ", slice(toks, i, lit(n))))))
-      .otherwise(array())
+    // one-pass kernel == transform(sequence(1, size-n+1), i =>
+    //   md5(concat_ws(" ", slice(toks, i, n)))) byte-for-byte (see the
+    // gr_token_window_md5 spec; < n tokens -> empty array is folded into
+    // the kernel). coalesce keeps the old `when` null contract: a null
+    // token array still yields an EMPTY gram array, never null.
+    coalesce(gr_tokenWindowMd5(toks, lit(n)), array())
 
   /** The benchmark's DISTINCT gram set as a one-column ("gram")
     * DataFrame — the probe side shared by every decontamination entry

@@ -132,6 +132,26 @@ object GraftDefs {
   @inline private def wkb(g: Geometry): Array[Byte] = Wkb.write(g)
   @inline private def dbl(v: Any): Double = v.asInstanceOf[Double]
   @inline private def int(v: Any): Int = v.asInstanceOf[Int]
+  // thread-cached MD5 (expressions evaluate on task threads; the builtin
+  // md5 expression calls MessageDigest.getInstance per invocation)
+  private val md5TL = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private final val SpaceByte: Byte = ' '
+  private final val HexDigits = "0123456789abcdef".getBytes
+  /** Lowercase hex of a digest as UTF8String (the builtin md5's format). */
+  private def hexUtf8(d: Array[Byte]): UTF8String = {
+    val out = new Array[Byte](d.length * 2)
+    var i = 0
+    while (i < d.length) {
+      val b = d(i) & 0xff
+      out(i * 2) = HexDigits(b >>> 4)
+      out(i * 2 + 1) = HexDigits(b & 0xf)
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
   @inline private def long(v: Any): Long = v.asInstanceOf[Long]
   @inline private def str(v: Any): String = v.asInstanceOf[UTF8String].toString
   @inline private def utf8(s: String): UTF8String = UTF8String.fromString(s)
@@ -947,6 +967,41 @@ object GraftDefs {
     }),
     "gr_shingles" -> Spec(Seq(S, I), ArrayType(S),
       a => new GenericArrayData(TextKernel.charShingles(str(a(0)), int(a(1))).map(utf8(_): Any))),
+    // md5 hex of every n-token window (space-joined), ONE pass — the
+    // decontamination-family probe kernel (t13/t58-t65). Byte-identical
+    // to `transform(sequence(1, size-n+1), i => md5(concat_ws(" ",
+    // slice(toks, i, n))))` but: token bytes are fetched once per DOC
+    // (not once per window), the MessageDigest is thread-cached and
+    // reset (the builtin md5 calls MessageDigest.getInstance per call),
+    // and no slice array / joined UTF8String is ever materialized.
+    // < n tokens -> empty array (the callers' `when` guard, folded in).
+    "gr_token_window_md5" -> Spec(Seq(ArrayType(S), I), ArrayType(S), { a =>
+      val arr = a(0).asInstanceOf[ArrayData]
+      val n = int(a(1))
+      val cnt = arr.numElements()
+      if (cnt < n || n < 1) new GenericArrayData(Array.empty[Any])
+      else {
+        val tokBytes = new Array[Array[Byte]](cnt)
+        var i = 0
+        while (i < cnt) { tokBytes(i) = arr.getUTF8String(i).getBytes; i += 1 }
+        val md = md5TL.get()
+        val out = new Array[Any](cnt - n + 1)
+        var w = 0
+        while (w <= cnt - n) {
+          md.reset()
+          var j = w
+          val end = w + n
+          while (j < end) {
+            if (j > w) md.update(SpaceByte)
+            md.update(tokBytes(j))
+            j += 1
+          }
+          out(w) = hexUtf8(md.digest())
+          w += 1
+        }
+        new GenericArrayData(out)
+      }
+    }),
     // sorted distinct 64-bit hashes of the char n-grams: the compact shingle
     // set representation for pairwise set ops (8 bytes/gram, mergeable)
     "gr_gram_hashes" -> Spec(Seq(S, I), ArrayType(L), { a =>

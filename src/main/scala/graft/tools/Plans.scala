@@ -24,11 +24,31 @@ object Plans {
     val names = if (args.nonEmpty) args.toSeq
       else Seq("g01_bbox_filter", "q01_pricing_summary", "g03_sjoin_pip",
         "g15_sjoin_grid", "t05_minhash_pairs", "e01_cosine_topk", "q02_revenue_by_nation")
+    // SPARK_GRAFT_PLAN_OUT=<dir>,<suffix>: write one
+    // <dir>/<query>_<suffix>.txt per query in FORMATTED mode (the r18
+    // optimization-round plan artifacts) instead of stdout SimpleMode.
+    val out = sys.env.get("SPARK_GRAFT_PLAN_OUT").map { s =>
+      val Array(dir, suffix) = s.split(",", 2); (dir, suffix)
+    }
     names.foreach { n =>
-      println(s"\n========== $n ==========")
-      val df = graft.SparkEntry.queries(n)(spark, sfDir)
-      println(df.queryExecution.explainString(
-        org.apache.spark.sql.execution.SimpleMode))
+      try {
+        val df = graft.SparkEntry.queries(n)(spark, sfDir)
+        out match {
+          case Some((dir, suffix)) =>
+            val txt = df.queryExecution.explainString(
+              org.apache.spark.sql.execution.FormattedMode)
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(s"$dir/${n}_$suffix.txt"),
+              txt.getBytes("UTF-8"))
+            println(s"$n written")
+          case None =>
+            println(s"\n========== $n ==========")
+            println(df.queryExecution.explainString(
+              org.apache.spark.sql.execution.SimpleMode))
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"[plans] $n failed: ${e.getMessage}")
+      }
     }
     spark.stop()
   }

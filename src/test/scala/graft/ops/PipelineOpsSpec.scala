@@ -1640,4 +1640,38 @@ class PipelineOpsSpec extends AnyFunSuite {
     // doc3 emits nothing (clean for every bench)
     assert(!got.keys.exists(_._1 == 3L), got.toString)
   }
+
+  test("gr_token_window_md5 is byte-identical to the builtin md5 window chain") {
+    // the r18 one-pass kernel replaced transform(sequence..slice..md5) in
+    // tokenNgrams — every decontamination oracle depends on the gram md5s
+    // being EXACTLY the builtin chain's output (incl. unicode, repeated
+    // tokens, size<n empty result, null arrays)
+    import graft.sql.functions.{gr_tokens, gr_tokenWindowMd5}
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a b"),                       // fewer tokens than n
+      (3L, "übergrößen çay 東京 tokyo naïve café crème brûlée x y z"),
+      (4L, ""),                          // empty text -> empty token array
+      (5L, "x x x x x x x x x x")        // repeated token windows
+    ).toDF("id", "text")
+      .withColumn("_toks", gr_tokens(col("text")))
+    for (n <- Seq(1, 3, 8)) {
+      val reference = df.select(col("id"),
+        when(size(col("_toks")) >= n,
+          transform(sequence(lit(1), size(col("_toks")) - (n - 1)),
+            i => md5(concat_ws(" ", slice(col("_toks"), i, lit(n))))))
+          .otherwise(array()).as("g"))
+      val kernel = df.select(col("id"),
+        coalesce(gr_tokenWindowMd5(col("_toks"), lit(n)), array()).as("g"))
+      val ref = reference.as[(Long, Seq[String])].collect().toMap
+      val got = kernel.as[(Long, Seq[String])].collect().toMap
+      assert(got == ref, s"n=$n: $got vs $ref")
+    }
+    // null token array -> empty gram array (the tokenNgrams contract)
+    val nulls = Seq((1L, null.asInstanceOf[String])).toDF("id", "text")
+      .select(col("id"), gr_tokens(col("text")).as("_toks"))
+      .select(coalesce(gr_tokenWindowMd5(col("_toks"), lit(3)), array()).as("g"))
+      .as[Seq[String]].collect()
+    assert(nulls.head == Seq.empty)
+  }
 }

@@ -271,12 +271,30 @@ object WarcIO {
   /** Inflates members starting at validated offset `start`, parsing WARC
     * records from each, until the next member would start at-or-after
     * `stop` (or EOF). Returns records lazily per member.
+    *
+    * Per-task reuse (r18 optimization): Common Crawl layout is ONE gzip
+    * member per record, so a split walks thousands of tiny members — the
+    * original shape paid a fresh Inflater (native zlib stream), an
+    * InflaterInputStream + BufferedInputStream (2 x 64 KiB buffers) and a
+    * positioned 512-byte header read PER MEMBER. This walker keeps one
+    * Inflater (reset between members), one compressed WINDOW buffer
+    * shared across members (one positioned read serves every member that
+    * falls inside it), and one growable inflate buffer; records are
+    * materialized per member (fresh payload arrays), so buffer reuse
+    * never aliases into returned rows.
     */
   private def readMembers(in: FSDataInputStream, start: Long, stop: Long,
       fileLen: Long): Iterator[WarcRecord] = new Iterator[WarcRecord] {
     private var memberStart = start
     private var current: Iterator[WarcRecord] = Iterator.empty
     private var done = false
+    private val inf = new Inflater(true)
+    // compressed window over the file: winStart = file offset of win(0)
+    private val win = new Array[Byte](1 << 16)
+    private var winStart = 0L
+    private var winLen = 0
+    // growable inflated-member buffer, reused across members
+    private var out = new Array[Byte](1 << 16)
     override def hasNext: Boolean = {
       while (!current.hasNext && !done) nextMember()
       current.hasNext
@@ -285,36 +303,75 @@ object WarcIO {
       if (!hasNext) throw new NoSuchElementException
       current.next()
     }
+    /** Positions the window so that `off` is buffered; returns the index
+      * of `off` within `win`. One readFully per 64 KiB of compressed
+      * bytes instead of one per member.
+      */
+    private def ensure(off: Long): Int = {
+      if (off < winStart || off >= winStart + winLen) {
+        val want = math.min(win.length.toLong, fileLen - off).toInt
+        if (want <= 0) throw new IllegalStateException(
+          s"truncated WARC file: read past EOF at offset $off")
+        in.readFully(off, win, 0, want)
+        winStart = off; winLen = want
+      }
+      (off - winStart).toInt
+    }
+    /** Bytes of `win` available at-or-after `off` (window repositioned if
+      * needed, and reloaded at `off` when fewer than `need` remain and
+      * the file has more).
+      */
+    private def avail(off: Long, need: Int): Int = {
+      var p = ensure(off)
+      if (winLen - p < need && winStart + winLen < fileLen) {
+        winStart = -1L; winLen = 0 // force reload positioned at off
+        p = ensure(off)
+      }
+      winLen - p
+    }
     private def nextMember(): Unit = {
-      if (memberStart >= stop || memberStart >= fileLen) { done = true; return }
-      // header
-      val headProbe = new Array[Byte](math.min(512L, fileLen - memberStart).toInt)
-      in.readFully(memberStart, headProbe)
-      if (headProbe.length < 10 || (headProbe(0) & 0xff) != 0x1f ||
-          (headProbe(1) & 0xff) != 0x8b)
+      if (memberStart >= stop || memberStart >= fileLen) {
+        done = true; inf.end(); return
+      }
+      // gzip member header, parsed straight from the window (headers are
+      // 10 fixed bytes + rare optional fields; 512 covers real writers)
+      val headAvail = avail(memberStart, math.min(512L, fileLen - memberStart).toInt)
+      val hp = ensure(memberStart)
+      if (headAvail < 10 || (win(hp) & 0xff) != 0x1f || (win(hp + 1) & 0xff) != 0x8b)
         throw new IllegalStateException(
           s"truncated WARC file: expected gzip member at offset $memberStart")
-      val hlen = gzipHeaderLength(headProbe, headProbe(3) & 0xff)
+      val head = java.util.Arrays.copyOfRange(win, hp, hp + math.min(512, headAvail))
+      val hlen = gzipHeaderLength(head, head(3) & 0xff)
       require(hlen > 0, s"warc.gz: unreadable gzip header at $memberStart")
-      val raw = new CountingFileStream(in, memberStart + hlen, fileLen)
-      val inf = new Inflater(true)
-      val iis = new java.util.zip.InflaterInputStream(raw, inf, 1 << 16)
-      val recs = try {
-        parseRecords(new java.io.BufferedInputStream(iis, 1 << 16))
-          .toArray // materialize the member so the inflater can be closed
-      } catch {
-        // a compressed tail cut mid-member surfaces as zlib EOF — name it
-        case e: java.io.EOFException => throw new IllegalStateException(
-          s"truncated WARC file: gzip member at $memberStart cut " +
-            s"mid-stream (${e.getMessage})", e)
+      // inflate the whole member through the shared window
+      inf.reset()
+      var inPos = memberStart + hlen // next unfed file offset
+      var outLen = 0
+      while (!inf.finished()) {
+        if (inf.needsInput()) {
+          if (inPos >= fileLen) throw new IllegalStateException(
+            s"truncated WARC file: gzip member at $memberStart cut mid-stream")
+          val p = ensure(inPos)
+          val n = winLen - p
+          inf.setInput(win, p, n)
+          inPos += n
+        }
+        if (outLen == out.length)
+          out = java.util.Arrays.copyOf(out, out.length * 2)
+        val n = try inf.inflate(out, outLen, out.length - outLen)
+        catch {
+          case e: java.util.zip.DataFormatException =>
+            throw new IllegalStateException(
+              s"truncated WARC file: gzip member at $memberStart cut " +
+                s"mid-stream (${e.getMessage})", e)
+        }
+        outLen += n
       }
-      if (!inf.finished())
-        throw new IllegalStateException(
-          s"truncated WARC file: gzip member at $memberStart ended mid-stream")
-      val consumed = raw.pos - inf.getRemaining
-      inf.end()
-      memberStart = consumed + 8 // CRC32 + ISIZE trailer
-      current = recs.iterator
+      val deflateEnd = inPos - inf.getRemaining
+      memberStart = deflateEnd + 8 // CRC32 + ISIZE trailer
+      // materialize the member's records before the out buffer is reused
+      current = parseRecords(
+        new java.io.ByteArrayInputStream(out, 0, outLen)).toArray.iterator
     }
   }
 
@@ -479,6 +536,13 @@ object WarcIO {
       val tfs = file.getFileSystem(taskConf)
       AtomicTaskFile.withOutput(tfs, file) { os =>
         val out = new java.io.BufferedOutputStream(os, 1 << 16)
+        // one native zlib stream + CRC + IO buffer per TASK, reset per
+        // record (r18: a fresh Deflater per record allocates a ~256 KiB
+        // native stream each time — at one-gzip-member-per-record that
+        // dominated the write wall)
+        val def_ = new Deflater(Deflater.DEFAULT_COMPRESSION, true)
+        val crc = new CRC32()
+        val buf = new Array[Byte](1 << 16)
         it.foreach { row =>
           val payload: Array[Byte] =
             if (row.isNullAt(payIdx)) Array.emptyByteArray
@@ -516,21 +580,20 @@ object WarcIO {
           }
           out.write(Array[Byte](0x1f.toByte, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0,
             0xff.toByte))
-          val def_ = new Deflater(Deflater.DEFAULT_COMPRESSION, true)
+          def_.reset()
           def_.setInput(recBytes); def_.finish()
-          val buf = new Array[Byte](1 << 16)
           while (!def_.finished()) {
             val n = def_.deflate(buf)
             out.write(buf, 0, n)
           }
-          def_.end()
-          val crc = new CRC32(); crc.update(recBytes)
+          crc.reset(); crc.update(recBytes)
           def le32(v: Long): Array[Byte] = Array(
             (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
             ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
           out.write(le32(crc.getValue))
           out.write(le32(recBytes.length.toLong & 0xffffffffL))
         }
+        def_.end()
         out.flush()
       }
       Iterator.single(pid)

@@ -5158,8 +5158,15 @@ object SparkEntry {
           reverse(col("embedding"))).otherwise(col("embedding")))
       val (encOld, relOld) = Similarity.encodeIvfPqCorpus(v1, "vec_id",
         "embedding", cents, cb, al, 8)
-      val (delta, deleted) = Similarity.corpusVectorDelta(v1, v2,
+      // r18 optimization: delta/deleted are tiny (20/10 rows) but were
+      // recomputed from the full-outer hash diff for every consumer
+      // (updateEncodedCorpus, the two counts, the deleted-hits gate) and
+      // serve(encInc) ran twice — persist both and serve once; identical
+      // outputs, ~1/3 fewer jobs in the gate phase.
+      val (delta0, deleted0) = Similarity.corpusVectorDelta(v1, v2,
         "vec_id", "embedding")
+      val delta = delta0.persist()
+      val deleted = deleted0.persist()
       val (encInc, relInc) = Similarity.updateEncodedCorpus(encOld, delta,
         deleted, "vec_id", "embedding", cents, cb, al, 8)
       val (encFull, relFull) = Similarity.encodeIvfPqCorpus(v2, "vec_id",
@@ -5176,22 +5183,29 @@ object SparkEntry {
         def serve(e: DataFrame) = Similarity.servedIvfPqTopK(e, queries,
           "vec_id", "embedding", cents, cb, al, k = 10, nprobe = 4,
           roundScoreTo = 4)
-        val pairDiff = serve(encInc).select(col("query_id"),
-            col("neighbor_id"), col("rank")).withColumn("_a", lit(1))
-          .join(serve(encFull).select(col("query_id"), col("neighbor_id"),
-            col("rank")).withColumn("_b", lit(1)),
-            Seq("query_id", "neighbor_id", "rank"), "full_outer")
-          .filter(col("_a").isNull || col("_b").isNull).count()
-        val deletedHits = serve(encInc)
-          .join(deleted.withColumnRenamed("vec_id", "neighbor_id"),
-            Seq("neighbor_id"), "left_semi").count()
-        s.range(1).select(
-          lit(delta.count()).cast("long").as("n_delta"),
-          lit(deleted.count()).cast("long").as("n_deleted"),
-          lit(encDiff == 0).as("encode_identical"),
-          lit(pairDiff == 0).as("retrieval_identical"),
-          lit(deletedHits == 0).as("deleted_never_returns"))
-      } finally { relOld(); relInc(); relFull() }
+        val servedInc = serve(encInc)
+          .select(col("query_id"), col("neighbor_id"), col("rank"))
+          .persist()
+        try {
+          val pairDiff = servedInc.withColumn("_a", lit(1))
+            .join(serve(encFull).select(col("query_id"), col("neighbor_id"),
+              col("rank")).withColumn("_b", lit(1)),
+              Seq("query_id", "neighbor_id", "rank"), "full_outer")
+            .filter(col("_a").isNull || col("_b").isNull).count()
+          val deletedHits = servedInc
+            .join(deleted.withColumnRenamed("vec_id", "neighbor_id"),
+              Seq("neighbor_id"), "left_semi").count()
+          s.range(1).select(
+            lit(delta.count()).cast("long").as("n_delta"),
+            lit(deleted.count()).cast("long").as("n_deleted"),
+            lit(encDiff == 0).as("encode_identical"),
+            lit(pairDiff == 0).as("retrieval_identical"),
+            lit(deletedHits == 0).as("deleted_never_returns"))
+        } finally { servedInc.unpersist() }
+      } finally {
+        relOld(); relInc(); relFull()
+        delta.unpersist(); deleted.unpersist()
+      }
     }),
 
     // r12 scalar-quantized (SQ8) ANN: 1 byte/component on a per-dimension

@@ -154,9 +154,18 @@ object Dedup {
       .partitionBy(col("_band"), col("_key")).orderBy(col("_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    banded.withColumn("_reps", gr_minKSigs(col("_id"), col("_sk"), cap).over(w))
-      .select(explode(gr_chainPairs(col("_id"), col("_sk"), col("_reps"),
-        col("_band"), lit(bands), lit(threshold))).as("_p"))
+    // r18: the minK collection and the chain-pair emission are FUSED into
+    // one running-window aggregate (gr_chainPairsWin). The unfused shape
+    // (gr_minKSigs.over(w) then gr_chainPairs) rebuilt a k-struct array
+    // with a boxed copy of every representative's 80-long packed
+    // signature PER ROW only for the chain kernel to unbox it again —
+    // measured as the bulk of t05's wall on the dup-heavy corpus. Same
+    // buffer, same pair rule, same output schema (ChainPairsAggSpec pins
+    // fused == unfused on a cap-stressed corpus).
+    banded.withColumn("_p",
+        gr_chainPairsWin(col("_id"), col("_sk"), col("_band"),
+          cap, bands, threshold).over(w))
+      .select(explode(col("_p")).as("_p"))
       .select(col("_p.id_a"), col("_p.id_b"), col("_p.est_jaccard").as("est_jaccard"))
   }
 

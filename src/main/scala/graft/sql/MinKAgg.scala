@@ -133,6 +133,163 @@ case class MinKSigAgg(
     copy(left = newLeft, right = newRight)
 }
 
+/** Buffer for [[ChainPairsAgg]]: the bounded representative set plus the
+  * most recent row of the running frame (the "current row" a window's
+  * UnboundedPreceding..currentRow frame just added).
+  */
+final class ChainBuffer(k: Int) {
+  val reps = new MinKBuffer(k)
+  var lastId: Long = 0L
+  var lastSk: Array[Long] = null
+  var band: Int = 0
+}
+
+/** FUSED running-window form of gr_minKSigs + gr_chainPairs (r18
+  * optimization): per row of an (ordered-by-id) LSH bucket, emit the
+  * verified pairs of THAT row against the bucket prefix's k lowest-id
+  * representatives directly, without materializing the representative
+  * array per row. The unfused pipeline's window agg rebuilt, for EVERY
+  * row, an array of up to k structs each holding a boxed copy of an
+  * 80-long packed signature (k=128: ~10k boxed longs per row), which the
+  * chain kernel then immediately unboxed — the dominant cost of
+  * minhashLsh at dup-heavy corpora. Semantics are identical by
+  * construction: the frame's last update IS the current row, reps are
+  * the same MinKBuffer, and the pair rule is the same
+  * [[TextKernel.chainPairs]] logic over the same inputs.
+  *
+  * WINDOW-ONLY aggregate: the running frame never merges partials, and
+  * `eval` is only meaningful after at least one `update` (merge throws —
+  * any future groupBy caller fails loudly rather than silently pairing
+  * against a wrong "last row").
+  */
+case class ChainPairsAgg(
+    idExpr: Expression,
+    skExpr: Expression,
+    bandExpr: Expression,
+    k: Int,
+    bands: Int,
+    threshold: Double,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[ChainBuffer]
+  with org.apache.spark.sql.catalyst.trees.TernaryLike[Expression]
+  with ExpectsInputTypes {
+
+  override def first: Expression = idExpr
+  override def second: Expression = skExpr
+  override def third: Expression = bandExpr
+  override def inputTypes: Seq[AbsType] =
+    Seq(LongType, ArrayType(LongType), IntegerType)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("id_a", LongType), StructField("id_b", LongType),
+    StructField("est_jaccard", DoubleType))))
+  override def prettyName: String = "gr_chain_pairs_win"
+
+  override def createAggregationBuffer(): ChainBuffer = new ChainBuffer(k)
+
+  override def update(buf: ChainBuffer, input: InternalRow): ChainBuffer = {
+    val id = idExpr.eval(input)
+    val sk = skExpr.eval(input)
+    val band = bandExpr.eval(input)
+    if (id != null && sk != null && band != null) {
+      buf.lastId = id.asInstanceOf[Long]
+      buf.lastSk = sk.asInstanceOf[ArrayData].toLongArray()
+      buf.band = band.asInstanceOf[Int]
+      buf.reps.add(buf.lastId, buf.lastSk)
+    }
+    buf
+  }
+
+  override def merge(buf: ChainBuffer, other: ChainBuffer): ChainBuffer =
+    throw new UnsupportedOperationException(
+      "gr_chain_pairs_win is a running-window aggregate; partial-merge " +
+        "(groupBy) execution would lose the current-row identity")
+
+  override def eval(buf: ChainBuffer): Any = {
+    if (buf.lastSk == null) return new GenericArrayData(Array.empty[Any])
+    val ids = buf.reps.ids
+    val sigs = buf.reps.sigs
+    val myPacked = buf.lastSk
+    val id = buf.lastId
+    val n = myPacked.length - bands
+    val out = mutable.ArrayBuffer.empty[Any]
+    var i = 0
+    while (i < ids.length && ids(i) < id) {
+      val packed = sigs(i)
+      var mb = 0
+      while (mb < bands && packed(n + mb) != myPacked(n + mb)) mb += 1
+      if (mb == buf.band) {
+        var same = 0
+        var kk = 0
+        while (kk < n) { if (packed(kk) == myPacked(kk)) same += 1; kk += 1 }
+        val est = same.toDouble / n
+        if (est >= threshold)
+          out += new GenericInternalRow(Array[Any](ids(i), id, est))
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override def serialize(buf: ChainBuffer): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeLong(buf.lastId)
+    out.writeInt(buf.band)
+    out.writeBoolean(buf.lastSk != null)
+    if (buf.lastSk != null) {
+      out.writeInt(buf.lastSk.length)
+      buf.lastSk.foreach(out.writeLong)
+    }
+    out.writeInt(buf.reps.ids.length)
+    var i = 0
+    while (i < buf.reps.ids.length) {
+      out.writeLong(buf.reps.ids(i))
+      out.writeInt(buf.reps.sigs(i).length)
+      buf.reps.sigs(i).foreach(out.writeLong)
+      i += 1
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): ChainBuffer = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val buf = createAggregationBuffer()
+    buf.lastId = in.readLong()
+    buf.band = in.readInt()
+    if (in.readBoolean()) {
+      val m = in.readInt()
+      val sk = new Array[Long](m)
+      var j = 0
+      while (j < m) { sk(j) = in.readLong(); j += 1 }
+      buf.lastSk = sk
+    }
+    val n = in.readInt()
+    var i = 0
+    while (i < n) {
+      val id = in.readLong()
+      val m = in.readInt()
+      val sig = new Array[Long](m)
+      var j = 0
+      while (j < m) { sig(j) = in.readLong(); j += 1 }
+      buf.reps.add(id, sig)
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(n: Int): ChainPairsAgg =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): ChainPairsAgg =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): ChainPairsAgg =
+    copy(idExpr = newFirst, skExpr = newSecond, bandExpr = newThird)
+}
+
 /** Bounded buffer for [[TopKByScoreAgg]]: the k highest-score (score, id)
   * rows seen so far, sorted score-descending with id-ascending tie order.
   * Insertion is binary-search + shift — O(k) state however large the

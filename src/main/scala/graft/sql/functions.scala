@@ -292,6 +292,17 @@ object functions {
       graft.sql.MinKSigAgg(
         org.apache.spark.sql.GraftInterop.expression(id),
         org.apache.spark.sql.GraftInterop.expression(sig), k).toAggregateExpression())
+  /** Fused running-window minK + chain-pair emission (window-only; see
+    * [[graft.sql.ChainPairsAgg]]) — the minhashLsh hot path.
+    */
+  def gr_chainPairsWin(id: Column, sk: Column, band: Column,
+      k: Int, bands: Int, threshold: Double): Column =
+    org.apache.spark.sql.GraftInterop.column(
+      graft.sql.ChainPairsAgg(
+        org.apache.spark.sql.GraftInterop.expression(id),
+        org.apache.spark.sql.GraftInterop.expression(sk),
+        org.apache.spark.sql.GraftInterop.expression(band),
+        k, bands, threshold).toAggregateExpression())
   /** Bounded top-k of a group by score (ties by lower id), best-first
     * `array<struct<neighbor_id, score>>` — O(k) aggregation state, so it
     * is safe as a streaming update-mode aggregate.

@@ -1027,11 +1027,14 @@ class PipelineOpsSpec extends AnyFunSuite {
     // bottleneck this plan exists to avoid at 100 TB
     assert("Exchange hashpartitioning\\(gram".r.findAllIn(plan).size == 1,
       plan.take(3000))
-    // tokenize-once: the gram-window lambda slices the MATERIALIZED
-    // token attribute (_toks#N), never a tokenizer call — the O(len^2)
-    // per-doc regression this guards against
-    assert(plan.contains("slice(_toks"),
-      "gram lambda must slice the materialized token array")
+    // tokenize-once: the gram-window kernel reads the MATERIALIZED token
+    // attribute (_toks#N), never an inlined tokenizer call — the
+    // O(len^2) per-doc regression this guards against (r18: the window
+    // chain is now the one-pass gr_token_window_md5 kernel)
+    assert("gr_token_window_md5, _toks#".r.findFirstIn(plan).nonEmpty,
+      "gram kernel must read the materialized token array: " + plan.take(2000))
+    assert(!plan.contains("gr_token_window_md5, gr_tokens"),
+      "tokenizer must not be inlined into the gram kernel")
   }
 
   test("contamination report: clean/partial/dirty classification over " +
@@ -1673,5 +1676,48 @@ class PipelineOpsSpec extends AnyFunSuite {
       .select(coalesce(gr_tokenWindowMd5(col("_toks"), lit(3)), array()).as("g"))
       .as[Seq[String]].collect()
     assert(nulls.head == Seq.empty)
+  }
+
+  test("fused gr_chainPairsWin == unfused gr_minKSigs + gr_chainPairs, incl. cap") {
+    // the r18 fusion must reproduce the unfused pipeline EXACTLY: same
+    // reps (k-lowest prefix), same first-band rule, same threshold gate,
+    // same (id_a, id_b, est_jaccard) rows — stressed with a cap smaller
+    // than the bucket so representative-chaining (not all-pairs) is the
+    // regime under test, on a corpus with exact dups, near dups and
+    // distinct docs across multiple buckets.
+    import graft.sql.functions.{gr_minhash, gr_bandKeys, gr_minKSigs,
+      gr_chainPairs, gr_chainPairsWin}
+    import org.apache.spark.sql.expressions.Window
+    val base = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
+    val docs = (0L until 40L).map { i =>
+      val t = if (i % 3 == 0) base
+        else if (i % 3 == 1) base + " extra" + (i % 5)
+        else s"completely different doc number $i with its own words"
+      (i, t)
+    }.toDF("_id", "text")
+    val (numHashes, bands, cap, threshold) = (16, 4, 3, 0.5)
+    val sig = docs.filter(length($"text") >= 4)
+      .select($"_id", gr_minhash($"text", lit(numHashes), lit(4), lit(42)).as("_sig"))
+    val banded = sig
+      .select($"_id", concat($"_sig", gr_bandKeys($"_sig", lit(bands))).as("_sk"))
+      .select($"_id", $"_sk",
+        posexplode(expr(s"slice(_sk, ${numHashes + 1}, $bands)"))
+          .as(Seq("_band", "_key")))
+    val w = Window.partitionBy($"_band", $"_key").orderBy($"_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val unfused = banded
+      .withColumn("_reps", gr_minKSigs($"_id", $"_sk", cap).over(w))
+      .select(explode(gr_chainPairs($"_id", $"_sk", $"_reps",
+        $"_band", lit(bands), lit(threshold))).as("_p"))
+      .select($"_p.id_a", $"_p.id_b", $"_p.est_jaccard")
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+    val fused = banded
+      .withColumn("_p", gr_chainPairsWin($"_id", $"_sk", $"_band",
+        cap, bands, threshold).over(w))
+      .select(explode($"_p").as("_p"))
+      .select($"_p.id_a", $"_p.id_b", $"_p.est_jaccard")
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+    assert(fused.nonEmpty, "test corpus produced no pairs — not a real test")
+    assert(fused == unfused, s"fused ${fused.take(5)}... vs unfused ${unfused.take(5)}...")
   }
 }

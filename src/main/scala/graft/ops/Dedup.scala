@@ -1247,17 +1247,31 @@ object Dedup {
       hashedKeys: Boolean = true): DataFrame = {
     require(windowTokens >= 2 && minDocFreq >= 2, "duplicateSpans: bad params")
     val w = windowTokens
-    val winText = s"transform(sequence(0, size(_toks) - $w), " +
-      s"i -> concat_ws(' ', slice(_toks, i + 1, $w)))"
-    val winExpr = if (hashedKeys) s"transform($winText, s -> xxhash64(s))" else winText
+    // r18: windows come from the one-pass zero-copy kernel (each window a
+    // byte-range view over ONE joined buffer per doc) instead of a
+    // per-window slice+concat_ws chain — byte-identical keys, O(n) build
+    val winText = gr_tokenWindows(col("_toks"), lit(w))
+    val winExpr =
+      if (hashedKeys) transform(winText, s => xxhash64(s)) else winText
     val wins = df
       .select(col(idCol).cast("long").as("_id"), gr_tokens(col(textCol)).as("_toks"))
       .filter(size(col("_toks")) >= w)
-      .select(col("_id"), posexplode(expr(winExpr)).as(Seq("_pos", "_k")))
-    val flagged = wins.select(col("_k"), col("_id")).distinct()
-      .groupBy(col("_k")).agg(count(lit(1)).as("_df"))
-      .filter(col("_df") >= minDocFreq)
-      .select(col("_k"))
+      .select(col("_id"), posexplode(winExpr).as(Seq("_pos", "_k")))
+    // doc-frequency >= 2 is exactly min(id) != max(id) — ONE map-side
+    // combined aggregation instead of distinct + count (two exchanges of
+    // every (key, id) occurrence row); the general minDocFreq keeps the
+    // distinct-count path
+    val flagged =
+      if (minDocFreq == 2)
+        wins.groupBy(col("_k"))
+          .agg(min(col("_id")).as("_mn"), max(col("_id")).as("_mx"))
+          .filter(col("_mn") =!= col("_mx"))
+          .select(col("_k"))
+      else
+        wins.select(col("_k"), col("_id")).distinct()
+          .groupBy(col("_k")).agg(count(lit(1)).as("_df"))
+          .filter(col("_df") >= minDocFreq)
+          .select(col("_k"))
     val dupPos = wins.join(flagged, "_k").select(col("_id"), col("_pos"))
     mergeSpans(dupPos, w, idCol)
   }

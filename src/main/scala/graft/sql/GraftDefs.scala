@@ -967,6 +967,53 @@ object GraftDefs {
     }),
     "gr_shingles" -> Spec(Seq(S, I), ArrayType(S),
       a => new GenericArrayData(TextKernel.charShingles(str(a(0)), int(a(1))).map(utf8(_): Any))),
+    // every n-token window (space-joined) as ZERO-COPY views over one
+    // joined byte array per row (r18) — the duplicateSpans window-key
+    // builder. Byte-identical to transform(sequence(0, size-n), i ->
+    // concat_ws(' ', slice(toks, i+1, n))) but the join happens once per
+    // DOC (O(total bytes)), and each window is a UTF8String.fromBytes
+    // view [offset, len) into it — no per-window concat/alloc.
+    "gr_token_windows" -> Spec(Seq(ArrayType(S), I), ArrayType(S), { a =>
+      val arr = a(0).asInstanceOf[ArrayData]
+      val n = int(a(1))
+      val cnt = arr.numElements()
+      if (cnt < n || n < 1) new GenericArrayData(Array.empty[Any])
+      else {
+        // one pass: join all tokens with single spaces, recording each
+        // token's byte offset in the joined buffer
+        var total = cnt - 1 // the separator spaces
+        val toks = new Array[UTF8String](cnt)
+        var i = 0
+        while (i < cnt) {
+          val t = arr.getUTF8String(i)
+          toks(i) = t
+          total += t.numBytes()
+          i += 1
+        }
+        val joined = new Array[Byte](total)
+        val offs = new Array[Int](cnt + 1)
+        var p = 0
+        i = 0
+        while (i < cnt) {
+          if (i > 0) { joined(p) = ' '; p += 1 }
+          offs(i) = p
+          toks(i).writeToMemory(joined,
+            org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + p)
+          p += toks(i).numBytes()
+          i += 1
+        }
+        offs(cnt) = p + 1 // virtual next-token offset (after a separator)
+        val out = new Array[Any](cnt - n + 1)
+        var w = 0
+        while (w <= cnt - n) {
+          val start = offs(w)
+          val end = offs(w + n) - 1 // drop the trailing separator
+          out(w) = UTF8String.fromBytes(joined, start, end - start)
+          w += 1
+        }
+        new GenericArrayData(out)
+      }
+    }),
     // md5 hex of every n-token window (space-joined), ONE pass — the
     // decontamination-family probe kernel (t13/t58-t65). Byte-identical
     // to `transform(sequence(1, size-n+1), i => md5(concat_ws(" ",

@@ -274,6 +274,8 @@ object functions {
   def gr_shingles(text: Column, n: Column): Column = fn("gr_shingles", text, n)
   def gr_tokenWindowMd5(toks: Column, n: Column): Column =
     fn("gr_token_window_md5", toks, n)
+  def gr_tokenWindows(toks: Column, n: Column): Column =
+    fn("gr_token_windows", toks, n)
   def gr_gramHashes(text: Column, n: Column): Column = fn("gr_gram_hashes", text, n)
   def gr_sortedIntersectSize(a: Column, b: Column): Column =
     fn("gr_sorted_intersect_size", a, b)

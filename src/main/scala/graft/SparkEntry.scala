@@ -3722,9 +3722,10 @@ object SparkEntry {
       val pos = t(s, d, "documents")
         .select(col("doc_id"), gr_tokens(col("text")).as("toks"))
         .filter(size(col("toks")) >= 2)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(0, size(toks) - 2), i -> concat_ws(' ', slice(toks, i + 1, 2)))"))
-          .as("gram"))
+        // r18: one-pass zero-copy bigram kernel, byte-identical to the
+        // slice+concat_ws chain (PipelineOpsSpec pins equality)
+        .select(col("doc_id"),
+          explode(gr_tokenWindows(col("toks"), lit(2))).as("gram"))
       val nDocs = t(s, d, "documents")
         .agg(countDistinct(col("doc_id")).as("n_docs"))
       val boiler = pos.select(col("gram"), col("doc_id")).distinct()

@@ -132,6 +132,50 @@ object SparkEntry {
       dir.toAbsolutePath.toString
     })
 
+  /** Runs a declared streaming query start-to-stop with two scoped,
+    * result-neutral machinery reductions (r18 optimization):
+    *
+    *  1. NO-DATA micro-batch disabled: after the last data batch Spark
+    *     runs one extra empty batch purely to advance the watermark —
+    *     for the declared queries' sinks that batch provably cannot
+    *     change the result (complete mode re-emits the identical
+    *     snapshot; update mode emits only on state CHANGE and watermark
+    *     eviction is not a change; the one append-mode stream, t59, is
+    *     stateless so nothing is watermark-gated), yet it costs a full
+    *     state-store restore/commit cycle per partition. Any future
+    *     append-mode WINDOWED stream (where that batch IS load-bearing)
+    *     must opt back in via `noDataBatch = true`.
+    *  2. State-store right-sizing (the g115 precedent, hoisted): the
+    *     stateful exchanges key on at most a few thousand tiny rows in
+    *     every declared stream, so each extra state partition buys zero
+    *     parallelism and one more per-batch store init + delta-file
+    *     commit. At scale you size state partitions to key cardinality ×
+    *     throughput, not to the batch scan default.
+    *
+    * Both confs are captured by the query's cloned session at start()
+    * and restored immediately after, so batch queries are unaffected.
+    */
+  private def runStream(s: SparkSession, statePartitions: Int = 8,
+      noDataBatch: Boolean = false)(
+      start: => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val spKey = "spark.sql.shuffle.partitions"
+    val prevNd = s.conf.getOption(ndKey)
+    val prevSp = s.conf.get(spKey)
+    val q = try {
+      s.conf.set(ndKey, noDataBatch.toString)
+      s.conf.set(spKey, statePartitions.toString)
+      start
+    } finally {
+      s.conf.set(spKey, prevSp)
+      prevNd match {
+        case Some(v) => s.conf.set(ndKey, v)
+        case None => s.conf.unset(ndKey)
+      }
+    }
+    try { q.processAllAvailable() } finally { q.stop() }
+  }
+
   private def deleteRecursively(f: java.io.File): Unit = {
     val cs = f.listFiles(); if (cs != null) cs.foreach(deleteRecursively)
     f.delete(); ()
@@ -1625,23 +1669,13 @@ object SparkEntry {
         .select(col("s_suppkey"), col("geometry"))
       val joined = graft.streaming.GeoStreaming.streamStaticSjoin(
         stream, "cx", "cy", static, "geometry", cellSize = 100.0)
-      // state-store right-sizing: the complete-mode aggregate keys on
-      // s_suppkey (≤ a few hundred distinct keys); each state partition
-      // costs a per-micro-batch store init + delta write, so running it
-      // at the session's scan parallelism (32 on the bench host) buys
-      // zero parallelism and 4× the setup. At scale you size streaming
-      // state partitions to key cardinality × throughput, not to the
-      // batch default — scoped here because only the stateful leg needs
-      // it (restored before the result is read back)
-      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      try {
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        val q = joined.groupBy(col("s_suppkey"))
-          .agg(count(lit(1)).as("n_pts"), sum(col("c_custkey")).as("sum_key"))
-          .writeStream.outputMode("complete").format("memory").queryName(sink)
-          .start()
-        try { q.processAllAvailable() } finally { q.stop() }
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      // state-store right-sizing + no-data-batch elision live in
+      // runStream (r18; the rationale that used to sit here moved to its
+      // scaladoc)
+      runStream(s) { joined.groupBy(col("s_suppkey"))
+        .agg(count(lit(1)).as("n_pts"), sum(col("c_custkey")).as("sum_key"))
+        .writeStream.outputMode("complete").format("memory").queryName(sink)
+        .start() }
       s.table(sink).orderBy(col("s_suppkey"))
     }),
 
@@ -4107,11 +4141,10 @@ object SparkEntry {
         .select(col("lang"),
           explode(split(lower(col("text")), "[^a-z0-9]+")).as("token"))
         .filter(col("token") =!= "")
-      val q = toks.groupBy(col("lang"))
+      runStream(s) { toks.groupBy(col("lang"))
         .agg(gr_heavyHitters(col("token"), 64).as("_hh"))
         .writeStream.outputMode("complete").format("memory").queryName(sink)
-        .start()
-      try { q.processAllAvailable() } finally { q.stop() }
+        .start() }
       s.table(sink)
         .select(col("lang"), explode(slice(col("_hh"), 1, 10)).as("_h"))
         .select(col("lang"), col("_h.item").as("token"),
@@ -4133,11 +4166,10 @@ object SparkEntry {
       val qstream = s.readStream.schema(schema)
         .parquet(streamDirFor(s"$d/embeddings.parquet"))
         .filter(col("vec_id") >= 100 && col("vec_id") < 110)
-      val q = graft.ops.Similarity.streamingAnnTopK(qstream, emb,
+      runStream(s) { graft.ops.Similarity.streamingAnnTopK(qstream, emb,
           "vec_id", "embedding", k = 10, bits = 8, seed = 7)
         .writeStream.outputMode("complete").format("memory").queryName(sink)
-        .start()
-      try { q.processAllAvailable() } finally { q.stop() }
+        .start() }
       val got = s.table(sink)
         .select(col("query_id"), explode(col("neighbors")).as("_n"))
         .select(col("query_id"), col("_n.neighbor_id").as("neighbor_id"))
@@ -4177,13 +4209,12 @@ object SparkEntry {
       val ev = s.readStream.schema(raw.schema)
         .parquet(streamDirFor(s"$d/events.parquet"))
         .select(col("user_id"), col("value"), tts.as("tts"))
-      val q = ev.groupBy(col("user_id"),
+      runStream(s) { ev.groupBy(col("user_id"),
           session_window(col("tts"), "24 hours").as("sw"))
         .agg(count(lit(1)).as("n_events"),
           round(sum(col("value")), 2).as("sum_value"))
         .writeStream.outputMode("complete").format("memory").queryName(sink)
-        .start()
-      try { q.processAllAvailable() } finally { q.stop() }
+        .start() }
       s.table(sink)
         .select(col("user_id"),
           expr("unix_micros(sw.start) DIV 1000000").as("start_sec"),
@@ -4215,12 +4246,11 @@ object SparkEntry {
         .parquet(streamDirFor(s"$d/events.parquet"))
         .select(tts.as("tts"), st_point(col("value"),
           (col("user_id") % 100).cast("double")).as("g"))
-      val q = ev.withWatermark("tts", "1 hour")
+      runStream(s) { ev.withWatermark("tts", "1 hour")
         .groupBy(window(col("tts"), "6 hours").as("w"))
         .agg(st_envelopeAgg(col("g")).as("env"), count(lit(1)).as("n"))
         .writeStream.outputMode("complete").format("memory").queryName(sink)
-        .start()
-      try { q.processAllAvailable() } finally { q.stop() }
+        .start() }
       s.table(sink).select(
         expr("unix_micros(w.start) DIV 1000000").as("wstart"),
         round(col("env.xmin"), 6).as("xmin"),
@@ -4273,9 +4303,8 @@ object SparkEntry {
       val bench = raw.filter(col("source") === "src0")
       val hits = graft.ops.Dedup.decontaminateStreaming(
         stream, "doc_id", "text", bench, "text")
-      val q = hits.writeStream.outputMode("append").format("memory")
-        .queryName(sink).start()
-      try { q.processAllAvailable() } finally { q.stop() }
+      runStream(s) { hits.writeStream.outputMode("append").format("memory")
+        .queryName(sink).start() }
       s.table(sink).groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_hit_pos"),
           countDistinct(col("gram")).as("n_hit_grams"),
@@ -4355,9 +4384,8 @@ object SparkEntry {
       val bench = raw.filter(col("source") === "src0")
       val rep = graft.ops.Dedup.contaminationReportStreaming(
         stream, "doc_id", "text", "ets", bench, "text", dirtyFrac = 0.5)
-      val q = rep.writeStream.outputMode("update").format("memory")
-        .queryName(sink).start()
-      try { q.processAllAvailable() } finally { q.stop() }
+      runStream(s) { rep.writeStream.outputMode("update").format("memory")
+        .queryName(sink).start() }
       s.table(sink)
         .select(col("doc_id"), col("n_grams_distinct"), col("n_hit_distinct"),
           round(col("dirty_frac"), 6).as("dirty_frac"), col("class"))
@@ -4383,9 +4411,8 @@ object SparkEntry {
       val bench = raw.filter(col("source") === "src0")
       val rw = graft.ops.Dedup.decontaminateRewriteStreaming(
         stream, "doc_id", "text", "ets", bench, "text")
-      val q = rw.writeStream.outputMode("update").format("memory")
-        .queryName(sink).start()
-      try { q.processAllAvailable() } finally { q.stop() }
+      runStream(s) { rw.writeStream.outputMode("update").format("memory")
+        .queryName(sink).start() }
       s.table(sink)
         .select(col("doc_id"), col("n_tokens"), col("n_removed"),
           col("removed_ratio"), col("new_text"), col("new_hash"))
@@ -4575,14 +4602,13 @@ object SparkEntry {
         .parquet(streamDirFor(s"$d/documents.parquet"))
         .withColumn("ets", expr("timestamp_micros(1700000000000000 + doc_id)"))
         .withColumn("h", md5(col("text")))
-      val q = st.withWatermark("ets", "1 hour")
+      runStream(s) { st.withWatermark("ets", "1 hour")
         .dropDuplicatesWithinWatermark("source", "h")
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_uniq"),
           sum(length(col("text")).cast("long")).as("sum_chars"))
         .writeStream.outputMode("complete").format("memory").queryName(sink)
-        .start()
-      try { q.processAllAvailable() } finally { q.stop() }
+        .start() }
       s.table(sink).orderBy(col("source"))
     }),
 
@@ -5114,12 +5140,11 @@ object SparkEntry {
       val qstream = s.readStream.schema(schema)
         .parquet(streamDirFor(s"$d/embeddings.parquet"))
         .filter(col("vec_id") >= 400 && col("vec_id") < 410)
-      val q = Similarity.streamingIvfPqTopK(qstream, emb,
+      runStream(s) { Similarity.streamingIvfPqTopK(qstream, emb,
           "vec_id", "embedding", lc, lcb, lal,
           k = 10, nprobe = 4, m = lm, roundScoreTo = 4)
         .writeStream.outputMode("complete").format("memory").queryName(sink)
-        .start()
-      try { q.processAllAvailable() } finally { q.stop() }
+        .start() }
       val got = s.table(sink)
         .select(col("query_id"), explode(col("neighbors")).as("_n"))
         .select(col("query_id"), col("_n.neighbor_id").as("neighbor_id"))

@@ -60,27 +60,32 @@ object Graph {
       e.join(outDeg, "_src")
         .select(col("_src"), col("_dst"),
           (lit(1.0) / col("_deg").cast("double")).as("_w")))
-    val nRow = nodes.agg(count(lit(1)).cast("double").as("_n"))
+    // r18: n is one bounded scalar fixed for the whole run — collect it
+    // once and ride it as a literal instead of re-broadcasting a 1-row
+    // relation into every iteration's plan (one BroadcastExchange build
+    // job per use removed; same value bit-for-bit). The per-iteration
+    // dangling MASS is likewise a 1-row aggregate — collected to a
+    // literal (it must be evaluated once per iteration either way; the
+    // broadcast form paid an extra exchange around the same job).
+    val n: Double = nodes.count().toDouble
     var ranks = GraftInterop.localCheckpointCappedStats(
-      nodes.crossJoin(broadcast(nRow))
-        .select(col("_id"), (lit(1.0) / col("_n")).as("_r")))
+      nodes.select(col("_id"), (lit(1.0) / lit(n)).as("_r")))
     var i = 0
     while (i < iters) {
-      val dangling = ranks.join(outDeg,
+      val dm: Double = ranks.join(outDeg,
           ranks("_id") === outDeg("_src"), "left_anti")
         .agg(coalesce(sum(col("_r")), lit(0.0)).as("_dm"))
+        .head.getDouble(0)
       val inflow = contrib
         .join(ranks, contrib("_src") === ranks("_id"))
         .groupBy(col("_dst"))
         .agg(sum(col("_r") * col("_w")).as("_in"))
       ranks = GraftInterop.localCheckpointCappedStats(
         nodes.join(inflow, nodes("_id") === inflow("_dst"), "left")
-          .crossJoin(broadcast(nRow))
-          .crossJoin(broadcast(dangling))
           .select(col("_id"),
-            (lit(1.0 - damping) / col("_n")
+            (lit(1.0 - damping) / lit(n)
               + lit(damping) * coalesce(col("_in"), lit(0.0))
-              + lit(damping) * col("_dm") / col("_n")).as("_r")))
+              + lit(damping) * lit(dm) / lit(n)).as("_r")))
       i += 1
     }
     ranks.select(col("_id").as(srcCol + "_node"), col("_r").as("pagerank"))

@@ -871,7 +871,7 @@ object Dedup {
     val cap = if (maxCluster > 0) maxCluster else Int.MaxValue
     val base = semClusterBase(df, idCol, vecCol, projectDim)
     val cents = Similarity.trainCentroids(base, "_id", "_p", nlist = k, seed = seed)
-    val centArr = array(cents.map(c => typedlit(c)).toIndexedSeq: _*)
+    val centArr = typedlit(cents) // one nested literal (r18; see Similarity.matrixLit)
     // multi-probe assignment: a vector near a cluster boundary lands in
     // its top-nprobe clusters, so boundary-straddling near-dups still
     // share one; the groupBy on (id_a, id_b) re-establishes exactly-once
@@ -955,7 +955,7 @@ object Dedup {
       else math.max(16, math.ceil(math.sqrt(df.count().toDouble)).toInt)
     val base = semClusterBase(df, idCol, vecCol, projectDim)
     val cents = Similarity.trainCentroids(base, "_id", "_p", nlist = k, seed = seed)
-    val centArr = array(cents.map(c => typedlit(c)).toIndexedSeq: _*)
+    val centArr = typedlit(cents) // one nested literal (r18; see Similarity.matrixLit)
     base
       .withColumn("_c", explode(gr_topnCosine(col("_p"), centArr, lit(nprobe))))
       .groupBy(col("_c")).count()

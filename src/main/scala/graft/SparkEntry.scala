@@ -5492,12 +5492,20 @@ object SparkEntry {
           else if (f.getName.endsWith(".pbf")) Seq(f) else Nil
         walk(base).map(_.getAbsolutePath)
       }
+      // one Hadoop Configuration per task, not per file (r19): the
+      // default-arg `new Configuration()` re-parsed the XML resource
+      // chain for every tile read
+      val mvtConf = new graft.io.GeoParquetIO.SerializableConf(
+        s.sessionState.newHadoopConf())
       val decoded = s.sparkContext.parallelize(files, math.max(1, files.size / 4))
-        .flatMap { p =>
-          val parts = p.split('/')
-          val x = parts(parts.length - 2).toInt
-          val y = parts.last.stripSuffix(".pbf").toInt
-          MvtIO.readTileFile(p).flatMap(_.features.map(f => (x, y, f.id.get)))
+        .mapPartitions { it =>
+          val hc = mvtConf.value
+          it.flatMap { p =>
+            val parts = p.split('/')
+            val x = parts(parts.length - 2).toInt
+            val y = parts.last.stripSuffix(".pbf").toInt
+            MvtIO.readTileFile(p, hc).flatMap(_.features.map(f => (x, y, f.id.get)))
+          }
         }
       import s.implicits._
       decoded.toDF("tile_x", "tile_y", "fid")

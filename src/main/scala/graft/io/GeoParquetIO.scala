@@ -39,7 +39,7 @@ object GeoParquetIO {
   /** Minimal serializable Hadoop-configuration carrier so footer-rewrite
     * tasks see the session's filesystem settings (credentials etc.).
     */
-  private[io] final class SerializableConf(@transient var value: Configuration)
+  private[graft] final class SerializableConf(@transient var value: Configuration)
       extends Serializable {
     private def writeObject(out: java.io.ObjectOutputStream): Unit = {
       out.defaultWriteObject()

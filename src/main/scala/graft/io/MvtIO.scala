@@ -2,7 +2,7 @@ package graft.io
 
 import java.io.ByteArrayOutputStream
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 
@@ -257,7 +257,7 @@ object MvtIO {
     val conf = new GeoParquetIO.SerializableConf(
       df.sparkSession.sessionState.newHadoopConf())
     val root = new Path(outDir)
-    val fsRoot = root.getFileSystem(conf.value)
+    val fsRoot = rawLocal(root.getFileSystem(conf.value))
     // replace only THIS zoom level, so pyramid writes compose per zoom
     if (replaceLevel) fsRoot.delete(new Path(root, zoom.toString), true)
     fsRoot.mkdirs(root)
@@ -273,7 +273,8 @@ object MvtIO {
     val written = df.sparkSession.sparkContext
       .longAccumulator("mvtTilesWritten")
     fanned.rdd.foreachPartition { it =>
-      val fs = new Path(dirStr).getFileSystem(conf.value)
+      val fs = rawLocal(new Path(dirStr).getFileSystem(conf.value))
+      val madeDirs = scala.collection.mutable.HashSet.empty[String]
       var curTile = Long.MinValue
       var buf = scala.collection.mutable.ArrayBuffer
         .empty[(Option[Long], Int, Array[Long], Seq[(String, Any)])]
@@ -281,7 +282,8 @@ object MvtIO {
         val x = (curTile >> 32).toInt
         val y = (curTile & 0xffffffffL).toInt
         val p = new Path(f"$dirStr%s/$z%d/$x%d/$y%d.pbf")
-        fs.mkdirs(p.getParent)
+        // one mkdirs per distinct parent, not per tile (r19)
+        if (madeDirs.add(p.getParent.toString)) fs.mkdirs(p.getParent)
         val bytes = encodeTile(layerName, extent, buf.toSeq)
         AtomicTaskFile.withOutput(fs, p)(_.write(bytes))
         written.add(1)
@@ -378,10 +380,21 @@ object MvtIO {
     * `Array[Long](x0,y0,x1,y1,...)` per MoveTo-opened part (rings include
     * the re-closed first point).
     */
+  /** Local paths skip Hadoop's checksummed LocalFileSystem (r19): tile
+    * files are single-writer artifacts renamed into place; the CRC
+    * sidecar doubles the file operations per tile (create + write +
+    * rename of a .crc beside every .pbf) and buys nothing here. Non-local
+    * schemes pass through unchanged.
+    */
+  private def rawLocal(fs: FileSystem): FileSystem = fs match {
+    case l: org.apache.hadoop.fs.LocalFileSystem => l.getRawFileSystem
+    case other => other
+  }
+
   def readTileFile(path: String, hadoopConf: org.apache.hadoop.conf.Configuration =
       new org.apache.hadoop.conf.Configuration()): Seq[MvtLayer] = {
     val p = new Path(path)
-    val fs = p.getFileSystem(hadoopConf)
+    val fs = rawLocal(p.getFileSystem(hadoopConf))
     val len = fs.getFileStatus(p).getLen.toInt
     val bytes = new Array[Byte](len)
     val in = fs.open(p)

@@ -135,16 +135,19 @@ object SparkEntry {
   /** Runs a declared streaming query start-to-stop with two scoped,
     * result-neutral machinery reductions (r18 optimization):
     *
-    *  1. NO-DATA micro-batch disabled: after the last data batch Spark
-    *     runs one extra empty batch purely to advance the watermark —
-    *     for the declared queries' sinks that batch provably cannot
-    *     change the result (complete mode re-emits the identical
+    *  1. NO-DATA micro-batch: after the last data batch Spark runs one
+    *     extra empty batch purely to advance the watermark. For an
+    *     append-mode stateful stream that batch IS load-bearing (it
+    *     finalizes watermark-gated windows), so the DEFAULT here keeps
+    *     it ON — a future stream wrapped with default args can never
+    *     silently lose output (r19 safety fix; the r18 default was the
+    *     inverse). Each declared stream whose sink provably cannot be
+    *     changed by an empty batch opts OUT at its call site with
+    *     `noDataBatch = false`: complete mode re-emits the identical
     *     snapshot; update mode emits only on state CHANGE and watermark
     *     eviction is not a change; the one append-mode stream, t59, is
-    *     stateless so nothing is watermark-gated), yet it costs a full
-    *     state-store restore/commit cycle per partition. Any future
-    *     append-mode WINDOWED stream (where that batch IS load-bearing)
-    *     must opt back in via `noDataBatch = true`.
+    *     stateless so nothing is watermark-gated. Skipping it saves a
+    *     full state-store restore/commit cycle per partition.
     *  2. State-store right-sizing (the g115 precedent, hoisted): the
     *     stateful exchanges key on at most a few thousand tiny rows in
     *     every declared stream, so each extra state partition buys zero
@@ -155,8 +158,8 @@ object SparkEntry {
     * Both confs are captured by the query's cloned session at start()
     * and restored immediately after, so batch queries are unaffected.
     */
-  private def runStream(s: SparkSession, statePartitions: Int = 8,
-      noDataBatch: Boolean = false)(
+  private[graft] def runStream(s: SparkSession, statePartitions: Int = 8,
+      noDataBatch: Boolean = true)(
       start: => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
     val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val spKey = "spark.sql.shuffle.partitions"
@@ -173,7 +176,24 @@ object SparkEntry {
         case None => s.conf.unset(ndKey)
       }
     }
-    try { q.processAllAvailable() } finally { q.stop() }
+    try { q.processAllAvailable() } finally {
+      q.stop()
+      // Evidence side-channel (r19): when SPARK_GRAFT_STREAM_PROGRESS_DIR
+      // is set, dump the run's StreamingQueryProgress JSON (batch
+      // durations, stateOperators rows/memory) per sink so streaming
+      // claims are auditable the way batch explain() plans are. Env
+      // lookup only when unset — no bench-path overhead.
+      sys.env.get("SPARK_GRAFT_STREAM_PROGRESS_DIR").foreach { dir =>
+        try {
+          val d = java.nio.file.Paths.get(dir)
+          java.nio.file.Files.createDirectories(d)
+          val name = Option(q.name).getOrElse(q.id.toString)
+          val body = q.recentProgress.map(_.json).mkString("[\n", ",\n", "\n]\n")
+          java.nio.file.Files.write(d.resolve(s"$name.progress.json"),
+            body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        } catch { case _: Throwable => () }
+      }
+    }
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {
@@ -225,12 +245,25 @@ object SparkEntry {
   // rows are cached and every action still scans the parquet), keyed by
   // session so a new session re-resolves. The production analog is a
   // catalog table: resolve once, scan per query.
+  // Cached paths are immutable fixture files; a path rewritten mid-session
+  // would serve the stale resolution (documented contract). Entries for
+  // STOPPED sessions are purged on every cache miss (r19, advice fix) so a
+  // long-lived multi-session host doesn't retain dead sessions' plans —
+  // misses happen ~10 times per new session, so the sweep is off the hot
+  // hit path.
   private val tableCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     graft.sql.functions.install(spark)
     val df = tableCache.computeIfAbsent((spark, s"$dir/$name.parquet"),
-      { case (sess, p) => sess.read.parquet(p) })
+      { case (sess, p) =>
+        tableCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+        // cloned sessions share a live context, so isStopped can't see
+        // them die — a hard size bound caps retention either way (a full
+        // re-resolution costs one footer read per fixture, ~ms)
+        if (tableCache.size > 256) tableCache.clear()
+        sess.read.parquet(p)
+      })
     // The driver's testdata drops have shipped events.ts both as int64
     // nanos (read as long under nanosAsLong) and as a us-precision naive
     // timestamp (r10). Normalize to int64 ns-since-epoch so every temporal
@@ -1687,7 +1720,7 @@ object SparkEntry {
       // state-store right-sizing + no-data-batch elision live in
       // runStream (r18; the rationale that used to sit here moved to its
       // scaladoc)
-      runStream(s) { joined.groupBy(col("s_suppkey"))
+      runStream(s, noDataBatch = false) { joined.groupBy(col("s_suppkey"))
         .agg(count(lit(1)).as("n_pts"), sum(col("c_custkey")).as("sum_key"))
         .writeStream.outputMode("complete").format("memory").queryName(sink)
         .start() }
@@ -4156,7 +4189,7 @@ object SparkEntry {
         .select(col("lang"),
           explode(split(lower(col("text")), "[^a-z0-9]+")).as("token"))
         .filter(col("token") =!= "")
-      runStream(s) { toks.groupBy(col("lang"))
+      runStream(s, noDataBatch = false) { toks.groupBy(col("lang"))
         .agg(gr_heavyHitters(col("token"), 64).as("_hh"))
         .writeStream.outputMode("complete").format("memory").queryName(sink)
         .start() }
@@ -4181,7 +4214,7 @@ object SparkEntry {
       val qstream = s.readStream.schema(schema)
         .parquet(streamDirFor(s"$d/embeddings.parquet"))
         .filter(col("vec_id") >= 100 && col("vec_id") < 110)
-      runStream(s) { graft.ops.Similarity.streamingAnnTopK(qstream, emb,
+      runStream(s, noDataBatch = false) { graft.ops.Similarity.streamingAnnTopK(qstream, emb,
           "vec_id", "embedding", k = 10, bits = 8, seed = 7)
         .writeStream.outputMode("complete").format("memory").queryName(sink)
         .start() }
@@ -4224,7 +4257,7 @@ object SparkEntry {
       val ev = s.readStream.schema(raw.schema)
         .parquet(streamDirFor(s"$d/events.parquet"))
         .select(col("user_id"), col("value"), tts.as("tts"))
-      runStream(s) { ev.groupBy(col("user_id"),
+      runStream(s, noDataBatch = false) { ev.groupBy(col("user_id"),
           session_window(col("tts"), "24 hours").as("sw"))
         .agg(count(lit(1)).as("n_events"),
           round(sum(col("value")), 2).as("sum_value"))
@@ -4261,7 +4294,7 @@ object SparkEntry {
         .parquet(streamDirFor(s"$d/events.parquet"))
         .select(tts.as("tts"), st_point(col("value"),
           (col("user_id") % 100).cast("double")).as("g"))
-      runStream(s) { ev.withWatermark("tts", "1 hour")
+      runStream(s, noDataBatch = false) { ev.withWatermark("tts", "1 hour")
         .groupBy(window(col("tts"), "6 hours").as("w"))
         .agg(st_envelopeAgg(col("g")).as("env"), count(lit(1)).as("n"))
         .writeStream.outputMode("complete").format("memory").queryName(sink)
@@ -4318,7 +4351,7 @@ object SparkEntry {
       val bench = raw.filter(col("source") === "src0")
       val hits = graft.ops.Dedup.decontaminateStreaming(
         stream, "doc_id", "text", bench, "text")
-      runStream(s) { hits.writeStream.outputMode("append").format("memory")
+      runStream(s, noDataBatch = false) { hits.writeStream.outputMode("append").format("memory")
         .queryName(sink).start() }
       s.table(sink).groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_hit_pos"),
@@ -4399,7 +4432,7 @@ object SparkEntry {
       val bench = raw.filter(col("source") === "src0")
       val rep = graft.ops.Dedup.contaminationReportStreaming(
         stream, "doc_id", "text", "ets", bench, "text", dirtyFrac = 0.5)
-      runStream(s) { rep.writeStream.outputMode("update").format("memory")
+      runStream(s, noDataBatch = false) { rep.writeStream.outputMode("update").format("memory")
         .queryName(sink).start() }
       s.table(sink)
         .select(col("doc_id"), col("n_grams_distinct"), col("n_hit_distinct"),
@@ -4426,7 +4459,7 @@ object SparkEntry {
       val bench = raw.filter(col("source") === "src0")
       val rw = graft.ops.Dedup.decontaminateRewriteStreaming(
         stream, "doc_id", "text", "ets", bench, "text")
-      runStream(s) { rw.writeStream.outputMode("update").format("memory")
+      runStream(s, noDataBatch = false) { rw.writeStream.outputMode("update").format("memory")
         .queryName(sink).start() }
       s.table(sink)
         .select(col("doc_id"), col("n_tokens"), col("n_removed"),
@@ -4617,7 +4650,7 @@ object SparkEntry {
         .parquet(streamDirFor(s"$d/documents.parquet"))
         .withColumn("ets", expr("timestamp_micros(1700000000000000 + doc_id)"))
         .withColumn("h", md5(col("text")))
-      runStream(s) { st.withWatermark("ets", "1 hour")
+      runStream(s, noDataBatch = false) { st.withWatermark("ets", "1 hour")
         .dropDuplicatesWithinWatermark("source", "h")
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_uniq"),
@@ -5155,7 +5188,7 @@ object SparkEntry {
       val qstream = s.readStream.schema(schema)
         .parquet(streamDirFor(s"$d/embeddings.parquet"))
         .filter(col("vec_id") >= 400 && col("vec_id") < 410)
-      runStream(s) { Similarity.streamingIvfPqTopK(qstream, emb,
+      runStream(s, noDataBatch = false) { Similarity.streamingIvfPqTopK(qstream, emb,
           "vec_id", "embedding", lc, lcb, lal,
           k = 10, nprobe = 4, m = lm, roundScoreTo = 4)
         .writeStream.outputMode("complete").format("memory").queryName(sink)

@@ -289,6 +289,13 @@ object WarcIO {
     private var current: Iterator[WarcRecord] = Iterator.empty
     private var done = false
     private val inf = new Inflater(true)
+    // an abandoned iterator (limit/take) or a mid-member exception would
+    // otherwise leak the native zlib state until GC — release it with the
+    // task regardless of how far the normal end()-on-exhaustion path got
+    // (Inflater.end() is idempotent)
+    Option(org.apache.spark.TaskContext.get()).foreach(
+      _.addTaskCompletionListener[Unit](_ =>
+        try inf.end() catch { case _: Throwable => () }))
     // compressed window over the file: winStart = file offset of win(0)
     private val win = new Array[Byte](1 << 16)
     private var winStart = 0L
@@ -543,7 +550,7 @@ object WarcIO {
         val def_ = new Deflater(Deflater.DEFAULT_COMPRESSION, true)
         val crc = new CRC32()
         val buf = new Array[Byte](1 << 16)
-        it.foreach { row =>
+        try it.foreach { row =>
           val payload: Array[Byte] =
             if (row.isNullAt(payIdx)) Array.emptyByteArray
             else if (payIsString) row.getString(payIdx).getBytes("UTF-8")
@@ -592,8 +599,7 @@ object WarcIO {
             ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
           out.write(le32(crc.getValue))
           out.write(le32(recBytes.length.toLong & 0xffffffffL))
-        }
-        def_.end()
+        } finally def_.end() // release native zlib even if the loop throws
         out.flush()
       }
       Iterator.single(pid)

@@ -973,6 +973,11 @@ object GraftDefs {
     // concat_ws(' ', slice(toks, i+1, n))) but the join happens once per
     // DOC (O(total bytes)), and each window is a UTF8String.fromBytes
     // view [offset, len) into it — no per-window concat/alloc.
+    // PRECONDITION (here and in gr_token_window_md5): array elements are
+    // non-null — every caller feeds gr_tokens output, which never emits
+    // null tokens. A null element NPEs rather than being skipped the way
+    // the replaced concat_ws chain skipped it; a future caller with
+    // nullable tokens must filter() them first.
     "gr_token_windows" -> Spec(Seq(ArrayType(S), I), ArrayType(S), { a =>
       val arr = a(0).asInstanceOf[ArrayData]
       val n = int(a(1))

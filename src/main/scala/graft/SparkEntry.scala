@@ -553,17 +553,23 @@ object SparkEntry {
     }),
 
     "q09_correlated_subquery" -> ((s, d) => {
+      // correlated scalar subquery decorrelated as a WINDOW avg (r19,
+      // guide §3.3): the former self-join scanned lineitem twice and
+      // broadcast a per-orderkey aggregate — a relation with one row per
+      // ORDER, which at corpus scale cannot broadcast and degrades to a
+      // full two-sided shuffle join. The window computes the same
+      // per-orderkey avg in ONE scan + ONE hash exchange. Same values:
+      // l_quantity is integer-valued, so the double sum is exact and
+      // order-insensitive (oracle hash confirms).
       val li = t(s, d, "lineitem")
-      li.as("l1").join(
-          li.groupBy(col("l_orderkey").as("_ok"))
-            .agg(avg(col("l_quantity")).as("_avg_qty")).as("l2"),
-          col("l1.l_orderkey") === col("_ok"))
-        .filter(col("l1.l_quantity") > col("_avg_qty") * 1.5)
-        .groupBy(col("l1.l_returnflag"))
+      li.withColumn("_avg_qty",
+          avg(col("l_quantity")).over(Window.partitionBy(col("l_orderkey"))))
+        .filter(col("l_quantity") > col("_avg_qty") * 1.5)
+        .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),
           // round at the data's own 2-decimal granularity: a 1-decimal round
           // sits exactly on .x5 boundaries and flips with summation order
-          round(sum(col("l1.l_extendedprice")), 2).as("price"))
+          round(sum(col("l_extendedprice")), 2).as("price"))
         .orderBy(col("l_returnflag"))
     }),
 

@@ -1085,13 +1085,50 @@ final case class GeoDataFrame(
     val sphereR = 6371008.8
     val mPerDegLat = math.Pi * sphereR / 180.0
     val padLat = meters / mPerDegLat
-    // cell = 4x the latitude pad: measured against 2x on the g91 fixture
-    // (r19) — 2x emits ~40% fewer verify pairs (0.99M vs 1.70M) but more
-    // than doubles the left explode fan-out (113k vs 52k rows, high-lat
-    // rows fan to dozens of cells), and the measured wall was ~2x WORSE;
-    // the verify kernel is cheap per pair, the exploded-row machinery is
-    // not. Callers with unusual data shapes can override via cellSizeDeg.
-    val cell = if (cellSizeDeg > 0) cellSizeDeg else math.max(padLat * 4.0, 1e-9)
+    // DENSITY-ADAPTIVE cell (r19, guide §2 — derive partitioning from the
+    // input, not a constant tuned at one scale). The cost model has two
+    // opposing terms: left explode fan-out grows as (2·padLat/cell + 1)²
+    // while verify pairs per exploded row grow as nRight·cell²/area. A
+    // FIXED cell is only right at one density — 4·padLat measured best on
+    // the sf0.1 fixture (2·padLat emitted 40% fewer pairs but 2.2× the
+    // exploded rows and a ~2× worse wall), but at sf1's 10× right-side
+    // density the same cell made the verify term explode (52 s: ~135 M
+    // haversine pairs). The default now targets a bounded candidate count
+    // per exploded row: cell = sqrt(C0·area/nRight) with C0 = 45,
+    // clamped to [padLat/2, 4·padLat] — at sf0.1 density this clamps to
+    // the measured-best 4·padLat (identical plan), at 10× density it
+    // shrinks ~3× (3.3× fewer pairs), and the padLat/2 floor caps the
+    // fan-out so pairs stay ~linear in the LEFT side as density grows.
+    // Costs one narrow stats ACTION (right count + extent crossJoined with
+    // the left count — independent subtrees, one job DAG; the
+    // catalog-stats analog, computed exactly because fixtures carry no
+    // stats). Callers can still override via cellSizeDeg (> 0 skips the
+    // stats job AND the pair-estimate repartition below).
+    val (cell, pairsEst) = if (cellSizeDeg > 0) (cellSizeDeg, -1.0) else {
+      val g = right.df(right.geometryColumn)
+      val cnt = org.apache.spark.sql.functions.count(lit(1))
+      val st = right.df.agg(cnt.as("_nr"),
+          min(st_xmin(g)), max(st_xmax(g)), min(st_ymin(g)), max(st_ymax(g)))
+        .crossJoin(df.agg(cnt.as("_nl")))
+        .head()
+      val nR = st.getLong(0)
+      val nL = st.getLong(5)
+      val area =
+        if (nR == 0L || st.isNullAt(1)) 0.0
+        else (st.getDouble(2) - st.getDouble(1)) * (st.getDouble(4) - st.getDouble(3))
+      val c0 =
+        if (nR > 0L && area > 0.0) math.sqrt(45.0 * area / nR)
+        else padLat * 4.0 // empty/degenerate extent: density is undefined
+      val c = math.max(math.min(c0, padLat * 4.0), math.max(padLat * 0.5, 1e-9))
+      // expected verify pairs = nL * nR * (2*padLat + cell)^2 / area (the
+      // grid coverage window around each left row); degenerate extent ->
+      // every pair shares a cell
+      val est =
+        if (area > 0.0) nL.toDouble * nR.toDouble *
+          math.pow(2.0 * padLat + c, 2) / area
+        else nL.toDouble * nR.toDouble
+      (c, est)
+    }
     val rightRenamed = right.df.columns.foldLeft(right.df) { (acc, c) =>
       if (df.columns.contains(c)) acc.withColumnRenamed(c, c + rsuffix) else acc
     }
@@ -1104,7 +1141,24 @@ final case class GeoDataFrame(
       greatest(lit(padLat), lit(2.0 * 180.0 / math.Pi) * asin(least(lit(1.0),
         lit(math.sin(meters / (2.0 * sphereR))) / cos(radians(latWorst)))))
     }
-    val l = df.withColumn("_cell", explode(
+    // Parallelism floor (r19, guide §2 stragglers): when the right side is
+    // dimension-sized the cell join broadcasts, so the explode -> join ->
+    // haversine-verify pipeline inherits the LEFT SCAN's partitioning — a
+    // small parquet input plans as ONE split and the entire verify (tens of
+    // millions of pairs at sf1) runs in a single task, identical walls at 8
+    // and 32 cores (measured: g91 at sf1 was 32.8 s on BOTH). Round-robin
+    // the left up to the cluster's default parallelism first — but only
+    // when the estimated pair volume warrants an exchange (>= 8M verify
+    // pairs ≈ seconds of single-task work; below that the extra shuffle
+    // costs more than it recovers — measured +0.3 s on g91's 1.4M-pair
+    // sf0.1 shape). At scale the scan already has >= defaultParallelism
+    // splits and this whole branch is a no-op.
+    val leftBase = {
+      val dp = df.sparkSession.sparkContext.defaultParallelism
+      if (pairsEst >= 8e6 && df.rdd.getNumPartitions < dp) df.repartition(dp)
+      else df
+    }
+    val l = leftBase.withColumn("_cell", explode(
       st_gridCellsSizedPad(df(geometryColumn), lit(cell), padOf(df(geometryColumn)))))
     val r = rightRenamed.withColumn("_cell", explode(
       st_gridCellsSized(rightRenamed(rGeomName), lit(cell))))

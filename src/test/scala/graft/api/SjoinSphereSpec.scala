@@ -85,4 +85,48 @@ class SjoinSphereSpec extends AnyFunSuite {
     assert(left.setCrs("EPSG:4326").sjoinDwithinSphere(right, d).crs
       .contains("EPSG:4326"))
   }
+
+  test("cell size is a pure performance knob: overrides match the adaptive default") {
+    val rnd = new scala.util.Random(11)
+    val ls = (0 until 150).map(i =>
+      (i.toLong, rnd.nextDouble() * 30 - 10, 40 + rnd.nextDouble() * 30))
+    val rs = (0 until 120).map(i =>
+      (1000L + i, rnd.nextDouble() * 30 - 10, 40 + rnd.nextDouble() * 30))
+    val d = 200000.0
+    val padLat = d / (math.Pi * 6371008.8 / 180.0)
+    val left = GeoDataFrame(ls.toDF("lid", "lon", "lat")
+      .select($"lid", st_point($"lon", $"lat").as("geometry")), "geometry")
+    val right = GeoDataFrame(rs.toDF("rid", "lon", "lat")
+      .select($"rid", st_point($"lon", $"lat").as("geometry")), "geometry")
+    def pairs(cell: Double): Seq[(Long, Long)] =
+      left.sjoinDwithinSphere(right, d, cellSizeDeg = cell).df
+        .select($"lid", $"rid").as[(Long, Long)].collect().sorted.toSeq
+    val adaptive = pairs(0.0) // density-adaptive default (r19)
+    assert(adaptive.nonEmpty)
+    assert(pairs(padLat * 0.5) == adaptive)
+    assert(pairs(padLat * 4.0) == adaptive)
+  }
+
+  test("dense input triggers the parallelism-floor repartition without changing results") {
+    // 500x500 points inside a 0.5 deg box with a 150 km radius: estimated
+    // pairs ~11M >= the 8M gate, and the single-partition left (coalesce(1))
+    // sits below defaultParallelism -> the round-robin repartition branch
+    // runs. Every pair is within radius, so the exact expected set is the
+    // full cross product.
+    val n = 500
+    val rnd = new scala.util.Random(23)
+    val ls = (0 until n).map(i =>
+      (i.toLong, 10.0 + rnd.nextDouble() * 0.5, 45.0 + rnd.nextDouble() * 0.5))
+    val rs = (0 until n).map(i =>
+      (10000L + i, 10.0 + rnd.nextDouble() * 0.5, 45.0 + rnd.nextDouble() * 0.5))
+    val left = GeoDataFrame(ls.toDF("lid", "lon", "lat")
+      .select($"lid", st_point($"lon", $"lat").as("geometry"))
+      .coalesce(1), "geometry")
+    val right = GeoDataFrame(rs.toDF("rid", "lon", "lat")
+      .select($"rid", st_point($"lon", $"lat").as("geometry")), "geometry")
+    val joined = left.sjoinDwithinSphere(right, 150000.0).df
+    assert(joined.count() == n.toLong * n) // all pairs in radius, exactly once
+    // and the join output parallelism is no longer pinned to the 1-split scan
+    assert(joined.rdd.getNumPartitions > 1)
+  }
 }

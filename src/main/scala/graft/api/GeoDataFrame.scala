@@ -1826,6 +1826,12 @@ final case class GeoDataFrame(
     val s = eps / 1.5
     // one narrow projection, pinned: (id, x, y, home cell) feeds every
     // branch below (counts, candidates, flags, labels)
+    // (r19 note: a sjoinDwithinSphere-style parallelism-floor repartition
+    // of this checkpoint was tried and MEASURED flat at sf1 — 52.9 s ->
+    // 52.2 s — because the wall there is the connectedComponents loop over
+    // the eps-edge graph, whose mass grows ~quadratically with density at
+    // fixed eps; the pair stage itself overlaps with it. Reverted: the
+    // extra exchange+count buys nothing this operator can feel.)
     val pts = df.select(
         col(idCol).cast("long").as("id"),
         st_x(col(geometryColumn)).cast("double").as("_x"),
